@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational backbone over the cataloged tables.
+  *
+  * The reference serves its ingested collections through pygeoapi
+  * (filter/aggregate style access, e.g. rer_river_discharge_arpae
+  * _process.py:316-323 `filter_data` by time range + station list).
+  * These queries exercise the same scan→filter→join→aggregate
+  * surface, Spark-first:
+  *  - filters/projections are plain `Column` ops so they reach the
+  *    parquet scan (PushedFilters / ReadSchema);
+  *  - dimension tables are `broadcast()` so fact-table joins never
+  *    shuffle the big side;
+  *  - aggregates are `functions._` only (whole-stage codegen, map-side
+  *    partial aggregation).
+  *
+  * All float aggregates are rounded on BOTH sides (here and in the
+  * DuckDB oracle) to absorb summation-order ulps.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: one wide scan, group on two
+    * low-cardinality keys. At 100 TB this is the map-side-combine
+    * showcase: partial aggs reduce ~billions of rows to ~6 groups
+    * before the (tiny) shuffle. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3-style: selective dim filter broadcast into two fact
+    * joins, then agg + deterministic top-k. Customer filter prunes
+    * before the join; orders→lineitem join keys are the natural
+    * shuffle partitioning. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: full dim chain (region→nation→customer/supplier)
+    * broadcast against the two fact tables. Catalyst collapses the
+    * dim chain into broadcast hash joins; only orders⋈lineitem
+    * shuffles, on the join key both sides already need. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust   = Tables.customer(spark, dir)
+    val supp   = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+
+    val dims = cust
+      .join(nation, cust("c_nationkey") === nation("n_nationkey"))
+      .join(region, nation("n_regionkey") === region("r_regionkey"))
+      .select(col("c_custkey"), col("n_nationkey"), col("n_name"))
+
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(dims), ord("o_custkey") === dims("c_custkey"))
+      .join(broadcast(supp),
+        li("l_suppkey") === supp("s_suppkey") &&
+          col("n_nationkey") === supp("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Top-k rows per group via window rank — the reference's
+    * "latest/extreme N per station" access pattern. Single shuffle on
+    * the partition key; rank filter applied before any further work. */
+  def topOrdersPerSegment(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val ord  = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+  }
+
+  /** JSON payload extraction + aggregation — the ARPAE REST ingestor
+    * parses JSON observation payloads into columns
+    * (rer_river_discharge_arpae_process.py:213-238). `get_json_object`
+    * is codegen'd; at scale this runs in the scan stage. */
+  def eventsJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("q1_pricing_summary: six groups, positive sums, counts add up") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.length === 6)
+    val totalCount = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(totalCount === expected)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 0))
+    df.unpersist()
+  }
+
+  test("q3_shipping_priority: at most 10 rows, descending revenue") {
+    val rows = SparkEntry.queries("q3_shipping_priority")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("q5_local_supplier: nations are within ASIA") {
+    val rows = SparkEntry.queries("q5_local_supplier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val asiaNations = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getAs[String]("n_name")).toSet.subsetOf(asiaNations))
+  }
+
+  test("topk_per_group: exactly 5 per segment, rank-ordered prices") {
+    val df = SparkEntry.queries("topk_per_group")(spark, sf)
+    val bySeg = df.collect().groupBy(_.getAs[String]("c_mktsegment"))
+    assert(bySeg.nonEmpty)
+    bySeg.foreach { case (_, rows) =>
+      assert(rows.length === 5)
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      val prices = sorted.map(_.getAs[Double]("totalprice"))
+      assert(prices.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+
+  test("events_json_extract: every event_type present, avg_k in [0,100]") {
+    val rows = SparkEntry.queries("events_json_extract")(spark, sf).collect()
+    assert(rows.length === 5)
+    assert(rows.forall { r =>
+      val a = r.getAs[Double]("avg_k"); a >= 0 && a <= 100
+    })
+  }
+
+  test("entry: flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

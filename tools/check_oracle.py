@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.01
+Reads each <name>/ parquet dir written by graft.Verify, runs the
+matching oracle_sql.json query in DuckDB over the sf tables, and
+compares: row count, column names, and a hash of the sorted values
+(floats rounded to 9 significant decimals before hashing).
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+out_dir, sf_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(9)
+        elif np.issubdtype(df[c].dtype, np.datetime64):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+fails = 0
+for name in sorted(oracle):
+    pq = f"{out_dir}/{name}"
+    if not os.path.isdir(pq):
+        print(f"MISSING  {name}: no spark output"); fails += 1; continue
+    files = glob.glob(f"{pq}/*.parquet")
+    spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    try:
+        duck_df = con.sql(oracle[name]).df()
+    except Exception as e:
+        print(f"ORACLE-ERR {name}: {e}"); fails += 1; continue
+    a, b = canon(spark_df), canon(duck_df)
+    if list(a.columns) != list(b.columns):
+        print(f"SCHEMA   {name}: spark={list(a.columns)} duck={list(b.columns)}"); fails += 1; continue
+    if len(a) != len(b):
+        print(f"ROWS     {name}: spark={len(a)} duck={len(b)}"); fails += 1; continue
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+        print(f"OK       {name} ({len(a)} rows)")
+    except AssertionError as e:
+        print(f"VALUES   {name}: {str(e).splitlines()[-1] if str(e) else e}"); fails += 1
+
+# rows-only queries (no oracle)
+for d in sorted(os.listdir(out_dir)):
+    if os.path.isdir(f"{out_dir}/{d}") and d not in oracle:
+        files = glob.glob(f"{out_dir}/{d}/*.parquet")
+        n = sum(pd.read_parquet(f).shape[0] for f in files)
+        print(f"ROWSONLY {d}: {n} rows" + ("  (EMPTY!)" if n == 0 else ""))
+
+sys.exit(1 if fails else 0)
