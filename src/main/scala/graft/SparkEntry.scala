@@ -24,6 +24,13 @@ object SparkEntry {
     "q5_local_supplier"   -> Relational.localSupplierVolume _,
     "topk_per_group"      -> Relational.topOrdersPerSegment _,
     "events_json_extract" -> Relational.eventsJsonExtract _,
+    // --- time-series ---------------------------------------------
+    "ts_resample_daily"      -> TimeSeries.resampleDaily _,
+    "ts_resample_weekly_max" -> TimeSeries.resampleWeeklyMax _,
+    "ts_rolling_sum"         -> TimeSeries.rollingSum _,
+    "ts_cumsum"              -> TimeSeries.cumSum _,
+    "ts_asof_join"           -> TimeSeries.asofJoin _,
+    "ts_gapfill"             -> TimeSeries.gapFill _,
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names,
@@ -88,5 +95,55 @@ object SparkEntry {
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events
         |GROUP BY event_type""".stripMargin,
+
+    "ts_resample_daily" ->
+      """SELECT event_type,
+        |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "ts_resample_weekly_max" ->
+      """SELECT user_id,
+        |  strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |  round(max(value), 2) AS max_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "ts_rolling_sum" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_sum
+        |FROM events""".stripMargin,
+
+    "ts_cumsum" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value
+        |FROM events""".stripMargin,
+
+    "ts_asof_join" ->
+      """SELECT c.event_id, c.user_id,
+        |  round(c.value, 2) AS click_value,
+        |  round(p.value, 2) AS last_purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts > p.ts""".stripMargin,
+
+    "ts_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS d, round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+        |days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds),
+        |grid AS (SELECT u.user_id, days.d
+        |         FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN days)
+        |SELECT g.user_id, strftime(g.d, '%Y-%m-%d') AS day,
+        |  coalesce(last_value(dl.v IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS value_ffill
+        |FROM grid g LEFT JOIN daily dl ON g.user_id = dl.user_id AND g.d = dl.d""".stripMargin,
   )
 }

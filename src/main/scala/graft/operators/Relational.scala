@@ -69,44 +69,59 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5-style: full dim chain (region→nation→customer/supplier)
-    * broadcast against the two fact tables. Catalyst collapses the
-    * dim chain into broadcast hash joins; only orders⋈lineitem
-    * shuffles, on the join key both sides already need. */
+  /** TPC-H Q5-style multi-way join. Scale discipline: only the TRUE
+    * dims (nation⋈region — O(100) rows at any scale) are broadcast.
+    * Customer and supplier scale linearly with the data (fact-sized
+    * at 100 TB), so their joins are left unhinted: they shuffle-join
+    * on their keys, and AQE is free to demote them to broadcast at
+    * small scale where they actually fit. */
   def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
-    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
-    val nation = Tables.nation(spark, dir)
-    val cust   = Tables.customer(spark, dir)
-    val supp   = Tables.supplier(spark, dir)
+    val asiaNations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
     val ord = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
               col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, dir)
-
-    val dims = cust
-      .join(nation, cust("c_nationkey") === nation("n_nationkey"))
-      .join(region, nation("n_regionkey") === region("r_regionkey"))
-      .select(col("c_custkey"), col("n_nationkey"), col("n_name"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
 
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(dims), ord("o_custkey") === dims("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp,
         li("l_suppkey") === supp("s_suppkey") &&
           col("n_nationkey") === supp("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
   }
 
-  /** Top-k rows per group via window rank — the reference's
-    * "latest/extreme N per station" access pattern. Single shuffle on
-    * the partition key; rank filter applied before any further work. */
+  /** Top-k rows per group — the reference's "latest/extreme N per
+    * station" access pattern. `c_mktsegment` has cardinality 5, so a
+    * single `Window.partitionBy(segment)` would funnel the whole
+    * orders table into 5 tasks. Two-phase instead: a salted local
+    * top-k (segment × 64 salt buckets — parallel, each sorts a small
+    * slice) prunes to ≤ 5×64 survivors per segment, then the final
+    * 5-partition window ranks only those. Same answer, no giant
+    * partitions, survives any scale-up.
+    *
+    * The customer join stays unhinted: customer is fact-sized at
+    * 100 TB (shuffle join), while AQE broadcasts it at small SF. */
   def topOrdersPerSegment(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
     val ord  = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice")
-    val w = Window.partitionBy(col("c_mktsegment"))
+    val wLocal = Window.partitionBy(col("c_mktsegment"), pmod(col("o_orderkey"), lit(64)))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .withColumn("rk", row_number().over(w))
+    val wFinal = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= 5)
+      .withColumn("rk", row_number().over(wFinal))
       .filter(col("rk") <= 5)
       .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("totalprice"))

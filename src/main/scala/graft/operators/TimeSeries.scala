@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Windowed time-series operators over the `events` table.
+  *
+  * The reference's analytics all start from one of these primitives:
+  *  - daily/weekly resample (`ll_nl_danger_levels.py:79`
+  *    `resample(time="1W").max()`, CDS daily rollups),
+  *  - t-scale rolling sums (`utils_spi.py:446-449`
+  *    `df.rolling(spi_ts).sum()`),
+  *  - running cumulative sums (`ingestor_knmi_evapo.py:395-414`
+  *    cumulative precipitation deficit),
+  *  - as-of alignment of two irregular series,
+  *  - calendar densify + forward-fill (the reference re-grids every
+  *    fetched series onto a regular time axis before deriving).
+  *
+  * Scale design: every windowed op partitions by a HIGH-cardinality
+  * natural key (`user_id` ≈ station/grid-cell — millions at 100 TB),
+  * so one hash shuffle distributes the work and all window arithmetic
+  * is within-partition, codegen'd, and spill-safe. No driver-side
+  * loops, no collect, no low-cardinality window keys.
+  *
+  * Timestamps leave as formatted strings so parquet dumps compare
+  * cleanly against the DuckDB oracle.
+  */
+object TimeSeries {
+
+  private def day(c: Column): Column = date_format(date_trunc("DAY", c), "yyyy-MM-dd")
+
+  /** Daily resample: truncate-to-day groupBy aggregation.
+    * Map-side partial agg reduces each scan partition to
+    * O(days × types) rows before the shuffle. */
+  def resampleDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), day(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+
+  /** Weekly max per key — the danger-levels preprocessing step
+    * (`ll_nl_danger_levels.py:79` `resample(time="1W").max()`).
+    * Week = ISO Monday truncation, identical in Spark and DuckDB. */
+  def resampleWeeklyMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        col("user_id"),
+        date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"))
+      .agg(round(max(col("value")), 2).as("max_value"))
+
+  /** Per-key ordered rolling sum over the last 7 observations — the
+    * SPI t-scale accumulation (`utils_spi.py:446-449`). Single shuffle
+    * on `user_id`; the frame is row-bounded so state is O(7). */
+  def rollingSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 2).as("rolling_sum"))
+  }
+
+  /** Per-key running cumulative sum — the evapo deficit accumulator
+    * (`ingestor_knmi_evapo.py:395-414`). */
+  def cumSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 2).as("cum_value"))
+  }
+
+  /** As-of join: each `click` event aligned to the latest strictly
+    * earlier `purchase` by the same user (the reference aligns
+    * observation series to the latest prior forecast issue the same
+    * way). Spark-first plan: instead of a range join (which explodes
+    * into a cartesian per key), union the two streams, sort within
+    * each `user_id` partition by (ts, kind), and carry the last
+    * non-null purchase forward with `last(..., ignoreNulls)` — one
+    * shuffle, linear within-partition work, no candidate blow-up.
+    * Clicks sort BEFORE equal-ts purchases so the join is strict. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        lit(0).as("kind"), lit(null).cast("double").as("p_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(lit(null).cast("long").as("event_id"), col("ts"), col("user_id"),
+        lit(null).cast("double").as("value"),
+        lit(1).as("kind"), col("value").as("p_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_purchase_value",
+        round(last(col("p_value"), ignoreNulls = true).over(w), 2))
+      .filter(col("kind") === 0)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("click_value"),
+        col("last_purchase_value"))
+  }
+
+  /** Calendar densify + forward fill: per-user daily totals on a
+    * complete global day grid, gaps filled with the last observed
+    * value (0 before the first observation) — the reference re-grids
+    * every ingested series this way before analytics. The day grid is
+    * built once from a global min/max agg (2 values → broadcast) and
+    * cross-joined with the distinct-key table; the fill itself is one
+    * window pass per key. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("d"))
+      .agg(round(sum(col("value")), 2).as("v"))
+    val bounds = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val days = bounds.select(explode(sequence(col("lo"), col("hi"),
+      expr("interval 1 day"))).as("d"))
+    val users = ev.select(col("user_id")).distinct()
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    users.crossJoin(broadcast(days))
+      .join(daily, Seq("user_id", "d"), "left")
+      .withColumn("filled",
+        coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0)))
+      .select(col("user_id"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("filled").as("value_ffill"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Exact-value checks computed independently (Scala collections over
+  * the tiny sf0.001 slice) against the distributed plans. */
+class TimeSeriesSpec extends SparkSpec {
+
+  private def r2(d: Double): Double = math.rint(d * 100) / 100
+
+  private lazy val raw: Seq[(Long, Long, java.sql.Timestamp, String, Double)] =
+    Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+
+  test("ts_rolling_sum: window of 7 matches hand-computed sliding sums") {
+    val got = SparkEntry.queries("ts_rolling_sum")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val byUser = raw.groupBy(_._2)
+    byUser.foreach { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3.getTime, e._1))
+      ordered.zipWithIndex.foreach { case (e, i) =>
+        val expect = r2(ordered.slice(math.max(0, i - 6), i + 1).map(_._5).sum)
+        assert(math.abs(got(e._1) - expect) < 1e-9,
+          s"event ${e._1}: got ${got(e._1)} expected $expect")
+      }
+    }
+  }
+
+  test("ts_cumsum: final cumulative value equals the per-user total") {
+    val byUser = raw.groupBy(_._2)
+    val lastCum = SparkEntry.queries("ts_cumsum")(spark, sf)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    byUser.foreach { case (u, evs) =>
+      // the last event by (ts, event_id) order carries the full sum
+      val lastByTs = evs.maxBy(e => (e._3.getTime, e._1))
+      val expect = r2(evs.map(_._5).sum)
+      // cum_value keyed by event_id of that last event
+      val got = SparkEntry.queries("ts_cumsum")(spark, sf)
+        .filter(col("event_id") === lastByTs._1).collect()(0).getDouble(2)
+      assert(math.abs(got - expect) < 1e-9, s"user $u: got $got expected $expect")
+      assert(lastCum.contains(u))
+    }
+  }
+
+  test("ts_asof_join: strictly-prior purchase semantics, exact values") {
+    val got = SparkEntry.queries("ts_asof_join")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val purchases = raw.filter(_._4 == "purchase").groupBy(_._2)
+    val clicks = raw.filter(_._4 == "click")
+    assert(got.size === clicks.size)
+    clicks.foreach { case (id, u, ts, _, _) =>
+      val prior = purchases.getOrElse(u, Seq.empty)
+        .filter(p => p._3.getTime < ts.getTime ||
+          (p._3.getTime == ts.getTime && false)) // strict
+      val expect = if (prior.isEmpty) None
+        else Some(r2(prior.maxBy(p => (p._3.getTime, p._1))._5))
+      assert(got(id) === expect, s"click $id user $u")
+    }
+  }
+
+  test("ts_gapfill: complete grid, no gaps, carries last daily total") {
+    val rows = SparkEntry.queries("ts_gapfill")(spark, sf).collect()
+    val users = raw.map(_._2).distinct
+    val days = rows.map(_.getString(1)).distinct.sorted
+    assert(rows.length === users.size * days.length)
+    assert(rows.forall(!_.isNullAt(2)))
+    // spot-check one user: value on a day with no events equals the
+    // previous observed day's total
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val u = users.head
+    val dailyTotals = raw.filter(_._2 == u)
+      .groupBy(e => fmt.format(e._3))
+      .map { case (d, es) => d -> r2(es.map(_._5).sum) }
+    var lastSeen = 0.0
+    days.foreach { d =>
+      lastSeen = dailyTotals.getOrElse(d, lastSeen)
+      val got = rows.find(r => r.getLong(0) == u && r.getString(1) == d).get.getDouble(2)
+      assert(math.abs(got - lastSeen) < 1e-9, s"user $u day $d")
+    }
+  }
+
+  test("ts_resample_daily: group counts partition the table") {
+    val rows = SparkEntry.queries("ts_resample_daily")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === raw.size)
+  }
+
+  test("ts_resample_weekly_max: exact weekly max for a sampled user") {
+    val rows = SparkEntry.queries("ts_resample_weekly_max")(spark, sf).collect()
+    val u = raw.map(_._2).max
+    val cal = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+    def weekStart(t: java.sql.Timestamp): String = {
+      cal.setTimeInMillis(t.getTime)
+      val dow = (cal.get(java.util.Calendar.DAY_OF_WEEK) + 5) % 7 // Mon=0
+      cal.add(java.util.Calendar.DAY_OF_MONTH, -dow)
+      f"${cal.get(java.util.Calendar.YEAR)}%04d-${cal.get(java.util.Calendar.MONTH) + 1}%02d-${cal.get(java.util.Calendar.DAY_OF_MONTH)}%02d"
+    }
+    val expect = raw.filter(_._2 == u).groupBy(e => weekStart(e._3))
+      .map { case (w, es) => w -> r2(es.map(_._5).max) }
+    val got = rows.filter(_.getLong(0) == u)
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(got === expect)
+  }
+}
