@@ -31,6 +31,12 @@ object SparkEntry {
     "ts_cumsum"              -> TimeSeries.cumSum _,
     "ts_asof_join"           -> TimeSeries.asofJoin _,
     "ts_gapfill"             -> TimeSeries.gapFill _,
+    // --- LLM pipeline: text + exact dedup ------------------------
+    "dedup_exact"     -> TextOps.dedupExact _,
+    "lang_id"         -> TextOps.langId _,
+    "text_quality"    -> TextOps.textQuality _,
+    "token_count"     -> TextOps.tokenCount _,
+    "doc_fingerprint" -> TextOps.docFingerprint _,
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names,
@@ -145,5 +151,74 @@ object SparkEntry {
         |    PARTITION BY g.user_id ORDER BY g.d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS value_ffill
         |FROM grid g LEFT JOIN daily dl ON g.user_id = dl.user_id AND g.d = dl.d""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  min(doc_id) AS keeper,
+        |  count(*) AS dup_count
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+
+    "lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a'))
+        |       + len(list_filter(toks, x -> x = 'data')) + len(list_filter(toks, x -> x = 'fast'))
+        |       + len(list_filter(toks, x -> x = 'small')) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(toks, x -> x = 'window')) + len(list_filter(toks, x -> x = 'batch'))
+        |       + len(list_filter(toks, x -> x = 'stream')) + len(list_filter(toks, x -> x = 'slow')) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(toks, x -> x = 'merge')) + len(list_filter(toks, x -> x = 'sort'))
+        |       + len(list_filter(toks, x -> x = 'join')) + len(list_filter(toks, x -> x = 'line')) AS BIGINT) AS score_fr,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) + len(list_filter(toks, x -> x = 'query'))
+        |       + len(list_filter(toks, x -> x = 'vector')) + len(list_filter(toks, x -> x = 'row')) AS BIGINT) AS score_es
+        |  FROM t)
+        |SELECT doc_id, score_en, score_de, score_fr, score_es,
+        |  CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+        |       WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+        |       WHEN score_fr >= score_es THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, text,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), u AS (SELECT doc_id, n_chars, text, toks, len(toks) AS n_tokens FROM t)
+        |SELECT doc_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round((len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a')))
+        |    / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+        |  round(len(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(n_chars AS DOUBLE), 4) AS digit_ratio,
+        |  round((n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), 4) AS mean_token_len,
+        |  round(least(1.0, n_tokens / 100.0)
+        |    * (1.0 - round((len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a')))
+        |                   / CAST(n_tokens AS DOUBLE), 4)), 4) AS quality_score
+        |FROM u""".stripMargin,
+
+    "token_count" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, text,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_regex_tokens,
+        |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
+        |FROM t""".stripMargin,
+
+    "doc_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(norm) AS content_fp,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ')) AS bow_fp
+        |FROM t""".stripMargin,
   )
 }

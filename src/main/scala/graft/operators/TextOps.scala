@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis + exact-dedup operators over the `documents` corpus —
+  * the LLM-training-pipeline surface (SURVEY §2 ops 23, 30-33).
+  *
+  * Everything here is built from codegen'd `functions._` primitives
+  * (split / filter / array_* / md5) — no UDFs — so at 100 TB each op
+  * is a single scan stage with whole-stage codegen, followed by at
+  * most one hash aggregation on a high-cardinality key (the
+  * fingerprint). Normalization is shared so dedup and fingerprint
+  * agree on identity.
+  */
+object TextOps {
+
+  /** Lowercase, trim, collapse runs of whitespace — the canonical
+    * content identity used by dedup and fingerprinting. */
+  def normalized(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Occurrences of exactly `w` among the tokens. */
+  private def cnt(tokens: Column, w: String): Column =
+    size(filter(tokens, t => t === lit(w)))
+
+  /** Exact deduplication: hash-groupBy on the normalized-content
+    * fingerprint; keep the smallest doc_id as the canonical survivor.
+    * One shuffle on md5 (uniform 128-bit key — no skew by
+    * construction); map-side partial agg collapses same-partition
+    * dups before it. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(md5(normalized(col("text"))).as("fingerprint"), col("doc_id"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_count"))
+
+  /** Marker-word language scoring + argmax. The lexicons are
+    * pluggable; this instance uses marker sets chosen to partition
+    * the synthetic corpus vocabulary so the argmax genuinely varies.
+    * Ties break by fixed lexicon order (en > de > fr > es), encoded
+    * identically in the oracle's CASE chain. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "data", "fast", "small"),
+      "de" -> Seq("window", "batch", "stream", "slow"),
+      "fr" -> Seq("merge", "sort", "join", "line"),
+      "es" -> Seq("spark", "query", "vector", "row"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(normalized(col("text"))).as("toks"))
+    val scored = markers.foldLeft(base) { case (df, (lang, ws)) =>
+      df.withColumn(s"score_$lang",
+        ws.map(w => cnt(col("toks"), w)).reduce(_ + _).cast("long"))
+    }
+    val Seq(en, de, fr, es) = markers.map(m => col(s"score_${m._1}"))
+    scored.withColumn("lang_pred",
+        when(en >= de && en >= fr && en >= es, "en")
+          .when(de >= fr && de >= es, "de")
+          .when(fr >= es, "fr")
+          .otherwise("es"))
+      .select("doc_id", "score_en", "score_de", "score_fr", "score_es", "lang_pred")
+  }
+
+  /** Quality scoring: token/stopword/digit ratios + a bounded
+    * composite — the classic pre-training corpus filter signals. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("toks", words(normalized(col("text"))))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("stop_ratio",
+        round((cnt(col("toks"), "the") + cnt(col("toks"), "a"))
+          / col("n_tokens").cast("double"), 4))
+      .withColumn("digit_ratio",
+        round(length(regexp_replace(col("text"), "[^0-9]", ""))
+          / col("n_chars").cast("double"), 4))
+      .withColumn("mean_token_len",
+        round((col("n_chars") - (col("n_tokens") - 1))
+          / col("n_tokens").cast("double"), 4))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_tokens") / lit(100.0))
+          * (lit(1.0) - col("stop_ratio")), 4))
+      .select("doc_id", "n_tokens", "stop_ratio", "digit_ratio",
+        "mean_token_len", "quality_score")
+  }
+
+  /** Token counting: whitespace tokens, distinct tokens, regex word
+    * tokens, and a BPE-ish subword estimate (~4 chars/token). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("toks", words(normalized(col("text"))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_ws_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long")
+          .as("n_regex_tokens"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("est_bpe_tokens"))
+  }
+
+  /** Per-document fingerprints: exact content hash + order-invariant
+    * bag-of-words hash (catches shuffled near-dups for free). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("norm", normalized(col("text")))
+      .select(col("doc_id"),
+        md5(col("norm")).as("content_fp"),
+        md5(concat_ws(" ", array_sort(array_distinct(words(col("norm"))))))
+          .as("bow_fp"))
+  }
+}

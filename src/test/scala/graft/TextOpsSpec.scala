@@ -1,0 +1,84 @@
+package graft
+
+import java.security.MessageDigest
+
+class TextOpsSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private lazy val docs: Seq[(Long, String, Long)] =
+    Tables.documents(spark, sf).select("doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("dedup_exact: dup counts partition the corpus, keeper is group min") {
+    val rows = SparkEntry.queries("dedup_exact")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("dup_count")).sum === docs.size)
+    val byFp = docs.groupBy(d => md5hex(d._2.toLowerCase.trim.replaceAll("\\s+", " ")))
+    rows.foreach { r =>
+      val fp = r.getAs[String]("fingerprint")
+      assert(byFp(fp).map(_._1).min === r.getAs[Long]("keeper"))
+      assert(byFp(fp).size === r.getAs[Long]("dup_count"))
+    }
+  }
+
+  test("lang_id: scores match independent token counts, argmax is honored") {
+    val markers = Map(
+      "en" -> Set("the", "a", "data", "fast", "small"),
+      "de" -> Set("window", "batch", "stream", "slow"),
+      "fr" -> Set("merge", "sort", "join", "line"),
+      "es" -> Set("spark", "query", "vector", "row"))
+    val rows = SparkEntry.queries("lang_id")(spark, sf).collect()
+    assert(rows.length === docs.size)
+    val byId = docs.map(d => d._1 -> d._2).toMap
+    rows.take(50).foreach { r =>
+      val toks = byId(r.getAs[Long]("doc_id")).split(" ")
+      val exp = Seq("en", "de", "fr", "es").map(l => toks.count(markers(l)))
+      val got = Seq(r.getAs[Long]("score_en"), r.getAs[Long]("score_de"),
+        r.getAs[Long]("score_fr"), r.getAs[Long]("score_es")).map(_.toInt)
+      assert(got === exp, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(got(Seq("en", "de", "fr", "es").indexOf(r.getAs[String]("lang_pred")))
+        === got.max)
+    }
+    // the lexicon partition should produce more than one predicted lang
+    assert(rows.map(_.getAs[String]("lang_pred")).distinct.length > 1)
+  }
+
+  test("token_count: exact counts for every doc") {
+    val rows = SparkEntry.queries("token_count")(spark, sf).collect()
+    val byId = docs.map(d => d._1 -> d).toMap
+    rows.foreach { r =>
+      val (_, text, nChars) = byId(r.getAs[Long]("doc_id"))
+      val toks = text.split(" ")
+      assert(r.getAs[Long]("n_ws_tokens") === toks.length)
+      assert(r.getAs[Long]("n_distinct_tokens") === toks.distinct.length)
+      assert(r.getAs[Long]("n_regex_tokens") === toks.length) // no punctuation corpus
+      assert(r.getAs[Long]("est_bpe_tokens") === math.ceil(nChars / 4.0).toLong)
+    }
+  }
+
+  test("text_quality: bounded score, exact recomputation for one doc") {
+    val rows = SparkEntry.queries("text_quality")(spark, sf).collect()
+    assert(rows.forall { r =>
+      val q = r.getAs[Double]("quality_score"); q >= 0.0 && q <= 1.0
+    })
+    val d = docs.head
+    val toks = d._2.split(" ")
+    val stop = math.rint(toks.count(Set("the", "a")) * 10000.0 / toks.length) / 10000
+    val r = rows.find(_.getAs[Long]("doc_id") == d._1).get
+    assert(r.getAs[Long]("n_tokens") === toks.length)
+    assert(math.abs(r.getAs[Double]("stop_ratio") - stop) < 1e-9)
+  }
+
+  test("doc_fingerprint: content hash and order-invariant bag hash") {
+    val rows = SparkEntry.queries("doc_fingerprint")(spark, sf).collect()
+    val byId = docs.map(d => d._1 -> d._2).toMap
+    rows.take(50).foreach { r =>
+      val text = byId(r.getAs[Long]("doc_id"))
+      assert(r.getAs[String]("content_fp") === md5hex(text))
+      assert(r.getAs[String]("bow_fp") ===
+        md5hex(text.split(" ").distinct.sorted.mkString(" ")))
+    }
+  }
+}
