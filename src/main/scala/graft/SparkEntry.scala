@@ -31,6 +31,18 @@ object SparkEntry {
     "ts_cumsum"              -> TimeSeries.cumSum _,
     "ts_asof_join"           -> TimeSeries.asofJoin _,
     "ts_gapfill"             -> TimeSeries.gapFill _,
+    // --- geo/climate analytics -----------------------------------
+    "spi_zscore"            -> Climate.spiZscore _,
+    "spi_gamma"             -> Climate.spiGamma _,
+    "bias_delta"            -> Climate.biasDelta _,
+    "bias_qmap"             -> Climate.biasQmap _,
+    "rating_curve"          -> Climate.ratingCurve _,
+    "danger_levels"         -> Climate.dangerLevels _,
+    "pet_hargreaves"        -> Climate.petHargreaves _,
+    "zonal_stats"           -> Climate.zonalStats _,
+    "bbox_filter"           -> Climate.bboxFilter _,
+    "extent_summary"        -> Climate.extentSummary _,
+    "healthcheck_freshness" -> Climate.healthcheckFreshness _,
     // --- LLM pipeline: text + exact dedup ------------------------
     "dedup_exact"     -> TextOps.dedupExact _,
     "lang_id"         -> TextOps.langId _,
@@ -151,6 +163,102 @@ object SparkEntry {
         |    PARTITION BY g.user_id ORDER BY g.d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS value_ffill
         |FROM grid g LEFT JOIN daily dl ON g.user_id = dl.user_id AND g.d = dl.d""".stripMargin,
+
+    "spi_zscore" ->
+      """SELECT event_id, user_id, event_type,
+        |  round((value - avg(value) OVER (PARTITION BY user_id, event_type))
+        |        / stddev_samp(value) OVER (PARTITION BY user_id, event_type), 4) AS zscore
+        |FROM events""".stripMargin,
+
+    "bias_delta" ->
+      """WITH ref AS (SELECT user_id, avg(value) AS ref_mean FROM events
+        |             WHERE event_type = 'view' GROUP BY 1),
+        |fm AS (SELECT user_id, avg(value) AS fcst_mean FROM events
+        |       WHERE event_type = 'click' GROUP BY 1)
+        |SELECT e.event_id, e.user_id, round(e.value, 2) AS fcst_value,
+        |  round(e.value + coalesce(r.ref_mean - f.fcst_mean, 0.0), 4) AS corrected
+        |FROM events e
+        |LEFT JOIN fm f ON e.user_id = f.user_id
+        |LEFT JOIN ref r ON e.user_id = r.user_id
+        |WHERE e.event_type = 'click'""".stripMargin,
+
+    "rating_curve" ->
+      """WITH calib(h, q) AS (VALUES (0.0, 0.0), (50.0, 10.0), (100.0, 40.0),
+        |                            (150.0, 100.0), (200.0, 200.0), (300.0, 500.0)),
+        |seg AS (SELECT * FROM (
+        |  SELECT h, q, lead(h) OVER (ORDER BY h) AS h_hi, lead(q) OVER (ORDER BY h) AS q_hi
+        |  FROM calib) WHERE h_hi IS NOT NULL),
+        |ev AS (SELECT event_id, least(greatest(value, 0.0), 300.0) AS stage FROM events)
+        |SELECT ev.event_id, round(ev.stage, 2) AS stage,
+        |  round(s.q + (ev.stage - s.h) / (s.h_hi - s.h) * (s.q_hi - s.q), 4) AS discharge
+        |FROM ev JOIN seg s
+        |  ON ev.stage >= s.h AND (ev.stage < s.h_hi OR s.h_hi = 300.0)""".stripMargin,
+
+    "danger_levels" ->
+      """WITH wk AS (
+        |  SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |    round(max(value), 2) AS max_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, week, max_value,
+        |  CASE WHEN max_value < 80 THEN 'low' WHEN max_value < 140 THEN 'medium'
+        |       WHEN max_value < 180 THEN 'high' ELSE 'extreme' END AS level
+        |FROM wk""".stripMargin,
+
+    "pet_hargreaves" ->
+      """WITH daily AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    max(value)/10.0 AS tmax, min(value)/10.0 AS tmin, avg(value)/10.0 AS tmean
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, day,
+        |    0.0023 * (25.0 + 10.0 * sin(2.0 * 3.141592653589793
+        |        * (dayofyear(CAST(day AS DATE)) - 80) / 365.25))
+        |      * (tmean + 17.8) * sqrt(greatest(tmax - tmin, 0.0)) AS pet
+        |  FROM daily)
+        |SELECT user_id, day, round(pet, 4) AS pet,
+        |  round(sum(pet) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_pet
+        |FROM p""".stripMargin,
+
+    "zonal_stats" ->
+      """SELECT CAST(floor(((user_id % 36) * 5.0 - 87.5) / 30) AS INT) AS zone_y,
+        |       CAST(floor(((user_id % 72) * 5.0 - 177.5) / 30) AS INT) AS zone_x,
+        |  count(*) AS n, round(avg(value), 4) AS avg_value,
+        |  round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "bbox_filter" ->
+      """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM (SELECT event_type, value,
+        |        (user_id % 36) * 5.0 - 87.5 AS lat,
+        |        (user_id % 72) * 5.0 - 177.5 AS lon
+        |      FROM events)
+        |WHERE lat BETWEEN -45 AND 45 AND lon BETWEEN -60 AND 60
+        |GROUP BY 1""".stripMargin,
+
+    "extent_summary" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(min((user_id % 72) * 5.0 - 177.5), 2) AS min_lon,
+        |  round(max((user_id % 72) * 5.0 - 177.5), 2) AS max_lon,
+        |  round(min((user_id % 36) * 5.0 - 87.5), 2) AS min_lat,
+        |  round(max((user_id % 36) * 5.0 - 87.5), 2) AS max_lat,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS time_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS time_end
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "healthcheck_freshness" ->
+      """WITH t AS (
+        |  SELECT event_type, count(*) AS n,
+        |    count(DISTINCT date_trunc('day', ts)) AS n_days,
+        |    min(ts) AS min_ts, max(ts) AS max_ts
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT *, round((epoch_us(max(max_ts) OVER ()) - epoch_us(max_ts))
+        |                      / 3600000000.0, 4) AS lag_hours FROM t)
+        |SELECT event_type, n, n_days,
+        |  strftime(max_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+        |  lag_hours, lag_hours <= 24.0 AS is_fresh,
+        |  n_days = date_diff('day', CAST(min_ts AS DATE), CAST(max_ts AS DATE)) + 1 AS is_complete
+        |FROM g""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,

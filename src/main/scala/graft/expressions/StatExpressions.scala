@@ -1,0 +1,68 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+import graft.functions.StatKernels
+
+/** Native Catalyst expressions for the hot scalar stat kernels.
+  *
+  * Each generates a direct static call into
+  * [[graft.functions.StatKernels]], so the SPI / bias plans stay
+  * inside whole-stage codegen — no UDF boxing, no closure serde,
+  * no interpreter fallback on the 100 TB hot path.
+  */
+case class NormalQuantileExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(p: Any): Any =
+    StatKernels.normalQuantile(p.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StatKernels.normalQuantile($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "norm_quantile"
+}
+
+/** Regularized lower incomplete gamma P(shape, x). */
+case class GammaPExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, x: Any): Any =
+    StatKernels.gammaP(a.asInstanceOf[Double], x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, x) => s"graft.functions.StatKernels.gammaP($a, $x)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "gamma_p"
+}
+
+/** Gamma CDF with shape/scale parameterization (SPI's G(x)). */
+case class GammaCdfExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(x: Any, shape: Any, scale: Any): Any =
+    StatKernels.gammaCdf(x.asInstanceOf[Double],
+      shape.asInstanceOf[Double], scale.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, a, b) => s"graft.functions.StatKernels.gammaCdf($x, $a, $b)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "gamma_cdf"
+}
+
+/** Column-level entry points for the custom expressions. */
+object StatColumns {
+  private def e(c: Column) = ColumnBridge.expression(c.cast("double"))
+  def normQuantile(p: Column): Column =
+    ColumnBridge.column(NormalQuantileExpr(e(p)))
+  def gammaP(shape: Column, x: Column): Column =
+    ColumnBridge.column(GammaPExpr(e(shape), e(x)))
+  def gammaCdf(x: Column, shape: Column, scale: Column): Column =
+    ColumnBridge.column(GammaCdfExpr(e(x), e(shape), e(scale)))
+}

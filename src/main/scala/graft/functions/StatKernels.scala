@@ -1,0 +1,96 @@
+package graft.functions
+
+/** Scalar statistical kernels used by the SPI / bias-correction
+  * operators. Pure static doubles so generated code (whole-stage
+  * codegen) can call them directly via the class's static forwarders.
+  *
+  * Algorithms are the standard published ones the reference also
+  * relies on (`utils_spi.py:437-479`): the Abramowitz–Stegun 26.2.23
+  * rational approximation for the normal quantile, the Lanczos
+  * log-gamma, and the series / continued-fraction evaluation of the
+  * regularized lower incomplete gamma function.
+  */
+object StatKernels {
+
+  /** Inverse standard normal CDF via the Abramowitz–Stegun 26.2.23
+    * rational approximation (|ε| < 4.5e-4), the same approximation
+    * the reference uses for SPI (`utils_spi.py:463-479`). */
+  def normalQuantile(p: Double): Double = {
+    if (p.isNaN || p <= 0.0) return Double.NegativeInfinity
+    if (p >= 1.0) return Double.PositiveInfinity
+    val pp = if (p < 0.5) p else 1.0 - p
+    val t = math.sqrt(-2.0 * math.log(pp))
+    val num = 2.515517 + t * (0.802853 + t * 0.010328)
+    val den = 1.0 + t * (1.432788 + t * (0.189269 + t * 0.001308))
+    val x = t - num / den
+    if (p < 0.5) -x else x
+  }
+
+  /** Lanczos approximation of ln Γ(x), x > 0. */
+  def lnGamma(x: Double): Double = {
+    val g = 7.0
+    val c = Array(
+      0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (x < 0.5) {
+      // reflection
+      math.log(math.Pi / math.sin(math.Pi * x)) - lnGamma(1.0 - x)
+    } else {
+      val z = x - 1.0
+      var a = c(0)
+      var i = 1
+      while (i < 9) { a += c(i) / (z + i); i += 1 }
+      val t = z + g + 0.5
+      0.5 * math.log(2.0 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+
+  /** Regularized lower incomplete gamma P(a, x) = γ(a,x)/Γ(a),
+    * via the power series for x < a+1 and the Lentz continued
+    * fraction otherwise. a > 0, x >= 0. */
+  def gammaP(a: Double, x: Double): Double = {
+    if (x <= 0.0 || a <= 0.0) return 0.0
+    if (x < a + 1.0) {
+      // series: P = e^{-x + a ln x - lnΓ(a)} Σ x^n / (a(a+1)…(a+n))
+      var ap = a
+      var sum = 1.0 / a
+      var del = sum
+      var n = 0
+      while (n < 500 && math.abs(del) >= math.abs(sum) * 1e-14) {
+        ap += 1.0
+        del *= x / ap
+        sum += del
+        n += 1
+      }
+      sum * math.exp(-x + a * math.log(x) - lnGamma(a))
+    } else {
+      // continued fraction for Q(a,x), Lentz's method
+      val fpmin = 1e-300
+      var b = x + 1.0 - a
+      var c = 1.0 / fpmin
+      var d = 1.0 / b
+      var h = d
+      var i = 1
+      var done = false
+      while (i < 500 && !done) {
+        val an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if (math.abs(d) < fpmin) d = fpmin
+        c = b + an / c
+        if (math.abs(c) < fpmin) c = fpmin
+        d = 1.0 / d
+        val del = d * c
+        h *= del
+        if (math.abs(del - 1.0) < 1e-14) done = true
+        i += 1
+      }
+      1.0 - math.exp(-x + a * math.log(x) - lnGamma(a)) * h
+    }
+  }
+
+  /** Gamma CDF with scale β (the SPI G(x) of `utils_spi.py:455-458`). */
+  def gammaCdf(x: Double, shape: Double, scale: Double): Double =
+    if (x <= 0.0) 0.0 else gammaP(shape, x / scale)
+}

@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.expressions.StatColumns
+
+/** Geo/climate analytics — the reference's derived products
+  * re-expressed as distributed plans (SURVEY §2 ops 12-22).
+  *
+  * The shared scale pattern: per-key DISTRIBUTION parameters (means,
+  * stds, gamma fits, quantile tables) are computed with one hash
+  * aggregation into O(keys) rows, then re-joined to the fact rows —
+  * never a driver loop, never per-row state. Scalar math runs in
+  * native codegen'd expressions ([[graft.expressions.StatColumns]]).
+  */
+object Climate {
+
+  private val evOrder = Seq(col("ts"), col("event_id"))
+
+  /** Pseudo-coordinates derived deterministically from the key
+    * (SURVEY §3): stands in for the station/grid-cell position. */
+  def pseudoLat(key: Column): Column = (key % 36) * lit(5.0) - lit(87.5)
+  def pseudoLon(key: Column): Column = (key % 72) * lit(5.0) - lit(177.5)
+
+  /** Standardized anomaly (z-score) per (station, variable) — the
+    * SPI-style index in its simplest parametric form. One window
+    * shuffle on the high-cardinality composite key. */
+  def spiZscore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round((col("value") - avg(col("value")).over(w))
+          / stddev_samp(col("value")).over(w), 4).as("zscore"))
+  }
+
+  /** Full SPI (`utils_spi.py:428-479`): t-scale rolling sum → per-key
+    * Thom/MLE gamma fit (`floc=0`) → zero-probability-corrected CDF
+    * H(x) = q + (1-q)·G(x) → Abramowitz–Stegun normal quantile.
+    *
+    * The fit is a MAP-SIDE PARTIAL aggregation (count/zero-count/
+    * mean/mean-log) into one row per key; parameters re-join the fact
+    * rows via broadcast (O(keys) rows). The CDF + quantile evaluate
+    * inside whole-stage codegen via the native expressions. */
+  def spiGamma(spark: SparkSession, dir: String): DataFrame = {
+    val wRoll = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+      .rowsBetween(-6, Window.currentRow)
+    val x = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        sum(col("value")).over(wRoll).as("x"))
+    val params = x.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(when(col("x") <= 0, 1).otherwise(0)).cast("double").as("n_zero"),
+        avg(when(col("x") > 0, col("x"))).as("mean_pos"),
+        avg(when(col("x") > 0, log(col("x")))).as("mean_ln"))
+      .withColumn("a_stat", log(col("mean_pos")) - col("mean_ln"))
+      .withColumn("alpha",
+        (lit(1.0) + sqrt(lit(1.0) + lit(4.0) * col("a_stat") / lit(3.0)))
+          / (lit(4.0) * col("a_stat")))
+      .withColumn("beta", col("mean_pos") / col("alpha"))
+      .withColumn("q0", col("n_zero") / col("n"))
+      .select("user_id", "alpha", "beta", "q0")
+    x.join(broadcast(params), Seq("user_id"))
+      .withColumn("h",
+        col("q0") + (lit(1.0) - col("q0"))
+          * StatColumns.gammaCdf(col("x"), col("alpha"), col("beta")))
+      .withColumn("h_clamped",
+        least(greatest(col("h"), lit(1e-6)), lit(1.0 - 1e-6)))
+      .select(col("event_id"), col("user_id"),
+        round(col("x"), 2).as("accum"),
+        round(StatColumns.normQuantile(col("h_clamped")), 4).as("spi"))
+  }
+
+  /** Delta-method bias correction: per-key mean shift from the
+    * forecast ('click') distribution onto the reference ('view')
+    * distribution (`bias_correction_cds_process.py` delta mode). */
+  def biasDelta(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val refMean = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(avg(col("value")).as("ref_mean"))
+    val fcstMean = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(avg(col("value")).as("fcst_mean"))
+    ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "value")
+      .join(fcstMean, Seq("user_id"), "left")
+      .join(refMean, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("fcst_value"),
+        round(col("value")
+          + coalesce(col("ref_mean") - col("fcst_mean"), lit(0.0)), 4)
+          .as("corrected"))
+  }
+
+  /** Empirical quantile mapping of `fcst` onto `ref`'s distribution,
+    * per key (`bias_correction_cds_process.py:310-400`, rank-interp
+    * form). Both inputs need (event_id, user_id, value).
+    *
+    * Plan: the reference distribution is sorted per key and indexed
+    * once (window row_number); each forecast value's percent-rank
+    * lands at a fractional index into it, and the bracketing two
+    * quantiles arrive via two joins on (key, index) — all shuffles on
+    * the high-cardinality key, no per-key collect. */
+  def quantileMap(fcst: DataFrame, ref: DataFrame): DataFrame = {
+    val wRank = Window.partitionBy(col("user_id")).orderBy(col("value"))
+    val refSorted = ref
+      .select(col("user_id"), col("value").as("ref_value"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ref_value"))) - 1)
+    val refN = refSorted.groupBy("user_id")
+      .agg(count(lit(1)).as("n_ref"))
+    val pos = fcst
+      .withColumn("p",
+        when(count(lit(1)).over(Window.partitionBy(col("user_id"))) === 1, lit(0.0))
+          .otherwise(percent_rank().over(wRank)))
+      .join(refN, Seq("user_id"))
+      .withColumn("fpos", col("p") * (col("n_ref") - 1))
+      .withColumn("idx_lo", floor(col("fpos")).cast("int"))
+      .withColumn("idx_hi", ceil(col("fpos")).cast("int"))
+    pos
+      .join(refSorted.withColumnRenamed("ref_value", "v_lo")
+          .withColumnRenamed("idx", "idx_lo"), Seq("user_id", "idx_lo"))
+      .join(refSorted.withColumnRenamed("ref_value", "v_hi")
+          .withColumnRenamed("idx", "idx_hi"), Seq("user_id", "idx_hi"))
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("fcst_value"),
+        round(col("v_lo")
+          + (col("fpos") - col("idx_lo")) * (col("v_hi") - col("v_lo")), 4)
+          .as("mapped"))
+  }
+
+  /** Quantile-map the 'click' series onto the 'view' climate. */
+  def biasQmap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select("event_id", "user_id", "value")
+    quantileMap(side("click"), side("view"))
+  }
+
+  /** Calibration breakpoints for the rating curve (stage → discharge),
+    * the `rer_river_discharge_arpae_process.py:450-457` lookup. */
+  val ratingBreakpoints: Seq[(Double, Double)] =
+    Seq((0.0, 0.0), (50.0, 10.0), (100.0, 40.0),
+      (150.0, 100.0), (200.0, 200.0), (300.0, 500.0))
+
+  /** Piecewise-linear H→Q interpolation through the calibration
+    * table: the (tiny) lookup becomes [lo,hi) segments via one local
+    * window, then a broadcast range-join picks each row's bracket —
+    * the standard scale shape for interpolate-through-lookup. Stages
+    * are clamped to the calibrated range (constant extrapolation). */
+  def ratingCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hMax = ratingBreakpoints.last._1
+    val wSeg = Window.orderBy(col("h")) // 6-row literal: single-partition window is fine
+    val seg = ratingBreakpoints.toDF("h", "q")
+      .withColumn("h_hi", lead(col("h"), 1).over(wSeg))
+      .withColumn("q_hi", lead(col("q"), 1).over(wSeg))
+      .filter(col("h_hi").isNotNull)
+    val ev = Tables.events(spark, dir)
+      .withColumn("stage", least(greatest(col("value"), lit(0.0)), lit(hMax)))
+    ev.join(broadcast(seg),
+        ev("stage") >= seg("h") &&
+          (ev("stage") < seg("h_hi") || seg("h_hi") === lit(hMax)))
+      .select(col("event_id"), round(col("stage"), 2).as("stage"),
+        round(col("q") + (col("stage") - col("h"))
+          / (col("h_hi") - col("h")) * (col("q_hi") - col("q")), 4)
+          .as("discharge"))
+  }
+
+  /** Weekly max → threshold categorization
+    * (`ll_nl_danger_levels.py:79,107-121`). */
+  def dangerLevels(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"))
+      .agg(round(max(col("value")), 2).as("max_value"))
+      .withColumn("level",
+        when(col("max_value") < 80, "low")
+          .when(col("max_value") < 140, "medium")
+          .when(col("max_value") < 180, "high")
+          .otherwise("extreme"))
+  }
+
+  /** Hargreaves-style PET per station-day + running accumulation
+    * (`ingestor_knmi_evapo.py:305-325,395-414`): elementwise formula
+    * over daily min/max/mean, then a per-key ordered cumsum. */
+  def petHargreaves(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(
+        (max(col("value")) / 10.0).as("tmax"),
+        (min(col("value")) / 10.0).as("tmin"),
+        (avg(col("value")) / 10.0).as("tmean"))
+    val doy = dayofyear(to_date(col("day")))
+    val ra = lit(25.0) +
+      lit(10.0) * sin(lit(2.0) * lit(3.141592653589793) * (doy - 80) / lit(365.25))
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("pet",
+        lit(0.0023) * ra * (col("tmean") + 17.8)
+          * sqrt(greatest(col("tmax") - col("tmin"), lit(0.0))))
+      .select(col("user_id"), col("day"),
+        round(col("pet"), 4).as("pet"),
+        round(sum(col("pet")).over(wCum), 4).as("cum_pet"))
+  }
+
+  /** Zonal statistics: snap pseudo-coordinates to a 30° grid zone,
+    * aggregate per zone (`utils_spi.py` compute_zonal_stats). Zone
+    * assignment is elementwise in the scan; one agg shuffle. */
+  def zonalStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("zone_y", floor(pseudoLat(col("user_id")) / 30).cast("int"))
+      .withColumn("zone_x", floor(pseudoLon(col("user_id")) / 30).cast("int"))
+      .groupBy(col("zone_y"), col("zone_x"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+  }
+
+  /** Spatial bbox slice + per-collection rollup — the reference slices
+    * every fetched grid to the area of interest first
+    * (`ingestor_cds_process.py` bbox handling). The predicate is
+    * elementwise on derived coords, evaluated in the scan stage. */
+  def bboxFilter(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("lat", pseudoLat(col("user_id")))
+      .withColumn("lon", pseudoLon(col("user_id")))
+      .filter(col("lat") >= -45 && col("lat") <= 45 &&
+        col("lon") >= -60 && col("lon") <= 60)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+  }
+
+  /** Collection extent (bbox + time span) per collection — what the
+    * reference writes into the pygeoapi catalog config
+    * (`ingestor_cds_process.py:232-372`). */
+  def extentSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("lat", pseudoLat(col("user_id")))
+      .withColumn("lon", pseudoLon(col("user_id")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("lon")), 2).as("min_lon"),
+        round(max(col("lon")), 2).as("max_lon"),
+        round(min(col("lat")), 2).as("min_lat"),
+        round(max(col("lat")), 2).as("max_lat"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("time_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("time_end"))
+  }
+
+  /** Per-collection freshness/completeness health check
+    * (`collection_healthcheck.py`): staleness vs the newest data in
+    * the lake, day-coverage vs the collection's own span. */
+  def healthcheckFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val perType = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(date_trunc("DAY", col("ts"))).as("n_days"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"))
+    val globalMax = Window.partitionBy() // single global row set — tiny input
+    perType
+      .withColumn("lag_hours",
+        round((unix_micros(max(col("max_ts")).over(globalMax))
+          - unix_micros(col("max_ts"))) / lit(3.6e9), 4))
+      .select(col("event_type"), col("n"), col("n_days"),
+        date_format(col("max_ts"), "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+        col("lag_hours"),
+        (col("lag_hours") <= 24.0).as("is_fresh"),
+        (col("n_days") === datediff(to_date(col("max_ts")), to_date(col("min_ts"))) + 1)
+          .as("is_complete"))
+  }
+}

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge.
+  *
+  * Spark 4 routes `Column` through ColumnNode (Connect refactor) and
+  * keeps the classic Expression constructors `private[sql]`; this
+  * shim lives inside the `org.apache.spark.sql` package tree to
+  * expose exactly the two conversions custom Catalyst expressions
+  * need. No other internals are touched.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

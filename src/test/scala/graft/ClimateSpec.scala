@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.StatKernels
+import graft.operators.Climate
+
+class ClimateSpec extends SparkSpec {
+
+  // --- scalar kernels -----------------------------------------------
+
+  test("StatKernels.normalQuantile matches known quantiles within A&S tolerance") {
+    val cases = Seq(0.5 -> 0.0, 0.841344746 -> 1.0, 0.975 -> 1.959964,
+      0.158655254 -> -1.0, 0.025 -> -1.959964, 0.99865 -> 3.0)
+    cases.foreach { case (p, z) =>
+      assert(math.abs(StatKernels.normalQuantile(p) - z) < 4.5e-4, s"p=$p")
+    }
+    assert(StatKernels.normalQuantile(0.0).isNegInfinity)
+    assert(StatKernels.normalQuantile(1.0).isPosInfinity)
+  }
+
+  test("StatKernels.gammaP: exponential special case and monotonicity") {
+    // P(1, x) = 1 - e^{-x}
+    Seq(0.1, 0.5, 1.0, 2.0, 5.0, 10.0).foreach { x =>
+      assert(math.abs(StatKernels.gammaP(1.0, x) - (1 - math.exp(-x))) < 1e-12)
+    }
+    // P(a, a) ~ 0.5-ish and strictly increasing in x
+    val a = 3.7
+    val xs = (1 to 100).map(_ * 0.2)
+    val ps = xs.map(StatKernels.gammaP(a, _))
+    assert(ps.sliding(2).forall { case Seq(u, v) => v >= u })
+    assert(StatKernels.gammaP(a, 1e9) > 0.999999)
+    // lnGamma sanity: Γ(5) = 24
+    assert(math.abs(StatKernels.lnGamma(5.0) - math.log(24.0)) < 1e-10)
+  }
+
+  // --- SPI ----------------------------------------------------------
+
+  test("spi_gamma: distribution is approximately standard normal, monotone per key") {
+    val rows = SparkEntry.queries("spi_gamma")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val spis = rows.map(_._3)
+    val mean = spis.sum / spis.length
+    val std = math.sqrt(spis.map(s => (s - mean) * (s - mean)).sum / (spis.length - 1))
+    assert(math.abs(mean) < 0.5, s"mean=$mean")
+    assert(std > 0.6 && std < 1.4, s"std=$std")
+    // within a key, SPI must be monotone in the accumulated value
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      rs.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Array(u, v) => assert(v >= u - 1e-9)
+        case _ =>
+      }
+    }
+  }
+
+  test("spi_zscore: per-key mean ~0 and std ~1 after standardization") {
+    val rows = SparkEntry.queries("spi_zscore")(spark, sf)
+      .filter(col("zscore").isNotNull).collect()
+      .map(r => ((r.getLong(1), r.getString(2)), r.getDouble(3)))
+    rows.groupBy(_._1).filter(_._2.length > 3).foreach { case (_, zs) =>
+      val v = zs.map(_._2)
+      val m = v.sum / v.length
+      assert(math.abs(m) < 0.05, s"mean=$m") // rounding at 4dp only
+    }
+  }
+
+  // --- bias correction ---------------------------------------------
+
+  test("bias_delta: corrected forecast mean equals reference mean per key") {
+    val ev = Tables.events(spark, sf)
+    val refMeans = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(avg("value").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val corrected = SparkEntry.queries("bias_delta")(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3))
+    corrected.groupBy(_._1).foreach { case (u, vs) =>
+      refMeans.get(u).foreach { rm =>
+        val cm = vs.map(_._2).sum / vs.length
+        assert(math.abs(cm - rm) < 1e-2, s"user $u corrected=$cm ref=$rm")
+      }
+    }
+  }
+
+  test("bias_qmap: mapping a distribution onto itself is the identity") {
+    val ev = Tables.events(spark, sf).filter(col("event_type") === "view")
+      .select("event_id", "user_id", "value")
+    val mapped = Climate.quantileMap(ev, ev).collect()
+    assert(mapped.nonEmpty)
+    mapped.foreach { r =>
+      val orig = r.getDouble(2) // fcst_value (rounded to 2)
+      val got = r.getDouble(3)  // mapped (rounded to 4)
+      assert(math.abs(got - orig) < 1e-2 + 1e-9, s"event ${r.getLong(0)}")
+    }
+  }
+
+  // --- interpolation / categorization ------------------------------
+
+  test("rating_curve: exact at breakpoints, monotone between them") {
+    import spark.implicits._
+    val got = SparkEntry.queries("rating_curve")(spark, sf)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).sortBy(_._1)
+    // interpolation passes exactly through the calibration breakpoints
+    Climate.ratingBreakpoints.foreach { case (h, q) =>
+      got.filter(p => math.abs(p._1 - h) < 1e-9)
+        .foreach(p => assert(math.abs(p._2 - q) < 1e-9, s"h=$h"))
+    }
+    assert(got.sliding(2).forall { case Array(u, v) => v._2 >= u._2 - 1e-9; case _ => true })
+    // hand-check one interior point: h=75 → 10 + 25/50*30 = 25
+    val mid = got.filter(p => math.abs(p._1 - 75.0) < 25.0)
+    mid.foreach { case (h, q) =>
+      val expect = if (h < 50) h / 50 * 10 else 10 + (h - 50) / 50 * 30
+      assert(math.abs(q - expect) < 1e-3, s"h=$h q=$q expect=$expect")
+    }
+  }
+
+  test("danger_levels: categories respect thresholds") {
+    SparkEntry.queries("danger_levels")(spark, sf).collect().foreach { r =>
+      val v = r.getDouble(2)
+      val expect = if (v < 80) "low" else if (v < 140) "medium"
+        else if (v < 180) "high" else "extreme"
+      assert(r.getString(3) === expect)
+    }
+  }
+
+  test("healthcheck_freshness: the freshest collection has zero lag") {
+    val rows = SparkEntry.queries("healthcheck_freshness")(spark, sf).collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[Double]("lag_hours")).min === 0.0)
+    assert(rows.exists(_.getAs[Boolean]("is_fresh")))
+  }
+
+  test("zonal_stats: zone counts partition the table") {
+    val rows = SparkEntry.queries("zonal_stats")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())
+  }
+}
