@@ -49,6 +49,14 @@ object SparkEntry {
     "text_quality"    -> TextOps.textQuality _,
     "token_count"     -> TextOps.tokenCount _,
     "doc_fingerprint" -> TextOps.docFingerprint _,
+    // --- LLM pipeline: near-dup + similarity ---------------------
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
+    "dedup_simhash"       -> Dedup.simhash _,
+    "dedup_embedding"     -> Similarity.embeddingPairs _,
+    "ann_topk_bruteforce" -> Similarity.annTopkBruteforce _,
+    "ann_lsh_topk"        -> Similarity.annLshTopk _,
+    "multimodal_features" -> Multimodal.features _,
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names,
@@ -328,5 +336,34 @@ object SparkEntry {
         |  md5(norm) AS content_fp,
         |  md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ')) AS bow_fp
         |FROM t""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |          for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
+        |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5""".stripMargin,
+
+    "ann_topk_bruteforce" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT probe_id, vec_id,
+        |        list_cosine_similarity(pe, embedding::DOUBLE[]) AS cos
+        |      FROM p, embeddings WHERE vec_id != probe_id),
+        |r AS (SELECT probe_id, vec_id AS neighbor_id,
+        |        row_number() OVER (PARTITION BY probe_id
+        |                           ORDER BY round(cos, 6) DESC, vec_id ASC) AS rk,
+        |        round(cos, 4) AS cosine
+        |      FROM c)
+        |SELECT probe_id, neighbor_id, rk, cosine FROM r WHERE rk <= 10""".stripMargin,
   )
 }

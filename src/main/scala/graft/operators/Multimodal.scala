@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Typed metadata travelling with an opaque media payload. */
+case class MediaMeta(format: String, width: Int, height: Int)
+
+/** One media asset: opaque bytes + typed metadata (SURVEY §2 op 34). */
+case class MediaRecord(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
+
+/** Extracted per-asset features. */
+case class MediaFeatures(
+    doc_id: Long, format: String, n_bytes: Int,
+    mean_byte: Double, byte_entropy: Double, features: Array[Double])
+
+/** Multimodal feature extraction: `binary` payload column + typed
+  * metadata struct → batched decode/feature stage (SURVEY §2 op 34).
+  *
+  * The Spark-side plumbing is real and scale-shaped: a typed
+  * `Dataset[MediaRecord]`, partition-local batching (`grouped(32)` —
+  * the seam where a vectorized decoder would process one batch per
+  * call), and a typed `Dataset[MediaFeatures]` out; nothing leaves
+  * the executor. The DECODE ITSELF IS A DETERMINISTIC STUB (byte
+  * histogram statistics standing in for pixel/sample decode — the
+  * image/audio codec libraries are intentionally absent here), so
+  * results are reproducible and the plumbing is testable.
+  */
+object Multimodal {
+
+  val BatchSize = 32
+
+  /** Derive the media table from `documents`: payload = UTF-8 bytes
+    * (opaque to everything downstream), metadata derived
+    * deterministically from the key. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format"),
+        ((col("doc_id") % 8) * 64 + 64).cast("int").as("width"),
+        ((col("doc_id") % 5) * 64 + 64).cast("int").as("height")).as("meta"))
+
+  /** STUBBED decode: byte-histogram statistics + an 8-bin positional
+    * profile stand in for real pixel/sample features. Deterministic
+    * in the payload bytes alone. */
+  private[graft] def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val bytes = r.payload
+      val n = bytes.length
+      val hist = new Array[Long](256)
+      var sum = 0L
+      var i = 0
+      while (i < n) { val b = bytes(i) & 0xff; hist(b) += 1; sum += b; i += 1 }
+      val entropy = hist.foldLeft(0.0) { (acc, c) =>
+        if (c == 0) acc else { val p = c.toDouble / n; acc - p * math.log(p) / math.log(2) }
+      }
+      val bins = new Array[Double](8)
+      i = 0
+      while (i < n) { bins(i % 8) += (bytes(i) & 0xff) / 255.0; i += 1 }
+      MediaFeatures(r.doc_id, r.meta.format, n,
+        math.rint(sum.toDouble / n * 10000) / 10000,
+        math.rint(entropy * 10000) / 10000,
+        bins.map(v => math.rint(v / n * 8 * 10000) / 10000))
+    }
+
+  /** The operator: typed scan → per-partition batched decode →
+    * typed features. One narrow stage, no shuffle; batch boundaries
+    * never cross partitions. */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(BatchSize).flatMap(decodeBatch))
+      .toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        col("mean_byte"), col("byte_entropy"),
+        col("features")(0).as("f0"), col("features")(7).as("f7"))
+  }
+}

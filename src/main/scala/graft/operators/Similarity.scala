@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.expressions.VectorColumns
+
+/** Embedding similarity operators (SURVEY §2 ops 27-29): exact cosine
+  * near-dup pairs, brute-force top-k (the correctness baseline), and
+  * the random-hyperplane LSH bucketed variant (the scale path).
+  *
+  * Cosine runs in [[graft.expressions.CosineSimExpr]] — a fused
+  * codegen'd loop per pair. Vectors are cast to `array<double>` once,
+  * up front, so every kernel call is unboxed double math.
+  */
+object Similarity {
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  /** Cosine near-duplicate pairs (≥ 0.35). Exact block-nested join
+    * with `id_a < id_b`; at corpus scale the candidate generator
+    * below (LSH buckets) replaces the product — kept exact here as
+    * the oracle-checkable baseline the LSH spec measures recall
+    * against. */
+  def embeddingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val a = vecs(spark, dir).select(col("vec_id").as("id_a"), col("emb").as("ea"))
+    val b = vecs(spark, dir).select(col("vec_id").as("id_b"), col("emb").as("eb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorColumns.cosine(col("ea"), col("eb")))
+      .filter(col("cosine") >= 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Exact cosine top-k neighbors for each probe vector (vec_id < 5).
+    * The probe set is broadcast against the corpus scan — one pass
+    * over the big side, k·|probes| result rows. Ranking key is the
+    * cosine rounded to 6dp with vec_id tie-break, so the ordering is
+    * reproducible bit-for-bit against the DuckDB oracle. */
+  def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val probes = vecs(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
+    vecs(spark, dir)
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", VectorColumns.cosine(col("pe"), col("emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rk"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  private val NumTables = 4
+  private val BitsPerTable = 6
+
+  /** Deterministic pseudo-random unit-free hyperplanes (LCG over the
+    * (table, bit, dim) index — reproducible across runs/executors). */
+  private def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] = {
+    var state = (table * 1315423911L + bit * 2654435761L + 97531L) & 0x7fffffffffffffffL
+    Array.fill(dim) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      // top 53 bits → uniform in [0,1) → [-1,1)
+      ((state >>> 11) * (1.0 / (1L << 53))) * 2.0 - 1.0
+    }
+  }
+
+  /** Bucket signature for one table: sign bits of `NumTables`
+    * hyperplane dot products, packed into an int. */
+  private def signature(emb: Column, table: Int, dim: Int): Column =
+    (0 until BitsPerTable).map { bit =>
+      val plane = array(hyperplane(table, bit, dim).map(lit): _*)
+      when(VectorColumns.dot(emb, plane) >= 0, lit(1 << bit)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Random-hyperplane LSH top-k — the 100 TB path. Each vector gets
+    * `NumTables` bucket signatures (elementwise, in the scan stage);
+    * probes meet corpus vectors through bucket equi-joins only, the
+    * union of tables is deduplicated, and exact cosine ranks the
+    * candidates. Recall tunes with tables × bits; candidate count per
+    * probe is ~|bucket|·tables, never O(n). */
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val v = vecs(spark, dir)
+    val sigCols = (0 until NumTables).map(t =>
+      struct(lit(t).as("t"), signature(col("emb"), t, dim).as("sig")))
+    val bucketed = v
+      .select(col("vec_id"), col("emb"), explode(array(sigCols: _*)).as("b"))
+      .select(col("vec_id"), col("emb"),
+        col("b.t").as("t"), col("b.sig").as("sig"))
+    val probeBuckets = bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"),
+        col("t"), col("sig"))
+    val cands = bucketed.join(broadcast(probeBuckets), Seq("t", "sig"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("pe"), col("vec_id"), col("emb"))
+      .dropDuplicates("probe_id", "vec_id")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
+    cands
+      .withColumn("cos", VectorColumns.cosine(col("pe"), col("emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rk"),
+        round(col("cos"), 4).as("cosine"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs: Map[Long, String] =
+    Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def shingleSet(text: String): Set[String] =
+    text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+
+  private def jaccard(a: Long, b: Long): Double = {
+    val (sa, sb) = (shingleSet(docs(a)), shingleSet(docs(b)))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  private lazy val exactPairs: Map[(Long, Long), Double] =
+    SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(2)) // (doc_a, doc_b)
+      .map { case ((a, b), j) => (math.min(a, b), math.max(a, b)) -> j }
+      .toMap
+
+  test("dedup_ngram_jaccard: every reported pair matches a Scala recomputation") {
+    assert(exactPairs.nonEmpty)
+    exactPairs.foreach { case ((a, b), j) =>
+      val expect = math.rint(jaccard(a, b) * 10000) / 10000
+      assert(math.abs(j - expect) < 1e-9, s"pair ($a,$b)")
+      assert(a < b)
+    }
+  }
+
+  test("dedup_minhash_lsh: finds all strongly-near-dup pairs, no false positives") {
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(1).min(r.getLong(0)), r.getLong(1).max(r.getLong(0))) -> r.getDouble(2))
+      .toMap
+    // verification step guarantees precision: every surviving pair is >= 0.5 exact
+    lsh.foreach { case ((a, b), j) =>
+      assert(jaccard(a, b) >= 0.5 - 1e-4, s"pair ($a,$b) jaccard ${jaccard(a, b)}")
+      assert(math.abs(j - math.rint(jaccard(a, b) * 10000) / 10000) < 1e-9)
+    }
+    // recall on the planted (>= 0.9) duplicates: 16 bands x 4 rows at
+    // j=0.9 has collision probability ~1 - (1-0.9^4)^16 > 0.9999
+    val planted = exactPairs.filter(_._2 >= 0.9).keySet
+    assert(planted.nonEmpty)
+    assert(planted.subsetOf(lsh.keySet),
+      s"missing: ${planted.diff(lsh.keySet)}")
+  }
+
+  test("dedup_simhash: pairs within hamming 3, strong recall on planted dups") {
+    val sim = SparkEntry.queries("dedup_simhash")(spark, sf).collect()
+      .map(r => (r.getLong(0).min(r.getLong(1)), r.getLong(0).max(r.getLong(1))) -> r.getInt(2))
+      .toMap
+    assert(sim.nonEmpty)
+    assert(sim.values.forall(_ <= 3))
+    // near-identical token multisets must collide in simhash space
+    val planted = exactPairs.filter(_._2 >= 0.95).keySet
+    val found = planted.count(sim.contains)
+    assert(found >= planted.size / 2,
+      s"simhash recall $found/${planted.size} on jaccard>=0.95 pairs")
+    // sub-quadratic output: nowhere near the n^2/2 all-pairs count
+    assert(sim.size < docs.size * 4)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MediaMeta, MediaRecord, Multimodal}
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val embs: Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("ann_topk_bruteforce: exact top-10 for every probe vs Scala recomputation") {
+    val got = SparkEntry.queries("ann_topk_bruteforce")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    got.foreach { case (probe, rows) =>
+      val expect = embs.toSeq.filter(_._1 != probe)
+        .map { case (id, v) => (math.rint(cos(embs(probe), v) * 1e6) / 1e6, id) }
+        .sortBy { case (c, id) => (-c, id) }
+        .take(10).map(_._2)
+      val gotIds = rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+      assert(gotIds === expect, s"probe $probe")
+    }
+  }
+
+  test("ann_lsh_topk: bounded candidates, reasonable recall vs brute force") {
+    val brute = SparkEntry.queries("ann_topk_bruteforce")(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val lsh = SparkEntry.queries("ann_lsh_topk")(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (_, ids) => assert(ids.size <= 10) }
+    val recalls = lsh.map { case (p, ids) =>
+      ids.intersect(brute.getOrElse(p, Set.empty)).size.toDouble / 10
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // 4 tables x 6 bits on near-orthogonal synthetic vectors: modest
+    // recall expected; this guards against a broken bucketing, not SOTA
+    assert(meanRecall >= 0.1, s"mean recall $meanRecall")
+  }
+
+  test("dedup_embedding: threshold respected, values exact") {
+    val rows = SparkEntry.queries("dedup_embedding")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(a < b)
+      val expect = math.rint(cos(embs(a), embs(b)) * 10000) / 10000
+      assert(math.abs(c - expect) < 1e-9, s"pair ($a,$b)")
+      assert(c >= 0.35 - 1e-9)
+    }
+  }
+
+  test("multimodal_features: deterministic stub decode, real batching plumbing") {
+    val df = SparkEntry.queries("multimodal_features")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_byte") >= 0 && r.getAs[Double]("mean_byte") <= 255)
+      assert(r.getAs[Double]("byte_entropy") >= 0 && r.getAs[Double]("byte_entropy") <= 8)
+      assert(Set("png", "jpeg", "wav").contains(r.getAs[String]("format")))
+    }
+    // determinism: a second run produces identical bytes-derived features
+    val again = SparkEntry.queries("multimodal_features")(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+    // unit-level: the stub is pure — identical input, identical output
+    val rec = MediaRecord(7L, "abcabc".getBytes("UTF-8"), MediaMeta("png", 64, 64))
+    val f1 = Multimodal.decodeBatch(Seq(rec)).head
+    val f2 = Multimodal.decodeBatch(Seq(rec)).head
+    assert(f1.features.toSeq === f2.features.toSeq)
+    assert((f1.doc_id, f1.format, f1.n_bytes, f1.mean_byte, f1.byte_entropy)
+      === ((f2.doc_id, f2.format, f2.n_bytes, f2.mean_byte, f2.byte_entropy)))
+    assert(f1.n_bytes === 6)
+    // entropy of {a,b,c} uniform = log2(3)
+    assert(math.abs(f1.byte_entropy - math.log(3) / math.log(2)) < 1e-3)
+  }
+}
