@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query wall times.
+  *
+  * Discipline (round-1 verdict items): a full UNTIMED warm-up pass
+  * first (JIT, codegen caches, parquet footer caches, session warm-up
+  * land there), then one timed pass in sorted name order; failures
+  * are recorded per-query (`errors` map), excluded from timings, and
+  * make the exit code nonzero instead of masquerading as a timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,15 +23,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // warm-up: run everything once, untimed; remember what failed
+    val warmErrs = names.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+      catch { case e: Throwable => Some(name -> e.toString.take(200)) }
+    }.toMap
+
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]() ++ warmErrs
+    names.filterNot(warmErrs.contains).foreach { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable => errors(name) = e.toString.take(200) }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def js(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = timings.map { case (k, v) => s"${js(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+    val total = timings.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${js(sfDir)}}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Climate
+
+/** Collection registry — the pygeoapi catalog config re-expressed as
+  * data derived FROM the data (`ingestor_cds_process.py:232-372`
+  * `update_config`: each ingestor patches collection id / bbox /
+  * time extent into the catalog; here the registry is one DataFrame
+  * computed from the collections themselves, so it can never drift).
+  *
+  * Each per-collection summary is a single min/max/count aggregate —
+  * at scale these compile to parquet-footer-statistics scans plus a
+  * tiny all-to-one agg, and the union is O(collections) rows.
+  */
+object Catalog {
+
+  /** Per-collection metadata: id, row count, time extent (when the
+    * collection has event time), bbox (when it has a spatial key). */
+  def collections(spark: SparkSession, dir: String): DataFrame = {
+    def plain(name: String): DataFrame =
+      Tables.load(spark, dir, name).agg(count(lit(1)).as("n_rows"))
+        .select(lit(name).as("collection_id"), col("n_rows"),
+          lit(null).cast("string").as("time_start"),
+          lit(null).cast("string").as("time_end"),
+          lit(null).cast("double").as("min_lon"),
+          lit(null).cast("double").as("max_lon"),
+          lit(null).cast("double").as("min_lat"),
+          lit(null).cast("double").as("max_lat"))
+
+    def timed(name: String, tsCol: String): DataFrame =
+      Tables.load(spark, dir, name).agg(
+        count(lit(1)).as("n_rows"),
+        date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("time_start"),
+        date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("time_end"))
+        .select(lit(name).as("collection_id"), col("n_rows"),
+          col("time_start"), col("time_end"),
+          lit(null).cast("double").as("min_lon"),
+          lit(null).cast("double").as("max_lon"),
+          lit(null).cast("double").as("min_lat"),
+          lit(null).cast("double").as("max_lat"))
+
+    val events = Tables.events(spark, dir)
+      .withColumn("lat", Climate.pseudoLat(col("user_id")))
+      .withColumn("lon", Climate.pseudoLon(col("user_id")))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("time_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("time_end"),
+        min(col("lon")).as("min_lon"), max(col("lon")).as("max_lon"),
+        min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"))
+      .select(lit("events").as("collection_id"), col("n_rows"),
+        col("time_start"), col("time_end"),
+        col("min_lon"), col("max_lon"), col("min_lat"), col("max_lat"))
+
+    val parts = Seq(
+      plain("region"), plain("nation"), plain("customer"), plain("supplier"),
+      plain("part"),
+      timed("orders", "o_orderdate"), timed("lineitem", "l_shipdate"),
+      events, plain("documents"), plain("embeddings"))
+    parts.reduce(_.unionByName(_))
+  }
+}
