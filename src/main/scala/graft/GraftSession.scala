@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One tuned SparkSession builder for every entry point (Verify,
+  * Bench, tests): AQE on (runtime coalescing + skew-join splitting),
+  * shuffle parallelism = cores (not the 200 default), UTC, the
+  * TIMESTAMP(NANOS) legacy read, and the graft SQL extensions
+  * registered so `norm_quantile`/`gamma_cdf`/`cosine_sim` work from
+  * plain SQL too. */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.expressions.GraftExtensions)
+
+  def create(cpus: String): SparkSession = {
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

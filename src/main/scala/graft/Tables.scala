@@ -36,6 +36,26 @@ object Tables {
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
   }
+  /** Time-sliced events WITH parquet pushdown. The plain `events`
+    * loader rewrites `ts` post-scan, which blocks predicate pushdown
+    * on it; here the range predicate is applied to the RAW epoch-nanos
+    * long BEFORE the conversion, so it lands in the scan's
+    * PushedFilters and row groups outside the range are skipped —
+    * the pattern every time-bounded operator should use at scale. */
+  def eventsBetween(s: SparkSession, d: String,
+      startIso: String, endIso: String): DataFrame = {
+    val raw = load(s, d, "events")
+    def nanos(iso: String): Long =
+      java.time.Instant.parse(iso).getEpochSecond * 1000000000L +
+        java.time.Instant.parse(iso).getNano
+    if (raw.schema("ts").dataType == LongType)
+      raw.filter(col("ts") >= nanos(startIso) && col("ts") < nanos(endIso))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      raw.filter(col("ts") >= lit(startIso).cast("timestamp") &&
+        col("ts") < lit(endIso).cast("timestamp"))
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,41 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** SQL surface for the native kernels: registers the custom Catalyst
+  * expressions as session functions, so `spark.sql("SELECT
+  * norm_quantile(0.975)")` and DataFrame `expr(...)` both reach the
+  * same codegen'd implementations. Install with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`
+  * (see [[graft.GraftSession]]). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getCanonicalName, name)
+
+  // SQL literals arrive as Decimal/Int — normalize to the kernels'
+  // double (or array<double>) input types at build time.
+  private def d(e: Expression): Expression = Cast(e, DoubleType)
+  private def da(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("norm_quantile"),
+      info("norm_quantile", classOf[NormalQuantileExpr]),
+      (args: Seq[Expression]) => NormalQuantileExpr(d(args.head))))
+    ext.injectFunction((FunctionIdentifier("gamma_p"),
+      info("gamma_p", classOf[GammaPExpr]),
+      (args: Seq[Expression]) => GammaPExpr(d(args(0)), d(args(1)))))
+    ext.injectFunction((FunctionIdentifier("gamma_cdf"),
+      info("gamma_cdf", classOf[GammaCdfExpr]),
+      (args: Seq[Expression]) => GammaCdfExpr(d(args(0)), d(args(1)), d(args(2)))))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", classOf[CosineSimExpr]),
+      (args: Seq[Expression]) => CosineSimExpr(da(args(0)), da(args(1)))))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", classOf[DotExpr]),
+      (args: Seq[Expression]) => DotExpr(da(args(0)), da(args(1)))))
+  }
+}

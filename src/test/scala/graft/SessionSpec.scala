@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The session-level surface: SQL-registered kernels and scan
+  * pushdown behavior. */
+class SessionSpec extends SparkSpec {
+
+  test("extensions: kernels callable from plain SQL") {
+    val r = spark.sql(
+      """SELECT norm_quantile(0.975) AS q,
+        |       gamma_p(1.0, 2.0) AS g,
+        |       gamma_cdf(2.0, 1.0, 1.0) AS gc,
+        |       cosine_sim(array(1.0d, 2.0d), array(2.0d, 4.0d)) AS c,
+        |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d
+        |""".stripMargin).collect()(0)
+    assert(math.abs(r.getAs[Double]("q") - 1.959964) < 5e-4)
+    assert(math.abs(r.getAs[Double]("g") - (1 - math.exp(-2))) < 1e-12)
+    assert(math.abs(r.getAs[Double]("gc") - (1 - math.exp(-2))) < 1e-12)
+    assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("d") - 11.0) < 1e-12)
+  }
+
+  test("eventsBetween: time-range predicate reaches the parquet scan") {
+    val df = Tables.eventsBetween(spark, sf,
+      "2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(ts"), s"no pushed ts filter in:\n$plan")
+    // and the slice agrees with filtering after conversion
+    val expect = Tables.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-20 00:00:00").cast("timestamp")).count()
+    assert(df.count() === expect)
+    assert(df.count() > 0)
+  }
+
+  test("custom expressions survive codegen in a DataFrame pipeline") {
+    import graft.expressions.StatColumns
+    val out = spark.range(1, 100)
+      .select(StatColumns.normQuantile(col("id") / 100.0).as("z"))
+      .agg(sum(col("z"))).collect()(0).getDouble(0)
+    // Σ z(i/100) over symmetric quantiles ~ 0
+    assert(math.abs(out) < 1e-6)
+  }
+}
