@@ -42,8 +42,11 @@ object Climate {
     *
     * The fit is a MAP-SIDE PARTIAL aggregation (count/zero-count/
     * mean/mean-log) into one row per key; parameters re-join the fact
-    * rows via broadcast (O(keys) rows). The CDF + quantile evaluate
-    * inside whole-stage codegen via the native expressions. */
+    * rows UNHINTED — params is one row per station/grid-cell, which
+    * is fact-key cardinality at 100 TB, so forcing a broadcast would
+    * OOM; AQE broadcasts it automatically while it is actually small.
+    * The CDF + quantile evaluate inside whole-stage codegen via the
+    * native expressions. */
   def spiGamma(spark: SparkSession, dir: String): DataFrame = {
     val wRoll = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
       .rowsBetween(-6, Window.currentRow)
@@ -63,7 +66,7 @@ object Climate {
       .withColumn("beta", col("mean_pos") / col("alpha"))
       .withColumn("q0", col("n_zero") / col("n"))
       .select("user_id", "alpha", "beta", "q0")
-    x.join(broadcast(params), Seq("user_id"))
+    x.join(params, Seq("user_id"))
       .withColumn("h",
         col("q0") + (lit(1.0) - col("q0"))
           * StatColumns.gammaCdf(col("x"), col("alpha"), col("beta")))

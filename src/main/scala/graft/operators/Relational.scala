@@ -15,8 +15,10 @@ import graft.Tables
   * surface, Spark-first:
   *  - filters/projections are plain `Column` ops so they reach the
   *    parquet scan (PushedFilters / ReadSchema);
-  *  - dimension tables are `broadcast()` so fact-table joins never
-  *    shuffle the big side;
+  *  - TRUE dimension tables (nation⋈region — O(100) rows at any
+  *    scale) are `broadcast()`; anything that scales with the data
+  *    (customer, supplier) is left unhinted so AQE picks broadcast
+  *    only while it actually fits;
   *  - aggregates are `functions._` only (whole-stage codegen, map-side
   *    partial aggregation).
   *
@@ -44,10 +46,12 @@ object Relational {
         count(lit(1)).as("count_order"))
   }
 
-  /** TPC-H Q3-style: selective dim filter broadcast into two fact
-    * joins, then agg + deterministic top-k. Customer filter prunes
-    * before the join; orders→lineitem join keys are the natural
-    * shuffle partitioning. */
+  /** TPC-H Q3-style: selective filter, two fact joins, agg +
+    * deterministic top-k. Customer filter prunes before the join but
+    * the join stays UNHINTED — customer scales linearly with the data
+    * (fact-sized at 100 TB), so a forced broadcast would OOM there;
+    * AQE broadcasts it at small scale where it fits. orders→lineitem
+    * join keys are the natural shuffle partitioning. */
   def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-01-01").cast("timestamp")
     val cust = Tables.customer(spark, dir)
@@ -60,7 +64,7 @@ object Relational {
       .filter(col("l_shipdate") > cutoff)
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .select(col("l_orderkey"), col("revenue"),

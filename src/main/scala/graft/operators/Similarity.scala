@@ -39,17 +39,36 @@ object Similarity {
     * The probe set is broadcast against the corpus scan — one pass
     * over the big side, k·|probes| result rows. Ranking key is the
     * cosine rounded to 6dp with vec_id tie-break, so the ordering is
-    * reproducible bit-for-bit against the DuckDB oracle. */
+    * reproducible bit-for-bit against the DuckDB oracle.
+    *
+    * Ranking is TWO-PHASE: the probe set is small by construction, so
+    * a single `partitionBy(probe_id)` window would funnel the whole
+    * corpus through |probes| tasks, each sorting O(n). A salted local
+    * top-k (probe × 64 salt buckets) prunes to ≤ 64·k survivors per
+    * probe first; the final window ranks only those. */
   def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val probes = vecs(spark, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
-    vecs(spark, dir)
+    val scored = vecs(spark, dir)
       .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("cos", VectorColumns.cosine(col("pe"), col("emb")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
+    topkPerProbe(scored, 10)
+  }
+
+  /** Salted two-phase top-k per probe over a scored candidate set
+    * (`probe_id`, `vec_id`, `cos`): local rank within
+    * (probe, salt-of-vec_id) bounds every sort, final rank sees
+    * ≤ 64·k rows per probe. Same answer as one global window. */
+  private def topkPerProbe(scored: DataFrame, k: Int): DataFrame = {
+    val order = Seq(round(col("cos"), 6).desc, col("vec_id").asc)
+    val wLocal = Window.partitionBy(col("probe_id"), pmod(col("vec_id"), lit(64)))
+      .orderBy(order: _*)
+    val wFinal = Window.partitionBy(col("probe_id")).orderBy(order: _*)
+    scored
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= k)
+      .withColumn("rk", row_number().over(wFinal))
+      .filter(col("rk") <= k)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rk"),
         round(col("cos"), 4).as("cosine"))
   }
@@ -98,13 +117,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("pe"), col("vec_id"), col("emb"))
       .dropDuplicates("probe_id", "vec_id")
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
-    cands
-      .withColumn("cos", VectorColumns.cosine(col("pe"), col("emb")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rk"),
-        round(col("cos"), 4).as("cosine"))
+    topkPerProbe(
+      cands.withColumn("cos", VectorColumns.cosine(col("pe"), col("emb"))), 10)
   }
 }
