@@ -58,4 +58,15 @@ object Tables {
 
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Rebalance a COMPACT input across the cluster before an expensive
+    * fan-out (shingle/token explode, per-row hash batteries). Parquet
+    * row groups are the scan's parallelism floor — a table written in
+    * few/large row groups otherwise funnels the whole fan-out through
+    * a handful of tasks. The shuffle moves only the pre-explode rows
+    * (a small fraction of the fan-out's output volume), and hashing on
+    * the key keeps each key's rows together for downstream per-key
+    * aggregation. */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
 }

@@ -26,9 +26,10 @@ object Dedup {
     * (measured ~2× slower end-to-end). Elementwise in the scan
     * stage; documents are size-bounded so the array is too. */
   private def shingleArrays(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), array_distinct(
-      expr("regexp_extract_all(text, '(?<=^| )(?=([^ ]+ [^ ]+ [^ ]+))', 1)"))
-      .as("sh_arr"))
+    Tables.spread(docs, col("doc_id"))
+      .select(col("doc_id"), array_distinct(
+        expr("regexp_extract_all(text, '(?<=^| )(?=([^ ]+ [^ ]+ [^ ]+))', 1)"))
+        .as("sh_arr"))
       .filter(size(col("sh_arr")) > 0)
 
   /** Exploded (doc_id, shingle) rows — the candidate generator. */
@@ -139,7 +140,7 @@ object Dedup {
     * the fingerprint. Computed as 64 conditional sums in ONE hash
     * aggregation — map-side combine, O(64) state per doc. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val toks = Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("th", xxhash64(col("tok")))
     val bitSums = (0 until 64).map(b =>

@@ -18,7 +18,7 @@ import graft.expressions.VectorColumns
 object Similarity {
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Tables.spread(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
   /** Cosine near-duplicate pairs (≥ 0.35). Exact block-nested join
