@@ -40,6 +40,7 @@ object SparkEntry {
     "danger_levels"         -> Climate.dangerLevels _,
     "pet_hargreaves"        -> Climate.petHargreaves _,
     "zonal_stats"           -> Climate.zonalStats _,
+    "grid_regrid"           -> Climate.gridRegrid _,
     "bbox_filter"           -> Climate.bboxFilter _,
     "extent_summary"        -> Climate.extentSummary _,
     "healthcheck_freshness" -> Climate.healthcheckFreshness _,
@@ -234,6 +235,21 @@ object SparkEntry {
         |  count(*) AS n, round(avg(value), 4) AS avg_value,
         |  round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "grid_regrid" ->
+      """WITH g AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    round(avg(value), 6) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT g00.gy AS cell_y, g00.gx AS cell_x,
+        |  round(g00.gy + 0.25, 2) AS target_y,
+        |  round(g00.gx + 0.75, 2) AS target_x,
+        |  round(g00.v * (0.75 * 0.25) + g01.v * (0.75 * 0.75)
+        |      + g10.v * (0.25 * 0.25) + g11.v * (0.25 * 0.75), 4) AS value_interp
+        |FROM g g00
+        |JOIN g g01 ON g01.gy = g00.gy     AND g01.gx = g00.gx + 1
+        |JOIN g g10 ON g10.gy = g00.gy + 1 AND g10.gx = g00.gx
+        |JOIN g g11 ON g11.gy = g00.gy + 1 AND g11.gx = g00.gx + 1""".stripMargin,
 
     "bbox_filter" ->
       """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value

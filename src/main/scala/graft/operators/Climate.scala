@@ -211,6 +211,45 @@ object Climate {
         round(sum(col("pet")).over(wCum), 4).as("cum_pet"))
   }
 
+  /** Bilinear interpolation of a gridded field onto points offset
+    * (fy, fx) into each cell — the reference regrids every fetched
+    * forecast onto its target grid this way
+    * (`bias_correction_cds_process.py:272`
+    * `ds.interp(lat=…, lon=…, method="linear")`).
+    *
+    * `grid` is (gy, gx, v) at integer nodes. The four corners of each
+    * cell arrive via three self-equi-joins on shifted node keys — all
+    * shuffles on the (small, aggregated) grid table, and AQE
+    * broadcasts when it fits; cells missing a corner drop out (the
+    * reference's NaN-outside-hull semantics). */
+  def bilinear(grid: DataFrame, fy: Double, fx: Double): DataFrame = {
+    def corner(dy: Int, dx: Int, name: String) =
+      grid.select((col("gy") - dy).as("gy"), (col("gx") - dx).as("gx"),
+        col("v").as(name))
+    corner(0, 0, "v00")
+      .join(corner(0, 1, "v01"), Seq("gy", "gx"))
+      .join(corner(1, 0, "v10"), Seq("gy", "gx"))
+      .join(corner(1, 1, "v11"), Seq("gy", "gx"))
+      .select(col("gy").as("cell_y"), col("gx").as("cell_x"),
+        round(col("gy") + fy, 2).as("target_y"),
+        round(col("gx") + fx, 2).as("target_x"),
+        round(col("v00") * ((1 - fy) * (1 - fx)) + col("v01") * ((1 - fy) * fx)
+          + col("v10") * (fy * (1 - fx)) + col("v11") * (fy * fx), 4)
+          .as("value_interp"))
+  }
+
+  /** Regrid the per-cell mean field of `events` onto cell-interior
+    * points (the per-cell mean is rounded to 6dp on both engines
+    * before interpolation so summation-order ulps never reach the
+    * weighted sum). */
+  def gridRegrid(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx"))
+      .agg(round(avg(col("value")), 6).as("v"))
+    bilinear(grid, 0.25, 0.75)
+  }
+
   /** Zonal statistics: snap pseudo-coordinates to a 30° grid zone,
     * aggregate per zone (`utils_spi.py` compute_zonal_stats). Zone
     * assignment is elementwise in the scan; one agg shuffle. */

@@ -133,4 +133,23 @@ class ClimateSpec extends SparkSpec {
     val rows = SparkEntry.queries("zonal_stats")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())
   }
+
+  test("grid_regrid: bilinear interpolation reproduces a linear field exactly") {
+    import spark.implicits._
+    // v = 3y + 5x + 7 on a 4x4 node grid; any bilinear interp of a
+    // linear field must return the field's own value at the point.
+    val grid = (for (y <- 0 to 3; x <- 0 to 3)
+      yield (y, x, 3.0 * y + 5.0 * x + 7.0)).toDF("gy", "gx", "v")
+    val out = Climate.bilinear(grid, 0.25, 0.75).collect()
+    assert(out.length === 9) // 3x3 interior cells
+    out.foreach { r =>
+      val expect = 3.0 * r.getAs[Double]("target_y") +
+        5.0 * r.getAs[Double]("target_x") + 7.0
+      assert(math.abs(r.getAs[Double]("value_interp") - expect) < 1e-9)
+    }
+    // the query itself: every surviving cell is interior, rows > 0
+    val q = SparkEntry.queries("grid_regrid")(spark, sf).collect()
+    assert(q.nonEmpty)
+    assert(q.forall(r => r.getAs[Double]("target_y") > 0))
+  }
 }
