@@ -50,8 +50,10 @@ object SparkEntry {
     "text_quality"    -> TextOps.textQuality _,
     "token_count"     -> TextOps.tokenCount _,
     "doc_fingerprint" -> TextOps.docFingerprint _,
+    "corpus_sample"   -> TextOps.corpusSample _,
     // --- LLM pipeline: near-dup + similarity ---------------------
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "dedup_clusters"      -> Dedup.dedupClusters _,
     "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
     "dedup_simhash"       -> Dedup.simhash _,
     "dedup_embedding"     -> Similarity.embeddingPairs _,
@@ -353,6 +355,36 @@ object SparkEntry {
         |  md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ')) AS bow_fp
         |FROM t""".stripMargin,
 
+    "corpus_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a'))
+        |       + len(list_filter(toks, x -> x = 'data')) + len(list_filter(toks, x -> x = 'fast'))
+        |       + len(list_filter(toks, x -> x = 'small')) AS score_en,
+        |    len(list_filter(toks, x -> x = 'window')) + len(list_filter(toks, x -> x = 'batch'))
+        |       + len(list_filter(toks, x -> x = 'stream')) + len(list_filter(toks, x -> x = 'slow')) AS score_de,
+        |    len(list_filter(toks, x -> x = 'merge')) + len(list_filter(toks, x -> x = 'sort'))
+        |       + len(list_filter(toks, x -> x = 'join')) + len(list_filter(toks, x -> x = 'line')) AS score_fr,
+        |    len(list_filter(toks, x -> x = 'spark')) + len(list_filter(toks, x -> x = 'query'))
+        |       + len(list_filter(toks, x -> x = 'vector')) + len(list_filter(toks, x -> x = 'row')) AS score_es
+        |  FROM t
+        |), lang AS (
+        |  SELECT doc_id,
+        |    CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+        |         WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+        |         WHEN score_fr >= score_es THEN 'fr'
+        |         ELSE 'es' END AS lang_pred
+        |  FROM s)
+        |SELECT doc_id, lang_pred, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS sel
+        |FROM lang
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+        |  CASE lang_pred WHEN 'en' THEN '19' WHEN 'de' THEN '4c'
+        |                 WHEN 'fr' THEN '7f' ELSE 'ff' END""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -368,6 +400,30 @@ object SparkEntry {
         |  round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
         |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
         |WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |          for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p0 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM p0
+        |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |FROM reach GROUP BY src""".stripMargin,
 
     "ann_topk_bruteforce" ->
       """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe

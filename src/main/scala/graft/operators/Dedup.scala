@@ -85,6 +85,42 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Near-dup CLUSTERS from the pairwise matches: connected
+    * components of the ngram-Jaccard graph by iterative min-label
+    * propagation — each round every node adopts the smallest label in
+    * its neighborhood, converging in O(component diameter) rounds
+    * (near-dup components are shallow: pairs/triples, so 2-3 rounds
+    * in practice). Every round is one shuffle join on the edge list;
+    * the driver only reads a 1-row convergence aggregate (sum of
+    * labels, strictly decreasing until fixpoint), never the data.
+    * This is what a dedup pipeline actually consumes: pick
+    * `min(doc_id)` per cluster as the keeper, drop the rest. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select("doc_a", "doc_b").persist()
+    val adj = pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+      .union(pairs.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+      .persist()
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var converged = false
+    while (!converged) {
+      val nbrMin = adj.join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
+        .groupBy(col("node")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist()
+      val Array(before, after) = Array(labels, next)
+        .map(_.agg(sum(col("label"))).head.getLong(0))
+      labels.unpersist()
+      labels = next
+      converged = after == before
+    }
+    val out = labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    adj.unpersist(); pairs.unpersist()
+    out
+  }
+
   private val NumHashes = 64
   private val NumBands = 16
   private val RowsPerBand = NumHashes / NumBands

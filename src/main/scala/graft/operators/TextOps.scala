@@ -100,6 +100,25 @@ object TextOps {
         ceil(col("n_chars") / lit(4.0)).cast("long").as("est_bpe_tokens"))
   }
 
+  /** Stratified corpus sampling with per-stratum rates — the corpus
+    * rebalancing step of a training-data pipeline (downsample the
+    * dominant strata, keep the rare ones). The selector is the first
+    * two hex digits of `md5(doc_id)` compared against a per-stratum
+    * cutoff: deterministic, reproducible across engines and runs, and
+    * entirely elementwise — sampling adds ZERO shuffles at any scale
+    * and composes with the scan's pushdown. Rates here: en ≈ 10%,
+    * de ≈ 30%, fr = 50%, es = 100%. */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = when(col("lang_pred") === "en", "19")
+      .when(col("lang_pred") === "de", "4c")
+      .when(col("lang_pred") === "fr", "7f")
+      .otherwise("ff")
+    langId(spark, dir)
+      .select(col("doc_id"), col("lang_pred"))
+      .withColumn("sel", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .filter(col("sel") <= cutoff)
+  }
+
   /** Per-document fingerprints: exact content hash + order-invariant
     * bag-of-words hash (catches shuffled near-dups for free). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {

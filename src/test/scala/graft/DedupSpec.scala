@@ -62,4 +62,21 @@ class DedupSpec extends SparkSpec {
     // sub-quadratic output: nowhere near the n^2/2 all-pairs count
     assert(sim.size < docs.size * 4)
   }
+
+  test("dedup_clusters: components agree with the pair graph") {
+    val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cluster = SparkEntry.queries("dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every matched pair lands in the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) === cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // every cluster label is the smallest member id (canonical keeper)
+    cluster.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min === lbl)
+    }
+    // exactly the docs that appear in some pair are clustered
+    assert(cluster.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
 }

@@ -81,4 +81,19 @@ class TextOpsSpec extends SparkSpec {
         md5hex(text.split(" ").distinct.sorted.mkString(" ")))
     }
   }
+
+  test("corpus_sample: deterministic md5 selector honors per-stratum rates") {
+    val lang = SparkEntry.queries("lang_id")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    val sampled = SparkEntry.queries("corpus_sample")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred"))
+    // selector is exactly the md5-prefix rule — recompute locally
+    val cut = Map("en" -> "19", "de" -> "4c", "fr" -> "7f", "es" -> "ff")
+    val expect = lang.filter { case (id, l) =>
+      md5hex(id.toString).substring(0, 2) <= cut(l)
+    }
+    assert(sampled.toMap === expect)
+    // every 'es' doc survives (rate 100%)
+    assert(sampled.count(_._2 == "es") === lang.count(_._2 == "es"))
+  }
 }
