@@ -102,6 +102,8 @@ object Dedup {
       .persist()
     var labels = adj.select(col("node")).distinct()
       .withColumn("label", col("node")).persist()
+    def labelSum(df: DataFrame): Long = df.agg(sum(col("label"))).head.getLong(0)
+    var before = labelSum(labels)
     var converged = false
     while (!converged) {
       val nbrMin = adj.join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
@@ -110,11 +112,11 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .persist()
-      val Array(before, after) = Array(labels, next)
-        .map(_.agg(sum(col("label"))).head.getLong(0))
+      val after = labelSum(next)
       labels.unpersist()
       labels = next
       converged = after == before
+      before = after
     }
     val out = labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
     adj.unpersist(); pairs.unpersist()
