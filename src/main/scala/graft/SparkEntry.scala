@@ -27,6 +27,7 @@ object SparkEntry {
     // --- time-series ---------------------------------------------
     "ts_resample_daily"      -> TimeSeries.resampleDaily _,
     "ts_resample_weekly_max" -> TimeSeries.resampleWeeklyMax _,
+    "ts_resample_monthly"    -> TimeSeries.resampleMonthlyScaled _,
     "ts_rolling_sum"         -> TimeSeries.rollingSum _,
     "ts_cumsum"              -> TimeSeries.cumSum _,
     "ts_asof_join"           -> TimeSeries.asofJoin _,
@@ -140,6 +141,15 @@ object SparkEntry {
         |  round(max(value), 2) AS max_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+
+    "ts_resample_monthly" ->
+      """SELECT user_id,
+        |  strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+        |  count(*) AS n,
+        |  round(avg(value), 4) AS avg_rate,
+        |  round(avg(value) * day(last_day(date_trunc('month', ts))), 4) AS month_total
+        |FROM events
+        |GROUP BY user_id, date_trunc('month', ts)""".stripMargin,
 
     "ts_rolling_sum" ->
       """SELECT event_id, user_id,

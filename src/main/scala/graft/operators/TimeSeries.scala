@@ -53,6 +53,22 @@ object TimeSeries {
         date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"))
       .agg(round(max(col("value")), 2).as("max_value"))
 
+  /** Monthly resample with days-in-month scaling — the reference
+    * converts mm/day rates to monthly totals by multiplying the
+    * monthly mean by the month's day count (`utils_spi.py:418-425`)
+    * before fitting SPI. The day count is a constant per group,
+    * evaluated post-agg, so the plan is still one map-side-partial
+    * aggregation. */
+  def resampleMonthlyScaled(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("MONTH", col("ts")), "yyyy-MM-dd").as("month"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_rate"))
+      .select(col("user_id"), col("month"), col("n"),
+        round(col("avg_rate"), 4).as("avg_rate"),
+        round(col("avg_rate") * dayofmonth(last_day(to_date(col("month")))), 4)
+          .as("month_total"))
+
   /** Per-key ordered rolling sum over the last 7 observations — the
     * SPI t-scale accumulation (`utils_spi.py:446-449`). Single shuffle
     * on `user_id`; the frame is row-bounded so state is O(7). */

@@ -63,4 +63,25 @@ object Catalog {
       events, plain("documents"), plain("embeddings"))
     parts.reduce(_.unionByName(_))
   }
+
+  /** Publish side of the ingest loop: write a time-series batch as a
+    * DAY-partitioned parquet collection and return its registry row
+    * (id, row count, time extent) — the reference's write-to-S3 +
+    * `update_config` step in one call. Day partitioning is what makes
+    * the read side's time predicates prune at the directory level
+    * (partition pruning before row-group skipping); the registry row
+    * is computed from the data itself, so the catalog can never
+    * drift from the collection. */
+  def publish(df: DataFrame, tsCol: String, collectionId: String,
+      outDir: String): DataFrame = {
+    df.withColumn("p_day", to_date(col(tsCol)))
+      .write.mode("overwrite").partitionBy("p_day")
+      .parquet(s"$outDir/$collectionId")
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("time_start"),
+      date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("time_end"))
+      .select(lit(collectionId).as("collection_id"), col("n_rows"),
+        col("time_start"), col("time_end"))
+  }
 }

@@ -83,4 +83,23 @@ class StreamingSpec extends SparkSpec {
     assert(byId("orders").getAs[String]("time_start") != null)
     assert(byId("documents").getAs[String]("time_start") == null)
   }
+
+  test("catalog publish: day-partitioned write, registry row matches the data") {
+    val tmp = Files.createTempDirectory("graft-publish").toFile.getAbsolutePath
+    val ev = Tables.events(spark, sf)
+    val reg = Catalog.publish(ev, "ts", "events_daily", tmp).collect()(0)
+    assert(reg.getString(0) === "events_daily")
+    assert(reg.getAs[Long]("n_rows") === ev.count())
+    // the written collection reads back complete, with day partitions
+    val back = spark.read.parquet(s"$tmp/events_daily")
+    assert(back.count() === ev.count())
+    assert(back.columns.contains("p_day"))
+    val days = new java.io.File(s"$tmp/events_daily").listFiles()
+      .count(_.getName.startsWith("p_day="))
+    assert(days > 1)
+    // partition pruning: a one-day slice reads a single directory
+    val oneDay = back.filter(col("p_day") === "2024-01-02")
+    assert(oneDay.count() ===
+      ev.filter(to_date(col("ts")) === "2024-01-02").count())
+  }
 }
