@@ -203,6 +203,33 @@ object SparkEntry {
         |LEFT JOIN ref r ON e.user_id = r.user_id
         |WHERE e.event_type = 'click'""".stripMargin,
 
+    "bias_qmap" ->
+      """WITH f AS (SELECT event_id, user_id, value FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, value AS ref_value,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY value) - 1 AS idx
+        |      FROM events WHERE event_type = 'view'),
+        |n AS (SELECT user_id, count(*) AS n_ref FROM r GROUP BY 1),
+        |p AS (SELECT event_id, user_id, value,
+        |        CASE WHEN count(*) OVER (PARTITION BY user_id) = 1 THEN 0.0
+        |             ELSE percent_rank() OVER (PARTITION BY user_id ORDER BY value)
+        |        END AS pr
+        |      FROM f),
+        |q AS (SELECT p.*, p.pr * (n.n_ref - 1) AS fpos,
+        |        CAST(floor(p.pr * (n.n_ref - 1)) AS INT) AS idx_lo,
+        |        CAST(ceil(p.pr * (n.n_ref - 1)) AS INT) AS idx_hi
+        |      FROM p JOIN n ON p.user_id = n.user_id)
+        |SELECT q.event_id, q.user_id, round(q.value, 2) AS fcst_value,
+        |  floor((lo.ref_value + (q.fpos - q.idx_lo) * (hi.ref_value - lo.ref_value))
+        |        * 1e4 + 0.5) / 1e4 AS mapped
+        |FROM q JOIN r lo ON q.user_id = lo.user_id AND q.idx_lo = lo.idx
+        |       JOIN r hi ON q.user_id = hi.user_id AND q.idx_hi = hi.idx""".stripMargin,
+
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35""".stripMargin,
+
     "rating_curve" ->
       """WITH calib(h, q) AS (VALUES (0.0, 0.0), (50.0, 10.0), (100.0, 40.0),
         |                            (150.0, 100.0), (200.0, 200.0), (300.0, 500.0)),

@@ -129,9 +129,13 @@ object Climate {
           .withColumnRenamed("idx", "idx_hi"), Seq("user_id", "idx_hi"))
       .select(col("event_id"), col("user_id"),
         round(col("value"), 2).as("fcst_value"),
-        round(col("v_lo")
-          + (col("fpos") - col("idx_lo")) * (col("v_hi") - col("v_lo")), 4)
-          .as("mapped"))
+        // floor-quantized instead of round(): Spark rounds the double's
+        // shortest decimal repr HALF_UP, DuckDB rounds the binary value,
+        // and interpolated results land on exact .00005 boundaries where
+        // the two disagree; floor of the same double is engine-invariant.
+        (floor((col("v_lo")
+          + (col("fpos") - col("idx_lo")) * (col("v_hi") - col("v_lo")))
+          * 1e4 + 0.5) / 1e4).as("mapped"))
   }
 
   /** Quantile-map the 'click' series onto the 'view' climate. */
