@@ -1,0 +1,115 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Bounded top-k aggregate: keeps the k best (sortKey desc, id asc)
+  * rows per group in an O(k) heap, with map-side PARTIAL aggregation —
+  * each input partition reduces to one k-entry state before the
+  * shuffle, so a low-cardinality group key (segments, probe ids) never
+  * funnels the full input through few tasks the way a ranking window
+  * does. The classic distributed top-k plan, as a first-class Catalyst
+  * aggregate.
+  *
+  * Inputs per row: `sortKey` (double — ranking score), `id` (long —
+  * deterministic tie-break, ascending), `payload` (double — carried
+  * through unmodified, e.g. the unrounded score). Output:
+  * `array<struct<id:bigint, payload:double>>` in rank order.
+  */
+case class TopKAgg(
+    sortKey: Expression,
+    id: Expression,
+    payload: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long, Double)]] {
+
+  // head of the queue = WORST kept entry (smallest key; among equal
+  // keys the largest id, since smaller id ranks better)
+  private val worstFirst: Ordering[(Double, Long, Double)] =
+    Ordering.by(e => (-e._1, e._2))
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long, Double)] =
+    mutable.PriorityQueue.empty(worstFirst)
+
+  override def update(
+      buf: mutable.PriorityQueue[(Double, Long, Double)],
+      input: InternalRow): mutable.PriorityQueue[(Double, Long, Double)] = {
+    val kv = sortKey.eval(input)
+    val iv = id.eval(input)
+    val pv = payload.eval(input)
+    if (kv != null && iv != null && pv != null) {
+      buf.enqueue((kv.asInstanceOf[Double], iv.asInstanceOf[Long],
+        pv.asInstanceOf[Double]))
+      if (buf.size > k) buf.dequeue()
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.PriorityQueue[(Double, Long, Double)],
+      other: mutable.PriorityQueue[(Double, Long, Double)]): mutable.PriorityQueue[(Double, Long, Double)] = {
+    other.foreach { e =>
+      buf.enqueue(e)
+      if (buf.size > k) buf.dequeue()
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, Long, Double)]): Any = {
+    val sorted = buf.toArray.sortBy(e => (-e._1, e._2))
+    new GenericArrayData(sorted.map(e =>
+      new GenericInternalRow(Array[Any](e._2, e._3))): Array[Any])
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Long, Double)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 24)
+    bb.putInt(buf.size)
+    buf.foreach { e => bb.putDouble(e._1); bb.putLong(e._2); bb.putDouble(e._3) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long, Double)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach { _ =>
+      buf.enqueue((bb.getDouble, bb.getLong, bb.getDouble))
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType), StructField("payload", DoubleType))))
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(sortKey, id, payload)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(sortKey = newChildren(0), id = newChildren(1), payload = newChildren(2))
+  override def withNewMutableAggBufferOffset(offset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "topk_agg"
+}
+
+object TopKAgg {
+  /** `topk(sortKey, id, payload, k)` as a Column aggregate. */
+  def topk(sortKey: Column, id: Column, payload: Column, k: Int): Column =
+    ColumnBridge.column(TopKAgg(
+      ColumnBridge.expression(sortKey.cast("double")),
+      ColumnBridge.expression(id.cast("long")),
+      ColumnBridge.expression(payload.cast("double")),
+      k).toAggregateExpression())
+}

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -106,29 +105,26 @@ object Relational {
 
   /** Top-k rows per group — the reference's "latest/extreme N per
     * station" access pattern. `c_mktsegment` has cardinality 5, so a
-    * single `Window.partitionBy(segment)` would funnel the whole
-    * orders table into 5 tasks. Two-phase instead: a salted local
-    * top-k (segment × 64 salt buckets — parallel, each sorts a small
-    * slice) prunes to ≤ 5×64 survivors per segment, then the final
-    * 5-partition window ranks only those. Same answer, no giant
-    * partitions, survives any scale-up.
+    * ranking window would funnel the whole orders table into 5
+    * sorting tasks. The bounded [[graft.expressions.TopKAgg]]
+    * aggregate instead keeps an O(k) heap per group with MAP-SIDE
+    * partial aggregation: each input partition reduces to one
+    * 5-entry state before the shuffle, the final merge sees
+    * O(partitions × k) rows. Survives any scale-up.
     *
     * The customer join stays unhinted: customer is fact-sized at
     * 100 TB (shuffle join), while AQE broadcasts it at small SF. */
   def topOrdersPerSegment(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
     val ord  = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice")
-    val wLocal = Window.partitionBy(col("c_mktsegment"), pmod(col("o_orderkey"), lit(64)))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    val wFinal = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     ord.join(cust, ord("o_custkey") === cust("c_custkey"))
-      .withColumn("lrk", row_number().over(wLocal))
-      .filter(col("lrk") <= 5)
-      .withColumn("rk", row_number().over(wFinal))
-      .filter(col("rk") <= 5)
-      .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("totalprice"))
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.expressions.TopKAgg.topk(
+        col("o_totalprice"), col("o_orderkey"), col("o_totalprice"), 5).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")))
+      .select(col("c_mktsegment"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("o_orderkey"),
+        round(col("col.payload"), 2).as("totalprice"))
   }
 
   /** JSON payload extraction + aggregation — the ARPAE REST ingestor

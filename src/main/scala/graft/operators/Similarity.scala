@@ -1,11 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.expressions.VectorColumns
+import graft.expressions.{TopKAgg, VectorColumns}
 
 /** Embedding similarity operators (SURVEY §2 ops 27-29): exact cosine
   * near-dup pairs, brute-force top-k (the correctness baseline), and
@@ -55,23 +54,21 @@ object Similarity {
     topkPerProbe(scored, 10)
   }
 
-  /** Salted two-phase top-k per probe over a scored candidate set
-    * (`probe_id`, `vec_id`, `cos`): local rank within
-    * (probe, salt-of-vec_id) bounds every sort, final rank sees
-    * ≤ 64·k rows per probe. Same answer as one global window. */
-  private def topkPerProbe(scored: DataFrame, k: Int): DataFrame = {
-    val order = Seq(round(col("cos"), 6).desc, col("vec_id").asc)
-    val wLocal = Window.partitionBy(col("probe_id"), pmod(col("vec_id"), lit(64)))
-      .orderBy(order: _*)
-    val wFinal = Window.partitionBy(col("probe_id")).orderBy(order: _*)
-    scored
-      .withColumn("lrk", row_number().over(wLocal))
-      .filter(col("lrk") <= k)
-      .withColumn("rk", row_number().over(wFinal))
-      .filter(col("rk") <= k)
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rk"),
-        round(col("cos"), 4).as("cosine"))
-  }
+  /** Top-k per probe via the bounded [[graft.expressions.TopKAgg]]
+    * aggregate: map-side partial top-k reduces every input partition
+    * to an O(k) state before the shuffle, so the low-cardinality
+    * probe key never funnels the corpus through |probes| sorting
+    * tasks (the failure mode of a ranking window). Ranking key is
+    * the cosine rounded to 6dp with vec_id tie-break — reproducible
+    * bit-for-bit against the DuckDB oracle. */
+  private def topkPerProbe(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("probe_id"))
+      .agg(TopKAgg.topk(round(col("cos"), 6), col("vec_id"), col("cos"), k)
+        .as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rk"),
+        round(col("col.payload"), 4).as("cosine"))
 
   private val NumTables = 4
   private val BitsPerTable = 6
