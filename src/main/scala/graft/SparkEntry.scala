@@ -146,8 +146,8 @@ object SparkEntry {
       """SELECT user_id,
         |  strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
         |  count(*) AS n,
-        |  round(avg(value), 4) AS avg_rate,
-        |  round(avg(value) * day(last_day(date_trunc('month', ts))), 4) AS month_total
+        |  floor(avg(value) * 1e4 + 0.5) / 1e4 AS avg_rate,
+        |  floor(avg(value) * day(last_day(date_trunc('month', ts))) * 1e4 + 0.5) / 1e4 AS month_total
         |FROM events
         |GROUP BY user_id, date_trunc('month', ts)""".stripMargin,
 
@@ -197,7 +197,7 @@ object SparkEntry {
         |fm AS (SELECT user_id, avg(value) AS fcst_mean FROM events
         |       WHERE event_type = 'click' GROUP BY 1)
         |SELECT e.event_id, e.user_id, round(e.value, 2) AS fcst_value,
-        |  round(e.value + coalesce(r.ref_mean - f.fcst_mean, 0.0), 4) AS corrected
+        |  floor((e.value + coalesce(r.ref_mean - f.fcst_mean, 0.0)) * 1e4 + 0.5) / 1e4 AS corrected
         |FROM events e
         |LEFT JOIN fm f ON e.user_id = f.user_id
         |LEFT JOIN ref r ON e.user_id = r.user_id

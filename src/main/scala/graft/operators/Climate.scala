@@ -92,9 +92,11 @@ object Climate {
       .join(refMean, Seq("user_id"), "left")
       .select(col("event_id"), col("user_id"),
         round(col("value"), 2).as("fcst_value"),
-        round(col("value")
-          + coalesce(col("ref_mean") - col("fcst_mean"), lit(0.0)), 4)
-          .as("corrected"))
+        // floor-quantized: see quantileMap for why round() is not
+        // engine-invariant on .00005 boundaries
+        (floor((col("value")
+          + coalesce(col("ref_mean") - col("fcst_mean"), lit(0.0)))
+          * 1e4 + 0.5) / 1e4).as("corrected"))
   }
 
   /** Empirical quantile mapping of `fcst` onto `ref`'s distribution,

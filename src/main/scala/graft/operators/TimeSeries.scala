@@ -65,9 +65,11 @@ object TimeSeries {
         date_format(date_trunc("MONTH", col("ts")), "yyyy-MM-dd").as("month"))
       .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_rate"))
       .select(col("user_id"), col("month"), col("n"),
-        round(col("avg_rate"), 4).as("avg_rate"),
-        round(col("avg_rate") * dayofmonth(last_day(to_date(col("month")))), 4)
-          .as("month_total"))
+        // floor-quantized: see Climate.quantileMap for why round() is
+        // not engine-invariant on .00005 boundaries
+        (floor(col("avg_rate") * 1e4 + 0.5) / 1e4).as("avg_rate"),
+        (floor(col("avg_rate") * dayofmonth(last_day(to_date(col("month"))))
+          * 1e4 + 0.5) / 1e4).as("month_total"))
 
   /** Per-key ordered rolling sum over the last 7 observations — the
     * SPI t-scale accumulation (`utils_spi.py:446-449`). Single shuffle

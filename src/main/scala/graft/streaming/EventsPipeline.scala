@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Streaming ingestion pipeline — the reference's scheduler-driven
@@ -55,6 +55,47 @@ object EventsPipeline {
       .schema(eventSchema)
       .option("maxFilesPerTrigger", 16)
       .parquet(dropDir))
+
+  /** Welford running moments per key — the custom state carried
+    * between micro-batches. */
+  case class RunStats(n: Long, mean: Double, m2: Double)
+
+  /** A flagged observation: value far outside the key's own history. */
+  case class Anomaly(event_id: Long, user_id: Long, value: Double, z: Double)
+
+  /** Minimal typed view of an event for the stateful operator. */
+  case class Obs(event_id: Long, user_id: Long, value: Double)
+
+  /** Stateful streaming anomaly detection: per-station running
+    * mean/variance (Welford — numerically stable, O(1) state) via
+    * `flatMapGroupsWithState`; an observation further than 3σ from
+    * the station's OWN running history (after a 10-obs warm-up) is
+    * emitted as an anomaly. This is the reference's QC step for
+    * incoming station data, expressed as the custom-state streaming
+    * primitive: state is O(keys), shuffles once on the natural key,
+    * and survives across micro-batches via the checkpoint. */
+  def anomalies(events: Dataset[Obs]): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunStats, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Obs], state: GroupState[RunStats]) =>
+          var s = state.getOption.getOrElse(RunStats(0L, 0.0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+          rows.foreach { r =>
+            val std = if (s.n >= 2) math.sqrt(s.m2 / (s.n - 1)) else 0.0
+            if (s.n >= 10 && std > 0 && math.abs(r.value - s.mean) > 3 * std)
+              out += Anomaly(r.event_id, uid, r.value,
+                math.rint((r.value - s.mean) / std * 100) / 100)
+            val n1 = s.n + 1
+            val d = r.value - s.mean
+            val m = s.mean + d / n1
+            s = RunStats(n1, m, s.m2 + d * (r.value - m))
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
 
   /** One scheduled incremental run: drain everything currently in
     * `dropDir` into `outDir`, checkpointed at `ckptDir`, then stop. */

@@ -84,6 +84,30 @@ class StreamingSpec extends SparkSpec {
     assert(byId("documents").getAs[String]("time_start") == null)
   }
 
+  test("stateful anomalies: running Welford state flags a 3-sigma outlier") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[EventsPipeline.Obs]
+    val q = EventsPipeline.anomalies(source.toDS())
+      .writeStream.format("memory").queryName("anoms")
+      .outputMode("append").start()
+    try {
+      // warm-up: 12 tight observations around 50 — no flags
+      source.addData((1 to 12).map(i =>
+        EventsPipeline.Obs(i, 7L, 50.0 + (i % 3))): _*)
+      q.processAllAvailable()
+      assert(spark.table("anoms").count() === 0)
+      // next batch: one wild value + one normal — only the wild flags,
+      // proving state survived the micro-batch boundary
+      source.addData(EventsPipeline.Obs(13, 7L, 500.0),
+        EventsPipeline.Obs(14, 8L, 500.0)) // user 8 has no history: no flag
+      q.processAllAvailable()
+      val out = spark.table("anoms").as[EventsPipeline.Anomaly].collect()
+      assert(out.map(_.event_id).toSeq === Seq(13L))
+      assert(out.head.z > 3.0)
+    } finally q.stop()
+  }
+
   test("catalog publish: day-partitioned write, registry row matches the data") {
     val tmp = Files.createTempDirectory("graft-publish").toFile.getAbsolutePath
     val ev = Tables.events(spark, sf)
