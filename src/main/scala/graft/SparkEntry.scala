@@ -58,8 +58,10 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
     "dedup_simhash"       -> Dedup.simhash _,
     "dedup_embedding"     -> Similarity.embeddingPairs _,
+    "dedup_embedding_lsh" -> Similarity.embeddingPairsLsh _,
     "ann_topk_bruteforce" -> Similarity.annTopkBruteforce _,
     "ann_lsh_topk"        -> Similarity.annLshTopk _,
+    "ann_ivf_topk"        -> Similarity.annIvfTopk _,
     "multimodal_features" -> Multimodal.features _,
   )
 

@@ -70,6 +70,50 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rk"),
         round(col("col.payload"), 4).as("cosine"))
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer alternative to
+    * LSH: k-means centroids partition the corpus into `nlist`
+    * buckets; each probe searches only the `nprobe` buckets whose
+    * centroids are nearest. The centroid fit is MLlib KMeans (seeded,
+    * on a sample at real scale); assignment is one `transform` pass;
+    * the probe→bucket routing table is |probes| × nprobe rows. At
+    * 100 TB the index build is a bounded sample fit + one scan, and
+    * each query touches nprobe/nlist of the data. */
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nlist = 16
+    val nprobe = 2
+    val v = vecs(spark, dir).withColumn("fv", array_to_vector(col("emb")))
+    val km = new KMeans().setK(nlist).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("bucket")
+    val model = km.fit(v)
+    val assigned = model.transform(v).select(col("vec_id"), col("emb"), col("bucket"))
+    // probe → nprobe nearest centroids, ranked by exact cosine to the
+    // centroid (16 × |probes| rows — the routing table is tiny)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val centroidDf = spark.createDataFrame(centroids)
+      .toDF("bucket", "centroid")
+    val probes = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+    val routing = probes.crossJoin(broadcast(centroidDf))
+      .withColumn("cos", VectorColumns.cosine(col("pe"),
+        col("centroid").cast("array<double>")))
+    val probeBuckets = routing
+      .groupBy(col("probe_id"))
+      .agg(TopKAgg.topk(col("cos"), col("bucket").cast("long"), col("cos"), nprobe)
+        .as("top"))
+      .select(col("probe_id"), explode(col("top.id")).as("bucket"))
+      .join(probes, Seq("probe_id"))
+    val cands = assigned.join(broadcast(probeBuckets), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("pe"), col("vec_id"), col("emb"))
+      .dropDuplicates("probe_id", "vec_id")
+    topkPerProbe(
+      cands.withColumn("cos", VectorColumns.cosine(col("pe"), col("emb"))), 10)
+  }
+
   private val NumTables = 4
   private val BitsPerTable = 6
 
@@ -91,6 +135,33 @@ object Similarity {
       val plane = array(hyperplane(table, bit, dim).map(lit): _*)
       when(VectorColumns.dot(emb, plane) >= 0, lit(1 << bit)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Random-hyperplane LSH near-dup PAIRS — the 100 TB path for
+    * [[embeddingPairs]]: candidates come only from vectors sharing a
+    * bucket in at least one table (`id_a < id_b`, deduplicated), then
+    * the exact cosine filters them. Pair count is bounded by bucket
+    * occupancy × tables, never O(n²); recall against the exact
+    * baseline is spec-measured. */
+  def embeddingPairsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val v = vecs(spark, dir)
+    val sigCols = (0 until NumTables).map(t =>
+      struct(lit(t).as("t"), signature(col("emb"), t, dim).as("sig")))
+    val bucketed = v
+      .select(col("vec_id"), col("emb"), explode(array(sigCols: _*)).as("b"))
+      .select(col("vec_id"), col("emb"),
+        col("b.t").as("t"), col("b.sig").as("sig"))
+    bucketed.select(col("vec_id").as("id_a"), col("emb").as("ea"),
+        col("t"), col("sig"))
+      .join(bucketed.select(col("vec_id").as("id_b"), col("emb").as("eb"),
+        col("t"), col("sig")), Seq("t", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ea", "eb")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", VectorColumns.cosine(col("ea"), col("eb")))
+      .filter(col("cosine") >= 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
 
   /** Random-hyperplane LSH top-k — the 100 TB path. Each vector gets
     * `NumTables` bucket signatures (elementwise, in the scan stage);

@@ -51,6 +51,42 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall >= 0.1, s"mean recall $meanRecall")
   }
 
+  test("ann_ivf_topk: bounded candidates, reasonable recall vs brute force") {
+    val brute = SparkEntry.queries("ann_topk_bruteforce")(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = SparkEntry.queries("ann_ivf_topk")(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(ivf.keySet === brute.keySet)
+    ivf.foreach { case (_, ids) => assert(ids.size <= 10) }
+    val recalls = ivf.map { case (p, ids) =>
+      ids.intersect(brute.getOrElse(p, Set.empty)).size.toDouble / 10
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // nprobe=2 of nlist=16 → expect to search ~1/8 of the corpus and
+    // still find a fair share of true neighbors; guards the routing,
+    // not SOTA recall
+    assert(meanRecall >= 0.2, s"mean recall $meanRecall")
+  }
+
+  test("dedup_embedding_lsh: subset of exact pairs, strong recall on high-sim pairs") {
+    val exact = SparkEntry.queries("dedup_embedding")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SparkEntry.queries("dedup_embedding_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // no false positives: every LSH pair is an exact pair with the same cosine
+    lsh.foreach { case (k, c) =>
+      assert(exact.contains(k), s"pair $k not in exact set")
+      assert(math.abs(exact(k) - c) < 1e-9)
+    }
+    // high-similarity pairs share a bucket with high probability
+    val strong = exact.filter(_._2 >= 0.6).keySet
+    if (strong.nonEmpty) {
+      val found = strong.count(lsh.contains)
+      assert(found.toDouble / strong.size >= 0.5,
+        s"lsh recall $found/${strong.size} on cosine>=0.6 pairs")
+    }
+  }
+
   test("dedup_embedding: threshold respected, values exact") {
     val rows = SparkEntry.queries("dedup_embedding")(spark, sf).collect()
     assert(rows.nonEmpty)
