@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.Catalog
+
+/** End-to-end process compositions — the reference's scheduled
+  * "process" scripts (fetch → normalize → derive → publish) each
+  * chain the same operators this library exposes; these functions
+  * show the full chains as single composed Spark plans, ending in the
+  * publish sink. A user of the reference's SPI process runs ONE call.
+  */
+object Pipelines {
+
+  /** The SPI drought product (`utils_spi.py` end to end): gamma-fit
+    * SPI per observation → grid-zone snap → drought flag → published
+    * as a day-partitioned collection; returns the registry row. One
+    * composed plan: the SPI fit aggregation, the event-id join back
+    * to timestamps (high-cardinality equi-join), the elementwise zone
+    * snap, and the partitioned write all pipeline without a collect.
+    */
+  def spiZonalPublish(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val spi = Climate.spiGamma(spark, dir)
+    val ts = Tables.events(spark, dir).select(col("event_id"), col("ts"))
+    val product = spi.join(ts, Seq("event_id"))
+      .withColumn("zone_y",
+        floor(Climate.pseudoLat(col("user_id")) / 30).cast("int"))
+      .withColumn("zone_x",
+        floor(Climate.pseudoLon(col("user_id")) / 30).cast("int"))
+      .withColumn("drought", col("spi") <= -1.0)
+    Catalog.publish(product, "ts", "spi_zonal", outDir)
+  }
+}

@@ -84,7 +84,7 @@ object Similarity {
     val nlist = 16
     val nprobe = 2
     val v = vecs(spark, dir).withColumn("fv", array_to_vector(col("emb")))
-    val km = new KMeans().setK(nlist).setSeed(42L)
+    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("fv").setPredictionCol("bucket")
     val model = km.fit(v)
     val assigned = model.transform(v).select(col("vec_id"), col("emb"), col("bucket"))

@@ -108,6 +108,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pipelines: SPI drought product composes derive + publish end to end") {
+    val tmp = Files.createTempDirectory("graft-pipeline").toFile.getAbsolutePath
+    val reg = graft.operators.Pipelines.spiZonalPublish(spark, sf, tmp).collect()(0)
+    assert(reg.getString(0) === "spi_zonal")
+    assert(reg.getAs[Long]("n_rows") === Tables.events(spark, sf).count())
+    val back = spark.read.parquet(s"$tmp/spi_zonal")
+    assert(back.count() === reg.getAs[Long]("n_rows"))
+    assert(Seq("event_id", "user_id", "spi", "zone_y", "zone_x", "drought")
+      .forall(back.columns.contains))
+    // SPI is a standardized index: flagged droughts exist and are rare-ish
+    val droughts = back.filter(col("drought")).count()
+    assert(droughts > 0 && droughts < back.count() / 2)
+  }
+
   test("catalog publish: day-partitioned write, registry row matches the data") {
     val tmp = Files.createTempDirectory("graft-publish").toFile.getAbsolutePath
     val ev = Tables.events(spark, sf)
