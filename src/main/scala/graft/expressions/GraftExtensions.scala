@@ -2,8 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 /** SQL surface for the native kernels: registers the custom Catalyst
   * expressions as session functions, so `spark.sql("SELECT
@@ -37,5 +37,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", classOf[DotExpr]),
       (args: Seq[Expression]) => DotExpr(da(args(0)), da(args(1)))))
+    // topk_agg(sortKey, id, payload, k) — k must be an int literal
+    ext.injectFunction((FunctionIdentifier("topk_agg"),
+      info("topk_agg", classOf[TopKAgg]),
+      (args: Seq[Expression]) => {
+        val k = args(3) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_agg k must be an integer literal, got $other")
+        }
+        TopKAgg(d(args(0)), Cast(args(1), LongType), d(args(2)), k)
+          .toAggregateExpression()
+      }))
   }
 }

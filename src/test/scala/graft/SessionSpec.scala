@@ -21,6 +21,20 @@ class SessionSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("d") - 11.0) < 1e-12)
   }
 
+  test("extensions: topk_agg callable from plain SQL, map-side partial") {
+    val rows = spark.sql(
+      """SELECT g, topk_agg(v, id, v, 2) AS top FROM VALUES
+        |  (0, 1L, 5.0), (0, 2L, 9.0), (0, 3L, 7.0),
+        |  (1, 4L, 1.0), (1, 5L, 3.0)
+        |  AS t(g, id, v)
+        |GROUP BY g""".stripMargin).collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(s => (s.getLong(0), s.getDouble(1))))
+      .toMap
+    assert(rows(0) === Seq((2L, 9.0), (3L, 7.0)))
+    assert(rows(1) === Seq((5L, 3.0), (4L, 1.0)))
+  }
+
   test("eventsBetween: time-range predicate reaches the parquet scan") {
     val df = Tables.eventsBetween(spark, sf,
       "2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z")
