@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingestion-side readers for the non-parquet drop formats the
+  * reference's fetchers produce: REST/API payload dumps arrive as
+  * JSON lines (`rer_river_discharge_arpae_process.py` observation
+  * JSON), station exports as CSV (AEMET-style flat files). Both
+  * readers take an EXPLICIT schema — no inference pass over the drop
+  * (inference is a full extra scan and races against concurrent
+  * appends) — and keep malformed records in a `_corrupt_record`
+  * column (PERMISSIVE mode) so one bad API response quarantines into
+  * QC instead of failing the scheduled batch.
+  */
+object Ingest {
+
+  /** Drop schema shared by the text formats: `ts` arrives as an ISO
+    * string and is normalized to a real timestamp. */
+  val dropSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+    StructField("_corrupt_record", StringType)))
+
+  private def ordered(df: DataFrame): DataFrame =
+    df.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"),
+      col("_corrupt_record"))
+
+  /** ISO timestamps at MICROsecond precision — the default
+    * `[.SSS]` pattern silently truncates sub-millisecond time on
+    * write, which breaks roundtrips of µs-resolution event time. */
+  val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** JSON-lines drop → normalized events (+ quarantine column). */
+  def readJsonEvents(spark: SparkSession, path: String): DataFrame =
+    ordered(spark.read
+      .schema(dropSchema)
+      .option("timestampFormat", TsFormat)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path))
+
+  /** CSV drop (with header) → normalized events (+ quarantine). */
+  def readCsvEvents(spark: SparkSession, path: String): DataFrame =
+    ordered(spark.read
+      .schema(dropSchema)
+      .option("header", "true")
+      .option("timestampFormat", TsFormat)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path))
+
+  /** The QC split: good rows forward, quarantined raw lines aside.
+    * The parse result is cached first — Spark refuses plans over raw
+    * text files that reference only `_corrupt_record`, and the cache
+    * also means the drop is parsed once, not once per side. */
+  def splitQuarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = df.cache()
+    (parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      parsed.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw")))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Ingest
+
+class IngestSpec extends SparkSpec {
+
+  private lazy val tmp =
+    Files.createTempDirectory("graft-ingest").toFile.getAbsolutePath
+
+  test("json drop: explicit schema, roundtrip equals the parquet table") {
+    val ev = Tables.events(spark, sf)
+    ev.coalesce(1).write.mode("overwrite")
+      .option("timestampFormat", Ingest.TsFormat).json(s"$tmp/drop_json")
+    val back = Ingest.readJsonEvents(spark, s"$tmp/drop_json")
+    val (good, bad) = Ingest.splitQuarantine(back)
+    assert(bad.count() === 0)
+    assert(good.count() === ev.count())
+    // values and timestamps survive the format roundtrip exactly
+    val a = good.select("event_id", "ts", "user_id", "event_type", "value")
+    val b = ev.select("event_id", "ts", "user_id", "event_type", "value")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("csv drop: roundtrip plus quarantine of a malformed line") {
+    val ev = Tables.events(spark, sf).limit(100)
+    ev.coalesce(1).write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", Ingest.TsFormat).csv(s"$tmp/drop_csv")
+    // a second drop file containing one malformed line (editing the
+    // Spark-written part file in place would break its .crc sidecar)
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/drop_csv/extra.csv"),
+      "event_id,ts,user_id,event_type,value,props\nnot-a-long,garbage,x,y,z,w\n")
+    val back = Ingest.readCsvEvents(spark, s"$tmp/drop_csv")
+    val (good, bad) = Ingest.splitQuarantine(back)
+    assert(good.count() === 100)
+    assert(bad.count() === 1)
+    assert(bad.collect()(0).getString(0).startsWith("not-a-long"))
+    // a good row survives with its value intact
+    val one = good.filter(col("event_id") === ev.collect()(0).getLong(0))
+    assert(one.count() === 1)
+  }
+}
