@@ -95,8 +95,17 @@ object Dedup {
     * labels, strictly decreasing until fixpoint), never the data.
     * This is what a dedup pipeline actually consumes: pick
     * `min(doc_id)` per cluster as the keeper, drop the rest. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select("doc_a", "doc_b").persist()
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(ngramJaccard(spark, dir).select("doc_a", "doc_b"))
+
+  /** Connected components of an undirected pair graph
+    * (`doc_a`, `doc_b`) by min-label propagation; see
+    * [[dedupClusters]] for the scale notes. Public so the iteration
+    * can be exercised on arbitrary graphs (long chains need
+    * O(diameter) rounds — the spec proves convergence beyond the
+    * shallow near-dup case). */
+  def connectedComponents(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.persist()
     val adj = pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
       .union(pairs.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
       .persist()

@@ -79,4 +79,16 @@ class DedupSpec extends SparkSpec {
     // exactly the docs that appear in some pair are clustered
     assert(cluster.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
+
+  test("connectedComponents: a 12-node chain converges across many rounds") {
+    import spark.implicits._
+    // chain 0-1-2-…-11 (diameter 11) plus an isolated pair (100,101)
+    val edges = (0L until 11L).map(i => (i, i + 1)) :+ (100L, 101L)
+    val out = graft.operators.Dedup
+      .connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 11L).foreach(n => assert(out(n) === 0L, s"node $n"))
+    assert(out(100L) === 100L && out(101L) === 100L)
+    assert(out.size === 14)
+  }
 }
