@@ -109,8 +109,14 @@ object Dedup {
     val adj = pairs.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
       .union(pairs.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
       .persist()
+    // Each round references `labels` twice, so WITHOUT lineage
+    // truncation the logical plan doubles per round — 2^rounds nodes
+    // by the time a deep component converges (persist caches execution
+    // but not the plan). localCheckpoint materializes the round's
+    // labels AND cuts the plan back to a leaf: constant-size plans,
+    // O(diameter) rounds of bounded work.
     var labels = adj.select(col("node")).distinct()
-      .withColumn("label", col("node")).persist()
+      .withColumn("label", col("node")).localCheckpoint()
     def labelSum(df: DataFrame): Long = df.agg(sum(col("label"))).head.getLong(0)
     var before = labelSum(labels)
     var converged = false
@@ -120,9 +126,8 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint()
       val after = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = after == before
       before = after
