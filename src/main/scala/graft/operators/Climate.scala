@@ -47,9 +47,14 @@ object Climate {
     * OOM; AQE broadcasts it automatically while it is actually small.
     * The CDF + quantile evaluate inside whole-stage codegen via the
     * native expressions. */
-  def spiGamma(spark: SparkSession, dir: String): DataFrame = {
+  def spiGamma(spark: SparkSession, dir: String): DataFrame =
+    spiGamma(spark, dir, 7)
+
+  /** SPI at an arbitrary accumulation timescale (the reference runs
+    * ts ∈ {1,3,6,12}; the driver-checked query uses 7 observations). */
+  def spiGamma(spark: SparkSession, dir: String, tscale: Int): DataFrame = {
     val wRoll = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
-      .rowsBetween(-6, Window.currentRow)
+      .rowsBetween(-(tscale - 1), Window.currentRow)
     val x = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
         sum(col("value")).over(wRoll).as("x"))

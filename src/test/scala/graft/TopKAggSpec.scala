@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.TopKAgg
+
+/** Property test: the bounded heap aggregate agrees with the naive
+  * sort-and-take reference on arbitrary inputs, for any k — including
+  * tie groups, duplicate scores, and groups smaller than k. Seeded
+  * random trials keep it deterministic. */
+class TopKAggSpec extends SparkSpec {
+
+  test("topk_agg equals sort-take on randomized inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 20).foreach { trial =>
+      val n = 1 + rnd.nextInt(80)
+      val k = 1 + rnd.nextInt(6)
+      val rows = List.fill(n)((rnd.nextInt(4),
+        1L + rnd.nextInt(50), rnd.nextInt(201).toDouble / 7.0 - 14.0))
+      val got = rows.toDF("g", "id", "v").groupBy(col("g"))
+        .agg(TopKAgg.topk(col("v"), col("id"), col("v"), k).as("top"))
+        .select(col("g"), col("top.id").as("ids"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
+      val expect = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._3, r._2)).sortBy(p => (-p._1, p._2))
+          .take(k).map(_._2)
+      }
+      assert(got === expect, s"trial $trial (n=$n, k=$k)")
+    }
+  }
+}
