@@ -19,9 +19,17 @@ object Bench {
     val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // The timed action is a noop-format write, not count(): count lets
+    // Catalyst prune every unreferenced projection, so narrow queries
+    // (windows, hashes, regex pipelines) would "benchmark" a bare
+    // scan+count. The noop sink consumes every output column.
+    def exec(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+
     // warm-up: run everything once, untimed; remember what failed
     val warmErrs = names.flatMap { name =>
-      try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+      try { exec(name); None }
       catch { case e: Throwable => Some(name -> e.toString.take(200)) }
     }.toMap
 
@@ -31,11 +39,12 @@ object Bench {
       val reps = (1 to Reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
-          SparkEntry.queries(name)(spark, sfDir).count()
+          exec(name)
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable => errors(name) = e.toString.take(200); None }
       }
-      if (reps.nonEmpty) timings(name) = reps.sorted.apply(reps.size / 2)
+      // a query is either timed (all reps clean) or an error, never both
+      if (reps.size == Reps) timings(name) = reps.sorted.apply(reps.size / 2)
     }
 
     def js(s: String): String =

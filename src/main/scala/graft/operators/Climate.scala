@@ -70,7 +70,7 @@ object Climate {
           / (lit(4.0) * col("a_stat")))
       .withColumn("beta", col("mean_pos") / col("alpha"))
       .withColumn("q0", col("n_zero") / col("n"))
-      .select("user_id", "alpha", "beta", "q0")
+      .select("user_id", "alpha", "beta", "q0", "a_stat")
     x.join(params, Seq("user_id"))
       .withColumn("h",
         col("q0") + (lit(1.0) - col("q0"))
@@ -79,7 +79,13 @@ object Climate {
         least(greatest(col("h"), lit(1e-6)), lit(1.0 - 1e-6)))
       .select(col("event_id"), col("user_id"),
         round(col("x"), 2).as("accum"),
-        round(StatColumns.normQuantile(col("h_clamped")), 4).as("spi"))
+        // a_stat -> 0 means a zero-variance (degenerate) accumulation
+        // series: alpha diverges, the CDF is NaN, and Spark's NaN
+        // ordering would silently clamp to extreme-wet. The index is
+        // undefined there — emit null, as for missing data.
+        when(col("a_stat") > 1e-10,
+          round(StatColumns.normQuantile(col("h_clamped")), 4))
+          .otherwise(lit(null).cast("double")).as("spi"))
   }
 
   /** Delta-method bias correction: per-key mean shift from the

@@ -117,7 +117,10 @@ object Dedup {
     // O(diameter) rounds of bounded work.
     var labels = adj.select(col("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
-    def labelSum(df: DataFrame): Long = df.agg(sum(col("label"))).head.getLong(0)
+    // coalesce: sum over an empty frame is null (clean corpora have
+    // zero near-dup pairs), and the loop must converge, not NPE
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
     var before = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -36,15 +36,9 @@ object Similarity {
 
   /** Exact cosine top-k neighbors for each probe vector (vec_id < 5).
     * The probe set is broadcast against the corpus scan — one pass
-    * over the big side, k·|probes| result rows. Ranking key is the
-    * cosine rounded to 6dp with vec_id tie-break, so the ordering is
-    * reproducible bit-for-bit against the DuckDB oracle.
-    *
-    * Ranking is TWO-PHASE: the probe set is small by construction, so
-    * a single `partitionBy(probe_id)` window would funnel the whole
-    * corpus through |probes| tasks, each sorting O(n). A salted local
-    * top-k (probe × 64 salt buckets) prunes to ≤ 64·k survivors per
-    * probe first; the final window ranks only those. */
+    * over the big side, k·|probes| result rows — and ranking happens
+    * in [[topkPerProbe]]'s bounded aggregate (map-side partial
+    * top-k), so the small probe key never concentrates the corpus. */
   def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val probes = vecs(spark, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("emb").as("pe"))

@@ -107,13 +107,17 @@ object TimeSeries {
     val ev = Tables.events(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("ts"), col("user_id"), col("value"),
-        lit(0).as("kind"), lit(null).cast("double").as("p_value"))
+        lit(0).as("kind"), lit(null).cast("double").as("p_value"),
+        col("event_id").as("sort_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(lit(null).cast("long").as("event_id"), col("ts"), col("user_id"),
         lit(null).cast("double").as("value"),
-        lit(1).as("kind"), col("value").as("p_value"))
+        lit(1).as("kind"), col("value").as("p_value"),
+        col("event_id").as("sort_id"))
+    // sort_id breaks ties between two purchases at the same instant —
+    // without it the carried-forward value is partition-order-dependent
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("kind"))
+      .orderBy(col("ts"), col("kind"), col("sort_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
       .withColumn("last_purchase_value",

@@ -74,10 +74,15 @@ object Catalog {
     * drift from the collection. */
   def publish(df: DataFrame, tsCol: String, collectionId: String,
       outDir: String): DataFrame = {
+    val path = s"$outDir/$collectionId"
     df.withColumn("p_day", to_date(col(tsCol)))
       .write.mode("overwrite").partitionBy("p_day")
-      .parquet(s"$outDir/$collectionId")
-    df.agg(
+      .parquet(path)
+    // registry row from the WRITTEN files, not the input plan — the
+    // plan may be an arbitrarily expensive pipeline (publish would
+    // otherwise execute it twice), and reading back also registers
+    // exactly what landed on disk (footer-stats min/max scan).
+    df.sparkSession.read.parquet(path).agg(
       count(lit(1)).as("n_rows"),
       date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("time_start"),
       date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("time_end"))

@@ -59,11 +59,28 @@ object Ingest {
   /** The QC split: good rows forward, quarantined raw lines aside.
     * The parse result is cached first — Spark refuses plans over raw
     * text files that reference only `_corrupt_record`, and the cache
-    * also means the drop is parsed once, not once per side. */
+    * also means the drop is parsed once, not once per side.
+    *
+    * The cache lives until [[processDrop]] releases it; in a
+    * long-lived scheduled-ingest session always go through
+    * `processDrop`, which unpersists after the batch — bare
+    * `splitQuarantine` calls would accumulate cached drops. */
   def splitQuarantine(df: DataFrame): (DataFrame, DataFrame) = {
     val parsed = df.cache()
     (parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
       parsed.filter(col("_corrupt_record").isNotNull)
         .select(col("_corrupt_record").as("raw")))
+  }
+
+  /** Loan pattern for one ingest cycle: parse, hand (good, bad) to
+    * the batch body, then release the parse cache regardless of
+    * outcome — the scheduled loop can run forever without cache
+    * growth. */
+  def processDrop[T](df: DataFrame)(use: (DataFrame, DataFrame) => T): T = {
+    val parsed = df.cache()
+    try {
+      val (good, bad) = splitQuarantine(parsed)
+      use(good, bad)
+    } finally parsed.unpersist()
   }
 }

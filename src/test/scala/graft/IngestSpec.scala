@@ -33,13 +33,15 @@ class IngestSpec extends SparkSpec {
     // Spark-written part file in place would break its .crc sidecar)
     Files.writeString(java.nio.file.Paths.get(s"$tmp/drop_csv/extra.csv"),
       "event_id,ts,user_id,event_type,value,props\nnot-a-long,garbage,x,y,z,w\n")
-    val back = Ingest.readCsvEvents(spark, s"$tmp/drop_csv")
-    val (good, bad) = Ingest.splitQuarantine(back)
-    assert(good.count() === 100)
-    assert(bad.count() === 1)
-    assert(bad.collect()(0).getString(0).startsWith("not-a-long"))
-    // a good row survives with its value intact
-    val one = good.filter(col("event_id") === ev.collect()(0).getLong(0))
-    assert(one.count() === 1)
+    // the loan pattern: batch body sees the split, cache released after
+    Ingest.processDrop(Ingest.readCsvEvents(spark, s"$tmp/drop_csv")) {
+      (good, bad) =>
+        assert(good.count() === 100)
+        assert(bad.count() === 1)
+        assert(bad.collect()(0).getString(0).startsWith("not-a-long"))
+        // a good row survives with its value intact
+        val one = good.filter(col("event_id") === ev.collect()(0).getLong(0))
+        assert(one.count() === 1)
+    }
   }
 }
