@@ -64,6 +64,19 @@ object Catalog {
     parts.reduce(_.unionByName(_))
   }
 
+  /** Register a bucketed copy of a DataFrame: hash-bucketed and
+    * sorted by the join key, stored as an external table. Two tables
+    * bucketed the same way join WITHOUT any shuffle — the pattern for
+    * fact⋈fact joins that repeat across a workload (orders⋈customer
+    * at 100 TB): pay the partitioning once at write time, reuse it in
+    * every downstream join. */
+  def bucketize(df: DataFrame, key: String, numBuckets: Int,
+      table: String, path: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+
   /** Publish side of the ingest loop: write a time-series batch as a
     * DAY-partitioned parquet collection and return its registry row
     * (id, row count, time extent) — the reference's write-to-S3 +

@@ -108,6 +108,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketize: co-bucketed tables join with zero shuffle exchanges") {
+    val tmp = Files.createTempDirectory("graft-bucket").toFile.getAbsolutePath
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a sort-merge join so the exchange (or its absence) is visible
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Catalog.bucketize(Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_custkey", 8, "orders_b", s"$tmp/orders_b")
+      Catalog.bucketize(Tables.customer(spark, sf)
+        .select("c_custkey", "c_mktsegment"),
+        "c_custkey", 8, "customer_b", s"$tmp/customer_b")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      val expect = Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf),
+          col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() === expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("pipelines: SPI drought product composes derive + publish end to end") {
     val tmp = Files.createTempDirectory("graft-pipeline").toFile.getAbsolutePath
     val reg = graft.operators.Pipelines.spiZonalPublish(spark, sf, tmp).collect()(0)
