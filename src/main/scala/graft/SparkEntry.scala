@@ -32,6 +32,8 @@ object SparkEntry {
     "ts_cumsum"              -> TimeSeries.cumSum _,
     "ts_asof_join"           -> TimeSeries.asofJoin _,
     "ts_gapfill"             -> TimeSeries.gapFill _,
+    "ts_lag_delta"           -> TimeSeries.lagDelta _,
+    "ts_sessionize"          -> TimeSeries.sessionize _,
     // --- geo/climate analytics -----------------------------------
     "spi_zscore"            -> Climate.spiZscore _,
     "spi_gamma"             -> Climate.spiGamma _,
@@ -186,6 +188,24 @@ object SparkEntry {
         |    PARTITION BY g.user_id ORDER BY g.d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS value_ffill
         |FROM grid g LEFT JOIN daily dl ON g.user_id = dl.user_id AND g.d = dl.d""".stripMargin,
+
+    "ts_lag_delta" ->
+      """SELECT event_id, user_id, round(value, 2) AS value,
+        |  round(value - lag(value, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id), 2) AS delta
+        |FROM events""".stripMargin,
+
+    "ts_sessionize" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, ts,
+        |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) AS gap_us
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us / 1e6 > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM g""".stripMargin,
 
     "spi_zscore" ->
       """SELECT event_id, user_id, event_type,

@@ -128,6 +128,36 @@ object TimeSeries {
         col("last_purchase_value"))
   }
 
+  /** Per-key discrete derivative: each observation minus its
+    * predecessor (the reference's deficit/delta computations between
+    * consecutive readings). One shuffle on the key; `lag` is a
+    * frame-less window function, O(1) state. First observation per
+    * key has no predecessor → null delta. */
+  def lagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"),
+        round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"))
+  }
+
+  /** Gap-based sessionization: a new session starts when a key is
+    * idle longer than 30 minutes; the session id is the running count
+    * of session starts (one window pass for the gap flag, one running
+    * sum — both on the same high-cardinality key shuffle). The
+    * standard event-log grouping for interaction training data. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("gap_s",
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))) / 1e6)
+      .withColumn("new_session",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+      .select(col("event_id"), col("user_id"),
+        sum(col("new_session")).over(wRun).cast("long").as("session_id"))
+  }
+
   /** Calendar densify + forward fill: per-user daily totals on a
     * complete global day grid, gaps filled with the last observed
     * value (0 before the first observation) — the reference re-grids

@@ -109,4 +109,24 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => r.getString(1) -> r.getDouble(2)).toMap
     assert(got === expect)
   }
+
+  test("ts_sessionize: session ids start at 1, never decrease, split on >30min gaps") {
+    val rows = SparkEntry.queries("ts_sessionize")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(2)).toMap
+    rows.groupBy(_._1).foreach { case (_, es) =>
+      // order the user's events by (ts, event_id) as the operator does
+      val ordered = es.sortBy(e => (ev(e._2).getTime, e._2))
+      assert(ordered.head._3 === 1L)
+      ordered.sliding(2).foreach {
+        case Array((_, idA, sA), (_, idB, sB)) =>
+          val gapS = (ev(idB).getTime - ev(idA).getTime) / 1000.0
+          if (gapS > 1800) assert(sB === sA + 1, s"gap $gapS should split")
+          else assert(sB === sA, s"gap $gapS should not split")
+        case _ =>
+      }
+    }
+  }
 }
