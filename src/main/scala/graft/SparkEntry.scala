@@ -43,6 +43,7 @@ object SparkEntry {
     "danger_levels"         -> Climate.dangerLevels _,
     "pet_hargreaves"        -> Climate.petHargreaves _,
     "zonal_stats"           -> Climate.zonalStats _,
+    "zonal_spi"             -> Climate.zonalSpi _,
     "grid_regrid"           -> Climate.gridRegrid _,
     "bbox_filter"           -> Climate.bboxFilter _,
     "extent_summary"        -> Climate.extentSummary _,
@@ -296,6 +297,21 @@ object SparkEntry {
         |  count(*) AS n, round(avg(value), 4) AS avg_value,
         |  round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "zonal_spi" ->
+      """WITH z AS (
+        |  SELECT event_id, user_id, event_type,
+        |    round((value - avg(value) OVER (PARTITION BY user_id, event_type))
+        |          / stddev_samp(value) OVER (PARTITION BY user_id, event_type), 4) AS zscore
+        |  FROM events)
+        |SELECT CAST(floor(((user_id % 36) * 5.0 - 87.5) / 30) AS INT) AS zone_y,
+        |       CAST(floor(((user_id % 72) * 5.0 - 177.5) / 30) AS INT) AS zone_x,
+        |  count(*) AS n,
+        |  round(avg(zscore), 4) AS avg_z,
+        |  round(min(zscore), 4) AS min_z,
+        |  round(max(zscore), 4) AS max_z,
+        |  CAST(sum(CASE WHEN zscore <= -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS drought_n
+        |FROM z GROUP BY 1, 2""".stripMargin,
 
     "grid_regrid" ->
       """WITH g AS (

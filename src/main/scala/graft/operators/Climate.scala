@@ -282,6 +282,26 @@ object Climate {
         round(max(col("value")), 2).as("max_value"))
   }
 
+  /** Zonal statistics over the DROUGHT INDEX — the reference's actual
+    * zonal computation runs over SPI grids, not raw values
+    * (`utils_spi.py:565-600` compute_zonal_stats on the SPI dataset):
+    * per-zone index distribution + drought-area share. Composes the
+    * z-score index (window on the high-cardinality key) with the
+    * elementwise zone snap and one aggregation shuffle. */
+  def zonalSpi(spark: SparkSession, dir: String): DataFrame = {
+    spiZscore(spark, dir)
+      .withColumn("zone_y", floor(pseudoLat(col("user_id")) / 30).cast("int"))
+      .withColumn("zone_x", floor(pseudoLon(col("user_id")) / 30).cast("int"))
+      .groupBy(col("zone_y"), col("zone_x"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("zscore")), 4).as("avg_z"),
+        round(min(col("zscore")), 4).as("min_z"),
+        round(max(col("zscore")), 4).as("max_z"),
+        sum(when(col("zscore") <= -1.0, 1).otherwise(0)).cast("long")
+          .as("drought_n"))
+  }
+
   /** Spatial bbox slice + per-collection rollup — the reference slices
     * every fetched grid to the area of interest first
     * (`ingestor_cds_process.py` bbox handling). The predicate is
