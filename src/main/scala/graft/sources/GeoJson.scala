@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** GeoJSON export — the reference publishes station/feature layers as
+  * GeoJSON collections alongside the gridded products
+  * (`rer_river_discharge_arpae_process.py` GeoJSON output). The
+  * per-row Feature encoding is a codegen'd `to_json(struct(...))`
+  * projection — fully distributed, no driver involvement — so a
+  * billion-row layer exports as partitioned JSON-lines; the
+  * FeatureCollection wrapper is only ever assembled for small serving
+  * responses via [[featureCollection]].
+  */
+object GeoJson {
+
+  /** Encode each row as a GeoJSON Point Feature string. All columns
+    * except the coordinate pair become properties. */
+  def features(df: DataFrame, latCol: String, lonCol: String): DataFrame = {
+    val props: Array[Column] = df.columns
+      .filterNot(c => c == latCol || c == lonCol).map(df(_))
+    df.select(to_json(struct(
+      lit("Feature").as("type"),
+      struct(
+        lit("Point").as("type"),
+        array(col(lonCol), col(latCol)).as("coordinates")).as("geometry"),
+      struct(props.toIndexedSeq: _*).as("properties"))).as("feature"))
+  }
+
+  /** Assemble a complete FeatureCollection document. Collects to the
+    * driver — ONLY for small, served result sets (the reference's
+    * API responses), never for bulk export (use `features(...)
+    * .write.text` for that). */
+  def featureCollection(df: DataFrame, latCol: String, lonCol: String,
+      limit: Int = 10000): String = {
+    val fs = features(df.limit(limit), latCol, lonCol)
+      .collect().map(_.getString(0))
+    fs.mkString("""{"type":"FeatureCollection","features":[""", ",", "]}")
+  }
+}

@@ -72,6 +72,27 @@ class StreamingSpec extends SparkSpec {
       Seq("window_start", "event_type", "n", "sum_value"))
   }
 
+  test("geojson: features roundtrip through a JSON parse, collection well-formed") {
+    import graft.sources.GeoJson
+    val ev = Tables.events(spark, sf).limit(50)
+      .withColumn("lat", graft.operators.Climate.pseudoLat(col("user_id")))
+      .withColumn("lon", graft.operators.Climate.pseudoLon(col("user_id")))
+      .select("event_id", "event_type", "value", "lat", "lon")
+    val feats = GeoJson.features(ev, "lat", "lon")
+    assert(feats.count() === 50)
+    // parse one back with Spark's JSON reader and check shape
+    val parsed = spark.read.json(spark.createDataset(
+      feats.limit(5).collect().map(_.getString(0)).toSeq)(
+      org.apache.spark.sql.Encoders.STRING))
+    assert(parsed.select("type").collect().forall(_.getString(0) == "Feature"))
+    assert(parsed.select("geometry.type").collect()
+      .forall(_.getString(0) == "Point"))
+    assert(parsed.columns.contains("properties"))
+    val doc = GeoJson.featureCollection(ev, "lat", "lon")
+    assert(doc.startsWith("""{"type":"FeatureCollection","features":[{"""))
+    assert(doc.endsWith("]}"))
+  }
+
   test("catalog: one registry row per collection, extents derived from data") {
     val rows = Catalog.collections(spark, sf).collect()
     assert(rows.length === 10)
