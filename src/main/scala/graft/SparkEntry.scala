@@ -37,6 +37,10 @@ object SparkEntry {
     // --- geo/climate analytics -----------------------------------
     "spi_zscore"            -> Climate.spiZscore _,
     "spi_gamma"             -> Climate.spiGamma _,
+    // climatology fit on the first half of the span, applied to all —
+    // the reference's fixed 1980-2010 reference period, scaled down
+    "spi_gamma_ref"         -> ((s, d) => Climate.spiGammaRef(s, d, 7,
+      "2024-01-01T00:00:00Z", "2024-01-16T00:00:00Z")),
     "bias_delta"            -> Climate.biasDelta _,
     "bias_qmap"             -> Climate.biasQmap _,
     "rating_curve"          -> Climate.ratingCurve _,
@@ -173,7 +177,9 @@ object SparkEntry {
         |  round(c.value, 2) AS click_value,
         |  round(p.value, 2) AS last_purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max_by(value, event_id) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
         |  ON c.user_id = p.user_id AND c.ts > p.ts""".stripMargin,
 
     "ts_gapfill" ->
@@ -307,7 +313,7 @@ object SparkEntry {
         |SELECT CAST(floor(((user_id % 36) * 5.0 - 87.5) / 30) AS INT) AS zone_y,
         |       CAST(floor(((user_id % 72) * 5.0 - 177.5) / 30) AS INT) AS zone_x,
         |  count(*) AS n,
-        |  round(avg(zscore), 4) AS avg_z,
+        |  floor(avg(zscore) * 1e4 + 0.5) / 1e4 AS avg_z,
         |  round(min(zscore), 4) AS min_z,
         |  round(max(zscore), 4) AS max_z,
         |  CAST(sum(CASE WHEN zscore <= -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS drought_n

@@ -1,0 +1,51 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.DataType
+
+/** Identity pass-through that PINS a predicate where it was written.
+  *
+  * Catalyst's `PushPredicateThroughNonJoin` substitutes a filter's
+  * column references with their defining expressions and pushes the
+  * rewritten predicate below the projection. When the filtered column
+  * derives from an EXPENSIVE tree (e.g. a tokenize-and-score CASE
+  * over higher-order functions), that substitution inlines the whole
+  * tree into the Filter condition — once per reference, interpreted —
+  * and the projection above computes it all again (the corpus_sample
+  * round-2 pathology: 66 s vs 0.7 s for the same scoring run once).
+  *
+  * Every pushdown rule requires a deterministic predicate, so a
+  * nondeterministic-FLAGGED identity wrapper at the condition root
+  * stops the rewrite cold while evaluating (and codegen-ing) exactly
+  * as its child: the projection below computes the expensive column
+  * once, and the filter compares the materialized column. Use it on
+  * any filter over an expensive derived column; never on predicates
+  * you WANT pushed to the scan.
+  */
+case class NoPushdownExpr(child: Expression) extends UnaryExpression {
+  // the lie that does the work: evaluation is pure, but flagging it
+  // nondeterministic makes every pushdown/reorder rule leave it alone
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "no_pushdown"
+}
+
+/** Column-level entry points for plan-shaping helpers. */
+object PlanColumns {
+  /** Pin a filter predicate at its written position (see
+    * [[NoPushdownExpr]]). */
+  def noPushdown(c: Column): Column =
+    ColumnBridge.column(NoPushdownExpr(ColumnBridge.expression(c)))
+}

@@ -53,12 +53,45 @@ object Climate {
   /** SPI at an arbitrary accumulation timescale (the reference runs
     * ts ∈ {1,3,6,12}; the driver-checked query uses 7 observations). */
   def spiGamma(spark: SparkSession, dir: String, tscale: Int): DataFrame = {
+    val x = spiAccum(spark, dir, tscale)
+    spiGammaOn(x, x)
+  }
+
+  /** SPI with the reference-period fit/apply SPLIT
+    * (`utils_spi.py:33-35` `_reference_period`, `:412`
+    * `sel(time=slice(*_reference_period))`): the gamma climatology is
+    * fit ONLY on the reference window, and current/forecast rows are
+    * indexed against those fixed params — the difference between a
+    * climatological index and a self-referential one. Same plan shape
+    * as [[spiGamma]]; the fit aggregation just reads a time-sliced
+    * subset. Keys with no data inside the reference window have no
+    * climatology → null spi (left join + null-propagating guard). */
+  def spiGammaRef(spark: SparkSession, dir: String, tscale: Int,
+      fitStartIso: String, fitEndIso: String): DataFrame = {
+    val x = spiAccum(spark, dir, tscale)
+    spiGammaOn(x,
+      x.filter(col("ts") >= lit(fitStartIso).cast("timestamp") &&
+        col("ts") < lit(fitEndIso).cast("timestamp")))
+  }
+
+  /** t-scale rolling accumulation per key (`utils_spi.py:446-449`) —
+    * the series both the fit and the transform read. */
+  private def spiAccum(spark: SparkSession, dir: String, tscale: Int): DataFrame = {
     val wRoll = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
       .rowsBetween(-(tscale - 1), Window.currentRow)
-    val x = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"),
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
         sum(col("value")).over(wRoll).as("x"))
-    val params = x.groupBy(col("user_id"))
+  }
+
+  /** SPI core: Thom/MLE gamma fit (`floc=0`) on `fitRows` →
+    * zero-probability-corrected CDF H(x) = q + (1-q)·G(x) →
+    * Abramowitz–Stegun normal quantile, applied to every row of `x`.
+    * Public seam so the fit/apply split is spec-testable on
+    * constructed series. `x` needs (event_id, user_id, x); `fitRows`
+    * needs (user_id, x). */
+  def spiGammaOn(x: DataFrame, fitRows: DataFrame): DataFrame = {
+    val params = fitRows.groupBy(col("user_id"))
       .agg(
         count(lit(1)).cast("double").as("n"),
         sum(when(col("x") <= 0, 1).otherwise(0)).cast("double").as("n_zero"),
@@ -71,7 +104,7 @@ object Climate {
       .withColumn("beta", col("mean_pos") / col("alpha"))
       .withColumn("q0", col("n_zero") / col("n"))
       .select("user_id", "alpha", "beta", "q0", "a_stat")
-    x.join(params, Seq("user_id"))
+    x.join(params, Seq("user_id"), "left")
       .withColumn("h",
         col("q0") + (lit(1.0) - col("q0"))
           * StatColumns.gammaCdf(col("x"), col("alpha"), col("beta")))
@@ -82,7 +115,9 @@ object Climate {
         // a_stat -> 0 means a zero-variance (degenerate) accumulation
         // series: alpha diverges, the CDF is NaN, and Spark's NaN
         // ordering would silently clamp to extreme-wet. The index is
-        // undefined there — emit null, as for missing data.
+        // undefined there — emit null, as for missing data (and for
+        // keys with no reference-window climatology: a_stat is null,
+        // the guard is not-true, null again).
         when(col("a_stat") > 1e-10,
           round(StatColumns.normQuantile(col("h_clamped")), 4))
           .otherwise(lit(null).cast("double")).as("spi"))
@@ -166,18 +201,17 @@ object Climate {
       (150.0, 100.0), (200.0, 200.0), (300.0, 500.0))
 
   /** Piecewise-linear H→Q interpolation through the calibration
-    * table: the (tiny) lookup becomes [lo,hi) segments via one local
-    * window, then a broadcast range-join picks each row's bracket —
-    * the standard scale shape for interpolate-through-lookup. Stages
-    * are clamped to the calibrated range (constant extrapolation). */
+    * table: the (tiny, driver-known) lookup becomes [lo,hi) segments
+    * locally — it is a literal, so no global-window plan node — then
+    * a broadcast range-join picks each row's bracket: the standard
+    * scale shape for interpolate-through-lookup. Stages are clamped
+    * to the calibrated range (constant extrapolation). */
   def ratingCurve(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hMax = ratingBreakpoints.last._1
-    val wSeg = Window.orderBy(col("h")) // 6-row literal: single-partition window is fine
-    val seg = ratingBreakpoints.toDF("h", "q")
-      .withColumn("h_hi", lead(col("h"), 1).over(wSeg))
-      .withColumn("q_hi", lead(col("q"), 1).over(wSeg))
-      .filter(col("h_hi").isNotNull)
+    val seg = ratingBreakpoints.sliding(2).collect {
+      case Seq((h, q), (hHi, qHi)) => (h, q, hHi, qHi)
+    }.toSeq.toDF("h", "q", "h_hi", "q_hi")
     val ev = Tables.events(spark, dir)
       .withColumn("stage", least(greatest(col("value"), lit(0.0)), lit(hMax)))
     ev.join(broadcast(seg),
@@ -295,7 +329,12 @@ object Climate {
       .groupBy(col("zone_y"), col("zone_x"))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("zscore")), 4).as("avg_z"),
+        // floor-quantized, NOT round(): the average of 4dp-rounded
+        // zscores lands exactly on .00005 boundaries where Spark
+        // (decimal-string HALF_UP) and DuckDB (binary-double) round
+        // differently — same engine-invariance fix as quantileMap.
+        // min/max re-round already-rounded values → identity → safe.
+        (floor(avg(col("zscore")) * 1e4 + 0.5) / 1e4).as("avg_z"),
         round(min(col("zscore")), 4).as("min_z"),
         round(max(col("zscore")), 4).as("max_z"),
         sum(when(col("zscore") <= -1.0, 1).otherwise(0)).cast("long")
@@ -345,10 +384,12 @@ object Climate {
         countDistinct(date_trunc("DAY", col("ts"))).as("n_days"),
         min(col("ts")).as("min_ts"),
         max(col("ts")).as("max_ts"))
-    val globalMax = Window.partitionBy() // single global row set — tiny input
-    perType
+    // the lake-wide newest timestamp is a 1-row scalar aggregate,
+    // broadcast-cross-joined back — not a partition-less window
+    val lakeMax = perType.agg(max(col("max_ts")).as("lake_max_ts"))
+    perType.crossJoin(broadcast(lakeMax))
       .withColumn("lag_hours",
-        round((unix_micros(max(col("max_ts")).over(globalMax))
+        round((unix_micros(col("lake_max_ts"))
           - unix_micros(col("max_ts"))) / lit(3.6e9), 4))
       .select(col("event_type"), col("n"), col("n_days"),
         date_format(col("max_ts"), "yyyy-MM-dd HH:mm:ss").as("last_seen"),

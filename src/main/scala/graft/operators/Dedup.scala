@@ -98,6 +98,16 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(ngramJaccard(spark, dir).select("doc_a", "doc_b"))
 
+  /** [[dedupClusters]] fed from the CAPPED minhash-LSH pair source —
+    * the 100 TB default: candidate generation is band-bucketed and
+    * frequency-capped, so no hot-shingle tail can go quadratic the
+    * way the exact ngram join can. Both sources verify pairs with the
+    * same exact Jaccard ≥ 0.5, so on any corpus where LSH recall is
+    * total the clusterings are identical (spec-asserted); the exact
+    * variant stays as the small-scale oracle twin. */
+  def dedupClustersScaled(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashLsh(spark, dir).select("doc_a", "doc_b"))
+
   /** Connected components of an undirected pair graph
     * (`doc_a`, `doc_b`) by min-label propagation; see
     * [[dedupClusters]] for the scale notes. Public so the iteration

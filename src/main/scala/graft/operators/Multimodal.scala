@@ -52,6 +52,11 @@ object Multimodal {
     batch.map { r =>
       val bytes = r.payload
       val n = bytes.length
+      if (n == 0) {
+        // empty payload: all-zero features, NOT NaN (x/0 below would
+        // silently poison downstream aggregates)
+        MediaFeatures(r.doc_id, r.meta.format, 0, 0.0, 0.0, new Array[Double](8))
+      } else {
       val hist = new Array[Long](256)
       var sum = 0L
       var i = 0
@@ -66,6 +71,7 @@ object Multimodal {
         math.rint(sum.toDouble / n * 10000) / 10000,
         math.rint(entropy * 10000) / 10000,
         bins.map(v => math.rint(v / n * 8 * 10000) / 10000))
+      }
     }
 
   /** The operator: typed scan → per-partition batched decode →

@@ -64,30 +64,74 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rk"),
         round(col("col.payload"), 4).as("cosine"))
 
+  /** Plain Lloyd's k-means over an in-memory sample — the IVF coarse
+    * quantizer fit. Deterministic: evenly-spaced init over the sample
+    * order, fixed iteration count; empty clusters keep their previous
+    * centroid. Cost is O(|sample|·k·dim·iters) on the DRIVER — the
+    * sample is bounded, so this never scales with the corpus. */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val n = points.length
+    val dim = points(0).length
+    var cents = Array.tabulate(k)(i => points(((i.toLong * n) / k).toInt).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        cnt(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+      }
+      cents = Array.tabulate(k)(c =>
+        if (cnt(c) == 0) cents(c) else sums(c).map(_ / cnt(c)))
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer alternative to
     * LSH: k-means centroids partition the corpus into `nlist`
     * buckets; each probe searches only the `nprobe` buckets whose
-    * centroids are nearest. The centroid fit is MLlib KMeans (seeded,
-    * on a sample at real scale); assignment is one `transform` pass;
-    * the probe→bucket routing table is |probes| × nprobe rows. At
-    * 100 TB the index build is a bounded sample fit + one scan, and
-    * each query touches nprobe/nlist of the data. */
+    * centroids are nearest.
+    *
+    * Index build, shaped for 100 TB: the quantizer is fit on a
+    * BOUNDED sample (`limit(4096)` — never the corpus; k-means
+    * iterates full passes over its fit input, and 8 passes over
+    * 100 TB would dwarf every query the index serves). The sample is
+    * small by construction, so the fit runs as a driver-local
+    * Lloyd's loop in microseconds — no distributed iteration at all.
+    * The full corpus is then touched exactly ONCE: bucket assignment
+    * is a fused argmin-over-centroids expression (centroids are
+    * literals, distances via the codegen'd dot kernel), evaluated in
+    * the scan stage with zero shuffles. */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val nlist = 16
     val nprobe = 2
-    val v = vecs(spark, dir).withColumn("fv", array_to_vector(col("emb")))
-    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(8)
-      .setFeaturesCol("fv").setPredictionCol("bucket")
-    val model = km.fit(v)
-    val assigned = model.transform(v).select(col("vec_id"), col("emb"), col("bucket"))
+    val v = vecs(spark, dir)
+    val sample: Array[Array[Double]] = v.limit(4096)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    val cents = lloyd(sample, nlist, iters = 8)
+    // argmin_c ||e - c||² = argmin_c (|c|² - 2·e·c) — |e|² is constant
+    // per row and drops out, so each candidate costs one dot product
+    def score(c: Array[Double]): Column =
+      lit(c.map(x => x * x).sum) -
+        lit(2.0) * VectorColumns.dot(col("emb"), array(c.map(lit): _*))
+    // argmin via array_min over (distance, bucket) structs — struct
+    // ordering is lexicographic, so ties break on the lower bucket
+    // id, deterministically. (NOT a when/otherwise fold: `otherwise`
+    // would duplicate the accumulator per step → a 2^nlist tree.)
+    val bucketCol = array_min(array((0 until nlist).map(i =>
+      struct(score(cents(i)).as("d"), lit(i).as("b"))): _*)).getField("b")
+    val assigned = v.withColumn("bucket", bucketCol)
     // probe → nprobe nearest centroids, ranked by exact cosine to the
     // centroid (16 × |probes| rows — the routing table is tiny)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }.toSeq
-    val centroidDf = spark.createDataFrame(centroids)
+    val centroidDf = spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
       .toDF("bucket", "centroid")
     val probes = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("emb").as("pe"))

@@ -105,16 +105,30 @@ object TextOps {
     * dominant strata, keep the rare ones). The selector is the first
     * two hex digits of `md5(doc_id)` compared against a per-stratum
     * cutoff: deterministic, reproducible across engines and runs, and
-    * entirely elementwise — sampling adds ZERO shuffles at any scale
-    * and composes with the scan's pushdown. Rates here: en ≈ 10%,
-    * de ≈ 30%, fr = 50%, es = 100%. */
+    * entirely elementwise — sampling adds ZERO shuffles at any scale.
+    * Rates here: en ≈ 10%, de ≈ 30%, fr = 50%, es = 100%.
+    *
+    * The scoring column is PINNED in its projection with
+    * [[graft.expressions.PlanColumns.noPushdown]]: Catalyst pushes a
+    * filter through any all-deterministic projection by substituting
+    * column references with their defining expressions, which here
+    * inlines the whole tokenize-and-score tree into the Filter
+    * condition — once per `lang_pred` reference, interpreted — and
+    * the projection then scores everything AGAIN (the round-2 bench
+    * pathology: 66 s vs 0.7 s for `langId` itself). Flagging the
+    * expensive projected column keeps the filter ABOVE it, so each
+    * document is scored exactly once and the filter compares the
+    * materialized column. (Wrapping the filter condition itself does
+    * NOT work: the Project-pushdown rule checks only the projection's
+    * fields for determinism, not the predicate.) */
   def corpusSample(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = when(col("lang_pred") === "en", "19")
       .when(col("lang_pred") === "de", "4c")
       .when(col("lang_pred") === "fr", "7f")
       .otherwise("ff")
     langId(spark, dir)
-      .select(col("doc_id"), col("lang_pred"))
+      .select(col("doc_id"),
+        graft.expressions.PlanColumns.noPushdown(col("lang_pred")).as("lang_pred"))
       .withColumn("sel", substring(md5(col("doc_id").cast("string")), 1, 2))
       .filter(col("sel") <= cutoff)
   }

@@ -109,13 +109,19 @@ object TimeSeries {
       .select(col("event_id"), col("ts"), col("user_id"), col("value"),
         lit(0).as("kind"), lit(null).cast("double").as("p_value"),
         col("event_id").as("sort_id"))
+    // Purchases are pre-aggregated to ONE row per (user_id, ts) —
+    // keep the max-event_id row's value. Equal-timestamp duplicates
+    // would otherwise make the as-of pick engine-dependent (DuckDB's
+    // ASOF leaves the choice among equal-key candidates unspecified),
+    // so both this plan and the oracle resolve the tie identically
+    // BEFORE the alignment. Map-side partial agg; same shuffle key.
     val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("p_value"),
+        max(col("event_id")).as("sort_id"))
       .select(lit(null).cast("long").as("event_id"), col("ts"), col("user_id"),
         lit(null).cast("double").as("value"),
-        lit(1).as("kind"), col("value").as("p_value"),
-        col("event_id").as("sort_id"))
-    // sort_id breaks ties between two purchases at the same instant —
-    // without it the carried-forward value is partition-order-dependent
+        lit(1).as("kind"), col("p_value"), col("sort_id"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("kind"), col("sort_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

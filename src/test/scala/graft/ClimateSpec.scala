@@ -53,6 +53,38 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("spi_gamma_ref: fit==apply reproduces spi_gamma; split window holds invariants") {
+    import spark.implicits._
+    // the whole span as the reference period == the self-fit index
+    val full = Climate.spiGammaRef(spark, sf, 7,
+      "2020-01-01T00:00:00Z", "2030-01-01T00:00:00Z")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.get(3))).toMap
+    val self = SparkEntry.queries("spi_gamma")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.get(3))).toMap
+    assert(full === self)
+    // a strict half-window climatology: every row still indexed,
+    // monotone in accum per key (params are FIXED per key), and the
+    // index genuinely differs from the self-fit one somewhere
+    val half = SparkEntry.queries("spi_gamma_ref")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(half.length === self.size)
+    half.groupBy(_._2).foreach { case (_, rs) =>
+      rs.filter(_._4.isDefined).sortBy(_._3).map(_._4.get).sliding(2).foreach {
+        case Array(u, v) => assert(v >= u - 1e-9)
+        case _ =>
+      }
+    }
+    assert(half.exists { case (id, _, _, s) =>
+      s.isDefined && self(id)._2 != null && s.get != self(id)._2 })
+    // a key absent from the reference window has no climatology -> null
+    val x = Seq((1L, 10L, 5.0), (2L, 10L, 7.0), (3L, 99L, 6.0))
+      .toDF("event_id", "user_id", "x")
+    val out = Climate.spiGammaOn(x, x.filter(col("user_id") === 10L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(3L).isEmpty, "no-fit-data key must emit null spi")
+  }
+
   test("spi_zscore: per-key mean ~0 and std ~1 after standardization") {
     val rows = SparkEntry.queries("spi_zscore")(spark, sf)
       .filter(col("zscore").isNotNull).collect()

@@ -80,6 +80,16 @@ class DedupSpec extends SparkSpec {
     assert(cluster.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("dedupClustersScaled: capped-minhash clustering equals the exact-pair clustering") {
+    val exact = SparkEntry.queries("dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scaled = graft.operators.Dedup.dedupClustersScaled(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // on this corpus LSH recall is total (see the minhash spec), so
+    // the scale-path pipeline must reproduce the exact clustering
+    assert(scaled === exact)
+  }
+
   test("connectedComponents: a 12-node chain converges across many rounds") {
     import spark.implicits._
     // chain 0-1-2-…-11 (diameter 11) plus an isolated pair (100,101)

@@ -96,4 +96,21 @@ class TextOpsSpec extends SparkSpec {
     // every 'es' doc survives (rate 100%)
     assert(sampled.count(_._2 == "es") === lang.count(_._2 == "es"))
   }
+
+  test("corpus_sample: the scoring tree stays OUT of the filter predicate") {
+    // the round-2 pathology: pushdown inlined the tokenize-and-score
+    // tree into the physical Filter ~50x, interpreted. The noPushdown
+    // pin must keep every Filter condition free of the scoring
+    // primitives — they belong to the projection, evaluated once.
+    val plan = SparkEntry.queries("corpus_sample")(spark, sf)
+      .queryExecution.executedPlan
+    val filterConds = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.sql
+    }
+    assert(filterConds.nonEmpty)
+    filterConds.foreach { c =>
+      assert(!c.contains("regexp_replace") && !c.contains("lambdafunction"),
+        s"scoring tree leaked into a Filter: ${c.take(200)}")
+    }
+  }
 }
