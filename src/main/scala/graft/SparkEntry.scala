@@ -43,11 +43,16 @@ object SparkEntry {
       "2024-01-01T00:00:00Z", "2024-01-16T00:00:00Z")),
     "bias_delta"            -> Climate.biasDelta _,
     "bias_qmap"             -> Climate.biasQmap _,
+    "bias_qmap_key"         -> Climate.biasQmapKey _,
     "rating_curve"          -> Climate.ratingCurve _,
+    "rating_curve_station"  -> Climate.ratingCurveStation _,
     "danger_levels"         -> Climate.dangerLevels _,
     "pet_hargreaves"        -> Climate.petHargreaves _,
+    "spi_ensemble_median"   -> Climate.spiEnsembleMedian _,
     "zonal_stats"           -> Climate.zonalStats _,
     "zonal_spi"             -> Climate.zonalSpi _,
+    "zonal_spi_quantiles"   -> Climate.zonalSpiQuantiles _,
+    "zonal_poly_spi"        -> Climate.zonalPolySpi _,
     "grid_regrid"           -> Climate.gridRegrid _,
     "bbox_filter"           -> Climate.bboxFilter _,
     "extent_summary"        -> Climate.extentSummary _,
@@ -71,6 +76,29 @@ object SparkEntry {
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
     "multimodal_features" -> Multimodal.features _,
   )
+
+  /** SQL for one convex-CCW ring's point-in-polygon test — generated
+    * from the SAME vertex data the Spark plan uses
+    * ([[Climate.basinPolygons]]), so the two engines share every edge
+    * literal bit-for-bit. */
+  private def polyCondSql(verts: Seq[(Double, Double)]): String =
+    verts.indices.map { i =>
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % verts.size)
+      s"(${x2 - x1} * (lat - ($y1)) - (${y2 - y1}) * (lon - ($x1))) >= 0"
+    }.mkString("(", " AND ", ")")
+
+  private def basinCaseSql: String =
+    Climate.basinPolygons.map { case (id, vs) =>
+      s"WHEN ${polyCondSql(vs)} THEN $id"
+    }.mkString("CASE ", " ", " ELSE NULL END")
+
+  /** VALUES list for the per-station calibration, generated from
+    * [[Climate.stationBreakpoints]]. */
+  private def stationCalibSql: String =
+    Climate.stationBreakpoints.toSeq.flatMap { case (st, bps) =>
+      bps.map { case (h, q) => s"($st, $h, $q)" }
+    }.mkString(", ")
 
   /** DuckDB oracle SQL per query (same tables, same column names,
     * same rounding). Omitted keys get a weaker rows-only check. */
@@ -253,6 +281,66 @@ object SparkEntry {
         |FROM q JOIN r lo ON q.user_id = lo.user_id AND q.idx_lo = lo.idx
         |       JOIN r hi ON q.user_id = hi.user_id AND q.idx_hi = hi.idx""".stripMargin,
 
+    "bias_qmap_key" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id % 20 AS grp, event_id % 3 AS member,
+        |         event_type, value, ts
+        |  FROM events),
+        |fct AS (SELECT event_id, grp, member, value FROM ev
+        |        WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |reft AS (SELECT event_id, grp, member, value FROM ev
+        |        WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |app AS (SELECT event_id, grp, member, value FROM ev
+        |        WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |fk AS (SELECT grp, member, value AS fv, event_id AS tie,
+        |         row_number() OVER (PARTITION BY grp, member ORDER BY value, event_id) - 1 AS fidx
+        |       FROM fct),
+        |rk AS (SELECT grp, member, value AS rv, event_id AS tie,
+        |         row_number() OVER (PARTITION BY grp, member ORDER BY value, event_id) - 1 AS ridx
+        |       FROM reft),
+        |fagg AS (SELECT grp, member, count(*) AS nf, min(fv) AS fmin, max(fv) AS fmax
+        |         FROM fk GROUP BY 1, 2),
+        |ragg AS (SELECT grp, member, count(*) AS nr, min(rv) AS rmin, max(rv) AS rmax
+        |         FROM rk GROUP BY 1, 2),
+        |u AS (
+        |  SELECT grp, member, fv AS sortv, 0 AS kind, tie,
+        |         fidx AS k_idx, fv AS k_fv,
+        |         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS x
+        |  FROM fk
+        |  UNION ALL
+        |  SELECT grp, member, value, 1, event_id, NULL, NULL, event_id, value FROM app),
+        |w AS (
+        |  SELECT *,
+        |    last_value(k_idx IGNORE NULLS) OVER (PARTITION BY grp, member
+        |      ORDER BY sortv ASC, kind ASC, tie ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lo_idx,
+        |    last_value(k_fv IGNORE NULLS) OVER (PARTITION BY grp, member
+        |      ORDER BY sortv ASC, kind ASC, tie ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lo_fv,
+        |    last_value(k_fv IGNORE NULLS) OVER (PARTITION BY grp, member
+        |      ORDER BY sortv DESC, kind DESC, tie DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi_fv
+        |  FROM u),
+        |pos AS (
+        |  SELECT w.event_id, w.grp, w.member, w.x,
+        |    CASE WHEN lo_idx IS NULL THEN 'low'
+        |         WHEN hi_fv IS NULL THEN 'high' ELSE 'in' END AS oob,
+        |    fagg.nf, fagg.fmin, fagg.fmax, ragg.nr, ragg.rmin, ragg.rmax,
+        |    (lo_idx + (x - lo_fv) / (hi_fv - lo_fv)) / (fagg.nf - 1) * (ragg.nr - 1) AS fpos
+        |  FROM w JOIN fagg USING (grp, member) JOIN ragg USING (grp, member)
+        |  WHERE kind = 1),
+        |q AS (SELECT *, CAST(floor(fpos) AS INT) AS idx_lo,
+        |             CAST(ceil(fpos) AS INT) AS idx_hi FROM pos)
+        |SELECT q.event_id, q.grp, q.member, round(q.x, 2) AS fcst_value, q.oob,
+        |  floor(greatest(
+        |    CASE WHEN q.oob = 'low' THEN q.x + (q.rmin - q.fmin)
+        |         WHEN q.oob = 'high' THEN q.x + (q.rmax - q.fmax)
+        |         ELSE lo.rv + (q.fpos - q.idx_lo) * (hi.rv - lo.rv) END,
+        |    0.0) * 1e4 + 0.5) / 1e4 AS corrected
+        |FROM q
+        |LEFT JOIN rk lo ON q.grp = lo.grp AND q.member = lo.member AND q.idx_lo = lo.ridx
+        |LEFT JOIN rk hi ON q.grp = hi.grp AND q.member = hi.member AND q.idx_hi = hi.ridx""".stripMargin,
+
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
@@ -318,6 +406,72 @@ object SparkEntry {
         |  round(max(zscore), 4) AS max_z,
         |  CAST(sum(CASE WHEN zscore <= -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS drought_n
         |FROM z GROUP BY 1, 2""".stripMargin,
+
+    "rating_curve_station" ->
+      s"""WITH calib(station, h, q) AS (VALUES $stationCalibSql),
+        |seg AS (SELECT * FROM (
+        |  SELECT station, h, q,
+        |    lead(h) OVER (PARTITION BY station ORDER BY h) AS h_hi,
+        |    lead(q) OVER (PARTITION BY station ORDER BY h) AS q_hi
+        |  FROM calib) WHERE h_hi IS NOT NULL),
+        |bounds AS (SELECT station, min(h) AS h_min, min_by(q, h) AS q_min,
+        |                  max(h) AS h_max, max_by(q, h) AS q_max
+        |           FROM calib GROUP BY 1),
+        |ev AS (SELECT event_id, user_id % 4 AS station, value AS stage FROM events)
+        |SELECT ev.event_id, ev.station, round(ev.stage, 2) AS stage,
+        |  floor(CASE WHEN ev.stage < b.h_min THEN b.q_min
+        |             WHEN ev.stage >= b.h_max THEN b.q_max
+        |             ELSE s.q + (ev.stage - s.h) / (s.h_hi - s.h) * (s.q_hi - s.q)
+        |        END * 1e4 + 0.5) / 1e4 AS discharge
+        |FROM ev JOIN bounds b USING (station)
+        |LEFT JOIN seg s ON ev.station = s.station
+        |  AND ev.stage >= s.h AND ev.stage < s.h_hi""".stripMargin,
+
+    "spi_ensemble_median" ->
+      """WITH cell AS (
+        |  SELECT user_id, event_id % 5 AS member,
+        |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |    avg(value) AS wk_mean
+        |  FROM events GROUP BY 1, 2, 3),
+        |z AS (
+        |  SELECT user_id, week,
+        |    (wk_mean - avg(wk_mean) OVER (PARTITION BY user_id, member))
+        |      / stddev_samp(wk_mean) OVER (PARTITION BY user_id, member) AS z
+        |  FROM cell)
+        |SELECT user_id, week, count(*) AS n_members,
+        |  floor(quantile_cont(z, 0.5) * 1e4 + 0.5) / 1e4 AS spi_median
+        |FROM z GROUP BY 1, 2""".stripMargin,
+
+    "zonal_spi_quantiles" ->
+      """WITH z AS (
+        |  SELECT event_id, user_id,
+        |    round((value - avg(value) OVER (PARTITION BY user_id, event_type))
+        |          / stddev_samp(value) OVER (PARTITION BY user_id, event_type), 4) AS zscore
+        |  FROM events)
+        |SELECT CAST(floor(((user_id % 36) * 5.0 - 87.5) / 30) AS INT) AS zone_y,
+        |       CAST(floor(((user_id % 72) * 5.0 - 177.5) / 30) AS INT) AS zone_x,
+        |  count(*) AS n,
+        |  floor(avg(zscore) * 1e4 + 0.5) / 1e4 AS avg_z,
+        |  floor(quantile_cont(zscore, 0.1) * 1e4 + 0.5) / 1e4 AS p10_z,
+        |  floor(quantile_cont(zscore, 0.5) * 1e4 + 0.5) / 1e4 AS med_z,
+        |  floor(quantile_cont(zscore, 0.9) * 1e4 + 0.5) / 1e4 AS p90_z
+        |FROM z GROUP BY 1, 2""".stripMargin,
+
+    "zonal_poly_spi" ->
+      s"""WITH z AS (
+        |  SELECT event_id, user_id,
+        |    round((value - avg(value) OVER (PARTITION BY user_id, event_type))
+        |          / stddev_samp(value) OVER (PARTITION BY user_id, event_type), 4) AS zscore,
+        |    (user_id % 36) * 5.0 - 87.5 AS lat,
+        |    (user_id % 72) * 5.0 - 177.5 AS lon
+        |  FROM events),
+        |b AS (SELECT *, $basinCaseSql AS basin FROM z)
+        |SELECT basin, count(*) AS n,
+        |  floor(quantile_cont(zscore, 0.5) * 1e4 + 0.5) / 1e4 AS med_z,
+        |  round(min(zscore), 4) AS min_z,
+        |  round(max(zscore), 4) AS max_z,
+        |  CAST(sum(CASE WHEN zscore <= -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS drought_n
+        |FROM b WHERE basin IS NOT NULL GROUP BY 1""".stripMargin,
 
     "grid_regrid" ->
       """WITH g AS (

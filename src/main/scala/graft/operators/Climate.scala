@@ -194,6 +194,122 @@ object Climate {
     quantileMap(side("click"), side("view"))
   }
 
+  /** FIT-THEN-APPLY empirical quantile mapping over a COMPOSITE key —
+    * the reference's actual bias-correction mechanics
+    * (`bias_correction_cds_process.py:311-320` params per (member r,
+    * init-month, lead-month); `:349-358` CONSTANT adjustment outside
+    * the fitted range; `:389` clamp at 0). The mapping is fit on a
+    * training pair (hindcast `fcstTrain` vs observations `refTrain`)
+    * and applied to LATER forecast rows, whose values can fall
+    * outside the fitted range — unlike [[quantileMap]]'s
+    * self-referential rank form, where out-of-range cannot occur.
+    *
+    * Per apply value x: its fractional position in the fitted
+    * forecast distribution comes from an AS-OF alignment (union the
+    * sorted knots with the apply rows, one ordered window pass per
+    * direction — never a per-key collect or a range-join explosion);
+    * that percent maps into the reference distribution by linear
+    * interpolation between the two bracketing reference knots
+    * (equi-joins on (key, index)). Below/above the fitted range the
+    * correction degrades to the constant edge delta, then clamps at
+    * 0. Every shuffle is on the composite key; knots, counts and
+    * extremes are all O(keys·train) aggregates.
+    *
+    * Ties are made engine-invariant by a total sort order: knot
+    * indices are assigned by (value, event_id) and the union scan
+    * orders by (value, kind, event_id), so duplicate training values
+    * cannot flip the carried index between engines.
+    *
+    * Inputs all need (`event_id`, keys…, `value`). Output: one row
+    * per apply row with the in/low/high range flag and the corrected
+    * value. */
+  def quantileMapFit(keys: Seq[String], fcstTrain: DataFrame,
+      refTrain: DataFrame, applyRows: DataFrame): DataFrame = {
+    val kcols = keys.map(col)
+    def byKey = Window.partitionBy(kcols: _*)
+    val fk = fcstTrain
+      .select(kcols :+ col("value").as("fv") :+ col("event_id").as("tie"): _*)
+      .withColumn("fidx",
+        row_number().over(byKey.orderBy(col("fv"), col("tie"))) - 1)
+    val rk = refTrain
+      .select(kcols :+ col("value").as("rv") :+ col("event_id").as("tie"): _*)
+      .withColumn("ridx",
+        row_number().over(byKey.orderBy(col("rv"), col("tie"))) - 1)
+    val fagg = fk.groupBy(kcols: _*).agg(count(lit(1)).as("nf"),
+      min(col("fv")).as("fmin"), max(col("fv")).as("fmax"))
+    val ragg = rk.groupBy(kcols: _*).agg(count(lit(1)).as("nr"),
+      min(col("rv")).as("rmin"), max(col("rv")).as("rmax"))
+    val knotRows = fk.select(kcols ++ Seq(
+      col("fv").as("sortv"), lit(0).as("kind"), col("tie"),
+      col("fidx").as("k_idx"), col("fv").as("k_fv"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("double").as("x")): _*)
+    val applyU = applyRows.select(kcols ++ Seq(
+      col("value").as("sortv"), lit(1).as("kind"), col("event_id").as("tie"),
+      lit(null).cast("int").as("k_idx"), lit(null).cast("double").as("k_fv"),
+      col("event_id"), col("value").as("x")): _*)
+    // ascending scan carries the LAST knot at-or-below x (its index is
+    // the ≤-count − 1); descending scan carries the FIRST knot
+    // strictly above x. kind sorts apply rows after equal-valued knots
+    // in the ascending pass and before them in the descending one, so
+    // "at-or-below" and "strictly-above" hold exactly on both engines.
+    val wLo = byKey.orderBy(col("sortv").asc, col("kind").asc, col("tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wHi = byKey.orderBy(col("sortv").desc, col("kind").desc, col("tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val positioned = knotRows.unionByName(applyU)
+      .withColumn("lo_idx", last(col("k_idx"), ignoreNulls = true).over(wLo))
+      .withColumn("lo_fv", last(col("k_fv"), ignoreNulls = true).over(wLo))
+      .withColumn("hi_fv", last(col("k_fv"), ignoreNulls = true).over(wHi))
+      .filter(col("kind") === 1)
+    val withPos = positioned
+      .join(fagg, keys).join(ragg, keys)
+      .withColumn("oob", when(col("lo_idx").isNull, "low")
+        .when(col("hi_fv").isNull, "high").otherwise("in"))
+      // in-range implies two distinct knots bracket x, so nf ≥ 2 and
+      // hi_fv > lo_fv strictly: both divisions are safe
+      .withColumn("fr", col("lo_idx")
+        + (col("x") - col("lo_fv")) / (col("hi_fv") - col("lo_fv")))
+      .withColumn("fpos", col("fr") / (col("nf") - 1) * (col("nr") - 1))
+      .withColumn("idx_lo", floor(col("fpos")).cast("int"))
+      .withColumn("idx_hi", ceil(col("fpos")).cast("int"))
+    withPos
+      .join(rk.select(kcols :+ col("ridx").as("idx_lo") :+ col("rv").as("v_lo"): _*),
+        keys :+ "idx_lo", "left")
+      .join(rk.select(kcols :+ col("ridx").as("idx_hi") :+ col("rv").as("v_hi"): _*),
+        keys :+ "idx_hi", "left")
+      .withColumn("mapped_raw",
+        when(col("oob") === "low", col("x") + (col("rmin") - col("fmin")))
+          .when(col("oob") === "high", col("x") + (col("rmax") - col("fmax")))
+          .otherwise(col("v_lo")
+            + (col("fpos") - col("idx_lo")) * (col("v_hi") - col("v_lo"))))
+      .select((col("event_id") +: kcols) ++ Seq(
+        round(col("x"), 2).as("fcst_value"),
+        col("oob"),
+        // clamp at 0 (`:389`), floor-quantized for engine invariance
+        (floor(greatest(col("mapped_raw"), lit(0.0)) * 1e4 + 0.5) / 1e4)
+          .as("corrected")): _*)
+  }
+
+  /** Composite-key bias correction on the test mapping: key =
+    * (station group, ensemble member), fit on the first half of the
+    * span (hindcast 'click' vs observed 'view'), applied to
+    * second-half forecasts — late values outside the fitted range
+    * exercise the constant-extrapolation branches. */
+  def biasQmapKey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("grp", col("user_id") % 20)
+      .withColumn("member", col("event_id") % 3)
+    val split = lit("2024-01-16T00:00:00Z").cast("timestamp")
+    def slice(t: String, cond: Column) =
+      ev.filter(col("event_type") === t && cond)
+        .select("event_id", "grp", "member", "value")
+    quantileMapFit(Seq("grp", "member"),
+      slice("click", col("ts") < split),
+      slice("view", col("ts") < split),
+      slice("click", col("ts") >= split))
+  }
+
   /** Calibration breakpoints for the rating curve (stage → discharge),
     * the `rer_river_discharge_arpae_process.py:450-457` lookup. */
   val ratingBreakpoints: Seq[(Double, Double)] =
@@ -339,6 +455,157 @@ object Climate {
         round(max(col("zscore")), 4).as("max_z"),
         sum(when(col("zscore") <= -1.0, 1).otherwise(0)).cast("long")
           .as("drought_n"))
+  }
+
+  /** Ensemble SPI product: CDS seasonal forecasts are 25-51-member
+    * ensembles; the reference carries realization `r` through every
+    * derived product and reduces with the MEDIAN across members
+    * (`utils_spi.py:577` `spi_ensemble` nanmedian). Member here
+    * derives as `event_id % 5`; per (cell, member) the weekly series
+    * is standardized, then the member dimension collapses to its
+    * median per (cell, week).
+    *
+    * Plan: one agg shuffle to (cell, member, week), windows on the
+    * high-cardinality (cell, member) key, one final agg to (cell,
+    * week) whose per-group input is |members| rows — the exact median
+    * sorts a BOUNDED group (≤51 members at the reference's worst),
+    * so it stays cheap at any corpus size. */
+  def spiEnsembleMedian(spark: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.events(spark, dir)
+      .withColumn("member", col("event_id") % 5)
+      .groupBy(col("user_id"), col("member"),
+        date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"))
+      .agg(avg(col("value")).as("wk_mean"))
+    val wKey = Window.partitionBy(col("user_id"), col("member"))
+    val z = cell.withColumn("z",
+      (col("wk_mean") - avg(col("wk_mean")).over(wKey))
+        / stddev_samp(col("wk_mean")).over(wKey))
+    z.groupBy(col("user_id"), col("week"))
+      .agg(count(lit(1)).as("n_members"),
+        (floor(percentile(col("z"), lit(0.5)) * 1e4 + 0.5) / 1e4)
+          .as("spi_median"))
+  }
+
+  /** Small fixed basin set (convex rings in (lon, lat), CCW) standing
+    * in for the reference's basin geometries (`utils_spi.py:565-600`
+    * clips SPI grids to per-basin shapes before aggregating). A real
+    * deployment reads these from a config/geojson; they are a literal
+    * here exactly like [[ratingBreakpoints]]. */
+  val basinPolygons: Seq[(Int, Seq[(Double, Double)])] = Seq(
+    1 -> Seq((-180.0, -90.0), (-120.0, -90.0), (-120.0, -25.0), (-180.0, -25.0)),
+    2 -> Seq((-60.0, 25.0), (0.0, 25.0), (0.0, 90.0), (-60.0, 90.0)),
+    3 -> Seq((50.0, -40.0), (185.0, -40.0), (120.0, 100.0)))
+
+  /** Point-in-convex-polygon as a pure codegen'd conjunction: the
+    * point is inside a CCW ring iff every edge's cross product keeps
+    * it on the left. Linear-size expression in the vertex count, no
+    * join, no UDF — for a small literal basin set this beats even a
+    * broadcast join (the geometry IS the plan); a table-driven basin
+    * set would broadcast exploded edges and aggregate all-left per
+    * (point, basin). */
+  def pointInConvexPoly(lon: Column, lat: Column,
+      verts: Seq[(Double, Double)]): Column =
+    verts.indices.map { i =>
+      val (x1, y1) = verts(i)
+      val (x2, y2) = verts((i + 1) % verts.size)
+      (lit(x2 - x1) * (lat - lit(y1)) - lit(y2 - y1) * (lon - lit(x1))) >= 0
+    }.reduce(_ && _)
+
+  /** First-match basin assignment for the literal basin set. */
+  def basinAssign(lon: Column, lat: Column): Column =
+    coalesce(basinPolygons.map { case (id, vs) =>
+      when(pointInConvexPoly(lon, lat, vs), lit(id))
+    }: _*)
+
+  /** Zonal SPI over rectangular zones WITH the reference's
+    * distribution statistics: exact p10/median/p90 alongside the
+    * moments (`utils_spi.py:565-600` nanpercentile/nanmedian). Exact
+    * order statistics sort within each zone group — right for
+    * oracle-checked correctness and for zone-sized groups; at 100 TB
+    * with billions of points per zone the drop-in scale variant is
+    * `percentile_approx` (one-pass sketch, no sort). */
+  def zonalSpiQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    def q(p: Double, name: String) =
+      (floor(percentile(col("zscore"), lit(p)) * 1e4 + 0.5) / 1e4).as(name)
+    spiZscore(spark, dir)
+      .withColumn("zone_y", floor(pseudoLat(col("user_id")) / 30).cast("int"))
+      .withColumn("zone_x", floor(pseudoLon(col("user_id")) / 30).cast("int"))
+      .groupBy(col("zone_y"), col("zone_x"))
+      .agg(count(lit(1)).as("n"),
+        (floor(avg(col("zscore")) * 1e4 + 0.5) / 1e4).as("avg_z"),
+        q(0.1, "p10_z"), q(0.5, "med_z"), q(0.9, "p90_z"))
+  }
+
+  /** Zonal SPI clipped to the basin POLYGONS — the reference's actual
+    * zonal product shape (per-basin median/min/max of the drought
+    * index). Basin assignment is elementwise in the scan stage;
+    * points outside every basin drop out; one agg shuffle on the
+    * basin id. */
+  def zonalPolySpi(spark: SparkSession, dir: String): DataFrame = {
+    spiZscore(spark, dir)
+      .withColumn("lat", pseudoLat(col("user_id")))
+      .withColumn("lon", pseudoLon(col("user_id")))
+      .withColumn("basin", basinAssign(col("lon"), col("lat")))
+      .filter(col("basin").isNotNull)
+      .groupBy(col("basin"))
+      .agg(count(lit(1)).as("n"),
+        (floor(percentile(col("zscore"), lit(0.5)) * 1e4 + 0.5) / 1e4)
+          .as("med_z"),
+        round(min(col("zscore")), 4).as("min_z"),
+        round(max(col("zscore")), 4).as("max_z"),
+        sum(when(col("zscore") <= -1.0, 1).otherwise(0)).cast("long")
+          .as("drought_n"))
+  }
+
+  /** Per-station calibration tables — the reference's rating curves
+    * are STATION-owned lookups (`rer_river_discharge_arpae_process
+    * .py:325-458` `portata_lineare` loads a per-station calibration
+    * and clamps CONSTANT below the first / above the last calibrated
+    * point). Station ≈ `user_id % 4` on the test mapping. */
+  val stationBreakpoints: Map[Long, Seq[(Double, Double)]] = Map(
+    0L -> Seq((0.0, 0.0), (50.0, 10.0), (100.0, 40.0),
+      (150.0, 100.0), (200.0, 200.0), (300.0, 500.0)),
+    1L -> Seq((0.0, 0.0), (40.0, 8.0), (120.0, 60.0), (260.0, 420.0)),
+    2L -> Seq((10.0, 0.0), (60.0, 15.0), (140.0, 120.0), (300.0, 600.0)),
+    3L -> Seq((0.0, 5.0), (100.0, 50.0), (250.0, 380.0)))
+
+  /** Station-keyed piecewise-linear rating curve with the reference's
+    * out-of-range policy: BELOW the station's first calibrated stage
+    * the discharge is the constant first Q, ABOVE the last it is the
+    * constant last Q (`:349-358`-style edge clamps, but per station).
+    * The calibration is driver-known config → segments and bounds
+    * become two tiny broadcast tables; the bracket pick is a
+    * broadcast range-join on (station, [h, h_hi)); everything else is
+    * elementwise. */
+  def ratingCurveStation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seg = stationBreakpoints.toSeq.flatMap { case (st, bps) =>
+      bps.sliding(2).collect {
+        case Seq((h, q), (hHi, qHi)) => (st, h, q, hHi, qHi)
+      }
+    }.toDF("station", "h", "q", "h_hi", "q_hi")
+    val bounds = stationBreakpoints.toSeq.map { case (st, bps) =>
+      (st, bps.head._1, bps.head._2, bps.last._1, bps.last._2)
+    }.toDF("station", "h_min", "q_min", "h_max", "q_max")
+    val ev = Tables.events(spark, dir)
+      .withColumn("station", col("user_id") % 4)
+      .select(col("event_id"), col("station"), col("value").as("stage"))
+    val wb = ev.join(broadcast(bounds), Seq("station"))
+    wb.join(broadcast(seg),
+        wb("station") === seg("station") &&
+          wb("stage") >= seg("h") && wb("stage") < seg("h_hi"),
+        "left")
+      .select(wb("event_id"), wb("station"),
+        round(wb("stage"), 2).as("stage"),
+        // floor-quantized: interpolated values land on .00005
+        // boundaries where round() is not engine-invariant
+        (floor(
+          when(wb("stage") < col("h_min"), col("q_min"))
+            .when(wb("stage") >= col("h_max"), col("q_max"))
+            .otherwise(seg("q") + (wb("stage") - seg("h"))
+              / (seg("h_hi") - seg("h")) * (seg("q_hi") - seg("q")))
+          * 1e4 + 0.5) / 1e4)
+          .as("discharge"))
   }
 
   /** Spatial bbox slice + per-collection rollup — the reference slices

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gridded-product ingest lane — the NetCDF→zarr path that ~10 of the
+  * reference's ~25 processes run (`ingestor_planetary_process.py:130`
+  * `read_netcdf` → `:186` zarr out; `ingestor_creaf_tif_*` GeoTIFF;
+  * `ingestor_smhi_process.py` FTP NetCDF), re-expressed for a
+  * parquet lake.
+  *
+  * A decoded grid chunk arrives as a WIDE table — one row per
+  * (time, lat, lon) node, one column per variable, which is what any
+  * NetCDF/GRIB/GeoTIFF reader yields once decoded. The lane:
+  *
+  *  1. [[normalize]] melts it to the LONG form
+  *     `(time, lat, lon, var, value)` — the lake-native layout every
+  *     operator in this library consumes (one `unpivot`, zero
+  *     shuffles, evaluated in the scan stage);
+  *  2. [[publishGrid]] writes it CHUNK-PARTITIONED — variable / day /
+  *     latitude band — so the read side prunes whole directories
+  *     exactly like zarr chunk selection (variable and time/space
+  *     slicing never touch unrelated chunks);
+  *  3. [[readGrid]] + [[toWide]] read a slice back and re-pivot for
+  *     consumers that want the array-like shape.
+  *
+  * The binary file DECODE (netCDF/HDF5 codecs) is out of scope by
+  * design — the lane starts at the decoded-table boundary, the same
+  * seam where [[graft.operators.Multimodal]] starts at the payload
+  * boundary.
+  */
+object Grids {
+
+  /** Wide grid → long form. `varCols` become rows of (`var`,
+    * `value`); the coordinate columns are normalized to canonical
+    * names so downstream operators never see source-specific naming
+    * (the reference renames every fetched dataset's dims the same
+    * way). */
+  def normalize(wide: DataFrame, timeCol: String, latCol: String,
+      lonCol: String, varCols: Seq[String]): DataFrame =
+    wide.unpivot(
+      Array(col(timeCol).as("time"), col(latCol).as("lat"),
+        col(lonCol).as("lon")),
+      varCols.map(col).toArray, "var", "value")
+
+  /** Latitude band id for chunk partitioning. */
+  private def latBand(lat: org.apache.spark.sql.Column, deg: Int) =
+    floor(lat / deg).cast("int")
+
+  /** Write a long-form grid as a chunk-partitioned collection and
+    * return its registry row. Partition keys (`var`, day, latitude
+    * band) mirror zarr's (variable, time-chunk, space-chunk) axes:
+    * a read of one variable over one week over one band opens ONLY
+    * those directories. Within each partition, rows are repartitioned
+    * to one output file per chunk — many small files per chunk would
+    * rebuild the NetCDF small-read problem on the lake. */
+  def publishGrid(longDf: DataFrame, collectionId: String, outDir: String,
+      latBandDeg: Int = 30): DataFrame = {
+    val path = s"$outDir/$collectionId"
+    val chunked = longDf
+      .withColumn("p_day", to_date(col("time")))
+      .withColumn("lat_band", latBand(col("lat"), latBandDeg))
+    chunked
+      .repartition(col("var"), col("p_day"), col("lat_band"))
+      .write.mode("overwrite")
+      .partitionBy("var", "p_day", "lat_band")
+      .parquet(path)
+    // registry row from the WRITTEN files (cf. Catalog.publish)
+    longDf.sparkSession.read.parquet(path).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("var")).as("n_vars"),
+      date_format(min(col("time")), "yyyy-MM-dd HH:mm:ss").as("time_start"),
+      date_format(max(col("time")), "yyyy-MM-dd HH:mm:ss").as("time_end"),
+      min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"),
+      min(col("lon")).as("min_lon"), max(col("lon")).as("max_lon"))
+      .select(lit(collectionId).as("collection_id"), col("n_rows"),
+        col("n_vars"), col("time_start"), col("time_end"),
+        col("min_lat"), col("max_lat"), col("min_lon"), col("max_lon"))
+  }
+
+  /** Read a published grid collection; predicates on `var`, `p_day`
+    * and `lat_band` prune at the directory level before any file is
+    * opened. */
+  def readGrid(spark: SparkSession, collectionId: String,
+      outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/$collectionId")
+
+  /** Long form → wide, for consumers that want the array-like shape.
+    * `varNames` is passed EXPLICITLY: an unlisted-values `pivot`
+    * would first run a distinct scan to discover the columns — an
+    * extra full pass at 100 TB and a nondeterministic schema. */
+  def toWide(longDf: DataFrame, varNames: Seq[String]): DataFrame =
+    longDf.groupBy(col("time"), col("lat"), col("lon"))
+      .pivot("var", varNames)
+      .agg(first(col("value")))
+}

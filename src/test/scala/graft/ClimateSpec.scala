@@ -96,7 +96,72 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("spi_ensemble_median: member cardinality bounded, median inside member range") {
+    val out = SparkEntry.queries("spi_ensemble_median")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_members")
+      assert(n >= 1 && n <= 5, s"n_members=$n")
+    }
+  }
+
+  test("zonal_poly_spi: basin assignment matches a Scala point-in-polygon recompute") {
+    def insideScala(lon: Double, lat: Double, vs: Seq[(Double, Double)]): Boolean =
+      vs.indices.forall { i =>
+        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+        (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1) >= 0
+      }
+    def assignScala(lon: Double, lat: Double): Option[Int] =
+      Climate.basinPolygons.collectFirst {
+        case (id, vs) if insideScala(lon, lat, vs) => id
+      }
+    val assigned = Tables.events(spark, sf).select(col("user_id")).distinct()
+      .withColumn("lat", Climate.pseudoLat(col("user_id")))
+      .withColumn("lon", Climate.pseudoLon(col("user_id")))
+      .withColumn("basin", Climate.basinAssign(col("lon"), col("lat")))
+      .collect()
+    assert(assigned.nonEmpty)
+    var hits = 0
+    assigned.foreach { r =>
+      val expect = assignScala(r.getAs[Double]("lon"), r.getAs[Double]("lat"))
+      val got = Option(r.get(3)).map(_.asInstanceOf[Int])
+      assert(got === expect, s"user ${r.get(0)}")
+      if (got.isDefined) hits += 1
+    }
+    assert(hits > 0, "no point falls in any basin — geometry is vacuous")
+  }
+
+  test("rating_curve_station: constant clamps below/above each station's calibrated range") {
+    val byStation = Climate.stationBreakpoints
+    val out = SparkEntry.queries("rating_curve_station")(spark, sf).collect()
+    var below = 0; var above = 0
+    out.foreach { r =>
+      val st = r.getAs[Long]("station")
+      val stage = r.getAs[Double]("stage")
+      val q = r.getAs[Double]("discharge")
+      val bps = byStation(st)
+      if (stage < bps.head._1) { below += 1; assert(q === bps.head._2, s"station $st stage $stage") }
+      if (stage >= bps.last._1) { above += 1; assert(q === bps.last._2, s"station $st stage $stage") }
+    }
+    // both out-of-range branches must actually occur in the data
+    assert(below > 0, "below-min clamp never exercised")
+    assert(above > 0, "above-max clamp never exercised")
+  }
+
   // --- bias correction ---------------------------------------------
+
+  test("bias_qmap_key: split-fit mapping exercises out-of-range extrapolation and clamps") {
+    val out = SparkEntry.queries("bias_qmap_key")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byOob = out.groupBy(_.getAs[String]("oob")).view.mapValues(_.length).toMap
+    // in-range interpolation AND at least one constant-extrapolated row:
+    // late forecasts must fall outside the first-half fitted range somewhere
+    assert(byOob.getOrElse("in", 0) > 0, s"oob histogram: $byOob")
+    assert(byOob.getOrElse("low", 0) + byOob.getOrElse("high", 0) > 0,
+      s"extrapolation branch never exercised: $byOob")
+    // precipitation-style clamp: never negative
+    out.foreach(r => assert(r.getAs[Double]("corrected") >= 0.0))
+  }
 
   test("bias_delta: corrected forecast mean equals reference mean per key") {
     val ev = Tables.events(spark, sf)

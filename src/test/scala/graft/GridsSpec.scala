@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Grids
+
+class GridsSpec extends SparkSpec {
+
+  private lazy val wide = {
+    // a decoded grid chunk: one row per (time, lat, lon), two
+    // variable columns — derived deterministically from events
+    Tables.events(spark, sf)
+      .select(
+        date_trunc("DAY", col("ts")).as("valid_time"),
+        operators.Climate.pseudoLat(col("user_id")).as("latitude"),
+        operators.Climate.pseudoLon(col("user_id")).as("longitude"),
+        col("value").as("t2m"),
+        (col("value") * 0.1).as("tp"))
+      .groupBy("valid_time", "latitude", "longitude")
+      .agg(round(avg(col("t2m")), 4).as("t2m"), round(avg(col("tp")), 4).as("tp"))
+  }
+
+  test("normalize melts wide variables to canonical long form") {
+    val long = Grids.normalize(wide, "valid_time", "latitude", "longitude",
+      Seq("t2m", "tp"))
+    assert(long.columns.toSeq === Seq("time", "lat", "lon", "var", "value"))
+    assert(long.count() === wide.count() * 2)
+    assert(long.select("var").distinct().collect().map(_.getString(0)).sorted
+      === Array("t2m", "tp"))
+  }
+
+  test("publishGrid writes zarr-like chunk partitions; read side prunes them") {
+    val out = Files.createTempDirectory("graft_grids").toString
+    val long = Grids.normalize(wide, "valid_time", "latitude", "longitude",
+      Seq("t2m", "tp"))
+    val registry = Grids.publishGrid(long, "cds_t2m_tp", out).collect().head
+    assert(registry.getAs[Long]("n_rows") === long.count())
+    assert(registry.getAs[Long]("n_vars") === 2L)
+
+    // chunk-directory layout: var=... / p_day=... / lat_band=...
+    val varDirs = new java.io.File(s"$out/cds_t2m_tp").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(varDirs === Array("var=t2m", "var=tp"))
+    val dayDirs = new java.io.File(s"$out/cds_t2m_tp/var=t2m").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dayDirs.forall(_.startsWith("p_day=")) && dayDirs.nonEmpty)
+
+    // a (var, band) slice returns exactly the matching rows, and the
+    // partition filters reach the scan (directory-level pruning)
+    val slice = Grids.readGrid(spark, "cds_t2m_tp", out)
+      .filter(col("var") === "t2m" && col("lat_band") === -3)
+    val expect = long.filter(col("var") === "t2m" &&
+      floor(col("lat") / 30) === -3).count()
+    assert(slice.count() === expect && expect > 0)
+    val scan = slice.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("var#"),
+      s"partition filters missing from scan: ${scan.take(300)}")
+
+    // round-trip: long -> wide reproduces the original table
+    val back = Grids.toWide(
+      Grids.readGrid(spark, "cds_t2m_tp", out)
+        .select(col("time"), col("lat"), col("lon"), col("var"), col("value")),
+      Seq("t2m", "tp"))
+    val a = wide.select(col("valid_time").as("time"), col("latitude").as("lat"),
+      col("longitude").as("lon"), col("t2m"), col("tp"))
+      .collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(b === a)
+  }
+}
