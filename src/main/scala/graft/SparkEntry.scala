@@ -49,6 +49,7 @@ object SparkEntry {
     "danger_levels"         -> Climate.dangerLevels _,
     "pet_hargreaves"        -> Climate.petHargreaves _,
     "spi_ensemble_median"   -> Climate.spiEnsembleMedian _,
+    "spi_ensemble_gamma"    -> Climate.spiEnsembleGamma _,
     "zonal_stats"           -> Climate.zonalStats _,
     "zonal_spi"             -> Climate.zonalSpi _,
     "zonal_spi_quantiles"   -> Climate.zonalSpiQuantiles _,

@@ -88,10 +88,13 @@ object Climate {
     * zero-probability-corrected CDF H(x) = q + (1-q)·G(x) →
     * Abramowitz–Stegun normal quantile, applied to every row of `x`.
     * Public seam so the fit/apply split is spec-testable on
-    * constructed series. `x` needs (event_id, user_id, x); `fitRows`
-    * needs (user_id, x). */
-  def spiGammaOn(x: DataFrame, fitRows: DataFrame): DataFrame = {
-    val params = fitRows.groupBy(col("user_id"))
+    * constructed series, and the key is COMPOSITE-ready (a member/
+    * realization column joins the station key for ensemble products).
+    * `x` needs (event_id, keys…, x); `fitRows` needs (keys…, x). */
+  def spiGammaOn(x: DataFrame, fitRows: DataFrame,
+      keys: Seq[String] = Seq("user_id")): DataFrame = {
+    val kcols = keys.map(col)
+    val params = fitRows.groupBy(kcols: _*)
       .agg(
         count(lit(1)).cast("double").as("n"),
         sum(when(col("x") <= 0, 1).otherwise(0)).cast("double").as("n_zero"),
@@ -103,14 +106,14 @@ object Climate {
           / (lit(4.0) * col("a_stat")))
       .withColumn("beta", col("mean_pos") / col("alpha"))
       .withColumn("q0", col("n_zero") / col("n"))
-      .select("user_id", "alpha", "beta", "q0", "a_stat")
-    x.join(params, Seq("user_id"), "left")
+      .select(kcols ++ Seq(col("alpha"), col("beta"), col("q0"), col("a_stat")): _*)
+    x.join(params, keys, "left")
       .withColumn("h",
         col("q0") + (lit(1.0) - col("q0"))
           * StatColumns.gammaCdf(col("x"), col("alpha"), col("beta")))
       .withColumn("h_clamped",
         least(greatest(col("h"), lit(1e-6)), lit(1.0 - 1e-6)))
-      .select(col("event_id"), col("user_id"),
+      .select((col("event_id") +: kcols) ++ Seq(
         round(col("x"), 2).as("accum"),
         // a_stat -> 0 means a zero-variance (degenerate) accumulation
         // series: alpha diverges, the CDF is NaN, and Spark's NaN
@@ -120,7 +123,31 @@ object Climate {
         // the guard is not-true, null again).
         when(col("a_stat") > 1e-10,
           round(StatColumns.normQuantile(col("h_clamped")), 4))
-          .otherwise(lit(null).cast("double")).as("spi"))
+          .otherwise(lit(null).cast("double")).as("spi")): _*)
+  }
+
+  /** The reference's literal ensemble SPI (`utils_spi.py:577`
+    * `spi_ensemble` = gamma SPI per realization, then `nanmedian`
+    * across members): the full gamma index runs per (station,
+    * member) composite key through the same [[spiGammaOn]] core, the
+    * per-member indices are aligned on the weekly axis, and the
+    * member dimension collapses to its exact median (bounded group —
+    * ≤ member count). */
+  def spiEnsembleGamma(spark: SparkSession, dir: String): DataFrame = {
+    val wRoll = Window.partitionBy(col("user_id"), col("member"))
+      .orderBy(evOrder: _*)
+      .rowsBetween(-6, Window.currentRow)
+    val x = Tables.events(spark, dir)
+      .withColumn("member", col("event_id") % 5)
+      .select(col("event_id"), col("user_id"), col("member"), col("ts"),
+        sum(col("value")).over(wRoll).as("x"))
+    val spi = spiGammaOn(x, x, Seq("user_id", "member"))
+    spi.join(x.select(col("event_id"), col("ts")), Seq("event_id"))
+      .groupBy(col("user_id"),
+        date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"))
+      .agg(count(col("spi")).as("n"),
+        (floor(percentile(col("spi"), lit(0.5)) * 1e4 + 0.5) / 1e4)
+          .as("spi_med"))
   }
 
   /** Delta-method bias correction: per-key mean shift from the

@@ -33,4 +33,28 @@ object Pipelines {
       .withColumn("drought", col("spi") <= -1.0)
     Catalog.publish(product, "ts", "spi_zonal", outDir)
   }
+
+  /** The ensemble-forecast drought product end to end — the
+    * reference's seasonal SPI process (`ingestor_cds_spi_forecast_
+    * process.py`): climatology fit on the REFERENCE window only
+    * ([[Climate.spiGammaRef]]), index applied to the full span,
+    * placed on the grid, and published CHUNK-PARTITIONED through the
+    * zarr-shaped lane ([[graft.sources.Grids.publishGrid]]). One
+    * composed plan: rolling accumulation window → time-sliced fit
+    * aggregation → unhinted param join → elementwise grid placement →
+    * partitioned write; returns the collection registry row. */
+  def spiRefGridPublish(spark: SparkSession, dir: String,
+      outDir: String,
+      fitStartIso: String = "2024-01-01T00:00:00Z",
+      fitEndIso: String = "2024-01-16T00:00:00Z"): DataFrame = {
+    val spi = Climate.spiGammaRef(spark, dir, 7, fitStartIso, fitEndIso)
+    val ts = Tables.events(spark, dir).select(col("event_id"), col("ts"))
+    val grid = spi.join(ts, Seq("event_id"))
+      .select(col("ts").as("time"),
+        Climate.pseudoLat(col("user_id")).as("lat"),
+        Climate.pseudoLon(col("user_id")).as("lon"),
+        lit("spi7").as("var"),
+        col("spi").as("value"))
+    graft.sources.Grids.publishGrid(grid, "spi7_ref", outDir)
+  }
 }

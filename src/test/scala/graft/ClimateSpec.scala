@@ -105,6 +105,46 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("spi_ensemble_gamma: weekly medians equal a Scala recompute over member indices") {
+    // member-level gamma SPI, recomputed through the same public seam
+    val ev = Tables.events(spark, sf).withColumn("member", col("event_id") % 5)
+    val wRoll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("member"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+    val x = ev.select(col("event_id"), col("user_id"), col("member"), col("ts"),
+      sum(col("value")).over(wRoll).as("x"))
+    val memberSpi = Climate.spiGammaOn(x, x, Seq("user_id", "member"))
+      .join(x.select(col("event_id"), col("ts")), Seq("event_id"))
+      .select(col("user_id"),
+        date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"),
+        col("spi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> Option(r.get(2)).map(_.asInstanceOf[Double]))
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = s(pos.toInt); val hi = s(math.ceil(pos).toInt)
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    val expect = memberSpi.groupBy(_._1).map { case (k, rs) =>
+      val vs = rs.flatMap(_._2).toSeq
+      k -> (rs.count(_._2.isDefined).toLong,
+        if (vs.isEmpty) None
+        else Some(math.floor(median(vs) * 1e4 + 0.5) / 1e4))
+    }
+    val got = SparkEntry.queries("spi_ensemble_gamma")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(got.size === expect.size)
+    expect.foreach { case (k, (n, med)) =>
+      assert(got(k)._1 === n, s"group $k count")
+      (got(k)._2, med) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"group $k median")
+        case (a, b) => assert(a === b, s"group $k nullness")
+      }
+    }
+  }
+
   test("zonal_poly_spi: basin assignment matches a Scala point-in-polygon recompute") {
     def insideScala(lon: Double, lat: Double, vs: Seq[(Double, Double)]): Boolean =
       vs.indices.forall { i =>

@@ -69,4 +69,16 @@ class GridsSpec extends SparkSpec {
     val b = back.collect().map(_.toSeq).toSet
     assert(b === a)
   }
+
+  test("spiRefGridPublish: the composed drought pipeline lands a pruned grid collection") {
+    val out = Files.createTempDirectory("graft_spi_grid").toString
+    val reg = operators.Pipelines.spiRefGridPublish(spark, sf, out).collect().head
+    assert(reg.getAs[String]("collection_id") === "spi7_ref")
+    assert(reg.getAs[Long]("n_rows") === Tables.events(spark, sf).count())
+    assert(reg.getAs[Long]("n_vars") === 1L)
+    // the written collection is immediately sliceable by chunk keys
+    val sliced = Grids.readGrid(spark, "spi7_ref", out)
+      .filter(col("var") === "spi7" && col("lat_band") === -3)
+    assert(sliced.count() > 0)
+  }
 }
