@@ -90,9 +90,13 @@ object Climate {
     * Public seam so the fit/apply split is spec-testable on
     * constructed series, and the key is COMPOSITE-ready (a member/
     * realization column joins the station key for ensemble products).
-    * `x` needs (event_id, keys…, x); `fitRows` needs (keys…, x). */
+    * `x` needs (event_id, keys…, x); `fitRows` needs (keys…, x).
+    * `carry` columns of `x` ride along into the output — cheaper than
+    * re-joining the (window-computed) accumulation table afterwards,
+    * which would evaluate the rolling window twice. */
   def spiGammaOn(x: DataFrame, fitRows: DataFrame,
-      keys: Seq[String] = Seq("user_id")): DataFrame = {
+      keys: Seq[String] = Seq("user_id"),
+      carry: Seq[String] = Nil): DataFrame = {
     val kcols = keys.map(col)
     val params = fitRows.groupBy(kcols: _*)
       .agg(
@@ -113,7 +117,7 @@ object Climate {
           * StatColumns.gammaCdf(col("x"), col("alpha"), col("beta")))
       .withColumn("h_clamped",
         least(greatest(col("h"), lit(1e-6)), lit(1.0 - 1e-6)))
-      .select((col("event_id") +: kcols) ++ Seq(
+      .select((col("event_id") +: kcols) ++ carry.map(col) ++ Seq(
         round(col("x"), 2).as("accum"),
         // a_stat -> 0 means a zero-variance (degenerate) accumulation
         // series: alpha diverges, the CDF is NaN, and Spark's NaN
@@ -141,8 +145,7 @@ object Climate {
       .withColumn("member", col("event_id") % 5)
       .select(col("event_id"), col("user_id"), col("member"), col("ts"),
         sum(col("value")).over(wRoll).as("x"))
-    val spi = spiGammaOn(x, x, Seq("user_id", "member"))
-    spi.join(x.select(col("event_id"), col("ts")), Seq("event_id"))
+    spiGammaOn(x, x, Seq("user_id", "member"), carry = Seq("ts"))
       .groupBy(col("user_id"),
         date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"))
       .agg(count(col("spi")).as("n"),
