@@ -97,6 +97,24 @@ object EventsPipeline {
       }
   }
 
+  /** Streaming exact dedup — the ingest-time half of the dedup
+    * family: documents are keyed by their normalized-content
+    * fingerprint and only the FIRST arrival within the watermark
+    * horizon passes (`dropDuplicatesWithinWatermark`). State is one
+    * entry per distinct fingerprint seen inside the horizon — bounded
+    * by the watermark, unlike a plain `dropDuplicates` whose state
+    * grows forever on an unbounded stream. Re-drops of the same
+    * document (the reference re-ingests overlapping slices every
+    * scheduled run) dedupe at the door instead of polluting the lake;
+    * the batch-side `dedup_exact` then only handles cross-horizon
+    * duplicates. */
+  def streamingDedup(docs: DataFrame): DataFrame =
+    normalizeTs(docs)
+      .withColumn("fingerprint",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** One scheduled incremental run: drain everything currently in
     * `dropDir` into `outDir`, checkpointed at `ckptDir`, then stop. */
   def runOnce(spark: SparkSession, dropDir: String, ckptDir: String,

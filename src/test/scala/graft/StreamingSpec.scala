@@ -105,6 +105,36 @@ class StreamingSpec extends SparkSpec {
     assert(byId("documents").getAs[String]("time_start") == null)
   }
 
+  test("streamingDedup: re-dropped documents dedupe at the door, state watermark-bounded") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val docs = source.toDF().toDF("doc_id", "ts", "text")
+    val q = EventsPipeline.streamingDedup(docs)
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        (1L, t("2024-01-01 10:00:00"), "alpha beta"),
+        (2L, t("2024-01-01 10:01:00"), "  Alpha   BETA "), // same normalized content
+        (3L, t("2024-01-01 10:02:00"), "gamma"))
+      q.processAllAvailable()
+      // the overlapping re-ingest: same docs land again in the next batch
+      source.addData(
+        (4L, t("2024-01-01 10:30:00"), "alpha beta"),
+        (5L, t("2024-01-01 10:31:00"), "delta"))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").collect().map(_.getAs[Long]("doc_id")).sorted
+      // one survivor per distinct normalized content: 1 (or its dup 2) kept once,
+      // 3 and 5 unique, 4 dropped as a within-horizon duplicate
+      assert(ids.length === 3, s"got ${ids.mkString(",")}")
+      assert(ids.contains(3L) && ids.contains(5L))
+      assert(!(ids.contains(1L) && ids.contains(2L)))
+      assert(!ids.contains(4L))
+    } finally q.stop()
+  }
+
   test("stateful anomalies: running Welford state flags a 3-sigma outlier") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
