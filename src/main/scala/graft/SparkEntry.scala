@@ -58,6 +58,7 @@ object SparkEntry {
     "bbox_filter"           -> Climate.bboxFilter _,
     "extent_summary"        -> Climate.extentSummary _,
     "healthcheck_freshness" -> Climate.healthcheckFreshness _,
+    "items_query"           -> Serving.itemsQuery _,
     // --- LLM pipeline: text + exact dedup ------------------------
     "dedup_exact"     -> TextOps.dedupExact _,
     "lang_id"         -> TextOps.langId _,
@@ -65,6 +66,8 @@ object SparkEntry {
     "token_count"     -> TextOps.tokenCount _,
     "doc_fingerprint" -> TextOps.docFingerprint _,
     "corpus_sample"   -> TextOps.corpusSample _,
+    "text_repetition" -> TextOps.textRepetition _,
+    "corpus_clean"    -> TextOps.corpusClean _,
     // --- LLM pipeline: near-dup + similarity ---------------------
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_clusters"      -> Dedup.dedupClusters _,
@@ -620,6 +623,78 @@ object SparkEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
         |  CASE lang_pred WHEN 'en' THEN '19' WHEN 'de' THEN '4c'
         |                 WHEN 'fr' THEN '7f' ELSE 'ff' END""".stripMargin,
+    "text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), tokc AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) GROUP BY 1, 2
+        |), toka AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    floor((ln(sum(c)) - sum(c * ln(c)) / sum(c)) * 1e4 + 0.5) / 1e4 AS token_entropy
+        |  FROM tokc GROUP BY 1
+        |), bic AS (
+        |  SELECT doc_id, bg, count(*) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(toks)),
+        |                                i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |        FROM base) GROUP BY 1, 2
+        |), bia AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    floor((1.0 - count(*) / CAST(sum(c) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS dup_bigram_ratio,
+        |    floor((max(c) / CAST(sum(c) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS top_bigram_ratio
+        |  FROM bic GROUP BY 1)
+        |SELECT t.doc_id, t.n_tokens, t.token_entropy,
+        |       b.n_bigrams, b.dup_bigram_ratio, b.top_bigram_ratio
+        |FROM toka t LEFT JOIN bia b USING (doc_id)""".stripMargin,
+    "corpus_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, norm, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a'))
+        |       + len(list_filter(toks, x -> x = 'data')) + len(list_filter(toks, x -> x = 'fast'))
+        |       + len(list_filter(toks, x -> x = 'small')) AS score_en,
+        |    len(list_filter(toks, x -> x = 'window')) + len(list_filter(toks, x -> x = 'batch'))
+        |       + len(list_filter(toks, x -> x = 'stream')) + len(list_filter(toks, x -> x = 'slow')) AS score_de,
+        |    len(list_filter(toks, x -> x = 'merge')) + len(list_filter(toks, x -> x = 'sort'))
+        |       + len(list_filter(toks, x -> x = 'join')) + len(list_filter(toks, x -> x = 'line')) AS score_fr,
+        |    len(list_filter(toks, x -> x = 'spark')) + len(list_filter(toks, x -> x = 'query'))
+        |       + len(list_filter(toks, x -> x = 'vector')) + len(list_filter(toks, x -> x = 'row')) AS score_es,
+        |    floor(least(1.0, len(toks) / 100.0)
+        |      * (1.0 - (len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a')))
+        |               / CAST(len(toks) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS quality_score
+        |  FROM t
+        |), lang AS (
+        |  SELECT doc_id, n_tokens, quality_score,
+        |    CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+        |         WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+        |         WHEN score_fr >= score_es THEN 'fr'
+        |         ELSE 'es' END AS lang_pred,
+        |    min(doc_id) OVER (PARTITION BY md5(norm)) AS keeper
+        |  FROM s)
+        |SELECT doc_id, lang_pred, n_tokens, quality_score
+        |FROM lang
+        |WHERE doc_id = keeper AND quality_score >= 0.25
+        |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+        |    CASE lang_pred WHEN 'en' THEN '60' WHEN 'de' THEN 'a0'
+        |                   WHEN 'fr' THEN 'd0' ELSE 'ff' END""".stripMargin,
+    "items_query" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us,
+        |  (user_id % 36) * 5.0 - 87.5 AS lat,
+        |  (user_id % 72) * 5.0 - 177.5 AS lon,
+        |  value
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |  AND (user_id % 36) * 5.0 - 87.5 BETWEEN -45 AND 45
+        |  AND (user_id % 72) * 5.0 - 177.5 BETWEEN -180 AND -60
+        |ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH sh AS (

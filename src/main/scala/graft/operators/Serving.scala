@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The pygeoapi SERVING surface: the reference's processes publish
+  * collections that pygeoapi then serves through OGC API - Features
+  * `GET /collections/{id}/items` with `bbox=`, `datetime=`, property
+  * filters and `limit=` (the collections and their bbox/time extents
+  * are declared in `config.yml`; `collection_healthcheck.py` probes
+  * exactly these item endpoints). A user of the reference queries
+  * items far more often than they run an ingest — so the items query
+  * is a first-class operator here, not an afterthought.
+  */
+object Serving {
+
+  /** An items page: bbox + datetime window + property filter,
+    * newest-first, bounded page size.
+    *
+    * Shape at scale: the datetime slice goes through
+    * [[Tables.eventsBetween]] so the range predicate lands in the
+    * parquet scan's PushedFilters (row groups outside the window are
+    * never read), and the property equality pushes down beside it.
+    * The newest-first page is `orderBy(...).limit(k)` which Spark
+    * plans as TakeOrderedAndProject — each task keeps a k-row heap
+    * and the driver merges partition heads; no global sort ever
+    * materializes (spec-asserted). Ordering carries an `event_id`
+    * tiebreak so the returned page is deterministic under equal
+    * timestamps on any engine. */
+  def itemsQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsBetween(spark, dir,
+        "2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z")
+      .filter(col("event_type") === "click")
+      .withColumn("lat", Climate.pseudoLat(col("user_id")))
+      .withColumn("lon", Climate.pseudoLon(col("user_id")))
+      .filter(col("lat").between(-45.0, 45.0) &&
+        col("lon").between(-180.0, -60.0))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(100)
+      // epoch-micros keeps the timestamp hash-exact across engines
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("lat"), col("lon"), col("value"))
+}

@@ -39,31 +39,37 @@ object TextOps {
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_count"))
 
-  /** Marker-word language scoring + argmax. The lexicons are
-    * pluggable; this instance uses marker sets chosen to partition
-    * the synthetic corpus vocabulary so the argmax genuinely varies.
-    * Ties break by fixed lexicon order (en > de > fr > es), encoded
-    * identically in the oracle's CASE chain. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "a", "data", "fast", "small"),
-      "de" -> Seq("window", "batch", "stream", "slow"),
-      "fr" -> Seq("merge", "sort", "join", "line"),
-      "es" -> Seq("spark", "query", "vector", "row"))
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), words(normalized(col("text"))).as("toks"))
-    val scored = markers.foldLeft(base) { case (df, (lang, ws)) =>
-      df.withColumn(s"score_$lang",
+  /** The language-marker lexicons shared by [[langId]] and
+    * [[corpusClean]] — pluggable; this instance partitions the
+    * synthetic corpus vocabulary so the argmax genuinely varies. */
+  private[operators] val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "data", "fast", "small"),
+    "de" -> Seq("window", "batch", "stream", "slow"),
+    "fr" -> Seq("merge", "sort", "join", "line"),
+    "es" -> Seq("spark", "query", "vector", "row"))
+
+  /** Adds `score_<lang>` columns (marker occurrences in `toks`) and
+    * the argmax `lang_pred`. Ties break by fixed lexicon order
+    * (en > de > fr > es), encoded identically in the oracle's CASE
+    * chain. */
+  private def withLangScores(df: DataFrame): DataFrame = {
+    val scored = markers.foldLeft(df) { case (d, (lang, ws)) =>
+      d.withColumn(s"score_$lang",
         ws.map(w => cnt(col("toks"), w)).reduce(_ + _).cast("long"))
     }
     val Seq(en, de, fr, es) = markers.map(m => col(s"score_${m._1}"))
     scored.withColumn("lang_pred",
-        when(en >= de && en >= fr && en >= es, "en")
-          .when(de >= fr && de >= es, "de")
-          .when(fr >= es, "fr")
-          .otherwise("es"))
-      .select("doc_id", "score_en", "score_de", "score_fr", "score_es", "lang_pred")
+      when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es"))
   }
+
+  /** Marker-word language scoring + argmax. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    withLangScores(Tables.documents(spark, dir)
+        .select(col("doc_id"), words(normalized(col("text"))).as("toks")))
+      .select("doc_id", "score_en", "score_de", "score_fr", "score_es", "lang_pred")
 
   /** Quality scoring: token/stopword/digit ratios + a bounded
     * composite — the classic pre-training corpus filter signals. */
@@ -131,6 +137,101 @@ object TextOps {
         graft.expressions.PlanColumns.noPushdown(col("lang_pred")).as("lang_pred"))
       .withColumn("sel", substring(md5(col("doc_id").cast("string")), 1, 2))
       .filter(col("sel") <= cutoff)
+  }
+
+  /** Repetition + diversity quality signals per document — the
+    * "repetitious text" filters of large-corpus curation (duplicate
+    * n-gram fraction, most-common-n-gram fraction, token entropy):
+    * heavily repeated boilerplate scores high dup/top ratios and low
+    * entropy and gets culled before training.
+    *
+    * Shape at scale: tokens and bigrams explode to (doc_id, gram)
+    * rows, count per gram, then reduce per doc — two hash
+    * aggregations on high-cardinality composite keys with map-side
+    * partials, joined back on doc_id. Entropy comes from the single
+    * identity Σc·ln(c): H = ln(N) − Σc·ln(c)/N, so one aggregation
+    * pass needs no per-doc normalization join. The compact corpus is
+    * [[Tables.spread]] first so the explode fans out across the
+    * cluster, and both agg branches share one scan via the common
+    * tokenized child. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(Tables.spread(
+      Tables.documents(spark, dir), col("doc_id")))
+
+  /** [[textRepetition]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), words(normalized(col("text"))).as("toks"))
+    val tokCounts = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).count()
+    val tokAgg = tokCounts.groupBy(col("doc_id")).agg(
+      sum(col("count")).cast("long").as("n_tokens"),
+      // floor-quantized (not round()): see Climate.quantileMap
+      (floor((log(sum(col("count")).cast("double"))
+          - sum(col("count").cast("double") * log(col("count").cast("double")))
+            / sum(col("count")).cast("double")) * 1e4 + 0.5) / 1e4)
+        .as("token_entropy"))
+    // bigrams built elementwise from the token array (no positional
+    // self-join): slice off the last token, pair each with its
+    // successor via the transform index.
+    val biCounts = base
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1)," +
+          " (t, i) -> concat(t, ' ', element_at(toks, i + 2)))")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).count()
+    val biAgg = biCounts.groupBy(col("doc_id")).agg(
+      sum(col("count")).cast("long").as("n_bigrams"),
+      (floor((lit(1.0) - count(lit(1)) / sum(col("count")).cast("double"))
+        * 1e4 + 0.5) / 1e4).as("dup_bigram_ratio"),
+      (floor((max(col("count")) / sum(col("count")).cast("double"))
+        * 1e4 + 0.5) / 1e4).as("top_bigram_ratio"))
+    // left join: a single-token document has tokens but zero bigrams
+    tokAgg.join(biAgg, Seq("doc_id"), "left")
+      .select("doc_id", "n_tokens", "token_entropy",
+        "n_bigrams", "dup_bigram_ratio", "top_bigram_ratio")
+  }
+
+  /** The composed corpus-curation pipeline in ONE plan — what a
+    * C4-style cleaning run chains: tokenize once, score language +
+    * quality, exact-dedup survivors only, then stratified downsample
+    * per predicted language (en 38% / de 63% / fr 81% / es+zh 100%).
+    * A user runs one call and gets the training-ready keep list.
+    *
+    * Shape at scale: one scan computes every per-doc signal
+    * elementwise; the only shuffle is the keeper window on the md5
+    * fingerprint (uniform high-cardinality key). The selection filter
+    * sits ABOVE that window and references only materialized
+    * attributes — Catalyst cannot substitute the scoring tree into it
+    * through the window boundary (spec-asserted), so every document
+    * is scored exactly once. */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame =
+    corpusCleanOf(Tables.documents(spark, dir))
+
+  /** [[corpusClean]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def corpusCleanOf(docs: DataFrame): DataFrame = {
+    val scored = withLangScores(
+      docs.select(col("doc_id"), normalized(col("text")).as("norm"))
+        .withColumn("toks", words(col("norm"))))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // floor-quantized quality (vs textQuality's round()): this one
+      // feeds a >= threshold, where the engines' round() divergence
+      // on .00005 boundaries would flip membership
+      .withColumn("quality_score",
+        floor(least(lit(1.0), col("n_tokens") / lit(100.0))
+          * (lit(1.0) - (cnt(col("toks"), "the") + cnt(col("toks"), "a"))
+              / col("n_tokens").cast("double")) * 1e4 + 0.5) / 1e4)
+    val keeper = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("norm")))
+    scored
+      .withColumn("keeper", min(col("doc_id")).over(keeper))
+      .withColumn("sel", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .filter(col("doc_id") === col("keeper") &&
+        col("quality_score") >= 0.25 &&
+        col("sel") <= when(col("lang_pred") === "en", "60")
+          .when(col("lang_pred") === "de", "a0")
+          .when(col("lang_pred") === "fr", "d0")
+          .otherwise("ff"))
+      .select("doc_id", "lang_pred", "n_tokens", "quality_score")
   }
 
   /** Per-document fingerprints: exact content hash + order-invariant

@@ -1,0 +1,46 @@
+package graft
+
+import java.time.Instant
+
+class ServingSpec extends SparkSpec {
+
+  test("items_query: deterministic newest-first page, bounded top-k plan") {
+    val df = SparkEntry.queries("items_query")(spark, sf)
+    // the page must be a bounded top-k (per-task heaps + driver
+    // merge), never a global sort materialization
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("lat") >= -45.0 && r.getAs[Double]("lat") <= 45.0)
+      assert(r.getAs[Double]("lon") >= -180.0 && r.getAs[Double]("lon") <= -60.0)
+    }
+    // newest-first with event_id tiebreak, exactly as returned
+    val order = rows.map(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+    assert(order.sameElements(order.sortBy(t => (-t._1, -t._2))))
+
+    // brute-force recomputation over the raw table
+    val t0 = Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+    val t1 = Instant.parse("2024-01-20T00:00:00Z").toEpochMilli * 1000L
+    val expect = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type")
+      .collect()
+      .map { r =>
+        val us = r.getTimestamp(1).getTime * 1000L +
+          (r.getTimestamp(1).getNanos / 1000L) % 1000L
+        (r.getLong(0), us, r.getLong(2), r.getString(3))
+      }
+      .filter { case (_, us, uid, et) =>
+        et == "click" && us >= t0 && us < t1 && {
+          val lat = (uid % 36) * 5.0 - 87.5
+          val lon = (uid % 72) * 5.0 - 177.5
+          lat >= -45 && lat <= 45 && lon >= -180 && lon <= -60
+        }
+      }
+      .sortBy { case (id, us, _, _) => (-us, -id) }
+      .take(100).map(_._1).toSeq
+    assert(rows.map(_.getAs[Long]("event_id")).toSeq === expect)
+  }
+}

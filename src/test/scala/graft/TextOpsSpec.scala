@@ -2,6 +2,8 @@ package graft
 
 import java.security.MessageDigest
 
+import graft.operators.TextOps
+
 class TextOpsSpec extends SparkSpec {
 
   private def md5hex(s: String): String =
@@ -104,6 +106,108 @@ class TextOpsSpec extends SparkSpec {
     // primitives — they belong to the projection, evaluated once.
     val plan = SparkEntry.queries("corpus_sample")(spark, sf)
       .queryExecution.executedPlan
+    val filterConds = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.sql
+    }
+    assert(filterConds.nonEmpty)
+    filterConds.foreach { c =>
+      assert(!c.contains("regexp_replace") && !c.contains("lambdafunction"),
+        s"scoring tree leaked into a Filter: ${c.take(200)}")
+    }
+  }
+
+  test("text_repetition: exact recomputation per document") {
+    val rows = SparkEntry.queries("text_repetition")(spark, sf).collect()
+    assert(rows.length === docs.size)
+    val byId = docs.map(d => d._1 -> d._2).toMap
+    rows.take(50).foreach { r =>
+      val toks = byId(r.getAs[Long]("doc_id")).split(" ").toSeq
+      val n = toks.length
+      assert(r.getAs[Long]("n_tokens") === n)
+      val counts = toks.groupBy(identity).map(_._2.size.toDouble)
+      val ent = math.log(n) - counts.map(c => c * math.log(c)).sum / n
+      // summation order differs between engines — one quantum slack
+      assert(math.abs(r.getAs[Double]("token_entropy") - ent) < 1.1e-4)
+      val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val bc = bgs.groupBy(identity).map(_._2.size)
+      assert(r.getAs[Long]("n_bigrams") === bgs.length)
+      assert(math.abs(r.getAs[Double]("dup_bigram_ratio")
+        - (1.0 - bc.size.toDouble / bgs.length)) < 1.1e-4)
+      assert(math.abs(r.getAs[Double]("top_bigram_ratio")
+        - bc.max.toDouble / bgs.length) < 1.1e-4)
+    }
+  }
+
+  test("text_repetition: degenerate repeated doc pins the signals") {
+    import spark.implicits._
+    val df = Seq((1L, "x x x x x"), (2L, "a b c d e"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val m = TextOps.repetitionOf(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Double]("token_entropy") === 0.0) // one distinct token
+    assert(m(1L).getAs[Long]("n_bigrams") === 4L)
+    assert(m(1L).getAs[Double]("dup_bigram_ratio") === 0.75) // 1 - 1/4
+    assert(m(1L).getAs[Double]("top_bigram_ratio") === 1.0)
+    assert(m(2L).getAs[Double]("dup_bigram_ratio") === 0.0) // all distinct
+    assert(m(2L).getAs[Double]("top_bigram_ratio") === 0.25)
+    // single-token doc: tokens but no bigrams — survives as nulls
+    assert(m(3L).getAs[Long]("n_tokens") === 1L)
+    assert(m(3L).isNullAt(m(3L).fieldIndex("n_bigrams")))
+  }
+
+  test("corpus_clean: composed selection matches its oracle-checked parts") {
+    val lang = SparkEntry.queries("lang_id")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    val keeperOf = docs.groupBy(d => d._2).map { case (_, ds) =>
+      ds.map(_._1).min
+    }.toSet
+    val cut = Map("en" -> "60", "de" -> "a0", "fr" -> "d0", "es" -> "ff")
+    def quality(text: String): Double = {
+      val toks = text.split(" ")
+      val stops = toks.count(Set("the", "a"))
+      math.floor(math.min(1.0, toks.length / 100.0)
+        * (1.0 - stops.toDouble / toks.length) * 1e4 + 0.5) / 1e4
+    }
+    val expect = docs.filter { case (id, text, _) =>
+      keeperOf(id) && quality(text) >= 0.25 &&
+        md5hex(id.toString).substring(0, 2) <= cut(lang(id))
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("corpus_clean")(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet === expect)
+    assert(expect.nonEmpty && expect.size < docs.size) // filter really selects
+    got.foreach { r =>
+      assert(r.getAs[String]("lang_pred") === lang(r.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("corpus_clean: exact duplicates collapse to the min-id keeper") {
+    import spark.implicits._
+    // all-marker text: lang en, no stopwords, 30 tokens -> quality 0.3
+    val text = Seq.fill(30)("data").mkString(" ")
+    // a keeper id that passes the en sampling cutoff
+    val keep = (0L to 200L).find(i =>
+      md5hex(i.toString).substring(0, 2) <= "60").get
+    val df = Seq(
+      (keep, text), (keep + 1000L, text),          // exact dup, larger id
+      (keep + 2000L, Seq.fill(30)("the").mkString(" ")) // all-stopword junk
+    ).toDF("doc_id", "text")
+    val out = TextOps.corpusCleanOf(df).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(keep))
+    assert(out.head.getAs[Double]("quality_score") === 0.3)
+  }
+
+  test("corpus_clean: scoring tree stays OUT of every Filter condition") {
+    // the selection references lang/quality attributes materialized
+    // below the keeper window — Catalyst must not re-derive the
+    // tokenize-and-score tree inside a Filter (corpus_sample lesson)
+    // the window's shuffle makes this plan adaptive; AQE's root is a
+    // leaf from the outside, so unwrap before collecting
+    val plan = SparkEntry.queries("corpus_clean")(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
     val filterConds = plan.collect {
       case f: org.apache.spark.sql.execution.FilterExec => f.condition.sql
     }
