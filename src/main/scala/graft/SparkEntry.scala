@@ -68,8 +68,10 @@ object SparkEntry {
     "corpus_sample"   -> TextOps.corpusSample _,
     "text_repetition" -> TextOps.textRepetition _,
     "corpus_clean"    -> TextOps.corpusClean _,
+    "vocab_topk"      -> TextOps.vocabTopk _,
     // --- LLM pipeline: near-dup + similarity ---------------------
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "decontaminate"       -> Dedup.decontaminate _,
     "dedup_clusters"      -> Dedup.dedupClusters _,
     "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
     "dedup_simhash"       -> Dedup.simhash _,
@@ -684,6 +686,29 @@ object SparkEntry {
         |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
         |    CASE lang_pred WHEN 'en' THEN '60' WHEN 'de' THEN 'a0'
         |                   WHEN 'fr' THEN 'd0' ELSE 'ff' END""".stripMargin,
+    "vocab_topk" ->
+      """SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(
+        |        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY 1
+        |ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+    "decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(toks) - 6),
+        |             i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS shingle
+        |    FROM base)
+        |), bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
+        |FROM sh s JOIN bench b USING (shingle)
+        |WHERE s.doc_id % 10 != 0
+        |GROUP BY 1""".stripMargin,
     "items_query" ->
       """SELECT event_id, epoch_us(ts) AS ts_us,
         |  (user_id % 36) * 5.0 - 87.5 AS lat,

@@ -108,6 +108,47 @@ object Dedup {
   def dedupClustersScaled(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(minhashLsh(spark, dir).select("doc_a", "doc_b"))
 
+  /** Benchmark decontamination — the training-corpus hygiene step
+    * that removes documents leaking evaluation data: any training doc
+    * sharing at least one word 8-shingle with a held-out benchmark
+    * doc is flagged (the standard n-gram-overlap decontamination
+    * rule). Returns the contamination report: flagged `doc_id` +
+    * distinct shared-shingle count as evidence.
+    *
+    * Shape at scale: shingles are extracted in the scan stage (one
+    * codegen'd regex pass over normalized text, distinct per doc),
+    * the benchmark side collapses to its DISTINCT shingle set, and
+    * contamination is one equi-join on the shingle. A real benchmark
+    * suite is a FIXED small set (it does not grow with the corpus),
+    * so at runtime AQE broadcasts that side and the train corpus
+    * never shuffles; the join stays unhinted because this test
+    * derivation (`doc_id % 10`) does scale with the input. Skew is
+    * structurally bounded: the bench side is distinct, so join output
+    * is at most the train-side occurrences of benchmark shingles —
+    * the contamination volume itself. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateOf(Tables.documents(spark, dir),
+      col("doc_id") % 10 === 0, 8)
+
+  /** [[decontaminate]] over an arbitrary (doc_id, text) frame with a
+    * caller-supplied benchmark membership predicate and shingle
+    * width. */
+  private[graft] def decontaminateOf(docs: DataFrame, isBench: Column,
+      k: Int): DataFrame = {
+    // zero-width match anchored at each token start captures the
+    // overlapping k-gram (see shingleArrays for why not transform)
+    val pat = "(?<=^| )(?=(" + Seq.fill(k)("[^ ]+").mkString(" ") + "))"
+    val sh = Tables.spread(docs, col("doc_id"))
+      .select(col("doc_id"), isBench.as("is_bench"),
+        explode(array_distinct(regexp_extract_all(
+          TextOps.normalized(col("text")), lit(pat), lit(1)))).as("shingle"))
+    val bench = sh.filter(col("is_bench")).select("shingle").distinct()
+    sh.filter(!col("is_bench"))
+      .join(bench, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_shingles"))
+  }
+
   /** Connected components of an undirected pair graph
     * (`doc_a`, `doc_b`) by min-label propagation; see
     * [[dedupClusters]] for the scale notes. Public so the iteration

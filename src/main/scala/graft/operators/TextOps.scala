@@ -234,6 +234,21 @@ object TextOps {
       .select("doc_id", "lang_pred", "n_tokens", "quality_score")
   }
 
+  /** Corpus vocabulary: the k most frequent tokens with a
+    * deterministic (count desc, token asc) tiebreak — the counting
+    * primitive under tokenizer/BPE-vocabulary construction and
+    * stopword discovery. One explode → one hash aggregation on the
+    * token (map-side partials collapse each partition's counts
+    * first), then a bounded top-k planned as TakeOrderedAndProject —
+    * per-task heaps, no global sort, O(k) driver merge at any corpus
+    * size. */
+  def vocabTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(explode(words(normalized(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(100)
+
   /** Per-document fingerprints: exact content hash + order-invariant
     * bag-of-words hash (catches shuffled near-dups for free). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {

@@ -101,4 +101,29 @@ class DedupSpec extends SparkSpec {
     assert(out(100L) === 100L && out(101L) === 100L)
     assert(out.size === 14)
   }
+
+  test("decontaminate: an 8-token overlap flags, a 7-token overlap does not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val span = (1 to 8).map(n => s"w$n").mkString(" ")
+    val docs = Seq(
+      (0L, s"$span tail1 tail2"),            // the benchmark doc
+      (1L, s"prefix $span suffix"),          // leaks the full 8-gram
+      (2L, "w1 w2 w3 w4 w5 w6 w7 x y z"),    // only a 7-token run
+      (3L, "completely unrelated words here spread over eight tokens")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .decontaminateOf(docs, col("doc_id") === 0L, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((1L, 1L)))
+  }
+
+  test("decontaminate: corpus report never contains benchmark docs") {
+    val rows = SparkEntry.queries("decontaminate")(spark, sf).collect()
+    assert(rows.nonEmpty) // the synthetic corpus plants near-dups across the split
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 10 != 0L)
+      assert(r.getAs[Long]("n_hit_shingles") >= 1L)
+    }
+  }
 }

@@ -155,6 +155,18 @@ class TextOpsSpec extends SparkSpec {
     assert(m(3L).isNullAt(m(3L).fieldIndex("n_bigrams")))
   }
 
+  test("vocab_topk: exact frequencies, deterministic tiebreak, bounded plan") {
+    val df = SparkEntry.queries("vocab_topk")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    val rows = df.collect()
+    val expect = docs.flatMap(_._2.split(" "))
+      .groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+      .toSeq.sortBy { case (t, n) => (-n, t) }.take(100)
+    assert(rows.map(r => (r.getAs[String]("token"), r.getAs[Long]("n"))).toSeq
+      === expect)
+  }
+
   test("corpus_clean: composed selection matches its oracle-checked parts") {
     val lang = SparkEntry.queries("lang_id")(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
