@@ -42,6 +42,7 @@ object SparkEntry {
     "spi_gamma_ref"         -> ((s, d) => Climate.spiGammaRef(s, d, 7,
       "2024-01-01T00:00:00Z", "2024-01-16T00:00:00Z")),
     "bias_delta"            -> Climate.biasDelta _,
+    "bias_reconstruct"      -> Climate.biasReconstruct _,
     "bias_qmap"             -> Climate.biasQmap _,
     "bias_qmap_key"         -> Climate.biasQmapKey _,
     "rating_curve"          -> Climate.ratingCurve _,
@@ -265,6 +266,35 @@ object SparkEntry {
         |LEFT JOIN fm f ON e.user_id = f.user_id
         |LEFT JOIN ref r ON e.user_id = r.user_id
         |WHERE e.event_type = 'click'""".stripMargin,
+    "bias_reconstruct" ->
+      """WITH fc AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         min(value) AS vmin, max(value) - min(value) AS vrange
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |), ref AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         min(value) AS vmin, max(value) - min(value) AS vrange
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |), d AS (
+        |  SELECT f.user_id,
+        |         r.r_min_mean - f.f_min_mean AS d_min,
+        |         r.r_range_mean - f.f_range_mean AS d_range
+        |  FROM (SELECT user_id, avg(vmin) AS f_min_mean, avg(vrange) AS f_range_mean
+        |        FROM fc GROUP BY 1) f
+        |  JOIN (SELECT user_id, avg(vmin) AS r_min_mean, avg(vrange) AS r_range_mean
+        |        FROM ref GROUP BY 1) r ON f.user_id = r.user_id
+        |), adj AS (
+        |  SELECT fc.user_id, fc.day,
+        |         fc.vmin + d.d_min AS min_adj,
+        |         (fc.vmin + d.d_min)
+        |           + greatest(fc.vrange + d.d_range, 0.0) AS max_adj
+        |  FROM fc JOIN d ON fc.user_id = d.user_id)
+        |SELECT user_id, day, t_min_adj, t_max_adj,
+        |  floor((t_min_adj + t_max_adj) / 2 * 1e4 + 0.5) / 1e4 AS t_avg_adj
+        |FROM (SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |        floor(min_adj * 1e4 + 0.5) / 1e4 AS t_min_adj,
+        |        floor(max_adj * 1e4 + 0.5) / 1e4 AS t_max_adj
+        |      FROM adj)""".stripMargin,
 
     "bias_qmap" ->
       """WITH f AS (SELECT event_id, user_id, value FROM events WHERE event_type = 'click'),

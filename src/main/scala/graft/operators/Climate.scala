@@ -175,6 +175,63 @@ object Climate {
           * 1e4 + 0.5) / 1e4).as("corrected"))
   }
 
+  /** Linked-variable bias correction with algebraic reconstruction —
+    * the reference's temperature path (`bias_correction_cds_process
+    * .py:394-400` `bias_correction_t2m`): it corrects `t2m_min` and
+    * `t2m_range` INDEPENDENTLY, then reconstructs
+    * `max = min + range` and `avg = (min + max)/2`, so the corrected
+    * triple can never invert (max ≥ min holds because the range is
+    * clamped ≥ 0 like precipitation at `:390-391`). Here the two
+    * linked series are the daily minimum and daily spread of the
+    * forecast ('click') stream, delta-corrected against the observed
+    * ('view') stream per station.
+    *
+    * Plan: two grouped daily aggregations (one shuffle each on
+    * (user_id, day)), per-station delta means (O(stations) rows),
+    * an unhinted join back (AQE broadcasts the delta side at
+    * runtime), then the reconstruction is pure elementwise
+    * arithmetic in the final projection. */
+  def biasReconstruct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def daily(t: String) = ev.filter(col("event_type") === t)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("value")).as("vmin"),
+        (max(col("value")) - min(col("value"))).as("vrange"))
+    reconstructFrom(daily("click"), daily("view"))
+  }
+
+  /** [[biasReconstruct]]'s correction+reconstruction core over
+    * arbitrary forecast/reference daily frames
+    * (user_id, day, vmin, vrange). */
+  private[graft] def reconstructFrom(fc: DataFrame, ref: DataFrame): DataFrame = {
+    val deltas = fc.groupBy(col("user_id"))
+      .agg(avg(col("vmin")).as("f_min_mean"), avg(col("vrange")).as("f_range_mean"))
+      .join(ref.groupBy(col("user_id"))
+        .agg(avg(col("vmin")).as("r_min_mean"), avg(col("vrange")).as("r_range_mean")),
+        Seq("user_id"))
+      .select(col("user_id"),
+        (col("r_min_mean") - col("f_min_mean")).as("d_min"),
+        (col("r_range_mean") - col("f_range_mean")).as("d_range"))
+    fc.join(deltas, Seq("user_id"))
+      .withColumn("min_adj", col("vmin") + col("d_min"))
+      // range clamps at 0 (`:390-391`), which guarantees max ≥ min
+      .withColumn("range_adj", greatest(col("vrange") + col("d_range"), lit(0.0)))
+      .withColumn("max_adj", col("min_adj") + col("range_adj"))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        // floor-quantized: see quantileMap for why round() is not
+        // engine-invariant on .00005 boundaries
+        (floor(col("min_adj") * 1e4 + 0.5) / 1e4).as("t_min_adj"),
+        (floor(col("max_adj") * 1e4 + 0.5) / 1e4).as("t_max_adj"))
+      // the average derives from the QUANTIZED min/max, not the raw
+      // ones: halving two raw doubles lands on exact half-quantum
+      // boundaries where engine ulp noise flips the floor, while the
+      // quantized inputs are bit-identical on both engines so every
+      // later operation is too (observed: 15/3000 rows flipped)
+      .withColumn("t_avg_adj",
+        floor((col("t_min_adj") + col("t_max_adj")) / 2 * 1e4 + 0.5) / 1e4)
+  }
+
   /** Empirical quantile mapping of `fcst` onto `ref`'s distribution,
     * per key (`bias_correction_cds_process.py:310-400`, rank-interp
     * form). Both inputs need (event_id, user_id, value).

@@ -289,4 +289,33 @@ class ClimateSpec extends SparkSpec {
     assert(q.nonEmpty)
     assert(q.forall(r => r.getAs[Double]("target_y") > 0))
   }
+
+  test("bias_reconstruct: planted deltas correct exactly, range clamps, triple never inverts") {
+    import spark.implicits._
+    import java.sql.Date
+    val d1 = Date.valueOf("2024-01-01"); val d2 = Date.valueOf("2024-01-02")
+    // station 1: fcst min runs 2 too cold, fcst range 1 too wide;
+    // day 2's range delta would go negative -> clamps to 0
+    val fc = Seq((1L, d1, 10.0, 3.0), (1L, d2, 12.0, 0.5))
+      .toDF("user_id", "day", "vmin", "vrange")
+    val ref = Seq((1L, d1, 13.0, 1.5), (1L, d2, 13.0, 1.0))
+      .toDF("user_id", "day", "vmin", "vrange")
+    // deltas: d_min = 13 - 11 = 2, d_range = 1.25 - 1.75 = -0.5
+    val out = graft.operators.Climate.reconstructFrom(fc, ref)
+      .collect().map(r => r.getAs[String]("day") -> r).toMap
+    assert(out("2024-01-01").getAs[Double]("t_min_adj") === 12.0)
+    assert(out("2024-01-01").getAs[Double]("t_max_adj") === 14.5) // 12 + (3 - 0.5)
+    assert(out("2024-01-01").getAs[Double]("t_avg_adj") === 13.25)
+    assert(out("2024-01-02").getAs[Double]("t_min_adj") === 14.0)
+    assert(out("2024-01-02").getAs[Double]("t_max_adj") === 14.0) // range 0.5-0.5 -> 0
+    // the full query: reconstruction invariants hold on every row
+    val rows = SparkEntry.queries("bias_reconstruct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx, av) = (r.getAs[Double]("t_min_adj"),
+        r.getAs[Double]("t_max_adj"), r.getAs[Double]("t_avg_adj"))
+      assert(mx >= mn)
+      assert(math.abs(av - (mn + mx) / 2) < 1.1e-4)
+    }
+  }
 }
