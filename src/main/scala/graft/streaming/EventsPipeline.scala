@@ -97,6 +97,24 @@ object EventsPipeline {
       }
   }
 
+  /** Streaming gap-based sessionization — the streaming twin of the
+    * batch `ts_sessionize` operator: events group into
+    * `session_window(ts, 30 min)` sessions that stay open while
+    * events keep arriving within the gap and close once the watermark
+    * passes 30 minutes of silence. State is one open session per
+    * active key, merged incrementally across micro-batches and
+    * expired by the watermark — the bounded-state way to sessionize
+    * an unbounded stream (a batch window over all history cannot).
+    * Append mode emits each session exactly once, on close. */
+  def sessionize(events: DataFrame): DataFrame =
+    normalizeTs(events)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+
   /** Streaming exact dedup — the ingest-time half of the dedup
     * family: documents are keyed by their normalized-content
     * fingerprint and only the FIRST arrival within the watermark

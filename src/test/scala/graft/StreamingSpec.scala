@@ -135,6 +135,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize: sessions close on gap + watermark, emitted once") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(Long, Timestamp, Double)]
+    val ev = source.toDF().toDF("user_id", "ts", "value")
+    val q = EventsPipeline.sessionize(ev)
+      .writeStream.format("memory").queryName("ssess")
+      .outputMode("append").start()
+    try {
+      // two bursts for user 1 separated by >30 min -> two sessions
+      source.addData(
+        (1L, t("2024-01-01 10:00:00"), 1.0),
+        (1L, t("2024-01-01 10:10:00"), 2.0),
+        (1L, t("2024-01-01 11:30:00"), 5.0))
+      q.processAllAvailable()
+      // advance event time far enough that the 1h watermark passes
+      // both session ends (10:40 and 12:00); watermark updates at
+      // batch boundaries, so a third batch triggers the emission
+      source.addData((2L, t("2024-01-01 14:00:00"), 0.0))
+      q.processAllAvailable()
+      source.addData((2L, t("2024-01-01 14:01:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssess").collect()
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1L).map { r =>
+        (r.getAs[Timestamp]("session_start").toString,
+          r.getAs[Timestamp]("session_end").toString,
+          r.getAs[Long]("n_events"), r.getAs[Double]("session_value"))
+      }.sortBy(_._1)
+      assert(u1.toSeq === Seq(
+        ("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L, 3.0),
+        ("2024-01-01 11:30:00.0", "2024-01-01 12:00:00.0", 1L, 5.0)))
+      // user 2's session is still open inside the watermark: not emitted
+      assert(rows.forall(_.getAs[Long]("user_id") == 1L))
+    } finally q.stop()
+  }
+
   test("stateful anomalies: running Welford state flags a 3-sigma outlier") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
