@@ -82,6 +82,7 @@ object SparkEntry {
     "ann_lsh_topk"        -> Similarity.annLshTopk _,
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
     "multimodal_features" -> Multimodal.features _,
+    "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
   /** SQL for one convex-CCW ring's point-in-polygon test — generated
@@ -277,8 +278,8 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
         |), d AS (
         |  SELECT f.user_id,
-        |         r.r_min_mean - f.f_min_mean AS d_min,
-        |         r.r_range_mean - f.f_range_mean AS d_range
+        |         floor((r.r_min_mean - f.f_min_mean) * 1e6 + 0.5) / 1e6 AS d_min,
+        |         floor((r.r_range_mean - f.f_range_mean) * 1e6 + 0.5) / 1e6 AS d_range
         |  FROM (SELECT user_id, avg(vmin) AS f_min_mean, avg(vrange) AS f_range_mean
         |        FROM fc GROUP BY 1) f
         |  JOIN (SELECT user_id, avg(vmin) AS r_min_mean, avg(vrange) AS r_range_mean
@@ -716,6 +717,19 @@ object SparkEntry {
         |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
         |    CASE lang_pred WHEN 'en' THEN '60' WHEN 'de' THEN 'a0'
         |                   WHEN 'fr' THEN 'd0' ELSE 'ff' END""".stripMargin,
+    // the payload is the UTF-8 text bytes and the corpus is ASCII, so
+    // byte-space frame slicing in Spark == char-space substr here
+    "multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |         CAST(ceil(length(text) / 64.0) AS INT) AS n_frames
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, text, unnest(range(0, n_frames, 4)) AS fi FROM m)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(length(substr(text, CAST(fi AS INT) * 64 + 1, 64)) AS INT) AS frame_bytes,
+        |  md5(substr(text, CAST(fi AS INT) * 64 + 1, 64)) AS frame_fp
+        |FROM f""".stripMargin,
     "vocab_topk" ->
       """SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(

@@ -210,8 +210,17 @@ object Climate {
         .agg(avg(col("vmin")).as("r_min_mean"), avg(col("vrange")).as("r_range_mean")),
         Seq("user_id"))
       .select(col("user_id"),
-        (col("r_min_mean") - col("f_min_mean")).as("d_min"),
-        (col("r_range_mean") - col("f_range_mean")).as("d_range"))
+        // the deltas are differences of averages, whose last ulp
+        // varies with each engine's (and each RUN's) summation order;
+        // for some stations they land exactly on half-quantum
+        // boundaries of the output grid, so every derived day flips.
+        // Quantizing the deltas on a finer grid pins them to the same
+        // bits on both engines, making all downstream arithmetic
+        // bit-identical (a grid point v±ulp floors to v either way).
+        (floor((col("r_min_mean") - col("f_min_mean")) * 1e6 + 0.5) / 1e6)
+          .as("d_min"),
+        (floor((col("r_range_mean") - col("f_range_mean")) * 1e6 + 0.5) / 1e6)
+          .as("d_range"))
     fc.join(deltas, Seq("user_id"))
       .withColumn("min_adj", col("vmin") + col("d_min"))
       // range clamps at 0 (`:390-391`), which guarantees max ≥ min

@@ -74,6 +74,33 @@ object Multimodal {
       }
     }
 
+  /** Frame sampling — the video half of the multimodal lane: treat
+    * the opaque payload as a frame stream of fixed `frameBytes`-sized
+    * frames and keep every `stride`-th one (the "sample 1 frame per
+    * second" step of video curation). Emits one row per sampled
+    * frame with its byte length and content fingerprint.
+    *
+    * Entirely UDF-free: the frame count is elementwise arithmetic on
+    * `length(payload)`, the sampled indices come from
+    * `explode(sequence(...))`, and each frame is a `substring` slice
+    * of the binary column hashed in the same codegen stage — so the
+    * whole fan-out lives in the scan stage with no shuffle at all.
+    * The compact corpus is [[Tables.spread]] first so the explode
+    * spreads across the cluster. A real decoder replaces the
+    * fixed-size slicing with codec framing at the same seam. */
+  def frameSample(spark: SparkSession, dir: String,
+      frameBytes: Int = 64, stride: Int = 4): DataFrame =
+    Tables.spread(mediaTable(spark, dir), col("doc_id"))
+      .withColumn("n_frames",
+        ceil(length(col("payload")) / lit(frameBytes.toDouble)).cast("int"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .withColumn("frame",
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("int").as("frame_bytes"),
+        md5(col("frame")).as("frame_fp"))
+
   /** The operator: typed scan → per-partition batched decode →
     * typed features. One narrow stage, no shuffle; batch boundaries
     * never cross partitions. */

@@ -122,4 +122,26 @@ class SimilaritySpec extends SparkSpec {
     // entropy of {a,b,c} uniform = log2(3)
     assert(math.abs(f1.byte_entropy - math.log(3) / math.log(2)) < 1e-3)
   }
+
+  test("multimodal_frames: every 4th 64-byte frame, exact slices and fingerprints") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byDoc = SparkEntry.queries("multimodal_frames")(spark, sf)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    assert(byDoc.size === docs.length)
+    docs.take(10).foreach { d =>
+      val (id, text) = (d.getLong(0), d.getString(1))
+      val nFrames = math.ceil(text.length / 64.0).toInt
+      val got = byDoc(id).sortBy(_.getAs[Int]("frame_idx"))
+      assert(got.map(_.getAs[Int]("frame_idx")).toSeq === (0 until nFrames by 4))
+      got.foreach { r =>
+        val i = r.getAs[Int]("frame_idx")
+        val frame = text.slice(i * 64, math.min(i * 64 + 64, text.length))
+        assert(r.getAs[Int]("frame_bytes") === frame.length)
+        assert(r.getAs[String]("frame_fp") === md5hex(frame))
+      }
+    }
+  }
 }
