@@ -70,6 +70,7 @@ object SparkEntry {
     "text_repetition" -> TextOps.textRepetition _,
     "corpus_clean"    -> TextOps.corpusClean _,
     "vocab_topk"      -> TextOps.vocabTopk _,
+    "corpus_stats"    -> TextOps.corpusStats _,
     // --- LLM pipeline: near-dup + similarity ---------------------
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "decontaminate"       -> Dedup.decontaminate _,
@@ -730,6 +731,16 @@ object SparkEntry {
         |  CAST(length(substr(text, CAST(fi AS INT) * 64 + 1, 64)) AS INT) AS frame_bytes,
         |  md5(substr(text, CAST(fi AS INT) * 64 + 1, 64)) AS frame_fp
         |FROM f""".stripMargin,
+    "corpus_stats" ->
+      """SELECT coalesce(lang, 'ALL') AS lang,
+        |       coalesce(source, 'ALL') AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(
+        |        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents
+        |GROUP BY CUBE(lang, source)""".stripMargin,
     "vocab_topk" ->
       """SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(

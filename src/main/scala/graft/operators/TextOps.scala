@@ -249,6 +249,25 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(100)
 
+  /** Corpus report card: doc/token/char statistics at every
+    * (lang × source) granularity IN ONE PASS via CUBE grouping sets —
+    * per-stratum rows, per-lang and per-source marginals, and the
+    * grand total, without re-scanning per dimension. Spark expands
+    * the cube in the aggregation (map-side partials per grouping
+    * set); subtotal rows surface as 'ALL'. Counts and sums are exact
+    * integers, so the result is engine-invariant with no float
+    * convention needed. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(words(normalized(col("text")))).cast("long"))
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        max(col("n_chars")).as("max_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("n_tokens"), col("max_chars"))
+
   /** Per-document fingerprints: exact content hash + order-invariant
     * bag-of-words hash (catches shuffled near-dups for free). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {

@@ -167,6 +167,24 @@ class TextOpsSpec extends SparkSpec {
       === expect)
   }
 
+  test("corpus_stats: cube subtotals are consistent with the stratum rows") {
+    val rows = SparkEntry.queries("corpus_stats")(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toSeq
+    val strata = rows.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    val byLang = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    val total = rows.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    assert(total.size === 1)
+    assert(total.head._3 === docs.size)
+    // marginals are exact sums of their strata, for docs and tokens
+    byLang.foreach { case (lang, _, nd, nt) =>
+      val mine = strata.filter(_._1 == lang)
+      assert(mine.map(_._3).sum === nd, s"docs marginal $lang")
+      assert(mine.map(_._4).sum === nt, s"tokens marginal $lang")
+    }
+    assert(strata.map(_._3).sum === docs.size)
+  }
+
   test("corpus_clean: composed selection matches its oracle-checked parts") {
     val lang = SparkEntry.queries("lang_id")(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
