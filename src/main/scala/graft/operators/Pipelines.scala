@@ -57,4 +57,28 @@ object Pipelines {
         col("spi").as("value"))
     graft.sources.Grids.publishGrid(grid, "spi7_ref", outDir)
   }
+
+  /** The LLM-corpus counterpart end to end: the composed
+    * [[TextOps.corpusClean]] keep-list (tokenize once → language +
+    * quality → dedup keepers → stratified sample) re-joined to the
+    * full documents (equi-join on doc_id — at scale both sides
+    * shuffle on a uniform key), written LANGUAGE-PARTITIONED so
+    * training readers prune to their language slice, plus a
+    * read-back registry row counting what actually landed (same
+    * discipline as [[graft.sources.Catalog.publish]]: never execute
+    * the pipeline twice, register what is on disk). */
+  def corpusCuratePublish(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val keep = TextOps.corpusClean(spark, dir)
+    val full = keep.join(
+      Tables.documents(spark, dir).select("doc_id", "text", "source"),
+      Seq("doc_id"))
+    val path = s"$outDir/corpus_clean"
+    full.write.mode("overwrite").partitionBy("lang_pred").parquet(path)
+    spark.read.parquet(path)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("lang_pred")).as("n_langs"))
+      .select(lit("corpus_clean").as("collection_id"),
+        col("n_docs"), col("n_tokens"), col("n_langs"))
+  }
 }

@@ -226,6 +226,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("quality_score") === 0.3)
   }
 
+  test("corpusCuratePublish: lang-partitioned corpus lands, registry counts match") {
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val reg = graft.operators.Pipelines.corpusCuratePublish(spark, sf, out)
+      .collect().head
+    val keep = SparkEntry.queries("corpus_clean")(spark, sf).collect()
+    assert(reg.getAs[Long]("n_docs") === keep.length)
+    assert(reg.getAs[Long]("n_tokens") === keep.map(_.getAs[Long]("n_tokens")).sum)
+    // language partitioning is physical: one directory per predicted lang
+    val dirs = new java.io.File(s"$out/corpus_clean").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val langs = keep.map(_.getAs[String]("lang_pred")).toSet
+    assert(dirs === langs.map(l => s"lang_pred=$l"))
+    assert(reg.getAs[Long]("n_langs") === langs.size)
+    // pruned read: a single-language slice reads only its partition
+    val es = spark.read.parquet(s"$out/corpus_clean")
+      .filter(org.apache.spark.sql.functions.col("lang_pred") === "es")
+    assert(es.count() === keep.count(_.getAs[String]("lang_pred") == "es"))
+  }
+
   test("corpus_clean: scoring tree stays OUT of every Filter condition") {
     // the selection references lang/quality attributes materialized
     // below the keeper window — Catalyst must not re-derive the
