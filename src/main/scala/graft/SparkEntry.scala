@@ -24,6 +24,8 @@ object SparkEntry {
     "q5_local_supplier"   -> Relational.localSupplierVolume _,
     "topk_per_group"      -> Relational.topOrdersPerSegment _,
     "events_json_extract" -> Relational.eventsJsonExtract _,
+    "distinct_users_daily" -> Relational.distinctUsersDaily _,
+    "distinct_users_daily_approx" -> Relational.distinctUsersDailyApprox _,
     // --- time-series ---------------------------------------------
     "ts_resample_daily"      -> TimeSeries.resampleDaily _,
     "ts_resample_weekly_max" -> TimeSeries.resampleWeeklyMax _,
@@ -172,6 +174,11 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type""".stripMargin,
 
+    "distinct_users_daily" ->
+      """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "ts_resample_daily" ->
       """SELECT event_type,
         |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

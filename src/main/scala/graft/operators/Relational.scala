@@ -140,4 +140,32 @@ object Relational {
         round(avg(col("k")), 4).as("avg_k"),
         max(col("k")).as("max_k"))
   }
+
+  /** Exact daily active-station cardinality per collection — the
+    * completeness side of the healthcheck (how many distinct sources
+    * reported). Exact distinct is Spark's two-phase expand: partial
+    * dedup on (group, user) then count — state grows with the
+    * distinct count per group, which is fine while stations are
+    * bounded. [[distinctUsersDailyApprox]] is the sketch twin whose
+    * state stays O(1) per group when the distinct side explodes. */
+  def distinctUsersDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  /** The HyperLogLog++ twin of [[distinctUsersDaily]]: cardinality
+    * by SKETCH — each group's state is a fixed-size register array
+    * regardless of how many distinct keys it sees, merged
+    * associatively map-side like any partial aggregate. This is the
+    * 100 TB default for cardinality dashboards (exact distinct's
+    * expand would shuffle every (group, user) pair); rsd 2%. The
+    * spec bounds the observed error against the exact twin. */
+  def distinctUsersDailyApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
 }

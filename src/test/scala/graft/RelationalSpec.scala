@@ -53,6 +53,21 @@ class RelationalSpec extends SparkSpec {
     })
   }
 
+  test("distinct_users_daily: HLL sketch tracks the exact twin within its rsd") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("event_type"), r.getAs[String]("day"))
+    val exact = SparkEntry.queries("distinct_users_daily")(spark, sf)
+      .collect().map(r => key(r) -> r.getAs[Long]("n_users")).toMap
+    val approx = SparkEntry.queries("distinct_users_daily_approx")(spark, sf)
+      .collect().map(r => key(r) -> r.getAs[Long]("n_users_approx")).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      // rsd 2%; allow 5 sigma plus integer slack on tiny groups
+      assert(math.abs(a - n) <= math.max(2.0, n * 0.10), s"$k exact=$n approx=$a")
+    }
+  }
+
   test("entry: flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
