@@ -36,6 +36,7 @@ object SparkEntry {
     "ts_gapfill"             -> TimeSeries.gapFill _,
     "ts_lag_delta"           -> TimeSeries.lagDelta _,
     "ts_sessionize"          -> TimeSeries.sessionize _,
+    "ts_rolling_anomaly"     -> TimeSeries.rollingAnomaly _,
     // --- geo/climate analytics -----------------------------------
     "spi_zscore"            -> Climate.spiZscore _,
     "spi_gamma"             -> Climate.spiGamma _,
@@ -258,6 +259,19 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
 
+    "ts_rolling_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_id, user_id, value,
+        |    avg(value) OVER w AS mu,
+        |    stddev_samp(value) OVER w AS sd,
+        |    count(value) OVER w AS n_hist
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, round(value, 2) AS value,
+        |  floor((value - mu) / sd * 1e4 + 0.5) / 1e4 AS z,
+        |  abs(floor((value - mu) / sd * 1e4 + 0.5) / 1e4) > 3.0 AS is_anomaly
+        |FROM h WHERE n_hist >= 10 AND sd > 0""".stripMargin,
     "spi_zscore" ->
       """SELECT event_id, user_id, event_type,
         |  round((value - avg(value) OVER (PARTITION BY user_id, event_type))

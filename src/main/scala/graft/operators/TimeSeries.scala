@@ -164,6 +164,30 @@ object TimeSeries {
         sum(col("new_session")).over(wRun).cast("long").as("session_id"))
   }
 
+  /** Rolling z-score anomaly flagging — the BATCH twin of the
+    * streaming Welford QC (`streaming/EventsPipeline.anomalies`):
+    * each observation is scored against its key's own trailing-30
+    * history (strictly BEFORE the current row, so an outlier never
+    * dilutes its own baseline), after a 10-observation warm-up and
+    * only where the history actually varies. One shuffle on the
+    * natural key; mean/std/count all share the same window frame.
+    * The z-score is floor-quantized and the flag derives from the
+    * quantized value, keeping both engines bit-aligned. */
+  def rollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-30, -1)
+    Tables.events(spark, dir)
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("n_hist", count(col("value")).over(w))
+      .filter(col("n_hist") >= 10 && col("sd") > 0)
+      .withColumn("z",
+        floor((col("value") - col("mu")) / col("sd") * 1e4 + 0.5) / 1e4)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"), col("z"),
+        (abs(col("z")) > 3.0).as("is_anomaly"))
+  }
+
   /** Calendar densify + forward fill: per-user daily totals on a
     * complete global day grid, gaps filled with the last observed
     * value (0 before the first observation) — the reference re-grids

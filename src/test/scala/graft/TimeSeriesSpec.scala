@@ -129,4 +129,33 @@ class TimeSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("ts_rolling_anomaly: z matches trailing-history recomputation, warm-up holds") {
+    val flagged = SparkEntry.queries("ts_rolling_anomaly")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") -> r).toMap
+    // pick the busiest user and recompute its trailing stats locally
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "value").collect()
+      .groupBy(_.getAs[Long]("user_id")).maxBy(_._2.length)._2
+      .sortBy(r => (r.getAs[java.sql.Timestamp]("ts").getTime,
+        r.getAs[Long]("event_id")))
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+    ev.indices.foreach { i =>
+      val hist = ev.slice(math.max(0, i - 30), i).map(_._2)
+      val id = ev(i)._1
+      if (hist.length < 10) assert(!flagged.contains(id), s"warm-up row $id")
+      else {
+        val mu = hist.sum / hist.length
+        val sd = math.sqrt(hist.map(v => (v - mu) * (v - mu)).sum / (hist.length - 1))
+        if (sd > 0) {
+          val z = math.floor((ev(i)._2 - mu) / sd * 1e4 + 0.5) / 1e4
+          val r = flagged(id)
+          assert(math.abs(r.getAs[Double]("z") - z) < 1.1e-4, s"row $id")
+          assert(r.getAs[Boolean]("is_anomaly") === (math.abs(z) > 3.0))
+        }
+      }
+    }
+    // the corpus genuinely contains outliers to flag
+    assert(flagged.values.count(_.getAs[Boolean]("is_anomaly")) > 0)
+  }
 }
