@@ -74,6 +74,7 @@ object SparkEntry {
     "corpus_clean"    -> TextOps.corpusClean _,
     "vocab_topk"      -> TextOps.vocabTopk _,
     "corpus_stats"    -> TextOps.corpusStats _,
+    "doc_keywords"    -> TextOps.docKeywords _,
     // --- LLM pipeline: near-dup + similarity ---------------------
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "decontaminate"       -> Dedup.decontaminate _,
@@ -752,6 +753,29 @@ object SparkEntry {
         |  CAST(length(substr(text, CAST(fi AS INT) * 64 + 1, 64)) AS INT) AS frame_bytes,
         |  md5(substr(text, CAST(fi AS INT) * 64 + 1, 64)) AS frame_fp
         |FROM f""".stripMargin,
+    "doc_keywords" ->
+      """WITH base AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM base GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM base) GROUP BY 1
+        |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM base),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    floor(tf.tf * (floor(ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1e6 + 0.5) / 1e6)
+        |          * 1e4 + 0.5) / 1e4 AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, term ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, term, score
+        |FROM ranked WHERE rk <= 3""".stripMargin,
     "corpus_stats" ->
       """SELECT coalesce(lang, 'ALL') AS lang,
         |       coalesce(source, 'ALL') AS source,

@@ -268,6 +268,47 @@ object TextOps {
         coalesce(col("source"), lit("ALL")).as("source"),
         col("n_docs"), col("n_tokens"), col("max_chars"))
 
+  /** Characteristic terms per document — TF-IDF top-3 with a total
+    * (score desc, term asc) tiebreak: the classic retrieval/tagging
+    * primitive over a curated corpus.
+    *
+    * Shape at scale: term frequencies and document frequencies are
+    * two hash aggregations on high-cardinality keys ((doc, term) and
+    * term); the corpus size N joins in as a broadcast 1-row scalar
+    * aggregate (never a driver-side count), and the per-doc top-3 is
+    * a ranking window over doc_id — a HIGH-cardinality partition key
+    * (each partition sorts ~|vocab per doc| rows), which is exactly
+    * where ranking windows are the right tool.
+    *
+    * Engine invariance: ln() can differ in the last ulp across
+    * libms, so IDF is floor-quantized once per TERM (vocabulary-
+    * sized, not corpus-sized exposure) and the score derives from
+    * integer TF × quantized IDF — bit-identical on both engines
+    * before the ordering compares it. */
+  def docKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), explode(words(normalized(col("text")))).as("term"))
+    val tf = base.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = base.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = base.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf",
+        floor(log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5) / 1e6)
+      .withColumn("score",
+        floor(col("tf") * col("idf") * 1e4 + 0.5) / 1e4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("int").as("rk"),
+        col("term"), col("score"))
+  }
+
   /** Per-document fingerprints: exact content hash + order-invariant
     * bag-of-words hash (catches shuffled near-dups for free). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {

@@ -185,6 +185,27 @@ class TextOpsSpec extends SparkSpec {
     assert(strata.map(_._3).sum === docs.size)
   }
 
+  test("doc_keywords: tf-idf top-3 matches exact local recomputation") {
+    val byDoc = SparkEntry.queries("doc_keywords")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size === docs.size)
+    val tokDocs = docs.map { case (id, text, _) => id -> text.split(" ").toSeq }
+    val n = tokDocs.size
+    val dfMap = tokDocs.flatMap(_._2.distinct).groupBy(identity).map {
+      case (t, xs) => t -> xs.size
+    }
+    def idf(t: String): Double =
+      math.floor(math.log(n.toDouble / dfMap(t)) * 1e6 + 0.5) / 1e6
+    tokDocs.take(25).foreach { case (id, toks) =>
+      val expect = toks.groupBy(identity).map { case (t, xs) =>
+        t -> math.floor(xs.size * idf(t) * 1e4 + 0.5) / 1e4
+      }.toSeq.sortBy { case (t, s) => (-s, t) }.take(3)
+      val got = byDoc(id).sortBy(_.getAs[Int]("rk"))
+        .map(r => r.getAs[String]("term") -> r.getAs[Double]("score")).toSeq
+      assert(got === expect, s"doc $id")
+    }
+  }
+
   test("corpus_clean: composed selection matches its oracle-checked parts") {
     val lang = SparkEntry.queries("lang_id")(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
