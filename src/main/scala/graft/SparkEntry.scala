@@ -37,6 +37,7 @@ object SparkEntry {
     "ts_lag_delta"           -> TimeSeries.lagDelta _,
     "ts_sessionize"          -> TimeSeries.sessionize _,
     "ts_rolling_anomaly"     -> TimeSeries.rollingAnomaly _,
+    "interval_join"          -> TimeSeries.intervalJoin _,
     // --- geo/climate analytics -----------------------------------
     "spi_zscore"            -> Climate.spiZscore _,
     "spi_gamma"             -> Climate.spiGamma _,
@@ -260,6 +261,13 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
 
+    "interval_join" ->
+      """SELECT i.event_id AS interval_id, CAST(count(*) AS BIGINT) AS n_clicks
+        |FROM (SELECT event_id, ts AS start_ts, ts + INTERVAL 4 HOUR AS end_ts
+        |      FROM events WHERE event_type = 'signup') i
+        |JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+        |  ON c.ts >= i.start_ts AND c.ts < i.end_ts
+        |GROUP BY 1""".stripMargin,
     "ts_rolling_anomaly" ->
       """WITH h AS (
         |  SELECT event_id, user_id, value,

@@ -164,6 +164,40 @@ object TimeSeries {
         sum(col("new_session")).over(wRun).cast("long").as("session_id"))
   }
 
+  /** Unkeyed interval (range) join — "which observations fall inside
+    * which windows" with NO shared equi-key: the join class that
+    * naively plans as a nested-loop over the cross product (every
+    * pure-inequality join does). The scale-safe shape used here is
+    * BUCKET REPLICATION: each interval is replicated into every
+    * fixed-width time bucket it overlaps (bounded fan-out:
+    * interval_len/bucket + 1 ≈ 5 rows here), observations carry their
+    * single bucket, and the match becomes an equi-join on the bucket
+    * with the exact range check as a residual filter. Each
+    * (interval, observation) pair can only meet in the observation's
+    * one bucket, so no dedup is needed. Shuffles are on the bucket —
+    * time-uniform by construction; bucket width trades replication
+    * against per-bucket density.
+    *
+    * Here: 4-hour windows opened by each signup, counting the clicks
+    * they contain. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val iv = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("interval_id"), col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 4 HOURS")).as("end_ts"))
+      .withColumn("bucket", explode(sequence(
+        date_trunc("HOUR", col("start_ts")),
+        date_trunc("HOUR", col("end_ts")),
+        expr("INTERVAL 1 HOUR"))))
+    val obs = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"),
+        date_trunc("HOUR", col("ts")).as("bucket"))
+    iv.join(obs, Seq("bucket"))
+      .filter(col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+  }
+
   /** Rolling z-score anomaly flagging — the BATCH twin of the
     * streaming Welford QC (`streaming/EventsPipeline.anomalies`):
     * each observation is scored against its key's own trailing-30

@@ -130,6 +130,35 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("interval_join: bucket replication matches brute-force containment, no nested loop") {
+    val df = SparkEntry.queries("interval_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // the whole point: the range join must become an equi-join on the
+    // bucket, never a nested-loop over the cross product
+    assert(!plan.toString.contains("BroadcastNestedLoopJoin"))
+    assert(plan.toString.contains("Join"))
+
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "event_type").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[String]("event_type")))
+    val signups = ev.filter(_._3 == "signup")
+    val clicks = ev.filter(_._3 == "click")
+    val expect = signups.map { case (id, t0, _) =>
+      id -> clicks.count { case (_, tc, _) =>
+        tc >= t0 && tc < t0 + 4L * 3600 * 1000
+      }.toLong
+    }.filter(_._2 > 0).toMap
+    val got = df.collect()
+      .map(r => r.getAs[Long]("interval_id") -> r.getAs[Long]("n_clicks")).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("ts_rolling_anomaly: z matches trailing-history recomputation, warm-up holds") {
     val flagged = SparkEntry.queries("ts_rolling_anomaly")(spark, sf).collect()
       .map(r => r.getAs[Long]("event_id") -> r).toMap
