@@ -102,6 +102,48 @@ class DedupSpec extends SparkSpec {
     assert(out.size === 14)
   }
 
+  test("connectedComponents equals union-find on randomized graphs") {
+    import spark.implicits._
+    // local union-find as the independent reference implementation
+    def unionFind(nodes: Set[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n).toSeq: _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = min node id of the component
+      nodes.groupBy(find).flatMap { case (_, members) =>
+        val m = members.min; members.map(_ -> m)
+      }
+    }
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 10).foreach { trial =>
+      val nNodes = 5 + rnd.nextInt(40)
+      val nodes = (0 until nNodes).map(_ => rnd.nextInt(200).toLong).distinct
+      val nEdges = 1 + rnd.nextInt(2 * nodes.size)
+      val edges = List.fill(nEdges) {
+        val a = nodes(rnd.nextInt(nodes.size))
+        val b = nodes(rnd.nextInt(nodes.size))
+        (a, b)
+      }.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val got = graft.operators.Dedup
+          .connectedComponents(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        val expect = unionFind(touched, edges)
+        assert(got === expect, s"trial $trial (${touched.size} nodes, ${edges.size} edges)")
+      }
+    }
+  }
+
   test("decontaminate: an 8-token overlap flags, a 7-token overlap does not") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
