@@ -230,6 +230,27 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("quantileMapFit: self-mapping is the identity on randomized keyed data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    // 1dp positive values force duplicate ties within keys; the
+    // mapping of a distribution onto itself must return every value
+    // unchanged through BOTH the interpolation branch and the
+    // rmax==fmax / rmin==fmin constant-extrapolation edges
+    val rows = (1L to 240L).map { id =>
+      (id, id % 4, math.rint(rnd.nextDouble() * 500) / 10.0 + 1.0)
+    }
+    val df = rows.toDF("event_id", "k", "value")
+    val out = Climate.quantileMapFit(Seq("k"), df, df, df).collect()
+    assert(out.length === rows.length)
+    val byId = rows.map(r => r._1 -> r._3).toMap
+    out.foreach { r =>
+      val x = byId(r.getAs[Long]("event_id"))
+      assert(math.abs(r.getAs[Double]("corrected") - x) < 1e-4 + 1e-9,
+        s"event ${r.getAs[Long]("event_id")} x=$x got=${r.getAs[Double]("corrected")}")
+    }
+  }
+
   // --- interpolation / categorization ------------------------------
 
   test("rating_curve: exact at breakpoints, monotone between them") {
