@@ -58,6 +58,7 @@ object SparkEntry {
     "zonal_stats"           -> Climate.zonalStats _,
     "zonal_spi"             -> Climate.zonalSpi _,
     "zonal_spi_quantiles"   -> Climate.zonalSpiQuantiles _,
+    "zonal_spi_quantiles_approx" -> Climate.zonalSpiQuantilesApprox _,
     "zonal_poly_spi"        -> Climate.zonalPolySpi _,
     "grid_regrid"           -> Climate.gridRegrid _,
     "bbox_filter"           -> Climate.bboxFilter _,

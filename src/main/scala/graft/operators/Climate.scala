@@ -632,6 +632,26 @@ object Climate {
         q(0.1, "p10_z"), q(0.5, "med_z"), q(0.9, "p90_z"))
   }
 
+  /** The sketch twin of [[zonalSpiQuantiles]] — `percentile_approx`
+    * (Greenwald-Khanna) instead of exact order statistics: partial
+    * state is a bounded quantile summary merged map-side, so a zone
+    * with billions of cells costs the same as one with thousands,
+    * where exact `percentile` buffers every value into the final
+    * per-zone merge (fine only while zones are bounded — the
+    * documented SURVEY §5 tradeoff, now expressed as a runnable
+    * twin). Accuracy 10000 → rank error ≤ n/10000. */
+  def zonalSpiQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    def qa(p: Double, name: String) =
+      (floor(percentile_approx(col("zscore"), lit(p), lit(10000))
+        * 1e4 + 0.5) / 1e4).as(name)
+    spiZscore(spark, dir)
+      .withColumn("zone_y", floor(pseudoLat(col("user_id")) / 30).cast("int"))
+      .withColumn("zone_x", floor(pseudoLon(col("user_id")) / 30).cast("int"))
+      .groupBy(col("zone_y"), col("zone_x"))
+      .agg(count(lit(1)).as("n"),
+        qa(0.1, "p10_z"), qa(0.5, "med_z"), qa(0.9, "p90_z"))
+  }
+
   /** Zonal SPI clipped to the basin POLYGONS — the reference's actual
     * zonal product shape (per-basin median/min/max of the drought
     * index). Basin assignment is elementwise in the scan stage;

@@ -230,6 +230,27 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("zonal_spi_quantiles_approx: sketch tracks the exact order stats per zone") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Int]("zone_y"), r.getAs[Int]("zone_x"))
+    val exact = SparkEntry.queries("zonal_spi_quantiles")(spark, sf)
+      .collect().map(r => key(r) -> r).toMap
+    val approx = SparkEntry.queries("zonal_spi_quantiles_approx")(spark, sf)
+      .collect().map(r => key(r) -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(a.getAs[Long]("n") === e.getAs[Long]("n"))
+      val spread = e.getAs[Double]("p90_z") - e.getAs[Double]("p10_z")
+      Seq("p10_z", "med_z", "p90_z").foreach { c =>
+        // rank error ≤ n/10000 with n in the hundreds → near-exact;
+        // allow a small fraction of the zone's own spread
+        assert(math.abs(a.getAs[Double](c) - e.getAs[Double](c))
+          <= spread * 0.05 + 1e-6, s"zone $k col $c")
+      }
+    }
+  }
+
   test("quantileMapFit: self-mapping is the identity on randomized keyed data") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260812L)
