@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", classOf[DotExpr]),
       (args: Seq[Expression]) => DotExpr(da(args(0)), da(args(1)))))
+    ext.injectFunction((FunctionIdentifier("count_token"),
+      info("count_token", classOf[CountTokenExpr]),
+      (args: Seq[Expression]) => CountTokenExpr(args(0), args(1))))
     // topk_agg(sortKey, id, payload, k) — k must be an int literal
     ext.injectFunction((FunctionIdentifier("topk_agg"),
       info("topk_agg", classOf[TopKAgg]),

@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar kernels for the text operators — static methods so the
+  * codegen'd expressions compile to a single call site.
+  */
+object TextKernels {
+
+  /** Occurrences of exactly `tok` among the (string) array elements.
+    * One pass over the UnsafeArrayData, comparing UTF8String bytes
+    * directly — no per-element lambda dispatch, no intermediate
+    * filtered array. */
+  def countToken(arr: ArrayData, tok: UTF8String): Int = {
+    var n = 0
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i) && arr.getUTF8String(i).equals(tok)) n += 1
+      i += 1
+    }
+    n
+  }
+}

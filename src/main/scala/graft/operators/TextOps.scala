@@ -24,9 +24,13 @@ object TextOps {
 
   private def words(c: Column): Column = split(c, " ")
 
-  /** Occurrences of exactly `w` among the tokens. */
+  /** Occurrences of exactly `w` among the tokens — the native
+    * codegen'd kernel ([[graft.expressions.CountTokenExpr]]); the
+    * `size(filter(...))` composition it replaces dispatched an
+    * interpreted lambda per element and allocated a filtered array
+    * per (row × marker word). */
   private def cnt(tokens: Column, w: String): Column =
-    size(filter(tokens, t => t === lit(w)))
+    graft.expressions.TextColumns.countToken(tokens, w)
 
   /** Exact deduplication: hash-groupBy on the normalized-content
     * fingerprint; keep the smallest doc_id as the canonical survivor.

@@ -21,6 +21,27 @@ class SessionSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("d") - 11.0) < 1e-12)
   }
 
+  test("extensions: count_token matches size(filter(...)) semantics exactly") {
+    // SQL registration + nulls: null elements don't count, null array is null
+    val r = spark.sql(
+      """SELECT count_token(array('a','b','a',CAST(NULL AS STRING)), 'a') AS n,
+        |       count_token(CAST(NULL AS ARRAY<STRING>), 'a') AS nn,
+        |       count_token(array('a'), CAST(NULL AS STRING)) AS nt
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[Int]("n") === 2)
+    assert(r.isNullAt(r.fieldIndex("nn")) && r.isNullAt(r.fieldIndex("nt")))
+    // equivalence with the interpreted composition on real token arrays
+    import spark.implicits._
+    val toks = Tables.documents(spark, sf)
+      .select(split(lower(col("text")), " ").as("toks"))
+    val both = toks.select(
+      graft.expressions.TextColumns.countToken(col("toks"), "the").as("fast"),
+      size(filter(col("toks"), t => t === lit("the"))).as("ref")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r2 => assert(r2.getInt(0) === r2.getInt(1)))
+    assert(both.map(_.getInt(0)).sum > 0) // 'the' genuinely occurs
+  }
+
   test("extensions: topk_agg callable from plain SQL, map-side partial") {
     val rows = spark.sql(
       """SELECT g, topk_agg(v, id, v, 2) AS top FROM VALUES
