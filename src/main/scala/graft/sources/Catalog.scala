@@ -102,4 +102,31 @@ object Catalog {
       .select(lit(collectionId).as("collection_id"), col("n_rows"),
         col("time_start"), col("time_end"))
   }
+
+  /** Incremental re-publish — the reference's actual scheduled-run
+    * semantics: every cron tick re-ingests a slice that OVERLAPS what
+    * is already published (late data, revised forecasts) and must
+    * replace exactly the affected time range. [[publish]]'s static
+    * overwrite would drop the WHOLE collection to write one day;
+    * dynamic partition overwrite replaces only the day partitions
+    * present in the incoming batch and leaves every other day's
+    * files untouched — at a 10-year collection scale, the difference
+    * between rewriting terabytes nightly and rewriting one day.
+    * Returns the refreshed registry row over the merged collection. */
+  def publishIncremental(df: DataFrame, tsCol: String, collectionId: String,
+      outDir: String): DataFrame = {
+    val path = s"$outDir/$collectionId"
+    df.withColumn("p_day", to_date(col(tsCol)))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p_day")
+      .parquet(path)
+    val merged = df.sparkSession.read.parquet(path)
+    merged.agg(
+      count(lit(1)).as("n_rows"),
+      date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("time_start"),
+      date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("time_end"))
+      .select(lit(collectionId).as("collection_id"), col("n_rows"),
+        col("time_start"), col("time_end"))
+  }
 }

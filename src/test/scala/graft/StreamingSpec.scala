@@ -256,4 +256,34 @@ class StreamingSpec extends SparkSpec {
     assert(oneDay.count() ===
       ev.filter(to_date(col("ts")) === "2024-01-02").count())
   }
+
+  test("publishIncremental: overlapping re-ingest replaces only its own days") {
+    val tmp = Files.createTempDirectory("graft-pubinc").toFile.getAbsolutePath
+    val ev = Tables.events(spark, sf)
+    val d = to_date(col("ts"))
+    // full publish of days 1-5
+    val base = ev.filter(d.between("2024-01-01", "2024-01-05"))
+    Catalog.publish(base, "ts", "inc", tmp).collect()
+    val day3Before = spark.read.parquet(s"$tmp/inc")
+      .filter(col("p_day") === "2024-01-03").count()
+    // scheduled re-run: a REVISED day 3 (halved) plus a new day 6
+    val slice = ev.filter(d === "2024-01-03")
+      .limit((day3Before / 2).toInt)
+      .unionByName(ev.filter(d === "2024-01-06"))
+    val reg = Catalog.publishIncremental(slice, "ts", "inc", tmp).collect()(0)
+    val back = spark.read.parquet(s"$tmp/inc")
+    // day 3 was REPLACED by the revision, not appended to
+    assert(back.filter(col("p_day") === "2024-01-03").count() === day3Before / 2)
+    // untouched days survive byte-for-byte (same row counts)
+    Seq("2024-01-01", "2024-01-02", "2024-01-04", "2024-01-05").foreach { day =>
+      assert(back.filter(col("p_day") === day).count() ===
+        base.filter(d === day).count(), s"day $day clobbered")
+    }
+    // the new day landed and the registry row covers the merged extent
+    assert(back.filter(col("p_day") === "2024-01-06").count() ===
+      ev.filter(d === "2024-01-06").count())
+    assert(reg.getAs[Long]("n_rows") === back.count())
+    assert(reg.getAs[String]("time_start").startsWith("2024-01-01"))
+    assert(reg.getAs[String]("time_end").startsWith("2024-01-06"))
+  }
 }
