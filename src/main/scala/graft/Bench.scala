@@ -18,7 +18,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
 
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts to a subset (triage runs).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // The timed action is a noop-format write, not count(): count lets
     // Catalyst prune every unreferenced projection, so narrow queries
     // (windows, hashes, regex pipelines) would "benchmark" a bare

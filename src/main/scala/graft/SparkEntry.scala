@@ -108,6 +108,12 @@ object SparkEntry {
       s"WHEN ${polyCondSql(vs)} THEN $id"
     }.mkString("CASE ", " ", " ELSE NULL END")
 
+  /** VALUES list for the day-of-year radiation table, generated from
+    * [[Climate.raByDoy]] so both engines share every literal
+    * bit-for-bit (the stationCalibSql pattern). */
+  private def raTableSql: String =
+    Climate.raByDoy.map { case (d, r) => s"($d, $r)" }.mkString(", ")
+
   /** VALUES list for the per-station calibration, generated from
     * [[Climate.stationBreakpoints]]. */
   private def stationCalibSql: String =
@@ -439,19 +445,19 @@ object SparkEntry {
         |FROM wk""".stripMargin,
 
     "pet_hargreaves" ->
-      """WITH daily AS (
+      s"""WITH ra(doy, ra) AS (VALUES $raTableSql),
+        |daily AS (
         |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |    max(value)/10.0 AS tmax, min(value)/10.0 AS tmin, avg(value)/10.0 AS tmean
         |  FROM events GROUP BY 1, 2),
         |p AS (
         |  SELECT user_id, day,
-        |    0.0023 * (25.0 + 10.0 * sin(2.0 * 3.141592653589793
-        |        * (dayofyear(CAST(day AS DATE)) - 80) / 365.25))
-        |      * (tmean + 17.8) * sqrt(greatest(tmax - tmin, 0.0)) AS pet
-        |  FROM daily)
-        |SELECT user_id, day, round(pet, 4) AS pet,
-        |  round(sum(pet) OVER (PARTITION BY user_id ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_pet
+        |    0.0023 * ra.ra * (tmean + 17.8)
+        |      * sqrt(greatest(tmax - tmin, 0.0)) AS pet
+        |  FROM daily JOIN ra ON dayofyear(CAST(day AS DATE)) = ra.doy)
+        |SELECT user_id, day, floor(pet * 1e4 + 0.5) / 1e4 AS pet,
+        |  floor(sum(pet) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e4 + 0.5) / 1e4 AS cum_pet
         |FROM p""".stripMargin,
 
     "zonal_stats" ->
@@ -769,15 +775,14 @@ object SparkEntry {
         |  FROM documents
         |), tf AS (
         |  SELECT doc_id, term, count(*) AS tf FROM base GROUP BY 1, 2
-        |), df AS (
-        |  SELECT term, count(*) AS df
-        |  FROM (SELECT DISTINCT doc_id, term FROM base) GROUP BY 1
-        |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM base),
+        |), wdf AS (
+        |  SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tf
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
         |scored AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    floor(tf.tf * (floor(ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1e6 + 0.5) / 1e6)
+        |  SELECT wdf.doc_id, wdf.term,
+        |    floor(wdf.tf * (floor(ln(CAST(n.n_docs AS DOUBLE) / wdf.df) * 1e6 + 0.5) / 1e6)
         |          * 1e4 + 0.5) / 1e4 AS score
-        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |  FROM wdf CROSS JOIN n),
         |ranked AS (
         |  SELECT doc_id, term, score,
         |    row_number() OVER (PARTITION BY doc_id

@@ -316,6 +316,17 @@ object Climate {
     * orders by (value, kind, event_id), so duplicate training values
     * cannot flip the carried index between engines.
     *
+    * KEY-CARDINALITY CONTRACT: every window and shuffle here
+    * partitions by `keys` ALONE, so the composite key MUST include
+    * the station/grid-cell dimension (the reference fits per
+    * `st_idx` too, `bias_correction_cds_process.py:311-320`). With a
+    * high-cardinality key the per-key ordered scans each sort only
+    * (train knots + apply rows for that key) — embarrassingly
+    * parallel at any corpus size. A low-cardinality key (e.g. the
+    * 60-partition test mapping in [[biasQmapKey]], fine at oracle
+    * scale) would absorb the whole fact table through that many
+    * tasks. Spec'd with keys ⊇ (user_id, member) in ClimateSpec.
+    *
     * Inputs all need (`event_id`, keys…, `value`). Output: one row
     * per apply row with the in/low/high range flag and the corrected
     * value. */
@@ -449,10 +460,25 @@ object Climate {
           .otherwise("extreme"))
   }
 
+  /** Day-of-year → extraterrestrial radiation (Ra) lookup — the
+    * reference reads Ra from a per-day TABLE, not a formula
+    * (`ingestor_knmi_evapo.py:305-325` day-lookup). Driver-known
+    * 366-row calendar table, values quantized to 4dp once at
+    * generation so both engines consume identical literal bits. */
+  val raByDoy: Seq[(Int, Double)] = (1 to 366).map { d =>
+    d -> math.floor((25.0 + 10.0 * math.sin(
+      2.0 * math.Pi * (d - 80) / 365.25)) * 1e4 + 0.5) / 1e4
+  }
+
   /** Hargreaves-style PET per station-day + running accumulation
-    * (`ingestor_knmi_evapo.py:305-325,395-414`): elementwise formula
-    * over daily min/max/mean, then a per-key ordered cumsum. */
+    * (`ingestor_knmi_evapo.py:305-325,395-414`): radiation arrives by
+    * a BROADCAST equi-join on day-of-year against [[raByDoy]] (the
+    * reference's table semantics; the standard plan shape for any
+    * calendar lookup — never a shuffle), then the elementwise formula
+    * over daily min/max/mean and a per-key ordered cumsum. */
   def petHargreaves(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raTbl = raByDoy.toDF("doy", "ra")
     val daily = Tables.events(spark, dir)
       .groupBy(col("user_id"),
         date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
@@ -460,18 +486,16 @@ object Climate {
         (max(col("value")) / 10.0).as("tmax"),
         (min(col("value")) / 10.0).as("tmin"),
         (avg(col("value")) / 10.0).as("tmean"))
-    val doy = dayofyear(to_date(col("day")))
-    val ra = lit(25.0) +
-      lit(10.0) * sin(lit(2.0) * lit(3.141592653589793) * (doy - 80) / lit(365.25))
+      .withColumn("doy", dayofyear(to_date(col("day"))))
     val wCum = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily
+    daily.join(broadcast(raTbl), Seq("doy"))
       .withColumn("pet",
-        lit(0.0023) * ra * (col("tmean") + 17.8)
+        lit(0.0023) * col("ra") * (col("tmean") + 17.8)
           * sqrt(greatest(col("tmax") - col("tmin"), lit(0.0))))
       .select(col("user_id"), col("day"),
-        round(col("pet"), 4).as("pet"),
-        round(sum(col("pet")).over(wCum), 4).as("cum_pet"))
+        (floor(col("pet") * 1e4 + 0.5) / 1e4).as("pet"),
+        (floor(sum(col("pet")).over(wCum) * 1e4 + 0.5) / 1e4).as("cum_pet"))
   }
 
   /** Bilinear interpolation of a gridded field onto points offset
@@ -639,10 +663,13 @@ object Climate {
     * where exact `percentile` buffers every value into the final
     * per-zone merge (fine only while zones are bounded — the
     * documented SURVEY §5 tradeoff, now expressed as a runnable
-    * twin). Accuracy 10000 → rank error ≤ n/10000. */
+    * twin). Accuracy 1000 → rank error ≤ n/1000 — still far inside
+    * the spec's tolerance, and ~10× cheaper sketch state than the
+    * round-3 accuracy-10000 setting, which made the twin cost 2.3×
+    * its exact counterpart at small scale. */
   def zonalSpiQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
     def qa(p: Double, name: String) =
-      (floor(percentile_approx(col("zscore"), lit(p), lit(10000))
+      (floor(percentile_approx(col("zscore"), lit(p), lit(1000))
         * 1e4 + 0.5) / 1e4).as(name)
     spiZscore(spark, dir)
       .withColumn("zone_y", floor(pseudoLat(col("user_id")) / 30).cast("int"))

@@ -276,13 +276,21 @@ object TextOps {
     * (score desc, term asc) tiebreak: the classic retrieval/tagging
     * primitive over a curated corpus.
     *
-    * Shape at scale: term frequencies and document frequencies are
-    * two hash aggregations on high-cardinality keys ((doc, term) and
-    * term); the corpus size N joins in as a broadcast 1-row scalar
-    * aggregate (never a driver-side count), and the per-doc top-3 is
-    * a ranking window over doc_id — a HIGH-cardinality partition key
-    * (each partition sorts ~|vocab per doc| rows), which is exactly
-    * where ranking windows are the right tool.
+    * Shape at scale: the tokenize + explode scan runs ONCE by
+    * CONSTRUCTION — `tf` is already distinct per (doc, term), so
+    * document frequency is simply `count(*) over (partition by
+    * term)` ON the tf intermediate: a window over the
+    * high-cardinality vocabulary key, replacing the round-3 shape
+    * where tf/df/n each re-branched from (and re-executed) the
+    * exploded base. The plan is one linear exchange chain — explode →
+    * agg(doc, term) → window(term) → window(doc) — with no diamond
+    * for the optimizer to miss. Corpus size N is a scalar aggregate
+    * over the documents table itself (a narrow count scan, never a
+    * second tokenize, never a driver-side count) joined in as a
+    * broadcast 1-row relation. The per-doc top-3 is a ranking window
+    * over doc_id — a HIGH-cardinality partition key (each partition
+    * sorts ~|vocab per doc| rows), which is exactly where ranking
+    * windows are the right tool.
     *
     * Engine invariance: ln() can differ in the last ulp across
     * libms, so IDF is floor-quantized once per TERM (vocabulary-
@@ -294,11 +302,10 @@ object TextOps {
       .select(col("doc_id"), explode(words(normalized(col("text")))).as("term"))
     val tf = base.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = base.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = base.select(col("doc_id")).distinct()
+    val n = Tables.documents(spark, dir)
       .agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, Seq("term"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val scored = tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(n))
       .withColumn("idf",
         floor(log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5) / 1e6)

@@ -272,6 +272,48 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("quantileMapFit: high-cardinality composite key (user_id, member) — the contract's shape") {
+    // The key-cardinality contract: the composite key includes the
+    // station/cell id (here user_id itself), so per-key windows stay
+    // small. Self-mapping identity must hold per (user_id, member)
+    // exactly as it does for coarse keys, and fit-then-apply on a
+    // disjoint split must produce one output row per apply row.
+    val ev = Tables.events(spark, sf)
+      .withColumn("member", col("event_id") % 3)
+      .select("event_id", "user_id", "member", "value")
+    val self = Climate.quantileMapFit(
+      Seq("user_id", "member"), ev, ev, ev).cache()
+    try {
+      val n = ev.count()
+      assert(self.count() === n)
+      // identity up to the operator's own 4dp quantize + clamp-at-0;
+      // recover the raw x by joining back on event_id (the output
+      // exposes only the 2dp-rounded fcst_value)
+      val bad = self.select("event_id", "corrected")
+        .join(ev.select(col("event_id"), col("value")), "event_id")
+        .filter(abs(col("corrected") - greatest(col("value"), lit(0.0)))
+          > 1e-4 + 1e-9)
+      assert(bad.count() === 0, s"identity violated: ${bad.take(3).toSeq}")
+    } finally self.unpersist()
+    val split = lit("2024-01-16T00:00:00Z").cast("timestamp")
+    val evTs = Tables.events(spark, sf).withColumn("member", col("event_id") % 3)
+    def slice(t: String, cond: org.apache.spark.sql.Column) =
+      evTs.filter(col("event_type") === t && cond)
+        .select("event_id", "user_id", "member", "value")
+    val applied = Climate.quantileMapFit(Seq("user_id", "member"),
+      slice("click", col("ts") < split), slice("view", col("ts") < split),
+      slice("click", col("ts") >= split))
+    // apply rows whose (user_id, member) key has training data on both
+    // sides survive the fit joins — count them independently
+    val trained = slice("click", col("ts") < split)
+      .select("user_id", "member").distinct()
+      .join(slice("view", col("ts") < split)
+        .select("user_id", "member").distinct(), Seq("user_id", "member"))
+    val expected = slice("click", col("ts") >= split)
+      .join(trained, Seq("user_id", "member")).count()
+    assert(applied.count() === expected)
+  }
+
   // --- interpolation / categorization ------------------------------
 
   test("rating_curve: exact at breakpoints, monotone between them") {

@@ -116,6 +116,36 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("doc_keywords: tokenize+explode runs once (df is a window on tf, single chain)") {
+    // round-3 verdict: tf/df/n each branched from the exploded base,
+    // so the dominant tokenize+explode ran three times. Now df is
+    // count(*) over (partition by term) ON the tf intermediate (one
+    // linear chain, no diamond) and n is a narrow count of the
+    // documents table — exactly ONE Generate (explode) may execute
+    // anywhere in the plan.
+    val df = SparkEntry.queries("doc_keywords")(spark, sf)
+    df.collect() // let AQE finalize runtime stage reuse in THIS execution
+    val qe = df.queryExecution
+    val plan = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // collectWithSubqueries + reuse-aware: count Generates that are NOT
+    // under a ReusedExchange (reused subtrees don't re-execute)
+    def liveGenerates(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p match {
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => 0
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          liveGenerates(q.plan)
+        case g: org.apache.spark.sql.execution.GenerateExec =>
+          1 + g.children.map(liveGenerates).sum
+        case other => other.children.map(liveGenerates).sum
+      }
+    assert(liveGenerates(plan) === 1,
+      s"tokenize+explode executes more than once:\n${plan.toString.take(2000)}")
+  }
+
   test("text_repetition: exact recomputation per document") {
     val rows = SparkEntry.queries("text_repetition")(spark, sf).collect()
     assert(rows.length === docs.size)
