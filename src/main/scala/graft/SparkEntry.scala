@@ -49,6 +49,7 @@ object SparkEntry {
     "bias_reconstruct"      -> Climate.biasReconstruct _,
     "bias_qmap"             -> Climate.biasQmap _,
     "bias_qmap_key"         -> Climate.biasQmapKey _,
+    "bias_qmap_spline"      -> Climate.biasQmapSpline _,
     "rating_curve"          -> Climate.ratingCurve _,
     "rating_curve_station"  -> Climate.ratingCurveStation _,
     "danger_levels"         -> Climate.dangerLevels _,

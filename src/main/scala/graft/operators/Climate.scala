@@ -398,6 +398,148 @@ object Climate {
           .as("corrected")): _*)
   }
 
+  /** MONOTONE-CUBIC (Fritsch–Carlson) variant of [[quantileMapFit]] —
+    * the reference's transfer function is a precomputed spline
+    * evaluated between the fitted range bounds
+    * (`bias_correction_cds_process.py:325-358` `splev`), not a
+    * piecewise-linear interpolant. This builds the same transfer
+    * knots from the same per-key ordered windows, then interpolates
+    * between them with a monotone cubic Hermite:
+    *
+    *  - transfer knots: duplicate forecast values collapse to one
+    *    strictly-increasing knot per (key, fv) (representative index
+    *    = the largest tie index, matching the linear path's
+    *    last-at-or-below carry); each knot's ordinate is the
+    *    reference quantile at its fractional position — an
+    *    O(keys·knots) pair of equi-joins into the sorted reference.
+    *  - tangents: secants + Fritsch–Carlson limiting via lag/lead
+    *    windows over the knots table (O(keys·knots)). Both
+    *    coordinates are sorted ascending, so every secant is ≥ 0 and
+    *    clamping each tangent into [0, 3·min(adjacent secants)] lands
+    *    inside the FC monotonicity box [0,3]² — no iteration, no
+    *    driver round-trip, provably monotone on every segment.
+    *  - evaluation: each knot row carries its OUTGOING segment's full
+    *    coefficient set as ONE struct through the same as-of union
+    *    pass (a single struct so a trailing knot's null lead fields
+    *    can't mix with an older knot's); the cubic Hermite form is
+    *    then elementwise. Out-of-range keeps the linear path's
+    *    constant edge delta + clamp-at-0, so the two variants differ
+    *    ONLY in the in-range interpolant.
+    *
+    * Same KEY-CARDINALITY CONTRACT as [[quantileMapFit]]. */
+  def quantileMapFitSpline(keys: Seq[String], fcstTrain: DataFrame,
+      refTrain: DataFrame, applyRows: DataFrame): DataFrame = {
+    val kcols = keys.map(col)
+    def byKey = Window.partitionBy(kcols: _*)
+    val fk = fcstTrain
+      .select(kcols :+ col("value").as("fv") :+ col("event_id").as("tie"): _*)
+      .withColumn("fidx",
+        row_number().over(byKey.orderBy(col("fv"), col("tie"))) - 1)
+    val rk = refTrain
+      .select(kcols :+ col("value").as("rv") :+ col("event_id").as("tie"): _*)
+      .withColumn("ridx",
+        row_number().over(byKey.orderBy(col("rv"), col("tie"))) - 1)
+    val fagg = fk.groupBy(kcols: _*).agg(count(lit(1)).as("nf"),
+      min(col("fv")).as("fmin"), max(col("fv")).as("fmax"))
+    val ragg = rk.groupBy(kcols: _*).agg(count(lit(1)).as("nr"),
+      min(col("rv")).as("rmin"), max(col("rv")).as("rmax"))
+    // strictly-increasing transfer knots + reference-quantile ordinate
+    val fknots = fk.groupBy(kcols :+ col("fv"): _*)
+      .agg(max(col("fidx")).as("fidx"))
+    val pos = fknots.join(fagg, keys).join(ragg, keys)
+      .withColumn("fpos",
+        when(col("nf") === 1, lit(0.0))
+          .otherwise(col("fidx") / (col("nf") - 1) * (col("nr") - 1)))
+      .withColumn("idx_lo", floor(col("fpos")).cast("int"))
+      .withColumn("idx_hi", ceil(col("fpos")).cast("int"))
+    val withY = pos
+      .join(rk.select(kcols :+ col("ridx").as("idx_lo") :+ col("rv").as("v_lo"): _*),
+        keys :+ "idx_lo")
+      .join(rk.select(kcols :+ col("ridx").as("idx_hi") :+ col("rv").as("v_hi"): _*),
+        keys :+ "idx_hi")
+      .withColumn("y",
+        col("v_lo") + (col("fpos") - col("idx_lo")) * (col("v_hi") - col("v_lo")))
+    // secants + FC-limited tangents (all secants ≥ 0 by construction)
+    val wOrd = byKey.orderBy(col("fv"))
+    val withD = withY
+      .withColumn("x1", lead(col("fv"), 1).over(wOrd))
+      .withColumn("y1", lead(col("y"), 1).over(wOrd))
+      .withColumn("d", (col("y1") - col("y")) / (col("x1") - col("fv")))
+      .withColumn("d_prev", lag(col("d"), 1).over(wOrd))
+    val mBase =
+      when(col("d_prev").isNull && col("d").isNull, lit(0.0))
+        .when(col("d_prev").isNull, col("d"))
+        .when(col("d").isNull, col("d_prev"))
+        .when(col("d_prev") === 0.0 || col("d") === 0.0, lit(0.0))
+        .otherwise((col("d_prev") + col("d")) / 2.0)
+    val withM = withD
+      .withColumn("m0", least(mBase,
+        coalesce(lit(3.0) * col("d_prev"), mBase),
+        coalesce(lit(3.0) * col("d"), mBase)))
+      .withColumn("m1", lead(col("m0"), 1).over(wOrd))
+    val segType = "struct<x0:double,x1:double,y0:double,y1:double," +
+      "m0:double,m1:double>"
+    val knotRows = withM.select(kcols ++ Seq(
+      col("fv").as("sortv"), lit(0).as("kind"), lit(0L).as("tie"),
+      struct(col("fv").as("x0"), col("x1"), col("y").as("y0"), col("y1"),
+        col("m0"), col("m1")).as("seg"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("double").as("x")): _*)
+    val applyU = applyRows.select(kcols ++ Seq(
+      col("value").as("sortv"), lit(1).as("kind"), col("event_id").as("tie"),
+      lit(null).cast(segType).as("seg"),
+      col("event_id"), col("value").as("x")): _*)
+    val wLo = byKey.orderBy(col("sortv").asc, col("kind").asc, col("tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val positioned = knotRows.unionByName(applyU)
+      .withColumn("sg", last(col("seg"), ignoreNulls = true).over(wLo))
+      .filter(col("kind") === 1)
+    val t = (col("x") - col("sg.x0")) / (col("sg.x1") - col("sg.x0"))
+    val omt = lit(1.0) - t
+    val h = col("sg.x1") - col("sg.x0")
+    val hermite =
+      col("sg.y0") * (lit(1.0) + lit(2.0) * t) * omt * omt +
+        h * col("sg.m0") * t * omt * omt +
+        col("sg.y1") * t * t * (lit(3.0) - lit(2.0) * t) +
+        h * col("sg.m1") * t * t * (t - lit(1.0))
+    positioned
+      .join(fagg, keys).join(ragg, keys)
+      // carried-last-knot-has-no-successor ⟺ x ≥ fmax: same edge
+      // classification as the linear variant (x == fmax is "high"
+      // there too, and the constant delta reproduces rmax exactly)
+      .withColumn("oob", when(col("sg").isNull, "low")
+        .when(col("sg.x1").isNull, "high")
+        .otherwise("in"))
+      .withColumn("mapped_raw",
+        when(col("oob") === "low", col("x") + (col("rmin") - col("fmin")))
+          .when(col("oob") === "high", col("x") + (col("rmax") - col("fmax")))
+          .otherwise(hermite))
+      .select((col("event_id") +: kcols) ++ Seq(
+        round(col("x"), 2).as("fcst_value"),
+        col("oob"),
+        (floor(greatest(col("mapped_raw"), lit(0.0)) * 1e4 + 0.5) / 1e4)
+          .as("corrected")): _*)
+  }
+
+  /** [[biasQmapKey]]'s mapping through the SPLINE transfer — the
+    * runnable twin showing the reference's `splev` semantics on the
+    * same fit/apply split (rows-only driver check; rigor lives in
+    * ClimateSpec: knot agreement with the linear variant + segment
+    * monotonicity). */
+  def biasQmapSpline(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("grp", col("user_id") % 20)
+      .withColumn("member", col("event_id") % 3)
+    val split = lit("2024-01-16T00:00:00Z").cast("timestamp")
+    def slice(t: String, cond: Column) =
+      ev.filter(col("event_type") === t && cond)
+        .select("event_id", "grp", "member", "value")
+    quantileMapFitSpline(Seq("grp", "member"),
+      slice("click", col("ts") < split),
+      slice("view", col("ts") < split),
+      slice("click", col("ts") >= split))
+  }
+
   /** Composite-key bias correction on the test mapping: key =
     * (station group, ensemble member), fit on the first half of the
     * span (hindcast 'click' vs observed 'view'), applied to

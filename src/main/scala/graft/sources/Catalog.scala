@@ -103,6 +103,31 @@ object Catalog {
         col("time_start"), col("time_end"))
   }
 
+  /** Publish a GEOMETRY collection (no event time): partitioned by a
+    * coarse spatial grid cell of the feature's bbox centroid, so the
+    * read side's bbox predicates prune at the DIRECTORY level — the
+    * spatial analogue of [[publish]]'s day partitioning. Returns the
+    * registry row in [[collections]] shape (bbox extent, null time). */
+  def publishSpatial(df: DataFrame, collectionId: String, outDir: String,
+      cellDeg: Double = 10.0): DataFrame = {
+    val path = s"$outDir/$collectionId"
+    df
+      .withColumn("p_cy",
+        floor((col("miny") + col("maxy")) / 2 / cellDeg).cast("int"))
+      .withColumn("p_cx",
+        floor((col("minx") + col("maxx")) / 2 / cellDeg).cast("int"))
+      .write.mode("overwrite").partitionBy("p_cy", "p_cx")
+      .parquet(path)
+    df.sparkSession.read.parquet(path).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("minx")).as("min_lon"), max(col("maxx")).as("max_lon"),
+      min(col("miny")).as("min_lat"), max(col("maxy")).as("max_lat"))
+      .select(lit(collectionId).as("collection_id"), col("n_rows"),
+        lit(null).cast("string").as("time_start"),
+        lit(null).cast("string").as("time_end"),
+        col("min_lon"), col("max_lon"), col("min_lat"), col("max_lat"))
+  }
+
   /** Incremental re-publish — the reference's actual scheduled-run
     * semantics: every cron tick re-ingests a slice that OVERLAPS what
     * is already published (late data, revised forecasts) and must

@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector feature-table ingest lane — the reference's GeoPackage /
+  * vector ingestors (`ingestor_smhi_process_vector.py`,
+  * `ingestor_ll_gpkg_process.py`) land (feature id, geometry,
+  * properties) tables into the catalog. The binary GPKG/shapefile
+  * decode is out of scope by the same seam argument as NetCDF
+  * ([[Grids]]): the drop arrives as WKT-ish text + JSON properties,
+  * and everything after that seam — explicit schema, reader
+  * quarantine, geometry normalization, malformed-geometry
+  * quarantine, bbox derivation, spatial publish — is real and
+  * spec-tested.
+  *
+  * All parsing is `functions._` primitives (regexp_extract / split /
+  * transform / array_min) evaluated elementwise in the scan stage —
+  * no UDFs, no shuffle until the caller aggregates. Geometry that
+  * fails to parse flags `geom_ok = false` instead of failing the
+  * batch, mirroring the `_corrupt_record` discipline in [[Ingest]].
+  */
+object Features {
+
+  /** Drop schema: WKT-ish `geometry`, JSON-string `props`. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("feature_id", LongType),
+    StructField("geometry", StringType),
+    StructField("props", StringType),
+    StructField("_corrupt_record", StringType)))
+
+  /** JSON-lines feature drop → raw rows (+ reader quarantine column).
+    * Compose with [[Ingest.splitQuarantine]] for the structural
+    * split, then [[normalize]] + [[splitGeomQuarantine]] for the
+    * geometry-level one. */
+  def readFeatures(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(featureSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .select(col("feature_id"), col("geometry"), col("props"),
+        col("_corrupt_record"))
+
+  private val PointRe =
+    "^\\s*[Pp][Oo][Ii][Nn][Tt]\\s*\\(\\s*([-+0-9.eE]+)\\s+([-+0-9.eE]+)\\s*\\)\\s*$"
+  private val PolyRe =
+    "^\\s*[Pp][Oo][Ll][Yy][Gg][Oo][Nn]\\s*\\(\\(\\s*([^()]+?)\\s*\\)\\)\\s*$"
+
+  private val NumRe = "^[-+]?[0-9]*\\.?[0-9]+([eE][-+]?[0-9]+)?$"
+
+  /** ANSI-safe numeric parse: non-numeric text (including the empty
+    * string a failed regexp_extract yields) becomes null instead of a
+    * CAST_INVALID_INPUT failure — malformedness must quarantine, not
+    * abort the batch. */
+  private def toDouble(c: Column): Column =
+    when(c.rlike(NumRe), c.cast("double"))
+
+  /** WKT-ish POINT / POLYGON (outer ring) → typed columns: geometry
+    * type, point lon/lat, polygon ring `array<struct<lon,lat>>`, and
+    * the feature bbox (degenerate for points). `geom_ok` is the
+    * malformed-geometry flag: unparseable text, non-numeric
+    * coordinates, or an unclosed / too-short ring. */
+  def normalize(df: DataFrame): DataFrame = {
+    val gtype = upper(regexp_extract(col("geometry"), "^\\s*([A-Za-z]+)", 1))
+    val pLon = toDouble(regexp_extract(col("geometry"), PointRe, 1))
+    val pLat = toDouble(regexp_extract(col("geometry"), PointRe, 2))
+    val ringStr = regexp_extract(col("geometry"), PolyRe, 1)
+    val ring = transform(split(ringStr, "\\s*,\\s*"), s => {
+      val parts = split(s, "\\s+")
+      struct(toDouble(try_element_at(parts, lit(1))).as("lon"),
+        toDouble(try_element_at(parts, lit(2))).as("lat"))
+    })
+    val ringLons = transform(col("ring"), p => p.getField("lon"))
+    val ringLats = transform(col("ring"), p => p.getField("lat"))
+    val pointOk = col("gtype") === "POINT" &&
+      col("lon").isNotNull && col("lat").isNotNull
+    // a valid WKT ring is CLOSED (first vertex == last) and has at
+    // least 4 entries (triangle + closure); any null coordinate marks
+    // a non-numeric token
+    val polyOk = col("gtype") === "POLYGON" &&
+      size(col("ring")) >= 4 &&
+      !exists(col("ring"),
+        p => p.getField("lon").isNull || p.getField("lat").isNull) &&
+      try_element_at(col("ring"), lit(1)) === try_element_at(col("ring"), lit(-1))
+    df
+      .withColumn("gtype", gtype)
+      .withColumn("lon", pLon).withColumn("lat", pLat)
+      .withColumn("ring", ring)
+      .withColumn("geom_ok", pointOk || polyOk)
+      .withColumn("minx",
+        when(col("gtype") === "POINT", col("lon"))
+          .otherwise(array_min(ringLons)))
+      .withColumn("maxx",
+        when(col("gtype") === "POINT", col("lon"))
+          .otherwise(array_max(ringLons)))
+      .withColumn("miny",
+        when(col("gtype") === "POINT", col("lat"))
+          .otherwise(array_min(ringLats)))
+      .withColumn("maxy",
+        when(col("gtype") === "POINT", col("lat"))
+          .otherwise(array_max(ringLats)))
+      .select(col("feature_id"), col("gtype"), col("geometry"),
+        col("lon"), col("lat"), col("ring"),
+        col("minx"), col("miny"), col("maxx"), col("maxy"),
+        col("props"), col("geom_ok"))
+  }
+
+  /** The geometry-level QC split: well-formed features forward,
+    * malformed geometries aside with their original WKT text for
+    * inspection — one bad exported row quarantines instead of
+    * failing the scheduled batch. */
+  def splitGeomQuarantine(normalized: DataFrame): (DataFrame, DataFrame) =
+    (normalized.filter(col("geom_ok")).drop("geom_ok"),
+      normalized.filter(!col("geom_ok"))
+        .select(col("feature_id"), col("geometry")))
+
+  /** Collection spatial extent — one min/max aggregate over the
+    * per-feature bboxes (footer-stats scan at rest), the row the
+    * reference's `update_config` patches into the catalog. */
+  def extent(good: DataFrame, collectionId: String): DataFrame =
+    good.agg(
+      count(lit(1)).as("n_features"),
+      min(col("minx")).as("min_lon"), max(col("maxx")).as("max_lon"),
+      min(col("miny")).as("min_lat"), max(col("maxy")).as("max_lat"))
+      .select(lit(collectionId).as("collection_id"), col("n_features"),
+        col("min_lon"), col("max_lon"), col("min_lat"), col("max_lat"))
+
+  /** Features whose bbox INTERSECTS the query rectangle — the
+    * standard pygeoapi `?bbox=` items filter, as a pure codegen'd
+    * conjunction in the scan stage (and, on a spatially-partitioned
+    * collection, a directory-pruning predicate via the cell
+    * partition columns). */
+  def inBbox(good: DataFrame,
+      minLon: Double, minLat: Double, maxLon: Double, maxLat: Double): DataFrame =
+    good.filter(!(col("maxx") < minLon || col("minx") > maxLon ||
+      col("maxy") < minLat || col("miny") > maxLat))
+}

@@ -314,6 +314,68 @@ class ClimateSpec extends SparkSpec {
     assert(applied.count() === expected)
   }
 
+  test("quantileMapFitSpline: agrees with the linear variant at every knot") {
+    // apply rows == the training forecast values land exactly ON the
+    // transfer knots, where the Hermite form reduces to the knot
+    // ordinate y0 — the same reference-quantile the linear path
+    // computes. oob classification must agree row for row too.
+    val ev = Tables.events(spark, sf)
+      .withColumn("grp", col("user_id") % 20)
+      .withColumn("member", col("event_id") % 3)
+      .filter(col("event_type") === "click")
+      .select("event_id", "grp", "member", "value")
+    val ref = Tables.events(spark, sf)
+      .withColumn("grp", col("user_id") % 20)
+      .withColumn("member", col("event_id") % 3)
+      .filter(col("event_type") === "view")
+      .select("event_id", "grp", "member", "value")
+    val keys = Seq("grp", "member")
+    def byId(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("oob"), r.getAs[Double]("corrected"))).toMap
+    val lin = byId(Climate.quantileMapFit(keys, ev, ref, ev))
+    val spl = byId(Climate.quantileMapFitSpline(keys, ev, ref, ev))
+    assert(spl.keySet === lin.keySet)
+    assert(lin.nonEmpty)
+    spl.foreach { case (id, (oob, c)) =>
+      val (loob, lc) = lin(id)
+      assert(oob === loob, s"event $id oob spline=$oob linear=$loob")
+      assert(math.abs(c - lc) < 1e-9, s"event $id spline=$c linear=$lc")
+    }
+  }
+
+  test("quantileMapFitSpline: monotone on a dense probe grid, continuous at the edges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    val fcst = (1L to 160L).map { id =>
+      (id, id % 4, math.rint(rnd.nextDouble() * 900) / 10.0 + 5.0)
+    }.toDF("event_id", "k", "value")
+    val ref = (1001L to 1160L).map { id =>
+      (id, id % 4, math.rint(rnd.nextDouble() * 600) / 10.0 + 20.0)
+    }.toDF("event_id", "k", "value")
+    // dense probe grid spanning past both range edges
+    val probes = for (k <- 0L until 4L; i <- 0 to 400)
+      yield (10000L + k * 1000 + i, k, i * 0.25)
+    val out = Climate.quantileMapFitSpline(Seq("k"),
+      fcst, ref, probes.toDF("event_id", "k", "value")).collect()
+    assert(out.length === probes.length)
+    val byK = out.map { r =>
+      (r.getAs[Long]("k"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("corrected"))
+    }.groupBy(_._1)
+    assert(byK.size === 4)
+    byK.foreach { case (k, rows) =>
+      val ordered = rows.sortBy(_._2).map(_._3)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          // monotone non-decreasing through in-range Hermite segments
+          // AND across the constant-delta out-of-range boundaries
+          assert(b >= a - 1e-9, s"k=$k not monotone: $a -> $b")
+        case _ =>
+      }
+    }
+  }
+
   // --- interpolation / categorization ------------------------------
 
   test("rating_curve: exact at breakpoints, monotone between them") {

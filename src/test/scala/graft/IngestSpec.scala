@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.Ingest
+import graft.sources.{Catalog, Features, Ingest}
 
 class IngestSpec extends SparkSpec {
 
@@ -43,5 +43,95 @@ class IngestSpec extends SparkSpec {
         val one = good.filter(col("event_id") === ev.collect()(0).getLong(0))
         assert(one.count() === 1)
     }
+  }
+
+  private def writeFeatureDrop(path: String, lines: Seq[String]): Unit = {
+    new java.io.File(path).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$path/part0.jsonl"),
+      lines.mkString("", "\n", "\n"))
+  }
+
+  test("feature drop: WKT roundtrip, typed bbox, bbox intersection filter") {
+    val p = s"$tmp/features_ok"
+    writeFeatureDrop(p, Seq(
+      """{"feature_id": 1, "geometry": "POINT(11.5 44.25)", "props": "{\"name\":\"stn-a\"}"}""",
+      """{"feature_id": 2, "geometry": "POLYGON((10 40, 12 40, 12 42, 10 42, 10 40))", "props": "{\"name\":\"basin-b\"}"}""",
+      """{"feature_id": 3, "geometry": "point(-3.7 40.4)", "props": "{}"}"""))
+    val (parsed, corrupt) = Ingest.splitQuarantine(Features.readFeatures(spark, p))
+    assert(corrupt.count() === 0)
+    val (good, badGeom) = Features.splitGeomQuarantine(Features.normalize(parsed))
+    assert(badGeom.count() === 0)
+    val byId = good.collect().map(r => r.getAs[Long]("feature_id") -> r).toMap
+    assert(byId(1L).getAs[String]("gtype") === "POINT")
+    assert(byId(1L).getAs[Double]("lon") === 11.5)
+    assert(byId(1L).getAs[Double]("lat") === 44.25)
+    assert(byId(1L).getAs[Double]("minx") === 11.5) // degenerate bbox
+    assert(byId(1L).getAs[Double]("maxy") === 44.25)
+    assert(byId(2L).getAs[String]("gtype") === "POLYGON")
+    assert(byId(2L).getAs[Seq[org.apache.spark.sql.Row]]("ring").length === 5)
+    assert(byId(2L).getAs[Double]("minx") === 10.0)
+    assert(byId(2L).getAs[Double]("maxx") === 12.0)
+    assert(byId(2L).getAs[Double]("miny") === 40.0)
+    assert(byId(2L).getAs[Double]("maxy") === 42.0)
+    assert(byId(3L).getAs[String]("gtype") === "POINT") // case-insensitive WKT
+    // bbox intersection: query box overlapping the polygon + point 1
+    val hit = Features.inBbox(good, 11.0, 41.0, 13.0, 45.0)
+      .select("feature_id").collect().map(_.getLong(0)).sorted
+    assert(hit.toSeq === Seq(1L, 2L))
+    // extent row covers the union of all features
+    val ext = Features.extent(good, "stations").collect()(0)
+    assert(ext.getAs[String]("collection_id") === "stations")
+    assert(ext.getAs[Long]("n_features") === 3L)
+    assert(ext.getAs[Double]("min_lon") === -3.7)
+    assert(ext.getAs[Double]("max_lon") === 12.0)
+    assert(ext.getAs[Double]("min_lat") === 40.0)
+    assert(ext.getAs[Double]("max_lat") === 44.25)
+  }
+
+  test("feature drop: malformed geometry and corrupt JSON quarantine separately") {
+    val p = s"$tmp/features_bad"
+    writeFeatureDrop(p, Seq(
+      """{"feature_id": 10, "geometry": "POINT(2.2 48.8)", "props": "{}"}""",
+      """{"feature_id": 11, "geometry": "POINT(abc def)", "props": "{}"}""",
+      // unclosed ring: first vertex != last
+      """{"feature_id": 12, "geometry": "POLYGON((0 0, 1 0, 1 1, 0 1))", "props": "{}"}""",
+      """{"feature_id": 13, "geometry": "LINESTRING(0 0, 1 1)", "props": "{}"}""",
+      """this is not json at all"""))
+    val (parsed, corrupt) = Ingest.splitQuarantine(Features.readFeatures(spark, p))
+    assert(corrupt.count() === 1) // the non-JSON line
+    val (good, badGeom) = Features.splitGeomQuarantine(Features.normalize(
+      parsed.filter(col("feature_id").isNotNull)))
+    assert(good.select("feature_id").collect().map(_.getLong(0)).toSeq === Seq(10L))
+    // 11 non-numeric point, 12 unclosed ring, 13 unsupported type
+    assert(badGeom.select("feature_id").collect().map(_.getLong(0)).sorted
+      === Seq(11L, 12L, 13L))
+  }
+
+  test("feature publish: spatial partitioning prunes directories, registry row from disk") {
+    val p = s"$tmp/features_pub"
+    // two spatial clusters 30 degrees apart -> distinct p_cx cells
+    writeFeatureDrop(p, Seq(
+      """{"feature_id": 1, "geometry": "POINT(5 45)", "props": "{}"}""",
+      """{"feature_id": 2, "geometry": "POINT(6 46)", "props": "{}"}""",
+      """{"feature_id": 3, "geometry": "POINT(35 45)", "props": "{}"}"""))
+    val (parsed, _) = Ingest.splitQuarantine(Features.readFeatures(spark, p))
+    val (good, _) = Features.splitGeomQuarantine(Features.normalize(parsed))
+    val reg = Catalog.publishSpatial(good, "stations", s"$tmp/cat").collect()(0)
+    assert(reg.getAs[Long]("n_rows") === 3L)
+    assert(reg.getAs[Double]("min_lon") === 5.0)
+    assert(reg.getAs[Double]("max_lon") === 35.0)
+    assert(reg.isNullAt(reg.fieldIndex("time_start")))
+    val back = spark.read.parquet(s"$tmp/cat/stations")
+    assert(back.count() === 3)
+    // cell-directory layout + the cell predicate reaches the scan as a
+    // PartitionFilter (directory-level pruning)
+    val cellDirs = new java.io.File(s"$tmp/cat/stations").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(cellDirs.forall(_.startsWith("p_cy=")) && cellDirs.nonEmpty)
+    val pruned = back.filter(col("p_cx") === 0 && col("p_cy") === 4)
+    assert(pruned.count() === 2)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("p_cx#"),
+      s"partition filters missing from scan: ${scan.take(300)}")
   }
 }
