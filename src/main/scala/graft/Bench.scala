@@ -4,13 +4,22 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one JSON line with per-query wall times.
   *
-  * Discipline (round-1 verdict items): a full UNTIMED warm-up pass
-  * first (JIT, codegen caches, parquet footer caches, session warm-up
-  * land there), then MEDIAN-OF-3 timed passes in sorted name order —
-  * single-pass wall times on a shared machine swing ±2-3× run to run,
-  * and the median is robust to one unlucky GC/IO spike. Failures are
-  * recorded per-query (`errors` map), excluded from timings, and make
-  * the exit code nonzero instead of masquerading as a timing.
+  * Discipline: a full UNTIMED warm-up pass first (JIT, codegen caches,
+  * parquet footer caches, session warm-up land there), then N
+  * INTERLEAVED timed passes — each pass runs the FULL sorted query
+  * list once, and a query's reported time is the median of its
+  * per-pass times. Rounds 3 and 4 proved that timing a query's reps
+  * consecutively is structurally vulnerable to machine interference:
+  * a multi-minute external slowdown inflates ALL reps of whichever
+  * contiguous alphabetical run of queries it overlaps (r3:
+  * ts_*..zonal_*; r4: bias_reconstruct..dedup_clusters, 4-14× on
+  * unchanged code), and a median of 3 consecutive reps cannot defend
+  * against that. With interleaving the same window inflates at most
+  * one pass per query, which the cross-pass median discards. Raw
+  * per-pass times are kept in the artifact (`reps`) so any residual
+  * band is detectable post-hoc. Failures are recorded per-query
+  * (`errors` map), excluded from timings, and make the exit code
+  * nonzero instead of masquerading as a timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,18 +46,22 @@ object Bench {
       catch { case e: Throwable => Some(name -> e.toString.take(200)) }
     }.toMap
 
-    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]() ++ warmErrs
-    names.filterNot(warmErrs.contains).foreach { name =>
-      val reps = (1 to Reps).flatMap { _ =>
+    val passTimes = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    (1 to Reps).foreach { _ =>
+      names.filterNot(errors.contains).foreach { name =>
         val t0 = System.nanoTime()
         try {
           exec(name)
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable => errors(name) = e.toString.take(200); None }
+          passTimes(name) = passTimes.getOrElse(name, Nil) :+ (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable => errors(name) = e.toString.take(200) }
       }
-      // a query is either timed (all reps clean) or an error, never both
-      if (reps.size == Reps) timings(name) = reps.sorted.apply(reps.size / 2)
+    }
+    // a query is either timed (all passes clean) or an error, never both
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    passTimes.foreach { case (name, reps) =>
+      if (reps.size == Reps && !errors.contains(name))
+        timings(name) = reps.sorted.apply(reps.size / 2)
     }
 
     def js(s: String): String =
@@ -57,9 +70,12 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val qs = timings.map { case (k, v) => s"${js(k)}:$v" }.mkString("{", ",", "}")
+    val rs = passTimes.collect { case (k, v) if timings.contains(k) =>
+      s"${js(k)}:${v.mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${js(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"passes":$Reps,"sf":${js(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
+import graft.sources.Catalog
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -65,7 +66,10 @@ object SparkEntry {
     "bbox_filter"           -> Climate.bboxFilter _,
     "extent_summary"        -> Climate.extentSummary _,
     "healthcheck_freshness" -> Climate.healthcheckFreshness _,
+    "catalog_health"        -> Catalog.health _,
     "items_query"           -> Serving.itemsQuery _,
+    "features_items"        -> Serving.featuresItems _,
+    "features_extent"       -> Serving.featuresExtent _,
     // --- LLM pipeline: text + exact dedup ------------------------
     "dedup_exact"     -> TextOps.dedupExact _,
     "lang_id"         -> TextOps.langId _,
@@ -121,6 +125,44 @@ object SparkEntry {
     Climate.stationBreakpoints.toSeq.flatMap { case (st, bps) =>
       bps.map { case (h, q) => s"($st, $h, $q)" }
     }.mkString(", ")
+
+  /** VALUES list for the deterministic feature drop, generated from
+    * [[Serving.featureDrop]] — both engines parse the identical WKT
+    * text, so the derived bbox doubles are bit-equal. */
+  private def featureValuesSql: String =
+    Serving.featureDrop.map { case (id, g, p) => s"($id, '$g', '$p')" }
+      .mkString(", ")
+
+  /** The shared WKT parse + geometry QC, the SQL twin of
+    * [[graft.sources.Features.normalize]] (point/polygon extraction,
+    * closed-ring validity, bbox derivation). */
+  private def featureParseSql: String =
+    s"""WITH f(feature_id, geometry, props) AS (VALUES $featureValuesSql),
+      |p AS (
+      |  SELECT feature_id, props,
+      |    upper(regexp_extract(geometry, '^\\s*([A-Za-z]+)', 1)) AS gtype,
+      |    TRY_CAST(regexp_extract(geometry, '^\\s*[Pp][Oo][Ii][Nn][Tt]\\s*\\(\\s*([-+0-9.eE]+)\\s+([-+0-9.eE]+)\\s*\\)\\s*$$', 1) AS DOUBLE) AS lon,
+      |    TRY_CAST(regexp_extract(geometry, '^\\s*[Pp][Oo][Ii][Nn][Tt]\\s*\\(\\s*([-+0-9.eE]+)\\s+([-+0-9.eE]+)\\s*\\)\\s*$$', 2) AS DOUBLE) AS lat,
+      |    regexp_extract(geometry, '^\\s*[Pp][Oo][Ll][Yy][Gg][Oo][Nn]\\s*\\(\\(\\s*([^()]+?)\\s*\\)\\)\\s*$$', 1) AS ringstr
+      |  FROM f),
+      |r AS (
+      |  SELECT *, list_transform(string_split_regex(ringstr, '\\s*,\\s*'),
+      |    v -> struct_pack(
+      |      lon := TRY_CAST(regexp_extract(trim(v), '^(\\S+)\\s+(\\S+)$$', 1) AS DOUBLE),
+      |      lat := TRY_CAST(regexp_extract(trim(v), '^(\\S+)\\s+(\\S+)$$', 2) AS DOUBLE))) AS ring
+      |  FROM p),
+      |g AS (
+      |  SELECT *,
+      |    CASE WHEN gtype = 'POINT' THEN lon IS NOT NULL AND lat IS NOT NULL
+      |         WHEN gtype = 'POLYGON' THEN len(ring) >= 4
+      |              AND NOT list_contains(list_transform(ring, q -> q.lon IS NULL OR q.lat IS NULL), TRUE)
+      |              AND ring[1] = ring[-1]
+      |         ELSE FALSE END AS geom_ok,
+      |    CASE WHEN gtype = 'POINT' THEN lon ELSE list_min(list_transform(ring, q -> q.lon)) END AS minx,
+      |    CASE WHEN gtype = 'POINT' THEN lat ELSE list_min(list_transform(ring, q -> q.lat)) END AS miny,
+      |    CASE WHEN gtype = 'POINT' THEN lon ELSE list_max(list_transform(ring, q -> q.lon)) END AS maxx,
+      |    CASE WHEN gtype = 'POINT' THEN lat ELSE list_max(list_transform(ring, q -> q.lat)) END AS maxy
+      |  FROM r)""".stripMargin
 
   /** DuckDB oracle SQL per query (same tables, same column names,
     * same rounding). Omitted keys get a weaker rows-only check. */
@@ -417,6 +459,95 @@ object SparkEntry {
         |LEFT JOIN rk lo ON q.grp = lo.grp AND q.member = lo.member AND q.idx_lo = lo.ridx
         |LEFT JOIN rk hi ON q.grp = hi.grp AND q.member = hi.member AND q.idx_hi = hi.ridx""".stripMargin,
 
+    // the spline fit is SQL-expressible: the bias_qmap_key oracle's
+    // union+window scaffolding, extended with lead/lag CTEs for the
+    // knot ordinates / Fritsch–Carlson tangents and a struct-carried
+    // segment (the same one-struct trick as the Spark plan, so a
+    // trailing knot's null lead fields can't mix with an older knot's)
+    "bias_qmap_spline" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id % 20 AS grp, event_id % 3 AS member,
+        |         event_type, value, ts
+        |  FROM events),
+        |fct AS (SELECT event_id, grp, member, value FROM ev
+        |        WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |reft AS (SELECT event_id, grp, member, value FROM ev
+        |        WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |app AS (SELECT event_id, grp, member, value FROM ev
+        |        WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |fk AS (SELECT grp, member, value AS fv, event_id AS tie,
+        |         row_number() OVER (PARTITION BY grp, member ORDER BY value, event_id) - 1 AS fidx
+        |       FROM fct),
+        |rk AS (SELECT grp, member, value AS rv, event_id AS tie,
+        |         row_number() OVER (PARTITION BY grp, member ORDER BY value, event_id) - 1 AS ridx
+        |       FROM reft),
+        |fagg AS (SELECT grp, member, count(*) AS nf, min(fv) AS fmin, max(fv) AS fmax
+        |         FROM fk GROUP BY 1, 2),
+        |ragg AS (SELECT grp, member, count(*) AS nr, min(rv) AS rmin, max(rv) AS rmax
+        |         FROM rk GROUP BY 1, 2),
+        |fkn AS (SELECT grp, member, fv, max(fidx) AS fidx FROM fk GROUP BY 1, 2, 3),
+        |pos AS (
+        |  SELECT fkn.grp, fkn.member, fkn.fv,
+        |    CASE WHEN fagg.nf = 1 THEN 0.0
+        |         ELSE fkn.fidx / (fagg.nf - 1) * (ragg.nr - 1) END AS fpos
+        |  FROM fkn JOIN fagg USING (grp, member) JOIN ragg USING (grp, member)),
+        |q AS (SELECT *, CAST(floor(fpos) AS INT) AS idx_lo,
+        |             CAST(ceil(fpos) AS INT) AS idx_hi FROM pos),
+        |wy AS (
+        |  SELECT q.grp, q.member, q.fv,
+        |    lo.rv + (q.fpos - q.idx_lo) * (hi.rv - lo.rv) AS y
+        |  FROM q
+        |  JOIN rk lo ON q.grp = lo.grp AND q.member = lo.member AND q.idx_lo = lo.ridx
+        |  JOIN rk hi ON q.grp = hi.grp AND q.member = hi.member AND q.idx_hi = hi.ridx),
+        |wd1 AS (
+        |  SELECT *, lead(fv) OVER wk AS x1, lead(y) OVER wk AS y1
+        |  FROM wy WINDOW wk AS (PARTITION BY grp, member ORDER BY fv)),
+        |wd AS (SELECT *, (y1 - y) / (x1 - fv) AS d FROM wd1),
+        |wd2 AS (SELECT *, lag(d) OVER (PARTITION BY grp, member ORDER BY fv) AS d_prev FROM wd),
+        |wmb AS (SELECT *,
+        |  CASE WHEN d_prev IS NULL AND d IS NULL THEN 0.0
+        |       WHEN d_prev IS NULL THEN d
+        |       WHEN d IS NULL THEN d_prev
+        |       WHEN d_prev = 0.0 OR d = 0.0 THEN 0.0
+        |       ELSE (d_prev + d) / 2.0 END AS mbase
+        |  FROM wd2),
+        |wm1 AS (SELECT *, least(mbase, coalesce(3.0 * d_prev, mbase),
+        |                        coalesce(3.0 * d, mbase)) AS m0 FROM wmb),
+        |wm AS (SELECT *, lead(m0) OVER (PARTITION BY grp, member ORDER BY fv) AS m1 FROM wm1),
+        |useg AS (
+        |  SELECT grp, member, fv AS sortv, 0 AS kind, CAST(0 AS BIGINT) AS tie,
+        |    struct_pack(x0 := fv, x1 := x1, y0 := y, y1 := y1, m0 := m0, m1 := m1) AS seg,
+        |    CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS x
+        |  FROM wm
+        |  UNION ALL
+        |  SELECT grp, member, value, 1, event_id,
+        |    CAST(NULL AS STRUCT(x0 DOUBLE, x1 DOUBLE, y0 DOUBLE, y1 DOUBLE, m0 DOUBLE, m1 DOUBLE)),
+        |    event_id, value
+        |  FROM app),
+        |wseg AS (
+        |  SELECT *, last_value(seg IGNORE NULLS) OVER (PARTITION BY grp, member
+        |    ORDER BY sortv ASC, kind ASC, tie ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sg
+        |  FROM useg),
+        |fin AS (
+        |  SELECT wseg.event_id, wseg.grp, wseg.member, wseg.x, wseg.sg,
+        |    fagg.fmin, fagg.fmax, ragg.rmin, ragg.rmax,
+        |    (wseg.x - sg.x0) / (sg.x1 - sg.x0) AS t
+        |  FROM wseg JOIN fagg USING (grp, member) JOIN ragg USING (grp, member)
+        |  WHERE kind = 1)
+        |SELECT event_id, grp, member, round(x, 2) AS fcst_value,
+        |  CASE WHEN sg IS NULL THEN 'low' WHEN sg.x1 IS NULL THEN 'high'
+        |       ELSE 'in' END AS oob,
+        |  floor(greatest(
+        |    CASE WHEN sg IS NULL THEN x + (rmin - fmin)
+        |         WHEN sg.x1 IS NULL THEN x + (rmax - fmax)
+        |         ELSE sg.y0 * (1.0 + 2.0 * t) * (1.0 - t) * (1.0 - t)
+        |            + (sg.x1 - sg.x0) * sg.m0 * t * (1.0 - t) * (1.0 - t)
+        |            + sg.y1 * t * t * (3.0 - 2.0 * t)
+        |            + (sg.x1 - sg.x0) * sg.m1 * t * t * (t - 1.0) END,
+        |    0.0) * 1e4 + 0.5) / 1e4 AS corrected
+        |FROM fin""".stripMargin,
+
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
@@ -596,6 +727,55 @@ object SparkEntry {
         |  lag_hours, lag_hours <= 24.0 AS is_fresh,
         |  n_days = date_diff('day', CAST(min_ts AS DATE), CAST(max_ts AS DATE)) + 1 AS is_complete
         |FROM g""".stripMargin,
+
+    "catalog_health" ->
+      """WITH reg AS (
+        |  SELECT 'region' AS collection_id, count(*) AS n_rows,
+        |         CAST(NULL AS TIMESTAMP) AS end_ts FROM region
+        |  UNION ALL SELECT 'nation', count(*), CAST(NULL AS TIMESTAMP) FROM nation
+        |  UNION ALL SELECT 'customer', count(*), CAST(NULL AS TIMESTAMP) FROM customer
+        |  UNION ALL SELECT 'supplier', count(*), CAST(NULL AS TIMESTAMP) FROM supplier
+        |  UNION ALL SELECT 'part', count(*), CAST(NULL AS TIMESTAMP) FROM part
+        |  UNION ALL SELECT 'orders', count(*), max(o_orderdate) FROM orders
+        |  UNION ALL SELECT 'lineitem', count(*), max(l_shipdate) FROM lineitem
+        |  -- second-truncated: the registry's time_end is a formatted
+        |  -- seconds string, so the health math sees second precision
+        |  UNION ALL SELECT 'events', count(*), date_trunc('second', max(ts)) FROM events
+        |  UNION ALL SELECT 'documents', count(*), CAST(NULL AS TIMESTAMP) FROM documents
+        |  UNION ALL SELECT 'embeddings', count(*), CAST(NULL AS TIMESTAMP) FROM embeddings
+        |), g AS (SELECT *, max(end_ts) OVER () AS lake_max_ts FROM reg),
+        |h AS (
+        |  SELECT collection_id, n_rows, end_ts,
+        |    strftime(end_ts, '%Y-%m-%d %H:%M:%S') AS time_end,
+        |    floor((epoch_us(lake_max_ts) - epoch_us(end_ts) + 180000) / 360000.0) / 10000.0 AS lag_hours
+        |  FROM g)
+        |SELECT collection_id, n_rows, time_end, lag_hours,
+        |  coalesce(lag_hours <= 24.0, FALSE) AS is_fresh,
+        |  CASE WHEN n_rows = 0 THEN 'empty'
+        |       WHEN end_ts IS NULL THEN 'static'
+        |       WHEN lag_hours <= 24.0 THEN 'fresh'
+        |       ELSE 'stale' END AS status
+        |FROM h""".stripMargin,
+
+    "features_items" -> {
+      val (minLon, minLat, maxLon, maxLat) = Serving.featuresBbox
+      s"""$featureParseSql
+        |SELECT CAST(feature_id AS BIGINT) AS feature_id, gtype, lon, lat,
+        |  minx, miny, maxx, maxy,
+        |  json_extract_string(props, '$$.name') AS name
+        |FROM g
+        |WHERE geom_ok
+        |  AND NOT (maxx < $minLon OR minx > $maxLon
+        |        OR maxy < $minLat OR miny > $maxLat)""".stripMargin
+    },
+
+    "features_extent" ->
+      s"""$featureParseSql
+        |SELECT 'features' AS collection_id,
+        |  count(*) AS n_features,
+        |  min(minx) AS min_lon, max(maxx) AS max_lon,
+        |  min(miny) AS min_lat, max(maxy) AS max_lat
+        |FROM g WHERE geom_ok""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,

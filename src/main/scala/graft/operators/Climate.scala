@@ -428,7 +428,25 @@ object Climate {
     *
     * Same KEY-CARDINALITY CONTRACT as [[quantileMapFit]]. */
   def quantileMapFitSpline(keys: Seq[String], fcstTrain: DataFrame,
-      refTrain: DataFrame, applyRows: DataFrame): DataFrame = {
+      refTrain: DataFrame, applyRows: DataFrame): DataFrame =
+    quantileMapApplySpline(keys,
+      quantileMapSplineParams(keys, fcstTrain, refTrain), applyRows)
+
+  /** FIT side of the spline transfer, exported as a PARAMETER TABLE —
+    * the reference's param-file workflow (`bias_correction_cds_process
+    * .py:310-324` `load_param_file`/`df_params`: pretrained transfer
+    * params loaded per `st_idx` and applied without refitting). One
+    * row per strictly-increasing transfer knot with its OUTGOING
+    * segment's Hermite coefficients plus the per-key edge params:
+    *
+    *   keys…, x0, x1, y0, y1, m0, m1, fmin, fmax, rmin, rmax
+    *
+    * (the trailing knot has null x1/y1/m1). Persist with
+    * `write.parquet` and hand to [[quantileMapApplySpline]] in any
+    * later run — every column is an exact double/long, so the
+    * round-trip is bit-for-bit (spec'd in ClimateSpec). */
+  def quantileMapSplineParams(keys: Seq[String], fcstTrain: DataFrame,
+      refTrain: DataFrame): DataFrame = {
     val kcols = keys.map(col)
     def byKey = Window.partitionBy(kcols: _*)
     val fk = fcstTrain
@@ -472,16 +490,38 @@ object Climate {
         .when(col("d").isNull, col("d_prev"))
         .when(col("d_prev") === 0.0 || col("d") === 0.0, lit(0.0))
         .otherwise((col("d_prev") + col("d")) / 2.0)
-    val withM = withD
+    withD
       .withColumn("m0", least(mBase,
         coalesce(lit(3.0) * col("d_prev"), mBase),
         coalesce(lit(3.0) * col("d"), mBase)))
       .withColumn("m1", lead(col("m0"), 1).over(wOrd))
+      .select(kcols ++ Seq(
+        col("fv").as("x0"), col("x1"), col("y").as("y0"), col("y1"),
+        col("m0"), col("m1"),
+        col("fmin"), col("fmax"), col("rmin"), col("rmax")): _*)
+  }
+
+  /** APPLY side: map forecast rows through a PRECOMPUTED transfer
+    * table in [[quantileMapSplineParams]] shape — no refitting, the
+    * reference's `splev(x, params)` step. Knot positioning is the
+    * same single as-of union pass as the fitted path; out-of-range
+    * keeps the constant edge delta + clamp-at-0. Because
+    * [[quantileMapFitSpline]] IS this function over the freshly
+    * fitted table, a parquet round-trip of the params cannot change a
+    * single output bit. */
+  def quantileMapApplySpline(keys: Seq[String], params: DataFrame,
+      applyRows: DataFrame): DataFrame = {
+    val kcols = keys.map(col)
+    def byKey = Window.partitionBy(kcols: _*)
+    // per-key edge params (constant across a key's knot rows)
+    val edges = params.groupBy(kcols: _*).agg(
+      first(col("fmin")).as("fmin"), first(col("fmax")).as("fmax"),
+      first(col("rmin")).as("rmin"), first(col("rmax")).as("rmax"))
     val segType = "struct<x0:double,x1:double,y0:double,y1:double," +
       "m0:double,m1:double>"
-    val knotRows = withM.select(kcols ++ Seq(
-      col("fv").as("sortv"), lit(0).as("kind"), lit(0L).as("tie"),
-      struct(col("fv").as("x0"), col("x1"), col("y").as("y0"), col("y1"),
+    val knotRows = params.select(kcols ++ Seq(
+      col("x0").as("sortv"), lit(0).as("kind"), lit(0L).as("tie"),
+      struct(col("x0"), col("x1"), col("y0"), col("y1"),
         col("m0"), col("m1")).as("seg"),
       lit(null).cast("long").as("event_id"),
       lit(null).cast("double").as("x")): _*)
@@ -503,7 +543,7 @@ object Climate {
         col("sg.y1") * t * t * (lit(3.0) - lit(2.0) * t) +
         h * col("sg.m1") * t * t * (t - lit(1.0))
     positioned
-      .join(fagg, keys).join(ragg, keys)
+      .join(edges, keys)
       // carried-last-knot-has-no-successor ⟺ x ≥ fmax: same edge
       // classification as the linear variant (x == fmax is "high"
       // there too, and the constant delta reproduces rmax exactly)
@@ -523,9 +563,11 @@ object Climate {
 
   /** [[biasQmapKey]]'s mapping through the SPLINE transfer — the
     * runnable twin showing the reference's `splev` semantics on the
-    * same fit/apply split (rows-only driver check; rigor lives in
-    * ClimateSpec: knot agreement with the linear variant + segment
-    * monotonicity). */
+    * same fit/apply split. DuckDB-oracle-checked (the fit is
+    * SQL-expressible: lead/lag tangent CTEs + a struct-carried
+    * segment); ClimateSpec adds knot agreement with the linear
+    * variant, dense-grid monotonicity, and the param-table parquet
+    * round-trip. */
   def biasQmapSpline(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .withColumn("grp", col("user_id") % 20)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.sources.Features
 
 /** The pygeoapi SERVING surface: the reference's processes publish
   * collections that pygeoapi then serves through OGC API - Features
@@ -42,4 +43,69 @@ object Serving {
       // epoch-micros keeps the timestamp hash-exact across engines
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("lat"), col("lon"), col("value"))
+
+  /** Deterministic vector-feature drop — 120 station points + 10
+    * basin rectangles + 3 malformed rows, all as WKT text. The SAME
+    * Seq feeds the Spark plan and the generated DuckDB `VALUES`
+    * oracle (the stationCalibSql pattern), so both engines parse
+    * identical decimal strings and the bbox doubles are bit-equal
+    * with no quantization. Coordinates are 2.5°-quantum so Scala's
+    * Double rendering is exact and unambiguous. */
+  private[graft] val featureDrop: Seq[(Long, String, String)] = {
+    val pts = (0 until 120).map { i =>
+      val lon = -180.0 + (i * 37 % 144) * 2.5
+      val lat = -90.0 + (i * 53 % 72) * 2.5
+      (i.toLong, s"POINT($lon $lat)", s"""{"name":"stn-$i","kind":"station"}""")
+    }
+    val polys = (0 until 10).map { j =>
+      val x0 = -75.0 + j * 14.0; val y0 = -40.0 + j * 8.0
+      val x1 = x0 + 12.5; val y1 = y0 + 6.5
+      (1000L + j,
+        s"POLYGON(($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))",
+        s"""{"name":"basin-$j","kind":"basin"}""")
+    }
+    val bad = Seq(
+      (9000L, "POINT(abc 12)", """{"name":"bad-coord","kind":"bad"}"""),
+      (9001L, "POLYGON((0 0, 5 0, 5 5, 0 5))", """{"name":"open-ring","kind":"bad"}"""),
+      (9002L, "LINESTRING(0 0, 1 1)", """{"name":"line","kind":"bad"}"""))
+    pts ++ polys ++ bad
+  }
+
+  /** The query-box literals shared by [[featuresItems]] and its
+    * generated oracle: (minLon, minLat, maxLon, maxLat). */
+  private[graft] val featuresBbox: (Double, Double, Double, Double) =
+    (-75.0, -35.0, 30.0, 45.0)
+
+  /** `GET /collections/{id}/items?bbox=` over a VECTOR collection —
+    * the feature-lane twin of [[itemsQuery]]: WKT drop → normalize
+    * (parse + bbox derivation) → malformed-geometry quarantine →
+    * bbox-intersection page, with a property pulled from the JSON
+    * props. Every step is the [[Features]] production path; only the
+    * input is a literal drop so the DuckDB oracle can re-parse the
+    * identical text.
+    *
+    * Shape at scale: all parsing is elementwise in the scan stage
+    * (no shuffle at all in this plan); on a published collection the
+    * same filter runs behind [[graft.sources.Catalog.readSpatial]]'s
+    * directory pruning. */
+  def featuresItems(spark: SparkSession, dir: String): DataFrame = {
+    val drop = spark.createDataFrame(featureDrop)
+      .toDF("feature_id", "geometry", "props")
+    val (good, _) = Features.splitGeomQuarantine(Features.normalize(drop))
+    val (minLon, minLat, maxLon, maxLat) = featuresBbox
+    Features.inBbox(good, minLon, minLat, maxLon, maxLat)
+      .select(col("feature_id"), col("gtype"), col("lon"), col("lat"),
+        col("minx"), col("miny"), col("maxx"), col("maxy"),
+        get_json_object(col("props"), "$.name").as("name"))
+  }
+
+  /** The collection-extent registry row over the same drop — the
+    * `update_config` bbox patch, oracle-checked end to end (parse →
+    * quarantine → min/max aggregate). */
+  def featuresExtent(spark: SparkSession, dir: String): DataFrame = {
+    val drop = spark.createDataFrame(featureDrop)
+      .toDF("feature_id", "geometry", "props")
+    val (good, _) = Features.splitGeomQuarantine(Features.normalize(drop))
+    Features.extent(good, "features")
+  }
 }

@@ -287,7 +287,11 @@ object TextOps {
     * for the optimizer to miss. Corpus size N is a scalar aggregate
     * over the documents table itself (a narrow count scan, never a
     * second tokenize, never a driver-side count) joined in as a
-    * broadcast 1-row relation. The per-doc top-3 is a ranking window
+    * broadcast 1-row relation. N is deliberately the CORPUS size
+    * (count of document rows, the standard IDF denominator), not the
+    * count of docs with ≥1 token: a doc that tokenizes to nothing
+    * still counts toward N, and the oracle SQL states the same
+    * `count(*) FROM documents`. The per-doc top-3 is a ranking window
     * over doc_id — a HIGH-cardinality partition key (each partition
     * sorts ~|vocab per doc| rows), which is exactly where ranking
     * windows are the right tool.

@@ -64,6 +64,44 @@ object Catalog {
     parts.reduce(_.unionByName(_))
   }
 
+  /** Catalog-wide health report — the reference's
+    * `collection_healthcheck.py` loop (probe every collection in the
+    * catalog config, report status per registry row), minus the HTTP
+    * probe: one row PER CATALOGED COLLECTION with its row count,
+    * newest timestamp, staleness vs the newest data anywhere in the
+    * lake, and a status verdict. Timeless collections (dimension
+    * tables) report `static`; empty ones `empty`; timed ones
+    * `fresh`/`stale` against a 24h lag threshold.
+    *
+    * Scale shape: [[collections]] is a union of footer-stats
+    * aggregates (O(collections) rows total), and the lake-wide max is
+    * a 1-row scalar aggregate broadcast-cross-joined back — never a
+    * partition-less window. */
+  def health(spark: SparkSession, dir: String): DataFrame = {
+    val reg = collections(spark, dir)
+      .withColumn("end_ts", to_timestamp(col("time_end")))
+    val lakeMax = reg.agg(max(col("end_ts")).as("lake_max_ts"))
+    reg.crossJoin(broadcast(lakeMax))
+      // 4dp hours from INTEGER microsecond arithmetic: one 360000-µs
+      // quantum is 1e-4 h, so floor((d + half-quantum) / quantum) is
+      // half-up rounding computed exactly (numerator is an exact
+      // double < 2^53 and a k/360000 rational can't sit within an ulp
+      // of an integer) — a chained double divide-then-scale rounds
+      // twice and diverges from DuckDB on exact .00005 boundaries.
+      .withColumn("lag_hours",
+        floor((unix_micros(col("lake_max_ts")) - unix_micros(col("end_ts"))
+          + lit(180000L)) / lit(360000.0)) / lit(1e4))
+      .select(col("collection_id"), col("n_rows"), col("time_end"),
+        col("lag_hours"),
+        // coalesce: a timeless (static) collection is NOT fresh — and a
+        // nullable boolean would round-trip differently per engine
+        coalesce(col("lag_hours") <= 24.0, lit(false)).as("is_fresh"),
+        when(col("n_rows") === 0, "empty")
+          .when(col("end_ts").isNull, "static")
+          .when(col("lag_hours") <= 24.0, "fresh")
+          .otherwise("stale").as("status"))
+  }
+
   /** Register a bucketed copy of a DataFrame: hash-bucketed and
     * sorted by the join key, stored as an external table. Two tables
     * bucketed the same way join WITHOUT any shuffle — the pattern for
@@ -104,10 +142,19 @@ object Catalog {
   }
 
   /** Publish a GEOMETRY collection (no event time): partitioned by a
-    * coarse spatial grid cell of the feature's bbox centroid, so the
-    * read side's bbox predicates prune at the DIRECTORY level — the
+    * coarse spatial grid cell of the feature's bbox CENTROID — the
     * spatial analogue of [[publish]]'s day partitioning. Returns the
-    * registry row in [[collections]] shape (bbox extent, null time). */
+    * registry row in [[collections]] shape (bbox extent, null time).
+    *
+    * Pruning contract: because the cell is the CENTROID's cell, a
+    * feature can extend outside it — a naive `p_cx/p_cy ∈ query
+    * cells` filter would silently drop large features whose centroid
+    * sits in a neighboring cell. Directory pruning is therefore only
+    * safe through [[readSpatial]], which widens the cell range by the
+    * collection's max feature extent; publishers of collections with
+    * features larger than `maxExtentDeg` must pass the true bound at
+    * read time (or use a larger `cellDeg`). Points (extent 0) prune
+    * with no widening. */
   def publishSpatial(df: DataFrame, collectionId: String, outDir: String,
       cellDeg: Double = 10.0): DataFrame = {
     val path = s"$outDir/$collectionId"
@@ -126,6 +173,30 @@ object Catalog {
         lit(null).cast("string").as("time_start"),
         lit(null).cast("string").as("time_end"),
         col("min_lon"), col("max_lon"), col("min_lat"), col("max_lat"))
+  }
+
+  /** SAFE bbox read over a [[publishSpatial]] collection: directory
+    * pruning on the centroid-cell partition columns, WIDENED so no
+    * intersecting feature can be missed, plus the exact bbox residual
+    * filter on the per-feature bbox columns.
+    *
+    * Correctness: a feature with width/height ≤ `maxExtentDeg` whose
+    * bbox intersects the query rectangle has its centroid within
+    * `maxExtentDeg / 2` of the rectangle, so scanning every cell the
+    * expanded rectangle touches covers all candidates; everything
+    * else is pruned at the directory level before any file is opened.
+    * With the default `maxExtentDeg = 0` (point collections) the cell
+    * range is exactly the query's own cells. */
+  def readSpatial(spark: SparkSession, outDir: String, collectionId: String,
+      minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
+      cellDeg: Double = 10.0, maxExtentDeg: Double = 0.0): DataFrame = {
+    val half = maxExtentDeg / 2
+    def cell(v: Double): Int = math.floor(v / cellDeg).toInt
+    spark.read.parquet(s"$outDir/$collectionId")
+      .filter(col("p_cy").between(cell(minLat - half), cell(maxLat + half)) &&
+        col("p_cx").between(cell(minLon - half), cell(maxLon + half)))
+      .filter(!(col("maxx") < minLon || col("minx") > maxLon ||
+        col("maxy") < minLat || col("miny") > maxLat))
   }
 
   /** Incremental re-publish — the reference's actual scheduled-run

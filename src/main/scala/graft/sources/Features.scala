@@ -88,7 +88,10 @@ object Features {
       .withColumn("gtype", gtype)
       .withColumn("lon", pLon).withColumn("lat", pLat)
       .withColumn("ring", ring)
-      .withColumn("geom_ok", pointOk || polyOk)
+      // coalesce: a missing/null geometry makes both legs null, and a
+      // null geom_ok would drop the row from BOTH splitGeomQuarantine
+      // streams — it must land in quarantine, not vanish
+      .withColumn("geom_ok", coalesce(pointOk || polyOk, lit(false)))
       .withColumn("minx",
         when(col("gtype") === "POINT", col("lon"))
           .otherwise(array_min(ringLons)))
@@ -129,9 +132,11 @@ object Features {
 
   /** Features whose bbox INTERSECTS the query rectangle — the
     * standard pygeoapi `?bbox=` items filter, as a pure codegen'd
-    * conjunction in the scan stage (and, on a spatially-partitioned
-    * collection, a directory-pruning predicate via the cell
-    * partition columns). */
+    * conjunction in the scan stage. This is the exact (row-level)
+    * filter only; on a [[Catalog.publishSpatial]] collection, go
+    * through [[Catalog.readSpatial]] for directory-level pruning —
+    * its widened cell predicate is the only cell filter that is safe
+    * for features larger than a point. */
   def inBbox(good: DataFrame,
       minLon: Double, minLat: Double, maxLon: Double, maxLat: Double): DataFrame =
     good.filter(!(col("maxx") < minLon || col("minx") > maxLon ||

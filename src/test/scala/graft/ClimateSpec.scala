@@ -243,8 +243,8 @@ class ClimateSpec extends SparkSpec {
       assert(a.getAs[Long]("n") === e.getAs[Long]("n"))
       val spread = e.getAs[Double]("p90_z") - e.getAs[Double]("p10_z")
       Seq("p10_z", "med_z", "p90_z").foreach { c =>
-        // rank error ≤ n/10000 with n in the hundreds → near-exact;
-        // allow a small fraction of the zone's own spread
+        // rank error ≤ n/1000 (accuracy=1000) with n in the hundreds
+        // → near-exact; allow a small fraction of the zone's spread
         assert(math.abs(a.getAs[Double](c) - e.getAs[Double](c))
           <= spread * 0.05 + 1e-6, s"zone $k col $c")
       }
@@ -342,6 +342,39 @@ class ClimateSpec extends SparkSpec {
       assert(oob === loob, s"event $id oob spline=$oob linear=$loob")
       assert(math.abs(c - lc) < 1e-9, s"event $id spline=$c linear=$lc")
     }
+  }
+
+  test("quantileMapSplineParams: parquet round-trip applies bit-for-bit (the param-file workflow)") {
+    // the reference loads PRETRAINED spline params from files and
+    // applies them per key (`bias_correction_cds_process.py:310-324`);
+    // exporting the fitted table to parquet and applying it from disk
+    // must reproduce fit-and-apply exactly — all param columns are
+    // exact doubles, so not a single output bit may move
+    val ev = Tables.events(spark, sf)
+      .withColumn("grp", col("user_id") % 20)
+      .withColumn("member", col("event_id") % 3)
+    val split = lit("2024-01-16T00:00:00Z").cast("timestamp")
+    def slice(t: String, cond: org.apache.spark.sql.Column) =
+      ev.filter(col("event_type") === t && cond)
+        .select("event_id", "grp", "member", "value")
+    val keys = Seq("grp", "member")
+    val fcst = slice("click", col("ts") < split)
+    val ref = slice("view", col("ts") < split)
+    val apply = slice("click", col("ts") >= split)
+    val params = Climate.quantileMapSplineParams(keys, fcst, ref)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-qmap-params").toFile.getAbsolutePath
+    params.write.mode("overwrite").parquet(s"$dir/params")
+    val loaded = spark.read.parquet(s"$dir/params")
+    // param table shape: the documented export schema, one row per knot
+    assert(loaded.columns.sorted.toSeq === Seq("fmax", "fmin", "grp", "m0",
+      "m1", "member", "rmax", "rmin", "x0", "x1", "y0", "y1"))
+    val direct = Climate.quantileMapFitSpline(keys, fcst, ref, apply)
+    val viaDisk = Climate.quantileMapApplySpline(keys, loaded, apply)
+    assert(direct.count() > 0)
+    // exceptAll is exact (bitwise on doubles): both directions empty
+    assert(viaDisk.exceptAll(direct).isEmpty
+      && direct.exceptAll(viaDisk).isEmpty)
   }
 
   test("quantileMapFitSpline: monotone on a dense probe grid, continuous at the edges") {

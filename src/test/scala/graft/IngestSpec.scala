@@ -96,15 +96,19 @@ class IngestSpec extends SparkSpec {
       // unclosed ring: first vertex != last
       """{"feature_id": 12, "geometry": "POLYGON((0 0, 1 0, 1 1, 0 1))", "props": "{}"}""",
       """{"feature_id": 13, "geometry": "LINESTRING(0 0, 1 1)", "props": "{}"}""",
+      // geometry field absent entirely: must QUARANTINE, not vanish
+      // (a null geom_ok would fail both filter() sides)
+      """{"feature_id": 14, "props": "{}"}""",
       """this is not json at all"""))
     val (parsed, corrupt) = Ingest.splitQuarantine(Features.readFeatures(spark, p))
     assert(corrupt.count() === 1) // the non-JSON line
     val (good, badGeom) = Features.splitGeomQuarantine(Features.normalize(
       parsed.filter(col("feature_id").isNotNull)))
     assert(good.select("feature_id").collect().map(_.getLong(0)).toSeq === Seq(10L))
-    // 11 non-numeric point, 12 unclosed ring, 13 unsupported type
+    // 11 non-numeric point, 12 unclosed ring, 13 unsupported type,
+    // 14 missing geometry — no row disappears
     assert(badGeom.select("feature_id").collect().map(_.getLong(0)).sorted
-      === Seq(11L, 12L, 13L))
+      === Seq(11L, 12L, 13L, 14L))
   }
 
   test("feature publish: spatial partitioning prunes directories, registry row from disk") {
@@ -133,5 +137,39 @@ class IngestSpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
     assert(scan.contains("PartitionFilters") && scan.contains("p_cx#"),
       s"partition filters missing from scan: ${scan.take(300)}")
+  }
+
+  test("readSpatial: widened cell range catches a large feature a naive cell filter drops") {
+    val p = s"$tmp/features_wide"
+    writeFeatureDrop(p, Seq(
+      // centroid (11, 45) -> cell (cy=4, cx=1)
+      """{"feature_id": 1, "geometry": "POINT(11 45)", "props": "{}"}""",
+      // wide basin: bbox x in [12, 28] -> centroid (20, 45), cell cx=2,
+      // but it INTERSECTS a query box that ends at lon 14 (cell cx=1)
+      """{"feature_id": 2, "geometry": "POLYGON((12 44, 28 44, 28 46, 12 46, 12 44))", "props": "{}"}""",
+      // far away, must be pruned
+      """{"feature_id": 3, "geometry": "POINT(85 45)", "props": "{}"}"""))
+    val (parsed, _) = Ingest.splitQuarantine(Features.readFeatures(spark, p))
+    val (good, _) = Features.splitGeomQuarantine(Features.normalize(parsed))
+    Catalog.publishSpatial(good, "basins", s"$tmp/cat")
+    // query box [9,14]x[43,47] spans cells cx in {0,1}; feature 2's
+    // centroid cell is cx=2 — the naive filter loses it
+    val naive = spark.read.parquet(s"$tmp/cat/basins")
+      .filter(col("p_cx").between(0, 1) && col("p_cy") === 4)
+      .filter(!(col("maxx") < 9.0 || col("minx") > 14.0 ||
+        col("maxy") < 43.0 || col("miny") > 47.0))
+    assert(naive.select("feature_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // readSpatial with the collection's true extent bound (16 deg wide)
+    // widens the cell range and returns BOTH intersecting features
+    val safe = Catalog.readSpatial(spark, s"$tmp/cat", "basins",
+      9.0, 43.0, 14.0, 47.0, maxExtentDeg = 16.0)
+    assert(safe.select("feature_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L))
+    // and it still prunes: feature 3's cell (cx=8) stays outside the
+    // widened range, and the cell predicate reaches the scan as a
+    // PartitionFilter
+    val leaf = safe.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(leaf.contains("PartitionFilters") && leaf.contains("p_cx#"),
+      s"partition filters missing from scan: ${leaf.take(300)}")
   }
 }
