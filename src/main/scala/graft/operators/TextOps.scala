@@ -272,6 +272,80 @@ object TextOps {
         coalesce(col("source"), lit("ALL")).as("source"),
         col("n_docs"), col("n_tokens"), col("max_chars"))
 
+  /** Target share of the token budget per source — the data-mixing
+    * recipe of a training run (the "40% web / 30% books / …" table).
+    * A literal, like the calibration tables: the SAME Seq generates
+    * the DuckDB VALUES so both engines share every weight
+    * bit-for-bit. Sources not listed get weight 0 (excluded). */
+  val mixWeights: Seq[(String, Double)] = Seq(
+    "src0" -> 0.2, "src1" -> 0.15, "src2" -> 0.15, "src3" -> 0.1,
+    "src4" -> 0.1, "src5" -> 0.08, "src6" -> 0.08, "src7" -> 0.06,
+    "src8" -> 0.05, "src9" -> 0.03)
+
+  /** Fraction of the corpus' total tokens the mixed dataset targets. */
+  val mixBudgetShare: Double = 0.5
+
+  /** Token-budgeted SOURCE MIXING — the step that turns a mixing
+    * recipe (per-source weights × a total token budget) into concrete
+    * per-source admission rates and realized token counts: for each
+    * source, `target = budget · weight`, `rate = min(1, target /
+    * available)`, and a document is admitted iff its md5 selector
+    * bucket falls below `floor(rate · 65536)` — the deterministic,
+    * engine-invariant analogue of per-source Bernoulli sampling. The
+    * budget denominator is the WHOLE corpus' token count: unlisted
+    * sources still contribute tokens to the denominator but are
+    * excluded from admission (weight 0), exactly like dropping a
+    * low-quality source from a recipe.
+    *
+    * Shape at scale: ONE tokenize pass builds a (source × 16-bit
+    * selector bucket) HISTOGRAM — bounded at 65536·|sources| rows no
+    * matter the corpus size — which is `localCheckpoint`ed so the
+    * rate computation and the admitted-mass rollup both read the
+    * materialized sketch instead of re-scanning the corpus (the
+    * dedup-clusters precedent for cutting a reused intermediate's
+    * lineage). Admission is quantized to 2^-16 of each source, so the
+    * realized token mass is within 2^-16 of the target — and because
+    * the cut is a bucket boundary, the admitted set is exactly
+    * reproducible elementwise: the keep-list pass is one broadcast of
+    * the 10-row cut table and zero shuffles.
+    *
+    * Output: one row per weighted source with available/target/kept
+    * docs and tokens and the admission rate. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = mixWeights.toDF("source", "weight")
+    val hist = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(words(normalized(col("text")))).cast("long").as("n_tok"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long").as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+      .localCheckpoint()
+    val avail = hist.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tok")).as("avail_tokens"))
+    val total = avail.agg(sum(col("avail_tokens")).as("total_tokens"))
+    val rates = avail.join(broadcast(w), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("target_tokens",
+        floor(col("total_tokens").cast("double") * lit(mixBudgetShare)
+          * col("weight")).cast("long"))
+      .withColumn("rate",
+        least(lit(1.0), col("target_tokens").cast("double") / col("avail_tokens")))
+      .withColumn("cut", floor(col("rate") * lit(65536.0)).cast("long"))
+    val kept = hist.join(broadcast(rates.select("source", "cut")), Seq("source"))
+      .filter(col("bucket") < col("cut"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("kept_docs"),
+        sum(col("n_tok")).as("kept_tokens"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        col("target_tokens"), col("rate"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
+
   /** Characteristic terms per document — TF-IDF top-3 with a total
     * (score desc, term asc) tiebreak: the classic retrieval/tagging
     * primitive over a curated corpus.

@@ -1,9 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+
+import graft.sources.Catalog
 
 /** Streaming ingestion pipeline — the reference's scheduler-driven
   * incremental ingest loop (`scheduler.sh` / `scheduler.yaml` cron →
@@ -132,6 +134,37 @@ object EventsPipeline {
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** The PUBLISH side of the scheduled loop as a stream — the
+    * reference's cron tick end to end: drain whatever drops landed
+    * since the last run (`Trigger.AvailableNow` over the checkpointed
+    * file source) and land each micro-batch through
+    * [[Catalog.publishIncremental]], so only the DAY partitions
+    * present in the batch are replaced and every other day's files
+    * stay untouched.
+    *
+    * Contract (the reference's own re-download semantics): a drop
+    * carries the COMPLETE revised slice of every day it touches.
+    * Under that contract dynamic partition overwrite makes the sink
+    * IDEMPOTENT — re-processing a batch rewrites the same partitions
+    * with the same rows — which is what upgrades the file source's
+    * at-least-once replay (crash between write and checkpoint commit)
+    * to exactly-once results without any transaction log. */
+  def streamPublish(spark: SparkSession, dropDir: String, ckptDir: String,
+      outDir: String, collectionId: String): StreamingQuery =
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(dropDir)
+      .transform(normalizeTs)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty)
+          Catalog.publishIncremental(batch.toDF(), "ts", collectionId, outDir)
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** One scheduled incremental run: drain everything currently in
     * `dropDir` into `outDir`, checkpointed at `ckptDir`, then stop. */

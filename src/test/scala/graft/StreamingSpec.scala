@@ -257,6 +257,36 @@ class StreamingSpec extends SparkSpec {
       ev.filter(to_date(col("ts")) === "2024-01-02").count())
   }
 
+  test("streamPublish: two scheduled ticks, re-dropped day replaced, checkpoint skips old files") {
+    val tmp = Files.createTempDirectory("graft-spub").toFile.getAbsolutePath
+    val drop = s"$tmp/drop"; new java.io.File(drop).mkdirs()
+    // raw drop files keep the source's epoch-nanos long ts (the shape
+    // runOnce also consumes); day slices via the converted timestamp
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val day = to_date(expr("timestamp_micros(ts div 1000)"))
+    def dayCount(d: String): Long = raw.filter(day === d).count()
+    // tick 1: a drop carrying complete days 1-2
+    raw.filter(day.between("2024-01-01", "2024-01-02"))
+      .write.mode("append").parquet(drop)
+    EventsPipeline.streamPublish(spark, drop, s"$tmp/ckpt", s"$tmp/cat", "ev")
+      .awaitTermination(120000)
+    val back1 = spark.read.parquet(s"$tmp/cat/ev")
+    assert(back1.filter(col("p_day") === "2024-01-01").count() === dayCount("2024-01-01"))
+    assert(back1.filter(col("p_day") === "2024-01-02").count() === dayCount("2024-01-02"))
+    // tick 2: a REVISED complete day 2 (halved) plus a new day 3 lands
+    // in the drop dir; the checkpoint must skip tick 1's files
+    raw.filter(day === "2024-01-02").limit((dayCount("2024-01-02") / 2).toInt)
+      .unionByName(raw.filter(day === "2024-01-03"))
+      .write.mode("append").parquet(drop)
+    EventsPipeline.streamPublish(spark, drop, s"$tmp/ckpt", s"$tmp/cat", "ev")
+      .awaitTermination(120000)
+    val back2 = spark.read.parquet(s"$tmp/cat/ev")
+    // day 1 untouched, day 2 REPLACED (not appended), day 3 added
+    assert(back2.filter(col("p_day") === "2024-01-01").count() === dayCount("2024-01-01"))
+    assert(back2.filter(col("p_day") === "2024-01-02").count() === dayCount("2024-01-02") / 2)
+    assert(back2.filter(col("p_day") === "2024-01-03").count() === dayCount("2024-01-03"))
+  }
+
   test("publishIncremental: overlapping re-ingest replaces only its own days") {
     val tmp = Files.createTempDirectory("graft-pubinc").toFile.getAbsolutePath
     val ev = Tables.events(spark, sf)

@@ -317,4 +317,41 @@ class TextOpsSpec extends SparkSpec {
         s"scoring tree leaked into a Filter: ${c.take(200)}")
     }
   }
+
+  test("corpus_mix: budget arithmetic consistent, saturated sources keep everything") {
+    val rows = SparkEntry.queries("corpus_mix")(spark, sf).collect()
+    assert(rows.length === TextOps.mixWeights.size)
+    // the budget denominator is the WHOLE corpus' tokens (unweighted
+    // sources included) — cross-checked against corpus_stats' ALL/ALL
+    // row, not the weighted rows' own sum
+    val total = SparkEntry.queries("corpus_stats")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("lang") === "ALL" &&
+        org.apache.spark.sql.functions.col("source") === "ALL")
+      .collect()(0).getAs[Long]("n_tokens")
+    assert(rows.map(_.getAs[Long]("avail_tokens")).sum < total)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val w = TextOps.mixWeights.toMap.apply(src)
+      val rate = r.getAs[Double]("rate")
+      val avail = r.getAs[Long]("avail_tokens")
+      val target = r.getAs[Long]("target_tokens")
+      val keptD = r.getAs[Long]("kept_docs")
+      val keptT = r.getAs[Long]("kept_tokens")
+      assert(target === math.floor(total * TextOps.mixBudgetShare * w).toLong, src)
+      assert(rate >= 0.0 && rate <= 1.0, src)
+      assert(keptT <= avail && keptD <= r.getAs[Long]("n_docs"), src)
+      // a saturated source (target >= available) admits EVERYTHING
+      if (target >= avail)
+        assert(rate === 1.0 && keptD === r.getAs[Long]("n_docs")
+          && keptT === avail, src)
+    }
+    // the heavy-weight sources must saturate at these weights (their
+    // target exceeds any single source's share of a 10-source corpus)
+    // and the light ones must not — both admission regimes exercised
+    assert(rows.exists(_.getAs[Double]("rate") === 1.0))
+    assert(rows.exists(_.getAs[Double]("rate") < 1.0))
+    // the admitted set is deterministic: same run twice, same bits
+    val again = SparkEntry.queries("corpus_mix")(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
 }
