@@ -82,6 +82,7 @@ object SparkEntry {
     "vocab_topk"      -> TextOps.vocabTopk _,
     "corpus_stats"    -> TextOps.corpusStats _,
     "corpus_mix"      -> TextOps.corpusMix _,
+    "corpus_mix_docs" -> TextOps.corpusMixDocs _,
     "doc_keywords"    -> TextOps.docKeywords _,
     // --- LLM pipeline: near-dup + similarity ---------------------
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
@@ -131,6 +132,37 @@ object SparkEntry {
     * [[TextOps.mixWeights]]. */
   private def mixWeightsSql: String =
     TextOps.mixWeights.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+
+  /** The shared mixing-fit CTE chain (weights → per-doc base →
+    * bucket histogram → availability → rates/cuts), the SQL twin of
+    * [[TextOps.mixFit]]; `corpus_mix` aggregates it, `corpus_mix_docs`
+    * emits the admitted rows. */
+  private def mixFitSql: String =
+    s"""WITH w(source, weight) AS (VALUES $mixWeightsSql),
+      |base AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(
+      |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tok,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS bucket
+      |  FROM documents),
+      |hist AS (
+      |  SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_tok) AS BIGINT) AS n_tok
+      |  FROM base GROUP BY 1, 2),
+      |avail AS (
+      |  SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_tok) AS BIGINT) AS avail_tokens
+      |  FROM hist GROUP BY 1),
+      |tot AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS total_tokens FROM avail),
+      |rates AS (
+      |  SELECT avail.source, avail.n_docs, avail.avail_tokens,
+      |    CAST(floor(CAST(total_tokens AS DOUBLE) * ${TextOps.mixBudgetShare}
+      |         * weight) AS BIGINT) AS target_tokens
+      |  FROM avail JOIN w USING (source) CROSS JOIN tot),
+      |r2 AS (
+      |  SELECT *, least(1.0, CAST(target_tokens AS DOUBLE) / avail_tokens) AS rate
+      |  FROM rates),
+      |r3 AS (SELECT *, CAST(floor(rate * 65536.0) AS BIGINT) AS cut FROM r2)""".stripMargin
 
   /** VALUES list for the deterministic feature drop, generated from
     * [[Serving.featureDrop]] — both engines parse the identical WKT
@@ -988,31 +1020,7 @@ object SparkEntry {
         |FROM documents
         |GROUP BY CUBE(lang, source)""".stripMargin,
     "corpus_mix" ->
-      s"""WITH w(source, weight) AS (VALUES $mixWeightsSql),
-        |base AS (
-        |  SELECT source,
-        |    CAST(len(string_split(
-        |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tok,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS bucket
-        |  FROM documents),
-        |hist AS (
-        |  SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
-        |         CAST(sum(n_tok) AS BIGINT) AS n_tok
-        |  FROM base GROUP BY 1, 2),
-        |avail AS (
-        |  SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
-        |         CAST(sum(n_tok) AS BIGINT) AS avail_tokens
-        |  FROM hist GROUP BY 1),
-        |tot AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS total_tokens FROM avail),
-        |rates AS (
-        |  SELECT avail.source, avail.n_docs, avail.avail_tokens,
-        |    CAST(floor(CAST(total_tokens AS DOUBLE) * ${TextOps.mixBudgetShare}
-        |         * weight) AS BIGINT) AS target_tokens
-        |  FROM avail JOIN w USING (source) CROSS JOIN tot),
-        |r2 AS (
-        |  SELECT *, least(1.0, CAST(target_tokens AS DOUBLE) / avail_tokens) AS rate
-        |  FROM rates),
-        |r3 AS (SELECT *, CAST(floor(rate * 65536.0) AS BIGINT) AS cut FROM r2),
+      s"""$mixFitSql,
         |kept AS (
         |  SELECT hist.source, CAST(sum(hist.n_docs) AS BIGINT) AS kept_docs,
         |         CAST(sum(hist.n_tok) AS BIGINT) AS kept_tokens
@@ -1023,6 +1031,12 @@ object SparkEntry {
         |  coalesce(kept_docs, 0) AS kept_docs,
         |  coalesce(kept_tokens, 0) AS kept_tokens
         |FROM r3 LEFT JOIN kept USING (source)""".stripMargin,
+
+    "corpus_mix_docs" ->
+      s"""$mixFitSql
+        |SELECT doc_id, base.source, n_tok
+        |FROM base JOIN r3 USING (source)
+        |WHERE base.bucket < r3.cut""".stripMargin,
 
     "vocab_topk" ->
       """SELECT tok AS token, CAST(count(*) AS BIGINT) AS n

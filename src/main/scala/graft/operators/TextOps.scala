@@ -311,14 +311,20 @@ object TextOps {
     *
     * Output: one row per weighted source with available/target/kept
     * docs and tokens and the admission rate. */
-  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val w = mixWeights.toDF("source", "weight")
-    val hist = Tables.documents(spark, dir)
-      .select(col("source"),
+  /** Per-doc mixing attributes: one elementwise tokenize pass. */
+  private def mixBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
         size(words(normalized(col("text")))).cast("long").as("n_tok"),
         conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
           .cast("long").as("bucket"))
+
+  /** The mixing FIT: materialized (source × bucket) histogram plus
+    * the per-source rate/cut table derived from it. */
+  private def mixFit(base: DataFrame): (DataFrame, DataFrame) = {
+    import base.sparkSession.implicits._
+    val w = mixWeights.toDF("source", "weight")
+    val hist = base
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
       .localCheckpoint()
@@ -334,6 +340,11 @@ object TextOps {
       .withColumn("rate",
         least(lit(1.0), col("target_tokens").cast("double") / col("avail_tokens")))
       .withColumn("cut", floor(col("rate") * lit(65536.0)).cast("long"))
+    (hist, rates)
+  }
+
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val (hist, rates) = mixFit(mixBase(spark, dir))
     val kept = hist.join(broadcast(rates.select("source", "cut")), Seq("source"))
       .filter(col("bucket") < col("cut"))
       .groupBy(col("source"))
@@ -344,6 +355,21 @@ object TextOps {
         col("target_tokens"), col("rate"),
         coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
+
+  /** The EMISSION side of [[corpusMix]]: the admitted documents
+    * themselves — what actually feeds the tokenizer downstream. Two
+    * passes by design (the fit sketch, then this elementwise filter
+    * with the 10-row cut table broadcast): at 100 TB the second pass
+    * is a zero-shuffle scan, and because admission cuts at a selector
+    * bucket boundary the emitted set is exactly the one the
+    * [[corpusMix]] report accounted for. */
+  def corpusMixDocs(spark: SparkSession, dir: String): DataFrame = {
+    val base = mixBase(spark, dir)
+    val (_, rates) = mixFit(base)
+    base.join(broadcast(rates.select("source", "cut")), Seq("source"))
+      .filter(col("bucket") < col("cut"))
+      .select(col("doc_id"), col("source"), col("n_tok"))
   }
 
   /** Characteristic terms per document — TF-IDF top-3 with a total

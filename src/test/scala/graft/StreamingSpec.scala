@@ -105,6 +105,31 @@ class StreamingSpec extends SparkSpec {
     assert(byId("documents").getAs[String]("time_start") == null)
   }
 
+  test("catalog_health: verdicts correct per regime, lake max joins as a broadcast") {
+    val rows = Catalog.health(spark, sf).collect()
+    assert(rows.length === 10)
+    val byId = rows.map(r => r.getString(0) -> r).toMap
+    // events holds the lake-wide max -> fresh with zero lag
+    assert(byId("events").getAs[String]("status") === "fresh")
+    assert(byId("events").getAs[Double]("lag_hours") === 0.0)
+    assert(byId("events").getAs[Boolean]("is_fresh"))
+    // timeless dimension tables are static, never fresh
+    Seq("region", "customer", "documents").foreach { c =>
+      assert(byId(c).getAs[String]("status") === "static", c)
+      assert(!byId(c).getAs[Boolean]("is_fresh"), c)
+    }
+    // the 2001-dated TPC-H facts lag the 2024 events by years
+    Seq("orders", "lineitem").foreach { c =>
+      assert(byId(c).getAs[String]("status") === "stale", c)
+      assert(byId(c).getAs[Double]("lag_hours") > 24.0, c)
+    }
+    // scale shape: the 1-row lake max must come back as a BROADCAST
+    // nested-loop join, never a shuffled join or unhinted cartesian
+    val plan = Catalog.health(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("streamingDedup: re-dropped documents dedupe at the door, state watermark-bounded") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
