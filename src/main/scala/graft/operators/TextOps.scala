@@ -350,7 +350,9 @@ object TextOps {
       .groupBy(col("source"))
       .agg(sum(col("n_docs")).as("kept_docs"),
         sum(col("n_tok")).as("kept_tokens"))
-    rates.join(kept, Seq("source"), "left")
+    // kept is O(|sources|) rows off the bounded sketch: broadcast, so
+    // the tiny report join never plans a sort-merge off unknown stats
+    rates.join(broadcast(kept), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("avail_tokens"),
         col("target_tokens"), col("rate"),
         coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),

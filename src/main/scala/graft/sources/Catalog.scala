@@ -74,12 +74,16 @@ object Catalog {
     * `fresh`/`stale` against a 24h lag threshold.
     *
     * Scale shape: [[collections]] is a union of footer-stats
-    * aggregates (O(collections) rows total), and the lake-wide max is
-    * a 1-row scalar aggregate broadcast-cross-joined back — never a
-    * partition-less window. */
+    * aggregates (O(collections) rows total) that the report needs
+    * TWICE (rows + the lake-wide max) — `localCheckpoint` materializes
+    * the O(collections)-row registry so each underlying table is
+    * scanned exactly once, not once per reference (the corpus_mix
+    * sketch pattern). The lake max is then a 1-row scalar aggregate
+    * broadcast-cross-joined back — never a partition-less window. */
   def health(spark: SparkSession, dir: String): DataFrame = {
     val reg = collections(spark, dir)
       .withColumn("end_ts", to_timestamp(col("time_end")))
+      .localCheckpoint()
     val lakeMax = reg.agg(max(col("end_ts")).as("lake_max_ts"))
     reg.crossJoin(broadcast(lakeMax))
       // 4dp hours from INTEGER microsecond arithmetic: one 360000-µs
