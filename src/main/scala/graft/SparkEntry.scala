@@ -38,6 +38,8 @@ object SparkEntry {
     "ts_lag_delta"           -> TimeSeries.lagDelta _,
     "ts_sessionize"          -> TimeSeries.sessionize _,
     "ts_rolling_anomaly"     -> TimeSeries.rollingAnomaly _,
+    "ts_interp_linear"       -> TimeSeries.interpLinear _,
+    "ts_climatology_anomaly" -> TimeSeries.climatologyAnomaly _,
     "interval_join"          -> TimeSeries.intervalJoin _,
     // --- geo/climate analytics -----------------------------------
     "spi_zscore"            -> Climate.spiZscore _,
@@ -63,6 +65,7 @@ object SparkEntry {
     "zonal_spi_quantiles_approx" -> Climate.zonalSpiQuantilesApprox _,
     "zonal_poly_spi"        -> Climate.zonalPolySpi _,
     "grid_regrid"           -> Climate.gridRegrid _,
+    "grid_coarsen"          -> Climate.gridCoarsen _,
     "bbox_filter"           -> Climate.bboxFilter _,
     "extent_summary"        -> Climate.extentSummary _,
     "healthcheck_freshness" -> Climate.healthcheckFreshness _,
@@ -84,6 +87,7 @@ object SparkEntry {
     "corpus_mix"      -> TextOps.corpusMix _,
     "corpus_mix_docs" -> TextOps.corpusMixDocs _,
     "doc_keywords"    -> TextOps.docKeywords _,
+    "pii_scrub"       -> TextOps.piiScrub _,
     // --- LLM pipeline: near-dup + similarity ---------------------
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "decontaminate"       -> Dedup.decontaminate _,
@@ -330,6 +334,47 @@ object SparkEntry {
         |    PARTITION BY g.user_id ORDER BY g.d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS value_ffill
         |FROM grid g LEFT JOIN daily dl ON g.user_id = dl.user_id AND g.d = dl.d""".stripMargin,
+
+    "ts_interp_linear" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS d, round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+        |days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds),
+        |grid AS (SELECT u.user_id, days.d
+        |         FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN days),
+        |j AS (
+        |  SELECT g.user_id, g.d, dl.v,
+        |    last_value(dl.v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN dl.v IS NOT NULL THEN g.d END IGNORE NULLS) OVER wp AS pd,
+        |    first_value(dl.v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN dl.v IS NOT NULL THEN g.d END IGNORE NULLS) OVER wf AS nd
+        |  FROM grid g LEFT JOIN daily dl ON g.user_id = dl.user_id AND g.d = dl.d
+        |  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.d
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY g.user_id ORDER BY g.d
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, strftime(d, '%Y-%m-%d') AS day, v AS value_obs,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE floor((pv + (nv - pv) * (CAST(date_diff('day', pd, d) AS DOUBLE)
+        |         / CAST(date_diff('day', pd, nd) AS DOUBLE))) * 1e4 + 0.5) / 1e4 END
+        |    AS value_interp,
+        |  v IS NULL AS interpolated
+        |FROM j""".stripMargin,
+
+    "ts_climatology_anomaly" ->
+      """WITH clim AS (
+        |  SELECT user_id, CAST(hour(ts) AS INT) AS hod, count(*) AS n_obs,
+        |    floor(avg(value) * 1e6 + 0.5) / 1e6 AS mu,
+        |    floor(stddev_samp(value) * 1e6 + 0.5) / 1e6 AS sd
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, c.hod,
+        |  round(e.value, 2) AS value,
+        |  floor((e.value - c.mu) * 1e4 + 0.5) / 1e4 AS anom,
+        |  CASE WHEN c.n_obs >= 5 AND c.sd > 0
+        |    THEN floor((e.value - c.mu) / c.sd * 1e4 + 0.5) / 1e4 END AS anom_std
+        |FROM events e
+        |JOIN clim c ON e.user_id = c.user_id AND CAST(hour(e.ts) AS INT) = c.hod""".stripMargin,
 
     "ts_lag_delta" ->
       """SELECT event_id, user_id, round(value, 2) AS value,
@@ -733,6 +778,20 @@ object SparkEntry {
         |JOIN g g10 ON g10.gy = g00.gy + 1 AND g10.gx = g00.gx
         |JOIN g g11 ON g11.gy = g00.gy + 1 AND g11.gx = g00.gx + 1""".stripMargin,
 
+    "grid_coarsen" ->
+      """WITH g AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(avg(value) * 1e6 + 0.5) AS BIGINT) AS v_us,
+        |    count(*) AS n_obs
+        |  FROM events GROUP BY 1, 2)
+        |SELECT gy - gy % 2 AS block_y, gx - gx % 2 AS block_x,
+        |  count(*) AS n_cells,
+        |  CAST(sum(n_obs) AS BIGINT) AS n_obs,
+        |  floor(CAST(sum(v_us) AS DOUBLE) / count(*) + 0.5) / 1e6 AS v_mean,
+        |  CAST(min(v_us) AS DOUBLE) / 1e6 AS v_min,
+        |  CAST(max(v_us) AS DOUBLE) / 1e6 AS v_max
+        |FROM g GROUP BY 1, 2""".stripMargin,
+
     "bbox_filter" ->
       """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM (SELECT event_type, value,
@@ -1037,6 +1096,29 @@ object SparkEntry {
         |SELECT doc_id, base.source, n_tok
         |FROM base JOIN r3 USING (source)
         |WHERE base.bucket < r3.cut""".stripMargin,
+
+    "pii_scrub" -> {
+      val vals = TextOps.piiDrop
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      val pat = TextOps.piiPatterns.toMap
+      val (email, phone, ip) = (pat("email"), pat("phone"), pat("ip"))
+      s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES $vals) AS t(doc_id, text)),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+        |    CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
+        |    CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip
+        |  FROM base)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
+        |    '$ip', '<IP>', 'g') AS clean_text,
+        |  n_email, n_phone, n_ip,
+        |  (n_email + n_phone + n_ip) > 0 AS had_pii
+        |FROM c""".stripMargin
+    },
 
     "vocab_topk" ->
       """SELECT tok AS token, CAST(count(*) AS BIGINT) AS n

@@ -96,9 +96,21 @@ object Climate {
     * which would evaluate the rolling window twice. */
   def spiGammaOn(x: DataFrame, fitRows: DataFrame,
       keys: Seq[String] = Seq("user_id"),
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil): DataFrame =
+    spiGammaApply(x, spiGammaParams(fitRows, keys), keys, carry)
+
+  /** The gamma-climatology FIT alone, as an exportable param table —
+    * one row per key: (alpha, beta, q0, a_stat). Same param-table
+    * workflow as [[quantileMapSplineParams]] (the reference persists
+    * its fitted distribution params the same way,
+    * `bias_correction_cds_process.py:310-324`): persist as parquet,
+    * re-apply every scheduled run via [[spiGammaApply]] without
+    * re-aggregating the climatology — spec'd to reproduce the
+    * fit-and-apply plan bit-for-bit after a round-trip. */
+  def spiGammaParams(fitRows: DataFrame,
+      keys: Seq[String] = Seq("user_id")): DataFrame = {
     val kcols = keys.map(col)
-    val params = fitRows.groupBy(kcols: _*)
+    fitRows.groupBy(kcols: _*)
       .agg(
         count(lit(1)).cast("double").as("n"),
         sum(when(col("x") <= 0, 1).otherwise(0)).cast("double").as("n_zero"),
@@ -111,6 +123,14 @@ object Climate {
       .withColumn("beta", col("mean_pos") / col("alpha"))
       .withColumn("q0", col("n_zero") / col("n"))
       .select(kcols ++ Seq(col("alpha"), col("beta"), col("q0"), col("a_stat")): _*)
+  }
+
+  /** Apply a fitted (or loaded) gamma param table to accumulation
+    * rows — the apply half of [[spiGammaOn]]. */
+  def spiGammaApply(x: DataFrame, params: DataFrame,
+      keys: Seq[String] = Seq("user_id"),
+      carry: Seq[String] = Nil): DataFrame = {
+    val kcols = keys.map(col)
     x.join(params, keys, "left")
       .withColumn("h",
         col("q0") + (lit(1.0) - col("q0"))
@@ -719,6 +739,35 @@ object Climate {
         expr("user_id div 8 % 8").as("gx"))
       .agg(round(avg(col("value")), 6).as("v"))
     bilinear(grid, 0.25, 0.75)
+  }
+
+  /** Block-mean downsample of the gridded field — xarray's
+    * `coarsen(lat=2, lon=2).mean()`, the reference's resolution-
+    * reduction step before publishing overview grids. Two-level
+    * HIERARCHICAL aggregation: the fine per-cell means reduce first
+    * (map-side partials into O(cells) rows, values quantized at 6dp
+    * like [[gridRegrid]]'s input), then the 2×2 block rollup
+    * aggregates the already-tiny cell table — the second shuffle
+    * moves O(cells) rows regardless of fact size, so coarsening an
+    * overview pyramid level is never a second scan of the data. */
+  def gridCoarsen(spark: SparkSession, dir: String): DataFrame = {
+    // Cell means quantize to INTEGER micro-units before the rollup:
+    // a mean of values already on the 1e-6 grid lands exactly on
+    // half-quantum boundaries (the §5 halving trap), so the block
+    // level sums exact integers (order-independent) and divides once.
+    val grid = Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx"))
+      .agg(floor(avg(col("value")) * 1e6 + 0.5).cast("long").as("v_us"),
+        count(lit(1)).as("n_obs"))
+    grid.groupBy((col("gy") - (col("gy") % 2)).as("block_y"),
+        (col("gx") - (col("gx") % 2)).as("block_x"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n_obs")).as("n_obs"),
+        (floor(sum(col("v_us")).cast("double") / count(lit(1)) + 0.5) / 1e6)
+          .as("v_mean"),
+        (min(col("v_us")).cast("double") / 1e6).as("v_min"),
+        (max(col("v_us")).cast("double") / 1e6).as("v_max"))
   }
 
   /** Zonal statistics: snap pseudo-coordinates to a 30° grid zone,

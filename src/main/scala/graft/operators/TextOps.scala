@@ -436,4 +436,54 @@ object TextOps {
         md5(concat_ws(" ", array_sort(array_distinct(words(col("norm"))))))
           .as("bow_fp"))
   }
+
+  /** PII patterns shared by the Spark plan and the DuckDB oracle —
+    * deliberately inside the RE2 ∩ java.util.regex common subset
+    * (character classes, bounded quantifiers, no lookaround), so both
+    * engines match byte-identically. */
+  private[graft] val piiPatterns: Seq[(String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}"))
+
+  /** Deterministic PII-bearing rows injected beside the corpus — the
+    * synthetic documents carry no PII, so these planted rows (same
+    * Seq feeding both engines, the featureDrop pattern) prove the
+    * redaction actually fires while the clean corpus proves it leaves
+    * ordinary text untouched. */
+  private[graft] val piiDrop: Seq[(Long, String)] = (0 until 40).map { i =>
+    val parts = Seq(s"user report $i contact") ++
+      (if (i % 3 == 0) Seq(s"mail person$i@example${i % 7}.org today") else Nil) ++
+      (if (i % 4 == 0) Seq(s"call +1-55${i % 10}-01${i % 10}-${1000 + i}") else Nil) ++
+      (if (i % 5 == 0) Seq(s"from host 10.${i % 256}.${(i * 7) % 256}.${i % 100}") else Nil) ++
+      Seq("end")
+    (100000L + i, parts.mkString(" "))
+  }
+
+  /** PII scrubbing — the redaction pass every pre-training corpus
+    * runs before release: emails, phone numbers and IPv4 literals
+    * replaced by typed placeholder tags, with per-document match
+    * counts for the audit report. Pure elementwise regex work in the
+    * scan stage (codegen'd `regexp_replace`/`regexp_extract_all`, no
+    * UDF, no shuffle at all before the sink) — the 100 TB shape is
+    * one pass over the corpus. Runs over the real documents table
+    * UNION the planted [[piiDrop]] rows; output keeps the scrubbed
+    * text so the oracle hash proves clean rows pass through
+    * byte-identical. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val drop = spark.createDataFrame(piiDrop).toDF("doc_id", "text")
+    val all = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .unionByName(drop)
+    val counted = piiPatterns.foldLeft(all) { case (d, (name, pat)) =>
+      d.withColumn(s"n_$name",
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long"))
+    }
+    val scrubbed = piiPatterns.foldLeft(counted) { case (d, (name, pat)) =>
+      d.withColumn("text", regexp_replace(col("text"), pat, s"<${name.toUpperCase}>"))
+    }
+    scrubbed.select(col("doc_id"), col("text").as("clean_text"),
+      col("n_email"), col("n_phone"), col("n_ip"),
+      (col("n_email") + col("n_phone") + col("n_ip") > 0).as("had_pii"))
+  }
 }

@@ -222,6 +222,89 @@ object TimeSeries {
         (abs(col("z")) > 3.0).as("is_anomaly"))
   }
 
+  /** Calendar densify + LINEAR interpolation — the reference's other
+    * gap-repair mode (`ds.interp(..., method="linear")` /
+    * `interpolate_na` along time, vs [[gapFill]]'s forward fill):
+    * each missing day is the linear blend of its nearest observed
+    * neighbors, weighted by calendar distance; days outside the
+    * observed range stay null (xarray's no-extrapolation default).
+    *
+    * Plan shape: the same global day grid × distinct keys as
+    * [[gapFill]], then ONE shuffle on `user_id` shared by two window
+    * passes over the same sort order — an ascending carry for the
+    * last observed (value, day) at-or-before each slot and a
+    * descending-frame carry for the first observed (value, day)
+    * at-or-after — followed by an elementwise blend. Linear per key,
+    * no self-join, no range join. Engine invariance: observed values
+    * are pre-quantized (2dp), day distances are exact integers, and
+    * IEEE division/multiply/add on identical inputs is bit-identical,
+    * so one final floor-quantize agrees everywhere. */
+  def interpLinear(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("d"))
+      .agg(round(sum(col("value")), 2).as("v"))
+    val bounds = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val days = bounds.select(explode(sequence(col("lo"), col("hi"),
+      expr("interval 1 day"))).as("d"))
+    val users = ev.select(col("user_id")).distinct()
+    val wPast = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    users.crossJoin(broadcast(days))
+      .join(daily, Seq("user_id", "d"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPast))
+      .withColumn("pd", last(when(col("v").isNotNull, col("d")),
+        ignoreNulls = true).over(wPast))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when(col("v").isNotNull, col("d")),
+        ignoreNulls = true).over(wNext))
+      .select(col("user_id"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("v").as("value_obs"),
+        when(col("v").isNotNull, col("v")).otherwise(
+          floor((col("pv") + (col("nv") - col("pv"))
+            * (datediff(col("d"), col("pd")).cast("double")
+              / datediff(col("nd"), col("pd")).cast("double"))) * 1e4 + 0.5)
+            / 1e4).as("value_interp"),
+        col("v").isNull.as("interpolated"))
+  }
+
+  /** Calendar-key climatology fit — the reference's climate-normals
+    * step (monthly/doy normals behind every anomaly product;
+    * `utils_spi.py` fits its climatology on exactly this per-calendar-
+    * key grouping). The key here is hour-of-day (the test span is one
+    * month; the operator is calendar-key agnostic). Returns the
+    * EXPORTABLE param table (one row per (station, calendar slot)):
+    * mean/std/count, persistable as parquet and re-applied across
+    * runs — the same param-table workflow as
+    * [[Climate.quantileMapSplineParams]]. Params are floor-quantized
+    * at fit time so every later application does identical arithmetic
+    * from identical bits on any engine. */
+  def climatologyFit(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_obs"),
+        (floor(avg(col("value")) * 1e6 + 0.5) / 1e6).as("mu"),
+        (floor(stddev_samp(col("value")) * 1e6 + 0.5) / 1e6).as("sd"))
+
+  /** Climatology anomaly: every observation minus its key's calendar
+    * normal, plus the standardized variant where the normal is
+    * well-estimated (n ≥ 5, sd > 0). Fit → apply is an equi-join on
+    * the composite (station, slot) key: the param table is
+    * O(stations × 24) — comfortably AQE-broadcast at test scale, a
+    * same-key shuffle join at 100 TB (never forced broadcast). */
+  def climatologyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.withColumn("hod", hour(col("ts")))
+      .join(climatologyFit(ev), Seq("user_id", "hod"))
+      .select(col("event_id"), col("user_id"), col("hod"),
+        round(col("value"), 2).as("value"),
+        (floor((col("value") - col("mu")) * 1e4 + 0.5) / 1e4).as("anom"),
+        when(col("n_obs") >= 5 && col("sd") > 0,
+          floor((col("value") - col("mu")) / col("sd") * 1e4 + 0.5) / 1e4)
+          .as("anom_std"))
+  }
+
   /** Calendar densify + forward fill: per-user daily totals on a
     * complete global day grid, gaps filled with the last observed
     * value (0 before the first observation) — the reference re-grids

@@ -497,4 +497,50 @@ class ClimateSpec extends SparkSpec {
       assert(math.abs(av - (mn + mx) / 2) < 1.1e-4)
     }
   }
+
+  test("grid_coarsen: block rollup is the exact integer-arithmetic mean of cell means") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val cells = ev.groupBy { case (u, _) => (u % 8, u / 8 % 8) }
+      .map { case (k, es) =>
+        k -> (math.floor(es.map(_._2).sum / es.size * 1e6 + 0.5).toLong,
+          es.size.toLong)
+      }
+    val expect = cells.groupBy { case ((gy, gx), _) => (gy - gy % 2, gx - gx % 2) }
+      .map { case (b, cs) =>
+        val vus = cs.values.map(_._1).toSeq
+        b -> (cs.size.toLong, cs.values.map(_._2).sum,
+          math.floor(vus.sum.toDouble / vus.size + 0.5) / 1e6,
+          vus.min.toDouble / 1e6, vus.max.toDouble / 1e6)
+      }
+    val got = SparkEntry.queries("grid_coarsen")(spark, sf).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (ec, eo, em, emin, emax) = expect((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) === ec); assert(r.getLong(3) === eo)
+      assert(math.abs(r.getDouble(4) - em) < 1.1e-6, s"block ${(r.getLong(0), r.getLong(1))}")
+      assert(math.abs(r.getDouble(5) - emin) < 1.1e-6)
+      assert(math.abs(r.getDouble(6) - emax) < 1.1e-6)
+    }
+  }
+
+  test("spi gamma params: export -> parquet -> apply is bit-identical to fit-and-apply") {
+    val x = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value").as("x"))
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0),
+        // bit-level compare (and NaN==NaN, unlike Double equality)
+        if (r.isNullAt(3)) None
+        else Some(java.lang.Double.doubleToLongBits(r.getDouble(3)))))
+        .sortBy(_._1)
+    val direct = canon(Climate.spiGammaOn(x, x).collect())
+    val tmp = java.nio.file.Files.createTempDirectory("gamma_params").toString
+    Climate.spiGammaParams(x).write.mode("overwrite").parquet(tmp)
+    val viaTable = canon(
+      Climate.spiGammaApply(x, spark.read.parquet(tmp)).collect())
+    assert(direct.sameElements(viaTable),
+      "a pretrained gamma param table must reproduce the fused fit/apply bit-for-bit")
+    assert(direct.exists(_._2.isDefined))
+  }
 }

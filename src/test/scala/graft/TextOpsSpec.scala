@@ -354,4 +354,31 @@ class TextOpsSpec extends SparkSpec {
     val again = SparkEntry.queries("corpus_mix")(spark, sf).collect()
     assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
+
+  test("pii_scrub: planted PII redacts with exact counts, clean rows pass byte-identical") {
+    val out = SparkEntry.queries("pii_scrub")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val planted = out.filter(_._1 >= 100000L)
+    assert(planted.size === 40)
+    planted.foreach { case (id, r) =>
+      val i = (id - 100000L).toInt
+      assert(r.getLong(2) === (if (i % 3 == 0) 1L else 0L), s"n_email row $i")
+      assert(r.getLong(3) === (if (i % 4 == 0) 1L else 0L), s"n_phone row $i")
+      assert(r.getLong(4) === (if (i % 5 == 0) 1L else 0L), s"n_ip row $i")
+      assert(r.getBoolean(5) === (i % 3 == 0 || i % 4 == 0 || i % 5 == 0))
+      val t = r.getString(1)
+      assert(!t.contains("@") && !t.contains("+1-"), s"residual PII in row $i: $t")
+      if (i % 3 == 0) assert(t.contains("<EMAIL>"))
+      if (i % 4 == 0) assert(t.contains("<PHONE>"))
+      if (i % 5 == 0) assert(t.contains("<IP>"))
+    }
+    // rows without PII — the whole synthetic corpus — are untouched bytes
+    val orig = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val corpus = out.filter(_._1 < 100000L)
+    assert(corpus.size === orig.size)
+    corpus.values.filterNot(_.getBoolean(5)).foreach { r =>
+      assert(r.getString(1) === orig(r.getLong(0)))
+    }
+  }
 }

@@ -187,4 +187,67 @@ class TimeSeriesSpec extends SparkSpec {
     // the corpus genuinely contains outliers to flag
     assert(flagged.values.count(_.getAs[Boolean]("is_anomaly")) > 0)
   }
+
+  test("ts_interp_linear: observed pass-through, linear interior, null edges") {
+    import java.time.LocalDate
+    val rows = SparkEntry.queries("ts_interp_linear")(spark, sf).collect()
+    val daily: Map[(Long, LocalDate), Double] = raw
+      .groupBy(e => (e._2, e._3.toLocalDateTime.toLocalDate))
+      .map { case (k, es) => k -> r2(es.map(_._5).sum) }
+    var nInterp = 0
+    rows.foreach { r =>
+      val u = r.getLong(0); val day = LocalDate.parse(r.getString(1))
+      daily.get((u, day)) match {
+        case Some(v) =>
+          assert(!r.getBoolean(4) && math.abs(r.getDouble(3) - v) < 1e-9,
+            s"observed ($u, $day) must pass through unchanged")
+        case None =>
+          assert(r.getBoolean(4) && r.isNullAt(2))
+          val userDays = daily.keys.collect { case (`u`, d) => d }.toSeq
+          val prev = userDays.filter(_.isBefore(day)).sortBy(_.toEpochDay).lastOption
+          val next = userDays.filter(_.isAfter(day)).sortBy(_.toEpochDay).headOption
+          (prev, next) match {
+            case (Some(p), Some(n)) =>
+              val pv = daily((u, p)); val nv = daily((u, n))
+              val frac = (day.toEpochDay - p.toEpochDay).toDouble /
+                (n.toEpochDay - p.toEpochDay)
+              val expect = math.floor((pv + (nv - pv) * frac) * 1e4 + 0.5) / 1e4
+              assert(math.abs(r.getDouble(3) - expect) < 1e-9,
+                s"gap ($u, $day): got ${r.getDouble(3)} expected $expect")
+              nInterp += 1
+            case _ => // outside the observed range: no extrapolation
+              assert(r.isNullAt(3), s"edge ($u, $day) must stay null")
+          }
+      }
+    }
+    assert(nInterp > 0, "the grid must contain genuine interior gaps")
+  }
+
+  test("ts_climatology_anomaly: anomaly equals value minus the hourly normal") {
+    val rows = SparkEntry.queries("ts_climatology_anomaly")(spark, sf).collect()
+    assert(rows.length === raw.length) // inner join keeps every observation
+    val byKey = raw.groupBy(e => (e._2, e._3.toLocalDateTime.getHour))
+    val valueById = raw.map(e => e._1 -> e._5).toMap
+    def q6(d: Double) = math.floor(d * 1e6 + 0.5) / 1e6
+    rows.foreach { r =>
+      val (id, u, hod) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      val es = byKey((u, hod)).map(_._5)
+      val mu = q6(es.sum / es.size)
+      val v = valueById(id)
+      // quantized params make the arithmetic engine-exact; the spec's
+      // plain-Scala mean can differ from the partial-agg sum by an ulp,
+      // so the 1e-4 floor may flip one quantum — tolerate exactly that
+      assert(math.abs(r.getDouble(4) - math.floor((v - mu) * 1e4 + 0.5) / 1e4)
+        < 1.1e-4, s"anom for event $id")
+      if (es.size >= 5) {
+        val mean = es.sum / es.size
+        val sd = q6(math.sqrt(
+          es.map(x => (x - mean) * (x - mean)).sum / (es.size - 1)))
+        if (sd > 0)
+          assert(math.abs(r.getDouble(5) -
+            math.floor((v - mu) / sd * 1e4 + 0.5) / 1e4) < 1.1e-4,
+            s"anom_std for event $id")
+      } else assert(r.isNullAt(5), s"thin climatology ($u, $hod) must not standardize")
+    }
+  }
 }
