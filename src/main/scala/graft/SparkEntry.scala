@@ -94,11 +94,13 @@ object SparkEntry {
     "dedup_clusters"      -> Dedup.dedupClusters _,
     "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
     "dedup_simhash"       -> Dedup.simhash _,
+    "dedup_chunks"        -> Dedup.dedupChunks _,
     "dedup_embedding"     -> Similarity.embeddingPairs _,
     "dedup_embedding_lsh" -> Similarity.embeddingPairsLsh _,
     "ann_topk_bruteforce" -> Similarity.annTopkBruteforce _,
     "ann_lsh_topk"        -> Similarity.annLshTopk _,
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
+    "ann_pq_topk"         -> Similarity.annPqTopk _,
     "multimodal_features" -> Multimodal.features _,
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
   )
@@ -1127,6 +1129,23 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY 1
         |ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+    "dedup_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, CAST(len(toks) // 10 AS INT)),
+        |      i -> list_aggregate(toks[i*10+1 : i*10+10], 'string_agg', ' '))) AS chunk
+        |  FROM base WHERE len(toks) // 10 > 0)
+        |SELECT md5(chunk) AS chunk_hash,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occ,
+        |  min(doc_id) AS first_doc
+        |FROM ch GROUP BY 1
+        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
     "decontaminate" ->
       """WITH base AS (
         |  SELECT doc_id,

@@ -284,4 +284,45 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= 3)
   }
+
+  /** Tokens per fixed chunk for [[dedupChunks]]. */
+  private val ChunkTokens = 10
+
+  /** Cross-document duplicated-CHUNK report — the chunk-granularity
+    * approximation of exact substring dedup (the boilerplate/
+    * template-removal pass run before training): every document is
+    * cut into consecutive fixed-width token chunks, and any chunk
+    * appearing in ≥ 2 distinct documents is reported with its spread
+    * (distinct docs, total occurrences, first carrier). Document-
+    * level dedup cannot see these — two different pages sharing a
+    * footer are no document pair at all.
+    *
+    * Shape at scale: chunking is elementwise in the scan stage
+    * (sequence + slice over the token array — bounded by doc length);
+    * the single shuffle groups by the chunk's md5, a uniform 128-bit
+    * key with no skew by construction. The distinct-doc count inside
+    * each hash group is exact (one expand over the already-bucketed
+    * rows); occurrences of ONE degenerate chunk concentrate on one
+    * key, which AQE's skew split absorbs — there is no all-pairs
+    * anywhere. A removal pass would semi-join (doc_id, chunk_hash)
+    * against this report, elementwise again. */
+  def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
+    val C = ChunkTokens
+    Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"),
+        split(TextOps.normalized(col("text")), " ").as("toks"))
+      .withColumn("nchunks", (size(col("toks")) / C).cast("int"))
+      .filter(col("nchunks") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("nchunks") - 1)).as("ci"),
+        col("toks"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("ci") * C + 1, lit(C)), " "))
+          .as("chunk_hash"))
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
 }

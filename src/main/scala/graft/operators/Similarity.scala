@@ -152,6 +152,78 @@ object Similarity {
       cands.withColumn("cos", VectorColumns.cosine(col("pe"), col("emb"))), 10)
   }
 
+  /** Product-quantization ANN — the memory-compression scale path:
+    * the 64-dim embedding splits into M=8 subspaces, each encoded as
+    * its nearest of 16 per-subspace centroids, so a stored vector is
+    * M small codes (8 bytes) instead of 64 doubles (512 bytes) — the
+    * difference between an index that fits executor memory at 100 TB
+    * and one that does not.
+    *
+    * Build, shaped like [[annIvfTopk]]: all M codebooks fit on ONE
+    * bounded `limit(4096)` sample via the driver-local Lloyd's loop;
+    * the corpus is touched once, encoding via M fused
+    * argmin-over-centroids expressions in the scan stage (zero
+    * shuffles). Search is asymmetric (ADC): each probe precomputes an
+    * M×16 lookup table of exact subspace distances to every centroid
+    * (probes are query-time inputs — the LUT table is
+    * O(probes·M·ksub), broadcast); scoring a stored vector is then M
+    * array lookups, not a 64-dim dot product. The ADC shortlist
+    * (bounded per probe by the [[TopKAgg]] heap) re-ranks with the
+    * EXACT cosine, so quantization error costs recall only inside
+    * the shortlist tail — spec-measured against the brute-force
+    * baseline. */
+  def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val M = 8; val subDim = 8; val ksub = 16; val shortlist = 50
+    val v = vecs(spark, dir)
+    val sample: Array[Array[Double]] = v.limit(4096)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    val books: Array[Array[Array[Double]]] = Array.tabulate(M)(m =>
+      lloyd(sample.map(_.slice(m * subDim, (m + 1) * subDim)), ksub, iters = 8))
+    def subVec(m: Int): Column = slice(col("emb"), m * subDim + 1, subDim)
+    // argmin_c ||e_m - c||² = argmin_c (|c|² - 2·e_m·c), as in IVF
+    def subScore(m: Int, c: Array[Double]): Column =
+      lit(c.map(x => x * x).sum) -
+        lit(2.0) * VectorColumns.dot(subVec(m), array(c.map(lit): _*))
+    val codeCols = (0 until M).map { m =>
+      array_min(array((0 until ksub).map(k =>
+        struct(subScore(m, books(m)(k)).as("d"), lit(k).as("k"))): _*))
+        .getField("k").as(s"code_$m")
+    }
+    val encoded = v.select(col("vec_id") +: col("emb") +: codeCols: _*)
+    // probes are query-time driver inputs (bounded, like the fit
+    // sample); their LUTs travel as one broadcast table
+    val probes: Array[(Long, Array[Double])] = v.filter(col("vec_id") < 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val lutRows = probes.map { case (pid, pe) =>
+      val lut: Seq[Seq[Double]] = (0 until M).map { m =>
+        val pm = pe.slice(m * subDim, (m + 1) * subDim)
+        (0 until ksub).map { k =>
+          val c = books(m)(k)
+          c.map(x => x * x).sum - 2.0 * c.zip(pm).map { case (a, b) => a * b }.sum
+        }
+      }
+      (pid, lut, pe.toSeq)
+    }.toSeq
+    val probeDf = spark.createDataFrame(lutRows).toDF("probe_id", "lut", "pe")
+    val adc = (0 until M).map(m =>
+      element_at(element_at(col("lut"), m + 1), col(s"code_$m") + 1))
+      .reduce(_ + _)
+    val scored = encoded.join(broadcast(probeDf),
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("adc", adc)
+    val short = scored.groupBy(col("probe_id"))
+      .agg(TopKAgg.topk(negate(col("adc")), col("vec_id"), col("adc"), shortlist)
+        .as("top"))
+      .select(col("probe_id"), explode(col("top.id")).as("vec_id"))
+    // exact re-rank of the bounded shortlist
+    val reranked = short
+      .join(v, Seq("vec_id"))
+      .join(probeDf.select(col("probe_id"), col("pe")), Seq("probe_id"))
+      .withColumn("cos", VectorColumns.cosine(col("pe").cast("array<double>"),
+        col("emb")))
+    topkPerProbe(reranked, 10)
+  }
+
   private val NumTables = 4
   private val BitsPerTable = 6
 

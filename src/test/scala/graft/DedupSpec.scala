@@ -168,4 +168,27 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("n_hit_shingles") >= 1L)
     }
   }
+
+  test("dedup_chunks: exact Scala recompute of the cross-doc duplicated-chunk report") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val chunks = docs.flatMap { case (id, text) =>
+      val toks = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+      (0 until toks.length / 10).map(i =>
+        (id, md5hex(toks.slice(i * 10, i * 10 + 10).mkString(" "))))
+    }
+    val expect = chunks.groupBy(_._2)
+      .collect { case (h, occ) if occ.map(_._1).distinct.size >= 2 =>
+        h -> (occ.map(_._1).distinct.size.toLong, occ.length.toLong, occ.map(_._1).min)
+      }
+    val got = SparkEntry.queries("dedup_chunks")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size === expect.size)
+    expect.foreach { case (h, e) => assert(got(h) === e, s"chunk $h") }
+    // planted duplicate documents guarantee genuinely shared chunks
+    assert(expect.nonEmpty)
+  }
 }

@@ -1,0 +1,21 @@
+package graft
+
+/** Dev tool: print the executed plan of one or more `SparkEntry.queries`
+  * entries (exchange count + formatted plan) for shuffle/pushdown audits.
+  *
+  *   sbt "Test/runMain graft.PlanAudit ts_interp_linear pii_scrub"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    args.foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val nEx = "Exchange".r.findAllIn(plan).size
+      println(s"=== $q: exchanges=$nEx")
+      df.explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -68,6 +68,27 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall >= 0.2, s"mean recall $meanRecall")
   }
 
+  test("ann_pq_topk: exact-reranked shortlist recovers most true neighbors, deterministically") {
+    val brute = SparkEntry.queries("ann_topk_bruteforce")(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pq = SparkEntry.queries("ann_pq_topk")(spark, sf).collect()
+    val byProbe = pq.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(byProbe.keySet === brute.keySet)
+    byProbe.foreach { case (_, ids) => assert(ids.size <= 10) }
+    val recalls = byProbe.map { case (p, ids) =>
+      ids.intersect(brute.getOrElse(p, Set.empty)).size.toDouble / 10
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // an ADC shortlist of 50 out of 500 vectors, exact-reranked: the
+    // 8-bit-per-subspace quantization must keep most true top-10
+    // inside the shortlist — this guards codebook fit + LUT scoring
+    assert(meanRecall >= 0.5, s"mean recall $meanRecall")
+    // codebook fit + encoding are deterministic: same bits, twice
+    val again = SparkEntry.queries("ann_pq_topk")(spark, sf).collect()
+    assert(pq.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("dedup_embedding_lsh: subset of exact pairs, strong recall on high-sim pairs") {
     val exact = SparkEntry.queries("dedup_embedding")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
