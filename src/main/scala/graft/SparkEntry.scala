@@ -66,6 +66,7 @@ object SparkEntry {
     "zonal_poly_spi"        -> Climate.zonalPolySpi _,
     "grid_regrid"           -> Climate.gridRegrid _,
     "grid_coarsen"          -> Climate.gridCoarsen _,
+    "grid_pyramid"          -> Climate.gridPyramid _,
     "bbox_filter"           -> Climate.bboxFilter _,
     "extent_summary"        -> Climate.extentSummary _,
     "healthcheck_freshness" -> Climate.healthcheckFreshness _,
@@ -793,6 +794,27 @@ object SparkEntry {
         |  CAST(min(v_us) AS DOUBLE) / 1e6 AS v_min,
         |  CAST(max(v_us) AS DOUBLE) / 1e6 AS v_max
         |FROM g GROUP BY 1, 2""".stripMargin,
+
+    "grid_pyramid" ->
+      """WITH g AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(avg(value) * 1e6 + 0.5) AS BIGINT) AS v_us,
+        |    count(*) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT *, gy - gy % 2 AS b2y, gx - gx % 2 AS b2x,
+        |             gy - gy % 4 AS b4y, gx - gx % 4 AS b4x FROM g),
+        |p AS (
+        |  SELECT grouping(b2y, b2x, b4y, b4x) AS gid, b2y, b2x, b4y, b4x,
+        |    count(*) AS n_cells, CAST(sum(n_obs) AS BIGINT) AS n_obs,
+        |    floor(CAST(sum(v_us) AS DOUBLE) / count(*) + 0.5) / 1e6 AS v_mean,
+        |    CAST(min(v_us) AS DOUBLE) / 1e6 AS v_min,
+        |    CAST(max(v_us) AS DOUBLE) / 1e6 AS v_max
+        |  FROM c GROUP BY GROUPING SETS ((b2y, b2x), (b4y, b4x), ()))
+        |SELECT CAST(CASE WHEN gid = 3 THEN 2 WHEN gid = 12 THEN 4 ELSE 0 END AS INT) AS level,
+        |  coalesce(b2y, b4y, -1) AS block_y,
+        |  coalesce(b2x, b4x, -1) AS block_x,
+        |  n_cells, n_obs, v_mean, v_min, v_max
+        |FROM p""".stripMargin,
 
     "bbox_filter" ->
       """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value

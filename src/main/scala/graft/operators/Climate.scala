@@ -770,6 +770,44 @@ object Climate {
         (max(col("v_us")).cast("double") / 1e6).as("v_max"))
   }
 
+  /** The full overview PYRAMID in one pass — [[gridCoarsen]]
+    * generalized: the 2×2 level, the 4×4 level and the global extent
+    * summary all come out of ONE aggregation over the cell table via
+    * GROUPING SETS, so each pyramid level gets its own map-side
+    * partials in the same shuffle instead of one scan per level (the
+    * `corpus_stats` CUBE pattern applied to space). Cell means are
+    * integer micro-units as in [[gridCoarsen]]; `level` decodes the
+    * grouping_id bitmask (3 = 2×2 blocks, 12 = 4×4 blocks, 15 =
+    * global, encoded identically by both engines). */
+  def gridPyramid(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx"))
+      .agg(floor(avg(col("value")) * 1e6 + 0.5).cast("long").as("v_us"),
+        count(lit(1)).as("n_obs"))
+      .select(col("gy"), col("gx"), col("v_us"), col("n_obs"),
+        (col("gy") - (col("gy") % 2)).as("b2y"),
+        (col("gx") - (col("gx") % 2)).as("b2x"),
+        (col("gy") - (col("gy") % 4)).as("b4y"),
+        (col("gx") - (col("gx") % 4)).as("b4x"))
+    cells.groupingSets(
+        Seq(Seq(col("b2y"), col("b2x")), Seq(col("b4y"), col("b4x")), Seq()),
+        col("b2y"), col("b2x"), col("b4y"), col("b4x"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_cells"),
+        sum(col("n_obs")).as("n_obs"),
+        (floor(sum(col("v_us")).cast("double") / count(lit(1)) + 0.5) / 1e6)
+          .as("v_mean"),
+        (min(col("v_us")).cast("double") / 1e6).as("v_min"),
+        (max(col("v_us")).cast("double") / 1e6).as("v_max"))
+      .select(
+        when(col("gid") === 3, 2).when(col("gid") === 12, 4).otherwise(0)
+          .cast("int").as("level"),
+        coalesce(col("b2y"), col("b4y"), lit(-1L)).as("block_y"),
+        coalesce(col("b2x"), col("b4x"), lit(-1L)).as("block_x"),
+        col("n_cells"), col("n_obs"), col("v_mean"), col("v_min"), col("v_max"))
+  }
+
   /** Zonal statistics: snap pseudo-coordinates to a 30° grid zone,
     * aggregate per zone (`utils_spi.py` compute_zonal_stats). Zone
     * assignment is elementwise in the scan; one agg shuffle. */

@@ -525,6 +525,25 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("grid_pyramid: one-pass grouping-sets levels agree with coarsen and partition the data") {
+    val pyr = SparkEntry.queries("grid_pyramid")(spark, sf).collect()
+    val l2 = pyr.filter(_.getInt(0) == 2).map(r => (r.getLong(1), r.getLong(2)) ->
+      ((r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    val co = SparkEntry.queries("grid_coarsen")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(l2 === co, "the pyramid's 2x2 level must equal the dedicated coarsen query")
+    val global = pyr.filter(_.getInt(0) == 0)
+    assert(global.length === 1)
+    assert(global(0).getLong(1) === -1L && global(0).getLong(2) === -1L)
+    val nEvents = Tables.events(spark, sf).count()
+    assert(global(0).getLong(4) === nEvents, "global n_obs covers every event")
+    val l4 = pyr.filter(_.getInt(0) == 4)
+    assert(l4.map(_.getLong(4)).sum === nEvents, "4x4 blocks partition the events")
+    assert(l2.values.map(_._2).sum === nEvents, "2x2 blocks partition the events")
+    assert(l4.map(_.getLong(3)).sum === global(0).getLong(3), "cells partition")
+  }
+
   test("spi gamma params: export -> parquet -> apply is bit-identical to fit-and-apply") {
     val x = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), col("value").as("x"))
