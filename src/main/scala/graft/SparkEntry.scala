@@ -39,6 +39,7 @@ object SparkEntry {
     "ts_sessionize"          -> TimeSeries.sessionize _,
     "ts_rolling_anomaly"     -> TimeSeries.rollingAnomaly _,
     "ts_interp_linear"       -> TimeSeries.interpLinear _,
+    "ts_ewma"                -> TimeSeries.ewma _,
     "ts_climatology_anomaly" -> TimeSeries.climatologyAnomaly _,
     "interval_join"          -> TimeSeries.intervalJoin _,
     // --- geo/climate analytics -----------------------------------
@@ -89,6 +90,7 @@ object SparkEntry {
     "corpus_mix_docs" -> TextOps.corpusMixDocs _,
     "doc_keywords"    -> TextOps.docKeywords _,
     "pii_scrub"       -> TextOps.piiScrub _,
+    "corpus_split"    -> TextOps.corpusSplit _,
     // --- LLM pipeline: near-dup + similarity ---------------------
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "decontaminate"       -> Dedup.decontaminate _,
@@ -364,6 +366,20 @@ object SparkEntry {
         |    AS value_interp,
         |  v IS NULL AS interpolated
         |FROM j""".stripMargin,
+
+    "ts_ewma" -> {
+      val terms = TimeSeries.ewmaWeights.zipWithIndex
+      def lv(i: Int) = if (i == 0) "value" else s"lag(value, $i) OVER w"
+      val num = terms.map { case (w, i) => s"$w * coalesce(${lv(i)}, 0)" }
+        .mkString(" + ")
+      val den = terms.map { case (w, i) =>
+        s"$w * (CASE WHEN ${lv(i)} IS NULL THEN 0.0 ELSE 1.0 END)"
+      }.mkString(" + ")
+      s"""SELECT event_id, user_id, round(value, 2) AS value,
+        |  floor(($num) / ($den) * 1e4 + 0.5) / 1e4 AS ewma
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+    },
 
     "ts_climatology_anomaly" ->
       """WITH clim AS (
@@ -1120,6 +1136,17 @@ object SparkEntry {
         |SELECT doc_id, base.source, n_tok
         |FROM base JOIN r3 USING (source)
         |WHERE base.bucket < r3.cut""".stripMargin,
+
+    "corpus_split" ->
+      """WITH a AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM a GROUP BY 1, 2""".stripMargin,
 
     "pii_scrub" -> {
       val vals = TextOps.piiDrop

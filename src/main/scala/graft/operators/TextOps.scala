@@ -143,6 +143,22 @@ object TextOps {
       .filter(col("sel") <= cutoff)
   }
 
+  /** Deterministic train/val/test SPLIT report — the release step
+    * after curation: every document lands in exactly one split by an
+    * md5-prefix range over its id (the [[corpusSample]] selector — a
+    * new document never moves existing assignments), ~90/5/5 by hex
+    * thresholds. Entirely elementwise assignment + one rollup
+    * aggregation on (split, source); zero extra shuffles at any
+    * corpus size. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    val sel = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(sel < "e6", "train").when(sel < "f3", "val").otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+  }
+
   /** Repetition + diversity quality signals per document — the
     * "repetitious text" filters of large-corpus curation (duplicate
     * n-gram fraction, most-common-n-gram fraction, token entropy):

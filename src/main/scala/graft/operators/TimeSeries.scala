@@ -222,6 +222,45 @@ object TimeSeries {
         (abs(col("z")) > 3.0).as("is_anomaly"))
   }
 
+  /** EWMA decay factor and the quantized weight table shared with the
+    * generated oracle SQL. 40 terms: α(1-α)^39 ≈ 2e-7, and the
+    * renormalizing denominator makes the truncation error relative,
+    * not absolute. Weights are Scala-rendered doubles — shortest
+    * round-trip representation, so both engines parse identical
+    * bits (the featureDrop literal pattern). */
+  private[graft] val EwmaAlpha = 0.3
+  private[graft] val EwmaK = 40
+  private[graft] val ewmaWeights: Seq[Double] =
+    (0 until EwmaK).map(i => EwmaAlpha * math.pow(1 - EwmaAlpha, i))
+
+  /** Exponentially-weighted moving average per key — the smoothing /
+    * forecast-blend primitive (pandas `ewm(alpha).mean()`). The exact
+    * EWMA is a linear RECURRENCE, which no distributed window
+    * evaluates directly; the Spark-expressible form is the bounded
+    * weighted sum over the last K observations with a renormalizing
+    * denominator over the lags that actually exist (identical to
+    * pandas' `adjust=True` up to the K-term truncation, which decays
+    * geometrically). All 2K+1 terms are frameless `lag` calls on ONE
+    * (key, order) window — a single shuffle, single sort, O(K) state
+    * per row, entirely codegen'd; the alternative collect_list-
+    * per-row would materialize a K-array per observation. Both
+    * engines fold the same literal weights in the same textual order,
+    * so the double arithmetic is bit-identical. */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    def lagV(i: Int): Column = if (i == 0) col("value") else lag(col("value"), i).over(w)
+    val num = ewmaWeights.zipWithIndex.map { case (wt, i) =>
+      lit(wt) * coalesce(lagV(i), lit(0.0))
+    }.reduce(_ + _)
+    val den = ewmaWeights.zipWithIndex.map { case (wt, i) =>
+      lit(wt) * when(lagV(i).isNotNull, lit(1.0)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"),
+        (floor(num / den * 1e4 + 0.5) / 1e4).as("ewma"))
+  }
+
   /** Calendar densify + LINEAR interpolation — the reference's other
     * gap-repair mode (`ds.interp(..., method="linear")` /
     * `interpolate_na` along time, vs [[gapFill]]'s forward fill):

@@ -355,6 +355,25 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("corpus_split: md5-range assignment is exact, splits partition the corpus") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = docs.groupBy { case (id, src, _) =>
+      val sel = md5hex(id.toString).substring(0, 2)
+      (if (sel < "e6") "train" else if (sel < "f3") "val" else "test", src)
+    }.map { case (k, ds) => k -> ((ds.length.toLong, ds.map(_._3).sum)) }
+    val got = SparkEntry.queries("corpus_split")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+    val byCat = got.groupBy(_._1._1).view.mapValues(_.values.map(_._1).sum)
+    assert(byCat.values.sum === docs.length)
+    // ~90/5/5: train dominates, both holdouts are non-empty
+    assert(byCat("train") > byCat.getOrElse("val", 0L) + byCat.getOrElse("test", 0L))
+  }
+
   test("pii_scrub: planted PII redacts with exact counts, clean rows pass byte-identical") {
     val out = SparkEntry.queries("pii_scrub")(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap

@@ -188,6 +188,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(flagged.values.count(_.getAs[Boolean]("is_anomaly")) > 0)
   }
 
+  test("ts_ewma: matches the renormalized finite-history recurrence per key") {
+    val alpha = 0.3
+    val got = SparkEntry.queries("ts_ewma")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    raw.groupBy(_._2).foreach { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3.getTime, e._1))
+      ordered.zipWithIndex.foreach { case (e, t) =>
+        val k = math.min(t + 1, 40)
+        val ws = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
+        val num = (0 until k).map(i => ws(i) * ordered(t - i)._5).sum
+        val expect = math.floor(num / ws.sum * 1e4 + 0.5) / 1e4
+        assert(math.abs(got(e._1) - expect) < 1.1e-4, s"event ${e._1}")
+        // the first observation's EWMA is itself, exactly
+        if (t == 0) assert(math.abs(got(e._1) -
+          math.floor(e._5 * 1e4 + 0.5) / 1e4) < 1e-9)
+      }
+    }
+  }
+
   test("ts_interp_linear: observed pass-through, linear interior, null edges") {
     import java.time.LocalDate
     val rows = SparkEntry.queries("ts_interp_linear")(spark, sf).collect()
