@@ -229,4 +229,36 @@ object Catalog {
       .select(lit(collectionId).as("collection_id"), col("n_rows"),
         col("time_start"), col("time_end"))
   }
+
+  /** Small-file COMPACTION of a published collection — the scheduled
+    * maintenance pass every incrementally-published lake needs:
+    * [[publishIncremental]] ticks land a few files per day partition
+    * each run, and at 100 TB the accumulated small files dominate
+    * open/seek latency and inflate scan task counts far past the data
+    * volume. One `repartition(p_day)` shuffle reorganizes EVERY
+    * partition in a single job (each day hashes to one task → one
+    * file per day) — never a per-partition driver loop. The compacted
+    * copy is written BESIDE the live directory and swapped in with
+    * two renames, so concurrent readers see the old or the new layout,
+    * never a half-written one; the swap itself is the documented
+    * non-transactional seam a table format's commit log would close.
+    * Content is unchanged, so the registry row stays valid; returns
+    * the compacted row count for the caller's audit. */
+  def compact(spark: SparkSession, outDir: String, collectionId: String): Long = {
+    val path = s"$outDir/$collectionId"
+    val staging = s"$outDir/$collectionId.compacting"
+    spark.read.parquet(path)
+      .repartition(col("p_day"))
+      .write.mode("overwrite").partitionBy("p_day").parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val stage = new org.apache.hadoop.fs.Path(staging)
+    val retired = new org.apache.hadoop.fs.Path(path + ".retired")
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (!fs.rename(live, retired) || !fs.rename(stage, live))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+    fs.delete(retired, true)
+    spark.read.parquet(path).count()
+  }
 }

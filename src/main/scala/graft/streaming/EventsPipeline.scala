@@ -135,6 +135,33 @@ object EventsPipeline {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Score a live stream against a FITTED climatology param table —
+    * the prediction-serving half of the param-table workflow: normals
+    * are fit in batch ([[graft.operators.TimeSeries.climatologyFit]],
+    * persisted as parquet), and every arriving observation joins the
+    * static table on its (station, calendar-slot) key for an anomaly
+    * verdict. A stream-STATIC equi-join is completely STATELESS — no
+    * watermark state at all; the static side plans like any batch
+    * relation (broadcast while it fits, shuffle-join on the same key
+    * beyond that) — so the scorer holds at any event rate. Contrast
+    * [[anomalies]], which maintains per-key Welford state for the
+    * no-pretrained-climatology case; this is the cheap path once a
+    * climatology exists, and the same quantized arithmetic as the
+    * batch `ts_climatology_anomaly` query, so stream and batch
+    * verdicts agree bit-for-bit (spec-asserted). */
+  def scoreAgainstClimatology(events: DataFrame, clim: DataFrame): DataFrame =
+    normalizeTs(events)
+      .withColumn("hod", hour(col("ts")))
+      .join(clim, Seq("user_id", "hod"))
+      .withColumn("anom",
+        floor((col("value") - col("mu")) * 1e4 + 0.5) / 1e4)
+      .withColumn("z",
+        when(col("n_obs") >= 5 && col("sd") > 0,
+          floor((col("value") - col("mu")) / col("sd") * 1e4 + 0.5) / 1e4))
+      .select(col("event_id"), col("ts"), col("user_id"), col("hod"),
+        col("value"), col("anom"), col("z"),
+        coalesce(abs(col("z")) > 3.0, lit(false)).as("is_anomaly"))
+
   /** The PUBLISH side of the scheduled loop as a stream — the
     * reference's cron tick end to end: drain whatever drops landed
     * since the last run (`Trigger.AvailableNow` over the checkpointed

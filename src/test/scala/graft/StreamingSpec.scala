@@ -341,4 +341,69 @@ class StreamingSpec extends SparkSpec {
     assert(reg.getAs[String]("time_start").startsWith("2024-01-01"))
     assert(reg.getAs[String]("time_end").startsWith("2024-01-06"))
   }
+
+  test("compact: many files per day collapse to one, content and partitions intact") {
+    val tmp = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
+    val ev = Tables.events(spark, sf).filter(
+      to_date(col("ts")).between("2024-01-01", "2024-01-04"))
+    // fragment the collection: publish, then re-publish each day as its
+    // own incremental tick with extra shuffle partitions per batch
+    Catalog.publish(ev.repartition(4), "ts", "frag", tmp).collect()
+    Seq("2024-01-02", "2024-01-03").foreach { day =>
+      Catalog.publishIncremental(
+        ev.filter(to_date(col("ts")) === day).repartition(4),
+        "ts", "frag", tmp).collect()
+    }
+    def dataFiles(day: String): Int =
+      new java.io.File(s"$tmp/frag/p_day=$day")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(s"$tmp/frag")
+    val rowsBefore = before.count()
+    val byDayBefore = before.groupBy(col("p_day")).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(dataFiles("2024-01-02") > 1, "fixture must actually be fragmented")
+    val compacted = Catalog.compact(spark, tmp, "frag")
+    assert(compacted === rowsBefore)
+    val after = spark.read.parquet(s"$tmp/frag")
+    assert(after.count() === rowsBefore)
+    byDayBefore.keys.foreach { day =>
+      assert(dataFiles(day) === 1, s"day $day not compacted")
+      assert(after.filter(col("p_day") === day).count() === byDayBefore(day))
+    }
+    // no leftover staging/retired directories after the swap
+    assert(!new java.io.File(s"$tmp/frag.compacting").exists())
+    assert(!new java.io.File(s"$tmp/frag.retired").exists())
+  }
+
+  test("scoreAgainstClimatology: stream verdicts equal the batch twin bit-for-bit") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clim = graft.operators.TimeSeries.climatologyFit(Tables.events(spark, sf))
+      .localCheckpoint()
+    val evs = Tables.events(spark, sf).collect().map(r => Ev(r.getLong(0),
+      r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4),
+      r.getString(5)))
+    val source = MemoryStream[Ev]
+    val q = EventsPipeline.scoreAgainstClimatology(source.toDF(), clim)
+      .writeStream.format("memory").queryName("climscore")
+      .outputMode("append").start()
+    try {
+      source.addData(evs.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("climscore").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+          r.getBoolean(7)))).toMap
+      val batch = SparkEntry.queries("ts_climatology_anomaly")(spark, sf)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+      assert(got.size === batch.size)
+      batch.foreach { case (id, (anom, z)) =>
+        val (sAnom, sZ, flag) = got(id)
+        assert(sAnom === anom, s"anom for event $id")
+        assert(sZ === z, s"z for event $id")
+        assert(flag === z.exists(v => math.abs(v) > 3.0))
+      }
+    } finally q.stop()
+  }
 }
