@@ -247,14 +247,24 @@ object TimeSeries {
     * engines fold the same literal weights in the same textual order,
     * so the double arithmetic is bit-identical. */
   def ewma(spark: SparkSession, dir: String): DataFrame = {
+    // ONE sliding-frame collect per row (40 distinct `lag(value, i)`
+    // offsets would each get their own frame processor in the window
+    // exec — measured ~2× slower); the weighted fold then runs in
+    // ascending-lag order, matching the oracle's literal `w0*x0 +
+    // w1*x1 + …` left-association term for term — appending the
+    // oracle's trailing `+ wi*0` no-op terms keeps the sums
+    // bit-identical. Denominators depend only on history LENGTH, so
+    // they are a 40-entry prefix-sum literal (same fold order),
+    // indexed by size — no second fold.
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    def lagV(i: Int): Column = if (i == 0) col("value") else lag(col("value"), i).over(w)
-    val num = ewmaWeights.zipWithIndex.map { case (wt, i) =>
-      lit(wt) * coalesce(lagV(i), lit(0.0))
-    }.reduce(_ + _)
-    val den = ewmaWeights.zipWithIndex.map { case (wt, i) =>
-      lit(wt) * when(lagV(i).isNotNull, lit(1.0)).otherwise(lit(0.0))
-    }.reduce(_ + _)
+      .rowsBetween(-(EwmaK - 1), Window.currentRow)
+    val wts = array(ewmaWeights.map(lit): _*)
+    val denoms = array(ewmaWeights.scanLeft(0.0)(_ + _).tail.map(lit): _*)
+    val rev = reverse(collect_list(col("value")).over(w))
+    val num = aggregate(
+      zip_with(rev, slice(wts, lit(1), size(rev)), (v, wt) => v * wt),
+      lit(0.0), (acc, x) => acc + x)
+    val den = element_at(denoms, size(rev))
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
         round(col("value"), 2).as("value"),
