@@ -40,6 +40,7 @@ object SparkEntry {
     "ts_rolling_anomaly"     -> TimeSeries.rollingAnomaly _,
     "ts_interp_linear"       -> TimeSeries.interpLinear _,
     "ts_ewma"                -> TimeSeries.ewma _,
+    "ts_rolling_median"      -> TimeSeries.rollingMedian _,
     "ts_climatology_anomaly" -> TimeSeries.climatologyAnomaly _,
     "interval_join"          -> TimeSeries.intervalJoin _,
     // --- geo/climate analytics -----------------------------------
@@ -380,6 +381,18 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
     },
+
+    "ts_rolling_median" ->
+      """WITH h AS (
+        |  SELECT event_id, user_id, value,
+        |    list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS hist
+        |  FROM events)
+        |SELECT event_id, user_id, round(value, 2) AS value,
+        |  floor((CASE WHEN len(hist) % 2 = 1 THEN hist[(len(hist)+1)//2]
+        |         ELSE (hist[len(hist)//2] + hist[len(hist)//2 + 1]) / 2.0 END)
+        |    * 1e4 + 0.5) / 1e4 AS rolling_med
+        |FROM h""".stripMargin,
 
     "ts_climatology_anomaly" ->
       """WITH clim AS (

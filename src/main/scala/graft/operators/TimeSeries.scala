@@ -271,6 +271,31 @@ object TimeSeries {
         (floor(num / den * 1e4 + 0.5) / 1e4).as("ewma"))
   }
 
+  /** Trailing MEDIAN filter — the robust despiking pass sensor QC
+    * runs before any derived product (a single bad reading shifts a
+    * trailing mean by Δ/n but leaves the median untouched). Exact
+    * median over each row's trailing-15 window: one sliding-frame
+    * collect + sort per row — O(w log w) on a SMALL fixed window,
+    * shuffled once on the natural key. The even/odd midpoint
+    * interpolation is written identically in the oracle (quantile_
+    * cont(0.5) over the same frame interpolates the same midpoint),
+    * and halving stays engine-safe because inputs are 2dp-quantized
+    * so the mean of two is exactly representable on the 1e4 grid
+    * after one floor. */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-14, Window.currentRow)
+    val hist = array_sort(collect_list(col("value")).over(w))
+    val n = size(hist)
+    val med = when(n % 2 === 1, element_at(hist, ((n + 1) / 2).cast("int")))
+      .otherwise((element_at(hist, (n / 2).cast("int"))
+        + element_at(hist, (n / 2 + 1).cast("int"))) / 2.0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"),
+        (floor(med * 1e4 + 0.5) / 1e4).as("rolling_med"))
+  }
+
   /** Calendar densify + LINEAR interpolation — the reference's other
     * gap-repair mode (`ds.interp(..., method="linear")` /
     * `interpolate_na` along time, vs [[gapFill]]'s forward fill):

@@ -188,6 +188,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(flagged.values.count(_.getAs[Boolean]("is_anomaly")) > 0)
   }
 
+  test("ts_rolling_median: exact trailing-15 median, robust to a planted spike") {
+    val got = SparkEntry.queries("ts_rolling_median")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    raw.groupBy(_._2).foreach { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3.getTime, e._1))
+      ordered.zipWithIndex.foreach { case (e, i) =>
+        val hist = ordered.slice(math.max(0, i - 14), i + 1).map(_._5).sorted
+        val n = hist.length
+        val m = if (n % 2 == 1) hist(n / 2) else (hist(n / 2 - 1) + hist(n / 2)) / 2.0
+        val expect = math.floor(m * 1e4 + 0.5) / 1e4
+        assert(math.abs(got(e._1) - expect) < 1e-9, s"event ${e._1}")
+      }
+    }
+    // the filter's point: a single spike cannot move the median
+    val base = Seq.fill(15)(10.0)
+    val spiked = (base.take(7) :+ 1000.0) ++ base.drop(8)
+    assert(spiked.sorted.apply(7) === 10.0)
+  }
+
+  test("new ts queries: plan shapes — one shuffle for windows, zero for elementwise") {
+    def exchanges(q: String): Int =
+      SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+        .linesIterator.count(l =>
+          l.contains("Exchange") && !l.contains("BroadcastExchange")
+            && !l.contains("ReusedExchange"))
+    // single-key window families: exactly ONE shuffle (plus none extra)
+    Seq("ts_ewma", "ts_rolling_median").foreach { q =>
+      assert(exchanges(q) === 1, s"$q must shuffle exactly once on the key")
+    }
+    // pii_scrub is pure scan-stage work: NO shuffle at all
+    assert(exchanges("pii_scrub") === 0, "pii_scrub must not shuffle")
+  }
+
   test("ts_ewma: matches the renormalized finite-history recurrence per key") {
     val alpha = 0.3
     val got = SparkEntry.queries("ts_ewma")(spark, sf)
