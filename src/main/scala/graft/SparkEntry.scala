@@ -92,6 +92,7 @@ object SparkEntry {
     "doc_keywords"    -> TextOps.docKeywords _,
     "pii_scrub"       -> TextOps.piiScrub _,
     "corpus_split"    -> TextOps.corpusSplit _,
+    "doc_lm_score"    -> TextOps.docLmScore _,
     // --- LLM pipeline: near-dup + similarity ---------------------
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "decontaminate"       -> Dedup.decontaminate _,
@@ -1149,6 +1150,34 @@ object SparkEntry {
         |SELECT doc_id, base.source, n_tok
         |FROM base JOIN r3 USING (source)
         |WHERE base.bucket < r3.cut""".stripMargin,
+
+    "doc_lm_score" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(toks) AS cur, generate_subscripts(toks, 1) AS pos
+        |  FROM base WHERE len(toks) >= 2),
+        |big AS (
+        |  SELECT doc_id, lag(cur) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, cur
+        |  FROM tok),
+        |bi AS (
+        |  SELECT doc_id, prev, cur, count(*) AS n_occ
+        |  FROM big WHERE prev IS NOT NULL GROUP BY 1, 2, 3),
+        |model AS (
+        |  SELECT prev, cur, sum(n_occ) AS c_bi,
+        |    sum(sum(n_occ)) OVER (PARTITION BY prev) AS c_prev
+        |  FROM bi GROUP BY 1, 2),
+        |voc AS (SELECT count(DISTINCT cur) AS v FROM bi),
+        |scored AS (
+        |  SELECT prev, cur,
+        |    floor(ln((c_bi + 1) / CAST(c_prev + v AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS logp
+        |  FROM model CROSS JOIN voc)
+        |SELECT bi.doc_id, CAST(sum(bi.n_occ) AS BIGINT) AS n_bigrams,
+        |  floor(sum(s.logp * bi.n_occ) / sum(bi.n_occ) * 1e4 + 0.5) / 1e4 AS mean_logp
+        |FROM bi JOIN scored s ON bi.prev = s.prev AND bi.cur = s.cur
+        |GROUP BY 1""".stripMargin,
 
     "corpus_split" ->
       """WITH a AS (

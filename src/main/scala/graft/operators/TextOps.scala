@@ -453,6 +453,57 @@ object TextOps {
           .as("bow_fp"))
   }
 
+  /** Count-based bigram language-model scoring — the "perplexity
+    * filter" of corpus curation (score every document under a
+    * corpus-fitted n-gram LM; outliers in either direction are
+    * boilerplate or garbage): add-1-smoothed conditional bigram
+    * probabilities fit on the whole corpus, each document scored by
+    * the mean log-probability of its bigrams.
+    *
+    * Shape at scale: ONE tokenize+explode scan emits (doc, prev,
+    * cur) bigram rows; the model is two hash aggregations on
+    * high-cardinality gram keys (map-side partials) — the bigram
+    * table with its context count attached via a window over the
+    * already-aggregated bigrams, never a second corpus pass; the
+    * vocabulary size is a 1-row scalar joined as a broadcast
+    * relation. Scoring re-joins doc bigram occurrences to model rows
+    * on the (prev, cur) key and reduces per doc. Engine invariance:
+    * ln() is floor-quantized once per DISTINCT bigram (vocabulary-
+    * sized exposure), doc aggregation sums exact integer occurrence
+    * counts times quantized logs, and the per-doc mean divides two
+    * exact quantities before one final quantization. */
+  def docLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), words(normalized(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    // (doc, prev, cur) with per-doc occurrence counts
+    val bi = toks
+      .select(col("doc_id"), posexplode(col("toks")))
+      .withColumn("prev", lag(col("col"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("doc_id"), col("prev"), col("col").as("cur"))
+      .agg(count(lit(1)).as("n_occ"))
+    // corpus model: bigram counts, context counts, vocab size
+    val model = bi.groupBy(col("prev"), col("cur"))
+      .agg(sum(col("n_occ")).as("c_bi"))
+      .withColumn("c_prev", sum(col("c_bi")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))))
+    val vocab = bi.select(col("cur")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val scored = model.crossJoin(vocab)
+      .withColumn("logp",
+        floor(log((col("c_bi") + 1) / (col("c_prev") + col("v")).cast("double"))
+          * 1e6 + 0.5) / 1e6)
+      .select(col("prev"), col("cur"), col("logp"))
+    bi.join(scored, Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).cast("long").as("n_bigrams"),
+        (floor(sum(col("logp") * col("n_occ"))
+          / sum(col("n_occ")) * 1e4 + 0.5) / 1e4).as("mean_logp"))
+  }
+
   /** PII patterns shared by the Spark plan and the DuckDB oracle —
     * deliberately inside the RE2 ∩ java.util.regex common subset
     * (character classes, bounded quantifiers, no lookaround), so both

@@ -355,6 +355,33 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("doc_lm_score: exact recompute of the smoothed bigram LM scores") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val docBigrams: Map[Long, Seq[(String, String)]] = docs.map { case (id, t) =>
+      val toks = t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq
+      id -> (if (toks.length >= 2) toks.zip(toks.tail) else Seq.empty)
+    }.toMap
+    val all = docBigrams.values.flatten.toSeq
+    val cBi = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cPrev = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = all.map(_._2).distinct.size.toLong
+    def logp(b: (String, String)): Double =
+      math.floor(math.log((cBi(b) + 1).toDouble / (cPrev(b._1) + v)) * 1e6 + 0.5) / 1e6
+    val got = SparkEntry.queries("doc_lm_score")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val withBigrams = docBigrams.filter(_._2.nonEmpty)
+    assert(got.size === withBigrams.size)
+    withBigrams.foreach { case (id, bs) =>
+      val (n, score) = got(id)
+      assert(n === bs.length.toLong, s"doc $id bigram count")
+      val expect = math.floor(bs.map(logp).sum / bs.length * 1e4 + 0.5) / 1e4
+      assert(math.abs(score - expect) < 1.1e-4, s"doc $id: got $score expected $expect")
+    }
+    // smoothing gives unseen bigrams a floor: every score is finite and negative
+    assert(got.values.forall { case (_, s) => s < 0 && !s.isNaN && !s.isInfinite })
+  }
+
   test("corpus_split: md5-range assignment is exact, splits partition the corpus") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
