@@ -106,6 +106,7 @@ object SparkEntry {
     "ann_lsh_topk"        -> Similarity.annLshTopk _,
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
     "ann_pq_topk"         -> Similarity.annPqTopk _,
+    "embedding_centroids" -> Similarity.embeddingCentroids _,
     "multimodal_features" -> Multimodal.features _,
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
   )
@@ -1220,6 +1221,15 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY 1
         |ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+    "embedding_centroids" ->
+      """SELECT label, count(*) AS n_vecs, CAST(dim AS INT) AS dim,
+        |  floor(sum(x) / count(*) * 1e6 + 0.5) / 1e6 AS c
+        |FROM (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings)
+        |GROUP BY 1, 3""".stripMargin,
+
     "dedup_chunks" ->
       """WITH base AS (
         |  SELECT doc_id,

@@ -1,0 +1,91 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Elementwise vector-SUM aggregate: state is ONE double array of the
+  * vector dimension, updated in place, with map-side PARTIAL
+  * aggregation — each scan partition reduces to a single `dim`-length
+  * state before the shuffle, so aggregating embeddings never explodes
+  * to (row × dim) rows. The alternative `posexplode → groupBy(key,
+  * dim)` shuffles 64× the corpus row count; this shuffles
+  * O(partitions × dim) doubles regardless of corpus size — the same
+  * bounded-state argument as [[TopKAgg]].
+  *
+  * Null rows and null elements are skipped; the first non-null vector
+  * fixes the dimension (mismatched lengths throw — embeddings tables
+  * are fixed-dim by contract).
+  */
+case class VecSumAgg(
+    vec: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = vec.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = if (buf.isEmpty) new Array[Double](n) else buf
+    require(acc.length == n, s"vector dim mismatch: ${acc.length} vs $n")
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) acc(i) += arr.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
+    if (other.isEmpty) return buf
+    if (buf.isEmpty) return other
+    require(buf.length == other.length)
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf.isEmpty) null else new GenericArrayData(buf.map(d => d: Any))
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.length * 8)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bb.getInt)(bb.getDouble)
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(vec)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(vec = newChildren(0))
+  override def withNewMutableAggBufferOffset(offset: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): VecSumAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "vec_sum_agg"
+}
+
+object VecSumAgg {
+  /** `vecSum(vec)` as a Column aggregate over `array<double>`. */
+  def vecSum(vec: Column): Column =
+    ColumnBridge.column(VecSumAgg(
+      ColumnBridge.expression(vec)).toAggregateExpression())
+}

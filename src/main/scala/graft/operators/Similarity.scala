@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.expressions.{TopKAgg, VectorColumns}
+import graft.expressions.{TopKAgg, VecSumAgg, VectorColumns}
 
 /** Embedding similarity operators (SURVEY §2 ops 27-29): exact cosine
   * near-dup pairs, brute-force top-k (the correctness baseline), and
@@ -150,6 +150,28 @@ object Similarity {
       .dropDuplicates("probe_id", "vec_id")
     topkPerProbe(
       cands.withColumn("cos", VectorColumns.cosine(col("pe"), col("emb"))), 10)
+  }
+
+  /** Per-label embedding CENTROIDS — the class-prototype report
+    * (cluster centers for drift monitoring, label-quality checks,
+    * nearest-class-mean classification). The elementwise vector sum
+    * runs in [[VecSumAgg]]: O(dim) state per group with map-side
+    * partial aggregation, so the shuffle moves O(partitions × labels
+    * × dim) doubles — the `posexplode → groupBy(label, dim)`
+    * alternative would shuffle dim× the corpus row count. The tiny
+    * aggregated result (|labels| rows) then explodes to (label, dim,
+    * value) only for the oracle-comparable output shape. */
+  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+      .groupBy(col("label"))
+      .agg(VecSumAgg.vecSum(col("emb")).as("vsum"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("n_vecs"),
+        posexplode(transform(col("vsum"),
+          s => floor(s / col("n_vecs") * 1e6 + 0.5) / 1e6)))
+      .select(col("label"), col("n_vecs"),
+        (col("pos") + 1).cast("int").as("dim"), col("col").as("c"))
   }
 
   /** Product-quantization ANN — the memory-compression scale path:

@@ -68,6 +68,39 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall >= 0.2, s"mean recall $meanRecall")
   }
 
+  test("embedding_centroids: exact per-label means through the O(dim)-state aggregate") {
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("label", "cast(embedding as array<double>) as emb")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val expect = vecs.groupBy(_._1).map { case (lbl, vs) =>
+      val dim = vs.head._2.length
+      val mean = (0 until dim).map { d =>
+        val s = vs.map(_._2(d)).sum
+        math.floor(s / vs.length * 1e6 + 0.5) / 1e6
+      }
+      lbl -> ((vs.length.toLong, mean))
+    }
+    val got = SparkEntry.queries("embedding_centroids")(spark, sf).collect()
+      .groupBy(_.getInt(0))
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (lbl, rows) =>
+      val (n, mean) = expect(lbl)
+      assert(rows.length === mean.length)
+      rows.foreach { r =>
+        assert(r.getLong(1) === n)
+        // Scala's sum order vs the partial-agg merge order can differ
+        // by an ulp; tolerate one 1e-6 quantum
+        assert(math.abs(r.getDouble(3) - mean(r.getInt(2) - 1)) < 1.1e-6,
+          s"label $lbl dim ${r.getInt(2)}")
+      }
+    }
+    // scale shape: the vector sum must run as a PARTIAL aggregate
+    // (map-side state) — two vec_sum_agg phases in the plan
+    val plan = SparkEntry.queries("embedding_centroids")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("vec_sum_agg".r.findAllIn(plan).size >= 2, plan.take(600))
+  }
+
   test("ann_pq_topk: exact-reranked shortlist recovers most true neighbors, deterministically") {
     val brute = SparkEntry.queries("ann_topk_bruteforce")(spark, sf).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
