@@ -25,6 +25,7 @@ object SparkEntry {
     "q5_local_supplier"   -> Relational.localSupplierVolume _,
     "topk_per_group"      -> Relational.topOrdersPerSegment _,
     "events_json_extract" -> Relational.eventsJsonExtract _,
+    "q4_priority_returns" -> Relational.orderPriorityReturns _,
     "distinct_users_daily" -> Relational.distinctUsersDaily _,
     "distinct_users_daily_approx" -> Relational.distinctUsersDailyApprox _,
     // --- time-series ---------------------------------------------
@@ -62,6 +63,7 @@ object SparkEntry {
     "spi_ensemble_median"   -> Climate.spiEnsembleMedian _,
     "spi_ensemble_gamma"    -> Climate.spiEnsembleGamma _,
     "zonal_stats"           -> Climate.zonalStats _,
+    "zonal_drought_extent"  -> Climate.zonalDroughtExtent _,
     "zonal_spi"             -> Climate.zonalSpi _,
     "zonal_spi_quantiles"   -> Climate.zonalSpiQuantiles _,
     "zonal_spi_quantiles_approx" -> Climate.zonalSpiQuantilesApprox _,
@@ -383,6 +385,31 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
     },
+
+    "q4_priority_returns" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+
+    "zonal_drought_extent" ->
+      """WITH z AS (
+        |  SELECT user_id, ts,
+        |    round((value - avg(value) OVER (PARTITION BY user_id, event_type))
+        |      / stddev_samp(value) OVER (PARTITION BY user_id, event_type), 4) AS zscore
+        |  FROM events),
+        |g AS (
+        |  SELECT CAST(floor(((user_id % 36) * 5.0 - 87.5) / 30) AS INT) AS zone_y,
+        |    CAST(floor(((user_id % 72) * 5.0 - 177.5) / 30) AS INT) AS zone_x,
+        |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week, zscore
+        |  FROM z)
+        |SELECT zone_y, zone_x, week, count(*) AS n_obs,
+        |  CAST(sum(CASE WHEN zscore <= -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS drought_n,
+        |  floor(CAST(sum(CASE WHEN zscore <= -1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1e4 + 0.5) / 1e4 AS extent
+        |FROM g GROUP BY 1, 2, 3""".stripMargin,
 
     "ts_rolling_median" ->
       """WITH h AS (

@@ -848,6 +848,32 @@ object Climate {
           .as("drought_n"))
   }
 
+  /** Drought EXTENT through time — the headline drought-monitoring
+    * product (`utils_spi.py`'s zonal pass feeds exactly this: how
+    * much of each basin is in drought, week by week): per (zone,
+    * week), the fraction of observations with index ≤ −1. One window
+    * pass for the index on the high-cardinality key, elementwise zone
+    * snap, one aggregation on the (zone, week) composite — the time
+    * axis multiplies group count, not shuffle width. The fraction
+    * divides two exact integers, so one floor-quantize agrees on any
+    * engine. */
+  def zonalDroughtExtent(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+    Tables.events(spark, dir)
+      .withColumn("zscore",
+        round((col("value") - avg(col("value")).over(w))
+          / stddev_samp(col("value")).over(w), 4))
+      .withColumn("zone_y", floor(pseudoLat(col("user_id")) / 30).cast("int"))
+      .withColumn("zone_x", floor(pseudoLon(col("user_id")) / 30).cast("int"))
+      .groupBy(col("zone_y"), col("zone_x"),
+        date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("zscore") <= -1.0, 1).otherwise(0)).cast("long")
+          .as("drought_n"))
+      .withColumn("extent",
+        floor(col("drought_n").cast("double") / col("n_obs") * 1e4 + 0.5) / 1e4)
+  }
+
   /** Ensemble SPI product: CDS seasonal forecasts are 25-51-member
     * ensembles; the reference carries realization `r` through every
     * derived product and reduces with the MEDIAN across members

@@ -168,4 +168,21 @@ object Relational {
         date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
         count(lit(1)).as("n_events"))
+
+  /** Orders with at least one returned line, counted by priority —
+    * the EXISTS/semi-join pattern (TPC-H Q4's shape). A LEFT SEMI
+    * join never materializes the match product: each order row passes
+    * at most once no matter how many returned lines it has, so the
+    * join output is bounded by the orders side — the right plan for
+    * any "has at least one …" predicate at scale (an inner join +
+    * distinct would shuffle every matching line first). */
+  def orderPriorityReturns(spark: SparkSession, dir: String): DataFrame = {
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o_orderkey"))
+    Tables.orders(spark, dir)
+      .join(returned, Seq("o_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
 }

@@ -525,6 +525,27 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("zonal_drought_extent: weekly fractions consistent with the all-time zonal index") {
+    val rows = SparkEntry.queries("zonal_drought_extent")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dn, ext) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(dn >= 0 && dn <= n)
+      assert(ext >= 0.0 && ext <= 1.0)
+      assert(math.abs(ext - math.floor(dn.toDouble / n * 1e4 + 0.5) / 1e4) < 1e-9)
+    }
+    // summing the weekly axis reproduces zonal_spi's all-time counts
+    val byZone = rows.groupBy(r => (r.getInt(0), r.getInt(1)))
+      .view.mapValues(rs => (rs.map(_.getLong(3)).sum, rs.map(_.getLong(4)).sum))
+    val allTime = SparkEntry.queries("zonal_spi")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getAs[Long]("drought_n")))).toMap
+    assert(byZone.keySet === allTime.keySet)
+    byZone.foreach { case (z, (n, dn)) =>
+      assert((n, dn) === allTime(z), s"zone $z")
+    }
+  }
+
   test("grid_pyramid: one-pass grouping-sets levels agree with coarsen and partition the data") {
     val pyr = SparkEntry.queries("grid_pyramid")(spark, sf).collect()
     val l2 = pyr.filter(_.getInt(0) == 2).map(r => (r.getLong(1), r.getLong(2)) ->

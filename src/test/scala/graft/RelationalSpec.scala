@@ -71,4 +71,20 @@ class RelationalSpec extends SparkSpec {
   test("entry: flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q4_priority_returns: exact counts, planned as a semi-join") {
+    val returned = Tables.lineitem(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("l_returnflag") === "R")
+      .select("l_orderkey").collect().map(_.getLong(0)).toSet
+    val expect = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority").collect()
+      .filter(r => returned.contains(r.getLong(0)))
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val df = SparkEntry.queries("q4_priority_returns")(spark, sf)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    // the "has at least one" predicate must plan as LEFT SEMI — output
+    // bounded by the orders side, match product never materialized
+    assert(df.queryExecution.executedPlan.toString.contains("LeftSemi"))
+  }
 }
