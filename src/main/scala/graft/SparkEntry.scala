@@ -38,6 +38,7 @@ object SparkEntry {
     "ts_gapfill"             -> TimeSeries.gapFill _,
     "ts_lag_delta"           -> TimeSeries.lagDelta _,
     "ts_sessionize"          -> TimeSeries.sessionize _,
+    "events_funnel"          -> TimeSeries.eventsFunnel _,
     "ts_rolling_anomaly"     -> TimeSeries.rollingAnomaly _,
     "ts_interp_linear"       -> TimeSeries.interpLinear _,
     "ts_ewma"                -> TimeSeries.ewma _,
@@ -454,6 +455,36 @@ object SparkEntry {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
+
+    "events_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(sum(CASE WHEN gap_us IS NULL OR gap_us / 1e6 > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (SELECT *, epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id)) AS gap_us FROM events)),
+        |t1 AS (SELECT user_id, session_id,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        |       FROM s GROUP BY 1, 2),
+        |t2 AS (SELECT s.user_id, s.session_id,
+        |         min(CASE WHEN s.event_type = 'click' AND s.ts > t1.t1 THEN s.ts END) AS t2
+        |       FROM s JOIN t1 USING (user_id, session_id) GROUP BY 1, 2),
+        |t3 AS (SELECT s.user_id, s.session_id,
+        |         min(CASE WHEN s.event_type = 'purchase' AND s.ts > t2.t2 THEN s.ts END) AS t3
+        |       FROM s JOIN t2 USING (user_id, session_id) GROUP BY 1, 2),
+        |f AS (SELECT count(*) AS n_sessions, count(t1.t1) AS n_signup,
+        |        count(t2.t2) AS n_signup_click, count(t3.t3) AS n_full
+        |      FROM t1 JOIN t2 USING (user_id, session_id)
+        |           JOIN t3 USING (user_id, session_id))
+        |SELECT CAST(1 AS INT) AS stage, 'session' AS name, n_sessions AS n,
+        |  CASE WHEN n_sessions > 0 THEN floor(CAST(n_sessions AS DOUBLE) / n_sessions * 1e4 + 0.5) / 1e4 END AS conversion FROM f
+        |UNION ALL SELECT 2, 'signup', n_signup,
+        |  CASE WHEN n_sessions > 0 THEN floor(CAST(n_signup AS DOUBLE) / n_sessions * 1e4 + 0.5) / 1e4 END FROM f
+        |UNION ALL SELECT 3, 'signup>click', n_signup_click,
+        |  CASE WHEN n_signup > 0 THEN floor(CAST(n_signup_click AS DOUBLE) / n_signup * 1e4 + 0.5) / 1e4 END FROM f
+        |UNION ALL SELECT 4, 'signup>click>purchase', n_full,
+        |  CASE WHEN n_signup_click > 0 THEN floor(CAST(n_full AS DOUBLE) / n_signup_click * 1e4 + 0.5) / 1e4 END FROM f""".stripMargin,
 
     "interval_join" ->
       """SELECT i.event_id AS interval_id, CAST(count(*) AS BIGINT) AS n_clicks

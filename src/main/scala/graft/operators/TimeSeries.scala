@@ -271,6 +271,67 @@ object TimeSeries {
         (floor(num / den * 1e4 + 0.5) / 1e4).as("ewma"))
   }
 
+  /** Ordered-sequence FUNNEL over sessions — "did signup → click →
+    * purchase happen IN ORDER within one session", the event-sequence
+    * analytics shape (conversion funnels, QC state machines). Stage
+    * timestamps resolve in one grouped pass each: t1 = first signup,
+    * t2 = first click strictly after t1, t3 = first purchase strictly
+    * after t2 — three aggregations all keyed on the SAME (user,
+    * session) composite, so after the sessionize shuffle the stage
+    * joins are co-partitioned; output is one funnel report row per
+    * stage with absolute counts and conversion from the previous
+    * stage. Order matters and is enforced by construction: a purchase
+    * BEFORE the click does not count. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(spark, dir))
+
+  /** [[eventsFunnel]] over an arbitrary (event_id, ts, user_id,
+    * event_type) frame — public seam so order enforcement is
+    * spec-testable on constructed sequences. */
+  private[graft] def funnelOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev
+      .withColumn("gap_s",
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))) / 1e6)
+      .withColumn("new_session",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(wRun).cast("long"))
+      .select(col("user_id"), col("session_id"), col("event_type"), col("ts"))
+    val keys = Seq("user_id", "session_id")
+    val t1 = sess.groupBy(keys.map(col): _*)
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t1"))
+    val t2 = sess.join(t1, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(min(when(col("event_type") === "click" && col("ts") > col("t1"),
+        col("ts"))).as("t2"))
+    val t3 = sess.join(t2, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+        col("ts"))).as("t3"))
+    val flags = t1.join(t2, keys).join(t3, keys)
+    val totals = flags.agg(
+      count(lit(1)).as("n_sessions"),
+      count(col("t1")).as("n_signup"),
+      count(col("t2")).as("n_signup_click"),
+      count(col("t3")).as("n_full"))
+    totals.select(explode(array(
+        struct(lit(1).as("stage"), lit("session").as("name"),
+          col("n_sessions").as("n"), col("n_sessions").as("prev")),
+        struct(lit(2).as("stage"), lit("signup").as("name"),
+          col("n_signup").as("n"), col("n_sessions").as("prev")),
+        struct(lit(3).as("stage"), lit("signup>click").as("name"),
+          col("n_signup_click").as("n"), col("n_signup").as("prev")),
+        struct(lit(4).as("stage"), lit("signup>click>purchase").as("name"),
+          col("n_full").as("n"), col("n_signup_click").as("prev")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.name").as("name"),
+        col("s.n").as("n"),
+        when(col("s.prev") > 0,
+          floor(col("s.n").cast("double") / col("s.prev") * 1e4 + 0.5) / 1e4)
+          .as("conversion"))
+  }
+
   /** Trailing MEDIAN filter — the robust despiking pass sensor QC
     * runs before any derived product (a single bad reading shifts a
     * trailing mean by Δ/n but leaves the median untouched). Exact

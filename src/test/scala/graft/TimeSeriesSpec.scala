@@ -188,6 +188,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(flagged.values.count(_.getAs[Boolean]("is_anomaly")) > 0)
   }
 
+  test("events_funnel: monotone stages, and sequence ORDER is enforced") {
+    val rows = SparkEntry.queries("events_funnel")(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.map(_.getString(1)).toSeq ===
+      Seq("session", "signup", "signup>click", "signup>click>purchase"))
+    val ns = rows.map(_.getLong(2))
+    assert(ns.sliding(2).forall(p => p(0) >= p(1)), "funnel must be monotone")
+    assert(rows(0).getDouble(3) === 1.0)
+    // constructed sessions: order enforcement — purchase BEFORE the
+    // click must not convert; the in-order session must
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1: signup → click → purchase, in order, one session
+      (1L, t(0), 1L, "signup"), (2L, t(5), 1L, "click"), (3L, t(9), 1L, "purchase"),
+      // user 2: purchase arrives BEFORE the click — stage 4 must not count
+      (4L, t(0), 2L, "signup"), (5L, t(5), 2L, "purchase"), (6L, t(9), 2L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val f = graft.operators.TimeSeries.funnelOf(ev).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(f(1) === 2L) // two sessions
+    assert(f(2) === 2L) // both signed up
+    assert(f(3) === 2L) // both clicked after signup
+    assert(f(4) === 1L, "out-of-order purchase must not convert")
+  }
+
   test("ts_rolling_median: exact trailing-15 median, robust to a planted spike") {
     val got = SparkEntry.queries("ts_rolling_median")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
