@@ -43,6 +43,7 @@ object SparkEntry {
     "ts_interp_linear"       -> TimeSeries.interpLinear _,
     "ts_ewma"                -> TimeSeries.ewma _,
     "ts_rolling_median"      -> TimeSeries.rollingMedian _,
+    "ts_trend"               -> TimeSeries.trend _,
     "ts_climatology_anomaly" -> TimeSeries.climatologyAnomaly _,
     "interval_join"          -> TimeSeries.intervalJoin _,
     // --- geo/climate analytics -----------------------------------
@@ -411,6 +412,28 @@ object SparkEntry {
         |  floor(CAST(sum(CASE WHEN zscore <= -1.0 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*) * 1e4 + 0.5) / 1e4 AS extent
         |FROM g GROUP BY 1, 2, 3""".stripMargin,
+
+    "ts_trend" ->
+      """WITH s AS (
+        |  SELECT user_id, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sx2, sum(y * y) AS sy2
+        |  FROM (SELECT user_id,
+        |          CAST(date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS DOUBLE) AS x,
+        |          value AS y
+        |        FROM events)
+        |  GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+        |  CASE WHEN n * sx2 - sx * sx > 0
+        |    THEN floor((n * sxy - sx * sy) / (n * sx2 - sx * sx) * 1e6 + 0.5) / 1e6 END
+        |    AS slope_per_day,
+        |  CASE WHEN n * sx2 - sx * sx > 0
+        |    THEN floor((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n * 1e4 + 0.5) / 1e4 END
+        |    AS intercept,
+        |  CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+        |    THEN floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |      / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)) * 1e4 + 0.5) / 1e4 END AS r2
+        |FROM s""".stripMargin,
 
     "ts_rolling_median" ->
       """WITH h AS (

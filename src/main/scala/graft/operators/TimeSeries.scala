@@ -222,6 +222,39 @@ object TimeSeries {
         (abs(col("z")) > 3.0).as("is_anomaly"))
   }
 
+  /** Per-station linear TREND — the climate trend-detection primitive
+    * (is this station drying? how fast?): ordinary-least-squares
+    * slope/intercept/r² of value against time, computed from the five
+    * classical sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) in
+    * ONE map-side-partial aggregation per key — a regression over a
+    * century of data per station costs one shuffle of six doubles per
+    * key, never a sort and never two passes. x is integer days since
+    * the key's... epoch (2024-01-01), so Σx/Σx² are exact integer
+    * sums; only the y-dependent sums carry float summation-order
+    * noise, absorbed by the final quantization as everywhere else.
+    * Degenerate keys (single day: zero x-variance) emit null slope. */
+  def trend(spark: SparkSession, dir: String): DataFrame = {
+    val x = datediff(date_trunc("DAY", col("ts")), lit("2024-01-01")).cast("double")
+    val sxx = col("n") * col("sx2") - col("sx") * col("sx")
+    val syy = col("n") * col("sy2") - col("sy") * col("sy")
+    val sxy = col("n") * col("sxy") - col("sx") * col("sy")
+    Tables.events(spark, dir)
+      .select(col("user_id"), x.as("x"), col("value").as("y"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+      .select(col("user_id"), col("n").cast("long").as("n_obs"),
+        when(sxx > 0, floor(sxy / sxx * 1e6 + 0.5) / 1e6).as("slope_per_day"),
+        when(sxx > 0,
+          floor((col("sy") - sxy / sxx * col("sx")) / col("n") * 1e4 + 0.5) / 1e4)
+          .as("intercept"),
+        when(sxx > 0 && syy > 0,
+          floor(sxy * sxy / (sxx * syy) * 1e4 + 0.5) / 1e4).as("r2"))
+  }
+
   /** EWMA decay factor and the quantized weight table shared with the
     * generated oracle SQL. 40 terms: α(1-α)^39 ≈ 2e-7, and the
     * renormalizing denominator makes the truncation error relative,
@@ -298,20 +331,36 @@ object TimeSeries {
         when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
       .withColumn("session_id",
         sum(col("new_session")).over(wRun).cast("long"))
-      .select(col("user_id"), col("session_id"), col("event_type"), col("ts"))
-    val keys = Seq("user_id", "session_id")
-    val t1 = sess.groupBy(keys.map(col): _*)
-      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t1"))
-    val t2 = sess.join(t1, keys)
-      .groupBy(keys.map(col): _*)
-      .agg(min(when(col("event_type") === "click" && col("ts") > col("t1"),
-        col("ts"))).as("t2"))
-    val t3 = sess.join(t2, keys)
-      .groupBy(keys.map(col): _*)
-      .agg(min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
-        col("ts"))).as("t3"))
-    val flags = t1.join(t2, keys).join(t3, keys)
-    val totals = flags.agg(
+      .select(col("user_id"), col("session_id"), col("event_id"),
+        col("event_type"), col("ts"))
+    // ONE pass: each session's time-sorted events fold through the
+    // three-stage state machine (t1 = first signup; t2 = first click
+    // strictly after t1; t3 = first purchase strictly after t2) —
+    // sessions are idle-gap-bounded, so the collected array is too.
+    // The earlier shape (per-stage conditional-min aggregations
+    // re-joined on the session key) re-evaluated the sessionize
+    // window three times; this is one shuffle and no joins.
+    val nullTs = lit(null).cast("timestamp")
+    val folded = sess
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .withColumn("st", aggregate(col("evs"),
+        struct(nullTs.as("t1"), nullTs.as("t2"), nullTs.as("t3")),
+        (acc, e) => struct(
+          when(acc.getField("t1").isNull &&
+            e.getField("event_type") === "signup", e.getField("ts"))
+            .otherwise(acc.getField("t1")).as("t1"),
+          when(acc.getField("t1").isNotNull && acc.getField("t2").isNull &&
+            e.getField("event_type") === "click" &&
+            e.getField("ts") > acc.getField("t1"), e.getField("ts"))
+            .otherwise(acc.getField("t2")).as("t2"),
+          when(acc.getField("t2").isNotNull && acc.getField("t3").isNull &&
+            e.getField("event_type") === "purchase" &&
+            e.getField("ts") > acc.getField("t2"), e.getField("ts"))
+            .otherwise(acc.getField("t3")).as("t3"))))
+      .select(col("st.t1").as("t1"), col("st.t2").as("t2"), col("st.t3").as("t3"))
+    val totals = folded.agg(
       count(lit(1)).as("n_sessions"),
       count(col("t1")).as("n_signup"),
       count(col("t2")).as("n_signup_click"),

@@ -188,6 +188,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(flagged.values.count(_.getAs[Boolean]("is_anomaly")) > 0)
   }
 
+  test("ts_trend: OLS from sufficient statistics matches a direct recompute") {
+    val rows = SparkEntry.queries("ts_trend")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val dayZero = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    raw.groupBy(_._2).foreach { case (u, evs) =>
+      val pts = evs.map(e =>
+        ((e._3.toLocalDateTime.toLocalDate.toEpochDay - dayZero).toDouble, e._5))
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val (sx2, sy2) = (pts.map(p => p._1 * p._1).sum, pts.map(p => p._2 * p._2).sum)
+      val (dxx, dyy, dxy) = (n * sx2 - sx * sx, n * sy2 - sy * sy, n * sxy - sx * sy)
+      val r = rows(u)
+      assert(r.getLong(1) === pts.length.toLong)
+      if (dxx > 0) {
+        assert(math.abs(r.getDouble(2) -
+          math.floor(dxy / dxx * 1e6 + 0.5) / 1e6) < 1.1e-6, s"slope user $u")
+        assert(math.abs(r.getDouble(3) -
+          math.floor((sy - dxy / dxx * sx) / n * 1e4 + 0.5) / 1e4) < 1.1e-4,
+          s"intercept user $u")
+        if (dyy > 0)
+          assert(math.abs(r.getDouble(4) -
+            math.floor(dxy * dxy / (dxx * dyy) * 1e4 + 0.5) / 1e4) < 1.1e-4,
+            s"r2 user $u")
+        assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      } else assert(r.isNullAt(2))
+    }
+  }
+
   test("events_funnel: monotone stages, and sequence ORDER is enforced") {
     val rows = SparkEntry.queries("events_funnel")(spark, sf).collect()
       .sortBy(_.getInt(0))
