@@ -90,6 +90,7 @@ object SparkEntry {
     "text_repetition" -> TextOps.textRepetition _,
     "corpus_clean"    -> TextOps.corpusClean _,
     "vocab_topk"      -> TextOps.vocabTopk _,
+    "vocab_coverage"  -> TextOps.vocabCoverage _,
     "corpus_stats"    -> TextOps.corpusStats _,
     "corpus_mix"      -> TextOps.corpusMix _,
     "corpus_mix_docs" -> TextOps.corpusMixDocs _,
@@ -1271,6 +1272,25 @@ object SparkEntry {
         |SELECT split, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM a GROUP BY 1, 2""".stripMargin,
+
+    "vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |total AS (SELECT count(*) AS total_tokens FROM toks),
+        |ranked AS (
+        |  SELECT token, n,
+        |    row_number() OVER (ORDER BY n DESC, token ASC) AS rk,
+        |    sum(n) OVER (ORDER BY n DESC, token ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT token, count(*) AS n FROM toks GROUP BY 1
+        |        ORDER BY n DESC, token ASC LIMIT 100)),
+        |ks AS (SELECT unnest([5, 10, 25]) AS k)
+        |SELECT CAST(k AS INT) AS k, CAST(cum AS BIGINT) AS covered_tokens,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  floor(CAST(cum AS DOUBLE) / total_tokens * 1e4 + 0.5) / 1e4 AS coverage
+        |FROM ranked JOIN ks ON rk = k CROSS JOIN total""".stripMargin,
 
     "pii_scrub" -> {
       val vals = TextOps.piiDrop

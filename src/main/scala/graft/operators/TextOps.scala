@@ -269,6 +269,42 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(100)
 
+  /** Vocabulary COVERAGE / OOV-rate report — the tokenizer-design
+    * primitive: what fraction of the running token stream does a
+    * top-K vocabulary cover, at several K, in one pass. The vocab
+    * ranking is the bounded [[vocabTopk]] plan (TakeOrdered — per-task
+    * k-row heaps, never a global sort); coverage then needs only the
+    * 100-row ranked table and one total-count scalar: cumulative sums
+    * over the RANKED VOCAB (100 rows — window on a bounded table, not
+    * the corpus) evaluated at each K. Counts are exact integers; the
+    * coverage ratio divides two exact longs. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(explode(words(normalized(col("text")))).as("token"))
+    val total = toks.agg(count(lit(1)).as("total_tokens"))
+    val ranked = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(100)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token").asc)))
+      .withColumn("cum", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token").asc)
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+    import spark.implicits._
+    val ks = Seq(5, 10, 25).toDF("k")
+    ranked.join(broadcast(ks), col("rk") === col("k"))
+      .crossJoin(broadcast(total))
+      .select(col("k"),
+        col("cum").cast("long").as("covered_tokens"),
+        col("total_tokens"),
+        (floor(col("cum").cast("double") / col("total_tokens") * 1e4 + 0.5) / 1e4)
+          .as("coverage"))
+  }
+
   /** Corpus report card: doc/token/char statistics at every
     * (lang × source) granularity IN ONE PASS via CUBE grouping sets —
     * per-stratum rows, per-lang and per-source marginals, and the

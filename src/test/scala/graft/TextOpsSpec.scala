@@ -355,6 +355,25 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("vocab_coverage: cumulative top-k mass over the exact vocabulary") {
+    val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val toks = docs.flatMap(_.trim.toLowerCase.replaceAll("\\s+", " ").split(" "))
+    val byTok = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, n) => (-n, t) }
+    val rows = SparkEntry.queries("vocab_coverage")(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet === Set(5, 10, 25))
+    rows.foreach { case (k, (cov, tot, frac)) =>
+      assert(tot === toks.length.toLong)
+      assert(cov === byTok.take(k).map(_._2).sum, s"k=$k")
+      assert(math.abs(frac -
+        math.floor(cov.toDouble / tot * 1e4 + 0.5) / 1e4) < 1e-9)
+    }
+    // monotone in k, bounded by 1
+    assert(rows(5)._1 <= rows(10)._1 && rows(10)._1 <= rows(25)._1)
+    assert(rows(25)._3 <= 1.0)
+  }
+
   test("doc_lm_score: exact recompute of the smoothed bigram LM scores") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
