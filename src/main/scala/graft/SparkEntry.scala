@@ -105,6 +105,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
     "dedup_simhash"       -> Dedup.simhash _,
     "dedup_chunks"        -> Dedup.dedupChunks _,
+    "dedup_chunks_apply"  -> Dedup.dedupChunksApply _,
     "dedup_embedding"     -> Similarity.embeddingPairs _,
     "dedup_embedding_lsh" -> Similarity.embeddingPairsLsh _,
     "ann_topk_bruteforce" -> Similarity.annTopkBruteforce _,
@@ -1347,6 +1348,26 @@ object SparkEntry {
         |  min(doc_id) AS first_doc
         |FROM ch GROUP BY 1
         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    "dedup_chunks_apply" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, ci,
+        |    list_aggregate(toks[ci*10+1 : ci*10+10], 'string_agg', ' ') AS chunk
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(0, CAST(len(toks) // 10 AS INT))) AS ci
+        |        FROM base WHERE len(toks) // 10 > 0)),
+        |k AS (SELECT doc_id, ci, chunk,
+        |        row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, ci) = 1 AS keep
+        |      FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY ci), '')
+        |    AS clean_text
+        |FROM k GROUP BY 1""".stripMargin,
 
     "decontaminate" ->
       """WITH base AS (

@@ -306,7 +306,9 @@ object Dedup {
     * key, which AQE's skew split absorbs — there is no all-pairs
     * anywhere. A removal pass would semi-join (doc_id, chunk_hash)
     * against this report, elementwise again. */
-  def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc, chunk-index, chunk-hash) rows — shared by the report and
+    * the removal pass. */
+  private def chunkRows(spark: SparkSession, dir: String): DataFrame = {
     val C = ChunkTokens
     Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"),
@@ -316,13 +318,42 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(lit(0), col("nchunks") - 1)).as("ci"),
         col("toks"))
-      .select(col("doc_id"),
-        md5(array_join(slice(col("toks"), col("ci") * C + 1, lit(C)), " "))
-          .as("chunk_hash"))
+      .select(col("doc_id"), col("ci"),
+        array_join(slice(col("toks"), col("ci") * C + 1, lit(C)), " ")
+          .as("chunk"))
+  }
+
+  def dedupChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkRows(spark, dir)
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"))
       .groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
+
+  /** The chunk-dedup REMOVAL pass — what [[dedupChunks]]'s report
+    * exists for: every repeated chunk keeps only its FIRST occurrence
+    * in corpus order (smallest (doc_id, chunk_index)), later
+    * occurrences are dropped, and each document is rebuilt from its
+    * surviving chunks. One ranking window on the chunk hash (uniform
+    * high-cardinality key) decides keepers; one grouped collect per
+    * doc reassembles — two shuffles total, no joins against the
+    * report, no all-pairs anything. Docs shorter than one chunk pass
+    * through untouched (their tail is never chunked, by the same
+    * convention as the report). */
+  def dedupChunksApply(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_hash")).orderBy(col("doc_id"), col("ci"))
+    chunkRows(spark, dir)
+      .withColumn("chunk_hash", md5(col("chunk")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 0).otherwise(1)).cast("long").as("n_dropped"),
+        array_join(array_sort(collect_list(
+          when(col("keep"), struct(col("ci"), col("chunk"))))).getField("chunk"),
+          " ").as("clean_text"))
   }
 }

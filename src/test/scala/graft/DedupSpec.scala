@@ -169,6 +169,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_chunks_apply: first occurrence survives, rebuilt text exact") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val chunked = docs.map { case (id, text) =>
+      val toks = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+      id -> (0 until toks.length / 10).map(i =>
+        toks.slice(i * 10, i * 10 + 10).mkString(" "))
+    }.filter(_._2.nonEmpty)
+    val seen = scala.collection.mutable.Set[String]()
+    val expect = chunked.map { case (id, chunks) =>
+      val kept = chunks.filter(c => seen.add(c)) // in (doc, ci) order
+      id -> ((chunks.length.toLong, (chunks.length - kept.length).toLong,
+        kept.mkString(" ")))
+    }.toMap
+    val got = SparkEntry.queries("dedup_chunks_apply")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === expect)
+    // the planted exact-duplicate docs are fully emptied by the pass
+    assert(got.values.exists { case (n, d, t) => d === n && t === "" })
+    // and some doc passes through entirely untouched
+    assert(got.values.exists { case (_, d, _) => d === 0L })
+  }
+
   test("dedup_chunks: exact Scala recompute of the cross-doc duplicated-chunk report") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
