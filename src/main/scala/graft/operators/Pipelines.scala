@@ -58,6 +58,44 @@ object Pipelines {
     graft.sources.Grids.publishGrid(grid, "spi7_ref", outDir)
   }
 
+  /** The station-QC product end to end — the sensor-ingest chain every
+    * observation network runs before analytics (the reference QCs
+    * each fetched series the same way): despike with the trailing
+    * MEDIAN filter, score each observation against the station's
+    * calendar climatology ([[TimeSeries.climatologyFit]] — the same
+    * param table the STREAMING scorer consumes), flag anomalies, and
+    * publish the flagged series day-partitioned with its registry
+    * row. One composed plan: both window passes share the per-station
+    * shuffle, the climatology fit joins back on the composite
+    * (station, hour) key, and the partitioned write pipelines without
+    * a collect. The published collection carries raw AND despiked
+    * values plus the anomaly flag, so downstream products can choose
+    * their robustness. */
+  def qcPublish(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-14, org.apache.spark.sql.expressions.Window.currentRow)
+    val hist = array_sort(collect_list(col("value")).over(w))
+    val n = size(hist)
+    val med = when(n % 2 === 1, element_at(hist, ((n + 1) / 2).cast("int")))
+      .otherwise((element_at(hist, (n / 2).cast("int"))
+        + element_at(hist, (n / 2 + 1).cast("int"))) / 2.0)
+    val despiked = ev
+      .withColumn("value_med", floor(med * 1e4 + 0.5) / 1e4)
+      .withColumn("hod", hour(col("ts")))
+    val product = despiked
+      .join(TimeSeries.climatologyFit(ev), Seq("user_id", "hod"))
+      .withColumn("z",
+        when(col("n_obs") >= 5 && col("sd") > 0,
+          floor((col("value") - col("mu")) / col("sd") * 1e4 + 0.5) / 1e4))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > 3.0, lit(false)))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("value"), col("value_med"), col("z"), col("is_anomaly"))
+    Catalog.publish(product, "ts", "events_qc", outDir)
+  }
+
   /** The LLM-corpus counterpart end to end: the composed
     * [[TextOps.corpusClean]] keep-list (tokenize once → language +
     * quality → dedup keepers → stratified sample) re-joined to the

@@ -263,6 +263,28 @@ class StreamingSpec extends SparkSpec {
     assert(droughts > 0 && droughts < back.count() / 2)
   }
 
+  test("qcPublish: despiked + climatology-flagged series lands with consistent registry") {
+    val tmp = Files.createTempDirectory("graft-qc").toFile.getAbsolutePath
+    val reg = graft.operators.Pipelines.qcPublish(spark, sf, tmp).collect()(0)
+    assert(reg.getString(0) === "events_qc")
+    assert(reg.getAs[Long]("n_rows") === Tables.events(spark, sf).count())
+    val back = spark.read.parquet(s"$tmp/events_qc")
+    assert(back.count() === reg.getAs[Long]("n_rows"))
+    // flags agree with the oracle-checked batch query, row for row
+    val batch = SparkEntry.queries("ts_climatology_anomaly")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    back.collect().foreach { r =>
+      val z = if (r.isNullAt(5)) None else Some(r.getDouble(5))
+      assert(z === batch(r.getLong(0)))
+      assert(r.getBoolean(6) === z.exists(v => math.abs(v) > 3.0))
+    }
+    // the median column is the despiked twin of the raw value
+    val med = SparkEntry.queries("ts_rolling_median")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    back.collect().foreach(r => assert(r.getDouble(4) === med(r.getLong(0))))
+  }
+
   test("catalog publish: day-partitioned write, registry row matches the data") {
     val tmp = Files.createTempDirectory("graft-publish").toFile.getAbsolutePath
     val ev = Tables.events(spark, sf)
