@@ -98,6 +98,7 @@ object SparkEntry {
     "pii_scrub"       -> TextOps.piiScrub _,
     "corpus_split"    -> TextOps.corpusSplit _,
     "doc_lm_score"    -> TextOps.docLmScore _,
+    "bigram_pmi"      -> TextOps.bigramPmi _,
     // --- LLM pipeline: near-dup + similarity ---------------------
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "decontaminate"       -> Dedup.decontaminate _,
@@ -1262,6 +1263,30 @@ object SparkEntry {
         |  floor(sum(s.logp * bi.n_occ) / sum(bi.n_occ) * 1e4 + 0.5) / 1e4 AS mean_logp
         |FROM bi JOIN scored s ON bi.prev = s.prev AND bi.cur = s.cur
         |GROUP BY 1""".stripMargin,
+
+    "bigram_pmi" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(toks) AS cur, generate_subscripts(toks, 1) AS pos
+        |  FROM base WHERE len(toks) >= 2),
+        |big AS (
+        |  SELECT lag(cur) OVER (PARTITION BY doc_id ORDER BY pos) AS a, cur AS b
+        |  FROM tok),
+        |bi AS (SELECT a, b, count(*) AS n_ab FROM big WHERE a IS NOT NULL GROUP BY 1, 2),
+        |uni AS (SELECT cur AS tok, count(*) AS n_tok FROM tok GROUP BY 1),
+        |total AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT bi.a, bi.b, CAST(bi.n_ab AS BIGINT) AS n_ab,
+        |  floor(ln(CAST(bi.n_ab AS DOUBLE) * n_total
+        |    / (CAST(ua.n_tok AS DOUBLE) * ub.n_tok)) * 1e6 + 0.5) / 1e6 AS pmi
+        |FROM bi
+        |JOIN uni ua ON bi.a = ua.tok
+        |JOIN uni ub ON bi.b = ub.tok
+        |CROSS JOIN total
+        |WHERE bi.n_ab >= 5
+        |ORDER BY pmi DESC, a ASC, b ASC LIMIT 50""".stripMargin,
 
     "corpus_split" ->
       """WITH a AS (

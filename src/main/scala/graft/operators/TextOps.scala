@@ -540,6 +540,46 @@ object TextOps {
           / sum(col("n_occ")) * 1e4 + 0.5) / 1e4).as("mean_logp"))
   }
 
+  /** Collocation mining by pointwise mutual information — the phrase-
+    * detection primitive behind tokenizer merges and stop-phrase
+    * lists: PMI(a,b) = ln( P(ab) / (P(a)·P(b)) ) over adjacent token
+    * pairs, reported for the top collocations above a count floor
+    * (PMI without a floor surfaces hapax noise). Shares the one-scan
+    * bigram machinery of [[docLmScore]]: unigram and bigram counts
+    * are two hash aggregations on gram keys; the unigram table joins
+    * the bigram table twice (uniform token keys, AQE-broadcast while
+    * small); the final page is a bounded TakeOrdered. ln() quantizes
+    * per bigram TYPE, and the probability ratio divides exact integer
+    * counts, so both engines rank identical values. */
+  def bigramPmi(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), words(normalized(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val exploded = toks.select(col("doc_id"), posexplode(col("toks")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = exploded
+      .withColumn("prev", lag(col("col"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("a"), col("col").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val uni = exploded.groupBy(col("col").as("tok"))
+      .agg(count(lit(1)).as("n_tok"))
+    val total = exploded.agg(count(lit(1)).as("n_total"))
+    bi.filter(col("n_ab") >= 5)
+      .join(uni.select(col("tok").as("a"), col("n_tok").as("n_a")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("n_tok").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(total))
+      // P(ab) uses the bigram total = n_total - n_docs ≈ n_total; the
+      // token total keeps both engines' convention identical
+      .withColumn("pmi",
+        floor(log(col("n_ab").cast("double") * col("n_total")
+          / (col("n_a").cast("double") * col("n_b"))) * 1e6 + 0.5) / 1e6)
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(50)
+      .select(col("a"), col("b"), col("n_ab"), col("pmi"))
+  }
+
   /** PII patterns shared by the Spark plan and the DuckDB oracle —
     * deliberately inside the RE2 ∩ java.util.regex common subset
     * (character classes, bounded quantifiers, no lookaround), so both

@@ -374,6 +374,28 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(25)._3 <= 1.0)
   }
 
+  test("bigram_pmi: exact recompute of the top collocation page") {
+    val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val tokLists = docs.map(_.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq)
+      .filter(_.length >= 2)
+    val unis = tokLists.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = tokLists.map(_.length.toLong).sum
+    val bis = tokLists.flatMap(t => t.zip(t.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 5)
+    val scored = bis.map { case ((a, b), nab) =>
+      (a, b, nab, math.floor(math.log(
+        nab.toDouble * total / (unis(a).toDouble * unis(b))) * 1e6 + 0.5) / 1e6)
+    }.toSeq.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }.take(50)
+    val got = SparkEntry.queries("bigram_pmi")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === scored.length)
+    got.zip(scored).foreach { case (g, e) =>
+      assert(g._1 === e._1 && g._2 === e._2 && g._3 === e._3, s"$g vs $e")
+      assert(math.abs(g._4 - e._4) < 1.1e-6)
+    }
+    assert(got.forall(_._3 >= 5))
+  }
+
   test("doc_lm_score: exact recompute of the smoothed bigram LM scores") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
