@@ -78,6 +78,7 @@ object SparkEntry {
     "healthcheck_freshness" -> Climate.healthcheckFreshness _,
     "catalog_health"        -> Catalog.health _,
     "items_query"           -> Serving.itemsQuery _,
+    "items_page_cursor"     -> Serving.itemsPageCursor _,
     "features_items"        -> Serving.featuresItems _,
     "features_extent"       -> Serving.featuresExtent _,
     // --- LLM pipeline: text + exact dedup ------------------------
@@ -1410,6 +1411,20 @@ object SparkEntry {
         |FROM sh s JOIN bench b USING (shingle)
         |WHERE s.doc_id % 10 != 0
         |GROUP BY 1""".stripMargin,
+    "items_page_cursor" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us,
+        |  (user_id % 36) * 5.0 - 87.5 AS lat,
+        |  (user_id % 72) * 5.0 - 177.5 AS lon,
+        |  value
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |  AND (user_id % 36) * 5.0 - 87.5 BETWEEN -45 AND 45
+        |  AND (user_id % 72) * 5.0 - 177.5 BETWEEN -180 AND -60
+        |  AND (epoch_us(ts) < 1705622400000000
+        |       OR (epoch_us(ts) = 1705622400000000 AND event_id < 99999))
+        |ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin,
+
     "items_query" ->
       """SELECT event_id, epoch_us(ts) AS ts_us,
         |  (user_id % 36) * 5.0 - 87.5 AS lat,

@@ -44,6 +44,35 @@ object Serving {
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("lat"), col("lon"), col("value"))
 
+  /** The SECOND page of [[itemsQuery]], by CURSOR — stable pagination
+    * for the items surface. OFFSET pagination re-scans and re-heaps
+    * everything before the requested page (O(pages²) total work
+    * across a scan of the collection) and skips/duplicates rows when
+    * items land between requests; a keyset cursor — "strictly older
+    * than the last (ts, event_id) seen" — is ONE more pushable
+    * predicate, so every page costs the same bounded
+    * TakeOrderedAndProject and the page sequence is stable under
+    * concurrent ingest. The cursor literals here are the first page's
+    * known tail; a live server passes the client's token. */
+  def itemsPageCursor(spark: SparkSession, dir: String): DataFrame = {
+    val (curTsUs, curId) = (1705622400000000L, 99999L) // 2024-01-19T00:00:00Z
+    Tables.eventsBetween(spark, dir,
+        "2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z")
+      .filter(col("event_type") === "click")
+      .withColumn("lat", Climate.pseudoLat(col("user_id")))
+      .withColumn("lon", Climate.pseudoLon(col("user_id")))
+      .filter(col("lat").between(-45.0, 45.0) &&
+        col("lon").between(-180.0, -60.0))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      // keyset predicate: strictly after the cursor in page order
+      .filter(col("ts_us") < curTsUs ||
+        (col("ts_us") === curTsUs && col("event_id") < curId))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(100)
+      .select(col("event_id"), col("ts_us"),
+        col("lat"), col("lon"), col("value"))
+  }
+
   /** Deterministic vector-feature drop — 120 station points + 10
     * basin rectangles + 3 malformed rows, all as WKT text. The SAME
     * Seq feeds the Spark plan and the generated DuckDB `VALUES`

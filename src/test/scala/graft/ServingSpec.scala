@@ -43,4 +43,24 @@ class ServingSpec extends SparkSpec {
       .take(100).map(_._1).toSeq
     assert(rows.map(_.getAs[Long]("event_id")).toSeq === expect)
   }
+
+  test("items_page_cursor: keyset page is bounded, ordered, strictly past the cursor") {
+    val df = SparkEntry.queries("items_page_cursor")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length <= 100)
+    val keys = rows.map(r => (r.getLong(1), r.getLong(0)))
+    // strictly after the cursor in page order
+    keys.foreach { case (us, id) =>
+      assert(us < 1705622400000000L || (us == 1705622400000000L && id < 99999L))
+    }
+    // newest-first with the id tiebreak, no duplicates
+    assert(keys.sortBy { case (us, id) => (-us, -id) }.toSeq === keys.toSeq)
+    assert(keys.distinct.length === keys.length)
+    // every returned row would sort AFTER the whole first page
+    val page1 = SparkEntry.queries("items_query")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(keys.forall(!page1.contains(_)) || page1.size < 100)
+    // the page stays a bounded top-k plan, never a global sort
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
 }
