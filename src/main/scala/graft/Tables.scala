@@ -43,17 +43,25 @@ object Tables {
     * PushedFilters and row groups outside the range are skipped —
     * the pattern every time-bounded operator should use at scale. */
   def eventsBetween(s: SparkSession, d: String,
-      startIso: String, endIso: String): DataFrame = {
+      startIso: String, endIso: String,
+      rawTsPred: Option[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] = None): DataFrame = {
     val raw = load(s, d, "events")
     def nanos(iso: String): Long =
       java.time.Instant.parse(iso).getEpochSecond * 1000000000L +
         java.time.Instant.parse(iso).getNano
-    if (raw.schema("ts").dataType == LongType)
-      raw.filter(col("ts") >= nanos(startIso) && col("ts") < nanos(endIso))
+    if (raw.schema("ts").dataType == LongType) {
+      val sliced = raw
+        .filter(col("ts") >= nanos(startIso) && col("ts") < nanos(endIso))
+      // extra caller predicate over the RAW epoch-nanos ts (e.g. a
+      // pagination cursor) — applied pre-rewrite so it pushes too
+      rawTsPred.fold(sliced)(p => sliced.filter(p(col("ts"))))
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else
-      raw.filter(col("ts") >= lit(startIso).cast("timestamp") &&
+    } else {
+      val sliced = raw.filter(col("ts") >= lit(startIso).cast("timestamp") &&
         col("ts") < lit(endIso).cast("timestamp"))
+      rawTsPred.fold(sliced)(p => sliced.filter(p(unix_micros(col("ts")) * 1000)))
+    }
   }
 
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

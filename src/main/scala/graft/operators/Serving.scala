@@ -56,17 +56,25 @@ object Serving {
     * known tail; a live server passes the client's token. */
   def itemsPageCursor(spark: SparkSession, dir: String): DataFrame = {
     val (curTsUs, curId) = (1705622400000000L, 99999L) // 2024-01-19T00:00:00Z
-    Tables.eventsBetween(spark, dir,
-        "2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z")
-      .filter(col("event_type") === "click")
+    // The keyset condition is applied to the RAW epoch-nanos column
+    // BEFORE the timestamp rewrite (the Tables.eventsBetween
+    // discipline — a predicate on the rewritten column never reaches
+    // the scan): µs = ns div 1000, so "older than the cursor µs" is
+    // ns < cur·1000, and the equal-µs tie window is [cur·1000,
+    // cur·1000+1000). Both disjuncts are raw-column comparisons, so
+    // the whole cursor lands in the parquet scan's PushedFilters
+    // (spec-asserted) and row groups past the cursor are never read.
+    val curNs = curTsUs * 1000L
+    val ts = Tables.eventsBetween(spark, dir,
+        "2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z",
+        rawTsPred = Some(tsNs =>
+          tsNs < curNs || (tsNs < curNs + 1000L && col("event_id") < curId)))
+    ts.filter(col("event_type") === "click")
       .withColumn("lat", Climate.pseudoLat(col("user_id")))
       .withColumn("lon", Climate.pseudoLon(col("user_id")))
       .filter(col("lat").between(-45.0, 45.0) &&
         col("lon").between(-180.0, -60.0))
       .withColumn("ts_us", unix_micros(col("ts")))
-      // keyset predicate: strictly after the cursor in page order
-      .filter(col("ts_us") < curTsUs ||
-        (col("ts_us") === curTsUs && col("event_id") < curId))
       .orderBy(col("ts").desc, col("event_id").desc)
       .limit(100)
       .select(col("event_id"), col("ts_us"),

@@ -62,5 +62,10 @@ class ServingSpec extends SparkSpec {
     assert(keys.forall(!page1.contains(_)) || page1.size < 100)
     // the page stays a bounded top-k plan, never a global sort
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    // and the cursor evaluates on the RAW epoch-nanos column (the
+    // nanos tie-window literal), i.e. BELOW the timestamp rewrite —
+    // scan-level, row-group-skippable — not on the derived ts_us
+    val formatted = df.queryExecution.executedPlan.toString
+    assert(formatted.contains("1705622400000001000"), formatted.take(800))
   }
 }
