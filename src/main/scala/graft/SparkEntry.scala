@@ -1358,34 +1358,37 @@ object SparkEntry {
         |  FROM embeddings)
         |GROUP BY 1, 3""".stripMargin,
 
-    "dedup_chunks" ->
-      """WITH base AS (
+    "dedup_chunks" -> {
+      val c = Dedup.ChunkTokens
+      s"""WITH base AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
         |  FROM documents),
         |ch AS (
         |  SELECT doc_id,
-        |    unnest(list_transform(range(0, CAST(len(toks) // 10 AS INT)),
-        |      i -> list_aggregate(toks[i*10+1 : i*10+10], 'string_agg', ' '))) AS chunk
-        |  FROM base WHERE len(toks) // 10 > 0)
+        |    unnest(list_transform(range(0, CAST(len(toks) // $c AS INT)),
+        |      i -> list_aggregate(toks[i*$c+1 : i*$c+$c], 'string_agg', ' '))) AS chunk
+        |  FROM base WHERE len(toks) // $c > 0)
         |SELECT md5(chunk) AS chunk_hash,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_occ,
         |  min(doc_id) AS first_doc
         |FROM ch GROUP BY 1
-        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+    },
 
-    "dedup_chunks_apply" ->
-      """WITH base AS (
+    "dedup_chunks_apply" -> {
+      val c = Dedup.ChunkTokens
+      s"""WITH base AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
         |  FROM documents),
         |ch AS (
         |  SELECT doc_id, ci,
-        |    list_aggregate(toks[ci*10+1 : ci*10+10], 'string_agg', ' ') AS chunk
+        |    list_aggregate(toks[ci*$c+1 : ci*$c+$c], 'string_agg', ' ') AS chunk
         |  FROM (SELECT doc_id, toks,
-        |          unnest(range(0, CAST(len(toks) // 10 AS INT))) AS ci
-        |        FROM base WHERE len(toks) // 10 > 0)),
+        |          unnest(range(0, CAST(len(toks) // $c AS INT))) AS ci
+        |        FROM base WHERE len(toks) // $c > 0)),
         |k AS (SELECT doc_id, ci, chunk,
         |        row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, ci) = 1 AS keep
         |      FROM ch)
@@ -1393,7 +1396,8 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
         |  coalesce(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY ci), '')
         |    AS clean_text
-        |FROM k GROUP BY 1""".stripMargin,
+        |FROM k GROUP BY 1""".stripMargin
+    },
 
     "decontaminate" ->
       """WITH base AS (

@@ -285,8 +285,9 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
-  /** Tokens per fixed chunk for [[dedupChunks]]. */
-  private val ChunkTokens = 10
+  /** Tokens per fixed chunk for [[dedupChunks]] — private[graft] so
+    * the generated oracle SQL interpolates the same constant. */
+  private[graft] val ChunkTokens = 10
 
   /** Cross-document duplicated-CHUNK report — the chunk-granularity
     * approximation of exact substring dedup (the boilerplate/
