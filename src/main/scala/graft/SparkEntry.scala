@@ -62,6 +62,7 @@ object SparkEntry {
     "rating_curve_station"  -> Climate.ratingCurveStation _,
     "danger_levels"         -> Climate.dangerLevels _,
     "pet_hargreaves"        -> Climate.petHargreaves _,
+    "spi_multiscale"        -> Climate.spiMultiscale _,
     "spi_ensemble_median"   -> Climate.spiEnsembleMedian _,
     "spi_ensemble_gamma"    -> Climate.spiEnsembleGamma _,
     "zonal_stats"           -> Climate.zonalStats _,

@@ -150,6 +150,32 @@ object Climate {
           .otherwise(lit(null).cast("double")).as("spi")): _*)
   }
 
+  /** Every SPI TIMESCALE product from ONE scan — the reference ships
+    * SPI-1/-3/-6/-12 as separate products of the same input
+    * (`utils_spi.py` is parameterized by `spi_ts` and the processes
+    * loop over the scales); here the three rolling accumulations are
+    * three FRAMES over the SAME window sort (one shuffle, one sort,
+    * three running states), the scales unpivot to a (station, scale)
+    * composite key, and ONE [[spiGammaOn]] pass fits and applies
+    * every per-scale climatology — |scales|× the products for one
+    * scan and one fit aggregation, instead of re-running the whole
+    * pipeline per scale. */
+  def spiMultiscale(spark: SparkSession, dir: String): DataFrame = {
+    val scales = Seq(3, 7, 14)
+    val w = Window.partitionBy(col("user_id")).orderBy(evOrder: _*)
+    val accums = Tables.events(spark, dir)
+      .select(Seq(col("event_id"), col("user_id")) ++ scales.map(s =>
+        sum(col("value")).over(w.rowsBetween(-(s - 1), Window.currentRow))
+          .as(s"x$s")): _*)
+    val long = accums
+      .select(col("event_id"), col("user_id"),
+        explode(array(scales.map(s =>
+          struct(lit(s).as("scale"), col(s"x$s").as("x"))): _*)).as("sx"))
+      .select(col("event_id"), col("user_id"),
+        col("sx.scale").as("scale"), col("sx.x").as("x"))
+    spiGammaOn(long, long, Seq("user_id", "scale"))
+  }
+
   /** The reference's literal ensemble SPI (`utils_spi.py:577`
     * `spi_ensemble` = gamma SPI per realization, then `nanmedian`
     * across members): the full gamma index runs per (station,

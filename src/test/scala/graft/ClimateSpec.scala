@@ -525,6 +525,29 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("spi_multiscale: each scale slice equals the dedicated single-scale query") {
+    val multi = SparkEntry.queries("spi_multiscale")(spark, sf).collect()
+      .groupBy(_.getInt(2))
+    assert(multi.keySet === Set(3, 7, 14))
+    Seq(3, 7, 14).foreach { s =>
+      val slice = multi(s).map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+      val single = Climate.spiGamma(spark, sf, s).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      assert(slice.keySet === single.keySet, s"scale $s ids")
+      slice.foreach { case (id, v) =>
+        (v, single(id)) match {
+          case (Some(a), Some(b)) =>
+            // same arithmetic; partial-agg order in the fit may differ
+            // by an ulp, so allow one 1e-4 quantum
+            assert(math.abs(a - b) < 1.1e-4, s"scale $s event $id")
+          case (a, b) => assert(a === b, s"scale $s event $id nullness")
+        }
+      }
+    }
+  }
+
   test("zonal_drought_extent: weekly fractions consistent with the all-time zonal index") {
     val rows = SparkEntry.queries("zonal_drought_extent")(spark, sf).collect()
     assert(rows.nonEmpty)
