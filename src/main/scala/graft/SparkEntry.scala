@@ -34,6 +34,7 @@ object SparkEntry {
     "ts_resample_monthly"    -> TimeSeries.resampleMonthlyScaled _,
     "ts_rolling_sum"         -> TimeSeries.rollingSum _,
     "ts_cumsum"              -> TimeSeries.cumSum _,
+    "ts_cumsum_clamped"      -> TimeSeries.cumSumClamped _,
     "ts_asof_join"           -> TimeSeries.asofJoin _,
     "ts_gapfill"             -> TimeSeries.gapFill _,
     "ts_lag_delta"           -> TimeSeries.lagDelta _,
@@ -64,6 +65,7 @@ object SparkEntry {
     "pet_hargreaves"        -> Climate.petHargreaves _,
     "spi_multiscale"        -> Climate.spiMultiscale _,
     "spi_ensemble_median"   -> Climate.spiEnsembleMedian _,
+    "forecast_deficit_bands" -> Climate.forecastDeficitBands _,
     "spi_ensemble_gamma"    -> Climate.spiEnsembleGamma _,
     "zonal_stats"           -> Climate.zonalStats _,
     "zonal_drought_extent"  -> Climate.zonalDroughtExtent _,
@@ -99,6 +101,7 @@ object SparkEntry {
     "doc_keywords"    -> TextOps.docKeywords _,
     "pii_scrub"       -> TextOps.piiScrub _,
     "corpus_split"    -> TextOps.corpusSplit _,
+    "pack_sequences"  -> TextOps.packSequences _,
     "doc_lm_score"    -> TextOps.docLmScore _,
     "bigram_pmi"      -> TextOps.bigramPmi _,
     // --- LLM pipeline: near-dup + similarity ---------------------
@@ -327,6 +330,20 @@ object SparkEntry {
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value
         |FROM events""".stripMargin,
+
+    // the max(d+x, 0) recurrence as pure prefix aggregates:
+    // d_i = S_i - min(0, running_min(S))
+    "ts_cumsum_clamped" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, ts,
+        |    sum(value - 50.0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  round(cs - least(0.0, min(cs) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 2) AS deficit
+        |FROM s""".stripMargin,
 
     "ts_asof_join" ->
       """SELECT c.event_id, c.user_id,
@@ -852,6 +869,42 @@ object SparkEntry {
         |  floor(quantile_cont(z, 0.5) * 1e4 + 0.5) / 1e4 AS spi_median
         |FROM z GROUP BY 1, 2""".stripMargin,
 
+    // ensemble percentile bands with hand-written (n-1)*q rank
+    // interpolation (bit-identical across engines), then the clamped
+    // deficit identity per band
+    "forecast_deficit_bands" ->
+      """WITH md AS (
+        |  SELECT user_id, event_id % 5 AS member,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (100.0 * count(*)) - 50.0 AS delta
+        |  FROM events GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT user_id, day, list_sort(list(delta)) AS ds,
+        |    count(*) AS n
+        |  FROM md GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id, day, q,
+        |    ds[CAST(floor((n - 1) * q) AS INT) + 1]
+        |      + ((n - 1) * q - floor((n - 1) * q))
+        |        * (ds[least(CAST(floor((n - 1) * q) AS INT) + 2, CAST(n AS INT))]
+        |           - ds[CAST(floor((n - 1) * q) AS INT) + 1]) AS band
+        |  FROM g CROSS JOIN (VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.3 AS DOUBLE)),
+        |    (CAST(0.5 AS DOUBLE)), (CAST(0.7 AS DOUBLE)),
+        |    (CAST(0.9 AS DOUBLE))) AS qs(q)),
+        |s AS (
+        |  SELECT user_id, day, q,
+        |    CAST(sum(CAST(floor(band * 1e6 + 0.5) AS BIGINT))
+        |      OVER (PARTITION BY user_id, q ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+        |  FROM b)
+        |SELECT user_id, day, q,
+        |  floor(CAST(cs - least(0, min(cs) OVER (PARTITION BY user_id, q
+        |    ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE)
+        |    / 100.0 + 0.5) / 1e4 AS deficit
+        |FROM s""".stripMargin,
+
     "zonal_spi_quantiles" ->
       """WITH z AS (
         |  SELECT event_id, user_id,
@@ -1300,6 +1353,26 @@ object SparkEntry {
         |SELECT split, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM a GROUP BY 1, 2""".stripMargin,
+
+    // all-integer packing arithmetic — engines agree exactly
+    "pack_sequences" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    md5(CAST(doc_id AS VARCHAR)) AS k,
+        |    CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+        |      AS BIGINT) AS pos,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_tokens AS start
+        |  FROM t)
+        |SELECT doc_id, shard, pos, n_tokens,
+        |  start // ${graft.operators.TextOps.packBudget} AS seq_id,
+        |  start % ${graft.operators.TextOps.packBudget} AS seq_off
+        |FROM s""".stripMargin,
 
     "vocab_coverage" ->
       """WITH toks AS (

@@ -929,6 +929,65 @@ object Climate {
           .as("spi_median"))
   }
 
+  /** The seasonal-deficit forecast product
+    * (`ingestor_knmi_evapo_fc.py:219-245,305-325`): per-member signed
+    * PET−precip deltas → ensemble percentile BANDS at q ∈ {0.1, 0.3,
+    * 0.5, 0.7, 0.9} per (cell, day) (`data_prep_knmi_evapo_forecast
+    * .py:161` `quantile([.1,.3,.5,.7,.9], dim="epoches")`) → zero-
+    * clamped cumulative deficit along each band (`calc_p_def`
+    * recurrence, closed-form identity — see
+    * [[TimeSeries.cumSumClamped]]).
+    *
+    * Scale shape: one groupBy to (cell, member, day) [map-side
+    * partial], one groupBy to (cell, day) collecting the ≤|members|
+    * sorted deltas (bounded state — member count is a forecast-system
+    * constant, 50 for ECMWF SEAS5), a 5-way in-row struct explode for
+    * the bands, then ONE window pass per (cell, band) for the clamped
+    * accumulation. The band interpolation `(n−1)·q` rank arithmetic is
+    * written out elementwise (not `percentile_approx`) so both engines
+    * compute bit-identical ordinates. */
+  def forecastDeficitBands(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+    val memberDaily = Tables.events(spark, dir)
+      .withColumn("member", col("event_id") % 5)
+      .groupBy(col("user_id"), col("member"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      // member-mean via exact integer cents (2-dec inputs), ONE double
+      // division at the end — bit-identical regardless of either
+      // engine's partial-aggregation merge order (a float sum's fold
+      // order is engine-chosen; an integer sum's isn't)
+      .agg((sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
+        / (lit(100.0) * count(lit(1))) - lit(50.0)).as("delta"))
+    val grouped = memberDaily.groupBy(col("user_id"), col("day"))
+      .agg(array_sort(collect_list(col("delta"))).as("ds"),
+        count(lit(1)).as("n"))
+    val bands = grouped
+      .select(col("user_id"), col("day"), explode(array(qs.map { q =>
+        val r    = (col("n") - 1) * lit(q)
+        val lo   = floor(r)
+        val frac = r - lo
+        val vlo  = element_at(col("ds"), (lo + 1).cast("int"))
+        val vhi  = element_at(col("ds"),
+          least(lo + 2, col("n")).cast("int"))
+        struct(lit(q).as("q"), (vlo + frac * (vhi - vlo)).as("band"))
+      }: _*)).as("b"))
+      .select(col("user_id"), col("day"),
+        col("b.q").as("q"), col("b.band").as("band"))
+    val w = Window.partitionBy(col("user_id"), col("q"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // accumulate in exact integer micro-units: a float window-sum's
+    // association order is engine-chosen (segment tree vs sequential),
+    // an integer one is order-free — the prefix sums are exact, so the
+    // clamp identity and the final quantize agree bit-for-bit
+    bands
+      .withColumn("band_u", floor(col("band") * 1e6 + 0.5).cast("long"))
+      .withColumn("cs", sum(col("band_u")).over(w))
+      .select(col("user_id"), col("day"), col("q"),
+        (floor((col("cs") - least(lit(0L), min(col("cs")).over(w)))
+          .cast("double") / 100.0 + 0.5) / 1e4).as("deficit"))
+  }
+
   /** Small fixed basin set (convex rings in (lon, lat), CCW) standing
     * in for the reference's basin geometries (`utils_spi.py:565-600`
     * clips SPI grids to per-basin shapes before aggregating). A real

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -157,6 +158,41 @@ object TextOps {
         when(sel < "e6", "train").when(sel < "f3", "val").otherwise("test"))
       .groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+  }
+
+  /** Tokens per packed training sequence. */
+  val packBudget = 2048
+
+  /** Concat-and-split sequence packing — the batching step that turns
+    * a curated corpus into fixed-length training sequences: documents
+    * are concatenated in a deterministically SHUFFLED order (md5 of
+    * the id — the same reshuffle-free selector as [[corpusSample]])
+    * within hash shards, and the token stream is cut every
+    * [[packBudget]] tokens; a document may straddle a cut (standard
+    * GPT-style packing — no padding waste, unlike greedy
+    * no-straddle bin packing, whose reset-on-overflow recurrence also
+    * wouldn't distribute). Emits, per document: its shard, its
+    * shuffled position, and the (sequence, offset) where it starts.
+    *
+    * Shape at scale: a column-pruned scan of `(doc_id, n_chars)` only
+    * — packing never reads `text` — one hash shuffle on the shard
+    * key, one per-shard sort of md5 keys, and a prefix sum. All
+    * arithmetic is integral (token counts, integer division), so
+    * every engine agrees bit-for-bit. Shard count is a constant 8
+    * here; at 100 TB it scales with the cluster (each shard is one
+    * training worker's stream). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w  = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        md5(col("doc_id").cast("string")).as("k"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("n_tokens"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("start", sum(col("n_tokens")).over(wf) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+        expr(s"start div $packBudget").as("seq_id"),
+        (col("start") % packBudget).as("seq_off"))
   }
 
   /** Repetition + diversity quality signals per document — the

@@ -94,6 +94,36 @@ object TimeSeries {
         round(sum(col("value")).over(w), 2).as("cum_value"))
   }
 
+  /** Zero-clamped running deficit — the reference's precipitation-
+    * deficit accumulator `d_i = max(d_{i-1} + x_i, 0)`
+    * (`ingestor_knmi_evapo.py:319-325` `calc_p_def`), which it
+    * evaluates with a Python loop over time steps
+    * (`ingestor_knmi_evapo_fc.py:224-227`). The recurrence has a
+    * closed form over plain prefix aggregates:
+    *
+    *   d_i = S_i − min(0, min_{j≤i} S_j),   S_i = Σ_{k≤i} x_k
+    *
+    * (induction: a clamp at zero simply forgets the most negative
+    * prefix seen so far), so the whole product is TWO stacked window
+    * passes on ONE shuffle+sort of `(user_id; ts, event_id)` — no
+    * iteration, no state beyond the running sum and min. At 100 TB
+    * this is the difference between a sequential per-series driver
+    * loop and an embarrassingly parallel per-station window. The
+    * signed increment is `value − 50` (PET-minus-precip proxy; the
+    * reference's `calc_delta_PET` likewise centers with literal
+    * constants kc/Tadd/Tscale, `data_prep_knmi_evapo_forecast.py:
+    * 105-115`). */
+  def cumSumClamped(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("cs", sum(col("value") - lit(50.0)).over(w))
+      .select(col("event_id"), col("user_id"),
+        round(col("cs") - least(lit(0.0), min(col("cs")).over(w)), 2)
+          .as("deficit"))
+  }
+
   /** As-of join: each `click` event aligned to the latest strictly
     * earlier `purchase` by the same user (the reference aligns
     * observation series to the latest prior forecast issue the same

@@ -606,4 +606,27 @@ class ClimateSpec extends SparkSpec {
       "a pretrained gamma param table must reproduce the fused fit/apply bit-for-bit")
     assert(direct.exists(_._2.isDefined))
   }
+
+  test("forecast_deficit_bands: clamped non-negative, band-monotone in q, full grid") {
+    val rows = SparkEntry.queries("forecast_deficit_bands")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the zero clamp: a deficit can never go negative
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0, s"negative deficit: $r"))
+    // percentile bands are elementwise ordered in q, and max(d+x,0) is
+    // monotone in both args, so cumulative deficits inherit the order
+    rows.groupBy(r => (r.getLong(0), r.getString(1))).foreach { case (k, rs) =>
+      val byQ = rs.sortBy(_.getDouble(2)).map(_.getDouble(3)).toSeq
+      assert(byQ.size == 5, s"$k: expected 5 bands, got ${byQ.size}")
+      byQ.sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b + 1e-9, s"$k: band order violated $a > $b")
+        case _         =>
+      }
+    }
+    // one row per (cell, day) × 5 quantiles — no cell silently dropped
+    val nCells = Tables.events(spark, sf)
+      .select(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd"))
+      .distinct.count()
+    assert(rows.length == nCells * 5)
+  }
 }

@@ -468,4 +468,42 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getString(1) === orig(r.getLong(0)))
     }
   }
+
+  test("pack_sequences: exact shard-local packing, text never scanned") {
+    val df = SparkEntry.queries("pack_sequences")(spark, sf)
+    // packing is metadata-only: the parquet scan must not read `text`
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    scans.foreach(s =>
+      assert(!s.requiredSchema.fieldNames.contains("text"),
+        s"text column in scan schema: ${s.requiredSchema.simpleString}"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length === docs.size)
+    val B = graft.operators.TextOps.packBudget
+    // local recomputation: md5-shuffled order per shard, running starts
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectByDoc = docs.map { case (id, _, nChars) =>
+      (id, id % 8, key(id), (nChars + 3) / 4)
+    }.groupBy(_._2).flatMap { case (_, shard) =>
+      var start = 0L
+      shard.sortBy(d => (d._3, d._1)).zipWithIndex.map { case (d, i) =>
+        val s0 = start; start += d._4
+        (d._1, (d._2, i + 1L, d._4, s0 / B, s0 % B))
+      }
+    }
+    rows.foreach { case (id, shard, pos, tok, seqId, seqOff) =>
+      val e = expectByDoc(id)
+      assert((shard, pos, tok, seqId, seqOff) === e, s"doc $id")
+    }
+  }
 }

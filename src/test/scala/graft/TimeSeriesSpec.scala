@@ -49,6 +49,22 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ts_cumsum_clamped: window identity reproduces the max(d+x,0) recurrence") {
+    val got = SparkEntry.queries("ts_cumsum_clamped")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    raw.groupBy(_._2).foreach { case (u, evs) =>
+      val ordered = evs.sortBy(e => (e._3.getTime, e._1))
+      // the reference's sequential fold (ingestor_knmi_evapo.py:319-325)
+      var d = 0.0
+      ordered.foreach { e =>
+        d = math.max(d + (e._5 - 50.0), 0.0)
+        val expect = r2(d)
+        assert(math.abs(got(e._1) - expect) < 1e-9,
+          s"user $u event ${e._1}: got ${got(e._1)} expected $expect")
+      }
+    }
+  }
+
   test("ts_asof_join: strictly-prior purchase semantics, exact values") {
     val got = SparkEntry.queries("ts_asof_join")(spark, sf)
       .collect().map(r => r.getLong(0) ->
