@@ -162,6 +162,43 @@ object EventsPipeline {
         col("value"), col("anom"), col("z"),
         coalesce(abs(col("z")) > 3.0, lit(false)).as("is_anomaly"))
 
+  /** Watermarked stream-STREAM interval join — two LIVE feeds
+    * reconciled in flight: each `click` pairs with the same user's
+    * `purchase`s from the preceding hour (the reference reconciles a
+    * freshly fetched forecast feed against the concurrently arriving
+    * observation feed over a bounded time overlap the same way,
+    * `ingestor_knmi_evapo_fc.py:203-211` `homogenize_ds`). Contrast
+    * [[scoreAgainstClimatology]]: that side is static and stateless;
+    * here BOTH sides are unbounded, so correctness needs buffered
+    * state, and the two watermarks plus the time-range predicate are
+    * what let Spark bound it — a purchase is provably un-joinable
+    * once the click watermark passes `purchase_ts + 1h` and its state
+    * is dropped. Without the range condition the state would grow
+    * forever; with it, per-key state is O(rate × horizon) regardless
+    * of stream age. */
+  def enrichWithRecentPurchases(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = normalizeTs(clicks)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", "1 hour")
+    val p = normalizeTs(purchases)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"),
+        round(col("click_value"), 2).as("click_value"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+  }
+
   /** The PUBLISH side of the scheduled loop as a stream — the
     * reference's cron tick end to end: drain whatever drops landed
     * since the last run (`Trigger.AvailableNow` over the checkpointed

@@ -428,4 +428,33 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("enrichWithRecentPurchases: stream-stream interval join, bounded horizon") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = EventsPipeline
+      .enrichWithRecentPurchases(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      purchases.addData(
+        Ev(100, t("2024-01-01 09:00:00"), 1, "purchase", 9.0, "{}"),  // >1h before → out
+        Ev(101, t("2024-01-01 10:00:00"), 1, "purchase", 7.5, "{}"),  // in horizon
+        Ev(102, t("2024-01-01 11:30:00"), 2, "purchase", 4.0, "{}"),  // after click → out
+        Ev(103, t("2024-01-01 10:20:00"), 3, "purchase", 2.0, "{}"))  // other user
+      clicks.addData(
+        Ev(1, t("2024-01-01 10:30:00"), 1, "click", 1.0, "{}"),
+        Ev(2, t("2024-01-01 11:00:00"), 2, "click", 2.0, "{}"),
+        Ev(3, t("2024-01-01 10:45:00"), 9, "click", 3.0, "{}"))       // no purchases
+      q.processAllAvailable()
+      val out = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(6)))
+        .toSet
+      // inner join emits as matches arrive; only (click 1 × purchase 101)
+      // satisfies user + [click_ts - 1h, click_ts]
+      assert(out === Set((1L, 1L, 101L, 7.5)))
+    } finally q.stop()
+  }
 }
