@@ -66,6 +66,7 @@ object SparkEntry {
     "spi_multiscale"        -> Climate.spiMultiscale _,
     "spi_ensemble_median"   -> Climate.spiEnsembleMedian _,
     "forecast_deficit_bands" -> Climate.forecastDeficitBands _,
+    "grid_contour_bands"    -> Climate.gridContourBands _,
     "spi_ensemble_gamma"    -> Climate.spiEnsembleGamma _,
     "zonal_stats"           -> Climate.zonalStats _,
     "zonal_drought_extent"  -> Climate.zonalDroughtExtent _,
@@ -1353,6 +1354,35 @@ object SparkEntry {
         |SELECT split, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM a GROUP BY 1, 2""".stripMargin,
+
+    // band membership on exact integers (mean >= L  <=>  cents >= L*100*n);
+    // the CASE chains are generated from the same contourLevels Seq the
+    // Spark plan folds over
+    "grid_contour_bands" -> {
+      val lvls = graft.operators.Climate.contourLevels
+      val minCase = lvls.reverse.map(l =>
+        s"WHEN sum_c >= $l * 100 * n_obs THEN $l").mkString("\n         ")
+      val maxCase = lvls.map(l =>
+        s"WHEN sum_c < $l * 100 * n_obs THEN $l").mkString("\n         ")
+      s"""WITH cell AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c,
+        |    count(*) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT day, sum_c, n_obs,
+        |    CASE $minCase END AS lvl_min,
+        |    CASE $maxCase END AS lvl_max,
+        |    (user_id % 36) * 5.0 - 87.5 AS lat,
+        |    (user_id % 72) * 5.0 - 177.5 AS lon
+        |  FROM cell)
+        |SELECT day, lvl_min, lvl_max, count(*) AS n_cells,
+        |  min(lon) AS min_lon, max(lon) AS max_lon,
+        |  min(lat) AS min_lat, max(lat) AS max_lat,
+        |  floor(CAST(sum(sum_c) AS DOUBLE) / (100.0 * sum(n_obs)) * 1e4 + 0.5)
+        |    / 1e4 AS v_mean
+        |FROM b GROUP BY 1, 2, 3""".stripMargin
+    },
 
     // all-integer packing arithmetic — engines agree exactly
     "pack_sequences" ->

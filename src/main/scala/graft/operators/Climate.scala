@@ -834,6 +834,52 @@ object Climate {
         col("n_cells"), col("n_obs"), col("v_mean"), col("v_min"), col("v_max"))
   }
 
+  /** The reference's contour levels (`ingestor_knmi_evapo_fc.py:260`
+    * `fixed_lvls = [50, 100, 125, 150, 175, 200]` fed to
+    * `gdal_contour -p -amin lvlmin -amax lvlmax`). */
+  val contourLevels: Seq[Int] = Seq(50, 100, 125, 150, 175, 200)
+
+  /** Contour BANDS over the daily grid — the data-parallel core of
+    * the reference's contour-polygon publish step
+    * (`ingestor_knmi_evapo_fc.py:252-270`: rasterize the day's p_def
+    * median, `gdal_contour` between fixed levels, ship band polygons
+    * with lvlmin/lvlmax attributes). Polygonization itself is a
+    * geometry-codec seam (the reference shells out to GDAL for it);
+    * what scales — and what this op does — is classifying every cell
+    * into its level band and reducing each (day, band) to membership
+    * + extent + mean, the attributes the published polygons carry.
+    *
+    * Band membership compares EXACT integers: cell mean ≥ L ⟺
+    * sum_cents ≥ L·100·n, so a cell sitting precisely on a level
+    * (values are 2-dec) can never flip bands on a float ulp. One
+    * groupBy to cells, elementwise CASE, one groupBy to bands. */
+  def gridContourBands(spark: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_c"),
+        count(lit(1)).as("n_obs"))
+    def ge(l: Int) = col("sum_c") >= lit(l.toLong * 100) * col("n_obs")
+    // foldLeft nests the LAST element outermost: lvl_min checks the
+    // highest level first, lvl_max the lowest
+    val lvlMin = contourLevels.foldLeft(lit(null).cast("int")) {
+      (acc, l) => when(ge(l), l).otherwise(acc)
+    }
+    val lvlMax = contourLevels.reverse.foldLeft(lit(null).cast("int")) {
+      (acc, l) => when(!ge(l), l).otherwise(acc)
+    }
+    cell
+      .select(col("day"), col("user_id"), col("sum_c"), col("n_obs"),
+        lvlMin.as("lvl_min"), lvlMax.as("lvl_max"),
+        pseudoLat(col("user_id")).as("lat"), pseudoLon(col("user_id")).as("lon"))
+      .groupBy(col("day"), col("lvl_min"), col("lvl_max"))
+      .agg(count(lit(1)).as("n_cells"),
+        min(col("lon")).as("min_lon"), max(col("lon")).as("max_lon"),
+        min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"),
+        (floor(sum(col("sum_c")).cast("double")
+          / (lit(100.0) * sum(col("n_obs"))) * 1e4 + 0.5) / 1e4).as("v_mean"))
+  }
+
   /** Zonal statistics: snap pseudo-coordinates to a 30° grid zone,
     * aggregate per zone (`utils_spi.py` compute_zonal_stats). Zone
     * assignment is elementwise in the scan; one agg shuffle. */

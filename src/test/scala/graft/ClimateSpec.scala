@@ -607,6 +607,33 @@ class ClimateSpec extends SparkSpec {
     assert(direct.exists(_._2.isDefined))
   }
 
+  test("grid_contour_bands: bands partition the day-grid, edges are adjacent levels") {
+    val rows = SparkEntry.queries("grid_contour_bands")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lvls = Climate.contourLevels
+    rows.foreach { r =>
+      val lo = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val hi = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      (lo, hi) match {
+        case (None, Some(h))    => assert(h == lvls.head, s"open-below band: $r")
+        case (Some(l), None)    => assert(l == lvls.last, s"open-above band: $r")
+        case (Some(l), Some(h)) =>
+          assert(lvls.indexOf(h) == lvls.indexOf(l) + 1, s"non-adjacent band: $r")
+        case (None, None)       => fail(s"unbounded band: $r")
+      }
+      // the band mean lies inside the band (1e-4: v_mean is quantized
+      // to the 1e-4 grid and may round onto the boundary)
+      val v = r.getDouble(8)
+      lo.foreach(l => assert(v >= l - 1e-4, s"mean below lvl_min: $r"))
+      hi.foreach(h => assert(v < h + 1e-4, s"mean at/above lvl_max: $r"))
+    }
+    // every (day, cell) lands in exactly one band
+    val nCellDays = Tables.events(spark, sf)
+      .select(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd"),
+        col("user_id")).distinct.count()
+    assert(rows.map(_.getLong(3)).sum === nCellDays)
+  }
+
   test("forecast_deficit_bands: clamped non-negative, band-monotone in q, full grid") {
     val rows = SparkEntry.queries("forecast_deficit_bands")(spark, sf).collect()
     assert(rows.nonEmpty)
