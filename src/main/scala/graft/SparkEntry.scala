@@ -89,6 +89,7 @@ object SparkEntry {
     "dedup_exact"     -> TextOps.dedupExact _,
     "lang_id"         -> TextOps.langId _,
     "text_quality"    -> TextOps.textQuality _,
+    "quality_rules"   -> TextOps.qualityRules _,
     "token_count"     -> TextOps.tokenCount _,
     "doc_fingerprint" -> TextOps.docFingerprint _,
     "corpus_sample"   -> TextOps.corpusSample _,
@@ -1116,6 +1117,49 @@ object SparkEntry {
         |    * (1.0 - round((len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a')))
         |                   / CAST(n_tokens AS DOUBLE), 4)), 4) AS quality_score
         |FROM u""".stripMargin,
+
+    // integer cross-multiplied thresholds — no ratio ever computed in
+    // floats before a comparison
+    "quality_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+        |    CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, n_chars, n_digits,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(toks, x -> x = 'the'))
+        |       + len(list_filter(toks, x -> x = 'a')) AS BIGINT) AS n_stop
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n_tokens < 5 AS too_few_tokens,
+        |    (n_chars - (n_tokens - 1)) < 3 * n_tokens
+        |      OR (n_chars - (n_tokens - 1)) > 10 * n_tokens AS mean_token_len_out,
+        |    5 * n_digits > n_chars AS digit_heavy,
+        |    n_stop = 0 AS no_stopwords,
+        |    10 * n_distinct < 3 * n_tokens AS low_diversity
+        |  FROM u),
+        |a AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN too_few_tokens THEN 1 ELSE 0 END) AS BIGINT) AS f_too_few_tokens,
+        |    CAST(sum(CASE WHEN mean_token_len_out THEN 1 ELSE 0 END) AS BIGINT) AS f_mean_token_len_out,
+        |    CAST(sum(CASE WHEN digit_heavy THEN 1 ELSE 0 END) AS BIGINT) AS f_digit_heavy,
+        |    CAST(sum(CASE WHEN no_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS f_no_stopwords,
+        |    CAST(sum(CASE WHEN low_diversity THEN 1 ELSE 0 END) AS BIGINT) AS f_low_diversity,
+        |    CAST(sum(CASE WHEN too_few_tokens OR mean_token_len_out OR digit_heavy
+        |      OR no_stopwords OR low_diversity THEN 1 ELSE 0 END) AS BIGINT) AS f_any_rule
+        |  FROM r)
+        |SELECT v.rule, v.n_fail, a.n_docs,
+        |  floor(CAST(v.n_fail AS DOUBLE) / a.n_docs * 1e4 + 0.5) / 1e4 AS fail_rate
+        |FROM a, LATERAL (VALUES
+        |  ('too_few_tokens', f_too_few_tokens),
+        |  ('mean_token_len_out', f_mean_token_len_out),
+        |  ('digit_heavy', f_digit_heavy),
+        |  ('no_stopwords', f_no_stopwords),
+        |  ('low_diversity', f_low_diversity),
+        |  ('any_rule', f_any_rule)) AS v(rule, n_fail)""".stripMargin,
 
     "token_count" ->
       """WITH t AS (

@@ -98,6 +98,58 @@ object TextOps {
         "mean_token_len", "quality_score")
   }
 
+  /** Rule names for [[qualityRules]] — one report row each, plus the
+    * `any_rule` rollup. The oracle SQL mirrors the same names. */
+  val qualityRuleNames: Seq[String] = Seq("too_few_tokens",
+    "mean_token_len_out", "digit_heavy", "no_stopwords", "low_diversity")
+
+  /** Rule-BASED quality filtering report — the Gopher/C4-style named
+    * heuristic battery ([[textQuality]] scores continuously; curation
+    * pipelines mostly gate on hard rules): per rule, how many
+    * documents fail it, plus the `any_rule` rollup a filter would
+    * drop. Thresholds compare CROSS-MULTIPLIED integers (`digits/chars
+    * > 1/5` ⟺ `5·digits > chars`), so membership can never flip on a
+    * float ulp — the [[graft.operators.Climate.gridContourBands]]
+    * discipline applied to ratios. One elementwise scan (no explode, no join: token counts
+    * via the codegen'd kernels), one 1-row aggregate, unpivoted
+    * in-row to the report. Scaled-down thresholds for the synthetic
+    * corpus (real Gopher gates: ≥50 words, mean len 3-10, ≥2
+    * stopwords…). */
+  def qualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("toks", words(normalized(col("text"))))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_digits",
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
+      .withColumn("n_stop",
+        (cnt(col("toks"), "the") + cnt(col("toks"), "a")).cast("long"))
+    val meanLen = col("n_chars") - (col("n_tokens") - 1) // = mean*n_tokens
+    val rules: Seq[(String, Column)] = Seq(
+      "too_few_tokens"     -> (col("n_tokens") < 5),
+      "mean_token_len_out" -> (meanLen < lit(3) * col("n_tokens") ||
+        meanLen > lit(10) * col("n_tokens")),
+      "digit_heavy"        -> (lit(5) * col("n_digits") > col("n_chars")),
+      "no_stopwords"       -> (col("n_stop") === 0),
+      "low_diversity"      -> (lit(10) * col("n_distinct") <
+        lit(3) * col("n_tokens")))
+    require(rules.map(_._1) == qualityRuleNames)
+    val agg = d.agg(
+      count(lit(1)).as("n_docs"),
+      (rules.map { case (n, c) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"f_$n")
+      } :+ sum(when(rules.map(_._2).reduce(_ || _), 1L).otherwise(0L))
+        .as("f_any_rule")): _*)
+    agg.select(col("n_docs"),
+      explode(array((qualityRuleNames :+ "any_rule").map { n =>
+        struct(lit(n).as("rule"), col(s"f_$n").as("n_fail"))
+      }: _*)).as("x"))
+      .select(col("x.rule").as("rule"), col("x.n_fail").as("n_fail"),
+        col("n_docs"),
+        (floor(col("x.n_fail").cast("double") / col("n_docs") * 1e4 + 0.5)
+          / 1e4).as("fail_rate"))
+  }
+
   /** Token counting: whitespace tokens, distinct tokens, regex word
     * tokens, and a BPE-ish subword estimate (~4 chars/token). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {

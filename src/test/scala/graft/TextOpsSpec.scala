@@ -469,6 +469,31 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("quality_rules: rule counts match local recomputation") {
+    val rows = SparkEntry.queries("quality_rules")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val perDoc = docs.map { case (_, text, nChars) =>
+      val ts = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+      val n = ts.length.toLong
+      val dig = text.count(c => c >= '0' && c <= '9').toLong
+      val stop = ts.count(t => t == "the" || t == "a").toLong
+      val meanLen = nChars - (n - 1)
+      Map(
+        "too_few_tokens"     -> (n < 5),
+        "mean_token_len_out" -> (meanLen < 3 * n || meanLen > 10 * n),
+        "digit_heavy"        -> (5 * dig > nChars),
+        "no_stopwords"       -> (stop == 0),
+        "low_diversity"      -> (10 * ts.distinct.length.toLong < 3 * n))
+    }
+    graft.operators.TextOps.qualityRuleNames.foreach { nm =>
+      assert(rows(nm)._1 === perDoc.count(_(nm)).toLong, s"rule $nm")
+    }
+    assert(rows("any_rule")._1 ===
+      perDoc.count(_.values.exists(identity)).toLong)
+    rows.values.foreach { case (_, nDocs) => assert(nDocs === docs.size.toLong) }
+    assert(rows.size === 6)
+  }
+
   test("pack_sequences: exact shard-local packing, text never scanned") {
     val df = SparkEntry.queries("pack_sequences")(spark, sf)
     // packing is metadata-only: the parquet scan must not read `text`
