@@ -81,6 +81,7 @@ object SparkEntry {
     "extent_summary"        -> Climate.extentSummary _,
     "healthcheck_freshness" -> Climate.healthcheckFreshness _,
     "catalog_health"        -> Catalog.health _,
+    "catalog_diff"          -> Catalog.registryDiff _,
     "items_query"           -> Serving.itemsQuery _,
     "items_page_cursor"     -> Serving.itemsPageCursor _,
     "features_items"        -> Serving.featuresItems _,
@@ -1049,6 +1050,49 @@ object SparkEntry {
         |       WHEN lag_hours <= 24.0 THEN 'fresh'
         |       ELSE 'stale' END AS status
         |FROM h""".stripMargin,
+
+    "catalog_diff" ->
+      """WITH cur AS (
+        |  SELECT 'region' AS collection_id, count(*) AS n_rows,
+        |         CAST(NULL AS VARCHAR) AS time_end FROM region
+        |  UNION ALL SELECT 'nation', count(*), NULL FROM nation
+        |  UNION ALL SELECT 'customer', count(*), NULL FROM customer
+        |  UNION ALL SELECT 'supplier', count(*), NULL FROM supplier
+        |  UNION ALL SELECT 'part', count(*), NULL FROM part
+        |  UNION ALL SELECT 'orders', count(*),
+        |    strftime(CAST(max(o_orderdate) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') FROM orders
+        |  UNION ALL SELECT 'lineitem', count(*),
+        |    strftime(CAST(max(l_shipdate) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') FROM lineitem
+        |  UNION ALL SELECT 'events', count(*),
+        |    strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S') FROM events
+        |  UNION ALL SELECT 'documents', count(*), NULL FROM documents
+        |  UNION ALL SELECT 'embeddings', count(*), NULL FROM embeddings),
+        |prev AS (
+        |  SELECT 'region' AS collection_id, count(*) AS n_rows,
+        |         CAST(NULL AS VARCHAR) AS time_end FROM region
+        |  UNION ALL SELECT 'nation', count(*), NULL FROM nation
+        |  UNION ALL SELECT 'customer', count(*), NULL FROM customer
+        |  UNION ALL SELECT 'supplier', count(*), NULL FROM supplier
+        |  UNION ALL SELECT 'part', count(*), NULL FROM part
+        |  UNION ALL SELECT 'orders', count(*),
+        |    strftime(CAST(max(o_orderdate) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+        |    FROM orders WHERE o_orderdate < DATE '1995-06-01'
+        |  UNION ALL SELECT 'lineitem', count(*),
+        |    strftime(CAST(max(l_shipdate) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+        |    FROM lineitem WHERE l_shipdate < DATE '1995-06-01'
+        |  UNION ALL SELECT 'events', count(*),
+        |    strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S')
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |  UNION ALL SELECT 'legacy_grib', CAST(42 AS BIGINT), NULL)
+        |SELECT coalesce(p.collection_id, c.collection_id) AS collection_id,
+        |  CASE WHEN p.collection_id IS NULL THEN 'added'
+        |       WHEN c.collection_id IS NULL THEN 'removed'
+        |       WHEN p.n_rows IS NOT DISTINCT FROM c.n_rows
+        |        AND p.time_end IS NOT DISTINCT FROM c.time_end THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  p.n_rows AS prev_rows, c.n_rows AS cur_rows,
+        |  p.time_end AS prev_end, c.time_end AS cur_end
+        |FROM prev p FULL OUTER JOIN cur c ON p.collection_id = c.collection_id""".stripMargin,
 
     "features_items" -> {
       val (minLon, minLat, maxLon, maxLat) = Serving.featuresBbox

@@ -106,6 +106,67 @@ object Catalog {
           .otherwise("stale").as("status"))
   }
 
+  /** Diff two registry snapshots: added / removed / changed /
+    * unchanged per collection — what the reference's config-merge
+    * step actually changes when it folds a run's new collection
+    * entry into the pygeoapi config (`ingestor_cds_process.py:232-372`
+    * `update_config`; `ingestor_knmi_evapo_fc.py:343-344`
+    * `update_zarr_config` / `update_db_config` overwrite entries in
+    * place, so the delta is never recorded — this op IS that audit
+    * record). Null-safe compares; a FULL OUTER join on the collection
+    * id — O(collections) rows on both sides, so the join is trivially
+    * broadcastable at any lake size. */
+  def diffRegistries(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val p = prev.select(col("collection_id"),
+      col("n_rows").as("prev_rows"), col("time_end").as("prev_end"))
+    val c = cur.select(col("collection_id"),
+      col("n_rows").as("cur_rows"), col("time_end").as("cur_end"))
+    p.join(c, Seq("collection_id"), "full_outer")
+      .select(col("collection_id"),
+        when(col("prev_rows").isNull, "added")
+          .when(col("cur_rows").isNull, "removed")
+          .when(col("prev_rows") <=> col("cur_rows") &&
+            col("prev_end") <=> col("cur_end"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("prev_rows"), col("cur_rows"), col("prev_end"), col("cur_end"))
+  }
+
+  /** [[diffRegistries]] as a self-contained query: the PRIOR snapshot
+    * is reconstructed from the lake itself (time-sliced scans with
+    * parquet pushdown — a real deployment diffs two persisted
+    * O(collections)-row registry parquets instead): the timed tables
+    * cut mid-history, `documents`/`embeddings` absent (onboarded
+    * since), plus a retired `legacy_grib` entry (removed since). */
+  def registryDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dimPrev(name: String): DataFrame =
+      Tables.load(spark, dir, name).agg(count(lit(1)).as("n_rows"))
+        .select(lit(name).as("collection_id"), col("n_rows"),
+          lit(null).cast("string").as("time_end"))
+    def timedPrev(name: String, tsCol: String, cutoff: String): DataFrame =
+      Tables.load(spark, dir, name)
+        .filter(col(tsCol) < lit(cutoff).cast("date"))
+        .agg(count(lit(1)).as("n_rows"),
+          date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("time_end"))
+        .select(lit(name).as("collection_id"), col("n_rows"), col("time_end"))
+    val evPrev = Tables.eventsBetween(spark, dir,
+        "2020-01-01T00:00:00Z", "2024-01-16T00:00:00Z")
+      .agg(count(lit(1)).as("n_rows"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("time_end"))
+      .select(lit("events").as("collection_id"), col("n_rows"), col("time_end"))
+    val legacy = Seq(("legacy_grib", 42L, null.asInstanceOf[String]))
+      .toDF("collection_id", "n_rows", "time_end")
+    val prev = Seq(
+      dimPrev("region"), dimPrev("nation"), dimPrev("customer"),
+      dimPrev("supplier"), dimPrev("part"),
+      timedPrev("orders", "o_orderdate", "1995-06-01"),
+      timedPrev("lineitem", "l_shipdate", "1995-06-01"),
+      evPrev, legacy).reduce(_.unionByName(_))
+    val cur = collections(spark, dir)
+      .select(col("collection_id"), col("n_rows"), col("time_end"))
+    diffRegistries(prev, cur)
+  }
+
   /** Register a bucketed copy of a DataFrame: hash-bucketed and
     * sorted by the join key, stored as an external table. Two tables
     * bucketed the same way join WITHOUT any shuffle — the pattern for

@@ -130,6 +130,29 @@ class StreamingSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("catalog_diff: all four status regimes, n_rows deltas consistent") {
+    val rows = SparkEntry.queries("catalog_diff")(spark, sf).collect()
+    val status = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(status === Map(
+      "documents" -> "added", "embeddings" -> "added",
+      "legacy_grib" -> "removed",
+      "orders" -> "changed", "lineitem" -> "changed", "events" -> "changed",
+      "region" -> "unchanged", "nation" -> "unchanged",
+      "customer" -> "unchanged", "supplier" -> "unchanged",
+      "part" -> "unchanged"))
+    rows.foreach { r =>
+      val (prevNull, curNull) = (r.isNullAt(2), r.isNullAt(3))
+      r.getString(1) match {
+        case "added"   => assert(prevNull && !curNull)
+        case "removed" => assert(!prevNull && curNull)
+        case _ =>
+          assert(!prevNull && !curNull)
+          // a time-sliced snapshot can only shrink
+          assert(r.getLong(2) <= r.getLong(3), s"prev > cur: $r")
+      }
+    }
+  }
+
   test("streamingDedup: re-dropped documents dedupe at the door, state watermark-bounded") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
