@@ -40,6 +40,7 @@ object SparkEntry {
     "ts_lag_delta"           -> TimeSeries.lagDelta _,
     "ts_sessionize"          -> TimeSeries.sessionize _,
     "events_funnel"          -> TimeSeries.eventsFunnel _,
+    "events_retention"       -> TimeSeries.eventsRetention _,
     "ts_rolling_anomaly"     -> TimeSeries.rollingAnomaly _,
     "ts_interp_linear"       -> TimeSeries.interpLinear _,
     "ts_ewma"                -> TimeSeries.ewma _,
@@ -533,6 +534,26 @@ object SparkEntry {
         |  CASE WHEN n_signup > 0 THEN floor(CAST(n_signup_click AS DOUBLE) / n_signup * 1e4 + 0.5) / 1e4 END FROM f
         |UNION ALL SELECT 4, 'signup>click>purchase', n_full,
         |  CASE WHEN n_signup_click > 0 THEN floor(CAST(n_full AS DOUBLE) / n_signup_click * 1e4 + 0.5) / 1e4 END FROM f""".stripMargin,
+
+    "events_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |c AS (
+        |  SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM active),
+        |cell AS (
+        |  SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |    CAST(date_diff('day', cohort_day, day) AS INT) AS offset_days,
+        |    count(*) AS n_active
+        |  FROM c GROUP BY 1, 2),
+        |sz AS (
+        |  SELECT cohort_day, n_active AS cohort_size
+        |  FROM cell WHERE offset_days = 0)
+        |SELECT cohort_day, offset_days, n_active, cohort_size,
+        |  floor(CAST(n_active AS DOUBLE) / cohort_size * 1e4 + 0.5) / 1e4
+        |    AS retention
+        |FROM cell JOIN sz USING (cohort_day)""".stripMargin,
 
     "interval_join" ->
       """SELECT i.event_id AS interval_id, CAST(count(*) AS BIGINT) AS n_clicks

@@ -411,6 +411,40 @@ object TimeSeries {
           .as("conversion"))
   }
 
+  /** Cohort RETENTION matrix — "of the stations/users first seen on
+    * day D, what share was active again D+k days later", the other
+    * standard event-analytics shape next to [[eventsFunnel]]
+    * (completeness monitoring over an ingest lake: a cohort of
+    * stations onboarded together should keep reporting; decaying
+    * retention is silent sensor dropout). Shape at scale: distinct
+    * (user, day) first — the only pass over raw events — then the
+    * cohort day as a min-window on that ALREADY-distinct frame (same
+    * user-hash shuffle reused by Catalyst, no second scan), one
+    * (cohort, offset) count aggregation, and the per-cohort size
+    * joined back as an O(cohorts)-row broadcast. Rates divide two
+    * exact integers once. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .distinct()
+    val withCohort = active
+      .withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
+      .withColumn("offset_days",
+        datediff(col("day"), col("cohort_day")).cast("int"))
+    val cell = withCohort
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days"))
+      .agg(count(lit(1)).as("n_active"))
+    val size = cell.filter(col("offset_days") === 0)
+      .select(col("cohort_day"), col("n_active").as("cohort_size"))
+    cell.join(broadcast(size), Seq("cohort_day"))
+      .select(col("cohort_day"), col("offset_days"), col("n_active"),
+        col("cohort_size"),
+        (floor(col("n_active").cast("double") / col("cohort_size") * 1e4 + 0.5)
+          / 1e4).as("retention"))
+  }
+
   /** Trailing MEDIAN filter — the robust despiking pass sensor QC
     * runs before any derived product (a single bad reading shifts a
     * trailing mean by Δ/n but leaves the median untouched). Exact

@@ -65,6 +65,32 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("events_retention: cohort matrix matches local recomputation") {
+    val rows = SparkEntry.queries("events_retention")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val dayMs = 86400000L
+    val activeDays = raw.map(e => (e._2,
+      java.time.Instant.ofEpochMilli(e._3.getTime - (e._3.getTime % dayMs))))
+      .distinct
+    val cohort = activeDays.groupBy(_._1).map { case (u, ds) =>
+      u -> ds.map(_._2).min
+    }
+    val expect = activeDays
+      .groupBy { case (u, d) =>
+        (cohort(u).toString.take(10),
+          ((d.toEpochMilli - cohort(u).toEpochMilli) / dayMs).toInt)
+      }.map { case (k, xs) => k -> xs.size.toLong }
+    assert(rows.size === expect.size)
+    expect.foreach { case (k @ (cd, off), n) =>
+      val (nActive, size, rate) = rows(k)
+      assert(nActive === n, s"cell $k")
+      assert(size === expect((cd, 0)), s"cohort size $k")
+      assert(rate === math.floor(n.toDouble / expect((cd, 0)) * 1e4 + 0.5) / 1e4)
+      if (off == 0) assert(rate === 1.0)
+    }
+  }
+
   test("ts_asof_join: strictly-prior purchase semantics, exact values") {
     val got = SparkEntry.queries("ts_asof_join")(spark, sf)
       .collect().map(r => r.getLong(0) ->
