@@ -416,26 +416,30 @@ object TimeSeries {
     * standard event-analytics shape next to [[eventsFunnel]]
     * (completeness monitoring over an ingest lake: a cohort of
     * stations onboarded together should keep reporting; decaying
-    * retention is silent sensor dropout). Shape at scale: distinct
-    * (user, day) first — the only pass over raw events — then the
-    * cohort day as a min-window on that ALREADY-distinct frame (same
-    * user-hash shuffle reused by Catalyst, no second scan), one
-    * (cohort, offset) count aggregation, and the per-cohort size
-    * joined back as an O(cohorts)-row broadcast. Rates divide two
-    * exact integers once. */
+    * retention is silent sensor dropout).
+    *
+    * Shape at scale: ONE shuffle on `user_id` — each user's distinct
+    * active days fold into a sorted set (map-side partials dedupe
+    * before the exchange; state per user is bounded by the monitoring
+    * horizon in days), the cohort is the set's head, offsets explode
+    * in-row. A `distinct` + min-window would hash on (user, day) and
+    * then RE-shuffle on user alone; this does neither. The tiny
+    * (cohort × offset) matrix is `localCheckpoint`ed so the
+    * offset-0 size filter reuses it instead of recomputing the whole
+    * chain (plan-audited: one parquet scan total), then joins back
+    * as an O(cohorts)-row broadcast. Rates divide two exact integers
+    * once. */
   def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
-    val active = Tables.events(spark, dir)
+    val cell = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
-      .distinct()
-    val withCohort = active
-      .withColumn("cohort_day",
-        min(col("day")).over(Window.partitionBy(col("user_id"))))
-      .withColumn("offset_days",
-        datediff(col("day"), col("cohort_day")).cast("int"))
-    val cell = withCohort
-      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
-        col("offset_days"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("day"))).as("days"))
+      .select(element_at(col("days"), 1).as("cohort"),
+        explode(col("days")).as("day"))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort")).cast("int").as("offset_days"))
       .agg(count(lit(1)).as("n_active"))
+      .localCheckpoint()
     val size = cell.filter(col("offset_days") === 0)
       .select(col("cohort_day"), col("n_active").as("cohort_size"))
     cell.join(broadcast(size), Seq("cohort_day"))
