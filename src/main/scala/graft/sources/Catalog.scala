@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -132,38 +132,62 @@ object Catalog {
   }
 
   /** [[diffRegistries]] as a self-contained query: the PRIOR snapshot
-    * is reconstructed from the lake itself (time-sliced scans with
-    * parquet pushdown — a real deployment diffs two persisted
-    * O(collections)-row registry parquets instead): the timed tables
-    * cut mid-history, `documents`/`embeddings` absent (onboarded
-    * since), plus a retired `legacy_grib` entry (removed since). */
+    * is reconstructed from the lake itself (a real deployment diffs
+    * two persisted O(collections)-row registry parquets instead): the
+    * timed tables cut mid-history, `documents`/`embeddings` absent
+    * (onboarded since), plus a retired `legacy_grib` entry (removed
+    * since). BOTH snapshots of a table come out of ONE scan — the
+    * prior rows/extent are conditional aggregates (`sum(when(pred))`,
+    * `max(when(pred, ts))`) beside the current ones, so the lake is
+    * read once, not once per snapshot; the O(collections)-row pair
+    * table is `localCheckpoint`ed so the two projections feeding the
+    * diff don't re-run the scans. */
   def registryDiff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def dimPrev(name: String): DataFrame =
-      Tables.load(spark, dir, name).agg(count(lit(1)).as("n_rows"))
-        .select(lit(name).as("collection_id"), col("n_rows"),
-          lit(null).cast("string").as("time_end"))
-    def timedPrev(name: String, tsCol: String, cutoff: String): DataFrame =
-      Tables.load(spark, dir, name)
-        .filter(col(tsCol) < lit(cutoff).cast("date"))
-        .agg(count(lit(1)).as("n_rows"),
-          date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("time_end"))
-        .select(lit(name).as("collection_id"), col("n_rows"), col("time_end"))
-    val evPrev = Tables.eventsBetween(spark, dir,
-        "2020-01-01T00:00:00Z", "2024-01-16T00:00:00Z")
-      .agg(count(lit(1)).as("n_rows"),
-        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("time_end"))
-      .select(lit("events").as("collection_id"), col("n_rows"), col("time_end"))
+    def both(df: DataFrame, name: String,
+        prevPred: Option[Column], inPrev: Boolean = true,
+        tsCol: Option[String] = None): DataFrame = {
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      val curEnd = tsCol.fold(lit(null).cast("string"))(c =>
+        date_format(max(col(c)), fmt))
+      val prevEnd = (tsCol, prevPred) match {
+        case (Some(c), Some(p)) => date_format(max(when(p, col(c))), fmt)
+        case _                  => lit(null).cast("string")
+      }
+      val prevRows = prevPred.fold(count(lit(1)))(p =>
+        sum(when(p, 1L).otherwise(0L)))
+      df.agg(count(lit(1)).as("cur_rows"), curEnd.as("cur_end"),
+          prevRows.as("prev_rows"), prevEnd.as("prev_end"))
+        .select(lit(name).as("collection_id"),
+          col("cur_rows"), col("cur_end"),
+          (if (inPrev) col("prev_rows") else lit(null).cast("long"))
+            .as("prev_rows"),
+          (if (inPrev) col("prev_end") else lit(null).cast("string"))
+            .as("prev_end"))
+    }
+    def dim(name: String) = both(Tables.load(spark, dir, name), name, None)
+    def timed(name: String, c: String, cutoff: String) =
+      both(Tables.load(spark, dir, name), name,
+        Some(col(c) < lit(cutoff).cast("date")), tsCol = Some(c))
+    val combined = Seq(
+      dim("region"), dim("nation"), dim("customer"), dim("supplier"),
+      dim("part"),
+      timed("orders", "o_orderdate", "1995-06-01"),
+      timed("lineitem", "l_shipdate", "1995-06-01"),
+      both(Tables.events(spark, dir), "events",
+        Some(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp")),
+        tsCol = Some("ts")),
+      both(Tables.documents(spark, dir), "documents", None, inPrev = false),
+      both(Tables.embeddings(spark, dir), "embeddings", None, inPrev = false))
+      .reduce(_.unionByName(_)).localCheckpoint()
     val legacy = Seq(("legacy_grib", 42L, null.asInstanceOf[String]))
       .toDF("collection_id", "n_rows", "time_end")
-    val prev = Seq(
-      dimPrev("region"), dimPrev("nation"), dimPrev("customer"),
-      dimPrev("supplier"), dimPrev("part"),
-      timedPrev("orders", "o_orderdate", "1995-06-01"),
-      timedPrev("lineitem", "l_shipdate", "1995-06-01"),
-      evPrev, legacy).reduce(_.unionByName(_))
-    val cur = collections(spark, dir)
-      .select(col("collection_id"), col("n_rows"), col("time_end"))
+    val prev = combined.filter(col("prev_rows").isNotNull)
+      .select(col("collection_id"), col("prev_rows").as("n_rows"),
+        col("prev_end").as("time_end"))
+      .unionByName(legacy)
+    val cur = combined.select(col("collection_id"),
+      col("cur_rows").as("n_rows"), col("cur_end").as("time_end"))
     diffRegistries(prev, cur)
   }
 
