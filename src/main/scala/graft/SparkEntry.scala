@@ -35,6 +35,7 @@ object SparkEntry {
     "ts_rolling_sum"         -> TimeSeries.rollingSum _,
     "ts_cumsum"              -> TimeSeries.cumSum _,
     "ts_cumsum_clamped"      -> TimeSeries.cumSumClamped _,
+    "ts_cusum_drift"         -> TimeSeries.cusumDrift _,
     "ts_asof_join"           -> TimeSeries.asofJoin _,
     "ts_gapfill"             -> TimeSeries.gapFill _,
     "ts_lag_delta"           -> TimeSeries.lagDelta _,
@@ -348,6 +349,34 @@ object SparkEntry {
         |    ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 2) AS deficit
         |FROM s""".stripMargin,
+
+    // CUSUM on integer micro-unit deltas: the clamp identity again,
+    // with the station mean from exact integer cents
+    "ts_cusum_drift" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor((value
+        |      - CAST(sum(cents) OVER (PARTITION BY user_id) AS DOUBLE)
+        |        / (100.0 * count(*) OVER (PARTITION BY user_id))
+        |      - 5.0) * 1e6 + 0.5) AS BIGINT) AS d_u
+        |  FROM c),
+        |s AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(sum(d_u) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+        |  FROM m),
+        |u AS (
+        |  SELECT event_id, user_id,
+        |    cs - least(0, min(cs) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum_u
+        |  FROM s)
+        |SELECT event_id, user_id, cusum_u / 1e6 AS cusum,
+        |  cusum_u > 50000000 AS drift
+        |FROM u""".stripMargin,
 
     "ts_asof_join" ->
       """SELECT c.event_id, c.user_id,

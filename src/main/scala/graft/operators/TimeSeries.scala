@@ -124,6 +124,41 @@ object TimeSeries {
           .as("deficit"))
   }
 
+  /** One-sided CUSUM drift test per station — the sequential QC
+    * chart for sustained calibration drift (a slow +1-unit sensor
+    * bias never trips a 3σ spot check like `ts_rolling_anomaly`;
+    * the cumulative sum of small exceedances does):
+    *
+    *   C_i = max(0, C_{i-1} + (x_i − μ − k)),   alert when C_i > H
+    *
+    * — the [[cumSumClamped]] recurrence on slack-centered deltas, so
+    * the same closed form applies and the chart is two stacked
+    * windows on one sort, not a sequential loop. μ is the station's
+    * exact integer-cents mean (unordered window over the SAME
+    * shuffle); each delta is quantized once elementwise, then all
+    * accumulation is BIGINT micro-units — the engine-order-free
+    * window-sum discipline. Slack k=5 and decision threshold H=50
+    * are literals (σ-scaled variants would fit/apply like the
+    * climatology params). */
+  def cusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id"))
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .withColumn("mu", sum(col("cents")).over(wAll).cast("double")
+        / (lit(100.0) * count(lit(1)).over(wAll)))
+      .withColumn("d_u",
+        floor((col("value") - col("mu") - lit(5.0)) * 1e6 + 0.5).cast("long"))
+      .withColumn("cs", sum(col("d_u")).over(wSeq))
+      .withColumn("cusum_u",
+        col("cs") - least(lit(0L), min(col("cs")).over(wSeq)))
+      .select(col("event_id"), col("user_id"),
+        (col("cusum_u").cast("double") / 1e6).as("cusum"),
+        (col("cusum_u") > lit(50000000L)).as("drift"))
+  }
+
   /** As-of join: each `click` event aligned to the latest strictly
     * earlier `purchase` by the same user (the reference aligns
     * observation series to the latest prior forecast issue the same

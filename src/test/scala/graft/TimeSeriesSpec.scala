@@ -65,6 +65,25 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ts_cusum_drift: integer micro-unit CUSUM matches the sequential fold") {
+    val got = SparkEntry.queries("ts_cusum_drift")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    raw.groupBy(_._2).foreach { case (u, evs) =>
+      val cents = evs.map(e => math.floor(e._5 * 100 + 0.5).toLong)
+      val mu = cents.sum.toDouble / (100.0 * cents.size)
+      val ordered = evs.sortBy(e => (e._3.getTime, e._1))
+      var c = 0L
+      ordered.foreach { e =>
+        val dU = math.floor((e._5 - mu - 5.0) * 1e6 + 0.5).toLong
+        c = math.max(0L, c + dU)
+        val (cusum, drift) = got(e._1)
+        assert(cusum === c.toDouble / 1e6, s"user $u event ${e._1}")
+        assert(drift === (c > 50000000L), s"user $u event ${e._1}")
+      }
+    }
+  }
+
   test("events_retention: cohort matrix matches local recomputation") {
     val rows = SparkEntry.queries("events_retention")(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1)) ->
