@@ -124,6 +124,7 @@ object SparkEntry {
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
     "ann_pq_topk"         -> Similarity.annPqTopk _,
     "embedding_centroids" -> Similarity.embeddingCentroids _,
+    "embedding_quantize"  -> Similarity.embeddingQuantize _,
     "multimodal_features" -> Multimodal.features _,
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
   )
@@ -1599,6 +1600,24 @@ object SparkEntry {
         |    CAST(unnest(embedding) AS DOUBLE) AS x
         |  FROM embeddings)
         |GROUP BY 1, 3""".stripMargin,
+
+    // int8 affine quantization: codes are integers the moment they
+    // exist, the checksum sums exact BIGINTs
+    "embedding_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        |    CAST(list_max(embedding) AS DOUBLE) AS vmax,
+        |    embedding
+        |  FROM embeddings)
+        |SELECT vec_id, label, vmin, vmax,
+        |  (vmax - vmin) / 255.0 AS scale,
+        |  CASE WHEN (vmax - vmin) / 255.0 = 0.0 THEN 0
+        |       ELSE CAST(list_sum(list_transform(embedding,
+        |         x -> CAST(floor((CAST(x AS DOUBLE) - vmin)
+        |           / ((vmax - vmin) / 255.0) + 0.5) AS BIGINT))) AS BIGINT)
+        |  END AS qsum
+        |FROM v""".stripMargin,
 
     "dedup_chunks" -> {
       val c = Dedup.ChunkTokens

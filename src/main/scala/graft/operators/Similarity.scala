@@ -174,6 +174,31 @@ object Similarity {
         (col("pos") + 1).cast("int").as("dim"), col("col").as("c"))
   }
 
+  /** Per-vector int8 POST-TRAINING QUANTIZATION report — the other
+    * storage-compression lever next to [[annPqTopk]] (PQ replaces the
+    * vector with subspace codes; affine int8 keeps the layout but
+    * stores one byte per dimension + two scalars — the standard
+    * serving-index format, 4× smaller than float32). Per vector:
+    * min/max, the affine scale, and the integer checksum of the
+    * quantized codes (the auditable fingerprint a re-quantization
+    * must reproduce). Everything is elementwise in the scan — no
+    * shuffle, no join at any corpus size; codes are integers the
+    * moment they exist, so both engines agree exactly (constant
+    * vectors quantize to scale 0 / checksum 0 by the guard, not
+    * NaN). */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir)
+      .withColumn("vmin", array_min(col("embedding")).cast("double"))
+      .withColumn("vmax", array_max(col("embedding")).cast("double"))
+      .withColumn("scale", (col("vmax") - col("vmin")) / lit(255.0))
+      .select(col("vec_id"), col("label"), col("vmin"), col("vmax"),
+        col("scale"),
+        when(col("scale") === 0.0, 0L).otherwise(
+          expr("""aggregate(embedding, 0L, (a, x) ->
+            a + CAST(floor((CAST(x AS DOUBLE) - vmin) / scale + 0.5) AS BIGINT))"""))
+          .as("qsum"))
+  }
+
   /** Product-quantization ANN — the memory-compression scale path:
     * the 64-dim embedding splits into M=8 subspaces, each encoded as
     * its nearest of 16 per-subspace centroids, so a stored vector is

@@ -198,4 +198,21 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("embedding_quantize: affine int8 params and checksum match local recomputation") {
+    val rows = SparkEntry.queries("embedding_quantize")(spark, sf).collect()
+    assert(rows.length === embs.size)
+    rows.foreach { r =>
+      val v = embs(r.getLong(0))
+      val (vmin, vmax) = (v.min, v.max)
+      assert(r.getDouble(2) === vmin && r.getDouble(3) === vmax)
+      val scale = (vmax - vmin) / 255.0
+      assert(r.getDouble(4) === scale)
+      val codes = if (scale == 0.0) Array.empty[Long]
+        else v.map(x => math.floor((x - vmin) / scale + 0.5).toLong)
+      // codes live in the int8 range by construction
+      codes.foreach(c => assert(c >= 0L && c <= 255L))
+      assert(r.getLong(5) === codes.sum)
+    }
+  }
 }
