@@ -125,6 +125,7 @@ object SparkEntry {
     "ann_pq_topk"         -> Similarity.annPqTopk _,
     "embedding_centroids" -> Similarity.embeddingCentroids _,
     "embedding_quantize"  -> Similarity.embeddingQuantize _,
+    "embedding_outliers"  -> Similarity.embeddingOutliers _,
     "multimodal_features" -> Multimodal.features _,
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
   )
@@ -1618,6 +1619,27 @@ object SparkEntry {
         |           / ((vmax - vmin) / 255.0) + 0.5) AS BIGINT))) AS BIGINT)
         |  END AS qsum
         |FROM v""".stripMargin,
+
+    // centroids on the shared 1e-6 grid, distances as exact integer
+    // 1e-8 units, gate operands bit-identical on both engines
+    "embedding_outliers" ->
+      """WITH cd AS (
+        |  SELECT label, dim, floor(sum(x) / count(*) * 1e6 + 0.5) / 1e6 AS c
+        |  FROM (SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |          CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+        |  GROUP BY 1, 2),
+        |cl AS (SELECT label, list(c ORDER BY dim) AS centroid FROM cd GROUP BY 1),
+        |sc AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(floor((CAST(e.embedding[i] AS DOUBLE) - cl.centroid[i])
+        |                    * (CAST(e.embedding[i] AS DOUBLE) - cl.centroid[i])
+        |                    * 1e8 + 0.5) AS BIGINT))) AS BIGINT) AS dist2_u
+        |  FROM embeddings e JOIN cl USING (label)),
+        |m AS (SELECT CAST(sum(dist2_u) AS DOUBLE) / count(*) AS mean_u FROM sc)
+        |SELECT vec_id, label, dist2_u / 1e8 AS dist2,
+        |  CAST(dist2_u AS DOUBLE) > 1.05 * mean_u AS is_outlier
+        |FROM sc, m""".stripMargin,
 
     "dedup_chunks" -> {
       val c = Dedup.ChunkTokens

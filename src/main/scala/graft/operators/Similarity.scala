@@ -199,6 +199,45 @@ object Similarity {
           .as("qsum"))
   }
 
+  /** Distance-to-class-centroid OUTLIER flags — the mislabeled-vector
+    * filter of embedding curation (a vector far from its own label's
+    * prototype is a labeling error or contamination; drop or re-queue
+    * it before the index build). Composes [[embeddingCentroids]]'
+    * bounded `VecSumAgg` prototypes, quantized to the 1e-6 grid so
+    * both engines hold the SAME reference point, broadcast back by
+    * label; each vector's squared distance accumulates as exact
+    * integer 1e-8 units (per-term quantize is elementwise and
+    * bit-identical; integer sums are association-free), and the flag
+    * compares against 1.05× the corpus mean distance (uniform
+    * synthetic vectors concentrate at ±10% of the mean in 64-dim;
+    * real clustered data would gate higher) — both operands
+    * bit-identical, so the gate can't flip. Two broadcast joins
+    * (O(labels)·dim prototypes, one scalar), one elementwise pass:
+    * zero data-sized shuffles at any corpus size. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+      .groupBy(col("label"))
+      .agg(VecSumAgg.vecSum(col("emb")).as("vsum"), count(lit(1)).as("n"))
+      .select(col("label"),
+        transform(col("vsum"), s => floor(s / col("n") * 1e6 + 0.5) / 1e6)
+          .as("centroid"))
+    val scored = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .join(broadcast(cents), Seq("label"))
+      .withColumn("dist2_u",
+        expr("""aggregate(zip_with(emb, centroid, (x, c) -> (x - c) * (x - c)),
+          0L, (a, t) -> a + CAST(floor(t * 1e8 + 0.5) AS BIGINT))"""))
+    val meanD = scored.agg(
+      (sum(col("dist2_u")).cast("double") / count(lit(1))).as("mean_u"))
+    scored.crossJoin(broadcast(meanD))
+      .select(col("vec_id"), col("label"),
+        (col("dist2_u").cast("double") / 1e8).as("dist2"),
+        (col("dist2_u").cast("double") > lit(1.05) * col("mean_u"))
+          .as("is_outlier"))
+  }
+
   /** Product-quantization ANN — the memory-compression scale path:
     * the 64-dim embedding splits into M=8 subspaces, each encoded as
     * its nearest of 16 per-subspace centroids, so a stored vector is

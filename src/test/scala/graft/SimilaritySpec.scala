@@ -199,6 +199,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding_outliers: distances match local recomputation, gate at 1.05x mean") {
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("embedding_outliers")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(rows.size === embs.size)
+    // local recomputation with the same quantization ladder
+    val byLabel = embs.toSeq.groupBy { case (id, _) => labels(id) }
+    val cents = byLabel.map { case (l, vs) =>
+      val n = vs.size
+      val c = vs.map(_._2).transpose.map(d =>
+        math.floor(d.sum / n * 1e6 + 0.5) / 1e6).toArray
+      l -> c
+    }
+    val dist2u = embs.map { case (id, v) =>
+      val c = cents(labels(id))
+      id -> v.zip(c).map { case (x, cc) =>
+        math.floor((x - cc) * (x - cc) * 1e8 + 0.5).toLong
+      }.sum
+    }
+    val meanU = dist2u.values.sum.toDouble / dist2u.size
+    dist2u.foreach { case (id, du) =>
+      val (dist2, out) = rows(id)
+      assert(dist2 === du.toDouble / 1e8, s"vec $id")
+      assert(out === (du.toDouble > 1.05 * meanU), s"vec $id")
+    }
+    // the gate actually separates: some but not all vectors flagged
+    val flagged = rows.values.count(_._2)
+    assert(flagged > 0 && flagged < rows.size)
+  }
+
   test("embedding_quantize: affine int8 params and checksum match local recomputation") {
     val rows = SparkEntry.queries("embedding_quantize")(spark, sf).collect()
     assert(rows.length === embs.size)
