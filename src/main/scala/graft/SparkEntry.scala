@@ -46,6 +46,7 @@ object SparkEntry {
     "ts_interp_linear"       -> TimeSeries.interpLinear _,
     "ts_ewma"                -> TimeSeries.ewma _,
     "ts_rolling_median"      -> TimeSeries.rollingMedian _,
+    "ts_m4_downsample"       -> TimeSeries.m4Downsample _,
     "ts_trend"               -> TimeSeries.trend _,
     "ts_climatology_anomaly" -> TimeSeries.climatologyAnomaly _,
     "interval_join"          -> TimeSeries.intervalJoin _,
@@ -351,6 +352,28 @@ object SparkEntry {
         |    ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 2) AS deficit
         |FROM s""".stripMargin,
+
+    "ts_m4_downsample" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    epoch_us(ts) // 21600000000 AS bucket
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, bucket, value,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT user_id,
+        |  strftime(make_timestamp(bucket * 21600000000),
+        |    '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        |  count(*) AS n,
+        |  round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS v_first,
+        |  round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS v_last,
+        |  round(min(value), 2) AS v_min,
+        |  round(max(value), 2) AS v_max
+        |FROM r GROUP BY user_id, bucket""".stripMargin,
 
     // CUSUM on integer micro-unit deltas: the clamp identity again,
     // with the station mean from exact integer cents

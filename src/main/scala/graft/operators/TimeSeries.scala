@@ -484,6 +484,39 @@ object TimeSeries {
           / 1e4).as("retention"))
   }
 
+  /** M4 display DOWNSAMPLING — the error-free visualization reduction
+    * (Jugel et al., VLDB 2014: per pixel-column time bucket, the
+    * first/last/min/max points reproduce the exact line rendering at
+    * any series length): what an items/serving API should return for
+    * a dashboard instead of raw points (the reference serves station
+    * series to the I-CISK dashboards through pygeoapi the same way).
+    * Per (station, 6h bucket): endpoints via rank-1 windows (ordered
+    * both ways on ONE sort — Spark evaluates the descending rank in
+    * the same window stage), extremes and count via the following
+    * aggregation; one shuffle on the (station, bucket) composite,
+    * output O(stations × buckets) regardless of event rate. */
+  def m4Downsample(spark: SparkSession, dir: String): DataFrame = {
+    val bucketUs = 6L * 3600 * 1000000
+    val b = Tables.events(spark, dir)
+      .withColumn("bucket", expr(s"unix_micros(ts) div $bucketUs"))
+    val w = Window.partitionBy(col("user_id"), col("bucket"))
+    val asc  = w.orderBy(col("ts"), col("event_id"))
+    val desc = w.orderBy(col("ts").desc, col("event_id").desc)
+    b.withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(max(when(col("rn_a") === 1, col("value"))), 2).as("v_first"),
+        round(max(when(col("rn_d") === 1, col("value"))), 2).as("v_last"),
+        round(min(col("value")), 2).as("v_min"),
+        round(max(col("value")), 2).as("v_max"))
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("bucket") * bucketUs),
+          "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+        col("n"), col("v_first"), col("v_last"), col("v_min"), col("v_max"))
+  }
+
   /** Trailing MEDIAN filter — the robust despiking pass sensor QC
     * runs before any derived product (a single bad reading shifts a
     * trailing mean by Δ/n but leaves the median untouched). Exact

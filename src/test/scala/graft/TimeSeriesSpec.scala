@@ -65,6 +65,31 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ts_m4_downsample: per-bucket endpoints and envelope match the raw series") {
+    val bucketUs = 6L * 3600 * 1000000
+    val got = SparkEntry.queries("ts_m4_downsample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val expect = raw.groupBy(e =>
+      (e._2, e._3.getTime * 1000 / bucketUs))
+    assert(got.size === expect.size)
+    expect.foreach { case ((u, bucket), evs) =>
+      val key = (u, fmt.format(new java.util.Date(bucket * bucketUs / 1000)))
+      val (n, vFirst, vLast, vMin, vMax) = got(key)
+      val ordered = evs.sortBy(e => (e._3.getTime, e._1))
+      assert(n === evs.size.toLong)
+      assert(vFirst === r2(ordered.head._5), s"first $key")
+      assert(vLast === r2(ordered.last._5), s"last $key")
+      assert(vMin === r2(evs.map(_._5).min), s"min $key")
+      assert(vMax === r2(evs.map(_._5).max), s"max $key")
+      assert(vMin <= vFirst && vFirst <= vMax)
+      assert(vMin <= vLast && vLast <= vMax)
+    }
+  }
+
   test("ts_cusum_drift: integer micro-unit CUSUM matches the sequential fold") {
     val got = SparkEntry.queries("ts_cusum_drift")(spark, sf)
       .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3))))
