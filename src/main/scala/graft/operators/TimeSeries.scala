@@ -490,25 +490,26 @@ object TimeSeries {
     * any series length): what an items/serving API should return for
     * a dashboard instead of raw points (the reference serves station
     * series to the I-CISK dashboards through pygeoapi the same way).
-    * Per (station, 6h bucket): endpoints via rank-1 windows (ordered
-    * both ways on ONE sort — Spark evaluates the descending rank in
-    * the same window stage), extremes and count via the following
-    * aggregation; one shuffle on the (station, bucket) composite,
-    * output O(stations × buckets) regardless of event rate. */
+    * Per (station, 6h bucket): the endpoints are lexicographic
+    * struct min/max over (ts, event_id, value) — ONE aggregation
+    * with map-side partials (struct aggregates plan as SortAggregate,
+    * so each side sorts by the GROUP KEY only), and crucially only
+    * O(groups) partial rows cross the shuffle. The rank-1-window
+    * formulation this replaces (plan-audited) sorted every raw row
+    * by full (ts, event_id) order twice AND shuffled the entire
+    * event stream. Output O(stations × buckets) regardless of event
+    * rate. */
   def m4Downsample(spark: SparkSession, dir: String): DataFrame = {
     val bucketUs = 6L * 3600 * 1000000
     val b = Tables.events(spark, dir)
       .withColumn("bucket", expr(s"unix_micros(ts) div $bucketUs"))
-    val w = Window.partitionBy(col("user_id"), col("bucket"))
-    val asc  = w.orderBy(col("ts"), col("event_id"))
-    val desc = w.orderBy(col("ts").desc, col("event_id").desc)
-    b.withColumn("rn_a", row_number().over(asc))
-      .withColumn("rn_d", row_number().over(desc))
-      .groupBy(col("user_id"), col("bucket"))
+    b.groupBy(col("user_id"), col("bucket"))
       .agg(
         count(lit(1)).as("n"),
-        round(max(when(col("rn_a") === 1, col("value"))), 2).as("v_first"),
-        round(max(when(col("rn_d") === 1, col("value"))), 2).as("v_last"),
+        round(min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value"), 2).as("v_first"),
+        round(max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value"), 2).as("v_last"),
         round(min(col("value")), 2).as("v_min"),
         round(max(col("value")), 2).as("v_max"))
       .select(col("user_id"),
