@@ -64,6 +64,7 @@ object SparkEntry {
     "bias_qmap_spline"      -> Climate.biasQmapSpline _,
     "rating_curve"          -> Climate.ratingCurve _,
     "rating_curve_station"  -> Climate.ratingCurveStation _,
+    "rating_volume_daily"   -> Climate.ratingVolumeDaily _,
     "danger_levels"         -> Climate.dangerLevels _,
     "pet_hargreaves"        -> Climate.petHargreaves _,
     "spi_multiscale"        -> Climate.spiMultiscale _,
@@ -911,6 +912,28 @@ object SparkEntry {
         |  round(max(zscore), 4) AS max_z,
         |  CAST(sum(CASE WHEN zscore <= -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS drought_n
         |FROM z GROUP BY 1, 2""".stripMargin,
+
+    // each trapezoid quantizes once to integer 1e-4 units; the daily
+    // rollup sums exact BIGINTs
+    "rating_volume_daily" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, day, value, ts,
+        |    lag(value, 1) OVER w AS q_prev,
+        |    lag(ts, 1) OVER w AS t_prev
+        |  FROM d WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id)),
+        |u AS (
+        |  SELECT user_id, day,
+        |    CAST(floor((value + q_prev) / 2.0
+        |      * (CAST(epoch_us(ts) - epoch_us(t_prev) AS DOUBLE) / 1e6)
+        |      * 1e4 + 0.5) AS BIGINT) AS term_u
+        |  FROM t)
+        |SELECT user_id, day, count(*) AS n_samples,
+        |  CAST(sum(term_u) AS DOUBLE) / 1e4 AS volume
+        |FROM u GROUP BY 1, 2""".stripMargin,
 
     "rating_curve_station" ->
       s"""WITH calib(station, h, q) AS (VALUES $stationCalibSql),

@@ -1179,6 +1179,36 @@ object Climate {
           .as("discharge"))
   }
 
+  /** Daily discharge VOLUME by trapezoidal integration — the product
+    * downstream of the rating curve (the reference publishes the
+    * ARPAE discharge series, `rer_river_discharge_arpae_process.py`;
+    * the daily water-balance volume is its standard rollup): between
+    * consecutive samples of a station-day, volume accrues
+    * `½(qᵢ+qᵢ₋₁)·Δt`. One lag window on the (station, day) composite
+    * — Δt and the mean flow are elementwise — then each trapezoid
+    * quantizes ONCE to integer 1e-4 units and the daily rollup sums
+    * exact BIGINTs (the engine-order-free window/group-sum
+    * discipline). First sample of each day contributes nothing (lag
+    * is null), matching integration from the day's first
+    * observation. */
+  def ratingVolumeDaily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("day", date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd"))
+      .withColumn("q_prev", lag(col("value"), 1).over(w))
+      .withColumn("t_prev", lag(col("ts"), 1).over(w))
+      .withColumn("term_u",
+        floor((col("value") + col("q_prev")) / 2.0
+          * ((unix_micros(col("ts")) - unix_micros(col("t_prev"))).cast("double")
+            / 1e6)
+          * 1e4 + 0.5).cast("long"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_samples"),
+        (sum(col("term_u")).cast("double") / 1e4).as("volume"))
+  }
+
   /** Spatial bbox slice + per-collection rollup — the reference slices
     * every fetched grid to the area of interest first
     * (`ingestor_cds_process.py` bbox handling). The predicate is

@@ -607,6 +607,35 @@ class ClimateSpec extends SparkSpec {
     assert(direct.exists(_._2.isDefined))
   }
 
+  test("rating_volume_daily: trapezoid integration matches local fold") {
+    val rows = SparkEntry.queries("rating_volume_daily")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    val raw = Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    val dayMs = 86400000L
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val byDay = raw.groupBy(e => (e._2, fmt.format(new java.util.Date(
+      e._3.getTime - (e._3.getTime % dayMs)))))
+    assert(rows.size === byDay.size)
+    byDay.foreach { case (k, evs) =>
+      def us(t: java.sql.Timestamp): Long =
+        t.getTime / 1000 * 1000000L + t.getNanos / 1000
+      val ordered = evs.sortBy(e => (us(e._3), e._1)).toSeq
+      val terms = ordered.sliding(2).collect { case Seq(a, b) =>
+        math.floor((b._4 + a._4) / 2.0 *
+          ((us(b._3) - us(a._3)).toDouble / 1e6) * 1e4 + 0.5).toLong
+      }.toSeq
+      val (n, vol) = rows(k)
+      assert(n === evs.size.toLong, s"count $k")
+      if (terms.isEmpty) assert(vol.isEmpty, s"single-sample day $k")
+      else assert(vol.contains(terms.sum.toDouble / 1e4), s"volume $k")
+    }
+  }
+
   test("grid_contour_bands: bands partition the day-grid, edges are adjacent levels") {
     val rows = SparkEntry.queries("grid_contour_bands")(spark, sf).collect()
     assert(rows.nonEmpty)
