@@ -253,50 +253,77 @@ object TextOps {
     * heavily repeated boilerplate scores high dup/top ratios and low
     * entropy and gets culled before training.
     *
-    * Shape at scale: tokens and bigrams explode to (doc_id, gram)
-    * rows, count per gram, then reduce per doc — two hash
-    * aggregations on high-cardinality composite keys with map-side
-    * partials, joined back on doc_id. Entropy comes from the single
-    * identity Σc·ln(c): H = ln(N) − Σc·ln(c)/N, so one aggregation
-    * pass needs no per-doc normalization join. The compact corpus is
-    * [[Tables.spread]] first so the explode fans out across the
-    * cluster, and both agg branches share one scan via the common
-    * tokenized child. */
+    * Shape at scale: every signal is per-document, so nothing needs
+    * to leave its row — sort the token (resp. bigram) array and
+    * fold the runs of equal grams with `aggregate`, tracking run
+    * length, distinct count, max run, and Σc·ln(c) in one pass.
+    * Entropy is the identity H = ln(N) − Σc·ln(c)/N over the run
+    * lengths. That makes the whole operator ONE scan with ZERO
+    * exchanges (the earlier explode→groupBy formulation shuffled two
+    * (doc_id, gram)-sized streams plus a spreading repartition —
+    * three exchanges over corpus-sized data for per-row answers).
+    * The in-row sort is O(L log L) per document, strictly cheaper
+    * than hashing the same L grams through an exchange. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
-    repetitionOf(Tables.spread(
-      Tables.documents(spark, dir), col("doc_id")))
+    repetitionOf(Tables.documents(spark, dir))
 
   /** [[textRepetition]] over an arbitrary (doc_id, text) frame. */
   private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), words(normalized(col("text"))).as("toks"))
-    val tokCounts = base
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).count()
-    val tokAgg = tokCounts.groupBy(col("doc_id")).agg(
-      sum(col("count")).cast("long").as("n_tokens"),
-      // floor-quantized (not round()): see Climate.quantileMap
-      (floor((log(sum(col("count")).cast("double"))
-          - sum(col("count").cast("double") * log(col("count").cast("double")))
-            / sum(col("count")).cast("double")) * 1e4 + 0.5) / 1e4)
-        .as("token_entropy"))
+    // Run-length folds over the sorted gram arrays. Accumulator:
+    // p = previous gram, r = current run length, d = distinct runs
+    // closed so far, m = max closed-run length, s = Σ r·ln(r) over
+    // closed runs; the finish lambda closes the final run. Ratios
+    // divide exact integers, so they are engine-invariant; the
+    // entropy sum is floor-quantized (not round()) as everywhere
+    // else — see Climate.quantileMap.
+    val tokStats = expr(
+      """aggregate(array_sort(toks),
+        |  named_struct('p', cast(null as string), 'r', 0L, 's', 0D),
+        |  (a, x) -> if(a.p <=> x,
+        |    named_struct('p', x, 'r', a.r + 1L, 's', a.s),
+        |    named_struct('p', x, 'r', 1L,
+        |      's', a.s + if(a.r > 0L, cast(a.r as double) * ln(a.r), 0D))),
+        |  a -> a.s + if(a.r > 0L, cast(a.r as double) * ln(a.r), 0D)
+        |)""".stripMargin)
     // bigrams built elementwise from the token array (no positional
     // self-join): slice off the last token, pair each with its
     // successor via the transform index.
-    val biCounts = base
-      .select(col("doc_id"), explode(expr(
-        "transform(slice(toks, 1, size(toks) - 1)," +
-          " (t, i) -> concat(t, ' ', element_at(toks, i + 2)))")).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).count()
-    val biAgg = biCounts.groupBy(col("doc_id")).agg(
-      sum(col("count")).cast("long").as("n_bigrams"),
-      (floor((lit(1.0) - count(lit(1)) / sum(col("count")).cast("double"))
-        * 1e4 + 0.5) / 1e4).as("dup_bigram_ratio"),
-      (floor((max(col("count")) / sum(col("count")).cast("double"))
-        * 1e4 + 0.5) / 1e4).as("top_bigram_ratio"))
-    // left join: a single-token document has tokens but zero bigrams
-    tokAgg.join(biAgg, Seq("doc_id"), "left")
-      .select("doc_id", "n_tokens", "token_entropy",
-        "n_bigrams", "dup_bigram_ratio", "top_bigram_ratio")
+    val biStats = expr(
+      """aggregate(
+        |  array_sort(transform(slice(toks, 1, size(toks) - 1),
+        |    (t, i) -> concat(t, ' ', element_at(toks, i + 2)))),
+        |  named_struct('p', cast(null as string), 'r', 0L, 'd', 0L, 'm', 0L),
+        |  (a, x) -> if(a.p <=> x,
+        |    named_struct('p', x, 'r', a.r + 1L, 'd', a.d, 'm', a.m),
+        |    named_struct('p', x, 'r', 1L,
+        |      'd', a.d + if(a.r > 0L, 1L, 0L), 'm', greatest(a.m, a.r))),
+        |  a -> named_struct('d', a.d + if(a.r > 0L, 1L, 0L),
+        |                    'm', greatest(a.m, a.r))
+        |)""".stripMargin)
+    docs
+      .select(col("doc_id"), words(normalized(col("text"))).as("toks"))
+      // explode semantics of the replaced shape: a null/empty token
+      // array contributed no rows, so the doc was absent entirely
+      .filter(size(col("toks")) > 0)
+      .withColumn("sumclnc", tokStats)
+      .withColumn("bi", biStats)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (floor((log(size(col("toks")).cast("double"))
+            - col("sumclnc") / size(col("toks")).cast("double"))
+          * 1e4 + 0.5) / 1e4).as("token_entropy"),
+        // the replaced left join yielded NULLs for a bigram-less doc
+        when(size(col("toks")) >= 2,
+          (size(col("toks")) - 1).cast("long")).as("n_bigrams"),
+        when(size(col("toks")) >= 2,
+          floor((lit(1.0) - col("bi.d").cast("double")
+              / (size(col("toks")) - 1).cast("double"))
+            * 1e4 + 0.5) / 1e4).as("dup_bigram_ratio"),
+        when(size(col("toks")) >= 2,
+          floor((col("bi.m").cast("double")
+              / (size(col("toks")) - 1).cast("double"))
+            * 1e4 + 0.5) / 1e4).as("top_bigram_ratio"))
   }
 
   /** The composed corpus-curation pipeline in ONE plan — what a
