@@ -75,7 +75,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"passes":$Reps,"sf":${js(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"passes":$Reps,"sf":${js(sfDir)}}"""
+    println(line)
+    // The driver keeps only a short tail of sbt stdout, which truncated
+    // 70/103 per-query timings out of the round-5 artifact. The full
+    // line is therefore also written to a repo-tracked file so every
+    // query's per-rep numbers survive verbatim.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

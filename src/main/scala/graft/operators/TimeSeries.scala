@@ -338,12 +338,13 @@ object TimeSeries {
     * weighted sum over the last K observations with a renormalizing
     * denominator over the lags that actually exist (identical to
     * pandas' `adjust=True` up to the K-term truncation, which decays
-    * geometrically). All 2K+1 terms are frameless `lag` calls on ONE
+    * geometrically). Implementation: ONE sliding K-row frame per
     * (key, order) window — a single shuffle, single sort, O(K) state
-    * per row, entirely codegen'd; the alternative collect_list-
-    * per-row would materialize a K-array per observation. Both
-    * engines fold the same literal weights in the same textual order,
-    * so the double arithmetic is bit-identical. */
+    * per row — whose collected values are folded against the literal
+    * weight array (measured ~2× faster than K separate `lag` frame
+    * processors; see the inline note). Both engines fold the same
+    * literal weights in the same textual order, so the double
+    * arithmetic is bit-identical. */
   def ewma(spark: SparkSession, dir: String): DataFrame = {
     // ONE sliding-frame collect per row (40 distinct `lag(value, i)`
     // offsets would each get their own frame processor in the window
