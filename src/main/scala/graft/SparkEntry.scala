@@ -132,16 +132,27 @@ object SparkEntry {
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
-  /** SQL for one convex-CCW ring's point-in-polygon test — generated
-    * from the SAME vertex data the Spark plan uses
-    * ([[Climate.basinPolygons]]), so the two engines share every edge
-    * literal bit-for-bit. */
-  private def polyCondSql(verts: Seq[(Double, Double)]): String =
-    verts.indices.map { i =>
+  /** SQL for one simple ring's even-odd ray-casting point-in-polygon
+    * test — generated from the SAME vertex data the Spark plan uses
+    * ([[Climate.pointInPoly]] over [[Climate.basinPolygons]]), edge
+    * for edge: half-open latitude span, cross-multiplied abscissa
+    * comparison with the inequality direction baked from the literal
+    * sign of (y2−y1), horizontal edges dropped. Both engines run the
+    * identical division-free multiply chain bit-for-bit. */
+  private def polyCondSql(verts: Seq[(Double, Double)]): String = {
+    val crossings = verts.indices.flatMap { i =>
       val (x1, y1) = verts(i)
       val (x2, y2) = verts((i + 1) % verts.size)
-      s"(${x2 - x1} * (lat - ($y1)) - (${y2 - y1}) * (lon - ($x1))) >= 0"
-    }.mkString("(", " AND ", ")")
+      if (y1 == y2) None
+      else {
+        val op = if (y2 > y1) "<" else ">"
+        Some(s"(CASE WHEN (($y1 > lat) != ($y2 > lat)) AND " +
+          s"((lon - ($x1)) * (${y2 - y1}) $op (lat - ($y1)) * (${x2 - x1}))" +
+          " THEN 1 ELSE 0 END)")
+      }
+    }
+    s"(${crossings.mkString(" + ")}) % 2 = 1"
+  }
 
   private def basinCaseSql: String =
     Climate.basinPolygons.map { case (id, vs) =>

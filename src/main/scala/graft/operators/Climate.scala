@@ -1034,35 +1034,63 @@ object Climate {
           .cast("double") / 100.0 + 0.5) / 1e4).as("deficit"))
   }
 
-  /** Small fixed basin set (convex rings in (lon, lat), CCW) standing
+  /** Small fixed basin set (simple rings in (lon, lat)) standing
     * in for the reference's basin geometries (`utils_spi.py:565-600`
-    * clips SPI grids to per-basin shapes before aggregating). A real
-    * deployment reads these from a config/geojson; they are a literal
-    * here exactly like [[ratingBreakpoints]]. */
+    * clips SPI grids to per-basin shapes before aggregating — real
+    * basins are NOT convex, so basin 4 here is deliberately concave:
+    * a U-shape whose notch a convex all-left-of-edges test provably
+    * misclassifies, see ClimateSpec). A real deployment reads these
+    * from a config/geojson; they are a literal here exactly like
+    * [[ratingBreakpoints]]. */
   val basinPolygons: Seq[(Int, Seq[(Double, Double)])] = Seq(
     1 -> Seq((-180.0, -90.0), (-120.0, -90.0), (-120.0, -25.0), (-180.0, -25.0)),
     2 -> Seq((-60.0, 25.0), (0.0, 25.0), (0.0, 90.0), (-60.0, 90.0)),
-    3 -> Seq((50.0, -40.0), (185.0, -40.0), (120.0, 100.0)))
+    3 -> Seq((50.0, -40.0), (185.0, -40.0), (120.0, 100.0)),
+    // the test grid's points all lie on lat = lon ± 90, so the U is
+    // placed where that diagonal threads both arms AND the notch —
+    // the concave exclusion is live in the query output, not just
+    // the unit test
+    4 -> Seq((145.0, 50.0), (180.0, 50.0), (180.0, 90.0), (170.0, 90.0),
+             (170.0, 60.0), (160.0, 60.0), (160.0, 90.0), (145.0, 90.0)))
 
-  /** Point-in-convex-polygon as a pure codegen'd conjunction: the
-    * point is inside a CCW ring iff every edge's cross product keeps
-    * it on the left. Linear-size expression in the vertex count, no
-    * join, no UDF — for a small literal basin set this beats even a
-    * broadcast join (the geometry IS the plan); a table-driven basin
-    * set would broadcast exploded edges and aggregate all-left per
+  /** Point-in-polygon for ARBITRARY simple rings (concave included)
+    * by even-odd ray casting, as a pure codegen'd expression: a
+    * horizontal ray from the point toward +lon crosses edge
+    * (x1,y1)→(x2,y2) iff the edge spans the point's latitude
+    * half-open (`(y1 > lat) != (y2 > lat)` — shared vertices count
+    * once) and the crossing abscissa lies right of the point. The
+    * abscissa test is cross-multiplied by (y2−y1) with the
+    * inequality DIRECTION baked in per edge from the literal sign,
+    * so there is no division anywhere: every term is one IEEE
+    * multiply of a literal against a column, bit-identical across
+    * engines (the generated oracle SQL mirrors it edge for edge).
+    * Odd crossing count = inside. Horizontal edges never span and
+    * are dropped at plan-build time. Linear-size expression in the
+    * vertex count, no join, no UDF — for a small literal basin set
+    * the geometry IS the plan; a table-driven basin set would
+    * broadcast exploded edges and aggregate crossing parity per
     * (point, basin). */
-  def pointInConvexPoly(lon: Column, lat: Column,
-      verts: Seq[(Double, Double)]): Column =
-    verts.indices.map { i =>
+  def pointInPoly(lon: Column, lat: Column,
+      verts: Seq[(Double, Double)]): Column = {
+    val crossings = verts.indices.flatMap { i =>
       val (x1, y1) = verts(i)
       val (x2, y2) = verts((i + 1) % verts.size)
-      (lit(x2 - x1) * (lat - lit(y1)) - lit(y2 - y1) * (lon - lit(x1))) >= 0
-    }.reduce(_ && _)
+      if (y1 == y2) None
+      else {
+        val spans = (lit(y1) > lat) =!= (lit(y2) > lat)
+        val lhs = (lon - lit(x1)) * lit(y2 - y1)
+        val rhs = (lat - lit(y1)) * lit(x2 - x1)
+        Some(when(spans && (if (y2 > y1) lhs < rhs else lhs > rhs), 1)
+          .otherwise(0))
+      }
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
 
   /** First-match basin assignment for the literal basin set. */
   def basinAssign(lon: Column, lat: Column): Column =
     coalesce(basinPolygons.map { case (id, vs) =>
-      when(pointInConvexPoly(lon, lat, vs), lit(id))
+      when(pointInPoly(lon, lat, vs), lit(id))
     }: _*)
 
   /** Zonal SPI over rectangular zones WITH the reference's

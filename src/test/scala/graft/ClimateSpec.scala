@@ -145,12 +145,17 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  // independent even-odd ray-casting recompute (with division — the
+  // plan's division-free cross-multiplied form must agree with it)
+  private def insideScala(lon: Double, lat: Double,
+      vs: Seq[(Double, Double)]): Boolean =
+    vs.indices.count { i =>
+      val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+      ((y1 > lat) != (y2 > lat)) &&
+        lon < x1 + (lat - y1) * (x2 - x1) / (y2 - y1)
+    } % 2 == 1
+
   test("zonal_poly_spi: basin assignment matches a Scala point-in-polygon recompute") {
-    def insideScala(lon: Double, lat: Double, vs: Seq[(Double, Double)]): Boolean =
-      vs.indices.forall { i =>
-        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
-        (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1) >= 0
-      }
     def assignScala(lon: Double, lat: Double): Option[Int] =
       Climate.basinPolygons.collectFirst {
         case (id, vs) if insideScala(lon, lat, vs) => id
@@ -169,6 +174,51 @@ class ClimateSpec extends SparkSpec {
       if (got.isDefined) hits += 1
     }
     assert(hits > 0, "no point falls in any basin — geometry is vacuous")
+  }
+
+  test("pointInPoly: concave basin — ray casting right where the convex test is provably wrong") {
+    val concave = Climate.basinPolygons.collectFirst { case (4, vs) => vs }.get
+    def convexAllLeft(lon: Double, lat: Double): Boolean =
+      concave.indices.forall { i =>
+        val (x1, y1) = concave(i)
+        val (x2, y2) = concave((i + 1) % concave.size)
+        (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1) >= 0
+      }
+    // (150.5, 70.5) sits in the U's left arm: genuinely inside, but
+    // the all-left-of-edges conjunction rejects it at the notch's
+    // reflex edge (170,90)→(170,60); (165.5, 70.5) sits in the
+    // notch: genuinely outside, convex hull membership would admit
+    // it.
+    val cases = Seq(
+      (150.5, 70.5, true),  // left arm — inside
+      (175.5, 70.5, true),  // right arm — inside
+      (165.5, 55.5, true),  // base below the notch — inside
+      (165.5, 70.5, false), // the notch — outside
+      (185.5, 70.5, false)) // right of the ring — outside
+    assert(!convexAllLeft(150.5, 70.5),
+      "expected the convex conjunction to misclassify the left arm")
+    val df = spark.createDataFrame(cases.map { case (lo, la, _) => (lo, la) })
+      .toDF("lon", "lat")
+      .withColumn("inside", Climate.pointInPoly(col("lon"), col("lat"), concave))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getBoolean(2)).toMap
+    cases.foreach { case (lo, la, want) =>
+      assert(df((lo, la)) === want, s"($lo, $la)")
+      assert(insideScala(lo, la, concave) === want, s"recompute ($lo, $la)")
+    }
+    // the concave basin must be live under the query's own
+    // pseudo-coordinate mapping (sf0.001's 15 user_ids stop short of
+    // every basin but #1, so probe the full uid cycle the larger
+    // scales cover — sf0.01 reaches uid 500+)
+    import spark.implicits._
+    val uids = (0L until 72L).toDF("user_id")
+      .withColumn("lat", Climate.pseudoLat(col("user_id")))
+      .withColumn("lon", Climate.pseudoLon(col("user_id")))
+      .withColumn("basin", Climate.basinAssign(col("lon"), col("lat")))
+    val byBasin = uids.filter(col("basin").isNotNull)
+      .groupBy("basin").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byBasin.getOrElse(4, 0L) > 0,
+      s"concave basin captured no grid points (got $byBasin)")
   }
 
   test("rating_curve_station: constant clamps below/above each station's calibrated range") {
