@@ -33,6 +33,7 @@ object SparkEntry {
     "ts_resample_weekly_max" -> TimeSeries.resampleWeeklyMax _,
     "ts_resample_monthly"    -> TimeSeries.resampleMonthlyScaled _,
     "ts_rolling_sum"         -> TimeSeries.rollingSum _,
+    "ts_rolling_sum_range"   -> TimeSeries.rollingSumRange _,
     "ts_cumsum"              -> TimeSeries.cumSum _,
     "ts_cumsum_clamped"      -> TimeSeries.cumSumClamped _,
     "ts_cusum_drift"         -> TimeSeries.cusumDrift _,
@@ -343,6 +344,18 @@ object SparkEntry {
       """SELECT event_id, user_id,
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_sum
+        |FROM events""".stripMargin,
+
+    // integer-cent window sum: float window sums associate differently
+    // across engines (segment tree vs sequential)
+    "ts_rolling_sum_range" ->
+      """SELECT event_id, user_id,
+        |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+        |    AS rolling_sum_7d
         |FROM events""".stripMargin,
 
     "ts_cumsum" ->

@@ -83,6 +83,37 @@ object TimeSeries {
         round(sum(col("value")).over(w), 2).as("rolling_sum"))
   }
 
+  /** Per-key rolling sum over a 7-DAY CALENDAR RANGE, not the last 7
+    * rows — the time-axis rolling semantics of the reference's
+    * t-scale accumulation (`utils_spi.py:418-437` rolls over a
+    * monthly *calendar* axis): when observations are missing, a
+    * rows-frame silently reaches back past the gap while a
+    * range-frame shrinks to what the window actually covers (the
+    * spec shows a gapped series where the two provably differ).
+    * Same single shuffle on `user_id` as [[rollingSum]]; the frame
+    * is `rangeBetween` on the integer epoch-day, so same-day rows
+    * are peers and state is bounded by the rows inside 7 days.
+    *
+    * Engine invariance: a windowed FLOAT sum associates differently
+    * across engines (DuckDB segment tree vs sequential), so each
+    * value is quantized ONCE to integer cents and the window sums
+    * exact longs — order-free — divided back out after. */
+  def rollingSumRange(spark: SparkSession, dir: String): DataFrame =
+    rollingSumRangeOf(Tables.events(spark, dir))
+
+  /** [[rollingSumRange]] over an arbitrary (event_id, user_id, ts,
+    * value) frame. */
+  private[graft] def rollingSumRangeOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("day_num"))
+      .rangeBetween(-6, Window.currentRow)
+    events
+      .withColumn("day_num", datediff(to_date(col("ts")), lit("1970-01-01")))
+      .withColumn("value_c", floor(col("value") * 100 + 0.5).cast("long"))
+      .select(col("event_id"), col("user_id"), day(col("ts")).as("day"),
+        (sum(col("value_c")).over(w) / 100.0).as("rolling_sum_7d"))
+  }
+
   /** Per-key running cumulative sum — the evapo deficit accumulator
     * (`ingestor_knmi_evapo.py:395-414`). */
   def cumSum(spark: SparkSession, dir: String): DataFrame = {

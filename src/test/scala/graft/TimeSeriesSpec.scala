@@ -245,6 +245,42 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("ts_rolling_sum_range: calendar frame matches recompute and provably differs from a rows frame on a gapped series") {
+    // real-table check: per event, sum cents over events of the same
+    // user within the trailing 7 calendar days
+    val got = SparkEntry.queries("ts_rolling_sum_range")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    def dayNum(t: java.sql.Timestamp): Long =
+      t.toLocalDateTime.toLocalDate.toEpochDay
+    raw.groupBy(_._2).foreach { case (_, evs) =>
+      evs.foreach { e =>
+        val d = dayNum(e._3)
+        val cents = evs.filter { o =>
+          val od = dayNum(o._3); od >= d - 6 && od <= d
+        }.map(o => math.floor(o._5 * 100 + 0.5).toLong).sum
+        assert(math.abs(got(e._1) - cents / 100.0) < 1e-9, s"event ${e._1}")
+      }
+    }
+    // gapped series: days 0,1,2 then a jump to day 10 — the rows
+    // frame (6 preceding rows) reaches back across the gap and sums
+    // everything; the calendar frame must NOT see past day 4
+    import spark.implicits._
+    val gapped = Seq(
+      (1L, 9L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (2L, 9L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2.0),
+      (3L, 9L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 4.0),
+      (4L, 9L, java.sql.Timestamp.valueOf("2024-01-11 00:00:00"), 8.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val range = operators.TimeSeries.rollingSumRangeOf(gapped)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(range(3L) === 7.0)  // days 1-3 all within 7 days
+    assert(range(4L) === 8.0)  // the gap: only day 11 itself
+    // the rows-frame operator on the same series reaches across the gap
+    val rows = Seq(1.0, 2.0, 4.0, 8.0).sum
+    assert(rows == 15.0 && range(4L) != 15.0,
+      "rows frame and range frame must differ on the gapped series")
+  }
+
   test("ts_rolling_anomaly: z matches trailing-history recomputation, warm-up holds") {
     val flagged = SparkEntry.queries("ts_rolling_anomaly")(spark, sf).collect()
       .map(r => r.getAs[Long]("event_id") -> r).toMap
