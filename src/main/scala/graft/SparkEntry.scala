@@ -160,6 +160,135 @@ object SparkEntry {
       s"WHEN ${polyCondSql(vs)} THEN $id"
     }.mkString("CASE ", " ", " ELSE NULL END")
 
+  /** ln Γ SQL (Lanczos g=7) — operation-for-operation the rendering
+    * of [[graft.functions.StatKernels.lnGamma]], constants taken from
+    * the SAME array the kernel uses, so both engines run the
+    * identical multiply/divide/ln chain (left-associated exactly like
+    * the Scala fold). */
+  private def lnGammaSql(v: String): String = {
+    val pi = math.Pi.toString
+    def pos(e: String): String = {
+      val zz = s"($e - 1.0)"
+      val asum = graft.functions.StatKernels.LanczosC.zipWithIndex.map {
+        case (c0, 0) => c0.toString
+        case (ci, i) => s"$ci / ($zz + $i.0)"
+      }.mkString(" + ")
+      val t = s"($zz + 7.0 + 0.5)"
+      s"(0.5 * ln(2.0 * $pi) + ($zz + 0.5) * ln$t - $t + ln($asum))"
+    }
+    s"(CASE WHEN $v < 0.5 THEN ln($pi / sin($pi * $v)) - ${pos(s"(1.0 - $v)")}" +
+      s" ELSE ${pos(v)} END)"
+  }
+
+  /** Full gamma-SPI oracle: Thom fit (SQL aggregates) → regularized
+    * lower incomplete gamma P(a, x/β) via the SAME power series and
+    * Lentz continued fraction as [[graft.functions.StatKernels
+    * .gammaP]], expressed as recursive CTEs stepping the identical
+    * recurrences with the identical constants and convergence tests
+    * (1e-14, 500 iterations, 1e-300 floor) → zero-correction
+    * H = q0 + (1−q0)·G → clamp → A&S 26.2.23 normal quantile. Every
+    * operation SEQUENCE matches the Scala kernels, so the two
+    * engines' doubles agree to the last few ulps and the final
+    * floor-quantization is the only rounding step; DuckDB can
+    * therefore hash-check the full fit+apply path even though it has
+    * no incomplete-gamma builtin.
+    *
+    * `accSql` must yield (event_id, keys…, [carry…,] x); the result
+    * has columns (event_id, keys…, carry…, accum, spi) matching
+    * [[graft.operators.Climate.spiGammaApply]]. `ridSql` must be a
+    * DETERMINISTIC per-row unique id over acc's columns (NOT
+    * row_number() — DuckDB inlines the CTE at each of its four
+    * references and would re-number in nondeterministic order,
+    * misaligning the joins). */
+  private def spiGammaSql(accSql: String, keys: Seq[String],
+      carry: Seq[String] = Nil, fitWhere: String = "",
+      ridSql: String = "acc.event_id"): String = {
+    val k = keys.mkString(", ")
+    val rk = keys.map("r." + _).mkString(", ")
+    val rcarry = carry.map(c => s"r.$c, ").mkString
+    val ocarry = carry.map(c => s"$c, ").mkString
+    s"""WITH RECURSIVE acc AS (
+      |$accSql
+      |), fit AS (
+      |  SELECT $k,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CASE WHEN x <= 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_zero,
+      |    avg(CASE WHEN x > 0 THEN x END) AS mean_pos,
+      |    avg(CASE WHEN x > 0 THEN ln(x) END) AS mean_ln
+      |  FROM acc $fitWhere GROUP BY $k
+      |), astat AS (
+      |  SELECT *, ln(mean_pos) - mean_ln AS a_stat FROM fit
+      |), par0 AS (
+      |  SELECT *, (1.0 + sqrt(1.0 + 4.0 * a_stat / 3.0)) / (4.0 * a_stat) AS alpha
+      |  FROM astat
+      |), par AS (
+      |  SELECT *, mean_pos / alpha AS beta, n_zero / n AS q0,
+      |    ${lnGammaSql("alpha")} AS lng
+      |  FROM par0
+      |), rows0 AS (
+      |  SELECT $ridSql AS rid, acc.*,
+      |    par.alpha, par.beta, par.q0, par.a_stat, par.lng,
+      |    acc.x / par.beta AS xs
+      |  FROM acc LEFT JOIN par USING ($k)
+      |), ser AS (
+      |  SELECT rid, alpha AS a, xs AS z, alpha AS ap,
+      |    1.0 / alpha AS s, 1.0 / alpha AS del, 0 AS it
+      |  FROM rows0 WHERE x > 0 AND xs < alpha + 1.0
+      |  UNION ALL
+      |  SELECT rid, a, z, ap + 1.0,
+      |    s + del * (z / (ap + 1.0)), del * (z / (ap + 1.0)), it + 1
+      |  FROM ser WHERE it < 500 AND abs(del) >= abs(s) * 1e-14
+      |), serf AS (
+      |  SELECT rid, s FROM ser
+      |  WHERE NOT (it < 500 AND abs(del) >= abs(s) * 1e-14)
+      |), cf AS (
+      |  SELECT rid, alpha AS a, xs AS z, xs + 1.0 - alpha AS b, 1e300 AS c,
+      |    1.0 / (xs + 1.0 - alpha) AS d, 1.0 / (xs + 1.0 - alpha) AS h,
+      |    1 AS it, FALSE AS done
+      |  FROM rows0 WHERE x > 0 AND xs >= alpha + 1.0
+      |  UNION ALL
+      |  SELECT rid, a, z, b2, c2, 1.0 / d2, h * ((1.0 / d2) * c2), it + 1,
+      |    abs(((1.0 / d2) * c2) - 1.0) < 1e-14
+      |  FROM (
+      |    SELECT rid, a, z, h, it, b + 2.0 AS b2,
+      |      CASE WHEN abs((-CAST(it AS DOUBLE)) * (CAST(it AS DOUBLE) - a) * d + (b + 2.0)) < 1e-300
+      |           THEN 1e-300
+      |           ELSE (-CAST(it AS DOUBLE)) * (CAST(it AS DOUBLE) - a) * d + (b + 2.0) END AS d2,
+      |      CASE WHEN abs((b + 2.0) + ((-CAST(it AS DOUBLE)) * (CAST(it AS DOUBLE) - a)) / c) < 1e-300
+      |           THEN 1e-300
+      |           ELSE (b + 2.0) + ((-CAST(it AS DOUBLE)) * (CAST(it AS DOUBLE) - a)) / c END AS c2
+      |    FROM cf WHERE it < 500 AND NOT done) t
+      |), cff AS (
+      |  SELECT rid, h FROM cf WHERE NOT (it < 500 AND NOT done)
+      |), gv AS (
+      |  SELECT r.rid,
+      |    CASE WHEN r.x <= 0 THEN 0.0
+      |         WHEN sf.rid IS NOT NULL THEN
+      |           sf.s * exp(- r.xs + r.alpha * ln(r.xs) - r.lng)
+      |         WHEN cq.rid IS NOT NULL THEN
+      |           1.0 - exp(- r.xs + r.alpha * ln(r.xs) - r.lng) * cq.h
+      |         ELSE NULL END AS g
+      |  FROM rows0 r LEFT JOIN serf sf USING (rid) LEFT JOIN cff cq USING (rid)
+      |), hval AS (
+      |  SELECT r.rid, r.event_id, $rk, $rcarry r.x, r.a_stat,
+      |    least(greatest(r.q0 + (1.0 - r.q0) * gv.g, 1e-6), 1.0 - 1e-6) AS h
+      |  FROM rows0 r JOIN gv USING (rid)
+      |), n1 AS (
+      |  SELECT *, CASE WHEN h < 0.5 THEN h ELSE 1.0 - h END AS pp FROM hval
+      |), n2 AS (
+      |  SELECT *, sqrt(-2.0 * ln(pp)) AS tq FROM n1
+      |), n3 AS (
+      |  SELECT *, tq - (2.515517 + tq * (0.802853 + tq * 0.010328))
+      |            / (1.0 + tq * (1.432788 + tq * (0.189269 + tq * 0.001308))) AS xq
+      |  FROM n2
+      |)
+      |SELECT event_id, $k, $ocarry round(x, 2) AS accum,
+      |  CASE WHEN a_stat > 1e-10 THEN
+      |    floor((CASE WHEN h < 0.5 THEN -xq ELSE xq END) * 1e4 + 0.5) / 1e4
+      |  ELSE NULL END AS spi
+      |FROM n3""".stripMargin
+  }
+
   /** VALUES list for the day-of-year radiation table, generated from
     * [[Climate.raByDoy]] so both engines share every literal
     * bit-for-bit (the stationCalibSql pattern). */
@@ -659,6 +788,52 @@ object SparkEntry {
         |  round((value - avg(value) OVER (PARTITION BY user_id, event_type))
         |        / stddev_samp(value) OVER (PARTITION BY user_id, event_type), 4) AS zscore
         |FROM events""".stripMargin,
+
+    "spi_gamma" -> spiGammaSql(
+      """  SELECT event_id, user_id,
+        |    sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS x
+        |  FROM events""".stripMargin,
+      Seq("user_id")),
+
+    "spi_gamma_ref" -> spiGammaSql(
+      """  SELECT event_id, user_id, ts,
+        |    sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS x
+        |  FROM events""".stripMargin,
+      Seq("user_id"),
+      fitWhere = "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'" +
+        " AND ts < TIMESTAMP '2024-01-16 00:00:00'"),
+
+    "spi_multiscale" -> spiGammaSql(
+      """  SELECT event_id, user_id, s.scale,
+        |    CASE s.scale WHEN 3 THEN x3 WHEN 7 THEN x7 ELSE x14 END AS x
+        |  FROM (
+        |    SELECT event_id, user_id,
+        |      sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS x3,
+        |      sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS x7,
+        |      sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS x14
+        |    FROM events) w
+        |  CROSS JOIN (VALUES (3), (7), (14)) s(scale)""".stripMargin,
+      Seq("user_id", "scale"),
+      ridSql = "acc.event_id * 100 + acc.scale"),
+
+    "spi_ensemble_gamma" ->
+      s"""SELECT user_id,
+        |  strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |  count(spi) AS n,
+        |  floor(quantile_cont(spi, 0.5) * 1e4 + 0.5) / 1e4 AS spi_med
+        |FROM (${spiGammaSql(
+          """  SELECT event_id, user_id, event_id % 5 AS member, ts,
+            |    sum(value) OVER (PARTITION BY user_id, event_id % 5
+            |      ORDER BY ts, event_id
+            |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS x
+            |  FROM events""".stripMargin,
+          Seq("user_id", "member"), carry = Seq("ts"))}) q
+        |GROUP BY 1, 2""".stripMargin,
 
     "bias_delta" ->
       """WITH ref AS (SELECT user_id, avg(value) AS ref_mean FROM events

@@ -26,13 +26,18 @@ object StatKernels {
     if (p < 0.5) -x else x
   }
 
+  /** Lanczos g=7 coefficients — public so the oracle-SQL generator
+    * renders the IDENTICAL literals (Scala's shortest-round-trip
+    * Double rendering parses back to the same bits in DuckDB). */
+  val LanczosC: Array[Double] = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
   /** Lanczos approximation of ln Γ(x), x > 0. */
   def lnGamma(x: Double): Double = {
     val g = 7.0
-    val c = Array(
-      0.99999999999980993, 676.5203681218851, -1259.1392167224028,
-      771.32342877765313, -176.61502916214059, 12.507343278686905,
-      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    val c = LanczosC
     if (x < 0.5) {
       // reflection
       math.log(math.Pi / math.sin(math.Pi * x)) - lnGamma(1.0 - x)

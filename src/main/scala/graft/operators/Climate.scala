@@ -145,8 +145,14 @@ object Climate {
         // undefined there — emit null, as for missing data (and for
         // keys with no reference-window climatology: a_stat is null,
         // the guard is not-true, null again).
+        // floor-quantized (not round()): round() re-derives a decimal
+        // representation engine-specifically; floor(x*1e4+0.5) is the
+        // same pure float ops on both engines. The oracle twin runs
+        // the identical series/continued-fraction evaluation (as
+        // recursive CTEs), so the doubles agree to ~1e-13 relative
+        // and the quantization is the only rounding step.
         when(col("a_stat") > 1e-10,
-          round(StatColumns.normQuantile(col("h_clamped")), 4))
+          floor(StatColumns.normQuantile(col("h_clamped")) * 1e4 + 0.5) / 1e4)
           .otherwise(lit(null).cast("double")).as("spi")): _*)
   }
 
