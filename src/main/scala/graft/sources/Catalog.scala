@@ -324,22 +324,34 @@ object Catalog {
     * partition in a single job (each day hashes to one task → one
     * file per day) — never a per-partition driver loop. The compacted
     * copy is written BESIDE the live directory and swapped in with
-    * two renames, so concurrent readers see the old or the new layout,
-    * never a half-written one; the swap itself is the documented
-    * non-transactional seam a table format's commit log would close.
-    * Content is unchanged, so the registry row stays valid; returns
-    * the compacted row count for the caller's audit. */
+    * two renames. Honestly stated, the swap is NOT atomic: a reader
+    * never sees a half-written layout (the staging dir is invisible
+    * until renamed), but between rename(live→retired) and
+    * rename(stage→live) the live path briefly does not exist, so a
+    * reader racing that instant errors and must retry — the seam a
+    * table format's commit log (or an object store's atomic pointer
+    * flip) would close. A crash inside that window is RECOVERED on
+    * the next call: if live is missing but a retired copy exists,
+    * the retired copy is renamed back before compacting, so the
+    * collection is never permanently offline and no data is
+    * stranded. Content is unchanged, so the registry row stays
+    * valid; returns the compacted row count for the caller's audit. */
   def compact(spark: SparkSession, outDir: String, collectionId: String): Long = {
     val path = s"$outDir/$collectionId"
     val staging = s"$outDir/$collectionId.compacting"
-    spark.read.parquet(path)
-      .repartition(col("p_day"))
-      .write.mode("overwrite").partitionBy("p_day").parquet(staging)
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(path)
     val stage = new org.apache.hadoop.fs.Path(staging)
     val retired = new org.apache.hadoop.fs.Path(path + ".retired")
+    // crash recovery: a previous compact that died between its two
+    // renames left the data in .retired and no live dir — put it back
+    if (!fs.exists(live) && fs.exists(retired) &&
+        !fs.rename(retired, live))
+      throw new java.io.IOException(s"compaction recovery failed for $path")
+    spark.read.parquet(path)
+      .repartition(col("p_day"))
+      .write.mode("overwrite").partitionBy("p_day").parquet(staging)
     if (fs.exists(retired)) fs.delete(retired, true)
     if (!fs.rename(live, retired) || !fs.rename(stage, live))
       throw new java.io.IOException(s"compaction swap failed for $path")

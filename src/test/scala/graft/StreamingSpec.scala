@@ -418,6 +418,16 @@ class StreamingSpec extends SparkSpec {
     // no leftover staging/retired directories after the swap
     assert(!new java.io.File(s"$tmp/frag.compacting").exists())
     assert(!new java.io.File(s"$tmp/frag.retired").exists())
+
+    // crash recovery: simulate a compact that died between its two
+    // renames — live gone, data stranded in .retired — and verify the
+    // next compact restores and completes instead of erroring out
+    assert(new java.io.File(s"$tmp/frag")
+      .renameTo(new java.io.File(s"$tmp/frag.retired")))
+    val recovered = Catalog.compact(spark, tmp, "frag")
+    assert(recovered === rowsBefore)
+    assert(spark.read.parquet(s"$tmp/frag").count() === rowsBefore)
+    assert(!new java.io.File(s"$tmp/frag.retired").exists())
   }
 
   test("scoreAgainstClimatology: stream verdicts equal the batch twin bit-for-bit") {
