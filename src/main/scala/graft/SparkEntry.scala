@@ -647,14 +647,19 @@ object SparkEntry {
         |    / count(*) * 1e4 + 0.5) / 1e4 AS extent
         |FROM g GROUP BY 1, 2, 3""".stripMargin,
 
+    // all sufficient statistics are exact integer sums (x in days,
+    // y in cents), divided back to doubles once — merge-order-free
     "ts_trend" ->
       """WITH s AS (
-        |  SELECT user_id, count(*) AS n,
-        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-        |    sum(x * x) AS sx2, sum(y * y) AS sy2
+        |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx,
+        |    CAST(sum(yc) AS DOUBLE) / 100.0 AS sy,
+        |    CAST(sum(x * yc) AS DOUBLE) / 100.0 AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sx2,
+        |    CAST(sum(yc * yc) AS DOUBLE) / 10000.0 AS sy2
         |  FROM (SELECT user_id,
-        |          CAST(date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS DOUBLE) AS x,
-        |          value AS y
+        |          date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |          CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc
         |        FROM events)
         |  GROUP BY 1)
         |SELECT user_id, CAST(n AS BIGINT) AS n_obs,
@@ -681,12 +686,20 @@ object SparkEntry {
         |    * 1e4 + 0.5) / 1e4 AS rolling_med
         |FROM h""".stripMargin,
 
+    // exact integer-cent sufficient statistics behind mu/sd: no
+    // merge-order noise, no engine-specific streaming moments
     "ts_climatology_anomaly" ->
       """WITH clim AS (
-        |  SELECT user_id, CAST(hour(ts) AS INT) AS hod, count(*) AS n_obs,
-        |    floor(avg(value) * 1e6 + 0.5) / 1e6 AS mu,
-        |    floor(stddev_samp(value) * 1e6 + 0.5) / 1e6 AS sd
-        |  FROM events GROUP BY 1, 2)
+        |  SELECT user_id, hod, count(*) AS n_obs,
+        |    floor(CAST(sum(c) AS DOUBLE) / count(*) / 100.0 * 1e6 + 0.5) / 1e6 AS mu,
+        |    CASE WHEN count(*) > 1 THEN
+        |      floor(sqrt(greatest(CAST(count(*) AS DOUBLE) * CAST(sum(c * c) AS DOUBLE)
+        |          - CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE), 0.0)
+        |        / (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) - 1.0)))
+        |        / 100.0 * 1e6 + 0.5) / 1e6 END AS sd
+        |  FROM (SELECT user_id, CAST(hour(ts) AS INT) AS hod,
+        |          CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events)
+        |  GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, c.hod,
         |  round(e.value, 2) AS value,
         |  floor((e.value - c.mu) * 1e4 + 0.5) / 1e4 AS anom,

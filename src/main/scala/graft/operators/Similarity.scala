@@ -160,7 +160,16 @@ object Similarity {
     * × dim) doubles — the `posexplode → groupBy(label, dim)`
     * alternative would shuffle dim× the corpus row count. The tiny
     * aggregated result (|labels| rows) then explodes to (label, dim,
-    * value) only for the oracle-comparable output shape. */
+    * value) only for the oracle-comparable output shape.
+    *
+    * Invariance note (documented residual risk): the per-dimension
+    * sums are raw doubles, so their partial-agg merge order is
+    * engine- and partitioning-dependent; a sum landing within an ulp
+    * of a half-quantum of the 1e-6 grid could floor differently
+    * across engines/runs. The exact-integer alternative (quantize
+    * elements once, sum longs in the aggregator) is available if the
+    * gate ever flips; float32-origin inputs exactly representable in
+    * double keep the risk negligible here. */
   def embeddingCentroids(spark: SparkSession, dir: String): DataFrame = {
     Tables.embeddings(spark, dir)
       .select(col("label"), col("embedding").cast("array<double>").as("emb"))

@@ -325,23 +325,30 @@ object TimeSeries {
     * ONE map-side-partial aggregation per key — a regression over a
     * century of data per station costs one shuffle of six doubles per
     * key, never a sort and never two passes. x is integer days since
-    * the key's... epoch (2024-01-01), so Σx/Σx² are exact integer
-    * sums; only the y-dependent sums carry float summation-order
-    * noise, absorbed by the final quantization as everywhere else.
+    * the key's... epoch (2024-01-01) and y is quantized ONCE to
+    * integer cents (the inputs are 2-decimal), so EVERY sufficient
+    * statistic is an exact integer sum — order-free under any
+    * partial-agg merge order on any engine — converted to the double
+    * sums by one division each from identical bits. No
+    * summation-order noise reaches the quantized outputs at all
+    * (the earlier raw-double Σy/Σxy/Σy² could flip the floor at a
+    * half-quantum under a different merge order).
     * Degenerate keys (single day: zero x-variance) emit null slope. */
   def trend(spark: SparkSession, dir: String): DataFrame = {
-    val x = datediff(date_trunc("DAY", col("ts")), lit("2024-01-01")).cast("double")
+    val x = datediff(date_trunc("DAY", col("ts")), lit("2024-01-01")).cast("long")
     val sxx = col("n") * col("sx2") - col("sx") * col("sx")
     val syy = col("n") * col("sy2") - col("sy") * col("sy")
     val sxy = col("n") * col("sxy") - col("sx") * col("sy")
     Tables.events(spark, dir)
-      .select(col("user_id"), x.as("x"), col("value").as("y"))
+      .select(col("user_id"), x.as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("yc"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).cast("double").as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sx2"),
-        sum(col("y") * col("y")).as("sy2"))
+        sum(col("x")).cast("double").as("sx"),
+        (sum(col("yc")).cast("double") / 100.0).as("sy"),
+        (sum(col("x") * col("yc")).cast("double") / 100.0).as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sx2"),
+        (sum(col("yc") * col("yc")).cast("double") / 10000.0).as("sy2"))
       .select(col("user_id"), col("n").cast("long").as("n_obs"),
         when(sxx > 0, floor(sxy / sxx * 1e6 + 0.5) / 1e6).as("slope_per_day"),
         when(sxx > 0,
@@ -432,11 +439,17 @@ object TimeSeries {
         col("event_type"), col("ts"))
     // ONE pass: each session's time-sorted events fold through the
     // three-stage state machine (t1 = first signup; t2 = first click
-    // strictly after t1; t3 = first purchase strictly after t2) —
-    // sessions are idle-gap-bounded, so the collected array is too.
-    // The earlier shape (per-stage conditional-min aggregations
-    // re-joined on the session key) re-evaluated the sessionize
-    // window three times; this is one shuffle and no joins.
+    // strictly after t1; t3 = first purchase strictly after t2).
+    // Honest bound: the collected array is bounded by SESSION length,
+    // and a session is idle-gap-bounded only when the key actually
+    // idles — a key with continuous sub-30-min activity (a station
+    // reporting every minute) grows one unbounded session. That is a
+    // traffic-shape assumption, not a structural guarantee: for
+    // funnels over such keys, prefer the per-stage conditional-min
+    // formulation on the same composite key (O(1) state, identical
+    // semantics, at the cost of re-evaluating the sessionize window
+    // per stage). For user-interaction streams the assumption holds
+    // and this shape is one shuffle with no joins.
     val nullTs = lit(null).cast("timestamp")
     val folded = sess
       .groupBy(col("user_id"), col("session_id"))
@@ -633,12 +646,31 @@ object TimeSeries {
     * runs — the same param-table workflow as
     * [[Climate.quantileMapSplineParams]]. Params are floor-quantized
     * at fit time so every later application does identical arithmetic
-    * from identical bits on any engine. */
-  def climatologyFit(ev: DataFrame): DataFrame =
-    ev.groupBy(col("user_id"), hour(col("ts")).as("hod"))
+    * from identical bits on any engine — and the sums BEHIND the
+    * quantization are exact integer-cent sums (inputs are
+    * 2-decimal), so no partial-agg merge order can move a mean or
+    * stddev across its half-quantum (raw-double avg/stddev_samp
+    * could). The stddev is the explicit (nΣc²−(Σc)²)/(n(n−1))
+    * formula from those exact sums, identical textually in the
+    * oracle, rather than each engine's own streaming-moment
+    * implementation. */
+  def climatologyFit(ev: DataFrame): DataFrame = {
+    val nD = col("n_obs").cast("double")
+    val num = greatest(
+      nD * col("sc2").cast("double")
+        - col("sc").cast("double") * col("sc").cast("double"), lit(0.0))
+    ev.select(col("user_id"), hour(col("ts")).as("hod"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy(col("user_id"), col("hod"))
       .agg(count(lit(1)).as("n_obs"),
-        (floor(avg(col("value")) * 1e6 + 0.5) / 1e6).as("mu"),
-        (floor(stddev_samp(col("value")) * 1e6 + 0.5) / 1e6).as("sd"))
+        sum(col("c")).as("sc"), sum(col("c") * col("c")).as("sc2"))
+      .select(col("user_id"), col("hod"), col("n_obs"),
+        (floor(col("sc").cast("double") / col("n_obs") / 100.0 * 1e6 + 0.5)
+          / 1e6).as("mu"),
+        when(col("n_obs") > 1,
+          floor(sqrt(num / (nD * (nD - 1.0))) / 100.0 * 1e6 + 0.5) / 1e6)
+          .as("sd"))
+  }
 
   /** Climatology anomaly: every observation minus its key's calendar
     * normal, plus the standardized variant where the normal is
