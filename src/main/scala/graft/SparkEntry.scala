@@ -87,6 +87,7 @@ object SparkEntry {
     "healthcheck_freshness" -> Climate.healthcheckFreshness _,
     "catalog_health"        -> Catalog.health _,
     "catalog_diff"          -> Catalog.registryDiff _,
+    "schedule_due"          -> graft.sources.Schedule.scheduleDue _,
     "items_query"           -> Serving.itemsQuery _,
     "items_page_cursor"     -> Serving.itemsPageCursor _,
     "features_items"        -> Serving.featuresItems _,
@@ -1403,6 +1404,31 @@ object SparkEntry {
         |  p.n_rows AS prev_rows, c.n_rows AS cur_rows,
         |  p.time_end AS prev_end, c.time_end AS cur_end
         |FROM prev p FULL OUTER JOIN cur c ON p.collection_id = c.collection_id""".stripMargin,
+
+    "schedule_due" ->
+      """WITH sched(pipeline, cadence, backfill_start) AS (
+        |  VALUES ('clicks_hourly','hour',TIMESTAMP '2024-01-29 00:00:00'),
+        |         ('purchases_daily','day',TIMESTAMP '2024-01-25 00:00:00'),
+        |         ('sensors_weekly','week',TIMESTAMP '2024-01-01 00:00:00')),
+        |wm AS (
+        |  SELECT CASE event_type WHEN 'click' THEN 'clicks_hourly'
+        |         ELSE 'purchases_daily' END AS pipeline,
+        |         max(ts) AS watermark
+        |  FROM events WHERE event_type IN ('click','purchase') GROUP BY 1),
+        |base AS (
+        |  SELECT s.pipeline,
+        |    date_trunc(s.cadence, coalesce(w.watermark, s.backfill_start)) AS from_ts,
+        |    CASE s.cadence WHEN 'hour' THEN INTERVAL 1 HOUR
+        |         WHEN 'day' THEN INTERVAL 1 DAY
+        |         ELSE INTERVAL 7 DAY END AS step,
+        |    TIMESTAMP '2024-02-01 00:00:00' AS now_ts
+        |  FROM sched s LEFT JOIN wm w USING (pipeline))
+        |SELECT pipeline,
+        |  strftime(t.ts, '%Y-%m-%d %H:%M:%S') AS tick_start,
+        |  strftime(t.ts + step, '%Y-%m-%d %H:%M:%S') AS tick_end
+        |FROM base, LATERAL unnest(generate_series(from_ts, now_ts - step, step)) AS t(ts)
+        |WHERE t.ts + step <= now_ts
+        |ORDER BY pipeline, tick_start""".stripMargin,
 
     "features_items" -> {
       val (minLon, minLat, maxLon, maxLat) = Serving.featuresBbox
