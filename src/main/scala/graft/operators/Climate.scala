@@ -36,6 +36,67 @@ object Climate {
           / stddev_samp(col("value")).over(w), 4).as("zscore"))
   }
 
+  /** Drought EPISODES by run theory — the time-dimension complement
+    * of [[zonalDroughtExtent]] (which answers "how much area is dry
+    * NOW"; this answers "when did each dry spell start, how long did
+    * it last, how deep did it go"): per (station, variable), each
+    * maximal run of consecutive observations with index ≤ −1.0
+    * becomes one row with start/end, duration, peak intensity
+    * (minimum index) and severity (run-theory accumulated deficit,
+    * Σ −index — the standard duration/severity/intensity triple of
+    * drought monitoring, the event record the reference's SPI maps
+    * are read for).
+    *
+    * Gaps-and-islands on ONE shuffle: the full-partition z-score
+    * window, the lag that detects run starts, and the running
+    * episode counter all share the same (station, variable) key, so
+    * Catalyst plans a single exchange with the ordered windows
+    * layered on one sort; the final per-episode aggregation is a
+    * hash agg on (key, episode) — no second data-sized shuffle, no
+    * self-join. Severity sums exact integer 1e-4 units of the
+    * already-rounded index (SURVEY §5: never hash-gate a
+    * merge-order-dependent double sum). */
+  def droughtEpisodes(spark: SparkSession, dir: String): DataFrame =
+    droughtEpisodesOf(Tables.events(spark, dir))
+
+  /** [[droughtEpisodes]] over an arbitrary (event_id, ts, user_id,
+    * event_type, value) frame — seam for spec-testing run detection
+    * on constructed series. */
+  private[graft] def droughtEpisodesOf(ev: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(evOrder: _*)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // whole-partition stats phrased on the ORDERED spec (unbounded
+    // frame) so all three window layers share one sort — an unordered
+    // sibling spec would plan a second Sort under the same exchange
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // sd = 0 (constant series) must yield a NULL index, not an ANSI
+    // divide error / ±inf — guarded identically on both engines
+    val sd = stddev_samp(col("value")).over(wAll)
+    val z = ev
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        when(sd =!= 0, round((col("value") - avg(col("value")).over(wAll))
+          / sd, 4)).as("zscore"))
+    // a null index (constant series → zero variance) is NOT dry: the
+    // comparison is null → otherwise(0), identically CASE…ELSE 0 in
+    // the oracle, so degenerate keys drop out of both engines alike
+    z.withColumn("dry", when(col("zscore") <= -1.0, 1).otherwise(0))
+      .withColumn("run_start",
+        when(col("dry") === 1 &&
+          coalesce(lag(col("dry"), 1).over(wOrd), lit(0)) === 0, 1)
+          .otherwise(0))
+      .withColumn("episode", sum(col("run_start")).over(wRun).cast("long"))
+      .filter(col("dry") === 1)
+      .groupBy(col("user_id"), col("event_type"), col("episode"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("t_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("t_end"),
+        count(lit(1)).as("n_obs"),
+        min(col("zscore")).as("peak"),
+        (-sum(round(col("zscore") * 1e4).cast("long")).cast("double") / 1e4)
+          .as("severity"))
+  }
+
   /** Full SPI (`utils_spi.py:428-479`): t-scale rolling sum → per-key
     * Thom/MLE gamma fit (`floc=0`) → zero-probability-corrected CDF
     * H(x) = q + (1-q)·G(x) → Abramowitz–Stegun normal quantile.

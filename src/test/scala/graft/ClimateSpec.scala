@@ -735,4 +735,40 @@ class ClimateSpec extends SparkSpec {
       .distinct.count()
     assert(rows.length == nCells * 5)
   }
+
+  test("drought_episodes: run boundaries, duration, peak, severity on a constructed series") {
+    import spark.implicits._
+    // key 1: eight 10s and three 0s (n=11) → mean 80/11; the 0s dip
+    // below −1: positions 5,6 (one 2-obs episode) and 9 (1-obs episode)
+    val vals = Seq(10.0, 10, 10, 10, 0, 0, 10, 10, 0, 10, 10)
+    val k1 = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), 1L, "t", v)
+    }
+    // key 2: constant → sd 0 → null index everywhere → NO episodes
+    val k2 = (0 until 5).map { i =>
+      (100L + i, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), 2L, "t", 5.0)
+    }
+    // key 3: the dip is the FIRST observation (lag-null run start)
+    val k3 = Seq(0.0, 10, 10, 10, 10, 10).zipWithIndex.map { case (v, i) =>
+      (200L + i, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), 3L, "t", v)
+    }
+    val ev = (k1 ++ k2 ++ k3).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Climate.droughtEpisodesOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getString(4),
+        r.getLong(5), r.getDouble(6), r.getDouble(7)))
+      .sortBy(t => (t._1, t._2))
+    val m = 80.0 / 11
+    val sd = math.sqrt((8 * (10 - m) * (10 - m) + 3 * m * m) / 10)
+    val z0 = BigDecimal((0.0 - m) / sd)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble // −1.557
+    assert(got.count(_._1 == 1L) === 2)
+    val Seq(e1, e2) = got.filter(_._1 == 1L).toSeq
+    assert((e1._2, e1._3, e1._4, e1._5) === (1L, "2024-01-01 00:04:00", "2024-01-01 00:05:00", 2L))
+    assert(e1._6 === z0 && e1._7 === -2 * z0)
+    assert((e2._2, e2._5, e2._6, e2._7) === (2L, 1L, z0, -z0))
+    assert(got.forall(_._1 != 2L), "constant series must yield no episodes")
+    val k3eps = got.filter(_._1 == 3L)
+    assert(k3eps.length === 1 && k3eps(0)._3 === "2024-01-01 00:00:00" &&
+      k3eps(0)._5 === 1L)
+  }
 }
