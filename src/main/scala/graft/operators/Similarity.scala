@@ -64,6 +64,94 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rk"),
         round(col("col.payload"), 4).as("cosine"))
 
+  /** Exact k-NN GRAPH — every vector's top-k cosine neighbors, the
+    * precursor structure of embedding-space curation (SemDeDup-style
+    * semantic dedup prunes edges of exactly this graph; density /
+    * connected-component cluster passes consume it). Brute force by
+    * construction: the correctness baseline [[knnGraphIvf]] is
+    * measured against, same role [[annTopkBruteforce]] plays for the
+    * probe-set ANN family. One side of the self-product is broadcast
+    * (fine to ~10⁶ vectors × small dim); past that the blocked
+    * variant below replaces the product — an exact all-pairs graph
+    * at 100 TB is not a thing any engine should promise. Ranking is
+    * the bounded [[graft.expressions.TopKAgg]] (map-side partial
+    * top-k, O(k) state per vector), never a ranking window over n²
+    * rows. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraphOf(vecs(spark, dir), 5)
+
+  private[graft] def knnGraphOf(v: DataFrame, k: Int): DataFrame = {
+    val self = v.select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+    val scored = v.join(broadcast(self), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", VectorColumns.cosine(col("pe"), col("emb")))
+    topkPerProbe(scored, k).withColumnRenamed("probe_id", "vec_id")
+  }
+
+  /** IVF-BLOCKED k-NN graph — the scale path for [[knnGraph]]: the
+    * bounded-sample coarse quantizer (same build as [[annIvfTopk]])
+    * assigns every vector a HOME cell, every vector additionally
+    * probes its `nprobe` nearest cells, and candidate pairs exist
+    * only where a prober's cell list meets a vector's home cell — an
+    * equi-join on cell id, so the n² product never materializes and
+    * the corpus shuffles once by cell. Candidate volume is
+    * ~n²·nprobe/nlist with nlist chosen ~√n at scale (the classic
+    * IVF sizing), turning quadratic into n^{3/2}. Recall against the
+    * exact graph is measured in SimilaritySpec, mirroring the LSH/
+    * IVF/PQ twins' treatment. */
+  def knnGraphIvf(spark: SparkSession, dir: String): DataFrame =
+    knnGraphIvfOf(vecs(spark, dir), k = 5, nlist = 16, nprobe = 4)
+
+  private[graft] def knnGraphIvfOf(v: DataFrame, k: Int, nlist: Int,
+      nprobe: Int): DataFrame = {
+    val sample: Array[Array[Double]] = v.limit(4096)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    val cents = lloyd(sample, nlist, iters = 8)
+    def score(c: Array[Double]): Column =
+      lit(c.map(x => x * x).sum) -
+        lit(2.0) * VectorColumns.dot(col("emb"), array(c.map(lit): _*))
+    val dists = array((0 until nlist).map(i =>
+      struct(score(cents(i)).as("d"), lit(i).as("b"))): _*)
+    // home cell = argmin; probe cells = nprobe smallest distances —
+    // both from ONE literal-centroid distance array evaluated in the
+    // scan stage (array_sort on nlist structs, zero shuffles)
+    val ranked = v.withColumn("cells", slice(array_sort(dists), 1, nprobe))
+    val home = ranked
+      .select(col("vec_id"), col("emb"), col("cells")(0).getField("b").as("cell"))
+    val probing = ranked
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"),
+        explode(col("cells").getField("b")).as("cell"))
+    val scored = probing.join(home, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", VectorColumns.cosine(col("pe"), col("emb")))
+    topkPerProbe(scored, k).withColumnRenamed("probe_id", "vec_id")
+  }
+
+  /** SEMANTIC dedup (SemDeDup-style): prune the [[knnGraph]]'s
+    * high-cosine edges into clusters and keep ONE representative per
+    * cluster — near-duplicate MEANING collapses even when the text
+    * differs (translations, templated rewrites, paraphrase spam),
+    * which no shingle/minhash pass can see. Edges are the graph's
+    * pairs at cosine ≥ 0.35 (the same threshold as the exact-pair
+    * dedup family), components come from
+    * [[Dedup.connectedComponents]]'s min-label propagation
+    * (O(diameter) bounded rounds, plan-truncated per round), and the
+    * keeper is the cluster's minimum id — deterministic, so the
+    * drop-list is reproducible run to run. Output is one row per
+    * CLUSTERED vector (vectors with no qualifying edge are
+    * implicitly kept and never shuffle anywhere). At 100 TB the
+    * same composition holds with [[knnGraphIvf]] as the edge
+    * source. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraph(spark, dir)
+      .filter(col("cosine") >= 0.35)
+      .select(least(col("vec_id"), col("neighbor_id")).as("doc_a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("doc_b"))
+      .distinct()
+    Dedup.connectedComponents(edges)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+  }
+
   /** Plain Lloyd's k-means over an in-memory sample — the IVF coarse
     * quantizer fit. Deterministic: evenly-spaced init over the sample
     * order, fixed iteration count; empty clusters keep their previous
@@ -319,12 +407,12 @@ object Similarity {
     topkPerProbe(reranked, 10)
   }
 
-  private val NumTables = 4
-  private val BitsPerTable = 6
+  private[graft] val NumTables = 4
+  private[graft] val BitsPerTable = 6
 
   /** Deterministic pseudo-random unit-free hyperplanes (LCG over the
     * (table, bit, dim) index — reproducible across runs/executors). */
-  private def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] = {
+  private[graft] def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] = {
     var state = (table * 1315423911L + bit * 2654435761L + 97531L) & 0x7fffffffffffffffL
     Array.fill(dim) {
       state = state * 6364136223846793005L + 1442695040888963407L

@@ -68,6 +68,59 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall >= 0.2, s"mean recall $meanRecall")
   }
 
+  test("knn_graph: exactly k edges per vector, no self-loops, descending cosine") {
+    val rows = SparkEntry.queries("knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val n = Tables.embeddings(spark, sf).count()
+    val byVec = rows.groupBy(_._1)
+    assert(byVec.size === n, "every vector gets a neighbor list")
+    byVec.values.foreach { es =>
+      assert(es.length === 5)
+      assert(es.forall(e => e._1 != e._2), "self-loop")
+      val ordered = es.sortBy(_._3)
+      assert(ordered.sliding(2).forall(p =>
+        p.length < 2 || p(0)._4 >= p(1)._4 - 1e-9), "rank order vs cosine")
+    }
+  }
+
+  test("knn_graph_ivf: bounded candidate blocks, reasonable recall vs exact graph") {
+    val exact = SparkEntry.queries("knn_graph")(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = SparkEntry.queries("knn_graph_ivf")(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (_, ids) => assert(ids.size <= 5) }
+    val recalls = ivf.map { case (v, ids) =>
+      ids.intersect(exact.getOrElse(v, Set.empty)).size.toDouble / 5
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // nprobe=4 of nlist=16 cells: each vector sees ~1/4 of the corpus,
+    // biased toward its own neighborhood by the quantizer — guards the
+    // home/probe cell join, not SOTA recall
+    assert(meanRecall >= 0.3, s"mean recall $meanRecall")
+  }
+
+  test("dedup_semantic: cluster keepers are minima, edges stay within clusters") {
+    val rows = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min === cid, "cluster label is its minimum member")
+      assert(ms.count(_._3) === 1 && ms.find(_._3).get._1 === cid,
+        "exactly the minimum is kept")
+      assert(ms.length >= 2, "singletons must not appear in the drop report")
+    }
+    // every qualifying high-cosine knn edge joins two SAME-cluster nodes
+    val cluster = rows.map(t => t._1 -> t._2).toMap
+    SparkEntry.queries("knn_graph")(spark, sf).collect()
+      .filter(_.getDouble(3) >= 0.35)
+      .foreach { e =>
+        assert(cluster.get(e.getLong(0)) === cluster.get(e.getLong(1)),
+          s"edge ${e.getLong(0)}->${e.getLong(1)} crosses clusters")
+      }
+  }
+
   test("embedding_centroids: exact per-label means through the O(dim)-state aggregate") {
     val vecs = Tables.embeddings(spark, sf)
       .selectExpr("label", "cast(embedding as array<double>) as emb")
