@@ -53,6 +53,7 @@ object SparkEntry {
     "interval_join"          -> TimeSeries.intervalJoin _,
     // --- geo/climate analytics -----------------------------------
     "spi_zscore"            -> Climate.spiZscore _,
+    "drought_episodes"      -> Climate.droughtEpisodes _,
     "spi_gamma"             -> Climate.spiGamma _,
     // climatology fit on the first half of the span, applied to all —
     // the reference's fixed 1980-2010 reference period, scaled down
@@ -127,6 +128,9 @@ object SparkEntry {
     "ann_lsh_topk"        -> Similarity.annLshTopk _,
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
     "ann_pq_topk"         -> Similarity.annPqTopk _,
+    "knn_graph"           -> Similarity.knnGraph _,
+    "knn_graph_ivf"       -> Similarity.knnGraphIvf _,
+    "dedup_semantic"      -> Similarity.dedupSemantic _,
     "embedding_centroids" -> Similarity.embeddingCentroids _,
     "embedding_quantize"  -> Similarity.embeddingQuantize _,
     "embedding_outliers"  -> Similarity.embeddingOutliers _,
@@ -376,6 +380,32 @@ object SparkEntry {
       |    CASE WHEN gtype = 'POINT' THEN lon ELSE list_max(list_transform(ring, q -> q.lon)) END AS maxx,
       |    CASE WHEN gtype = 'POINT' THEN lat ELSE list_max(list_transform(ring, q -> q.lat)) END AS maxy
       |  FROM r)""".stripMargin
+
+  /** One LSH table's bucket signature as SQL — generated from the
+    * SAME deterministic LCG hyperplanes the Spark plan uses
+    * ([[graft.operators.Similarity.hyperplane]]), each dot product
+    * rendered as the identical left-associated 64-term multiply-add
+    * chain the codegen'd kernel executes, so the sign (and hence
+    * every bucket id) is bit-for-bit reproducible in DuckDB. `e` is
+    * the row's DOUBLE[] embedding (1-indexed). */
+  private def lshSigSql(table: Int): String =
+    (0 until graft.operators.Similarity.BitsPerTable).map { bit =>
+      val plane = graft.operators.Similarity.hyperplane(table, bit, 64)
+      val dot = plane.zipWithIndex
+        .map { case (h, i) => s"e[${i + 1}]*($h)" }.mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1 << bit} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** All vectors exploded to (vec_id, e, t, sig) — the bucketing CTE
+    * both hyperplane-LSH oracles share. */
+  private def lshBucketsSql: String = {
+    val tables = (0 until graft.operators.Similarity.NumTables).map { t =>
+      s"SELECT vec_id, e, $t AS t, ${lshSigSql(t)} AS sig FROM v"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |b AS (
+       |  $tables)""".stripMargin
+  }
 
   /** DuckDB oracle SQL per query (same tables, same column names,
     * same rounding). Omitted keys get a weaker rows-only check. */
@@ -802,6 +832,31 @@ object SparkEntry {
         |  round((value - avg(value) OVER (PARTITION BY user_id, event_type))
         |        / stddev_samp(value) OVER (PARTITION BY user_id, event_type), 4) AS zscore
         |FROM events""".stripMargin,
+    "drought_episodes" ->
+      """WITH z AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    round((value - avg(value) OVER w)
+        |          / nullif(stddev_samp(value) OVER w, 0), 4) AS zscore
+        |  FROM events WINDOW w AS (PARTITION BY user_id, event_type)),
+        |f AS (
+        |  SELECT *, CASE WHEN zscore <= -1.0 THEN 1 ELSE 0 END AS dry FROM z),
+        |r AS (
+        |  SELECT *, CASE WHEN dry = 1 AND coalesce(lag(dry) OVER
+        |      (PARTITION BY user_id, event_type ORDER BY ts, event_id), 0) = 0
+        |    THEN 1 ELSE 0 END AS run_start
+        |  FROM f),
+        |e AS (
+        |  SELECT *, CAST(sum(run_start) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS episode
+        |  FROM r)
+        |SELECT user_id, event_type, episode,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t_end,
+        |  count(*) AS n_obs,
+        |  min(zscore) AS peak,
+        |  -CAST(sum(CAST(round(zscore * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS severity
+        |FROM e WHERE dry = 1
+        |GROUP BY user_id, event_type, episode""".stripMargin,
 
     "spi_gamma" -> spiGammaSql(
       """  SELECT event_id, user_id,
@@ -1065,6 +1120,17 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""$lshBucketsSql,
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        |  FROM b a JOIN b c ON a.t = c.t AND a.sig = c.sig
+        |  WHERE a.vec_id < c.vec_id)
+        |SELECT id_a, id_b,
+        |  round(list_cosine_similarity(va.e, vb.e), 4) AS cosine
+        |FROM pairs JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+        |WHERE list_cosine_similarity(va.e, vb.e) >= 0.35""".stripMargin,
 
     "rating_curve" ->
       """WITH calib(h, q) AS (VALUES (0.0, 0.0), (50.0, 10.0), (100.0, 40.0),
@@ -2060,5 +2126,58 @@ object SparkEntry {
         |        round(cos, 4) AS cosine
         |      FROM c)
         |SELECT probe_id, neighbor_id, rk, cosine FROM r WHERE rk <= 10""".stripMargin,
+
+    "ann_lsh_topk" ->
+      s"""$lshBucketsSql,
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS nb_id
+        |  FROM b p JOIN b c ON p.t = c.t AND p.sig = c.sig
+        |  WHERE p.vec_id < 5 AND c.vec_id != p.vec_id),
+        |r AS (
+        |  SELECT probe_id, nb_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY round(list_cosine_similarity(vp.e, vc.e), 6) DESC, nb_id ASC) AS rk,
+        |    round(list_cosine_similarity(vp.e, vc.e), 4) AS cosine
+        |  FROM cand JOIN v vp ON vp.vec_id = probe_id JOIN v vc ON vc.vec_id = nb_id)
+        |SELECT probe_id, nb_id AS neighbor_id, rk, cosine FROM r WHERE rk <= 10""".stripMargin,
+
+    "knn_graph" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+        |           FROM embeddings),
+        |c AS (SELECT probe_id, vec_id AS nb_id,
+        |        list_cosine_similarity(pe, embedding::DOUBLE[]) AS cos
+        |      FROM p, embeddings WHERE vec_id != probe_id),
+        |r AS (SELECT probe_id, nb_id,
+        |        row_number() OVER (PARTITION BY probe_id
+        |                           ORDER BY round(cos, 6) DESC, nb_id ASC) AS rk,
+        |        round(cos, 4) AS cosine
+        |      FROM c)
+        |SELECT probe_id AS vec_id, nb_id AS neighbor_id, rk, cosine
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    "dedup_semantic" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings),
+        |c AS (SELECT probe_id, vec_id AS nb_id,
+        |        list_cosine_similarity(pe, embedding::DOUBLE[]) AS cos
+        |      FROM p, embeddings WHERE vec_id != probe_id),
+        |r AS (SELECT probe_id, nb_id,
+        |        row_number() OVER (PARTITION BY probe_id
+        |                           ORDER BY round(cos, 6) DESC, nb_id ASC) AS rk,
+        |        round(cos, 4) AS cosine
+        |      FROM c),
+        |pairs AS (
+        |  SELECT DISTINCT least(probe_id, nb_id) AS doc_a,
+        |         greatest(probe_id, nb_id) AS doc_b
+        |  FROM r WHERE rk <= 5 AND cosine >= 0.35),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT re.src, e.dst FROM reach re JOIN edges e ON re.dst = e.src)
+        |SELECT src AS vec_id, least(src, min(dst)) AS cluster_id,
+        |  src = least(src, min(dst)) AS keep
+        |FROM reach GROUP BY src""".stripMargin,
   )
 }
