@@ -22,6 +22,23 @@ import org.apache.spark.sql.SparkSession
   * nonzero instead of masquerading as a timing.
   */
 object Bench {
+  /** Single-thread CPU calibration: a fixed xorshift64 spin, timed.
+    * Round-over-round per-query seconds proved incomparable across
+    * rounds (uniform ~1.4-1.6× shifts on UNCHANGED plans — the runs
+    * land on VMs with different per-core speed; see BENCH_NOTES.md).
+    * This constant-work loop gives every artifact a machine-speed
+    * denominator so a future reader can normalize before comparing. */
+  private def calibrate(): Double = {
+    var x = 0x9E3779B97F4A7C15L; var i = 0
+    val t0 = System.nanoTime()
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42) println("") // defeat dead-code elimination
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,7 +92,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"passes":$Reps,"sf":${js(sfDir)}}"""
+    // calibration AFTER the passes (fully warmed JVM, idle executors)
+    val calib = (1 to 3).map(_ => calibrate()).min
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"passes":$Reps,"calib_s":$calib,"sf":${js(sfDir)}}"""
     println(line)
     // The driver keeps only a short tail of sbt stdout, which truncated
     // 70/103 per-query timings out of the round-5 artifact. The full
