@@ -736,6 +736,14 @@ class ClimateSpec extends SparkSpec {
     assert(rows.length == nCells * 5)
   }
 
+  test("drought_episodes: one exchange, one sort — window layers share the key sort") {
+    val plan = SparkEntry.queries("drought_episodes")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan.take(400))
+    assert("\\bSort \\[".r.findAllIn(plan).size === 1,
+      "stats window drifted off the ordered spec (second Sort planned)")
+  }
+
   test("drought_episodes: run boundaries, duration, peak, severity on a constructed series") {
     import spark.implicits._
     // key 1: eight 10s and three 0s (n=11) → mean 80/11; the 0s dip

@@ -100,6 +100,14 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall >= 0.3, s"mean recall $meanRecall")
   }
 
+  test("knn_graph_ivf: no product join anywhere — candidates only via the cell equi-join") {
+    val plan = SparkEntry.queries("knn_graph_ivf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the blocked graph must never fall back to a self-product")
+  }
+
   test("dedup_semantic: cluster keepers are minima, edges stay within clusters") {
     val rows = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))

@@ -146,6 +146,13 @@ class TextOpsSpec extends SparkSpec {
       s"tokenize+explode executes more than once:\n${plan.toString.take(2000)}")
   }
 
+  test("text_repetition: zero exchanges (all signals in-row)") {
+    val plan = SparkEntry.queries("text_repetition")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "the in-row HOF rewrite must not reintroduce a shuffle")
+  }
+
   test("text_repetition: exact recomputation per document") {
     val rows = SparkEntry.queries("text_repetition")(spark, sf).collect()
     assert(rows.length === docs.size)
