@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 import graft.functions.VectorKernels
 
@@ -40,10 +40,47 @@ case class DotExpr(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** Per-row fused top-k cosine against a PLAN-REFERENCED corpus
+  * matrix — the exact k-NN graph's scan operator. The join +
+  * [[TopKAgg]] formulation materializes an UnsafeRow per candidate
+  * pair (both 64-double vectors copied ~n² times) only to feed a
+  * k-bounded reduction; here the matrix rides the stage's reference
+  * array (serialized once per stage, not per pair) and each input
+  * row runs one compiled scan producing its k best neighbors
+  * directly — zero pair rows, zero aggregation state. Ranking,
+  * rounding and self-exclusion are term-for-term the TopKAgg
+  * semantics (see [[graft.functions.VectorKernels.topkCosine]]), so
+  * results and oracles are unchanged. Bounded by construction: the
+  * caller collects the corpus, which is only valid for the
+  * exact-baseline regime (~10⁶ × small dim) — the scale path is the
+  * IVF-blocked graph, which never materializes the corpus anywhere. */
+case class TopKCosineExpr(left: Expression, right: Expression,
+    ids: Array[Long], mat: Array[Array[Double]], k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType), StructField("payload", DoubleType))))
+  override protected def nullSafeEval(emb: Any, selfId: Any): Any =
+    VectorKernels.topkCosine(emb.asInstanceOf[ArrayData],
+      selfId.asInstanceOf[Long], ids, mat, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("knnIds", ids, "long[]")
+    val matRef = ctx.addReferenceObj("knnMat", mat, "double[][]")
+    defineCodeGen(ctx, ev, (e, s) =>
+      s"graft.functions.VectorKernels.topkCosine($e, $s, $idsRef, $matRef, $k)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "topk_cosine"
+}
+
 object VectorColumns {
   private def e(c: Column) = ColumnBridge.expression(c.cast("array<double>"))
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(e(a), e(b)))
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotExpr(e(a), e(b)))
+  def topkCosine(emb: Column, selfId: Column, ids: Array[Long],
+      mat: Array[Array[Double]], k: Int): Column =
+    ColumnBridge.column(TopKCosineExpr(e(emb),
+      ColumnBridge.expression(selfId.cast("long")), ids, mat, k))
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
 /** Vector kernels operating directly on Catalyst ArrayData so the
   * generated code runs one fused loop per row — no per-element
@@ -35,5 +36,65 @@ object VectorKernels {
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
+  }
+
+  /** Fused top-k cosine scan of one row's embedding against a
+    * plan-referenced corpus matrix (see
+    * [[graft.expressions.TopKCosineExpr]]). Semantics are
+    * TERM-FOR-TERM those of the join + [[graft.expressions.TopKAgg]]
+    * formulation it replaces: the cosine accumulates in the same
+    * x*y / x*x / y*y order as [[cosine]], ranking is (cosine rounded
+    * half-up to 6dp DESC, id ASC), `selfId` is excluded, and the
+    * payload is the unrounded cosine — so the DuckDB oracle is
+    * unchanged. The k-slot insertion arrays stay cheap because k is
+    * small; the 6dp rounding (a BigDecimal per call) is only paid by
+    * candidates within 1e-6 of the current worst kept key, which a
+    * raw-cosine pre-check filters (|round6(x) − x| ≤ 5e-7, so
+    * anything further below the worst rounded key cannot enter). */
+  def topkCosine(emb: ArrayData, selfId: Long, ids: Array[Long],
+      mat: Array[Array[Double]], k: Int): ArrayData = {
+    val keys = new Array[Double](k) // rounded, best-first
+    val kid = new Array[Long](k)
+    val pay = new Array[Double](k)
+    var size = 0
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val n = emb.numElements()
+    var c = 0
+    while (c < mat.length) {
+      if (ids(c) != selfId) {
+        val m = mat(c)
+        val len = math.min(n, m.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < len) {
+          val x = emb.getDouble(i); val y = m(i)
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val cos = if (na == 0.0 || nb == 0.0) 0.0
+          else dot / (math.sqrt(na) * math.sqrt(nb))
+        if (size < k || cos > keys(size - 1) - 1e-6) {
+          val key = round6(cos)
+          val beatsWorst = size < k || key > keys(size - 1) ||
+            (key == keys(size - 1) && ids(c) < kid(size - 1))
+          if (beatsWorst) {
+            var pos = 0
+            while (pos < size && !(key > keys(pos) ||
+              (key == keys(pos) && ids(c) < kid(pos)))) pos += 1
+            val last = math.min(size, k - 1)
+            var j = last
+            while (j > pos) {
+              keys(j) = keys(j - 1); kid(j) = kid(j - 1); pay(j) = pay(j - 1)
+              j -= 1
+            }
+            keys(pos) = key; kid(pos) = ids(c); pay(pos) = cos
+            if (size < k) size += 1
+          }
+        }
+      }
+      c += 1
+    }
+    new GenericArrayData((0 until size).map(j =>
+      new GenericInternalRow(Array[Any](kid(j), pay(j)))).toArray[Any])
   }
 }

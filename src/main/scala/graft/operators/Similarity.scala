@@ -70,21 +70,31 @@ object Similarity {
     * connected-component cluster passes consume it). Brute force by
     * construction: the correctness baseline [[knnGraphIvf]] is
     * measured against, same role [[annTopkBruteforce]] plays for the
-    * probe-set ANN family. One side of the self-product is broadcast
-    * (fine to ~10⁶ vectors × small dim); past that the blocked
-    * variant below replaces the product — an exact all-pairs graph
-    * at 100 TB is not a thing any engine should promise. Ranking is
-    * the bounded [[graft.expressions.TopKAgg]] (map-side partial
-    * top-k, O(k) state per vector), never a ranking window over n²
-    * rows. */
+    * probe-set ANN family — an exact all-pairs graph at 100 TB is
+    * not a thing any engine should promise, and the corpus collect
+    * here (like the broadcast it replaces) bounds validity to the
+    * exact-baseline regime (~10⁶ vectors × small dim).
+    *
+    * The n² arithmetic runs in [[graft.expressions.TopKCosineExpr]]:
+    * one compiled scan per row against the stage-referenced corpus
+    * matrix, emitting that row's k best directly. The broadcast
+    * self-join + [[graft.expressions.TopKAgg]] formulation computes
+    * the identical result but materializes an UnsafeRow PER PAIR
+    * (both 64-double vectors copied n² times) just to feed a
+    * k-bounded reduction — measured 4-5× slower at sf0.1. Plan:
+    * scan → project → generate, zero exchanges. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
     knnGraphOf(vecs(spark, dir), 5)
 
   private[graft] def knnGraphOf(v: DataFrame, k: Int): DataFrame = {
-    val self = v.select(col("vec_id").as("probe_id"), col("emb").as("pe"))
-    val scored = v.join(broadcast(self), col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", VectorColumns.cosine(col("pe"), col("emb")))
-    topkPerProbe(scored, k).withColumnRenamed("probe_id", "vec_id")
+    val corpus = v.select(col("vec_id"), col("emb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    v.select(col("vec_id"),
+        posexplode(VectorColumns.topkCosine(col("emb"), col("vec_id"),
+          corpus.map(_._1), corpus.map(_._2), k)))
+      .select(col("vec_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rk"),
+        round(col("col.payload"), 4).as("cosine"))
   }
 
   /** IVF-BLOCKED k-NN graph — the scale path for [[knnGraph]]: the
