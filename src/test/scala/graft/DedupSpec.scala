@@ -92,10 +92,13 @@ class DedupSpec extends SparkSpec {
 
   test("connectedComponents: a 12-node chain converges across many rounds") {
     import spark.implicits._
-    // chain 0-1-2-…-11 (diameter 11) plus an isolated pair (100,101)
+    // chain 0-1-2-…-11 (diameter 11) plus an isolated pair (100,101);
+    // smallGraphMaxEdges = 0 forces the DISTRIBUTED loop — this test
+    // exists to prove O(diameter) round convergence, which the
+    // driver fast path would bypass
     val edges = (0L until 11L).map(i => (i, i + 1)) :+ (100L, 101L)
     val out = graft.operators.Dedup
-      .connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .connectedComponents(edges.toDF("doc_a", "doc_b"), smallGraphMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0L to 11L).foreach(n => assert(out(n) === 0L, s"node $n"))
     assert(out(100L) === 100L && out(101L) === 100L)
@@ -134,12 +137,17 @@ class DedupSpec extends SparkSpec {
         (a, b)
       }.filter(e => e._1 != e._2)
       if (edges.nonEmpty) {
-        val got = graft.operators.Dedup
+        // both regimes must produce the identical canonical labeling
+        val fast = graft.operators.Dedup
           .connectedComponents(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val dist = graft.operators.Dedup
+          .connectedComponents(edges.toDF("doc_a", "doc_b"), smallGraphMaxEdges = 0)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
         val expect = unionFind(touched, edges)
-        assert(got === expect, s"trial $trial (${touched.size} nodes, ${edges.size} edges)")
+        assert(fast === expect, s"trial $trial fast path (${touched.size} nodes)")
+        assert(dist === expect, s"trial $trial distributed path (${touched.size} nodes)")
       }
     }
   }
