@@ -131,6 +131,7 @@ object SparkEntry {
     "knn_graph"           -> Similarity.knnGraph _,
     "knn_graph_ivf"       -> Similarity.knnGraphIvf _,
     "dedup_semantic"      -> Similarity.dedupSemantic _,
+    "embedding_covariance" -> Similarity.embeddingCovariance _,
     "embedding_centroids" -> Similarity.embeddingCentroids _,
     "embedding_quantize"  -> Similarity.embeddingQuantize _,
     "embedding_outliers"  -> Similarity.embeddingOutliers _,
@@ -2179,5 +2180,25 @@ object SparkEntry {
         |SELECT src AS vec_id, least(src, min(dst)) AS cluster_id,
         |  src = least(src, min(dst)) AS keep
         |FROM reach GROUP BY src""".stripMargin,
+
+    "embedding_covariance" ->
+      """WITH q AS (
+        |  SELECT label, list_transform(embedding::DOUBLE[],
+        |         x -> CAST(round(x*1000000) AS BIGINT)) AS u
+        |  FROM embeddings),
+        |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+        |sx AS (SELECT label, r.i AS i, CAST(sum(u[r.i]) AS BIGINT) AS sx
+        |       FROM q, range(1,65) r(i) GROUP BY 1, 2),
+        |sxy AS (SELECT label, a.i AS i, b.j AS j,
+        |        CAST(sum(u[a.i]*u[b.j]) AS BIGINT) AS sxy
+        |        FROM q, range(1,65) a(i), range(1,65) b(j)
+        |        WHERE b.j >= a.i GROUP BY 1, 2, 3)
+        |SELECT s.label, CAST(s.i AS INT) AS dim_i, CAST(s.j AS INT) AS dim_j,
+        |  CAST(n*sxy - xa.sx*xb.sx AS DOUBLE)
+        |    / (CAST(n*(n-1) AS DOUBLE) * 1e12) AS cov
+        |FROM sxy s JOIN cnt USING (label)
+        |JOIN sx xa ON xa.label = s.label AND xa.i = s.i
+        |JOIN sx xb ON xb.label = s.label AND xb.i = s.j
+        |WHERE n >= 2""".stripMargin,
   )
 }

@@ -1,0 +1,112 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Exact-integer CO-MOMENT aggregate over pre-quantized integer
+  * vectors: state is ONE long array holding [count | Σx per dim |
+  * Σx·y per upper-triangle pair], updated in place with map-side
+  * PARTIAL aggregation — the full covariance structure of an
+  * embedding corpus reduces to O(dim²) longs per partition before
+  * the shuffle (dim=64 → ~17 KB), never a (row × dim²) explode.
+  *
+  * Inputs are `array<long>` on purpose: quantize floats ONCE
+  * upstream (float mantissas are 24-bit, so element products of
+  * 1e6-unit quantizations stay far under 2⁶³ for any realistic
+  * group size) and every sum here is exact integer arithmetic —
+  * merge order cannot flip a bit, so downstream covariance values
+  * are engine-reproducible and hash-checkable (SURVEY §5: never
+  * hash-gate a merge-order-dependent double sum). Output:
+  * struct(n, sums array<long>, comoments array<long> row-major
+  * upper triangle).
+  */
+case class MatMomentsAgg(
+    vec: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = vec.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = if (buf.isEmpty) new Array[Long](1 + n + n * (n + 1) / 2) else buf
+    require(acc.length == 1 + n + n * (n + 1) / 2,
+      s"vector dim mismatch: state ${acc.length} vs dim $n")
+    acc(0) += 1
+    var i = 0
+    var idx = 1 + n
+    while (i < n) {
+      val qi = arr.getLong(i)
+      acc(1 + i) += qi
+      var j = i
+      while (j < n) { acc(idx) += qi * arr.getLong(j); idx += 1; j += 1 }
+      i += 1
+    }
+    acc
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    if (other.isEmpty) return buf
+    if (buf.isEmpty) return other
+    require(buf.length == other.length)
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    if (buf.isEmpty) return null
+    // invert 1 + d + d(d+1)/2 = len → d
+    val d = ((math.sqrt(9 + 8.0 * (buf.length - 1)) - 3) / 2).round.toInt
+    new GenericInternalRow(Array[Any](
+      buf(0),
+      new GenericArrayData(buf.slice(1, 1 + d).map(l => l: Any)),
+      new GenericArrayData(buf.drop(1 + d).map(l => l: Any))))
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.length * 8)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bb.getInt)(bb.getLong)
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType),
+    StructField("sums", ArrayType(LongType)),
+    StructField("comoments", ArrayType(LongType))))
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(vec)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(vec = newChildren(0))
+  override def withNewMutableAggBufferOffset(offset: Int): MatMomentsAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MatMomentsAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "mat_moments_agg"
+}
+
+object MatMomentsAgg {
+  /** `matMoments(vec)` as a Column aggregate over `array<long>`. */
+  def matMoments(vec: Column): Column =
+    ColumnBridge.column(MatMomentsAgg(
+      ColumnBridge.expression(vec)).toAggregateExpression())
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.expressions.{TopKAgg, VecSumAgg, VectorColumns}
+import graft.expressions.{MatMomentsAgg, TopKAgg, VecSumAgg, VectorColumns}
 
 /** Embedding similarity operators (SURVEY §2 ops 27-29): exact cosine
   * near-dup pairs, brute-force top-k (the correctness baseline), and
@@ -134,6 +134,46 @@ object Similarity {
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", VectorColumns.cosine(col("pe"), col("emb")))
     topkPerProbe(scored, k).withColumnRenamed("probe_id", "vec_id")
+  }
+
+  /** Per-label COVARIANCE matrix of the embedding space — the
+    * sufficient statistics of PCA/whitening (the OPQ-style rotation
+    * fit before product quantization, drift detection via
+    * covariance shift, redundancy analysis across dimensions). One
+    * hash aggregation: elements quantize to exact 1e-6 integer
+    * units ONCE in the scan, then [[graft.expressions.MatMomentsAgg]]
+    * folds count / Σx / upper-triangle Σx·y into O(dim²) longs of
+    * per-partition state (~17 KB at dim 64) — the covariance of a
+    * 100 TB corpus shuffles kilobytes per partition, and because
+    * every sum is integer the result is bit-identical on any
+    * partitioning and both engines. The (pos → dim pair) map is a
+    * broadcast 2080-row table, not a 2080-literal expression tree.
+    * Unbiased (n−1) normalization; groups with n < 2 are excluded
+    * (no covariance exists, and the guard keeps ANSI division
+    * clean). */
+  def embeddingCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val pairs = for { i <- 1 to dim; j <- i to dim } yield (i, j)
+    import spark.implicits._
+    val pairIdx = broadcast(pairs.zipWithIndex
+      .map { case ((i, j), p) => (p, i, j) }
+      .toDF("pos", "dim_i", "dim_j"))
+    val q = transform(col("embedding").cast("array<double>"),
+      x => round(x * 1e6).cast("long"))
+    Tables.embeddings(spark, dir)
+      .select(col("label"), q.as("u"))
+      .groupBy(col("label"))
+      .agg(MatMomentsAgg.matMoments(col("u")).as("m"))
+      .filter(col("m.n") >= 2)
+      .select(col("label"), col("m.n").as("n"), col("m.sums").as("sums"),
+        posexplode(col("m.comoments")))
+      .join(pairIdx, Seq("pos"))
+      .select(col("label"), col("dim_i"), col("dim_j"),
+        ((col("n") * col("col") -
+          element_at(col("sums"), col("dim_i")) *
+          element_at(col("sums"), col("dim_j"))).cast("double")
+          / ((col("n") * (col("n") - 1)).cast("double") * lit(1e12)))
+          .as("cov"))
   }
 
   /** SEMANTIC dedup (SemDeDup-style): prune the [[knnGraph]]'s

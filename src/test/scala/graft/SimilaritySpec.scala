@@ -129,6 +129,31 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("embedding_covariance: exact integer path matches local recomputation") {
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("label", "cast(embedding as array<double>) as emb")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val got = SparkEntry.queries("embedding_covariance")(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+    val labels = vecs.map(_._1).distinct
+    assert(got.keySet.map(_._1) === labels.toSet)
+    labels.foreach { lbl =>
+      val q = vecs.filter(_._1 == lbl).map(_._2.map(x => math.round(x * 1e6)))
+      val n = q.length.toLong
+      // spot-check a band of pairs incl. the diagonal
+      for (i <- 1 to 8; j <- i to 8) {
+        val sxy = q.map(v => v(i - 1) * v(j - 1)).sum
+        val sxi = q.map(_(i - 1)).sum
+        val sxj = q.map(_(j - 1)).sum
+        val expect = (n * sxy - sxi * sxj).toDouble / ((n * (n - 1)).toDouble * 1e12)
+        assert(got((lbl, i, j)) === expect, s"label $lbl cov($i,$j)")
+        if (i == j) assert(got((lbl, i, j)) >= 0.0, "diagonal is a variance")
+      }
+    }
+    // full upper triangle present for every label: 64*65/2 rows each
+    assert(got.size === labels.length * (64 * 65) / 2)
+  }
+
   test("embedding_centroids: exact per-label means through the O(dim)-state aggregate") {
     val vecs = Tables.embeddings(spark, sf)
       .selectExpr("label", "cast(embedding as array<double>) as emb")
