@@ -132,6 +132,7 @@ object SparkEntry {
     "knn_graph_ivf"       -> Similarity.knnGraphIvf _,
     "dedup_semantic"      -> Similarity.dedupSemantic _,
     "embedding_covariance" -> Similarity.embeddingCovariance _,
+    "embedding_whiten"    -> Similarity.embeddingWhiten _,
     "embedding_centroids" -> Similarity.embeddingCentroids _,
     "embedding_quantize"  -> Similarity.embeddingQuantize _,
     "embedding_outliers"  -> Similarity.embeddingOutliers _,

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -73,6 +73,29 @@ case class TopKCosineExpr(left: Expression, right: Expression,
   override def prettyName: String = "topk_cosine"
 }
 
+/** Centered projection y = W·(x − μ) against a plan-referenced
+  * matrix — the APPLY step of any driver-fitted linear transform
+  * (PCA whitening here; an OPQ rotation would ride the same seam).
+  * W and μ are O(dim²) driver-fitted constants serialized once per
+  * stage via reference objects; each row pays one compiled fused
+  * loop, no join, no literal-tree blowup. */
+case class MatVecExpr(child: Expression, mu: Array[Double],
+    w: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType)
+  override protected def nullSafeEval(emb: Any): Any =
+    VectorKernels.matVec(emb.asInstanceOf[ArrayData], mu, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val muRef = ctx.addReferenceObj("matvecMu", mu, "double[]")
+    val wRef = ctx.addReferenceObj("matvecW", w, "double[][]")
+    defineCodeGen(ctx, ev, e =>
+      s"graft.functions.VectorKernels.matVec($e, $muRef, $wRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "mat_vec"
+}
+
 object VectorColumns {
   private def e(c: Column) = ColumnBridge.expression(c.cast("array<double>"))
   def cosine(a: Column, b: Column): Column =
@@ -83,4 +106,6 @@ object VectorColumns {
       mat: Array[Array[Double]], k: Int): Column =
     ColumnBridge.column(TopKCosineExpr(e(emb),
       ColumnBridge.expression(selfId.cast("long")), ids, mat, k))
+  def matVec(emb: Column, mu: Array[Double], w: Array[Array[Double]]): Column =
+    ColumnBridge.column(MatVecExpr(e(emb), mu, w))
 }

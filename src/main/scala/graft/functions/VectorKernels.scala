@@ -38,6 +38,26 @@ object VectorKernels {
     s
   }
 
+  /** Centered matrix-vector product: y_k = Σ_i w(k)(i)·(x_i − μ_i),
+    * rows of `w` evaluated left-to-right (deterministic fold). The
+    * projection kernel of [[graft.expressions.MatVecExpr]] — the
+    * PCA-whitening apply step. */
+  def matVec(emb: ArrayData, mu: Array[Double],
+      w: Array[Array[Double]]): ArrayData = {
+    val n = math.min(emb.numElements(), mu.length)
+    val out = new Array[Any](w.length)
+    var k = 0
+    while (k < w.length) {
+      val row = w(k)
+      var s = 0.0; var i = 0
+      val len = math.min(n, row.length)
+      while (i < len) { s += row(i) * (emb.getDouble(i) - mu(i)); i += 1 }
+      out(k) = s
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused top-k cosine scan of one row's embedding against a
     * plan-referenced corpus matrix (see
     * [[graft.expressions.TopKCosineExpr]]). Semantics are

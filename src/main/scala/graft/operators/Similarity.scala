@@ -176,6 +176,101 @@ object Similarity {
           .as("cov"))
   }
 
+  /** PCA-WHITENING of the embedding space — fit on
+    * [[embeddingCovariance]]'s exact sufficient statistics, apply as
+    * one compiled projection per row. Fit is DRIVER math on O(dim²)
+    * values (the collected moments row, ~17 KB — the same bounded-
+    * fit argument as the IVF/PQ quantizers): cyclic Jacobi
+    * eigen-decomposition of the covariance, top-`Components`
+    * eigenpairs (λ desc), whitening rows e_k/√λ_k. Apply is
+    * [[graft.expressions.MatVecExpr]] — W and μ ride the stage's
+    * reference array, each vector pays one fused y = W·(x−μ) loop,
+    * zero joins, zero shuffles beyond the scan. Output is the
+    * dimension-reduced whitened sketch (vec_id, component, value):
+    * decorrelated unit-variance axes — the preprocessing PQ/OPQ and
+    * drift monitors want. Deterministic (fixed sweep order, fixed
+    * tolerance, index tie-break) but not SQL-expressible (the eigen
+    * solve), so rows-only + spec: whitening its own fit sample must
+    * produce exactly unit variances and zero cross-covariances,
+    * which the spec asserts to 1e-4. */
+  def embeddingWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val Components = 8
+    val m = Tables.embeddings(spark, dir)
+      .select(transform(col("embedding").cast("array<double>"),
+        x => round(x * 1e6).cast("long")).as("u"))
+      .agg(MatMomentsAgg.matMoments(col("u")).as("m"))
+      .select(col("m.n"), col("m.sums"), col("m.comoments"))
+      .collect()(0)
+    val n = m.getLong(0)
+    require(n >= 2, "whitening needs at least two vectors")
+    val sums = m.getSeq[Long](1).toArray
+    val com = m.getSeq[Long](2).toArray
+    val dim = sums.length
+    val mu = sums.map(_.toDouble / n / 1e6)
+    val cov = Array.ofDim[Double](dim, dim)
+    var idx = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = (n.toDouble * com(idx) - sums(i).toDouble * sums(j)) /
+        (n.toDouble * (n - 1)) / 1e12
+      cov(i)(j) = c; cov(j)(i) = c; idx += 1
+    }
+    val (lambda, vecsE) = jacobiEigen(cov)
+    val order = lambda.indices.sortBy(k => (-lambda(k), k)).take(Components)
+    val w = order.map { k =>
+      val l = math.max(lambda(k), 1e-12)
+      vecsE.map(row => row(k) / math.sqrt(l)) // column k of E, scaled
+    }.toArray
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(VectorColumns.matVec(col("embedding"), mu, w)))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("component"),
+        (floor(col("col") * 1e6 + 0.5) / 1e6).as("value"))
+  }
+
+  /** Cyclic Jacobi eigen-decomposition of a symmetric matrix —
+    * deterministic driver math for the O(dim²) whitening fit.
+    * Returns (eigenvalues, eigenvector matrix E with eigenvectors as
+    * COLUMNS). Fixed sweep order; converges when the off-diagonal
+    * norm drops below 1e-12 (≤ 50 sweeps — a 64² symmetric matrix
+    * needs ~8). */
+  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val e = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm(): Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) s += a(i)(j) * a(i)(j)
+      math.sqrt(s)
+    }
+    var sweep = 0
+    while (offNorm() > 1e-12 && sweep < 50) {
+      for (p <- 0 until d; q <- p + 1 until d if a(p)(q) != 0.0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = if (theta == 0.0) 1.0
+          else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (i <- 0 until d) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+        }
+        for (i <- 0 until d) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - s * aqi
+          a(q)(i) = s * api + c * aqi
+        }
+        for (i <- 0 until d) {
+          val eip = e(i)(p); val eiq = e(i)(q)
+          e(i)(p) = c * eip - s * eiq
+          e(i)(q) = s * eip + c * eiq
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), e)
+  }
+
   /** SEMANTIC dedup (SemDeDup-style): prune the [[knnGraph]]'s
     * high-cosine edges into clusters and keep ONE representative per
     * cluster — near-duplicate MEANING collapses even when the text

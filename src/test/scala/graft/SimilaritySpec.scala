@@ -154,6 +154,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size === labels.length * (64 * 65) / 2)
   }
 
+  test("embedding_whiten: whitening its own fit sample gives unit variance, zero cross-cov") {
+    val rows = SparkEntry.queries("embedding_whiten")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val byVec = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    val n = byVec.size
+    assert(n === Tables.embeddings(spark, sf).count())
+    assert(byVec.values.forall(_.length === 8))
+    val y = byVec.toSeq.sortBy(_._1).map(_._2).toArray
+    for (a <- 0 until 8; b <- a until 8) {
+      val ma = y.map(_(a)).sum / n
+      val mb = y.map(_(b)).sum / n
+      val cov = y.map(v => (v(a) - ma) * (v(b) - mb)).sum / (n - 1)
+      val expect = if (a == b) 1.0 else 0.0
+      // tolerance covers the 1e-6 element quantization of fit + output
+      assert(math.abs(cov - expect) < 5e-3, s"cov($a,$b) = $cov")
+    }
+    // determinism: a second run reproduces every value bit-for-bit
+    val again = SparkEntry.queries("embedding_whiten")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(again.sortBy(t => (t._1, t._2)).toSeq === rows.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("embedding_centroids: exact per-label means through the O(dim)-state aggregate") {
     val vecs = Tables.embeddings(spark, sf)
       .selectExpr("label", "cast(embedding as array<double>) as emb")
