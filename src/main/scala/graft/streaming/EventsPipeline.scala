@@ -162,6 +162,86 @@ object EventsPipeline {
         col("value"), col("anom"), col("z"),
         coalesce(abs(col("z")) > 3.0, lit(false)).as("is_anomaly"))
 
+  /** An observation already scored against the batch climatology —
+    * the output shape of [[scoreAgainstClimatology]] distilled to
+    * what the episode tracker needs. Null-safe: a station without a
+    * climatology row scores no index and never opens an episode. */
+  case class IndexedObs(user_id: Long, ts: java.sql.Timestamp,
+      zscore: Option[Double])
+
+  /** One CLOSED drought episode (the streaming twin of a batch
+    * `drought_episodes` row). */
+  case class Episode(user_id: Long, t_start: java.sql.Timestamp,
+      t_end: java.sql.Timestamp, n_obs: Long, peak: Double, severity: Double)
+
+  /** Open-episode accumulator (one per key with an active run). */
+  case class EpisodeState(startMicros: Long, lastMicros: Long,
+      nObs: Long, peak: Double, sevUnits: Long)
+
+  /** STREAMING run-theory episode detection — the streaming twin of
+    * the batch `drought_episodes` operator, fed by
+    * [[scoreAgainstClimatology]] (climatology fits in batch, scoring
+    * and event detection run on the live feed): per station,
+    * consecutive index observations ≤ −1 fold into ONE open-episode
+    * state — start, last, count, peak, integer-unit severity; O(keys)
+    * total, same accumulation arithmetic as the batch operator. A wet
+    * observation closes the episode and emits it exactly once
+    * (Append mode). An episode whose feed goes quiet cannot stay open
+    * forever: the event-time timeout fires once the watermark passes
+    * `idleGapMinutes` beyond the last dry observation and
+    * force-closes it — the same watermark-bounded-state contract as
+    * `session_window`. Rows sort by event time within each (key,
+    * micro-batch); cross-batch correctness assumes per-key in-order
+    * delivery, which the watermark horizon bounds. */
+  def droughtEpisodes(indexed: Dataset[IndexedObs],
+      idleGapMinutes: Int = 120): Dataset[Episode] = {
+    import indexed.sparkSession.implicits._
+    val gapMs = idleGapMinutes * 60L * 1000L
+    indexed
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EpisodeState, Episode](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[IndexedObs], state: GroupState[EpisodeState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Episode]
+          def close(s: EpisodeState): Unit =
+            out += Episode(uid,
+              new java.sql.Timestamp(s.startMicros / 1000),
+              new java.sql.Timestamp(s.lastMicros / 1000),
+              s.nObs, s.peak, -s.sevUnits / 1e4)
+          if (!rows.hasNext) {
+            // timeout: the watermark passed the idle gap — the open
+            // episode is as long as it will ever get
+            state.getOption.foreach(close)
+            state.remove()
+          } else {
+            var s = state.getOption.orNull
+            rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
+              val dry = r.zscore.exists(_ <= -1.0)
+              if (dry) {
+                val z = r.zscore.get
+                val micros = r.ts.getTime * 1000
+                val units = math.round(z * 1e4)
+                s = if (s == null)
+                  EpisodeState(micros, micros, 1L, z, units)
+                else EpisodeState(s.startMicros, micros, s.nObs + 1,
+                  math.min(s.peak, z), s.sevUnits + units)
+              } else if (r.zscore.isDefined && s != null) { close(s); s = null }
+              // an un-scored observation (no climatology) is neither
+              // dry nor wet: it neither extends nor closes a run
+            }
+            if (s == null) state.remove()
+            else {
+              state.update(s)
+              // the timeout must land beyond the current watermark
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + 1, s.lastMicros / 1000 + gapMs))
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Watermarked stream-STREAM interval join — two LIVE feeds
     * reconciled in flight: each `click` pairs with the same user's
     * `purchase`s from the preceding hour (the reference reconciles a

@@ -490,4 +490,48 @@ class StreamingSpec extends SparkSpec {
       assert(out === Set((1L, 1L, 101L, 7.5)))
     } finally q.stop()
   }
+
+  test("streaming drought episodes: wet close, state across batches, watermark force-close") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import EventsPipeline.{Episode, IndexedObs}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val source = MemoryStream[IndexedObs]
+    val q = EventsPipeline.droughtEpisodes(source.toDS(), idleGapMinutes = 60)
+      .writeStream.format("memory").queryName("episodes")
+      .outputMode("append").start()
+    try {
+      // key 1: two dry obs then a wet one → closes within the batch;
+      // key 2: two dry obs, feed then goes quiet (timeout path);
+      // an unscored obs (None) must neither extend nor close key 1
+      source.addData(
+        IndexedObs(1L, t("2024-01-01 00:00:00"), Some(-1.5)),
+        IndexedObs(1L, t("2024-01-01 00:10:00"), None),
+        IndexedObs(1L, t("2024-01-01 00:20:00"), Some(-2.0)),
+        IndexedObs(1L, t("2024-01-01 00:30:00"), Some(0.5)),
+        IndexedObs(2L, t("2024-01-01 00:00:00"), Some(-1.2)),
+        IndexedObs(2L, t("2024-01-01 00:15:00"), Some(-1.3)))
+      q.processAllAvailable()
+      val first = spark.table("episodes").as[Episode].collect()
+      assert(first.map(_.user_id).toSeq === Seq(1L))
+      val e1 = first.head
+      assert(e1.t_start === t("2024-01-01 00:00:00") &&
+        e1.t_end === t("2024-01-01 00:20:00"))
+      assert(e1.n_obs === 2 && e1.peak === -2.0 && e1.severity === 3.5)
+      // a far-future event advances the watermark (max ts − 1h) well
+      // past key 2's timeout (last dry 00:15 + 60 min) → force-close
+      source.addData(IndexedObs(9L, t("2024-01-01 06:00:00"), Some(0.0)))
+      q.processAllAvailable()
+      // one more batch so the timeout registered above actually fires
+      source.addData(IndexedObs(9L, t("2024-01-01 06:00:01"), Some(0.0)))
+      q.processAllAvailable()
+      val all = spark.table("episodes").as[Episode].collect()
+      val e2s = all.filter(_.user_id == 2L)
+      assert(e2s.length === 1, s"timeout close missing: ${all.toSeq}")
+      val e2 = e2s.head
+      assert(e2.t_start === t("2024-01-01 00:00:00") &&
+        e2.t_end === t("2024-01-01 00:15:00"))
+      assert(e2.n_obs === 2 && e2.peak === -1.3 && e2.severity === 2.5)
+    } finally q.stop()
+  }
 }
