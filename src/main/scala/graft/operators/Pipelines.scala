@@ -119,4 +119,38 @@ object Pipelines {
       .select(lit("corpus_clean").as("collection_id"),
         col("n_docs"), col("n_tokens"), col("n_langs"))
   }
+
+  /** The EMBEDDING-curation product end to end — the semantic half of
+    * corpus curation ([[corpusCuratePublish]] is the lexical half):
+    * candidate edges from the IVF-BLOCKED k-NN graph (the scale path —
+    * the n² exact graph never runs here), high-cosine edges cluster
+    * through connected components, the SemDeDup keep-rule drops
+    * everything but each cluster's minimum id, and the surviving
+    * vectors publish LABEL-partitioned for serving-side pruning. The
+    * keep-list side is O(clustered vectors) — vectors with no
+    * near-duplicate never enter the component pass and flow straight
+    * through the anti-join. Returns the registry row (kept / dropped
+    * / cluster counts) computed from what actually landed on disk,
+    * never by re-running the pipeline. */
+  def embeddingCuratePublish(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val edges = Similarity.knnGraphIvf(spark, dir)
+      .filter(col("cosine") >= 0.35)
+      .select(least(col("vec_id"), col("neighbor_id")).as("doc_a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("doc_b"))
+      .distinct()
+    val drop = Dedup.connectedComponents(edges)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("vec_id"))
+    val kept = Tables.embeddings(spark, dir)
+      .join(drop, Seq("vec_id"), "left_anti")
+    val path = s"$outDir/embeddings_curated"
+    kept.write.mode("overwrite").partitionBy("label").parquet(path)
+    val landed = spark.read.parquet(path)
+      .agg(count(lit(1)).as("n_vecs"), countDistinct(col("label")).as("n_labels"))
+    val total = Tables.embeddings(spark, dir).count()
+    landed.select(lit("embeddings_curated").as("collection_id"),
+      col("n_vecs"), (lit(total) - col("n_vecs")).as("n_dropped"),
+      col("n_labels"))
+  }
 }

@@ -177,6 +177,32 @@ class SimilaritySpec extends SparkSpec {
     assert(again.sortBy(t => (t._1, t._2)).toSeq === rows.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("embeddingCuratePublish: keepers land, drops don't, registry matches disk") {
+    val out = java.nio.file.Files.createTempDirectory("graft-embcur")
+      .toFile.getAbsolutePath
+    val reg = graft.operators.Pipelines
+      .embeddingCuratePublish(spark, sf, out).collect()(0)
+    val total = Tables.embeddings(spark, sf).count()
+    val back = spark.read.parquet(s"$out/embeddings_curated")
+    assert(reg.getLong(1) === back.count())
+    assert(reg.getLong(1) + reg.getLong(2) === total)
+    assert(reg.getLong(2) > 0, "the sf0.001 corpus has near-dups to drop")
+    // every cluster from the same edge source keeps EXACTLY its min
+    // member; published ids must contain each cluster min and none of
+    // the rest
+    val edges = SparkEntry.queries("knn_graph_ivf")(spark, sf)
+      .filter(col("cosine") >= 0.35)
+      .select(least(col("vec_id"), col("neighbor_id")).as("doc_a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("doc_b"))
+      .distinct()
+    val clusters = graft.operators.Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val published = back.select("vec_id").collect().map(_.getLong(0)).toSet
+    clusters.foreach { case (node, cid) =>
+      assert(published.contains(node) === (node == cid), s"node $node")
+    }
+  }
+
   test("embedding_centroids: exact per-label means through the O(dim)-state aggregate") {
     val vecs = Tables.embeddings(spark, sf)
       .selectExpr("label", "cast(embedding as array<double>) as emb")
