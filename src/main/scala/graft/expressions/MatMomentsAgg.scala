@@ -19,14 +19,20 @@ import org.apache.spark.sql.types._
   * the shuffle (dim=64 → ~17 KB), never a (row × dim²) explode.
   *
   * Inputs are `array<long>` on purpose: quantize floats ONCE
-  * upstream (float mantissas are 24-bit, so element products of
-  * 1e6-unit quantizations stay far under 2⁶³ for any realistic
-  * group size) and every sum here is exact integer arithmetic —
-  * merge order cannot flip a bit, so downstream covariance values
-  * are engine-reproducible and hash-checkable (SURVEY §5: never
+  * upstream and every sum here is exact integer arithmetic — merge
+  * order cannot flip a bit, so downstream covariance values are
+  * engine-reproducible and hash-checkable (SURVEY §5: never
   * hash-gate a merge-order-dependent double sum). Output:
   * struct(n, sums array<long>, comoments array<long> row-major
   * upper triangle).
+  *
+  * Overflow envelope — the caller's quantization sets it: a group
+  * of n vectors with units bounded by |q| needs n·q² < 2⁶³, so
+  * 1e6-unit embeddings in [−1, 1] are safe to ~9·10⁶ rows PER
+  * GROUP; a corpus with billion-row groups should quantize at 1e-4
+  * (safe past 9·10¹⁰). Accumulation uses add/multiplyExact, so
+  * exceeding the envelope is a LOUD ArithmeticException at the
+  * offending partial — never a silently wrapped covariance.
   */
 case class MatMomentsAgg(
     vec: Expression,
@@ -49,9 +55,12 @@ case class MatMomentsAgg(
     var idx = 1 + n
     while (i < n) {
       val qi = arr.getLong(i)
-      acc(1 + i) += qi
+      acc(1 + i) = Math.addExact(acc(1 + i), qi)
       var j = i
-      while (j < n) { acc(idx) += qi * arr.getLong(j); idx += 1; j += 1 }
+      while (j < n) {
+        acc(idx) = Math.addExact(acc(idx), Math.multiplyExact(qi, arr.getLong(j)))
+        idx += 1; j += 1
+      }
       i += 1
     }
     acc
@@ -62,7 +71,7 @@ case class MatMomentsAgg(
     if (buf.isEmpty) return other
     require(buf.length == other.length)
     var i = 0
-    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    while (i < buf.length) { buf(i) = Math.addExact(buf(i), other(i)); i += 1 }
     buf
   }
 
