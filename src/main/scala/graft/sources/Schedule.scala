@@ -164,15 +164,20 @@ object Schedule {
       .collect()
     due.toSeq.map { row =>
       val (p, t0, t1) = (row.getString(0), row.getTimestamp(1), row.getTimestamp(2))
-      val slice = runners(p)(t0, t1)
-      // an EMPTY slice is a legitimate quiet tick: advance the
-      // watermark (else it re-runs forever) but skip the write — a
-      // zero-partition dynamic overwrite has nothing to replace and a
-      // first-ever write of an empty frame leaves an unreadable dir
-      val n = slice.count()
-      if (n > 0) Catalog.publishIncremental(slice, "ts", p, outDir)
-      writeWatermark(spark, outDir, p, t1)
-      (p, t0.toString, t1.toString, n)
+      // pin the slice so the emptiness probe and the publish read the
+      // runner's plan once, not twice (a tick slice is bounded by
+      // construction — one cadence interval of one pipeline)
+      val slice = runners(p)(t0, t1).persist()
+      try {
+        // an EMPTY slice is a legitimate quiet tick: advance the
+        // watermark (else it re-runs forever) but skip the write — a
+        // zero-partition dynamic overwrite has nothing to replace and a
+        // first-ever write of an empty frame leaves an unreadable dir
+        val n = slice.count()
+        if (n > 0) Catalog.publishIncremental(slice, "ts", p, outDir)
+        writeWatermark(spark, outDir, p, t1)
+        (p, t0.toString, t1.toString, n)
+      } finally { slice.unpersist(); () }
     }
   }
 }
