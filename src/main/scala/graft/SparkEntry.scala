@@ -49,6 +49,8 @@ object SparkEntry {
     "ts_rolling_median"      -> TimeSeries.rollingMedian _,
     "ts_m4_downsample"       -> TimeSeries.m4Downsample _,
     "ts_trend"               -> TimeSeries.trend _,
+    "ts_theil_sen"           -> TimeSeries.theilSen _,
+    "events_burst_flag"      -> TimeSeries.burstFlag _,
     "ts_climatology_anomaly" -> TimeSeries.climatologyAnomaly _,
     "interval_join"          -> TimeSeries.intervalJoin _,
     // --- geo/climate analytics -----------------------------------
@@ -83,6 +85,7 @@ object SparkEntry {
     "grid_regrid"           -> Climate.gridRegrid _,
     "grid_coarsen"          -> Climate.gridCoarsen _,
     "grid_pyramid"          -> Climate.gridPyramid _,
+    "grid_gradient"         -> Climate.gridGradient _,
     "bbox_filter"           -> Climate.bboxFilter _,
     "extent_summary"        -> Climate.extentSummary _,
     "healthcheck_freshness" -> Climate.healthcheckFreshness _,
@@ -98,6 +101,7 @@ object SparkEntry {
     "lang_id"         -> TextOps.langId _,
     "text_quality"    -> TextOps.textQuality _,
     "quality_rules"   -> TextOps.qualityRules _,
+    "quality_funnel"  -> TextOps.qualityFunnel _,
     "token_count"     -> TextOps.tokenCount _,
     "doc_fingerprint" -> TextOps.docFingerprint _,
     "corpus_sample"   -> TextOps.corpusSample _,
@@ -412,23 +416,40 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (same tables, same column names,
     * same rounding). Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    // exact integer sums (cents / basis points; DuckDB's BIGINT sum
+    // widens to HUGEINT, Spark's to DECIMAL(38)), one division each —
+    // merge-order-free on both engines
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      """WITH s AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sq,
+        |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sep,
+        |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))) AS sdp,
+        |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+        |      * (10000 + CAST(floor(l_tax * 10000 + 0.5) AS BIGINT))) AS sch,
+        |    sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS sd,
+        |    count(*) AS count_order
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |  GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(sq AS DOUBLE) AS sum_qty,
+        |  CAST(sep AS DOUBLE) / 100.0 AS sum_base_price,
+        |  round(CAST(sdp AS DOUBLE) / 1e6, 2) AS sum_disc_price,
+        |  round(CAST(sch AS DOUBLE) / 1e10, 2) AS sum_charge,
+        |  floor(CAST(sq AS DOUBLE) * 1e4 / count_order + 0.5) / 1e4 AS avg_qty,
+        |  floor(CAST(sep AS DOUBLE) * 100.0 / count_order + 0.5) / 1e4 AS avg_price,
+        |  floor(CAST(sd AS DOUBLE) / count_order + 0.5) / 1e4 AS avg_disc,
+        |  count_order
+        |FROM s""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l.l_orderkey,
-        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |  round(CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)))
+        |    AS DOUBLE) / 1e6, 2) AS revenue,
         |  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -442,7 +463,9 @@ object SparkEntry {
 
     "q5_local_supplier" ->
       """SELECT n.n_name,
-        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |  round(CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)))
+        |    AS DOUBLE) / 1e6, 2) AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -467,7 +490,8 @@ object SparkEntry {
     "events_json_extract" ->
       """SELECT event_type,
         |  count(*) AS n,
-        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        |  floor(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS DOUBLE) * 1e4 / count(*) + 0.5) / 1e4 AS avg_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events
         |GROUP BY event_type""".stripMargin,
@@ -481,8 +505,10 @@ object SparkEntry {
       """SELECT event_type,
         |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  count(*) AS n,
-        |  round(sum(value), 2) AS sum_value,
-        |  round(avg(value), 4) AS avg_value
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_value,
+        |  floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    * 100.0 / count(*) + 0.5) / 1e4 AS avg_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
 
@@ -497,8 +523,11 @@ object SparkEntry {
       """SELECT user_id,
         |  strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
         |  count(*) AS n,
-        |  floor(avg(value) * 1e4 + 0.5) / 1e4 AS avg_rate,
-        |  floor(avg(value) * day(last_day(date_trunc('month', ts))) * 1e4 + 0.5) / 1e4 AS month_total
+        |  floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    * 100.0 / count(*) + 0.5) / 1e4 AS avg_rate,
+        |  floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 100
+        |      * day(last_day(date_trunc('month', ts))) AS DOUBLE)
+        |    / count(*) + 0.5) / 1e4 AS month_total
         |FROM events
         |GROUP BY user_id, date_trunc('month', ts)""".stripMargin,
 
@@ -707,6 +736,45 @@ object SparkEntry {
         |      / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)) * 1e4 + 0.5) / 1e4 END AS r2
         |FROM s""".stripMargin,
 
+    // daily means are exact rationals (cent sums / count), each pair
+    // slope one IEEE division, and the median is an ORDER STATISTIC —
+    // partition order can't reach it the way it reaches a sum
+    "ts_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS y
+        |  FROM events GROUP BY 1, 2),
+        |nd AS (SELECT user_id, count(*) AS n_days FROM daily GROUP BY 1),
+        |p AS (
+        |  SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS s
+        |  FROM daily a JOIN daily b ON a.user_id = b.user_id AND b.x > a.x),
+        |m AS (
+        |  SELECT user_id, count(*) AS n_pairs, list_sort(list(s)) AS ss
+        |  FROM p GROUP BY 1)
+        |SELECT m.user_id, nd.n_days, m.n_pairs,
+        |  floor((CASE WHEN len(ss) % 2 = 1 THEN ss[(len(ss) + 1) // 2]
+        |         ELSE (ss[len(ss) // 2] + ss[len(ss) // 2 + 1]) / 2.0 END)
+        |    * 1e6 + 0.5) / 1e6 AS sen_slope
+        |FROM m JOIN nd ON m.user_id = nd.user_id""".stripMargin,
+
+    "events_burst_flag" ->
+      """WITH d AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events,
+        |    count(*) AS n_active_days, max(cnt) AS peak_day_events
+        |  FROM d GROUP BY 1)
+        |SELECT p.user_id, p.n_events, p.n_active_days, p.peak_day_events,
+        |  min(d.day) AS peak_day,
+        |  p.n_active_days >= 3
+        |    AND p.peak_day_events * p.n_active_days > 2 * p.n_events AS is_bursty
+        |FROM p JOIN d ON d.user_id = p.user_id AND d.cnt = p.peak_day_events
+        |GROUP BY ALL""".stripMargin,
+
     "ts_rolling_median" ->
       """WITH h AS (
         |  SELECT event_id, user_id, value,
@@ -907,9 +975,13 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
 
     "bias_delta" ->
-      """WITH ref AS (SELECT user_id, avg(value) AS ref_mean FROM events
+      """WITH ref AS (SELECT user_id,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS ref_mean FROM events
         |             WHERE event_type = 'view' GROUP BY 1),
-        |fm AS (SELECT user_id, avg(value) AS fcst_mean FROM events
+        |fm AS (SELECT user_id,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS fcst_mean FROM events
         |       WHERE event_type = 'click' GROUP BY 1)
         |SELECT e.event_id, e.user_id, round(e.value, 2) AS fcst_value,
         |  floor((e.value + coalesce(r.ref_mean - f.fcst_mean, 0.0)) * 1e4 + 0.5) / 1e4 AS corrected
@@ -930,9 +1002,17 @@ object SparkEntry {
         |  SELECT f.user_id,
         |         floor((r.r_min_mean - f.f_min_mean) * 1e6 + 0.5) / 1e6 AS d_min,
         |         floor((r.r_range_mean - f.f_range_mean) * 1e6 + 0.5) / 1e6 AS d_range
-        |  FROM (SELECT user_id, avg(vmin) AS f_min_mean, avg(vrange) AS f_range_mean
+        |  FROM (SELECT user_id,
+        |          CAST(sum(CAST(floor(vmin * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |            / (count(*) * 100.0) AS f_min_mean,
+        |          CAST(sum(CAST(floor(vrange * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |            / (count(*) * 100.0) AS f_range_mean
         |        FROM fc GROUP BY 1) f
-        |  JOIN (SELECT user_id, avg(vmin) AS r_min_mean, avg(vrange) AS r_range_mean
+        |  JOIN (SELECT user_id,
+        |          CAST(sum(CAST(floor(vmin * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |            / (count(*) * 100.0) AS r_min_mean,
+        |          CAST(sum(CAST(floor(vrange * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |            / (count(*) * 100.0) AS r_range_mean
         |        FROM ref GROUP BY 1) r ON f.user_id = r.user_id
         |), adj AS (
         |  SELECT fc.user_id, fc.day,
@@ -1160,7 +1240,9 @@ object SparkEntry {
       s"""WITH ra(doy, ra) AS (VALUES $raTableSql),
         |daily AS (
         |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-        |    max(value)/10.0 AS tmax, min(value)/10.0 AS tmin, avg(value)/10.0 AS tmean
+        |    max(value)/10.0 AS tmax, min(value)/10.0 AS tmin,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 1000.0) AS tmean
         |  FROM events GROUP BY 1, 2),
         |p AS (
         |  SELECT user_id, day,
@@ -1175,7 +1257,9 @@ object SparkEntry {
     "zonal_stats" ->
       """SELECT CAST(floor(((user_id % 36) * 5.0 - 87.5) / 30) AS INT) AS zone_y,
         |       CAST(floor(((user_id % 72) * 5.0 - 177.5) / 30) AS INT) AS zone_x,
-        |  count(*) AS n, round(avg(value), 4) AS avg_value,
+        |  count(*) AS n,
+        |  floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    * 100.0 / count(*) + 0.5) / 1e4 AS avg_value,
         |  round(min(value), 2) AS min_value, round(max(value), 2) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
@@ -1240,7 +1324,8 @@ object SparkEntry {
       """WITH cell AS (
         |  SELECT user_id, event_id % 5 AS member,
         |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
-        |    avg(value) AS wk_mean
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS wk_mean
         |  FROM events GROUP BY 1, 2, 3),
         |z AS (
         |  SELECT user_id, week,
@@ -1321,7 +1406,8 @@ object SparkEntry {
     "grid_regrid" ->
       """WITH g AS (
         |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
-        |    round(avg(value), 6) AS v
+        |    floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) / 1e6 AS v
         |  FROM events GROUP BY 1, 2)
         |SELECT g00.gy AS cell_y, g00.gx AS cell_x,
         |  round(g00.gy + 0.25, 2) AS target_y,
@@ -1336,7 +1422,8 @@ object SparkEntry {
     "grid_coarsen" ->
       """WITH g AS (
         |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
-        |    CAST(floor(avg(value) * 1e6 + 0.5) AS BIGINT) AS v_us,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us,
         |    count(*) AS n_obs
         |  FROM events GROUP BY 1, 2)
         |SELECT gy - gy % 2 AS block_y, gx - gx % 2 AS block_x,
@@ -1347,10 +1434,41 @@ object SparkEntry {
         |  CAST(max(v_us) AS DOUBLE) / 1e6 AS v_max
         |FROM g GROUP BY 1, 2""".stripMargin,
 
+    // differences are exact longs, slope one correctly-rounded sqrt
+    // of an exact integer, aspect pure integer octant comparisons
+    "grid_gradient" ->
+      """WITH c AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2)
+        |SELECT c.gy, c.gx,
+        |  floor((xp.v_us - xm.v_us) / 2.0 + 0.5) / 1e6 AS dzdx,
+        |  floor((yp.v_us - ym.v_us) / 2.0 + 0.5) / 1e6 AS dzdy,
+        |  floor(sqrt(CAST((xp.v_us - xm.v_us) * (xp.v_us - xm.v_us)
+        |    + (yp.v_us - ym.v_us) * (yp.v_us - ym.v_us) AS DOUBLE)) / 2.0 + 0.5)
+        |    / 1e6 AS slope,
+        |  CASE
+        |    WHEN xp.v_us - xm.v_us = 0 AND yp.v_us - ym.v_us = 0 THEN 'flat'
+        |    WHEN abs(xp.v_us - xm.v_us) >= 2 * abs(yp.v_us - ym.v_us)
+        |      THEN CASE WHEN xp.v_us - xm.v_us > 0 THEN 'E' ELSE 'W' END
+        |    WHEN abs(yp.v_us - ym.v_us) >= 2 * abs(xp.v_us - xm.v_us)
+        |      THEN CASE WHEN yp.v_us - ym.v_us > 0 THEN 'N' ELSE 'S' END
+        |    WHEN xp.v_us - xm.v_us > 0
+        |      THEN CASE WHEN yp.v_us - ym.v_us > 0 THEN 'NE' ELSE 'SE' END
+        |    ELSE CASE WHEN yp.v_us - ym.v_us > 0 THEN 'NW' ELSE 'SW' END
+        |  END AS aspect
+        |FROM c
+        |JOIN c xp ON xp.gy = c.gy AND xp.gx = c.gx + 1
+        |JOIN c xm ON xm.gy = c.gy AND xm.gx = c.gx - 1
+        |JOIN c yp ON yp.gy = c.gy + 1 AND yp.gx = c.gx
+        |JOIN c ym ON ym.gy = c.gy - 1 AND ym.gx = c.gx""".stripMargin,
+
     "grid_pyramid" ->
       """WITH g AS (
         |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
-        |    CAST(floor(avg(value) * 1e6 + 0.5) AS BIGINT) AS v_us,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us,
         |    count(*) AS n_obs
         |  FROM events GROUP BY 1, 2),
         |c AS (SELECT *, gy - gy % 2 AS b2y, gx - gx % 2 AS b2x,
@@ -1369,7 +1487,9 @@ object SparkEntry {
         |FROM p""".stripMargin,
 
     "bbox_filter" ->
-      """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+      """SELECT event_type, count(*) AS n,
+        |  floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    * 100.0 / count(*) + 0.5) / 1e4 AS avg_value
         |FROM (SELECT event_type, value,
         |        (user_id % 36) * 5.0 - 87.5 AS lat,
         |        (user_id % 72) * 5.0 - 177.5 AS lon
@@ -1608,6 +1728,52 @@ object SparkEntry {
         |  ('no_stopwords', f_no_stopwords),
         |  ('low_diversity', f_low_diversity),
         |  ('any_rule', f_any_rule)) AS v(rule, n_fail)""".stripMargin,
+
+    // ordered first-failure CASE; the n_in ladder is rendered into
+    // the VALUES rows — same exact-integer thresholds as quality_rules
+    "quality_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+        |    CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, n_chars, n_digits,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(toks, x -> x = 'the'))
+        |       + len(list_filter(toks, x -> x = 'a')) AS BIGINT) AS n_stop
+        |  FROM t),
+        |r AS (
+        |  SELECT CASE
+        |    WHEN n_tokens < 5 THEN 1
+        |    WHEN (n_chars - (n_tokens - 1)) < 3 * n_tokens
+        |      OR (n_chars - (n_tokens - 1)) > 10 * n_tokens THEN 2
+        |    WHEN 5 * n_digits > n_chars THEN 3
+        |    WHEN n_stop = 0 THEN 4
+        |    WHEN 10 * n_distinct < 3 * n_tokens THEN 5
+        |    ELSE 0 END AS ff
+        |  FROM u),
+        |a AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |    CAST(sum(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+        |    CAST(sum(CASE WHEN ff = 4 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+        |    CAST(sum(CASE WHEN ff = 5 THEN 1 ELSE 0 END) AS BIGINT) AS f5
+        |  FROM r)
+        |SELECT v.stage, v.rule, v.n_in, v.n_dropped,
+        |  v.n_in - v.n_dropped AS n_out,
+        |  CASE WHEN v.n_in > 0
+        |    THEN floor(CAST(v.n_dropped AS DOUBLE) / v.n_in * 1e4 + 0.5) / 1e4
+        |  END AS drop_rate
+        |FROM a, LATERAL (VALUES
+        |  (1, 'too_few_tokens', n_docs, f1),
+        |  (2, 'mean_token_len_out', n_docs - f1, f2),
+        |  (3, 'digit_heavy', n_docs - f1 - f2, f3),
+        |  (4, 'no_stopwords', n_docs - f1 - f2 - f3, f4),
+        |  (5, 'low_diversity', n_docs - f1 - f2 - f3 - f4, f5))
+        |  AS v(stage, rule, n_in, n_dropped)""".stripMargin,
 
     "token_count" ->
       """WITH t AS (

@@ -271,10 +271,14 @@ object Climate {
     * distribution (`bias_correction_cds_process.py` delta mode). */
   def biasDelta(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val refMean = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(avg(col("value")).as("ref_mean"))
-    val fcstMean = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id")).agg(avg(col("value")).as("fcst_mean"))
+    // exact cent sums, one division each: the means (and so the
+    // delta) carry no summation-order ulps into the quantized output
+    def meanOf(t: String, name: String) = ev.filter(col("event_type") === t)
+      .groupBy(col("user_id"))
+      .agg((sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
+        / (count(lit(1)) * lit(100.0))).as(name))
+    val refMean = meanOf("view", "ref_mean")
+    val fcstMean = meanOf("click", "fcst_mean")
     ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "value")
       .join(fcstMean, Seq("user_id"), "left")
@@ -317,19 +321,19 @@ object Climate {
     * arbitrary forecast/reference daily frames
     * (user_id, day, vmin, vrange). */
   private[graft] def reconstructFrom(fc: DataFrame, ref: DataFrame): DataFrame = {
-    val deltas = fc.groupBy(col("user_id"))
-      .agg(avg(col("vmin")).as("f_min_mean"), avg(col("vrange")).as("f_range_mean"))
-      .join(ref.groupBy(col("user_id"))
-        .agg(avg(col("vmin")).as("r_min_mean"), avg(col("vrange")).as("r_range_mean")),
-        Seq("user_id"))
+    // means from exact cent sums (vmin/vrange are 2-decimal), ONE
+    // division each: both engines derive the deltas from identical
+    // bits, so no summation-order ulp exists to straddle a quantum
+    def means(df: DataFrame, p: String) = df.groupBy(col("user_id"))
+      .agg((sum(floor(col("vmin") * 100 + 0.5).cast("long")).cast("double")
+          / (count(lit(1)) * lit(100.0))).as(s"${p}_min_mean"),
+        (sum(floor(col("vrange") * 100 + 0.5).cast("long")).cast("double")
+          / (count(lit(1)) * lit(100.0))).as(s"${p}_range_mean"))
+    val deltas = means(fc, "f")
+      .join(means(ref, "r"), Seq("user_id"))
       .select(col("user_id"),
-        // the deltas are differences of averages, whose last ulp
-        // varies with each engine's (and each RUN's) summation order;
-        // for some stations they land exactly on half-quantum
-        // boundaries of the output grid, so every derived day flips.
-        // Quantizing the deltas on a finer grid pins them to the same
-        // bits on both engines, making all downstream arithmetic
-        // bit-identical (a grid point v±ulp floors to v either way).
+        // quantize the deltas once so a grid-point v±ulp from the
+        // divisions floors identically everywhere downstream
         (floor((col("r_min_mean") - col("f_min_mean")) * 1e6 + 0.5) / 1e6)
           .as("d_min"),
         (floor((col("r_range_mean") - col("f_range_mean")) * 1e6 + 0.5) / 1e6)
@@ -782,7 +786,10 @@ object Climate {
       .agg(
         (max(col("value")) / 10.0).as("tmax"),
         (min(col("value")) / 10.0).as("tmin"),
-        (avg(col("value")) / 10.0).as("tmean"))
+        // exact cent sum, one division (avg/10 = cents/(1000·n)) —
+        // the raw-double avg's ulps would reach every derived pet
+        (sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
+          / (count(lit(1)) * lit(1000.0))).as("tmean"))
       .withColumn("doy", dayofyear(to_date(col("day"))))
     val wCum = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -830,7 +837,13 @@ object Climate {
     val grid = Tables.events(spark, dir)
       .groupBy((col("user_id") % 8).as("gy"),
         expr("user_id div 8 % 8").as("gx"))
-      .agg(round(avg(col("value")), 6).as("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_c"))
+      // exact cent sum → one division → 6dp quantize (§5: a raw
+      // double avg can sit on a half-quantum of the 1e-6 grid)
+      .select(col("gy"), col("gx"),
+        (floor((col("sum_c") * 10000L).cast("double") / col("n") + 0.5) / 1e6)
+          .as("v"))
     bilinear(grid, 0.25, 0.75)
   }
 
@@ -844,14 +857,16 @@ object Climate {
     * moves O(cells) rows regardless of fact size, so coarsening an
     * overview pyramid level is never a second scan of the data. */
   def gridCoarsen(spark: SparkSession, dir: String): DataFrame = {
-    // Cell means quantize to INTEGER micro-units before the rollup:
-    // a mean of values already on the 1e-6 grid lands exactly on
-    // half-quantum boundaries (the §5 halving trap), so the block
-    // level sums exact integers (order-independent) and divides once.
+    // Cell means quantize to INTEGER micro-units before the rollup —
+    // and the micro-units themselves derive from exact CENT sums
+    // (one division), not a raw double avg whose merge-order ulps
+    // could flip the floor at a half-quantum (the §5 trap). The
+    // block level then sums exact integers and divides once.
     val grid = Tables.events(spark, dir)
       .groupBy((col("user_id") % 8).as("gy"),
         expr("user_id div 8 % 8").as("gx"))
-      .agg(floor(avg(col("value")) * 1e6 + 0.5).cast("long").as("v_us"),
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+          .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"),
         count(lit(1)).as("n_obs"))
     grid.groupBy((col("gy") - (col("gy") % 2)).as("block_y"),
         (col("gx") - (col("gx") % 2)).as("block_x"))
@@ -876,7 +891,8 @@ object Climate {
     val cells = Tables.events(spark, dir)
       .groupBy((col("user_id") % 8).as("gy"),
         expr("user_id div 8 % 8").as("gx"))
-      .agg(floor(avg(col("value")) * 1e6 + 0.5).cast("long").as("v_us"),
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+          .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"),
         count(lit(1)).as("n_obs"))
       .select(col("gy"), col("gx"), col("v_us"), col("n_obs"),
         (col("gy") - (col("gy") % 2)).as("b2y"),
@@ -899,6 +915,56 @@ object Climate {
         coalesce(col("b2y"), col("b4y"), lit(-1L)).as("block_y"),
         coalesce(col("b2x"), col("b4x"), lit(-1L)).as("block_x"),
         col("n_cells"), col("n_obs"), col("v_mean"), col("v_min"), col("v_max"))
+  }
+
+  /** Terrain-style GRADIENT of the gridded field — slope magnitude
+    * and 8-way aspect per interior cell by central differences, the
+    * raster-derivative primitive behind hillshade/slope/aspect
+    * products (GDAL `gdaldem slope/aspect`; the reference publishes
+    * GDAL-derived rasters the same way it publishes contours).
+    *
+    * Shape at scale: the field aggregates once to integer-micro-unit
+    * cells ([[gridCoarsen]]'s quantization), then each cell meets its
+    * four axis neighbors via shifted-key self-equi-joins on the
+    * O(cells) table ([[bilinear]]'s corner trick) — all joins are on
+    * the aggregated grid, never the fact table, and AQE broadcasts
+    * them when a tile fits. Inner joins drop edge cells (the
+    * NaN-at-edge semantics of every raster derivative).
+    *
+    * Determinism: differences are exact longs; slope is ONE
+    * correctly-rounded `sqrt` of an exact integer (dx²+dy² < 2⁶³)
+    * halved and quantized once; aspect classifies CROSS-MULTIPLIED
+    * integers (|dy| vs 2|dx| octant rule), so no trig and no float
+    * comparison anywhere — both engines agree bit-for-bit. */
+  def gridGradient(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+          .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
+    def at(dy: Int, dx: Int, name: String) =
+      cells.select((col("gy") - dy).as("gy"), (col("gx") - dx).as("gx"),
+        col("v_us").as(name))
+    val ddx = col("vxp") - col("vxm")
+    val ddy = col("vyp") - col("vym")
+    val adx = abs(ddx)
+    val ady = abs(ddy)
+    cells
+      .join(at(0, 1, "vxp"), Seq("gy", "gx"))
+      .join(at(0, -1, "vxm"), Seq("gy", "gx"))
+      .join(at(1, 0, "vyp"), Seq("gy", "gx"))
+      .join(at(-1, 0, "vym"), Seq("gy", "gx"))
+      .select(col("gy"), col("gx"),
+        (floor(ddx / 2.0 + 0.5) / 1e6).as("dzdx"),
+        (floor(ddy / 2.0 + 0.5) / 1e6).as("dzdy"),
+        (floor(sqrt((ddx * ddx + ddy * ddy).cast("double")) / 2.0 + 0.5) / 1e6)
+          .as("slope"),
+        when(ddx === 0 && ddy === 0, "flat")
+          .when(adx >= ady * 2, when(ddx > 0, "E").otherwise("W"))
+          .when(ady >= adx * 2, when(ddy > 0, "N").otherwise("S"))
+          .when(ddx > 0, when(ddy > 0, "NE").otherwise("SE"))
+          .otherwise(when(ddy > 0, "NW").otherwise("SW"))
+          .as("aspect"))
   }
 
   /** The reference's contour levels (`ingestor_knmi_evapo_fc.py:260`
@@ -957,9 +1023,15 @@ object Climate {
       .groupBy(col("zone_y"), col("zone_x"))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("value")), 4).as("avg_value"),
+        // exact cent sum, one division (§5: a raw-double group mean
+        // can land on a half-quantum of the 1e-4 grid and flip)
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_c"),
         round(min(col("value")), 2).as("min_value"),
         round(max(col("value")), 2).as("max_value"))
+      .select(col("zone_y"), col("zone_x"), col("n"),
+        (floor(col("sum_c").cast("double") * 100.0 / col("n") + 0.5) / 1e4)
+          .as("avg_value"),
+        col("min_value"), col("max_value"))
   }
 
   /** Zonal statistics over the DROUGHT INDEX — the reference's actual
@@ -1031,7 +1103,10 @@ object Climate {
       .withColumn("member", col("event_id") % 5)
       .groupBy(col("user_id"), col("member"),
         date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"))
-      .agg(avg(col("value")).as("wk_mean"))
+      // exact cent sum, one division: the weekly means enter the
+      // standardization with identical bits on every engine
+      .agg((sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
+        / (count(lit(1)) * lit(100.0))).as("wk_mean"))
     val wKey = Window.partitionBy(col("user_id"), col("member"))
     val z = cell.withColumn("z",
       (col("wk_mean") - avg(col("wk_mean")).over(wKey))
@@ -1315,7 +1390,12 @@ object Climate {
       .filter(col("lat") >= -45 && col("lat") <= 45 &&
         col("lon") >= -60 && col("lon") <= 60)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_c"))
+      .select(col("event_type"), col("n"),
+        // exact cent sum, one division — see zonalStats
+        (floor(col("sum_c").cast("double") * 100.0 / col("n") + 0.5) / 1e4)
+          .as("avg_value"))
   }
 
   /** Collection extent (bbox + time span) per collection — what the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -21,28 +21,60 @@ import graft.Tables
   *  - aggregates are `functions._` only (whole-stage codegen, map-side
   *    partial aggregation).
   *
-  * All float aggregates are rounded on BOTH sides (here and in the
-  * DuckDB oracle) to absorb summation-order ulps.
+  * All money/value aggregates accumulate EXACT integer units (cents,
+  * basis points — the inputs are fixed-decimal) and divide back to
+  * doubles once, identically in the DuckDB oracle: no summation-order
+  * ulp can reach a rounded output on any engine or partitioning.
   */
 object Relational {
+
+  /** Exact integer money units for the TPC-H-style aggregates: the
+    * inputs are 2-decimal (price/quantity) and 4-decimal
+    * (discount/tax rates), so cents / basis points are exact longs
+    * and every sum below is merge-order-free on any engine and any
+    * partitioning — a raw double Σ carries summation-order ulps into
+    * the rounded output, and a group mean can land exactly on a
+    * half-quantum of the output grid (the §5 trap). */
+  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+  private def bps(c: Column): Column = floor(c * 10000 + 0.5).cast("long")
+
+  /** 38-digit exact sums for money PRODUCTS (cents × basis points ≤
+    * 1e15/row fits a long; the SUM at 100 TB does not — a long Σ
+    * would wrap silently, a decimal Σ is exact to 1e38 and fails
+    * LOUDLY under ANSI past that). */
+  private def dec38(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
 
   /** TPC-H Q1-style pricing summary: one wide scan, group on two
     * low-cardinality keys. At 100 TB this is the map-side-combine
     * showcase: partial aggs reduce ~billions of rows to ~6 groups
-    * before the (tiny) shuffle. */
+    * before the (tiny) shuffle. All sufficient statistics are exact
+    * integer sums ([[cents]]/[[bps]]); one division each at the end. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val disc = lit(10000L) - bps(col("l_discount"))   // (1-d) in 1e-4 units
+    val tax  = lit(10000L) + bps(col("l_tax"))        // (1+t) in 1e-4 units
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        sum(floor(col("l_quantity") + 0.5).cast("long")).as("sq"),
+        sum(cents(col("l_extendedprice"))).as("sep"),
+        sum(dec38(cents(col("l_extendedprice")) * disc)).as("sdp"),
+        sum(dec38(cents(col("l_extendedprice")) * disc * tax)).as("sch"),
+        sum(bps(col("l_discount"))).as("sd"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sq").cast("double").as("sum_qty"),
+        (col("sep").cast("double") / 100.0).as("sum_base_price"),
+        round(col("sdp").cast("double") / 1e6, 2).as("sum_disc_price"),
+        round(col("sch").cast("double") / 1e10, 2).as("sum_charge"),
+        (floor(col("sq").cast("double") * 1e4 / col("count_order") + 0.5) / 1e4)
+          .as("avg_qty"),
+        (floor(col("sep").cast("double") * 100.0 / col("count_order") + 0.5) / 1e4)
+          .as("avg_price"),
+        (floor(col("sd").cast("double") / col("count_order") + 0.5) / 1e4)
+          .as("avg_disc"),
+        col("count_order"))
   }
 
   /** TPC-H Q3-style: selective filter, two fact joins, agg +
@@ -65,7 +97,9 @@ object Relational {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(dec38(cents(col("l_extendedprice"))
+        * (lit(10000L) - bps(col("l_discount"))))).cast("double") / 1e6, 2)
+        .as("revenue"))
       .select(col("l_orderkey"), col("revenue"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -100,7 +134,9 @@ object Relational {
         li("l_suppkey") === supp("s_suppkey") &&
           col("n_nationkey") === supp("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(dec38(cents(col("l_extendedprice"))
+        * (lit(10000L) - bps(col("l_discount"))))).cast("double") / 1e6, 2)
+        .as("revenue"))
   }
 
   /** Top-k rows per group — the reference's "latest/extreme N per
@@ -137,8 +173,12 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("k")), 4).as("avg_k"),
+        sum(col("k")).as("sk"),
         max(col("k")).as("max_k"))
+      .select(col("event_type"), col("n"),
+        // exact integer Σk, one division — see cents/bps note above
+        (floor(col("sk").cast("double") * 1e4 / col("n") + 0.5) / 1e4).as("avg_k"),
+        col("max_k"))
   }
 
   /** Exact daily active-station cardinality per collection — the

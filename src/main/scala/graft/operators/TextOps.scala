@@ -103,6 +103,34 @@ object TextOps {
   val qualityRuleNames: Seq[String] = Seq("too_few_tokens",
     "mean_token_len_out", "digit_heavy", "no_stopwords", "low_diversity")
 
+  /** Documents with the per-doc counters the quality battery tests —
+    * shared scan stage of [[qualityRules]] and [[qualityFunnel]]. */
+  private def qualityRuleDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", words(normalized(col("text"))))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_digits",
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
+      .withColumn("n_stop",
+        (cnt(col("toks"), "the") + cnt(col("toks"), "a")).cast("long"))
+
+  /** The named rule predicates over [[qualityRuleDocs]] columns, in
+    * [[qualityRuleNames]] order (= the funnel's stage order). */
+  private def qualityRuleConds: Seq[(String, Column)] = {
+    val meanLen = col("n_chars") - (col("n_tokens") - 1) // = mean*n_tokens
+    val rules: Seq[(String, Column)] = Seq(
+      "too_few_tokens"     -> (col("n_tokens") < 5),
+      "mean_token_len_out" -> (meanLen < lit(3) * col("n_tokens") ||
+        meanLen > lit(10) * col("n_tokens")),
+      "digit_heavy"        -> (lit(5) * col("n_digits") > col("n_chars")),
+      "no_stopwords"       -> (col("n_stop") === 0),
+      "low_diversity"      -> (lit(10) * col("n_distinct") <
+        lit(3) * col("n_tokens")))
+    require(rules.map(_._1) == qualityRuleNames)
+    rules
+  }
+
   /** Rule-BASED quality filtering report — the Gopher/C4-style named
     * heuristic battery ([[textQuality]] scores continuously; curation
     * pipelines mostly gate on hard rules): per rule, how many
@@ -116,24 +144,8 @@ object TextOps {
     * corpus (real Gopher gates: ≥50 words, mean len 3-10, ≥2
     * stopwords…). */
   def qualityRules(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .withColumn("toks", words(normalized(col("text"))))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
-      .withColumn("n_digits",
-        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
-      .withColumn("n_stop",
-        (cnt(col("toks"), "the") + cnt(col("toks"), "a")).cast("long"))
-    val meanLen = col("n_chars") - (col("n_tokens") - 1) // = mean*n_tokens
-    val rules: Seq[(String, Column)] = Seq(
-      "too_few_tokens"     -> (col("n_tokens") < 5),
-      "mean_token_len_out" -> (meanLen < lit(3) * col("n_tokens") ||
-        meanLen > lit(10) * col("n_tokens")),
-      "digit_heavy"        -> (lit(5) * col("n_digits") > col("n_chars")),
-      "no_stopwords"       -> (col("n_stop") === 0),
-      "low_diversity"      -> (lit(10) * col("n_distinct") <
-        lit(3) * col("n_tokens")))
-    require(rules.map(_._1) == qualityRuleNames)
+    val d = qualityRuleDocs(spark, dir)
+    val rules = qualityRuleConds
     val agg = d.agg(
       count(lit(1)).as("n_docs"),
       (rules.map { case (n, c) =>
@@ -148,6 +160,48 @@ object TextOps {
         col("n_docs"),
         (floor(col("x.n_fail").cast("double") / col("n_docs") * 1e4 + 0.5)
           / 1e4).as("fail_rate"))
+  }
+
+  /** Sequential quality FUNNEL — the attrition ledger of a staged
+    * curation gate ([[qualityRules]] counts each rule independently;
+    * a real pipeline applies them in ORDER and a document stops at
+    * its first failure, so the per-stage drop counts are what the
+    * pipeline operator actually watches): per stage, how many
+    * documents entered, how many that stage dropped, how many moved
+    * on. Σ n_dropped + final n_out = corpus, by construction.
+    *
+    * Shape at scale: the same single elementwise scan as
+    * [[qualityRules]] — the first-failing-stage index is one ordered
+    * CASE over the integer counters, ONE 1-row aggregate counts each
+    * stage's drops, and the cumulative n_in ladder is folded into
+    * the literal report structs in-row (a window over the 5-row
+    * report would be a second exchange for nothing). */
+  def qualityFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val rules = qualityRuleConds
+    val firstFail = rules.zipWithIndex
+      .foldLeft(when(lit(false), 0)) { case (acc, ((_, c), i)) =>
+        acc.when(c, i + 1) }
+      .otherwise(0)
+    val agg = qualityRuleDocs(spark, dir)
+      .select(firstFail.as("ff"))
+      .agg(count(lit(1)).as("n_docs"),
+        rules.indices.map(i =>
+          sum(when(col("ff") === i + 1, 1L).otherwise(0L)).as(s"f_$i")): _*)
+    // n_in ladder: stage k enters with n_docs minus everything the
+    // earlier stages dropped — plain Column arithmetic, no window
+    val nIn = rules.indices.scanLeft(col("n_docs")) {
+      case (prev, i) => prev - col(s"f_$i") }
+    agg.select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(i + 1).as("stage"), lit(name).as("rule"),
+          nIn(i).as("n_in"), col(s"f_$i").as("n_dropped"),
+          nIn(i + 1).as("n_out"))
+      }: _*)).as("x"))
+      .select(col("x.stage").as("stage"), col("x.rule").as("rule"),
+        col("x.n_in").as("n_in"), col("x.n_dropped").as("n_dropped"),
+        col("x.n_out").as("n_out"),
+        when(col("x.n_in") > 0,
+          floor(col("x.n_dropped").cast("double") / col("x.n_in") * 1e4 + 0.5)
+            / 1e4).as("drop_rate"))
   }
 
   /** Token counting: whitespace tokens, distinct tokens, regex word

@@ -34,14 +34,23 @@ object TimeSeries {
 
   /** Daily resample: truncate-to-day groupBy aggregation.
     * Map-side partial agg reduces each scan partition to
-    * O(days × types) rows before the shuffle. */
+    * O(days × types) rows before the shuffle.
+    *
+    * Sums accumulate exact integer CENTS (inputs are 2-decimal) and
+    * divide back once — a raw double `avg` carries summation-order
+    * ulps into the quantization, and a group mean can sit exactly on
+    * a half-quantum of the 1e-4 grid (observed flipping at sf0.001),
+    * the [[trend]]/§5 discipline. */
   def resampleDaily(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"), day(col("ts")).as("day"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("value")), 2).as("sum_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_c"))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("sum_c").cast("double") / 100.0).as("sum_value"),
+        (floor(col("sum_c").cast("double") * 100.0 / col("n") + 0.5) / 1e4)
+          .as("avg_value"))
 
   /** Weekly max per key — the danger-levels preprocessing step
     * (`ll_nl_danger_levels.py:79` `resample(time="1W").max()`).
@@ -63,13 +72,16 @@ object TimeSeries {
     Tables.events(spark, dir)
       .groupBy(col("user_id"),
         date_format(date_trunc("MONTH", col("ts")), "yyyy-MM-dd").as("month"))
-      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_rate"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_c"))
       .select(col("user_id"), col("month"), col("n"),
-        // floor-quantized: see Climate.quantileMap for why round() is
-        // not engine-invariant on .00005 boundaries
-        (floor(col("avg_rate") * 1e4 + 0.5) / 1e4).as("avg_rate"),
-        (floor(col("avg_rate") * dayofmonth(last_day(to_date(col("month"))))
-          * 1e4 + 0.5) / 1e4).as("month_total"))
+        // exact integer numerators, ONE double division each — see
+        // resampleDaily; avg·1e4 = cents·100/n, total·1e4 = cents·100·days/n
+        (floor(col("sum_c").cast("double") * 100.0 / col("n") + 0.5) / 1e4)
+          .as("avg_rate"),
+        (floor((col("sum_c") * 100L *
+            dayofmonth(last_day(to_date(col("month")))).cast("long"))
+          .cast("double") / col("n") + 0.5) / 1e4).as("month_total"))
 
   /** Per-key ordered rolling sum over the last 7 observations — the
     * SPI t-scale accumulation (`utils_spi.py:446-449`). Single shuffle
@@ -358,6 +370,54 @@ object TimeSeries {
           floor(sxy * sxy / (sxx * syy) * 1e4 + 0.5) / 1e4).as("r2"))
   }
 
+  /** Per-station THEIL–SEN trend — the robust twin of [[trend]]: the
+    * median of all pairwise slopes, the estimator climate services
+    * prefer over OLS because a handful of bad gauge readings cannot
+    * drag it (30% breakdown point vs OLS's single-outlier
+    * sensitivity; the Mann–Kendall/Sen's-slope pairing is the WMO
+    * standard for station trend reports).
+    *
+    * Shape at scale: one groupBy to daily means (exact cent sums ÷
+    * count, so the per-day value is merge-order-free), one groupBy
+    * per station collecting the BOUNDED daily series, then the whole
+    * O(n²) pairwise-slope enumeration and median happen IN-ROW via
+    * array HOFs — no pair join, no second shuffle, nothing leaves
+    * the station's row. The quadratic term is bounded by the series
+    * LENGTH, not the corpus: a decade of daily points is ~6.7M
+    * slopes/station (~54 MB transient) — fine; for century-daily
+    * series resample to monthly first (the reference's SPI axis is
+    * monthly anyway), which caps it at ~0.7M.
+    *
+    * Determinism: x is integer days, daily y is an exact double
+    * (integer cents / (100·n)), each slope is one IEEE division both
+    * engines compute from identical bits, and the median is an order
+    * statistic — unlike a sum it cannot see partition order. Output
+    * quantized once at 1e-6. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(date_trunc("DAY", col("ts")), lit("2024-01-01")).cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("yc"))
+      .groupBy(col("user_id"), col("x"))
+      .agg((sum(col("yc")).cast("double") / (count(lit(1)) * lit(100.0))).as("y"))
+    daily.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("pts"))
+      .filter(size(col("pts")) >= 2)
+      // slice(pts, i+2, n) pairs each point with every LATER one; x is
+      // strictly increasing within the sorted array so dx > 0 always
+      // (no ANSI division guard needed)
+      .withColumn("slopes", array_sort(flatten(expr(
+        "transform(pts, (p, i) -> transform(slice(pts, i + 2, size(pts))," +
+          " q -> (q.y - p.y) / (q.x - p.x)))"))))
+      .select(col("user_id"), size(col("pts")).cast("long").as("n_days"),
+        size(col("slopes")).cast("long").as("n_pairs"),
+        (floor(when(size(col("slopes")) % 2 === 1,
+            element_at(col("slopes"), expr("cast((size(slopes) + 1) div 2 as int)")))
+          .otherwise((element_at(col("slopes"), expr("cast(size(slopes) div 2 as int)"))
+            + element_at(col("slopes"), expr("cast(size(slopes) div 2 + 1 as int)"))) / 2.0)
+          * 1e6 + 0.5) / 1e6).as("sen_slope"))
+  }
+
   /** EWMA decay factor and the quantized weight table shared with the
     * generated oracle SQL. 40 terms: α(1-α)^39 ≈ 2e-7, and the
     * renormalizing denominator makes the truncation error relative,
@@ -527,6 +587,39 @@ object TimeSeries {
         col("cohort_size"),
         (floor(col("n_active").cast("double") / col("cohort_size") * 1e4 + 0.5)
           / 1e4).as("retention"))
+  }
+
+  /** Per-station BURST flag — "does this key's traffic spike far
+    * above its own norm": the behavioral-anomaly screen of event
+    * hygiene (a gauge replaying its backlog, a scraper hammering an
+    * API, a bot among users). A key is bursty when its single busiest
+    * day carries more than 2× its mean active-day volume (with ≥3
+    * active days so a short history can't self-flag).
+    *
+    * Shape at scale: two hash aggregations, both map-side-partial —
+    * events → (user, day) counts (the shuffle moves O(keys × days)
+    * partial rows, not events), then (user, day) → user. No window,
+    * no join, no sort. The busiest day itself rides along as a
+    * `min(struct(-cnt, day))` — lexicographic struct ordering gives
+    * "highest count, then earliest day" deterministically, where a
+    * bare argmax would tie-break arbitrarily. The flag compares
+    * CROSS-MULTIPLIED integers (peak·n_days > 2·n_events), so
+    * membership can never flip on a float ulp. */
+  def burstFlag(spark: SparkSession, dir: String): DataFrame = {
+    val perDay = Tables.events(spark, dir)
+      .groupBy(col("user_id"), day(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    perDay.groupBy(col("user_id"))
+      .agg(sum(col("cnt")).as("n_events"),
+        count(lit(1)).as("n_active_days"),
+        max(col("cnt")).as("peak_day_events"),
+        min(struct((-col("cnt")).as("nc"), col("day").as("d")))
+          .getField("d").as("peak_day"))
+      .select(col("user_id"), col("n_events"), col("n_active_days"),
+        col("peak_day_events"), col("peak_day"),
+        (col("n_active_days") >= 3 &&
+          col("peak_day_events") * col("n_active_days") > lit(2) * col("n_events"))
+          .as("is_bursty"))
   }
 
   /** M4 display DOWNSAMPLING — the error-free visualization reduction

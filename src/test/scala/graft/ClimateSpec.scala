@@ -554,7 +554,9 @@ class ClimateSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1)))
     val cells = ev.groupBy { case (u, _) => (u % 8, u / 8 % 8) }
       .map { case (k, es) =>
-        k -> (math.floor(es.map(_._2).sum / es.size * 1e6 + 0.5).toLong,
+        // cell micro-units from exact cents, the operator's recipe
+        val sc = es.map(e => math.floor(e._2 * 100 + 0.5).toLong).sum
+        k -> (math.floor((sc * 10000L).toDouble / es.size + 0.5).toLong,
           es.size.toLong)
       }
     val expect = cells.groupBy { case ((gy, gx), _) => (gy - gy % 2, gx - gx % 2) }
@@ -572,6 +574,45 @@ class ClimateSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - em) < 1.1e-6, s"block ${(r.getLong(0), r.getLong(1))}")
       assert(math.abs(r.getDouble(5) - emin) < 1.1e-6)
       assert(math.abs(r.getDouble(6) - emax) < 1.1e-6)
+    }
+  }
+
+  test("grid_gradient: central differences and octant aspect from exact cells") {
+    // independent recompute at sf0.01 (sf0.001 has too few stations
+    // to fill the 8x8 grid with interior cells)
+    val dir = "/root/testdata/sf0.01"
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val cells = ev.groupBy { case (u, _) => (u % 8, u / 8 % 8) }
+      .map { case (k, es) =>
+        val sc = es.map(e => math.floor(e._2 * 100 + 0.5).toLong).sum
+        k -> math.floor((sc * 10000L).toDouble / es.size + 0.5).toLong
+      }
+    val rows = SparkEntry.queries("grid_gradient")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val interior = cells.keySet.filter { case (y, x) =>
+      Seq((y, x + 1), (y, x - 1), (y + 1, x), (y - 1, x)).forall(cells.contains) }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === interior)
+    rows.foreach { r =>
+      val (y, x) = (r.getLong(0), r.getLong(1))
+      val ddx = cells((y, x + 1)) - cells((y, x - 1))
+      val ddy = cells((y + 1, x)) - cells((y - 1, x))
+      assert(r.getDouble(2) === math.floor(ddx / 2.0 + 0.5) / 1e6, s"dzdx $y $x")
+      assert(r.getDouble(3) === math.floor(ddy / 2.0 + 0.5) / 1e6, s"dzdy $y $x")
+      assert(r.getDouble(4) ===
+        math.floor(math.sqrt((ddx * ddx + ddy * ddy).toDouble) / 2.0 + 0.5) / 1e6,
+        s"slope $y $x")
+      val aspect =
+        if (ddx == 0 && ddy == 0) "flat"
+        else if (math.abs(ddx) >= 2 * math.abs(ddy)) { if (ddx > 0) "E" else "W" }
+        else if (math.abs(ddy) >= 2 * math.abs(ddx)) { if (ddy > 0) "N" else "S" }
+        else if (ddx > 0) { if (ddy > 0) "NE" else "SE" }
+        else { if (ddy > 0) "NW" else "SW" }
+      assert(r.getString(5) === aspect, s"aspect $y $x")
+      // slope is never below the larger axis derivative's magnitude
+      assert(r.getDouble(4) + 1e-6 >=
+        math.max(math.abs(r.getDouble(2)), math.abs(r.getDouble(3))))
     }
   }
 

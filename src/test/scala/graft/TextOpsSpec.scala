@@ -73,6 +73,47 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("stop_ratio") - stop) < 1e-9)
   }
 
+  test("quality_funnel: sequential attrition matches an independent fold") {
+    val rows = SparkEntry.queries("quality_funnel")(spark, sf).collect()
+      .map(r => r.getAs[Int]("stage") -> r).toMap
+    assert(rows.keySet === (1 to 5).toSet)
+    // first-failing-stage recompute, same rule order as the operator
+    def firstFail(text: String, nChars: Long): Int = {
+      val toks = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+      val nTok = toks.length.toLong
+      val meanLen = nChars - (nTok - 1)
+      val nDigits = text.count(_.isDigit).toLong
+      val nStop = toks.count(t => t == "the" || t == "a").toLong
+      if (nTok < 5) 1
+      else if (meanLen < 3 * nTok || meanLen > 10 * nTok) 2
+      else if (5 * nDigits > nChars) 3
+      else if (nStop == 0) 4
+      else if (10 * toks.distinct.length < 3 * nTok) 5
+      else 0
+    }
+    val ff = docs.map(d => firstFail(d._2, d._3))
+    var nIn = docs.size.toLong
+    (1 to 5).foreach { k =>
+      val dropped = ff.count(_ == k).toLong
+      val r = rows(k)
+      assert(r.getAs[Long]("n_in") === nIn, s"n_in stage $k")
+      assert(r.getAs[Long]("n_dropped") === dropped, s"n_dropped stage $k")
+      assert(r.getAs[Long]("n_out") === nIn - dropped, s"n_out stage $k")
+      nIn -= dropped
+    }
+    // survivors balance: last n_out = docs that fail nothing
+    assert(nIn === ff.count(_ == 0).toLong)
+    // each stage's sequential drops never exceed the independent
+    // per-rule fail counts reported by quality_rules
+    val rules = SparkEntry.queries("quality_rules")(spark, sf).collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_fail")).toMap
+    Seq("too_few_tokens", "mean_token_len_out", "digit_heavy",
+      "no_stopwords", "low_diversity").zipWithIndex.foreach { case (name, i) =>
+      assert(rows(i + 1).getAs[Long]("n_dropped") <= rules(name),
+        s"funnel stage ${i + 1} vs rule $name")
+    }
+  }
+
   test("doc_fingerprint: content hash and order-invariant bag hash") {
     val rows = SparkEntry.queries("doc_fingerprint")(spark, sf).collect()
     val byId = docs.map(d => d._1 -> d._2).toMap

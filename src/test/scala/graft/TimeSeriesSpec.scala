@@ -339,6 +339,81 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ts_theil_sen: median pairwise slope matches brute-force recompute") {
+    val rows = SparkEntry.queries("ts_theil_sen")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val dayZero = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    raw.groupBy(_._2).foreach { case (u, evs) =>
+      // daily means from exact cents, exactly the operator's recipe
+      val daily = evs.groupBy(e =>
+          e._3.toLocalDateTime.toLocalDate.toEpochDay - dayZero)
+        .map { case (x, es) =>
+          val cents = es.map(e => math.floor(e._5 * 100 + 0.5).toLong).sum
+          (x.toDouble, cents.toDouble / (es.size * 100.0))
+        }.toSeq.sortBy(_._1)
+      if (daily.size < 2) assert(!rows.contains(u), s"user $u should be absent")
+      else {
+        val slopes = (for {
+          i <- daily.indices; j <- (i + 1) until daily.size
+        } yield (daily(j)._2 - daily(i)._2) / (daily(j)._1 - daily(i)._1)).sorted
+        val n = slopes.size
+        val med = if (n % 2 == 1) slopes(n / 2)
+          else (slopes(n / 2 - 1) + slopes(n / 2)) / 2.0
+        val r = rows(u)
+        assert(r.getLong(1) === daily.size.toLong, s"n_days user $u")
+        assert(r.getLong(2) === n.toLong, s"n_pairs user $u")
+        assert(math.abs(r.getDouble(3) - math.floor(med * 1e6 + 0.5) / 1e6)
+          < 1.1e-6, s"sen_slope user $u")
+      }
+    }
+  }
+
+  test("ts_theil_sen: a single planted outlier day cannot move the slope") {
+    import spark.implicits._
+    // 9 days exactly on y = 2x + 1, one wild outlier at day 9
+    val ev = (0 until 9).map(d => (d.toLong, 1L,
+        java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00"),
+        "t", 2.0 * d + 1.0)) :+
+      (9L, 1L, java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), "t", 500.0)
+    val df = ev.toDF("event_id", "user_id", "ts", "event_type", "value")
+    df.createOrReplaceTempView("tmp_sen")
+    // same in-row pipeline as the operator, over the planted frame
+    val daily = df.select(col("user_id"),
+        datediff(date_trunc("DAY", col("ts")), lit("2024-01-01")).cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("yc"))
+      .groupBy(col("user_id"), col("x"))
+      .agg((sum(col("yc")).cast("double") / (count(lit(1)) * lit(100.0))).as("y"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("pts"))
+      .withColumn("slopes", array_sort(flatten(expr(
+        "transform(pts, (p, i) -> transform(slice(pts, i + 2, size(pts))," +
+          " q -> (q.y - p.y) / (q.x - p.x)))"))))
+      .select(expr("slopes[cast(size(slopes) div 2 as int)]").as("med_hi"))
+      .collect()
+    // 36 of 45 pairs avoid the outlier and all have slope exactly 2;
+    // the median must be 2 (OLS on the same data gives ~ 2 + 49/16.5)
+    assert(math.abs(daily.head.getDouble(0) - 2.0) < 1e-12)
+  }
+
+  test("events_burst_flag: totals, peak day, and cross-multiplied flag") {
+    val rows = SparkEntry.queries("events_burst_flag")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    raw.groupBy(_._2).foreach { case (u, evs) =>
+      val byDay = evs.groupBy(_._3.toLocalDateTime.toLocalDate.toString)
+        .map { case (d, es) => (d, es.size.toLong) }
+      val nEvents = evs.size.toLong
+      val peak = byDay.values.max
+      val peakDay = byDay.filter(_._2 == peak).keys.min
+      val r = rows(u)
+      assert(r.getLong(1) === nEvents, s"n_events user $u")
+      assert(r.getLong(2) === byDay.size.toLong, s"n_active_days user $u")
+      assert(r.getLong(3) === peak, s"peak user $u")
+      assert(r.getString(4) === peakDay, s"peak_day user $u")
+      assert(r.getBoolean(5) ===
+        (byDay.size >= 3 && peak * byDay.size > 2 * nEvents), s"flag user $u")
+    }
+  }
+
   test("events_funnel: monotone stages, and sequence ORDER is enforced") {
     val rows = SparkEntry.queries("events_funnel")(spark, sf).collect()
       .sortBy(_.getInt(0))
