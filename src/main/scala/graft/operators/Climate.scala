@@ -271,18 +271,27 @@ object Climate {
     * distribution (`bias_correction_cds_process.py` delta mode). */
   def biasDelta(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    // exact cent sums, one division each: the means (and so the
-    // delta) carry no summation-order ulps into the quantized output
-    def meanOf(t: String, name: String) = ev.filter(col("event_type") === t)
+    // BOTH per-station means from ONE conditional aggregation scan
+    // (not two filtered scans + two joins), from exact cent sums with
+    // one division each: the means (and so the delta) carry no
+    // summation-order ulps into the quantized output. A side with no
+    // rows yields a null mean, matching the former left-join shape.
+    val means = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
       .groupBy(col("user_id"))
-      .agg((sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
-        / (count(lit(1)) * lit(100.0))).as(name))
-    val refMean = meanOf("view", "ref_mean")
-    val fcstMean = meanOf("click", "fcst_mean")
+      .agg(sum(when(col("event_type") === "view", col("c"))).as("rs"),
+        count(when(col("event_type") === "view", lit(1))).as("rn"),
+        sum(when(col("event_type") === "click", col("c"))).as("fs"),
+        count(when(col("event_type") === "click", lit(1))).as("fn"))
+      .select(col("user_id"),
+        when(col("rn") > 0,
+          col("rs").cast("double") / (col("rn") * lit(100.0))).as("ref_mean"),
+        when(col("fn") > 0,
+          col("fs").cast("double") / (col("fn") * lit(100.0))).as("fcst_mean"))
     ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "value")
-      .join(fcstMean, Seq("user_id"), "left")
-      .join(refMean, Seq("user_id"), "left")
+      .join(means, Seq("user_id"), "left")
       .select(col("event_id"), col("user_id"),
         round(col("value"), 2).as("fcst_value"),
         // floor-quantized: see quantileMap for why round() is not
@@ -369,25 +378,30 @@ object Climate {
     * the high-cardinality key, no per-key collect. */
   def quantileMap(fcst: DataFrame, ref: DataFrame): DataFrame = {
     val wRank = Window.partitionBy(col("user_id")).orderBy(col("value"))
+    // each knot carries its SUCCESSOR via lead() on the same window
+    // sort that assigns the index — so one equi-join on (key, idx_lo)
+    // retrieves both bracketing quantiles, instead of a second join
+    // (and, pre-checkpoint, a second fact scan) on idx_hi. v_next is
+    // null only at the last knot, which is reachable only when fpos
+    // is integral there — where the v_lo branch is taken anyway.
+    val wIdx = Window.partitionBy(col("user_id")).orderBy(col("ref_value"))
     val refSorted = ref
       .select(col("user_id"), col("value").as("ref_value"))
-      .withColumn("idx", row_number().over(
-        Window.partitionBy(col("user_id")).orderBy(col("ref_value"))) - 1)
+      .withColumn("idx_lo", row_number().over(wIdx) - 1)
+      .withColumn("v_next", lead(col("ref_value"), 1).over(wIdx))
     val refN = refSorted.groupBy("user_id")
       .agg(count(lit(1)).as("n_ref"))
-    val pos = fcst
+    fcst
       .withColumn("p",
         when(count(lit(1)).over(Window.partitionBy(col("user_id"))) === 1, lit(0.0))
           .otherwise(percent_rank().over(wRank)))
       .join(refN, Seq("user_id"))
       .withColumn("fpos", col("p") * (col("n_ref") - 1))
       .withColumn("idx_lo", floor(col("fpos")).cast("int"))
-      .withColumn("idx_hi", ceil(col("fpos")).cast("int"))
-    pos
-      .join(refSorted.withColumnRenamed("ref_value", "v_lo")
-          .withColumnRenamed("idx", "idx_lo"), Seq("user_id", "idx_lo"))
-      .join(refSorted.withColumnRenamed("ref_value", "v_hi")
-          .withColumnRenamed("idx", "idx_hi"), Seq("user_id", "idx_hi"))
+      .join(refSorted.withColumnRenamed("ref_value", "v_lo"),
+        Seq("user_id", "idx_lo"))
+      .withColumn("v_hi",
+        when(col("fpos") === col("idx_lo"), col("v_lo")).otherwise(col("v_next")))
       .select(col("event_id"), col("user_id"),
         round(col("value"), 2).as("fcst_value"),
         // floor-quantized instead of round(): Spark rounds the double's
@@ -455,14 +469,21 @@ object Climate {
       .select(kcols :+ col("value").as("fv") :+ col("event_id").as("tie"): _*)
       .withColumn("fidx",
         row_number().over(byKey.orderBy(col("fv"), col("tie"))) - 1)
+    // each reference knot carries its successor via lead() on the
+    // SAME sort that assigns ridx: one equi-join on idx_lo retrieves
+    // both bracketing quantiles (idx_hi = ceil(fpos) ∈ {lo, lo+1}) —
+    // the quantileMap trick, one join and one rk expansion fewer
+    val wRef = byKey.orderBy(col("rv"), col("tie"))
     val rk = refTrain
       .select(kcols :+ col("value").as("rv") :+ col("event_id").as("tie"): _*)
-      .withColumn("ridx",
-        row_number().over(byKey.orderBy(col("rv"), col("tie"))) - 1)
-    val fagg = fk.groupBy(kcols: _*).agg(count(lit(1)).as("nf"),
-      min(col("fv")).as("fmin"), max(col("fv")).as("fmax"))
-    val ragg = rk.groupBy(kcols: _*).agg(count(lit(1)).as("nr"),
-      min(col("rv")).as("rmin"), max(col("rv")).as("rmax"))
+      .withColumn("ridx", row_number().over(wRef) - 1)
+      .withColumn("rv_next", lead(col("rv"), 1).over(wRef))
+    // count/min/max need no rank window: aggregate the RAW train
+    // frames so neither agg re-expands a per-key sort
+    val fagg = fcstTrain.groupBy(kcols: _*).agg(count(lit(1)).as("nf"),
+      min(col("value")).as("fmin"), max(col("value")).as("fmax"))
+    val ragg = refTrain.groupBy(kcols: _*).agg(count(lit(1)).as("nr"),
+      min(col("value")).as("rmin"), max(col("value")).as("rmax"))
     val knotRows = fk.select(kcols ++ Seq(
       col("fv").as("sortv"), lit(0).as("kind"), col("tie"),
       col("fidx").as("k_idx"), col("fv").as("k_fv"),
@@ -498,10 +519,14 @@ object Climate {
       .withColumn("idx_lo", floor(col("fpos")).cast("int"))
       .withColumn("idx_hi", ceil(col("fpos")).cast("int"))
     withPos
-      .join(rk.select(kcols :+ col("ridx").as("idx_lo") :+ col("rv").as("v_lo"): _*),
+      .join(rk.select(kcols ++ Seq(col("ridx").as("idx_lo"),
+          col("rv").as("v_lo"), col("rv_next").as("v_next")): _*),
         keys :+ "idx_lo", "left")
-      .join(rk.select(kcols :+ col("ridx").as("idx_hi") :+ col("rv").as("v_hi"): _*),
-        keys :+ "idx_hi", "left")
+      // integral fpos (incl. the last knot, whose successor is null)
+      // brackets to itself; otherwise idx_hi = idx_lo + 1 = v_next
+      .withColumn("v_hi",
+        when(col("idx_hi") === col("idx_lo"), col("v_lo"))
+          .otherwise(col("v_next")))
       .withColumn("mapped_raw",
         when(col("oob") === "low", col("x") + (col("rmin") - col("fmin")))
           .when(col("oob") === "high", col("x") + (col("rmax") - col("fmax")))
@@ -546,8 +571,14 @@ object Climate {
     * Same KEY-CARDINALITY CONTRACT as [[quantileMapFit]]. */
   def quantileMapFitSpline(keys: Seq[String], fcstTrain: DataFrame,
       refTrain: DataFrame, applyRows: DataFrame): DataFrame =
+    // pin the O(keys·knots) param table: the apply side reads it
+    // twice (edge params + knot rows), and without the checkpoint
+    // each reference re-runs the whole fit subplan — two extra train
+    // scans and sorts (plan-audited). A parquet-loaded param table
+    // gets the same two cheap reads either way.
     quantileMapApplySpline(keys,
-      quantileMapSplineParams(keys, fcstTrain, refTrain), applyRows)
+      quantileMapSplineParams(keys, fcstTrain, refTrain).localCheckpoint(),
+      applyRows)
 
   /** FIT side of the spline transfer, exported as a PARAMETER TABLE —
     * the reference's param-file workflow (`bias_correction_cds_process
@@ -570,14 +601,21 @@ object Climate {
       .select(kcols :+ col("value").as("fv") :+ col("event_id").as("tie"): _*)
       .withColumn("fidx",
         row_number().over(byKey.orderBy(col("fv"), col("tie"))) - 1)
+    // each reference knot carries its successor via lead() on the
+    // SAME sort that assigns ridx: one equi-join on idx_lo retrieves
+    // both bracketing quantiles (idx_hi = ceil(fpos) ∈ {lo, lo+1}) —
+    // the quantileMap trick, one join and one rk expansion fewer
+    val wRef = byKey.orderBy(col("rv"), col("tie"))
     val rk = refTrain
       .select(kcols :+ col("value").as("rv") :+ col("event_id").as("tie"): _*)
-      .withColumn("ridx",
-        row_number().over(byKey.orderBy(col("rv"), col("tie"))) - 1)
-    val fagg = fk.groupBy(kcols: _*).agg(count(lit(1)).as("nf"),
-      min(col("fv")).as("fmin"), max(col("fv")).as("fmax"))
-    val ragg = rk.groupBy(kcols: _*).agg(count(lit(1)).as("nr"),
-      min(col("rv")).as("rmin"), max(col("rv")).as("rmax"))
+      .withColumn("ridx", row_number().over(wRef) - 1)
+      .withColumn("rv_next", lead(col("rv"), 1).over(wRef))
+    // count/min/max need no rank window: aggregate the RAW train
+    // frames so neither agg re-expands a per-key sort
+    val fagg = fcstTrain.groupBy(kcols: _*).agg(count(lit(1)).as("nf"),
+      min(col("value")).as("fmin"), max(col("value")).as("fmax"))
+    val ragg = refTrain.groupBy(kcols: _*).agg(count(lit(1)).as("nr"),
+      min(col("value")).as("rmin"), max(col("value")).as("rmax"))
     // strictly-increasing transfer knots + reference-quantile ordinate
     val fknots = fk.groupBy(kcols :+ col("fv"): _*)
       .agg(max(col("fidx")).as("fidx"))
@@ -588,10 +626,14 @@ object Climate {
       .withColumn("idx_lo", floor(col("fpos")).cast("int"))
       .withColumn("idx_hi", ceil(col("fpos")).cast("int"))
     val withY = pos
-      .join(rk.select(kcols :+ col("ridx").as("idx_lo") :+ col("rv").as("v_lo"): _*),
+      .join(rk.select(kcols ++ Seq(col("ridx").as("idx_lo"),
+          col("rv").as("v_lo"), col("rv_next").as("v_next")): _*),
         keys :+ "idx_lo")
-      .join(rk.select(kcols :+ col("ridx").as("idx_hi") :+ col("rv").as("v_hi"): _*),
-        keys :+ "idx_hi")
+      // fit fpos ≤ nr−1 by construction, so a missing successor can
+      // only coincide with integral fpos → the v_lo branch
+      .withColumn("v_hi",
+        when(col("idx_hi") === col("idx_lo"), col("v_lo"))
+          .otherwise(col("v_next")))
       .withColumn("y",
         col("v_lo") + (col("fpos") - col("idx_lo")) * (col("v_hi") - col("v_lo")))
     // secants + FC-limited tangents (all secants ≥ 0 by construction)
@@ -844,6 +886,11 @@ object Climate {
       .select(col("gy"), col("gx"),
         (floor((col("sum_c") * 10000L).cast("double") / col("n") + 0.5) / 1e6)
           .as("v"))
+      // pin the O(cells) table: bilinear references it four times,
+      // and without the checkpoint each corner join re-expands the
+      // aggregation lineage into its own FACT scan (plan-audited:
+      // 4 scans → 1) — the gridGradient/eventsRetention idiom
+      .localCheckpoint()
     bilinear(grid, 0.25, 0.75)
   }
 
@@ -937,11 +984,17 @@ object Climate {
     * integers (|dy| vs 2|dx| octant rule), so no trig and no float
     * comparison anywhere — both engines agree bit-for-bit. */
   def gridGradient(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint pins the O(cells) table: without it each of the
+    // four shifted self-joins re-expands the aggregation lineage and
+    // the FACT table is scanned five times (plan-audited); with it,
+    // one scan feeds four broadcast joins of a tiny materialized side
+    // (the eventsRetention idiom).
     val cells = Tables.events(spark, dir)
       .groupBy((col("user_id") % 8).as("gy"),
         expr("user_id div 8 % 8").as("gx"))
       .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
           .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
+      .localCheckpoint()
     def at(dy: Int, dx: Int, name: String) =
       cells.select((col("gy") - dy).as("gy"), (col("gx") - dx).as("gx"),
         col("v_us").as(name))

@@ -464,6 +464,11 @@ object Similarity {
       .select(col("label"),
         transform(col("vsum"), s => floor(s / col("n") * 1e6 + 0.5) / 1e6)
           .as("centroid"))
+    // pin the NARROW scored projection (24 B/row, no embedding
+    // array): the global-mean pass and the final flag pass both read
+    // it, and without the checkpoint each re-expands the lineage into
+    // its own 512 B/row embedding scan + centroid join (plan-audited:
+    // 4 fact scans → 2, the structural minimum for mean-then-compare)
     val scored = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
@@ -471,6 +476,8 @@ object Similarity {
       .withColumn("dist2_u",
         expr("""aggregate(zip_with(emb, centroid, (x, c) -> (x - c) * (x - c)),
           0L, (a, t) -> a + CAST(floor(t * 1e8 + 0.5) AS BIGINT))"""))
+      .select(col("vec_id"), col("label"), col("dist2_u"))
+      .localCheckpoint()
     val meanD = scored.agg(
       (sum(col("dist2_u")).cast("double") / count(lit(1))).as("mean_u"))
     scored.crossJoin(broadcast(meanD))

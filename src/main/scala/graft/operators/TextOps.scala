@@ -738,9 +738,16 @@ object TextOps {
       .filter(col("prev").isNotNull)
       .groupBy(col("prev").as("a"), col("col").as("b"))
       .agg(count(lit(1)).as("n_ab"))
+    // pin the O(vocab) unigram table: BOTH endpoint joins and the
+    // grand total read it, and without the checkpoint each reference
+    // re-runs the whole tokenize+explode chain (plan-audited: 4
+    // corpus tokenizations → 2, bigram + unigram passes — the
+    // structural minimum). The total is Σ n_tok over the tiny
+    // materialized table, not a third corpus pass.
     val uni = exploded.groupBy(col("col").as("tok"))
       .agg(count(lit(1)).as("n_tok"))
-    val total = exploded.agg(count(lit(1)).as("n_total"))
+      .localCheckpoint()
+    val total = uni.agg(sum(col("n_tok")).as("n_total"))
     bi.filter(col("n_ab") >= 5)
       .join(uni.select(col("tok").as("a"), col("n_tok").as("n_a")), Seq("a"))
       .join(uni.select(col("tok").as("b"), col("n_tok").as("n_b")), Seq("b"))
