@@ -50,6 +50,7 @@ object SparkEntry {
     "ts_m4_downsample"       -> TimeSeries.m4Downsample _,
     "ts_trend"               -> TimeSeries.trend _,
     "ts_theil_sen"           -> TimeSeries.theilSen _,
+    "ts_autocorr"            -> TimeSeries.autocorr _,
     "events_burst_flag"      -> TimeSeries.burstFlag _,
     "ts_climatology_anomaly" -> TimeSeries.climatologyAnomaly _,
     "interval_join"          -> TimeSeries.intervalJoin _,
@@ -758,6 +759,44 @@ object SparkEntry {
         |         ELSE (ss[len(ss) // 2] + ss[len(ss) // 2 + 1]) / 2.0 END)
         |    * 1e6 + 0.5) / 1e6 AS sen_slope
         |FROM m JOIN nd ON m.user_id = nd.user_id""".stripMargin,
+
+    // pooled mean = exact integer ratio; num/den are integer sums of
+    // per-term 1e-8-quantized products — merge-order-free both sides
+    "ts_autocorr" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT user_id,
+        |    CAST(sum(sc) AS DOUBLE) / (sum(cnt) * 100.0) AS ybar
+        |  FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT d.user_id, d.x,
+        |    (CAST(d.sc AS DOUBLE) / (d.cnt * 100.0)) - s.ybar AS dev
+        |  FROM daily d JOIN stats s ON d.user_id = s.user_id),
+        |den AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(floor(dev * dev * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS den_u,
+        |    count(*) AS n_days
+        |  FROM dev GROUP BY 1),
+        |num AS (
+        |  SELECT a.user_id, k.lag,
+        |    CAST(sum(CAST(floor(a.dev * b.dev * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS num_u,
+        |    count(*) AS n_pairs
+        |  FROM dev a
+        |  JOIN (VALUES (1), (2), (3)) AS k(lag) ON true
+        |  JOIN dev b ON b.user_id = a.user_id AND b.x = a.x + k.lag
+        |  GROUP BY 1, 2)
+        |SELECT n.user_id, n.lag, d.n_days, n.n_pairs,
+        |  CASE WHEN n.n_pairs >= 5 AND d.den_u > 0
+        |    THEN floor(CAST(n.num_u AS DOUBLE) / d.den_u * 1e4 + 0.5) / 1e4
+        |  END AS acf
+        |FROM num n JOIN den d ON n.user_id = d.user_id""".stripMargin,
 
     "events_burst_flag" ->
       """WITH d AS (

@@ -589,6 +589,70 @@ object TimeSeries {
           / 1e4).as("retention"))
   }
 
+  /** Autocorrelation lags reported by [[autocorr]]. */
+  private[graft] val AcfLags = Seq(1, 2, 3)
+
+  /** Per-station AUTOCORRELATION of the daily series at calendar lags
+    * 1–3 — the persistence diagnostic behind every forecast-skill
+    * claim (an AR(1)-ish station is predictable from yesterday; white
+    * noise is not) and the standard check before fitting seasonal
+    * models. Pairs are matched on exact CALENDAR distance (x, x+k),
+    * so a missing day contributes no spurious pair — rows-frame
+    * autocorrelation would silently mis-lag gapped series, the same
+    * trap [[rollingSumRange]] closes for sums.
+    *
+    * Convention: deviations are taken from the POOLED station mean
+    * (all cents / all observations), not the mean of daily means —
+    * the pooled form is an exact integer ratio, so ȳ (and every
+    * deviation) has identical bits on any engine and partitioning.
+    * Numerator/denominator accumulate per-term floor-quantized 1e-8
+    * INTEGER products — merge-order-free — and divide once at the
+    * end (guarded: ≥5 pairs and a nonzero denominator, else null).
+    *
+    * Shape at scale: one fact scan into the daily table (pinned via
+    * localCheckpoint — the den pass and BOTH pair-join sides read it;
+    * unpinned, each reference would re-expand into its own fact
+    * scan), then every shuffle is on the station key or (station,
+    * day): the lag join is a self-equi-join of the O(stations·days)
+    * daily table on (station, x+k), never on raw events. */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(date_trunc("DAY", col("ts")), lit("2024-01-01")).cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("yc"))
+      .groupBy(col("user_id"), col("x"))
+      .agg(sum(col("yc")).as("sc"), count(lit(1)).as("cnt"))
+    val stats = daily.groupBy(col("user_id"))
+      .agg(sum(col("sc")).as("scs"), sum(col("cnt")).as("n_obs"))
+      .select(col("user_id"),
+        (col("scs").cast("double") / (col("n_obs") * lit(100.0))).as("ybar"))
+    val dev = daily.join(stats, Seq("user_id"))
+      .select(col("user_id"), col("x"),
+        ((col("sc").cast("double") / (col("cnt") * lit(100.0))) - col("ybar"))
+          .as("dev"))
+      .localCheckpoint()
+    val den = dev.groupBy(col("user_id"))
+      .agg(sum(floor(col("dev") * col("dev") * 1e8 + 0.5).cast("long")).as("den_u"),
+        count(lit(1)).as("n_days"))
+    // pure EQUI-join on (station, day): each b-row fans out to its 3
+    // candidate predecessors (xb − k), so matching is hash-join exact
+    // — a `xb − x IN lags` condition would post-filter the full
+    // per-station day×day pair space instead
+    val b = dev.select(col("user_id").as("ub"), col("x").as("xb"),
+        col("dev").as("devb"))
+      .withColumn("lag", explode(array(AcfLags.map(lit): _*)))
+      .withColumn("xa", col("xb") - col("lag"))
+    val num = dev.join(b, col("user_id") === col("ub") && col("x") === col("xa"))
+      .groupBy(col("user_id"), col("lag"))
+      .agg(sum(floor(col("dev") * col("devb") * 1e8 + 0.5).cast("long")).as("num_u"),
+        count(lit(1)).as("n_pairs"))
+    num.join(den, Seq("user_id"))
+      .select(col("user_id"), col("lag"), col("n_days"), col("n_pairs"),
+        when(col("n_pairs") >= 5 && col("den_u") > 0,
+          floor(col("num_u").cast("double") / col("den_u") * 1e4 + 0.5) / 1e4)
+          .as("acf"))
+  }
+
   /** Per-station BURST flag — "does this key's traffic spike far
     * above its own norm": the behavioral-anomaly screen of event
     * hygiene (a gauge replaying its backlog, a scraper hammering an

@@ -395,6 +395,61 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(daily.head.getDouble(0) - 2.0) < 1e-12)
   }
 
+  test("ts_autocorr: calendar-lag ACF matches brute-force recompute") {
+    val rows = SparkEntry.queries("ts_autocorr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    val dayZero = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    raw.groupBy(_._2).foreach { case (u, evs) =>
+      val byDay = evs.groupBy(e =>
+          e._3.toLocalDateTime.toLocalDate.toEpochDay - dayZero)
+        .map { case (x, es) =>
+          x -> (es.map(e => math.floor(e._5 * 100 + 0.5).toLong).sum, es.size) }
+      val scs = byDay.values.map(_._1).sum
+      val nObs = byDay.values.map(_._2.toLong).sum
+      val ybar = scs.toDouble / (nObs * 100.0)
+      val dev = byDay.map { case (x, (sc, n)) =>
+        x -> (sc.toDouble / (n * 100.0) - ybar) }
+      val denU = dev.values.map(d => math.floor(d * d * 1e8 + 0.5).toLong).sum
+      val nDays = dev.size.toLong
+      Seq(1, 2, 3).foreach { k =>
+        val pairs = dev.collect { case (x, d) if dev.contains(x + k) =>
+          math.floor(d * dev(x + k) * 1e8 + 0.5).toLong }
+        if (pairs.isEmpty) assert(!rows.contains((u, k)), s"user $u lag $k absent")
+        else {
+          val r = rows((u, k))
+          assert(r.getLong(2) === nDays, s"n_days user $u lag $k")
+          assert(r.getLong(3) === pairs.size.toLong, s"n_pairs user $u lag $k")
+          if (pairs.size >= 5 && denU > 0)
+            assert(r.getDouble(4) ===
+              math.floor(pairs.sum.toDouble / denU * 1e4 + 0.5) / 1e4,
+              s"acf user $u lag $k")
+          else assert(r.isNullAt(4), s"null acf user $u lag $k")
+        }
+      }
+    }
+  }
+
+  test("ts_autocorr: a planted alternating series has acf(1) ≈ −1, acf(2) ≈ +1") {
+    import spark.implicits._
+    // 30 consecutive days, value 10 ± 1 alternating — strong AR structure
+    val ev = (0 until 30).map { d =>
+      (d.toLong, 7L, java.sql.Timestamp.valueOf(
+        f"2024-01-${d + 1}%02d 12:00:00"), "t",
+        if (d % 2 == 0) 11.0 else 9.0)
+    }
+    val df = ev.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("acf").toString
+    // reuse the operator verbatim through its (spark, dir) contract
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = graft.operators.TimeSeries.autocorr(spark, tmp).collect()
+      .map(r => r.getInt(1) -> r.getDouble(4)).toMap
+    // exactly ±(n_pairs/n_days): the alternating ±1 deviations give
+    // every pair product ±1 and every day a unit denominator term
+    assert(math.abs(out(1) - (-29.0 / 30)) < 1e-4, s"lag1 ${out(1)}")
+    assert(math.abs(out(2) - 28.0 / 30) < 1e-4, s"lag2 ${out(2)}")
+    assert(math.abs(out(3) - (-27.0 / 30)) < 1e-4, s"lag3 ${out(3)}")
+  }
+
   test("events_burst_flag: totals, peak day, and cross-multiplied flag") {
     val rows = SparkEntry.queries("events_burst_flag")(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
