@@ -66,19 +66,23 @@ object Dedup {
     * candidate join quadratic; minhashLsh below is the scale path
     * (band buckets + frequency cap). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val shA = shingleArrays(Tables.documents(spark, dir))
-    val sh = shA.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
-    val counts = shA.select(col("doc_id"), size(col("sh_arr")).as("n_sh"))
-    val shared = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+    // each exploded row CARRIES its doc's set size, so the pair join
+    // itself delivers n_a/n_b (constant per doc — min() just picks
+    // it deterministically): no per-side counts join, and only the
+    // two intrinsic self-join tokenizations remain (plan-audited:
+    // 4 corpus tokenizations → 2, two joins fewer)
+    val sh = shingleArrays(Tables.documents(spark, dir))
+      .select(col("doc_id"), size(col("sh_arr")).as("n_sh"),
+        explode(col("sh_arr")).as("shingle"))
+    val shared = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
+        col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
+        col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(count(lit(1)).as("shared"),
+        min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"))
     shared
-      .join(counts.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(counts.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
       .withColumn("jaccard",
         round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
       .filter(col("jaccard") >= JaccardT)
@@ -263,19 +267,38 @@ object Dedup {
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    // pin the O(docs·bands) bucket table: both self-join sides read
+    // it, and unpinned each re-runs the whole 64-hash signature pass
+    // (plan-audited — the signature computation is the operator's
+    // dominant cost)
     val capped = buckets
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bh"))))
       .filter(col("bucket_n") <= BucketCap)
+      .localCheckpoint()
     val cands = capped.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(capped.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    // exact-Jaccard verification restricted to candidates
-    scorePairs(cands, shingleArrays(docs))
+      // pinned: read twice below (the id semi-join and the scoring)
+      .localCheckpoint()
+    // exact-Jaccard verification restricted to candidates — and the
+    // shingle re-tokenization restricted to candidate DOCS by a
+    // semi-join pushed under the regex pass: near-dup candidates are
+    // a sliver of the corpus, so the verify stage tokenizes a sliver,
+    // not everything twice
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    // semi-join the RAW docs before shingling (a join does not
+    // migrate below a projection, so filtering first is what keeps
+    // the regex off non-candidates), then pin the sliver: scorePairs
+    // reads it twice
+    val candSh = shingleArrays(docs.join(candIds, Seq("doc_id"), "left_semi"))
+      .localCheckpoint()
+    scorePairs(cands, candSh)
   }
 
   /** 64-bit SimHash: token hashes vote ±1 per bit position, weighted

@@ -763,19 +763,11 @@ object TimeSeries {
     * IEEE division/multiply/add on identical inputs is bit-identical,
     * so one final floor-quantize agrees everywhere. */
   def interpLinear(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val daily = ev.groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("d"))
-      .agg(round(sum(col("value")), 2).as("v"))
-    val bounds = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
-    val days = bounds.select(explode(sequence(col("lo"), col("hi"),
-      expr("interval 1 day"))).as("d"))
-    val users = ev.select(col("user_id")).distinct()
     val wPast = Window.partitionBy(col("user_id")).orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = Window.partitionBy(col("user_id")).orderBy(col("d"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    users.crossJoin(broadcast(days))
-      .join(daily, Seq("user_id", "d"), "left")
+    dailyGrid(spark, dir)
       .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPast))
       .withColumn("pd", last(when(col("v").isNotNull, col("d")),
         ignoreNulls = true).over(wPast))
@@ -854,19 +846,33 @@ object TimeSeries {
     * built once from a global min/max agg (2 values → broadcast) and
     * cross-joined with the distinct-key table; the fill itself is one
     * window pass per key. */
-  def gapFill(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val daily = ev.groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("d"))
+  /** Shared scaffold of [[gapFill]] and [[interpLinear]]: per-(station,
+    * day) totals crossed with the complete global day span, observed
+    * values attached by a left join. The daily table is PINNED via
+    * localCheckpoint — the global bounds agg, the distinct-station
+    * side and the grid join all read it, and unpinned each reference
+    * re-expands into its own FACT scan (plan-audited: 3 scans → 1);
+    * the station list derives from the pinned table too, not a fourth
+    * pass over raw events. The pinned table is O(stations·days) —
+    * narrow and aggregate-sized next to the event stream. */
+  private def dailyGrid(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("d"))
       .agg(round(sum(col("value")), 2).as("v"))
+      .localCheckpoint()
     val bounds = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
     val days = bounds.select(explode(sequence(col("lo"), col("hi"),
       expr("interval 1 day"))).as("d"))
-    val users = ev.select(col("user_id")).distinct()
+    daily.select(col("user_id")).distinct()
+      .crossJoin(broadcast(days))
+      .join(daily, Seq("user_id", "d"), "left")
+  }
+
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    users.crossJoin(broadcast(days))
-      .join(daily, Seq("user_id", "d"), "left")
+    dailyGrid(spark, dir)
       .withColumn("filled",
         coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0)))
       .select(col("user_id"),
