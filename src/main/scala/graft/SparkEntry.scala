@@ -51,6 +51,8 @@ object SparkEntry {
     "ts_trend"               -> TimeSeries.trend _,
     "ts_theil_sen"           -> TimeSeries.theilSen _,
     "ts_autocorr"            -> TimeSeries.autocorr _,
+    "ts_changepoint"         -> TimeSeries.changepoint _,
+    "ts_seasonal_decompose"  -> TimeSeries.seasonalDecompose _,
     "events_burst_flag"      -> TimeSeries.burstFlag _,
     "ts_climatology_anomaly" -> TimeSeries.climatologyAnomaly _,
     "interval_join"          -> TimeSeries.intervalJoin _,
@@ -122,6 +124,7 @@ object SparkEntry {
     // --- LLM pipeline: near-dup + similarity ---------------------
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "decontaminate"       -> Dedup.decontaminate _,
+    "source_overlap"      -> Dedup.sourceOverlap _,
     "dedup_clusters"      -> Dedup.dedupClusters _,
     "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
     "dedup_simhash"       -> Dedup.simhash _,
@@ -797,6 +800,78 @@ object SparkEntry {
         |    THEN floor(CAST(n.num_u AS DOUBLE) / d.den_u * 1e4 + 0.5) / 1e4
         |  END AS acf
         |FROM num n JOIN den d ON n.user_id = d.user_id""".stripMargin,
+
+    // G(t)·1e4 = a²/(n·t·(n−t)) exactly; every operand non-negative,
+    // so DuckDB `//` and Spark `div` (both truncating) agree
+    "ts_changepoint" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT user_id, x,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY x)
+        |      AS BIGINT) AS t,
+        |    CAST(sum(sc) OVER (PARTITION BY user_id ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS st,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+        |    CAST(sum(sc) OVER (PARTITION BY user_id) AS BIGINT) AS sn
+        |  FROM daily),
+        |scored AS (
+        |  SELECT user_id, x, t, n, st, sn,
+        |    n * st - t * sn AS a, n * t * (n - t) AS den
+        |  FROM pre WHERE t < n),
+        |best AS (
+        |  SELECT user_id, x, t, n, st, sn,
+        |    (2 * a * a + den) // (2 * den) AS score_u,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY (2 * a * a + den) // (2 * den) DESC, x ASC) AS rn
+        |  FROM scored)
+        |SELECT user_id,
+        |  strftime(DATE '2024-01-01' + CAST(x AS INTEGER), '%Y-%m-%d')
+        |    AS cp_day,
+        |  n AS n_days, t AS n_before,
+        |  CAST(score_u AS DOUBLE) / 1e4 AS score,
+        |  CAST((200 * st + t) // (2 * t) AS DOUBLE) / 1e4 AS mean_before,
+        |  CAST((200 * (sn - st) + (n - t)) // (2 * (n - t)) AS DOUBLE) / 1e4
+        |    AS mean_after
+        |FROM best WHERE rn = 1""".stripMargin,
+
+    "ts_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT user_id, x, cents,
+        |    CAST(floor(CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY x
+        |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) * 100.0
+        |      / count(*) OVER (PARTITION BY user_id ORDER BY x
+        |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) + 0.5) AS BIGINT)
+        |      AS trend_u,
+        |    x % 7 AS dow
+        |  FROM daily),
+        |det AS (
+        |  SELECT user_id, x, cents, trend_u, dow,
+        |    cents * 100 - trend_u AS det_u
+        |  FROM tr),
+        |sea AS (
+        |  SELECT user_id, x, cents, trend_u, det_u,
+        |    CAST(floor(CAST(sum(det_u) OVER (PARTITION BY user_id, dow)
+        |      AS DOUBLE) / count(*) OVER (PARTITION BY user_id, dow) + 0.5)
+        |      AS BIGINT) AS sea_u
+        |  FROM det)
+        |SELECT user_id,
+        |  strftime(DATE '2024-01-01' + CAST(x AS INTEGER), '%Y-%m-%d') AS day,
+        |  CAST(cents AS DOUBLE) / 100.0 AS value,
+        |  CAST(trend_u AS DOUBLE) / 1e4 AS trend,
+        |  CAST(sea_u AS DOUBLE) / 1e4 AS seasonal,
+        |  CAST(det_u - sea_u AS DOUBLE) / 1e4 AS residual
+        |FROM sea""".stripMargin,
 
     "events_burst_flag" ->
       """WITH d AS (
@@ -2296,6 +2371,28 @@ object SparkEntry {
         |  round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
         |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
         |WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5""".stripMargin,
+
+    "source_overlap" ->
+      """WITH ss AS (
+        |  SELECT DISTINCT source, shingle FROM (
+        |    SELECT source,
+        |      unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |        for i in range(1, len(toks) - 1)])) AS shingle
+        |    FROM (SELECT source, string_split(text, ' ') AS toks
+        |          FROM documents)
+        |    WHERE len(toks) >= 3)),
+        |cnt AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS shared
+        |  FROM ss a JOIN ss b ON a.shingle = b.shingle
+        |    AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, shared, ca.n_sh AS n_a, cb.n_sh AS n_b,
+        |  round(shared * 1.0 / least(ca.n_sh, cb.n_sh), 4) AS containment,
+        |  round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
+        |FROM pairs JOIN cnt ca ON source_a = ca.source
+        |  JOIN cnt cb ON source_b = cb.source""".stripMargin,
 
     "dedup_clusters" ->
       """WITH RECURSIVE sh AS (

@@ -112,6 +112,57 @@ object Dedup {
   def dedupClustersScaled(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(minhashLsh(spark, dir).select("doc_a", "doc_b"))
 
+  /** Cross-SOURCE contamination matrix — for every pair of corpus
+    * sources, how much verbatim content they share: distinct shared
+    * word 3-shingles, plus containment (shared / smaller set — "is
+    * source B mostly a mirror of A?") and Jaccard. This is the
+    * corpus-curation view of [[decontaminate]]: before mixing
+    * sources into a training corpus you want the overlap MATRIX
+    * (crawl snapshots vs curated dumps, mirrors, re-hosted wikis),
+    * not just doc-level pairs.
+    *
+    * Shape at scale: the unit is the DISTINCT (source, shingle) pair,
+    * so per-shingle join fan-out is bounded by the number of SOURCES
+    * carrying it (a handful), never by document frequency — the hot-
+    * shingle tail that makes doc-level pair joins quadratic is
+    * structurally capped here, and the output is sources² rows. The
+    * distinct pair table is pinned (localCheckpoint): both self-join
+    * sides and the per-source counts read it, and unpinned each
+    * reference re-runs the tokenize+explode+distinct pass (the
+    * operator's dominant cost — same call as [[minhashLsh]]'s bucket
+    * pin; on a cluster you'd materialize it to parquet, same trade).
+    * Per-source totals ride the broadcast-sized counts table. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(Tables.spread(Tables.documents(spark, dir), col("doc_id")))
+
+  /** [[sourceOverlap]] over an arbitrary (source, text) frame — seam
+    * so the matrix is spec-checkable on constructed corpora. */
+  private[graft] def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val ss = docs
+      .select(col("source"), explode(array_distinct(
+        expr("regexp_extract_all(text, '(?<=^| )(?=([^ ]+ [^ ]+ [^ ]+))', 1)")))
+        .as("shingle"))
+      .distinct()
+      .localCheckpoint()
+    val counts = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    ss.select(col("source").as("source_a"), col("shingle"))
+      .join(ss.select(col("source").as("source_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(counts.select(col("source").as("source_a"),
+        col("n_sh").as("n_a"))), Seq("source_a"))
+      .join(broadcast(counts.select(col("source").as("source_b"),
+        col("n_sh").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        col("n_a"), col("n_b"),
+        round(col("shared") / least(col("n_a"), col("n_b")), 4)
+          .as("containment"),
+        round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4)
+          .as("jaccard"))
+  }
+
   /** Benchmark decontamination — the training-corpus hygiene step
     * that removes documents leaking evaluation data: any training doc
     * sharing at least one word 8-shingle with a held-out benchmark

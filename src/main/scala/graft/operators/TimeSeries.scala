@@ -653,6 +653,136 @@ object TimeSeries {
           .as("acf"))
   }
 
+  /** Single most-likely LEVEL-SHIFT changepoint per station — the
+    * at-most-one-changepoint split a QC pipeline runs before trusting
+    * a series' climatology (sensor relocation, recalibration, datum
+    * shift; the reference's danger-level and bias workflows assume
+    * homogeneous series and this is the standard homogeneity test).
+    * Offline twin of the streaming CUSUM flag ([[cusumDrift]]):
+    * CUSUM answers "is it drifting NOW", this answers "WHERE did the
+    * level break". Maximizes the between-segment sum-of-squares
+    * statistic G(t) = n₁·n₂/n · (m₁ − m₂)² over all n−1 split points
+    * of the station's daily series; reports the argmax day, the
+    * score, and both segment means.
+    *
+    * Exactness: with daily sums in integer cents, G(t)·10⁴ =
+    * a² / (n·t·(n−t)) where a = n·S_t − t·S_n is an exact long, so
+    * the 4-dp score is ONE exact integer division (`div` here, `//`
+    * in the oracle — both truncate, and every operand is
+    * non-negative) — no merge-order-dependent double sums anywhere
+    * near the argmax, and the (score, day) ordering picks the same
+    * split on any engine and partitioning. Loud overflow envelope
+    * (ANSI): 2a²+den must fit a long ⇒ |a| ≤ 2.1e9 — roughly 680
+    * station-years of daily cents per key before the multiply throws
+    * (loudly, never silently wrong); past that, drop cents to whole
+    * units upstream or widen to DECIMAL(38).
+    *
+    * Shape at scale: one (station, day) partial-agg shuffle collapses
+    * the fact table; then ONE window sort per station serves the
+    * running frame, the total frame and (same sort) the argmax
+    * row_number. Everything after the first shuffle is
+    * aggregate-sized; no joins, no collect. */
+  def changepoint(spark: SparkSession, dir: String): DataFrame =
+    changepointOf(Tables.events(spark, dir))
+
+  /** [[changepoint]] over an arbitrary (user_id, ts, value) frame —
+    * seam so the argmax is spec-testable on a constructed shift. */
+  private[graft] def changepointOf(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("user_id"),
+        datediff(date_trunc("DAY", col("ts")), lit("2024-01-01"))
+          .cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("yc"))
+      .groupBy(col("user_id"), col("x"))
+      .agg(sum(col("yc")).as("sc"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("x"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    daily
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("st", sum(col("sc")).over(wRun))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("sn", sum(col("sc")).over(wAll))
+      .filter(col("t") < col("n"))
+      .withColumn("a", col("n") * col("st") - col("t") * col("sn"))
+      .withColumn("den", col("n") * col("t") * (col("n") - col("t")))
+      .withColumn("score_u", expr("(2 * a * a + den) div (2 * den)"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("score_u").desc, col("x").asc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        date_format(date_add(to_date(lit("2024-01-01")),
+          col("x").cast("int")), "yyyy-MM-dd").as("cp_day"),
+        col("n").as("n_days"), col("t").as("n_before"),
+        (col("score_u").cast("double") / 1e4).as("score"),
+        (expr("(200 * st + t) div (2 * t)").cast("double") / 1e4)
+          .as("mean_before"),
+        (expr("(200 * (sn - st) + (n - t)) div (2 * (n - t))")
+          .cast("double") / 1e4).as("mean_after"))
+  }
+
+  /** Additive SEASONAL DECOMPOSITION of each station's daily series —
+    * value = trend + seasonal + residual, the classical split behind
+    * the reference's anomaly-vs-normals derivations
+    * (`utils_spi.py`-style climatology; [[climatologyAnomaly]] is the
+    * lookup-only variant — this one also extracts the smooth trend so
+    * the seasonal figure is not contaminated by drift).
+    *
+    *  - trend: centred ±3-day moving mean on a calendar RANGE frame
+    *    (`rangeBetween` on epoch-day), so a gapped series windows by
+    *    TIME — missing days shrink the window instead of a rows-frame
+    *    silently reaching past the gap ([[rollingSumRange]]'s trap,
+    *    spec-shown here too).
+    *  - seasonal: day-of-week mean of the detrended series.
+    *  - residual: what neither explains (exact by construction:
+    *    value·10⁴ = trend_u + sea_u + res_u in integer units).
+    *
+    * Exactness: daily sums are integer cents; each mean is floor-
+    * quantized from an exact long sum by one IEEE double division
+    * (bit-identical across engines on identical inputs); detrended
+    * and residual values stay in integer 1e-4 units until the final
+    * divide, so no intermediate re-round can drift.
+    *
+    * Shape at scale: one (station, day) partial-agg shuffle collapses
+    * the facts; trend is one range-frame window on the station sort;
+    * the day-of-week means are a SECOND window on (station, dow) — an
+    * aggregate-sized reshuffle, chosen over a groupBy+join-back so
+    * there is no broadcast whose size grows with the station count.
+    * Nothing after the first shuffle touches raw events. */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame =
+    seasonalDecomposeOf(Tables.events(spark, dir))
+
+  /** [[seasonalDecompose]] over an arbitrary (user_id, ts, value)
+    * frame — seam for the constant-series and gapped-trend specs. */
+  private[graft] def seasonalDecomposeOf(ev: DataFrame): DataFrame = {
+    val wRange = Window.partitionBy(col("user_id")).orderBy(col("x"))
+      .rangeBetween(-3, 3)
+    val wDow = Window.partitionBy(col("user_id"), col("dow"))
+    ev
+      .select(col("user_id"),
+        datediff(date_trunc("DAY", col("ts")), lit("2024-01-01"))
+          .cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("yc"))
+      .groupBy(col("user_id"), col("x"))
+      .agg(sum(col("yc")).as("cents"))
+      .withColumn("trend_u",
+        floor(sum(col("cents")).over(wRange).cast("double") * 100.0
+          / count(lit(1)).over(wRange) + 0.5).cast("long"))
+      .withColumn("det_u", col("cents") * 100 - col("trend_u"))
+      .withColumn("dow", col("x") % 7)
+      .withColumn("sea_u",
+        floor(sum(col("det_u")).over(wDow).cast("double")
+          / count(lit(1)).over(wDow) + 0.5).cast("long"))
+      .select(col("user_id"),
+        date_format(date_add(to_date(lit("2024-01-01")),
+          col("x").cast("int")), "yyyy-MM-dd").as("day"),
+        (col("cents").cast("double") / 100.0).as("value"),
+        (col("trend_u").cast("double") / 1e4).as("trend"),
+        (col("sea_u").cast("double") / 1e4).as("seasonal"),
+        ((col("det_u") - col("sea_u")).cast("double") / 1e4).as("residual"))
+  }
+
   /** Per-station BURST flag — "does this key's traffic spike far
     * above its own norm": the behavioral-anomaly screen of event
     * hygiene (a gauge replaying its backlog, a scraper hammering an

@@ -223,4 +223,21 @@ class DedupSpec extends SparkSpec {
     // planted duplicate documents guarantee genuinely shared chunks
     assert(expect.nonEmpty)
   }
+
+  test("source_overlap: constructed corpus — shared shingles, containment, jaccard exact") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "a b c d"), // shingles {a b c, b c d}
+      ("B", "a b c x"), // shingles {a b c, b c x} — shares "a b c" with A
+      ("C", "q r s"))   // disjoint
+      .toDF("source", "text")
+    val r = graft.operators.Dedup.sourceOverlapOf(docs).collect()
+      .map(row => (row.getString(0), row.getString(1)) -> row).toMap
+    assert(r.keySet === Set(("A", "B")), "disjoint sources must not pair")
+    val ab = r(("A", "B"))
+    assert(ab.getLong(2) === 1L)
+    assert(ab.getLong(3) === 2L && ab.getLong(4) === 2L)
+    assert(ab.getDouble(5) === 0.5)    // containment = 1 / min(2,2)
+    assert(ab.getDouble(6) === 0.3333) // jaccard = 1 / (2+2-1)
+  }
 }

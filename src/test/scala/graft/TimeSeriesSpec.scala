@@ -609,4 +609,45 @@ class TimeSeriesSpec extends SparkSpec {
       } else assert(r.isNullAt(5), s"thin climatology ($u, $hod) must not standardize")
     }
   }
+
+  test("ts_changepoint: constructed level shift is located exactly") {
+    import spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // 10 days at 1.00 then 10 days at 5.00 → split after Jan 10;
+    // G = n₁n₂/n·(m₁−m₂)² = 10·10/20·16 = 80
+    val ev = ((1 to 10).map(d => (1L, t(d), 1.0)) ++
+      (11 to 20).map(d => (1L, t(d), 5.0)))
+      .toDF("user_id", "ts", "value")
+    val r = graft.operators.TimeSeries.changepointOf(ev).collect()
+    assert(r.length === 1)
+    assert(r(0).getString(1) === "2024-01-10")
+    assert(r(0).getLong(2) === 20L && r(0).getLong(3) === 10L)
+    assert(r(0).getDouble(4) === 80.0)
+    assert(r(0).getDouble(5) === 1.0 && r(0).getDouble(6) === 5.0)
+  }
+
+  test("ts_seasonal_decompose: constant series decomposes to (value,0,0); a gap shrinks the range window; identity holds on real data") {
+    import spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val const = (1 to 14).map(d => (1L, t(d), 2.5)).toDF("user_id", "ts", "value")
+    val cr = graft.operators.TimeSeries.seasonalDecomposeOf(const).collect()
+    assert(cr.length === 14)
+    cr.foreach { row =>
+      assert(row.getDouble(2) === 2.5 && row.getDouble(3) === 2.5)
+      assert(row.getDouble(4) === 0.0 && row.getDouble(5) === 0.0)
+    }
+    // two observations 9 calendar days apart: each ±3-day RANGE window
+    // holds only its own row, so trend == value at both — a rows-frame
+    // would average across the gap
+    val gapped = Seq((2L, t(1), 1.0), (2L, t(10), 9.0))
+      .toDF("user_id", "ts", "value")
+    val g = graft.operators.TimeSeries.seasonalDecomposeOf(gapped)
+      .collect().map(row => row.getString(1) -> row.getDouble(3)).toMap
+    assert(g("2024-01-01") === 1.0 && g("2024-01-10") === 9.0)
+    // additive identity is exact by construction on the real slice
+    SparkEntry.queries("ts_seasonal_decompose")(spark, sf).collect().foreach {
+      row => assert(math.abs(row.getDouble(2) -
+        (row.getDouble(3) + row.getDouble(4) + row.getDouble(5))) < 1e-9)
+    }
+  }
 }
