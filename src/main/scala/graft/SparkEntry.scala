@@ -52,6 +52,7 @@ object SparkEntry {
     "ts_theil_sen"           -> TimeSeries.theilSen _,
     "ts_autocorr"            -> TimeSeries.autocorr _,
     "ts_changepoint"         -> TimeSeries.changepoint _,
+    "ts_holt_forecast"       -> TimeSeries.holtForecast _,
     "ts_seasonal_decompose"  -> TimeSeries.seasonalDecompose _,
     "events_burst_flag"      -> TimeSeries.burstFlag _,
     "ts_climatology_anomaly" -> TimeSeries.climatologyAnomaly _,
@@ -112,6 +113,7 @@ object SparkEntry {
     "corpus_clean"    -> TextOps.corpusClean _,
     "vocab_topk"      -> TextOps.vocabTopk _,
     "vocab_coverage"  -> TextOps.vocabCoverage _,
+    "vocab_growth"    -> TextOps.vocabGrowth _,
     "corpus_stats"    -> TextOps.corpusStats _,
     "corpus_mix"      -> TextOps.corpusMix _,
     "corpus_mix_docs" -> TextOps.corpusMixDocs _,
@@ -800,6 +802,63 @@ object SparkEntry {
         |    THEN floor(CAST(n.num_u AS DOUBLE) / d.den_u * 1e4 + 0.5) / 1e4
         |  END AS acf
         |FROM num n JOIN den d ON n.user_id = d.user_id""".stripMargin,
+
+    // anchor (l₂,b₂) = (y₂, y₂−y₁) verbatim; the recursive step
+    // recomputes l_t inside b_t with the identical expression the
+    // Spark fold uses, so the doubles are bit-identical
+    "ts_holt_forecast" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ord AS (
+        |  SELECT user_id, y,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY x)
+        |      AS BIGINT) AS t,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM daily),
+        |rec AS (
+        |  SELECT o2.user_id, CAST(2 AS BIGINT) AS t, o2.n,
+        |    o2.y AS l, o2.y - o1.y AS b
+        |  FROM ord o2 JOIN ord o1
+        |    ON o1.user_id = o2.user_id AND o1.t = 1 AND o2.t = 2
+        |  UNION ALL
+        |  SELECT r.user_id, r.t + 1, r.n,
+        |    0.5 * o.y + 0.5 * (r.l + r.b) AS l,
+        |    0.25 * ((0.5 * o.y + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b AS b
+        |  FROM rec r JOIN ord o ON o.user_id = r.user_id AND o.t = r.t + 1),
+        |fin AS (SELECT user_id, n, l, b FROM rec WHERE t = n)
+        |SELECT f.user_id, f.n AS n_days, CAST(h.h AS BIGINT) AS h,
+        |  floor(l * 1e4 + 0.5) / 1e4 AS level,
+        |  floor(b * 1e4 + 0.5) / 1e4 AS trend,
+        |  floor((l + h.h * b) * 1e4 + 0.5) / 1e4 AS forecast
+        |FROM fin f JOIN (VALUES (1), (2), (3)) AS h(h) ON true""".stripMargin,
+
+    "vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |tok AS (
+        |  SELECT CAST(doc_id * 32 // (mx + 1) AS BIGINT) AS bucket,
+        |    unnest(string_split(
+        |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents, mx),
+        |bt AS (SELECT bucket, tok, count(*) AS n_occ FROM tok GROUP BY 1, 2),
+        |pb AS (SELECT bucket, CAST(sum(n_occ) AS BIGINT) AS n_tok
+        |       FROM bt GROUP BY 1),
+        |nv AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new FROM (
+        |  SELECT tok, min(bucket) AS bucket FROM bt GROUP BY 1) GROUP BY 1),
+        |nd AS (SELECT CAST(doc_id * 32 // (mx + 1) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs FROM documents, mx GROUP BY 1)
+        |SELECT pb.bucket, nd.n_docs,
+        |  CAST(sum(pb.n_tok) OVER (ORDER BY pb.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(sum(COALESCE(nv.n_new, 0)) OVER (ORDER BY pb.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM pb JOIN nd ON pb.bucket = nd.bucket
+        |  LEFT JOIN nv ON pb.bucket = nv.bucket""".stripMargin,
 
     // G(t)·1e4 = a²/(n·t·(n−t)) exactly; every operand non-negative,
     // so DuckDB `//` and Spark `div` (both truncating) agree

@@ -447,6 +447,54 @@ object TextOps {
     * over the RANKED VOCAB (100 rows — window on a bounded table, not
     * the corpus) evaluated at each K. Counts are exact integers; the
     * coverage ratio divides two exact longs. */
+  /** Equal-width doc-id buckets in [[vocabGrowth]] — FIXED, so the
+    * growth curve is O(1) rows at any corpus size. */
+  private[graft] val GrowthBuckets = 32L
+
+  /** VOCABULARY GROWTH (Heaps-law) curve — cumulative distinct-token
+    * count vs cumulative token count in doc-id order: the dataset-
+    * scaling diagnostic (is the corpus still contributing new
+    * vocabulary, or has it saturated into duplication?). Pairs with
+    * [[vocabCoverage]]: coverage asks how much a FIXED vocab covers;
+    * growth asks how fast the vocab itself grows.
+    *
+    * Scale design: docs land in [[GrowthBuckets]] equal-width doc-id
+    * buckets, so the curve is ≤32 rows regardless of corpus size and
+    * the cumulative window runs single-partition over a BOUNDED
+    * table (the [[vocabCoverage]] 100-row argument, not a corpus
+    * window). The corpus tokenizes ONCE into (bucket, token) counts
+    * — one shuffle; a token's FIRST bucket is a min over that
+    * aggregated vocab-sized table (pinned — both the per-bucket
+    * totals and the first-bucket pass read it), and new-vocab-per-
+    * bucket collapses it to curve rows. The doc tally re-reads only
+    * the pruned doc_id column — metadata-cheap, never a second
+    * tokenize. Every output is an exact integer. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val bt = Tables.spread(docs, col("doc_id"))
+      .crossJoin(broadcast(mx))
+      .select(expr(s"doc_id * $GrowthBuckets div (mx + 1)").as("bucket"),
+        explode(words(normalized(col("text")))).as("tok"))
+      .groupBy(col("bucket"), col("tok")).agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint()
+    val perBucket = bt.groupBy(col("bucket"))
+      .agg(sum(col("n_occ")).as("n_tok"))
+    val newVocab = bt.groupBy(col("tok")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+    val nDocs = docs.crossJoin(broadcast(mx))
+      .select(expr(s"doc_id * $GrowthBuckets div (mx + 1)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newVocab, Seq("bucket"), "left")
+      .join(nDocs, Seq("bucket"))
+      .select(col("bucket"), col("n_docs"),
+        sum(col("n_tok")).over(w).cast("long").as("cum_tokens"),
+        sum(coalesce(col("n_new"), lit(0L))).over(w).cast("long")
+          .as("cum_vocab"))
+  }
+
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(explode(words(normalized(col("text")))).as("token"))

@@ -722,6 +722,69 @@ object TimeSeries {
           .cast("double") / 1e4).as("mean_after"))
   }
 
+  /** Holt linear-trend smoothing constants — BINARY-EXACT doubles
+    * (0.5, 0.25), so every multiply in the recursion is exact IEEE
+    * scaling and the fold's bits are engine-independent. */
+  private[graft] val HoltAlpha = 0.5
+  private[graft] val HoltBeta = 0.25
+  private[graft] val HoltHorizons = Seq(1, 2, 3)
+
+  /** HOLT double-exponential smoothing + h-step FORECAST per station
+    * — the level+trend forecaster behind short-range projection
+    * products ([[ewma]] is the level-only sibling; the reference's
+    * forecast lane extrapolates a smoothed level with a trend term):
+    * l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)·b_{t−1}, ŷ_{n+h} = l_n + h·b_n.
+    *
+    * The exact recurrence is sequential by nature — no distributed
+    * window evaluates it — so each station's DAILY series (already
+    * collapsed from facts by the (station, day) partial agg) folds
+    * in-row: sort_array(collect_list) + `aggregate` with an O(1)
+    * (l, b) accumulator. The collected array is bounded by the
+    * station's series length in DAYS, not events (resample-first for
+    * century-scale series — the [[theilSen]] caveat).
+    *
+    * Engine invariance: α/β are binary-exact; the fold recomputes
+    * l_t inside b_t with the IDENTICAL expression here and in the
+    * oracle's recursive CTE (association pinned); the anchor is
+    * (l₂, b₂) = (y₂, y₂−y₁) VERBATIM in both engines — the
+    * "equivalent" y₁+(y₂−y₁) form can differ by an ulp — and outputs
+    * quantize once at 1e-4. */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame =
+    holtForecastOf(Tables.events(spark, dir))
+
+  /** [[holtForecast]] over an arbitrary (user_id, ts, value) frame —
+    * seam for the exact linear-series spec. */
+  private[graft] def holtForecastOf(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("user_id"),
+        datediff(date_trunc("DAY", col("ts")), lit("2024-01-01"))
+          .cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("yc"))
+      .groupBy(col("user_id"), col("x"))
+      .agg((sum(col("yc")).cast("double") / (count(lit(1)) * lit(100.0)))
+        .as("y"))
+    daily.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("pts"))
+      .filter(size(col("pts")) >= 2)
+      .withColumn("st", expr(
+        """aggregate(
+          |  slice(pts, 3, size(pts) - 2),
+          |  struct(pts[1].y AS l, pts[1].y - pts[0].y AS b),
+          |  (acc, e) -> struct(
+          |    0.5D * e.y + 0.5D * (acc.l + acc.b) AS l,
+          |    0.25D * ((0.5D * e.y + 0.5D * (acc.l + acc.b)) - acc.l)
+          |      + 0.75D * acc.b AS b))""".stripMargin))
+      .select(col("user_id"), size(col("pts")).cast("long").as("n_days"),
+        explode(array(HoltHorizons.map(lit): _*)).as("hi"),
+        col("st.l").as("l"), col("st.b").as("b"))
+      .select(col("user_id"), col("n_days"), col("hi").cast("long").as("h"),
+        (floor(col("l") * 1e4 + 0.5) / 1e4).as("level"),
+        (floor(col("b") * 1e4 + 0.5) / 1e4).as("trend"),
+        (floor((col("l") + col("hi") * col("b")) * 1e4 + 0.5) / 1e4)
+          .as("forecast"))
+  }
+
   /** Additive SEASONAL DECOMPOSITION of each station's daily series —
     * value = trend + seasonal + residual, the classical split behind
     * the reference's anomaly-vs-normals derivations

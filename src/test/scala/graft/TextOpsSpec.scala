@@ -579,4 +579,31 @@ class TextOpsSpec extends SparkSpec {
       assert((shard, pos, tok, seqId, seqOff) === e, s"doc $id")
     }
   }
+
+  test("vocab_growth: exact Scala recompute of the bucketed Heaps curve") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mx = docs.map(_._1).max
+    val nb = graft.operators.TextOps.GrowthBuckets
+    def bucket(id: Long) = id * nb / (mx + 1)
+    val toks = docs.flatMap { case (id, t) =>
+      t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+        .map(bucket(id) -> _)
+    }
+    val nTok = toks.groupBy(_._1).map { case (b, xs) => b -> xs.length.toLong }
+    val nNew = toks.groupBy(_._2).map { case (_, xs) => xs.map(_._1).min }
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val nDocs = docs.groupBy(d => bucket(d._1))
+      .map { case (b, xs) => b -> xs.size.toLong }
+    var ct = 0L; var cv = 0L
+    val expect = nTok.keys.toSeq.sorted.map { b =>
+      ct += nTok(b); cv += nNew.getOrElse(b, 0L)
+      b -> ((nDocs(b), ct, cv))
+    }.toMap
+    val got = SparkEntry.queries("vocab_growth")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }

@@ -626,6 +626,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r(0).getDouble(5) === 1.0 && r(0).getDouble(6) === 5.0)
   }
 
+  test("ts_holt_forecast: linear series is tracked exactly and extrapolated") {
+    import spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // y_t = 2.0 + 0.5·(t−1): binary-exact values, so Holt is exact —
+    // level locks to the last y, trend to the slope
+    val ev = (1 to 8).map(d => (1L, t(d), 2.0 + 0.5 * (d - 1)))
+      .toDF("user_id", "ts", "value")
+    val r = graft.operators.TimeSeries.holtForecastOf(ev).collect()
+      .map(row => row.getLong(2) -> row).toMap
+    assert(r.keySet === Set(1L, 2L, 3L))
+    (1 to 3).foreach { h =>
+      val row = r(h.toLong)
+      assert(row.getLong(1) === 8L)
+      assert(row.getDouble(3) === 5.5, "level must track the last value")
+      assert(row.getDouble(4) === 0.5, "trend must lock to the slope")
+      assert(row.getDouble(5) === 5.5 + 0.5 * h, s"forecast h=$h")
+    }
+    // a 2-point series is exactly the anchor
+    val two = Seq((2L, t(1), 1.0), (2L, t(2), 3.0))
+      .toDF("user_id", "ts", "value")
+    val tw = graft.operators.TimeSeries.holtForecastOf(two).collect()
+      .map(row => row.getLong(2) -> row.getDouble(5)).toMap
+    assert(tw(1L) === 5.0 && tw(3L) === 9.0)
+  }
+
   test("ts_seasonal_decompose: constant series decomposes to (value,0,0); a gap shrinks the range window; identity holds on real data") {
     import spark.implicits._
     def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
