@@ -53,6 +53,8 @@ object SparkEntry {
     "ts_autocorr"            -> TimeSeries.autocorr _,
     "ts_changepoint"         -> TimeSeries.changepoint _,
     "ts_holt_forecast"       -> TimeSeries.holtForecast _,
+    "ts_periodogram"         -> TimeSeries.periodogram _,
+    "ts_cross_corr_ref"      -> TimeSeries.crossCorrRef _,
     "ts_seasonal_decompose"  -> TimeSeries.seasonalDecompose _,
     "events_burst_flag"      -> TimeSeries.burstFlag _,
     "ts_climatology_anomaly" -> TimeSeries.climatologyAnomaly _,
@@ -157,6 +159,16 @@ object SparkEntry {
     * comparison with the inequality direction baked from the literal
     * sign of (y2−y1), horizontal edges dropped. Both engines run the
     * identical division-free multiply chain bit-for-bit. */
+  /** VALUES rows for the periodogram's literal trig-weight table —
+    * the SAME Scala-rendered doubles the Spark plan embeds, so both
+    * engines parse identical bits (the polyCondSql literal pattern). */
+  private def pgramWeightRows: String =
+    graft.operators.TimeSeries.PgramPeriods.flatMap { t =>
+      val cw = graft.operators.TimeSeries.pgramCos(t)
+      val sw = graft.operators.TimeSeries.pgramSin(t)
+      (0 until t).map(r => s"($t, $r, ${cw(r)}, ${sw(r)})")
+    }.mkString(", ")
+
   private def polyCondSql(verts: Seq[(Double, Double)]): String = {
     val crossings = verts.indices.flatMap { i =>
       val (x1, y1) = verts(i)
@@ -802,6 +814,81 @@ object SparkEntry {
         |    THEN floor(CAST(n.num_u AS DOUBLE) / d.den_u * 1e4 + 0.5) / 1e4
         |  END AS acf
         |FROM num n JOIN den d ON n.user_id = d.user_id""".stripMargin,
+
+    "ts_periodogram" ->
+      s"""WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT user_id, CAST(sum(sc) AS DOUBLE) / (sum(cnt) * 100.0) AS ybar
+        |  FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT d.user_id, d.x,
+        |    (CAST(d.sc AS DOUBLE) / (d.cnt * 100.0)) - s.ybar AS dev
+        |  FROM daily d JOIN stats s ON d.user_id = s.user_id),
+        |wt(period, r, cw, sw) AS (VALUES $pgramWeightRows),
+        |agg AS (
+        |  SELECT v.user_id, w.period,
+        |    count(*) AS n_days,
+        |    CAST(sum(CAST(floor(v.dev * w.cw * 1e6 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c_u,
+        |    CAST(sum(CAST(floor(v.dev * w.sw * 1e6 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS s_u
+        |  FROM dev v JOIN wt w ON v.x % w.period = w.r
+        |  GROUP BY 1, 2)
+        |SELECT user_id, CAST(period AS BIGINT) AS period,
+        |  CAST(n_days AS BIGINT) AS n_days,
+        |  floor((CAST(c_u AS DOUBLE) * CAST(c_u AS DOUBLE)
+        |    + CAST(s_u AS DOUBLE) * CAST(s_u AS DOUBLE))
+        |    / (n_days * n_days) / 1e12 * 1e4 + 0.5) / 1e4 AS power
+        |FROM agg""".stripMargin,
+
+    "ts_cross_corr_ref" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |refall AS (
+        |  SELECT CAST(sum(sc) AS BIGINT) AS tsc, CAST(sum(cnt) AS BIGINT)
+        |    AS tcnt FROM daily),
+        |ref AS (
+        |  SELECT d.x + k.lag AS xs, k.lag,
+        |    (CAST(sum(d.sc) AS DOUBLE) / (sum(d.cnt) * 100.0))
+        |      - (CAST(max(a.tsc) AS DOUBLE) / (max(a.tcnt) * 100.0)) AS rdev
+        |  FROM daily d CROSS JOIN refall a
+        |  JOIN (VALUES (0), (1), (2), (3)) AS k(lag) ON true
+        |  GROUP BY d.x, k.lag),
+        |stats AS (
+        |  SELECT user_id, CAST(sum(sc) AS DOUBLE) / (sum(cnt) * 100.0) AS ybar
+        |  FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT d.user_id, d.x,
+        |    (CAST(d.sc AS DOUBLE) / (d.cnt * 100.0)) - s.ybar AS dev
+        |  FROM daily d JOIN stats s ON d.user_id = s.user_id),
+        |agg AS (
+        |  SELECT v.user_id, r.lag,
+        |    count(*) AS n_pairs,
+        |    CAST(sum(CAST(floor(v.dev * r.rdev * 1e8 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS num_u,
+        |    CAST(sum(CAST(floor(v.dev * v.dev * 1e8 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS dx_u,
+        |    CAST(sum(CAST(floor(r.rdev * r.rdev * 1e8 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS dy_u
+        |  FROM dev v JOIN ref r ON v.x = r.xs
+        |  GROUP BY 1, 2)
+        |SELECT user_id, CAST(lag AS BIGINT) AS lag,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CASE WHEN n_pairs >= 5 AND dx_u > 0 AND dy_u > 0
+        |    THEN floor(CAST(num_u AS DOUBLE)
+        |      / sqrt(CAST(dx_u AS DOUBLE) * CAST(dy_u AS DOUBLE))
+        |      * 1e4 + 0.5) / 1e4
+        |  END AS r
+        |FROM agg""".stripMargin,
 
     // anchor (l₂,b₂) = (y₂, y₂−y₁) verbatim; the recursive step
     // recomputes l_t inside b_t with the identical expression the

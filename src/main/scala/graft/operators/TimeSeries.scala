@@ -722,6 +722,151 @@ object TimeSeries {
           .cast("double") / 1e4).as("mean_after"))
   }
 
+  /** Periods (days) probed by [[periodogram]]; the cos/sin weight
+    * tables are Scala-rendered doubles shared VERBATIM with the
+    * generated oracle SQL (shortest round-trip — both engines parse
+    * identical bits, the hyperplane-LSH literal pattern). */
+  private[graft] val PgramPeriods = Seq(7, 14, 30)
+  private[graft] def pgramCos(t: Int): Seq[Double] =
+    (0 until t).map(r => math.cos(2.0 * math.Pi * r / t))
+  private[graft] def pgramSin(t: Int): Seq[Double] =
+    (0 until t).map(r => math.sin(2.0 * math.Pi * r / t))
+
+  /** Fixed-period PERIODOGRAM per station — spectral power of the
+    * daily series at candidate cycles (weekly, fortnightly, monthly):
+    * the cycle-detection screen run before seasonal modelling
+    * ([[seasonalDecompose]] ASSUMES a weekly cycle; this measures
+    * whether one exists, and at which period). Power at period T is
+    * the squared projection onto (cos, sin) at frequency 1/T,
+    * normalized by n²: P(T) = ((Σd·cos)² + (Σd·sin)²) / n².
+    *
+    * Engine invariance: the trig weights are LITERAL tables indexed
+    * by x mod T (never an engine trig call at query time — libm and
+    * DuckDB's cos may differ in the last ulp; a frozen table cannot),
+    * deviations are taken from the pooled exact-ratio mean (the
+    * [[autocorr]] convention), and each d·w product floor-quantizes
+    * to integer 1e-6 units so the sums are merge-order-free; the
+    * squares are products of dedup-exact longs in double — correctly
+    * rounded, identical everywhere.
+    *
+    * Shape at scale: ONE map-side-partial agg tree — facts → (station,
+    * day) → ×3 period rows → (station, period). No window, no sort,
+    * no join fan-out beyond the 3-way literal explode; the daily
+    * table is pinned because the pooled-mean pass and the projection
+    * pass both read it. */
+  def periodogram(spark: SparkSession, dir: String): DataFrame =
+    periodogramOf(Tables.events(spark, dir))
+
+  /** [[periodogram]] over an arbitrary (user_id, ts, value) frame —
+    * seam for the square-wave concentration spec. */
+  private[graft] def periodogramOf(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("user_id"),
+        datediff(date_trunc("DAY", col("ts")), lit("2024-01-01"))
+          .cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("yc"))
+      .groupBy(col("user_id"), col("x"))
+      .agg(sum(col("yc")).as("sc"), count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val stats = daily.groupBy(col("user_id"))
+      .agg(sum(col("sc")).as("scs"), sum(col("cnt")).as("n_obs"))
+      .select(col("user_id"),
+        (col("scs").cast("double") / (col("n_obs") * lit(100.0))).as("ybar"))
+    daily.join(stats, Seq("user_id"))
+      .select(col("user_id"), col("x"),
+        ((col("sc").cast("double") / (col("cnt") * lit(100.0))) - col("ybar"))
+          .as("dev"))
+      .withColumn("p", explode(array(PgramPeriods.map { t =>
+        struct(lit(t).as("period"),
+          element_at(array(pgramCos(t).map(lit): _*),
+            (col("x") % t).cast("int") + 1).as("cw"),
+          element_at(array(pgramSin(t).map(lit): _*),
+            (col("x") % t).cast("int") + 1).as("sw"))
+      }: _*)))
+      .groupBy(col("user_id"), col("p.period").as("period"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(floor(col("dev") * col("p.cw") * 1e6 + 0.5).cast("long"))
+          .as("c_u"),
+        sum(floor(col("dev") * col("p.sw") * 1e6 + 0.5).cast("long"))
+          .as("s_u"))
+      .select(col("user_id"), col("period").cast("long").as("period"),
+        col("n_days"),
+        (floor((col("c_u").cast("double") * col("c_u").cast("double")
+          + col("s_u").cast("double") * col("s_u").cast("double"))
+          / (col("n_days") * col("n_days")) / 1e12 * 1e4 + 0.5) / 1e4)
+          .as("power"))
+  }
+
+  /** Lags (days) probed by [[crossCorrRef]]. */
+  private[graft] val XcorrLags = Seq(0, 1, 2, 3)
+
+  /** Cross-correlation of each station against the NETWORK-MEAN
+    * reference series at calendar lags 0–3 — the teleconnection /
+    * coherence screen ("does this station follow the basin, and with
+    * how many days' delay?"), the network twin of [[autocorr]]'s
+    * self-persistence. Pearson r over calendar-matched (station-day,
+    * reference-day−k) pairs; same pooled-exact-mean and 1e-8 integer
+    * product-sum conventions as [[autocorr]] (all three sufficient
+    * statistics — num, station dev², ref dev² — accumulate over the
+    * MATCHED pairs, merge-order-free; one sqrt of a product of exact
+    * longs at the end, correctly rounded in both engines). Guarded:
+    * ≥5 pairs and nonzero variances, else null.
+    *
+    * Shape at scale: the reference series is O(days) — it aggregates
+    * out the station dimension — so the lag expansion (×4) stays
+    * O(days) and joins BROADCAST against the O(stations·days) daily
+    * table: station rows never reshuffle for the match, and output is
+    * O(stations·lags). The daily table is pinned: the network agg,
+    * the per-station means and the match all read it. */
+  def crossCorrRef(spark: SparkSession, dir: String): DataFrame =
+    crossCorrRefOf(Tables.events(spark, dir))
+
+  /** [[crossCorrRef]] over an arbitrary (user_id, ts, value) frame —
+    * seam for the identical-station and zero-variance specs. */
+  private[graft] def crossCorrRefOf(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("user_id"),
+        datediff(date_trunc("DAY", col("ts")), lit("2024-01-01"))
+          .cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("yc"))
+      .groupBy(col("user_id"), col("x"))
+      .agg(sum(col("yc")).as("sc"), count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val refAll = daily.agg(sum(col("sc")).as("tsc"), sum(col("cnt")).as("tcnt"))
+    val ref = daily.groupBy(col("x"))
+      .agg(sum(col("sc")).as("rsc"), sum(col("cnt")).as("rcnt"))
+      .crossJoin(broadcast(refAll))
+      .select(col("x").as("rx"),
+        ((col("rsc").cast("double") / (col("rcnt") * lit(100.0)))
+          - (col("tsc").cast("double") / (col("tcnt") * lit(100.0))))
+          .as("rdev"))
+      .withColumn("lag", explode(array(XcorrLags.map(lit): _*)))
+      .select((col("rx") + col("lag")).as("xs"), col("lag"), col("rdev"))
+    val stats = daily.groupBy(col("user_id"))
+      .agg(sum(col("sc")).as("scs"), sum(col("cnt")).as("n_obs"))
+      .select(col("user_id"),
+        (col("scs").cast("double") / (col("n_obs") * lit(100.0))).as("ybar"))
+    daily.join(stats, Seq("user_id"))
+      .select(col("user_id"), col("x"),
+        ((col("sc").cast("double") / (col("cnt") * lit(100.0))) - col("ybar"))
+          .as("dev"))
+      .join(broadcast(ref), col("x") === col("xs"))
+      .groupBy(col("user_id"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor(col("dev") * col("rdev") * 1e8 + 0.5).cast("long"))
+          .as("num_u"),
+        sum(floor(col("dev") * col("dev") * 1e8 + 0.5).cast("long"))
+          .as("dx_u"),
+        sum(floor(col("rdev") * col("rdev") * 1e8 + 0.5).cast("long"))
+          .as("dy_u"))
+      .select(col("user_id"), col("lag").cast("long").as("lag"),
+        col("n_pairs"),
+        when(col("n_pairs") >= 5 && col("dx_u") > 0 && col("dy_u") > 0,
+          floor(col("num_u").cast("double")
+            / sqrt(col("dx_u").cast("double") * col("dy_u").cast("double"))
+            * 1e4 + 0.5) / 1e4).as("r"))
+  }
+
   /** Holt linear-trend smoothing constants — BINARY-EXACT doubles
     * (0.5, 0.25), so every multiply in the recursion is exact IEEE
     * scaling and the fold's bits are engine-independent. */

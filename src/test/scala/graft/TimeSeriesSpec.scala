@@ -626,6 +626,49 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r(0).getDouble(5) === 1.0 && r(0).getDouble(6) === 5.0)
   }
 
+  test("ts_periodogram: weekly square wave concentrates power at period 7") {
+    import spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // 28 days of a pure 7-day square wave (4 full cycles): the 1/14
+    // and 1/30 projections of a 7-periodic signal over full cycles
+    // are (near-)orthogonal, so power must pile up at T=7
+    val ev = (1 to 28).map(d =>
+      (1L, t(d), if ((d - 1) % 7 < 3) 20.0 else 10.0))
+      .toDF("user_id", "ts", "value")
+    val p = graft.operators.TimeSeries.periodogramOf(ev).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(p.keySet === Set(7L, 14L, 30L))
+    assert(p(7L) > 10 * p(14L), s"power must concentrate at 7: $p")
+    assert(p(7L) > 10 * p(30L), s"power must concentrate at 7: $p")
+    // flat series → zero power everywhere
+    val flat = (1 to 28).map(d => (2L, t(d), 5.0))
+      .toDF("user_id", "ts", "value")
+    graft.operators.TimeSeries.periodogramOf(flat).collect()
+      .foreach(r => assert(r.getDouble(3) === 0.0))
+  }
+
+  test("ts_cross_corr_ref: a station tracking the network exactly has r=1 at lag 0; zero variance yields null") {
+    import spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // two IDENTICAL varying stations → network mean == each series →
+    // num, dx, dy quantize from the same exact sums → r = 1.0 exactly
+    val ev = (1 to 10).flatMap(d => Seq(
+      (1L, t(d), 10.0 + d), (2L, t(d), 10.0 + d)))
+      .toDF("user_id", "ts", "value")
+    val r = graft.operators.TimeSeries.crossCorrRefOf(ev).collect()
+      .map(row => (row.getLong(0), row.getLong(1)) -> row).toMap
+    assert(r((1L, 0L)).getDouble(3) === 1.0)
+    assert(r((2L, 0L)).getDouble(3) === 1.0)
+    assert(r((1L, 0L)).getLong(2) === 10L)
+    // lag 3 leaves 7 matched pairs — still ≥ 5, so non-null
+    assert(!r((1L, 3L)).isNullAt(3))
+    // constant station: dev ≡ 0 → dx_u = 0 → guarded null
+    val const = (1 to 10).map(d => (3L, t(d), 5.0))
+      .toDF("user_id", "ts", "value")
+    graft.operators.TimeSeries.crossCorrRefOf(const).collect()
+      .foreach(row => assert(row.isNullAt(3)))
+  }
+
   test("ts_holt_forecast: linear series is tracked exactly and extrapolated") {
     import spark.implicits._
     def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
