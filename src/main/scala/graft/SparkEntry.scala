@@ -129,6 +129,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "decontaminate"       -> Dedup.decontaminate _,
     "source_overlap"      -> Dedup.sourceOverlap _,
+    "dedup_survivorship"  -> Dedup.dedupSurvivorship _,
     "dedup_clusters"      -> Dedup.dedupClusters _,
     "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
     "dedup_simhash"       -> Dedup.simhash _,
@@ -2517,6 +2518,50 @@ object SparkEntry {
         |  round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
         |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
         |WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5""".stripMargin,
+
+    "dedup_survivorship" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |          for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p0 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM p0
+        |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |clus AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(1.0, len(toks) / 100.0)
+        |      * (1.0 - round((len(list_filter(toks, x -> x = 'the'))
+        |                      + len(list_filter(toks, x -> x = 'a')))
+        |                     / CAST(len(toks) AS DOUBLE), 4)), 4) AS qs
+        |  FROM (SELECT doc_id,
+        |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+        |            'g'), ' ') AS toks
+        |        FROM documents)),
+        |m AS (
+        |  SELECT c.cluster_id, c.doc_id, q.qs,
+        |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY q.qs DESC, c.doc_id ASC) AS rn
+        |  FROM clus c JOIN q ON c.doc_id = q.doc_id)
+        |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+        |  doc_id AS keeper_doc, qs AS keeper_score
+        |FROM m WHERE rn = 1""".stripMargin,
 
     "source_overlap" ->
       """WITH ss AS (

@@ -112,6 +112,37 @@ object Dedup {
   def dedupClustersScaled(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(minhashLsh(spark, dir).select("doc_a", "doc_b"))
 
+  /** SURVIVORSHIP dedup — which document each near-dup cluster KEEPS,
+    * chosen by QUALITY rather than the arbitrary min-id convention:
+    * the curation rule real pipelines want ("keep the cleanest copy,
+    * drop the OCR-damaged mirror"), composing [[dedupClusters]] with
+    * the [[graft.operators.TextOps.textQuality]] score. Keeper =
+    * highest quality_score, smallest doc_id on ties (deterministic).
+    *
+    * Shape at scale: clusters are a SLIVER of the corpus (only docs
+    * with a verified near-dup), pinned once; quality then scores
+    * only that sliver — the raw docs are SEMI-JOINED by cluster
+    * membership BEFORE the regex/tokenize pass (the [[minhashLsh]]
+    * candidate-restriction trick), so the expensive scan never
+    * touches non-duplicated docs. The keeper argmax is a map-side
+    * `max(struct(score, −id))` — no window, no sort ([[graft
+    * .operators.TimeSeries]] burst-flag tie-break pattern). */
+  def dedupSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir).localCheckpoint()
+    val docs = Tables.documents(spark, dir)
+      .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val q = graft.operators.TextOps.textQualityOf(docs)
+      .select(col("doc_id"), col("quality_score"))
+    clusters.join(q, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality_score").as("qs"), (-col("doc_id")).as("ni")))
+          .as("k"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("k.ni")).cast("long").as("keeper_doc"),
+        col("k.qs").as("keeper_score"))
+  }
+
   /** Cross-SOURCE contamination matrix — for every pair of corpus
     * sources, how much verbatim content they share: distinct shared
     * word 3-shingles, plus containment (shared / smaller set — "is

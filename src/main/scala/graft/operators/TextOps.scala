@@ -78,8 +78,14 @@ object TextOps {
 
   /** Quality scoring: token/stopword/digit ratios + a bounded
     * composite — the classic pre-training corpus filter signals. */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    textQualityOf(Tables.documents(spark, dir))
+
+  /** [[textQuality]] over an arbitrary documents frame — also the
+    * scoring stage of survivorship dedup, where it runs on the
+    * cluster-member SLIVER, not the whole corpus. */
+  private[graft] def textQualityOf(documents: DataFrame): DataFrame = {
+    documents
       .withColumn("toks", words(normalized(col("text"))))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("stop_ratio",

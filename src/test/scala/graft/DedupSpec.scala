@@ -224,6 +224,24 @@ class DedupSpec extends SparkSpec {
     assert(expect.nonEmpty)
   }
 
+  test("dedup_survivorship: keeper is the highest-quality member, not the min id") {
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val quality = SparkEntry.queries("text_quality")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val expect = clusters.groupBy(_._2).map { case (cid, ms) =>
+      val members = ms.map(_._1)
+      val keeper = members.map(d => (d, quality(d)))
+        .minBy { case (d, q) => (-q, d) }
+      cid -> ((members.length.toLong, keeper._1, keeper._2))
+    }
+    val got = SparkEntry.queries("dedup_survivorship")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === expect)
+    assert(got.nonEmpty, "planted near-dups must form clusters")
+  }
+
   test("source_overlap: constructed corpus — shared shingles, containment, jaccard exact") {
     import spark.implicits._
     val docs = Seq(
