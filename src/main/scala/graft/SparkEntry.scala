@@ -76,6 +76,7 @@ object SparkEntry {
     "rating_curve_station"  -> Climate.ratingCurveStation _,
     "rating_volume_daily"   -> Climate.ratingVolumeDaily _,
     "danger_levels"         -> Climate.dangerLevels _,
+    "return_levels"         -> Climate.returnLevels _,
     "pet_hargreaves"        -> Climate.petHargreaves _,
     "spi_multiscale"        -> Climate.spiMultiscale _,
     "spi_ensemble_median"   -> Climate.spiEnsembleMedian _,
@@ -130,6 +131,7 @@ object SparkEntry {
     "decontaminate"       -> Dedup.decontaminate _,
     "source_overlap"      -> Dedup.sourceOverlap _,
     "dedup_survivorship"  -> Dedup.dedupSurvivorship _,
+    "dedup_survivorship_apply" -> Dedup.dedupSurvivorshipApply _,
     "dedup_clusters"      -> Dedup.dedupClusters _,
     "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
     "dedup_simhash"       -> Dedup.simhash _,
@@ -1497,6 +1499,30 @@ object SparkEntry {
         |       WHEN max_value < 180 THEN 'high' ELSE 'extreme' END AS level
         |FROM wk""".stripMargin,
 
+    "return_levels" ->
+      s"""WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |wk AS (
+        |  SELECT user_id, x // 7 AS w, max(cents) AS bm FROM daily GROUP BY 1, 2),
+        |st AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(bm) AS BIGINT) AS s1, CAST(sum(bm * bm) AS BIGINT) AS s2
+        |  FROM wk GROUP BY 1 HAVING count(*) >= 2),
+        |sb AS (
+        |  SELECT user_id, n,
+        |    CAST(s1 AS DOUBLE) / (n * 100.0) AS m,
+        |    sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1)) / 1e4)
+        |      * ${Climate.GumbelSqrt6Pi} AS beta
+        |  FROM st)
+        |SELECT user_id, n AS n_blocks, CAST(p.t AS BIGINT) AS t,
+        |  CASE WHEN beta > 0 THEN
+        |    floor((m - ${Climate.GumbelGamma} * beta + p.y * beta) * 1e4 + 0.5) / 1e4
+        |  END AS level
+        |FROM sb CROSS JOIN (VALUES ${Climate.ReturnPeriods.map { case (t, y) => s"($t, $y)" }.mkString(", ")}) AS p(t, y)""".stripMargin,
+
     "pet_hargreaves" ->
       s"""WITH ra(doy, ra) AS (VALUES $raTableSql),
         |daily AS (
@@ -2562,6 +2588,50 @@ object SparkEntry {
         |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
         |  doc_id AS keeper_doc, qs AS keeper_score
         |FROM m WHERE rn = 1""".stripMargin,
+
+    "dedup_survivorship_apply" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |          for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p0 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM p0
+        |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |clus AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(1.0, len(toks) / 100.0)
+        |      * (1.0 - round((len(list_filter(toks, x -> x = 'the'))
+        |                      + len(list_filter(toks, x -> x = 'a')))
+        |                     / CAST(len(toks) AS DOUBLE), 4)), 4) AS qs
+        |  FROM (SELECT doc_id,
+        |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+        |            'g'), ' ') AS toks
+        |        FROM documents)),
+        |m AS (
+        |  SELECT c.cluster_id, c.doc_id, q.qs,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY q.qs DESC, c.doc_id ASC) AS rn
+        |  FROM clus c JOIN q ON c.doc_id = q.doc_id)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id FROM m WHERE rn > 1) x ON d.doc_id = x.doc_id
+        |WHERE x.doc_id IS NULL""".stripMargin,
 
     "source_overlap" ->
       """WITH ss AS (

@@ -803,6 +803,72 @@ object Climate {
           .otherwise("extreme"))
   }
 
+  /** Gumbel method-of-moments constants: `sqrt(6)/π` scales the
+    * sample standard deviation to the Gumbel scale β, γ is the
+    * Euler–Mascheroni constant (location μ = mean − γ·β). Defined
+    * once here and rendered as LITERALS into the DuckDB oracle, so
+    * both engines fold the identical double bits. */
+  val GumbelSqrt6Pi: Double = math.sqrt(6.0) / math.Pi
+  val GumbelGamma: Double = 0.5772156649015329
+
+  /** Return periods T and their Gumbel reduced variates
+    * `y_T = −ln(−ln(1 − 1/T))`, precomputed on the driver so the
+    * (T, y) pairs are the same literal table in both engines. */
+  val ReturnPeriods: Seq[(Int, Double)] =
+    Seq(2, 5, 10, 25, 50, 100).map(t =>
+      t -> -math.log(-math.log(1.0 - 1.0 / t)))
+
+  /** T-year RETURN LEVELS per station from weekly block maxima — the
+    * extreme-value design flow behind fixed danger thresholds
+    * ([[dangerLevels]] categorizes against published levels
+    * `ll_nl_danger_levels.py:107-121`; this operator is how such
+    * levels are DERIVED from the record): Gumbel fit by method of
+    * moments on block maxima, levels at the [[ReturnPeriods]] grid.
+    *
+    * Exactness: daily totals are summed in integer CENTS and the
+    * block maxima / sufficient statistics (n, Σb, Σb²) stay integer
+    * through the shuffle, so the double math (mean, β, level) is a
+    * fixed post-aggregation expression on exact longs — the same
+    * merge-order-proof pattern as cusum/trend. Sum envelope: cents
+    * ≤ 5·10⁴ per event ⇒ Σb² per station overflows long only past
+    * ~4·10⁹ events/station-week; ANSI mode faults loudly, never
+    * wraps. Output quantized to 4dp via floor(x·1e4+0.5).
+    *
+    * Shape at scale: two narrow aggregations (station-day, then
+    * station-week) that AQE coalesces, one final per-station agg —
+    * rows shrink ~events→stations monotonically; the (T, y) grid
+    * rides a broadcast literal cross join (6 rows). Stations with
+    * n < 2 blocks cannot fit a variance and are excluded; zero
+    * variance emits NULL levels (both spec'd). */
+  def returnLevels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        datediff(to_date(date_trunc("DAY", col("ts"))), lit("2024-01-01"))
+          .as("x"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val wk = daily
+      .groupBy(col("user_id"), floor(col("x") / 7).cast("int").as("w"))
+      .agg(max(col("cents")).as("bm"))
+    val st = wk.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("bm")).as("s1"),
+        sum(col("bm") * col("bm")).as("s2"))
+      .where(col("n") >= 2)
+    val sb = st
+      .withColumn("m", col("s1").cast("double") / (col("n") * lit(100.0)))
+      .withColumn("beta",
+        sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+          / (col("n") * (col("n") - 1)) / lit(1e4)) * lit(GumbelSqrt6Pi))
+    val periods = ReturnPeriods.toDF("t", "y")
+    sb.crossJoin(broadcast(periods))
+      .select(col("user_id"), col("n").as("n_blocks"),
+        col("t").cast("long").as("t"),
+        when(col("beta") > 0,
+          floor((col("m") - lit(GumbelGamma) * col("beta")
+            + col("y") * col("beta")) * lit(1e4) + lit(0.5)) / lit(1e4))
+          .as("level"))
+  }
+
   /** Day-of-year → extraterrestrial radiation (Ra) lookup — the
     * reference reads Ra from a per-day TABLE, not a formula
     * (`ingestor_knmi_evapo.py:305-325` day-lookup). Driver-known

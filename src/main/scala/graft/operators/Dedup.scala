@@ -129,6 +129,15 @@ object Dedup {
     * .operators.TimeSeries]] burst-flag tie-break pattern). */
   def dedupSurvivorship(spark: SparkSession, dir: String): DataFrame = {
     val clusters = dedupClusters(spark, dir).localCheckpoint()
+    keepersOf(spark, dir, clusters)
+  }
+
+  /** Keeper table from a PINNED cluster sliver — the shared core of
+    * [[dedupSurvivorship]] (report) and [[dedupSurvivorshipApply]]
+    * (kept-corpus emission): quality scores only the semi-joined
+    * member docs, keeper argmax is a map-side `max(struct)`. */
+  private def keepersOf(spark: SparkSession, dir: String,
+      clusters: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val q = graft.operators.TextOps.textQualityOf(docs)
@@ -141,6 +150,28 @@ object Dedup {
       .select(col("cluster_id"), col("n_members"),
         (-col("k.ni")).cast("long").as("keeper_doc"),
         col("k.qs").as("keeper_score"))
+  }
+
+  /** APPLY stage of survivorship dedup — the KEPT corpus: every
+    * unclustered doc plus each near-dup cluster's highest-quality
+    * member ([[dedupSurvivorship]]'s keeper). Emits (doc_id, source,
+    * n_chars) — the slim identity projection; downstream joins pull
+    * text by id so the full-text column never rides the anti-join.
+    *
+    * Shape at scale: the drop-list is cluster members minus keepers —
+    * a SLIVER of a sliver, built from the pinned cluster table and
+    * the O(#clusters) keeper aggregate, then anti-joined against the
+    * corpus (broadcast-sized in practice; Spark picks BHJ under AQE
+    * when it fits, SMJ otherwise — both correct). */
+  def dedupSurvivorshipApply(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir).localCheckpoint()
+    val dropped = clusters.join(
+      keepersOf(spark, dir, clusters)
+        .select(col("keeper_doc").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    Tables.documents(spark, dir)
+      .join(dropped.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
   /** Cross-SOURCE contamination matrix — for every pair of corpus

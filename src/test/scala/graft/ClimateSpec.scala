@@ -820,4 +820,44 @@ class ClimateSpec extends SparkSpec {
     assert(k3eps.length === 1 && k3eps(0)._3 === "2024-01-01 00:00:00" &&
       k3eps(0)._5 === 1L)
   }
+
+  test("return_levels: Gumbel MoM levels recomputed exactly from weekly block maxima") {
+    val ev = Tables.events(spark, sf).select("user_id", "ts", "value").collect()
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    val daily = ev.groupBy { r =>
+      (r.getLong(0), java.time.temporal.ChronoUnit.DAYS.between(
+        d0, r.getTimestamp(1).toLocalDateTime.toLocalDate))
+    }.map { case (k, rs) =>
+      k -> rs.map(r => math.floor(r.getDouble(2) * 100 + 0.5).toLong).sum
+    }
+    val blocks = daily.groupBy { case ((u, x), _) => (u, x / 7) }
+      .map { case (k, m) => k -> m.values.max }
+    val expect = blocks.groupBy(_._1._1).filter(_._2.size >= 2).flatMap {
+      case (u, bs) =>
+        val bm = bs.values.toSeq
+        val n = bm.size.toLong
+        val s1 = bm.sum; val s2 = bm.map(b => b * b).sum
+        val m = s1.toDouble / (n * 100.0)
+        val beta = math.sqrt((n * s2 - s1 * s1).toDouble / (n * (n - 1)) / 1e4) *
+          Climate.GumbelSqrt6Pi
+        Climate.ReturnPeriods.map { case (t, y) =>
+          (u, t.toLong) -> ((n, if (beta > 0)
+            Some(math.floor((m - Climate.GumbelGamma * beta + y * beta) * 1e4 + 0.5) / 1e4)
+          else None))
+        }
+    }
+    val got = SparkEntry.queries("return_levels")(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    }.toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // return levels must be non-decreasing in T for every station
+    val byStation = got.toSeq.groupBy(_._1._1)
+    byStation.foreach { case (_, rows) =>
+      val lv = rows.sortBy(_._1._2).map(_._2._2)
+      if (lv.forall(_.isDefined))
+        assert(lv.map(_.get) === lv.map(_.get).sorted)
+    }
+  }
 }

@@ -242,6 +242,21 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "planted near-dups must form clusters")
   }
 
+  test("dedup_survivorship_apply: kept corpus = all docs minus cluster non-keepers") {
+    val members = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val keepers = SparkEntry.queries("dedup_survivorship")(spark, sf).collect()
+      .map(_.getLong(2)).toSet
+    val dropped = members -- keepers
+    val allIds = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val kept = SparkEntry.queries("dedup_survivorship_apply")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === allIds -- dropped)
+    assert(dropped.nonEmpty, "planted near-dups must drop non-keepers")
+    assert(keepers.subsetOf(kept))
+  }
+
   test("source_overlap: constructed corpus — shared shingles, containment, jaccard exact") {
     import spark.implicits._
     val docs = Seq(
