@@ -47,6 +47,7 @@ object SparkEntry {
     "ts_interp_linear"       -> TimeSeries.interpLinear _,
     "ts_ewma"                -> TimeSeries.ewma _,
     "ts_rolling_median"      -> TimeSeries.rollingMedian _,
+    "ts_outlier_mad"         -> TimeSeries.outlierMad _,
     "ts_m4_downsample"       -> TimeSeries.m4Downsample _,
     "ts_trend"               -> TimeSeries.trend _,
     "ts_theil_sen"           -> TimeSeries.theilSen _,
@@ -123,6 +124,7 @@ object SparkEntry {
     "doc_keywords"    -> TextOps.docKeywords _,
     "pii_scrub"       -> TextOps.piiScrub _,
     "corpus_split"    -> TextOps.corpusSplit _,
+    "corpus_split_leakage_safe" -> TextOps.corpusSplitSafe _,
     "pack_sequences"  -> TextOps.packSequences _,
     "doc_lm_score"    -> TextOps.docLmScore _,
     "bigram_pmi"      -> TextOps.bigramPmi _,
@@ -1049,6 +1051,29 @@ object SparkEntry {
         |         ELSE (hist[len(hist)//2] + hist[len(hist)//2 + 1]) / 2.0 END)
         |    * 1e4 + 0.5) / 1e4 AS rolling_med
         |FROM h""".stripMargin,
+
+    // 2*median of integers is exactly integral in double, so the
+    // BIGINT casts are lossless on both engines (DuckDB rounds,
+    // Spark truncates — identical on integral doubles) and the
+    // Hampel comparison is pure integer arithmetic
+    "ts_outlier_mad" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |w1 AS (
+        |  SELECT user_id, c,
+        |    CAST(2 * median(c) OVER (PARTITION BY user_id) AS BIGINT) AS m2
+        |  FROM c),
+        |w2 AS (SELECT user_id, c, m2, abs(2 * c - m2) AS dev2 FROM w1),
+        |w3 AS (
+        |  SELECT user_id, m2, dev2,
+        |    CAST(2 * median(dev2) OVER (PARTITION BY user_id) AS BIGINT) AS mad4
+        |  FROM w2)
+        |SELECT user_id, count(*) AS n, max(m2) / 200.0 AS median_value,
+        |  max(mad4) / 400.0 AS mad_value,
+        |  CAST(sum(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM w3 GROUP BY 1""".stripMargin,
 
     // exact integer-cent sufficient statistics behind mu/sd: no
     // merge-order noise, no engine-specific streaming moments
@@ -2296,6 +2321,40 @@ object SparkEntry {
         |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents)
+        |SELECT split, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM a GROUP BY 1, 2""".stripMargin,
+
+    "corpus_split_leakage_safe" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |          for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p0 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM p0
+        |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |clus AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |a AS (
+        |  SELECT d.source, d.n_chars,
+        |    CASE WHEN substring(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |         WHEN substring(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id)
         |SELECT split, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM a GROUP BY 1, 2""".stripMargin,

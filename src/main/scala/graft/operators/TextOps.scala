@@ -272,6 +272,34 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
   }
 
+  /** LEAKAGE-SAFE train/val/test split — [[corpusSplit]]'s assignment
+    * rule keyed by each document's near-dup CLUSTER anchor instead of
+    * its own id: every member of a duplicate cluster hashes the same
+    * anchor (the cluster's min doc_id), so near-identical documents
+    * can never straddle train and eval — the split-time twin of
+    * [[graft.operators.Dedup.decontaminate]]'s post-hoc check.
+    * Unclustered docs anchor to themselves, so assignments equal
+    * [[corpusSplit]]'s except on the duplicated sliver, and a new
+    * document still never moves an existing assignment.
+    *
+    * Shape at scale: the cluster table is a SLIVER (only docs with a
+    * verified near-dup) left-joined against the corpus — AQE picks
+    * the broadcast build while it fits; assignment stays elementwise
+    * on top, and the rollup is the same single (split, source)
+    * aggregation as [[corpusSplit]]. */
+  def corpusSplitSafe(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val sel = substring(
+      md5(coalesce(col("cluster_id"), col("doc_id")).cast("string")), 1, 2)
+    Tables.documents(spark, dir)
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("split",
+        when(sel < "e6", "train").when(sel < "f3", "val").otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+  }
+
   /** Tokens per packed training sequence. */
   val packBudget = 2048
 

@@ -1083,6 +1083,47 @@ object TimeSeries {
         (floor(med * 1e4 + 0.5) / 1e4).as("rolling_med"))
   }
 
+  /** Per-station ROBUST outlier profile — the Hampel rule over the
+    * whole record: flag |x − median| > 3·MAD (median absolute
+    * deviation), the heavy-tail-safe alternative to the z-score
+    * family ([[rollingAnomaly]]) — one wild sensor spike inflates a
+    * standard deviation but not a median, so MAD keeps flagging
+    * while z-scores go blind.
+    *
+    * Exactness: values are 2dp, so everything runs in integer
+    * sub-cent units — m2 = 2·median(cents) and mad4 = 2·median(dev)
+    * are exactly integral doubles (a median is a mid value or a
+    * half-sum of two) cast losslessly to long, and the outlier
+    * comparison 2·dev2 > 3·mad4 is pure integer arithmetic: no
+    * float rounding anywhere near the oracle hash. The reported
+    * median/MAD divide two exact integers once (m2/200, mad4/400).
+    *
+    * Shape at scale: one narrow (user_id, cents) scan; both medians
+    * are frameless window aggregates on the SAME partitioning, so
+    * they share one exchange, and the final per-station rollup
+    * reuses that partitioning — one shuffle total. Exact medians
+    * sort within a station's partition (bounded by a station's
+    * record length); at extreme per-key cardinality the sketch twin
+    * is the approx-quantile pattern of `zonal_spi_quantiles_approx`.
+    */
+  def outlierMad(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val scored = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .withColumn("m2",
+        (percentile(col("c"), lit(0.5)).over(w) * 2).cast("long"))
+      .withColumn("dev2", abs(col("c") * 2 - col("m2")))
+      .withColumn("mad4",
+        (percentile(col("dev2"), lit(0.5)).over(w) * 2).cast("long"))
+    scored.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("m2")) / lit(200.0)).as("median_value"),
+        (max(col("mad4")) / lit(400.0)).as("mad_value"),
+        sum(when(col("dev2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Calendar densify + LINEAR interpolation — the reference's other
     * gap-repair mode (`ds.interp(..., method="linear")` /
     * `interpolate_na` along time, vs [[gapFill]]'s forward fill):

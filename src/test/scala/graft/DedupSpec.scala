@@ -257,6 +257,26 @@ class DedupSpec extends SparkSpec {
     assert(keepers.subsetOf(kept))
   }
 
+  test("corpus_split_leakage_safe: cluster members share a split, rollup matches recompute") {
+    val cl = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(a: Long) = { val h = md5hex(a.toString).substring(0, 2)
+      if (h < "e6") "train" else if (h < "f3") "val" else "test" }
+    val expect = docs.groupBy { case (d, s, _) => (splitOf(cl.getOrElse(d, d)), s) }
+      .map { case (k, rs) => k -> ((rs.length.toLong, rs.map(_._3).sum)) }
+    val got = SparkEntry.queries("corpus_split_leakage_safe")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expect)
+    // must provably differ from the naive per-id split on this corpus
+    assert(docs.exists { case (d, _, _) =>
+      cl.contains(d) && splitOf(d) != splitOf(cl(d)) })
+  }
+
   test("source_overlap: constructed corpus — shared shingles, containment, jaccard exact") {
     import spark.implicits._
     val docs = Seq(

@@ -718,4 +718,26 @@ class TimeSeriesSpec extends SparkSpec {
         (row.getDouble(3) + row.getDouble(4) + row.getDouble(5))) < 1e-9)
     }
   }
+
+  test("ts_outlier_mad: Hampel medians and flags recomputed exactly in integer units") {
+    val ev = Tables.events(spark, sf).select("user_id", "value").collect()
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(1) * 100 + 0.5).toLong)
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    val expect = ev.groupBy(_._1).map { case (u, rs) =>
+      val cs = rs.map(_._2).toSeq
+      val m2 = med2(cs)
+      val dev2 = cs.map(c => math.abs(2 * c - m2))
+      val mad4 = med2(dev2)
+      u -> ((cs.size.toLong, m2 / 200.0, mad4 / 400.0,
+        dev2.count(d => 2 * d > 3 * mad4).toLong))
+    }
+    val got = SparkEntry.queries("ts_outlier_mad")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }
