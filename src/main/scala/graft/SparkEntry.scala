@@ -52,12 +52,14 @@ object SparkEntry {
     "ts_trend"               -> TimeSeries.trend _,
     "ts_theil_sen"           -> TimeSeries.theilSen _,
     "ts_autocorr"            -> TimeSeries.autocorr _,
+    "ts_ljung_box"           -> TimeSeries.ljungBox _,
     "ts_changepoint"         -> TimeSeries.changepoint _,
     "ts_holt_forecast"       -> TimeSeries.holtForecast _,
     "ts_periodogram"         -> TimeSeries.periodogram _,
     "ts_cross_corr_ref"      -> TimeSeries.crossCorrRef _,
     "ts_seasonal_decompose"  -> TimeSeries.seasonalDecompose _,
     "events_burst_flag"      -> TimeSeries.burstFlag _,
+    "events_markov"          -> TimeSeries.eventsMarkov _,
     "ts_climatology_anomaly" -> TimeSeries.climatologyAnomaly _,
     "interval_join"          -> TimeSeries.intervalJoin _,
     // --- geo/climate analytics -----------------------------------
@@ -86,6 +88,7 @@ object SparkEntry {
     "spi_ensemble_gamma"    -> Climate.spiEnsembleGamma _,
     "zonal_stats"           -> Climate.zonalStats _,
     "zonal_drought_extent"  -> Climate.zonalDroughtExtent _,
+    "zonal_transitions"     -> Climate.zonalTransitions _,
     "zonal_spi"             -> Climate.zonalSpi _,
     "zonal_spi_quantiles"   -> Climate.zonalSpiQuantiles _,
     "zonal_spi_quantiles_approx" -> Climate.zonalSpiQuantilesApprox _,
@@ -106,6 +109,7 @@ object SparkEntry {
     "features_extent"       -> Serving.featuresExtent _,
     // --- LLM pipeline: text + exact dedup ------------------------
     "dedup_exact"     -> TextOps.dedupExact _,
+    "dedup_report"    -> TextOps.dedupReport _,
     "lang_id"         -> TextOps.langId _,
     "text_quality"    -> TextOps.textQuality _,
     "quality_rules"   -> TextOps.qualityRules _,
@@ -732,6 +736,60 @@ object SparkEntry {
         |    / count(*) * 1e4 + 0.5) / 1e4 AS extent
         |FROM g GROUP BY 1, 2, 3""".stripMargin,
 
+    // the zonal_drought_extent chain verbatim, then the week-over-week
+    // state machine on the O(zones × weeks) sliver — all integers
+    "zonal_transitions" ->
+      """WITH z AS (
+        |  SELECT user_id, ts,
+        |    round((value - avg(value) OVER (PARTITION BY user_id, event_type))
+        |      / stddev_samp(value) OVER (PARTITION BY user_id, event_type), 4) AS zscore
+        |  FROM events),
+        |g AS (
+        |  SELECT CAST(floor(((user_id % 36) * 5.0 - 87.5) / 30) AS INT) AS zone_y,
+        |    CAST(floor(((user_id % 72) * 5.0 - 177.5) / 30) AS INT) AS zone_x,
+        |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week, zscore
+        |  FROM z),
+        |e AS (
+        |  SELECT zone_y, zone_x, week,
+        |    floor(CAST(sum(CASE WHEN zscore <= -1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) * 1e4 + 0.5) / 1e4 AS extent
+        |  FROM g GROUP BY 1, 2, 3),
+        |b AS (
+        |  SELECT zone_y, zone_x, week,
+        |    CASE WHEN extent >= 0.075 THEN 1 ELSE 0 END AS droughty
+        |  FROM e),
+        |w1 AS (
+        |  SELECT *, lag(droughty) OVER
+        |    (PARTITION BY zone_y, zone_x ORDER BY week) AS prev
+        |  FROM b),
+        |w2 AS (
+        |  SELECT *,
+        |    CASE WHEN droughty = 1 AND prev = 0 THEN 1 ELSE 0 END AS onset,
+        |    CASE WHEN droughty = 0 AND prev = 1 THEN 1 ELSE 0 END AS recovery,
+        |    CASE WHEN droughty = 1 AND (prev IS NULL OR prev = 0)
+        |      THEN 1 ELSE 0 END AS run_start
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, sum(run_start) OVER (PARTITION BY zone_y, zone_x
+        |    ORDER BY week ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM w2),
+        |agg AS (
+        |  SELECT zone_y, zone_x, count(*) AS n_weeks,
+        |    CAST(sum(droughty) AS BIGINT) AS n_drought_weeks,
+        |    CAST(sum(onset) AS BIGINT) AS n_onsets,
+        |    CAST(sum(recovery) AS BIGINT) AS n_recoveries
+        |  FROM w3 GROUP BY 1, 2),
+        |runs AS (
+        |  SELECT zone_y, zone_x, run_id, count(*) AS len
+        |  FROM w3 WHERE droughty = 1 GROUP BY 1, 2, 3),
+        |mx AS (
+        |  SELECT zone_y, zone_x, max(len) AS max_run FROM runs GROUP BY 1, 2)
+        |SELECT a.zone_y, a.zone_x, a.n_weeks, a.n_drought_weeks,
+        |  a.n_onsets, a.n_recoveries,
+        |  coalesce(m.max_run, CAST(0 AS BIGINT)) AS max_run_weeks
+        |FROM agg a LEFT JOIN mx m
+        |  ON a.zone_y = m.zone_y AND a.zone_x = m.zone_x""".stripMargin,
+
     // all sufficient statistics are exact integer sums (x in days,
     // y in cents), divided back to doubles once — merge-order-free
     "ts_trend" ->
@@ -819,6 +877,65 @@ object SparkEntry {
         |    THEN floor(CAST(n.num_u AS DOUBLE) / d.den_u * 1e4 + 0.5) / 1e4
         |  END AS acf
         |FROM num n JOIN den d ON n.user_id = d.user_id""".stripMargin,
+
+    // the ts_autocorr chain verbatim, then the Q pivot: both engines
+    // fold the same 4dp-quantized acf bits in the same textual order
+    "ts_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT user_id,
+        |    CAST(sum(sc) AS DOUBLE) / (sum(cnt) * 100.0) AS ybar
+        |  FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT d.user_id, d.x,
+        |    (CAST(d.sc AS DOUBLE) / (d.cnt * 100.0)) - s.ybar AS dev
+        |  FROM daily d JOIN stats s ON d.user_id = s.user_id),
+        |den AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(floor(dev * dev * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS den_u,
+        |    count(*) AS n_days
+        |  FROM dev GROUP BY 1),
+        |num AS (
+        |  SELECT a.user_id, k.lag,
+        |    CAST(sum(CAST(floor(a.dev * b.dev * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS num_u,
+        |    count(*) AS n_pairs
+        |  FROM dev a
+        |  JOIN (VALUES (1), (2), (3)) AS k(lag) ON true
+        |  JOIN dev b ON b.user_id = a.user_id AND b.x = a.x + k.lag
+        |  GROUP BY 1, 2),
+        |acf_t AS (
+        |  SELECT n.user_id, n.lag, d.n_days,
+        |    CASE WHEN n.n_pairs >= 5 AND d.den_u > 0
+        |      THEN floor(CAST(n.num_u AS DOUBLE) / d.den_u * 1e4 + 0.5) / 1e4
+        |    END AS acf
+        |  FROM num n JOIN den d ON n.user_id = d.user_id),
+        |p AS (
+        |  SELECT user_id, max(n_days) AS n_days,
+        |    max(CASE WHEN lag = 1 THEN acf END) AS acf1,
+        |    max(CASE WHEN lag = 2 THEN acf END) AS acf2,
+        |    max(CASE WHEN lag = 3 THEN acf END) AS acf3
+        |  FROM acf_t GROUP BY 1),
+        |q AS (
+        |  SELECT user_id, n_days, acf1, acf2, acf3,
+        |    CASE WHEN acf1 IS NOT NULL AND acf2 IS NOT NULL
+        |          AND acf3 IS NOT NULL AND n_days > 3
+        |      THEN floor(CAST(n_days * (n_days + 2) AS DOUBLE)
+        |        * (acf1 * acf1 / (n_days - 1) + acf2 * acf2 / (n_days - 2)
+        |           + acf3 * acf3 / (n_days - 3)) * 1e4 + 0.5) / 1e4
+        |    END AS q_stat
+        |  FROM p)
+        |SELECT user_id, n_days, acf1, acf2, acf3, q_stat,
+        |  CASE WHEN q_stat IS NOT NULL
+        |    THEN CASE WHEN q_stat <= 7.8147 THEN 1 ELSE 0 END
+        |  END AS white_noise
+        |FROM q""".stripMargin,
 
     "ts_periodogram" ->
       s"""WITH daily AS (
@@ -1039,6 +1156,23 @@ object SparkEntry {
         |    AND p.peak_day_events * p.n_active_days > 2 * p.n_events AS is_bursty
         |FROM p JOIN d ON d.user_id = p.user_id AND d.cnt = p.peak_day_events
         |GROUP BY ALL""".stripMargin,
+
+    "events_markov" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type
+        |  FROM events),
+        |t AS (
+        |  SELECT from_type, event_type AS to_type, count(*) AS n_trans
+        |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        |  SELECT from_type, to_type, n_trans,
+        |    CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
+        |  FROM t)
+        |SELECT from_type, to_type, n_trans, n_from,
+        |  floor(CAST(n_trans AS DOUBLE) / n_from * 1e4 + 0.5) / 1e4 AS p
+        |FROM w""".stripMargin,
 
     "ts_rolling_median" ->
       """WITH h AS (
@@ -1956,6 +2090,20 @@ object SparkEntry {
         |  count(*) AS dup_count
         |FROM documents
         |GROUP BY 1""".stripMargin,
+
+    "dedup_report" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |  count(*) AS n_unique,
+        |  CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup_docs,
+        |  CAST(max(cnt) AS BIGINT) AS max_group,
+        |  floor(CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt) * 1e4 + 0.5)
+        |    / 1e4 AS dup_rate
+        |FROM g GROUP BY 1""".stripMargin,
 
     "lang_id" ->
       """WITH t AS (

@@ -1204,6 +1204,61 @@ object Climate {
         floor(col("drought_n").cast("double") / col("n_obs") * 1e4 + 0.5) / 1e4)
   }
 
+  /** Drought ONSET / RECOVERY transition ledger per zone — the
+    * week-over-week state machine ON TOP of [[zonalDroughtExtent]]:
+    * a zone is "in drought" when ≥ 7.5% of its observations sit at
+    * index ≤ −1 (threshold at the synthetic index's median area fraction, so the state genuinely alternates at every scale factor; a deployment would configure it per basin), and this reports, per zone, how many weeks it was
+    * in drought, how many times drought STARTED (onset: below the
+    * area threshold last week, at/above it this week), how many
+    * times it ENDED (recovery), and the longest consecutive drought
+    * run — the persistence/episode summary a drought bulletin
+    * prints next to the extent map (the zonal twin of the
+    * per-station run-theory episodes in `drought_episodes`).
+    * Consecutiveness is by OBSERVED week per zone (the synthetic
+    * grid reports every week; a silent zone-week would merge its
+    * neighbors — acceptable for a monitoring ledger, and the gap
+    * itself is `healthcheck_freshness`'s job to flag).
+    *
+    * Exactness: `droughty` compares the 4-dp-quantized extent to a
+    * shared literal; every downstream count/sum is pure integer.
+    *
+    * Shape at scale: the extent table is O(zones × weeks) — a
+    * sliver — so it is localCheckpoint'ed once (one events scan
+    * total; both the per-zone rollup and the run-length branch read
+    * the pinned sliver, not the fact table). The lag/run windows and
+    * both aggregations all key on the zone composite; the final
+    * max-run join is a broadcast of an O(zones) table. */
+  def zonalTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val wz = Window.partitionBy(col("zone_y"), col("zone_x")).orderBy(col("week"))
+    val base = zonalDroughtExtent(spark, dir)
+      .withColumn("droughty", when(col("extent") >= 0.075, 1).otherwise(0))
+      .withColumn("prev", lag(col("droughty"), 1).over(wz))
+      .withColumn("onset",
+        when(col("droughty") === 1 && col("prev") === 0, 1).otherwise(0))
+      .withColumn("recovery",
+        when(col("droughty") === 0 && col("prev") === 1, 1).otherwise(0))
+      .withColumn("run_start",
+        when(col("droughty") === 1 &&
+          (col("prev").isNull || col("prev") === 0), 1).otherwise(0))
+      .withColumn("run_id", sum(col("run_start")).over(
+        wz.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
+    val agg = base.groupBy(col("zone_y"), col("zone_x"))
+      .agg(count(lit(1)).as("n_weeks"),
+        sum(col("droughty")).cast("long").as("n_drought_weeks"),
+        sum(col("onset")).cast("long").as("n_onsets"),
+        sum(col("recovery")).cast("long").as("n_recoveries"))
+    val mx = base.filter(col("droughty") === 1)
+      .groupBy(col("zone_y"), col("zone_x"), col("run_id"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("zone_y"), col("zone_x"))
+      .agg(max(col("len")).as("max_run"))
+    agg.join(mx, Seq("zone_y", "zone_x"), "left")
+      .select(col("zone_y"), col("zone_x"), col("n_weeks"),
+        col("n_drought_weeks"), col("n_onsets"), col("n_recoveries"),
+        coalesce(col("max_run"), lit(0L)).as("max_run_weeks"))
+  }
+
   /** Ensemble SPI product: CDS seasonal forecasts are 25-51-member
     * ensembles; the reference carries realization `r` through every
     * derived product and reduces with the MEDIAN across members

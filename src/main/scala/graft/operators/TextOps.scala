@@ -44,6 +44,37 @@ object TextOps {
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_count"))
 
+  /** Per-source DUPLICATION report — the health dashboard on top of
+    * [[dedupExact]]: for each source, how many documents it
+    * contributes, how many distinct normalized contents, how many
+    * documents are redundant copies, the largest duplicate group,
+    * and the duplication rate. This is the number a curation run
+    * reads FIRST (a source with 40% dup rate gets its crawler fixed,
+    * not its corpus deduped harder), while [[dedupExact]] emits the
+    * keeper decisions themselves. Within-source by design —
+    * cross-source sharing is [[graft.operators.Dedup.sourceOverlap]]'s
+    * contamination matrix.
+    *
+    * Exactness: counts are integers; the rate divides two exact
+    * integers once and floor-quantizes.
+    *
+    * Shape at scale: same single md5 shuffle as [[dedupExact]]
+    * (uniform 128-bit key, map-side partials collapse same-partition
+    * copies), then the rollup to O(sources) rows. */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("source"), md5(normalized(col("text"))).as("fp"))
+      .groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("cnt"))
+    g.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        (sum(col("cnt")) - count(lit(1))).as("n_dup_docs"),
+        max(col("cnt")).as("max_group"),
+        (floor((sum(col("cnt")) - count(lit(1))).cast("double")
+          / sum(col("cnt")) * 1e4 + 0.5) / 1e4).as("dup_rate"))
+  }
+
   /** The language-marker lexicons shared by [[langId]] and
     * [[corpusClean]] — pluggable; this instance partitions the
     * synthetic corpus vocabulary so the argmax genuinely varies. */

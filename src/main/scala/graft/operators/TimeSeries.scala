@@ -551,6 +551,39 @@ object TimeSeries {
           .as("conversion"))
   }
 
+  /** Event-type TRANSITION MATRIX — the first-order Markov estimate
+    * over each user's time-ordered stream ("after a click, what comes
+    * next and how often"): the sequence-analytics summary that sits
+    * under session modeling, bot detection (improbable transition
+    * chains) and synthetic-stream generators, and the categorical
+    * sibling of [[autocorr]]'s numeric persistence diagnostic.
+    * Emits one row per observed (from_type, to_type) edge with the
+    * transition count, the from-state total, and the row-normalized
+    * probability.
+    *
+    * Exactness: `p` divides two exact integers once and
+    * floor-quantizes — engine-invariant by construction.
+    *
+    * Shape at scale: ONE shuffle on the user key for the lag window
+    * (each user's stream sorts within its partition), then the
+    * aggregation collapses to at most |types|² rows — map-side
+    * partials shrink the second exchange to nothing, and the
+    * from-state total is a frameless window over that tiny matrix,
+    * not another pass over events. */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wf = Window.partitionBy(col("from_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("n_from", sum(col("n_trans")).over(wf))
+      .withColumn("p",
+        floor(col("n_trans").cast("double") / col("n_from") * 1e4 + 0.5) / 1e4)
+  }
+
   /** Cohort RETENTION matrix — "of the stations/users first seen on
     * day D, what share was active again D+k days later", the other
     * standard event-analytics shape next to [[eventsFunnel]]
@@ -651,6 +684,51 @@ object TimeSeries {
         when(col("n_pairs") >= 5 && col("den_u") > 0,
           floor(col("num_u").cast("double") / col("den_u") * 1e4 + 0.5) / 1e4)
           .as("acf"))
+  }
+
+  /** Chi-square 5% critical value at df = |[[AcfLags]]| = 3 for the
+    * [[ljungBox]] whiteness verdict. */
+  private[graft] val LjungBoxCrit = 7.8147
+
+  /** Per-station LJUNG-BOX portmanteau statistic — the standard "is
+    * this series white noise" test run on top of [[autocorr]]'s
+    * calendar-lag autocorrelations: Q = n(n+2)·Σ_{k=1..3} ρ̂_k²/(n−k),
+    * compared against the χ²(3) 5% critical value. The single-number
+    * gate a QC pipeline applies before fitting any AR/seasonal model
+    * (white ⇒ nothing to fit) and after fitting one (residuals
+    * should come back white).
+    *
+    * Exactness: the inputs are [[autocorr]]'s 4-dp-quantized ρ̂ —
+    * identical bits on both engines — and Q folds them in fixed
+    * textual order (ρ₁ term + ρ₂ term + ρ₃ term, then one multiply
+    * by the exact integer n(n+2)), so the double arithmetic is
+    * bit-identical before the final floor-quantize. Null-guarded:
+    * any missing ρ̂ (sparse station) or n ≤ 3 nulls the statistic
+    * and the verdict.
+    *
+    * Shape at scale: reuses [[autocorr]]'s plan (every shuffle on
+    * the station key or (station, day)); the pivot is one more
+    * aggregation on the O(stations × 3) acf table — nothing new
+    * touches the fact table. */
+  def ljungBox(spark: SparkSession, dir: String): DataFrame = {
+    val p = autocorr(spark, dir).groupBy(col("user_id"))
+      .agg(max(col("n_days")).as("n_days"),
+        max(when(col("lag") === 1, col("acf"))).as("acf1"),
+        max(when(col("lag") === 2, col("acf"))).as("acf2"),
+        max(when(col("lag") === 3, col("acf"))).as("acf3"))
+    val n = col("n_days")
+    val s = col("acf1") * col("acf1") / (n - 1) +
+      col("acf2") * col("acf2") / (n - 2) +
+      col("acf3") * col("acf3") / (n - 3)
+    p.select(col("user_id"), col("n_days"),
+        col("acf1"), col("acf2"), col("acf3"),
+        when(col("acf1").isNotNull && col("acf2").isNotNull &&
+            col("acf3").isNotNull && n > 3,
+          floor((n * (n + 2)).cast("double") * s * 1e4 + 0.5) / 1e4)
+          .as("q_stat"))
+      .withColumn("white_noise",
+        when(col("q_stat").isNotNull,
+          when(col("q_stat") <= LjungBoxCrit, 1).otherwise(0)))
   }
 
   /** Single most-likely LEVEL-SHIFT changepoint per station — the

@@ -860,4 +860,26 @@ class ClimateSpec extends SparkSpec {
         assert(lv.map(_.get) === lv.map(_.get).sorted)
     }
   }
+
+  test("zonal_transitions: onsets/recoveries/max-run recomputed from the extent table") {
+    val ext = SparkEntry.queries("zonal_drought_extent")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(5)))
+    val expect = ext.groupBy(e => (e._1, e._2)).map { case (z, rows) =>
+      val seq = rows.sortBy(_._3).map(e => if (e._4 >= 0.075) 1 else 0).toSeq
+      val pairs = seq.zip(seq.drop(1))
+      var run = 0; var mx = 0
+      seq.foreach { d =>
+        if (d == 1) { run += 1; mx = math.max(mx, run) } else run = 0 }
+      z -> ((seq.length.toLong, seq.count(_ == 1).toLong,
+        pairs.count { case (p, c) => p == 0 && c == 1 }.toLong,
+        pairs.count { case (p, c) => p == 1 && c == 0 }.toLong,
+        mx.toLong))
+    }
+    val got = SparkEntry.queries("zonal_transitions")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }

@@ -606,4 +606,22 @@ class TextOpsSpec extends SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty)
   }
+
+  test("dedup_report: per-source duplication stats recomputed from normalized text") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ")))
+    val expect = docs.groupBy(_._1).map { case (src, rs) =>
+      val n = rs.length.toLong
+      val grp = rs.groupBy(_._2).map(_._2.size.toLong)
+      val uniq = grp.size.toLong
+      src -> ((n, uniq, n - uniq, grp.max,
+        math.floor((n - uniq).toDouble / n * 1e4 + 0.5) / 1e4))
+    }
+    val got = SparkEntry.queries("dedup_report")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }

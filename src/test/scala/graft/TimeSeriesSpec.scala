@@ -740,4 +740,56 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty)
   }
+
+  test("ts_ljung_box: Q recomputed from the acf table, verdict at the chi2 cut") {
+    val acf = SparkEntry.queries("ts_autocorr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+    val expect = acf.keys.map(_._1).toSet.toSeq.map { (u: Long) =>
+      val rows = (1 to 3).map(k => acf.get((u, k)))
+      val n = rows.flatten.map(_._1).max
+      val as = rows.map(_.flatMap(_._2))
+      val q =
+        if (as.forall(_.isDefined) && n > 3) {
+          val Seq(a1, a2, a3) = as.map(_.get)
+          Some(math.floor((n * (n + 2)).toDouble *
+            (a1 * a1 / (n - 1) + a2 * a2 / (n - 2) + a3 * a3 / (n - 3))
+            * 1e4 + 0.5) / 1e4)
+        } else None
+      u -> ((n, as(0), as(1), as(2), q,
+        q.map(v => if (v <= 7.8147) 1 else 0)))
+    }.toMap
+    val got = SparkEntry.queries("ts_ljung_box")(spark, sf).collect()
+      .map { r =>
+        def d(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        r.getLong(0) -> ((r.getLong(1), d(2), d(3), d(4), d(5),
+          if (r.isNullAt(6)) None else Some(r.getInt(6))))
+      }.toMap
+    assert(got === expect)
+    assert(got.values.exists(_._5.isDefined))
+  }
+
+  test("events_markov: transition counts and row-normalized p recomputed") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).values.toSeq.flatMap { rs =>
+      val s = rs.sortBy(r => (r._2, r._3)).map(_._4).toSeq
+      s.zip(s.drop(1))
+    }
+    val cnt = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val fromTot = cnt.toSeq.groupBy(_._1._1)
+      .map { case (f, m) => f -> m.map(_._2).sum }
+    val expect = cnt.map { case ((f, t), n) =>
+      (f, t) -> ((n, fromTot(f),
+        math.floor(n.toDouble / fromTot(f) * 1e4 + 0.5) / 1e4))
+    }
+    val got = SparkEntry.queries("events_markov")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }
