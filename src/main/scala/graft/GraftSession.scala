@@ -15,6 +15,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Testdata `events.ts` is parquet TIMESTAMP(isAdjustedToUTC=false,
+      // micros). With NTZ inference on, Spark reads it as TIMESTAMP_NTZ,
+      // which `unix_micros`/tz arithmetic reject. Reading it as plain
+      // TimestampType is exact under the UTC session timezone AND keeps
+      // ts predicates eligible for parquet pushdown (a post-scan cast
+      // would block them).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.expressions.GraftExtensions)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated star schema (TESTDATA.md).
   *
@@ -26,15 +26,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * so it arrives as epoch-nanos LongType, normalized here to a real
-    * TimestampType (µs, exact integer division — no double roundtrip). */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (read as
+    * epoch-nanos LongType via `nanosAsLong`) and as TIMESTAMP(µs,
+    * isAdjustedToUTC=false) (read as TIMESTAMP_NTZ when a session
+    * leaves NTZ inference on — [[GraftSession]] turns it off). Both
+    * are normalized here to a real TimestampType; under the UTC
+    * session timezone the NTZ cast is exact, and the Long path is
+    * exact integer division (no double roundtrip). */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   /** Time-sliced events WITH parquet pushdown. The plain `events`
     * loader rewrites `ts` post-scan, which blocks predicate pushdown
@@ -58,7 +63,13 @@ object Tables {
       rawTsPred.fold(sliced)(p => sliced.filter(p(col("ts"))))
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else {
-      val sliced = raw.filter(col("ts") >= lit(startIso).cast("timestamp") &&
+      // TimestampType (or NTZ normalized first — exact under UTC): the
+      // range predicate lands on the scan column directly so it pushes.
+      val tsNorm =
+        if (raw.schema("ts").dataType == TimestampNTZType)
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        else raw
+      val sliced = tsNorm.filter(col("ts") >= lit(startIso).cast("timestamp") &&
         col("ts") < lit(endIso).cast("timestamp"))
       rawTsPred.fold(sliced)(p => sliced.filter(p(unix_micros(col("ts")) * 1000)))
     }

@@ -869,6 +869,109 @@ object Climate {
           .as("level"))
   }
 
+  /** Standard exceedance probabilities (%) for the flow-duration
+    * curve — driver-known literal grid, same table in both engines. */
+  val FdcProbs: Seq[Int] = Seq(5, 10, 20, 30, 40, 50, 60, 70, 80, 90, 95)
+
+  /** Per-station FLOW-DURATION CURVE — the % -of-time-exceeded view of
+    * the daily discharge record that rating-curve products feed
+    * ([[ratingCurve]] turns stage into discharge; the FDC is the
+    * standard summary hydrologists derive from it: Q5 = rare flood
+    * flow, Q95 = dependable low flow): for each exceedance
+    * probability p, the k-th LARGEST daily value with k = ⌈p·n/100⌉.
+    *
+    * Shape at scale: one (station, day) partial agg, one groupBy per
+    * station collecting the BOUNDED daily series; the order
+    * statistics for ALL probabilities come from ONE in-row descending
+    * sort — no per-quantile passes, no second shuffle, and the
+    * [[FdcProbs]] grid rides an in-row array literal (never a join).
+    *
+    * Engine invariance: daily means are exact rationals, element_at
+    * on a sorted array is an ORDER STATISTIC (duplicate daily values
+    * cannot change the selected VALUE whatever their tie order), and
+    * the rank ⌈p·n/100⌉ is computed in pure INTEGER arithmetic
+    * ((p·n+99) div 100) so no float ceil can straddle a boundary.
+    * Output quantized once at 1e-4. */
+  def flowDurationCurve(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        datediff(to_date(date_trunc("DAY", col("ts"))), lit("2024-01-01"))
+          .as("x"))
+      .agg((sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
+        / (count(lit(1)) * lit(100.0))).as("y"))
+    daily.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("y")), asc = false).as("qs"))
+      .select(col("user_id"), size(col("qs")).cast("long").as("n_days"),
+        explode(array(FdcProbs.map(lit): _*)).as("p"),
+        col("qs"))
+      .select(col("user_id"), col("p").cast("long").as("p"), col("n_days"),
+        (floor(element_at(col("qs"),
+          expr("cast((p * n_days + 99) div 100 as int)")) * 1e4 + 0.5) / 1e4)
+          .as("q_exceed"))
+  }
+
+  /** Lyne–Hollick filter parameter α and the derived (1+α)/2 pass
+    * coefficient — literals in both engines (featureDrop pattern). */
+  val LhAlpha: Double = 0.925
+  val LhHalf: Double = 0.9625
+
+  /** BASEFLOW SEPARATION per station by the single-pass Lyne–Hollick
+    * digital filter — splitting the daily discharge record into
+    * quickflow (storm response) and baseflow (groundwater release),
+    * the standard preprocessing for the low-flow/drought indices the
+    * reference serves (its cumulative-deficit lane
+    * `ingestor_knmi_evapo.py:395-414` is the precipitation twin):
+    * f_t = α·f_{t−1} + (1+α)/2·(q_t − q_{t−1}), quickflow
+    * qf_t = clamp(f_t, 0, q_t), baseflow b_t = q_t − qf_t, anchored
+    * at f_1 = q_1/2 (neutral half-split start, documented contract).
+    *
+    * The recurrence is sequential by nature (the [[graft.operators
+    * .TimeSeries]] Holt argument), so each station's BOUNDED daily
+    * series folds IN-ROW: sort_array(collect_list) + `aggregate`
+    * carrying (prev_q, f, emitted array); the fold appends each
+    * step's filtered value so the whole per-day series re-emerges
+    * from one pass, then zips back against the days. One shuffle
+    * total; array state bounded by series length in DAYS.
+    *
+    * Engine invariance: the fold recomputes f_t with the IDENTICAL
+    * literal expression as the oracle's recursive CTE (association
+    * pinned: α·f + 0.9625·(q − q_prev)), on exact-rational daily
+    * inputs; clamp is min/max (order statistics); quantized once at
+    * 1e-4. */
+  def baseflowLh(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        datediff(to_date(date_trunc("DAY", col("ts"))), lit("2024-01-01"))
+          .as("x"))
+      .agg((sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
+        / (count(lit(1)) * lit(100.0))).as("y"))
+    daily.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("pts"))
+      .filter(size(col("pts")) >= 2)
+      .withColumn("fs", expr(
+        """aggregate(
+          |  slice(pts, 2, size(pts) - 1),
+          |  named_struct('py', pts[0].y, 'f', pts[0].y / 2.0D,
+          |    'out', array(pts[0].y / 2.0D)),
+          |  (acc, e) -> named_struct(
+          |    'py', e.y,
+          |    'f', 0.925D * acc.f + 0.9625D * (e.y - acc.py),
+          |    'out', concat(acc.out,
+          |      array(0.925D * acc.f + 0.9625D * (e.y - acc.py)))),
+          |  acc -> acc.out)""".stripMargin))
+      .select(col("user_id"),
+        explode(arrays_zip(col("pts"), col("fs"))).as("z"))
+      .select(col("user_id"),
+        date_format(date_add(lit("2024-01-01"), col("z.pts.x")), "yyyy-MM-dd")
+          .as("day"),
+        (floor(col("z.pts.y") * 1e4 + 0.5) / 1e4).as("q"),
+        (floor((col("z.pts.y") -
+          least(greatest(col("z.fs"), lit(0.0)), col("z.pts.y")))
+          * 1e4 + 0.5) / 1e4).as("baseflow"),
+        (floor(least(greatest(col("z.fs"), lit(0.0)), col("z.pts.y"))
+          * 1e4 + 0.5) / 1e4).as("quickflow"))
+  }
+
   /** Day-of-year → extraterrestrial radiation (Ra) lookup — the
     * reference reads Ra from a per-day TABLE, not a formula
     * (`ingestor_knmi_evapo.py:305-325` day-lookup). Driver-known
@@ -1084,6 +1187,50 @@ object Climate {
           .when(ddx > 0, when(ddy > 0, "NE").otherwise("SE"))
           .otherwise(when(ddy > 0, "NW").otherwise("SW"))
           .as("aspect"))
+  }
+
+  /** Focal NODATA FILL over the grid — the `rio.fill` /
+    * `scipy.interpolate` hole-patching step every raster ingest runs
+    * before deriving (the reference re-grids fetched rasters and
+    * must fill sensor dropouts; GDAL's `FillNodata` is the codec-side
+    * twin): each masked cell takes the MEAN of its up-to-8 valid
+    * Moore neighbors; cells with no valid neighbor stay null.
+    * The synthetic mask is deterministic ((gx·8+gy) mod 7 = 3 —
+    * ~1/7 of cells, mirroring scattered dropouts) so both engines
+    * mask identical cells.
+    *
+    * Shape at scale: ONE fact scan to cells (localCheckpoint'd — the
+    * [[gridGradient]] lineage-pinning idiom), then the masked SLIVER
+    * (~1/7 of cells) explodes to its 8 neighbor coordinates and
+    * equi-joins the valid cells — the join input is 8·|masked|, never
+    * 8·|grid|, and the per-target aggregation is map-side partial.
+    * No window, no cross product; neighbor arithmetic is pure integer
+    * micro-units until one final division (merge-order-free). */
+  def gridFillNodata(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+          .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
+      .withColumn("masked", (col("gx") * 8 + col("gy")) % 7 === 3)
+      .localCheckpoint()
+    val valid = cells.filter(!col("masked"))
+    val offsets = array((for (dy <- -1 to 1; dx <- -1 to 1
+      if dy != 0 || dx != 0) yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+    // masked sliver × 8 neighbor coords → equi-join against valid cells
+    val fills = cells.filter(col("masked"))
+      .select(col("gy"), col("gx"), explode(offsets).as("o"))
+      .select(col("gy").as("tgy"), col("gx").as("tgx"),
+        (col("gy") + col("o.dy")).as("gy"), (col("gx") + col("o.dx")).as("gx"))
+      .join(valid.select(col("gy"), col("gx"), col("v_us")), Seq("gy", "gx"))
+      .groupBy(col("tgy").as("gy"), col("tgx").as("gx"))
+      .agg(sum(col("v_us")).as("nb_sum"), count(lit(1)).as("nb_n"))
+    cells.join(fills, Seq("gy", "gx"), "left")
+      .select(col("gy"), col("gx"), col("masked").as("filled"),
+        when(!col("masked"), col("v_us").cast("double") / 1e6)
+          .otherwise(floor(col("nb_sum").cast("double") / col("nb_n") + 0.5)
+            / 1e6).as("v"),
+        when(col("masked"), col("nb_n")).cast("long").as("n_neighbors"))
   }
 
   /** The reference's contour levels (`ingestor_knmi_evapo_fc.py:260`

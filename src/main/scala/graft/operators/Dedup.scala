@@ -89,6 +89,42 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Containment threshold for [[ngramContainment]]. */
+  private val ContainT = 0.8
+
+  /** N-gram CONTAINMENT near-SUPERSET detection — the asymmetric
+    * companion to [[ngramJaccard]]: C(A,B) = |A∩B| / min(|A|,|B|).
+    * Jaccard misses the quote/boilerplate case entirely — a short doc
+    * wholly embedded in a long one scores |A|/|B| ≈ 0 on Jaccard but
+    * 1.0 on containment — and that case (mirrored articles with added
+    * navigation, quoted posts, concatenated shards) is a major
+    * near-dup class in web corpora. Pairs with C ≥ 0.8 survive.
+    *
+    * Same 100 TB shape as [[ngramJaccard]]: candidates ONLY from the
+    * shared-shingle equi-join (each exploded row carries its doc's
+    * set size, so the pair join itself delivers n_a/n_b and the
+    * shared count IS the intersection — no second pass, no extra
+    * joins); minhash-LSH banding is the hot-tail-capped scale path
+    * for candidate generation, identical to the Jaccard family. */
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleArrays(Tables.documents(spark, dir))
+      .select(col("doc_id"), size(col("sh_arr")).as("n_sh"),
+        explode(col("sh_arr")).as("shingle"))
+    sh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
+        col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"),
+        min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"))
+      .withColumn("containment",
+        round(col("shared") / least(col("n_a"), col("n_b")).cast("double"), 4))
+      .filter(col("containment") >= ContainT)
+      .select(col("doc_a"), col("doc_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("containment"))
+  }
+
   /** Near-dup CLUSTERS from the pairwise matches: connected
     * components of the ngram-Jaccard graph by iterative min-label
     * propagation — each round every node adopts the smallest label in

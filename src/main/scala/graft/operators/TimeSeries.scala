@@ -418,6 +418,107 @@ object TimeSeries {
           * 1e6 + 0.5) / 1e6).as("sen_slope"))
   }
 
+  /** Per-station MANN–KENDALL trend TEST — the significance half of
+    * the WMO-standard Mann–Kendall/Sen's-slope pairing whose
+    * magnitude half is [[theilSen]] (the reference's station trend
+    * products report both: is the drought signal REAL, and how steep):
+    * S = Σ_{i<j} sgn(y_j − y_i), Var(S) with the tie correction
+    * Σ t(t−1)(2t+5), and the continuity-corrected Z.
+    *
+    * Shape at scale: identical to [[theilSen]] — one groupBy to daily
+    * means, one groupBy per station collecting the BOUNDED daily
+    * series, then the O(n²) sign enumeration and the tie scan run
+    * IN-ROW via array HOFs; no pair join, no second shuffle. The
+    * quadratic term is bounded by series LENGTH (resample-first for
+    * century-daily series, as theilSen documents).
+    *
+    * Engine invariance: daily y is an exact rational (integer cents /
+    * (100·n)), sgn of an exact-double difference is exact, S and the
+    * tie term are INTEGER sums (order-free), Var(S) is one integer
+    * expression divided by 18 once, and Z is one sqrt+divide both
+    * engines compute from identical bits; Z quantized once at 1e-4.
+    * The significance label compares the UNQUANTIZED Z against 1.96
+    * — same bits, same branch, both engines. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(date_trunc("DAY", col("ts")), lit("2024-01-01")).cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("yc"))
+      .groupBy(col("user_id"), col("x"))
+      .agg((sum(col("yc")).cast("double") / (count(lit(1)) * lit(100.0))).as("y"))
+    daily.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("pts"))
+      .filter(size(col("pts")) >= 3)
+      // pairwise sign sum: slice(pts, i+2, n) pairs each point with
+      // every LATER one (the theilSen enumeration), sgn cast to long
+      // so the reduction is an integer sum — merge-order-free
+      .withColumn("s_stat", expr(
+        """aggregate(flatten(transform(pts, (p, i) ->
+          |  transform(slice(pts, i + 2, size(pts)),
+          |    q -> cast(sign(q.y - p.y) as bigint)))),
+          |  0L, (a, s) -> a + s)""".stripMargin))
+      // tie correction: run-length scan over the SORTED values; the
+      // accumulator flushes each finished run's t(t−1)(2t+5) so state
+      // is O(1) regardless of series length
+      .withColumn("tie_term", expr(
+        """aggregate(array_sort(transform(pts, p -> p.y)),
+          |  named_struct('prev', cast(null as double), 'run', 0L, 'acc', 0L),
+          |  (st, y) -> if(st.prev is not null and y = st.prev,
+          |    named_struct('prev', y, 'run', st.run + 1L, 'acc', st.acc),
+          |    named_struct('prev', y, 'run', 1L,
+          |      'acc', st.acc + st.run * (st.run - 1L) * (2L * st.run + 5L))),
+          |  st -> st.acc + st.run * (st.run - 1L) * (2L * st.run + 5L))"""
+          .stripMargin))
+      .withColumn("n", size(col("pts")).cast("long"))
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (2 * col("n") + 5) - col("tie_term"))
+          .cast("double") / 18.0)
+      .withColumn("z_raw",
+        when(col("var_s") > 0,
+          when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0))))
+      .select(col("user_id"), col("n").as("n_days"), col("s_stat"),
+        col("var_s"),
+        (floor(col("z_raw") * 1e4 + 0.5) / 1e4).as("z_stat"),
+        when(col("z_raw").isNull, "undefined")
+          .when(col("z_raw") > 1.96, "increasing")
+          .when(col("z_raw") < -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+  }
+
+  /** Per-station running-peak DRAWDOWN of the daily level — the
+    * reservoir/groundwater depletion view behind low-flow monitoring
+    * (how far below the historical running maximum has the station
+    * fallen; the cumulative-deficit cousin of [[cumSumClamped]]'s
+    * precipitation deficit): peak_t = max(level_1..t),
+    * drawdown_t = peak_t − level_t.
+    *
+    * One (station, day) partial agg collapses the facts, then ONE
+    * window (running max, unbounded-preceding frame) on the station
+    * sort — O(1) state, single shuffle, fully codegen'd. The running
+    * max is an ORDER STATISTIC over exact rationals and the
+    * subtraction is one exact-double op, so both engines agree
+    * bit-for-bit; outputs quantized once at 1e-4. */
+  def drawdown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg((sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
+        / (count(lit(1)) * lit(100.0))).as("level"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("peak", max(col("level")).over(w))
+      .select(col("user_id"), col("day"),
+        (floor(col("level") * 1e4 + 0.5) / 1e4).as("level"),
+        (floor(col("peak") * 1e4 + 0.5) / 1e4).as("peak"),
+        (floor((col("peak") - col("level")) * 1e4 + 0.5) / 1e4)
+          .as("drawdown"))
+  }
+
   /** EWMA decay factor and the quantized weight table shared with the
     * generated oracle SQL. 40 terms: α(1-α)^39 ≈ 2e-7, and the
     * renormalizing denominator makes the truncation error relative,

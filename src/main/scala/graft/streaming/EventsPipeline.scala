@@ -22,20 +22,26 @@ import graft.sources.Catalog
 object EventsPipeline {
 
   /** Schema of the events drop directory (streaming sources must be
-    * told their schema up front — no inference race on new files). */
+    * told their schema up front — no inference race on new files).
+    * `ts` is parquet TIMESTAMP(µs, isAdjustedToUTC=false); declaring
+    * it TimestampType is exact under the UTC session timezone (and
+    * [[graft.GraftSession]] disables NTZ inference to match). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // parquet TIMESTAMP(NANOS) arrives as long
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Accept either the raw epoch-nanos long or a real timestamp. */
+  /** Accept the raw epoch-nanos long (legacy NANOS files read via
+    * `nanosAsLong`), TIMESTAMP_NTZ, or a real timestamp. */
   private def normalizeTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** Hourly rollup per collection with a 2-hour watermark: state is
     * bounded to ~2h of open windows per key; late events beyond the

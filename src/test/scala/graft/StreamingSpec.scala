@@ -330,10 +330,10 @@ class StreamingSpec extends SparkSpec {
   test("streamPublish: two scheduled ticks, re-dropped day replaced, checkpoint skips old files") {
     val tmp = Files.createTempDirectory("graft-spub").toFile.getAbsolutePath
     val drop = s"$tmp/drop"; new java.io.File(drop).mkdirs()
-    // raw drop files keep the source's epoch-nanos long ts (the shape
-    // runOnce also consumes); day slices via the converted timestamp
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-    val day = to_date(expr("timestamp_micros(ts div 1000)"))
+    // drop files carry the normalized TimestampType ts — the shape the
+    // stream's declared eventSchema (and runOnce) consumes
+    val raw = Tables.events(spark, sf)
+    val day = to_date(col("ts"))
     def dayCount(d: String): Long = raw.filter(day === d).count()
     // tick 1: a drop carrying complete days 1-2
     raw.filter(day.between("2024-01-01", "2024-01-02"))
