@@ -26,6 +26,7 @@ object SparkEntry {
     "topk_per_group"      -> Relational.topOrdersPerSegment _,
     "events_json_extract" -> Relational.eventsJsonExtract _,
     "q4_priority_returns" -> Relational.orderPriorityReturns _,
+    "q10_returned_items"  -> Relational.returnedItemsRevenue _,
     "distinct_users_daily" -> Relational.distinctUsersDaily _,
     "distinct_users_daily_approx" -> Relational.distinctUsersDailyApprox _,
     // --- time-series ---------------------------------------------
@@ -51,6 +52,10 @@ object SparkEntry {
     "ts_m4_downsample"       -> TimeSeries.m4Downsample _,
     "ts_trend"               -> TimeSeries.trend _,
     "ts_theil_sen"           -> TimeSeries.theilSen _,
+    "ts_mann_kendall"        -> TimeSeries.mannKendall _,
+    "ts_drawdown"            -> TimeSeries.drawdown _,
+    "ts_pctl_of_record"      -> TimeSeries.percentileOfRecord _,
+    "ts_runs_test"           -> TimeSeries.runsTest _,
     "ts_autocorr"            -> TimeSeries.autocorr _,
     "ts_ljung_box"           -> TimeSeries.ljungBox _,
     "ts_changepoint"         -> TimeSeries.changepoint _,
@@ -75,11 +80,14 @@ object SparkEntry {
     "bias_qmap"             -> Climate.biasQmap _,
     "bias_qmap_key"         -> Climate.biasQmapKey _,
     "bias_qmap_spline"      -> Climate.biasQmapSpline _,
+    "bias_qdm"              -> Climate.biasQdm _,
     "rating_curve"          -> Climate.ratingCurve _,
     "rating_curve_station"  -> Climate.ratingCurveStation _,
     "rating_volume_daily"   -> Climate.ratingVolumeDaily _,
     "danger_levels"         -> Climate.dangerLevels _,
     "return_levels"         -> Climate.returnLevels _,
+    "flow_duration_curve"   -> Climate.flowDurationCurve _,
+    "baseflow_lh"           -> Climate.baseflowLh _,
     "pet_hargreaves"        -> Climate.petHargreaves _,
     "spi_multiscale"        -> Climate.spiMultiscale _,
     "spi_ensemble_median"   -> Climate.spiEnsembleMedian _,
@@ -97,6 +105,7 @@ object SparkEntry {
     "grid_coarsen"          -> Climate.gridCoarsen _,
     "grid_pyramid"          -> Climate.gridPyramid _,
     "grid_gradient"         -> Climate.gridGradient _,
+    "grid_fill_nodata"      -> Climate.gridFillNodata _,
     "bbox_filter"           -> Climate.bboxFilter _,
     "extent_summary"        -> Climate.extentSummary _,
     "healthcheck_freshness" -> Climate.healthcheckFreshness _,
@@ -120,6 +129,8 @@ object SparkEntry {
     "text_repetition" -> TextOps.textRepetition _,
     "corpus_clean"    -> TextOps.corpusClean _,
     "vocab_topk"      -> TextOps.vocabTopk _,
+    "ngram_novelty"   -> TextOps.ngramNovelty _,
+    "bpe_pair_counts" -> TextOps.bpePairCounts _,
     "vocab_coverage"  -> TextOps.vocabCoverage _,
     "vocab_growth"    -> TextOps.vocabGrowth _,
     "corpus_stats"    -> TextOps.corpusStats _,
@@ -134,6 +145,7 @@ object SparkEntry {
     "bigram_pmi"      -> TextOps.bigramPmi _,
     // --- LLM pipeline: near-dup + similarity ---------------------
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "dedup_containment"   -> Dedup.ngramContainment _,
     "decontaminate"       -> Dedup.decontaminate _,
     "source_overlap"      -> Dedup.sourceOverlap _,
     "dedup_survivorship"  -> Dedup.dedupSurvivorship _,
@@ -488,6 +500,23 @@ object SparkEntry {
         |ORDER BY revenue DESC, l.l_orderkey ASC
         |LIMIT 10""".stripMargin,
 
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS c_acctbal,
+        |  n.n_name,
+        |  round(CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)))
+        |    AS DOUBLE) / 1e6, 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
     "q5_local_supplier" ->
       """SELECT n.n_name,
         |  round(CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
@@ -839,6 +868,150 @@ object SparkEntry {
         |         ELSE (ss[len(ss) // 2] + ss[len(ss) // 2 + 1]) / 2.0 END)
         |    * 1e6 + 0.5) / 1e6 AS sen_slope
         |FROM m JOIN nd ON m.user_id = nd.user_id""".stripMargin,
+
+    // S and the tie term are INTEGER sums (order-free); Var(S) is one
+    // integer expression /18; Z one sqrt+divide from identical bits —
+    // the trend CASE compares the UNQUANTIZED z both sides
+    "ts_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS y
+        |  FROM events GROUP BY 1, 2),
+        |nd AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |       FROM daily GROUP BY 1 HAVING count(*) >= 3),
+        |s AS (
+        |  SELECT a.user_id,
+        |    CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON a.user_id = b.user_id AND b.x > a.x
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT user_id,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT user_id, y, CAST(count(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT nd.user_id, nd.n, s.s_stat,
+        |    CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5) - t.tie_term AS DOUBLE)
+        |      / 18.0 AS var_s
+        |  FROM nd JOIN s ON nd.user_id = s.user_id
+        |    JOIN t ON nd.user_id = t.user_id),
+        |z AS (
+        |  SELECT *, CASE WHEN var_s > 0 THEN
+        |      CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+        |           WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+        |           ELSE 0.0 END END AS z_raw
+        |  FROM c)
+        |SELECT user_id, n AS n_days, s_stat, var_s,
+        |  floor(z_raw * 1e4 + 0.5) / 1e4 AS z_stat,
+        |  CASE WHEN z_raw IS NULL THEN 'undefined'
+        |       WHEN z_raw > 1.96 THEN 'increasing'
+        |       WHEN z_raw < -1.96 THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM z""".stripMargin,
+
+    // running max is an ORDER STATISTIC over exact rationals; the
+    // subtraction is one exact-double op — merge order can't reach it
+    "ts_drawdown" ->
+      """WITH daily AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS level
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, day, level,
+        |    max(level) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM daily)
+        |SELECT user_id, day,
+        |  floor(level * 1e4 + 0.5) / 1e4 AS level,
+        |  floor(peak * 1e4 + 0.5) / 1e4 AS peak,
+        |  floor((peak - level) * 1e4 + 0.5) / 1e4 AS drawdown
+        |FROM w""".stripMargin,
+
+    // R, n₁, n₂ are integers from exact comparisons (median is an
+    // order statistic); E/Var/z are fixed double expressions, verdict
+    // compares the UNQUANTIZED z both sides
+    "ts_runs_test" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS y
+        |  FROM events GROUP BY 1, 2),
+        |nd AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |       FROM daily GROUP BY 1 HAVING count(*) >= 2),
+        |r AS (SELECT user_id, y,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY y) AS rn
+        |      FROM daily),
+        |med AS (
+        |  SELECT r.user_id,
+        |    CASE WHEN nd.n % 2 = 1
+        |      THEN max(CASE WHEN rn = (nd.n + 1) // 2 THEN y END)
+        |      ELSE (max(CASE WHEN rn = nd.n // 2 THEN y END)
+        |        + max(CASE WHEN rn = nd.n // 2 + 1 THEN y END)) / 2.0 END AS med
+        |  FROM r JOIN nd ON r.user_id = nd.user_id
+        |  GROUP BY r.user_id, nd.n),
+        |f AS (
+        |  SELECT d.user_id, d.x,
+        |    CASE WHEN d.y > m.med THEN 1 ELSE -1 END AS sg
+        |  FROM daily d JOIN med m ON d.user_id = m.user_id
+        |  WHERE d.y != m.med),
+        |runs AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+        |    CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_minus,
+        |    CAST(1 + sum(CASE WHEN prev IS NOT NULL AND sg != prev
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        |  FROM (SELECT user_id, sg,
+        |          lag(sg) OVER (PARTITION BY user_id ORDER BY x) AS prev
+        |        FROM f)
+        |  GROUP BY 1),
+        |z AS (
+        |  SELECT nd.user_id, nd.n,
+        |    COALESCE(r2.n_plus, 0) AS n_plus,
+        |    COALESCE(r2.n_minus, 0) AS n_minus, r2.n_runs,
+        |    CASE WHEN COALESCE(r2.n_plus, 0) > 0
+        |        AND COALESCE(r2.n_minus, 0) > 0
+        |        AND r2.n_plus + r2.n_minus > 1
+        |        AND CAST(2 * r2.n_plus * r2.n_minus
+        |          * (2 * r2.n_plus * r2.n_minus - (r2.n_plus + r2.n_minus))
+        |          AS DOUBLE)
+        |          / CAST((r2.n_plus + r2.n_minus) * (r2.n_plus + r2.n_minus)
+        |            * (r2.n_plus + r2.n_minus - 1) AS DOUBLE) > 0
+        |      THEN (CAST(r2.n_runs AS DOUBLE)
+        |        - (CAST(2 * r2.n_plus * r2.n_minus AS DOUBLE)
+        |          / (r2.n_plus + r2.n_minus) + 1.0))
+        |        / sqrt(CAST(2 * r2.n_plus * r2.n_minus
+        |          * (2 * r2.n_plus * r2.n_minus - (r2.n_plus + r2.n_minus))
+        |          AS DOUBLE)
+        |          / CAST((r2.n_plus + r2.n_minus) * (r2.n_plus + r2.n_minus)
+        |            * (r2.n_plus + r2.n_minus - 1) AS DOUBLE))
+        |    END AS z_raw
+        |  FROM nd LEFT JOIN runs r2 ON nd.user_id = r2.user_id)
+        |SELECT user_id, n AS n_days, n_plus, n_minus, n_runs,
+        |  floor(z_raw * 1e4 + 0.5) / 1e4 AS z_stat,
+        |  CASE WHEN z_raw IS NULL THEN 'undefined'
+        |       WHEN abs(z_raw) > 1.96 THEN 'non_random'
+        |       ELSE 'random' END AS verdict
+        |FROM z""".stripMargin,
+
+    // cume_dist is the SQL-standard ≤-tie empirical CDF in both
+    // engines: two exact integers divided once, quantized once
+    "ts_pctl_of_record" ->
+      """WITH daily AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS level
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day,
+        |  floor(level * 1e4 + 0.5) / 1e4 AS level,
+        |  floor(cume_dist() OVER (PARTITION BY user_id ORDER BY level)
+        |    * 1e4 + 0.5) / 1e4 AS pctl,
+        |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_days
+        |FROM daily""".stripMargin,
 
     // pooled mean = exact integer ratio; num/den are integer sums of
     // per-term 1e-8-quantized products — merge-order-free both sides
@@ -1470,6 +1643,55 @@ object SparkEntry {
         |FROM q JOIN r lo ON q.user_id = lo.user_id AND q.idx_lo = lo.idx
         |       JOIN r hi ON q.user_id = hi.user_id AND q.idx_hi = hi.idx""".stripMargin,
 
+    // QDM: p from the future distribution itself (trend-preserving),
+    // two lead-carried quantile interpolations, identical IEEE
+    // expressions both sides, floor-quantized once
+    "bias_qdm" ->
+      """WITH obs AS (SELECT event_id, user_id, value FROM events
+        |  WHERE event_type = 'view'),
+        |hist AS (SELECT event_id, user_id, value FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |fut AS (SELECT event_id, user_id, value FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |ok AS (SELECT user_id,
+        |    row_number() OVER w - 1 AS o_idx, value AS ov,
+        |    lead(value) OVER w AS ov_next
+        |  FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)),
+        |hk AS (SELECT user_id,
+        |    row_number() OVER w - 1 AS h_idx, value AS hv,
+        |    lead(value) OVER w AS hv_next
+        |  FROM hist WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)),
+        |onn AS (SELECT user_id, count(*) AS n_obs FROM obs GROUP BY 1),
+        |hnn AS (SELECT user_id, count(*) AS n_hist FROM hist GROUP BY 1),
+        |p AS (SELECT event_id, user_id, value,
+        |    CASE WHEN count(*) OVER (PARTITION BY user_id) = 1 THEN 0.0
+        |         ELSE percent_rank() OVER (PARTITION BY user_id ORDER BY value)
+        |    END AS pr
+        |  FROM fut),
+        |q AS (SELECT p.*,
+        |    p.pr * (o.n_obs - 1) AS opos,
+        |    CAST(floor(p.pr * (o.n_obs - 1)) AS INT) AS o_idx,
+        |    p.pr * (h.n_hist - 1) AS hpos,
+        |    CAST(floor(p.pr * (h.n_hist - 1)) AS INT) AS h_idx
+        |  FROM p JOIN onn o ON p.user_id = o.user_id
+        |    JOIN hnn h ON p.user_id = h.user_id),
+        |i AS (SELECT q.*,
+        |    ok.ov, CASE WHEN q.opos = q.o_idx THEN ok.ov ELSE ok.ov_next END
+        |      AS o_hi,
+        |    hk.hv, CASE WHEN q.hpos = q.h_idx THEN hk.hv ELSE hk.hv_next END
+        |      AS h_hi
+        |  FROM q JOIN ok ON q.user_id = ok.user_id AND q.o_idx = ok.o_idx
+        |    JOIN hk ON q.user_id = hk.user_id AND q.h_idx = hk.h_idx)
+        |SELECT event_id, user_id, round(value, 2) AS fcst_value,
+        |  floor(((ov + (opos - o_idx) * (o_hi - ov))
+        |    - (hv + (hpos - h_idx) * (h_hi - hv))) * 1e4 + 0.5) / 1e4 AS delta,
+        |  floor(greatest(value + ((ov + (opos - o_idx) * (o_hi - ov))
+        |    - (hv + (hpos - h_idx) * (h_hi - hv))), 0.0) * 1e4 + 0.5) / 1e4
+        |    AS corrected
+        |FROM i""".stripMargin,
+
     "bias_qmap_key" ->
       """WITH ev AS (
         |  SELECT event_id, user_id % 20 AS grp, event_id % 3 AS member,
@@ -1681,6 +1903,59 @@ object SparkEntry {
         |    floor((m - ${Climate.GumbelGamma} * beta + p.y * beta) * 1e4 + 0.5) / 1e4
         |  END AS level
         |FROM sb CROSS JOIN (VALUES ${Climate.ReturnPeriods.map { case (t, y) => s"($t, $y)" }.mkString(", ")}) AS p(t, y)""".stripMargin,
+
+    // rank = (p·n+99)//100 in pure INTEGER arithmetic both sides; the
+    // selected k-th-largest VALUE is tie-order-invariant
+    "flow_duration_curve" ->
+      s"""WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS y
+        |  FROM events GROUP BY 1, 2),
+        |nd AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY y DESC) AS rn
+        |  FROM daily)
+        |SELECT r.user_id, CAST(p.p AS BIGINT) AS p, nd.n AS n_days,
+        |  floor(r.y * 1e4 + 0.5) / 1e4 AS q_exceed
+        |FROM (VALUES ${Climate.FdcProbs.map(p => s"($p)").mkString(", ")}) AS p(p)
+        |CROSS JOIN nd
+        |JOIN r ON r.user_id = nd.user_id AND r.rn = (p.p * nd.n + 99) // 100"""
+        .stripMargin,
+
+    // the recursive CTE iterates the IDENTICAL literal expression as
+    // the Spark fold (α·f + 0.9625·(q − q_prev), anchor q₁/2) in time
+    // order — bit-identical; clamp is min/max order statistics
+    "baseflow_lh" ->
+      s"""WITH RECURSIVE daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ord AS (
+        |  SELECT user_id, x, y,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY x)
+        |      AS BIGINT) AS t,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM daily),
+        |rec AS (
+        |  SELECT user_id, x, y, t, CAST(y AS DOUBLE) AS py,
+        |    y / 2.0 AS f
+        |  FROM ord WHERE t = 1 AND n >= 2
+        |  UNION ALL
+        |  SELECT o.user_id, o.x, o.y, o.t, o.y AS py,
+        |    ${Climate.LhAlpha} * r.f + ${Climate.LhHalf} * (o.y - r.py) AS f
+        |  FROM rec r JOIN ord o ON o.user_id = r.user_id AND o.t = r.t + 1)
+        |SELECT user_id,
+        |  strftime(DATE '2024-01-01' + CAST(x AS INTEGER), '%Y-%m-%d')
+        |    AS day,
+        |  floor(y * 1e4 + 0.5) / 1e4 AS q,
+        |  floor((y - least(greatest(f, 0.0), y)) * 1e4 + 0.5) / 1e4 AS baseflow,
+        |  floor(least(greatest(f, 0.0), y) * 1e4 + 0.5) / 1e4 AS quickflow
+        |FROM rec""".stripMargin,
 
     "pet_hargreaves" ->
       s"""WITH ra(doy, ra) AS (VALUES $raTableSql),
@@ -1909,6 +2184,31 @@ object SparkEntry {
         |JOIN c xm ON xm.gy = c.gy AND xm.gx = c.gx - 1
         |JOIN c yp ON yp.gy = c.gy + 1 AND yp.gx = c.gx
         |JOIN c ym ON ym.gy = c.gy - 1 AND ym.gx = c.gx""".stripMargin,
+
+    // neighbor mean is integer micro-units summed (order-free) with
+    // ONE final division; the mask is integer modular arithmetic
+    "grid_fill_nodata" ->
+      """WITH c AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT *, (gx * 8 + gy) % 7 = 3 AS masked FROM c),
+        |f AS (
+        |  SELECT t.gy, t.gx, CAST(sum(v.v_us) AS BIGINT) AS nb_sum,
+        |    CAST(count(*) AS BIGINT) AS nb_n
+        |  FROM m t
+        |  JOIN (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+        |    (1, -1), (1, 0), (1, 1)) AS o(dy, dx) ON t.masked
+        |  JOIN m v ON NOT v.masked
+        |    AND v.gy = t.gy + o.dy AND v.gx = t.gx + o.dx
+        |  GROUP BY 1, 2)
+        |SELECT m.gy, m.gx, m.masked AS filled,
+        |  CASE WHEN NOT m.masked THEN CAST(m.v_us AS DOUBLE) / 1e6
+        |       ELSE floor(CAST(f.nb_sum AS DOUBLE) / f.nb_n + 0.5) / 1e6
+        |  END AS v,
+        |  CASE WHEN m.masked THEN f.nb_n END AS n_neighbors
+        |FROM m LEFT JOIN f ON m.gy = f.gy AND m.gx = f.gx""".stripMargin,
 
     "grid_pyramid" ->
       """WITH g AS (
@@ -2598,6 +2898,45 @@ object SparkEntry {
         |FROM c""".stripMargin
     },
 
+    // first-occurrence is min(doc_id) per trigram — an integer order
+    // statistic; novelty is one integer ratio rounded once
+    "ngram_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |          for i in range(1, len(toks) - 1)])) AS tg
+        |  FROM (SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |    FROM documents)
+        |  WHERE len(toks) >= 3),
+        |nn AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM (SELECT tg, min(doc_id) AS doc_id FROM sh GROUP BY 1)
+        |  GROUP BY 1),
+        |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tg
+        |       FROM sh GROUP BY 1)
+        |SELECT nt.doc_id, nt.n_tg,
+        |  CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new,
+        |  round(COALESCE(nn.n_new, 0) * 1.0 / nt.n_tg, 4) AS novelty
+        |FROM nt LEFT JOIN nn ON nt.doc_id = nn.doc_id""".stripMargin,
+
+    // vocab collapse first (exact integer weights), pair fan-out over
+    // vocab rows; top-50 ordered (n desc, pair asc) in both engines
+    "bpe_pair_counts" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n_occ FROM tok
+        |  WHERE len(tok) >= 2 GROUP BY 1),
+        |pairs AS (
+        |  SELECT unnest([tok[i:i+1] for i in range(1, len(tok))]) AS pair,
+        |    n_occ
+        |  FROM vocab)
+        |SELECT pair, CAST(sum(n_occ) AS BIGINT) AS n
+        |FROM pairs GROUP BY 1
+        |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+
     "vocab_topk" ->
       """SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(
@@ -2751,6 +3090,27 @@ object SparkEntry {
         |  round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
         |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
         |WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5""".stripMargin,
+
+    // the shared-shingle count IS the intersection; containment is
+    // shared / min(|A|,|B|) — one integer ratio rounded once
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |          for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(ca.n_sh AS BIGINT) AS n_a, CAST(cb.n_sh AS BIGINT) AS n_b,
+        |  round(shared * 1.0 / least(ca.n_sh, cb.n_sh), 4) AS containment
+        |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id
+        |  JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE round(shared * 1.0 / least(ca.n_sh, cb.n_sh), 4) >= 0.8"""
+        .stripMargin,
 
     "dedup_survivorship" ->
       """WITH RECURSIVE sh AS (

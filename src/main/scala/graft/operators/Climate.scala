@@ -421,6 +421,84 @@ object Climate {
     quantileMap(side("click"), side("view"))
   }
 
+  /** QUANTILE DELTA MAPPING (Cannon, Sobie & Murdock 2015) — the
+    * TREND-PRESERVING bias correction modern climate services use
+    * where plain quantile mapping ([[biasQmap]]) would inflate or
+    * deflate the model's own climate-change signal: each future value
+    * x keeps ITS OWN quantile p in the future distribution, and the
+    * correction is the additive delta between the observed and
+    * modeled-historical quantile functions AT THAT p:
+    * corrected = x + (obs_q(p) − hist_q(p)), clamped at 0.
+    * Scaled-down framing (the [[biasQmapKey]]/spiGammaRef split
+    * convention): obs = the full 'view' record, hist = 'click' before
+    * the split date, future = 'click' from the split on.
+    *
+    * Shape at scale: every window and join partitions on the
+    * high-cardinality station key; each quantile table carries its
+    * successor via lead() on the SAME sort that assigns its index
+    * (the [[quantileMap]] trick), so each of the two interpolations
+    * is ONE equi-join — never a range join. Stations missing either
+    * distribution drop out via the inner joins (documented: QDM is
+    * undefined without both references).
+    *
+    * Engine invariance: p = percent_rank (exact integer ratio),
+    * fractional positions and interpolants are the same IEEE
+    * expression both sides, delta and corrected floor-quantized once
+    * (the [[quantileMap]] half-quantum argument). */
+  def biasQdm(spark: SparkSession, dir: String): DataFrame =
+    biasQdmOf(Tables.events(spark, dir))
+
+  /** [[biasQdm]] over an arbitrary (event_id, user_id, ts,
+    * event_type, value) frame — seam for the identity and
+    * trend-preservation specs. */
+  private[graft] def biasQdmOf(ev: DataFrame): DataFrame = {
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val obs = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "value")
+    val hist = ev.filter(col("event_type") === "click" && col("ts") < split)
+      .select("event_id", "user_id", "value")
+    val fut = ev.filter(col("event_type") === "click" && col("ts") >= split)
+      .select("event_id", "user_id", "value")
+    def knots(df: DataFrame, v: String, idx: String): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value"), col("event_id"))
+      df.withColumn(idx, row_number().over(w) - 1)
+        .withColumn(v + "_next", lead(col("value"), 1).over(w))
+        .select(col("user_id"), col(idx), col("value").as(v),
+          col(v + "_next"))
+    }
+    val ok = knots(obs, "ov", "o_idx")
+    val hk = knots(hist, "hv", "h_idx")
+    val on = obs.groupBy("user_id").agg(count(lit(1)).as("n_obs"))
+    val hn = hist.groupBy("user_id").agg(count(lit(1)).as("n_hist"))
+    val wRank = Window.partitionBy(col("user_id")).orderBy(col("value"))
+    val p = fut
+      .withColumn("pr",
+        when(count(lit(1)).over(Window.partitionBy(col("user_id"))) === 1,
+          lit(0.0)).otherwise(percent_rank().over(wRank)))
+      .join(on, Seq("user_id")).join(hn, Seq("user_id"))
+      .withColumn("opos", col("pr") * (col("n_obs") - 1))
+      .withColumn("o_idx", floor(col("opos")).cast("int"))
+      .withColumn("hpos", col("pr") * (col("n_hist") - 1))
+      .withColumn("h_idx", floor(col("hpos")).cast("int"))
+    val interp = p
+      .join(ok, Seq("user_id", "o_idx"))
+      .withColumn("o_hi",
+        when(col("opos") === col("o_idx"), col("ov")).otherwise(col("ov_next")))
+      .join(hk, Seq("user_id", "h_idx"))
+      .withColumn("h_hi",
+        when(col("hpos") === col("h_idx"), col("hv")).otherwise(col("hv_next")))
+      .withColumn("oq", col("ov")
+        + (col("opos") - col("o_idx")) * (col("o_hi") - col("ov")))
+      .withColumn("hq", col("hv")
+        + (col("hpos") - col("h_idx")) * (col("h_hi") - col("hv")))
+    interp.select(col("event_id"), col("user_id"),
+      round(col("value"), 2).as("fcst_value"),
+      (floor((col("oq") - col("hq")) * 1e4 + 0.5) / 1e4).as("delta"),
+      (floor(greatest(col("value") + (col("oq") - col("hq")), lit(0.0))
+        * 1e4 + 0.5) / 1e4).as("corrected"))
+  }
+
   /** FIT-THEN-APPLY empirical quantile mapping over a COMPOSITE key —
     * the reference's actual bias-correction mechanics
     * (`bias_correction_cds_process.py:311-320` params per (member r,
@@ -892,8 +970,13 @@ object Climate {
     * the rank ⌈p·n/100⌉ is computed in pure INTEGER arithmetic
     * ((p·n+99) div 100) so no float ceil can straddle a boundary.
     * Output quantized once at 1e-4. */
-  def flowDurationCurve(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+  def flowDurationCurve(spark: SparkSession, dir: String): DataFrame =
+    flowDurationCurveOf(Tables.events(spark, dir))
+
+  /** [[flowDurationCurve]] over an arbitrary (user_id, ts, value)
+    * frame — seam for the planted-series spec. */
+  private[graft] def flowDurationCurveOf(ev: DataFrame): DataFrame = {
+    val daily = ev
       .groupBy(col("user_id"),
         datediff(to_date(date_trunc("DAY", col("ts"))), lit("2024-01-01"))
           .as("x"))
@@ -938,8 +1021,13 @@ object Climate {
     * pinned: α·f + 0.9625·(q − q_prev)), on exact-rational daily
     * inputs; clamp is min/max (order statistics); quantized once at
     * 1e-4. */
-  def baseflowLh(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+  def baseflowLh(spark: SparkSession, dir: String): DataFrame =
+    baseflowLhOf(Tables.events(spark, dir))
+
+  /** [[baseflowLh]] over an arbitrary (user_id, ts, value) frame —
+    * seam for the constant-series and identity specs. */
+  private[graft] def baseflowLhOf(ev: DataFrame): DataFrame = {
+    val daily = ev
       .groupBy(col("user_id"),
         datediff(to_date(date_trunc("DAY", col("ts"))), lit("2024-01-01"))
           .as("x"))

@@ -120,6 +120,44 @@ object Pipelines {
         col("n_docs"), col("n_tokens"), col("n_langs"))
   }
 
+  /** The HYDROLOGY station profile end to end — the river-discharge
+    * process chain (`rer_river_discharge_arpae_process.py`: stage →
+    * rating-curve discharge → derived station products): per-station
+    * daily discharge (stage through the calibration table, daily
+    * mean), the flow-duration quantile grid, the Mann–Kendall trend
+    * verdict, and the current drawdown, joined into ONE profile row
+    * per station and published with a registry row. One composed
+    * plan: the rating curve is a broadcast range-join, every derived
+    * product reuses the same (station, day) collapse shape, and the
+    * three profile joins are station-keyed equi-joins (uniform,
+    * high-cardinality at 100 TB — never broadcast). */
+  def hydroProfilePublish(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val fdc = Climate.flowDurationCurve(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("p") === 5, col("q_exceed"))).as("q5"),
+        max(when(col("p") === 50, col("q_exceed"))).as("q50"),
+        max(when(col("p") === 95, col("q_exceed"))).as("q95"))
+    val mk = TimeSeries.mannKendall(spark, dir)
+      .select(col("user_id"), col("z_stat"), col("trend"))
+    val dd = TimeSeries.drawdown(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("day"), col("drawdown"))).as("last"))
+      .select(col("user_id"), col("last.drawdown").as("current_drawdown"))
+    val profile = fdc.join(mk, Seq("user_id")).join(dd, Seq("user_id"))
+    val path = s"$outDir/hydro_profile"
+    profile.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .agg(count(lit(1)).as("n_stations"),
+        sum(when(col("trend") === "increasing", 1L).otherwise(0L))
+          .as("n_rising"),
+        sum(when(col("trend") === "decreasing", 1L).otherwise(0L))
+          .as("n_falling"))
+      .select(lit("hydro_profile").as("collection_id"),
+        col("n_stations"), col("n_rising"), col("n_falling"))
+  }
+
   /** The EMBEDDING-curation product end to end — the semantic half of
     * corpus curation ([[corpusCuratePublish]] is the lexical half):
     * candidate edges from the IVF-BLOCKED k-NN graph (the scale path —

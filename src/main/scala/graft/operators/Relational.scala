@@ -106,6 +106,48 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q10-style RETURNED-ITEMS revenue report: which customers
+    * returned the most value in a quarter — the standard churn/credit
+    * triage query over the ingested commerce backbone. One quarter of
+    * orders joins its returned (l_returnflag = 'R') lineitems and the
+    * customer + nation dims; top 20 by lost revenue.
+    *
+    * Scale discipline (the [[localSupplierVolume]] rules): nation is
+    * a TRUE dim (O(100) rows) — broadcast; customer/orders/lineitem
+    * are fact-sized — unhinted shuffle joins on their natural keys,
+    * AQE demotes to broadcast only where they fit. The quarter filter
+    * prunes orders AT THE SCAN (pushed predicate), the returnflag
+    * filter prunes lineitem the same way, and the final top-20 plans
+    * as TakeOrderedAndProject (bounded, never a full sort). Revenue
+    * sums exact cents×bps products in DECIMAL(38) ([[pricingSummary]]
+    * overflow envelope), rounded once. */
+  def returnedItemsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1997-04-01").cast("timestamp")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(round(sum(dec38(cents(col("l_extendedprice"))
+        * (lit(10000L) - bps(col("l_discount"))))).cast("double") / 1e6, 2)
+        .as("revenue"))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   /** TPC-H Q5-style multi-way join. Scale discipline: only the TRUE
     * dims (nation⋈region — O(100) rows at any scale) are broadcast.
     * Customer and supplier scale linearly with the data (fact-sized

@@ -503,6 +503,33 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(100)
 
+  /** Adjacent CHARACTER-PAIR counts over the corpus vocabulary — the
+    * inner loop of BPE tokenizer training (count all symbol pairs,
+    * merge the most frequent, repeat): the first, corpus-wide
+    * iteration exposed as an operator, top-50 pairs weighted by word
+    * frequency. A training-data pipeline runs exactly this to seed a
+    * vocabulary or audit tokenizer fit against a new corpus.
+    *
+    * Shape at scale: the corpus collapses to its (token, n_occ)
+    * VOCABULARY first — the classic BPE preprocessing, one token-
+    * keyed map-side-partial agg over the explode — and the pair
+    * fan-out (ONE in-row `transform` over substring windows) runs on
+    * vocab rows, not corpus tokens: a word repeated a million times
+    * contributes its pairs once, weighted by its exact integer count.
+    * The final top-50 is a bounded TakeOrdered (per-task heaps),
+    * never a global sort. All counts exact longs. */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(explode(words(normalized(col("text")))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_occ"))
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"), col("n_occ"))
+      .groupBy(col("pair")).agg(sum(col("n_occ")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(50)
+
   /** Vocabulary COVERAGE / OOV-rate report — the tokenizer-design
     * primitive: what fraction of the running token stream does a
     * top-K vocabulary cover, at several K, in one pass. The vocab
@@ -558,6 +585,37 @@ object TextOps {
         sum(col("n_tok")).over(w).cast("long").as("cum_tokens"),
         sum(coalesce(col("n_new"), lit(0L))).over(w).cast("long")
           .as("cum_vocab"))
+  }
+
+  /** Per-document N-GRAM NOVELTY — the fraction of a doc's distinct
+    * word trigrams whose FIRST corpus occurrence (by doc_id, the
+    * ingestion order) is this document. The curation signal behind
+    * "is this late crawl adding anything": boilerplate recombinations
+    * and template farms score near 0, genuinely new material near 1
+    * (the document-level sibling of [[vocabGrowth]]'s corpus curve;
+    * the trigram grain matches the dedup family's shingles).
+    *
+    * Shape at scale: ONE codegen regex pass extracts distinct
+    * trigrams per doc (the [[graft.operators.Dedup]] zero-width-
+    * lookahead trick), localCheckpoint'd so the two downstream
+    * aggregations don't re-tokenize; first-occurrence is a min()
+    * groupBy on the trigram key (map-side partial), and both rollups
+    * are doc-keyed aggs of already-collapsed rows. No window over the
+    * corpus, no join wider than O(docs). */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val tgd = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), explode(array_distinct(
+        expr("regexp_extract_all(regexp_replace(lower(trim(text)), '\\\\s+', ' '), " +
+          "'(?<=^| )(?=([^ ]+ [^ ]+ [^ ]+))', 1)"))).as("tg"))
+      .localCheckpoint()
+    val nNew = tgd.groupBy(col("tg")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+    val nTg = tgd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tg"))
+    nTg.join(nNew, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tg"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(coalesce(col("n_new"), lit(0L)) / col("n_tg").cast("double"), 4)
+          .as("novelty"))
   }
 
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {

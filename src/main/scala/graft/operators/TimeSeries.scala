@@ -439,8 +439,13 @@ object TimeSeries {
     * engines compute from identical bits; Z quantized once at 1e-4.
     * The significance label compares the UNQUANTIZED Z against 1.96
     * — same bits, same branch, both engines. */
-  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+  def mannKendall(spark: SparkSession, dir: String): DataFrame =
+    mannKendallOf(Tables.events(spark, dir))
+
+  /** [[mannKendall]] over an arbitrary (user_id, ts, value) frame —
+    * seam for the planted-trend spec. */
+  private[graft] def mannKendallOf(ev: DataFrame): DataFrame = {
+    val daily = ev
       .select(col("user_id"),
         datediff(date_trunc("DAY", col("ts")), lit("2024-01-01")).cast("long").as("x"),
         floor(col("value") * 100 + 0.5).cast("long").as("yc"))
@@ -471,7 +476,7 @@ object TimeSeries {
           .stripMargin))
       .withColumn("n", size(col("pts")).cast("long"))
       .withColumn("var_s",
-        (col("n") * (col("n") - 1) * (2 * col("n") + 5) - col("tie_term"))
+        (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie_term"))
           .cast("double") / 18.0)
       .withColumn("z_raw",
         when(col("var_s") > 0,
@@ -517,6 +522,113 @@ object TimeSeries {
         (floor(col("peak") * 1e4 + 0.5) / 1e4).as("peak"),
         (floor((col("peak") - col("level")) * 1e4 + 0.5) / 1e4)
           .as("drawdown"))
+  }
+
+  /** Per-station WALD–WOLFOWITZ RUNS TEST — the distribution-free
+    * randomness screen that completes the diagnostics family
+    * ([[autocorr]] measures linear persistence, [[ljungBox]] gates on
+    * it, [[mannKendall]] tests monotone trend; the runs test catches
+    * NON-linear structure all three can miss — oscillation, clumping,
+    * regime stickiness): daily values split into above/below-median
+    * signs (exact-median ties dropped, the standard treatment), R =
+    * number of sign runs, compared against its exact null moments
+    * E[R] = 2n₁n₂/m + 1, Var[R] = 2n₁n₂(2n₁n₂−m)/(m²(m−1)), verdict
+    * at |z| > 1.96.
+    *
+    * Shape at scale: the [[theilSen]] in-row discipline — one daily
+    * collapse, one station groupBy collecting the BOUNDED series;
+    * median, signs, and the run count all compute in-row (the run
+    * fold carries O(1) state). No second shuffle, no window.
+    *
+    * Engine invariance: the median is an ORDER STATISTIC of exact
+    * rationals (even case: one midpoint expression, identical text
+    * both sides); sign comparisons are exact; R, n₁, n₂ are integers;
+    * E/Var/z are fixed double expressions on exact integers, z
+    * quantized once at 1e-4 and the verdict compares UNQUANTIZED z. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTestOf(Tables.events(spark, dir))
+
+  /** [[runsTest]] over an arbitrary (user_id, ts, value) frame —
+    * seam for the planted alternating/clumped specs. */
+  private[graft] def runsTestOf(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("user_id"),
+        datediff(date_trunc("DAY", col("ts")), lit("2024-01-01")).cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("yc"))
+      .groupBy(col("user_id"), col("x"))
+      .agg((sum(col("yc")).cast("double") / (count(lit(1)) * lit(100.0))).as("y"))
+    daily.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("pts"))
+      .filter(size(col("pts")) >= 2)
+      .withColumn("ys", expr("array_sort(transform(pts, p -> p.y))"))
+      .withColumn("med", expr(
+        """if(size(ys) % 2 = 1,
+          |  element_at(ys, cast((size(ys) + 1) div 2 as int)),
+          |  (element_at(ys, cast(size(ys) div 2 as int))
+          |    + element_at(ys, cast(size(ys) div 2 + 1 as int))) / 2.0D)"""
+          .stripMargin))
+      .withColumn("signs", expr(
+        "filter(transform(pts, p -> case when p.y > med then 1 " +
+          "when p.y < med then -1 else 0 end), s -> s != 0)"))
+      .withColumn("n_plus",
+        expr("cast(size(filter(signs, s -> s = 1)) as bigint)"))
+      .withColumn("n_minus",
+        expr("cast(size(filter(signs, s -> s = -1)) as bigint)"))
+      .withColumn("n_runs", expr(
+        """if(size(signs) = 0, cast(null as bigint),
+          |  aggregate(slice(signs, 2, size(signs) - 1),
+          |    named_struct('prev', signs[0], 'cnt', 1L),
+          |    (st, s) -> named_struct('prev', s,
+          |      'cnt', st.cnt + if(s = st.prev, 0L, 1L)),
+          |    st -> st.cnt))""".stripMargin))
+      .withColumn("m", col("n_plus") + col("n_minus"))
+      .withColumn("z_raw",
+        when(col("n_plus") > 0 && col("n_minus") > 0 && col("m") > 1, {
+          val nn2 = col("n_plus") * col("n_minus") * 2
+          val e = nn2.cast("double") / col("m") + 1.0
+          val v = (nn2 * (nn2 - col("m"))).cast("double").divide(
+            (col("m") * col("m") * (col("m") - 1)).cast("double"))
+          when(v > 0, (col("n_runs").cast("double") - e) / sqrt(v))
+        }))
+      .select(col("user_id"), size(col("pts")).cast("long").as("n_days"),
+        col("n_plus"), col("n_minus"), col("n_runs"),
+        (floor(col("z_raw") * 1e4 + 0.5) / 1e4).as("z_stat"),
+        when(col("z_raw").isNull, "undefined")
+          .when(abs(col("z_raw")) > 1.96, "non_random")
+          .otherwise("random").as("verdict"))
+  }
+
+  /** Per-day PERCENTILE-OF-RECORD — the percent-of-normal drought
+    * product family ("today's level sits at the 12th percentile of
+    * this station's record"), the empirical-CDF alternative to the
+    * parametric SPI: each daily value's cume_dist within its
+    * station's full record (ties counted ≤, the SQL-standard
+    * definition — identical in Spark and DuckDB), plus the record
+    * rank and length for context.
+    *
+    * ONE shuffle on the station key carries both window frames
+    * (cume_dist and the record count); the daily collapse is the
+    * usual exact-cent partial agg. cume_dist is a pure ORDER
+    * STATISTIC over exact rationals — counts of ≤-comparisons — so
+    * the ratio divides two exact integers identically on any engine;
+    * quantized once at 1e-4. At 100 TB the station key is
+    * high-cardinality (millions of partitions of bounded length) —
+    * the same distribution argument as every rolling op here. */
+  def percentileOfRecord(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg((sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
+        / (count(lit(1)) * lit(100.0))).as("level"))
+    val byVal = Window.partitionBy(col("user_id")).orderBy(col("level"))
+    val all = Window.partitionBy(col("user_id"))
+    daily
+      .withColumn("pctl", cume_dist().over(byVal))
+      .withColumn("n_days", count(lit(1)).over(all).cast("long"))
+      .select(col("user_id"), col("day"),
+        (floor(col("level") * 1e4 + 0.5) / 1e4).as("level"),
+        (floor(col("pctl") * 1e4 + 0.5) / 1e4).as("pctl"),
+        col("n_days"))
   }
 
   /** EWMA decay factor and the quantized weight table shared with the

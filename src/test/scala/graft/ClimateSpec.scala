@@ -616,6 +616,153 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("grid_fill_nodata: masked cells take the exact valid-neighbor mean; valid cells pass through") {
+    val dir = "/root/testdata/sf0.01"
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val cells = ev.groupBy { case (u, _) => (u % 8, u / 8 % 8) }
+      .map { case (k, es) =>
+        val sc = es.map(e => math.floor(e._2 * 100 + 0.5).toLong).sum
+        k -> math.floor((sc * 10000L).toDouble / es.size + 0.5).toLong
+      }
+    def masked(y: Long, x: Long): Boolean = (x * 8 + y) % 7 == 3
+    val rows = SparkEntry.queries("grid_fill_nodata")(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === cells.keySet)
+    rows.foreach { r =>
+      val (y, x) = (r.getLong(0), r.getLong(1))
+      assert(r.getBoolean(2) === masked(y, x), s"mask flag $y $x")
+      if (!masked(y, x)) {
+        assert(r.getDouble(3) === cells((y, x)).toDouble / 1e6, s"passthrough $y $x")
+        assert(r.isNullAt(4), "valid cells carry no neighbor count")
+      } else {
+        val nbs = for {
+          dy <- -1L to 1L; dx <- -1L to 1L
+          if dy != 0 || dx != 0
+          v <- cells.get((y + dy, x + dx)) if !masked(y + dy, x + dx)
+        } yield v
+        assert(r.getLong(4) === nbs.size.toLong, s"n_neighbors $y $x")
+        val expect = math.floor(nbs.sum.toDouble / nbs.size + 0.5) / 1e6
+        assert(r.getDouble(3) === expect, s"filled value $y $x")
+      }
+    }
+    // the mask actually bites: both populations present
+    assert(rows.count(_.getBoolean(2)) > 0 && rows.count(!_.getBoolean(2)) > 0)
+  }
+
+  test("flow_duration_curve: order statistics match brute-force; curve is non-increasing in p") {
+    val dayZero = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val raw = Tables.events(spark, sf)
+      .select("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val rows = SparkEntry.queries("flow_duration_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    raw.groupBy(_._1).foreach { case (u, evs) =>
+      val daily = evs.groupBy(e =>
+          e._2.toLocalDateTime.toLocalDate.toEpochDay - dayZero)
+        .map { case (_, es) =>
+          val cents = es.map(e => math.floor(e._3 * 100 + 0.5).toLong).sum
+          cents.toDouble / (es.size * 100.0)
+        }.toSeq.sortBy(-_)
+      val n = daily.size
+      Climate.FdcProbs.foreach { p =>
+        val k = (p * n + 99) / 100
+        val r = rows((u, p.toLong))
+        assert(r.getLong(2) === n.toLong, s"n_days $u")
+        assert(r.getDouble(3) ===
+          math.floor(daily(k - 1) * 1e4 + 0.5) / 1e4, s"q_exceed $u p=$p")
+      }
+      // non-increasing in p (higher exceedance prob → lower flow)
+      val curve = Climate.FdcProbs.map(p => rows((u, p.toLong)).getDouble(3))
+      curve.sliding(2).foreach { case Seq(a, b) => assert(a >= b) }
+    }
+    // planted: 1..100 daily values → Qp is the (100−p)-quantile exactly
+    import spark.implicits._
+    val planted = (1 to 100).map(d =>
+      (9L, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+          + (d - 1) * 86400000L), d.toDouble))
+      .toDF("user_id", "ts", "value")
+    val fdc = Climate.flowDurationCurveOf(planted).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    Climate.FdcProbs.foreach { p =>
+      assert(fdc(p.toLong) === (101 - p).toDouble, s"planted Q$p")
+    }
+  }
+
+  test("baseflow_lh: identity q = baseflow + quickflow; constant series decays to all-baseflow; recursion matches brute-force") {
+    // identity + bounds on the real slice
+    val rows = SparkEntry.queries("baseflow_lh")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, bf, qf) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(q - (bf + qf)) < 2.1e-4, "q = baseflow + quickflow")
+      assert(bf >= 0 && bf <= q + 1e-9, "baseflow within [0, q]")
+    }
+    // constant series: f decays geometrically from q/2 → quickflow → 0
+    import spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val const = (1 to 20).map(d => (1L, t(d), 8.0)).toDF("user_id", "ts", "value")
+    val cr = Climate.baseflowLhOf(const).collect().sortBy(_.getString(1))
+    assert(cr.head.getDouble(4) === 4.0, "anchor quickflow = q/2")
+    assert(cr.last.getDouble(4) < 1.2, "quickflow decays (0.925^19·4 ≈ 0.9)")
+    cr.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(4) <= a.getDouble(4) + 1e-9, "monotone decay")
+    }
+    // brute-force recursion on a varying planted series
+    val vals = Seq(10.0, 14.0, 6.0, 6.0, 20.0, 3.0)
+    val varying = vals.zipWithIndex.map { case (v, i) => (2L, t(i + 1), v) }
+      .toDF("user_id", "ts", "value")
+    val vr = Climate.baseflowLhOf(varying).collect().sortBy(_.getString(1))
+    var f = vals.head / 2.0
+    vals.zipWithIndex.foreach { case (q, i) =>
+      if (i > 0) f = Climate.LhAlpha * f + Climate.LhHalf * (q - vals(i - 1))
+      val qf = math.min(math.max(f, 0.0), q)
+      assert(vr(i).getDouble(4) === math.floor(qf * 1e4 + 0.5) / 1e4,
+        s"quickflow step $i")
+      assert(vr(i).getDouble(3) === math.floor((q - qf) * 1e4 + 0.5) / 1e4,
+        s"baseflow step $i")
+    }
+  }
+
+  test("bias_qdm: identical obs/hist is the identity; a uniform future shift is preserved exactly") {
+    import spark.implicits._
+    def t(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // obs ('view') and hist ('click' pre-split) carry the SAME value
+    // set → obs_q(p) − hist_q(p) ≡ 0 at every p → corrected = value
+    val vals = Seq(3.0, 7.0, 11.0, 19.0, 42.0)
+    val base = vals.zipWithIndex.flatMap { case (v, i) => Seq(
+      (100L + i, 1L, t(2, i), "view", v),
+      (200L + i, 1L, t(3, i), "click", v))
+    }
+    val future = Seq(5.0, 12.0, 30.0).zipWithIndex.map { case (v, i) =>
+      (300L + i, 1L, t(20, i), "click", v)
+    }
+    val ev = (base ++ future)
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = Climate.biasQdmOf(ev).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.size === 3)
+    future.foreach { case (id, _, _, _, v) =>
+      assert(r(id).getDouble(3) === 0.0, s"delta event $id")
+      assert(r(id).getDouble(4) === v, s"identity event $id")
+    }
+    // trend preservation: shifting every future value by +c shifts the
+    // corrected output by exactly +c (ranks, hence deltas, unchanged)
+    // — the property plain quantile mapping does NOT have
+    val c = 100.0
+    val shifted = (base ++ future.map(f => f.copy(_5 = f._5 + c)))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rs = Climate.biasQdmOf(shifted).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    future.foreach { case (id, _, _, _, v) =>
+      assert(rs(id).getDouble(3) === r(id).getDouble(3), s"delta stable $id")
+      assert(rs(id).getDouble(4) === r(id).getDouble(4) + c,
+        s"shift preserved $id")
+    }
+  }
+
   test("spi_multiscale: each scale slice equals the dedicated single-scale query") {
     val multi = SparkEntry.queries("spi_multiscale")(spark, sf).collect()
       .groupBy(_.getInt(2))

@@ -33,6 +33,39 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("n_name")).toSet.subsetOf(asiaNations))
   }
 
+  test("q10_returned_items: exact brute-force recompute, top-20 deterministic") {
+    val inWindow = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCust = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount").collect()
+      .flatMap { r =>
+        inWindow.get(r.getLong(0)).map { cust =>
+          val cents = math.floor(r.getDouble(1) * 100 + 0.5).toLong
+          val bps = math.floor(r.getDouble(2) * 10000 + 0.5).toLong
+          cust -> BigInt(cents) * BigInt(10000 - bps)
+        }
+      }
+      .groupBy(_._1).view
+      .mapValues(v => math.rint(v.map(_._2).sum.toDouble / 1e6 * 100) / 100)
+      .toMap
+    val expectTop = byCust.toSeq.sortBy { case (k, v) => (-v, k) }.take(20)
+    val got = SparkEntry.queries("q10_returned_items")(spark, sf).collect()
+    assert(got.length === expectTop.length)
+    got.zip(expectTop).foreach { case (r, (cust, rev)) =>
+      assert(r.getLong(0) === cust, "top-20 order and membership")
+      assert(math.abs(r.getAs[Double]("revenue") - rev) < 1e-9, s"rev $cust")
+    }
+    // revenue strictly ordered, customer dims carried through
+    val revs = got.map(_.getAs[Double]("revenue"))
+    assert(revs.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    assert(got.forall(r => r.getAs[String]("c_name") != null &&
+      r.getAs[String]("n_name") != null))
+  }
+
   test("topk_per_group: exactly 5 per segment, rank-ordered prices") {
     val df = SparkEntry.queries("topk_per_group")(spark, sf)
     val bySeg = df.collect().groupBy(_.getAs[String]("c_mktsegment"))

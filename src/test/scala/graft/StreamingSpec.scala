@@ -286,6 +286,34 @@ class StreamingSpec extends SparkSpec {
     assert(droughts > 0 && droughts < back.count() / 2)
   }
 
+  test("hydroProfilePublish: one profile row per station, consistent with the oracle-checked parts") {
+    val tmp = Files.createTempDirectory("graft-hydro").toFile.getAbsolutePath
+    val reg = graft.operators.Pipelines.hydroProfilePublish(spark, sf, tmp)
+      .collect()(0)
+    assert(reg.getString(0) === "hydro_profile")
+    val back = spark.read.parquet(s"$tmp/hydro_profile").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(reg.getAs[Long]("n_stations") === back.size.toLong)
+    // profile columns agree with the oracle-checked standalone queries
+    val fdc = SparkEntry.queries("flow_duration_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val mk = SparkEntry.queries("ts_mann_kendall")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    back.foreach { case (u, r) =>
+      assert(r.getDouble(1) === fdc((u, 5L)), s"q5 station $u")
+      assert(r.getDouble(2) === fdc((u, 50L)), s"q50 station $u")
+      assert(r.getDouble(3) === fdc((u, 95L)), s"q95 station $u")
+      assert(r.getString(5) === mk(u), s"trend station $u")
+      assert(r.getDouble(1) >= r.getDouble(2) &&
+        r.getDouble(2) >= r.getDouble(3), s"Q5 ≥ Q50 ≥ Q95 station $u")
+      assert(r.getDouble(6) >= 0.0, s"drawdown station $u")
+    }
+    val rising = back.values.count(_.getString(5) == "increasing").toLong
+    val falling = back.values.count(_.getString(5) == "decreasing").toLong
+    assert(reg.getAs[Long]("n_rising") === rising)
+    assert(reg.getAs[Long]("n_falling") === falling)
+  }
+
   test("qcPublish: despiked + climatology-flagged series lands with consistent registry") {
     val tmp = Files.createTempDirectory("graft-qc").toFile.getAbsolutePath
     val reg = graft.operators.Pipelines.qcPublish(spark, sf, tmp).collect()(0)

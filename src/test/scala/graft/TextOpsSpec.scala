@@ -25,6 +25,52 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngram_novelty: brute-force first-occurrence recompute; new-trigram counts partition the vocabulary") {
+    def trigrams(text: String): Set[String] = {
+      val toks = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val tg = docs.map(d => d._1 -> trigrams(d._2)).filter(_._2.nonEmpty).toMap
+    val firstDoc = tg.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val rows = SparkEntry.queries("ngram_novelty")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === tg.keySet, "one row per trigram-bearing doc")
+    tg.foreach { case (id, s) =>
+      val nNew = s.count(t => firstDoc(t) == id)
+      val r = rows(id)
+      assert(r.getLong(1) === s.size.toLong, s"n_tg doc $id")
+      assert(r.getLong(2) === nNew.toLong, s"n_new doc $id")
+      assert(math.abs(r.getDouble(3)
+        - math.floor(nNew.toDouble / s.size * 10000 + 0.5) / 10000) < 1e-9,
+        s"novelty doc $id")
+    }
+    // the earliest trigram-bearing doc is all-new; n_new partitions the
+    // corpus vocabulary exactly
+    assert(rows(tg.keySet.min).getDouble(3) === 1.0)
+    assert(rows.values.map(_.getLong(2)).sum === firstDoc.size.toLong)
+  }
+
+  test("bpe_pair_counts: vocab-weighted character-pair counts match brute-force, top-50 deterministic") {
+    val vocab = docs.flatMap(_._2.toLowerCase.trim
+        .replaceAll("\\s+", " ").split(" "))
+      .filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairCounts = vocab.toSeq.flatMap { case (tok, n) =>
+      tok.sliding(2).map(_ -> n)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expect = pairCounts.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    val got = SparkEntry.queries("bpe_pair_counts")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length === expect.length)
+    got.zip(expect).foreach { case ((gp, gn), (ep, en)) =>
+      assert(gp === ep && gn === en, s"pair $gp")
+    }
+    // every reported pair is two characters
+    assert(got.forall(_._1.length == 2))
+  }
+
   test("lang_id: scores match independent token counts, argmax is honored") {
     val markers = Map(
       "en" -> Set("the", "a", "data", "fast", "small"),

@@ -395,6 +395,151 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(daily.head.getDouble(0) - 2.0) < 1e-12)
   }
 
+  test("ts_mann_kendall: S/Var/Z match brute-force; planted monotone trends classify; constant is undefined") {
+    val dayZero = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val rows = SparkEntry.queries("ts_mann_kendall")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    raw.groupBy(_._2).foreach { case (u, evs) =>
+      val daily = evs.groupBy(e =>
+          e._3.toLocalDateTime.toLocalDate.toEpochDay - dayZero)
+        .map { case (x, es) =>
+          val cents = es.map(e => math.floor(e._5 * 100 + 0.5).toLong).sum
+          (x, cents.toDouble / (es.size * 100.0))
+        }.toSeq.sortBy(_._1)
+      if (daily.size < 3) assert(!rows.contains(u), s"user $u should be absent")
+      else {
+        val n = daily.size.toLong
+        val s = (for {
+          i <- daily.indices; j <- (i + 1) until daily.size
+        } yield math.signum(daily(j)._2 - daily(i)._2).toLong).sum
+        val tie = daily.groupBy(_._2).values.map(_.size.toLong)
+          .map(t => t * (t - 1) * (2 * t + 5)).sum
+        val varS = (n * (n - 1) * (2 * n + 5) - tie).toDouble / 18.0
+        val r = rows(u)
+        assert(r.getLong(1) === n, s"n_days user $u")
+        assert(r.getLong(2) === s, s"s_stat user $u")
+        assert(r.getDouble(3) === varS, s"var_s user $u")
+        if (varS > 0) {
+          val z = if (s > 0) (s - 1).toDouble / math.sqrt(varS)
+            else if (s < 0) (s + 1).toDouble / math.sqrt(varS) else 0.0
+          assert(math.abs(r.getDouble(4) - math.floor(z * 1e4 + 0.5) / 1e4)
+            < 1.1e-4, s"z_stat user $u")
+        }
+      }
+    }
+    // planted strictly increasing / decreasing / constant series:
+    // a 20-day monotone run has S = ±C(20,2) = ±190 and Z ≈ ±6.2 —
+    // firmly past 1.96 — while the constant series has Var(S) = 0
+    import spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val planted = (1 to 20).flatMap(d => Seq(
+      (1L, t(d), 1.0 * d), (2L, t(d), 21.0 - d), (3L, t(d), 5.0)))
+      .toDF("user_id", "ts", "value")
+    val mk = graft.operators.TimeSeries.mannKendallOf(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(mk(1L).getLong(2) === 190L && mk(1L).getString(5) === "increasing")
+    assert(mk(2L).getLong(2) === -190L && mk(2L).getString(5) === "decreasing")
+    assert(mk(3L).getLong(2) === 0L && mk(3L).getString(5) === "undefined")
+    assert(mk(3L).getDouble(3) === 0.0 && mk(3L).isNullAt(4))
+  }
+
+  test("ts_drawdown: running peak and drawdown match brute-force; monotone rise never draws down") {
+    val rows = SparkEntry.queries("ts_drawdown")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    raw.groupBy(_._2).foreach { case (u, evs) =>
+      val daily = evs.groupBy(e =>
+          e._3.toLocalDateTime.toLocalDate.toString)
+        .map { case (d, es) =>
+          val cents = es.map(e => math.floor(e._5 * 100 + 0.5).toLong).sum
+          (d, cents.toDouble / (es.size * 100.0))
+        }.toSeq.sortBy(_._1)
+      var peak = Double.MinValue
+      daily.foreach { case (d, level) =>
+        peak = math.max(peak, level)
+        val r = rows((u, d))
+        assert(math.abs(r.getDouble(2) - math.floor(level * 1e4 + 0.5) / 1e4)
+          < 1e-9, s"level $u/$d")
+        assert(math.abs(r.getDouble(3) - math.floor(peak * 1e4 + 0.5) / 1e4)
+          < 1e-9, s"peak $u/$d")
+        assert(math.abs(r.getDouble(4)
+          - math.floor((peak - level) * 1e4 + 0.5) / 1e4) < 1e-9,
+          s"drawdown $u/$d")
+        assert(r.getDouble(4) >= 0.0, "drawdown is never negative")
+      }
+    }
+  }
+
+  test("ts_pctl_of_record: empirical CDF matches brute-force; max day is 1.0, ties share a percentile") {
+    val rows = SparkEntry.queries("ts_pctl_of_record")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    raw.groupBy(_._2).foreach { case (u, evs) =>
+      val daily = evs.groupBy(e => e._3.toLocalDateTime.toLocalDate.toString)
+        .map { case (d, es) =>
+          val cents = es.map(e => math.floor(e._5 * 100 + 0.5).toLong).sum
+          (d, cents.toDouble / (es.size * 100.0))
+        }.toSeq
+      val n = daily.size
+      daily.foreach { case (d, level) =>
+        val le = daily.count(_._2 <= level)
+        val r = rows((u, d))
+        assert(r.getLong(4) === n.toLong, s"n_days $u")
+        assert(math.abs(r.getDouble(3)
+          - math.floor(le.toDouble / n * 1e4 + 0.5) / 1e4) < 1e-9,
+          s"pctl $u/$d")
+      }
+      // the record maximum always sits at percentile 1.0
+      val maxDay = daily.maxBy(_._2)._1
+      assert(rows((u, maxDay)).getDouble(3) === 1.0)
+    }
+  }
+
+  test("ts_runs_test: planted alternation and clumping both flag non-random with opposite signs; brute-force agrees on real data") {
+    import spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // station 1: perfect alternation high/low → maximal runs, z > 0;
+    // station 2: all lows then all highs → 2 runs, z < 0; both far
+    // past 1.96 at n = 20. station 3: constant → all ties → undefined
+    val planted = (1 to 20).flatMap(d => Seq(
+      (1L, t(d), if (d % 2 == 0) 10.0 else 1.0),
+      (2L, t(d), if (d <= 10) 1.0 else 10.0),
+      (3L, t(d), 5.0)))
+      .toDF("user_id", "ts", "value")
+    val mk = graft.operators.TimeSeries.runsTestOf(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(mk(1L).getLong(4) === 20L && mk(1L).getString(6) === "non_random")
+    assert(mk(1L).getDouble(5) > 1.96)
+    assert(mk(2L).getLong(4) === 2L && mk(2L).getString(6) === "non_random")
+    assert(mk(2L).getDouble(5) < -1.96)
+    assert(mk(3L).isNullAt(5) && mk(3L).getString(6) === "undefined")
+    // brute force on the sf slice
+    val rows = SparkEntry.queries("ts_runs_test")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val dayZero = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    raw.groupBy(_._2).foreach { case (u, evs) =>
+      val daily = evs.groupBy(e =>
+          e._3.toLocalDateTime.toLocalDate.toEpochDay - dayZero)
+        .map { case (x, es) =>
+          val cents = es.map(e => math.floor(e._5 * 100 + 0.5).toLong).sum
+          (x, cents.toDouble / (es.size * 100.0))
+        }.toSeq.sortBy(_._1)
+      val n = daily.size
+      if (n >= 2) {
+        val ys = daily.map(_._2).sorted
+        val med = if (n % 2 == 1) ys(n / 2)
+          else (ys(n / 2 - 1) + ys(n / 2)) / 2.0
+        val signs = daily.map(_._2).filter(_ != med).map(y => if (y > med) 1 else -1)
+        val r = rows(u)
+        assert(r.getLong(2) === signs.count(_ == 1).toLong, s"n_plus $u")
+        assert(r.getLong(3) === signs.count(_ == -1).toLong, s"n_minus $u")
+        if (signs.nonEmpty) {
+          val runs = 1 + signs.sliding(2).count {
+            case Seq(a, b) => a != b; case _ => false }
+          assert(r.getLong(4) === runs.toLong, s"n_runs $u")
+        }
+      }
+    }
+  }
+
   test("ts_autocorr: calendar-lag ACF matches brute-force recompute") {
     val rows = SparkEntry.queries("ts_autocorr")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
