@@ -867,6 +867,17 @@ object Climate {
           .as("discharge"))
   }
 
+  /** Published threshold → category classification
+    * (`ll_nl_danger_levels.py:107-121`) — ONE definition shared by the
+    * batch categorization ([[dangerLevels]]) and the streaming alert
+    * lane ([[graft.streaming.EventsPipeline.dangerAlerts]]), so batch
+    * reports and live alerts can never disagree on a level. */
+  def dangerLevel(maxValue: Column): Column =
+    when(maxValue < 80, "low")
+      .when(maxValue < 140, "medium")
+      .when(maxValue < 180, "high")
+      .otherwise("extreme")
+
   /** Weekly max → threshold categorization
     * (`ll_nl_danger_levels.py:79,107-121`). */
   def dangerLevels(spark: SparkSession, dir: String): DataFrame = {
@@ -874,11 +885,7 @@ object Climate {
       .groupBy(col("user_id"),
         date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"))
       .agg(round(max(col("value")), 2).as("max_value"))
-      .withColumn("level",
-        when(col("max_value") < 80, "low")
-          .when(col("max_value") < 140, "medium")
-          .when(col("max_value") < 180, "high")
-          .otherwise("extreme"))
+      .withColumn("level", dangerLevel(col("max_value")))
   }
 
   /** Gumbel method-of-moments constants: `sqrt(6)/π` scales the

@@ -123,6 +123,30 @@ object EventsPipeline {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Streaming DANGER-LEVEL ALERTS — the alerting lane of the
+    * reference's scheduled danger-levels process
+    * (`ll_nl_danger_levels.py`: resample block max → categorize
+    * against published thresholds): per-station block maxima close as
+    * the watermark passes, classify through the SAME
+    * [[graft.operators.Climate.dangerLevel]] thresholds as the batch
+    * report (one definition — live alerts and batch reports can never
+    * disagree), and only 'medium'+ windows emit. Hourly blocks here
+    * (the test cadence; the window span is a deployment parameter —
+    * the reference's weekly resample is the batch twin). Append mode
+    * emits each (station, window) alert exactly ONCE, on close:
+    * exactly the contract an alert sink wants — no retractions, no
+    * duplicate pages. State is bounded to the watermark horizon of
+    * open windows per active station. */
+  def dangerAlerts(events: DataFrame): DataFrame =
+    normalizeTs(events)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
+      .agg(round(max(col("value")), 2).as("max_value"))
+      .withColumn("level", graft.operators.Climate.dangerLevel(col("max_value")))
+      .filter(col("level") =!= "low")
+      .select(col("user_id"), col("w.start").as("window_start"),
+        col("max_value"), col("level"))
+
   /** Streaming exact dedup — the ingest-time half of the dedup
     * family: documents are keyed by their normalized-content
     * fingerprint and only the FIRST arrival within the watermark

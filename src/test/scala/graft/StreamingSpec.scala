@@ -44,6 +44,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dangerAlerts: threshold crossings emit once on window close, 'low' never pages") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[Ev]
+    val q = EventsPipeline.dangerAlerts(source.toDF())
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode("append").start()
+    try {
+      // four stations, one hour-block each: below threshold, medium,
+      // high, extreme — plus a second low reading that must not page
+      source.addData(
+        Ev(1, t("2024-01-01 10:05:00"), 1, "level", 70.0, "{}"),
+        Ev(2, t("2024-01-01 10:10:00"), 2, "level", 100.0, "{}"),
+        Ev(3, t("2024-01-01 10:20:00"), 3, "level", 150.0, "{}"),
+        Ev(4, t("2024-01-01 10:30:00"), 4, "level", 200.0, "{}"),
+        Ev(5, t("2024-01-01 10:40:00"), 2, "level", 60.0, "{}"))
+      q.processAllAvailable()
+      // nothing closed yet (watermark still behind the window end)
+      source.addData(Ev(6, t("2024-01-01 14:00:00"), 1, "level", 10.0, "{}"))
+      q.processAllAvailable()
+      val out = spark.table("alerts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getDouble(2), r.getString(3))).toSet
+      assert(out === Set(
+        (2L, "2024-01-01 10:00:00.0", 100.0, "medium"),
+        (3L, "2024-01-01 10:00:00.0", 150.0, "high"),
+        (4L, "2024-01-01 10:00:00.0", 200.0, "extreme")))
+      // station 1 (70.0 max → low) never appears
+      assert(!out.exists(_._1 == 1L))
+    } finally q.stop()
+  }
+
   test("hourlyRollup is batch/stream agnostic: same result on the static table") {
     val batch = EventsPipeline.hourlyRollup(Tables.events(spark, sf))
     val expect = Tables.events(spark, sf)
