@@ -1,0 +1,109 @@
+package graft
+
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.StatKernels
+
+/** Property-based checks over the pure scalar kernels — the
+  * SQL-callable math every SPI/gamma/quantile operator leans on.
+  * These are driver-side functions (no Spark session), so hundreds of
+  * randomized cases cost milliseconds; the value is the INVARIANTS a
+  * point-fixture spec can't sweep: monotonicity over the whole domain,
+  * inverse consistency, and bounds that must hold for every input, not
+  * just the tabulated ones.
+  *
+  * Sampling is scalacheck `Gen` pinned to a FIXED seed (no
+  * scalatestplus bridge in the offline cache, and a flaky random spec
+  * would be worse than none): every run sweeps the identical 400-case
+  * grid per property.
+  */
+class StatKernelsPropSpec extends AnyFunSuite {
+
+  private val N = 400
+
+  /** Deterministic sample stream from a Gen: fixed seed, fixed size. */
+  private def samples[A](g: Gen[A]): Seq[A] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate(rng.Seed(42L))(_.next)
+      .map(s => g.pureApply(params, s))
+      .take(N).toSeq
+  }
+
+  private val probs = Gen.choose(1e-6, 1.0 - 1e-6)
+  private val shapes = Gen.choose(0.05, 50.0)
+  private val scales = Gen.choose(0.01, 100.0)
+  private val xs = Gen.choose(0.0, 500.0)
+
+  test("normalQuantile: strictly monotone, antisymmetric, bounded tails") {
+    val ps = samples(probs).sorted
+    ps.sliding(2).foreach { case Seq(p, q) =>
+      if (p < q)
+        assert(StatKernels.normalQuantile(p) < StatKernels.normalQuantile(q),
+          s"monotone at ($p, $q)")
+    }
+    ps.foreach { p =>
+      // A&S 26.2.23 carries |ε| < 4.5e-4; antisymmetry holds to that bound
+      val z = StatKernels.normalQuantile(p)
+      val zr = StatKernels.normalQuantile(1.0 - p)
+      assert(math.abs(z + zr) < 1e-3, s"antisymmetry at p=$p")
+      assert(math.abs(z) < 6.0, s"tail bound at p=$p")
+    }
+    assert(math.abs(StatKernels.normalQuantile(0.5)) < 5e-4)
+  }
+
+  test("gammaP: in [0,1], monotone in x, anchored at 0, mass at infinity") {
+    samples(Gen.zip(shapes, xs, xs)).foreach { case (a, x1, x2) =>
+      val (lo, hi) = (math.min(x1, x2), math.max(x1, x2))
+      val (plo, phi) = (StatKernels.gammaP(a, lo), StatKernels.gammaP(a, hi))
+      assert(plo >= 0.0 && plo <= 1.0 && phi >= 0.0 && phi <= 1.0,
+        s"bounds a=$a")
+      assert(plo <= phi + 1e-12, s"monotone in x: a=$a lo=$lo hi=$hi")
+    }
+    samples(shapes).foreach { a =>
+      assert(StatKernels.gammaP(a, 0.0) === 0.0, s"anchor a=$a")
+      assert(StatKernels.gammaP(a, 5000.0 * a) > 0.999, s"mass at inf a=$a")
+    }
+  }
+
+  test("gammaP: exponential special case a=1 matches 1-exp(-x) everywhere") {
+    samples(Gen.choose(0.0, 50.0)).foreach { x =>
+      assert(math.abs(StatKernels.gammaP(1.0, x) - (1.0 - math.exp(-x))) < 1e-9,
+        s"x=$x")
+    }
+  }
+
+  test("gammaCdf: scale invariance — cdf(x, a, s) == cdf(x/s, a, 1)") {
+    samples(Gen.zip(shapes, scales, xs)).foreach { case (a, s, x) =>
+      val c1 = StatKernels.gammaCdf(x, a, s)
+      val c2 = StatKernels.gammaCdf(x / s, a, 1.0)
+      assert(math.abs(c1 - c2) < 1e-9, s"a=$a s=$s x=$x")
+    }
+  }
+
+  test("lnGamma: recurrence Γ(x+1) = x·Γ(x) and factorial anchors") {
+    samples(Gen.choose(0.1, 60.0)).foreach { x =>
+      val lhs = StatKernels.lnGamma(x + 1.0)
+      val rhs = math.log(x) + StatKernels.lnGamma(x)
+      assert(math.abs(lhs - rhs) < 1e-9 * math.max(1.0, math.abs(rhs)),
+        s"recurrence at x=$x")
+    }
+    (1 to 8).foldLeft(1.0) { (fact, n) =>
+      assert(math.abs(StatKernels.lnGamma(n.toDouble) - math.log(fact)) < 1e-10,
+        s"ln((${n - 1})!)")
+      fact * n
+    }
+  }
+
+  test("round-trip: normalQuantile inverts the normal CDF within A&S tolerance") {
+    // the SPI apply path computes z = normalQuantile(p); feeding z back
+    // through Φ (via the χ²₁ identity Φ(z) = ½(1 + sgn(z)·P(½, z²/2)))
+    // must return p within the rational-approximation envelope
+    samples(Gen.choose(0.02, 0.98)).foreach { p =>
+      val z = StatKernels.normalQuantile(p)
+      val phi = 0.5 * (1.0 + math.signum(z)
+        * StatKernels.gammaP(0.5, z * z / 2.0))
+      assert(math.abs(phi - p) < 1.5e-3, s"round-trip at p=$p (z=$z phi=$phi)")
+    }
+  }
+}
