@@ -849,23 +849,31 @@ object TextOps {
     * counts times quantized logs, and the per-doc mean divides two
     * exact quantities before one final quantization. */
   def docLmScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
-      .select(col("doc_id"), words(normalized(col("text"))).as("toks"))
-      .filter(size(col("toks")) >= 2)
+    // ≥2 tokens ⟺ the single-space-normalized text contains a space
+    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), normalized(col("text")).as("norm"))
+      .filter(col("norm").contains(" "))
     // (doc, prev, cur) with per-doc occurrence counts — materialized
     // ONCE (the corpus_mix sketch precedent): the model aggregation
     // and the scoring join both read it, and without the checkpoint
     // each reference re-runs the tokenize+explode scan (measured ~2×
     // end-to-end). Vocab size then derives from the aggregated model
-    // table, never a third pass.
-    val bi = toks
-      .select(col("doc_id"), posexplode(col("toks")))
-      .withColumn("prev", lag(col("col"), 1).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .filter(col("prev").isNotNull)
-      .groupBy(col("doc_id"), col("prev"), col("col").as("cur"))
+    // table, never a third pass. Bigrams pair IN-ROW by one codegen'd
+    // zero-width regex pass over the normalized text (the Dedup
+    // shingle trick at width 2): adjacency is a row-local fact, so
+    // the previous lag()-window formation — which shuffled and SORTED
+    // the whole exploded token stream by (doc, pos) — was pure
+    // overhead, and a transform/struct lambda evaluates interpreted
+    // per element (measured: no win). Endpoints split AFTER the
+    // aggregation, on collapsed (doc × distinct-bigram) rows.
+    val bi = docs
+      .select(col("doc_id"), explode(expr(
+        "regexp_extract_all(norm, '(?<=^| )(?=([^ ]+ [^ ]+))', 1)")).as("g"))
+      .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("n_occ"))
+      .select(col("doc_id"),
+        substring_index(col("g"), " ", 1).as("prev"),
+        substring_index(col("g"), " ", -1).as("cur"), col("n_occ"))
       .localCheckpoint()
     // corpus model: bigram counts, context counts, vocab size
     val model = bi.groupBy(col("prev"), col("cur"))
@@ -898,17 +906,25 @@ object TextOps {
     * per bigram TYPE, and the probability ratio divides exact integer
     * counts, so both engines rank identical values. */
   def bigramPmi(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
-      .select(col("doc_id"), words(normalized(col("text"))).as("toks"))
-      .filter(size(col("toks")) >= 2)
-    val exploded = toks.select(col("doc_id"), posexplode(col("toks")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = exploded
-      .withColumn("prev", lag(col("col"), 1).over(w))
-      .filter(col("prev").isNotNull)
-      .groupBy(col("prev").as("a"), col("col").as("b"))
-      .agg(count(lit(1)).as("n_ab"))
+    // ≥2 tokens ⟺ the single-space-normalized text contains a space
+    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), normalized(col("text")).as("norm"))
+      .filter(col("norm").contains(" "))
+    // bigrams pair IN-ROW: one codegen'd zero-width regex pass over
+    // the normalized text (the Dedup shingle trick at width 2 —
+    // adjacency is a row-local fact, so the previous lag()-window
+    // formation's exchange+sort of the exploded token stream was pure
+    // overhead, and a transform/struct lambda evaluates interpreted
+    // per element); endpoints split AFTER the aggregation, on
+    // vocabulary-sized rows
+    val bi = docs
+      .select(explode(expr(
+        "regexp_extract_all(norm, '(?<=^| )(?=([^ ]+ [^ ]+))', 1)")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n_ab"))
+      .select(substring_index(col("g"), " ", 1).as("a"),
+        substring_index(col("g"), " ", -1).as("b"), col("n_ab"))
+    val exploded = docs.select(col("doc_id"),
+      explode(split(col("norm"), " ")).as("col"))
     // pin the O(vocab) unigram table: BOTH endpoint joins and the
     // grand total read it, and without the checkpoint each reference
     // re-runs the whole tokenize+explode chain (plan-audited: 4
