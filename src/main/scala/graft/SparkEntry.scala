@@ -131,6 +131,7 @@ object SparkEntry {
     "vocab_topk"      -> TextOps.vocabTopk _,
     "ngram_novelty"   -> TextOps.ngramNovelty _,
     "bpe_pair_counts" -> TextOps.bpePairCounts _,
+    "dup_growth"      -> TextOps.dupGrowth _,
     "vocab_coverage"  -> TextOps.vocabCoverage _,
     "vocab_growth"    -> TextOps.vocabGrowth _,
     "corpus_stats"    -> TextOps.corpusStats _,
@@ -1217,6 +1218,32 @@ object SparkEntry {
         |  floor(b * 1e4 + 0.5) / 1e4 AS trend,
         |  floor((l + h.h * b) * 1e4 + 0.5) / 1e4 AS forecast
         |FROM fin f JOIN (VALUES (1), (2), (3)) AS h(h) ON true""".stripMargin,
+
+    // first-occurrence = min(bucket) per fingerprint (integer order
+    // statistic); the rate divides two exact longs once
+    "dup_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |fp AS (
+        |  SELECT CAST(doc_id * 32 // (mx + 1) AS BIGINT) AS bucket,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents, mx),
+        |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM fp GROUP BY 1),
+        |fs AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_first FROM (
+        |  SELECT fp, min(bucket) AS bucket FROM fp GROUP BY 1) GROUP BY 1),
+        |c AS (
+        |  SELECT pb.bucket, pb.n_docs,
+        |    CAST(COALESCE(fs.n_first, 0) AS BIGINT) AS n_first,
+        |    CAST(sum(pb.n_docs) OVER (ORDER BY pb.bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_docs,
+        |    CAST(sum(COALESCE(fs.n_first, 0)) OVER (ORDER BY pb.bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_unique
+        |  FROM pb LEFT JOIN fs ON pb.bucket = fs.bucket)
+        |SELECT bucket, n_docs, n_first, cum_docs, cum_unique,
+        |  round(1.0 - cum_unique * 1.0 / cum_docs, 4) AS dup_rate
+        |FROM c""".stripMargin,
 
     "vocab_growth" ->
       """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),

@@ -618,6 +618,40 @@ object TextOps {
           .as("novelty"))
   }
 
+  /** DUPLICATION-GROWTH curve — cumulative exact-dup rate vs corpus
+    * position in ingestion order: the dedup-family sibling of
+    * [[vocabGrowth]] ("is the marginal crawl still adding unique
+    * content, or mostly re-fetching what we have?"), and the curve
+    * that decides when to STOP a crawl. Per fixed doc-id bucket:
+    * docs landed, fingerprints FIRST seen there, and the running
+    * duplicate rate 1 − distinct/total.
+    *
+    * Shape at scale: the [[vocabGrowth]] discipline — one fingerprint
+    * scan, first-occurrence = min(bucket) per fingerprint (map-side
+    * partial), and the cumulative window runs single-partition over
+    * the FIXED ≤[[GrowthBuckets]] rows at any corpus size. All
+    * counts exact longs; the rate divides two exact longs once. */
+  def dupGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val fp = docs.crossJoin(broadcast(mx))
+      .select(expr(s"doc_id * $GrowthBuckets div (mx + 1)").as("bucket"),
+        md5(normalized(col("text"))).as("fp"))
+    val perBucket = fp.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val firsts = fp.groupBy(col("fp")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_first"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(firsts, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        sum(col("n_docs")).over(w).cast("long").as("cum_docs"),
+        sum(coalesce(col("n_first"), lit(0L))).over(w).cast("long")
+          .as("cum_unique"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("cum_unique") / col("cum_docs").cast("double"), 4))
+  }
+
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(explode(words(normalized(col("text")))).as("token"))

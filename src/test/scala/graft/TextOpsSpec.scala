@@ -71,6 +71,38 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(_._1.length == 2))
   }
 
+  test("dup_growth: bucket counts and running dup rate match brute-force; docs partition across buckets") {
+    val mx = docs.map(_._1).max
+    def bucket(id: Long): Long = id * 32L / (mx + 1)
+    val byBucket = docs.groupBy(d => bucket(d._1))
+    def fp(text: String): String =
+      md5hex(text.toLowerCase.trim.replaceAll("\\s+", " "))
+    val firstBucket = docs.groupBy(d => fp(d._2)).view
+      .mapValues(_.map(d => bucket(d._1)).min).toMap
+    val rows = SparkEntry.queries("dup_growth")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === byBucket.keySet)
+    assert(rows.values.map(_.getLong(1)).sum === docs.size.toLong)
+    var (cumDocs, cumUniq) = (0L, 0L)
+    byBucket.keys.toSeq.sorted.foreach { b =>
+      val nDocs = byBucket(b).size.toLong
+      val nFirst = firstBucket.count(_._2 == b).toLong
+      cumDocs += nDocs; cumUniq += nFirst
+      val r = rows(b)
+      assert(r.getLong(1) === nDocs, s"n_docs bucket $b")
+      assert(r.getLong(2) === nFirst, s"n_first bucket $b")
+      assert(r.getLong(3) === cumDocs && r.getLong(4) === cumUniq,
+        s"cumulatives bucket $b")
+      assert(math.abs(r.getDouble(5)
+        - math.rint((1.0 - cumUniq.toDouble / cumDocs) * 10000) / 10000)
+        < 1.1e-4, s"dup_rate bucket $b")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
+    }
+    // the full-corpus endpoint equals 1 - distinct fingerprints / docs
+    val last = rows(rows.keySet.max)
+    assert(last.getLong(4) === firstBucket.size.toLong)
+  }
+
   test("lang_id: scores match independent token counts, argmax is honored") {
     val markers = Map(
       "en" -> Set("the", "a", "data", "fast", "small"),
