@@ -634,9 +634,13 @@ object TextOps {
   def dupGrowth(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val mx = docs.agg(max(col("doc_id")).as("mx"))
+    // pinned (the vocabGrowth bt precedent): both rollups and the
+    // first-occurrence pass read it; unpinned, each branch re-ran the
+    // scan+md5 over the corpus (plan-audited: 4 scans → 2)
     val fp = docs.crossJoin(broadcast(mx))
       .select(expr(s"doc_id * $GrowthBuckets div (mx + 1)").as("bucket"),
         md5(normalized(col("text"))).as("fp"))
+      .localCheckpoint()
     val perBucket = fp.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
     val firsts = fp.groupBy(col("fp")).agg(min(col("bucket")).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_first"))
