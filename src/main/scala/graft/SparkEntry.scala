@@ -56,6 +56,7 @@ object SparkEntry {
     "ts_drawdown"            -> TimeSeries.drawdown _,
     "ts_pctl_of_record"      -> TimeSeries.percentileOfRecord _,
     "ts_runs_test"           -> TimeSeries.runsTest _,
+    "ts_mann_whitney"        -> TimeSeries.mannWhitney _,
     "ts_autocorr"            -> TimeSeries.autocorr _,
     "ts_ljung_box"           -> TimeSeries.ljungBox _,
     "ts_changepoint"         -> TimeSeries.changepoint _,
@@ -997,6 +998,51 @@ object SparkEntry {
         |  CASE WHEN z_raw IS NULL THEN 'undefined'
         |       WHEN abs(z_raw) > 1.96 THEN 'non_random'
         |       ELSE 'random' END AS verdict
+        |FROM z""".stripMargin,
+
+    // 2·midrank = 2·rank + t − 1 is integral, so rank sums and the
+    // tie term stay exact longs; E/Var/z are fixed double expressions
+    "ts_mann_whitney" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, y,
+        |        CASE WHEN x < 15 THEN 1 ELSE 0 END AS a
+        |      FROM daily),
+        |r AS (SELECT user_id, y, a,
+        |    2 * rank() OVER (PARTITION BY user_id ORDER BY y)
+        |      + count(*) OVER (PARTITION BY user_id, y) - 1 AS r2,
+        |    count(*) OVER (PARTITION BY user_id, y) AS t
+        |  FROM s),
+        |g AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN a = 1 THEN r2 ELSE 0 END) AS BIGINT) AS ra2,
+        |    CAST(sum(a) AS BIGINT) AS na,
+        |    CAST(sum(1 - a) AS BIGINT) AS nb,
+        |    CAST(sum(t * t - 1) AS BIGINT) AS tie
+        |  FROM r GROUP BY 1),
+        |z AS (SELECT user_id, na, nb,
+        |    ra2 - na * (na + 1) AS u2,
+        |    CASE WHEN na > 0 AND nb > 0
+        |        AND CAST(na * nb AS DOUBLE) / 12.0
+        |          * (CAST(na + nb + 1 AS DOUBLE)
+        |            - CAST(tie AS DOUBLE)
+        |              / CAST((na + nb) * (na + nb - 1) AS DOUBLE)) > 0
+        |      THEN CAST(ra2 - na * (na + 1) - na * nb AS DOUBLE)
+        |        / (sqrt(CAST(na * nb AS DOUBLE) / 12.0
+        |          * (CAST(na + nb + 1 AS DOUBLE)
+        |            - CAST(tie AS DOUBLE)
+        |              / CAST((na + nb) * (na + nb - 1) AS DOUBLE))) * 2.0)
+        |    END AS z_raw
+        |  FROM g)
+        |SELECT user_id, na AS n_pre, nb AS n_post,
+        |  CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+        |  floor(z_raw * 1e4 + 0.5) / 1e4 AS z_stat,
+        |  CASE WHEN z_raw IS NULL THEN 'undefined'
+        |       WHEN abs(z_raw) > 1.96 THEN 'shifted'
+        |       ELSE 'consistent' END AS verdict
         |FROM z""".stripMargin,
 
     // cume_dist is the SQL-standard ≤-tie empirical CDF in both

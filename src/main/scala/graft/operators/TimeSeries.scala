@@ -598,6 +598,68 @@ object TimeSeries {
           .otherwise("random").as("verdict"))
   }
 
+  /** Per-station MANN–WHITNEY U shift test between the reference
+    * window and the rest of the record — the nonparametric two-sample
+    * companion to [[changepoint]] (changepoint FINDS the most likely
+    * break; this TESTS whether a fixed split actually shifted the
+    * distribution — the homogeneity check climate services run before
+    * trusting a climatology across an instrument change). Split at
+    * the spiGammaRef/QDM reference date (days < 15 = "pre"): U from
+    * midranks with the tie-corrected normal approximation, verdict at
+    * |z| > 1.96.
+    *
+    * Exactness discipline: 2·midrank = 2·rank + t − 1 is INTEGRAL
+    * (rank = SQL min-rank, t = tie-group size), so the rank sum
+    * RA2 = Σ(2·midrank) and the tie term Σ(t³−t) = Σ_rows(t²−1) stay
+    * integer through the shuffle; E/Var/z are fixed double
+    * expressions on exact longs, z quantized once, verdict compares
+    * the unquantized z. Both windows (rank on the station sort, tie
+    * count on (station, value)) and the final rollup share ONE
+    * exchange on the station key. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitneyOf(Tables.events(spark, dir))
+
+  /** [[mannWhitney]] over an arbitrary (user_id, ts, value) frame —
+    * seam for the planted shift/no-shift specs. */
+  private[graft] def mannWhitneyOf(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("user_id"),
+        datediff(date_trunc("DAY", col("ts")), lit("2024-01-01")).cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("yc"))
+      .groupBy(col("user_id"), col("x"))
+      .agg((sum(col("yc")).cast("double") / (count(lit(1)) * lit(100.0))).as("y"))
+      .withColumn("a", when(col("x") < 15, 1L).otherwise(0L))
+    val wRank = Window.partitionBy(col("user_id")).orderBy(col("y"))
+    val wTie = Window.partitionBy(col("user_id"), col("y"))
+    val ranked = daily
+      .withColumn("t", count(lit(1)).over(wTie))
+      .withColumn("r2", rank().over(wRank) * 2 + col("t") - 1)
+    ranked.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("a") === 1, col("r2")).otherwise(0L)).as("ra2"),
+        sum(col("a")).as("na"),
+        sum(lit(1L) - col("a")).as("nb"),
+        sum(col("t") * col("t") - 1).as("tie"))
+      .withColumn("n", col("na") + col("nb"))
+      .withColumn("u2", col("ra2") - col("na") * (col("na") + 1))
+      .withColumn("z_raw",
+        when(col("na") > 0 && col("nb") > 0, {
+          val varU = (col("na") * col("nb")).cast("double") / 12.0 *
+            ((col("n") + 1).cast("double") -
+              col("tie").cast("double") /
+                (col("n") * (col("n") - 1)).cast("double"))
+          when(varU > 0,
+            (col("u2") - col("na") * col("nb")).cast("double") /
+              (sqrt(varU) * 2.0))
+        }))
+      .select(col("user_id"), col("na").as("n_pre"), col("nb").as("n_post"),
+        (col("u2").cast("double") / 2.0).as("u_stat"),
+        (floor(col("z_raw") * 1e4 + 0.5) / 1e4).as("z_stat"),
+        when(col("z_raw").isNull, "undefined")
+          .when(abs(col("z_raw")) > 1.96, "shifted")
+          .otherwise("consistent").as("verdict"))
+  }
+
   /** Per-day PERCENTILE-OF-RECORD — the percent-of-normal drought
     * product family ("today's level sits at the 12th percentile of
     * this station's record"), the empirical-CDF alternative to the

@@ -540,6 +540,56 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ts_mann_whitney: planted shift flags, identical halves stay consistent, midranks match brute-force") {
+    import spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // station 1: post-split values uniformly +100 → maximal U, shifted;
+    // station 2: both halves the same values → U at its mean, consistent;
+    // station 3: constant everywhere → zero variance → undefined
+    val planted = (1 to 28).flatMap { d =>
+      val pre = d <= 15
+      Seq(
+        (1L, t(d), if (pre) d.toDouble else d + 100.0),
+        (2L, t(d), (d % 14).toDouble),
+        (3L, t(d), 7.0))
+    }.toDF("user_id", "ts", "value")
+    val r = graft.operators.TimeSeries.mannWhitneyOf(planted).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getString(5) === "shifted" && r(1L).getDouble(4) < -1.96)
+    assert(r(2L).getString(5) === "consistent")
+    assert(r(3L).getString(5) === "undefined" && r(3L).isNullAt(4))
+    // brute-force midrank recompute on the real slice
+    val rows = SparkEntry.queries("ts_mann_whitney")(spark, sf).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val dayZero = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    raw.groupBy(_._2).foreach { case (u, evs) =>
+      val daily = evs.groupBy(e =>
+          e._3.toLocalDateTime.toLocalDate.toEpochDay - dayZero)
+        .map { case (x, es) =>
+          val cents = es.map(e => math.floor(e._5 * 100 + 0.5).toLong).sum
+          (x, cents.toDouble / (es.size * 100.0))
+        }.toSeq
+      val withRank = daily.sortBy(_._2)
+      // midrank×2 per value from tie runs over the sorted series
+      val mid2 = scala.collection.mutable.Map.empty[Double, Long]
+      var i = 0
+      val ys = withRank.map(_._2)
+      while (i < ys.size) {
+        var j = i
+        while (j + 1 < ys.size && ys(j + 1) == ys(i)) j += 1
+        mid2(ys(i)) = (i + 1).toLong + (j + 1).toLong
+        i = j + 1
+      }
+      val pre = daily.filter(_._1 < 15)
+      val ra2 = pre.map(d => mid2(d._2)).sum
+      val (na, nb) = (pre.size.toLong, (daily.size - pre.size).toLong)
+      val row = rows(u)
+      assert(row.getLong(1) === na && row.getLong(2) === nb, s"split sizes $u")
+      assert(row.getDouble(3) ===
+        (ra2 - na * (na + 1)).toDouble / 2.0, s"u_stat $u")
+    }
+  }
+
   test("ts_autocorr: calendar-lag ACF matches brute-force recompute") {
     val rows = SparkEntry.queries("ts_autocorr")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
