@@ -57,6 +57,7 @@ object SparkEntry {
     "ts_pctl_of_record"      -> TimeSeries.percentileOfRecord _,
     "ts_runs_test"           -> TimeSeries.runsTest _,
     "ts_mann_whitney"        -> TimeSeries.mannWhitney _,
+    "ts_coverage_uptime"     -> TimeSeries.coverageUptime _,
     "ts_autocorr"            -> TimeSeries.autocorr _,
     "ts_ljung_box"           -> TimeSeries.ljungBox _,
     "ts_changepoint"         -> TimeSeries.changepoint _,
@@ -999,6 +1000,41 @@ object SparkEntry {
         |       WHEN abs(z_raw) > 1.96 THEN 'non_random'
         |       ELSE 'random' END AS verdict
         |FROM z""".stripMargin,
+
+    // epoch seconds are integers end to end; islands from a running
+    // max over the same ordered frame in both engines
+    "ts_coverage_uptime" ->
+      """WITH ev AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    epoch_us(ts) // 1000000 AS s, event_id
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day, s,
+        |    CASE WHEN max(s + 300) OVER (PARTITION BY user_id, day
+        |        ORDER BY s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR max(s + 300) OVER (PARTITION BY user_id, day
+        |        ORDER BY s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) < s
+        |      THEN 1 ELSE 0 END AS new_island,
+        |    event_id
+        |  FROM ev),
+        |num AS (
+        |  SELECT user_id, day, s,
+        |    sum(new_island) OVER (PARTITION BY user_id, day
+        |      ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |grp AS (
+        |  SELECT user_id, day, island,
+        |    min(s) AS start_s, max(s + 300) AS end_s
+        |  FROM num GROUP BY 1, 2, 3)
+        |SELECT user_id, day,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(end_s - start_s) AS BIGINT) AS covered_s,
+        |  floor(CAST(sum(end_s - start_s) AS DOUBLE) / 86400.0 * 1e4 + 0.5)
+        |    / 1e4 AS uptime_share
+        |FROM grp GROUP BY 1, 2""".stripMargin,
 
     // 2·midrank = 2·rank + t − 1 is integral, so rank sums and the
     // tie term stay exact longs; E/Var/z are fixed double expressions

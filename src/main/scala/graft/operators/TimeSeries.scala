@@ -660,6 +660,55 @@ object TimeSeries {
           .otherwise("consistent").as("verdict"))
   }
 
+  /** Observation validity horizon for [[coverageUptime]]: each report
+    * covers the next 5 minutes — one literal shared with the oracle. */
+  private[graft] val CoverageHoldSec = 300L
+
+  /** Per-station-day SENSOR COVERAGE — the union length of the
+    * observation validity intervals (each report covers
+    * [[CoverageHoldSec]]): the time-axis twin of
+    * `healthcheck_freshness` ("how STALE is the newest row" vs "what
+    * fraction of the day was the station actually reporting"), the
+    * uptime metric an observation-network SLA reads. Classic
+    * gaps-and-islands: an observation starts a new island iff it
+    * begins after every previous interval's end; per island the
+    * covered span is last-end − first-start, summed per day.
+    *
+    * Shape at scale: ONE exchange on the (station, day) composite
+    * carries the island window (running max of interval ends over the
+    * ordered frame) and both rollups — the island collapse and the
+    * day rollup are map-side-partial aggs on prefixes of the same
+    * key. Intervals crossing midnight credit their start day
+    * (documented convention — no interval splitting pass).
+    *
+    * Exactness: epoch SECONDS are integers end to end (island spans,
+    * covered seconds, counts); only the final uptime share divides,
+    * quantized once at 1e-4. */
+  def coverageUptime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        unix_timestamp(col("ts")).as("s"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("s"), col("event_id"))
+    val prevEnd = max(col("s") + CoverageHoldSec)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = ev
+      .withColumn("new_island",
+        when(prevEnd.isNull || prevEnd < col("s"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("day"), col("island"))
+      .agg(min(col("s")).as("start_s"),
+        max(col("s") + CoverageHoldSec).as("end_s"))
+    islands.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n_islands"),
+        sum(col("end_s") - col("start_s")).cast("long").as("covered_s"))
+      .withColumn("uptime_share",
+        floor(col("covered_s").cast("double") / 86400.0 * 1e4 + 0.5) / 1e4)
+  }
+
   /** Per-day PERCENTILE-OF-RECORD — the percent-of-normal drought
     * product family ("today's level sits at the 12th percentile of
     * this station's record"), the empirical-CDF alternative to the

@@ -590,6 +590,38 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ts_coverage_uptime: island union matches brute-force; overlap never double-counts") {
+    val rows = SparkEntry.queries("ts_coverage_uptime")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val hold = 300L
+    raw.groupBy(_._2).foreach { case (u, evs) =>
+      evs.groupBy(e => e._3.toLocalDateTime.toLocalDate.toString)
+        .foreach { case (d, es) =>
+          // brute-force interval union on truncated epoch seconds
+          val iv = es.map(e => e._3.getTime / 1000)
+            .sorted.map(s => (s, s + hold))
+          var (islands, covered) = (0L, 0L)
+          var curStart = -1L; var curEnd = -1L
+          iv.foreach { case (s, e) =>
+            if (curEnd < 0 || s > curEnd) {
+              if (curEnd >= 0) covered += curEnd - curStart
+              islands += 1; curStart = s; curEnd = e
+            } else curEnd = math.max(curEnd, e)
+          }
+          if (curEnd >= 0) covered += curEnd - curStart
+          val r = rows((u, d))
+          assert(r.getLong(2) === islands, s"n_islands $u/$d")
+          assert(r.getLong(3) === covered, s"covered_s $u/$d")
+          assert(r.getDouble(4) ===
+            math.floor(covered.toDouble / 86400.0 * 1e4 + 0.5) / 1e4,
+            s"uptime $u/$d")
+          // union can never exceed n·hold (double-count guard) nor be
+          // below one hold period
+          assert(covered <= es.size * hold && covered >= hold)
+        }
+    }
+  }
+
   test("ts_autocorr: calendar-lag ACF matches brute-force recompute") {
     val rows = SparkEntry.queries("ts_autocorr")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
