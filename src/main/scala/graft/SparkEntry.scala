@@ -134,6 +134,7 @@ object SparkEntry {
     "ngram_novelty"   -> TextOps.ngramNovelty _,
     "bpe_pair_counts" -> TextOps.bpePairCounts _,
     "dup_growth"      -> TextOps.dupGrowth _,
+    "length_drift_psi" -> TextOps.lengthDriftPsi _,
     "vocab_coverage"  -> TextOps.vocabCoverage _,
     "vocab_growth"    -> TextOps.vocabGrowth _,
     "corpus_stats"    -> TextOps.corpusStats _,
@@ -1300,6 +1301,48 @@ object SparkEntry {
         |  floor(b * 1e4 + 0.5) / 1e4 AS trend,
         |  floor((l + h.h * b) * 1e4 + 0.5) / 1e4 AS forecast
         |FROM fin f JOIN (VALUES (1), (2), (3)) AS h(h) ON true""".stripMargin,
+
+    // smoothed shares are exact integer ratios; each bin's ln() term
+    // floor-quantizes at 1e-8 before an exact integer-valued sum
+    "length_drift_psi" -> {
+      val binCase = TextOps.PsiBins.zipWithIndex
+        .map { case (e, i) => s"WHEN n_chars <= $e THEN $i" }
+        .mkString("CASE ", " ", s" ELSE ${TextOps.PsiBins.size} END")
+      val nB = TextOps.PsiBins.size + 1
+      val binVals = (0 until nB).map(i => s"($i)").mkString(", ")
+      s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |h AS (
+        |  SELECT CAST(doc_id * 32 // (mx + 1) AS BIGINT) AS bucket,
+        |    $binCase AS bin
+        |  FROM documents, mx),
+        |hist AS (SELECT bucket, bin, CAST(count(*) AS BIGINT) AS c
+        |         FROM h GROUP BY 1, 2),
+        |ref AS (SELECT bin, c AS c_ref FROM hist WHERE bucket = 0),
+        |refn AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref FROM ref),
+        |pb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n
+        |       FROM hist GROUP BY 1),
+        |grid AS (SELECT pb.bucket, pb.n, b.bin
+        |         FROM pb CROSS JOIN (VALUES $binVals) AS b(bin)),
+        |t AS (
+        |  SELECT g.bucket, g.n,
+        |    floor(((COALESCE(hist.c, 0) + 1) / CAST(g.n + $nB AS DOUBLE)
+        |        - (COALESCE(ref.c_ref, 0) + 1)
+        |          / CAST(refn.n_ref + $nB AS DOUBLE))
+        |      * ln(((COALESCE(hist.c, 0) + 1) / CAST(g.n + $nB AS DOUBLE))
+        |        / ((COALESCE(ref.c_ref, 0) + 1)
+        |          / CAST(refn.n_ref + $nB AS DOUBLE)))
+        |      * 1e8 + 0.5) AS term
+        |  FROM grid g
+        |  LEFT JOIN hist ON g.bucket = hist.bucket AND g.bin = hist.bin
+        |  LEFT JOIN ref ON g.bin = ref.bin
+        |  CROSS JOIN refn)
+        |SELECT bucket, CAST(max(n) AS BIGINT) AS n_docs,
+        |  floor(sum(term) / 1e8 * 1e6 + 0.5) / 1e6 AS psi,
+        |  CASE WHEN sum(term) / 1e8 > 0.25 THEN 'shifted'
+        |       WHEN sum(term) / 1e8 > 0.1 THEN 'drifting'
+        |       ELSE 'stable' END AS verdict
+        |FROM t GROUP BY bucket""".stripMargin
+    },
 
     // first-occurrence = min(bucket) per fingerprint (integer order
     // statistic); the rate divides two exact longs once

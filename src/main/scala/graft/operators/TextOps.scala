@@ -618,6 +618,67 @@ object TextOps {
           .as("novelty"))
   }
 
+  /** Doc-length histogram bin edges for [[lengthDriftPsi]] (n_chars
+    * upper bounds; last bin open) — literals shared with the oracle. */
+  private[graft] val PsiBins: Seq[Long] = Seq(64, 128, 256, 512, 1024, 2048, 4096)
+
+  /** LENGTH-DISTRIBUTION DRIFT by population stability index — the
+    * ingestion-monitoring metric ("did the crawl's document-shape
+    * change mid-stream?" — a pipeline regression that dedup rates and
+    * vocabulary curves miss when content stays unique but truncation/
+    * concatenation bugs reshape it): per fixed doc-id bucket, the PSI
+    * of its n_chars histogram against the FIRST bucket's, with
+    * add-one smoothing so empty bins stay finite;
+    * PSI = Σ_bins (p−q)·ln(p/q), the industry drift gauge (>0.2 =
+    * investigate, >0.25 = shifted — reported, not enforced).
+    *
+    * Shape at scale: a column-pruned (doc_id, n_chars) scan — text is
+    * never read — one (bucket, bin) aggregation with map-side
+    * partials, the reference bucket broadcast back over the O(32·8)
+    * histogram table, and the PSI fold is an aggregation over ≤8 rows
+    * per bucket. Engine invariance: counts are exact longs, smoothed
+    * shares are exact integer ratios, each bin's ln() term is floor-
+    * quantized at 1e-8 before the (exact) sum, PSI reported at 1e-6. */
+  def lengthDriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val bin = PsiBins.zipWithIndex.foldRight(lit(PsiBins.size): Column) {
+      case ((edge, i), rest) => when(col("n_chars") <= edge, i).otherwise(rest)
+    }
+    val hist = docs.crossJoin(broadcast(mx))
+      .select(expr(s"doc_id * $GrowthBuckets div (mx + 1)").as("bucket"),
+        bin.as("bin"))
+      .groupBy(col("bucket"), col("bin")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nBins = PsiBins.size + 1
+    val ref = hist.filter(col("bucket") === 0)
+      .select(col("bin"), col("c").as("c_ref"))
+    val refN = ref.agg(sum(col("c_ref")).as("n_ref"))
+    val perBucket = hist.groupBy(col("bucket")).agg(sum(col("c")).as("n"))
+    // dense (bucket × bin) grid so absent bins still contribute their
+    // smoothed share — the 32×8 frame is broadcast-sized at any corpus
+    val grid = perBucket.crossJoin(
+      broadcast(spark.range(nBins).select(col("id").cast("int").as("bin"))))
+    grid
+      .join(hist, Seq("bucket", "bin"), "left")
+      .join(broadcast(ref), Seq("bin"), "left")
+      .crossJoin(broadcast(refN))
+      .withColumn("p", (coalesce(col("c"), lit(0L)) + 1).cast("double")
+        / (col("n") + nBins).cast("double"))
+      .withColumn("q", (coalesce(col("c_ref"), lit(0L)) + 1).cast("double")
+        / (col("n_ref") + nBins).cast("double"))
+      .withColumn("term",
+        floor((col("p") - col("q")) * log(col("p") / col("q")) * 1e8 + 0.5))
+      .groupBy(col("bucket"))
+      .agg(max(col("n")).as("n_docs"),
+        (sum(col("term")) / 1e8).as("psi_raw"))
+      .select(col("bucket"), col("n_docs").cast("long").as("n_docs"),
+        (floor(col("psi_raw") * 1e6 + 0.5) / 1e6).as("psi"),
+        when(col("psi_raw") > 0.25, "shifted")
+          .when(col("psi_raw") > 0.1, "drifting")
+          .otherwise("stable").as("verdict"))
+  }
+
   /** DUPLICATION-GROWTH curve — cumulative exact-dup rate vs corpus
     * position in ingestion order: the dedup-family sibling of
     * [[vocabGrowth]] ("is the marginal crawl still adding unique

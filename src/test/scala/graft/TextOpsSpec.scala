@@ -103,6 +103,42 @@ class TextOpsSpec extends SparkSpec {
     assert(last.getLong(4) === firstBucket.size.toLong)
   }
 
+  test("length_drift_psi: PSI matches brute-force; reference bucket is exactly stable at 0") {
+    val mx = docs.map(_._1).max
+    val nB = 8
+    def bucket(id: Long): Long = id * 32L / (mx + 1)
+    def bin(n: Long): Int = {
+      val edges = Seq(64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+      edges.indexWhere(n <= _) match { case -1 => edges.size; case i => i }
+    }
+    val byBucket = docs.groupBy(d => bucket(d._1))
+    val refHist = byBucket(0L).groupBy(d => bin(d._3)).view.mapValues(_.size).toMap
+    val nRef = byBucket(0L).size
+    val rows = SparkEntry.queries("length_drift_psi")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === byBucket.keySet)
+    byBucket.foreach { case (b, ds) =>
+      val hist = ds.groupBy(d => bin(d._3)).view.mapValues(_.size).toMap
+      val n = ds.size
+      val terms = (0 until nB).map { i =>
+        val p = (hist.getOrElse(i, 0) + 1).toDouble / (n + nB)
+        val q = (refHist.getOrElse(i, 0) + 1).toDouble / (nRef + nB)
+        math.floor((p - q) * math.log(p / q) * 1e8 + 0.5)
+      }
+      val psiRaw = terms.sum / 1e8
+      val r = rows(b)
+      assert(r.getLong(1) === n.toLong, s"n_docs bucket $b")
+      assert(r.getDouble(2) === math.floor(psiRaw * 1e6 + 0.5) / 1e6,
+        s"psi bucket $b")
+      val verdict = if (psiRaw > 0.25) "shifted"
+        else if (psiRaw > 0.1) "drifting" else "stable"
+      assert(r.getString(3) === verdict, s"verdict bucket $b")
+      assert(r.getDouble(2) >= 0.0, "PSI is non-negative")
+    }
+    // the reference bucket against itself is identically zero
+    assert(rows(0L).getDouble(2) === 0.0 && rows(0L).getString(3) === "stable")
+  }
+
   test("lang_id: scores match independent token counts, argmax is honored") {
     val markers = Map(
       "en" -> Set("the", "a", "data", "fast", "small"),
