@@ -58,6 +58,7 @@ object SparkEntry {
     "ts_runs_test"           -> TimeSeries.runsTest _,
     "ts_mann_whitney"        -> TimeSeries.mannWhitney _,
     "ts_coverage_uptime"     -> TimeSeries.coverageUptime _,
+    "ts_extreme_day_freq"    -> TimeSeries.extremeDayFreq _,
     "ts_autocorr"            -> TimeSeries.autocorr _,
     "ts_ljung_box"           -> TimeSeries.ljungBox _,
     "ts_changepoint"         -> TimeSeries.changepoint _,
@@ -1001,6 +1002,32 @@ object SparkEntry {
         |       WHEN abs(z_raw) > 1.96 THEN 'non_random'
         |       ELSE 'random' END AS verdict
         |FROM z""".stripMargin,
+
+    // threshold = the ⌈0.9n⌉-th smallest daily value (integer rank,
+    // tie-order-invariant); comparisons and counts exact
+    "ts_extreme_day_freq" ->
+      """WITH daily AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, y,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY y) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n
+        |      FROM daily),
+        |thr AS (
+        |  SELECT user_id, max(CASE WHEN rn = (n * 9 + 9) // 10 THEN y END)
+        |    AS thr
+        |  FROM r GROUP BY 1)
+        |SELECT d.user_id, substring(d.day, 1, 7) AS month,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(CASE WHEN d.y > t.thr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_extreme,
+        |  floor(min(t.thr) * 1e4 + 0.5) / 1e4 AS threshold,
+        |  floor(CAST(sum(CASE WHEN d.y > t.thr THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1e4 + 0.5) / 1e4 AS extreme_share
+        |FROM daily d JOIN thr t ON d.user_id = t.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // epoch seconds are integers end to end; islands from a running
     // max over the same ordered frame in both engines

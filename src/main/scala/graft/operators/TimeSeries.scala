@@ -660,6 +660,45 @@ object TimeSeries {
           .otherwise("consistent").as("verdict"))
   }
 
+  /** Per-station-month EXTREME-DAY FREQUENCY — the ETCCDI
+    * percentile-index shape (TX90p / R90p: how often does a month
+    * exceed the station's own 90th percentile): threshold = the
+    * ⌈0.9·n⌉-th smallest daily value of the station's record (integer
+    * rank — no float percentile), then per month the count and share
+    * of days strictly above it. The climatological rollup pairing
+    * with [[percentileOfRecord]] (that scores each day; this counts
+    * the tail by month — the "is this month unusually extreme"
+    * product drought/heat monitors publish).
+    *
+    * ONE station exchange: the threshold rides a frameless window
+    * (sorted collect of the BOUNDED daily series, order-statistic
+    * element_at), and the month rollup aggregates the same
+    * partitioning. Exactness: daily means are exact rationals, the
+    * threshold is an order statistic, comparisons and counts are
+    * exact, one final division quantized at 1e-4. */
+  def extremeDayFreq(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg((sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
+        / (count(lit(1)) * lit(100.0))).as("y"))
+    val w = Window.partitionBy(col("user_id"))
+    val sorted = array_sort(collect_list(col("y")).over(w))
+    daily
+      .withColumn("ys", sorted)
+      .withColumn("thr", element_at(col("ys"),
+        expr("cast((size(ys) * 9 + 9) div 10 as int)")))
+      .select(col("user_id"), col("day"), col("y"), col("thr"))
+      .groupBy(col("user_id"),
+        substring(col("day"), 1, 7).as("month"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(when(col("y") > col("thr"), 1L).otherwise(0L)).as("n_extreme"),
+        (floor(min(col("thr")) * 1e4 + 0.5) / 1e4).as("threshold"))
+      .withColumn("extreme_share",
+        floor(col("n_extreme").cast("double") / col("n_days") * 1e4 + 0.5)
+          / 1e4)
+  }
+
   /** Observation validity horizon for [[coverageUptime]]: each report
     * covers the next 5 minutes — one literal shared with the oracle. */
   private[graft] val CoverageHoldSec = 300L

@@ -622,6 +622,31 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ts_extreme_day_freq: threshold is the exact 90th-percentile rank; tail counts match brute-force") {
+    val rows = SparkEntry.queries("ts_extreme_day_freq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    raw.groupBy(_._2).foreach { case (u, evs) =>
+      val daily = evs.groupBy(e => e._3.toLocalDateTime.toLocalDate.toString)
+        .map { case (d, es) =>
+          val cents = es.map(e => math.floor(e._5 * 100 + 0.5).toLong).sum
+          (d, cents.toDouble / (es.size * 100.0))
+        }.toSeq
+      val ys = daily.map(_._2).sorted
+      val thr = ys((ys.size * 9 + 9) / 10 - 1)
+      daily.groupBy(_._1.substring(0, 7)).foreach { case (m, ds) =>
+        val r = rows((u, m))
+        assert(r.getLong(2) === ds.size.toLong, s"n_days $u/$m")
+        assert(r.getLong(3) === ds.count(_._2 > thr).toLong, s"n_extreme $u/$m")
+        assert(r.getDouble(4) === math.floor(thr * 1e4 + 0.5) / 1e4,
+          s"threshold $u/$m")
+      }
+      // at most ~10% of the record sits above its own 90th percentile
+      val total = rows.filter(_._1._1 == u).values.map(_.getLong(3)).sum
+      assert(total <= math.ceil(daily.size * 0.1).toLong + 1,
+        s"tail bound station $u")
+    }
+  }
+
   test("ts_autocorr: calendar-lag ACF matches brute-force recompute") {
     val rows = SparkEntry.queries("ts_autocorr")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
