@@ -39,6 +39,7 @@ object SparkEntry {
     "ts_cumsum_clamped"      -> TimeSeries.cumSumClamped _,
     "ts_cusum_drift"         -> TimeSeries.cusumDrift _,
     "ts_asof_join"           -> TimeSeries.asofJoin _,
+    "ts_asof_tolerance"      -> TimeSeries.asofJoinTolerance _,
     "ts_gapfill"             -> TimeSeries.gapFill _,
     "ts_lag_delta"           -> TimeSeries.lagDelta _,
     "ts_sessionize"          -> TimeSeries.sessionize _,
@@ -684,6 +685,24 @@ object SparkEntry {
       """SELECT c.event_id, c.user_id,
         |  round(c.value, 2) AS click_value,
         |  round(p.value, 2) AS last_purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max_by(value, event_id) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+        |  ON c.user_id = p.user_id AND c.ts > p.ts""".stripMargin,
+
+    // the tolerance test is one integer-microsecond comparison on the
+    // ASOF match — exact both sides
+    "ts_asof_tolerance" ->
+      """SELECT c.event_id, c.user_id,
+        |  round(c.value, 2) AS click_value,
+        |  CASE WHEN p.ts IS NOT NULL
+        |      AND epoch_us(c.ts) - epoch_us(p.ts) <= 86400000000
+        |    THEN round(p.value, 2) END AS last_purchase_value,
+        |  CASE WHEN p.ts IS NOT NULL
+        |      AND epoch_us(c.ts) - epoch_us(p.ts) <= 86400000000
+        |    THEN (epoch_us(c.ts) - epoch_us(p.ts)) // 1000000 END
+        |    AS staleness_s
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (
         |  SELECT user_id, ts, max_by(value, event_id) AS value

