@@ -93,6 +93,7 @@ object SparkEntry {
     "flow_duration_curve"   -> Climate.flowDurationCurve _,
     "baseflow_lh"           -> Climate.baseflowLh _,
     "pet_hargreaves"        -> Climate.petHargreaves _,
+    "spei_zscore"           -> Climate.speiZscore _,
     "spi_multiscale"        -> Climate.spiMultiscale _,
     "spi_ensemble_median"   -> Climate.spiEnsembleMedian _,
     "forecast_deficit_bands" -> Climate.forecastDeficitBands _,
@@ -2172,6 +2173,43 @@ object SparkEntry {
         |  floor(sum(pet) OVER (PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e4 + 0.5) / 1e4 AS cum_pet
         |FROM p""".stripMargin,
+
+    // balance quantizes once to integer 1e-4 units, so the moment
+    // sums are exact longs and z is one fixed double expression
+    "spei_zscore" ->
+      s"""WITH ra(doy, ra) AS (VALUES $raTableSql),
+        |daily AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    max(value)/10.0 AS tmax, min(value)/10.0 AS tmin,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 1000.0) AS tmean,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS prcp
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id, day,
+        |    CAST(floor((prcp - 0.0023 * ra.ra * (tmean + 17.8)
+        |      * sqrt(greatest(tmax - tmin, 0.0))) * 1e4 + 0.5) AS BIGINT)
+        |      AS bal_u
+        |  FROM daily JOIN ra ON dayofyear(CAST(day AS DATE)) = ra.doy),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(bal_u) AS BIGINT) AS s1,
+        |    CAST(sum(bal_u * bal_u) AS BIGINT) AS s2
+        |  FROM b GROUP BY 1 HAVING count(*) >= 2),
+        |z AS (
+        |  SELECT b.user_id, b.day, b.bal_u,
+        |    CASE WHEN m.n * m.s2 - m.s1 * m.s1 > 0
+        |      THEN CAST(b.bal_u * m.n - m.s1 AS DOUBLE)
+        |        / (m.n * sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+        |          / (m.n * (m.n - 1))))
+        |    END AS spei_raw
+        |  FROM b JOIN m ON b.user_id = m.user_id)
+        |SELECT user_id, day,
+        |  CAST(bal_u AS DOUBLE) / 1e4 AS balance,
+        |  floor(spei_raw * 1e4 + 0.5) / 1e4 AS spei,
+        |  CASE WHEN spei_raw <= -1.0 THEN true ELSE false END AS drought
+        |FROM z""".stripMargin,
 
     "zonal_stats" ->
       """SELECT CAST(floor(((user_id % 36) * 5.0 - 87.5) / 30) AS INT) AS zone_y,

@@ -1108,6 +1108,61 @@ object Climate {
         (floor(sum(col("pet")).over(wCum) * 1e4 + 0.5) / 1e4).as("cum_pet"))
   }
 
+  /** SPEI (z-score variant) — the STANDARDIZED PRECIPITATION-
+    * EVAPOTRANSPIRATION index, the drought family's water-BALANCE
+    * member (Vicente-Serrano et al. 2010): where SPI standardizes
+    * precipitation alone, SPEI standardizes precip − PET, so warming-
+    * driven demand shows up in the index even when rainfall is
+    * normal. Composes the [[petHargreaves]] lane (broadcast Ra
+    * lookup, elementwise Hargreaves PET) with the spi_zscore
+    * standardization; the parametric twin would follow the
+    * `spi_gamma` fit lane (SPEI's log-logistic fit is the gamma
+    * family's sibling — the z-score form is the exact-arithmetic
+    * member, like `spi_zscore` beside `spi_gamma`).
+    *
+    * Exactness: the daily balance quantizes ONCE to integer 1e-4
+    * units, so the per-station moment sums are exact longs (overflow
+    * envelope: |bal_u| ≤ ~1e6 ⇒ Σbal_u² needs ~10¹² days/station to
+    * overflow — ANSI faults loudly first) and z is one fixed double
+    * expression on exact integers. One station exchange carries all
+    * three frameless moment windows. */
+  def speiZscore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raTbl = raByDoy.toDF("doy", "ra")
+    val cents = sum(floor(col("value") * 100 + 0.5).cast("long"))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(
+        (max(col("value")) / 10.0).as("tmax"),
+        (min(col("value")) / 10.0).as("tmin"),
+        (cents.cast("double") / (count(lit(1)) * lit(1000.0))).as("tmean"),
+        (cents.cast("double") / (count(lit(1)) * lit(100.0))).as("prcp"))
+      .withColumn("doy", dayofyear(to_date(col("day"))))
+    val bal = daily.join(broadcast(raTbl), Seq("doy"))
+      .withColumn("pet",
+        lit(0.0023) * col("ra") * (col("tmean") + 17.8)
+          * sqrt(greatest(col("tmax") - col("tmin"), lit(0.0))))
+      .withColumn("bal_u",
+        floor((col("prcp") - col("pet")) * 1e4 + 0.5).cast("long"))
+    val w = Window.partitionBy(col("user_id"))
+    bal
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("bal_u")).over(w))
+      .withColumn("s2", sum(col("bal_u") * col("bal_u")).over(w))
+      .filter(col("n") >= 2)
+      .withColumn("spei_raw",
+        when(col("n") * col("s2") - col("s1") * col("s1") > 0,
+          (col("bal_u") * col("n") - col("s1")).cast("double")
+            / (col("n") * sqrt((col("n") * col("s2")
+              - col("s1") * col("s1")).cast("double")
+              / (col("n") * (col("n") - 1))))))
+      .select(col("user_id"), col("day"),
+        (col("bal_u").cast("double") / 1e4).as("balance"),
+        (floor(col("spei_raw") * 1e4 + 0.5) / 1e4).as("spei"),
+        when(col("spei_raw") <= -1.0, true).otherwise(false).as("drought"))
+  }
+
   /** Bilinear interpolation of a gridded field onto points offset
     * (fy, fx) into each cell — the reference regrids every fetched
     * forecast onto its target grid this way

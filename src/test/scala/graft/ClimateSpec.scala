@@ -725,6 +725,50 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("spei_zscore: standardized balance has mean ~0 / std ~1 per station; balance matches a PET recompute") {
+    val rows = SparkEntry.queries("spei_zscore")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      val zs = rs.filter(!_.isNullAt(3)).map(_.getDouble(3))
+      if (zs.length >= 10) {
+        val mean = zs.sum / zs.length
+        val sd = math.sqrt(zs.map(z => (z - mean) * (z - mean)).sum
+          / (zs.length - 1))
+        assert(math.abs(mean) < 0.05, s"mean station $u")
+        assert(math.abs(sd - 1.0) < 0.05, s"std station $u")
+      }
+      // drought flag tracks the threshold on the UNQUANTIZED index, so
+      // against the 1e-4-quantized output it can only disagree within
+      // half a quantum of the boundary
+      rs.foreach { r =>
+        if (!r.isNullAt(3)) {
+          if (r.getBoolean(4)) assert(r.getDouble(3) <= -0.9999,
+            s"flagged but index above threshold, station $u")
+          else assert(r.getDouble(3) >= -1.0001,
+            s"unflagged but index below threshold, station $u")
+        }
+      }
+    }
+    // balance = prcp − hargreaves PET, recomputed for one station-day
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val (u0, d0) = (rows.head.getLong(0), rows.head.getString(1))
+    val es = ev.filter(e => e._1 == u0 &&
+      e._2.toLocalDateTime.toLocalDate.toString == d0)
+    val cents = es.map(e => math.floor(e._3 * 100 + 0.5).toLong).sum
+    val tmean = cents.toDouble / (es.length * 1000.0)
+    val prcp = cents.toDouble / (es.length * 100.0)
+    val (tmax, tmin) = (es.map(_._3).max / 10.0, es.map(_._3).min / 10.0)
+    val doy = java.time.LocalDate.parse(d0).getDayOfYear
+    val ra = Climate.raByDoy(doy - 1)._2
+    val pet = 0.0023 * ra * (tmean + 17.8) *
+      math.sqrt(math.max(tmax - tmin, 0.0))
+    val balU = math.floor((prcp - pet) * 1e4 + 0.5)
+    assert(rows.head.getDouble(2) === balU / 1e4, "balance recompute")
+  }
+
   test("bias_qdm: identical obs/hist is the identity; a uniform future shift is preserved exactly") {
     import spark.implicits._
     def t(d: Int, h: Int) =
