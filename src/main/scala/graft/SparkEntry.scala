@@ -178,6 +178,7 @@ object SparkEntry {
     "embedding_outliers"  -> Similarity.embeddingOutliers _,
     "multimodal_features" -> Multimodal.features _,
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
+    "multimodal_stats"    -> Multimodal.mediaStats _,
   )
 
   /** SQL for one simple ring's even-odd ray-casting point-in-polygon
@@ -2895,6 +2896,25 @@ object SparkEntry {
         |  CAST(length(substr(text, CAST(fi AS INT) * 64 + 1, 64)) AS INT) AS frame_bytes,
         |  md5(substr(text, CAST(fi AS INT) * 64 + 1, 64)) AS frame_fp
         |FROM f""".stripMargin,
+    // UDF-free binary profile: byte counts exact longs, the 2-byte
+    // magic sniff is a hex of identical bytes in both engines
+    "multimodal_stats" ->
+      """WITH m AS (
+        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |           ELSE 'wav' END AS format,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |    hex(substring(text, 1, 2)) AS magic
+        |  FROM documents)
+        |SELECT format,
+        |  CAST(count(*) AS BIGINT) AS n_assets,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+        |  CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+        |  CAST(count(DISTINCT magic) AS BIGINT) AS n_magics,
+        |  CAST(floor(CAST(sum(n_bytes) AS DOUBLE) / count(*) + 0.5)
+        |    AS BIGINT) AS mean_bytes
+        |FROM m GROUP BY 1""".stripMargin,
+
     "doc_keywords" ->
       """WITH base AS (
         |  SELECT doc_id, unnest(string_split(

@@ -114,4 +114,31 @@ object Multimodal {
         col("mean_byte"), col("byte_entropy"),
         col("features")(0).as("f0"), col("features")(7).as("f7"))
   }
+
+  /** Per-declared-format PAYLOAD PROFILE — the decoder-ROUTING audit
+    * an ingest runs before any decode is attempted: asset counts,
+    * byte-size envelope, and how many distinct leading magic
+    * prefixes each declared format actually carries (a healthy
+    * format routes to one decoder; a format column whose payloads
+    * show many magics is mislabeled upstream). Everything is
+    * UDF-free binary-column analysis in the scan stage —
+    * `length(payload)` and a 2-byte `hex(substring(...))` sniff —
+    * followed by ONE map-side-partial aggregation to O(formats)
+    * rows; the payload is never decoded and never leaves the scan.
+    * Byte counts are exact longs; the mean divides two exact longs
+    * once. */
+  def mediaStats(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("meta.format").as("format"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        hex(substring(col("payload"), 1, 2)).as("magic"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("n_bytes")).as("min_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        countDistinct(col("magic")).as("n_magics"))
+      .withColumn("mean_bytes",
+        floor(col("total_bytes").cast("double") / col("n_assets") + 0.5)
+          .cast("long"))
 }

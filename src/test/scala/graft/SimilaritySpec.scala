@@ -312,6 +312,31 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(f1.byte_entropy - math.log(3) / math.log(2)) < 1e-3)
   }
 
+  test("multimodal_stats: per-format byte envelope and magic census match brute-force") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val fmts = Seq("png", "jpeg", "wav")
+    val byFmt = docs.groupBy { case (id, _) => fmts((id % 3).toInt) }
+    val rows = SparkEntry.queries("multimodal_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === byFmt.keySet)
+    byFmt.foreach { case (f, ds) =>
+      val sizes = ds.map(_._2.getBytes("UTF-8").length.toLong)
+      val magics = ds.map(_._2.getBytes("UTF-8").take(2).toSeq).toSet
+      val r = rows(f)
+      assert(r.getLong(1) === ds.size.toLong, s"n_assets $f")
+      assert(r.getLong(2) === sizes.sum, s"total_bytes $f")
+      assert(r.getLong(3) === sizes.min && r.getLong(4) === sizes.max,
+        s"envelope $f")
+      assert(r.getLong(5) === magics.size.toLong, s"n_magics $f")
+      assert(r.getLong(6) ===
+        math.floor(sizes.sum.toDouble / ds.size + 0.5).toLong,
+        s"mean_bytes $f")
+    }
+    // the three formats partition the corpus
+    assert(rows.values.map(_.getLong(1)).sum === docs.length.toLong)
+  }
+
   test("multimodal_frames: every 4th 64-byte frame, exact slices and fingerprints") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
