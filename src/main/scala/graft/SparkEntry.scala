@@ -460,6 +460,97 @@ object SparkEntry {
        |  $tables)""".stripMargin
   }
 
+  /** Portable 48-bit base hash — the SQL twin of
+    * [[graft.operators.Dedup.h48]] (first 12 hex digits of md5,
+    * parsed base-16): both engines hash the identical UTF-8 bytes
+    * through the identical digest, so every value agrees
+    * bit-for-bit. */
+  private def h48Sql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 12))::BIGINT"
+
+  /** The word-3-shingle CTE body shared by the dedup oracles —
+    * identical to the regex-pass shingling at Dedup.shingleArrays. */
+  private val shingleCteSql: String =
+    """  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+      |          for i in range(1, len(toks) - 1)])) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 3""".stripMargin
+
+  /** MinHash+LSH oracle: the identical affine family
+    * g_i(h48) = (a_i·h + b_i) mod (2^61−1) with the constants
+    * interpolated from [[graft.operators.Dedup.minhashA]]/`minhashB`,
+    * the same 16×4 raw-tuple banding, the same bucket-frequency cap,
+    * and the same exact-Jaccard verification — all integer/md5
+    * arithmetic, so DuckDB reproduces the Spark output exactly. */
+  private def minhashLshSql: String = {
+    import graft.operators.Dedup
+    val mins = (0 until Dedup.NumHashes).map { i =>
+      s"min((bh * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP}) AS h$i"
+    }.mkString(",\n  ")
+    val bands = (0 until Dedup.NumBands).map { b =>
+      val ks = (0 until Dedup.RowsPerBand)
+        .map(r => s"h${b * Dedup.RowsPerBand + r} AS k$r").mkString(", ")
+      s"SELECT doc_id, $b AS band, $ks FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val kEq = (0 until Dedup.RowsPerBand).map(r => s"a.k$r = c.k$r").mkString(" AND ")
+    s"""WITH sh AS (
+       |$shingleCteSql
+       |), bh AS (SELECT doc_id, ${h48Sql("shingle")} AS bh FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |  FROM bh GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT bands.*, count(*) OVER (PARTITION BY band, k0, k1, k2, k3) AS bucket_n
+       |    FROM bands)
+       |  WHERE bucket_n <= ${Dedup.BucketCap}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM capped a JOIN capped c ON a.band = c.band AND $kEq
+       |  WHERE a.doc_id < c.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |shared AS (
+       |  SELECT doc_a, doc_b, count(*) AS shared
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = doc_a
+       |  JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
+       |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5""".stripMargin
+  }
+
+  /** SimHash oracle: per-token [[h48Sql]] hashes vote ±1 per bit
+    * (48 conditional sums), the sign vector reassembles the
+    * fingerprint, 4×12-bit chunk equi-join generates candidates, and
+    * `bit_count(xor)` scores Hamming — the identical integer pipeline
+    * as Dedup.simhash. */
+  private def simhashSql: String = {
+    import graft.operators.Dedup
+    val fpTerms = (0 until Dedup.SimhashBits).map { b =>
+      s"(CASE WHEN sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |th AS (SELECT doc_id, ${h48Sql("tok")} AS th FROM toks),
+       |fp AS (SELECT doc_id,
+       |    $fpTerms AS simhash
+       |  FROM th GROUP BY doc_id),
+       |ck AS (
+       |  SELECT doc_id, simhash, c.chunk AS chunk,
+       |         (simhash >> (c.chunk * 12)) & 4095 AS cv
+       |  FROM fp, (VALUES (0), (1), (2), (3)) c(chunk)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM ck a JOIN ck b ON a.chunk = b.chunk AND a.cv = b.cv
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+  }
+
   /** DuckDB oracle SQL per query (same tables, same column names,
     * same rounding). Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
@@ -3330,6 +3421,10 @@ object SparkEntry {
         |  AND (user_id % 36) * 5.0 - 87.5 BETWEEN -45 AND 45
         |  AND (user_id % 72) * 5.0 - 177.5 BETWEEN -180 AND -60
         |ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin,
+
+    "dedup_minhash_lsh" -> minhashLshSql,
+
+    "dedup_simhash" -> simhashSql,
 
     "dedup_ngram_jaccard" ->
       """WITH sh AS (

@@ -381,23 +381,48 @@ object Dedup {
     out
   }
 
-  private val NumHashes = 64
-  private val NumBands = 16
-  private val RowsPerBand = NumHashes / NumBands
+  private[graft] val NumHashes = 64
+  private[graft] val NumBands = 16
+  private[graft] val RowsPerBand = NumHashes / NumBands
   /** Buckets holding more candidates than this are dropped: a hot
     * bucket of size m contributes m²/2 pairs; capping bounds the
     * worst case while near-dup pairs still meet in their other,
     * selective bands. */
-  private val BucketCap = 50
+  private[graft] val BucketCap = 50
+
+  /** PORTABLE base hash: the first 12 hex digits of md5, parsed
+    * base-16 — a 48-bit value both Spark (`conv`) and ANSI-ish SQL
+    * (`('0x'||substr(md5(s),1,12))::BIGINT`) compute bit-identically,
+    * which is what lets the LSH family be oracle-checked instead of
+    * spec-only. One md5 per row; everything downstream is integer
+    * arithmetic. */
+  private[graft] def h48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** Affine MinHash family over the 48-bit base hash:
+    * g_i(h) = (a_i·h + b_i) mod p, p = 2^61−1 (Mersenne). The
+    * multipliers are 15-bit odd and the offsets < 2^47, so
+    * a·h + b < 2^63 − 2^48 + 2^47 never overflows a signed 64-bit
+    * lane in either engine. Constants are fixed (seeded) literals so
+    * the oracle SQL can interpolate the identical family. */
+  private[graft] val MinhashP: Long = (1L << 61) - 1
+  private[graft] val (minhashA, minhashB): (Array[Long], Array[Long]) = {
+    val rng = new scala.util.Random(20260814L)
+    val a = Array.fill(NumHashes)((rng.nextInt(1 << 14).toLong << 1) | 1L)
+    val b = Array.fill(NumHashes)(rng.nextLong() & ((1L << 47) - 1))
+    (a, b)
+  }
 
   /** MinHash signatures: min over the doc's shingle set of 64
-    * independent hashes — computed as 64 partial-aggregating `min`s
-    * over the exploded shingles (one shuffle of O(doc) rows, state
+    * affine-transformed base hashes — ONE md5 per shingle row (the
+    * old per-i string rehash did 64), then 64 partial-aggregating
+    * `min`s of long arithmetic (one shuffle of O(doc) rows, state
     * O(64) per doc). */
   private def minhashSignatures(sh: DataFrame): DataFrame = {
+    val based = sh.withColumn("bh", h48(col("shingle")))
     val mins = (0 until NumHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      min((col("bh") * minhashA(i) + minhashB(i)) % MinhashP).as(s"h$i"))
+    based.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH banding (`16 bands × 4 rows`): docs agreeing on
@@ -410,9 +435,13 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val sh = shingles(docs)
     val sig = minhashSignatures(sh)
+    // the bucket key is the band's RAW 4-tuple of minhash values (no
+    // second hash): equality is what banding needs, the join/window
+    // key stays deterministic integers, and the oracle can reproduce
+    // it with a plain multi-column equi-join
     val bandCols = (0 until NumBands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+      struct(lit(b).as("band"), array(cols: _*).as("bh"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
@@ -450,27 +479,34 @@ object Dedup {
     scorePairs(cands, candSh)
   }
 
-  /** 64-bit SimHash: token hashes vote ±1 per bit position, weighted
+  /** SimHash bit width — 48, matching [[h48]]'s output so the
+    * fingerprint, its chunks and the Hamming check are identical
+    * integer arithmetic in both engines. */
+  private[graft] val SimhashBits = 48
+
+  /** 48-bit SimHash: token hashes vote ±1 per bit position, weighted
     * by term frequency (explode keeps duplicates); the sign vector is
-    * the fingerprint. Computed as 64 conditional sums in ONE hash
-    * aggregation — map-side combine, O(64) state per doc. */
+    * the fingerprint. Computed as 48 conditional sums in ONE hash
+    * aggregation — map-side combine, O(48) state per doc. The token
+    * hash is the portable [[h48]], which is what lets the whole
+    * operator be oracle-checked. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val toks = Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(b =>
+      .withColumn("th", h48(col("tok")))
+    val bitSums = (0 until SimhashBits).map(b =>
       sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"s$b"))
     val summed = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64)
+    val fp = (0 until SimhashBits)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     summed.select(col("doc_id"), fp.as("simhash"))
   }
 
   /** SimHash near-dup pairs within Hamming distance ≤ 3. Candidate
-    * generation by the pigeonhole principle: split the 64-bit
-    * fingerprint into 4 × 16-bit chunks — any pair within distance 3
+    * generation by the pigeonhole principle: split the 48-bit
+    * fingerprint into 4 × 12-bit chunks — any pair within distance 3
     * agrees exactly on ≥ 1 chunk, so an equi-join per chunk finds
     * every such pair without an all-pairs scan. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
@@ -478,7 +514,7 @@ object Dedup {
     val chunks = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("cv"))): _*))
+          shiftright(col("simhash"), c * 12).bitwiseAND(0xFFFL).as("cv"))): _*))
         .as("ck"))
       .select(col("doc_id"), col("simhash"),
         col("ck.chunk").as("chunk"), col("ck.cv").as("cv"))
