@@ -94,6 +94,9 @@ object SparkEntry {
     "baseflow_lh"           -> Climate.baseflowLh _,
     "pet_hargreaves"        -> Climate.petHargreaves _,
     "spei_zscore"           -> Climate.speiZscore _,
+    "growing_degree_days"   -> Climate.growingDegreeDays _,
+    "heat_wave_episodes"    -> Climate.heatWaveEpisodes _,
+    "snow_pack_ddm"         -> Climate.snowPackDdm _,
     "spi_multiscale"        -> Climate.spiMultiscale _,
     "spi_ensemble_median"   -> Climate.spiEnsembleMedian _,
     "forecast_deficit_bands" -> Climate.forecastDeficitBands _,
@@ -2265,6 +2268,93 @@ object SparkEntry {
         |  floor(sum(pet) OVER (PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e4 + 0.5) / 1e4 AS cum_pet
         |FROM p""".stripMargin,
+
+    // daily GDD quantizes once to integer 1e-4 units; the seasonal
+    // accumulation is an exact long window sum
+    "growing_degree_days" ->
+      """WITH daily AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    max(value)/10.0 AS tmax, min(value)/10.0 AS tmin
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id, day,
+        |    CAST(floor(greatest((least(tmax, 30.0)
+        |      + greatest(least(tmin, 30.0), 10.0)) / 2.0 - 10.0, 0.0)
+        |      * 1e4 + 0.5) AS BIGINT) AS gdd_u
+        |  FROM daily)
+        |SELECT user_id, day, gdd_u / 1e4 AS gdd,
+        |  CAST(sum(gdd_u) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 1e4 AS cum_gdd
+        |FROM g""".stripMargin,
+
+    // daily Tmax kept in integer cents; station moments are exact
+    // long sums; the z >= 1 comparison is one double expression on
+    // exact integers — no rounding gate needed
+    "heat_wave_episodes" ->
+      """WITH daily AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS tmax_u
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, day, tmax_u,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    sum(tmax_u) OVER (PARTITION BY user_id) AS s1,
+        |    sum(tmax_u * tmax_u) OVER (PARTITION BY user_id) AS s2
+        |  FROM daily),
+        |h AS (
+        |  SELECT user_id, day, tmax_u,
+        |    CASE WHEN CAST(tmax_u * n - s1 AS DOUBLE)
+        |      >= n * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1)))
+        |      THEN 1 ELSE 0 END AS hot,
+        |    date_diff('day',
+        |      (lag(day) OVER (PARTITION BY user_id ORDER BY day))::DATE,
+        |      day::DATE) AS gap
+        |  FROM m WHERE n >= 2 AND n * s2 - s1 * s1 > 0),
+        |r AS (
+        |  SELECT *, CASE WHEN hot = 1
+        |      AND (coalesce(lag(hot) OVER (PARTITION BY user_id ORDER BY day),
+        |                    0) = 0 OR gap > 1)
+        |    THEN 1 ELSE 0 END AS run_start
+        |  FROM h),
+        |e AS (
+        |  SELECT *, sum(run_start) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode
+        |  FROM r)
+        |SELECT user_id, CAST(episode AS BIGINT) AS episode,
+        |  min(day) AS d_start, max(day) AS d_end,
+        |  CAST(count(*) AS BIGINT) AS n_days, max(tmax_u) / 100.0 AS peak_tmax
+        |FROM e WHERE hot = 1
+        |GROUP BY user_id, episode
+        |HAVING count(*) >= 3""".stripMargin,
+
+    // daily water balance quantizes once to integer 1e-4 units; the
+    // clamped-at-zero pack is the two-window closed form, exact longs
+    "snow_pack_ddm" ->
+      """WITH daily AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 1000.0) AS tmean,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS prcp
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN tmean < 3.0
+        |      THEN CAST(floor(prcp * 1e4 + 0.5) AS BIGINT) ELSE 0 END AS snow_u,
+        |    CAST(floor(3.0 * greatest(tmean - 3.0, 0.0) * 1e4 + 0.5)
+        |      AS BIGINT) AS melt_u
+        |  FROM daily),
+        |s AS (
+        |  SELECT user_id, day, snow_u,
+        |    sum(snow_u - melt_u) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM b)
+        |SELECT user_id, day, snow_u / 1e4 AS snowfall,
+        |  CAST(cs - least(0, min(cs) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE)
+        |    / 1e4 AS swe
+        |FROM s""".stripMargin,
 
     // balance quantizes once to integer 1e-4 units, so the moment
     // sums are exact longs and z is one fixed double expression

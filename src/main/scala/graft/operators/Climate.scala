@@ -1163,6 +1163,146 @@ object Climate {
         when(col("spei_raw") <= -1.0, true).otherwise(false).as("drought"))
   }
 
+  /** GROWING DEGREE DAYS — the agronomic heat-accumulation index the
+    * reference's climate-service pilots feed to crop-phenology users
+    * (the demand side of the same daily station series the drought
+    * lane standardizes): modified GDD with Tmax capped at 30 °C and
+    * Tmin floored at the 10 °C base,
+    * GDD = max(0, (min(Tmax,30) + max(min(Tmin,30),10))/2 − 10),
+    * accumulated per station over the season.
+    *
+    * Shape at scale: ONE daily-resample aggregation (map-side
+    * partial) to station-day grain, then the elementwise GDD formula
+    * and one ordered cumulative window on the SAME station key — the
+    * resample shuffle and the window shuffle coalesce to a single
+    * exchange. The daily GDD quantizes ONCE to integer 1e-4 units so
+    * the running total is an exact long sum (merge-order-free, the
+    * [[speiZscore]] discipline). */
+  def growingDegreeDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg((max(col("value")) / 10.0).as("tmax"),
+        (min(col("value")) / 10.0).as("tmin"))
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("gdd_u",
+        floor(greatest(
+          (least(col("tmax"), lit(30.0))
+            + greatest(least(col("tmin"), lit(30.0)), lit(10.0))) / 2.0
+            - lit(10.0), lit(0.0)) * 1e4 + 0.5).cast("long"))
+      .select(col("user_id"), col("day"),
+        (col("gdd_u").cast("double") / 1e4).as("gdd"),
+        (sum(col("gdd_u")).over(wCum).cast("double") / 1e4).as("cum_gdd"))
+  }
+
+  /** HEAT-WAVE EPISODES — the warm-tail twin of [[droughtEpisodes]]'
+    * run theory, on the DAILY axis with a CALENDAR-aware run break: a
+    * heat wave is ≥ 3 *consecutive calendar days* whose daily Tmax
+    * standardizes to z ≥ +1 against the station's own record, so a
+    * missing observation day splits the run (rows-frame runs would
+    * silently bridge the gap — the same irregular-axis trap
+    * `ts_rolling_sum_range` closes for rolling sums).
+    *
+    * Exactness: daily Tmax is kept in integer CENTS (`max` of exact
+    * units), the station moments are exact long sums over those
+    * cents, and the z comparison is one double expression on exact
+    * integers — deterministic on both engines with no rounding gate.
+    * One station-keyed exchange carries the daily resample, the
+    * whole-partition moments, the lag, and the running episode
+    * counter (all windows share the (user_id; day) sort); the final
+    * per-episode rollup is a hash agg. */
+  def heatWaveEpisodes(spark: SparkSession, dir: String): DataFrame =
+    heatWaveEpisodesOf(Tables.events(spark, dir))
+
+  /** [[heatWaveEpisodes]] over an arbitrary (ts, user_id, value)
+    * frame — seam for spec-testing the calendar-gap run break. */
+  private[graft] def heatWaveEpisodesOf(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(max(floor(col("value") * 100 + 0.5).cast("long")).as("tmax_u"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s1", sum(col("tmax_u")).over(wAll))
+      .withColumn("s2", sum(col("tmax_u") * col("tmax_u")).over(wAll))
+      .filter(col("n") >= 2 && col("n") * col("s2") - col("s1") * col("s1") > 0)
+      .withColumn("hot",
+        when((col("tmax_u") * col("n") - col("s1")).cast("double")
+          >= col("n") * sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+            .cast("double") / (col("n") * (col("n") - 1))), 1).otherwise(0))
+      .withColumn("gap",
+        datediff(to_date(col("day")), to_date(lag(col("day"), 1).over(wOrd))))
+      .withColumn("run_start",
+        when(col("hot") === 1 &&
+          (coalesce(lag(col("hot"), 1).over(wOrd), lit(0)) === 0
+            || col("gap") > 1), 1).otherwise(0))
+      .withColumn("episode", sum(col("run_start")).over(wRun).cast("long"))
+      // a hot day whose predecessor-with-gap was also hot starts a new
+      // run via `gap > 1` above, so filtering to hot rows AFTER the
+      // episode counter keeps calendar-contiguous runs only
+      .filter(col("hot") === 1)
+      .groupBy(col("user_id"), col("episode"))
+      .agg(min(col("day")).as("d_start"), max(col("day")).as("d_end"),
+        count(lit(1)).as("n_days"),
+        (max(col("tmax_u")).cast("double") / 100.0).as("peak_tmax"))
+      .filter(col("n_days") >= 3)
+  }
+
+  /** Freezing line and degree-day melt factor for [[snowPackDdm]]
+    * (°C and mm·°C⁻¹·day⁻¹) — literals, like the reference's
+    * calc_delta_PET constants. */
+  private val SnowT0 = 3.0
+  private val SnowDdf = 3.0
+
+  /** DEGREE-DAY SNOWPACK — the classic temperature-index snow model
+    * (the melt-season supply side of the reference's hydrology lane):
+    * on cold days (Tmean < T0) precipitation banks as snow-water
+    * equivalent; on warm days the pack melts at DDF · max(Tmean−T0, 0)
+    * but never below empty,
+    *
+    *   SWE_t = max(0, SWE_{t−1} + snow_t − melt_t)
+    *
+    * — the [[graft.operators.TimeSeries.cumSumClamped]] recurrence,
+    * so the sequential water-bank loop collapses to the same closed
+    * form over TWO stacked windows on ONE (user_id; day) sort:
+    * SWE_i = S_i − min(0, min_{j≤i} S_j) with S the prefix sum of the
+    * signed daily balance. Daily balance quantizes ONCE to integer
+    * 1e-4 units; all accumulation is exact long arithmetic. */
+  def snowPackDdm(spark: SparkSession, dir: String): DataFrame =
+    snowPackDdmOf(Tables.events(spark, dir))
+
+  /** [[snowPackDdm]] over an arbitrary (ts, user_id, value) frame —
+    * seam for spec-testing the clamped closed form against the
+    * sequential water-bank fold. */
+  private[graft] def snowPackDdmOf(ev: DataFrame): DataFrame = {
+    val cents = sum(floor(col("value") * 100 + 0.5).cast("long"))
+    val daily = ev
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg((cents.cast("double") / (count(lit(1)) * lit(1000.0))).as("tmean"),
+        (cents.cast("double") / (count(lit(1)) * lit(100.0))).as("prcp"))
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("snow_u",
+        when(col("tmean") < SnowT0,
+          floor(col("prcp") * 1e4 + 0.5).cast("long")).otherwise(0L))
+      .withColumn("melt_u",
+        floor(lit(SnowDdf) * greatest(col("tmean") - SnowT0, lit(0.0))
+          * 1e4 + 0.5).cast("long"))
+      .withColumn("cs", sum(col("snow_u") - col("melt_u")).over(wSeq))
+      .select(col("user_id"), col("day"),
+        (col("snow_u").cast("double") / 1e4).as("snowfall"),
+        ((col("cs") - least(lit(0L), min(col("cs")).over(wSeq)))
+          .cast("double") / 1e4).as("swe"))
+  }
+
   /** Bilinear interpolation of a gridded field onto points offset
     * (fy, fx) into each cell — the reference regrids every fetched
     * forecast onto its target grid this way

@@ -1073,4 +1073,81 @@ class ClimateSpec extends SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty)
   }
+
+  test("growing_degree_days: formula and seasonal accumulation recomputed exactly") {
+    val got = SparkEntry.queries("growing_degree_days")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // recompute daily tmax/tmin independently and fold the cumsum
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg((max(col("value")) / 10.0).as("tmax"),
+        (min(col("value")) / 10.0).as("tmin"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val byStation = got.groupBy(_._1)
+    byStation.foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (u, d, gdd, cumGdd) =>
+        val (tmax, tmin) = daily((u, d))
+        val expU = math.floor(math.max(
+          (math.min(tmax, 30.0) + math.max(math.min(tmin, 30.0), 10.0)) / 2.0
+            - 10.0, 0.0) * 1e4 + 0.5).toLong
+        cum += expU
+        assert(gdd === expU / 1e4, s"gdd $u $d")
+        assert(cumGdd === cum / 1e4, s"cum_gdd $u $d")
+      }
+    }
+    // both regimes must appear on this corpus: capped-out zero days
+    // and accumulating days
+    assert(got.exists(_._3 == 0.0) && got.exists(_._3 > 0.0))
+  }
+
+  test("heat_wave_episodes: calendar gap splits a run; min duration filters it") {
+    import spark.implicits._
+    // station 1: hot Jan 1-3 (one 3-day wave), a MISSING Jan 4, hot
+    // Jan 5-6 (2 days — must NOT merge across the gap, and must then
+    // fall to the >= 3 day filter), cold Jan 7-31
+    def row(id: Long, day: Int, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), 1L, "t", v)
+    val hot = Seq(1, 2, 3, 5, 6).zipWithIndex.map { case (d, i) =>
+      row(i.toLong, d, 100.0) }
+    val cold = (7 to 31).map(d => row(100L + d, d, 10.0))
+    val ev = (hot ++ cold)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val eps = graft.operators.Climate.heatWaveEpisodesOf(ev).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(eps.length === 1, s"expected exactly one episode, got ${eps.toSeq}")
+    assert(eps(0) === ((1L, "2024-01-01", "2024-01-03", 3L, 100.0)))
+  }
+
+  test("snow_pack_ddm: closed form equals the sequential water-bank fold") {
+    import spark.implicits._
+    // one obs per day → tmean = v/10, prcp = v: a series crossing the
+    // 3 °C line both ways, deep enough to clamp at zero twice
+    val vals = Seq(10.0, 100.0, 20.0, 50.0, 5.0, 200.0, 15.0, 15.0, 300.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+        7L, "t", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Climate.snowPackDdmOf(ev).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // sequential reference: SWE_t = max(0, SWE_{t-1} + snow - melt)
+    var swe = 0L
+    val expect = vals.map { v =>
+      val tmean = v / 10.0; val prcp = v
+      val snowU = if (tmean < 3.0) math.floor(prcp * 1e4 + 0.5).toLong else 0L
+      val meltU = math.floor(3.0 * math.max(tmean - 3.0, 0.0) * 1e4 + 0.5).toLong
+      swe = math.max(0L, swe + snowU - meltU)
+      (snowU / 1e4, swe / 1e4)
+    }
+    assert(got.map(t => (t._2, t._3)).toSeq === expect)
+    // both clamp regimes exercised: pack empties at least once after
+    // having been positive
+    assert(expect.exists(_._2 == 0.0) && expect.exists(_._2 > 0.0))
+  }
 }
