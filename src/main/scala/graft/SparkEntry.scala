@@ -162,6 +162,7 @@ object SparkEntry {
     "dedup_survivorship_apply" -> Dedup.dedupSurvivorshipApply _,
     "dedup_clusters"      -> Dedup.dedupClusters _,
     "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
+    "dedup_lsh_audit"     -> Dedup.lshRecallAudit _,
     "dedup_simhash"       -> Dedup.simhash _,
     "dedup_chunks"        -> Dedup.dedupChunks _,
     "dedup_chunks_apply"  -> Dedup.dedupChunksApply _,
@@ -485,7 +486,11 @@ object SparkEntry {
     * the same 16×4 raw-tuple banding, the same bucket-frequency cap,
     * and the same exact-Jaccard verification — all integer/md5
     * arithmetic, so DuckDB reproduces the Spark output exactly. */
-  private def minhashLshSql: String = {
+  /** CTE chain ending in `lshp(doc_a, doc_b, jaccard)` — the
+    * verified MinHash+LSH pairs; shared by the operator oracle and
+    * the recall-audit oracle (which also reuses `sh`/`cnt` for the
+    * exhaustive truth pairs). */
+  private def minhashPairsCtes: String = {
     import graft.operators.Dedup
     val mins = (0 until Dedup.NumHashes).map { i =>
       s"min((bh * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP}) AS h$i"
@@ -496,7 +501,7 @@ object SparkEntry {
       s"SELECT doc_id, $b AS band, $ks FROM sig"
     }.mkString("\n  UNION ALL ")
     val kEq = (0 until Dedup.RowsPerBand).map(r => s"a.k$r = c.k$r").mkString(" AND ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |$shingleCteSql
        |), bh AS (SELECT doc_id, ${h48Sql("shingle")} AS bh FROM sh),
        |sig AS (SELECT doc_id,
@@ -519,12 +524,43 @@ object SparkEntry {
        |  FROM cand
        |  JOIN sh sa ON sa.doc_id = doc_a
        |  JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b,
-       |  round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
-       |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-       |WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5""".stripMargin
+       |  GROUP BY 1, 2),
+       |lshp AS (
+       |  SELECT doc_a, doc_b,
+       |    round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
+       |  FROM shared JOIN cnt ca ON doc_a = ca.doc_id
+       |    JOIN cnt cb ON doc_b = cb.doc_id
+       |  WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5)"""
+      .stripMargin
   }
+
+  private def minhashLshSql: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM lshp""".stripMargin
+
+  /** Recall-audit oracle: the exhaustive shared-shingle truth pairs
+    * (reusing `sh`/`cnt`) one-sided-joined against the `lshp` CTE,
+    * bucketed by Jaccard decile. */
+  private def lshAuditSql: String =
+    s"""WITH $minhashPairsCtes,
+       |truth AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truep AS (
+       |  SELECT doc_a, doc_b,
+       |    round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
+       |  FROM truth JOIN cnt ca ON doc_a = ca.doc_id
+       |    JOIN cnt cb ON doc_b = cb.doc_id
+       |  WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5)
+       |SELECT least(floor(t.jaccard * 10), 9) / 10.0 AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_found,
+       |  round(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+       |    / count(*), 4) AS recall
+       |FROM truep t LEFT JOIN lshp l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+       |GROUP BY 1""".stripMargin
 
   /** SimHash oracle: per-token [[h48Sql]] hashes vote ±1 per bit
     * (48 conditional sums), the sign vector reassembles the
@@ -3513,6 +3549,8 @@ object SparkEntry {
         |ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashLshSql,
+
+    "dedup_lsh_audit" -> lshAuditSql,
 
     "dedup_simhash" -> simhashSql,
 

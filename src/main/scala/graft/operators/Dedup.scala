@@ -530,6 +530,36 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
+  /** LSH RECALL AUDIT — the governance check a production dedup
+    * pipeline ships next to its approximate path: how many of the
+    * TRUE near-dup pairs (exact shared-shingle Jaccard ≥ 0.5 — the
+    * exhaustive [[ngramJaccard]] lane; any pair at that threshold
+    * shares a shingle, so the truth set is complete) did the banded
+    * [[minhashLsh]] path actually surface, bucketed by similarity
+    * decile. The interesting failure mode is the low-similarity tail:
+    * band-agreement probability is J^4 per band, so recall decays
+    * toward the 0.5 boundary and this table is where that shows up
+    * before anyone trains on silently-duplicated data.
+    *
+    * Shape at scale: both inputs are the already-bucketed pipelines
+    * (no new all-pairs anything); the audit join is on pair ids —
+    * slivers — and the output is O(deciles) rows. At 100 TB this runs
+    * on a sampled partition slice, same plan. Verified LSH output is
+    * a subset of the truth set by construction, so precision is 1
+    * and the one-sided recall join is the whole story. */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccard(spark, dir)
+    val lsh = minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("found"))
+    truth.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .withColumn("bucket", least(floor(col("jaccard") * 10), lit(9L)) / 10.0)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("found"), lit(0))).cast("long").as("n_found"),
+        round(sum(coalesce(col("found"), lit(0)))
+          / count(lit(1)).cast("double"), 4).as("recall"))
+  }
+
   /** Tokens per fixed chunk for [[dedupChunks]] — private[graft] so
     * the generated oracle SQL interpolates the same constant. */
   private[graft] val ChunkTokens = 10

@@ -91,6 +91,28 @@ class DedupSpec extends SparkSpec {
       s"missing: ${planted.diff(lsh.keySet)}")
   }
 
+  test("dedup_lsh_audit: buckets recomputed exactly from the truth and LSH outputs") {
+    val truth = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val audit = SparkEntry.queries("dedup_lsh_audit")(spark, sf).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // verified LSH output is a subset of the exhaustive truth set
+    assert(lsh.subsetOf(truth.keySet))
+    val expect = truth.groupBy { case (_, j) =>
+      math.min(math.floor(j * 10).toLong, 9L) / 10.0
+    }.map { case (bucket, m) =>
+      val nTrue = m.size.toLong
+      val nFound = m.keys.count(lsh.contains).toLong
+      bucket -> ((nTrue, nFound,
+        math.rint(nFound.toDouble / nTrue * 10000) / 10000))
+    }
+    assert(audit === expect)
+    assert(audit.nonEmpty && audit.values.forall(v => v._2 <= v._1))
+  }
+
   test("dedup_simhash: pairs within hamming 3, strong recall on planted dups") {
     val sim = SparkEntry.queries("dedup_simhash")(spark, sf).collect()
       .map(r => (r.getLong(0).min(r.getLong(1)), r.getLong(0).max(r.getLong(1))) -> r.getInt(2))
