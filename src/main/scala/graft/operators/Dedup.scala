@@ -504,6 +504,30 @@ object Dedup {
     summed.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** In-row 48-bit SimHash over a text column NAME — the identical
+    * fingerprint [[simhashFingerprints]] aggregates, computed as ONE
+    * scan-stage expression (HOF fold over the token array, md5 bound
+    * once per token via the single-element-array trick). No shuffle,
+    * no grouping — which is what the STREAMING near-dup lane needs:
+    * a fingerprint that exists the moment the row arrives, not after
+    * a watermark-delayed aggregation. Spec-asserted equal to the
+    * batch aggregation doc-for-doc. */
+  def simhashCol(textCol: String): Column = expr(
+    s"""aggregate(
+       |  split($textCol, ' '),
+       |  array_repeat(0, $SimhashBits),
+       |  (acc, t) -> zip_with(acc,
+       |    element_at(transform(
+       |      array(CAST(conv(substring(md5(t), 1, 12), 16, 10) AS BIGINT)),
+       |      h -> transform(sequence(0, ${SimhashBits - 1}),
+       |             b -> IF((shiftright(h, b) & 1) = 1, 1, -1))), 1),
+       |    (a, v) -> a + v),
+       |  acc -> aggregate(
+       |    zip_with(acc, sequence(0, ${SimhashBits - 1}),
+       |      (s, b) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), b),
+       |                   CAST(0 AS BIGINT))),
+       |    CAST(0 AS BIGINT), (x, y) -> x + y))""".stripMargin)
+
   /** SimHash near-dup pairs within Hamming distance ≤ 3. Candidate
     * generation by the pigeonhole principle: split the 48-bit
     * fingerprint into 4 × 12-bit chunks — any pair within distance 3

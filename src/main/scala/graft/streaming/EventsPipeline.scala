@@ -165,6 +165,95 @@ object EventsPipeline {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** One exploded simhash-chunk observation for the streaming
+    * near-dup lane. */
+  case class ChunkObs(doc_id: Long, ts: java.sql.Timestamp,
+      simhash: Long, chunk: Int, cv: Long)
+
+  /** Recent fingerprints within one (chunk, value) bucket:
+    * (doc_id, simhash, tsMillis) triples, pruned by the horizon. */
+  case class BucketState(entries: List[(Long, Long, Long)])
+
+  /** A streamed near-dup report: the arriving doc, the earlier doc it
+    * collides with, and their Hamming distance. */
+  case class NearDupAlert(doc_id: Long, dup_of: Long, hamming: Int)
+
+  /** STREAMING NEAR-dup detection — the approximate twin of
+    * [[streamingDedup]] (which only catches byte-identical content):
+    * every arriving document fingerprints IN-ROW via
+    * [[graft.operators.Dedup.simhashCol]] (no watermark-delayed
+    * aggregation — the fingerprint exists the moment the row
+    * arrives), explodes into the same 4×12-bit pigeonhole chunks as
+    * the batch `dedup_simhash`, and each (chunk, value) bucket keeps
+    * the RECENT fingerprints seen inside the horizon as
+    * `flatMapGroupsWithState` state. A new arrival within Hamming ≤ 3
+    * of a buffered fingerprint emits an alert exactly once — the
+    * emitting bucket is deterministically the pair's SMALLEST
+    * agreeing chunk, so the 4-way explode never double-reports.
+    *
+    * State is O(active buckets × horizon occupancy) and expired by
+    * the event-time timeout once the watermark passes the horizon —
+    * the same bounded-state contract as every lane here. At 100 TB
+    * rates the bucket key (chunk, 12-bit value) is uniform by
+    * construction; a degenerate boilerplate fingerprint concentrates
+    * one bucket, which the per-bucket entry list caps (oldest-first
+    * eviction) exactly like the batch BucketCap. */
+  def nearDupAlerts(docs: DataFrame, horizonMinutes: Int = 120,
+      bucketCap: Int = 50): Dataset[NearDupAlert] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = horizonMinutes * 60L * 1000L
+    val fp = normalizeTs(docs)
+      .withColumn("simhash", graft.operators.Dedup.simhashCol("text"))
+      .withWatermark("ts", "1 hour")
+    val chunks = fp.select(col("doc_id"), col("ts"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("simhash"), c * 12).bitwiseAND(0xFFFL).as("cv"))): _*))
+          .as("ck"))
+      .select(col("doc_id"), col("ts"), col("simhash"),
+        col("ck.chunk").as("chunk"), col("ck.cv").as("cv"))
+      .as[ChunkObs]
+    def firstAgreeingChunk(a: Long, b: Long): Int =
+      (0 until 4).find(c => ((a >> (c * 12)) & 0xFFFL) == ((b >> (c * 12)) & 0xFFFL))
+        .getOrElse(-1)
+    chunks.groupByKey(r => (r.chunk, r.cv))
+      .flatMapGroupsWithState[BucketState, NearDupAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Long), rows: Iterator[ChunkObs],
+            state: GroupState[BucketState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupAlert]
+          if (!rows.hasNext) {
+            // timeout: drop entries the watermark has passed by a full
+            // horizon; an emptied bucket releases its state
+            val keep = state.getOption.map(_.entries.filter(
+              _._3 + horizonMs > state.getCurrentWatermarkMs)).getOrElse(Nil)
+            if (keep.isEmpty) state.remove()
+            else {
+              state.update(BucketState(keep))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs + horizonMs)
+            }
+          } else {
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            var maxTs = 0L
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+              val tMs = r.ts.getTime
+              maxTs = math.max(maxTs, tMs)
+              entries = entries.filter(_._3 + horizonMs > tMs)
+              entries.foreach { case (oldId, oldFp, _) =>
+                val ham = java.lang.Long.bitCount(r.simhash ^ oldFp)
+                if (ham <= 3 && firstAgreeingChunk(r.simhash, oldFp) == key._1)
+                  out += NearDupAlert(r.doc_id, oldId, ham)
+              }
+              entries = (entries :+ ((r.doc_id, r.simhash, tMs))).takeRight(bucketCap)
+            }
+            state.update(BucketState(entries))
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs + 1, maxTs + horizonMs))
+          }
+          out.iterator
+      }
+  }
+
   /** Score a live stream against a FITTED climatology param table —
     * the prediction-serving half of the param-table workflow: normals
     * are fit in batch ([[graft.operators.TimeSeries.climatologyFit]],

@@ -128,6 +128,18 @@ class DedupSpec extends SparkSpec {
     assert(sim.size < docs.size * 4)
   }
 
+  test("simhashCol: in-row fingerprint equals the aggregated batch fingerprint") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.Tables.documents(spark, sf)
+    val agg = graft.operators.Dedup.simhashFingerprints(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inRow = corpus
+      .select(col("doc_id"), graft.operators.Dedup.simhashCol("text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inRow === agg)
+    assert(agg.nonEmpty)
+  }
+
   test("dedup_clusters: components agree with the pair graph") {
     val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -215,6 +215,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupAlerts: reordered content alerts once, horizon prunes old fingerprints") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val docs = source.toDF().toDF("doc_id", "ts", "text")
+    val q = EventsPipeline.nearDupAlerts(docs)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // same token MULTISET, different byte content: identical simhash
+    // (the sums are order-free), invisible to the exact-md5 lane
+    val aShuffled = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    try {
+      source.addData(
+        (1L, t("2024-01-01 10:00:00"), a),
+        (2L, t("2024-01-01 10:01:00"), aShuffled),
+        (3L, t("2024-01-01 10:02:00"), "totally different words entirely here"))
+      q.processAllAvailable()
+      // doc4 repeats doc1 verbatim: collides with BOTH buffered
+      // fingerprints, one alert per pair (all four chunks agree; the
+      // smallest-agreeing-chunk rule must still emit exactly once)
+      source.addData((4L, t("2024-01-01 10:05:00"), a))
+      q.processAllAvailable()
+      // 14:30 arrival: every buffered fingerprint is > 2h older than
+      // this row — pruned on access, so the same content no longer alerts
+      source.addData((5L, t("2024-01-01 14:30:00"), a))
+      q.processAllAvailable()
+      val got = spark.table("neardup").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
+          r.getAs[Int]("hamming"))).toSet
+      assert(got === Set((2L, 1L, 0), (4L, 1L, 0), (4L, 2L, 0)),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming sessionize: sessions close on gap + watermark, emitted once") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
