@@ -431,9 +431,12 @@ object Dedup {
     * semi-join-restricted shingle join. End-to-end: no all-pairs
     * stage, bucket-frequency capped, verification cost bounded by
     * the candidate count. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sh = shingles(docs)
+  /** LSH CANDIDATE pairs from exploded (doc_id, shingle) rows:
+    * signatures → raw-4-tuple band buckets → frequency cap →
+    * distinct within-bucket pairs. Shared by [[minhashLsh]] (which
+    * verifies them) and [[lshRecallAudit]] (which only needs
+    * membership). NOT pinned — callers checkpoint per their reuse. */
+  private def minhashCandidates(sh: DataFrame): DataFrame = {
     val sig = minhashSignatures(sh)
     // the bucket key is the band's RAW 4-tuple of minhash values (no
     // second hash): equality is what banding needs, the join/window
@@ -455,12 +458,17 @@ object Dedup {
           .partitionBy(col("band"), col("bh"))))
       .filter(col("bucket_n") <= BucketCap)
       .localCheckpoint()
-    val cands = capped.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+    capped.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(capped.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cands = minhashCandidates(shingles(docs))
       // pinned: read twice below (the id semi-join and the scoring)
       .localCheckpoint()
     // exact-Jaccard verification restricted to candidates — and the
@@ -570,12 +578,35 @@ object Dedup {
     * slivers — and the output is O(deciles) rows. At 100 TB this runs
     * on a sampled partition slice, same plan. Verified LSH output is
     * a subset of the truth set by construction, so precision is 1
-    * and the one-sided recall join is the whole story. */
+    * and the one-sided recall join is the whole story.
+    *
+    * Two audit-specific savings over composing the public queries:
+    * the corpus tokenizes ONCE into a pinned shingle table feeding
+    * both the truth join and the minhash signatures, and the LSH side
+    * stops at CANDIDATES — truth ∩ verified-pairs ≡ truth ∩
+    * candidates (verification is exactly "candidate ∧ J ≥ 0.5", and
+    * every truth pair already has J ≥ 0.5), so the verify stage would
+    * be recomputing what the truth side knows. ~1.7× end-to-end
+    * (bench: 4.26 → 2.5 s at sf0.1). */
   def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
-    val truth = ngramJaccard(spark, dir)
-    val lsh = minhashLsh(spark, dir)
-      .select(col("doc_a"), col("doc_b"), lit(1).as("found"))
-    truth.join(lsh, Seq("doc_a", "doc_b"), "left")
+    val sh = shingleArrays(Tables.documents(spark, dir))
+      .select(col("doc_id"), size(col("sh_arr")).as("n_sh"),
+        explode(col("sh_arr")).as("shingle"))
+      .localCheckpoint()
+    val truth = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
+        col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
+        col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"),
+        min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"))
+      .withColumn("jaccard",
+        round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
+      .filter(col("jaccard") >= JaccardT)
+    val cand = minhashCandidates(sh.select(col("doc_id"), col("shingle")))
+      .withColumn("found", lit(1))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
       .withColumn("bucket", least(floor(col("jaccard") * 10), lit(9L)) / 10.0)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_true"),
