@@ -183,6 +183,7 @@ object SparkEntry {
     "multimodal_features" -> Multimodal.features _,
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
     "multimodal_stats"    -> Multimodal.mediaStats _,
+    "multimodal_dedup"    -> Multimodal.payloadDedup _,
   )
 
   /** SQL for one simple ring's even-odd ray-casting point-in-polygon
@@ -3115,6 +3116,23 @@ object SparkEntry {
         |FROM f""".stripMargin,
     // UDF-free binary profile: byte counts exact longs, the 2-byte
     // magic sniff is a hex of identical bytes in both engines
+    // full content-keyed registry (dedup reads n_assets > 1, the
+    // mislabel census reads n_formats > 1); exact longs, sorted census
+    "multimodal_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id, md5(text) AS payload_hash,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |      ELSE 'wav' END AS format
+        |  FROM documents)
+        |SELECT payload_hash,
+        |  CAST(count(*) AS BIGINT) AS n_assets,
+        |  CAST(count(DISTINCT format) AS BIGINT) AS n_formats,
+        |  array_to_string(list_sort(list(DISTINCT format)), ',') AS formats,
+        |  min(doc_id) AS keeper_doc,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        |FROM m GROUP BY payload_hash""".stripMargin,
+
     "multimodal_stats" ->
       """WITH m AS (
         |  SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'

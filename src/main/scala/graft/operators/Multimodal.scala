@@ -141,4 +141,40 @@ object Multimodal {
       .withColumn("mean_bytes",
         floor(col("total_bytes").cast("double") / col("n_assets") + 0.5)
           .cast("long"))
+
+  /** PAYLOAD REGISTRY across modalities — exact content identity
+    * extended to the opaque-binary column class: every asset groups
+    * by the md5 of its raw bytes (never decoded) into one registry
+    * row with its spread, its keeper (min doc_id — the `dedup_exact`
+    * survivor convention), and its FORMAT census. Dedup reads
+    * `n_assets > 1`; the census reads `n_formats > 1` — the same
+    * bytes declared under two formats is the mislabeled-upstream
+    * signal ([[mediaStats]] sees it as magic spread per format; this
+    * sees it per payload). Emitting ALL groups, not just collisions,
+    * is deliberate: this is the registry an ingest lane upserts into
+    * (the `streamingDedup` fingerprint is its streaming twin), so a
+    * clean corpus produces the full registry, not an empty report.
+    *
+    * Shape at scale: hashing is elementwise in the scan stage; the
+    * single shuffle groups by a uniform 128-bit key (no skew by
+    * construction); the format census is a bounded `collect_set`
+    * (formats are an enum, O(1) per group), sorted for a
+    * deterministic rendering. Byte totals are exact longs. */
+  def payloadDedup(spark: SparkSession, dir: String): DataFrame =
+    payloadDedupOf(mediaTable(spark, dir))
+
+  /** [[payloadDedup]] over an arbitrary (doc_id, payload, meta)
+    * frame — seam for spec-testing planted collisions and the
+    * cross-format mislabel census. */
+  private[graft] def payloadDedupOf(media: DataFrame): DataFrame =
+    media
+      .select(col("doc_id"), md5(col("payload")).as("payload_hash"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("meta.format").as("format"))
+      .groupBy(col("payload_hash"))
+      .agg(count(lit(1)).as("n_assets"),
+        countDistinct(col("format")).as("n_formats"),
+        array_join(array_sort(collect_set(col("format"))), ",").as("formats"),
+        min(col("doc_id")).as("keeper_doc"),
+        sum(col("n_bytes")).as("total_bytes"))
 }

@@ -337,6 +337,33 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.values.map(_.getLong(1)).sum === docs.length.toLong)
   }
 
+  test("multimodal_dedup: planted payload collisions and the cross-format mislabel census") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct, lit}
+    // same bytes under two formats (mislabel), same bytes twice under
+    // one format (plain dup), and a unique payload
+    val media = Seq(
+      (1L, "shared bytes", "png"),
+      (5L, "shared bytes", "wav"),
+      (2L, "twice", "jpeg"),
+      (7L, "twice", "jpeg"),
+      (3L, "unique", "png"))
+      .toDF("doc_id", "text", "fmt")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        struct(col("fmt").as("format"), lit(64).as("width"),
+          lit(64).as("height")).as("meta"))
+    val got = Multimodal.payloadDedupOf(media).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.keySet === Set(h("shared bytes"), h("twice"), h("unique")))
+    assert(got(h("shared bytes")) ===
+      ((2L, 2L, "png,wav", 1L, 24L)), "mislabel census row")
+    assert(got(h("twice")) === ((2L, 1L, "jpeg", 2L, 10L)), "plain dup row")
+    assert(got(h("unique")) === ((1L, 1L, "png", 3L, 6L)), "singleton row")
+  }
+
   test("multimodal_frames: every 4th 64-byte frame, exact slices and fingerprints") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
