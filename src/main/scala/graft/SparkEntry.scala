@@ -175,6 +175,7 @@ object SparkEntry {
     "knn_graph"           -> Similarity.knnGraph _,
     "knn_graph_ivf"       -> Similarity.knnGraphIvf _,
     "dedup_semantic"      -> Similarity.dedupSemantic _,
+    "dedup_semantic_sweep" -> Similarity.semanticSweep _,
     "embedding_covariance" -> Similarity.embeddingCovariance _,
     "embedding_whiten"    -> Similarity.embeddingWhiten _,
     "embedding_centroids" -> Similarity.embeddingCentroids _,
@@ -3783,6 +3784,34 @@ object SparkEntry {
         |      FROM c)
         |SELECT probe_id AS vec_id, nb_id AS neighbor_id, rk, cosine
         |FROM r WHERE rk <= 5""".stripMargin,
+
+    "dedup_semantic_sweep" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+        |           FROM embeddings),
+        |c AS (SELECT probe_id, vec_id AS nb_id,
+        |        list_cosine_similarity(pe, embedding::DOUBLE[]) AS cos
+        |      FROM p, embeddings WHERE vec_id != probe_id),
+        |r AS (SELECT probe_id, nb_id,
+        |        row_number() OVER (PARTITION BY probe_id
+        |                           ORDER BY round(cos, 6) DESC, nb_id ASC) AS rk,
+        |        round(cos, 4) AS cosine
+        |      FROM c),
+        |pr AS (SELECT least(probe_id, nb_id) AS doc_a,
+        |         greatest(probe_id, nb_id) AS doc_b, max(cosine) AS cosine
+        |       FROM r WHERE rk <= 5 GROUP BY 1, 2),
+        |taus(tau) AS (VALUES ${graft.operators.Similarity.SweepTaus
+                         .map(t => s"($t)").mkString(", ")}),
+        |sw AS (SELECT t.tau, doc_a, doc_b FROM pr, taus t
+        |       WHERE cosine >= t.tau),
+        |np AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM sw GROUP BY 1),
+        |nd AS (SELECT tau, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+        |       FROM (SELECT tau, unnest([doc_a, doc_b]) AS d FROM sw)
+        |       GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_vecs FROM embeddings)
+        |SELECT np.tau, n_pairs, n_docs,
+        |  round(n_docs * 1.0 / tot.n_vecs, 4) AS dup_rate
+        |FROM np JOIN nd USING (tau), tot""".stripMargin,
 
     "dedup_semantic" ->
       """WITH RECURSIVE p AS (

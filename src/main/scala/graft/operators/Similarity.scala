@@ -297,6 +297,49 @@ object Similarity {
         (col("doc_id") === col("cluster_id")).as("keep"))
   }
 
+  /** Sweep thresholds for [[semanticSweep]] — literals, interpolated
+    * into the oracle SQL. */
+  private[graft] val SweepTaus = Seq(0.30, 0.35, 0.40, 0.45, 0.50, 0.60)
+
+  /** SemDeDup THRESHOLD SWEEP — the governance table for the
+    * embedding side, the semantic twin of `dedup_lsh_audit`: before
+    * committing to one cosine cutoff, how many near-dup pairs and
+    * how many affected documents does each candidate threshold
+    * imply? Sweeps the FIXED k-NN edge set (computed once) across
+    * the cutoffs, so choosing τ reads one table instead of re-running
+    * the graph per candidate — the curve's knee is where SemDeDup
+    * stops trimming boilerplate and starts deleting content.
+    *
+    * Shape at scale: the k-NN graph is the operator's whole cost
+    * (same bounded plan as `knn_graph`; the IVF-blocked twin swaps in
+    * unchanged); the sweep itself is an O(k·n·|τ|) explode of id
+    * pairs — no vectors — two hash aggs and a 6-row join. A
+    * threshold implying zero pairs drops out (inner grouping), same
+    * in the oracle. */
+  def semanticSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = knnGraph(spark, dir)
+      .select(least(col("vec_id"), col("neighbor_id")).as("doc_a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("doc_b"),
+        col("cosine"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("cosine")).as("cosine"))
+    val swept = pairs
+      .select(col("doc_a"), col("doc_b"), col("cosine"),
+        explode(array(SweepTaus.map(lit): _*)).as("tau"))
+      .filter(col("cosine") >= col("tau"))
+      // read twice (pair counts + affected-doc counts); pinned so the
+      // driver-collected corpus scan in knnGraph runs once, not twice
+      .localCheckpoint()
+    val nPairs = swept.groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
+    val nDocs = swept
+      .select(col("tau"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("tau")).agg(countDistinct(col("d")).as("n_docs"))
+    val total = vecs(spark, dir).agg(count(lit(1)).as("n_vecs"))
+    nPairs.join(nDocs, Seq("tau")).crossJoin(total)
+      .select(col("tau"), col("n_pairs"), col("n_docs"),
+        round(col("n_docs") / col("n_vecs").cast("double"), 4).as("dup_rate"))
+  }
+
   /** Plain Lloyd's k-means over an in-memory sample — the IVF coarse
     * quantizer fit. Deterministic: evenly-spaced init over the sample
     * order, fixed iteration count; empty clusters keep their previous

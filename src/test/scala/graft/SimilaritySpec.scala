@@ -337,6 +337,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.values.map(_.getLong(1)).sum === docs.length.toLong)
   }
 
+  test("dedup_semantic_sweep: every threshold row recomputed from the knn graph") {
+    val knn = SparkEntry.queries("knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val pairs = knn.groupBy { case (a, b, _) => (math.min(a, b), math.max(a, b)) }
+      .view.mapValues(_.map(_._3).max).toMap
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val got = SparkEntry.queries("dedup_semantic_sweep")(spark, sf).collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val expect = graft.operators.Similarity.SweepTaus.flatMap { tau =>
+      val sel = pairs.filter(_._2 >= tau)
+      if (sel.isEmpty) None
+      else {
+        val docs = sel.keys.flatMap(p => Seq(p._1, p._2)).toSet
+        Some(tau -> ((sel.size.toLong, docs.size.toLong,
+          math.rint(docs.size.toDouble / nVecs * 10000) / 10000)))
+      }
+    }.toMap
+    assert(got === expect)
+    // the curve is monotone: higher threshold, never more pairs
+    val curve = got.toSeq.sortBy(_._1).map(_._2._1)
+    assert(curve.zip(curve.drop(1)).forall { case (a, b) => b <= a })
+    assert(got.nonEmpty)
+  }
+
   test("multimodal_dedup: planted payload collisions and the cross-format mislabel census") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, struct, lit}
