@@ -170,6 +170,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> Similarity.embeddingPairsLsh _,
     "ann_topk_bruteforce" -> Similarity.annTopkBruteforce _,
     "ann_lsh_topk"        -> Similarity.annLshTopk _,
+    "ann_recall_audit"    -> Similarity.annRecallAudit _,
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
     "ann_pq_topk"         -> Similarity.annPqTopk _,
     "knn_graph"           -> Similarity.knnGraph _,
@@ -3770,6 +3771,50 @@ object SparkEntry {
         |    round(list_cosine_similarity(vp.e, vc.e), 4) AS cosine
         |  FROM cand JOIN v vp ON vp.vec_id = probe_id JOIN v vc ON vc.vec_id = nb_id)
         |SELECT probe_id, nb_id AS neighbor_id, rk, cosine FROM r WHERE rk <= 10""".stripMargin,
+
+    "ann_recall_audit" ->
+      s"""$lshBucketsSql,
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS nb_id
+        |  FROM b p JOIN b c ON p.t = c.t AND p.sig = c.sig
+        |  WHERE p.vec_id < 5 AND c.vec_id != p.vec_id),
+        |lr AS (
+        |  SELECT probe_id, nb_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY round(list_cosine_similarity(vp.e, vc.e), 6) DESC,
+        |               nb_id ASC) AS rk,
+        |    round(list_cosine_similarity(vp.e, vc.e), 4) AS cosine
+        |  FROM cand JOIN v vp ON vp.vec_id = probe_id
+        |    JOIN v vc ON vc.vec_id = nb_id),
+        |lshr AS (SELECT probe_id, nb_id,
+        |    CAST(floor(cosine * 1e4 + 0.5) AS BIGINT) AS cos_u
+        |  FROM lr WHERE rk <= 10),
+        |bc AS (SELECT p.vec_id AS probe_id, c.vec_id AS nb_id,
+        |    list_cosine_similarity(p.e, c.e) AS cos
+        |  FROM v p, v c WHERE p.vec_id < 5 AND c.vec_id != p.vec_id),
+        |br AS (SELECT probe_id, nb_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY round(cos, 6) DESC, nb_id ASC) AS rk,
+        |    round(cos, 4) AS cosine
+        |  FROM bc),
+        |bfr AS (SELECT probe_id, nb_id,
+        |    CAST(floor(cosine * 1e4 + 0.5) AS BIGINT) AS cos_u
+        |  FROM br WHERE rk <= 10),
+        |per AS (
+        |  SELECT bf.probe_id, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(CASE WHEN l.nb_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_hit,
+        |    sum(bf.cos_u) AS bf_u
+        |  FROM bfr bf LEFT JOIN lshr l
+        |    ON bf.probe_id = l.probe_id AND bf.nb_id = l.nb_id
+        |  GROUP BY 1),
+        |ls AS (SELECT probe_id, sum(cos_u) AS lsh_u,
+        |    CAST(count(*) AS BIGINT) AS n_l
+        |  FROM lshr GROUP BY 1)
+        |SELECT per.probe_id, n_hit, round(n_hit * 1.0 / k, 4) AS recall,
+        |  round((CAST(bf_u AS DOUBLE) / k - CAST(lsh_u AS DOUBLE) / n_l)
+        |    / 1e4, 4) AS cos_regret
+        |FROM per LEFT JOIN ls ON per.probe_id = ls.probe_id""".stripMargin,
 
     "knn_graph" ->
       """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe

@@ -297,6 +297,45 @@ object Similarity {
         (col("doc_id") === col("cluster_id")).as("keep"))
   }
 
+  /** ANN RECALL AUDIT — the index-quality report that closes the
+    * audit family (text: `dedup_lsh_audit`; embeddings:
+    * `dedup_semantic_sweep`; here: the ANN index itself): per probe,
+    * how many of the EXACT top-k ([[annTopkBruteforce]]) did the
+    * hyperplane-LSH index ([[annLshTopk]]) return, and how much
+    * cosine quality the approximation gave up (mean exact-top-k
+    * cosine minus mean returned cosine — the metric that catches an
+    * index returning plausible-but-worse neighbors even at decent
+    * recall). Cosines re-quantize to exact integer 1e-4 units before
+    * the mean, so both engines' sums agree bit-for-bit.
+    *
+    * Shape at scale: both inputs are the existing bounded plans (the
+    * exact side runs on the audit's probe SAMPLE — the brute-force
+    * cost is the price of ground truth and the probe set is the
+    * knob); the audit itself joins two O(probes·k) lists. A probe the
+    * index returned nothing for keeps its row with a NULL regret. */
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val quant = (c: Column) => floor(c * 1e4 + 0.5).cast("long")
+    val bf = annTopkBruteforce(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), quant(col("cosine")).as("cos_u"))
+    val lsh = annLshTopk(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), quant(col("cosine")).as("cos_u"))
+      .localCheckpoint()
+    val per = bf
+      .join(lsh.select(col("probe_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
+        sum(col("cos_u")).as("bf_u"))
+    val ls = lsh.groupBy(col("probe_id"))
+      .agg(sum(col("cos_u")).as("lsh_u"), count(lit(1)).as("n_l"))
+    per.join(ls, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_hit"),
+        round(col("n_hit") / col("k").cast("double"), 4).as("recall"),
+        round((col("bf_u").cast("double") / col("k")
+          - col("lsh_u").cast("double") / col("n_l")) / 1e4, 4).as("cos_regret"))
+  }
+
   /** Sweep thresholds for [[semanticSweep]] — literals, interpolated
     * into the oracle SQL. */
   private[graft] val SweepTaus = Seq(0.30, 0.35, 0.40, 0.45, 0.50, 0.60)

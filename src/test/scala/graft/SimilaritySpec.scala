@@ -337,6 +337,33 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.values.map(_.getLong(1)).sum === docs.length.toLong)
   }
 
+  test("ann_recall_audit: per-probe rows recomputed from the exact and LSH lists") {
+    def lists(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+        .groupBy(_._1)
+    val bf = lists("ann_topk_bruteforce")
+    val lsh = lists("ann_lsh_topk")
+    val got = SparkEntry.queries("ann_recall_audit")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got.keySet === bf.keySet)
+    got.foreach { case (p, (nHit, recall, regret)) =>
+      val exact = bf(p)
+      val approx = lsh.getOrElse(p, Array.empty)
+      val hits = exact.count(e => approx.exists(_._2 == e._2))
+      assert(nHit === hits.toLong, s"probe $p hits")
+      assert(recall === math.rint(hits.toDouble / exact.length * 10000) / 10000)
+      def meanU(xs: Array[(Long, Long, Double)]) =
+        xs.map(x => math.floor(x._3 * 1e4 + 0.5).toLong).sum.toDouble / xs.length
+      if (approx.isEmpty) assert(regret.isEmpty, s"probe $p regret null")
+      else assert(regret.get ===
+        math.rint((meanU(exact) - meanU(approx)) / 1e4 * 10000) / 10000,
+        s"probe $p regret")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("dedup_semantic_sweep: every threshold row recomputed from the knn graph") {
     val knn = SparkEntry.queries("knn_graph")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
