@@ -1173,11 +1173,14 @@ object Climate {
     *
     * Shape at scale: ONE daily-resample aggregation (map-side
     * partial) to station-day grain, then the elementwise GDD formula
-    * and one ordered cumulative window on the SAME station key — the
-    * resample shuffle and the window shuffle coalesce to a single
-    * exchange. The daily GDD quantizes ONCE to integer 1e-4 units so
-    * the running total is an exact long sum (merge-order-free, the
-    * [[speiZscore]] discipline). */
+    * and one ordered cumulative window keyed by station. Two
+    * exchanges (PlanAudit), and deliberately so: folding them into
+    * one by pre-partitioning on station alone would forfeit the
+    * map-side combine and shuffle raw observations instead of the
+    * aggregated daily grain — the second exchange moves only
+    * station-days. The daily GDD quantizes ONCE to integer 1e-4
+    * units so the running total is an exact long sum
+    * (merge-order-free, the [[speiZscore]] discipline). */
   def growingDegreeDays(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("user_id"),
@@ -1209,10 +1212,13 @@ object Climate {
     * units), the station moments are exact long sums over those
     * cents, and the z comparison is one double expression on exact
     * integers — deterministic on both engines with no rounding gate.
-    * One station-keyed exchange carries the daily resample, the
-    * whole-partition moments, the lag, and the running episode
-    * counter (all windows share the (user_id; day) sort); the final
-    * per-episode rollup is a hash agg. */
+    * The daily resample shuffles once at (station, day) grain with
+    * map-side combine; ONE further station-keyed exchange (on the
+    * already-reduced daily rows) then carries the whole-partition
+    * moments, the lag, and the running episode counter — all windows
+    * share the (user_id; day) sort (PlanAudit: 2 exchanges, the
+    * scale-right split); the final per-episode rollup is a hash
+    * agg. */
   def heatWaveEpisodes(spark: SparkSession, dir: String): DataFrame =
     heatWaveEpisodesOf(Tables.events(spark, dir))
 
