@@ -113,6 +113,7 @@ object SparkEntry {
     "grid_coarsen"          -> Climate.gridCoarsen _,
     "grid_pyramid"          -> Climate.gridPyramid _,
     "grid_gradient"         -> Climate.gridGradient _,
+    "grid_hillshade"        -> Climate.gridHillshade _,
     "grid_fill_nodata"      -> Climate.gridFillNodata _,
     "bbox_filter"           -> Climate.bboxFilter _,
     "extent_summary"        -> Climate.extentSummary _,
@@ -2641,6 +2642,32 @@ object SparkEntry {
         |JOIN c xm ON xm.gy = c.gy AND xm.gx = c.gx - 1
         |JOIN c yp ON yp.gy = c.gy + 1 AND yp.gx = c.gx
         |JOIN c ym ON ym.gy = c.gy - 1 AND ym.gx = c.gx""".stripMargin,
+
+    // trig-free normal-dot-sun shading on the exact gradient
+    // components; identical literal multiply/divide/sqrt chain
+    "grid_hillshade" ->
+      s"""WITH c AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT c.gy, c.gx,
+        |    floor((xp.v_us - xm.v_us) / 2.0 + 0.5) / 1e6 AS dzdx,
+        |    floor((yp.v_us - ym.v_us) / 2.0 + 0.5) / 1e6 AS dzdy
+        |  FROM c
+        |  JOIN c xp ON xp.gy = c.gy AND xp.gx = c.gx + 1
+        |  JOIN c xm ON xm.gy = c.gy AND xm.gx = c.gx - 1
+        |  JOIN c yp ON yp.gy = c.gy + 1 AND yp.gx = c.gx
+        |  JOIN c ym ON ym.gy = c.gy - 1 AND ym.gx = c.gx),
+        |h AS (
+        |  SELECT gy, gx,
+        |    greatest(0.0, (dzdx * 0.5 + dzdy * -0.5 + ${graft.operators.Climate.HsCz})
+        |      / sqrt(dzdx * dzdx + dzdy * dzdy + 1.0)) AS shade
+        |  FROM g)
+        |SELECT gy, gx, round(shade, 4) AS hillshade,
+        |  CAST(floor(shade * 255 + 0.5) AS BIGINT) AS shade255
+        |FROM h""".stripMargin,
 
     // neighbor mean is integer micro-units summed (order-free) with
     // ONE final division; the mask is integer modular arithmetic

@@ -1485,6 +1485,43 @@ object Climate {
           .as("aspect"))
   }
 
+  /** Sun altitude/azimuth constants for [[gridHillshade]] — the
+    * standard 315°/45° cartographic sun, PRE-RESOLVED to the three
+    * coefficients of the trig-free normal-dot-sun form so both
+    * engines evaluate the identical literal arithmetic:
+    * shade = max(0, (Cx·p + Cy·q + Cz) / √(1 + p² + q²)) with
+    * n = (−p, −q, 1)/‖·‖ and sun (sinAz·cosAlt, cosAz·cosAlt,
+    * sinAlt). At az 315°, alt 45°: Cx = −sinAz·cosAlt = ½,
+    * Cy = −cosAz·cosAlt = −½, Cz = sinAlt = √2/2. */
+  private val HsCx = 0.5
+  private val HsCy = -0.5
+  private[graft] val HsCz = math.sqrt(2.0) / 2.0
+
+  /** HILLSHADE over the grid — the cartographic rendering derivative
+    * on top of [[gridGradient]]'s central differences (the reference
+    * publishes its rasters to map services; shaded relief is the
+    * standard presentation layer of every published DEM/severity
+    * grid). Computed WITHOUT trig: the usual cos(slope)/cos(az −
+    * aspect) formulation collapses to the surface-normal dot the sun
+    * vector, which is pure multiply/divide/sqrt on the already-exact
+    * gradient components — IEEE-deterministic in both engines, so
+    * the 0–255 rendering hash-checks (the gridGradient no-trig
+    * discipline extended to illumination).
+    *
+    * Shape at scale: inherits the gradient's plan verbatim (one
+    * aggregation to cells + four shifted broadcast self-joins of the
+    * pinned O(cells) table); the shading itself is elementwise. */
+  def gridHillshade(spark: SparkSession, dir: String): DataFrame = {
+    val p = col("dzdx"); val q = col("dzdy")
+    val shade = greatest(lit(0.0),
+      (p * HsCx + q * HsCy + HsCz)
+        / sqrt(p * p + q * q + lit(1.0)))
+    gridGradient(spark, dir)
+      .select(col("gy"), col("gx"),
+        round(shade, 4).as("hillshade"),
+        floor(shade * 255 + 0.5).cast("long").as("shade255"))
+  }
+
   /** Focal NODATA FILL over the grid — the `rio.fill` /
     * `scipy.interpolate` hole-patching step every raster ingest runs
     * before deriving (the reference re-grids fetched rasters and

@@ -1074,6 +1074,38 @@ class ClimateSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("grid_hillshade: shade recomputed from the gradient, sun-facing cells brighter") {
+    // sf0.01: the 8x8 grid needs interior cells (grid_gradient's spec
+    // uses the same scale for the same reason)
+    val sf = "/root/testdata/sf0.01"
+    val grad = SparkEntry.queries("grid_gradient")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val hs = SparkEntry.queries("grid_hillshade")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(hs.keySet === grad.keySet)
+    val cz = graft.operators.Climate.HsCz
+    hs.foreach { case (k, (shade, s255)) =>
+      val (p, q) = grad(k)
+      val raw = math.max(0.0,
+        (p * 0.5 + q * -0.5 + cz) / math.sqrt(p * p + q * q + 1.0))
+      assert(shade === math.rint(raw * 10000) / 10000, s"cell $k")
+      assert(s255 === math.floor(raw * 255 + 0.5).toLong, s"cell $k 255")
+      assert(shade >= 0.0 && shade <= 1.0)
+    }
+    // illumination physics: among tilted cells, the one most aligned
+    // with the 315-degree sun (dzdx > 0, dzdy < 0) outshines the one
+    // facing directly away, for equal tilt
+    val lit1 = hs.collect { case (k, (s, _))
+      if grad(k)._1 > 0 && grad(k)._2 < 0 => s }
+    val dark = hs.collect { case (k, (s, _))
+      if grad(k)._1 < 0 && grad(k)._2 > 0 => s }
+    if (lit1.nonEmpty && dark.nonEmpty)
+      assert(lit1.max > dark.min, "sun-facing must outshine sun-averted")
+    assert(hs.nonEmpty)
+  }
+
   test("growing_degree_days: formula and seasonal accumulation recomputed exactly") {
     val got = SparkEntry.queries("growing_degree_days")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
