@@ -97,6 +97,7 @@ object SparkEntry {
     "growing_degree_days"   -> Climate.growingDegreeDays _,
     "heat_wave_episodes"    -> Climate.heatWaveEpisodes _,
     "snow_pack_ddm"         -> Climate.snowPackDdm _,
+    "ts_freeze_thaw"        -> Climate.freezeThawCycles _,
     "spi_multiscale"        -> Climate.spiMultiscale _,
     "spi_ensemble_median"   -> Climate.spiEnsembleMedian _,
     "forecast_deficit_bands" -> Climate.forecastDeficitBands _,
@@ -164,6 +165,7 @@ object SparkEntry {
     "dedup_clusters"      -> Dedup.dedupClusters _,
     "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
     "dedup_lsh_audit"     -> Dedup.lshRecallAudit _,
+    "quality_vs_dup"      -> Dedup.qualityVsDup _,
     "dedup_simhash"       -> Dedup.simhash _,
     "dedup_chunks"        -> Dedup.dedupChunks _,
     "dedup_chunks_apply"  -> Dedup.dedupChunksApply _,
@@ -2368,6 +2370,30 @@ object SparkEntry {
         |GROUP BY user_id, episode
         |HAVING count(*) >= 3""".stripMargin,
 
+    // exact daily tmean verdicts + one lag on the resample sort
+    "ts_freeze_thaw" ->
+      """WITH daily AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 1000.0) AS tmean
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN tmean < 3.0 THEN 1 ELSE 0 END AS frozen
+        |  FROM daily),
+        |c AS (
+        |  SELECT user_id, frozen,
+        |    CASE WHEN lag(frozen) OVER (PARTITION BY user_id ORDER BY day)
+        |           IS NOT NULL
+        |         AND lag(frozen) OVER (PARTITION BY user_id ORDER BY day)
+        |           != frozen
+        |      THEN 1 ELSE 0 END AS crossed
+        |  FROM f)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(frozen) AS BIGINT) AS n_frozen,
+        |  CAST(sum(crossed) AS BIGINT) AS n_crossings
+        |FROM c GROUP BY user_id""".stripMargin,
+
     // daily water balance quantizes once to integer 1e-4 units; the
     // clamped-at-zero pack is the two-window closed form, exact longs
     "snow_pack_ddm" ->
@@ -3637,6 +3663,44 @@ object SparkEntry {
         |  JOIN cnt cb ON doc_b = cb.doc_id
         |WHERE round(shared * 1.0 / least(ca.n_sh, cb.n_sh), 4) >= 0.8"""
         .stripMargin,
+
+    "quality_vs_dup" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |          for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p0 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM p0
+        |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5),
+        |members AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM pairs
+        |  UNION ALL SELECT doc_b FROM pairs)),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(1.0, len(toks) / 100.0)
+        |      * (1.0 - round((len(list_filter(toks, x -> x = 'the'))
+        |                      + len(list_filter(toks, x -> x = 'a')))
+        |                     / CAST(len(toks) AS DOUBLE), 4)), 4) AS qs
+        |  FROM (SELECT doc_id,
+        |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+        |            'g'), ' ') AS toks
+        |        FROM documents)),
+        |m AS (
+        |  SELECT q.doc_id, qs,
+        |    CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup
+        |  FROM q LEFT JOIN members mem ON q.doc_id = mem.doc_id)
+        |SELECT least(floor(qs * 10), 9) / 10.0 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dup) AS BIGINT) AS n_dup,
+        |  round(sum(dup) * 1.0 / count(*), 4) AS dup_rate
+        |FROM m GROUP BY 1""".stripMargin,
 
     "dedup_survivorship" ->
       """WITH RECURSIVE sh AS (

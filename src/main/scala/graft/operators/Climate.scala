@@ -1485,6 +1485,40 @@ object Climate {
           .as("aspect"))
   }
 
+  /** FREEZE–THAW CYCLE census — the infrastructure/agronomy
+    * companion of the [[snowPackDdm]] lane (pavement damage, frost
+    * heave, bud kill all scale with how often a site CROSSES the
+    * freezing line, not how cold it gets): per station, days below
+    * the [[SnowT0]] line, days above, and the number of consecutive-
+    * day crossings in either direction. The comparison reuses the
+    * exact daily tmean (integer-cent sums, one division), so the
+    * below/above verdicts are deterministic; crossings come from one
+    * lag on the same (station; day) sort the resample shuffle
+    * already produced (two exchanges, the [[growingDegreeDays]]
+    * scale split). */
+  def freezeThawCycles(spark: SparkSession, dir: String): DataFrame =
+    freezeThawCyclesOf(Tables.events(spark, dir))
+
+  /** [[freezeThawCycles]] over an arbitrary (ts, user_id, value)
+    * frame — seam for spec-testing crossing counts. */
+  private[graft] def freezeThawCyclesOf(ev: DataFrame): DataFrame = {
+    val cents = sum(floor(col("value") * 100 + 0.5).cast("long"))
+    val daily = ev
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg((cents.cast("double") / (count(lit(1)) * lit(1000.0))).as("tmean"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    daily
+      .withColumn("frozen", when(col("tmean") < SnowT0, 1).otherwise(0))
+      .withColumn("cross",
+        when(lag(col("frozen"), 1).over(wOrd).isNotNull &&
+          lag(col("frozen"), 1).over(wOrd) =!= col("frozen"), 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("frozen")).cast("long").as("n_frozen"),
+        sum(col("cross")).cast("long").as("n_crossings"))
+  }
+
   /** Sun altitude/azimuth constants for [[gridHillshade]] — the
     * standard 315°/45° cartographic sun, PRE-RESOLVED to the three
     * coefficients of the trig-free normal-dot-sun form so both

@@ -615,6 +615,32 @@ object Dedup {
           / count(lit(1)).cast("double"), 4).as("recall"))
   }
 
+  /** QUALITY-vs-DUPLICATION cross-table — the curation question the
+    * survivorship rule begs: is deduplication removing low-quality
+    * boilerplate (healthy — dup rate concentrated in the low-quality
+    * deciles) or deleting high-quality content (a crawler or
+    * near-dup-threshold problem)? Buckets the whole corpus by
+    * quality-score decile and reports each decile's near-dup-cluster
+    * membership rate.
+    *
+    * Shape at scale: cluster membership is the usual SLIVER
+    * (left-joined; AQE broadcasts it), quality is one scan-stage
+    * pass, and the rollup is O(deciles). */
+  def qualityVsDup(spark: SparkSession, dir: String): DataFrame = {
+    val members = dedupClusters(spark, dir)
+      .select(col("doc_id")).distinct().withColumn("dup", lit(1))
+    TextOps.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+      .join(members, Seq("doc_id"), "left")
+      .withColumn("bucket",
+        least(floor(col("quality_score") * 10), lit(9L)) / 10.0)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dup"), lit(0))).cast("long").as("n_dup"),
+        round(sum(coalesce(col("dup"), lit(0)))
+          / count(lit(1)).cast("double"), 4).as("dup_rate"))
+  }
+
   /** Tokens per fixed chunk for [[dedupChunks]] — private[graft] so
     * the generated oracle SQL interpolates the same constant. */
   private[graft] val ChunkTokens = 10

@@ -1156,6 +1156,35 @@ class ClimateSpec extends SparkSpec {
     assert(eps(0) === ((1L, "2024-01-01", "2024-01-03", 3L, 100.0)))
   }
 
+  test("ts_freeze_thaw: crossings counted on a constructed series, gaps don't crash") {
+    import spark.implicits._
+    // one obs/day → tmean = v/10: frozen (<3 °C) on days 1,2,5; two
+    // crossings (thaw after day 2, freeze at day 5); day 4 missing —
+    // the census counts PRESENT days, so its lag spans the gap
+    val ev = Seq((1, 10.0), (2, 20.0), (3, 50.0), (5, 25.0), (6, 40.0))
+      .zipWithIndex.map { case ((d, v), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"),
+          9L, "t", v)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Climate.freezeThawCyclesOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // frozen on 1.0 and 2.0 and 2.5 °C days (1, 2, 5): thaw after day
+    // 2, re-freeze at day 5, thaw at day 6 — three crossings over the
+    // five present days (the gap at day 4 spans, not splits, the lag)
+    assert(got.toSeq === Seq((9L, 5L, 3L, 3L)))
+    // corpus-level: census totals are internally consistent
+    val rows = SparkEntry.queries("ts_freeze_thaw")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, nDays, nFrozen, nCross) =>
+      assert(nFrozen >= 0 && nFrozen <= nDays, s"station $u frozen bound")
+      // a series can cross at most once per day transition
+      assert(nCross <= nDays - 1, s"station $u crossing bound")
+    }
+    // both regimes appear on this corpus
+    assert(rows.exists(_._4 > 0) && rows.exists(_._3 > 0))
+  }
+
   test("snow_pack_ddm: closed form equals the sequential water-bank fold") {
     import spark.implicits._
     // one obs per day → tmean = v/10, prcp = v: a series crossing the

@@ -113,6 +113,26 @@ class DedupSpec extends SparkSpec {
     assert(audit.nonEmpty && audit.values.forall(v => v._2 <= v._1))
   }
 
+  test("quality_vs_dup: deciles recomputed from quality scores and cluster membership") {
+    val quality = SparkEntry.queries("text_quality")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    val members = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("quality_vs_dup")(spark, sf).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val expect = quality.groupBy { case (_, q) =>
+      math.min(math.floor(q * 10).toLong, 9L) / 10.0
+    }.map { case (bucket, docs) =>
+      val nDup = docs.keys.count(members.contains).toLong
+      bucket -> ((docs.size.toLong, nDup,
+        math.rint(nDup.toDouble / docs.size * 10000) / 10000))
+    }
+    assert(got === expect)
+    // the whole corpus is bucketed exactly once
+    assert(got.values.map(_._1).sum === quality.size.toLong)
+  }
+
   test("dedup_simhash: pairs within hamming 3, strong recall on planted dups") {
     val sim = SparkEntry.queries("dedup_simhash")(spark, sf).collect()
       .map(r => (r.getLong(0).min(r.getLong(1)), r.getLong(0).max(r.getLong(1))) -> r.getInt(2))
