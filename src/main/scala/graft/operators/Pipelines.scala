@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -170,6 +170,37 @@ object Pipelines {
     * through the anti-join. Returns the registry row (kept / dropped
     * / cluster counts) computed from what actually landed on disk,
     * never by re-running the pipeline. */
+  /** CURATION-AUDIT publish — the governance lane run BESIDE every
+    * curation release: the three audit tables (text-side LSH recall
+    * per similarity decile, embedding-side SemDeDup threshold sweep,
+    * ANN index recall/regret) land as one partitioned `audit`
+    * collection with a read-back registry row, so the release
+    * artifact carries the evidence of its own dedup quality instead
+    * of leaving it in a notebook. Each section is the oracle-checked
+    * standalone query verbatim (spec-asserted row-for-row) stacked
+    * under an `audit` discriminator column — one definition, report
+    * and queries can never disagree. */
+  def curationAuditPublish(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    def tag(df: DataFrame, name: String, keys: Column*): DataFrame =
+      df.select(lit(name).as("audit"),
+        concat_ws("|", keys: _*).as("item"),
+        to_json(struct(df.columns.map(col): _*)).as("detail"))
+    val sections =
+      tag(Dedup.lshRecallAudit(spark, dir), "lsh_recall", col("bucket")) ::
+      tag(Similarity.semanticSweep(spark, dir), "semantic_sweep", col("tau")) ::
+      tag(Similarity.annRecallAudit(spark, dir), "ann_recall",
+        col("probe_id")) :: Nil
+    val all = sections.reduce(_ unionByName _)
+    val path = s"$outDir/curation_audit"
+    all.write.mode("overwrite").partitionBy("audit").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("audit")).agg(count(lit(1)).as("n_rows"))
+      .agg(count(lit(1)).as("n_sections"), sum(col("n_rows")).as("n_rows"))
+      .select(lit("curation_audit").as("collection_id"),
+        col("n_sections"), col("n_rows"))
+  }
+
   def embeddingCuratePublish(spark: SparkSession, dir: String,
       outDir: String): DataFrame = {
     val edges = Similarity.knnGraphIvf(spark, dir)

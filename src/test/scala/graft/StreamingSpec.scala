@@ -353,6 +353,30 @@ class StreamingSpec extends SparkSpec {
     assert(droughts > 0 && droughts < back.count() / 2)
   }
 
+  test("curationAuditPublish: three audit sections land, rows match the standalone queries") {
+    val tmp = Files.createTempDirectory("graft-audit").toFile.getAbsolutePath
+    val reg = graft.operators.Pipelines.curationAuditPublish(spark, sf, tmp)
+      .collect()(0)
+    assert(reg.getString(0) === "curation_audit")
+    assert(reg.getLong(1) === 3L, "three audit sections")
+    val landed = spark.read.parquet(s"$tmp/curation_audit")
+    val bySection = landed.groupBy("audit").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      "lsh_recall" -> SparkEntry.queries("dedup_lsh_audit")(spark, sf).count(),
+      "semantic_sweep" ->
+        SparkEntry.queries("dedup_semantic_sweep")(spark, sf).count(),
+      "ann_recall" -> SparkEntry.queries("ann_recall_audit")(spark, sf).count())
+    assert(bySection === expected)
+    assert(reg.getLong(2) === expected.values.sum)
+    // the sweep section's items are exactly the emitted thresholds
+    val sweepItems = landed.filter(col("audit") === "semantic_sweep")
+      .select("item").collect().map(_.getString(0)).toSet
+    val taus = SparkEntry.queries("dedup_semantic_sweep")(spark, sf)
+      .select("tau").collect().map(_.getDouble(0).toString).toSet
+    assert(sweepItems === taus)
+  }
+
   test("hydroProfilePublish: one profile row per station, consistent with the oracle-checked parts") {
     val tmp = Files.createTempDirectory("graft-hydro").toFile.getAbsolutePath
     val reg = graft.operators.Pipelines.hydroProfilePublish(spark, sf, tmp)
