@@ -27,6 +27,8 @@ object SparkEntry {
     "events_json_extract" -> Relational.eventsJsonExtract _,
     "q4_priority_returns" -> Relational.orderPriorityReturns _,
     "q10_returned_items"  -> Relational.returnedItemsRevenue _,
+    "q7_volume_shipping"  -> Relational.volumeShipping _,
+    "q8_market_share"     -> Relational.marketShare _,
     "distinct_users_daily" -> Relational.distinctUsersDaily _,
     "distinct_users_daily_approx" -> Relational.distinctUsersDailyApprox _,
     // --- time-series ---------------------------------------------
@@ -130,6 +132,7 @@ object SparkEntry {
     "dedup_exact"     -> TextOps.dedupExact _,
     "dedup_report"    -> TextOps.dedupReport _,
     "lang_id"         -> TextOps.langId _,
+    "lang_id_confusion" -> TextOps.langIdConfusion _,
     "text_quality"    -> TextOps.textQuality _,
     "quality_rules"   -> TextOps.qualityRules _,
     "quality_funnel"  -> TextOps.qualityFunnel _,
@@ -2915,6 +2918,49 @@ object SparkEntry {
         |    / 1e4 AS dup_rate
         |FROM g GROUP BY 1""".stripMargin,
 
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  round(CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)))
+        |    AS DOUBLE) / 1e6, 2) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name != cn.n_name
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // share = (exact HUGEINT sum) / (exact HUGEINT sum), divided once
+    "q8_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |        * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT))
+        |      ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)))
+        |      AS DOUBLE), 4) AS mkt_share,
+        |  round(CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)))
+        |    AS DOUBLE) / 1e6, 2) AS volume
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cu ON c.c_nationkey = cu.n_nationkey
+        |JOIN region r ON cu.n_regionkey = r.r_regionkey
+        |WHERE p.p_type = 'PROMO' AND r.r_name = 'EUROPE'
+        |GROUP BY 1""".stripMargin,
+
     "lang_id" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2938,6 +2984,36 @@ object SparkEntry {
         |       WHEN score_fr >= score_es THEN 'fr'
         |       ELSE 'es' END AS lang_pred
         |FROM s""".stripMargin,
+
+    "lang_id_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a'))
+        |       + len(list_filter(toks, x -> x = 'data')) + len(list_filter(toks, x -> x = 'fast'))
+        |       + len(list_filter(toks, x -> x = 'small')) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(toks, x -> x = 'window')) + len(list_filter(toks, x -> x = 'batch'))
+        |       + len(list_filter(toks, x -> x = 'stream')) + len(list_filter(toks, x -> x = 'slow')) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(toks, x -> x = 'merge')) + len(list_filter(toks, x -> x = 'sort'))
+        |       + len(list_filter(toks, x -> x = 'join')) + len(list_filter(toks, x -> x = 'line')) AS BIGINT) AS score_fr,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) + len(list_filter(toks, x -> x = 'query'))
+        |       + len(list_filter(toks, x -> x = 'vector')) + len(list_filter(toks, x -> x = 'row')) AS BIGINT) AS score_es
+        |  FROM t),
+        |pred AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+        |         WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+        |         WHEN score_fr >= score_es THEN 'fr'
+        |         ELSE 'es' END AS lang_pred
+        |  FROM s),
+        |cm AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        |       FROM pred GROUP BY 1, 2)
+        |SELECT lang, lang_pred, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 4) AS rate
+        |FROM cm""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (

@@ -267,4 +267,81 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
   }
+
+  /** TPC-H Q7-style VOLUME SHIPPING between two trading nations, by
+    * ship year and direction — the bilateral-flow report. nation is
+    * a TRUE dim (broadcast); supplier and customer pre-filter to the
+    * TWO nations of interest before their joins, so what reaches the
+    * fact join is a sliver AQE happily broadcasts — the pair
+    * predicate (either direction) then runs post-join where both
+    * sides exist. Revenue sums exact cents×bps in DECIMAL(38),
+    * rounded once. */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_2")
+    val nat = broadcast(Tables.nation(spark, dir)
+      .filter(col("n_name").isin(nations: _*))
+      .select("n_nationkey", "n_name"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(dec38(cents(col("l_extendedprice"))
+        * (lit(10000L) - bps(col("l_discount"))))).cast("double") / 1e6, 2)
+        .as("revenue"))
+  }
+
+  /** TPC-H Q8-style MARKET SHARE: of all PROMO-type parts sold to
+    * customers in the EUROPE region, what fraction of the revenue
+    * (by order year) came from NATION_3 suppliers — the
+    * national-competitiveness rollup. part pre-filters to the type
+    * and carries only its key; region→nation resolves the customer
+    * market (broadcast dims); the share is a ratio of two exact
+    * DECIMAL(38) sums divided ONCE as doubles — engine-order-free. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nat = broadcast(Tables.nation(spark, dir))
+    val reg = broadcast(Tables.region(spark, dir)
+      .filter(col("r_name") === "EUROPE").select("r_regionkey"))
+    val part = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val custEu = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(nat.select("n_nationkey", "n_regionkey"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(nat.select(col("n_nationkey"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+    val vol = dec38(cents(col("l_extendedprice"))
+      * (lit(10000L) - bps(col("l_discount"))))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(custEu, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0).cast("decimal(38,0)"))).cast("double")
+          / sum(vol).cast("double"), 4).as("mkt_share"),
+        round(sum(vol).cast("double") / 1e6, 2).as("volume"))
+  }
 }

@@ -107,6 +107,25 @@ object TextOps {
         .select(col("doc_id"), words(normalized(col("text"))).as("toks")))
       .select("doc_id", "score_en", "score_de", "score_fr", "score_es", "lang_pred")
 
+  /** LANG-ID CONFUSION census — the classifier-vs-metadata
+    * reconciliation run before trusting either: every (declared
+    * lang, predicted lang) cell with its count and its share of the
+    * declared language. Off-diagonal mass is the actionable signal —
+    * a source whose declared 'de' documents predict 'en' has a
+    * metadata problem or a classifier gap, and both get triaged from
+    * this one table. One scan (the [[langId]] scoring pass carries
+    * the declared column along), one O(langs²) aggregation, one
+    * windowed share over the tiny census. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(langId(spark, dir).select("doc_id", "lang_pred"), Seq("doc_id"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rate",
+        round(col("n") / sum(col("n")).over(w).cast("double"), 4))
+  }
+
   /** Quality scoring: token/stopword/digit ratios + a bounded
     * composite — the classic pre-training corpus filter signals. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =

@@ -105,6 +105,65 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q7_volume_shipping: bilateral flows recomputed exactly from raw tables") {
+    // sf0.01: the nation-pair × two-year filter needs enough lineitem
+    // rows to populate both directions (sf0.001 has none)
+    val sf = "/root/testdata/sf0.01"
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue
+    def natOf(tbl: String, key: String, nk: String): Map[Long, String] = {
+      val names = Tables.nation(spark, sf).collect()
+        .map(r => lv(r, 0) -> r.getString(1)).toMap
+      (if (tbl == "supplier") Tables.supplier(spark, sf)
+       else Tables.customer(spark, sf))
+        .select(key, nk).collect()
+        .map(r => lv(r, 0) -> names(lv(r, 1))).toMap
+    }
+    val suppNat = natOf("supplier", "s_suppkey", "s_nationkey")
+    val custNat = natOf("customer", "c_custkey", "c_nationkey")
+    val ordCust = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .collect().map(r => lv(r, 0) -> lv(r, 1)).toMap
+    val pair = Set("NATION_1", "NATION_2")
+    val acc = scala.collection.mutable.Map
+      .empty[(String, String, Long), BigInt].withDefaultValue(BigInt(0))
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+      .collect().foreach { r =>
+        val ship = r.getTimestamp(4)
+        val year = ship.toLocalDateTime.getYear
+        if (year == 1996 || year == 1997) {
+          val sn = suppNat(lv(r, 1))
+          val cn = custNat(ordCust(lv(r, 0)))
+          if (pair(sn) && pair(cn) && sn != cn) {
+            val cents = math.floor(r.getDouble(2) * 100 + 0.5).toLong
+            val bps = 10000L - math.floor(r.getDouble(3) * 10000 + 0.5).toLong
+            acc((sn, cn, year.toLong)) += BigInt(cents) * bps
+          }
+        }
+      }
+    val expect = acc.map { case (k, v) =>
+      k -> (math.rint(v.toDouble / 1e6 * 100) / 100) }.toMap
+    val got = SparkEntry.queries("q7_volume_shipping")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(got === expect)
+    // both directions of the bilateral flow appear
+    assert(got.keys.map(_._1).toSet === pair)
+  }
+
+  test("q8_market_share: share in [0,1], recomputed from the volume decomposition") {
+    val rows = SparkEntry.queries("q8_market_share")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (y, share, vol) =>
+      assert(share >= 0.0 && share <= 1.0, s"year $y share")
+      assert(vol > 0.0, s"year $y volume")
+    }
+    // shares genuinely vary by year on this corpus (not a constant)
+    assert(rows.map(_._2).distinct.length > 1)
+  }
+
   test("q4_priority_returns: exact counts, planned as a semi-join") {
     val returned = Tables.lineitem(spark, sf)
       .filter(org.apache.spark.sql.functions.col("l_returnflag") === "R")

@@ -139,6 +139,25 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(0L).getDouble(2) === 0.0 && rows(0L).getString(3) === "stable")
   }
 
+  test("lang_id_confusion: census recomputed from declared langs and predictions") {
+    val declared = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pred = SparkEntry.queries("lang_id")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("lang_pred")).toMap
+    val expect = declared.toSeq
+      .groupBy { case (id, l) => (l, pred(id)) }
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val got = SparkEntry.queries("lang_id_confusion")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.view.mapValues(_._1).toMap === expect)
+    // per declared lang, the rates sum to 1 (within rounding)
+    got.keys.map(_._1).toSet.foreach { (l: String) =>
+      val tot = got.collect { case ((dl, _), (_, rate)) if dl == l => rate }.sum
+      assert(math.abs(tot - 1.0) < 0.001, s"lang $l rates sum $tot")
+    }
+  }
+
   test("lang_id: scores match independent token counts, argmax is honored") {
     val markers = Map(
       "en" -> Set("the", "a", "data", "fast", "small"),
