@@ -87,6 +87,7 @@ object SparkEntry {
     "bias_qmap_key"         -> Climate.biasQmapKey _,
     "bias_qmap_spline"      -> Climate.biasQmapSpline _,
     "bias_qdm"              -> Climate.biasQdm _,
+    "bias_skill"            -> Climate.biasSkill _,
     "rating_curve"          -> Climate.ratingCurve _,
     "rating_curve_station"  -> Climate.ratingCurveStation _,
     "rating_volume_daily"   -> Climate.ratingVolumeDaily _,
@@ -1981,6 +1982,55 @@ object SparkEntry {
         |        * 1e4 + 0.5) / 1e4 AS mapped
         |FROM q JOIN r lo ON q.user_id = lo.user_id AND q.idx_lo = lo.idx
         |       JOIN r hi ON q.user_id = hi.user_id AND q.idx_hi = hi.idx""".stripMargin,
+
+    // decile grid quantized once to exact 1e-4 longs; 9-term squared
+    // sums exact; RMSE/ratio one fixed double expression each
+    "bias_skill" ->
+      """WITH f AS (SELECT event_id, user_id, value FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, value AS ref_value,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY value) - 1 AS idx
+        |      FROM events WHERE event_type = 'view'),
+        |n AS (SELECT user_id, count(*) AS n_ref FROM r GROUP BY 1),
+        |p AS (SELECT event_id, user_id, value,
+        |        CASE WHEN count(*) OVER (PARTITION BY user_id) = 1 THEN 0.0
+        |             ELSE percent_rank() OVER (PARTITION BY user_id ORDER BY value)
+        |        END AS pr
+        |      FROM f),
+        |q AS (SELECT p.*, p.pr * (n.n_ref - 1) AS fpos,
+        |        CAST(floor(p.pr * (n.n_ref - 1)) AS INT) AS idx_lo,
+        |        CAST(ceil(p.pr * (n.n_ref - 1)) AS INT) AS idx_hi
+        |      FROM p JOIN n ON p.user_id = n.user_id),
+        |mapped AS (
+        |  SELECT q.user_id,
+        |    floor((lo.ref_value + (q.fpos - q.idx_lo) * (hi.ref_value - lo.ref_value))
+        |          * 1e4 + 0.5) / 1e4 AS value
+        |  FROM q JOIN r lo ON q.user_id = lo.user_id AND q.idx_lo = lo.idx
+        |         JOIN r hi ON q.user_id = hi.user_id AND q.idx_hi = hi.idx),
+        |ds AS (SELECT 'ref' AS src, user_id, value FROM events WHERE event_type = 'view'
+        |       UNION ALL SELECT 'raw', user_id, value FROM events WHERE event_type = 'click'
+        |       UNION ALL SELECT 'corr', user_id, value FROM mapped),
+        |dq AS (SELECT src, user_id,
+        |         list_transform(
+        |           quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |           x -> CAST(floor(x * 1e4 + 0.5) AS BIGINT)) AS qs
+        |       FROM ds GROUP BY 1, 2),
+        |w AS (SELECT rq.user_id, rq.qs AS rq, fq.qs AS fq, cq.qs AS cq
+        |      FROM (SELECT user_id, qs FROM dq WHERE src = 'ref') rq
+        |      JOIN (SELECT user_id, qs FROM dq WHERE src = 'raw') fq USING (user_id)
+        |      JOIN (SELECT user_id, qs FROM dq WHERE src = 'corr') cq USING (user_id)),
+        |sums AS (
+        |  SELECT user_id,
+        |    list_sum([(fq[i] - rq[i]) * (fq[i] - rq[i]) for i in range(1, 10)]) AS ssd_raw,
+        |    list_sum([(cq[i] - rq[i]) * (cq[i] - rq[i]) for i in range(1, 10)]) AS ssd_corr
+        |  FROM w)
+        |SELECT user_id,
+        |  round(sqrt(CAST(ssd_raw AS DOUBLE) / 9.0) / 1e4, 4) AS rmse_raw,
+        |  round(sqrt(CAST(ssd_corr AS DOUBLE) / 9.0) / 1e4, 4) AS rmse_corrected,
+        |  CASE WHEN ssd_raw > 0 THEN
+        |    round(1.0 - (sqrt(CAST(ssd_corr AS DOUBLE) / 9.0) / 1e4)
+        |      / (sqrt(CAST(ssd_raw AS DOUBLE) / 9.0) / 1e4), 4)
+        |  END AS improvement
+        |FROM sums""".stripMargin,
 
     // QDM: p from the future distribution itself (trend-preserving),
     // two lead-carried quantile interpolations, identical IEEE

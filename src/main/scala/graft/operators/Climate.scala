@@ -421,6 +421,49 @@ object Climate {
     quantileMap(side("click"), side("view"))
   }
 
+  /** BIAS-CORRECTION SKILL SCORES — the validation the correction
+    * lane ships with (a correction nobody scored is a correction
+    * nobody should apply): per station, the decile-grid RMSE of the
+    * raw forecast distribution vs the reference, the same for the
+    * [[biasQmap]]-corrected distribution, and the fractional
+    * improvement. Distribution-level scoring is the right check for
+    * a DISTRIBUTIONAL correction — quantile mapping promises aligned
+    * quantile functions, so the score reads exactly that promise.
+    *
+    * Determinism: each decile quantizes ONCE to integer 1e-4 units,
+    * squared-difference sums are exact longs over 9 terms, and each
+    * RMSE/ratio is one fixed double expression — both engines agree
+    * bit-for-bit (`quantile_cont` ↔ `percentile` is the proven
+    * [[zonalSpiQuantiles]] pairing). Shape at scale: three
+    * station-keyed aggregations (the qmap plan feeds one of them)
+    * and two sliver joins; output O(stations). */
+  def biasSkill(spark: SparkSession, dir: String): DataFrame = {
+    val deciles = "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)"
+    def decs(df: DataFrame, name: String) =
+      df.groupBy("user_id").agg(
+        expr(s"transform(percentile(value, $deciles), " +
+          "x -> CAST(floor(x * 1e4 + 0.5) AS BIGINT))").as(name))
+    val ev = Tables.events(spark, dir)
+    val rq = decs(ev.filter(col("event_type") === "view")
+      .select("user_id", "value"), "rq")
+    val fq = decs(ev.filter(col("event_type") === "click")
+      .select("user_id", "value"), "fq")
+    val cq = decs(biasQmap(spark, dir)
+      .select(col("user_id"), col("mapped").as("value")), "cq")
+    def ssd(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    def rmse(a: String, b: String) =
+      sqrt(ssd(a, b).cast("double") / 9.0) / 1e4
+    rq.join(fq, Seq("user_id")).join(cq, Seq("user_id"))
+      .select(col("user_id"),
+        round(rmse("fq", "rq"), 4).as("rmse_raw"),
+        round(rmse("cq", "rq"), 4).as("rmse_corrected"),
+        when(ssd("fq", "rq") > 0,
+          round(lit(1.0) - rmse("cq", "rq") / rmse("fq", "rq"), 4))
+          .as("improvement"))
+  }
+
   /** QUANTILE DELTA MAPPING (Cannon, Sobie & Murdock 2015) — the
     * TREND-PRESERVING bias correction modern climate services use
     * where plain quantile mapping ([[biasQmap]]) would inflate or

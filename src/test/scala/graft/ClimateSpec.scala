@@ -1074,6 +1074,47 @@ class ClimateSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("bias_skill: decile RMSEs recomputed from raw series and the qmap output") {
+    def series(f: org.apache.spark.sql.DataFrame, vcol: String) =
+      f.collect().groupBy(_.getLong(f.columns.indexOf("user_id")))
+        .view.mapValues(_.map(_.getAs[Double](vcol)).sorted).toMap
+    val ev = graft.Tables.events(spark, sf)
+    val ref = series(ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("value")), "value")
+    val raw = series(ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("value")), "value")
+    val corr = series(SparkEntry.queries("bias_qmap")(spark, sf)
+      .select(col("user_id"), col("mapped")), "mapped")
+    def decilesU(v: Array[Double]): Seq[Long] = (1 to 9).map { d =>
+      val pos = d / 10.0 * (v.length - 1)
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      val q = v(lo) + (pos - lo) * (v(hi) - v(lo))
+      math.floor(q * 1e4 + 0.5).toLong
+    }
+    def rmse(a: Seq[Long], b: Seq[Long]): Double = {
+      val ssd = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      math.sqrt(ssd.toDouble / 9.0) / 1e4
+    }
+    val got = SparkEntry.queries("bias_skill")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (u, (rr, rc, imp)) =>
+      val (dr, df_, dc) = (decilesU(ref(u).toArray), decilesU(raw(u).toArray),
+        decilesU(corr(u).toArray))
+      val (err, erc) = (rmse(df_, dr), rmse(dc, dr))
+      // the local type-7 decile recompute may differ from the engine's
+      // percentile by float ulps before quantization — compare loosely
+      assert(math.abs(rr - err) < 1e-3, s"station $u rmse_raw $rr vs $err")
+      assert(math.abs(rc - erc) < 1e-3, s"station $u rmse_corr $rc vs $erc")
+      imp.foreach(i => assert(math.abs(i - (1.0 - erc / err)) < 1e-2 ||
+        err == 0.0, s"station $u improvement"))
+    }
+    // the correction helps on the bulk of stations (that is its job)
+    val imps = got.values.flatMap(_._3)
+    assert(imps.count(_ > 0.5) > got.size / 2)
+  }
+
   test("grid_hillshade: shade recomputed from the gradient, sun-facing cells brighter") {
     // sf0.01: the 8x8 grid needs interior cells (grid_gradient's spec
     // uses the same scale for the same reason)
