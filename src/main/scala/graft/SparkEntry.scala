@@ -88,6 +88,7 @@ object SparkEntry {
     "bias_qmap_spline"      -> Climate.biasQmapSpline _,
     "bias_qdm"              -> Climate.biasQdm _,
     "bias_skill"            -> Climate.biasSkill _,
+    "forecast_crps"         -> Climate.forecastCrps _,
     "rating_curve"          -> Climate.ratingCurve _,
     "rating_curve_station"  -> Climate.ratingCurveStation _,
     "rating_volume_daily"   -> Climate.ratingVolumeDaily _,
@@ -1982,6 +1983,35 @@ object SparkEntry {
         |        * 1e4 + 0.5) / 1e4 AS mapped
         |FROM q JOIN r lo ON q.user_id = lo.user_id AND q.idx_lo = lo.idx
         |       JOIN r hi ON q.user_id = hi.user_id AND q.idx_hi = hi.idx""".stripMargin,
+
+    // weekly means quantized once to exact 1e-4 longs; both CRPS
+    // sums exact; one fixed double expression at the end
+    "forecast_crps" ->
+      """WITH obs AS (
+        |  SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / count(*) * 100.0 + 0.5) AS BIGINT) AS y_u
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |mem AS (
+        |  SELECT user_id, event_id % 5 AS member,
+        |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / count(*) * 100.0 + 0.5) AS BIGINT) AS u
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3),
+        |s1 AS (
+        |  SELECT m.user_id, m.week, CAST(count(*) AS BIGINT) AS m,
+        |    sum(abs(m.u - o.y_u)) AS sae
+        |  FROM mem m JOIN obs o ON m.user_id = o.user_id AND m.week = o.week
+        |  GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT a.user_id, a.week, sum(abs(a.u - b.u)) AS spread
+        |  FROM mem a JOIN mem b ON a.user_id = b.user_id AND a.week = b.week
+        |  GROUP BY 1, 2)
+        |SELECT s1.user_id, s1.week, s1.m AS n_members,
+        |  floor(CAST(sae AS DOUBLE) / s1.m
+        |    - CAST(spread AS DOUBLE) / (2 * s1.m * s1.m) + 0.5) / 1e4 AS crps
+        |FROM s1 JOIN s2 ON s1.user_id = s2.user_id AND s1.week = s2.week"""
+        .stripMargin,
 
     // decile grid quantized once to exact 1e-4 longs; 9-term squared
     // sums exact; RMSE/ratio one fixed double expression each

@@ -1848,6 +1848,54 @@ object Climate {
           .as("spi_median"))
   }
 
+  /** ENSEMBLE CRPS — the headline probabilistic-verification score
+    * for the forecast lane (Hersbach 2000; the metric CDS/ECMWF
+    * products are graded with, and what [[biasSkill]] is to the
+    * correction, this is to the ensemble): per (station, week), the
+    * Continuous Ranked Probability Score of the member forecasts
+    * against the observed weekly mean, in its exact ensemble form
+    *
+    *   CRPS = (1/m)·Σᵢ|xᵢ−y| − (1/2m²)·ΣᵢΣⱼ|xᵢ−xⱼ|
+    *
+    * Members derive as `event_id % 5` over the forecast ('click')
+    * series, observations from the 'view' series — the
+    * [[spiEnsembleMedian]] conventions.
+    *
+    * Determinism: weekly means quantize ONCE to integer 1e-4 units,
+    * so every |difference| and both double sums are exact longs; the
+    * final score is one fixed double expression. Shape at scale: the
+    * member×member term self-joins within (station, week) groups of
+    * ≤ m rows — m is the ensemble size (bounded, ≤ 51 at the
+    * reference's worst), so the pair volume is m²·weeks·stations,
+    * linear in the data with a constant factor; all shuffles on the
+    * high-cardinality (station, week) key. */
+  def forecastCrps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cents = sum(floor(col("value") * 100 + 0.5).cast("long"))
+    def weeklyU(df: DataFrame, extra: Seq[Column]): DataFrame =
+      df.groupBy(col("user_id") +: extra :+
+          date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"): _*)
+        .agg(floor(cents.cast("double") / count(lit(1)) * 100.0 + 0.5)
+          .cast("long").as("u"))
+    val obs = weeklyU(ev.filter(col("event_type") === "view"), Nil)
+      .withColumnRenamed("u", "y_u")
+    val mem = weeklyU(ev.filter(col("event_type") === "click")
+      .withColumn("member", col("event_id") % 5), Seq(col("member")))
+    val s1 = mem.join(obs, Seq("user_id", "week"))
+      .groupBy(col("user_id"), col("week"))
+      .agg(count(lit(1)).as("m"), sum(abs(col("u") - col("y_u"))).as("sae"))
+    val s2 = mem.select(col("user_id"), col("week"), col("u").as("ua"))
+      .join(mem.select(col("user_id"), col("week"), col("u").as("ub")),
+        Seq("user_id", "week"))
+      .groupBy(col("user_id"), col("week"))
+      .agg(sum(abs(col("ua") - col("ub"))).as("spread"))
+    s1.join(s2, Seq("user_id", "week"))
+      .select(col("user_id"), col("week"), col("m").as("n_members"),
+        (floor(col("sae").cast("double") / col("m")
+          - col("spread").cast("double") / (lit(2) * col("m") * col("m"))
+          + 0.5) / 1e4).as("crps"))
+  }
+
   /** The seasonal-deficit forecast product
     * (`ingestor_knmi_evapo_fc.py:219-245,305-325`): per-member signed
     * PET−precip deltas → ensemble percentile BANDS at q ∈ {0.1, 0.3,

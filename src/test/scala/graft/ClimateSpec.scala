@@ -1074,6 +1074,48 @@ class ClimateSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("forecast_crps: exact ensemble form recomputed; degenerate ensemble = MAE") {
+    val ev = graft.Tables.events(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    def weekOf(ts: java.sql.Timestamp): String = {
+      val d = ts.toLocalDateTime.toLocalDate
+      val monday = d.minusDays((d.getDayOfWeek.getValue - 1).toLong)
+      monday.toString
+    }
+    def meanU(xs: Seq[Double]): Long = {
+      val cents = xs.map(v => math.floor(v * 100 + 0.5).toLong).sum
+      math.floor(cents.toDouble / xs.size * 100.0 + 0.5).toLong
+    }
+    val obs = ev.filter(_._4 == "view").groupBy(e => (e._3, weekOf(e._2)))
+      .view.mapValues(es => meanU(es.map(_._5).toSeq)).toMap
+    val mem = ev.filter(_._4 == "click")
+      .groupBy(e => (e._3, weekOf(e._2), e._1 % 5))
+      .view.mapValues(es => meanU(es.map(_._5).toSeq)).toMap
+      .groupBy { case ((u, w, _), _) => (u, w) }
+      .view.mapValues(_.values.toSeq).toMap
+    val got = SparkEntry.queries("forecast_crps")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((u, w), (m, crps)) =>
+      val xs = mem((u, w)); val y = obs((u, w))
+      assert(m === xs.size.toLong)
+      val sae = xs.map(x => math.abs(x - y)).sum
+      val spread = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+      val expect = math.floor(sae.toDouble / m
+        - spread.toDouble / (2.0 * m * m) + 0.5) / 1e4
+      assert(crps === expect, s"($u,$w)")
+      assert(crps >= 0.0, "CRPS is non-negative")
+    }
+    // every (station, week) with both sides scored exactly once
+    assert(got.keySet === obs.keySet.intersect(mem.keySet))
+    // property: a degenerate one-member ensemble's CRPS is plain MAE
+    val ones = got.collect { case ((u, w), (1L, c)) =>
+      c -> (math.floor(math.abs(mem((u, w)).head - obs((u, w))).toDouble + 0.5) / 1e4) }
+    ones.foreach { case (c, mae) => assert(c === mae) }
+  }
+
   test("bias_skill: decile RMSEs recomputed from raw series and the qmap output") {
     def series(f: org.apache.spark.sql.DataFrame, vcol: String) =
       f.collect().groupBy(_.getLong(f.columns.indexOf("user_id")))
