@@ -89,6 +89,7 @@ object SparkEntry {
     "bias_qdm"              -> Climate.biasQdm _,
     "bias_skill"            -> Climate.biasSkill _,
     "forecast_crps"         -> Climate.forecastCrps _,
+    "forecast_rank_hist"    -> Climate.forecastRankHist _,
     "rating_curve"          -> Climate.ratingCurve _,
     "rating_curve_station"  -> Climate.ratingCurveStation _,
     "rating_volume_daily"   -> Climate.ratingVolumeDaily _,
@@ -1983,6 +1984,31 @@ object SparkEntry {
         |        * 1e4 + 0.5) / 1e4 AS mapped
         |FROM q JOIN r lo ON q.user_id = lo.user_id AND q.idx_lo = lo.idx
         |       JOIN r hi ON q.user_id = hi.user_id AND q.idx_hi = hi.idx""".stripMargin,
+
+    // strict-inequality ranks on exact 1e-4 weekly means, complete
+    // ensembles only; O(m+1) histogram with a windowed share
+    "forecast_rank_hist" ->
+      """WITH obs AS (
+        |  SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / count(*) * 100.0 + 0.5) AS BIGINT) AS y_u
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |mem AS (
+        |  SELECT user_id, event_id % 5 AS member,
+        |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / count(*) * 100.0 + 0.5) AS BIGINT) AS u
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT m.user_id, m.week, count(*) AS m,
+        |    CAST(sum(CASE WHEN m.u < o.y_u THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        |      AS rank
+        |  FROM mem m JOIN obs o ON m.user_id = o.user_id AND m.week = o.week
+        |  GROUP BY 1, 2
+        |  HAVING count(*) = 5)
+        |SELECT rank, CAST(count(*) AS BIGINT) AS n,
+        |  round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 4) AS share
+        |FROM ranked GROUP BY rank""".stripMargin,
 
     // weekly means quantized once to exact 1e-4 longs; both CRPS
     // sums exact; one fixed double expression at the end

@@ -1896,6 +1896,41 @@ object Climate {
           + 0.5) / 1e4).as("crps"))
   }
 
+  /** ENSEMBLE RANK HISTOGRAM (Talagrand diagram) — [[forecastCrps]]
+    * scores sharpness+reliability in one number; this separates the
+    * CALIBRATION half: where does the observation fall among the
+    * sorted members? A reliable ensemble is uniform across the m+1
+    * ranks; a U-shape means under-dispersion (obs keeps escaping the
+    * envelope), a dome over-dispersion. Restricted to complete
+    * ensembles (m = 5 members by the `event_id % 5` convention) so
+    * ranks are comparable. Ranks count strict inequalities on the
+    * exact 1e-4-unit weekly means (ties take the lower rank —
+    * deterministic, no fractional tie-splitting). One join of the two
+    * weekly aggregates, one (station, week) rollup, one O(m+1)
+    * histogram with a windowed share. */
+  def forecastRankHist(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cents = sum(floor(col("value") * 100 + 0.5).cast("long"))
+    def weeklyU(df: DataFrame, extra: Seq[Column]): DataFrame =
+      df.groupBy(col("user_id") +: extra :+
+          date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"): _*)
+        .agg(floor(cents.cast("double") / count(lit(1)) * 100.0 + 0.5)
+          .cast("long").as("u"))
+    val obs = weeklyU(ev.filter(col("event_type") === "view"), Nil)
+      .withColumnRenamed("u", "y_u")
+    val mem = weeklyU(ev.filter(col("event_type") === "click")
+      .withColumn("member", col("event_id") % 5), Seq(col("member")))
+    val ranked = mem.join(obs, Seq("user_id", "week"))
+      .groupBy(col("user_id"), col("week"))
+      .agg(count(lit(1)).as("m"),
+        (sum(when(col("u") < col("y_u"), 1).otherwise(0)) + 1).as("rank"))
+      .filter(col("m") === 5)
+    val wAll = Window.partitionBy(lit(1))
+    ranked.groupBy(col("rank")).agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n") / sum(col("n")).over(wAll).cast("double"), 4))
+  }
+
   /** The seasonal-deficit forecast product
     * (`ingestor_knmi_evapo_fc.py:219-245,305-325`): per-member signed
     * PET−precip deltas → ensemble percentile BANDS at q ∈ {0.1, 0.3,

@@ -1116,6 +1116,40 @@ class ClimateSpec extends SparkSpec {
     ones.foreach { case (c, mae) => assert(c === mae) }
   }
 
+  test("forecast_rank_hist: ranks recomputed from weekly means, shares sum to 1") {
+    val ev = graft.Tables.events(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    def weekOf(ts: java.sql.Timestamp): String = {
+      val d = ts.toLocalDateTime.toLocalDate
+      d.minusDays((d.getDayOfWeek.getValue - 1).toLong).toString
+    }
+    def meanU(xs: Seq[Double]): Long = {
+      val cents = xs.map(v => math.floor(v * 100 + 0.5).toLong).sum
+      math.floor(cents.toDouble / xs.size * 100.0 + 0.5).toLong
+    }
+    val obs = ev.filter(_._4 == "view").groupBy(e => (e._3, weekOf(e._2)))
+      .view.mapValues(es => meanU(es.map(_._5).toSeq)).toMap
+    val mem = ev.filter(_._4 == "click")
+      .groupBy(e => (e._3, weekOf(e._2), e._1 % 5))
+      .view.mapValues(es => meanU(es.map(_._5).toSeq)).toMap
+      .groupBy { case ((u, w, _), _) => (u, w) }
+      .view.mapValues(_.values.toSeq).toMap
+    val expect = mem.collect {
+      case (k, xs) if xs.size == 5 && obs.contains(k) =>
+        xs.count(_ < obs(k)).toLong + 1
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = expect.values.sum
+    val got = SparkEntry.queries("forecast_rank_hist")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.view.mapValues(_._1).toMap === expect)
+    got.foreach { case (rank, (n, share)) =>
+      assert(rank >= 1 && rank <= 6)
+      assert(share === math.rint(n.toDouble / total * 10000) / 10000)
+    }
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 0.001)
+  }
+
   test("bias_skill: decile RMSEs recomputed from raw series and the qmap output") {
     def series(f: org.apache.spark.sql.DataFrame, vcol: String) =
       f.collect().groupBy(_.getLong(f.columns.indexOf("user_id")))
