@@ -120,6 +120,8 @@ object SparkEntry {
     "grid_pyramid"          -> Climate.gridPyramid _,
     "grid_gradient"         -> Climate.gridGradient _,
     "grid_hillshade"        -> Climate.gridHillshade _,
+    "grid_flow_dir"         -> Climate.gridFlowDir _,
+    "grid_flow_acc"         -> Climate.gridFlowAcc _,
     "grid_fill_nodata"      -> Climate.gridFillNodata _,
     "bbox_filter"           -> Climate.bboxFilter _,
     "extent_summary"        -> Climate.extentSummary _,
@@ -502,6 +504,40 @@ object SparkEntry {
     * verified MinHash+LSH pairs; shared by the operator oracle and
     * the recall-audit oracle (which also reuses `sh`/`cnt` for the
     * exhaustive truth pairs). */
+  /** CTE chain for the D8 flow lane: aggregated grid cells → offset
+    * table (rendered from the SAME [[graft.operators.Climate.D8]]
+    * literals) → strictly-downhill candidates with the exact integer
+    * `mult·drop²` steepness → per-cell priority pick → `fd(gy, gx,
+    * dir, to_gy, to_gx)`. */
+  private def flowDirCtes: String = {
+    val offs = graft.operators.Climate.D8
+      .map { case (dy, dx, prio, name, mult) =>
+        s"($dy, $dx, $prio, '$name', $mult)" }.mkString(", ")
+    s"""c AS (
+       |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+       |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+       |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+       |  FROM events GROUP BY 1, 2),
+       |offs(dy, dx, prio, dir, mult) AS (VALUES $offs),
+       |cand AS (
+       |  SELECT c.gy, c.gx, o.dir, o.prio, n.gy AS ny, n.gx AS nx,
+       |    o.mult * (c.v_us - n.v_us) * (c.v_us - n.v_us) AS score
+       |  FROM c JOIN offs o ON true
+       |  JOIN c n ON n.gy = c.gy + o.dy AND n.gx = c.gx + o.dx
+       |  WHERE c.v_us > n.v_us),
+       |picked AS (
+       |  SELECT * FROM (
+       |    SELECT cand.*, row_number() OVER (PARTITION BY gy, gx
+       |      ORDER BY score DESC, prio ASC) AS rk
+       |    FROM cand)
+       |  WHERE rk = 1),
+       |fd AS (
+       |  SELECT c.gy, c.gx, coalesce(p.dir, 'pit') AS dir,
+       |    p.ny AS to_gy, p.nx AS to_gx
+       |  FROM c LEFT JOIN picked p ON c.gy = p.gy AND c.gx = p.gx)"""
+      .stripMargin
+  }
+
   private def minhashPairsCtes: String = {
     import graft.operators.Dedup
     val mins = (0 until Dedup.NumHashes).map { i =>
@@ -2777,6 +2813,23 @@ object SparkEntry {
         |JOIN c xm ON xm.gy = c.gy AND xm.gx = c.gx - 1
         |JOIN c yp ON yp.gy = c.gy + 1 AND yp.gx = c.gx
         |JOIN c ym ON ym.gy = c.gy - 1 AND ym.gx = c.gx""".stripMargin,
+
+    "grid_flow_dir" ->
+      s"""WITH $flowDirCtes
+        |SELECT gy, gx, dir, to_gy, to_gx FROM fd""".stripMargin,
+
+    // functional + acyclic (strictly downhill), so the walk CTE
+    // terminates; acc(c) = # of walks passing c, itself included
+    "grid_flow_acc" ->
+      s"""WITH RECURSIVE $flowDirCtes,
+        |walk(sy, sx, gy, gx) AS (
+        |  SELECT gy, gx, gy, gx FROM fd
+        |  UNION ALL
+        |  SELECT w.sy, w.sx, f.to_gy, f.to_gx
+        |  FROM walk w JOIN fd f ON w.gy = f.gy AND w.gx = f.gx
+        |  WHERE f.dir != 'pit')
+        |SELECT gy, gx, CAST(count(*) AS BIGINT) AS n_draining
+        |FROM walk GROUP BY 1, 2""".stripMargin,
 
     // trig-free normal-dot-sun shading on the exact gradient
     // components; identical literal multiply/divide/sqrt chain

@@ -1491,18 +1491,22 @@ object Climate {
     * halved and quantized once; aspect classifies CROSS-MULTIPLIED
     * integers (|dy| vs 2|dx| octant rule), so no trig and no float
     * comparison anywhere — both engines agree bit-for-bit. */
-  def gridGradient(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint pins the O(cells) table: without it each of the
-    // four shifted self-joins re-expands the aggregation lineage and
-    // the FACT table is scanned five times (plan-audited); with it,
-    // one scan feeds four broadcast joins of a tiny materialized side
-    // (the eventsRetention idiom).
-    val cells = Tables.events(spark, dir)
+  /** The aggregated 8×8 elevation-grid cells (integer micro-units),
+    * PINNED — shared by the gradient/hillshade and the D8 flow lane.
+    * localCheckpoint stops each downstream shifted self-join from
+    * re-expanding the aggregation lineage over the fact table. */
+  private def gridCells(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .groupBy((col("user_id") % 8).as("gy"),
         expr("user_id div 8 % 8").as("gx"))
       .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
           .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
       .localCheckpoint()
+
+  def gridGradient(spark: SparkSession, dir: String): DataFrame = {
+    // one scan feeds four broadcast joins of the tiny pinned side
+    // (the eventsRetention idiom) — see [[gridCells]]
+    val cells = gridCells(spark, dir)
     def at(dy: Int, dx: Int, name: String) =
       cells.select((col("gy") - dy).as("gy"), (col("gx") - dx).as("gx"),
         col("v_us").as(name))
@@ -1597,6 +1601,106 @@ object Climate {
       .select(col("gy"), col("gx"),
         round(shade, 4).as("hillshade"),
         floor(shade * 255 + 0.5).cast("long").as("shade255"))
+  }
+
+  /** The D8 neighbor table: (dy, dx, priority, name, mult) with
+    * mult = 2 for orthogonal steps and 1 for diagonals, so steepness
+    * comparison is the EXACT integer `mult·drop²` (drop/1 vs drop/√2
+    * squared and cross-multiplied — no float distance anywhere).
+    * Priority breaks exact-score ties deterministically (E first,
+    * clockwise). */
+  private[graft] val D8: Seq[(Int, Int, Int, String, Int)] = Seq(
+    (0, 1, 1, "E", 2), (1, 1, 2, "SE", 1), (1, 0, 3, "S", 2),
+    (1, -1, 4, "SW", 1), (0, -1, 5, "W", 2), (-1, -1, 6, "NW", 1),
+    (-1, 0, 7, "N", 2), (-1, 1, 8, "NE", 1))
+
+  /** D8 FLOW DIRECTION — the first half of the raster hydrology pair
+    * (`gdaldem`'s sibling `r.watershed`/ArcGIS FlowDirection): each
+    * cell drains to its steepest strictly-DOWNHILL neighbor of the
+    * eight, with distance folded in exactly (orthogonal drop vs
+    * diagonal drop/√2 compared as integer 2·d² vs d² — squares of
+    * positive drops preserve order, so no float enters the verdict);
+    * ties break on a fixed clockwise priority; a cell with no
+    * downhill neighbor is a pit (interior sink or map-edge outflow).
+    *
+    * Shape at scale: the 8-way neighborhood is ONE equi-join of the
+    * pinned cell table against itself through an exploded literal
+    * offset table (not eight separate joins), then a per-cell
+    * row_number pick — all on the aggregated grid grain. */
+  def gridFlowDir(spark: SparkSession, dir: String): DataFrame =
+    flowDirOf(gridCells(spark, dir))
+
+  private def flowDirOf(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val offsets = D8.map { case (dy, dx, prio, name, mult) =>
+      struct(lit(dy).as("dy"), lit(dx).as("dx"), lit(prio).as("prio"),
+        lit(name).as("dir"), lit(mult).as("mult"))
+    }
+    val cand = cells
+      .select(col("gy"), col("gx"), col("v_us"),
+        explode(array(offsets: _*)).as("o"))
+      .join(cells.select(col("gy").as("ny"), col("gx").as("nx"),
+        col("v_us").as("nv")),
+        col("ny") === col("gy") + col("o.dy") &&
+          col("nx") === col("gx") + col("o.dx"))
+      .filter(col("v_us") > col("nv"))
+      .withColumn("drop", col("v_us") - col("nv"))
+      .withColumn("score", col("o.mult") * col("drop") * col("drop"))
+    val picked = cand
+      .withColumn("rk", row_number().over(Window.partitionBy(col("gy"), col("gx"))
+        .orderBy(col("score").desc, col("o.prio").asc)))
+      .filter(col("rk") === 1)
+      .select(col("gy"), col("gx"), col("o.dir").as("dir"),
+        col("ny").as("to_gy"), col("nx").as("to_gx"))
+    cells.select(col("gy"), col("gx"))
+      .join(picked, Seq("gy", "gx"), "left")
+      .withColumn("dir", coalesce(col("dir"), lit("pit")))
+  }
+
+  /** D8 FLOW ACCUMULATION — the second half: how many cells drain
+    * THROUGH each cell (itself included), i.e. upslope contributing
+    * area, the quantity stream networks and flood indices are read
+    * from. The D8 graph is functional (one outflow per cell) and
+    * ACYCLIC by construction (strictly downhill edges), so
+    * accumulation is the fixpoint of
+    *
+    *   acc(c) = 1 + Σ_{n → c} acc(n)
+    *
+    * iterated to convergence (≤ longest flow path, checked by the
+    * total-sum invariant growing monotonically to its fixpoint —
+    * the [[graft.operators.Dedup.connectedComponents]] loop
+    * discipline). Each round is one tiny equi-join + agg on the
+    * aggregated grid grain; at continental-DEM scale the same loop
+    * runs in O(log D) rounds via pointer doubling — the edge list is
+    * the only state either way. */
+  def gridFlowAcc(spark: SparkSession, dir: String): DataFrame = {
+    val fd = gridFlowDir(spark, dir).localCheckpoint()
+    val edges = fd.filter(col("dir") =!= "pit")
+      .select(col("gy"), col("gx"), col("to_gy"), col("to_gx"))
+    // ALL cells, including in-edge-less pits — an isolated sink still
+    // reports its own unit of drainage
+    val cells = fd.select(col("gy"), col("gx"))
+    var acc = cells.withColumn("acc", lit(1L)).localCheckpoint()
+    def total(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("acc")), lit(0L))).head.getLong(0)
+    var before = total(acc)
+    var converged = false
+    while (!converged) {
+      val inflow = edges
+        .join(acc, Seq("gy", "gx"))
+        .groupBy(col("to_gy").as("gy"), col("to_gx").as("gx"))
+        .agg(sum(col("acc")).as("inflow"))
+      val next = cells
+        .join(inflow, Seq("gy", "gx"), "left")
+        .select(col("gy"), col("gx"),
+          (lit(1L) + coalesce(col("inflow"), lit(0L))).as("acc"))
+        .localCheckpoint()
+      val after = total(next)
+      converged = after == before
+      acc = next
+      before = after
+    }
+    acc.select(col("gy"), col("gx"), col("acc").as("n_draining"))
   }
 
   /** Focal NODATA FILL over the grid — the `rio.fill` /

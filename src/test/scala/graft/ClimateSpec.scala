@@ -1191,6 +1191,62 @@ class ClimateSpec extends SparkSpec {
     assert(imps.count(_ > 0.5) > got.size / 2)
   }
 
+  test("grid_flow_dir + grid_flow_acc: D8 picks and drainage recomputed by local walk") {
+    val sf = "/root/testdata/sf0.01"
+    // recompute the cells exactly as gridCells does
+    val ev = graft.Tables.events(spark, sf).select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val cells = ev.groupBy { case (u, _) => ((u % 8), (u / 8) % 8) }
+      .view.mapValues { xs =>
+        val cents = xs.map(x => math.floor(x._2 * 100 + 0.5).toLong).sum
+        math.floor((cents * 10000L).toDouble / xs.length + 0.5).toLong
+      }.toMap
+    val d8 = graft.operators.Climate.D8
+    def pick(c: (Long, Long)): Option[(String, (Long, Long))] = {
+      val v = cells(c)
+      val cands = d8.flatMap { case (dy, dx, prio, name, mult) =>
+        cells.get((c._1 + dy, c._2 + dx)).filter(_ < v).map { nv =>
+          val d = v - nv
+          (mult.toLong * d * d, prio, name, (c._1 + dy, c._2 + dx))
+        }
+      }
+      if (cands.isEmpty) None
+      else Some(cands.maxBy { case (s, p, _, _) => (s, -p) })
+        .map { case (_, _, n, to) => (n, to) }
+    }
+    val expectDir = cells.keys.map(c => c -> pick(c)).toMap
+    val gotDir = SparkEntry.queries("grid_flow_dir")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), if (r.isNullAt(3)) None
+          else Some((r.getLong(3), r.getLong(4)))))).toMap
+    assert(gotDir.keySet === cells.keySet)
+    gotDir.foreach { case (c, (dir, to)) =>
+      expectDir(c) match {
+        case Some((n, t)) => assert(dir === n && to === Some(t), s"cell $c")
+        case None => assert(dir === "pit" && to.isEmpty, s"cell $c")
+      }
+    }
+    assert(gotDir.values.exists(_._1 == "pit"), "a sink exists")
+    // accumulation: walk every cell to its pit, count pass-throughs
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    cells.keys.foreach { start =>
+      var cur = start
+      acc(cur) += 1
+      while (expectDir(cur).isDefined) {
+        cur = expectDir(cur).get._2
+        acc(cur) += 1
+      }
+    }
+    val gotAcc = SparkEntry.queries("grid_flow_acc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotAcc === acc.toMap)
+    // conservation: the pits' drainage partitions... no — paths
+    // overlap; the sharp invariant is the per-cell equality above,
+    // plus every cell drains at least itself
+    assert(gotAcc.values.forall(_ >= 1L))
+  }
+
   test("grid_hillshade: shade recomputed from the gradient, sun-facing cells brighter") {
     // sf0.01: the 8x8 grid needs interior cells (grid_gradient's spec
     // uses the same scale for the same reason)
