@@ -30,6 +30,7 @@ object SparkEntry {
     "q7_volume_shipping"  -> Relational.volumeShipping _,
     "q8_market_share"     -> Relational.marketShare _,
     "distinct_users_daily" -> Relational.distinctUsersDaily _,
+    "dau_mau_stickiness"  -> Relational.dauMauStickiness _,
     "distinct_users_daily_approx" -> Relational.distinctUsersDailyApprox _,
     // --- time-series ---------------------------------------------
     "ts_resample_daily"      -> TimeSeries.resampleDaily _,
@@ -103,6 +104,7 @@ object SparkEntry {
     "heat_wave_episodes"    -> Climate.heatWaveEpisodes _,
     "snow_pack_ddm"         -> Climate.snowPackDdm _,
     "ts_freeze_thaw"        -> Climate.freezeThawCycles _,
+    "ts_recession_k"        -> Climate.recessionConstant _,
     "spi_multiscale"        -> Climate.spiMultiscale _,
     "spi_ensemble_median"   -> Climate.spiEnsembleMedian _,
     "forecast_deficit_bands" -> Climate.forecastDeficitBands _,
@@ -2514,6 +2516,44 @@ object SparkEntry {
         |FROM e WHERE hot = 1
         |GROUP BY user_id, episode
         |HAVING count(*) >= 3""".stripMargin,
+
+    // falling-day ratios quantized once; median interpolates exact
+    // integers; >= 3 recession days per station
+    "ts_recession_k" ->
+      """WITH daily AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS q
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT user_id, day, q,
+        |    lag(q) OVER (PARTITION BY user_id ORDER BY day) AS q_prev
+        |  FROM daily),
+        |r AS (
+        |  SELECT user_id,
+        |    CAST(floor(q / q_prev * 1e4 + 0.5) AS BIGINT) AS ratio_u
+        |  FROM l
+        |  WHERE q_prev IS NOT NULL AND q < q_prev AND q_prev > 0)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_recession,
+        |  floor(quantile_cont(ratio_u, 0.5) + 0.5) / 1e4 AS k
+        |FROM r GROUP BY user_id
+        |HAVING count(*) >= 3""".stripMargin,
+
+    "dau_mau_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d
+        |  FROM events),
+        |dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau
+        |        FROM ud GROUP BY 1),
+        |fan AS (
+        |  SELECT user_id, (d + INTERVAL (i) DAY)::DATE AS day
+        |  FROM ud, range(0, 30) t(i)),
+        |mau AS (SELECT day, count(DISTINCT user_id) AS mau
+        |        FROM fan GROUP BY 1)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+        |  CAST(dau AS BIGINT) AS dau, CAST(mau AS BIGINT) AS mau,
+        |  round(dau / CAST(mau AS DOUBLE), 4) AS stickiness
+        |FROM dau JOIN mau ON dau.day = mau.day""".stripMargin,
 
     // exact daily tmean verdicts + one lag on the resample sort
     "ts_freeze_thaw" ->

@@ -1603,6 +1603,35 @@ object Climate {
         floor(shade * 255 + 0.5).cast("long").as("shade255"))
   }
 
+  /** MASTER RECESSION CONSTANT — the aquifer-drainage signature read
+    * off streamflow records (the [[baseflowLh]] lane's diagnostic):
+    * on strictly-FALLING days, Q_t ≈ k·Q_{t−1}, and the station's k
+    * is the MEDIAN of the daily ratios — the robust estimator that
+    * shrugs off the rainfall days the regression form would need
+    * excluded by hand. Ratios quantize once to 1e-4 units; the
+    * median interpolates exact integers (`percentile` ↔
+    * `quantile_cont` pairing); stations need ≥ 3 recession days.
+    * One (station; day) sort carries the resample, the lag, and the
+    * ratio; the rollup is a bounded-group percentile. */
+  def recessionConstant(spark: SparkSession, dir: String): DataFrame = {
+    val cents = sum(floor(col("value") * 100 + 0.5).cast("long"))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg((cents.cast("double") / (count(lit(1)) * lit(100.0))).as("q"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    daily
+      .withColumn("q_prev", lag(col("q"), 1).over(wOrd))
+      .filter(col("q_prev").isNotNull && col("q") < col("q_prev")
+        && col("q_prev") > 0)
+      .withColumn("ratio_u",
+        floor(col("q") / col("q_prev") * 1e4 + 0.5).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_recession"),
+        (floor(percentile(col("ratio_u"), lit(0.5)) + 0.5) / 1e4).as("k"))
+      .filter(col("n_recession") >= 3)
+  }
+
   /** The D8 neighbor table: (dy, dx, priority, name, mult) with
     * mult = 2 for orthogonal steps and 1 for diagonals, so steepness
     * comparison is the EXACT integer `mult·drop²` (drop/1 vs drop/√2

@@ -268,6 +268,36 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** DAU/MAU STICKINESS — the engagement ratio product dashboards
+    * lead with: per day, distinct active users that day over
+    * distinct active users in the TRAILING 30-day window (computed
+    * on the calendar day axis, not a month bucket — the honest
+    * rolling form). The trailing-window distinct is an exact
+    * (user, day-window) expand; at 100 TB the HLL sketch twin
+    * ([[distinctUsersDailyApprox]]'s treatment) swaps in per window.
+    * The expand is bounded here by users × 30 — each (user, day)
+    * pair fans to at most 30 window rows, linear with a constant
+    * factor, shuffled on the high-cardinality day key. */
+  def dauMauStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        to_date(date_trunc("DAY", col("ts"))).as("d"))
+      .distinct()
+    val dau = ev.groupBy(col("d").as("day"))
+      .agg(count_distinct(col("user_id")).as("dau"))
+    // fan each active (user, day) to the 30 future window-anchor days
+    // it contributes to, then count distinct per anchor present in dau
+    val mau = ev
+      .select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 29))).as("day"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("mau"),
+        round(col("dau") / col("mau").cast("double"), 4).as("stickiness"))
+  }
+
   /** TPC-H Q7-style VOLUME SHIPPING between two trading nations, by
     * ship year and direction — the bilateral-flow report. nation is
     * a TRUE dim (broadcast); supplier and customer pre-filter to the

@@ -1116,6 +1116,37 @@ class ClimateSpec extends SparkSpec {
     ones.foreach { case (c, mae) => assert(c === mae) }
   }
 
+  test("ts_recession_k: median falling-day ratio recomputed, k in (0, 1]") {
+    val sf = "/root/testdata/sf0.01"
+    val ev = graft.Tables.events(spark, sf).collect()
+      .map(r => (r.getTimestamp(1), r.getLong(2), r.getDouble(4)))
+    val daily = ev.groupBy(e => (e._2, e._1.toLocalDateTime.toLocalDate))
+      .view.mapValues { xs =>
+        val cents = xs.map(x => math.floor(x._3 * 100 + 0.5).toLong).sum
+        cents.toDouble / (xs.size * 100.0)
+      }.toMap
+    val expect = daily.keys.groupBy(_._1).flatMap { case (u, ks) =>
+      val days = ks.map(_._2).toSeq.sorted
+      val ratios = days.zip(days.drop(1)).flatMap { case (d0, d1) =>
+        val (q0, q1) = (daily((u, d0)), daily((u, d1)))
+        if (q1 < q0 && q0 > 0)
+          Some(math.floor(q1 / q0 * 1e4 + 0.5).toLong) else None
+      }.sorted
+      if (ratios.size < 3) None
+      else {
+        val pos = 0.5 * (ratios.size - 1)
+        val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+        val med = ratios(lo) + (pos - lo) * (ratios(hi) - ratios(lo))
+        Some(u -> ((ratios.size.toLong, math.floor(med + 0.5) / 1e4)))
+      }
+    }
+    val got = SparkEntry.queries("ts_recession_k")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === expect)
+    got.values.foreach { case (_, k) => assert(k > 0.0 && k <= 1.0) }
+    assert(got.nonEmpty)
+  }
+
   test("forecast_rank_hist: ranks recomputed from weekly means, shares sum to 1") {
     val ev = graft.Tables.events(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),

@@ -105,6 +105,26 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("dau_mau_stickiness: trailing-window distinct recomputed from raw events") {
+    val ev = Tables.events(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getTimestamp(1).toLocalDateTime.toLocalDate))
+      .distinct
+    val byDay = ev.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val got = SparkEntry.queries("dau_mau_stickiness")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === byDay.keySet.map(_.toString))
+    got.foreach { case (dayS, (dau, mau, stick)) =>
+      val day = java.time.LocalDate.parse(dayS)
+      assert(dau === byDay(day).size.toLong)
+      val window = (0 to 29).map(day.minusDays(_)).flatMap(byDay.get)
+        .flatten.toSet
+      assert(mau === window.size.toLong, s"day $dayS mau")
+      assert(stick === math.rint(dau.toDouble / mau * 10000) / 10000)
+      assert(stick > 0.0 && stick <= 1.0)
+    }
+  }
+
   test("q7_volume_shipping: bilateral flows recomputed exactly from raw tables") {
     // sf0.01: the nation-pair × two-year filter needs enough lineitem
     // rows to populate both directions (sf0.001 has none)
