@@ -105,6 +105,7 @@ object SparkEntry {
     "snow_pack_ddm"         -> Climate.snowPackDdm _,
     "ts_freeze_thaw"        -> Climate.freezeThawCycles _,
     "ts_recession_k"        -> Climate.recessionConstant _,
+    "ts_double_mass"        -> Climate.doubleMass _,
     "spi_multiscale"        -> Climate.spiMultiscale _,
     "spi_ensemble_median"   -> Climate.spiEnsembleMedian _,
     "forecast_deficit_bands" -> Climate.forecastDeficitBands _,
@@ -132,6 +133,7 @@ object SparkEntry {
     "catalog_diff"          -> Catalog.registryDiff _,
     "schedule_due"          -> graft.sources.Schedule.scheduleDue _,
     "items_query"           -> Serving.itemsQuery _,
+    "items_tiles"           -> Serving.itemsTiles _,
     "items_page_cursor"     -> Serving.itemsPageCursor _,
     "features_items"        -> Serving.featuresItems _,
     "features_extent"       -> Serving.featuresExtent _,
@@ -169,6 +171,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_containment"   -> Dedup.ngramContainment _,
     "decontaminate"       -> Dedup.decontaminate _,
+    "contamination_by_source" -> Dedup.contaminationBySource _,
     "source_overlap"      -> Dedup.sourceOverlap _,
     "dedup_survivorship"  -> Dedup.dedupSurvivorship _,
     "dedup_survivorship_apply" -> Dedup.dedupSurvivorshipApply _,
@@ -3870,6 +3873,74 @@ object SparkEntry {
         |FROM sh s JOIN bench b USING (shingle)
         |WHERE s.doc_id % 10 != 0
         |GROUP BY 1""".stripMargin,
+    "contamination_by_source" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(toks) - 6),
+        |             i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS shingle
+        |    FROM base)
+        |), bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
+        |  FROM sh s JOIN bench b USING (shingle)
+        |  WHERE s.doc_id % 10 != 0
+        |  GROUP BY 1)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN h.n_hit_shingles IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_contaminated,
+        |  CAST(coalesce(sum(h.n_hit_shingles), 0) AS BIGINT) AS hit_shingles,
+        |  round(sum(CASE WHEN h.n_hit_shingles IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 1.0 / count(*), 4) AS contamination_rate
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 10 != 0
+        |GROUP BY 1""".stripMargin,
+
+    // daily cents exact; reference day-mean quantized once; both
+    // cumulatives exact long window sums, ratio divided once
+    "ts_double_mass" ->
+      """WITH daily AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS day_c
+        |  FROM events GROUP BY 1, 2),
+        |ref AS (
+        |  SELECT day, CAST(floor(CAST(sum(day_c) AS DOUBLE) / count(*)
+        |    * 100.0 + 0.5) AS BIGINT) AS ref_u
+        |  FROM daily GROUP BY 1),
+        |c AS (
+        |  SELECT d.user_id, d.day,
+        |    sum(d.day_c) OVER (PARTITION BY d.user_id ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+        |    sum(r.ref_u) OVER (PARTITION BY d.user_id ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r
+        |  FROM daily d JOIN ref r ON d.day = r.day)
+        |SELECT user_id, day,
+        |  CAST(cum_s AS DOUBLE) / 100.0 AS cum_station,
+        |  CAST(cum_r AS DOUBLE) / 1e4 AS cum_reference,
+        |  CASE WHEN cum_r > 0
+        |    THEN round(cum_s * 100.0 / CAST(cum_r AS DOUBLE), 4) END AS ratio
+        |FROM c""".stripMargin,
+
+    // integer/floor tile math on the derived coordinates; exact mean
+    "items_tiles" ->
+      """WITH e AS (
+        |  SELECT (user_id % 36) * 5.0 - 87.5 AS lat,
+        |    (user_id % 72) * 5.0 - 177.5 AS lon, value, t.z AS z
+        |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS z) t)
+        |SELECT CAST(z AS BIGINT) AS z,
+        |  CAST(least(floor((lon + 180.0) / 360.0 * (2.0 ** z)),
+        |    (2.0 ** z) - 1) AS BIGINT) AS x,
+        |  CAST(least(floor((90.0 - lat) / 180.0 * (2.0 ** z)),
+        |    (2.0 ** z) - 1) AS BIGINT) AS y,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    * 100.0 / count(*) + 0.5) / 1e4 AS mean_value
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+
     "items_page_cursor" ->
       """SELECT event_id, epoch_us(ts) AS ts_us,
         |  (user_id % 36) * 5.0 - 87.5 AS lat,

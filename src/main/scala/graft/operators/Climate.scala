@@ -1603,6 +1603,44 @@ object Climate {
         floor(shade * 255 + 0.5).cast("long").as("shade255"))
   }
 
+  /** DOUBLE-MASS CURVE — the classic manual-QC chart for climate
+    * records (Searcy & Hardison 1960; the reference's station feeds
+    * are exactly the kind of gauge whose relocation/recalibration
+    * this catches): cumulative station total plotted against the
+    * cumulative ALL-STATION daily mean — a consistent record is a
+    * straight line, a slope BREAK dates the instrumentation change.
+    * Emitted as (station, day, cum_station, cum_reference, ratio);
+    * the downstream break test is [[graft.operators.TimeSeries
+    * .cusumDrift]] on the ratio series.
+    *
+    * Exactness: daily sums are integer cents; the reference day mean
+    * quantizes once to 1e-4 units; both cumulatives are exact long
+    * window sums, the ratio one division rounded once. Two shuffles:
+    * the (station, day) resample and the station-keyed windows; the
+    * day-keyed reference agg rides the tiny daily grain. */
+  def doubleMass(spark: SparkSession, dir: String): DataFrame = {
+    val cents = sum(floor(col("value") * 100 + 0.5).cast("long"))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(cents.as("day_c"))
+      .localCheckpoint()
+    val ref = daily.groupBy(col("day"))
+      .agg(floor(sum(col("day_c")).cast("double")
+        / count(lit(1)) * 100.0 + 0.5).cast("long").as("ref_u"))
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(ref, Seq("day"))
+      .withColumn("cum_s", sum(col("day_c")).over(wCum))
+      .withColumn("cum_r", sum(col("ref_u")).over(wCum))
+      .select(col("user_id"), col("day"),
+        (col("cum_s").cast("double") / 100.0).as("cum_station"),
+        (col("cum_r").cast("double") / 1e4).as("cum_reference"),
+        when(col("cum_r") > 0,
+          round(col("cum_s") * 100.0 / col("cum_r").cast("double"), 4))
+          .as("ratio"))
+  }
+
   /** MASTER RECESSION CONSTANT — the aquifer-drainage signature read
     * off streamflow records (the [[baseflowLh]] lane's diagnostic):
     * on strictly-FALLING days, Q_t ≈ k·Q_{t−1}, and the station's k

@@ -302,6 +302,30 @@ object Dedup {
       .agg(count(lit(1)).as("n_hit_shingles"))
   }
 
+  /** CONTAMINATION BY SOURCE — [[decontaminate]]'s per-document hit
+    * list rolled up to the level decisions are made at: a SOURCE
+    * whose documents keep matching benchmark shingles gets its feed
+    * quarantined, not its documents individually scrubbed (the
+    * [[graft.operators.TextOps.dedupReport]] triage convention
+    * applied to eval leakage). Per source: train docs, contaminated
+    * docs, total hit shingles, contamination rate. The rollup join
+    * keys on doc_id (sliver side = the hit list — AQE broadcasts);
+    * output is O(sources). */
+  def contaminationBySource(spark: SparkSession, dir: String): DataFrame = {
+    val hits = decontaminate(spark, dir)
+    Tables.documents(spark, dir)
+      .filter(!(col("doc_id") % 10 === 0))
+      .select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hit_shingles").isNotNull, 1).otherwise(0))
+          .cast("long").as("n_contaminated"),
+        coalesce(sum(col("n_hit_shingles")), lit(0L)).as("hit_shingles"),
+        round(sum(when(col("n_hit_shingles").isNotNull, 1).otherwise(0))
+          / count(lit(1)).cast("double"), 4).as("contamination_rate"))
+  }
+
   /** Edge-count ceiling for the driver union-find fast path of
     * [[connectedComponents]]. */
   private[graft] val SmallGraphMaxEdges = 4000000L

@@ -44,6 +44,33 @@ object Serving {
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("lat"), col("lon"), col("value"))
 
+  /** TILE-PYRAMID summary — the OGC API Tiles face of the events
+    * collection (the reference serves its collections to map
+    * clients; a tile endpoint answers "what's in this tile at this
+    * zoom" without scanning features): per zoom 0..3, events roll up
+    * into equirectangular (z, x, y) tiles with count and exact mean.
+    * Tile math is pure integer/floor arithmetic on the derived
+    * coordinates, so every engine buckets identically; the four
+    * zooms come from ONE scan via an exploded zoom literal (the
+    * grid_pyramid convention on the vector side), one map-side-
+    * partial aggregation, output O(Σ 4^z) rows. */
+  def itemsTiles(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .withColumn("lat", Climate.pseudoLat(col("user_id")))
+      .withColumn("lon", Climate.pseudoLon(col("user_id")))
+      .select(col("lat"), col("lon"), col("value"),
+        explode(array((0 to 3).map(lit): _*)).as("z"))
+      .withColumn("x",
+        least(floor((col("lon") + 180.0) / 360.0 * pow(lit(2.0), col("z"))),
+          pow(lit(2.0), col("z")) - 1).cast("long"))
+      .withColumn("y",
+        least(floor((lit(90.0) - col("lat")) / 180.0 * pow(lit(2.0), col("z"))),
+          pow(lit(2.0), col("z")) - 1).cast("long"))
+      .groupBy(col("z").cast("long").as("z"), col("x"), col("y"))
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(floor(col("value") * 100 + 0.5).cast("long"))
+          .cast("double") * 100.0 / count(lit(1)) + 0.5) / 1e4).as("mean_value"))
+
   /** The SECOND page of [[itemsQuery]], by CURSOR — stable pagination
     * for the items surface. OFFSET pagination re-scans and re-heaps
     * everything before the requested page (O(pages²) total work

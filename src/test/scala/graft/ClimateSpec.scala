@@ -1116,6 +1116,26 @@ class ClimateSpec extends SparkSpec {
     ones.foreach { case (c, mae) => assert(c === mae) }
   }
 
+  test("ts_double_mass: cumulatives monotone, ratio consistent, breaks detectable") {
+    val rows = SparkEntry.queries("ts_double_mass")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val seq = rs.sortBy(_._2)
+      // cumulative totals never decrease (values are non-negative)
+      seq.map(_._3).zip(seq.map(_._3).drop(1)).foreach { case (a, b) =>
+        assert(b >= a, s"station $u cum_station monotone") }
+      seq.map(_._4).zip(seq.map(_._4).drop(1)).foreach { case (a, b) =>
+        assert(b >= a, s"station $u cum_reference monotone") }
+      // ratio is the quotient of the two emitted cumulatives
+      seq.foreach { case (_, d, cs, cr, ratio) =>
+        ratio.foreach(x =>
+          assert(math.abs(x - cs / cr) < 5e-4, s"station $u $d ratio"))
+      }
+    }
+  }
+
   test("ts_recession_k: median falling-day ratio recomputed, k in (0, 1]") {
     val sf = "/root/testdata/sf0.01"
     val ev = graft.Tables.events(spark, sf).collect()

@@ -113,6 +113,25 @@ class DedupSpec extends SparkSpec {
     assert(audit.nonEmpty && audit.values.forall(v => v._2 <= v._1))
   }
 
+  test("contamination_by_source: rollup recomputed from the per-doc hit list") {
+    val hits = SparkEntry.queries("decontaminate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val train = graft.Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 10 != 0)
+    val expect = train.groupBy(_._2).map { case (src, docs) =>
+      val contaminated = docs.count(d => hits.contains(d._1))
+      src -> ((docs.length.toLong, contaminated.toLong,
+        docs.flatMap(d => hits.get(d._1)).sum,
+        math.rint(contaminated.toDouble / docs.length * 10000) / 10000))
+    }
+    val got = SparkEntry.queries("contamination_by_source")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got === expect)
+    assert(got.values.exists(_._2 > 0), "contamination exists on this corpus")
+  }
+
   test("quality_vs_dup: deciles recomputed from quality scores and cluster membership") {
     val quality = SparkEntry.queries("text_quality")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap

@@ -68,4 +68,28 @@ class ServingSpec extends SparkSpec {
     val formatted = df.queryExecution.executedPlan.toString
     assert(formatted.contains("1705622400000001000"), formatted.take(800))
   }
+
+  test("items_tiles: per-zoom totals conserve events; children sum to parents") {
+    val rows = SparkEntry.queries("items_tiles")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    val nEvents = graft.Tables.events(spark, sf).count()
+    // every zoom level partitions the full collection
+    (0L to 3L).foreach { z =>
+      val tot = rows.collect { case ((`z`, _, _), (n, _)) => n }.sum
+      assert(tot === nEvents, s"zoom $z conserves events")
+    }
+    // a child tile's parent at z-1 is (x/2, y/2): counts roll up
+    rows.keys.filter(_._1 > 0).groupBy {
+      case (z, x, y) => (z - 1, x / 2, y / 2)
+    }.foreach { case (parent, children) =>
+      val childSum = children.toSeq.map(rows(_)._1).sum
+      assert(rows(parent)._1 === childSum, s"parent $parent rollup")
+    }
+    // tile indices live inside the zoom's grid
+    rows.keys.foreach { case (z, x, y) =>
+      val m = 1L << z
+      assert(x >= 0 && x < m && y >= 0 && y < m)
+    }
+  }
 }
