@@ -193,6 +193,7 @@ object SparkEntry {
     "knn_graph_ivf"       -> Similarity.knnGraphIvf _,
     "dedup_semantic"      -> Similarity.dedupSemantic _,
     "dedup_semantic_sweep" -> Similarity.semanticSweep _,
+    "embedding_label_purity" -> Similarity.embeddingLabelPurity _,
     "embedding_covariance" -> Similarity.embeddingCovariance _,
     "embedding_whiten"    -> Similarity.embeddingWhiten _,
     "embedding_centroids" -> Similarity.embeddingCentroids _,
@@ -4294,6 +4295,29 @@ object SparkEntry {
         |SELECT np.tau, n_pairs, n_docs,
         |  round(n_docs * 1.0 / tot.n_vecs, 4) AS dup_rate
         |FROM np JOIN nd USING (tau), tot""".stripMargin,
+
+    "embedding_label_purity" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+        |           FROM embeddings),
+        |c AS (SELECT probe_id, vec_id AS nb_id,
+        |        list_cosine_similarity(pe, embedding::DOUBLE[]) AS cos
+        |      FROM p, embeddings WHERE vec_id != probe_id),
+        |r AS (SELECT probe_id, nb_id,
+        |        row_number() OVER (PARTITION BY probe_id
+        |                           ORDER BY round(cos, 6) DESC, nb_id ASC) AS rk
+        |      FROM c),
+        |e AS (SELECT probe_id AS vec_id, nb_id AS neighbor_id
+        |      FROM r WHERE rk <= 5),
+        |j AS (SELECT e.vec_id, la.label, lb.label AS nb_label
+        |      FROM e JOIN embeddings la ON e.vec_id = la.vec_id
+        |             JOIN embeddings lb ON e.neighbor_id = lb.vec_id)
+        |SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+        |  CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(sum(CASE WHEN label = nb_label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_same,
+        |  round(sum(CASE WHEN label = nb_label THEN 1 ELSE 0 END) * 1.0
+        |    / count(*), 4) AS purity
+        |FROM j GROUP BY label""".stripMargin,
 
     "dedup_semantic" ->
       """WITH RECURSIVE p AS (

@@ -336,6 +336,33 @@ object Similarity {
           - col("lsh_u").cast("double") / col("n_l")) / 1e4, 4).as("cos_regret"))
   }
 
+  /** EMBEDDING LABEL PURITY — the space-health metric run before
+    * trusting an embedding column for dedup or retrieval: for every
+    * vector, the fraction of its k nearest neighbors sharing its
+    * label, rolled up per label. A label whose purity collapses
+    * toward the label's base rate means the space carries no signal
+    * for it — curation built on those neighborhoods (SemDeDup,
+    * [[knnGraph]]-driven clustering) silently degrades first there.
+    * Composes the existing k-NN edge set with the label column; the
+    * rollup is O(labels). Purity is an exact integer ratio (hits
+    * over k·members) divided once. */
+  def embeddingLabelPurity(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select("vec_id", "label")
+    val edges = knnGraph(spark, dir)
+      .select(col("vec_id"), col("neighbor_id"))
+      .join(labels, Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nb_label")), Seq("neighbor_id"))
+    edges
+      .groupBy(col("label"))
+      .agg(count_distinct(col("vec_id")).as("n_vecs"),
+        count(lit(1)).as("n_edges"),
+        sum(when(col("label") === col("nb_label"), 1).otherwise(0))
+          .cast("long").as("n_same"),
+        round(sum(when(col("label") === col("nb_label"), 1).otherwise(0))
+          / count(lit(1)).cast("double"), 4).as("purity"))
+  }
+
   /** Sweep thresholds for [[semanticSweep]] — literals, interpolated
     * into the oracle SQL. */
   private[graft] val SweepTaus = Seq(0.30, 0.35, 0.40, 0.45, 0.50, 0.60)

@@ -364,6 +364,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("embedding_label_purity: per-label rollup recomputed from the knn graph") {
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val knn = SparkEntry.queries("knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = knn.groupBy(e => labels(e._1)).map { case (l, es) =>
+      val same = es.count(e => labels(e._2) == l)
+      l -> ((es.map(_._1).distinct.length.toLong, es.length.toLong,
+        same.toLong, math.rint(same.toDouble / es.length * 10000) / 10000))
+    }
+    val got = SparkEntry.queries("embedding_label_purity")(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got === expect)
+    // k edges per vector: the per-label edge count is exactly k x members
+    got.foreach { case (l, (nv, ne, _, _)) => assert(ne === nv * 5, s"label $l") }
+  }
+
   test("dedup_semantic_sweep: every threshold row recomputed from the knn graph") {
     val knn = SparkEntry.queries("knn_graph")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
