@@ -106,6 +106,7 @@ object SparkEntry {
     "ts_freeze_thaw"        -> Climate.freezeThawCycles _,
     "ts_recession_k"        -> Climate.recessionConstant _,
     "ts_double_mass"        -> Climate.doubleMass _,
+    "station_neighbor_corr" -> Climate.stationNeighborCorr _,
     "spi_multiscale"        -> Climate.spiMultiscale _,
     "spi_ensemble_median"   -> Climate.spiEnsembleMedian _,
     "forecast_deficit_bands" -> Climate.forecastDeficitBands _,
@@ -3900,6 +3901,53 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 10 != 0
         |GROUP BY 1""".stripMargin,
+
+    // exact-quantum coords -> deterministic argmin; raw-sum Pearson
+    // on exact 1e-4 longs, double cast only inside the sqrt
+    "station_neighbor_corr" ->
+      """WITH daily AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) * 100.0 / count(*) + 0.5) AS BIGINT) AS m_u
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT DISTINCT user_id,
+        |    (user_id % 36) * 5.0 - 87.5 AS lat,
+        |    (user_id % 72) * 5.0 - 177.5 AS lon
+        |  FROM daily),
+        |nb AS (
+        |  SELECT * FROM (
+        |    SELECT a.user_id, b.user_id AS neighbor_id,
+        |      sqrt((a.lat - b.lat) * (a.lat - b.lat)
+        |        + (a.lon - b.lon) * (a.lon - b.lon)) AS dist_deg,
+        |      row_number() OVER (PARTITION BY a.user_id
+        |        ORDER BY (a.lat - b.lat) * (a.lat - b.lat)
+        |          + (a.lon - b.lon) * (a.lon - b.lon) ASC,
+        |          b.user_id ASC) AS rk
+        |    FROM st a JOIN st b ON a.user_id != b.user_id)
+        |  WHERE rk = 1),
+        |paired AS (
+        |  SELECT nb.user_id, nb.neighbor_id, nb.dist_deg,
+        |    da.m_u, db.m_u AS n_u
+        |  FROM nb
+        |  JOIN daily da ON da.user_id = nb.user_id
+        |  JOIN daily db ON db.user_id = nb.neighbor_id AND db.day = da.day),
+        |agg AS (
+        |  SELECT user_id, neighbor_id, dist_deg,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(m_u) AS sx, sum(n_u) AS sy, sum(m_u * n_u) AS sxy,
+        |    sum(m_u * m_u) AS sxx, sum(n_u * n_u) AS syy
+        |  FROM paired GROUP BY 1, 2, 3)
+        |SELECT user_id, neighbor_id,
+        |  floor(dist_deg * 1e4 + 0.5) / 1e4 AS dist_deg, n_days,
+        |  CASE WHEN n_days >= 5
+        |        AND n_days * sxx - sx * sx > 0
+        |        AND n_days * syy - sy * sy > 0 THEN
+        |    floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |        * CAST(n_days * syy - sy * sy AS DOUBLE)) * 1e4 + 0.5) / 1e4
+        |  END AS r
+        |FROM agg""".stripMargin,
 
     // daily cents exact; reference day-mean quantized once; both
     // cumulatives exact long window sums, ratio divided once

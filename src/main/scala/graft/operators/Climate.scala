@@ -1603,6 +1603,69 @@ object Climate {
         floor(shade * 255 + 0.5).cast("long").as("shade255"))
   }
 
+  /** NEAREST-NEIGHBOR CORRELATION — the spatial-consistency QC
+    * beside [[doubleMass]]'s temporal one: each station's daily
+    * series correlated against its geographically NEAREST peer; a
+    * station that stops co-varying with its neighbor (low r while
+    * the network's typical r is high) is drifting, shadowed, or
+    * mis-located — the classic screen run before accepting a gauge
+    * into an interpolated product. Distance compares exact
+    * equirectangular squared degrees (the 2.5°-quantum pseudo-coords
+    * are exactly representable, so the argmin is deterministic; ties
+    * break on the smaller id).
+    *
+    * Shape at scale: the neighbor search here is a cross join of the
+    * STATION DIM (O(stations²) on a dim table, fine for networks up
+    * to ~10⁴); beyond that the spatial-cell lane
+    * ([[graft.sources.Catalog.publishSpatial]]/`readSpatial`) buckets
+    * candidates first — same argmin, pruned candidate set. The
+    * correlation itself is the [[graft.operators.TimeSeries
+    * .crossCorrRef]] discipline: daily means quantized once to exact
+    * 1e-4 longs, raw-sum Pearson with the overflow-safe double cast
+    * only inside the sqrt. */
+  def stationNeighborCorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(floor(sum(floor(col("value") * 100 + 0.5).cast("long"))
+        .cast("double") * 100.0 / count(lit(1)) + 0.5).cast("long").as("m_u"))
+      .localCheckpoint()
+    val st = daily.select(col("user_id")).distinct()
+      .withColumn("lat", pseudoLat(col("user_id")))
+      .withColumn("lon", pseudoLon(col("user_id")))
+    val nb = st.crossJoin(st.select(col("user_id").as("neighbor_id"),
+        col("lat").as("lat2"), col("lon").as("lon2")))
+      .filter(col("user_id") =!= col("neighbor_id"))
+      .withColumn("dist2",
+        (col("lat") - col("lat2")) * (col("lat") - col("lat2"))
+          + (col("lon") - col("lon2")) * (col("lon") - col("lon2")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("dist2").asc, col("neighbor_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("neighbor_id"),
+        sqrt(col("dist2")).as("dist_deg"))
+    val paired = nb
+      .join(daily, Seq("user_id"))
+      .join(daily.select(col("user_id").as("neighbor_id"), col("day"),
+        col("m_u").as("n_u")), Seq("neighbor_id", "day"))
+    paired.groupBy(col("user_id"), col("neighbor_id"), col("dist_deg"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("m_u")).as("sx"), sum(col("n_u")).as("sy"),
+        sum(col("m_u") * col("n_u")).as("sxy"),
+        sum(col("m_u") * col("m_u")).as("sxx"),
+        sum(col("n_u") * col("n_u")).as("syy"))
+      .withColumn("num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n_days") * col("syy") - col("sy") * col("sy"))
+      .select(col("user_id"), col("neighbor_id"),
+        (floor(col("dist_deg") * 1e4 + 0.5) / 1e4).as("dist_deg"),
+        col("n_days"),
+        when(col("n_days") >= 5 && col("dx") > 0 && col("dy") > 0,
+          floor(col("num").cast("double")
+            / sqrt(col("dx").cast("double") * col("dy").cast("double"))
+            * 1e4 + 0.5) / 1e4).as("r"))
+  }
+
   /** DOUBLE-MASS CURVE — the classic manual-QC chart for climate
     * records (Searcy & Hardison 1960; the reference's station feeds
     * are exactly the kind of gauge whose relocation/recalibration

@@ -1116,6 +1116,49 @@ class ClimateSpec extends SparkSpec {
     ones.foreach { case (c, mae) => assert(c === mae) }
   }
 
+  test("station_neighbor_corr: argmin neighbor and Pearson recomputed exactly") {
+    val sf = "/root/testdata/sf0.01"
+    val ev = graft.Tables.events(spark, sf).collect()
+      .map(r => (r.getTimestamp(1), r.getLong(2), r.getDouble(4)))
+    val daily = ev.groupBy(e => (e._2, e._1.toLocalDateTime.toLocalDate))
+      .view.mapValues { xs =>
+        val cents = xs.map(x => math.floor(x._3 * 100 + 0.5).toLong).sum
+        math.floor(cents.toDouble * 100.0 / xs.size + 0.5).toLong
+      }.toMap
+    val stations = daily.keys.map(_._1).toSeq.distinct.sorted
+    def coords(u: Long) = ((u % 36) * 5.0 - 87.5, (u % 72) * 5.0 - 177.5)
+    val got = SparkEntry.queries("station_neighbor_corr")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got.keySet === stations.toSet)
+    got.foreach { case (u, (nbId, dist, nDays, rOpt)) =>
+      val (la, lo) = coords(u)
+      val best = stations.filter(_ != u).map { v =>
+        val (lb, lob) = coords(v)
+        ((la - lb) * (la - lb) + (lo - lob) * (lo - lob), v)
+      }.min
+      assert(nbId === best._2, s"station $u neighbor")
+      assert(dist === math.floor(math.sqrt(best._1) * 1e4 + 0.5) / 1e4)
+      val days = daily.keys.collect { case (`u`, d) if daily.contains((nbId, d)) => d }
+      assert(nDays === days.size.toLong)
+      if (nDays >= 5) {
+        val xs = days.toSeq.map(d => daily((u, d)))
+        val ys = days.toSeq.map(d => daily((nbId, d)))
+        val n = xs.size.toLong
+        val (sx, sy) = (xs.sum, ys.sum)
+        val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+        val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(a => a * a).sum)
+        val (dx, dy) = (n * sxx - sx * sx, n * syy - sy * sy)
+        if (dx > 0 && dy > 0) {
+          val expect = math.floor((n * sxy - sx * sy).toDouble
+            / math.sqrt(dx.toDouble * dy.toDouble) * 1e4 + 0.5) / 1e4
+          assert(rOpt === Some(expect), s"station $u r")
+          assert(rOpt.get >= -1.0 && rOpt.get <= 1.0)
+        }
+      }
+    }
+  }
+
   test("ts_double_mass: cumulatives monotone, ratio consistent, breaks detectable") {
     val rows = SparkEntry.queries("ts_double_mass")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
