@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -252,6 +252,38 @@ object EventsPipeline {
           }
           out.iterator
       }
+  }
+
+  /** STREAMING TILE ROLLUP — the live twin of the batch
+    * `items_tiles` pyramid: arriving events bucket into the SAME
+    * equirectangular (z, x, y) tiles (identical integer/floor tile
+    * math — one definition, the live map layer and the batch tiles
+    * can never disagree) within hourly event-time windows, closed by
+    * the watermark. Per-tile-per-hour counts and exact cent sums are
+    * associative, so state is one row per open (window, tile) — the
+    * map-side-partial discipline carried into the micro-batch
+    * world. Zoom 0–3 explode multiplies the stream 4×, constant
+    * factor, before the keyed state. */
+  def streamingTiles(events: DataFrame): DataFrame = {
+    val z2 = (z: Column) => pow(lit(2.0), z)
+    val e = normalizeTs(events)
+      .withColumn("lat", (col("user_id") % 36) * 5.0 - 87.5)
+      .withColumn("lon", (col("user_id") % 72) * 5.0 - 177.5)
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), col("lat"), col("lon"), col("value"),
+        explode(array((0 to 3).map(lit): _*)).as("z"))
+      .withColumn("x",
+        least(floor((col("lon") + 180.0) / 360.0 * z2(col("z"))),
+          z2(col("z")) - 1).cast("long"))
+      .withColumn("y",
+        least(floor((lit(90.0) - col("lat")) / 180.0 * z2(col("z"))),
+          z2(col("z")) - 1).cast("long"))
+    e.groupBy(window(col("ts"), "1 hour").as("w"),
+        col("z").cast("long").as("z"), col("x"), col("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+      .select(col("w.start").as("window_start"), col("z"), col("x"),
+        col("y"), col("n"), col("sum_cents"))
   }
 
   /** Score a live stream against a FITTED climatology param table —

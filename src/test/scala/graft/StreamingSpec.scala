@@ -215,6 +215,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingTiles: batch-identical tile math, windows close on the watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[Ev]
+    val q = EventsPipeline.streamingTiles(source.toDF())
+      .writeStream.format("memory").queryName("stiles")
+      .outputMode("append").start()
+    try {
+      // user 0: lat -87.5, lon -177.5; user 71: lat -87.5+(71%36)*5 = 87.5,
+      // lon 177.5 — opposite corners of the world grid
+      source.addData(
+        Ev(1, t("2024-01-01 10:05:00"), 0, "click", 2.0, "{}"),
+        Ev(2, t("2024-01-01 10:45:00"), 0, "click", 3.0, "{}"),
+        Ev(3, t("2024-01-01 10:50:00"), 71, "view", 5.0, "{}"))
+      q.processAllAvailable()
+      // advance the watermark past 10:00 + 1h window + 2h delay
+      source.addData(Ev(9, t("2024-01-01 14:00:00"), 0, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("stiles").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)) ->
+          ((r.getLong(4), r.getLong(5)))).toMap
+      // zoom 0: the whole world is one tile — all three events land in it
+      assert(rows((0L, 0L, 0L)) === ((3L, 1000L)))
+      // zoom 1: user 0 in (0, 1) with 2 clicks (200 + 300 cents);
+      // user 71's lat 87.5 -> y 0, lon 177.5 -> x 1
+      assert(rows((1L, 0L, 1L)) === ((2L, 500L)))
+      assert(rows((1L, 1L, 0L)) === ((1L, 500L)))
+      // tile math identical to the batch operator: user 0 at zoom 3
+      // buckets to x = floor(2.5/360*8) = 0, y = floor(177.5/180*8) = 7
+      assert(rows.contains((3L, 0L, 7L)))
+      // the 14:00 window is still open — nothing emitted for it
+      assert(rows.values.map(_._1).sum === 3L * 4)
+    } finally q.stop()
+  }
+
   test("nearDupAlerts: reordered content alerts once, horizon prunes old fingerprints") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
