@@ -201,6 +201,35 @@ object Pipelines {
         col("n_sections"), col("n_rows"))
   }
 
+  /** FORECAST-VERIFICATION publish — the climate-side twin of
+    * [[curationAuditPublish]]: every forecast product release ships
+    * its own scorecard (CRPS per station-week, the Talagrand rank
+    * histogram, and the bias-correction skill table) as one
+    * partitioned `verification` collection with a read-back registry
+    * row. Each section is the oracle-checked standalone query
+    * verbatim (spec-asserted row counts), so the published scorecard
+    * and ad-hoc queries can never disagree. */
+  def forecastVerificationPublish(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    def tag(df: DataFrame, name: String, keys: Column*): DataFrame =
+      df.select(lit(name).as("section"),
+        concat_ws("|", keys: _*).as("item"),
+        to_json(struct(df.columns.map(col): _*)).as("detail"))
+    val sections =
+      tag(Climate.forecastCrps(spark, dir), "crps",
+        col("user_id"), col("week")) ::
+      tag(Climate.forecastRankHist(spark, dir), "rank_hist", col("rank")) ::
+      tag(Climate.biasSkill(spark, dir), "bias_skill", col("user_id")) :: Nil
+    val all = sections.reduce(_ unionByName _)
+    val path = s"$outDir/forecast_verification"
+    all.write.mode("overwrite").partitionBy("section").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("section")).agg(count(lit(1)).as("n_rows"))
+      .agg(count(lit(1)).as("n_sections"), sum(col("n_rows")).as("n_rows"))
+      .select(lit("forecast_verification").as("collection_id"),
+        col("n_sections"), col("n_rows"))
+  }
+
   def embeddingCuratePublish(spark: SparkSession, dir: String,
       outDir: String): DataFrame = {
     val edges = Similarity.knnGraphIvf(spark, dir)

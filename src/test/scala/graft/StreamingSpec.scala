@@ -388,6 +388,22 @@ class StreamingSpec extends SparkSpec {
     assert(droughts > 0 && droughts < back.count() / 2)
   }
 
+  test("forecastVerificationPublish: scorecard sections match the standalone queries") {
+    val tmp = Files.createTempDirectory("graft-fcv").toFile.getAbsolutePath
+    val reg = graft.operators.Pipelines
+      .forecastVerificationPublish(spark, sf, tmp).collect()(0)
+    assert(reg.getString(0) === "forecast_verification")
+    assert(reg.getLong(1) === 3L)
+    val landed = spark.read.parquet(s"$tmp/forecast_verification")
+    val bySection = landed.groupBy("section").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySection === Map(
+      "crps" -> SparkEntry.queries("forecast_crps")(spark, sf).count(),
+      "rank_hist" -> SparkEntry.queries("forecast_rank_hist")(spark, sf).count(),
+      "bias_skill" -> SparkEntry.queries("bias_skill")(spark, sf).count()))
+    assert(reg.getLong(2) === bySection.values.sum)
+  }
+
   test("curationAuditPublish: three audit sections land, rows match the standalone queries") {
     val tmp = Files.createTempDirectory("graft-audit").toFile.getAbsolutePath
     val reg = graft.operators.Pipelines.curationAuditPublish(spark, sf, tmp)
