@@ -1,12 +1,12 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.TextKernels
@@ -33,8 +33,53 @@ case class CountTokenExpr(left: Expression, right: Expression)
   override def prettyName: String = "count_token"
 }
 
+/** MinHash signature over an `array<string>` shingle column as a
+  * native codegen'd expression: one MD5 + `a.length` affine running
+  * mins per element, fused into a single compiled pass inside
+  * whole-stage codegen. Born in the scan stage, so the LSH family
+  * needs NO explode and NO signature aggregation shuffle — at corpus
+  * scale that deletes an O(total shingles)-row exchange from every
+  * minhash pipeline. The (a, b) families are plan-referenced
+  * constants (serialized once per stage, not per row). */
+case class MinHashSigExpr(child: Expression, a: Array[Long],
+    b: Array[Long], p: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType)
+  override protected def nullSafeEval(arr: Any): Any =
+    TextKernels.minhashSig(arr.asInstanceOf[ArrayData], a, b, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.minhashSig($c, $aRef, $bRef, ${p}L)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** 48-bit SimHash fingerprint over an `array<string>` token column —
+  * the [[MinHashSigExpr]] discipline applied to the simhash vote
+  * loop: one compiled pass per row, no exploded (doc, token) rows,
+  * no 48-column conditional-sum aggregate. */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(arr: Any): Any =
+    TextKernels.simhashFp(arr.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhashFp($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "simhash_fp"
+}
+
 object TextColumns {
   def countToken(arr: Column, tok: String): Column =
     ColumnBridge.column(CountTokenExpr(
       ColumnBridge.expression(arr), ColumnBridge.expression(lit(tok))))
+  def minhashSig(shingles: Column, a: Array[Long], b: Array[Long],
+      p: Long): Column =
+    ColumnBridge.column(MinHashSigExpr(
+      ColumnBridge.expression(shingles), a, b, p))
+  def simhashFp(tokens: Column): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
 }

@@ -22,4 +22,83 @@ object TextKernels {
     }
     n
   }
+
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** 48-bit PORTABLE base hash: the first 6 bytes of the MD5 digest
+    * as an unsigned big-endian long — bit-identical to the SQL form
+    * `conv(substring(md5(s), 1, 12), 16, 10)` that the DuckDB oracles
+    * interpolate (12 hex digits ≡ 6 digest bytes), but computed
+    * without the hex-string materialize/substring/parse detour. */
+  def h48(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+      ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+      ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+
+  /** MinHash signature of a shingle array in ONE pass: per shingle
+    * one MD5 and `a.length` affine transforms `(a_i·h + b_i) mod p`,
+    * keeping the running min of each lane in a local array. Replaces
+    * the explode → 64-column min-aggregate formulation: identical
+    * values (min over the same set), but the signature is born in the
+    * scan stage — no exploded rows, no aggregation state, no shuffle.
+    * Null elements are skipped (the producer filters empty arrays). */
+  def minhashSig(arr: ArrayData, a: Array[Long], b: Array[Long],
+      p: Long): ArrayData = {
+    val n = a.length
+    val mins = new Array[Long](n)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i)) {
+        val h = h48(arr.getUTF8String(i))
+        var j = 0
+        while (j < n) {
+          val v = (h * a(j) + b(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  /** 48-bit SimHash fingerprint of a token array in ONE pass: each
+    * token's [[h48]] votes ±1 per bit position (term frequency
+    * weighting — duplicates vote again), the sign vector reassembles
+    * the fingerprint. Replaces the explode → 48-conditional-sum
+    * aggregation AND the interpreted HOF fold: same integer
+    * arithmetic, zero exploded rows, zero aggregation state. */
+  def simhashFp(arr: ArrayData): Long = {
+    val votes = new Array[Int](48)
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i)) {
+        val h = h48(arr.getUTF8String(i))
+        var b = 0
+        while (b < 48) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 48) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
 }

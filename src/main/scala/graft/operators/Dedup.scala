@@ -437,17 +437,20 @@ object Dedup {
     (a, b)
   }
 
-  /** MinHash signatures: min over the doc's shingle set of 64
-    * affine-transformed base hashes — ONE md5 per shingle row (the
-    * old per-i string rehash did 64), then 64 partial-aggregating
-    * `min`s of long arithmetic (one shuffle of O(doc) rows, state
-    * O(64) per doc). */
-  private def minhashSignatures(sh: DataFrame): DataFrame = {
-    val based = sh.withColumn("bh", h48(col("shingle")))
-    val mins = (0 until NumHashes).map(i =>
-      min((col("bh") * minhashA(i) + minhashB(i)) % MinhashP).as(s"h$i"))
-    based.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
+  /** MinHash signatures, computed IN-ROW from the shingle ARRAY by
+    * the codegen'd [[graft.expressions.MinHashSigExpr]] kernel: one
+    * MD5 + 64 affine running mins per shingle, one compiled pass per
+    * document, signature emitted as a 64-long array in the SCAN
+    * stage. Values are identical to the previous explode → 64-column
+    * min-aggregate formulation (min over the same set — the oracles
+    * are untouched), but the exploded (doc, shingle) rows, the
+    * 64-lane aggregation state and its shuffle are gone entirely:
+    * at corpus scale the signature pass is now embarrassingly
+    * parallel map work with zero exchanges. */
+  private def minhashSignatures(shArr: DataFrame): DataFrame =
+    shArr.select(col("doc_id"),
+      graft.expressions.TextColumns.minhashSig(
+        col("sh_arr"), minhashA, minhashB, MinhashP).as("sig"))
 
   /** MinHash + LSH banding (`16 bands × 4 rows`): docs agreeing on
     * any whole band become candidates; candidates are verified with
@@ -455,20 +458,20 @@ object Dedup {
     * semi-join-restricted shingle join. End-to-end: no all-pairs
     * stage, bucket-frequency capped, verification cost bounded by
     * the candidate count. */
-  /** LSH CANDIDATE pairs from exploded (doc_id, shingle) rows:
-    * signatures → raw-4-tuple band buckets → frequency cap →
+  /** LSH CANDIDATE pairs from (doc_id, sh_arr) shingle-array rows:
+    * in-row signatures → raw-4-tuple band buckets → frequency cap →
     * distinct within-bucket pairs. Shared by [[minhashLsh]] (which
     * verifies them) and [[lshRecallAudit]] (which only needs
     * membership). NOT pinned — callers checkpoint per their reuse. */
-  private def minhashCandidates(sh: DataFrame): DataFrame = {
-    val sig = minhashSignatures(sh)
+  private def minhashCandidates(shArr: DataFrame): DataFrame = {
+    val sig = minhashSignatures(shArr)
     // the bucket key is the band's RAW 4-tuple of minhash values (no
     // second hash): equality is what banding needs, the join/window
     // key stays deterministic integers, and the oracle can reproduce
     // it with a plain multi-column equi-join
     val bandCols = (0 until NumBands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), array(cols: _*).as("bh"))
+      struct(lit(b).as("band"),
+        slice(col("sig"), b * RowsPerBand + 1, RowsPerBand).as("bh"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
@@ -492,7 +495,7 @@ object Dedup {
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val cands = minhashCandidates(shingles(docs))
+    val cands = minhashCandidates(shingleArrays(docs))
       // pinned: read twice below (the id semi-join and the scoring)
       .localCheckpoint()
     // exact-Jaccard verification restricted to candidates — and the
@@ -517,24 +520,19 @@ object Dedup {
   private[graft] val SimhashBits = 48
 
   /** 48-bit SimHash: token hashes vote ±1 per bit position, weighted
-    * by term frequency (explode keeps duplicates); the sign vector is
-    * the fingerprint. Computed as 48 conditional sums in ONE hash
-    * aggregation — map-side combine, O(48) state per doc. The token
-    * hash is the portable [[h48]], which is what lets the whole
-    * operator be oracle-checked. */
-  def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val toks = Tables.spread(docs, col("doc_id"))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("th", h48(col("tok")))
-    val bitSums = (0 until SimhashBits).map(b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"s$b"))
-    val summed = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until SimhashBits)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    summed.select(col("doc_id"), fp.as("simhash"))
-  }
+    * by term frequency (duplicates vote again); the sign vector is
+    * the fingerprint. Computed IN-ROW by the codegen'd
+    * [[graft.expressions.SimHashExpr]] kernel — one compiled pass
+    * over the token array per document, fingerprint born in the scan
+    * stage. Replaces the explode → 48-conditional-sum aggregation:
+    * identical integer arithmetic (the token hash is the portable
+    * [[h48]], so the operator stays oracle-checked), but zero
+    * exploded rows and zero aggregation shuffle. */
+  def simhashFingerprints(docs: DataFrame): DataFrame =
+    Tables.spread(docs, col("doc_id"))
+      .select(col("doc_id"),
+        graft.expressions.TextColumns.simhashFp(split(col("text"), " "))
+          .as("simhash"))
 
   /** In-row 48-bit SimHash over a text column NAME — the identical
     * fingerprint [[simhashFingerprints]] aggregates, computed as ONE
@@ -613,10 +611,12 @@ object Dedup {
     * be recomputing what the truth side knows. ~1.7× end-to-end
     * (bench: 4.26 → 2.5 s at sf0.1). */
   def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleArrays(Tables.documents(spark, dir))
-      .select(col("doc_id"), size(col("sh_arr")).as("n_sh"),
-        explode(col("sh_arr")).as("shingle"))
-      .localCheckpoint()
+    // ONE tokenize pass, pinned as ARRAYS: the truth join explodes
+    // the pinned arrays (cheap — the regex already ran), the LSH side
+    // computes in-row signatures from the same arrays.
+    val shArr = shingleArrays(Tables.documents(spark, dir)).localCheckpoint()
+    val sh = shArr.select(col("doc_id"), size(col("sh_arr")).as("n_sh"),
+      explode(col("sh_arr")).as("shingle"))
     val truth = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
         col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
@@ -628,7 +628,7 @@ object Dedup {
       .withColumn("jaccard",
         round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
       .filter(col("jaccard") >= JaccardT)
-    val cand = minhashCandidates(sh.select(col("doc_id"), col("shingle")))
+    val cand = minhashCandidates(shArr)
       .withColumn("found", lit(1))
     truth.join(cand, Seq("doc_a", "doc_b"), "left")
       .withColumn("bucket", least(floor(col("jaccard") * 10), lit(9L)) / 10.0)

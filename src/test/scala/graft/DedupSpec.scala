@@ -393,6 +393,46 @@ class DedupSpec extends SparkSpec {
       cl.contains(d) && splitOf(d) != splitOf(cl(d)) })
   }
 
+  test("kernels: h48/minhashSig/simhashFp bit-match their SQL formulations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // strings with unicode, spaces, empties — the md5 byte path must
+    // agree with conv(substring(md5(s),1,12),16,10) on all of them
+    val strs = Seq("a", "", "hello world", "ü ñ 漢字", "x" * 300,
+      "tab\tand\nnewline", "0123456789abcdef")
+    val df = strs.toDF("s")
+      .withColumn("sql48",
+        expr("CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("arr", array(col("s")))
+    val rows = df.collect()
+    rows.zip(strs).foreach { case (r, s) =>
+      val kern = graft.functions.TextKernels.h48(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(kern === r.getAs[Long]("sql48"), s"h48 mismatch on '$s'")
+    }
+    // minhashSig = per-lane min of the affine transforms over the set
+    val a = graft.operators.Dedup.minhashA
+    val b = graft.operators.Dedup.minhashB
+    val p = graft.operators.Dedup.MinhashP
+    val toks = Seq("q w e", "w e r", "e r t")
+    val sig = graft.expressions.TextColumns.minhashSig(
+      typedLit(toks), a, b, p)
+    val got = spark.range(1).select(sig.as("sig"))
+      .head.getAs[scala.collection.Seq[Long]]("sig")
+    val hs = toks.map(t => graft.functions.TextKernels.h48(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    val want = (0 until a.length).map(i => hs.map(h => (h * a(i) + b(i)) % p).min)
+    assert(got.toSeq === want, "minhashSig lanes must equal per-lane mins")
+    // simhashFp = sign-vote fingerprint; compare against the HOF form
+    val text = "the quick the quick brown fox"
+    val viaKernel = spark.range(1)
+      .select(graft.expressions.TextColumns.simhashFp(
+        split(lit(text), " ")).as("fp")).head.getLong(0)
+    val viaHof = spark.range(1).select(lit(text).as("t"))
+      .select(graft.operators.Dedup.simhashCol("t").as("fp")).head.getLong(0)
+    assert(viaKernel === viaHof, "kernel and HOF simhash must agree")
+  }
+
   test("source_overlap: constructed corpus — shared shingles, containment, jaccard exact") {
     import spark.implicits._
     val docs = Seq(
