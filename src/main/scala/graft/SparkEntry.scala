@@ -120,6 +120,10 @@ object SparkEntry {
     "zonal_spi_quantiles_approx" -> Climate.zonalSpiQuantilesApprox _,
     "zonal_poly_spi"        -> Climate.zonalPolySpi _,
     "grid_regrid"           -> Climate.gridRegrid _,
+    "grid_sample_poi"       -> Climate.gridSamplePoi _,
+    "grid_idw"              -> Climate.gridIdw _,
+    "forecast_skill"        -> Climate.forecastSkill _,
+    "tokenizer_fertility"   -> TextOps.tokenizerFertility _,
     "grid_coarsen"          -> Climate.gridCoarsen _,
     "grid_pyramid"          -> Climate.gridPyramid _,
     "grid_gradient"         -> Climate.gridGradient _,
@@ -2813,6 +2817,122 @@ object SparkEntry {
         |JOIN g g01 ON g01.gy = g00.gy     AND g01.gx = g00.gx + 1
         |JOIN g g10 ON g10.gy = g00.gy + 1 AND g10.gx = g00.gx
         |JOIN g g11 ON g11.gy = g00.gy + 1 AND g11.gx = g00.gx + 1""".stripMargin,
+
+    // POI coords are shared literals (Climate.SamplePois); weights
+    // are exact binary quarter fractions, corners 6dp-quantized —
+    // the blend folds identical bits on both engines
+    "grid_sample_poi" -> {
+      val vals = graft.operators.Climate.SamplePois
+        .map { case (id, py, px) => s"($id, $py, $px)" }.mkString(", ")
+      s"""WITH g AS (
+         |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+         |    floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+         |      AS DOUBLE) / count(*) + 0.5) / 1e6 AS v
+         |  FROM events GROUP BY 1, 2),
+         |q AS (
+         |  SELECT poi_id, py, px,
+         |    CAST(floor(py) AS BIGINT) AS y0, CAST(floor(px) AS BIGINT) AS x0,
+         |    py - CAST(floor(py) AS BIGINT) AS fy,
+         |    px - CAST(floor(px) AS BIGINT) AS fx
+         |  FROM (VALUES $vals) AS p(poi_id, py, px))
+         |SELECT poi_id, py, px,
+         |  round(g00.v * ((1 - fy) * (1 - fx)) + g01.v * ((1 - fy) * fx)
+         |      + g10.v * (fy * (1 - fx)) + g11.v * (fy * fx), 4) AS value_interp
+         |FROM q
+         |JOIN g g00 ON g00.gy = y0     AND g00.gx = x0
+         |JOIN g g01 ON g01.gy = y0     AND g01.gx = x0 + 1
+         |JOIN g g10 ON g10.gy = y0 + 1 AND g10.gx = x0
+         |JOIN g g11 ON g11.gy = y0 + 1 AND g11.gx = x0 + 1""".stripMargin
+    },
+
+    // exact 2.5°-lattice distances, integer-quantized weights and
+    // station means → the weighted sum is an exact long dot product;
+    // one division at the end
+    "grid_idw" ->
+      s"""WITH st AS (
+         |  SELECT CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+         |      AS DOUBLE) * 100.0 / count(*) + 0.5) AS BIGINT) AS v_u,
+         |    (user_id % 36) * 5.0 - 87.5 AS slat,
+         |    (user_id % 72) * 5.0 - 177.5 AS slon
+         |  FROM events GROUP BY user_id),
+         |cells AS (
+         |  SELECT (i // 36) * 10.0 - 85.0 AS lat, (i % 36) * 10.0 - 175.0 AS lon
+         |  FROM (SELECT unnest(generate_series(0, 647)) AS i)),
+         |w AS (
+         |  SELECT lat, lon, v_u,
+         |    CAST(floor(${graft.operators.Climate.IdwWScale} /
+         |      ((lat - slat) * (lat - slat) + (lon - slon) * (lon - slon))
+         |      + 0.5) AS BIGINT) AS wq
+         |  FROM cells, st
+         |  WHERE (lat - slat) * (lat - slat) + (lon - slon) * (lon - slon)
+         |    <= ${graft.operators.Climate.IdwRadius2})
+         |SELECT lat, lon, CAST(count(*) AS BIGINT) AS n_stations,
+         |  floor(CAST(sum(wq * v_u) AS DOUBLE) / CAST(sum(wq) AS DOUBLE) + 0.5)
+         |    / 1e4 AS value_idw
+         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // six exact-long sufficient statistics per station; NSE/r/alpha/
+    // beta/KGE are each ONE fixed double expression over them
+    "forecast_skill" ->
+      """WITH obs AS (
+        |  SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / count(*) * 100.0 + 0.5) AS BIGINT) AS y_u
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |mem AS (
+        |  SELECT user_id, event_id % 5 AS member,
+        |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / count(*) * 100.0 + 0.5) AS BIGINT) AS u
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3),
+        |fc AS (
+        |  SELECT user_id, week,
+        |    CAST(floor(CAST(sum(u) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS f_u
+        |  FROM mem GROUP BY 1, 2),
+        |s AS (
+        |  SELECT f.user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(f_u) AS BIGINT) AS sf, CAST(sum(y_u) AS BIGINT) AS so,
+        |    CAST(sum(f_u * f_u) AS BIGINT) AS sff,
+        |    CAST(sum(y_u * y_u) AS BIGINT) AS soo,
+        |    CAST(sum(f_u * y_u) AS BIGINT) AS sfo
+        |  FROM fc f JOIN obs o ON f.user_id = o.user_id AND f.week = o.week
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT user_id, n, sf, so, sff, soo, sfo,
+        |    n * soo - so * so AS dxo, n * sff - sf * sf AS dxf,
+        |    n * sfo - sf * so AS num, sff - 2 * sfo + soo AS sse
+        |  FROM s),
+        |e AS (
+        |  SELECT user_id, n, dxo, dxf, sse,
+        |    CAST(num AS DOUBLE) / sqrt(CAST(dxf AS DOUBLE) * CAST(dxo AS DOUBLE)) AS r,
+        |    sqrt(CAST(dxf AS DOUBLE) / CAST(dxo AS DOUBLE)) AS alpha,
+        |    CAST(sf AS DOUBLE) / CAST(so AS DOUBLE) AS beta
+        |  FROM d WHERE n >= 5 AND dxo > 0 AND dxf > 0 AND so <> 0)
+        |SELECT user_id, n AS n_weeks,
+        |  floor((1.0 - CAST(n * sse AS DOUBLE) / CAST(dxo AS DOUBLE)) * 1e4 + 0.5)
+        |    / 1e4 AS nse,
+        |  floor(r * 1e4 + 0.5) / 1e4 AS r,
+        |  floor(alpha * 1e4 + 0.5) / 1e4 AS alpha,
+        |  floor(beta * 1e4 + 0.5) / 1e4 AS beta,
+        |  floor((1.0 - sqrt((r - 1) * (r - 1) + (alpha - 1) * (alpha - 1)
+        |    + (beta - 1) * (beta - 1))) * 1e4 + 0.5) / 1e4 AS kge
+        |FROM e""".stripMargin,
+
+    // exact integer token/byte sums, two single-division ratios
+    "tokenizer_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS nw,
+        |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS nt,
+        |    CAST(strlen(text) AS BIGINT) AS nb
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(nt) AS BIGINT) AS subword_tokens,
+        |  CAST(sum(nb) AS BIGINT) AS text_bytes,
+        |  round(CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 4) AS fertility,
+        |  round(CAST(sum(nb) AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 4) AS bytes_per_token
+        |FROM t GROUP BY 1""".stripMargin,
 
     "grid_coarsen" ->
       """WITH g AS (

@@ -1402,6 +1402,119 @@ object Climate {
     bilinear(grid, 0.25, 0.75)
   }
 
+  /** POI sample points in GRID coordinates — quarter-unit fractions
+    * (exact binary doubles, so the bilinear weights fold to identical
+    * bits in both engines), strictly inside the 8×8 node lattice so
+    * every point has all four corners. Literal in both engines. */
+  private[graft] val SamplePois: Seq[(Int, Double, Double)] = Seq(
+    (1, 0.25, 0.75), (2, 1.5, 2.25), (3, 2.75, 5.5), (4, 3.25, 0.5),
+    (5, 4.5, 4.25), (6, 5.75, 6.5), (7, 6.25, 3.75), (8, 0.5, 6.25),
+    (9, 3.75, 3.25), (10, 5.25, 1.75), (11, 2.25, 6.75), (12, 6.5, 0.25))
+
+  /** Bilinear sampling of the gridded field at SCATTERED points —
+    * the reference extracts its points-of-interest series from every
+    * gridded product exactly this way
+    * (`ingestor_cds_spi_historic_process.py:231` `.interp(...)` onto
+    * the POI dataset; [[gridRegrid]] is the grid→grid sibling).
+    * Each POI locates its enclosing cell by integer floor, the four
+    * corner values arrive by joining the aggregated grid four times
+    * on shifted node keys, and the blend reuses [[bilinear]]'s exact
+    * term order (6dp-quantized corner values × exact binary weights —
+    * ulp-identical across engines).
+    *
+    * Shape at scale: the grid aggregate is the only data-sized pass
+    * (one shuffle to O(cells)); the POI table is orchestration-sized
+    * and every corner join broadcasts. A million POIs would change
+    * nothing — the join key is the cell index, still broadcast
+    * against the O(cells) grid. */
+  def gridSamplePoi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_c"),
+        count(lit(1)).as("n"))
+      .select(col("gy"), col("gx"),
+        (floor((col("sum_c") * 10000L).cast("double") / col("n") + 0.5) / 1e6)
+          .as("v"))
+      // pinned: referenced by all four corner joins (the gridRegrid
+      // idiom — without it each corner re-scans the fact table)
+      .localCheckpoint()
+    val pois = SamplePois.toDF("poi_id", "py", "px")
+      .withColumn("y0", floor(col("py")).cast("long"))
+      .withColumn("x0", floor(col("px")).cast("long"))
+      .withColumn("fy", col("py") - col("y0"))
+      .withColumn("fx", col("px") - col("x0"))
+    def corner(dy: Int, dx: Int, name: String) =
+      grid.select((col("gy") - dy).as("y0"), (col("gx") - dx).as("x0"),
+        col("v").as(name))
+    pois
+      .join(corner(0, 0, "v00"), Seq("y0", "x0"))
+      .join(corner(0, 1, "v01"), Seq("y0", "x0"))
+      .join(corner(1, 0, "v10"), Seq("y0", "x0"))
+      .join(corner(1, 1, "v11"), Seq("y0", "x0"))
+      .select(col("poi_id"), col("py"), col("px"),
+        round(col("v00") * ((lit(1) - col("fy")) * (lit(1) - col("fx")))
+          + col("v01") * ((lit(1) - col("fy")) * col("fx"))
+          + col("v10") * (col("fy") * (lit(1) - col("fx")))
+          + col("v11") * (col("fy") * col("fx")), 4).as("value_interp"))
+  }
+
+  /** IDW radius² (squared degrees) and weight quantum for
+    * [[gridIdw]] — private[graft] so the oracle SQL interpolates the
+    * same constants. */
+  private[graft] val IdwRadius2 = 400.0
+  private[graft] val IdwWScale = 1e8
+
+  /** INVERSE-DISTANCE-WEIGHTED gauge→grid interpolation — the
+    * opposite direction from [[gridSamplePoi]]: the station network's
+    * period-mean values spread onto a regular 10° target grid, each
+    * cell the w=1/d² weighted mean of stations within the search
+    * radius (the gauge-gridding step behind any "interpolated
+    * product" a station feed is accepted into — see
+    * [[stationNeighborCorr]]'s screen). Cells with no station in
+    * radius drop out, the same outside-the-hull semantics as
+    * [[bilinear]].
+    *
+    * Determinism: distances are squares of exact 2.5°-multiple
+    * differences (station and cell lattices interleave, so d² > 0
+    * always); weights quantize ONCE to integer units
+    * (`floor(1e8/d² + 0.5)`), station means to integer 1e-4 units —
+    * the weighted sum is then an exact long dot product, merge-order-
+    * free, divided once at the end.
+    *
+    * Shape at scale: stations are a DIM (O(10⁴) at most — the
+    * reference's networks are hundreds); the cell×station pair space
+    * is cells·stations via a broadcast of the station table against
+    * the cell range — no shuffle touches anything data-sized except
+    * the one station-mean aggregation. A 1km global grid would
+    * partition the cell range and still broadcast the dim. */
+  def gridIdw(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(floor(sum(floor(col("value") * 100 + 0.5).cast("long"))
+        .cast("double") * 100.0 / count(lit(1)) + 0.5).cast("long").as("v_u"))
+      .select(col("v_u"),
+        pseudoLat(col("user_id")).as("slat"),
+        pseudoLon(col("user_id")).as("slon"))
+    val cells = spark.range(18L * 36L)
+      .select((expr("id div 36") * 10.0 - 85.0).as("lat"),
+        (col("id") % 36 * 10.0 - 175.0).as("lon"))
+    val d2 = (col("lat") - col("slat")) * (col("lat") - col("slat")) +
+      (col("lon") - col("slon")) * (col("lon") - col("slon"))
+    cells.crossJoin(broadcast(st))
+      .withColumn("d2", d2)
+      .filter(col("d2") <= IdwRadius2)
+      .withColumn("wq", floor(lit(IdwWScale) / col("d2") + 0.5).cast("long"))
+      .groupBy(col("lat"), col("lon"))
+      .agg(count(lit(1)).as("n_stations"),
+        sum(col("wq") * col("v_u")).as("num"),
+        sum(col("wq")).as("den"))
+      .select(col("lat"), col("lon"), col("n_stations"),
+        (floor(col("num").cast("double") / col("den") + 0.5) / 1e4)
+          .as("value_idw"))
+  }
+
   /** Block-mean downsample of the gridded field — xarray's
     * `coarsen(lat=2, lon=2).mean()`, the reference's resolution-
     * reduction step before publishing overview grids. Two-level
@@ -2163,6 +2276,68 @@ object Climate {
     ranked.groupBy(col("rank")).agg(count(lit(1)).as("n"))
       .withColumn("share",
         round(col("n") / sum(col("n")).over(wAll).cast("double"), 4))
+  }
+
+  /** NSE + KGE FORECAST SKILL — the two headline deterministic-
+    * forecast scores of operational hydrology (Nash–Sutcliffe 1970;
+    * Gupta et al. 2009), graded per station over the ensemble-MEAN
+    * weekly forecast vs the observed weekly mean (the
+    * [[forecastCrps]] conventions; CRPS grades the ensemble, this
+    * grades its deterministic collapse — the pair every forecast
+    * bulletin publishes):
+    *
+    *   NSE = 1 − Σ(f−o)² / Σ(o−ō)²
+    *   KGE = 1 − √((r−1)² + (α−1)² + (β−1)²),  α = σ_f/σ_o, β = f̄/ō
+    *
+    * Everything derives from SIX sufficient statistics (n, Σf, Σo,
+    * Σf², Σo², Σfo) over 1e-4-unit quantized weekly means — exact
+    * longs, merge-order-free, one map-side-partial aggregation per
+    * level ([[graft.operators.TimeSeries.trend]] discipline):
+    * n·Σ(f−o)² = n·(Σf²−2Σfo+Σo²), n·Σ(o−ō)² = n·Σo²−(Σo)², r and α
+    * from the same central moments. Guards: stations need ≥ 5 matched
+    * weeks, positive variances, nonzero ō. Shape at scale: two
+    * (station, week) aggs, one join co-partitioned on the station
+    * key, one station rollup — no window, no sort, no fan-out. */
+  def forecastSkill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cents = sum(floor(col("value") * 100 + 0.5).cast("long"))
+    def weeklyU(df: DataFrame, extra: Seq[Column]): DataFrame =
+      df.groupBy(col("user_id") +: extra :+
+          date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"): _*)
+        .agg(floor(cents.cast("double") / count(lit(1)) * 100.0 + 0.5)
+          .cast("long").as("u"))
+    val obs = weeklyU(ev.filter(col("event_type") === "view"), Nil)
+      .withColumnRenamed("u", "y_u")
+    // ensemble mean quantizes ONCE to the same 1e-4 grid (exact
+    // member sum, one division, one floor) before any cross-moment
+    val fc = weeklyU(ev.filter(col("event_type") === "click")
+        .withColumn("member", col("event_id") % 5), Seq(col("member")))
+      .groupBy(col("user_id"), col("week"))
+      .agg(floor(sum(col("u")).cast("double") / count(lit(1)) + 0.5)
+        .cast("long").as("f_u"))
+    val s = fc.join(obs, Seq("user_id", "week"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("f_u")).as("sf"), sum(col("y_u")).as("so"),
+        sum(col("f_u") * col("f_u")).as("sff"),
+        sum(col("y_u") * col("y_u")).as("soo"),
+        sum(col("f_u") * col("y_u")).as("sfo"))
+    val dxo = s("n") * s("soo") - s("so") * s("so")
+    val dxf = s("n") * s("sff") - s("sf") * s("sf")
+    val num = s("n") * s("sfo") - s("sf") * s("so")
+    val r = num.cast("double") / sqrt(dxf.cast("double") * dxo.cast("double"))
+    val alpha = sqrt(dxf.cast("double") / dxo.cast("double"))
+    val beta = s("sf").cast("double") / s("so").cast("double")
+    val sse = s("sff") - lit(2) * s("sfo") + s("soo")
+    s.filter(s("n") >= 5 && dxo > 0 && dxf > 0 && s("so") =!= 0)
+      .select(col("user_id"), col("n").as("n_weeks"),
+        (floor((lit(1.0) - (s("n") * sse).cast("double") / dxo.cast("double"))
+          * 1e4 + 0.5) / 1e4).as("nse"),
+        (floor(r * 1e4 + 0.5) / 1e4).as("r"),
+        (floor(alpha * 1e4 + 0.5) / 1e4).as("alpha"),
+        (floor(beta * 1e4 + 0.5) / 1e4).as("beta"),
+        (floor((lit(1.0) - sqrt((r - 1) * (r - 1) + (alpha - 1) * (alpha - 1)
+          + (beta - 1) * (beta - 1))) * 1e4 + 0.5) / 1e4).as("kge"))
   }
 
   /** The seasonal-deficit forecast product

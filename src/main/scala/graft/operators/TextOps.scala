@@ -273,6 +273,34 @@ object TextOps {
         ceil(col("n_chars") / lit(4.0)).cast("long").as("est_bpe_tokens"))
   }
 
+  /** TOKENIZER FERTILITY census — the per-language tokenizer-
+    * efficiency audit run before committing a corpus to a tokenizer:
+    * fertility (subword tokens per whitespace word) and bytes per
+    * token tell you which languages the vocabulary under-serves (high
+    * fertility = fragmented words = wasted context window and skewed
+    * effective mixing weights; the `est_bpe_tokens` lane of
+    * [[tokenCount]] rolled up to where the decision is made). All
+    * counts are exact integer sums in one map-side-partial
+    * aggregation over a single scan-stage pass (tokenize + regex +
+    * byte length are elementwise); the two ratios divide exact longs
+    * once. Output is O(languages). */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(words(normalized(col("text")))).cast("long").as("nw"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long")
+          .as("nt"),
+        octet_length(col("text")).cast("long").as("nb"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("ws_tokens"),
+        sum(col("nt")).as("subword_tokens"),
+        sum(col("nb")).as("text_bytes"))
+      .withColumn("fertility",
+        round(col("subword_tokens") / col("ws_tokens").cast("double"), 4))
+      .withColumn("bytes_per_token",
+        round(col("text_bytes") / col("subword_tokens").cast("double"), 4))
+
   /** Stratified corpus sampling with per-stratum rates — the corpus
     * rebalancing step of a training-data pipeline (downsample the
     * dominant strata, keep the rare ones). The selector is the first

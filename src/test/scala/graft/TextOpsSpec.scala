@@ -757,4 +757,34 @@ class TextOpsSpec extends SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty)
   }
+
+  test("tokenizer_fertility: per-language sums recompute exactly; ratios divide once") {
+    val docs = Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (lang, ds) =>
+      val nw = ds.map(d => d._2.trim.toLowerCase
+        .replaceAll("\\s+", " ").split(" ", -1).length.toLong).sum
+      val nt = ds.map(d =>
+        "[a-z0-9]+".r.findAllIn(d._2).length.toLong).sum
+      val nb = ds.map(d =>
+        d._2.getBytes("UTF-8").length.toLong).sum
+      lang -> (ds.size.toLong, nw, nt, nb,
+        math.rint(nt.toDouble / nw * 1e4) / 1e4,
+        math.rint(nb.toDouble / nt * 1e4) / 1e4)
+    }
+    val got = SparkEntry.queries("tokenizer_fertility")(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("ws_tokens"), r.getAs[Long]("subword_tokens"),
+        r.getAs[Long]("text_bytes"), r.getAs[Double]("fertility"),
+        r.getAs[Double]("bytes_per_token"))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (lang, e) =>
+      val g = got(lang)
+      assert(g._1 === e._1 && g._2 === e._2 && g._3 === e._3 && g._4 === e._4,
+        s"$lang counts")
+      assert(math.abs(g._5 - e._5) < 1e-9 && math.abs(g._6 - e._6) < 1e-9,
+        s"$lang ratios")
+    }
+  }
 }
