@@ -57,6 +57,7 @@ object SparkEntry {
     "ts_trend"               -> TimeSeries.trend _,
     "ts_theil_sen"           -> TimeSeries.theilSen _,
     "ts_mann_kendall"        -> TimeSeries.mannKendall _,
+    "ts_seasonal_mk"         -> TimeSeries.seasonalMannKendall _,
     "ts_drawdown"            -> TimeSeries.drawdown _,
     "ts_pctl_of_record"      -> TimeSeries.percentileOfRecord _,
     "ts_runs_test"           -> TimeSeries.runsTest _,
@@ -1120,6 +1121,57 @@ object SparkEntry {
         |           ELSE 0.0 END END AS z_raw
         |  FROM c)
         |SELECT user_id, n AS n_days, s_stat, var_s,
+        |  floor(z_raw * 1e4 + 0.5) / 1e4 AS z_stat,
+        |  CASE WHEN z_raw IS NULL THEN 'undefined'
+        |       WHEN z_raw > 1.96 THEN 'increasing'
+        |       WHEN z_raw < -1.96 THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM z""".stripMargin,
+
+    // per-season S and tie terms are exact integers; they SUM before
+    // the single /18 division, so the combine is merge-order-free
+    "ts_seasonal_mk" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 100.0) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ds AS (SELECT user_id, (x % 7 + 7) % 7 AS season, x, y FROM daily),
+        |nd AS (SELECT user_id, season, CAST(count(*) AS BIGINT) AS n
+        |       FROM ds GROUP BY 1, 2 HAVING count(*) >= 3),
+        |s AS (
+        |  SELECT a.user_id, a.season,
+        |    CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s_m
+        |  FROM ds a JOIN ds b ON a.user_id = b.user_id
+        |    AND a.season = b.season AND b.x > a.x
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT user_id, season,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT user_id, season, y, CAST(count(*) AS BIGINT) AS t
+        |        FROM ds GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT nd.user_id, CAST(count(*) AS BIGINT) AS n_seasons,
+        |    CAST(sum(nd.n) AS BIGINT) AS n_total,
+        |    CAST(sum(s.s_m) AS BIGINT) AS s_stat,
+        |    CAST(sum(nd.n * (nd.n - 1) * (2 * nd.n + 5) - t.tie_term) AS BIGINT)
+        |      AS vi
+        |  FROM nd JOIN s ON nd.user_id = s.user_id AND nd.season = s.season
+        |    JOIN t ON nd.user_id = t.user_id AND nd.season = t.season
+        |  GROUP BY 1),
+        |z AS (
+        |  SELECT user_id, n_seasons, n_total, s_stat,
+        |    CAST(vi AS DOUBLE) / 18.0 AS var_s,
+        |    CASE WHEN CAST(vi AS DOUBLE) / 18.0 > 0 THEN
+        |      CASE WHEN s_stat > 0
+        |             THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(vi AS DOUBLE) / 18.0)
+        |           WHEN s_stat < 0
+        |             THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(vi AS DOUBLE) / 18.0)
+        |           ELSE 0.0 END END AS z_raw
+        |  FROM c)
+        |SELECT user_id, n_seasons, n_total, s_stat, var_s,
         |  floor(z_raw * 1e4 + 0.5) / 1e4 AS z_stat,
         |  CASE WHEN z_raw IS NULL THEN 'undefined'
         |       WHEN z_raw > 1.96 THEN 'increasing'

@@ -542,6 +542,78 @@ object TimeSeries {
           .otherwise("no_trend").as("trend"))
   }
 
+  /** SEASONAL Mann–Kendall trend test (Hirsch & Slack 1984 — the
+    * WMO-recommended variant when the series carries a cycle): the
+    * [[mannKendallOf]] S-statistic and tie-corrected variance are
+    * computed WITHIN each season (day-of-week here — the cycle the
+    * events stream actually has; calendar months for multi-year
+    * climate records ride the identical plan with a different season
+    * key), so cross-season comparisons — which a cycle would bias —
+    * never enter; the per-season integers then SUM: S = Σ S_m,
+    * Var = (Σ [n_m(n_m−1)(2n_m+5) − tie_m]) / 18, one division after
+    * the exact integer combine, continuity-corrected Z as in the
+    * plain test.
+    *
+    * Shape at scale: one extra grouping column on the same
+    * (station, day) resample; the in-row pair enumeration is O(n_m²)
+    * per season on the bounded per-season series (7× smaller than
+    * the plain test's), and the combine is a map-side-partial O(1)
+    * rollup. The season key is pure integer arithmetic on the epoch
+    * day (`pmod(d, 7)`), not a locale-dependent calendar call, so
+    * both engines derive identical seasons. */
+  def seasonalMannKendall(spark: SparkSession, dir: String): DataFrame =
+    seasonalMannKendallOf(Tables.events(spark, dir))
+
+  private[graft] def seasonalMannKendallOf(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("user_id"),
+        datediff(date_trunc("DAY", col("ts")), lit("2024-01-01")).cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("yc"))
+      .groupBy(col("user_id"), col("x"))
+      .agg((sum(col("yc")).cast("double") / (count(lit(1)) * lit(100.0))).as("y"))
+      .withColumn("season", pmod(col("x"), lit(7L)))
+    val per = daily.groupBy(col("user_id"), col("season"))
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("pts"))
+      .filter(size(col("pts")) >= 3)
+      .withColumn("s_m", expr(
+        """aggregate(flatten(transform(pts, (p, i) ->
+          |  transform(slice(pts, i + 2, size(pts)),
+          |    q -> cast(sign(q.y - p.y) as bigint)))),
+          |  0L, (a, s) -> a + s)""".stripMargin))
+      .withColumn("tie_m", expr(
+        """aggregate(array_sort(transform(pts, p -> p.y)),
+          |  named_struct('prev', cast(null as double), 'run', 0L, 'acc', 0L),
+          |  (st, y) -> if(st.prev is not null and y = st.prev,
+          |    named_struct('prev', y, 'run', st.run + 1L, 'acc', st.acc),
+          |    named_struct('prev', y, 'run', 1L,
+          |      'acc', st.acc + st.run * (st.run - 1L) * (2L * st.run + 5L))),
+          |  st -> st.acc + st.run * (st.run - 1L) * (2L * st.run + 5L))"""
+          .stripMargin))
+      .withColumn("n_m", size(col("pts")).cast("long"))
+      .withColumn("var_i",
+        col("n_m") * (col("n_m") - 1) * (col("n_m") * 2 + 5) - col("tie_m"))
+    per.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_seasons"),
+        sum(col("n_m")).as("n_total"),
+        sum(col("s_m")).as("s_stat"),
+        sum(col("var_i")).as("vi"))
+      .withColumn("var_s", col("vi").cast("double") / 18.0)
+      .withColumn("z_raw",
+        when(col("var_s") > 0,
+          when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0))))
+      .select(col("user_id"), col("n_seasons"), col("n_total"),
+        col("s_stat"), col("var_s"),
+        (floor(col("z_raw") * 1e4 + 0.5) / 1e4).as("z_stat"),
+        when(col("z_raw").isNull, "undefined")
+          .when(col("z_raw") > 1.96, "increasing")
+          .when(col("z_raw") < -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+  }
+
   /** Per-station running-peak DRAWDOWN of the daily level — the
     * reservoir/groundwater depletion view behind low-flow monitoring
     * (how far below the historical running maximum has the station

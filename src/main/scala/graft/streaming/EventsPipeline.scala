@@ -202,8 +202,14 @@ object EventsPipeline {
       bucketCap: Int = 50): Dataset[NearDupAlert] = {
     import docs.sparkSession.implicits._
     val horizonMs = horizonMinutes * 60L * 1000L
+    // fingerprint via the codegen'd kernel (identical bits to the
+    // batch path and to the HOF fold [[graft.operators.Dedup
+    // .simhashCol]], which remains as the SQL-expressible twin) —
+    // per-row compiled work, which is exactly what a streaming
+    // micro-batch wants in its scan stage
     val fp = normalizeTs(docs)
-      .withColumn("simhash", graft.operators.Dedup.simhashCol("text"))
+      .withColumn("simhash",
+        graft.expressions.TextColumns.simhashFp(split(col("text"), " ")))
       .withWatermark("ts", "1 hour")
     val chunks = fp.select(col("doc_id"), col("ts"), col("simhash"),
         explode(array((0 until 4).map(c =>

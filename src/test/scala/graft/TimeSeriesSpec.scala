@@ -1082,4 +1082,57 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty)
   }
+
+  test("ts_seasonal_mk: per-season S/Var combine matches brute-force; planted cycle+trend classifies by the within-season signal") {
+    val dayZero = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val rows = SparkEntry.queries("ts_seasonal_mk")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    raw.groupBy(_._2).foreach { case (u, evs) =>
+      val daily = evs.groupBy(e =>
+          e._3.toLocalDateTime.toLocalDate.toEpochDay - dayZero)
+        .map { case (x, es) =>
+          val cents = es.map(e => math.floor(e._5 * 100 + 0.5).toLong).sum
+          (x, cents.toDouble / (es.size * 100.0))
+        }.toSeq
+      val bySeason = daily.groupBy(d => ((d._1 % 7) + 7) % 7)
+        .view.mapValues(_.sortBy(_._1)).toMap
+        .filter(_._2.size >= 3)
+      if (bySeason.isEmpty) assert(!rows.contains(u), s"user $u absent")
+      else {
+        var sTot = 0L; var vi = 0L; var nTot = 0L
+        bySeason.values.foreach { pts =>
+          val n = pts.size.toLong; nTot += n
+          sTot += (for {
+            i <- pts.indices; j <- (i + 1) until pts.size
+          } yield math.signum(pts(j)._2 - pts(i)._2).toLong).sum
+          val tie = pts.groupBy(_._2).values.map(_.size.toLong)
+            .map(t => t * (t - 1) * (2 * t + 5)).sum
+          vi += n * (n - 1) * (2 * n + 5) - tie
+        }
+        val r = rows(u)
+        assert(r.getAs[Long]("n_seasons") === bySeason.size.toLong, s"user $u")
+        assert(r.getAs[Long]("n_total") === nTot, s"user $u n_total")
+        assert(r.getAs[Long]("s_stat") === sTot, s"user $u s_stat")
+        assert(r.getAs[Double]("var_s") === vi.toDouble / 18.0, s"user $u var")
+      }
+    }
+    // planted: strong weekly cycle + strictly decreasing within each
+    // weekday -> every within-season pair is negative, so seasonal MK
+    // must say decreasing even though cross-season deltas are huge
+    // and positive for most day pairs (what the plain test drowns in)
+    import spark.implicits._
+    val planted = (for {
+      w <- 0 until 12; dow <- 0 until 7
+    } yield {
+      val day = w * 7 + dow
+      (1L, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.parse("2024-01-01").plusDays(day).atStartOfDay),
+        1000.0 * dow - 1.0 * w)
+    }).toDF("user_id", "ts", "value")
+    val out = graft.operators.TimeSeries.seasonalMannKendallOf(planted)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("trend") === "decreasing")
+    assert(out.head.getAs[Long]("s_stat") === -7L * (12L * 11L / 2L))
+  }
 }
