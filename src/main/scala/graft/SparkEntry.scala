@@ -27,6 +27,8 @@ object SparkEntry {
     "events_json_extract" -> Relational.eventsJsonExtract _,
     "q4_priority_returns" -> Relational.orderPriorityReturns _,
     "q10_returned_items"  -> Relational.returnedItemsRevenue _,
+    "q6_revenue_change"   -> Relational.revenueChange _,
+    "q19_discounted_revenue" -> Relational.discountedRevenue _,
     "q7_volume_shipping"  -> Relational.volumeShipping _,
     "q8_market_share"     -> Relational.marketShare _,
     "distinct_users_daily" -> Relational.distinctUsersDaily _,
@@ -70,6 +72,7 @@ object SparkEntry {
     "ts_holt_forecast"       -> TimeSeries.holtForecast _,
     "ts_periodogram"         -> TimeSeries.periodogram _,
     "ts_cross_corr_ref"      -> TimeSeries.crossCorrRef _,
+    "ts_dtw_ref"             -> TimeSeries.dtwRef _,
     "ts_seasonal_decompose"  -> TimeSeries.seasonalDecompose _,
     "events_burst_flag"      -> TimeSeries.burstFlag _,
     "events_markov"          -> TimeSeries.eventsMarkov _,
@@ -697,6 +700,30 @@ object SparkEntry {
         |GROUP BY l.l_orderkey, o.o_orderdate
         |ORDER BY revenue DESC, l.l_orderkey ASC
         |LIMIT 10""".stripMargin,
+
+    "q6_revenue_change" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 1e6, 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.06
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q19_discounted_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)))
+        |    AS DOUBLE) / 1e6, 2) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q10_returned_items" ->
       """SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS c_acctbal,

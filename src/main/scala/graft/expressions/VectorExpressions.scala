@@ -96,10 +96,36 @@ case class MatVecExpr(child: Expression, mu: Array[Double],
   override def prettyName: String = "mat_vec"
 }
 
+/** Banded DTW distance over two `array<double>` series — the whole
+  * O(n·m) dynamic program as ONE compiled scan-stage call per row
+  * ([[graft.functions.VectorKernels.dtwBanded]]). DTW's sequential
+  * 2-D recurrence has no windowed/HOF formulation (each cell needs
+  * the neighbor in the SAME row), so this is exactly the "operator
+  * the engine lacks → native codegen'd Expression" seam — the
+  * alternative would be a per-row interpreted UDF, ~an order slower
+  * on the hot path. Series are bounded per key (resample first —
+  * the [[graft.operators.TimeSeries.theilSen]] in-row discipline),
+  * so the DP is O(series²) with O(series) live state per row. */
+case class DtwExpr(left: Expression, right: Expression, band: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dtwBanded(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], band)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.dtwBanded($a, $b, $band)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "dtw_banded"
+}
+
 object VectorColumns {
   private def e(c: Column) = ColumnBridge.expression(c.cast("array<double>"))
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(e(a), e(b)))
+  def dtw(a: Column, b: Column, band: Int): Column =
+    ColumnBridge.column(DtwExpr(e(a), e(b), band))
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotExpr(e(a), e(b)))
   def topkCosine(emb: Column, selfId: Column, ids: Array[Long],

@@ -117,4 +117,42 @@ object VectorKernels {
     new GenericArrayData((0 until size).map(j =>
       new GenericInternalRow(Array[Any](kid(j), pay(j)))).toArray[Any])
   }
+
+  /** Banded Dynamic Time Warping distance between two double series
+    * (|a_i − b_j| local cost, unit steps, Sakoe–Chiba band widened to
+    * at least |n−m| so the corner stays reachable). Classic O(n·m)
+    * DP with two rolling rows — O(min band width) live state, one
+    * compiled pass, no allocation beyond the two rows. The DP
+    * evaluation order is fixed (row-major), so the double result is
+    * bit-deterministic for given inputs — a Scala recompute with the
+    * same order matches exactly. Returns NaN for an empty side. */
+  def dtwBanded(a: ArrayData, b: ArrayData, band: Int): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 || m == 0) return Double.NaN
+    val w = math.max(band, math.abs(n - m)) // reachability floor
+    val inf = Double.PositiveInfinity
+    var prev = Array.fill(m + 1)(inf)
+    var cur = Array.fill(m + 1)(inf)
+    prev(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      val lo = math.max(1, i - w)
+      val hi = math.min(m, i + w)
+      val ai = a.getDouble(i - 1)
+      var j = lo
+      while (j <= hi) {
+        val c = math.abs(ai - b.getDouble(j - 1))
+        var best = prev(j)          // insertion
+        if (prev(j - 1) < best) best = prev(j - 1) // match
+        if (cur(j - 1) < best) best = cur(j - 1)   // deletion
+        cur(j) = c + best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
 }

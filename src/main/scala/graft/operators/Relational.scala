@@ -77,6 +77,58 @@ object Relational {
         col("count_order"))
   }
 
+  /** TPC-H Q6 shape — the canonical PREDICATE-PUSHDOWN probe: one
+    * scan, three range predicates, one exact sum, a 1-row answer.
+    * The plan is the point: every predicate must land in the parquet
+    * scan's PushedFilters (spec-asserted), so row groups outside the
+    * year/discount/quantity box never decompress — at 100 TB this is
+    * the difference between scanning a year and scanning the lake.
+    * Revenue sums exact cents×bps products into DECIMAL(38), divided
+    * once at the end; the discount band compares the STORED double
+    * against the same literals on both engines (kept raw so the
+    * predicate stays scan-pushable — wrapping it in a bps() rewrite
+    * would hide it from the parquet reader). */
+  def revenueChange(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec38(cents(col("l_extendedprice")) * bps(col("l_discount"))))
+          .as("rev"))
+      .select(col("n_lines"),
+        round(col("rev").cast("double") / 1e6, 2).as("revenue"))
+
+  /** TPC-H Q19 shape — disjunctive join predicates: revenue from
+    * three (brand × size-band × quantity-band) part/lineitem
+    * configurations OR'd together. The optimizer test is that the
+    * per-side halves of the disjunction push to their scans (brand ∨
+    * brand ∨ brand onto part, the quantity envelope onto lineitem)
+    * BEFORE the join, and the part dim broadcasts — the residual OR
+    * evaluates only on joined survivors. Exact cents×bps sum as
+    * everywhere. */
+  def discountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      // envelope of the three quantity bands — pushable conjunct
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#14", "Brand#21"))
+      .filter(col("p_size") >= 1 && col("p_size") <= 15)
+    def branch(brand: String, sizeHi: Int, qLo: Int, qHi: Int): Column =
+      col("p_brand") === brand && col("p_size") <= sizeHi &&
+        col("l_quantity") >= qLo && col("l_quantity") <= qHi
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#12", 5, 1, 11) ||
+        branch("Brand#14", 10, 10, 20) ||
+        branch("Brand#21", 15, 20, 30))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec38(cents(col("l_extendedprice"))
+          * (lit(10000L) - bps(col("l_discount"))))).as("rev"))
+      .select(col("n_lines"),
+        round(col("rev").cast("double") / 1e6, 2).as("revenue"))
+  }
+
   /** TPC-H Q3-style: selective filter, two fact joins, agg +
     * deterministic top-k. Customer filter prunes before the join but
     * the join stays UNHINTED — customer scales linearly with the data

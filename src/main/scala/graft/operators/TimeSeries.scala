@@ -1379,6 +1379,65 @@ object TimeSeries {
     * table: station rows never reshuffle for the match, and output is
     * O(stations·lags). The daily table is pinned: the network agg,
     * the per-station means and the match all read it. */
+  /** DTW band half-width in days (±2 weeks of warp allowed). */
+  private[graft] val DtwBand = 14
+
+  /** DYNAMIC-TIME-WARPING distance of each station's daily series
+    * against the network-mean reference — the elastic-alignment
+    * sibling of [[crossCorrRefOf]]: cross-correlation at fixed lags
+    * scores coherence only at those offsets, while DTW charges for
+    * the best monotone alignment within a ±[[DtwBand]]-day band, so
+    * a station reacting to the same forcing with a VARIABLE delay
+    * (snowmelt-driven gauges, routed flow) still scores close. The
+    * 2-D DP recurrence is sequential in both dimensions — no window
+    * or HOF formulation exists — so it runs as the native codegen'd
+    * [[graft.expressions.DtwExpr]] kernel over the per-station value
+    * array: O(n·band) per station, O(n) live state, one compiled
+    * call in the scan stage after the arrays assemble.
+    *
+    * Exactness: station and reference daily means each quantize ONCE
+    * to the 1e-4 grid (exact integer ratio, one floor), and the DP's
+    * fixed row-major order makes the double result reproducible
+    * bit-for-bit (spec recomputes it independently). Shape at scale:
+    * one (station, day) agg, one station rollup into bounded arrays
+    * (resample-first discipline — the series length is the DAY
+    * count, not the event count), reference is O(days) and
+    * broadcasts; rows-only (the sequential DP has no SQL oracle —
+    * the spec carries equivalence). */
+  def dtwRef(spark: SparkSession, dir: String): DataFrame =
+    dtwRefOf(Tables.events(spark, dir))
+
+  private[graft] def dtwRefOf(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("user_id"),
+        datediff(date_trunc("DAY", col("ts")), lit("2024-01-01"))
+          .cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("yc"))
+      .groupBy(col("user_id"), col("x"))
+      .agg(sum(col("yc")).as("sc"), count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    def q(sc: Column, cnt: Column): Column =
+      floor(sc.cast("double") * 100.0 / cnt + 0.5) / 1e4
+    val ser = daily
+      .select(col("user_id"), col("x"), q(col("sc"), col("cnt")).as("y"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("transform(array_sort(collect_list(struct(x, y))), p -> p.y)")
+          .as("s"))
+    val ref = daily.groupBy(col("x"))
+      .agg(sum(col("sc")).as("rsc"), sum(col("cnt")).as("rcnt"))
+      .select(col("x"), q(col("rsc"), col("rcnt")).as("y"))
+      .agg(count(lit(1)).as("ref_days"),
+        expr("transform(array_sort(collect_list(struct(x, y))), p -> p.y)")
+          .as("ref_s"))
+    val dist = graft.expressions.VectorColumns.dtw(col("s"), col("ref_s"), DtwBand)
+    ser.crossJoin(broadcast(ref))
+      .select(col("user_id"), col("n_days"), col("ref_days"),
+        (floor(dist * 1e4 + 0.5) / 1e4).as("dtw_dist"),
+        (floor(dist / (col("n_days") + col("ref_days")) * 1e4 + 0.5) / 1e4)
+          .as("dtw_per_step"))
+  }
+
   def crossCorrRef(spark: SparkSession, dir: String): DataFrame =
     crossCorrRefOf(Tables.events(spark, dir))
 

@@ -199,4 +199,54 @@ class RelationalSpec extends SparkSpec {
     // bounded by the orders side, match product never materialized
     assert(df.queryExecution.executedPlan.toString.contains("LeftSemi"))
   }
+
+  test("q6_revenue_change: all three predicates reach the parquet scan; sum recomputes") {
+    val df = SparkEntry.queries("q6_revenue_change")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    val pushed = scan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount")
+      && pushed.contains("l_quantity"),
+      s"predicates must push to the scan, got: $pushed")
+    val got = df.collect().head
+    val expect = Tables.lineitem(spark, sf)
+      .select("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .collect()
+      .filter { r =>
+        val sd = r.getTimestamp(0).toLocalDateTime.getYear == 1996
+        sd && r.getDouble(1) >= 0.04 && r.getDouble(1) <= 0.06 &&
+          r.getDouble(2) < 24
+      }
+    val rev = expect.map(r => math.floor(r.getDouble(3) * 100 + 0.5).toLong *
+      math.floor(r.getDouble(1) * 10000 + 0.5).toLong).map(BigInt(_)).sum
+    assert(got.getAs[Long]("n_lines") === expect.length.toLong)
+    assert(math.abs(got.getAs[Double]("revenue") -
+      math.rint(rev.toDouble / 1e6 * 100) / 100) < 1e-6)
+  }
+
+  test("q19_discounted_revenue: disjunctive branches recompute; part side broadcasts") {
+    val df = SparkEntry.queries("q19_discounted_revenue")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "part dim must broadcast")
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .collect()
+      .filter { r =>
+        parts.get(r.getLong(0)).exists { case (b, sz) =>
+          val q = r.getDouble(1)
+          (b == "Brand#12" && sz >= 1 && sz <= 5 && q >= 1 && q <= 11) ||
+          (b == "Brand#14" && sz >= 1 && sz <= 10 && q >= 10 && q <= 20) ||
+          (b == "Brand#21" && sz >= 1 && sz <= 15 && q >= 20 && q <= 30)
+        }
+      }
+    val rev = rows.map(r => math.floor(r.getDouble(2) * 100 + 0.5).toLong *
+      (10000L - math.floor(r.getDouble(3) * 10000 + 0.5).toLong))
+      .map(BigInt(_)).sum
+    val got = df.collect().head
+    assert(got.getAs[Long]("n_lines") === rows.length.toLong)
+    assert(math.abs(got.getAs[Double]("revenue") -
+      math.rint(rev.toDouble / 1e6 * 100) / 100) < 1e-6)
+  }
 }

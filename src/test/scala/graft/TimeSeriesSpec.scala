@@ -1135,4 +1135,62 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.head.getAs[String]("trend") === "decreasing")
     assert(out.head.getAs[Long]("s_stat") === -7L * (12L * 11L / 2L))
   }
+
+  test("ts_dtw_ref: kernel DP equals a Scala recompute; identity series is zero; elastic beats rigid on a lag") {
+    // kernel vs independent full-DP recompute on the real output
+    def dtwScala(a: Array[Double], b: Array[Double], band: Int): Double = {
+      val (n, m) = (a.length, b.length)
+      val w = math.max(band, math.abs(n - m))
+      val inf = Double.PositiveInfinity
+      var prev = Array.fill(m + 1)(inf); var cur = Array.fill(m + 1)(inf)
+      prev(0) = 0.0
+      for (i <- 1 to n) {
+        java.util.Arrays.fill(cur, inf)
+        val lo = math.max(1, i - w); val hi = math.min(m, i + w)
+        for (j <- lo to hi) {
+          val c = math.abs(a(i - 1) - b(j - 1))
+          var best = prev(j)
+          if (prev(j - 1) < best) best = prev(j - 1)
+          if (cur(j - 1) < best) best = cur(j - 1)
+          cur(j) = c + best
+        }
+        val t = prev; prev = cur; cur = t
+      }
+      prev(m)
+    }
+    val dayZero = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val daily = raw.groupBy(e => (e._2,
+        e._3.toLocalDateTime.toLocalDate.toEpochDay - dayZero))
+      .map { case ((u, x), es) =>
+        val sc = es.map(e => math.floor(e._5 * 100 + 0.5).toLong).sum
+        (u, x, math.floor(sc.toDouble * 100.0 / es.size + 0.5) / 1e4)
+      }.toSeq
+    val ref = daily.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, es) =>
+      // recompute from raw cents exactly as the operator does
+      val (scs, cnts) = es.map { case (u, x, _) =>
+        val evs = raw.filter(e => e._2 == u &&
+          e._3.toLocalDateTime.toLocalDate.toEpochDay - dayZero == x)
+        (evs.map(e => math.floor(e._5 * 100 + 0.5).toLong).sum, evs.size.toLong)
+      }.unzip
+      math.floor(scs.sum.toDouble * 100.0 / cnts.sum + 0.5) / 1e4
+    }.toArray
+    val got = SparkEntry.queries("ts_dtw_ref")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    daily.groupBy(_._1).foreach { case (u, es) =>
+      val ser = es.sortBy(_._2).map(_._3).toArray
+      val d = dtwScala(ser, ref, graft.operators.TimeSeries.DtwBand)
+      val r = got(u)
+      assert(r.getAs[Long]("n_days") === ser.length.toLong)
+      assert(math.abs(r.getAs[Double]("dtw_dist")
+        - math.floor(d * 1e4 + 0.5) / 1e4) < 1e-9, s"station $u")
+    }
+    // identity: DTW of a series against itself is exactly zero, and a
+    // 3-step lagged copy costs (under the band) far less than the
+    // rigid pointwise distance — the elastic property the operator is for
+    val base = Array.tabulate(60)(i => math.sin(i / 5.0) * 10)
+    assert(dtwScala(base, base, 14) === 0.0)
+    val lagged = Array.tabulate(60)(i => base(math.max(0, i - 3)))
+    val rigid = base.zip(lagged).map { case (x, y) => math.abs(x - y) }.sum
+    assert(dtwScala(base, lagged, 14) < rigid / 4, "warping must absorb the lag")
+  }
 }
