@@ -162,6 +162,7 @@ object SparkEntry {
     "vocab_topk"      -> TextOps.vocabTopk _,
     "ngram_novelty"   -> TextOps.ngramNovelty _,
     "bpe_pair_counts" -> TextOps.bpePairCounts _,
+    "bpe_train_merges" -> TextOps.bpeTrainMerges _,
     "dup_growth"      -> TextOps.dupGrowth _,
     "length_drift_psi" -> TextOps.lengthDriftPsi _,
     "vocab_coverage"  -> TextOps.vocabCoverage _,

@@ -577,6 +577,76 @@ object TextOps {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(50)
 
+  /** Number of BPE merge rounds and the vocab cap for
+    * [[bpeTrainMerges]]. */
+  private[graft] val BpeMergeSteps = 10
+  private[graft] val BpeVocabCap = 4096
+
+  /** BPE MERGE TRAINING — the first [[BpeMergeSteps]] actual
+    * byte-pair-encoding merges, learned the way SentencePiece/GPT-2
+    * training does: iterate (count adjacent symbol pairs → take the
+    * most frequent → merge all its non-overlapping occurrences
+    * left-to-right), with [[bpePairCounts]] being exactly round 1's
+    * counting stage. The scale insight BPE training rides is that
+    * everything happens on the WORD-FREQUENCY table, never the
+    * corpus: a word repeated a million times carries its symbol
+    * sequence once with an exact integer weight, so each round is
+    * one explode+agg over an O(vocab) table. The table is further
+    * capped to the [[BpeVocabCap]] most frequent words (deterministic
+    * (count desc, word) TakeOrdered — the bounded-fit-sample seam of
+    * the IVF/PQ family), which is how production tokenizer trainers
+    * bound memory too.
+    *
+    * The per-round ARGMAX (count desc, then lexicographic pair — a
+    * total order, so ties are deterministic) is a 1-row `head()`:
+    * orchestration-sized driver coordination, the
+    * [[graft.operators.Dedup.connectedComponents]] pattern, NOT a
+    * data collect. Each round's merged vocab localCheckpoints —
+    * constant-size plans across rounds (lineage would otherwise
+    * double per round). The merge itself is an in-row left-to-right
+    * fold over the bounded symbol array. Rows-only (iterative argmax
+    * has no SQL oracle); the spec recomputes the greedy merges
+    * independently. */
+  def bpeTrainMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var vocab = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(explode(words(normalized(col("text")))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("tok").asc).limit(BpeVocabCap)
+      .select(split(col("tok"), "").as("syms"), col("n_occ"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to BpeMergeSteps) {
+      val best = vocab
+        .select(explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) as l,
+            |              element_at(syms, i + 1) as r))""".stripMargin))
+          .as("p"), col("n_occ"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n_occ")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .head()
+      val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((step, l, r, n))
+      def q(s: String): String =
+        "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      // non-overlapping left-to-right merge, in-row over each word's
+      // bounded symbol array
+      vocab = vocab.select(expr(
+        s"""aggregate(syms, cast(array() as array<string>),
+           |  (acc, s) -> if(size(acc) > 0
+           |      and element_at(acc, -1) = ${q(l)}
+           |      and s = ${q(r)},
+           |    concat(slice(acc, 1, size(acc) - 1),
+           |           array(${q(l + r)})),
+           |    concat(acc, array(s))))""".stripMargin).as("syms"),
+        col("n_occ")).localCheckpoint()
+    }
+    merges.toSeq.toDF("step", "left", "right", "n_occ")
+  }
+
   /** Vocabulary COVERAGE / OOV-rate report — the tokenizer-design
     * primitive: what fraction of the running token stream does a
     * top-K vocabulary cover, at several K, in one pass. The vocab

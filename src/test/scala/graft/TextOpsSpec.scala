@@ -787,4 +787,40 @@ class TextOpsSpec extends SparkSpec {
         s"$lang ratios")
     }
   }
+
+  test("bpe_train_merges: ten greedy merges match an independent Scala BPE trainer") {
+    // independent reimplementation: word-frequency table, greedy
+    // (count desc, pair lex) argmax, non-overlapping left-to-right merge
+    val vocab0 = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).trim.toLowerCase.replaceAll("\\s+", " ")
+        .split(" ", -1))
+      .filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, n) => (-n, t) }
+      .take(graft.operators.TextOps.BpeVocabCap)
+    var vocab = vocab0.map { case (t, n) => (t.map(_.toString).toList, n) }
+    val expect = (1 to graft.operators.TextOps.BpeMergeSteps).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + n }
+      }
+      val ((l, r), n) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+      vocab = vocab.map { case (syms, cnt) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == l && s == r) {
+            out.remove(out.size - 1); out += (l + r)
+          } else out += s
+        }
+        (out.toList, cnt)
+      }
+      (step, l, r, n)
+    }
+    val got = SparkEntry.queries("bpe_train_merges")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === expect.toSeq)
+  }
 }
