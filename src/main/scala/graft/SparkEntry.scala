@@ -94,6 +94,8 @@ object SparkEntry {
     "bias_qdm"              -> Climate.biasQdm _,
     "bias_skill"            -> Climate.biasSkill _,
     "forecast_crps"         -> Climate.forecastCrps _,
+    "forecast_brier"        -> Climate.forecastBrier _,
+    "forecast_reliability"  -> Climate.forecastReliability _,
     "forecast_rank_hist"    -> Climate.forecastRankHist _,
     "rating_curve"          -> Climate.ratingCurve _,
     "rating_curve_station"  -> Climate.ratingCurveStation _,
@@ -597,6 +599,35 @@ object SparkEntry {
        |  WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5)"""
       .stripMargin
   }
+
+  /** Shared weekly exceedance CTEs for the Brier pair — mirrors
+    * Climate.exceedanceFrame: complete m=5 ensembles, k = members
+    * above the station's mean observed weekly value, o = observed
+    * exceedance. */
+  private def exceedanceCtes: String =
+    """obs AS (
+      |  SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+      |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+      |      AS DOUBLE) / count(*) * 100.0 + 0.5) AS BIGINT) AS y_u
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |thr AS (
+      |  SELECT user_id,
+      |    CAST(floor(CAST(sum(y_u) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+      |      AS thr_u
+      |  FROM obs GROUP BY 1),
+      |mem AS (
+      |  SELECT user_id, event_id % 5 AS member,
+      |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+      |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+      |      AS DOUBLE) / count(*) * 100.0 + 0.5) AS BIGINT) AS u
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3),
+      |ko AS (
+      |  SELECT m.user_id, m.week, CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(CASE WHEN m.u > t.thr_u THEN 1 ELSE 0 END) AS BIGINT) AS k,
+      |    CAST(max(CASE WHEN o.y_u > t.thr_u THEN 1 ELSE 0 END) AS BIGINT) AS o
+      |  FROM mem m JOIN obs o ON m.user_id = o.user_id AND m.week = o.week
+      |    JOIN thr t ON m.user_id = t.user_id
+      |  GROUP BY 1, 2)""".stripMargin
 
   private def minhashLshSql: String =
     s"""WITH $minhashPairsCtes
@@ -2139,6 +2170,38 @@ object SparkEntry {
 
     // weekly means quantized once to exact 1e-4 longs; both CRPS
     // sums exact; one fixed double expression at the end
+    // k and o are exact integers ((p−o)² = (k−5o)²/25 exactly); every
+    // score is one fixed double expression over integer sums
+    "forecast_brier" ->
+      s"""WITH $exceedanceCtes,
+         |s AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_weeks,
+         |    CAST(sum(CAST(floor((k - m * o) * (k - m * o) * 1e8
+         |      / (m * m) + 0.5) AS BIGINT)) AS BIGINT) AS se,
+         |    CAST(sum(o) AS BIGINT) AS no
+         |  FROM ko GROUP BY 1 HAVING count(*) >= 5)
+         |SELECT user_id, n_weeks,
+         |  floor(CAST(se AS DOUBLE) / (n_weeks * 1e8) * 1e4 + 0.5) / 1e4
+         |    AS brier,
+         |  floor(CAST(no AS DOUBLE) / n_weeks * 1e4 + 0.5) / 1e4 AS base_rate,
+         |  CASE WHEN no > 0 AND no < n_weeks THEN
+         |    floor((1.0 - (CAST(se AS DOUBLE) / (n_weeks * 1e8))
+         |      / ((CAST(no AS DOUBLE) / n_weeks)
+         |         * (1.0 - CAST(no AS DOUBLE) / n_weeks))) * 1e4 + 0.5) / 1e4
+         |  END AS bss
+         |FROM s""".stripMargin,
+
+    "forecast_reliability" ->
+      s"""WITH $exceedanceCtes,
+         |kb AS (SELECT CAST(floor(k * 5.0 / m + 0.5) AS BIGINT) AS bin, o
+         |       FROM ko)
+         |SELECT bin, bin / 5.0 AS p_forecast,
+         |  CAST(count(*) AS BIGINT) AS n_cases,
+         |  CAST(sum(o) AS BIGINT) AS n_events,
+         |  floor(CAST(sum(o) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+         |    AS obs_freq
+         |FROM kb GROUP BY 1""".stripMargin,
+
     "forecast_crps" ->
       """WITH obs AS (
         |  SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,

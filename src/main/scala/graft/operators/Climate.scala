@@ -2340,6 +2340,91 @@ object Climate {
           + (beta - 1) * (beta - 1))) * 1e4 + 0.5) / 1e4).as("kge"))
   }
 
+  /** Shared weekly (forecast-members ⋈ observation) exceedance frame
+    * for the Brier pair: per (station, week), m = members present,
+    * k = members above the station's climatological mean (exact
+    * 1e-4-unit longs both sides — the threshold is each station's
+    * own mean observed weekly value, one exact integer ratio),
+    * o = 1 if the observation exceeds it. The ensemble is allowed to
+    * be INCOMPLETE (m ≤ 5 — real forecast archives drop members);
+    * downstream scores quantize each week's (k/m − o)² ONCE to
+    * integer 1e-8 units, so cross-week sums stay merge-order-free. */
+  private def exceedanceFrame(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cents = sum(floor(col("value") * 100 + 0.5).cast("long"))
+    def weeklyU(df: DataFrame, extra: Seq[Column]): DataFrame =
+      df.groupBy(col("user_id") +: extra :+
+          date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"): _*)
+        .agg(floor(cents.cast("double") / count(lit(1)) * 100.0 + 0.5)
+          .cast("long").as("u"))
+    val obs = weeklyU(ev.filter(col("event_type") === "view"), Nil)
+      .withColumnRenamed("u", "y_u")
+    // climatological threshold: the station's mean weekly observation,
+    // quantized once (exact integer ratio → floor)
+    val thr = obs.groupBy(col("user_id"))
+      .agg(floor(sum(col("y_u")).cast("double") / count(lit(1)) + 0.5)
+        .cast("long").as("thr_u"))
+    val mem = weeklyU(ev.filter(col("event_type") === "click")
+      .withColumn("member", col("event_id") % 5), Seq(col("member")))
+    mem.join(obs, Seq("user_id", "week")).join(thr, Seq("user_id"))
+      .groupBy(col("user_id"), col("week"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("u") > col("thr_u"), 1L).otherwise(0L)).as("k"),
+        max(when(col("y_u") > col("thr_u"), 1L).otherwise(0L)).as("o"))
+  }
+
+  /** BRIER SCORE + skill — the probabilistic verification of a
+    * THRESHOLD-EXCEEDANCE forecast (Brier 1950; the binary-event
+    * member of the verification suite beside [[forecastCrps]]
+    * (continuous), [[forecastRankHist]] (calibration shape) and
+    * [[forecastSkill]] (deterministic)): per station,
+    * BS = mean (k/m − o)², the climatological base rate ō, the
+    * reference score BS_ref = ō(1−ō), and the skill score
+    * BSS = 1 − BS/BS_ref. Each week's squared error quantizes ONCE
+    * to integer 1e-8 units — (k−m·o)² and m² are exact ints, one
+    * double division + floor per week — so the station sum is an
+    * exact long and merge-order-free; BS is then ONE division. One
+    * (station, week) rollup + one station agg — no window, no
+    * fan-out. */
+  def forecastBrier(spark: SparkSession, dir: String): DataFrame = {
+    val f = exceedanceFrame(spark, dir)
+    val km = col("k") - col("m") * col("o")
+    val s = f
+      .withColumn("se_u",
+        floor(km * km * lit(1e8) / (col("m") * col("m")) + 0.5).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_weeks"), sum(col("se_u")).as("se"),
+        sum(col("o")).as("no"))
+      .filter(col("n_weeks") >= 5)
+    val bs = col("se").cast("double") / (col("n_weeks") * lit(1e8))
+    val base = col("no").cast("double") / col("n_weeks")
+    s.select(col("user_id"), col("n_weeks"),
+      (floor(bs * 1e4 + 0.5) / 1e4).as("brier"),
+      (floor(base * 1e4 + 0.5) / 1e4).as("base_rate"),
+      when(col("no") > 0 && col("no") < col("n_weeks"),
+        floor((lit(1.0) - bs / (base * (lit(1.0) - base))) * 1e4 + 0.5) / 1e4)
+        .as("bss"))
+  }
+
+  /** RELIABILITY DIAGRAM — [[forecastBrier]]'s calibration
+    * decomposition, pooled across the network: forecast
+    * probabilities k/m binned to the nearest fifth (six bins), each
+    * reporting how often the event actually happened. A calibrated
+    * ensemble lies on the diagonal (obs_freq ≈ bin/5); the table IS
+    * the reliability curve every verification report plots. O(6)
+    * output rows; the bin index is one floor of an exact-int ratio,
+    * observed frequency divides two exact integers once. */
+  def forecastReliability(spark: SparkSession, dir: String): DataFrame =
+    exceedanceFrame(spark, dir)
+      .withColumn("bin",
+        floor(col("k") * lit(5.0) / col("m") + 0.5).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_cases"), sum(col("o")).as("n_events"))
+      .select(col("bin"), (col("bin") / lit(5.0)).as("p_forecast"),
+        col("n_cases"), col("n_events"),
+        (floor(col("n_events").cast("double") / col("n_cases") * 1e4 + 0.5)
+          / 1e4).as("obs_freq"))
+
   /** The seasonal-deficit forecast product
     * (`ingestor_knmi_evapo_fc.py:219-245,305-325`): per-member signed
     * PET−precip deltas → ensemble percentile BANDS at q ∈ {0.1, 0.3,

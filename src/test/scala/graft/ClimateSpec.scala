@@ -1593,4 +1593,64 @@ class ClimateSpec extends SparkSpec {
       assert(math.abs(kge - r.getAs[Double]("kge")) < 1e-9, s"station $u kge")
     }
   }
+
+  test("forecast_brier + reliability: exceedance scores recompute exactly from raw events") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getDouble(4)))
+    def weeklyOf(rows: Seq[(Long, String, Double)]): Map[(Long, String), Long] =
+      rows.groupBy(t => (t._1, t._2)).map { case (k, es) =>
+        val sc = es.map(e => math.floor(e._3 * 100 + 0.5).toLong).sum
+        k -> math.floor(sc.toDouble / es.size * 100.0 + 0.5).toLong
+      }
+    val obs = weeklyOf(ev.collect { case (u, _, "view", w, v) => (u, w, v) })
+    val thr = obs.groupBy(_._1._1).map { case (u, m) =>
+      u -> math.floor(m.values.sum.toDouble / m.size + 0.5).toLong }
+    val mem = ev.collect { case (u, e, "click", w, v) => (u, e % 5, w, v) }
+      .groupBy(t => (t._1, t._2, t._3)).map { case (k, es) =>
+        val sc = es.map(e => math.floor(e._4 * 100 + 0.5).toLong).sum
+        k -> math.floor(sc.toDouble / es.size * 100.0 + 0.5).toLong
+      }
+    // ko frame: only weeks with an observation
+    val ko = mem.groupBy { case ((u, _, w), _) => (u, w) }
+      .collect { case ((u, w), ms) if obs.contains((u, w)) =>
+        val m = ms.size.toLong
+        val k = ms.values.count(_ > thr(u)).toLong
+        val o = if (obs((u, w)) > thr(u)) 1L else 0L
+        (u, m, k, o)
+      }.toSeq
+    // brier per station
+    val expB = ko.groupBy(_._1).collect { case (u, ws) if ws.size >= 5 =>
+      val n = ws.size.toLong
+      val se = ws.map { case (_, m, k, o) =>
+        val km = k - m * o
+        math.floor(km * km * 1e8 / (m * m) + 0.5).toLong }.sum
+      val no = ws.map(_._4).sum
+      val bs = se.toDouble / (n * 1e8); val base = no.toDouble / n
+      val bss = if (no > 0 && no < n)
+        Some(math.floor((1.0 - bs / (base * (1.0 - base))) * 1e4 + 0.5) / 1e4)
+      else None
+      u -> (n, math.floor(bs * 1e4 + 0.5) / 1e4, bss)
+    }
+    val gotB = SparkEntry.queries("forecast_brier")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(gotB.keySet === expB.keySet)
+    expB.foreach { case (u, (n, b, bss)) =>
+      assert(gotB(u)._1 === n && gotB(u)._2 === b, s"station $u brier")
+      assert(gotB(u)._3 === bss, s"station $u bss")
+    }
+    // reliability bins
+    val expR = ko.groupBy { case (_, m, k, _) =>
+      math.floor(k * 5.0 / m + 0.5).toLong }
+      .map { case (bin, cs) =>
+        bin -> (cs.size.toLong, cs.map(_._4).sum) }
+    val gotR = SparkEntry.queries("forecast_reliability")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(gotR === expR)
+  }
 }
