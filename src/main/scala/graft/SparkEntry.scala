@@ -162,6 +162,7 @@ object SparkEntry {
     "text_repetition" -> TextOps.textRepetition _,
     "corpus_clean"    -> TextOps.corpusClean _,
     "vocab_topk"      -> TextOps.vocabTopk _,
+    "vocab_heavy_hitters" -> TextOps.vocabHeavyHitters _,
     "ngram_novelty"   -> TextOps.ngramNovelty _,
     "bpe_pair_counts" -> TextOps.bpePairCounts _,
     "bpe_train_merges" -> TextOps.bpeTrainMerges _,

@@ -1,0 +1,146 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SPACE-SAVING heavy-hitters sketch (Metwally et al. 2005) as a
+  * first-class aggregate — the frequent-items member of the sketch
+  * family beside HyperLogLog (`distinct_users_daily_approx`) and
+  * GK quantiles (`zonal_spi_quantiles_approx`): O(capacity) state
+  * per group AT ANY stream size, map-side partial aggregation, and
+  * the two classical guarantees the spec asserts —
+  * est ≥ true ≥ est − err for every tracked item, and any item with
+  * true count > N/capacity is guaranteed tracked.
+  *
+  * Update: a tracked item increments; an untracked one evicts the
+  * current minimum m and enters with (m.count + 1, err = m.count).
+  * Merge follows the MERGEABLE-summaries discipline (Agarwal et al.
+  * 2013): an item absent from the other side gains that side's
+  * MIN-count (its maximum possible true count there — ZERO while the
+  * side is under capacity, since an under-capacity summary tracks
+  * everything it saw), keeping est an overestimate through any merge
+  * tree; the combined map then trims back to capacity by dropping
+  * the smallest estimates. Output: the tracked items as
+  * `array<struct<item, est, err>>`, (est desc, item asc) ordered —
+  * a deterministic total order. */
+case class SpaceSavingAgg(
+    item: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, (Long, Long)]] {
+
+  override def createAggregationBuffer(): mutable.HashMap[String, (Long, Long)] =
+    mutable.HashMap.empty
+
+  private def minCount(buf: mutable.HashMap[String, (Long, Long)]): Long =
+    if (buf.size < capacity) 0L else buf.valuesIterator.map(_._1).min
+
+  override def update(
+      buf: mutable.HashMap[String, (Long, Long)],
+      input: InternalRow): mutable.HashMap[String, (Long, Long)] = {
+    val v = item.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      buf.get(s) match {
+        case Some((c, e)) => buf(s) = (c + 1, e)
+        case None if buf.size < capacity => buf(s) = (1L, 0L)
+        case None =>
+          // evict the minimum (deterministic tie-break: lexicographic)
+          val (mk, (mc, _)) = buf.minBy { case (k, (c, _)) => (c, k) }
+          buf.remove(mk)
+          buf(s) = (mc + 1, mc)
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.HashMap[String, (Long, Long)],
+      other: mutable.HashMap[String, (Long, Long)]): mutable.HashMap[String, (Long, Long)] = {
+    val mA = minCount(buf)
+    val mB = minCount(other)
+    val out = mutable.HashMap.empty[String, (Long, Long)]
+    buf.foreach { case (k, (c, e)) =>
+      other.get(k) match {
+        case Some((c2, e2)) => out(k) = (c + c2, e + e2)
+        case None           => out(k) = (c + mB, e + mB)
+      }
+    }
+    other.foreach { case (k, (c, e)) =>
+      if (!buf.contains(k)) out(k) = (c + mA, e + mA)
+    }
+    if (out.size > capacity) {
+      // keep the `capacity` largest estimates (deterministic order)
+      val kept = out.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity)
+      out.clear(); kept.foreach { case (k, v) => out(k) = v }
+    }
+    buf.clear(); out.foreach { case (k, v) => buf(k) = v }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[String, (Long, Long)]): Any = {
+    val sorted = buf.toSeq.sortBy { case (k, (c, _)) => (-c, k) }
+    new GenericArrayData(sorted.map { case (k, (c, e)) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(k), c, e))
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.HashMap[String, (Long, Long)]): Array[Byte] = {
+    val items = buf.toSeq
+    val byteArrays = items.map(_._1.getBytes(StandardCharsets.UTF_8))
+    val size = 4 + byteArrays.map(_.length + 4 + 16).sum
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(items.size)
+    items.zip(byteArrays).foreach { case ((_, (c, e)), kb) =>
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(c); bb.putLong(e)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, (Long, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach { _ =>
+      val kb = new Array[Byte](bb.getInt)
+      bb.get(kb)
+      buf(new String(kb, StandardCharsets.UTF_8)) = (bb.getLong, bb.getLong)
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType), StructField("est", LongType),
+    StructField("err", LongType))))
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(item)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(item = newChildren(0))
+  override def withNewMutableAggBufferOffset(offset: Int): SpaceSavingAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): SpaceSavingAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "space_saving"
+}
+
+object SpaceSavingAgg {
+  /** `spaceSaving(item, capacity)` as a Column aggregate. */
+  def spaceSaving(item: Column, capacity: Int): Column =
+    ColumnBridge.column(SpaceSavingAgg(
+      ColumnBridge.expression(item.cast("string")),
+      capacity).toAggregateExpression())
+}

@@ -550,6 +550,29 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(100)
 
+  /** SpaceSaving sketch capacity for [[vocabHeavyHitters]]. */
+  private[graft] val HeavyHitterCap = 512
+
+  /** SKETCHED frequent tokens — [[vocabTopk]]'s SpaceSaving twin
+    * ([[graft.expressions.SpaceSavingAgg]]), completing the sketch
+    * trio (HLL cardinality, GK quantiles, SS frequent items): the
+    * exact plan's full (token, count) hash-aggregate state is
+    * O(vocabulary) — fine for words, ruinous for n-gram or URL
+    * streams whose key space is data-sized — while the sketch holds
+    * O(capacity) state per partition AND through the merge tree, at
+    * the cost of (est, err) bounds instead of exact counts. Top-20
+    * reported; the spec asserts the classical guarantees against the
+    * exact twin (est ≥ true ≥ est−err; every true top-20 surfaced at
+    * this capacity/skew). */
+  def vocabHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(explode(words(normalized(col("text")))).as("token"))
+      .agg(graft.expressions.SpaceSavingAgg
+        .spaceSaving(col("token"), HeavyHitterCap).as("sk"))
+      .select(posexplode(slice(col("sk"), 1, 20)))
+      .select((col("pos") + 1).as("rank"), col("col.item").as("token"),
+        col("col.est").as("est_count"), col("col.err").as("max_err"))
+
   /** Adjacent CHARACTER-PAIR counts over the corpus vocabulary — the
     * inner loop of BPE tokenizer training (count all symbol pairs,
     * merge the most frequent, repeat): the first, corpus-wide

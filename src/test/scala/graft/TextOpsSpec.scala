@@ -823,4 +823,48 @@ class TextOpsSpec extends SparkSpec {
       .sortBy(_._1)
     assert(got.toSeq === expect.toSeq)
   }
+
+  test("vocab_heavy_hitters: SpaceSaving bounds hold vs exact counts; planted skew is never evicted") {
+    // exact truth from the corpus
+    val truth = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).trim.toLowerCase.replaceAll("\\s+", " ")
+        .split(" ", -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("vocab_heavy_hitters")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("token"),
+        r.getAs[Long]("est_count"), r.getAs[Long]("max_err")))
+    assert(got.length === 20)
+    got.foreach { case (_, tok, est, err) =>
+      val t = truth.getOrElse(tok, 0L)
+      assert(est >= t, s"'$tok' est $est < true $t — SS must overestimate")
+      assert(est - err <= t, s"'$tok' est-err ${est - err} > true $t")
+    }
+    // every true top-20 token must surface in the sketch's top-20 at
+    // this capacity on this distribution (the guarantee the operator
+    // is shipped for)
+    val trueTop = truth.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+      .map(_._1).toSet
+    val gotToks = got.map(_._2).toSet
+    assert(trueTop.subsetOf(gotToks),
+      s"missing true heavy hitters: ${trueTop -- gotToks}")
+    // planted adversarial stream: one heavy item among cap×4 distinct
+    // light ones — the heavy item must survive with a tight bound
+    import spark.implicits._
+    val cap = 8
+    val stream = (Seq.fill(500)("HEAVY") ++
+      (1 to 64).flatMap(i => Seq.fill(3)(s"light_$i"))).toDF("token")
+    val sk = stream.repartition(4)
+      .agg(graft.expressions.SpaceSavingAgg.spaceSaving(
+        org.apache.spark.sql.functions.col("token"), cap).as("sk"))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("sk")).as("e"))
+      .select("e.item", "e.est", "e.err").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val heavy = sk.find(_._1 == "HEAVY")
+    assert(heavy.isDefined, "the heavy hitter must be tracked")
+    assert(heavy.get._2 >= 500 && heavy.get._2 - heavy.get._3 <= 500,
+      s"bounds must bracket the true count, got ${heavy.get}")
+    assert(sk.length <= cap, "state must stay within capacity")
+  }
 }
