@@ -53,16 +53,7 @@ case class SpaceSavingAgg(
       input: InternalRow): mutable.HashMap[String, (Long, Long)] = {
     val v = item.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
-      buf.get(s) match {
-        case Some((c, e)) => buf(s) = (c + 1, e)
-        case None if buf.size < capacity => buf(s) = (1L, 0L)
-        case None =>
-          // evict the minimum (deterministic tie-break: lexicographic)
-          val (mk, (mc, _)) = buf.minBy { case (k, (c, _)) => (c, k) }
-          buf.remove(mk)
-          buf(s) = (mc + 1, mc)
-      }
+      SpaceSavingAgg.ssUpdate(buf, v.asInstanceOf[UTF8String].toString, capacity)
     }
     buf
   }
@@ -138,6 +129,22 @@ case class SpaceSavingAgg(
 }
 
 object SpaceSavingAgg {
+  /** One SpaceSaving update step — shared by the batch aggregate and
+    * the streaming trending lane: tracked items increment; a new item
+    * under capacity enters exact; at capacity it replaces the current
+    * minimum (lexicographic tie-break — deterministic) carrying its
+    * count as the error bound. */
+  def ssUpdate(buf: mutable.HashMap[String, (Long, Long)], s: String,
+      capacity: Int): Unit =
+    buf.get(s) match {
+      case Some((c, e)) => buf(s) = (c + 1, e)
+      case None if buf.size < capacity => buf(s) = (1L, 0L)
+      case None =>
+        val (mk, (mc, _)) = buf.minBy { case (k, (c, _)) => (c, k) }
+        buf.remove(mk)
+        buf(s) = (mc + 1, mc)
+    }
+
   /** `spaceSaving(item, capacity)` as a Column aggregate. */
   def spaceSaving(item: Column, capacity: Int): Column =
     ColumnBridge.column(SpaceSavingAgg(

@@ -292,6 +292,75 @@ object EventsPipeline {
         col("y"), col("n"), col("sum_cents"))
   }
 
+  /** One observation for the trending lane. */
+  case class HhObs(wstart: java.sql.Timestamp, shard: Int, item: String,
+      ts: java.sql.Timestamp)
+
+  /** Per-(window, shard) SpaceSaving state: item → (est, err). */
+  case class HhState(counts: Map[String, (Long, Long)])
+
+  /** A closed window's shard report: the shard's tracked items with
+    * their SpaceSaving bounds. */
+  case class HhReport(window_start: java.sql.Timestamp, shard: Int,
+      item: String, est: Long, err: Long)
+
+  /** STREAMING TRENDING ITEMS — the live lane of the SpaceSaving
+    * sketch ([[graft.expressions.SpaceSavingAgg]] is its batch twin):
+    * per event-time window, track the heavy hitters of an
+    * unbounded-cardinality item column with O(shards × cap) total
+    * state, emitting each shard's tracked set when the watermark
+    * closes the window. Items hash to a FIXED shard, so shard
+    * sketches cover DISJOINT item sets — the cross-shard "merge" is
+    * a plain union (no merge semantics to reason about), a global
+    * top-k over the union is exact w.r.t. the per-shard bounds, and
+    * each item's full stream hits one state group, preserving the
+    * classical est ≥ true ≥ est−err guarantee per item. Sharding is
+    * also what distributes the state: one group per (window, shard),
+    * never a single hot global group.
+    *
+    * State expires by event-time timeout at window close + the
+    * watermark delay — the bounded-state contract of every lane
+    * here. The update step is byte-identical to the batch
+    * aggregate's ([[graft.expressions.SpaceSavingAgg.ssUpdate]] —
+    * one definition, so stream and batch sketches cannot drift). */
+  def trendingHeavyHitters(events: DataFrame, itemCol: String = "user_id",
+      windowMinutes: Int = 60, shards: Int = 16,
+      cap: Int = 64): Dataset[HhReport] = {
+    import events.sparkSession.implicits._
+    val windowMs = windowMinutes * 60L * 1000L
+    val obs = normalizeTs(events)
+      .withWatermark("ts", "1 hour")
+      .select(window(col("ts"), s"$windowMinutes minutes")
+          .getField("start").as("wstart"),
+        pmod(hash(col(itemCol)), lit(shards)).as("shard"),
+        col(itemCol).cast("string").as("item"), col("ts"))
+      .as[HhObs]
+    obs.groupByKey(r => (r.wstart.getTime, r.shard))
+      .flatMapGroupsWithState[HhState, HhReport](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, Int), rows: Iterator[HhObs],
+            state: GroupState[HhState]) =>
+          if (!rows.hasNext) {
+            // watermark passed window close: emit the final sketch
+            val entries = state.getOption.map(_.counts).getOrElse(Map.empty)
+            state.remove()
+            entries.toSeq.sortBy { case (k, (c, _)) => (-c, k) }
+              .map { case (item, (c, e)) =>
+                HhReport(new java.sql.Timestamp(key._1), key._2, item, c, e)
+              }.iterator
+          } else {
+            val buf = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+            state.getOption.foreach(_.counts.foreach { case (k, v) => buf(k) = v })
+            rows.foreach(r =>
+              graft.expressions.SpaceSavingAgg.ssUpdate(buf, r.item, cap))
+            state.update(HhState(buf.toMap))
+            // fire once the watermark passes the window END
+            state.setTimeoutTimestamp(key._1 + windowMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Score a live stream against a FITTED climatology param table —
     * the prediction-serving half of the param-table workflow: normals
     * are fit in batch ([[graft.operators.TimeSeries.climatologyFit]],

@@ -704,4 +704,41 @@ class StreamingSpec extends SparkSpec {
       assert(e2.n_obs === 2 && e2.peak === -1.3 && e2.severity === 2.5)
     } finally q.stop()
   }
+
+  test("trendingHeavyHitters: planted heavy item survives, counts exact under capacity, windows close on watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[Ev]
+    // tiny capacity (4) per shard, 1 shard -> eviction pressure is real
+    val q = EventsPipeline.trendingHeavyHitters(
+        source.toDF(), itemCol = "user_id", windowMinutes = 60,
+        shards = 1, cap = 4)
+      .writeStream.format("memory").queryName("trending")
+      .outputMode("append").start()
+    try {
+      // 10:00 window: user 7 appears 6x, users 1..5 once each (6
+      // distinct items > cap=4)
+      val wave = (1 to 6).map(i =>
+        Ev(i, t(s"2024-01-01 10:0$i:00"), 7L, "click", 1.0, "{}")) ++
+        (1 to 5).map(i =>
+          Ev(10 + i, t(s"2024-01-01 10:2$i:00"), i.toLong, "view", 1.0, "{}"))
+      source.addData(wave: _*)
+      q.processAllAvailable()
+      assert(spark.table("trending").isEmpty, "append: window still open")
+      // advance watermark past 11:00 + 1h delay
+      source.addData(Ev(99, t("2024-01-01 13:00:00"), 50L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      val out = spark.table("trending").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3),
+          r.getLong(4)))
+      val w10 = out.filter(_._1 == "2024-01-01 10:00:00.0")
+      assert(w10.length <= 4, "state bounded by capacity")
+      val heavy = w10.find(_._2 == "7")
+      assert(heavy.isDefined, "heavy item must survive eviction pressure")
+      // est >= true >= est - err for the heavy item (true = 6)
+      assert(heavy.get._3 >= 6 && heavy.get._3 - heavy.get._4 <= 6)
+      // top of the report is the heavy item with the largest estimate
+      assert(w10.maxBy(_._3)._2 === "7")
+    } finally q.stop()
+  }
 }
