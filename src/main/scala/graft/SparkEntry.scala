@@ -119,6 +119,7 @@ object SparkEntry {
     "grid_contour_bands"    -> Climate.gridContourBands _,
     "spi_ensemble_gamma"    -> Climate.spiEnsembleGamma _,
     "zonal_stats"           -> Climate.zonalStats _,
+    "zonal_class_area"      -> Climate.zonalClassArea _,
     "zonal_drought_extent"  -> Climate.zonalDroughtExtent _,
     "zonal_transitions"     -> Climate.zonalTransitions _,
     "zonal_spi"             -> Climate.zonalSpi _,
@@ -1023,6 +1024,35 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_returnflag = 'R')
         |GROUP BY 1""".stripMargin,
+
+    "zonal_class_area" ->
+      """WITH z AS (
+        |  SELECT user_id, ts,
+        |    round((value - avg(value) OVER (PARTITION BY user_id, event_type))
+        |      / stddev_samp(value) OVER (PARTITION BY user_id, event_type), 4) AS zscore
+        |  FROM events),
+        |g AS (
+        |  SELECT CAST(floor(((user_id % 36) * 5.0 - 87.5) / 30) AS INT) AS zone_y,
+        |    CAST(floor(((user_id % 72) * 5.0 - 177.5) / 30) AS INT) AS zone_x,
+        |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week, zscore
+        |  FROM z)
+        |SELECT zone_y, zone_x, week, count(*) AS n_obs,
+        |  CAST(sum(CASE WHEN zscore <= -0.5 THEN 1 ELSE 0 END) AS BIGINT) AS d0_n,
+        |  CAST(sum(CASE WHEN zscore <= -0.8 THEN 1 ELSE 0 END) AS BIGINT) AS d1_n,
+        |  CAST(sum(CASE WHEN zscore <= -1.3 THEN 1 ELSE 0 END) AS BIGINT) AS d2_n,
+        |  CAST(sum(CASE WHEN zscore <= -1.6 THEN 1 ELSE 0 END) AS BIGINT) AS d3_n,
+        |  CAST(sum(CASE WHEN zscore <= -2.0 THEN 1 ELSE 0 END) AS BIGINT) AS d4_n,
+        |  floor(CAST(sum(CASE WHEN zscore <= -0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1e4 + 0.5) / 1e4 AS d0_share,
+        |  floor(CAST(sum(CASE WHEN zscore <= -0.8 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1e4 + 0.5) / 1e4 AS d1_share,
+        |  floor(CAST(sum(CASE WHEN zscore <= -1.3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1e4 + 0.5) / 1e4 AS d2_share,
+        |  floor(CAST(sum(CASE WHEN zscore <= -1.6 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1e4 + 0.5) / 1e4 AS d3_share,
+        |  floor(CAST(sum(CASE WHEN zscore <= -2.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1e4 + 0.5) / 1e4 AS d4_share
+        |FROM g GROUP BY 1, 2, 3""".stripMargin,
 
     "zonal_drought_extent" ->
       """WITH z AS (

@@ -2108,6 +2108,39 @@ object Climate {
         floor(col("drought_n").cast("double") / col("n_obs") * 1e4 + 0.5) / 1e4)
   }
 
+  /** USDM-style DROUGHT-CLASS AREA table — [[zonalDroughtExtent]]
+    * generalized from one threshold to the five cumulative Drought
+    * Monitor classes (D0 abnormally dry … D4 exceptional, at the
+    * standard z thresholds −0.5/−0.8/−1.3/−1.6/−2.0): per (zone,
+    * week), the share of observations at or below each class — the
+    * exact table a drought bulletin prints under its choropleth, and
+    * cumulative by construction (D1 area ⊆ D0 area) so downstream
+    * consumers never re-derive nesting. Same single-scan shape as
+    * the extent: one window for the index, elementwise zone snap,
+    * one (zone, week) agg with five conditional integer counts;
+    * shares divide exact integers once. */
+  def zonalClassArea(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+    val cls = Seq("d0" -> -0.5, "d1" -> -0.8, "d2" -> -1.3,
+      "d3" -> -1.6, "d4" -> -2.0)
+    val counts = cls.map { case (n, t) =>
+      sum(when(col("zscore") <= t, 1).otherwise(0)).cast("long").as(s"${n}_n") }
+    val shares = cls.map { case (n, _) =>
+      (floor(col(s"${n}_n").cast("double") / col("n_obs") * 1e4 + 0.5) / 1e4)
+        .as(s"${n}_share") }
+    Tables.events(spark, dir)
+      .withColumn("zscore",
+        round((col("value") - avg(col("value")).over(w))
+          / stddev_samp(col("value")).over(w), 4))
+      .withColumn("zone_y", floor(pseudoLat(col("user_id")) / 30).cast("int"))
+      .withColumn("zone_x", floor(pseudoLon(col("user_id")) / 30).cast("int"))
+      .groupBy(col("zone_y"), col("zone_x"),
+        date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"))
+      .agg(count(lit(1)).as("n_obs"), counts: _*)
+      .select(Seq(col("zone_y"), col("zone_x"), col("week"), col("n_obs")) ++
+        cls.map(c => col(s"${c._1}_n")) ++ shares: _*)
+  }
+
   /** Drought ONSET / RECOVERY transition ledger per zone — the
     * week-over-week state machine ON TOP of [[zonalDroughtExtent]]:
     * a zone is "in drought" when ≥ 7.5% of its observations sit at
