@@ -137,6 +137,7 @@ object SparkEntry {
     "grid_hillshade"        -> Climate.gridHillshade _,
     "grid_flow_dir"         -> Climate.gridFlowDir _,
     "grid_flow_acc"         -> Climate.gridFlowAcc _,
+    "grid_watershed"        -> Climate.gridWatershed _,
     "grid_fill_nodata"      -> Climate.gridFillNodata _,
     "bbox_filter"           -> Climate.bboxFilter _,
     "extent_summary"        -> Climate.extentSummary _,
@@ -3169,6 +3170,24 @@ object SparkEntry {
         |  WHERE f.dir != 'pit')
         |SELECT gy, gx, CAST(count(*) AS BIGINT) AS n_draining
         |FROM walk GROUP BY 1, 2""".stripMargin,
+
+    // same walk CTE, but the TERMINAL row per cell labels its basin;
+    // basin_n is a window count over the O(cells) label table
+    "grid_watershed" ->
+      s"""WITH RECURSIVE $flowDirCtes,
+        |walk(gy, gx, cy, cx, cdir) AS (
+        |  SELECT gy, gx, gy, gx, dir FROM fd
+        |  UNION ALL
+        |  SELECT w.gy, w.gx, f.to_gy, f.to_gx, f2.dir
+        |  FROM walk w
+        |  JOIN fd f ON w.cy = f.gy AND w.cx = f.gx AND f.dir != 'pit'
+        |  JOIN fd f2 ON f2.gy = f.to_gy AND f2.gx = f.to_gx),
+        |lab AS (
+        |  SELECT gy, gx, cy AS pit_y, cx AS pit_x FROM walk
+        |  WHERE cdir = 'pit')
+        |SELECT gy, gx, pit_y, pit_x,
+        |  CAST(count(*) OVER (PARTITION BY pit_y, pit_x) AS BIGINT) AS basin_n
+        |FROM lab""".stripMargin,
 
     // trig-free normal-dot-sun shading on the exact gradient
     // components; identical literal multiply/divide/sqrt chain

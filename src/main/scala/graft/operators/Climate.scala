@@ -1916,6 +1916,53 @@ object Climate {
     * aggregated grid grain; at continental-DEM scale the same loop
     * runs in O(log D) rounds via pointer doubling — the edge list is
     * the only state either way. */
+  /** WATERSHED DELINEATION — the third member of the D8 raster trio
+    * ([[gridFlowDir]] = where each cell drains, [[gridFlowAcc]] =
+    * how much drains through, this = WHICH BASIN each cell belongs
+    * to): every cell is labeled with the terminal pit its flow path
+    * reaches, plus that basin's cell count — `r.watershed`/ArcGIS
+    * Basin over the aggregated grid.
+    *
+    * The walk composes by POINTER DOUBLING: ptr₀ = my D8 target (or
+    * self for a pit), ptr_{k+1} = ptr_k ∘ ptr_k — each round is one
+    * self-equi-join of the O(cells) pointer table, and D-length
+    * paths resolve in ⌈log₂ D⌉ rounds (vs D rounds of naive
+    * stepping; the flow-acc docstring's promised pattern, delivered).
+    * Pits map to themselves so composition is idempotent at the
+    * fixpoint; the driver reads only a 1-row convergence signature.
+    * Rounds localCheckpoint (iterative — the plan would double per
+    * round). Oracle: the same walk as a recursive CTE (strictly
+    * downhill ⇒ acyclic ⇒ terminates), terminal row per cell. */
+  def gridWatershed(spark: SparkSession, dir: String): DataFrame = {
+    val fd = gridFlowDir(spark, dir).localCheckpoint()
+    var ptr = fd.select(col("gy"), col("gx"),
+        coalesce(col("to_gy"), col("gy")).as("py"),
+        coalesce(col("to_gx"), col("gx")).as("px"))
+      .localCheckpoint()
+    def sig(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("py") * 1000 + col("px")), lit(0L)))
+        .head.getLong(0)
+    var before = sig(ptr)
+    var converged = false
+    while (!converged) {
+      val next = ptr
+        .join(ptr.select(col("gy").as("py"), col("gx").as("px"),
+          col("py").as("py2"), col("px").as("px2")), Seq("py", "px"))
+        .select(col("gy"), col("gx"),
+          col("py2").as("py"), col("px2").as("px"))
+        .localCheckpoint()
+      val after = sig(next)
+      converged = after == before
+      ptr = next
+      before = after
+    }
+    val basins = ptr.groupBy(col("py"), col("px"))
+      .agg(count(lit(1)).as("basin_n"))
+    ptr.join(basins, Seq("py", "px"))
+      .select(col("gy"), col("gx"),
+        col("py").as("pit_y"), col("px").as("pit_x"), col("basin_n"))
+  }
+
   def gridFlowAcc(spark: SparkSession, dir: String): DataFrame = {
     val fd = gridFlowDir(spark, dir).localCheckpoint()
     val edges = fd.filter(col("dir") =!= "pit")

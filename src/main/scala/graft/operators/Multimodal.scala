@@ -177,4 +177,5 @@ object Multimodal {
         array_join(array_sort(collect_set(col("format"))), ",").as("formats"),
         min(col("doc_id")).as("keeper_doc"),
         sum(col("n_bytes")).as("total_bytes"))
+
 }

@@ -1653,4 +1653,32 @@ class ClimateSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
     assert(gotR === expR)
   }
+
+  test("grid_watershed: every cell's label is its D8 walk's terminal pit; basins partition the grid") {
+    val fd = Climate.gridFlowDir(spark, sf).collect()
+      .map(r => (r.getAs[Long]("gy"), r.getAs[Long]("gx")) ->
+        (r.getAs[String]("dir"),
+          Option(r.get(r.fieldIndex("to_gy"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("to_gx"))).map(_.asInstanceOf[Long]))).toMap
+    def walk(c: (Long, Long)): (Long, Long) = {
+      var cur = c
+      while (fd(cur)._1 != "pit")
+        cur = (fd(cur)._2.get, fd(cur)._3.get)
+      cur
+    }
+    val got = SparkEntry.queries("grid_watershed")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("gy"), r.getAs[Long]("gx")) ->
+        ((r.getAs[Long]("pit_y"), r.getAs[Long]("pit_x")),
+          r.getAs[Long]("basin_n"))).toMap
+    assert(got.keySet === fd.keySet, "every cell labeled exactly once")
+    got.foreach { case (c, (pit, _)) =>
+      assert(pit === walk(c), s"cell $c terminal")
+      assert(fd(pit)._1 === "pit", s"label of $c must be a pit")
+    }
+    // basins partition the grid: per-pit counts sum to all cells
+    val sizes = got.values.groupBy(_._1).map { case (p, vs) =>
+      p -> vs.size.toLong }
+    got.foreach { case (_, (pit, n)) => assert(n === sizes(pit)) }
+    assert(sizes.values.sum === fd.size.toLong)
+  }
 }
