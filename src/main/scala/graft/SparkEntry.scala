@@ -58,6 +58,7 @@ object SparkEntry {
     "ts_m4_downsample"       -> TimeSeries.m4Downsample _,
     "ts_trend"               -> TimeSeries.trend _,
     "ts_theil_sen"           -> TimeSeries.theilSen _,
+    "ts_benford"             -> TimeSeries.benfordScreen _,
     "ts_mann_kendall"        -> TimeSeries.mannKendall _,
     "ts_seasonal_mk"         -> TimeSeries.seasonalMannKendall _,
     "ts_drawdown"            -> TimeSeries.drawdown _,
@@ -1179,6 +1180,31 @@ object SparkEntry {
     // S and the tie term are INTEGER sums (order-free); Var(S) is one
     // integer expression /18; Z one sqrt+divide from identical bits —
     // the trend CASE compares the UNQUANTIZED z both sides
+    // first digit from the cent value's decimal STRING (libm-proof);
+    // p_d frozen as Scala-rendered literals (the periodogram trick);
+    // chi-squared folds nine terms in one fixed left-assoc chain
+    "ts_benford" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS d1
+        |  FROM events WHERE floor(value * 100 + 0.5) > 0),
+        |g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST(sum(CASE WHEN d1 = '1' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN d1 = '2' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN d1 = '3' THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN d1 = '4' THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |    CAST(sum(CASE WHEN d1 = '5' THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+        |    CAST(sum(CASE WHEN d1 = '6' THEN 1 ELSE 0 END) AS BIGINT) AS n6,
+        |    CAST(sum(CASE WHEN d1 = '7' THEN 1 ELSE 0 END) AS BIGINT) AS n7,
+        |    CAST(sum(CASE WHEN d1 = '8' THEN 1 ELSE 0 END) AS BIGINT) AS n8,
+        |    CAST(sum(CASE WHEN d1 = '9' THEN 1 ELSE 0 END) AS BIGINT) AS n9
+        |  FROM c GROUP BY 1 HAVING count(*) >= 50)
+        |SELECT user_id, n_obs, n1, n2, n3, n4, n5, n6, n7, n8, n9,
+        |  floor(((n1 - n_obs * 0.3010299956639812) * (n1 - n_obs * 0.3010299956639812) / (n_obs * 0.3010299956639812) + (n2 - n_obs * 0.17609125905568124) * (n2 - n_obs * 0.17609125905568124) / (n_obs * 0.17609125905568124) + (n3 - n_obs * 0.12493873660829992) * (n3 - n_obs * 0.12493873660829992) / (n_obs * 0.12493873660829992) + (n4 - n_obs * 0.09691001300805642) * (n4 - n_obs * 0.09691001300805642) / (n_obs * 0.09691001300805642) + (n5 - n_obs * 0.07918124604762482) * (n5 - n_obs * 0.07918124604762482) / (n_obs * 0.07918124604762482) + (n6 - n_obs * 0.06694678963061322) * (n6 - n_obs * 0.06694678963061322) / (n_obs * 0.06694678963061322) + (n7 - n_obs * 0.05799194697768673) * (n7 - n_obs * 0.05799194697768673) / (n_obs * 0.05799194697768673) + (n8 - n_obs * 0.05115252244738129) * (n8 - n_obs * 0.05115252244738129) / (n_obs * 0.05115252244738129) + (n9 - n_obs * 0.04575749056067514) * (n9 - n_obs * 0.04575749056067514) / (n_obs * 0.04575749056067514)) * 1e4 + 0.5) / 1e4 AS chi2,
+        |  ((n1 - n_obs * 0.3010299956639812) * (n1 - n_obs * 0.3010299956639812) / (n_obs * 0.3010299956639812) + (n2 - n_obs * 0.17609125905568124) * (n2 - n_obs * 0.17609125905568124) / (n_obs * 0.17609125905568124) + (n3 - n_obs * 0.12493873660829992) * (n3 - n_obs * 0.12493873660829992) / (n_obs * 0.12493873660829992) + (n4 - n_obs * 0.09691001300805642) * (n4 - n_obs * 0.09691001300805642) / (n_obs * 0.09691001300805642) + (n5 - n_obs * 0.07918124604762482) * (n5 - n_obs * 0.07918124604762482) / (n_obs * 0.07918124604762482) + (n6 - n_obs * 0.06694678963061322) * (n6 - n_obs * 0.06694678963061322) / (n_obs * 0.06694678963061322) + (n7 - n_obs * 0.05799194697768673) * (n7 - n_obs * 0.05799194697768673) / (n_obs * 0.05799194697768673) + (n8 - n_obs * 0.05115252244738129) * (n8 - n_obs * 0.05115252244738129) / (n_obs * 0.05115252244738129) + (n9 - n_obs * 0.04575749056067514) * (n9 - n_obs * 0.04575749056067514) / (n_obs * 0.04575749056067514)) > 20.09 AS flagged
+        |FROM g""".stripMargin,
+
     "ts_mann_kendall" ->
       """WITH daily AS (
         |  SELECT user_id,

@@ -1627,6 +1627,49 @@ object TimeSeries {
     * bare argmax would tie-break arbitrarily. The flag compares
     * CROSS-MULTIPLIED integers (peak·n_days > 2·n_events), so
     * membership can never flip on a float ulp. */
+  /** BENFORD first-digit screen per station — the forensic
+    * data-quality check (Nigrini's fraud test, applied to gauge
+    * feeds: fabricated, clipped or unit-mangled readings break the
+    * log-uniform first-digit law long before they break range
+    * checks): the observed first-significant-digit distribution of
+    * the positive readings vs Benford's p_d = log10(1+1/d), scored
+    * with the χ²(8) statistic and flagged at the 1% critical value
+    * 20.09.
+    *
+    * Determinism: the first digit comes from the CENT value's
+    * decimal STRING (exact on any engine — a floor(log10) extraction
+    * can disagree at power-of-ten boundaries between libms), digit
+    * counts are 9 conditional integer sums in one map-side-partial
+    * aggregation, and χ² folds the 9 terms in one FIXED expression
+    * chain (never a row-order-dependent aggregate over digit rows);
+    * p_d literals fold identically from log10 on both engines. One
+    * shuffle, no window, no join. */
+  def benfordScreen(spark: SparkSession, dir: String): DataFrame =
+    benfordScreenOf(Tables.events(spark, dir))
+
+  /** [[benfordScreen]] over an arbitrary (user_id, ts, value) frame —
+    * seam for the planted-distribution spec. */
+  private[graft] def benfordScreenOf(ev: DataFrame): DataFrame = {
+    val digitCounts = (1 to 9).map(d =>
+      sum(when(col("d1") === d.toString, 1L).otherwise(0L)).as(s"n$d"))
+    val counted = ev
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .filter(col("cents") > 0)
+      .withColumn("d1", substring(col("cents").cast("string"), 1, 1))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_obs"), digitCounts: _*)
+      .filter(col("n_obs") >= 50)
+    val chi2 = (1 to 9).map { d =>
+      val e = col("n_obs") * math.log10(1.0 + 1.0 / d)
+      (col(s"n$d") - e) * (col(s"n$d") - e) / e
+    }.reduce(_ + _)
+    counted.select(
+      Seq(col("user_id"), col("n_obs")) ++
+        (1 to 9).map(d => col(s"n$d")) ++ Seq(
+        (floor(chi2 * 1e4 + 0.5) / 1e4).as("chi2"),
+        (chi2 > 20.09).as("flagged")): _*)
+  }
+
   def burstFlag(spark: SparkSession, dir: String): DataFrame = {
     val perDay = Tables.events(spark, dir)
       .groupBy(col("user_id"), day(col("ts")).as("day"))

@@ -1193,4 +1193,51 @@ class TimeSeriesSpec extends SparkSpec {
     val rigid = base.zip(lagged).map { case (x, y) => math.abs(x - y) }.sum
     assert(dtwScala(base, lagged, 14) < rigid / 4, "warping must absorb the lag")
   }
+
+  test("ts_benford: digit counts and chi-squared recompute; a planted uniform-digit station flags") {
+    val expectAll = raw.filter(e => math.floor(e._5 * 100 + 0.5).toLong > 0)
+      .groupBy(_._2).collect { case (u, es) if es.size >= 50 =>
+        val digits = es.map(e =>
+          math.floor(e._5 * 100 + 0.5).toLong.toString.head.asDigit)
+        val n = es.size.toLong
+        val cnt = (1 to 9).map(d => digits.count(_ == d).toLong)
+        val chi = (1 to 9).map { d =>
+          val e0 = n * math.log10(1.0 + 1.0 / d)
+          val o = cnt(d - 1)
+          (o - e0) * (o - e0) / e0
+        }.sum
+        u -> (n, cnt, math.floor(chi * 1e4 + 0.5) / 1e4)
+      }
+    val got = SparkEntry.queries("ts_benford")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        (1 to 9).map(d => r.getAs[Long](s"n$d")),
+        r.getAs[Double]("chi2"))).toMap
+    assert(got.keySet === expectAll.keySet)
+    expectAll.foreach { case (u, (n, cnt, chi)) =>
+      assert(got(u)._1 === n && got(u)._2 === cnt, s"station $u counts")
+      assert(math.abs(got(u)._3 - chi) < 1e-9, s"station $u chi2")
+    }
+    // planted: readings all starting with digit 9 (grossly non-Benford)
+    // must flag; Benford-distributed ones must not
+    import spark.implicits._
+    def mk(vs: Seq[Double], u: Long) = vs.zipWithIndex.map { case (v, i) =>
+      (u, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.parse("2024-01-01").plusDays(i % 90).atStartOfDay),
+        v)
+    }
+    val rnd = new scala.util.Random(7)
+    val benford = (1 to 400).map { _ =>
+      math.pow(10.0, rnd.nextDouble() * 3) // log-uniform -> Benford
+    }
+    val nines = (1 to 400).map(i => 9.0 + (i % 10) * 0.01)
+    val df = (mk(benford, 1L) ++ mk(nines, 2L)).toDF("user_id", "ts", "value")
+      .withColumn("event_type", lit("view")).withColumn("event_id", lit(1L))
+      .withColumn("props", lit("{}"))
+    // route through the same screen logic via a temp table load seam:
+    // recompute directly with the operator's arithmetic
+    val out = graft.operators.TimeSeries.benfordScreenOf(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("flagged")).toMap
+    assert(out(2L), "all-nines station must flag")
+    assert(!out(1L), "log-uniform station must not flag")
+  }
 }
