@@ -106,4 +106,64 @@ class StatKernelsPropSpec extends AnyFunSuite {
       assert(math.abs(phi - p) < 1.5e-3, s"round-trip at p=$p (z=$z phi=$phi)")
     }
   }
+
+  test("text kernels: h48/minhashSig/simhashFp/dtw invariants over randomized inputs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{TextKernels, VectorKernels}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val strs = samples(Gen.listOfN(8,
+      Gen.oneOf(Gen.alphaNumStr.map(_.take(12)),
+        Gen.listOfN(4, Gen.choose('\u00a0', '\uD700')).map(_.mkString)))
+      .map(_.filter(_.nonEmpty)))
+      .filter(_.nonEmpty)
+    // h48 range + MD5 ground truth
+    strs.flatten.foreach { t =>
+      val h = TextKernels.h48(UTF8String.fromString(t))
+      assert(h >= 0 && h < (1L << 48), s"h48 range on '$t'")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      val want = java.lang.Long.parseLong(
+        md.take(6).map(b => f"${b & 0xff}%02x").mkString, 16)
+      assert(h === want, s"h48 vs MD5 hex prefix on '$t'")
+    }
+    val a = graft.operators.Dedup.minhashA
+    val b = graft.operators.Dedup.minhashB
+    val p = graft.operators.Dedup.MinhashP
+    strs.foreach { toks =>
+      val arr = ArrayData.toArrayData(
+        toks.map(UTF8String.fromString).toArray)
+      val sig = TextKernels.minhashSig(arr, a, b, p)
+      // per-lane ground truth + permutation invariance (set semantics)
+      val hs = toks.map(t => TextKernels.h48(UTF8String.fromString(t)))
+      (0 until a.length).foreach { i =>
+        assert(sig.getLong(i) === hs.map(h => (h * a(i) + b(i)) % p).min)
+      }
+      val perm = ArrayData.toArrayData(
+        scala.util.Random.javaRandomToRandom(new java.util.Random(1))
+          .shuffle(toks).map(UTF8String.fromString).toArray)
+      val sig2 = TextKernels.minhashSig(perm, a, b, p)
+      assert((0 until a.length).forall(i => sig.getLong(i) === sig2.getLong(i)),
+        "minhash is a set statistic — permutation-invariant")
+      // simhash: duplicating every token preserves the sign vector
+      val fp1 = TextKernels.simhashFp(arr)
+      val dbl = ArrayData.toArrayData(
+        (toks ++ toks).map(UTF8String.fromString).toArray)
+      assert(TextKernels.simhashFp(dbl) === fp1,
+        "doubling all counts cannot flip any vote")
+    }
+    // DTW: symmetry, identity, triangle-ish lower bound |sum diff|
+    val seriesGen = Gen.listOfN(20, Gen.choose(-50.0, 50.0))
+    samples(Gen.zip(seriesGen, seriesGen)).foreach { case (xs0, ys0) =>
+      def ad(v: Seq[Double]) = ArrayData.toArrayData(v.toArray)
+      val d1 = VectorKernels.dtwBanded(ad(xs0), ad(ys0), 5)
+      val d2 = VectorKernels.dtwBanded(ad(ys0), ad(xs0), 5)
+      assert(math.abs(d1 - d2) < 1e-9, "DTW symmetric for symmetric bands")
+      assert(VectorKernels.dtwBanded(ad(xs0), ad(xs0), 5) === 0.0)
+      assert(d1 >= 0.0, "non-negative")
+      // lower bound: the endpoints must be matched, so the distance is
+      // at least the two corner costs' cheapest pairing
+      assert(d1 >= math.abs(xs0.head - ys0.head) - 1e-9,
+        "first elements always pair")
+    }
+  }
 }
