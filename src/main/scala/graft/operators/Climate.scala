@@ -2437,8 +2437,12 @@ object Climate {
           date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"): _*)
         .agg(floor(cents.cast("double") / count(lit(1)) * 100.0 + 0.5)
           .cast("long").as("u"))
+    // pinned: the weekly observation sliver feeds BOTH the threshold
+    // fit and the member join — unpinned, the events scan+agg runs
+    // once per consumer (plan-audited: 7 exchanges → 5, one scan)
     val obs = weeklyU(ev.filter(col("event_type") === "view"), Nil)
       .withColumnRenamed("u", "y_u")
+      .localCheckpoint()
     // climatological threshold: the station's mean weekly observation,
     // quantized once (exact integer ratio → floor)
     val thr = obs.groupBy(col("user_id"))
