@@ -180,6 +180,7 @@ object SparkEntry {
     "pii_scrub"       -> TextOps.piiScrub _,
     "corpus_split"    -> TextOps.corpusSplit _,
     "corpus_split_leakage_safe" -> TextOps.corpusSplitSafe _,
+    "corpus_rag_chunks" -> TextOps.ragChunks _,
     "pack_sequences"  -> TextOps.packSequences _,
     "doc_lm_score"    -> TextOps.docLmScore _,
     "bigram_pmi"      -> TextOps.bigramPmi _,
@@ -4002,6 +4003,26 @@ object SparkEntry {
     },
 
     // all-integer packing arithmetic — engines agree exactly
+    // elementwise chunking; DuckDB list slice l[a:b] is 1-based
+    // inclusive and truncates at the end, matching Spark's slice
+    "corpus_rag_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n_toks FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, toks, n_toks,
+         |    unnest(generate_series(0, (n_toks - 1) // ${graft.operators.TextOps.RagStride})) AS chunk_idx
+         |  FROM n)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(chunk_idx * ${graft.operators.TextOps.RagStride} AS BIGINT) AS start_token,
+         |  CAST(least(${graft.operators.TextOps.RagWindow},
+         |    n_toks - chunk_idx * ${graft.operators.TextOps.RagStride}) AS BIGINT) AS chunk_tokens,
+         |  md5(array_to_string(
+         |    toks[chunk_idx * ${graft.operators.TextOps.RagStride} + 1 :
+         |         chunk_idx * ${graft.operators.TextOps.RagStride} + ${graft.operators.TextOps.RagWindow}], ' ')) AS chunk_hash
+         |FROM c""".stripMargin,
+
     "pack_sequences" ->
       s"""WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

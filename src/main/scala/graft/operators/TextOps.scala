@@ -378,6 +378,44 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
   }
 
+  /** RAG chunk window / stride (tokens): 64-token chunks every 48
+    * tokens — 16 tokens of overlap so no sentence is ever split
+    * without context on one side. private[graft] so the oracle SQL
+    * interpolates the same constants. */
+  private[graft] val RagWindow = 64
+  private[graft] val RagStride = 48
+
+  /** OVERLAPPING-WINDOW chunking — the retrieval-corpus prep twin of
+    * the dedup pass's fixed chunks ([[graft.operators.Dedup]]
+    * `dedup_chunks` cuts disjoint blocks to FIND duplication; this
+    * cuts overlapping [[RagWindow]]-token windows every [[RagStride]]
+    * tokens to BUILD an embedding/retrieval corpus, the standard
+    * RAG-ingestion shape). Per chunk: position, token count, and the
+    * md5 of its joined text (the identity retrieval indexes key on —
+    * the text itself stays in the lake). Entirely elementwise: one
+    * tokenize pass, one in-row `sequence` explode bounded by the
+    * document's own length, slice+hash in the scan stage — zero
+    * shuffles at any corpus size (the driver's hash-compare is the
+    * only ordering consumer). Documents shorter than one stride
+    * still emit their single (possibly short) chunk. */
+  def ragChunks(spark: SparkSession, dir: String): DataFrame = {
+    val W = RagWindow
+    val S = RagStride
+    Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), words(normalized(col("text"))).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .filter(col("n_toks") > 0)
+      .select(col("doc_id"), col("toks"), col("n_toks"),
+        explode(expr(s"sequence(0, cast((n_toks - 1) div $S as int))"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * S).cast("long").as("start_token"),
+        least(lit(W), col("n_toks") - col("chunk_idx") * S).cast("long")
+          .as("chunk_tokens"),
+        md5(array_join(slice(col("toks"), col("chunk_idx") * S + 1, lit(W)),
+          " ")).as("chunk_hash"))
+  }
+
   /** Tokens per packed training sequence. */
   val packBudget = 2048
 

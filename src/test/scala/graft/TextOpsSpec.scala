@@ -867,4 +867,35 @@ class TextOpsSpec extends SparkSpec {
       s"bounds must bracket the true count, got ${heavy.get}")
     assert(sk.length <= cap, "state must stay within capacity")
   }
+
+  test("corpus_rag_chunks: windows/strides/hashes recompute; overlap is exactly W-S tokens") {
+    val W = graft.operators.TextOps.RagWindow
+    val S = graft.operators.TextOps.RagStride
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .replaceAll("\\s+", " ").split(" ", -1).toSeq).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val expect = docs.toSeq.flatMap { case (d, toks) =>
+      val n = toks.size
+      if (n == 0) Nil
+      else (0 to (n - 1) / S).map { ci =>
+        (d, ci.toLong, (ci * S).toLong,
+          math.min(W, n - ci * S).toLong,
+          md5(toks.slice(ci * S, math.min(ci * S + W, n)).mkString(" ")))
+      }
+    }.toSet
+    val got = SparkEntry.queries("corpus_rag_chunks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(got === expect)
+    // consecutive full chunks overlap by exactly W - S tokens
+    docs.foreach { case (_, toks) =>
+      if (toks.size >= S + W) {
+        val c0 = toks.slice(0, W); val c1 = toks.slice(S, S + W)
+        assert(c0.drop(S) === c1.take(W - S))
+      }
+    }
+  }
 }
