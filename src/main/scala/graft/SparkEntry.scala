@@ -56,6 +56,7 @@ object SparkEntry {
     "ts_rolling_median"      -> TimeSeries.rollingMedian _,
     "ts_outlier_mad"         -> TimeSeries.outlierMad _,
     "ts_m4_downsample"       -> TimeSeries.m4Downsample _,
+    "ts_lttb_downsample"     -> TimeSeries.lttbDownsample _,
     "ts_trend"               -> TimeSeries.trend _,
     "ts_theil_sen"           -> TimeSeries.theilSen _,
     "ts_benford"             -> TimeSeries.benfordScreen _,
@@ -1181,6 +1182,64 @@ object SparkEntry {
     // S and the tie term are INTEGER sums (order-free); Var(S) is one
     // integer expression /18; Z one sqrt+divide from identical bits —
     // the trend CASE compares the UNQUANTIZED z both sides
+    // the greedy LTTB walk as a recursive CTE: per bucket an
+    // anti-join argmax on the EXACT integer triangle score (average
+    // multiplied through by the bucket count), ties to the earlier day
+    "ts_lttb_downsample" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT user_id, x, y,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY x) - 1 AS i,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM daily),
+        |small AS (
+        |  SELECT user_id, CAST(i AS BIGINT) AS pt_rank, x, y
+        |  FROM idx WHERE n <= 20),
+        |big AS (SELECT * FROM idx WHERE n > 20),
+        |mid AS (
+        |  SELECT user_id, x, y, i, (i - 1) * 18 // (n - 2) AS b
+        |  FROM big WHERE i >= 1 AND i <= n - 2),
+        |bsum AS (
+        |  SELECT user_id, b, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(count(*) AS BIGINT) AS c
+        |  FROM mid GROUP BY 1, 2),
+        |lastp AS (SELECT user_id, x, y FROM big WHERE i = n - 1),
+        |firstp AS (SELECT user_id, x, y FROM big WHERE i = 0),
+        |anchor AS (
+        |  SELECT user_id, b - 1 AS forb, sx, sy, c FROM bsum WHERE b >= 1
+        |  UNION ALL
+        |  SELECT user_id, 17, x, y, CAST(1 AS BIGINT) FROM lastp),
+        |sel(user_id, b, x, y) AS (
+        |  SELECT user_id, -1, x, y FROM firstp
+        |  UNION ALL
+        |  SELECT s.user_id, s.b + 1, c1.x, c1.y
+        |  FROM sel s
+        |  JOIN mid c1 ON c1.user_id = s.user_id AND c1.b = s.b + 1
+        |  JOIN anchor a ON a.user_id = s.user_id AND a.forb = s.b + 1
+        |  WHERE s.b + 1 <= 17 AND NOT EXISTS (
+        |    SELECT 1 FROM mid c2
+        |    WHERE c2.user_id = c1.user_id AND c2.b = c1.b AND (
+        |      abs((s.x * a.c - a.sx) * (c2.y - s.y)
+        |        - (s.x - c2.x) * (a.sy - s.y * a.c))
+        |      > abs((s.x * a.c - a.sx) * (c1.y - s.y)
+        |        - (s.x - c1.x) * (a.sy - s.y * a.c))
+        |      OR (abs((s.x * a.c - a.sx) * (c2.y - s.y)
+        |            - (s.x - c2.x) * (a.sy - s.y * a.c))
+        |          = abs((s.x * a.c - a.sx) * (c1.y - s.y)
+        |            - (s.x - c1.x) * (a.sy - s.y * a.c))
+        |          AND c2.x < c1.x))))
+        |SELECT user_id, pt_rank, x AS x_day, CAST(y AS DOUBLE) / 100.0 AS value
+        |FROM (
+        |  SELECT user_id, CAST(b + 1 AS BIGINT) AS pt_rank, x, y FROM sel
+        |  UNION ALL
+        |  SELECT user_id, CAST(19 AS BIGINT), x, y FROM lastp
+        |  UNION ALL
+        |  SELECT user_id, pt_rank, x, y FROM small)""".stripMargin,
+
     // first digit from the cent value's decimal STRING (libm-proof);
     // p_d frozen as Scala-rendered literals (the periodogram trick);
     // chi-squared folds nine terms in one fixed left-assoc chain

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 import graft.functions.VectorKernels
 
@@ -120,12 +120,36 @@ case class DtwExpr(left: Expression, right: Expression, band: Int)
   override def prettyName: String = "dtw_banded"
 }
 
+/** LTTB bucket selection over parallel sorted `array<long>` (x, y)
+  * columns — like [[DtwExpr]], a sequential recurrence (each kept
+  * point feeds the next triangle) that no window/HOF composition
+  * expresses: one compiled pass per series via
+  * [[graft.functions.VectorKernels.lttbSelect]], all-integer argmax,
+  * returns the selected 0-based positions. */
+case class LttbExpr(left: Expression, right: Expression, nOut: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType)
+  override protected def nullSafeEval(xs: Any, ys: Any): Any =
+    VectorKernels.lttbSelect(xs.asInstanceOf[ArrayData],
+      ys.asInstanceOf[ArrayData], nOut)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.lttbSelect($a, $b, $nOut)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "lttb_select"
+}
+
 object VectorColumns {
   private def e(c: Column) = ColumnBridge.expression(c.cast("array<double>"))
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(e(a), e(b)))
   def dtw(a: Column, b: Column, band: Int): Column =
     ColumnBridge.column(DtwExpr(e(a), e(b), band))
+  def lttb(xs: Column, ys: Column, nOut: Int): Column =
+    ColumnBridge.column(LttbExpr(
+      ColumnBridge.expression(xs.cast("array<bigint>")),
+      ColumnBridge.expression(ys.cast("array<bigint>")), nOut))
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotExpr(e(a), e(b)))
   def topkCosine(emb: Column, selfId: Column, ids: Array[Long],

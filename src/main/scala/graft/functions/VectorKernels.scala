@@ -118,6 +118,68 @@ object VectorKernels {
       new GenericInternalRow(Array[Any](kid(j), pay(j)))).toArray[Any])
   }
 
+  /** LARGEST-TRIANGLE-THREE-BUCKETS selection (Steinarsson 2013) over
+    * a sorted integer series — the shape-preserving visual
+    * downsampler that pairs with the M4 min/max reduction: endpoints
+    * always kept, the middle points split into `nOut−2` equal
+    * buckets, and each bucket keeps the point forming the largest
+    * triangle with the PREVIOUS kept point and the NEXT bucket's
+    * average. The recurrence is sequential (each choice feeds the
+    * next triangle), so it runs as one compiled pass here.
+    *
+    * All-INTEGER argmax: with prev kept (xa, ya), candidate (xp, yp)
+    * and next-bucket sums (SX, SY, c), the doubled triangle area
+    * scaled by c is |((xa·c − SX)·(yp − ya)) − ((xa − xp)·(SY − ya·c))|
+    * — multiplying the bucket average through by its count preserves
+    * the argmax and keeps every comparison exact 64-bit (ties break
+    * on the earlier x, a total order). Returns the selected POSITIONS
+    * (0-based); series ≤ nOut pass through whole. */
+  def lttbSelect(xs: ArrayData, ys: ArrayData, nOut: Int): ArrayData = {
+    val n = xs.numElements()
+    if (n <= nOut) return ArrayData.toArrayData(Array.tabulate(n)(i => i))
+    val nMid = n - 2
+    val bOut = nOut - 2
+    val sel = new Array[Int](nOut)
+    sel(0) = 0
+    sel(nOut - 1) = n - 1
+    var prevIdx = 0
+    var b = 0
+    while (b < bOut) {
+      // middle j (0-based among middles) is global i = j + 1;
+      // bucket(j) = j * bOut div nMid, so bucket b covers the js with
+      // j*bOut in [b*nMid, (b+1)*nMid)
+      val jLo = ((b.toLong * nMid + bOut - 1) / bOut).toInt
+      val jHi = (((b + 1).toLong * nMid + bOut - 1) / bOut).toInt - 1
+      // next anchor: bucket b+1's sums, or the last point
+      var sx = 0L; var sy = 0L; var c = 0L
+      if (b + 1 < bOut) {
+        val kLo = (((b + 1).toLong * nMid + bOut - 1) / bOut).toInt
+        val kHi = (((b + 2).toLong * nMid + bOut - 1) / bOut).toInt - 1
+        var k = kLo
+        while (k <= kHi) {
+          sx += xs.getLong(k + 1); sy += ys.getLong(k + 1); c += 1; k += 1
+        }
+      } else {
+        sx = xs.getLong(n - 1); sy = ys.getLong(n - 1); c = 1
+      }
+      val xa = xs.getLong(prevIdx); val ya = ys.getLong(prevIdx)
+      var best = -1L; var bestI = -1
+      var j = jLo
+      while (j <= jHi) {
+        val i = j + 1
+        val xp = xs.getLong(i); val yp = ys.getLong(i)
+        val cross = (xa * c - sx) * (yp - ya) - (xa - xp) * (sy - ya * c)
+        val score = math.abs(cross)
+        if (score > best) { best = score; bestI = i }
+        j += 1
+      }
+      sel(b + 1) = bestI
+      prevIdx = bestI
+      b += 1
+    }
+    ArrayData.toArrayData(sel)
+  }
+
   /** Banded Dynamic Time Warping distance between two double series
     * (|a_i − b_j| local cost, unit steps, Sakoe–Chiba band widened to
     * at least |n−m| so the corner stays reachable). Classic O(n·m)

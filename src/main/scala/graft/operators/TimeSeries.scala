@@ -1702,6 +1702,53 @@ object TimeSeries {
     * by full (ts, event_id) order twice AND shuffled the entire
     * event stream. Output O(stations × buckets) regardless of event
     * rate. */
+  /** LTTB output size per station. */
+  private[graft] val LttbPoints = 20
+
+  /** LTTB DOWNSAMPLING (Steinarsson 2013) — the shape-preserving
+    * visual reduction that pairs with [[m4Downsample]]: M4 is
+    * error-free for pixel-exact line rendering at a fixed width;
+    * LTTB picks the [[LttbPoints]] points that best preserve the
+    * curve's SHAPE (largest-triangle selection against the next
+    * bucket's average) and is what dashboards serve when the chart
+    * width is dynamic. The selection recurrence is sequential —
+    * each kept point feeds the next triangle — so it runs as the
+    * codegen'd [[graft.expressions.LttbExpr]] kernel over the
+    * per-station (day, total-cents) arrays: one compiled pass,
+    * all-integer triangle argmax (exact; ties to the earlier day),
+    * output positions exploded back to rows.
+    *
+    * Shape at scale: one (station, day) agg, one station rollup into
+    * bounded arrays (resample-first — the series length is the day
+    * count), kernel in the scan stage; series ≤ 20 days pass through
+    * whole. Oracle: the same greedy walk as a recursive CTE with an
+    * anti-join argmax per bucket. */
+  def lttbDownsample(spark: SparkSession, dir: String): DataFrame =
+    lttbDownsampleOf(Tables.events(spark, dir))
+
+  private[graft] def lttbDownsampleOf(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("user_id"),
+        datediff(date_trunc("DAY", col("ts")), lit("2024-01-01"))
+          .cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("yc"))
+      .groupBy(col("user_id"), col("x"))
+      .agg(sum(col("yc")).as("y"))
+    val ser = daily.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("pts"))
+      .select(col("user_id"),
+        expr("transform(pts, p -> p.x)").as("xs"),
+        expr("transform(pts, p -> p.y)").as("ys"))
+    val sel = graft.expressions.VectorColumns.lttb(
+      col("xs"), col("ys"), LttbPoints)
+    ser.select(col("user_id"), col("xs"), col("ys"),
+        posexplode(sel).as(Seq("pt_rank", "si")))
+      .select(col("user_id"), col("pt_rank").cast("long").as("pt_rank"),
+        element_at(col("xs"), col("si") + 1).as("x_day"),
+        (element_at(col("ys"), col("si") + 1).cast("double") / 100.0)
+          .as("value"))
+  }
+
   def m4Downsample(spark: SparkSession, dir: String): DataFrame = {
     val bucketUs = 6L * 3600 * 1000000
     val b = Tables.events(spark, dir)

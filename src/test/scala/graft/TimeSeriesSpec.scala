@@ -1240,4 +1240,55 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(2L), "all-nines station must flag")
     assert(!out(1L), "log-uniform station must not flag")
   }
+
+  test("ts_lttb_downsample: selection matches an independent LTTB; endpoints kept, x monotone") {
+    val B = graft.operators.TimeSeries.LttbPoints
+    def lttbScala(pts: Seq[(Long, Long)]): Seq[(Int, Long, Long)] = {
+      val n = pts.size
+      if (n <= B) return pts.zipWithIndex.map { case ((x, y), i) => (i, x, y) }
+      val nMid = n - 2; val bOut = B - 2
+      val sel = new Array[Int](B)
+      sel(0) = 0; sel(B - 1) = n - 1
+      var prev = 0
+      for (b <- 0 until bOut) {
+        def jLo(k: Int) = ((k.toLong * nMid + bOut - 1) / bOut).toInt
+        val (sx, sy, c) =
+          if (b + 1 < bOut) {
+            val ks = (jLo(b + 1) to (jLo(b + 2) - 1)).map(_ + 1)
+            (ks.map(pts(_)._1).sum, ks.map(pts(_)._2).sum, ks.size.toLong)
+          } else (pts(n - 1)._1, pts(n - 1)._2, 1L)
+        val (xa, ya) = pts(prev)
+        val cands = (jLo(b) to (jLo(b + 1) - 1)).map(_ + 1)
+        val bestI = cands.maxBy { i =>
+          val (xp, yp) = pts(i)
+          (math.abs((xa * c - sx) * (yp - ya) - (xa - xp) * (sy - ya * c)), -i)
+        }
+        sel(b + 1) = bestI; prev = bestI
+      }
+      sel.zipWithIndex.map { case (i, r) => (r, pts(i)._1, pts(i)._2) }.toSeq
+    }
+    val dayZero = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val expect = raw.groupBy(_._2).flatMap { case (u, evs) =>
+      val pts = evs.groupBy(e =>
+          e._3.toLocalDateTime.toLocalDate.toEpochDay - dayZero)
+        .map { case (x, es) =>
+          (x, es.map(e => math.floor(e._5 * 100 + 0.5).toLong).sum) }
+        .toSeq.sortBy(_._1)
+      lttbScala(pts).map { case (r, x, y) => (u, r.toLong, x, y / 100.0) }
+    }.toSet
+    val got = SparkEntry.queries("ts_lttb_downsample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === expect)
+    // structural: per station ranks are 0..k-1, x strictly increases
+    // with rank, first/last days survive
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      val byRank = rows.toSeq.sortBy(_._2)
+      assert(byRank.map(_._2) === byRank.indices.map(_.toLong))
+      assert(byRank.map(_._3) === byRank.map(_._3).sorted)
+      val alldays = raw.filter(_._2 == u).map(e =>
+        e._3.toLocalDateTime.toLocalDate.toEpochDay - dayZero)
+      assert(byRank.head._3 === alldays.min && byRank.last._3 === alldays.max)
+    }
+  }
 }
