@@ -205,6 +205,7 @@ object SparkEntry {
     "ann_topk_bruteforce" -> Similarity.annTopkBruteforce _,
     "ann_lsh_topk"        -> Similarity.annLshTopk _,
     "ann_recall_audit"    -> Similarity.annRecallAudit _,
+    "ann_matryoshka_audit" -> Similarity.annMatryoshkaAudit _,
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
     "ann_pq_topk"         -> Similarity.annPqTopk _,
     "knn_graph"           -> Similarity.knnGraph _,
@@ -4649,6 +4650,44 @@ object SparkEntry {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         |FROM reach GROUP BY src""".stripMargin,
+
+    // same cosine/rank discipline as the bruteforce oracle; prefix
+    // cosines on 1-based inclusive list slices; means as exact 1e-4
+    // integer sums divided once
+    "ann_matryoshka_audit" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT probe_id, vec_id, pe, embedding::DOUBLE[] AS e,
+        |        list_cosine_similarity(pe, embedding::DOUBLE[]) AS cos_full
+        |      FROM p, embeddings WHERE vec_id != probe_id),
+        |d AS (SELECT probe_id, vec_id, cos_full, dd.dim,
+        |        list_cosine_similarity(pe[1:dd.dim], e[1:dd.dim]) AS cos_d
+        |      FROM c, (VALUES (8), (16), (32)) dd(dim)),
+        |tr AS (SELECT probe_id, dim, vec_id AS neighbor_id,
+        |        CAST(floor(cos_full * 1e4 + 0.5) AS BIGINT) AS cf_u,
+        |        row_number() OVER (PARTITION BY probe_id, dim
+        |          ORDER BY round(cos_d, 6) DESC, vec_id ASC) AS rk
+        |       FROM d),
+        |t10 AS (SELECT * FROM tr WHERE rk <= 10),
+        |f AS (SELECT probe_id, vec_id AS neighbor_id,
+        |        CAST(floor(round(cos_full, 4) * 1e4 + 0.5) AS BIGINT) AS cf_u,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY round(cos_full, 6) DESC, vec_id ASC) AS rk
+        |      FROM c),
+        |f10 AS (SELECT * FROM f WHERE rk <= 10),
+        |agg AS (SELECT t.probe_id, t.dim,
+        |        CAST(sum(CASE WHEN f2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_hits,
+        |        CAST(sum(t.cf_u) AS BIGINT) AS trunc_u
+        |       FROM t10 t LEFT JOIN f10 f2 ON f2.probe_id = t.probe_id
+        |         AND f2.neighbor_id = t.neighbor_id
+        |       GROUP BY 1, 2),
+        |fu AS (SELECT probe_id, CAST(sum(cf_u) AS BIGINT) AS full_u
+        |       FROM f10 GROUP BY 1)
+        |SELECT agg.probe_id, CAST(dim AS BIGINT) AS dim,
+        |  n_hits / 10.0 AS recall_at10,
+        |  floor(CAST(full_u - trunc_u AS DOUBLE) / 10.0 + 0.5) / 1e4 AS cos_regret
+        |FROM agg JOIN fu ON agg.probe_id = fu.probe_id""".stripMargin,
 
     "ann_topk_bruteforce" ->
       """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe

@@ -48,6 +48,65 @@ object Similarity {
     topkPerProbe(scored, 10)
   }
 
+  /** Truncation dims for [[annMatryoshkaAudit]]. */
+  private[graft] val MatryoshkaDims = Seq(8, 16, 32)
+
+  /** MATRYOSHKA TRUNCATION AUDIT — the dimension-budget evaluation
+    * run before serving truncated embeddings (matryoshka-style
+    * models promise graceful degradation; this measures it on YOUR
+    * corpus): for each probe and each prefix dimension d ∈ 8/16/32,
+    * the exact top-10 by the d-dim prefix cosine is compared to the
+    * full-dimension exact top-10 — recall@10 plus the cosine REGRET
+    * (full-space quality of the full picks minus full-space quality
+    * of the truncated picks; recall can drop while regret stays
+    * negligible, which is exactly the case where serving the prefix
+    * is safe).
+    *
+    * Shape: ONE corpus×probes broadcast pass scores the full cosine
+    * and all three prefix cosines per pair (prefix cosines are more
+    * kernel calls in the same compiled stage, not more passes); each
+    * (probe, dim) reduces through the bounded [[TopKAgg]] with the
+    * FULL-space cosine carried as payload, so regret needs no second
+    * lookup. Cosines quantize to 1e-4 longs before the means —
+    * exact integer sums, one division. Output O(probes × dims). */
+  def annMatryoshkaAudit(spark: SparkSession, dir: String): DataFrame = {
+    val probes = vecs(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+    val scored = vecs(spark, dir)
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos_full", VectorColumns.cosine(col("pe"), col("emb")))
+    val perDim = scored
+      .select(col("probe_id"), col("vec_id"), col("cos_full"),
+        explode(array(MatryoshkaDims.map(d =>
+          struct(lit(d).as("dim"), VectorColumns.cosine(
+            slice(col("pe"), 1, d), slice(col("emb"), 1, d)).as("cos_d"))): _*))
+          .as("dc"))
+      .select(col("probe_id"), col("vec_id"), col("cos_full"),
+        col("dc.dim").as("dim"), col("dc.cos_d").as("cos_d"))
+    val qc = (c: Column) => floor(c * 1e4 + 0.5).cast("long")
+    val trunc = perDim.groupBy(col("probe_id"), col("dim"))
+      .agg(TopKAgg.topk(round(col("cos_d"), 6), col("vec_id"),
+        col("cos_full"), 10).as("top"))
+      .select(col("probe_id"), col("dim"), explode(col("top")).as("t"))
+      .select(col("probe_id"), col("dim"), col("t.id").as("neighbor_id"),
+        qc(col("t.payload")).as("cf_u"))
+    val full = annTopkBruteforce(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"),
+        qc(col("cosine")).as("cf_u"), lit(1).as("hit"))
+    trunc
+      .join(full.select(col("probe_id"), col("neighbor_id"), col("hit")),
+        Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"), col("dim"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"),
+        sum(col("cf_u")).as("trunc_u"))
+      .join(full.groupBy(col("probe_id"))
+        .agg(sum(col("cf_u")).as("full_u")), Seq("probe_id"))
+      .select(col("probe_id"), col("dim").cast("long").as("dim"),
+        (col("n_hits") / 10.0).as("recall_at10"),
+        (floor((col("full_u") - col("trunc_u")).cast("double") / 10.0 + 0.5)
+          / 1e4).as("cos_regret"))
+  }
+
   /** Top-k per probe via the bounded [[graft.expressions.TopKAgg]]
     * aggregate: map-side partial top-k reduces every input partition
     * to an O(k) state before the shuffle, so the low-cardinality

@@ -504,4 +504,19 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(5) === codes.sum)
     }
   }
+
+  test("ann_matryoshka_audit: bounds hold; truncated picks can never beat the full top-10") {
+    val rows = SparkEntry.queries("ann_matryoshka_audit")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length === 5 * graft.operators.Similarity.MatryoshkaDims.size)
+    rows.foreach { case (p, d, recall, regret) =>
+      assert(recall >= 0.0 && recall <= 1.0, s"probe $p dim $d recall")
+      // the full top-10 maximizes the summed full-space cosine, so the
+      // truncated picks' mean can exceed it by at most quantization
+      assert(regret >= -1.001e-4, s"probe $p dim $d regret $regret")
+      // a perfect-recall dim must have (near-)zero regret
+      if (recall == 1.0) assert(math.abs(regret) <= 1.001e-4,
+        s"probe $p dim $d: full recall with nonzero regret")
+    }
+  }
 }
