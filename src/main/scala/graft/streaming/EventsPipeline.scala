@@ -361,6 +361,23 @@ object EventsPipeline {
       }
   }
 
+  /** The cross-shard CONSUMER of [[trendingHeavyHitters]]'s reports:
+    * per window, the global top-k items by estimate. Because items
+    * hash to a fixed shard, the shard sketches cover disjoint item
+    * sets and this is a plain union + bounded top-k — no sketch-merge
+    * semantics, and each surviving (est, err) pair still brackets its
+    * item's true count. Deterministic (est desc, item asc) order. */
+  def trendingTopK(reports: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    reports
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("window_start"))
+        .orderBy(col("est").desc, col("item").asc)))
+      .filter(col("rk") <= k)
+      .select(col("window_start"), col("rk").cast("long").as("rk"),
+        col("item"), col("est"), col("err"))
+  }
+
   /** Score a live stream against a FITTED climatology param table —
     * the prediction-serving half of the param-table workflow: normals
     * are fit in batch ([[graft.operators.TimeSeries.climatologyFit]],

@@ -739,6 +739,14 @@ class StreamingSpec extends SparkSpec {
       assert(heavy.get._3 >= 6 && heavy.get._3 - heavy.get._4 <= 6)
       // top of the report is the heavy item with the largest estimate
       assert(w10.maxBy(_._3)._2 === "7")
+      // the cross-shard consumer: global top-k per window, heavy first
+      val topk = EventsPipeline.trendingTopK(spark.table("trending"), 3)
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1),
+          r.getString(2)))
+      val w10top = topk.filter(_._1 == "2024-01-01 10:00:00.0").sortBy(_._2)
+      assert(w10top.nonEmpty && w10top.head._3 === "7",
+        "rank 1 must be the heavy item")
+      assert(w10top.map(_._2) === (1L to w10top.length))
     } finally q.stop()
   }
 }
