@@ -4670,7 +4670,7 @@ object SparkEntry {
         |       FROM d),
         |t10 AS (SELECT * FROM tr WHERE rk <= 10),
         |f AS (SELECT probe_id, vec_id AS neighbor_id,
-        |        CAST(floor(round(cos_full, 4) * 1e4 + 0.5) AS BIGINT) AS cf_u,
+        |        CAST(floor(cos_full * 1e4 + 0.5) AS BIGINT) AS cf_u,
         |        row_number() OVER (PARTITION BY probe_id
         |          ORDER BY round(cos_full, 6) DESC, vec_id ASC) AS rk
         |      FROM c),

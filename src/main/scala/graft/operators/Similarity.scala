@@ -75,27 +75,34 @@ object Similarity {
     val scored = vecs(spark, dir)
       .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("cos_full", VectorColumns.cosine(col("pe"), col("emb")))
+    // the FULL ranking rides the same explode as a dim=64 branch
+    // (cos_d = cos_full), so the corpus×probes pass runs ONCE and one
+    // grouped TopKAgg produces all four top-10s (plan-audited:
+    // 3 BroadcastNestedLoopJoins → 1, 16 exchanges → 5)
     val perDim = scored
       .select(col("probe_id"), col("vec_id"), col("cos_full"),
-        explode(array(MatryoshkaDims.map(d =>
+        explode(array((MatryoshkaDims.map(d =>
           struct(lit(d).as("dim"), VectorColumns.cosine(
-            slice(col("pe"), 1, d), slice(col("emb"), 1, d)).as("cos_d"))): _*))
+            slice(col("pe"), 1, d), slice(col("emb"), 1, d)).as("cos_d"))) :+
+          struct(lit(64).as("dim"), col("cos_full").as("cos_d"))): _*))
           .as("dc"))
       .select(col("probe_id"), col("vec_id"), col("cos_full"),
         col("dc.dim").as("dim"), col("dc.cos_d").as("cos_d"))
     val qc = (c: Column) => floor(c * 1e4 + 0.5).cast("long")
-    val trunc = perDim.groupBy(col("probe_id"), col("dim"))
+    val picks = perDim.groupBy(col("probe_id"), col("dim"))
       .agg(TopKAgg.topk(round(col("cos_d"), 6), col("vec_id"),
         col("cos_full"), 10).as("top"))
       .select(col("probe_id"), col("dim"), explode(col("top")).as("t"))
       .select(col("probe_id"), col("dim"), col("t.id").as("neighbor_id"),
         qc(col("t.payload")).as("cf_u"))
-    val full = annTopkBruteforce(spark, dir)
-      .select(col("probe_id"), col("neighbor_id"),
-        qc(col("cosine")).as("cf_u"), lit(1).as("hit"))
+      // pinned sliver (O(probes × dims × 10) rows): the full-dim split
+      // and both join sides read it
+      .localCheckpoint()
+    val full = picks.filter(col("dim") === 64)
+    val trunc = picks.filter(col("dim") =!= 64)
     trunc
-      .join(full.select(col("probe_id"), col("neighbor_id"), col("hit")),
-        Seq("probe_id", "neighbor_id"), "left")
+      .join(full.select(col("probe_id"), col("neighbor_id"),
+        lit(1).as("hit")), Seq("probe_id", "neighbor_id"), "left")
       .groupBy(col("probe_id"), col("dim"))
       .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"),
         sum(col("cf_u")).as("trunc_u"))
