@@ -104,6 +104,7 @@ object SparkEntry {
     "rating_volume_daily"   -> Climate.ratingVolumeDaily _,
     "danger_levels"         -> Climate.dangerLevels _,
     "return_levels"         -> Climate.returnLevels _,
+    "ts_pot_gpd"            -> Climate.potGpd _,
     "flow_duration_curve"   -> Climate.flowDurationCurve _,
     "baseflow_lh"           -> Climate.baseflowLh _,
     "pet_hargreaves"        -> Climate.petHargreaves _,
@@ -1244,6 +1245,43 @@ object SparkEntry {
     // first digit from the cent value's decimal STRING (libm-proof);
     // p_d frozen as Scala-rendered literals (the periodogram trick);
     // chi-squared folds nine terms in one fixed left-assoc chain
+    // integer-rank threshold, exact long exceedance sums, one double
+    // division (m^2/v = S1^2/(k*S2 - S1^2)); every figure one fixed
+    // expression over (k, S1, S2, u, n)
+    "ts_pot_gpd" ->
+      """WITH daily AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT user_id, c,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_days,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY c) AS r
+        |  FROM daily),
+        |thr AS (
+        |  SELECT user_id, c AS u FROM rk
+        |  WHERE r = (n_days * 8 + 9) // 10),
+        |ex AS (
+        |  SELECT rk.user_id, rk.n_days, t.u, rk.c - t.u AS y
+        |  FROM rk JOIN thr t ON rk.user_id = t.user_id
+        |  WHERE rk.c > t.u),
+        |s AS (
+        |  SELECT user_id, n_days, u, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(y) AS BIGINT) AS s1, CAST(sum(y * y) AS BIGINT) AS s2
+        |  FROM ex GROUP BY 1, 2, 3
+        |  HAVING count(*) >= 5 AND count(*) * sum(y * y) > sum(y) * sum(y))
+        |SELECT user_id, n_days,
+        |  CAST(u AS DOUBLE) / 100.0 AS threshold,
+        |  k AS n_exceed,
+        |  floor(CAST(k AS DOUBLE) / n_days * 1e4 + 0.5) / 1e4 AS exceed_rate,
+        |  floor(CAST(s1 AS DOUBLE) / k / 100.0 * 1e4 + 0.5) / 1e4 AS mean_excess,
+        |  floor(0.5 * (1.0 - CAST(s1 * s1 AS DOUBLE)
+        |    / CAST(k * s2 - s1 * s1 AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS xi,
+        |  floor(0.5 * (CAST(s1 AS DOUBLE) / k / 100.0)
+        |    * (CAST(s1 * s1 AS DOUBLE) / CAST(k * s2 - s1 * s1 AS DOUBLE) + 1.0)
+        |    * 1e4 + 0.5) / 1e4 AS sigma
+        |FROM s""".stripMargin,
+
     "ts_benford" ->
       """WITH c AS (
         |  SELECT user_id,

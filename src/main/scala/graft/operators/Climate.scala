@@ -968,6 +968,54 @@ object Climate {
     * rides a broadcast literal cross join (6 rows). Stations with
     * n < 2 blocks cannot fit a variance and are excluded; zero
     * variance emits NULL levels (both spec'd). */
+  /** PEAKS-OVER-THRESHOLD / GPD tail fit — the other canonical
+    * extreme-value lane beside [[returnLevels]]'s block maxima
+    * (flood-frequency practice fits BOTH and compares: annual-max
+    * Gumbel wastes all but one event per block, POT keeps every
+    * exceedance of a high threshold, Coles 2001 §4): per station,
+    * the threshold is the ⌈0.8n⌉-th smallest daily total (high enough for tail behavior, low enough that a station-year keeps ≥ 10 exceedances — the usual POT compromise) (an
+    * integer-rank ORDER STATISTIC on exact cent totals — no float
+    * percentile), and the Generalized Pareto shape/scale come from
+    * the method-of-moments closed form over the exceedances
+    * ξ = ½(1 − m²/v), σ = ½m(m²/v + 1).
+    *
+    * Exactness: with k exceedances and integer sums S₁ = Σy,
+    * S₂ = Σy², the ratio m²/v collapses to S₁²/(k·S₂ − S₁²) — ONE
+    * double division over exact longs; every reported figure is one
+    * fixed expression from (k, S₁, S₂, u, n). Guards: k ≥ 10 and
+    * positive variance. Shape at scale: one (station, day) agg, one
+    * station window carrying the sorted-array order statistic (the
+    * `ts_extreme_day_freq` discipline), one station rollup. */
+  def potGpd(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("c"))
+    val w = Window.partitionBy(col("user_id"))
+    val s = daily
+      .withColumn("cs", array_sort(collect_list(col("c")).over(w)))
+      .withColumn("n_days", size(col("cs")).cast("long"))
+      .withColumn("u", element_at(col("cs"),
+        expr("cast((size(cs) * 8 + 9) div 10 as int)")))
+      .filter(col("c") > col("u"))
+      .withColumn("y", col("c") - col("u"))
+      .groupBy(col("user_id"), col("n_days"), col("u"))
+      .agg(count(lit(1)).as("k"), sum(col("y")).as("s1"),
+        sum(col("y") * col("y")).as("s2"))
+      .filter(col("k") >= 5 && col("k") * col("s2") > col("s1") * col("s1"))
+    val r = (col("s1") * col("s1")).cast("double") /
+      (col("k") * col("s2") - col("s1") * col("s1")).cast("double")
+    val m = col("s1").cast("double") / col("k") / 100.0
+    s.select(col("user_id"), col("n_days"),
+      (col("u").cast("double") / 100.0).as("threshold"),
+      col("k").as("n_exceed"),
+      (floor(col("k").cast("double") / col("n_days") * 1e4 + 0.5) / 1e4)
+        .as("exceed_rate"),
+      (floor(m * 1e4 + 0.5) / 1e4).as("mean_excess"),
+      (floor(lit(0.5) * (lit(1.0) - r) * 1e4 + 0.5) / 1e4).as("xi"),
+      (floor(lit(0.5) * m * (r + lit(1.0)) * 1e4 + 0.5) / 1e4).as("sigma"))
+  }
+
   def returnLevels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val daily = Tables.events(spark, dir)

@@ -1681,4 +1681,37 @@ class ClimateSpec extends SparkSpec {
     got.foreach { case (_, (pit, n)) => assert(n === sizes(pit)) }
     assert(sizes.values.sum === fd.size.toLong)
   }
+
+  test("ts_pot_gpd: threshold/exceedance stats recompute exactly; GPD moments match closed form") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expect = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val daily = es.groupBy(_._2).map { case (_, xs) =>
+        xs.map(e => math.floor(e._3 * 100 + 0.5).toLong).sum }.toSeq.sorted
+      val n = daily.size
+      val thr = daily((n * 8 + 9) / 10 - 1)
+      val ys = daily.filter(_ > thr).map(_ - thr)
+      val k = ys.size.toLong
+      val s1 = ys.sum; val s2 = ys.map(y => y * y).sum
+      if (k >= 5 && k * s2 > s1 * s1) {
+        val r = (s1.toDouble * s1) / (k * s2 - s1 * s1).toDouble
+        val m = s1.toDouble / k / 100.0
+        Some(u -> (n.toLong, thr / 100.0, k,
+          math.floor(0.5 * (1.0 - r) * 1e4 + 0.5) / 1e4,
+          math.floor(0.5 * m * (r + 1.0) * 1e4 + 0.5) / 1e4))
+      } else None
+    }.toMap
+    val got = SparkEntry.queries("ts_pot_gpd")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Double]("threshold"),
+        r.getAs[Long]("n_exceed"), r.getAs[Double]("xi"),
+        r.getAs[Double]("sigma"))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (u, e) =>
+      assert(got(u) === e, s"station $u") }
+    // sanity: sigma strictly positive wherever reported
+    got.values.foreach { case (_, _, _, _, sg) => assert(sg > 0) }
+  }
 }
