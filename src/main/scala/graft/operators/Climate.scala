@@ -1989,7 +1989,7 @@ object Climate {
       .localCheckpoint()
     def sig(df: DataFrame): Long =
       df.agg(coalesce(sum(col("py") * 1000 + col("px")), lit(0L)))
-        .head.getLong(0)
+        .head().getLong(0)
     var before = sig(ptr)
     var converged = false
     while (!converged) {
@@ -2020,7 +2020,7 @@ object Climate {
     val cells = fd.select(col("gy"), col("gx"))
     var acc = cells.withColumn("acc", lit(1L)).localCheckpoint()
     def total(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("acc")), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum(col("acc")), lit(0L))).head().getLong(0)
     var before = total(acc)
     var converged = false
     while (!converged) {

@@ -385,7 +385,7 @@ object Dedup {
     // coalesce: sum over an empty frame is null (clean corpora have
     // zero near-dup pairs), and the loop must converge, not NPE
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var before = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -185,7 +185,7 @@ object Pipelines {
     def tag(df: DataFrame, name: String, keys: Column*): DataFrame =
       df.select(lit(name).as("audit"),
         concat_ws("|", keys: _*).as("item"),
-        to_json(struct(df.columns.map(col): _*)).as("detail"))
+        to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("detail"))
     val sections =
       tag(Dedup.lshRecallAudit(spark, dir), "lsh_recall", col("bucket")) ::
       tag(Similarity.semanticSweep(spark, dir), "semantic_sweep", col("tau")) ::
@@ -214,7 +214,7 @@ object Pipelines {
     def tag(df: DataFrame, name: String, keys: Column*): DataFrame =
       df.select(lit(name).as("section"),
         concat_ws("|", keys: _*).as("item"),
-        to_json(struct(df.columns.map(col): _*)).as("detail"))
+        to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("detail"))
     val sections =
       tag(Climate.forecastCrps(spark, dir), "crps",
         col("user_id"), col("week")) ::

@@ -184,7 +184,7 @@ object Similarity {
     val cents = lloyd(sample, nlist, iters = 8)
     def score(c: Array[Double]): Column =
       lit(c.map(x => x * x).sum) -
-        lit(2.0) * VectorColumns.dot(col("emb"), array(c.map(lit): _*))
+        lit(2.0) * VectorColumns.dot(col("emb"), array(c.map(lit).toIndexedSeq: _*))
     val dists = array((0 until nlist).map(i =>
       struct(score(cents(i)).as("d"), lit(i).as("b"))): _*)
     // home cell = argmin; probe cells = nprobe smallest distances —
@@ -528,7 +528,7 @@ object Similarity {
     // per row and drops out, so each candidate costs one dot product
     def score(c: Array[Double]): Column =
       lit(c.map(x => x * x).sum) -
-        lit(2.0) * VectorColumns.dot(col("emb"), array(c.map(lit): _*))
+        lit(2.0) * VectorColumns.dot(col("emb"), array(c.map(lit).toIndexedSeq: _*))
     // argmin via array_min over (distance, bucket) structs — struct
     // ordering is lexicographic, so ties break on the lower bucket
     // id, deterministically. (NOT a when/otherwise fold: `otherwise`
@@ -693,7 +693,7 @@ object Similarity {
     // argmin_c ||e_m - c||² = argmin_c (|c|² - 2·e_m·c), as in IVF
     def subScore(m: Int, c: Array[Double]): Column =
       lit(c.map(x => x * x).sum) -
-        lit(2.0) * VectorColumns.dot(subVec(m), array(c.map(lit): _*))
+        lit(2.0) * VectorColumns.dot(subVec(m), array(c.map(lit).toIndexedSeq: _*))
     val codeCols = (0 until M).map { m =>
       array_min(array((0 until ksub).map(k =>
         struct(subScore(m, books(m)(k)).as("d"), lit(k).as("k"))): _*))
@@ -752,7 +752,7 @@ object Similarity {
     * hyperplane dot products, packed into an int. */
   private def signature(emb: Column, table: Int, dim: Int): Column =
     (0 until BitsPerTable).map { bit =>
-      val plane = array(hyperplane(table, bit, dim).map(lit): _*)
+      val plane = array(hyperplane(table, bit, dim).map(lit).toIndexedSeq: _*)
       when(VectorColumns.dot(emb, plane) >= 0, lit(1 << bit)).otherwise(lit(0))
     }.reduce(_ + _)
 

@@ -232,11 +232,11 @@ object EventsPipeline {
             // timeout: drop entries the watermark has passed by a full
             // horizon; an emptied bucket releases its state
             val keep = state.getOption.map(_.entries.filter(
-              _._3 + horizonMs > state.getCurrentWatermarkMs)).getOrElse(Nil)
+              _._3 + horizonMs > state.getCurrentWatermarkMs())).getOrElse(Nil)
             if (keep.isEmpty) state.remove()
             else {
               state.update(BucketState(keep))
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs + horizonMs)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizonMs)
             }
           } else {
             var entries = state.getOption.map(_.entries).getOrElse(Nil)
@@ -254,7 +254,7 @@ object EventsPipeline {
             }
             state.update(BucketState(entries))
             state.setTimeoutTimestamp(math.max(
-              state.getCurrentWatermarkMs + 1, maxTs + horizonMs))
+              state.getCurrentWatermarkMs() + 1, maxTs + horizonMs))
           }
           out.iterator
       }
@@ -478,7 +478,7 @@ object EventsPipeline {
               state.update(s)
               // the timeout must land beyond the current watermark
               state.setTimeoutTimestamp(math.max(
-                state.getCurrentWatermarkMs + 1, s.lastMicros / 1000 + gapMs))
+                state.getCurrentWatermarkMs() + 1, s.lastMicros / 1000 + gapMs))
             }
           }
           out.iterator
