@@ -217,6 +217,7 @@ object SparkEntry {
     "embedding_covariance" -> Similarity.embeddingCovariance _,
     "embedding_whiten"    -> Similarity.embeddingWhiten _,
     "embedding_centroids" -> Similarity.embeddingCentroids _,
+    "embedding_drift"     -> Similarity.embeddingDrift _,
     "embedding_quantize"  -> Similarity.embeddingQuantize _,
     "embedding_outliers"  -> Similarity.embeddingOutliers _,
     "multimodal_features" -> Multimodal.features _,
@@ -4239,6 +4240,45 @@ object SparkEntry {
 
     // int8 affine quantization: codes are integers the moment they
     // exist, the checksum sums exact BIGINTs
+    // element quantization makes every VecSum partial an integer-
+    // valued double (exact at any merge order); per-dim L2/dot terms
+    // quantize to 1e-8 longs before the dim sum, so engine row order
+    // can't reach any reported figure
+    "embedding_drift" ->
+      """WITH q AS (
+        |  SELECT label, vec_id % 2 AS half,
+        |    generate_subscripts(embedding, 1) AS dim,
+        |    floor(unnest(embedding)::DOUBLE * 1e6 + 0.5) AS eq
+        |  FROM embeddings),
+        |h AS (
+        |  SELECT label, half, dim, sum(eq) AS s, count(*) AS n
+        |  FROM q GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT a.label, a.dim, a.s AS s0, a.n AS n0, b.s AS s1, b.n AS n1
+        |  FROM h a JOIN h b ON a.label = b.label AND a.dim = b.dim
+        |    AND a.half = 0 AND b.half = 1),
+        |t AS (
+        |  SELECT label, n0, n1,
+        |    CAST(floor((s0 / n0 - s1 / n1) * (s0 / n0 - s1 / n1) / 1e4 + 0.5)
+        |      AS BIGINT) AS d2t,
+        |    CAST(floor((s0 / n0) * (s1 / n1) / 1e4 + 0.5) AS BIGINT) AS dott,
+        |    CAST(floor(s0 / n0 * s0 / n0 / 1e4 + 0.5) AS BIGINT) AS nat,
+        |    CAST(floor(s1 / n1 * s1 / n1 / 1e4 + 0.5) AS BIGINT) AS nbt
+        |  FROM j),
+        |g AS (
+        |  SELECT label, CAST(min(n0) AS BIGINT) AS n_first,
+        |    CAST(min(n1) AS BIGINT) AS n_second,
+        |    CAST(sum(d2t) AS BIGINT) AS d2_u, CAST(sum(dott) AS BIGINT) AS dot_u,
+        |    CAST(sum(nat) AS BIGINT) AS na_u, CAST(sum(nbt) AS BIGINT) AS nb_u
+        |  FROM t GROUP BY 1)
+        |SELECT label, n_first, n_second,
+        |  floor(sqrt(CAST(d2_u AS DOUBLE)) + 0.5) / 1e4 AS l2_drift,
+        |  CASE WHEN na_u > 0 AND nb_u > 0 THEN
+        |    floor(CAST(dot_u AS DOUBLE)
+        |      / sqrt(CAST(na_u AS DOUBLE) * CAST(nb_u AS DOUBLE))
+        |      * 1e4 + 0.5) / 1e4 END AS cos_centroid
+        |FROM g""".stripMargin,
+
     "embedding_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, label,

@@ -591,6 +591,67 @@ object Similarity {
         (col("pos") + 1).cast("int").as("dim"), col("col").as("c"))
   }
 
+  /** EMBEDDING DISTRIBUTION DRIFT — the embedding-space twin of the
+    * text lane's `length_drift_psi`: per label, how far has the
+    * class centroid moved between the corpus's first and second
+    * halves (vec_id parity as the deterministic split — a deployment
+    * splits on ingest time)? A drifting centroid means the upstream
+    * encoder or the data changed, and every ANN index / classifier
+    * fitted on the old half is now miscalibrated. Reports per label:
+    * both half sizes, the L2 distance between half-centroids, and
+    * their cosine.
+    *
+    * Exactness: elements quantize ONCE in-row to integer 1e-6 units
+    * (held in doubles — integer-valued, so the [[VecSumAgg]] partial
+    * sums stay EXACT and merge-order-free up to 2⁵³, unlike the raw
+    * float sums `embedding_centroids` documents as residual risk);
+    * centroid coordinates are exact-integer ratios, and both the L2
+    * and dot terms quantize per-DIMENSION to 1e-8 before summing, so
+    * the 64-term reductions are exact longs on any engine and in any
+    * order. One scan, one (label, half) VecSumAgg, one label join —
+    * O(labels) output. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        expr("""transform(cast(embedding as array<double>),
+                x -> cast(floor(x * 1e6 + 0.5) as double))""")
+          .as("eq"))
+    val halves = q.groupBy(col("label"), col("half"))
+      .agg(VecSumAgg.vecSum(col("eq")).as("s"), count(lit(1)).as("n"))
+    val a = halves.filter(col("half") === 0)
+      .select(col("label"), col("s").as("s0"), col("n").as("n0"))
+    val b = halves.filter(col("half") === 1)
+      .select(col("label"), col("s").as("s1"), col("n").as("n1"))
+    a.join(b, Seq("label"))
+      // per-dim centroid coords in 1e-6 units (exact ratios); L2/dot
+      // terms quantized per dim to 1e-8 units -> exact long sums
+      .withColumn("d2_u", expr(
+        """aggregate(zip_with(s0, s1,
+          |  (x, y) -> (x / n0 - y / n1) * (x / n0 - y / n1)),
+          |  0L, (acc, t) -> acc + cast(floor(t / 1e4 + 0.5) as bigint))"""
+          .stripMargin))
+      .withColumn("dot_u", expr(
+        """aggregate(zip_with(s0, s1, (x, y) -> (x / n0) * (y / n1)),
+          |  0L, (acc, t) -> acc + cast(floor(t / 1e4 + 0.5) as bigint))"""
+          .stripMargin))
+      .withColumn("na_u", expr(
+        """aggregate(s0, 0L,
+          |  (acc, x) -> acc + cast(floor(x / n0 * x / n0 / 1e4 + 0.5) as bigint))"""
+          .stripMargin))
+      .withColumn("nb_u", expr(
+        """aggregate(s1, 0L,
+          |  (acc, y) -> acc + cast(floor(y / n1 * y / n1 / 1e4 + 0.5) as bigint))"""
+          .stripMargin))
+      .select(col("label"), col("n0").as("n_first"), col("n1").as("n_second"),
+        // d2_u is (1e4·L2)² as an exact long, so one sqrt + floor
+        // lands directly on the 1e-4 grid
+        (floor(sqrt(col("d2_u").cast("double")) + 0.5) / 1e4).as("l2_drift"),
+        when(col("na_u") > 0 && col("nb_u") > 0,
+          floor(col("dot_u").cast("double")
+            / sqrt(col("na_u").cast("double") * col("nb_u").cast("double"))
+            * 1e4 + 0.5) / 1e4).as("cos_centroid"))
+  }
+
   /** Per-vector int8 POST-TRAINING QUANTIZATION report — the other
     * storage-compression lever next to [[annPqTopk]] (PQ replaces the
     * vector with subspace codes; affine int8 keeps the layout but

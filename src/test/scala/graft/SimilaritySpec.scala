@@ -519,4 +519,47 @@ class SimilaritySpec extends SparkSpec {
         s"probe $p dim $d: full recall with nonzero regret")
     }
   }
+
+  test("embedding_drift: centroid shift recomputes exactly from quantized elements") {
+    val rows = Tables.embeddings(spark, sf)
+      .selectExpr("label", "vec_id % 2 AS half",
+        "cast(embedding as array<double>) AS e").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getAs[scala.collection.Seq[Double]]("e").toArray))
+    val expect = rows.groupBy(_._1).flatMap { case (lbl, vs) =>
+      val h = vs.groupBy(_._2)
+      if (!(h.contains(0L) && h.contains(1L))) None
+      else {
+        def cen(xs: Seq[Array[Double]]): Array[Double] = {
+          val dim = xs.head.length
+          val sums = new Array[Double](dim)
+          xs.foreach(v => (0 until dim).foreach(d =>
+            sums(d) += math.floor(v(d) * 1e6 + 0.5)))
+          sums.map(_ / xs.size)
+        }
+        val c0 = cen(h(0L).map(_._3).toSeq); val c1 = cen(h(1L).map(_._3).toSeq)
+        val d2u = c0.zip(c1).map { case (a, b) =>
+          math.floor((a - b) * (a - b) / 1e4 + 0.5).toLong }.sum
+        val dotu = c0.zip(c1).map { case (a, b) =>
+          math.floor(a * b / 1e4 + 0.5).toLong }.sum
+        val nau = c0.map(a => math.floor(a * a / 1e4 + 0.5).toLong).sum
+        val nbu = c1.map(b => math.floor(b * b / 1e4 + 0.5).toLong).sum
+        val cos = if (nau > 0 && nbu > 0)
+          Some(math.floor(dotu.toDouble /
+            math.sqrt(nau.toDouble * nbu.toDouble) * 1e4 + 0.5) / 1e4)
+        else None
+        Some(lbl -> (math.floor(math.sqrt(d2u.toDouble) + 0.5) / 1e4, cos))
+      }
+    }
+    val got = SparkEntry.queries("embedding_drift")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getAs[Double]("l2_drift"),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (l, e) => assert(got(l) === e, s"label $l") }
+    // cosine stays a valid cosine wherever defined (tiny sf0.001
+    // halves are too thin for an alignment claim — the exact-equality
+    // check above is the real assertion)
+    got.values.foreach { case (_, c) =>
+      c.foreach(v => assert(v >= -1.0001 && v <= 1.0001)) }
+  }
 }
