@@ -1948,22 +1948,6 @@ object Climate {
       .withColumn("dir", coalesce(col("dir"), lit("pit")))
   }
 
-  /** D8 FLOW ACCUMULATION — the second half: how many cells drain
-    * THROUGH each cell (itself included), i.e. upslope contributing
-    * area, the quantity stream networks and flood indices are read
-    * from. The D8 graph is functional (one outflow per cell) and
-    * ACYCLIC by construction (strictly downhill edges), so
-    * accumulation is the fixpoint of
-    *
-    *   acc(c) = 1 + Σ_{n → c} acc(n)
-    *
-    * iterated to convergence (≤ longest flow path, checked by the
-    * total-sum invariant growing monotonically to its fixpoint —
-    * the [[graft.operators.Dedup.connectedComponents]] loop
-    * discipline). Each round is one tiny equi-join + agg on the
-    * aggregated grid grain; at continental-DEM scale the same loop
-    * runs in O(log D) rounds via pointer doubling — the edge list is
-    * the only state either way. */
   /** WATERSHED DELINEATION — the third member of the D8 raster trio
     * ([[gridFlowDir]] = where each cell drains, [[gridFlowAcc]] =
     * how much drains through, this = WHICH BASIN each cell belongs
@@ -1975,22 +1959,22 @@ object Climate {
     * self for a pit), ptr_{k+1} = ptr_k ∘ ptr_k — each round is one
     * self-equi-join of the O(cells) pointer table, and D-length
     * paths resolve in ⌈log₂ D⌉ rounds (vs D rounds of naive
-    * stepping; the flow-acc docstring's promised pattern, delivered).
-    * Pits map to themselves so composition is idempotent at the
-    * fixpoint; the driver reads only a 1-row convergence signature.
-    * Rounds localCheckpoint (iterative — the plan would double per
-    * round). Oracle: the same walk as a recursive CTE (strictly
-    * downhill ⇒ acyclic ⇒ terminates), terminal row per cell. */
+    * stepping). Pits map to themselves so composition is idempotent
+    * at the fixpoint; convergence is CHANGED-ROW COUNT (next vs ptr,
+    * keyed equi-join, any pointer moved?) — sound because an
+    * unchanged round means ptr is idempotent, and the only fixed
+    * points of the strictly-downhill step are pit self-loops (the
+    * earlier checksum Σ(py·1000+px) was neither monotone nor
+    * key-safe for gx ≥ 1000). Rounds localCheckpoint (iterative —
+    * the plan would double per round). Oracle: the same walk as a
+    * recursive CTE (strictly downhill ⇒ acyclic ⇒ terminates),
+    * terminal row per cell. */
   def gridWatershed(spark: SparkSession, dir: String): DataFrame = {
     val fd = gridFlowDir(spark, dir).localCheckpoint()
     var ptr = fd.select(col("gy"), col("gx"),
         coalesce(col("to_gy"), col("gy")).as("py"),
         coalesce(col("to_gx"), col("gx")).as("px"))
       .localCheckpoint()
-    def sig(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("py") * 1000 + col("px")), lit(0L)))
-        .head().getLong(0)
-    var before = sig(ptr)
     var converged = false
     while (!converged) {
       val next = ptr
@@ -1999,10 +1983,12 @@ object Climate {
         .select(col("gy"), col("gx"),
           col("py2").as("py"), col("px2").as("px"))
         .localCheckpoint()
-      val after = sig(next)
-      converged = after == before
+      converged = next
+        .join(ptr.select(col("gy"), col("gx"),
+          col("py").as("opy"), col("px").as("opx")), Seq("gy", "gx"))
+        .filter(col("py") =!= col("opy") || col("px") =!= col("opx"))
+        .isEmpty
       ptr = next
-      before = after
     }
     val basins = ptr.groupBy(col("py"), col("px"))
       .agg(count(lit(1)).as("basin_n"))
@@ -2011,34 +1997,83 @@ object Climate {
         col("py").as("pit_y"), col("px").as("pit_x"), col("basin_n"))
   }
 
-  def gridFlowAcc(spark: SparkSession, dir: String): DataFrame = {
-    val fd = gridFlowDir(spark, dir).localCheckpoint()
-    val edges = fd.filter(col("dir") =!= "pit")
-      .select(col("gy"), col("gx"), col("to_gy"), col("to_gx"))
+  /** NULL-TERMINATED JUMP TABLES for the D8 in-forest: J₀ = the
+    * non-pit flow edges; J_{k+1}(u) = J_k(J_k(u)) by one inner
+    * self-equi-join per doubling (a cell drops out of J_{k+1}
+    * exactly when its walk runs off the end inside 2^{k+1} steps —
+    * null-termination for free, no self-loops, no sentinel rows).
+    * Stops when the doubled table is empty, i.e. 2^K exceeds the
+    * longest flow path D: K = ⌈log₂(D+1)⌉ tables, each ≤ O(cells)
+    * rows, each pinned by localCheckpoint. The K isEmpty probes on
+    * strictly-shrinking tables are the ONLY driver actions in the
+    * whole flow-accumulation pipeline. */
+  private[graft] def flowJumpTables(fd: DataFrame): Seq[DataFrame] = {
+    val tables = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var jump = fd.filter(col("dir") =!= "pit")
+      .select(col("gy"), col("gx"),
+        col("to_gy").as("jy"), col("to_gx").as("jx"))
+      .localCheckpoint()
+    while (!jump.isEmpty) {
+      tables += jump
+      jump = jump
+        .join(jump.select(col("gy").as("jy"), col("gx").as("jx"),
+          col("jy").as("jy2"), col("jx").as("jx2")), Seq("jy", "jx"))
+        .select(col("gy"), col("gx"),
+          col("jy2").as("jy"), col("jx2").as("jx"))
+        .localCheckpoint()
+    }
+    tables.toSeq
+  }
+
+  /** D8 FLOW ACCUMULATION — the second half of the raster hydrology
+    * pair: how many cells drain THROUGH each cell (itself included),
+    * i.e. upslope contributing area, the quantity stream networks
+    * and flood indices are read from. The D8 graph is functional
+    * (one outflow per cell) and ACYCLIC (strictly downhill edges),
+    * so acc(c) = #{u : c on u's flow path} — the subtree size of c
+    * in the forest of in-trees rooted at pits.
+    *
+    * Computed in O(log D) rounds by POINTER DOUBLING WITH PARTIAL
+    * PATH SUMS (replacing the earlier O(D)-round Jacobi fixpoint
+    * that ran a driver-side total() action per round — thousands of
+    * sequential jobs on a continental DEM). Two passes:
+    *
+    *  1. FORWARD: build the null-terminated jump tables J₀..J_{K-1}
+    *     ([[flowJumpTables]]). Binary-jump decomposition makes the
+    *     downward path-sum operator the product (I+S_{K-1})···(I+S₀)
+    *     where (S_k x)(u) = x(J_k(u)) — each node of u's path is hit
+    *     exactly once (proper jumps, no self-loops, 2^K > D).
+    *  2. BACKWARD: accumulation is the TRANSPOSE product applied to
+    *     the all-ones vector, (I+S₀ᵀ)···(I+S_{K-1})ᵀ·1, and S_kᵀ is
+    *     a plain scatter-add: w(v) += Σ_{u: J_k(u)=v} w(u) — one
+    *     equi-join + map-side-partial sum per stored table, walked
+    *     k = K-1 … 0. No driver action anywhere in this pass.
+    *
+    * Total: 2K ≈ 2⌈log₂ D⌉ tiny equi-join rounds on the aggregated
+    * grid grain, K isEmpty probes — at D ~ 10⁴ flow-path cells that
+    * is ~28 rounds instead of 10⁴. Exact long counts throughout;
+    * output hash-identical to the recursive-CTE walk oracle. */
+  def gridFlowAcc(spark: SparkSession, dir: String): DataFrame =
+    flowAccOf(gridFlowDir(spark, dir).localCheckpoint())
+
+  /** Accumulation over an explicit flow-dir table (gy, gx, dir,
+    * to_gy, to_gx) — the [[gridFlowAcc]] core, callable on synthetic
+    * topologies (the deep-flow-line round-count spec). */
+  private[graft] def flowAccOf(fd: DataFrame): DataFrame = {
     // ALL cells, including in-edge-less pits — an isolated sink still
     // reports its own unit of drainage
-    val cells = fd.select(col("gy"), col("gx"))
-    var acc = cells.withColumn("acc", lit(1L)).localCheckpoint()
-    def total(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("acc")), lit(0L))).head().getLong(0)
-    var before = total(acc)
-    var converged = false
-    while (!converged) {
-      val inflow = edges
-        .join(acc, Seq("gy", "gx"))
-        .groupBy(col("to_gy").as("gy"), col("to_gx").as("gx"))
-        .agg(sum(col("acc")).as("inflow"))
-      val next = cells
-        .join(inflow, Seq("gy", "gx"), "left")
+    var w = fd.select(col("gy"), col("gx")).withColumn("w", lit(1L))
+      .localCheckpoint()
+    for (jk <- flowJumpTables(fd).reverse) {
+      val contrib = jk.join(w, Seq("gy", "gx"))
+        .groupBy(col("jy").as("gy"), col("jx").as("gx"))
+        .agg(sum(col("w")).as("cw"))
+      w = w.join(contrib, Seq("gy", "gx"), "left")
         .select(col("gy"), col("gx"),
-          (lit(1L) + coalesce(col("inflow"), lit(0L))).as("acc"))
+          (col("w") + coalesce(col("cw"), lit(0L))).as("w"))
         .localCheckpoint()
-      val after = total(next)
-      converged = after == before
-      acc = next
-      before = after
     }
-    acc.select(col("gy"), col("gx"), col("acc").as("n_draining"))
+    w.select(col("gy"), col("gx"), col("w").as("n_draining"))
   }
 
   /** Focal NODATA FILL over the grid — the `rio.fill` /

@@ -1341,6 +1341,48 @@ class ClimateSpec extends SparkSpec {
     assert(gotAcc.values.forall(_ >= 1L))
   }
 
+  test("flowAccOf: deep flow line resolves in ceil(log2) doubling rounds with exact path counts") {
+    import spark.implicits._
+    // a 64-cell strictly-descending flow line: the worst case for the
+    // old Jacobi fixpoint (63 sequential rounds); doubling must do it
+    // in ceil(log2(64)) = 6 jump tables
+    val n = 64
+    val fd = (0 until n).map { i =>
+      if (i < n - 1) (0L, i.toLong, "E", Some((i + 1).toLong)) else (0L, i.toLong, "pit", None)
+    }.toDF("gy", "gx", "dir", "to_gx_o")
+      .select(col("gy"), col("gx"), col("dir"),
+        when(col("dir") =!= "pit", lit(0L)).as("to_gy"),
+        col("to_gx_o").as("to_gx"))
+    val tables = graft.operators.Climate.flowJumpTables(fd)
+    assert(tables.length === 6,
+      s"expected ceil(log2(64))=6 doubling rounds, got ${tables.length}")
+    // J_k holds exactly the cells whose remaining path is >= 2^k steps
+    tables.zipWithIndex.foreach { case (t, k) =>
+      assert(t.count() === (n - (1L << k)), s"J_$k row count")
+    }
+    val acc = graft.operators.Climate.flowAccOf(fd).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // cell i drains everything upstream of it: acc = i + 1
+    (0 until n).foreach(i => assert(acc(i.toLong) === i + 1L, s"cell $i"))
+
+    // a branching in-tree (two tributaries joining a trunk) recomputed
+    // by brute-force walk — the transpose-scatter handles confluences
+    val edges = Map(0L -> 2L, 1L -> 2L, 2L -> 4L, 3L -> 4L, 4L -> 5L)
+    val fd2 = (0L to 5L).map { i =>
+      (0L, i, if (edges.contains(i)) "E" else "pit",
+        edges.get(i).map(_ => 0L), edges.get(i))
+    }.toDF("gy", "gx", "dir", "to_gy", "to_gx")
+    val acc2 = graft.operators.Climate.flowAccOf(fd2).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val brute = (0L to 5L).map { s =>
+      s -> (0L to 5L).count { u =>
+        Iterator.iterate(Option(u))(_.flatMap(edges.get))
+          .takeWhile(_.isDefined).map(_.get).contains(s)
+      }.toLong
+    }.toMap
+    assert(acc2 === brute)
+  }
+
   test("grid_hillshade: shade recomputed from the gradient, sun-facing cells brighter") {
     // sf0.01: the 8x8 grid needs interior cells (grid_gradient's spec
     // uses the same scale for the same reason)
