@@ -694,9 +694,72 @@ object SparkEntry {
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
   }
 
+  /** The [[graft.operators.TextOps.bpeTrainMerges]] oracle: the
+    * greedy merge loop unrolled into [[graft.operators.TextOps
+    * .BpeMergeSteps]] chained MATERIALIZED CTE rounds (DuckDB
+    * inlines plain CTEs, so an un-hinted chain re-evaluates
+    * exponentially). The left-to-right non-overlapping merge has a
+    * closed form the fold and SQL both satisfy: for l != r every
+    * (l,r) adjacency merges (occurrences cannot overlap); for l = r
+    * a maximal run merges at even offsets from the run start — the
+    * gaps-and-islands window (i - row_number per (tok, sym)) finds
+    * run starts, offset parity picks the merge heads, and a lag()
+    * drops each head's consumed right symbol. */
+  private def bpeMergeOracle: String = {
+    val steps = graft.operators.TextOps.BpeMergeSteps
+    val cap = graft.operators.TextOps.BpeVocabCap
+    val head = s"""WITH tokc AS (
+      |  SELECT unnest(string_split(
+      |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents),
+      |v0 AS MATERIALIZED (
+      |  SELECT tok, n_occ, [tok[i:i] for i in range(1, len(tok) + 1)] AS syms
+      |  FROM (SELECT tok, CAST(count(*) AS BIGINT) AS n_occ FROM tokc
+      |        WHERE len(tok) >= 2 GROUP BY 1
+      |        ORDER BY n_occ DESC, tok ASC LIMIT $cap))""".stripMargin
+    val rounds = (1 to steps).map { r =>
+      val p = r - 1
+      s"""p$r AS MATERIALIZED (
+      |  SELECT pr[1] AS lft, pr[2] AS rgt, CAST(sum(n_occ) AS BIGINT) AS n
+      |  FROM (SELECT unnest([[syms[i], syms[i+1]]
+      |          for i in range(1, len(syms))]) AS pr, n_occ FROM v$p)
+      |  GROUP BY 1, 2),
+      |b$r AS MATERIALIZED (
+      |  SELECT lft, rgt, n FROM p$r
+      |  ORDER BY n DESC, lft ASC, rgt ASC LIMIT 1),
+      |h$r AS (
+      |  SELECT tok, n_occ, i, sym, nxt,
+      |    ROW_NUMBER() OVER (PARTITION BY tok, sym, isl ORDER BY i) - 1 AS off
+      |  FROM (
+      |    SELECT tok, n_occ, i, syms[i] AS sym,
+      |      CASE WHEN i < len(syms) THEN syms[i+1] END AS nxt,
+      |      i - ROW_NUMBER() OVER (PARTITION BY tok, syms[i] ORDER BY i) AS isl
+      |    FROM (SELECT tok, n_occ, unnest(range(1, len(syms) + 1)) AS i, syms
+      |          FROM v$p))),
+      |l$r AS (
+      |  SELECT tok, n_occ, i, sym, nxt, ms,
+      |    coalesce(lag(ms) OVER (PARTITION BY tok ORDER BY i), false) AS prev_ms
+      |  FROM (
+      |    SELECT h.tok, h.n_occ, h.i, h.sym, h.nxt,
+      |      (h.sym = b.lft AND h.nxt IS NOT NULL AND h.nxt = b.rgt
+      |       AND (b.lft <> b.rgt OR h.off % 2 = 0)) AS ms
+      |    FROM h$r h CROSS JOIN b$r b)),
+      |v$r AS MATERIALIZED (
+      |  SELECT tok, n_occ,
+      |    list(CASE WHEN ms THEN sym || nxt ELSE sym END ORDER BY i)
+      |      FILTER (WHERE ms OR NOT prev_ms) AS syms
+      |  FROM l$r GROUP BY 1, 2)""".stripMargin
+    }
+    val sel = (1 to steps).map { r =>
+      s"""SELECT $r AS step, lft AS "left", rgt AS "right", n AS n_occ FROM b$r"""
+    }.mkString("\nUNION ALL\n")
+    (head +: rounds).mkString(",\n") + "\n" + sel
+  }
+
   /** DuckDB oracle SQL per query (same tables, same column names,
     * same rounding). Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "bpe_train_merges" -> bpeMergeOracle,
     // exact integer sums (cents / basis points; DuckDB's BIGINT sum
     // widens to HUGEINT, Spark's to DECIMAL(38)), one division each —
     // merge-order-free on both engines
@@ -1730,6 +1793,78 @@ object SparkEntry {
         |    + CAST(s_u AS DOUBLE) * CAST(s_u AS DOUBLE))
         |    / (n_days * n_days) / 1e12 * 1e4 + 0.5) / 1e4 AS power
         |FROM agg""".stripMargin,
+
+    // the banded DP replayed as a recursive CTE over anti-diagonal
+    // frontiers: each iteration's working table carries the newest
+    // diagonal (age 0) plus the one before it (age 1), so a cell
+    // joins its three predecessors exactly once, with identical
+    // |a-b| + least(...) double arithmetic -> bit-equal to the
+    // kernel's row-major DP (each cell is a fixed op chain, no
+    // reassociation freedom)
+    "ts_dtw_ref" ->
+      s"""WITH RECURSIVE daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |s AS MATERIALIZED (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY x) AS i,
+        |    floor(CAST(sc AS DOUBLE) * 100.0 / cnt + 0.5) / 1e4 AS y
+        |  FROM daily),
+        |r AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY x) AS j, y FROM (
+        |    SELECT x,
+        |      floor(CAST(sum(sc) AS DOUBLE) * 100.0 / sum(cnt) + 0.5) / 1e4 AS y
+        |    FROM daily GROUP BY x)),
+        |wb AS MATERIALIZED (
+        |  SELECT sn.user_id, sn.n, rm.m,
+        |    greatest(${graft.operators.TimeSeries.DtwBand}, abs(sn.n - rm.m)) AS w
+        |  FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |        FROM s GROUP BY 1) sn
+        |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS m FROM r) rm),
+        |walk(user_id, i, j, v, age) AS (
+        |  SELECT s.user_id, CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        |    abs(s.y - r.y), 0
+        |  FROM s JOIN r ON r.j = 1 WHERE s.i = 1
+        |  UNION ALL
+        |  (
+        |  SELECT c.user_id, c.i, c.j,
+        |    abs(c.ay - c.by) + least(
+        |      coalesce(n1.v, 'infinity'::DOUBLE),
+        |      coalesce(n2.v, 'infinity'::DOUBLE),
+        |      coalesce(n3.v, 'infinity'::DOUBLE)) AS v,
+        |    0 AS age
+        |  FROM (
+        |    SELECT DISTINCT f.user_id, f.i + di.x AS i, f.j + dj.x AS j,
+        |      s.y AS ay, r.y AS by
+        |    FROM walk f
+        |    JOIN (VALUES (0), (1)) di(x) ON true
+        |    JOIN (VALUES (0), (1)) dj(x) ON di.x + dj.x > 0
+        |    JOIN wb ON wb.user_id = f.user_id
+        |    JOIN s ON s.user_id = f.user_id AND s.i = f.i + di.x
+        |    JOIN r ON r.j = f.j + dj.x
+        |    WHERE f.age = 0 AND abs(s.i - r.j) <= wb.w) c
+        |  LEFT JOIN walk n1 ON n1.age = 0 AND n1.user_id = c.user_id
+        |    AND n1.i = c.i - 1 AND n1.j = c.j
+        |  LEFT JOIN walk n2 ON n2.age = 0 AND n2.user_id = c.user_id
+        |    AND n2.i = c.i AND n2.j = c.j - 1
+        |  LEFT JOIN walk n3 ON n3.age = 1 AND n3.user_id = c.user_id
+        |    AND n3.i = c.i - 1 AND n3.j = c.j - 1
+        |  WHERE n1.user_id IS NOT NULL OR n2.user_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT wk.user_id, wk.i, wk.j, wk.v, 1
+        |  FROM walk wk JOIN wb ON wb.user_id = wk.user_id
+        |  WHERE wk.age = 0 AND wk.i + wk.j < wb.n + wb.m
+        |  )
+        |)
+        |SELECT w.user_id, wb.n AS n_days, wb.m AS ref_days,
+        |  floor(min(w.v) * 1e4 + 0.5) / 1e4 AS dtw_dist,
+        |  floor(min(w.v) / (wb.n + wb.m) * 1e4 + 0.5) / 1e4 AS dtw_per_step
+        |FROM walk w JOIN wb ON wb.user_id = w.user_id
+        |WHERE w.i = wb.n AND w.j = wb.m
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "ts_cross_corr_ref" ->
       """WITH daily AS (

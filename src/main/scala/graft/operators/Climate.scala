@@ -1764,6 +1764,94 @@ object Climate {
         floor(shade * 255 + 0.5).cast("long").as("shade255"))
   }
 
+  /** Cell width (degrees) of the station nearest-neighbor grid file
+    * — [[graft.sources.Catalog.publishSpatial]]'s bucketing idea
+    * applied to the station dim. */
+  private[graft] val NnCellDeg = 10.0
+
+  /** EXACT nearest peer per station by SPATIAL-CELL BUCKETING — the
+    * grid-file search that replaces the stations² cross join. Input:
+    * (user_id, lat, lon); output: (user_id, neighbor_id, dist2) with
+    * dist2 = exact equirectangular squared degrees, argmin ties on
+    * the smaller neighbor_id, stations with no peer emit no row (the
+    * cross-join semantics preserved).
+    *
+    * Pass 1: stations land in [[NnCellDeg]]-degree cells; candidates
+    * come from one equi-join of each station's 9-cell neighborhood
+    * (3×3 offsets exploded) against the cell-keyed station table.
+    * A pick with d₁ ≤ C is PROVABLY exact — any station outside the
+    * 3×3 block differs by > C on at least one axis (cells are
+    * half-open, so the boundary case is strict), hence is strictly
+    * farther; ties inside the ring are resolved by the ordinary
+    * argmin ordering.
+    *
+    * Pass 2 (residual sliver only — stations whose pass-1 pick is
+    * > C away, or who saw no candidate at all): re-search a
+    * per-station ring of radius R = ⌊d₁/C⌋+1 cells (outside ring-R
+    * lies strictly beyond d₁, so the ring contains every possible
+    * winner), generated declaratively via sequence(−R, R)×²; a
+    * station with NO pass-1 candidate takes the network-extent
+    * radius from a 1-row aggregate that rides a literal-key
+    * broadcast equi-join (never a cross join).
+    *
+    * Scale shape: every pairing is an equi-join on integer cell
+    * keys; per-station candidate count is O(local density), and the
+    * quadratic candidate space of the old crossJoin never
+    * materializes. The plan contains no CartesianProduct /
+    * BroadcastNestedLoopJoin node (spec-asserted on a synthetic
+    * network plus the live query). */
+  private[graft] def nearestNeighborOf(st: DataFrame): DataFrame = {
+    val C = NnCellDeg
+    val cells = st.select(col("user_id"), col("lat"), col("lon"),
+        floor(col("lat") / C).cast("long").as("cy"),
+        floor(col("lon") / C).cast("long").as("cx"))
+      .localCheckpoint()
+    val nbrs = cells.select(col("user_id").as("neighbor_id"),
+      col("lat").as("lat2"), col("lon").as("lon2"),
+      col("cy").as("ncy"), col("cx").as("ncx"))
+    // shared argmin tail: candidate rows -> one pick per station
+    def ringPick(cand: DataFrame): DataFrame = cand
+      .filter(col("user_id") =!= col("neighbor_id"))
+      .withColumn("dist2",
+        (col("lat") - col("lat2")) * (col("lat") - col("lat2"))
+          + (col("lon") - col("lon2")) * (col("lon") - col("lon2")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("dist2").asc, col("neighbor_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("neighbor_id"), col("dist2"))
+    val off3 = array((-1 to 1).map(lit(_)): _*)
+    val p1 = ringPick(cells
+        .withColumn("dy", explode(off3))
+        .withColumn("dx", explode(off3))
+        .join(nbrs, col("ncy") === col("cy") + col("dy")
+          && col("ncx") === col("cx") + col("dx")))
+      .localCheckpoint()
+    val exact = p1.filter(col("dist2") <= C * C)
+    // residual sliver: pass-1 pick beyond one cell width, or none
+    // 1-row network extent; the join key is a runtime-computed zero
+    // on BOTH sides (pmod of an aggregate / of a column) so Catalyst
+    // cannot constant-fold the equi-join away into a nested-loop —
+    // the extent rides an ordinary BroadcastHashJoin
+    val ext = st.agg(
+        (floor(greatest(max(col("lat")) - min(col("lat")),
+          max(col("lon")) - min(col("lon"))) / C) + 2).cast("long").as("rg"),
+        pmod(count(lit(1)), lit(1L)).as("k0"))
+    val residual = cells
+      .join(exact.select(col("user_id")), Seq("user_id"), "left_anti")
+      .join(p1.select(col("user_id"), col("dist2").as("d1")),
+        Seq("user_id"), "left")
+      .withColumn("k0", pmod(col("user_id"), lit(1L)))
+      .join(broadcast(ext), Seq("k0"))
+      .withColumn("r", when(col("d1").isNotNull,
+        floor(sqrt(col("d1")) / C).cast("long") + 1).otherwise(col("rg")))
+    val p2 = ringPick(residual
+      .withColumn("dy", explode(sequence(-col("r"), col("r"))))
+      .withColumn("dx", explode(sequence(-col("r"), col("r"))))
+      .join(nbrs, col("ncy") === col("cy") + col("dy")
+        && col("ncx") === col("cx") + col("dx")))
+    exact.unionByName(p2)
+  }
+
   /** NEAREST-NEIGHBOR CORRELATION — the spatial-consistency QC
     * beside [[doubleMass]]'s temporal one: each station's daily
     * series correlated against its geographically NEAREST peer; a
@@ -1775,11 +1863,12 @@ object Climate {
     * are exactly representable, so the argmin is deterministic; ties
     * break on the smaller id).
     *
-    * Shape at scale: the neighbor search here is a cross join of the
-    * STATION DIM (O(stations²) on a dim table, fine for networks up
-    * to ~10⁴); beyond that the spatial-cell lane
-    * ([[graft.sources.Catalog.publishSpatial]]/`readSpatial`) buckets
-    * candidates first — same argmin, pruned candidate set. The
+    * Shape at scale: the neighbor search is [[nearestNeighborOf]]'s
+    * spatial-cell bucketing (candidates from each station's own +
+    * adjacent 10° cells, per-station ring expansion for the provably
+    * rare residual) — O(local density) candidates per station instead
+    * of a stations² cross join; no CartesianProduct node survives in
+    * the plan (spec-asserted). The
     * correlation itself is the [[graft.operators.TimeSeries
     * .crossCorrRef]] discipline: daily means quantized once to exact
     * 1e-4 longs, raw-sum Pearson with the overflow-safe double cast
@@ -1794,15 +1883,7 @@ object Climate {
     val st = daily.select(col("user_id")).distinct()
       .withColumn("lat", pseudoLat(col("user_id")))
       .withColumn("lon", pseudoLon(col("user_id")))
-    val nb = st.crossJoin(st.select(col("user_id").as("neighbor_id"),
-        col("lat").as("lat2"), col("lon").as("lon2")))
-      .filter(col("user_id") =!= col("neighbor_id"))
-      .withColumn("dist2",
-        (col("lat") - col("lat2")) * (col("lat") - col("lat2"))
-          + (col("lon") - col("lon2")) * (col("lon") - col("lon2")))
-      .withColumn("rk", row_number().over(Window.partitionBy(col("user_id"))
-        .orderBy(col("dist2").asc, col("neighbor_id").asc)))
-      .filter(col("rk") === 1)
+    val nb = nearestNeighborOf(st)
       .select(col("user_id"), col("neighbor_id"),
         sqrt(col("dist2")).as("dist_deg"))
     val paired = nb

@@ -665,9 +665,12 @@ object TextOps {
     * data collect. Each round's merged vocab localCheckpoints —
     * constant-size plans across rounds (lineage would otherwise
     * double per round). The merge itself is an in-row left-to-right
-    * fold over the bounded symbol array. Rows-only (iterative argmax
-    * has no SQL oracle); the spec recomputes the greedy merges
-    * independently. */
+    * fold over the bounded symbol array. Oracle: the loop unrolled
+    * into chained MATERIALIZED CTE rounds ([[graft.SparkEntry]]'s
+    * `bpeMergeOracle`), using the closed form of the fold — l≠r
+    * adjacencies can never overlap so all merge; l=r runs merge at
+    * even offsets from the run start (gaps-and-islands window); the
+    * spec additionally recomputes the greedy merges independently. */
   def bpeTrainMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     var vocab = Tables.spread(Tables.documents(spark, dir), col("doc_id"))

@@ -1402,8 +1402,12 @@ object TimeSeries {
     * one (station, day) agg, one station rollup into bounded arrays
     * (resample-first discipline — the series length is the DAY
     * count, not the event count), reference is O(days) and
-    * broadcasts; rows-only (the sequential DP has no SQL oracle —
-    * the spec carries equivalence). */
+    * broadcasts. Oracle: the identical banded DP replayed as a
+    * recursive CTE over anti-diagonal frontiers (working table =
+    * newest diagonal + the one before, each cell joining its three
+    * predecessors exactly once) — every cell is the same fixed
+    * |a−b| + least(...) op chain, so the doubles match bit-for-bit;
+    * the spec carries an independent recomputation besides. */
   def dtwRef(spark: SparkSession, dir: String): DataFrame =
     dtwRefOf(Tables.events(spark, dir))
 

@@ -1159,6 +1159,61 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("nearestNeighborOf: cell-bucketed search is exact across cell boundaries; no cartesian node") {
+    import spark.implicits._
+    val C = graft.operators.Climate.NnCellDeg
+    def brute(sts: Seq[(Long, Double, Double)]): Map[Long, (Long, Double)] =
+      sts.map { case (u, la, lo) =>
+        val cands = sts.filter(_._1 != u).map { case (v, lb, lob) =>
+          ((la - lb) * (la - lb) + (lo - lob) * (lo - lob), v)
+        }
+        u -> (if (cands.isEmpty) (-1L, -1.0)
+              else { val m = cands.min; (m._2, m._1) })
+      }.filter(_._2._1 >= 0).toMap
+    def run(sts: Seq[(Long, Double, Double)]): Map[Long, (Long, Double)] = {
+      val df = sts.toDF("user_id", "lat", "lon")
+      graft.operators.Climate.nearestNeighborOf(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    }
+    // (a) true NN in the ADJACENT cell while a same-cell candidate
+    // exists farther away: station 1 at 9.9 has same-cell peer at 1.0
+    // (d=8.9) but cross-boundary peer at 10.2 (d=0.3)
+    val a = Seq((1L, 9.9, 0.0), (2L, 1.0, 0.0), (3L, 10.2, 0.0))
+    assert(run(a) === brute(a))
+    assert(run(a)(1L)._1 === 3L, "cross-boundary neighbor wins")
+    // (b) pass-2 ring expansion: station 1 (lon 9.9) sees only the
+    // in-ring candidate at d=14.9 > C; the true NN at d=11.1 sits two
+    // cells over — only the R=2 re-search reaches it. Station 3's own
+    // 3x3 ring is EMPTY (lon 9.9 just misses cell 1), exercising the
+    // network-extent fallback in the same scenario.
+    val b = Seq((1L, 5.0, 9.9), (2L, 5.0, -5.0), (3L, 5.0, 21.0),
+      (4L, 80.0, 170.0), (5L, 80.0, 169.0))
+    assert(run(b) === brute(b))
+    assert(run(b)(1L)._1 === 3L, "ring-2 neighbor beats ring-1 candidate")
+    assert(run(b)(3L)._1 === 1L, "empty-ring station finds NN via extent radius")
+    // (c) isolated station (empty 3x3 ring -> network-extent radius)
+    // and exact-duplicate positions (dist 0, id tie-break)
+    val c = Seq((1L, 0.0, 0.0), (2L, 55.0, 120.0), (3L, 55.0, 120.0),
+      (9L, -60.0, -150.0))
+    assert(run(c) === brute(c))
+    assert(run(c)(3L) === ((2L, 0.0)), "duplicate position ties on smaller id")
+    // (d) single station: no peer, no row (cross-join semantics)
+    assert(run(Seq((7L, 1.0, 2.0))).isEmpty)
+    // (e) scatter: brute-force equality over a mixed-density network
+    val e = (0 until 40).map { i =>
+      (i.toLong, (i * 37 % 29) * 6.1 - 80.0, (i * 53 % 61) * 5.3 - 160.0)
+    }
+    assert(run(e) === brute(e))
+    // (f) the plan never falls back to a cartesian/nested-loop join —
+    // the point of the bucketed rewrite
+    Seq(graft.operators.Climate.nearestNeighborOf(e.toDF("user_id", "lat", "lon")),
+        SparkEntry.queries("station_neighbor_corr")(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), "no CartesianProduct node")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), "no BNLJ node")
+    }
+  }
+
   test("ts_double_mass: cumulatives monotone, ratio consistent, breaks detectable") {
     val rows = SparkEntry.queries("ts_double_mass")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
