@@ -93,6 +93,7 @@ object SparkEntry {
     "bias_qmap"             -> Climate.biasQmap _,
     "bias_qmap_key"         -> Climate.biasQmapKey _,
     "bias_qmap_spline"      -> Climate.biasQmapSpline _,
+    "bias_bspline_apply"    -> Climate.biasBsplineApply _,
     "bias_qdm"              -> Climate.biasQdm _,
     "bias_skill"            -> Climate.biasSkill _,
     "forecast_crps"         -> Climate.forecastCrps _,
@@ -754,6 +755,63 @@ object SparkEntry {
       s"""SELECT $r AS step, lft AS "left", rgt AS "right", n AS n_occ FROM b$r"""
     }.mkString("\nUNION ALL\n")
     (head +: rounds).mkString(",\n") + "\n" + sel
+  }
+
+  /** The [[graft.operators.Climate.biasBsplineApply]] oracle: the
+    * pretrained (t, c, dmin, dmax) rows rendered as literal DuckDB
+    * lists (shortest-round-trip `Double.toString`, parsed back to
+    * the identical bits) and `splev`'s unrolled k=3 de Boor
+    * triangle in the canonical op order of
+    * [[graft.functions.SplineKernels.splev]]. */
+  private def bsplineApplyOracle: String = {
+    def d(x: Double): String = java.lang.Double.toString(x)
+    val rows = graft.operators.Climate.pretrainedBspline.map {
+      case (g, t, c, dmin, dmax) =>
+        s"($g, [${t.map(d).mkString(", ")}], [${c.map(d).mkString(", ")}], " +
+          s"${d(dmin)}, ${d(dmax)})"
+    }.mkString(",\n  ")
+    s"""WITH par(grp, t, c, dmin, dmax) AS (VALUES
+      |  $rows),
+      |ev AS (
+      |  SELECT event_id, user_id % 20 AS grp, value AS x
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT ev.event_id, ev.grp, ev.x, par.t, par.c, par.dmin, par.dmax,
+      |    t[4] AS tmin, t[len(t) - 2] AS tmax,
+      |    greatest(4, least(len(list_filter(t, e -> e <= x)),
+      |                      len(t) - 4)) AS p1
+      |  FROM ev JOIN par ON par.grp = ev.grp),
+      |dd AS (
+      |  SELECT *,
+      |    (x - t[p1]) / (t[p1 + 3] - t[p1]) AS a1,
+      |    (x - t[p1 - 1]) / (t[p1 + 2] - t[p1 - 1]) AS a2,
+      |    (x - t[p1 - 2]) / (t[p1 + 1] - t[p1 - 2]) AS a3,
+      |    (x - t[p1]) / (t[p1 + 2] - t[p1]) AS b1,
+      |    (x - t[p1 - 1]) / (t[p1 + 1] - t[p1 - 1]) AS b2,
+      |    (x - t[p1]) / (t[p1 + 1] - t[p1]) AS g1
+      |  FROM j),
+      |ee AS (
+      |  SELECT *,
+      |    (1 - a1) * c[p1 - 1] + a1 * c[p1] AS e3,
+      |    (1 - a2) * c[p1 - 2] + a2 * c[p1 - 1] AS e2,
+      |    (1 - a3) * c[p1 - 3] + a3 * c[p1 - 2] AS e1
+      |  FROM dd),
+      |ff AS (
+      |  SELECT *, (1 - b1) * e2 + b1 * e3 AS f3,
+      |            (1 - b2) * e1 + b2 * e2 AS f2
+      |  FROM ee),
+      |ss AS (
+      |  SELECT *,
+      |    CASE WHEN x < tmin THEN 'low' WHEN x > tmax THEN 'high'
+      |         ELSE 'in' END AS oob,
+      |    CASE WHEN x < tmin THEN x + dmin
+      |         WHEN x > tmax THEN x + dmax
+      |         ELSE (1 - g1) * f2 + g1 * f3 END AS raw
+      |  FROM ff)
+      |SELECT event_id, CAST(grp AS BIGINT) AS grp,
+      |  round(x, 2) AS fcst_value, oob,
+      |  floor(raw * 1e4 + 0.5) / 1e4 AS corrected
+      |FROM ss""".stripMargin
   }
 
   /** DuckDB oracle SQL per query (same tables, same column names,
@@ -2679,6 +2737,13 @@ object SparkEntry {
         |FROM q
         |LEFT JOIN rk lo ON q.grp = lo.grp AND q.member = lo.member AND q.idx_lo = lo.ridx
         |LEFT JOIN rk hi ON q.grp = hi.grp AND q.member = hi.member AND q.idx_hi = hi.ridx""".stripMargin,
+
+    // the pretrained literal-spline apply: the oracle carries the
+    // IDENTICAL knot/coefficient literals (rendered from the same
+    // Scala Seq as the Spark param table) and replays splev's
+    // unrolled de Boor triangle with the same op order — doubles
+    // match bit-for-bit
+    "bias_bspline_apply" -> bsplineApplyOracle,
 
     // the spline fit is SQL-expressible: the bias_qmap_key oracle's
     // union+window scaffolding, extended with lead/lag CTEs for the

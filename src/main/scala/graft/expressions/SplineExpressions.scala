@@ -1,0 +1,61 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StructField, StructType}
+
+import graft.functions.SplineKernels
+
+/** Interpolating cubic B-spline FIT over a key's bounded anchor
+  * arrays — the `splrep(x, y, s=0)` half of the reference's transfer
+  * workflow, distributed: one compiled call per KEY row (anchors are
+  * a fixed quantile grid, so the per-row work is O(anchors²) on a
+  * bounded m), returning the (t, c) param struct. Keeping the solve
+  * in the row keeps key cardinality unbounded — no driver fit, no
+  * collect ([[graft.operators.Climate.quantileMapSplineParams]]'s
+  * contract extended to the literal spline family). */
+case class BsplineFitExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("t", ArrayType(DoubleType)),
+    StructField("c", ArrayType(DoubleType))))
+  override protected def nullSafeEval(xs: Any, ys: Any): Any =
+    SplineKernels.fitParams(xs.asInstanceOf[ArrayData],
+      ys.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SplineKernels.fitParams($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "bspline_fit"
+}
+
+/** `splev(x, (t, c, 3))` — the APPLY half, one compiled de Boor
+  * triangle per fact row (see [[graft.functions.SplineKernels
+  * .splev]] for the canonical op order the SQL oracle mirrors). */
+case class SplevExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(t: Any, c: Any, x: Any): Any =
+    SplineKernels.splevRow(t.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, c, x) =>
+      s"graft.functions.SplineKernels.splevRow($t, $c, $x)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "splev"
+}
+
+object SplineColumns {
+  private def arr(c: Column) = ColumnBridge.expression(c.cast("array<double>"))
+  def bsplineFit(xs: Column, ys: Column): Column =
+    ColumnBridge.column(BsplineFitExpr(arr(xs), arr(ys)))
+  def splev(t: Column, c: Column, x: Column): Column =
+    ColumnBridge.column(SplevExpr(arr(t), arr(c),
+      ColumnBridge.expression(x.cast("double"))))
+}

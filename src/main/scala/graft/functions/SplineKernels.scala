@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Cubic B-spline kernels — the literal `splrep`/`splev` curve family
+  * of the reference's bias-correction transfer
+  * (`bias_correction_cds_process.py:325-358`: a pretrained (t, c, k)
+  * tuple evaluated by `splev` between the clamped-knot range bounds,
+  * constant additive adjustment outside). Degree is fixed at k=3 and
+  * the de Boor triangle is fully unrolled with one canonical op
+  * order, so a SQL oracle indexing the same literal knot/coefficient
+  * lists reproduces every double bit-for-bit (the
+  * [[VectorKernels.dtwBanded]] discipline applied to splines). */
+object SplineKernels {
+
+  /** FITPACK-style clamped knot vector for cubic interpolation
+    * through m strictly-increasing abscissae: 4 copies of each end,
+    * interior knots at xs(2..m-3) — `splrep(x, y, s=0)`'s knot
+    * placement, n = m + 4 knots total. */
+  def fitpackKnots(xs: Array[Double]): Array[Double] = {
+    val m = xs.length
+    val t = new Array[Double](m + 4)
+    var i = 0
+    while (i < 4) { t(i) = xs(0); t(m + i) = xs(m - 1); i += 1 }
+    i = 0
+    while (i < m - 4) { t(4 + i) = xs(2 + i); i += 1 }
+    t
+  }
+
+  /** 0-based segment index p with t(p) <= x < t(p+1), clamped into
+    * the valid cubic range [3, n-5] (x == tmax lands in the last
+    * segment — the reference sends x == t[-k] through `splev` too).
+    * Rendered in SQL as
+    * `greatest(4, least(len(list_filter(t, e -> e <= x)), n-4))`
+    * (1-based). */
+  def segment(t: Array[Double], x: Double): Int = {
+    val n = t.length
+    var cnt = 0
+    var i = 0
+    while (i < n) { if (t(i) <= x) cnt += 1; i += 1 }
+    math.max(3, math.min(cnt - 1, n - 5))
+  }
+
+  /** `splev(x, (t, c, 3))` — one fully-unrolled de Boor triangle in a
+    * FIXED op order (level-1 blends e1..e3, level-2 f2..f3, level-3
+    * result; every alpha is `(x - tL) / (tR - tL)` and every blend is
+    * `(1 - a) * lo + a * hi`), matching the oracle SQL term for
+    * term. Caller guarantees x within [t(3), t(n-4)]. */
+  def splev(t: Array[Double], c: Array[Double], x: Double): Double = {
+    val p = segment(t, x)
+    val a1 = (x - t(p)) / (t(p + 3) - t(p))
+    val e3 = (1 - a1) * c(p - 1) + a1 * c(p)
+    val a2 = (x - t(p - 1)) / (t(p + 2) - t(p - 1))
+    val e2 = (1 - a2) * c(p - 2) + a2 * c(p - 1)
+    val a3 = (x - t(p - 2)) / (t(p + 1) - t(p - 2))
+    val e1 = (1 - a3) * c(p - 3) + a3 * c(p - 2)
+    val b1 = (x - t(p)) / (t(p + 2) - t(p))
+    val f3 = (1 - b1) * e2 + b1 * e3
+    val b2 = (x - t(p - 1)) / (t(p + 1) - t(p - 1))
+    val f2 = (1 - b2) * e1 + b2 * e2
+    val g1 = (x - t(p)) / (t(p + 1) - t(p))
+    (1 - g1) * f2 + g1 * f3
+  }
+
+  /** The 4 nonzero cubic basis values N_{p-3..p}(x) (NURBS-book
+    * A2.2 bottom-up recursion) — collocation rows for the fit. */
+  private def basis(t: Array[Double], p: Int, x: Double): Array[Double] = {
+    val nv = new Array[Double](4)
+    val left = new Array[Double](4)
+    val right = new Array[Double](4)
+    nv(0) = 1.0
+    var j = 1
+    while (j <= 3) {
+      left(j) = x - t(p + 1 - j)
+      right(j) = t(p + j) - x
+      var saved = 0.0
+      var r = 0
+      while (r < j) {
+        val temp = nv(r) / (right(r + 1) + left(j - r))
+        nv(r) = saved + right(r + 1) * temp
+        saved = left(j - r) * temp
+        r += 1
+      }
+      nv(j) = saved
+      j += 1
+    }
+    nv
+  }
+
+  /** Interpolating cubic B-spline coefficients through strictly
+    * increasing (xs, ys): FITPACK knots, banded collocation matrix
+    * (each row has 4 nonzeros — totally positive, so plain Gaussian
+    * elimination with partial pivoting is more than safe at the
+    * bounded anchor count), dense solve. Returns null when fewer
+    * than 4 anchors. */
+  def fitCoeffs(xs: Array[Double], ys: Array[Double]): Array[Double] = {
+    val m = xs.length
+    if (m < 4) return null
+    val t = fitpackKnots(xs)
+    val a = Array.ofDim[Double](m, m + 1)
+    var i = 0
+    while (i < m) {
+      val p = segment(t, xs(i))
+      val nb = basis(t, p, xs(i))
+      var j = 0
+      while (j < 4) { a(i)(p - 3 + j) = nb(j); j += 1 }
+      a(i)(m) = ys(i)
+      i += 1
+    }
+    var col = 0
+    while (col < m) {
+      var piv = col
+      var r = col + 1
+      while (r < m) {
+        if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
+        r += 1
+      }
+      if (a(piv)(col) == 0.0) return null // degenerate abscissae
+      if (piv != col) { val tmp = a(piv); a(piv) = a(col); a(col) = tmp }
+      r = col + 1
+      while (r < m) {
+        val f = a(r)(col) / a(col)(col)
+        if (f != 0.0) {
+          var j = col
+          while (j <= m) { a(r)(j) -= f * a(col)(j); j += 1 }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    val c = new Array[Double](m)
+    var r2 = m - 1
+    while (r2 >= 0) {
+      var s = a(r2)(m)
+      var j = r2 + 1
+      while (j < m) { s -= a(r2)(j) * c(j); j += 1 }
+      c(r2) = s / a(r2)(r2)
+      r2 -= 1
+    }
+    c
+  }
+
+  /** Row kernel for [[graft.expressions.BsplineFitExpr]]: dedups the
+    * sorted anchor pairs by abscissa (first ordinate wins — ties come
+    * from flat quantile stretches), fits, and returns the (t, c)
+    * struct, or null when fewer than 4 distinct anchors survive. */
+  def fitParams(xsA: ArrayData, ysA: ArrayData): GenericInternalRow = {
+    val n = xsA.numElements()
+    val xs = new Array[Double](n)
+    val ys = new Array[Double](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val x = xsA.getDouble(i)
+      if (m == 0 || x > xs(m - 1)) {
+        xs(m) = x; ys(m) = ysA.getDouble(i); m += 1
+      }
+      i += 1
+    }
+    if (m < 4) return null
+    val dx = java.util.Arrays.copyOf(xs, m)
+    val dy = java.util.Arrays.copyOf(ys, m)
+    val c = fitCoeffs(dx, dy)
+    if (c == null) return null
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(fitpackKnots(dx)), new GenericArrayData(c)))
+  }
+
+  /** Row kernel for [[graft.expressions.SplevExpr]]. */
+  def splevRow(t: ArrayData, c: ArrayData, x: Double): Double =
+    splev(t.toDoubleArray(), c.toDoubleArray(), x)
+}

@@ -841,6 +841,118 @@ object Climate {
           .as("corrected")): _*)
   }
 
+  /** Quantile-anchor count for the literal B-spline transfer fit. */
+  private[graft] val BsplineAnchors = 17
+
+  /** LITERAL `splrep`-family FIT — the B-spline sibling of
+    * [[quantileMapSplineParams]], same param-table workflow
+    * (`bias_correction_cds_process.py:310-324` load/apply split) but
+    * the reference's ACTUAL curve family: a clamped cubic B-spline
+    * (t, c, k=3) instead of the Fritsch–Carlson Hermite substitute.
+    * Per key: a fixed [[BsplineAnchors]]-point quantile grid of both
+    * train sides (exact interpolated percentile — one hash agg, no
+    * rank window), then the interpolating-spline solve runs IN THE
+    * KEY ROW as one compiled call
+    * ([[graft.expressions.BsplineFitExpr]]: FITPACK knots,
+    * collocation, bounded dense solve) — key cardinality stays
+    * unbounded, nothing collects. Out-of-range follows the reference
+    * exactly: a constant ADDITIVE adjustment (`d + dmin` below
+    * `t[k]`, `d + dmax` above `t[-k]`), carried as dmin/dmax param
+    * columns. Keys whose deduped anchors degenerate below 4 points
+    * drop out (flat distributions have no spline to fit). */
+  def bsplineTransferParams(keys: Seq[String], fcstTrain: DataFrame,
+      refTrain: DataFrame): DataFrame = {
+    val kcols = keys.map(col)
+    val probs = array((0 until BsplineAnchors)
+      .map(j => lit(j / (BsplineAnchors - 1).toDouble)): _*)
+    val fagg = fcstTrain.groupBy(kcols: _*)
+      .agg(percentile(col("value"), probs).as("xq"),
+        min(col("value")).as("fmin"), max(col("value")).as("fmax"))
+    val ragg = refTrain.groupBy(kcols: _*)
+      .agg(percentile(col("value"), probs).as("yq"),
+        min(col("value")).as("rmin"), max(col("value")).as("rmax"))
+    fagg.join(ragg, keys)
+      .withColumn("fit",
+        graft.expressions.SplineColumns.bsplineFit(col("xq"), col("yq")))
+      .filter(col("fit").isNotNull)
+      .select(kcols ++ Seq(col("fit.t").as("t"), col("fit.c").as("c"),
+        (col("rmin") - col("fmin")).as("dmin"),
+        (col("rmax") - col("fmax")).as("dmax")): _*)
+  }
+
+  /** APPLY side of the literal spline transfer — the reference's
+    * `splev` loop verbatim (`bias_correction_cds_process.py:339-358`:
+    * below `tmin = t[k]` add dmin, above `tmax = t[-k]` add dmax,
+    * else evaluate the spline), one compiled de Boor triangle per
+    * fact row ([[graft.expressions.SplevExpr]]). Params are O(keys)
+    * — the join broadcasts or shuffles as AQE sizes it. */
+  def bsplineTransferApply(keys: Seq[String], params: DataFrame,
+      applyRows: DataFrame): DataFrame = {
+    val kcols = keys.map(col)
+    applyRows.select(kcols ++ Seq(col("event_id"), col("value").as("x")): _*)
+      .join(params, keys)
+      .withColumn("tmin", expr("element_at(t, 4)"))
+      .withColumn("tmax", expr("element_at(t, cast(size(t) - 2 as int))"))
+      .withColumn("oob", when(col("x") < col("tmin"), "low")
+        .when(col("x") > col("tmax"), "high").otherwise("in"))
+      .withColumn("raw",
+        when(col("oob") === "low", col("x") + col("dmin"))
+          .when(col("oob") === "high", col("x") + col("dmax"))
+          .otherwise(graft.expressions.SplineColumns
+            .splev(col("t"), col("c"), col("x"))))
+      .select((col("event_id") +: kcols) ++ Seq(
+        round(col("x"), 2).as("fcst_value"), col("oob"),
+        (floor(col("raw") * 1e4 + 0.5) / 1e4).as("corrected")): _*)
+  }
+
+  /** Fit + apply in one call — the literal-spline counterpart of
+    * [[quantileMapFitSpline]]; the param table pins for the same
+    * two-reads reason. */
+  def quantileMapFitBspline(keys: Seq[String], fcstTrain: DataFrame,
+      refTrain: DataFrame, applyRows: DataFrame): DataFrame =
+    bsplineTransferApply(keys,
+      bsplineTransferParams(keys, fcstTrain, refTrain).localCheckpoint(),
+      applyRows)
+
+  /** PRETRAINED literal spline params, one row per station group —
+    * the reference's param-FILE seam (`load_param_file` reads
+    * offline-fitted (t, c, dmin, dmax) per station; nothing in the
+    * query fits anything). Deterministic pure-Scala doubles: a
+    * 17-anchor grid on [2, 98] with a per-group quadratic ordinate,
+    * fitted once by [[graft.functions.SplineKernels.fitCoeffs]] at
+    * build time — the SAME Seq renders the Spark param table and the
+    * oracle's literal VALUES rows, so there is one source of truth
+    * for every knot and coefficient. */
+  private[graft] lazy val pretrainedBspline
+      : Seq[(Long, Seq[Double], Seq[Double], Double, Double)] =
+    (0L until 20L).map { g =>
+      val xs = (0 until BsplineAnchors).map(j => 2.0 + 6.0 * j).toArray
+      val ys = xs.map(x =>
+        (0.8 + 0.02 * g) * x + (g % 5) * 0.003 * x * x + 0.5 * g)
+      (g, graft.functions.SplineKernels.fitpackKnots(xs).toSeq,
+        graft.functions.SplineKernels.fitCoeffs(xs, ys).toSeq,
+        1.5 + 0.1 * g, -2.0 + 0.2 * g)
+    }
+
+  /** Pretrained-spline bias adjustment of the forecast stream — the
+    * reference's bias-correction apply step run EXACTLY as shipped:
+    * per-group literal (t, c, dmin, dmax) loaded (not fitted),
+    * `splev` in range, constant additive adjustment outside.
+    * Oracle-checked bit-for-bit: the oracle carries the identical
+    * literal knot/coefficient lists and replays the identical
+    * unrolled de Boor op chain in SQL. Shape at scale: a 20-row
+    * broadcast join + one compiled expression per fact row — no
+    * shuffle beyond the scan. */
+  def biasBsplineApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val params = broadcast(
+      pretrainedBspline.toDF("grp", "t", "c", "dmin", "dmax"))
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .withColumn("grp", col("user_id") % 20)
+    bsplineTransferApply(Seq("grp"), params, ev)
+  }
+
   /** [[biasQmapKey]]'s mapping through the SPLINE transfer — the
     * runnable twin showing the reference's `splev` semantics on the
     * same fit/apply split. DuckDB-oracle-checked (the fit is

@@ -427,6 +427,146 @@ class ClimateSpec extends SparkSpec {
       && direct.exceptAll(viaDisk).isEmpty)
   }
 
+  test("SplineKernels: fit interpolates anchors; splev matches an independent basis-sum evaluation") {
+    val xs = Array(0.0, 1.0, 2.5, 4.0, 5.5, 7.0, 9.0, 12.0, 15.0)
+    val ys = xs.map(x => 2.0 + 0.7 * x + 0.05 * x * x - 0.002 * x * x * x)
+    val t = graft.functions.SplineKernels.fitpackKnots(xs)
+    val c = graft.functions.SplineKernels.fitCoeffs(xs, ys)
+    assert(c != null && c.length === xs.length && t.length === xs.length + 4)
+    xs.zip(ys).foreach { case (x, y) =>
+      assert(math.abs(graft.functions.SplineKernels.splev(t, c, x) - y) < 1e-9,
+        s"anchor $x")
+    }
+    // independent check: textbook recursive Cox-de Boor basis sum
+    // (a completely different evaluation path than the de Boor
+    // triangle) must agree on a dense interior grid
+    def basisN(i: Int, k: Int, x: Double): Double =
+      if (k == 0) { if (t(i) <= x && x < t(i + 1)) 1.0 else 0.0 }
+      else {
+        val a = if (t(i + k) == t(i)) 0.0
+          else (x - t(i)) / (t(i + k) - t(i)) * basisN(i, k - 1, x)
+        val b = if (t(i + k + 1) == t(i + 1)) 0.0
+          else (t(i + k + 1) - x) / (t(i + k + 1) - t(i + 1)) *
+            basisN(i + 1, k - 1, x)
+        a + b
+      }
+    (0 until 140).map(j => xs.head + (xs.last - xs.head) * j / 150.0)
+      .foreach { x =>
+        val naive = c.indices.map(i => c(i) * basisN(i, 3, x)).sum
+        assert(math.abs(graft.functions.SplineKernels.splev(t, c, x) - naive)
+          < 1e-8, s"x=$x")
+      }
+  }
+
+  test("bias_bspline_apply: reference splev semantics recomputed from the literal params") {
+    val sf01 = "/root/testdata/sf0.01"
+    val par = Climate.pretrainedBspline.map { case (g, t, c, dmin, dmax) =>
+      g -> ((t.toArray, c.toArray, dmin, dmax))
+    }.toMap
+    val ev = graft.Tables.events(spark, sf01)
+      .filter(col("event_type") === "click")
+      .select("event_id", "user_id", "value").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1) % 20, r.getDouble(2)))).toMap
+    val got = SparkEntry.queries("bias_bspline_apply")(spark, sf01).collect()
+    assert(got.length === ev.size)
+    got.foreach { row =>
+      val id = row.getAs[Long]("event_id")
+      val g = row.getAs[Long]("grp")
+      val (gExp, x) = ev(id)
+      assert(g === gExp)
+      val (t, c, dmin, dmax) = par(g)
+      val tmin = t(3)
+      val tmax = t(t.length - 3)
+      val (oobE, raw) =
+        if (x < tmin) ("low", x + dmin)
+        else if (x > tmax) ("high", x + dmax)
+        else ("in", graft.functions.SplineKernels.splev(t, c, x))
+      assert(row.getAs[String]("oob") === oobE, s"event $id oob")
+      assert(row.getAs[Double]("corrected")
+        === math.floor(raw * 1e4 + 0.5) / 1e4, s"event $id corrected")
+    }
+    // all three reference branches are live on this data
+    assert(got.map(_.getAs[String]("oob")).toSet === Set("low", "high", "in"))
+  }
+
+  test("bsplineTransfer: fit/apply split — anchors interpolated, edge deltas equal the FC family, parquet round-trip") {
+    val sf01 = "/root/testdata/sf0.01"
+    val ev = Tables.events(spark, sf01)
+      .withColumn("grp", col("user_id") % 20)
+      .withColumn("member", col("event_id") % 3)
+    val split = lit("2024-01-16T00:00:00Z").cast("timestamp")
+    def slice(t: String, cond: org.apache.spark.sql.Column) =
+      ev.filter(col("event_type") === t && cond)
+        .select("event_id", "grp", "member", "value")
+    val keys = Seq("grp", "member")
+    val fcst = slice("click", col("ts") < split)
+    val refT = slice("view", col("ts") < split)
+    val app = slice("click", col("ts") >= split)
+    val params = Climate.bsplineTransferParams(keys, fcst, refT)
+      .localCheckpoint()
+    // (a) the fitted spline interpolates its own quantile anchors
+    // (recomputed here with Spark percentile's rank interpolation)
+    val fv = fcst.collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).sorted).toMap
+    val rv = refT.collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._3).sorted).toMap
+    def pct(v: Array[Double], p: Double): Double = {
+      val pos = p * (v.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      v(lo) + (pos - lo) * (v(hi) - v(lo))
+    }
+    val parRows = params.collect()
+    assert(parRows.nonEmpty)
+    parRows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val t = r.getSeq[Double](2).toArray
+      val c = r.getSeq[Double](3).toArray
+      val xq = (0 until 17).map(j => pct(fv(key), j / 16.0))
+      val yq = (0 until 17).map(j => pct(rv(key), j / 16.0))
+      // dedup by abscissa exactly as the fit kernel does
+      val (dx, dy) = xq.zip(yq).foldLeft(Vector.empty[(Double, Double)]) {
+        case (acc, (x, y)) =>
+          if (acc.nonEmpty && x <= acc.last._1) acc else acc :+ (x, y)
+      }.unzip
+      dx.zip(dy).foreach { case (x, y) =>
+        assert(math.abs(graft.functions.SplineKernels.splev(t, c, x) - y)
+          < 1e-7, s"key $key anchor $x")
+      }
+    }
+    // (b) out-of-range rows: both spline families apply the SAME
+    // constant edge delta (rmin-fmin / rmax-fmax), so corrected must
+    // be identical wherever both classify the row out-of-range — up
+    // to the FC family's clamp-at-0 (the literal splev procedure has
+    // no clamp, faithful to the reference's additive adjustment)
+    def byId(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[String]("oob"), r.getAs[Double]("corrected")))).toMap
+    val bs = byId(Climate.bsplineTransferApply(keys, params, app))
+    val fc = byId(Climate.quantileMapFitSpline(keys, fcst, refT, app))
+    assert(bs.nonEmpty)
+    var nEdge = 0
+    bs.foreach { case (id, (oob, corr)) =>
+      fc.get(id).foreach { case (foob, fcorr) =>
+        if (oob != "in" && oob == foob) {
+          if (fcorr > 0.0) assert(corr === fcorr, s"event $id edge delta")
+          else assert(corr <= 0.0, s"event $id clamped edge")
+          nEdge += 1
+        }
+      }
+    }
+    assert(nEdge > 0, "edge branch exercised")
+    // (c) param-table parquet round-trip applies bit-for-bit
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bspline-params").toFile.getAbsolutePath
+    params.write.mode("overwrite").parquet(s"$dir/params")
+    val loaded = spark.read.parquet(s"$dir/params")
+    val direct = Climate.bsplineTransferApply(keys, params, app)
+    val viaDisk = Climate.bsplineTransferApply(keys, loaded, app)
+    assert(viaDisk.exceptAll(direct).isEmpty
+      && direct.exceptAll(viaDisk).isEmpty)
+  }
+
   test("quantileMapFitSpline: monotone on a dense probe grid, continuous at the edges") {
     import spark.implicits._
     val rnd = new scala.util.Random(42L)
