@@ -585,11 +585,11 @@ object SparkEntry {
        |  FROM bh GROUP BY doc_id),
        |bands AS (
        |  $bands),
+       |bucketed AS (
+       |  SELECT bands.*, count(*) OVER (PARTITION BY band, k0, k1, k2, k3) AS bucket_n
+       |  FROM bands),
        |capped AS (
-       |  SELECT * FROM (
-       |    SELECT bands.*, count(*) OVER (PARTITION BY band, k0, k1, k2, k3) AS bucket_n
-       |    FROM bands)
-       |  WHERE bucket_n <= ${Dedup.BucketCap}),
+       |  SELECT * FROM bucketed WHERE bucket_n <= ${Dedup.BucketCap}),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
        |  FROM capped a JOIN capped c ON a.band = c.band AND $kEq
@@ -645,7 +645,8 @@ object SparkEntry {
 
   /** Recall-audit oracle: the exhaustive shared-shingle truth pairs
     * (reusing `sh`/`cnt`) one-sided-joined against the `lshp` CTE,
-    * bucketed by Jaccard decile. */
+    * bucketed by Jaccard decile, cross-joined with the 1-row
+    * dropped-mass summary of the BucketCap filter. */
   private def lshAuditSql: String =
     s"""WITH $minhashPairsCtes,
        |truth AS (
@@ -657,15 +658,29 @@ object SparkEntry {
        |    round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
        |  FROM truth JOIN cnt ca ON doc_a = ca.doc_id
        |    JOIN cnt cb ON doc_b = cb.doc_id
-       |  WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5)
-       |SELECT least(floor(t.jaccard * 10), 9) / 10.0 AS bucket,
-       |  CAST(count(*) AS BIGINT) AS n_true,
-       |  CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_found,
-       |  round(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
-       |    / count(*), 4) AS recall
-       |FROM truep t LEFT JOIN lshp l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
-       |GROUP BY 1""".stripMargin
+       |  WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5),
+       |dropped AS (
+       |  SELECT * FROM bucketed WHERE bucket_n > ${graft.operators.Dedup.BucketCap}),
+       |drop_s AS (
+       |  SELECT
+       |    CAST(count(DISTINCT struct_pack(band := band, k0 := k0,
+       |      k1 := k1, k2 := k2, k3 := k3)) AS BIGINT) AS dropped_buckets,
+       |    CAST(count(*) AS BIGINT) AS dropped_memberships,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS dropped_docs,
+       |    CAST(coalesce(sum(bucket_n - 1), 0) // 2 AS BIGINT)
+       |      AS est_dropped_pairs
+       |  FROM dropped)
+       |SELECT r.*, d.dropped_buckets, d.dropped_memberships,
+       |  d.dropped_docs, d.est_dropped_pairs
+       |FROM (
+       |  SELECT least(floor(t.jaccard * 10), 9) / 10.0 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_true,
+       |    CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_found,
+       |    round(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+       |      / count(*), 4) AS recall
+       |  FROM truep t LEFT JOIN lshp l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+       |  GROUP BY 1) r CROSS JOIN drop_s d""".stripMargin
 
   /** SimHash oracle: per-token [[h48Sql]] hashes vote ±1 per bit
     * (48 conditional sums), the sign vector reassembles the

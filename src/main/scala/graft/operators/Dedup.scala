@@ -463,7 +463,12 @@ object Dedup {
     * distinct within-bucket pairs. Shared by [[minhashLsh]] (which
     * verifies them) and [[lshRecallAudit]] (which only needs
     * membership). NOT pinned — callers checkpoint per their reuse. */
-  private def minhashCandidates(shArr: DataFrame): DataFrame = {
+  /** Band-bucket membership (doc_id, band, bh, bucket_n) BEFORE the
+    * frequency cap — shared by the candidate generator (keeps
+    * bucket_n <= [[BucketCap]]) and the recall audit's dropped-mass
+    * accounting (keeps the rest, so the cap's loss is quantified
+    * rather than silent). */
+  private def bandBuckets(shArr: DataFrame): DataFrame = {
     val sig = minhashSignatures(shArr)
     // the bucket key is the band's RAW 4-tuple of minhash values (no
     // second hash): equality is what banding needs, the join/window
@@ -473,16 +478,19 @@ object Dedup {
       struct(lit(b).as("band"),
         slice(col("sig"), b * RowsPerBand + 1, RowsPerBand).as("bh"))
     }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh"))))
+  }
+
+  private def cappedCandidatesFrom(buckets: DataFrame): DataFrame = {
     // pin the O(docs·bands) bucket table: both self-join sides read
     // it, and unpinned each re-runs the whole 64-hash signature pass
     // (plan-audited — the signature computation is the operator's
     // dominant cost)
     val capped = buckets
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bh"))))
       .filter(col("bucket_n") <= BucketCap)
       .localCheckpoint()
     capped.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
@@ -492,6 +500,9 @@ object Dedup {
       .select("doc_a", "doc_b")
       .distinct()
   }
+
+  private def minhashCandidates(shArr: DataFrame): DataFrame =
+    cappedCandidatesFrom(bandBuckets(shArr))
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -609,12 +620,27 @@ object Dedup {
     * candidates (verification is exactly "candidate ∧ J ≥ 0.5", and
     * every truth pair already has J ≥ 0.5), so the verify stage would
     * be recomputing what the truth side knows. ~1.7× end-to-end
-    * (bench: 4.26 → 2.5 s at sf0.1). */
-  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    * (bench: 4.26 → 2.5 s at sf0.1).
+    *
+    * DROPPED-MASS DENOMINATOR: [[BucketCap]] silently discards
+    * band buckets holding > 50 docs (a hot bucket of size m is m²/2
+    * candidate pairs — the cap is what keeps the join from going
+    * quadratic), and the recall table must carry that caveat itself:
+    * every row also reports how much the cap threw away —
+    * `dropped_buckets` / `dropped_memberships` (rows) /
+    * `dropped_docs` (distinct docs touched) / `est_dropped_pairs`
+    * (Σ m·(m−1)/2, the candidate pairs those buckets would have
+    * generated). A boilerplate-heavy corpus shows up here as a large
+    * dropped mass next to a low top-decile recall — the signal to
+    * raise the cap or pre-strip the boilerplate. */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame =
+    lshRecallAuditOf(Tables.documents(spark, dir))
+
+  private[graft] def lshRecallAuditOf(docs: DataFrame): DataFrame = {
     // ONE tokenize pass, pinned as ARRAYS: the truth join explodes
     // the pinned arrays (cheap — the regex already ran), the LSH side
     // computes in-row signatures from the same arrays.
-    val shArr = shingleArrays(Tables.documents(spark, dir)).localCheckpoint()
+    val shArr = shingleArrays(docs).localCheckpoint()
     val sh = shArr.select(col("doc_id"), size(col("sh_arr")).as("n_sh"),
       explode(col("sh_arr")).as("shingle"))
     val truth = sh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
@@ -628,8 +654,21 @@ object Dedup {
       .withColumn("jaccard",
         round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
       .filter(col("jaccard") >= JaccardT)
-    val cand = minhashCandidates(shArr)
+    // pinned: the cap filter (candidates) and the dropped-mass agg
+    // both read the bucket table; unpinned each re-runs the
+    // signature pass
+    val bk = bandBuckets(shArr).localCheckpoint()
+    val cand = cappedCandidatesFrom(bk)
       .withColumn("found", lit(1))
+    // every dropped row carries its bucket's size, so the whole
+    // dropped-mass summary is ONE aggregate: Σ(m−1) over rows equals
+    // Σ m(m−1) over buckets, halved = the lost candidate pairs
+    val dropSummary = bk.filter(col("bucket_n") > BucketCap)
+      .agg(count_distinct(struct(col("band"), col("bh")))
+          .as("dropped_buckets"),
+        count(lit(1)).as("dropped_memberships"),
+        count_distinct(col("doc_id")).as("dropped_docs"),
+        expr("coalesce(sum(bucket_n - 1), 0) div 2").as("est_dropped_pairs"))
     truth.join(cand, Seq("doc_a", "doc_b"), "left")
       .withColumn("bucket", least(floor(col("jaccard") * 10), lit(9L)) / 10.0)
       .groupBy(col("bucket"))
@@ -637,6 +676,7 @@ object Dedup {
         sum(coalesce(col("found"), lit(0))).cast("long").as("n_found"),
         round(sum(coalesce(col("found"), lit(0)))
           / count(lit(1)).cast("double"), 4).as("recall"))
+      .crossJoin(broadcast(dropSummary))
   }
 
   /** QUALITY-vs-DUPLICATION cross-table — the curation question the

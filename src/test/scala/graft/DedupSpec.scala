@@ -113,6 +113,38 @@ class DedupSpec extends SparkSpec {
     assert(audit.nonEmpty && audit.values.forall(v => v._2 <= v._1))
   }
 
+  test("dedup_lsh_audit: BucketCap loss is quantified — a planted hot bucket is reported, not silent") {
+    import spark.implicits._
+    // 60 identical docs: every one of their 16 band buckets holds 60
+    // members > BucketCap=50, so ALL are dropped — their 1770 true
+    // pairs must show recall 0 AND the dropped-mass columns must
+    // carry exactly that loss
+    val hot = (1L to 60L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val pair = Seq(
+      (101L, "one two three four five six seven eight nine ten"),
+      (102L, "one two three four five six seven eight nine eleven"))
+    val out = graft.operators.Dedup
+      .lshRecallAuditOf((hot ++ pair).toDF("doc_id", "text")).collect()
+    assert(out.nonEmpty)
+    val byBucket = out.map(r => r.getDouble(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(byBucket(0.9) === ((1770L, 0L, 0.0)),
+      "capped-away identical docs: complete recall loss, visible")
+    out.foreach { r =>
+      assert(r.getAs[Long]("dropped_buckets") === 16L)
+      assert(r.getAs[Long]("dropped_memberships") === 960L)
+      assert(r.getAs[Long]("dropped_docs") === 60L)
+      assert(r.getAs[Long]("est_dropped_pairs") === 16L * 1770L)
+    }
+    // live corpus: the columns are present and self-consistent
+    val live = SparkEntry.queries("dedup_lsh_audit")(spark, sf).collect()
+    live.foreach { r =>
+      assert(r.getAs[Long]("dropped_memberships")
+        >= r.getAs[Long]("dropped_buckets"))
+      assert(r.getAs[Long]("est_dropped_pairs") >= 0L)
+    }
+  }
+
   test("contamination_by_source: rollup recomputed from the per-doc hit list") {
     val hits = SparkEntry.queries("decontaminate")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
