@@ -93,4 +93,95 @@ object Grids {
     longDf.groupBy(col("time"), col("lat"), col("lon"))
       .pivot("var", varNames)
       .agg(first(col("value")))
+
+  // --- binary-drop decode seam -------------------------------------
+
+  /** One decoded grid cell — the row a real GeoTIFF/NetCDF codec
+    * would emit per raster node (`ingestor_creaf_tif_forecast.py:
+    * 106-137` `tifs_to_ds`: one file per (variable, time), stacked
+    * into an xr.Dataset). */
+  case class GridCell(`var`: String, time: java.sql.Timestamp,
+    lat: Double, lon: Double, value: Double)
+
+  private[graft] case class RawTile(name: String, content: Array[Byte])
+
+  private val TileMagic: Array[Byte] = "GRFT1".getBytes("UTF-8")
+
+  /** STUB TILE CODEC — the deterministic fake standing in for the
+    * GDAL/netCDF decode this container cannot run (the
+    * [[graft.operators.Multimodal]] decode-seam discipline): a
+    * self-describing big-endian layout
+    *
+    *   "GRFT1" | i16 varLen | UTF-8 var | i32 epochDay |
+    *   f64 lat0, lon0, dlat, dlon | i32 ny, nx | ny·nx f64 values
+    *
+    * with rows north→south (lat_i = lat0 − i·dlat — TIFF row order)
+    * and columns west→east. [[encodeTile]]/[[decodeTile]] are exact
+    * inverses; swapping in a real codec changes ONLY this function —
+    * the Spark plumbing (binaryFile source, per-file flatMap, typed
+    * schema, chunked publish) is the real product surface. */
+  def encodeTile(varName: String, epochDay: Int, lat0: Double,
+      lon0: Double, dlat: Double, dlon: Double,
+      values: Array[Array[Double]]): Array[Byte] = {
+    val vb = varName.getBytes("UTF-8")
+    val ny = values.length
+    val nx = if (ny == 0) 0 else values(0).length
+    val buf = java.nio.ByteBuffer
+      .allocate(TileMagic.length + 2 + vb.length + 4 + 32 + 8 + ny * nx * 8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put(TileMagic).putShort(vb.length.toShort).put(vb)
+      .putInt(epochDay)
+      .putDouble(lat0).putDouble(lon0).putDouble(dlat).putDouble(dlon)
+      .putInt(ny).putInt(nx)
+    values.foreach(row => row.foreach(buf.putDouble))
+    buf.array()
+  }
+
+  /** Decode one tile's bytes to cells; malformed payloads (bad magic
+    * / truncated body) yield an empty iterator — the quarantine
+    * behavior of the [[Ingest]] lane, a poison file cannot kill the
+    * job. */
+  def decodeTile(bytes: Array[Byte]): Iterator[GridCell] = {
+    if (bytes.length < TileMagic.length + 2) return Iterator.empty
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    val magic = new Array[Byte](TileMagic.length)
+    buf.get(magic)
+    if (!java.util.Arrays.equals(magic, TileMagic)) return Iterator.empty
+    val vlen = buf.getShort.toInt
+    if (vlen < 0 || buf.remaining() < vlen + 4 + 32 + 8) return Iterator.empty
+    val vb = new Array[Byte](vlen)
+    buf.get(vb)
+    val varName = new String(vb, "UTF-8")
+    val epochDay = buf.getInt
+    val lat0 = buf.getDouble; val lon0 = buf.getDouble
+    val dlat = buf.getDouble; val dlon = buf.getDouble
+    val ny = buf.getInt; val nx = buf.getInt
+    if (ny < 0 || nx < 0 || buf.remaining() < ny.toLong * nx * 8)
+      return Iterator.empty
+    val ts = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.ofEpochDay(epochDay.toLong).atStartOfDay())
+    val base = TileMagic.length + 2 + vlen + 4 + 32 + 8
+    for {
+      i <- (0 until ny).iterator
+      j <- (0 until nx).iterator
+    } yield GridCell(varName, ts, lat0 - i * dlat, lon0 + j * dlon,
+      buf.getDouble(base + (i * nx + j) * 8))
+  }
+
+  /** Binary drop → decoded long rows. Input is the `binaryFile`
+    * source's shape (`path`/`content` — one row per dropped file;
+    * Spark parallelizes at file grain, which is exactly the tile
+    * grain a raster drop arrives in), decode is one typed flatMap
+    * per file — the legitimately imperative per-partition seam.
+    * Feed the result to [[toWide]] for the xr.Dataset-like shape
+    * (what `tifs_to_ds` returns) and onward through [[normalize]] →
+    * [[publishGrid]]. */
+  def decodeDrop(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("path").as("name"), col("content")).as[RawTile]
+      .flatMap(f => decodeTile(f.content))
+      .toDF("var", "time", "lat", "lon", "value")
+  }
 }

@@ -70,6 +70,64 @@ class GridsSpec extends SparkSpec {
     assert(b === a)
   }
 
+  test("decodeDrop: a synthetic binary drop round-trips bytes -> decode -> wide -> publish -> prune -> pivot") {
+    // the tifs_to_ds seam end-to-end from BYTES: one stub-codec tile
+    // per (variable, day) like the reference's one-tif-per-var-month
+    // drop, plus a poison file that must quarantine silently
+    val dropDir = Files.createTempDirectory("graft_drop").toFile
+    val vars = Seq("tp", "memberUNCERTAINTY")
+    val days = Seq(19850, 19851) // epoch days
+    def cell(v: String, d: Int, i: Int, j: Int): Double =
+      (v.length * 1000 + d % 100 * 100 + i * 10 + j) * 0.25
+    for (v <- vars; d <- days) {
+      val values = Array.tabulate(4, 5)((i, j) => cell(v, d, i, j))
+      val bytes = Grids.encodeTile(v, d, 45.0, 10.0, 0.5, 0.5, values)
+      java.nio.file.Files.write(
+        new java.io.File(dropDir, s"${v}_$d.grft").toPath, bytes)
+    }
+    java.nio.file.Files.write(
+      new java.io.File(dropDir, "poison.grft").toPath,
+      "not a tile at all".getBytes("UTF-8"))
+    val decoded = Grids.decodeDrop(
+      spark.read.format("binaryFile").load(dropDir.toString))
+    assert(decoded.count() === vars.size * days.size * 20L)
+    // spot-check one decoded cell: coordinates AND value exact
+    val probe = decoded.filter(col("var") === "tp"
+        && col("lat") === 45.0 - 2 * 0.5 && col("lon") === 10.0 + 3 * 0.5)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("time").toLocalDateTime
+        .toLocalDate.toEpochDay.toInt, r.getAs[Double]("value"))).toMap
+    days.foreach(d => assert(probe(d) === cell("tp", d, 2, 3)))
+    // wide = the xr.Dataset shape tifs_to_ds returns
+    val wideDrop = Grids.toWide(decoded, vars)
+    assert(wideDrop.count() === days.size * 20L)
+    assert(wideDrop.columns.toSeq
+      === Seq("time", "lat", "lon", "tp", "memberUNCERTAINTY"))
+    // ...and onward through the standard lane
+    val out = Files.createTempDirectory("graft_drop_pub").toString
+    val long = Grids.normalize(wideDrop, "time", "lat", "lon", vars)
+    val reg = Grids.publishGrid(long, "creaf_drop", out).collect().head
+    assert(reg.getAs[Long]("n_rows") === vars.size * days.size * 20L)
+    assert(reg.getAs[Long]("n_vars") === 2L)
+    assert(reg.getAs[Double]("min_lat") === 43.5
+      && reg.getAs[Double]("max_lat") === 45.0)
+    // pruned slice: one variable, one day — exact values back
+    val d0 = java.time.LocalDate.ofEpochDay(days.head.toLong).toString
+    val slice = Grids.readGrid(spark, "creaf_drop", out)
+      .filter(col("var") === "tp" && col("p_day") === d0)
+    assert(slice.count() === 20L)
+    slice.collect().foreach { r =>
+      val i = ((45.0 - r.getAs[Double]("lat")) / 0.5).round.toInt
+      val j = ((r.getAs[Double]("lon") - 10.0) / 0.5).round.toInt
+      assert(r.getAs[Double]("value") === cell("tp", days.head, i, j))
+    }
+    // full round-trip to the wide shape is bit-exact
+    val back = Grids.toWide(Grids.readGrid(spark, "creaf_drop", out)
+      .select(col("time"), col("lat"), col("lon"), col("var"), col("value")),
+      vars)
+    assert(back.collect().map(_.toSeq).toSet
+      === wideDrop.collect().map(_.toSeq).toSet)
+  }
+
   test("spiRefGridPublish: the composed drought pipeline lands a pruned grid collection") {
     val out = Files.createTempDirectory("graft_spi_grid").toString
     val reg = operators.Pipelines.spiRefGridPublish(spark, sf, out).collect().head
