@@ -58,6 +58,51 @@ object Pipelines {
     graft.sources.Grids.publishGrid(grid, "spi7_ref", outDir)
   }
 
+  /** The PHENOLOGY / AGRO-INDICATOR export end to end
+    * (`ingestor_ll_spain_phenology.py:103-190`): open the gridded
+    * product, slice it to the area-of-interest bbox (the
+    * [[Climate.bboxFilter]] predicate, elementwise in the scan
+    * stage), write the variable's TIME-INDEX metadata (the
+    * reference's `{"time": [...]}` JSON, `:154-156`), and land one
+    * PER-DAY slice per time step (its `gdal_translate` GeoTIFF loop,
+    * `:160-170`) — here a day-partitioned publish through the
+    * zarr-shaped [[graft.sources.Grids.publishGrid]] lane, so "one
+    * day" is one prunable partition directory instead of one
+    * uploaded file, and no driver loop runs over time steps at all.
+    * Returns the registry row extended with the bbox and the
+    * time-index JSON. One composed plan; the only driver-visible
+    * values are the 1-row registry. */
+  def phenologyExportPublish(spark: SparkSession, dir: String,
+      outDir: String, variable: String = "pheno",
+      bbox: (Double, Double, Double, Double) = (-60.0, -45.0, 60.0, 45.0))
+      : DataFrame = {
+    val (xMin, yMin, xMax, yMax) = bbox
+    // the decoded "zarr": exact-cent daily cell means on the pseudo
+    // grid (the spiRefGridPublish placement), pre-sliced to the bbox
+    val grid = Tables.events(spark, dir)
+      .withColumn("lat", Climate.pseudoLat(col("user_id")))
+      .withColumn("lon", Climate.pseudoLon(col("user_id")))
+      .filter(col("lat") >= yMin && col("lat") <= yMax &&
+        col("lon") >= xMin && col("lon") <= xMax)
+      .groupBy(date_trunc("DAY", col("ts")).as("time"),
+        col("lat"), col("lon"))
+      .agg((floor(sum(floor(col("value") * 100 + 0.5).cast("long"))
+        .cast("double") * 100.0 / count(lit(1)) + 0.5) / 1e4).as("value"))
+      .withColumn("var", lit(variable))
+      .localCheckpoint() // read twice: the publish and the time index
+    val reg = graft.sources.Grids.publishGrid(
+      grid.select(col("time"), col("lat"), col("lon"), col("var"),
+        col("value")), variable, outDir)
+    val timeIndex = grid
+      .select(date_format(col("time"), "yyyy-MM-dd'T'HH:mm:ss").as("t"))
+      .distinct()
+      .agg(to_json(map(lit("time"),
+        sort_array(collect_list(col("t"))))).as("time_index"))
+    reg.crossJoin(broadcast(timeIndex))
+      .withColumn("min_x", lit(xMin)).withColumn("min_y", lit(yMin))
+      .withColumn("max_x", lit(xMax)).withColumn("max_y", lit(yMax))
+  }
+
   /** The station-QC product end to end — the sensor-ingest chain every
     * observation network runs before analytics (the reference QCs
     * each fetched series the same way): despike with the trailing

@@ -128,6 +128,56 @@ class GridsSpec extends SparkSpec {
       === wideDrop.collect().map(_.toSeq).toSet)
   }
 
+  test("phenologyExportPublish: bbox slice + per-day publish + time-index registry, row-for-row") {
+    val out = Files.createTempDirectory("graft_pheno").toString
+    // a PROPER slice of the sf0.001 pseudo-grid: stations 0-11 fall
+    // inside, 12-14 outside — the bbox must actually cut something
+    val bbox = (-180.0, -90.0, -120.0, -30.0)
+    val reg = operators.Pipelines
+      .phenologyExportPublish(spark, sf, out, "pheno", bbox).collect()
+    assert(reg.length === 1)
+    val row = reg.head
+    // independent recompute from raw events: the bbox_filter predicate
+    // + the same exact-cent daily cell mean
+    val ev = Tables.events(spark, sf)
+      .select(col("ts"), col("user_id"), col("value")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    def coords(u: Long) = ((u % 36) * 5.0 - 87.5, (u % 72) * 5.0 - 177.5)
+    val inBox = ev.filter { case (_, u, _) =>
+      val (la, lo) = coords(u)
+      la >= bbox._2 && la <= bbox._4 && lo >= bbox._1 && lo <= bbox._3
+    }
+    val expect = inBox.groupBy { case (ts, u, _) =>
+      (ts.toLocalDateTime.toLocalDate, coords(u))
+    }.map { case ((day, (la, lo)), xs) =>
+      val cents = xs.map(x => math.floor(x._3 * 100 + 0.5).toLong).sum
+      (day.toString, la, lo) ->
+        (math.floor(cents.toDouble * 100.0 / xs.size + 0.5) / 1e4)
+    }
+    // registry row: counts, extent, and the reference's time-index JSON
+    assert(row.getAs[Long]("n_rows") === expect.size.toLong)
+    assert(row.getAs[Long]("n_vars") === 1L)
+    assert(row.getAs[Double]("min_y") === -90.0
+      && row.getAs[Double]("max_x") === -120.0)
+    assert(inBox.nonEmpty && inBox.size < ev.length,
+      "the bbox must slice properly: some rows in, some out")
+    val days = inBox.map(_._1.toLocalDateTime.toLocalDate).distinct.sorted
+    val expectJson = days.map(d => "\"" + d + "T00:00:00\"")
+      .mkString("{\"time\":[", ",", "]}")
+    assert(row.getAs[String]("time_index") === expectJson)
+    // the published collection: one prunable p_day directory per time
+    // step (the per-day GeoTIFF loop, minus the loop)
+    val dayDirs = new java.io.File(s"$out/pheno/var=pheno").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dayDirs.toSeq === days.map(d => s"p_day=$d"))
+    // row-for-row: the landed cells equal the recompute exactly
+    val landed = Grids.readGrid(spark, "pheno", out).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("time").toLocalDateTime
+          .toLocalDate.toString, r.getAs[Double]("lat"),
+        r.getAs[Double]("lon")) -> r.getAs[Double]("value")).toMap
+    assert(landed === expect)
+  }
+
   test("spiRefGridPublish: the composed drought pipeline lands a pruned grid collection") {
     val out = Files.createTempDirectory("graft_spi_grid").toString
     val reg = operators.Pipelines.spiRefGridPublish(spark, sf, out).collect().head
