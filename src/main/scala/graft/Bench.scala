@@ -94,15 +94,68 @@ object Bench {
     val total = timings.values.sum
     // calibration AFTER the passes (fully warmed JVM, idle executors)
     val calib = (1 to 3).map(_ => calibrate()).min
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"passes":$Reps,"calib_s":$calib,"sf":${js(sfDir)}}"""
+
+    // --- automated round-over-round triage ---------------------------
+    // The r7 BENCH_NOTES neighborhood-effect diagnosis (in-run vs
+    // isolated timing of the worst movers) was manual; here it is
+    // machinery: read the PREVIOUS artifact (same path we are about
+    // to overwrite), normalize both rounds by their calibration spin,
+    // take the worst regression ratios, and re-run each ALONE (one
+    // warm + Reps timed back-to-back — exactly the manual
+    // SPARK_GRAFT_BENCH_ONLY triage). The artifact then carries
+    // in-run AND isolated numbers per mover, so a reader can
+    // attribute a shift to the query vs its run neighborhood without
+    // hand work. Skipped when no comparable prior artifact exists
+    // (missing file, different sf).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    val triageN = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIAGE_N", "5").toInt
+    val prev: Option[(Map[String, Double], Double)] =
+      try {
+        val p = java.nio.file.Paths.get(outPath)
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val sfOk = txt.contains("\"sf\":" + js(sfDir))
+          val qm = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+            .map(_.group(1))
+          val cm = "\"calib_s\":([0-9.eE+-]+)".r.findFirstMatchIn(txt)
+            .map(_.group(1).toDouble)
+          if (!sfOk) None
+          else for (q <- qm; c <- cm) yield {
+            ("\"([^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(q)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap, c)
+          }
+        }
+      } catch { case _: Throwable => None }
+    val triage =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Double)]()
+    prev.foreach { case (prevQ, prevCalib) =>
+      val movers = timings.toSeq.flatMap { case (n, cur) =>
+        prevQ.get(n).map(p => (n, cur, p, (cur / calib) / (p / prevCalib)))
+      }.filter(_._4 > 1.25).sortBy(-_._4).take(triageN)
+      movers.foreach { case (n, cur, p, ratio) =>
+        try {
+          exec(n) // isolated warm
+          val ts = (1 to Reps).map { _ =>
+            val t0 = System.nanoTime(); exec(n)
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          triage(n) = (cur, ts(ts.size / 2), p, ratio)
+        } catch { case _: Throwable => () }
+      }
+    }
+    val tj = triage.map { case (k, (inRun, iso, p, r)) =>
+      s"""${js(k)}:{"in_run":$inRun,"isolated":$iso,"prev":$p,"norm_ratio":${math.rint(r * 1000) / 1000}}"""
+    }.mkString("{", ",", "}")
+
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"passes":$Reps,"calib_s":$calib,"triage":$tj,"sf":${js(sfDir)}}"""
     println(line)
     // The driver keeps only a short tail of sbt stdout, which truncated
     // 70/103 per-query timings out of the round-5 artifact. The full
     // line is therefore also written to a repo-tracked file so every
     // query's per-rep numbers survive verbatim.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(out),
+      java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
