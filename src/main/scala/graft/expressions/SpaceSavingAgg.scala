@@ -40,7 +40,15 @@ case class SpaceSavingAgg(
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, (Long, Long)]] {
+  extends TypedImperativeAggregate[mutable.HashMap[String, (Long, Long)]]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  // the case class is public, so reject a non-string child at
+  // ANALYSIS time (the spaceSaving() helper casts, but a direct
+  // construction used to fail only at execution with a
+  // ClassCastException inside update)
+  override def inputTypes: Seq[ColumnBridge.AbsDataType] =
+    ColumnBridge.stringInput
 
   override def createAggregationBuffer(): mutable.HashMap[String, (Long, Long)] =
     mutable.HashMap.empty

@@ -1094,7 +1094,8 @@ object Climate {
     * Exactness: with k exceedances and integer sums S₁ = Σy,
     * S₂ = Σy², the ratio m²/v collapses to S₁²/(k·S₂ − S₁²) — ONE
     * double division over exact longs; every reported figure is one
-    * fixed expression from (k, S₁, S₂, u, n). Guards: k ≥ 10 and
+    * fixed expression from (k, S₁, S₂, u, n). Guards: k ≥ 5
+    * exceedances (matching the oracle's filter exactly) and
     * positive variance. Shape at scale: one (station, day) agg, one
     * station window carrying the sorted-array order statistic (the
     * `ts_extreme_day_freq` discipline), one station rollup. */

@@ -366,7 +366,15 @@ object EventsPipeline {
     * hash to a fixed shard, the shard sketches cover disjoint item
     * sets and this is a plain union + bounded top-k — no sketch-merge
     * semantics, and each surviving (est, err) pair still brackets its
-    * item's true count. Deterministic (est desc, item asc) order. */
+    * item's true count. Deterministic (est desc, item asc) order.
+    *
+    * BATCH-SIDE consumer only: it ranks the MATERIALIZED reports
+    * table (the sink [[trendingHeavyHitters]] emits), and the
+    * row_number window is a non-time-based window Spark rejects on a
+    * streaming DataFrame. Reports are per-(window, shard) finals, so
+    * batch-ranking the landed table is the natural read path; a
+    * streaming-native variant would need a time-windowed bounded
+    * top-k instead. */
   def trendingTopK(reports: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     reports

@@ -15,4 +15,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]`, so expressions outside
+    * the sql package tree cannot write an `inputTypes` override
+    * directly; this public alias (+ the one instance graft needs)
+    * bridges it for analysis-time input-type checks. */
+  type AbsDataType = org.apache.spark.sql.types.AbstractDataType
+  val stringInput: Seq[AbsDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
 }

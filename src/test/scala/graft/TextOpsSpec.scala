@@ -866,6 +866,17 @@ class TextOpsSpec extends SparkSpec {
     assert(heavy.get._2 >= 500 && heavy.get._2 - heavy.get._3 <= 500,
       s"bounds must bracket the true count, got ${heavy.get}")
     assert(sk.length <= cap, "state must stay within capacity")
+    // a non-string child constructed directly (bypassing the casting
+    // spaceSaving() helper) must be rejected at ANALYSIS time, not
+    // with a runtime ClassCastException mid-execution
+    val raw = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.SpaceSavingAgg(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          (1 to 5).toDF("n").col("n")), cap).toAggregateExpression())
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      (1 to 5).toDF("n").agg(raw.as("sk")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("type"))
   }
 
   test("corpus_rag_chunks: windows/strides/hashes recompute; overlap is exactly W-S tokens") {
