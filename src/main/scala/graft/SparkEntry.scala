@@ -833,6 +833,49 @@ object SparkEntry {
     * same rounding). Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "bpe_train_merges" -> bpeMergeOracle,
+
+    // the stub decode is deterministic in the payload BYTES, so it
+    // oracle-checks: bytes come back out of the blob via hex pairs
+    // (UTF-8-safe — no ascii() shortcut), mean_byte replays the
+    // identical double op chain with round_even (Scala math.rint is
+    // half-EVEN; plain round() flipped 2 of 500 docs on exact .5
+    // rationals), and the entropy/bin sums are the disclosed
+    // float-residual class (order-differing reductions absorbed by
+    // the 1e-4 quantization)
+    "multimodal_features" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |      ELSE 'wav' END AS format,
+        |    hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, i, ('0x' || substr(hx, 2 * i - 1, 2))::INT AS v, n
+        |  FROM (SELECT doc_id, hx, n, unnest(range(1, n + 1)) AS i
+        |        FROM raw WHERE n > 0)),
+        |hist AS (
+        |  SELECT doc_id, v, count(*) AS c, max(n) AS n FROM b GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT doc_id,
+        |    round_even(sum(-(c * 1.0 / n) * ln(c * 1.0 / n) / ln(2))
+        |      * 10000, 0) / 10000 AS byte_entropy
+        |  FROM hist GROUP BY 1),
+        |mb AS (
+        |  SELECT doc_id, CAST(max(n) AS INT) AS n_bytes,
+        |    round_even(CAST(sum(v) AS DOUBLE) / max(n) * 10000, 0) / 10000
+        |      AS mean_byte,
+        |    round_even(sum(CASE WHEN (i - 1) % 8 = 0 THEN v / 255.0
+        |      ELSE 0 END) / max(n) * 8 * 10000, 0) / 10000 AS f0,
+        |    round_even(sum(CASE WHEN (i - 1) % 8 = 7 THEN v / 255.0
+        |      ELSE 0 END) / max(n) * 8 * 10000, 0) / 10000 AS f7
+        |  FROM b GROUP BY 1)
+        |SELECT r.doc_id, r.format,
+        |  coalesce(mb.n_bytes, 0) AS n_bytes,
+        |  coalesce(mb.mean_byte, 0.0) AS mean_byte,
+        |  coalesce(ent.byte_entropy, 0.0) AS byte_entropy,
+        |  coalesce(mb.f0, 0.0) AS f0, coalesce(mb.f7, 0.0) AS f7
+        |FROM raw r LEFT JOIN mb ON r.doc_id = mb.doc_id
+        |LEFT JOIN ent ON r.doc_id = ent.doc_id""".stripMargin,
     // exact integer sums (cents / basis points; DuckDB's BIGINT sum
     // widens to HUGEINT, Spark's to DECIMAL(38)), one division each —
     // merge-order-free on both engines

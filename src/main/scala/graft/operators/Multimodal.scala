@@ -26,7 +26,11 @@ case class MediaFeatures(
   * the executor. The DECODE ITSELF IS A DETERMINISTIC STUB (byte
   * histogram statistics standing in for pixel/sample decode — the
   * image/audio codec libraries are intentionally absent here), so
-  * results are reproducible and the plumbing is testable.
+  * results are reproducible, the plumbing is testable, and — being
+  * deterministic in the payload BYTES — the whole operator
+  * oracle-checks: the DuckDB side re-extracts the bytes from the
+  * blob as hex pairs and replays the same quantized statistics
+  * (half-even rounding via round_even).
   */
 object Multimodal {
 
