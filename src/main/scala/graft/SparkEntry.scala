@@ -189,6 +189,7 @@ object SparkEntry {
     "bigram_pmi"      -> TextOps.bigramPmi _,
     // --- LLM pipeline: near-dup + similarity ---------------------
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "dedup_incremental"   -> Dedup.dedupIncremental _,
     "dedup_containment"   -> Dedup.ngramContainment _,
     "decontaminate"       -> Dedup.decontaminate _,
     "contamination_by_source" -> Dedup.contaminationBySource _,
@@ -642,6 +643,30 @@ object SparkEntry {
   private def minhashLshSql: String =
     s"""WITH $minhashPairsCtes
        |SELECT doc_a, doc_b, jaccard FROM lshp""".stripMargin
+
+  /** Incremental-screen oracle: the full-corpus verified LSH pairs
+    * (`lshp`), restricted to pairs touching a batch doc, re-oriented
+    * per batch doc under the partner rule (index partner: any id;
+    * batch partner: smaller id), best match by (jaccard desc,
+    * partner asc). */
+  private def dedupIncrementalSql: String =
+    s"""WITH $minhashPairsCtes,
+       |batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8),
+       |partners AS (
+       |  SELECT l.doc_b AS doc_id, l.doc_a AS p, l.jaccard
+       |  FROM lshp l JOIN batch b ON l.doc_b = b.doc_id
+       |  UNION ALL
+       |  SELECT l.doc_a AS doc_id, l.doc_b AS p, l.jaccard
+       |  FROM lshp l JOIN batch b ON l.doc_a = b.doc_id
+       |  WHERE l.doc_b NOT IN (SELECT doc_id FROM batch)),
+       |best AS (
+       |  SELECT doc_id, p, jaccard FROM (
+       |    SELECT partners.*, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY jaccard DESC, p ASC) AS rk FROM partners)
+       |  WHERE rk = 1)
+       |SELECT b.doc_id, best.p IS NOT NULL AS is_dup,
+       |  best.p AS dup_of, best.jaccard
+       |FROM batch b LEFT JOIN best ON b.doc_id = best.doc_id""".stripMargin
 
   /** Recall-audit oracle: the exhaustive shared-shingle truth pairs
     * (reusing `sh`/`cnt`) one-sided-joined against the `lshp` CTE,
@@ -4775,6 +4800,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minhashLshSql,
 
     "dedup_lsh_audit" -> lshAuditSql,
+
+    "dedup_incremental" -> dedupIncrementalSql,
 
     "dedup_simhash" -> simhashSql,
 

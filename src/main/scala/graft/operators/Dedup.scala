@@ -525,6 +525,73 @@ object Dedup {
     scorePairs(cands, candSh)
   }
 
+  /** INCREMENTAL near-dup screening — the production shape of LSH
+    * dedup at 100 TB: the historical corpus is already signed and
+    * bucketed (a published (doc_id, band, bh) index — [[bandBuckets]]
+    * over the index side, persistable as parquet and loaded per
+    * batch), and each arriving BATCH is screened against
+    * index ∪ earlier-batch docs WITHOUT re-clustering the world.
+    * New docs equi-join the combined bucket table on (band, bh); a
+    * partner is valid if it is an index doc (any id) or an
+    * earlier-batch doc (smaller id — the first-occurrence
+    * survivorship rule); the [[BucketCap]] frequency cap applies to
+    * the COMBINED bucket population (a bucket hot across
+    * index+batch is exactly the one that would go quadratic).
+    * Candidates verify with the exact Jaccard on the candidate
+    * sliver only; each batch doc reports its best verified match
+    * (jaccard desc, partner-id asc) or stands as new.
+    *
+    * Scale shape: only the batch contributes new signature work in
+    * the steady state (the index bucket table is a parquet read);
+    * the candidate join is bucket-bounded and capped; the verify
+    * join touches a candidate sliver. The query wiring splits
+    * `documents` 80/20 by id to stand in for corpus/batch. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dedupIncrementalOf(
+      docs.filter(col("doc_id") % 10 < 8),
+      docs.filter(col("doc_id") % 10 >= 8))
+  }
+
+  private[graft] def dedupIncrementalOf(indexDocs: DataFrame,
+      batchDocs: DataFrame): DataFrame = {
+    val all = indexDocs.select("doc_id", "text")
+      .unionByName(batchDocs.select("doc_id", "text"))
+    val newIds = batchDocs.select(col("doc_id")).withColumn("is_new", lit(true))
+    // combined-population bucket counts, then the cap — pinned: both
+    // candidate sides read it
+    val bk = bandBuckets(shingleArrays(all))
+      .filter(col("bucket_n") <= BucketCap)
+      .join(newIds, Seq("doc_id"), "left")
+      .withColumn("is_new", coalesce(col("is_new"), lit(false)))
+      .localCheckpoint()
+    val cand = bk.filter(col("is_new"))
+      .select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(bk.select(col("doc_id").as("doc_b"), col("is_new").as("b_new"),
+        col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("doc_b") =!= col("doc_a")
+        && (!col("b_new") || col("doc_b") < col("doc_a")))
+      .select("doc_a", "doc_b").distinct()
+      .localCheckpoint()
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // tokenize only the candidate sliver for verification (the
+    // minhashLsh semi-join-under-the-regex discipline)
+    val candSh = shingleArrays(all.join(candIds, Seq("doc_id"), "left_semi"))
+      .localCheckpoint()
+    val best = scorePairs(cand, candSh)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_a"))
+          .orderBy(col("jaccard").desc, col("doc_b").asc)))
+      .filter(col("rk") === 1)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("dup_of"),
+        col("jaccard"))
+    batchDocs.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("jaccard"))
+  }
+
   /** SimHash bit width — 48, matching [[h48]]'s output so the
     * fingerprint, its chunks and the Hamming check are identical
     * integer arithmetic in both engines. */

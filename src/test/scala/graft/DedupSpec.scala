@@ -145,6 +145,51 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental: planted batch screens against the index; first-occurrence rule within the batch") {
+    import spark.implicits._
+    val index = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet purple pink gray"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of index doc 2 (9/11 shingles shared)
+      (101L, "one two three four five six seven eight nine eleven"),
+      // 102/103 identical to each other, unknown to the index
+      (102L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+      (103L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+      // genuinely new
+      (104L, "quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dedupIncrementalOf(index, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got.keySet === Set(101L, 102L, 103L, 104L))
+    assert(got(101L) === ((true, Some(2L))), "batch doc matches its index near-dup")
+    assert(got(102L) === ((false, None)), "first occurrence in the batch stands")
+    assert(got(103L) === ((true, Some(102L))), "later duplicate points at the earlier batch doc")
+    assert(got(104L) === ((false, None)), "novel doc passes")
+
+    // live corpus: every reported duplicate must be backed by the
+    // exhaustive exact-Jaccard pair set, and batch-internal matches
+    // obey the smaller-id survivorship rule
+    val truth = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val live = SparkEntry.queries("dedup_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(live.nonEmpty)
+    live.foreach { case (d, isDup, dupOf) =>
+      assert(d % 10 >= 8, "output is the batch slice")
+      assert(isDup === dupOf.isDefined)
+      dupOf.foreach { p =>
+        assert(truth.contains((math.min(d, p), math.max(d, p))),
+          s"reported pair ($d, $p) must be a true near-dup pair")
+        if (p % 10 >= 8) assert(p < d, "batch partner must be earlier")
+      }
+    }
+  }
+
   test("contamination_by_source: rollup recomputed from the per-doc hit list") {
     val hits = SparkEntry.queries("decontaminate")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
