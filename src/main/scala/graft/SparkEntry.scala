@@ -204,6 +204,7 @@ object SparkEntry {
     "dedup_chunks"        -> Dedup.dedupChunks _,
     "dedup_chunks_apply"  -> Dedup.dedupChunksApply _,
     "dedup_embedding"     -> Similarity.embeddingPairs _,
+    "dedup_embedding_incremental" -> Similarity.embeddingIncremental _,
     "dedup_embedding_lsh" -> Similarity.embeddingPairsLsh _,
     "ann_topk_bruteforce" -> Similarity.annTopkBruteforce _,
     "ann_lsh_topk"        -> Similarity.annLshTopk _,
@@ -2922,6 +2923,25 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35""".stripMargin,
+
+    // ranking by the 4-dp rounded cosine (+ id tie-break) is the
+    // engine-portable total order; raw-ulp argmax would not be
+    "dedup_embedding_incremental" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |batch AS (SELECT vec_id, e FROM v WHERE vec_id % 10 >= 8),
+        |cand AS (
+        |  SELECT b.vec_id AS bid, p.vec_id AS p,
+        |    round(list_cosine_similarity(b.e, p.e), 4) AS cosine
+        |  FROM batch b JOIN v p ON p.vec_id <> b.vec_id
+        |    AND (p.vec_id % 10 < 8 OR p.vec_id < b.vec_id)),
+        |best AS (
+        |  SELECT bid, p, cosine FROM (
+        |    SELECT cand.*, row_number() OVER (PARTITION BY bid
+        |      ORDER BY cosine DESC, p ASC) AS rk
+        |    FROM cand WHERE cosine >= 0.35) WHERE rk = 1)
+        |SELECT b.vec_id, best.p IS NOT NULL AS is_dup,
+        |  best.p AS dup_of, best.cosine
+        |FROM batch b LEFT JOIN best ON b.vec_id = best.bid""".stripMargin,
 
     "dedup_embedding_lsh" ->
       s"""$lshBucketsSql,

@@ -34,6 +34,43 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** INCREMENTAL embedding near-dup screen —
+    * [[graft.operators.Dedup.dedupIncremental]]'s semantic twin:
+    * each BATCH vector (vec_id % 10 ≥ 8 in the query wiring) is
+    * screened against the already-ingested INDEX corpus plus
+    * earlier-batch vectors (smaller id — first-occurrence
+    * survivorship), reporting its best cosine match ≥ 0.35 or
+    * standing as new; nothing re-pairs the historical corpus
+    * against itself. Ranking is by the 4-dp ROUNDED cosine with an
+    * id tie-break — a total order both engines reproduce (raw-ulp
+    * argmax ties would be engine-dependent). Exact baseline here
+    * (the batch side broadcasts against one corpus scan — the
+    * [[embeddingPairs]] declared-oracle-baseline regime); at 100 TB
+    * the [[lshPairs]] bucket machinery generates the candidates
+    * instead, same decision tail. */
+  def embeddingIncremental(spark: SparkSession, dir: String): DataFrame =
+    embeddingIncrementalOf(vecs(spark, dir))
+
+  private[graft] def embeddingIncrementalOf(v: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val batch = v.filter(col("vec_id") % 10 >= 8)
+      .select(col("vec_id").as("bid"), col("emb").as("be"))
+    val best = v.join(broadcast(batch),
+        col("vec_id") =!= col("bid")
+          && (col("vec_id") % 10 < 8 || col("vec_id") < col("bid")))
+      .withColumn("cosine",
+        round(VectorColumns.cosine(col("be"), col("emb")), 4))
+      .filter(col("cosine") >= 0.35)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("bid"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("bid"), col("vec_id").as("dup_of"), col("cosine"))
+    batch.select(col("bid"))
+      .join(best, Seq("bid"), "left")
+      .select(col("bid").as("vec_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("cosine"))
+  }
+
   /** Exact cosine top-k neighbors for each probe vector (vec_id < 5).
     * The probe set is broadcast against the corpus scan — one pass
     * over the big side, k·|probes| result rows — and ranking happens

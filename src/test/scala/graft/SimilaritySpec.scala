@@ -35,6 +35,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dedup_embedding_incremental: planted batch screens against the index; smaller-id rule inside the batch") {
+    import spark.implicits._
+    def unit(i: Int): Array[Double] = {
+      val v = new Array[Double](8); v(i) = 1.0; v
+    }
+    // index: three orthogonal vectors (ids 1, 2, 3 -> % 10 < 8)
+    // batch (ids 108, 118, 128, 138 -> % 10 >= 8):
+    //  108 = slightly-rotated copy of index 2 -> dup_of 2
+    //  118 and 128 identical, orthogonal to the index -> 118 stands,
+    //      128 points at 118
+    //  138 orthogonal to everything -> new
+    val near2 = Array(0.0, 0.98, 0.0, 0.19899, 0.0, 0.0, 0.0, 0.0)
+    val same = Array(0.0, 0.0, 0.0, 0.0, 0.7071, 0.7071, 0.0, 0.0)
+    val rows = Seq(1L -> unit(0), 2L -> unit(1), 3L -> unit(2),
+      108L -> near2, 118L -> same, 128L -> same, 138L -> unit(7))
+    val v = rows.toDF("vec_id", "emb")
+    val got = graft.operators.Similarity.embeddingIncrementalOf(v).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got.keySet === Set(108L, 118L, 128L, 138L))
+    assert(got(108L) === ((true, Some(2L))))
+    assert(got(118L) === ((false, None)))
+    assert(got(128L) === ((true, Some(118L))))
+    assert(got(138L) === ((false, None)))
+
+    // live corpus: decisions recompute exactly from the raw vectors
+    val live = SparkEntry.queries("dedup_embedding_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(live.nonEmpty)
+    live.foreach { case (d, isDup, dupOf, c) =>
+      assert(d % 10 >= 8)
+      val best = embs.toSeq
+        .filter { case (p, _) => p != d && (p % 10 < 8 || p < d) }
+        .map { case (p, pv) => (math.rint(cos(embs(d), pv) * 1e4) / 1e4, p) }
+        .filter(_._1 >= 0.35)
+        .sortBy { case (cc, p) => (-cc, p) }.headOption
+      assert(isDup === best.isDefined, s"vec $d")
+      assert(dupOf === best.map(_._2), s"vec $d partner")
+      assert(c === best.map(_._1), s"vec $d cosine")
+    }
+  }
+
   test("ann_lsh_topk: bounded candidates, reasonable recall vs brute force") {
     val brute = SparkEntry.queries("ann_topk_bruteforce")(spark, sf).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
