@@ -94,6 +94,7 @@ object SparkEntry {
     "bias_qmap_key"         -> Climate.biasQmapKey _,
     "bias_qmap_spline"      -> Climate.biasQmapSpline _,
     "bias_bspline_apply"    -> Climate.biasBsplineApply _,
+    "bias_parametric_apply" -> Climate.biasParametricApply _,
     "bias_qdm"              -> Climate.biasQdm _,
     "bias_skill"            -> Climate.biasSkill _,
     "forecast_crps"         -> Climate.forecastCrps _,
@@ -393,6 +394,103 @@ object SparkEntry {
       |    floor((CASE WHEN h < 0.5 THEN -xq ELSE xq END) * 1e4 + 0.5) / 1e4
       |  ELSE NULL END AS spi
       |FROM n3""".stripMargin
+  }
+
+  /** The [[graft.operators.Climate.biasParametricApply]] oracle:
+    * literal pretrained params + the SAME gamma series/continued-
+    * fraction recurrences as [[spiGammaSql]] (with per-group literal
+    * α, β and the Lanczos lnΓ inline), then the literal obs-quantile
+    * anchor segments interpolated linearly; the normal branch is the
+    * closed form. */
+  private def biasParametricSql: String = {
+    // the E0 suffix forces DOUBLE inference — a short first-row
+    // literal like 45.0 would otherwise type the VALUES column
+    // DECIMAL and overflow on later rows
+    def d(x: Double): String = {
+      val s = java.lang.Double.toString(x)
+      if (s.contains("E") || s.contains("e")) s else s + "E0"
+    }
+    val parRows = graft.operators.Climate.pretrainedParametric.map {
+      case (g, muF, sdF, muO, sdO, aF, bF, aO, bO) =>
+        s"($g, ${d(muF)}, ${d(sdF)}, ${d(muO)}, ${d(sdO)}, " +
+          s"${d(aF)}, ${d(bF)}, ${d(aO)}, ${d(bO)})"
+    }.mkString(",\n  ")
+    val segRows = graft.operators.Climate.pretrainedGammaAnchors.flatMap {
+      case (g, as) => as.zip(as.tail).map { case ((pl, ql), (ph, qh)) =>
+        s"($g, ${d(pl)}, ${d(ql)}, ${d(ph)}, ${d(qh)})"
+      }
+    }.mkString(",\n  ")
+    val p0 = d(graft.operators.Climate.ParamQGrid.head)
+    val p1 = d(graft.operators.Climate.ParamQGrid.last)
+    s"""WITH RECURSIVE par(grp, mu_f, sd_f, mu_o, sd_o, a_f, b_f, a_o, b_o)
+      |  AS (VALUES
+      |  $parRows),
+      |seg(grp, p_lo, q_lo, p_hi, q_hi) AS (VALUES
+      |  $segRows),
+      |ev AS (
+      |  SELECT event_id, user_id % 20 AS grp, event_type AS var, value AS x
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |rows0 AS (
+      |  SELECT ev.event_id AS rid, ev.event_id, ev.grp, ev.var, ev.x,
+      |    p.mu_f, p.sd_f, p.mu_o, p.sd_o,
+      |    p.a_f AS alpha, ${lnGammaSql("p.a_f")} AS lng,
+      |    ev.x / p.b_f AS xs
+      |  FROM ev JOIN par p ON p.grp = ev.grp),
+      |ser AS (
+      |  SELECT rid, alpha AS a, xs AS z, alpha AS ap,
+      |    1.0 / alpha AS s, 1.0 / alpha AS del, 0 AS it
+      |  FROM rows0 WHERE var = 'click' AND x > 0 AND xs < alpha + 1.0
+      |  UNION ALL
+      |  SELECT rid, a, z, ap + 1.0,
+      |    s + del * (z / (ap + 1.0)), del * (z / (ap + 1.0)), it + 1
+      |  FROM ser WHERE it < 500 AND abs(del) >= abs(s) * 1e-14
+      |), serf AS (
+      |  SELECT rid, s FROM ser
+      |  WHERE NOT (it < 500 AND abs(del) >= abs(s) * 1e-14)
+      |), cf AS (
+      |  SELECT rid, alpha AS a, xs AS z, xs + 1.0 - alpha AS b, 1e300 AS c,
+      |    1.0 / (xs + 1.0 - alpha) AS d, 1.0 / (xs + 1.0 - alpha) AS h,
+      |    1 AS it, FALSE AS done
+      |  FROM rows0 WHERE var = 'click' AND x > 0 AND xs >= alpha + 1.0
+      |  UNION ALL
+      |  SELECT rid, a, z, b2, c2, 1.0 / d2, h * ((1.0 / d2) * c2), it + 1,
+      |    abs(((1.0 / d2) * c2) - 1.0) < 1e-14
+      |  FROM (
+      |    SELECT rid, a, z, h, it, b + 2.0 AS b2,
+      |      CASE WHEN abs((-CAST(it AS DOUBLE)) * (CAST(it AS DOUBLE) - a) * d + (b + 2.0)) < 1e-300
+      |           THEN 1e-300
+      |           ELSE (-CAST(it AS DOUBLE)) * (CAST(it AS DOUBLE) - a) * d + (b + 2.0) END AS d2,
+      |      CASE WHEN abs((b + 2.0) + ((-CAST(it AS DOUBLE)) * (CAST(it AS DOUBLE) - a)) / c) < 1e-300
+      |           THEN 1e-300
+      |           ELSE (b + 2.0) + ((-CAST(it AS DOUBLE)) * (CAST(it AS DOUBLE) - a)) / c END AS c2
+      |    FROM cf WHERE it < 500 AND NOT done) t
+      |), cff AS (
+      |  SELECT rid, h FROM cf WHERE NOT (it < 500 AND NOT done)
+      |), gv AS (
+      |  SELECT r.rid,
+      |    CASE WHEN r.x <= 0 THEN 0.0
+      |         WHEN sf.rid IS NOT NULL THEN
+      |           sf.s * exp(- r.xs + r.alpha * ln(r.xs) - r.lng)
+      |         WHEN cq.rid IS NOT NULL THEN
+      |           1.0 - exp(- r.xs + r.alpha * ln(r.xs) - r.lng) * cq.h
+      |         ELSE NULL END AS g
+      |  FROM rows0 r LEFT JOIN serf sf USING (rid) LEFT JOIN cff cq USING (rid)
+      |), pv AS (
+      |  SELECT r.*, CASE WHEN r.var = 'click'
+      |    THEN least(greatest(gv.g, $p0), $p1) END AS p
+      |  FROM rows0 r LEFT JOIN gv USING (rid)
+      |), fin AS (
+      |  SELECT r.event_id, r.grp, r.var, r.x,
+      |    CASE WHEN r.var = 'view'
+      |         THEN r.mu_o + r.sd_o * (r.x - r.mu_f) / r.sd_f
+      |         ELSE s.q_lo + (r.p - s.p_lo) * (s.q_hi - s.q_lo)
+      |           / (s.p_hi - s.p_lo) END AS raw
+      |  FROM pv r LEFT JOIN seg s ON s.grp = r.grp AND r.p IS NOT NULL
+      |    AND r.p >= s.p_lo AND (r.p < s.p_hi OR s.p_hi = $p1))
+      |SELECT event_id, CAST(grp AS BIGINT) AS grp, var,
+      |  round(x, 2) AS fcst_value,
+      |  floor(raw * 1e4 + 0.5) / 1e4 AS corrected
+      |FROM fin""".stripMargin
   }
 
   /** VALUES list for the day-of-year radiation table, generated from
@@ -2828,6 +2926,8 @@ object SparkEntry {
     // unrolled de Boor triangle with the same op order — doubles
     // match bit-for-bit
     "bias_bspline_apply" -> bsplineApplyOracle,
+
+    "bias_parametric_apply" -> biasParametricSql,
 
     // the spline fit is SQL-expressible: the bias_qmap_key oracle's
     // union+window scaffolding, extended with lead/lag CTEs for the

@@ -98,4 +98,27 @@ object StatKernels {
   /** Gamma CDF with scale β (the SPI G(x) of `utils_spi.py:455-458`). */
   def gammaCdf(x: Double, shape: Double, scale: Double): Double =
     if (x <= 0.0) 0.0 else gammaP(shape, x / scale)
+
+  /** Inverse of [[gammaP]] in its first argument's unit scale:
+    * returns z with P(a, z) = p, by bracketing bisection (the upper
+    * bracket doubles from a+1 until it covers p, then 200 halvings —
+    * deterministic, accurate to ~1 ulp of the bracket). Used to
+    * tabulate pretrained gamma-quantile anchor tables at build time
+    * and by the specs — NOT on the per-row hot path, so robustness
+    * beats speed here. p outside (0, 1) maps to 0 / +∞. */
+  def gammaPInv(a: Double, p: Double): Double = {
+    if (p <= 0.0) return 0.0
+    if (p >= 1.0) return Double.PositiveInfinity
+    var hi = a + 1.0
+    var guard = 0
+    while (gammaP(a, hi) < p && guard < 400) { hi *= 2.0; guard += 1 }
+    var lo = 0.0
+    var i = 0
+    while (i < 200) {
+      val mid = (lo + hi) / 2.0
+      if (gammaP(a, mid) < p) lo = mid else hi = mid
+      i += 1
+    }
+    (lo + hi) / 2.0
+  }
 }

@@ -953,6 +953,86 @@ object Climate {
     bsplineTransferApply(Seq("grp"), params, ev)
   }
 
+  /** Probability grid for the pretrained gamma-quantile anchor
+    * tables: 100 points, 0.005 … 0.995. */
+  private[graft] val ParamQGrid: Seq[Double] =
+    (0 until 100).map(j => 0.005 + 0.01 * j)
+
+  /** PRETRAINED PARAMETRIC distribution-mapping params per station
+    * group — the `georgia_cds_bias_correction_process.py:346-421`
+    * workflow: per-key distribution parameters are loaded from
+    * pretrained CSVs (normal for temperature, gamma for
+    * precipitation) and the correction is the distribution transfer
+    * corrected = F_obs⁻¹(F_fc(x)) — the PARAMETRIC sibling of the
+    * empirical [[quantileMapFit]] family. Deterministic literals,
+    * one row per group: (μf, σf, μo, σo) for the normal branch,
+    * (αf, βf, αo, βo) for the gamma branch. */
+  private[graft] lazy val pretrainedParametric: Seq[(Long, Double, Double,
+      Double, Double, Double, Double, Double, Double)] =
+    (0L until 20L).map { g =>
+      (g,
+        45.0 + g, 18.0 + 0.5 * g, 42.0 + 0.9 * g, 15.0 + 0.4 * g,
+        1.2 + 0.05 * g, 30.0 + g, 1.5 + 0.04 * g, 25.0 + 0.8 * g)
+    }
+
+  /** The observed-gamma PPF tabulated once per group on the fixed
+    * [[ParamQGrid]] — the production discretization of a quantile
+    * function with no closed (or SQL) form: apply interpolates this
+    * anchor table instead of inverting the CDF per row. Generated at
+    * build time from the literal params via
+    * [[graft.functions.StatKernels.gammaPInv]]; in a fitted (non
+    * -pretrained) pipeline the same tabulation runs in the key row. */
+  private[graft] lazy val pretrainedGammaAnchors
+      : Seq[(Long, Seq[(Double, Double)])] =
+    pretrainedParametric.map { case (g, _, _, _, _, _, _, aO, bO) =>
+      g -> ParamQGrid.map(p =>
+        p -> (graft.functions.StatKernels.gammaPInv(aO, p) * bO))
+    }
+
+  /** Parametric bias adjustment of the forecast streams — the
+    * reference's `apply_bias_factors` verbatim: temperature-like
+    * rows ('view') map through the two normals, which collapses to
+    * the closed form μo + σo·(x − μf)/σf; precipitation-like rows
+    * ('click') map p = GammaCDF(x; αf, βf) (the codegen'd
+    * [[graft.expressions.StatColumns.gammaCdf]] kernel — the SPI
+    * machinery reused) through the pretrained obs-quantile anchor
+    * table by linear interpolation, p clamped to the grid ends
+    * (winsorized tails, documented). Shape at scale: two broadcast
+    * literal tables (20 params rows + 1 980 anchor segments) + one
+    * compiled CDF per fact row; zero shuffles beyond the scan.
+    * Oracle: the identical gamma series/continued-fraction CTE
+    * machinery the SPI family proved, with literal params, plus the
+    * same literal anchor VALUES — hash-checked. */
+  def biasParametricApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val par = broadcast(pretrainedParametric
+      .toDF("grp", "mu_f", "sd_f", "mu_o", "sd_o", "a_f", "b_f", "a_o", "b_o"))
+    val segs = broadcast(pretrainedGammaAnchors.flatMap { case (g, as) =>
+      as.zip(as.tail).map { case ((pl, ql), (ph, qh)) => (g, pl, ql, ph, qh) }
+    }.toDF("sgrp", "p_lo", "q_lo", "p_hi", "q_hi"))
+    val pLast = ParamQGrid.last
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), (col("user_id") % 20).as("grp"),
+        col("event_type").as("var"), col("value").as("x"))
+      .join(par, Seq("grp"))
+      .withColumn("p", when(col("var") === "click",
+        least(greatest(graft.expressions.StatColumns
+            .gammaCdf(col("x"), col("a_f"), col("b_f")),
+          lit(ParamQGrid.head)), lit(pLast))))
+    ev.join(segs, col("sgrp") === col("grp") && col("p").isNotNull
+        && col("p") >= col("p_lo")
+        && (col("p") < col("p_hi") || col("p_hi") === lit(pLast)), "left")
+      .withColumn("raw",
+        when(col("var") === "view",
+          col("mu_o") + col("sd_o") * (col("x") - col("mu_f")) / col("sd_f"))
+          .otherwise(col("q_lo") + (col("p") - col("p_lo"))
+            * (col("q_hi") - col("q_lo")) / (col("p_hi") - col("p_lo"))))
+      .select(col("event_id"), col("grp"), col("var"),
+        round(col("x"), 2).as("fcst_value"),
+        (floor(col("raw") * 1e4 + 0.5) / 1e4).as("corrected"))
+  }
+
   /** [[biasQmapKey]]'s mapping through the SPLINE transfer — the
     * runnable twin showing the reference's `splev` semantics on the
     * same fit/apply split. DuckDB-oracle-checked (the fit is

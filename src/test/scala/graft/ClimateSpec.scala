@@ -567,6 +567,54 @@ class ClimateSpec extends SparkSpec {
       && direct.exceptAll(viaDisk).isEmpty)
   }
 
+  test("bias_parametric_apply: both distribution branches recomputed from the literal params") {
+    import graft.functions.StatKernels
+    // gammaPInv round-trips its own CDF across shapes
+    for (a <- Seq(0.7, 1.2, 2.5, 5.0); p <- Seq(0.01, 0.2, 0.5, 0.9, 0.99)) {
+      val z = StatKernels.gammaPInv(a, p)
+      assert(math.abs(StatKernels.gammaP(a, z) - p) < 1e-10, s"a=$a p=$p")
+    }
+    // anchors are strictly increasing in p (a quantile function)
+    Climate.pretrainedGammaAnchors.foreach { case (g, as) =>
+      as.sliding(2).foreach { case Seq((_, q1), (_, q2)) =>
+        assert(q2 > q1, s"grp $g anchors monotone")
+      }
+    }
+    val par = Climate.pretrainedParametric
+      .map(t => t._1 -> t).toMap
+    val anchors = Climate.pretrainedGammaAnchors.toMap
+    val sf01 = "/root/testdata/sf0.01"
+    val ev = graft.Tables.events(spark, sf01)
+      .filter(col("event_type").isin("click", "view"))
+      .select("event_id", "user_id", "event_type", "value").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1) % 20, r.getString(2), r.getDouble(3)))).toMap
+    val got = SparkEntry.queries("bias_parametric_apply")(spark, sf01).collect()
+    assert(got.length === ev.size)
+    var nClamped = 0
+    got.foreach { row =>
+      val id = row.getAs[Long]("event_id")
+      val (g, v, x) = ev(id)
+      assert(row.getAs[Long]("grp") === g && row.getAs[String]("var") === v)
+      val (_, muF, sdF, muO, sdO, aF, bF, _, _) = par(g)
+      val raw =
+        if (v == "view") muO + sdO * (x - muF) / sdF
+        else {
+          val p0 = StatKernels.gammaCdf(x, aF, bF)
+          val p = math.min(math.max(p0, Climate.ParamQGrid.head),
+            Climate.ParamQGrid.last)
+          if (p != p0) nClamped += 1
+          val as = anchors(g)
+          val i = as.lastIndexWhere(_._1 <= p) min (as.size - 2)
+          val (pl, ql) = as(i); val (ph, qh) = as(i + 1)
+          ql + (p - pl) * (qh - ql) / (ph - pl)
+        }
+      assert(row.getAs[Double]("corrected")
+        === math.floor(raw * 1e4 + 0.5) / 1e4, s"event $id ($v)")
+    }
+    assert(nClamped > 0, "winsorized-tail branch exercised")
+  }
+
   test("quantileMapFitSpline: monotone on a dense probe grid, continuous at the edges") {
     import spark.implicits._
     val rnd = new scala.util.Random(42L)
