@@ -94,6 +94,20 @@ object Grids {
       .pivot("var", varNames)
       .agg(first(col("value")))
 
+  /** Read ONE latitude-band chunk plus its 1-band HALO — the access
+    * pattern of every distributed focal operator at raster scale
+    * (gradient/hillshade/D8 kernels need a cell's Moore
+    * neighborhood; a worker processing band b's cells must read
+    * bands b−1..b+1 and emit only b): the `lat_band` IN-list prunes
+    * at the directory level, so the scan opens exactly three chunk
+    * partitions however large the collection (spec-asserted on the
+    * plan). Callers compute the focal join over the halo'd frame and
+    * filter the output back to the core band. */
+  def readGridBandWithHalo(spark: SparkSession, collectionId: String,
+      outDir: String, band: Int): DataFrame =
+    readGrid(spark, collectionId, outDir)
+      .filter(col("lat_band").isin(band - 1, band, band + 1))
+
   // --- binary-drop decode seam -------------------------------------
 
   /** One decoded grid cell — the row a real GeoTIFF/NetCDF codec

@@ -128,6 +128,44 @@ class GridsSpec extends SparkSpec {
       === wideDrop.collect().map(_.toSeq).toSet)
   }
 
+  test("readGridBandWithHalo: three pruned chunk partitions; focal mean over the halo equals the global computation") {
+    val out = Files.createTempDirectory("graft_halo").toString
+    val long = Grids.normalize(wide, "valid_time", "latitude", "longitude",
+      Seq("t2m", "tp"))
+    Grids.publishGrid(long, "halo_t2m", out)
+    val bands = Grids.readGrid(spark, "halo_t2m", out)
+      .select("lat_band").distinct().collect().map(_.getInt(0)).sorted
+    assert(bands.length >= 3, s"need >= 3 bands, got ${bands.toSeq}")
+    val core = bands(bands.length / 2)
+    val halo = Grids.readGridBandWithHalo(spark, "halo_t2m", out, core)
+    // rows = exactly the three bands' rows
+    val expectRows = Grids.readGrid(spark, "halo_t2m", out)
+      .filter(col("lat_band").isin(core - 1, core, core + 1)).count()
+    assert(halo.count() === expectRows && expectRows > 0)
+    // the band IN-list reaches the scan as a partition filter
+    val scan = halo.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lat_band"),
+      s"partition filter missing: ${scan.take(300)}")
+    // a focal latitudinal mean per CORE cell (value + the cells one
+    // band-step north/south at the same lon/time/var) computed from
+    // the halo'd frame equals the same computed from the full table
+    def focal(df: org.apache.spark.sql.DataFrame) = {
+      val nb = df.select(col("time"), col("lon"), col("var"),
+        col("lat").as("nlat"), col("value").as("nv"))
+      df.filter(col("lat_band") === core)
+        .join(nb, Seq("time", "lon", "var"))
+        .filter(abs(col("nlat") - col("lat")) <= 30.0)
+        .groupBy(col("time"), col("lat"), col("lon"), col("var"))
+        .agg(round(avg(col("nv")), 6).as("focal_mean"))
+        .collect().map(r => (r.get(0), r.getDouble(1), r.getDouble(2),
+          r.getString(3)) -> r.getDouble(4)).toMap
+    }
+    val viaHalo = focal(halo)
+    val viaFull = focal(Grids.readGrid(spark, "halo_t2m", out))
+    assert(viaHalo === viaFull && viaHalo.nonEmpty,
+      "halo read is sufficient for the 1-band focal neighborhood")
+  }
+
   test("phenologyExportPublish: bbox slice + per-day publish + time-index registry, row-for-row") {
     val out = Files.createTempDirectory("graft_pheno").toString
     // a PROPER slice of the sf0.001 pseudo-grid: stations 0-11 fall
