@@ -468,7 +468,12 @@ object Dedup {
     * bucket_n <= [[BucketCap]]) and the recall audit's dropped-mass
     * accounting (keeps the rest, so the cap's loss is quantified
     * rather than silent). */
-  private def bandBuckets(shArr: DataFrame): DataFrame = {
+  /** Raw band-bucket membership (doc_id, band, bh) without counts —
+    * the PUBLISHABLE minhash index artifact: persist it as parquet
+    * once per corpus snapshot, load it per batch
+    * ([[dedupIncrementalAgainst]]); counts are recomputed over
+    * whatever population the consumer combines. */
+  private[graft] def rawBandBuckets(shArr: DataFrame): DataFrame = {
     val sig = minhashSignatures(shArr)
     // the bucket key is the band's RAW 4-tuple of minhash values (no
     // second hash): equality is what banding needs, the join/window
@@ -480,10 +485,20 @@ object Dedup {
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bh"))))
   }
+
+  private def withBucketCounts(buckets: DataFrame): DataFrame =
+    buckets.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bh"))))
+
+  private def bandBuckets(shArr: DataFrame): DataFrame =
+    withBucketCounts(rawBandBuckets(shArr))
+
+  /** The published-index build for [[dedupIncrementalAgainst]]:
+    * tokenize + sign the corpus snapshot once, persist the result. */
+  def minhashIndex(docs: DataFrame): DataFrame =
+    rawBandBuckets(shingleArrays(docs))
 
   private def cappedCandidatesFrom(buckets: DataFrame): DataFrame = {
     // pin the O(docs·bands) bucket table: both self-join sides read
@@ -554,13 +569,28 @@ object Dedup {
   }
 
   private[graft] def dedupIncrementalOf(indexDocs: DataFrame,
-      batchDocs: DataFrame): DataFrame = {
+      batchDocs: DataFrame): DataFrame =
+    dedupIncrementalAgainst(minhashIndex(indexDocs), indexDocs, batchDocs)
+
+  /** Screen a batch against a PREBUILT (typically parquet-loaded)
+    * [[minhashIndex]] — the steady-state entry point: only the batch
+    * tokenizes and signs fresh; bucket-frequency counts are
+    * recomputed over the COMBINED membership population (index ∪
+    * batch — exactly the population whose hot buckets would go
+    * quadratic). `indexDocs` supplies candidate partners' text for
+    * the exact-Jaccard verify (an id-keyed sliver read). The parquet
+    * round-trip of the index is spec-proven bit-identical to the
+    * inline path. */
+  def dedupIncrementalAgainst(indexBuckets: DataFrame,
+      indexDocs: DataFrame, batchDocs: DataFrame): DataFrame = {
     val all = indexDocs.select("doc_id", "text")
       .unionByName(batchDocs.select("doc_id", "text"))
     val newIds = batchDocs.select(col("doc_id")).withColumn("is_new", lit(true))
     // combined-population bucket counts, then the cap — pinned: both
     // candidate sides read it
-    val bk = bandBuckets(shingleArrays(all))
+    val bk = withBucketCounts(
+        indexBuckets.select("doc_id", "band", "bh")
+          .unionByName(rawBandBuckets(shingleArrays(batchDocs))))
       .filter(col("bucket_n") <= BucketCap)
       .join(newIds, Seq("doc_id"), "left")
       .withColumn("is_new", coalesce(col("is_new"), lit(false)))

@@ -170,6 +170,19 @@ class DedupSpec extends SparkSpec {
     assert(got(103L) === ((true, Some(102L))), "later duplicate points at the earlier batch doc")
     assert(got(104L) === ((false, None)), "novel doc passes")
 
+    // published-index workflow: persisting the minhash index to
+    // parquet and screening against the loaded table must produce
+    // bit-identical decisions to the inline path
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-mh-index").toFile.getAbsolutePath
+    graft.operators.Dedup.minhashIndex(index)
+      .write.mode("overwrite").parquet(s"$idxDir/index")
+    val viaDisk = graft.operators.Dedup.dedupIncrementalAgainst(
+        spark.read.parquet(s"$idxDir/index"), index, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(viaDisk === got)
+
     // live corpus: every reported duplicate must be backed by the
     // exhaustive exact-Jaccard pair set, and batch-internal matches
     // obey the smaller-id survivorship rule
