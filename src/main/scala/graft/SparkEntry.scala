@@ -151,6 +151,8 @@ object SparkEntry {
     "catalog_health"        -> Catalog.health _,
     "catalog_diff"          -> Catalog.registryDiff _,
     "schedule_due"          -> graft.sources.Schedule.scheduleDue _,
+    "obs_upsert_merge"      -> graft.sources.Ingest.obsUpsertMerge _,
+    "obs_collection_extents" -> graft.sources.Ingest.obsCollectionExtents _,
     "items_query"           -> Serving.itemsQuery _,
     "items_tiles"           -> Serving.itemsTiles _,
     "items_page_cursor"     -> Serving.itemsPageCursor _,
@@ -3945,6 +3947,48 @@ object SparkEntry {
         |FROM base, LATERAL unnest(generate_series(from_ts, now_ts - step, step)) AS t(ts)
         |WHERE t.ts + step <= now_ts
         |ORDER BY pipeline, tick_start""".stripMargin,
+
+    // keep-last upsert: batch side wins on (station, ts) collision,
+    // larger event_id breaks ties within a side
+    "obs_upsert_merge" ->
+      """WITH ev AS (
+        |  SELECT user_id AS station, ts, event_id,
+        |    round(value, 4) AS level FROM events),
+        |u AS (
+        |  SELECT station, ts, event_id, level, 'hist' AS src, 0 AS prio FROM ev
+        |  UNION ALL
+        |  SELECT station, ts, event_id, round(level + 0.5, 4) AS level,
+        |    'batch' AS src, 1 AS prio
+        |  FROM ev WHERE event_id % 7 = 0),
+        |m AS (
+        |  SELECT station, ts, event_id, level, src,
+        |    row_number() OVER (PARTITION BY station, ts
+        |      ORDER BY prio DESC, event_id DESC) AS rn
+        |  FROM u)
+        |SELECT station, epoch_us(ts) AS ts_us, level, src
+        |FROM m WHERE rn = 1""".stripMargin,
+
+    "obs_collection_extents" ->
+      """WITH ev AS (
+        |  SELECT user_id AS station, ts, event_id,
+        |    round(value, 4) AS level FROM events),
+        |u AS (
+        |  SELECT station, ts, event_id, level, 'hist' AS src, 0 AS prio FROM ev
+        |  UNION ALL
+        |  SELECT station, ts, event_id, round(level + 0.5, 4) AS level,
+        |    'batch' AS src, 1 AS prio
+        |  FROM ev WHERE event_id % 7 = 0),
+        |m AS (
+        |  SELECT station, ts, level, src,
+        |    row_number() OVER (PARTITION BY station, ts
+        |      ORDER BY prio DESC, event_id DESC) AS rn
+        |  FROM u)
+        |SELECT station, count(*) AS n_obs,
+        |  CAST(sum(CASE WHEN src = 'batch' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_revised,
+        |  min(epoch_us(ts)) AS ts_min_us, max(epoch_us(ts)) AS ts_max_us,
+        |  round(min(level), 4) AS level_min, round(max(level), 4) AS level_max
+        |FROM m WHERE rn = 1 GROUP BY 1""".stripMargin,
 
     "features_items" -> {
       val (minLon, minLat, maxLon, maxLat) = Serving.featuresBbox

@@ -83,4 +83,71 @@ object Ingest {
       use(good, bad)
     } finally parsed.unpersist()
   }
+
+  /** Keep-last observation UPSERT — the reference's incremental
+    * station-collection merge
+    * (`georgia_ftp_alazani_shaqriani_hydro_process.py:201-225`: the
+    * daily FTP drop is concatenated onto the existing collection,
+    * then `sort_values(date_time).drop_duplicates(keep="last")` —
+    * i.e. a re-observed timestamp is REPLACED by the batch's revised
+    * value, everything else appends). Generic merge: the batch side
+    * wins on a key collision; within one side the larger `seq` wins
+    * (the reference's file-row order made "last" well-defined; a
+    * distributed merge needs the explicit sequence column).
+    *
+    * Shape at scale: ONE hash exchange on the merge key carries the
+    * whole operation (union is exchange-free, the keep-last
+    * row_number and the filter ride the same partitioning). No
+    * driver-side state; a 100 TB collection merges a small daily
+    * batch with shuffle proportional to collection size only if the
+    * sink requires a rewrite — against a keyed/bucketed sink the
+    * exchange is the batch side only. */
+  def upsertKeepLast(existing: DataFrame, batch: DataFrame,
+      keys: Seq[String], seq: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = existing.withColumn("_prio", lit(0))
+      .unionByName(batch.withColumn("_prio", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_prio").desc, col(seq).desc)
+    u.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_prio", "_rn")
+  }
+
+  /** The hydro-collection merge as a registered query: history =
+    * every event, batch = the `event_id % 7 = 0` slice re-delivered
+    * with a +0.5 level revision (the reference re-reads the same
+    * day's xlsx with corrected readings). Every revised timestamp
+    * must surface exactly once, with the batch value and
+    * `src = 'batch'`. */
+  def obsUpsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id").as("station"), col("ts"), col("event_id"),
+        round(col("value"), 4).as("level"))
+    val hist = ev.withColumn("src", lit("hist"))
+    val batch = ev.filter(col("event_id") % 7 === 0)
+      .withColumn("level", round(col("level") + 0.5, 4))
+      .withColumn("src", lit("batch"))
+    upsertKeepLast(hist, batch, Seq("station", "ts"), "event_id")
+      .select(col("station"), unix_micros(col("ts")).as("ts_us"),
+        col("level"), col("src"))
+  }
+
+  /** Collection-extent recompute over the merged series — the
+    * registry row the reference rewrites after every merge
+    * (`georgia_ftp_alazani_shaqriani_hydro_process.py:279-291`
+    * temporal begin/end from the merged frame; spatial extent is the
+    * station point itself). Per station: observation count, revised
+    * count, temporal extent, level envelope — the whole thing is one
+    * agg over [[obsUpsertMerge]]'s single exchange (the groupBy key
+    * is a prefix of the merge key, so AQE reuses the partitioning). */
+  def obsCollectionExtents(spark: SparkSession, dir: String): DataFrame =
+    obsUpsertMerge(spark, dir)
+      .groupBy(col("station"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("src") === "batch", 1L).otherwise(0L)).as("n_revised"),
+        min(col("ts_us")).as("ts_min_us"),
+        max(col("ts_us")).as("ts_max_us"),
+        round(min(col("level")), 4).as("level_min"),
+        round(max(col("level")), 4).as("level_max"))
 }

@@ -45,6 +45,52 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("upsert keep-last: batch wins collisions, seq breaks ties, appends pass") {
+    import spark.implicits._
+    val existing = Seq(
+      (1L, "2024-01-01", 10.0, 1L), // will be revised by the batch
+      (1L, "2024-01-02", 11.0, 2L), // untouched history
+      (2L, "2024-01-01", 20.0, 3L)  // untouched history, other key
+    ).toDF("station", "day", "level", "event_id")
+    val batch = Seq(
+      (1L, "2024-01-01", 10.5, 4L), // replaced below by seq=5
+      (1L, "2024-01-01", 10.7, 5L), // the revision that must win
+      (3L, "2024-01-05", 30.0, 6L)  // pure append
+    ).toDF("station", "day", "level", "event_id")
+    val out = Ingest.upsertKeepLast(existing, batch,
+        Seq("station", "day"), "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.size === 4, "one row per distinct key")
+    assert(out((1L, "2024-01-01")) === 10.7, "batch wins, largest seq wins")
+    assert(out((1L, "2024-01-02")) === 11.0)
+    assert(out((2L, "2024-01-01")) === 20.0)
+    assert(out((3L, "2024-01-05")) === 30.0, "append passes through")
+  }
+
+  test("obs_upsert_merge: revised slice surfaces once, extents agg is consistent") {
+    val merged = Ingest.obsUpsertMerge(spark, sf).cache()
+    try {
+      val ev = Tables.events(spark, sf)
+      // every (station, ts) key surfaces exactly once
+      assert(merged.groupBy("station", "ts_us").count()
+        .filter(col("count") > 1).isEmpty)
+      // a revised event carries the batch value (+0.5) and src=batch
+      val probe = ev.filter(col("event_id") % 7 === 0)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          round(col("value"), 4).as("lv")).limit(1).collect()(0)
+      val got = merged.filter(col("station") === probe.getLong(1) &&
+        col("ts_us") === probe.getLong(2)).collect()(0)
+      assert(got.getString(3) === "batch")
+      assert(math.abs(got.getDouble(2) - (probe.getDouble(3) + 0.5)) < 1e-9)
+      // extent rollup totals match the merged frame
+      val ext = graft.sources.Ingest.obsCollectionExtents(spark, sf)
+      assert(ext.agg(sum("n_obs")).collect()(0).getLong(0) === merged.count())
+      assert(ext.agg(sum("n_revised")).collect()(0).getLong(0)
+        === merged.filter(col("src") === "batch").count())
+    } finally merged.unpersist()
+  }
+
   private def writeFeatureDrop(path: String, lines: Seq[String]): Unit = {
     new java.io.File(path).mkdirs()
     Files.writeString(java.nio.file.Paths.get(s"$path/part0.jsonl"),
