@@ -153,6 +153,7 @@ object SparkEntry {
     "schedule_due"          -> graft.sources.Schedule.scheduleDue _,
     "obs_upsert_merge"      -> graft.sources.Ingest.obsUpsertMerge _,
     "obs_collection_extents" -> graft.sources.Ingest.obsCollectionExtents _,
+    "stations_reproject"    -> Geo.stationsReproject _,
     "items_query"           -> Serving.itemsQuery _,
     "items_tiles"           -> Serving.itemsTiles _,
     "items_page_cursor"     -> Serving.itemsPageCursor _,
@@ -3989,6 +3990,24 @@ object SparkEntry {
         |  min(epoch_us(ts)) AS ts_min_us, max(epoch_us(ts)) AS ts_max_us,
         |  round(min(level), 4) AS level_min, round(max(level), 4) AS level_max
         |FROM m WHERE rn = 1 GROUP BY 1""".stripMargin,
+
+    // inverse transverse Mercator with the series coefficients
+    // rendered from the SAME driver doubles as the Spark plan — the
+    // literal-folding engine-invariance pattern
+    "stations_reproject" -> {
+      val (lonExpr, latExpr) = Geo.inverseSqlExprs
+      s"""WITH st AS (
+        |  SELECT DISTINCT user_id FROM events),
+        |xy AS (
+        |  SELECT user_id AS station,
+        |    CAST(${Geo.EastingExpr} AS DOUBLE) AS easting,
+        |    CAST(${Geo.NorthingExpr} AS DOUBLE) AS northing
+        |  FROM st)
+        |SELECT station, easting, northing,
+        |  floor($lonExpr * 1e6 + 0.5) / 1e6 AS lon,
+        |  floor($latExpr * 1e6 + 0.5) / 1e6 AS lat
+        |FROM xy""".stripMargin
+    },
 
     "features_items" -> {
       val (minLon, minLat, maxLon, maxLat) = Serving.featuresBbox

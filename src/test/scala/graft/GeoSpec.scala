@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Geo
+
+class GeoSpec extends SparkSpec {
+
+  test("inverse TM: central-meridian points land on lon0, equator on lat 0") {
+    import spark.implicits._
+    val pts = Seq(
+      (500000.0, 0.0),       // origin: lon0, equator
+      (500000.0, 2000000.0), // on the central meridian
+      (500000.0, 4427757.0)  // ~40N on the central meridian
+    ).toDF("easting", "northing")
+    val (lon, lat) = Geo.utmToLonLat(col("easting"), col("northing"))
+    val out = pts.select(lon.as("lon"), lat.as("lat")).collect()
+    assert(math.abs(out(0).getDouble(0) - Geo.Lon0Deg) < 1e-9)
+    assert(math.abs(out(0).getDouble(1)) < 1e-9)
+    assert(math.abs(out(1).getDouble(0) - Geo.Lon0Deg) < 1e-9)
+    assert(out(2).getDouble(1) > 39.9 && out(2).getDouble(1) < 40.1,
+      s"northing 4427757 on GRS80 is ~40N, got ${out(2).getDouble(1)}")
+  }
+
+  test("forward∘inverse round-trip closes within 2 cm over the zone") {
+    import spark.implicits._
+    // a grid spanning the usable zone-30 envelope
+    val grid = for {
+      e <- Seq(200000.0, 350000.0, 500000.0, 650000.0, 800000.0)
+      n <- Seq(1000000.0, 3000000.0, 4200000.0, 6000000.0)
+    } yield (e, n)
+    val df = grid.toDF("easting", "northing")
+    val (lon, lat) = Geo.utmToLonLat(col("easting"), col("northing"))
+    val ll = df.select(col("easting"), col("northing"),
+      lon.as("lon"), lat.as("lat"))
+    val (e2, n2) = Geo.lonLatToUtm(col("lon"), col("lat"))
+    val back = ll.select(
+      abs(e2 - col("easting")).as("de"),
+      abs(n2 - col("northing")).as("dn"))
+      .agg(max("de"), max("dn")).collect()(0)
+    // the 6th-order Snyder series truncates at ~mm-cm 300 km from the
+    // meridian — far below the 1e-6-degree (~0.1 m) output quantization
+    assert(back.getDouble(0) < 2e-2, s"easting round-trip err ${back.getDouble(0)}")
+    assert(back.getDouble(1) < 2e-2, s"northing round-trip err ${back.getDouble(1)}")
+  }
+
+  test("stations_reproject: one row per station, Iberian envelope, meridian sanity") {
+    val out = Geo.stationsReproject(spark, sf).cache()
+    try {
+      val users = Tables.events(spark, sf).select("user_id").distinct().count()
+      assert(out.count() === users)
+      // eastings 300-700 km in zone 30 → lon within ~±3° of -3;
+      // northings 4000-4600 km → lat ~36.1-41.6
+      val env = out.agg(min("lon"), max("lon"), min("lat"), max("lat"))
+        .collect()(0)
+      assert(env.getDouble(0) > -6.0 && env.getDouble(1) < 0.0)
+      assert(env.getDouble(2) > 35.5 && env.getDouble(3) < 42.0)
+      // west of the central meridian ⇔ easting below 500 km
+      assert(out.filter(col("easting") < 500000 && col("lon") >= -3.0).isEmpty)
+      assert(out.filter(col("easting") > 500000 && col("lon") <= -3.0).isEmpty)
+    } finally out.unpersist()
+  }
+}
