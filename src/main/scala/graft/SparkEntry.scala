@@ -154,6 +154,7 @@ object SparkEntry {
     "obs_upsert_merge"      -> graft.sources.Ingest.obsUpsertMerge _,
     "obs_collection_extents" -> graft.sources.Ingest.obsCollectionExtents _,
     "stations_reproject"    -> Geo.stationsReproject _,
+    "grid_affine_stack"     -> graft.sources.Grids.gridAffineStack _,
     "items_query"           -> Serving.itemsQuery _,
     "items_tiles"           -> Serving.itemsTiles _,
     "items_page_cursor"     -> Serving.itemsPageCursor _,
@@ -4008,6 +4009,53 @@ object SparkEntry {
         |  floor($latExpr * 1e6 + 0.5) / 1e6 AS lat
         |FROM xy""".stripMargin
     },
+
+    // the filename parse drives which statistic each file renders, so
+    // a parse bug cannot hash-match; percentiles are hand-rank
+    // interpolated on exact micro-unit daily means
+    "grid_affine_stack" ->
+      """WITH d AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    strftime(date_trunc('month', ts), '%Y%m') AS ym,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      * 10000 AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2, 3, 4),
+        |files AS (
+        |  SELECT 'creaf_fc_iberia_m_' || v.varname || '_' || m.ym AS filename,
+        |    m.ym
+        |  FROM (SELECT DISTINCT ym FROM d) m
+        |  CROSS JOIN (VALUES ('pc_50'), ('pc_90'), ('yield')) v(varname)),
+        |pv AS (
+        |  SELECT filename, ym,
+        |    CASE WHEN len(parts) > 5 AND length(parts[5]) = 2
+        |           AND regexp_full_match(parts[5], '[A-Za-z]+')
+        |           AND regexp_full_match(parts[6], '[0-9]+')
+        |      THEN parts[5] || '_' || parts[6] ELSE parts[5] END AS var,
+        |    CASE WHEN len(parts) > 5 AND length(parts[5]) = 2
+        |           AND regexp_full_match(parts[5], '[A-Za-z]+')
+        |           AND regexp_full_match(parts[6], '[0-9]+')
+        |      THEN CAST(parts[6] AS DOUBLE) / 100.0 ELSE NULL END AS q
+        |  FROM (SELECT filename, ym, string_split(filename, '_') AS parts
+        |        FROM files)),
+        |g AS (
+        |  SELECT pv.filename, pv.var, pv.q, pv.ym, d.gy, d.gx,
+        |    list(v_us ORDER BY v_us) AS l, count(*) AS n, sum(v_us) AS s
+        |  FROM pv JOIN d USING (ym) GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT filename, var, ym, gy, gx,
+        |  -10.0 + 0.25 * gx + 0.125 AS x_c,
+        |  44.0 + -0.25 * gy + -0.125 AS y_c,
+        |  CASE WHEN q IS NULL
+        |    THEN floor(CAST(s AS DOUBLE) / n / 100.0 + 0.5) / 1e4
+        |    ELSE floor((CAST(l[CAST(floor((n - 1) * q) AS BIGINT) + 1]
+        |        AS DOUBLE)
+        |      + ((n - 1) * q - floor((n - 1) * q))
+        |        * (CAST(l[least(CAST(floor((n - 1) * q) AS BIGINT) + 2, n)]
+        |            AS DOUBLE)
+        |          - CAST(l[CAST(floor((n - 1) * q) AS BIGINT) + 1]
+        |            AS DOUBLE))) / 100.0 + 0.5) / 1e4
+        |  END AS value
+        |FROM g""".stripMargin,
 
     "features_items" -> {
       val (minLon, minLat, maxLon, maxLat) = Serving.featuresBbox

@@ -198,4 +198,86 @@ object Grids {
       .flatMap(f => decodeTile(f.content))
       .toDF("var", "time", "lat", "lon", "value")
   }
+
+  /** Affine geotransform of the raster drop, as (x0, dx, y0, dy)
+    * literals: pixel (gx, gy) has centroid x0+dx·(gx+½), y0+dy·(gy+½)
+    * (`ingestor_creaf_tif_oliveoil.py:72-81` `get_pixel_centroids`
+    * from `GetGeoTransform`). Quarter-degree cells anchored at
+    * (−10, 44) — the Iberian envelope; all four constants are exact
+    * binary doubles so the centroid arithmetic folds identically in
+    * any engine. */
+  val Gt: (Double, Double, Double, Double) = (-10.0, 0.25, 44.0, -0.25)
+
+  /** Filename → variable-name parse, the reference's underscore
+    * convention (`ingestor_creaf_tif_oliveoil.py:83-101`
+    * `get_variable_name`): the variable starts at the 5th `_`-token;
+    * it is TWO tokens (`pc_50`-style) iff that token is 2 alpha chars
+    * and the next is digits, else one. Returns (var, q) where q is
+    * the percentile fraction a two-part name encodes (pc_50 → 0.50)
+    * and NULL for plain variables. */
+  def parseVarName(filename: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val parts = split(filename, "_")
+    val p5 = element_at(parts, 5)
+    val p6 = element_at(parts, 6)
+    val twoPart = size(parts) > 5 && length(p5) === 2 &&
+      p5.rlike("^[A-Za-z]+$") && p6.rlike("^[0-9]+$")
+    (when(twoPart, concat(p5, lit("_"), p6)).otherwise(p5),
+      when(twoPart, p6.cast("double") / 100.0).otherwise(lit(null)))
+  }
+
+  /** The per-period raster STACK (`ingestor_creaf_tif_oliveoil.py:
+    * 104-125` `project_tiff_to_ds`: one tif per year, stacked along a
+    * time axis, coordinates from the affine geotransform, variable
+    * from the filename): the drop is simulated as one file per
+    * (month, variable) whose name follows the reference's
+    * convention; the PARSE drives the computation — a `pc_NN` file
+    * renders the exact NN-th percentile of that month's daily cell
+    * means, a plain `yield` file the monthly mean — so a parse bug
+    * cannot pass the oracle.
+    *
+    * Scale shape: daily cell means reduce the fact table once
+    * (map-side partials, integer micro-units); the small
+    * (month × variable) file list broadcast-joins onto the O(cells ×
+    * days) table; the per-file percentile groups collect ≤ days-per-
+    * month sorted values (bounded state), rank-interpolated
+    * elementwise exactly like the ensemble bands — no
+    * `percentile_approx`, both engines fold identical bits. */
+  def gridAffineStack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = graft.Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx"),
+        date_format(date_trunc("MONTH", col("ts")), "yyyyMM").as("ym"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
+    val files = daily.select(col("ym")).distinct()
+      .crossJoin(Seq("pc_50", "pc_90", "yield").toDF("varname"))
+      .select(concat(lit("creaf_fc_iberia_m_"), col("varname"), lit("_"),
+        col("ym")).as("filename"), col("ym"))
+    val (varCol, qCol) = parseVarName(col("filename"))
+    val parsed = files.select(col("filename"), col("ym"),
+      varCol.as("var"), qCol.as("q"))
+    val (x0, dx, y0, dy) = Gt
+    val g = broadcast(parsed).join(daily, Seq("ym"))
+      .groupBy(col("filename"), col("var"), col("q"), col("ym"),
+        col("gy"), col("gx"))
+      .agg(array_sort(collect_list(col("v_us"))).as("l"),
+        count(lit(1)).as("n"), sum(col("v_us")).as("s"))
+    val r = (col("n") - 1) * col("q")
+    val lo = floor(r)
+    val frac = r - lo
+    val vlo = element_at(col("l"), (lo + 1).cast("int")).cast("double")
+    val vhi = element_at(col("l"),
+      least(lo + 2, col("n")).cast("int")).cast("double")
+    g.select(col("filename"), col("var"), col("ym"), col("gy"), col("gx"),
+      (lit(x0) + lit(dx) * col("gx") + lit(dx / 2.0)).as("x_c"),
+      (lit(y0) + lit(dy) * col("gy") + lit(dy / 2.0)).as("y_c"),
+      when(col("q").isNull,
+        floor(col("s").cast("double") / col("n") / 100.0 + 0.5) / 1e4)
+        .otherwise(
+          floor((vlo + frac * (vhi - vlo)) / 100.0 + 0.5) / 1e4)
+        .as("value"))
+  }
 }

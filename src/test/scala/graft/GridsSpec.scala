@@ -216,6 +216,58 @@ class GridsSpec extends SparkSpec {
     assert(landed === expect)
   }
 
+  test("parseVarName: the reference's two-token rule, including its q_90 blind spot") {
+    import spark.implicits._
+    val names = Seq(
+      "creaf_fc_iberia_m_pc_50_202401",  // two-part: 2 alpha + digits
+      "creaf_fc_iberia_m_yield_202401",  // single token
+      "creaf_fc_iberia_m_q_90_202401",   // 1-char alpha: reference rule says SINGLE
+      "creaf_fc_iberia_m_tmax_202401"    // 4-char alpha: single
+    ).toDF("filename")
+    val (v, q) = Grids.parseVarName(col("filename"))
+    val out = names.select(col("filename"), v.as("var"), q.as("q")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out("creaf_fc_iberia_m_pc_50_202401") === (("pc_50", Some(0.5))))
+    assert(out("creaf_fc_iberia_m_yield_202401") === (("yield", None)))
+    // the reference's len==2 guard does NOT join 'q_90' — we mirror it
+    assert(out("creaf_fc_iberia_m_q_90_202401") === (("q", None)))
+    assert(out("creaf_fc_iberia_m_tmax_202401") === (("tmax", None)))
+  }
+
+  test("gridAffineStack: parse drives the statistic, centroids follow the affine") {
+    val out = Grids.gridAffineStack(spark, sf).cache()
+    try {
+      // three variables per (ym, cell)
+      val byCell = out.groupBy("ym", "gy", "gx").count()
+      assert(byCell.filter(col("count") =!= 3).isEmpty)
+      // percentile ordering: pc_50 <= pc_90 within each (ym, cell)
+      val p = out.filter(col("var").startsWith("pc_"))
+        .groupBy("ym", "gy", "gx")
+        .agg(min(when(col("var") === "pc_50", col("value"))).as("p50"),
+          min(when(col("var") === "pc_90", col("value"))).as("p90"))
+      assert(p.filter(col("p50") > col("p90")).isEmpty)
+      // affine centroids: gx=0 → -9.875, gy=0 → 43.875 (exact binary)
+      val c = out.filter(col("gx") === 0 && col("gy") === 0).limit(1)
+        .select("x_c", "y_c").collect()(0)
+      assert(c.getDouble(0) === -9.875 && c.getDouble(1) === 43.875)
+      // the yield file is the plain monthly mean of daily cell means
+      val probe = out.filter(col("var") === "yield").limit(1).collect()(0)
+      val daily = Tables.events(spark, sf)
+        .filter(col("user_id") % 8 === probe.getAs[Long]("gy") &&
+          expr("user_id div 8 % 8") === probe.getAs[Long]("gx") &&
+          date_format(date_trunc("MONTH", col("ts")), "yyyyMM")
+            === probe.getAs[String]("ym"))
+        .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd"))
+        .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+          .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
+      val mean = daily.agg(
+        (floor(sum("v_us").cast("double") / count(lit(1)) / 100.0 + 0.5) / 1e4))
+        .collect()(0).getDouble(0)
+      assert(probe.getAs[Double]("value") === mean)
+    } finally out.unpersist()
+  }
+
   test("spiRefGridPublish: the composed drought pipeline lands a pruned grid collection") {
     val out = Files.createTempDirectory("graft_spi_grid").toString
     val reg = operators.Pipelines.spiRefGridPublish(spark, sf, out).collect().head
