@@ -155,6 +155,7 @@ object SparkEntry {
     "obs_collection_extents" -> graft.sources.Ingest.obsCollectionExtents _,
     "stations_reproject"    -> Geo.stationsReproject _,
     "grid_affine_stack"     -> graft.sources.Grids.gridAffineStack _,
+    "spi_forecast_coverage" -> Climate.spiForecastCoverage _,
     "items_query"           -> Serving.itemsQuery _,
     "items_tiles"           -> Serving.itemsTiles _,
     "items_page_cursor"     -> Serving.itemsPageCursor _,
@@ -314,7 +315,7 @@ object SparkEntry {
     * misaligning the joins). */
   private def spiGammaSql(accSql: String, keys: Seq[String],
       carry: Seq[String] = Nil, fitWhere: String = "",
-      ridSql: String = "acc.event_id"): String = {
+      ridSql: String = "acc.event_id", rowsWhere: String = ""): String = {
     val k = keys.mkString(", ")
     val rk = keys.map("r." + _).mkString(", ")
     val rcarry = carry.map(c => s"r.$c, ").mkString
@@ -341,7 +342,7 @@ object SparkEntry {
       |  SELECT $ridSql AS rid, acc.*,
       |    par.alpha, par.beta, par.q0, par.a_stat, par.lng,
       |    acc.x / par.beta AS xs
-      |  FROM acc LEFT JOIN par USING ($k)
+      |  FROM acc LEFT JOIN par USING ($k) $rowsWhere
       |), ser AS (
       |  SELECT rid, alpha AS a, xs AS z, alpha AS ap,
       |    1.0 / alpha AS s, 1.0 / alpha AS del, 0 AS it
@@ -4056,6 +4057,45 @@ object SparkEntry {
         |            AS DOUBLE))) / 100.0 + 0.5) / 1e4
         |  END AS value
         |FROM g""".stripMargin,
+
+    // expanding-history ensemble SPI per forecast lead: fit over
+    // ref ∪ member-forecast ≤ lead day, evaluate the lead day only
+    // (rowsWhere); the day>refEnd forecast slice IS the overlap
+    // dedup's closed form (spec + Spark side use the live anti-join)
+    "spi_forecast_coverage" -> {
+      val leadRows = graft.operators.Climate.CoverageLeads
+        .map { case (l, d) => s"($l, '$d')" }.mkString(", ")
+      val refEnd = graft.operators.Climate.CoverageRefEnd
+      spiGammaSql(
+        s"""  SELECT user_id * 1000 + member * 10 + lead AS event_id,
+          |    user_id, member, lead, day, day_l, x
+          |  FROM (
+          |    SELECT d.user_id, m.member, l.lead, d.day, l.day_l,
+          |      CAST(d.c AS DOUBLE) / 100.0 AS x
+          |    FROM (SELECT user_id,
+          |            strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |            sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+          |          FROM events GROUP BY 1, 2) d
+          |    CROSS JOIN (VALUES (0), (1), (2), (3), (4)) m(member)
+          |    CROSS JOIN (VALUES $leadRows) l(lead, day_l)
+          |    WHERE d.day <= '$refEnd'
+          |    UNION ALL
+          |    SELECT f.user_id, f.member, l.lead, f.day, l.day_l,
+          |      CAST(f.c AS DOUBLE) / 100.0 AS x
+          |    FROM (
+          |      SELECT d.user_id, m.member, d.day,
+          |        (d.c * (100 + m.member * 3)) // 100 AS c
+          |      FROM (SELECT user_id,
+          |              strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+          |            FROM events GROUP BY 1, 2) d
+          |      CROSS JOIN (VALUES (0), (1), (2), (3), (4)) m(member)
+          |      WHERE d.day > '$refEnd') f
+          |    JOIN (VALUES $leadRows) l(lead, day_l) ON f.day <= l.day_l
+          |  ) u""".stripMargin,
+        keys = Seq("user_id", "member", "lead"), carry = Seq("day"),
+        rowsWhere = "WHERE acc.day = acc.day_l")
+    },
 
     "features_items" -> {
       val (minLon, minLat, maxLon, maxLat) = Serving.featuresBbox

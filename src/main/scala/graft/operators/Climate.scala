@@ -266,6 +266,64 @@ object Climate {
           .as("spi_med"))
   }
 
+  /** Reference-period end of the forecast-coverage split (the last
+    * "historic" day; forecast leads cover the following days). */
+  val CoverageRefEnd = "2024-01-24"
+  /** Forecast leads and their target days — literal in both engines. */
+  val CoverageLeads: Seq[(Int, String)] =
+    (1 to 6).map(l => l -> f"2024-01-${24 + l}%02d")
+
+  /** EXPANDING-history ensemble SPI per forecast lead
+    * (`ingestor_cds_spi_forecast_process.py:218-267`
+    * `compute_coverage_spi`: for every forecast month m and ensemble
+    * member r, the SPI series is recomputed over ref-history ∪
+    * forecast-up-to-m — `sel(time=cov_ts.time <= month)` — and only
+    * the LAST value kept, `nt_return=1`; ref and forecast overlap on
+    * the issue month and `drop_duplicates(dim="time")` keeps the REF
+    * copy). Re-expressed on the daily axis: per (cell, member, lead)
+    * the gamma climatology is FIT on ref days ∪ member-perturbed
+    * forecast days ≤ the lead's target day, and evaluated at the
+    * target day only.
+    *
+    * The overlap dedup is operationally real: the forecast slice
+    * starts AT the ref end day and the collision is dropped by an
+    * anti-join against ref (ref wins, exactly the reference's
+    * keep-first). Shape at scale: leads (6) and members (O(50)) are
+    * forecast-system CONSTANTS, so the triangular fit table is a
+    * bounded multiple of the O(cells × days) daily table — one
+    * map-side-partial fit aggregation per composite key, the same
+    * [[spiGammaOn]] core, and the evaluated set is one row per
+    * (cell, member, lead). */
+  def spiForecastCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("c"))
+    val ref = daily.filter(col("day") <= CoverageRefEnd)
+    val members = (0 until 5).toDF("member")
+    // member-perturbed forecast in exact integer cents (member 0 is
+    // the unperturbed control), overlap day included then deduped
+    val fc = daily.filter(col("day") >= CoverageRefEnd)
+      .crossJoin(broadcast(members))
+      .select(col("user_id"), col("member"), col("day"),
+        expr("c * (100 + member * 3) div 100").as("c"))
+      .join(ref.select(col("user_id"), col("day")),
+        Seq("user_id", "day"), "left_anti")
+    val leads = CoverageLeads.toDF("lead", "day_l")
+    val refX = ref.crossJoin(broadcast(members)).crossJoin(broadcast(leads))
+      .select(col("user_id"), col("member"), col("lead"), col("day"),
+        col("day_l"), (col("c").cast("double") / 100.0).as("x"))
+    val fcX = fc.join(broadcast(leads), col("day") <= col("day_l"))
+      .select(col("user_id"), col("member"), col("lead"), col("day"),
+        col("day_l"), (col("c").cast("double") / 100.0).as("x"))
+    val acc = refX.unionByName(fcX)
+    val x = acc.filter(col("day") === col("day_l"))
+      .withColumn("event_id",
+        col("user_id") * 1000 + col("member") * 10 + col("lead"))
+    spiGammaOn(x, acc, Seq("user_id", "member", "lead"), carry = Seq("day"))
+  }
+
   /** Delta-method bias correction: per-key mean shift from the
     * forecast ('click') distribution onto the reference ('view')
     * distribution (`bias_correction_cds_process.py` delta mode). */

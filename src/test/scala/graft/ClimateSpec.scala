@@ -105,6 +105,47 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("spi_forecast_coverage: one row per (cell, member, lead), perturbation ordered, overlap deduped") {
+    val out = Climate.spiForecastCoverage(spark, sf).cache()
+    try {
+      // one evaluated row per (user-with-data-on-the-lead-day, member,
+      // lead): the daily table is sparse, a user without observations
+      // on a lead's target day has no evaluated row for that lead
+      val leadDays = Climate.CoverageLeads.map(_._2)
+      val expectRows = Tables.events(spark, sf)
+        .select(col("user_id"),
+          date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+        .filter(col("day").isin(leadDays: _*))
+        .select("user_id", "day").distinct().count() * 5
+      assert(out.count() === expectRows, "one evaluated row per composite key")
+      // the evaluated day is the lead's target day
+      val leadDay = Climate.CoverageLeads.toMap
+      out.select("lead", "day").distinct().collect().foreach { r =>
+        assert(r.getString(1) === leadDay(r.getInt(0)))
+      }
+      // accum at the lead day is the member-perturbed daily total:
+      // multiplier (100+3m)/100 is >= 1 and monotone in m
+      val byKey = out.groupBy("user_id", "lead")
+        .agg(min(when(col("member") === 0, col("accum"))).as("a0"),
+          min(when(col("member") === 4, col("accum"))).as("a4"))
+      assert(byKey.filter(col("a4") < col("a0")).isEmpty)
+      // accum probe vs an independent recompute from raw events
+      val probe = out.filter(col("member") === 2 && col("lead") === 3)
+        .limit(1).collect()(0)
+      val cents = Tables.events(spark, sf)
+        .filter(col("user_id") === probe.getAs[Long]("user_id") &&
+          date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd")
+            === leadDay(3))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")))
+        .collect()(0).getLong(0)
+      assert(probe.getAs[Double]("accum")
+        === math.floor(cents * 106 / 100 / 100.0 * 100 + 0.5) / 100.0)
+      // overlap dedup: the ref-end day never surfaces as an evaluated
+      // forecast row (it belongs to the ref history on every lead)
+      assert(out.filter(col("day") === Climate.CoverageRefEnd).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("spi_ensemble_gamma: weekly medians equal a Scala recompute over member indices") {
     // member-level gamma SPI, recomputed through the same public seam
     val ev = Tables.events(spark, sf).withColumn("member", col("event_id") % 5)
