@@ -296,10 +296,14 @@ object Climate {
     * (cell, member, lead). */
   def spiForecastCoverage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // pin the O(cells × days) daily table: ref, forecast, the
+    // anti-join's build side and the evaluated-row branch all read
+    // it — unpinned, each is another full scan of the fact table
     val daily = Tables.events(spark, dir)
       .groupBy(col("user_id"),
         date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
       .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("c"))
+      .localCheckpoint()
     val ref = daily.filter(col("day") <= CoverageRefEnd)
     val members = (0 until 5).toDF("member")
     // member-perturbed forecast in exact integer cents (member 0 is

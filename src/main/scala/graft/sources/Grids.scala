@@ -245,6 +245,9 @@ object Grids {
     * `percentile_approx`, both engines fold identical bits. */
   def gridAffineStack(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // pin the O(cells × days) daily table: both the file list (its
+    // distinct months) and the percentile groups read it, and
+    // unpinned each branch re-scans the whole fact table
     val daily = graft.Tables.events(spark, dir)
       .groupBy((col("user_id") % 8).as("gy"),
         expr("user_id div 8 % 8").as("gx"),
@@ -252,6 +255,7 @@ object Grids {
         date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
       .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
         .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
+      .localCheckpoint()
     val files = daily.select(col("ym")).distinct()
       .crossJoin(Seq("pc_50", "pc_90", "yield").toDF("varname"))
       .select(concat(lit("creaf_fc_iberia_m_"), col("varname"), lit("_"),
