@@ -156,6 +156,7 @@ object SparkEntry {
     "stations_reproject"    -> Geo.stationsReproject _,
     "grid_affine_stack"     -> graft.sources.Grids.gridAffineStack _,
     "spi_forecast_coverage" -> Climate.spiForecastCoverage _,
+    "rijn_deficit_weekly"   -> Climate.rijnDeficitWeekly _,
     "items_query"           -> Serving.itemsQuery _,
     "items_tiles"           -> Serving.itemsTiles _,
     "items_page_cursor"     -> Serving.itemsPageCursor _,
@@ -313,6 +314,42 @@ object SparkEntry {
     * row_number() — DuckDB inlines the CTE at each of its four
     * references and would re-number in nondeterministic order,
     * misaligning the joins). */
+  /** The forecast_deficit_bands oracle body — factored out because
+    * the rijnland weekly product consumes the q50 band as its input
+    * (composition mirrored on both sides). */
+  private val deficitBandsSql: String =
+    """WITH md AS (
+      |  SELECT user_id, event_id % 5 AS member,
+      |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / (100.0 * count(*)) - 50.0 AS delta
+      |  FROM events GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT user_id, day, list_sort(list(delta)) AS ds,
+      |    count(*) AS n
+      |  FROM md GROUP BY 1, 2),
+      |b AS (
+      |  SELECT user_id, day, q,
+      |    ds[CAST(floor((n - 1) * q) AS INT) + 1]
+      |      + ((n - 1) * q - floor((n - 1) * q))
+      |        * (ds[least(CAST(floor((n - 1) * q) AS INT) + 2, CAST(n AS INT))]
+      |           - ds[CAST(floor((n - 1) * q) AS INT) + 1]) AS band
+      |  FROM g CROSS JOIN (VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.3 AS DOUBLE)),
+      |    (CAST(0.5 AS DOUBLE)), (CAST(0.7 AS DOUBLE)),
+      |    (CAST(0.9 AS DOUBLE))) AS qs(q)),
+      |s AS (
+      |  SELECT user_id, day, q,
+      |    CAST(sum(CAST(floor(band * 1e6 + 0.5) AS BIGINT))
+      |      OVER (PARTITION BY user_id, q ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+      |  FROM b)
+      |SELECT user_id, day, q,
+      |  floor(CAST(cs - least(0, min(cs) OVER (PARTITION BY user_id, q
+      |    ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE)
+      |    / 100.0 + 0.5) / 1e4 AS deficit
+      |FROM s""".stripMargin
+
   private def spiGammaSql(accSql: String, keys: Seq[String],
       carry: Seq[String] = Nil, fitWhere: String = "",
       ridSql: String = "acc.event_id", rowsWhere: String = ""): String = {
@@ -3470,38 +3507,34 @@ object SparkEntry {
     // ensemble percentile bands with hand-written (n-1)*q rank
     // interpolation (bit-identical across engines), then the clamped
     // deficit identity per band
-    "forecast_deficit_bands" ->
-      """WITH md AS (
-        |  SELECT user_id, event_id % 5 AS member,
-        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
-        |      / (100.0 * count(*)) - 50.0 AS delta
-        |  FROM events GROUP BY 1, 2, 3),
-        |g AS (
-        |  SELECT user_id, day, list_sort(list(delta)) AS ds,
-        |    count(*) AS n
-        |  FROM md GROUP BY 1, 2),
-        |b AS (
-        |  SELECT user_id, day, q,
-        |    ds[CAST(floor((n - 1) * q) AS INT) + 1]
-        |      + ((n - 1) * q - floor((n - 1) * q))
-        |        * (ds[least(CAST(floor((n - 1) * q) AS INT) + 2, CAST(n AS INT))]
-        |           - ds[CAST(floor((n - 1) * q) AS INT) + 1]) AS band
-        |  FROM g CROSS JOIN (VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.3 AS DOUBLE)),
-        |    (CAST(0.5 AS DOUBLE)), (CAST(0.7 AS DOUBLE)),
-        |    (CAST(0.9 AS DOUBLE))) AS qs(q)),
-        |s AS (
-        |  SELECT user_id, day, q,
-        |    CAST(sum(CAST(floor(band * 1e6 + 0.5) AS BIGINT))
-        |      OVER (PARTITION BY user_id, q ORDER BY day
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
-        |  FROM b)
-        |SELECT user_id, day, q,
-        |  floor(CAST(cs - least(0, min(cs) OVER (PARTITION BY user_id, q
-        |    ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE)
-        |    / 100.0 + 0.5) / 1e4 AS deficit
-        |FROM s""".stripMargin,
+    "forecast_deficit_bands" -> deficitBandsSql,
+
+    // sunday-anchored masked weekly max over the q50 deficit product,
+    // ISO week/month labels, last sunday dropped, color-classified
+    "rijn_deficit_weekly" ->
+      s"""WITH pd AS ($deficitBandsSql),
+        |m AS (
+        |  SELECT strftime(date_trunc('week', CAST(day AS DATE))
+        |           + INTERVAL 6 DAY, '%Y-%m-%d') AS sunday,
+        |    deficit
+        |  FROM pd
+        |  WHERE q = 0.5
+        |    AND (((user_id // 8) % 8) * 3 + (user_id % 8) * 5) % 7 = 3),
+        |w AS (
+        |  SELECT sunday, count(*) AS n_vals, max(deficit) AS max_deficit
+        |  FROM m GROUP BY 1)
+        |SELECT sunday,
+        |  CAST(week(CAST(sunday AS DATE)) AS INT) AS week_no,
+        |  CAST(month(CAST(sunday AS DATE)) AS INT) AS month_no,
+        |  n_vals, max_deficit,
+        |  CASE WHEN max_deficit < 50 THEN 'darkblue'
+        |       WHEN max_deficit < 100 THEN 'blue'
+        |       WHEN max_deficit < 125 THEN 'green'
+        |       WHEN max_deficit < 150 THEN 'yellow'
+        |       WHEN max_deficit < 175 THEN 'orange'
+        |       WHEN max_deficit < 200 THEN 'red'
+        |       ELSE 'darkred' END AS color
+        |FROM w WHERE sunday < (SELECT max(sunday) FROM w)""".stripMargin,
 
     "zonal_spi_quantiles" ->
       """WITH z AS (

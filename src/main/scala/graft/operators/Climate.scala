@@ -3021,6 +3021,60 @@ object Climate {
           .cast("double") / 100.0 + 0.5) / 1e4).as("deficit"))
   }
 
+  /** The rijnland danger-level COLOR scale
+    * (`ll_nl_danger_levels.py:106-120` `categorize`): deficit →
+    * published color class, one definition shared with any alerting
+    * surface (the [[dangerLevel]] pattern). */
+  def deficitColor(v: Column): Column =
+    when(v < 50, "darkblue")
+      .when(v < 100, "blue")
+      .when(v < 125, "green")
+      .when(v < 150, "yellow")
+      .when(v < 175, "orange")
+      .when(v < 200, "red")
+      .otherwise("darkred")
+
+  /** Masked-region weekly deficit product
+    * (`ll_nl_danger_levels.py:68-105` `rijnland_precipitation_
+    * deficit`): the published p_def_q50 field is masked to one
+    * hydrological region (`rijn_mask.nc`, cells where mask = 666),
+    * weekly windows END AT SUNDAYS (pandas `resample("1W")`), each
+    * sunday reports the trailing week's spatial-temporal MAX over the
+    * masked cells plus its ISO week / month labels, the LAST sunday
+    * is dropped (the reference skips the partial next-year bucket),
+    * and the max is classified on the published color scale.
+    *
+    * Composition, not re-derivation: the q50 band comes from
+    * [[forecastDeficitBands]] — the exact product the reference's
+    * danger-level process reads back from the lake. The mask is the
+    * deterministic cell predicate (gx·3+gy·5)%7=3 standing in for the
+    * NetCDF mask grid (the membership test is the operator; the mask
+    * source is a literal table in any deployment). Shape: the band
+    * table collapses to O(weeks) rows in one agg; the last-sunday
+    * drop is a broadcast anti-join against the 1-row max — no
+    * global window. */
+  def rijnDeficitWeekly(spark: SparkSession, dir: String): DataFrame = {
+    val pd = forecastDeficitBands(spark, dir)
+      .filter(col("q") === 0.5)
+      .withColumn("gy", col("user_id") % 8)
+      .withColumn("gx", expr("user_id div 8 % 8"))
+      .filter((col("gx") * 3 + col("gy") * 5) % 7 === 3)
+      .withColumn("sunday", date_format(date_add(
+        date_trunc("WEEK", col("day").cast("date")).cast("date"), 6),
+        "yyyy-MM-dd"))
+    val weekly = pd.groupBy(col("sunday"))
+      .agg(count(lit(1)).as("n_vals"),
+        max(col("deficit")).as("max_deficit"))
+    val lastSunday = weekly.agg(max(col("sunday")).as("last_sunday"))
+    weekly.join(broadcast(lastSunday),
+        col("sunday") === col("last_sunday"), "left_anti")
+      .select(col("sunday"),
+        weekofyear(col("sunday").cast("date")).as("week_no"),
+        month(col("sunday").cast("date")).as("month_no"),
+        col("n_vals"), col("max_deficit"),
+        deficitColor(col("max_deficit")).as("color"))
+  }
+
   /** Small fixed basin set (simple rings in (lon, lat)) standing
     * in for the reference's basin geometries (`utils_spi.py:565-600`
     * clips SPI grids to per-basin shapes before aggregating — real

@@ -146,6 +146,43 @@ class ClimateSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("rijn_deficit_weekly: sunday anchors, masked max vs recompute, last sunday dropped") {
+    val out = Climate.rijnDeficitWeekly(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.nonEmpty)
+    // every anchor is a Sunday and carries its own ISO week/month
+    out.foreach { case (s, r) =>
+      val d = java.time.LocalDate.parse(s)
+      assert(d.getDayOfWeek === java.time.DayOfWeek.SUNDAY, s"anchor $s")
+      assert(r.getInt(1) === d.get(java.time.temporal.WeekFields.ISO
+        .weekOfWeekBasedYear()), s"week_no of $s")
+      assert(r.getInt(2) === d.getMonthValue)
+    }
+    // the final sunday of the band table is dropped
+    val q50 = SparkEntry.queries("forecast_deficit_bands")(spark, sf)
+      .filter(col("q") === 0.5)
+      .withColumn("sunday", date_format(date_add(
+        date_trunc("WEEK", col("day").cast("date")).cast("date"), 6),
+        "yyyy-MM-dd"))
+    val allSundays = q50.select("sunday").distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(!out.contains(allSundays.last), "last sunday skipped")
+    assert(out.keySet === allSundays.init.toSet)
+    // masked max equals an independent recompute for one week
+    val probe = allSundays.head
+    val expect = q50.filter(col("sunday") === probe)
+      .withColumn("gy", col("user_id") % 8)
+      .withColumn("gx", expr("user_id div 8 % 8"))
+      .filter((col("gx") * 3 + col("gy") * 5) % 7 === 3)
+      .agg(max("deficit")).collect()(0).getDouble(0)
+    assert(out(probe).getDouble(4) === expect)
+    assert(out(probe).getString(5)
+      === (if (expect < 50) "darkblue" else if (expect < 100) "blue"
+           else if (expect < 125) "green" else if (expect < 150) "yellow"
+           else if (expect < 175) "orange" else if (expect < 200) "red"
+           else "darkred"))
+  }
+
   test("spi_ensemble_gamma: weekly medians equal a Scala recompute over member indices") {
     // member-level gamma SPI, recomputed through the same public seam
     val ev = Tables.events(spark, sf).withColumn("member", col("event_id") % 5)
