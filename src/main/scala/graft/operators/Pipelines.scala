@@ -103,6 +103,52 @@ object Pipelines {
       .withColumn("max_x", lit(xMax)).withColumn("max_y", lit(yMax))
   }
 
+  /** Buffered-landmass clip polygon for [[knmiObsPublish]] — a
+    * concave U (the notch stands in for an estuary the 1/50°-buffered
+    * landmass excludes): a bounding-box test would wrongly keep
+    * notch stations, so the clip must run the real parity test. A
+    * deployment reads this from the geojson
+    * (`NL_landmasses_4326_50thdegreebuffer.geojson`); a literal here
+    * exactly like [[Climate.basinPolygons]]. */
+  val landmassClip: Seq[(Double, Double)] = Seq(
+    (-180.0, -70.0), (-100.0, -70.0), (-100.0, -30.0), (-135.0, -30.0),
+    (-135.0, -60.0), (-145.0, -60.0), (-145.0, -30.0), (-180.0, -30.0))
+
+  /** Station-observation publish with landmass clip + keep-last merge
+    * (`ingestor_knmi_evapo.py:465-490`: the day's prepared station
+    * table is `clip`ped to the buffered landmass, merged with the
+    * previously published table — `merge_db_tab_data` — and
+    * republished with a refreshed registry row). The merge is the
+    * explicit [[graft.sources.Ingest.upsertKeepLast]]: the drop
+    * re-delivers the boundary day, batch wins those keys, new days
+    * append. One composed plan: the clip is an elementwise parity
+    * expression in the scan stage (no join, no UDF), the merge is the
+    * upsert's single keyed exchange, and the day-partitioned publish
+    * + registry row come from [[Catalog.publish]]. */
+  def knmiObsPublish(spark: SparkSession, dir: String,
+      outDir: String, boundaryDay: String = "2024-01-28"): DataFrame = {
+    val obs = Tables.events(spark, dir)
+      .select(col("user_id").as("station"), col("ts"), col("event_id"),
+        Climate.pseudoLat(col("user_id")).as("lat"),
+        Climate.pseudoLon(col("user_id")).as("lon"),
+        round(col("value"), 4).as("value"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+    def clipped(df: DataFrame): DataFrame =
+      df.filter(Climate.pointInPoly(col("lon"), col("lat"), landmassClip))
+    // the previously published collection: clipped at ITS publish
+    // time, covering everything up to the boundary day
+    val existing = clipped(obs.filter(col("day") <= boundaryDay))
+      .withColumn("src", lit("db"))
+    // today's drop: boundary day re-delivered + anything newer,
+    // clipped BEFORE the merge exactly like the reference's tab
+    val batch = clipped(obs.filter(col("day") >= boundaryDay))
+      .withColumn("src", lit("drop"))
+    val merged = graft.sources.Ingest.upsertKeepLast(
+        existing, batch, Seq("station", "ts"), "event_id")
+      .drop("day")
+    Catalog.publish(merged, "ts", "knmi_obs", outDir)
+  }
+
   /** The station-QC product end to end — the sensor-ingest chain every
     * observation network runs before analytics (the reference QCs
     * each fetched series the same way): despike with the trailing

@@ -91,6 +91,43 @@ class IngestSpec extends SparkSpec {
     } finally merged.unpersist()
   }
 
+  test("knmiObsPublish: concave clip honored, boundary day upserted, registry consistent") {
+    import graft.operators.{Climate, Pipelines}
+    val out = Files.createTempDirectory("graft-knmi").toFile.getAbsolutePath
+    val reg = Pipelines.knmiObsPublish(spark, sf, out).collect()(0)
+    val pub = spark.read.parquet(s"$out/knmi_obs")
+    // registry row matches what landed
+    assert(reg.getAs[String]("collection_id") === "knmi_obs")
+    assert(reg.getAs[Long]("n_rows") === pub.count())
+    // the clip is the real parity test: stations inside the U's notch
+    // (lon in (-145,-135), lat > -60) are excluded even though the
+    // polygon's bounding box contains them
+    val stations = pub.select("station", "lat", "lon").distinct().collect()
+    assert(stations.nonEmpty)
+    stations.foreach { r =>
+      val (lat, lon) = (r.getDouble(1), r.getDouble(2))
+      assert(!(lon > -145.0 && lon < -135.0 && lat > -60.0 && lat < -30.0),
+        s"notch station ${r.getLong(0)} must be clipped")
+      assert(lat > -70.0 && lat < -30.0 && lon > -180.0 && lon < -100.0)
+    }
+    // an events station known to sit in the notch is absent entirely
+    val notch = Tables.events(spark, sf)
+      .select(col("user_id"), Climate.pseudoLat(col("user_id")).as("lat"),
+        Climate.pseudoLon(col("user_id")).as("lon")).distinct()
+      .filter(col("lon") > -145.0 && col("lon") < -135.0 &&
+        col("lat") > -60.0 && col("lat") < -30.0)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(notch.nonEmpty, "test data must exercise the notch")
+    assert(pub.filter(col("station").isin(notch.toSeq: _*)).isEmpty)
+    // boundary-day rows carry the drop's copy; older days the db's;
+    // every (station, ts) key exactly once
+    assert(pub.groupBy("station", "ts").count().filter(col("count") > 1).isEmpty)
+    val days = pub.withColumn("day",
+      date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd"))
+    assert(days.filter(col("day") === "2024-01-28" && col("src") =!= "drop").isEmpty)
+    assert(days.filter(col("day") < "2024-01-28" && col("src") =!= "db").isEmpty)
+  }
+
   private def writeFeatureDrop(path: String, lines: Seq[String]): Unit = {
     new java.io.File(path).mkdirs()
     Files.writeString(java.nio.file.Paths.get(s"$path/part0.jsonl"),
