@@ -190,6 +190,7 @@ object SparkEntry {
     "doc_keywords"    -> TextOps.docKeywords _,
     "pii_scrub"       -> TextOps.piiScrub _,
     "corpus_split"    -> TextOps.corpusSplit _,
+    "corpus_shard_manifest" -> TextOps.corpusShardManifest _,
     "corpus_split_leakage_safe" -> TextOps.corpusSplitSafe _,
     "corpus_rag_chunks" -> TextOps.ragChunks _,
     "pack_sequences"  -> TextOps.packSequences _,
@@ -4647,6 +4648,27 @@ object SparkEntry {
         |SELECT split, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM a GROUP BY 1, 2""".stripMargin,
+
+    // per-term 1e-6 quantization BEFORE the cross-source entropy sum
+    // keeps the float fold order out of the hash
+    "corpus_shard_manifest" ->
+      """WITH s AS (
+        |  SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |      AS BIGINT) % 32 AS shard,
+        |    source, n_chars
+        |  FROM documents),
+        |g AS (
+        |  SELECT shard, source, count(*) AS nd,
+        |    CAST(sum(n_chars) AS BIGINT) AS nc
+        |  FROM s GROUP BY 1, 2)
+        |SELECT shard, CAST(sum(nd) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  count(*) AS n_sources,
+        |  floor((ln(CAST(sum(nd) AS DOUBLE))
+        |    - CAST(sum(CAST(floor(CAST(nd AS DOUBLE) * ln(CAST(nd AS DOUBLE))
+        |        * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / sum(nd))
+        |    * 1e4 + 0.5) / 1e4 AS src_entropy
+        |FROM g GROUP BY 1""".stripMargin,
 
     "corpus_split_leakage_safe" ->
       """WITH RECURSIVE sh AS (

@@ -350,6 +350,47 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
   }
 
+  /** Deterministic training SHARD assignment + per-shard manifest —
+    * the release artifact a large-scale training run reads before
+    * touching data: every document lands in one of [[NShards]] shards
+    * by the same stable md5-prefix rule as [[corpusSplit]] (a new
+    * document never moves existing assignments, so shards are
+    * APPEND-stable across corpus versions), and each shard's manifest
+    * row carries its document/char mass plus the SOURCE-MIX entropy —
+    * the number a curriculum/mixture scheduler needs to verify the
+    * hash actually stratified sources evenly across shards.
+    *
+    * Entropy is exact-integer disciplined: per-(shard, source) counts
+    * are integers, each nd·ln(nd) term is quantized to 1e-6 units
+    * BEFORE the cross-source sum (a raw float sum's merge order is
+    * engine-chosen), and H = ln(N) − Σᵤ/1e6/N divides once. Shape:
+    * elementwise assignment in the scan, one (shard, source) agg with
+    * map-side partials, one O(shards × sources) rollup — zero joins,
+    * zero extra shuffles at any corpus size. */
+  def corpusShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, dir)
+      .select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % NShards).as("shard"),
+        col("source"), col("n_chars"))
+      .groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_chars")).as("nc"))
+    bySrc.groupBy(col("shard"))
+      .agg(sum(col("nd")).as("n_docs"), sum(col("nc")).as("n_chars"),
+        count(lit(1)).as("n_sources"),
+        sum(floor(col("nd").cast("double") * log(col("nd").cast("double"))
+          * 1e6 + 0.5).cast("long")).as("su"))
+      .select(col("shard"), col("n_docs"), col("n_chars"), col("n_sources"),
+        (floor((log(col("n_docs").cast("double"))
+          - col("su").cast("double") / 1e6 / col("n_docs")) * 1e4 + 0.5)
+          / 1e4).as("src_entropy"))
+  }
+
+  /** Shard count of [[corpusShardManifest]] — a training-run constant
+    * (the reference frame is the data-release shard convention, not a
+    * tunable). */
+  val NShards = 32
+
   /** LEAKAGE-SAFE train/val/test split — [[corpusSplit]]'s assignment
     * rule keyed by each document's near-dup CLUSTER anchor instead of
     * its own id: every member of a duplicate cluster hashes the same

