@@ -493,6 +493,72 @@ object EventsPipeline {
       }
   }
 
+  /** One arriving observation (possibly a revision): `seq` is the
+    * delivery sequence — the reference's file-row order made "last"
+    * well-defined; a stream needs it explicit, exactly like the batch
+    * [[graft.sources.Ingest.upsertKeepLast]]. */
+  case class ObsRev(station: Long, ts: java.sql.Timestamp,
+      seq: Long, value: Double)
+  /** Per-(station, obs-time) revision state: the winning delivery and
+    * how many arrivals competed. */
+  case class RevState(seq: Long, value: Double, nArrivals: Int)
+  /** A settled observation: the keep-last winner once the watermark
+    * passed the settle horizon. */
+  case class SettledObs(station: Long, ts: java.sql.Timestamp,
+      value: Double, n_revisions: Int, last_seq: Long)
+
+  /** STREAMING keep-last upsert — the live half of
+    * [[graft.sources.Ingest.upsertKeepLast]] (`georgia_ftp_alazani_
+    * shaqriani_hydro_process.py:201-225`: the scheduled drop
+    * re-delivers already-published timestamps with corrected
+    * readings; keep-last wins). `dropDuplicatesWithinWatermark`
+    * cannot express this — it keeps the FIRST arrival; a revision
+    * stream needs the LAST by delivery sequence, which takes explicit
+    * state: each (station, obs-time) key buffers only the current
+    * winner (highest `seq`; late lower-seq deliveries are counted but
+    * never override), and the settled value emits EXACTLY ONCE when
+    * the event-time timeout fires — the watermark passing
+    * `obs_ts + settle` is the moment no further revision can be
+    * admitted, so downstream sees one immutable row per observation.
+    *
+    * State is one tiny record per in-flight observation inside the
+    * settle horizon — O(rate × settle), the same watermark-bounded
+    * contract as every lane here, and the per-key record never grows
+    * with revision count. */
+  def settledObs(obs: Dataset[ObsRev],
+      settleMinutes: Int = 60): Dataset[SettledObs] = {
+    import obs.sparkSession.implicits._
+    val settleMs = settleMinutes * 60L * 1000L
+    obs
+      .withWatermark("ts", "1 hour")
+      .groupByKey(o => (o.station, o.ts.getTime))
+      .flatMapGroupsWithState[RevState, SettledObs](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, Long), rows: Iterator[ObsRev],
+            state: GroupState[RevState]) =>
+          if (!rows.hasNext) {
+            // timeout: the watermark passed the settle horizon — the
+            // current winner is final
+            val out = state.getOption.map(s =>
+              SettledObs(key._1, new java.sql.Timestamp(key._2),
+                s.value, s.nArrivals - 1, s.seq)).iterator
+            state.remove()
+            out
+          } else {
+            var s = state.getOption.orNull
+            rows.foreach { r =>
+              s = if (s == null) RevState(r.seq, r.value, 1)
+              else if (r.seq > s.seq) RevState(r.seq, r.value, s.nArrivals + 1)
+              else RevState(s.seq, s.value, s.nArrivals + 1)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, key._2 + settleMs))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Watermarked stream-STREAM interval join — two LIVE feeds
     * reconciled in flight: each `click` pairs with the same user's
     * `purchase`s from the preceding hour (the reference reconciles a

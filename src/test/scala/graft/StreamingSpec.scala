@@ -321,6 +321,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("settledObs: keep-last revision wins, late lower-seq ignored, emits once on settle") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[EventsPipeline.ObsRev]
+    val q = EventsPipeline.settledObs(source.toDS())
+      .writeStream.format("memory").queryName("settled")
+      .outputMode("append").start()
+    try {
+      val t0 = t("2024-01-01 10:00:00")
+      // original + revision for station 1; a clean single delivery
+      // for station 2 at the same obs time
+      source.addData(
+        EventsPipeline.ObsRev(1L, t0, 1L, 10.0),
+        EventsPipeline.ObsRev(1L, t0, 3L, 12.0),
+        EventsPipeline.ObsRev(2L, t0, 2L, 20.0))
+      q.processAllAvailable()
+      // a LATE lower-seq delivery must not override the seq-3 winner
+      source.addData(EventsPipeline.ObsRev(1L, t0, 2L, 11.0))
+      q.processAllAvailable()
+      assert(spark.table("settled").count() === 0, "nothing settles inside horizon")
+      // advance the watermark past obs_ts + settle(1h) + watermark(1h)
+      source.addData(EventsPipeline.ObsRev(9L, t("2024-01-01 13:00:00"), 1L, 0.0))
+      q.processAllAvailable()
+      source.addData(EventsPipeline.ObsRev(9L, t("2024-01-01 13:01:00"), 2L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("settled").collect()
+        .map(r => r.getAs[Long]("station") ->
+          ((r.getAs[Double]("value"), r.getAs[Int]("n_revisions"),
+            r.getAs[Long]("last_seq")))).toMap
+      assert(rows(1L) === ((12.0, 3 - 1, 3L)),
+        "station 1: seq-3 revision wins, two competing arrivals counted")
+      assert(rows(2L) === ((20.0, 0, 2L)), "station 2: unrevised passes")
+      // each settled observation emitted exactly once
+      assert(spark.table("settled")
+        .groupBy("station", "ts").count().filter(col("count") > 1).isEmpty)
+    } finally q.stop()
+  }
+
   test("stateful anomalies: running Welford state flags a 3-sigma outlier") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
