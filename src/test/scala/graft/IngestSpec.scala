@@ -128,6 +128,23 @@ class IngestSpec extends SparkSpec {
     assert(days.filter(col("day") < "2024-01-28" && col("src") =!= "db").isEmpty)
   }
 
+  test("plan shapes: upsert is one keyed exchange, reprojection joins nothing") {
+    // the whole upsert (union + keep-last window + filter) rides ONE
+    // hash exchange on the merge key
+    val up = graft.sources.Ingest.obsUpsertMerge(spark, sf)
+    val upPlan = up.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(upPlan).size === 1,
+      s"upsert must shuffle once:\n$upPlan")
+    // the reprojection is pure column math over the station distinct:
+    // no join of any kind in the plan
+    val rp = graft.operators.Geo.stationsReproject(spark, sf)
+    val rpPlan = rp.queryExecution.executedPlan.toString
+    assert(!rpPlan.contains("Join"), s"reprojection must not join:\n$rpPlan")
+    // the landmass clip is elementwise: no join before the merge's
+    // window either (broadcast of the registry row aside)
+    assert(!upPlan.contains("CartesianProduct"))
+  }
+
   private def writeFeatureDrop(path: String, lines: Seq[String]): Unit = {
     new java.io.File(path).mkdirs()
     Files.writeString(java.nio.file.Paths.get(s"$path/part0.jsonl"),
