@@ -162,6 +162,7 @@ object SparkEntry {
     "items_page_cursor"     -> Serving.itemsPageCursor _,
     "features_items"        -> Serving.featuresItems _,
     "features_extent"       -> Serving.featuresExtent _,
+    "station_feature_series" -> Serving.stationFeatureSeries _,
     // --- LLM pipeline: text + exact dedup ------------------------
     "dedup_exact"     -> TextOps.dedupExact _,
     "dedup_report"    -> TextOps.dedupReport _,
@@ -3984,6 +3985,30 @@ object SparkEntry {
         |FROM base, LATERAL unnest(generate_series(from_ts, now_ts - step, step)) AS t(ts)
         |WHERE t.ts + step <= now_ts
         |ORDER BY pipeline, tick_start""".stripMargin,
+
+    // per-station feature assembly: each (var, model) series joins as
+    // an integer-cents string property; empty combos are '' on both
+    // sides (FILTERed DuckDB lists are NULL on empty → coalesce)
+    "station_feature_series" -> {
+      val combos = graft.operators.Serving.SeriesCombos.map { case (v, m) =>
+        s"coalesce(array_to_string(list(CAST(c AS VARCHAR) ORDER BY day) " +
+          s"FILTER (WHERE var = '$v' AND model = '$m'), ','), '') AS ${v}_$m"
+      }.mkString(",\n        |  ")
+      s"""WITH daily AS (
+        |  SELECT user_id AS station, event_type AS var,
+        |    CASE WHEN event_id % 2 = 0 THEN 'ec' ELSE 'mf' END AS model,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT station,
+        |  (station % 72) * 5.0 - 177.5 AS lon,
+        |  (station % 36) * 5.0 - 87.5 AS lat,
+        |  array_to_string(list_sort(list(DISTINCT day)), ',') AS time,
+        |  $combos
+        |FROM daily GROUP BY 1""".stripMargin
+    },
 
     // keep-last upsert: batch side wins on (station, ts) collision,
     // larger event_id breaks ties within a side

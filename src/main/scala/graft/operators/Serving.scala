@@ -172,4 +172,54 @@ object Serving {
     val (good, _) = Features.splitGeomQuarantine(Features.normalize(drop))
     Features.extent(good, "features")
   }
+
+  /** The (variable, model) pairs a seasonal-forecast drop carries —
+    * one NetCDF per pair in the reference; a constant of the forecast
+    * system, literal in both engines. */
+  val SeriesCombos: Seq[(String, String)] =
+    Seq(("view", "ec"), ("view", "mf"), ("click", "ec"), ("click", "mf"))
+
+  /** Multi-(variable, model) station-feature assembly
+    * (`ingestor_smhi_process_vector.py:186-210` `_process_feature`:
+    * each per-NetCDF `{var}_{model}` time series attaches as a
+    * property of the station's ONE point feature — first series
+    * creates the feature, later ones merge onto it by id). In
+    * DataFrame terms that merge-by-id loop is a grouped PIVOT over
+    * the literal combo set: one (station, var, model, day) daily
+    * aggregation, then one station group emitting each combo's
+    * day-ordered series — two exchanges total regardless of combo
+    * count (the reference's per-file feature-list scan is O(files ×
+    * stations)).
+    *
+    * Series render as comma-joined INTEGER cents ordered by day
+    * (exact and engine-identical — float→string formatting is not
+    * portable, integers are), with the station's own day axis as the
+    * shared `time` property, exactly the feature-properties shape the
+    * reference writes. */
+  def stationFeatureSeries(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isin(SeriesCombos.map(_._1).distinct: _*))
+      .select(col("user_id").as("station"),
+        col("event_type").as("var"),
+        when(col("event_id") % 2 === 0, "ec").otherwise("mf").as("model"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("station"), col("var"), col("model"), col("day"))
+      .agg(floor(sum(col("cents")).cast("double") / count(lit(1)) + 0.5)
+        .cast("long").as("c"))
+    val comboCols = SeriesCombos.map { case (v, m) =>
+      array_join(transform(
+        array_sort(collect_list(when(col("var") === v && col("model") === m,
+          struct(col("day"), col("c"))))),
+        s => s.getField("c").cast("string")), ",").as(s"${v}_$m")
+    }
+    daily.groupBy(col("station"))
+      .agg(array_join(sort_array(collect_set(col("day"))), ",").as("time"),
+        comboCols: _*)
+      .select(Seq(col("station"),
+        graft.operators.Climate.pseudoLon(col("station")).as("lon"),
+        graft.operators.Climate.pseudoLat(col("station")).as("lat"),
+        col("time")) ++ SeriesCombos.map { case (v, m) =>
+          col(s"${v}_$m") }: _*)
+  }
 }

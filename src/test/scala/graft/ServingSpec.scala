@@ -92,4 +92,38 @@ class ServingSpec extends SparkSpec {
       assert(x >= 0 && x < m && y >= 0 && y < m)
     }
   }
+
+  test("stationFeatureSeries: one feature per station, series merge by combo, day-ordered") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Serving.stationFeatureSeries(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type"),
+        when(col("event_id") % 2 === 0, "ec").otherwise("mf").as("model"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // one feature per station that has any view/click observation
+    assert(out.keySet === ev.map(_._1).toSet)
+    // a probed combo series equals the independent recompute,
+    // day-ordered, integer cents
+    val probe = out.keys.head
+    def series(v: String, m: String): String =
+      ev.filter(e => e._1 == probe && e._2 == v && e._3 == m)
+        .groupBy(_._4).toSeq.sortBy(_._1)
+        .map { case (_, es) =>
+          math.floor(es.map(_._5).sum.toDouble / es.length + 0.5).toLong }
+        .mkString(",")
+    val r = out(probe)
+    assert(r.getString(4) === series("view", "ec"), "view_ec")
+    assert(r.getString(5) === series("view", "mf"), "view_mf")
+    assert(r.getString(6) === series("click", "ec"), "click_ec")
+    assert(r.getString(7) === series("click", "mf"), "click_mf")
+    // the shared time axis is the station's sorted distinct days
+    assert(r.getString(3) ===
+      ev.filter(_._1 == probe).map(_._4).distinct.sorted.mkString(","))
+  }
 }
