@@ -1120,7 +1120,13 @@ object Climate {
     * (station group, ensemble member), fit on the first half of the
     * span (hindcast 'click' vs observed 'view'), applied to
     * second-half forecasts — late values outside the fitted range
-    * exercise the constant-extrapolation branches. */
+    * exercise the constant-extrapolation branches. The composite key
+    * is the same seam the reference's seasonal corrector keys its
+    * param tables by — (initmonth, leadtime, lat, lon, variable) in
+    * `georgia_cds_bias_correction_process.py:352-376`
+    * `apply_bias_factors` (its fc-CDF → standard-normal bridge →
+    * obs-PPF chain is numerically plain quantile mapping: the
+    * norm.ppf∘norm.cdf round-trip is identity). */
   def biasQmapKey(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .withColumn("grp", col("user_id") % 20)
