@@ -192,6 +192,7 @@ object SparkEntry {
     "pii_scrub"       -> TextOps.piiScrub _,
     "corpus_split"    -> TextOps.corpusSplit _,
     "corpus_shard_manifest" -> TextOps.corpusShardManifest _,
+    "corpus_curriculum_order" -> TextOps.corpusCurriculumOrder _,
     "corpus_split_leakage_safe" -> TextOps.corpusSplitSafe _,
     "corpus_rag_chunks" -> TextOps.ragChunks _,
     "pack_sequences"  -> TextOps.packSequences _,
@@ -316,6 +317,26 @@ object SparkEntry {
     * row_number() — DuckDB inlines the CTE at each of its four
     * references and would re-number in nondeterministic order,
     * misaligning the joins). */
+  /** The text_quality oracle body — factored out because the
+    * curriculum-order query consumes the quality score (composition
+    * mirrored on both sides). */
+  private val textQualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars, text,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents
+      |), u AS (SELECT doc_id, n_chars, text, toks, len(toks) AS n_tokens FROM t)
+      |SELECT doc_id,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  round((len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a')))
+      |    / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+      |  round(len(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(n_chars AS DOUBLE), 4) AS digit_ratio,
+      |  round((n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), 4) AS mean_token_len,
+      |  round(least(1.0, n_tokens / 100.0)
+      |    * (1.0 - round((len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a')))
+      |                   / CAST(n_tokens AS DOUBLE), 4)), 4) AS quality_score
+      |FROM u""".stripMargin
+
   /** The forecast_deficit_bands oracle body — factored out because
     * the rijnland weekly product consumes the q50 band as its input
     * (composition mirrored on both sides). */
@@ -4294,22 +4315,22 @@ object SparkEntry {
         |  round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 4) AS rate
         |FROM cm""".stripMargin,
 
-    "text_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id, n_chars, text,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        |  FROM documents
-        |), u AS (SELECT doc_id, n_chars, text, toks, len(toks) AS n_tokens FROM t)
-        |SELECT doc_id,
-        |  CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  round((len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a')))
-        |    / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
-        |  round(len(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(n_chars AS DOUBLE), 4) AS digit_ratio,
-        |  round((n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), 4) AS mean_token_len,
-        |  round(least(1.0, n_tokens / 100.0)
-        |    * (1.0 - round((len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a')))
-        |                   / CAST(n_tokens AS DOUBLE), 4)), 4) AS quality_score
-        |FROM u""".stripMargin,
+    "text_quality" -> textQualitySql,
+
+    // curriculum order: quality-descending rank + running token
+    // budget inside each md5 shard, deterministic doc_id tiebreak
+    "corpus_curriculum_order" ->
+      s"""WITH q AS ($textQualitySql),
+        |s AS (
+        |  SELECT doc_id, n_tokens, quality_score,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |      AS BIGINT) % 32 AS shard
+        |  FROM q)
+        |SELECT shard, row_number() OVER w AS position,
+        |  doc_id, quality_score, n_tokens,
+        |  CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens
+        |FROM s WINDOW w AS (PARTITION BY shard
+        |  ORDER BY quality_score DESC, doc_id)""".stripMargin,
 
     // integer cross-multiplied thresholds — no ratio ever computed in
     // floats before a comparison

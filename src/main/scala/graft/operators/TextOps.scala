@@ -391,6 +391,31 @@ object TextOps {
     * tunable). */
   val NShards = 32
 
+  /** Curriculum TRAINING ORDER — the per-shard data-order artifact a
+    * quality-curriculum loader consumes: inside each
+    * [[corpusShardManifest]] shard, documents rank highest
+    * [[textQuality]] score first (clean-data-first curricula) with a
+    * deterministic doc_id tiebreak, and `cum_tokens` carries the
+    * running token budget so a loader can resume mid-shard at any
+    * token offset without rescanning. Shape: the quality scan is
+    * elementwise, then ONE window exchange on the shard key carries
+    * both the rank and the running sum (same sort, two frames) —
+    * shards are hash-balanced so the window partitions are too. */
+  def corpusCurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    textQuality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % NShards)
+      .select(col("shard"), row_number().over(w).as("position"),
+        col("doc_id"), col("quality_score"), col("n_tokens"),
+        sum(col("n_tokens")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).as("cum_tokens"))
+  }
+
   /** LEAKAGE-SAFE train/val/test split — [[corpusSplit]]'s assignment
     * rule keyed by each document's near-dup CLUSTER anchor instead of
     * its own id: every member of a duplicate cluster hashes the same

@@ -656,6 +656,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got.size >= 20, s"only ${got.size} shards populated")
   }
 
+  test("corpus_curriculum_order: quality-desc rank, dense positions, exact token budget") {
+    val rows = TextOps.corpusCurriculumOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // positions are dense 1..n
+      assert(sorted.map(_._2).toSeq === (1 to rs.length).toSeq, s"shard $shard")
+      // order is quality desc with doc_id tiebreak
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+            s"shard $shard order at pos ${a._2}")
+        case _ =>
+      }
+      // cum_tokens is the exact running prefix sum
+      assert(sorted.map(_._5).scanLeft(0L)(_ + _).tail.toSeq
+        === sorted.map(_._6).toSeq, s"shard $shard budget")
+    }
+    // the total corpus is covered exactly once
+    assert(rows.map(_._3).distinct.length === rows.length)
+    assert(rows.length ===
+      Tables.documents(spark, sf).count().toInt)
+  }
+
   test("pii_scrub: planted PII redacts with exact counts, clean rows pass byte-identical") {
     val out = SparkEntry.queries("pii_scrub")(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
