@@ -24,12 +24,17 @@ class GeoSpec extends SparkSpec {
 
   test("forward∘inverse round-trip closes within 2 cm over the zone") {
     import spark.implicits._
-    // a grid spanning the usable zone-30 envelope
-    val grid = for {
+    // a coarse corner grid plus a seeded 400-point pseudorandom sweep
+    // of the usable zone-30 envelope (fixed stream — no flakiness)
+    val corners = for {
       e <- Seq(200000.0, 350000.0, 500000.0, 650000.0, 800000.0)
       n <- Seq(1000000.0, 3000000.0, 4200000.0, 6000000.0)
     } yield (e, n)
-    val df = grid.toDF("easting", "northing")
+    val rnd = new scala.util.Random(42)
+    val sweep = Seq.fill(400)(
+      (200000.0 + rnd.nextDouble() * 600000.0,
+        1000000.0 + rnd.nextDouble() * 5000000.0))
+    val df = (corners ++ sweep).toDF("easting", "northing")
     val (lon, lat) = Geo.utmToLonLat(col("easting"), col("northing"))
     val ll = df.select(col("easting"), col("northing"),
       lon.as("lon"), lat.as("lat"))
