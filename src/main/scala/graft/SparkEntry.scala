@@ -238,6 +238,7 @@ object SparkEntry {
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
     "multimodal_stats"    -> Multimodal.mediaStats _,
     "multimodal_dedup"    -> Multimodal.payloadDedup _,
+    "multimodal_resample" -> Multimodal.payloadResample _,
   )
 
   /** SQL for one simple ring's even-odd ray-casting point-in-polygon
@@ -1032,6 +1033,29 @@ object SparkEntry {
     // rationals), and the entropy/bin sums are the disclosed
     // float-residual class (order-differing reductions absorbed by
     // the 1e-4 quantization)
+    // 64 generated hex-pair slices at ⌊i·n/64⌋ — the identical
+    // position arithmetic as the Spark plan, byte-exact via hex
+    "multimodal_resample" -> {
+      val n = graft.operators.Multimodal.ResampleN
+      val hexTerms = (0 until n)
+        .map(i => s"substr(hx, 2 * (($i * n) // $n) + 1, 2)")
+        .mkString(" || ")
+      val valTerms = (0 until n)
+        .map(i => s"('0x' || substr(hx, 2 * (($i * n) // $n) + 1, 2))::BIGINT")
+        .mkString("\n        |    + ")
+      s"""WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |      ELSE 'wav' END AS format,
+        |    hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0)
+        |SELECT doc_id, format, CAST(n AS BIGINT) AS n_bytes,
+        |  md5($hexTerms) AS resample_fp,
+        |  floor(CAST($valTerms AS DOUBLE) / $n * 1e4 + 0.5) / 1e4
+        |    AS mean_sample
+        |FROM raw""".stripMargin
+    },
+
     "multimodal_features" ->
       """WITH raw AS (
         |  SELECT doc_id,

@@ -119,6 +119,42 @@ object Multimodal {
         col("features")(0).as("f0"), col("features")(7).as("f7"))
   }
 
+  /** Fixed-length RESAMPLE of the payload byte stream — the
+    * audio-resample / thumbnail-downsample plumbing of the multimodal
+    * lane: every payload re-samples to exactly [[ResampleN]] evenly
+    * spaced byte positions p(i) = ⌊i·n/N⌋ (downsample when n > N,
+    * repeat-upsample when shorter — the nearest-neighbor rule), and
+    * the row carries the resampled fingerprint (md5 over the sampled
+    * hex pairs) plus the mean sampled amplitude. A real codec swaps
+    * byte-at-position for sample-at-timestamp at the same seam; the
+    * POSITION arithmetic, fixed output shape and scan-stage execution
+    * are the real contract.
+    *
+    * Entirely UDF-free: the 64 sampled bytes are 64 generated
+    * `substring` slices of the binary column, hex-paired and folded
+    * in the SAME codegen stage — no explode, no shuffle, no
+    * per-element lambda (the interpreted-HOF trap); a 100 TB media
+    * table resamples at scan speed. */
+  def payloadResample(spark: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(spark, dir)
+      .withColumn("n", length(col("payload")).cast("long"))
+      .filter(col("n") > 0)
+    def slice(i: Int) =
+      expr(s"substring(payload, CAST(($i * n) div $ResampleN AS INT) + 1, 1)")
+    val hexTerms = (0 until ResampleN).map(i => hex(slice(i)))
+    val vals = (0 until ResampleN).map(i =>
+      conv(hex(slice(i)), 16, 10).cast("long"))
+    m.select(col("doc_id"), col("meta.format").as("format"),
+      col("n").as("n_bytes"),
+      md5(concat(hexTerms: _*)).as("resample_fp"),
+      (floor(vals.reduce(_ + _).cast("double") / ResampleN * 1e4 + 0.5)
+        / 1e4).as("mean_sample"))
+  }
+
+  /** Output length of [[payloadResample]] — a pipeline constant (the
+    * fixed feature-frame size downstream models consume). */
+  val ResampleN = 64
+
   /** Per-declared-format PAYLOAD PROFILE — the decoder-ROUTING audit
     * an ingest runs before any decode is attempted: asset counts,
     * byte-size envelope, and how many distinct leading magic

@@ -500,6 +500,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multimodal_resample: nearest-neighbor positions, fixed shape, byte-exact fp") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = SparkEntry.queries("multimodal_resample")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    assert(got.size === docs.count(_.getString(1).nonEmpty))
+    docs.take(10).foreach { d =>
+      val (id, text) = (d.getLong(0), d.getString(1))
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
+      // the exact nearest-neighbor rule: p(i) = floor(i*n/64)
+      val sampled = (0 until 64).map(i => bytes((i * n / 64).toInt))
+      val hexStr = sampled.map(b => "%02X".format(b & 0xff)).mkString
+      val r = got(id)
+      assert(r.getAs[Long]("n_bytes") === n.toLong)
+      assert(r.getAs[String]("resample_fp") === md5hex(hexStr), s"doc $id fp")
+      val mean = sampled.map(_ & 0xff).sum.toDouble / 64
+      assert(r.getAs[Double]("mean_sample")
+        === math.floor(mean * 1e4 + 0.5) / 1e4, s"doc $id mean")
+    }
+    // short payloads upsample by repetition — still exactly 64 samples,
+    // mean equals the byte mix the repetition implies
+    import spark.implicits._
+    val tiny = Seq((1L, Array[Byte](10, 20),
+      graft.operators.MediaMeta("wav", 1, 1))).toDF("doc_id", "payload", "meta")
+    val hexes = (0 until 64).map { i =>
+      org.apache.spark.sql.functions.hex(
+        org.apache.spark.sql.functions.expr(
+          s"substring(payload, CAST(($i * 2) div 64 AS INT) + 1, 1)"))
+    }
+    val fp = tiny.select(org.apache.spark.sql.functions.md5(
+      org.apache.spark.sql.functions.concat(hexes: _*))).collect()(0).getString(0)
+    // p(i) = 0 for i<32, 1 for i>=32 -> 32 copies of each byte
+    assert(fp === md5hex("0A" * 32 + "14" * 32))
+  }
+
   test("embedding_outliers: distances match local recomputation, gate at 1.05x mean") {
     val labels = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label")).collect()
