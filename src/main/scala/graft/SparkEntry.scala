@@ -59,6 +59,7 @@ object SparkEntry {
     "ts_lttb_downsample"     -> TimeSeries.lttbDownsample _,
     "ts_trend"               -> TimeSeries.trend _,
     "ts_theil_sen"           -> TimeSeries.theilSen _,
+    "ts_hurst"               -> TimeSeries.tsHurst _,
     "ts_benford"             -> TimeSeries.benfordScreen _,
     "ts_mann_kendall"        -> TimeSeries.mannKendall _,
     "ts_seasonal_mk"         -> TimeSeries.seasonalMannKendall _,
@@ -140,6 +141,7 @@ object SparkEntry {
     "grid_coarsen"          -> Climate.gridCoarsen _,
     "grid_pyramid"          -> Climate.gridPyramid _,
     "grid_gradient"         -> Climate.gridGradient _,
+    "grid_curvature"        -> Climate.gridCurvature _,
     "grid_hillshade"        -> Climate.gridHillshade _,
     "grid_flow_dir"         -> Climate.gridFlowDir _,
     "grid_flow_acc"         -> Climate.gridFlowAcc _,
@@ -1554,6 +1556,68 @@ object SparkEntry {
 
     // daily means are exact rationals (cent sums / count), each pair
     // slope one IEEE division, and the median is an ORDER STATISTIC —
+    // exact-integer R/S identity per block (mean subtraction and the
+    // std division cancel into integer operands); dyadic-ladder slope
+    // collapses to (ln rs16 - ln rs4) / (2 ln 2)
+    "ts_hurst" -> {
+      val twoLn2 = 2.0 * math.log(2.0)
+      s"""WITH d AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ix AS (
+        |  SELECT user_id, c,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS i
+        |  FROM d),
+        |e AS (
+        |  SELECT user_id, c, i, m.m, (i - 1) // m.m AS blk
+        |  FROM ix CROSS JOIN (VALUES (4), (8), (16)) m(m)),
+        |s AS (
+        |  SELECT user_id, m, blk, i, c,
+        |    row_number() OVER wo AS jj,
+        |    sum(c) OVER (wo ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum,
+        |    count(*) OVER wa AS n,
+        |    sum(c) OVER wa AS tot,
+        |    sum(c * c) OVER wa AS s2
+        |  FROM e
+        |  WINDOW wo AS (PARTITION BY user_id, m, blk ORDER BY i),
+        |    wa AS (PARTITION BY user_id, m, blk ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |w3 AS (
+        |  SELECT user_id, m, blk, jj, n, tot, s2,
+        |    max(n * cum - jj * tot) OVER wa AS wmax,
+        |    min(n * cum - jj * tot) OVER wa AS wmin
+        |  FROM s
+        |  WINDOW wa AS (PARTITION BY user_id, m, blk ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |b AS (
+        |  SELECT user_id, m,
+        |    CAST(floor(CAST(wmax - wmin AS DOUBLE)
+        |      / sqrt(CAST(n * s2 - tot * tot AS DOUBLE)) * 1e6 + 0.5)
+        |      AS BIGINT) AS rs_u
+        |  FROM w3
+        |  WHERE jj = n AND n = m AND n * s2 - tot * tot > 0),
+        |p AS (
+        |  SELECT user_id, m, count(*) AS n_blocks,
+        |    CAST(sum(rs_u) AS DOUBLE) / count(*) / 1e6 AS mean_rs
+        |  FROM b GROUP BY 1, 2)
+        |SELECT user_id,
+        |  floor(min(CASE WHEN m = 4 THEN mean_rs END) * 1e4 + 0.5) / 1e4
+        |    AS rs4,
+        |  floor(min(CASE WHEN m = 8 THEN mean_rs END) * 1e4 + 0.5) / 1e4
+        |    AS rs8,
+        |  floor(min(CASE WHEN m = 16 THEN mean_rs END) * 1e4 + 0.5) / 1e4
+        |    AS rs16,
+        |  CASE WHEN min(CASE WHEN m = 4 THEN mean_rs END) > 0
+        |        AND min(CASE WHEN m = 16 THEN mean_rs END) > 0
+        |    THEN floor((ln(min(CASE WHEN m = 16 THEN mean_rs END))
+        |      - ln(min(CASE WHEN m = 4 THEN mean_rs END)))
+        |      / $twoLn2 * 1e4 + 0.5) / 1e4
+        |  END AS hurst
+        |FROM p GROUP BY 1""".stripMargin
+    },
+
     // partition order can't reach it the way it reaches a sum
     "ts_theil_sen" ->
       """WITH daily AS (
@@ -3785,6 +3849,30 @@ object SparkEntry {
         |      THEN CASE WHEN yp.v_us - ym.v_us > 0 THEN 'NE' ELSE 'SE' END
         |    ELSE CASE WHEN yp.v_us - ym.v_us > 0 THEN 'NW' ELSE 'SW' END
         |  END AS aspect
+        |FROM c
+        |JOIN c xp ON xp.gy = c.gy AND xp.gx = c.gx + 1
+        |JOIN c xm ON xm.gy = c.gy AND xm.gx = c.gx - 1
+        |JOIN c yp ON yp.gy = c.gy + 1 AND yp.gx = c.gx
+        |JOIN c ym ON ym.gy = c.gy - 1 AND ym.gx = c.gx""".stripMargin,
+
+    // central second differences on exact micro-units; 'flat' is a
+    // bit-exact zero class, not a tolerance
+    "grid_curvature" ->
+      """WITH c AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2)
+        |SELECT c.gy, c.gx,
+        |  CAST(xp.v_us - c.v_us * 2 + xm.v_us AS DOUBLE) / 1e6 AS d2zdx2,
+        |  CAST(yp.v_us - c.v_us * 2 + ym.v_us AS DOUBLE) / 1e6 AS d2zdy2,
+        |  CAST((xp.v_us - c.v_us * 2 + xm.v_us)
+        |    + (yp.v_us - c.v_us * 2 + ym.v_us) AS DOUBLE) / 1e6 AS laplacian,
+        |  CASE WHEN (xp.v_us - c.v_us * 2 + xm.v_us)
+        |           + (yp.v_us - c.v_us * 2 + ym.v_us) > 0 THEN 'concave'
+        |       WHEN (xp.v_us - c.v_us * 2 + xm.v_us)
+        |           + (yp.v_us - c.v_us * 2 + ym.v_us) < 0 THEN 'convex'
+        |       ELSE 'flat' END AS landform
         |FROM c
         |JOIN c xp ON xp.gy = c.gy AND xp.gx = c.gx + 1
         |JOIN c xm ON xm.gy = c.gy AND xm.gx = c.gx - 1

@@ -1988,6 +1988,38 @@ object Climate {
           .as("aspect"))
   }
 
+  /** Terrain CURVATURE per interior cell — the second-derivative
+    * member of the raster-derivative family ([[gridGradient]] is the
+    * first; `gdaldem` and every terrain toolkit ship both): central
+    * second differences d²z/dx² = z(x+1) − 2z + z(x−1) (and the y
+    * twin) on the SAME pinned O(cells) table and the same four
+    * AQE-broadcast shifted-key joins, Laplacian = their sum, and the
+    * landform class a drainage analysis reads (Laplacian > 0 ⇒
+    * locally concave/accumulating, < 0 ⇒ convex/shedding — the
+    * companion signal to [[gridFlowAcc]]). All differences are exact
+    * integer micro-units; zero is exactly representable so 'flat' is
+    * a bit-exact class, not a tolerance. */
+  def gridCurvature(spark: SparkSession, dir: String): DataFrame = {
+    val cells = gridCells(spark, dir)
+    def at(dy: Int, dx: Int, name: String) =
+      cells.select((col("gy") - dy).as("gy"), (col("gx") - dx).as("gx"),
+        col("v_us").as(name))
+    val d2x = col("vxp") - col("v_us") * 2 + col("vxm")
+    val d2y = col("vyp") - col("v_us") * 2 + col("vym")
+    cells
+      .join(at(0, 1, "vxp"), Seq("gy", "gx"))
+      .join(at(0, -1, "vxm"), Seq("gy", "gx"))
+      .join(at(1, 0, "vyp"), Seq("gy", "gx"))
+      .join(at(-1, 0, "vym"), Seq("gy", "gx"))
+      .select(col("gy"), col("gx"),
+        (d2x.cast("double") / 1e6).as("d2zdx2"),
+        (d2y.cast("double") / 1e6).as("d2zdy2"),
+        ((d2x + d2y).cast("double") / 1e6).as("laplacian"),
+        when(d2x + d2y > 0, "concave")
+          .when(d2x + d2y < 0, "convex")
+          .otherwise("flat").as("landform"))
+  }
+
   /** FREEZE–THAW CYCLE census — the infrastructure/agronomy
     * companion of the [[snowPackDdm]] lane (pavement damage, frost
     * heave, bud kill all scale with how often a site CROSSES the

@@ -1972,4 +1972,85 @@ object TimeSeries {
         date_format(col("d"), "yyyy-MM-dd").as("day"),
         col("filled").as("value_ffill"))
   }
+
+  /** Block sizes of the [[tsHurst]] rescaled-range ladder — dyadic,
+    * literal in both engines; H is the log-log slope across them. */
+  val HurstSizes: Seq[Int] = Seq(4, 8, 16)
+
+  /** HURST EXPONENT by rescaled-range (R/S) analysis — the
+    * long-memory statistic Hurst derived FROM Nile streamflow
+    * (Hurst 1951; the canonical hydrology persistence measure:
+    * H > ½ ⇒ wet years cluster, reservoir design changes): per
+    * station, daily totals chunk into dyadic blocks of m ∈
+    * [[HurstSizes]]; each complete block's range-of-cumulative-
+    * deviations over its std reduces to the EXACT-integer identity
+    *   R/S = (max−min)(m·cum_j − j·tot) / √(m·Σx² − tot²)
+    * (both operands integer cents — the mean subtraction and the
+    * std's division cancel, so the only floats are one sqrt and one
+    * division per block, order-free); per-block R/S quantizes to
+    * 1e-6 units BEFORE the cross-block mean. With the dyadic ladder
+    * the least-squares log-log slope collapses to the closed form
+    *   H = (ln⟨R/S⟩₁₆ − ln⟨R/S⟩₄) / (2·ln 2)
+    * (x̄ = ln 8 and the midpoint drops out) — rendered identically
+    * in the oracle.
+    *
+    * Shape at scale: everything after the daily reduction operates
+    * on the O(stations × days × |sizes|) table; the block windows
+    * partition by (station, m, block) — a refinement of the station
+    * key — and the final pivot is one bounded agg to O(stations)
+    * rows. Constant-series blocks (S = 0) are excluded; a station
+    * missing either end of the ladder reports a null H. */
+  def tsHurst(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("c"))
+    val wIdx = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val indexed = daily
+      .select(col("user_id"), col("c"),
+        row_number().over(wIdx).as("i"))
+      .select(col("user_id"), col("c"), col("i"),
+        explode(array(HurstSizes.map(lit): _*)).as("m"))
+      .withColumn("blk", expr("(i - 1) div m"))
+    val wBlk = Window.partitionBy(col("user_id"), col("m"), col("blk"))
+      .orderBy(col("i"))
+    val wAll = wBlk.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val scored = indexed
+      .withColumn("jj", row_number().over(wBlk))
+      .withColumn("cum", sum(col("c")).over(wBlk.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .withColumn("s2", sum(col("c") * col("c")).over(wAll))
+      .withColumn("wm", col("n") * col("cum") - col("jj") * col("tot"))
+      .withColumn("wmax", max(col("wm")).over(wAll))
+      .withColumn("wmin", min(col("wm")).over(wAll))
+      // one representative row per COMPLETE block with spread
+      .filter(col("jj") === col("n") && col("n") === col("m") &&
+        col("n") * col("s2") - col("tot") * col("tot") > 0)
+      .withColumn("rs_u",
+        floor((col("wmax") - col("wmin")).cast("double")
+          / sqrt((col("n") * col("s2") - col("tot") * col("tot"))
+            .cast("double")) * 1e6 + 0.5).cast("long"))
+    val perSize = scored.groupBy(col("user_id"), col("m"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("rs_u")).as("su"))
+      .withColumn("mean_rs",
+        col("su").cast("double") / col("n_blocks") / 1e6)
+    val lo = HurstSizes.head
+    val hi = HurstSizes.last
+    perSize.groupBy(col("user_id"))
+      .agg(
+        min(when(col("m") === lo, col("mean_rs"))).as("rs_lo"),
+        min(when(col("m") === HurstSizes(1), col("mean_rs"))).as("rs_mid"),
+        min(when(col("m") === hi, col("mean_rs"))).as("rs_hi"))
+      .select(col("user_id"),
+        (floor(col("rs_lo") * 1e4 + 0.5) / 1e4).as("rs4"),
+        (floor(col("rs_mid") * 1e4 + 0.5) / 1e4).as("rs8"),
+        (floor(col("rs_hi") * 1e4 + 0.5) / 1e4).as("rs16"),
+        when(col("rs_lo") > 0 && col("rs_hi") > 0,
+          floor((log(col("rs_hi")) - log(col("rs_lo")))
+            / lit(2.0 * math.log(2.0)) * 1e4 + 0.5) / 1e4)
+          .as("hurst"))
+  }
 }

@@ -146,6 +146,38 @@ class ClimateSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("grid_curvature: interior cells only, Laplacian identity, sign classes exact") {
+    // sf0.01: the 8x8 grid needs interior cells (grid_gradient's spec
+    // rationale — sf0.001 only populates two columns)
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("grid_curvature")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // interior of the 8x8 grid: 36 cells
+    assert(out.size === 36)
+    assert(out.keys.forall { case (gy, gx) =>
+      gy >= 1 && gy <= 6 && gx >= 1 && gx <= 6 })
+    out.values.foreach { r =>
+      val (d2x, d2y, lap) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(d2x + d2y - lap) < 1e-9, "Laplacian = d2x + d2y")
+      val cls = r.getString(5)
+      if (lap > 0) assert(cls === "concave")
+      else if (lap < 0) assert(cls === "convex")
+      else assert(cls === "flat")
+    }
+    // one cell against an independent recompute from raw events
+    val cells = Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (gy, gx) = (3L, 3L)
+    val expect = (cells((gy, gx + 1)) - 2 * cells((gy, gx)) + cells((gy, gx - 1))
+      + cells((gy + 1, gx)) - 2 * cells((gy, gx)) + cells((gy - 1, gx)))
+      .toDouble / 1e6
+    assert(math.abs(out((gy, gx)).getDouble(4) - expect) < 1e-9)
+  }
+
   test("rijn_deficit_weekly: sunday anchors, masked max vs recompute, last sunday dropped") {
     val out = Climate.rijnDeficitWeekly(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap

@@ -1291,4 +1291,55 @@ class TimeSeriesSpec extends SparkSpec {
       assert(byRank.head._3 === alldays.min && byRank.last._3 === alldays.max)
     }
   }
+
+  test("ts_hurst: exact R/S recompute per station, dyadic closed-form slope") {
+    val out = SparkEntry.queries("ts_hurst")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // independent Scala recompute of the whole ladder for every station
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byStation = daily.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.sortBy(_._2).map(_._3)
+    }
+    assert(out.keySet === byStation.keySet)
+    byStation.foreach { case (u, xs) =>
+      def meanRs(m: Int): Option[Double] = {
+        val blocks = xs.grouped(m).filter(_.length == m).flatMap { b =>
+          val tot = b.sum
+          val s2 = b.map(x => x * x).sum
+          val denom = m.toLong * s2 - tot * tot
+          if (denom <= 0) None
+          else {
+            val wms = b.scanLeft(0L)(_ + _).tail.zipWithIndex.map {
+              case (cum, j) => m * cum - (j + 1) * tot
+            }
+            val rsU = math.floor((wms.max - wms.min).toDouble /
+              math.sqrt(denom.toDouble) * 1e6 + 0.5).toLong
+            Some(rsU)
+          }
+        }.toSeq
+        if (blocks.isEmpty) None
+        else Some(blocks.sum.toDouble / blocks.length / 1e6)
+      }
+      val r = out(u)
+      def q4(v: Double) = math.floor(v * 1e4 + 0.5) / 1e4
+      (Seq(4, 8, 16) zip Seq(1, 2, 3)).foreach { case (m, idx) =>
+        meanRs(m) match {
+          case Some(v) => assert(r.getDouble(idx) === q4(v), s"station $u m=$m")
+          case None    => assert(r.isNullAt(idx), s"station $u m=$m null")
+        }
+      }
+      (meanRs(4), meanRs(16)) match {
+        case (Some(a), Some(b)) if a > 0 && b > 0 =>
+          val h = q4((math.log(b) - math.log(a)) / (2.0 * math.log(2.0)))
+          assert(r.getDouble(4) === h, s"station $u hurst")
+          // R/S analysis on a real bounded series lands in sane territory
+          assert(h > -0.5 && h < 1.5, s"station $u hurst range $h")
+        case _ => assert(r.isNullAt(4))
+      }
+    }
+  }
 }
