@@ -60,6 +60,7 @@ object SparkEntry {
     "ts_trend"               -> TimeSeries.trend _,
     "ts_theil_sen"           -> TimeSeries.theilSen _,
     "ts_hurst"               -> TimeSeries.tsHurst _,
+    "ts_spectral_entropy"    -> TimeSeries.spectralEntropy _,
     "ts_benford"             -> TimeSeries.benfordScreen _,
     "ts_mann_kendall"        -> TimeSeries.mannKendall _,
     "ts_seasonal_mk"         -> TimeSeries.seasonalMannKendall _,
@@ -375,6 +376,40 @@ object SparkEntry {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE)
       |    / 100.0 + 0.5) / 1e4 AS deficit
       |FROM s""".stripMargin
+
+  /** The ts_periodogram oracle body — factored out because the
+    * spectral-entropy query consumes the power table (composition
+    * mirrored on both sides). */
+  private def pgramSql: String =
+    s"""WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT user_id, CAST(sum(sc) AS DOUBLE) / (sum(cnt) * 100.0) AS ybar
+        |  FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT d.user_id, d.x,
+        |    (CAST(d.sc AS DOUBLE) / (d.cnt * 100.0)) - s.ybar AS dev
+        |  FROM daily d JOIN stats s ON d.user_id = s.user_id),
+        |wt(period, r, cw, sw) AS (VALUES $pgramWeightRows),
+        |agg AS (
+        |  SELECT v.user_id, w.period,
+        |    count(*) AS n_days,
+        |    CAST(sum(CAST(floor(v.dev * w.cw * 1e6 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c_u,
+        |    CAST(sum(CAST(floor(v.dev * w.sw * 1e6 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS s_u
+        |  FROM dev v JOIN wt w ON v.x % w.period = w.r
+        |  GROUP BY 1, 2)
+        |SELECT user_id, CAST(period AS BIGINT) AS period,
+        |  CAST(n_days AS BIGINT) AS n_days,
+        |  floor((CAST(c_u AS DOUBLE) * CAST(c_u AS DOUBLE)
+        |    + CAST(s_u AS DOUBLE) * CAST(s_u AS DOUBLE))
+        |    / (n_days * n_days) / 1e12 * 1e4 + 0.5) / 1e4 AS power
+        |FROM agg""".stripMargin
 
   private def spiGammaSql(accSql: String, keys: Seq[String],
       carry: Seq[String] = Nil, fitWhere: String = "",
@@ -2157,36 +2192,42 @@ object SparkEntry {
         |  END AS white_noise
         |FROM q""".stripMargin,
 
-    "ts_periodogram" ->
-      s"""WITH daily AS (
-        |  SELECT user_id,
-        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
-        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc,
-        |    count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |stats AS (
-        |  SELECT user_id, CAST(sum(sc) AS DOUBLE) / (sum(cnt) * 100.0) AS ybar
-        |  FROM daily GROUP BY 1),
-        |dev AS (
-        |  SELECT d.user_id, d.x,
-        |    (CAST(d.sc AS DOUBLE) / (d.cnt * 100.0)) - s.ybar AS dev
-        |  FROM daily d JOIN stats s ON d.user_id = s.user_id),
-        |wt(period, r, cw, sw) AS (VALUES $pgramWeightRows),
-        |agg AS (
-        |  SELECT v.user_id, w.period,
-        |    count(*) AS n_days,
-        |    CAST(sum(CAST(floor(v.dev * w.cw * 1e6 + 0.5) AS BIGINT))
-        |      AS BIGINT) AS c_u,
-        |    CAST(sum(CAST(floor(v.dev * w.sw * 1e6 + 0.5) AS BIGINT))
-        |      AS BIGINT) AS s_u
-        |  FROM dev v JOIN wt w ON v.x % w.period = w.r
-        |  GROUP BY 1, 2)
-        |SELECT user_id, CAST(period AS BIGINT) AS period,
-        |  CAST(n_days AS BIGINT) AS n_days,
-        |  floor((CAST(c_u AS DOUBLE) * CAST(c_u AS DOUBLE)
-        |    + CAST(s_u AS DOUBLE) * CAST(s_u AS DOUBLE))
-        |    / (n_days * n_days) / 1e12 * 1e4 + 0.5) / 1e4 AS power
-        |FROM agg""".stripMargin,
+    "ts_periodogram" -> pgramSql,
+
+    // powers re-quantized to exact 1e-4 units, per-term entropy
+    // quantized to 1e-6 BEFORE the cross-period sum; dominant period
+    // breaks ties toward the shorter period on both sides
+    "ts_spectral_entropy" -> {
+      val ln3 = math.log(graft.operators.TimeSeries.PgramPeriods.size.toDouble)
+      s"""WITH pg AS ($pgramSql),
+        |u AS (
+        |  SELECT user_id, period,
+        |    CAST(floor(power * 1e4 + 0.5) AS BIGINT) AS pu
+        |  FROM pg),
+        |t AS (
+        |  SELECT user_id, count(*) AS n_periods,
+        |    CAST(sum(pu) AS BIGINT) AS tot_u, max(pu) AS max_u
+        |  FROM u GROUP BY 1),
+        |e AS (
+        |  SELECT u.user_id,
+        |    CAST(sum(CASE WHEN u.pu > 0 AND t.tot_u > 0 THEN
+        |      CAST(floor(-(CAST(u.pu AS DOUBLE) / t.tot_u)
+        |        * ln(CAST(u.pu AS DOUBLE) / t.tot_u) * 1e6 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS h_u,
+        |    min(CASE WHEN u.pu = t.max_u THEN u.period END) AS dom
+        |  FROM u JOIN t USING (user_id) GROUP BY 1)
+        |SELECT t.user_id, t.n_periods,
+        |  CAST(e.dom AS BIGINT) AS dominant_period,
+        |  CASE WHEN t.tot_u > 0
+        |    THEN floor(CAST(t.max_u AS DOUBLE) / t.tot_u * 1e4 + 0.5) / 1e4
+        |  END AS dominant_share,
+        |  CASE WHEN t.tot_u > 0
+        |    THEN floor(CAST(e.h_u AS DOUBLE) / 1e6 / $ln3 * 1e4 + 0.5) / 1e4
+        |  END AS spectral_entropy
+        |FROM t JOIN e USING (user_id)""".stripMargin
+    },
+
+
 
     // the banded DP replayed as a recursive CTE over anti-diagonal
     // frontiers: each iteration's working table carries the newest

@@ -1973,6 +1973,46 @@ object TimeSeries {
         col("filled").as("value_ffill"))
   }
 
+  /** SPECTRAL ENTROPY over the [[periodogram]] power table — the
+    * periodicity-strength governance signal: a station whose power
+    * concentrates in one candidate period (entropy → 0) is strongly
+    * seasonal; flat power (entropy → 1) means no candidate dominates.
+    * Composition, not re-derivation — the entropy reads the SAME
+    * power table the periodogram publishes (oracle mirrors the
+    * composition).
+    *
+    * Exactness: the 4dp powers re-quantize to exact integer units,
+    * the total is an integer sum, each −p·ln p term quantizes to
+    * 1e-6 units BEFORE the cross-period sum (3-term float fold order
+    * is still engine-chosen), and the dominant period breaks power
+    * ties toward the SHORTER period on both sides. One window + one
+    * agg on the station key — the exchange is reused. */
+  def spectralEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val lnK = math.log(PgramPeriods.size.toDouble)
+    val w = Window.partitionBy(col("user_id"))
+    val u = periodogram(spark, dir)
+      .select(col("user_id"), col("period"),
+        floor(col("power") * 1e4 + 0.5).cast("long").as("pu"))
+      .withColumn("tot_u", sum(col("pu")).over(w))
+      .withColumn("max_u", max(col("pu")).over(w))
+    val p = col("pu").cast("double") / col("tot_u")
+    u.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_periods"),
+        min(col("tot_u")).as("tot_u"), min(col("max_u")).as("max_u"),
+        sum(when(col("pu") > 0 && col("tot_u") > 0,
+          floor(-p * log(p) * 1e6 + 0.5).cast("long")).otherwise(0L))
+          .as("h_u"),
+        min(when(col("pu") === col("max_u"), col("period")))
+          .as("dominant_period"))
+      .select(col("user_id"), col("n_periods"), col("dominant_period"),
+        when(col("tot_u") > 0,
+          floor(col("max_u").cast("double") / col("tot_u") * 1e4 + 0.5) / 1e4)
+          .as("dominant_share"),
+        when(col("tot_u") > 0,
+          floor(col("h_u").cast("double") / 1e6 / lnK * 1e4 + 0.5) / 1e4)
+          .as("spectral_entropy"))
+  }
+
   /** Block sizes of the [[tsHurst]] rescaled-range ladder — dyadic,
     * literal in both engines; H is the log-log slope across them. */
   val HurstSizes: Seq[Int] = Seq(4, 8, 16)

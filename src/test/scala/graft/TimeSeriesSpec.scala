@@ -1342,4 +1342,35 @@ class TimeSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("ts_spectral_entropy: bounded, dominant consistent, exact recompute") {
+    val pg = SparkEntry.queries("ts_periodogram")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val out = SparkEntry.queries("ts_spectral_entropy")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === pg.map(_._1).toSet)
+    val lnK = math.log(3.0)
+    pg.groupBy(_._1).foreach { case (u, rows) =>
+      val pus = rows.map(r => r._2 -> math.floor(r._3 * 1e4 + 0.5).toLong)
+      val tot = pus.map(_._2).sum
+      val r = out(u)
+      assert(r.getLong(1) === rows.length.toLong)
+      if (tot > 0) {
+        val maxU = pus.map(_._2).max
+        assert(r.getLong(2) === pus.filter(_._2 == maxU).map(_._1).min,
+          s"station $u dominant (shorter period wins ties)")
+        assert(r.getDouble(3)
+          === math.floor(maxU.toDouble / tot * 1e4 + 0.5) / 1e4)
+        val hU = pus.collect { case (_, pu) if pu > 0 =>
+          val p = pu.toDouble / tot
+          math.floor(-p * math.log(p) * 1e6 + 0.5).toLong
+        }.sum
+        val h = math.floor(hU.toDouble / 1e6 / lnK * 1e4 + 0.5) / 1e4
+        assert(r.getDouble(4) === h, s"station $u entropy")
+        assert(h >= 0.0 && h <= 1.0001, s"station $u entropy bounded $h")
+      } else {
+        assert(r.isNullAt(3) && r.isNullAt(4))
+      }
+    }
+  }
 }
