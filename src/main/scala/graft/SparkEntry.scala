@@ -190,6 +190,7 @@ object SparkEntry {
     "vocab_growth"    -> TextOps.vocabGrowth _,
     "corpus_stats"    -> TextOps.corpusStats _,
     "corpus_mix"      -> TextOps.corpusMix _,
+    "corpus_mix_temperature" -> TextOps.corpusMixTemperature _,
     "corpus_mix_docs" -> TextOps.corpusMixDocs _,
     "doc_keywords"    -> TextOps.docKeywords _,
     "pii_scrub"       -> TextOps.piiScrub _,
@@ -4775,6 +4776,52 @@ object SparkEntry {
         |  WHERE hist.bucket < r3.cut
         |  GROUP BY 1)
         |SELECT source, n_docs, avail_tokens, target_tokens, rate,
+        |  coalesce(kept_docs, 0) AS kept_docs,
+        |  coalesce(kept_tokens, 0) AS kept_tokens
+        |FROM r3 LEFT JOIN kept USING (source)""".stripMargin,
+
+    // availability-derived weights: each sqrt(avail) quantized to
+    // 1e-6 units before the cross-source sum, then the identical
+    // bucket-admission machinery as corpus_mix
+    "corpus_mix_temperature" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(
+        |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tok,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS bucket
+        |  FROM documents),
+        |hist AS (
+        |  SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_tok) AS BIGINT) AS n_tok
+        |  FROM base GROUP BY 1, 2),
+        |avail AS (
+        |  SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_tok) AS BIGINT) AS avail_tokens
+        |  FROM hist GROUP BY 1),
+        |su AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE)) * 1e6 + 0.5)
+        |    AS BIGINT) AS su
+        |  FROM avail),
+        |tot AS (SELECT CAST(sum(su) AS BIGINT) AS sum_su,
+        |               CAST(sum(avail_tokens) AS BIGINT) AS total_tokens
+        |        FROM su),
+        |rates AS (
+        |  SELECT su.source, su.n_docs, su.avail_tokens,
+        |    CAST(su.su AS DOUBLE) / sum_su AS weight,
+        |    CAST(floor(CAST(total_tokens AS DOUBLE) * ${TextOps.mixBudgetShare}
+        |         * (CAST(su.su AS DOUBLE) / sum_su)) AS BIGINT) AS target_tokens
+        |  FROM su CROSS JOIN tot),
+        |r2 AS (
+        |  SELECT *, least(1.0, CAST(target_tokens AS DOUBLE) / avail_tokens) AS rate
+        |  FROM rates),
+        |r3 AS (SELECT *, CAST(floor(rate * 65536.0) AS BIGINT) AS cut FROM r2),
+        |kept AS (
+        |  SELECT hist.source, CAST(sum(hist.n_docs) AS BIGINT) AS kept_docs,
+        |         CAST(sum(hist.n_tok) AS BIGINT) AS kept_tokens
+        |  FROM hist JOIN r3 USING (source)
+        |  WHERE hist.bucket < r3.cut
+        |  GROUP BY 1)
+        |SELECT source, n_docs, avail_tokens, weight, target_tokens, rate,
         |  coalesce(kept_docs, 0) AS kept_docs,
         |  coalesce(kept_tokens, 0) AS kept_tokens
         |FROM r3 LEFT JOIN kept USING (source)""".stripMargin,

@@ -1081,6 +1081,50 @@ object TextOps {
     (hist, rates)
   }
 
+  /** TEMPERATURE-derived source mixture — [[corpusMix]] with the
+    * weights computed FROM availability instead of declared:
+    * w_s = avail_s^α / Σ avail_t^α at α = ½ (the multilingual-
+    * sampling standard — upweights rare sources, damps dominant
+    * ones; α = ½ renders as one `sqrt`, sidestepping cross-engine
+    * `pow`). Each √avail quantizes to 1e-6 units BEFORE the
+    * cross-source sum (the float fold order rule), so the weight
+    * denominator is an exact integer. Everything downstream —
+    * md5-bucket admission, cut table, kept accounting — is the
+    * identical machinery, so declared-weight and temperature
+    * mixes are directly comparable reports. */
+  def corpusMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val hist = mixBase(spark, dir)
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+      .localCheckpoint()
+    val avail = hist.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tok")).as("avail_tokens"))
+      .withColumn("su",
+        floor(sqrt(col("avail_tokens").cast("double")) * 1e6 + 0.5)
+          .cast("long"))
+    val tot = avail.agg(sum(col("su")).as("sum_su"),
+      sum(col("avail_tokens")).as("total_tokens"))
+    val rates = avail.crossJoin(broadcast(tot))
+      .withColumn("weight", col("su").cast("double") / col("sum_su"))
+      .withColumn("target_tokens",
+        floor(col("total_tokens").cast("double") * lit(mixBudgetShare)
+          * col("weight")).cast("long"))
+      .withColumn("rate",
+        least(lit(1.0), col("target_tokens").cast("double") / col("avail_tokens")))
+      .withColumn("cut", floor(col("rate") * lit(65536.0)).cast("long"))
+    val kept = hist.join(broadcast(rates.select("source", "cut")), Seq("source"))
+      .filter(col("bucket") < col("cut"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("kept_docs"),
+        sum(col("n_tok")).as("kept_tokens"))
+    rates.join(broadcast(kept), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        col("weight"), col("target_tokens"), col("rate"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
+
   def corpusMix(spark: SparkSession, dir: String): DataFrame = {
     val (hist, rates) = mixFit(mixBase(spark, dir))
     val kept = hist.join(broadcast(rates.select("source", "cut")), Seq("source"))

@@ -656,6 +656,38 @@ class TextOpsSpec extends SparkSpec {
     assert(got.size >= 20, s"only ${got.size} shards populated")
   }
 
+  test("corpus_mix_temperature: sqrt damping, weights normalize, kept within rate") {
+    val rows = TextOps.corpusMixTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getLong(7)))
+    assert(rows.length > 1)
+    // weights sum to ~1 and follow sqrt(avail) exactly
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    val sus = rows.map { case (_, avail, _, _, _, _) =>
+      math.floor(math.sqrt(avail.toDouble) * 1e6 + 0.5).toLong }
+    rows.zip(sus).foreach { case ((src, _, w, _, _, _), su) =>
+      assert(w === su.toDouble / sus.sum, s"source $src weight")
+    }
+    // temperature damps: bigger source keeps a bigger weight but a
+    // SMALLER weight-to-share ratio than proportional sampling
+    val total = rows.map(_._2).sum.toDouble
+    for {
+      a <- rows; b <- rows
+      if a._2 > b._2 * 2 // clearly different availability
+    } {
+      assert(a._3 > b._3, s"${a._1} vs ${b._1}: monotone")
+      assert(a._3 / b._3 < a._2.toDouble / b._2,
+        s"${a._1} vs ${b._1}: damped below proportional")
+    }
+    // admission accounting: kept tokens never exceed availability,
+    // and a rate-1.0 source keeps everything
+    rows.foreach { case (src, avail, _, _, rate, keptTok) =>
+      assert(keptTok <= avail, s"source $src kept<=avail")
+      if (rate == 1.0) assert(keptTok === avail, s"source $src keeps all")
+    }
+    assert(total > 0)
+  }
+
   test("corpus_curriculum_order: quality-desc rank, dense positions, exact token budget") {
     val rows = TextOps.corpusCurriculumOrder(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
