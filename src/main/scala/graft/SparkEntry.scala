@@ -153,6 +153,7 @@ object SparkEntry {
     "healthcheck_freshness" -> Climate.healthcheckFreshness _,
     "catalog_health"        -> Catalog.health _,
     "catalog_diff"          -> Catalog.registryDiff _,
+    "catalog_name_normalize" -> Catalog.nameNormalize _,
     "schedule_due"          -> graft.sources.Schedule.scheduleDue _,
     "obs_upsert_merge"      -> graft.sources.Ingest.obsUpsertMerge _,
     "obs_collection_extents" -> graft.sources.Ingest.obsCollectionExtents _,
@@ -4160,6 +4161,25 @@ object SparkEntry {
         |FROM base, LATERAL unnest(generate_series(from_ts, now_ts - step, step)) AS t(ts)
         |WHERE t.ts + step <= now_ts
         |ORDER BY pipeline, tick_start""".stripMargin,
+
+    // the add_leading_zero.sh sed rule verbatim; rank pairs quantify
+    // which unpadded listings a lexicographic consumer misorders
+    "catalog_name_normalize" ->
+      """WITH f AS (
+        |  SELECT m.ym, r.r,
+        |    'knmi_fc_' || m.ym || '_r' || r.r || '_tp.nc' AS name
+        |  FROM (SELECT DISTINCT strftime(date_trunc('month', ts), '%Y%m')
+        |          AS ym FROM events) m
+        |  CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8),
+        |    (9), (10), (11), (12)) r(r))
+        |SELECT ym, r, name,
+        |  regexp_replace(name, '_r([0-9])_', '_r0\1_') AS canonical,
+        |  regexp_replace(name, '_r([0-9])_', '_r0\1_') != name AS was_padded,
+        |  CAST(rank() OVER (PARTITION BY ym ORDER BY name) AS INT) AS lex_rank,
+        |  CAST(rank() OVER (PARTITION BY ym ORDER BY r) AS INT) AS num_rank,
+        |  rank() OVER (PARTITION BY ym ORDER BY name)
+        |    != rank() OVER (PARTITION BY ym ORDER BY r) AS misordered
+        |FROM f""".stripMargin,
 
     // per-station feature assembly: each (var, model) series joins as
     // an integer-cents string property; empty combos are '' on both

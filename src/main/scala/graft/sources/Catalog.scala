@@ -142,6 +142,41 @@ object Catalog {
     * read once, not once per snapshot; the O(collections)-row pair
     * table is `localCheckpoint`ed so the two projections feeding the
     * diff don't re-run the scans. */
+  /** Object-name zero-padding normalizer — the lake-side fix for the
+    * reference's `add_leading_zero.sh` (single-digit ensemble-member
+    * markers `_rX_` rename to `_r0X_` so LEXICOGRAPHIC listing order
+    * equals numeric member order; an object store lists names
+    * lexicographically, so unpadded names silently interleave r1,
+    * r10, r11, r2…). Per listing batch: the canonical padded name
+    * (the sed rule verbatim — single digit only), whether the file
+    * needed padding, and BOTH rank columns — the raw lexicographic
+    * rank and the true numeric rank — so `misordered` rows quantify
+    * exactly which listings a naive consumer would read out of order.
+    * Shape: the synthetic listing is O(periods × members), ranks are
+    * two frames on one window sort per period, everything else is
+    * elementwise regex in the scan stage. */
+  def nameNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val members = (0 until 13).toDF("r")
+    val files = Tables.events(spark, dir)
+      .select(date_format(date_trunc("MONTH", col("ts")), "yyyyMM").as("ym"))
+      .distinct()
+      .crossJoin(broadcast(members))
+      .select(col("ym"), col("r"),
+        concat(lit("knmi_fc_"), col("ym"), lit("_r"), col("r"), lit("_tp.nc"))
+          .as("name"))
+    val wLex = Window.partitionBy(col("ym")).orderBy(col("name"))
+    val wNum = Window.partitionBy(col("ym")).orderBy(col("r"))
+    files
+      .withColumn("canonical",
+        regexp_replace(col("name"), "_r([0-9])_", "_r0$1_"))
+      .withColumn("was_padded", col("canonical") =!= col("name"))
+      .withColumn("lex_rank", rank().over(wLex))
+      .withColumn("num_rank", rank().over(wNum))
+      .withColumn("misordered", col("lex_rank") =!= col("num_rank"))
+  }
+
   def registryDiff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def both(df: DataFrame, name: String,

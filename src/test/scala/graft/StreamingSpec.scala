@@ -162,6 +162,33 @@ class StreamingSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("catalog_name_normalize: padding fixes lexicographic order, misorder census exact") {
+    val rows = SparkEntry.queries("catalog_name_normalize")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getBoolean(4), r.getInt(5), r.getInt(6),
+        r.getBoolean(7)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (ym, fs) =>
+      assert(fs.length === 13, s"$ym members")
+      // single-digit members pad (including r0 -> r00, the sed rule
+      // verbatim); double-digit names pass through
+      fs.foreach { f =>
+        if (f._2 <= 9) {
+          assert(f._5 && f._4 === f._3.replace(s"_r${f._2}_", s"_r0${f._2}_"))
+        } else assert(!f._5 && f._4 === f._3)
+      }
+      // the raw listing IS misordered (r10 sorts before r1) and the
+      // flags match an independent lexicographic recompute
+      val lex = fs.sortBy(_._3).map(_._2)
+      assert(lex !== fs.sortBy(_._2).map(_._2), s"$ym raw order broken")
+      val expectMis = fs.map(f =>
+        f._2 -> (lex.indexOf(f._2) + 1 != f._2 + 1)).toMap
+      fs.foreach(f => assert(f._8 === expectMis(f._2), s"$ym r${f._2}"))
+      // after padding, lexicographic equals numeric
+      assert(fs.sortBy(_._4).map(_._2).toSeq === (0 to 12).toSeq, s"$ym fixed")
+    }
+  }
+
   test("catalog_diff: all four status regimes, n_rows deltas consistent") {
     val rows = SparkEntry.queries("catalog_diff")(spark, sf).collect()
     val status = rows.map(r => r.getString(0) -> r.getString(1)).toMap
