@@ -61,6 +61,7 @@ object SparkEntry {
     "ts_theil_sen"           -> TimeSeries.theilSen _,
     "ts_hurst"               -> TimeSeries.tsHurst _,
     "ts_spectral_entropy"    -> TimeSeries.spectralEntropy _,
+    "ts_effective_n"         -> TimeSeries.effectiveN _,
     "ts_benford"             -> TimeSeries.benfordScreen _,
     "ts_mann_kendall"        -> TimeSeries.mannKendall _,
     "ts_seasonal_mk"         -> TimeSeries.seasonalMannKendall _,
@@ -412,6 +413,45 @@ object SparkEntry {
         |    + CAST(s_u AS DOUBLE) * CAST(s_u AS DOUBLE))
         |    / (n_days * n_days) / 1e12 * 1e4 + 0.5) / 1e4 AS power
         |FROM agg""".stripMargin
+
+  /** The ts_autocorr oracle body — factored out because the
+    * effective-sample-size query consumes the acf table (composition
+    * mirrored on both sides). */
+  private val acfSql: String =
+    """WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT user_id,
+        |    CAST(sum(sc) AS DOUBLE) / (sum(cnt) * 100.0) AS ybar
+        |  FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT d.user_id, d.x,
+        |    (CAST(d.sc AS DOUBLE) / (d.cnt * 100.0)) - s.ybar AS dev
+        |  FROM daily d JOIN stats s ON d.user_id = s.user_id),
+        |den AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(floor(dev * dev * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS den_u,
+        |    count(*) AS n_days
+        |  FROM dev GROUP BY 1),
+        |num AS (
+        |  SELECT a.user_id, k.lag,
+        |    CAST(sum(CAST(floor(a.dev * b.dev * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS num_u,
+        |    count(*) AS n_pairs
+        |  FROM dev a
+        |  JOIN (VALUES (1), (2), (3)) AS k(lag) ON true
+        |  JOIN dev b ON b.user_id = a.user_id AND b.x = a.x + k.lag
+        |  GROUP BY 1, 2)
+        |SELECT n.user_id, n.lag, d.n_days, n.n_pairs,
+        |  CASE WHEN n.n_pairs >= 5 AND d.den_u > 0
+        |    THEN floor(CAST(n.num_u AS DOUBLE) / d.den_u * 1e4 + 0.5) / 1e4
+        |  END AS acf
+        |FROM num n JOIN den d ON n.user_id = d.user_id""".stripMargin
 
   private def spiGammaSql(accSql: String, keys: Seq[String],
       carry: Seq[String] = Nil, fitWhere: String = "",
@@ -2099,41 +2139,32 @@ object SparkEntry {
 
     // pooled mean = exact integer ratio; num/den are integer sums of
     // per-term 1e-8-quantized products — merge-order-free both sides
-    "ts_autocorr" ->
-      """WITH daily AS (
-        |  SELECT user_id,
-        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
-        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc,
-        |    count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |stats AS (
-        |  SELECT user_id,
-        |    CAST(sum(sc) AS DOUBLE) / (sum(cnt) * 100.0) AS ybar
-        |  FROM daily GROUP BY 1),
-        |dev AS (
-        |  SELECT d.user_id, d.x,
-        |    (CAST(d.sc AS DOUBLE) / (d.cnt * 100.0)) - s.ybar AS dev
-        |  FROM daily d JOIN stats s ON d.user_id = s.user_id),
-        |den AS (
-        |  SELECT user_id,
-        |    CAST(sum(CAST(floor(dev * dev * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
-        |      AS den_u,
-        |    count(*) AS n_days
-        |  FROM dev GROUP BY 1),
-        |num AS (
-        |  SELECT a.user_id, k.lag,
-        |    CAST(sum(CAST(floor(a.dev * b.dev * 1e8 + 0.5) AS BIGINT)) AS BIGINT)
-        |      AS num_u,
-        |    count(*) AS n_pairs
-        |  FROM dev a
-        |  JOIN (VALUES (1), (2), (3)) AS k(lag) ON true
-        |  JOIN dev b ON b.user_id = a.user_id AND b.x = a.x + k.lag
-        |  GROUP BY 1, 2)
-        |SELECT n.user_id, n.lag, d.n_days, n.n_pairs,
-        |  CASE WHEN n.n_pairs >= 5 AND d.den_u > 0
-        |    THEN floor(CAST(n.num_u AS DOUBLE) / d.den_u * 1e4 + 0.5) / 1e4
-        |  END AS acf
-        |FROM num n JOIN den d ON n.user_id = d.user_id""".stripMargin,
+    "ts_autocorr" -> acfSql,
+
+    // lag-1 AR effective sample size (the climate-trend significance
+    // standard): Neff = n(1-r1)/(1+r1) on the clamped r1, VIF its
+    // inverse ratio, decorrelation lag = first acf below 1/e
+    "ts_effective_n" -> {
+      val invE = 1.0 / math.E
+      s"""WITH acf AS ($acfSql)
+        |SELECT user_id, min(n_days) AS n_days,
+        |  min(CASE WHEN lag = 1 THEN acf END) AS r1,
+        |  CASE WHEN min(CASE WHEN lag = 1 THEN acf END) IS NOT NULL THEN
+        |    floor(min(n_days)
+        |      * (1.0 - greatest(least(min(CASE WHEN lag = 1 THEN acf END),
+        |          0.9999), -0.9999))
+        |      / (1.0 + greatest(least(min(CASE WHEN lag = 1 THEN acf END),
+        |          0.9999), -0.9999)) * 1e4 + 0.5) / 1e4
+        |  END AS n_eff,
+        |  CASE WHEN min(CASE WHEN lag = 1 THEN acf END) IS NOT NULL THEN
+        |    floor((1.0 + greatest(least(min(CASE WHEN lag = 1 THEN acf END),
+        |          0.9999), -0.9999))
+        |      / (1.0 - greatest(least(min(CASE WHEN lag = 1 THEN acf END),
+        |          0.9999), -0.9999)) * 1e4 + 0.5) / 1e4
+        |  END AS vif,
+        |  min(CASE WHEN acf < $invE THEN lag END) AS decorrelation_lag
+        |FROM acf GROUP BY 1""".stripMargin
+    },
 
     // the ts_autocorr chain verbatim, then the Q pivot: both engines
     // fold the same 4dp-quantized acf bits in the same textual order

@@ -1973,6 +1973,34 @@ object TimeSeries {
         col("filled").as("value_ffill"))
   }
 
+  /** EFFECTIVE SAMPLE SIZE under lag-1 autocorrelation — the
+    * climate-trend significance standard (a persistent series has
+    * fewer independent observations than rows; every trend test on
+    * [[autocorr]]-positive data needs Neff, not n): per station,
+    * Neff = n·(1−r₁)/(1+r₁) on the lag-1 coefficient (clamped away
+    * from ±1 so a near-unit-root series degrades to a tiny-but-finite
+    * Neff instead of a division blow-up), the variance inflation
+    * factor (its inverse ratio), and the DECORRELATION LAG — the
+    * first lag whose acf drops below 1/e. Composition over the
+    * [[autocorr]] table (oracle mirrors it); one bounded pivot to
+    * O(stations) rows on the already-shuffled station key. */
+  def effectiveN(spark: SparkSession, dir: String): DataFrame = {
+    val invE = 1.0 / math.E
+    val g = greatest(least(col("r1"), lit(0.9999)), lit(-0.9999))
+    autocorr(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("n_days")).as("n_days"),
+        min(when(col("lag") === 1, col("acf"))).as("r1"),
+        min(when(col("acf") < invE, col("lag"))).as("decorrelation_lag"))
+      .select(col("user_id"), col("n_days"), col("r1"),
+        when(col("r1").isNotNull,
+          floor(col("n_days") * (lit(1.0) - g) / (lit(1.0) + g) * 1e4 + 0.5)
+            / 1e4).as("n_eff"),
+        when(col("r1").isNotNull,
+          floor((lit(1.0) + g) / (lit(1.0) - g) * 1e4 + 0.5) / 1e4).as("vif"),
+        col("decorrelation_lag"))
+  }
+
   /** SPECTRAL ENTROPY over the [[periodogram]] power table — the
     * periodicity-strength governance signal: a station whose power
     * concentrates in one candidate period (entropy → 0) is strongly

@@ -1373,4 +1373,39 @@ class TimeSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("ts_effective_n: Neff identity vs acf table, decorrelation lag exact") {
+    val acf = SparkEntry.queries("ts_autocorr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val out = SparkEntry.queries("ts_effective_n")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === acf.map(_._1).toSet)
+    val invE = 1.0 / math.E
+    acf.groupBy(_._1).foreach { case (u, rows) =>
+      val r = out(u)
+      val r1 = rows.find(_._2 == 1).flatMap(_._3)
+      r1 match {
+        case Some(v) =>
+          val g = math.max(math.min(v, 0.9999), -0.9999)
+          val n = r.getLong(1)
+          assert(r.getDouble(3)
+            === math.floor(n * (1.0 - g) / (1.0 + g) * 1e4 + 0.5) / 1e4,
+            s"station $u n_eff")
+          assert(r.getDouble(4)
+            === math.floor((1.0 + g) / (1.0 - g) * 1e4 + 0.5) / 1e4,
+            s"station $u vif")
+          // persistence shrinks, anticorrelation grows the sample
+          if (v > 0) assert(r.getDouble(3) < n)
+          if (v < 0) assert(r.getDouble(3) > n)
+        case None => assert(r.isNullAt(3) && r.isNullAt(4))
+      }
+      val expectLag = rows.filter(_._3.exists(_ < invE)).map(_._2)
+        .sorted.headOption
+      expectLag match {
+        case Some(l) => assert(r.getInt(5) === l, s"station $u decorrelation")
+        case None    => assert(r.isNullAt(5))
+      }
+    }
+  }
 }
