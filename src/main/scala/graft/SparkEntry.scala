@@ -240,6 +240,7 @@ object SparkEntry {
     "embedding_drift"     -> Similarity.embeddingDrift _,
     "embedding_quantize"  -> Similarity.embeddingQuantize _,
     "embedding_outliers"  -> Similarity.embeddingOutliers _,
+    "embedding_norm_audit" -> Similarity.embeddingNormAudit _,
     "multimodal_features" -> Multimodal.features _,
     "multimodal_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
     "multimodal_stats"    -> Multimodal.mediaStats _,
@@ -5158,6 +5159,40 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY 1
         |ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+    // per-element 1e-6 quantization makes the squared norm an exact
+    // integer; percentiles rank-interpolate on one window sort
+    "embedding_norm_audit" -> {
+      val pct = Seq(("p10", 0.1), ("p50", 0.5), ("p90", 0.9)).map {
+        case (nm, q) =>
+          val lo = s"CAST(floor((n - 1) * $q) AS BIGINT) + 1"
+          s"""floor((min(CASE WHEN rn = $lo THEN norm END)
+            |    + ((min(n) - 1) * $q - floor((min(n) - 1) * $q))
+            |      * (min(CASE WHEN rn = least($lo + 1, n) THEN norm END)
+            |         - min(CASE WHEN rn = $lo THEN norm END)))
+            |    * 1e4 + 0.5) / 1e4 AS $nm""".stripMargin
+      }.mkString(",\n        |  ")
+      s"""WITH q AS (
+        |  SELECT vec_id, label,
+        |    CAST(floor(unnest(embedding)::DOUBLE * 1e6 + 0.5) AS BIGINT) AS eu
+        |  FROM embeddings),
+        |v AS (
+        |  SELECT vec_id, label, CAST(sum(eu * eu) AS BIGINT) AS nsq_u
+        |  FROM q GROUP BY 1, 2),
+        |r AS (
+        |  SELECT label, nsq_u,
+        |    sqrt(CAST(nsq_u AS DOUBLE)) / 1e6 AS norm,
+        |    CAST(floor(sqrt(CAST(nsq_u AS DOUBLE)) + 0.5) AS BIGINT) AS norm_u,
+        |    row_number() OVER (PARTITION BY label ORDER BY nsq_u) AS rn,
+        |    count(*) OVER (PARTITION BY label) AS n
+        |  FROM v)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN nsq_u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  floor(CAST(sum(norm_u) AS DOUBLE) / count(*) / 1e6 * 1e4 + 0.5) / 1e4
+        |    AS mean_norm,
+        |  $pct
+        |FROM r GROUP BY 1""".stripMargin
+    },
+
     "embedding_centroids" ->
       """SELECT label, count(*) AS n_vecs, CAST(dim AS INT) AS dim,
         |  floor(sum(x) / count(*) * 1e6 + 0.5) / 1e6 AS c

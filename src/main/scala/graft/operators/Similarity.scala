@@ -714,6 +714,56 @@ object Similarity {
           .as("qsum"))
   }
 
+  /** Embedding NORM AUDIT — the data-quality gate an index build runs
+    * before trusting a vector column (zero vectors break cosine,
+    * norm drift between labels signals a mixed-provenance dump):
+    * per label, the vector count, zero-norm count, mean norm and
+    * exact p10/p50/p90 norm percentiles.
+    *
+    * Exactness: each element quantizes to a 1e-6-unit long IN-ROW
+    * (an `aggregate` fold over exact longs — merge order can't reach
+    * it), so the squared norm is an exact integer; per-vector norms
+    * quantize to 1e-6 units before the cross-vector mean sum; the
+    * percentiles rank-interpolate on one window sort per label — NO
+    * per-label collect, so a label with a billion vectors sorts and
+    * spills instead of materializing a driver-sized array. */
+  def embeddingNormAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = Seq(("p10", 0.1), ("p50", 0.5), ("p90", 0.9))
+    val v = Tables.embeddings(spark, dir)
+      .select(col("label"),
+        expr("""aggregate(embedding, 0L, (a, x) ->
+          a + CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+            * CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))""")
+          .as("nsq_u"))
+      .withColumn("norm", sqrt(col("nsq_u").cast("double")) / 1e6)
+      .withColumn("norm_u",
+        floor(sqrt(col("nsq_u").cast("double")) + 0.5).cast("long"))
+    val w = Window.partitionBy(col("label")).orderBy(col("nsq_u"))
+    val ranked = v
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("label"))))
+    val pctAggs = qs.flatMap { case (nm, q) =>
+      val r = (col("n") - 1) * lit(q)
+      val lo = floor(r) + 1
+      Seq(min(when(col("rn") === lo, col("norm"))).as(s"${nm}_lo"),
+        min(when(col("rn") === least(lo + 1, col("n")), col("norm")))
+          .as(s"${nm}_hi"),
+        min(r - floor(r)).as(s"${nm}_f"))
+    }
+    val pctOut = qs.map { case (nm, _) =>
+      (floor((col(s"${nm}_lo") + col(s"${nm}_f")
+        * (col(s"${nm}_hi") - col(s"${nm}_lo"))) * 1e4 + 0.5) / 1e4).as(nm)
+    }
+    ranked.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (Seq(sum(when(col("nsq_u") === 0, 1L).otherwise(0L)).as("n_zero"),
+          sum(col("norm_u")).as("su")) ++ pctAggs): _*)
+      .select(Seq(col("label"), col("n_vecs"), col("n_zero"),
+        (floor(col("su").cast("double") / col("n_vecs") / 1e6
+          * 1e4 + 0.5) / 1e4).as("mean_norm")) ++ pctOut: _*)
+  }
+
   /** Distance-to-class-centroid OUTLIER flags — the mislabeled-vector
     * filter of embedding curation (a vector far from its own label's
     * prototype is a labeling error or contamination; drop or re-queue

@@ -538,6 +538,41 @@ class SimilaritySpec extends SparkSpec {
     assert(fp === md5hex("0A" * 32 + "14" * 32))
   }
 
+  test("embedding_norm_audit: exact norms, ordered percentiles, zero census") {
+    val rows = SparkEntry.queries("embedding_norm_audit")(spark, sf).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.nonEmpty)
+    // independent recompute from raw embeddings with the same ladder
+    val byLabel = Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 1e6 + 0.5).toLong).map(u => u * u).sum)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.keySet === byLabel.keySet)
+    byLabel.foreach { case (l, nsqs) =>
+      val r = rows(l)
+      assert(r.getLong(1) === nsqs.length.toLong)
+      assert(r.getLong(2) === nsqs.count(_ == 0L).toLong)
+      val norms = nsqs.sorted.map(u => math.sqrt(u.toDouble) / 1e6)
+      val meanU = nsqs.map(u => math.floor(math.sqrt(u.toDouble) + 0.5).toLong).sum
+      assert(r.getDouble(3)
+        === math.floor(meanU.toDouble / nsqs.length / 1e6 * 1e4 + 0.5) / 1e4,
+        s"label $l mean")
+      def pct(q: Double): Double = {
+        val rr = (norms.length - 1) * q
+        val lo = rr.toInt
+        val f = rr - lo
+        val v = norms(lo) + f * (norms(math.min(lo + 1, norms.length - 1)) - norms(lo))
+        math.floor(v * 1e4 + 0.5) / 1e4
+      }
+      assert(r.getDouble(4) === pct(0.1), s"label $l p10")
+      assert(r.getDouble(5) === pct(0.5), s"label $l p50")
+      assert(r.getDouble(6) === pct(0.9), s"label $l p90")
+      assert(r.getDouble(4) <= r.getDouble(5) && r.getDouble(5) <= r.getDouble(6))
+    }
+  }
+
   test("embedding_outliers: distances match local recomputation, gate at 1.05x mean") {
     val labels = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label")).collect()
