@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", classOf[DotExpr]),
       (args: Seq[Expression]) => DotExpr(da(args(0)), da(args(1)))))
+    ext.injectFunction((FunctionIdentifier("quant_norm_sq"),
+      info("quant_norm_sq", classOf[QuantNormSqExpr]),
+      (args: Seq[Expression]) => QuantNormSqExpr(da(args(0)))))
     ext.injectFunction((FunctionIdentifier("count_token"),
       info("count_token", classOf[CountTokenExpr]),
       (args: Seq[Expression]) => CountTokenExpr(args(0), args(1))))

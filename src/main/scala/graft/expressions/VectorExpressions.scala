@@ -27,6 +27,22 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** Exact quantized squared norm over an `array<double>` column —
+  * the norm-audit hot kernel as one fused codegen'd loop (see
+  * [[graft.functions.VectorKernels.quantNormSq]]); the `aggregate`
+  * HOF twin evaluates an interpreted lambda per element. */
+case class QuantNormSqExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.quantNormSq(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.quantNormSq($a)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "quant_norm_sq"
+}
+
 /** Dot product over two `array<double>` columns (LSH signatures). */
 case class DotExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -29,6 +29,23 @@ object VectorKernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Exact quantized squared norm: each element rounds to a
+    * 1e-6-unit long, the squares sum in exact integer arithmetic —
+    * the merge-order-proof norm the audit lane keys on (identical to
+    * the `aggregate(...)` HOF formulation, but one fused compiled
+    * loop per row instead of an interpreted per-element lambda). */
+  def quantNormSq(a: ArrayData): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val u = math.floor(a.getDouble(i) * 1e6 + 0.5).toLong
+      s += u * u
+      i += 1
+    }
+    s
+  }
+
   /** Plain dot product (used by the LSH hyperplane signatures). */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

@@ -732,10 +732,10 @@ object Similarity {
     val qs = Seq(("p10", 0.1), ("p50", 0.5), ("p90", 0.9))
     val v = Tables.embeddings(spark, dir)
       .select(col("label"),
-        expr("""aggregate(embedding, 0L, (a, x) ->
-          a + CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
-            * CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))""")
-          .as("nsq_u"))
+        // the native fused loop ([[graft.expressions.QuantNormSqExpr]])
+        // — identical arithmetic to the aggregate-HOF formulation but
+        // codegen'd, no interpreted per-element lambda in the hot path
+        expr("quant_norm_sq(embedding)").as("nsq_u"))
       .withColumn("norm", sqrt(col("nsq_u").cast("double")) / 1e6)
       .withColumn("norm_u",
         floor(sqrt(col("nsq_u").cast("double")) + 0.5).cast("long"))
