@@ -199,6 +199,7 @@ object SparkEntry {
     "corpus_split"    -> TextOps.corpusSplit _,
     "corpus_shard_manifest" -> TextOps.corpusShardManifest _,
     "corpus_curriculum_order" -> TextOps.corpusCurriculumOrder _,
+    "quality_signal_corr"   -> TextOps.qualitySignalCorr _,
     "corpus_split_leakage_safe" -> TextOps.corpusSplitSafe _,
     "corpus_rag_chunks" -> TextOps.ragChunks _,
     "pack_sequences"  -> TextOps.packSequences _,
@@ -4522,6 +4523,36 @@ object SparkEntry {
         |FROM cm""".stripMargin,
 
     "text_quality" -> textQualitySql,
+
+    // all 20 moments in ONE reduce; each r from exact integer sums
+    "quality_signal_corr" -> {
+      val sigs = graft.operators.TextOps.QualitySignals
+      val sums = (0 until 5).map(i => s"sum(v$i) AS s$i") ++
+        (for { i <- 0 until 5; j <- i until 5 }
+          yield s"sum(v$i * v$j) AS ss${i}_$j")
+      val pairSelects =
+        (for { i <- 0 until 5; j <- (i + 1) until 5 } yield {
+          val num = s"CAST(n * ss${i}_$j - s$i * s$j AS DOUBLE)"
+          val denA = s"sqrt(CAST(n * ss${i}_$i - s$i * s$i AS DOUBLE))"
+          val denB = s"sqrt(CAST(n * ss${j}_$j - s$j * s$j AS DOUBLE))"
+          s"""SELECT '${sigs(i)}' AS sig_a, '${sigs(j)}' AS sig_b,
+            |  CAST(n AS BIGINT) AS n,
+            |  CASE WHEN $denA > 0 AND $denB > 0
+            |    THEN floor($num / ($denA * $denB) * 1e4 + 0.5) / 1e4
+            |  END AS r
+            |FROM m""".stripMargin
+        }).mkString("\n        |UNION ALL\n        |")
+      s"""WITH q AS ($textQualitySql),
+        |v AS (
+        |  SELECT n_tokens AS v0,
+        |    CAST(floor(stop_ratio * 1e4 + 0.5) AS BIGINT) AS v1,
+        |    CAST(floor(digit_ratio * 1e4 + 0.5) AS BIGINT) AS v2,
+        |    CAST(floor(mean_token_len * 1e4 + 0.5) AS BIGINT) AS v3,
+        |    CAST(floor(quality_score * 1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM q),
+        |m AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM v)
+        |$pairSelects""".stripMargin
+    },
 
     // curriculum order: quality-descending rank + running token
     // budget inside each md5 shard, deterministic doc_id tiebreak

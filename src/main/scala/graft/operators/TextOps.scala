@@ -391,6 +391,53 @@ object TextOps {
     * tunable). */
   val NShards = 32
 
+  /** Signal names of [[qualitySignalCorr]], in moment-index order. */
+  val QualitySignals: Seq[String] = Seq("n_tokens", "stop_ratio",
+    "digit_ratio", "mean_token_len", "quality_score")
+
+  /** QUALITY-SIGNAL correlation matrix — the redundant-filter
+    * governance table: two quality signals with |r| → 1 gate the
+    * same documents, so one of them buys nothing (the filter-battery
+    * pruning decision every curation pipeline revisits). Pairwise
+    * Pearson over the [[textQuality]] signals, computed from ONE
+    * aggregation pass: all 5 sums + 15 cross-moments are conditional
+    * aggregates in a single reduce over the corpus — no signal
+    * unpivot, no self-join, O(1) output rows at any corpus size.
+    *
+    * Exactness: ratios quantize to 1e-4-unit longs (token counts are
+    * already integers), every moment is an exact integer sum, and
+    * each r is one float division over sqrt'd exact operands.
+    * Integer envelope: Σx² ≤ n·10⁸ for ratio signals and n·(max
+    * tokens)² for counts — ANSI faults loudly far before 10¹⁸. */
+  def qualitySignalCorr(spark: SparkSession, dir: String): DataFrame = {
+    val q = textQuality(spark, dir).select(
+      col("n_tokens").as("v0"),
+      floor(col("stop_ratio") * 1e4 + 0.5).cast("long").as("v1"),
+      floor(col("digit_ratio") * 1e4 + 0.5).cast("long").as("v2"),
+      floor(col("mean_token_len") * 1e4 + 0.5).cast("long").as("v3"),
+      floor(col("quality_score") * 1e4 + 0.5).cast("long").as("v4"))
+    val aggs = (0 until 5).map(i => sum(col(s"v$i")).as(s"s$i")) ++
+      (for { i <- 0 until 5; j <- i until 5 }
+        yield sum(col(s"v$i") * col(s"v$j")).as(s"ss${i}_$j"))
+    val m = q.agg(count(lit(1)).as("n"), aggs: _*)
+    val pairStructs =
+      for { i <- 0 until 5; j <- (i + 1) until 5 } yield {
+        val num = (col("n") * col(s"ss${i}_$j")
+          - col(s"s$i") * col(s"s$j")).cast("double")
+        val denA = sqrt((col("n") * col(s"ss${i}_$i")
+          - col(s"s$i") * col(s"s$i")).cast("double"))
+        val denB = sqrt((col("n") * col(s"ss${j}_$j")
+          - col(s"s$j") * col(s"s$j")).cast("double"))
+        struct(lit(QualitySignals(i)).as("sig_a"),
+          lit(QualitySignals(j)).as("sig_b"),
+          when(denA > 0 && denB > 0,
+            floor(num / (denA * denB) * 1e4 + 0.5) / 1e4).as("r"))
+      }
+    m.select(col("n"), explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"),
+        col("n"), col("p.r").as("r"))
+  }
+
   /** Curriculum TRAINING ORDER — the per-shard data-order artifact a
     * quality-curriculum loader consumes: inside each
     * [[corpusShardManifest]] shard, documents rank highest

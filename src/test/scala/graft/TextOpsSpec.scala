@@ -656,6 +656,34 @@ class TextOpsSpec extends SparkSpec {
     assert(got.size >= 20, s"only ${got.size} shards populated")
   }
 
+  test("quality_signal_corr: r within bounds, exact vs Scala Pearson, self-consistency") {
+    val rows = TextOps.qualitySignalCorr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(rows.size === 10, "5 choose 2 pairs")
+    rows.values.foreach { case (_, r) =>
+      r.foreach(v => assert(v >= -1.0001 && v <= 1.0001, s"r out of bounds $v")) }
+    // exact recompute for one pair from the quality table
+    val q = TextOps.textQuality(spark, sf)
+      .select("n_tokens", "quality_score").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 1e4 + 0.5).toLong))
+    val n = q.length.toLong
+    val (sa, sb) = (q.map(_._1).sum, q.map(_._2).sum)
+    val (saa, sbb) = (q.map(x => x._1 * x._1).sum, q.map(x => x._2 * x._2).sum)
+    val sab = q.map(x => x._1 * x._2).sum
+    val num = (n * sab - sa * sb).toDouble
+    val den = math.sqrt((n * saa - sa * sa).toDouble) *
+      math.sqrt((n * sbb - sb * sb).toDouble)
+    val expect = math.floor(num / den * 1e4 + 0.5) / 1e4
+    val got = rows(("n_tokens", "quality_score"))
+    assert(got._1 === n)
+    assert(got._2 === Some(expect))
+    // quality_score is BUILT from n_tokens (capped linear x stopword
+    // damping) — the correlation must be strongly positive
+    assert(got._2.get > 0.3, s"quality~tokens r=${got._2.get}")
+  }
+
   test("corpus_mix_temperature: sqrt damping, weights normalize, kept within rate") {
     val rows = TextOps.corpusMixTemperature(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
