@@ -29,6 +29,7 @@ object SparkEntry {
     "q10_returned_items"  -> Relational.returnedItemsRevenue _,
     "q6_revenue_change"   -> Relational.revenueChange _,
     "q19_discounted_revenue" -> Relational.discountedRevenue _,
+    "q14_promo_revenue"      -> Relational.promoRevenueShare _,
     "q7_volume_shipping"  -> Relational.volumeShipping _,
     "q8_market_share"     -> Relational.marketShare _,
     "distinct_users_daily" -> Relational.distinctUsersDaily _,
@@ -1239,6 +1240,30 @@ object SparkEntry {
         |       AND l.l_quantity BETWEEN 10 AND 20)
         |   OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 15
         |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // numerator and denominator from ONE conditional aggregation
+    "q14_promo_revenue" ->
+      """SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS month,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN
+        |      CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT))
+        |    ELSE 0 END) AS DOUBLE) / 1e6, 2) AS promo_revenue,
+        |  round(CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)))
+        |    AS DOUBLE) / 1e6, 2) AS revenue,
+        |  CASE WHEN sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT))) > 0
+        |    THEN floor(CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN
+        |        CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |        * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT))
+        |      ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |        * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)))
+        |        AS DOUBLE) * 100.0 * 1e4 + 0.5) / 1e4
+        |  END AS promo_share_pct
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1""".stripMargin,
 
     "q10_returned_items" ->
       """SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS c_acctbal,

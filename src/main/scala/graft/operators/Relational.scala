@@ -129,6 +129,33 @@ object Relational {
         round(col("rev").cast("double") / 1e6, 2).as("revenue"))
   }
 
+  /** TPC-H Q14-style PROMO revenue share per ship month: what
+    * fraction of each month's discounted revenue came from PROMO
+    * parts. Numerator and denominator are ONE conditional
+    * aggregation over the joined slice (not two filtered scans +
+    * a join of aggregates); `part` is the broadcast dim; revenue is
+    * the exact cents×bps decimal product ([[discountedRevenue]]'s
+    * envelope), so the share divides two exact decimals once. */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pt = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val disc = dec38(cents(col("l_extendedprice"))
+      * (lit(10000L) - bps(col("l_discount"))))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(date_trunc("MONTH", col("l_shipdate")), "yyyy-MM")
+        .as("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0L)))
+          .as("promo_u"),
+        sum(disc).as("total_u"))
+      .select(col("month"), col("n_lines"),
+        round(col("promo_u").cast("double") / 1e6, 2).as("promo_revenue"),
+        round(col("total_u").cast("double") / 1e6, 2).as("revenue"),
+        when(col("total_u") > 0,
+          floor(col("promo_u").cast("double") / col("total_u").cast("double")
+            * 100.0 * 1e4 + 0.5) / 1e4).as("promo_share_pct"))
+  }
+
   /** TPC-H Q3-style: selective filter, two fact joins, agg +
     * deterministic top-k. Customer filter prunes before the join but
     * the join stays UNHINTED — customer scales linearly with the data

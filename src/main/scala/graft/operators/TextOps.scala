@@ -447,7 +447,11 @@ object TextOps {
     * token offset without rescanning. Shape: the quality scan is
     * elementwise, then ONE window exchange on the shard key carries
     * both the rank and the running sum (same sort, two frames) —
-    * shards are hash-balanced so the window partitions are too. */
+    * shards are hash-balanced so the window partitions are too. A
+    * total order per shard is inherently one task's sort; that is
+    * fine exactly because a shard must anyway be consumable by one
+    * loader — if the corpus outgrows the shard size, the knob is
+    * [[NShards]], which the manifest co-owns. */
   def corpusCurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard"))

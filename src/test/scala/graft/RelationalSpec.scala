@@ -223,6 +223,43 @@ class RelationalSpec extends SparkSpec {
       math.rint(rev.toDouble / 1e6 * 100) / 100) < 1e-6)
   }
 
+  test("q14_promo_revenue: share identity, broadcast dim, exact recompute") {
+    val df = SparkEntry.queries("q14_promo_revenue")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "part dim must broadcast")
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.nonEmpty)
+    // promo <= total and the share matches the two revenue columns
+    rows.values.foreach { r =>
+      val (promo, total) = (r.getDouble(2), r.getDouble(3))
+      assert(promo <= total + 1e-9)
+      if (!r.isNullAt(4)) {
+        val pct = r.getDouble(4)
+        assert(pct >= 0.0 && pct <= 100.0001)
+        // 2dp-rounded revenues approximate the exact share within the
+        // rounding envelope
+        if (total > 1.0) assert(math.abs(pct - promo / total * 100.0) < 1.0)
+      }
+    }
+    // one month against an independent recompute
+    val probe = rows.keys.min
+    val li = Tables.lineitem(spark, sf)
+      .filter(date_format(date_trunc("MONTH", col("l_shipdate")), "yyyy-MM")
+        === probe)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select("l_extendedprice", "l_discount", "p_type").collect()
+    def u(r: org.apache.spark.sql.Row): BigInt =
+      BigInt(math.floor(r.getDouble(0) * 100 + 0.5).toLong) *
+        (10000 - math.floor(r.getDouble(1) * 10000 + 0.5).toLong)
+    val total = li.map(u).sum
+    val promo = li.filter(_.getString(2) == "PROMO").map(u).sum
+    assert(rows(probe).getLong(1) === li.length.toLong)
+    assert(rows(probe).getDouble(3)
+      === math.rint(total.toDouble / 1e6 * 100) / 100)
+    assert(rows(probe).getDouble(2)
+      === math.rint(promo.toDouble / 1e6 * 100) / 100)
+  }
+
   test("q19_discounted_revenue: disjunctive branches recompute; part side broadcasts") {
     val df = SparkEntry.queries("q19_discounted_revenue")(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
