@@ -30,6 +30,7 @@ object SparkEntry {
     "q6_revenue_change"   -> Relational.revenueChange _,
     "q19_discounted_revenue" -> Relational.discountedRevenue _,
     "q14_promo_revenue"      -> Relational.promoRevenueShare _,
+    "order_ship_lag"         -> Relational.orderShipLag _,
     "q7_volume_shipping"  -> Relational.volumeShipping _,
     "q8_market_share"     -> Relational.marketShare _,
     "distinct_users_daily" -> Relational.distinctUsersDaily _,
@@ -1264,6 +1265,44 @@ object SparkEntry {
         |  END AS promo_share_pct
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1""".stripMargin,
+
+    // integer lag days; exact mean + rank-interpolated percentiles on
+    // one window sort per priority
+    "order_ship_lag" ->
+      """WITH lag AS (
+        |  SELECT o.o_orderpriority AS priority,
+        |    date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |r AS (
+        |  SELECT priority, lag_days,
+        |    row_number() OVER (PARTITION BY priority ORDER BY lag_days) AS rn,
+        |    count(*) OVER (PARTITION BY priority) AS n
+        |  FROM lag)
+        |SELECT priority, count(*) AS n_lines,
+        |  floor(CAST(sum(lag_days) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+        |    AS mean_lag,
+        |  floor((min(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+        |      THEN lag_days END)
+        |    + ((min(n) - 1) * 0.5 - floor((min(n) - 1) * 0.5))
+        |      * (min(CASE WHEN rn = least(CAST(floor((n - 1) * 0.5) AS BIGINT)
+        |          + 2, n) THEN lag_days END)
+        |        - min(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+        |          THEN lag_days END))) * 1e4 + 0.5) / 1e4 AS p50,
+        |  floor((min(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1
+        |      THEN lag_days END)
+        |    + ((min(n) - 1) * 0.9 - floor((min(n) - 1) * 0.9))
+        |      * (min(CASE WHEN rn = least(CAST(floor((n - 1) * 0.9) AS BIGINT)
+        |          + 2, n) THEN lag_days END)
+        |        - min(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1
+        |          THEN lag_days END))) * 1e4 + 0.5) / 1e4 AS p90,
+        |  floor((min(CASE WHEN rn = CAST(floor((n - 1) * 0.99) AS BIGINT) + 1
+        |      THEN lag_days END)
+        |    + ((min(n) - 1) * 0.99 - floor((min(n) - 1) * 0.99))
+        |      * (min(CASE WHEN rn = least(CAST(floor((n - 1) * 0.99) AS BIGINT)
+        |          + 2, n) THEN lag_days END)
+        |        - min(CASE WHEN rn = CAST(floor((n - 1) * 0.99) AS BIGINT) + 1
+        |          THEN lag_days END))) * 1e4 + 0.5) / 1e4 AS p99
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q10_returned_items" ->
       """SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS c_acctbal,

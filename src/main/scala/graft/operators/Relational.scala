@@ -156,6 +156,50 @@ object Relational {
             * 100.0 * 1e4 + 0.5) / 1e4).as("promo_share_pct"))
   }
 
+  /** Order-to-ship LAG distribution per order priority — the
+    * fulfilment-SLA report (Q12's commit-date discipline re-expressed
+    * for this schema's columns): integer lag days per line item,
+    * then per priority the exact mean and rank-interpolated
+    * p50/p90/p99. Lags are integers, so the mean is one division
+    * over exact sums and the percentile ordinates are exact; the
+    * percentiles ride ONE window sort per priority (bounded
+    * partition count) with conditional-aggregate rank picks — no
+    * per-group collect. orders→lineitem is the natural fact join on
+    * the shuffle key; neither side is broadcast (both fact-sized). */
+  def orderShipLag(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+    val lags = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("lag_days"))
+    val ranked = lags
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("priority"))))
+    val pctAggs = qs.flatMap { case (nm, q) =>
+      val r = (col("n") - 1) * lit(q)
+      val lo = floor(r) + 1
+      Seq(min(when(col("rn") === lo, col("lag_days"))).as(s"${nm}_lo"),
+        min(when(col("rn") === least(lo + 1, col("n")), col("lag_days")))
+          .as(s"${nm}_hi"),
+        min(r - floor(r)).as(s"${nm}_f"))
+    }
+    val pctOut = qs.map { case (nm, _) =>
+      (floor((col(s"${nm}_lo") + col(s"${nm}_f")
+        * (col(s"${nm}_hi") - col(s"${nm}_lo"))) * 1e4 + 0.5) / 1e4).as(nm)
+    }
+    ranked.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("lag_days").cast("long")).as("sl") +: pctAggs): _*)
+      .select(Seq(col("priority"), col("n_lines"),
+        (floor(col("sl").cast("double") / col("n_lines") * 1e4 + 0.5) / 1e4)
+          .as("mean_lag")) ++ pctOut: _*)
+  }
+
   /** TPC-H Q3-style: selective filter, two fact joins, agg +
     * deterministic top-k. Customer filter prunes before the join but
     * the join stays UNHINTED — customer scales linearly with the data

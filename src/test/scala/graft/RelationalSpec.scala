@@ -223,6 +223,38 @@ class RelationalSpec extends SparkSpec {
       math.rint(rev.toDouble / 1e6 * 100) / 100) < 1e-6)
   }
 
+  test("order_ship_lag: exact percentiles vs Scala recompute, ordered ladder") {
+    val rows = SparkEntry.queries("order_ship_lag")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lags = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate"))).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(rows.keySet === lags.map(_._1).toSet)
+    lags.groupBy(_._1).foreach { case (p, ls) =>
+      val r = rows(p)
+      val sorted = ls.map(_._2).sorted
+      assert(r.getLong(1) === sorted.length.toLong)
+      assert(r.getDouble(2) === math.floor(
+        sorted.map(_.toLong).sum.toDouble / sorted.length * 1e4 + 0.5) / 1e4)
+      def pct(q: Double): Double = {
+        val rr = (sorted.length - 1) * q
+        val lo = rr.toInt
+        val f = rr - lo
+        val v = sorted(lo) + f *
+          (sorted(math.min(lo + 1, sorted.length - 1)) - sorted(lo))
+        math.floor(v * 1e4 + 0.5) / 1e4
+      }
+      assert(r.getDouble(3) === pct(0.5), s"$p p50")
+      assert(r.getDouble(4) === pct(0.9), s"$p p90")
+      assert(r.getDouble(5) === pct(0.99), s"$p p99")
+      assert(r.getDouble(3) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(5))
+    }
+  }
+
   test("q14_promo_revenue: share identity, broadcast dim, exact recompute") {
     val df = SparkEntry.queries("q14_promo_revenue")(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
