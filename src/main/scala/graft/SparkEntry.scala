@@ -31,6 +31,8 @@ object SparkEntry {
     "q19_discounted_revenue" -> Relational.discountedRevenue _,
     "q14_promo_revenue"      -> Relational.promoRevenueShare _,
     "order_ship_lag"         -> Relational.orderShipLag _,
+    "supplier_concentration" -> Relational.supplierConcentration _,
+    "events_value_histogram" -> Relational.eventsValueHistogram _,
     "q7_volume_shipping"  -> Relational.volumeShipping _,
     "q8_market_share"     -> Relational.marketShare _,
     "distinct_users_daily" -> Relational.distinctUsersDaily _,
@@ -1265,6 +1267,55 @@ object SparkEntry {
         |  END AS promo_share_pct
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1""".stripMargin,
+
+    // all boundary math in exact integer cents so bucket edges are
+    // engine-invariant
+    "events_value_histogram" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |    min(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      OVER (PARTITION BY event_type) AS cmin,
+        |    max(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      OVER (PARTITION BY event_type) AS cmax
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, c, cmin,
+        |    greatest(cmax - cmin, 1) AS span,
+        |    least(9, ((c - cmin) * 10) // greatest(cmax - cmin, 1)) AS bucket
+        |  FROM c)
+        |SELECT event_type, bucket, count(*) AS n,
+        |  CAST(min(cmin) + (min(span) * min(bucket)) // 10 AS DOUBLE) / 100.0
+        |    AS lo,
+        |  CAST(min(cmin) + (min(span) * (min(bucket) + 1)) // 10 AS DOUBLE)
+        |    / 100.0 AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // shares quantized to 1e-6 before the cross-supplier square sum
+    "supplier_concentration" ->
+      """WITH bs AS (
+        |  SELECT l.l_suppkey,
+        |    CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)))
+        |      AS HUGEINT) AS rev_u
+        |  FROM lineitem l GROUP BY 1),
+        |j AS (
+        |  SELECT n.n_name, bs.rev_u,
+        |    sum(bs.rev_u) OVER (PARTITION BY n.n_name) AS tot_u
+        |  FROM bs
+        |  JOIN supplier s ON bs.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |sh AS (
+        |  SELECT n_name, tot_u,
+        |    CAST(floor(CAST(rev_u AS DOUBLE) / CAST(tot_u AS DOUBLE)
+        |      * 1e6 + 0.5) AS BIGINT) AS share_u
+        |  FROM j)
+        |SELECT n_name, count(*) AS n_suppliers,
+        |  round(CAST(min(tot_u) AS DOUBLE) / 1e6, 2) AS revenue,
+        |  CAST(max(share_u) AS DOUBLE) / 1e6 AS top_share,
+        |  floor(CAST(sum(share_u * share_u) AS DOUBLE) / 1e8 + 0.5) / 1e4
+        |    AS hhi
+        |FROM sh GROUP BY 1""".stripMargin,
 
     // integer lag days; exact mean + rank-interpolated percentiles on
     // one window sort per priority

@@ -156,6 +156,72 @@ object Relational {
             * 100.0 * 1e4 + 0.5) / 1e4).as("promo_share_pct"))
   }
 
+  /** Equi-width VALUE HISTOGRAM per event type — the profiling
+    * primitive behind every ingest-QC dashboard (shape drift, new
+    * modes, truncated sensors all show up here first): ten buckets
+    * over each type's own [min, max] envelope, all boundary math in
+    * exact integer cents — `bucket = ⌊(c−cmin)·10 / span⌋` capped at
+    * 9, bucket bounds derived by the same integer floor — so a value
+    * on a boundary lands identically in any engine (float-width
+    * buckets are the classic cross-engine histogram bug). One window
+    * min/max on the type key and one (type, bucket) aggregation on
+    * the same exchange. */
+  def eventsValueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+    val c = Tables.events(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("c"))
+      .withColumn("cmin", min(col("c")).over(w))
+      .withColumn("cmax", max(col("c")).over(w))
+      .withColumn("span", greatest(col("cmax") - col("cmin"), lit(1L)))
+      .withColumn("bucket",
+        least(lit(9L), expr("(c - cmin) * 10 div span")))
+    c.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        ((min(col("cmin")) + expr("min(span) * min(bucket) div 10"))
+          .cast("double") / 100.0).as("lo"),
+        ((min(col("cmin")) + expr("min(span) * (min(bucket) + 1) div 10"))
+          .cast("double") / 100.0).as("hi"))
+  }
+
+  /** Supplier revenue CONCENTRATION per nation — the
+    * Herfindahl–Hirschman index over each nation's supplier revenue
+    * shares (the market-structure lens on the supply base; HHI → 1
+    * means one supplier carries the nation). Revenue is the exact
+    * cents×bps decimal; shares and their squares are computed from
+    * exact per-supplier sums — the squared-share sum quantizes each
+    * share to 1e-6 units first so the cross-supplier fold order
+    * never reaches the reported figure. Two aggregations (supplier,
+    * then nation — the second runs over O(suppliers) rows) and one
+    * broadcast dim join. */
+  def supplierConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val bySupp = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        dec38(cents(col("l_extendedprice"))
+          * (lit(10000L) - bps(col("l_discount")))).as("rev_u"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("rev_u")).as("rev_u"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy(col("n_name"))
+    val shares = bySupp
+      .withColumn("tot_u", sum(col("rev_u")).over(w))
+      .withColumn("share_u",
+        floor(col("rev_u").cast("double") / col("tot_u").cast("double")
+          * 1e6 + 0.5).cast("long"))
+    shares.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(min(col("tot_u")).cast("double") / 1e6, 2).as("revenue"),
+        (max(col("share_u")).cast("double") / 1e6).as("top_share"),
+        (floor(sum(col("share_u") * col("share_u")).cast("double") / 1e8
+          + 0.5) / 1e4).as("hhi"))
+  }
+
   /** Order-to-ship LAG distribution per order priority — the
     * fulfilment-SLA report (Q12's commit-date discipline re-expressed
     * for this schema's columns): integer lag days per line item,

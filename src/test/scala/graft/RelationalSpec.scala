@@ -223,6 +223,64 @@ class RelationalSpec extends SparkSpec {
       math.rint(rev.toDouble / 1e6 * 100) / 100) < 1e-6)
   }
 
+  test("supplier_concentration: HHI bounds, share identity, exact recompute") {
+    val rows = SparkEntry.queries("supplier_concentration")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { r =>
+      val (n, top, hhi) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      // HHI lives in [1/n, 1]; top share bounds it from both sides
+      assert(hhi >= 1.0 / n - 1e-3 && hhi <= 1.0001, s"hhi $hhi n $n")
+      assert(hhi >= top * top - 1e-3, "top supplier alone contributes top^2")
+      assert(top <= 1.0001 && top >= 1.0 / n - 1e-3)
+      if (n == 1) assert(math.abs(hhi - 1.0) < 1e-3)
+    }
+    // one nation against an independent recompute
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("n_name", "l_suppkey", "l_extendedprice", "l_discount")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        BigInt(math.floor(r.getDouble(2) * 100 + 0.5).toLong) *
+          (10000 - math.floor(r.getDouble(3) * 10000 + 0.5).toLong)))
+    val probe = rows.keys.min
+    val bySupp = li.filter(_._1 == probe).groupBy(_._2)
+      .map { case (_, xs) => xs.map(_._3).sum }.toSeq
+    val tot = bySupp.sum
+    val shares = bySupp.map(u =>
+      math.floor(u.toDouble / tot.toDouble * 1e6 + 0.5).toLong)
+    val hhi = math.floor(shares.map(s => s * s).sum.toDouble / 1e8 + 0.5) / 1e4
+    assert(rows(probe).getLong(1) === bySupp.length.toLong)
+    assert(rows(probe).getDouble(4) === hhi, s"nation $probe hhi")
+  }
+
+  test("events_value_histogram: buckets partition the envelope, counts conserve") {
+    val rows = SparkEntry.queries("events_value_histogram")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    rows.groupBy(_._1).foreach { case (t, bs) =>
+      val cs = ev.filter(_._1 == t).map(_._2)
+      // total count conserved across buckets
+      assert(bs.map(_._3).sum === cs.length.toLong, s"$t count")
+      val (cmin, cmax) = (cs.min, cs.max)
+      val span = math.max(cmax - cmin, 1L)
+      bs.foreach { case (_, b, n, lo, hi) =>
+        assert(b >= 0 && b <= 9)
+        assert(lo === (cmin + span * b / 10).toDouble / 100.0, s"$t b$b lo")
+        assert(hi === (cmin + span * (b + 1) / 10).toDouble / 100.0, s"$t b$b hi")
+        // every value assigned to bucket b really falls in it
+        val expect = cs.count(c =>
+          math.min(9L, (c - cmin) * 10 / span) == b)
+        assert(n === expect.toLong, s"$t b$b n")
+      }
+    }
+  }
+
   test("order_ship_lag: exact percentiles vs Scala recompute, ordered ladder") {
     val rows = SparkEntry.queries("order_ship_lag")(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
