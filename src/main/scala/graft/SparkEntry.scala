@@ -148,6 +148,7 @@ object SparkEntry {
     "grid_pyramid"          -> Climate.gridPyramid _,
     "grid_gradient"         -> Climate.gridGradient _,
     "grid_curvature"        -> Climate.gridCurvature _,
+    "climate_etccdi"        -> Climate.etccdiIndices _,
     "grid_hillshade"        -> Climate.gridHillshade _,
     "grid_flow_dir"         -> Climate.gridFlowDir _,
     "grid_flow_acc"         -> Climate.gridFlowAcc _,
@@ -4045,6 +4046,62 @@ object SparkEntry {
         |JOIN c xm ON xm.gy = c.gy AND xm.gx = c.gx - 1
         |JOIN c yp ON yp.gy = c.gy + 1 AND yp.gx = c.gx
         |JOIN c ym ON ym.gy = c.gy - 1 AND ym.gx = c.gx""".stripMargin,
+
+    // gaps-and-islands on the calendar day number (a missing day
+    // breaks a spell); R95p rank-interpolated over the wet-day subset
+    "climate_etccdi" ->
+      """WITH d AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT user_id, c,
+        |    date_diff('day', DATE '2024-01-01', CAST(day AS DATE)) AS dn,
+        |    c >= 100 AS wet
+        |  FROM d),
+        |runs AS (
+        |  SELECT user_id, wet,
+        |    dn - row_number() OVER (PARTITION BY user_id, wet ORDER BY dn)
+        |      AS grp
+        |  FROM dd),
+        |rl AS (
+        |  SELECT user_id, wet, grp, count(*) AS len
+        |  FROM runs GROUP BY 1, 2, 3),
+        |spells AS (
+        |  SELECT user_id, max(CASE WHEN NOT wet THEN len END) AS cdd,
+        |         max(CASE WHEN wet THEN len END) AS cwd
+        |  FROM rl GROUP BY 1),
+        |flat AS (
+        |  SELECT user_id, count(*) AS n_days,
+        |    CAST(sum(CASE WHEN c >= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS r10mm,
+        |    CAST(sum(CASE WHEN wet THEN c ELSE 0 END) AS DOUBLE) / 100.0
+        |      AS prcptot
+        |  FROM dd GROUP BY 1),
+        |wr AS (
+        |  SELECT user_id, c,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY c) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM dd WHERE wet),
+        |p95 AS (
+        |  SELECT user_id,
+        |    (min(CASE WHEN rn = CAST(floor((n - 1) * 0.95) AS BIGINT) + 1
+        |        THEN c END)
+        |     + ((min(n) - 1) * 0.95 - floor((min(n) - 1) * 0.95))
+        |       * (min(CASE WHEN rn = least(CAST(floor((n - 1) * 0.95)
+        |            AS BIGINT) + 2, n) THEN c END)
+        |          - min(CASE WHEN rn = CAST(floor((n - 1) * 0.95) AS BIGINT)
+        |            + 1 THEN c END))) / 100.0 AS r95p
+        |  FROM wr GROUP BY 1),
+        |rt AS (
+        |  SELECT dd.user_id,
+        |    CAST(sum(CASE WHEN CAST(dd.c AS DOUBLE) / 100.0 > p95.r95p
+        |      THEN dd.c ELSE 0 END) AS DOUBLE) / 100.0 AS r95ptot
+        |  FROM dd JOIN p95 USING (user_id) WHERE dd.wet GROUP BY 1)
+        |SELECT f.user_id, f.n_days, s.cdd, s.cwd, f.r10mm, f.prcptot,
+        |  floor(p95.r95p * 1e4 + 0.5) / 1e4 AS r95p, rt.r95ptot
+        |FROM flat f LEFT JOIN spells s USING (user_id)
+        |LEFT JOIN p95 USING (user_id) LEFT JOIN rt USING (user_id)""".stripMargin,
 
     // central second differences on exact micro-units; 'flat' is a
     // bit-exact zero class, not a tolerance

@@ -1988,6 +1988,79 @@ object Climate {
           .as("aspect"))
   }
 
+  /** ETCCDI-style precipitation INDEX SUITE per station — the WMO
+    * Expert Team on Climate Change Detection Indices set every
+    * climate service publishes (the reference's products are built
+    * to feed exactly these dashboards): CDD (longest dry spell),
+    * CWD (longest wet spell), R10mm (heavy-precip day count),
+    * PRCPTOT (wet-day total), R95p (the 95th-percentile wet-day
+    * amount) and R95pTOT (total above it — the "very wet day"
+    * contribution).
+    *
+    * Exactness: daily totals in integer cents; wet/dry membership
+    * and R10 are integer comparisons; spells use the gaps-and-
+    * islands `rn − rn_state` identity on the calendar day NUMBER (a
+    * missing day breaks a spell — rows-frame runs would silently
+    * bridge it); R95p rank-interpolates over the wet-day subset on
+    * one station window; R95pTOT sums exact cents strictly above the
+    * threshold. Shape: the pinned daily table feeds three bounded
+    * per-station branches (spells, flat aggregates, percentile) that
+    * re-join on O(stations) rows — AQE broadcasts them. */
+  def etccdiIndices(spark: SparkSession, dir: String): DataFrame = {
+    val WetCents = 100L   // 1.00 units/day — the ETCCDI wet-day line
+    val HeavyCents = 1000L // 10.00 units/day — R10mm's threshold
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("c"))
+      .withColumn("dn", datediff(col("day").cast("date"),
+        lit("2024-01-01").cast("date")))
+      .withColumn("wet", col("c") >= WetCents)
+      .localCheckpoint()
+    // spells: day-number minus the per-state row_number is constant
+    // within one CONSECUTIVE-day run of one state
+    val wState = Window.partitionBy(col("user_id"), col("wet"))
+      .orderBy(col("dn"))
+    val spells = daily
+      .withColumn("grp", col("dn") - row_number().over(wState))
+      .groupBy(col("user_id"), col("wet"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(when(!col("wet"), col("len"))).as("cdd"),
+        max(when(col("wet"), col("len"))).as("cwd"))
+    val flat = daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("c") >= HeavyCents, 1L).otherwise(0L)).as("r10mm"),
+        (sum(when(col("wet"), col("c")).otherwise(0L)).cast("double") / 100.0)
+          .as("prcptot"))
+    val wWet = Window.partitionBy(col("user_id")).orderBy(col("c"))
+    val wetRanked = daily.filter(col("wet"))
+      .withColumn("rn", row_number().over(wWet))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))))
+    val r = (col("n") - 1) * lit(0.95)
+    val lo = floor(r) + 1
+    val p95 = wetRanked.groupBy(col("user_id"))
+      .agg(min(when(col("rn") === lo, col("c"))).as("vlo"),
+        min(when(col("rn") === least(lo + 1, col("n")), col("c"))).as("vhi"),
+        min(r - floor(r)).as("f"))
+      .select(col("user_id"),
+        ((col("vlo") + col("f") * (col("vhi") - col("vlo"))) / 100.0)
+          .as("r95p"))
+    val r95tot = daily.filter(col("wet"))
+      .join(p95, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("c").cast("double") / 100.0 > col("r95p"),
+        col("c")).otherwise(0L)).cast("double") / 100.0).as("r95ptot"))
+    flat.join(spells, Seq("user_id"), "left")
+      .join(p95, Seq("user_id"), "left")
+      .join(r95tot, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_days"), col("cdd"), col("cwd"),
+        col("r10mm"), col("prcptot"),
+        (floor(col("r95p") * 1e4 + 0.5) / 1e4).as("r95p"),
+        col("r95ptot"))
+  }
+
   /** Terrain CURVATURE per interior cell — the second-derivative
     * member of the raster-derivative family ([[gridGradient]] is the
     * first; `gdaldem` and every terrain toolkit ship both): central

@@ -146,6 +146,55 @@ class ClimateSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("climate_etccdi: spells from a constructed calendar, indices vs recompute") {
+    val out = SparkEntry.queries("climate_etccdi")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // independent recompute for every station
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.keySet === daily.map(_._1).toSet)
+    daily.groupBy(_._1).foreach { case (u, rows) =>
+      val r = out(u)
+      val sorted = rows.sortBy(_._2)
+      val days = sorted.map(d =>
+        java.time.LocalDate.parse(d._2).toEpochDay -> (d._3 >= 100L))
+      // longest consecutive-day run per state (a calendar gap breaks it)
+      // walk the state's days in calendar order; only CONSECUTIVE day
+      // numbers extend a run (matching the dn − row_number identity)
+      def longest(state: Boolean): Option[Long] = {
+        var best = 0L; var cur = 0L; var lastDn = Long.MinValue
+        days.filter(_._2 == state).map(_._1).sorted.foreach { dn =>
+          cur = if (dn == lastDn + 1) cur + 1 else 1
+          lastDn = dn; best = math.max(best, cur)
+        }
+        if (best == 0) None else Some(best)
+      }
+      def get(i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      assert(get(2) === longest(false), s"station $u cdd")
+      assert(get(3) === longest(true), s"station $u cwd")
+      assert(r.getLong(4) === sorted.count(_._3 >= 1000L).toLong,
+        s"station $u r10mm")
+      val wet = sorted.filter(_._3 >= 100L).map(_._3)
+      assert(r.getDouble(5) === wet.sum.toDouble / 100.0, s"station $u prcptot")
+      if (wet.nonEmpty) {
+        val s = wet.sorted
+        val rr = (s.length - 1) * 0.95
+        val loI = rr.toInt
+        val p95 = (s(loI) + (rr - loI) *
+          (s(math.min(loI + 1, s.length - 1)) - s(loI))) / 100.0
+        assert(r.getDouble(6) === math.floor(p95 * 1e4 + 0.5) / 1e4,
+          s"station $u r95p")
+        assert(r.getDouble(7)
+          === wet.filter(_.toDouble / 100.0 > p95).sum.toDouble / 100.0,
+          s"station $u r95ptot")
+      }
+    }
+  }
+
   test("grid_curvature: interior cells only, Laplacian identity, sign classes exact") {
     // sf0.01: the 8x8 grid needs interior cells (grid_gradient's spec
     // rationale — sf0.001 only populates two columns)
