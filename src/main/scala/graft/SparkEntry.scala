@@ -149,6 +149,7 @@ object SparkEntry {
     "grid_gradient"         -> Climate.gridGradient _,
     "grid_curvature"        -> Climate.gridCurvature _,
     "climate_etccdi"        -> Climate.etccdiIndices _,
+    "climate_etccdi_temp"   -> Climate.etccdiTemperature _,
     "grid_hillshade"        -> Climate.gridHillshade _,
     "grid_flow_dir"         -> Climate.gridFlowDir _,
     "grid_flow_acc"         -> Climate.gridFlowAcc _,
@@ -4046,6 +4047,48 @@ object SparkEntry {
         |JOIN c xm ON xm.gy = c.gy AND xm.gx = c.gx - 1
         |JOIN c yp ON yp.gy = c.gy + 1 AND yp.gx = c.gx
         |JOIN c ym ON ym.gy = c.gy - 1 AND ym.gx = c.gx""".stripMargin,
+
+    // daily min/max are order statistics on exact cents; the TX90p
+    // threshold rank-interpolates on one station window
+    "climate_etccdi_temp" ->
+      """WITH d AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS tn,
+        |    max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS tx
+        |  FROM events GROUP BY 1, 2),
+        |flat AS (
+        |  SELECT user_id, count(*) AS n_days,
+        |    CAST(sum(CASE WHEN tn < 2000 THEN 1 ELSE 0 END) AS BIGINT) AS fd,
+        |    CAST(sum(CASE WHEN tx > 8000 THEN 1 ELSE 0 END) AS BIGINT) AS su,
+        |    floor(CAST(sum(tx - tn) AS DOUBLE) / count(*) / 100.0 * 1e4 + 0.5)
+        |      / 1e4 AS dtr_mean
+        |  FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, tx,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY tx) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM d),
+        |p90 AS (
+        |  SELECT user_id,
+        |    (min(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1
+        |        THEN tx END)
+        |     + ((min(n) - 1) * 0.9 - floor((min(n) - 1) * 0.9))
+        |       * (min(CASE WHEN rn = least(CAST(floor((n - 1) * 0.9)
+        |            AS BIGINT) + 2, n) THEN tx END)
+        |          - min(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT)
+        |            + 1 THEN tx END))) / 100.0 AS tx90_thresh
+        |  FROM r GROUP BY 1),
+        |ex AS (
+        |  SELECT d.user_id,
+        |    CAST(sum(CASE WHEN CAST(d.tx AS DOUBLE) / 100.0 > p90.tx90_thresh
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed
+        |  FROM d JOIN p90 USING (user_id) GROUP BY 1)
+        |SELECT f.user_id, f.n_days, f.fd, f.su, f.dtr_mean,
+        |  floor(p90.tx90_thresh * 1e4 + 0.5) / 1e4 AS tx90_thresh,
+        |  floor(CAST(ex.n_exceed AS DOUBLE) / f.n_days * 1e4 + 0.5) / 1e4
+        |    AS tx90p
+        |FROM flat f LEFT JOIN p90 USING (user_id)
+        |LEFT JOIN ex USING (user_id)""".stripMargin,
 
     // gaps-and-islands on the calendar day number (a missing day
     // breaks a spell); R95p rank-interpolated over the wet-day subset

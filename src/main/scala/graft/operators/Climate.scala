@@ -2061,6 +2061,60 @@ object Climate {
         col("r95ptot"))
   }
 
+  /** Temperature-side ETCCDI indices — the thermal half of the suite
+    * ([[etccdiIndices]] covers precipitation): FD (frost days — daily
+    * MINIMUM below the freeze line), SU (summer days — daily MAXIMUM
+    * above the warm line), mean DTR (diurnal range, the
+    * station-siting QC number), and TX90p (share of days whose max
+    * exceeds the station's own 90th-percentile max — the warm-tail
+    * exceedance index). Daily min/max come from exact cents (order
+    * statistics — merge-order-free by definition); DTR averages
+    * integer ranges with one division; the TX90p threshold
+    * rank-interpolates on one station window and the share divides
+    * two exact counts. Same pinned-daily / bounded-rejoin shape as
+    * the precipitation suite. */
+  def etccdiTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val FrostCents = 2000L // 20.00 units — the synthetic freeze line
+    val WarmCents = 8000L  // 80.00 units — the synthetic summer line
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(min(floor(col("value") * 100 + 0.5).cast("long")).as("tn"),
+        max(floor(col("value") * 100 + 0.5).cast("long")).as("tx"))
+      .localCheckpoint()
+    val flat = daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("tn") < FrostCents, 1L).otherwise(0L)).as("fd"),
+        sum(when(col("tx") > WarmCents, 1L).otherwise(0L)).as("su"),
+        (floor(sum(col("tx") - col("tn")).cast("double")
+          / count(lit(1)) / 100.0 * 1e4 + 0.5) / 1e4).as("dtr_mean"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tx"))
+    val ranked = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))))
+    val r = (col("n") - 1) * lit(0.9)
+    val lo = floor(r) + 1
+    val p90 = ranked.groupBy(col("user_id"))
+      .agg(min(when(col("rn") === lo, col("tx"))).as("vlo"),
+        min(when(col("rn") === least(lo + 1, col("n")), col("tx"))).as("vhi"),
+        min(r - floor(r)).as("f"))
+      .select(col("user_id"),
+        ((col("vlo") + col("f") * (col("vhi") - col("vlo"))) / 100.0)
+          .as("tx90_thresh"))
+    val exceed = daily.join(p90, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("tx").cast("double") / 100.0 > col("tx90_thresh"),
+        1L).otherwise(0L)).as("n_exceed"))
+    flat.join(p90, Seq("user_id"), "left")
+      .join(exceed, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_days"), col("fd"), col("su"),
+        col("dtr_mean"),
+        (floor(col("tx90_thresh") * 1e4 + 0.5) / 1e4).as("tx90_thresh"),
+        (floor(col("n_exceed").cast("double") / col("n_days") * 1e4 + 0.5)
+          / 1e4).as("tx90p"))
+  }
+
   /** Terrain CURVATURE per interior cell — the second-derivative
     * member of the raster-derivative family ([[gridGradient]] is the
     * first; `gdaldem` and every terrain toolkit ship both): central

@@ -195,6 +195,39 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("climate_etccdi_temp: FD/SU/DTR/TX90p vs recompute, exceedance near 10%") {
+    val out = SparkEntry.queries("climate_etccdi_temp")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(min(floor(col("value") * 100 + 0.5).cast("long")).as("tn"),
+        max(floor(col("value") * 100 + 0.5).cast("long")).as("tx"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.keySet === daily.map(_._1).toSet)
+    daily.groupBy(_._1).foreach { case (u, rows) =>
+      val r = out(u)
+      val (tns, txs) = (rows.map(_._2), rows.map(_._3))
+      assert(r.getLong(1) === rows.length.toLong)
+      assert(r.getLong(2) === tns.count(_ < 2000L).toLong, s"station $u fd")
+      assert(r.getLong(3) === txs.count(_ > 8000L).toLong, s"station $u su")
+      val dtr = rows.map(x => x._3 - x._2).sum
+      assert(r.getDouble(4) === math.floor(
+        dtr.toDouble / rows.length / 100.0 * 1e4 + 0.5) / 1e4, s"station $u dtr")
+      val s = txs.sorted
+      val rr = (s.length - 1) * 0.9
+      val loI = rr.toInt
+      val thr = (s(loI) + (rr - loI) *
+        (s(math.min(loI + 1, s.length - 1)) - s(loI))) / 100.0
+      assert(r.getDouble(5) === math.floor(thr * 1e4 + 0.5) / 1e4)
+      val exceed = txs.count(_.toDouble / 100.0 > thr)
+      assert(r.getDouble(6) === math.floor(
+        exceed.toDouble / rows.length * 1e4 + 0.5) / 1e4, s"station $u tx90p")
+      // by construction of a 90th-percentile threshold
+      assert(r.getDouble(6) <= 0.2001, s"station $u exceedance share sane")
+    }
+  }
+
   test("grid_curvature: interior cells only, Laplacian identity, sign classes exact") {
     // sf0.01: the 8x8 grid needs interior cells (grid_gradient's spec
     // rationale — sf0.001 only populates two columns)
