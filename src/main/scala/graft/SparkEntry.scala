@@ -66,6 +66,7 @@ object SparkEntry {
     "ts_hurst"               -> TimeSeries.tsHurst _,
     "ts_spectral_entropy"    -> TimeSeries.spectralEntropy _,
     "ts_effective_n"         -> TimeSeries.effectiveN _,
+    "funnel_latency"         -> TimeSeries.funnelLatency _,
     "ts_benford"             -> TimeSeries.benfordScreen _,
     "ts_mann_kendall"        -> TimeSeries.mannKendall _,
     "ts_seasonal_mk"         -> TimeSeries.seasonalMannKendall _,
@@ -2259,6 +2260,68 @@ object SparkEntry {
     // pooled mean = exact integer ratio; num/den are integer sums of
     // per-term 1e-8-quantized products — merge-order-free both sides
     "ts_autocorr" -> acfSql,
+
+    // exact percentiles from the latency-second histogram's
+    // cumulative counts — value-at-rank via conditional aggregates,
+    // no row-level global sort
+    "funnel_latency" -> {
+      val pq = Seq(("p50_s", 0.5), ("p90_s", 0.9), ("p99_s", 0.99))
+      val pctAggSql = pq.flatMap { case (nm, q) =>
+        Seq(
+          s"""min(CASE WHEN cum >= CAST(floor((n - 1) * $q) AS BIGINT) + 1
+            |      THEN lat_s END) AS ${nm}_lo""".stripMargin,
+          s"""min(CASE WHEN cum >= least(CAST(floor((n - 1) * $q) AS BIGINT)
+            |      + 2, n) THEN lat_s END) AS ${nm}_hi""".stripMargin,
+          s"((min(n) - 1) * $q - floor((min(n) - 1) * $q)) AS ${nm}_f")
+      }.mkString(",\n        |    ")
+      val pctOutSql = pq.map { case (nm, _) =>
+        s"""floor((agg.${nm}_lo + agg.${nm}_f
+          |    * (agg.${nm}_hi - agg.${nm}_lo)) * 1e4 + 0.5) / 1e4
+          |    AS $nm""".stripMargin
+      }.mkString(",\n        |  ")
+      s"""WITH s AS (
+        |  SELECT user_id, session_id, event_type, ts FROM (
+        |    SELECT user_id, event_id, event_type, ts,
+        |      CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS BIGINT) AS session_id
+        |    FROM (SELECT user_id, event_id, event_type, ts,
+        |        (epoch_us(ts) - epoch_us(lag(ts, 1)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id))) / 1e6
+        |          AS gap
+        |      FROM events))),
+        |t1 AS (
+        |  SELECT user_id, session_id, min(ts) AS t1
+        |  FROM s WHERE event_type = 'signup' GROUP BY 1, 2),
+        |cv AS (
+        |  SELECT (epoch_us(min(s.ts)) - epoch_us(min(t1.t1))) // 1000000
+        |    AS lat_s
+        |  FROM s JOIN t1 USING (user_id, session_id)
+        |  WHERE s.event_type = 'purchase' AND s.ts > t1.t1
+        |  GROUP BY s.user_id, s.session_id),
+        |h AS (SELECT lat_s, count(*) AS cnt FROM cv GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |               CAST(sum(lat_s * cnt) AS BIGINT) AS sl FROM h),
+        |cum AS (
+        |  SELECT h.lat_s, h.cnt,
+        |    CAST(sum(h.cnt) OVER (ORDER BY h.lat_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    tot.n, tot.sl
+        |  FROM h CROSS JOIN tot),
+        |ns AS (SELECT count(*) AS n_sessions
+        |       FROM (SELECT DISTINCT user_id, session_id FROM s)),
+        |agg AS (
+        |  SELECT min(n) AS n_converted,
+        |    floor(CAST(min(sl) AS DOUBLE) / min(n) * 1e4 + 0.5) / 1e4
+        |      AS mean_s,
+        |    $pctAggSql
+        |  FROM cum)
+        |SELECT ns.n_sessions, agg.n_converted, agg.mean_s,
+        |  $pctOutSql
+        |FROM agg CROSS JOIN ns""".stripMargin
+    },
 
     // lag-1 AR effective sample size (the climate-trend significance
     // standard): Neff = n(1-r1)/(1+r1) on the clamped r1, VIF its

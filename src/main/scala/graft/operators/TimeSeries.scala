@@ -965,6 +965,73 @@ object TimeSeries {
   def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
     funnelOf(Tables.events(spark, dir))
 
+  /** Funnel CONVERSION LATENCY — how long signup→purchase takes, the
+    * product-analytics companion of [[eventsFunnel]]'s conversion
+    * counts: per session the first signup and the first purchase
+    * strictly after it, then the GLOBAL latency distribution (count,
+    * exact mean, p50/p90/p99).
+    *
+    * The percentile is computed from a HISTOGRAM of integer latency
+    * seconds, not a row-level global sort: the (lat_s, count)
+    * table is bounded by the latency RANGE in seconds regardless of
+    * corpus size, its cumulative counts resolve value-at-rank by one
+    * conditional aggregate per rank, and type-7 interpolation uses
+    * two such ranks — so the only single-task structure is O(distinct
+    * seconds) rows, never O(sessions). Stage extraction reuses the
+    * funnel's sessionize shuffle; the t1 join-back is co-partitioned
+    * on the same composite key. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, dir)
+      .withColumn("gap_s",
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))) / 1e6)
+      .withColumn("new_session",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(wRun).cast("long"))
+      .select(col("user_id"), col("session_id"), col("event_type"), col("ts"))
+      .localCheckpoint() // two stage passes read it
+    val t1 = sess.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("t1"))
+    val conv = sess.filter(col("event_type") === "purchase")
+      .join(t1, Seq("user_id", "session_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("tp"), min(col("t1")).as("t1"))
+      .select(expr("(unix_micros(tp) - unix_micros(t1)) div 1000000")
+        .as("lat_s"))
+    val h = conv.groupBy(col("lat_s")).agg(count(lit(1)).as("cnt"))
+    val tot = h.agg(sum(col("cnt")).as("n"),
+      sum(col("lat_s") * col("cnt")).as("sl"))
+    val wc = Window.orderBy(col("lat_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum", sum(col("cnt")).over(wc))
+      .crossJoin(broadcast(tot))
+    def valueAt(k: Column) = min(when(col("cum") >= k, col("lat_s")))
+    val qs = Seq(("p50_s", 0.5), ("p90_s", 0.9), ("p99_s", 0.99))
+    val pctAggs = qs.flatMap { case (nm, q) =>
+      val r = (col("n") - 1) * lit(q)
+      val lo = floor(r) + 1
+      Seq(valueAt(lo).as(s"${nm}_lo"),
+        valueAt(least(lo + 1, col("n"))).as(s"${nm}_hi"),
+        min(r - floor(r)).as(s"${nm}_f"))
+    }
+    val nSessions = sess.select(col("user_id"), col("session_id"))
+      .distinct().agg(count(lit(1)).as("n_sessions"))
+    cum.groupBy()
+      .agg(min(col("n")).as("n_converted"),
+        (Seq((floor(min(col("sl")).cast("double") / min(col("n"))
+          * 1e4 + 0.5) / 1e4).as("mean_s")) ++ pctAggs): _*)
+      .crossJoin(broadcast(nSessions))
+      .select(Seq(col("n_sessions"), col("n_converted"),
+        col("mean_s")) ++ qs.map { case (nm, _) =>
+          (floor((col(s"${nm}_lo") + col(s"${nm}_f")
+            * (col(s"${nm}_hi") - col(s"${nm}_lo"))) * 1e4 + 0.5) / 1e4)
+            .as(nm) }: _*)
+  }
+
   /** [[eventsFunnel]] over an arbitrary (event_id, ts, user_id,
     * event_type) frame — public seam so order enforcement is
     * spec-testable on constructed sequences. */

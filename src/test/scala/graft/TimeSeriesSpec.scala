@@ -1408,4 +1408,42 @@ class TimeSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("funnel_latency: histogram percentiles equal the row-level recompute") {
+    val r = SparkEntry.queries("funnel_latency")(spark, sf).collect()(0)
+    // row-level recompute of the session latencies
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        x.getTimestamp(3).getTime * 1000L))
+    val lats = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(e => (e._4, e._2))
+      var sid = 0L; var prev = Long.MinValue
+      val sessions = sorted.map { e =>
+        if (prev == Long.MinValue || (e._4 - prev) / 1e6 > 1800) sid += 1
+        prev = e._4; (sid, e._3, e._4)
+      }
+      sessions.groupBy(_._1).values.flatMap { ses =>
+        val t1 = ses.filter(_._2 == "signup").map(_._3).minOption
+        t1.flatMap { t =>
+          ses.filter(e => e._2 == "purchase" && e._3 > t).map(_._3).minOption
+            .map(tp => (tp - t) / 1000000L)
+        }
+      }
+    }
+    assert(r.getLong(1) === lats.length.toLong, "n_converted")
+    assert(r.getDouble(2) === math.floor(
+      lats.sum.toDouble / lats.length * 1e4 + 0.5) / 1e4, "mean")
+    val s = lats.sorted
+    def pct(q: Double): Double = {
+      val rr = (s.length - 1) * q
+      val lo = rr.toInt
+      val v = s(lo) + (rr - lo) * (s(math.min(lo + 1, s.length - 1)) - s(lo))
+      math.floor(v * 1e4 + 0.5) / 1e4
+    }
+    assert(r.getDouble(3) === pct(0.5), "p50")
+    assert(r.getDouble(4) === pct(0.9), "p90")
+    assert(r.getDouble(5) === pct(0.99), "p99")
+    assert(r.getLong(0) >= r.getLong(1), "sessions >= conversions")
+  }
 }
