@@ -221,6 +221,7 @@ object SparkEntry {
     "source_overlap"      -> Dedup.sourceOverlap _,
     "dedup_survivorship"  -> Dedup.dedupSurvivorship _,
     "dedup_survivorship_apply" -> Dedup.dedupSurvivorshipApply _,
+    "dedup_savings"       -> Dedup.dedupSavings _,
     "dedup_clusters"      -> Dedup.dedupClusters _,
     "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
     "dedup_lsh_audit"     -> Dedup.lshRecallAudit _,
@@ -461,6 +462,51 @@ object SparkEntry {
         |    THEN floor(CAST(n.num_u AS DOUBLE) / d.den_u * 1e4 + 0.5) / 1e4
         |  END AS acf
         |FROM num n JOIN den d ON n.user_id = d.user_id""".stripMargin
+
+  /** The survivorship CTE chain (minhash clusters + quality-ranked
+    * members) — factored out so the apply emission and the savings
+    * report share one oracle body. Ends with the `m` CTE: cluster
+    * members ranked by quality (rn = 1 is the keeper). */
+  private val survivorshipMembersSql: String =
+    """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |          for i in range(1, len(toks) - 1)])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p0 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM p0
+        |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |clus AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(1.0, len(toks) / 100.0)
+        |      * (1.0 - round((len(list_filter(toks, x -> x = 'the'))
+        |                      + len(list_filter(toks, x -> x = 'a')))
+        |                     / CAST(len(toks) AS DOUBLE), 4)), 4) AS qs
+        |  FROM (SELECT doc_id,
+        |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+        |            'g'), ' ') AS toks
+        |        FROM documents)),
+        |m AS (
+        |  SELECT c.cluster_id, c.doc_id, q.qs,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY q.qs DESC, c.doc_id ASC) AS rn
+        |  FROM clus c JOIN q ON c.doc_id = q.doc_id)"""
+    .stripMargin
 
   private def spiGammaSql(accSql: String, keys: Seq[String],
       carry: Seq[String] = Nil, fitWhere: String = "",
@@ -5915,48 +5961,32 @@ object SparkEntry {
         |FROM m WHERE rn = 1""".stripMargin,
 
     "dedup_survivorship_apply" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-        |          for i in range(1, len(toks) - 1)])) AS shingle
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |  WHERE len(toks) >= 3
-        |), cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |p0 AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM p0
-        |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-        |  WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |clus AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        |  FROM reach GROUP BY src),
-        |q AS (
-        |  SELECT doc_id,
-        |    round(least(1.0, len(toks) / 100.0)
-        |      * (1.0 - round((len(list_filter(toks, x -> x = 'the'))
-        |                      + len(list_filter(toks, x -> x = 'a')))
-        |                     / CAST(len(toks) AS DOUBLE), 4)), 4) AS qs
-        |  FROM (SELECT doc_id,
-        |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
-        |            'g'), ' ') AS toks
-        |        FROM documents)),
-        |m AS (
-        |  SELECT c.cluster_id, c.doc_id, q.qs,
-        |    row_number() OVER (PARTITION BY c.cluster_id
-        |      ORDER BY q.qs DESC, c.doc_id ASC) AS rn
-        |  FROM clus c JOIN q ON c.doc_id = q.doc_id)
+      (survivorshipMembersSql + """
         |SELECT d.doc_id, d.source, d.n_chars
         |FROM documents d
         |LEFT JOIN (SELECT doc_id FROM m WHERE rn > 1) x ON d.doc_id = x.doc_id
-        |WHERE x.doc_id IS NULL""".stripMargin,
+        |WHERE x.doc_id IS NULL""".stripMargin),
+
+    // per-source near-dup savings: dropped members (rn > 1) joined to
+    // their identity projection, plus corpus totals from one scan
+    "dedup_savings" ->
+      (survivorshipMembersSql + """,
+        |dropped AS (
+        |  SELECT d.source, count(*) AS dropped_docs,
+        |    CAST(sum(d.n_chars) AS BIGINT) AS dropped_chars
+        |  FROM documents d JOIN (SELECT doc_id FROM m WHERE rn > 1) x
+        |    ON d.doc_id = x.doc_id
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY 1)
+        |SELECT t.source, t.n_docs, t.n_chars,
+        |  coalesce(d.dropped_docs, 0) AS dropped_docs,
+        |  coalesce(d.dropped_chars, 0) AS dropped_chars,
+        |  floor(CAST(coalesce(d.dropped_chars, 0) AS DOUBLE) / t.n_chars
+        |    * 1e4 + 0.5) / 1e4 AS saved_frac
+        |FROM tot t LEFT JOIN dropped d USING (source)""".stripMargin),
 
     "source_overlap" ->
       """WITH ss AS (

@@ -210,6 +210,36 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** Near-dup SAVINGS report — what the survivorship policy actually
+    * buys, per source: corpus totals beside the dropped-member doc
+    * and char mass and the saved fraction (the number that justifies
+    * the dedup compute bill, and the per-source view that shows
+    * WHICH crawl is paying for it). Same pinned cluster sliver and
+    * keeper aggregate as [[dedupSurvivorshipApply]]; the report side
+    * is two bounded aggregations joined on O(sources) rows. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir).localCheckpoint()
+    val dropped = clusters.join(
+      keepersOf(spark, dir, clusters)
+        .select(col("keeper_doc").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val droppedBySrc = docs
+      .join(dropped.select("doc_id"), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("dropped_docs"),
+        sum(col("n_chars")).as("dropped_chars"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .join(broadcast(droppedBySrc), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        coalesce(col("dropped_docs"), lit(0L)).as("dropped_docs"),
+        coalesce(col("dropped_chars"), lit(0L)).as("dropped_chars"),
+        (floor(coalesce(col("dropped_chars"), lit(0L)).cast("double")
+          / col("n_chars") * 1e4 + 0.5) / 1e4).as("saved_frac"))
+  }
+
   /** Cross-SOURCE contamination matrix — for every pair of corpus
     * sources, how much verbatim content they share: distinct shared
     * word 3-shingles, plus containment (shared / smaller set — "is

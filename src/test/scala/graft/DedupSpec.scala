@@ -539,4 +539,30 @@ class DedupSpec extends SparkSpec {
     assert(ab.getDouble(5) === 0.5)    // containment = 1 / min(2,2)
     assert(ab.getDouble(6) === 0.3333) // jaccard = 1 / (2+2-1)
   }
+
+  test("dedup_savings: mass conservation against the apply emission") {
+    import org.apache.spark.sql.functions._
+    val savings = graft.operators.Dedup.dedupSavings(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val kept = SparkEntry.queries("dedup_survivorship_apply")(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("k"), sum(col("n_chars")).as("kc"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val totals = Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("nc"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(savings.keySet === totals.keySet)
+    savings.foreach { case (s, (nDocs, nChars, dDocs, dChars, frac)) =>
+      assert((nDocs, nChars) === totals(s), s"source $s totals")
+      val (k, kc) = kept.getOrElse(s, (0L, 0L))
+      // dropped + kept = corpus, per source, for docs AND chars
+      assert(dDocs + k === nDocs, s"source $s doc conservation")
+      assert(dChars + kc === nChars, s"source $s char conservation")
+      assert(frac === math.floor(dChars.toDouble / nChars * 1e4 + 0.5) / 1e4)
+    }
+    // the corpus plants near-dups: some source must actually save
+    assert(savings.values.exists(_._3 > 0), "no savings anywhere")
+  }
 }
