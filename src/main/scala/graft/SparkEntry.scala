@@ -207,6 +207,7 @@ object SparkEntry {
     "corpus_shard_manifest" -> TextOps.corpusShardManifest _,
     "corpus_curriculum_order" -> TextOps.corpusCurriculumOrder _,
     "quality_signal_corr"   -> TextOps.qualitySignalCorr _,
+    "vocab_zipf_fit"        -> TextOps.vocabZipfFit _,
     "corpus_split_leakage_safe" -> TextOps.corpusSplitSafe _,
     "corpus_rag_chunks" -> TextOps.ragChunks _,
     "pack_sequences"  -> TextOps.packSequences _,
@@ -4847,6 +4848,42 @@ object SparkEntry {
         |FROM cm""".stripMargin,
 
     "text_quality" -> textQualitySql,
+
+    // literal centered ln-rank weights: the regression is one
+    // weighted sum of ln-frequencies, terms quantized before summing
+    "vocab_zipf_fit" -> {
+      val rows = graft.operators.TextOps.zipfWeights
+        .map { case (r, wt) => s"($r, ${java.lang.Double.toString(wt)})" }
+        .mkString(", ")
+      s"""WITH w(rank, wt) AS (VALUES $rows),
+        |c AS (
+        |  SELECT source, token, count(*) AS n FROM (
+        |    SELECT source, unnest(string_split(
+        |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+        |      AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT source, token, n,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n DESC, token ASC) AS rank
+        |  FROM c),
+        |fit AS (
+        |  SELECT t.source, count(*) AS n_ranks,
+        |    CAST(sum(CAST(floor(w.wt * ln(CAST(t.n AS DOUBLE)) * 1e6 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS su,
+        |    CAST(sum(t.n) AS BIGINT) AS head_mass
+        |  FROM t JOIN w USING (rank) WHERE t.rank <= 100 GROUP BY 1),
+        |tot AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS total_mass,
+        |    count(*) AS vocab_size
+        |  FROM c GROUP BY 1)
+        |SELECT tot.source, tot.vocab_size, tot.total_mass, fit.n_ranks,
+        |  floor(CAST(fit.su AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS zipf_slope,
+        |  floor(CAST(fit.head_mass AS DOUBLE) / tot.total_mass * 1e4 + 0.5)
+        |    / 1e4 AS head_share
+        |FROM tot LEFT JOIN fit USING (source)""".stripMargin
+    },
 
     // all 20 moments in ONE reduce; each r from exact integer sums
     "quality_signal_corr" -> {

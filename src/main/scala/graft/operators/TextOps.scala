@@ -705,6 +705,65 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(100)
 
+  /** Zipf-fit rank depth — the fit reads exactly the top [[ZipfR]]
+    * ranks, so the regression abscissae are the LITERAL sequence
+    * 1..R and their centered weights are driver constants. */
+  val ZipfR = 100
+
+  /** Centered ln-rank weights (x_r − x̄)/Sxx of the Zipf OLS — pure
+    * driver doubles rendered into both engines, so the slope is ONE
+    * weighted sum of ln-frequencies (the y side), no per-key
+    * regression state. */
+  lazy val zipfWeights: Seq[(Int, Double)] = {
+    val xs = (1 to ZipfR).map(r => math.log(r.toDouble))
+    val xbar = xs.sum / ZipfR
+    val sxx = xs.map(x => (x - xbar) * (x - xbar)).sum
+    (1 to ZipfR).map(r => r -> ((xs(r - 1) - xbar) / sxx))
+  }
+
+  /** ZIPF EXPONENT per source — the vocabulary-shape statistic
+    * (natural text follows rank-frequency slope ≈ −1; a source whose
+    * slope collapses toward 0 is boilerplate/template spam, one that
+    * steepens is vocabulary-starved): OLS of ln f on ln rank over
+    * each source's top-[[ZipfR]] tokens. Because the ranks are BY
+    * CONSTRUCTION the literal 1..R, the whole regression reduces to
+    * Σ w_r · ln f_r with [[zipfWeights]] a broadcast literal — each
+    * term quantizes to 1e-6 units before the cross-rank sum. Also
+    * reports the top-R token-mass share (how much of the source the
+    * head covers). Shape: one (source, token) count agg, one
+    * per-source window rank (top-R filter), one bounded join against
+    * the R-row literal, one rollup. */
+  def vocabZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val counts = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("source"), explode(words(normalized(col("text")))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // the total-mass side and the ranked side both read it
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("token").asc)
+    val top = counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ZipfR)
+      .join(broadcast(zipfWeights.toDF("rank", "wt")), Seq("rank"))
+    val fit = top.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(floor(col("wt") * log(col("n").cast("double")) * 1e6 + 0.5)
+          .cast("long")).as("su"),
+        sum(col("n")).as("head_mass"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("n")).as("total_mass"),
+        count(lit(1)).as("vocab_size"))
+    totals.join(broadcast(fit), Seq("source"), "left")
+      .select(col("source"), col("vocab_size"), col("total_mass"),
+        col("n_ranks"),
+        (floor(col("su").cast("double") / 1e6 * 1e4 + 0.5) / 1e4)
+          .as("zipf_slope"),
+        (floor(col("head_mass").cast("double") / col("total_mass")
+          * 1e4 + 0.5) / 1e4).as("head_share"))
+  }
+
   /** SpaceSaving sketch capacity for [[vocabHeavyHitters]]. */
   private[graft] val HeavyHitterCap = 512
 

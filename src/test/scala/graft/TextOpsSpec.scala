@@ -656,6 +656,37 @@ class TextOpsSpec extends SparkSpec {
     assert(got.size >= 20, s"only ${got.size} shards populated")
   }
 
+  test("vocab_zipf_fit: slope negative and exact vs Scala recompute") {
+    import org.apache.spark.sql.functions.col
+    val out = TextOps.vocabZipfFit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.nonEmpty)
+    // independent recompute for one source
+    val probe = out.keys.min
+    val toks = Tables.documents(spark, sf)
+      .filter(col("source") === probe).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.trim
+        .replaceAll("\\s+", " ").split(" "))
+    val counts = toks.groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong }.toSeq
+    val ranked = counts.sortBy { case (t, n) => (-n, t) }.take(100)
+    val su = ranked.zip(TextOps.zipfWeights).map { case ((_, n), (_, wt)) =>
+      math.floor(wt * math.log(n.toDouble) * 1e6 + 0.5).toLong }.sum
+    val r = out(probe)
+    assert(r.getLong(1) === counts.length.toLong, "vocab size")
+    assert(r.getLong(2) === counts.map(_._2).sum, "total mass")
+    assert(r.getLong(3) === math.min(100, counts.length).toLong)
+    assert(r.getDouble(4)
+      === math.floor(su.toDouble / 1e6 * 1e4 + 0.5) / 1e4, "slope")
+    assert(r.getDouble(5) === math.floor(
+      ranked.map(_._2).sum.toDouble / counts.map(_._2).sum * 1e4 + 0.5) / 1e4)
+    // every source's rank-frequency slope is negative (Zipf-shaped)
+    out.values.foreach { row =>
+      assert(row.getDouble(4) < 0.0, s"${row.getString(0)} slope")
+      assert(row.getDouble(5) > 0.0 && row.getDouble(5) <= 1.0)
+    }
+  }
+
   test("quality_signal_corr: r within bounds, exact vs Scala Pearson, self-consistency") {
     val rows = TextOps.qualitySignalCorr(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
