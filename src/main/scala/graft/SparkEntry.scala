@@ -240,6 +240,7 @@ object SparkEntry {
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
     "ann_pq_topk"         -> Similarity.annPqTopk _,
     "knn_graph"           -> Similarity.knnGraph _,
+    "knn_graph_mutuality" -> Similarity.knnGraphMutuality _,
     "knn_graph_ivf"       -> Similarity.knnGraphIvf _,
     "dedup_semantic"      -> Similarity.dedupSemantic _,
     "dedup_semantic_sweep" -> Similarity.semanticSweep _,
@@ -508,6 +509,24 @@ object SparkEntry {
         |      ORDER BY q.qs DESC, c.doc_id ASC) AS rn
         |  FROM clus c JOIN q ON c.doc_id = q.doc_id)"""
     .stripMargin
+
+  /** The exact-kNN-graph oracle body — factored out because the
+    * mutuality audit consumes the edge set (composition mirrored on
+    * both sides). */
+  private val knnGraphSql: String =
+    """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+      |           FROM embeddings),
+      |c AS (SELECT probe_id, vec_id AS nb_id,
+      |        list_cosine_similarity(pe, embedding::DOUBLE[]) AS cos
+      |      FROM p, embeddings WHERE vec_id != probe_id),
+      |r AS (SELECT probe_id, nb_id,
+      |        row_number() OVER (PARTITION BY probe_id
+      |                           ORDER BY round(cos, 6) DESC, nb_id ASC) AS rk,
+      |        round(cos, 4) AS cosine
+      |      FROM c)
+      |SELECT probe_id AS vec_id, nb_id AS neighbor_id, rk, cosine
+      |FROM r WHERE rk <= 5""".stripMargin
+
 
   private def spiGammaSql(accSql: String, keys: Seq[String],
       carry: Seq[String] = Nil, fitWhere: String = "",
@@ -6180,19 +6199,23 @@ object SparkEntry {
         |    / 1e4, 4) AS cos_regret
         |FROM per LEFT JOIN ls ON per.probe_id = ls.probe_id""".stripMargin,
 
-    "knn_graph" ->
-      """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
-        |           FROM embeddings),
-        |c AS (SELECT probe_id, vec_id AS nb_id,
-        |        list_cosine_similarity(pe, embedding::DOUBLE[]) AS cos
-        |      FROM p, embeddings WHERE vec_id != probe_id),
-        |r AS (SELECT probe_id, nb_id,
-        |        row_number() OVER (PARTITION BY probe_id
-        |                           ORDER BY round(cos, 6) DESC, nb_id ASC) AS rk,
-        |        round(cos, 4) AS cosine
-        |      FROM c)
-        |SELECT probe_id AS vec_id, nb_id AS neighbor_id, rk, cosine
-        |FROM r WHERE rk <= 5""".stripMargin,
+    "knn_graph" -> knnGraphSql,
+
+    // reciprocated-edge census over the exact graph: a directed kNN
+    // edge is mutual iff its reverse is also a kNN edge
+    "knn_graph_mutuality" ->
+      s"""WITH g AS ($knnGraphSql),
+        |e AS (SELECT vec_id, neighbor_id FROM g),
+        |m AS (
+        |  SELECT a.vec_id, count(*) AS n_mutual
+        |  FROM e a JOIN e b
+        |    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+        |  GROUP BY 1),
+        |per AS (
+        |  SELECT v.vec_id, coalesce(m.n_mutual, 0) AS n_mutual
+        |  FROM (SELECT DISTINCT vec_id FROM e) v LEFT JOIN m USING (vec_id))
+        |SELECT n_mutual, count(*) AS n_vecs
+        |FROM per GROUP BY 1""".stripMargin,
 
     "dedup_semantic_sweep" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe

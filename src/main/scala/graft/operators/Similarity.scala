@@ -714,6 +714,32 @@ object Similarity {
           .as("qsum"))
   }
 
+  /** k-NN graph MUTUALITY census — the graph-quality number embedding
+    * evaluations read (a healthy manifold's kNN edges reciprocate;
+    * hubness — a few vectors appearing in everyone's list without
+    * reciprocation — degrades retrieval and shows up here as mass at
+    * n_mutual = 0): for each vector, how many of its k edges are
+    * reciprocated, reported as the (n_mutual, n_vecs) histogram.
+    * Composition over [[knnGraph]]'s edge set (oracle mirrors it):
+    * the reverse-edge check is ONE equi-join of the O(k·n) edge table
+    * against itself on the swapped key pair — never touches the
+    * vectors again — and the histogram is O(k+1) rows. */
+  def knnGraphMutuality(spark: SparkSession, dir: String): DataFrame = {
+    val e = knnGraph(spark, dir)
+      .select(col("vec_id"), col("neighbor_id"))
+      .localCheckpoint() // three readers: both join sides + the key list
+    val m = e.as("a").join(e.as("b"),
+        col("a.vec_id") === col("b.neighbor_id") &&
+          col("a.neighbor_id") === col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_mutual"))
+    e.select(col("vec_id")).distinct()
+      .join(m, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+      .groupBy(col("n_mutual"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** Embedding NORM AUDIT — the data-quality gate an index build runs
     * before trusting a vector column (zero vectors break cosine,
     * norm drift between labels signals a mixed-provenance dump):

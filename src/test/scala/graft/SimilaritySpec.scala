@@ -538,6 +538,24 @@ class SimilaritySpec extends SparkSpec {
     assert(fp === md5hex("0A" * 32 + "14" * 32))
   }
 
+  test("knn_graph_mutuality: histogram conserves vectors, matches edge recompute") {
+    val edges = SparkEntry.queries("knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = edges.toSet
+    val expect = edges.groupBy(_._1).map { case (v, es) =>
+      v -> es.count { case (a, b) => edgeSet.contains((b, a)) }.toLong
+    }
+    val hist = SparkEntry.queries("knn_graph_mutuality")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // histogram == recompute's distribution
+    val expectHist = expect.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(hist === expectHist)
+    // every vector accounted for exactly once; counts bounded by k
+    assert(hist.values.sum === expect.size.toLong)
+    assert(hist.keys.forall(m => m >= 0 && m <= 5))
+  }
+
   test("embedding_norm_audit: exact norms, ordered percentiles, zero census") {
     val rows = SparkEntry.queries("embedding_norm_audit")(spark, sf).collect()
       .map(r => r.getInt(0) -> r).toMap
