@@ -151,6 +151,7 @@ object SparkEntry {
     "grid_curvature"        -> Climate.gridCurvature _,
     "climate_etccdi"        -> Climate.etccdiIndices _,
     "climate_etccdi_temp"   -> Climate.etccdiTemperature _,
+    "grid_tpi"              -> Climate.gridTpi _,
     "grid_hillshade"        -> Climate.gridHillshade _,
     "grid_flow_dir"         -> Climate.gridFlowDir _,
     "grid_flow_acc"         -> Climate.gridFlowAcc _,
@@ -241,6 +242,7 @@ object SparkEntry {
     "ann_pq_topk"         -> Similarity.annPqTopk _,
     "knn_graph"           -> Similarity.knnGraph _,
     "knn_graph_mutuality" -> Similarity.knnGraphMutuality _,
+    "embedding_intrinsic_dim" -> Similarity.embeddingIntrinsicDim _,
     "knn_graph_ivf"       -> Similarity.knnGraphIvf _,
     "dedup_semantic"      -> Similarity.dedupSemantic _,
     "dedup_semantic_sweep" -> Similarity.semanticSweep _,
@@ -4275,6 +4277,35 @@ object SparkEntry {
         |FROM flat f LEFT JOIN spells s USING (user_id)
         |LEFT JOIN p95 USING (user_id) LEFT JOIN rt USING (user_id)""".stripMargin,
 
+    // v·8 − Σ neighbors stays integer; the dead band is an integer
+    // micro-unit threshold, /8 is exact (power of two)
+    "grid_tpi" ->
+      """WITH c AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2)
+        |SELECT c.gy, c.gx,
+        |  CAST(c.v_us * 8 - (n00.v_us + n01.v_us + n02.v_us + n10.v_us
+        |    + n12.v_us + n20.v_us + n21.v_us + n22.v_us) AS DOUBLE)
+        |    / 8.0 / 1e6 AS tpi,
+        |  CASE WHEN c.v_us * 8 - (n00.v_us + n01.v_us + n02.v_us + n10.v_us
+        |      + n12.v_us + n20.v_us + n21.v_us + n22.v_us) > 400000
+        |    THEN 'ridge'
+        |       WHEN c.v_us * 8 - (n00.v_us + n01.v_us + n02.v_us + n10.v_us
+        |      + n12.v_us + n20.v_us + n21.v_us + n22.v_us) < -400000
+        |    THEN 'valley'
+        |    ELSE 'plane' END AS landform
+        |FROM c
+        |JOIN c n00 ON n00.gy = c.gy - 1 AND n00.gx = c.gx - 1
+        |JOIN c n01 ON n01.gy = c.gy - 1 AND n01.gx = c.gx
+        |JOIN c n02 ON n02.gy = c.gy - 1 AND n02.gx = c.gx + 1
+        |JOIN c n10 ON n10.gy = c.gy AND n10.gx = c.gx - 1
+        |JOIN c n12 ON n12.gy = c.gy AND n12.gx = c.gx + 1
+        |JOIN c n20 ON n20.gy = c.gy + 1 AND n20.gx = c.gx - 1
+        |JOIN c n21 ON n21.gy = c.gy + 1 AND n21.gx = c.gx
+        |JOIN c n22 ON n22.gy = c.gy + 1 AND n22.gx = c.gx + 1""".stripMargin,
+
     // central second differences on exact micro-units; 'flat' is a
     // bit-exact zero class, not a tolerance
     "grid_curvature" ->
@@ -6216,6 +6247,29 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT vec_id FROM e) v LEFT JOIN m USING (vec_id))
         |SELECT n_mutual, count(*) AS n_vecs
         |FROM per GROUP BY 1""".stripMargin,
+
+    // chord distances from the graph's quantized cosines; ln-ratio
+    // terms quantized to 1e-6 before the cross-vector sum
+    "embedding_intrinsic_dim" ->
+      s"""WITH g AS ($knnGraphSql),
+        |p AS (
+        |  SELECT vec_id,
+        |    sqrt(greatest(2.0 - 2.0 * min(CASE WHEN rk = 1 THEN cosine END),
+        |      0.0)) AS d1,
+        |    sqrt(greatest(2.0 - 2.0 * min(CASE WHEN rk = 2 THEN cosine END),
+        |      0.0)) AS d2
+        |  FROM g WHERE rk <= 2 GROUP BY 1),
+        |t AS (
+        |  SELECT e.label,
+        |    CAST(floor(ln(p.d2 / p.d1) * 1e6 + 0.5) AS BIGINT) AS lmu_u
+        |  FROM p JOIN embeddings e USING (vec_id)
+        |  WHERE p.d1 > 0 AND p.d2 >= p.d1)
+        |SELECT label, count(*) AS n_used,
+        |  CASE WHEN sum(lmu_u) > 0
+        |    THEN floor(CAST(count(*) AS DOUBLE)
+        |      / (CAST(sum(lmu_u) AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4
+        |  END AS intrinsic_dim
+        |FROM t GROUP BY 1""".stripMargin,
 
     "dedup_semantic_sweep" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe

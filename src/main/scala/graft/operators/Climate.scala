@@ -2061,6 +2061,39 @@ object Climate {
         col("r95ptot"))
   }
 
+  /** Topographic POSITION index per interior cell — elevation minus
+    * the 8-neighbor mean (`gdaldem TPI`, the landform classifier next
+    * to slope/aspect/curvature: strongly positive = ridge, strongly
+    * negative = valley, near zero = plane/uniform slope). The
+    * neighborhood mean of EIGHT integer micro-unit cells is exact
+    * (one sum, one division by the literal 8 — a power of two, so
+    * even the double division is exact for sums within 2⁵⁰), the
+    * landform class uses a ±0.05-unit dead band as literal integer
+    * micro-unit thresholds. Same pinned O(cells) table, eight
+    * AQE-broadcast shifted-key joins. */
+  def gridTpi(spark: SparkSession, dir: String): DataFrame = {
+    val cells = gridCells(spark, dir)
+    def at(dy: Int, dx: Int, name: String) =
+      cells.select((col("gy") - dy).as("gy"), (col("gx") - dx).as("gx"),
+        col("v_us").as(name))
+    val nbrs = for {
+      dy <- -1 to 1; dx <- -1 to 1 if dy != 0 || dx != 0
+    } yield (dy, dx, s"n${dy + 1}_${dx + 1}")
+    val joined = nbrs.foldLeft(cells) { case (df, (dy, dx, nm)) =>
+      df.join(at(dy, dx, nm), Seq("gy", "gx"))
+    }
+    val nbrSum = nbrs.map { case (_, _, nm) => col(nm) }
+      .reduce(_ + _)
+    // TPI in micro-units: v − Σnbr/8; ×8 keeps it integer for the
+    // class comparison (dead band ±0.05 units = ±400000 µ·8)
+    val tpi8 = col("v_us") * 8 - nbrSum
+    joined.select(col("gy"), col("gx"),
+      (tpi8.cast("double") / 8.0 / 1e6).as("tpi"),
+      when(tpi8 > 400000L, "ridge")
+        .when(tpi8 < -400000L, "valley")
+        .otherwise("plane").as("landform"))
+  }
+
   /** Temperature-side ETCCDI indices — the thermal half of the suite
     * ([[etccdiIndices]] covers precipitation): FD (frost days — daily
     * MINIMUM below the freeze line), SU (summer days — daily MAXIMUM

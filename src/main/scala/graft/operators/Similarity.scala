@@ -714,6 +714,43 @@ object Similarity {
           .as("qsum"))
   }
 
+  /** TWO-NN intrinsic-dimension estimate per label (Facco et al.
+    * 2017, *Estimating the intrinsic dimension of datasets by a
+    * minimal neighborhood information* — the standard
+    * manifold-dimension probe an embedding evaluation runs: an ID
+    * far below the ambient dimension means the space is under-used;
+    * per-LABEL IDs that diverge flag mixed-provenance clusters):
+    * each vector's ratio μ = d₂/d₁ of its two nearest-neighbor
+    * distances, ID = n / Σ ln μ (the MLE under local uniformity).
+    * Distances are the cosine-derived chord √(2−2cos) on the SAME
+    * quantized cosines the kNN graph publishes (composition — the
+    * oracle mirrors it); each ln μ term quantizes to 1e-6 units
+    * before the cross-vector sum; coincident neighbors (d₁ = 0) are
+    * excluded. O(labels) output off the O(k·n) edge table. */
+  def embeddingIntrinsicDim(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val p = knnGraph(spark, dir)
+      .filter(col("rk") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(min(when(col("rk") === 1, col("cosine"))).as("c1"),
+        min(when(col("rk") === 2, col("cosine"))).as("c2"))
+      .withColumn("d1",
+        sqrt(greatest(lit(2.0) - lit(2.0) * col("c1"), lit(0.0))))
+      .withColumn("d2",
+        sqrt(greatest(lit(2.0) - lit(2.0) * col("c2"), lit(0.0))))
+      .filter(col("d1") > 0 && col("d2") >= col("d1"))
+      .withColumn("lmu_u",
+        floor(log(col("d2") / col("d1")) * 1e6 + 0.5).cast("long"))
+      .join(labels, Seq("vec_id"))
+    p.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_used"), sum(col("lmu_u")).as("su"))
+      .select(col("label"), col("n_used"),
+        when(col("su") > 0,
+          floor(col("n_used").cast("double")
+            / (col("su").cast("double") / 1e6) * 1e4 + 0.5) / 1e4)
+          .as("intrinsic_dim"))
+  }
+
   /** k-NN graph MUTUALITY census — the graph-quality number embedding
     * evaluations read (a healthy manifold's kNN edges reciprocate;
     * hubness — a few vectors appearing in everyone's list without

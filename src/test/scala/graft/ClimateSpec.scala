@@ -195,6 +195,29 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("grid_tpi: neighborhood-mean identity and landform dead band") {
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("grid_tpi")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.size === 36, "interior cells of the 8x8 grid")
+    val cells = Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.foreach { case ((gy, gx), r) =>
+      val nbrSum = (for {
+        dy <- -1 to 1; dx <- -1 to 1 if dy != 0 || dx != 0
+      } yield cells((gy + dy, gx + dx))).sum
+      val tpi8 = cells((gy, gx)) * 8 - nbrSum
+      assert(r.getDouble(2) === tpi8.toDouble / 8.0 / 1e6, s"cell ($gy,$gx)")
+      val cls = if (tpi8 > 400000L) "ridge"
+        else if (tpi8 < -400000L) "valley" else "plane"
+      assert(r.getString(3) === cls, s"cell ($gy,$gx) class")
+    }
+  }
+
   test("climate_etccdi_temp: FD/SU/DTR/TX90p vs recompute, exceedance near 10%") {
     val out = SparkEntry.queries("climate_etccdi_temp")(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap

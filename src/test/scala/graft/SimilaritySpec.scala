@@ -538,6 +538,39 @@ class SimilaritySpec extends SparkSpec {
     assert(fp === md5hex("0A" * 32 + "14" * 32))
   }
 
+  test("embedding_intrinsic_dim: MLE identity vs edge recompute, positive and bounded") {
+    val edges = SparkEntry.queries("knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = edges.filter(_._2 <= 2).groupBy(_._1).toSeq.flatMap {
+      case (v, es) =>
+        val c1 = es.find(_._2 == 1).get._3
+        val c2 = es.find(_._2 == 2).get._3
+        val d1 = math.sqrt(math.max(2.0 - 2.0 * c1, 0.0))
+        val d2 = math.sqrt(math.max(2.0 - 2.0 * c2, 0.0))
+        if (d1 > 0 && d2 >= d1)
+          Some(labels(v) ->
+            math.floor(math.log(d2 / d1) * 1e6 + 0.5).toLong)
+        else None
+    }.groupBy(_._1).map { case (l, ts) =>
+      val su = ts.map(_._2).sum
+      l -> ((ts.size.toLong,
+        if (su > 0) Some(math.floor(
+          ts.size.toDouble / (su.toDouble / 1e6) * 1e4 + 0.5) / 1e4)
+        else None))
+    }
+    val got = SparkEntry.queries("embedding_intrinsic_dim")(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(got === expect)
+    // a 64-dim random-ish cloud: ID positive and no larger than ambient
+    got.values.foreach { case (_, id) =>
+      id.foreach(v => assert(v > 0 && v < 200, s"intrinsic dim $v")) }
+  }
+
   test("knn_graph_mutuality: histogram conserves vectors, matches edge recompute") {
     val edges = SparkEntry.queries("knn_graph")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
