@@ -67,6 +67,7 @@ object SparkEntry {
     "ts_spectral_entropy"    -> TimeSeries.spectralEntropy _,
     "ts_effective_n"         -> TimeSeries.effectiveN _,
     "funnel_latency"         -> TimeSeries.funnelLatency _,
+    "events_entropy_rate"    -> TimeSeries.eventsEntropyRate _,
     "ts_benford"             -> TimeSeries.benfordScreen _,
     "ts_mann_kendall"        -> TimeSeries.mannKendall _,
     "ts_seasonal_mk"         -> TimeSeries.seasonalMannKendall _,
@@ -528,6 +529,27 @@ object SparkEntry {
       |      FROM c)
       |SELECT probe_id AS vec_id, nb_id AS neighbor_id, rk, cosine
       |FROM r WHERE rk <= 5""".stripMargin
+
+
+  /** The events_markov oracle body — factored out because the
+    * entropy-rate query consumes the transition matrix (composition
+    * mirrored on both sides). */
+  private val markovSql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS from_type
+      |  FROM events),
+      |t AS (
+      |  SELECT from_type, event_type AS to_type, count(*) AS n_trans
+      |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |w AS (
+      |  SELECT from_type, to_type, n_trans,
+      |    CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
+      |  FROM t)
+      |SELECT from_type, to_type, n_trans, n_from,
+      |  floor(CAST(n_trans AS DOUBLE) / n_from * 1e4 + 0.5) / 1e4 AS p
+      |FROM w""".stripMargin
 
 
   private def spiGammaSql(accSql: String, keys: Seq[String],
@@ -2841,22 +2863,27 @@ object SparkEntry {
         |FROM p JOIN d ON d.user_id = p.user_id AND d.cnt = p.peak_day_events
         |GROUP BY ALL""".stripMargin,
 
-    "events_markov" ->
-      """WITH s AS (
-        |  SELECT event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS from_type
-        |  FROM events),
+    "events_markov" -> markovSql,
+
+    // per-term n·ln p quantized to 1e-6 units before both sums; the
+    // chain's entropy rate is the sum of the h_contrib column
+    "events_entropy_rate" ->
+      s"""WITH m AS ($markovSql),
+        |tot AS (SELECT CAST(sum(n_trans) AS BIGINT) AS nn FROM m),
         |t AS (
-        |  SELECT from_type, event_type AS to_type, count(*) AS n_trans
-        |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
-        |w AS (
-        |  SELECT from_type, to_type, n_trans,
-        |    CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
-        |  FROM t)
-        |SELECT from_type, to_type, n_trans, n_from,
-        |  floor(CAST(n_trans AS DOUBLE) / n_from * 1e4 + 0.5) / 1e4 AS p
-        |FROM w""".stripMargin,
+        |  SELECT from_type, n_from,
+        |    CAST(floor(-(CAST(n_trans AS DOUBLE)
+        |      * ln(CAST(n_trans AS DOUBLE) / n_from)) * 1e6 + 0.5)
+        |      AS BIGINT) AS tu
+        |  FROM m)
+        |SELECT from_type, min(t.n_from) AS n_from,
+        |  floor(CAST(min(t.n_from) AS DOUBLE) / min(tot.nn) * 1e4 + 0.5) / 1e4
+        |    AS pi,
+        |  floor(CAST(sum(t.tu) AS DOUBLE) / 1e6 / min(t.n_from) * 1e4 + 0.5)
+        |    / 1e4 AS h_cond,
+        |  floor(CAST(sum(t.tu) AS DOUBLE) / 1e6 / min(tot.nn) * 1e4 + 0.5)
+        |    / 1e4 AS h_contrib
+        |FROM t CROSS JOIN tot GROUP BY 1""".stripMargin,
 
     "ts_rolling_median" ->
       """WITH h AS (

@@ -965,6 +965,36 @@ object TimeSeries {
   def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
     funnelOf(Tables.events(spark, dir))
 
+  /** ENTROPY RATE of the event-type chain — the predictability
+    * number on top of [[eventsMarkov]]'s transition matrix (a stream
+    * whose entropy rate collapses is a stuck pipeline replaying one
+    * transition; one that rises toward ln |states| lost its
+    * structure): per source state, its empirical occupancy π, its
+    * conditional entropy H_i = Σ −p_ij ln p_ij, and its contribution
+    * π_i·H_i — the chain's entropy rate is the column sum.
+    * Composition over the transition matrix (oracle mirrors it);
+    * each n·ln p term quantizes to 1e-6 units before both sums, and
+    * π/H divide exact counts once. O(states) output. */
+  def eventsEntropyRate(spark: SparkSession, dir: String): DataFrame = {
+    val m = eventsMarkov(spark, dir)
+      .select(col("from_type"), col("n_trans"), col("n_from"))
+      .localCheckpoint() // the total and the per-state sums both read it
+    val tot = m.agg(sum(col("n_trans")).as("nn"))
+    m.withColumn("tu",
+        floor(-(col("n_trans").cast("double")
+          * log(col("n_trans").cast("double") / col("n_from"))) * 1e6 + 0.5)
+          .cast("long"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("from_type"))
+      .agg(min(col("n_from")).as("n_from"),
+        (floor(min(col("n_from")).cast("double") / min(col("nn"))
+          * 1e4 + 0.5) / 1e4).as("pi"),
+        (floor(sum(col("tu")).cast("double") / 1e6 / min(col("n_from"))
+          * 1e4 + 0.5) / 1e4).as("h_cond"),
+        (floor(sum(col("tu")).cast("double") / 1e6 / min(col("nn"))
+          * 1e4 + 0.5) / 1e4).as("h_contrib"))
+  }
+
   /** Funnel CONVERSION LATENCY — how long signup→purchase takes, the
     * product-analytics companion of [[eventsFunnel]]'s conversion
     * counts: per session the first signup and the first purchase

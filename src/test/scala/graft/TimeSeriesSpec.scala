@@ -1446,4 +1446,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getDouble(5) === pct(0.99), "p99")
     assert(r.getLong(0) >= r.getLong(1), "sessions >= conversions")
   }
+
+  test("events_entropy_rate: identities vs the transition matrix, bounds hold") {
+    val m = SparkEntry.queries("events_markov")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val out = SparkEntry.queries("events_entropy_rate")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val nn = m.map(_._2).sum
+    assert(out.keySet === m.map(_._1).toSet)
+    m.groupBy(_._1).foreach { case (s, ts) =>
+      val nFrom = ts.head._3
+      val su = ts.map { case (_, n, nf) =>
+        math.floor(-(n.toDouble * math.log(n.toDouble / nf)) * 1e6 + 0.5)
+          .toLong }.sum
+      val (gn, gpi, gh, gc) = out(s)
+      assert(gn === nFrom)
+      assert(gpi === math.floor(nFrom.toDouble / nn * 1e4 + 0.5) / 1e4)
+      assert(gh === math.floor(su.toDouble / 1e6 / nFrom * 1e4 + 0.5) / 1e4)
+      assert(gc === math.floor(su.toDouble / 1e6 / nn * 1e4 + 0.5) / 1e4)
+      // conditional entropy bounded by ln(#successors)
+      assert(gh >= 0 && gh <= math.log(ts.size.toDouble) + 1e-4, s"$s h")
+    }
+    // occupancies sum to ~1; the entropy rate is the contrib sum
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 2e-3)
+    val rate = out.values.map(_._4).sum
+    assert(rate > 0 && rate <= math.log(out.size.toDouble) + 1e-2)
+  }
 }
