@@ -68,6 +68,7 @@ object SparkEntry {
     "ts_effective_n"         -> TimeSeries.effectiveN _,
     "funnel_latency"         -> TimeSeries.funnelLatency _,
     "events_entropy_rate"    -> TimeSeries.eventsEntropyRate _,
+    "ts_seasonal_strength"   -> TimeSeries.seasonalStrength _,
     "ts_benford"             -> TimeSeries.benfordScreen _,
     "ts_mann_kendall"        -> TimeSeries.mannKendall _,
     "ts_seasonal_mk"         -> TimeSeries.seasonalMannKendall _,
@@ -551,6 +552,43 @@ object SparkEntry {
       |  floor(CAST(n_trans AS DOUBLE) / n_from * 1e4 + 0.5) / 1e4 AS p
       |FROM w""".stripMargin
 
+
+  /** The ts_seasonal_decompose oracle body — factored out because
+    * the strength query consumes the components (composition
+    * mirrored on both sides). */
+  private val decomposeSql: String =
+    """WITH daily AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT user_id, x, cents,
+        |    CAST(floor(CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY x
+        |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) * 100.0
+        |      / count(*) OVER (PARTITION BY user_id ORDER BY x
+        |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) + 0.5) AS BIGINT)
+        |      AS trend_u,
+        |    x % 7 AS dow
+        |  FROM daily),
+        |det AS (
+        |  SELECT user_id, x, cents, trend_u, dow,
+        |    cents * 100 - trend_u AS det_u
+        |  FROM tr),
+        |sea AS (
+        |  SELECT user_id, x, cents, trend_u, det_u,
+        |    CAST(floor(CAST(sum(det_u) OVER (PARTITION BY user_id, dow)
+        |      AS DOUBLE) / count(*) OVER (PARTITION BY user_id, dow) + 0.5)
+        |      AS BIGINT) AS sea_u
+        |  FROM det)
+        |SELECT user_id,
+        |  strftime(DATE '2024-01-01' + CAST(x AS INTEGER), '%Y-%m-%d') AS day,
+        |  CAST(cents AS DOUBLE) / 100.0 AS value,
+        |  CAST(trend_u AS DOUBLE) / 1e4 AS trend,
+        |  CAST(sea_u AS DOUBLE) / 1e4 AS seasonal,
+        |  CAST(det_u - sea_u AS DOUBLE) / 1e4 AS residual
+        |FROM sea""".stripMargin
 
   private def spiGammaSql(accSql: String, keys: Seq[String],
       carry: Seq[String] = Nil, fitWhere: String = "",
@@ -2813,39 +2851,55 @@ object SparkEntry {
         |    AS mean_after
         |FROM best WHERE rn = 1""".stripMargin,
 
-    "ts_seasonal_decompose" ->
-      """WITH daily AS (
+    "ts_seasonal_decompose" -> decomposeSql,
+
+    // Hyndman strength-of-components: variances from exact component
+    // sums with per-term quantized squares (fold order never reaches
+    // the figures)
+    "ts_seasonal_strength" ->
+      s"""WITH d AS ($decomposeSql),
+        |u AS (
         |  SELECT user_id,
-        |    date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
-        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-        |      AS cents
-        |  FROM events GROUP BY 1, 2),
-        |tr AS (
-        |  SELECT user_id, x, cents,
-        |    CAST(floor(CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY x
-        |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) * 100.0
-        |      / count(*) OVER (PARTITION BY user_id ORDER BY x
-        |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) + 0.5) AS BIGINT)
-        |      AS trend_u,
-        |    x % 7 AS dow
-        |  FROM daily),
-        |det AS (
-        |  SELECT user_id, x, cents, trend_u, dow,
-        |    cents * 100 - trend_u AS det_u
-        |  FROM tr),
-        |sea AS (
-        |  SELECT user_id, x, cents, trend_u, det_u,
-        |    CAST(floor(CAST(sum(det_u) OVER (PARTITION BY user_id, dow)
-        |      AS DOUBLE) / count(*) OVER (PARTITION BY user_id, dow) + 0.5)
-        |      AS BIGINT) AS sea_u
-        |  FROM det)
-        |SELECT user_id,
-        |  strftime(DATE '2024-01-01' + CAST(x AS INTEGER), '%Y-%m-%d') AS day,
-        |  CAST(cents AS DOUBLE) / 100.0 AS value,
-        |  CAST(trend_u AS DOUBLE) / 1e4 AS trend,
-        |  CAST(sea_u AS DOUBLE) / 1e4 AS seasonal,
-        |  CAST(det_u - sea_u AS DOUBLE) / 1e4 AS residual
-        |FROM sea""".stripMargin,
+        |    CAST(floor(residual * 1e4 + 0.5) AS BIGINT) AS r_u,
+        |    CAST(floor((value - seasonal) * 1e4 + 0.5) AS BIGINT) AS tr_u,
+        |    CAST(floor((value - trend) * 1e4 + 0.5) AS BIGINT) AS sr_u
+        |  FROM d),
+        |m AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(r_u) AS BIGINT) AS s_r,
+        |    CAST(sum(CAST(floor((CAST(r_u AS DOUBLE) / 1e4)
+        |      * (CAST(r_u AS DOUBLE) / 1e4) * 1e4 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS q_r,
+        |    CAST(sum(tr_u) AS BIGINT) AS s_tr,
+        |    CAST(sum(CAST(floor((CAST(tr_u AS DOUBLE) / 1e4)
+        |      * (CAST(tr_u AS DOUBLE) / 1e4) * 1e4 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS q_tr,
+        |    CAST(sum(sr_u) AS BIGINT) AS s_sr,
+        |    CAST(sum(CAST(floor((CAST(sr_u AS DOUBLE) / 1e4)
+        |      * (CAST(sr_u AS DOUBLE) / 1e4) * 1e4 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS q_sr
+        |  FROM u GROUP BY 1),
+        |v AS (
+        |  SELECT user_id, n,
+        |    CAST(q_r AS DOUBLE) / 1e4 / n
+        |      - (CAST(s_r AS DOUBLE) / 1e4 / n) * (CAST(s_r AS DOUBLE) / 1e4 / n)
+        |      AS var_r,
+        |    CAST(q_tr AS DOUBLE) / 1e4 / n
+        |      - (CAST(s_tr AS DOUBLE) / 1e4 / n) * (CAST(s_tr AS DOUBLE) / 1e4 / n)
+        |      AS var_tr,
+        |    CAST(q_sr AS DOUBLE) / 1e4 / n
+        |      - (CAST(s_sr AS DOUBLE) / 1e4 / n) * (CAST(s_sr AS DOUBLE) / 1e4 / n)
+        |      AS var_sr
+        |  FROM m)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_days,
+        |  floor(var_r * 1e4 + 0.5) / 1e4 AS var_resid,
+        |  CASE WHEN var_tr > 0
+        |    THEN floor(greatest(0.0, 1.0 - var_r / var_tr) * 1e4 + 0.5) / 1e4
+        |  END AS f_trend,
+        |  CASE WHEN var_sr > 0
+        |    THEN floor(greatest(0.0, 1.0 - var_r / var_sr) * 1e4 + 0.5) / 1e4
+        |  END AS f_seasonal
+        |FROM v""".stripMargin,
 
     "events_burst_flag" ->
       """WITH d AS (

@@ -965,6 +965,52 @@ object TimeSeries {
   def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
     funnelOf(Tables.events(spark, dir))
 
+  /** STRENGTH of trend and seasonality (Hyndman & co's
+    * `feasts::feat_stl` measures — the triage numbers a forecasting
+    * pipeline reads off every series before choosing a model):
+    * F_T = max(0, 1 − Var(R)/Var(T+R)) and
+    * F_S = max(0, 1 − Var(R)/Var(S+R)) over the
+    * [[seasonalDecompose]] components (composition — the oracle
+    * mirrors it). The components are exact 1e-4-unit integers by
+    * construction, so the sums are exact; each squared term
+    * quantizes to 1e-4 units before its sum, and every variance is
+    * a fixed expression on those exact operands — fold order never
+    * reaches the reported figures. One agg on the decomposition's
+    * existing station exchange; degenerate variances report null. */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    def q(c: Column) =
+      floor((c.cast("double") / 1e4) * (c.cast("double") / 1e4) * 1e4 + 0.5)
+        .cast("long")
+    val u = seasonalDecompose(spark, dir)
+      .select(col("user_id"),
+        floor(col("residual") * 1e4 + 0.5).cast("long").as("r_u"),
+        floor((col("value") - col("seasonal")) * 1e4 + 0.5).cast("long")
+          .as("tr_u"),
+        floor((col("value") - col("trend")) * 1e4 + 0.5).cast("long")
+          .as("sr_u"))
+    def variance(s: Column, sq: Column, n: Column) =
+      sq.cast("double") / 1e4 / n -
+        (s.cast("double") / 1e4 / n) * (s.cast("double") / 1e4 / n)
+    u.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r_u")).as("s_r"), sum(q(col("r_u"))).as("q_r"),
+        sum(col("tr_u")).as("s_tr"), sum(q(col("tr_u"))).as("q_tr"),
+        sum(col("sr_u")).as("s_sr"), sum(q(col("sr_u"))).as("q_sr"))
+      .select(col("user_id"), col("n").as("n_days"),
+        (floor(variance(col("s_r"), col("q_r"), col("n")) * 1e4 + 0.5) / 1e4)
+          .as("var_resid"),
+        when(variance(col("s_tr"), col("q_tr"), col("n")) > 0,
+          floor(greatest(lit(0.0), lit(1.0)
+            - variance(col("s_r"), col("q_r"), col("n"))
+            / variance(col("s_tr"), col("q_tr"), col("n"))) * 1e4 + 0.5)
+            / 1e4).as("f_trend"),
+        when(variance(col("s_sr"), col("q_sr"), col("n")) > 0,
+          floor(greatest(lit(0.0), lit(1.0)
+            - variance(col("s_r"), col("q_r"), col("n"))
+            / variance(col("s_sr"), col("q_sr"), col("n"))) * 1e4 + 0.5)
+            / 1e4).as("f_seasonal"))
+  }
+
   /** ENTROPY RATE of the event-type chain — the predictability
     * number on top of [[eventsMarkov]]'s transition matrix (a stream
     * whose entropy rate collapses is a stuck pipeline replaying one

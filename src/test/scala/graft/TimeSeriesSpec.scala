@@ -1473,4 +1473,37 @@ class TimeSeriesSpec extends SparkSpec {
     val rate = out.values.map(_._4).sum
     assert(rate > 0 && rate <= math.log(out.size.toDouble) + 1e-2)
   }
+
+  test("ts_seasonal_strength: variance identities vs component recompute") {
+    val comp = SparkEntry.queries("ts_seasonal_decompose")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val out = SparkEntry.queries("ts_seasonal_strength")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === comp.map(_._1).toSet)
+    comp.groupBy(_._1).foreach { case (u, rows) =>
+      def varOf(vs: Seq[Long]): Double = {
+        val n = vs.length
+        val sq = vs.map(v => math.floor(
+          (v.toDouble / 1e4) * (v.toDouble / 1e4) * 1e4 + 0.5).toLong).sum
+        sq.toDouble / 1e4 / n -
+          (vs.sum.toDouble / 1e4 / n) * (vs.sum.toDouble / 1e4 / n)
+      }
+      val r = rows.map(x => math.floor(x._5 * 1e4 + 0.5).toLong)
+      val tr = rows.map(x => math.floor((x._2 - x._4) * 1e4 + 0.5).toLong)
+      val sr = rows.map(x => math.floor((x._2 - x._3) * 1e4 + 0.5).toLong)
+      val (vr, vtr, vsr) = (varOf(r), varOf(tr), varOf(sr))
+      val g = out(u)
+      assert(g.getLong(1) === rows.length.toLong)
+      assert(g.getDouble(2) === math.floor(vr * 1e4 + 0.5) / 1e4, s"$u var_r")
+      def s(x: Double) = math.floor(math.max(0.0, 1.0 - vr / x) * 1e4 + 0.5) / 1e4
+      if (vtr > 0) assert(g.getDouble(3) === s(vtr), s"$u f_trend")
+      else assert(g.isNullAt(3))
+      if (vsr > 0) assert(g.getDouble(4) === s(vsr), s"$u f_seasonal")
+      else assert(g.isNullAt(4))
+      // strengths live in [0, 1]
+      if (!g.isNullAt(3)) assert(g.getDouble(3) >= 0 && g.getDouble(3) <= 1)
+      if (!g.isNullAt(4)) assert(g.getDouble(4) >= 0 && g.getDouble(4) <= 1)
+    }
+  }
 }
