@@ -154,6 +154,8 @@ object SparkEntry {
     "climate_etccdi"        -> Climate.etccdiIndices _,
     "climate_etccdi_temp"   -> Climate.etccdiTemperature _,
     "grid_tpi"              -> Climate.gridTpi _,
+    "grid_ruggedness"       -> Climate.gridRuggedness _,
+    "ts_extremal_index"     -> Climate.extremalIndex _,
     "grid_hillshade"        -> Climate.gridHillshade _,
     "grid_flow_dir"         -> Climate.gridFlowDir _,
     "grid_flow_acc"         -> Climate.gridFlowAcc _,
@@ -4357,6 +4359,71 @@ object SparkEntry {
         |  floor(p95.r95p * 1e4 + 0.5) / 1e4 AS r95p, rt.r95ptot
         |FROM flat f LEFT JOIN spells s USING (user_id)
         |LEFT JOIN p95 USING (user_id) LEFT JOIN rt USING (user_id)""".stripMargin,
+
+    // integer-rank threshold, runs declustering on day-number gaps
+    "ts_extremal_index" ->
+      """WITH d AS (
+        |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT user_id, c,
+        |    date_diff('day', DATE '2024-01-01', CAST(day AS DATE)) AS dn
+        |  FROM d),
+        |t AS (
+        |  SELECT user_id, c AS u, n AS n_days FROM (
+        |    SELECT user_id, c,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY c) AS rn,
+        |      count(*) OVER (PARTITION BY user_id) AS n
+        |    FROM dd)
+        |  WHERE rn = CAST(ceil(n * 0.9) AS BIGINT)),
+        |e AS (
+        |  SELECT dd.user_id, t.n_days, t.u, dd.dn,
+        |    dd.dn - lag(dd.dn) OVER (PARTITION BY dd.user_id ORDER BY dd.dn)
+        |      AS gap
+        |  FROM dd JOIN t USING (user_id) WHERE dd.c > t.u)
+        |SELECT user_id, min(n_days) AS n_days,
+        |  CAST(min(u) AS DOUBLE) / 100.0 AS threshold,
+        |  count(*) AS n_exceed,
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap > 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clusters,
+        |  floor(CAST(sum(CASE WHEN gap IS NULL OR gap > 2 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS theta
+        |FROM e GROUP BY 1""".stripMargin,
+
+    // Σ|v−nᵢ| exact in micro-units; classes are integer thresholds
+    "grid_ruggedness" ->
+      """WITH c AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2)
+        |SELECT c.gy, c.gx,
+        |  CAST(abs(c.v_us - n00.v_us) + abs(c.v_us - n01.v_us)
+        |    + abs(c.v_us - n02.v_us) + abs(c.v_us - n10.v_us)
+        |    + abs(c.v_us - n12.v_us) + abs(c.v_us - n20.v_us)
+        |    + abs(c.v_us - n21.v_us) + abs(c.v_us - n22.v_us) AS DOUBLE)
+        |    / 8.0 / 1e6 AS tri,
+        |  CASE WHEN abs(c.v_us - n00.v_us) + abs(c.v_us - n01.v_us)
+        |    + abs(c.v_us - n02.v_us) + abs(c.v_us - n10.v_us)
+        |    + abs(c.v_us - n12.v_us) + abs(c.v_us - n20.v_us)
+        |    + abs(c.v_us - n21.v_us) + abs(c.v_us - n22.v_us)
+        |      <= 8 * 2000000 THEN 'smooth'
+        |       WHEN abs(c.v_us - n00.v_us) + abs(c.v_us - n01.v_us)
+        |    + abs(c.v_us - n02.v_us) + abs(c.v_us - n10.v_us)
+        |    + abs(c.v_us - n12.v_us) + abs(c.v_us - n20.v_us)
+        |    + abs(c.v_us - n21.v_us) + abs(c.v_us - n22.v_us)
+        |      <= 8 * 5000000 THEN 'intermediate'
+        |    ELSE 'rugged' END AS ruggedness
+        |FROM c
+        |JOIN c n00 ON n00.gy = c.gy - 1 AND n00.gx = c.gx - 1
+        |JOIN c n01 ON n01.gy = c.gy - 1 AND n01.gx = c.gx
+        |JOIN c n02 ON n02.gy = c.gy - 1 AND n02.gx = c.gx + 1
+        |JOIN c n10 ON n10.gy = c.gy AND n10.gx = c.gx - 1
+        |JOIN c n12 ON n12.gy = c.gy AND n12.gx = c.gx + 1
+        |JOIN c n20 ON n20.gy = c.gy + 1 AND n20.gx = c.gx - 1
+        |JOIN c n21 ON n21.gy = c.gy + 1 AND n21.gx = c.gx
+        |JOIN c n22 ON n22.gy = c.gy + 1 AND n22.gx = c.gx + 1""".stripMargin,
 
     // v·8 − Σ neighbors stays integer; the dead band is an integer
     // micro-unit threshold, /8 is exact (power of two)

@@ -2094,6 +2094,81 @@ object Climate {
         .otherwise("plane").as("landform"))
   }
 
+  /** EXTREMAL INDEX by runs declustering — the third EVT lane beside
+    * [[returnLevels]] (block maxima) and [[potGpd]] (peaks over
+    * threshold): θ ∈ (0,1] measures how much extremes CLUSTER
+    * (θ = 1 ⇒ independent exceedances; θ → 0 ⇒ one storm shows up
+    * as many exceedance days — and effective return periods scale by
+    * 1/θ, so ignoring it overstates risk). Threshold = the
+    * ⌈0.9n⌉-th smallest daily total (integer-rank order statistic on
+    * exact cents — the [[potGpd]] discipline), exceedance days
+    * decluster by the runs rule (a gap > [[ExtremalRunGap]] days
+    * starts a new cluster), θ = clusters / exceedances.
+    *
+    * Shape: one station window for the rank pick, one broadcast-
+    * sized threshold join back, one lag on the exceedance sliver —
+    * everything after the daily reduction is O(stations × days). */
+  val ExtremalRunGap = 2
+  def extremalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("c"))
+      .withColumn("dn", datediff(col("day").cast("date"),
+        lit("2024-01-01").cast("date")))
+      .localCheckpoint() // the rank pick and the exceedance scan both read it
+    val wRank = Window.partitionBy(col("user_id")).orderBy(col("c"))
+    val thresh = daily
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === ceil(col("n") * lit(0.9)).cast("int"))
+      .select(col("user_id"), col("c").as("u"), col("n").as("n_days"))
+    val wLag = Window.partitionBy(col("user_id")).orderBy(col("dn"))
+    daily.join(broadcast(thresh), Seq("user_id"))
+      .filter(col("c") > col("u"))
+      .withColumn("gap", col("dn") - lag(col("dn"), 1).over(wLag))
+      .withColumn("new_cluster",
+        when(col("gap").isNull || col("gap") > ExtremalRunGap, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(min(col("n_days")).as("n_days"),
+        (min(col("u")).cast("double") / 100.0).as("threshold"),
+        count(lit(1)).as("n_exceed"),
+        sum(col("new_cluster")).as("n_clusters"))
+      .select(col("user_id"), col("n_days"),
+        col("threshold"), col("n_exceed"), col("n_clusters"),
+        (floor(col("n_clusters").cast("double") / col("n_exceed")
+          * 1e4 + 0.5) / 1e4).as("theta"))
+  }
+
+  /** Terrain RUGGEDNESS index per interior cell (`gdaldem TRI`,
+    * Riley's mean absolute elevation difference to the 8 neighbors —
+    * the third member of the derivative family beside slope and
+    * [[gridTpi]]): Σ|v−nᵢ| stays an exact integer in micro-units,
+    * the /8 mean is a power-of-two division, and the
+    * smooth/intermediate/rugged classes are integer thresholds on
+    * the ×8 sum. Same pinned O(cells) table and eight
+    * AQE-broadcast shifted-key joins. */
+  def gridRuggedness(spark: SparkSession, dir: String): DataFrame = {
+    val cells = gridCells(spark, dir)
+    def at(dy: Int, dx: Int, name: String) =
+      cells.select((col("gy") - dy).as("gy"), (col("gx") - dx).as("gx"),
+        col("v_us").as(name))
+    val nbrs = for {
+      dy <- -1 to 1; dx <- -1 to 1 if dy != 0 || dx != 0
+    } yield (dy, dx, s"n${dy + 1}_${dx + 1}")
+    val joined = nbrs.foldLeft(cells) { case (df, (dy, dx, nm)) =>
+      df.join(at(dy, dx, nm), Seq("gy", "gx"))
+    }
+    val triSum = nbrs.map { case (_, _, nm) => abs(col("v_us") - col(nm)) }
+      .reduce(_ + _)
+    joined.select(col("gy"), col("gx"),
+      (triSum.cast("double") / 8.0 / 1e6).as("tri"),
+      when(triSum <= 8L * 2000000L, "smooth")
+        .when(triSum <= 8L * 5000000L, "intermediate")
+        .otherwise("rugged").as("ruggedness"))
+  }
+
   /** Temperature-side ETCCDI indices — the thermal half of the suite
     * ([[etccdiIndices]] covers precipitation): FD (frost days — daily
     * MINIMUM below the freeze line), SU (summer days — daily MAXIMUM

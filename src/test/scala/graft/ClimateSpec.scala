@@ -195,6 +195,58 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("grid_ruggedness: TRI identity on the interior; classes follow thresholds") {
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("grid_ruggedness")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.size === 36)
+    val cells = Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.foreach { case ((gy, gx), r) =>
+      val s = (for {
+        dy <- -1 to 1; dx <- -1 to 1 if dy != 0 || dx != 0
+      } yield math.abs(cells((gy, gx)) - cells((gy + dy, gx + dx)))).sum
+      assert(r.getDouble(2) === s.toDouble / 8.0 / 1e6, s"($gy,$gx) tri")
+      val cls = if (s <= 8L * 2000000L) "smooth"
+        else if (s <= 8L * 5000000L) "intermediate" else "rugged"
+      assert(r.getString(3) === cls, s"($gy,$gx) class")
+    }
+  }
+
+  test("ts_extremal_index: threshold rank, runs declustering vs recompute, theta bounds") {
+    val out = SparkEntry.queries("ts_extremal_index")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (u, rows) =>
+      val cs = rows.map(_._3).sorted
+      val thr = cs(math.ceil(cs.length * 0.9).toInt - 1)
+      val exDays = rows.filter(_._3 > thr)
+        .map(d => java.time.LocalDate.parse(d._2).toEpochDay).sorted
+      val r = out.get(u)
+      if (exDays.isEmpty) assert(r.isEmpty, s"station $u no exceedances")
+      else {
+        val g = r.get
+        assert(g.getDouble(2) === thr.toDouble / 100.0, s"station $u thr")
+        assert(g.getLong(3) === exDays.length.toLong, s"station $u n_exceed")
+        val clusters = 1 + exDays.sliding(2)
+          .count(p => p.length == 2 && p(1) - p(0) > 2)
+        assert(g.getLong(4) === clusters.toLong, s"station $u clusters")
+        val theta = g.getDouble(5)
+        assert(theta > 0 && theta <= 1.0001, s"station $u theta $theta")
+        assert(theta === math.floor(
+          clusters.toDouble / exDays.length * 1e4 + 0.5) / 1e4)
+      }
+    }
+  }
+
   test("grid_tpi: neighborhood-mean identity and landform dead band") {
     val dir = "/root/testdata/sf0.01"
     val out = SparkEntry.queries("grid_tpi")(spark, dir).collect()
