@@ -69,6 +69,7 @@ object SparkEntry {
     "funnel_latency"         -> TimeSeries.funnelLatency _,
     "events_entropy_rate"    -> TimeSeries.eventsEntropyRate _,
     "ts_seasonal_strength"   -> TimeSeries.seasonalStrength _,
+    "events_dow_hour_heatmap" -> TimeSeries.eventsDowHourHeatmap _,
     "ts_benford"             -> TimeSeries.benfordScreen _,
     "ts_mann_kendall"        -> TimeSeries.mannKendall _,
     "ts_seasonal_mk"         -> TimeSeries.seasonalMannKendall _,
@@ -2920,6 +2921,20 @@ object SparkEntry {
         |GROUP BY ALL""".stripMargin,
 
     "events_markov" -> markovSql,
+
+    // ISO dow on both engines; bounded 7x24 output, one reduce
+    "events_dow_hour_heatmap" ->
+      """WITH c AS (
+        |  SELECT CAST(isodow(ts) AS INT) AS dow,
+        |    CAST(hour(ts) AS INT) AS hour,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c)
+        |SELECT dow, hour, n,
+        |  floor(CAST(sc AS DOUBLE) / n + 0.5) / 100.0 AS mean_value,
+        |  floor(CAST(n AS DOUBLE) / nn * 1e6 + 0.5) / 1e6 AS share
+        |FROM c CROSS JOIN tot""".stripMargin,
 
     // per-term n·ln p quantized to 1e-6 units before both sums; the
     // chain's entropy rate is the sum of the h_contrib column

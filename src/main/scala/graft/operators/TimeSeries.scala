@@ -965,6 +965,29 @@ object TimeSeries {
   def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
     funnelOf(Tables.events(spark, dir))
 
+  /** Day-of-week × hour ACTIVITY HEATMAP — the diurnal/weekly usage
+    * matrix every operations dashboard opens with (and the shape a
+    * scheduler reads to place maintenance windows): per (dow, hour)
+    * cell the event count, exact mean value, and the cell's share of
+    * the week. ISO day numbering (1 = Monday) on both engines; one
+    * map-side-partial aggregation to a bounded 7×24 output, the
+    * total for the share riding a broadcast 1-row join. */
+  def eventsDowHourHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(dayofweek(col("ts")).as("dow_sun1"), hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sc"))
+      // Spark dayofweek is 1=Sunday; normalize to ISO 1=Monday
+      .withColumn("dow", (col("dow_sun1") + 5) % 7 + 1)
+    val tot = cells.agg(sum(col("n")).as("nn"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow").cast("int").as("dow"), col("hour"), col("n"),
+        (floor(col("sc").cast("double") / col("n") + 0.5) / 100.0)
+          .as("mean_value"),
+        (floor(col("n").cast("double") / col("nn") * 1e6 + 0.5) / 1e6)
+          .as("share"))
+  }
+
   /** STRENGTH of trend and seasonality (Hyndman & co's
     * `feasts::feat_stl` measures — the triage numbers a forecasting
     * pipeline reads off every series before choosing a model):

@@ -1506,4 +1506,30 @@ class TimeSeriesSpec extends SparkSpec {
       if (!g.isNullAt(4)) assert(g.getDouble(4) >= 0 && g.getDouble(4) <= 1)
     }
   }
+
+  test("events_dow_hour_heatmap: ISO dow, conservation, exact cells") {
+    val rows = SparkEntry.queries("events_dow_hour_heatmap")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val ev = Tables.events(spark, sf).select("ts", "value").collect()
+      .map { r =>
+        val ldt = r.getTimestamp(0).toLocalDateTime
+        ((ldt.getDayOfWeek.getValue, ldt.getHour),
+          math.floor(r.getDouble(1) * 100 + 0.5).toLong)
+      }
+    val expect = ev.groupBy(_._1).map { case (k, xs) =>
+      k -> ((xs.length.toLong, xs.map(_._2).sum))
+    }
+    assert(rows.keySet === expect.keySet)
+    val nn = ev.length.toLong
+    expect.foreach { case (k, (n, sc)) =>
+      val (gn, gm, gs) = rows(k)
+      assert(gn === n, s"cell $k")
+      assert(gm === math.floor(sc.toDouble / n + 0.5) / 100.0, s"cell $k mean")
+      assert(gs === math.floor(n.toDouble / nn * 1e6 + 0.5) / 1e6, s"cell $k share")
+    }
+    // counts conserve, dows ISO 1..7, hours 0..23
+    assert(rows.values.map(_._1).sum === nn)
+    assert(rows.keys.forall { case (d, h) => d >= 1 && d <= 7 && h >= 0 && h <= 23 })
+  }
 }
