@@ -157,6 +157,7 @@ object SparkEntry {
     "grid_tpi"              -> Climate.gridTpi _,
     "grid_ruggedness"       -> Climate.gridRuggedness _,
     "ts_extremal_index"     -> Climate.extremalIndex _,
+    "grid_aspect_rose"      -> Climate.gridAspectRose _,
     "grid_hillshade"        -> Climate.gridHillshade _,
     "grid_flow_dir"         -> Climate.gridFlowDir _,
     "grid_flow_acc"         -> Climate.gridFlowAcc _,
@@ -592,6 +593,37 @@ object SparkEntry {
         |  CAST(sea_u AS DOUBLE) / 1e4 AS seasonal,
         |  CAST(det_u - sea_u AS DOUBLE) / 1e4 AS residual
         |FROM sea""".stripMargin
+
+  /** The grid_gradient oracle body — factored out because the aspect
+    * rose consumes the per-cell aspect (composition mirrored on both
+    * sides). */
+  private val gradientSql: String =
+    """WITH c AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2)
+        |SELECT c.gy, c.gx,
+        |  floor((xp.v_us - xm.v_us) / 2.0 + 0.5) / 1e6 AS dzdx,
+        |  floor((yp.v_us - ym.v_us) / 2.0 + 0.5) / 1e6 AS dzdy,
+        |  floor(sqrt(CAST((xp.v_us - xm.v_us) * (xp.v_us - xm.v_us)
+        |    + (yp.v_us - ym.v_us) * (yp.v_us - ym.v_us) AS DOUBLE)) / 2.0 + 0.5)
+        |    / 1e6 AS slope,
+        |  CASE
+        |    WHEN xp.v_us - xm.v_us = 0 AND yp.v_us - ym.v_us = 0 THEN 'flat'
+        |    WHEN abs(xp.v_us - xm.v_us) >= 2 * abs(yp.v_us - ym.v_us)
+        |      THEN CASE WHEN xp.v_us - xm.v_us > 0 THEN 'E' ELSE 'W' END
+        |    WHEN abs(yp.v_us - ym.v_us) >= 2 * abs(xp.v_us - xm.v_us)
+        |      THEN CASE WHEN yp.v_us - ym.v_us > 0 THEN 'N' ELSE 'S' END
+        |    WHEN xp.v_us - xm.v_us > 0
+        |      THEN CASE WHEN yp.v_us - ym.v_us > 0 THEN 'NE' ELSE 'SE' END
+        |    ELSE CASE WHEN yp.v_us - ym.v_us > 0 THEN 'NW' ELSE 'SW' END
+        |  END AS aspect
+        |FROM c
+        |JOIN c xp ON xp.gy = c.gy AND xp.gx = c.gx + 1
+        |JOIN c xm ON xm.gy = c.gy AND xm.gx = c.gx - 1
+        |JOIN c yp ON yp.gy = c.gy + 1 AND yp.gx = c.gx
+        |JOIN c ym ON ym.gy = c.gy - 1 AND ym.gx = c.gx""".stripMargin
 
   private def spiGammaSql(accSql: String, keys: Seq[String],
       carry: Seq[String] = Nil, fitWhere: String = "",
@@ -4249,33 +4281,15 @@ object SparkEntry {
 
     // differences are exact longs, slope one correctly-rounded sqrt
     // of an exact integer, aspect pure integer octant comparisons
-    "grid_gradient" ->
-      """WITH c AS (
-        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
-        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
-        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
-        |  FROM events GROUP BY 1, 2)
-        |SELECT c.gy, c.gx,
-        |  floor((xp.v_us - xm.v_us) / 2.0 + 0.5) / 1e6 AS dzdx,
-        |  floor((yp.v_us - ym.v_us) / 2.0 + 0.5) / 1e6 AS dzdy,
-        |  floor(sqrt(CAST((xp.v_us - xm.v_us) * (xp.v_us - xm.v_us)
-        |    + (yp.v_us - ym.v_us) * (yp.v_us - ym.v_us) AS DOUBLE)) / 2.0 + 0.5)
-        |    / 1e6 AS slope,
-        |  CASE
-        |    WHEN xp.v_us - xm.v_us = 0 AND yp.v_us - ym.v_us = 0 THEN 'flat'
-        |    WHEN abs(xp.v_us - xm.v_us) >= 2 * abs(yp.v_us - ym.v_us)
-        |      THEN CASE WHEN xp.v_us - xm.v_us > 0 THEN 'E' ELSE 'W' END
-        |    WHEN abs(yp.v_us - ym.v_us) >= 2 * abs(xp.v_us - xm.v_us)
-        |      THEN CASE WHEN yp.v_us - ym.v_us > 0 THEN 'N' ELSE 'S' END
-        |    WHEN xp.v_us - xm.v_us > 0
-        |      THEN CASE WHEN yp.v_us - ym.v_us > 0 THEN 'NE' ELSE 'SE' END
-        |    ELSE CASE WHEN yp.v_us - ym.v_us > 0 THEN 'NW' ELSE 'SW' END
-        |  END AS aspect
-        |FROM c
-        |JOIN c xp ON xp.gy = c.gy AND xp.gx = c.gx + 1
-        |JOIN c xm ON xm.gy = c.gy AND xm.gx = c.gx - 1
-        |JOIN c yp ON yp.gy = c.gy + 1 AND yp.gx = c.gx
-        |JOIN c ym ON ym.gy = c.gy - 1 AND ym.gx = c.gx""".stripMargin,
+    "grid_gradient" -> gradientSql,
+
+    // octant rollup of the gradient's aspect classes with mean slope
+    "grid_aspect_rose" ->
+      s"""WITH g AS ($gradientSql)
+        |SELECT aspect, count(*) AS n_cells,
+        |  floor(CAST(sum(CAST(floor(slope * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 100.0 + 0.5) / 1e4 AS mean_slope
+        |FROM g GROUP BY 1""".stripMargin,
 
     // daily min/max are order statistics on exact cents; the TX90p
     // threshold rank-interpolates on one station window

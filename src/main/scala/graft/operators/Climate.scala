@@ -2094,6 +2094,21 @@ object Climate {
         .otherwise("plane").as("landform"))
   }
 
+  /** ASPECT ROSE — the octant distribution of [[gridGradient]]'s
+    * slope directions with each octant's mean slope (the terrain
+    * summary a solar/exposure analysis opens with: which way does
+    * this catchment face, and how steeply). Composition over the
+    * gradient table (oracle mirrors it): per-cell slopes re-quantize
+    * to exact 1e-6-unit longs before the octant mean (the fold-order
+    * rule), output bounded at 9 rows. */
+  def gridAspectRose(spark: SparkSession, dir: String): DataFrame =
+    gridGradient(spark, dir)
+      .groupBy(col("aspect"))
+      .agg(count(lit(1)).as("n_cells"),
+        (floor(sum(floor(col("slope") * 1e6 + 0.5).cast("long"))
+          .cast("double") / count(lit(1)) / 100.0 + 0.5) / 1e4)
+          .as("mean_slope"))
+
   /** EXTREMAL INDEX by runs declustering — the third EVT lane beside
     * [[returnLevels]] (block maxima) and [[potGpd]] (peaks over
     * threshold): θ ∈ (0,1] measures how much extremes CLUSTER

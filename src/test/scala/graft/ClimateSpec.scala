@@ -195,6 +195,21 @@ class ClimateSpec extends SparkSpec {
     }
   }
 
+  test("grid_aspect_rose: octant rollup conserves cells, means match gradient") {
+    val dir = "/root/testdata/sf0.01"
+    val grad = SparkEntry.queries("grid_gradient")(spark, dir).collect()
+      .map(r => (r.getString(5), r.getDouble(4)))
+    val rose = SparkEntry.queries("grid_aspect_rose")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expect = grad.groupBy(_._1).map { case (a, xs) =>
+      val su = xs.map(x => math.floor(x._2 * 1e6 + 0.5).toLong).sum
+      a -> ((xs.length.toLong,
+        math.floor(su.toDouble / xs.length / 100.0 + 0.5) / 1e4))
+    }
+    assert(rose === expect)
+    assert(rose.values.map(_._1).sum === grad.length.toLong)
+  }
+
   test("grid_ruggedness: TRI identity on the interior; classes follow thresholds") {
     val dir = "/root/testdata/sf0.01"
     val out = SparkEntry.queries("grid_ruggedness")(spark, dir).collect()
