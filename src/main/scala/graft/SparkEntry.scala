@@ -215,6 +215,7 @@ object SparkEntry {
     "corpus_curriculum_order" -> TextOps.corpusCurriculumOrder _,
     "quality_signal_corr"   -> TextOps.qualitySignalCorr _,
     "vocab_zipf_fit"        -> TextOps.vocabZipfFit _,
+    "lang_mismatch_by_source" -> TextOps.langMismatchBySource _,
     "corpus_split_leakage_safe" -> TextOps.corpusSplitSafe _,
     "corpus_rag_chunks" -> TextOps.ragChunks _,
     "pack_sequences"  -> TextOps.packSequences _,
@@ -624,6 +625,33 @@ object SparkEntry {
         |JOIN c xm ON xm.gy = c.gy AND xm.gx = c.gx - 1
         |JOIN c yp ON yp.gy = c.gy + 1 AND yp.gx = c.gx
         |JOIN c ym ON ym.gy = c.gy - 1 AND ym.gx = c.gx""".stripMargin
+
+  /** The lang_id oracle body — factored out because the per-source
+    * mismatch census consumes the predictions (composition mirrored
+    * on both sides). */
+  private val langIdSql: String =
+    """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a'))
+        |       + len(list_filter(toks, x -> x = 'data')) + len(list_filter(toks, x -> x = 'fast'))
+        |       + len(list_filter(toks, x -> x = 'small')) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(toks, x -> x = 'window')) + len(list_filter(toks, x -> x = 'batch'))
+        |       + len(list_filter(toks, x -> x = 'stream')) + len(list_filter(toks, x -> x = 'slow')) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(toks, x -> x = 'merge')) + len(list_filter(toks, x -> x = 'sort'))
+        |       + len(list_filter(toks, x -> x = 'join')) + len(list_filter(toks, x -> x = 'line')) AS BIGINT) AS score_fr,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) + len(list_filter(toks, x -> x = 'query'))
+        |       + len(list_filter(toks, x -> x = 'vector')) + len(list_filter(toks, x -> x = 'row')) AS BIGINT) AS score_es
+        |  FROM t)
+        |SELECT doc_id, score_en, score_de, score_fr, score_es,
+        |  CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+        |       WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+        |       WHEN score_fr >= score_es THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        |FROM s""".stripMargin
 
   private def spiGammaSql(accSql: String, keys: Seq[String],
       carry: Seq[String] = Nil, fitWhere: String = "",
@@ -5020,29 +5048,20 @@ object SparkEntry {
         |WHERE p.p_type = 'PROMO' AND r.r_name = 'EUROPE'
         |GROUP BY 1""".stripMargin,
 
-    "lang_id" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        |  FROM documents
-        |), s AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a'))
-        |       + len(list_filter(toks, x -> x = 'data')) + len(list_filter(toks, x -> x = 'fast'))
-        |       + len(list_filter(toks, x -> x = 'small')) AS BIGINT) AS score_en,
-        |    CAST(len(list_filter(toks, x -> x = 'window')) + len(list_filter(toks, x -> x = 'batch'))
-        |       + len(list_filter(toks, x -> x = 'stream')) + len(list_filter(toks, x -> x = 'slow')) AS BIGINT) AS score_de,
-        |    CAST(len(list_filter(toks, x -> x = 'merge')) + len(list_filter(toks, x -> x = 'sort'))
-        |       + len(list_filter(toks, x -> x = 'join')) + len(list_filter(toks, x -> x = 'line')) AS BIGINT) AS score_fr,
-        |    CAST(len(list_filter(toks, x -> x = 'spark')) + len(list_filter(toks, x -> x = 'query'))
-        |       + len(list_filter(toks, x -> x = 'vector')) + len(list_filter(toks, x -> x = 'row')) AS BIGINT) AS score_es
-        |  FROM t)
-        |SELECT doc_id, score_en, score_de, score_fr, score_es,
-        |  CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
-        |       WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
-        |       WHEN score_fr >= score_es THEN 'fr'
-        |       ELSE 'es' END AS lang_pred
-        |FROM s""".stripMargin,
+    "lang_id" -> langIdSql,
+
+    // declared-vs-predicted disagreement per source — the mislabeled
+    // upstream-metadata signal a curation run reads next to the
+    // confusion matrix
+    "lang_mismatch_by_source" ->
+      s"""WITH p AS ($langIdSql)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN d.lang != p.lang_pred THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_mismatch,
+        |  floor(CAST(sum(CASE WHEN d.lang != p.lang_pred THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS mismatch_rate
+        |FROM documents d JOIN p USING (doc_id)
+        |GROUP BY 1""".stripMargin,
 
     "lang_id_confusion" ->
       """WITH t AS (

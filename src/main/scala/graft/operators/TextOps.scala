@@ -126,6 +126,26 @@ object TextOps {
         round(col("n") / sum(col("n")).over(w).cast("double"), 4))
   }
 
+  /** Declared-vs-predicted language DISAGREEMENT per source — the
+    * upstream-metadata QC census beside the confusion matrix (the
+    * matrix says WHICH languages confuse; this says WHICH SOURCE
+    * ships wrong declarations — a crawl whose mismatch rate spikes
+    * has a metadata pipeline bug, not a language shift): per source
+    * the doc count, mismatch count and rate. Composition over
+    * [[langId]] (oracle mirrors it); one broadcast-scale join on
+    * doc_id and one (source) rollup. */
+  def langMismatchBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("lang"))
+      .join(langId(spark, dir).select(col("doc_id"), col("lang_pred")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") =!= col("lang_pred"), 1L).otherwise(0L))
+          .as("n_mismatch"))
+      .select(col("source"), col("n_docs"), col("n_mismatch"),
+        (floor(col("n_mismatch").cast("double") / col("n_docs")
+          * 1e4 + 0.5) / 1e4).as("mismatch_rate"))
+
   /** Quality scoring: token/stopword/digit ratios + a bounded
     * composite — the classic pre-training corpus filter signals. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =

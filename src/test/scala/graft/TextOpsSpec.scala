@@ -656,6 +656,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got.size >= 20, s"only ${got.size} shards populated")
   }
 
+  test("lang_mismatch_by_source: census equals the row-level disagreement") {
+    import org.apache.spark.sql.functions.col
+    val preds = TextOps.langId(spark, sf)
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = docs.groupBy(_._2).map { case (s, ds) =>
+      val mis = ds.count(d => preds(d._1) != d._3).toLong
+      s -> ((ds.length.toLong, mis,
+        math.floor(mis.toDouble / ds.length * 1e4 + 0.5) / 1e4))
+    }
+    val got = TextOps.langMismatchBySource(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === expect)
+    // totals conserve across sources
+    assert(got.values.map(_._1).sum === docs.length.toLong)
+  }
+
   test("vocab_zipf_fit: slope negative and exact vs Scala recompute") {
     import org.apache.spark.sql.functions.col
     val out = TextOps.vocabZipfFit(spark, sf).collect()
