@@ -70,6 +70,7 @@ object SparkEntry {
     "events_entropy_rate"    -> TimeSeries.eventsEntropyRate _,
     "ts_seasonal_strength"   -> TimeSeries.seasonalStrength _,
     "events_dow_hour_heatmap" -> TimeSeries.eventsDowHourHeatmap _,
+    "ts_missing_report"      -> TimeSeries.tsMissingReport _,
     "ts_benford"             -> TimeSeries.benfordScreen _,
     "ts_mann_kendall"        -> TimeSeries.mannKendall _,
     "ts_seasonal_mk"         -> TimeSeries.seasonalMannKendall _,
@@ -2981,6 +2982,27 @@ object SparkEntry {
         |GROUP BY ALL""".stripMargin,
 
     "events_markov" -> markovSql,
+
+    // integer calendar arithmetic; gaps from one lag on the daily sort
+    "ts_missing_report" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01',
+        |      date_trunc('day', ts)) AS dn,
+        |    count(*) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id, dn,
+        |    dn - lag(dn) OVER (PARTITION BY user_id ORDER BY dn) - 1 AS gap
+        |  FROM d)
+        |SELECT user_id, count(*) AS n_days,
+        |  CAST(max(dn) - min(dn) + 1 AS BIGINT) AS expected_days,
+        |  CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  CAST(coalesce(max(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT)
+        |    AS longest_gap,
+        |  floor(CAST(count(*) AS DOUBLE) / (max(dn) - min(dn) + 1)
+        |    * 1e4 + 0.5) / 1e4 AS completeness
+        |FROM g GROUP BY 1""".stripMargin,
 
     // ISO dow on both engines; bounded 7x24 output, one reduce
     "events_dow_hour_heatmap" ->

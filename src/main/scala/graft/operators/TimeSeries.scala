@@ -965,6 +965,37 @@ object TimeSeries {
   def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
     funnelOf(Tables.events(spark, dir))
 
+  /** Station data-COMPLETENESS report — the WMO-style gate every
+    * climatology fit runs first (a normal computed over a record
+    * with a season-sized hole is biased, so the standards mandate
+    * completeness thresholds): per station the observed-day count,
+    * the expected count from its own first→last span, the
+    * completeness ratio, the number of interior gaps and the longest
+    * one (in days). All integer calendar arithmetic on the day
+    * number; the gap scan is one lag on the (station; day) sort the
+    * daily reduction already produced. */
+  def tsMissingReport(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_obs"))
+      .withColumn("dn", datediff(col("day").cast("date"),
+        lit("2024-01-01").cast("date")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dn"))
+    daily
+      .withColumn("gap", col("dn") - lag(col("dn"), 1).over(w) - 1)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        (max(col("dn")) - min(col("dn")) + 1).cast("long").as("expected_days"),
+        sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(max(when(col("gap") > 0, col("gap"))), lit(0))
+          .cast("long").as("longest_gap"))
+      .select(col("user_id"), col("n_days"), col("expected_days"),
+        col("n_gaps"), col("longest_gap"),
+        (floor(col("n_days").cast("double") / col("expected_days")
+          * 1e4 + 0.5) / 1e4).as("completeness"))
+  }
+
   /** Day-of-week × hour ACTIVITY HEATMAP — the diurnal/weekly usage
     * matrix every operations dashboard opens with (and the shape a
     * scheduler reads to place maintenance windows): per (dow, hour)

@@ -1532,4 +1532,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.values.map(_._1).sum === nn)
     assert(rows.keys.forall { case (d, h) => d >= 1 && d <= 7 && h >= 0 && h <= 23 })
   }
+
+  test("ts_missing_report: gap census vs calendar recompute") {
+    val out = SparkEntry.queries("ts_missing_report")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val daily = Tables.events(spark, sf)
+      .select(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0),
+        java.time.LocalDate.parse(r.getString(1)).toEpochDay))
+    assert(out.keySet === daily.map(_._1).toSet)
+    daily.groupBy(_._1).foreach { case (u, rows) =>
+      val dns = rows.map(_._2).sorted
+      val gaps = dns.sliding(2)
+        .filter(p => p.length == 2 && p(1) - p(0) > 1)
+        .map(p => p(1) - p(0) - 1).toSeq
+      val r = out(u)
+      assert(r.getLong(1) === dns.length.toLong, s"station $u n_days")
+      assert(r.getLong(2) === dns.last - dns.head + 1, s"station $u span")
+      assert(r.getLong(3) === gaps.length.toLong, s"station $u n_gaps")
+      assert(r.getLong(4) === (if (gaps.isEmpty) 0L else gaps.max),
+        s"station $u longest")
+      assert(r.getDouble(5) === math.floor(
+        dns.length.toDouble / (dns.last - dns.head + 1) * 1e4 + 0.5) / 1e4)
+      assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }
