@@ -1300,9 +1300,169 @@ object SparkEntry {
       |FROM ss""".stripMargin
   }
 
+  /** Oracle-render context: the (session, data dir) the queries ran
+    * against, set by [[Verify]] AFTER the query pass and BEFORE the
+    * oracle dump. The IVF/PQ quantizers are FIT on the data (bounded
+    * deterministic sample, driver Lloyd's), so their oracles can only
+    * be rendered once the fitted constants exist — with the context
+    * set, the memoized fit ([[graft.operators.Similarity
+    * .ivfCentroids]] / `pqCodebooks`) is rendered into literal VALUES
+    * and DuckDB replays assignment + routing + ranking exactly;
+    * without it those entries are omitted (rows-only, the pre-r9
+    * behavior). */
+  @volatile private var oracleCtx: Option[(SparkSession, String)] = None
+  def setOracleContext(spark: SparkSession, dir: String): Unit =
+    oracleCtx = Some((spark, dir))
+
+  /** Render a double so DuckDB parses the identical bits (E0 suffix
+    * forces DOUBLE inference — a short literal like 45.0 would type
+    * the VALUES column DECIMAL). */
+  private def dLit(x: Double): String = {
+    val s = java.lang.Double.toString(x)
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+
+  /** VALUES rows `(b, ss, c)` for the IVF centroid table: bucket id,
+    * precomputed |c|² (the SAME driver-Scala sum the Spark plan embeds
+    * as a literal), and the centroid as a DOUBLE list literal. */
+  private def centroidRowsSql(cents: Array[Array[Double]]): String =
+    cents.zipWithIndex.map { case (c, b) =>
+      s"($b, ${dLit(c.map(x => x * x).sum)}, [${c.map(dLit).mkString(", ")}])"
+    }.mkString(",\n  ")
+
+  /** The `ann_ivf_topk` oracle: literal fitted centroids; assignment
+    * argmin, probe routing (top-2 cells by 6-dp rounded centroid
+    * cosine), candidate equi-join on the cell, exact-cosine top-10 —
+    * operation-for-operation the Spark plan's discipline. */
+  private def ivfTopkSql(cents: Array[Array[Double]]): String =
+    s"""WITH cents(b, ss, c) AS (VALUES
+      |  ${centroidRowsSql(cents)}),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |asgn AS (
+      |  SELECT vec_id, e, b,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY round(ss - 2 * list_inner_product(e, c), 6) ASC,
+      |               b ASC) AS rn
+      |  FROM v, cents),
+      |hm AS (SELECT vec_id, e, b AS bucket FROM asgn WHERE rn = 1),
+      |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 5),
+      |rt AS (
+      |  SELECT probe_id, pe, b,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY round(list_cosine_similarity(pe, c), 6) DESC,
+      |               b ASC) AS rn
+      |  FROM p, cents),
+      |pb AS (SELECT probe_id, pe, b AS bucket FROM rt WHERE rn <= 2),
+      |cand AS (
+      |  SELECT DISTINCT pb.probe_id, hm.vec_id
+      |  FROM pb JOIN hm USING (bucket) WHERE hm.vec_id != pb.probe_id),
+      |r AS (
+      |  SELECT cd.probe_id, cd.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY cd.probe_id
+      |      ORDER BY round(list_cosine_similarity(vp.e, vc.e), 6) DESC,
+      |               cd.vec_id ASC) AS rk,
+      |    round(list_cosine_similarity(vp.e, vc.e), 4) AS cosine
+      |  FROM cand cd JOIN v vp ON vp.vec_id = cd.probe_id
+      |    JOIN v vc ON vc.vec_id = cd.vec_id)
+      |SELECT probe_id, neighbor_id, rk, cosine FROM r WHERE rk <= 10"""
+      .stripMargin
+
+  /** The `knn_graph_ivf` oracle: same literal centroids; every vector
+    * ranks ALL cells by 6-dp rounded distance (home = rank 1, probes
+    * = rank ≤ 4), candidates via the cell equi-join, exact-cosine
+    * top-5 per vector. */
+  private def knnGraphIvfSql(cents: Array[Array[Double]]): String =
+    s"""WITH cents(b, ss, c) AS (VALUES
+      |  ${centroidRowsSql(cents)}),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |rk0 AS (
+      |  SELECT vec_id, e, b,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY round(ss - 2 * list_inner_product(e, c), 6) ASC,
+      |               b ASC) AS rn
+      |  FROM v, cents),
+      |hm AS (SELECT vec_id, e, b AS cell FROM rk0 WHERE rn = 1),
+      |pr AS (SELECT vec_id AS probe_id, e AS pe, b AS cell
+      |       FROM rk0 WHERE rn <= 4),
+      |cand AS (
+      |  SELECT DISTINCT pr.probe_id, pr.pe, hm.vec_id, hm.e
+      |  FROM pr JOIN hm USING (cell) WHERE hm.vec_id != pr.probe_id),
+      |r AS (
+      |  SELECT probe_id, vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY round(list_cosine_similarity(pe, e), 6) DESC,
+      |               vec_id ASC) AS rk,
+      |    round(list_cosine_similarity(pe, e), 4) AS cosine
+      |  FROM cand)
+      |SELECT probe_id AS vec_id, neighbor_id, rk, cosine
+      |FROM r WHERE rk <= 5""".stripMargin
+
+  /** The `ann_pq_topk` oracle: literal fitted codebooks (M=8 × 16 of
+    * dim 8, each with its precomputed |c|²); encode = per-subspace
+    * rounded argmin, ADC = Σ_m lut[m][code_m] replayed from the same
+    * |c|²−2·(p_m·c) terms, shortlist-50 by 6-dp rounded ADC, exact
+    * cosine re-rank to top-10. */
+  private def pqTopkSql(books: Array[Array[Array[Double]]]): String = {
+    val sd = graft.operators.Similarity.PqSubDim
+    val rows = books.zipWithIndex.flatMap { case (bk, m) =>
+      bk.zipWithIndex.map { case (c, k) =>
+        s"($m, $k, ${dLit(c.map(x => x * x).sum)}, [${c.map(dLit).mkString(", ")}])"
+      }
+    }.mkString(",\n  ")
+    s"""WITH books(m, k, ss, c) AS (VALUES
+      |  $rows),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, m, e[m * $sd + 1 : m * $sd + $sd] AS sv
+      |  FROM v, range(0, ${books.length}) r(m)),
+      |enc AS (
+      |  SELECT vec_id, m, k,
+      |    row_number() OVER (PARTITION BY vec_id, m
+      |      ORDER BY round(ss - 2 * list_inner_product(sv, c), 6) ASC,
+      |               k ASC) AS rn
+      |  FROM sub JOIN books USING (m)),
+      |codes AS (SELECT vec_id, m, k AS code FROM enc WHERE rn = 1),
+      |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 5),
+      |lut AS (
+      |  SELECT probe_id, m, k,
+      |    ss - 2 * list_inner_product(pe[m * $sd + 1 : m * $sd + $sd], c) AS ld
+      |  FROM p, books),
+      |adc AS (
+      |  SELECT cs.vec_id, l.probe_id, sum(l.ld) AS adc
+      |  FROM codes cs JOIN lut l ON l.m = cs.m AND l.k = cs.code
+      |  WHERE cs.vec_id != l.probe_id
+      |  GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT probe_id, vec_id,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY round(adc, 6) ASC, vec_id ASC) AS srn
+      |  FROM adc),
+      |r AS (
+      |  SELECT s.probe_id, s.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY s.probe_id
+      |      ORDER BY round(list_cosine_similarity(vp.e, vc.e), 6) DESC,
+      |               s.vec_id ASC) AS rk,
+      |    round(list_cosine_similarity(vp.e, vc.e), 4) AS cosine
+      |  FROM sh s JOIN v vp ON vp.vec_id = s.probe_id
+      |    JOIN v vc ON vc.vec_id = s.vec_id
+      |  WHERE s.srn <= 50)
+      |SELECT probe_id, neighbor_id, rk, cosine FROM r WHERE rk <= 10"""
+      .stripMargin
+  }
+
+  /** The data-fitted oracle entries — only renderable once the fit
+    * context exists (see [[setOracleContext]]). */
+  private def fittedOracles: Map[String, String] = oracleCtx match {
+    case None => Map.empty
+    case Some((s, d)) => Map(
+      "ann_ivf_topk"  -> ivfTopkSql(graft.operators.Similarity.ivfCentroids(s, d)),
+      "knn_graph_ivf" -> knnGraphIvfSql(graft.operators.Similarity.ivfCentroids(s, d)),
+      "ann_pq_topk"   -> pqTopkSql(graft.operators.Similarity.pqCodebooks(s, d)))
+  }
+
   /** DuckDB oracle SQL per query (same tables, same column names,
     * same rounding). Omitted keys get a weaker rows-only check. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = fittedOracles ++ Map(
     "bpe_train_merges" -> bpeMergeOracle,
 
     // the stub decode is deterministic in the payload BYTES, so it

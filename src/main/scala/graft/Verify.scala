@@ -34,6 +34,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the IVF/PQ oracles embed the DATA-FITTED quantizer constants as
+    // literals — give the renderer the (session, dir) the queries ran
+    // against so the memoized fits are available (or freshly fit, if a
+    // SPARK_GRAFT_ONLY triage skipped the ANN family)
+    SparkEntry.setOracleContext(spark, sfDir)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -20,6 +20,46 @@ object Similarity {
     Tables.spread(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
+  /** Deterministic bounded fit sample for the IVF/PQ quantizers: the
+    * 4096 LOWEST vec_ids (TakeOrdered — a per-partition top-k heap,
+    * never a full sort), so the SAME sample — and therefore the SAME
+    * fitted centroids — comes back on every run and every partition
+    * layout. A bare `limit(4096)` would depend on file-listing order,
+    * and the fitted constants are rendered into the DuckDB oracle as
+    * literals, so the fit must be a pure function of the dataset. */
+  private def fitSample(spark: SparkSession, dir: String): Array[Array[Double]] =
+    vecs(spark, dir).orderBy(col("vec_id")).limit(4096)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+
+  /** Memoized per-dataset quantizer fits (driver-local Lloyd's on the
+    * bounded sample — microseconds). The cache lets the oracle
+    * renderer ([[graft.SparkEntry.oracleSql]]) embed the EXACT
+    * centroids the query plan used as literal VALUES, turning the
+    * IVF/PQ family from rows-only into hash-checked. */
+  private val ivfFitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private val pqFitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+
+  private[graft] val IvfNlist = 16
+  private[graft] val PqM = 8
+  private[graft] val PqSubDim = 8
+  private[graft] val PqKsub = 16
+
+  /** The shared IVF coarse quantizer (nlist=16): one fit serves
+    * [[annIvfTopk]] and [[knnGraphIvf]]. */
+  private[graft] def ivfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    ivfFitCache.getOrElseUpdate(dir, lloyd(fitSample(spark, dir), IvfNlist, iters = 8))
+
+  /** The PQ per-subspace codebooks (M=8 subspaces × ksub=16 centroids
+    * of subDim=8), all fit on the one bounded sample. */
+  private[graft] def pqCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqFitCache.getOrElseUpdate(dir, {
+      val sample = fitSample(spark, dir)
+      Array.tabulate(PqM)(m =>
+        lloyd(sample.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)), PqKsub, iters = 8))
+    })
+
   /** Cosine near-duplicate pairs (≥ 0.35). Exact block-nested join
     * with `id_a < id_b`; at corpus scale the candidate generator
     * below (LSH buckets) replaces the product — kept exact here as
@@ -212,18 +252,19 @@ object Similarity {
     * exact graph is measured in SimilaritySpec, mirroring the LSH/
     * IVF/PQ twins' treatment. */
   def knnGraphIvf(spark: SparkSession, dir: String): DataFrame =
-    knnGraphIvfOf(vecs(spark, dir), k = 5, nlist = 16, nprobe = 4)
+    knnGraphIvfOf(vecs(spark, dir), k = 5, nprobe = 4,
+      ivfCentroids(spark, dir))
 
-  private[graft] def knnGraphIvfOf(v: DataFrame, k: Int, nlist: Int,
-      nprobe: Int): DataFrame = {
-    val sample: Array[Array[Double]] = v.limit(4096)
-      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
-    val cents = lloyd(sample, nlist, iters = 8)
+  private[graft] def knnGraphIvfOf(v: DataFrame, k: Int, nprobe: Int,
+      cents: Array[Array[Double]]): DataFrame = {
+    val nlist = cents.length
     def score(c: Array[Double]): Column =
       lit(c.map(x => x * x).sum) -
         lit(2.0) * VectorColumns.dot(col("emb"), array(c.map(lit).toIndexedSeq: _*))
+    // distances round to 6dp before the sort so the (d, b) lexicographic
+    // order is a total order both engines reproduce (ties → lower cell)
     val dists = array((0 until nlist).map(i =>
-      struct(score(cents(i)).as("d"), lit(i).as("b"))): _*)
+      struct(round(score(cents(i)), 6).as("d"), lit(i).as("b"))): _*)
     // home cell = argmin; probe cells = nprobe smallest distances —
     // both from ONE literal-centroid distance array evaluated in the
     // scan stage (array_sort on nlist structs, zero shuffles)
@@ -555,12 +596,10 @@ object Similarity {
     * literals, distances via the codegen'd dot kernel), evaluated in
     * the scan stage with zero shuffles. */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
-    val nlist = 16
+    val nlist = IvfNlist
     val nprobe = 2
     val v = vecs(spark, dir)
-    val sample: Array[Array[Double]] = v.limit(4096)
-      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
-    val cents = lloyd(sample, nlist, iters = 8)
+    val cents = ivfCentroids(spark, dir)
     // argmin_c ||e - c||² = argmin_c (|c|² - 2·e·c) — |e|² is constant
     // per row and drops out, so each candidate costs one dot product
     def score(c: Array[Double]): Column =
@@ -570,8 +609,10 @@ object Similarity {
     // ordering is lexicographic, so ties break on the lower bucket
     // id, deterministically. (NOT a when/otherwise fold: `otherwise`
     // would duplicate the accumulator per step → a 2^nlist tree.)
+    // Distances round to 6dp first so the oracle's replay of the same
+    // literal-centroid arithmetic lands on the identical bucket.
     val bucketCol = array_min(array((0 until nlist).map(i =>
-      struct(score(cents(i)).as("d"), lit(i).as("b"))): _*)).getField("b")
+      struct(round(score(cents(i)), 6).as("d"), lit(i).as("b"))): _*)).getField("b")
     val assigned = v.withColumn("bucket", bucketCol)
     // probe → nprobe nearest centroids, ranked by exact cosine to the
     // centroid (16 × |probes| rows — the routing table is tiny)
@@ -583,10 +624,14 @@ object Similarity {
     val routing = probes.crossJoin(broadcast(centroidDf))
       .withColumn("cos", VectorColumns.cosine(col("pe"),
         col("centroid").cast("array<double>")))
+    // route by the 6-dp ROUNDED centroid cosine with the bucket-id
+    // tie-break — a total order the DuckDB oracle reproduces exactly
+    // (raw-double routing could pick a different nprobe set across
+    // engines when two centroids land within an ulp)
     val probeBuckets = routing
       .groupBy(col("probe_id"))
-      .agg(TopKAgg.topk(col("cos"), col("bucket").cast("long"), col("cos"), nprobe)
-        .as("top"))
+      .agg(TopKAgg.topk(round(col("cos"), 6), col("bucket").cast("long"),
+        col("cos"), nprobe).as("top"))
       .select(col("probe_id"), explode(col("top.id")).as("bucket"))
       .join(probes, Seq("probe_id"))
     val cands = assigned.join(broadcast(probeBuckets), Seq("bucket"))
@@ -894,20 +939,20 @@ object Similarity {
     * the shortlist tail — spec-measured against the brute-force
     * baseline. */
   def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
-    val M = 8; val subDim = 8; val ksub = 16; val shortlist = 50
+    val M = PqM; val subDim = PqSubDim; val ksub = PqKsub; val shortlist = 50
     val v = vecs(spark, dir)
-    val sample: Array[Array[Double]] = v.limit(4096)
-      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
-    val books: Array[Array[Array[Double]]] = Array.tabulate(M)(m =>
-      lloyd(sample.map(_.slice(m * subDim, (m + 1) * subDim)), ksub, iters = 8))
+    val books = pqCodebooks(spark, dir)
     def subVec(m: Int): Column = slice(col("emb"), m * subDim + 1, subDim)
     // argmin_c ||e_m - c||² = argmin_c (|c|² - 2·e_m·c), as in IVF
     def subScore(m: Int, c: Array[Double]): Column =
       lit(c.map(x => x * x).sum) -
         lit(2.0) * VectorColumns.dot(subVec(m), array(c.map(lit).toIndexedSeq: _*))
+    // encode argmin on 6-dp rounded subspace distances (ties → lower
+    // code) — both engines assign identical codes from the literal
+    // codebooks
     val codeCols = (0 until M).map { m =>
       array_min(array((0 until ksub).map(k =>
-        struct(subScore(m, books(m)(k)).as("d"), lit(k).as("k"))): _*))
+        struct(round(subScore(m, books(m)(k)), 6).as("d"), lit(k).as("k"))): _*))
         .getField("k").as(s"code_$m")
     }
     val encoded = v.select(col("vec_id") +: col("emb") +: codeCols: _*)
@@ -932,9 +977,12 @@ object Similarity {
     val scored = encoded.join(broadcast(probeDf),
         col("vec_id") =!= col("probe_id"))
       .withColumn("adc", adc)
+    // shortlist ranks on the 6-dp ROUNDED ADC (ascending, vec_id
+    // tie-break) — the total order the oracle replays; raw-double ADC
+    // could admit a different boundary candidate across engines
     val short = scored.groupBy(col("probe_id"))
-      .agg(TopKAgg.topk(negate(col("adc")), col("vec_id"), col("adc"), shortlist)
-        .as("top"))
+      .agg(TopKAgg.topk(negate(round(col("adc"), 6)), col("vec_id"),
+        col("adc"), shortlist).as("top"))
       .select(col("probe_id"), explode(col("top.id")).as("vec_id"))
     // exact re-rank of the bounded shortlist
     val reranked = short
