@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor multiplier for bench runs above the driver-provided
+  * test data: replicates every table `factor`× with key-shifted
+  * copies, preserving referential integrity (customer/supplier/part/
+  * order keys shift by the same per-table power-of-10 offset on both
+  * the dimension and every fact that references it; region/nation
+  * stay fixed, as TPC-H scaling does).
+  *
+  * Two tables get content PERTURBATION so the copy structure doesn't
+  * manufacture pathological duplicate clusters the source data never
+  * had:
+  *  - `documents`: every third token of a copy gains a copy-specific
+  *    suffix, so every shingle window (≥3 tokens) crosses a replaced
+  *    token and cross-copy shingle overlap is ZERO — minhash/Jaccard
+  *    dedup sees `factor` independent corpora (pair volume scales
+  *    linearly), while length/structure stats stay representative.
+  *    `n_chars` is recomputed from the perturbed text (the source
+  *    invariant n_chars = length(text) holds by construction).
+  *  - `embeddings`: elements of a copy get a small deterministic
+  *    multiplicative tilt (±0.9% at copy 9). Copies remain high-cosine
+  *    neighbors of their original (realistic near-dup structure at
+  *    scale — that is what embedding dedup exists for) but are not
+  *    bit-identical, so exact-hash paths don't collapse.
+  *
+  * Usage: `runMain graft.ScaleUp <inDir> <outDir> <factor>`.
+  * Output layout matches TESTDATA.md (`outDir/<table>.parquet`), so
+  * `SPARK_GRAFT_SF_DIR=<outDir>` drives Bench against it directly.
+  */
+object ScaleUp {
+
+  /** Smallest power of 10 strictly above every existing key — a clean
+    * decimal offset, so a scaled key's copy index is readable. */
+  private def p10Above(maxKey: Long): Long = {
+    var p = 1L
+    while (p <= maxKey) p *= 10
+    p
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir, factorS) = args
+    val factor = factorS.toInt
+    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$inDir/$t.parquet")
+    def maxKey(t: String, k: String): Long =
+      read(t).agg(max(col(k))).collect()(0).getLong(0)
+    def copies(df: DataFrame): DataFrame =
+      df.withColumn("cp", explode(lit((0 until factor).toArray)))
+    def shift(c: String, off: Long) = (col(c) + col("cp") * off).as(c)
+
+    val offCust = p10Above(maxKey("customer", "c_custkey"))
+    val offSupp = p10Above(maxKey("supplier", "s_suppkey"))
+    val offPart = p10Above(maxKey("part", "p_partkey"))
+    val offOrd  = p10Above(maxKey("orders", "o_orderkey"))
+    val offUser = p10Above(maxKey("events", "user_id"))
+    val offEvt  = p10Above(maxKey("events", "event_id"))
+    val offDoc  = p10Above(maxKey("documents", "doc_id"))
+    val offVec  = p10Above(maxKey("embeddings", "vec_id"))
+
+    def write(df: DataFrame, t: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet")
+
+    // fixed dims — straight copies
+    write(read("region"), "region", 1)
+    write(read("nation"), "nation", 1)
+
+    write(copies(read("customer"))
+      .select(shift("c_custkey", offCust), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment")), "customer", 4)
+    write(copies(read("supplier"))
+      .select(shift("s_suppkey", offSupp), col("s_name"), col("s_nationkey"),
+        col("s_acctbal")), "supplier", 1)
+    write(copies(read("part"))
+      .select(shift("p_partkey", offPart), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice")), "part", 2)
+    write(copies(read("orders"))
+      .select(shift("o_orderkey", offOrd), shift("o_custkey", offCust),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority")), "orders", 8)
+    write(copies(read("lineitem"))
+      .select(shift("l_orderkey", offOrd), shift("l_partkey", offPart),
+        shift("l_suppkey", offSupp), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate")),
+      "lineitem", 16)
+    write(copies(read("events"))
+      .select(shift("event_id", offEvt), col("ts"), shift("user_id", offUser),
+        col("event_type"), col("value"), col("props")), "events", 16)
+
+    val docText = when(col("cp") === 0, col("text")).otherwise(
+      array_join(zip_with(split(col("text"), " "),
+        sequence(lit(0), size(split(col("text"), " ")) - 1),
+        (x, i) => when(i % 3 === 2, concat(x, lit("x"), col("cp")))
+          .otherwise(x)), " "))
+    write(copies(read("documents"))
+      .withColumn("text2", docText)
+      .select(shift("doc_id", offDoc), col("text2").as("text"), col("lang"),
+        col("source"), length(col("text2")).cast("long").as("n_chars")),
+      "documents", 8)
+
+    val embPerturbed = when(col("cp") === 0, col("embedding")).otherwise(
+      zip_with(col("embedding").cast("array<double>"),
+        sequence(lit(0), size(col("embedding")) - 1),
+        (x, j) => x * (lit(1.0) + lit(0.001) * col("cp")
+          * ((j % 7).cast("double") - 3.0) / 3.0))
+        .cast("array<float>"))
+    write(copies(read("embeddings"))
+      .select(shift("vec_id", offVec), embPerturbed.as("embedding"),
+        col("label")), "embeddings", 8)
+
+    println(s"[scaleup] wrote ${factor}x of $inDir to $outDir")
+    spark.stop()
+  }
+}

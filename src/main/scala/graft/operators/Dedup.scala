@@ -602,28 +602,76 @@ object Dedup {
       batchDocs: DataFrame): DataFrame =
     dedupIncrementalAgainst(minhashIndex(indexDocs), indexDocs, batchDocs)
 
-  /** Screen a batch against a PREBUILT (typically parquet-loaded)
-    * [[minhashIndex]] — the steady-state entry point: only the batch
-    * tokenizes and signs fresh; bucket-frequency counts are
-    * recomputed over the COMBINED membership population (index ∪
-    * batch — exactly the population whose hot buckets would go
-    * quadratic). `indexDocs` supplies candidate partners' text for
-    * the exact-Jaccard verify (an id-keyed sliver read). The parquet
-    * round-trip of the index is spec-proven bit-identical to the
-    * inline path. */
+  /** The SECOND published index artifact: per-bucket membership
+    * counts, aggregated ONCE at index-build time and persisted next
+    * to the membership table. With the counts published, a batch
+    * never re-counts the index population — it applies its own
+    * per-bucket deltas to the stored counts (see
+    * [[dedupIncrementalAgainst]]), making the per-batch counting
+    * cost O(batch·bands) instead of an O(index) scan per batch. */
+  def minhashIndexCounts(indexBuckets: DataFrame): DataFrame =
+    indexBuckets.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("idx_n"))
+
+  /** Convenience wiring when only the membership table is at hand:
+    * derives the count table in-flow (one aggregation over the
+    * membership — the index-BUILD cost, paid here because the caller
+    * didn't persist it). Steady-state deployments persist both
+    * artifacts and call the 4-arg overload. */
   def dedupIncrementalAgainst(indexBuckets: DataFrame,
+      indexDocs: DataFrame, batchDocs: DataFrame): DataFrame =
+    dedupIncrementalAgainst(indexBuckets, minhashIndexCounts(indexBuckets),
+      indexDocs, batchDocs)
+
+  /** Screen a batch against a PREBUILT (typically parquet-loaded)
+    * [[minhashIndex]] + [[minhashIndexCounts]] pair — the
+    * steady-state entry point: only the batch tokenizes and signs
+    * fresh; the [[BucketCap]] gate evaluates the COMBINED population
+    * (published index count + the batch's own delta) but touches
+    * ONLY the batch's buckets — the count table joins against the
+    * O(batch·bands) delta aggregate, never the index membership, and
+    * the membership table itself is read exactly once, restricted to
+    * the admissible buckets (a (band, bh)-keyed join — prunable at
+    * the storage layer when the index is written partitioned by
+    * band). A bucket the batch never touches can produce no
+    * candidate, so skipping its count changes nothing — the spec
+    * proves count-table + delta ≡ the combined recompute
+    * bit-for-bit. `indexDocs` supplies candidate partners' text for
+    * the exact-Jaccard verify (an id-keyed sliver read). The parquet
+    * round-trip of both artifacts is spec-proven bit-identical to
+    * the inline path. */
+  /** The per-batch cap gate, isolated so its plan is auditable: the
+    * batch's per-bucket deltas (O(batch·bands) rows) LEFT-join the
+    * PUBLISHED count table (index-unseen buckets count as zero) and
+    * the combined population gates against [[BucketCap]]. The index
+    * MEMBERSHIP never appears in this plan — that is the whole point
+    * (the pre-r9 shape window-counted index ∪ batch every batch).
+    * Broadcast by the caller: a batch's bucket list is small by the
+    * batch-sizing contract (drop the hint for corpus-sized
+    * backfills). */
+  private[graft] def admissibleBuckets(indexCounts: DataFrame,
+      batchBuckets: DataFrame): DataFrame =
+    batchBuckets.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("delta_n"))
+      .join(indexCounts, Seq("band", "bh"), "left")
+      .filter(coalesce(col("idx_n"), lit(0L)) + col("delta_n") <= BucketCap)
+      .select("band", "bh")
+
+  def dedupIncrementalAgainst(indexBuckets: DataFrame, indexCounts: DataFrame,
       indexDocs: DataFrame, batchDocs: DataFrame): DataFrame = {
     val all = indexDocs.select("doc_id", "text")
       .unionByName(batchDocs.select("doc_id", "text"))
-    val newIds = batchDocs.select(col("doc_id")).withColumn("is_new", lit(true))
-    // combined-population bucket counts, then the cap — pinned: both
-    // candidate sides read it
-    val bk = withBucketCounts(
-        indexBuckets.select("doc_id", "band", "bh")
-          .unionByName(rawBandBuckets(shingleArrays(batchDocs))))
-      .filter(col("bucket_n") <= BucketCap)
-      .join(newIds, Seq("doc_id"), "left")
-      .withColumn("is_new", coalesce(col("is_new"), lit(false)))
+    // the batch's own membership — the only fresh signature work;
+    // pinned: the delta aggregate and the candidate side both read it
+    val batchB = rawBandBuckets(shingleArrays(batchDocs)).localCheckpoint()
+    val admissible = broadcast(admissibleBuckets(indexCounts, batchB))
+    // the single membership read: index partners inside admissible
+    // buckets only
+    val bk = indexBuckets.select("doc_id", "band", "bh")
+      .join(admissible, Seq("band", "bh"))
+      .withColumn("is_new", lit(false))
+      .unionByName(batchB.join(admissible, Seq("band", "bh"))
+        .withColumn("is_new", lit(true)))
       .localCheckpoint()
     val cand = bk.filter(col("is_new"))
       .select(col("doc_id").as("doc_a"), col("band"), col("bh"))

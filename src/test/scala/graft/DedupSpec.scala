@@ -183,6 +183,35 @@ class DedupSpec extends SparkSpec {
         if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
     assert(viaDisk === got)
 
+    // steady-state workflow: publish the COUNT table next to the
+    // membership and screen with batch DELTAS — decisions must be
+    // bit-identical to the derive-counts-in-flow path (the cap gate
+    // sees the same combined population either way), and the batch
+    // plan must read the membership parquet exactly ONCE (the
+    // admissible-bucket partner join) — the pre-r9 shape re-counted
+    // the whole membership per batch
+    graft.operators.Dedup.minhashIndexCounts(
+        graft.operators.Dedup.minhashIndex(index))
+      .write.mode("overwrite").parquet(s"$idxDir/counts")
+    val viaCounts = graft.operators.Dedup.dedupIncrementalAgainst(
+      spark.read.parquet(s"$idxDir/index"),
+      spark.read.parquet(s"$idxDir/counts"), index, batch)
+    val viaCountsMap = viaCounts.collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(viaCountsMap === got)
+    // the cap gate's own plan: reads the published COUNT parquet
+    // exactly once and the membership parquet NEVER — the counting
+    // stage is O(batch·bands)+count-table, not an O(index) rescan
+    val gatePlan = graft.operators.Dedup.admissibleBuckets(
+        spark.read.parquet(s"$idxDir/counts"),
+        graft.operators.Dedup.minhashIndex(batch))
+      .queryExecution.executedPlan.toString
+    assert(!gatePlan.contains(s"$idxDir/index"),
+      "membership table must not feed the cap gate")
+    assert(s"$idxDir/counts".r.findAllIn(gatePlan).size === 1,
+      "the published count table must feed the cap gate exactly once")
+
     // live corpus: every reported duplicate must be backed by the
     // exhaustive exact-Jaccard pair set, and batch-internal matches
     // obey the smaller-id survivorship rule
