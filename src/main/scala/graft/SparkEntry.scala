@@ -1450,6 +1450,32 @@ object SparkEntry {
       .stripMargin
   }
 
+  /** The exact-integer z-score SQL fragment (DuckDB), mirroring
+    * [[graft.operators.Climate.zExactOfInt]]/`zScore4`
+    * operation-for-operation: n/Σc/Σc² are exact integer window sums
+    * (DuckDB widens Σ BIGINT to HUGEINT — same values), the z chain
+    * is one fixed double expression over those bits, degenerate
+    * windows (n ≤ 1 or zero variance) are NULL. Expects an integer
+    * column `c` and a named WINDOW `w` in scope. */
+  private val zScore4Sql: String =
+    """CASE WHEN count(c) OVER w > 1
+      |   AND count(c) OVER w * sum(c * c) OVER w
+      |       - sum(c) OVER w * sum(c) OVER w > 0
+      |  THEN floor(CAST(count(c) OVER w * c - sum(c) OVER w AS DOUBLE)
+      |    / sqrt(CAST(count(c) OVER w * sum(c * c) OVER w
+      |                - sum(c) OVER w * sum(c) OVER w AS DOUBLE)
+      |           * CAST(count(c) OVER w AS DOUBLE)
+      |           / (CAST(count(c) OVER w AS DOUBLE) - 1.0)) * 1e4 + 0.5) / 1e4
+      |  END""".stripMargin
+
+  /** The shared per-(station, variable) z-score CTE body over the
+    * cents-quantized events table. */
+  private def zCteSql(cols: String): String =
+    s"""SELECT $cols, $zScore4Sql AS zscore
+      |  FROM (SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      |        FROM events)
+      |  WINDOW w AS (PARTITION BY user_id, event_type)""".stripMargin
+
   /** The data-fitted oracle entries — only renderable once the fit
     * context exists (see [[setOracleContext]]). */
   private def fittedOracles: Map[String, String] = oracleCtx match {
@@ -1977,11 +2003,8 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "zonal_class_area" ->
-      """WITH z AS (
-        |  SELECT user_id, ts,
-        |    round((value - avg(value) OVER (PARTITION BY user_id, event_type))
-        |      / stddev_samp(value) OVER (PARTITION BY user_id, event_type), 4) AS zscore
-        |  FROM events),
+      s"""WITH z AS (
+        |  ${zCteSql("user_id, ts")}),
         |g AS (
         |  SELECT CAST(floor(((user_id % 36) * 5.0 - 87.5) / 30) AS INT) AS zone_y,
         |    CAST(floor(((user_id % 72) * 5.0 - 177.5) / 30) AS INT) AS zone_x,
@@ -2006,11 +2029,8 @@ object SparkEntry {
         |FROM g GROUP BY 1, 2, 3""".stripMargin,
 
     "zonal_drought_extent" ->
-      """WITH z AS (
-        |  SELECT user_id, ts,
-        |    round((value - avg(value) OVER (PARTITION BY user_id, event_type))
-        |      / stddev_samp(value) OVER (PARTITION BY user_id, event_type), 4) AS zscore
-        |  FROM events),
+      s"""WITH z AS (
+        |  ${zCteSql("user_id, ts")}),
         |g AS (
         |  SELECT CAST(floor(((user_id % 36) * 5.0 - 87.5) / 30) AS INT) AS zone_y,
         |    CAST(floor(((user_id % 72) * 5.0 - 177.5) / 30) AS INT) AS zone_x,
@@ -2025,11 +2045,8 @@ object SparkEntry {
     // the zonal_drought_extent chain verbatim, then the week-over-week
     // state machine on the O(zones × weeks) sliver — all integers
     "zonal_transitions" ->
-      """WITH z AS (
-        |  SELECT user_id, ts,
-        |    round((value - avg(value) OVER (PARTITION BY user_id, event_type))
-        |      / stddev_samp(value) OVER (PARTITION BY user_id, event_type), 4) AS zscore
-        |  FROM events),
+      s"""WITH z AS (
+        |  ${zCteSql("user_id, ts")}),
         |g AS (
         |  SELECT CAST(floor(((user_id % 36) * 5.0 - 87.5) / 30) AS INT) AS zone_y,
         |    CAST(floor(((user_id % 72) * 5.0 - 177.5) / 30) AS INT) AS zone_x,
@@ -3331,29 +3348,25 @@ object SparkEntry {
         |  ON c.ts >= i.start_ts AND c.ts < i.end_ts
         |GROUP BY 1""".stripMargin,
     "ts_rolling_anomaly" ->
-      """WITH h AS (
+      s"""WITH h AS (
         |  SELECT event_id, user_id, value,
-        |    avg(value) OVER w AS mu,
-        |    stddev_samp(value) OVER w AS sd,
-        |    count(value) OVER w AS n_hist
-        |  FROM events
+        |    count(c) OVER w AS n_hist,
+        |    $zScore4Sql AS z
+        |  FROM (SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |        FROM events)
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
-        |SELECT event_id, user_id, round(value, 2) AS value,
-        |  floor((value - mu) / sd * 1e4 + 0.5) / 1e4 AS z,
-        |  abs(floor((value - mu) / sd * 1e4 + 0.5) / 1e4) > 3.0 AS is_anomaly
-        |FROM h WHERE n_hist >= 10 AND sd > 0""".stripMargin,
+        |SELECT event_id, user_id, round(value, 2) AS value, z,
+        |  abs(z) > 3.0 AS is_anomaly
+        |FROM h WHERE n_hist >= 10 AND z IS NOT NULL""".stripMargin,
     "spi_zscore" ->
-      """SELECT event_id, user_id, event_type,
-        |  round((value - avg(value) OVER (PARTITION BY user_id, event_type))
-        |        / stddev_samp(value) OVER (PARTITION BY user_id, event_type), 4) AS zscore
-        |FROM events""".stripMargin,
+      s"""SELECT event_id, user_id, event_type, $zScore4Sql AS zscore
+        |FROM (SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id, event_type)""".stripMargin,
     "drought_episodes" ->
-      """WITH z AS (
-        |  SELECT event_id, user_id, event_type, ts,
-        |    round((value - avg(value) OVER w)
-        |          / nullif(stddev_samp(value) OVER w, 0), 4) AS zscore
-        |  FROM events WINDOW w AS (PARTITION BY user_id, event_type)),
+      s"""WITH z AS (
+        |  ${zCteSql("event_id, user_id, event_type, ts")}),
         |f AS (
         |  SELECT *, CASE WHEN zscore <= -1.0 THEN 1 ELSE 0 END AS dry FROM z),
         |r AS (
@@ -4207,19 +4220,17 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "zonal_spi" ->
-      """WITH z AS (
-        |  SELECT event_id, user_id, event_type,
-        |    round((value - avg(value) OVER (PARTITION BY user_id, event_type))
-        |          / stddev_samp(value) OVER (PARTITION BY user_id, event_type), 4) AS zscore
-        |  FROM events)
+      s"""WITH z AS (
+        |  ${zCteSql("event_id, user_id, event_type")}),
+        |u AS (SELECT *, CAST(floor(zscore * 1e4 + 0.5) AS BIGINT) AS zu FROM z)
         |SELECT CAST(floor(((user_id % 36) * 5.0 - 87.5) / 30) AS INT) AS zone_y,
         |       CAST(floor(((user_id % 72) * 5.0 - 177.5) / 30) AS INT) AS zone_x,
         |  count(*) AS n,
-        |  floor(avg(zscore) * 1e4 + 0.5) / 1e4 AS avg_z,
+        |  floor(CAST(sum(zu) AS DOUBLE) / count(zu) + 0.5) / 1e4 AS avg_z,
         |  round(min(zscore), 4) AS min_z,
         |  round(max(zscore), 4) AS max_z,
         |  CAST(sum(CASE WHEN zscore <= -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS drought_n
-        |FROM z GROUP BY 1, 2""".stripMargin,
+        |FROM u GROUP BY 1, 2""".stripMargin,
 
     // each trapezoid quantizes once to integer 1e-4 units; the daily
     // rollup sums exact BIGINTs
@@ -4267,14 +4278,21 @@ object SparkEntry {
       """WITH cell AS (
         |  SELECT user_id, event_id % 5 AS member,
         |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
-        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
-        |      / (count(*) * 100.0) AS wk_mean
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) * 1e4 / count(*) + 0.5) AS BIGINT) AS c
         |  FROM events GROUP BY 1, 2, 3),
         |z AS (
         |  SELECT user_id, week,
-        |    (wk_mean - avg(wk_mean) OVER (PARTITION BY user_id, member))
-        |      / stddev_samp(wk_mean) OVER (PARTITION BY user_id, member) AS z
-        |  FROM cell)
+        |    CASE WHEN count(c) OVER w > 1
+        |       AND count(c) OVER w * sum(c * c) OVER w
+        |           - sum(c) OVER w * sum(c) OVER w > 0
+        |      THEN CAST(count(c) OVER w * c - sum(c) OVER w AS DOUBLE)
+        |        / sqrt(CAST(count(c) OVER w * sum(c * c) OVER w
+        |                    - sum(c) OVER w * sum(c) OVER w AS DOUBLE)
+        |               * CAST(count(c) OVER w AS DOUBLE)
+        |               / (CAST(count(c) OVER w AS DOUBLE) - 1.0))
+        |      END AS z
+        |  FROM cell WINDOW w AS (PARTITION BY user_id, member))
         |SELECT user_id, week, count(*) AS n_members,
         |  floor(quantile_cont(z, 0.5) * 1e4 + 0.5) / 1e4 AS spi_median
         |FROM z GROUP BY 1, 2""".stripMargin,
@@ -4312,28 +4330,23 @@ object SparkEntry {
         |FROM w WHERE sunday < (SELECT max(sunday) FROM w)""".stripMargin,
 
     "zonal_spi_quantiles" ->
-      """WITH z AS (
-        |  SELECT event_id, user_id,
-        |    round((value - avg(value) OVER (PARTITION BY user_id, event_type))
-        |          / stddev_samp(value) OVER (PARTITION BY user_id, event_type), 4) AS zscore
-        |  FROM events)
+      s"""WITH z AS (
+        |  ${zCteSql("event_id, user_id")}),
+        |u AS (SELECT *, CAST(floor(zscore * 1e4 + 0.5) AS BIGINT) AS zu FROM z)
         |SELECT CAST(floor(((user_id % 36) * 5.0 - 87.5) / 30) AS INT) AS zone_y,
         |       CAST(floor(((user_id % 72) * 5.0 - 177.5) / 30) AS INT) AS zone_x,
         |  count(*) AS n,
-        |  floor(avg(zscore) * 1e4 + 0.5) / 1e4 AS avg_z,
+        |  floor(CAST(sum(zu) AS DOUBLE) / count(zu) + 0.5) / 1e4 AS avg_z,
         |  floor(quantile_cont(zscore, 0.1) * 1e4 + 0.5) / 1e4 AS p10_z,
         |  floor(quantile_cont(zscore, 0.5) * 1e4 + 0.5) / 1e4 AS med_z,
         |  floor(quantile_cont(zscore, 0.9) * 1e4 + 0.5) / 1e4 AS p90_z
-        |FROM z GROUP BY 1, 2""".stripMargin,
+        |FROM u GROUP BY 1, 2""".stripMargin,
 
     "zonal_poly_spi" ->
       s"""WITH z AS (
-        |  SELECT event_id, user_id,
-        |    round((value - avg(value) OVER (PARTITION BY user_id, event_type))
-        |          / stddev_samp(value) OVER (PARTITION BY user_id, event_type), 4) AS zscore,
-        |    (user_id % 36) * 5.0 - 87.5 AS lat,
-        |    (user_id % 72) * 5.0 - 177.5 AS lon
-        |  FROM events),
+        |  ${zCteSql("event_id, user_id, " +
+            "(user_id % 36) * 5.0 - 87.5 AS lat, " +
+            "(user_id % 72) * 5.0 - 177.5 AS lon")}),
         |b AS (SELECT *, $basinCaseSql AS basin FROM z)
         |SELECT basin, count(*) AS n,
         |  floor(quantile_cont(zscore, 0.5) * 1e4 + 0.5) / 1e4 AS med_z,

@@ -25,15 +25,55 @@ object Climate {
   def pseudoLat(key: Column): Column = (key % 36) * lit(5.0) - lit(87.5)
   def pseudoLon(key: Column): Column = (key % 72) * lit(5.0) - lit(177.5)
 
+  /** EXACT-INTEGER standardized anomaly over an integer-unit column
+    * `c` and window `w` — the windowed port of `climatologyFit`'s
+    * Σc/Σc² discipline (SURVEY §5), retiring the z-score family's
+    * merge-order float residual: n, Σc, Σc² are exact long window
+    * sums (order-free on any engine and any partitioning), and
+    *
+    *   z = (n·c − Σc) / √( (n·Σc² − (Σc)²) · n / (n−1) )
+    *
+    * is one fixed double expression over those identical integer
+    * bits — both engines compute the same chain on the same inputs,
+    * so the downstream quantization can never flip. Degenerate
+    * windows (n ≤ 1 or zero variance) yield NULL, replacing the raw
+    * formulation's engine-dependent NaN/∞. The formula holds whether
+    * or not the current row is inside the frame (rolling-history
+    * windows score c against the frame's own mean/σ).
+    *
+    * Overflow envelope (the same LOUD discipline as
+    * `climatologyFit`): n·Σc² stays inside a signed 64-bit lane
+    * while n²·c̄² < 2⁶³ (~10⁹ rows per window of 2-decimal values
+    * ≤ 10⁴) — past that the ANSI session errors instead of wrapping,
+    * and the fit belongs on a coarser grid. */
+  private[graft] def zExactOfInt(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val n = count(c).over(w)
+    val sc = sum(c).over(w)
+    val sc2 = sum(c * c).over(w)
+    val m2 = n * sc2 - sc * sc
+    when(n > 1 && m2 > 0,
+      (n * c - sc).cast("double")
+        / sqrt(m2.cast("double") * n.cast("double")
+          / (n.cast("double") - lit(1.0))))
+  }
+
+  /** [[zExactOfInt]] over a 2-decimal value column, quantized to the
+    * 4-dp output grid (floor(·1e4+0.5)/1e4 — the repo's standard
+    * engine-invariant quantization). */
+  private[graft] def zScore4(valueCol: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    floor(zExactOfInt(floor(valueCol * 100 + 0.5).cast("long"), w)
+      * 1e4 + 0.5) / 1e4
+
   /** Standardized anomaly (z-score) per (station, variable) — the
     * SPI-style index in its simplest parametric form. One window
-    * shuffle on the high-cardinality composite key. */
+    * shuffle on the high-cardinality composite key; moments are
+    * exact integer window sums ([[zExactOfInt]]). */
   def spiZscore(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        round((col("value") - avg(col("value")).over(w))
-          / stddev_samp(col("value")).over(w), 4).as("zscore"))
+        zScore4(col("value"), w).as("zscore"))
   }
 
   /** Drought EPISODES by run theory — the time-dimension complement
@@ -68,15 +108,13 @@ object Climate {
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // whole-partition stats phrased on the ORDERED spec (unbounded
     // frame) so all three window layers share one sort — an unordered
-    // sibling spec would plan a second Sort under the same exchange
+    // sibling spec would plan a second Sort under the same exchange.
+    // Constant series (zero variance) yield a NULL index by
+    // [[zExactOfInt]]'s guard — identically CASE-guarded in the oracle
     val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    // sd = 0 (constant series) must yield a NULL index, not an ANSI
-    // divide error / ±inf — guarded identically on both engines
-    val sd = stddev_samp(col("value")).over(wAll)
     val z = ev
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
-        when(sd =!= 0, round((col("value") - avg(col("value")).over(wAll))
-          / sd, 4)).as("zscore"))
+        zScore4(col("value"), wAll).as("zscore"))
     // a null index (constant series → zero variance) is NOT dry: the
     // comparison is null → otherwise(0), identically CASE…ELSE 0 in
     // the oracle, so degenerate keys drop out of both engines alike
@@ -2855,15 +2893,18 @@ object Climate {
     spiZscore(spark, dir)
       .withColumn("zone_y", floor(pseudoLat(col("user_id")) / 30).cast("int"))
       .withColumn("zone_x", floor(pseudoLon(col("user_id")) / 30).cast("int"))
+      // recover the EXACT integer 1e-4 units the index was quantized
+      // to (zscore = zu/1e4 round-trips bit-exactly: the /1e4 error is
+      // ≪ the +0.5 margin), so the zone mean is an exact-long ratio —
+      // a raw avg(zscore) double sum could land a half-quantum off
+      // under a different merge order. min/max are order statistics
+      // over identical bits → safe as-is.
+      .withColumn("zu", floor(col("zscore") * 1e4 + 0.5).cast("long"))
       .groupBy(col("zone_y"), col("zone_x"))
       .agg(
         count(lit(1)).as("n"),
-        // floor-quantized, NOT round(): the average of 4dp-rounded
-        // zscores lands exactly on .00005 boundaries where Spark
-        // (decimal-string HALF_UP) and DuckDB (binary-double) round
-        // differently — same engine-invariance fix as quantileMap.
-        // min/max re-round already-rounded values → identity → safe.
-        (floor(avg(col("zscore")) * 1e4 + 0.5) / 1e4).as("avg_z"),
+        (floor(sum(col("zu")).cast("double") / count(col("zu")) + 0.5) / 1e4)
+          .as("avg_z"),
         round(min(col("zscore")), 4).as("min_z"),
         round(max(col("zscore")), 4).as("max_z"),
         sum(when(col("zscore") <= -1.0, 1).otherwise(0)).cast("long")
@@ -2882,9 +2923,7 @@ object Climate {
   def zonalDroughtExtent(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
     Tables.events(spark, dir)
-      .withColumn("zscore",
-        round((col("value") - avg(col("value")).over(w))
-          / stddev_samp(col("value")).over(w), 4))
+      .withColumn("zscore", zScore4(col("value"), w))
       .withColumn("zone_y", floor(pseudoLat(col("user_id")) / 30).cast("int"))
       .withColumn("zone_x", floor(pseudoLon(col("user_id")) / 30).cast("int"))
       .groupBy(col("zone_y"), col("zone_x"),
@@ -2917,9 +2956,7 @@ object Climate {
       (floor(col(s"${n}_n").cast("double") / col("n_obs") * 1e4 + 0.5) / 1e4)
         .as(s"${n}_share") }
     Tables.events(spark, dir)
-      .withColumn("zscore",
-        round((col("value") - avg(col("value")).over(w))
-          / stddev_samp(col("value")).over(w), 4))
+      .withColumn("zscore", zScore4(col("value"), w))
       .withColumn("zone_y", floor(pseudoLat(col("user_id")) / 30).cast("int"))
       .withColumn("zone_x", floor(pseudoLon(col("user_id")) / 30).cast("int"))
       .groupBy(col("zone_y"), col("zone_x"),
@@ -3002,14 +3039,15 @@ object Climate {
       .withColumn("member", col("event_id") % 5)
       .groupBy(col("user_id"), col("member"),
         date_format(date_trunc("WEEK", col("ts")), "yyyy-MM-dd").as("week"))
-      // exact cent sum, one division: the weekly means enter the
-      // standardization with identical bits on every engine
-      .agg((sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
-        / (count(lit(1)) * lit(100.0))).as("wk_mean"))
+      // weekly mean quantized ONCE to exact integer 1e-6 units
+      // (cent-sum·1e4/n is one correctly-rounded division of exact
+      // longs): the standardization's window moments then run on
+      // integers — merge-order-free on both engines, closing the last
+      // raw-double window-σ in the family
+      .agg(floor(sum(floor(col("value") * 100 + 0.5).cast("long"))
+        .cast("double") * 1e4 / count(lit(1)) + 0.5).cast("long").as("qc"))
     val wKey = Window.partitionBy(col("user_id"), col("member"))
-    val z = cell.withColumn("z",
-      (col("wk_mean") - avg(col("wk_mean")).over(wKey))
-        / stddev_samp(col("wk_mean")).over(wKey))
+    val z = cell.withColumn("z", zExactOfInt(col("qc"), wKey))
     z.groupBy(col("user_id"), col("week"))
       .agg(count(lit(1)).as("n_members"),
         (floor(percentile(col("z"), lit(0.5)) * 1e4 + 0.5) / 1e4)
@@ -3435,9 +3473,13 @@ object Climate {
     spiZscore(spark, dir)
       .withColumn("zone_y", floor(pseudoLat(col("user_id")) / 30).cast("int"))
       .withColumn("zone_x", floor(pseudoLon(col("user_id")) / 30).cast("int"))
+      // integer-unit zone mean — same merge-order-free discipline as
+      // [[zonalSpi]]; order statistics stay on the quantized doubles
+      .withColumn("zu", floor(col("zscore") * 1e4 + 0.5).cast("long"))
       .groupBy(col("zone_y"), col("zone_x"))
       .agg(count(lit(1)).as("n"),
-        (floor(avg(col("zscore")) * 1e4 + 0.5) / 1e4).as("avg_z"),
+        (floor(sum(col("zu")).cast("double") / count(col("zu")) + 0.5) / 1e4)
+          .as("avg_z"),
         q(0.1, "p10_z"), q(0.5, "med_z"), q(0.9, "p90_z"))
   }
 

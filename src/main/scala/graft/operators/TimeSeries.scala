@@ -361,18 +361,18 @@ object TimeSeries {
     * dilutes its own baseline), after a 10-observation warm-up and
     * only where the history actually varies. One shuffle on the
     * natural key; mean/std/count all share the same window frame.
-    * The z-score is floor-quantized and the flag derives from the
-    * quantized value, keeping both engines bit-aligned. */
+    * The history moments are exact integer window sums
+    * ([[graft.operators.Climate.zExactOfInt]] — the current row sits
+    * OUTSIDE the frame, which the (n·c − Σc)/n identity handles), so
+    * the quantized z and the flag derive from identical bits on both
+    * engines at any merge order. */
   def rollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id")).rowsBetween(-30, -1)
     Tables.events(spark, dir)
-      .withColumn("mu", avg(col("value")).over(w))
-      .withColumn("sd", stddev_samp(col("value")).over(w))
       .withColumn("n_hist", count(col("value")).over(w))
-      .filter(col("n_hist") >= 10 && col("sd") > 0)
-      .withColumn("z",
-        floor((col("value") - col("mu")) / col("sd") * 1e4 + 0.5) / 1e4)
+      .withColumn("z", Climate.zScore4(col("value"), w))
+      .filter(col("n_hist") >= 10 && col("z").isNotNull)
       .select(col("event_id"), col("user_id"),
         round(col("value"), 2).as("value"), col("z"),
         (abs(col("z")) > 3.0).as("is_anomaly"))
