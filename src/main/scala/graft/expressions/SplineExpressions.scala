@@ -22,12 +22,22 @@ case class BsplineFitExpr(left: Expression, right: Expression)
   override def dataType: DataType = StructType(Seq(
     StructField("t", ArrayType(DoubleType)),
     StructField("c", ArrayType(DoubleType))))
+  /** The kernel returns null on degenerate anchors (< 4 strictly
+    * increasing distinct values, or a singular collocation solve) —
+    * routine for constant dry-season training series — so the fit is
+    * nullable even over non-null anchor children. Without this
+    * override Catalyst derives non-nullable, constant-folds the
+    * caller's `isNotNull` guard away, and the generated code NPEs on
+    * the null struct. */
+  override def nullable: Boolean = true
   override protected def nullSafeEval(xs: Any, ys: Any): Any =
     SplineKernels.fitParams(xs.asInstanceOf[ArrayData],
       ys.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.SplineKernels.fitParams($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.SplineKernels.fitParams($a, $b);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "bspline_fit"

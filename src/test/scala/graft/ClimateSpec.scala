@@ -849,6 +849,51 @@ class ClimateSpec extends SparkSpec {
       && direct.exceptAll(viaDisk).isEmpty)
   }
 
+  test("bsplineTransferParams: degenerate anchors (constant series, <4 distinct) yield null fits that are FILTERED, not an NPE under codegen") {
+    import spark.implicits._
+    // Three groups: a constant training series (dry-season precip —
+    // one distinct anchor), a 3-distinct-values series (below the
+    // cubic minimum of 4), and a healthy spread. The first two must
+    // produce NO param row; the job must not throw inside
+    // GeneratedIterator (BsplineFitExpr overrides nullable=true and
+    // its codegen sets isNull when the kernel returns null — without
+    // that, Catalyst folds the isNotNull guard to true and the
+    // generated code NPEs on the null struct).
+    val rows = (1L to 60L).map { i =>
+      val g = i % 3 // 0=constant, 1=three-distinct-anchors, 2=healthy
+      val v = g match {
+        case 0 => 0.0
+        // 18 zeros + 2 ones: the 17-point rank-interpolated quantile
+        // grid collapses to exactly {0, 0.8125, 1.0} — three distinct
+        // anchors, below the cubic minimum of four.
+        case 1 => if (i >= 55) 1.0 else 0.0
+        case _ => i.toDouble + (i % 7) * 0.31
+      }
+      (i, g, v)
+    }
+    val fcst = rows.toDF("event_id", "grp", "value")
+    val refT = rows.map { case (i, g, v) => (i, g, v * 2.0 + 1.0) }
+      .toDF("event_id", "grp", "value")
+    val params = Climate.bsplineTransferParams(Seq("grp"), fcst, refT)
+    val got = params.collect() // must not throw
+    assert(got.map(_.getLong(0)).toSet === Set(2L),
+      "only the healthy group fits; degenerate groups drop out")
+    // The raw fit expression itself must evaluate to a NULL struct
+    // (not crash) over constant anchors, under whole-stage codegen.
+    val flat = spark.range(1, 6).selectExpr(
+      "array(1.0d, 1.0d, 1.0d, 1.0d, 1.0d) as xs",
+      "array(2.0d, 2.0d, 2.0d, 2.0d, 2.0d) as ys")
+      .withColumn("fit",
+        graft.expressions.SplineColumns.bsplineFit(col("xs"), col("ys")))
+    assert(flat.filter(col("fit").isNotNull).count() === 0L)
+    assert(flat.filter(col("fit").isNull).count() === 5L)
+    // And the apply path over the surviving params still runs.
+    val app = rows.map { case (i, g, v) => (i + 1000L, g, v) }
+      .toDF("event_id", "grp", "value")
+    val applied = Climate.bsplineTransferApply(Seq("grp"), params, app)
+    assert(applied.count() > 0)
+  }
+
   test("pet_oudin: calc_delta_PET recomputed exactly; Re table drives the seasonality") {
     val ev = graft.Tables.events(spark, sf)
       .select("user_id", "ts", "value").collect()
