@@ -46,8 +46,13 @@ object ScaleUp {
     val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
 
     def read(t: String): DataFrame = spark.read.parquet(s"$inDir/$t.parquet")
-    def maxKey(t: String, k: String): Long =
-      read(t).agg(max(col(k))).collect()(0).getLong(0)
+    def maxKey(t: String, k: String): Long = {
+      // max over an empty table is NULL (coalesce to 0), and a
+      // non-long key column would ClassCastException — cast first
+      val r = read(t).agg(coalesce(max(col(k).cast("long")), lit(0L)))
+        .collect()(0)
+      r.getLong(0)
+    }
     def copies(df: DataFrame): DataFrame =
       df.withColumn("cp", explode(lit((0 until factor).toArray)))
     def shift(c: String, off: Long) = (col(c) + col("cp") * off).as(c)

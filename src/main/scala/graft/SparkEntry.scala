@@ -242,6 +242,7 @@ object SparkEntry {
     "dedup_embedding"     -> Similarity.embeddingPairs _,
     "dedup_embedding_incremental" -> Similarity.embeddingIncremental _,
     "dedup_embedding_lsh" -> Similarity.embeddingPairsLsh _,
+    "dedup_embedding_lsh_audit" -> Similarity.embeddingLshAudit _,
     "ann_topk_bruteforce" -> Similarity.annTopkBruteforce _,
     "ann_lsh_topk"        -> Similarity.annLshTopk _,
     "ann_recall_audit"    -> Similarity.annRecallAudit _,
@@ -934,8 +935,9 @@ object SparkEntry {
     * chain the codegen'd kernel executes, so the sign (and hence
     * every bucket id) is bit-for-bit reproducible in DuckDB. `e` is
     * the row's DOUBLE[] embedding (1-indexed). */
-  private def lshSigSql(table: Int): String =
-    (0 until graft.operators.Similarity.BitsPerTable).map { bit =>
+  private def lshSigSql(table: Int,
+      bits: Int = graft.operators.Similarity.BitsPerTable): String =
+    (0 until bits).map { bit =>
       val plane = graft.operators.Similarity.hyperplane(table, bit, 64)
       val dot = plane.zipWithIndex
         .map { case (h, i) => s"e[${i + 1}]*($h)" }.mkString(" + ")
@@ -1476,14 +1478,78 @@ object SparkEntry {
       |        FROM events)
       |  WINDOW w AS (PARTITION BY user_id, event_type)""".stripMargin
 
+  /** CTE chain for the CAPPED adaptive-width pairs lane, ending in
+    * `pairs(id_a, id_b)` — the SQL twin of
+    * [[graft.operators.Similarity.pairBuckets]] +
+    * `cappedPairsFrom`: per-(t, sig) occupancy window, the
+    * [[graft.operators.Similarity.EmbBucketCap]] filter, then the
+    * bucket self-join. `b` (with `bucket_n`) stays visible for the
+    * audit oracle's dropped-mass ledger. */
+  private def lshPairsCtes(bits: Int): String = {
+    val tables = (0 until graft.operators.Similarity.NumTables).map { t =>
+      s"SELECT vec_id, e, $t AS t, ${lshSigSql(t, bits)} AS sig FROM v"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |b0 AS (
+       |  $tables),
+       |b AS (SELECT *, count(*) OVER (PARTITION BY t, sig) AS bucket_n
+       |      FROM b0),
+       |bc AS (SELECT * FROM b
+       |       WHERE bucket_n <= ${graft.operators.Similarity.EmbBucketCap}),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM bc a JOIN bc c ON a.t = c.t AND a.sig = c.sig
+       |  WHERE a.vec_id < c.vec_id)""".stripMargin
+  }
+
+  private def lshPairsSql(bits: Int): String =
+    s"""${lshPairsCtes(bits)}
+      |SELECT id_a, id_b,
+      |  floor(list_cosine_similarity(va.e, vb.e) * 1e4 + 0.5) / 1e4 AS cosine
+      |FROM pairs JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+      |WHERE list_cosine_similarity(va.e, vb.e) >= 0.35""".stripMargin
+
+  private def lshPairsAuditSql(bits: Int): String =
+    s"""${lshPairsCtes(bits)},
+      |cand AS (SELECT id_a, id_b, 1 AS found FROM pairs),
+      |drops AS (
+      |  SELECT CAST(count(DISTINCT (t, sig)) AS BIGINT) AS dropped_buckets,
+      |    CAST(count(*) AS BIGINT) AS dropped_memberships,
+      |    CAST(coalesce(sum(bucket_n - 1), 0) // 2 AS BIGINT)
+      |      AS est_dropped_pairs
+      |  FROM b WHERE bucket_n > ${graft.operators.Similarity.EmbBucketCap}),
+      |truth AS (
+      |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+      |    floor(list_cosine_similarity(a.e, c.e) * 1e4 + 0.5) / 1e4 AS cos4
+      |  FROM v a JOIN v c ON a.vec_id < c.vec_id),
+      |per AS (
+      |  SELECT least(floor(cos4 * 10), 9.0) / 10.0 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_true,
+      |    CAST(sum(CASE WHEN cand.found IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_found
+      |  FROM truth LEFT JOIN cand USING (id_a, id_b)
+      |  WHERE cos4 >= 0.35 GROUP BY 1)
+      |SELECT bucket, n_true, n_found,
+      |  floor(CAST(n_found AS DOUBLE) / n_true * 1e4 + 0.5) / 1e4 AS recall,
+      |  dropped_buckets, dropped_memberships, est_dropped_pairs
+      |FROM per CROSS JOIN drops""".stripMargin
+
   /** The data-fitted oracle entries — only renderable once the fit
-    * context exists (see [[setOracleContext]]). */
+    * context exists (see [[setOracleContext]]). The pairs-lane LSH
+    * oracles live here too: their signature WIDTH adapts to the
+    * corpus size ([[graft.operators.Similarity.pairsBits]]), so the
+    * hyperplane CASE chains can only be rendered knowing the count. */
   private def fittedOracles: Map[String, String] = oracleCtx match {
     case None => Map.empty
-    case Some((s, d)) => Map(
+    case Some((s, d)) =>
+      val bits = graft.operators.Similarity.pairsBits(
+        graft.operators.Similarity.corpusCount(s, d))
+      Map(
       "ann_ivf_topk"  -> ivfTopkSql(graft.operators.Similarity.ivfCentroids(s, d)),
       "knn_graph_ivf" -> knnGraphIvfSql(graft.operators.Similarity.ivfCentroids(s, d)),
-      "ann_pq_topk"   -> pqTopkSql(graft.operators.Similarity.pqCodebooks(s, d)))
+      "ann_pq_topk"   -> pqTopkSql(graft.operators.Similarity.pqCodebooks(s, d)),
+      "dedup_embedding_lsh"       -> lshPairsSql(bits),
+      "dedup_embedding_lsh_audit" -> lshPairsAuditSql(bits))
   }
 
   /** DuckDB oracle SQL per query (same tables, same column names,
@@ -3874,16 +3940,8 @@ object SparkEntry {
         |  best.p AS dup_of, best.cosine
         |FROM batch b LEFT JOIN best ON b.vec_id = best.bid""".stripMargin,
 
-    "dedup_embedding_lsh" ->
-      s"""$lshBucketsSql,
-        |pairs AS (
-        |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-        |  FROM b a JOIN b c ON a.t = c.t AND a.sig = c.sig
-        |  WHERE a.vec_id < c.vec_id)
-        |SELECT id_a, id_b,
-        |  round(list_cosine_similarity(va.e, vb.e), 4) AS cosine
-        |FROM pairs JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
-        |WHERE list_cosine_similarity(va.e, vb.e) >= 0.35""".stripMargin,
+    // dedup_embedding_lsh / dedup_embedding_lsh_audit are rendered in
+    // [[fittedOracles]]: their signature width adapts to corpus size.
 
     "rating_curve" ->
       """WITH calib(h, q) AS (VALUES (0.0, 0.0), (50.0, 10.0), (100.0, 40.0),

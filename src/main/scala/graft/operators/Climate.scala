@@ -42,10 +42,16 @@ object Climate {
     * windows score c against the frame's own mean/σ).
     *
     * Overflow envelope (the same LOUD discipline as
-    * `climatologyFit`): n·Σc² stays inside a signed 64-bit lane
-    * while n²·c̄² < 2⁶³ (~10⁹ rows per window of 2-decimal values
-    * ≤ 10⁴) — past that the ANSI session errors instead of wrapping,
-    * and the fit belongs on a coarser grid. */
+    * `climatologyFit`): the binding terms n·Σc² and (Σc)² ≈ n²·c̄²
+    * stay inside a signed 64-bit lane while n ≲ 3×10⁹ / c̄ (c̄ the
+    * mean |cent| magnitude) — e.g. ~3×10⁵ rows per window at
+    * c̄ ≈ 10⁴ (2-decimal values ≤ 100), ~3×10³ at c̄ ≈ 10⁶. Callers
+    * feeding finer-grained integers shrink it proportionally:
+    * `spiEnsembleMedian` routes 1e-6-unit integers (≈ 5.6×10⁸ on
+    * current data) through this lane, so its window envelope is only
+    * a handful of rows beyond which the ANSI session errors LOUDLY
+    * instead of wrapping — the signal that the fit belongs on a
+    * coarser integer grid. */
   private[graft] def zExactOfInt(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column = {
     val n = count(c).over(w)
     val sc = sum(c).over(w)

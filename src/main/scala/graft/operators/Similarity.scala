@@ -996,6 +996,37 @@ object Similarity {
   private[graft] val NumTables = 4
   private[graft] val BitsPerTable = 6
 
+  /** Mean-occupancy target for the PAIRS lane's adaptive signature
+    * width: bits grow with the corpus so that n / 2^bits stays ≤ this
+    * — the mechanism that keeps within-bucket pair volume O(n), not
+    * O(n²/2^bits) at fixed bits. */
+  private[graft] val PairsTargetOcc = 32
+  /** Hard per-(table, signature) occupancy ceiling for the pairs
+    * lane (≈ 6× the adaptive mean): a skewed bucket of size m would
+    * contribute m²/2 candidate pairs; members of a dropped bucket
+    * still meet in their other, better-spread tables. Dropped mass is
+    * ledgered by [[embeddingLshAudit]] exactly like the minhash
+    * lane's [[graft.operators.Dedup.BucketCap]] audit. */
+  private[graft] val EmbBucketCap = 200
+
+  private val countCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  /** Memoized corpus count (parquet metadata count — no scan); the
+    * adaptive signature width is a pure function of it, so the oracle
+    * renderer can replay the identical width. */
+  private[graft] def corpusCount(spark: SparkSession, dir: String): Long =
+    countCache.getOrElseUpdate(dir, vecs(spark, dir).count())
+
+  /** Adaptive bits for the pairs lane: smallest width ≥ 6 (≤ 16)
+    * with n / 2^bits ≤ [[PairsTargetOcc]]. n ≤ 2048 → 6 (the fixed
+    * width the top-k lane uses), so small-SF outputs are unchanged;
+    * at 10× data the width widens and the lane stays linear. */
+  private[graft] def pairsBits(n: Long): Int = {
+    var b = BitsPerTable
+    while (b < 16 && (n >> b) > PairsTargetOcc) b += 1
+    b
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes (LCG over the
     * (table, bit, dim) index — reproducible across runs/executors). */
   private[graft] def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] = {
@@ -1007,39 +1038,102 @@ object Similarity {
     }
   }
 
-  /** Bucket signature for one table: sign bits of `NumTables`
-    * hyperplane dot products, packed into an int. */
-  private def signature(emb: Column, table: Int, dim: Int): Column =
-    (0 until BitsPerTable).map { bit =>
+  /** Bucket signature for one table: sign bits of `bits` hyperplane
+    * dot products, packed into an int. */
+  private def signature(emb: Column, table: Int, dim: Int,
+      bits: Int = BitsPerTable): Column =
+    (0 until bits).map { bit =>
       val plane = array(hyperplane(table, bit, dim).map(lit).toIndexedSeq: _*)
       when(VectorColumns.dot(emb, plane) >= 0, lit(1 << bit)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Random-hyperplane LSH near-dup PAIRS — the 100 TB path for
-    * [[embeddingPairs]]: candidates come only from vectors sharing a
-    * bucket in at least one table (`id_a < id_b`, deduplicated), then
-    * the exact cosine filters them. Pair count is bounded by bucket
-    * occupancy × tables, never O(n²); recall against the exact
-    * baseline is spec-measured. */
-  def embeddingPairsLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** The pairs lane's bucket table: every vector exploded to
+    * `NumTables` (t, sig) memberships at the ADAPTIVE width for this
+    * corpus size, each row carrying its bucket's occupancy (one
+    * window count keyed exactly like the downstream self-join, so the
+    * exchange is reused, not repeated). */
+  private def pairBuckets(spark: SparkSession, dir: String): DataFrame =
+    pairBucketsOf(vecs(spark, dir), pairsBits(corpusCount(spark, dir)))
+
+  private[graft] def pairBucketsOf(v: DataFrame, bits: Int): DataFrame = {
     val dim = 64
-    val v = vecs(spark, dir)
     val sigCols = (0 until NumTables).map(t =>
-      struct(lit(t).as("t"), signature(col("emb"), t, dim).as("sig")))
-    val bucketed = v
-      .select(col("vec_id"), col("emb"), explode(array(sigCols: _*)).as("b"))
+      struct(lit(t).as("t"), signature(col("emb"), t, dim, bits).as("sig")))
+    v.select(col("vec_id"), col("emb"), explode(array(sigCols: _*)).as("b"))
       .select(col("vec_id"), col("emb"),
         col("b.t").as("t"), col("b.sig").as("sig"))
-    bucketed.select(col("vec_id").as("id_a"), col("emb").as("ea"),
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("t"), col("sig"))))
+  }
+
+  private[graft] def cappedPairsFrom(bucketed: DataFrame): DataFrame = {
+    val capped = bucketed.filter(col("bucket_n") <= EmbBucketCap)
+    capped.select(col("vec_id").as("id_a"), col("emb").as("ea"),
         col("t"), col("sig"))
-      .join(bucketed.select(col("vec_id").as("id_b"), col("emb").as("eb"),
+      .join(capped.select(col("vec_id").as("id_b"), col("emb").as("eb"),
         col("t"), col("sig")), Seq("t", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "ea", "eb")
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Random-hyperplane LSH near-dup PAIRS — the 100 TB path for
+    * [[embeddingPairs]]: candidates come only from vectors sharing a
+    * bucket in at least one table (`id_a < id_b`, deduplicated), then
+    * the exact cosine filters them. Two mechanisms keep the candidate
+    * volume O(n) as the corpus grows — raw bucket occupancy is O(n)
+    * at fixed bits, so pair volume would otherwise be O(n²/2^bits):
+    * the signature WIDTH adapts to corpus size ([[pairsBits]]: mean
+    * occupancy ≤ [[PairsTargetOcc]]), and any residual hot bucket is
+    * dropped at [[EmbBucketCap]] with its lost mass ledgered by
+    * [[embeddingLshAudit]]. Recall vs the exact baseline is
+    * spec-measured (SimilaritySpec). */
+  def embeddingPairsLsh(spark: SparkSession, dir: String): DataFrame =
+    cappedPairsFrom(pairBuckets(spark, dir))
       .withColumn("cosine", VectorColumns.cosine(col("ea"), col("eb")))
       .filter(col("cosine") >= 0.35)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      // floor(x·1e4 + 0.5)/1e4, not round(x, 4): pure IEEE
+      // multiply/add/floor is bit-identical across engines, while
+      // Spark's decimal-string HALF_UP and DuckDB's binary round can
+      // split on a half-boundary
+      .select(col("id_a"), col("id_b"),
+        (floor(col("cosine") * 1e4 + 0.5) / 1e4).as("cosine"))
+
+  /** RECALL-vs-DROPPED-MASS audit for the pairs lane — the embedding
+    * twin of [[graft.operators.Dedup.lshRecallAudit]]: exhaustive
+    * exact truth pairs (cos ≥ 0.35) bucketed by cosine decile, the
+    * capped LSH candidates left-joined in, per-decile recall, and the
+    * dropped-bucket ledger (bucket count, memberships, estimated lost
+    * pairs Σ m(m−1)/2) broadcast onto every row. The exhaustive truth
+    * is the AUDIT's cost, not the operator's — run it on a sample at
+    * production scale. */
+  def embeddingLshAudit(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    // pinned: the cap filter and the dropped-mass agg both read it;
+    // unpinned each re-runs the 4×bits hyperplane signature pass
+    val bucketed = pairBuckets(spark, dir).localCheckpoint()
+    val cand = cappedPairsFrom(bucketed)
+      .select(col("id_a"), col("id_b"), lit(1).as("found"))
+    val dropSummary = bucketed.filter(col("bucket_n") > EmbBucketCap)
+      .agg(count_distinct(struct(col("t"), col("sig")))
+          .as("dropped_buckets"),
+        count(lit(1)).as("dropped_memberships"),
+        expr("coalesce(sum(bucket_n - 1), 0) div 2").as("est_dropped_pairs"))
+    val truth = v.select(col("vec_id").as("id_a"), col("emb").as("ea"))
+      .join(v.select(col("vec_id").as("id_b"), col("emb").as("eb")),
+        col("id_a") < col("id_b"))
+      .withColumn("cos4",
+        floor(VectorColumns.cosine(col("ea"), col("eb")) * 1e4 + 0.5) / 1e4)
+      .filter(col("cos4") >= 0.35)
+    truth.join(cand, Seq("id_a", "id_b"), "left")
+      .withColumn("bucket", least(floor(col("cos4") * 10), lit(9L)) / 10.0)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("found"), lit(0))).cast("long").as("n_found"),
+        (floor(sum(coalesce(col("found"), lit(0)))
+          / count(lit(1)).cast("double") * 1e4 + 0.5) / 1e4).as("recall"))
+      .crossJoin(broadcast(dropSummary))
   }
 
   /** Random-hyperplane LSH top-k — the 100 TB path. Each vector gets

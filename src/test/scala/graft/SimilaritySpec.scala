@@ -320,6 +320,81 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dedup_embedding_lsh_audit: per-decile recall recomputed from the exact and LSH pair sets; ledger zero when no bucket is hot") {
+    import graft.operators.Similarity
+    // truth replays the audit's OWN rule: cosine quantized to 4 dp
+    // FIRST, then the >= 0.35 gate (a raw-cos 0.34996 pair is truth
+    // here but not in dedup_embedding's raw-gate output)
+    val ids = embs.keys.toArray.sorted
+    val exact = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      c4 = math.floor(cos(embs(ids(i)), embs(ids(j))) * 1e4 + 0.5) / 1e4
+      if c4 >= 0.35
+    } yield (ids(i), ids(j)) -> c4).toMap
+    val lsh = SparkEntry.queries("dedup_embedding_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val audit = SparkEntry.queries("dedup_embedding_lsh_audit")(spark, sf)
+      .collect()
+    assert(audit.nonEmpty)
+    val byBucket = exact.groupBy { case (_, c) =>
+      math.min(math.floor(c * 10), 9.0) / 10.0 }
+    audit.foreach { r =>
+      val (bucket, nTrue, nFound, recall) =
+        (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val truth = byBucket.getOrElse(bucket, Map.empty)
+      assert(nTrue === truth.size.toLong, s"bucket $bucket n_true")
+      assert(nFound === truth.keys.count(lsh.contains).toLong,
+        s"bucket $bucket n_found")
+      assert(math.abs(recall -
+        math.floor(nFound.toDouble / nTrue * 1e4 + 0.5) / 1e4) < 1e-12)
+      // sf0.001's 500 vectors at bits=6 never fill a bucket to the
+      // 200 cap — the ledger must read zero (the hot-bucket branch is
+      // exercised by the synthetic test below)
+      assert(r.getLong(4) === 0L && r.getLong(5) === 0L && r.getLong(6) === 0L)
+    }
+    // the recall the audit reports IS the lane's quantified recall
+    // delta vs exact — record every decile loud so regressions
+    // surface. At sf0.001 the top occupied decile is only ~0.5
+    // cosine, where 4×6-bit hyperplane LSH theory gives
+    // (1−(1−(1−θ/π)⁶)⁴) ≈ 0.31 — so the gate is a soft floor; the
+    // near-dup regime (cos ≥ 0.9, expected ≈ 0.86) has no pairs in
+    // this corpus.
+    audit.sortBy(_.getDouble(0)).foreach { r =>
+      info(f"decile ${r.getDouble(0)}%.1f recall ${r.getDouble(3)} " +
+        s"(${r.getLong(2)}/${r.getLong(1)})")
+    }
+    val top = audit.maxBy(_.getDouble(0))
+    assert(top.getDouble(3) > 0.0, "top-decile recall nonzero")
+  }
+
+  test("embeddingPairsLsh cap: a hot bucket past EmbBucketCap is dropped and ledgered; spread vectors still pair") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // 250 IDENTICAL vectors (one bucket per table, occupancy 250 >
+    // cap 200) + two orthogonal-ish spread vectors that share their
+    // own bucket. The hot clique must vanish from the candidate set;
+    // the spread pair must survive.
+    val dim = 64
+    val hot = (0L until 250L).map(i => (i, Array.fill(dim)(1.0).toSeq))
+    val a = Array.tabulate(dim)(d => if (d < 8) 5.0 else -1.0)
+    val spreadPair = Seq((1000L, a.toSeq), (1001L, a.map(_ * 1.1).toSeq))
+    val v = (hot ++ spreadPair).toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb").cast("array<double>").as("emb"))
+    val bucketed = Similarity.pairBucketsOf(v, bits = 6).localCheckpoint()
+    val pairs = Similarity.cappedPairsFrom(bucketed)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1000L, 1001L)), "spread pair survives")
+    assert(!pairs.exists { case (x, y) => x < 250L && y < 250L },
+      "hot-clique pairs dropped by the cap")
+    val dropped = bucketed
+      .filter(col("bucket_n") > Similarity.EmbBucketCap)
+      .agg(countDistinct(col("t"), col("sig")).as("b"),
+        count(lit(1)).as("m")).collect()(0)
+    assert(dropped.getLong(0) === Similarity.NumTables.toLong,
+      "one hot bucket per table ledgered")
+    assert(dropped.getLong(1) === 250L * Similarity.NumTables)
+  }
+
   test("dedup_embedding: threshold respected, values exact") {
     val rows = SparkEntry.queries("dedup_embedding")(spark, sf).collect()
     assert(rows.nonEmpty)
