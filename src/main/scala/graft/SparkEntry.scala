@@ -532,8 +532,8 @@ object SparkEntry {
       |      FROM p, embeddings WHERE vec_id != probe_id),
       |r AS (SELECT probe_id, nb_id,
       |        row_number() OVER (PARTITION BY probe_id
-      |                           ORDER BY round(cos, 6) DESC, nb_id ASC) AS rk,
-      |        round(cos, 4) AS cosine
+      |                           ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, nb_id ASC) AS rk,
+      |        floor(cos * 1e4 + 0.5) / 1e4 AS cosine
       |      FROM c)
       |SELECT probe_id AS vec_id, nb_id AS neighbor_id, rk, cosine
       |FROM r WHERE rk <= 5""".stripMargin
@@ -1343,7 +1343,7 @@ object SparkEntry {
       |asgn AS (
       |  SELECT vec_id, e, b,
       |    row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY round(ss - 2 * list_inner_product(e, c), 6) ASC,
+      |      ORDER BY floor((ss - 2 * list_inner_product(e, c)) * 1e6 + 0.5) / 1e6 ASC,
       |               b ASC) AS rn
       |  FROM v, cents),
       |hm AS (SELECT vec_id, e, b AS bucket FROM asgn WHERE rn = 1),
@@ -1351,7 +1351,7 @@ object SparkEntry {
       |rt AS (
       |  SELECT probe_id, pe, b,
       |    row_number() OVER (PARTITION BY probe_id
-      |      ORDER BY round(list_cosine_similarity(pe, c), 6) DESC,
+      |      ORDER BY floor(list_cosine_similarity(pe, c) * 1e6 + 0.5) / 1e6 DESC,
       |               b ASC) AS rn
       |  FROM p, cents),
       |pb AS (SELECT probe_id, pe, b AS bucket FROM rt WHERE rn <= 2),
@@ -1361,9 +1361,9 @@ object SparkEntry {
       |r AS (
       |  SELECT cd.probe_id, cd.vec_id AS neighbor_id,
       |    row_number() OVER (PARTITION BY cd.probe_id
-      |      ORDER BY round(list_cosine_similarity(vp.e, vc.e), 6) DESC,
+      |      ORDER BY floor(list_cosine_similarity(vp.e, vc.e) * 1e6 + 0.5) / 1e6 DESC,
       |               cd.vec_id ASC) AS rk,
-      |    round(list_cosine_similarity(vp.e, vc.e), 4) AS cosine
+      |    floor(list_cosine_similarity(vp.e, vc.e) * 1e4 + 0.5) / 1e4 AS cosine
       |  FROM cand cd JOIN v vp ON vp.vec_id = cd.probe_id
       |    JOIN v vc ON vc.vec_id = cd.vec_id)
       |SELECT probe_id, neighbor_id, rk, cosine FROM r WHERE rk <= 10"""
@@ -1380,7 +1380,7 @@ object SparkEntry {
       |rk0 AS (
       |  SELECT vec_id, e, b,
       |    row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY round(ss - 2 * list_inner_product(e, c), 6) ASC,
+      |      ORDER BY floor((ss - 2 * list_inner_product(e, c)) * 1e6 + 0.5) / 1e6 ASC,
       |               b ASC) AS rn
       |  FROM v, cents),
       |hm AS (SELECT vec_id, e, b AS cell FROM rk0 WHERE rn = 1),
@@ -1392,9 +1392,9 @@ object SparkEntry {
       |r AS (
       |  SELECT probe_id, vec_id AS neighbor_id,
       |    row_number() OVER (PARTITION BY probe_id
-      |      ORDER BY round(list_cosine_similarity(pe, e), 6) DESC,
+      |      ORDER BY floor(list_cosine_similarity(pe, e) * 1e6 + 0.5) / 1e6 DESC,
       |               vec_id ASC) AS rk,
-      |    round(list_cosine_similarity(pe, e), 4) AS cosine
+      |    floor(list_cosine_similarity(pe, e) * 1e4 + 0.5) / 1e4 AS cosine
       |  FROM cand)
       |SELECT probe_id AS vec_id, neighbor_id, rk, cosine
       |FROM r WHERE rk <= 5""".stripMargin
@@ -1420,7 +1420,7 @@ object SparkEntry {
       |enc AS (
       |  SELECT vec_id, m, k,
       |    row_number() OVER (PARTITION BY vec_id, m
-      |      ORDER BY round(ss - 2 * list_inner_product(sv, c), 6) ASC,
+      |      ORDER BY floor((ss - 2 * list_inner_product(sv, c)) * 1e6 + 0.5) / 1e6 ASC,
       |               k ASC) AS rn
       |  FROM sub JOIN books USING (m)),
       |codes AS (SELECT vec_id, m, k AS code FROM enc WHERE rn = 1),
@@ -1430,21 +1430,23 @@ object SparkEntry {
       |    ss - 2 * list_inner_product(pe[m * $sd + 1 : m * $sd + $sd], c) AS ld
       |  FROM p, books),
       |adc AS (
-      |  SELECT cs.vec_id, l.probe_id, sum(l.ld) AS adc
+      |  SELECT cs.vec_id, l.probe_id,
+      |    CAST(sum(CAST(floor(l.ld * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS adc_u
       |  FROM codes cs JOIN lut l ON l.m = cs.m AND l.k = cs.code
       |  WHERE cs.vec_id != l.probe_id
       |  GROUP BY 1, 2),
       |sh AS (
       |  SELECT probe_id, vec_id,
       |    row_number() OVER (PARTITION BY probe_id
-      |      ORDER BY round(adc, 6) ASC, vec_id ASC) AS srn
+      |      ORDER BY adc_u ASC, vec_id ASC) AS srn
       |  FROM adc),
       |r AS (
       |  SELECT s.probe_id, s.vec_id AS neighbor_id,
       |    row_number() OVER (PARTITION BY s.probe_id
-      |      ORDER BY round(list_cosine_similarity(vp.e, vc.e), 6) DESC,
+      |      ORDER BY floor(list_cosine_similarity(vp.e, vc.e) * 1e6 + 0.5) / 1e6 DESC,
       |               s.vec_id ASC) AS rk,
-      |    round(list_cosine_similarity(vp.e, vc.e), 4) AS cosine
+      |    floor(list_cosine_similarity(vp.e, vc.e) * 1e4 + 0.5) / 1e4 AS cosine
       |  FROM sh s JOIN v vp ON vp.vec_id = s.probe_id
       |    JOIN v vc ON vc.vec_id = s.vec_id
       |  WHERE s.srn <= 50)
@@ -3928,7 +3930,7 @@ object SparkEntry {
         |batch AS (SELECT vec_id, e FROM v WHERE vec_id % 10 >= 8),
         |cand AS (
         |  SELECT b.vec_id AS bid, p.vec_id AS p,
-        |    round(list_cosine_similarity(b.e, p.e), 4) AS cosine
+        |    floor(list_cosine_similarity(b.e, p.e) * 1e4 + 0.5) / 1e4 AS cosine
         |  FROM batch b JOIN v p ON p.vec_id <> b.vec_id
         |    AND (p.vec_id % 10 < 8 OR p.vec_id < b.vec_id)),
         |best AS (
@@ -6585,13 +6587,13 @@ object SparkEntry {
         |tr AS (SELECT probe_id, dim, vec_id AS neighbor_id,
         |        CAST(floor(cos_full * 1e4 + 0.5) AS BIGINT) AS cf_u,
         |        row_number() OVER (PARTITION BY probe_id, dim
-        |          ORDER BY round(cos_d, 6) DESC, vec_id ASC) AS rk
+        |          ORDER BY floor(cos_d * 1e6 + 0.5) / 1e6 DESC, vec_id ASC) AS rk
         |       FROM d),
         |t10 AS (SELECT * FROM tr WHERE rk <= 10),
         |f AS (SELECT probe_id, vec_id AS neighbor_id,
         |        CAST(floor(cos_full * 1e4 + 0.5) AS BIGINT) AS cf_u,
         |        row_number() OVER (PARTITION BY probe_id
-        |          ORDER BY round(cos_full, 6) DESC, vec_id ASC) AS rk
+        |          ORDER BY floor(cos_full * 1e6 + 0.5) / 1e6 DESC, vec_id ASC) AS rk
         |      FROM c),
         |f10 AS (SELECT * FROM f WHERE rk <= 10),
         |agg AS (SELECT t.probe_id, t.dim,
@@ -6616,8 +6618,8 @@ object SparkEntry {
         |      FROM p, embeddings WHERE vec_id != probe_id),
         |r AS (SELECT probe_id, vec_id AS neighbor_id,
         |        row_number() OVER (PARTITION BY probe_id
-        |                           ORDER BY round(cos, 6) DESC, vec_id ASC) AS rk,
-        |        round(cos, 4) AS cosine
+        |                           ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, vec_id ASC) AS rk,
+        |        floor(cos * 1e4 + 0.5) / 1e4 AS cosine
         |      FROM c)
         |SELECT probe_id, neighbor_id, rk, cosine FROM r WHERE rk <= 10""".stripMargin,
 
@@ -6630,8 +6632,8 @@ object SparkEntry {
         |r AS (
         |  SELECT probe_id, nb_id,
         |    row_number() OVER (PARTITION BY probe_id
-        |      ORDER BY round(list_cosine_similarity(vp.e, vc.e), 6) DESC, nb_id ASC) AS rk,
-        |    round(list_cosine_similarity(vp.e, vc.e), 4) AS cosine
+        |      ORDER BY floor(list_cosine_similarity(vp.e, vc.e) * 1e6 + 0.5) / 1e6 DESC, nb_id ASC) AS rk,
+        |    floor(list_cosine_similarity(vp.e, vc.e) * 1e4 + 0.5) / 1e4 AS cosine
         |  FROM cand JOIN v vp ON vp.vec_id = probe_id JOIN v vc ON vc.vec_id = nb_id)
         |SELECT probe_id, nb_id AS neighbor_id, rk, cosine FROM r WHERE rk <= 10""".stripMargin,
 
@@ -6644,9 +6646,9 @@ object SparkEntry {
         |lr AS (
         |  SELECT probe_id, nb_id,
         |    row_number() OVER (PARTITION BY probe_id
-        |      ORDER BY round(list_cosine_similarity(vp.e, vc.e), 6) DESC,
+        |      ORDER BY floor(list_cosine_similarity(vp.e, vc.e) * 1e6 + 0.5) / 1e6 DESC,
         |               nb_id ASC) AS rk,
-        |    round(list_cosine_similarity(vp.e, vc.e), 4) AS cosine
+        |    floor(list_cosine_similarity(vp.e, vc.e) * 1e4 + 0.5) / 1e4 AS cosine
         |  FROM cand JOIN v vp ON vp.vec_id = probe_id
         |    JOIN v vc ON vc.vec_id = nb_id),
         |lshr AS (SELECT probe_id, nb_id,
@@ -6657,8 +6659,8 @@ object SparkEntry {
         |  FROM v p, v c WHERE p.vec_id < 5 AND c.vec_id != p.vec_id),
         |br AS (SELECT probe_id, nb_id,
         |    row_number() OVER (PARTITION BY probe_id
-        |      ORDER BY round(cos, 6) DESC, nb_id ASC) AS rk,
-        |    round(cos, 4) AS cosine
+        |      ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, nb_id ASC) AS rk,
+        |    floor(cos * 1e4 + 0.5) / 1e4 AS cosine
         |  FROM bc),
         |bfr AS (SELECT probe_id, nb_id,
         |    CAST(floor(cosine * 1e4 + 0.5) AS BIGINT) AS cos_u
@@ -6674,9 +6676,9 @@ object SparkEntry {
         |ls AS (SELECT probe_id, sum(cos_u) AS lsh_u,
         |    CAST(count(*) AS BIGINT) AS n_l
         |  FROM lshr GROUP BY 1)
-        |SELECT per.probe_id, n_hit, round(n_hit * 1.0 / k, 4) AS recall,
-        |  round((CAST(bf_u AS DOUBLE) / k - CAST(lsh_u AS DOUBLE) / n_l)
-        |    / 1e4, 4) AS cos_regret
+        |SELECT per.probe_id, n_hit, floor(n_hit * 1.0 / k * 1e4 + 0.5) / 1e4 AS recall,
+        |  floor((CAST(bf_u AS DOUBLE) / k - CAST(lsh_u AS DOUBLE) / n_l)
+        |    / 1e4 * 1e4 + 0.5) / 1e4 AS cos_regret
         |FROM per LEFT JOIN ls ON per.probe_id = ls.probe_id""".stripMargin,
 
     "knn_graph" -> knnGraphSql,
@@ -6728,8 +6730,8 @@ object SparkEntry {
         |      FROM p, embeddings WHERE vec_id != probe_id),
         |r AS (SELECT probe_id, nb_id,
         |        row_number() OVER (PARTITION BY probe_id
-        |                           ORDER BY round(cos, 6) DESC, nb_id ASC) AS rk,
-        |        round(cos, 4) AS cosine
+        |                           ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, nb_id ASC) AS rk,
+        |        floor(cos * 1e4 + 0.5) / 1e4 AS cosine
         |      FROM c),
         |pr AS (SELECT least(probe_id, nb_id) AS doc_a,
         |         greatest(probe_id, nb_id) AS doc_b, max(cosine) AS cosine
@@ -6745,7 +6747,7 @@ object SparkEntry {
         |       GROUP BY 1),
         |tot AS (SELECT count(*) AS n_vecs FROM embeddings)
         |SELECT np.tau, n_pairs, n_docs,
-        |  round(n_docs * 1.0 / tot.n_vecs, 4) AS dup_rate
+        |  floor(n_docs * 1.0 / tot.n_vecs * 1e4 + 0.5) / 1e4 AS dup_rate
         |FROM np JOIN nd USING (tau), tot""".stripMargin,
 
     "embedding_label_purity" ->
@@ -6756,7 +6758,7 @@ object SparkEntry {
         |      FROM p, embeddings WHERE vec_id != probe_id),
         |r AS (SELECT probe_id, nb_id,
         |        row_number() OVER (PARTITION BY probe_id
-        |                           ORDER BY round(cos, 6) DESC, nb_id ASC) AS rk
+        |                           ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, nb_id ASC) AS rk
         |      FROM c),
         |e AS (SELECT probe_id AS vec_id, nb_id AS neighbor_id
         |      FROM r WHERE rk <= 5),
@@ -6767,8 +6769,8 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_edges,
         |  CAST(sum(CASE WHEN label = nb_label THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_same,
-        |  round(sum(CASE WHEN label = nb_label THEN 1 ELSE 0 END) * 1.0
-        |    / count(*), 4) AS purity
+        |  floor(sum(CASE WHEN label = nb_label THEN 1 ELSE 0 END) * 1.0
+        |    / count(*) * 1e4 + 0.5) / 1e4 AS purity
         |FROM j GROUP BY label""".stripMargin,
 
     "dedup_semantic" ->
@@ -6779,8 +6781,8 @@ object SparkEntry {
         |      FROM p, embeddings WHERE vec_id != probe_id),
         |r AS (SELECT probe_id, nb_id,
         |        row_number() OVER (PARTITION BY probe_id
-        |                           ORDER BY round(cos, 6) DESC, nb_id ASC) AS rk,
-        |        round(cos, 4) AS cosine
+        |                           ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, nb_id ASC) AS rk,
+        |        floor(cos * 1e4 + 0.5) / 1e4 AS cosine
         |      FROM c),
         |pairs AS (
         |  SELECT DISTINCT least(probe_id, nb_id) AS doc_a,

@@ -80,11 +80,11 @@ object VectorKernels {
     * [[graft.expressions.TopKCosineExpr]]). Semantics are
     * TERM-FOR-TERM those of the join + [[graft.expressions.TopKAgg]]
     * formulation it replaces: the cosine accumulates in the same
-    * x*y / x*x / y*y order as [[cosine]], ranking is (cosine rounded
-    * half-up to 6dp DESC, id ASC), `selfId` is excluded, and the
+    * x*y / x*x / y*y order as [[cosine]], ranking is (cosine floor-quantized
+    * to 6dp DESC, id ASC), `selfId` is excluded, and the
     * payload is the unrounded cosine — so the DuckDB oracle is
     * unchanged. The k-slot insertion arrays stay cheap because k is
-    * small; the 6dp rounding (a BigDecimal per call) is only paid by
+    * small; the 6dp quantization is only paid by
     * candidates within 1e-6 of the current worst kept key, which a
     * raw-cosine pre-check filters (|round6(x) − x| ≤ 5e-7, so
     * anything further below the worst rounded key cannot enter). */
@@ -94,9 +94,10 @@ object VectorKernels {
     val kid = new Array[Long](k)
     val pay = new Array[Double](k)
     var size = 0
-    def round6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // floor(x·1e6 + 0.5)/1e6, not BigDecimal HALF_UP: the pure IEEE
+    // chain is what the DuckDB oracle computes, bit-for-bit — the
+    // decimal-string rounding could split from it on a half-boundary
+    def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val n = emb.numElements()
     var c = 0
     while (c < mat.length) {

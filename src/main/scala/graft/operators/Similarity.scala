@@ -20,6 +20,15 @@ object Similarity {
     Tables.spread(Tables.embeddings(spark, dir), col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
+  /** floor(x·10ᵖ + 0.5)/10ᵖ — the house engine-invariant quantizer
+    * (pure IEEE multiply/add/floor, bit-identical on Spark and
+    * DuckDB). The ANN family ranks and emits through THESE, never
+    * `round()`: Spark's round is decimal-string HALF_UP while
+    * DuckDB's is binary-double, so a sort key or output landing on a
+    * half-boundary could split the engines. */
+  private def q6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+  private def q4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+
   /** Deterministic bounded fit sample for the IVF/PQ quantizers: the
     * 4096 LOWEST vec_ids (TakeOrdered — a per-partition top-k heap,
     * never a full sort), so the SAME sample — and therefore the SAME
@@ -99,7 +108,7 @@ object Similarity {
         col("vec_id") =!= col("bid")
           && (col("vec_id") % 10 < 8 || col("vec_id") < col("bid")))
       .withColumn("cosine",
-        round(VectorColumns.cosine(col("be"), col("emb")), 4))
+        q4(VectorColumns.cosine(col("be"), col("emb"))))
       .filter(col("cosine") >= 0.35)
       .withColumn("rk", row_number().over(Window.partitionBy(col("bid"))
         .orderBy(col("cosine").desc, col("vec_id").asc)))
@@ -167,7 +176,7 @@ object Similarity {
         col("dc.dim").as("dim"), col("dc.cos_d").as("cos_d"))
     val qc = (c: Column) => floor(c * 1e4 + 0.5).cast("long")
     val picks = perDim.groupBy(col("probe_id"), col("dim"))
-      .agg(TopKAgg.topk(round(col("cos_d"), 6), col("vec_id"),
+      .agg(TopKAgg.topk(q6(col("cos_d")), col("vec_id"),
         col("cos_full"), 10).as("top"))
       .select(col("probe_id"), col("dim"), explode(col("top")).as("t"))
       .select(col("probe_id"), col("dim"), col("t.id").as("neighbor_id"),
@@ -200,12 +209,12 @@ object Similarity {
     * bit-for-bit against the DuckDB oracle. */
   private def topkPerProbe(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("probe_id"))
-      .agg(TopKAgg.topk(round(col("cos"), 6), col("vec_id"), col("cos"), k)
+      .agg(TopKAgg.topk(q6(col("cos")), col("vec_id"), col("cos"), k)
         .as("top"))
       .select(col("probe_id"), posexplode(col("top")))
       .select(col("probe_id"), col("col.id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rk"),
-        round(col("col.payload"), 4).as("cosine"))
+        q4(col("col.payload")).as("cosine"))
 
   /** Exact k-NN GRAPH — every vector's top-k cosine neighbors, the
     * precursor structure of embedding-space curation (SemDeDup-style
@@ -237,7 +246,7 @@ object Similarity {
           corpus.map(_._1), corpus.map(_._2), k)))
       .select(col("vec_id"), col("col.id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rk"),
-        round(col("col.payload"), 4).as("cosine"))
+        q4(col("col.payload")).as("cosine"))
   }
 
   /** IVF-BLOCKED k-NN graph — the scale path for [[knnGraph]]: the
@@ -264,7 +273,7 @@ object Similarity {
     // distances round to 6dp before the sort so the (d, b) lexicographic
     // order is a total order both engines reproduce (ties → lower cell)
     val dists = array((0 until nlist).map(i =>
-      struct(round(score(cents(i)), 6).as("d"), lit(i).as("b"))): _*)
+      struct(q6(score(cents(i))).as("d"), lit(i).as("b"))): _*)
     // home cell = argmin; probe cells = nprobe smallest distances —
     // both from ONE literal-centroid distance array evaluated in the
     // scan stage (array_sort on nlist structs, zero shuffles)
@@ -475,9 +484,9 @@ object Similarity {
       .agg(sum(col("cos_u")).as("lsh_u"), count(lit(1)).as("n_l"))
     per.join(ls, Seq("probe_id"), "left")
       .select(col("probe_id"), col("n_hit"),
-        round(col("n_hit") / col("k").cast("double"), 4).as("recall"),
-        round((col("bf_u").cast("double") / col("k")
-          - col("lsh_u").cast("double") / col("n_l")) / 1e4, 4).as("cos_regret"))
+        q4(col("n_hit") / col("k").cast("double")).as("recall"),
+        q4((col("bf_u").cast("double") / col("k")
+          - col("lsh_u").cast("double") / col("n_l")) / 1e4).as("cos_regret"))
   }
 
   /** EMBEDDING LABEL PURITY — the space-health metric run before
@@ -503,8 +512,8 @@ object Similarity {
         count(lit(1)).as("n_edges"),
         sum(when(col("label") === col("nb_label"), 1).otherwise(0))
           .cast("long").as("n_same"),
-        round(sum(when(col("label") === col("nb_label"), 1).otherwise(0))
-          / count(lit(1)).cast("double"), 4).as("purity"))
+        q4(sum(when(col("label") === col("nb_label"), 1).otherwise(0))
+          / count(lit(1)).cast("double")).as("purity"))
   }
 
   /** Sweep thresholds for [[semanticSweep]] — literals, interpolated
@@ -547,7 +556,7 @@ object Similarity {
     val total = vecs(spark, dir).agg(count(lit(1)).as("n_vecs"))
     nPairs.join(nDocs, Seq("tau")).crossJoin(total)
       .select(col("tau"), col("n_pairs"), col("n_docs"),
-        round(col("n_docs") / col("n_vecs").cast("double"), 4).as("dup_rate"))
+        q4(col("n_docs") / col("n_vecs").cast("double")).as("dup_rate"))
   }
 
   /** Plain Lloyd's k-means over an in-memory sample — the IVF coarse
@@ -612,7 +621,7 @@ object Similarity {
     // Distances round to 6dp first so the oracle's replay of the same
     // literal-centroid arithmetic lands on the identical bucket.
     val bucketCol = array_min(array((0 until nlist).map(i =>
-      struct(round(score(cents(i)), 6).as("d"), lit(i).as("b"))): _*)).getField("b")
+      struct(q6(score(cents(i))).as("d"), lit(i).as("b"))): _*)).getField("b")
     val assigned = v.withColumn("bucket", bucketCol)
     // probe → nprobe nearest centroids, ranked by exact cosine to the
     // centroid (16 × |probes| rows — the routing table is tiny)
@@ -630,7 +639,7 @@ object Similarity {
     // engines when two centroids land within an ulp)
     val probeBuckets = routing
       .groupBy(col("probe_id"))
-      .agg(TopKAgg.topk(round(col("cos"), 6), col("bucket").cast("long"),
+      .agg(TopKAgg.topk(q6(col("cos")), col("bucket").cast("long"),
         col("cos"), nprobe).as("top"))
       .select(col("probe_id"), explode(col("top.id")).as("bucket"))
       .join(probes, Seq("probe_id"))
@@ -952,7 +961,7 @@ object Similarity {
     // codebooks
     val codeCols = (0 until M).map { m =>
       array_min(array((0 until ksub).map(k =>
-        struct(round(subScore(m, books(m)(k)), 6).as("d"), lit(k).as("k"))): _*))
+        struct(q6(subScore(m, books(m)(k))).as("d"), lit(k).as("k"))): _*))
         .getField("k").as(s"code_$m")
     }
     val encoded = v.select(col("vec_id") +: col("emb") +: codeCols: _*)
@@ -971,18 +980,24 @@ object Similarity {
       (pid, lut, pe.toSeq)
     }.toSeq
     val probeDf = spark.createDataFrame(lutRows).toDF("probe_id", "lut", "pe")
-    val adc = (0 until M).map(m =>
-      element_at(element_at(col("lut"), m + 1), col(s"code_$m") + 1))
+    // ADC as an ORDER-FREE integer: each of the 8 LUT terms is
+    // quantized to a 1e-9 grid FIRST, then summed as longs (terms
+    // ≲ 1e11 each, sum ≲ 1e12 — exact in a 64-bit lane and exact as
+    // a double key). A raw double Σ would depend on summation order,
+    // which DuckDB's aggregate does not specify, so the shortlist-50
+    // boundary could differ across engines or even across runs.
+    val adcU = (0 until M).map(m =>
+      floor(element_at(element_at(col("lut"), m + 1),
+        col(s"code_$m") + 1) * 1e9 + 0.5).cast("long"))
       .reduce(_ + _)
     val scored = encoded.join(broadcast(probeDf),
         col("vec_id") =!= col("probe_id"))
-      .withColumn("adc", adc)
-    // shortlist ranks on the 6-dp ROUNDED ADC (ascending, vec_id
-    // tie-break) — the total order the oracle replays; raw-double ADC
-    // could admit a different boundary candidate across engines
+      .withColumn("adc_u", adcU)
+    // shortlist ranks on the quantized ADC (ascending, vec_id
+    // tie-break) — the total order the oracle replays
     val short = scored.groupBy(col("probe_id"))
-      .agg(TopKAgg.topk(negate(round(col("adc"), 6)), col("vec_id"),
-        col("adc"), shortlist).as("top"))
+      .agg(TopKAgg.topk(negate(col("adc_u")), col("vec_id"),
+        col("adc_u"), shortlist).as("top"))
       .select(col("probe_id"), explode(col("top.id")).as("vec_id"))
     // exact re-rank of the bounded shortlist
     val reranked = short
