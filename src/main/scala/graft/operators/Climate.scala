@@ -2724,6 +2724,8 @@ object Climate {
           col("jy2").as("jy"), col("jx2").as("jx"))
         .localCheckpoint()
     }
+    // the loop's terminal table is empty but still pinned — release it
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(jump)
     tables.toSeq
   }
 
@@ -2754,9 +2756,23 @@ object Climate {
     * Total: 2K ≈ 2⌈log₂ D⌉ tiny equi-join rounds on the aggregated
     * grid grain, K isEmpty probes — at D ~ 10⁴ flow-path cells that
     * is ~28 rounds instead of 10⁴. Exact long counts throughout;
-    * output hash-identical to the recursive-CTE walk oracle. */
-  def gridFlowAcc(spark: SparkSession, dir: String): DataFrame =
-    flowAccOf(gridFlowDir(spark, dir).localCheckpoint())
+    * output hash-identical to the recursive-CTE walk oracle.
+    *
+    * Storage: each J_k and each superseded weight vector is
+    * UNPERSISTED the moment its scatter-add is consumed
+    * ([[org.apache.spark.sql.graftbridge.CheckpointBridge]]), so
+    * pinned blocks during the backward pass are the not-yet-consumed
+    * jump tables plus one weight vector — monotonically shrinking to
+    * O(cells) — instead of all 2K tables to session end (spec:
+    * ClimateSpec "UNPERSISTED as consumed"). */
+  def gridFlowAcc(spark: SparkSession, dir: String): DataFrame = {
+    val fd = gridFlowDir(spark, dir).localCheckpoint()
+    val out = flowAccOf(fd)
+    // flowAccOf is eager end-to-end (every round localCheckpoints),
+    // so the result no longer reads fd — release its blocks
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(fd)
+    out
+  }
 
   /** Accumulation over an explicit flow-dir table (gy, gx, dir,
     * to_gy, to_gx) — the [[gridFlowAcc]] core, callable on synthetic
@@ -2770,10 +2786,18 @@ object Climate {
       val contrib = jk.join(w, Seq("gy", "gx"))
         .groupBy(col("jy").as("gy"), col("jx").as("gx"))
         .agg(sum(col("w")).as("cw"))
+      val prev = w
       w = w.join(contrib, Seq("gy", "gx"), "left")
         .select(col("gy"), col("gx"),
           (col("w") + coalesce(col("cw"), lit(0L))).as("w"))
         .localCheckpoint()
+      // J_k's scatter-add and the superseded weight vector are both
+      // consumed the moment the new w materializes (localCheckpoint
+      // is eager): release their pinned blocks so peak storage over
+      // the backward pass is the not-yet-consumed jump tables plus
+      // ONE weight vector, not all 2K tables at once
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(jk)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.release(prev)
     }
     w.select(col("gy"), col("gx"), col("w").as("n_draining"))
   }

@@ -1,0 +1,26 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Release the executor blocks behind a `localCheckpoint()`'d
+  * Dataset.
+  *
+  * `Dataset.unpersist` only consults the CacheManager, and a local
+  * checkpoint never registers there — its pinned blocks live on the
+  * RDD the resulting `LogicalRDD` wraps. Iterative pipelines that
+  * pin one table per round (the D8 flow-accumulation jump tables)
+  * would otherwise hold every round's blocks until session end.
+  * `LogicalRDD` is `private[sql]`, hence this shim inside the sql
+  * package tree, mirroring [[ColumnBridge]].
+  *
+  * CONTRACT: only call once nothing will read the Dataset again — a
+  * local checkpoint truncates lineage, so a dropped block cannot be
+  * recomputed. No-op for plans that are not checkpoint roots. */
+object CheckpointBridge {
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

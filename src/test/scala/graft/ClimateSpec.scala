@@ -1981,6 +1981,28 @@ class ClimateSpec extends SparkSpec {
     assert(acc2 === brute)
   }
 
+  test("flowAccOf: jump tables and superseded weight vectors are UNPERSISTED as consumed — only the result stays pinned") {
+    import spark.implicits._
+    val n = 64
+    val fd = (0 until n).map { i =>
+      if (i < n - 1) (0L, i.toLong, "E", Some((i + 1).toLong)) else (0L, i.toLong, "pit", None)
+    }.toDF("gy", "gx", "dir", "to_gx_o")
+      .select(col("gy"), col("gx"), col("dir"),
+        when(col("dir") =!= "pit", lit(0L)).as("to_gy"),
+        col("to_gx_o").as("to_gx"))
+      .localCheckpoint()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = graft.operators.Climate.flowAccOf(fd)
+    assert(out.count() === n.toLong)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // 6 jump tables + 6 intermediate weight vectors + the initial w
+    // were pinned during the pass; everything but the RESULT weight
+    // vector must be released by the time flowAccOf returns
+    assert(leaked.size === 1,
+      s"expected only the result checkpoint pinned, found ${leaked.size}")
+    org.apache.spark.sql.graftbridge.CheckpointBridge.release(fd)
+  }
+
   test("grid_hillshade: shade recomputed from the gradient, sun-facing cells brighter") {
     // sf0.01: the 8x8 grid needs interior cells (grid_gradient's spec
     // uses the same scale for the same reason)
