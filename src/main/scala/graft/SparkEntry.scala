@@ -170,6 +170,7 @@ object SparkEntry {
     "catalog_health"        -> Catalog.health _,
     "catalog_diff"          -> Catalog.registryDiff _,
     "catalog_name_normalize" -> Catalog.nameNormalize _,
+    "catalog_maps_registry" -> Catalog.mapsRegistry _,
     "schedule_due"          -> graft.sources.Schedule.scheduleDue _,
     "obs_upsert_merge"      -> graft.sources.Ingest.obsUpsertMerge _,
     "obs_collection_extents" -> graft.sources.Ingest.obsCollectionExtents _,
@@ -5048,6 +5049,54 @@ object SparkEntry {
         |  rank() OVER (PARTITION BY ym ORDER BY name)
         |    != rank() OVER (PARTITION BY ym ORDER BY r) AS misordered
         |FROM f""".stripMargin,
+
+    // MapServer layer/style registry: the same literal WKT drop,
+    // classification CASE, numeric-token bbox (1-based odd positions
+    // are lons ⇔ Spark's 0-based even) and path/crs/format columns
+    "catalog_maps_registry" -> {
+      val rows = graft.sources.Catalog.mapsLayerDrop
+        .map { case (l, id, g) => s"('$l', $id, '$g')" }.mkString(",\n  ")
+      s"""WITH f(layer, feature_id, geometry) AS (VALUES
+        |  $rows),
+        |p AS (
+        |  SELECT layer, feature_id,
+        |    upper(regexp_extract(geometry, '^\\s*([A-Za-z]+)', 1)) AS gtype,
+        |    list_transform(regexp_extract_all(geometry,
+        |      '-?[0-9]+(\\.[0-9]+)?'), v -> v::DOUBLE) AS nums
+        |  FROM f),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN gtype IN ('POINT', 'MULTIPOINT') THEN 'MS_LAYER_POINT'
+        |         WHEN gtype IN ('POLYGON', 'MULTIPOLYGON')
+        |           THEN 'MS_LAYER_POLYGON'
+        |         WHEN gtype IN ('LINESTRING', 'MULTILINESTRING')
+        |           THEN 'MS_LAYER_LINE'
+        |    END AS ms_type
+        |  FROM p),
+        |agg AS (
+        |  SELECT layer,
+        |    min(list_min(list_filter(nums, (v, i) -> i % 2 = 1))) AS min_lon,
+        |    max(list_max(list_filter(nums, (v, i) -> i % 2 = 1))) AS max_lon,
+        |    min(list_min(list_filter(nums, (v, i) -> i % 2 = 0))) AS min_lat,
+        |    max(list_max(list_filter(nums, (v, i) -> i % 2 = 0))) AS max_lat
+        |  FROM c GROUP BY 1),
+        |cls AS (
+        |  SELECT layer, CAST(count(*) AS BIGINT) AS n_features,
+        |    CASE WHEN count(DISTINCT ms_type) = 1
+        |           AND count(*) = count(ms_type)
+        |         THEN min(ms_type) END AS ms_layer_type
+        |  FROM c GROUP BY 1)
+        |SELECT 'maps_api_' || cls.layer AS resource_id, cls.layer,
+        |  ms_layer_type,
+        |  CASE WHEN ms_layer_type IS NULL THEN 'unsupported'
+        |       ELSE 'ok' END AS status,
+        |  n_features, min_lon, min_lat, max_lon, max_lat,
+        |  'EPSG:4326' AS crs,
+        |  '/sld/' || cls.layer || '.sld' AS style_path,
+        |  '/shp/' || cls.layer || '/' || cls.layer || '.shp' AS data_path,
+        |  'png' AS fmt
+        |FROM cls LEFT JOIN agg ON cls.layer = agg.layer""".stripMargin
+    },
 
     // per-station feature assembly: each (var, model) series joins as
     // an integer-cents string property; empty combos are '' on both

@@ -177,6 +177,93 @@ object Catalog {
       .withColumn("misordered", col("lex_rank") =!= col("num_rank"))
   }
 
+  /** The MapServer layer drop: (layer, feature_id, WKT). Five layers
+    * exercise every classification branch of the reference's
+    * `get_geomtype` — pure points, pure polygons, pure lines, a
+    * mixed-type layer and an unmappable geometry type (the reference
+    * raises on the last two; here they register as `unsupported`). */
+  private[graft] val mapsLayerDrop: Seq[(String, Long, String)] = {
+    val stations = (0 until 6).map { i =>
+      ("stations", i.toLong,
+        s"POINT(${-70.0 + i * 12.5} ${-30.0 + i * 9.5})")
+    }
+    val basins = (0 until 3).map { j =>
+      val x0 = -10.0 + j * 20.0; val y0 = 5.0 + j * 10.0
+      ("basins", 100L + j,
+        s"POLYGON(($x0 $y0, ${x0 + 15.5} $y0, ${x0 + 15.5} ${y0 + 8.5}, $x0 ${y0 + 8.5}, $x0 $y0))")
+    }
+    val rivers = (0 until 3).map { k =>
+      val x0 = 2.0 + k * 7.0
+      ("rivers", 200L + k,
+        s"LINESTRING($x0 ${40.0 + k}, ${x0 + 3.5} ${42.5 + k}, ${x0 + 5.0} ${46.0 + k})")
+    }
+    val mixed = Seq(
+      ("mixed_bag", 300L, "POINT(11.5 48.0)"),
+      ("mixed_bag", 301L, "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    val weird = Seq(
+      ("clouds", 400L, "GEOMETRYCOLLECTION(POINT(1 2))"))
+    stations ++ basins ++ rivers ++ mixed ++ weird
+  }
+
+  /** MAPS-API LAYER REGISTRY — the MapServer layer/style registry
+    * analog (`ingestor_maps_api.py:105-147`: `get_geomtype` maps the
+    * layer's geometry types onto MS_LAYER_POINT / MS_LAYER_POLYGON /
+    * MS_LAYER_LINE and `update_config` writes the resource row with
+    * the layer's total bbox, EPSG:4326 CRS, MapScript provider
+    * options, SLD style path, shapefile data path and png format).
+    * One registry row per layer, derived FROM the layer's features:
+    * a layer whose features map to exactly one MapServer type is
+    * `ok` with that type; mixed or unmappable geometry types (the
+    * reference raises ProcessorExecuteError) register `unsupported`
+    * with a null type — the registry records the refusal instead of
+    * crashing the catalog pass.
+    *
+    * Scale shape: WKT coordinate extraction is elementwise regex in
+    * the scan stage (bbox per feature from the numeric token array —
+    * even 0-based positions are lons, odd are lats, covering POINT /
+    * single-ring POLYGON / LINESTRING alike), then ONE O(layers)
+    * aggregation; output is O(layers) rows. */
+  def mapsRegistry(spark: SparkSession, dir: String): DataFrame = {
+    val drop = spark.createDataFrame(mapsLayerDrop)
+      .toDF("layer", "feature_id", "geometry")
+    val nums = transform(
+      regexp_extract_all(col("geometry"), lit("-?[0-9]+(\\.[0-9]+)?"), lit(0)),
+      v => v.cast("double"))
+    val xs = filter(nums, (_, i) => i % 2 === 0)
+    val ys = filter(nums, (_, i) => i % 2 === 1)
+    val gtype = upper(regexp_extract(col("geometry"), "^\\s*([A-Za-z]+)", 1))
+    val msType = when(col("gtype").isin("POINT", "MULTIPOINT"),
+        "MS_LAYER_POINT")
+      .when(col("gtype").isin("POLYGON", "MULTIPOLYGON"), "MS_LAYER_POLYGON")
+      .when(col("gtype").isin("LINESTRING", "MULTILINESTRING"),
+        "MS_LAYER_LINE")
+    drop
+      .withColumn("gtype", gtype)
+      .withColumn("ms_type", msType)
+      .withColumn("fminx", array_min(xs)).withColumn("fmaxx", array_max(xs))
+      .withColumn("fminy", array_min(ys)).withColumn("fmaxy", array_max(ys))
+      .groupBy(col("layer"))
+      .agg(count(lit(1)).as("n_features"),
+        count(col("ms_type")).as("n_typed"),
+        count_distinct(col("ms_type")).as("n_types"),
+        min(col("ms_type")).as("one_type"),
+        min(col("fminx")).as("min_lon"), max(col("fmaxx")).as("max_lon"),
+        min(col("fminy")).as("min_lat"), max(col("fmaxy")).as("max_lat"))
+      .select(concat(lit("maps_api_"), col("layer")).as("resource_id"),
+        col("layer"),
+        when(col("n_types") === 1 && col("n_typed") === col("n_features"),
+          col("one_type")).as("ms_layer_type"),
+        when(col("n_types") === 1 && col("n_typed") === col("n_features"),
+          lit("ok")).otherwise(lit("unsupported")).as("status"),
+        col("n_features"),
+        col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"),
+        lit("EPSG:4326").as("crs"),
+        concat(lit("/sld/"), col("layer"), lit(".sld")).as("style_path"),
+        concat(lit("/shp/"), col("layer"), lit("/"), col("layer"),
+          lit(".shp")).as("data_path"),
+        lit("png").as("fmt"))
+  }
+
   def registryDiff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def both(df: DataFrame, name: String,

@@ -162,6 +162,41 @@ class StreamingSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("catalog_maps_registry: layer types classified from features, bbox from coords, unsupported layers recorded not crashed") {
+    val rows = Catalog.mapsRegistry(spark, sf).collect()
+      .map(r => r.getAs[String]("layer") -> r).toMap
+    assert(rows.keySet === Set("stations", "basins", "rivers",
+      "mixed_bag", "clouds"))
+    // get_geomtype mapping, derived from the layer's own features
+    assert(rows("stations").getAs[String]("ms_layer_type") === "MS_LAYER_POINT")
+    assert(rows("basins").getAs[String]("ms_layer_type") === "MS_LAYER_POLYGON")
+    assert(rows("rivers").getAs[String]("ms_layer_type") === "MS_LAYER_LINE")
+    // mixed and unmappable geometry types: the reference RAISES;
+    // the registry records the refusal instead
+    Seq("mixed_bag", "clouds").foreach { l =>
+      assert(rows(l).getAs[String]("status") === "unsupported", l)
+      assert(rows(l).getAs[String]("ms_layer_type") == null, l)
+    }
+    // total_bounds replay from the drop literals: stations span the
+    // 6 points' coordinate range
+    val st = rows("stations")
+    assert(st.getAs[Double]("min_lon") === -70.0)
+    assert(st.getAs[Double]("max_lon") === -70.0 + 5 * 12.5)
+    assert(st.getAs[Double]("min_lat") === -30.0)
+    assert(st.getAs[Double]("max_lat") === -30.0 + 5 * 9.5)
+    assert(st.getAs[Long]("n_features") === 6L)
+    // the update_config resource row shape: id, crs, style, data, fmt
+    assert(st.getAs[String]("resource_id") === "maps_api_stations")
+    assert(st.getAs[String]("crs") === "EPSG:4326")
+    assert(st.getAs[String]("style_path") === "/sld/stations.sld")
+    assert(st.getAs[String]("data_path") === "/shp/stations/stations.shp")
+    assert(st.getAs[String]("fmt") === "png")
+    // a linestring's bbox comes from ALL its vertices, not endpoints
+    val rv = rows("rivers")
+    assert(rv.getAs[Double]("max_lat") === 48.0) // 46.0 + k=2
+    assert(rv.getAs[Double]("min_lon") === 2.0)
+  }
+
   test("catalog_name_normalize: padding fixes lexicographic order, misorder census exact") {
     val rows = SparkEntry.queries("catalog_name_normalize")(spark, sf)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
