@@ -609,9 +609,20 @@ object Dedup {
     * per-bucket deltas to the stored counts (see
     * [[dedupIncrementalAgainst]]), making the per-batch counting
     * cost O(batch·bands) instead of an O(index) scan per batch. */
-  def minhashIndexCounts(indexBuckets: DataFrame): DataFrame =
-    indexBuckets.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("idx_n"))
+  def minhashIndexCounts(indexBuckets: DataFrame): DataFrame = {
+    // one index scan, pinned so the snapshot-stamp cross join below
+    // doesn't re-run it
+    val counts = indexBuckets.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("idx_n")).localCheckpoint()
+    // every row carries the SNAPSHOT STAMP — the total membership row
+    // count the counts were aggregated from. A counts parquet
+    // regenerated out of sync with the membership it summarizes would
+    // silently change BucketCap admissions; the stamp lets
+    // [[dedupIncrementalAgainst]] assert agreement (membership
+    // count() is a parquet-footer read, no scan) before screening.
+    counts.crossJoin(broadcast(
+      counts.agg(sum(col("idx_n")).as("snapshot_rows"))))
+  }
 
   /** Convenience wiring when only the membership table is at hand:
     * derives the count table in-flow (one aggregation over the
@@ -620,7 +631,12 @@ object Dedup {
     * artifacts and call the 4-arg overload. */
   def dedupIncrementalAgainst(indexBuckets: DataFrame,
       indexDocs: DataFrame, batchDocs: DataFrame): DataFrame =
-    dedupIncrementalAgainst(indexBuckets, minhashIndexCounts(indexBuckets),
+    // counts derived in-flow from this very membership cannot be out
+    // of sync — drop the stamp so the 4-arg consistency gate (whose
+    // membership count() would re-run the in-flow signature pass
+    // here, not a footer read) skips
+    dedupIncrementalAgainst(indexBuckets,
+      minhashIndexCounts(indexBuckets).drop("snapshot_rows"),
       indexDocs, batchDocs)
 
   /** Screen a batch against a PREBUILT (typically parquet-loaded)
@@ -659,6 +675,24 @@ object Dedup {
 
   def dedupIncrementalAgainst(indexBuckets: DataFrame, indexCounts: DataFrame,
       indexDocs: DataFrame, batchDocs: DataFrame): DataFrame = {
+    // snapshot-consistency gate: the counts artifact must describe
+    // THIS membership snapshot. Σ idx_n (an O(buckets) aggregate over
+    // the small counts table) must equal both the stamp it carries
+    // and the membership's actual row count (a parquet-footer count
+    // for a published index — no data scan). Out-of-sync artifacts
+    // would silently shift BucketCap admissions; fail loud instead.
+    if (indexCounts.columns.contains("snapshot_rows")) {
+      val d = indexCounts
+        .agg(sum(col("idx_n")).as("s"), max(col("snapshot_rows")).as("st"))
+        .collect()(0)
+      val (sumN, stamp) = (d.getLong(0), d.getLong(1))
+      require(sumN == stamp,
+        s"counts artifact internally inconsistent: sum(idx_n)=$sumN != snapshot_rows=$stamp")
+      val actual = indexBuckets.count()
+      require(actual == stamp,
+        s"counts snapshot ($stamp membership rows) does not match the " +
+          s"index membership ($actual rows) — artifacts out of sync")
+    }
     val all = indexDocs.select("doc_id", "text")
       .unionByName(batchDocs.select("doc_id", "text"))
     // the batch's own membership — the only fresh signature work;

@@ -211,6 +211,17 @@ class DedupSpec extends SparkSpec {
       "membership table must not feed the cap gate")
     assert(s"$idxDir/counts".r.findAllIn(gatePlan).size === 1,
       "the published count table must feed the cap gate exactly once")
+    // artifact-drift guard: a counts table regenerated from a
+    // DIFFERENT snapshot than the membership it rides with must fail
+    // LOUD before screening (silently shifted BucketCap admissions
+    // otherwise) — the shared snapshot stamp is the tie
+    val staleCounts = graft.operators.Dedup.minhashIndexCounts(
+      graft.operators.Dedup.minhashIndex(index.limit(1)))
+    val drift = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.dedupIncrementalAgainst(
+        spark.read.parquet(s"$idxDir/index"), staleCounts, index, batch)
+    }
+    assert(drift.getMessage.contains("out of sync"))
 
     // live corpus: every reported duplicate must be backed by the
     // exhaustive exact-Jaccard pair set, and batch-internal matches

@@ -421,6 +421,85 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("settledObs at volume: 1e5 events, state rows bounded by the watermark+settle horizon, settled+in-flight conserves the input") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[EventsPipeline.ObsRev]
+    val q = EventsPipeline.settledObs(source.toDS())
+      .writeStream.format("memory").queryName("settled_vol")
+      .outputMode("append").start()
+    try {
+      // 200 stations × one obs per minute × 500 minutes = 100,000
+      // keys, fed in 10 time-ordered 50-minute batches so the
+      // watermark advances through the run
+      val base = t("2024-01-01 00:00:00").getTime
+      val nStations = 200; val nMinutes = 500; val batchMin = 50
+      val t0 = System.nanoTime()
+      var peak = 0L
+      (0 until nMinutes by batchMin).foreach { m0 =>
+        val batch = for {
+          m <- m0 until (m0 + batchMin); s <- 0 until nStations
+        } yield EventsPipeline.ObsRev(s.toLong,
+          new Timestamp(base + m * 60000L), 1L, m.toDouble)
+        source.addData(batch: _*)
+        q.processAllAvailable()
+        val rows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        peak = math.max(peak, rows)
+        // in-flight keys are those the watermark (1h delay) has not
+        // yet carried past the 1h settle: ts > maxTs − 2h, i.e. at
+        // most 120 minutes × 200 stations, + one batch of slack
+        assert(rows <= nStations.toLong * (120 + batchMin),
+          s"state rows $rows after minute ${m0 + batchMin}")
+      }
+      val settled = spark.table("settled_vol").count()
+      val finalRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // conservation: every key either settled (emitted once) or is
+      // still in flight — nothing dropped, nothing duplicated
+      assert(settled + finalRows === nStations.toLong * nMinutes,
+        s"settled $settled + state $finalRows")
+      assert(settled > 0 && finalRows > 0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      info(f"100k events in $secs%.1f s (${100000 / secs}%.0f ev/s); " +
+        s"peak state rows $peak (ceiling ${nStations * 170})")
+    } finally q.stop()
+  }
+
+  test("nearDupAlerts at volume: 1e5 docs, bucket-key state bounded by the 4x12-bit signature space") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val docs = source.toDF().toDF("doc_id", "ts", "text")
+    val q = EventsPipeline.nearDupAlerts(docs)
+      .writeStream.format("memory").queryName("neardup_vol")
+      .outputMode("append").start()
+    try {
+      // 100,000 distinct-content docs over 500 minutes (200/min), in
+      // 5 time-ordered batches. The state key space is STRUCTURALLY
+      // capped: 4 chunks × 2^12 signature values = 16,384 buckets no
+      // matter the rate, and each bucket's entry list caps at 50.
+      val base = t("2024-01-01 00:00:00").getTime
+      val t0 = System.nanoTime()
+      var peak = 0L
+      (0 until 5).foreach { b =>
+        val batch = (0 until 20000).map { i =>
+          val id = b * 20000L + i
+          val min = (id / 200).toInt
+          (id, new Timestamp(base + min * 60000L),
+            s"tok${id} alpha${id % 977} beta${id % 881} gamma${id % 769} " +
+              s"delta${id % 647} epsilon${id % 523}")
+        }
+        source.addData(batch: _*)
+        q.processAllAvailable()
+        val rows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        peak = math.max(peak, rows)
+        assert(rows <= 4L * 4096L, s"bucket keys $rows after batch $b")
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      info(f"100k docs in $secs%.1f s (${100000 / secs}%.0f docs/s); " +
+        s"peak bucket-state rows $peak (structural ceiling 16384)")
+    } finally q.stop()
+  }
+
   test("stateful anomalies: running Welford state flags a 3-sigma outlier") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
