@@ -176,6 +176,7 @@ object SparkEntry {
     "obs_collection_extents" -> graft.sources.Ingest.obsCollectionExtents _,
     "stations_reproject"    -> Geo.stationsReproject _,
     "grid_affine_stack"     -> graft.sources.Grids.gridAffineStack _,
+    "grid_asc_decode"       -> graft.sources.Grids.gridAscDecode _,
     "spi_forecast_coverage" -> Climate.spiForecastCoverage _,
     "rijn_deficit_weekly"   -> Climate.rijnDeficitWeekly _,
     "items_query"           -> Serving.itemsQuery _,
@@ -5181,6 +5182,21 @@ object SparkEntry {
         |  floor($latExpr * 1e6 + 0.5) / 1e6 AS lat
         |FROM xy""".stripMargin
     },
+
+    // the AAIGrid round trip: the oracle computes the expected decode
+    // straight from the source grid, so the gate proves the in-plan
+    // .asc render + the Scala parser invert each other exactly (cell
+    // centres are exact binary rationals — corner + half-cell)
+    "grid_asc_decode" ->
+      """WITH c AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      * 10000 AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2)
+        |SELECT 'precip' AS var, '2024-01-15' AS day,
+        |  42.125 + gy * 0.25 AS lat, -9.875 + gx * 0.25 AS lon,
+        |  CAST(v_us AS DOUBLE) / 1e6 AS value
+        |FROM c WHERE (gx * 8 + gy) % 7 != 3""".stripMargin,
 
     // the filename parse drives which statistic each file renders, so
     // a parse bug cannot hash-match; percentiles are hand-rank

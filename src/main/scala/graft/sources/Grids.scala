@@ -199,6 +199,138 @@ object Grids {
       .toDF("var", "time", "lat", "lon", "value")
   }
 
+  // --- ESRI ASCII Grid (AAIGrid) codec ------------------------------
+
+  /** REAL raster codec for the binary-drop seam: ESRI ASCII Grid
+    * ("AAIGrid" in GDAL — the one raster interchange format that is
+    * pure text, so this container can decode it for real rather than
+    * stubbing). Layout per the public spec: a header of
+    * `ncols/nrows/xllcorner|xllcenter/yllcorner|yllcenter/cellsize
+    * [/NODATA_value]` key-value lines (case-insensitive), then
+    * `nrows` whitespace-separated data rows, FIRST ROW NORTHERNMOST.
+    * Cell centres: corner-registered grids put column j at
+    * `xll + (j + ½)·cellsize` and top-row i at
+    * `yll + (nrows − i − ½)·cellsize`; centre-registered grids drop
+    * the ½. NODATA cells are skipped (the quarantine discipline —
+    * they surface as coverage gaps, not poison values). Malformed
+    * headers/short bodies yield an empty iterator like
+    * [[decodeTile]] — a bad file cannot kill the job.
+    *
+    * This is the `ingestor_creaf_tif_forecast.py:106-137` decode
+    * seam with a real format behind it; GeoTIFF/NetCDF swap in at
+    * the same `flatMap` with a binary codec. */
+  def decodeAsc(varName: String, epochDay: Int,
+      text: String): Iterator[GridCell] = {
+    val lines = text.split("\r?\n").iterator
+      .map(_.trim).filter(_.nonEmpty).toArray
+    val hdr = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < lines.length &&
+        lines(i).headOption.exists(c => c.isLetter)) {
+      lines(i).split("\\s+", 2) match {
+        case Array(k, v) => hdr(k.toLowerCase) = v.trim
+        case _ => return Iterator.empty
+      }
+      i += 1
+    }
+    def num(k: String): Option[Double] = hdr.get(k).flatMap(_.toDoubleOption)
+    val (ncols, nrows) = (num("ncols").map(_.toInt), num("nrows").map(_.toInt))
+    val cell = num("cellsize")
+    val (xc, yc) = (num("xllcenter"), num("yllcenter"))
+    val (xr, yr) = (num("xllcorner"), num("yllcorner"))
+    if (ncols.isEmpty || nrows.isEmpty || cell.isEmpty ||
+        (xc.isEmpty && xr.isEmpty) || (yc.isEmpty && yr.isEmpty))
+      return Iterator.empty
+    val (nx, ny, cs) = (ncols.get, nrows.get, cell.get)
+    if (nx <= 0 || ny <= 0 || cs <= 0) return Iterator.empty
+    val nodata = num("nodata_value")
+    // centre of column 0 / of the BOTTOM row, per registration mode
+    val x0 = xc.getOrElse(xr.get + cs / 2.0)
+    val y0 = yc.getOrElse(yr.get + cs / 2.0)
+    val vals = lines.drop(i).flatMap(_.split("\\s+")).flatMap(_.toDoubleOption)
+    if (vals.length < nx.toLong * ny) return Iterator.empty
+    val ts = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.ofEpochDay(epochDay.toLong).atStartOfDay())
+    for {
+      r <- (0 until ny).iterator // r = 0 is the NORTH row
+      c <- (0 until nx).iterator
+      v = vals(r * nx + c)
+      if !nodata.contains(v)
+    } yield GridCell(varName, ts, y0 + (ny - r - 1) * cs, x0 + c * cs, v)
+  }
+
+  /** ASCII-grid drop → decoded long rows, the text twin of
+    * [[decodeDrop]]: one row per dropped `.asc` file
+    * (`<var>_<yyyy-MM-dd>.asc` naming), one typed flatMap per file.
+    * The output feeds [[toWide]] → [[normalize]] → [[publishGrid]]
+    * unchanged — the codec is the only thing that swapped. */
+  def decodeAscDrop(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("name"), col("text")).as[(String, String)]
+      .flatMap { case (name, text) =>
+        val base = name.substring(name.lastIndexOf('/') + 1)
+          .stripSuffix(".asc")
+        val cut = base.lastIndexOf('_')
+        val parsed = for {
+          _ <- Option.when(cut > 0)(())
+          day <- scala.util.Try(java.time.LocalDate
+            .parse(base.substring(cut + 1))).toOption
+        } yield (base.substring(0, cut), day.toEpochDay.toInt)
+        parsed.iterator.flatMap { case (v, d) => decodeAsc(v, d, text) }
+      }
+      .toDF("var", "time", "lat", "lon", "value")
+  }
+
+  /** END-TO-END AAIGrid round trip, oracle-checked: the standard 8×8
+    * events grid (integer micro-unit values, the fill_nodata mask as
+    * NODATA cells) renders to a REAL `.asc` document in-plan —
+    * header lines, north-first rows, `-9999` NODATA — and
+    * [[decodeAscDrop]] parses it back to cells with centre
+    * coordinates. The DuckDB oracle computes the expected decode
+    * directly from the same source grid, so the gate proves
+    * decode ∘ encode = identity on real format text (the spec
+    * additionally parses a verbatim public-spec fixture). All
+    * centre arithmetic is exact binary rationals (quarter-degree
+    * cells, micro-unit integers) — no float residual anywhere. */
+  def gridAscDecode(spark: SparkSession, dir: String): DataFrame = {
+    // full 8×8 lattice LEFT-joined so a sparsely-observed grid still
+    // renders rectangular — absent cells are NODATA like the masked
+    // ones (a ragged body would, correctly, be quarantined by the
+    // parser)
+    val lattice = spark.range(64)
+      .select((col("id") % 8).as("gy"), expr("id div 8").as("gx"))
+    val cells = lattice.join(
+      graft.Tables.events(spark, dir)
+        .groupBy((col("user_id") % 8).as("gy"),
+          expr("user_id div 8 % 8").as("gx"))
+        .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+          .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us")),
+      Seq("gy", "gx"), "left")
+      .withColumn("masked",
+        (col("gx") * 8 + col("gy")) % 7 === 3 || col("v_us").isNull)
+    val header = Seq("ncols 8", "nrows 8", "xllcorner -10.0",
+      "yllcorner 42.0", "cellsize 0.25", "NODATA_value -9999")
+      .mkString("\n")
+    // row text per gy (west→east), then rows north-first (gy desc)
+    val rows = cells
+      .withColumn("vtxt",
+        when(col("masked"), lit("-9999"))
+          .otherwise(col("v_us").cast("string")))
+      .groupBy(col("gy"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("gx"), col("vtxt")))),
+        s => s.getField("vtxt"))).as("rowtxt"))
+    val doc = rows.agg(concat_ws("\n", reverse(transform(
+        array_sort(collect_list(struct(col("gy"), col("rowtxt")))),
+        s => s.getField("rowtxt")))).as("body"))
+      .select(lit("precip_2024-01-15.asc").as("name"),
+        concat(lit(header), lit("\n"), col("body")).as("text"))
+    decodeAscDrop(doc)
+      .select(col("var"), date_format(col("time"), "yyyy-MM-dd").as("day"),
+        col("lat"), col("lon"), (col("value") / 1e6).as("value"))
+  }
+
   /** Affine geotransform of the raster drop, as (x0, dx, y0, dy)
     * literals: pixel (gx, gy) has centroid x0+dx·(gx+½), y0+dy·(gy+½)
     * (`ingestor_creaf_tif_oliveoil.py:72-81` `get_pixel_centroids`

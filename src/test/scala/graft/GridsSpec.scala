@@ -279,4 +279,78 @@ class GridsSpec extends SparkSpec {
       .filter(col("var") === "spi7" && col("lat_band") === -3)
     assert(sliced.count() > 0)
   }
+
+  test("decodeAsc: the verbatim public-spec AAIGrid fixture parses to exact centres; centre registration, NODATA and quarantine behave") {
+    // the canonical ESRI ASCII Grid example, verbatim from the
+    // published format docs (4x6, 50-unit cells, corner-registered)
+    val fixture =
+      """ncols         4
+        |nrows         6
+        |xllcorner     0.0
+        |yllcorner     0.0
+        |cellsize      50.0
+        |NODATA_value  -9999
+        |-9999 -9999 5 2
+        |-9999 20 100 36
+        |3 8 35 10
+        |32 42 50 6
+        |88 75 27 9
+        |13 5 1 -9999""".stripMargin
+    val cells = Grids.decodeAsc("v", 0, fixture).toSeq
+    assert(cells.length === 24 - 4, "four NODATA cells skipped")
+    val byPos = cells.map(c => (c.lon, c.lat) -> c.value).toMap
+    // top row (northernmost, r=0): centre lat = 0 + (6-0-1)*50 + 25
+    assert(byPos((125.0, 275.0)) === 5.0)
+    assert(byPos((175.0, 275.0)) === 2.0)
+    // bottom row r=5: lat = 25; first value 13 at column 0
+    assert(byPos((25.0, 25.0)) === 13.0)
+    assert(!byPos.contains((25.0, 275.0)), "NODATA top-left absent")
+    // centre registration drops the half-cell shift
+    val centered = Grids.decodeAsc("v", 0,
+      "ncols 2\nnrows 1\nxllcenter 10.0\nyllcenter 20.0\ncellsize 5.0\n1 2")
+      .toSeq
+    assert(centered.map(c => (c.lon, c.lat, c.value)).toSet ===
+      Set((10.0, 20.0, 1.0), (15.0, 20.0, 2.0)))
+    // header case-insensitivity and CRLF endings
+    assert(Grids.decodeAsc("v", 0,
+      "NCOLS 1\r\nNROWS 1\r\nXLLCORNER 0\r\nYLLCORNER 0\r\nCELLSIZE 1\r\n7")
+      .toSeq.head.value === 7.0)
+    // quarantine: missing header keys / short body / zero dims decode
+    // to EMPTY, never throw (poison files cannot kill the job)
+    assert(Grids.decodeAsc("v", 0, "ncols 2\nnrows 2\ncellsize 1\n1 2 3 4").isEmpty)
+    assert(Grids.decodeAsc("v", 0,
+      "ncols 2\nnrows 2\nxllcorner 0\nyllcorner 0\ncellsize 1\n1 2 3").isEmpty)
+    assert(Grids.decodeAsc("v", 0,
+      "ncols 0\nnrows 2\nxllcorner 0\nyllcorner 0\ncellsize 1\n").isEmpty)
+    assert(Grids.decodeAsc("v", 0, "garbage").isEmpty)
+  }
+
+  test("decodeAscDrop: filename parse feeds var/day, bad names quarantined, grid_asc_decode masks NODATA") {
+    import spark.implicits._
+    val asc = "ncols 1\nnrows 1\nxllcorner 0\nyllcorner 0\ncellsize 1\n42"
+    val out = Grids.decodeAscDrop(Seq(
+        ("drops/tp_2024-03-01.asc", asc),
+        ("drops/noday.asc", asc),              // no _date suffix -> skipped
+        ("drops/tp_2024-13-99.asc", asc))      // unparseable date -> skipped
+      .toDF("name", "text")).collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === "tp")
+    assert(out(0).getAs[java.sql.Timestamp](1).toLocalDateTime.toLocalDate
+      .toString === "2024-03-01")
+    assert(out(0).getDouble(4) === 42.0)
+    // the oracle-checked query: NODATA mask cells absent, centres on
+    // the quarter-degree lattice
+    val rt = SparkEntry.queries("grid_asc_decode")(spark, sf).collect()
+    val populated = Tables.events(spark, sf)
+      .select((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = populated.count { case (gy, gx) => (gx * 8 + gy) % 7 != 3 }
+    assert(rt.length === expected, s"${rt.length} vs $expected")
+    assert(rt.nonEmpty)
+    rt.foreach { r =>
+      assert((r.getAs[Double]("lon") + 9.875) % 0.25 === 0.0)
+      assert((r.getAs[Double]("lat") - 42.125) % 0.25 === 0.0)
+    }
+  }
 }
