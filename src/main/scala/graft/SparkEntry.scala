@@ -177,6 +177,7 @@ object SparkEntry {
     "stations_reproject"    -> Geo.stationsReproject _,
     "grid_affine_stack"     -> graft.sources.Grids.gridAffineStack _,
     "grid_asc_decode"       -> graft.sources.Grids.gridAscDecode _,
+    "multimodal_container_meta" -> Multimodal.containerMeta _,
     "spi_forecast_coverage" -> Climate.spiForecastCoverage _,
     "rijn_deficit_weekly"   -> Climate.rijnDeficitWeekly _,
     "items_query"           -> Serving.itemsQuery _,
@@ -5727,6 +5728,82 @@ object SparkEntry {
         |  min(doc_id) AS keeper_doc,
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes
         |FROM m GROUP BY payload_hash""".stripMargin,
+
+    // real container-header round trip: DuckDB rebuilds the identical
+    // PNG/JPEG/WAV header hex (same BE/LE byte renderings) and replays
+    // the structural parse, marker scan included
+    "multimodal_container_meta" -> {
+      // little-endian n-byte hex of SQL expression e (byte-reversed BE)
+      def leSql(e: String, n: Int): String = {
+        val p = s"lpad(hex($e), ${n * 2}, '0')"
+        (n - 1 to 0 by -1).map(i => s"substr($p, ${i * 2 + 1}, 2)")
+          .mkString(" || ")
+      }
+      def le16At(b: Int): String = // 1-based byte offset in hx
+        s"('0x' || substr(hx, ${b * 2 - 1}, 2))::BIGINT" +
+          s" + 256 * ('0x' || substr(hx, ${b * 2 + 1}, 2))::BIGINT"
+      def le32At(b: Int): String =
+        (0 until 4).map(i =>
+          s"('0x' || substr(hx, ${(b + i) * 2 - 1}, 2))::BIGINT * ${1L << (8 * i)}")
+          .mkString(" + ")
+      s"""WITH d AS (
+        |  SELECT doc_id, hex(encode(text)) AS bodyhex,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+        |    (doc_id % 8) * 64 + 64 AS w, (doc_id % 5) * 64 + 64 AS h,
+        |    doc_id % 2 + 1 AS ch, (doc_id % 5 + 1) * 8000 AS rate,
+        |    (doc_id % 2 + 1) * 8 AS bits,
+        |    ['png', 'jpeg', 'wav'][CAST(doc_id % 3 + 1 AS INT)] AS declared,
+        |    ['png', 'jpeg', 'wav'][CAST((CASE WHEN doc_id % 17 = 0
+        |      THEN doc_id + 1 ELSE doc_id END) % 3 + 1 AS INT)] AS actual
+        |  FROM documents),
+        |built AS (
+        |  SELECT doc_id, declared,
+        |    CASE actual
+        |      WHEN 'png' THEN '89504E470D0A1A0A' || '0000000D' || '49484452'
+        |        || lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0')
+        |        || '08' || '06' || '000000' || '00000000' || bodyhex
+        |      WHEN 'jpeg' THEN 'FFD8' || 'FFE0' || '0010' || '4A46494600'
+        |        || '0101' || '00' || '00010001' || '0000'
+        |        || 'FFC0' || '0011' || '08'
+        |        || lpad(hex(h), 4, '0') || lpad(hex(w), 4, '0')
+        |        || '03' || '011100' || '021101' || '031101' || bodyhex
+        |      ELSE '52494646' || ${leSql("blen + 36", 4)} || '57415645'
+        |        || '666D7420' || '10000000' || '0100'
+        |        || ${leSql("ch", 2)} || ${leSql("rate", 4)}
+        |        || ${leSql("rate * ch * bits // 8", 4)}
+        |        || ${leSql("ch * bits // 8", 2)} || ${leSql("bits", 2)}
+        |        || '64617461' || ${leSql("blen", 4)} || bodyhex
+        |    END AS hx
+        |  FROM d),
+        |dec AS (
+        |  SELECT doc_id, declared, hx,
+        |    CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+        |         WHEN substr(hx, 1, 4) = 'FFD8' THEN 'jpeg'
+        |         WHEN substr(hx, 1, 8) = '52494646'
+        |           AND substr(hx, 17, 8) = '57415645' THEN 'wav' END AS detected,
+        |    list_min(list_filter(range(0, 62), p ->
+        |      substr(hx, 2 * p + 1, 2) = 'FF' AND
+        |      list_contains(['C0', 'C1', 'C2'], substr(hx, 2 * p + 3, 2))))
+        |      AS sof
+        |  FROM built)
+        |SELECT doc_id, declared, detected,
+        |  coalesce(detected != declared, TRUE) AS mislabeled,
+        |  CASE WHEN detected = 'png' THEN ('0x' || substr(hx, 33, 8))::BIGINT
+        |       WHEN detected = 'jpeg'
+        |         THEN ('0x' || substr(hx, 2 * sof + 15, 4))::BIGINT END AS width,
+        |  CASE WHEN detected = 'png' THEN ('0x' || substr(hx, 41, 8))::BIGINT
+        |       WHEN detected = 'jpeg'
+        |         THEN ('0x' || substr(hx, 2 * sof + 11, 4))::BIGINT END AS height,
+        |  CASE WHEN detected = 'png'
+        |    THEN ('0x' || substr(hx, 49, 2))::BIGINT END AS bit_depth,
+        |  CASE WHEN detected = 'png'
+        |    THEN ('0x' || substr(hx, 51, 2))::BIGINT END AS color_type,
+        |  CASE WHEN detected = 'wav' THEN ${le16At(23)} END AS channels,
+        |  CASE WHEN detected = 'wav' THEN ${le32At(25)} END AS sample_rate,
+        |  CASE WHEN detected = 'wav' THEN ${le16At(35)} END AS bits_per_sample,
+        |  CASE WHEN detected = 'wav' THEN ${le32At(41)} END AS n_body_bytes
+        |FROM dec""".stripMargin
+    },
 
     "multimodal_stats" ->
       """WITH m AS (

@@ -200,6 +200,135 @@ object Multimodal {
     * construction); the format census is a bounded `collect_set`
     * (formats are an enum, O(1) per group), sorted for a
     * deterministic rendering. Byte totals are exact longs. */
+  // --- REAL container-header codec ----------------------------------
+
+  /** Hex builders for the container constructors: big-endian fixed
+    * width, and little-endian as the byte-reversed BE rendering —
+    * all pure string ops so both engines build identical bytes. */
+  private def be(c: org.apache.spark.sql.Column, bytes: Int) =
+    lpad(hex(c), bytes * 2, "0")
+  private def le(c: org.apache.spark.sql.Column, bytes: Int) = {
+    val b = be(c, bytes)
+    concat((0 until bytes).reverse.map(i => substring(b, i * 2 + 1, 2)): _*)
+  }
+
+  /** Media table whose payloads carry GENUINE container headers —
+    * byte-exact PNG signature+IHDR, JPEG SOI+APP0(JFIF)+SOF0, and
+    * RIFF/WAVE fmt+data chunks per the public specs — followed by the
+    * document bytes as body. Field values derive deterministically
+    * from the key (PNG/JPEG dims from the [[mediaTable]] meta
+    * formulas; WAV rate/channels/bits below). Every 17th asset is
+    * MISLABELED on purpose (declared format ≠ constructed container)
+    * so the decode-side mismatch census has real positives. The one
+    * concession to the missing codec libs: PNG chunk CRCs are
+    * placeholder zeros (the parser reads structure, it does not
+    * checksum). */
+  def containerTable(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"),
+      col("text").cast("binary").as("body"))
+      .withColumn("w", ((col("doc_id") % 8) * 64 + 64).cast("long"))
+      .withColumn("h", ((col("doc_id") % 5) * 64 + 64).cast("long"))
+      .withColumn("ch", (col("doc_id") % 2 + 1).cast("long"))
+      .withColumn("rate", ((col("doc_id") % 5 + 1) * 8000).cast("long"))
+      .withColumn("bits", ((col("doc_id") % 2 + 1) * 8).cast("long"))
+      .withColumn("blen", length(col("body")).cast("long"))
+      .withColumn("declared",
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      // mislabel every 17th asset: actual container rotates one step
+      .withColumn("actual",
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+          (when(col("doc_id") % 17 === 0, col("doc_id") + 1)
+            .otherwise(col("doc_id")) % 3 + 1).cast("int")))
+    val bodyHex = hex(col("body"))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D"), lit("49484452"), // IHDR length + type
+      be(col("w"), 4), be(col("h"), 4),
+      lit("08"), lit("06"), lit("000000"), // depth, RGBA, comp/filt/interlace
+      lit("00000000"), // CRC placeholder (not validated)
+      bodyHex)
+    val jpegHex = concat(
+      lit("FFD8"), // SOI
+      lit("FFE0"), lit("0010"), lit("4A46494600"), // APP0 len 16, "JFIF\0"
+      lit("0101"), lit("00"), lit("00010001"), lit("0000"), // v1.1, no thumb
+      lit("FFC0"), lit("0011"), lit("08"), // SOF0 len 17, precision 8
+      be(col("h"), 2), be(col("w"), 2),
+      lit("03"), lit("011100"), lit("021101"), lit("031101"), // 3 components
+      bodyHex)
+    val wavHex = concat(
+      lit("52494646"), le(col("blen") + 36, 4), lit("57415645"), // RIFF/WAVE
+      lit("666D7420"), lit("10000000"), lit("0100"), // "fmt " 16, PCM
+      le(col("ch"), 2), le(col("rate"), 4),
+      le((col("rate") * col("ch") * col("bits") / 8).cast("long"), 4),
+      le((col("ch") * col("bits") / 8).cast("long"), 2), le(col("bits"), 2),
+      lit("64617461"), le(col("blen"), 4), // "data" + size
+      bodyHex)
+    d.select(col("doc_id"), col("declared"),
+      unhex(when(col("actual") === "png", pngHex)
+        .when(col("actual") === "jpeg", jpegHex)
+        .otherwise(wavHex)).as("payload"))
+  }
+
+  /** REAL header decode over a binary payload column: container
+    * detection by MAGIC (PNG signature / SOI / RIFF····WAVE), then
+    * per-format structural parse — PNG IHDR width/height/bit-depth/
+    * color-type (big-endian), JPEG frame dims via a bounded MARKER
+    * SCAN for SOF0/1/2 over the header region (not a fixed offset —
+    * APP segments vary), WAV fmt-chunk channels/sample-rate/bits
+    * (little-endian). Everything is elementwise hex/substring/conv
+    * arithmetic in the scan stage — no UDF, no shuffle; this is the
+    * real decode the stub lanes route around, limited to container
+    * METADATA (entropy-coded image data still needs a codec lib).
+    * Returns the parsed fields + `detected` + the declared-format
+    * mismatch flag — the mislabeled-asset census an ingest runs
+    * before routing payloads to decoders. */
+  def headerDecode(media: DataFrame): DataFrame = {
+    val m = media.withColumn("hx", hex(col("payload")))
+    def beAt(pos1: Int, bytes: Int) = // pos1: 1-based BYTE offset
+      conv(substring(col("hx"), pos1 * 2 - 1, bytes * 2), 16, 10).cast("long")
+    def leAt(pos1: Int, bytes: Int) =
+      (0 until bytes).map(i =>
+        conv(substring(col("hx"), (pos1 + i) * 2 - 1, 2), 16, 10).cast("long")
+          * lit(1L << (8 * i))).reduce(_ + _)
+    val detected =
+      when(substring(col("hx"), 1, 16) === "89504E470D0A1A0A", "png")
+        .when(substring(col("hx"), 1, 4) === "FFD8", "jpeg")
+        .when(substring(col("hx"), 1, 8) === "52494646" &&
+          substring(col("hx"), 17, 8) === "57415645", "wav")
+    // bounded aligned scan of the first 64 bytes for an SOF marker
+    val sofPos = array_min(filter(sequence(lit(0), lit(61)),
+      p => col("hx").substr(p * 2 + 1, lit(2)) === "FF" &&
+        col("hx").substr(p * 2 + 3, lit(2)).isin("C0", "C1", "C2")))
+    m.withColumn("detected", detected)
+      .withColumn("sof", when(col("detected") === "jpeg", sofPos))
+      .select(col("doc_id"), col("declared"), col("detected"),
+        coalesce(col("detected") =!= col("declared"), lit(true))
+          .as("mislabeled"),
+        when(col("detected") === "png", beAt(17, 4))
+          .when(col("detected") === "jpeg",
+            conv(col("hx").substr(col("sof") * 2 + lit(15), lit(4)), 16, 10)
+              .cast("long")).as("width"),
+        when(col("detected") === "png", beAt(21, 4))
+          .when(col("detected") === "jpeg",
+            conv(col("hx").substr(col("sof") * 2 + lit(11), lit(4)), 16, 10)
+              .cast("long")).as("height"),
+        when(col("detected") === "png", beAt(25, 1)).as("bit_depth"),
+        when(col("detected") === "png", beAt(26, 1)).as("color_type"),
+        when(col("detected") === "wav", leAt(23, 2)).as("channels"),
+        when(col("detected") === "wav", leAt(25, 4)).as("sample_rate"),
+        when(col("detected") === "wav", leAt(35, 2)).as("bits_per_sample"),
+        when(col("detected") === "wav", leAt(41, 4)).as("n_body_bytes"))
+  }
+
+  /** The oracle-checked query: construct → decode. The gate proves
+    * the parser inverts the constructors byte-for-byte on genuine
+    * container layouts; the spec additionally parses verbatim
+    * public-spec fixture bytes (a real 1×1 PNG header, a canonical
+    * 44-byte WAV header, a JFIF SOI+APP0+SOF0 prefix). */
+  def containerMeta(spark: SparkSession, dir: String): DataFrame =
+    headerDecode(containerTable(spark, dir))
+
   def payloadDedup(spark: SparkSession, dir: String): DataFrame =
     payloadDedupOf(mediaTable(spark, dir))
 

@@ -431,6 +431,63 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(f1.byte_entropy - math.log(3) / math.log(2)) < 1e-3)
   }
 
+  test("multimodal_container_meta: verbatim public-format fixtures parse exactly; corpus mislabel census matches the plant") {
+    import spark.implicits._
+    // REAL format bytes, hand-assembled from the published specs:
+    // a 1x1 RGBA PNG signature+IHDR (with its true CRC 1F15C489), a
+    // canonical 44-byte PCM WAV header (mono, 8 kHz, 16-bit, 8 data
+    // bytes), and a JFIF SOI+APP0+SOF0 prefix (640x256, 72 dpi)
+    val png1x1 = "89504E470D0A1A0A0000000D49484452" +
+      "0000000100000001" + "0806000000" + "1F15C489"
+    val wav = "52494646" + "2C000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+      "0200" + "1000" + "64617461" + "08000000" + "0011223344556677"
+    val jfif = "FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+      "00480048" + "0000" + "FFC0" + "0011" + "08" + "0100" + "0280" +
+      "03" + "011100" + "021101" + "031101"
+    val drop = Seq((1L, "png", png1x1), (2L, "wav", wav),
+      (3L, "jpeg", jfif), (4L, "png", "DEADBEEF"))
+      .toDF("doc_id", "declared", "hxin")
+      .select(col("doc_id"), col("declared"),
+        unhex(col("hxin")).as("payload"))
+    val got = Multimodal.headerDecode(drop).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val p = got(1L)
+    assert(p.getString(2) === "png" && !p.getBoolean(3))
+    assert(p.getLong(4) === 1L && p.getLong(5) === 1L)
+    assert(p.getLong(6) === 8L && p.getLong(7) === 6L)
+    val w = got(2L)
+    assert(w.getString(2) === "wav" && !w.getBoolean(3))
+    assert(w.getLong(8) === 1L, "channels")
+    assert(w.getLong(9) === 8000L, "sample rate")
+    assert(w.getLong(10) === 16L, "bits")
+    assert(w.getLong(11) === 8L, "data chunk size")
+    val j = got(3L)
+    assert(j.getString(2) === "jpeg" && !j.getBoolean(3))
+    assert(j.getLong(4) === 640L && j.getLong(5) === 256L)
+    // unknown magic: detected null, flagged mislabeled, all fields null
+    val u = got(4L)
+    assert(u.isNullAt(2) && u.getBoolean(3) && u.isNullAt(4))
+    // corpus round trip: the mislabel census is exactly the planted
+    // doc_id % 17 rows, and dims invert the constructor formulas
+    val rows = SparkEntry.queries("multimodal_container_meta")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(3) === (id % 17 == 0), s"doc $id mislabel flag")
+      if (!r.getBoolean(3)) r.getString(2) match {
+        case "png" | "jpeg" =>
+          assert(r.getLong(4) === (id % 8) * 64 + 64, s"doc $id width")
+          assert(r.getLong(5) === (id % 5) * 64 + 64, s"doc $id height")
+        case "wav" =>
+          assert(r.getLong(9) === (id % 5 + 1) * 8000, s"doc $id rate")
+          assert(r.getLong(8) === id % 2 + 1, s"doc $id channels")
+        case other => fail(s"doc $id unexpected format $other")
+      }
+    }
+  }
+
   test("multimodal_stats: per-format byte envelope and magic census match brute-force") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
