@@ -251,6 +251,7 @@ object SparkEntry {
     "ann_recall_audit"    -> Similarity.annRecallAudit _,
     "ann_matryoshka_audit" -> Similarity.annMatryoshkaAudit _,
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
+    "ann_nprobe_sweep"    -> Similarity.annNprobeSweep _,
     "ann_pq_topk"         -> Similarity.annPqTopk _,
     "knn_graph"           -> Similarity.knnGraph _,
     "knn_graph_mutuality" -> Similarity.knnGraphMutuality _,
@@ -1539,6 +1540,73 @@ object SparkEntry {
       |  dropped_buckets, dropped_memberships, est_dropped_pairs
       |FROM per CROSS JOIN drops""".stripMargin
 
+  /** The `ann_nprobe_sweep` oracle: identical literal centroids,
+    * assignment argmin and routing ranks; every sweep rung filters on
+    * the same `first_rn`, ranks by the same 6-dp quantized cosine,
+    * and the recall/regret reductions run on exact integer cos_u. */
+  private def nprobeSweepSql(cents: Array[Array[Double]]): String =
+    s"""WITH cents(b, ss, c) AS (VALUES
+      |  ${centroidRowsSql(cents)}),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |rk0 AS (
+      |  SELECT vec_id, e, b,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY floor((ss - 2 * list_inner_product(e, c)) * 1e6 + 0.5) / 1e6 ASC,
+      |               b ASC) AS rn
+      |  FROM v, cents),
+      |hm AS (SELECT vec_id, e, b AS bucket FROM rk0 WHERE rn = 1),
+      |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 5),
+      |rt AS (
+      |  SELECT probe_id, b AS bucket,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY floor(list_cosine_similarity(pe, c) * 1e6 + 0.5) / 1e6 DESC,
+      |               b ASC) AS rn
+      |  FROM p, cents),
+      |sc AS (
+      |  SELECT fr.probe_id, fr.vec_id, fr.first_rn,
+      |    list_cosine_similarity(p.pe, hv.e) AS cos,
+      |    CAST(floor(list_cosine_similarity(p.pe, hv.e) * 1e4 + 0.5)
+      |      AS BIGINT) AS cos_u
+      |  FROM (
+      |    SELECT rt.probe_id, hm.vec_id, min(rt.rn) AS first_rn
+      |    FROM rt JOIN hm USING (bucket)
+      |    WHERE hm.vec_id != rt.probe_id
+      |    GROUP BY 1, 2) fr
+      |  JOIN p ON p.probe_id = fr.probe_id
+      |  JOIN v hv ON hv.vec_id = fr.vec_id),
+      |tw AS (
+      |  SELECT probe_id, vec_id, cos_u,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, vec_id ASC) AS rk
+      |  FROM sc),
+      |truth AS (SELECT probe_id, vec_id, cos_u FROM tw WHERE rk <= 10),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth,
+      |         CAST(sum(cos_u) AS BIGINT) AS tu FROM truth),
+      |sweep(nprobe) AS (VALUES ${
+        graft.operators.Similarity.NprobeSweep.map(n => s"($n)").mkString(", ")}),
+      |rung AS (
+      |  SELECT s.nprobe, sc.probe_id, sc.vec_id, sc.cos, sc.cos_u
+      |  FROM sc, sweep s WHERE sc.first_rn <= s.nprobe),
+      |it AS (
+      |  SELECT nprobe, probe_id, vec_id, cos_u,
+      |    row_number() OVER (PARTITION BY nprobe, probe_id
+      |      ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, vec_id ASC) AS rk
+      |  FROM rung),
+      |top AS (
+      |  SELECT it.nprobe,
+      |    CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_hit,
+      |    CAST(sum(it.cos_u) AS BIGINT) AS iu
+      |  FROM it LEFT JOIN truth t
+      |    ON t.probe_id = it.probe_id AND t.vec_id = it.vec_id
+      |  WHERE it.rk <= 10 GROUP BY 1),
+      |nc AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_cands
+      |       FROM rung GROUP BY 1)
+      |SELECT CAST(nc.nprobe AS BIGINT) AS nprobe, n_cands, n_hit, n_truth,
+      |  floor(n_hit * 1.0 / n_truth * 1e4 + 0.5) / 1e4 AS recall_at10,
+      |  floor(CAST(tu - iu AS DOUBLE) / n_truth + 0.5) / 1e4 AS mean_regret
+      |FROM nc JOIN top USING (nprobe), tt""".stripMargin
+
   /** The data-fitted oracle entries — only renderable once the fit
     * context exists (see [[setOracleContext]]). The pairs-lane LSH
     * oracles live here too: their signature WIDTH adapts to the
@@ -1553,6 +1621,8 @@ object SparkEntry {
       "ann_ivf_topk"  -> ivfTopkSql(graft.operators.Similarity.ivfCentroids(s, d)),
       "knn_graph_ivf" -> knnGraphIvfSql(graft.operators.Similarity.ivfCentroids(s, d)),
       "ann_pq_topk"   -> pqTopkSql(graft.operators.Similarity.pqCodebooks(s, d)),
+      "ann_nprobe_sweep" ->
+        nprobeSweepSql(graft.operators.Similarity.ivfCentroids(s, d)),
       "dedup_embedding_lsh"       -> lshPairsSql(bits),
       "dedup_embedding_lsh_audit" -> lshPairsAuditSql(bits))
   }

@@ -651,6 +651,92 @@ object Similarity {
       cands.withColumn("cos", VectorColumns.cosine(col("pe"), col("emb"))), 10)
   }
 
+  /** The nprobe ladder [[annNprobeSweep]] measures (top = nlist =
+    * exhaustive, the self-check rung). */
+  private[graft] val NprobeSweep: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** IVF NPROBE SWEEP — the tuning-governance table for the ANN
+    * scale path, the routing twin of [[semanticSweep]]: ONE
+    * assignment + ONE routing-rank pass, then every rung of the
+    * nprobe ladder is a filter on `first_rn` (the rank of the first
+    * probed cell that admits the candidate) — the sweep never re-runs
+    * the quantizer. Per rung: candidate volume (the cost axis),
+    * hits against the exact brute-force top-10, recall@10, and the
+    * mean per-neighbor cosine regret in 4-dp units. The top rung
+    * (nprobe = nlist) probes every cell, so its recall must be 1.0
+    * and regret 0 — a built-in self-check the spec asserts. Probes
+    * are a bounded driver-chosen set, so the per-probe ranking
+    * windows partition on probe_id over bounded candidate slivers —
+    * audit-tier cost, run it on a probe sample at production scale. */
+  def annNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val nlist = IvfNlist
+    val v = vecs(spark, dir)
+    val cents = ivfCentroids(spark, dir)
+    def score(c: Array[Double]): Column =
+      lit(c.map(x => x * x).sum) -
+        lit(2.0) * VectorColumns.dot(col("emb"), array(c.map(lit).toIndexedSeq: _*))
+    val bucketCol = array_min(array((0 until nlist).map(i =>
+      struct(q6(score(cents(i))).as("d"), lit(i).as("b"))): _*)).getField("b")
+    val assigned = v.withColumn("bucket", bucketCol)
+    val centroidDf = spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+      .toDF("bucket", "centroid")
+    val probes = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+    // routing rank rn = 1..nlist per probe (same key order as
+    // annIvfTopk's TopKAgg routing: 6-dp cosine desc, bucket asc)
+    val ranked = probes.crossJoin(broadcast(centroidDf))
+      .withColumn("cos", VectorColumns.cosine(col("pe"),
+        col("centroid").cast("array<double>")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(q6(col("cos")).desc, col("bucket").asc)))
+      .select(col("probe_id"), col("bucket"), col("rn"))
+    // first_rn: the earliest routing rank that admits the candidate
+    val scored = assigned.join(broadcast(ranked), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(min(col("rn")).as("first_rn"))
+      .join(v, Seq("vec_id"))
+      .join(probes, Seq("probe_id"))
+      .withColumn("cos", VectorColumns.cosine(col("pe"), col("emb")))
+      .withColumn("cos_u", floor(col("cos") * 1e4 + 0.5).cast("long"))
+      .select("probe_id", "vec_id", "first_rn", "cos", "cos_u")
+      // pinned: every sweep rung and the truth join read this sliver
+      .localCheckpoint()
+    val truth = scored // nprobe = nlist admits everything: reuse
+      .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(q6(col("cos")).desc, col("vec_id").asc)))
+      .filter(col("rk") <= 10)
+      .select(col("probe_id"), col("vec_id"), col("cos_u").as("t_u"))
+    val tTot = truth.agg(count(lit(1)).as("n_truth"),
+      sum(col("t_u")).as("tu"))
+    val rungs = scored
+      .crossJoin(broadcast(NprobeSweep.toDF("nprobe")))
+      .filter(col("first_rn") <= col("nprobe"))
+    val ivfTop = rungs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("nprobe"), col("probe_id"))
+          .orderBy(q6(col("cos")).desc, col("vec_id").asc)))
+      .filter(col("rk") <= 10)
+      .join(truth.select(col("probe_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("probe_id", "vec_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
+        sum(col("cos_u")).as("iu"))
+    rungs.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_cands"))
+      .join(ivfTop, Seq("nprobe"))
+      .crossJoin(broadcast(tTot))
+      .select(col("nprobe").cast("long").as("nprobe"), col("n_cands"),
+        col("n_hit"), col("n_truth"),
+        (floor(col("n_hit") / col("n_truth").cast("double") * 1e4 + 0.5)
+          / 1e4).as("recall_at10"),
+        (floor((col("tu") - col("iu")).cast("double")
+          / col("n_truth") + 0.5) / 1e4).as("mean_regret"))
+  }
+
   /** Per-label embedding CENTROIDS — the class-prototype report
     * (cluster centers for drift monitoring, label-quality checks,
     * nearest-class-mean classification). The elementwise vector sum

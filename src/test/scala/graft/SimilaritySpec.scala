@@ -112,6 +112,62 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall >= 0.2, s"mean recall $meanRecall")
   }
 
+  test("ann_nprobe_sweep: recall/cands monotone in nprobe, exhaustive rung is exact, rungs recomputed from brute force") {
+    val rows = SparkEntry.queries("ann_nprobe_sweep")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rows.keySet === graft.operators.Similarity.NprobeSweep
+      .map(_.toLong).toSet)
+    val ordered = rows.toSeq.sortBy(_._1)
+    // cost and recall both ride the ladder monotonically
+    ordered.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(b._1 >= a._1, "candidate volume non-decreasing")
+      assert(b._2 >= a._2, "hits non-decreasing")
+      assert(b._4 >= a._4, "recall non-decreasing")
+      assert(b._5 <= a._5 + 1e-12, "regret non-increasing")
+    }
+    // the top rung probes every cell: exhaustive, hence exact
+    val top = rows(graft.operators.Similarity.IvfNlist.toLong)
+    assert(top._4 === 1.0 && top._5 === 0.0)
+    assert(top._2 === top._3, "all truth neighbors hit")
+    // n_truth is probes x 10 on this corpus
+    assert(rows.values.forall(_._3 === 50L))
+    // recall at each rung recomputed from scratch: brute-force truth
+    // vs the candidates admitted by the first nprobe routed cells
+    val cents = graft.operators.Similarity.ivfCentroids(spark, sf)
+    def q6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val home = embs.map { case (id, e) =>
+      id -> cents.zipWithIndex.map { case (c, b) =>
+        (q6d(c.map(x => x * x).sum - 2.0 * c.zip(e).map(p => p._1 * p._2).sum), b)
+      }.min._2
+    }
+    // toSeq: Map#keys is a Set, and a Set.map over per-probe hit
+    // counts would DEDUPLICATE equal counts before the sum
+    val probes = embs.keys.filter(_ < 5).toSeq
+    probes.foreach { pid =>
+      val pe = embs(pid)
+      val routing = cents.zipWithIndex
+        .map { case (c, b) => (-q6d(cos(pe, c)), b) }.sorted.map(_._2)
+      val truth = embs.keys.filter(_ != pid).toSeq
+        .sortBy(id => (-q6d(cos(pe, embs(id))), id)).take(10).toSet
+      graft.operators.Similarity.NprobeSweep.foreach { np =>
+        val admitted = routing.take(np).toSet
+        val cands = embs.keys.filter(id =>
+          id != pid && admitted.contains(home(id))).toSeq
+        val got = cands.sortBy(id => (-q6d(cos(pe, embs(id))), id))
+          .take(10).count(truth.contains)
+        // aggregate rows can't be checked per-probe directly, but the
+        // per-probe hit counts must sum to the reported n_hit
+        hitAcc((np, pid)) = got
+      }
+    }
+    graft.operators.Similarity.NprobeSweep.foreach { np =>
+      val expectHits = probes.map(p => hitAcc((np, p))).sum.toLong
+      assert(rows(np.toLong)._2 === expectHits, s"nprobe $np hits")
+    }
+  }
+  private val hitAcc = scala.collection.mutable.Map.empty[(Int, Long), Int]
+
   test("knn_graph: exactly k edges per vector, no self-loops, descending cosine") {
     val rows = SparkEntry.queries("knn_graph")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
