@@ -177,6 +177,8 @@ object SparkEntry {
     "stations_reproject"    -> Geo.stationsReproject _,
     "grid_affine_stack"     -> graft.sources.Grids.gridAffineStack _,
     "grid_asc_decode"       -> graft.sources.Grids.gridAscDecode _,
+    "grid_tiff_decode"      -> graft.sources.Grids.gridTiffDecode _,
+    "grid_nc_decode"        -> graft.sources.NetCdf.gridNcDecode _,
     "multimodal_container_meta" -> Multimodal.containerMeta _,
     "spi_forecast_coverage" -> Climate.spiForecastCoverage _,
     "rijn_deficit_weekly"   -> Climate.rijnDeficitWeekly _,
@@ -5268,6 +5270,37 @@ object SparkEntry {
         |  42.125 + gy * 0.25 AS lat, -9.875 + gx * 0.25 AS lon,
         |  CAST(v_us AS DOUBLE) / 1e6 AS value
         |FROM c WHERE (gx * 8 + gy) % 7 != 3""".stripMargin,
+
+    // the binary twin: the expected decode of the in-plan GeoTIFF is
+    // the same grid (int32 micro-unit samples; the nodata guard on
+    // v_us mirrors the decoder's GDAL_NODATA skip exactly, so even a
+    // real value colliding with the sentinel stays consistent)
+    "grid_tiff_decode" ->
+      """WITH c AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      * 10000 AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2)
+        |SELECT 'precip' AS var, '2024-01-15' AS day,
+        |  42.125 + gy * 0.25 AS lat, -9.875 + gx * 0.25 AS lon,
+        |  CAST(v_us AS DOUBLE) / 1e6 AS value
+        |FROM c
+        |WHERE (gx * 8 + gy) % 7 != 3 AND v_us != -2147483648""".stripMargin,
+
+    // the NetCDF twin: packed int32 × the stored scale_factor — the
+    // oracle MULTIPLIES by 1e-6 (not divides by 1e6) because that is
+    // the unpacking arithmetic the codec runs, bit-identical IEEE
+    "grid_nc_decode" ->
+      """WITH c AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      * 10000 AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2)
+        |SELECT 'precip' AS var, '2024-01-15' AS day,
+        |  42.125 + gy * 0.25 AS lat, -9.875 + gx * 0.25 AS lon,
+        |  CAST(v_us AS DOUBLE) * 1e-6 AS value
+        |FROM c
+        |WHERE (gx * 8 + gy) % 7 != 3 AND v_us != -2147483648""".stripMargin,
 
     // the filename parse drives which statistic each file renders, so
     // a parse bug cannot hash-match; percentiles are hand-rank

@@ -331,6 +331,270 @@ object Grids {
         col("lat"), col("lon"), (col("value") / 1e6).as("value"))
   }
 
+  // --- GeoTIFF codec ------------------------------------------------
+
+  /** REAL GeoTIFF codec for the binary-drop seam — the
+    * `ingestor_creaf_tif_forecast.py:74-137` decode re-done without
+    * GDAL: a baseline TIFF 6.0 IFD walk (both byte orders, inline vs
+    * offset tag values, multi-strip), the two GeoTIFF geo tags
+    * (ModelPixelScale 33550 + ModelTiepoint 33922 → the affine the
+    * reference reads from `GetGeoTransform`), and the GDAL_NODATA
+    * ASCII tag (42113). Uncompressed single-band rasters only —
+    * uint8/16, int16/32, float32/64 samples; anything else (or any
+    * malformed/truncated structure) quarantines to an empty iterator
+    * like [[decodeTile]], so a poison file cannot kill the job.
+    * Pixel (c, r) decodes to its AREA CENTRE — x₀+(c+½)·sx,
+    * y₀−(r+½)·sy with row 0 northernmost — matching
+    * `get_pixel_centroids` (`ingestor_creaf_tif_oliveoil.py:72-81`). */
+  def decodeTiff(varName: String, epochDay: Int,
+      bytes: Array[Byte]): Iterator[GridCell] = {
+    val cells = scala.util.Try {
+      val le = bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte
+      val be = bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte
+      require(le || be, "byte-order mark")
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(
+        if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      def u16(p: Int): Int = buf.getShort(p) & 0xFFFF
+      def u32(p: Int): Long = buf.getInt(p) & 0xFFFFFFFFL
+      require(u16(2) == 42, "TIFF magic")
+      val ifd = u32(4).toInt
+      val n = u16(ifd)
+      val entries = (0 until n).map { i =>
+        val e = ifd + 2 + i * 12
+        u16(e) -> ((u16(e + 2), u32(e + 4).toInt, e + 8))
+      }.toMap
+      val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 11 -> 4, 12 -> 8)
+      // a value fits inline in the 4-byte field iff size·count ≤ 4;
+      // otherwise the field holds the offset of the external value
+      def pos(t: (Int, Int, Int)): Int =
+        if (typeSize(t._1) * t._2 <= 4) t._3 else u32(t._3).toInt
+      def longs(tag: Int): Option[IndexedSeq[Long]] = entries.get(tag).map {
+        t =>
+          val p = pos(t)
+          (0 until t._2).map(i => t._1 match {
+            case 1 => (bytes(p + i) & 0xFF).toLong
+            case 3 => u16(p + i * 2).toLong
+            case 4 => u32(p + i * 4)
+          })
+      }
+      def long1(tag: Int, dflt: Long): Long =
+        longs(tag).map(_.head).getOrElse(dflt)
+      def doubles(tag: Int): Option[IndexedSeq[Double]] = entries.get(tag)
+        .map { t =>
+          val p = pos(t)
+          (0 until t._2).map(i => t._1 match {
+            case 11 => buf.getFloat(p + i * 4).toDouble
+            case 12 => buf.getDouble(p + i * 8)
+          })
+        }
+      def ascii(tag: Int): Option[String] = entries.get(tag).map(t =>
+        new String(bytes, pos(t), t._2, "US-ASCII").takeWhile(_ != '\u0000'))
+      val nx = long1(256, 0).toInt
+      val ny = long1(257, 0).toInt
+      require(nx > 0 && ny > 0, "raster dims")
+      require(long1(259, 1) == 1, "uncompressed only")
+      require(long1(277, 1) == 1, "single band only")
+      val bits = long1(258, 1).toInt
+      val fmt = long1(339, 1).toInt // 1 unsigned, 2 signed, 3 IEEE float
+      val strips = longs(273).get
+      val rps = long1(278, ny.toLong).toInt
+      val scale = doubles(33550).get
+      val tie = doubles(33922).get
+      require(scale.length >= 2 && tie.length >= 6, "geo tags")
+      val (sx, sy) = (scale(0), scale(1))
+      // tiepoint: raster (i, j) pins to model (x, y) → UL corner
+      val x0 = tie(3) - tie(0) * sx
+      val y0 = tie(4) + tie(1) * sy
+      val nodata = ascii(42113).flatMap(_.trim.toDoubleOption)
+      val bps = bits / 8
+      def sample(r: Int, c: Int): Double = {
+        val p = strips(r / rps).toInt + ((r % rps) * nx + c) * bps
+        (fmt, bits) match {
+          case (1, 8)  => (bytes(p) & 0xFF).toDouble
+          case (1, 16) => u16(p).toDouble
+          case (2, 16) => buf.getShort(p).toDouble
+          case (2, 32) => buf.getInt(p).toDouble
+          case (3, 32) => buf.getFloat(p).toDouble
+          case (3, 64) => buf.getDouble(p)
+        }
+      }
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.ofEpochDay(epochDay.toLong).atStartOfDay())
+      (for {
+        r <- 0 until ny
+        c <- 0 until nx
+        v = sample(r, c)
+        if !nodata.contains(v)
+      } yield GridCell(varName, ts,
+        y0 - (r + 0.5) * sy, x0 + (c + 0.5) * sx, v)).toVector
+    }.getOrElse(Vector.empty)
+    cells.iterator
+  }
+
+  /** Minimal valid single-band GeoTIFF writer (float64 samples, one
+    * strip, both byte orders) — the spec's round-trip twin of
+    * [[decodeTiff]] and a fixture generator; NOT a production export
+    * path. Tags written in required ascending order; NODATA cells
+    * must already hold the `nodata` value in `values`. */
+  def encodeTiff(ulx: Double, uly: Double, cs: Double,
+      values: Array[Array[Double]], nodata: Option[Double],
+      bigEndian: Boolean = false): Array[Byte] = {
+    val ny = values.length
+    val nx = if (ny == 0) 0 else values(0).length
+    val ndBytes = nodata.map { d =>
+      val s = if (d == math.floor(d) && math.abs(d) < 1e15)
+        d.toLong.toString else d.toString
+      (s + "\u0000").getBytes("US-ASCII")
+    }
+    val n = 12 + (if (ndBytes.isDefined) 1 else 0)
+    val offScale = 8 + 2 + n * 12 + 4
+    val offTie = offScale + 24
+    val offNd = offTie + 48
+    val ndPadded = ndBytes.map(b => b.length + (b.length & 1)).getOrElse(0)
+    val offStrip = offNd + ndPadded
+    val buf = java.nio.ByteBuffer.allocate(offStrip + ny * nx * 8).order(
+      if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    val bom = if (bigEndian) 'M'.toByte else 'I'.toByte
+    buf.put(bom).put(bom).putShort(42).putInt(8)
+    buf.putShort(n.toShort)
+    def entry(tag: Int, typ: Int, cnt: Int, value: Long): Unit = {
+      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      // inline SHORT occupies the LEADING 2 bytes of the value field
+      if (typ == 3 && cnt == 1) { buf.putShort(value.toShort); buf.putShort(0) }
+      else buf.putInt(value.toInt)
+      ()
+    }
+    entry(256, 3, 1, nx.toLong)
+    entry(257, 3, 1, ny.toLong)
+    entry(258, 3, 1, 64)
+    entry(259, 3, 1, 1)
+    entry(262, 3, 1, 1)
+    entry(273, 4, 1, offStrip.toLong)
+    entry(277, 3, 1, 1)
+    entry(278, 4, 1, math.max(ny, 1).toLong)
+    entry(279, 4, 1, ny.toLong * nx * 8)
+    entry(339, 3, 1, 3)
+    entry(33550, 12, 3, offScale.toLong)
+    entry(33922, 12, 6, offTie.toLong)
+    ndBytes.foreach(b => entry(42113, 2, b.length, offNd.toLong))
+    buf.putInt(0) // next-IFD terminator
+    buf.putDouble(cs).putDouble(cs).putDouble(0.0)
+    buf.putDouble(0).putDouble(0).putDouble(0)
+      .putDouble(ulx).putDouble(uly).putDouble(0)
+    ndBytes.foreach { b =>
+      buf.put(b); if ((b.length & 1) == 1) buf.put(0.toByte)
+    }
+    values.foreach(_.foreach(buf.putDouble))
+    buf.array()
+  }
+
+  /** GeoTIFF drop → decoded long rows: the binary twin of
+    * [[decodeAscDrop]] (`<var>_<yyyy-MM-dd>.tif[f]` naming, one typed
+    * flatMap per file at the `binaryFile`-source grain — Spark's file
+    * parallelism IS the tile parallelism). Output feeds [[toWide]] →
+    * [[normalize]] → [[publishGrid]] unchanged. */
+  def decodeTiffDrop(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("name"), col("content")).as[RawTile]
+      .flatMap { f =>
+        val base = f.name.substring(f.name.lastIndexOf('/') + 1)
+          .stripSuffix(".tiff").stripSuffix(".tif")
+        val cut = base.lastIndexOf('_')
+        val parsed = for {
+          _ <- Option.when(cut > 0)(())
+          day <- scala.util.Try(java.time.LocalDate
+            .parse(base.substring(cut + 1))).toOption
+        } yield (base.substring(0, cut), day.toEpochDay.toInt)
+        parsed.iterator.flatMap { case (v, d) => decodeTiff(v, d, f.content) }
+      }
+      .toDF("var", "time", "lat", "lon", "value")
+  }
+
+  /** Little-endian hex of the low `nBytes` bytes of an integral
+    * column — the TIFF body renderer (two's complement for negative
+    * int32 via the mask). */
+  private def leHex(e: org.apache.spark.sql.Column,
+      nBytes: Int): org.apache.spark.sql.Column = {
+    val p = lpad(hex(e.cast("long")
+      .bitwiseAND(lit((1L << (8 * nBytes)) - 1))), nBytes * 2, "0")
+    concat((nBytes - 1 to 0 by -1).map(i => substring(p, i * 2 + 1, 2)): _*)
+  }
+
+  /** The 254-byte LE header+IFD+geo-tag prefix of the in-plan test
+    * raster: 8×8, int32 samples, quarter-degree cells, UL corner
+    * (−10, 44), GDAL_NODATA −2147483648 — assembled with the same
+    * layout rules [[encodeTiff]] follows, as a driver-side constant
+    * (every byte of it is structural, not data). */
+  private lazy val TiffLeHeaderHex: String = {
+    def le16(v: Int) = f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+    def le32(v: Long) = (0 to 3).map(i => f"${(v >> (8 * i)) & 0xFF}%02X")
+      .mkString
+    def leD(d: Double) = {
+      val b = java.lang.Double.doubleToLongBits(d)
+      (0 to 7).map(i => f"${(b >> (8 * i)) & 0xFF}%02X").mkString
+    }
+    def entry(tag: Int, typ: Int, cnt: Long, v: Long) =
+      le16(tag) + le16(typ) + le32(cnt) +
+        (if (typ == 3) le16(v.toInt) + "0000" else le32(v))
+    val nd = "-2147483648\u0000"
+    "49492A00" + le32(8) + le16(13) +
+      entry(256, 3, 1, 8) + entry(257, 3, 1, 8) + entry(258, 3, 1, 32) +
+      entry(259, 3, 1, 1) + entry(262, 3, 1, 1) + entry(273, 4, 1, 254) +
+      entry(277, 3, 1, 1) + entry(278, 4, 1, 8) + entry(279, 4, 1, 256) +
+      entry(339, 3, 1, 2) + entry(33550, 12, 3, 170) +
+      entry(33922, 12, 6, 194) + entry(42113, 2, nd.length.toLong, 242) +
+      le32(0) +
+      leD(0.25) + leD(0.25) + leD(0.0) +
+      leD(0) + leD(0) + leD(0) + leD(-10.0) + leD(44.0) + leD(0) +
+      nd.getBytes("US-ASCII").map(b => f"$b%02X").mkString
+  }
+
+  /** END-TO-END GeoTIFF round trip, oracle-checked — the binary twin
+    * of [[gridAscDecode]] on the same 8×8 events grid: cell means in
+    * integer micro-units render as int32 samples into a REAL
+    * little-endian GeoTIFF (IFD, geo tags, GDAL_NODATA, north-first
+    * strip — only the 64 sample words are data-dependent; the
+    * structural 254-byte prefix is a driver constant) and
+    * [[decodeTiffDrop]] parses the bytes back to area-centre cells.
+    * The DuckDB oracle recomputes the expected decode from the same
+    * source grid, so the gate proves decode ∘ encode = identity on a
+    * genuine GeoTIFF layout; the spec additionally round-trips
+    * [[encodeTiff]] fixtures (both byte orders, multi-strip,
+    * malformed quarantine). All arithmetic is exact: micro-unit
+    * integers, quarter-degree binary-rational centres. */
+  def gridTiffDecode(spark: SparkSession, dir: String): DataFrame = {
+    val lattice = spark.range(64)
+      .select((col("id") % 8).as("gy"), expr("id div 8").as("gx"))
+    val cells = lattice.join(
+      graft.Tables.events(spark, dir)
+        .groupBy((col("user_id") % 8).as("gy"),
+          expr("user_id div 8 % 8").as("gx"))
+        .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+          .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us")),
+      Seq("gy", "gx"), "left")
+      .withColumn("s32",
+        when((col("gx") * 8 + col("gy")) % 7 === 3 || col("v_us").isNull,
+          lit(Int.MinValue.toLong)).otherwise(col("v_us")))
+    // row hex per gy (west→east samples), then strip rows north-first
+    val rows = cells
+      .groupBy(col("gy"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("gx"),
+          leHex(col("s32"), 4).as("hx")))),
+        s => s.getField("hx"))).as("rowhex"))
+    val doc = rows.agg(concat_ws("", reverse(transform(
+        array_sort(collect_list(struct(col("gy"), col("rowhex")))),
+        s => s.getField("rowhex")))).as("striphex"))
+      .select(lit("precip_2024-01-15.tif").as("name"),
+        unhex(concat(lit(TiffLeHeaderHex), col("striphex"))).as("content"))
+    decodeTiffDrop(doc)
+      .select(col("var"), date_format(col("time"), "yyyy-MM-dd").as("day"),
+        col("lat"), col("lon"), (col("value") / 1e6).as("value"))
+  }
+
   /** Affine geotransform of the raster drop, as (x0, dx, y0, dy)
     * literals: pixel (gx, gy) has centroid x0+dx·(gx+½), y0+dy·(gy+½)
     * (`ingestor_creaf_tif_oliveoil.py:72-81` `get_pixel_centroids`

@@ -353,4 +353,113 @@ class GridsSpec extends SparkSpec {
       assert((r.getAs[Double]("lat") - 42.125) % 0.25 === 0.0)
     }
   }
+
+  test("decodeTiff: encodeTiff round trip both byte orders; NODATA skipped; area centres exact") {
+    val nd = -9999.0
+    val vals = Array(
+      Array(1.5, 2.5, nd),
+      Array(4.0, 5.25, 6.125))
+    Seq(false, true).foreach { bigE =>
+      val bytes = Grids.encodeTiff(-10.0, 44.0, 0.5, vals, Some(nd), bigE)
+      val cells = Grids.decodeTiff("tp", 19850, bytes).toSeq
+      assert(cells.length === 5, s"bigEndian=$bigE")
+      val m = cells.map(c => (c.lat, c.lon) -> c.value).toMap
+      assert(m((43.75, -9.75)) === 1.5)
+      assert(m((43.75, -9.25)) === 2.5)
+      assert(!m.contains((43.75, -8.75))) // the NODATA hole
+      assert(m((43.25, -9.75)) === 4.0)
+      assert(m((43.25, -9.25)) === 5.25)
+      assert(m((43.25, -8.75)) === 6.125)
+      assert(cells.forall(_.`var` == "tp"))
+      assert(cells.head.time.toLocalDateTime.toLocalDate ===
+        java.time.LocalDate.ofEpochDay(19850L))
+    }
+  }
+
+  test("decodeTiff: hand-built multi-strip uint8 and float32 fixtures; malformed files quarantine") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def entry(b: ByteBuffer, tag: Int, typ: Int, cnt: Int, v: Long): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      if (typ == 3 && cnt == 1) { b.putShort(v.toShort); b.putShort(0) }
+      else b.putInt(v.toInt)
+      ()
+    }
+    // 2×2 uint8, rowsPerStrip 1 → TWO strips, offsets/counts EXTERNAL
+    val ms = ByteBuffer.allocate(250).order(ByteOrder.LITTLE_ENDIAN)
+    ms.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    ms.putShort(12)
+    entry(ms, 256, 3, 1, 2); entry(ms, 257, 3, 1, 2); entry(ms, 258, 3, 1, 8)
+    entry(ms, 259, 3, 1, 1); entry(ms, 262, 3, 1, 1); entry(ms, 273, 4, 2, 158)
+    entry(ms, 277, 3, 1, 1); entry(ms, 278, 3, 1, 1); entry(ms, 279, 4, 2, 166)
+    entry(ms, 339, 3, 1, 1)
+    entry(ms, 33550, 12, 3, 174); entry(ms, 33922, 12, 6, 198)
+    ms.putInt(0)
+    ms.putInt(246).putInt(248) // strip offsets @158
+    ms.putInt(2).putInt(2)     // strip byte counts @166
+    ms.putDouble(1.0).putDouble(1.0).putDouble(0)   // pixel scale @174
+    ms.putDouble(0).putDouble(0).putDouble(0)
+      .putDouble(100.0).putDouble(50.0).putDouble(0) // tiepoint @198
+    ms.put(10.toByte).put(20.toByte) // strip 0 (north row)
+    ms.put(30.toByte).put(40.toByte) // strip 1
+    val cells = Grids.decodeTiff("v", 0, ms.array()).toSeq
+      .map(c => (c.lat, c.lon, c.value)).sorted
+    assert(cells === Seq(
+      (48.5, 100.5, 30.0), (48.5, 101.5, 40.0),
+      (49.5, 100.5, 10.0), (49.5, 101.5, 20.0)))
+
+    // 1×1 float32 sample
+    val f32 = ByteBuffer.allocate(234).order(ByteOrder.LITTLE_ENDIAN)
+    f32.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    f32.putShort(12)
+    entry(f32, 256, 3, 1, 1); entry(f32, 257, 3, 1, 1)
+    entry(f32, 258, 3, 1, 32); entry(f32, 259, 3, 1, 1)
+    entry(f32, 262, 3, 1, 1); entry(f32, 273, 4, 1, 230)
+    entry(f32, 277, 3, 1, 1); entry(f32, 278, 3, 1, 1)
+    entry(f32, 279, 4, 1, 4); entry(f32, 339, 3, 1, 3)
+    entry(f32, 33550, 12, 3, 158); entry(f32, 33922, 12, 6, 182)
+    f32.putInt(0)
+    f32.putDouble(0.125).putDouble(0.125).putDouble(0)
+    f32.putDouble(0).putDouble(0).putDouble(0)
+      .putDouble(7.0).putDouble(3.0).putDouble(0)
+    f32.putFloat(2.5f)
+    val fc = Grids.decodeTiff("v", 0, f32.array()).toSeq
+    assert(fc.map(c => (c.lat, c.lon, c.value)) === Seq((2.9375, 7.0625, 2.5)))
+
+    // quarantine: junk, truncation, unsupported compression
+    assert(Grids.decodeTiff("v", 0, Array.emptyByteArray).isEmpty)
+    assert(Grids.decodeTiff("v", 0, "not a tiff at all".getBytes).isEmpty)
+    assert(Grids.decodeTiff("v", 0,
+      java.util.Arrays.copyOf(ms.array(), 200)).isEmpty)
+    val comp = ms.array().clone()
+    // compression entry is the 4th: its value field starts at
+    // 8 + 2 + 3·12 + 8 = 54
+    comp(54) = 5
+    assert(Grids.decodeTiff("v", 0, comp).isEmpty)
+  }
+
+  test("decodeTiffDrop: filename parse feeds var/day; grid_tiff_decode equals the ASC lane cell-for-cell") {
+    import spark.implicits._
+    val one = Grids.encodeTiff(0.0, 1.0, 1.0, Array(Array(42.0)), None)
+    val out = Grids.decodeTiffDrop(Seq(
+        ("drops/tp_2024-03-01.tif", one),
+        ("drops/noday.tif", one),          // no _date suffix -> skipped
+        ("drops/tp_2024-13-99.tiff", one)) // unparseable date -> skipped
+      .toDF("name", "content")).collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === "tp")
+    assert(out(0).getAs[java.sql.Timestamp](1).toLocalDateTime.toLocalDate
+      .toString === "2024-03-01")
+    assert(out(0).getDouble(4) === 42.0)
+    // the oracle-checked query decodes the in-plan GeoTIFF to the same
+    // masked lattice the ASC lane produces — byte layout differs,
+    // decoded cells must not
+    val rt = SparkEntry.queries("grid_tiff_decode")(spark, sf).collect()
+    val ascRows = SparkEntry.queries("grid_asc_decode")(spark, sf).collect()
+    assert(rt.nonEmpty)
+    assert(rt.map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+      === ascRows.map(r =>
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet)
+    assert(rt.forall(r => r.getString(0) == "precip" &&
+      r.getString(1) == "2024-01-15"))
+  }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import graft.sources.NetCdf
+
+class NetCdfSpec extends SparkSpec {
+
+  test("decodeNc: grid-prefix round trip — record interleave, packing, fill mask, time units") {
+    val lats = Array(1.5, 0.5) // descending
+    val lons = Array(10.5, 11.5)
+    val epochDay = java.time.LocalDate.parse("2024-01-15").toEpochDay.toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(NetCdf.encodeGridNcPrefix("precip", epochDay, lats, lons))
+    Seq(1000000, 2000000, Int.MinValue, -4000000).foreach(out.writeInt)
+    val cells = NetCdf.decodeNc(bos.toByteArray).toSeq
+    assert(cells.length === 3) // the _FillValue cell is masked out
+    assert(cells.forall(_.`var` == "precip"))
+    assert(cells.forall(_.time.toLocalDateTime.toLocalDate.toString ==
+      "2024-01-15"))
+    val m = cells.map(c => (c.lat, c.lon) -> c.value).toMap
+    assert(m((1.5, 10.5)) === 1000000 * 1e-6)
+    assert(m((1.5, 11.5)) === 2000000 * 1e-6)
+    assert(!m.contains((0.5, 10.5)))
+    assert(m((0.5, 11.5)) === -4000000 * 1e-6)
+  }
+
+  test("decodeNc: hand-built CDF-2 fixed-variable fixture — short samples, float scale, add_offset, no time axis") {
+    // dims lat(2), lon(2); coord vars lat/lon double; elev(lat,lon)
+    // short with scale_factor:float 0.5 and add_offset:double 100
+    def build(bLat: Long, bLon: Long, bElev: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      def name(s: String): Unit = {
+        val b = s.getBytes("UTF-8")
+        out.writeInt(b.length); out.write(b)
+        out.write(new Array[Byte]((4 - b.length % 4) % 4))
+      }
+      out.write(Array('C'.toByte, 'D'.toByte, 'F'.toByte, 2.toByte))
+      out.writeInt(0) // numrecs: no record dim
+      out.writeInt(10); out.writeInt(2)
+      name("lat"); out.writeInt(2)
+      name("lon"); out.writeInt(2)
+      out.writeInt(0); out.writeInt(0) // no global atts
+      out.writeInt(11); out.writeInt(3)
+      name("lat"); out.writeInt(1); out.writeInt(0)
+      out.writeInt(0); out.writeInt(0)
+      out.writeInt(6); out.writeInt(16); out.writeLong(bLat) // CDF-2 begin
+      name("lon"); out.writeInt(1); out.writeInt(1)
+      out.writeInt(0); out.writeInt(0)
+      out.writeInt(6); out.writeInt(16); out.writeLong(bLon)
+      name("elev"); out.writeInt(2); out.writeInt(0); out.writeInt(1)
+      out.writeInt(12); out.writeInt(2)
+      name("scale_factor"); out.writeInt(5); out.writeInt(1)
+      out.writeFloat(0.5f)
+      name("add_offset"); out.writeInt(6); out.writeInt(1)
+      out.writeDouble(100.0)
+      out.writeInt(3); out.writeInt(8); out.writeLong(bElev) // NC_SHORT
+      bos.toByteArray
+    }
+    val hLen = build(0, 0, 0).length
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(build(hLen.toLong, hLen + 16L, hLen + 32L))
+    Seq(40.0, 41.0).foreach(out.writeDouble) // lat
+    Seq(7.0, 8.0).foreach(out.writeDouble)   // lon
+    Seq(10, 20, 30, -5).map(_.toShort).foreach(v => out.writeShort(v.toInt))
+    val cells = NetCdf.decodeNc(bos.toByteArray).toSeq
+    assert(cells.length === 4)
+    assert(cells.forall(_.time.toLocalDateTime.toLocalDate.toString ==
+      "1970-01-01")) // no time axis -> epoch
+    val m = cells.map(c => (c.lat, c.lon) -> c.value).toMap
+    assert(m((40.0, 7.0)) === 10 * 0.5 + 100.0)
+    assert(m((40.0, 8.0)) === 20 * 0.5 + 100.0)
+    assert(m((41.0, 7.0)) === 30 * 0.5 + 100.0)
+    assert(m((41.0, 8.0)) === -5 * 0.5 + 100.0)
+  }
+
+  test("decodeNc: malformed files quarantine to zero cells") {
+    assert(NetCdf.decodeNc(Array.emptyByteArray).isEmpty)
+    assert(NetCdf.decodeNc("HDF5 is not classic".getBytes).isEmpty)
+    val lats = Array(1.5, 0.5)
+    val lons = Array(10.5, 11.5)
+    val good = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.write(NetCdf.encodeGridNcPrefix("precip", 0, lats, lons))
+      Seq(1, 2, 3, 4).foreach(out.writeInt)
+      bos.toByteArray
+    }
+    assert(NetCdf.decodeNc(good).nonEmpty)
+    // truncated mid-data and mid-header
+    assert(NetCdf.decodeNc(java.util.Arrays.copyOf(good, good.length - 6))
+      .isEmpty)
+    assert(NetCdf.decodeNc(java.util.Arrays.copyOf(good, 40)).isEmpty)
+    // corrupt the dim-list tag
+    val bad = good.clone()
+    bad(11) = 99.toByte
+    assert(NetCdf.decodeNc(bad).isEmpty)
+  }
+
+  test("grid_nc_decode equals the GeoTIFF lane cell-for-cell in micro-units") {
+    val nc = SparkEntry.queries("grid_nc_decode")(spark, sf).collect()
+    val tif = SparkEntry.queries("grid_tiff_decode")(spark, sf).collect()
+    assert(nc.nonEmpty)
+    assert(nc.forall(r => r.getString(0) == "precip" &&
+      r.getString(1) == "2024-01-15"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getDouble(2), r.getDouble(3), math.rint(r.getDouble(4) * 1e6))
+    assert(nc.map(key).toSet === tif.map(key).toSet)
+  }
+}
