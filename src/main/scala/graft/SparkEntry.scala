@@ -179,6 +179,8 @@ object SparkEntry {
     "grid_asc_decode"       -> graft.sources.Grids.gridAscDecode _,
     "grid_tiff_decode"      -> graft.sources.Grids.gridTiffDecode _,
     "grid_nc_decode"        -> graft.sources.NetCdf.gridNcDecode _,
+    "grid_grib_decode"      -> graft.sources.Grib.gridGribDecode _,
+    "stac_search_items"     -> graft.sources.Stac.stacSearchItems _,
     "multimodal_container_meta" -> Multimodal.containerMeta _,
     "spi_forecast_coverage" -> Climate.spiForecastCoverage _,
     "rijn_deficit_weekly"   -> Climate.rijnDeficitWeekly _,
@@ -5301,6 +5303,48 @@ object SparkEntry {
         |  CAST(v_us AS DOUBLE) * 1e-6 AS value
         |FROM c
         |WHERE (gx * 8 + gy) % 7 != 3 AND v_us != -2147483648""".stripMargin,
+
+    // the GRIB-1 twin: N = v_us + 2^31 against IBM-float R = -2^31,
+    // E = 0, D = 6 unpacks to exactly v_us / 1e6 on both engines
+    "grid_grib_decode" ->
+      """WITH c AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      * 10000 AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2)
+        |SELECT 'p61' AS var, '2024-01-15' AS day,
+        |  42.125 + gy * 0.25 AS lat, -9.875 + gx * 0.25 AS lon,
+        |  CAST(v_us AS DOUBLE) / 1e6 AS value
+        |FROM c
+        |WHERE (gx * 8 + gy) % 7 != 3 AND v_us != -2147483648""".stripMargin,
+
+    // recomputes the STAC search survivors straight from events: the
+    // four drop mechanisms (collection, datetime interval, query
+    // ensemble<=3, asset probe) are gid arithmetic; value = exact
+    // micro-unit mean / 1e6 * factor 2.5 (both exact in IEEE)
+    "stac_search_items" ->
+      """WITH g AS (
+        |  SELECT user_id % 12 AS gid, count(*) AS cnt,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      * 10000 AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1)
+        |SELECT 'item_' || lpad(CAST(gid AS VARCHAR), 3, '0') AS item_id,
+        |  ['era5','cmip6','obs'][CAST(gid % 3 AS INT) + 1] AS collection,
+        |  strftime(DATE '2024-03-01' + CAST(gid AS INT), '%Y-%m-%d') AS day,
+        |  './data/' || ['era5','cmip6','obs'][CAST(gid % 3 AS INT) + 1]
+        |    || '/item_' || lpad(CAST(gid AS VARCHAR), 3, '0')
+        |    || '_tp.nc' AS href,
+        |  'application/netcdf' AS media_type,
+        |  -10.0 + CAST(gid % 4 AS DOUBLE) * 5.0 AS west,
+        |  40.0 + CAST(gid // 4 AS DOUBLE) * 2.0 AS south,
+        |  -10.0 + CAST(gid % 4 AS DOUBLE) * 5.0 + 2.0 AS east,
+        |  40.0 + CAST(gid // 4 AS DOUBLE) * 2.0 + 2.0 AS north,
+        |  cnt AS n_obs,
+        |  CAST(v_us AS DOUBLE) / 1e6 * 2.5 AS value
+        |FROM g
+        |WHERE gid % 3 != 2 AND gid >= 2 AND gid <= 9
+        |  AND gid % 5 <= 3 AND gid % 4 != 1
+        |ORDER BY item_id""".stripMargin,
 
     // the filename parse drives which statistic each file renders, so
     // a parse bug cannot hash-match; percentiles are hand-rank

@@ -339,8 +339,11 @@ object Grids {
     * offset tag values, multi-strip), the two GeoTIFF geo tags
     * (ModelPixelScale 33550 + ModelTiepoint 33922 → the affine the
     * reference reads from `GetGeoTransform`), and the GDAL_NODATA
-    * ASCII tag (42113). Uncompressed single-band rasters only —
-    * uint8/16, int16/32, float32/64 samples; anything else (or any
+    * ASCII tag (42113). Single-band rasters — uint8/16, int16/32,
+    * float32/64 samples; uncompressed, DEFLATE (8 and the legacy
+    * 32946, via `java.util.zip.Inflater` — no external codec lib) or
+    * PackBits (32773) strips; horizontal-differencing predictor
+    * (tag 317 = 2) on integer samples. Anything else (or any
     * malformed/truncated structure) quarantines to an empty iterator
     * like [[decodeTile]], so a poison file cannot kill the job.
     * Pixel (c, r) decodes to its AREA CENTRE — x₀+(c+½)·sx,
@@ -393,11 +396,16 @@ object Grids {
       val nx = long1(256, 0).toInt
       val ny = long1(257, 0).toInt
       require(nx > 0 && ny > 0, "raster dims")
-      require(long1(259, 1) == 1, "uncompressed only")
+      val comp = long1(259, 1).toInt // 1 none, 8/32946 DEFLATE, 32773 RLE
+      require(comp == 1 || comp == 8 || comp == 32946 || comp == 32773,
+        "unsupported compression")
       require(long1(277, 1) == 1, "single band only")
       val bits = long1(258, 1).toInt
       val fmt = long1(339, 1).toInt // 1 unsigned, 2 signed, 3 IEEE float
+      val predictor = long1(317, 1).toInt
+      require(predictor == 1 || predictor == 2 && fmt != 3, "predictor")
       val strips = longs(273).get
+      val counts = longs(279).getOrElse(IndexedSeq.empty)
       val rps = long1(278, ny.toLong).toInt
       val scale = doubles(33550).get
       val tie = doubles(33922).get
@@ -408,15 +416,64 @@ object Grids {
       val y0 = tie(4) + tie(1) * sy
       val nodata = ascii(42113).flatMap(_.trim.toDoubleOption)
       val bps = bits / 8
+      val order = if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN
+      // strip payloads materialize lazily: decompress once, undo the
+      // horizontal predictor in place, then serve point reads
+      val stripBuf = new Array[java.nio.ByteBuffer](strips.length)
+      def strip(s: Int): java.nio.ByteBuffer = {
+        if (stripBuf(s) == null) {
+          val off = strips(s).toInt
+          val rowsIn = math.min(rps, ny - s * rps)
+          val rawLen = rowsIn * nx * bps
+          val data = comp match {
+            case 1 =>
+              java.util.Arrays.copyOfRange(bytes, off, off + rawLen)
+            case 8 | 32946 =>
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(bytes, off, counts(s).toInt)
+              val out = new Array[Byte](rawLen)
+              var n = 0
+              while (n < rawLen && !inf.finished())
+                n += inf.inflate(out, n, rawLen - n)
+              inf.end()
+              require(n == rawLen, "short inflate")
+              out
+            case 32773 => unpackBits(bytes, off, counts(s).toInt, rawLen)
+          }
+          if (predictor == 2) {
+            val b = java.nio.ByteBuffer.wrap(data).order(order)
+            var r = 0
+            while (r < rowsIn) {
+              var c = 1
+              while (c < nx) {
+                val p = (r * nx + c) * bps
+                val q = p - bps
+                bits match {
+                  case 8 => data(p) = (data(p) + data(q)).toByte
+                  case 16 =>
+                    b.putShort(p, (b.getShort(p) + b.getShort(q)).toShort)
+                  case 32 => b.putInt(p, b.getInt(p) + b.getInt(q))
+                }
+                c += 1
+              }
+              r += 1
+            }
+          }
+          stripBuf(s) = java.nio.ByteBuffer.wrap(data).order(order)
+        }
+        stripBuf(s)
+      }
       def sample(r: Int, c: Int): Double = {
-        val p = strips(r / rps).toInt + ((r % rps) * nx + c) * bps
+        val b = strip(r / rps)
+        val p = ((r % rps) * nx + c) * bps
         (fmt, bits) match {
-          case (1, 8)  => (bytes(p) & 0xFF).toDouble
-          case (1, 16) => u16(p).toDouble
-          case (2, 16) => buf.getShort(p).toDouble
-          case (2, 32) => buf.getInt(p).toDouble
-          case (3, 32) => buf.getFloat(p).toDouble
-          case (3, 64) => buf.getDouble(p)
+          case (1, 8)  => (b.get(p) & 0xFF).toDouble
+          case (1, 16) => (b.getShort(p) & 0xFFFF).toDouble
+          case (2, 16) => b.getShort(p).toDouble
+          case (2, 32) => b.getInt(p).toDouble
+          case (3, 32) => b.getFloat(p).toDouble
+          case (3, 64) => b.getDouble(p)
         }
       }
       val ts = java.sql.Timestamp.valueOf(
@@ -432,14 +489,42 @@ object Grids {
     cells.iterator
   }
 
+  /** TIFF PackBits (RLE) strip decode: n ≥ 0 → n+1 literal bytes,
+    * −127 ≤ n ≤ −1 → 1−n copies of the next byte, −128 → no-op. */
+  private def unpackBits(src: Array[Byte], off: Int, len: Int,
+      outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var i = off
+    var o = 0
+    val end = off + len
+    while (i < end && o < outLen) {
+      val n = src(i)
+      i += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        System.arraycopy(src, i, out, o, cnt)
+        i += cnt
+        o += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        java.util.Arrays.fill(out, o, o + cnt, src(i))
+        i += 1
+        o += cnt
+      }
+    }
+    require(o == outLen, "packbits underrun")
+    out
+  }
+
   /** Minimal valid single-band GeoTIFF writer (float64 samples, one
-    * strip, both byte orders) — the spec's round-trip twin of
-    * [[decodeTiff]] and a fixture generator; NOT a production export
-    * path. Tags written in required ascending order; NODATA cells
-    * must already hold the `nodata` value in `values`. */
+    * strip, both byte orders, optional DEFLATE strip) — the spec's
+    * round-trip twin of [[decodeTiff]] and a fixture generator; NOT
+    * a production export path. Tags written in required ascending
+    * order; NODATA cells must already hold the `nodata` value in
+    * `values`. */
   def encodeTiff(ulx: Double, uly: Double, cs: Double,
       values: Array[Array[Double]], nodata: Option[Double],
-      bigEndian: Boolean = false): Array[Byte] = {
+      bigEndian: Boolean = false, deflate: Boolean = false): Array[Byte] = {
     val ny = values.length
     val nx = if (ny == 0) 0 else values(0).length
     val ndBytes = nodata.map { d =>
@@ -453,7 +538,21 @@ object Grids {
     val offNd = offTie + 48
     val ndPadded = ndBytes.map(b => b.length + (b.length & 1)).getOrElse(0)
     val offStrip = offNd + ndPadded
-    val buf = java.nio.ByteBuffer.allocate(offStrip + ny * nx * 8).order(
+    // samples first: a DEFLATE strip's byte count lands in tag 279
+    val raw = java.nio.ByteBuffer.allocate(ny * nx * 8).order(
+      if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.foreach(_.foreach(raw.putDouble))
+    val stripData = if (!deflate) raw.array() else {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw.array())
+      d.finish()
+      val out = new Array[Byte](raw.array().length + 64)
+      val m = d.deflate(out)
+      d.end()
+      java.util.Arrays.copyOf(out, m)
+    }
+    val buf = java.nio.ByteBuffer.allocate(offStrip + stripData.length).order(
       if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
       else java.nio.ByteOrder.LITTLE_ENDIAN)
     val bom = if (bigEndian) 'M'.toByte else 'I'.toByte
@@ -469,12 +568,12 @@ object Grids {
     entry(256, 3, 1, nx.toLong)
     entry(257, 3, 1, ny.toLong)
     entry(258, 3, 1, 64)
-    entry(259, 3, 1, 1)
+    entry(259, 3, 1, if (deflate) 8L else 1L)
     entry(262, 3, 1, 1)
     entry(273, 4, 1, offStrip.toLong)
     entry(277, 3, 1, 1)
     entry(278, 4, 1, math.max(ny, 1).toLong)
-    entry(279, 4, 1, ny.toLong * nx * 8)
+    entry(279, 4, 1, stripData.length.toLong)
     entry(339, 3, 1, 3)
     entry(33550, 12, 3, offScale.toLong)
     entry(33922, 12, 6, offTie.toLong)
@@ -486,7 +585,7 @@ object Grids {
     ndBytes.foreach { b =>
       buf.put(b); if ((b.length & 1) == 1) buf.put(0.toByte)
     }
-    values.foreach(_.foreach(buf.putDouble))
+    buf.put(stripData)
     buf.array()
   }
 

@@ -1,0 +1,90 @@
+package graft
+
+import graft.sources.Grib
+
+class GribSpec extends SparkSpec {
+
+  test("ibm32: IBM-370 float decodes exactly on power-of-two and mixed values") {
+    assert(Grib.ibm32(0xC8, 0x80, 0x00, 0x00) === -2147483648.0) // −2³¹
+    assert(Grib.ibm32(0x41, 0x18, 0x00, 0x00) === 1.5)
+    assert(Grib.ibm32(0x00, 0x00, 0x00, 0x00) === 0.0)
+  }
+
+  /** 12-bit packing, E=1, D=2, R=1.5, sign-magnitude negative La1,
+    * south→north scanning, hour unit + P1 crossing a century. */
+  private def fixture: Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(88) // big-endian by default
+    def u24(v: Int): Unit = { b.put((v >> 16).toByte).put((v >> 8).toByte)
+      .put(v.toByte); () }
+    def sm24(v: Int): Unit = u24(if (v < 0) 0x800000 | -v else v)
+    b.put("GRIB".getBytes("US-ASCII")); u24(88); b.put(1.toByte)
+    // PDS (28): GDS only, param 11, ref 1999-12-31T23:00, unit h, P1 6
+    u24(28); b.put(128.toByte).put(98.toByte).put(0.toByte).put(255.toByte)
+    b.put(0x80.toByte)
+    b.put(11.toByte).put(1.toByte).putShort(0)
+    b.put(99.toByte).put(12.toByte).put(31.toByte).put(23.toByte).put(0.toByte)
+    b.put(1.toByte).put(6.toByte).put(0.toByte).put(0.toByte)
+    b.putShort(0); b.put(0.toByte)
+    b.put(20.toByte).put(0.toByte) // century: 1999 = (20−1)·100 + 99
+    b.putShort(2) // D = 2
+    // GDS (32): 3×1 grid at (−1.5, 10.25), Δ 0.25, scan j+ (0x40)
+    u24(32); b.put(0.toByte).put(255.toByte).put(0.toByte)
+    b.putShort(3).putShort(1)
+    sm24(-1500); sm24(10250)
+    b.put(0x80.toByte)
+    sm24(-1500); sm24(10750)
+    b.putShort(250).putShort(250)
+    b.put(0x40.toByte); u24(0); b.put(0.toByte)
+    // BDS (16): 4 unused bits, E=1, R=1.5, 12 bits, N = 1, 2048, 4095
+    u24(16); b.put(0x04.toByte)
+    b.putShort(1)
+    b.put(0x41.toByte).put(0x18.toByte).put(0x00.toByte).put(0x00.toByte)
+    b.put(12.toByte)
+    b.put(0x00.toByte).put(0x18.toByte).put(0x00.toByte)
+      .put(0xFF.toByte).put(0xF0.toByte)
+    b.put("7777".getBytes("US-ASCII"))
+    assert(b.position() === 88)
+    b.array()
+  }
+
+  test("decodeGrib: hand fixture — bit unpacking, scaling, sign-magnitude coords, valid-time arithmetic") {
+    val cells = Grib.decodeGrib(fixture).toSeq
+    assert(cells.length === 3)
+    assert(cells.forall(_.`var` == "p11"))
+    // 1999-12-31T23:00 + 6 h = 2000-01-01T05:00
+    assert(cells.forall(_.time.toLocalDateTime.toString ==
+      "2000-01-01T05:00"))
+    assert(cells.forall(_.lat === -1.5))
+    val m = cells.map(c => c.lon -> c.value).toMap
+    assert(m(10.25) === (1.5 + 1 * 2.0) / 100.0)
+    assert(m(10.5) === (1.5 + 2048 * 2.0) / 100.0)
+    assert(m(10.75) === (1.5 + 4095 * 2.0) / 100.0)
+  }
+
+  test("decodeGrib: concatenated messages decode in sequence; malformed quarantines") {
+    val two = fixture ++ fixture
+    assert(Grib.decodeGrib(two).length === 6)
+    assert(Grib.decodeGrib(Array.emptyByteArray).isEmpty)
+    assert(Grib.decodeGrib("GRIBBERISH not a message".getBytes).isEmpty)
+    assert(Grib.decodeGrib(
+      java.util.Arrays.copyOf(fixture, fixture.length - 2)).isEmpty)
+    val ed2 = fixture.clone(); ed2(7) = 2
+    assert(Grib.decodeGrib(ed2).isEmpty)
+    // trailing padding shorter than a section-0 header is ignored…
+    assert(Grib.decodeGrib(fixture ++ "junk".getBytes).length === 3)
+    // …but a full-width corrupt trailer poisons the whole file
+    // (conservative: any unparseable message quarantines everything)
+    assert(Grib.decodeGrib(fixture ++ "junkjunkjunk".getBytes).isEmpty)
+  }
+
+  test("grid_grib_decode equals the GeoTIFF lane cell-for-cell; bitmap masks the same holes") {
+    val gb = SparkEntry.queries("grid_grib_decode")(spark, sf).collect()
+    val tif = SparkEntry.queries("grid_tiff_decode")(spark, sf).collect()
+    assert(gb.nonEmpty)
+    assert(gb.forall(r => r.getString(0) == "p61" &&
+      r.getString(1) == "2024-01-15"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getDouble(2), r.getDouble(3), math.rint(r.getDouble(4) * 1e6))
+    assert(gb.map(key).toSet === tif.map(key).toSet)
+  }
+}

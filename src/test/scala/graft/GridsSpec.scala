@@ -437,6 +437,63 @@ class GridsSpec extends SparkSpec {
     assert(Grids.decodeTiff("v", 0, comp).isEmpty)
   }
 
+  test("decodeTiff: DEFLATE strips, PackBits RLE, horizontal predictor") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // DEFLATE (Compression=8) round trip equals the uncompressed decode
+    val nd = -9999.0
+    val vals = Array(Array(1.5, 2.5, nd), Array(4.0, 5.25, 6.125))
+    val plain = Grids.decodeTiff("tp", 1,
+      Grids.encodeTiff(-10.0, 44.0, 0.5, vals, Some(nd))).toSeq
+    val comp = Grids.decodeTiff("tp", 1,
+      Grids.encodeTiff(-10.0, 44.0, 0.5, vals, Some(nd), bigEndian = false,
+        deflate = true)).toSeq
+    assert(comp === plain && comp.length === 5)
+
+    def entry(b: ByteBuffer, tag: Int, typ: Int, cnt: Int, v: Long): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      if (typ == 3 && cnt == 1) { b.putShort(v.toShort); b.putShort(0) }
+      else b.putInt(v.toInt)
+      ()
+    }
+    // PackBits: 2×2 uint8 [7,7,7,9] as RLE (-2,7 | 0,9)
+    val pb = ByteBuffer.allocate(234).order(ByteOrder.LITTLE_ENDIAN)
+    pb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    pb.putShort(12)
+    entry(pb, 256, 3, 1, 2); entry(pb, 257, 3, 1, 2); entry(pb, 258, 3, 1, 8)
+    entry(pb, 259, 3, 1, 32773); entry(pb, 262, 3, 1, 1)
+    entry(pb, 273, 4, 1, 230); entry(pb, 277, 3, 1, 1)
+    entry(pb, 278, 3, 1, 2); entry(pb, 279, 4, 1, 4); entry(pb, 339, 3, 1, 1)
+    entry(pb, 33550, 12, 3, 158); entry(pb, 33922, 12, 6, 182)
+    pb.putInt(0)
+    pb.putDouble(1.0).putDouble(1.0).putDouble(0)
+    pb.putDouble(0).putDouble(0).putDouble(0)
+      .putDouble(0.0).putDouble(2.0).putDouble(0)
+    pb.put((-2).toByte).put(7.toByte).put(0.toByte).put(9.toByte)
+    val pbc = Grids.decodeTiff("v", 0, pb.array()).toSeq
+      .map(c => (c.lat, c.lon, c.value)).sorted
+    assert(pbc === Seq((0.5, 0.5, 7.0), (0.5, 1.5, 9.0),
+      (1.5, 0.5, 7.0), (1.5, 1.5, 7.0)))
+
+    // horizontal predictor (tag 317=2): 1×4 uint8 diffs 10,5,5,-3
+    val pr = ByteBuffer.allocate(246).order(ByteOrder.LITTLE_ENDIAN)
+    pr.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    pr.putShort(13)
+    entry(pr, 256, 3, 1, 4); entry(pr, 257, 3, 1, 1); entry(pr, 258, 3, 1, 8)
+    entry(pr, 259, 3, 1, 1); entry(pr, 262, 3, 1, 1)
+    entry(pr, 273, 4, 1, 242); entry(pr, 277, 3, 1, 1)
+    entry(pr, 278, 3, 1, 1); entry(pr, 279, 4, 1, 4)
+    entry(pr, 317, 3, 1, 2); entry(pr, 339, 3, 1, 1)
+    entry(pr, 33550, 12, 3, 170); entry(pr, 33922, 12, 6, 194)
+    pr.putInt(0)
+    pr.putDouble(1.0).putDouble(1.0).putDouble(0)
+    pr.putDouble(0).putDouble(0).putDouble(0)
+      .putDouble(0.0).putDouble(1.0).putDouble(0)
+    pr.put(10.toByte).put(5.toByte).put(5.toByte).put(253.toByte)
+    val prc = Grids.decodeTiff("v", 0, pr.array()).toSeq
+      .map(c => (c.lon, c.value)).sorted
+    assert(prc === Seq((0.5, 10.0), (1.5, 15.0), (2.5, 20.0), (3.5, 17.0)))
+  }
+
   test("decodeTiffDrop: filename parse feeds var/day; grid_tiff_decode equals the ASC lane cell-for-cell") {
     import spark.implicits._
     val one = Grids.encodeTiff(0.0, 1.0, 1.0, Array(Array(42.0)), None)

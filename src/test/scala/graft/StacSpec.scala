@@ -1,0 +1,107 @@
+package graft
+
+import graft.sources.Stac
+import org.apache.spark.sql.functions._
+
+class StacSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A verbatim-shape public STAC Item page (the subset of fields the
+    * reference consumes, plus extra fields a real API returns that
+    * the parse must IGNORE, not trip on). */
+  private val realisticPage: String =
+    """{"type":"FeatureCollection","context":{"returned":2,"limit":250},
+      |"features":[
+      | {"type":"Feature","stac_version":"1.0.0","id":"era5-2020-01-01",
+      |  "collection":"era5-pds","geometry":{"type":"Polygon","coordinates":[]},
+      |  "bbox":[-180.0,-90.0,180.0,90.0],
+      |  "properties":{"datetime":"2020-01-01T00:00:00Z","obs:count":24,
+      |    "value_us":1500000,"ensemble":0,"platform":"reanalysis"},
+      |  "links":[{"rel":"self","href":"x"}],
+      |  "assets":{
+      |    "tp":{"href":"./era5/tp.nc","type":"application/netcdf",
+      |      "roles":["data"]},
+      |    "thumbnail":{"href":"./t.png","type":"image/png"}}},
+      | {"type":"Feature","stac_version":"1.0.0","id":"era5-2020-01-02",
+      |  "collection":"era5-pds","bbox":[0.0,40.0,2.0,42.0],
+      |  "properties":{"datetime":"2020-01-02T00:00:00Z","obs:count":24,
+      |    "value_us":-250000,"ensemble":1},
+      |  "assets":{"thumbnail":{"href":"./t2.png","type":"image/png"}}}
+      |]}""".stripMargin.replace("\n", "")
+
+  test("decodeStacDrop: realistic page parses, extra fields ignored, items flatten in order") {
+    val docs = Seq(("p0.json", realisticPage)).toDF("name", "content")
+    val (items, bad) = Stac.decodeStacDrop(docs)
+    assert(bad.count() === 0)
+    val rows = items.orderBy("pos")
+      .select($"pos", $"item.id", $"item.properties.datetime",
+        $"item.bbox"(0), element_at($"item.assets", "tp")("href"))
+      .collect()
+    assert(rows.length === 2)
+    assert(rows(0).getString(1) === "era5-2020-01-01")
+    assert(rows(0).getString(2) === "2020-01-01T00:00:00Z")
+    assert(rows(0).getDouble(3) === -180.0)
+    assert(rows(0).getString(4) === "./era5/tp.nc")
+    assert(rows(1).isNullAt(4)) // no tp asset on the second item
+  }
+
+  test("decodeStacDrop: malformed JSON and non-collection docs quarantine, good pages survive") {
+    val docs = Seq(
+      ("good.json", realisticPage),
+      ("trunc.json", realisticPage.dropRight(30)),
+      ("wrongtype.json", """{"type":"Catalog","id":"root"}"""),
+      ("garbage.json", "not json at all")).toDF("name", "content")
+    val (items, bad) = Stac.decodeStacDrop(docs)
+    assert(items.select($"page").distinct().as[String].collect().toSet
+      === Set("good.json"))
+    assert(bad.select($"name").as[String].collect().toSet
+      === Set("trunc.json", "wrongtype.json", "garbage.json"))
+  }
+
+  test("searchItems: closed datetime interval, collection set, query predicate each drop independently") {
+    val docs = Seq(("p0.json", realisticPage)).toDF("name", "content")
+    val (items, _) = Stac.decodeStacDrop(docs)
+    // closed interval: an item ON the boundary instant is kept
+    assert(Stac.searchItems(items, Seq("era5-pds"),
+      "2020-01-01T00:00:00Z", "2020-01-01T00:00:00Z").count() === 1)
+    assert(Stac.searchItems(items, Seq("era5-pds"),
+      "2020-01-01T00:00:01Z", "2020-01-01T23:59:59Z").count() === 0)
+    assert(Stac.searchItems(items, Seq("other"),
+      "2020-01-01T00:00:00Z", "2020-01-03T00:00:00Z").count() === 0)
+    assert(Stac.searchItems(items, Seq("era5-pds"),
+      "2020-01-01T00:00:00Z", "2020-01-03T00:00:00Z",
+      Seq(p => p.getField("ensemble") === 1)).count() === 1)
+  }
+
+  test("selectAssets: assets.get(varname) drops asset-less items; factor scales the exact mean") {
+    val docs = Seq(("p0.json", realisticPage)).toDF("name", "content")
+    val (items, _) = Stac.decodeStacDrop(docs)
+    val sel = Stac.selectAssets(
+      Stac.searchItems(items, Seq("era5-pds"),
+        "2020-01-01T00:00:00Z", "2020-01-03T00:00:00Z"), "tp", 2.0)
+      .collect()
+    assert(sel.length === 1) // the tp-less second item dropped
+    val r = sel.head
+    assert(r.getAs[String]("item_id") === "era5-2020-01-01")
+    assert(r.getAs[String]("day") === "2020-01-01")
+    assert(r.getAs[Double]("value") === 3.0) // 1.5 × 2.0, exact
+    assert(r.getAs[String]("media_type") === "application/netcdf")
+  }
+
+  test("stacSearchItems: end-to-end render→parse→search survivors are exactly gids 3, 6, 7") {
+    val out = Stac.stacSearchItems(spark, sf).collect()
+    assert(out.map(_.getAs[String]("item_id")).toSeq
+      === Seq("item_003", "item_006", "item_007"))
+    // every drop mechanism is live: era5/cmip6 only, window, ensemble, asset
+    assert(out.forall(r => Set("era5", "cmip6")(r.getAs[String]("collection"))))
+    assert(out.forall { r =>
+      val d = r.getAs[String]("day"); d >= "2024-03-03" && d <= "2024-03-10" })
+    assert(out.forall(r => r.getAs[String]("href").endsWith("_tp.nc")))
+    // bbox arithmetic survived the JSON round trip exactly
+    val g7 = out.find(_.getAs[String]("item_id") == "item_007").get
+    assert(g7.getAs[Double]("west") === 5.0)
+    assert(g7.getAs[Double]("east") === 7.0)
+    assert(g7.getAs[Double]("south") === 42.0)
+    assert(g7.getAs[Double]("north") === 44.0)
+  }
+}
