@@ -174,6 +174,7 @@ object SparkEntry {
     "schedule_due"          -> graft.sources.Schedule.scheduleDue _,
     "obs_upsert_merge"      -> graft.sources.Ingest.obsUpsertMerge _,
     "obs_collection_extents" -> graft.sources.Ingest.obsCollectionExtents _,
+    "ftp_hydro_select"      -> graft.sources.Ingest.ftpHydroSelect _,
     "stations_reproject"    -> Geo.stationsReproject _,
     "grid_affine_stack"     -> graft.sources.Grids.gridAffineStack _,
     "grid_asc_decode"       -> graft.sources.Grids.gridAscDecode _,
@@ -181,6 +182,7 @@ object SparkEntry {
     "grid_nc_decode"        -> graft.sources.NetCdf.gridNcDecode _,
     "grid_grib_decode"      -> graft.sources.Grib.gridGribDecode _,
     "stac_search_items"     -> graft.sources.Stac.stacSearchItems _,
+    "grid_zarr_decode"      -> graft.sources.Zarr.gridZarrDecode _,
     "multimodal_container_meta" -> Multimodal.containerMeta _,
     "spi_forecast_coverage" -> Climate.spiForecastCoverage _,
     "rijn_deficit_weekly"   -> Climate.rijnDeficitWeekly _,
@@ -5240,6 +5242,38 @@ object SparkEntry {
         |  round(min(level), 4) AS level_min, round(max(level), 4) AS level_max
         |FROM m WHERE rn = 1 GROUP BY 1""".stripMargin,
 
+    // the reference's unpadded-date regex quirk is mirrored on both
+    // engines: '.*1.*1.*2024\.xlsx' happily selects the day-10 file
+    // for a day-1 request because 10_1 sorts first and CONTAINS the
+    // digits — first match in listing order wins, faithfully
+    "ftp_hydro_select" ->
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+        |listing AS (
+        |  SELECT 'Alazani-Shaqriani-Hydro-' || CAST(day(d) AS VARCHAR)
+        |    || '_' || CAST(month(d) AS VARCHAR) || '_'
+        |    || CAST(year(d) AS VARCHAR) || '.xlsx' AS fname
+        |  FROM days),
+        |ordered AS (
+        |  SELECT fname, row_number() OVER (ORDER BY fname) AS idx
+        |  FROM listing),
+        |reqs AS (
+        |  SELECT DATE '2023-12-31' + CAST(n AS INT) AS rd
+        |  FROM range(1, 10) t(n)
+        |  UNION ALL SELECT DATE '2024-02-15'),
+        |sel AS (
+        |  SELECT r.rd, min_by(o.fname, o.idx) AS f
+        |  FROM reqs r JOIN ordered o
+        |    ON regexp_matches(o.fname, 'Alazani-Shaqriani-Hydro-.*'
+        |      || CAST(day(r.rd) AS VARCHAR) || '.*'
+        |      || CAST(month(r.rd) AS VARCHAR) || '.*'
+        |      || CAST(year(r.rd) AS VARCHAR) || '\.xlsx')
+        |  GROUP BY 1)
+        |SELECT strftime(r.rd, '%Y-%m-%d') AS req_date,
+        |  CASE WHEN s.f IS NULL THEN 'SKIPPED' ELSE 'OK' END AS status,
+        |  coalesce(s.f, '') AS selected_file
+        |FROM reqs r LEFT JOIN sel s ON r.rd = s.rd
+        |ORDER BY req_date""".stripMargin,
+
     // inverse transverse Mercator with the series coefficients
     // rendered from the SAME driver doubles as the Spark plan — the
     // literal-folding engine-invariance pattern
@@ -5315,6 +5349,21 @@ object SparkEntry {
         |SELECT 'p61' AS var, '2024-01-15' AS day,
         |  42.125 + gy * 0.25 AS lat, -9.875 + gx * 0.25 AS lon,
         |  CAST(v_us AS DOUBLE) / 1e6 AS value
+        |FROM c
+        |WHERE (gx * 8 + gy) % 7 != 3 AND v_us != -2147483648""".stripMargin,
+
+    // the zarr twin of the GRIB/TIFF lanes: i4 chunk packing, edge
+    // padding, zlib, fill mask and the parsed scale_factor * raw —
+    // v_us * 1e-6 is the identical IEEE multiply on both engines
+    "grid_zarr_decode" ->
+      """WITH c AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      * 10000 AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2)
+        |SELECT 'precip' AS var, '2024-01-15' AS day,
+        |  42.125 + gy * 0.25 AS lat, -9.875 + gx * 0.25 AS lon,
+        |  CAST(v_us AS DOUBLE) * 1e-6 AS value
         |FROM c
         |WHERE (gx * 8 + gy) % 7 != 3 AND v_us != -2147483648""".stripMargin,
 

@@ -150,4 +150,51 @@ object Ingest {
         max(col("ts_us")).as("ts_max_us"),
         round(min(col("level")), 4).as("level_min"),
         round(max(col("level")), 4).as("level_max"))
+
+  /** FTP drop-file selection — `georgia_ftp_alazani_shaqriani_hydro_
+    * process.py:168-178` `find_requested_file`: the requested date
+    * builds the regex `Alazani-Shaqriani-Hydro-.*{day}.*{month}.*
+    * {year}\.xlsx` with UNPADDED day/month ints, and the FIRST
+    * listing entry that matches wins. Both reference quirks are
+    * mirrored faithfully and spec-pinned: the unpadded `.*1.*`
+    * matches any filename merely CONTAINING the digit (so a day-1
+    * request selects the day-10 file when the listing sorts it
+    * first), and a no-match request is the SKIPPED 200 path
+    * (`Handle200Exception`), not an error. Listing stays broadcast
+    * (one directory's files); each request scans it once with a
+    * per-row compiled regex — request count × listing size, both
+    * bounded by construction at any scale. */
+  def ftpFileSelect(requests: DataFrame, listing: DataFrame): DataFrame = {
+    val pat = concat(lit("Alazani-Shaqriani-Hydro-.*"),
+      dayofmonth(col("rd")), lit(".*"), month(col("rd")), lit(".*"),
+      year(col("rd")), lit("""\.xlsx"""))
+    val matched = requests.withColumn("pat", pat)
+      .join(broadcast(listing), expr("fname rlike pat"), "inner")
+      .groupBy(col("rd"))
+      .agg(min_by(col("fname"), col("idx")).as("sel"))
+    requests.join(matched, Seq("rd"), "left")
+      .select(date_format(col("rd"), "yyyy-MM-dd").as("req_date"),
+        when(col("sel").isNull, "SKIPPED").otherwise("OK").as("status"),
+        coalesce(col("sel"), lit("")).as("selected_file"))
+  }
+
+  /** Oracle-checked lane: the listing is one file per distinct event
+    * day (`Alazani-Shaqriani-Hydro-{d}_{m}_{Y}.xlsx`, listing order =
+    * filename sort), requests are days 1-9 of the event month plus
+    * one out-of-range date (the SKIPPED row). */
+  def ftpHydroSelect(spark: SparkSession, dir: String): DataFrame = {
+    val listing = graft.Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d")).distinct()
+      .select(concat(lit("Alazani-Shaqriani-Hydro-"), dayofmonth(col("d")),
+        lit("_"), month(col("d")), lit("_"), year(col("d")),
+        lit(".xlsx")).as("fname"))
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("fname"))))
+    val requests = spark.range(1, 10)
+      .select(date_add(to_date(lit("2023-12-31")), col("id").cast("int"))
+        .as("rd"))
+      .unionByName(spark.range(1)
+        .select(to_date(lit("2024-02-15")).as("rd")))
+    ftpFileSelect(requests, listing).orderBy(col("req_date"))
+  }
 }

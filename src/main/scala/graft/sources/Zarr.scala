@@ -1,0 +1,370 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** REAL zarr v2 codec — the reference's PRIMARY PUBLISH format:
+  * every ingestor ends in `ds.to_zarr(store, consolidated=True)`
+  * (`ingestor_cds_process.py`, `data_prep_knmi_evapo_forecast.py:
+  * 206-212`, `ingestor_planetary_process.py`) and downstream
+  * processes reopen those stores with `xr.open_zarr`
+  * (`georgia_cds_bias_correction_process.py`). A zarr v2 store is a
+  * key→bytes map: JSON metadata documents (`.zgroup`, consolidated
+  * `.zmetadata`, per-array `<var>/.zarray` + `<var>/.zattrs`) and
+  * raw C-order chunk files (`<var>/<i>.<j>`), which makes it the one
+  * scientific container this environment can implement COMPLETELY —
+  * numcodecs `zlib` is `java.util.zip`, there is no libhdf5 in the
+  * way (unlike NetCDF-4).
+  *
+  * Spark-first shape: the store IS a DataFrame of (path, content) —
+  * at 100 TB that is exactly how an object-store zarr looks (one row
+  * per key, Spark parallelism at chunk grain, which is the grain
+  * xarray/dask use too). Metadata parses IN-PLAN with `from_json`
+  * (consolidated `.zmetadata` through a MapType — heterogeneous
+  * `.zarray`/`.zattrs`/`.zgroup` values unify under one lenient
+  * struct, absent fields null), chunk decode is one typed flatMap at
+  * the drop seam joined to its array's broadcast metadata, and CF
+  * unpacking (`scale_factor`, fill masking) stays in Column algebra.
+  */
+object Zarr {
+
+  /** Unified value schema for every metadata document in a store:
+    * `.zarray` fields + the `.zattrs` the reference's datasets carry
+    * (CF scale + xarray dimension names) + `.zgroup`'s format tag.
+    * from_json leaves absent fields null, so one struct reads all
+    * three document kinds. fill_value is DoubleType (JSON numbers;
+    * a `"NaN"` string fill parses null → no masking, documented). */
+  val metaValueSchema: StructType = StructType(Seq(
+    StructField("zarr_format", IntegerType),
+    StructField("shape", ArrayType(LongType)),
+    StructField("chunks", ArrayType(LongType)),
+    StructField("dtype", StringType),
+    StructField("compressor", StructType(Seq(
+      StructField("id", StringType),
+      StructField("level", IntegerType)))),
+    StructField("fill_value", DoubleType),
+    StructField("order", StringType),
+    StructField("filters", ArrayType(StringType)),
+    StructField("_ARRAY_DIMENSIONS", ArrayType(StringType)),
+    StructField("scale_factor", DoubleType),
+    StructField("add_offset", DoubleType),
+    StructField("day", StringType)))
+
+  /** `.zmetadata` (consolidated) layout: `{"metadata": {path: doc},
+    * "zarr_consolidated_format": 1}`. */
+  val zmetadataSchema: StructType = StructType(Seq(
+    StructField("metadata", MapType(StringType, metaValueSchema)),
+    StructField("zarr_consolidated_format", IntegerType)))
+
+  /** Array metadata + attrs per variable, one row each — from the
+    * consolidated `.zmetadata` when present (xarray's fast path),
+    * otherwise assembled from the per-file `<var>/.zarray` +
+    * `<var>/.zattrs` documents. Output columns: var_name, zarray
+    * struct, attrs struct; plus a quarantine frame for stores whose
+    * metadata does not parse. */
+  def metadataOf(store: DataFrame): (DataFrame, DataFrame) = {
+    val consolidated = store.filter(col("path") === ".zmetadata")
+      .withColumn("doc",
+        from_json(col("content").cast("string"), zmetadataSchema))
+    val badConsolidated = consolidated
+      .filter(col("doc").isNull || col("doc.metadata").isNull)
+      .select(col("path").as("name"), lit("malformed_zmetadata").as("reason"))
+    val fromConsolidated = consolidated
+      .filter(col("doc.metadata").isNotNull)
+      .select(explode(col("doc.metadata")).as(Seq("key", "m")))
+    // per-file fallback: parse each <var>/.zarray | .zattrs document
+    val perFile = store
+      .filter(col("path").endsWith("/.zarray") ||
+        col("path").endsWith("/.zattrs"))
+      .select(col("path").as("key"),
+        from_json(col("content").cast("string"), metaValueSchema).as("m"))
+    val badPerFile = perFile.filter(col("m").isNull)
+      .select(col("key").as("name"), lit("malformed_zarr_meta").as("reason"))
+    val hasConsolidated = col("src") === "c"
+    val keyed = fromConsolidated.withColumn("src", lit("c"))
+      .unionByName(perFile.filter(col("m").isNotNull)
+        .withColumn("src", lit("f")))
+      .withColumn("var_name",
+        when(col("key").contains("/"),
+          substring_index(col("key"), "/", 1)))
+      .withColumn("kind", substring_index(col("key"), "/", -1))
+    // consolidated wins when both are present (it is the same data;
+    // xarray reads only .zmetadata when consolidated=True)
+    val anyCons = keyed.filter(hasConsolidated).limit(1).count() > 0
+    val chosen = keyed.filter(if (anyCons) hasConsolidated else !hasConsolidated)
+    val vars = chosen.filter(col("kind") === ".zarray" &&
+        col("var_name").isNotNull)
+      .select(col("var_name"), col("m").as("zarray"))
+      .join(chosen.filter(col("kind") === ".zattrs")
+        .select(col("var_name"), col("m").as("attrs")),
+        Seq("var_name"), "left")
+    (vars, badConsolidated.unionByName(badPerFile))
+  }
+
+  private[graft] case class ZChunkIn(var_name: String, path: String,
+      content: Array[Byte], shape: Seq[Long], chunks: Seq[Long],
+      dtype: String, comp_id: Option[String], ord: Option[String],
+      has_filters: Boolean)
+  private[graft] case class ZCell(var_name: String, i0: Long, i1: Long,
+      raw: Double)
+  /** Flat union record for the decode flatMap (ok = a cell row;
+    * !ok = a quarantine row) — Spark has no Either encoder. */
+  private[graft] case class ZDec(ok: Boolean, var_name: String,
+      i0: Long, i1: Long, raw: Double, name: String, reason: String)
+
+  private def inflate(bytes: Array[Byte], compId: Option[String]):
+      Option[Array[Byte]] = compId match {
+    case None => Some(bytes)
+    case Some("zlib") => scala.util.Try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(bytes)
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) throw new java.io.EOFException()
+        out.write(buf, 0, n)
+      }
+      inf.end(); out.toByteArray
+    }.toOption
+    case Some("gzip") => scala.util.Try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    }.toOption
+    case _ => None
+  }
+
+  /** One chunk file → cells. Validates order=C / no filters /
+    * known dtype+compressor / exact byte length, parses the chunk
+    * grid position from the filename, walks elements in C-order and
+    * SKIPS the zarr edge padding (positions ≥ shape). 1-D and 2-D
+    * arrays (the shapes the reference's stores use; i1 = 0 for 1-D).
+    * Returns Left(reason) for quarantine. */
+  private[graft] def decodeChunk(c: ZChunkIn):
+      Either[String, Iterator[ZCell]] = {
+    val dt = c.dtype
+    if (c.has_filters) return Left("unsupported_filters")
+    if (!c.ord.forall(_ == "C")) return Left("unsupported_order")
+    if (c.shape.isEmpty || c.shape.length > 2 ||
+        c.chunks.length != c.shape.length) return Left("bad_shape")
+    if (dt == null || dt.length != 3 || !"<>".contains(dt(0)) ||
+        !"if".contains(dt(1))) return Left("unsupported_dtype")
+    val size = dt.substring(2).toIntOption.getOrElse(0)
+    if (!Seq(1, 2, 4, 8).contains(size) ||
+        (dt(1) == 'f' && size < 4)) return Left("unsupported_dtype")
+    val name = c.path.substring(c.path.lastIndexOf('/') + 1)
+    val pos = name.split('.').toSeq
+    if (pos.length != c.shape.length ||
+        pos.exists(_.toLongOption.isEmpty)) return Left("bad_chunk_key")
+    val ci = pos.map(_.toLong)
+    val nElems = c.chunks.product
+    inflate(c.content, c.comp_id) match {
+      case None => Left("undecodable_chunk")
+      case Some(raw) if raw.length != nElems * size => Left("chunk_size_mismatch")
+      case Some(raw) =>
+        val buf = java.nio.ByteBuffer.wrap(raw).order(
+          if (dt(0) == '<') java.nio.ByteOrder.LITTLE_ENDIAN
+          else java.nio.ByteOrder.BIG_ENDIAN)
+        def value(k: Int): Double = (dt(1), size) match {
+          case ('i', 1) => buf.get(k).toDouble
+          case ('i', 2) => buf.getShort(k * 2).toDouble
+          case ('i', 4) => buf.getInt(k * 4).toDouble
+          case ('i', 8) => buf.getLong(k * 8).toDouble
+          case ('f', 4) => buf.getFloat(k * 4).toDouble
+          case _        => buf.getDouble(k * 8)
+        }
+        val (c0, n0) = (c.chunks.head, c.shape.head)
+        val o0 = ci.head * c0
+        if (c.shape.length == 1)
+          Right((0L until c0).iterator.filter(o0 + _ < n0)
+            .map(r => ZCell(c.var_name, o0 + r, 0L, value(r.toInt))))
+        else {
+          val (c1, n1) = (c.chunks(1), c.shape(1))
+          val o1 = ci(1) * c1
+          Right(for {
+            r <- (0L until c0).iterator if o0 + r < n0
+            s <- (0L until c1).iterator if o1 + s < n1
+          } yield ZCell(c.var_name, o0 + r, o1 + s,
+            value((r * c1 + s).toInt)))
+        }
+    }
+  }
+
+  /** Store rows → (cells, quarantine). Chunk rows join their array's
+    * metadata (broadcast — O(#vars) rows) and decode in one flatMap
+    * at the chunk grain; metadata problems and undecodable chunks
+    * land in the quarantine frame, never kill the job. */
+  def decodeZarrDrop(store: DataFrame): (DataFrame, DataFrame) = {
+    val (vars, badMeta) = metadataOf(store)
+    decodeZarrDropWith(store, vars, badMeta)
+  }
+
+  /** Decode against already-parsed metadata — callers that also read
+    * attrs/fill (the CF unpacking) parse the metadata once and share
+    * it, instead of re-deriving the whole store per consumer. */
+  def decodeZarrDropWith(store: DataFrame, vars: DataFrame,
+      badMeta: DataFrame): (DataFrame, DataFrame) = {
+    val spark = store.sparkSession
+    import spark.implicits._
+    val chunks = store
+      .filter(!col("path").endsWith(".zmetadata") &&
+        !col("path").endsWith(".zgroup") &&
+        !col("path").endsWith(".zarray") &&
+        !col("path").endsWith(".zattrs") &&
+        col("path").contains("/"))
+      .withColumn("var_name", substring_index(col("path"), "/", 1))
+      .join(broadcast(vars), Seq("var_name"), "inner")
+      .select(col("var_name"), col("path"), col("content"),
+        col("zarray.shape").as("shape"), col("zarray.chunks").as("chunks"),
+        col("zarray.dtype").as("dtype"),
+        col("zarray.compressor.id").as("comp_id"),
+        col("zarray.order").as("ord"),
+        coalesce(size(col("zarray.filters")) > 0, lit(false))
+          .as("has_filters"))
+      .as[ZChunkIn]
+    val decoded = chunks.flatMap { c =>
+      decodeChunk(c) match {
+        case Left(reason) =>
+          Iterator(ZDec(ok = false, null, 0L, 0L, 0.0, c.path, reason))
+        case Right(it) => it.map(z =>
+          ZDec(ok = true, z.var_name, z.i0, z.i1, z.raw, null, null))
+      }
+    }
+    val cells = decoded.filter(col("ok"))
+      .select(col("var_name"), col("i0"), col("i1"), col("raw"))
+    val badChunks = decoded.filter(!col("ok"))
+      .select(col("name"), col("reason"))
+    (cells, badMeta.unionByName(badChunks))
+  }
+
+  // --- in-plan store render (the oracle-checked lane) ---------------
+
+  private def jstr(s: String) = "\"" + s + "\""
+  private def zarrayJson(shape: Seq[Int], chunks: Seq[Int], dtype: String,
+      comp: Option[(String, Int)], fill: Option[Long]): String =
+    s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],""" +
+      s""""chunks":[${chunks.mkString(",")}],"dtype":${jstr(dtype)},""" +
+      s""""compressor":${comp.map { case (id, lv) =>
+        s"""{"id":${jstr(id)},"level":$lv}""" }.getOrElse("null")},""" +
+      s""""fill_value":${fill.map(_.toString).getOrElse("null")},""" +
+      """"order":"C","filters":null}"""
+
+  private def f8Hex(vs: Seq[Double]): String = vs.map { d =>
+    val b = java.lang.Double.doubleToLongBits(d)
+    (0 to 7).map(i => f"${(b >> (8 * i)) & 0xFF}%02X").mkString
+  }.mkString
+
+  /** Little-endian hex of the low 4 bytes of an integral column —
+    * the in-plan i4 chunk renderer (two's complement via mask). */
+  private def leHex4(e: Column): Column = {
+    val p = lpad(hex(e.cast("long").bitwiseAND(lit(0xFFFFFFFFL))), 8, "0")
+    concat((3 to 0 by -1).map(i => substring(p, i * 2 + 1, 2)): _*)
+  }
+
+  private val Fill = -2147483648L
+
+  /** END-TO-END oracle-checked lane — `to_zarr(consolidated=True)` ∘
+    * `open_zarr` on the events grid: micro-unit cell means pack as
+    * `<i4` chunks of a 3×3-chunked 8×8 `precip` array (edge chunks
+    * PADDED per the zarr spec — the decode must bounds-skip), masked
+    * cells (`(gx·8+gy) % 7 == 3`) written as the declared
+    * fill_value, chunk bytes zlib-deflated at the seam (numcodecs
+    * `zlib`), `lat`/`lon` as REAL `<f8` coordinate arrays
+    * (north-first, so the index→latitude mapping is load-bearing),
+    * and the CF `scale_factor` + the day label read back from the
+    * PARSED `.zattrs` — a metadata, packing, padding, compression or
+    * coordinate bug cannot hash-match. The oracle recomputes the
+    * expected cells straight from events. */
+  def gridZarrDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lats = (0 until 8).map(i => 43.875 - 0.25 * i) // north-first
+    val lons = (0 until 8).map(j => -9.875 + 0.25 * j)
+    val metaJson =
+      s"""{"metadata":{""" +
+        s""""precip/.zarray":${zarrayJson(Seq(8, 8), Seq(3, 3), "<i4",
+          Some(("zlib", 1)), Some(Fill))},""" +
+        s""""precip/.zattrs":{"_ARRAY_DIMENSIONS":["lat","lon"],""" +
+        s""""scale_factor":1.0E-6,"add_offset":0.0,"day":"2024-01-15"},""" +
+        s""""lat/.zarray":${zarrayJson(Seq(8), Seq(8), "<f8", None, None)},""" +
+        s""""lat/.zattrs":{"_ARRAY_DIMENSIONS":["lat"]},""" +
+        s""""lon/.zarray":${zarrayJson(Seq(8), Seq(8), "<f8", None, None)},""" +
+        s""""lon/.zattrs":{"_ARRAY_DIMENSIONS":["lon"]},""" +
+        s"""".zgroup":{"zarr_format":2}},"zarr_consolidated_format":1}"""
+    val constRows = Seq(
+      (".zmetadata", metaJson.getBytes("UTF-8")),
+      (".zgroup", """{"zarr_format":2}""".getBytes("UTF-8")),
+      ("lat/0", hexToBytes(f8Hex(lats))),
+      ("lon/0", hexToBytes(f8Hex(lons))))
+    val cellVals = graft.Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
+    // chunk lattice: 9 chunks × 9 in-chunk slots; slots beyond the
+    // 8×8 shape are zarr edge padding and render as fill
+    val slots = spark.range(81)
+      .select((col("id") % 9).as("slot"), expr("id div 9").as("ck"))
+      .select(expr("ck div 3").as("ci"), (col("ck") % 3).as("cj"),
+        expr("slot div 3").as("r"), (col("slot") % 3).as("s"))
+      .select(col("ci"), col("cj"), col("r"), col("s"),
+        (col("ci") * 3 + col("r")).as("i"), (col("cj") * 3 + col("s")).as("j"))
+    val packed = slots
+      .join(cellVals
+        .select((lit(7) - col("gy")).as("i"), col("gx").as("j"),
+          col("v_us"), ((col("gx") * 8 + col("gy")) % 7 === 3).as("masked")),
+        Seq("i", "j"), "left")
+      .withColumn("v", when(col("i") >= 8 || col("j") >= 8 ||
+        col("masked") || col("v_us").isNull, lit(Fill))
+        .otherwise(col("v_us")))
+      .groupBy(col("ci"), col("cj"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct((col("r") * 3 + col("s")).as("p"),
+          leHex4(col("v")).as("h")))),
+        x => x.getField("h"))).as("datahex"))
+      .select(concat(lit("precip/"), col("ci"), lit("."), col("cj"))
+        .as("path"), unhex(col("datahex")).as("content"))
+    // the compression seam: numcodecs zlib over the assembled bytes
+    val deflated = packed.as[(String, Array[Byte])].map { case (p, b) =>
+      val d = new java.util.zip.Deflater(1)
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream(b.length)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); (p, out.toByteArray)
+    }.toDF("path", "content")
+    // one materialization of the rendered store; the metadata parse,
+    // the chunk decode and the coordinate readers all reuse it (a
+    // production store reads from object storage — no recompute)
+    val store = deflated.unionByName(
+      constRows.toDF("path", "content")).localCheckpoint()
+    val (vars0, badMeta) = metadataOf(store)
+    val vars = vars0.localCheckpoint() // O(#vars); read by 3 consumers
+    val (cells0, _) = decodeZarrDropWith(store, vars, badMeta)
+    val cells = cells0.localCheckpoint() // precip + lat + lon readers
+    val attrs = vars.filter(col("var_name") === "precip")
+      .select(col("attrs.scale_factor").as("scale"), col("attrs.day"))
+    val fillCol = vars.filter(col("var_name") === "precip")
+      .select(col("zarray.fill_value").as("fill"))
+    val latIdx = cells.filter(col("var_name") === "lat")
+      .select(col("i0").as("li"), col("raw").as("lat"))
+    val lonIdx = cells.filter(col("var_name") === "lon")
+      .select(col("i0").as("lj"), col("raw").as("lon"))
+    cells.filter(col("var_name") === "precip")
+      .crossJoin(broadcast(attrs)).crossJoin(broadcast(fillCol))
+      .filter(col("raw") =!= col("fill"))
+      .join(broadcast(latIdx), col("i0") === col("li"))
+      .join(broadcast(lonIdx), col("i1") === col("lj"))
+      .select(col("var_name").as("var"), col("day"),
+        col("lat"), col("lon"),
+        (col("raw") * col("scale")).as("value"))
+  }
+
+  private def hexToBytes(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+}

@@ -272,4 +272,26 @@ class IngestSpec extends SparkSpec {
     assert(leaf.contains("PartitionFilters") && leaf.contains("p_cx#"),
       s"partition filters missing from scan: ${leaf.take(300)}")
   }
+
+  test("ftpFileSelect: unpadded-date regex quirk and SKIPPED path mirror the reference") {
+    import spark.implicits._
+    val out = Ingest.ftpHydroSelect(spark, sf).collect()
+    assert(out.length === 10)
+    val byDate = out.map(r => r.getString(0) ->
+      (r.getString(1), r.getString(2))).toMap
+    // the reference bug, faithfully: day-1 request builds
+    // '.*1.*1.*2024\.xlsx', and the day-10 file both CONTAINS those
+    // digits and sorts first — so it wins over the correct day-1 file
+    assert(byDate("2024-01-01") ===
+      ("OK", "Alazani-Shaqriani-Hydro-10_1_2024.xlsx"))
+    // day-2: '2.*1' first appears in 12_1 (10/11 have no digit-2
+    // before a later 1), which sorts before 2_1
+    assert(byDate("2024-01-02") ===
+      ("OK", "Alazani-Shaqriani-Hydro-12_1_2024.xlsx"))
+    // out-of-range request: the Handle200Exception SKIPPED path
+    assert(byDate("2024-02-15") === ("SKIPPED", ""))
+    // a generic request still selects per first-match-in-listing-order
+    assert(out.forall(r => r.getString(1) != "OK" ||
+      r.getString(2).matches("""Alazani-Shaqriani-Hydro-\d+_1_2024\.xlsx""")))
+  }
 }

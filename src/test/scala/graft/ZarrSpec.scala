@@ -1,0 +1,131 @@
+package graft
+
+import graft.sources.Zarr
+import graft.sources.Zarr.{ZChunkIn, ZCell}
+import org.apache.spark.sql.functions._
+
+class ZarrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def le(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+
+  private def chunk(path: String = "v/0.0", shape: Seq[Long] = Seq(2, 2),
+      chunks: Seq[Long] = Seq(2, 2), dtype: String = "<i4",
+      comp: Option[String] = None, content: Array[Byte],
+      ord: Option[String] = Some("C"), filters: Boolean = false) =
+    ZChunkIn("v", path, content, shape, chunks, dtype, comp, ord, filters)
+
+  test("decodeChunk: <i4 little-endian C-order with chunk-grid offsets") {
+    val c = chunk(path = "v/1.1", shape = Seq(4, 4),
+      content = le(1, 0, 0, 0, 0xFE, 0xFF, 0xFF, 0xFF, 0, 1, 0, 0, 0, 0, 0, 0x80))
+    val cells = Zarr.decodeChunk(c).toOption.get.toSeq
+    assert(cells === Seq(
+      ZCell("v", 2, 2, 1.0), ZCell("v", 2, 3, -2.0),
+      ZCell("v", 3, 2, 256.0), ZCell("v", 3, 3, Int.MinValue.toDouble)))
+  }
+
+  test("decodeChunk: edge padding beyond shape is skipped, 1-D and big-endian dtypes decode") {
+    // shape 3, chunks 2 → chunk 1 holds index 2 plus one pad slot
+    val c1 = chunk(path = "v/1", shape = Seq(3), chunks = Seq(2),
+      dtype = ">i2", content = le(0, 7, 0x7F, 0xFF))
+    assert(Zarr.decodeChunk(c1).toOption.get.toSeq
+      === Seq(ZCell("v", 2, 0, 7.0)))
+    // 2-D corner chunk of a 3×3 array with 2×2 chunks: only (2,2) real
+    val c2 = chunk(path = "v/1.1", shape = Seq(3, 3), chunks = Seq(2, 2),
+      dtype = "<f4", content = java.nio.ByteBuffer.allocate(16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putFloat(1.5f).putFloat(2.5f).putFloat(3.5f).putFloat(-8.25f).array())
+    assert(Zarr.decodeChunk(c2).toOption.get.toSeq
+      === Seq(ZCell("v", 2, 2, 1.5)))
+  }
+
+  test("decodeChunk: f8, zlib and gzip compressors round-trip") {
+    val raw = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putDouble(43.875).putDouble(-9.875).array()
+    def deflated: Array[Byte] = {
+      val d = new java.util.zip.Deflater(6); d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    }
+    def gzipped: Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(raw); g.close(); bos.toByteArray
+    }
+    for ((comp, bytes) <- Seq(None -> raw, Some("zlib") -> deflated,
+        Some("gzip") -> gzipped)) {
+      val c = chunk(path = "v/0", shape = Seq(2), chunks = Seq(2),
+        dtype = "<f8", comp = comp, content = bytes)
+      assert(Zarr.decodeChunk(c).toOption.get.toSeq
+        === Seq(ZCell("v", 0, 0, 43.875), ZCell("v", 1, 0, -9.875)),
+        s"compressor $comp")
+    }
+  }
+
+  test("decodeChunk: quarantine reasons — filters, order, dtype, compressor, size, key") {
+    val raw = le(0, 0, 0, 0)
+    def reason(c: ZChunkIn): String = Zarr.decodeChunk(c).left.toOption.get
+    assert(reason(chunk(content = raw, filters = true)) === "unsupported_filters")
+    assert(reason(chunk(content = raw, ord = Some("F"))) === "unsupported_order")
+    assert(reason(chunk(content = raw, dtype = "<U8")) === "unsupported_dtype")
+    assert(reason(chunk(content = raw, dtype = "<f2")) === "unsupported_dtype")
+    assert(reason(chunk(content = raw, comp = Some("blosc")))
+      === "undecodable_chunk")
+    assert(reason(chunk(content = le(1, 2, 3))) === "chunk_size_mismatch")
+    assert(reason(chunk(path = "v/x.y", content = raw)) === "bad_chunk_key")
+    assert(reason(chunk(path = "v/0", content = raw)) === "bad_chunk_key")
+    // truncated zlib stream quarantines, never throws
+    assert(reason(chunk(content = le(0x78, 0x9C, 1), comp = Some("zlib")))
+      === "undecodable_chunk")
+  }
+
+  test("metadataOf: malformed consolidated metadata quarantines; store without it falls back to per-file docs") {
+    val zarray =
+      """{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"<f8",
+        |"compressor":null,"fill_value":null,"order":"C","filters":null}"""
+        .stripMargin.replace("\n", "")
+    val bad = Seq((".zmetadata", "{oops".getBytes("UTF-8")))
+      .toDF("path", "content")
+    val (_, badRows) = Zarr.metadataOf(bad)
+    assert(badRows.select($"reason").as[String].collect().toSeq
+      === Seq("malformed_zmetadata"))
+    val perFile = Seq(
+      ("lat/.zarray", zarray.getBytes("UTF-8")),
+      ("lat/.zattrs", """{"_ARRAY_DIMENSIONS":["lat"]}""".getBytes("UTF-8")))
+      .toDF("path", "content")
+    val (vars, bad2) = Zarr.metadataOf(perFile)
+    assert(bad2.count() === 0)
+    val v = vars.collect()
+    assert(v.length === 1)
+    assert(v.head.getAs[String]("var_name") === "lat")
+    assert(v.head.getAs[org.apache.spark.sql.Row]("zarray")
+      .getAs[String]("dtype") === "<f8")
+  }
+
+  test("decodeZarrDrop: per-file (non-consolidated) store decodes like a consolidated one") {
+    val zarray =
+      """{"zarr_format":2,"shape":[3],"chunks":[2],"dtype":"<i2",
+        |"compressor":null,"fill_value":-9999,"order":"C","filters":null}"""
+        .stripMargin.replace("\n", "")
+    val c0 = le(0x0A, 0x00, 0x14, 0x00) // 10, 20
+    val c1 = le(0x1E, 0x00, 0x63, 0x63) // 30, pad garbage
+    val store = Seq(
+      ("t/.zarray", zarray.getBytes("UTF-8")),
+      ("t/0", c0), ("t/1", c1)).toDF("path", "content")
+    val (cells, bad) = Zarr.decodeZarrDrop(store)
+    assert(bad.count() === 0)
+    assert(cells.orderBy($"i0").select($"raw").as[Double].collect().toSeq
+      === Seq(10.0, 20.0, 30.0))
+  }
+
+  test("gridZarrDecode: end-to-end twin — equals the NetCDF lane cell-for-cell") {
+    val zarr = Zarr.gridZarrDecode(spark, sf)
+    val nc = graft.sources.NetCdf.gridNcDecode(spark, sf)
+    assert(zarr.exceptAll(nc).count() === 0)
+    assert(nc.exceptAll(zarr).count() === 0)
+    assert(zarr.count() > 0)
+  }
+}
