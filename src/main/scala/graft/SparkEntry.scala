@@ -183,6 +183,7 @@ object SparkEntry {
     "grid_grib_decode"      -> graft.sources.Grib.gridGribDecode _,
     "stac_search_items"     -> graft.sources.Stac.stacSearchItems _,
     "grid_zarr_decode"      -> graft.sources.Zarr.gridZarrDecode _,
+    "phenology_slices"      -> graft.sources.Zarr.phenologySlices _,
     "multimodal_container_meta" -> Multimodal.containerMeta _,
     "spi_forecast_coverage" -> Climate.spiForecastCoverage _,
     "rijn_deficit_weekly"   -> Climate.rijnDeficitWeekly _,
@@ -5366,6 +5367,42 @@ object SparkEntry {
         |  CAST(v_us AS DOUBLE) * 1e-6 AS value
         |FROM c
         |WHERE (gx * 8 + gy) % 7 != 3 AND v_us != -2147483648""".stripMargin,
+
+    // the zarr-cube fan-out recompute: slice indices are the same
+    // closed-form ranges the coordinate arrays induce, missing cells
+    // zero-filled exactly like the rendered raster
+    "phenology_slices" ->
+      """WITH g AS (
+        |  SELECT (day(ts) - 1) % 3 AS t,
+        |    (user_id + day(ts)) % 8 AS i,
+        |    (user_id * 3 + day(ts)) % 8 AS j,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      * 10000 AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2, 3),
+        |lattice AS (
+        |  SELECT t.n AS t, yi.n AS i, xj.n AS j
+        |  FROM range(0, 3) t(n), range(2, 6) yi(n), range(4, 8) xj(n)),
+        |s AS (
+        |  SELECT l.t, count(*) AS n_cells,
+        |    CAST(sum(coalesce(g.v_us, 0)) AS BIGINT) AS sum_us,
+        |    CAST(min(coalesce(g.v_us, 0)) AS BIGINT) AS min_us,
+        |    CAST(max(coalesce(g.v_us, 0)) AS BIGINT) AS max_us
+        |  FROM lattice l LEFT JOIN g
+        |    ON l.t = g.t AND l.i = g.i AND l.j = g.j
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT t, strftime(DATE '2024-01-01' + CAST(14 + t AS INT),
+        |    '%Y-%m-%d') AS day
+        |  FROM s),
+        |tj AS (
+        |  SELECT '{"time": ["' || string_agg(day || 'T00:00:00.000000000',
+        |    '", "' ORDER BY day) || '"]}' AS times_json
+        |  FROM d)
+        |SELECT 'tx90_' || d.day AS file_name, d.day AS day,
+        |  -9.0 AS ulx, 41.5 AS uly, -8.0 AS lrx, 40.5 AS lry,
+        |  s.n_cells, s.sum_us, s.min_us, s.max_us, tj.times_json
+        |FROM s JOIN d ON s.t = d.t CROSS JOIN tj
+        |ORDER BY day""".stripMargin,
 
     // recomputes the STAC search survivors straight from events: the
     // four drop mechanisms (collection, datetime interval, query

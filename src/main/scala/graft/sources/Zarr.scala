@@ -49,6 +49,7 @@ object Zarr {
     StructField("_ARRAY_DIMENSIONS", ArrayType(StringType)),
     StructField("scale_factor", DoubleType),
     StructField("add_offset", DoubleType),
+    StructField("units", StringType),
     StructField("day", StringType)))
 
   /** `.zmetadata` (consolidated) layout: `{"metadata": {path: doc},
@@ -107,11 +108,12 @@ object Zarr {
       dtype: String, comp_id: Option[String], ord: Option[String],
       has_filters: Boolean)
   private[graft] case class ZCell(var_name: String, i0: Long, i1: Long,
-      raw: Double)
+      i2: Long, raw: Double)
   /** Flat union record for the decode flatMap (ok = a cell row;
     * !ok = a quarantine row) — Spark has no Either encoder. */
   private[graft] case class ZDec(ok: Boolean, var_name: String,
-      i0: Long, i1: Long, raw: Double, name: String, reason: String)
+      i0: Long, i1: Long, i2: Long, raw: Double, name: String,
+      reason: String)
 
   private def inflate(bytes: Array[Byte], compId: Option[String]):
       Option[Array[Byte]] = compId match {
@@ -143,15 +145,17 @@ object Zarr {
   /** One chunk file → cells. Validates order=C / no filters /
     * known dtype+compressor / exact byte length, parses the chunk
     * grid position from the filename, walks elements in C-order and
-    * SKIPS the zarr edge padding (positions ≥ shape). 1-D and 2-D
-    * arrays (the shapes the reference's stores use; i1 = 0 for 1-D).
-    * Returns Left(reason) for quarantine. */
+    * SKIPS the zarr edge padding (positions ≥ shape). 1-D through
+    * 3-D arrays — the reference's stores are coordinate vectors,
+    * (lat, lon) rasters and (time, lat|latitude, lon|longitude)
+    * cubes; trailing index columns are 0 below 3 dims. Returns
+    * Left(reason) for quarantine. */
   private[graft] def decodeChunk(c: ZChunkIn):
       Either[String, Iterator[ZCell]] = {
     val dt = c.dtype
     if (c.has_filters) return Left("unsupported_filters")
     if (!c.ord.forall(_ == "C")) return Left("unsupported_order")
-    if (c.shape.isEmpty || c.shape.length > 2 ||
+    if (c.shape.isEmpty || c.shape.length > 3 ||
         c.chunks.length != c.shape.length) return Left("bad_shape")
     if (dt == null || dt.length != 3 || !"<>".contains(dt(0)) ||
         !"if".contains(dt(1))) return Left("unsupported_dtype")
@@ -179,20 +183,26 @@ object Zarr {
           case ('f', 4) => buf.getFloat(k * 4).toDouble
           case _        => buf.getDouble(k * 8)
         }
-        val (c0, n0) = (c.chunks.head, c.shape.head)
-        val o0 = ci.head * c0
-        if (c.shape.length == 1)
-          Right((0L until c0).iterator.filter(o0 + _ < n0)
-            .map(r => ZCell(c.var_name, o0 + r, 0L, value(r.toInt))))
-        else {
-          val (c1, n1) = (c.chunks(1), c.shape(1))
-          val o1 = ci(1) * c1
-          Right(for {
-            r <- (0L until c0).iterator if o0 + r < n0
-            s <- (0L until c1).iterator if o1 + s < n1
-          } yield ZCell(c.var_name, o0 + r, o1 + s,
-            value((r * c1 + s).toInt)))
-        }
+        // pad shape/chunks/offsets to 3 dims (size-1 phantoms lead
+        // nothing: index 0, bound 1) and walk C-order generically
+        val nd = c.shape.length
+        val ch = c.chunks.padTo(3, 1L)
+        val sh = c.shape.padTo(3, 1L)
+        val off = ci.map(i => i).zip(c.chunks).map { case (i, w) => i * w }
+          .padTo(3, 0L)
+        Right(for {
+          r <- (0L until ch(0)).iterator if off(0) + r < sh(0)
+          s <- (0L until ch(1)).iterator if off(1) + s < sh(1)
+          t <- (0L until ch(2)).iterator if off(2) + t < sh(2)
+        } yield {
+          val k = ((r * ch(1) + s) * ch(2) + t).toInt
+          nd match {
+            case 1 => ZCell(c.var_name, off(0) + r, 0L, 0L, value(k))
+            case 2 => ZCell(c.var_name, off(0) + r, off(1) + s, 0L, value(k))
+            case _ => ZCell(c.var_name, off(0) + r, off(1) + s,
+              off(2) + t, value(k))
+          }
+        })
     }
   }
 
@@ -231,13 +241,13 @@ object Zarr {
     val decoded = chunks.flatMap { c =>
       decodeChunk(c) match {
         case Left(reason) =>
-          Iterator(ZDec(ok = false, null, 0L, 0L, 0.0, c.path, reason))
+          Iterator(ZDec(ok = false, null, 0L, 0L, 0L, 0.0, c.path, reason))
         case Right(it) => it.map(z =>
-          ZDec(ok = true, z.var_name, z.i0, z.i1, z.raw, null, null))
+          ZDec(ok = true, z.var_name, z.i0, z.i1, z.i2, z.raw, null, null))
       }
     }
     val cells = decoded.filter(col("ok"))
-      .select(col("var_name"), col("i0"), col("i1"), col("raw"))
+      .select(col("var_name"), col("i0"), col("i1"), col("i2"), col("raw"))
     val badChunks = decoded.filter(!col("ok"))
       .select(col("name"), col("reason"))
     (cells, badMeta.unionByName(badChunks))
@@ -367,4 +377,155 @@ object Zarr {
 
   private def hexToBytes(h: String): Array[Byte] =
     h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // --- phenology: zarr cube → bbox slice → per-time tif fan-out -----
+
+  private def i4leHexConst(vs: Seq[Int]): String = vs.map { v =>
+    (0 to 3).map(i => f"${(v >> (8 * i)) & 0xFF}%02X").mkString
+  }.mkString
+
+  /** xarray label-slice over one coordinate axis: the inclusive
+    * window IN ARRAY ORDER — ascending axes take start<=v<=stop,
+    * descending ones stop<=v<=start. A blind `slice(y_min, y_max)`
+    * on a DESCENDING latitude therefore selects nothing — exactly
+    * what `ds.sel(lat=slice(y_min, y_max))` does in the reference
+    * (spec-pinned quirk). Input: (i0, raw) coordinate cells. */
+  private[graft] def labelSlice(named: DataFrame, start: Double,
+      stop: Double): DataFrame = {
+    val dir = named.groupBy()
+      .agg((max_by(col("raw"), col("i0")) >=
+        min_by(col("raw"), col("i0"))).as("asc"))
+    named.select(col("i0"), col("raw")).crossJoin(broadcast(dir))
+      .filter(when(col("asc"),
+        col("raw") >= start && col("raw") <= stop)
+        .otherwise(col("raw") <= start && col("raw") >= stop))
+      .select(col("i0"), col("raw"))
+  }
+
+  /** `ingestor_ll_spain_phenology.py:103-188`: open a zarr cube,
+    * bbox-subset it with the DIM-NAME DISPATCH (`lat`/`lon` if
+    * present, elif `latitude`/`longitude`, else error), write a time
+    * metadata JSON (`json.dumps({"time": [str(t) …]})`), then fan
+    * out one GeoTIFF per time slice named `{variable}_{date}` with
+    * `gdal_translate -a_ullr x_min y_max x_max y_min`. This lane
+    * runs that pipeline over a REAL 3-D (time, latitude, longitude)
+    * store rendered in-plan from events: the time axis decodes
+    * through the PARSED `units: days since …` attr, the y/x names
+    * come from the PARSED `_ARRAY_DIMENSIONS` (this store uses the
+    * `latitude`/`longitude` variant — the reference's elif branch),
+    * and the slice applies xarray's label-slice semantics
+    * (array-order window, inclusive — which on a DESCENDING
+    * latitude axis with the module's blind `slice(y_min, y_max)`
+    * yields the empty set; that reference quirk is spec-pinned).
+    * Output: one manifest row per time slice — tif name, date, the
+    * gdal_translate corner args, and exact micro-unit stats over the
+    * sliced cells (zero-filled like the rendered raster). */
+  def phenologySlices(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (xMin, yMin, xMax, yMax) = (-9.0, 40.5, -8.0, 41.5)
+    val variable = "tx90"
+    val lats = (0 until 8).map(i => 40.125 + 0.25 * i) // ascending
+    val lons = (0 until 8).map(j => -9.875 + 0.25 * j)
+    val metaJson =
+      s"""{"metadata":{""" +
+        s""""$variable/.zarray":${zarrayJson(Seq(3, 8, 8), Seq(1, 4, 4),
+          "<i4", None, None)},""" +
+        s""""$variable/.zattrs":{"_ARRAY_DIMENSIONS":["time","latitude","longitude"]},""" +
+        s""""time/.zarray":${zarrayJson(Seq(3), Seq(3), "<i4", None, None)},""" +
+        s""""time/.zattrs":{"_ARRAY_DIMENSIONS":["time"],"units":"days since 2024-01-01"},""" +
+        s""""latitude/.zarray":${zarrayJson(Seq(8), Seq(8), "<f8", None, None)},""" +
+        s""""latitude/.zattrs":{"_ARRAY_DIMENSIONS":["latitude"]},""" +
+        s""""longitude/.zarray":${zarrayJson(Seq(8), Seq(8), "<f8", None, None)},""" +
+        s""""longitude/.zattrs":{"_ARRAY_DIMENSIONS":["longitude"]},""" +
+        s"""".zgroup":{"zarr_format":2}},"zarr_consolidated_format":1}"""
+    val constRows = Seq(
+      (".zmetadata", metaJson.getBytes("UTF-8")),
+      (".zgroup", """{"zarr_format":2}""".getBytes("UTF-8")),
+      ("time/0", hexToBytes(i4leHexConst(Seq(14, 15, 16)))),
+      ("latitude/0", hexToBytes(f8Hex(lats))),
+      ("longitude/0", hexToBytes(f8Hex(lons))))
+    val cellVals = graft.Tables.events(spark, dir)
+      .select(((dayofmonth(col("ts")) - 1) % 3).cast("long").as("t"),
+        ((col("user_id") + dayofmonth(col("ts"))) % 8).as("i"),
+        ((col("user_id") * 3 + dayofmonth(col("ts"))) % 8).as("j"),
+        col("value"))
+      .groupBy(col("t"), col("i"), col("j"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
+    // 12 chunks (t, ci, cj) × 16 slots; 8 % 4 == 0 → no edge padding
+    val slots = spark.range(192)
+      .select(expr("id div 16").as("ck"), (col("id") % 16).as("slot"))
+      .select(expr("ck div 4").as("t"),
+        expr("ck % 4 div 2").as("ci"), (col("ck") % 2).as("cj"),
+        expr("slot div 4").as("r"), (col("slot") % 4).as("s"))
+      .select(col("t"), col("ci"), col("cj"), col("r"), col("s"),
+        (col("ci") * 4 + col("r")).as("i"), (col("cj") * 4 + col("s")).as("j"))
+    val packed = slots
+      .join(cellVals, Seq("t", "i", "j"), "left")
+      .withColumn("v", coalesce(col("v_us"), lit(0L)))
+      .groupBy(col("t"), col("ci"), col("cj"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct((col("r") * 4 + col("s")).as("p"),
+          leHex4(col("v")).as("h")))),
+        x => x.getField("h"))).as("datahex"))
+      .select(concat(lit(s"$variable/"), col("t"), lit("."), col("ci"),
+        lit("."), col("cj")).as("path"),
+        unhex(col("datahex")).as("content"))
+    val store = packed.unionByName(constRows.toDF("path", "content"))
+      .localCheckpoint()
+    val (vars0, badMeta) = metadataOf(store)
+    val vars = vars0.localCheckpoint()
+    val (cells0, _) = decodeZarrDropWith(store, vars, badMeta)
+    val cells = cells0.localCheckpoint()
+    // dim-name dispatch off the PARSED _ARRAY_DIMENSIONS (the
+    // reference's if/elif): lat/lon, else latitude/longitude
+    val dimNames = vars.filter(col("var_name") === variable)
+      .select(
+        when(array_contains(col("attrs._ARRAY_DIMENSIONS"), "lat"), "lat")
+          .when(array_contains(col("attrs._ARRAY_DIMENSIONS"), "latitude"),
+            "latitude").as("y_name"),
+        when(array_contains(col("attrs._ARRAY_DIMENSIONS"), "lon"), "lon")
+          .when(array_contains(col("attrs._ARRAY_DIMENSIONS"), "longitude"),
+            "longitude").as("x_name"))
+    // xarray label-slice: the inclusive window IN ARRAY ORDER —
+    // ascending axes take start<=v<=stop, descending stop<=v<=start
+    // (so the module's blind slice(y_min,y_max) empties out on a
+    // descending latitude — mirrored, spec-pinned)
+    def axisSlice(nameCol: Column, start: Double, stop: Double,
+        as: String) = labelSlice(cells.crossJoin(broadcast(dimNames))
+      .filter(col("var_name") === nameCol), start, stop).select(
+      col("i0").as(as))
+    val ySel = axisSlice(col("y_name"), yMin, yMax, "yi")
+    val xSel = axisSlice(col("x_name"), xMin, xMax, "xi")
+    // time axis through the parsed CF units
+    val tUnits = vars.filter(col("var_name") === "time")
+      .select(to_date(regexp_extract(col("attrs.units"),
+        "days since (.+)", 1)).as("t_base"))
+    val tAxis = cells.filter(col("var_name") === "time")
+      .crossJoin(broadcast(tUnits))
+      .select(col("i0").as("ti"), date_format(
+        date_add(col("t_base"), col("raw").cast("int")), "yyyy-MM-dd")
+        .as("day"))
+    val timesJson = tAxis.agg(
+      concat(lit("""{"time": [""""),
+        concat_ws("\", \"", sort_array(collect_list(
+          concat(col("day"), lit("T00:00:00.000000000"))))),
+        lit("\"]}")).as("times_json"))
+    cells.filter(col("var_name") === variable)
+      .join(broadcast(ySel), col("i1") === col("yi"))
+      .join(broadcast(xSel), col("i2") === col("xi"))
+      .join(broadcast(tAxis), col("i0") === col("ti"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("raw").cast("long")).as("sum_us"),
+        min(col("raw").cast("long")).as("min_us"),
+        max(col("raw").cast("long")).as("max_us"))
+      .crossJoin(broadcast(timesJson))
+      .select(concat(lit(s"${variable}_"), col("day")).as("file_name"),
+        col("day"), lit(xMin).as("ulx"), lit(yMax).as("uly"),
+        lit(xMax).as("lrx"), lit(yMin).as("lry"),
+        col("n_cells"), col("sum_us"), col("min_us"), col("max_us"),
+        col("times_json"))
+      .orderBy(col("day"))
+  }
 }

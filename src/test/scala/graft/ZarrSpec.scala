@@ -20,8 +20,8 @@ class ZarrSpec extends SparkSpec {
       content = le(1, 0, 0, 0, 0xFE, 0xFF, 0xFF, 0xFF, 0, 1, 0, 0, 0, 0, 0, 0x80))
     val cells = Zarr.decodeChunk(c).toOption.get.toSeq
     assert(cells === Seq(
-      ZCell("v", 2, 2, 1.0), ZCell("v", 2, 3, -2.0),
-      ZCell("v", 3, 2, 256.0), ZCell("v", 3, 3, Int.MinValue.toDouble)))
+      ZCell("v", 2, 2, 0, 1.0), ZCell("v", 2, 3, 0, -2.0),
+      ZCell("v", 3, 2, 0, 256.0), ZCell("v", 3, 3, 0, Int.MinValue.toDouble)))
   }
 
   test("decodeChunk: edge padding beyond shape is skipped, 1-D and big-endian dtypes decode") {
@@ -29,14 +29,34 @@ class ZarrSpec extends SparkSpec {
     val c1 = chunk(path = "v/1", shape = Seq(3), chunks = Seq(2),
       dtype = ">i2", content = le(0, 7, 0x7F, 0xFF))
     assert(Zarr.decodeChunk(c1).toOption.get.toSeq
-      === Seq(ZCell("v", 2, 0, 7.0)))
+      === Seq(ZCell("v", 2, 0, 0, 7.0)))
     // 2-D corner chunk of a 3×3 array with 2×2 chunks: only (2,2) real
     val c2 = chunk(path = "v/1.1", shape = Seq(3, 3), chunks = Seq(2, 2),
       dtype = "<f4", content = java.nio.ByteBuffer.allocate(16)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         .putFloat(1.5f).putFloat(2.5f).putFloat(3.5f).putFloat(-8.25f).array())
     assert(Zarr.decodeChunk(c2).toOption.get.toSeq
-      === Seq(ZCell("v", 2, 2, 1.5)))
+      === Seq(ZCell("v", 2, 2, 0, 1.5)))
+  }
+
+  test("decodeChunk: 3-D (time, lat, lon) cube — C-order strides and per-dim padding") {
+    // shape (2,3,3), chunks (1,2,2): chunk 1.1.1 holds one real cell
+    val c = chunk(path = "v/1.1.1", shape = Seq(2, 3, 3),
+      chunks = Seq(1, 2, 2),
+      content = le(1, 0, 0, 0, 2, 0, 0, 0, 3, 0, 0, 0, 4, 0, 0, 0))
+    assert(Zarr.decodeChunk(c).toOption.get.toSeq
+      === Seq(ZCell("v", 1, 2, 2, 1.0)))
+    // interior chunk: full 1×2×2 block with C-order positions intact
+    val c2 = chunk(path = "v/0.0.0", shape = Seq(2, 3, 3),
+      chunks = Seq(1, 2, 2),
+      content = le(1, 0, 0, 0, 2, 0, 0, 0, 3, 0, 0, 0, 4, 0, 0, 0))
+    assert(Zarr.decodeChunk(c2).toOption.get.toSeq === Seq(
+      ZCell("v", 0, 0, 0, 1.0), ZCell("v", 0, 0, 1, 2.0),
+      ZCell("v", 0, 1, 0, 3.0), ZCell("v", 0, 1, 1, 4.0)))
+    // 4-D is out of contract: quarantine, not garbage
+    assert(Zarr.decodeChunk(chunk(path = "v/0.0.0.0",
+      shape = Seq(1, 1, 1, 1), chunks = Seq(1, 1, 1, 1),
+      content = le(0, 0, 0, 0))).left.toOption.get === "bad_shape")
   }
 
   test("decodeChunk: f8, zlib and gzip compressors round-trip") {
@@ -60,7 +80,7 @@ class ZarrSpec extends SparkSpec {
       val c = chunk(path = "v/0", shape = Seq(2), chunks = Seq(2),
         dtype = "<f8", comp = comp, content = bytes)
       assert(Zarr.decodeChunk(c).toOption.get.toSeq
-        === Seq(ZCell("v", 0, 0, 43.875), ZCell("v", 1, 0, -9.875)),
+        === Seq(ZCell("v", 0, 0, 0, 43.875), ZCell("v", 1, 0, 0, -9.875)),
         s"compressor $comp")
     }
   }
@@ -119,6 +139,38 @@ class ZarrSpec extends SparkSpec {
     assert(bad.count() === 0)
     assert(cells.orderBy($"i0").select($"raw").as[Double].collect().toSeq
       === Seq(10.0, 20.0, 30.0))
+  }
+
+  test("labelSlice: xarray slice semantics — and the blind slice(y_min,y_max) empties a descending axis") {
+    val asc = Seq((0L, 40.0), (1L, 41.0), (2L, 42.0), (3L, 43.0))
+      .toDF("i0", "raw")
+    assert(Zarr.labelSlice(asc, 40.5, 42.5).select($"i0").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L))
+    // inclusive at both label ends
+    assert(Zarr.labelSlice(asc, 41.0, 42.0).count() === 2)
+    val desc = asc.select($"i0", (lit(83.0) - $"raw").as("raw")) // 43..40 desc
+    // descending + (stop, start) in array order: works
+    assert(Zarr.labelSlice(desc, 42.5, 40.5).count() === 2)
+    // the reference's blind (y_min, y_max) on a descending latitude:
+    // empty — the quirk ds.sel(lat=slice(y_min, y_max)) produces
+    assert(Zarr.labelSlice(desc, 40.5, 42.5).count() === 0)
+  }
+
+  test("phenologySlices: 3-D cube fan-out — manifest rows, slice stats, time metadata") {
+    val out = Zarr.phenologySlices(spark, sf).collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[String]("file_name")).toSeq
+      === Seq("tx90_2024-01-15", "tx90_2024-01-16", "tx90_2024-01-17"))
+    // gdal_translate -a_ullr x_min y_max x_max y_min
+    assert(out.forall(r => r.getAs[Double]("ulx") === -9.0 &&
+      r.getAs[Double]("uly") === 41.5 && r.getAs[Double]("lrx") === -8.0 &&
+      r.getAs[Double]("lry") === 40.5))
+    // bbox slice is the full 4×4 window on every slice
+    assert(out.forall(_.getAs[Long]("n_cells") === 16L))
+    // the metadata JSON carries the decoded time axis, xarray str() shape
+    val tj = out.head.getAs[String]("times_json")
+    assert(tj === """{"time": ["2024-01-15T00:00:00.000000000", """ +
+      """"2024-01-16T00:00:00.000000000", "2024-01-17T00:00:00.000000000"]}""")
   }
 
   test("gridZarrDecode: end-to-end twin — equals the NetCDF lane cell-for-cell") {
