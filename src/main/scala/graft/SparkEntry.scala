@@ -184,6 +184,7 @@ object SparkEntry {
     "stac_search_items"     -> graft.sources.Stac.stacSearchItems _,
     "grid_zarr_decode"      -> graft.sources.Zarr.gridZarrDecode _,
     "phenology_slices"      -> graft.sources.Zarr.phenologySlices _,
+    "zarr_publish_roundtrip" -> graft.sources.Zarr.zarrPublishRoundtrip _,
     "multimodal_container_meta" -> Multimodal.containerMeta _,
     "spi_forecast_coverage" -> Climate.spiForecastCoverage _,
     "rijn_deficit_weekly"   -> Climate.rijnDeficitWeekly _,
@@ -5367,6 +5368,24 @@ object SparkEntry {
         |  CAST(v_us AS DOUBLE) * 1e-6 AS value
         |FROM c
         |WHERE (gx * 8 + gy) % 7 != 3 AND v_us != -2147483648""".stripMargin,
+
+    // decode∘encode identity for the PUBLIC publish path: every cell
+    // the cube carries comes back at v_us * 1e-6 (identical IEEE
+    // multiply both engines); fill/padding cells never surface
+    "zarr_publish_roundtrip" ->
+      """WITH g AS (
+        |  SELECT (day(ts) - 1) % 3 AS t,
+        |    (user_id + day(ts)) % 8 AS i,
+        |    (user_id * 3 + day(ts)) % 8 AS j,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      * 10000 AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT 'precip' AS var,
+        |  strftime(DATE '2024-01-15' + CAST(t AS INT), '%Y-%m-%d') AS day,
+        |  40.125 + CAST(i AS DOUBLE) * 0.25 AS lat,
+        |  -9.875 + CAST(j AS DOUBLE) * 0.25 AS lon,
+        |  CAST(v_us AS DOUBLE) * 1e-6 AS value
+        |FROM g""".stripMargin,
 
     // the zarr-cube fan-out recompute: slice indices are the same
     // closed-form ranges the coordinate arrays induce, missing cells

@@ -293,5 +293,11 @@ class IngestSpec extends SparkSpec {
     // a generic request still selects per first-match-in-listing-order
     assert(out.forall(r => r.getString(1) != "OK" ||
       r.getString(2).matches("""Alazani-Shaqriani-Hydro-\d+_1_2024\.xlsx""")))
+    // plan: the non-equi rlike join must ride a BROADCAST nested loop
+    // (bounded listing), never a plain CartesianProduct
+    val plan = Ingest.ftpHydroSelect(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
   }
 }

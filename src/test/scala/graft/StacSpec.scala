@@ -104,4 +104,15 @@ class StacSpec extends SparkSpec {
     assert(g7.getAs[Double]("south") === 42.0)
     assert(g7.getAs[Double]("north") === 44.0)
   }
+
+  test("plan: stac lane has no CartesianProduct; search predicates survive as filters") {
+    val df = Stac.stacSearchItems(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the collection/datetime/query predicates must not be lost to a
+    // post-parse collect-side pass — they are Filter operators
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("FeatureCollection") ||
+      optimized.toLowerCase.contains("filter"))
+  }
 }
