@@ -599,8 +599,14 @@ object Dedup {
   }
 
   private[graft] def dedupIncrementalOf(indexDocs: DataFrame,
-      batchDocs: DataFrame): DataFrame =
-    dedupIncrementalAgainst(minhashIndex(indexDocs), indexDocs, batchDocs)
+      batchDocs: DataFrame): DataFrame = {
+    // in-flow wiring signs the index HERE; pin it so the counts
+    // derivation and the admissible-bucket membership read share ONE
+    // signature pass (steady-state deployments load both artifacts
+    // from parquet instead — the 4-arg overload)
+    val indexBuckets = minhashIndex(indexDocs).localCheckpoint()
+    dedupIncrementalAgainst(indexBuckets, indexDocs, batchDocs)
+  }
 
   /** The SECOND published index artifact: per-bucket membership
     * counts, aggregated ONCE at index-build time and persisted next
