@@ -185,6 +185,9 @@ object SparkEntry {
     "grid_zarr_decode"      -> graft.sources.Zarr.gridZarrDecode _,
     "phenology_slices"      -> graft.sources.Zarr.phenologySlices _,
     "zarr_publish_roundtrip" -> graft.sources.Zarr.zarrPublishRoundtrip _,
+    "audio_wav_stats"       -> graft.sources.Wav.audioWavStats _,
+    "image_png_stats"       -> graft.sources.Png.imagePngStats _,
+    "video_container_meta"  -> graft.sources.Mp4.videoContainerMeta _,
     "multimodal_container_meta" -> Multimodal.containerMeta _,
     "spi_forecast_coverage" -> Climate.spiForecastCoverage _,
     "rijn_deficit_weekly"   -> Climate.rijnDeficitWeekly _,
@@ -5368,6 +5371,87 @@ object SparkEntry {
         |  CAST(v_us AS DOUBLE) * 1e-6 AS value
         |FROM c
         |WHERE (gx * 8 + gy) % 7 != 3 AND v_us != -2147483648""".stripMargin,
+
+    // both mvhd versions and the optional audio trak are g-arithmetic;
+    // 16.16 dims come back as exact integral doubles on both engines
+    "video_container_meta" ->
+      """WITH seeds AS (
+        |  SELECT user_id % 6 AS g,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      * 10000 AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS seed
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT g, abs(seed) % 600000 + 1000 AS duration,
+        |    320 + CAST(g % 3 AS INT) * 320 AS w,
+        |    180 + CAST(g % 3 AS INT) * 180 AS h,
+        |    CASE WHEN g % 3 = 0 THEN 1 ELSE 0 END AS audio
+        |  FROM seeds)
+        |SELECT 'movie_' || CAST(g AS VARCHAR) || '.mp4' AS name,
+        |  'isom' AS major_brand, CAST(1000 AS BIGINT) AS timescale,
+        |  CAST(duration AS BIGINT) AS duration,
+        |  CAST(1 + audio AS BIGINT) AS n_tracks,
+        |  CAST(audio AS BIGINT) AS audio_tracks,
+        |  CAST(w AS DOUBLE) AS video_w, CAST(h AS DOUBLE) AS video_h
+        |FROM m ORDER BY name""".stripMargin,
+
+    // the four images' pixels are closed-form mod arithmetic over
+    // the events grid (all terms nonnegative, so % agrees across
+    // engines); channels expand per the g→(color_type, nch) map
+    "image_png_stats" ->
+      """WITH grid AS (
+        |  SELECT user_id % 8 AS y, (user_id // 8) % 8 AS x,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      * 10000 AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2),
+        |lattice AS (
+        |  SELECT g.n AS g, yy.n AS y, xx.n AS x
+        |  FROM range(0, 4) g(n), range(0, 8) yy(n), range(0, 8) xx(n)),
+        |px AS (
+        |  SELECT l.g, l.y, l.x,
+        |    ((coalesce(gr.v_us, 0) + l.g * 7) % 256 + 256) % 256 AS p
+        |  FROM lattice l LEFT JOIN grid gr ON l.y = gr.y AND l.x = gr.x),
+        |cmap AS (SELECT * FROM (VALUES (0, 0, 1), (1, 2, 3), (2, 4, 2),
+        |  (3, 6, 4)) AS t(g, ct, nch)),
+        |s AS (
+        |  SELECT p.g, m.ct, c.n AS c,
+        |    (p.p * (2 * c.n + 1) + c.n + p.g) % 256 AS v
+        |  FROM px p JOIN cmap m ON p.g = m.g
+        |  JOIN range(0, 4) c(n) ON c.n < m.nch)
+        |SELECT 'img_' || CAST(g AS VARCHAR) || '.png' AS name,
+        |  CAST(ct AS INT) AS color_type, c, count(*) AS n_px,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(min(v) AS BIGINT) AS min_v,
+        |  CAST(max(v) AS BIGINT) AS max_v
+        |FROM s GROUP BY 1, 2, 3 ORDER BY name, c""".stripMargin,
+
+    // the PCM series is a Weyl sequence seeded by the events grid;
+    // (seed + (k+1)*2654435761) stays positive, so truncated-division
+    // mod agrees across engines; all features exact-integer
+    "audio_wav_stats" ->
+      """WITH seeds AS (
+        |  SELECT user_id % 8 AS g,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      * 10000 AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS seed
+        |  FROM events GROUP BY 1),
+        |ser AS (
+        |  SELECT s.g, r.k,
+        |    (s.seed + (r.k + 1) * 2654435761) % 65536 - 32768 AS smp
+        |  FROM seeds s JOIN range(0, 320) r(k)
+        |    ON r.k < 160 + s.g * 16),
+        |l AS (
+        |  SELECT g, k, smp,
+        |    lag(smp) OVER (PARTITION BY g ORDER BY k) AS prev
+        |  FROM ser)
+        |SELECT 'clip_' || CAST(g AS VARCHAR) || '.wav' AS name,
+        |  count(*) AS n_samples,
+        |  CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(smp)) AS BIGINT) AS peak,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND ((smp >= 0 AND prev < 0)
+        |    OR (smp < 0 AND prev >= 0)) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_cross,
+        |  CAST(sum(CASE WHEN abs(smp) < 256 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS near_silence
+        |FROM l GROUP BY g ORDER BY name""".stripMargin,
 
     // decode∘encode identity for the PUBLIC publish path: every cell
     // the cube carries comes back at v_us * 1e-6 (identical IEEE

@@ -1,0 +1,251 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** REAL PNG codec — the "image decode" half of the multimodal seam
+  * made real: PNG is DEFLATE plus arithmetic (chunk CRCs, five
+  * scanline filters), all of which `java.util.zip` covers, so unlike
+  * JPEG/video there is no library gap to stub. Full critical-chunk
+  * decode: signature, chunk walk with CRC32 VERIFICATION, IHDR
+  * validation, multi-IDAT concatenation, zlib inflate, and the
+  * complete filter reconstruction (None/Sub/Up/Average/Paeth) for
+  * 8-bit gray / RGB / gray+alpha / RGBA. Ancillary chunks skip;
+  * palette, 16-bit, and interlaced images quarantine loudly (the
+  * honest unsupported set). Entropy-coded formats (JPEG, video)
+  * remain the declared codec-library seam.
+  *
+  * Decode is one typed flatMap per asset; everything downstream is
+  * exact-integer Column algebra the oracle replays.
+  */
+object Png {
+
+  private val Sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    .map(_.toByte)
+
+  private[graft] def channelsOf(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => 0
+  }
+
+  private[graft] case class PngImage(width: Int, height: Int,
+      colorType: Int, samples: Array[Int]) // row-major, interleaved
+
+  /** Full critical-chunk decode. Left(reason) quarantines. */
+  private[graft] def decodePng(bytes: Array[Byte]):
+      Either[String, PngImage] = {
+    if (bytes.length < 8 || !java.util.Arrays.equals(
+        bytes.take(8), Sig)) return Left("bad_signature")
+    def u32(p: Int): Long =
+      ((bytes(p) & 0xFFL) << 24) | ((bytes(p + 1) & 0xFFL) << 16) |
+        ((bytes(p + 2) & 0xFFL) << 8) | (bytes(p + 3) & 0xFFL)
+    var p = 8
+    var ihdr: Option[(Int, Int, Int)] = None // w, h, colorType
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended) {
+      if (p + 8 > bytes.length) return Left("truncated_chunk")
+      val len = u32(p).toInt
+      if (len < 0 || p + 12 + len > bytes.length)
+        return Left("truncated_chunk")
+      val ctype = new String(bytes, p + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, p + 4, 4 + len)
+      if (crc.getValue != u32(p + 8 + len)) return Left("bad_crc")
+      ctype match {
+        case "IHDR" =>
+          if (len != 13) return Left("bad_ihdr")
+          val (w, h) = (u32(p + 8).toInt, u32(p + 12).toInt)
+          val bitDepth = bytes(p + 16) & 0xFF
+          val colorType = bytes(p + 17) & 0xFF
+          val (compression, filter, interlace) =
+            (bytes(p + 18) & 0xFF, bytes(p + 19) & 0xFF, bytes(p + 20) & 0xFF)
+          if (bitDepth != 8) return Left("unsupported_bit_depth")
+          if (channelsOf(colorType) == 0) return Left("unsupported_color_type")
+          if (compression != 0 || filter != 0) return Left("bad_ihdr")
+          if (interlace != 0) return Left("unsupported_interlace")
+          if (w <= 0 || h <= 0) return Left("bad_ihdr")
+          ihdr = Some((w, h, colorType))
+        case "IDAT" => idat.write(bytes, p + 8, len)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunks skip
+      }
+      p += 12 + len
+    }
+    ihdr match {
+      case None => Left("missing_ihdr")
+      case Some((w, h, colorType)) =>
+        val ch = channelsOf(colorType)
+        val raw = try {
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(idat.toByteArray)
+          val out = new java.io.ByteArrayOutputStream(h * (1 + w * ch))
+          val buf = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && inf.needsInput())
+              throw new java.io.EOFException()
+            out.write(buf, 0, n)
+          }
+          inf.end(); out.toByteArray
+        } catch { case _: Exception => return Left("bad_idat_stream") }
+        val stride = w * ch
+        if (raw.length != h * (1 + stride)) return Left("bad_pixel_length")
+        // filter reconstruction, PNG spec §4.5.4 (bpp = ch at 8-bit)
+        val out = new Array[Int](h * stride)
+        var y = 0
+        while (y < h) {
+          val f = raw(y * (1 + stride)) & 0xFF
+          if (f > 4) return Left("bad_filter_type")
+          var i = 0
+          while (i < stride) {
+            val x = raw(y * (1 + stride) + 1 + i) & 0xFF
+            val a = if (i >= ch) out(y * stride + i - ch) else 0
+            val b = if (y > 0) out((y - 1) * stride + i) else 0
+            val c = if (y > 0 && i >= ch)
+              out((y - 1) * stride + i - ch) else 0
+            val recon = f match {
+              case 0 => x
+              case 1 => x + a
+              case 2 => x + b
+              case 3 => x + ((a + b) >> 1)
+              case _ => // Paeth
+                val pp = a + b - c
+                val (pa, pb, pc) =
+                  (math.abs(pp - a), math.abs(pp - b), math.abs(pp - c))
+                x + (if (pa <= pb && pa <= pc) a
+                     else if (pb <= pc) b else c)
+            }
+            out(y * stride + i) = recon & 0xFF
+            i += 1
+          }
+          y += 1
+        }
+        Right(PngImage(w, h, colorType, out))
+    }
+  }
+
+  /** Encoder for the render seam: applies the CALLER-CHOSEN filter
+    * per row (the decode gate exercises all five), deflates, writes
+    * IHDR/IDAT/IEND with real CRCs. */
+  private[graft] def encodePng(w: Int, h: Int, colorType: Int,
+      samples: Array[Int], filterOf: Int => Int): Array[Byte] = {
+    val ch = channelsOf(colorType)
+    require(ch > 0 && samples.length == w * h * ch)
+    val stride = w * ch
+    val raw = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      val f = filterOf(y) % 5
+      raw(y * (1 + stride)) = f.toByte
+      for (i <- 0 until stride) {
+        val x = samples(y * stride + i)
+        val a = if (i >= ch) samples(y * stride + i - ch) else 0
+        val b = if (y > 0) samples((y - 1) * stride + i) else 0
+        val c = if (y > 0 && i >= ch) samples((y - 1) * stride + i - ch)
+          else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case _ =>
+            val pp = a + b - c
+            val (pa, pb, pc) =
+              (math.abs(pp - a), math.abs(pp - b), math.abs(pp - c))
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(y * (1 + stride) + 1 + i) = ((x - pred) & 0xFF).toByte
+      }
+    }
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(raw); d.finish()
+    val z = new java.io.ByteArrayOutputStream(raw.length)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    d.end()
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length).put(ctype.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(ctype.getBytes("US-ASCII")); crc.update(data)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** docs(name, content) → one row per SAMPLE (name, color_type, y,
+    * x, c, v) + the quarantine frame. */
+  def decodePngDrop(docs: DataFrame): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val decoded = docs.select(col("name"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        decodePng(bytes) match {
+          case Left(reason) =>
+            Iterator((false, name, reason, 0, 0L, 0L, 0L, 0))
+          case Right(img) =>
+            val ch = channelsOf(img.colorType)
+            img.samples.iterator.zipWithIndex.map { case (v, i) =>
+              val (y, rem) = (i / (img.width * ch), i % (img.width * ch))
+              (true, name, null: String, img.colorType,
+                y.toLong, (rem / ch).toLong, (rem % ch).toLong, v)
+            }
+        }
+      }
+      .toDF("ok", "name", "reason", "color_type", "y", "x", "c", "v")
+    (decoded.filter(col("ok")).drop("ok", "reason"),
+      decoded.filter(!col("ok")).select(col("name"), col("reason")))
+  }
+
+  /** END-TO-END oracle-checked lane: four images render in-plan from
+    * the events grid — one per supported color type (gray / RGB /
+    * gray+alpha / RGBA), base pixel `p = ((v_us(y,x) + 7g) mod 256`
+    * normalized positive, channel value `(p(2c+1) + c + g) mod 256`
+    * — each with a DIFFERENT filter rotation `(y + g) mod 5`, so
+    * every one of the five PNG filters reconstructs somewhere in
+    * the gate. Decode back through the real chunk walk (CRCs
+    * verified), then exact-integer per-channel stats. A CRC, filter,
+    * stride or channel-interleave bug cannot hash-match. */
+  def imagePngStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = graft.Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("y"),
+        expr("user_id div 8 % 8").as("x"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
+    val lattice = spark.range(256) // 4 images × 64 pixels
+      .select(expr("id div 64").as("g"),
+        expr("id % 64 div 8").as("y"), (col("id") % 8).as("x"))
+    val pixels = lattice.join(grid, Seq("y", "x"), "left")
+      .withColumn("p",
+        ((coalesce(col("v_us"), lit(0L)) + col("g") * 7) % 256 + 256) % 256)
+    val imgs = pixels
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(
+        (col("y") * 8 + col("x")).as("i"), col("p")))).as("px"))
+      .as[(Long, Seq[(Long, Long)])]
+      .map { case (g, px) =>
+        val colorType = Seq(0, 2, 4, 6)(g.toInt)
+        val ch = channelsOf(colorType)
+        val base = px.map(_._2.toInt).toArray // already i-sorted
+        val samples = Array.tabulate(64 * ch) { j =>
+          val (i, c) = (j / ch, j % ch)
+          (base(i) * (2 * c + 1) + c + g.toInt) % 256
+        }
+        (s"img_$g.png",
+          encodePng(8, 8, colorType, samples, y => (y + g.toInt) % 5))
+      }.toDF("name", "content")
+    val (samples, _) = decodePngDrop(imgs)
+    samples.groupBy(col("name"), col("color_type"), col("c"))
+      .agg(count(lit(1)).as("n_px"),
+        sum(col("v").cast("long")).as("sum_v"),
+        min(col("v").cast("long")).as("min_v"),
+        max(col("v").cast("long")).as("max_v"))
+      .orderBy(col("name"), col("c"))
+  }
+}

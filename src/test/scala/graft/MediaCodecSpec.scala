@@ -1,0 +1,207 @@
+package graft
+
+import graft.sources.{Png, Wav}
+import org.apache.spark.sql.functions._
+
+class MediaCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- WAV ----------------------------------------------------------
+
+  private def wavBytes(samples: Seq[Int], extraChunk: Boolean = false,
+      fmtCode: Int = 1, bits: Int = 16): Array[Byte] = {
+    val dataLen = samples.length * (bits / 8)
+    val extra = if (extraChunk) 8 + 5 + 1 else 0 // odd LIST chunk + pad
+    val b = java.nio.ByteBuffer.allocate(44 + extra + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(fmtCode.toShort).putShort(1).putInt(16000)
+      .putInt(16000 * bits / 8).putShort((bits / 8).toShort)
+      .putShort(bits.toShort)
+    if (extraChunk) { // odd-length LIST chunk: size 5 → 1 pad byte
+      b.put("LIST".getBytes("US-ASCII")).putInt(5)
+        .put("INFOx".getBytes("US-ASCII")).put(0.toByte)
+    }
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { s =>
+      if (bits == 16) b.putShort(s.toShort) else b.put((s + 128).toByte)
+    }
+    b.array()
+  }
+
+  test("decodeWav: 16-bit signed LE samples, odd-size chunk skipped with WORD pad") {
+    val s = Seq(0, 1, -1, 32767, -32768, 256)
+    val plain = Wav.decodeWav(wavBytes(s)).toOption.get
+    assert(plain.samples.toSeq === s)
+    assert((plain.channels, plain.rate, plain.bits) === (1, 16000, 16))
+    // a LIST chunk with an ODD size sits between fmt and data — the
+    // WORD-alignment pad must be honored or data lands off by one
+    val skipped = Wav.decodeWav(wavBytes(s, extraChunk = true)).toOption.get
+    assert(skipped.samples.toSeq === s)
+  }
+
+  test("decodeWav: 8-bit unsigned centers at zero; quarantine reasons") {
+    val eight = Wav.decodeWav(wavBytes(Seq(-128, 0, 127), bits = 8))
+      .toOption.get
+    assert(eight.samples.toSeq === Seq(-128, 0, 127))
+    assert(Wav.decodeWav("RIFXjunkWAVE".getBytes).left.toOption.get
+      === "not_riff_wave")
+    assert(Wav.decodeWav(wavBytes(Seq(1), fmtCode = 3)).left.toOption.get
+      === "not_pcm")
+    val truncated = wavBytes(Seq(1, 2, 3)).dropRight(2)
+    assert(Wav.decodeWav(truncated).left.toOption.get === "truncated_chunk")
+    assert(Wav.decodeWav(wavBytes(Nil).take(36)).left.toOption.get
+      === "missing_data")
+  }
+
+  test("audioWavStats: end-to-end lane — exact features, every clip present") {
+    val out = Wav.audioWavStats(spark, sf).collect()
+    assert(out.length === 8)
+    assert(out.map(_.getAs[String]("name")).toSeq
+      === (0 until 8).map(g => s"clip_$g.wav"))
+    for (r <- out) {
+      val g = r.getAs[String]("name").stripPrefix("clip_")
+        .stripSuffix(".wav").toInt
+      assert(r.getAs[Long]("n_samples") === 160L + g * 16)
+      assert(r.getAs[Long]("peak") <= 32768L)
+      // a Weyl sequence mod 2^16 flips sign roughly half the steps
+      assert(r.getAs[Long]("zero_cross") > r.getAs[Long]("n_samples") / 4)
+    }
+  }
+
+  // --- PNG ----------------------------------------------------------
+
+  private def testImage(w: Int, h: Int, ch: Int): Array[Int] =
+    Array.tabulate(w * h * ch)(i => (i * 37 + (i * i) % 91) % 256)
+
+  test("png round-trip: every (color type × forced filter) pair reconstructs exactly") {
+    for (colorType <- Seq(0, 2, 4, 6); filter <- 0 to 4) {
+      val ch = Png.channelsOf(colorType)
+      val samples = testImage(5, 4, ch)
+      val bytes = Png.encodePng(5, 4, colorType, samples, _ => filter)
+      val img = Png.decodePng(bytes).toOption.get
+      assert((img.width, img.height, img.colorType) === (5, 4, colorType))
+      assert(img.samples.toSeq === samples.toSeq,
+        s"colorType=$colorType filter=$filter")
+    }
+  }
+
+  test("png differential vs the JDK's own ImageIO decoder") {
+    for (colorType <- Seq(0, 2, 6)) {
+      val ch = Png.channelsOf(colorType)
+      val samples = testImage(7, 3, ch)
+      val bytes = Png.encodePng(7, 3, colorType, samples, y => (y * 2) % 5)
+      val ours = Png.decodePng(bytes).toOption.get.samples
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, s"ImageIO rejected our colorType=$colorType PNG")
+      val raster = ref.getRaster
+      for (y <- 0 until 3; x <- 0 until 7; c <- 0 until ch)
+        assert(raster.getSample(x, y, c) === ours((y * 7 + x) * ch + c),
+          s"colorType=$colorType ($x,$y,$c)")
+    }
+  }
+
+  test("png quarantine: CRC, signature, depth, palette, interlace, stream corruption") {
+    val good = Png.encodePng(3, 3, 0, testImage(3, 3, 1), _ => 0)
+    def reason(b: Array[Byte]): String = Png.decodePng(b).left.toOption.get
+    assert(reason("not a png at all".getBytes) === "bad_signature")
+    val crcFlip = good.clone; crcFlip(20) = (crcFlip(20) ^ 0x01).toByte
+    assert(reason(crcFlip) === "bad_crc") // IHDR data corrupted → CRC
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val b = good.clone; b(off) = v.toByte
+      // re-stamp the IHDR CRC so the tamper reaches the validator
+      val crc = new java.util.zip.CRC32(); crc.update(b, 12, 17)
+      java.nio.ByteBuffer.wrap(b, 29, 4).putInt(crc.getValue.toInt)
+      b
+    }
+    assert(reason(patched(24, 16)) === "unsupported_bit_depth")
+    assert(reason(patched(25, 3)) === "unsupported_color_type")
+    assert(reason(patched(28, 1)) === "unsupported_interlace")
+    // corrupt the zlib stream INSIDE a CRC-consistent IDAT chunk
+    val idatOff = 8 + 25 // after signature + IHDR chunk
+    val corrupted = good.clone
+    corrupted(idatOff + 8 + 2) = (corrupted(idatOff + 8 + 2) ^ 0xFF).toByte
+    val len = java.nio.ByteBuffer.wrap(corrupted, idatOff, 4).getInt
+    val crc2 = new java.util.zip.CRC32()
+    crc2.update(corrupted, idatOff + 4, 4 + len)
+    java.nio.ByteBuffer.wrap(corrupted, idatOff + 8 + len, 4)
+      .putInt(crc2.getValue.toInt)
+    val r = Png.decodePng(corrupted)
+    assert(r.isLeft && Set("bad_idat_stream", "bad_pixel_length",
+      "bad_filter_type")(r.left.toOption.get))
+  }
+
+  // --- MP4 / ISO-BMFF ----------------------------------------------
+
+  test("mp4 box walk: both mvhd versions, track dims 16.16, handlers, largesize and free boxes") {
+    import graft.sources.Mp4
+    val v0 = Mp4.decodeMp4(Mp4.encodeMp4("isom", 1000, 123456,
+      (640, 360), withAudio = true)).toOption.get
+    assert((v0.majorBrand, v0.timescale, v0.duration)
+      === ("isom", 1000L, 123456L))
+    assert(v0.tracks.map(t => (t.handler, t.width, t.height))
+      === Seq(("vide", 640.0, 360.0), ("soun", 0.0, 0.0)))
+    val v1 = Mp4.decodeMp4(Mp4.encodeMp4("mp42", 90000, 8589934592L,
+      (1920, 1080), withAudio = false, mvhdV1 = true)).toOption.get
+    assert((v1.timescale, v1.duration) === (90000L, 8589934592L))
+    assert(v1.tracks.head.width === 1920.0)
+    // a 64-bit largesize `free` box prepended after ftyp must skip
+    val base = Mp4.encodeMp4("isom", 1000, 42, (320, 180), false)
+    val ftypLen = java.nio.ByteBuffer.wrap(base, 0, 4).getInt
+    val free = java.nio.ByteBuffer.allocate(20)
+      .putInt(1).put("free".getBytes("US-ASCII")).putLong(20L)
+      .putInt(0xDEAD).array()
+    val spliced = base.take(ftypLen) ++ free ++ base.drop(ftypLen)
+    assert(Mp4.decodeMp4(spliced).toOption.get.duration === 42L)
+  }
+
+  test("mp4 quarantine: foreign leader, truncated box, missing moov/mvhd") {
+    import graft.sources.Mp4
+    def reason(b: Array[Byte]): String = Mp4.decodeMp4(b).left.toOption.get
+    val good = Mp4.encodeMp4("isom", 1000, 42, (320, 180), false)
+    // undecodable leading size → malformed; a VALID non-ftyp leader
+    // (an empty moov box) → missing_ftyp
+    assert(reason("RIFFxxxxWAVE and then some".getBytes)
+      === "malformed_boxes")
+    assert(reason(java.nio.ByteBuffer.allocate(8).putInt(8)
+      .put("moov".getBytes("US-ASCII")).array()) === "missing_ftyp")
+    assert(reason(good.dropRight(3)) === "malformed_boxes")
+    assert(reason(good.take(java.nio.ByteBuffer.wrap(good, 0, 4).getInt))
+      === "missing_moov")
+    val zeroSize = good.clone // moov size → 6 (< header): malformed
+    val ftypLen = java.nio.ByteBuffer.wrap(zeroSize, 0, 4).getInt
+    java.nio.ByteBuffer.wrap(zeroSize, ftypLen, 4).putInt(6)
+    assert(reason(zeroSize) === "malformed_boxes")
+  }
+
+  test("videoContainerMeta: end-to-end lane — six movies, audio muxing per the g rule") {
+    val out = graft.sources.Mp4.videoContainerMeta(spark, sf).collect()
+    assert(out.length === 6)
+    for (r <- out) {
+      val g = r.getAs[String]("name").stripPrefix("movie_")
+        .stripSuffix(".mp4").toInt
+      assert(r.getAs[Long]("n_tracks") === (if (g % 3 == 0) 2L else 1L))
+      assert(r.getAs[Double]("video_w") === 320.0 + (g % 3) * 320)
+      assert(r.getAs[Long]("duration") >= 1000L &&
+        r.getAs[Long]("duration") < 601000L)
+    }
+  }
+
+  test("imagePngStats: end-to-end lane — all four color types, channel counts right") {
+    val out = Png.imagePngStats(spark, sf).collect()
+    assert(out.length === 10) // 1 + 3 + 2 + 4 channels
+    val byImg = out.groupBy(_.getAs[String]("name"))
+    assert(byImg("img_0.png").map(_.getAs[Int]("color_type")).toSet === Set(0))
+    assert(byImg("img_0.png").length === 1)
+    assert(byImg("img_1.png").length === 3)
+    assert(byImg("img_2.png").length === 2)
+    assert(byImg("img_3.png").length === 4)
+    assert(out.forall(_.getAs[Long]("n_px") === 64L))
+    assert(out.forall { r =>
+      val (mn, mx) = (r.getAs[Long]("min_v"), r.getAs[Long]("max_v"))
+      mn >= 0 && mx <= 255 && mn <= mx })
+  }
+}
