@@ -188,6 +188,8 @@ object SparkEntry {
     "audio_wav_stats"       -> graft.sources.Wav.audioWavStats _,
     "image_png_stats"       -> graft.sources.Png.imagePngStats _,
     "video_container_meta"  -> graft.sources.Mp4.videoContainerMeta _,
+    "image_resize_pyramid"  -> graft.sources.Png.imageResizePyramid _,
+    "audio_resample_pcm"    -> graft.sources.Wav.audioResamplePcm _,
     "multimodal_container_meta" -> Multimodal.containerMeta _,
     "spi_forecast_coverage" -> Climate.spiForecastCoverage _,
     "rijn_deficit_weekly"   -> Climate.rijnDeficitWeekly _,
@@ -5371,6 +5373,76 @@ object SparkEntry {
         |  CAST(v_us AS DOUBLE) * 1e-6 AS value
         |FROM c
         |WHERE (gx * 8 + gy) % 7 != 3 AND v_us != -2147483648""".stripMargin,
+
+    // the box-mean pyramid replays level by level; the POSITIONAL
+    // checksum makes pixel placement load-bearing, not just masses
+    "image_resize_pyramid" ->
+      """WITH grid AS (
+        |  SELECT user_id % 8 AS y, (user_id // 8) % 8 AS x,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      * 10000 AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2),
+        |lattice AS (
+        |  SELECT g.n AS g, yy.n AS y, xx.n AS x
+        |  FROM range(0, 4) g(n), range(0, 8) yy(n), range(0, 8) xx(n)),
+        |px AS (
+        |  SELECT l.g, l.y, l.x,
+        |    ((coalesce(gr.v_us, 0) + l.g * 7) % 256 + 256) % 256 AS p
+        |  FROM lattice l LEFT JOIN grid gr ON l.y = gr.y AND l.x = gr.x),
+        |cmap AS (SELECT * FROM (VALUES (0, 0, 1), (1, 2, 3), (2, 4, 2),
+        |  (3, 6, 4)) AS t(g, ct, nch)),
+        |l0 AS (
+        |  SELECT p.g, c.n AS c, p.y, p.x,
+        |    CAST((p.p * (2 * c.n + 1) + c.n + p.g) % 256 AS BIGINT) AS v
+        |  FROM px p JOIN cmap m ON p.g = m.g
+        |  JOIN range(0, 4) c(n) ON c.n < m.nch),
+        |l1 AS (SELECT g, c, y // 2 AS y, x // 2 AS x,
+        |  CAST(floor(CAST(sum(v) AS DOUBLE) / 2.0 / 2.0) AS BIGINT) AS v
+        |  FROM l0 GROUP BY 1, 2, 3, 4),
+        |l2 AS (SELECT g, c, y // 2 AS y, x // 2 AS x,
+        |  CAST(floor(CAST(sum(v) AS DOUBLE) / 2.0 / 2.0) AS BIGINT) AS v
+        |  FROM l1 GROUP BY 1, 2, 3, 4),
+        |l3 AS (SELECT g, c, y // 2 AS y, x // 2 AS x,
+        |  CAST(floor(CAST(sum(v) AS DOUBLE) / 2.0 / 2.0) AS BIGINT) AS v
+        |  FROM l2 GROUP BY 1, 2, 3, 4),
+        |u AS (
+        |  SELECT g, c, 0 AS level, 8 AS dim, y, x, v FROM l0
+        |  UNION ALL SELECT g, c, 1, 4, y, x, v FROM l1
+        |  UNION ALL SELECT g, c, 2, 2, y, x, v FROM l2
+        |  UNION ALL SELECT g, c, 3, 1, y, x, v FROM l3)
+        |SELECT 'img_' || CAST(g AS VARCHAR) || '.png' AS name, level, c,
+        |  count(*) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(sum(v * (y * dim + x + 1)) AS BIGINT) AS poschk
+        |FROM u GROUP BY 1, 2, 3 ORDER BY name, level, c""".stripMargin,
+
+    // pair means floor on an exactly-halved double — identical on
+    // both engines even for negative odd sums
+    "audio_resample_pcm" ->
+      """WITH seeds AS (
+        |  SELECT user_id % 8 AS g,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      * 10000 AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS seed
+        |  FROM events GROUP BY 1),
+        |ser AS (
+        |  SELECT s.g, r.k,
+        |    (s.seed + (r.k + 1) * 2654435761) % 65536 - 32768 AS smp
+        |  FROM seeds s JOIN range(0, 320) r(k)
+        |    ON r.k < 160 + s.g * 16),
+        |p AS (
+        |  SELECT g, k // 2 AS j,
+        |    CAST(floor(CAST(sum(smp) AS DOUBLE) / 2.0) AS BIGINT) AS r
+        |  FROM ser GROUP BY 1, 2),
+        |l AS (
+        |  SELECT g, j, r, lag(r) OVER (PARTITION BY g ORDER BY j) AS prev
+        |  FROM p)
+        |SELECT 'clip_' || CAST(g AS VARCHAR) || '.wav' AS name,
+        |  count(*) AS n_out,
+        |  CAST(sum(r * r) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(r)) AS BIGINT) AS peak,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND ((r >= 0 AND prev < 0)
+        |    OR (r < 0 AND prev >= 0)) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_cross
+        |FROM l GROUP BY g ORDER BY name""".stripMargin,
 
     // both mvhd versions and the optional audio trak are g-arithmetic;
     // 16.16 dims come back as exact integral doubles on both engines

@@ -202,6 +202,70 @@ object Png {
       decoded.filter(!col("ok")).select(col("name"), col("reason")))
   }
 
+  /** REAL pixel-space RESIZE — the training-pipeline thumbnail /
+    * feature-pyramid op over DECODED pixels (the byte-level
+    * `multimodal_resample` twin, now with an actual image under it):
+    * repeated 2×2 box downsampling, each level the integer box mean
+    * `⌊(a+b+c+d)/4⌋` of the previous (floor on an exactly-halved
+    * double — engine-identical), 8×8 → 4×4 → 2×2 → 1×1. Output per
+    * (image, level, channel): pixel count, value mass, and a
+    * POSITIONAL checksum Σ v·(y·W + x + 1) so a transposed or
+    * misplaced pixel — not just a wrong mean — breaks the gate. */
+  def imageResizePyramid(spark: SparkSession, dir: String): DataFrame = {
+    val (samples, _) = decodePngDrop(renderedImages(spark, dir))
+    val l0 = samples.select(col("name"), col("c"), col("y"), col("x"),
+      col("v").cast("long").as("v")).localCheckpoint()
+    val levels = Iterator.iterate((l0, 0, 8)) { case (lv, k, dim) =>
+      (lv.groupBy(col("name"), col("c"),
+          expr("y div 2").as("y"), expr("x div 2").as("x"))
+        .agg(floor(sum(col("v")).cast("double") / 2.0 / 2.0)
+          .cast("long").as("v")),
+        k + 1, dim / 2)
+    }.take(4).toSeq
+    levels.map { case (lv, k, dim) =>
+      lv.groupBy(col("name"), col("c"))
+        .agg(count(lit(1)).as("n_px"), sum(col("v")).as("sum_v"),
+          sum(col("v") * (col("y") * dim + col("x") + 1)).as("poschk"))
+        .withColumn("level", lit(k))
+    }.reduce(_ unionByName _)
+      .select(col("name"), col("level"), col("c"), col("n_px"),
+        col("sum_v"), col("poschk"))
+      .orderBy(col("name"), col("level"), col("c"))
+  }
+
+  /** The four-image render shared by [[imagePngStats]] and
+    * [[imageResizePyramid]]. */
+  private[graft] def renderedImages(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = graft.Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("y"),
+        expr("user_id div 8 % 8").as("x"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
+    val lattice = spark.range(256)
+      .select(expr("id div 64").as("g"),
+        expr("id % 64 div 8").as("y"), (col("id") % 8).as("x"))
+    lattice.join(grid, Seq("y", "x"), "left")
+      .withColumn("p",
+        ((coalesce(col("v_us"), lit(0L)) + col("g") * 7) % 256 + 256) % 256)
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(
+        (col("y") * 8 + col("x")).as("i"), col("p")))).as("px"))
+      .as[(Long, Seq[(Long, Long)])]
+      .map { case (g, px) =>
+        val colorType = Seq(0, 2, 4, 6)(g.toInt)
+        val ch = channelsOf(colorType)
+        val base = px.map(_._2.toInt).toArray
+        val samples = Array.tabulate(64 * ch) { j =>
+          val (i, c) = (j / ch, j % ch)
+          (base(i) * (2 * c + 1) + c + g.toInt) % 256
+        }
+        (s"img_$g.png",
+          encodePng(8, 8, colorType, samples, y => (y + g.toInt) % 5))
+      }.toDF("name", "content")
+  }
+
   /** END-TO-END oracle-checked lane: four images render in-plan from
     * the events grid — one per supported color type (gray / RGB /
     * gray+alpha / RGBA), base pixel `p = ((v_us(y,x) + 7g) mod 256`
@@ -212,35 +276,7 @@ object Png {
     * verified), then exact-integer per-channel stats. A CRC, filter,
     * stride or channel-interleave bug cannot hash-match. */
   def imagePngStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val grid = graft.Tables.events(spark, dir)
-      .groupBy((col("user_id") % 8).as("y"),
-        expr("user_id div 8 % 8").as("x"))
-      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
-        .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
-    val lattice = spark.range(256) // 4 images × 64 pixels
-      .select(expr("id div 64").as("g"),
-        expr("id % 64 div 8").as("y"), (col("id") % 8).as("x"))
-    val pixels = lattice.join(grid, Seq("y", "x"), "left")
-      .withColumn("p",
-        ((coalesce(col("v_us"), lit(0L)) + col("g") * 7) % 256 + 256) % 256)
-    val imgs = pixels
-      .groupBy(col("g"))
-      .agg(array_sort(collect_list(struct(
-        (col("y") * 8 + col("x")).as("i"), col("p")))).as("px"))
-      .as[(Long, Seq[(Long, Long)])]
-      .map { case (g, px) =>
-        val colorType = Seq(0, 2, 4, 6)(g.toInt)
-        val ch = channelsOf(colorType)
-        val base = px.map(_._2.toInt).toArray // already i-sorted
-        val samples = Array.tabulate(64 * ch) { j =>
-          val (i, c) = (j / ch, j % ch)
-          (base(i) * (2 * c + 1) + c + g.toInt) % 256
-        }
-        (s"img_$g.png",
-          encodePng(8, 8, colorType, samples, y => (y + g.toInt) % 5))
-      }.toDF("name", "content")
-    val (samples, _) = decodePngDrop(imgs)
+    val (samples, _) = decodePngDrop(renderedImages(spark, dir))
     samples.groupBy(col("name"), col("color_type"), col("c"))
       .agg(count(lit(1)).as("n_px"),
         sum(col("v").cast("long")).as("sum_v"),

@@ -124,14 +124,17 @@ object Wav {
     * numerator), peak |s|, sign flips (zero crossings over a lag
     * window), near-silence count. A header, sign-extension,
     * alignment or ordering bug cannot hash-match. */
-  def audioWavStats(spark: SparkSession, dir: String): DataFrame = {
+  /** The eight-clip render shared by [[audioWavStats]] and
+    * [[audioResamplePcm]]. */
+  private[graft] def renderedClips(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
     val seeds = graft.Tables.events(spark, dir)
       .groupBy((col("user_id") % 8).as("g"))
       .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
         .cast("double") / count(lit(1)) + 0.5).cast("long").as("seed"))
       .select(col("g"), col("seed"), (lit(160) + col("g") * 16).as("n"))
-    val clips = seeds.as[(Long, Long, Long)].map { case (g, seed, n) =>
+    seeds.as[(Long, Long, Long)].map { case (g, seed, n) =>
       val samples = Array.tabulate(n.toInt)(k =>
         (((seed + (k + 1) * 2654435761L) % 65536L).toInt - 32768))
       val body = java.nio.ByteBuffer
@@ -140,7 +143,10 @@ object Wav {
       samples.foreach(s => body.putShort(s.toShort))
       (s"clip_$g.wav", wavHeader(samples.length) ++ body.array())
     }.toDF("name", "content")
-    val (samples, _) = decodeWavDrop(clips)
+  }
+
+  def audioWavStats(spark: SparkSession, dir: String): DataFrame = {
+    val (samples, _) = decodeWavDrop(renderedClips(spark, dir))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("name")).orderBy(col("k"))
     samples
@@ -156,6 +162,34 @@ object Wav {
           .as("zero_cross"),
         sum(when(abs(col("s")) < 256, 1L).otherwise(0L))
           .as("near_silence"))
+      .orderBy(col("name"))
+  }
+
+  /** REAL audio RESAMPLE over DECODED samples — decimate-by-2 with
+    * the pair mean `⌊(s₂ₖ + s₂ₖ₊₁)/2⌋` (floor of an exactly-halved
+    * double — engine-identical, including negative odd sums, where
+    * truncating integer division would diverge between engines).
+    * The training-pipeline rate-normalization op (16 kHz → 8 kHz)
+    * the byte-level `multimodal_resample` stands in for — now with
+    * an actual waveform under it. Features recompute over the
+    * decimated stream so a pairing/offset bug cannot hash-match. */
+  def audioResamplePcm(spark: SparkSession, dir: String): DataFrame = {
+    val (samples, _) = decodeWavDrop(renderedClips(spark, dir))
+    val pairs = samples
+      .groupBy(col("name"), expr("k div 2").as("j"))
+      .agg(floor(sum(col("s")).cast("double") / 2.0).cast("long").as("r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("name")).orderBy(col("j"))
+    pairs
+      .withColumn("prev", lag(col("r"), 1).over(w))
+      .groupBy(col("name"))
+      .agg(count(lit(1)).as("n_out"),
+        sum(col("r") * col("r")).as("sum_sq"),
+        max(abs(col("r"))).cast("long").as("peak"),
+        sum(when(col("prev").isNotNull &&
+          ((col("r") >= 0 && col("prev") < 0) ||
+            (col("r") < 0 && col("prev") >= 0)), 1L).otherwise(0L))
+          .as("zero_cross"))
       .orderBy(col("name"))
   }
 }

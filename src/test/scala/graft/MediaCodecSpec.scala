@@ -134,6 +134,37 @@ class MediaCodecSpec extends SparkSpec {
       "bad_filter_type")(r.left.toOption.get))
   }
 
+  test("audioResamplePcm: decimate-by-2 pair means, exact features, half the samples") {
+    val full = Wav.audioWavStats(spark, sf).collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Long]("n_samples")).toMap
+    val out = Wav.audioResamplePcm(spark, sf).collect()
+    assert(out.length === 8)
+    for (r <- out) {
+      val name = r.getAs[String]("name")
+      assert(r.getAs[Long]("n_out") === full(name) / 2)
+      assert(r.getAs[Long]("peak") <= 32768L)
+    }
+  }
+
+  test("imageResizePyramid: levels halve, masses conserve within floor loss, placement checked") {
+    val out = Png.imageResizePyramid(spark, sf).collect()
+    assert(out.length === 40) // 10 channels × 4 levels
+    val by = out.groupBy(r => (r.getAs[String]("name"), r.getAs[Long]("c")))
+      .view.mapValues(_.sortBy(_.getAs[Int]("level"))).toMap
+    for ((_, levels) <- by) {
+      assert(levels.map(_.getAs[Long]("n_px")).toSeq
+        === Seq(64L, 16L, 4L, 1L))
+      // each box mean floors: level mass ∈ (prev/4 − n_px, prev/4]
+      for (pair <- levels.sliding(2)) {
+        val (pm, cm) = (pair(0).getAs[Long]("sum_v"),
+          pair(1).getAs[Long]("sum_v"))
+        assert(cm <= pm / 4 + 1 &&
+          cm > pm / 4 - pair(1).getAs[Long]("n_px") - 1,
+          s"mass not conserved: $pm -> $cm")
+      }
+    }
+  }
+
   // --- MP4 / ISO-BMFF ----------------------------------------------
 
   test("mp4 box walk: both mvhd versions, track dims 16.16, handlers, largesize and free boxes") {
