@@ -598,13 +598,27 @@ object Dedup {
       docs.filter(col("doc_id") % 10 >= 8))
   }
 
+  /** Pin the in-flow index only past this many index docs. The pin
+    * (localCheckpoint) trades a fixed materialization cost for
+    * collapsing two signature passes into one: at index scale the
+    * signature pass dominates and the pin wins (sf1: 8.0 → 7.0 s);
+    * for a small screening corpus the materialization overhead
+    * EXCEEDS the duplicated pass (sf0.1: 1.9 → 3.0 s pinned), so
+    * small indexes recompute instead. The probe is a one-column
+    * count over the raw docs — no signature work. */
+  private[graft] val IndexPinMinDocs = 10000L
+
   private[graft] def dedupIncrementalOf(indexDocs: DataFrame,
       batchDocs: DataFrame): DataFrame = {
-    // in-flow wiring signs the index HERE; pin it so the counts
-    // derivation and the admissible-bucket membership read share ONE
-    // signature pass (steady-state deployments load both artifacts
-    // from parquet instead — the 4-arg overload)
-    val indexBuckets = minhashIndex(indexDocs).localCheckpoint()
+    // in-flow wiring signs the index HERE; pin it (conditionally —
+    // see [[IndexPinMinDocs]]) so the counts derivation and the
+    // admissible-bucket membership read share ONE signature pass
+    // (steady-state deployments load both artifacts from parquet
+    // instead — the 4-arg overload)
+    val idx = minhashIndex(indexDocs)
+    val indexBuckets =
+      if (indexDocs.count() >= IndexPinMinDocs) idx.localCheckpoint()
+      else idx
     dedupIncrementalAgainst(indexBuckets, indexDocs, batchDocs)
   }
 
@@ -688,8 +702,13 @@ object Dedup {
     // for a published index — no data scan). Out-of-sync artifacts
     // would silently shift BucketCap admissions; fail loud instead.
     if (indexCounts.columns.contains("snapshot_rows")) {
+      // coalesce: an EMPTY counts artifact (legitimately published
+      // with the stamp column before any docs) aggregates to NULL —
+      // the gate must fall through to the informative requires, not
+      // die in getLong.
       val d = indexCounts
-        .agg(sum(col("idx_n")).as("s"), max(col("snapshot_rows")).as("st"))
+        .agg(coalesce(sum(col("idx_n")), lit(0L)).as("s"),
+          coalesce(max(col("snapshot_rows")), lit(0L)).as("st"))
         .collect()(0)
       val (sumN, stamp) = (d.getLong(0), d.getLong(1))
       require(sumN == stamp,

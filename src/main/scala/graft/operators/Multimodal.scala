@@ -273,9 +273,10 @@ object Multimodal {
   /** REAL header decode over a binary payload column: container
     * detection by MAGIC (PNG signature / SOI / RIFF····WAVE), then
     * per-format structural parse — PNG IHDR width/height/bit-depth/
-    * color-type (big-endian), JPEG frame dims via a bounded MARKER
-    * SCAN for SOF0/1/2 over the header region (not a fixed offset —
-    * APP segments vary), WAV fmt-chunk channels/sample-rate/bits
+    * color-type (big-endian), JPEG frame dims via a bounded
+    * SEGMENT-LENGTH marker walk to SOF0/1/2 (APPn/COM payloads are
+    * skipped by their declared size, so EXIF/thumbnail bytes cannot
+    * fake a frame header), WAV fmt-chunk channels/sample-rate/bits
     * (little-endian). Everything is elementwise hex/substring/conv
     * arithmetic in the scan stage — no UDF, no shuffle; this is the
     * real decode the stub lanes route around, limited to container
@@ -296,10 +297,34 @@ object Multimodal {
         .when(substring(col("hx"), 1, 4) === "FFD8", "jpeg")
         .when(substring(col("hx"), 1, 8) === "52494646" &&
           substring(col("hx"), 17, 8) === "57415645", "wav")
-    // bounded aligned scan of the first 64 bytes for an SOF marker
-    val sofPos = array_min(filter(sequence(lit(0), lit(61)),
-      p => col("hx").substr(p * 2 + 1, lit(2)) === "FF" &&
-        col("hx").substr(p * 2 + 3, lit(2)).isin("C0", "C1", "C2")))
+    // SOF location by SEGMENT-LENGTH marker walk (bounded, ≤16
+    // segments), not a raw byte scan: APPn/COM payloads (EXIF,
+    // thumbnails) can legally contain FF C0 byte pairs, so scanning
+    // for the pattern mislocates SOF on real-world headers. State:
+    // ≥0 → offset (0-based) of the next marker; −(pos+1) → SOF found
+    // at pos; ≥BAD → walk ended (SOS/EOI/truncated) without a frame
+    // header. Pure Column algebra — stays UDF-free in the scan stage.
+    val BadWalk = 1000000
+    val sofWalk = aggregate(
+      sequence(lit(1), lit(16)),
+      lit(2),
+      (acc, _) => {
+        val mk1 = col("hx").substr(acc * 2 + 1, lit(2))
+        val mk2 = col("hx").substr(acc * 2 + 3, lit(2))
+        val segLen =
+          conv(col("hx").substr(acc * 2 + 5, lit(4)), 16, 10).cast("int")
+        when(acc < 0 || acc >= BadWalk, acc)
+          .when(acc * 2 + 4 > length(col("hx")) || mk1 =!= "FF",
+            lit(BadWalk))
+          .when(mk2.isin("C0", "C1", "C2"), -acc - 1)
+          // standalone markers carry no length field
+          .when(mk2.isin("01") || mk2.between("D0", "D8"), acc + 2)
+          // scan data / EOI: a frame header cannot follow
+          .when(mk2.isin("DA", "D9"), lit(BadWalk))
+          // segment length INCLUDES its own 2 bytes, not the marker
+          .otherwise(acc + 2 + segLen)
+      })
+    val sofPos = when(sofWalk < 0, -sofWalk - 1)
     m.withColumn("detected", detected)
       .withColumn("sof", when(col("detected") === "jpeg", sofPos))
       .select(col("doc_id"), col("declared"), col("detected"),

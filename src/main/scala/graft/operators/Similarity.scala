@@ -238,7 +238,22 @@ object Similarity {
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
     knnGraphOf(vecs(spark, dir), 5)
 
-  private[graft] def knnGraphOf(v: DataFrame, k: Int): DataFrame = {
+  /** Validity bound for the exact-baseline regime: [[knnGraphOf]]
+    * collects the corpus matrix to the driver (~0.5 KB/vector at
+    * dim 64), so past this many vectors the failure mode would be a
+    * driver OOM mid-collect. The guard turns it into a message
+    * pointing at [[knnGraphIvf]] — the IVF-blocked scale path — and
+    * costs one vec_id-column count (no vector bytes move). */
+  private[graft] val ExactBaselineMaxVectors = 200000L
+
+  private[graft] def knnGraphOf(v: DataFrame, k: Int,
+      maxVectors: Long = ExactBaselineMaxVectors): DataFrame = {
+    val n = v.count()
+    require(n <= maxVectors,
+      s"knn_graph is the exact O(n²) BASELINE, valid to $maxVectors " +
+        s"vectors (corpus has $n): it collects the corpus matrix to " +
+        "the driver by design. Use knn_graph_ivf — the IVF-blocked " +
+        "scale path — for larger corpora.")
     val corpus = v.select(col("vec_id"), col("emb")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     v.select(col("vec_id"),

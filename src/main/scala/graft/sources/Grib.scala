@@ -80,6 +80,14 @@ object Grib {
           case 2 => 86400L
           case u => throw new IllegalArgumentException(s"time unit $u")
         }
+        // Octet 21 time-range indicator: only 0 (forecast valid at
+        // ref+P1) and 1 (analysis, P1=0) decode as ref+P1. Averages/
+        // accumulations (2-5) and the 2-octet-P1 form (10) carry a
+        // different valid-time semantics — quarantine loudly rather
+        // than decode a silently wrong timestamp.
+        val timeRange = u8(pds + 20)
+        require(timeRange == 0 || timeRange == 1,
+          s"time range indicator $timeRange unsupported")
         val validTime = refTime.plusSeconds(u8(pds + 18) * unitSecs) // P1
         // --- GDS ---
         val gds = pds + pdsLen

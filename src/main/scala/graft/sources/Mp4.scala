@@ -23,8 +23,15 @@ object Mp4 {
       duration: Long, tracks: Seq[Mp4Track])
 
   /** Box walk. Left(reason) quarantines: no ftyp leader, truncated
-    * or undersized boxes, missing moov/mvhd. */
+    * or undersized boxes, missing moov/mvhd, undersized mvhd/tkhd/
+    * hdlr payloads. Any residual malformed-byte arithmetic is caught
+    * by the Try wrapper — a poison file can never kill the job. */
   private[graft] def decodeMp4(bytes: Array[Byte]):
+      Either[String, Mp4Meta] =
+    scala.util.Try(decodeMp4Walk(bytes)).toEither
+      .left.map(_ => "malformed_box_payload").flatten
+
+  private def decodeMp4Walk(bytes: Array[Byte]):
       Either[String, Mp4Meta] = {
     def u32(p: Int): Long =
       ((bytes(p) & 0xFFL) << 24) | ((bytes(p + 1) & 0xFFL) << 16) |
@@ -65,24 +72,36 @@ object Mp4 {
         if (moov.isEmpty && ms != me) return Left("malformed_boxes")
         val mvhd = moov.find(_._1 == "mvhd").getOrElse(
           return Left("missing_mvhd"))
-        val (mvS, v) = (mvhd._2, bytes(mvhd._2) & 0xFF)
+        val (mvS, mvE) = (mvhd._2, mvhd._3)
+        if (mvE - mvS < 4) return Left("undersized_mvhd")
+        val v = bytes(mvS) & 0xFF
+        // mvhd v0: timescale@+12, duration@+16 → payload ≥ 20;
+        // v1: timescale@+20, duration@+24 (u64) → payload ≥ 32.
+        if (mvE - mvS < (if (v == 1) 32 else 20))
+          return Left("undersized_mvhd")
         val (timescale, duration) =
           if (v == 1) (u32(mvS + 20), u64(mvS + 24))
           else (u32(mvS + 12), u32(mvS + 16))
         val tracks = moov.filter(_._1 == "trak").flatMap {
           case (_, ts, te) =>
             val trak = children(ts, te)
-            for ((_, ks, _) <- trak.find(_._1 == "tkhd")) yield {
+            for ((_, ks, kEnd) <- trak.find(_._1 == "tkhd")) yield {
+              // tkhd v0: id@+12 → payload ≥ 16; v1: id@+20 → ≥ 24;
+              // width/height are the last 8 bytes of the payload.
+              if (kEnd - ks < 4) return Left("undersized_tkhd")
               val kv = bytes(ks) & 0xFF
               val idOff = if (kv == 1) ks + 20 else ks + 12
+              if (kEnd - ks < (if (kv == 1) 24 else 16) ||
+                  kEnd - 8 < idOff + 4)
+                return Left("undersized_tkhd")
               val trackId = u32(idOff)
-              // width/height: last 8 bytes of tkhd, 16.16 fixed
-              val (_, _, kEnd) = trak.find(_._1 == "tkhd").get
               val w = u32(kEnd - 8) / 65536.0
               val h = u32(kEnd - 4) / 65536.0
               val handler = (for {
                 (_, ds, de) <- trak.find(_._1 == "mdia")
-                (_, hs, _) <- children(ds, de).find(_._1 == "hdlr")
+                (_, hs, he) <- children(ds, de).find(_._1 == "hdlr")
+                // hdlr: handler_type tag @+8 → payload ≥ 12
+                if he - hs >= 12
               } yield tag(hs + 8)).getOrElse("????")
               Mp4Track(trackId, handler, w, h)
             }

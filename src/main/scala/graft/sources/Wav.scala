@@ -91,9 +91,12 @@ object Wav {
     b.array()
   }
 
-  /** docs(name, content) → one row per sample, in clip order, plus
+  /** docs(name, content) → one row per sample, DE-INTERLEAVED, plus
     * the quarantine frame — the raster codecs' drop discipline at
-    * the audio seam. */
+    * the audio seam. Multi-channel clips surface `channels` and each
+    * sample's `ch`; `k` is the FRAME index within its channel, so
+    * lag-based waveform features never mix channels (for mono,
+    * ch ≡ 0 and k is the plain sample index — unchanged). */
   def decodeWavDrop(docs: DataFrame): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -102,14 +105,15 @@ object Wav {
       .flatMap { case (name, bytes) =>
         decodeWav(bytes) match {
           case Left(reason) =>
-            Iterator((false, name, reason, 0, 0, 0L, 0))
+            Iterator((false, name, reason, 0, 0, 0, 0, 0L, 0))
           case Right(c) => c.samples.iterator.zipWithIndex.map {
-            case (s, k) => (true, name, null: String, c.rate, c.bits,
-              k.toLong, s)
+            case (s, i) => (true, name, null: String, c.channels,
+              c.rate, c.bits, i % c.channels, (i / c.channels).toLong, s)
           }
         }
       }
-      .toDF("ok", "name", "reason", "rate", "bits", "k", "s")
+      .toDF("ok", "name", "reason", "channels", "rate", "bits", "ch",
+        "k", "s")
     (decoded.filter(col("ok")).drop("ok", "reason"),
       decoded.filter(!col("ok")).select(col("name"), col("reason")))
   }
@@ -147,8 +151,11 @@ object Wav {
 
   def audioWavStats(spark: SparkSession, dir: String): DataFrame = {
     val (samples, _) = decodeWavDrop(renderedClips(spark, dir))
+    // lag per (clip, channel): multi-channel clips never mix channels
+    // in the crossing count (mono: ch ≡ 0, identical to a name-only
+    // partition)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("name")).orderBy(col("k"))
+      .partitionBy(col("name"), col("ch")).orderBy(col("k"))
     samples
       .withColumn("prev", lag(col("s"), 1).over(w))
       .groupBy(col("name"))
@@ -175,11 +182,12 @@ object Wav {
     * decimated stream so a pairing/offset bug cannot hash-match. */
   def audioResamplePcm(spark: SparkSession, dir: String): DataFrame = {
     val (samples, _) = decodeWavDrop(renderedClips(spark, dir))
+    // decimate within each channel (mono: ch ≡ 0, identical shape)
     val pairs = samples
-      .groupBy(col("name"), expr("k div 2").as("j"))
+      .groupBy(col("name"), col("ch"), expr("k div 2").as("j"))
       .agg(floor(sum(col("s")).cast("double") / 2.0).cast("long").as("r"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("name")).orderBy(col("j"))
+      .partitionBy(col("name"), col("ch")).orderBy(col("j"))
     pairs
       .withColumn("prev", lag(col("r"), 1).over(w))
       .groupBy(col("name"))

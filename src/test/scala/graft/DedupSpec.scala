@@ -223,6 +223,23 @@ class DedupSpec extends SparkSpec {
     }
     assert(drift.getMessage.contains("out of sync"))
 
+    // cold-start workflow: an EMPTY index published with the stamp
+    // column (legitimate before the first corpus snapshot) must pass
+    // the consistency gate (0 ≡ 0, not an NPE on NULL aggregates)
+    // and screen the batch on its internal pairs alone
+    val emptyDocs = index.limit(0)
+    val emptyIdx = graft.operators.Dedup.minhashIndex(emptyDocs)
+    val coldStart = graft.operators.Dedup.dedupIncrementalAgainst(
+        emptyIdx, graft.operators.Dedup.minhashIndexCounts(emptyIdx),
+        emptyDocs, batch).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(coldStart.keySet === Set(101L, 102L, 103L, 104L))
+    assert(coldStart(103L) === ((true, Some(102L))),
+      "batch-internal pair survives an empty index")
+    assert(coldStart(101L) === ((false, None)),
+      "no index partner exists in the cold start")
+
     // live corpus: every reported duplicate must be backed by the
     // exhaustive exact-Jaccard pair set, and batch-internal matches
     // obey the smaller-id survivorship rule

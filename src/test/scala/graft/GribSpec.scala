@@ -77,6 +77,21 @@ class GribSpec extends SparkSpec {
     assert(Grib.decodeGrib(fixture ++ "junkjunkjunk".getBytes).isEmpty)
   }
 
+  test("decodeGrib: unsupported time-range indicators quarantine, never a silently wrong timestamp") {
+    // octet 21 (PDS index 20 → file index 28): 4 = accumulation —
+    // valid time is NOT ref+P1 there, so the message must drop loud
+    for (tri <- Seq(2, 3, 4, 5, 10)) {
+      val acc = fixture.clone(); acc(28) = tri.toByte
+      assert(Grib.decodeGrib(acc).isEmpty, s"indicator $tri must quarantine")
+    }
+    // indicator 1 (analysis at reference time, P1 = 0) stays supported
+    val ana = fixture.clone(); ana(28) = 1; ana(26) = 0 // P1 = 0
+    val cells = Grib.decodeGrib(ana).toSeq
+    assert(cells.length === 3)
+    assert(cells.forall(_.time.toLocalDateTime.toString ==
+      "1999-12-31T23:00"))
+  }
+
   test("grid_grib_decode equals the GeoTIFF lane cell-for-cell; bitmap masks the same holes") {
     val gb = SparkEntry.queries("grid_grib_decode")(spark, sf).collect()
     val tif = SparkEntry.queries("grid_tiff_decode")(spark, sf).collect()

@@ -9,7 +9,7 @@ class MediaCodecSpec extends SparkSpec {
   // --- WAV ----------------------------------------------------------
 
   private def wavBytes(samples: Seq[Int], extraChunk: Boolean = false,
-      fmtCode: Int = 1, bits: Int = 16): Array[Byte] = {
+      fmtCode: Int = 1, bits: Int = 16, channels: Int = 1): Array[Byte] = {
     val dataLen = samples.length * (bits / 8)
     val extra = if (extraChunk) 8 + 5 + 1 else 0 // odd LIST chunk + pad
     val b = java.nio.ByteBuffer.allocate(44 + extra + dataLen)
@@ -17,8 +17,9 @@ class MediaCodecSpec extends SparkSpec {
     b.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + dataLen)
       .put("WAVE".getBytes("US-ASCII"))
     b.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(fmtCode.toShort).putShort(1).putInt(16000)
-      .putInt(16000 * bits / 8).putShort((bits / 8).toShort)
+      .putShort(fmtCode.toShort).putShort(channels.toShort).putInt(16000)
+      .putInt(16000 * channels * bits / 8)
+      .putShort((channels * bits / 8).toShort)
       .putShort(bits.toShort)
     if (extraChunk) { // odd-length LIST chunk: size 5 → 1 pad byte
       b.put("LIST".getBytes("US-ASCII")).putInt(5)
@@ -54,6 +55,24 @@ class MediaCodecSpec extends SparkSpec {
     assert(Wav.decodeWav(truncated).left.toOption.get === "truncated_chunk")
     assert(Wav.decodeWav(wavBytes(Nil).take(36)).left.toOption.get
       === "missing_data")
+  }
+
+  test("decodeWavDrop: stereo de-interleaves — k is the frame index per channel") {
+    // interleaved L R L R …: L ramps up, R is a constant; mixing the
+    // channels would produce spurious sign structure in either stream
+    val inter = (0 until 6).flatMap(i => Seq(i * 100 - 250, -7))
+    val docs = Seq(("st.wav", wavBytes(inter, channels = 2)))
+      .toDF("name", "content")
+    val (rows, drops) = Wav.decodeWavDrop(docs)
+    assert(drops.count() === 0)
+    val got = rows.orderBy(col("ch"), col("k")).collect()
+    assert(got.forall(_.getAs[Int]("channels") === 2))
+    val left = got.filter(_.getAs[Int]("ch") == 0)
+    val right = got.filter(_.getAs[Int]("ch") == 1)
+    assert(left.map(_.getAs[Int]("s")).toSeq
+      === (0 until 6).map(i => i * 100 - 250))
+    assert(left.map(_.getAs[Long]("k")).toSeq === (0L until 6L))
+    assert(right.map(_.getAs[Int]("s")).toSeq === Seq.fill(6)(-7))
   }
 
   test("audioWavStats: end-to-end lane — exact features, every clip present") {
@@ -206,6 +225,39 @@ class MediaCodecSpec extends SparkSpec {
     val ftypLen = java.nio.ByteBuffer.wrap(zeroSize, 0, 4).getInt
     java.nio.ByteBuffer.wrap(zeroSize, ftypLen, 4).putInt(6)
     assert(reason(zeroSize) === "malformed_boxes")
+  }
+
+  test("mp4 quarantine: well-framed but UNDERSIZED box payloads never throw") {
+    import graft.sources.Mp4
+    def reason(b: Array[Byte]): String = Mp4.decodeMp4(b).left.toOption.get
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isomAAAAisom".getBytes("US-ASCII"))
+    // an 8-byte mvhd (empty payload) at end of file — the ADVICE
+    // repro: fixed-offset reads past the payload must quarantine,
+    // not ArrayIndexOutOfBounds
+    assert(reason(ftyp ++ box("moov", box("mvhd", Array.emptyByteArray)))
+      === "undersized_mvhd")
+    // v1 flag but only the v0 20-byte payload behind it
+    val shortV1 = new Array[Byte](20); shortV1(0) = 1
+    assert(reason(ftyp ++ box("moov", box("mvhd", shortV1)))
+      === "undersized_mvhd")
+    // valid mvhd + a trak whose tkhd is an empty shell
+    val mvhdOk = new Array[Byte](100)
+    java.nio.ByteBuffer.wrap(mvhdOk).putInt(12, 1000).putInt(16, 42)
+    assert(reason(ftyp ++ box("moov", box("mvhd", mvhdOk) ++
+      box("trak", box("tkhd", Array.emptyByteArray))))
+      === "undersized_tkhd")
+    // undersized hdlr is non-fatal: handler falls back to "????"
+    val tkhdOk = new Array[Byte](84)
+    java.nio.ByteBuffer.wrap(tkhdOk).putInt(12, 7)
+    val m = Mp4.decodeMp4(ftyp ++ box("moov", box("mvhd", mvhdOk) ++
+      box("trak", box("tkhd", tkhdOk) ++
+        box("mdia", box("hdlr", new Array[Byte](8)))))).toOption.get
+    assert(m.tracks.map(_.handler) === Seq("????"))
   }
 
   test("videoContainerMeta: end-to-end lane — six movies, audio muxing per the g rule") {

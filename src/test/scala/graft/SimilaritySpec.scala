@@ -183,6 +183,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knn_graph: past the exact-baseline bound the guard fires loud, pointing at the IVF twin") {
+    val v = graft.Tables.spread(Tables.embeddings(spark, sf), col("vec_id"))
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.knnGraphOf(v, 5, maxVectors = 3)
+    }
+    assert(e.getMessage.contains("knn_graph_ivf"),
+      "guard must point at the scale path")
+    // under the bound the same wiring still runs
+    assert(graft.operators.Similarity
+      .knnGraphOf(v.filter(col("vec_id") < 3), 2, maxVectors = 3)
+      .count() > 0)
+  }
+
   test("knn_graph_ivf: bounded candidate blocks, reasonable recall vs exact graph") {
     val exact = SparkEntry.queries("knn_graph")(spark, sf).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
@@ -542,6 +557,32 @@ class SimilaritySpec extends SparkSpec {
         case other => fail(s"doc $id unexpected format $other")
       }
     }
+  }
+
+  test("headerDecode: JPEG SOF located by segment walk — APP payload FF C0 bytes cannot fake a frame header") {
+    import spark.implicits._
+    // APP1 (EXIF slot) whose PAYLOAD begins with the bytes FF C0 — a
+    // raw marker scan would read garbage dims from inside the
+    // segment; the length walk skips it and finds the real SOF0
+    // (128x64) behind it
+    val evil = "FFD8" + "FFE1" + "000A" + "FFC0AAAABBBBCCCC" +
+      "FFC0" + "0011" + "08" + "0040" + "0080" +
+      "03" + "011100" + "021101" + "031101"
+    // SOS before any SOF: the walk must stop, dims null (a raw scan
+    // could still match FF C0 bytes inside entropy-coded data)
+    val noSof = "FFD8" + "FFDA" + "0008" + "01FFC0FFC1FFC2" + "AB"
+    // a restart marker (standalone, no length) interleaved pre-SOF
+    val rst = "FFD8" + "FFD0" + "FFC1" + "0011" + "08" + "0100" + "0200" +
+      "03" + "011100" + "021101" + "031101"
+    val got = graft.operators.Multimodal.headerDecode(
+      Seq((1L, "jpeg", evil), (2L, "jpeg", noSof), (3L, "jpeg", rst))
+        .toDF("doc_id", "declared", "hxin")
+        .select(col("doc_id"), col("declared"),
+          unhex(col("hxin")).as("payload")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(4) === 128L && got(1L).getLong(5) === 64L)
+    assert(got(2L).isNullAt(4) && got(2L).isNullAt(5))
+    assert(got(3L).getLong(4) === 512L && got(3L).getLong(5) === 256L)
   }
 
   test("multimodal_stats: per-format byte envelope and magic census match brute-force") {
