@@ -602,10 +602,13 @@ object Dedup {
     * (localCheckpoint) trades a fixed materialization cost for
     * collapsing two signature passes into one: at index scale the
     * signature pass dominates and the pin wins (sf1: 8.0 → 7.0 s);
-    * for a small screening corpus the materialization overhead
-    * EXCEEDS the duplicated pass (sf0.1: 1.9 → 3.0 s pinned), so
-    * small indexes recompute instead. The probe is a one-column
-    * count over the raw docs — no signature work. */
+    * for a small screening corpus the duplicated pass is cheap and
+    * the materialization buys nothing (A/B-measured neutral at
+    * sf0.1 — ~2.8 s either way on the r11 host; the r9→r10
+    * 1.85→2.96 s move reproduces at the PRE-pin commit too, i.e.
+    * host drift, not the pin), so small indexes skip the pin and
+    * its memory footprint. The probe is a one-column count over the
+    * raw docs — no signature work. */
   private[graft] val IndexPinMinDocs = 10000L
 
   private[graft] def dedupIncrementalOf(indexDocs: DataFrame,
