@@ -251,6 +251,7 @@ object SparkEntry {
     "dedup_clusters"      -> Dedup.dedupClusters _,
     "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
     "dedup_lsh_audit"     -> Dedup.lshRecallAudit _,
+    "dedup_lsh_audit_sampled" -> Dedup.lshRecallAuditSampled _,
     "quality_vs_dup"      -> Dedup.qualityVsDup _,
     "dedup_simhash"       -> Dedup.simhash _,
     "dedup_chunks"        -> Dedup.dedupChunks _,
@@ -259,9 +260,11 @@ object SparkEntry {
     "dedup_embedding_incremental" -> Similarity.embeddingIncremental _,
     "dedup_embedding_lsh" -> Similarity.embeddingPairsLsh _,
     "dedup_embedding_lsh_audit" -> Similarity.embeddingLshAudit _,
+    "dedup_embedding_lsh_audit_sampled" -> Similarity.embeddingLshAuditSampled _,
     "ann_topk_bruteforce" -> Similarity.annTopkBruteforce _,
     "ann_lsh_topk"        -> Similarity.annLshTopk _,
     "ann_recall_audit"    -> Similarity.annRecallAudit _,
+    "ann_recall_audit_sampled" -> Similarity.annRecallAuditSampled _,
     "ann_matryoshka_audit" -> Similarity.annMatryoshkaAudit _,
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
     "ann_nprobe_sweep"    -> Similarity.annNprobeSweep _,
@@ -1172,6 +1175,62 @@ object SparkEntry {
        |  FROM truep t LEFT JOIN lshp l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
        |  GROUP BY 1) r CROSS JOIN drop_s d""".stripMargin
 
+  /** Sampled recall-audit oracle — the md5-prefix probe selector
+    * rendered verbatim: probe-oriented truth (sampled docs against
+    * ALL partners) and probe-touching capped candidates, with the
+    * sample-rate/probe-count columns and the exact dropped-mass
+    * ledger. */
+  private def lshAuditSampledSql: String = {
+    import graft.operators.Dedup
+    val kEq = (0 until Dedup.RowsPerBand)
+      .map(r => s"a.k$r = c.k$r").mkString(" AND ")
+    s"""WITH $minhashPairsCtes,
+       |probe AS (SELECT doc_id FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1,
+       |    ${Dedup.AuditSampleHex.length}) = '${Dedup.AuditSampleHex}'),
+       |truthp AS (
+       |  SELECT a.doc_id AS probe_id, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh a JOIN probe p ON a.doc_id = p.doc_id
+       |  JOIN sh b ON a.shingle = b.shingle AND b.doc_id != a.doc_id
+       |  GROUP BY 1, 2),
+       |truep AS (
+       |  SELECT probe_id, doc_b,
+       |    round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) AS jaccard
+       |  FROM truthp JOIN cnt ca ON probe_id = ca.doc_id
+       |    JOIN cnt cb ON doc_b = cb.doc_id
+       |  WHERE round(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 4) >= 0.5),
+       |candp AS (
+       |  SELECT DISTINCT a.doc_id AS probe_id, c.doc_id AS doc_b
+       |  FROM capped a JOIN probe p ON a.doc_id = p.doc_id
+       |  JOIN capped c ON a.band = c.band AND $kEq
+       |  WHERE c.doc_id != a.doc_id),
+       |dropped AS (
+       |  SELECT * FROM bucketed WHERE bucket_n > ${Dedup.BucketCap}),
+       |drop_s AS (
+       |  SELECT
+       |    CAST(count(DISTINCT struct_pack(band := band, k0 := k0,
+       |      k1 := k1, k2 := k2, k3 := k3)) AS BIGINT) AS dropped_buckets,
+       |    CAST(count(*) AS BIGINT) AS dropped_memberships,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS dropped_docs,
+       |    CAST(coalesce(sum(bucket_n - 1), 0) // 2 AS BIGINT)
+       |      AS est_dropped_pairs
+       |  FROM dropped),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probe)
+       |SELECT r.*, CAST(0.0625 AS DOUBLE) AS sample_rate, np.n_probes,
+       |  d.dropped_buckets, d.dropped_memberships, d.dropped_docs,
+       |  d.est_dropped_pairs
+       |FROM (
+       |  SELECT least(floor(t.jaccard * 10), 9) / 10.0 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_true,
+       |    CAST(sum(CASE WHEN l.probe_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_found,
+       |    round(sum(CASE WHEN l.probe_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+       |      / count(*), 4) AS recall
+       |  FROM truep t LEFT JOIN candp l
+       |    ON t.probe_id = l.probe_id AND t.doc_b = l.doc_b
+       |  GROUP BY 1) r CROSS JOIN np CROSS JOIN drop_s d""".stripMargin
+  }
+
   /** SimHash oracle: per-token [[h48Sql]] hashes vote ±1 per bit
     * (48 conditional sums), the sign vector reassembles the
     * fingerprint, 4×12-bit chunk equi-join generates candidates, and
@@ -1553,6 +1612,46 @@ object SparkEntry {
       |  dropped_buckets, dropped_memberships, est_dropped_pairs
       |FROM per CROSS JOIN drops""".stripMargin
 
+  /** Sampled twin of [[lshPairsAuditSql]]: identical md5-prefix
+    * probe selector as the text side, probe-oriented truth and
+    * candidates, sample-rate/probe-count columns, exact ledger. */
+  private def lshPairsAuditSampledSql(bits: Int): String = {
+    import graft.operators.{Dedup, Similarity}
+    s"""${lshPairsCtes(bits)},
+      |probe AS (SELECT vec_id FROM v
+      |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1,
+      |    ${Dedup.AuditSampleHex.length}) = '${Dedup.AuditSampleHex}'),
+      |candp AS (
+      |  SELECT DISTINCT a.vec_id AS probe_id, c.vec_id AS id_b, 1 AS found
+      |  FROM bc a JOIN probe p ON a.vec_id = p.vec_id
+      |  JOIN bc c ON a.t = c.t AND a.sig = c.sig
+      |  WHERE c.vec_id != a.vec_id),
+      |drops AS (
+      |  SELECT CAST(count(DISTINCT (t, sig)) AS BIGINT) AS dropped_buckets,
+      |    CAST(count(*) AS BIGINT) AS dropped_memberships,
+      |    CAST(coalesce(sum(bucket_n - 1), 0) // 2 AS BIGINT)
+      |      AS est_dropped_pairs
+      |  FROM b WHERE bucket_n > ${Similarity.EmbBucketCap}),
+      |np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probe),
+      |truth AS (
+      |  SELECT a.vec_id AS probe_id, c.vec_id AS id_b,
+      |    floor(list_cosine_similarity(a.e, c.e) * 1e4 + 0.5) / 1e4 AS cos4
+      |  FROM v a JOIN probe p ON a.vec_id = p.vec_id
+      |  JOIN v c ON c.vec_id != a.vec_id),
+      |per AS (
+      |  SELECT least(floor(cos4 * 10), 9.0) / 10.0 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_true,
+      |    CAST(sum(CASE WHEN candp.found IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_found
+      |  FROM truth LEFT JOIN candp USING (probe_id, id_b)
+      |  WHERE cos4 >= 0.35 GROUP BY 1)
+      |SELECT bucket, n_true, n_found,
+      |  floor(CAST(n_found AS DOUBLE) / n_true * 1e4 + 0.5) / 1e4 AS recall,
+      |  CAST(0.0625 AS DOUBLE) AS sample_rate, n_probes,
+      |  dropped_buckets, dropped_memberships, est_dropped_pairs
+      |FROM per CROSS JOIN np CROSS JOIN drops""".stripMargin
+  }
+
   /** The `ann_nprobe_sweep` oracle: identical literal centroids,
     * assignment argmin and routing ranks; every sweep rung filters on
     * the same `first_rn`, ranks by the same 6-dp quantized cosine,
@@ -1637,7 +1736,8 @@ object SparkEntry {
       "ann_nprobe_sweep" ->
         nprobeSweepSql(graft.operators.Similarity.ivfCentroids(s, d)),
       "dedup_embedding_lsh"       -> lshPairsSql(bits),
-      "dedup_embedding_lsh_audit" -> lshPairsAuditSql(bits))
+      "dedup_embedding_lsh_audit" -> lshPairsAuditSql(bits),
+      "dedup_embedding_lsh_audit_sampled" -> lshPairsAuditSampledSql(bits))
   }
 
   /** DuckDB oracle SQL per query (same tables, same column names,
@@ -6924,6 +7024,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minhashLshSql,
 
     "dedup_lsh_audit" -> lshAuditSql,
+    "dedup_lsh_audit_sampled" -> lshAuditSampledSql,
 
     "dedup_incremental" -> dedupIncrementalSql,
 
@@ -7230,6 +7331,57 @@ object SparkEntry {
         |  floor((CAST(bf_u AS DOUBLE) / k - CAST(lsh_u AS DOUBLE) / n_l)
         |    / 1e4 * 1e4 + 0.5) / 1e4 AS cos_regret
         |FROM per LEFT JOIN ls ON per.probe_id = ls.probe_id""".stripMargin,
+
+    // the sampled twin: identical audit, probes drawn by the md5
+    // prefix selector (rate 1/256) instead of the fixed fixture ids
+    "ann_recall_audit_sampled" -> {
+      val sel = s"substr(md5(CAST(%s.vec_id AS VARCHAR)), 1, " +
+        s"${graft.operators.Similarity.AnnAuditSampleHex.length}) = " +
+        s"'${graft.operators.Similarity.AnnAuditSampleHex}'"
+      s"""$lshBucketsSql,
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS nb_id
+        |  FROM b p JOIN b c ON p.t = c.t AND p.sig = c.sig
+        |  WHERE ${sel.format("p")} AND c.vec_id != p.vec_id),
+        |lr AS (
+        |  SELECT probe_id, nb_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY floor(list_cosine_similarity(vp.e, vc.e) * 1e6 + 0.5) / 1e6 DESC,
+        |               nb_id ASC) AS rk,
+        |    floor(list_cosine_similarity(vp.e, vc.e) * 1e4 + 0.5) / 1e4 AS cosine
+        |  FROM cand JOIN v vp ON vp.vec_id = probe_id
+        |    JOIN v vc ON vc.vec_id = nb_id),
+        |lshr AS (SELECT probe_id, nb_id,
+        |    CAST(floor(cosine * 1e4 + 0.5) AS BIGINT) AS cos_u
+        |  FROM lr WHERE rk <= 10),
+        |bc AS (SELECT p.vec_id AS probe_id, c.vec_id AS nb_id,
+        |    list_cosine_similarity(p.e, c.e) AS cos
+        |  FROM v p, v c WHERE ${sel.format("p")} AND c.vec_id != p.vec_id),
+        |br AS (SELECT probe_id, nb_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, nb_id ASC) AS rk,
+        |    floor(cos * 1e4 + 0.5) / 1e4 AS cosine
+        |  FROM bc),
+        |bfr AS (SELECT probe_id, nb_id,
+        |    CAST(floor(cosine * 1e4 + 0.5) AS BIGINT) AS cos_u
+        |  FROM br WHERE rk <= 10),
+        |per AS (
+        |  SELECT bf.probe_id, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(CASE WHEN l.nb_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_hit,
+        |    sum(bf.cos_u) AS bf_u
+        |  FROM bfr bf LEFT JOIN lshr l
+        |    ON bf.probe_id = l.probe_id AND bf.nb_id = l.nb_id
+        |  GROUP BY 1),
+        |ls AS (SELECT probe_id, sum(cos_u) AS lsh_u,
+        |    CAST(count(*) AS BIGINT) AS n_l
+        |  FROM lshr GROUP BY 1)
+        |SELECT per.probe_id, n_hit, floor(n_hit * 1.0 / k * 1e4 + 0.5) / 1e4 AS recall,
+        |  floor((CAST(bf_u AS DOUBLE) / k - CAST(lsh_u AS DOUBLE) / n_l)
+        |    / 1e4 * 1e4 + 0.5) / 1e4 AS cos_regret,
+        |  CAST(0.00390625 AS DOUBLE) AS sample_rate
+        |FROM per LEFT JOIN ls ON per.probe_id = ls.probe_id""".stripMargin
+    },
 
     "knn_graph" -> knnGraphSql,
 

@@ -916,6 +916,83 @@ object Dedup {
       .crossJoin(broadcast(dropSummary))
   }
 
+  /** Deterministic md5-prefix PROBE SAMPLE shared by the sampled
+    * audit lanes: a doc/vector is a probe iff the first hex char of
+    * `md5(cast(id as string))` equals this prefix — rate 1/16,
+    * reproducible on any engine (the oracle renders the identical
+    * selector), stable across runs and partition layouts, and
+    * unbiased w.r.t. id structure (unlike `id % 16`, which an
+    * id-assignment scheme can correlate with content). */
+  private[graft] val AuditSampleHex = "0"
+  private[graft] val AuditSampleRate = 1.0 / 16
+
+  private[graft] def auditSampled(id: Column): Column =
+    substring(md5(id.cast("string")), 1, AuditSampleHex.length) ===
+      AuditSampleHex
+
+  /** SAMPLED twin of [[lshRecallAudit]] — the production-scale mode
+    * BENCH_NOTES prescribed in prose, now a real lane: the recall
+    * estimate runs on a deterministic md5-prefix PROBE sample
+    * ([[AuditSampleHex]], rate 1/16) instead of the exhaustive truth
+    * set. Truth pairs are (probe, partner) oriented — each sampled
+    * doc audits its own near-dup neighborhood against ALL partners
+    * (not just sampled ones), so the per-decile recall is an
+    * unbiased estimate of the full audit's at 1/16 the truth-join
+    * cost: the shared-shingle join explodes only the probes' shingle
+    * arrays against the corpus index. The candidate side restricts
+    * the capped bucket self-join to probe-touching pairs the same
+    * way. `sample_rate` and `n_probes` ride every output row so a
+    * reader can never mistake the estimate for the census; the
+    * dropped-mass ledger stays EXACT (it is O(n) bucket accounting,
+    * not pair work — sampling it would gain nothing). */
+  def lshRecallAuditSampled(spark: SparkSession, dir: String): DataFrame =
+    lshRecallAuditSampledOf(Tables.documents(spark, dir))
+
+  private[graft] def lshRecallAuditSampledOf(docs: DataFrame): DataFrame = {
+    val shArr = shingleArrays(docs).localCheckpoint()
+    val sh = shArr.select(col("doc_id"), size(col("sh_arr")).as("n_sh"),
+      explode(col("sh_arr")).as("shingle"))
+    val truth = sh.filter(auditSampled(col("doc_id")))
+      .select(col("doc_id").as("probe_id"), col("n_sh").as("n_a"),
+        col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
+        col("shingle")), Seq("shingle"))
+      .filter(col("probe_id") =!= col("doc_b"))
+      .groupBy(col("probe_id"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"),
+        min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"))
+      .withColumn("jaccard",
+        round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
+      .filter(col("jaccard") >= JaccardT)
+    val bk = bandBuckets(shArr).localCheckpoint()
+    val capped = bk.filter(col("bucket_n") <= BucketCap)
+    val cand = capped.filter(auditSampled(col("doc_id")))
+      .select(col("doc_id").as("probe_id"), col("band"), col("bh"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("band"),
+        col("bh")), Seq("band", "bh"))
+      .filter(col("probe_id") =!= col("doc_b"))
+      .select("probe_id", "doc_b").distinct()
+      .withColumn("found", lit(1))
+    val dropSummary = bk.filter(col("bucket_n") > BucketCap)
+      .agg(count_distinct(struct(col("band"), col("bh")))
+          .as("dropped_buckets"),
+        count(lit(1)).as("dropped_memberships"),
+        count_distinct(col("doc_id")).as("dropped_docs"),
+        expr("coalesce(sum(bucket_n - 1), 0) div 2").as("est_dropped_pairs"))
+    val np = docs.filter(auditSampled(col("doc_id")))
+      .agg(count(lit(1)).as("n_probes"))
+    truth.join(cand, Seq("probe_id", "doc_b"), "left")
+      .withColumn("bucket", least(floor(col("jaccard") * 10), lit(9L)) / 10.0)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("found"), lit(0))).cast("long").as("n_found"),
+        round(sum(coalesce(col("found"), lit(0)))
+          / count(lit(1)).cast("double"), 4).as("recall"))
+      .withColumn("sample_rate", lit(AuditSampleRate))
+      .crossJoin(broadcast(np))
+      .crossJoin(broadcast(dropSummary))
+  }
+
   /** QUALITY-vs-DUPLICATION cross-table — the curation question the
     * survivorship rule begs: is deduplication removing low-quality
     * boilerplate (healthy — dup rate concentrated in the low-quality

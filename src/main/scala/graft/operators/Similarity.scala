@@ -1252,6 +1252,119 @@ object Similarity {
       .crossJoin(broadcast(dropSummary))
   }
 
+  /** SAMPLED twin of [[embeddingLshAudit]] — the embedding side of
+    * the probe-sampled governance mode (see
+    * [[graft.operators.Dedup.lshRecallAuditSampled]]): exhaustive
+    * truth restricted to (probe, partner) pairs where the probe is
+    * in the deterministic md5-prefix sample (rate 1/16), candidates
+    * restricted to probe-touching bucket pairs the same way.
+    * `sample_rate`/`n_probes` ride every row; the dropped-bucket
+    * ledger stays exact (O(n) accounting). Cuts the truth side from
+    * n²/2 to n²/32 pair cosines — the knob that makes the audit
+    * runnable at every ingest batch instead of quarterly. */
+  def embeddingLshAuditSampled(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val bucketed = pairBuckets(spark, dir).localCheckpoint()
+    val capped = bucketed.filter(col("bucket_n") <= EmbBucketCap)
+    val cand = capped.filter(Dedup.auditSampled(col("vec_id")))
+      .select(col("vec_id").as("probe_id"), col("t"), col("sig"))
+      .join(capped.select(col("vec_id").as("id_b"), col("t"), col("sig")),
+        Seq("t", "sig"))
+      .filter(col("probe_id") =!= col("id_b"))
+      .select("probe_id", "id_b").distinct()
+      .withColumn("found", lit(1))
+    val dropSummary = bucketed.filter(col("bucket_n") > EmbBucketCap)
+      .agg(count_distinct(struct(col("t"), col("sig")))
+          .as("dropped_buckets"),
+        count(lit(1)).as("dropped_memberships"),
+        expr("coalesce(sum(bucket_n - 1), 0) div 2").as("est_dropped_pairs"))
+    val np = v.filter(Dedup.auditSampled(col("vec_id")))
+      .agg(count(lit(1)).as("n_probes"))
+    val truth = v.filter(Dedup.auditSampled(col("vec_id")))
+      .select(col("vec_id").as("probe_id"), col("emb").as("ea"))
+      .join(v.select(col("vec_id").as("id_b"), col("emb").as("eb")),
+        col("probe_id") =!= col("id_b"))
+      .withColumn("cos4",
+        floor(VectorColumns.cosine(col("ea"), col("eb")) * 1e4 + 0.5) / 1e4)
+      .filter(col("cos4") >= 0.35)
+    truth.join(cand, Seq("probe_id", "id_b"), "left")
+      .withColumn("bucket", least(floor(col("cos4") * 10), lit(9L)) / 10.0)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("found"), lit(0))).cast("long").as("n_found"),
+        (floor(sum(coalesce(col("found"), lit(0)))
+          / count(lit(1)).cast("double") * 1e4 + 0.5) / 1e4).as("recall"))
+      .withColumn("sample_rate", lit(Dedup.AuditSampleRate))
+      .crossJoin(broadcast(np))
+      .crossJoin(broadcast(dropSummary))
+  }
+
+  /** Probe sample for the SAMPLED ANN recall audit: two hex chars →
+    * rate 1/256. The ANN truth side is brute force per probe (O(n)
+    * each — the price of ground truth), so the probe-count knob is
+    * the entire cost model and gets a tighter rate than the dedup
+    * audits' 1/16. */
+  private[graft] val AnnAuditSampleHex = "00"
+  private[graft] val AnnAuditSampleRate = 1.0 / 256
+
+  private def annAuditSampled(id: Column): Column =
+    substring(md5(id.cast("string")), 1, AnnAuditSampleHex.length) ===
+      AnnAuditSampleHex
+
+  /** SAMPLED twin of [[annRecallAudit]]: instead of the fixed probe
+    * ids (vec_id < 5 — fine for an oracle fixture, biased as a
+    * production census), probes come from the deterministic
+    * md5-prefix sample at rate 1/256 — at any corpus size the audit
+    * costs ~n²/256 cosine evaluations on the truth side and the
+    * probe set is a fresh unbiased draw as the corpus grows. Same
+    * per-probe output as the fixed audit plus the `sample_rate`
+    * column. */
+  def annRecallAuditSampled(spark: SparkSession, dir: String): DataFrame = {
+    val quant = (c: Column) => floor(c * 1e4 + 0.5).cast("long")
+    val v = vecs(spark, dir)
+    val probes = v.filter(annAuditSampled(col("vec_id")))
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+    val bf = topkPerProbe(
+      v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", VectorColumns.cosine(col("pe"), col("emb"))), 10)
+      .select(col("probe_id"), col("neighbor_id"),
+        quant(col("cosine")).as("cos_u"))
+    val dim = 64
+    val sigCols = (0 until NumTables).map(t =>
+      struct(lit(t).as("t"), signature(col("emb"), t, dim).as("sig")))
+    val bucketed = v
+      .select(col("vec_id"), col("emb"), explode(array(sigCols: _*)).as("b"))
+      .select(col("vec_id"), col("emb"),
+        col("b.t").as("t"), col("b.sig").as("sig"))
+    val probeBuckets = bucketed.filter(annAuditSampled(col("vec_id")))
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"),
+        col("t"), col("sig"))
+    val cands = bucketed.join(broadcast(probeBuckets), Seq("t", "sig"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("pe"), col("vec_id"), col("emb"))
+      .dropDuplicates("probe_id", "vec_id")
+    val lsh = topkPerProbe(
+      cands.withColumn("cos", VectorColumns.cosine(col("pe"), col("emb"))), 10)
+      .select(col("probe_id"), col("neighbor_id"),
+        quant(col("cosine")).as("cos_u"))
+      .localCheckpoint()
+    val per = bf
+      .join(lsh.select(col("probe_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
+        sum(col("cos_u")).as("bf_u"))
+    val ls = lsh.groupBy(col("probe_id"))
+      .agg(sum(col("cos_u")).as("lsh_u"), count(lit(1)).as("n_l"))
+    per.join(ls, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_hit"),
+        q4(col("n_hit") / col("k").cast("double")).as("recall"),
+        q4((col("bf_u").cast("double") / col("k")
+          - col("lsh_u").cast("double") / col("n_l")) / 1e4).as("cos_regret"),
+        lit(AnnAuditSampleRate).as("sample_rate"))
+  }
+
   /** Random-hyperplane LSH top-k — the 100 TB path. Each vector gets
     * `NumTables` bucket signatures (elementwise, in the scan stage);
     * probes meet corpus vectors through bucket equi-joins only, the

@@ -145,6 +145,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_lsh_audit_sampled: probe-oriented deciles recomputed; sample columns ride every row") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val probes = docs.keys.filter(id => md5hex(id.toString).startsWith("0")).toSet
+    assert(probes.nonEmpty, "the md5-prefix sample must select probes")
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val audit = SparkEntry.queries("dedup_lsh_audit_sampled")(spark, sf)
+      .collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getAs[Double]("sample_rate") === 0.0625)
+      assert(r.getAs[Long]("n_probes") === probes.size.toLong)
+    }
+    // probe-oriented truth: each exhaustive truth pair contributes
+    // one audit row per SAMPLED endpoint; found ⟺ the (min, max)
+    // pair is in the verified LSH set (truth ∩ candidates ≡ truth ∩
+    // verified, since verification is exactly candidate ∧ J ≥ 0.5)
+    val expect = exactPairs.toSeq
+      .flatMap { case ((a, b), j) =>
+        Seq(a, b).filter(probes).map(_ =>
+          (math.min(math.floor(j * 10).toLong, 9L) / 10.0, (a, b))) }
+      .groupBy(_._1)
+      .map { case (bucket, xs) =>
+        val nTrue = xs.size.toLong
+        val nFound = xs.count(x => lsh.contains(x._2)).toLong
+        bucket -> ((nTrue, nFound,
+          math.rint(nFound.toDouble / nTrue * 10000) / 10000))
+      }
+    val got = audit.map(r => r.getDouble(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === expect)
+  }
+
   test("dedup_incremental: planted batch screens against the index; first-occurrence rule within the batch") {
     import spark.implicits._
     val index = Seq(

@@ -438,6 +438,97 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getDouble(3) > 0.0, "top-decile recall nonzero")
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("dedup_embedding_lsh_audit_sampled: probe-oriented deciles recomputed; sample columns; exact ledger") {
+    val probes = embs.keys.filter(id => md5hex(id.toString).startsWith("0")).toSet
+    assert(probes.nonEmpty, "the md5-prefix sample must select probes")
+    val lsh = SparkEntry.queries("dedup_embedding_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = embs.keys.toArray.sorted
+    val exact = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      c4 = math.floor(cos(embs(ids(i)), embs(ids(j))) * 1e4 + 0.5) / 1e4
+      if c4 >= 0.35
+    } yield (ids(i), ids(j)) -> c4).toMap
+    val audit = SparkEntry
+      .queries("dedup_embedding_lsh_audit_sampled")(spark, sf).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getAs[Double]("sample_rate") === 0.0625)
+      assert(r.getAs[Long]("n_probes") === probes.size.toLong)
+      // no hot bucket at this scale — exact ledger reads zero
+      assert(r.getAs[Long]("dropped_buckets") === 0L)
+      assert(r.getAs[Long]("dropped_memberships") === 0L)
+      assert(r.getAs[Long]("est_dropped_pairs") === 0L)
+    }
+    val expect = exact.toSeq
+      .flatMap { case ((a, b), c4) =>
+        Seq(a, b).filter(probes).map(_ =>
+          (math.min(math.floor(c4 * 10), 9.0) / 10.0, (a, b))) }
+      .groupBy(_._1)
+      .map { case (bucket, xs) =>
+        val nTrue = xs.size.toLong
+        val nFound = xs.count(x => lsh.contains(x._2)).toLong
+        bucket -> ((nTrue, nFound,
+          math.floor(nFound.toDouble / nTrue * 1e4 + 0.5) / 1e4))
+      }
+    val got = audit.map(r => r.getDouble(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === expect)
+  }
+
+  test("ann_recall_audit_sampled: per-probe rows fully recomputed — exact top-10 AND hyperplane-LSH lists") {
+    import graft.operators.Similarity
+    val probes = embs.keys
+      .filter(id => md5hex(id.toString).startsWith("00")).toSeq.sorted
+    assert(probes.nonEmpty, "the md5-prefix sample must select probes")
+    def q6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def q4u(x: Double) = math.floor(x * 1e4 + 0.5).toLong
+    // local hyperplane signatures — the same deterministic LCG planes
+    val sig = embs.map { case (id, e) =>
+      id -> (0 until Similarity.NumTables).map { t =>
+        (0 until 6).map { bit =>
+          val p = Similarity.hyperplane(t, bit, 64)
+          if (p.zip(e).map(x => x._1 * x._2).sum >= 0) 1 << bit else 0
+        }.sum
+      }
+    }
+    def top10(pid: Long, cands: Iterable[Long]): Seq[(Long, Long)] =
+      cands.toSeq
+        .map(id => (q6d(cos(embs(pid), embs(id))), id))
+        .sortBy { case (c, id) => (-c, id) }.take(10)
+        .map { case (_, id) => id -> q4u(cos(embs(pid), embs(id))) }
+    val got = SparkEntry.queries("ann_recall_audit_sampled")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getDouble(4)))).toMap
+    assert(got.keySet === probes.toSet)
+    probes.foreach { pid =>
+      val exact = top10(pid, embs.keys.filter(_ != pid))
+      val lshCands = embs.keys.filter(id => id != pid &&
+        sig(id).zip(sig(pid)).exists(p => p._1 == p._2))
+      val approx = top10(pid, lshCands)
+      val (nHit, recall, regret, rate) = got(pid)
+      assert(rate === 1.0 / 256, s"probe $pid rate")
+      val hits = exact.count(e => approx.exists(_._1 == e._1))
+      assert(nHit === hits.toLong, s"probe $pid hits")
+      assert(recall ===
+        math.floor(hits.toDouble / exact.length * 1e4 + 0.5) / 1e4)
+      if (approx.isEmpty) assert(regret.isEmpty, s"probe $pid regret null")
+      else {
+        val meanE = exact.map(_._2).sum.toDouble / exact.length
+        val meanA = approx.map(_._2).sum.toDouble / approx.length
+        assert(regret.get ===
+          math.floor((meanE - meanA) / 1e4 * 1e4 + 0.5) / 1e4,
+          s"probe $pid regret")
+      }
+    }
+  }
+
   test("embeddingPairsLsh cap: a hot bucket past EmbBucketCap is dropped and ledgered; spread vectors still pair") {
     import graft.operators.Similarity
     import spark.implicits._
