@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * decode: signature, chunk walk with CRC32 VERIFICATION, IHDR
   * validation, multi-IDAT concatenation, zlib inflate, and the
   * complete filter reconstruction (None/Sub/Up/Average/Paeth) for
-  * 8-bit gray / RGB / gray+alpha / RGBA. Ancillary chunks skip;
-  * palette, 16-bit, and interlaced images quarantine loudly (the
-  * honest unsupported set). Entropy-coded formats (JPEG, video)
-  * remain the declared codec-library seam.
+  * gray / RGB / gray+alpha / RGBA at depth 8 AND 16, palette (PLTE
+  * indexing at depth 1/2/4/8), sub-byte grayscale, and Adam7
+  * interlacing (per-pass filtering + placement). Ancillary chunks
+  * skip. Entropy-coded formats (JPEG, video) remain the declared
+  * codec-library seam.
   *
   * Decode is one typed flatMap per asset; everything downstream is
   * exact-integer Column algebra the oracle replays.
@@ -27,10 +28,23 @@ object Png {
     case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => 0
   }
 
+  /** `channels` is the OUTPUT channel count: the raw channel count
+    * for gray/RGB/GA/RGBA, and 3 for palette images (indices expand
+    * through PLTE at decode time). Sample values are 0-255 for bit
+    * depths ≤ 8 and 0-65535 for 16-bit. */
   private[graft] case class PngImage(width: Int, height: Int,
-      colorType: Int, samples: Array[Int]) // row-major, interleaved
+      colorType: Int, channels: Int, samples: Array[Int]) // row-major
 
-  /** Full critical-chunk decode. Left(reason) quarantines. */
+  /** The Adam7 pass grid: (xStart, yStart, xStep, yStep) per pass.
+    * PNG spec §8.2 — empty passes (a dimension rounds to zero)
+    * contribute no scanlines at all, not even filter bytes. */
+  private val Adam7 = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Full critical-chunk decode — gray/RGB/GA/RGBA at depth 8/16,
+    * gray and palette at depth 1/2/4/8, non-interlaced AND Adam7.
+    * Left(reason) quarantines. */
   private[graft] def decodePng(bytes: Array[Byte]):
       Either[String, PngImage] = {
     if (bytes.length < 8 || !java.util.Arrays.equals(
@@ -39,7 +53,8 @@ object Png {
       ((bytes(p) & 0xFFL) << 24) | ((bytes(p + 1) & 0xFFL) << 16) |
         ((bytes(p + 2) & 0xFFL) << 8) | (bytes(p + 3) & 0xFFL)
     var p = 8
-    var ihdr: Option[(Int, Int, Int)] = None // w, h, colorType
+    var ihdr: Option[(Int, Int, Int, Int, Int)] = None
+    var plte: Option[Array[Int]] = None // flat RGB triples
     val idat = new java.io.ByteArrayOutputStream()
     var ended = false
     while (!ended) {
@@ -59,12 +74,21 @@ object Png {
           val colorType = bytes(p + 17) & 0xFF
           val (compression, filter, interlace) =
             (bytes(p + 18) & 0xFF, bytes(p + 19) & 0xFF, bytes(p + 20) & 0xFF)
-          if (bitDepth != 8) return Left("unsupported_bit_depth")
-          if (channelsOf(colorType) == 0) return Left("unsupported_color_type")
+          val okDepths: Set[Int] = colorType match {
+            case 0 => Set(1, 2, 4, 8, 16)
+            case 3 => Set(1, 2, 4, 8)
+            case 2 | 4 | 6 => Set(8, 16)
+            case _ => Set.empty
+          }
+          if (okDepths.isEmpty) return Left("unsupported_color_type")
+          if (!okDepths(bitDepth)) return Left("unsupported_bit_depth")
           if (compression != 0 || filter != 0) return Left("bad_ihdr")
-          if (interlace != 0) return Left("unsupported_interlace")
+          if (interlace > 1) return Left("bad_ihdr")
           if (w <= 0 || h <= 0) return Left("bad_ihdr")
-          ihdr = Some((w, h, colorType))
+          ihdr = Some((w, h, bitDepth, colorType, interlace))
+        case "PLTE" =>
+          if (len % 3 != 0 || len == 0 || len > 768) return Left("bad_plte")
+          plte = Some(Array.tabulate(len)(i => bytes(p + 8 + i) & 0xFF))
         case "IDAT" => idat.write(bytes, p + 8, len)
         case "IEND" => ended = true
         case _ => () // ancillary chunks skip
@@ -73,12 +97,16 @@ object Png {
     }
     ihdr match {
       case None => Left("missing_ihdr")
-      case Some((w, h, colorType)) =>
-        val ch = channelsOf(colorType)
+      case Some((w, h, depth, colorType, interlace)) =>
+        val rawCh = if (colorType == 3) 1 else channelsOf(colorType)
+        if (colorType == 3 && plte.isEmpty) return Left("missing_plte")
+        val bitsPP = depth * rawCh
+        val bpp = math.max(1, bitsPP / 8) // filter byte distance
+        def rowBytes(wp: Int): Int = (wp * bitsPP + 7) / 8
         val raw = try {
           val inf = new java.util.zip.Inflater()
           inf.setInput(idat.toByteArray)
-          val out = new java.io.ByteArrayOutputStream(h * (1 + w * ch))
+          val out = new java.io.ByteArrayOutputStream(h * (1 + rowBytes(w)))
           val buf = new Array[Byte](8192)
           while (!inf.finished()) {
             val n = inf.inflate(buf)
@@ -88,39 +116,88 @@ object Png {
           }
           inf.end(); out.toByteArray
         } catch { case _: Exception => return Left("bad_idat_stream") }
-        val stride = w * ch
-        if (raw.length != h * (1 + stride)) return Left("bad_pixel_length")
-        // filter reconstruction, PNG spec §4.5.4 (bpp = ch at 8-bit)
-        val out = new Array[Int](h * stride)
-        var y = 0
-        while (y < h) {
-          val f = raw(y * (1 + stride)) & 0xFF
-          if (f > 4) return Left("bad_filter_type")
-          var i = 0
-          while (i < stride) {
-            val x = raw(y * (1 + stride) + 1 + i) & 0xFF
-            val a = if (i >= ch) out(y * stride + i - ch) else 0
-            val b = if (y > 0) out((y - 1) * stride + i) else 0
-            val c = if (y > 0 && i >= ch)
-              out((y - 1) * stride + i - ch) else 0
-            val recon = f match {
-              case 0 => x
-              case 1 => x + a
-              case 2 => x + b
-              case 3 => x + ((a + b) >> 1)
-              case _ => // Paeth
-                val pp = a + b - c
-                val (pa, pb, pc) =
-                  (math.abs(pp - a), math.abs(pp - b), math.abs(pp - c))
-                x + (if (pa <= pb && pa <= pc) a
-                     else if (pb <= pc) b else c)
-            }
-            out(y * stride + i) = recon & 0xFF
-            i += 1
-          }
-          y += 1
+        val passes = if (interlace == 0) Seq((0, 0, 1, 1)) else Adam7
+        val dims = passes.map { case (x0, y0, dx, dy) =>
+          (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+            if (h > y0) (h - y0 + dy - 1) / dy else 0)
         }
-        Right(PngImage(w, h, colorType, out))
+        val expected = dims.map { case (wp, hp) =>
+          if (wp == 0 || hp == 0) 0L else hp.toLong * (1 + rowBytes(wp))
+        }.sum
+        if (raw.length.toLong != expected) return Left("bad_pixel_length")
+        val outCh = if (colorType == 3) 3 else rawCh
+        val out = new Array[Int](w * h * outCh)
+        var off = 0
+        for (((x0, y0, dx, dy), (wp, hp)) <- passes.zip(dims)
+             if wp > 0 && hp > 0) {
+          val rb = rowBytes(wp)
+          // filter reconstruction, PNG spec §4.5.4 — byte-level with
+          // bpp = ceil(bits-per-pixel / 8), per PASS (filters never
+          // cross pass boundaries)
+          val rec = new Array[Int](hp * rb)
+          var y = 0
+          while (y < hp) {
+            val f = raw(off + y * (1 + rb)) & 0xFF
+            if (f > 4) return Left("bad_filter_type")
+            var i = 0
+            while (i < rb) {
+              val x = raw(off + y * (1 + rb) + 1 + i) & 0xFF
+              val a = if (i >= bpp) rec(y * rb + i - bpp) else 0
+              val b = if (y > 0) rec((y - 1) * rb + i) else 0
+              val c = if (y > 0 && i >= bpp)
+                rec((y - 1) * rb + i - bpp) else 0
+              val recon = f match {
+                case 0 => x
+                case 1 => x + a
+                case 2 => x + b
+                case 3 => x + ((a + b) >> 1)
+                case _ => // Paeth
+                  val pp = a + b - c
+                  val (pa, pb, pc) =
+                    (math.abs(pp - a), math.abs(pp - b), math.abs(pp - c))
+                  x + (if (pa <= pb && pa <= pc) a
+                       else if (pb <= pc) b else c)
+              }
+              rec(y * rb + i) = recon & 0xFF
+              i += 1
+            }
+            y += 1
+          }
+          off += hp * (1 + rb)
+          // sample extraction + Adam7 placement
+          var yy = 0
+          while (yy < hp) {
+            var xx = 0
+            while (xx < wp) {
+              val dest = (y0 + yy * dy) * w + (x0 + xx * dx)
+              var ci = 0
+              while (ci < rawCh) {
+                val si = xx * rawCh + ci
+                val v = depth match {
+                  case 16 =>
+                    (rec(yy * rb + si * 2) << 8) | rec(yy * rb + si * 2 + 1)
+                  case 8 => rec(yy * rb + si)
+                  case d => // 1/2/4-bit, MSB-first packing
+                    val bo = si * d
+                    (rec(yy * rb + (bo >> 3)) >> (8 - d - (bo & 7))) &
+                      ((1 << d) - 1)
+                }
+                if (colorType == 3) {
+                  val pal = plte.get
+                  if (v * 3 + 2 >= pal.length)
+                    return Left("bad_palette_index")
+                  out(dest * 3) = pal(v * 3)
+                  out(dest * 3 + 1) = pal(v * 3 + 1)
+                  out(dest * 3 + 2) = pal(v * 3 + 2)
+                } else out(dest * rawCh + ci) = v
+                ci += 1
+              }
+              xx += 1
+            }
+            yy += 1
+          }
+        }
+        Right(PngImage(w, h, colorType, outCh, out))
     }
   }
 
@@ -156,25 +233,122 @@ object Png {
         raw(y * (1 + stride) + 1 + i) = ((x - pred) & 0xFF).toByte
       }
     }
+    Sig ++ pngChunk("IHDR", ihdrBytes(w, h, 8, colorType, 0)) ++
+      pngChunk("IDAT", deflateBytes(raw)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  private def pngChunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(12 + data.length)
+    b.putInt(data.length).put(ctype.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(ctype.getBytes("US-ASCII")); crc.update(data)
+    b.putInt(crc.getValue.toInt)
+    b.array()
+  }
+
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(6)
     d.setInput(raw); d.finish()
     val z = new java.io.ByteArrayOutputStream(raw.length)
     val buf = new Array[Byte](8192)
     while (!d.finished()) z.write(buf, 0, d.deflate(buf))
     d.end()
-    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(12 + data.length)
-      b.putInt(data.length).put(ctype.getBytes("US-ASCII")).put(data)
-      val crc = new java.util.zip.CRC32()
-      crc.update(ctype.getBytes("US-ASCII")); crc.update(data)
-      b.putInt(crc.getValue.toInt)
-      b.array()
+    z.toByteArray
+  }
+
+  private def ihdrBytes(w: Int, h: Int, depth: Int, colorType: Int,
+      interlace: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
+
+  /** Fixture encoder: PALETTE image at depth 1/2/4/8, MSB-first
+    * index packing, filter-0 scanlines (filter coverage lives in the
+    * main encoder's rotation). `palette` is flat RGB triples. */
+  private[graft] def encodePngPalette(w: Int, h: Int, depth: Int,
+      palette: Array[Int], indices: Array[Int]): Array[Byte] = {
+    require(palette.length % 3 == 0 && indices.length == w * h)
+    val rb = (w * depth + 7) / 8
+    val raw = new Array[Byte](h * (1 + rb))
+    for (y <- 0 until h; x <- 0 until w) {
+      val bo = x * depth
+      val pos = y * (1 + rb) + 1 + (bo >> 3)
+      raw(pos) = (raw(pos) |
+        (indices(y * w + x) << (8 - depth - (bo & 7)))).toByte
     }
-    val ihdr = java.nio.ByteBuffer.allocate(13)
-      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte).array()
-    Sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
-      chunk("IEND", Array.emptyByteArray)
+    Sig ++ pngChunk("IHDR", ihdrBytes(w, h, depth, 3, 0)) ++
+      pngChunk("PLTE", palette.map(_.toByte)) ++
+      pngChunk("IDAT", deflateBytes(raw)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Fixture encoder: 16-bit samples (big-endian pairs), any of the
+    * four direct color types, filter-0 scanlines. */
+  private[graft] def encodePng16(w: Int, h: Int, colorType: Int,
+      samples: Array[Int]): Array[Byte] = {
+    val ch = channelsOf(colorType)
+    require(ch > 0 && samples.length == w * h * ch)
+    val rb = w * ch * 2
+    val raw = new Array[Byte](h * (1 + rb))
+    for (y <- 0 until h; i <- 0 until w * ch) {
+      val v = samples(y * w * ch + i)
+      raw(y * (1 + rb) + 1 + i * 2) = (v >> 8).toByte
+      raw(y * (1 + rb) + 1 + i * 2 + 1) = v.toByte
+    }
+    Sig ++ pngChunk("IHDR", ihdrBytes(w, h, 16, colorType, 0)) ++
+      pngChunk("IDAT", deflateBytes(raw)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Fixture encoder: ADAM7-interlaced 8-bit image — samples split
+    * into the seven passes (empty passes emit nothing), each pass
+    * filtered independently with the caller's per-scanline filter
+    * choice so reconstruction is exercised ACROSS pass boundaries. */
+  private[graft] def encodePngAdam7(w: Int, h: Int, colorType: Int,
+      samples: Array[Int], filterOf: Int => Int): Array[Byte] = {
+    val ch = channelsOf(colorType)
+    require(ch > 0 && samples.length == w * h * ch)
+    val body = new java.io.ByteArrayOutputStream()
+    for ((x0, y0, dx, dy) <- Adam7) {
+      val wp = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val hp = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (wp > 0 && hp > 0) {
+        val stride = wp * ch
+        // the pass's sub-image, then filter it like a standalone image
+        val sub = Array.tabulate(hp * stride) { j =>
+          val (yy, rem) = (j / stride, j % stride)
+          samples(((y0 + yy * dy) * w + (x0 + (rem / ch) * dx)) * ch
+            + rem % ch)
+        }
+        for (y <- 0 until hp) {
+          val f = filterOf(y) % 5
+          body.write(f)
+          for (i <- 0 until stride) {
+            val x = sub(y * stride + i)
+            val a = if (i >= ch) sub(y * stride + i - ch) else 0
+            val b = if (y > 0) sub((y - 1) * stride + i) else 0
+            val c = if (y > 0 && i >= ch) sub((y - 1) * stride + i - ch)
+              else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => a
+              case 2 => b
+              case 3 => (a + b) >> 1
+              case _ =>
+                val pp = a + b - c
+                val (pa, pb, pc) =
+                  (math.abs(pp - a), math.abs(pp - b), math.abs(pp - c))
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            }
+            body.write((x - pred) & 0xFF)
+          }
+        }
+      }
+    }
+    Sig ++ pngChunk("IHDR", ihdrBytes(w, h, 8, colorType, 1)) ++
+      pngChunk("IDAT", deflateBytes(body.toByteArray)) ++
+      pngChunk("IEND", Array.emptyByteArray)
   }
 
   /** docs(name, content) → one row per SAMPLE (name, color_type, y,
@@ -189,7 +363,7 @@ object Png {
           case Left(reason) =>
             Iterator((false, name, reason, 0, 0L, 0L, 0L, 0))
           case Right(img) =>
-            val ch = channelsOf(img.colorType)
+            val ch = img.channels
             img.samples.iterator.zipWithIndex.map { case (v, i) =>
               val (y, rem) = (i / (img.width * ch), i % (img.width * ch))
               (true, name, null: String, img.colorType,

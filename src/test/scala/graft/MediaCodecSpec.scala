@@ -123,6 +123,81 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("png palette: PLTE expansion at every legal index depth, differential vs ImageIO") {
+    // a 17-entry palette exercises index values that straddle the
+    // sub-byte packing boundaries
+    val pal = Array.tabulate(17 * 3)(i => (i * 41 + 7) % 256)
+    for (depth <- Seq(1, 2, 4, 8)) {
+      val nIdx = math.min(1 << depth, 17)
+      val (w, h) = (7, 4) // odd width: the last byte of a row is partial
+      val idx = Array.tabulate(w * h)(i => (i * 5 + 3) % nIdx)
+      val bytes = Png.encodePngPalette(w, h, depth, pal, idx)
+      val img = Png.decodePng(bytes).toOption.get
+      assert((img.width, img.height, img.colorType, img.channels)
+        === ((w, h, 3, 3)))
+      for (i <- 0 until w * h; c <- 0 until 3)
+        assert(img.samples(i * 3 + c) === pal(idx(i) * 3 + c),
+          s"depth=$depth px $i ch $c")
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, s"ImageIO rejected depth-$depth palette PNG")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = ref.getRGB(x, y)
+        val i = y * w + x
+        assert(((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+          === ((img.samples(i * 3), img.samples(i * 3 + 1),
+            img.samples(i * 3 + 2))), s"depth=$depth ($x,$y)")
+      }
+    }
+  }
+
+  test("png 16-bit: big-endian sample pairs for all four color types, differential vs ImageIO") {
+    for (colorType <- Seq(0, 2, 4, 6)) {
+      val ch = Png.channelsOf(colorType)
+      val samples = Array.tabulate(5 * 3 * ch)(i => (i * 9173 + 251) % 65536)
+      val bytes = Png.encodePng16(5, 3, colorType, samples)
+      val img = Png.decodePng(bytes).toOption.get
+      assert((img.width, img.height, img.channels) === ((5, 3, ch)))
+      assert(img.samples.toSeq === samples.toSeq, s"colorType=$colorType")
+      // ImageIO reads 16-bit gray and RGB natively; GA/RGBA vary by
+      // JDK — differential on the unambiguous pair
+      if (colorType == 0 || colorType == 2) {
+        val ref = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        assert(ref != null, s"ImageIO rejected 16-bit colorType=$colorType")
+        val raster = ref.getRaster
+        for (y <- 0 until 3; x <- 0 until 5; c <- 0 until ch)
+          assert(raster.getSample(x, y, c) === img.samples((y * 5 + x) * ch + c),
+            s"16-bit colorType=$colorType ($x,$y,$c)")
+      }
+    }
+  }
+
+  test("png Adam7: interlaced decode reassembles exactly, differential vs ImageIO") {
+    // 9x10 hits every pass with non-trivial dimensions, including
+    // partial final columns/rows; also test dimensions small enough
+    // that some passes are EMPTY (w or h < pass start)
+    for ((w, h) <- Seq((9, 10), (3, 2), (1, 1), (8, 8))) {
+      for (colorType <- Seq(0, 2, 6)) {
+        val ch = Png.channelsOf(colorType)
+        val samples = testImage(w, h, ch)
+        val bytes = Png.encodePngAdam7(w, h, colorType, samples,
+          y => (y * 3 + 1) % 5)
+        val img = Png.decodePng(bytes).toOption.get
+        assert((img.width, img.height) === ((w, h)))
+        assert(img.samples.toSeq === samples.toSeq,
+          s"adam7 ${w}x$h colorType=$colorType")
+        val ref = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        assert(ref != null, s"ImageIO rejected interlaced ${w}x$h")
+        val raster = ref.getRaster
+        for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+          assert(raster.getSample(x, y, c) === img.samples((y * w + x) * ch + c),
+            s"adam7 ${w}x$h colorType=$colorType ($x,$y,$c)")
+      }
+    }
+  }
+
   test("png quarantine: CRC, signature, depth, palette, interlace, stream corruption") {
     val good = Png.encodePng(3, 3, 0, testImage(3, 3, 1), _ => 0)
     def reason(b: Array[Byte]): String = Png.decodePng(b).left.toOption.get
@@ -136,9 +211,17 @@ class MediaCodecSpec extends SparkSpec {
       java.nio.ByteBuffer.wrap(b, 29, 4).putInt(crc.getValue.toInt)
       b
     }
-    assert(reason(patched(24, 16)) === "unsupported_bit_depth")
-    assert(reason(patched(25, 3)) === "unsupported_color_type")
-    assert(reason(patched(28, 1)) === "unsupported_interlace")
+    // depth 7 is illegal everywhere; color type 5 does not exist;
+    // interlace 2 is out of spec
+    assert(reason(patched(24, 7)) === "unsupported_bit_depth")
+    assert(reason(patched(25, 5)) === "unsupported_color_type")
+    assert(reason(patched(28, 2)) === "bad_ihdr")
+    // NOW-SUPPORTED headers over the wrong body still quarantine:
+    // 16-bit expects twice the bytes, palette needs a PLTE, Adam7
+    // expects the pass layout
+    assert(reason(patched(24, 16)) === "bad_pixel_length")
+    assert(reason(patched(25, 3)) === "missing_plte")
+    assert(reason(patched(28, 1)) === "bad_pixel_length")
     // corrupt the zlib stream INSIDE a CRC-consistent IDAT chunk
     val idatOff = 8 + 25 // after signature + IHDR chunk
     val corrupted = good.clone
