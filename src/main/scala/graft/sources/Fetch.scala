@@ -1,0 +1,284 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TRANSPORT clients behind the declared ingest seam — the byte-fetch
+  * half the reference's cron ingestors all start with
+  * (`ingestor_cds_process.py` HTTP downloads,
+  * `georgia_ftp_alazani_shaqriani_hydro_process.py:157-193` FTP
+  * list+download, `ingestor_planetary_process.py:195-200` STAC HTTP).
+  * Everything here is JDK-only: `java.net.http.HttpClient` for HTTP,
+  * a minimal RFC 959 passive-mode client over `java.net.Socket` for
+  * FTP. The selection/parse/quarantine semantics were already ported
+  * (`ftpFileSelect`, `stac_search_items`, the drop decoders); these
+  * clients close the transport gap so a fetch→decode→publish cycle
+  * runs end-to-end.
+  *
+  * Scale shape: fetches run ON EXECUTORS — a (name, url) request
+  * frame maps partition-wise through a per-partition client, so a
+  * 10⁶-file crawl parallelizes like any other scan and the driver
+  * never holds payload bytes. Failures follow the house drop
+  * discipline: after bounded retries with exponential backoff a
+  * request quarantines as a (name, reason) row — one dead mirror
+  * cannot fail the scheduled batch. Network lanes are spec-gated
+  * against LOCAL fixture servers (network is not oracle-checkable);
+  * nothing here is registered as an oracle query.
+  */
+object Fetch {
+
+  /** Bounded retries with exponential backoff. `baseBackoffMs`
+    * doubles per attempt, capped at `maxBackoffMs`. Retryable:
+    * connect/IO failures, HTTP 5xx and 429, FTP 4xx transients.
+    * Non-retryable: HTTP 4xx (except 429) and FTP 5xx — a permanent
+    * rejection retried is just a slower rejection. */
+  case class RetryPolicy(attempts: Int = 3, baseBackoffMs: Long = 200L,
+      maxBackoffMs: Long = 5000L, requestTimeoutMs: Long = 30000L)
+
+  private[graft] def backoffMs(policy: RetryPolicy, attempt: Int): Long =
+    math.min(policy.baseBackoffMs << math.min(attempt - 1, 20),
+      policy.maxBackoffMs)
+
+  // ---------------------------------------------------------- HTTP
+
+  private def newHttpClient(policy: RetryPolicy): java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(policy.requestTimeoutMs))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+
+  /** One GET with the retry/backoff loop. `sleep` is injectable so
+    * the spec can record the backoff schedule instead of waiting it
+    * out. */
+  private[graft] def httpGet(client: java.net.http.HttpClient,
+      url: String, policy: RetryPolicy,
+      sleep: Long => Unit = Thread.sleep): Either[String, Array[Byte]] = {
+    var attempt = 1
+    var last = "unknown"
+    while (attempt <= policy.attempts) {
+      try {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofMillis(policy.requestTimeoutMs))
+          .GET().build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        resp.statusCode() match {
+          case 200 => return Right(resp.body())
+          case c if c >= 500 || c == 429 => last = s"http_$c" // transient
+          case c => return Left(s"http_$c") // permanent — no retry
+        }
+      } catch {
+        case e: Exception => last = s"io_${e.getClass.getSimpleName}"
+      }
+      if (attempt < policy.attempts) sleep(backoffMs(policy, attempt))
+      attempt += 1
+    }
+    Left(s"retries_exhausted_$last")
+  }
+
+  /** Distributed HTTP fetch: requests(name, url) → (drop(name, url,
+    * content), quarantine(name, url, reason)). One client per
+    * partition; payload bytes stay on the executors. */
+  def httpFetchDrop(requests: DataFrame,
+      policy: RetryPolicy = RetryPolicy()): (DataFrame, DataFrame) = {
+    val spark = requests.sparkSession
+    import spark.implicits._
+    val fetched = requests.select(col("name"), col("url"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        lazy val client = newHttpClient(policy) // one per partition
+        it.map { case (name, url) =>
+          httpGet(client, url, policy) match {
+            case Right(body) =>
+              (true, name, url, null: String, body)
+            case Left(reason) =>
+              (false, name, url, reason, Array.emptyByteArray)
+          }
+        }
+      }
+      .toDF("ok", "name", "url", "reason", "content")
+    (fetched.filter(col("ok")).select("name", "url", "content"),
+      fetched.filter(!col("ok")).select("name", "url", "reason"))
+  }
+
+  // ----------------------------------------------------------- FTP
+
+  /** Minimal RFC 959 client — passive mode only (PASV + a fresh data
+    * connection per transfer, the firewall-safe mode every modern
+    * fetcher uses), binary type, multiline-reply aware. Enough for
+    * the reference's ingest pattern: connect, authenticate, NLST a
+    * drop directory, RETR the selected files. */
+  private[graft] class FtpClient(host: String, port: Int,
+      user: String = "anonymous", pass: String = "graft@",
+      timeoutMs: Int = 30000) extends AutoCloseable {
+    private val sock = new java.net.Socket()
+    sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+    sock.setSoTimeout(timeoutMs)
+    private val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(sock.getInputStream, "US-ASCII"))
+    private val out = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(sock.getOutputStream, "US-ASCII"))
+
+    /** Read one (possibly multiline `NNN-…` … `NNN `) reply. */
+    private def reply(): (Int, String) = {
+      val first = in.readLine()
+      if (first == null || first.length < 3)
+        throw new java.io.IOException("ftp_connection_closed")
+      val code = first.take(3).toInt
+      val sb = new StringBuilder(first)
+      if (first.length > 3 && first.charAt(3) == '-') {
+        var line = ""
+        do {
+          line = in.readLine()
+          if (line == null) throw new java.io.IOException("ftp_truncated_reply")
+          sb.append('\n').append(line)
+        } while (!(line.startsWith(first.take(3)) &&
+          line.length > 3 && line.charAt(3) == ' '))
+      }
+      (code, sb.toString)
+    }
+
+    private def cmd(c: String): (Int, String) = {
+      out.print(c + "\r\n"); out.flush(); reply()
+    }
+
+    /** Greeting + USER/PASS + TYPE I. Throws IOException with the
+      * offending reply code on rejection. */
+    def connect(): Unit = {
+      val (greet, _) = reply()
+      require(greet == 220, s"ftp_greeting_$greet")
+      val (uc, _) = cmd(s"USER $user")
+      if (uc == 331) {
+        val (pc, _) = cmd(s"PASS $pass")
+        require(pc == 230, s"ftp_login_$pc")
+      } else require(uc == 230, s"ftp_login_$uc")
+      val (tc, _) = cmd("TYPE I")
+      require(tc == 200, s"ftp_type_$tc")
+    }
+
+    /** PASV → (host, port) from the 227 `(h1,h2,h3,h4,p1,p2)`. */
+    private def pasv(): (String, Int) = {
+      val (c, msg) = cmd("PASV")
+      require(c == 227, s"ftp_pasv_$c")
+      val nums = """\((\d+),(\d+),(\d+),(\d+),(\d+),(\d+)\)""".r
+        .findFirstMatchIn(msg).getOrElse(
+          throw new java.io.IOException("ftp_pasv_parse"))
+      (Seq(1, 2, 3, 4).map(nums.group).mkString("."),
+        nums.group(5).toInt * 256 + nums.group(6).toInt)
+    }
+
+    private def overData[T](command: String)(read: java.io.InputStream => T): T = {
+      val (dh, dp) = pasv()
+      val data = new java.net.Socket()
+      try {
+        data.connect(new java.net.InetSocketAddress(dh, dp), timeoutMs)
+        data.setSoTimeout(timeoutMs)
+        val (c1, _) = cmd(command)
+        require(c1 == 150 || c1 == 125, s"ftp_${command.takeWhile(_ != ' ')}_$c1")
+        val result = read(data.getInputStream)
+        val (c2, _) = reply()
+        require(c2 == 226 || c2 == 250, s"ftp_transfer_$c2")
+        result
+      } finally data.close()
+    }
+
+    /** NLST — one filename per line. */
+    def list(path: String): Seq[String] =
+      overData(if (path.isEmpty) "NLST" else s"NLST $path") { is =>
+        scala.io.Source.fromInputStream(is, "US-ASCII")
+          .getLines().filter(_.nonEmpty).toVector
+      }
+
+    /** RETR — the file's bytes. */
+    def retr(path: String): Array[Byte] =
+      overData(s"RETR $path")(_.readAllBytes())
+
+    override def close(): Unit = {
+      try { out.print("QUIT\r\n"); out.flush() } catch { case _: Exception => }
+      sock.close()
+    }
+  }
+
+  /** One FTP download with the retry/backoff loop — connects fresh
+    * per attempt (a wedged control connection is the main transient
+    * failure mode). FTP 5xx (permanent per RFC 959) does not retry. */
+  private[graft] def ftpRetr(host: String, port: Int, path: String,
+      policy: RetryPolicy, user: String = "anonymous",
+      pass: String = "graft@",
+      sleep: Long => Unit = Thread.sleep): Either[String, Array[Byte]] = {
+    var attempt = 1
+    var last = "unknown"
+    while (attempt <= policy.attempts) {
+      val res: Either[String, Either[String, Array[Byte]]] = try {
+        val c = new FtpClient(host, port, user, pass,
+          policy.requestTimeoutMs.toInt)
+        try {
+          c.connect()
+          Right(Right(c.retr(path)))
+        } catch {
+          // require() carries the reply code: 5xx is permanent
+          case e: IllegalArgumentException
+              if """_5\d\d""".r.findFirstIn(e.getMessage).isDefined =>
+            Right(Left(e.getMessage.replaceFirst(".*?(ftp_)", "$1")))
+          case e: Exception => Left(s"io_${e.getClass.getSimpleName}")
+        } finally c.close()
+      } catch { case e: Exception => Left(s"io_${e.getClass.getSimpleName}") }
+      res match {
+        case Right(done) => return done
+        case Left(transient) => last = transient
+      }
+      if (attempt < policy.attempts) sleep(backoffMs(policy, attempt))
+      attempt += 1
+    }
+    Left(s"retries_exhausted_$last")
+  }
+
+  /** Distributed FTP fetch: requests(name, path) against one server →
+    * (drop(name, path, content), quarantine(name, path, reason)).
+    * Same executor-side shape as [[httpFetchDrop]]. */
+  def ftpFetchDrop(requests: DataFrame, host: String, port: Int,
+      policy: RetryPolicy = RetryPolicy(), user: String = "anonymous",
+      pass: String = "graft@"): (DataFrame, DataFrame) = {
+    val spark = requests.sparkSession
+    import spark.implicits._
+    val fetched = requests.select(col("name"), col("path"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.map { case (name, path) =>
+          ftpRetr(host, port, path, policy, user, pass) match {
+            case Right(body) => (true, name, path, null: String, body)
+            case Left(reason) =>
+              (false, name, path, reason, Array.emptyByteArray)
+          }
+        }
+      }
+      .toDF("ok", "name", "path", "reason", "content")
+    (fetched.filter(col("ok")).select("name", "path", "content"),
+      fetched.filter(!col("ok")).select("name", "path", "reason"))
+  }
+
+  /** Directory listing as the (fname, idx) frame [[Ingest
+    * .ftpFileSelect]] consumes — idx is the LISTING ORDER, mirroring
+    * the reference's first-match-wins quirk. One driver-side NLST (a
+    * directory listing is bounded); the downloads it feeds stay
+    * distributed. */
+  def ftpListing(spark: SparkSession, host: String, port: Int,
+      dir: String, policy: RetryPolicy = RetryPolicy()): DataFrame = {
+    import spark.implicits._
+    val c = new FtpClient(host, port, timeoutMs = policy.requestTimeoutMs.toInt)
+    val names = try { c.connect(); c.list(dir) } finally c.close()
+    names.zipWithIndex.map { case (f, i) => (f, i + 1) }.toDF("fname", "idx")
+  }
+
+  /** The composed fetch→decode lane: HTTP-fetch a GRIB request frame
+    * and run the fetched bytes straight through the REAL GRIB-1
+    * decoder — what a `cds → decode → publish` cron cycle runs per
+    * batch. Fetch failures quarantine as rows; undecodable payloads
+    * quarantine to zero cells (the decoder's own discipline). */
+  def httpFetchDecodeGrib(requests: DataFrame,
+      policy: RetryPolicy = RetryPolicy()): (DataFrame, DataFrame) = {
+    val (drop, quarantine) = httpFetchDrop(requests, policy)
+    (Grib.decodeGribDrop(drop.select(col("name"), col("content"))),
+      quarantine)
+  }
+}

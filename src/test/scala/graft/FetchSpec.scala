@@ -1,0 +1,277 @@
+package graft
+
+import java.net.{InetAddress, InetSocketAddress, ServerSocket, Socket}
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.sources.{Fetch, Grib, Ingest}
+import org.apache.spark.sql.functions._
+
+/** Integration gate for the transport clients — LOCAL fixture
+  * servers (JDK HttpServer; a hand-rolled minimal FTP daemon), real
+  * sockets, the real retry/backoff loop, wired through the real drop
+  * decoders. Network lanes are spec-gated (not oracle-checkable);
+  * this suite IS their correctness gate. */
+class FetchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- the GRIB-1 payload served by both fixture servers (the
+  // GribSpec hand fixture: 3 cells, 12-bit packing, E=1, D=2) ------
+  private def gribFixture: Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(88)
+    def u24(v: Int): Unit = { b.put((v >> 16).toByte).put((v >> 8).toByte)
+      .put(v.toByte); () }
+    def sm24(v: Int): Unit = u24(if (v < 0) 0x800000 | -v else v)
+    b.put("GRIB".getBytes("US-ASCII")); u24(88); b.put(1.toByte)
+    u24(28); b.put(128.toByte).put(98.toByte).put(0.toByte).put(255.toByte)
+    b.put(0x80.toByte)
+    b.put(11.toByte).put(1.toByte).putShort(0)
+    b.put(99.toByte).put(12.toByte).put(31.toByte).put(23.toByte).put(0.toByte)
+    b.put(1.toByte).put(6.toByte).put(0.toByte).put(0.toByte)
+    b.putShort(0); b.put(0.toByte)
+    b.put(20.toByte).put(0.toByte)
+    b.putShort(2)
+    u24(32); b.put(0.toByte).put(255.toByte).put(0.toByte)
+    b.putShort(3).putShort(1)
+    sm24(-1500); sm24(10250)
+    b.put(0x80.toByte)
+    sm24(-1500); sm24(10750)
+    b.putShort(250).putShort(250)
+    b.put(0x40.toByte); u24(0); b.put(0.toByte)
+    u24(16); b.put(0x04.toByte)
+    b.putShort(1)
+    b.put(0x41.toByte).put(0x18.toByte).put(0x00.toByte).put(0x00.toByte)
+    b.put(12.toByte)
+    b.put(0x00.toByte).put(0x18.toByte).put(0x00.toByte)
+      .put(0xFF.toByte).put(0xF0.toByte)
+    b.put("7777".getBytes("US-ASCII"))
+    b.array()
+  }
+
+  test("backoffMs: doubles per attempt and caps") {
+    val p = Fetch.RetryPolicy(attempts = 6, baseBackoffMs = 100,
+      maxBackoffMs = 1500)
+    assert((1 to 6).map(Fetch.backoffMs(p, _)) ===
+      Seq(100L, 200L, 400L, 800L, 1500L, 1500L))
+  }
+
+  test("httpGet: 5xx retries on the backoff schedule, 4xx fails fast, success passes bytes through") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+    val flakyLeft = new AtomicInteger(2) // two 503s, then 200
+    val hits404 = new AtomicInteger(0)
+    def handle(path: String)(f: => (Int, Array[Byte])): Unit =
+      server.createContext(path, ex => {
+        val (code, body) = f
+        ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+        if (body.nonEmpty) ex.getResponseBody.write(body)
+        ex.close()
+      })
+    handle("/grib")((200, gribFixture))
+    handle("/flaky") {
+      if (flakyLeft.getAndDecrement() > 0) (503, Array.emptyByteArray)
+      else (200, "recovered".getBytes)
+    }
+    handle("/missing") { hits404.incrementAndGet(); (404, Array.emptyByteArray) }
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val policy = Fetch.RetryPolicy(attempts = 3, baseBackoffMs = 50,
+        maxBackoffMs = 1000, requestTimeoutMs = 5000)
+      val client = java.net.http.HttpClient.newHttpClient()
+      val sleeps = scala.collection.mutable.Buffer.empty[Long]
+      // transient 503s burn two retries ON THE SCHEDULE, then succeed
+      val ok = Fetch.httpGet(client, s"$base/flaky", policy, sleeps += _)
+      assert(ok.map(new String(_)) === Right("recovered"))
+      assert(sleeps.toSeq === Seq(50L, 100L))
+      // permanent 404: one request, no sleeps, loud reason
+      sleeps.clear()
+      assert(Fetch.httpGet(client, s"$base/missing", policy, sleeps += _)
+        === Left("http_404"))
+      assert(sleeps.isEmpty && hits404.get() === 1)
+      // exhausted retries name the last failure
+      val dead = Fetch.httpGet(client,
+        s"http://127.0.0.1:1/never", policy, sleeps += _)
+      assert(dead.left.toOption.get.startsWith("retries_exhausted_io_"))
+      // payload integrity
+      assert(Fetch.httpGet(client, s"$base/grib", policy, _ => ())
+        .toOption.get.toSeq === gribFixture.toSeq)
+    } finally server.stop(0)
+  }
+
+  test("httpFetchDrop + decode + publish: executor-side fetch through the real GRIB decoder, parquet round trip; failures quarantine as rows") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+    server.createContext("/drop/", ex => {
+      val ok = ex.getRequestURI.getPath.endsWith("cds_000.grib")
+      val body = if (ok) gribFixture else Array.emptyByteArray
+      ex.sendResponseHeaders(if (ok) 200 else 404,
+        if (ok) body.length else -1)
+      if (ok) ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val requests = Seq(
+        ("cds_000.grib", s"$base/drop/cds_000.grib"),
+        ("cds_404.grib", s"$base/drop/cds_404.grib"))
+        .toDF("name", "url")
+      val policy = Fetch.RetryPolicy(attempts = 2, baseBackoffMs = 10)
+      val (cells, quarantine) = Fetch.httpFetchDecodeGrib(requests, policy)
+      val q = quarantine.collect()
+      assert(q.length === 1)
+      assert(q.head.getAs[String]("name") === "cds_404.grib")
+      assert(q.head.getAs[String]("reason") === "http_404")
+      val got = cells.collect()
+      assert(got.length === 3)
+      assert(got.forall(_.getAs[String]("var") == "p11"))
+      val byLon = got.map(r => r.getAs[Double]("lon")
+        -> r.getAs[Double]("value")).toMap
+      assert(byLon(10.25) === (1.5 + 1 * 2.0) / 100.0)
+      assert(byLon(10.75) === (1.5 + 4095 * 2.0) / 100.0)
+      // publish: the decoded frame lands as parquet bit-identically
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-fetch-pub").toFile.getAbsolutePath
+      cells.write.mode("overwrite").parquet(s"$outDir/cells")
+      val back = spark.read.parquet(s"$outDir/cells").collect()
+      assert(back.map(_.toSeq.toList).toSet === got.map(_.toSeq.toList).toSet)
+    } finally server.stop(0)
+  }
+
+  // --- minimal RFC 959 fixture daemon ------------------------------
+  private class FixtureFtp(files: Map[String, Array[Byte]],
+      dropFirstN: Int = 0) extends AutoCloseable {
+    private val server = new ServerSocket(0, 50,
+      InetAddress.getLoopbackAddress)
+    val port: Int = server.getLocalPort
+    private val dropLeft = new AtomicInteger(dropFirstN)
+    val logins = new AtomicInteger(0)
+    @volatile private var running = true
+    private val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          val t = new Thread(() => try handle(s) catch {
+            case _: Exception => () } finally s.close())
+          t.setDaemon(true); t.start()
+        } catch { case _: Exception => () }
+      }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+
+    private def handle(s: Socket): Unit = {
+      // fault injection: drop the first N control connections cold
+      if (dropLeft.getAndDecrement() > 0) { s.close(); return }
+      s.setSoTimeout(10000)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(s.getInputStream, "US-ASCII"))
+      val out = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(s.getOutputStream, "US-ASCII"))
+      def send(line: String): Unit = { out.print(line + "\r\n"); out.flush() }
+      var dataSrv: ServerSocket = null
+      send("220 graft fixture ftpd")
+      var open = true
+      while (open) {
+        val line = in.readLine()
+        if (line == null) return
+        val (c, arg) = line.split(" ", 2) match {
+          case Array(a, b) => (a.toUpperCase, b)
+          case Array(a) => (a.toUpperCase, "")
+        }
+        c match {
+          case "USER" => send("331 password required")
+          case "PASS" => logins.incrementAndGet(); send("230 logged in")
+          case "TYPE" => send("200 type set")
+          case "PASV" =>
+            if (dataSrv != null) dataSrv.close()
+            dataSrv = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+            val p = dataSrv.getLocalPort
+            send(s"227 entering passive mode (127,0,0,1,${p / 256},${p % 256})")
+          case "NLST" =>
+            send("150 listing")
+            val d = dataSrv.accept()
+            val w = new java.io.PrintWriter(
+              new java.io.OutputStreamWriter(d.getOutputStream, "US-ASCII"))
+            files.keys.toSeq.sorted.foreach(f => w.print(f + "\r\n"))
+            w.flush(); d.close(); dataSrv.close(); dataSrv = null
+            send("226 done")
+          case "RETR" =>
+            files.get(arg) match {
+              case Some(bytes) =>
+                send("150 sending")
+                val d = dataSrv.accept()
+                d.getOutputStream.write(bytes)
+                d.close(); dataSrv.close(); dataSrv = null
+                send("226 done")
+              case None => send("550 no such file")
+            }
+          case "QUIT" => send("221 bye"); open = false
+          case _ => send("502 not implemented")
+        }
+      }
+    }
+
+    override def close(): Unit = {
+      running = false
+      try server.close() catch { case _: Exception => }
+    }
+  }
+
+  test("ftp: NLST listing feeds ftpFileSelect, the selected file RETRs byte-exact, missing files quarantine, dropped connections retry") {
+    val hydro = "Alazani-Shaqriani-Hydro-15_1_2024.xlsx"
+    val files = Map(
+      hydro -> "xlsx-bytes-stand-in".getBytes("US-ASCII").toArray,
+      "cds_000.grib" -> gribFixture)
+    val ftp = new FixtureFtp(files)
+    try {
+      val policy = Fetch.RetryPolicy(attempts = 3, baseBackoffMs = 10,
+        requestTimeoutMs = 5000)
+      // listing → the reference's first-match selection semantics
+      val listing = Fetch.ftpListing(spark, "127.0.0.1", ftp.port, "",
+        policy)
+      assert(listing.collect().map(_.getString(0)).toSet === files.keySet)
+      val requests = Seq(java.sql.Date.valueOf("2024-01-15"))
+        .toDF("rd")
+      val sel = Ingest.ftpFileSelect(requests, listing).collect()
+      assert(sel.length === 1)
+      assert(sel.head.getString(1) === "OK")
+      assert(sel.head.getString(2) === hydro)
+      // distributed fetch of the selected + a grib + a missing path
+      val reqs = Seq(
+        (hydro, hydro),
+        ("cds_000.grib", "cds_000.grib"),
+        ("ghost.grib", "ghost.grib")).toDF("name", "path")
+      val (drop, quarantine) = Fetch.ftpFetchDrop(reqs, "127.0.0.1",
+        ftp.port, policy)
+      val got = drop.collect()
+        .map(r => r.getAs[String]("name") -> r.getAs[Array[Byte]]("content"))
+        .toMap
+      assert(got.keySet === Set(hydro, "cds_000.grib"))
+      assert(got(hydro).toSeq === files(hydro).toSeq)
+      assert(got("cds_000.grib").toSeq === gribFixture.toSeq)
+      val q = quarantine.collect()
+      assert(q.length === 1 && q.head.getAs[String]("name") === "ghost.grib")
+      assert(q.head.getAs[String]("reason") === "ftp_RETR_550")
+      // the fetched GRIB decodes through the real decoder
+      val cells = Grib.decodeGribDrop(
+        drop.filter(col("name") === "cds_000.grib")
+          .select("name", "content")).collect()
+      assert(cells.length === 3)
+    } finally ftp.close()
+  }
+
+  test("ftp retry: a cold-dropped control connection is transient — the next attempt lands") {
+    val ftp = new FixtureFtp(Map("a.bin" -> Array[Byte](1, 2, 3)),
+      dropFirstN = 1)
+    try {
+      val sleeps = scala.collection.mutable.Buffer.empty[Long]
+      val policy = Fetch.RetryPolicy(attempts = 3, baseBackoffMs = 20,
+        requestTimeoutMs = 5000)
+      val got = Fetch.ftpRetr("127.0.0.1", ftp.port, "a.bin", policy,
+        sleep = sleeps += _)
+      assert(got.toOption.get.toSeq === Seq[Byte](1, 2, 3))
+      assert(sleeps.toSeq === Seq(20L), "exactly one backoff sleep")
+      assert(ftp.logins.get() === 1, "one successful login after the drop")
+    } finally ftp.close()
+  }
+}
