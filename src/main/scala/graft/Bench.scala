@@ -107,12 +107,24 @@ object Bench {
     // attribute a shift to the query vs its run neighborhood without
     // hand work. Skipped when no comparable prior artifact exists
     // (missing file, different sf).
+    //
+    // The comparison BASELINE is a per-sf file only FULL runs update:
+    // the r10 artifact's empty triage block traced to interim
+    // subset/sf1 triage runs overwriting bench_results.json, which
+    // left the full run nothing comparable to diff against. Subset
+    // runs (SPARK_GRAFT_BENCH_ONLY) neither read nor touch the
+    // baseline.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     val triageN = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIAGE_N", "5").toInt
+    val isFull = only.isEmpty
+    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      s"bench_baseline_$sfTag.json")
     val prev: Option[(Map[String, Double], Double)] =
       try {
-        val p = java.nio.file.Paths.get(outPath)
-        if (!java.nio.file.Files.exists(p)) None
+        val p = java.nio.file.Paths.get(baselinePath)
+        if (!java.nio.file.Files.exists(p) || !isFull) None
         else {
           val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
           val sfOk = txt.contains("\"sf\":" + js(sfDir))
@@ -156,6 +168,11 @@ object Bench {
     // query's per-rep numbers survive verbatim.
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // full runs refresh the per-sf triage baseline; subset runs must
+    // not clobber it
+    if (isFull) java.nio.file.Files.write(
+      java.nio.file.Paths.get(baselinePath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -270,6 +270,55 @@ object Fetch {
     names.zipWithIndex.map { case (f, i) => (f, i + 1) }.toDF("fname", "idx")
   }
 
+  /** Paged STAC search fetch — the transport walk `pystac_client`
+    * does for `ingestor_planetary_process.py:195-200`: GET the
+    * search URL, then follow `links[rel=next].href` until the chain
+    * ends (the STAC API pagination contract). The walk is inherently
+    * SEQUENTIAL (each next href comes from the previous page) so it
+    * runs driver-side, bounded by `maxPages` and a seen-URL loop
+    * guard; the heavy work — parse, search predicates, asset
+    * probing — happens distributed over the returned page frame via
+    * [[Stac.decodeStacDrop]]. A mid-walk fetch failure quarantines
+    * the failing page and ends the walk with the pages already
+    * landed (a partial crawl is a visible partial, not a job
+    * failure). Next-link extraction uses Jackson off Spark's own
+    * classpath — no JSON parsing by regex. */
+  def httpFetchStacPages(spark: SparkSession, searchUrl: String,
+      policy: RetryPolicy = RetryPolicy(),
+      maxPages: Int = 100): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val client = newHttpClient(policy)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pages = Vector.newBuilder[(String, String)]
+    val drops = Vector.newBuilder[(String, String, String)]
+    val seen = scala.collection.mutable.Set.empty[String]
+    var url = Option(searchUrl)
+    var n = 0
+    while (url.isDefined) {
+      val u = url.get
+      if (!seen.add(u)) {
+        drops += ((f"page_$n%03d", u, "pagination_loop")); url = None
+      } else if (n >= maxPages) {
+        drops += ((f"page_$n%03d", u, "max_pages_reached")); url = None
+      } else httpGet(client, u, policy) match {
+        case Left(reason) =>
+          drops += ((f"page_$n%03d", u, reason)); url = None
+        case Right(body) =>
+          val content = new String(body, "UTF-8")
+          pages += ((f"page_$n%03d.json", content))
+          n += 1
+          url = try {
+            val links = mapper.readTree(content).path("links")
+            (0 until links.size()).map(links.get)
+              .find(_.path("rel").asText == "next")
+              .map(_.path("href").asText).filter(_.nonEmpty)
+          } catch { case _: Exception => None }
+      }
+    }
+    (pages.result().toDF("name", "content"),
+      drops.result().toDF("name", "url", "reason"))
+  }
+
   /** The composed fetch→decode lane: HTTP-fetch a GRIB request frame
     * and run the fetched bytes straight through the REAL GRIB-1
     * decoder — what a `cds → decode → publish` cron cycle runs per

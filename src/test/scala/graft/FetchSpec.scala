@@ -138,6 +138,70 @@ class FetchSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("httpFetchStacPages: rel=next chain walks in order, ends clean, quarantines mid-walk failures, guards loops") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+    def base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def item(id: Int) =
+      s"""{"type":"Feature","stac_version":"1.0.0","id":"item_$id",
+         |"collection":"era5","bbox":[0.0,40.0,2.0,42.0],
+         |"properties":{"datetime":"2024-03-0${id}T00:00:00Z",
+         |"obs:count":${id * 10},"value_us":${id * 1000000},"ensemble":1},
+         |"assets":{"tp":{"href":"./i$id.nc","type":"application/netcdf"}}}"""
+        .stripMargin.replaceAll("\n", "")
+    def page(items: Seq[Int], next: Option[String]) =
+      s"""{"type":"FeatureCollection","features":[${items.map(item).mkString(",")}],
+         |"links":[{"rel":"self","href":"x"}${next.map(u =>
+          s""",{"rel":"next","href":"$u"}""").getOrElse("")}]}"""
+        .stripMargin.replaceAll("\n", "")
+    def serve(path: String, body: String): Unit =
+      server.createContext(path, ex => {
+        val b = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      })
+    server.start()
+    serve("/search", page(Seq(1, 2), Some(s"$base/search2")))
+    serve("/search2", page(Seq(3), Some(s"$base/search3")))
+    serve("/search3", page(Seq(4), None))
+    // a chain whose second page 404s (no handler)
+    serve("/broken", page(Seq(1), Some(s"$base/gone")))
+    // a self-linking page
+    serve("/loop", page(Seq(1), None)
+      .replace(""""links":[{"rel":"self","href":"x"}]""",
+        s""""links":[{"rel":"next","href":"$base/loop"}]"""))
+    try {
+      val policy = Fetch.RetryPolicy(attempts = 2, baseBackoffMs = 10)
+      val (pages, drops) = Fetch.httpFetchStacPages(spark,
+        s"$base/search", policy)
+      assert(drops.count() === 0)
+      assert(pages.collect().map(_.getString(0)).toSeq ===
+        Seq("page_000.json", "page_001.json", "page_002.json"))
+      // the fetched pages run the REAL distributed decode + search
+      val (items, bad) = graft.sources.Stac.decodeStacDrop(pages)
+      assert(bad.count() === 0)
+      val found = graft.sources.Stac.searchItems(items, Seq("era5"),
+        "2024-03-01T00:00:00Z", "2024-03-03T00:00:00Z")
+      val sel = graft.sources.Stac.selectAssets(found, "tp", factor = 1.0)
+        .collect().map(_.getAs[String]("item_id")).sorted
+      assert(sel.toSeq === Seq("item_1", "item_2", "item_3"))
+      // mid-walk 404: the landed page survives, the failure is a row
+      val (p2, d2) = Fetch.httpFetchStacPages(spark, s"$base/broken", policy)
+      assert(p2.count() === 1)
+      val drop2 = d2.collect()
+      assert(drop2.length === 1 && drop2.head.getString(2) === "http_404")
+      // self-link: loop guard fires instead of spinning
+      val (p3, d3) = Fetch.httpFetchStacPages(spark, s"$base/loop", policy)
+      assert(p3.count() === 1)
+      assert(d3.collect().head.getString(2) === "pagination_loop")
+      // maxPages cap
+      val (p4, d4) = Fetch.httpFetchStacPages(spark, s"$base/search",
+        policy, maxPages = 1)
+      assert(p4.count() === 1)
+      assert(d4.collect().head.getString(2) === "max_pages_reached")
+    } finally server.stop(0)
+  }
+
   // --- minimal RFC 959 fixture daemon ------------------------------
   private class FixtureFtp(files: Map[String, Array[Byte]],
       dropFirstN: Int = 0) extends AutoCloseable {
