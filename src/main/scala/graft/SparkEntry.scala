@@ -135,6 +135,7 @@ object SparkEntry {
     "spi_ensemble_median"   -> Climate.spiEnsembleMedian _,
     "forecast_deficit_bands" -> Climate.forecastDeficitBands _,
     "grid_contour_bands"    -> Climate.gridContourBands _,
+    "grid_polygonize"       -> Polygonize.gridPolygonize _,
     "spi_ensemble_gamma"    -> Climate.spiEnsembleGamma _,
     "zonal_stats"           -> Climate.zonalStats _,
     "zonal_class_area"      -> Climate.zonalClassArea _,
@@ -6573,6 +6574,56 @@ object SparkEntry {
         |    / 1e4 AS v_mean
         |FROM b GROUP BY 1, 2, 3""".stripMargin
     },
+
+    // raster polygonize: gaps-and-islands runs, interval-overlap
+    // adjacency, recursive-CTE min-label components (the
+    // dedup_semantic reachability pattern on the run graph), and the
+    // GeoJSON string assembled from the same integers in the same
+    // (row, x0) order — byte-identical across engines
+    "grid_polygonize" ->
+      s"""WITH RECURSIVE c AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2),
+        |bd AS (
+        |  SELECT gy, gx, CAST(floor(v_us / ${graft.operators.Polygonize.BandMicroUnits}) AS BIGINT) AS band
+        |  FROM c),
+        |runs AS (
+        |  SELECT gy, band, CAST(min(gx) AS BIGINT) AS x0,
+        |    CAST(max(gx) AS BIGINT) AS x1, CAST(count(*) AS BIGINT) AS len,
+        |    CAST(gy * 8 + min(gx) AS BIGINT) AS run_id
+        |  FROM (SELECT *, gx - row_number()
+        |          OVER (PARTITION BY gy, band ORDER BY gx) AS grp FROM bd)
+        |  GROUP BY gy, band, grp),
+        |edges AS (
+        |  SELECT a.run_id AS src, bb.run_id AS dst
+        |  FROM runs a JOIN runs bb ON a.band = bb.band AND bb.gy = a.gy + 1
+        |    AND a.x0 <= bb.x1 AND bb.x0 <= a.x1),
+        |sym AS (SELECT src, dst FROM edges
+        |        UNION ALL SELECT dst, src FROM edges),
+        |reach AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src),
+        |lbl AS (SELECT src AS run_id, least(src, min(dst)) AS region
+        |        FROM reach GROUP BY src),
+        |lr AS (SELECT runs.*, coalesce(lbl.region, runs.run_id) AS region
+        |       FROM runs LEFT JOIN lbl USING (run_id)),
+        |rect AS (
+        |  SELECT *, '[[[' || x0 || ',' || gy || '],[' || (x1 + 1) || ',' || gy
+        |    || '],[' || (x1 + 1) || ',' || (gy + 1) || '],[' || x0 || ','
+        |    || (gy + 1) || '],[' || x0 || ',' || gy || ']]]' AS s
+        |  FROM lr)
+        |SELECT region AS region_id, band,
+        |  CAST(count(*) AS BIGINT) AS n_runs, CAST(sum(len) AS BIGINT) AS n_cells,
+        |  min(x0) AS min_gx, max(x1) AS max_gx,
+        |  CAST(min(gy) AS BIGINT) AS min_gy, CAST(max(gy) AS BIGINT) AS max_gy,
+        |  '{"type":"Feature","properties":{"band":' || band || ',"cells":'
+        |    || CAST(sum(len) AS BIGINT)
+        |    || '},"geometry":{"type":"MultiPolygon","coordinates":['
+        |    || string_agg(s, ',' ORDER BY gy, x0) || ']}}' AS geojson
+        |FROM rect GROUP BY region, band""".stripMargin,
 
     // all-integer packing arithmetic — engines agree exactly
     // elementwise chunking; DuckDB list slice l[a:b] is 1-based

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class PolygonizeSpec extends SparkSpec {
+
+  test("grid_polygonize: regions recomputed by local flood fill; GeoJSON parses and covers every cell exactly once") {
+    // ground truth: the banded 8×8 grid recomputed cell-by-cell
+    val cells = Tables.events(spark, sf)
+      .groupBy((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        math.floor(r.getLong(2) /
+          graft.operators.Polygonize.BandMicroUnits).toLong).toMap
+    assert(cells.nonEmpty)
+    // 4-connected flood fill per band (rook adjacency — exactly what
+    // run-overlap + vertical merging encodes)
+    val label = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    cells.keys.toSeq.sorted.foreach { start =>
+      if (!label.contains(start)) {
+        val band = cells(start)
+        val comp = scala.collection.mutable.Set.empty[(Long, Long)]
+        val stack = scala.collection.mutable.Stack(start)
+        while (stack.nonEmpty) {
+          val c @ (y, x) = stack.pop()
+          if (!comp(c) && cells.get(c).contains(band)) {
+            comp += c
+            Seq((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1))
+              .filter(cells.contains).foreach(stack.push)
+          }
+        }
+        // region id = the component's first run id in scan order:
+        // min over gy*8 + (start gx of the cell's run) — equivalently
+        // min over members of gy*8 + x where (gy, x−1) is NOT in the
+        // component (run starts)
+        val rid = comp.toSeq.collect {
+          case (y, x) if !comp((y, x - 1)) => y * 8 + x
+        }.min
+        comp.foreach(c => label(c) = (rid, band))
+      }
+    }
+    val expectRegions = label.values.toSeq.distinct.sorted
+    val got = SparkEntry.queries("grid_polygonize")(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      === expectRegions, "region ids + bands")
+    // per-region cell counts match the flood fill
+    val sizes = label.values.groupBy(identity).view.mapValues(_.size).toMap
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getAs[Long]("n_cells") === sizes(key).toLong, s"region $key")
+    }
+    // total coverage: every cell in exactly one region
+    assert(got.map(_.getAs[Long]("n_cells")).sum === cells.size.toLong)
+    // the GeoJSON is real JSON whose rectangles tile the region
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    got.foreach { r =>
+      val f = mapper.readTree(r.getAs[String]("geojson"))
+      assert(f.path("type").asText === "Feature")
+      assert(f.path("properties").path("band").asLong === r.getLong(1))
+      assert(f.path("properties").path("cells").asLong
+        === r.getAs[Long]("n_cells"))
+      val polys = f.path("geometry").path("coordinates")
+      assert(polys.size === r.getAs[Long]("n_runs"))
+      // each polygon is a closed 5-point unit-height rect; their cell
+      // coverage re-derives the region exactly
+      val covered = scala.collection.mutable.Set.empty[(Long, Long)]
+      (0 until polys.size).foreach { i =>
+        val ring = polys.get(i).get(0)
+        assert(ring.size === 5)
+        assert(ring.get(0).toString === ring.get(4).toString, "closed ring")
+        val x0 = ring.get(0).get(0).asLong; val y0 = ring.get(0).get(1).asLong
+        val x1 = ring.get(1).get(0).asLong; val y1 = ring.get(2).get(1).asLong
+        assert(y1 === y0 + 1, "unit-height run rect")
+        (x0 until x1).foreach(x => covered += ((y0, x)))
+      }
+      val expectCells = label.collect {
+        case (c, rb) if rb == ((r.getLong(0), r.getLong(1))) => c
+      }.toSet
+      assert(covered.toSet === expectCells, s"region ${r.getLong(0)} tiling")
+    }
+  }
+}
