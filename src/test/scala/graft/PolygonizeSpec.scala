@@ -77,7 +77,9 @@ class PolygonizeSpec extends SparkSpec {
         assert(y1 === y0 + 1, "unit-height run rect")
         (x0 until x1).foreach(x => covered += ((y0, x)))
       }
-      val expectCells = label.collect {
+      // toSeq first: collecting Tuple2 keys straight off a Map would
+      // rebuild a MAP and collapse grid cells sharing a row index
+      val expectCells = label.toSeq.collect {
         case (c, rb) if rb == ((r.getLong(0), r.getLong(1))) => c
       }.toSet
       assert(covered.toSet === expectCells, s"region ${r.getLong(0)} tiling")
