@@ -136,6 +136,7 @@ object SparkEntry {
     "forecast_deficit_bands" -> Climate.forecastDeficitBands _,
     "grid_contour_bands"    -> Climate.gridContourBands _,
     "grid_polygonize"       -> Polygonize.gridPolygonize _,
+    "grid_contour_lines"    -> Polygonize.gridContourLines _,
     "spi_ensemble_gamma"    -> Climate.spiEnsembleGamma _,
     "zonal_stats"           -> Climate.zonalStats _,
     "zonal_class_area"      -> Climate.zonalClassArea _,
@@ -6624,6 +6625,84 @@ object SparkEntry {
         |    || '},"geometry":{"type":"MultiPolygon","coordinates":['
         |    || string_agg(s, ',' ORDER BY gy, x0) || ']}}' AS geojson
         |FROM rect GROUP BY region, band""".stripMargin,
+
+    // marching squares: identical 16-case edge-pair table, the
+    // integer center rule on saddles, and the same
+    // double-cast-then-divide interpolation quantized to 1e-6
+    "grid_contour_lines" -> {
+      val lvls = graft.operators.Climate.contourLevels
+        .map(l => s"($l)").mkString(", ")
+      s"""WITH c AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT tl.gy, tl.gx, tl.v_us AS tl, tr.v_us AS tr,
+        |    bl.v_us AS bl, br.v_us AS br, CAST(l.lv AS BIGINT) AS lv,
+        |    CAST(l.lv AS BIGINT) * 1000000 AS lus
+        |  FROM c tl
+        |  JOIN c tr ON tr.gy = tl.gy AND tr.gx = tl.gx + 1
+        |  JOIN c bl ON bl.gy = tl.gy + 1 AND bl.gx = tl.gx
+        |  JOIN c br ON br.gy = tl.gy + 1 AND br.gx = tl.gx + 1
+        |  CROSS JOIN (VALUES $lvls) l(lv)),
+        |cs AS (
+        |  SELECT *,
+        |    (CASE WHEN tl >= lus THEN 8 ELSE 0 END) +
+        |    (CASE WHEN tr >= lus THEN 4 ELSE 0 END) +
+        |    (CASE WHEN br >= lus THEN 2 ELSE 0 END) +
+        |    (CASE WHEN bl >= lus THEN 1 ELSE 0 END) AS cse,
+        |    tl + tr + br + bl >= lus * 4 AS ctr
+        |  FROM win),
+        |ep AS (
+        |  SELECT *,
+        |    CASE cse WHEN 1 THEN 'L' WHEN 2 THEN 'B' WHEN 3 THEN 'L'
+        |      WHEN 4 THEN 'T' WHEN 5 THEN 'T' WHEN 6 THEN 'T'
+        |      WHEN 7 THEN 'T' WHEN 8 THEN 'T' WHEN 9 THEN 'T'
+        |      WHEN 10 THEN 'T' WHEN 11 THEN 'T' WHEN 12 THEN 'L'
+        |      WHEN 13 THEN 'R' WHEN 14 THEN 'B' END AS a1,
+        |    CASE WHEN cse = 5 THEN (CASE WHEN ctr THEN 'L' ELSE 'R' END)
+        |      WHEN cse = 10 THEN (CASE WHEN ctr THEN 'R' ELSE 'L' END)
+        |      ELSE CASE cse WHEN 1 THEN 'B' WHEN 2 THEN 'R' WHEN 3 THEN 'R'
+        |        WHEN 4 THEN 'R' WHEN 6 THEN 'B' WHEN 7 THEN 'L'
+        |        WHEN 8 THEN 'L' WHEN 9 THEN 'B' WHEN 11 THEN 'R'
+        |        WHEN 12 THEN 'R' WHEN 13 THEN 'B' WHEN 14 THEN 'L' END END AS a2,
+        |    CASE WHEN cse = 5 THEN (CASE WHEN ctr THEN 'B' ELSE 'L' END)
+        |      WHEN cse = 10 THEN (CASE WHEN ctr THEN 'L' ELSE 'B' END) END AS b1,
+        |    CASE WHEN cse = 5 THEN (CASE WHEN ctr THEN 'R' ELSE 'B' END)
+        |      WHEN cse = 10 THEN (CASE WHEN ctr THEN 'B' ELSE 'R' END) END AS b2
+        |  FROM cs),
+        |sg AS (
+        |  SELECT ep.*, s.seg,
+        |    CASE WHEN s.seg = 0 THEN a1 ELSE b1 END AS e1,
+        |    CASE WHEN s.seg = 0 THEN a2 ELSE b2 END AS e2
+        |  FROM ep CROSS JOIN (VALUES (0), (1)) s(seg)
+        |  WHERE (CASE WHEN s.seg = 0 THEN a1 ELSE b1 END) IS NOT NULL)
+        |SELECT lv AS level, gy, gx, CAST(seg AS INT) AS seg,
+        |  floor((CASE e1
+        |    WHEN 'T' THEN gx + CAST(lus - tl AS DOUBLE) / CAST(tr - tl AS DOUBLE)
+        |    WHEN 'B' THEN gx + CAST(lus - bl AS DOUBLE) / CAST(br - bl AS DOUBLE)
+        |    WHEN 'L' THEN CAST(gx AS DOUBLE)
+        |    ELSE CAST(gx + 1 AS DOUBLE) END) * 1e6 + 0.5) / 1e6 AS x1,
+        |  floor((CASE e1
+        |    WHEN 'T' THEN CAST(gy AS DOUBLE)
+        |    WHEN 'B' THEN CAST(gy + 1 AS DOUBLE)
+        |    WHEN 'L' THEN gy + CAST(lus - tl AS DOUBLE) / CAST(bl - tl AS DOUBLE)
+        |    ELSE gy + CAST(lus - tr AS DOUBLE) / CAST(br - tr AS DOUBLE)
+        |    END) * 1e6 + 0.5) / 1e6 AS y1,
+        |  floor((CASE e2
+        |    WHEN 'T' THEN gx + CAST(lus - tl AS DOUBLE) / CAST(tr - tl AS DOUBLE)
+        |    WHEN 'B' THEN gx + CAST(lus - bl AS DOUBLE) / CAST(br - bl AS DOUBLE)
+        |    WHEN 'L' THEN CAST(gx AS DOUBLE)
+        |    ELSE CAST(gx + 1 AS DOUBLE) END) * 1e6 + 0.5) / 1e6 AS x2,
+        |  floor((CASE e2
+        |    WHEN 'T' THEN CAST(gy AS DOUBLE)
+        |    WHEN 'B' THEN CAST(gy + 1 AS DOUBLE)
+        |    WHEN 'L' THEN gy + CAST(lus - tl AS DOUBLE) / CAST(bl - tl AS DOUBLE)
+        |    ELSE gy + CAST(lus - tr AS DOUBLE) / CAST(br - tr AS DOUBLE)
+        |    END) * 1e6 + 0.5) / 1e6 AS y2
+        |FROM sg""".stripMargin
+    },
 
     // all-integer packing arithmetic — engines agree exactly
     // elementwise chunking; DuckDB list slice l[a:b] is 1-based

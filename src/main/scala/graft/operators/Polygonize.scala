@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** RASTER POLYGONIZATION + GeoJSON emission — the data-parallel core
@@ -46,6 +46,102 @@ object Polygonize {
     * the events grid's ~0-200 unit means → a handful of bands with
     * real multi-run regions). */
   private[graft] val BandMicroUnits = 25000000.0
+
+  /** MARCHING SQUARES contour LINES — the other half of
+    * `gdal_contour` (`ingestor_knmi_evapo_fc.py:252-270` runs it at
+    * fixed levels; `grid_contour_bands` ports the band
+    * classification, this ports the ISO-LINE extraction): for every
+    * 2×2 corner window and every level, the classic 16-case lookup
+    * emits 0-2 line segments whose endpoints interpolate linearly
+    * along the crossed edges. Inside = corner ≥ level; the two
+    * saddle cases (5/10) disambiguate on the window's EXACT integer
+    * corner sum vs 4·level (the center-mean rule, no floats in the
+    * decision). Interpolation t = (L−va)/(vb−va) runs on micro-unit
+    * integers cast to double — a selected edge always crosses, so
+    * the denominator is never zero — and coordinates quantize to
+    * 1e-6, so both engines emit bit-identical doubles.
+    *
+    * Shape: the corner windows are three equi-joins of the cell
+    * table against itself (tile-local at scale — the D8 lanes'
+    * pattern), levels explode as a literal array in the same scan,
+    * and the per-window case/segment logic is one codegen'd when
+    * chain. No shuffle beyond the cell aggregation itself. */
+  private[graft] def contourSegments(cells: DataFrame,
+      levels: Seq[Int]): DataFrame = {
+    val g = cells
+    def ren(dy: Int, dx: Int, as: String) =
+      g.select((col("gy") - dy).as("gy"), (col("gx") - dx).as("gx"),
+        col("v_us").as(as))
+    val win = g.select(col("gy"), col("gx"), col("v_us").as("tl"))
+      .join(ren(0, 1, "tr"), Seq("gy", "gx"))
+      .join(ren(1, 0, "bl"), Seq("gy", "gx"))
+      .join(ren(1, 1, "br"), Seq("gy", "gx"))
+      .withColumn("lv", explode(array(levels.map(l => lit(l.toLong)): _*)))
+      .withColumn("lus", col("lv") * 1000000L)
+    val bit = (c: Column) => when(c >= col("lus"), 1).otherwise(0)
+    val cased = win
+      .withColumn("cse", bit(col("tl")) * 8 + bit(col("tr")) * 4 +
+        bit(col("br")) * 2 + bit(col("bl")))
+      .withColumn("ctr",
+        col("tl") + col("tr") + col("br") + col("bl") >= col("lus") * 4)
+    val nullS = lit(null).cast("string")
+    def et(a1: String, a2: String, b1: String = null, b2: String = null) =
+      struct(lit(a1).as("a1"), lit(a2).as("a2"),
+        Option(b1).map(lit).getOrElse(nullS).as("b1"),
+        Option(b2).map(lit).getOrElse(nullS).as("b2"))
+    // the 16-case edge-pair table (T/B/L/R = crossed edge); saddles
+    // split on the center rule
+    val pairs = when(col("cse") === 1, et("L", "B"))
+      .when(col("cse") === 2, et("B", "R"))
+      .when(col("cse") === 3, et("L", "R"))
+      .when(col("cse") === 4, et("T", "R"))
+      .when(col("cse") === 5 && col("ctr"), et("T", "L", "B", "R"))
+      .when(col("cse") === 5, et("T", "R", "L", "B"))
+      .when(col("cse") === 6, et("T", "B"))
+      .when(col("cse") === 7, et("T", "L"))
+      .when(col("cse") === 8, et("T", "L"))
+      .when(col("cse") === 9, et("T", "B"))
+      .when(col("cse") === 10 && col("ctr"), et("T", "R", "L", "B"))
+      .when(col("cse") === 10, et("T", "L", "B", "R"))
+      .when(col("cse") === 11, et("T", "R"))
+      .when(col("cse") === 12, et("L", "R"))
+      .when(col("cse") === 13, et("R", "B"))
+      .when(col("cse") === 14, et("B", "L"))
+    val seg = cased.withColumn("e", pairs)
+      .select(col("lv"), col("gy"), col("gx"),
+        col("tl"), col("tr"), col("bl"), col("br"), col("lus"),
+        explode(array(
+          struct(lit(0).as("seg"), col("e.a1").as("e1"), col("e.a2").as("e2")),
+          struct(lit(1).as("seg"), col("e.b1").as("e1"), col("e.b2").as("e2"))))
+          .as("s"))
+      .filter(col("s.e1").isNotNull)
+    def t(va: Column, vb: Column) =
+      (col("lus") - va).cast("double") / (vb - va).cast("double")
+    def xOf(e: Column) =
+      when(e === "T", col("gx") + t(col("tl"), col("tr")))
+        .when(e === "B", col("gx") + t(col("bl"), col("br")))
+        .when(e === "L", col("gx").cast("double"))
+        .otherwise((col("gx") + 1).cast("double"))
+    def yOf(e: Column) =
+      when(e === "T", col("gy").cast("double"))
+        .when(e === "B", (col("gy") + 1).cast("double"))
+        .when(e === "L", col("gy") + t(col("tl"), col("bl")))
+        .otherwise(col("gy") + t(col("tr"), col("br")))
+    def q6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
+    seg.select(col("lv").as("level"), col("gy"), col("gx"),
+      col("s.seg").as("seg"),
+      q6(xOf(col("s.e1"))).as("x1"), q6(yOf(col("s.e1"))).as("y1"),
+      q6(xOf(col("s.e2"))).as("x2"), q6(yOf(col("s.e2"))).as("y2"))
+  }
+
+  def gridContourLines(spark: SparkSession, dir: String): DataFrame =
+    contourSegments(
+      graft.Tables.events(spark, dir)
+        .groupBy((col("user_id") % 8).as("gy"),
+          expr("user_id div 8 % 8").as("gx"))
+        .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+          .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us")),
+      Climate.contourLevels)
 
   /** The 8×8 events grid (same lattice as the codec/D8 lanes) banded,
     * run-length decomposed, region-labeled and emitted as GeoJSON —

@@ -4,6 +4,68 @@ import org.apache.spark.sql.functions._
 
 class PolygonizeSpec extends SparkSpec {
 
+  test("grid_contour_lines: every segment recomputed by a local marching-squares; endpoints on crossed edges") {
+    val v = Tables.events(spark, sf)
+      .groupBy((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = scala.collection.mutable.Set.empty[
+      (Long, Long, Long, Int, Double, Double, Double, Double)]
+    for {
+      lv <- graft.operators.Climate.contourLevels
+      ((gy, gx), tl) <- v
+      tr <- v.get((gy, gx + 1)); bl <- v.get((gy + 1, gx))
+      br <- v.get((gy + 1, gx + 1))
+    } {
+      val lus = lv.toLong * 1000000L
+      def in(x: Long) = x >= lus
+      val cse = (if (in(tl)) 8 else 0) + (if (in(tr)) 4 else 0) +
+        (if (in(br)) 2 else 0) + (if (in(bl)) 1 else 0)
+      val ctr = tl + tr + br + bl >= lus * 4
+      val table: Seq[(String, String)] = cse match {
+        case 0 | 15 => Nil
+        case 1 => Seq(("L", "B")); case 2 => Seq(("B", "R"))
+        case 3 => Seq(("L", "R")); case 4 => Seq(("T", "R"))
+        case 5 => if (ctr) Seq(("T", "L"), ("B", "R"))
+                  else Seq(("T", "R"), ("L", "B"))
+        case 6 => Seq(("T", "B")); case 7 => Seq(("T", "L"))
+        case 8 => Seq(("T", "L")); case 9 => Seq(("T", "B"))
+        case 10 => if (ctr) Seq(("T", "R"), ("L", "B"))
+                   else Seq(("T", "L"), ("B", "R"))
+        case 11 => Seq(("T", "R")); case 12 => Seq(("L", "R"))
+        case 13 => Seq(("R", "B")); case 14 => Seq(("B", "L"))
+      }
+      def t(va: Long, vb: Long) = (lus - va).toDouble / (vb - va).toDouble
+      def pt(e: String): (Double, Double) = e match {
+        case "T" => (gx + t(tl, tr), gy.toDouble)
+        case "B" => (gx + t(bl, br), (gy + 1).toDouble)
+        case "L" => (gx.toDouble, gy + t(tl, bl))
+        case "R" => ((gx + 1).toDouble, gy + t(tr, br))
+      }
+      table.zipWithIndex.foreach { case ((e1, e2), i) =>
+        val (x1, y1) = pt(e1); val (x2, y2) = pt(e2)
+        expect += ((lv.toLong, gy, gx, i, q6(x1), q6(y1), q6(x2), q6(y2)))
+      }
+    }
+    val got = SparkEntry.queries("grid_contour_lines")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toSet
+    assert(got.nonEmpty, "level 50 must cross this grid")
+    assert(got === expect.toSet)
+    // every endpoint sits ON the cell boundary with t ∈ [0, 1]
+    got.foreach { case (_, gy, gx, _, x1, y1, x2, y2) =>
+      Seq((x1, y1), (x2, y2)).foreach { case (x, y) =>
+        val onVert = (x == gx || x == gx + 1) && y >= gy && y <= gy + 1
+        val onHorz = (y == gy || y == gy + 1) && x >= gx && x <= gx + 1
+        assert(onVert || onHorz, s"($x,$y) off the window boundary")
+      }
+    }
+  }
+
   test("grid_polygonize: regions recomputed by local flood fill; GeoJSON parses and covers every cell exactly once") {
     // ground truth: the banded 8×8 grid recomputed cell-by-cell
     val cells = Tables.events(spark, sf)
