@@ -183,6 +183,7 @@ object SparkEntry {
     "grid_tiff_decode"      -> graft.sources.Grids.gridTiffDecode _,
     "grid_nc_decode"        -> graft.sources.NetCdf.gridNcDecode _,
     "grid_grib_decode"      -> graft.sources.Grib.gridGribDecode _,
+    "grid_h5_decode"        -> graft.sources.Hdf5.gridH5Decode _,
     "stac_search_items"     -> graft.sources.Stac.stacSearchItems _,
     "grid_zarr_decode"      -> graft.sources.Zarr.gridZarrDecode _,
     "phenology_slices"      -> graft.sources.Zarr.phenologySlices _,
@@ -6625,6 +6626,29 @@ object SparkEntry {
         |    || '},"geometry":{"type":"MultiPolygon","coordinates":['
         |    || string_agg(s, ',' ORDER BY gy, x0) || ']}}' AS geojson
         |FROM rect GROUP BY region, band""".stripMargin,
+
+    // the HDF5 lane: f64 micro-unit payload round-trips IEEE
+    // (exact ≤ 2^53), CF unpack is raw·scale + offset with scale
+    // 1e-6 — the MULTIPLY form, mirrored exactly (x·1e-6 and x/1e6
+    // are different IEEE results)
+    "grid_h5_decode" ->
+      """WITH c AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS v_us,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT CAST(i // 8 AS BIGINT) AS gy, CAST(i % 8 AS BIGINT) AS gx
+        |      FROM range(0, 64) t(i)),
+        |j AS (
+        |  SELECT l.gy, l.gx, coalesce(c.v_us, 0) AS v_us,
+        |    coalesce(c.n_obs, 0) AS n_obs
+        |  FROM l LEFT JOIN c ON l.gy = c.gy AND l.gx = c.gx)
+        |SELECT 'n_obs' AS dataset, 'i4' AS dtype, gy, gx,
+        |  CAST(n_obs AS DOUBLE) AS value FROM j
+        |UNION ALL
+        |SELECT 'tp_us', 'f8', gy, gx, CAST(v_us AS DOUBLE) * 1.0e-6 FROM j"""
+        .stripMargin,
 
     // marching squares: identical 16-case edge-pair table, the
     // integer center rule on saddles, and the same

@@ -1,0 +1,763 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** REAL HDF5 codec — closing the NetCDF-4 half of the CDS-download
+  * seam (`ingestor_cds_process.py` requests can arrive as NetCDF-4,
+  * which IS HDF5 with naming conventions; the classic-format half is
+  * `NetCdf.decodeNc`). The container has no libhdf5, but the FORMAT
+  * is public (HDF5 File Format Specification v2/v3) and the subset a
+  * data file actually uses is superblock + object headers + symbol
+  * tables + chunk B-trees + DEFLATE — all JDK territory, exactly
+  * like the GRIB-1/TIFF/zarr codecs built from their public specs.
+  *
+  * Decodes the NetCDF-4/h5py-shaped subset: superblock v0 (base
+  * offset 0 or a 512/1024/2048-byte userblock), v1 object headers
+  * (with continuation blocks), group symbol-table B-tree v1 → SNOD →
+  * local heap names, dataspace v1, datatypes fixed-point (1/2/4/8-
+  * byte signed LE) and IEEE float (f32/f64 LE), fill-value, layout
+  * v3 contiguous AND chunked (chunk B-tree v1), filter pipeline v1
+  * with DEFLATE (id 1) and SHUFFLE (id 2), scalar/1-D numeric and
+  * string attributes (CF `scale_factor`/`add_offset` ride here).
+  * Everything else — v2 headers, fractal-heap groups, szip/blosc —
+  * quarantines loudly via Left(reason), the house drop discipline.
+  *
+  * The encoder writes the same subset (the in-plan render → decode
+  * gate proves decode∘encode = identity over every layout/filter
+  * combination, and the spec pins verbatim byte layouts so encoder
+  * and decoder cannot share a drifted misreading silently).
+  */
+object Hdf5 {
+
+  private val Sig = Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n')
+    .map(_.toByte)
+  private val Undef = -1L // 0xFFFF…FF address
+
+  private[graft] case class H5Attr(name: String, num: Option[Double],
+      str: Option[String])
+  private[graft] case class H5Dataset(name: String, dims: Seq[Int],
+      dtype: String, values: Array[Double], attrs: Seq[H5Attr])
+
+  // ------------------------------------------------------- decoder
+
+  private class Rd(val b: Array[Byte]) {
+    def u8(p: Long): Int = b(p.toInt) & 0xFF
+    def u16(p: Long): Int = u8(p) | (u8(p + 1) << 8)
+    def u32(p: Long): Long = (u16(p).toLong) | (u16(p + 2).toLong << 16)
+    def u64(p: Long): Long = u32(p) | (u32(p + 4) << 32)
+    def ascii(p: Long, n: Int): String = new String(b, p.toInt, n, "US-ASCII")
+    def cstr(p: Long): String = {
+      var e = p.toInt
+      while (e < b.length && b(e) != 0) e += 1
+      new String(b, p.toInt, e - p.toInt, "US-ASCII")
+    }
+  }
+
+  private def isUndef(a: Long): Boolean = a == Undef
+
+  /** Parse one datatype message body → (kind, size). Kinds:
+    * i1/i2/i4/i8, f4/f8, sN (fixed string of N bytes). */
+  private def parseDtype(r: Rd, p: Long): Either[String, (String, Int)] = {
+    val cv = r.u8(p)
+    val cls = cv & 0x0F
+    val size = r.u32(p + 4).toInt
+    cls match {
+      case 0 =>
+        if ((r.u8(p + 1) & 0x01) != 0) Left("big_endian_unsupported")
+        else size match {
+          case 1 | 2 | 4 | 8 => Right((s"i$size", size))
+          case _ => Left("unsupported_int_size")
+        }
+      case 1 =>
+        if ((r.u8(p + 1) & 0x01) != 0) Left("big_endian_unsupported")
+        else size match {
+          case 4 | 8 => Right((s"f$size", size))
+          case _ => Left("unsupported_float_size")
+        }
+      case 3 => Right((s"s$size", size)) // fixed-length string
+      case c => Left(s"unsupported_datatype_class_$c")
+    }
+  }
+
+  private def numAt(r: Rd, p: Long, kind: String): Double = kind match {
+    case "i1" => r.b(p.toInt).toDouble
+    case "i2" => ((r.u16(p) << 16) >> 16).toDouble
+    case "i4" => r.u32(p).toInt.toDouble
+    case "i8" => r.u64(p).toDouble
+    case "f4" => java.lang.Float.intBitsToFloat(r.u32(p).toInt).toDouble
+    case "f8" => java.lang.Double.longBitsToDouble(r.u64(p))
+  }
+
+  /** All (type, bodyOffset, bodySize) messages of a v1 object header,
+    * following continuation (0x0010) blocks. */
+  private def headerMessages(r: Rd, addr: Long):
+      Either[String, Seq[(Int, Long, Int)]] = {
+    if (r.u8(addr) != 1) return Left("unsupported_object_header_version")
+    val nmsg = r.u16(addr + 2)
+    val out = Vector.newBuilder[(Int, Long, Int)]
+    // (start, end) regions holding messages; the prefix is 12 bytes
+    // + 4 alignment
+    var regions = List((addr + 16, addr + 16 + r.u32(addr + 8)))
+    var seen = 0
+    while (regions.nonEmpty && seen < nmsg) {
+      val (start, end) = regions.head
+      regions = regions.tail
+      var p = start
+      while (p + 8 <= end && seen < nmsg) {
+        val t = r.u16(p); val sz = r.u16(p + 2)
+        if (t == 0x0010) { // continuation
+          regions = (r.u64(p + 8), r.u64(p + 8) + r.u64(p + 16)) :: regions
+        } else out += ((t, p + 8, sz))
+        seen += 1
+        p += 8 + sz
+      }
+    }
+    Right(out.result())
+  }
+
+  /** The symbol-table entries (name, objectHeaderAddr) reachable from
+    * a group B-tree v1 node. */
+  private def walkGroupBtree(r: Rd, btAddr: Long, heapData: Long):
+      Either[String, Seq[(String, Long)]] = {
+    if (r.ascii(btAddr, 4) != "TREE") return Left("bad_group_btree")
+    val level = r.u8(btAddr + 5)
+    val n = r.u16(btAddr + 6)
+    val out = Vector.newBuilder[(String, Long)]
+    // children at btAddr+24 + key0(8): child_i at offset 24 + 8 + i*16
+    var i = 0
+    while (i < n) {
+      val child = r.u64(btAddr + 24 + 8 + i * 16)
+      if (level > 0) walkGroupBtree(r, child, heapData) match {
+        case Left(e) => return Left(e)
+        case Right(s) => out ++= s
+      } else {
+        if (r.ascii(child, 4) != "SNOD") return Left("bad_snod")
+        val ns = r.u16(child + 6)
+        var j = 0
+        while (j < ns) {
+          val ste = child + 8 + j * 40L
+          out += ((r.cstr(heapData + r.u64(ste)), r.u64(ste + 8)))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    Right(out.result())
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput())
+        throw new java.io.EOFException("truncated deflate")
+      out.write(buf, 0, n)
+    }
+    inf.end(); out.toByteArray
+  }
+
+  /** Inverse of the HDF5 shuffle filter: input is elemSize byte
+    * planes, output interleaved elements. */
+  private def unshuffle(d: Array[Byte], elem: Int): Array[Byte] = {
+    if (elem <= 1) return d
+    val n = d.length / elem
+    val out = new Array[Byte](d.length)
+    var k = 0
+    while (k < elem) {
+      var i = 0
+      while (i < n) { out(i * elem + k) = d(k * n + i); i += 1 }
+      k += 1
+    }
+    // trailing bytes (length not divisible) copy through
+    var t = n * elem
+    while (t < d.length) { out(t) = d(t); t += 1 }
+    out
+  }
+
+  /** Decode every dataset of an HDF5 file. */
+  private[graft] def decodeH5(bytes: Array[Byte]):
+      Either[String, Seq[H5Dataset]] = try {
+    val r = new Rd(bytes)
+    val base = Seq(0L, 512L, 1024L, 2048L).find(o =>
+      o + 8 <= bytes.length &&
+        java.util.Arrays.equals(bytes.slice(o.toInt, o.toInt + 8), Sig))
+      .getOrElse(return Left("bad_signature"))
+    if (r.u8(base + 8) != 0) return Left("unsupported_superblock_version")
+    if (r.u8(base + 13) != 8 || r.u8(base + 14) != 8)
+      return Left("unsupported_offset_size")
+    // superblock v0 fixed part is 24 bytes, then 4 file addresses
+    // (base, free-space, EOF, driver info) → the root group's symbol
+    // table entry starts at base+56; its object header address is
+    // the entry's second field
+    val rootSte = base + 56
+    val rootHdr = r.u64(rootSte + 8)
+    headerMessages(r, rootHdr).flatMap { msgs =>
+      val st = msgs.find(_._1 == 0x0011).getOrElse(
+        return Left("missing_symbol_table"))
+      val btAddr = r.u64(st._2)
+      val heapAddr = r.u64(st._2 + 8)
+      if (r.ascii(heapAddr, 4) != "HEAP") return Left("bad_local_heap")
+      val heapData = r.u64(heapAddr + 24)
+      walkGroupBtree(r, btAddr, heapData).flatMap { entries =>
+        val ds = entries.sortBy(_._1).map { case (name, oh) =>
+          decodeDataset(r, name, oh) match {
+            case Left(e) => return Left(s"$name:$e")
+            case Right(d) => d
+          }
+        }
+        Right(ds)
+      }
+    }
+  } catch { case _: Exception => Left("malformed_file") }
+
+  private def decodeDataset(r: Rd, name: String, oh: Long):
+      Either[String, H5Dataset] = {
+    val msgs = headerMessages(r, oh) match {
+      case Left(e) => return Left(e); case Right(m) => m
+    }
+    // dataspace
+    val sp = msgs.find(_._1 == 0x0001).getOrElse(
+      return Left("missing_dataspace"))
+    if (r.u8(sp._2) != 1) return Left("unsupported_dataspace_version")
+    val rank = r.u8(sp._2 + 1)
+    val dims = (0 until rank).map(i => r.u64(sp._2 + 8 + i * 8L).toInt)
+    val nElems = dims.product max 1
+    // datatype
+    val dt = msgs.find(_._1 == 0x0003).getOrElse(
+      return Left("missing_datatype"))
+    val (kind, elem) = parseDtype(r, dt._2) match {
+      case Left(e) => return Left(e); case Right(k) => k
+    }
+    if (kind.startsWith("s")) return Left("string_dataset_unsupported")
+    // filters
+    val filters: Seq[(Int, Seq[Long])] = msgs.find(_._1 == 0x000B) match {
+      case None => Nil
+      case Some((_, p, _)) =>
+        if (r.u8(p) != 1) return Left("unsupported_filter_pipeline_version")
+        val nf = r.u8(p + 1)
+        var q = p + 8
+        (0 until nf).map { _ =>
+          val id = r.u16(q); val nameLen = r.u16(q + 2)
+          val ncv = r.u16(q + 6)
+          val nameP = (nameLen + 7) / 8 * 8 // names pad to 8
+          val vals = (0 until ncv).map(i =>
+            r.u32(q + 8 + nameP + i * 4L))
+          q += 8 + nameP + ncv * 4L + (if (ncv % 2 == 1) 4 else 0)
+          (id, vals)
+        }
+    }
+    if (!filters.forall(f => f._1 == 1 || f._1 == 2))
+      return Left("unsupported_filter")
+    // attributes
+    val attrs = msgs.filter(_._1 == 0x000C).flatMap { case (_, p, _) =>
+      decodeAttr(r, p)
+    }
+    // layout
+    val lo = msgs.find(_._1 == 0x0008).getOrElse(return Left("missing_layout"))
+    if (r.u8(lo._2) != 3) return Left("unsupported_layout_version")
+    val values = new Array[Double](nElems)
+    r.u8(lo._2 + 1) match {
+      case 1 => // contiguous
+        val addr = r.u64(lo._2 + 2)
+        if (isUndef(addr)) return Left("data_not_allocated")
+        var i = 0
+        while (i < nElems) {
+          values(i) = numAt(r, addr + i.toLong * elem, kind); i += 1
+        }
+      case 2 => // chunked: B-tree v1 node type 1
+        val cRank = r.u8(lo._2 + 2) // rank + 1
+        if (cRank != rank + 1) return Left("bad_chunk_rank")
+        val btAddr = r.u64(lo._2 + 3)
+        val chunkDims = (0 until rank).map(i => r.u32(lo._2 + 11 + i * 4L).toInt)
+        if (isUndef(btAddr)) return Left("data_not_allocated")
+        val strides = dims.scanRight(1)(_ * _).drop(1) // row-major
+        val cStrides = chunkDims.scanRight(1)(_ * _).drop(1)
+        val cElems = chunkDims.product
+        def walk(node: Long): Either[String, Unit] = {
+          if (r.ascii(node, 4) != "TREE" || r.u8(node + 4) != 1)
+            return Left("bad_chunk_btree")
+          val level = r.u8(node + 5)
+          val n = r.u16(node + 6)
+          val keySize = 8 + (rank + 1) * 8
+          var i = 0
+          while (i < n) {
+            val key = node + 24 + i.toLong * (keySize + 8)
+            val child = key + keySize
+            if (level > 0) walk(r.u64(child)) match {
+              case l @ Left(_) => return l; case _ => ()
+            } else {
+              val nbytes = r.u32(key).toInt
+              val mask = r.u32(key + 4)
+              val off = (0 until rank).map(d => r.u64(key + 8 + d * 8L).toInt)
+              var raw = java.util.Arrays.copyOfRange(r.b,
+                r.u64(child).toInt, r.u64(child).toInt + nbytes)
+              // pipeline applies in reverse on read; a set mask bit
+              // means the filter was SKIPPED for this chunk
+              filters.zipWithIndex.reverse.foreach { case ((id, _), fi) =>
+                if ((mask & (1L << fi)) == 0) raw = id match {
+                  case 1 => inflate(raw)
+                  case 2 => unshuffle(raw, elem)
+                }
+              }
+              val rr = new Rd(raw)
+              var j = 0
+              while (j < cElems) {
+                val coords = (0 until rank).map(d =>
+                  off(d) + (j / cStrides(d)) % chunkDims(d))
+                if (coords.zip(dims).forall { case (c, dm) => c < dm }) {
+                  val gi = coords.zip(strides).map(p => p._1 * p._2).sum
+                  values(gi) = numAt(rr, j.toLong * elem, kind)
+                }
+                j += 1
+              }
+            }
+            i += 1
+          }
+          Right(())
+        }
+        walk(btAddr) match { case Left(e) => return Left(e); case _ => () }
+      case 0 => // compact
+        val sz = r.u16(lo._2 + 2)
+        if (sz < nElems * elem) return Left("bad_compact_size")
+        var i = 0
+        while (i < nElems) {
+          values(i) = numAt(r, lo._2 + 4 + i.toLong * elem, kind); i += 1
+        }
+      case c => return Left(s"unsupported_layout_class_$c")
+    }
+    Right(H5Dataset(name, dims, kind, values, attrs))
+  }
+
+  private def decodeAttr(r: Rd, p: Long): Option[H5Attr] = {
+    if (r.u8(p) != 1) return None
+    val nameSz = r.u16(p + 2)
+    val dtSz = r.u16(p + 4)
+    val spSz = r.u16(p + 6)
+    def pad8(x: Int) = (x + 7) / 8 * 8
+    val nameOff = p + 8
+    val dtOff = nameOff + pad8(nameSz)
+    val spOff = dtOff + pad8(dtSz)
+    val dataOff = spOff + pad8(spSz)
+    val name = r.cstr(nameOff)
+    val rank = r.u8(spOff + 1)
+    val n = if (rank == 0) 1
+      else (0 until rank).map(i => r.u64(spOff + 8 + i * 8L).toInt).product
+    parseDtype(r, dtOff) match {
+      case Right((kind, elem)) if !kind.startsWith("s") && n == 1 =>
+        Some(H5Attr(name, Some(numAt(r, dataOff, kind)), None))
+      case Right((kind, elem)) if kind.startsWith("s") =>
+        val raw = r.ascii(dataOff, elem * n)
+        Some(H5Attr(name, None, Some(raw.takeWhile(_ != 0))))
+      case _ => None
+    }
+  }
+
+  // ------------------------------------------------------- encoder
+
+  private class Wr {
+    val out = new java.io.ByteArrayOutputStream()
+    def pos: Int = out.size
+    def u8(v: Int): Wr = { out.write(v & 0xFF); this }
+    def u16(v: Int): Wr = { u8(v); u8(v >> 8) }
+    def u32(v: Long): Wr = { u16(v.toInt); u16((v >> 16).toInt) }
+    def u64(v: Long): Wr = { u32(v); u32(v >> 32) }
+    def bytes(b: Array[Byte]): Wr = { out.write(b); this }
+    def ascii(s: String): Wr = bytes(s.getBytes("US-ASCII"))
+    def pad(to: Int): Wr = { while (pos % to != 0) u8(0); this }
+    def patchU64(at: Int, v: Long): Unit = {
+      val b = out.toByteArray
+      var i = 0; var x = v
+      while (i < 8) { b(at + i) = (x & 0xFF).toByte; x >>= 8; i += 1 }
+      out.reset(); out.write(b)
+    }
+  }
+
+  private def deflate(raw: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level)
+    d.setInput(raw); d.finish()
+    val z = new java.io.ByteArrayOutputStream(raw.length)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    d.end(); z.toByteArray
+  }
+
+  private def shuffleBytes(d: Array[Byte], elem: Int): Array[Byte] = {
+    if (elem <= 1) return d
+    val n = d.length / elem
+    val out = new Array[Byte](d.length)
+    var k = 0
+    while (k < elem) {
+      var i = 0
+      while (i < n) { out(k * n + i) = d(i * elem + k); i += 1 }
+      k += 1
+    }
+    var t = n * elem
+    while (t < d.length) { out(t) = d(t); t += 1 }
+    out
+  }
+
+  private def dtypeBytes(kind: String): Array[Byte] = {
+    val w = new Wr
+    kind match {
+      case "f8" =>
+        w.u8(0x11).u8(0x20).u8(63).u8(0).u32(8)
+        w.u16(0).u16(64).u8(52).u8(11).u8(0).u8(52).u32(1023)
+      case "f4" =>
+        w.u8(0x11).u8(0x20).u8(31).u8(0).u32(4)
+        w.u16(0).u16(32).u8(23).u8(8).u8(0).u8(23).u32(127)
+      case "i4" =>
+        w.u8(0x10).u8(0x08).u8(0).u8(0).u32(4).u16(0).u16(32)
+      case "i2" =>
+        w.u8(0x10).u8(0x08).u8(0).u8(0).u32(2).u16(0).u16(16)
+      case s if s.startsWith("s") =>
+        // fixed string, null-padded
+        w.u8(0x13).u8(0).u8(0).u8(0).u32(s.drop(1).toInt)
+    }
+    w.out.toByteArray
+  }
+
+  private def valueBytes(kind: String, vs: Array[Double]): Array[Byte] = {
+    val elem = kind.drop(1).toInt
+    val b = java.nio.ByteBuffer.allocate(vs.length * elem)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vs.foreach { v =>
+      kind match {
+        case "f8" => b.putDouble(v)
+        case "f4" => b.putFloat(v.toFloat)
+        case "i4" => b.putInt(v.toInt)
+        case "i2" => b.putShort(v.toShort)
+      }
+    }
+    b.array()
+  }
+
+  private[graft] case class H5Enc(name: String, dims: Seq[Int],
+      kind: String, values: Array[Double],
+      chunkDims: Option[Seq[Int]] = None, gzipLevel: Int = 0,
+      shuffle: Boolean = false, attrs: Seq[H5Attr] = Nil)
+
+  /** Write an HDF5 v0-superblock file holding the given datasets in
+    * the root group. Spec-complete for the subset the decoder reads:
+    * every address real, CRC-free classic metadata, names in a local
+    * heap, one SNOD leaf (bounded fixture sizes). */
+  private[graft] def encodeH5(datasets: Seq[H5Enc],
+      userblock: Int = 0): Array[Byte] = {
+    require(datasets.nonEmpty && datasets.size <= 64)
+    val w = new Wr
+    (0 until userblock).foreach(_ => w.u8(0))
+    val base = w.pos
+    // --- superblock v0 ---
+    w.bytes(Sig)
+    w.u8(0).u8(0).u8(0).u8(0).u8(0) // versions + reserved
+    w.u8(8).u8(8).u8(0)             // offset/length sizes
+    w.u16(4).u16(16)                // leaf k, internal k
+    w.u32(0)                        // consistency flags
+    w.u64(base)                     // base address
+    w.u64(Undef)                    // free-space
+    val eofPatch = w.pos; w.u64(0)  // end of file (patched)
+    w.u64(Undef)                    // driver info
+    // root symbol table entry
+    w.u64(0) // link name offset
+    val rootHdrPatch = w.pos; w.u64(0)
+    w.u32(1).u32(0)
+    val rootBtPatch = w.pos; w.u64(0)
+    val rootHeapPatch = w.pos; w.u64(0)
+    // --- local heap (names) ---
+    val names = datasets.map(_.name)
+    val heapOffsets = scala.collection.mutable.Map[String, Long]()
+    val heapData = {
+      val hw = new Wr
+      hw.u64(0) // offset 0: the empty string slot
+      names.foreach { n =>
+        heapOffsets(n) = hw.pos.toLong
+        hw.ascii(n).u8(0); hw.pad(8)
+      }
+      hw.out.toByteArray
+    }
+    w.pad(8)
+    val heapAddr = w.pos
+    w.ascii("HEAP").u8(0).u8(0).u8(0).u8(0)
+    w.u64(heapData.length).u64(Undef)
+    val heapDataPatch = w.pos; w.u64(0)
+    w.pad(8)
+    val heapDataAddr = w.pos
+    w.bytes(heapData)
+    w.patchU64(heapDataPatch, heapDataAddr)
+    // --- per-dataset object headers + data (headers first, data
+    // addresses patched after) ---
+    val pend = scala.collection.mutable.Buffer.empty[(Int, Wr => Long)]
+    val dsHeaders = datasets.map { d =>
+      w.pad(8)
+      val hdr = w.pos
+      writeDatasetHeader(w, d, pend)
+      (d.name, hdr.toLong)
+    }.toMap
+    // --- SNOD + group btree ---
+    w.pad(8)
+    val snod = w.pos
+    w.ascii("SNOD").u8(1).u8(0).u16(names.size)
+    names.sorted.foreach { n =>
+      w.u64(heapOffsets(n)).u64(dsHeaders(n)).u32(0).u32(0)
+      w.u64(0).u64(0) // scratch
+    }
+    w.pad(8)
+    val bt = w.pos
+    w.ascii("TREE").u8(0).u8(0).u16(1)
+    w.u64(Undef).u64(Undef)
+    w.u64(0)      // key 0
+    w.u64(snod)   // child 0
+    w.u64(heapOffsets(names.sorted.last)) // key 1
+    // --- root object header ---
+    w.pad(8)
+    val rootHdr = w.pos
+    w.u8(1).u8(0).u16(1).u32(1)
+    w.u32(24).u32(0)
+    w.u16(0x0011).u16(16).u8(0).u8(0).u8(0).u8(0)
+    w.u64(bt).u64(heapAddr)
+    // --- data blocks ---
+    pend.foreach { case (at, write) => w.patchU64(at, write(w)) }
+    w.patchU64(rootHdrPatch, rootHdr)
+    w.patchU64(rootBtPatch, bt)
+    w.patchU64(rootHeapPatch, heapAddr)
+    w.patchU64(eofPatch, w.pos.toLong)
+    w.out.toByteArray
+  }
+
+  private def writeDatasetHeader(w: Wr, d: H5Enc,
+      pend: scala.collection.mutable.Buffer[(Int, Wr => Long)]): Unit = {
+    // assemble messages into a buffer first so the header size field
+    // is exact
+    val patches = scala.collection.mutable.Buffer.empty[(Int, Wr => Long)]
+    val m = new Wr
+    def msg(t: Int, body: Array[Byte]): Unit = {
+      val padded = body ++ new Array[Byte]((8 - body.length % 8) % 8)
+      m.u16(t).u16(padded.length).u8(0).u8(0).u8(0).u8(0)
+      m.bytes(padded)
+    }
+    // dataspace
+    val sp = new Wr
+    sp.u8(1).u8(d.dims.size).u8(0).u8(0).u32(0)
+    d.dims.foreach(x => sp.u64(x))
+    msg(0x0001, sp.out.toByteArray)
+    // datatype
+    msg(0x0003, dtypeBytes(d.kind))
+    // fill value v2, undefined
+    msg(0x0005, Array[Byte](2, 2, 2, 0))
+    // attributes
+    d.attrs.foreach { a => msg(0x000C, attrBytes(a)) }
+    // filters
+    val filterIds =
+      (if (d.shuffle) Seq(2) else Nil) ++
+        (if (d.gzipLevel > 0) Seq(1) else Nil)
+    if (filterIds.nonEmpty) {
+      val f = new Wr
+      f.u8(1).u8(filterIds.size).u16(0).u32(0)
+      filterIds.foreach {
+        case 2 => f.u16(2).u16(0).u16(0).u16(1)
+          f.u32(d.kind.drop(1).toInt.toLong).u32(0)
+        case 1 => f.u16(1).u16(0).u16(0).u16(1)
+          f.u32(d.gzipLevel.toLong).u32(0)
+      }
+      msg(0x000B, f.out.toByteArray)
+    }
+    // layout v3 + remember where the data address lands inside the
+    // message stream
+    val elem = d.kind.drop(1).toInt
+    val raw = valueBytes(d.kind, d.values)
+    d.chunkDims match {
+      case None =>
+        val lo = new Wr
+        lo.u8(3).u8(1)
+        val addrAt = m.pos + 8 + lo.pos // after msg header once emitted
+        lo.u64(0).u64(raw.length)
+        msg(0x0008, lo.out.toByteArray)
+        patches += ((addrAt, (fw: Wr) => {
+          fw.pad(8); val a = fw.pos; fw.bytes(raw); a.toLong
+        }))
+      case Some(cd) =>
+        val lo = new Wr
+        lo.u8(3).u8(2).u8(d.dims.size + 1)
+        val addrAt = m.pos + 8 + lo.pos
+        lo.u64(0)
+        cd.foreach(x => lo.u32(x))
+        lo.u32(elem)
+        msg(0x0008, lo.out.toByteArray)
+        patches += ((addrAt, (fw: Wr) => writeChunks(fw, d, raw)))
+    }
+    // emit the v1 header prefix + messages
+    val body = m.out.toByteArray
+    val hdrStart = w.pos
+    w.u8(1).u8(0).u16(countMsgs(body)).u32(1)
+    w.u32(body.length).u32(0)
+    val msgsStart = w.pos
+    w.bytes(body)
+    patches.foreach { case (rel, wf) => pend += ((msgsStart + rel, wf)) }
+  }
+
+  private def countMsgs(body: Array[Byte]): Int = {
+    var p = 0; var n = 0
+    while (p + 8 <= body.length) {
+      val sz = (body(p + 2) & 0xFF) | ((body(p + 3) & 0xFF) << 8)
+      n += 1; p += 8 + sz
+    }
+    n
+  }
+
+  private def attrBytes(a: H5Attr): Array[Byte] = {
+    val aw = new Wr
+    val nameB = a.name.getBytes("US-ASCII") :+ 0.toByte
+    val (dtB, data) = a.num match {
+      case Some(v) =>
+        val b = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(v).array()
+        (dtypeBytes("f8"), b)
+      case None =>
+        val s = a.str.get.getBytes("US-ASCII")
+        (dtypeBytes(s"s${s.length}"), s)
+    }
+    val spB = { val s = new Wr; s.u8(1).u8(0).u8(0).u8(0).u32(0)
+      s.out.toByteArray } // scalar
+    aw.u8(1).u8(0).u16(nameB.length).u16(dtB.length).u16(spB.length)
+    def pad8(b: Array[Byte]) =
+      b ++ new Array[Byte]((8 - b.length % 8) % 8)
+    aw.bytes(pad8(nameB)).bytes(pad8(dtB)).bytes(pad8(spB)).bytes(data)
+    aw.out.toByteArray
+  }
+
+  /** Chunk data + B-tree v1; returns the B-tree address. */
+  private def writeChunks(w: Wr, d: H5Enc, raw: Array[Byte]): Long = {
+    val elem = d.kind.drop(1).toInt
+    val dims = d.dims
+    val cd = d.chunkDims.get
+    val rank = dims.size
+    val strides = dims.scanRight(1)(_ * _).drop(1)
+    val cStrides = cd.scanRight(1)(_ * _).drop(1)
+    val cElems = cd.product
+    val grid = dims.zip(cd).map { case (n, c) => (n + c - 1) / c }
+    val nChunks = grid.product
+    val chunks = (0 until nChunks).map { ci =>
+      val gStrides = grid.scanRight(1)(_ * _).drop(1)
+      val off = (0 until rank).map(dd => (ci / gStrides(dd)) % grid(dd) * cd(dd))
+      // gather (edge chunks zero-padded), row-major within the chunk
+      val buf = new Array[Byte](cElems * elem)
+      var j = 0
+      while (j < cElems) {
+        val coords = (0 until rank).map(dd => off(dd) + (j / cStrides(dd)) % cd(dd))
+        if (coords.zip(dims).forall { case (c, n) => c < n }) {
+          val gi = coords.zip(strides).map(p => p._1 * p._2).sum
+          System.arraycopy(raw, gi * elem, buf, j * elem, elem)
+        }
+        j += 1
+      }
+      var filtered = buf
+      if (d.shuffle) filtered = shuffleBytes(filtered, elem)
+      if (d.gzipLevel > 0) filtered = deflate(filtered, d.gzipLevel)
+      (off, filtered)
+    }
+    val addrs = chunks.map { case (_, data) =>
+      w.pad(8); val a = w.pos; w.bytes(data); a.toLong
+    }
+    w.pad(8)
+    val bt = w.pos
+    w.ascii("TREE").u8(1).u8(0).u16(nChunks)
+    w.u64(Undef).u64(Undef)
+    chunks.zip(addrs).foreach { case ((off, data), a) =>
+      w.u32(data.length).u32(0)
+      off.foreach(o => w.u64(o))
+      w.u64(0)
+      w.u64(a)
+    }
+    // final key: past-the-end chunk offsets
+    w.u32(0).u32(0)
+    (0 until rank).foreach(dd => w.u64(grid(dd).toLong * cd(dd)))
+    w.u64(0)
+    bt.toLong
+  }
+
+  // ---------------------------------------------------- drop seam
+
+  /** files(name, content) → long rows (file, dataset, idx, value) +
+    * quarantine frame — the NetCDF-4/HDF5 member of the binary-drop
+    * codec family. */
+  def decodeH5Drop(files: DataFrame): (DataFrame, DataFrame) = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val decoded = files.select(col("name"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        decodeH5(bytes) match {
+          case Left(reason) =>
+            Iterator((false, name, reason, "", "", 0L, 0.0, 1.0, 0.0))
+          case Right(ds) => ds.iterator.flatMap { d =>
+            val scale = d.attrs.find(_.name == "scale_factor")
+              .flatMap(_.num).getOrElse(1.0)
+            val offs = d.attrs.find(_.name == "add_offset")
+              .flatMap(_.num).getOrElse(0.0)
+            d.values.iterator.zipWithIndex.map { case (v, i) =>
+              (true, name, null: String, d.name, d.dtype, i.toLong,
+                v, scale, offs)
+            }
+          }
+        }
+      }
+      .toDF("ok", "name", "reason", "dataset", "dtype", "idx", "raw",
+        "scale", "offset")
+    (decoded.filter(col("ok")).drop("ok", "reason"),
+      decoded.filter(!col("ok")).select(col("name"), col("reason")))
+  }
+
+  /** END-TO-END oracle-checked lane — the NetCDF-4 twin of
+    * `grid_nc_decode`: the events grid renders in-plan into a REAL
+    * HDF5 file (chunked 3×3, shuffle + DEFLATE, CF scale/offset
+    * attributes, an int32 station-count dataset beside the f64
+    * means, a 512-byte userblock so the superblock search is
+    * exercised), decodes back through the real chunk-B-tree walk,
+    * and emits CF-applied cell values. Bit-exact: the f64 payload
+    * round-trips IEEE, the CF transform is the same two ops both
+    * engines run, and the oracle recomputes everything from
+    * events. */
+  def gridH5Decode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = graft.Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"),
+        count(lit(1)).as("n_obs"))
+    val lattice = spark.range(64)
+      .select(expr("id div 8").as("gy"), (col("id") % 8).as("gx"))
+    val doc = lattice.join(cells, Seq("gy", "gx"), "left")
+      .select(col("gy"), col("gx"),
+        coalesce(col("v_us"), lit(0L)).as("v_us"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(
+        (col("gy") * 8 + col("gx")).as("i"),
+        col("v_us"), col("n_obs")))).as("px"))
+      .as[Seq[(Long, Long, Long)]]
+      .map { px =>
+        // store micro-unit longs as f64 (exact ≤ 2^53) with the CF
+        // unpack scale to value units
+        val means = px.map(_._2.toDouble).toArray
+        val counts = px.map(_._3.toDouble).toArray
+        ("cds_grid.nc4", encodeH5(Seq(
+          H5Enc("tp_us", Seq(8, 8), "f8", means,
+            chunkDims = Some(Seq(3, 3)), gzipLevel = 6, shuffle = true,
+            attrs = Seq(H5Attr("scale_factor", Some(1e-6), None),
+              H5Attr("add_offset", Some(0.0), None),
+              H5Attr("units", None, Some("mm")))),
+          H5Enc("n_obs", Seq(8, 8), "i4", counts,
+            chunkDims = Some(Seq(4, 8)), gzipLevel = 1)),
+          userblock = 512))
+      }.toDF("name", "content")
+    val (rows, _) = decodeH5Drop(doc)
+    rows.select(col("dataset"), col("dtype"),
+      expr("idx div 8").as("gy"), (col("idx") % 8).as("gx"),
+      (col("raw") * col("scale") + col("offset")).as("value"))
+      .orderBy(col("dataset"), col("gy"), col("gx"))
+  }
+}

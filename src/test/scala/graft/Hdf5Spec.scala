@@ -1,0 +1,135 @@
+package graft
+
+import graft.sources.Hdf5
+import graft.sources.Hdf5.{H5Attr, H5Enc}
+import org.apache.spark.sql.functions._
+
+class Hdf5Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def rt(d: H5Enc*): Seq[Hdf5.H5Dataset] =
+    Hdf5.decodeH5(Hdf5.encodeH5(d)).toOption.get
+
+  test("hdf5 round trip: contiguous f64/f32/i4/i2, 1-D/2-D/3-D shapes") {
+    val v = Array.tabulate(24)(i => i * 1.25 - 7)
+    for ((kind, exact) <- Seq(("f8", true), ("f4", false),
+        ("i4", false), ("i2", false))) {
+      val vs = if (kind.startsWith("i")) v.map(math.rint) else v
+      for (dims <- Seq(Seq(24), Seq(4, 6), Seq(2, 3, 4))) {
+        val Seq(d) = rt(H5Enc("x", dims, kind, vs))
+        assert(d.dims === dims)
+        assert(d.dtype === kind)
+        if (exact) assert(d.values.toSeq === vs.toSeq, s"$kind $dims")
+        else if (kind == "f4")
+          assert(d.values.zip(vs).forall { case (a, b) =>
+            a == b.toFloat.toDouble }, s"$kind $dims")
+        else assert(d.values.toSeq === vs.toSeq, s"$kind $dims")
+      }
+    }
+  }
+
+  test("hdf5 round trip: chunked layouts — exact-fit, edge-clipped, deflate, shuffle+deflate") {
+    val v = Array.tabulate(35)(i => (i * 37 % 19) * 0.5 - 4)
+    // 7x5 with chunk shapes that tile exactly, overhang both axes,
+    // and degenerate 1x1
+    for (cd <- Seq(Seq(7, 5), Seq(3, 2), Seq(4, 5), Seq(1, 1));
+         (gz, sh) <- Seq((0, false), (6, false), (6, true), (1, true))) {
+      if (gz > 0 || !sh) { // shuffle-only is legal too; include it
+        val Seq(d) = rt(H5Enc("x", Seq(7, 5), "f8", v,
+          chunkDims = Some(cd), gzipLevel = gz, shuffle = sh))
+        assert(d.values.toSeq === v.toSeq, s"chunks $cd gz=$gz sh=$sh")
+      }
+    }
+    val Seq(s) = rt(H5Enc("x", Seq(7, 5), "f8", v,
+      chunkDims = Some(Seq(3, 3)), gzipLevel = 0, shuffle = true))
+    assert(s.values.toSeq === v.toSeq, "shuffle without deflate")
+  }
+
+  test("hdf5: multiple datasets sort by name; attributes decode; userblock superblock search") {
+    val a = Array(1.0, 2.0, 3.0)
+    val b = Array(9.0, 8.0)
+    for (ub <- Seq(0, 512, 2048)) {
+      val got = Hdf5.decodeH5(Hdf5.encodeH5(Seq(
+        H5Enc("zeta", Seq(3), "f8", a,
+          attrs = Seq(H5Attr("scale_factor", Some(0.01), None),
+            H5Attr("units", None, Some("degC")))),
+        H5Enc("alpha", Seq(2), "f8", b)), userblock = ub)).toOption.get
+      assert(got.map(_.name) === Seq("alpha", "zeta"), s"ub=$ub")
+      assert(got(1).attrs.find(_.name == "scale_factor")
+        .flatMap(_.num) === Some(0.01))
+      assert(got(1).attrs.find(_.name == "units")
+        .flatMap(_.str) === Some("degC"))
+      assert(got(0).values.toSeq === b.toSeq)
+    }
+  }
+
+  test("hdf5 quarantine: signature, superblock version, unsupported filter, truncation") {
+    def reason(b: Array[Byte]): String =
+      Hdf5.decodeH5(b).left.toOption.get
+    assert(reason("not an hdf5 file at all".getBytes) === "bad_signature")
+    val good = Hdf5.encodeH5(Seq(H5Enc("x", Seq(4), "f8",
+      Array(1.0, 2, 3, 4), chunkDims = Some(Seq(2)), gzipLevel = 6)))
+    assert(Hdf5.decodeH5(good).isRight)
+    val v2 = good.clone; v2(8) = 2 // superblock version
+    assert(reason(v2) === "unsupported_superblock_version")
+    assert(reason(java.util.Arrays.copyOf(good, good.length / 2))
+      === "malformed_file")
+    // flip the deflate filter id to szip (4): unsupported, loud
+    // filter id lives in the filter-pipeline message; find the
+    // 8-byte pattern (id=1, namelen=0, flags=0, ncv=1)
+    val pat = Array[Byte](1, 0, 0, 0, 0, 0, 1, 0)
+    val idx = good.indices.indexWhere(i => i + 8 < good.length &&
+      (0 until 8).forall(k => good(i + k) == pat(k)))
+    assert(idx > 0, "filter descriptor located")
+    val szip = good.clone; szip(idx) = 4
+    assert(reason(szip).endsWith("unsupported_filter"))
+  }
+
+  test("hdf5 vs the spec's verbatim byte layout: superblock fields and root entry sit where the format says") {
+    val f = Hdf5.encodeH5(Seq(H5Enc("x", Seq(2), "f8", Array(1.0, 2.0))))
+    // public-spec pins: signature, version bytes, offset sizes,
+    // group k's, base address
+    assert(f.take(8).toSeq ===
+      Seq(0x89, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n').map(_.toByte))
+    assert(f(8) === 0.toByte && f(13) === 8.toByte && f(14) === 8.toByte)
+    def u16(p: Int) = (f(p) & 0xFF) | ((f(p + 1) & 0xFF) << 8)
+    def u64(p: Int) = (0 until 8).map(i => (f(p + i) & 0xFFL) << (8 * i)).sum
+    // 8 signature + 8 version/size bytes → the B-tree k pair at 16/18
+    assert(u16(16) === 4 && u16(18) === 16)
+    assert(u64(24) === 0L, "base address")
+    assert(u64(40) === f.length.toLong, "EOF address")
+    // root STE at 56: object header address within file
+    val rootHdr = u64(56 + 8)
+    assert(rootHdr > 0 && rootHdr < f.length)
+    assert(f(rootHdr.toInt) === 1.toByte, "v1 object header")
+  }
+
+  test("grid_h5_decode: end-to-end lane — CF unpack, both datasets, every cell") {
+    val out = SparkEntry.queries("grid_h5_decode")(spark, sf).collect()
+    assert(out.length === 128, "two 8x8 datasets")
+    val ds = out.groupBy(_.getString(0))
+    assert(ds.keySet === Set("tp_us", "n_obs"))
+    assert(ds("tp_us").forall(_.getString(1) == "f8"))
+    assert(ds("n_obs").forall(_.getString(1) == "i4"))
+    // recompute straight from events
+    val cells = Tables.events(spark, sf)
+      .groupBy((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("v_us"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    out.foreach { r =>
+      val key = (r.getLong(2), r.getLong(3))
+      val (vus, n) = cells.getOrElse(key, (0L, 0L))
+      r.getString(0) match {
+        case "tp_us" =>
+          assert(r.getDouble(4) === vus.toDouble * 1e-6, s"cell $key")
+        case "n_obs" =>
+          assert(r.getDouble(4) === n.toDouble, s"cell $key")
+      }
+    }
+  }
+}
