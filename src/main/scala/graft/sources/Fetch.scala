@@ -330,4 +330,18 @@ object Fetch {
     (Grib.decodeGribDrop(drop.select(col("name"), col("content"))),
       quarantine)
   }
+
+  /** The NetCDF-4 flavor of the same cycle: CDS deliveries can
+    * arrive HDF5-backed (`ingestor_cds_process.py`) — fetch, then
+    * the real [[Hdf5]] chunk-B-tree decode. Fetch failures and
+    * undecodable files are SEPARATE quarantine flavors in one frame
+    * (transport vs codec), both (name, reason) rows. */
+  def httpFetchDecodeH5(requests: DataFrame,
+      policy: RetryPolicy = RetryPolicy()): (DataFrame, DataFrame) = {
+    val (drop, fetchQ) = httpFetchDrop(requests, policy)
+    val (rows, codecQ) = Hdf5.decodeH5Drop(
+      drop.select(col("name"), col("content")))
+    (rows, fetchQ.select(col("name"), col("reason"))
+      .unionByName(codecQ))
+  }
 }

@@ -138,6 +138,44 @@ class FetchSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("httpFetchDecodeH5: the NetCDF-4 cds cycle — fetch, chunk-tree decode, split quarantine flavors") {
+    import graft.sources.{Fetch, Hdf5}
+    val h5 = Hdf5.encodeH5(Seq(Hdf5.H5Enc("tp", Seq(2, 2), "f8",
+      Array(1.5, -2.25, 3.0, 4.125), chunkDims = Some(Seq(2, 1)),
+      gzipLevel = 6, shuffle = true,
+      attrs = Seq(Hdf5.H5Attr("scale_factor", Some(2.0), None)))))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+    server.createContext("/d/", ex => {
+      val p = ex.getRequestURI.getPath
+      val body =
+        if (p.endsWith("ok.nc4")) h5
+        else if (p.endsWith("junk.nc4")) "not hdf5".getBytes
+        else Array.emptyByteArray
+      val code = if (p.endsWith("gone.nc4")) 404 else 200
+      ex.sendResponseHeaders(code, if (code == 200) body.length else -1)
+      if (code == 200) ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val reqs = Seq(("ok.nc4", s"$base/d/ok.nc4"),
+        ("junk.nc4", s"$base/d/junk.nc4"),
+        ("gone.nc4", s"$base/d/gone.nc4")).toDF("name", "url")
+      val (rows, q) = Fetch.httpFetchDecodeH5(reqs,
+        Fetch.RetryPolicy(attempts = 2, baseBackoffMs = 10))
+      val got = rows.orderBy(col("idx")).collect()
+      assert(got.length === 4)
+      assert(got.map(_.getAs[Double]("raw")).toSeq
+        === Seq(1.5, -2.25, 3.0, 4.125))
+      assert(got.forall(_.getAs[Double]("scale") === 2.0))
+      val qm = q.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(qm === Map("gone.nc4" -> "http_404",
+        "junk.nc4" -> "bad_signature"))
+    } finally server.stop(0)
+  }
+
   test("httpFetchStacPages: rel=next chain walks in order, ends clean, quarantines mid-walk failures, guards loops") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
