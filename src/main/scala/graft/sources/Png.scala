@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   * gray / RGB / gray+alpha / RGBA at depth 8 AND 16, palette (PLTE
   * indexing at depth 1/2/4/8), sub-byte grayscale, and Adam7
   * interlacing (per-pass filtering + placement). Ancillary chunks
-  * skip. Entropy-coded formats (JPEG, video) remain the declared
-  * codec-library seam.
+  * skip. Baseline JPEG decodes via [[Jpeg]] (r11); video frame
+  * payloads remain the declared codec-library seam.
   *
   * Decode is one typed flatMap per asset; everything downstream is
   * exact-integer Column algebra the oracle replays.

@@ -1,0 +1,121 @@
+package graft
+
+import graft.sources.Jpeg
+import org.apache.spark.sql.functions._
+
+/** Cross-IMPLEMENTATION differential gate: fixtures written by the
+  * JDK's JPEG encoder decode through our from-spec baseline reader
+  * and compare per-pixel against the JDK's own reader. Tolerances
+  * are inherent and bounded: libjpeg decodes with integer IDCT
+  * approximations and triangular ("fancy") chroma upsampling where
+  * this decoder follows T.81's reference arithmetic — a few code
+  * values per pixel, not structural error. */
+class JpegSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeJpeg(img: java.awt.image.BufferedImage,
+      quality: Float): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val bo = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
+    w.setOutput(ios)
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    w.dispose(); ios.close()
+    bo.toByteArray
+  }
+
+  private def gradient(w: Int, h: Int, gray: Boolean)
+      : java.awt.image.BufferedImage = {
+    val t = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val img = new java.awt.image.BufferedImage(w, h, t)
+    for (y <- 0 until h; x <- 0 until w) {
+      // smooth gradients: chroma-upsampling differences stay small
+      val r = (x * 255 / math.max(1, w - 1))
+      val g = (y * 255 / math.max(1, h - 1))
+      val b = ((x + y) * 255 / math.max(1, w + h - 2))
+      val rgb = if (gray) { val v = (r + g) / 2; (v << 16) | (v << 8) | v }
+        else (r << 16) | (g << 8) | b
+      img.setRGB(x, y, rgb)
+    }
+    img
+  }
+
+  private def diffStats(bytes: Array[Byte]): (Int, Double, Int, Int) = {
+    val ours = Jpeg.decodeJpeg(bytes).toOption.get
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null)
+    assert((ours.width, ours.height) === ((ref.getWidth, ref.getHeight)))
+    var maxD = 0; var sum = 0L; var n = 0
+    for (y <- 0 until ours.height; x <- 0 until ours.width) {
+      // gray: RAW raster samples — getRGB would gamma-convert the
+      // JDK's linear-gray colorspace to sRGB, which is a colorspace
+      // transform, not part of JPEG decoding
+      val refC =
+        if (ours.channels == 1) Seq(ref.getRaster.getSample(x, y, 0))
+        else {
+          val rgb = ref.getRGB(x, y)
+          Seq((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+        }
+      refC.zipWithIndex.foreach { case (rc, c) =>
+        val oc = ours.samples((y * ours.width + x) * ours.channels + c)
+        val d = math.abs(oc - rc)
+        maxD = math.max(maxD, d); sum += d; n += 1
+      }
+    }
+    (maxD, sum.toDouble / n, ours.width, ours.height)
+  }
+
+  test("jpeg differential vs ImageIO: grayscale at high and mid quality, odd dims") {
+    for ((w, h, q) <- Seq((16, 16, 1.0f), (17, 13, 0.9f), (8, 8, 0.7f),
+        (33, 9, 0.95f))) {
+      val bytes = writeJpeg(gradient(w, h, gray = true), q)
+      val (maxD, meanD, _, _) = diffStats(bytes)
+      assert(maxD <= 2, s"gray ${w}x$h q=$q maxDiff=$maxD")
+      assert(meanD <= 1.0, s"gray ${w}x$h q=$q meanDiff=$meanD")
+    }
+  }
+
+  test("jpeg differential vs ImageIO: color gradients across qualities and subsampling modes") {
+    for ((w, h, q, tolMax, tolMean) <- Seq(
+        (16, 16, 1.0f, 4, 1.0), (24, 18, 0.95f, 4, 1.0),
+        (17, 13, 0.85f, 4, 1.0), (32, 32, 0.7f, 4, 1.0))) {
+      val bytes = writeJpeg(gradient(w, h, gray = false), q)
+      val (maxD, meanD, _, _) = diffStats(bytes)
+      assert(maxD <= tolMax, s"rgb ${w}x$h q=$q maxDiff=$maxD")
+      assert(meanD <= tolMean, s"rgb ${w}x$h q=$q meanDiff=$meanD")
+    }
+  }
+
+  test("jpeg quarantine: non-jpeg, progressive, truncation never throw") {
+    def reason(b: Array[Byte]): String = Jpeg.decodeJpeg(b).left.toOption.get
+    assert(reason("PNG not jpeg".getBytes) === "not_jpeg")
+    val good = writeJpeg(gradient(16, 16, gray = true), 0.9f)
+    assert(Jpeg.decodeJpeg(good).isRight)
+    assert(Set("malformed_jpeg", "no_scan")(
+      reason(java.util.Arrays.copyOf(good, 64))))
+    // flip SOF0 to SOF2: progressive is the declared unsupported mode
+    val idx = good.indices.indexWhere(i =>
+      (good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xC0)
+    if (idx > 0) {
+      val prog = good.clone; prog(idx + 1) = 0xC2.toByte
+      assert(reason(prog) === "progressive_unsupported")
+    }
+  }
+
+  test("decodeJpegDrop: distributed decode, per-pixel rows, quarantine frame") {
+    val good = writeJpeg(gradient(8, 6, gray = true), 1.0f)
+    val docs = Seq(("a.jpg", good), ("bad.jpg", "junk".getBytes))
+      .toDF("name", "content")
+    val (rows, q) = Jpeg.decodeJpegDrop(docs)
+    assert(rows.count() === 48)
+    assert(rows.agg(max(col("y")), max(col("x")), max(col("c")))
+      .collect().head.toSeq === Seq(5L, 7L, 0L))
+    val qq = q.collect()
+    assert(qq.length === 1 && qq.head.getString(0) === "bad.jpg")
+  }
+}
