@@ -354,6 +354,24 @@ class GridsSpec extends SparkSpec {
     }
   }
 
+  test("encodeTiff differential vs the JDK's own TIFF reader: sample values, dims, both byte orders and DEFLATE") {
+    import graft.sources.Grids
+    val vals = Array.tabulate(4, 5)((y, x) => y * 10.0 + x * 0.25 - 3.5)
+    for ((bigE, defl) <- Seq((false, false), (true, false),
+        (false, true))) {
+      val bytes = Grids.encodeTiff(-10.0, 44.0, 0.5, vals, None,
+        bigEndian = bigE, deflate = defl)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, s"JDK TIFF reader rejected bigE=$bigE defl=$defl")
+      assert((ref.getWidth, ref.getHeight) === ((5, 4)))
+      val raster = ref.getRaster
+      for (y <- 0 until 4; x <- 0 until 5)
+        assert(raster.getSampleDouble(x, y, 0) === vals(y)(x),
+          s"($x,$y) bigE=$bigE defl=$defl")
+    }
+  }
+
   test("decodeTiff: encodeTiff round trip both byte orders; NODATA skipped; area centres exact") {
     val nd = -9999.0
     val vals = Array(
