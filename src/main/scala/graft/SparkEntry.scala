@@ -184,6 +184,9 @@ object SparkEntry {
     "grid_nc_decode"        -> graft.sources.NetCdf.gridNcDecode _,
     "grid_grib_decode"      -> graft.sources.Grib.gridGribDecode _,
     "grid_h5_decode"        -> graft.sources.Hdf5.gridH5Decode _,
+    // ROWS-ONLY by declaration: DuckDB cannot decode JPEG; the gate
+    // is JpegSpec's cross-implementation differential + stat bounds
+    "image_jpeg_stats"      -> graft.sources.Jpeg.imageJpegStats _,
     "stac_search_items"     -> graft.sources.Stac.stacSearchItems _,
     "grid_zarr_decode"      -> graft.sources.Zarr.gridZarrDecode _,
     "phenology_slices"      -> graft.sources.Zarr.phenologySlices _,

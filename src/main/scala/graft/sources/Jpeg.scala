@@ -389,6 +389,69 @@ object Jpeg {
     Right(JpegImage(w, h, if (nc == 1) 1 else 3, out))
   }
 
+  /** END-TO-END lane — ROWS-ONLY by declaration (DuckDB cannot
+    * decode JPEG, so no oracle SQL exists; JpegSpec is the gate):
+    * four images render from the events grid (two grayscale, two
+    * 4:2:0 color; pixels a deterministic function of each group's
+    * exact micro-unit mean), encode through the JDK's OWN JPEG
+    * writer on the executors, decode back through THIS decoder, and
+    * reduce to per-(image, channel) stats with a positional
+    * checksum. The spec re-decodes the same bytes with the JDK's
+    * reader and bounds every stat by the known cross-implementation
+    * tolerance — a Huffman, IDCT, upsampling or placement bug blows
+    * the bounds by orders of magnitude. */
+  def imageJpegStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = renderedJpegs(spark, dir)
+    val (px, _) = decodeJpegDrop(docs)
+    px.groupBy(col("name"), col("c"))
+      .agg(count(lit(1)).as("n_px"),
+        sum(col("v").cast("long")).as("sum_v"),
+        min(col("v").cast("long")).as("min_v"),
+        max(col("v").cast("long")).as("max_v"),
+        sum(col("v").cast("long") * (col("y") * 16 + col("x") + 1))
+          .as("poschk"))
+      .orderBy(col("name"), col("c"))
+  }
+
+  /** The four-clip render shared by the lane and its spec. */
+  private[graft] def renderedJpegs(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.events(spark, dir)
+      .groupBy((col("user_id") % 4).as("g"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("seed"))
+      .as[(Long, Long)]
+      .map { case (g, seed) =>
+        val gray = g % 2 == 0
+        val img = new java.awt.image.BufferedImage(16, 16,
+          if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        for (y <- 0 until 16; x <- 0 until 16) {
+          // smooth seeded gradients, no wrap (a mod-wrap is a sharp
+          // edge, which inflates the legitimate cross-decoder delta)
+          val r = ((seed % 97) / 2 + x * 6 + y * 3).toInt
+          val gg = ((seed % 89) / 2 + y * 8 + x * 2).toInt
+          val b = ((seed % 83) / 2 + (x + y) * 5).toInt
+          val rgb = if (gray) { val v = r; (v << 16) | (v << 8) | v }
+            else (r << 16) | (gg << 8) | b
+          img.setRGB(x, y, rgb)
+        }
+        val w = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpg").next()
+        val bo = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
+        w.setOutput(ios)
+        val p = w.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(0.9f)
+        w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+        w.dispose(); ios.close()
+        (s"img_$g.jpg", bo.toByteArray)
+      }.toDF("name", "content")
+  }
+
   /** docs(name, content) → per-pixel-channel rows + quarantine —
     * the JPEG member of the binary-drop family (PNG: [[Png
     * .decodePngDrop]]). */

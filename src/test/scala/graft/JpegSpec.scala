@@ -107,6 +107,45 @@ class JpegSpec extends SparkSpec {
     }
   }
 
+  test("image_jpeg_stats: every stat bounded by the JDK reader's decode of the same bytes") {
+    val docs = graft.sources.Jpeg.renderedJpegs(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(docs.size === 4)
+    val got = SparkEntry.queries("image_jpeg_stats")(spark, sf).collect()
+    assert(got.nonEmpty)
+    // per-pixel tolerance: gray ≤2, 4:2:0 color ≤4 (the measured
+    // cross-implementation bound, with margin)
+    got.foreach { r =>
+      val name = r.getString(0); val c = r.getLong(1).toInt
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(docs(name)))
+      val gray = ref.getRaster.getNumBands == 1
+      val tol = if (gray) 2L else 4L
+      var sumRef = 0L; var posRef = 0L
+      var minRef = 255L; var maxRef = 0L
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v: Long =
+          if (gray) ref.getRaster.getSample(x, y, 0).toLong
+          else ((ref.getRGB(x, y) >> (16 - 8 * c)) & 0xFF).toLong
+        sumRef += v; posRef += v * (y * 16 + x + 1)
+        minRef = math.min(minRef, v); maxRef = math.max(maxRef, v)
+      }
+      assert(r.getAs[Long]("n_px") === 256L, s"$name c$c")
+      assert(math.abs(r.getAs[Long]("sum_v") - sumRef) <= 256 * tol,
+        s"$name c$c sum")
+      assert(math.abs(r.getAs[Long]("min_v") - minRef) <= tol, s"$name c$c min")
+      assert(math.abs(r.getAs[Long]("max_v") - maxRef) <= tol, s"$name c$c max")
+      // positional checksum: a transposed/misplaced pixel moves this
+      // by O(value·Δpos) ≫ the rounding envelope Σ tol·(pos+1)
+      assert(math.abs(r.getAs[Long]("poschk") - posRef)
+        <= tol * (256L * 257 / 2), s"$name c$c poschk")
+    }
+    // channel structure: gray images one row, color three
+    val byName = got.groupBy(_.getString(0))
+    assert(byName("img_0.jpg").length === 1)
+    assert(byName("img_1.jpg").length === 3)
+  }
+
   test("decodeJpegDrop: distributed decode, per-pixel rows, quarantine frame") {
     val good = writeJpeg(gradient(8, 6, gray = true), 1.0f)
     val docs = Seq(("a.jpg", good), ("bad.jpg", "junk".getBytes))
