@@ -396,19 +396,34 @@ object Grids {
       val nx = long1(256, 0).toInt
       val ny = long1(257, 0).toInt
       require(nx > 0 && ny > 0, "raster dims")
-      val comp = long1(259, 1).toInt // 1 none, 8/32946 DEFLATE, 32773 RLE
-      require(comp == 1 || comp == 8 || comp == 32946 || comp == 32773,
-        "unsupported compression")
+      // 1 none, 5 LZW, 8/32946 DEFLATE, 32773 PackBits
+      val comp = long1(259, 1).toInt
+      require(comp == 1 || comp == 5 || comp == 8 || comp == 32946 ||
+        comp == 32773, "unsupported compression")
       require(long1(277, 1) == 1, "single band only")
       val bits = long1(258, 1).toInt
       val fmt = long1(339, 1).toInt // 1 unsigned, 2 signed, 3 IEEE float
       val predictor = long1(317, 1).toInt
       require(predictor == 1 || predictor == 2 && fmt != 3, "predictor")
-      val strips = longs(273).get
-      val counts = longs(279).getOrElse(IndexedSeq.empty)
-      val rps = long1(278, ny.toLong).toInt
-      val scale = doubles(33550).get
-      val tie = doubles(33922).get
+      // layout: STRIPS (273/279) or TILES (322-325) — GDAL writes both
+      val tiled = entries.contains(322)
+      val (segOffs, segCounts, segW, segRows, segsAcross) =
+        if (tiled) {
+          val tw = long1(322, 0).toInt
+          val th = long1(323, 0).toInt
+          require(tw > 0 && th > 0, "tile dims")
+          (longs(324).get, longs(325).getOrElse(IndexedSeq.empty),
+            tw, th, (nx + tw - 1) / tw)
+        } else {
+          val rps = long1(278, ny.toLong).toInt
+          (longs(273).get, longs(279).getOrElse(IndexedSeq.empty),
+            nx, rps, 1)
+        }
+      // geo tags optional: a plain (non-geo) TIFF decodes on the
+      // identity affine — raster indices as coordinates
+      val scale = doubles(33550).getOrElse(IndexedSeq(1.0, 1.0, 0.0))
+      val tie = doubles(33922)
+        .getOrElse(IndexedSeq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
       require(scale.length >= 2 && tie.length >= 6, "geo tags")
       val (sx, sy) = (scale(0), scale(1))
       // tiepoint: raster (i, j) pins to model (x, y) → UL corner
@@ -418,20 +433,26 @@ object Grids {
       val bps = bits / 8
       val order = if (le) java.nio.ByteOrder.LITTLE_ENDIAN
         else java.nio.ByteOrder.BIG_ENDIAN
-      // strip payloads materialize lazily: decompress once, undo the
-      // horizontal predictor in place, then serve point reads
-      val stripBuf = new Array[java.nio.ByteBuffer](strips.length)
-      def strip(s: Int): java.nio.ByteBuffer = {
-        if (stripBuf(s) == null) {
-          val off = strips(s).toInt
-          val rowsIn = math.min(rps, ny - s * rps)
-          val rawLen = rowsIn * nx * bps
+      // segment payloads (strips or tiles) materialize lazily:
+      // decompress once, undo the horizontal predictor in place,
+      // then serve point reads. A tile is always FULL tw×th samples
+      // (edge tiles padded, per the spec); a strip's last segment is
+      // short. The predictor resets per segment row either way.
+      val segBuf = new Array[java.nio.ByteBuffer](segOffs.length)
+      def segment(s: Int): java.nio.ByteBuffer = {
+        if (segBuf(s) == null) {
+          val off = segOffs(s).toInt
+          val rowsIn =
+            if (tiled) segRows
+            else math.min(segRows, ny - s * segRows)
+          val rawLen = rowsIn * segW * bps
           val data = comp match {
             case 1 =>
               java.util.Arrays.copyOfRange(bytes, off, off + rawLen)
+            case 5 => lzwDecode(bytes, off, segCounts(s).toInt, rawLen)
             case 8 | 32946 =>
               val inf = new java.util.zip.Inflater()
-              inf.setInput(bytes, off, counts(s).toInt)
+              inf.setInput(bytes, off, segCounts(s).toInt)
               val out = new Array[Byte](rawLen)
               var n = 0
               while (n < rawLen && !inf.finished())
@@ -439,15 +460,15 @@ object Grids {
               inf.end()
               require(n == rawLen, "short inflate")
               out
-            case 32773 => unpackBits(bytes, off, counts(s).toInt, rawLen)
+            case 32773 => unpackBits(bytes, off, segCounts(s).toInt, rawLen)
           }
           if (predictor == 2) {
             val b = java.nio.ByteBuffer.wrap(data).order(order)
             var r = 0
             while (r < rowsIn) {
               var c = 1
-              while (c < nx) {
-                val p = (r * nx + c) * bps
+              while (c < segW) {
+                val p = (r * segW + c) * bps
                 val q = p - bps
                 bits match {
                   case 8 => data(p) = (data(p) + data(q)).toByte
@@ -460,13 +481,16 @@ object Grids {
               r += 1
             }
           }
-          stripBuf(s) = java.nio.ByteBuffer.wrap(data).order(order)
+          segBuf(s) = java.nio.ByteBuffer.wrap(data).order(order)
         }
-        stripBuf(s)
+        segBuf(s)
       }
       def sample(r: Int, c: Int): Double = {
-        val b = strip(r / rps)
-        val p = ((r % rps) * nx + c) * bps
+        val (b, p) =
+          if (tiled) {
+            val t = (r / segRows) * segsAcross + c / segW
+            (segment(t), ((r % segRows) * segW + c % segW) * bps)
+          } else (segment(r / segRows), ((r % segRows) * segW + c) * bps)
         (fmt, bits) match {
           case (1, 8)  => (b.get(p) & 0xFF).toDouble
           case (1, 16) => (b.getShort(p) & 0xFFFF).toDouble
@@ -487,6 +511,67 @@ object Grids {
         y0 - (r + 0.5) * sy, x0 + (c + 0.5) * sx, v)).toVector
     }.getOrElse(Vector.empty)
     cells.iterator
+  }
+
+  /** TIFF LZW segment decode (TIFF 6.0 §13): MSB-first codes,
+    * ClearCode 256 / EOI 257, variable width 9→12 with the TIFF
+    * "early change" (width bumps when the NEXT code to be assigned
+    * reaches 2^width − 1). */
+  private def lzwDecode(src: Array[Byte], off: Int, len: Int,
+      outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var o = 0
+    var bitPos = 0
+    val totalBits = len * 8
+    def read(width: Int): Int = {
+      require(bitPos + width <= totalBits, "lzw truncated")
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val b = src(off + ((bitPos + i) >> 3)) & 0xFF
+        v = (v << 1) | ((b >> (7 - ((bitPos + i) & 7))) & 1)
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    val Clear = 256; val Eoi = 257
+    val dict = new Array[Array[Byte]](4096)
+    var next = 258
+    var width = 9
+    def reset(): Unit = { next = 258; width = 9 }
+    var i = 0
+    while (i < 256) { dict(i) = Array(i.toByte); i += 1 }
+    var old = -1
+    var done = false
+    while (!done && o < outLen) {
+      val code = read(width)
+      if (code == Eoi) done = true
+      else if (code == Clear) { reset(); old = -1 }
+      else {
+        val entry: Array[Byte] =
+          if (code < next && dict(code) != null) {
+            if (old >= 0 && next < 4096) {
+              dict(next) = dict(old) :+ dict(code)(0); next += 1
+            }
+            dict(code)
+          } else {
+            require(old >= 0 && code == next, "lzw bad code")
+            val e = dict(old) :+ dict(old)(0)
+            if (next < 4096) { dict(next) = e; next += 1 }
+            e
+          }
+        System.arraycopy(entry, 0, out, o,
+          math.min(entry.length, outLen - o))
+        o += entry.length
+        old = code
+        // early change: bump the width when the next assignment
+        // would need it
+        if (next == (1 << width) - 1 && width < 12) width += 1
+      }
+    }
+    require(o >= outLen, "lzw underrun")
+    out
   }
 
   /** TIFF PackBits (RLE) strip decode: n ≥ 0 → n+1 literal bytes,

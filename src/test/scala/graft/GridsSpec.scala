@@ -354,6 +354,50 @@ class GridsSpec extends SparkSpec {
     }
   }
 
+  test("decodeTiff reads the JDK writer's output: LZW and Deflate, strips and TILES, odd geometry") {
+    import graft.sources.Grids
+    def writeTiff(img: java.awt.image.BufferedImage, compression: String,
+        tile: Option[(Int, Int)]): Array[Byte] = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val bo = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
+      w.setOutput(ios)
+      val p = w.getDefaultWriteParam
+      if (compression == "None")
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      else {
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionType(compression)
+      }
+      tile.foreach { case (tw, th) =>
+        p.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setTiling(tw, th, 0, 0)
+      }
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      w.dispose(); ios.close()
+      bo.toByteArray
+    }
+    val (nx, ny) = (37, 23) // odd vs any strip/tile grid
+    val img = new java.awt.image.BufferedImage(nx, ny,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until ny; x <- 0 until nx)
+      img.getRaster.setSample(x, y, 0, (x * 1789 + y * 977) % 65536)
+    for ((compression, tile) <- Seq(
+        ("LZW", None), ("Deflate", None), ("LZW", Some((16, 16))),
+        ("Deflate", Some((16, 16))), ("None", Some((32, 8))))) {
+      val bytes = writeTiff(img, compression, tile)
+      val cells = Grids.decodeTiff("v", 0, bytes).toSeq
+      assert(cells.length === nx * ny, s"$compression tile=$tile")
+      // identity affine (no geo tags): lat = −(r+0.5), lon = c+0.5
+      cells.foreach { cell =>
+        val r = (-cell.lat - 0.5).round.toInt
+        val c = (cell.lon - 0.5).round.toInt
+        assert(cell.value === img.getRaster.getSample(c, r, 0).toDouble,
+          s"$compression tile=$tile ($c,$r)")
+      }
+    }
+  }
+
   test("encodeTiff differential vs the JDK's own TIFF reader: sample values, dims, both byte orders and DEFLATE") {
     import graft.sources.Grids
     val vals = Array.tabulate(4, 5)((y, x) => y * 10.0 + x * 0.25 - 3.5)
