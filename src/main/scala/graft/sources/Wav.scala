@@ -59,23 +59,48 @@ object Wav {
       case (None, _) => Left("missing_fmt")
       case (_, None) => Left("missing_data")
       case (Some((f, ch, rate, bits)), Some((off, len))) =>
-        if (f != 1) Left("not_pcm")
-        else if (bits != 8 && bits != 16) Left("unsupported_bits")
+        if (f != 1 && f != 6 && f != 7) Left("not_pcm")
+        else if (f == 1 && bits != 8 && bits != 16) Left("unsupported_bits")
+        else if (f != 1 && bits != 8) Left("unsupported_bits")
         else if (ch < 1) Left("bad_channels")
         else {
-          val bytesPer = bits / 8
+          val bytesPer = if (f == 1) bits / 8 else 1
           val n = len / bytesPer
           val samples = new Array[Int](n)
           var i = 0
           while (i < n) {
-            samples(i) =
-              if (bits == 8) (bytes(off + i) & 0xFF) - 128
-              else (u16(off + i * 2) << 16) >> 16 // sign-extend
+            samples(i) = f match {
+              case 1 if bits == 8 => (bytes(off + i) & 0xFF) - 128
+              case 1 => (u16(off + i * 2) << 16) >> 16 // sign-extend
+              case 6 => alawToLinear(bytes(off + i))
+              case 7 => ulawToLinear(bytes(off + i))
+            }
             i += 1
           }
-          Right(WavClip(ch, rate, bits, samples))
+          // G.711 companded streams decode to 16-bit linear
+          Right(WavClip(ch, rate, if (f == 1) bits else 16, samples))
         }
     }
+  }
+
+  /** G.711 µ-law byte → 16-bit linear (the telephony companding WAV
+    * format 7 carries; spec-differentialed against javax.sound's own
+    * converter over all 256 code points). */
+  private[graft] def ulawToLinear(b: Byte): Int = {
+    val u = ~b & 0xFF
+    var t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u >> 4) & 0x07
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law byte → 16-bit linear (WAV format 6). */
+  private[graft] def alawToLinear(b: Byte): Int = {
+    val a = (b ^ 0x55) & 0xFF
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0F) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
   }
 
   /** 44-byte canonical PCM header for `n` 16-bit mono samples. */

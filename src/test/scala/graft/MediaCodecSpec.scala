@@ -57,6 +57,38 @@ class MediaCodecSpec extends SparkSpec {
       === "missing_data")
   }
 
+  test("G.711 mu-law and A-law decode ALL 256 code points exactly like javax.sound's converter") {
+    import javax.sound.sampled._
+    def refDecode(enc: AudioFormat.Encoding): Array[Int] = {
+      val codes = Array.tabulate(256)(_.toByte)
+      val srcFmt = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val dstFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(codes), srcFmt, 256)
+      val out = AudioSystem.getAudioInputStream(dstFmt, in)
+      val buf = out.readAllBytes()
+      Array.tabulate(256)(i =>
+        (((buf(2 * i + 1) & 0xFF) << 8) | (buf(2 * i) & 0xFF)) match {
+          case v if v >= 0x8000 => v - 0x10000
+          case v => v
+        })
+    }
+    val ulawRef = refDecode(AudioFormat.Encoding.ULAW)
+    val alawRef = refDecode(AudioFormat.Encoding.ALAW)
+    for (i <- 0 until 256) {
+      assert(Wav.ulawToLinear(i.toByte) === ulawRef(i), s"ulaw code $i")
+      assert(Wav.alawToLinear(i.toByte) === alawRef(i), s"alaw code $i")
+    }
+    // end-to-end through the RIFF walk: format 7 (mu-law) container
+    val mu = wavBytes(Seq(0x12, 0x80, 0xFF, 0x00).map(_ - 128),
+      fmtCode = 7, bits = 8)
+    val clip = Wav.decodeWav(mu).toOption.get
+    assert(clip.bits === 16, "companded decodes to 16-bit linear")
+    assert(clip.samples.toSeq ===
+      Seq(0x12, 0x80, 0xFF, 0x00).map(c => Wav.ulawToLinear(c.toByte)))
+  }
+
   test("decodeWavDrop: stereo de-interleaves — k is the frame index per channel") {
     // interleaved L R L R …: L ramps up, R is a constant; mixing the
     // channels would produce spurious sign structure in either stream
