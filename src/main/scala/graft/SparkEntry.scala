@@ -187,6 +187,7 @@ object SparkEntry {
     // ROWS-ONLY by declaration: DuckDB cannot decode JPEG; the gate
     // is JpegSpec's cross-implementation differential + stat bounds
     "image_jpeg_stats"      -> graft.sources.Jpeg.imageJpegStats _,
+    "video_frame_index"     -> graft.sources.Mp4.videoFrameIndex _,
     "stac_search_items"     -> graft.sources.Stac.stacSearchItems _,
     "grid_zarr_decode"      -> graft.sources.Zarr.gridZarrDecode _,
     "phenology_slices"      -> graft.sources.Zarr.phenologySlices _,
@@ -6629,6 +6630,30 @@ object SparkEntry {
         |    || '},"geometry":{"type":"MultiPolygon","coordinates":['
         |    || string_agg(s, ',' ORDER BY gy, x0) || ']}}' AS geojson
         |FROM rect GROUP BY region, band""".stripMargin,
+
+    // the frame index replays as pure closed forms: two-run stts dts
+    // via least/greatest, period-4 size cycle prefix-summed in a
+    // CASE, every-8th sync, single-chunk offsets
+    "video_frame_index" ->
+      """WITH s AS (
+        |  SELECT user_id % 6 AS g,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS seed
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT g, abs(seed) AS a, 24 + (g % 3) * 12 AS nf,
+        |    12 + (g % 3) * 6 AS half, 1000 + abs(seed) % 500 AS d1
+        |  FROM s),
+        |f AS (SELECT p.*, unnest(generate_series(0, nf - 1)) AS i FROM p)
+        |SELECT 'movie_' || g || '.mp4' AS name, CAST(i AS BIGINT) AS sample,
+        |  CAST(least(i, half) * d1 + greatest(i - half, 0) * (d1 + 250)
+        |    AS BIGINT) AS dts,
+        |  CAST(800 + (i % 4) * 100 + (a % 7) * 10 AS BIGINT) AS size,
+        |  i % 8 = 0 AS sync,
+        |  CAST(4096 + i * (800 + (a % 7) * 10) + (i // 4) * 600
+        |    + CASE i % 4 WHEN 2 THEN 100 WHEN 3 THEN 300 ELSE 0 END
+        |    AS BIGINT) AS offset
+        |FROM f""".stripMargin,
 
     // the HDF5 lane: f64 micro-unit payload round-trips IEEE
     // (exact ≤ 2^53), CF unpack is raw·scale + offset with scale

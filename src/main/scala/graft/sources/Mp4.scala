@@ -110,6 +110,147 @@ object Mp4 {
     }
   }
 
+  /** One entry of a video track's FRAME INDEX — what keyframe
+    * sampling reads: decode timestamp (track timescale), byte size,
+    * sync flag, absolute file offset. */
+  private[graft] case class Mp4Frame(sample: Int, dts: Long, size: Long,
+      sync: Boolean, offset: Long)
+
+  /** SAMPLE-TABLE walk (stbl: stts/stsz/stss/stsc/stco) of the FIRST
+    * video track — the structure a frame-sampling training pipeline
+    * reads to pick keyframes WITHOUT touching entropy-coded frame
+    * data: per-sample timestamps from the stts run-length deltas,
+    * sizes from stsz, sync samples from stss (absent ⇒ all sync),
+    * absolute offsets from the stsc chunk runs + stco chunk offsets
+    * + intra-chunk size prefix sums. Left(reason) quarantines;
+    * bounds-checked like [[decodeMp4]]. */
+  private case class WalkFail(reason: String)
+    extends RuntimeException(reason)
+
+  private[graft] def decodeMp4Frames(bytes: Array[Byte]):
+      Either[String, Seq[Mp4Frame]] =
+    scala.util.Try(decodeFramesWalk(bytes)).toEither
+      .left.map {
+        case WalkFail(r) => r
+        case e: IllegalArgumentException if e.getMessage != null =>
+          e.getMessage.stripPrefix("requirement failed: ")
+        case _ => "malformed_box_payload"
+      }.flatten
+
+  private def decodeFramesWalk(bytes: Array[Byte]):
+      Either[String, Seq[Mp4Frame]] = {
+    def u32(p: Int): Long =
+      ((bytes(p) & 0xFFL) << 24) | ((bytes(p + 1) & 0xFFL) << 16) |
+        ((bytes(p + 2) & 0xFFL) << 8) | (bytes(p + 3) & 0xFFL)
+    def u64(p: Int): Long = (u32(p) << 32) | u32(p + 4)
+    def tag(p: Int): String = new String(bytes, p, 4, "US-ASCII")
+    def box(p: Int, limit: Int): Option[(String, Int, Int)] = {
+      if (p + 8 > limit) return None
+      val size32 = u32(p)
+      val t = tag(p + 4)
+      val (start, size) =
+        if (size32 == 1) {
+          if (p + 16 > limit) return None
+          (p + 16, u64(p + 8))
+        } else (p + 8, size32)
+      if (size < (start - p) || p + size > limit) None
+      else Some((t, start, p + size.toInt))
+    }
+    def children(from: Int, limit: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var p = from
+      var bad = false
+      while (p < limit && !bad) box(p, limit) match {
+        case Some((t, s, e)) => out += ((t, s, e)); p = e
+        case None => bad = true
+      }
+      if (bad) Seq.empty else out.result()
+    }
+    val top = children(0, bytes.length)
+    val (_, ms, me) = top.find(_._1 == "moov")
+      .getOrElse(return Left("missing_moov"))
+    val stblOpt = children(ms, me).filter(_._1 == "trak").iterator.map {
+      case (_, ts, te) =>
+        val trak = children(ts, te)
+        for {
+          (_, ds, de) <- trak.find(_._1 == "mdia")
+          mdia = children(ds, de)
+          (_, hs, he) <- mdia.find(_._1 == "hdlr")
+          if he - hs >= 12 && tag(hs + 8) == "vide"
+          (_, fs, fe) <- mdia.find(_._1 == "minf")
+          (_, bs, be) <- children(fs, fe).find(_._1 == "stbl")
+        } yield children(bs, be)
+    }.collectFirst { case Some(stbl) => stbl }
+    val stbl = stblOpt.getOrElse(return Left("missing_video_stbl"))
+    def need(t: String): (Int, Int) = stbl.find(_._1 == t)
+      .map(b => (b._2, b._3)).getOrElse(throw WalkFail(s"missing_$t"))
+    // stts: run-length (count, delta) → per-sample dts prefix sums
+    val (sttsS, sttsE) = need("stts")
+    require(sttsE - sttsS >= 8, "undersized_stts")
+    val nRuns = u32(sttsS + 4).toInt
+    require(sttsE - sttsS >= 8 + nRuns * 8, "undersized_stts")
+    val deltas = (0 until nRuns).flatMap { i =>
+      val cnt = u32(sttsS + 8 + i * 8).toInt
+      require(cnt >= 0 && cnt <= (1 << 24), "stts_run")
+      Seq.fill(cnt)(u32(sttsS + 12 + i * 8))
+    }
+    // stsz: uniform or per-sample sizes
+    val (stszS, stszE) = need("stsz")
+    require(stszE - stszS >= 12, "undersized_stsz")
+    val uniform = u32(stszS + 4)
+    val nSamples = u32(stszS + 8).toInt
+    require(nSamples == deltas.length, "stsz_stts_mismatch")
+    val sizes =
+      if (uniform != 0) IndexedSeq.fill(nSamples)(uniform)
+      else {
+        require(stszE - stszS >= 12 + nSamples * 4, "undersized_stsz")
+        (0 until nSamples).map(i => u32(stszS + 12 + i * 4))
+      }
+    // stss: 1-based sync sample list (absent ⇒ every sample sync)
+    val sync: Int => Boolean = stbl.find(_._1 == "stss") match {
+      case None => _ => true
+      case Some((_, s, e)) =>
+        require(e - s >= 8, "undersized_stss")
+        val n = u32(s + 4).toInt
+        require(e - s >= 8 + n * 4, "undersized_stss")
+        val set = (0 until n).map(i => u32(s + 8 + i * 4).toInt).toSet
+        k => set(k + 1)
+    }
+    // stsc runs + stco offsets → absolute sample offsets
+    val (stscS, stscE) = need("stsc")
+    require(stscE - stscS >= 8, "undersized_stsc")
+    val nScRuns = u32(stscS + 4).toInt
+    require(stscE - stscS >= 8 + nScRuns * 12, "undersized_stsc")
+    val scRuns = (0 until nScRuns).map { i =>
+      (u32(stscS + 8 + i * 12).toInt, u32(stscS + 12 + i * 12).toInt)
+    } // (first_chunk 1-based, samples_per_chunk)
+    val (stcoS, stcoE) = need("stco")
+    require(stcoE - stcoS >= 8, "undersized_stco")
+    val nChunks = u32(stcoS + 4).toInt
+    require(stcoE - stcoS >= 8 + nChunks * 4, "undersized_stco")
+    val chunkOff = (0 until nChunks).map(i => u32(stcoS + 8 + i * 4))
+    // expand chunk runs to per-chunk sample counts
+    val perChunk = (0 until nChunks).map { c =>
+      val run = scRuns.reverse.find(_._1 <= c + 1)
+        .getOrElse(return Left("bad_stsc"))
+      run._2
+    }
+    require(perChunk.sum == nSamples, "stsc_total_mismatch")
+    val out = Vector.newBuilder[Mp4Frame]
+    var dts = 0L
+    var s = 0
+    for (c <- 0 until nChunks) {
+      var off = chunkOff(c)
+      for (_ <- 0 until perChunk(c)) {
+        out += Mp4Frame(s, dts, sizes(s), sync(s), off)
+        off += sizes(s)
+        dts += deltas(s)
+        s += 1
+      }
+    }
+    Right(out.result())
+  }
+
   /** Minimal valid skeleton builder for the render seam: ftyp +
     * moov(mvhd v0 + one video trak + optional audio trak). */
   private[graft] def encodeMp4(majorBrand: String, timescale: Long,
@@ -157,6 +298,119 @@ object Mp4 {
     val traks = trak(1, "vide", videoWH._1, videoWH._2) ++
       (if (withAudio) trak(2, "soun", 0, 0) else Array.emptyByteArray)
     ftyp ++ boxOf("moov", mvhd ++ traks)
+  }
+
+  /** Skeleton builder WITH a video sample table — ftyp + moov(mvhd +
+    * trak(tkhd + mdia(hdlr vide + minf(stbl(stts/stsz/stss/stsc/
+    * stco))))). Single chunk at `chunkOffset`; stts runs come from
+    * run-length-encoding `deltas`; stss marks every `syncEvery`-th
+    * sample starting at 1. */
+  private[graft] def encodeMp4Indexed(timescale: Long, deltas: Seq[Long],
+      sizes: Seq[Long], syncEvery: Int, chunkOffset: Long,
+      wh: (Int, Int)): Array[Byte] = {
+    require(deltas.length == sizes.length && deltas.nonEmpty)
+    def boxOf(t: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(t.getBytes("US-ASCII"))
+        .put(payload)
+      b.array()
+    }
+    def fullBox(t: String, body: java.nio.ByteBuffer => Unit,
+        size: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 + size)
+      b.putInt(0) // version + flags
+      body(b)
+      boxOf(t, b.array())
+    }
+    val n = deltas.length
+    val runs = deltas.foldLeft(Vector.empty[(Long, Int)]) { (acc, d) =>
+      if (acc.nonEmpty && acc.last._1 == d)
+        acc.init :+ ((d, acc.last._2 + 1))
+      else acc :+ ((d, 1))
+    }
+    val stts = fullBox("stts", b => {
+      b.putInt(runs.length)
+      runs.foreach { case (d, c) => b.putInt(c).putInt(d.toInt) }
+    }, 4 + runs.length * 8)
+    val stsz = fullBox("stsz", b => {
+      b.putInt(0).putInt(n)
+      sizes.foreach(sz => b.putInt(sz.toInt))
+    }, 8 + n * 4)
+    val syncSamples = (1 to n by syncEvery).toSeq
+    val stss = fullBox("stss", b => {
+      b.putInt(syncSamples.length)
+      syncSamples.foreach(b.putInt)
+    }, 4 + syncSamples.length * 4)
+    val stsc = fullBox("stsc",
+      b => { b.putInt(1); b.putInt(1).putInt(n).putInt(1); () }, 16)
+    val stco = fullBox("stco",
+      b => { b.putInt(1).putInt(chunkOffset.toInt); () }, 8)
+    val stbl = boxOf("stbl", stts ++ stsz ++ stss ++ stsc ++ stco)
+    val duration = deltas.sum
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(timescale.toInt).putInt(duration.toInt)
+      b.position(100)
+      boxOf("mvhd", b.array())
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(7).putInt(0).putInt(0).putInt(1).putInt(0)
+        .putInt(duration.toInt)
+      b.position(76)
+      b.putInt(wh._1 << 16).putInt(wh._2 << 16)
+      boxOf("tkhd", b.array())
+    }
+    val hdlr = {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.putInt(0).putInt(0).put("vide".getBytes("US-ASCII"))
+      b.position(24)
+      boxOf("hdlr", b.array())
+    }
+    val trak = boxOf("trak", tkhd ++
+      boxOf("mdia", hdlr ++ boxOf("minf", stbl)))
+    boxOf("ftyp", "isomAAAAisom".getBytes("US-ASCII")) ++
+      boxOf("moov", mvhd ++ trak)
+  }
+
+  /** END-TO-END oracle-checked lane — the FRAME-SAMPLING precursor:
+    * six movies render in-plan with REAL sample tables (two stts
+    * delta runs, per-sample sizes on a period-4 cycle, keyframes
+    * every 8th sample, one chunk), then [[decodeMp4Frames]] walks
+    * the boxes back into the frame index a keyframe-sampling
+    * pipeline consumes. Everything is closed-form arithmetic of the
+    * events grid, so the oracle replays the full index — a run
+    * expansion, prefix-sum, sync or offset bug cannot hash-match. */
+  def videoFrameIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = graft.Tables.events(spark, dir)
+      .groupBy((col("user_id") % 6).as("g"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("seed"))
+    val movies = seeds.as[(Long, Long)].map { case (g, seed) =>
+      val a = math.abs(seed)
+      val nFrames = 24 + (g % 3).toInt * 12
+      val half = nFrames / 2
+      val d1 = 1000L + a % 500
+      val d2 = d1 + 250
+      val deltas = Seq.fill(half)(d1) ++ Seq.fill(nFrames - half)(d2)
+      val sizes = (0 until nFrames).map(i =>
+        800L + (i % 4) * 100 + (a % 7) * 10)
+      (s"movie_$g.mp4",
+        encodeMp4Indexed(1000L, deltas, sizes, syncEvery = 8,
+          chunkOffset = 4096L, wh = (640, 360)))
+    }.toDF("name", "content")
+    movies.as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        decodeMp4Frames(bytes) match {
+          case Left(_) => Iterator.empty
+          case Right(fs) => fs.iterator.map(f =>
+            (name, f.sample.toLong, f.dts, f.size, f.sync, f.offset))
+        }
+      }
+      .toDF("name", "sample", "dts", "size", "sync", "offset")
+      .orderBy(col("name"), col("sample"))
   }
 
   /** docs(name, content) → one row per track + movie columns, plus

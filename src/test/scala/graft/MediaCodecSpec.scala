@@ -375,6 +375,60 @@ class MediaCodecSpec extends SparkSpec {
     assert(m.tracks.map(_.handler) === Seq("????"))
   }
 
+  test("decodeMp4Frames: sample tables walk back exactly — runs, sizes, syncs, offsets; quarantine on missing/undersized atoms") {
+    import graft.sources.Mp4
+    val deltas = Seq(100L, 100L, 100L, 250L, 250L)
+    val sizes = Seq(10L, 20L, 30L, 40L, 50L)
+    val bytes = Mp4.encodeMp4Indexed(1000L, deltas, sizes,
+      syncEvery = 2, chunkOffset = 999L, wh = (320, 180))
+    val fs = Mp4.decodeMp4Frames(bytes).toOption.get
+    assert(fs.map(_.dts) === Seq(0L, 100L, 200L, 300L, 550L))
+    assert(fs.map(_.size) === sizes)
+    assert(fs.map(_.sync) === Seq(true, false, true, false, true))
+    assert(fs.map(_.offset) === Seq(999L, 1009L, 1029L, 1059L, 1099L))
+    // the plain track walk still reads the same file
+    val meta = Mp4.decodeMp4(bytes).toOption.get
+    assert(meta.duration === 800L)
+    assert(meta.tracks.map(_.handler) === Seq("vide"))
+    // quarantines: no stbl (the skeleton encoder), truncated stts
+    val plain = Mp4.encodeMp4("isom", 1000L, 42L, (320, 180), false)
+    assert(Mp4.decodeMp4Frames(plain).left.toOption.get
+      === "missing_video_stbl")
+    val sttsAt = bytes.indices.indexWhere(i =>
+      new String(bytes, i, 4, "US-ASCII") == "stts")
+    val cut = bytes.clone()
+    // claim 1000 stts runs in a tiny payload
+    java.nio.ByteBuffer.wrap(cut, sttsAt + 8, 4).putInt(1000)
+    assert(Mp4.decodeMp4Frames(cut).left.toOption.get
+      === "undersized_stts")
+  }
+
+  test("video_frame_index: every row recomputed from the closed forms") {
+    val got = SparkEntry.queries("video_frame_index")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val seeds = Tables.events(spark, sf)
+      .groupBy((col("user_id") % 6).as("g"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("seed"))
+      .collect().map(r => r.getLong(0) -> math.abs(r.getLong(1))).toMap
+    got.foreach { r =>
+      val g = r.getString(0).stripPrefix("movie_").stripSuffix(".mp4").toLong
+      val a = seeds(g)
+      val i = r.getLong(1)
+      val nf = 24 + (g % 3) * 12
+      val half = nf / 2
+      val d1 = 1000 + a % 500
+      assert(i < nf)
+      assert(r.getLong(2) ===
+        math.min(i, half) * d1 + math.max(i - half, 0) * (d1 + 250))
+      assert(r.getLong(3) === 800 + (i % 4) * 100 + (a % 7) * 10)
+      assert(r.getBoolean(4) === (i % 8 == 0))
+      assert(r.getLong(5) === 4096 + i * (800 + (a % 7) * 10) +
+        (i / 4) * 600 + Seq(0L, 0L, 100L, 300L)((i % 4).toInt))
+    }
+    assert(got.length === (0 until 6).map(g => 24 + (g % 3) * 12).sum)
+  }
+
   test("videoContainerMeta: end-to-end lane — six movies, audio muxing per the g rule") {
     val out = graft.sources.Mp4.videoContainerMeta(spark, sf).collect()
     assert(out.length === 6)
