@@ -188,6 +188,7 @@ object SparkEntry {
     // is JpegSpec's cross-implementation differential + stat bounds
     "image_jpeg_stats"      -> graft.sources.Jpeg.imageJpegStats _,
     "video_frame_index"     -> graft.sources.Mp4.videoFrameIndex _,
+    "video_keyframe_sample" -> graft.sources.Mp4.videoKeyframeSample _,
     "stac_search_items"     -> graft.sources.Stac.stacSearchItems _,
     "grid_zarr_decode"      -> graft.sources.Zarr.gridZarrDecode _,
     "phenology_slices"      -> graft.sources.Zarr.phenologySlices _,
@@ -1041,6 +1042,31 @@ object SparkEntry {
        |  FROM c LEFT JOIN picked p ON c.gy = p.gy AND c.gx = p.gx)"""
       .stripMargin
   }
+
+  /** The `video_frame_index` closed forms as a CTE chain ending in
+    * `fidx(name, sample, dts, size, sync, "offset")` — shared by the
+    * index oracle and the keyframe-sampling oracle. */
+  private def frameIndexCtes: String =
+    """s AS (
+      |  SELECT user_id % 6 AS g,
+      |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+      |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS seed
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT g, abs(seed) AS a, 24 + (g % 3) * 12 AS nf,
+      |    12 + (g % 3) * 6 AS half, 1000 + abs(seed) % 500 AS d1
+      |  FROM s),
+      |fi AS (SELECT p.*, unnest(generate_series(0, nf - 1)) AS i FROM p),
+      |fidx AS (
+      |  SELECT 'movie_' || g || '.mp4' AS name, CAST(i AS BIGINT) AS sample,
+      |    CAST(least(i, half) * d1 + greatest(i - half, 0) * (d1 + 250)
+      |      AS BIGINT) AS dts,
+      |    CAST(800 + (i % 4) * 100 + (a % 7) * 10 AS BIGINT) AS size,
+      |    i % 8 = 0 AS sync,
+      |    CAST(4096 + i * (800 + (a % 7) * 10) + (i // 4) * 600
+      |      + CASE i % 4 WHEN 2 THEN 100 WHEN 3 THEN 300 ELSE 0 END
+      |      AS BIGINT) AS "offset"
+      |  FROM fi)""".stripMargin
 
   private def minhashPairsCtes: String = {
     import graft.operators.Dedup
@@ -6635,25 +6661,27 @@ object SparkEntry {
     // via least/greatest, period-4 size cycle prefix-summed in a
     // CASE, every-8th sync, single-chunk offsets
     "video_frame_index" ->
-      """WITH s AS (
-        |  SELECT user_id % 6 AS g,
-        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
-        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS seed
-        |  FROM events GROUP BY 1),
-        |p AS (
-        |  SELECT g, abs(seed) AS a, 24 + (g % 3) * 12 AS nf,
-        |    12 + (g % 3) * 6 AS half, 1000 + abs(seed) % 500 AS d1
-        |  FROM s),
-        |f AS (SELECT p.*, unnest(generate_series(0, nf - 1)) AS i FROM p)
-        |SELECT 'movie_' || g || '.mp4' AS name, CAST(i AS BIGINT) AS sample,
-        |  CAST(least(i, half) * d1 + greatest(i - half, 0) * (d1 + 250)
-        |    AS BIGINT) AS dts,
-        |  CAST(800 + (i % 4) * 100 + (a % 7) * 10 AS BIGINT) AS size,
-        |  i % 8 = 0 AS sync,
-        |  CAST(4096 + i * (800 + (a % 7) * 10) + (i // 4) * 600
-        |    + CASE i % 4 WHEN 2 THEN 100 WHEN 3 THEN 300 ELSE 0 END
-        |    AS BIGINT) AS offset
-        |FROM f""".stripMargin,
+      s"""WITH $frameIndexCtes
+        |SELECT name, sample, dts, size, sync, "offset" FROM fidx"""
+        .stripMargin,
+
+    // keyframe sampling: the seek rule (last sync sample with
+    // dts ≤ tick) replayed as a ranked join over the same index
+    "video_keyframe_sample" ->
+      s"""WITH $frameIndexCtes,
+        |k AS (SELECT name, sample, dts FROM fidx WHERE sync),
+        |h AS (SELECT name, max(dts) AS horizon FROM fidx GROUP BY 1),
+        |t AS (SELECT name, unnest(generate_series(0, horizon, 5000)) AS tick
+        |      FROM h),
+        |j AS (
+        |  SELECT t.name, t.tick, k.sample, k.dts,
+        |    row_number() OVER (PARTITION BY t.name, t.tick
+        |      ORDER BY k.dts DESC) AS rk
+        |  FROM t JOIN k ON k.name = t.name AND k.dts <= t.tick)
+        |SELECT name, CAST(tick AS BIGINT) AS tick,
+        |  sample AS keyframe_sample, dts AS keyframe_dts,
+        |  CAST(tick - dts AS BIGINT) AS lag
+        |FROM j WHERE rk = 1""".stripMargin,
 
     // the HDF5 lane: f64 micro-unit payload round-trips IEEE
     // (exact ≤ 2^53), CF unpack is raw·scale + offset with scale

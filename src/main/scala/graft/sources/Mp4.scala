@@ -413,6 +413,34 @@ object Mp4 {
       .orderBy(col("name"), col("sample"))
   }
 
+  /** KEYFRAME SAMPLING over the frame index — the op the index
+    * exists for: a training pipeline samples one frame every T of
+    * movie time and must SEEK to the last keyframe at-or-before each
+    * tick (decoders can only start at sync samples). Per (movie,
+    * 5-second tick): the chosen keyframe's sample number, dts, and
+    * the decode lag the seek implies. Keyframes are a sparse sliver
+    * (every 8th sample here; 1-2% in real streams), so the tick×key
+    * join is bounded and the argmax rides one grouped max_by — no
+    * window over the full index. */
+  def videoKeyframeSample(spark: SparkSession, dir: String): DataFrame = {
+    val idx = videoFrameIndex(spark, dir).localCheckpoint()
+    val keys = idx.filter(col("sync"))
+      .select(col("name"), col("sample"), col("dts"))
+    val ticks = idx.groupBy(col("name"))
+      .agg(max(col("dts")).as("horizon"))
+      .select(col("name"),
+        explode(sequence(lit(0L), col("horizon"), lit(5000L))).as("tick"))
+    ticks.join(keys, Seq("name"))
+      .filter(col("dts") <= col("tick"))
+      .groupBy(col("name"), col("tick"))
+      .agg(max_by(struct(col("dts"), col("sample")), col("dts")).as("k"))
+      .select(col("name"), col("tick"),
+        col("k.sample").as("keyframe_sample"),
+        col("k.dts").as("keyframe_dts"),
+        (col("tick") - col("k.dts")).as("lag"))
+      .orderBy(col("name"), col("tick"))
+  }
+
   /** docs(name, content) → one row per track + movie columns, plus
     * the quarantine frame. */
   def decodeMp4Drop(docs: DataFrame): (DataFrame, DataFrame) = {

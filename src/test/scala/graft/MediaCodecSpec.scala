@@ -429,6 +429,29 @@ class MediaCodecSpec extends SparkSpec {
     assert(got.length === (0 until 6).map(g => 24 + (g % 3) * 12).sum)
   }
 
+  test("video_keyframe_sample: the seek rule recomputed — last sync dts ≤ every 5 s tick") {
+    val idx = SparkEntry.queries("video_frame_index")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    val got = SparkEntry.queries("video_keyframe_sample")(spark, sf)
+      .collect()
+    assert(got.nonEmpty)
+    val byMovie = idx.groupBy(_._1)
+    got.foreach { r =>
+      val (name, tick) = (r.getString(0), r.getLong(1))
+      val keys = byMovie(name).filter(_._4)
+      val expect = keys.filter(_._3 <= tick).maxBy(_._3)
+      assert(r.getLong(2) === expect._2, s"$name@$tick sample")
+      assert(r.getLong(3) === expect._3, s"$name@$tick dts")
+      assert(r.getLong(4) === tick - expect._3, s"$name@$tick lag")
+    }
+    // every movie covers its full horizon at the 5 s cadence
+    byMovie.foreach { case (name, fs) =>
+      val horizon = fs.map(_._3).max
+      assert(got.count(_.getString(0) == name) === (horizon / 5000 + 1),
+        s"$name tick count")
+    }
+  }
+
   test("videoContainerMeta: end-to-end lane — six movies, audio muxing per the g rule") {
     val out = graft.sources.Mp4.videoContainerMeta(spark, sf).collect()
     assert(out.length === 6)
