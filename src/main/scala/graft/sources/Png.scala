@@ -55,6 +55,7 @@ object Png {
     var p = 8
     var ihdr: Option[(Int, Int, Int, Int, Int)] = None
     var plte: Option[Array[Int]] = None // flat RGB triples
+    var trns: Option[Array[Int]] = None // per-palette-entry alpha
     val idat = new java.io.ByteArrayOutputStream()
     var ended = false
     while (!ended) {
@@ -89,6 +90,9 @@ object Png {
         case "PLTE" =>
           if (len % 3 != 0 || len == 0 || len > 768) return Left("bad_plte")
           plte = Some(Array.tabulate(len)(i => bytes(p + 8 + i) & 0xFF))
+        case "tRNS" =>
+          if (len > 256) return Left("bad_trns")
+          trns = Some(Array.tabulate(len)(i => bytes(p + 8 + i) & 0xFF))
         case "IDAT" => idat.write(bytes, p + 8, len)
         case "IEND" => ended = true
         case _ => () // ancillary chunks skip
@@ -125,7 +129,12 @@ object Png {
           if (wp == 0 || hp == 0) 0L else hp.toLong * (1 + rowBytes(wp))
         }.sum
         if (raw.length.toLong != expected) return Left("bad_pixel_length")
-        val outCh = if (colorType == 3) 3 else rawCh
+        // palette + tRNS → RGBA (entries past the tRNS table are
+        // opaque per the spec); color-key tRNS on gray/RGB is parsed
+        // but not applied (those lanes stay at their raw channels)
+        val outCh =
+          if (colorType == 3) { if (trns.isDefined) 4 else 3 }
+          else rawCh
         val out = new Array[Int](w * h * outCh)
         var off = 0
         for (((x0, y0, dx, dy), (wp, hp)) <- passes.zip(dims)
@@ -186,9 +195,12 @@ object Png {
                   val pal = plte.get
                   if (v * 3 + 2 >= pal.length)
                     return Left("bad_palette_index")
-                  out(dest * 3) = pal(v * 3)
-                  out(dest * 3 + 1) = pal(v * 3 + 1)
-                  out(dest * 3 + 2) = pal(v * 3 + 2)
+                  out(dest * outCh) = pal(v * 3)
+                  out(dest * outCh + 1) = pal(v * 3 + 1)
+                  out(dest * outCh + 2) = pal(v * 3 + 2)
+                  if (outCh == 4)
+                    out(dest * 4 + 3) =
+                      trns.get.lift(v).getOrElse(255)
                 } else out(dest * rawCh + ci) = v
                 ci += 1
               }
@@ -267,7 +279,8 @@ object Png {
     * index packing, filter-0 scanlines (filter coverage lives in the
     * main encoder's rotation). `palette` is flat RGB triples. */
   private[graft] def encodePngPalette(w: Int, h: Int, depth: Int,
-      palette: Array[Int], indices: Array[Int]): Array[Byte] = {
+      palette: Array[Int], indices: Array[Int],
+      alpha: Option[Array[Int]] = None): Array[Byte] = {
     require(palette.length % 3 == 0 && indices.length == w * h)
     val rb = (w * depth + 7) / 8
     val raw = new Array[Byte](h * (1 + rb))
@@ -279,6 +292,8 @@ object Png {
     }
     Sig ++ pngChunk("IHDR", ihdrBytes(w, h, depth, 3, 0)) ++
       pngChunk("PLTE", palette.map(_.toByte)) ++
+      alpha.map(a => pngChunk("tRNS", a.map(_.toByte)))
+        .getOrElse(Array.emptyByteArray) ++
       pngChunk("IDAT", deflateBytes(raw)) ++
       pngChunk("IEND", Array.emptyByteArray)
   }

@@ -183,6 +183,31 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("png tRNS: palette transparency expands to RGBA, entries past the table opaque, differential vs ImageIO") {
+    val pal = Array.tabulate(5 * 3)(i => (i * 53 + 11) % 256)
+    val alpha = Array(255, 128, 0) // entries 3-4 past the table → 255
+    val idx = Array.tabulate(6 * 3)(i => i % 5)
+    val bytes = Png.encodePngPalette(6, 3, 8, pal, idx, Some(alpha))
+    val img = Png.decodePng(bytes).toOption.get
+    assert((img.channels, img.colorType) === ((4, 3)))
+    for (i <- idx.indices) {
+      val v = idx(i)
+      assert(img.samples(i * 4) === pal(v * 3), s"px $i r")
+      assert(img.samples(i * 4 + 3) ===
+        (if (v < 3) alpha(v) else 255), s"px $i alpha")
+    }
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null)
+    for (y <- 0 until 3; x <- 0 until 6) {
+      val argb = ref.getRGB(x, y)
+      val i = y * 6 + x
+      assert((argb >>> 24) === img.samples(i * 4 + 3), s"($x,$y) alpha")
+      assert(((argb >> 16) & 0xFF) === img.samples(i * 4), s"($x,$y) r")
+      assert((argb & 0xFF) === img.samples(i * 4 + 2), s"($x,$y) b")
+    }
+  }
+
   test("png 16-bit: big-endian sample pairs for all four color types, differential vs ImageIO") {
     for (colorType <- Seq(0, 2, 4, 6)) {
       val ch = Png.channelsOf(colorType)
