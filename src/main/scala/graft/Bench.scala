@@ -169,9 +169,10 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // full runs refresh the per-sf triage baseline; subset runs must
-    // not clobber it
-    if (isFull) java.nio.file.Files.write(
+    // full CLEAN runs refresh the per-sf triage baseline; subset runs
+    // and full runs that ended with errors must not clobber it (a
+    // partially failed run would silently shrink the comparison map)
+    if (isFull && errors.isEmpty) java.nio.file.Files.write(
       java.nio.file.Paths.get(baselinePath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -316,6 +316,9 @@ object Multimodal {
         when(acc < 0 || acc >= BadWalk, acc)
           .when(acc * 2 + 4 > length(col("hx")) || mk1 =!= "FF",
             lit(BadWalk))
+          // 0xFF fill bytes may pad before a marker (T.81 B.1.1.2):
+          // advance one byte instead of parsing a garbage length
+          .when(mk2 === "FF", acc + 1)
           .when(mk2.isin("C0", "C1", "C2"), -acc - 1)
           // standalone markers carry no length field
           .when(mk2.isin("01") || mk2.between("D0", "D8"), acc + 2)

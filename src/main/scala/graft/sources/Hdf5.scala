@@ -34,8 +34,11 @@ object Hdf5 {
     .map(_.toByte)
   private val Undef = -1L // 0xFFFF…FF address
 
+  /** Decoded attribute: scalar numeric in `num`, 1-D numeric vectors
+    * additionally in `nums` (with `num` = first element), strings in
+    * `str`. Higher-rank or exotic-typed attributes are dropped. */
   private[graft] case class H5Attr(name: String, num: Option[Double],
-      str: Option[String])
+      str: Option[String], nums: Option[Seq[Double]] = None)
   private[graft] case class H5Dataset(name: String, dims: Seq[Int],
       dtype: String, values: Array[Double], attrs: Seq[H5Attr])
 
@@ -347,8 +350,10 @@ object Hdf5 {
     val n = if (rank == 0) 1
       else (0 until rank).map(i => r.u64(spOff + 8 + i * 8L).toInt).product
     parseDtype(r, dtOff) match {
-      case Right((kind, elem)) if !kind.startsWith("s") && n == 1 =>
-        Some(H5Attr(name, Some(numAt(r, dataOff, kind)), None))
+      case Right((kind, elem)) if !kind.startsWith("s") && n >= 1 && rank <= 1 =>
+        val vs = (0 until n).map(i => numAt(r, dataOff + i.toLong * elem, kind))
+        Some(H5Attr(name, Some(vs.head), None,
+          if (n > 1) Some(vs) else None))
       case Right((kind, elem)) if kind.startsWith("s") =>
         val raw = r.ascii(dataOff, elem * n)
         Some(H5Attr(name, None, Some(raw.takeWhile(_ != 0))))
@@ -610,17 +615,28 @@ object Hdf5 {
   private def attrBytes(a: H5Attr): Array[Byte] = {
     val aw = new Wr
     val nameB = a.name.getBytes("US-ASCII") :+ 0.toByte
-    val (dtB, data) = a.num match {
-      case Some(v) =>
+    val vec = a.nums
+    val (dtB, data) = (vec, a.num) match {
+      case (Some(vs), _) =>
+        val bb = java.nio.ByteBuffer.allocate(8 * vs.size)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vs.foreach(bb.putDouble)
+        (dtypeBytes("f8"), bb.array())
+      case (None, Some(v)) =>
         val b = java.nio.ByteBuffer.allocate(8)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(v).array()
         (dtypeBytes("f8"), b)
-      case None =>
+      case (None, None) =>
         val s = a.str.get.getBytes("US-ASCII")
         (dtypeBytes(s"s${s.length}"), s)
     }
-    val spB = { val s = new Wr; s.u8(1).u8(0).u8(0).u8(0).u32(0)
-      s.out.toByteArray } // scalar
+    val spB = { val s = new Wr
+      vec match {
+        case Some(vs) => // rank-1 dataspace: one u64 dim after the header
+          s.u8(1).u8(1).u8(0).u8(0).u32(0); s.u64(vs.size.toLong)
+        case None => s.u8(1).u8(0).u8(0).u8(0).u32(0) // scalar
+      }
+      s.out.toByteArray }
     aw.u8(1).u8(0).u16(nameB.length).u16(dtB.length).u16(spB.length)
     def pad8(b: Array[Byte]) =
       b ++ new Array[Byte]((8 - b.length % 8) % 8)

@@ -63,6 +63,19 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("hdf5: 1-D numeric attributes round-trip (rank-1 dataspace, n>1) — num carries the head, nums the vector") {
+    val bounds = Seq(-180.0, 180.0, -90.0, 90.0)
+    val Seq(d) = rt(H5Enc("x", Seq(2), "f8", Array(1.0, 2.0),
+      attrs = Seq(H5Attr("geo_bounds", None, None, Some(bounds)),
+        H5Attr("scale_factor", Some(0.5), None))))
+    val gb = d.attrs.find(_.name == "geo_bounds").get
+    assert(gb.nums === Some(bounds))
+    assert(gb.num === Some(-180.0), "num is the first element")
+    val sf0 = d.attrs.find(_.name == "scale_factor").get
+    assert(sf0.num === Some(0.5) && sf0.nums === None,
+      "scalar attrs keep nums empty")
+  }
+
   test("hdf5 quarantine: signature, superblock version, unsupported filter, truncation") {
     def reason(b: Array[Byte]): String =
       Hdf5.decodeH5(b).left.toOption.get

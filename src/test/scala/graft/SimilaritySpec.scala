@@ -665,8 +665,14 @@ class SimilaritySpec extends SparkSpec {
     // a restart marker (standalone, no length) interleaved pre-SOF
     val rst = "FFD8" + "FFD0" + "FFC1" + "0011" + "08" + "0100" + "0200" +
       "03" + "011100" + "021101" + "031101"
+    // legal 0xFF fill bytes padding before the SOF marker (T.81
+    // B.1.1.2): the walk must step over each FF instead of parsing a
+    // garbage segment length
+    val fill = "FFD8" + "FFFF" + "FFC0" + "0011" + "08" + "0080" + "0100" +
+      "03" + "011100" + "021101" + "031101"
     val got = graft.operators.Multimodal.headerDecode(
-      Seq((1L, "jpeg", evil), (2L, "jpeg", noSof), (3L, "jpeg", rst))
+      Seq((1L, "jpeg", evil), (2L, "jpeg", noSof), (3L, "jpeg", rst),
+        (4L, "jpeg", fill))
         .toDF("doc_id", "declared", "hxin")
         .select(col("doc_id"), col("declared"),
           unhex(col("hxin")).as("payload")))
@@ -674,6 +680,7 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L).getLong(4) === 128L && got(1L).getLong(5) === 64L)
     assert(got(2L).isNullAt(4) && got(2L).isNullAt(5))
     assert(got(3L).getLong(4) === 512L && got(3L).getLong(5) === 256L)
+    assert(got(4L).getLong(4) === 256L && got(4L).getLong(5) === 128L)
   }
 
   test("multimodal_stats: per-format byte envelope and magic census match brute-force") {
