@@ -3,28 +3,35 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** REAL baseline JPEG decoder — the largest piece of the declared
+/** REAL JPEG decoder — the largest piece of the declared
   * entropy-coded-media seam, implemented from the public standard
-  * (ITU-T T.81 / ISO 10918-1, baseline sequential DCT): marker walk,
-  * DQT/DHT table parsing, the canonical Huffman decoder (spec
-  * F.2.2.3 mincode/maxcode/valptr), the byte-stuffed bit reader with
-  * restart-marker handling, per-MCU block decode (DC prediction +
-  * AC run-length with ZRL/EOB), dequantize → dezigzag → the
-  * reference double-precision IDCT (Annex A), component planes with
+  * (ITU-T T.81 / ISO 10918-1): marker walk, DQT/DHT table parsing,
+  * the canonical Huffman decoder (spec F.2.2.3 mincode/maxcode/
+  * valptr), the byte-stuffed bit reader with restart-marker
+  * handling, per-MCU block decode (DC prediction + AC run-length
+  * with ZRL/EOB), dequantize → dezigzag → the reference
+  * double-precision IDCT (Annex A), component planes with
   * sampling-factor upsampling, and JFIF YCbCr→RGB.
+  *
+  * BOTH DCT modes of operation decode: baseline/extended sequential
+  * (SOF0/SOF1) and PROGRESSIVE (SOF2) — spectral selection and
+  * successive approximation per Annex G.1.2 (DC first/refine, AC
+  * first with EOB-run lengths, the AC refinement correction-bit
+  * walk of G.1.2.3), coefficients accumulated across scans per
+  * component and rendered once at EOI.
   *
   * Verification: the JDK ships an INDEPENDENT implementation
   * (ImageIO's native-code JPEG reader), so unlike GRIB/HDF5 this
   * codec gets a true cross-implementation differential gate —
-  * fixtures written by ImageIO's encoder decode through this reader
-  * and compare per-pixel (small tolerances are inherent: libjpeg
-  * uses integer IDCT approximations and fancy chroma upsampling
-  * where this decoder follows the spec's reference arithmetic).
-  * Progressive (SOF2), arithmetic coding, 12-bit precision and
-  * hierarchical modes quarantine loudly. Exactly-reproducible
-  * in-plan features still route through PNG/WAV; JPEG's value is
-  * decoding REAL-WORLD training corpora, where the payload bytes
-  * arrive from outside.
+  * fixtures written by ImageIO's encoder (sequential AND its
+  * multi-scan progressive script) decode through this reader and
+  * compare per-pixel (small tolerances are inherent: libjpeg uses
+  * integer IDCT approximations and fancy chroma upsampling where
+  * this decoder follows the spec's reference arithmetic).
+  * Arithmetic coding, 12-bit precision and hierarchical modes
+  * quarantine loudly. Exactly-reproducible in-plan features still
+  * route through PNG/WAV; JPEG's value is decoding REAL-WORLD
+  * training corpora, where the payload bytes arrive from outside.
   */
 object Jpeg {
 
@@ -112,6 +119,39 @@ object Jpeg {
   private def extend(v: Int, n: Int): Int =
     if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
 
+  /** Reference separable double-precision IDCT (Annex A) of one
+    * dequantized natural-order block into clamped level-shifted
+    * samples. */
+  private def idct8x8(coef: Array[Double], blk: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var y0 = 0
+    while (y0 < 8) { // rows: over u
+      var x0 = 0
+      while (x0 < 8) {
+        var s2 = 0.0; var u = 0
+        while (u < 8) {
+          s2 += Idct(x0 * 8 + u) * coef(y0 * 8 + u); u += 1
+        }
+        tmp(y0 * 8 + x0) = s2; x0 += 1
+      }
+      y0 += 1
+    }
+    var x1 = 0
+    while (x1 < 8) { // cols: over v
+      var y1 = 0
+      while (y1 < 8) {
+        var s2 = 0.0; var v = 0
+        while (v < 8) {
+          s2 += Idct(y1 * 8 + v) * tmp(v * 8 + x1); v += 1
+        }
+        val px = math.round(s2 / 4.0 + 128.0).toInt
+        blk(y1 * 8 + x1) = math.max(0, math.min(255, px))
+        y1 += 1
+      }
+      x1 += 1
+    }
+  }
+
   private case class Comp(id: Int, h: Int, v: Int, tq: Int)
 
   /** Full baseline decode. Left(reason) quarantines. */
@@ -126,12 +166,17 @@ object Jpeg {
     var comps: Seq[Comp] = Nil
     var (w, h) = (0, 0)
     var dri = 0
+    var progressive = false
+    var prog: ProgState = null
+    def renderProg(): Either[String, JpegImage] =
+      if (prog == null || !prog.sawScan) Left("no_scan")
+      else Right(renderProgressive(w, h, comps, qt, prog))
     var p = 2
     while (p + 4 <= bytes.length) {
       if (u8(p) != 0xFF) return Left("bad_marker")
       val m = u8(p + 1)
       if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) { p += 2 }
-      else if (m == 0xD9) return Left("no_scan")
+      else if (m == 0xD9) return renderProg()
       else {
         val len = u16(p + 2)
         val seg = p + 4
@@ -159,7 +204,8 @@ object Jpeg {
               if (tc == 0) dcT(th) = t else acT(th) = t
               q += 17 + n
             }
-          case 0xC0 | 0xC1 => // baseline / extended sequential
+          case 0xC0 | 0xC1 | 0xC2 => // sequential / progressive frame
+            if (m == 0xC2) progressive = true
             if (u8(seg) != 8) return Left("unsupported_precision")
             h = u16(seg + 1); w = u16(seg + 3)
             val nc = u8(seg + 5)
@@ -170,12 +216,11 @@ object Jpeg {
             }
             if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4))
               return Left("bad_sampling")
-          case 0xC2 => return Left("progressive_unsupported")
           case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
                0xCD | 0xCE | 0xCF =>
             return Left("unsupported_coding_mode")
           case 0xDD => dri = u16(seg)
-          case 0xDA => // SOS — decode and return
+          case 0xDA if !progressive => // sequential SOS — decode, done
             if (comps.isEmpty || w == 0) return Left("missing_sof")
             val ns = u8(seg)
             if (ns != comps.size) return Left("unsupported_scan")
@@ -187,12 +232,32 @@ object Jpeg {
             }.toMap
             return decodeScan(bytes, p + 2 + len, w, h, comps, qt,
               dcT, acT, tables, dri)
+          case 0xDA => // progressive SOS — accumulate, keep walking
+            if (comps.isEmpty || w == 0) return Left("missing_sof")
+            if (prog == null) prog = new ProgState(comps, w, h)
+            val ns = u8(seg)
+            if (ns < 1 || ns > comps.size) return Left("unsupported_scan")
+            val scanComps = (0 until ns).map { i =>
+              val cid = u8(seg + 1 + i * 2)
+              val ci = comps.indexWhere(_.id == cid)
+              if (ci < 0) return Left("bad_scan_component")
+              (ci, u8(seg + 2 + i * 2) >> 4, u8(seg + 2 + i * 2) & 0x0F)
+            }
+            val ss = u8(seg + 1 + 2 * ns)
+            val se = u8(seg + 2 + 2 * ns)
+            val a = u8(seg + 3 + 2 * ns)
+            progScan(bytes, p + 2 + len, comps, prog, dcT, acT,
+                scanComps, ss, se, a >> 4, a & 0x0F, dri) match {
+              case Left(e) => return Left(e)
+              case Right(np) => prog.sawScan = true; p = np
+            }
           case _ => () // APPn / COM / others skip
         }
-        p += 2 + len
+        if (m != 0xDA) p += 2 + len // progressive SOS advanced itself
       }
     }
-    Left("no_scan")
+    // truncated after the scans but before EOI: render what we have
+    if (progressive) renderProg() else Left("no_scan")
   } catch { case _: Exception => Left("malformed_jpeg") }
 
   private def decodeScan(bytes: Array[Byte], start: Int, w: Int, h: Int,
@@ -252,34 +317,7 @@ object Jpeg {
                 k += 1
               }
             }
-            // reference IDCT (separable, double precision)
-            val tmp = new Array[Double](64)
-            var y0 = 0
-            while (y0 < 8) { // rows: over u
-              var x0 = 0
-              while (x0 < 8) {
-                var s2 = 0.0; var u = 0
-                while (u < 8) {
-                  s2 += Idct(x0 * 8 + u) * coef(y0 * 8 + u); u += 1
-                }
-                tmp(y0 * 8 + x0) = s2; x0 += 1
-              }
-              y0 += 1
-            }
-            var x1 = 0
-            while (x1 < 8) { // cols: over v
-              var y1 = 0
-              while (y1 < 8) {
-                var s2 = 0.0; var v = 0
-                while (v < 8) {
-                  s2 += Idct(y1 * 8 + v) * tmp(v * 8 + x1); v += 1
-                }
-                val px = math.round(s2 / 4.0 + 128.0).toInt
-                blk(y1 * 8 + x1) = math.max(0, math.min(255, px))
-                y1 += 1
-              }
-              x1 += 1
-            }
+            idct8x8(coef, blk)
             // place into the component plane
             val ox = (mx * c.h + bx) * 8
             val oy = (my * c.v + by) * 8
@@ -300,11 +338,19 @@ object Jpeg {
       }
       mcu += 1
     }
-    // upsample each plane to full MCU-grid resolution: TRIANGULAR
-    // (3:1 centered) for the ubiquitous 2:1 ratio — the filter JFIF
-    // decoders use for centered chroma — nearest for exotic ratios
-    val fullW = mcusX * mcuW
-    val fullH = mcusY * mcuH
+    Right(assemble(w, h, comps, planes, planeW, mcusX, mcusY, hmax, vmax))
+  }
+
+  /** Component planes (MCU-grid resolution each) → upsample + color
+    * convert → interleaved image. Shared by the sequential and
+    * progressive render paths. Upsampling is TRIANGULAR (3:1
+    * centered) for the ubiquitous 2:1 ratio — the filter JFIF
+    * decoders use for centered chroma — nearest for exotic ratios. */
+  private def assemble(w: Int, h: Int, comps: Seq[Comp],
+      planes: Seq[Array[Int]], planeW: Seq[Int], mcusX: Int,
+      mcusY: Int, hmax: Int, vmax: Int): JpegImage = {
+    val fullW = mcusX * 8 * hmax
+    val fullH = mcusY * 8 * vmax
     def up2h(pl: Array[Int], pw: Int, ph: Int): (Array[Int], Int) = {
       val out = new Array[Int](pw * 2 * ph)
       var y = 0
@@ -386,7 +432,219 @@ object Jpeg {
       }
       y += 1
     }
-    Right(JpegImage(w, h, if (nc == 1) 1 else 3, out))
+    JpegImage(w, h, if (nc == 1) 1 else 3, out)
+  }
+
+  // ------------------------------------------ progressive (SOF2)
+
+  /** Cross-scan coefficient store: per component, natural-order
+    * coefficients for every block of the MCU-PADDED grid (interleaved
+    * DC scans cover padding blocks; non-interleaved scans touch only
+    * the real `rW`×`rH` sub-grid, T.81 A.2.2). */
+  private class ProgState(comps: Seq[Comp], w: Int, h: Int) {
+    val hmax: Int = comps.map(_.h).max
+    val vmax: Int = comps.map(_.v).max
+    val mcusX: Int = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY: Int = (h + 8 * vmax - 1) / (8 * vmax)
+    val bW: Array[Int] = comps.map(c => mcusX * c.h).toArray
+    val bH: Array[Int] = comps.map(c => mcusY * c.v).toArray
+    val rW: Array[Int] = comps.map(c =>
+      ((w * c.h + hmax - 1) / hmax + 7) / 8).toArray
+    val rH: Array[Int] = comps.map(c =>
+      ((h * c.v + vmax - 1) / vmax + 7) / 8).toArray
+    val coefs: Array[Array[Int]] = comps.indices.map(i =>
+      new Array[Int](bW(i) * bH(i) * 64)).toArray
+    var sawScan: Boolean = false
+  }
+
+  /** One progressive scan (Annex G.1.2): DC first/refine over the
+    * interleaved MCU grid or a single component's real block grid;
+    * AC first (EOB-run lengths) and AC refinement (the G.1.2.3
+    * correction-bit walk) over a single component. Returns the file
+    * offset of the next marker. */
+  private def progScan(bytes: Array[Byte], start: Int, comps: Seq[Comp],
+      st: ProgState, dcT: Array[Huff], acT: Array[Huff],
+      scanComps: Seq[(Int, Int, Int)], ss: Int, se: Int, ah: Int,
+      al: Int, dri: Int): Either[String, Int] = {
+    val br = new BitReader(bytes, start)
+    val pred = new Array[Int](comps.size)
+    var eobrun = 0
+    var rst = 0
+    def restartAt(unit: Int): Unit =
+      if (dri > 0 && unit > 0 && unit % dri == 0) {
+        br.restart(rst); rst = (rst + 1) % 8
+        java.util.Arrays.fill(pred, 0); eobrun = 0
+      }
+    def dcUnit(ci: Int, td: Int, b: Int): Either[String, Unit] = {
+      if (ah == 0) {
+        val dct = dcT(td)
+        if (dct == null) return Left("missing_tables")
+        val s = dct.decode(br)
+        pred(ci) += extend(br.receive(s), s)
+        st.coefs(ci)(b) = pred(ci) << al
+      } else if (br.bit() == 1) st.coefs(ci)(b) |= 1 << al
+      Right(())
+    }
+    if (ss == 0) { // DC scan
+      if (se != 0) return Left("bad_progressive_scan")
+      if (scanComps.size > 1) { // interleaved over the MCU grid
+        val nMcus = st.mcusX * st.mcusY
+        var mcu = 0
+        while (mcu < nMcus) {
+          restartAt(mcu)
+          val my = mcu / st.mcusX; val mx = mcu % st.mcusX
+          scanComps.foreach { case (ci, td, _) =>
+            val c = comps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                val b = ((my * c.v + by) * st.bW(ci) + mx * c.h + bx) * 64
+                dcUnit(ci, td, b) match {
+                  case Left(e) => return Left(e); case _ => ()
+                }
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          mcu += 1
+        }
+      } else { // single component: its real block grid
+        val (ci, td, _) = scanComps.head
+        val nb = st.rW(ci) * st.rH(ci)
+        var i = 0
+        while (i < nb) {
+          restartAt(i)
+          val b = (i / st.rW(ci) * st.bW(ci) + i % st.rW(ci)) * 64
+          dcUnit(ci, td, b) match {
+            case Left(e) => return Left(e); case _ => ()
+          }
+          i += 1
+        }
+      }
+    } else { // AC scan: always non-interleaved (T.81 B.2.3)
+      if (scanComps.size != 1 || se < ss || se > 63)
+        return Left("bad_progressive_scan")
+      val (ci, _, ta) = scanComps.head
+      val act = acT(ta)
+      if (act == null) return Left("missing_tables")
+      val cf = st.coefs(ci)
+      val p1 = 1 << al
+      val m1 = -1 << al
+      def refineBit(z: Int): Unit =
+        if (br.bit() == 1 && (cf(z) & p1) == 0)
+          cf(z) += (if (cf(z) >= 0) p1 else m1)
+      val nb = st.rW(ci) * st.rH(ci)
+      var i = 0
+      while (i < nb) {
+        restartAt(i)
+        val b = (i / st.rW(ci) * st.bW(ci) + i % st.rW(ci)) * 64
+        if (ah == 0) { // first pass: EOB-run + run-length (G.1.2.2)
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var done = false
+            while (k <= se && !done) {
+              val rs = act.decode(br)
+              val r = rs >> 4; val s = rs & 0x0F
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else { eobrun = (1 << r) - 1 + br.receive(r); done = true }
+              } else {
+                k += r
+                if (k > se) return Left("coef_overrun")
+                cf(b + ZigZag(k)) = extend(br.receive(s), s) << al
+                k += 1
+              }
+            }
+          }
+        } else { // refinement pass: correction-bit walk (G.1.2.3)
+          var k = ss
+          if (eobrun == 0) {
+            var done = false
+            while (k <= se && !done) {
+              val rs = act.decode(br)
+              var r = rs >> 4
+              val s0 = rs & 0x0F
+              var nv = 0
+              if (s0 == 0) {
+                if (r != 15) {
+                  eobrun = (1 << r) + br.receive(r)
+                  done = true
+                } // r==15: ZRL — skip 16 zero-history coefs below
+              } else nv = if (br.bit() == 1) p1 else m1
+              if (!done) {
+                var placed = false
+                while (k <= se && !placed) {
+                  val z = b + ZigZag(k)
+                  if (cf(z) != 0) { refineBit(z); k += 1 }
+                  else if (r == 0) placed = true
+                  else { r -= 1; k += 1 }
+                }
+                if (nv != 0 && k <= se) cf(b + ZigZag(k)) = nv
+                k += 1
+              }
+            }
+          }
+          if (eobrun > 0) { // EOB run: correction bits only
+            while (k <= se) {
+              val z = b + ZigZag(k)
+              if (cf(z) != 0) refineBit(z)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        i += 1
+      }
+    }
+    // skip any residual entropy bits / RSTn, stop at the next marker
+    var q = br.p
+    while (q + 1 < bytes.length && !((bytes(q) & 0xFF) == 0xFF && {
+        val m2 = bytes(q + 1) & 0xFF
+        m2 != 0x00 && m2 != 0xFF && !(m2 >= 0xD0 && m2 <= 0xD7) })) q += 1
+    Right(q)
+  }
+
+  /** Dequantize + IDCT every accumulated block, then the shared
+    * upsample/color assemble. */
+  private def renderProgressive(w: Int, h: Int, comps: Seq[Comp],
+      qt: Array[Array[Int]], st: ProgState): JpegImage = {
+    val planes = comps.indices.map(ci =>
+      new Array[Int](st.bW(ci) * 8 * st.bH(ci) * 8))
+    val planeW = comps.indices.map(ci => st.bW(ci) * 8)
+    val coef = new Array[Double](64)
+    val blk = new Array[Int](64)
+    comps.zipWithIndex.foreach { case (c, ci) =>
+      val q = qt(c.tq)
+      if (q == null) throw new java.io.IOException("missing_tables")
+      val cf = st.coefs(ci)
+      var bi = 0
+      val nBlocks = st.bW(ci) * st.bH(ci)
+      while (bi < nBlocks) {
+        var k = 0
+        while (k < 64) { // q is zigzag-ordered per DQT
+          coef(ZigZag(k)) = cf(bi * 64 + ZigZag(k)).toDouble * q(k)
+          k += 1
+        }
+        idct8x8(coef, blk)
+        val ox = bi % st.bW(ci) * 8
+        val oy = bi / st.bW(ci) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            planes(ci)((oy + yy) * planeW(ci) + ox + xx) = blk(yy * 8 + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        bi += 1
+      }
+    }
+    assemble(w, h, comps, planes, planeW, st.mcusX, st.mcusY,
+      st.hmax, st.vmax)
   }
 
   /** END-TO-END lane — ROWS-ONLY by declaration (DuckDB cannot
@@ -446,6 +704,10 @@ object Jpeg {
         val p = w.getDefaultWriteParam
         p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
         p.setCompressionQuality(0.9f)
+        // half the corpus ships PROGRESSIVE (SOF2): the lane decodes
+        // both DCT modes every driver run
+        if (g >= 2)
+          p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
         w.write(null, new javax.imageio.IIOImage(img, null, null), p)
         w.dispose(); ios.close()
         (s"img_$g.jpg", bo.toByteArray)
