@@ -189,6 +189,7 @@ object SparkEntry {
     "image_jpeg_stats"      -> graft.sources.Jpeg.imageJpegStats _,
     "video_frame_index"     -> graft.sources.Mp4.videoFrameIndex _,
     "video_keyframe_sample" -> graft.sources.Mp4.videoKeyframeSample _,
+    "video_codec_meta"      -> graft.sources.Mp4.videoCodecMeta _,
     "stac_search_items"     -> graft.sources.Stac.stacSearchItems _,
     "grid_zarr_decode"      -> graft.sources.Zarr.gridZarrDecode _,
     "phenology_slices"      -> graft.sources.Zarr.phenologySlices _,
@@ -6682,6 +6683,34 @@ object SparkEntry {
         |  sample AS keyframe_sample, dts AS keyframe_dts,
         |  CAST(tick - dts AS BIGINT) AS lag
         |FROM j WHERE rk = 1""".stripMargin,
+
+    // the stsd/avcC codec census replays as closed forms: coded dims
+    // macroblock-align up from the display dims, avc1/hvc1 alternate
+    // by parity, profile cycles the three public AVC profiles, level
+    // derives from the clip seed
+    "video_codec_meta" ->
+      s"""WITH s AS (
+        |  SELECT user_id % 6 AS g,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS seed
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT g, abs(seed) AS a,
+        |    320 + (g % 3) * 320 AS w,
+        |    CASE WHEN g % 3 = 0 THEN 192 ELSE 180 + (g % 3) * 180 END AS h
+        |  FROM s)
+        |SELECT 'movie_' || g || '.mp4' AS name,
+        |  CASE WHEN g % 2 = 0 THEN 'avc1' ELSE 'hvc1' END AS format,
+        |  CAST(w AS DOUBLE) AS display_w, CAST(h AS DOUBLE) AS display_h,
+        |  CAST(w AS BIGINT) AS coded_w,
+        |  CAST((h + 15) // 16 * 16 AS BIGINT) AS coded_h,
+        |  CASE WHEN g % 2 = 0 THEN CAST(CASE (g // 2) % 3
+        |    WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END AS BIGINT) END
+        |    AS profile,
+        |  CASE WHEN g % 2 = 0 THEN CAST(192 AS BIGINT) END AS compat,
+        |  CASE WHEN g % 2 = 0 THEN CAST(30 + a % 21 AS BIGINT) END AS level,
+        |  (h + 15) // 16 * 16 <> h AS dim_mismatch
+        |FROM p""".stripMargin,
 
     // the HDF5 lane: f64 micro-unit payload round-trips IEEE
     // (exact ≤ 2^53), CF unpack is raw·scale + offset with scale

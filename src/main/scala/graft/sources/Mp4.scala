@@ -251,6 +251,113 @@ object Mp4 {
     Right(out.result())
   }
 
+  /** One `stsd` sample-description entry of the first video track:
+    * codec fourcc, CODED dimensions (the VisualSampleEntry
+    * width/height — what the bitstream actually carries, macroblock-
+    * aligned), and for AVC entries the `avcC` decoder-configuration
+    * profile/compatibility/level. Non-AVC codecs surface the fourcc
+    * with null config — the unknown-codec path, not an error. */
+  private[graft] case class Mp4CodecEntry(format: String, codedW: Int,
+      codedH: Int, profile: Option[Int], compat: Option[Int],
+      level: Option[Int])
+
+  /** SAMPLE-DESCRIPTION walk (stsd + avcC, ISO 14496-12 §12.1.3 /
+    * 14496-15 §5.3.3) of the first video track — the last
+    * container-level video fact available without entropy decode:
+    * codec identity + coded dims to census against the tkhd DISPLAY
+    * dims (the video analogue of `multimodal_container_meta`'s
+    * declared-vs-detected mislabel check). Returns (displayW,
+    * displayH, entries). Left(reason) quarantines undersized/missing
+    * structures. */
+  private[graft] def decodeMp4Codec(bytes: Array[Byte]):
+      Either[String, (Double, Double, Seq[Mp4CodecEntry])] =
+    scala.util.Try(decodeCodecWalk(bytes)).toEither
+      .left.map {
+        case WalkFail(r) => r
+        case e: IllegalArgumentException if e.getMessage != null =>
+          e.getMessage.stripPrefix("requirement failed: ")
+        case _ => "malformed_box_payload"
+      }.flatten
+
+  private def decodeCodecWalk(bytes: Array[Byte]):
+      Either[String, (Double, Double, Seq[Mp4CodecEntry])] = {
+    def u32(p: Int): Long =
+      ((bytes(p) & 0xFFL) << 24) | ((bytes(p + 1) & 0xFFL) << 16) |
+        ((bytes(p + 2) & 0xFFL) << 8) | (bytes(p + 3) & 0xFFL)
+    def u64(p: Int): Long = (u32(p) << 32) | u32(p + 4)
+    def u16(p: Int): Int = ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF)
+    def tag(p: Int): String = new String(bytes, p, 4, "US-ASCII")
+    def box(p: Int, limit: Int): Option[(String, Int, Int)] = {
+      if (p + 8 > limit) return None
+      val size32 = u32(p)
+      val t = tag(p + 4)
+      val (start, size) =
+        if (size32 == 1) {
+          if (p + 16 > limit) return None
+          (p + 16, u64(p + 8))
+        } else (p + 8, size32)
+      if (size < (start - p) || p + size > limit) None
+      else Some((t, start, p + size.toInt))
+    }
+    def children(from: Int, limit: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var p = from
+      var bad = false
+      while (p < limit && !bad) box(p, limit) match {
+        case Some((t, s, e)) => out += ((t, s, e)); p = e
+        case None => bad = true
+      }
+      if (bad) Seq.empty else out.result()
+    }
+    val top = children(0, bytes.length)
+    val (_, ms, me) = top.find(_._1 == "moov")
+      .getOrElse(return Left("missing_moov"))
+    val hit = children(ms, me).filter(_._1 == "trak").iterator.map {
+      case (_, ts, te) =>
+        val trak = children(ts, te)
+        for {
+          (_, ds, de) <- trak.find(_._1 == "mdia")
+          mdia = children(ds, de)
+          (_, hs, he) <- mdia.find(_._1 == "hdlr")
+          if he - hs >= 12 && tag(hs + 8) == "vide"
+          (_, ks, ke) <- trak.find(_._1 == "tkhd")
+          (_, fs, fe) <- mdia.find(_._1 == "minf")
+          (_, bs, be) <- children(fs, fe).find(_._1 == "stbl")
+        } yield ((ks, ke), children(bs, be))
+    }.collectFirst { case Some(v) => v }
+    val ((ks, ke), stbl) = hit.getOrElse(return Left("missing_video_stbl"))
+    require(ke - ks >= 16 && ke - 8 >= ks, "undersized_tkhd")
+    val dispW = u32(ke - 8) / 65536.0
+    val dispH = u32(ke - 4) / 65536.0
+    val (sdS, sdE) = stbl.find(_._1 == "stsd").map(b => (b._2, b._3))
+      .getOrElse(return Left("missing_stsd"))
+    require(sdE - sdS >= 8, "undersized_stsd")
+    val nEntries = u32(sdS + 4).toInt
+    require(nEntries >= 0 && nEntries <= 64, "bad_stsd_count")
+    val entries = Seq.newBuilder[Mp4CodecEntry]
+    var p = sdS + 8
+    var i = 0
+    while (i < nEntries) {
+      val (fmt, es, ee) = box(p, sdE)
+        .getOrElse(throw WalkFail("undersized_stsd_entry"))
+      // VisualSampleEntry: width/height u16 at payload +24/+26, the
+      // fixed fields span 78 bytes, then child boxes (avcC, …)
+      require(ee - es >= 78, "undersized_stsd_entry")
+      val cw = u16(es + 24); val chh = u16(es + 26)
+      val avcC = children(es + 78, ee).find(_._1 == "avcC")
+      val (pr, co, lv) = avcC match {
+        case Some((_, as2, ae)) =>
+          require(ae - as2 >= 4, "undersized_avcc")
+          (Some(bytes(as2 + 1) & 0xFF), Some(bytes(as2 + 2) & 0xFF),
+            Some(bytes(as2 + 3) & 0xFF))
+        case None => (None, None, None)
+      }
+      entries += Mp4CodecEntry(fmt, cw, chh, pr, co, lv)
+      p = ee; i += 1
+    }
+    Right((dispW, dispH, entries.result()))
+  }
+
   /** Minimal valid skeleton builder for the render seam: ftyp +
     * moov(mvhd v0 + one video trak + optional audio trak). */
   private[graft] def encodeMp4(majorBrand: String, timescale: Long,
@@ -307,7 +414,10 @@ object Mp4 {
     * sample starting at 1. */
   private[graft] def encodeMp4Indexed(timescale: Long, deltas: Seq[Long],
       sizes: Seq[Long], syncEvery: Int, chunkOffset: Long,
-      wh: (Int, Int)): Array[Byte] = {
+      wh: (Int, Int),
+      // (fourcc, coded (w,h), optional avcC (profile, compat, level))
+      codec: Option[(String, (Int, Int), Option[(Int, Int, Int)])] = None)
+      : Array[Byte] = {
     require(deltas.length == sizes.length && deltas.nonEmpty)
     def boxOf(t: String, payload: Array[Byte]): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(8 + payload.length)
@@ -345,7 +455,29 @@ object Mp4 {
       b => { b.putInt(1); b.putInt(1).putInt(n).putInt(1); () }, 16)
     val stco = fullBox("stco",
       b => { b.putInt(1).putInt(chunkOffset.toInt); () }, 8)
-    val stbl = boxOf("stbl", stts ++ stsz ++ stss ++ stsc ++ stco)
+    val stsd = codec.map { case (fourcc, (cw, chh), avc) =>
+      val avcC = avc.map { case (pr, co, lv) =>
+        // minimal AVCDecoderConfigurationRecord: version 1, profile,
+        // compatibility, level, reserved|lengthSizeMinusOne,
+        // reserved|numSPS=0, numPPS=0
+        boxOf("avcC", Array[Byte](1, pr.toByte, co.toByte, lv.toByte,
+          0xFF.toByte, 0xE0.toByte, 0))
+      }.getOrElse(Array.emptyByteArray)
+      val ve = java.nio.ByteBuffer.allocate(78)
+      ve.position(6); ve.putShort(1)            // data_reference_index
+      ve.position(24)
+      ve.putShort(cw.toShort).putShort(chh.toShort) // CODED dims
+      ve.putInt(0x00480000).putInt(0x00480000)  // 72 dpi fixed point
+      ve.putInt(0)
+      ve.putShort(1)                            // frame_count
+      ve.position(74)
+      ve.putShort(0x18)                         // depth
+      ve.putShort(-1)                           // pre_defined
+      val entry = boxOf(fourcc, ve.array() ++ avcC)
+      fullBox("stsd", b => { b.putInt(1); b.put(entry); () },
+        4 + entry.length)
+    }.getOrElse(Array.emptyByteArray)
+    val stbl = boxOf("stbl", stsd ++ stts ++ stsz ++ stss ++ stsc ++ stco)
     val duration = deltas.sum
     val mvhd = {
       val b = java.nio.ByteBuffer.allocate(100)
@@ -439,6 +571,52 @@ object Mp4 {
         col("k.dts").as("keyframe_dts"),
         (col("tick") - col("k.dts")).as("lag"))
       .orderBy(col("name"), col("tick"))
+  }
+
+  /** END-TO-END oracle-checked lane — the CODEC-IDENTITY census over
+    * the sample description: six movies render with real `stsd`
+    * entries (VisualSampleEntry coded dims macroblock-aligned up
+    * from the display dims; even movies carry `avc1` + `avcC` with
+    * data-derived profile/compatibility/level, odd movies `hvc1`
+    * with no AVC config — the unknown-codec path), then the walk
+    * reads back fourcc/coded-dims/profile/level and flags coded≠
+    * display — the video analogue of `multimodal_container_meta`'s
+    * mislabel census (a pipeline routing bitstreams to decoders
+    * needs the CODED geometry and codec identity, not the display
+    * hint). Everything is closed-form, so the oracle replays it. */
+  def videoCodecMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = graft.Tables.events(spark, dir)
+      .groupBy((col("user_id") % 6).as("g"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("seed"))
+    val movies = seeds.as[(Long, Long)].map { case (g, seed) =>
+      val a = math.abs(seed)
+      val w = 320 + (g % 3).toInt * 320
+      val h = if (g % 3 == 0) 192 else 180 + (g % 3).toInt * 180
+      val chh = (h + 15) / 16 * 16 // H.264 codes 16-px macroblock rows
+      val codec = if (g % 2 == 0)
+        ("avc1", (w, chh),
+          Some((Seq(66, 77, 100)((g.toInt / 2) % 3), 192,
+            30 + (a % 21).toInt)))
+      else ("hvc1", (w, chh), None)
+      (s"movie_$g.mp4",
+        encodeMp4Indexed(1000L, Seq.fill(24)(1000L), Seq.fill(24)(800L),
+          syncEvery = 8, chunkOffset = 4096L, wh = (w, h),
+          codec = Some(codec)))
+    }.toDF("name", "content")
+    movies.as[(String, Array[Byte])].flatMap { case (name, bytes) =>
+      decodeMp4Codec(bytes) match {
+        case Left(_) => Iterator.empty
+        case Right((dw, dh, entries)) => entries.iterator.map(e =>
+          (name, e.format, dw, dh, e.codedW.toLong, e.codedH.toLong,
+            e.profile.map(_.toLong), e.compat.map(_.toLong),
+            e.level.map(_.toLong),
+            e.codedW != dw.toInt || e.codedH != dh.toInt))
+      }
+    }.toDF("name", "format", "display_w", "display_h", "coded_w",
+      "coded_h", "profile", "compat", "level", "dim_mismatch")
+      .orderBy(col("name"), col("format"))
   }
 
   /** docs(name, content) → one row per track + movie columns, plus
