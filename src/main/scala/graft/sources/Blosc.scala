@@ -1,0 +1,266 @@
+package graft.sources
+
+/** REAL blosc1 block-container codec — the numcodecs compressor the
+  * reference's zarr stores most commonly declare
+  * (`{"id":"blosc","cname":…}` is numcodecs' DEFAULT compressor for
+  * `to_zarr`; see `ingestor_cds_process.py` / the Zarr provenance in
+  * [[Zarr]]). The container format is public (c-blosc's
+  * README_HEADER / blosc.h): a 16-byte header
+  * `[version, versionlz, flags, typesize, nbytes u32LE,
+  * blocksize u32LE, cbytes u32LE]`, then one u32-LE start offset per
+  * block, then per block either `typesize` SPLIT streams or one
+  * stream, each `[i32LE csize][payload]` where `csize == stream
+  * size` marks a stored-raw stream. Flags: bit0 byte-shuffle (per
+  * block, before split), bit1 pure-memcpy (payload verbatim after
+  * the header), bit2 bit-shuffle, bit4 dont-split (c-blosc ≥ 1.11
+  * records the split decision here; the split predicate otherwise is
+  * `typesize ≤ 16 && blocksize/typesize ≥ 128 && !leftover`), bits
+  * 5-7 the codec: 0 blosclz, 1 lz4/lz4hc, 2 snappy, 3 zlib, 4 zstd.
+  *
+  * Everything needed already ships on Spark's own classpath: lz4
+  * blocks via lz4-java, snappy via snappy-java, zlib via
+  * `java.util.zip`, zstd via zstd-jni — only blosclz (c-blosc's
+  * bespoke LZ77) has no JVM implementation and quarantines as
+  * `blosclz_unsupported`, as do bit-shuffle and unknown codecs. The
+  * encoder twin writes the same container (split and non-split) so
+  * hand-built fixtures round-trip through both paths.
+  */
+object Blosc {
+
+  private val MaxSplits = 16
+  private val MinBufferSize = 128
+  private val MaxBytes = 1 << 30
+
+  /** blosc1 buffer → raw bytes. Left(reason) quarantines. */
+  private[graft] def decompress(bytes: Array[Byte]):
+      Either[String, Array[Byte]] = try {
+    if (bytes.length < 16) return Left("blosc_truncated_header")
+    def u8(p: Int) = bytes(p) & 0xFF
+    def u32(p: Int): Long =
+      (bytes(p) & 0xFFL) | ((bytes(p + 1) & 0xFFL) << 8) |
+        ((bytes(p + 2) & 0xFFL) << 16) | ((bytes(p + 3) & 0xFFL) << 24)
+    def i32(p: Int): Int = u32(p).toInt
+    val version = u8(0)
+    if (version < 1 || version > 2) return Left("blosc_bad_version")
+    val flags = u8(2)
+    val typesize = u8(3)
+    val nbytes = u32(4)
+    val blocksize = u32(8)
+    val cbytes = u32(12)
+    if (nbytes < 0 || nbytes > MaxBytes) return Left("blosc_bad_nbytes")
+    if (cbytes > bytes.length) return Left("blosc_truncated")
+    val out = new Array[Byte](nbytes.toInt)
+    if (nbytes == 0) return Right(out)
+    if ((flags & 0x02) != 0) { // pure memcpy: payload verbatim
+      if (16 + nbytes > bytes.length) return Left("blosc_truncated")
+      System.arraycopy(bytes, 16, out, 0, nbytes.toInt)
+      return Right(out)
+    }
+    if ((flags & 0x04) != 0) return Left("bitshuffle_unsupported")
+    if (blocksize <= 0 || blocksize > MaxBytes)
+      return Left("blosc_bad_blocksize")
+    val codec = (flags >> 5) & 0x07
+    if (codec == 0) return Left("blosclz_unsupported")
+    if (codec > 4) return Left("blosc_unknown_codec")
+    val shuffle = (flags & 0x01) != 0 && typesize > 1
+    val dontSplit = (flags & 0x10) != 0
+    val nBlocks = ((nbytes + blocksize - 1) / blocksize).toInt
+    if (16 + 4L * nBlocks > bytes.length) return Left("blosc_truncated")
+    val block = new Array[Byte](blocksize.toInt)
+    var b = 0
+    while (b < nBlocks) {
+      val bStart = i32(16 + 4 * b)
+      if (bStart < 0 || bStart > bytes.length)
+        return Left("blosc_bad_bstart")
+      val thisBlock = math.min(blocksize, nbytes - b.toLong * blocksize).toInt
+      val leftover = thisBlock != blocksize
+      val nSplits =
+        if (!dontSplit && !leftover && typesize > 1 &&
+            typesize <= MaxSplits && blocksize / typesize >= MinBufferSize)
+          typesize
+        else 1
+      if (thisBlock % nSplits != 0) return Left("blosc_bad_split")
+      val neblock = thisBlock / nSplits
+      var p = bStart
+      var s = 0
+      while (s < nSplits) {
+        if (p + 4 > bytes.length) return Left("blosc_truncated")
+        val csize = i32(p); p += 4
+        if (csize < 0 || p + csize > bytes.length)
+          return Left("blosc_truncated")
+        if (csize == neblock) // stored raw
+          System.arraycopy(bytes, p, block, s * neblock, neblock)
+        else {
+          val got: Int = codec match {
+            case 1 =>
+              net.jpountz.lz4.LZ4Factory.fastestInstance()
+                .fastDecompressor()
+                .decompress(bytes, p, block, s * neblock, neblock)
+              neblock
+            case 2 =>
+              org.xerial.snappy.Snappy.uncompress(
+                bytes, p, csize, block, s * neblock)
+            case 3 =>
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(bytes, p, csize)
+              var n = 0
+              var stuck = false
+              while (!inf.finished() && n < neblock && !stuck) {
+                val g = inf.inflate(block, s * neblock + n, neblock - n)
+                if (g == 0 && inf.needsInput()) stuck = true
+                n += g
+              }
+              inf.end(); n
+            case 4 =>
+              com.github.luben.zstd.Zstd.decompressByteArray(
+                block, s * neblock, neblock, bytes, p, csize).toInt
+          }
+          if (got != neblock) return Left("blosc_block_size_mismatch")
+        }
+        p += csize
+        s += 1
+      }
+      val dst = (b.toLong * blocksize).toInt
+      if (shuffle) unshuffle(block, thisBlock, typesize, out, dst)
+      else System.arraycopy(block, 0, out, dst, thisBlock)
+      b += 1
+    }
+    Right(out)
+  } catch { case _: Exception => Left("blosc_malformed") }
+
+  /** c-blosc byte-shuffle inverse over one block: `n / typesize`
+    * elements transpose back from `typesize` byte lanes; the
+    * `n % typesize` leftover bytes are stored verbatim at the end. */
+  private def unshuffle(src: Array[Byte], n: Int, typesize: Int,
+      dst: Array[Byte], off: Int): Unit = {
+    val nel = n / typesize
+    var j = 0
+    while (j < typesize) {
+      var i = 0
+      while (i < nel) {
+        dst(off + i * typesize + j) = src(j * nel + i)
+        i += 1
+      }
+      j += 1
+    }
+    var k = nel * typesize
+    while (k < n) { dst(off + k) = src(k); k += 1 }
+  }
+
+  private def shuffle(src: Array[Byte], srcOff: Int, n: Int,
+      typesize: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    val nel = n / typesize
+    var j = 0
+    while (j < typesize) {
+      var i = 0
+      while (i < nel) {
+        out(j * nel + i) = src(srcOff + i * typesize + j)
+        i += 1
+      }
+      j += 1
+    }
+    var k = nel * typesize
+    while (k < n) { out(k) = src(srcOff + k); k += 1 }
+    out
+  }
+
+  /** Encoder twin (fixtures + publish parity): `cname` ∈ lz4 /
+    * snappy / zlib / zstd. Split mode mirrors c-blosc's forward-
+    * compat default (split only lz4, when the predicate allows) and
+    * the decision is recorded in the dont-split flag bit exactly
+    * like c-blosc ≥ 1.11. Incompressible inputs fall back to the
+    * pure-memcpy flag like the original. */
+  private[graft] def compress(raw: Array[Byte], typesize: Int,
+      doShuffle: Boolean, cname: String, blocksize0: Int = 0): Array[Byte] = {
+    val codec = cname match {
+      case "lz4" => 1; case "snappy" => 2; case "zlib" => 3
+      case "zstd" => 4
+      case other => throw new IllegalArgumentException(s"no codec $other")
+    }
+    require(typesize >= 1 && typesize <= 255, s"bad typesize $typesize")
+    // c-blosc keeps the block size a multiple of typesize — required
+    // for both the per-block shuffle lanes and the split streams
+    val bs0 =
+      if (blocksize0 > 0) blocksize0
+      else math.max(typesize, math.min(math.max(raw.length, 1), 64 * 1024))
+    val blocksize = math.max(typesize, bs0 - bs0 % typesize)
+    val nBlocks = math.max(1, (raw.length + blocksize - 1) / blocksize)
+    val splitOk = codec == 1 && typesize > 1 && typesize <= MaxSplits &&
+      blocksize / typesize >= MinBufferSize
+    val shuf = doShuffle && typesize > 1
+    val body = new java.io.ByteArrayOutputStream()
+    val bstarts = new Array[Int](nBlocks)
+    def putI32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+      o.write((v >> 16) & 0xFF); o.write((v >> 24) & 0xFF)
+    }
+    def pack(block: Array[Byte], from: Int, len: Int): Array[Byte] =
+      codec match {
+        case 1 =>
+          val c = net.jpountz.lz4.LZ4Factory.fastestInstance()
+            .fastCompressor()
+          val dst = new Array[Byte](c.maxCompressedLength(len))
+          val n = c.compress(block, from, len, dst, 0)
+          java.util.Arrays.copyOf(dst, n)
+        case 2 =>
+          val dst = new Array[Byte](
+            org.xerial.snappy.Snappy.maxCompressedLength(len))
+          val n = org.xerial.snappy.Snappy
+            .compress(block, from, len, dst, 0)
+          java.util.Arrays.copyOf(dst, n)
+        case 3 =>
+          val d = new java.util.zip.Deflater(5)
+          d.setInput(block, from, len); d.finish()
+          val o = new java.io.ByteArrayOutputStream(len)
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+          d.end(); o.toByteArray
+        case 4 =>
+          val slice = java.util.Arrays.copyOfRange(block, from, from + len)
+          com.github.luben.zstd.Zstd.compress(slice, 3)
+      }
+    var b = 0
+    while (b < nBlocks) {
+      bstarts(b) = 16 + 4 * nBlocks + body.size()
+      val off = b * blocksize
+      val thisBlock = math.min(blocksize, raw.length - off)
+      val leftover = thisBlock != blocksize
+      val block =
+        if (shuf) shuffle(raw, off, thisBlock, typesize)
+        else java.util.Arrays.copyOfRange(raw, off, off + thisBlock)
+      val nSplits = if (splitOk && !leftover) typesize else 1
+      val neblock = thisBlock / nSplits
+      var s = 0
+      while (s < nSplits) {
+        val packed = pack(block, s * neblock, neblock)
+        if (packed.length < neblock) {
+          putI32(body, packed.length); body.write(packed)
+        } else { // stored raw: csize == neblock marks it
+          putI32(body, neblock); body.write(block, s * neblock, neblock)
+        }
+        s += 1
+      }
+      b += 1
+    }
+    val flags = (if (shuf) 0x01 else 0) | (if (splitOk) 0 else 0x10) |
+      (codec << 5)
+    val total = 16 + 4 * nBlocks + body.size()
+    if (total - 16 >= raw.length) { // incompressible → pure memcpy
+      val out = java.nio.ByteBuffer.allocate(16 + raw.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(2.toByte).put(1.toByte).put((0x02 | (codec << 5)).toByte)
+        .put(typesize.toByte)
+        .putInt(raw.length).putInt(blocksize).putInt(16 + raw.length)
+        .put(raw)
+      return out.array()
+    }
+    val out = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(2.toByte).put(1.toByte).put(flags.toByte).put(typesize.toByte)
+      .putInt(raw.length).putInt(blocksize).putInt(total)
+    bstarts.foreach(out.putInt)
+    out.put(body.toByteArray)
+    out.array()
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.sources.Blosc
+
+/** blosc1 container gate. The strongest case is HAND-ASSEMBLED from
+  * the published header layout (c-blosc README_HEADER) with
+  * stored-raw streams — fully independent of our encoder — then the
+  * encoder/decoder round-trip battery covers every codec the
+  * classpath provides, both split modes, shuffle, leftover blocks,
+  * the memcpy fallback, and the quarantine reasons. */
+class BloscSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def rt(raw: Array[Byte], typesize: Int, shuffle: Boolean,
+      cname: String, blocksize: Int = 0): Array[Byte] = {
+    val enc = Blosc.compress(raw, typesize, shuffle, cname, blocksize)
+    Blosc.decompress(enc).toOption.get
+  }
+
+  test("hand-assembled container (stored-raw streams, no codec): header fields and shuffle decode per the published layout") {
+    // payload: 8 int16-ish pairs = 16 bytes, typesize 2, one block.
+    // With csize == neblock every stream is STORED — the decode path
+    // exercises header parse, bstarts, split recompute and unshuffle
+    // with zero dependence on any compression library.
+    val raw = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+    // byte-shuffle with typesize 2 over 16 bytes: lane0 = even
+    // positions, lane1 = odd positions
+    val shuffled = (0 until 16 by 2).map(raw) ++ (1 until 16 by 2).map(raw)
+    val b = java.nio.ByteBuffer.allocate(16 + 4 + 4 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // version 2, versionlz 1, flags: shuffle|dont_split|zlib codec,
+    // typesize 2
+    b.put(2.toByte).put(1.toByte)
+      .put((0x01 | 0x10 | (3 << 5)).toByte).put(2.toByte)
+    b.putInt(16)      // nbytes
+    b.putInt(16)      // blocksize
+    b.putInt(40)      // cbytes (total)
+    b.putInt(20)      // bstarts[0]
+    b.putInt(16)      // stream csize == neblock → stored raw
+    shuffled.foreach(b.put)
+    val got = Blosc.decompress(b.array()).toOption.get
+    assert(got.toSeq === raw.toSeq)
+    // same container with the shuffle bit clear: bytes pass through
+    val plain = b.array().clone
+    plain(2) = (0x10 | (3 << 5)).toByte
+    assert(Blosc.decompress(plain).toOption.get.toSeq === shuffled)
+  }
+
+  test("round-trip battery: every classpath codec × shuffle × typesize × multi-block with leftover") {
+    for (cname <- Seq("lz4", "snappy", "zlib", "zstd");
+         typesize <- Seq(1, 4, 8);
+         shuffle <- Seq(false, true);
+         n <- Seq(0, 5, 256, 2000, 4099)) { // 4099: blocks + odd tail
+      val raw = Array.tabulate[Byte](n)(i => ((i * 31 + i / 7) % 251).toByte)
+      val got = rt(raw, typesize, shuffle, cname, blocksize = 1024)
+      assert(got.toSeq === raw.toSeq,
+        s"$cname ts=$typesize sh=$shuffle n=$n")
+    }
+  }
+
+  test("split streams: lz4 at a splitting geometry engages the per-lane framing and round-trips") {
+    // typesize 4, blocksize 2048 → blocksize/typesize = 512 ≥ 128 →
+    // c-blosc splits: 4 streams per full block
+    val raw = Array.tabulate[Byte](5000)(i => (i % 131).toByte)
+    val enc = Blosc.compress(raw, typesize = 4, doShuffle = true, "lz4",
+      blocksize0 = 2048)
+    assert((enc(2) & 0x10) === 0, "dont-split bit clear → split mode")
+    assert(Blosc.decompress(enc).toOption.get.toSeq === raw.toSeq)
+    // zstd never splits (forward-compat split mode): bit set
+    val encZ = Blosc.compress(raw, typesize = 4, doShuffle = true, "zstd",
+      blocksize0 = 2048)
+    assert((encZ(2) & 0x10) === 0x10, "zstd writes dont-split")
+    assert(Blosc.decompress(encZ).toOption.get.toSeq === raw.toSeq)
+  }
+
+  test("memcpy fallback: incompressible bytes store verbatim behind the flag") {
+    val rnd = new scala.util.Random(7)
+    val raw = Array.fill[Byte](300)((rnd.nextInt(256) - 128).toByte)
+    val enc = Blosc.compress(raw, typesize = 1, doShuffle = false, "lz4")
+    assert((enc(2) & 0x02) === 0x02, "memcpy flag")
+    assert(enc.length === 16 + raw.length)
+    assert(Blosc.decompress(enc).toOption.get.toSeq === raw.toSeq)
+  }
+
+  test("quarantines: blosclz, bit-shuffle, truncation, bad version/header never throw") {
+    def reason(b: Array[Byte]): String =
+      Blosc.decompress(b).left.toOption.get
+    val good = Blosc.compress(
+      Array.tabulate[Byte](1024)(i => (i % 16).toByte), 4, true, "lz4")
+    assert((good(2) & 0x02) === 0, "fixture really compressed")
+    assert(Blosc.decompress(good).isRight)
+    assert(reason(Array[Byte](2, 1)) === "blosc_truncated_header")
+    val v9 = good.clone; v9(0) = 9
+    assert(reason(v9) === "blosc_bad_version")
+    val blosclz = good.clone
+    blosclz(2) = (blosclz(2) & 0x1F).toByte // codec bits → 0
+    assert(reason(blosclz) === "blosclz_unsupported")
+    val bitshuf = good.clone
+    bitshuf(2) = (bitshuf(2) | 0x04).toByte
+    assert(reason(bitshuf) === "bitshuffle_unsupported")
+    assert(Blosc.decompress(good.take(20)).isLeft)
+    // corrupt a content byte: either the codec throws (malformed) or
+    // the size check trips — never an exception out of decompress
+    val corrupt = good.clone
+    corrupt(good.length - 1) = (corrupt(good.length - 1) ^ 0xFF).toByte
+    Blosc.decompress(corrupt) match {
+      case Left(r) => assert(r.nonEmpty)
+      case Right(out) => assert(out.length === 1024) // lz4 may tolerate
+    }
+  }
+
+  test("zarr chunk seam: a blosc-compressed chunk decodes through decodeChunk; foreign bytes still quarantine") {
+    import graft.sources.Zarr
+    import graft.sources.Zarr.{ZCell, ZChunkIn}
+    val raw = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putDouble(1.25).putDouble(-7.5).putDouble(42.0).array()
+    val enc = Zarr.compressChunk(raw, Some("blosc"))
+    val c = ZChunkIn("v", "v/0", enc, Seq(3), Seq(3), "<f8",
+      Some("blosc"), Some("C"), has_filters = false)
+    assert(Zarr.decodeChunk(c).toOption.get.toSeq === Seq(
+      ZCell("v", 0, 0, 0, 1.25), ZCell("v", 1, 0, 0, -7.5),
+      ZCell("v", 2, 0, 0, 42.0)))
+    val bad = c.copy(content = raw) // not a blosc container
+    assert(Zarr.decodeChunk(bad).left.toOption.get === "undecodable_chunk")
+  }
+}
