@@ -277,6 +277,7 @@ object SparkEntry {
     "ann_matryoshka_audit" -> Similarity.annMatryoshkaAudit _,
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
     "ann_nprobe_sweep"    -> Similarity.annNprobeSweep _,
+    "ann_nlist_sweep"     -> Similarity.annNlistSweep _,
     "ann_pq_topk"         -> Similarity.annPqTopk _,
     "knn_graph"           -> Similarity.knnGraph _,
     "knn_graph_mutuality" -> Similarity.knnGraphMutuality _,
@@ -1753,6 +1754,75 @@ object SparkEntry {
       |  floor(CAST(tu - iu AS DOUBLE) / n_truth + 0.5) / 1e4 AS mean_regret
       |FROM nc JOIN top USING (nprobe), tt""".stripMargin
 
+  /** The `ann_nlist_sweep` oracle: one shared corpus×probe scoring
+    * CTE and exact-truth top-10, then per rung the SAME literal
+    * centroids as the Spark fit drive assignment argmin, routing
+    * ranks (≤ nprobe) and the cell equi-join; rung rows union. */
+  private def nlistSweepSql(
+      rungs: Seq[(Int, Int, Array[Array[Double]])]): String = {
+    val rungCtes = rungs.map { case (nl, np, cents) =>
+      s"""c$nl(b, ss, c) AS (VALUES
+         |  ${centroidRowsSql(cents)}),
+         |hm$nl AS (
+         |  SELECT vec_id, b AS cell FROM (
+         |    SELECT vec_id, b, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY floor((ss - 2 * list_inner_product(e, c)) * 1e6 + 0.5) / 1e6 ASC,
+         |               b ASC) AS rn
+         |    FROM v, c$nl) WHERE rn = 1),
+         |rt$nl AS (
+         |  SELECT probe_id, b AS cell FROM (
+         |    SELECT probe_id, b, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY floor(list_cosine_similarity(pe, c) * 1e6 + 0.5) / 1e6 DESC,
+         |               b ASC) AS rn
+         |    FROM p, c$nl) WHERE rn <= $np),
+         |sc$nl AS (
+         |  SELECT sa.probe_id, sa.vec_id, sa.cos, sa.cos_u
+         |  FROM rt$nl r JOIN hm$nl h USING (cell)
+         |  JOIN sa ON sa.probe_id = r.probe_id AND sa.vec_id = h.vec_id),
+         |it$nl AS (
+         |  SELECT probe_id, vec_id, cos_u FROM (
+         |    SELECT probe_id, vec_id, cos_u,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, vec_id ASC) AS rk
+         |    FROM sc$nl) WHERE rk <= 10),
+         |row$nl AS (
+         |  SELECT CAST($nl AS BIGINT) AS nlist, CAST($np AS BIGINT) AS nprobe,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM sc$nl) AS n_cands,
+         |    (SELECT CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT)
+         |     FROM it$nl i LEFT JOIN truth t
+         |       ON t.probe_id = i.probe_id AND t.vec_id = i.vec_id) AS n_hit,
+         |    (SELECT CAST(coalesce(sum(cos_u), 0) AS BIGINT) FROM it$nl) AS iu)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unioned = rungs.map { case (nl, _, _) =>
+      s"SELECT * FROM row$nl" }.mkString("\n  UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 5),
+       |sa AS (
+       |  SELECT p.probe_id, v.vec_id,
+       |    list_cosine_similarity(p.pe, v.e) AS cos,
+       |    CAST(floor(list_cosine_similarity(p.pe, v.e) * 1e4 + 0.5)
+       |      AS BIGINT) AS cos_u
+       |  FROM v JOIN p ON v.vec_id != p.probe_id),
+       |truth AS (
+       |  SELECT probe_id, vec_id, cos_u AS t_u FROM (
+       |    SELECT probe_id, vec_id, cos_u,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, vec_id ASC) AS rk
+       |    FROM sa) WHERE rk <= 10),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth,
+       |         CAST(sum(t_u) AS BIGINT) AS tu FROM truth),
+       |$rungCtes,
+       |allrungs AS (
+       |  $unioned)
+       |SELECT nlist, nprobe, n_cands, n_hit, n_truth,
+       |  floor(n_hit * 1.0 / n_truth * 1e4 + 0.5) / 1e4 AS recall_at10,
+       |  floor(CAST(tu - iu AS DOUBLE) / n_truth + 0.5) / 1e4 AS mean_regret
+       |FROM allrungs, tt
+       |ORDER BY nlist""".stripMargin
+  }
+
   /** The data-fitted oracle entries — only renderable once the fit
     * context exists (see [[setOracleContext]]). The pairs-lane LSH
     * oracles live here too: their signature WIDTH adapts to the
@@ -1769,6 +1839,10 @@ object SparkEntry {
       "ann_pq_topk"   -> pqTopkSql(graft.operators.Similarity.pqCodebooks(s, d)),
       "ann_nprobe_sweep" ->
         nprobeSweepSql(graft.operators.Similarity.ivfCentroids(s, d)),
+      "ann_nlist_sweep" -> nlistSweepSql(
+        graft.operators.Similarity.NlistSweep.map(nl =>
+          (nl, math.min(graft.operators.Similarity.NlistSweepNprobe, nl),
+            graft.operators.Similarity.nlistCentroids(s, d, nl)))),
       "dedup_embedding_lsh"       -> lshPairsSql(bits),
       "dedup_embedding_lsh_audit" -> lshPairsAuditSql(bits),
       "dedup_embedding_lsh_audit_sampled" -> lshPairsAuditSampledSql(bits))

@@ -752,6 +752,117 @@ object Similarity {
           / col("n_truth") + 0.5) / 1e4).as("mean_regret"))
   }
 
+  /** The nlist ladder [[annNlistSweep]] measures — the IVF SIZING
+    * axis orthogonal to [[annNprobeSweep]]'s routing depth. 16 is
+    * the shipped [[IvfNlist]]; the ladder brackets it both ways. */
+  private[graft] val NlistSweep: Seq[Int] = Seq(4, 8, 16, 32, 64)
+
+  /** Probe depth held fixed across the nlist ladder — the shipped
+    * [[knnGraphIvf]] sizing, so the sweep measures exactly the
+    * trade the production operator rides. */
+  private[graft] val NlistSweepNprobe = 4
+
+  private val nlistFitCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Array[Array[Double]]]
+
+  /** Per-(dataset, nlist) quantizer fits for the sizing sweep; the
+    * shipped nlist reuses [[ivfCentroids]] so the sweep's 16-rung is
+    * EXACTLY the production quantizer. */
+  private[graft] def nlistCentroids(spark: SparkSession, dir: String,
+      nlist: Int): Array[Array[Double]] =
+    if (nlist == IvfNlist) ivfCentroids(spark, dir)
+    else nlistFitCache.getOrElseUpdate((dir, nlist),
+      lloyd(fitSample(spark, dir), nlist, iters = 8))
+
+  /** IVF NLIST SWEEP — the SIZING-evidence table behind the "nlist ~
+    * √n" claim: at the shipped probe depth (nprobe = 4), each rung
+    * refits the coarse quantizer at a different cell count and
+    * measures candidate volume (the cost axis — what a 100× corpus
+    * multiplies) against recall@10 and cosine regret vs the exact
+    * truth. More cells ⇒ fewer candidates per probe ⇒ cheaper but
+    * lower recall; the crossover this table exposes is what fixes
+    * nlist at scale. Shape: ONE corpus×probes scoring pass is pinned
+    * and shared by the truth ranking and every rung's metric join;
+    * per rung, home-cell assignment is a literal-centroid argmin in
+    * the scan stage and the candidate set is one broadcast equi-join
+    * on the cell id — the sweep never materializes n² anywhere.
+    * Audit-tier (bounded probes), like every governance lane. */
+  def annNlistSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val v = vecs(spark, dir)
+    val scoredAll = v.join(broadcast(
+        v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("emb").as("pe"))),
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", VectorColumns.cosine(col("pe"), col("emb")))
+      .withColumn("cos_u", floor(col("cos") * 1e4 + 0.5).cast("long"))
+      .select(col("probe_id"), col("vec_id"), col("cos"), col("cos_u"))
+      // pinned: the truth ranking and all five rungs read this sliver
+      .localCheckpoint()
+    val truth = scoredAll
+      .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(q6(col("cos")).desc, col("vec_id").asc)))
+      .filter(col("rk") <= 10)
+      .select(col("probe_id"), col("vec_id"), col("cos_u").as("t_u"))
+      .localCheckpoint()
+    val tTot = truth.agg(count(lit(1)).as("n_truth"),
+      sum(col("t_u")).as("tu"))
+    val probeVecs = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+    val rungs = NlistSweep.map { nlist =>
+      val cents = nlistCentroids(spark, dir, nlist)
+      val nprobe = math.min(NlistSweepNprobe, nlist)
+      def score(c: Array[Double]): Column =
+        lit(c.map(x => x * x).sum) -
+          lit(2.0) * VectorColumns.dot(col("emb"),
+            array(c.map(lit).toIndexedSeq: _*))
+      val dists = array((0 until nlist).map(i =>
+        struct(q6(score(cents(i))).as("d"), lit(i).as("b"))): _*)
+      val home = v.select(col("vec_id"),
+        array_min(dists).getField("b").as("cell"))
+      val centroidDf = spark.createDataFrame(
+        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+        .toDF("cell", "centroid")
+      val routing = probeVecs.crossJoin(broadcast(centroidDf))
+        .withColumn("cc", VectorColumns.cosine(col("pe"),
+          col("centroid").cast("array<double>")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("probe_id"))
+            .orderBy(q6(col("cc")).desc, col("cell").asc)))
+        .filter(col("rn") <= nprobe)
+        .select(col("probe_id"), col("cell"))
+      // home cells are unique per vector and routing cells distinct
+      // per probe, so the equi-join yields each pair at most once
+      val cands = home.join(broadcast(routing), Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"))
+      val scored = cands.join(scoredAll, Seq("probe_id", "vec_id"))
+        .localCheckpoint() // n_cands count + top-10 ranking
+      val ivfTop = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("probe_id"))
+            .orderBy(q6(col("cos")).desc, col("vec_id").asc)))
+        .filter(col("rk") <= 10)
+        .join(truth.select(col("probe_id"), col("vec_id"),
+          lit(1).as("hit")), Seq("probe_id", "vec_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
+          sum(col("cos_u")).as("iu"))
+      scored.agg(count(lit(1)).as("n_cands")).crossJoin(ivfTop)
+        .select(lit(nlist).cast("long").as("nlist"),
+          lit(nprobe).cast("long").as("nprobe"),
+          col("n_cands"), col("n_hit"), col("iu"))
+    }.reduce(_ unionByName _)
+    rungs.crossJoin(broadcast(tTot))
+      .select(col("nlist"), col("nprobe"), col("n_cands"), col("n_hit"),
+        col("n_truth"),
+        (floor(col("n_hit") / col("n_truth").cast("double") * 1e4 + 0.5)
+          / 1e4).as("recall_at10"),
+        (floor((col("tu") - col("iu")).cast("double")
+          / col("n_truth") + 0.5) / 1e4).as("mean_regret"))
+      .orderBy(col("nlist"))
+  }
+
   /** Per-label embedding CENTROIDS — the class-prototype report
     * (cluster centers for drift monitoring, label-quality checks,
     * nearest-class-mean classification). The elementwise vector sum

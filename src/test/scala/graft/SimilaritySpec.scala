@@ -215,6 +215,31 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall >= 0.3, s"mean recall $meanRecall")
   }
 
+  test("ann_nlist_sweep: exhaustive self-check rung, monotone cost axis, recall floor at the shipped sizing") {
+    val rows = SparkEntry.queries("ann_nlist_sweep")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(4L, 8L, 16L, 32L, 64L))
+    assert(rows.forall(r =>
+      r.getLong(1) === math.min(4L, r.getLong(0))), "nprobe rule")
+    // rung nlist=4: nprobe == nlist probes every cell — exhaustive,
+    // so recall must be exactly 1 and regret exactly 0 (the built-in
+    // self-check, same as the nprobe sweep's top rung)
+    val ex = rows.find(_.getLong(0) == 4L).get
+    assert(ex.getDouble(5) === 1.0 && ex.getDouble(6) === 0.0)
+    // the cost axis: more cells ⇒ strictly fewer candidates at fixed
+    // probe depth — this is WHY nlist scales with n
+    val cands = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(cands.sliding(2).forall(p => p(0) > p(1)),
+      s"candidate volume must fall as nlist grows: ${cands.toSeq}")
+    // recall floor at the SHIPPED sizing (nlist=16, nprobe=4) — the
+    // governance number the sweep exists to watch (0.62 measured on
+    // this corpus; floor with margin)
+    val shipped = rows.find(_.getLong(0) == 16L).get
+    assert(shipped.getDouble(5) >= 0.55,
+      s"shipped-sizing recall ${shipped.getDouble(5)}")
+    assert(shipped.getDouble(6) <= 0.05,
+      s"shipped-sizing regret ${shipped.getDouble(6)}")
+  }
+
   test("knn_graph_ivf: no product join anywhere — candidates only via the cell equi-join") {
     val plan = SparkEntry.queries("knn_graph_ivf")(spark, sf)
       .queryExecution.executedPlan.toString
