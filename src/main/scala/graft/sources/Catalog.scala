@@ -80,8 +80,16 @@ object Catalog {
     * scanned exactly once, not once per reference (the corpus_mix
     * sketch pattern). The lake max is then a 1-row scalar aggregate
     * broadcast-cross-joined back — never a partition-less window. */
-  def health(spark: SparkSession, dir: String): DataFrame = {
-    val reg = collections(spark, dir)
+  def health(spark: SparkSession, dir: String): DataFrame =
+    healthOf(collections(spark, dir))
+
+  /** The freshness verdicts over ANY registry frame
+    * (collection_id, n_rows, time_start, time_end) — the lake-relative
+    * staleness rule shared by the test-lake lane above and the
+    * published-output registry a [[Schedule.scheduledIngest]] cycle
+    * reads back. */
+  def healthOf(registry: DataFrame): DataFrame = {
+    val reg = registry
       .withColumn("end_ts", to_timestamp(col("time_end")))
       .localCheckpoint()
     val lakeMax = reg.agg(max(col("end_ts")).as("lake_max_ts"))
@@ -435,6 +443,37 @@ object Catalog {
       date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("time_end"))
       .select(lit(collectionId).as("collection_id"), col("n_rows"),
         col("time_start"), col("time_end"))
+  }
+
+  /** The registry frame of a PUBLISHED output lake — one
+    * (collection_id, n_rows, time_start, time_end) row per collection
+    * that [[publishIncremental]] has landed under `outDir`, exactly
+    * the row shape each publish returns. This is the read-back half
+    * of a scheduled ingest cycle: after the due ticks run, the lake
+    * itself (not the runner's bookkeeping) says what exists, and
+    * [[healthOf]] turns it into freshness verdicts. Never-published
+    * pipelines simply have no row. Stats-only scans — min/max/count
+    * per collection. */
+  def publishedRegistry(spark: SparkSession, outDir: String,
+      collectionIds: Seq[String], tsCol: String = "ts"): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val frames = collectionIds.flatMap { id =>
+      val path = s"$outDir/$id"
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        Some(spark.read.parquet(path).agg(
+          count(lit(1)).as("n_rows"),
+          date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("time_start"),
+          date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("time_end"))
+          .select(lit(id).as("collection_id"), col("n_rows"),
+            col("time_start"), col("time_end")))
+      else None
+    }
+    if (frames.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(String, Long, String, String)]
+        .toDF("collection_id", "n_rows", "time_start", "time_end")
+    } else frames.reduce(_ unionByName _)
   }
 
   /** Small-file COMPACTION of a published collection — the scheduled

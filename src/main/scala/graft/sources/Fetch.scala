@@ -78,7 +78,13 @@ object Fetch {
 
   /** Distributed HTTP fetch: requests(name, url) → (drop(name, url,
     * content), quarantine(name, url, reason)). One client per
-    * partition; payload bytes stay on the executors. */
+    * partition; payload bytes stay on the executors. The fetched
+    * frame is PINNED (localCheckpoint) before the ok/quarantine
+    * split, so transport runs EXACTLY ONCE per request frame no
+    * matter how many consumers read either side — a lazy plan would
+    * silently re-download on every action (and break no-refetch
+    * idempotence audits). The pin is the in-memory analogue of the
+    * staging directory a production crawl lands bytes in. */
   def httpFetchDrop(requests: DataFrame,
       policy: RetryPolicy = RetryPolicy()): (DataFrame, DataFrame) = {
     val spark = requests.sparkSession
@@ -97,6 +103,7 @@ object Fetch {
         }
       }
       .toDF("ok", "name", "url", "reason", "content")
+      .localCheckpoint()
     (fetched.filter(col("ok")).select("name", "url", "content"),
       fetched.filter(!col("ok")).select("name", "url", "reason"))
   }
@@ -235,7 +242,8 @@ object Fetch {
 
   /** Distributed FTP fetch: requests(name, path) against one server →
     * (drop(name, path, content), quarantine(name, path, reason)).
-    * Same executor-side shape as [[httpFetchDrop]]. */
+    * Same executor-side shape as [[httpFetchDrop]], same exactly-once
+    * transport pin. */
   def ftpFetchDrop(requests: DataFrame, host: String, port: Int,
       policy: RetryPolicy = RetryPolicy(), user: String = "anonymous",
       pass: String = "graft@"): (DataFrame, DataFrame) = {
@@ -253,6 +261,7 @@ object Fetch {
         }
       }
       .toDF("ok", "name", "path", "reason", "content")
+      .localCheckpoint()
     (fetched.filter(col("ok")).select("name", "path", "content"),
       fetched.filter(!col("ok")).select("name", "path", "reason"))
   }

@@ -155,6 +155,61 @@ object Schedule {
     * partial failure re-runs only the unfinished ticks. Ticks run in
     * time order per pipeline so a mid-sequence failure leaves the
     * watermark exactly at the failure point. */
+  /** THE REFERENCE'S WHOLE CRON LOOP, composed end-to-end: what
+    * `scheduler.sh` + `invoke_<key>_ingestor.py` +
+    * `ingestor_cds_process.py` (fetch GRIB/NetCDF → decode →
+    * normalize → `to_zarr`/publish → `update_config`) run as separate
+    * scripts becomes ONE spec-gated pipeline — [[dueTicks]] expands
+    * the missed range, each due tick FETCHES its request frame over
+    * the executor-side transport clients ([[Fetch.httpFetchDrop]]),
+    * DECODES through the caller's drop decoder, slices to the tick
+    * window, publishes as a dynamic-partition overwrite and advances
+    * the watermark; afterwards the PUBLISHED LAKE itself is read back
+    * into a registry ([[Catalog.publishedRegistry]]) and freshness
+    * verdicts ([[Catalog.healthOf]]) — the `update_config` +
+    * healthcheck half of the loop.
+    *
+    * Failure semantics, split by KIND: a TRANSPORT failure (fetch
+    * quarantine after retries) fails the tick — the watermark does
+    * not advance, so the next invocation re-runs exactly the
+    * unfinished ticks (cron would silently coalesce them away); an
+    * UNDECODABLE payload is a data fault that re-running cannot fix,
+    * so it flows through the decoder's own quarantine discipline and
+    * the tick completes with the rows that decoded. Crash-replay is
+    * idempotent by construction: re-running a published tick is a
+    * dynamic overwrite of exactly its own day partitions.
+    *
+    * `requestsFor(pipeline, t0, t1)` builds the tick's (name, url)
+    * request frame; `decode(pipeline)` turns the fetched drop
+    * (name, url, content) into rows carrying a `ts` timestamp
+    * column. The per-tick fetch-quarantine collect is bounded by the
+    * tick's request-frame size — orchestration-scale, like the due
+    * list itself. */
+  def scheduledIngest(spark: SparkSession, entries: Seq[Entry],
+      nowIso: String, outDir: String,
+      policy: Fetch.RetryPolicy = Fetch.RetryPolicy())(
+      requestsFor: (String, java.sql.Timestamp, java.sql.Timestamp) => DataFrame,
+      decode: String => DataFrame => DataFrame)
+      : (Seq[(String, String, String, Long)], DataFrame, DataFrame) = {
+    val runners = entries.map { e =>
+      e.pipeline -> ((t0: java.sql.Timestamp, t1: java.sql.Timestamp) => {
+        val (drop, fetchQ) =
+          Fetch.httpFetchDrop(requestsFor(e.pipeline, t0, t1), policy)
+        val failed = fetchQ.select(col("name"), col("reason")).collect()
+        if (failed.nonEmpty)
+          throw new java.io.IOException(s"tick_fetch_failed:${e.pipeline}:" +
+            failed.map(r => s"${r.getString(0)}=${r.getString(1)}")
+              .mkString(","))
+        decode(e.pipeline)(drop)
+          .filter(col("ts") >= lit(t0) && col("ts") < lit(t1))
+      })
+    }.toMap
+    val reports = runDue(spark, entries, nowIso, outDir)(runners)
+    val registry =
+      Catalog.publishedRegistry(spark, outDir, entries.map(_.pipeline))
+    (reports, registry, Catalog.healthOf(registry))
+  }
+
   def runDue(spark: SparkSession, entries: Seq[Entry], nowIso: String, outDir: String)(
       runners: Map[String, (java.sql.Timestamp, java.sql.Timestamp) => DataFrame]): Seq[(String, String, String, Long)] = {
     val sched = registry(spark, entries)

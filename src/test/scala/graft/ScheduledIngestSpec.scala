@@ -1,0 +1,203 @@
+package graft
+
+import java.net.{InetAddress, InetSocketAddress}
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.sources.{Catalog, Fetch, Grib, Schedule}
+import org.apache.spark.sql.functions._
+
+/** THE REFERENCE'S CRON LOOP END-TO-END — the integration gate for
+  * [[Schedule.scheduledIngest]]: a fixture HTTP lake serves per-tick
+  * GRIB-1 drops, the schedule expands due ticks across two cadences,
+  * each tick fetches over real sockets, decodes through the real
+  * GRIB decoder, publishes as a dynamic-partition overwrite,
+  * advances its watermark, and the PUBLISHED lake is read back into
+  * registry rows and health verdicts. Replays prove the cycle's
+  * idempotence claims: a clean re-invocation is a no-op (no
+  * refetch), a lost watermark (crash after publish) re-runs exactly
+  * one tick without duplicating data, and a transport failure holds
+  * the watermark so only the unfinished tick re-runs. */
+class ScheduledIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The FetchSpec GRIB-1 hand fixture with a parametrized 2024
+    * reference time (P1 = 0, so valid time == reference time): 3
+    * cells on a 3×1 quarter-degree row, 12-bit simple packing,
+    * E = 1, R = 1.5, D = 2. */
+  private def gribAt(mm: Int, dd: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(88)
+    def u24(v: Int): Unit = { b.put((v >> 16).toByte).put((v >> 8).toByte)
+      .put(v.toByte); () }
+    def sm24(v: Int): Unit = u24(if (v < 0) 0x800000 | -v else v)
+    b.put("GRIB".getBytes("US-ASCII")); u24(88); b.put(1.toByte)
+    u24(28); b.put(128.toByte).put(98.toByte).put(0.toByte).put(255.toByte)
+    b.put(0x80.toByte)
+    b.put(11.toByte).put(1.toByte).putShort(0)
+    b.put(24.toByte).put(mm.toByte).put(dd.toByte).put(0.toByte).put(0.toByte)
+    b.put(1.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // P1 = 0
+    b.putShort(0); b.put(0.toByte)
+    b.put(21.toByte).put(0.toByte) // century 21 → year 2024
+    b.putShort(2)
+    u24(32); b.put(0.toByte).put(255.toByte).put(0.toByte)
+    b.putShort(3).putShort(1)
+    sm24(-1500); sm24(10250)
+    b.put(0x80.toByte)
+    sm24(-1500); sm24(10750)
+    b.putShort(250).putShort(250)
+    b.put(0x40.toByte); u24(0); b.put(0.toByte)
+    u24(16); b.put(0x04.toByte)
+    b.putShort(1)
+    b.put(0x41.toByte).put(0x18.toByte).put(0x00.toByte).put(0x00.toByte)
+    b.put(12.toByte)
+    b.put(0x00.toByte).put(0x18.toByte).put(0x00.toByte)
+      .put(0xFF.toByte).put(0xF0.toByte)
+    b.put("7777".getBytes("US-ASCII"))
+    b.array()
+  }
+
+  private val DatePath = """.*/(\d{4})-(\d{2})-(\d{2})\.grib""".r
+
+  /** Fixture lake: GET /lake/<pipeline>/<yyyy-MM-dd>.grib serves the
+    * GRIB for that date; per-path hit counters; paths in `gone`
+    * return 404. */
+  private class FixtureLake {
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+    @volatile var gone: Set[String] = Set.empty
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
+    server.createContext("/lake/", ex => {
+      val p = ex.getRequestURI.getPath
+      hits.computeIfAbsent(p, _ => new AtomicInteger()).incrementAndGet()
+      p match {
+        case DatePath(_, mm, dd) if !gone(p) =>
+          val body = gribAt(mm.toInt, dd.toInt)
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body)
+        case _ => ex.sendResponseHeaders(404, -1)
+      }
+      ex.close()
+    })
+    server.start()
+    val base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+    def totalHits: Int = {
+      val it = hits.values().iterator()
+      var n = 0
+      while (it.hasNext) n += it.next().get()
+      n
+    }
+  }
+
+  private val policy = Fetch.RetryPolicy(attempts = 2, baseBackoffMs = 10,
+    requestTimeoutMs = 5000)
+
+  private def requestsFor(base: String)(p: String,
+      t0: java.sql.Timestamp, t1: java.sql.Timestamp) = {
+    val day = t0.toLocalDateTime.toLocalDate.toString
+    Seq((s"$day.grib", s"$base/lake/$p/$day.grib")).toDF("name", "url")
+  }
+
+  private def decode(p: String)(drop: org.apache.spark.sql.DataFrame) =
+    Grib.decodeGribDrop(drop.select(col("name"), col("content")))
+      .withColumnRenamed("time", "ts")
+
+  test("scheduledIngest: two cadences fetch→decode→publish→register→health; clean replay is a no-op; crash-replay of one tick is idempotent") {
+    val lake = new FixtureLake
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-sched-ingest").toFile.getAbsolutePath
+    try {
+      val entries = Seq(
+        Schedule.Entry("cds_precip", "day", "2024-01-29 00:00:00"),
+        Schedule.Entry("legacy_obs", "week", "2024-01-01 00:00:00"))
+      // --- first invocation at Jan 31: 2 daily + 4 weekly ticks due
+      val (r1, reg1, h1) = Schedule.scheduledIngest(spark, entries,
+        "2024-01-31 00:00:00", outDir, policy)(requestsFor(lake.base), decode)
+      assert(r1.map(t => (t._1, t._2, t._4)) === Seq(
+        ("cds_precip", "2024-01-29 00:00:00.0", 3L),
+        ("cds_precip", "2024-01-30 00:00:00.0", 3L),
+        ("legacy_obs", "2024-01-01 00:00:00.0", 3L),
+        ("legacy_obs", "2024-01-08 00:00:00.0", 3L),
+        ("legacy_obs", "2024-01-15 00:00:00.0", 3L),
+        ("legacy_obs", "2024-01-22 00:00:00.0", 3L)))
+      assert(lake.totalHits === 6, "one fetch per due tick")
+      val regRows = reg1.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2),
+          r.getString(3)))).toMap
+      assert(regRows("cds_precip") ===
+        ((6L, "2024-01-29 00:00:00", "2024-01-30 00:00:00")))
+      assert(regRows("legacy_obs") ===
+        ((12L, "2024-01-01 00:00:00", "2024-01-22 00:00:00")))
+      // health is lake-relative: precip ends at the lake max (fresh),
+      // the weekly feed ended 8 days earlier (192 h → stale)
+      val verdicts = h1.collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Double]("lag_hours"), r.getAs[String]("status")))).toMap
+      assert(verdicts("cds_precip") === ((0.0, "fresh")))
+      assert(verdicts("legacy_obs") === ((192.0, "stale")))
+      // decoded values really came through the GRIB decoder
+      val pub = spark.read.parquet(s"$outDir/cds_precip")
+      assert(pub.count() === 6)
+      val vals = pub.filter(col("ts") === "2024-01-29 00:00:00")
+        .orderBy(col("lon")).collect().map(_.getAs[Double]("value"))
+      // packed 12-bit values 1 / 2048 / 4095 under R=1.5, E=1, D=2
+      assert(vals.toSeq === Seq((1.5 + 1 * 2.0) / 100.0,
+        (1.5 + 2048 * 2.0) / 100.0, (1.5 + 4095 * 2.0) / 100.0))
+      // --- clean replay at the same instant: nothing due, NO refetch
+      val (r2, reg2, _) = Schedule.scheduledIngest(spark, entries,
+        "2024-01-31 00:00:00", outDir, policy)(requestsFor(lake.base), decode)
+      assert(r2.isEmpty, "watermarks moved past every tick")
+      assert(lake.totalHits === 6, "a no-op replay touches no transport")
+      assert(reg2.collect().map(_.toSeq.toList).toSet ===
+        reg1.collect().map(_.toSeq.toList).toSet)
+      // --- crash-replay: the tick-2 watermark write is lost (crash
+      // after publish) — exactly that tick re-runs; the dynamic
+      // overwrite republishes the same day, so nothing duplicates
+      Seq(("cds_precip", java.sql.Timestamp.valueOf("2024-01-30 00:00:00")))
+        .toDF("pipeline", "watermark").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/_watermarks/cds_precip")
+      val (r3, reg3, _) = Schedule.scheduledIngest(spark, entries,
+        "2024-01-31 00:00:00", outDir, policy)(requestsFor(lake.base), decode)
+      assert(r3.map(t => (t._1, t._2, t._4)) ===
+        Seq(("cds_precip", "2024-01-30 00:00:00.0", 3L)))
+      assert(lake.totalHits === 7, "exactly one tick refetched")
+      assert(spark.read.parquet(s"$outDir/cds_precip").count() === 6,
+        "replayed tick overwrote its own day — no duplicates")
+      assert(reg3.collect().map(_.toSeq.toList).toSet ===
+        reg1.collect().map(_.toSeq.toList).toSet)
+    } finally lake.stop()
+  }
+
+  test("scheduledIngest: a transport failure fails its tick loudly, the watermark holds, and the next invocation runs only the unfinished tick") {
+    val lake = new FixtureLake
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-sched-fail").toFile.getAbsolutePath
+    try {
+      val entries = Seq(
+        Schedule.Entry("cds_wind", "day", "2024-01-29 00:00:00"))
+      lake.gone = Set("/lake/cds_wind/2024-01-30.grib")
+      val e = intercept[java.io.IOException] {
+        Schedule.scheduledIngest(spark, entries, "2024-01-31 00:00:00",
+          outDir, policy)(requestsFor(lake.base), decode)
+      }
+      assert(e.getMessage.contains("tick_fetch_failed:cds_wind"))
+      assert(e.getMessage.contains("http_404"))
+      // tick 1 landed and its watermark advanced before the failure
+      val wm = Schedule.readWatermarks(spark, outDir, Seq("cds_wind"))
+        .collect()
+      assert(wm.length === 1 &&
+        wm.head.getTimestamp(1).toString === "2024-01-30 00:00:00.0")
+      assert(Catalog.publishedRegistry(spark, outDir, Seq("cds_wind"))
+        .collect().head.getLong(1) === 3L)
+      // the feed recovers: only the unfinished tick runs
+      lake.gone = Set.empty
+      val (r2, reg2, h2) = Schedule.scheduledIngest(spark, entries,
+        "2024-01-31 00:00:00", outDir, policy)(requestsFor(lake.base), decode)
+      assert(r2.map(t => (t._2, t._4)) ===
+        Seq(("2024-01-30 00:00:00.0", 3L)))
+      val reg = reg2.collect().head
+      assert((reg.getLong(1), reg.getString(2), reg.getString(3)) ===
+        ((6L, "2024-01-29 00:00:00", "2024-01-30 00:00:00")))
+      assert(h2.collect().head.getAs[String]("status") === "fresh")
+    } finally lake.stop()
+  }
+}
