@@ -190,6 +190,10 @@ object SparkEntry {
     "video_frame_index"     -> graft.sources.Mp4.videoFrameIndex _,
     "video_keyframe_sample" -> graft.sources.Mp4.videoKeyframeSample _,
     "video_codec_meta"      -> graft.sources.Mp4.videoCodecMeta _,
+    "audio_mp3_index"       -> graft.sources.AudioFrames.audioMp3Index _,
+    "audio_adts_index"      -> graft.sources.AudioFrames.audioAdtsIndex _,
+    "audio_ogg_index"       -> graft.sources.AudioFrames.audioOggIndex _,
+    "audio_flac_meta"       -> graft.sources.AudioFrames.audioFlacMeta _,
     "stac_search_items"     -> graft.sources.Stac.stacSearchItems _,
     "grid_zarr_decode"      -> graft.sources.Zarr.gridZarrDecode _,
     "phenology_slices"      -> graft.sources.Zarr.phenologySlices _,
@@ -6785,6 +6789,141 @@ object SparkEntry {
         |  CASE WHEN g % 2 = 0 THEN CAST(30 + a % 21 AS BIGINT) END AS level,
         |  (h + 15) // 16 * 16 <> h AS dim_mismatch
         |FROM p""".stripMargin,
+
+    // the MP3 frame index replays as closed forms: ISO 11172-3
+    // frame length 144·bitrate/rate + padding (integer division),
+    // period-3 padding prefix-summed as (f+2)//3, ID3v2 tag skip as
+    // a constant offset, 1152 samples per frame
+    "audio_mp3_index" ->
+      s"""WITH s AS (
+        |  SELECT user_id % 8 AS g,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS seed
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT g,
+        |    CASE 9 + abs(seed) % 6 WHEN 9 THEN 128 WHEN 10 THEN 160
+        |      WHEN 11 THEN 192 WHEN 12 THEN 224 WHEN 13 THEN 256
+        |      ELSE 320 END AS bitrate,
+        |    CASE g % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |      ELSE 32000 END AS rate,
+        |    12 + (g % 4) * 4 AS nf,
+        |    CASE WHEN g % 2 = 0 THEN 0
+        |      ELSE 10 + 64 + abs(seed) % 100 END AS tagtot
+        |  FROM s),
+        |fr AS (SELECT p.*, unnest(generate_series(0, nf - 1)) AS f FROM p),
+        |x AS (SELECT *, (144 * bitrate * 1000) // rate AS base FROM fr)
+        |SELECT 'track_' || g || '.mp3' AS name, CAST(f AS BIGINT) AS frame,
+        |  CAST(tagtot + f * base + (f + 2) // 3 AS BIGINT) AS "offset",
+        |  CAST(bitrate AS BIGINT) AS bitrate_kbps,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  f % 3 = 0 AS padded,
+        |  CAST(base + CASE WHEN f % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS frame_bytes,
+        |  CAST(f * 1152 AS BIGINT) AS cum_samples
+        |FROM x""".stripMargin,
+
+    // the ADTS index: 13-bit frame_length includes the 7/9-byte
+    // header, offsets prefix-sum the data-derived frame sizes, 1024
+    // samples per raw data block
+    "audio_adts_index" ->
+      s"""WITH s AS (
+        |  SELECT user_id % 8 AS g,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS seed
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT g, abs(seed) AS a,
+        |    CASE g % 4 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+        |      WHEN 2 THEN 32000 ELSE 24000 END AS rate,
+        |    1 + g % 3 AS profile, 1 + g % 2 AS channels,
+        |    g % 2 = 1 AS has_crc,
+        |    CASE WHEN g % 2 = 1 THEN 9 ELSE 7 END AS hdr,
+        |    10 + (g % 5) * 3 AS nf
+        |  FROM s),
+        |fr AS (SELECT p.*, unnest(generate_series(0, nf - 1)) AS f FROM p),
+        |x AS (SELECT *, hdr + 200 + (a + f * 37) % 150 AS fb FROM fr),
+        |y AS (SELECT *, coalesce(sum(fb) OVER (PARTITION BY g ORDER BY f
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM x)
+        |SELECT 'clip_' || g || '.aac' AS name, CAST(f AS BIGINT) AS frame,
+        |  CAST(off AS BIGINT) AS "offset", CAST(profile AS BIGINT) AS profile,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(channels AS BIGINT) AS channels,
+        |  CAST(fb AS BIGINT) AS frame_bytes, has_crc,
+        |  CAST(f * 1024 AS BIGINT) AS cum_samples
+        |FROM y""".stripMargin,
+
+    // the Ogg/Opus page index: RFC 3533 page lengths (27 + table +
+    // lacing sum) prefix-summed per stream, the OpusHead fields
+    // joined onto every row, 960-sample granule cadence
+    "audio_ogg_index" ->
+      s"""WITH s AS (
+        |  SELECT user_id % 8 AS g,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS seed
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT g, abs(seed) AS a, 1 + g % 2 AS channels,
+        |    312 + abs(seed) % 100 AS pre_skip,
+        |    8 + (g % 4) * 2 AS na, 1000 + g AS serial
+        |  FROM s),
+        |au AS (SELECT p.*, unnest(generate_series(0, na - 1)) AS ap FROM p),
+        |ax AS (SELECT *, 100 + (a + ap * 13) % 80 AS payload FROM au),
+        |ay AS (SELECT *, coalesce(sum(28 + payload) OVER (PARTITION BY g
+        |    ORDER BY ap ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS prev FROM ax),
+        |pages AS (
+        |  SELECT g, 0 AS page, 0 AS off, true AS bos, false AS eos,
+        |    0 AS granule, serial, 0 AS seq, 19 AS payload, 47 AS pb,
+        |    channels, pre_skip FROM p
+        |  UNION ALL
+        |  SELECT g, 1, 47, false, false, 0, serial, 1, 16, 44,
+        |    channels, pre_skip FROM p
+        |  UNION ALL
+        |  SELECT g, ap + 2, 91 + prev, false, ap = na - 1,
+        |    (ap + 1) * 960, serial, ap + 2, payload, 28 + payload,
+        |    channels, pre_skip FROM ay)
+        |SELECT 'voice_' || g || '.opus' AS name,
+        |  CAST(page AS BIGINT) AS page, CAST(off AS BIGINT) AS "offset",
+        |  bos, eos, CAST(granule AS BIGINT) AS granule,
+        |  CAST(serial AS BIGINT) AS serial, CAST(seq AS BIGINT) AS seq,
+        |  CAST(1 AS BIGINT) AS n_segs, CAST(pb AS BIGINT) AS page_bytes,
+        |  CAST(payload AS BIGINT) AS payload_bytes,
+        |  CAST(channels AS BIGINT) AS channels,
+        |  CAST(pre_skip AS BIGINT) AS pre_skip
+        |FROM pages""".stripMargin,
+
+    // the FLAC census: STREAMINFO fields and the MD5 fingerprint
+    // replayed byte-for-byte (hex via a generated series)
+    "audio_flac_meta" ->
+      s"""WITH s AS (
+        |  SELECT user_id % 8 AS g,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS seed
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT g, abs(seed) AS a,
+        |    CASE g % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |      WHEN 2 THEN 96000 ELSE 22050 END AS rate,
+        |    1 + g % 2 AS channels, 16 + (g % 2) * 8 AS bps,
+        |    abs(seed) % 100000000 AS total,
+        |    CASE WHEN g % 2 = 1 THEN 2 ELSE 1 END AS n_blocks
+        |  FROM s),
+        |m AS (
+        |  SELECT g, string_agg(upper(lpad(to_hex((a + i * 31) % 256), 2,
+        |    '0')), '' ORDER BY i) AS md5_hex
+        |  FROM p, unnest(generate_series(0, 15)) AS t(i)
+        |  GROUP BY g, a)
+        |SELECT 'song_' || p.g || '.flac' AS name,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(channels AS BIGINT) AS channels,
+        |  CAST(bps AS BIGINT) AS bits_per_sample,
+        |  CAST(total AS BIGINT) AS total_samples,
+        |  CAST(4096 AS BIGINT) AS min_block, CAST(4096 AS BIGINT) AS max_block,
+        |  CAST(1200 AS BIGINT) AS min_frame, CAST(9000 AS BIGINT) AS max_frame,
+        |  md5_hex, CAST(n_blocks AS BIGINT) AS n_blocks
+        |FROM p JOIN m ON p.g = m.g""".stripMargin,
 
     // the HDF5 lane: f64 micro-unit payload round-trips IEEE
     // (exact ≤ 2^53), CF unpack is raw·scale + offset with scale

@@ -1,0 +1,519 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FRAME-INDEX walks for the two dominant compressed-audio stream
+  * formats — the container-level half of the declared MP3/AAC seam
+  * (the audio analogue of [[Mp4]]'s `video_frame_index`): an audio
+  * training pipeline needs per-file duration, bitrate, frame count
+  * and seek offsets long before (and usually instead of) decoding
+  * the entropy payload, and ALL of that lives in the public frame
+  * headers (ISO 11172-3 for MPEG audio; ISO 14496-3 for ADTS).
+  * Payload bytes are never interpreted — Huffman/spectral decode
+  * remains the declared codec-library seam, now shrunk to exactly
+  * the entropy bits.
+  *
+  * Reference provenance: the reference's media handling keys assets
+  * by type and routes them whole (`ingestor_planetary_process.py:
+  * 195-230` asset hrefs); a corpus census over those assets starts
+  * with exactly these walks.
+  */
+object AudioFrames {
+
+  /** One frame of an MPEG-1 Layer III stream: ordinal, absolute byte
+    * offset, declared bitrate (kbps), sample rate, padding flag,
+    * total frame bytes, cumulative PCM samples BEFORE this frame
+    * (1152 samples/frame — exact, unlike a float duration). */
+  private[graft] case class Mp3Frame(frame: Int, offset: Long,
+      bitrateKbps: Int, sampleRate: Int, padded: Boolean,
+      frameBytes: Int, cumSamples: Long)
+
+  // MPEG-1 Layer III tables (ISO 11172-3): bitrate index 1..14 in
+  // kbps (0 = free format — unsupported, 15 = bad) and the three
+  // legal sample rates (index 3 reserved)
+  private val Mp3Bitrate = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320)
+  private val Mp3Rate = Array(44100, 48000, 32000)
+
+  /** MPEG-1 Layer III frame walk. Honors the real stream rules: an
+    * optional leading ID3v2 tag skips by its synchsafe size, each
+    * header must carry the 11-bit sync, version MPEG-1, layer III,
+    * legal bitrate/samplerate indices; frame length is the spec's
+    * `144·bitrate/samplerate + padding`. Trailing garbage shorter
+    * than a header ends the walk (a final partial frame quarantines).
+    * Left(reason) quarantines: free-format or reserved bitrate,
+    * reserved sample rate, MPEG-2/2.5 or layer I/II (different
+    * length arithmetic — loudly unsupported rather than silently
+    * wrong), lost sync mid-stream, truncated frame. */
+  private[graft] def mp3FrameIndex(bytes: Array[Byte]):
+      Either[String, Seq[Mp3Frame]] = {
+    def u8(p: Int) = bytes(p) & 0xFF
+    var p = 0
+    // ID3v2: "ID3" + version(2) + flags(1) + synchsafe u28 size
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val size = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      if ((u8(6) | u8(7) | u8(8) | u8(9)) >= 0x80)
+        return Left("bad_id3_size") // synchsafe bytes must be 7-bit
+      p = 10 + size
+      if (p > bytes.length) return Left("truncated_id3")
+    }
+    if (p >= bytes.length) return Left("no_frames")
+    val out = Seq.newBuilder[Mp3Frame]
+    var i = 0
+    var cum = 0L
+    while (p + 4 <= bytes.length) {
+      if (u8(p) != 0xFF || (u8(p + 1) & 0xE0) != 0xE0)
+        return Left(if (i == 0) "no_sync" else "lost_sync")
+      val versionId = (u8(p + 1) >> 3) & 0x03
+      val layer = (u8(p + 1) >> 1) & 0x03
+      if (versionId != 3) return Left("unsupported_mpeg_version")
+      if (layer != 1) return Left("unsupported_layer") // 1 = Layer III
+      val bi = (u8(p + 2) >> 4) & 0x0F
+      val si = (u8(p + 2) >> 2) & 0x03
+      if (bi == 0) return Left("free_format_unsupported")
+      if (bi == 15) return Left("bad_bitrate_index")
+      if (si == 3) return Left("bad_samplerate_index")
+      val pad = ((u8(p + 2) >> 1) & 1) == 1
+      val bitrate = Mp3Bitrate(bi)
+      val rate = Mp3Rate(si)
+      val len = 144 * bitrate * 1000 / rate + (if (pad) 1 else 0)
+      if (p + len > bytes.length) return Left("truncated_frame")
+      out += Mp3Frame(i, p.toLong, bitrate, rate, pad, len, cum)
+      cum += 1152
+      p += len
+      i += 1
+    }
+    if (p != bytes.length) return Left("trailing_garbage")
+    if (i == 0) Left("no_frames") else Right(out.result())
+  }
+
+  /** One ADTS frame: ordinal, absolute byte offset, AOT profile
+    * (1-based MPEG-4 audio object type as stored), sample rate,
+    * channel config, total frame bytes (header included), CRC
+    * presence, cumulative PCM samples before this frame (1024 per
+    * raw data block). */
+  private[graft] case class AdtsFrame(frame: Int, offset: Long,
+      profile: Int, sampleRate: Int, channels: Int, frameBytes: Int,
+      hasCrc: Boolean, cumSamples: Long)
+
+  // ISO 14496-3 sampling_frequency_index table (13 legal entries)
+  private val AdtsRate = Array(96000, 88200, 64000, 48000, 44100,
+    32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** ADTS (AAC transport) frame walk: 12-bit syncword, MPEG-4 IDs,
+    * profile + sampling_frequency_index + channel_configuration from
+    * the fixed header, the 13-bit frame_length (INCLUDES the 7- or
+    * 9-byte header), protection_absent → CRC presence. Only
+    * single-raw-data-block frames decode (number_of_raw_data_blocks
+    * = 0, the overwhelmingly common form); multi-block frames
+    * quarantine loudly. */
+  private[graft] def adtsFrameIndex(bytes: Array[Byte]):
+      Either[String, Seq[AdtsFrame]] = {
+    def u8(p: Int) = bytes(p) & 0xFF
+    if (bytes.length < 7) return Left("no_frames")
+    val out = Seq.newBuilder[AdtsFrame]
+    var p = 0
+    var i = 0
+    var cum = 0L
+    while (p + 7 <= bytes.length) {
+      if (u8(p) != 0xFF || (u8(p + 1) & 0xF0) != 0xF0)
+        return Left(if (i == 0) "no_sync" else "lost_sync")
+      if ((u8(p + 1) & 0x06) != 0) return Left("bad_layer")
+      val hasCrc = (u8(p + 1) & 1) == 0 // protection_absent inverted
+      val profile = ((u8(p + 2) >> 6) & 0x03) + 1
+      val si = (u8(p + 2) >> 2) & 0x0F
+      if (si >= AdtsRate.length) return Left("bad_samplerate_index")
+      val channels = ((u8(p + 2) & 1) << 2) | ((u8(p + 3) >> 6) & 0x03)
+      if (channels == 0) return Left("unsupported_channel_config")
+      val len = ((u8(p + 3) & 0x03) << 11) | (u8(p + 4) << 3) |
+        ((u8(p + 5) >> 5) & 0x07)
+      val hdr = if (hasCrc) 9 else 7
+      if (len < hdr) return Left("bad_frame_length")
+      if (p + len > bytes.length) return Left("truncated_frame")
+      val nBlocks = u8(p + 6) & 0x03
+      if (nBlocks != 0) return Left("multi_block_unsupported")
+      out += AdtsFrame(i, p.toLong, profile, AdtsRate(si), channels,
+        len, hasCrc, cum)
+      cum += 1024
+      p += len
+      i += 1
+    }
+    if (p != bytes.length) return Left("trailing_garbage")
+    if (i == 0) Left("no_frames") else Right(out.result())
+  }
+
+  /** One Ogg page (RFC 3533): ordinal, absolute byte offset,
+    * continuation/BOS/EOS flags, granule position (for Opus: the PCM
+    * sample clock at 48 kHz — THE seek index), stream serial, page
+    * sequence number, segment count, total page bytes, payload
+    * bytes (lacing-table sum). */
+  private[graft] case class OggPage(page: Int, offset: Long,
+      continued: Boolean, bos: Boolean, eos: Boolean, granule: Long,
+      serial: Long, seq: Long, nSegs: Int, pageBytes: Int,
+      payloadBytes: Int)
+
+  /** Ogg container page walk (RFC 3533 §6): `OggS` capture pattern,
+    * version 0, header-type flags, 64-bit granule position, serial,
+    * page sequence, CRC (presence only — the polynomial is public
+    * but a census does not re-checksum), segment count + lacing
+    * table. Page length = 27 + n_segs + Σ lacing. For an Opus
+    * stream the first packet begins `OpusHead` (RFC 7845) — the
+    * companion [[opusHead]] reads channels/pre-skip from it. Lost
+    * capture, bad version, truncated page/table quarantine. */
+  private[graft] def oggPageIndex(bytes: Array[Byte]):
+      Either[String, Seq[OggPage]] = {
+    def u8(p: Int) = bytes(p) & 0xFF
+    def u32(p: Int): Long =
+      (u8(p).toLong) | (u8(p + 1).toLong << 8) |
+        (u8(p + 2).toLong << 16) | (u8(p + 3).toLong << 24)
+    def u64(p: Int): Long = u32(p) | (u32(p + 4) << 32)
+    if (bytes.length < 27) return Left("no_pages")
+    val out = Seq.newBuilder[OggPage]
+    var p = 0
+    var i = 0
+    while (p + 27 <= bytes.length) {
+      if (!(u8(p) == 'O' && u8(p + 1) == 'g' && u8(p + 2) == 'g' &&
+          u8(p + 3) == 'S'))
+        return Left(if (i == 0) "no_capture" else "lost_capture")
+      if (u8(p + 4) != 0) return Left("bad_version")
+      val flags = u8(p + 5)
+      val granule = u64(p + 6)
+      val serial = u32(p + 14)
+      val seq = u32(p + 18)
+      val nSegs = u8(p + 26)
+      if (p + 27 + nSegs > bytes.length) return Left("truncated_table")
+      var payload = 0
+      var s = 0
+      while (s < nSegs) { payload += u8(p + 27 + s); s += 1 }
+      val total = 27 + nSegs + payload
+      if (p + total > bytes.length) return Left("truncated_page")
+      out += OggPage(i, p.toLong, (flags & 1) != 0, (flags & 2) != 0,
+        (flags & 4) != 0, granule, serial, seq, nSegs, total, payload)
+      p += total
+      i += 1
+    }
+    if (p != bytes.length) return Left("trailing_garbage")
+    if (i == 0) Left("no_pages") else Right(out.result())
+  }
+
+  /** RFC 7845 identification header off the first page's payload:
+    * (channels, preSkip, inputSampleRate, outputGain). Left(reason)
+    * if the payload is not an OpusHead. */
+  private[graft] def opusHead(payload: Array[Byte]):
+      Either[String, (Int, Int, Long, Int)] = {
+    if (payload.length < 19 ||
+        !payload.take(8).sameElements("OpusHead".getBytes("US-ASCII")))
+      return Left("not_opus")
+    if ((payload(8) & 0xFF) != 1) return Left("bad_opus_version")
+    def u16(p: Int) = (payload(p) & 0xFF) | ((payload(p + 1) & 0xFF) << 8)
+    def u32(p: Int): Long = u16(p).toLong | (u16(p + 2).toLong << 16)
+    Right(((payload(9) & 0xFF), u16(10), u32(12),
+      (u16(16) << 16) >> 16))
+  }
+
+  /** FLAC metadata (the lossless leg): signature + metadata-block
+    * walk + the STREAMINFO fields every audio pipeline reads first.
+    * (blockType, lastFlag, length) per block; STREAMINFO unpacks
+    * min/max block size, min/max frame size, the 20-bit sample rate,
+    * 3-bit channels-1, 5-bit bps-1, 36-bit total samples, and the
+    * raw-PCM MD5 as hex. */
+  private[graft] case class FlacMeta(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, totalSamples: Long, minBlock: Int,
+      maxBlock: Int, minFrame: Int, maxFrame: Int, md5Hex: String,
+      nBlocks: Int)
+
+  private[graft] def flacMeta(bytes: Array[Byte]):
+      Either[String, FlacMeta] = {
+    def u8(p: Int) = bytes(p) & 0xFF
+    def u24(p: Int) = (u8(p) << 16) | (u8(p + 1) << 8) | u8(p + 2)
+    if (bytes.length < 4 || !(u8(0) == 'f' && u8(1) == 'L' &&
+        u8(2) == 'a' && u8(3) == 'C')) return Left("not_flac")
+    var p = 4
+    var si: Option[FlacMeta] = None
+    var n = 0
+    var last = false
+    while (!last) {
+      if (p + 4 > bytes.length) return Left("truncated_block_header")
+      val h = u8(p)
+      last = (h & 0x80) != 0
+      val btype = h & 0x7F
+      if (btype == 127) return Left("invalid_block_type")
+      val len = u24(p + 1)
+      if (p + 4 + len > bytes.length) return Left("truncated_block")
+      if (btype == 0) { // STREAMINFO — must be first per the spec
+        if (n != 0) return Left("streaminfo_not_first")
+        if (len < 34) return Left("undersized_streaminfo")
+        val s = p + 4
+        val rate = (u8(s + 10) << 12) | (u8(s + 11) << 4) |
+          ((u8(s + 12) >> 4) & 0x0F)
+        if (rate == 0) return Left("bad_sample_rate")
+        val ch = ((u8(s + 12) >> 1) & 0x07) + 1
+        val bps = (((u8(s + 12) & 1) << 4) | ((u8(s + 13) >> 4) & 0x0F)) + 1
+        val total = ((u8(s + 13) & 0x0F).toLong << 32) |
+          ((u8(s + 14).toLong << 24) | (u8(s + 15).toLong << 16) |
+            (u8(s + 16).toLong << 8) | u8(s + 17).toLong)
+        val md5 = (0 until 16).map(i => f"${u8(s + 18 + i)}%02X").mkString
+        si = Some(FlacMeta(rate, ch, bps, total,
+          (u8(s) << 8) | u8(s + 1), (u8(s + 2) << 8) | u8(s + 3),
+          u24(s + 4), u24(s + 7), md5, 0))
+      } else if (n == 0) return Left("streaminfo_not_first")
+      p += 4 + len
+      n += 1
+    }
+    si.map(m => m.copy(nBlocks = n)).toRight("missing_streaminfo")
+  }
+
+  /** Encoder twin for fixtures: fLaC + STREAMINFO (+ optional padding
+    * and application blocks). */
+  private[graft] def encodeFlacMeta(rate: Int, channels: Int, bps: Int,
+      totalSamples: Long, md5: Array[Byte],
+      padBlocks: Seq[Int] = Nil): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    bo.write('f'); bo.write('L'); bo.write('a'); bo.write('C')
+    val lastSi = padBlocks.isEmpty
+    bo.write(if (lastSi) 0x80 else 0x00); bo.write(0); bo.write(0); bo.write(34)
+    val si = java.nio.ByteBuffer.allocate(34)
+    si.putShort(4096.toShort).putShort(4096.toShort) // min/max block
+    def p24(v: Int): Unit = { si.put((v >> 16).toByte)
+      .put((v >> 8).toByte).put(v.toByte); () }
+    p24(1200); p24(9000) // min/max frame
+    si.put((rate >> 12).toByte).put(((rate >> 4) & 0xFF).toByte)
+    si.put((((rate & 0x0F) << 4) | ((channels - 1) << 1) |
+      ((bps - 1) >> 4)).toByte)
+    si.put(((((bps - 1) & 0x0F) << 4) |
+      ((totalSamples >> 32) & 0x0F).toInt).toByte)
+    si.putInt((totalSamples & 0xFFFFFFFFL).toInt)
+    si.put(md5)
+    bo.write(si.array())
+    padBlocks.zipWithIndex.foreach { case (len, i) =>
+      val isLast = i == padBlocks.size - 1
+      bo.write((if (isLast) 0x80 else 0) | 1) // PADDING
+      bo.write((len >> 16) & 0xFF); bo.write((len >> 8) & 0xFF)
+      bo.write(len & 0xFF)
+      (0 until len).foreach(_ => bo.write(0))
+    }
+    bo.toByteArray
+  }
+
+  // ------------------------------------------------ rendered lanes
+
+  /** END-TO-END oracle-checked lane — the MP3 corpus census: eight
+    * streams render in-plan (constant per-stream bitrate from the
+    * seed, sample rate by group, padding every 3rd frame, half the
+    * streams behind an ID3v2 tag whose size derives from the seed),
+    * then the REAL frame walk indexes them back. Everything is
+    * closed-form arithmetic of the events grid, so the oracle
+    * replays the full index — a sync, length, padding or tag-skip
+    * bug cannot hash-match. */
+  def audioMp3Index(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = graft.Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("g"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("seed"))
+    val streams = seeds.as[(Long, Long)].map { case (g, seed) =>
+      val a = math.abs(seed)
+      val bi = 9 + (a % 6).toInt          // bitrate idx 9..14
+      val si = (g % 3).toInt              // all three sample rates
+      val nFrames = 12 + (g % 4).toInt * 4
+      val tagLen = if (g % 2 == 0) 0 else 64 + (a % 100).toInt
+      val bo = new java.io.ByteArrayOutputStream()
+      if (tagLen > 0) {
+        bo.write('I'); bo.write('D'); bo.write('3')
+        bo.write(4); bo.write(0); bo.write(0) // v2.4, no flags
+        bo.write((tagLen >> 21) & 0x7F); bo.write((tagLen >> 14) & 0x7F)
+        bo.write((tagLen >> 7) & 0x7F); bo.write(tagLen & 0x7F)
+        var k = 0
+        while (k < tagLen) { bo.write((k * 7 + 1) & 0xFF); k += 1 }
+      }
+      var f = 0
+      while (f < nFrames) {
+        val pad = f % 3 == 0
+        val len = 144 * Mp3Bitrate(bi) * 1000 / Mp3Rate(si) +
+          (if (pad) 1 else 0)
+        // header: FF FB (MPEG-1 Layer III no CRC), bitrate/rate/pad
+        bo.write(0xFF); bo.write(0xFB)
+        bo.write((bi << 4) | (si << 2) | (if (pad) 2 else 0))
+        bo.write(0x00) // stereo, no mode ext
+        var k = 4
+        while (k < len) { bo.write((f * 31 + k) & 0xFF); k += 1 }
+        f += 1
+      }
+      (s"track_$g.mp3", bo.toByteArray)
+    }.toDF("name", "content")
+    streams.as[(String, Array[Byte])].flatMap { case (name, bytes) =>
+      mp3FrameIndex(bytes) match {
+        case Left(_) => Iterator.empty
+        case Right(fs) => fs.iterator.map(f => (name, f.frame.toLong,
+          f.offset, f.bitrateKbps.toLong, f.sampleRate.toLong,
+          f.padded, f.frameBytes.toLong, f.cumSamples))
+      }
+    }.toDF("name", "frame", "offset", "bitrate_kbps", "sample_rate",
+      "padded", "frame_bytes", "cum_samples")
+      .orderBy(col("name"), col("frame"))
+  }
+
+  /** The Ogg/Opus twin — the page walk IS the seek index (granule
+    * position is the 48 kHz PCM clock, RFC 7845): eight Opus-in-Ogg
+    * streams render in-plan (BOS page carrying a real `OpusHead`
+    * with data-derived channels/pre-skip, an `OpusTags` page, then
+    * audio pages with data-derived payload sizes and a 960-sample
+    * granule cadence, EOS on the last), the REAL page walk indexes
+    * them back, and the identification header joins channels and
+    * pre-skip onto every page row. Entropy (SILK/CELT) bits are
+    * never touched. */
+  def audioOggIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = graft.Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("g"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("seed"))
+    val streams = seeds.as[(Long, Long)].map { case (g, seed) =>
+      val a = math.abs(seed)
+      val channels = 1 + (g % 2).toInt
+      val preSkip = 312 + (a % 100).toInt
+      val nAudio = 8 + (g % 4).toInt * 2
+      val serial = 1000 + g
+      val bo = new java.io.ByteArrayOutputStream()
+      def page(flags: Int, granule: Long, seq: Long,
+          payload: Array[Byte]): Unit = {
+        val b = java.nio.ByteBuffer.allocate(27 + 1 + payload.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("OggS".getBytes("US-ASCII")).put(0.toByte)
+          .put(flags.toByte).putLong(granule)
+          .putInt(serial.toInt).putInt(seq.toInt)
+          .putInt(0) // CRC: a census reads structure, not checksums
+          .put(1.toByte).put(payload.length.toByte)
+          .put(payload)
+        bo.write(b.array())
+      }
+      val head = java.nio.ByteBuffer.allocate(19)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put("OpusHead".getBytes("US-ASCII")).put(1.toByte)
+        .put(channels.toByte).putShort(preSkip.toShort)
+        .putInt(48000).putShort(0.toShort).put(0.toByte)
+      page(2, 0L, 0L, head.array()) // BOS
+      val tags = java.nio.ByteBuffer.allocate(16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put("OpusTags".getBytes("US-ASCII")).putInt(0).putInt(0)
+      page(0, 0L, 1L, tags.array())
+      var p = 0
+      while (p < nAudio) {
+        val payload = new Array[Byte](100 + ((a + p * 13) % 80).toInt)
+        payload.indices.foreach(k => payload(k) = ((p * 11 + k) & 0xFF).toByte)
+        page(if (p == nAudio - 1) 4 else 0, (p + 1) * 960L,
+          (p + 2).toLong, payload)
+        p += 1
+      }
+      (s"voice_$g.opus", bo.toByteArray)
+    }.toDF("name", "content")
+    streams.as[(String, Array[Byte])].flatMap { case (name, bytes) =>
+      oggPageIndex(bytes) match {
+        case Left(_) => Iterator.empty
+        case Right(pages) =>
+          // first page's payload is the identification header
+          val h = pages.headOption.flatMap { p0 =>
+            opusHead(java.util.Arrays.copyOfRange(bytes,
+              p0.offset.toInt + 27 + p0.nSegs,
+              p0.offset.toInt + p0.pageBytes)).toOption
+          }
+          val (ch, skip) = h.map(x => (x._1.toLong, x._2.toLong))
+            .getOrElse((-1L, -1L))
+          pages.iterator.map(p => (name, p.page.toLong, p.offset,
+            p.bos, p.eos, p.granule, p.serial, p.seq, p.nSegs.toLong,
+            p.pageBytes.toLong, p.payloadBytes.toLong, ch, skip))
+      }
+    }.toDF("name", "page", "offset", "bos", "eos", "granule",
+      "serial", "seq", "n_segs", "page_bytes", "payload_bytes",
+      "channels", "pre_skip")
+      .orderBy(col("name"), col("page"))
+  }
+
+  /** The FLAC leg: eight files render in-plan (data-derived
+    * rate/channels/bps/total-samples/MD5, odd files carry a PADDING
+    * block so the block walk is exercised), the metadata walk reads
+    * them back — the duration/geometry/fingerprint census a lossless
+    * audio corpus runs before any frame decode. */
+  def audioFlacMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = graft.Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("g"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("seed"))
+    val files = seeds.as[(Long, Long)].map { case (g, seed) =>
+      val a = math.abs(seed)
+      val rate = Seq(44100, 48000, 96000, 22050)((g % 4).toInt)
+      val channels = 1 + (g % 2).toInt
+      val bps = 16 + (g % 2).toInt * 8
+      val total = a % 100000000L
+      val md5 = Array.tabulate[Byte](16)(i => ((a + i * 31) % 256).toByte)
+      val pads = if (g % 2 == 1) Seq(32 + (a % 50).toInt) else Nil
+      (s"song_$g.flac",
+        encodeFlacMeta(rate, channels, bps, total, md5, pads))
+    }.toDF("name", "content")
+    files.as[(String, Array[Byte])].flatMap { case (name, bytes) =>
+      flacMeta(bytes) match {
+        case Left(_) => Iterator.empty
+        case Right(m) => Iterator((name, m.sampleRate.toLong,
+          m.channels.toLong, m.bitsPerSample.toLong, m.totalSamples,
+          m.minBlock.toLong, m.maxBlock.toLong, m.minFrame.toLong,
+          m.maxFrame.toLong, m.md5Hex, m.nBlocks.toLong))
+      }
+    }.toDF("name", "sample_rate", "channels", "bits_per_sample",
+      "total_samples", "min_block", "max_block", "min_frame",
+      "max_frame", "md5_hex", "n_blocks")
+      .orderBy(col("name"))
+  }
+
+  /** The ADTS twin: eight AAC transport streams render in-plan
+    * (profile/rate/channels/frame sizes all closed forms, half the
+    * streams CRC-protected — 9-byte headers), walked back into the
+    * per-frame index. */
+  def audioAdtsIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seeds = graft.Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("g"))
+      .agg(floor((sum(floor(col("value") * 100 + 0.5).cast("long")) * 10000L)
+        .cast("double") / count(lit(1)) + 0.5).cast("long").as("seed"))
+    val streams = seeds.as[(Long, Long)].map { case (g, seed) =>
+      val a = math.abs(seed)
+      val si = 3 + (g % 4).toInt          // 48000/44100/32000/24000
+      val profile = 1 + (g % 3).toInt     // stored AOT-1: 1..3
+      val channels = 1 + (g % 2).toInt
+      val crc = g % 2 == 1
+      val hdr = if (crc) 9 else 7
+      val nFrames = 10 + (g % 5).toInt * 3
+      val bo = new java.io.ByteArrayOutputStream()
+      var f = 0
+      while (f < nFrames) {
+        val payload = 200 + ((a + f * 37) % 150).toInt
+        val len = hdr + payload
+        bo.write(0xFF)
+        bo.write(0xF0 | (if (crc) 0 else 1)) // MPEG-4, layer 0
+        bo.write(((profile - 1) << 6) | (si << 2) | ((channels >> 2) & 1))
+        bo.write(((channels & 0x03) << 6) | ((len >> 11) & 0x03))
+        bo.write((len >> 3) & 0xFF)
+        bo.write(((len & 0x07) << 5) | 0x1F) // fullness high bits
+        bo.write(0xFC)                       // fullness low, 0 blocks
+        if (crc) { bo.write(0xAB); bo.write(0xCD) }
+        var k = 0
+        while (k < payload) { bo.write((f * 17 + k) & 0xFF); k += 1 }
+        f += 1
+      }
+      (s"clip_$g.aac", bo.toByteArray)
+    }.toDF("name", "content")
+    streams.as[(String, Array[Byte])].flatMap { case (name, bytes) =>
+      adtsFrameIndex(bytes) match {
+        case Left(_) => Iterator.empty
+        case Right(fs) => fs.iterator.map(f => (name, f.frame.toLong,
+          f.offset, f.profile.toLong, f.sampleRate.toLong,
+          f.channels.toLong, f.frameBytes.toLong, f.hasCrc,
+          f.cumSamples))
+      }
+    }.toDF("name", "frame", "offset", "profile", "sample_rate",
+      "channels", "frame_bytes", "has_crc", "cum_samples")
+      .orderBy(col("name"), col("frame"))
+  }
+}
