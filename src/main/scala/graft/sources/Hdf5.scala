@@ -12,16 +12,22 @@ import org.apache.spark.sql.functions._
   * tables + chunk B-trees + DEFLATE — all JDK territory, exactly
   * like the GRIB-1/TIFF/zarr codecs built from their public specs.
   *
-  * Decodes the NetCDF-4/h5py-shaped subset: superblock v0 (base
-  * offset 0 or a 512/1024/2048-byte userblock), v1 object headers
-  * (with continuation blocks), group symbol-table B-tree v1 → SNOD →
-  * local heap names, dataspace v1, datatypes fixed-point (1/2/4/8-
-  * byte signed LE) and IEEE float (f32/f64 LE), fill-value, layout
-  * v3 contiguous AND chunked (chunk B-tree v1), filter pipeline v1
-  * with DEFLATE (id 1) and SHUFFLE (id 2), scalar/1-D numeric and
-  * string attributes (CF `scale_factor`/`add_offset` ride here).
-  * Everything else — v2 headers, fractal-heap groups, szip/blosc —
-  * quarantines loudly via Left(reason), the house drop discipline.
+  * Decodes the NetCDF-4/h5py-shaped subset in BOTH format families:
+  * the classic file (superblock v0 — base offset 0 or a 512/1024/
+  * 2048-byte userblock — v1 object headers with continuation blocks,
+  * group symbol-table B-tree v1 → SNOD → local heap names, dataspace
+  * v1, v1 attributes) AND (r12) the 1.8+/1.10+ "latest" format
+  * (superblock v2/v3 with its Jenkins-lookup3 checksum, 'OHDR' v2
+  * object headers with 'OCHK' continuations, COMPACT link-message
+  * groups — what libhdf5 writes below its 8-link dense threshold —
+  * dataspace v2, v3 attributes). Shared across both: datatypes
+  * fixed-point (1/2/4/8-byte signed LE) and IEEE float (f32/f64 LE),
+  * fill-value, layout v3 contiguous AND chunked (chunk B-tree v1),
+  * filter pipeline v1 with DEFLATE (id 1) and SHUFFLE (id 2),
+  * scalar/1-D numeric and string attributes (CF `scale_factor` /
+  * `add_offset` ride here). The remaining slivers — fractal-heap
+  * (dense) groups, layout v4 chunk indices, szip — quarantine
+  * loudly via Left(reason), the house drop discipline.
   *
   * The encoder writes the same subset (the in-plan render → decode
   * gate proves decode∘encode = identity over every layout/filter
@@ -119,6 +125,92 @@ object Hdf5 {
     Right(out.result())
   }
 
+  /** All (type, bodyOffset, bodySize) messages of a VERSION-2 object
+    * header ('OHDR', the 1.8+ "latest" format): optional time and
+    * phase-change fields by the flags byte, variable-width chunk-0
+    * size, 4-byte (or 6 with tracked creation order) message
+    * headers, 'OCHK' continuation blocks, trailing checksums (not
+    * re-verified — a census reads structure). */
+  private def headerMessagesV2(r: Rd, addr: Long):
+      Either[String, Seq[(Int, Long, Int)]] = {
+    if (r.ascii(addr, 4) != "OHDR") return Left("bad_ohdr_signature")
+    if (r.u8(addr + 4) != 2) return Left("unsupported_object_header_version")
+    val flags = r.u8(addr + 5)
+    var p = addr + 6
+    if ((flags & 0x20) != 0) p += 16 // access/mod/change/birth times
+    if ((flags & 0x10) != 0) p += 4  // compact/dense phase thresholds
+    val szBytes = 1 << (flags & 0x03)
+    val chunk0 = szBytes match {
+      case 1 => r.u8(p).toLong
+      case 2 => r.u16(p).toLong
+      case 4 => r.u32(p)
+      case 8 => r.u64(p)
+    }
+    p += szBytes
+    val msgHdr = if ((flags & 0x04) != 0) 6 else 4 // +creation order
+    val out = Vector.newBuilder[(Int, Long, Int)]
+    var regions = List((p, p + chunk0))
+    while (regions.nonEmpty) {
+      var (q, end) = regions.head
+      regions = regions.tail
+      while (q + msgHdr <= end) {
+        val t = r.u8(q); val sz = r.u16(q + 1)
+        val body = q + msgHdr
+        if (t == 0x10) { // continuation: 'OCHK' + messages + checksum
+          val coff = r.u64(body); val clen = r.u64(body + 8)
+          if (r.ascii(coff, 4) != "OCHK") return Left("bad_ochk_signature")
+          regions = (coff + 4, coff + clen - 4) :: regions
+        } else if (t != 0) out += ((t, body, sz))
+        q = body + sz
+      }
+    }
+    Right(out.result())
+  }
+
+  /** Version dispatch: v1 headers start with the version byte 1,
+    * v2 with the 'OHDR' signature. */
+  private def headerMessagesAny(r: Rd, addr: Long):
+      Either[String, Seq[(Int, Long, Int)]] =
+    if (r.ascii(addr, 4) == "OHDR") headerMessagesV2(r, addr)
+    else headerMessages(r, addr)
+
+  /** The (name, objectHeaderAddr) links of a NEW-STYLE group: link
+    * messages (0x06) compact in the object header. A Link Info
+    * message carrying a fractal-heap address means the group went
+    * DENSE — that storage has no JVM decoder and quarantines. Soft/
+    * external links quarantine likewise (the reference's datasets
+    * are hard-linked). */
+  private def compactLinks(r: Rd, msgs: Seq[(Int, Long, Int)]):
+      Either[String, Seq[(String, Long)]] = {
+    msgs.find(_._1 == 0x02).foreach { case (_, p, _) =>
+      // Link Info v0: version, flags, [max creation index u64 if
+      // flags&1], fractal heap addr, name B-tree addr
+      val fl = r.u8(p + 1)
+      val fh = r.u64(p + 2 + (if ((fl & 1) != 0) 8 else 0))
+      if (!isUndef(fh)) return Left("dense_groups_unsupported")
+    }
+    val out = Vector.newBuilder[(String, Long)]
+    msgs.filter(_._1 == 0x06).foreach { case (_, p, _) =>
+      if (r.u8(p) != 1) return Left("unsupported_link_version")
+      val fl = r.u8(p + 1)
+      var q = p + 2
+      val ltype = if ((fl & 0x08) != 0) { val t = r.u8(q); q += 1; t }
+        else 0
+      if (ltype != 0) return Left("unsupported_link_type")
+      if ((fl & 0x04) != 0) q += 8 // creation order
+      if ((fl & 0x10) != 0) q += 1 // charset
+      val lenSz = 1 << (fl & 0x03)
+      val nameLen = lenSz match {
+        case 1 => r.u8(q); case 2 => r.u16(q)
+        case 4 => r.u32(q).toInt; case _ => r.u64(q).toInt
+      }
+      q += lenSz
+      val name = r.ascii(q, nameLen)
+      out += ((name, r.u64(q + nameLen)))
+    }
+    Right(out.result())
+  }
+
   /** The symbol-table entries (name, objectHeaderAddr) reachable from
     * a group B-tree v1 node. */
   private def walkGroupBtree(r: Rd, btAddr: Long, heapData: Long):
@@ -189,45 +281,63 @@ object Hdf5 {
       o + 8 <= bytes.length &&
         java.util.Arrays.equals(bytes.slice(o.toInt, o.toInt + 8), Sig))
       .getOrElse(return Left("bad_signature"))
-    if (r.u8(base + 8) != 0) return Left("unsupported_superblock_version")
-    if (r.u8(base + 13) != 8 || r.u8(base + 14) != 8)
-      return Left("unsupported_offset_size")
-    // superblock v0 fixed part is 24 bytes, then 4 file addresses
-    // (base, free-space, EOF, driver info) → the root group's symbol
-    // table entry starts at base+56; its object header address is
-    // the entry's second field
-    val rootSte = base + 56
-    val rootHdr = r.u64(rootSte + 8)
-    headerMessages(r, rootHdr).flatMap { msgs =>
-      val st = msgs.find(_._1 == 0x0011).getOrElse(
-        return Left("missing_symbol_table"))
-      val btAddr = r.u64(st._2)
-      val heapAddr = r.u64(st._2 + 8)
-      if (r.ascii(heapAddr, 4) != "HEAP") return Left("bad_local_heap")
-      val heapData = r.u64(heapAddr + 24)
-      walkGroupBtree(r, btAddr, heapData).flatMap { entries =>
-        val ds = entries.sortBy(_._1).map { case (name, oh) =>
-          decodeDataset(r, name, oh) match {
-            case Left(e) => return Left(s"$name:$e")
-            case Right(d) => d
+    val entriesE: Either[String, Seq[(String, Long)]] =
+      r.u8(base + 8) match {
+        case 0 =>
+          if (r.u8(base + 13) != 8 || r.u8(base + 14) != 8)
+            return Left("unsupported_offset_size")
+          // superblock v0 fixed part is 24 bytes, then 4 file
+          // addresses (base, free-space, EOF, driver info) → the root
+          // group's symbol table entry starts at base+56; its object
+          // header address is the entry's second field
+          val rootHdr = r.u64(base + 56 + 8)
+          headerMessages(r, rootHdr).flatMap { msgs =>
+            val st = msgs.find(_._1 == 0x0011).getOrElse(
+              return Left("missing_symbol_table"))
+            val btAddr = r.u64(st._2)
+            val heapAddr = r.u64(st._2 + 8)
+            if (r.ascii(heapAddr, 4) != "HEAP") return Left("bad_local_heap")
+            val heapData = r.u64(heapAddr + 24)
+            walkGroupBtree(r, btAddr, heapData)
           }
-        }
-        Right(ds)
+        case 2 | 3 =>
+          // v2/v3 (the 1.8+/1.10+ "latest" format): 12-byte fixed
+          // part, then base / superblock-extension / EOF / root
+          // OBJECT HEADER addresses + checksum. The root is a
+          // NEW-STYLE group: its links are messages in the header
+          // (compact) — fractal-heap (dense) storage quarantines.
+          if (r.u8(base + 9) != 8 || r.u8(base + 10) != 8)
+            return Left("unsupported_offset_size")
+          val rootHdr = r.u64(base + 36)
+          headerMessagesAny(r, rootHdr).flatMap(compactLinks(r, _))
+        case _ => return Left("unsupported_superblock_version")
       }
+    entriesE.flatMap { entries =>
+      val ds = entries.sortBy(_._1).map { case (name, oh) =>
+        decodeDataset(r, name, oh) match {
+          case Left(e) => return Left(s"$name:$e")
+          case Right(d) => d
+        }
+      }
+      Right(ds)
     }
   } catch { case _: Exception => Left("malformed_file") }
 
   private def decodeDataset(r: Rd, name: String, oh: Long):
       Either[String, H5Dataset] = {
-    val msgs = headerMessages(r, oh) match {
+    val msgs = headerMessagesAny(r, oh) match {
       case Left(e) => return Left(e); case Right(m) => m
     }
-    // dataspace
+    // dataspace: v1 (reserved padding, dims at +8) or the latest-
+    // format v2 (type byte, dims at +4)
     val sp = msgs.find(_._1 == 0x0001).getOrElse(
       return Left("missing_dataspace"))
-    if (r.u8(sp._2) != 1) return Left("unsupported_dataspace_version")
-    val rank = r.u8(sp._2 + 1)
-    val dims = (0 until rank).map(i => r.u64(sp._2 + 8 + i * 8L).toInt)
+    val (rank, dimsOff) = r.u8(sp._2) match {
+      case 1 => (r.u8(sp._2 + 1), sp._2 + 8)
+      case 2 => (r.u8(sp._2 + 1), sp._2 + 4)
+      case _ => return Left("unsupported_dataspace_version")
+    }
+    val dims = (0 until rank).map(i => r.u64(dimsOff + i * 8L).toInt)
     val nElems = dims.product max 1
     // datatype
     val dt = msgs.find(_._1 == 0x0003).getOrElse(
@@ -336,19 +446,26 @@ object Hdf5 {
   }
 
   private def decodeAttr(r: Rd, p: Long): Option[H5Attr] = {
-    if (r.u8(p) != 1) return None
+    // v1: 8-padded name/dtype/dataspace fields; v3 (latest format):
+    // unpadded fields behind a charset byte
+    val ver = r.u8(p)
+    if (ver != 1 && ver != 3) return None
+    if (ver == 3 && r.u8(p + 1) != 0) return None // shared dt/sp
     val nameSz = r.u16(p + 2)
     val dtSz = r.u16(p + 4)
     val spSz = r.u16(p + 6)
-    def pad8(x: Int) = (x + 7) / 8 * 8
-    val nameOff = p + 8
+    def pad8(x: Int) = if (ver == 1) (x + 7) / 8 * 8 else x
+    val nameOff = p + (if (ver == 1) 8 else 9)
     val dtOff = nameOff + pad8(nameSz)
     val spOff = dtOff + pad8(dtSz)
     val dataOff = spOff + pad8(spSz)
     val name = r.cstr(nameOff)
-    val rank = r.u8(spOff + 1)
+    val (rank, dimsOff) = r.u8(spOff) match {
+      case 2 => (r.u8(spOff + 1), spOff + 4)
+      case _ => (r.u8(spOff + 1), spOff + 8)
+    }
     val n = if (rank == 0) 1
-      else (0 until rank).map(i => r.u64(spOff + 8 + i * 8L).toInt).product
+      else (0 until rank).map(i => r.u64(dimsOff + i * 8L).toInt).product
     parseDtype(r, dtOff) match {
       case Right((kind, elem)) if !kind.startsWith("s") && n >= 1 && rank <= 1 =>
         val vs = (0 until n).map(i => numAt(r, dataOff + i.toLong * elem, kind))
@@ -377,6 +494,12 @@ object Hdf5 {
       val b = out.toByteArray
       var i = 0; var x = v
       while (i < 8) { b(at + i) = (x & 0xFF).toByte; x >>= 8; i += 1 }
+      out.reset(); out.write(b)
+    }
+    def patchU32(at: Int, v: Int): Unit = {
+      val b = out.toByteArray
+      var i = 0; var x = v
+      while (i < 4) { b(at + i) = (x & 0xFF).toByte; x >>= 8; i += 1 }
       out.reset(); out.write(b)
     }
   }
@@ -444,6 +567,55 @@ object Hdf5 {
       kind: String, values: Array[Double],
       chunkDims: Option[Seq[Int]] = None, gzipLevel: Int = 0,
       shuffle: Boolean = false, attrs: Seq[H5Attr] = Nil)
+
+  /** Bob Jenkins' lookup3 `hashlittle` — the checksum the HDF5 v2+
+    * metadata carries (spec Appendix; the algorithm is public
+    * domain). Spec-pinned in Hdf5Spec against lookup3.c's own
+    * self-test vectors. */
+  private[graft] def lookup3(data: Array[Byte], off: Int, len0: Int,
+      init: Int): Int = {
+    def rot(x: Int, k: Int) = (x << k) | (x >>> (32 - k))
+    def u32(i: Int) = (data(i) & 0xFF) | ((data(i + 1) & 0xFF) << 8) |
+      ((data(i + 2) & 0xFF) << 16) | ((data(i + 3) & 0xFF) << 24)
+    def byt(p: Int, i: Int) = data(p + i) & 0xFF
+    var a = 0xdeadbeef + len0 + init
+    var b = a
+    var c = a
+    var p = off
+    var len = len0
+    while (len > 12) {
+      a += u32(p); b += u32(p + 4); c += u32(p + 8)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      p += 12; len -= 12
+    }
+    if (len == 0) return c
+    // the ≤12-byte tail, little-endian partial words
+    if (len >= 1) a += byt(p, 0)
+    if (len >= 2) a += byt(p, 1) << 8
+    if (len >= 3) a += byt(p, 2) << 16
+    if (len >= 4) a += byt(p, 3) << 24
+    if (len >= 5) b += byt(p, 4)
+    if (len >= 6) b += byt(p, 5) << 8
+    if (len >= 7) b += byt(p, 6) << 16
+    if (len >= 8) b += byt(p, 7) << 24
+    if (len >= 9) c += byt(p, 8)
+    if (len >= 10) c += byt(p, 9) << 8
+    if (len >= 11) c += byt(p, 10) << 16
+    if (len >= 12) c += byt(p, 11) << 24
+    c ^= b; c -= rot(b, 14)
+    a ^= c; a -= rot(c, 11)
+    b ^= a; b -= rot(a, 25)
+    c ^= b; c -= rot(b, 16)
+    a ^= c; a -= rot(c, 4)
+    b ^= a; b -= rot(a, 14)
+    c ^= b; c -= rot(b, 24)
+    c
+  }
 
   /** Write an HDF5 v0-superblock file holding the given datasets in
     * the root group. Spec-complete for the subset the decoder reads:
@@ -529,6 +701,142 @@ object Hdf5 {
     w.patchU64(rootBtPatch, bt)
     w.patchU64(rootHeapPatch, heapAddr)
     w.patchU64(eofPatch, w.pos.toLong)
+    w.out.toByteArray
+  }
+
+  /** Write the same datasets as a v2-SUPERBLOCK file in the 1.8+
+    * "latest" format: 48-byte checksummed superblock, per-object
+    * OHDR v2 headers (dataspace v2, attribute v3, the same layout/
+    * filter message bodies), the root group as COMPACT link messages
+    * (Link Info with undefined fractal heap — exactly what libhdf5
+    * writes for small groups), every header carrying its real
+    * Jenkins-lookup3 checksum. Data regions are written FIRST so
+    * header bytes (and therefore checksums) are final at emit
+    * time. */
+  private[graft] def encodeH5V2(datasets: Seq[H5Enc]): Array[Byte] = {
+    require(datasets.nonEmpty && datasets.size <= 8,
+      "compact links: 8 is libhdf5's default dense threshold")
+    val w = new Wr
+    // --- superblock v2 (checksum patched at the end) ---
+    w.bytes(Sig)
+    w.u8(2)        // superblock version
+    w.u8(8).u8(8)  // offset / length sizes
+    w.u8(0)        // consistency flags
+    w.u64(0)       // base address
+    w.u64(Undef)   // superblock extension
+    val eofPatch = w.pos; w.u64(0)
+    val rootPatch = w.pos; w.u64(0)
+    val sbCkPatch = w.pos; w.u32(0)
+    // --- data regions first: layouts need addresses, checksums need
+    // final bytes ---
+    val dataAddr = datasets.map { d =>
+      val raw = valueBytes(d.kind, d.values)
+      d.chunkDims match {
+        case None =>
+          w.pad(8); val a = w.pos.toLong; w.bytes(raw)
+          d.name -> ((a, raw.length.toLong))
+        case Some(_) =>
+          val bt = writeChunks(w, d, raw)
+          d.name -> ((bt, raw.length.toLong))
+      }
+    }.toMap
+    def ohdr(msgs: Seq[(Int, Array[Byte])]): Long = {
+      val body = new Wr
+      msgs.foreach { case (t, b) =>
+        body.u8(t).u16(b.length).u8(0).bytes(b)
+      }
+      val bodyBytes = body.out.toByteArray
+      w.pad(8)
+      val at = w.pos
+      w.ascii("OHDR").u8(2).u8(0x02) // flags: 4-byte chunk-0 size
+      w.u32(bodyBytes.length.toLong)
+      w.bytes(bodyBytes)
+      val ck = lookup3(w.out.toByteArray, at, w.pos - at, 0)
+      w.u32(ck.toLong & 0xFFFFFFFFL)
+      at.toLong
+    }
+    def dataspaceV2(dims: Seq[Int]): Array[Byte] = {
+      val s = new Wr
+      s.u8(2).u8(dims.size).u8(0).u8(if (dims.isEmpty) 0 else 1)
+      dims.foreach(x => s.u64(x))
+      s.out.toByteArray
+    }
+    def attrV3(a: H5Attr): Array[Byte] = {
+      val nameB = a.name.getBytes("US-ASCII") :+ 0.toByte
+      val (dtB, spB, data) = (a.nums, a.num) match {
+        case (Some(vs), _) =>
+          val bb = java.nio.ByteBuffer.allocate(8 * vs.size)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          vs.foreach(bb.putDouble)
+          (dtypeBytes("f8"), dataspaceV2(Seq(vs.size)), bb.array())
+        case (None, Some(v)) =>
+          val b = java.nio.ByteBuffer.allocate(8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(v).array()
+          (dtypeBytes("f8"), dataspaceV2(Nil), b)
+        case (None, None) =>
+          val s = a.str.get.getBytes("US-ASCII")
+          (dtypeBytes(s"s${s.length}"), dataspaceV2(Nil), s)
+      }
+      val aw = new Wr
+      aw.u8(3).u8(0) // version 3, not shared
+      aw.u16(nameB.length).u16(dtB.length).u16(spB.length)
+      aw.u8(0) // ASCII charset
+      aw.bytes(nameB).bytes(dtB).bytes(spB).bytes(data)
+      aw.out.toByteArray
+    }
+    val dsAddr = datasets.map { d =>
+      val elem = d.kind.drop(1).toInt
+      val msgs = Seq.newBuilder[(Int, Array[Byte])]
+      msgs += ((0x01, dataspaceV2(d.dims)))
+      msgs += ((0x03, dtypeBytes(d.kind)))
+      msgs += ((0x05, Array[Byte](2, 2, 2, 0)))
+      d.attrs.foreach(a => msgs += ((0x0C, attrV3(a))))
+      val filterIds =
+        (if (d.shuffle) Seq(2) else Nil) ++
+          (if (d.gzipLevel > 0) Seq(1) else Nil)
+      if (filterIds.nonEmpty) {
+        val f = new Wr
+        f.u8(1).u8(filterIds.size).u16(0).u32(0)
+        filterIds.foreach {
+          case 2 => f.u16(2).u16(0).u16(0).u16(1)
+            f.u32(elem.toLong).u32(0)
+          case 1 => f.u16(1).u16(0).u16(0).u16(1)
+            f.u32(d.gzipLevel.toLong).u32(0)
+        }
+        msgs += ((0x0B, f.out.toByteArray))
+      }
+      val (addr, rawLen) = dataAddr(d.name)
+      val lo = new Wr
+      d.chunkDims match {
+        case None =>
+          lo.u8(3).u8(1).u64(addr).u64(rawLen)
+        case Some(cd) =>
+          lo.u8(3).u8(2).u8(d.dims.size + 1).u64(addr)
+          cd.foreach(x => lo.u32(x))
+          lo.u32(elem.toLong)
+      }
+      msgs += ((0x08, lo.out.toByteArray))
+      d.name -> ohdr(msgs.result())
+    }.toMap
+    // --- root group: Link Info + Group Info + compact hard links ---
+    val rootMsgs = Seq.newBuilder[(Int, Array[Byte])]
+    val li = new Wr
+    li.u8(0).u8(0).u64(Undef).u64(Undef) // no fractal heap / btree
+    rootMsgs += ((0x02, li.out.toByteArray))
+    rootMsgs += ((0x0A, Array[Byte](0, 0)))
+    datasets.foreach { d =>
+      val nameB = d.name.getBytes("US-ASCII")
+      val lk = new Wr
+      lk.u8(1).u8(0) // version 1, hard link, 1-byte name length
+      lk.u8(nameB.length).bytes(nameB)
+      lk.u64(dsAddr(d.name))
+      rootMsgs += ((0x06, lk.out.toByteArray))
+    }
+    val rootHdr = ohdr(rootMsgs.result())
+    w.patchU64(rootPatch, rootHdr)
+    w.patchU64(eofPatch, w.pos.toLong)
+    // superblock checksum covers its first 44 bytes, final values in
+    w.patchU32(sbCkPatch, lookup3(w.out.toByteArray, 0, 44, 0))
     w.out.toByteArray
   }
 
@@ -755,20 +1063,25 @@ object Hdf5 {
         (col("gy") * 8 + col("gx")).as("i"),
         col("v_us"), col("n_obs")))).as("px"))
       .as[Seq[(Long, Long, Long)]]
-      .map { px =>
+      .flatMap { px =>
         // store micro-unit longs as f64 (exact ≤ 2^53) with the CF
-        // unpack scale to value units
+        // unpack scale to value units; the two datasets ship in the
+        // TWO format families — classic v0 (userblock exercised) and
+        // (r12) the checksummed v2 "latest" format — so every driver
+        // run decodes both superblock generations
         val means = px.map(_._2.toDouble).toArray
         val counts = px.map(_._3.toDouble).toArray
-        ("cds_grid.nc4", encodeH5(Seq(
-          H5Enc("tp_us", Seq(8, 8), "f8", means,
-            chunkDims = Some(Seq(3, 3)), gzipLevel = 6, shuffle = true,
-            attrs = Seq(H5Attr("scale_factor", Some(1e-6), None),
-              H5Attr("add_offset", Some(0.0), None),
-              H5Attr("units", None, Some("mm")))),
-          H5Enc("n_obs", Seq(8, 8), "i4", counts,
-            chunkDims = Some(Seq(4, 8)), gzipLevel = 1)),
-          userblock = 512))
+        Iterator(
+          ("cds_grid.nc4", encodeH5(Seq(
+            H5Enc("tp_us", Seq(8, 8), "f8", means,
+              chunkDims = Some(Seq(3, 3)), gzipLevel = 6, shuffle = true,
+              attrs = Seq(H5Attr("scale_factor", Some(1e-6), None),
+                H5Attr("add_offset", Some(0.0), None),
+                H5Attr("units", None, Some("mm"))))),
+            userblock = 512)),
+          ("cds_grid_latest.nc4", encodeH5V2(Seq(
+            H5Enc("n_obs", Seq(8, 8), "i4", counts,
+              chunkDims = Some(Seq(4, 8)), gzipLevel = 1)))))
       }.toDF("name", "content")
     val (rows, _) = decodeH5Drop(doc)
     rows.select(col("dataset"), col("dtype"),

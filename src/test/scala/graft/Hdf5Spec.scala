@@ -76,6 +76,90 @@ class Hdf5Spec extends SparkSpec {
       "scalar attrs keep nums empty")
   }
 
+  test("lookup3: the HDF5 v2 checksum matches lookup3.c's own published self-test vectors") {
+    // hashlittle("", 0, 0) and hashlittle("Four score and seven
+    // years ago", 30, 0) from Bob Jenkins' public-domain lookup3.c
+    // driver output
+    assert(Hdf5.lookup3(Array.emptyByteArray, 0, 0, 0) === 0xdeadbeef)
+    val fs = "Four score and seven years ago".getBytes("US-ASCII")
+    assert(Hdf5.lookup3(fs, 0, fs.length, 0) === 0x17770551)
+    assert(Hdf5.lookup3(fs, 0, fs.length, 1) === 0xcd628161)
+  }
+
+  test("hdf5 v2 superblock + OHDR: the latest-format round trip — contiguous, chunked+filters, attributes, multiple datasets") {
+    def rt2(d: H5Enc*): Seq[Hdf5.H5Dataset] =
+      Hdf5.decodeH5(Hdf5.encodeH5V2(d)).toOption.get
+    val v = Array.tabulate(24)(i => i * 1.25 - 7)
+    for (kind <- Seq("f8", "f4", "i4", "i2")) {
+      val vs = if (kind.startsWith("i")) v.map(math.rint) else v
+      for (dims <- Seq(Seq(24), Seq(4, 6), Seq(2, 3, 4))) {
+        val Seq(d) = rt2(H5Enc("x", dims, kind, vs))
+        assert(d.dims === dims && d.dtype === kind)
+        if (kind == "f4")
+          assert(d.values.zip(vs).forall { case (a, b) =>
+            a == b.toFloat.toDouble }, s"v2 $kind $dims")
+        else assert(d.values.toSeq === vs.toSeq, s"v2 $kind $dims")
+      }
+    }
+    // chunked + deflate + shuffle through the SAME v1 chunk B-tree
+    // (layout v3 in a v2-header file — the 1.8 format combination)
+    val c = Array.tabulate(35)(i => (i * 37 % 19) * 0.5 - 4)
+    val Seq(ch) = rt2(H5Enc("x", Seq(7, 5), "f8", c,
+      chunkDims = Some(Seq(3, 2)), gzipLevel = 6, shuffle = true))
+    assert(ch.values.toSeq === c.toSeq)
+    // multiple datasets via compact links, v3 attributes incl. 1-D
+    val got = rt2(
+      H5Enc("zeta", Seq(3), "f8", Array(1.0, 2.0, 3.0),
+        attrs = Seq(H5Attr("scale_factor", Some(0.01), None),
+          H5Attr("units", None, Some("degC")),
+          H5Attr("bounds", None, None, Some(Seq(-180.0, 180.0))))),
+      H5Enc("alpha", Seq(2), "f8", Array(9.0, 8.0)))
+    assert(got.map(_.name) === Seq("alpha", "zeta"))
+    assert(got(1).attrs.find(_.name == "scale_factor")
+      .flatMap(_.num) === Some(0.01))
+    assert(got(1).attrs.find(_.name == "units")
+      .flatMap(_.str) === Some("degC"))
+    assert(got(1).attrs.find(_.name == "bounds")
+      .flatMap(_.nums) === Some(Seq(-180.0, 180.0)))
+    assert(got(0).values.toSeq === Seq(9.0, 8.0))
+  }
+
+  test("hdf5 v2: spec byte-layout pins and quarantines — checksummed superblock, OHDR signature, dense groups refuse loudly") {
+    val f = Hdf5.encodeH5V2(Seq(H5Enc("x", Seq(2), "f8", Array(1.0, 2.0))))
+    assert(f(8) === 2.toByte, "superblock version 2")
+    assert(f(9) === 8.toByte && f(10) === 8.toByte)
+    def u32(p: Int) = (0 until 4).map(i => (f(p + i) & 0xFFL) << (8 * i)).sum
+    def u64(p: Int) = (0 until 8).map(i => (f(p + i) & 0xFFL) << (8 * i)).sum
+    assert(u64(28) === f.length.toLong, "EOF address")
+    // the superblock checksum really is lookup3 of its first 44 bytes
+    assert(u32(44) === (Hdf5.lookup3(f, 0, 44, 0).toLong & 0xFFFFFFFFL))
+    val rootHdr = u64(36)
+    assert(new String(f, rootHdr.toInt, 4, "US-ASCII") === "OHDR")
+    // the root header checksum is lookup3 of the header bytes
+    val chunk0 = u32(rootHdr.toInt + 6)
+    val hdrLen = 10 + chunk0.toInt
+    assert(u32(rootHdr.toInt + hdrLen) ===
+      (Hdf5.lookup3(f, rootHdr.toInt, hdrLen, 0).toLong & 0xFFFFFFFFL))
+    def reason(b: Array[Byte]): String =
+      Hdf5.decodeH5(b).left.toOption.get
+    // superblock v9 stays loud
+    val v9 = f.clone; v9(8) = 9
+    assert(reason(v9) === "unsupported_superblock_version")
+    // flip the root's Link Info fractal-heap address to a real-looking
+    // value: dense storage must refuse, not misdecode
+    val liAt = f.indices.indexWhere(i =>
+      new String(f, i, 4, "US-ASCII") == "OHDR" && i.toLong == rootHdr)
+    // Link Info body starts after OHDR(4)+ver(1)+flags(1)+size(4) +
+    // msg header(4) + version/flags(2)
+    val fhAt = liAt + 10 + 4 + 2
+    assert((0 until 8).forall(i => f(fhAt + i) == -1), "undef heap addr")
+    val dense = f.clone
+    (0 until 8).foreach(i => dense(fhAt + i) = 0)
+    dense(fhAt) = 64
+    assert(reason(dense) === "x:dense_groups_unsupported" ||
+      reason(dense) === "dense_groups_unsupported")
+  }
+
   test("hdf5 quarantine: signature, superblock version, unsupported filter, truncation") {
     def reason(b: Array[Byte]): String =
       Hdf5.decodeH5(b).left.toOption.get
@@ -83,8 +167,13 @@ class Hdf5Spec extends SparkSpec {
     val good = Hdf5.encodeH5(Seq(H5Enc("x", Seq(4), "f8",
       Array(1.0, 2, 3, 4), chunkDims = Some(Seq(2)), gzipLevel = 6)))
     assert(Hdf5.decodeH5(good).isRight)
-    val v2 = good.clone; v2(8) = 2 // superblock version
-    assert(reason(v2) === "unsupported_superblock_version")
+    // version 2 is now SUPPORTED — a v0 body behind a v2 version byte
+    // trips the v2 layout checks instead of misdecoding
+    val v2 = good.clone; v2(8) = 2
+    assert(Set("unsupported_offset_size", "malformed_file",
+      "bad_ohdr_signature")(reason(v2)))
+    val v9 = good.clone; v9(8) = 9 // genuinely unknown version
+    assert(reason(v9) === "unsupported_superblock_version")
     assert(reason(java.util.Arrays.copyOf(good, good.length / 2))
       === "malformed_file")
     // flip the deflate filter id to szip (4): unsupported, loud
