@@ -462,7 +462,8 @@ object Hdf5 {
     val name = r.cstr(nameOff)
     val (rank, dimsOff) = r.u8(spOff) match {
       case 2 => (r.u8(spOff + 1), spOff + 4)
-      case _ => (r.u8(spOff + 1), spOff + 8)
+      case 1 => (r.u8(spOff + 1), spOff + 8)
+      case _ => return None // unsupported dataspace version: drop the attr
     }
     val n = if (rank == 0) 1
       else (0 until rank).map(i => r.u64(dimsOff + i * 8L).toInt).product

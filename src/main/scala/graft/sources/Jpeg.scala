@@ -170,6 +170,7 @@ object Jpeg {
     var prog: ProgState = null
     def renderProg(): Either[String, JpegImage] =
       if (prog == null || !prog.sawScan) Left("no_scan")
+      else if (comps.exists(c => qt(c.tq) == null)) Left("missing_tables")
       else Right(renderProgressive(w, h, comps, qt, prog))
     var p = 2
     while (p + 4 <= bytes.length) {

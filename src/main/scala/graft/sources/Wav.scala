@@ -88,12 +88,20 @@ object Wav {
             if (bits != 4) Left("unsupported_bits")
             else {
               // wSamplesPerBlock from the fmt extension (cbSize >= 2);
-              // absent → the block's own capacity governs
-              val spb = if (fLen >= 20 && u16(fOff + 16) >= 2)
-                u16(fOff + 18) else Int.MaxValue
-              val dec = if (f == 0x11) decodeIma(bytes, off, len, ch, ba, spb)
-                else decodeMs(bytes, off, len, ch, ba, spb)
-              dec.map(samples => WavClip(ch, rate, 16, samples))
+              // absent → the block's own capacity governs. A declared
+              // value below the per-block header emission (1 for IMA's
+              // predictor frame, 2 for MS's two seeded frames) is
+              // degenerate: quarantine rather than over-emit.
+              val spbOpt = if (fLen >= 20 && u16(fOff + 16) >= 2)
+                Some(u16(fOff + 18)) else None
+              val minSpb = if (f == 0x11) 1 else 2
+              if (spbOpt.exists(_ < minSpb)) Left("bad_samples_per_block")
+              else {
+                val spb = spbOpt.getOrElse(Int.MaxValue)
+                val dec = if (f == 0x11) decodeIma(bytes, off, len, ch, ba, spb)
+                  else decodeMs(bytes, off, len, ch, ba, spb)
+                dec.map(samples => WavClip(ch, rate, 16, samples))
+              }
             }
           case _ => Left("not_pcm")
         }

@@ -142,6 +142,27 @@ class JpegSpec extends SparkSpec {
       case Right(img) => assert(img.width === 16 && img.height === 16)
       case Left(r) => assert(Set("malformed_jpeg", "no_scan")(r))
     }
+    // progressive with its DQT stripped: the MISSING-TABLES reason
+    // must surface (not the generic malformed_jpeg) — same contract
+    // as the sequential path
+    val noDqt = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      var entropy = false
+      while (i < pbytes.length) {
+        val m = if (!entropy && (pbytes(i) & 0xFF) == 0xFF && i + 1 < pbytes.length)
+          pbytes(i + 1) & 0xFF else -1
+        if (m == 0xDB) { // skip the whole DQT segment
+          val len = ((pbytes(i + 2) & 0xFF) << 8) | (pbytes(i + 3) & 0xFF)
+          i += 2 + len
+        } else {
+          if (m == 0xDA) entropy = true // stop segment-walking after SOS
+          out.write(pbytes(i)); i += 1
+        }
+      }
+      out.toByteArray
+    }
+    assert(reason(noDqt) === "missing_tables")
   }
 
   test("image_jpeg_stats: every stat bounded by the JDK reader's decode of the same bytes") {
