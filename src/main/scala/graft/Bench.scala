@@ -171,10 +171,24 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // full CLEAN runs refresh the per-sf triage baseline; subset runs
     // and full runs that ended with errors must not clobber it (a
-    // partially failed run would silently shrink the comparison map)
-    if (isFull && errors.isEmpty) java.nio.file.Files.write(
-      java.nio.file.Paths.get(baselinePath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // partially failed run would silently shrink the comparison map).
+    // The OUTGOING baseline is preserved as bench_baseline_prev_<sf>
+    // first: after a refresh the baseline file is byte-identical to
+    // bench_results.json (ratio 1.000 by construction), so without
+    // the prev snapshot the committed pair carries no round-over-round
+    // signal and a reader must dig the prior baseline out of git (the
+    // r12 verdict did exactly that — finding 3).
+    if (isFull && errors.isEmpty) {
+      val bp = java.nio.file.Paths.get(baselinePath)
+      if (java.nio.file.Files.exists(bp)) {
+        val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE_PREV",
+          s"bench_baseline_prev_$sfTag.json")
+        java.nio.file.Files.copy(bp, java.nio.file.Paths.get(prevPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      java.nio.file.Files.write(bp,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

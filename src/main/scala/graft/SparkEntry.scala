@@ -1734,7 +1734,8 @@ object SparkEntry {
       |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth,
       |         CAST(sum(cos_u) AS BIGINT) AS tu FROM truth),
       |sweep(nprobe) AS (VALUES ${
-        graft.operators.Similarity.NprobeSweep.map(n => s"($n)").mkString(", ")}),
+        graft.operators.Similarity.nprobeLadder(cents.length)
+          .map(n => s"($n)").mkString(", ")}),
       |rung AS (
       |  SELECT s.nprobe, sc.probe_id, sc.vec_id, sc.cos, sc.cos_u
       |  FROM sc, sweep s WHERE sc.first_rn <= s.nprobe),

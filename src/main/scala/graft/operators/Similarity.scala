@@ -50,15 +50,49 @@ object Similarity {
   private val pqFitCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
 
-  private[graft] val IvfNlist = 16
+  private[graft] val IvfNlistMin = 4
+  private[graft] val IvfNlistMax = 256
   private[graft] val PqM = 8
   private[graft] val PqSubDim = 8
   private[graft] val PqKsub = 16
 
-  /** The shared IVF coarse quantizer (nlist=16): one fit serves
-    * [[annIvfTopk]] and [[knnGraphIvf]]. */
+  /** ADAPTIVE IVF cell count — the √n sizing law [[annNlistSweep]]
+    * measured (r12 evidence): at 10× the corpus, FIXED nlist=16 grew
+    * candidate volume 10.2× while nlist=64 held the same recall tier
+    * at ~3.7× fewer candidates — denser cells IMPROVE recall at
+    * fixed probe depth, so the cell count can track √n without
+    * giving recall back (per-probe candidates stay ~nprobe·n/√n,
+    * turning the quadratic candidate growth into n^{3/2}).
+    *
+    * The rule: the power of two nearest in log space to √n/4,
+    * clamped to [[IvfNlistMin]]..[[IvfNlistMax]]. Powers of two keep
+    * the fit-cache rung set small, and a PURE FUNCTION of the corpus
+    * count means the oracle renderer replays the IDENTICAL quantizer
+    * (same discipline as [[pairsBits]]' adaptive signature width).
+    * At the cap the assignment expression carries [[IvfNlistMax]]
+    * fused literal-centroid dot products per row — still scan-stage,
+    * zero shuffles; past ~1M vectors the cap binds and the posture
+    * degrades gracefully (candidates/probe grow ∝ n/[[IvfNlistMax]]);
+    * raising it further means moving the centroid table from
+    * expression literals to a broadcast join first. */
+  private[graft] def adaptiveNlist(n: Long): Int = {
+    val target = math.sqrt(math.max(n, 0L).toDouble) / 4.0
+    var p = IvfNlistMin
+    while (p < IvfNlistMax && p * math.sqrt(2.0) <= target) p <<= 1
+    p
+  }
+
+  /** The shipped cell count for this corpus — [[adaptiveNlist]] of
+    * the memoized corpus count. */
+  private[graft] def ivfNlist(spark: SparkSession, dir: String): Int =
+    adaptiveNlist(corpusCount(spark, dir))
+
+  /** The shared IVF coarse quantizer (nlist = [[ivfNlist]], the √n
+    * adaptive sizing): one fit serves [[annIvfTopk]] and
+    * [[knnGraphIvf]]. */
   private[graft] def ivfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
-    ivfFitCache.getOrElseUpdate(dir, lloyd(fitSample(spark, dir), IvfNlist, iters = 8))
+    ivfFitCache.getOrElseUpdate(dir,
+      lloyd(fitSample(spark, dir), ivfNlist(spark, dir), iters = 8))
 
   /** The PQ per-subspace codebooks (M=8 subspaces × ksub=16 centroids
     * of subDim=8), all fit on the one bounded sample. */
@@ -271,8 +305,10 @@ object Similarity {
     * only where a prober's cell list meets a vector's home cell — an
     * equi-join on cell id, so the n² product never materializes and
     * the corpus shuffles once by cell. Candidate volume is
-    * ~n²·nprobe/nlist with nlist chosen ~√n at scale (the classic
-    * IVF sizing), turning quadratic into n^{3/2}. Recall against the
+    * ~n²·nprobe/nlist with nlist = [[adaptiveNlist]] ∝ √n (wired,
+    * not aspirational — the r12 sizing sweep measured fixed-16
+    * scaling 10.2× for 10× data), turning quadratic into n^{3/2}.
+    * Recall against the
     * exact graph is measured in SimilaritySpec, mirroring the LSH/
     * IVF/PQ twins' treatment. */
   def knnGraphIvf(spark: SparkSession, dir: String): DataFrame =
@@ -620,10 +656,10 @@ object Similarity {
     * literals, distances via the codegen'd dot kernel), evaluated in
     * the scan stage with zero shuffles. */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
-    val nlist = IvfNlist
     val nprobe = 2
     val v = vecs(spark, dir)
     val cents = ivfCentroids(spark, dir)
+    val nlist = cents.length
     // argmin_c ||e - c||² = argmin_c (|c|² - 2·e·c) — |e|² is constant
     // per row and drops out, so each candidate costs one dot product
     def score(c: Array[Double]): Column =
@@ -666,9 +702,13 @@ object Similarity {
       cands.withColumn("cos", VectorColumns.cosine(col("pe"), col("emb"))), 10)
   }
 
-  /** The nprobe ladder [[annNprobeSweep]] measures (top = nlist =
-    * exhaustive, the self-check rung). */
-  private[graft] val NprobeSweep: Seq[Int] = Seq(1, 2, 4, 8, 16)
+  /** The nprobe ladder [[annNprobeSweep]] measures: powers of two
+    * under the corpus's adaptive cell count, topped by nlist itself
+    * (exhaustive — the self-check rung whose recall must be 1). A
+    * function of nlist, not a constant, so the ladder tracks the
+    * [[adaptiveNlist]] sizing per corpus. */
+  private[graft] def nprobeLadder(nlist: Int): Seq[Int] =
+    Seq(1, 2, 4, 8, 16, 32, 64, 128).filter(_ < nlist) :+ nlist
 
   /** IVF NPROBE SWEEP — the tuning-governance table for the ANN
     * scale path, the routing twin of [[semanticSweep]]: ONE
@@ -686,9 +726,9 @@ object Similarity {
   def annNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val nlist = IvfNlist
     val v = vecs(spark, dir)
     val cents = ivfCentroids(spark, dir)
+    val nlist = cents.length
     def score(c: Array[Double]): Column =
       lit(c.map(x => x * x).sum) -
         lit(2.0) * VectorColumns.dot(col("emb"), array(c.map(lit).toIndexedSeq: _*))
@@ -728,7 +768,7 @@ object Similarity {
     val tTot = truth.agg(count(lit(1)).as("n_truth"),
       sum(col("t_u")).as("tu"))
     val rungs = scored
-      .crossJoin(broadcast(NprobeSweep.toDF("nprobe")))
+      .crossJoin(broadcast(nprobeLadder(nlist).toDF("nprobe")))
       .filter(col("first_rn") <= col("nprobe"))
     val ivfTop = rungs
       .withColumn("rk", row_number().over(
@@ -753,8 +793,10 @@ object Similarity {
   }
 
   /** The nlist ladder [[annNlistSweep]] measures — the IVF SIZING
-    * axis orthogonal to [[annNprobeSweep]]'s routing depth. 16 is
-    * the shipped [[IvfNlist]]; the ladder brackets it both ways. */
+    * axis orthogonal to [[annNprobeSweep]]'s routing depth. The
+    * shipped sizing is [[adaptiveNlist]] (∝ √n); at the test scales
+    * the ladder brackets it both ways, and its r12 measurements are
+    * the evidence the adaptive law is wired to. */
   private[graft] val NlistSweep: Seq[Int] = Seq(4, 8, 16, 32, 64)
 
   /** Probe depth held fixed across the nlist ladder — the shipped
@@ -766,11 +808,11 @@ object Similarity {
     .empty[(String, Int), Array[Array[Double]]]
 
   /** Per-(dataset, nlist) quantizer fits for the sizing sweep; the
-    * shipped nlist reuses [[ivfCentroids]] so the sweep's 16-rung is
-    * EXACTLY the production quantizer. */
+    * corpus's ADAPTIVE nlist reuses [[ivfCentroids]] so that rung of
+    * the sweep is EXACTLY the production quantizer. */
   private[graft] def nlistCentroids(spark: SparkSession, dir: String,
       nlist: Int): Array[Array[Double]] =
-    if (nlist == IvfNlist) ivfCentroids(spark, dir)
+    if (nlist == ivfNlist(spark, dir)) ivfCentroids(spark, dir)
     else nlistFitCache.getOrElseUpdate((dir, nlist),
       lloyd(fitSample(spark, dir), nlist, iters = 8))
 

@@ -106,18 +106,19 @@ class SimilaritySpec extends SparkSpec {
       ids.intersect(brute.getOrElse(p, Set.empty)).size.toDouble / 10
     }
     val meanRecall = recalls.sum / recalls.size
-    // nprobe=2 of nlist=16 → expect to search ~1/8 of the corpus and
-    // still find a fair share of true neighbors; guards the routing,
-    // not SOTA recall
-    assert(meanRecall >= 0.2, s"mean recall $meanRecall")
+    // nprobe=2 of the adaptive nlist (4 on this corpus) → ~1/2 the
+    // corpus searched; guards the routing, not SOTA recall
+    assert(meanRecall >= 0.4, s"mean recall $meanRecall")
   }
 
   test("ann_nprobe_sweep: recall/cands monotone in nprobe, exhaustive rung is exact, rungs recomputed from brute force") {
     val rows = SparkEntry.queries("ann_nprobe_sweep")(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getDouble(5)))).toMap
-    assert(rows.keySet === graft.operators.Similarity.NprobeSweep
-      .map(_.toLong).toSet)
+    val nlist = graft.operators.Similarity.ivfCentroids(spark, sf).length
+    val ladder = graft.operators.Similarity.nprobeLadder(nlist)
+    assert(ladder.last === nlist, "ladder tops out at the cell count")
+    assert(rows.keySet === ladder.map(_.toLong).toSet)
     val ordered = rows.toSeq.sortBy(_._1)
     // cost and recall both ride the ladder monotonically
     ordered.sliding(2).foreach { case Seq((_, a), (_, b)) =>
@@ -127,7 +128,7 @@ class SimilaritySpec extends SparkSpec {
       assert(b._5 <= a._5 + 1e-12, "regret non-increasing")
     }
     // the top rung probes every cell: exhaustive, hence exact
-    val top = rows(graft.operators.Similarity.IvfNlist.toLong)
+    val top = rows(nlist.toLong)
     assert(top._4 === 1.0 && top._5 === 0.0)
     assert(top._2 === top._3, "all truth neighbors hit")
     // n_truth is probes x 10 on this corpus
@@ -150,7 +151,7 @@ class SimilaritySpec extends SparkSpec {
         .map { case (c, b) => (-q6d(cos(pe, c)), b) }.sorted.map(_._2)
       val truth = embs.keys.filter(_ != pid).toSeq
         .sortBy(id => (-q6d(cos(pe, embs(id))), id)).take(10).toSet
-      graft.operators.Similarity.NprobeSweep.foreach { np =>
+      ladder.foreach { np =>
         val admitted = routing.take(np).toSet
         val cands = embs.keys.filter(id =>
           id != pid && admitted.contains(home(id))).toSeq
@@ -161,7 +162,7 @@ class SimilaritySpec extends SparkSpec {
         hitAcc((np, pid)) = got
       }
     }
-    graft.operators.Similarity.NprobeSweep.foreach { np =>
+    ladder.foreach { np =>
       val expectHits = probes.map(p => hitAcc((np, p))).sum.toLong
       assert(rows(np.toLong)._2 === expectHits, s"nprobe $np hits")
     }
@@ -209,10 +210,47 @@ class SimilaritySpec extends SparkSpec {
       ids.intersect(exact.getOrElse(v, Set.empty)).size.toDouble / 5
     }
     val meanRecall = recalls.sum / recalls.size
-    // nprobe=4 of nlist=16 cells: each vector sees ~1/4 of the corpus,
-    // biased toward its own neighborhood by the quantizer — guards the
-    // home/probe cell join, not SOTA recall
-    assert(meanRecall >= 0.3, s"mean recall $meanRecall")
+    // nprobe=4 of the adaptive nlist (4 on this 500-vector corpus):
+    // every cell probed, so the blocked graph must recover the exact
+    // graph almost perfectly (ties at the 4-dp quantizer are the only
+    // slack); the non-exhaustive regime is asserted at the second
+    // corpus size below
+    assert(meanRecall >= 0.95, s"mean recall $meanRecall")
+  }
+
+  test("adaptive IVF sizing: the √n law's breakpoints, and the recall floor holds at a second corpus size") {
+    import graft.operators.Similarity
+    // the sizing rule is a pure function of the corpus count — the
+    // breakpoints the r12 nlist sweep measured, plus the clamps
+    assert(Similarity.adaptiveNlist(0) === 4)
+    assert(Similarity.adaptiveNlist(500) === 4)    // sf0.001 / sf0.01
+    assert(Similarity.adaptiveNlist(2000) === 8)   // sf0.1
+    assert(Similarity.adaptiveNlist(20000) === 32) // sf1
+    assert(Similarity.adaptiveNlist(200000) === 128)
+    assert(Similarity.adaptiveNlist(1000000) === 256)
+    assert(Similarity.adaptiveNlist(Long.MaxValue) === 256, "cap binds")
+    // monotone non-decreasing in n (no sizing cliffs)
+    val sizes = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L,
+      10000000L).map(Similarity.adaptiveNlist)
+    assert(sizes.sliding(2).forall(p => p(0) <= p(1)), sizes.toString)
+    // second corpus size (sf0.1: 2000 vectors → nlist=8, nprobe=4 →
+    // HALF the cells probed, genuinely non-exhaustive): the blocked
+    // graph must still recover most of the exact graph. The r12 sweep
+    // measured probe-recall 0.82 at this sizing; floor with margin.
+    val dir2 = "/root/testdata/sf0.1"
+    val v2 = graft.Tables.spread(Tables.embeddings(spark, dir2), col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cents2 = Similarity.ivfCentroids(spark, dir2)
+    assert(cents2.length === 8, "adaptive sizing at 2000 vectors")
+    val exact2 = Similarity.knnGraphOf(v2, 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf2 = Similarity.knnGraphIvfOf(v2, 5, 4, cents2).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls2 = ivf2.map { case (id, ids) =>
+      ids.intersect(exact2.getOrElse(id, Set.empty)).size.toDouble / 5
+    }
+    val meanRecall2 = recalls2.sum / recalls2.size
+    assert(meanRecall2 >= 0.6, s"recall floor at 2000 vecs: $meanRecall2")
   }
 
   test("ann_nlist_sweep: exhaustive self-check rung, monotone cost axis, recall floor at the shipped sizing") {
@@ -230,14 +268,22 @@ class SimilaritySpec extends SparkSpec {
     val cands = rows.sortBy(_.getLong(0)).map(_.getLong(2))
     assert(cands.sliding(2).forall(p => p(0) > p(1)),
       s"candidate volume must fall as nlist grows: ${cands.toSeq}")
-    // recall floor at the SHIPPED sizing (nlist=16, nprobe=4) — the
-    // governance number the sweep exists to watch (0.62 measured on
-    // this corpus; floor with margin)
-    val shipped = rows.find(_.getLong(0) == 16L).get
-    assert(shipped.getDouble(5) >= 0.55,
+    // recall floor at the SHIPPED (adaptive √n) sizing — on this
+    // 500-vector corpus adaptiveNlist picks 4, which coincides with
+    // the exhaustive rung, so the shipped recall is exactly 1; the
+    // genuinely non-exhaustive shipped-sizing floor lives in the
+    // adaptive-IVF-sizing spec (second corpus size)
+    val nlShipped = graft.operators.Similarity.ivfNlist(spark, sf)
+    val shipped = rows.find(_.getLong(0) == nlShipped.toLong).get
+    assert(shipped.getDouble(5) >= 0.95,
       s"shipped-sizing recall ${shipped.getDouble(5)}")
     assert(shipped.getDouble(6) <= 0.05,
       s"shipped-sizing regret ${shipped.getDouble(6)}")
+    // the fixed-16 rung stays as the r12 governance number (0.62
+    // measured here) — the evidence trail the adaptive law cites
+    val fixed16 = rows.find(_.getLong(0) == 16L).get
+    assert(fixed16.getDouble(5) >= 0.55,
+      s"fixed-16 rung recall ${fixed16.getDouble(5)}")
   }
 
   test("knn_graph_ivf: no product join anywhere — candidates only via the cell equi-join") {
