@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   * dataspace v2, v3 attributes). Shared across both: datatypes
   * fixed-point (1/2/4/8-byte signed LE) and IEEE float (f32/f64 LE),
   * fill-value, layout v3 contiguous AND chunked (chunk B-tree v1),
-  * filter pipeline v1 with DEFLATE (id 1) and SHUFFLE (id 2),
-  * scalar/1-D numeric and string attributes (CF `scale_factor` /
-  * `add_offset` ride here). The remaining slivers — fractal-heap
-  * (dense) groups, layout v4 chunk indices, szip — quarantine
-  * loudly via Left(reason), the house drop discipline.
+  * (r13) layout v4 — the 1.10+ chunk-index generation — with the
+  * single-chunk, implicit, and fixed-array (paged and unpaged FADB)
+  * indexing types, filter pipeline v1 with DEFLATE (id 1) and
+  * SHUFFLE (id 2), scalar/1-D numeric and string attributes (CF
+  * `scale_factor` / `add_offset` ride here). The remaining slivers —
+  * fractal-heap (dense) groups, extensible-array and v2-B-tree chunk
+  * indexes, szip — quarantine loudly via Left(reason), the house
+  * drop discipline.
   *
   * The encoder writes the same subset (the in-plan render → decode
   * gate proves decode∘encode = identity over every layout/filter
@@ -369,10 +372,47 @@ object Hdf5 {
     val attrs = msgs.filter(_._1 == 0x000C).flatMap { case (_, p, _) =>
       decodeAttr(r, p)
     }
-    // layout
+    // layout: v3 (classic + most 1.8 files) and v4 (the 1.10+ latest
+    // format's chunk-index generation). Compact and contiguous bodies
+    // are byte-identical across the two versions; chunked differs —
+    // v3 routes through the chunk B-tree v1, v4 through its Chunk
+    // Indexing Type (single chunk / implicit / fixed array decoded
+    // here; extensible array and v2 B-tree quarantine by name).
     val lo = msgs.find(_._1 == 0x0008).getOrElse(return Left("missing_layout"))
-    if (r.u8(lo._2) != 3) return Left("unsupported_layout_version")
+    val loVer = r.u8(lo._2)
+    if (loVer != 3 && loVer != 4) return Left("unsupported_layout_version")
     val values = new Array[Double](nElems)
+    val strides = dims.scanRight(1)(_ * _).drop(1) // row-major
+    // pipeline applies in reverse on read; a set mask bit means the
+    // filter was SKIPPED for this chunk
+    def defilter(raw0: Array[Byte], mask: Long): Array[Byte] = {
+      var raw = raw0
+      filters.zipWithIndex.reverse.foreach { case ((id, _), fi) =>
+        if ((mask & (1L << fi)) == 0) raw = id match {
+          case 1 => inflate(raw)
+          case 2 => unshuffle(raw, elem)
+        }
+      }
+      raw
+    }
+    def scatterChunk(raw: Array[Byte], off: Seq[Int],
+        chunkDims: Seq[Int]): Unit = {
+      val cStrides = chunkDims.scanRight(1)(_ * _).drop(1)
+      val cElems = chunkDims.product
+      val rr = new Rd(raw)
+      var j = 0
+      while (j < cElems) {
+        val coords = (0 until rank).map(d =>
+          off(d) + (j / cStrides(d)) % chunkDims(d))
+        if (coords.zip(dims).forall { case (c, dm) => c < dm }) {
+          val gi = coords.zip(strides).map(p => p._1 * p._2).sum
+          values(gi) = numAt(rr, j.toLong * elem, kind)
+        }
+        j += 1
+      }
+    }
+    def chunkAt(addr: Long, nbytes: Long): Array[Byte] =
+      java.util.Arrays.copyOfRange(r.b, addr.toInt, (addr + nbytes).toInt)
     r.u8(lo._2 + 1) match {
       case 1 => // contiguous
         val addr = r.u64(lo._2 + 2)
@@ -381,15 +421,12 @@ object Hdf5 {
         while (i < nElems) {
           values(i) = numAt(r, addr + i.toLong * elem, kind); i += 1
         }
-      case 2 => // chunked: B-tree v1 node type 1
+      case 2 if loVer == 3 => // chunked: B-tree v1 node type 1
         val cRank = r.u8(lo._2 + 2) // rank + 1
         if (cRank != rank + 1) return Left("bad_chunk_rank")
         val btAddr = r.u64(lo._2 + 3)
         val chunkDims = (0 until rank).map(i => r.u32(lo._2 + 11 + i * 4L).toInt)
         if (isUndef(btAddr)) return Left("data_not_allocated")
-        val strides = dims.scanRight(1)(_ * _).drop(1) // row-major
-        val cStrides = chunkDims.scanRight(1)(_ * _).drop(1)
-        val cElems = chunkDims.product
         def walk(node: Long): Either[String, Unit] = {
           if (r.ascii(node, 4) != "TREE" || r.u8(node + 4) != 1)
             return Left("bad_chunk_btree")
@@ -403,36 +440,87 @@ object Hdf5 {
             if (level > 0) walk(r.u64(child)) match {
               case l @ Left(_) => return l; case _ => ()
             } else {
-              val nbytes = r.u32(key).toInt
+              val nbytes = r.u32(key)
               val mask = r.u32(key + 4)
               val off = (0 until rank).map(d => r.u64(key + 8 + d * 8L).toInt)
-              var raw = java.util.Arrays.copyOfRange(r.b,
-                r.u64(child).toInt, r.u64(child).toInt + nbytes)
-              // pipeline applies in reverse on read; a set mask bit
-              // means the filter was SKIPPED for this chunk
-              filters.zipWithIndex.reverse.foreach { case ((id, _), fi) =>
-                if ((mask & (1L << fi)) == 0) raw = id match {
-                  case 1 => inflate(raw)
-                  case 2 => unshuffle(raw, elem)
-                }
-              }
-              val rr = new Rd(raw)
-              var j = 0
-              while (j < cElems) {
-                val coords = (0 until rank).map(d =>
-                  off(d) + (j / cStrides(d)) % chunkDims(d))
-                if (coords.zip(dims).forall { case (c, dm) => c < dm }) {
-                  val gi = coords.zip(strides).map(p => p._1 * p._2).sum
-                  values(gi) = numAt(rr, j.toLong * elem, kind)
-                }
-                j += 1
-              }
+              scatterChunk(defilter(chunkAt(r.u64(child), nbytes), mask),
+                off, chunkDims)
             }
             i += 1
           }
           Right(())
         }
         walk(btAddr) match { case Left(e) => return Left(e); case _ => () }
+      case 2 => // v4 chunked: flags, rank+1 dims (elem size last),
+        // then the chunk indexing type
+        var p = lo._2 + 2
+        val cFlags = r.u8(p); p += 1
+        val nd = r.u8(p); p += 1
+        if (nd != rank + 1) return Left("bad_chunk_rank")
+        val encLen = r.u8(p); p += 1
+        if (encLen != 1 && encLen != 2 && encLen != 4 && encLen != 8)
+          return Left("bad_chunk_dim_encoding")
+        def dimAt(q: Long): Long = encLen match {
+          case 1 => r.u8(q).toLong
+          case 2 => r.u16(q).toLong
+          case 4 => r.u32(q)
+          case _ => r.u64(q)
+        }
+        val allDims = (0 until nd).map(i => dimAt(p + i.toLong * encLen))
+        p += nd.toLong * encLen
+        if (allDims.last != elem) return Left("bad_chunk_elem_size")
+        val chunkDims = allDims.init.map(_.toInt)
+        if (chunkDims.exists(_ <= 0)) return Left("bad_chunk_dims")
+        val cElems = chunkDims.product
+        val grid = dims.zip(chunkDims).map { case (n, c) => (n + c - 1) / c }
+        val gStrides = grid.scanRight(1)(_ * _).drop(1)
+        def chunkOff(ci: Int): Seq[Int] =
+          (0 until rank).map(d => ci / gStrides(d) % grid(d) * chunkDims(d))
+        val idxType = r.u8(p); p += 1
+        idxType match {
+          case 1 => // single chunk covering the whole dataset
+            val (nbytes, mask) =
+              if ((cFlags & 0x02) != 0) { // filtered: size + mask precede
+                val nb = r.u64(p); val m = r.u32(p + 8); p += 12; (nb, m)
+              } else (cElems.toLong * elem, 0L)
+            val addr = r.u64(p)
+            if (isUndef(addr)) return Left("data_not_allocated")
+            if (grid.product != 1) return Left("bad_single_chunk_dims")
+            scatterChunk(defilter(chunkAt(addr, nbytes), mask),
+              Seq.fill(rank)(0), chunkDims)
+          case 2 => // implicit: unfiltered chunks at fixed stride
+            if (filters.nonEmpty) return Left("implicit_index_filtered")
+            val addr = r.u64(p)
+            if (isUndef(addr)) return Left("data_not_allocated")
+            val csz = cElems.toLong * elem
+            var ci = 0
+            while (ci < grid.product) {
+              scatterChunk(chunkAt(addr + ci * csz, csz),
+                chunkOff(ci), chunkDims)
+              ci += 1
+            }
+          case 3 => // fixed array: FAHD header → FADB data block
+            p += 1 // max data-block page bits (FAHD restates it)
+            val faAddr = r.u64(p)
+            if (isUndef(faAddr)) return Left("data_not_allocated")
+            decodeFixedArray(r, faAddr, cElems.toLong * elem) match {
+              case Left(e) => return Left(e)
+              case Right(els) =>
+                if (els.size < grid.product)
+                  return Left("bad_fixed_array_entries")
+                var ci = 0
+                while (ci < grid.product) {
+                  val (addr, nb, mask) = els(ci)
+                  if (!isUndef(addr)) // unallocated chunk → fill
+                    scatterChunk(defilter(chunkAt(addr, nb), mask),
+                      chunkOff(ci), chunkDims)
+                  ci += 1
+                }
+            }
+          case 4 => return Left("earray_chunk_index_unsupported")
+          case 5 => return Left("btree2_chunk_index_unsupported")
+          case t => return Left(s"unsupported_chunk_index_$t")
+        }
       case 0 => // compact
         val sz = r.u16(lo._2 + 2)
         if (sz < nElems * elem) return Left("bad_compact_size")
@@ -443,6 +531,60 @@ object Hdf5 {
       case c => return Left(s"unsupported_layout_class_$c")
     }
     Right(H5Dataset(name, dims, kind, values, attrs))
+  }
+
+  /** Fixed Array chunk index (layout v4 indexing type 3): FAHD
+    * header → FADB data block, paged (page bitmap + per-page
+    * checksums) or not, client 0 (plain addresses) or 1 (address +
+    * encoded chunk size + filter mask) → per-chunk (address, nbytes,
+    * filterMask) in linear chunk order. Checksums are structural
+    * (not re-verified), matching the OHDR discipline. */
+  private def decodeFixedArray(r: Rd, faAddr: Long, plainBytes: Long):
+      Either[String, IndexedSeq[(Long, Long, Long)]] = {
+    if (r.ascii(faAddr, 4) != "FAHD") return Left("bad_fixed_array_header")
+    if (r.u8(faAddr + 4) != 0) return Left("unsupported_fixed_array_version")
+    val client = r.u8(faAddr + 5)
+    if (client > 1) return Left("unsupported_fixed_array_client")
+    val entrySize = r.u8(faAddr + 6)
+    val pageBits = r.u8(faAddr + 7)
+    val nEntries = r.u64(faAddr + 8)
+    val dblk = r.u64(faAddr + 16)
+    if (isUndef(dblk)) return Left("data_not_allocated")
+    if (r.ascii(dblk, 4) != "FADB" || r.u8(dblk + 4) != 0 ||
+      r.u8(dblk + 5) != client) return Left("bad_fixed_array_block")
+    val szLen = entrySize - 12 // client-1 entry: addr(8)+size(szLen)+mask(4)
+    if (client == 1 && (szLen < 1 || szLen > 8))
+      return Left("bad_fixed_array_entry_size")
+    if (client == 0 && entrySize != 8)
+      return Left("bad_fixed_array_entry_size")
+    def elemAt(q: Long): (Long, Long, Long) = {
+      val addr = r.u64(q)
+      if (client == 0) (addr, plainBytes, 0L)
+      else {
+        var nb = 0L; var i = 0
+        while (i < szLen) { nb |= r.u8(q + 8 + i).toLong << (8 * i); i += 1 }
+        (addr, nb, r.u32(q + 8 + szLen))
+      }
+    }
+    val out = IndexedSeq.newBuilder[(Long, Long, Long)]
+    val pageN = 1L << pageBits
+    val hdrEnd = dblk + 14 // sig(4) + version + client + header addr(8)
+    if (nEntries > pageN) { // paged: bitmap + block checksum, then pages
+      val npages = (nEntries + pageN - 1) / pageN
+      var q = hdrEnd + (npages + 7) / 8 + 4
+      var remaining = nEntries
+      while (remaining > 0) {
+        val inPage = math.min(pageN, remaining)
+        var i = 0L
+        while (i < inPage) { out += elemAt(q + i * entrySize); i += 1 }
+        q += inPage * entrySize + 4 // trailing page checksum
+        remaining -= inPage
+      }
+    } else {
+      var i = 0L
+      while (i < nEntries) { out += elemAt(hdrEnd + i * entrySize); i += 1 }
+    }
+    Right(out.result())
   }
 
   private def decodeAttr(r: Rd, p: Long): Option[H5Attr] = {
@@ -564,10 +706,15 @@ object Hdf5 {
     b.array()
   }
 
+  /** `v4Index` (encodeH5V2 only) selects a LAYOUT-v4 chunk index for
+    * a chunked dataset — 1 = single chunk, 2 = implicit, 3 = fixed
+    * array (`faPageBits` sizes its data-block pages; ≤2^bits chunks
+    * stay unpaged). None keeps the v3 chunk-B-tree layout. */
   private[graft] case class H5Enc(name: String, dims: Seq[Int],
       kind: String, values: Array[Double],
       chunkDims: Option[Seq[Int]] = None, gzipLevel: Int = 0,
-      shuffle: Boolean = false, attrs: Seq[H5Attr] = Nil)
+      shuffle: Boolean = false, attrs: Seq[H5Attr] = Nil,
+      v4Index: Option[Int] = None, faPageBits: Int = 10)
 
   /** Bob Jenkins' lookup3 `hashlittle` — the checksum the HDF5 v2+
     * metadata carries (spec Appendix; the algorithm is public
@@ -729,17 +876,26 @@ object Hdf5 {
     val rootPatch = w.pos; w.u64(0)
     val sbCkPatch = w.pos; w.u32(0)
     // --- data regions first: layouts need addresses, checksums need
-    // final bytes ---
-    val dataAddr = datasets.map { d =>
+    // final bytes. The finished layout message rides along (v3 chunk
+    // B-tree by default; H5Enc.v4Index selects a LAYOUT-v4 chunk
+    // index — what libhdf5 libver=latest actually writes) ---
+    val layoutMsg: Map[String, Array[Byte]] = datasets.map { d =>
       val raw = valueBytes(d.kind, d.values)
-      d.chunkDims match {
-        case None =>
+      val elem = d.kind.drop(1).toInt
+      val lo = new Wr
+      (d.chunkDims, d.v4Index) match {
+        case (None, _) =>
           w.pad(8); val a = w.pos.toLong; w.bytes(raw)
-          d.name -> ((a, raw.length.toLong))
-        case Some(_) =>
+          lo.u8(3).u8(1).u64(a).u64(raw.length.toLong)
+        case (Some(cd), None) =>
           val bt = writeChunks(w, d, raw)
-          d.name -> ((bt, raw.length.toLong))
+          lo.u8(3).u8(2).u8(d.dims.size + 1).u64(bt)
+          cd.foreach(x => lo.u32(x.toLong))
+          lo.u32(elem.toLong)
+        case (Some(_), Some(idx)) =>
+          writeV4Chunked(w, d, raw, idx, lo)
       }
+      d.name -> lo.out.toByteArray
     }.toMap
     def ohdr(msgs: Seq[(Int, Array[Byte])]): Long = {
       val body = new Wr
@@ -806,17 +962,7 @@ object Hdf5 {
         }
         msgs += ((0x0B, f.out.toByteArray))
       }
-      val (addr, rawLen) = dataAddr(d.name)
-      val lo = new Wr
-      d.chunkDims match {
-        case None =>
-          lo.u8(3).u8(1).u64(addr).u64(rawLen)
-        case Some(cd) =>
-          lo.u8(3).u8(2).u8(d.dims.size + 1).u64(addr)
-          cd.foreach(x => lo.u32(x))
-          lo.u32(elem.toLong)
-      }
-      msgs += ((0x08, lo.out.toByteArray))
+      msgs += ((0x08, layoutMsg(d.name)))
       d.name -> ohdr(msgs.result())
     }.toMap
     // --- root group: Link Info + Group Info + compact hard links ---
@@ -953,8 +1099,11 @@ object Hdf5 {
     aw.out.toByteArray
   }
 
-  /** Chunk data + B-tree v1; returns the B-tree address. */
-  private def writeChunks(w: Wr, d: H5Enc, raw: Array[Byte]): Long = {
+  /** Gather + filter every chunk of a dataset (edge chunks
+    * zero-padded, row-major grid order): (chunkOffset, bytes). Shared
+    * by the v3 B-tree writer and the v4 index writers. */
+  private def gatherChunks(d: H5Enc, raw: Array[Byte]):
+      IndexedSeq[(Seq[Int], Array[Byte])] = {
     val elem = d.kind.drop(1).toInt
     val dims = d.dims
     val cd = d.chunkDims.get
@@ -963,9 +1112,8 @@ object Hdf5 {
     val cStrides = cd.scanRight(1)(_ * _).drop(1)
     val cElems = cd.product
     val grid = dims.zip(cd).map { case (n, c) => (n + c - 1) / c }
-    val nChunks = grid.product
-    val chunks = (0 until nChunks).map { ci =>
-      val gStrides = grid.scanRight(1)(_ * _).drop(1)
+    val gStrides = grid.scanRight(1)(_ * _).drop(1)
+    (0 until grid.product).map { ci =>
       val off = (0 until rank).map(dd => (ci / gStrides(dd)) % grid(dd) * cd(dd))
       // gather (edge chunks zero-padded), row-major within the chunk
       val buf = new Array[Byte](cElems * elem)
@@ -983,6 +1131,16 @@ object Hdf5 {
       if (d.gzipLevel > 0) filtered = deflate(filtered, d.gzipLevel)
       (off, filtered)
     }
+  }
+
+  /** Chunk data + B-tree v1; returns the B-tree address. */
+  private def writeChunks(w: Wr, d: H5Enc, raw: Array[Byte]): Long = {
+    val dims = d.dims
+    val cd = d.chunkDims.get
+    val rank = dims.size
+    val grid = dims.zip(cd).map { case (n, c) => (n + c - 1) / c }
+    val nChunks = grid.product
+    val chunks = gatherChunks(d, raw)
     val addrs = chunks.map { case (_, data) =>
       w.pad(8); val a = w.pos; w.bytes(data); a.toLong
     }
@@ -1001,6 +1159,109 @@ object Hdf5 {
     (0 until rank).foreach(dd => w.u64(grid(dd).toLong * cd(dd)))
     w.u64(0)
     bt.toLong
+  }
+
+  /** Write a dataset's chunks under a LAYOUT-v4 chunk index (1 =
+    * single chunk, 2 = implicit, 3 = fixed array) and emit the v4
+    * layout message body into `lo`. Per-dim encoding width is the
+    * libhdf5 minimum; fixed-array structures (FAHD + FADB, paged
+    * past 2^faPageBits chunks) carry their real Jenkins-lookup3
+    * checksums, computed exactly as libhdf5's cache serializers do
+    * (block checksum covers header + page bitmap; page checksums
+    * cover their own elements). */
+  private def writeV4Chunked(w: Wr, d: H5Enc, raw: Array[Byte],
+      idx: Int, lo: Wr): Unit = {
+    val elem = d.kind.drop(1).toInt
+    val cd = d.chunkDims.get
+    val grid = d.dims.zip(cd).map { case (n, c) => (n + c - 1) / c }
+    val filtered = d.shuffle || d.gzipLevel > 0
+    val chunks = gatherChunks(d, raw)
+    def log2gen(v: Long): Int =
+      63 - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L))
+    def limitEnc(v: Long): Int = log2gen(v) / 8 + 1
+    val encLen = (cd.map(_.toLong) :+ elem.toLong).map(limitEnc).max
+    lo.u8(4).u8(2) // version 4, chunked
+    lo.u8(if (idx == 1 && filtered) 0x02 else 0x00) // single-with-filter
+    lo.u8(d.dims.size + 1).u8(encLen)
+    def dimOut(v: Long): Unit = {
+      var i = 0; var x = v
+      while (i < encLen) { lo.u8((x & 0xFF).toInt); x >>= 8; i += 1 }
+    }
+    cd.foreach(c => dimOut(c.toLong))
+    dimOut(elem.toLong)
+    lo.u8(idx)
+    idx match {
+      case 1 => // single chunk: the one (possibly filtered) chunk
+        require(grid.product == 1, "single-chunk index needs one chunk")
+        w.pad(8); val a = w.pos.toLong; w.bytes(chunks.head._2)
+        if (filtered) { lo.u64(chunks.head._2.length.toLong); lo.u32(0L) }
+        lo.u64(a)
+      case 2 => // implicit: unfiltered chunks at fixed stride
+        require(!filtered, "implicit index cannot carry filters")
+        w.pad(8); val a = w.pos.toLong
+        chunks.foreach(c => w.bytes(c._2))
+        lo.u64(a)
+      case 3 => // fixed array
+        val addrs = chunks.map { c =>
+          w.pad(8); val a = w.pos.toLong; w.bytes(c._2); a
+        }
+        val client = if (filtered) 1 else 0
+        // libhdf5's encoded-chunk-size width: one byte past the bytes
+        // of the UNFILTERED chunk size (H5D__farray_crt_context)
+        val szLen = math.min(8, 1 + (log2gen(cd.product.toLong * elem) + 8) / 8)
+        val entrySize = if (filtered) 8 + szLen + 4 else 8
+        val pageBits = d.faPageBits
+        val pageN = 1L << pageBits
+        val nChunks = chunks.size
+        // FAHD is 28 fixed bytes from an 8-aligned address, so the
+        // FADB address is known before either block is emitted
+        w.pad(8)
+        val fahd = w.pos.toLong
+        val dblk = fahd + 32
+        val hb = new Wr
+        hb.ascii("FAHD").u8(0).u8(client).u8(entrySize).u8(pageBits)
+        hb.u64(nChunks.toLong).u64(dblk)
+        hb.u32(lookup3(hb.out.toByteArray, 0, hb.pos, 0).toLong & 0xFFFFFFFFL)
+        w.bytes(hb.out.toByteArray)
+        w.pad(8)
+        require(w.pos == dblk, "fixed-array data block address drifted")
+        def elemOut(bw: Wr, i: Int): Unit = {
+          bw.u64(addrs(i))
+          if (filtered) {
+            var x = chunks(i)._2.length.toLong; var k = 0
+            while (k < szLen) { bw.u8((x & 0xFF).toInt); x >>= 8; k += 1 }
+            bw.u32(0L) // filter mask: every filter applied
+          }
+        }
+        val bb = new Wr
+        bb.ascii("FADB").u8(0).u8(client).u64(fahd)
+        if (nChunks > pageN) { // paged: all-initialized page bitmap
+          val npages = ((nChunks + pageN - 1) / pageN).toInt
+          (0 until (npages + 7) / 8).foreach { bi =>
+            var bits = 0
+            (0 until 8).foreach(k => if (bi * 8 + k < npages) bits |= 1 << k)
+            bb.u8(bits)
+          }
+          bb.u32(lookup3(bb.out.toByteArray, 0, bb.pos, 0).toLong & 0xFFFFFFFFL)
+          var i = 0
+          while (i < nChunks) {
+            val pw = new Wr
+            val end = math.min(i + pageN.toInt, nChunks)
+            (i until end).foreach(elemOut(pw, _))
+            pw.u32(lookup3(pw.out.toByteArray, 0, pw.pos, 0).toLong & 0xFFFFFFFFL)
+            bb.bytes(pw.out.toByteArray)
+            i = end
+          }
+        } else {
+          (0 until nChunks).foreach(elemOut(bb, _))
+          bb.u32(lookup3(bb.out.toByteArray, 0, bb.pos, 0).toLong & 0xFFFFFFFFL)
+        }
+        w.bytes(bb.out.toByteArray)
+        lo.u8(pageBits)
+        lo.u64(fahd)
+      case other =>
+        throw new IllegalArgumentException(s"v4 index $other not writable")
+    }
   }
 
   // ---------------------------------------------------- drop seam
@@ -1080,9 +1341,21 @@ object Hdf5 {
                 H5Attr("add_offset", Some(0.0), None),
                 H5Attr("units", None, Some("mm"))))),
             userblock = 512)),
+          // the latest-format file ships all three decodable LAYOUT-v4
+          // chunk indexes (what 1.10+ libver=latest writes): a
+          // filtered fixed array, a filtered single chunk carrying
+          // the CF attrs, and an implicit (unfiltered) grid
           ("cds_grid_latest.nc4", encodeH5V2(Seq(
             H5Enc("n_obs", Seq(8, 8), "i4", counts,
-              chunkDims = Some(Seq(4, 8)), gzipLevel = 1)))))
+              chunkDims = Some(Seq(4, 8)), gzipLevel = 1,
+              v4Index = Some(3)),
+            H5Enc("tp2_us", Seq(8, 8), "f8", means,
+              chunkDims = Some(Seq(8, 8)), gzipLevel = 6, shuffle = true,
+              v4Index = Some(1),
+              attrs = Seq(H5Attr("scale_factor", Some(1e-6), None),
+                H5Attr("add_offset", Some(0.0), None))),
+            H5Enc("n_obs_imp", Seq(8, 8), "i4", counts,
+              chunkDims = Some(Seq(4, 4)), v4Index = Some(2))))))
       }.toDF("name", "content")
     val (rows, _) = decodeH5Drop(doc)
     rows.select(col("dataset"), col("dtype"),

@@ -206,13 +206,94 @@ class Hdf5Spec extends SparkSpec {
     assert(f(rootHdr.toInt) === 1.toByte, "v1 object header")
   }
 
-  test("grid_h5_decode: end-to-end lane — CF unpack, both datasets, every cell") {
+  test("hdf5 layout v4: single-chunk / implicit / fixed-array round trips, paged fixed array, index quarantines") {
+    def rt2(d: H5Enc*): Seq[Hdf5.H5Dataset] =
+      Hdf5.decodeH5(Hdf5.encodeH5V2(d)).toOption.get
+    val v = Array.tabulate(35)(i => (i * 37 % 19) * 0.5 - 4)
+    // single chunk: plain, shuffled, deflated (the filtered form adds
+    // size+mask to the layout message — both arms decode)
+    for ((gz, sh) <- Seq((0, false), (6, true), (1, false))) {
+      val Seq(d) = rt2(H5Enc("x", Seq(7, 5), "f8", v,
+        chunkDims = Some(Seq(7, 5)), gzipLevel = gz, shuffle = sh,
+        v4Index = Some(1)))
+      assert(d.values.toSeq === v.toSeq, s"single gz=$gz sh=$sh")
+    }
+    // implicit: unfiltered fixed-stride chunks, exact-fit and edge-
+    // clipped grids
+    for (cd <- Seq(Seq(7, 5), Seq(7, 1), Seq(3, 2), Seq(4, 5))) {
+      val Seq(d) = rt2(H5Enc("x", Seq(7, 5), "f8", v,
+        chunkDims = Some(cd), v4Index = Some(2)))
+      assert(d.values.toSeq === v.toSeq, s"implicit $cd")
+    }
+    // fixed array: filtered (client 1) and plain (client 0), edge
+    // chunks, several dtypes
+    for ((gz, sh) <- Seq((0, false), (6, true), (1, true));
+         cd <- Seq(Seq(3, 2), Seq(4, 5))) {
+      val Seq(d) = rt2(H5Enc("x", Seq(7, 5), "f8", v,
+        chunkDims = Some(cd), gzipLevel = gz, shuffle = sh,
+        v4Index = Some(3)))
+      assert(d.values.toSeq === v.toSeq, s"farray $cd gz=$gz sh=$sh")
+    }
+    val iv = v.map(math.rint)
+    val Seq(di) = rt2(H5Enc("x", Seq(7, 5), "i4", iv,
+      chunkDims = Some(Seq(2, 2)), gzipLevel = 6, v4Index = Some(3)))
+    assert(di.values.toSeq === iv.toSeq, "farray i4")
+    // PAGED fixed array: pageBits=1 → 2 chunks per page; a 12-chunk
+    // grid forces the bitmap + per-page checksum path on both sides
+    val big = Array.tabulate(12 * 4)(i => i * 0.25 - 3)
+    val Seq(dp) = rt2(H5Enc("x", Seq(12, 4), "f8", big,
+      chunkDims = Some(Seq(1, 4)), gzipLevel = 6, v4Index = Some(3),
+      faPageBits = 1))
+    assert(dp.values.toSeq === big.toSeq, "paged fixed array")
+    // byte pins: the FAHD/FADB checksums really are lookup3 of the
+    // structure bytes before them
+    val fb = Hdf5.encodeH5V2(Seq(H5Enc("x", Seq(7, 5), "f8", v,
+      chunkDims = Some(Seq(3, 2)), v4Index = Some(3))))
+    def sigAt(b: Array[Byte], s: String): Int = b.indices.indexWhere(i =>
+      i + 4 <= b.length && new String(b, i, 4, "US-ASCII") == s)
+    def u32(b: Array[Byte], p: Int) =
+      (0 until 4).map(i => (b(p + i) & 0xFFL) << (8 * i)).sum
+    val fahd = sigAt(fb, "FAHD")
+    assert(fahd > 0, "FAHD present")
+    assert(u32(fb, fahd + 24) ===
+      (Hdf5.lookup3(fb, fahd, 24, 0).toLong & 0xFFFFFFFFL),
+      "FAHD checksum")
+    val fadb = sigAt(fb, "FADB")
+    assert(fadb === fahd + 32, "FADB follows the 28-byte header, padded")
+    // unpaged client-0 block: 14-byte header + 8 bytes per chunk
+    val nChunks = 3 * 3 // ceil(7/3) x ceil(5/2)
+    assert(u32(fb, fadb + 14 + nChunks * 8) ===
+      (Hdf5.lookup3(fb, fadb, 14 + nChunks * 8, 0).toLong & 0xFFFFFFFFL),
+      "FADB checksum")
+    // index-type quarantines: patch the layout message's index byte
+    // (body [4,2,flags,rank+1,encLen, dims..., idx]) from implicit to
+    // the two undekodable types — loud, named refusals
+    val imp = Hdf5.encodeH5V2(Seq(H5Enc("x", Seq(4), "f8",
+      Array(1.0, 2, 3, 4), chunkDims = Some(Seq(2)), v4Index = Some(2))))
+    val pat = Array[Byte](4, 2, 0, 2, 1, 2, 8, 2)
+    val at = imp.indices.indexWhere(i => i + pat.length < imp.length &&
+      (pat.indices).forall(k => imp(i + k) == pat(k)))
+    assert(at > 0, "v4 layout message located")
+    for ((t, want) <- Seq(4 -> "earray_chunk_index_unsupported",
+        5 -> "btree2_chunk_index_unsupported")) {
+      val bad = imp.clone; bad(at + 7) = t.toByte
+      assert(Hdf5.decodeH5(bad).left.toOption.get === s"x:$want")
+    }
+    // corrupt fixed-array signature refuses by name
+    val fx = fb.clone; fx(fahd) = 'X'.toByte
+    assert(Hdf5.decodeH5(fx).left.toOption.get ===
+      "x:bad_fixed_array_header")
+  }
+
+  test("grid_h5_decode: end-to-end lane — CF unpack, all four datasets across both format families, every cell") {
     val out = SparkEntry.queries("grid_h5_decode")(spark, sf).collect()
-    assert(out.length === 128, "two 8x8 datasets")
+    assert(out.length === 256, "four 8x8 datasets")
     val ds = out.groupBy(_.getString(0))
-    assert(ds.keySet === Set("tp_us", "n_obs"))
+    assert(ds.keySet === Set("tp_us", "n_obs", "tp2_us", "n_obs_imp"))
     assert(ds("tp_us").forall(_.getString(1) == "f8"))
+    assert(ds("tp2_us").forall(_.getString(1) == "f8"))
     assert(ds("n_obs").forall(_.getString(1) == "i4"))
+    assert(ds("n_obs_imp").forall(_.getString(1) == "i4"))
     // recompute straight from events
     val cells = Tables.events(spark, sf)
       .groupBy((col("user_id") % 8).as("gy"),
@@ -227,9 +308,9 @@ class Hdf5Spec extends SparkSpec {
       val key = (r.getLong(2), r.getLong(3))
       val (vus, n) = cells.getOrElse(key, (0L, 0L))
       r.getString(0) match {
-        case "tp_us" =>
+        case "tp_us" | "tp2_us" =>
           assert(r.getDouble(4) === vus.toDouble * 1e-6, s"cell $key")
-        case "n_obs" =>
+        case "n_obs" | "n_obs_imp" =>
           assert(r.getDouble(4) === n.toDouble, s"cell $key")
       }
     }
