@@ -2430,16 +2430,24 @@ object Climate {
     val nbrs = cells.select(col("user_id").as("neighbor_id"),
       col("lat").as("lat2"), col("lon").as("lon2"),
       col("cy").as("ncy"), col("cx").as("ncx"))
-    // shared argmin tail: candidate rows -> one pick per station
+    // shared argmin tail: candidate rows -> one pick per station.
+    // min(struct(dist2, neighbor_id)) IS the (dist2 asc, neighbor_id
+    // asc) argmin, but as a HASH AGGREGATE with map-side partial
+    // combine: each input partition reduces to one row per station
+    // before the exchange. The row_number window this replaces had
+    // to SORT the full candidate set first — at sf1 that was 18M
+    // candidate rows (dense cells) and 9.5 s of the lane's 12.7 s;
+    // the agg streams them (r13, BENCH_NOTES "station_neighbor_corr
+    // floor").
     def ringPick(cand: DataFrame): DataFrame = cand
       .filter(col("user_id") =!= col("neighbor_id"))
       .withColumn("dist2",
         (col("lat") - col("lat2")) * (col("lat") - col("lat2"))
           + (col("lon") - col("lon2")) * (col("lon") - col("lon2")))
-      .withColumn("rk", row_number().over(Window.partitionBy(col("user_id"))
-        .orderBy(col("dist2").asc, col("neighbor_id").asc)))
-      .filter(col("rk") === 1)
-      .select(col("user_id"), col("neighbor_id"), col("dist2"))
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("dist2"), col("neighbor_id"))).as("pick"))
+      .select(col("user_id"), col("pick.neighbor_id").as("neighbor_id"),
+        col("pick.dist2").as("dist2"))
     val off3 = array((-1 to 1).map(lit(_)): _*)
     val p1 = ringPick(cells
         .withColumn("dy", explode(off3))
