@@ -6802,27 +6802,41 @@ object SparkEntry {
         |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS seed
         |  FROM events GROUP BY 1),
         |p AS (
-        |  SELECT g,
-        |    CASE 9 + abs(seed) % 6 WHEN 9 THEN 128 WHEN 10 THEN 160
-        |      WHEN 11 THEN 192 WHEN 12 THEN 224 WHEN 13 THEN 256
-        |      ELSE 320 END AS bitrate,
+        |  SELECT g, abs(seed) AS a,
         |    CASE g % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
         |      ELSE 32000 END AS rate,
         |    12 + (g % 4) * 4 AS nf,
+        |    g % 2 = 0 AS vbr,
         |    CASE WHEN g % 2 = 0 THEN 0
         |      ELSE 10 + 64 + abs(seed) % 100 END AS tagtot
         |  FROM s),
         |fr AS (SELECT p.*, unnest(generate_series(0, nf - 1)) AS f FROM p),
-        |x AS (SELECT *, (144 * bitrate * 1000) // rate AS base FROM fr)
+        |x AS (SELECT *,
+        |    CASE (CASE WHEN vbr THEN (a + f) % 6 ELSE a % 6 END)
+        |      WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192
+        |      WHEN 3 THEN 224 WHEN 4 THEN 256 ELSE 320 END AS bitrate
+        |  FROM fr),
+        |y AS (SELECT *,
+        |    (144 * bitrate * 1000) // rate
+        |      + CASE WHEN f % 3 = 0 THEN 1 ELSE 0 END AS fb,
+        |    CASE WHEN vbr THEN (144 * 128000) // rate ELSE 0 END AS xlen
+        |  FROM x),
+        |z AS (SELECT *, tagtot + xlen
+        |    + coalesce(sum(fb) OVER (PARTITION BY g ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM y)
         |SELECT 'track_' || g || '.mp3' AS name, CAST(f AS BIGINT) AS frame,
-        |  CAST(tagtot + f * base + (f + 2) // 3 AS BIGINT) AS "offset",
+        |  CAST(off AS BIGINT) AS "offset",
         |  CAST(bitrate AS BIGINT) AS bitrate_kbps,
         |  CAST(rate AS BIGINT) AS sample_rate,
         |  f % 3 = 0 AS padded,
-        |  CAST(base + CASE WHEN f % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
-        |    AS frame_bytes,
-        |  CAST(f * 1152 AS BIGINT) AS cum_samples
-        |FROM x""".stripMargin,
+        |  CAST(fb AS BIGINT) AS frame_bytes,
+        |  CAST(f * 1152 AS BIGINT) AS cum_samples,
+        |  CAST((f * 13) % 512 AS BIGINT) AS main_data_begin,
+        |  vbr,
+        |  CASE WHEN vbr THEN CAST(nf AS BIGINT) ELSE NULL END AS decl_frames,
+        |  CAST((nf * 1152 * 1000) // rate AS BIGINT) AS duration_ms
+        |FROM z""".stripMargin,
 
     // the ADTS index: 13-bit frame_length includes the 7/9-byte
     // header, offsets prefix-sum the data-derived frame sizes, 1024

@@ -21,13 +21,33 @@ import org.apache.spark.sql.functions._
   */
 object AudioFrames {
 
-  /** One frame of an MPEG-1 Layer III stream: ordinal, absolute byte
-    * offset, declared bitrate (kbps), sample rate, padding flag,
-    * total frame bytes, cumulative PCM samples BEFORE this frame
-    * (1152 samples/frame — exact, unlike a float duration). */
+  /** One AUDIO frame of an MPEG-1 Layer III stream: ordinal,
+    * absolute byte offset, declared bitrate (kbps), sample rate,
+    * padding flag, total frame bytes, cumulative PCM samples BEFORE
+    * this frame (1152 samples/frame — exact, unlike a float
+    * duration), and the side info's 9-bit `main_data_begin` bit-
+    * reservoir backpointer (0 ⇔ the frame is self-contained — the
+    * cut points a seek/splice needs; the entropy payload behind it
+    * stays the declared seam). */
   private[graft] case class Mp3Frame(frame: Int, offset: Long,
       bitrateKbps: Int, sampleRate: Int, padded: Boolean,
-      frameBytes: Int, cumSamples: Long)
+      frameBytes: Int, cumSamples: Long, mainDataBegin: Int)
+
+  /** The Xing/Info VBR metadata frame (the de-facto public LAME/
+    * Fraunhofer header every VBR encoder writes as frame 0): which
+    * tag, the declared audio-frame and stream-byte counts, whether
+    * the 100-byte seek TOC is present, and the metadata frame's own
+    * byte size. Declared counts are VALIDATED against the walk —
+    * a lying Xing header quarantines rather than shipping a wrong
+    * duration. */
+  private[graft] case class Mp3Xing(isVbr: Boolean,
+      declFrames: Option[Long], declBytes: Option[Long],
+      hasToc: Boolean, frameBytes: Int)
+
+  /** A walked MPEG-1 Layer III stream: the audio frames plus the
+    * recognized (and excluded) Xing/Info metadata frame, if any. */
+  private[graft] case class Mp3Stream(frames: Seq[Mp3Frame],
+      xing: Option[Mp3Xing])
 
   // MPEG-1 Layer III tables (ISO 11172-3): bitrate index 1..14 in
   // kbps (0 = free format — unsupported, 15 = bad) and the three
@@ -40,15 +60,25 @@ object AudioFrames {
     * optional leading ID3v2 tag skips by its synchsafe size, each
     * header must carry the 11-bit sync, version MPEG-1, layer III,
     * legal bitrate/samplerate indices; frame length is the spec's
-    * `144·bitrate/samplerate + padding`. Trailing garbage shorter
-    * than a header ends the walk (a final partial frame quarantines).
-    * Left(reason) quarantines: free-format or reserved bitrate,
-    * reserved sample rate, MPEG-2/2.5 or layer I/II (different
-    * length arithmetic — loudly unsupported rather than silently
-    * wrong), lost sync mid-stream, truncated frame. */
+    * `144·bitrate/samplerate + padding`; per-frame bitrate may vary
+    * (VBR). (r13) The side info is read to its first field — the
+    * 9-bit main_data_begin backpointer (offset by the optional
+    * 16-bit CRC; 17-byte mono / 32-byte two-channel side info per
+    * ISO 11172-3 §2.4.1.7) — and a first frame whose payload opens
+    * with a Xing/Info tag after the side info is recognized as the
+    * VBR METADATA frame: excluded from the audio index, its declared
+    * frame/byte counts validated against the walk. Trailing garbage
+    * shorter than a header ends the walk (a final partial frame
+    * quarantines). Left(reason) quarantines: free-format or reserved
+    * bitrate, reserved sample rate, MPEG-2/2.5 or layer I/II
+    * (different length arithmetic — loudly unsupported rather than
+    * silently wrong), lost sync mid-stream, truncated frame, and a
+    * Xing header whose declared counts contradict the walk. */
   private[graft] def mp3FrameIndex(bytes: Array[Byte]):
-      Either[String, Seq[Mp3Frame]] = {
+      Either[String, Mp3Stream] = {
     def u8(p: Int) = bytes(p) & 0xFF
+    def u32be(p: Int): Long = (u8(p).toLong << 24) | (u8(p + 1) << 16) |
+      (u8(p + 2) << 8) | u8(p + 3)
     var p = 0
     // ID3v2: "ID3" + version(2) + flags(1) + synchsafe u28 size
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
@@ -60,33 +90,73 @@ object AudioFrames {
       if (p > bytes.length) return Left("truncated_id3")
     }
     if (p >= bytes.length) return Left("no_frames")
+    val streamStart = p
     val out = Seq.newBuilder[Mp3Frame]
+    var xing: Option[Mp3Xing] = None
     var i = 0
+    var walked = 0 // frames walked including the metadata frame
     var cum = 0L
     while (p + 4 <= bytes.length) {
       if (u8(p) != 0xFF || (u8(p + 1) & 0xE0) != 0xE0)
-        return Left(if (i == 0) "no_sync" else "lost_sync")
+        return Left(if (walked == 0) "no_sync" else "lost_sync")
       val versionId = (u8(p + 1) >> 3) & 0x03
       val layer = (u8(p + 1) >> 1) & 0x03
       if (versionId != 3) return Left("unsupported_mpeg_version")
       if (layer != 1) return Left("unsupported_layer") // 1 = Layer III
+      val crc = (u8(p + 1) & 1) == 0 // protection bit 0 = CRC present
       val bi = (u8(p + 2) >> 4) & 0x0F
       val si = (u8(p + 2) >> 2) & 0x03
       if (bi == 0) return Left("free_format_unsupported")
       if (bi == 15) return Left("bad_bitrate_index")
       if (si == 3) return Left("bad_samplerate_index")
       val pad = ((u8(p + 2) >> 1) & 1) == 1
+      val mode = (u8(p + 3) >> 6) & 0x03 // 3 = single channel
       val bitrate = Mp3Bitrate(bi)
       val rate = Mp3Rate(si)
       val len = 144 * bitrate * 1000 / rate + (if (pad) 1 else 0)
       if (p + len > bytes.length) return Left("truncated_frame")
-      out += Mp3Frame(i, p.toLong, bitrate, rate, pad, len, cum)
-      cum += 1152
+      val siOff = p + 4 + (if (crc) 2 else 0)
+      val siLen = if (mode == 3) 17 else 32
+      if (siOff + siLen > p + len) return Left("truncated_side_info")
+      val mdb = (u8(siOff) << 1) | (u8(siOff + 1) >> 7)
+      // Xing ("Xing" = VBR) / Info ("Info" = CBR) tag directly after
+      // the side info — only meaningful on the stream's first frame
+      val tagOff = siOff + siLen
+      val tag = if (walked == 0 && tagOff + 8 <= p + len)
+        new String(bytes, tagOff, 4, "US-ASCII") else ""
+      if (tag == "Xing" || tag == "Info") {
+        val flags = u32be(tagOff + 4)
+        var q = tagOff + 8
+        val declFrames = if ((flags & 1) != 0) {
+          val v = u32be(q); q += 4; Some(v)
+        } else None
+        val declBytes = if ((flags & 2) != 0) {
+          val v = u32be(q); q += 4; Some(v)
+        } else None
+        val hasToc = (flags & 4) != 0
+        if (hasToc) q += 100
+        if (q > p + len) return Left("truncated_xing")
+        xing = Some(Mp3Xing(tag == "Xing", declFrames, declBytes,
+          hasToc, len))
+      } else {
+        out += Mp3Frame(i, p.toLong, bitrate, rate, pad, len, cum, mdb)
+        cum += 1152
+        i += 1
+      }
+      walked += 1
       p += len
-      i += 1
     }
     if (p != bytes.length) return Left("trailing_garbage")
-    if (i == 0) Left("no_frames") else Right(out.result())
+    if (i == 0) return Left("no_frames")
+    // a lying Xing header quarantines instead of shipping wrong math
+    xing.foreach { x =>
+      x.declFrames.foreach(n =>
+        if (n != i) return Left("xing_frame_count_mismatch"))
+      x.declBytes.foreach(n =>
+        if (n != bytes.length - streamStart)
+          return Left("xing_bytes_mismatch"))
+    }
+    Right(Mp3Stream(out.result(), xing))
   }
 
   /** One ADTS frame: ordinal, absolute byte offset, AOT profile
@@ -315,12 +385,19 @@ object AudioFrames {
         .cast("double") / count(lit(1)) + 0.5).cast("long").as("seed"))
     val streams = seeds.as[(Long, Long)].map { case (g, seed) =>
       val a = math.abs(seed)
-      val bi = 9 + (a % 6).toInt          // bitrate idx 9..14
       val si = (g % 3).toInt              // all three sample rates
+      val rate = Mp3Rate(si)
       val nFrames = 12 + (g % 4).toInt * 4
-      val tagLen = if (g % 2 == 0) 0 else 64 + (a % 100).toInt
+      val vbr = g % 2 == 0
+      // per-AUDIO-frame bitrate index: VBR streams cycle 9..14, CBR
+      // streams hold one index; padding every third frame
+      def biOf(f: Int): Int =
+        if (vbr) 9 + ((a + f) % 6).toInt else 9 + (a % 6).toInt
+      def lenOf(f: Int): Int = 144 * Mp3Bitrate(biOf(f)) * 1000 / rate +
+        (if (f % 3 == 0) 1 else 0)
+      val tagLen = if (vbr) 0 else 64 + (a % 100).toInt
       val bo = new java.io.ByteArrayOutputStream()
-      if (tagLen > 0) {
+      if (tagLen > 0) { // CBR streams carry the ID3v2 skip instead
         bo.write('I'); bo.write('D'); bo.write('3')
         bo.write(4); bo.write(0); bo.write(0) // v2.4, no flags
         bo.write((tagLen >> 21) & 0x7F); bo.write((tagLen >> 14) & 0x7F)
@@ -328,16 +405,40 @@ object AudioFrames {
         var k = 0
         while (k < tagLen) { bo.write((k * 7 + 1) & 0xFF); k += 1 }
       }
+      def frameHeader(bi: Int, pad: Boolean): Unit = {
+        // FF FB (MPEG-1 Layer III no CRC), bitrate/rate/pad, stereo
+        bo.write(0xFF); bo.write(0xFB)
+        bo.write((bi << 4) | (si << 2) | (if (pad) 2 else 0))
+        bo.write(0x00)
+      }
+      if (vbr) {
+        // Xing metadata frame 0 at a fixed 128 kbps, no padding:
+        // 32 zero side-info bytes, then Xing flags=7 with the frame
+        // and byte counts the walk must reproduce + the 100-byte TOC
+        val len0 = 144 * 128000 / rate
+        val total = len0 + (0 until nFrames).map(lenOf).sum
+        frameHeader(9, pad = false)
+        (0 until 32).foreach(_ => bo.write(0))
+        bo.write('X'); bo.write('i'); bo.write('n'); bo.write('g')
+        bo.write(0); bo.write(0); bo.write(0); bo.write(7)
+        def u32be(v: Long): Unit = { bo.write(((v >> 24) & 0xFF).toInt)
+          bo.write(((v >> 16) & 0xFF).toInt)
+          bo.write(((v >> 8) & 0xFF).toInt); bo.write((v & 0xFF).toInt) }
+        u32be(nFrames.toLong)
+        u32be(total.toLong)
+        (0 until 100).foreach(k => bo.write(k * 255 / 100))
+        var k = 4 + 32 + 8 + 8 + 100
+        while (k < len0) { bo.write((k * 11 + 3) & 0xFF); k += 1 }
+      }
       var f = 0
       while (f < nFrames) {
         val pad = f % 3 == 0
-        val len = 144 * Mp3Bitrate(bi) * 1000 / Mp3Rate(si) +
-          (if (pad) 1 else 0)
-        // header: FF FB (MPEG-1 Layer III no CRC), bitrate/rate/pad
-        bo.write(0xFF); bo.write(0xFB)
-        bo.write((bi << 4) | (si << 2) | (if (pad) 2 else 0))
-        bo.write(0x00) // stereo, no mode ext
-        var k = 4
+        val len = lenOf(f)
+        frameHeader(biOf(f), pad)
+        // side info opens with the 9-bit main_data_begin backpointer
+        val mdb = (f * 13) % 512
+        bo.write(mdb >> 1); bo.write((mdb & 1) << 7)
+        var k = 6
         while (k < len) { bo.write((f * 31 + k) & 0xFF); k += 1 }
         f += 1
       }
@@ -346,12 +447,19 @@ object AudioFrames {
     streams.as[(String, Array[Byte])].flatMap { case (name, bytes) =>
       mp3FrameIndex(bytes) match {
         case Left(_) => Iterator.empty
-        case Right(fs) => fs.iterator.map(f => (name, f.frame.toLong,
-          f.offset, f.bitrateKbps.toLong, f.sampleRate.toLong,
-          f.padded, f.frameBytes.toLong, f.cumSamples))
+        case Right(st) =>
+          val rate = st.frames.head.sampleRate.toLong
+          val durMs = st.frames.size.toLong * 1152L * 1000L / rate
+          val vbr = st.xing.exists(_.isVbr)
+          val decl = st.xing.flatMap(_.declFrames)
+          st.frames.iterator.map(f => (name, f.frame.toLong,
+            f.offset, f.bitrateKbps.toLong, f.sampleRate.toLong,
+            f.padded, f.frameBytes.toLong, f.cumSamples,
+            f.mainDataBegin.toLong, vbr, decl, durMs))
       }
     }.toDF("name", "frame", "offset", "bitrate_kbps", "sample_rate",
-      "padded", "frame_bytes", "cum_samples")
+      "padded", "frame_bytes", "cum_samples", "main_data_begin",
+      "vbr", "decl_frames", "duration_ms")
       .orderBy(col("name"), col("frame"))
   }
 
