@@ -1,0 +1,318 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** S3-protocol object-store transport — closing the `utils_s3.py`
+  * seam the way `Fetch` closed HTTP/FTP: a minimal REST client
+  * (GET / HEAD / PUT / DELETE / ListObjectsV2) with real AWS
+  * Signature Version 4 request signing (the public SigV4 spec:
+  * canonical request → string-to-sign → HMAC-SHA256 key chain),
+  * plus the reference's object-store SEMANTICS re-expressed:
+  *
+  *  - URI → (bucket, key) parsing with every reference branch
+  *    (`utils_s3.py:get_bucket_name_key` 107-130: `s3://`, the
+  *    single-slash `s3:/` quirk, `/vsis3/`, `https://s3.amazonaws
+  *    .com/`, `https://s3.*`, else (None, uri)),
+  *  - the multipart-upload ETag rule (`utils_s3.py:etag` 37-54:
+  *    per-8MB-chunk MD5s; one chunk → plain hex, several →
+  *    `md5(concat(digests))-N`),
+  *  - etag-equality transfer skipping (`s3_equals` / the cached-
+  *    download and already-uploaded branches of `s3_download` /
+  *    `s3_upload`),
+  *  - prefix expansion: a key ending `/` lists the prefix and
+  *    fetches every object under it (`s3_download` 165-171),
+  *  - `remove_src`: delete-after-transfer (`s3_download` 162-163).
+  *
+  * Anonymous access (the reference's `S3_ANON_ACCESS` default) sends
+  * no Authorization header; with credentials every request is
+  * SigV4-signed and S3Spec's fixture server RE-DERIVES the signature
+  * server-side, so a signing bug 403s instead of passing silently.
+  * Like the FTP client this runs executor-side per partition —
+  * transport is data-parallel, never a driver loop. */
+object S3 {
+
+  /** `get_bucket_name_key` (utils_s3.py:107-130), branch-faithful —
+    * including the `s3:/b/key` single-slash form and the fallback
+    * (None, uri) for non-S3 paths. */
+  private[graft] def bucketKey(uri: String): (Option[String], Option[String]) = {
+    def split(s: String, n: Int): Array[String] = s.split("/", n + 1)
+    if (uri == null || uri.isEmpty) (None, None)
+    else if (uri.startsWith("s3://")) {
+      val p = split(uri, 3); (Some(p(2)), Some(p(3)))
+    } else if (uri.startsWith("s3:/")) {
+      val p = split(uri, 2); (Some(p(1)), Some(p(2)))
+    } else if (uri.startsWith("/vsis3/")) {
+      val p = split(uri, 3); (Some(p(2)), Some(p(3)))
+    } else if (uri.startsWith("https://s3.amazonaws.com/") ||
+      uri.startsWith("https://s3.")) {
+      val p = split(uri, 3); (Some(p(2)), Some(p(3)))
+    } else (None, Some(uri))
+  }
+
+  /** The multipart-upload ETag (utils_s3.py:etag): md5 per chunk;
+    * a single chunk is its plain hex digest, several become
+    * `md5(digest₀‖digest₁‖…)-N`. */
+  private[graft] def multipartEtag(data: Array[Byte],
+      chunkSize: Int = 8 * 1024 * 1024): String = {
+    def md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    val n = math.max(1, (data.length + chunkSize - 1) / chunkSize)
+    if (n == 1) hex(md5.digest(data))
+    else {
+      val digests = (0 until n).flatMap { i =>
+        md5.digest(java.util.Arrays.copyOfRange(data, i * chunkSize,
+          math.min((i + 1) * chunkSize, data.length))).toSeq
+      }.toArray
+      s"${hex(md5.digest(digests))}-$n"
+    }
+  }
+
+  private[graft] case class Creds(accessKey: String, secretKey: String,
+      region: String = "us-east-1")
+
+  private def sha256Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+      .map("%02x".format(_)).mkString
+
+  private def hmac(key: Array[Byte], msg: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(msg.getBytes("UTF-8"))
+  }
+
+  /** RFC 3986 encoding as SigV4 canonicalization requires (unreserved
+    * chars verbatim, '/' kept in paths, '~' unreserved). */
+  private[graft] def uriEncode(s: String, keepSlash: Boolean): String =
+    s.flatMap {
+      case c if (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' ||
+        c == '~' => c.toString
+      case '/' if keepSlash => "/"
+      case c => c.toString.getBytes("UTF-8").map("%%%02X".format(_)).mkString
+    }
+
+  /** SigV4 signature over a canonical request — shared by the client
+    * (signing) and S3Spec's fixture server (verification), but the
+    * spec additionally pins the full chain against the worked
+    * example in AWS's public SigV4 documentation so both sides can't
+    * share a drifted misreading. */
+  private[graft] def sigV4(method: String, hostPort: String, path: String,
+      query: Seq[(String, String)], payloadSha: String, amzDate: String,
+      creds: Creds): String = {
+    val dateStamp = amzDate.take(8)
+    val canonicalQuery = query
+      .map { case (k, v) => (uriEncode(k, keepSlash = false),
+        uriEncode(v, keepSlash = false)) }
+      .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+    val canonicalHeaders = s"host:$hostPort\n" +
+      s"x-amz-content-sha256:$payloadSha\nx-amz-date:$amzDate\n"
+    val signedHeaders = "host;x-amz-content-sha256;x-amz-date"
+    val canonicalRequest = Seq(method, uriEncode(path, keepSlash = true),
+      canonicalQuery, canonicalHeaders, signedHeaders, payloadSha)
+      .mkString("\n")
+    val scope = s"$dateStamp/${creds.region}/s3/aws4_request"
+    val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+      sha256Hex(canonicalRequest.getBytes("UTF-8"))).mkString("\n")
+    val kSigning = hmac(hmac(hmac(hmac(
+      ("AWS4" + creds.secretKey).getBytes("UTF-8"), dateStamp),
+      creds.region), "s3"), "aws4_request")
+    hmac(kSigning, stringToSign).map("%02x".format(_)).mkString
+  }
+
+  private[graft] def authHeader(signature: String, amzDate: String,
+      creds: Creds): String = {
+    val scope = s"${amzDate.take(8)}/${creds.region}/s3/aws4_request"
+    s"AWS4-HMAC-SHA256 Credential=${creds.accessKey}/$scope, " +
+      s"SignedHeaders=host;x-amz-content-sha256;x-amz-date, " +
+      s"Signature=$signature"
+  }
+
+  /** Path-style S3 REST client over java.net.http (the transport the
+    * whole Fetch family rides): one instance per executor partition.
+    * Every call returns Left(reason) on protocol errors — the drop
+    * quarantine discipline, never an exception across the seam. */
+  private[graft] class S3Client(endpoint: String, creds: Option[Creds]) {
+    private val u = java.net.URI.create(endpoint)
+    private val hostPort =
+      u.getHost + (if (u.getPort > 0) s":${u.getPort}" else "")
+    private val http = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+    private def now(): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss'Z'")
+      .format(java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC))
+
+    private def send(method: String, path: String,
+        query: Seq[(String, String)], body: Array[Byte]):
+        Either[String, (Int, Array[Byte], java.net.http.HttpHeaders)] = try {
+      val qs = query.map { case (k, v) =>
+        s"${uriEncode(k, keepSlash = false)}=${uriEncode(v, keepSlash = false)}"
+      }.mkString("&")
+      val url = endpoint + uriEncode(path, keepSlash = true) +
+        (if (qs.nonEmpty) s"?$qs" else "")
+      val payloadSha = sha256Hex(body)
+      val amzDate = now()
+      var b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(30))
+        .header("x-amz-date", amzDate)
+        .header("x-amz-content-sha256", payloadSha)
+      creds.foreach { c =>
+        val sig = sigV4(method, hostPort, path, query, payloadSha,
+          amzDate, c)
+        b = b.header("Authorization", authHeader(sig, amzDate, c))
+      }
+      val pub = if (body.isEmpty)
+        java.net.http.HttpRequest.BodyPublishers.noBody()
+      else java.net.http.HttpRequest.BodyPublishers.ofByteArray(body)
+      val resp = http.send(b.method(method, pub).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      Right((resp.statusCode(), resp.body(), resp.headers()))
+    } catch {
+      case e: Exception => Left(s"transport:${e.getClass.getSimpleName}")
+    }
+
+    private def fail(st: Int, body: Array[Byte]): String = {
+      val code = "<Code>([A-Za-z0-9]+)</Code>".r
+        .findFirstMatchIn(new String(body, "UTF-8")).map(_.group(1))
+      s"http_$st${code.map(c => s":$c").getOrElse("")}"
+    }
+
+    def getObject(bucket: String, key: String): Either[String, Array[Byte]] =
+      send("GET", s"/$bucket/$key", Nil, Array.emptyByteArray).flatMap {
+        case (200, body, _) => Right(body)
+        case (st, body, _) => Left(fail(st, body))
+      }
+
+    def headEtag(bucket: String, key: String): Either[String, String] =
+      send("HEAD", s"/$bucket/$key", Nil, Array.emptyByteArray).flatMap {
+        case (200, _, h) => h.firstValue("ETag").map[Either[String, String]](
+          e => Right(e.stripPrefix("\"").stripSuffix("\"")))
+          .orElse(Left("missing_etag"))
+        case (st, body, _) => Left(fail(st, body))
+      }
+
+    def putObject(bucket: String, key: String,
+        body: Array[Byte]): Either[String, Unit] =
+      send("PUT", s"/$bucket/$key", Nil, body).flatMap {
+        case (200, _, _) => Right(())
+        case (st, b, _) => Left(fail(st, b))
+      }
+
+    def deleteObject(bucket: String, key: String): Either[String, Unit] =
+      send("DELETE", s"/$bucket/$key", Nil, Array.emptyByteArray).flatMap {
+        case (204, _, _) | (200, _, _) => Right(())
+        case (st, b, _) => Left(fail(st, b))
+      }
+
+    /** ListObjectsV2 (`list-type=2&prefix=`): (key, size, etag) rows
+      * from the XML ListBucketResult. */
+    def listPrefix(bucket: String,
+        prefix: String): Either[String, Seq[(String, Long, String)]] =
+      send("GET", s"/$bucket", Seq("list-type" -> "2", "prefix" -> prefix),
+        Array.emptyByteArray).flatMap {
+        case (200, body, _) =>
+          val xml = new String(body, "UTF-8")
+          val objs =
+            "<Contents>(.*?)</Contents>".r.findAllMatchIn(xml).map { m =>
+              val c = m.group(1)
+              def f(tag: String) = s"<$tag>(.*?)</$tag>".r
+                .findFirstMatchIn(c).map(_.group(1)).getOrElse("")
+              (f("Key"), f("Size").toLong,
+                f("ETag").replace("&quot;", "").replace("\"", ""))
+            }.toSeq
+          Right(objs)
+        case (st, body, _) => Left(fail(st, body))
+      }
+  }
+
+  /** The `s3_download` semantics over a request frame — the S3 twin
+    * of [[Fetch.httpFetchDrop]]: rows (name, uri) fetch executor-side
+    * (one signed client per partition); a key ending `/` expands via
+    * ListObjectsV2 into every object under the prefix (one output row
+    * each, named `name/relative-key` like the reference's recursive
+    * branch); `removeSrc` deletes fetched objects (the reference's
+    * move). Returns (drop rows (name, uri, content), quarantine rows
+    * (name, uri, reason)) — transport runs EXACTLY ONCE per request
+    * frame (pinned), the Fetch-family discipline. */
+  def s3FetchDrop(requests: DataFrame, endpoint: String,
+      creds: Option[(String, String, String)],
+      removeSrc: Boolean = false): (DataFrame, DataFrame) = {
+    val spark = requests.sparkSession
+    import spark.implicits._
+    val cr = creds.map { case (a, s, r) => Creds(a, s, r) }
+    val fetched = requests.select(col("name"), col("uri"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        lazy val client = new S3Client(endpoint, cr)
+        it.flatMap { case (name, uri) =>
+          bucketKey(uri) match {
+            case (Some(bucket), Some(key)) if key.endsWith("/") =>
+              client.listPrefix(bucket, key) match {
+                case Left(reason) =>
+                  Iterator((false, name, uri, reason, Array.emptyByteArray))
+                case Right(objs) => objs.iterator
+                  .filterNot(_._1.endsWith("/")).map { case (k, _, _) =>
+                    client.getObject(bucket, k) match {
+                      case Right(body) =>
+                        if (removeSrc) client.deleteObject(bucket, k)
+                        (true, s"$name/${k.stripPrefix(key)}",
+                          s"s3://$bucket/$k", null: String, body)
+                      case Left(reason) =>
+                        (false, s"$name/${k.stripPrefix(key)}",
+                          s"s3://$bucket/$k", reason, Array.emptyByteArray)
+                    }
+                  }
+              }
+            case (Some(bucket), Some(key)) =>
+              Iterator(client.getObject(bucket, key) match {
+                case Right(body) =>
+                  if (removeSrc) client.deleteObject(bucket, key)
+                  (true, name, uri, null: String, body)
+                case Left(reason) =>
+                  (false, name, uri, reason, Array.emptyByteArray)
+              })
+            case _ =>
+              Iterator((false, name, uri, "not_an_s3_uri",
+                Array.emptyByteArray))
+          }
+        }
+      }
+      .toDF("ok", "name", "uri", "reason", "content")
+      .localCheckpoint()
+    (fetched.filter(col("ok")).select("name", "uri", "content"),
+      fetched.filter(!col("ok")).select("name", "uri", "reason"))
+  }
+
+  /** The `s3_upload` semantics over a drop frame: rows (uri, content)
+    * PUT executor-side, SKIPPING objects whose stored multipart ETag
+    * already equals the payload's (the reference's `s3_equals`
+    * already-uploaded branch — republish is a no-op, the idempotence
+    * the scheduler's replay relies on). Returns (uri, action) rows
+    * with action ∈ uploaded | skipped_equal | a quarantine reason. */
+  def s3PublishDrop(drops: DataFrame, endpoint: String,
+      creds: Option[(String, String, String)]): DataFrame = {
+    val spark = drops.sparkSession
+    import spark.implicits._
+    val cr = creds.map { case (a, s, r) => Creds(a, s, r) }
+    drops.select(col("uri"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        lazy val client = new S3Client(endpoint, cr)
+        it.map { case (uri, body) =>
+          bucketKey(uri) match {
+            case (Some(bucket), Some(key)) =>
+              val same = client.headEtag(bucket, key)
+                .exists(_ == multipartEtag(body))
+              if (same) (uri, "skipped_equal")
+              else client.putObject(bucket, key, body) match {
+                case Right(_) => (uri, "uploaded")
+                case Left(reason) => (uri, reason)
+              }
+            case _ => (uri, "not_an_s3_uri")
+          }
+        }
+      }
+      .toDF("uri", "action")
+  }
+}
