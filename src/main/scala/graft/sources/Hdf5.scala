@@ -27,10 +27,14 @@ import org.apache.spark.sql.functions._
   * single-chunk, implicit, and fixed-array (paged and unpaged FADB)
   * indexing types, filter pipeline v1 with DEFLATE (id 1) and
   * SHUFFLE (id 2), scalar/1-D numeric and string attributes (CF
-  * `scale_factor` / `add_offset` ride here). The remaining slivers —
-  * fractal-heap (dense) groups, extensible-array and v2-B-tree chunk
-  * indexes, szip — quarantine loudly via Left(reason), the house
-  * drop discipline.
+  * `scale_factor` / `add_offset` ride here), and (r13) DENSE
+  * fractal-heap groups in the small-group form libhdf5 writes past
+  * its 8-link threshold (root direct block + depth-0 name-index v2
+  * B-tree, name hashes re-derived through the pinned lookup3). The
+  * remaining slivers — indirect/filtered/huge-object fractal heaps,
+  * deeper v2 B-trees, extensible-array and v2-B-tree chunk indexes,
+  * szip — quarantine loudly via Left(reason), the house drop
+  * discipline.
   *
   * The encoder writes the same subset (the in-plan render → decode
   * gate proves decode∘encode = identity over every layout/filter
@@ -177,39 +181,138 @@ object Hdf5 {
     if (r.ascii(addr, 4) == "OHDR") headerMessagesV2(r, addr)
     else headerMessages(r, addr)
 
+  /** Parse one link-message body (type 0x06) at `p` → (name,
+    * objectHeaderAddr). Shared by the compact path (bodies inline in
+    * the object header) and the DENSE path (bodies as fractal-heap
+    * managed objects). Soft/external links quarantine (the
+    * reference's datasets are hard-linked). */
+  private def linkMessage(r: Rd, p: Long):
+      Either[String, (String, Long)] = {
+    if (r.u8(p) != 1) return Left("unsupported_link_version")
+    val fl = r.u8(p + 1)
+    var q = p + 2
+    val ltype = if ((fl & 0x08) != 0) { val t = r.u8(q); q += 1; t }
+      else 0
+    if (ltype != 0) return Left("unsupported_link_type")
+    if ((fl & 0x04) != 0) q += 8 // creation order
+    if ((fl & 0x10) != 0) q += 1 // charset
+    val lenSz = 1 << (fl & 0x03)
+    val nameLen = lenSz match {
+      case 1 => r.u8(q); case 2 => r.u16(q)
+      case 4 => r.u32(q).toInt; case _ => r.u64(q).toInt
+    }
+    q += lenSz
+    val name = r.ascii(q, nameLen)
+    Right((name, r.u64(q + nameLen)))
+  }
+
   /** The (name, objectHeaderAddr) links of a NEW-STYLE group: link
-    * messages (0x06) compact in the object header. A Link Info
-    * message carrying a fractal-heap address means the group went
-    * DENSE — that storage has no JVM decoder and quarantines. Soft/
-    * external links quarantine likewise (the reference's datasets
-    * are hard-linked). */
+    * messages (0x06) compact in the object header, or — when the
+    * Link Info message carries a fractal-heap address (what libhdf5
+    * writes past its 8-link dense threshold) — (r13) the DENSE
+    * storage walk via [[denseLinks]]. */
   private def compactLinks(r: Rd, msgs: Seq[(Int, Long, Int)]):
       Either[String, Seq[(String, Long)]] = {
     msgs.find(_._1 == 0x02).foreach { case (_, p, _) =>
       // Link Info v0: version, flags, [max creation index u64 if
       // flags&1], fractal heap addr, name B-tree addr
       val fl = r.u8(p + 1)
-      val fh = r.u64(p + 2 + (if ((fl & 1) != 0) 8 else 0))
-      if (!isUndef(fh)) return Left("dense_groups_unsupported")
+      val base = p + 2 + (if ((fl & 1) != 0) 8 else 0)
+      val fh = r.u64(base)
+      val nameBt = r.u64(base + 8)
+      if (!isUndef(fh)) return denseLinks(r, fh, nameBt)
     }
     val out = Vector.newBuilder[(String, Long)]
     msgs.filter(_._1 == 0x06).foreach { case (_, p, _) =>
-      if (r.u8(p) != 1) return Left("unsupported_link_version")
-      val fl = r.u8(p + 1)
-      var q = p + 2
-      val ltype = if ((fl & 0x08) != 0) { val t = r.u8(q); q += 1; t }
-        else 0
-      if (ltype != 0) return Left("unsupported_link_type")
-      if ((fl & 0x04) != 0) q += 8 // creation order
-      if ((fl & 0x10) != 0) q += 1 // charset
-      val lenSz = 1 << (fl & 0x03)
-      val nameLen = lenSz match {
-        case 1 => r.u8(q); case 2 => r.u16(q)
-        case 4 => r.u32(q).toInt; case _ => r.u64(q).toInt
+      linkMessage(r, p) match {
+        case Left(e) => return Left(e)
+        case Right(l) => out += l
       }
-      q += lenSz
-      val name = r.ascii(q, nameLen)
-      out += ((name, r.u64(q + nameLen)))
+    }
+    Right(out.result())
+  }
+
+  /** DENSE group storage (the 1.8+ form past 8 links): the link
+    * messages live as MANAGED OBJECTS in a fractal heap ('FRHP'
+    * header → root 'FHDB' direct block) and are found through the
+    * name-index version-2 B-tree ('BTHD' → 'BTLF' leaf of type-5
+    * records, each 4-byte Jenkins-lookup3 name hash + heap ID).
+    * Decodes the small-group form libhdf5 actually writes below one
+    * root block — root DIRECT block, depth-0 name index, unfiltered
+    * heap; indirect root blocks, deeper B-trees, huge/tiny heap
+    * objects and filtered heaps quarantine by name. Every record's
+    * name hash is re-derived from the decoded name with the same
+    * spec-pinned lookup3 — a heap/B-tree disagreement cannot decode
+    * silently. */
+  private def denseLinks(r: Rd, fhAddr: Long, btAddr: Long):
+      Either[String, Seq[(String, Long)]] = {
+    // --- fractal heap header ---
+    if (r.ascii(fhAddr, 4) != "FRHP") return Left("bad_fractal_heap")
+    if (r.u8(fhAddr + 4) != 0)
+      return Left("unsupported_fractal_heap_version")
+    val idLen = r.u16(fhAddr + 5)
+    val filterLen = r.u16(fhAddr + 7)
+    if (filterLen != 0) return Left("filtered_fractal_heap_unsupported")
+    // flags(1) at 9, maxManSize(4) at 10, then the 13 length/address
+    // stats fields (8 bytes each) at 14..110, then the doubling table
+    val nHuge = r.u64(fhAddr + 86)
+    val nTiny = r.u64(fhAddr + 102)
+    if (nHuge != 0 || nTiny != 0)
+      return Left("huge_or_tiny_heap_objects_unsupported")
+    val maxHeapBits = r.u16(fhAddr + 128)
+    val rootAddr = r.u64(fhAddr + 132)
+    val currRows = r.u16(fhAddr + 140)
+    if (currRows != 0) // root is an INDIRECT block: the group outgrew
+      return Left("indirect_fractal_heap_unsupported")
+    if (isUndef(rootAddr)) return Left("empty_fractal_heap")
+    val offSize = (maxHeapBits + 7) / 8
+    val lenSize = idLen - 1 - offSize
+    if (lenSize < 1 || lenSize > 8) return Left("bad_heap_id_length")
+    // --- root direct block (block offset 0: a managed object's heap
+    // offset IS its offset inside this block's buffer) ---
+    if (r.ascii(rootAddr, 4) != "FHDB") return Left("bad_heap_direct_block")
+    if (r.u8(rootAddr + 4) != 0)
+      return Left("unsupported_heap_block_version")
+    if (r.u64(rootAddr + 5) != fhAddr) return Left("bad_heap_back_pointer")
+    // --- name-index v2 B-tree ---
+    if (btAddr == 0 || isUndef(btAddr)) return Left("missing_name_index")
+    if (r.ascii(btAddr, 4) != "BTHD") return Left("bad_name_index")
+    if (r.u8(btAddr + 4) != 0) return Left("unsupported_btree2_version")
+    if (r.u8(btAddr + 5) != 5) // record type 5 = link name index
+      return Left("unexpected_btree2_type")
+    val recSize = r.u16(btAddr + 10)
+    if (recSize != 4 + idLen) return Left("bad_btree2_record_size")
+    val depth = r.u16(btAddr + 12)
+    if (depth != 0) return Left("btree2_depth_unsupported")
+    val rootNode = r.u64(btAddr + 16)
+    val nRec = r.u16(btAddr + 24)
+    if (r.ascii(rootNode, 4) != "BTLF") return Left("bad_btree2_leaf")
+    if (r.u8(rootNode + 4) != 0 || r.u8(rootNode + 5) != 5)
+      return Left("bad_btree2_leaf")
+    val out = Vector.newBuilder[(String, Long)]
+    var i = 0
+    while (i < nRec) {
+      val rec = rootNode + 6 + i.toLong * recSize
+      val hash = r.u32(rec)
+      val idB = rec + 4
+      if ((r.u8(idB) & 0xF0) != 0) // version 0, type 0 = managed
+        return Left("nonmanaged_heap_id_unsupported")
+      var off = 0L; var k = 0
+      while (k < offSize) { off |= r.u8(idB + 1 + k).toLong << (8 * k); k += 1 }
+      var len = 0L; k = 0
+      while (k < lenSize) {
+        len |= r.u8(idB + 1 + offSize + k).toLong << (8 * k); k += 1
+      }
+      if (len <= 0) return Left("bad_heap_object_length")
+      linkMessage(r, rootAddr + off) match {
+        case Left(e) => return Left(e)
+        case Right((name, oh)) =>
+          val nb = name.getBytes("US-ASCII")
+          if ((lookup3(nb, 0, nb.length, 0) & 0xFFFFFFFFL) != hash)
+            return Left("bad_link_name_hash")
+          out += ((name, oh))
+      }
+      i += 1
     }
     Right(out.result())
   }
@@ -861,8 +964,10 @@ object Hdf5 {
     * Jenkins-lookup3 checksum. Data regions are written FIRST so
     * header bytes (and therefore checksums) are final at emit
     * time. */
-  private[graft] def encodeH5V2(datasets: Seq[H5Enc]): Array[Byte] = {
-    require(datasets.nonEmpty && datasets.size <= 8,
+  private[graft] def encodeH5V2(datasets: Seq[H5Enc],
+      denseGroup: Boolean = false): Array[Byte] = {
+    require(datasets.nonEmpty)
+    require(denseGroup || datasets.size <= 8,
       "compact links: 8 is libhdf5's default dense threshold")
     val w = new Wr
     // --- superblock v2 (checksum patched at the end) ---
@@ -965,19 +1070,31 @@ object Hdf5 {
       msgs += ((0x08, layoutMsg(d.name)))
       d.name -> ohdr(msgs.result())
     }.toMap
-    // --- root group: Link Info + Group Info + compact hard links ---
-    val rootMsgs = Seq.newBuilder[(Int, Array[Byte])]
-    val li = new Wr
-    li.u8(0).u8(0).u64(Undef).u64(Undef) // no fractal heap / btree
-    rootMsgs += ((0x02, li.out.toByteArray))
-    rootMsgs += ((0x0A, Array[Byte](0, 0)))
-    datasets.foreach { d =>
+    // --- root group: Link Info + Group Info; links either compact
+    // (0x06 messages in the header) or DENSE (fractal heap + name-
+    // index v2 B-tree, libhdf5's form past 8 links) ---
+    def linkBody(d: H5Enc): Array[Byte] = {
       val nameB = d.name.getBytes("US-ASCII")
       val lk = new Wr
       lk.u8(1).u8(0) // version 1, hard link, 1-byte name length
       lk.u8(nameB.length).bytes(nameB)
       lk.u64(dsAddr(d.name))
-      rootMsgs += ((0x06, lk.out.toByteArray))
+      lk.out.toByteArray
+    }
+    val rootMsgs = Seq.newBuilder[(Int, Array[Byte])]
+    if (denseGroup) {
+      val (fhAddr, btAddr) = writeDenseGroup(w,
+        datasets.map(d => d.name -> linkBody(d)))
+      val li = new Wr
+      li.u8(0).u8(0).u64(fhAddr).u64(btAddr)
+      rootMsgs += ((0x02, li.out.toByteArray))
+      rootMsgs += ((0x0A, Array[Byte](0, 0)))
+    } else {
+      val li = new Wr
+      li.u8(0).u8(0).u64(Undef).u64(Undef) // no fractal heap / btree
+      rootMsgs += ((0x02, li.out.toByteArray))
+      rootMsgs += ((0x0A, Array[Byte](0, 0)))
+      datasets.foreach(d => rootMsgs += ((0x06, linkBody(d))))
     }
     val rootHdr = ohdr(rootMsgs.result())
     w.patchU64(rootPatch, rootHdr)
@@ -1159,6 +1276,105 @@ object Hdf5 {
     (0 until rank).foreach(dd => w.u64(grid(dd).toLong * cd(dd)))
     w.u64(0)
     bt.toLong
+  }
+
+  /** Write DENSE group link storage (the libhdf5 past-8-links form):
+    * link-message bodies as managed objects in a single root DIRECT
+    * block of a fractal heap, found through a depth-0 name-index v2
+    * B-tree of type-5 records (lookup3 name hash + 7-byte managed
+    * heap ID). Parameters mirror libhdf5's group-heap creation
+    * constants (width 4, 64 KB max direct block, 32-bit heap space,
+    * 4096-byte max managed object → heap ID length 7, checksummed
+    * direct blocks); the direct block checksum is computed over the
+    * whole block image with its own field zeroed, exactly as the
+    * metadata cache serializes it. Returns (heap header address,
+    * name-index header address) for the Link Info message. */
+  private def writeDenseGroup(w: Wr,
+      links: Seq[(String, Array[Byte])]): (Long, Long) = {
+    val offSize = 4 // 32-bit heap address space
+    val lenSize = 2 // min(enc(64K max direct), enc(4096 max managed))
+    val idLen = 1 + offSize + lenSize
+    val dbHdr = 4 + 1 + 8 + offSize + 4 // sig+ver+backptr+off+checksum
+    var cur = dbHdr
+    val heapOff = links.map { case (n, b) =>
+      val o = cur; cur += b.length; (n, b, o)
+    }
+    require(cur <= 65536, "dense fixture outgrew one direct block")
+    val blockSize = math.max(512,
+      java.lang.Integer.highestOneBit(cur - 1) * 2)
+    // FRHP is 146 fixed bytes from an 8-aligned address → the root
+    // direct block lands at +152, known before either block is built
+    w.pad(8)
+    val fhAddr = w.pos.toLong
+    val dblk = fhAddr + 152
+    val hb = new Wr
+    hb.ascii("FRHP").u8(0)
+    hb.u16(idLen).u16(0) // no I/O filters
+    hb.u8(2)             // flags: checksum direct blocks
+    hb.u32(4096L)        // max managed object size
+    hb.u64(0)            // next huge id
+    hb.u64(Undef)        // huge v2 btree
+    hb.u64(0)            // free space
+    hb.u64(Undef)        // free space manager
+    hb.u64(blockSize.toLong) // managed space
+    hb.u64(blockSize.toLong) // allocated managed space
+    hb.u64(cur.toLong)   // direct block iterator offset
+    hb.u64(links.size.toLong) // managed objects
+    hb.u64(0).u64(0).u64(0).u64(0) // huge/tiny sizes and counts
+    hb.u16(4)            // table width
+    hb.u64(blockSize.toLong) // starting block size
+    hb.u64(65536L)       // max direct block size
+    hb.u16(32)           // max heap size (bits)
+    hb.u16(1)            // starting rows in root indirect block
+    hb.u64(dblk)         // root block address (the direct block)
+    hb.u16(0)            // current rows: 0 = root is DIRECT
+    hb.u32(lookup3(hb.out.toByteArray, 0, hb.pos, 0).toLong & 0xFFFFFFFFL)
+    w.bytes(hb.out.toByteArray)
+    w.pad(8)
+    require(w.pos == dblk, "direct block address drifted")
+    val blk = new Array[Byte](blockSize)
+    val bw = new Wr
+    bw.ascii("FHDB").u8(0).u64(fhAddr)
+    (0 until offSize).foreach(_ => bw.u8(0)) // block offset 0
+    bw.u32(0L) // checksum placeholder (computed with field zeroed)
+    val hdrBytes = bw.out.toByteArray
+    System.arraycopy(hdrBytes, 0, blk, 0, hdrBytes.length)
+    heapOff.foreach { case (_, b, o) =>
+      System.arraycopy(b, 0, blk, o, b.length) }
+    val ck = lookup3(blk, 0, blockSize, 0)
+    (0 until 4).foreach(i => blk(17 + i) = ((ck >> (8 * i)) & 0xFF).toByte)
+    w.bytes(blk)
+    // --- name-index v2 B-tree: BTLF leaf first, BTHD header after ---
+    val recs = heapOff.map { case (n, b, o) =>
+      val nb = n.getBytes("US-ASCII")
+      (lookup3(nb, 0, nb.length, 0).toLong & 0xFFFFFFFFL, o, b.length)
+    }.sortBy(_._1)
+    w.pad(8)
+    val leaf = w.pos.toLong
+    val lw = new Wr
+    lw.ascii("BTLF").u8(0).u8(5) // version 0, type 5: link name index
+    recs.foreach { case (hash, off, len) =>
+      lw.u32(hash)
+      lw.u8(0) // heap ID: version 0, managed
+      lw.u32(off.toLong) // heap offset (offSize = 4)
+      lw.u16(len)        // object length (lenSize = 2)
+    }
+    lw.u32(lookup3(lw.out.toByteArray, 0, lw.pos, 0).toLong & 0xFFFFFFFFL)
+    w.bytes(lw.out.toByteArray)
+    w.pad(8)
+    val btAddr = w.pos.toLong
+    val tw = new Wr
+    tw.ascii("BTHD").u8(0).u8(5)
+    tw.u32(512L)           // node size
+    tw.u16(4 + idLen)      // record size
+    tw.u16(0)              // depth: root is the leaf
+    tw.u8(100).u8(40)      // split / merge percents (libhdf5 defaults)
+    tw.u64(leaf)
+    tw.u16(recs.size)
+    tw.u64(recs.size.toLong)
+    tw.u32(lookup3(tw.out.toByteArray, 0, tw.pos, 0).toLong & 0xFFFFFFFFL)
+    w.bytes(tw.out.toByteArray)
+    (fhAddr, btAddr)
   }
 
   /** Write a dataset's chunks under a LAYOUT-v4 chunk index (1 =

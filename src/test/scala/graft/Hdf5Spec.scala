@@ -146,7 +146,8 @@ class Hdf5Spec extends SparkSpec {
     val v9 = f.clone; v9(8) = 9
     assert(reason(v9) === "unsupported_superblock_version")
     // flip the root's Link Info fractal-heap address to a real-looking
-    // value: dense storage must refuse, not misdecode
+    // value pointing at non-heap bytes: the dense walk must refuse by
+    // name (r13: dense groups DECODE now — garbage still can't)
     val liAt = f.indices.indexWhere(i =>
       new String(f, i, 4, "US-ASCII") == "OHDR" && i.toLong == rootHdr)
     // Link Info body starts after OHDR(4)+ver(1)+flags(1)+size(4) +
@@ -156,8 +157,7 @@ class Hdf5Spec extends SparkSpec {
     val dense = f.clone
     (0 until 8).foreach(i => dense(fhAt + i) = 0)
     dense(fhAt) = 64
-    assert(reason(dense) === "x:dense_groups_unsupported" ||
-      reason(dense) === "dense_groups_unsupported")
+    assert(reason(dense) === "bad_fractal_heap")
   }
 
   test("hdf5 quarantine: signature, superblock version, unsupported filter, truncation") {
@@ -283,6 +283,72 @@ class Hdf5Spec extends SparkSpec {
     val fx = fb.clone; fx(fahd) = 'X'.toByte
     assert(Hdf5.decodeH5(fx).left.toOption.get ===
       "x:bad_fixed_array_header")
+  }
+
+  test("hdf5 dense groups: fractal-heap + name-index round trip past the 8-link threshold, hash integrity, narrowed quarantines") {
+    // 12 datasets — past libhdf5's 8-link dense threshold, the form
+    // this storage exists for; mixed layouts so the links exercise
+    // real object headers
+    val enc = (0 until 12).map { i =>
+      Hdf5.H5Enc(f"var_$i%02d", Seq(4), "f8",
+        Array.tabulate(4)(j => i * 10.0 + j),
+        chunkDims = if (i % 3 == 0) Some(Seq(2)) else None,
+        gzipLevel = if (i % 3 == 0) 6 else 0)
+    }
+    val f = Hdf5.encodeH5V2(enc, denseGroup = true)
+    val got = Hdf5.decodeH5(f).toOption.get
+    assert(got.map(_.name) === (0 until 12).map(i => f"var_$i%02d"))
+    got.zipWithIndex.foreach { case (d, i) =>
+      assert(d.values.toSeq === Seq.tabulate(4)(j => i * 10.0 + j),
+        d.name)
+    }
+    // compact links are GONE from the root header: the only way to
+    // those names is through the heap + B-tree
+    def sigAt(b: Array[Byte], s: String): Int = b.indices.indexWhere(i =>
+      i + 4 <= b.length && new String(b, i, 4, "US-ASCII") == s)
+    for (sig <- Seq("FRHP", "FHDB", "BTHD", "BTLF"))
+      assert(sigAt(f, sig) > 0, s"$sig present")
+    def u32(b: Array[Byte], p: Int) =
+      (0 until 4).map(i => (b(p + i) & 0xFFL) << (8 * i)).sum
+    // FRHP checksum = lookup3 of its first 142 bytes; BTHD of its 34
+    val frhp = sigAt(f, "FRHP")
+    assert(u32(f, frhp + 142) ===
+      (Hdf5.lookup3(f, frhp, 142, 0).toLong & 0xFFFFFFFFL))
+    val bthd = sigAt(f, "BTHD")
+    assert(u32(f, bthd + 34) ===
+      (Hdf5.lookup3(f, bthd, 34, 0).toLong & 0xFFFFFFFFL))
+    // direct block checksum: over the whole block image with the
+    // checksum field zeroed (the metadata-cache serialization rule)
+    val fhdb = sigAt(f, "FHDB")
+    val blockSize = 512 // 12 links of 17 bytes + 21-byte header, min 512
+    val img = java.util.Arrays.copyOfRange(f, fhdb, fhdb + blockSize)
+    val stored = u32(img, 17)
+    (0 until 4).foreach(i => img(17 + i) = 0)
+    assert(stored === (Hdf5.lookup3(img, 0, blockSize, 0).toLong
+      & 0xFFFFFFFFL), "FHDB checksum rule")
+    // name-hash integrity: corrupt one link name inside the HEAP and
+    // the B-tree's stored hash must catch it
+    def reason(b: Array[Byte]): String = Hdf5.decodeH5(b).left.toOption.get
+    val nameAt = f.indices.indexWhere(i =>
+      new String(f, i, 6, "US-ASCII") == "var_05")
+    assert(nameAt > 0)
+    val lying = f.clone; lying(nameAt + 5) = '9'.toByte
+    assert(reason(lying) === "bad_link_name_hash")
+    // narrowed quarantines: an INDIRECT root (curr rows != 0), a
+    // filtered heap, huge objects, a deeper B-tree
+    val indirect = f.clone; indirect(frhp + 140) = 2
+    assert(reason(indirect) === "indirect_fractal_heap_unsupported")
+    val filtered = f.clone; filtered(frhp + 7) = 8
+    assert(reason(filtered) === "filtered_fractal_heap_unsupported")
+    val huge = f.clone; huge(frhp + 86) = 1
+    assert(reason(huge) === "huge_or_tiny_heap_objects_unsupported")
+    val deep = f.clone; deep(bthd + 12) = 1
+    assert(reason(deep) === "btree2_depth_unsupported")
+    // and a small group still writes COMPACT links (no heap at all)
+    val small = Hdf5.encodeH5V2(enc.take(3), denseGroup = false)
+    assert(sigAt(small, "FRHP") === -1)
+    assert(Hdf5.decodeH5(small).toOption.get.map(_.name) ===
+      Seq("var_00", "var_01", "var_02"))
   }
 
   test("grid_h5_decode: end-to-end lane — CF unpack, all four datasets across both format families, every cell") {
