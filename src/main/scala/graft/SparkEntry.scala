@@ -6960,6 +6960,8 @@ object SparkEntry {
         |SELECT 'n_obs' AS dataset, 'i4' AS dtype, gy, gx,
         |  CAST(n_obs AS DOUBLE) AS value FROM j
         |UNION ALL
+        |SELECT 'n_obs_bt2', 'i4', gy, gx, CAST(n_obs AS DOUBLE) FROM j
+        |UNION ALL
         |SELECT 'n_obs_imp', 'i4', gy, gx, CAST(n_obs AS DOUBLE) FROM j
         |UNION ALL
         |SELECT 'tp2_us', 'f8', gy, gx, CAST(v_us AS DOUBLE) * 1.0e-6 FROM j

@@ -72,6 +72,11 @@ object Hdf5 {
 
   private def isUndef(a: Long): Boolean = a == Undef
 
+  /** Floor of log₂ (0 for v ≤ 1) — H5VM_log2_gen, used by the
+    * chunk-size and dimension encoding-width rules. */
+  private def log2gen(v: Long): Int =
+    63 - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L))
+
   /** Parse one datatype message body → (kind, size). Kinds:
     * i1/i2/i4/i8, f4/f8, sN (fixed string of N bytes). */
   private def parseDtype(r: Rd, p: Long): Either[String, (String, Int)] = {
@@ -244,6 +249,29 @@ object Hdf5 {
     * name hash is re-derived from the decoded name with the same
     * spec-pinned lookup3 — a heap/B-tree disagreement cannot decode
     * silently. */
+  /** Walk a version-2 B-tree of the expected record type → (record
+    * size, byte position of every record, tree order). Depth-0 trees
+    * only (root IS the 'BTLF' leaf) — the form small dense groups
+    * and small chunk indexes actually take; deeper trees quarantine
+    * by name. Shared by [[denseLinks]] (type 5) and the layout-v4
+    * chunk index (types 10/11). */
+  private def btree2Records(r: Rd, btAddr: Long, wantType: Int):
+      Either[String, (Int, IndexedSeq[Long])] = {
+    if (r.ascii(btAddr, 4) != "BTHD") return Left("bad_btree2_header")
+    if (r.u8(btAddr + 4) != 0) return Left("unsupported_btree2_version")
+    if (r.u8(btAddr + 5) != wantType) return Left("unexpected_btree2_type")
+    val recSize = r.u16(btAddr + 10)
+    val depth = r.u16(btAddr + 12)
+    if (depth != 0) return Left("btree2_depth_unsupported")
+    val rootNode = r.u64(btAddr + 16)
+    val nRec = r.u16(btAddr + 24)
+    if (r.ascii(rootNode, 4) != "BTLF") return Left("bad_btree2_leaf")
+    if (r.u8(rootNode + 4) != 0 || r.u8(rootNode + 5) != wantType)
+      return Left("bad_btree2_leaf")
+    Right((recSize,
+      (0 until nRec).map(i => rootNode + 6 + i.toLong * recSize)))
+  }
+
   private def denseLinks(r: Rd, fhAddr: Long, btAddr: Long):
       Either[String, Seq[(String, Long)]] = {
     // --- fractal heap header ---
@@ -276,23 +304,14 @@ object Hdf5 {
     if (r.u64(rootAddr + 5) != fhAddr) return Left("bad_heap_back_pointer")
     // --- name-index v2 B-tree ---
     if (btAddr == 0 || isUndef(btAddr)) return Left("missing_name_index")
-    if (r.ascii(btAddr, 4) != "BTHD") return Left("bad_name_index")
-    if (r.u8(btAddr + 4) != 0) return Left("unsupported_btree2_version")
-    if (r.u8(btAddr + 5) != 5) // record type 5 = link name index
-      return Left("unexpected_btree2_type")
-    val recSize = r.u16(btAddr + 10)
+    val (recSize, recAt) = btree2Records(r, btAddr, wantType = 5) match {
+      case Left(e) => return Left(e); case Right(x) => x
+    }
     if (recSize != 4 + idLen) return Left("bad_btree2_record_size")
-    val depth = r.u16(btAddr + 12)
-    if (depth != 0) return Left("btree2_depth_unsupported")
-    val rootNode = r.u64(btAddr + 16)
-    val nRec = r.u16(btAddr + 24)
-    if (r.ascii(rootNode, 4) != "BTLF") return Left("bad_btree2_leaf")
-    if (r.u8(rootNode + 4) != 0 || r.u8(rootNode + 5) != 5)
-      return Left("bad_btree2_leaf")
     val out = Vector.newBuilder[(String, Long)]
     var i = 0
-    while (i < nRec) {
-      val rec = rootNode + 6 + i.toLong * recSize
+    while (i < recAt.size) {
+      val rec = recAt(i)
       val hash = r.u32(rec)
       val idB = rec + 4
       if ((r.u8(idB) & 0xF0) != 0) // version 0, type 0 = managed
@@ -621,7 +640,38 @@ object Hdf5 {
                 }
             }
           case 4 => return Left("earray_chunk_index_unsupported")
-          case 5 => return Left("btree2_chunk_index_unsupported")
+          case 5 => // v2 B-tree index: record type 10 (plain) / 11
+            // (filtered) — address, [size + mask], SCALED offsets
+            // (chunk-grid coordinates), depth-0 trees
+            p += 6 // node size(4) + split(1) + merge(1) params
+            val btA = r.u64(p)
+            if (isUndef(btA)) return Left("data_not_allocated")
+            val filtered = filters.nonEmpty
+            val chunkBytes = cElems.toLong * elem
+            val szLen = math.min(8, 1 + (log2gen(chunkBytes) + 8) / 8)
+            btree2Records(r, btA, if (filtered) 11 else 10) match {
+              case Left(e) => return Left(e)
+              case Right((recSize, recs)) =>
+                val expect = 8 + (if (filtered) szLen + 4 else 0) + rank * 8
+                if (recSize != expect) return Left("bad_chunk_record_size")
+                recs.foreach { rec =>
+                  val addr = r.u64(rec)
+                  var q = rec + 8
+                  val (nb, mask) = if (filtered) {
+                    var v = 0L; var k = 0
+                    while (k < szLen) {
+                      v |= r.u8(q + k).toLong << (8 * k); k += 1
+                    }
+                    q += szLen
+                    val m = r.u32(q); q += 4
+                    (v, m)
+                  } else (chunkBytes, 0L)
+                  val off = (0 until rank).map(d =>
+                    r.u64(q + d * 8L).toInt * chunkDims(d))
+                  scatterChunk(defilter(chunkAt(addr, nb), mask),
+                    off, chunkDims)
+                }
+            }
           case t => return Left(s"unsupported_chunk_index_$t")
         }
       case 0 => // compact
@@ -1392,8 +1442,6 @@ object Hdf5 {
     val grid = d.dims.zip(cd).map { case (n, c) => (n + c - 1) / c }
     val filtered = d.shuffle || d.gzipLevel > 0
     val chunks = gatherChunks(d, raw)
-    def log2gen(v: Long): Int =
-      63 - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L))
     def limitEnc(v: Long): Int = log2gen(v) / 8 + 1
     val encLen = (cd.map(_.toLong) :+ elem.toLong).map(limitEnc).max
     lo.u8(4).u8(2) // version 4, chunked
@@ -1475,6 +1523,44 @@ object Hdf5 {
         w.bytes(bb.out.toByteArray)
         lo.u8(pageBits)
         lo.u64(fahd)
+      case 5 => // v2 B-tree: records (addr, [size+mask], scaled
+        // offsets) in chunk-coordinate order — row-major grid order
+        // IS the tree order — as a depth-0 root leaf
+        val addrs = chunks.map { c =>
+          w.pad(8); val a = w.pos.toLong; w.bytes(c._2); a
+        }
+        val rank = d.dims.size
+        val szLen = math.min(8, 1 + (log2gen(cd.product.toLong * elem) + 8) / 8)
+        val recType = if (filtered) 11 else 10
+        val recSize = 8 + (if (filtered) szLen + 4 else 0) + rank * 8
+        val nodeSize = math.max(512,
+          java.lang.Integer.highestOneBit(10 + chunks.size * recSize - 1) * 2)
+        w.pad(8)
+        val leaf = w.pos.toLong
+        val lw = new Wr
+        lw.ascii("BTLF").u8(0).u8(recType)
+        chunks.zip(addrs).foreach { case ((off, data), a) =>
+          lw.u64(a)
+          if (filtered) {
+            var x = data.length.toLong; var k = 0
+            while (k < szLen) { lw.u8((x & 0xFF).toInt); x >>= 8; k += 1 }
+            lw.u32(0L)
+          }
+          off.zip(cd).foreach { case (o, c) => lw.u64(o.toLong / c) }
+        }
+        lw.u32(lookup3(lw.out.toByteArray, 0, lw.pos, 0).toLong & 0xFFFFFFFFL)
+        w.bytes(lw.out.toByteArray)
+        w.pad(8)
+        val btAddr = w.pos.toLong
+        val tw = new Wr
+        tw.ascii("BTHD").u8(0).u8(recType)
+        tw.u32(nodeSize.toLong).u16(recSize).u16(0)
+        tw.u8(100).u8(40)
+        tw.u64(leaf).u16(chunks.size).u64(chunks.size.toLong)
+        tw.u32(lookup3(tw.out.toByteArray, 0, tw.pos, 0).toLong & 0xFFFFFFFFL)
+        w.bytes(tw.out.toByteArray)
+        lo.u32(nodeSize.toLong).u8(100).u8(40)
+        lo.u64(btAddr)
       case other =>
         throw new IllegalArgumentException(s"v4 index $other not writable")
     }
@@ -1571,7 +1657,10 @@ object Hdf5 {
               attrs = Seq(H5Attr("scale_factor", Some(1e-6), None),
                 H5Attr("add_offset", Some(0.0), None))),
             H5Enc("n_obs_imp", Seq(8, 8), "i4", counts,
-              chunkDims = Some(Seq(4, 4)), v4Index = Some(2))))))
+              chunkDims = Some(Seq(4, 4)), v4Index = Some(2)),
+            H5Enc("n_obs_bt2", Seq(8, 8), "i4", counts,
+              chunkDims = Some(Seq(2, 8)), gzipLevel = 1,
+              v4Index = Some(5))))))
       }.toDF("name", "content")
     val (rows, _) = decodeH5Drop(doc)
     rows.select(col("dataset"), col("dtype"),

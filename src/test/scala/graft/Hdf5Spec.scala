@@ -238,6 +238,19 @@ class Hdf5Spec extends SparkSpec {
     val Seq(di) = rt2(H5Enc("x", Seq(7, 5), "i4", iv,
       chunkDims = Some(Seq(2, 2)), gzipLevel = 6, v4Index = Some(3)))
     assert(di.values.toSeq === iv.toSeq, "farray i4")
+    // v2 B-tree index (type 5 — what >1 unlimited dims gets):
+    // depth-0 root leaf, plain (record type 10) and filtered (11),
+    // scaled-offset addressing across edge chunks
+    for ((gz, sh) <- Seq((0, false), (6, true), (1, false));
+         cd <- Seq(Seq(3, 2), Seq(4, 5), Seq(7, 5))) {
+      val Seq(d) = rt2(H5Enc("x", Seq(7, 5), "f8", v,
+        chunkDims = Some(cd), gzipLevel = gz, shuffle = sh,
+        v4Index = Some(5)))
+      assert(d.values.toSeq === v.toSeq, s"bt2 $cd gz=$gz sh=$sh")
+    }
+    val Seq(db) = rt2(H5Enc("x", Seq(7, 5), "i4", iv,
+      chunkDims = Some(Seq(2, 2)), gzipLevel = 6, v4Index = Some(5)))
+    assert(db.values.toSeq === iv.toSeq, "bt2 i4 12 chunks")
     // PAGED fixed array: pageBits=1 → 2 chunks per page; a 12-chunk
     // grid forces the bitmap + per-page checksum path on both sides
     val big = Array.tabulate(12 * 4)(i => i * 0.25 - 3)
@@ -266,19 +279,22 @@ class Hdf5Spec extends SparkSpec {
       (Hdf5.lookup3(fb, fadb, 14 + nChunks * 8, 0).toLong & 0xFFFFFFFFL),
       "FADB checksum")
     // index-type quarantines: patch the layout message's index byte
-    // (body [4,2,flags,rank+1,encLen, dims..., idx]) from implicit to
-    // the two undekodable types — loud, named refusals
+    // (body [4,2,flags,rank+1,encLen, dims..., idx]) from implicit —
+    // extensible array refuses by name; type 5 now DECODES, so a
+    // lying index byte pointing raw chunk bytes at the B-tree walk
+    // refuses structurally instead
     val imp = Hdf5.encodeH5V2(Seq(H5Enc("x", Seq(4), "f8",
       Array(1.0, 2, 3, 4), chunkDims = Some(Seq(2)), v4Index = Some(2))))
     val pat = Array[Byte](4, 2, 0, 2, 1, 2, 8, 2)
     val at = imp.indices.indexWhere(i => i + pat.length < imp.length &&
       (pat.indices).forall(k => imp(i + k) == pat(k)))
     assert(at > 0, "v4 layout message located")
-    for ((t, want) <- Seq(4 -> "earray_chunk_index_unsupported",
-        5 -> "btree2_chunk_index_unsupported")) {
-      val bad = imp.clone; bad(at + 7) = t.toByte
-      assert(Hdf5.decodeH5(bad).left.toOption.get === s"x:$want")
-    }
+    val ea = imp.clone; ea(at + 7) = 4
+    assert(Hdf5.decodeH5(ea).left.toOption.get ===
+      "x:earray_chunk_index_unsupported")
+    val bt = imp.clone; bt(at + 7) = 5 // decodable type, garbage bytes
+    assert(Set("x:bad_btree2_header", "malformed_file")(
+      Hdf5.decodeH5(bt).left.toOption.get))
     // corrupt fixed-array signature refuses by name
     val fx = fb.clone; fx(fahd) = 'X'.toByte
     assert(Hdf5.decodeH5(fx).left.toOption.get ===
@@ -353,9 +369,11 @@ class Hdf5Spec extends SparkSpec {
 
   test("grid_h5_decode: end-to-end lane — CF unpack, all four datasets across both format families, every cell") {
     val out = SparkEntry.queries("grid_h5_decode")(spark, sf).collect()
-    assert(out.length === 256, "four 8x8 datasets")
+    assert(out.length === 320, "five 8x8 datasets")
     val ds = out.groupBy(_.getString(0))
-    assert(ds.keySet === Set("tp_us", "n_obs", "tp2_us", "n_obs_imp"))
+    assert(ds.keySet ===
+      Set("tp_us", "n_obs", "tp2_us", "n_obs_imp", "n_obs_bt2"))
+    assert(ds("n_obs_bt2").forall(_.getString(1) == "i4"))
     assert(ds("tp_us").forall(_.getString(1) == "f8"))
     assert(ds("tp2_us").forall(_.getString(1) == "f8"))
     assert(ds("n_obs").forall(_.getString(1) == "i4"))
@@ -376,7 +394,7 @@ class Hdf5Spec extends SparkSpec {
       r.getString(0) match {
         case "tp_us" | "tp2_us" =>
           assert(r.getDouble(4) === vus.toDouble * 1e-6, s"cell $key")
-        case "n_obs" | "n_obs_imp" =>
+        case "n_obs" | "n_obs_imp" | "n_obs_bt2" =>
           assert(r.getDouble(4) === n.toDouble, s"cell $key")
       }
     }
