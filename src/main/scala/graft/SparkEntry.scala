@@ -6966,6 +6966,8 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'tp2_us', 'f8', gy, gx, CAST(v_us AS DOUBLE) * 1.0e-6 FROM j
         |UNION ALL
+        |SELECT 'tp_ea_us', 'f8', gy, gx, CAST(v_us AS DOUBLE) * 1.0e-6 FROM j
+        |UNION ALL
         |SELECT 'tp_us', 'f8', gy, gx, CAST(v_us AS DOUBLE) * 1.0e-6 FROM j"""
         .stripMargin,
 

@@ -249,6 +249,124 @@ object Hdf5 {
     * name hash is re-derived from the decoded name with the same
     * spec-pinned lookup3 — a heap/B-tree disagreement cannot decode
     * silently. */
+  /** Extensible Array chunk index (layout v4 indexing type 4 — the
+    * 1-unlimited-dim case, e.g. a NetCDF-4 unlimited time axis):
+    * EAHD header → EAIB index block, whose element space is the
+    * spec's doubling geometry — `idxBlkElmts` elements stored
+    * directly in the index block, then data blocks addressed from
+    * the index block (super-block class u holds 2^⌊u/2⌋ data blocks
+    * of 2^⌈u/2⌉·minElmts elements; the first 2·(sblkMinPtrs−1) data
+    * blocks are index-block-direct), each an 'EADB' block. Elements
+    * past the direct data blocks live in super blocks — quarantined
+    * by name, as are paged data blocks. Every block's signature is
+    * checked, so a mis-derived geometry refuses loudly rather than
+    * misreading. Returns per-chunk (address, nbytes, filterMask) in
+    * linear order; 0/undef addresses mean unallocated chunks. */
+  /** Element counts of the index-block-DIRECT data blocks of an
+    * extensible array: super-block class u holds 2^⌊u/2⌋ data blocks
+    * of 2^⌈u/2⌉·dblkMin elements; the first 2·(sblkMinPtrs−1) data
+    * blocks are addressed from the index block. Shared by encoder
+    * and decoder (a drift would still refuse loudly on the 'EADB'
+    * signature checks). */
+  private def eaDirectGeometry(dblkMin: Int,
+      sblkMinPtrs: Int): IndexedSeq[Int] = {
+    val nDirect = 2 * (sblkMinPtrs - 1)
+    val out = Vector.newBuilder[Int]
+    var u = 0; var counted = 0
+    while (counted < nDirect) {
+      val cnt = 1 << (u / 2)
+      val ne = (1 << ((u + 1) / 2)) * dblkMin
+      var k = 0
+      while (k < cnt && counted < nDirect) {
+        out += ne; counted += 1; k += 1
+      }
+      u += 1
+    }
+    out.result()
+  }
+
+  private def decodeExtensibleArray(r: Rd, eaAddr: Long,
+      plainBytes: Long, filtered: Boolean, want: Long):
+      Either[String, IndexedSeq[(Long, Long, Long)]] = {
+    if (r.ascii(eaAddr, 4) != "EAHD")
+      return Left("bad_extensible_array_header")
+    if (r.u8(eaAddr + 4) != 0)
+      return Left("unsupported_extensible_array_version")
+    val client = r.u8(eaAddr + 5)
+    if ((client == 1) != filtered)
+      return Left("extensible_array_client_mismatch")
+    val elmtSize = r.u8(eaAddr + 6)
+    val maxBits = r.u8(eaAddr + 7)
+    val idxElmts = r.u8(eaAddr + 8)
+    val dblkMin = r.u8(eaAddr + 9)
+    val sblkMinPtrs = r.u8(eaAddr + 10)
+    val pageBits = r.u8(eaAddr + 11)
+    // 6 stats Length fields at 12..60, index block address at 60,
+    // checksum at 68; capacity (`want`, the caller's chunk count)
+    // drives the walk — unallocated trailing chunks are fill
+    val iblk = r.u64(eaAddr + 60)
+    if (isUndef(iblk)) return Left("empty_extensible_array")
+    if (r.ascii(iblk, 4) != "EAIB")
+      return Left("bad_extensible_array_index_block")
+    if (r.u8(iblk + 4) != 0 || r.u8(iblk + 5) != client ||
+      r.u64(iblk + 6) != eaAddr)
+      return Left("bad_extensible_array_index_block")
+    val szLen = if (filtered) elmtSize - 12 else 0
+    if (filtered && (szLen < 1 || szLen > 8))
+      return Left("bad_extensible_array_element_size")
+    if (!filtered && elmtSize != 8)
+      return Left("bad_extensible_array_element_size")
+    def elemAt(q: Long): (Long, Long, Long) = {
+      val addr = r.u64(q)
+      if (!filtered) (addr, plainBytes, 0L)
+      else {
+        var nb = 0L; var k = 0
+        while (k < szLen) { nb |= r.u8(q + 8 + k).toLong << (8 * k); k += 1 }
+        (addr, nb, r.u32(q + 8 + szLen))
+      }
+    }
+    val arrOffSize = (maxBits + 7) / 8
+    val nDirectDblks = 2 * (sblkMinPtrs - 1)
+    val geometry = eaDirectGeometry(dblkMin, sblkMinPtrs)
+    val out = IndexedSeq.newBuilder[(Long, Long, Long)]
+    var i = 0L
+    var q = iblk + 14 // elements stored directly in the index block
+    while (i < math.min(want, idxElmts.toLong)) {
+      out += elemAt(q); q += elmtSize; i += 1
+    }
+    if (want > idxElmts) {
+      val dblkAddrs = (0 until nDirectDblks).map(k =>
+        r.u64(iblk + 14 + idxElmts.toLong * elmtSize + k * 8L))
+      var remaining = want - idxElmts
+      var d = 0
+      while (remaining > 0) {
+        if (d >= geometry.size)
+          return Left("ea_super_blocks_unsupported")
+        val ne = geometry(d)
+        if (ne > (1L << pageBits))
+          return Left("ea_paged_data_blocks_unsupported")
+        val inBlk = math.min(ne.toLong, remaining)
+        val db = dblkAddrs(d)
+        if (isUndef(db) || db == 0) { // whole block unallocated
+          var k = 0L
+          while (k < inBlk) { out += ((Undef, 0L, 0L)); k += 1 }
+        } else {
+          if (r.ascii(db, 4) != "EADB")
+            return Left("bad_extensible_array_data_block")
+          if (r.u8(db + 4) != 0 || r.u8(db + 5) != client ||
+            r.u64(db + 6) != eaAddr)
+            return Left("bad_extensible_array_data_block")
+          val base = db + 14 + arrOffSize
+          var k = 0L
+          while (k < inBlk) { out += elemAt(base + k * elmtSize); k += 1 }
+        }
+        remaining -= inBlk
+        d += 1
+      }
+    }
+    Right(out.result())
+  }
+
   /** Walk a version-2 B-tree of the expected record type → (record
     * size, byte position of every record, tree order). Depth-0 trees
     * only (root IS the 'BTLF' leaf) — the form small dense groups
@@ -639,7 +757,28 @@ object Hdf5 {
                   ci += 1
                 }
             }
-          case 4 => return Left("earray_chunk_index_unsupported")
+          case 4 => // extensible array (the 1-unlimited-dim index)
+            p += 5 // max-nelmts-bits, index-elmts, dblk-min-elmts,
+                   // sblk-min-ptrs, dblk-page-bits (EAHD restates)
+            val eaAddr = r.u64(p)
+            if (isUndef(eaAddr)) return Left("data_not_allocated")
+            val filtered = filters.nonEmpty
+            val chunkBytes = cElems.toLong * elem
+            decodeExtensibleArray(r, eaAddr, chunkBytes, filtered,
+              grid.product.toLong) match {
+              case Left(e) => return Left(e)
+              case Right(els) =>
+                if (els.size < grid.product)
+                  return Left("bad_extensible_array_entries")
+                var ci = 0
+                while (ci < grid.product) {
+                  val (addr, nb, mask) = els(ci)
+                  if (!isUndef(addr) && addr != 0)
+                    scatterChunk(defilter(chunkAt(addr, nb), mask),
+                      chunkOff(ci), chunkDims)
+                  ci += 1
+                }
+            }
           case 5 => // v2 B-tree index: record type 10 (plain) / 11
             // (filtered) — address, [size + mask], SCALED offsets
             // (chunk-grid coordinates), depth-0 trees
@@ -1523,6 +1662,89 @@ object Hdf5 {
         w.bytes(bb.out.toByteArray)
         lo.u8(pageBits)
         lo.u64(fahd)
+      case 4 => // extensible array: EAHD + EAIB index block with
+        // direct elements and index-block-direct EADB data blocks
+        val addrs = chunks.map { c =>
+          w.pad(8); val a = w.pos.toLong; w.bytes(c._2); a
+        }
+        val client = if (filtered) 1 else 0
+        val szLen = math.min(8, 1 + (log2gen(cd.product.toLong * elem) + 8) / 8)
+        val elmtSize = if (filtered) 8 + szLen + 4 else 8
+        val maxBits = 32; val idxElmts = 4; val dblkMin = 8
+        val sblkMinPtrs = 4; val pageBits = 10
+        val arrOffSize = 4
+        val geometry = eaDirectGeometry(dblkMin, sblkMinPtrs)
+        val n = chunks.size
+        require(n <= idxElmts + geometry.sum,
+          "extensible-array fixture outgrew the direct data blocks")
+        // how many data blocks this chunk count needs
+        var needDblks = 0; var covered = idxElmts
+        while (covered < n) { covered += geometry(needDblks); needDblks += 1 }
+        // deterministic layout: EAHD (72 bytes) → EAIB → EADBs
+        val nsblks = 1 + (maxBits - log2gen(dblkMin.toLong))
+        val nsblkAddrs = nsblks - 2 * log2gen(sblkMinPtrs.toLong)
+        val nDirect = geometry.size
+        w.pad(8)
+        val eahd = w.pos.toLong
+        val iblkAddr = eahd + 72
+        val iblkSize = 14 + idxElmts * elmtSize + nDirect * 8 +
+          nsblkAddrs * 8 + 4
+        def align8(x: Long) = (x + 7) / 8 * 8
+        val dblkAddrs = new Array[Long](needDblks)
+        var cur = align8(iblkAddr + iblkSize)
+        (0 until needDblks).foreach { d =>
+          dblkAddrs(d) = cur
+          cur = align8(cur + 14 + arrOffSize + geometry(d) * elmtSize + 4)
+        }
+        def elemOut(bw: Wr, i: Int): Unit =
+          if (i >= n) { // allocated-but-unset slot
+            bw.u64(Undef)
+            if (filtered) { (0 until szLen).foreach(_ => bw.u8(0)); bw.u32(0L) }
+          } else {
+            bw.u64(addrs(i))
+            if (filtered) {
+              var x = chunks(i)._2.length.toLong; var k = 0
+              while (k < szLen) { bw.u8((x & 0xFF).toInt); x >>= 8; k += 1 }
+              bw.u32(0L)
+            }
+          }
+        val hb = new Wr
+        hb.ascii("EAHD").u8(0).u8(client)
+        hb.u8(elmtSize).u8(maxBits).u8(idxElmts).u8(dblkMin)
+        hb.u8(sblkMinPtrs).u8(pageBits)
+        hb.u64(0).u64(0) // super blocks: none
+        hb.u64(needDblks.toLong)
+        hb.u64((0 until needDblks)
+          .map(d => 14L + arrOffSize + geometry(d) * elmtSize + 4).sum)
+        hb.u64(n.toLong).u64(n.toLong) // max index set, elements
+        hb.u64(iblkAddr)
+        hb.u32(lookup3(hb.out.toByteArray, 0, hb.pos, 0).toLong & 0xFFFFFFFFL)
+        w.bytes(hb.out.toByteArray)
+        require(w.pos == iblkAddr, "index block address drifted")
+        val ib = new Wr
+        ib.ascii("EAIB").u8(0).u8(client).u64(eahd)
+        (0 until idxElmts).foreach(elemOut(ib, _))
+        (0 until nDirect).foreach(d =>
+          ib.u64(if (d < needDblks) dblkAddrs(d) else Undef))
+        (0 until nsblkAddrs).foreach(_ => ib.u64(Undef))
+        ib.u32(lookup3(ib.out.toByteArray, 0, ib.pos, 0).toLong & 0xFFFFFFFFL)
+        w.bytes(ib.out.toByteArray)
+        var base = idxElmts
+        (0 until needDblks).foreach { d =>
+          w.pad(8)
+          require(w.pos == dblkAddrs(d), "data block address drifted")
+          val db = new Wr
+          db.ascii("EADB").u8(0).u8(client).u64(eahd)
+          // block offset: element index in the post-index-block space
+          var x = (base - idxElmts).toLong; var k = 0
+          while (k < arrOffSize) { db.u8((x & 0xFF).toInt); x >>= 8; k += 1 }
+          (0 until geometry(d)).foreach(i => elemOut(db, base + i))
+          db.u32(lookup3(db.out.toByteArray, 0, db.pos, 0).toLong & 0xFFFFFFFFL)
+          w.bytes(db.out.toByteArray)
+          base += geometry(d)
+        }
+        lo.u8(maxBits).u8(idxElmts).u8(sblkMinPtrs).u8(dblkMin).u8(pageBits)
+        lo.u64(eahd)
       case 5 => // v2 B-tree: records (addr, [size+mask], scaled
         // offsets) in chunk-coordinate order — row-major grid order
         // IS the tree order — as a depth-0 root leaf
@@ -1660,7 +1882,12 @@ object Hdf5 {
               chunkDims = Some(Seq(4, 4)), v4Index = Some(2)),
             H5Enc("n_obs_bt2", Seq(8, 8), "i4", counts,
               chunkDims = Some(Seq(2, 8)), gzipLevel = 1,
-              v4Index = Some(5))))))
+              v4Index = Some(5)),
+            H5Enc("tp_ea_us", Seq(8, 8), "f8", means,
+              chunkDims = Some(Seq(1, 8)), gzipLevel = 6, shuffle = true,
+              v4Index = Some(4), // 8 chunks: spills past the index blk
+              attrs = Seq(H5Attr("scale_factor", Some(1e-6), None),
+                H5Attr("add_offset", Some(0.0), None)))))))
       }.toDF("name", "content")
     val (rows, _) = decodeH5Drop(doc)
     rows.select(col("dataset"), col("dtype"),

@@ -251,6 +251,33 @@ class Hdf5Spec extends SparkSpec {
     val Seq(db) = rt2(H5Enc("x", Seq(7, 5), "i4", iv,
       chunkDims = Some(Seq(2, 2)), gzipLevel = 6, v4Index = Some(5)))
     assert(db.values.toSeq === iv.toSeq, "bt2 i4 12 chunks")
+    // extensible array (type 4 — the 1-unlimited-dim case, e.g. a
+    // NetCDF-4 time axis): chunk counts that stay inside the index
+    // block's 4 direct elements AND counts that spill across the
+    // doubling data blocks (12 and 35 chunks), plain and filtered
+    for ((gz, sh) <- Seq((0, false), (6, true), (1, false));
+         cd <- Seq(Seq(7, 5), Seq(4, 5), Seq(2, 2), Seq(1, 1))) {
+      val Seq(d) = rt2(H5Enc("x", Seq(7, 5), "f8", v,
+        chunkDims = Some(cd), gzipLevel = gz, shuffle = sh,
+        v4Index = Some(4)))
+      assert(d.values.toSeq === v.toSeq, s"earray $cd gz=$gz sh=$sh")
+    }
+    val Seq(de) = rt2(H5Enc("x", Seq(7, 5), "i4", iv,
+      chunkDims = Some(Seq(1, 5)), v4Index = Some(4)))
+    assert(de.values.toSeq === iv.toSeq, "earray i4 7 chunks plain")
+    // EA quarantines: a filtered dataset whose header claims the
+    // plain client refuses; a paged data-block geometry refuses
+    val eaf = Hdf5.encodeH5V2(Seq(H5Enc("x", Seq(7, 5), "f8", v,
+      chunkDims = Some(Seq(2, 2)), gzipLevel = 6, v4Index = Some(4))))
+    val eahd = eaf.indices.indexWhere(i =>
+      new String(eaf, i, 4, "US-ASCII") == "EAHD")
+    assert(eahd > 0)
+    val wrongClient = eaf.clone; wrongClient(eahd + 5) = 0
+    assert(Hdf5.decodeH5(wrongClient).left.toOption.get ===
+      "x:extensible_array_client_mismatch")
+    val paged = eaf.clone; paged(eahd + 11) = 2 // 4-elmt pages
+    assert(Hdf5.decodeH5(paged).left.toOption.get ===
+      "x:ea_paged_data_blocks_unsupported")
     // PAGED fixed array: pageBits=1 → 2 chunks per page; a 12-chunk
     // grid forces the bitmap + per-page checksum path on both sides
     val big = Array.tabulate(12 * 4)(i => i * 0.25 - 3)
@@ -280,9 +307,9 @@ class Hdf5Spec extends SparkSpec {
       "FADB checksum")
     // index-type quarantines: patch the layout message's index byte
     // (body [4,2,flags,rank+1,encLen, dims..., idx]) from implicit —
-    // extensible array refuses by name; type 5 now DECODES, so a
-    // lying index byte pointing raw chunk bytes at the B-tree walk
-    // refuses structurally instead
+    // every index type now DECODES, so a lying index byte pointing
+    // raw chunk bytes at a structured walk must refuse structurally
+    // (signature checks) or as malformed, never misread
     val imp = Hdf5.encodeH5V2(Seq(H5Enc("x", Seq(4), "f8",
       Array(1.0, 2, 3, 4), chunkDims = Some(Seq(2)), v4Index = Some(2))))
     val pat = Array[Byte](4, 2, 0, 2, 1, 2, 8, 2)
@@ -290,11 +317,14 @@ class Hdf5Spec extends SparkSpec {
       (pat.indices).forall(k => imp(i + k) == pat(k)))
     assert(at > 0, "v4 layout message located")
     val ea = imp.clone; ea(at + 7) = 4
-    assert(Hdf5.decodeH5(ea).left.toOption.get ===
-      "x:earray_chunk_index_unsupported")
+    assert(Set("x:bad_extensible_array_header", "malformed_file")(
+      Hdf5.decodeH5(ea).left.toOption.get))
     val bt = imp.clone; bt(at + 7) = 5 // decodable type, garbage bytes
     assert(Set("x:bad_btree2_header", "malformed_file")(
       Hdf5.decodeH5(bt).left.toOption.get))
+    val t9 = imp.clone; t9(at + 7) = 9 // genuinely unknown type
+    assert(Hdf5.decodeH5(t9).left.toOption.get ===
+      "x:unsupported_chunk_index_9")
     // corrupt fixed-array signature refuses by name
     val fx = fb.clone; fx(fahd) = 'X'.toByte
     assert(Hdf5.decodeH5(fx).left.toOption.get ===
@@ -369,11 +399,12 @@ class Hdf5Spec extends SparkSpec {
 
   test("grid_h5_decode: end-to-end lane — CF unpack, all four datasets across both format families, every cell") {
     val out = SparkEntry.queries("grid_h5_decode")(spark, sf).collect()
-    assert(out.length === 320, "five 8x8 datasets")
+    assert(out.length === 384, "six 8x8 datasets")
     val ds = out.groupBy(_.getString(0))
-    assert(ds.keySet ===
-      Set("tp_us", "n_obs", "tp2_us", "n_obs_imp", "n_obs_bt2"))
+    assert(ds.keySet === Set("tp_us", "n_obs", "tp2_us", "n_obs_imp",
+      "n_obs_bt2", "tp_ea_us"))
     assert(ds("n_obs_bt2").forall(_.getString(1) == "i4"))
+    assert(ds("tp_ea_us").forall(_.getString(1) == "f8"))
     assert(ds("tp_us").forall(_.getString(1) == "f8"))
     assert(ds("tp2_us").forall(_.getString(1) == "f8"))
     assert(ds("n_obs").forall(_.getString(1) == "i4"))
@@ -392,7 +423,7 @@ class Hdf5Spec extends SparkSpec {
       val key = (r.getLong(2), r.getLong(3))
       val (vus, n) = cells.getOrElse(key, (0L, 0L))
       r.getString(0) match {
-        case "tp_us" | "tp2_us" =>
+        case "tp_us" | "tp2_us" | "tp_ea_us" =>
           assert(r.getDouble(4) === vus.toDouble * 1e-6, s"cell $key")
         case "n_obs" | "n_obs_imp" | "n_obs_bt2" =>
           assert(r.getDouble(4) === n.toDouble, s"cell $key")
