@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The `utils_azure.py` transport ported whole — the reference's
+  * Azure half is ONE operation: a SAS-token Block-Blob PUT over
+  * plain HTTPS (`upload_file_to_azure`, utils_azure.py:15-38; the
+  * azure SDK import is commented out in the reference itself).
+  * Mirrored faithfully:
+  *
+  *  - blob name assembly `FOLDER_NAME[/sub_folder]/basename(file)`
+  *    (the reference always basenames the local path),
+  *  - URL shape `{endpoint}/{container}/{blob}?{sasToken}` with the
+  *    SAS token as the opaque query string (the client never
+  *    interprets it — Azure does; the spec's fixture stands in),
+  *  - headers `x-ms-blob-type: BlockBlob` + explicit Content-Length,
+  *  - 201 Created = success, anything else is the failure row.
+  *
+  * Executor-side per partition like the whole Fetch family. */
+object Azure {
+
+  /** `upload_file_to_azure` over a drop frame: rows (name, content)
+    * PUT as Block Blobs. Returns (blob, status) rows — status is
+    * `uploaded` (201) or the quarantine reason. */
+  def azureBlobPublish(drops: DataFrame, endpoint: String,
+      container: String, folder: String, sasToken: String,
+      subFolder: Option[String] = None): DataFrame = {
+    val spark = drops.sparkSession
+    import spark.implicits._
+    drops.select(col("name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        lazy val http = java.net.http.HttpClient.newBuilder()
+          .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+        it.map { case (name, body) =>
+          // the reference basenames whatever local path arrives
+          val justName = name.split('/').last
+          val blob = subFolder match {
+            case Some(sub) => s"$folder/$sub/$justName"
+            case None => s"$folder/$justName"
+          }
+          val url = s"$endpoint/$container/$blob?$sasToken"
+          try {
+            val req = java.net.http.HttpRequest
+              .newBuilder(java.net.URI.create(url))
+              .timeout(java.time.Duration.ofSeconds(30))
+              .header("x-ms-blob-type", "BlockBlob")
+              .PUT(java.net.http.HttpRequest.BodyPublishers
+                .ofByteArray(body))
+              .build()
+            val resp = http.send(req,
+              java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+            if (resp.statusCode() == 201) (blob, "uploaded")
+            else (blob, s"http_${resp.statusCode()}")
+          } catch {
+            case e: Exception =>
+              (blob, s"transport:${e.getClass.getSimpleName}")
+          }
+        }
+      }
+      .toDF("blob", "status")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.sources.Azure
+import org.apache.spark.sql.functions._
+
+/** Gate for the `utils_azure.py` port: a local fixture standing in
+  * for the blob endpoint — it enforces exactly what Azure enforces
+  * at this seam (the SAS query string, the x-ms-blob-type header,
+  * 201 Created on success) so the client's request shape is proven
+  * by an independent check. */
+class AzureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private class FixtureBlob(sas: String) extends AutoCloseable {
+    val blobs = new java.util.concurrent.ConcurrentHashMap[
+      String, Array[Byte]]()
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def endpoint = s"http://127.0.0.1:${server.getAddress.getPort}"
+    server.createContext("/", ex => {
+      val body = ex.getRequestBody.readAllBytes()
+      def respond(st: Int): Unit = {
+        ex.sendResponseHeaders(st, -1); ex.close()
+      }
+      val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val blobType =
+        ex.getRequestHeaders.getFirst("x-ms-blob-type")
+      if (ex.getRequestMethod != "PUT") respond(405)
+      else if (query != sas) respond(403) // SAS mismatch
+      else if (blobType != "BlockBlob") respond(400)
+      else {
+        blobs.put(ex.getRequestURI.getPath.stripPrefix("/"), body)
+        respond(201)
+      }
+    })
+    server.start()
+    override def close(): Unit = server.stop(0)
+  }
+
+  test("azureBlobPublish: SAS Block-Blob PUT — name assembly, sub-folder, 201 path, SAS/header enforcement") {
+    val sas = "sv=2022-11-02&sig=fixture-token"
+    val fx = new FixtureBlob(sas)
+    try {
+      val drops = Seq(
+        ("/tmp/scratch/grid.nc4", Array[Byte](1, 2, 3)), // basenamed
+        ("plain.bin", Array[Byte](9))).toDF("name", "content")
+      val out = Azure.azureBlobPublish(drops, fx.endpoint,
+        "datalake", "icisk", sas).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      // the reference basenames the local path into FOLDER/<file>
+      assert(out === Map(
+        "icisk/grid.nc4" -> "uploaded",
+        "icisk/plain.bin" -> "uploaded"))
+      assert(fx.blobs.get("datalake/icisk/grid.nc4").toSeq ===
+        Seq[Byte](1, 2, 3))
+      // sub_folder threads into the blob name
+      val sub = Azure.azureBlobPublish(
+        Seq(("a.bin", Array[Byte](5))).toDF("name", "content"),
+        fx.endpoint, "datalake", "icisk", sas,
+        subFolder = Some("2026/08")).collect()
+      assert(sub.head.getString(0) === "icisk/2026/08/a.bin")
+      assert(sub.head.getString(1) === "uploaded")
+      // a wrong SAS token is refused by the endpoint, reported as a row
+      val bad = Azure.azureBlobPublish(
+        Seq(("b.bin", Array[Byte](6))).toDF("name", "content"),
+        fx.endpoint, "datalake", "icisk", "sig=wrong").collect()
+      assert(bad.head.getString(1) === "http_403")
+      assert(!fx.blobs.containsKey("datalake/icisk/b.bin"))
+    } finally fx.close()
+  }
+}
