@@ -228,6 +228,8 @@ object SparkEntry {
     "vocab_topk"      -> TextOps.vocabTopk _,
     "vocab_heavy_hitters" -> TextOps.vocabHeavyHitters _,
     "ngram_novelty"   -> TextOps.ngramNovelty _,
+    "corpus_contamination" -> TextOps.corpusContamination _,
+    "boilerplate_ngrams"   -> TextOps.boilerplateNgrams _,
     "bpe_pair_counts" -> TextOps.bpePairCounts _,
     "bpe_train_merges" -> TextOps.bpeTrainMerges _,
     "dup_growth"      -> TextOps.dupGrowth _,
@@ -7151,6 +7153,61 @@ object SparkEntry {
         |  CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new,
         |  round(COALESCE(nn.n_new, 0) * 1.0 / nt.n_tg, 4) AS novelty
         |FROM nt LEFT JOIN nn ON nt.doc_id = nn.doc_id""".stripMargin,
+
+    // decontamination screen: the eval set is words 11-18 of docs
+    // with id % 97 = 3; any shared 8-gram contaminates; the probe's
+    // own source doc must self-flag (the positive control)
+    "corpus_contamination" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |ev AS (
+        |  SELECT doc_id AS eval_id, array_to_string(toks[11:18], ' ') AS gram
+        |  FROM d
+        |  WHERE doc_id % ${graft.operators.TextOps.ContamEvalMod}
+        |      = ${graft.operators.TextOps.ContamEvalRem}
+        |    AND len(toks) >= 18),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |      [array_to_string(toks[i:i+7], ' ')
+        |       for i in range(1, len(toks) - 6)])) AS gram
+        |  FROM d WHERE len(toks) >= 8)
+        |SELECT g.doc_id,
+        |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_hits,
+        |  max(CASE WHEN g.doc_id = ev.eval_id THEN 1 ELSE 0 END) = 1
+        |    AS self_hit
+        |FROM g JOIN ev USING (gram)
+        |GROUP BY g.doc_id""".stripMargin,
+
+    // boilerplate census: an 8-gram POSITION is boilerplate when its
+    // gram spans >= BoilerplateMinDocs distinct docs; positions are
+    // non-distinct (every overlap counts toward the strip fraction)
+    "boilerplate_ngrams" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
+        |       for i in range(1, len(toks) - 6)]) AS gram
+        |  FROM d WHERE len(toks) >= 8),
+        |b AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+        |  WHERE nd >= ${graft.operators.TextOps.BoilerplateMinDocs}),
+        |pd AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_boiler
+        |  FROM g LEFT JOIN b ON g.gram = b.gram
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(pd.n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  CASE WHEN COALESCE(pd.n_grams, 0) > 0
+        |    THEN round(pd.n_boiler * 1.0 / pd.n_grams, 4) END AS boiler_frac
+        |FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
 
     // vocab collapse first (exact integer weights), pair fan-out over
     // vocab rows; top-50 ordered (n desc, pair asc) in both engines

@@ -1518,4 +1518,98 @@ object TextOps {
       col("n_email"), col("n_phone"), col("n_ip"),
       (col("n_email") + col("n_phone") + col("n_ip") > 0).as("had_pii"))
   }
+
+  /** The decontamination/boilerplate overlap grain: word 8-grams
+    * (the GPT-3/PaLM decontamination papers screen on 8–13-gram
+    * overlap; 8 fits this corpus's doc lengths). Extraction is the
+    * house zero-width-lookahead regex — EVERY overlapping position
+    * in one codegen pass, no position explode. */
+  private val Gram8Sql: String => String = colName =>
+    s"regexp_extract_all($colName, " +
+      s"'(?<=^| )(?=(${Seq.fill(8)("[^ ]+").mkString(" ")}))', 1)"
+
+  /** Eval-set membership rule: docs with doc_id ≡ 3 (mod 97) donate
+    * one eval item (words 11–18 of the normalized text) — the
+    * fixture "benchmark set" the screen runs against, rendered
+    * in-plan like every other fixture corpus. */
+  private[graft] val ContamEvalMod = 97L
+  private[graft] val ContamEvalRem = 3L
+
+  /** TEST-SET CONTAMINATION SCREEN — the decontamination step every
+    * serious pretraining pipeline runs (strip training documents
+    * that overlap the evaluation benchmarks, or the eval numbers are
+    * fiction): an eval set of 8-gram probes is matched against every
+    * document's 8-gram set; a document sharing ANY probe is
+    * contaminated and reported with its hit count, and `self_hit`
+    * marks the probe's own source document (which must always flag —
+    * the built-in positive control).
+    *
+    * Shape at scale: the eval set is SMALL by nature (benchmarks,
+    * not corpora) — it broadcasts, so the screen is one scan-stage
+    * regex pass + a broadcast hash join + a doc-keyed agg; no
+    * shuffle wider than the contaminated slice. That is exactly how
+    * production decontamination runs at 100 TB: ship the benchmark
+    * n-gram set to every executor, never shuffle the corpus. */
+  def corpusContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), normalized(col("text")).as("norm"))
+      .localCheckpoint()
+    val evalSet = docs
+      .filter(col("doc_id") % ContamEvalMod === ContamEvalRem &&
+        size(split(col("norm"), " ")) >= 18)
+      .select(col("doc_id").as("eval_id"),
+        concat_ws(" ", slice(split(col("norm"), " "), 11, 8)).as("gram"))
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(expr(Gram8Sql("norm")))).as("gram"))
+    grams.join(broadcast(evalSet), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("eval_id")).as("n_eval_hits"),
+        max(when(col("doc_id") === col("eval_id"), 1L).otherwise(0L))
+          .as("self"))
+      .select(col("doc_id"), col("n_eval_hits"),
+        (col("self") === 1L).as("self_hit"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** A span is boilerplate when it recurs across at least this many
+    * DISTINCT documents (the CCNet/RefinedWeb repeated-paragraph
+    * rule at the 8-gram grain this corpus supports). */
+  private[graft] val BoilerplateMinDocs = 3
+
+  /** BOILERPLATE SPAN CENSUS — the cross-document repeated-span
+    * screen (headers, footers, licence blurbs, navigation chrome):
+    * an 8-gram position is boilerplate when its gram occurs in ≥
+    * [[BoilerplateMinDocs]] distinct documents; each document
+    * reports its total 8-gram positions, boilerplate positions, and
+    * the boilerplate fraction the cleaning stage would strip.
+    *
+    * Shape at scale: ONE regex pass emits every position (pinned —
+    * both aggregations read it without re-tokenizing); the
+    * boilerplate set is a gram-keyed count-distinct (uniform hash
+    * key, map-side partials) and rejoins on the same gram hash; the
+    * per-doc rollup is a doc-keyed agg. No window over the corpus,
+    * joins no wider than O(positions). */
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), normalized(col("text")).as("norm"))
+    val pos = docs.select(col("doc_id"),
+      explode(expr(Gram8Sql("norm"))).as("gram"))
+      .localCheckpoint()
+    val boiler = pos.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= BoilerplateMinDocs)
+      .select(col("gram"))
+    val perDoc = pos.join(boiler.withColumn("b", lit(1)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("b").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          round(col("n_boiler") / col("n_grams").cast("double"), 4))
+          .as("boiler_frac"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -52,6 +52,58 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.values.map(_.getLong(2)).sum === firstDoc.size.toLong)
   }
 
+  private def grams8(text: String): Seq[String] = {
+    val toks = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+    if (toks.length < 8) Seq.empty
+    else toks.sliding(8).map(_.mkString(" ")).toSeq
+  }
+
+  test("corpus_contamination: eval probes recomputed, every hit brute-force verified, probe sources self-flag") {
+    val evalSet = docs.collect { case (id, text, _)
+      if id % TextOps.ContamEvalMod == TextOps.ContamEvalRem =>
+      val toks = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+      id -> (if (toks.length >= 18)
+        Some(toks.slice(10, 18).mkString(" ")) else None)
+    }.collect { case (id, Some(g)) => id -> g }
+    assert(evalSet.nonEmpty, "the eval rule selects probes at this sf")
+    val expect = docs.flatMap { case (id, text, _) =>
+      val gs = grams8(text).toSet
+      val hits = evalSet.filter { case (_, g) => gs.contains(g) }
+      if (hits.isEmpty) None
+      else Some(id -> ((hits.map(_._1).distinct.size.toLong,
+        hits.exists(_._1 == id))))
+    }.toMap
+    val rows = SparkEntry.queries("corpus_contamination")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(rows === expect, "hit set and counts recomputed")
+    // positive control: every probe's own source document flags itself
+    evalSet.foreach { case (id, _) =>
+      assert(rows.get(id).exists(_._2), s"probe source $id self-flags")
+    }
+  }
+
+  test("boilerplate_ngrams: cross-doc span rule recomputed; fractions exact; short docs report zero grams") {
+    val positions = docs.map { case (id, text, _) => id -> grams8(text) }
+    val byGram = positions.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val boiler = byGram.filter(_._2 >= TextOps.BoilerplateMinDocs).keySet
+    assert(boiler.nonEmpty, "the corpus plants cross-doc spans")
+    val rows = SparkEntry.queries("boilerplate_ngrams")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === docs.map(_._1).toSet, "one row per document")
+    positions.foreach { case (id, gs) =>
+      val r = rows(id)
+      val nb = gs.count(boiler.contains)
+      assert(r.getLong(1) === gs.size.toLong, s"n_grams doc $id")
+      assert(r.getLong(2) === nb.toLong, s"n_boiler doc $id")
+      if (gs.isEmpty) assert(r.isNullAt(3), s"short doc $id null frac")
+      else assert(math.abs(r.getDouble(3) -
+        math.floor(nb.toDouble / gs.size * 10000 + 0.5) / 10000) < 1e-9,
+        s"boiler_frac doc $id")
+    }
+  }
+
   test("bpe_pair_counts: vocab-weighted character-pair counts match brute-force, top-50 deterministic") {
     val vocab = docs.flatMap(_._2.toLowerCase.trim
         .replaceAll("\\s+", " ").split(" "))
