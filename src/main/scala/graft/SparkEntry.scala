@@ -230,6 +230,7 @@ object SparkEntry {
     "ngram_novelty"   -> TextOps.ngramNovelty _,
     "corpus_contamination" -> TextOps.corpusContamination _,
     "boilerplate_ngrams"   -> TextOps.boilerplateNgrams _,
+    "dedup_repeated_spans" -> TextOps.dedupRepeatedSpans _,
     "bpe_pair_counts" -> TextOps.bpePairCounts _,
     "bpe_train_merges" -> TextOps.bpeTrainMerges _,
     "dup_growth"      -> TextOps.dupGrowth _,
@@ -7207,6 +7208,45 @@ object SparkEntry {
         |  CAST(COALESCE(pd.n_boiler, 0) AS BIGINT) AS n_boiler,
         |  CASE WHEN COALESCE(pd.n_grams, 0) > 0
         |    THEN round(pd.n_boiler * 1.0 / pd.n_grams, 4) END AS boiler_frac
+        |FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+
+    // exact-substring repeated spans: a position repeats when its
+    // 8-gram occurs anywhere else (>= 2 corpus-wide, same doc
+    // counts); consecutive repeated positions merge by the
+    // gaps-and-islands key (pos - row_number — 0- vs 1-based
+    // position origins cancel inside the per-doc group key); span
+    // token length = max - min + 8
+    "dedup_repeated_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(toks[i:i+7], ' ')
+        |            for i in range(1, len(toks) - 6)]) AS gram,
+        |    unnest(range(1, len(toks) - 6)) AS pos
+        |  FROM d WHERE len(toks) >= 8),
+        |rep AS (
+        |  SELECT gram FROM (SELECT gram, count(*) AS n FROM g GROUP BY 1)
+        |  WHERE n >= 2),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS island
+        |  FROM g JOIN rep USING (gram)),
+        |sp AS (
+        |  SELECT doc_id, island, max(pos) - min(pos) + 8 AS span_tokens
+        |  FROM isl GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(span_tokens) AS BIGINT) AS covered_tokens,
+        |    CAST(max(span_tokens) AS BIGINT) AS longest_span
+        |  FROM sp GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(pd.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+        |  CAST(COALESCE(pd.longest_span, 0) AS BIGINT) AS longest_span
         |FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
 
     // vocab collapse first (exact integer weights), pair fan-out over

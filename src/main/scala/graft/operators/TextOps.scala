@@ -1576,6 +1576,56 @@ object TextOps {
     * rule at the 8-gram grain this corpus supports). */
   private[graft] val BoilerplateMinDocs = 3
 
+  /** EXACT-SUBSTRING REPEATED-SPAN CENSUS — the "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al. 2021)
+    * screen re-expressed at the 8-gram grain: a position is REPEATED
+    * when its 8-gram occurs anywhere else in the corpus (a second
+    * position, same doc or not — the suffix-array definition);
+    * consecutive repeated positions merge into MAXIMAL spans
+    * (gaps-and-islands, the relational form of the suffix-array
+    * maximal repeat), and each document reports its span count,
+    * repeated-token coverage, and longest span in tokens — the
+    * numbers that decide how much of a doc the exact-substring
+    * dedup pass would cut.
+    *
+    * Shape at scale: one regex pass emits (position, gram) — pinned,
+    * reused by the global gram frequency and the island pass; the
+    * frequency is a gram-keyed count (uniform hash key, map-side
+    * partials) rejoined on the same key; islands are a per-DOC
+    * window (position − row_number), so the only window partitions
+    * by doc_id — never the corpus. The true suffix-array method
+    * needs a global sort; the n-gram relaxation is the standard
+    * distributed substitute and is exact for repeats ≥ the gram
+    * length. */
+  def dedupRepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), normalized(col("text")).as("norm"))
+    val pos = docs.select(col("doc_id"),
+        posexplode(expr(Gram8Sql("norm"))).as(Seq("pos", "gram")))
+      .localCheckpoint()
+    val repeated = pos.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("gram"))
+    val islands = pos.join(repeated, Seq("gram"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .withColumn("island", col("pos") - col("rn"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + 8).as("span_tokens"))
+    val perDoc = islands.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("covered_tokens"),
+        max(col("span_tokens")).as("longest_span"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BOILERPLATE SPAN CENSUS — the cross-document repeated-span
     * screen (headers, footers, licence blurbs, navigation chrome):
     * an 8-gram position is boilerplate when its gram occurs in ≥

@@ -104,6 +104,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_repeated_spans: islands recomputed brute-force; span arithmetic exact; repeat rule is corpus-wide") {
+    val positions = docs.map { case (id, text, _) => id -> grams8(text) }
+    val occ = positions.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size).toMap
+    val expect = positions.map { case (id, gs) =>
+      val repPos = gs.zipWithIndex.collect {
+        case (g, i) if occ(g) >= 2 => i
+      }
+      // brute-force islands: split at non-consecutive positions
+      val spans = repPos.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.map { case (s, e) => e - s + 8 }
+      id -> ((spans.size.toLong, spans.map(_.toLong).sum,
+        if (spans.isEmpty) 0L else spans.max.toLong))
+    }.toMap
+    val rows = SparkEntry.queries("dedup_repeated_spans")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows === expect)
+    // the corpus genuinely plants repeats — the census is not vacuous
+    assert(rows.values.exists(_._1 > 0), "some doc carries a repeat")
+    // a span is at least one full gram long
+    assert(rows.values.filter(_._1 > 0).forall(_._3 >= 8))
+  }
+
   test("bpe_pair_counts: vocab-weighted character-pair counts match brute-force, top-50 deterministic") {
     val vocab = docs.flatMap(_._2.toLowerCase.trim
         .replaceAll("\\s+", " ").split(" "))
