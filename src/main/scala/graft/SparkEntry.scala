@@ -278,6 +278,7 @@ object SparkEntry {
     "dedup_embedding_lsh_audit" -> Similarity.embeddingLshAudit _,
     "dedup_embedding_lsh_audit_sampled" -> Similarity.embeddingLshAuditSampled _,
     "ann_topk_bruteforce" -> Similarity.annTopkBruteforce _,
+    "embedding_contamination" -> Similarity.embeddingContamination _,
     "ann_lsh_topk"        -> Similarity.annLshTopk _,
     "ann_recall_audit"    -> Similarity.annRecallAudit _,
     "ann_recall_audit_sampled" -> Similarity.annRecallAuditSampled _,
@@ -7845,6 +7846,43 @@ object SparkEntry {
         |        floor(cos * 1e4 + 0.5) / 1e4 AS cosine
         |      FROM c)
         |SELECT probe_id, neighbor_id, rk, cosine FROM r WHERE rk <= 10""".stripMargin,
+
+    // semantic decontamination: nearest of the 32 lowest vec_id%97=3
+    // eval probes (self excluded — a probe IS the eval item). The
+    // elements quantize to 1e-6 integer units FIRST, so dot and
+    // norms are exact integers and the cosine is the same three
+    // exact operands through the same correctly-rounded /,*,sqrt in
+    // both engines — raw-double summation order split at 1e6
+    // half-boundaries; exact integers cannot. dot/(sqrt·sqrt) is the
+    // kernel's exact chain
+    "embedding_contamination" ->
+      s"""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> floor(x * 1e6 + 0.5)) AS qe
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT vec_id AS eval_id, qe AS pe
+        |  FROM q
+        |  WHERE vec_id % ${graft.operators.Similarity.SemContamMod}
+        |      = ${graft.operators.Similarity.SemContamRem}
+        |  ORDER BY vec_id LIMIT ${graft.operators.Similarity.SemContamProbes}),
+        |c AS (
+        |  SELECT q.vec_id, p.eval_id,
+        |    list_inner_product(q.qe, pe)
+        |      / (sqrt(list_inner_product(q.qe, q.qe))
+        |         * sqrt(list_inner_product(pe, pe))) AS cos
+        |  FROM q, p WHERE q.vec_id != p.eval_id),
+        |r AS (
+        |  SELECT vec_id, eval_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, eval_id ASC)
+        |      AS rk
+        |  FROM c)
+        |SELECT vec_id, eval_id AS top_eval_id,
+        |  floor(cos * 1e4 + 0.5) / 1e4 AS top_cos,
+        |  cos >= ${graft.operators.Similarity.SemContamThreshold}
+        |    AS contaminated
+        |FROM r WHERE rk = 1""".stripMargin,
 
     "ann_lsh_topk" ->
       s"""$lshBucketsSql,

@@ -340,6 +340,62 @@ object Similarity {
     topkPerProbe(scored, k).withColumnRenamed("probe_id", "vec_id")
   }
 
+  /** Eval probe set for the SEMANTIC decontamination screen: the 32
+    * lowest vec_ids ≡ 3 (mod 97) — fixed SIZE, not corpus-fraction
+    * (benchmarks don't grow with the corpus), same bounded-sample
+    * discipline as the quantizer fits. */
+  private[graft] val SemContamProbes = 32
+  private[graft] val SemContamMod = 97L
+  private[graft] val SemContamRem = 3L
+
+  /** A training vector is semantically contaminated above this
+    * cosine against any eval probe — near-duplicate grade. */
+  private[graft] val SemContamThreshold = 0.95
+
+  /** SEMANTIC DECONTAMINATION screen — the embedding-space twin of
+    * the text pipeline's `corpus_contamination`: paraphrased or
+    * reformatted benchmark leakage that shares no 8-gram still sits
+    * next to the eval item in embedding space, so every training
+    * vector reports its nearest eval probe and cosine, with the
+    * near-duplicate flag at [[SemContamThreshold]] (all-clean on
+    * this corpus — the flag logic is proven on a planted positive in
+    * SimilaritySpec, the honest way to gate a detector whose firing
+    * condition the clean corpus doesn't exhibit).
+    *
+    * Shape at scale: the probe set is a bounded driver constant
+    * shipped as a codegen reference object ([[VectorColumns
+    * .topkCosine]] — no literal-tree blowup, no join, no shuffle);
+    * the whole screen is one scan-stage pass, which is exactly how
+    * semantic decontamination runs over 100 TB: broadcast the
+    * benchmark embeddings, stream the corpus.
+    *
+    * Exactness: elements quantize to 1e-6 INTEGER units first (the
+    * embedding_drift/covariance discipline) so dot and norms are
+    * exact integers (≤ ~6e13 ≪ 2^53) — the cosine is then the same
+    * three exact operands through the same correctly-rounded /,·,√
+    * in both engines, immune to summation-order ulps (which DID
+    * split a raw-double version at 1e6 half-boundaries). */
+  def embeddingContamination(spark: SparkSession, dir: String): DataFrame = {
+    val quant = "transform(emb, x -> cast(floor(x * 1e6 + 0.5) as double))"
+    val v = vecs(spark, dir).withColumn("emb", expr(quant))
+    val probes = v
+      .filter(col("vec_id") % SemContamMod === SemContamRem)
+      .orderBy(col("vec_id")).limit(SemContamProbes)
+      .collect() // bounded: ≤ 32 rows by construction
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val ids = probes.map(_._1)
+    val mat = probes.map(_._2)
+    v.withColumn("top", VectorColumns.topkCosine(col("emb"),
+        col("vec_id"), ids, mat, k = 1)(0))
+      .select(col("vec_id"),
+        col("top").getField("id").as("top_eval_id"),
+        (floor(col("top").getField("payload") * 1e4 + 0.5) / 1e4)
+          .as("top_cos"),
+        (col("top").getField("payload") >= SemContamThreshold)
+          .as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label COVARIANCE matrix of the embedding space — the
     * sufficient statistics of PCA/whitening (the OPQ-style rotation
     * fit before product quantization, drift detection via

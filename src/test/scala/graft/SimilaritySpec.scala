@@ -21,6 +21,59 @@ class SimilaritySpec extends SparkSpec {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  test("embedding_contamination: nearest eval probe recomputed per vector; the flag fires on a PLANTED near-dup") {
+    import graft.operators.Similarity
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val probes = embs.keys.toSeq
+      .filter(_ % Similarity.SemContamMod == Similarity.SemContamRem)
+      .sorted.take(Similarity.SemContamProbes)
+    assert(probes.nonEmpty)
+    // the lane quantizes elements to 1e-6 integer units first (exact
+    // dot/norms — engine-invariant cosine); ordering is round6, the
+    // reported cosine and the flag use the raw quantized-space value
+    val qembs = embs.view.mapValues(_.map(x =>
+      math.floor(x * 1e6 + 0.5))).toMap
+    val rows = SparkEntry.queries("embedding_contamination")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(rows.keySet === embs.keySet, "one row per vector")
+    qembs.foreach { case (id, v) =>
+      val (topId, topCos) = probes.filter(_ != id)
+        .map(p => (p, cos(v, qembs(p))))
+        .minBy { case (p, c) => (-q6(c), p) }
+      val (gid, gcos, gflag) = rows(id)
+      assert(gid === topId, s"vec $id top probe")
+      assert(gcos === math.floor(topCos * 1e4 + 0.5) / 1e4, s"vec $id cos")
+      assert(gflag === (topCos >= Similarity.SemContamThreshold))
+    }
+    // this corpus is CLEAN (no benchmark leakage planted) — the flag
+    // must be false everywhere, and that is asserted, not assumed
+    assert(rows.values.forall(!_._3), "clean corpus: no contamination")
+    // planted positive: a synthetic corpus carrying a near-copy of a
+    // probe must flag it — the detector's firing condition is proven
+    // even though the shipped corpus never exhibits it
+    val pid = probes.head
+    val leaked = embs(pid).clone()
+    leaked(0) = leaked(0) * 1.0001 + 1e-9 // near-dup, not identical
+    assert(q6(cos(leaked, embs(pid))) >= Similarity.SemContamThreshold,
+      "the plant is near-dup grade")
+    import spark.implicits._
+    val planted = (embs.toSeq.map { case (id, v) => (id, v.toSeq) } :+
+      ((90001L, leaked.toSeq))).toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb").cast("array<double>").as("emb"))
+    val ids = probes.toArray
+    val mat = probes.map(embs).toArray
+    val flagged = planted
+      .withColumn("top", graft.expressions.VectorColumns.topkCosine(
+        col("emb"), col("vec_id"), ids, mat, k = 1)(0))
+      .filter(col("top").getField("payload") >=
+        Similarity.SemContamThreshold)
+      .select(col("vec_id"), col("top").getField("id").as("eval_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(flagged.toSeq === Seq((90001L, pid)),
+      "exactly the planted leak flags, against its source probe")
+  }
+
   test("ann_topk_bruteforce: exact top-10 for every probe vs Scala recomputation") {
     val got = SparkEntry.queries("ann_topk_bruteforce")(spark, sf).collect()
       .groupBy(_.getLong(0))
