@@ -194,6 +194,7 @@ object SparkEntry {
     "audio_adts_index"      -> graft.sources.AudioFrames.audioAdtsIndex _,
     "audio_ogg_index"       -> graft.sources.AudioFrames.audioOggIndex _,
     "audio_flac_meta"       -> graft.sources.AudioFrames.audioFlacMeta _,
+    "audio_flac_decode"     -> graft.sources.AudioFrames.audioFlacDecode _,
     "stac_search_items"     -> graft.sources.Stac.stacSearchItems _,
     "grid_zarr_decode"      -> graft.sources.Zarr.gridZarrDecode _,
     "phenology_slices"      -> graft.sources.Zarr.phenologySlices _,
@@ -6915,6 +6916,44 @@ object SparkEntry {
 
     // the FLAC census: STREAMINFO fields and the MD5 fingerprint
     // replayed byte-for-byte (hex via a generated series)
+    // the FLAC sample-decode lane: the oracle regenerates the PCM
+    // from the closed-form Weyl/constant generator; subframe counts
+    // follow from the block geometry (64-sample blocks, every 8th
+    // CONSTANT; count of b%8==7 under nb blocks = nb // 8)
+    "audio_flac_decode" ->
+      s"""WITH s AS (
+        |  SELECT user_id % 8 AS g,
+        |    CAST(floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10000
+        |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS seed
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT g, abs(seed) AS a,
+        |    CASE g % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |      WHEN 2 THEN 96000 ELSE 22050 END AS rate,
+        |    1 + g % 2 AS ch, 600 + (g % 4) * 100 AS n
+        |  FROM s),
+        |fr AS (SELECT p.*, unnest(generate_series(0, ch - 1)) AS c FROM p),
+        |sk AS (SELECT fr.*, unnest(generate_series(0, n - 1)) AS k FROM fr),
+        |v AS (
+        |  SELECT g, rate, ch, n,
+        |    CASE WHEN (k // 64) % 8 = 7 THEN (a + c * 7) % 1000 - 500
+        |      ELSE (a + c * 131 + (k + 1) * 2654435761) % 65536 - 32768
+        |    END AS val
+        |  FROM sk),
+        |agg AS (
+        |  SELECT g, max(rate) AS rate, max(ch) AS ch, max(n) AS n,
+        |    CAST(max(abs(val)) AS BIGINT) AS peak,
+        |    CAST(sum(abs(val)) AS BIGINT) AS sum_abs
+        |  FROM v GROUP BY g)
+        |SELECT 'track_' || g || '.flac' AS name,
+        |  CAST(rate AS BIGINT) AS sample_rate, CAST(ch AS BIGINT) AS channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(ch * (((n + 63) // 64) // 8) AS BIGINT) AS n_constant,
+        |  CAST(ch * ((n + 63) // 64 - ((n + 63) // 64) // 8) AS BIGINT)
+        |    AS n_verbatim,
+        |  peak, sum_abs
+        |FROM agg""".stripMargin,
+
     "audio_flac_meta" ->
       s"""WITH s AS (
         |  SELECT user_id % 8 AS g,
