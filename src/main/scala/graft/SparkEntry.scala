@@ -6917,9 +6917,9 @@ object SparkEntry {
     // the FLAC census: STREAMINFO fields and the MD5 fingerprint
     // replayed byte-for-byte (hex via a generated series)
     // the FLAC sample-decode lane: the oracle regenerates the PCM
-    // from the closed-form Weyl/constant generator; subframe counts
-    // follow from the block geometry (64-sample blocks, every 8th
-    // CONSTANT; count of b%8==7 under nb blocks = nb // 8)
+    // from the closed-form Weyl/constant generator and replays the
+    // block-type schedule (64-sample blocks: b%8==7 CONSTANT, b%4==1
+    // LPC, b%8==3 FIXED, rest VERBATIM — per channel)
     "audio_flac_decode" ->
       s"""WITH s AS (
         |  SELECT user_id % 8 AS g,
@@ -6944,15 +6944,27 @@ object SparkEntry {
         |  SELECT g, max(rate) AS rate, max(ch) AS ch, max(n) AS n,
         |    CAST(max(abs(val)) AS BIGINT) AS peak,
         |    CAST(sum(abs(val)) AS BIGINT) AS sum_abs
-        |  FROM v GROUP BY g)
-        |SELECT 'track_' || g || '.flac' AS name,
+        |  FROM v GROUP BY g),
+        |blk AS (
+        |  SELECT g, unnest(generate_series(0, (n + 63) // 64 - 1)) AS b
+        |  FROM p),
+        |sched AS (
+        |  SELECT g,
+        |    count(*) FILTER (WHERE b % 8 = 7) AS c_const,
+        |    count(*) FILTER (WHERE b % 4 = 1) AS c_lpc,
+        |    count(*) FILTER (WHERE b % 8 = 3) AS c_fixed,
+        |    count(*) FILTER (WHERE b % 8 <> 7 AND b % 4 <> 1 AND b % 8 <> 3)
+        |      AS c_verb
+        |  FROM blk GROUP BY g)
+        |SELECT 'track_' || agg.g || '.flac' AS name,
         |  CAST(rate AS BIGINT) AS sample_rate, CAST(ch AS BIGINT) AS channels,
         |  CAST(n AS BIGINT) AS n_samples,
-        |  CAST(ch * (((n + 63) // 64) // 8) AS BIGINT) AS n_constant,
-        |  CAST(ch * ((n + 63) // 64 - ((n + 63) // 64) // 8) AS BIGINT)
-        |    AS n_verbatim,
+        |  CAST(ch * c_const AS BIGINT) AS n_constant,
+        |  CAST(ch * c_verb AS BIGINT) AS n_verbatim,
+        |  CAST(ch * c_fixed AS BIGINT) AS n_fixed,
+        |  CAST(ch * c_lpc AS BIGINT) AS n_lpc,
         |  peak, sum_abs
-        |FROM agg""".stripMargin,
+        |FROM agg JOIN sched ON agg.g = sched.g""".stripMargin,
 
     "audio_flac_meta" ->
       s"""WITH s AS (
@@ -7011,7 +7023,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'tp_ea_us', 'f8', gy, gx, CAST(v_us AS DOUBLE) * 1.0e-6 FROM j
         |UNION ALL
-        |SELECT 'tp_us', 'f8', gy, gx, CAST(v_us AS DOUBLE) * 1.0e-6 FROM j"""
+        |SELECT 'tp_us', 'f8', gy, gx, CAST(v_us AS DOUBLE) * 1.0e-6 FROM j
+        |UNION ALL
+        |SELECT 'tp_year_us', 'f8', CAST(t // 8 AS BIGINT),
+        |  CAST(t % 8 AS BIGINT),
+        |  CAST(j.v_us + (t // 64) * 1000000 AS DOUBLE) * 1.0e-6
+        |FROM range(0, 360) r(t)
+        |JOIN j ON j.gy = (t % 64) // 8 AND j.gx = t % 8"""
         .stripMargin,
 
     // marching squares: identical 16-case edge-pair table, the

@@ -89,6 +89,33 @@ case class TopKCosineExpr(left: Expression, right: Expression,
   override def prettyName: String = "topk_cosine"
 }
 
+/** IVF cell routing against a PLAN-REFERENCED centroid matrix — the
+  * structural fix for the nlist ceiling: the literal-centroid
+  * `array_sort(array(struct(q6(score), b)…))` formulation carries an
+  * O(nlist·dim) literal tree per operator (which is why nlist was
+  * capped at 256); here the centroids and their precomputed squared
+  * norms ride reference objects serialized once per stage, and each
+  * row pays one compiled scan producing its nprobe nearest cells.
+  * Semantics are term-for-term the literal formulation's (see
+  * [[graft.functions.VectorKernels.nearestCells]]) so cell
+  * assignments, downstream joins and oracles are unchanged. */
+case class NearestCellsExpr(child: Expression, cc: Array[Double],
+    mat: Array[Array[Double]], nprobe: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d", DoubleType), StructField("b", IntegerType))))
+  override protected def nullSafeEval(emb: Any): Any =
+    VectorKernels.nearestCells(emb.asInstanceOf[ArrayData], cc, mat, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ccRef = ctx.addReferenceObj("ivfCc", cc, "double[]")
+    val matRef = ctx.addReferenceObj("ivfCents", mat, "double[][]")
+    defineCodeGen(ctx, ev, e =>
+      s"graft.functions.VectorKernels.nearestCells($e, $ccRef, $matRef, $nprobe)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "nearest_cells"
+}
+
 /** Centered projection y = W·(x − μ) against a plan-referenced
   * matrix — the APPLY step of any driver-fitted linear transform
   * (PCA whitening here; an OPQ rotation would ride the same seam).
@@ -174,4 +201,11 @@ object VectorColumns {
       ColumnBridge.expression(selfId.cast("long")), ids, mat, k))
   def matVec(emb: Column, mu: Array[Double], w: Array[Array[Double]]): Column =
     ColumnBridge.column(MatVecExpr(e(emb), mu, w))
+  /** nprobe nearest IVF cells as array<struct<d,b>> — cc (the Σc²
+    * terms) is derived here with the exact driver-side fold the
+    * literal formulation used, so scores match bit-for-bit. */
+  def nearestCells(emb: Column, cents: Array[Array[Double]],
+      nprobe: Int): Column =
+    ColumnBridge.column(NearestCellsExpr(e(emb),
+      cents.map(c => c.map(x => x * x).sum), cents, nprobe))
 }

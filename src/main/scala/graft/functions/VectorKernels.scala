@@ -46,6 +46,52 @@ object VectorKernels {
     s
   }
 
+  /** Fused IVF cell routing: the `nprobe` nearest coarse-quantizer
+    * cells of one row's embedding, by the 6-dp-quantized score
+    * ‖c‖² − 2·c·x with the cell-id tie-break. TERM-FOR-TERM the
+    * literal-centroid struct-array formulation it replaces
+    * (`array_sort`/`array_min` over `q6(lit(Σc²) − 2.0·dot)` structs):
+    * the dot accumulates in [[dot]]'s index order, `cc(c)` is the
+    * driver-side `c.map(x ⇒ x·x).sum` fold, the quantizer is the same
+    * floor(x·1e6 + 0.5)/1e6 IEEE chain, and ordering is (d, b)
+    * lexicographic — so buckets, plans and oracles are unchanged. The
+    * win is structural: the centroid table rides a PLAN REFERENCE
+    * object (serialized once per stage) instead of an O(nlist·dim)
+    * literal expression tree, which is what capped nlist at 256 —
+    * with this kernel the √n sizing law continues past ~1M vectors
+    * (see [[graft.operators.Similarity.adaptiveNlist]]). Scan-stage,
+    * zero shuffles, one compiled loop per row. */
+  def nearestCells(emb: ArrayData, cc: Array[Double],
+      mat: Array[Array[Double]], nprobe: Int): ArrayData = {
+    val k = math.min(nprobe, mat.length)
+    val keys = new Array[Double](k) // d ascending; ties keep lower b
+    val kb = new Array[Int](k)
+    var size = 0
+    val n = emb.numElements()
+    var c = 0
+    while (c < mat.length) {
+      val m = mat(c)
+      val len = math.min(n, m.length)
+      var d0 = 0.0; var i = 0
+      while (i < len) { d0 += emb.getDouble(i) * m(i); i += 1 }
+      val d = math.floor((cc(c) - 2.0 * d0) * 1e6 + 0.5) / 1e6
+      // cells scan in ascending b, so an equal key never displaces
+      // (the incumbent's b is smaller) and inserts after its equals
+      if (size < k || d < keys(size - 1)) {
+        var pos = 0
+        while (pos < size && !(d < keys(pos))) pos += 1
+        val last = math.min(size, k - 1)
+        var j = last
+        while (j > pos) { keys(j) = keys(j - 1); kb(j) = kb(j - 1); j -= 1 }
+        keys(pos) = d; kb(pos) = c
+        if (size < k) size += 1
+      }
+      c += 1
+    }
+    new GenericArrayData((0 until size).map(j =>
+      new GenericInternalRow(Array[Any](keys(j), kb(j)))).toArray[Any])
+  }
+
   /** Plain dot product (used by the LSH hyperplane signatures). */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

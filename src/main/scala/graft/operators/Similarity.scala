@@ -36,8 +36,9 @@ object Similarity {
     * layout. A bare `limit(4096)` would depend on file-listing order,
     * and the fitted constants are rendered into the DuckDB oracle as
     * literals, so the fit must be a pure function of the dataset. */
-  private def fitSample(spark: SparkSession, dir: String): Array[Array[Double]] =
-    vecs(spark, dir).orderBy(col("vec_id")).limit(4096)
+  private def fitSample(spark: SparkSession, dir: String,
+      size: Int = 4096): Array[Array[Double]] =
+    vecs(spark, dir).orderBy(col("vec_id")).limit(size)
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
 
   /** Memoized per-dataset quantizer fits (driver-local Lloyd's on the
@@ -51,7 +52,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
 
   private[graft] val IvfNlistMin = 4
-  private[graft] val IvfNlistMax = 256
+  private[graft] val IvfNlistMax = 1024
   private[graft] val PqM = 8
   private[graft] val PqSubDim = 8
   private[graft] val PqKsub = 16
@@ -69,12 +70,20 @@ object Similarity {
     * the fit-cache rung set small, and a PURE FUNCTION of the corpus
     * count means the oracle renderer replays the IDENTICAL quantizer
     * (same discipline as [[pairsBits]]' adaptive signature width).
-    * At the cap the assignment expression carries [[IvfNlistMax]]
-    * fused literal-centroid dot products per row — still scan-stage,
-    * zero shuffles; past ~1M vectors the cap binds and the posture
-    * degrades gracefully (candidates/probe grow ∝ n/[[IvfNlistMax]]);
-    * raising it further means moving the centroid table from
-    * expression literals to a broadcast join first. */
+    *
+    * The old 256 ceiling was a LITERAL-TREE limit, not a law: cell
+    * assignment used to fuse nlist literal-centroid dot products
+    * into one expression, so nlist was bounded by expression-tree
+    * size. Since r14 the assignment rides
+    * [[graft.expressions.NearestCellsExpr]] — the centroid matrix is
+    * a plan reference object (one compiled scan per row, still
+    * scan-stage, zero shuffles) — so the cap is now set by the FIT,
+    * not the plan: [[ivfCentroids]] grows its driver-local Lloyd's
+    * sample as 16·nlist (bounded by [[IvfFitSampleMax]]), and
+    * [[IvfNlistMax]] = 1024 keeps that fit O(seconds) on the driver
+    * (the √n law then holds to ~17M vectors; past it, candidates
+    * grow ∝ n/1024 — raise the two constants together if a corpus
+    * ever gets there). */
   private[graft] def adaptiveNlist(n: Long): Int = {
     val target = math.sqrt(math.max(n, 0L).toDouble) / 4.0
     var p = IvfNlistMin
@@ -87,12 +96,25 @@ object Similarity {
   private[graft] def ivfNlist(spark: SparkSession, dir: String): Int =
     adaptiveNlist(corpusCount(spark, dir))
 
+  /** Fit-sample ceiling: 16·nlist at [[IvfNlistMax]] = 16384 rows ×
+    * dim doubles on the driver — MBs, and a Lloyd's pass that stays
+    * O(seconds). */
+  private[graft] val IvfFitSampleMax = 16 * IvfNlistMax
+
   /** The shared IVF coarse quantizer (nlist = [[ivfNlist]], the √n
     * adaptive sizing): one fit serves [[annIvfTopk]] and
-    * [[knnGraphIvf]]. */
+    * [[knnGraphIvf]]. The sample grows with the cell count
+    * (max(4096, 16·nlist)) so every cell sees ≥ ~16 fit points even
+    * past the old 256-cell range; at nlist ≤ 256 the size is the
+    * historical 4096, so existing fits — and the oracles replaying
+    * them — are unchanged. */
   private[graft] def ivfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
-    ivfFitCache.getOrElseUpdate(dir,
-      lloyd(fitSample(spark, dir), ivfNlist(spark, dir), iters = 8))
+    ivfFitCache.getOrElseUpdate(dir, {
+      val nlist = ivfNlist(spark, dir)
+      lloyd(fitSample(spark, dir,
+        math.max(4096, math.min(16 * nlist, IvfFitSampleMax))),
+        nlist, iters = 8)
+    })
 
   /** The PQ per-subspace codebooks (M=8 subspaces × ksub=16 centroids
     * of subDim=8), all fit on the one bounded sample. */
@@ -317,18 +339,14 @@ object Similarity {
 
   private[graft] def knnGraphIvfOf(v: DataFrame, k: Int, nprobe: Int,
       cents: Array[Array[Double]]): DataFrame = {
-    val nlist = cents.length
-    def score(c: Array[Double]): Column =
-      lit(c.map(x => x * x).sum) -
-        lit(2.0) * VectorColumns.dot(col("emb"), array(c.map(lit).toIndexedSeq: _*))
-    // distances round to 6dp before the sort so the (d, b) lexicographic
-    // order is a total order both engines reproduce (ties → lower cell)
-    val dists = array((0 until nlist).map(i =>
-      struct(q6(score(cents(i))).as("d"), lit(i).as("b"))): _*)
-    // home cell = argmin; probe cells = nprobe smallest distances —
-    // both from ONE literal-centroid distance array evaluated in the
-    // scan stage (array_sort on nlist structs, zero shuffles)
-    val ranked = v.withColumn("cells", slice(array_sort(dists), 1, nprobe))
+    // home cell = cells(0).b; probe cells = nprobe smallest 6-dp
+    // (d, b)-ordered distances — ONE fused plan-referenced kernel
+    // call in the scan stage ([[VectorColumns.nearestCells]]: same
+    // scores/ties as the former literal-centroid array_sort, but the
+    // centroid table is a reference object, so nlist is no longer
+    // bounded by literal-tree size), zero shuffles
+    val ranked = v.withColumn("cells",
+      VectorColumns.nearestCells(col("emb"), cents, nprobe))
     val home = ranked
       .select(col("vec_id"), col("emb"), col("cells")(0).getField("b").as("cell"))
     val probing = ranked
@@ -383,8 +401,18 @@ object Similarity {
       .orderBy(col("vec_id")).limit(SemContamProbes)
       .collect() // bounded: ≤ 32 rows by construction
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val ids = probes.map(_._1)
-    val mat = probes.map(_._2)
+    embeddingContaminationOf(v, probes.map(_._1), probes.map(_._2))
+  }
+
+  /** The PRODUCTION shape of the semantic screen: the eval probe
+    * matrix arrives EXTERNALLY (a benchmark-embedding param table —
+    * the `load_param_file` seam the bias lanes ride), not derived
+    * from the corpus. The driver-contract query above keeps its
+    * fixture-derived probe set (the corpus is the only data in the
+    * container); a production caller loads the benchmark table and
+    * passes it here. Screen semantics identical either way. */
+  private[graft] def embeddingContaminationOf(v: DataFrame,
+      ids: Array[Long], mat: Array[Array[Double]]): DataFrame = {
     v.withColumn("top", VectorColumns.topkCosine(col("emb"),
         col("vec_id"), ids, mat, k = 1)(0))
       .select(col("vec_id"),
@@ -671,7 +699,7 @@ object Similarity {
     * order, fixed iteration count; empty clusters keep their previous
     * centroid. Cost is O(|sample|·k·dim·iters) on the DRIVER — the
     * sample is bounded, so this never scales with the corpus. */
-  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+  private[graft] def lloyd(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val n = points.length
     val dim = points(0).length
     var cents = Array.tabulate(k)(i => points(((i.toLong * n) / k).toInt).clone())
@@ -715,20 +743,13 @@ object Similarity {
     val nprobe = 2
     val v = vecs(spark, dir)
     val cents = ivfCentroids(spark, dir)
-    val nlist = cents.length
     // argmin_c ||e - c||² = argmin_c (|c|² - 2·e·c) — |e|² is constant
-    // per row and drops out, so each candidate costs one dot product
-    def score(c: Array[Double]): Column =
-      lit(c.map(x => x * x).sum) -
-        lit(2.0) * VectorColumns.dot(col("emb"), array(c.map(lit).toIndexedSeq: _*))
-    // argmin via array_min over (distance, bucket) structs — struct
-    // ordering is lexicographic, so ties break on the lower bucket
-    // id, deterministically. (NOT a when/otherwise fold: `otherwise`
-    // would duplicate the accumulator per step → a 2^nlist tree.)
-    // Distances round to 6dp first so the oracle's replay of the same
-    // literal-centroid arithmetic lands on the identical bucket.
-    val bucketCol = array_min(array((0 until nlist).map(i =>
-      struct(q6(score(cents(i))).as("d"), lit(i).as("b"))): _*)).getField("b")
+    // per row and drops out, so each candidate costs one dot product.
+    // Distances round to 6dp with the bucket-id tie-break so the
+    // oracle's replay of the same arithmetic lands on the identical
+    // bucket; the fused kernel keeps this scan-stage at any nlist.
+    val bucketCol = VectorColumns.nearestCells(col("emb"), cents, 1)
+      .getItem(0).getField("b")
     val assigned = v.withColumn("bucket", bucketCol)
     // probe → nprobe nearest centroids, ranked by exact cosine to the
     // centroid (16 × |probes| rows — the routing table is tiny)
@@ -785,11 +806,8 @@ object Similarity {
     val v = vecs(spark, dir)
     val cents = ivfCentroids(spark, dir)
     val nlist = cents.length
-    def score(c: Array[Double]): Column =
-      lit(c.map(x => x * x).sum) -
-        lit(2.0) * VectorColumns.dot(col("emb"), array(c.map(lit).toIndexedSeq: _*))
-    val bucketCol = array_min(array((0 until nlist).map(i =>
-      struct(q6(score(cents(i))).as("d"), lit(i).as("b"))): _*)).getField("b")
+    val bucketCol = VectorColumns.nearestCells(col("emb"), cents, 1)
+      .getItem(0).getField("b")
     val assigned = v.withColumn("bucket", bucketCol)
     val centroidDf = spark.createDataFrame(
       cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
@@ -911,14 +929,9 @@ object Similarity {
     val rungs = NlistSweep.map { nlist =>
       val cents = nlistCentroids(spark, dir, nlist)
       val nprobe = math.min(NlistSweepNprobe, nlist)
-      def score(c: Array[Double]): Column =
-        lit(c.map(x => x * x).sum) -
-          lit(2.0) * VectorColumns.dot(col("emb"),
-            array(c.map(lit).toIndexedSeq: _*))
-      val dists = array((0 until nlist).map(i =>
-        struct(q6(score(cents(i))).as("d"), lit(i).as("b"))): _*)
       val home = v.select(col("vec_id"),
-        array_min(dists).getField("b").as("cell"))
+        VectorColumns.nearestCells(col("emb"), cents, 1)
+          .getItem(0).getField("b").as("cell"))
       val centroidDf = spark.createDataFrame(
         cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
         .toDF("cell", "centroid")

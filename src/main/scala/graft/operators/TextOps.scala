@@ -1559,6 +1559,17 @@ object TextOps {
         size(split(col("norm"), " ")) >= 18)
       .select(col("doc_id").as("eval_id"),
         concat_ws(" ", slice(split(col("norm"), " "), 11, 8)).as("gram"))
+    corpusContaminationOf(docs, evalSet)
+  }
+
+  /** The PRODUCTION shape of the screen: the eval 8-gram set arrives
+    * EXTERNALLY as a param table (eval_id, gram) — benchmark n-grams
+    * loaded the way the bias lanes load pretrained params — rather
+    * than derived from the corpus (the fixture-derived default above
+    * exists because this container's only data IS the corpus).
+    * Same broadcast-probe plan either way. */
+  private[graft] def corpusContaminationOf(docs: DataFrame,
+      evalSet: DataFrame): DataFrame = {
     val grams = docs.select(col("doc_id"),
       explode(array_distinct(expr(Gram8Sql("norm")))).as("gram"))
     grams.join(broadcast(evalSet), Seq("gram"))
@@ -1597,10 +1608,29 @@ object TextOps {
     * needs a global sort; the n-gram relaxation is the standard
     * distributed substitute and is exact for repeats ≥ the gram
     * length. */
-  def dedupRepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** Salt fan-out for the position⋈gram-set joins below. A licence
+    * blurb's gram present in 10% of a 100 TB corpus would otherwise
+    * put 10% of all positions in ONE shuffle partition of the join;
+    * salting the position side by a position-derived hash and
+    * replicating the (small, one-row-per-gram) set side K ways
+    * bounds any gram's partition to 1/K of its mass — EXACT (the
+    * set side carries every salt, so each position still matches
+    * exactly once), deterministic (no reliance on AQE thresholds
+    * firing), the same discipline the dedup lanes apply to hot
+    * buckets, minus the cap (a census must not drop mass). */
+  private[graft] val SpanSaltK = 16
+
+  private def salted(set: DataFrame): DataFrame =
+    set.withColumn("salt",
+      explode(expr(s"sequence(0, ${SpanSaltK - 1})")))
+
+  def dedupRepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    dedupRepeatedSpansOf(
+      Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+        .select(col("doc_id"), normalized(col("text")).as("norm")))
+
+  private[graft] def dedupRepeatedSpansOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
-      .select(col("doc_id"), normalized(col("text")).as("norm"))
     val pos = docs.select(col("doc_id"),
         posexplode(expr(Gram8Sql("norm"))).as(Seq("pos", "gram")))
       .localCheckpoint()
@@ -1608,7 +1638,13 @@ object TextOps {
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
       .select(col("gram"))
-    val islands = pos.join(repeated, Seq("gram"))
+    // the gram-frequency agg above is skew-safe by itself (map-side
+    // partials); the join back is where one hot gram would pile a
+    // partition — salted (see [[SpanSaltK]])
+    val islands = pos
+      .withColumn("salt", pmod(hash(col("doc_id"), col("pos")),
+        lit(SpanSaltK)))
+      .join(salted(repeated), Seq("gram", "salt"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .withColumn("island", col("pos") - col("rn"))
@@ -1639,20 +1675,37 @@ object TextOps {
     * key, map-side partials) and rejoins on the same gram hash; the
     * per-doc rollup is a doc-keyed agg. No window over the corpus,
     * joins no wider than O(positions). */
-  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
-      .select(col("doc_id"), normalized(col("text")).as("norm"))
-    val pos = docs.select(col("doc_id"),
-      explode(expr(Gram8Sql("norm"))).as("gram"))
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame =
+    boilerplateNgramsOf(
+      Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+        .select(col("doc_id"), normalized(col("text")).as("norm")))
+
+  private[graft] def boilerplateNgramsOf(docs: DataFrame): DataFrame = {
+    // reduce positions to (doc, gram, cnt) FIRST — the census only
+    // needs counts, and the reduction is map-side-partial-friendly,
+    // so the downstream join moves per-doc-distinct grams instead of
+    // every position
+    val dg = docs.select(col("doc_id"),
+        explode(expr(Gram8Sql("norm"))).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    val boiler = pos.groupBy(col("gram"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val boiler = dg.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs")) // dg is distinct per (doc, gram)
       .filter(col("n_docs") >= BoilerplateMinDocs)
       .select(col("gram"))
-    val perDoc = pos.join(boiler.withColumn("b", lit(1)), Seq("gram"), "left")
+    // gram-keyed rejoin salted against the one hot licence-blurb
+    // gram (see [[SpanSaltK]]): each dg row carries one salt, the
+    // boiler set carries all of them — left semantics unchanged
+    val perDoc = dg
+      .withColumn("salt", pmod(hash(col("doc_id"), col("gram")),
+        lit(SpanSaltK)))
+      .join(salted(boiler).withColumn("b", lit(1)),
+        Seq("gram", "salt"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("b").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("b").isNotNull, col("cnt")).otherwise(0L))
+          .as("n_boiler"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),

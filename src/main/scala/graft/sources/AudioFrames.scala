@@ -600,19 +600,144 @@ object AudioFrames {
     c
   }
 
-  /** FLAC SAMPLE DECODE for the entropy-free subframe types — the
-    * lossless leg's analogue of the MP3 side-info boundary: CONSTANT
-    * and VERBATIM subframes decode to PCM (with wasted-bits shift),
-    * FIXED/LPC prediction and stereo decorrelation quarantine by
-    * name (rice residuals are the declared entropy seam). Frame
-    * headers decode completely — sync, blocksize/rate codes incl.
-    * the follow-up 8/16-bit forms, UTF-8-coded frame numbers — and
-    * ALL THREE format integrity gates are ENFORCED, not skipped:
-    * per-header CRC-8, per-frame CRC-16, and STREAMINFO's MD5 of the
-    * decoded little-endian PCM (the format carries its own ground
-    * truth; a decoder bug cannot round-trip silently). */
+  /** Rice residual block shared by FIXED and LPC subframes: 2-bit
+    * coding method (0 = 4-bit params, 1 = 5-bit Rice2 params), 4-bit
+    * partition order, per-partition parameter with the all-ones
+    * escape to n-bit verbatim residuals, zigzag-folded values with
+    * unary quotients (q zeros then a one) — the FLAC format spec
+    * (RFC 9639 §9.2.7). Residuals land in out(order until n). */
+  private def readResiduals(br: BitRd, n: Int, order: Int,
+      out: Array[Int]): Option[String] = {
+    val method = br.read(2).toInt
+    if (method > 1) return Some("reserved_residual_method")
+    val pBits = 4 + method
+    val esc = (1 << pBits) - 1
+    val po = br.read(4).toInt
+    val nPart = 1 << po
+    if (n % nPart != 0 || (n >> po) < order)
+      return Some("bad_partition_order")
+    var idx = order
+    var part = 0
+    while (part < nPart) {
+      val cnt = (n >> po) - (if (part == 0) order else 0)
+      val param = br.read(pBits).toInt
+      if (param == esc) { // verbatim partition: 5-bit width, raw 2c
+        val nb = br.read(5).toInt
+        var i = 0
+        while (i < cnt) {
+          out(idx) = if (nb == 0) 0
+            else { val raw = br.read(nb); ((raw << (64 - nb)) >> (64 - nb)).toInt }
+          idx += 1; i += 1
+        }
+      } else {
+        var i = 0
+        while (i < cnt) {
+          var q = 0L
+          while (br.read(1) == 0) q += 1
+          val u = (q << param) | br.read(param)
+          out(idx) = ((u >>> 1) ^ -(u & 1L)).toInt // zigzag unfold
+          idx += 1; i += 1
+        }
+      }
+      part += 1
+    }
+    None
+  }
+
+  /** One subframe → blockSize samples + the subframe-type index
+    * (0 constant, 1 verbatim, 2 fixed, 3 lpc). All four FLAC
+    * subframe types decode: CONSTANT/VERBATIM raw, FIXED through
+    * the four fixed polynomial predictors, LPC through the
+    * quantized-coefficient dot product with the signed 5-bit shift —
+    * plus the wasted-bits unary prefix shared by all types. */
+  private def decodeSubframe(br: BitRd, n: Int, bps: Int):
+      Either[String, (Array[Int], Int)] = {
+    if (br.read(1) != 0) return Left("bad_subframe_padding")
+    val stype = br.read(6).toInt
+    var wasted = 0
+    if (br.read(1) == 1) {
+      wasted = 1
+      while (br.read(1) == 0) wasted += 1
+    }
+    val eff = bps - wasted
+    if (eff <= 0) return Left("bad_wasted_bits")
+    def sgn(nb: Int): Int = {
+      val raw = br.read(nb); ((raw << (64 - nb)) >> (64 - nb)).toInt
+    }
+    val out = new Array[Int](n)
+    val typeIdx = stype match {
+      case 0 => // CONSTANT: one sample, repeated
+        java.util.Arrays.fill(out, sgn(eff)); 0
+      case 1 => // VERBATIM: n raw samples
+        var i = 0
+        while (i < n) { out(i) = sgn(eff); i += 1 }
+        1
+      case t if t >= 8 && t <= 12 => // FIXED, polynomial order 0..4
+        val order = t - 8
+        if (order > n) return Left("bad_predictor_order")
+        var i = 0
+        while (i < order) { out(i) = sgn(eff); i += 1 }
+        readResiduals(br, n, order, out).foreach(e => return Left(e))
+        var k = order
+        while (k < n) {
+          val pred = order match {
+            case 0 => 0L
+            case 1 => out(k - 1).toLong
+            case 2 => 2L * out(k - 1) - out(k - 2)
+            case 3 => 3L * out(k - 1) - 3L * out(k - 2) + out(k - 3)
+            case _ => 4L * out(k - 1) - 6L * out(k - 2) +
+              4L * out(k - 3) - out(k - 4)
+          }
+          out(k) = (out(k) + pred).toInt
+          k += 1
+        }
+        2
+      case t if t >= 32 => // LPC, order 1..32
+        val order = t - 31
+        if (order > n) return Left("bad_predictor_order")
+        var i = 0
+        while (i < order) { out(i) = sgn(eff); i += 1 }
+        val precCode = br.read(4).toInt
+        if (precCode == 15) return Left("bad_qlp_precision")
+        val prec = precCode + 1
+        val shift = { val raw = br.read(5); ((raw << 59) >> 59).toInt }
+        if (shift < 0) return Left("negative_qlp_shift")
+        val coefs = new Array[Int](order)
+        i = 0
+        while (i < order) { coefs(i) = sgn(prec); i += 1 }
+        readResiduals(br, n, order, out).foreach(e => return Left(e))
+        var k = order
+        while (k < n) {
+          var acc = 0L; var j = 0
+          while (j < order) { acc += coefs(j).toLong * out(k - 1 - j); j += 1 }
+          out(k) = (out(k) + (acc >> shift)).toInt
+          k += 1
+        }
+        3
+      case _ => return Left("reserved_subframe_type")
+    }
+    if (wasted > 0) {
+      var i = 0
+      while (i < n) { out(i) <<= wasted; i += 1 }
+    }
+    Right((out, typeIdx))
+  }
+
+  /** FLAC SAMPLE DECODE — the complete lossless leg: all four
+    * subframe types (CONSTANT, VERBATIM, FIXED orders 0-4, LPC with
+    * quantized coefficients) through Rice/Rice2 partitioned
+    * residuals, plus all three stereo decorrelation modes
+    * (left/side, right/side, mid/side with the odd-bit
+    * reconstruction). Frame headers decode completely — sync,
+    * blocksize/rate codes incl. the follow-up 8/16-bit forms,
+    * UTF-8-coded frame numbers — and ALL THREE format integrity
+    * gates are ENFORCED, not skipped: per-header CRC-8, per-frame
+    * CRC-16, and STREAMINFO's MD5 of the decoded little-endian PCM
+    * (the format carries its own ground truth; a decoder bug cannot
+    * round-trip silently). Returns (meta, per-channel PCM, subframe
+    * counts indexed constant/verbatim/fixed/lpc). */
   private[graft] def flacDecode(bytes: Array[Byte]):
-      Either[String, (FlacMeta, Array[Array[Int]], Int, Int)] = {
+      Either[String, (FlacMeta, Array[Array[Int]], Array[Int])] = {
     val meta = flacMeta(bytes) match {
       case Left(e) => return Left(e); case Right(m) => m
     }
@@ -627,8 +752,9 @@ object AudioFrames {
     }
     val out = Array.fill(meta.channels)(
       new scala.collection.mutable.ArrayBuffer[Int]())
-    var nConst = 0; var nVerb = 0
+    val counts = new Array[Int](4) // constant, verbatim, fixed, lpc
     var frameIdx = 0L
+    try {
     while (p < bytes.length) {
       val start = p
       if ((bytes(p) & 0xFF) != 0xFF || ((bytes(p + 1) & 0xFC) != 0xF8))
@@ -640,8 +766,9 @@ object AudioFrames {
       val srCode = bytes(p + 2) & 0x0F
       val chAsn = (bytes(p + 3) >> 4) & 0x0F
       val ssCode = (bytes(p + 3) >> 1) & 0x07
-      if (chAsn >= 8) return Left("stereo_decorrelation_unsupported")
-      if (chAsn + 1 != meta.channels) return Left("bad_channel_count")
+      if (chAsn > 10) return Left("reserved_channel_assignment")
+      val nCh = if (chAsn >= 8) 2 else chAsn + 1
+      if (nCh != meta.channels) return Left("bad_channel_count")
       val bps = ssCode match {
         case 1 => 8; case 2 => 12; case 4 => 16; case 5 => 20; case 6 => 24
         case 0 => meta.bitsPerSample
@@ -685,35 +812,19 @@ object AudioFrames {
         return Left("bad_frame_crc8")
       p += 1
       val br = new BitRd(bytes, p)
+      val frame = new Array[Array[Int]](nCh)
       var ch = 0
-      while (ch < meta.channels) {
-        if (br.read(1) != 0) return Left("bad_subframe_padding")
-        val stype = br.read(6).toInt
-        var wasted = 0
-        if (br.read(1) == 1) {
-          wasted = 1
-          while (br.read(1) == 0) wasted += 1
+      while (ch < nCh) {
+        // the difference (side) channel carries one extra bit:
+        // left/side + mid/side put it in channel 1, right/side in 0
+        val sideBit = chAsn match {
+          case 8 | 10 if ch == 1 => 1
+          case 9 if ch == 0 => 1
+          case _ => 0
         }
-        val eff = bps - wasted
-        stype match {
-          case 0 => // CONSTANT: one sample, repeated
-            val raw = br.read(eff)
-            val v = ((raw << (64 - eff)) >> (64 - eff)).toInt << wasted
-            var i = 0
-            while (i < blockSize) { out(ch) += v; i += 1 }
-            nConst += 1
-          case 1 => // VERBATIM: blockSize raw samples
-            var i = 0
-            while (i < blockSize) {
-              val raw = br.read(eff)
-              out(ch) += ((raw << (64 - eff)) >> (64 - eff)).toInt << wasted
-              i += 1
-            }
-            nVerb += 1
-          case t if t >= 8 && t <= 12 =>
-            return Left("fixed_prediction_unsupported")
-          case t if t >= 32 => return Left("lpc_unsupported")
-          case _ => return Left("reserved_subframe_type")
+        decodeSubframe(br, blockSize, bps + sideBit) match {
+          case Left(e) => return Left(e)
+          case Right((samples, ti)) => frame(ch) = samples; counts(ti) += 1
         }
         ch += 1
       }
@@ -722,8 +833,36 @@ object AudioFrames {
       if (crc16(bytes, start, crcPos) !=
         (((bytes(crcPos) & 0xFF) << 8) | (bytes(crcPos + 1) & 0xFF)))
         return Left("bad_frame_crc16")
+      // undo inter-channel decorrelation
+      chAsn match {
+        case 8 => // left/side: R = L − S
+          var i = 0
+          while (i < blockSize) {
+            frame(1)(i) = frame(0)(i) - frame(1)(i); i += 1
+          }
+        case 9 => // right/side: L = S + R (channel 0 is the side)
+          var i = 0
+          while (i < blockSize) {
+            frame(0)(i) = frame(0)(i) + frame(1)(i); i += 1
+          }
+        case 10 => // mid/side: re-attach side's low bit to mid
+          var i = 0
+          while (i < blockSize) {
+            val s = frame(1)(i)
+            val m = (frame(0)(i) << 1) | (s & 1)
+            frame(0)(i) = (m + s) >> 1
+            frame(1)(i) = (m - s) >> 1
+            i += 1
+          }
+        case _ => ()
+      }
+      var c = 0
+      while (c < nCh) { out(c) ++= frame(c); c += 1 }
       p = crcPos + 2
       frameIdx += 1
+    }
+    } catch { // a desynced Rice walk can only run off the buffer
+      case _: ArrayIndexOutOfBoundsException => return Left("truncated_frame")
     }
     if (out(0).length.toLong != meta.totalSamples)
       return Left("sample_count_mismatch")
@@ -742,15 +881,208 @@ object AudioFrames {
     }
     if (md.digest().map("%02X".format(_)).mkString != meta.md5Hex)
       return Left("pcm_md5_mismatch")
-    Right((meta, out.map(_.toArray), nConst, nVerb))
+    Right((meta, out.map(_.toArray), counts))
   }
 
-  /** Encoder twin: a REAL (entropy-free) FLAC file — STREAMINFO with
-    * the true PCM MD5, fixed-blocking frames whose subframes are
-    * CONSTANT where a channel's block is constant and VERBATIM
-    * otherwise, UTF-8-coded frame numbers, real CRC-8/CRC-16. */
+  /** Smallest two's-complement width that holds v (0 for v == 0). */
+  private def bitsSigned(v: Int): Int = {
+    if (v == 0) return 0
+    var nb = 1
+    while ((((v.toLong << (64 - nb)) >> (64 - nb))) != v) nb += 1
+    nb
+  }
+
+  /** Rice-encode one residual run: pick per-partition parameters by
+    * exact bit cost (escaping to n-bit verbatim when cheaper), the
+    * partition order the largest of 0..4 that divides the block and
+    * keeps the warm-up inside the first partition. */
+  private def writeResiduals(bw: BitWr, res: Array[Int], n: Int,
+      order: Int): Unit = {
+    var po = 4
+    while (po > 0 && (n % (1 << po) != 0 || (n >> po) <= order)) po -= 1
+    bw.write(0L, 2) // coding method 0: 4-bit Rice parameters
+    bw.write(po.toLong, 4)
+    val nPart = 1 << po
+    var part = 0
+    var idx = 0
+    while (part < nPart) {
+      val cnt = (n >> po) - (if (part == 0) order else 0)
+      // zigzag fold once; cost out k in 0..14 vs the verbatim escape
+      val u = new Array[Long](cnt)
+      var raw = 0
+      var i = 0
+      while (i < cnt) {
+        val v = res(idx + i)
+        u(i) = (v.toLong << 1) ^ (v.toLong >> 63)
+        val nb = bitsSigned(v)
+        if (nb > raw) raw = nb
+        i += 1
+      }
+      var bestK = 0; var bestCost = Long.MaxValue
+      var k = 0
+      while (k < 15) {
+        var cost = cnt.toLong * (1 + k)
+        i = 0
+        while (i < cnt) { cost += u(i) >>> k; i += 1 }
+        if (cost < bestCost) { bestCost = cost; bestK = k }
+        k += 1
+      }
+      if (5L + cnt.toLong * raw < bestCost) { // escape: raw residuals
+        bw.write(15L, 4)
+        bw.write(raw.toLong, 5)
+        i = 0
+        while (i < cnt) {
+          if (raw > 0)
+            bw.write(res(idx + i).toLong & ((1L << raw) - 1), raw)
+          i += 1
+        }
+      } else {
+        bw.write(bestK.toLong, 4)
+        i = 0
+        while (i < cnt) {
+          val q = u(i) >>> bestK
+          var z = 0L
+          while (z < q) { bw.write(0L, 1); z += 1 }
+          bw.write(1L, 1)
+          if (bestK > 0) bw.write(u(i) & ((1L << bestK) - 1), bestK)
+          i += 1
+        }
+      }
+      idx += cnt
+      part += 1
+    }
+  }
+
+  // forced-subframe-type codes for encodeFlac's chooser
+  private[graft] val SubAuto = -1
+  private[graft] val SubConstant = 0
+  private[graft] val SubVerbatim = 1
+  private[graft] val SubFixed = 2
+  private[graft] val SubLpc = 3
+
+  // the encoder's one deterministic quantized-LPC predictor:
+  // pred = (3·s[i−1] − s[i−2]) >> 1 (order 2, precision 4, shift 1)
+  private val LpcCoefs = Array(3, -1)
+  private val LpcShift = 1
+  private val LpcPrec = 4
+
+  /** One subframe onto the bit writer. Wasted bits are detected
+    * (common trailing zeros across the block) and emitted for every
+    * type; FIXED picks its order 0..4 by the sum-of-absolute-residual
+    * heuristic; LPC uses the fixed quantized predictor above (any
+    * valid coefficient set is legal FLAC — exactness comes from the
+    * decoder replaying the identical integer arithmetic). */
+  private def writeSubframe(bw: BitWr, blk: Array[Int], bps: Int,
+      forced: Int): Unit = {
+    val n = blk.length
+    val const = { var i = 1; var c = true
+      while (c && i < n) { c = blk(i) == blk(0); i += 1 }; c }
+    // wasted bits: common trailing zeros (all-zero block → 0, it
+    // encodes as CONSTANT 0); capped so at least one bit remains
+    var wasted = bps - 1
+    var i = 0
+    while (i < n && wasted > 0) {
+      if (blk(i) != 0)
+        wasted = math.min(wasted, java.lang.Integer.numberOfTrailingZeros(blk(i)))
+      i += 1
+    }
+    if (blk.forall(_ == 0)) wasted = 0
+    val eff = bps - wasted
+    val v = if (wasted > 0) blk.map(_ >> wasted) else blk
+    def header(typeBits: Long): Unit = {
+      bw.write(0L, 1); bw.write(typeBits, 6)
+      if (wasted == 0) bw.write(0L, 1)
+      else { // flag 1, then (wasted−1) zeros and a terminating one
+        bw.write(1L, 1)
+        var z = 1
+        while (z < wasted) { bw.write(0L, 1); z += 1 }
+        bw.write(1L, 1)
+      }
+    }
+    def mask(x: Int, nb: Int): Long = x.toLong & ((1L << nb) - 1)
+    val choice =
+      if (forced == SubConstant || (forced == SubAuto && const))
+        if (const) SubConstant else SubVerbatim
+      else if (forced == SubAuto) SubFixed // cost logic below picks order/verbatim
+      else if (forced == SubFixed && n < 2) SubVerbatim
+      else if (forced == SubLpc && n <= LpcCoefs.length) SubVerbatim
+      else forced
+    choice match {
+      case SubConstant =>
+        header(0L); bw.write(mask(v(0), eff), eff)
+      case SubVerbatim =>
+        header(1L)
+        var i = 0
+        while (i < n) { bw.write(mask(v(i), eff), eff); i += 1 }
+      case SubFixed =>
+        // order by minimum Σ|residual| over 0..min(4, n−1)
+        val maxOrd = math.min(4, n - 1)
+        def residuals(ord: Int): Array[Int] = {
+          val r = new Array[Int](n)
+          var k = 0
+          while (k < ord) { r(k) = v(k); k += 1 }
+          while (k < n) {
+            val pred = ord match {
+              case 0 => 0L
+              case 1 => v(k - 1).toLong
+              case 2 => 2L * v(k - 1) - v(k - 2)
+              case 3 => 3L * v(k - 1) - 3L * v(k - 2) + v(k - 3)
+              case _ => 4L * v(k - 1) - 6L * v(k - 2) +
+                4L * v(k - 3) - v(k - 4)
+            }
+            r(k) = (v(k).toLong - pred).toInt
+            k += 1
+          }
+          r
+        }
+        var bestOrd = 0; var bestSum = Long.MaxValue
+        var ord = 0
+        while (ord <= maxOrd) {
+          val r = residuals(ord)
+          var s = 0L; var k = ord
+          while (k < n) { s += math.abs(r(k).toLong); k += 1 }
+          if (s < bestSum) { bestSum = s; bestOrd = ord }
+          ord += 1
+        }
+        header(8L + bestOrd)
+        val r = residuals(bestOrd)
+        var k = 0
+        while (k < bestOrd) { bw.write(mask(v(k), eff), eff); k += 1 }
+        writeResiduals(bw, java.util.Arrays.copyOfRange(r, bestOrd, n),
+          n, bestOrd)
+      case _ => // SubLpc
+        val ord = LpcCoefs.length
+        header(32L + (ord - 1))
+        var k = 0
+        while (k < ord) { bw.write(mask(v(k), eff), eff); k += 1 }
+        bw.write((LpcPrec - 1).toLong, 4)
+        bw.write(LpcShift.toLong, 5)
+        LpcCoefs.foreach(c => bw.write(mask(c, LpcPrec), LpcPrec))
+        val r = new Array[Int](n - ord)
+        k = ord
+        while (k < n) {
+          var acc = 0L; var j = 0
+          while (j < ord) { acc += LpcCoefs(j).toLong * v(k - 1 - j); j += 1 }
+          r(k - ord) = (v(k).toLong - (acc >> LpcShift)).toInt
+          k += 1
+        }
+        writeResiduals(bw, r, n, ord)
+    }
+  }
+
+  /** Encoder twin: a REAL FLAC file — STREAMINFO with the true PCM
+    * MD5, fixed-blocking frames, UTF-8-coded frame numbers, real
+    * CRC-8/CRC-16, all four subframe types (CONSTANT / VERBATIM /
+    * FIXED with Rice residuals / quantized-coefficient LPC) and the
+    * three stereo decorrelation modes. `pick(channel, blockIdx)`
+    * forces a subframe type per block (SubAuto = constant where
+    * constant, else best FIXED order vs verbatim by residual cost);
+    * `stereoMode(frameIdx)` ∈ 0..3 selects independent / left-side /
+    * right-side / mid-side for 2-channel input. */
   private[graft] def encodeFlac(rate: Int, bps: Int,
-      channels: Array[Array[Int]], blockSize: Int): Array[Byte] = {
+      channels: Array[Array[Int]], blockSize: Int,
+      pick: (Int, Int) => Int = (_, _) => SubAuto,
+      stereoMode: Long => Int = _ => 0): Array[Byte] = {
     val total = channels(0).length
     val md = java.security.MessageDigest.getInstance("MD5")
     val bytesPer = bps / 8
@@ -771,12 +1103,26 @@ object AudioFrames {
     var s = 0
     while (s < total) {
       val n = math.min(blockSize, total - s)
+      val mode = if (channels.length == 2) stereoMode(frame) & 3 else 0
+      val chAsn = if (mode == 0) channels.length - 1 else 7 + mode
+      // channel blocks after inter-channel decorrelation
+      val raw = channels.map(_.slice(s, s + n))
+      val blks: Array[Array[Int]] = mode match {
+        case 1 => Array(raw(0), // left/side
+          Array.tabulate(n)(i => raw(0)(i) - raw(1)(i)))
+        case 2 => Array( // right/side: channel 0 is the side
+          Array.tabulate(n)(i => raw(0)(i) - raw(1)(i)), raw(1))
+        case 3 => Array( // mid/side
+          Array.tabulate(n)(i => (raw(0)(i) + raw(1)(i)) >> 1),
+          Array.tabulate(n)(i => raw(0)(i) - raw(1)(i)))
+        case _ => raw
+      }
       val fo = new java.io.ByteArrayOutputStream()
       fo.write(0xFF); fo.write(0xF8)
       // blocksize via the 16-bit-minus-1 follow-up (code 7) — always
       // legal, keeps edge blocks exact; rate from STREAMINFO (code 0)
       fo.write(0x70)
-      fo.write(((channels.length - 1) << 4) |
+      fo.write((chAsn << 4) |
         (Map(8 -> 1, 12 -> 2, 16 -> 4, 20 -> 5, 24 -> 6)(bps) << 1))
       if (frame < 0x80) fo.write(frame.toInt)
       else { // 2-byte UTF-8 form (fixture frame counts stay < 2^11)
@@ -788,15 +1134,14 @@ object AudioFrames {
       fo.write(crc8(hdr, 0, hdr.length))
       val bw = new BitWr(fo)
       var c = 0
-      while (c < channels.length) {
-        val blk = channels(c).slice(s, s + n)
-        if (blk.forall(_ == blk(0))) {
-          bw.write(0L, 1); bw.write(0L, 6); bw.write(0L, 1) // CONSTANT
-          bw.write(blk(0).toLong & ((1L << bps) - 1), bps)
-        } else {
-          bw.write(0L, 1); bw.write(1L, 6); bw.write(0L, 1) // VERBATIM
-          blk.foreach(v => bw.write(v.toLong & ((1L << bps) - 1), bps))
+      while (c < blks.length) {
+        val sideBit = mode match {
+          case 1 | 3 if c == 1 => 1
+          case 2 if c == 0 => 1
+          case _ => 0
         }
+        writeSubframe(bw, blks(c), bps + sideBit,
+          pick(c, (s / blockSize)))
         c += 1
       }
       bw.align()
@@ -811,15 +1156,17 @@ object AudioFrames {
   }
 
   /** END-TO-END FLAC sample-decode lane — the lossless leg decoded
-    * to PCM, not just its headers: eight entropy-free FLAC files
-    * render in-plan (Weyl-sequence PCM seeded from the events grid,
-    * every 8th block held CONSTANT so both subframe types ship),
-    * the real frame walk decodes them back under all three format
-    * integrity gates (CRC-8, CRC-16, STREAMINFO MD5 — enforced, a
-    * mismatch quarantines), and the lane reports exact sample
-    * statistics the oracle recomputes from the closed-form
-    * generator. Prediction (FIXED/LPC) and rice residuals remain the
-    * declared entropy seam. */
+    * to PCM, not just its headers: eight FLAC files render in-plan
+    * (Weyl-sequence PCM seeded from the events grid), each block's
+    * subframe type driven by a fixed schedule the oracle replays
+    * (every 8th block CONSTANT, b%4==1 LPC, b%8==3 FIXED+Rice, the
+    * rest VERBATIM), stereo files cycling through all three
+    * decorrelation modes frame by frame. The real frame walk decodes
+    * them back under all three format integrity gates (CRC-8,
+    * CRC-16, STREAMINFO MD5 — enforced, a mismatch quarantines), and
+    * the lane reports exact sample statistics plus per-type subframe
+    * counts the oracle recomputes from the closed-form generator and
+    * the block schedule. */
   def audioFlacDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val seeds = graft.Tables.events(spark, dir)
@@ -839,20 +1186,31 @@ object AudioFrames {
           else ((a + c * 131 + (k + 1) * 2654435761L) % 65536L).toInt - 32768
         }
       }
-      (s"track_$g.flac", encodeFlac(rate, 16, pcm, blockSize))
+      // oracle-replayable schedule: constant blocks (the generator
+      // holds b%8==7 flat) stay CONSTANT; b%4==1 → LPC; the
+      // remaining b%8==3 → FIXED; everything else VERBATIM. Stereo
+      // files cycle independent→left/side→right/side→mid/side.
+      val sched = (_: Int, b: Int) =>
+        if (b % 8 == 7) SubConstant
+        else if (b % 4 == 1) SubLpc
+        else if (b % 8 == 3) SubFixed
+        else SubVerbatim
+      (s"track_$g.flac",
+        encodeFlac(rate, 16, pcm, blockSize, sched, f => (f % 4).toInt))
     }.toDF("name", "content")
     files.as[(String, Array[Byte])].flatMap { case (name, bytes) =>
       flacDecode(bytes) match {
         case Left(_) => Iterator.empty
-        case Right((meta, pcm, nConst, nVerb)) =>
+        case Right((meta, pcm, counts)) =>
           val flat = pcm.flatten
           Iterator((name, meta.sampleRate.toLong, pcm.length.toLong,
-            pcm(0).length.toLong, nConst.toLong, nVerb.toLong,
+            pcm(0).length.toLong, counts(0).toLong, counts(1).toLong,
+            counts(2).toLong, counts(3).toLong,
             flat.map(v => math.abs(v.toLong)).max,
             flat.map(v => math.abs(v.toLong)).sum))
       }
     }.toDF("name", "sample_rate", "channels", "n_samples",
-      "n_constant", "n_verbatim", "peak", "sum_abs")
+      "n_constant", "n_verbatim", "n_fixed", "n_lpc", "peak", "sum_abs")
       .orderBy(col("name"))
   }
 

@@ -60,5 +60,8 @@ object Azure {
         }
       }
       .toDF("blob", "status")
+      // Pin like the S3 legs: the PUT is a side effect; a recompute
+      // of the returned frame must not repeat the transport.
+      .localCheckpoint()
   }
 }

@@ -339,12 +339,10 @@ object Hdf5 {
         r.u64(iblk + 14 + idxElmts.toLong * elmtSize + k * 8L))
       var remaining = want - idxElmts
       var d = 0
-      while (remaining > 0) {
-        if (d >= geometry.size)
-          return Left("ea_super_blocks_unsupported")
+      while (remaining > 0 && d < geometry.size) {
         val ne = geometry(d)
-        if (ne > (1L << pageBits))
-          return Left("ea_paged_data_blocks_unsupported")
+        if (ne > (1L << pageBits)) // libhdf5 never pages the
+          return Left("ea_paged_direct_block_unsupported") // direct range
         val inBlk = math.min(ne.toLong, remaining)
         val db = dblkAddrs(d)
         if (isUndef(db) || db == 0) { // whole block unallocated
@@ -362,6 +360,89 @@ object Hdf5 {
         }
         remaining -= inBlk
         d += 1
+      }
+      // past the index-block-direct range: SUPER BLOCKS ('EASB') —
+      // class u holds 2^⌊u/2⌋ data blocks of 2^⌈u/2⌉·dblkMin
+      // elements; the index block's super-block address list starts
+      // at class 2·log2(sblkMinPtrs) (the classes below it are the
+      // direct data blocks above). A data block whose element count
+      // exceeds 2^pageBits is PAGED: its on-disk prefix is
+      // sig/ver/client/hdr/offset + own checksum, and pages of
+      // 2^pageBits elements + per-page checksum follow; the super
+      // block carries a page-init bitmap (dblk-major, LSB-first
+      // within bytes — the same bit convention pinned for the
+      // fixed-array page bitmap; no in-container libhdf5 ground
+      // truth exists, so the convention is round-trip-pinned like
+      // lookup3). Uninitialized pages and unallocated blocks emit
+      // (Undef,0,0) → fill, never a read from offset 0.
+      if (remaining > 0) {
+        val nsblksTotal = 1 + (maxBits - log2gen(dblkMin.toLong))
+        val firstSblkClass = 2 * log2gen(sblkMinPtrs.toLong)
+        val nsblkAddrs = nsblksTotal - firstSblkClass
+        val sblkAddrBase =
+          iblk + 14 + idxElmts.toLong * elmtSize + nDirectDblks * 8L
+        val pageElmts = 1L << pageBits
+        var u = firstSblkClass
+        var s = 0
+        while (remaining > 0) {
+          if (s >= nsblkAddrs) return Left("ea_geometry_overflow")
+          val nd = 1 << (u / 2)
+          val ne = (1 << ((u + 1) / 2)) * dblkMin
+          val inSblk = math.min(nd.toLong * ne, remaining)
+          val sbAddr = r.u64(sblkAddrBase + s * 8L)
+          if (isUndef(sbAddr) || sbAddr == 0) {
+            var k = 0L
+            while (k < inSblk) { out += ((Undef, 0L, 0L)); k += 1 }
+          } else {
+            if (r.ascii(sbAddr, 4) != "EASB" || r.u8(sbAddr + 4) != 0 ||
+              r.u8(sbAddr + 5) != client || r.u64(sbAddr + 6) != eaAddr)
+              return Left("bad_extensible_array_super_block")
+            val paged = ne > pageElmts
+            val npages = if (paged) (ne / pageElmts).toInt else 0
+            val bmpOff = sbAddr + 14 + arrOffSize
+            val bmpBytes = if (paged) (nd * npages + 7) / 8 else 0
+            val dbAddrBase = bmpOff + bmpBytes
+            var k = 0
+            var left = inSblk
+            while (k < nd && left > 0) {
+              val inBlk = math.min(ne.toLong, left)
+              val db = r.u64(dbAddrBase + k * 8L)
+              if (isUndef(db) || db == 0) {
+                var j = 0L
+                while (j < inBlk) { out += ((Undef, 0L, 0L)); j += 1 }
+              } else {
+                if (r.ascii(db, 4) != "EADB" || r.u8(db + 4) != 0 ||
+                  r.u8(db + 5) != client || r.u64(db + 6) != eaAddr)
+                  return Left("bad_extensible_array_data_block")
+                if (!paged) {
+                  val base = db + 14 + arrOffSize
+                  var j = 0L
+                  while (j < inBlk) { out += elemAt(base + j * elmtSize); j += 1 }
+                } else {
+                  val pageBytes = pageElmts * elmtSize + 4
+                  val pagesBase = db + 14 + arrOffSize + 4 // prefix + own cksum
+                  var j = 0L
+                  while (j < inBlk) {
+                    val pg = (j / pageElmts).toInt
+                    val bit = k * npages + pg
+                    val init =
+                      (r.u8(bmpOff + bit / 8) & (1 << (bit % 8))) != 0
+                    out += (if (init)
+                      elemAt(pagesBase + pg * pageBytes +
+                        (j % pageElmts) * elmtSize)
+                    else (Undef, 0L, 0L))
+                    j += 1
+                  }
+                }
+              }
+              left -= inBlk
+              k += 1
+            }
+          }
+          remaining -= inSblk
+          u += 1
+          s += 1
+        }
       }
     }
     Right(out.result())
@@ -751,7 +832,10 @@ object Hdf5 {
                 var ci = 0
                 while (ci < grid.product) {
                   val (addr, nb, mask) = els(ci)
-                  if (!isUndef(addr)) // unallocated chunk → fill
+                  // unallocated chunk (undef OR zero address — libhdf5
+                  // never places a chunk at offset 0) → fill value,
+                  // matching the extensible-array guard
+                  if (!isUndef(addr) && addr != 0)
                     scatterChunk(defilter(chunkAt(addr, nb), mask),
                       chunkOff(ci), chunkDims)
                   ci += 1
@@ -863,14 +947,27 @@ object Hdf5 {
     val hdrEnd = dblk + 14 // sig(4) + version + client + header addr(8)
     if (nEntries > pageN) { // paged: bitmap + block checksum, then pages
       val npages = (nEntries + pageN - 1) / pageN
-      var q = hdrEnd + (npages + 7) / 8 + 4
+      val bmpOff = hdrEnd
+      // page bitmap: bit set = page initialized; an uninitialized
+      // page has NO entries on disk — emit (Undef,0,0) for its chunks
+      // so the scatter loop fills instead of reading offset 0
+      def pageInit(pg: Long): Boolean =
+        (r.u8(bmpOff + pg / 8) & (1 << (pg % 8).toInt)) != 0
+      var q = bmpOff + (npages + 7) / 8 + 4
       var remaining = nEntries
+      var pg = 0L
       while (remaining > 0) {
         val inPage = math.min(pageN, remaining)
-        var i = 0L
-        while (i < inPage) { out += elemAt(q + i * entrySize); i += 1 }
-        q += inPage * entrySize + 4 // trailing page checksum
+        if (pageInit(pg)) {
+          var i = 0L
+          while (i < inPage) { out += elemAt(q + i * entrySize); i += 1 }
+          q += inPage * entrySize + 4 // trailing page checksum
+        } else {
+          var i = 0L
+          while (i < inPage) { out += ((Undef, 0L, 0L)); i += 1 }
+        }
         remaining -= inPage
+        pg += 1
       }
     } else {
       var i = 0L
@@ -1670,19 +1767,53 @@ object Hdf5 {
         val client = if (filtered) 1 else 0
         val szLen = math.min(8, 1 + (log2gen(cd.product.toLong * elem) + 8) / 8)
         val elmtSize = if (filtered) 8 + szLen + 4 else 8
+        // pageBits = 5 (32-element pages): ≥ the largest direct data
+        // block (so the direct range is never paged, as in libhdf5)
+        // and < the u=5 super-block class's 64-element blocks, so a
+        // fixture past ~252 chunks exercises PAGED data blocks
         val maxBits = 32; val idxElmts = 4; val dblkMin = 8
-        val sblkMinPtrs = 4; val pageBits = 10
+        val sblkMinPtrs = 4; val pageBits = 5
+        val pageElmts = 1 << pageBits
         val arrOffSize = 4
         val geometry = eaDirectGeometry(dblkMin, sblkMinPtrs)
         val n = chunks.size
-        require(n <= idxElmts + geometry.sum,
-          "extensible-array fixture outgrew the direct data blocks")
-        // how many data blocks this chunk count needs
+        // super-block classes past the direct range, until capacity
+        // covers the chunk count (class u: 2^⌊u/2⌋ data blocks of
+        // 2^⌈u/2⌉·dblkMin elements; paged when that exceeds a page)
+        case class EaSblk(nd: Int, ne: Int, start: Int) {
+          def paged: Boolean = ne > pageElmts
+          def npages: Int = if (paged) ne / pageElmts else 0
+          def bmpBytes: Int = if (paged) (nd * npages + 7) / 8 else 0
+          def size: Long = 14L + arrOffSize + bmpBytes + nd * 8 + 4
+          def dblkSize: Long =
+            if (paged) 14L + arrOffSize + 4 +
+              npages.toLong * (pageElmts.toLong * elmtSize + 4)
+            else 14L + arrOffSize + ne.toLong * elmtSize + 4
+        }
+        val sblks = {
+          val b = Vector.newBuilder[EaSblk]
+          var cap = idxElmts + geometry.sum
+          var u = 2 * log2gen(sblkMinPtrs.toLong)
+          while (cap < n) {
+            val nd = 1 << (u / 2)
+            val ne = (1 << ((u + 1) / 2)) * dblkMin
+            b += EaSblk(nd, ne, cap)
+            cap += nd * ne
+            u += 1
+          }
+          b.result()
+        }
+        // how many DIRECT data blocks this chunk count needs
         var needDblks = 0; var covered = idxElmts
-        while (covered < n) { covered += geometry(needDblks); needDblks += 1 }
-        // deterministic layout: EAHD (72 bytes) → EAIB → EADBs
+        while (covered < n && needDblks < geometry.size) {
+          covered += geometry(needDblks); needDblks += 1
+        }
+        // deterministic layout: EAHD (72 bytes) → EAIB → direct
+        // EADBs → per super block: EASB then its EADBs
         val nsblks = 1 + (maxBits - log2gen(dblkMin.toLong))
         val nsblkAddrs = nsblks - 2 * log2gen(sblkMinPtrs.toLong)
+        require(sblks.size <= nsblkAddrs,
+          "extensible-array fixture outgrew the super-block range")
         val nDirect = geometry.size
         w.pad(8)
         val eahd = w.pos.toLong
@@ -1695,6 +1826,23 @@ object Hdf5 {
         (0 until needDblks).foreach { d =>
           dblkAddrs(d) = cur
           cur = align8(cur + 14 + arrOffSize + geometry(d) * elmtSize + 4)
+        }
+        // per super block: the EASB address, then its needed data
+        // blocks' addresses (Undef slots for blocks wholly past n)
+        val sblkAddrs = new Array[Long](sblks.size)
+        val sblkDblkAddrs = new Array[Array[Long]](sblks.size)
+        sblks.zipWithIndex.foreach { case (sb, si) =>
+          cur = align8(cur)
+          sblkAddrs(si) = cur
+          cur = align8(cur + sb.size)
+          val das = Array.fill(sb.nd)(Undef)
+          var k = 0
+          while (k < sb.nd && sb.start + k * sb.ne < n) {
+            das(k) = cur
+            cur = align8(cur + sb.dblkSize)
+            k += 1
+          }
+          sblkDblkAddrs(si) = das
         }
         def elemOut(bw: Wr, i: Int): Unit =
           if (i >= n) { // allocated-but-unset slot
@@ -1712,10 +1860,14 @@ object Hdf5 {
         hb.ascii("EAHD").u8(0).u8(client)
         hb.u8(elmtSize).u8(maxBits).u8(idxElmts).u8(dblkMin)
         hb.u8(sblkMinPtrs).u8(pageBits)
-        hb.u64(0).u64(0) // super blocks: none
-        hb.u64(needDblks.toLong)
+        hb.u64(sblks.size.toLong)
+        hb.u64(sblks.map(_.size).sum)
+        hb.u64(needDblks.toLong +
+          sblkDblkAddrs.map(_.count(!isUndef(_))).sum)
         hb.u64((0 until needDblks)
-          .map(d => 14L + arrOffSize + geometry(d) * elmtSize + 4).sum)
+          .map(d => 14L + arrOffSize + geometry(d) * elmtSize + 4).sum +
+          sblks.zip(sblkDblkAddrs).map { case (sb, das) =>
+            das.count(!isUndef(_)).toLong * sb.dblkSize }.sum)
         hb.u64(n.toLong).u64(n.toLong) // max index set, elements
         hb.u64(iblkAddr)
         hb.u32(lookup3(hb.out.toByteArray, 0, hb.pos, 0).toLong & 0xFFFFFFFFL)
@@ -1726,7 +1878,8 @@ object Hdf5 {
         (0 until idxElmts).foreach(elemOut(ib, _))
         (0 until nDirect).foreach(d =>
           ib.u64(if (d < needDblks) dblkAddrs(d) else Undef))
-        (0 until nsblkAddrs).foreach(_ => ib.u64(Undef))
+        (0 until nsblkAddrs).foreach(si =>
+          ib.u64(if (si < sblks.size) sblkAddrs(si) else Undef))
         ib.u32(lookup3(ib.out.toByteArray, 0, ib.pos, 0).toLong & 0xFFFFFFFFL)
         w.bytes(ib.out.toByteArray)
         var base = idxElmts
@@ -1742,6 +1895,79 @@ object Hdf5 {
           db.u32(lookup3(db.out.toByteArray, 0, db.pos, 0).toLong & 0xFFFFFFFFL)
           w.bytes(db.out.toByteArray)
           base += geometry(d)
+        }
+        // super blocks: EASB (offset, page-init bitmap when its data
+        // blocks are paged, data block addresses), then each needed
+        // data block — unpaged like the direct range, or paged as
+        // prefix+checksum followed by 2^pageBits-element pages with
+        // per-page checksums. Bitmap: dblk-major page index,
+        // LSB-first within bytes (the fixed-array pin); pages wholly
+        // past the last chunk stay uninitialized — real growth
+        // semantics, and the decoder's fill path gets exercised the
+        // day a sparse writer appears.
+        def u64At(bw: Wr, v: Long, nbytes: Int): Unit = {
+          var x = v; var k = 0
+          while (k < nbytes) { bw.u8((x & 0xFF).toInt); x >>= 8; k += 1 }
+        }
+        sblks.zipWithIndex.foreach { case (sb, si) =>
+          w.pad(8)
+          require(w.pos == sblkAddrs(si), "super block address drifted")
+          val sw = new Wr
+          sw.ascii("EASB").u8(0).u8(client).u64(eahd)
+          u64At(sw, (sb.start - idxElmts).toLong, arrOffSize)
+          if (sb.paged) {
+            val bits = new Array[Int](sb.bmpBytes)
+            var k = 0
+            while (k < sb.nd) {
+              if (!isUndef(sblkDblkAddrs(si)(k))) {
+                var pg = 0
+                while (pg < sb.npages &&
+                  sb.start + k * sb.ne + pg * pageElmts < n) {
+                  val bit = k * sb.npages + pg
+                  bits(bit / 8) |= 1 << (bit % 8)
+                  pg += 1
+                }
+              }
+              k += 1
+            }
+            bits.foreach(sw.u8)
+          }
+          sblkDblkAddrs(si).foreach(sw.u64)
+          sw.u32(lookup3(sw.out.toByteArray, 0, sw.pos, 0).toLong & 0xFFFFFFFFL)
+          w.bytes(sw.out.toByteArray)
+          var k = 0
+          while (k < sb.nd) {
+            val da = sblkDblkAddrs(si)(k)
+            if (!isUndef(da)) {
+              w.pad(8)
+              require(w.pos == da, "sblk data block address drifted")
+              val blkStart = sb.start + k * sb.ne
+              val db = new Wr
+              db.ascii("EADB").u8(0).u8(client).u64(eahd)
+              u64At(db, (blkStart - idxElmts).toLong, arrOffSize)
+              if (!sb.paged) {
+                (0 until sb.ne).foreach(i => elemOut(db, blkStart + i))
+                db.u32(lookup3(db.out.toByteArray, 0, db.pos, 0)
+                  .toLong & 0xFFFFFFFFL)
+              } else {
+                // prefix carries its own checksum; pages follow
+                db.u32(lookup3(db.out.toByteArray, 0, db.pos, 0)
+                  .toLong & 0xFFFFFFFFL)
+                var pg = 0
+                while (pg < sb.npages) {
+                  val pw = new Wr
+                  (0 until pageElmts).foreach(i =>
+                    elemOut(pw, blkStart + pg * pageElmts + i))
+                  pw.u32(lookup3(pw.out.toByteArray, 0, pw.pos, 0)
+                    .toLong & 0xFFFFFFFFL)
+                  db.bytes(pw.out.toByteArray)
+                  pg += 1
+                }
+              }
+              w.bytes(db.out.toByteArray)
+            }
+            k += 1
+          }
         }
         lo.u8(maxBits).u8(idxElmts).u8(sblkMinPtrs).u8(dblkMin).u8(pageBits)
         lo.u64(eahd)
@@ -1886,6 +2112,19 @@ object Hdf5 {
             H5Enc("tp_ea_us", Seq(8, 8), "f8", means,
               chunkDims = Some(Seq(1, 8)), gzipLevel = 6, shuffle = true,
               v4Index = Some(4), // 8 chunks: spills past the index blk
+              attrs = Seq(H5Attr("scale_factor", Some(1e-6), None),
+                H5Attr("add_offset", Some(0.0), None))),
+            // the daily-append year: 360 one-element chunks on an
+            // unlimited-style axis — past the ~124-chunk
+            // index-block-direct range into extensible-array SUPER
+            // BLOCKS, with the u=5 class's 64-element data blocks
+            // PAGED (32-element pages + per-page checksums) — the
+            // first v4 shape real CDS NetCDF-4 growth hits
+            H5Enc("tp_year_us", Seq(360), "f8",
+              Array.tabulate(360)(t =>
+                means(t % 64) + (t / 64).toDouble * 1e6),
+              chunkDims = Some(Seq(1)), gzipLevel = 6, shuffle = true,
+              v4Index = Some(4),
               attrs = Seq(H5Attr("scale_factor", Some(1e-6), None),
                 H5Attr("add_offset", Some(0.0), None)))))))
       }.toDF("name", "content")

@@ -36,17 +36,21 @@ object S3 {
     * including the `s3:/b/key` single-slash form and the fallback
     * (None, uri) for non-S3 paths. */
   private[graft] def bucketKey(uri: String): (Option[String], Option[String]) = {
+    // A key-less URI (`s3://bucket`, `s3:/bucket`) yields a shorter
+    // split array than the happy path; `lift` keeps the parse total so
+    // one malformed request row quarantines instead of failing the
+    // whole executor task (the module's never-an-exception contract).
     def split(s: String, n: Int): Array[String] = s.split("/", n + 1)
     if (uri == null || uri.isEmpty) (None, None)
     else if (uri.startsWith("s3://")) {
-      val p = split(uri, 3); (Some(p(2)), Some(p(3)))
+      val p = split(uri, 3); (p.lift(2), p.lift(3))
     } else if (uri.startsWith("s3:/")) {
-      val p = split(uri, 2); (Some(p(1)), Some(p(2)))
+      val p = split(uri, 2); (p.lift(1), p.lift(2))
     } else if (uri.startsWith("/vsis3/")) {
-      val p = split(uri, 3); (Some(p(2)), Some(p(3)))
+      val p = split(uri, 3); (p.lift(2), p.lift(3))
     } else if (uri.startsWith("https://s3.amazonaws.com/") ||
       uri.startsWith("https://s3.")) {
-      val p = split(uri, 3); (Some(p(2)), Some(p(3)))
+      val p = split(uri, 3); (p.lift(2), p.lift(3))
     } else (None, Some(uri))
   }
 
@@ -314,5 +318,9 @@ object S3 {
         }
       }
       .toDF("uri", "action")
+      // Pin like s3FetchDrop: the PUT is a side effect and the ETag
+      // check makes the action column nondeterministic across
+      // recomputes — transport runs EXACTLY ONCE per drop frame.
+      .localCheckpoint()
   }
 }

@@ -277,7 +277,43 @@ class Hdf5Spec extends SparkSpec {
       "x:extensible_array_client_mismatch")
     val paged = eaf.clone; paged(eahd + 11) = 2 // 4-elmt pages
     assert(Hdf5.decodeH5(paged).left.toOption.get ===
-      "x:ea_paged_data_blocks_unsupported")
+      "x:ea_paged_direct_block_unsupported")
+    // EXTENSIBLE-ARRAY SUPER BLOCKS + PAGED DATA BLOCKS: a 360-chunk
+    // daily-append axis spills past the 124-chunk index-block-direct
+    // range into two super-block classes (u=4 unpaged, u=5 with
+    // 64-element data blocks paged as 32-element pages) — filtered,
+    // shuffled, plain, and a count ending mid-page all round-trip
+    for ((gz, sh) <- Seq((6, true), (6, false), (0, false))) {
+      val vy = Array.tabulate(360)(t => t * 0.5 - 40)
+      val Seq(dy) = rt2(H5Enc("t", Seq(360), "f8", vy,
+        chunkDims = Some(Seq(1)), gzipLevel = gz, shuffle = sh,
+        v4Index = Some(4)))
+      assert(dy.values.toSeq === vy.toSeq, s"ea sblk gz=$gz sh=$sh")
+    }
+    val v300 = Array.tabulate(300)(i => (i * 3 - 450).toDouble)
+    val Seq(d300) = rt2(H5Enc("t", Seq(300), "i4", v300,
+      chunkDims = Some(Seq(1)), v4Index = Some(4)))
+    assert(d300.values.toSeq === v300.toSeq, "mid-page chunk count")
+    // the file really carries both super-block classes, and the
+    // page-init bitmap is live: clearing one initialized page bit
+    // turns exactly that page's chunks into fill — never a read
+    // from offset 0
+    val vy = Array.tabulate(360)(i => (i + 1).toDouble)
+    val yf = Hdf5.encodeH5V2(Seq(H5Enc("t", Seq(360), "f8", vy,
+      chunkDims = Some(Seq(1)), v4Index = Some(4))))
+    val sbPos = (0 until yf.length - 4).filter(i =>
+      new String(yf, i, 4, "US-ASCII") == "EASB")
+    assert(sbPos.size === 2, "two super-block classes on disk")
+    // u=5 class: 4 dblocks × 2 pages, bitmap byte at +18 = 0x0F
+    // (dblk0 both pages, dblk1 pages up to chunk 359)
+    val pagedY = yf.clone
+    assert((pagedY(sbPos(1) + 18) & 0xFF) === 0x0F, "page-init bits")
+    pagedY(sbPos(1) + 18) = (pagedY(sbPos(1) + 18) & ~0x02).toByte
+    val Seq(dUninit) = Hdf5.decodeH5(pagedY).toOption.get
+    (0 until 360).foreach { i =>
+      val expect = if (i >= 252 + 32 && i < 252 + 64) 0.0 else vy(i)
+      assert(dUninit.values(i) === expect, s"page fill at $i")
+    }
     // PAGED fixed array: pageBits=1 → 2 chunks per page; a 12-chunk
     // grid forces the bitmap + per-page checksum path on both sides
     val big = Array.tabulate(12 * 4)(i => i * 0.25 - 3)
@@ -399,10 +435,12 @@ class Hdf5Spec extends SparkSpec {
 
   test("grid_h5_decode: end-to-end lane — CF unpack, all four datasets across both format families, every cell") {
     val out = SparkEntry.queries("grid_h5_decode")(spark, sf).collect()
-    assert(out.length === 384, "six 8x8 datasets")
+    assert(out.length === 384 + 360, "six 8x8 datasets + the 360-day axis")
     val ds = out.groupBy(_.getString(0))
     assert(ds.keySet === Set("tp_us", "n_obs", "tp2_us", "n_obs_imp",
-      "n_obs_bt2", "tp_ea_us"))
+      "n_obs_bt2", "tp_ea_us", "tp_year_us"))
+    // the super-block/paged-EA dataset: value(t) = cell(t%64) + t//64
+    assert(ds("tp_year_us").length === 360)
     assert(ds("n_obs_bt2").forall(_.getString(1) == "i4"))
     assert(ds("tp_ea_us").forall(_.getString(1) == "f8"))
     assert(ds("tp_us").forall(_.getString(1) == "f8"))
@@ -427,6 +465,11 @@ class Hdf5Spec extends SparkSpec {
           assert(r.getDouble(4) === vus.toDouble * 1e-6, s"cell $key")
         case "n_obs" | "n_obs_imp" | "n_obs_bt2" =>
           assert(r.getDouble(4) === n.toDouble, s"cell $key")
+        case "tp_year_us" =>
+          val t = r.getLong(2) * 8 + r.getLong(3)
+          val (v64, _) = cells.getOrElse(((t % 64) / 8, t % 8), (0L, 0L))
+          assert(r.getDouble(4) ===
+            (v64 + (t / 64) * 1000000L).toDouble * 1e-6, s"day $t")
       }
     }
   }

@@ -72,6 +72,24 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(flagged.toSeq === Seq((90001L, pid)),
       "exactly the planted leak flags, against its source probe")
+    // production shape: the probe matrix arrives EXTERNALLY (a
+    // benchmark-embedding param table, ids disjoint from the
+    // corpus) via the Of overload — the planted near-dup still
+    // flags against its external probe
+    val extIds = Array(777001L, 777002L)
+    val extMat = Array(leaked.map(x => math.floor(x * 1e6 + 0.5)),
+      embs.values.head.map(x => -math.floor(x * 1e6 + 0.5)))
+    val qplanted = planted.withColumn("emb",
+      expr("transform(emb, x -> cast(floor(x * 1e6 + 0.5) as double))"))
+    val extRows = Similarity.embeddingContaminationOf(
+        qplanted, extIds, extMat)
+      .filter(col("contaminated"))
+      .select(col("vec_id"), col("top_eval_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(extRows.contains((90001L, 777001L)),
+      "external probe catches the leak")
+    assert(extRows.contains((pid, 777001L)),
+      "and the probe's in-corpus source")
   }
 
   test("ann_topk_bruteforce: exact top-10 for every probe vs Scala recomputation") {
@@ -281,7 +299,12 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.adaptiveNlist(20000) === 32) // sf1
     assert(Similarity.adaptiveNlist(200000) === 128)
     assert(Similarity.adaptiveNlist(1000000) === 256)
-    assert(Similarity.adaptiveNlist(Long.MaxValue) === 256, "cap binds")
+    // past the old 256 literal-tree ceiling (lifted r14 by the
+    // plan-referenced centroid kernel): √n keeps doubling
+    assert(Similarity.adaptiveNlist(2100000) === 512)
+    assert(Similarity.adaptiveNlist(10000000) === 1024)
+    assert(Similarity.adaptiveNlist(Long.MaxValue) === 1024,
+      "fit-cost cap binds")
     // monotone non-decreasing in n (no sizing cliffs)
     val sizes = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L,
       10000000L).map(Similarity.adaptiveNlist)
@@ -304,6 +327,90 @@ class SimilaritySpec extends SparkSpec {
     }
     val meanRecall2 = recalls2.sum / recalls2.size
     assert(meanRecall2 >= 0.6, s"recall floor at 2000 vecs: $meanRecall2")
+  }
+
+  test("IVF past the old 256-cell ceiling: nlist=512 on a 2.1M-vector corpus — candidate volume keeps halving as cells double, recall floor holds") {
+    import graft.operators.Similarity
+    import graft.expressions.VectorColumns
+    val n = 2100000L
+    assert(Similarity.adaptiveNlist(n) === 512, "the sizing law's pick")
+    // synthetic corpus: 1024 latent clusters in dim 8, closed-form
+    // (center grid + small per-id jitter) — generated in-plan, the
+    // driver never holds it
+    val dim = 8
+    val embExpr = expr(
+      """transform(sequence(0, 7), j ->
+        |  cast((vec_id % 1024) * 31 + j * 17 as double) / 97.0
+        |  + cast((vec_id * 2654435761 + j * 40503) % 1000 as double) / 4000.0
+        |)""".stripMargin)
+    val v = spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("emb", embExpr)
+    // both quantizers fit on the SAME deterministic 8192-row sample
+    val sample = v.orderBy(col("vec_id")).limit(16 * 512)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    val c256 = Similarity.lloyd(sample, 256, iters = 4)
+    val c512 = Similarity.lloyd(sample, 512, iters = 4)
+    val nprobe = 4
+    def cellSizes(cents: Array[Array[Double]]): Map[Int, Long] =
+      v.select(VectorColumns.nearestCells(col("emb"), cents, 1)
+          .getItem(0).getField("b").as("cell"))
+        .groupBy("cell").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def probeCells(cents: Array[Array[Double]], ids: Seq[Long]): Map[Long, Seq[Int]] =
+      v.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"), VectorColumns.nearestCells(col("emb"),
+          cents, nprobe).getField("b").as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val probeIds = Seq(7L, 123457L, 2000003L)
+    def candVolume(cents: Array[Array[Double]]): Double = {
+      val sizes = cellSizes(cents)
+      val pcs = probeCells(cents, probeIds)
+      val per = probeIds.map(p => pcs(p).map(c => sizes.getOrElse(c, 0L)).sum)
+      per.sum.toDouble / per.size
+    }
+    val vol256 = candVolume(c256)
+    val vol512 = candVolume(c512)
+    // the √n law's whole point: doubling the cells keeps shrinking
+    // per-probe candidate volume past the old ceiling (margin for
+    // cluster-shape skew)
+    assert(vol512 <= vol256 * 0.75,
+      s"nlist 256→512 must cut candidates: $vol256 → $vol512")
+    assert(vol512 <= n.toDouble * nprobe / 512 * 3,
+      s"∝ n·nprobe/nlist with skew margin: $vol512")
+    // recall@5 floor at the 512 sizing for the same probes, against
+    // the exact top-5 over the full 2.1M corpus
+    val probesDf = v.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+    val sizes512 = probeCells(c512, probeIds)
+    val probeCellDf = broadcast(spark.createDataFrame(
+      sizes512.toSeq.flatMap { case (p, cs) => cs.map(c => (p, c)) })
+      .toDF("probe_id", "cell"))
+    val assigned = v.withColumn("cell",
+      VectorColumns.nearestCells(col("emb"), c512, 1)
+        .getItem(0).getField("b"))
+    val ivfTop = assigned.join(probeCellDf, Seq("cell"))
+      .join(broadcast(probesDf), Seq("probe_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", VectorColumns.cosine(col("pe"), col("emb")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select("probe_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exactTop = v.crossJoin(broadcast(probesDf))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", VectorColumns.cosine(col("pe"), col("emb")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select("probe_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = probeIds.map(p =>
+      ivfTop.getOrElse(p, Set.empty).intersect(exactTop(p)).size.toDouble / 5)
+      .sum / probeIds.size
+    assert(recall >= 0.6, s"recall floor past the old cap: $recall")
   }
 
   test("ann_nlist_sweep: exhaustive self-check rung, monotone cost axis, recall floor at the shipped sizing") {

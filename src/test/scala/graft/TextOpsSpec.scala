@@ -83,6 +83,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("corpus_contamination, production shape: an EXTERNAL eval-gram param table drives the screen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the corpus: one doc leaks a benchmark item verbatim, one
+    // shares nothing with any benchmark
+    val leakedGram = "which of the following best describes the process"
+    val synthDocs = Seq(
+      (1L, s"intro text $leakedGram and further discussion follows here"),
+      (2L, (0 until 30).map(k => s"clean$k").mkString(" ")),
+      (3L, s"another page quoting $leakedGram twice $leakedGram end pad"))
+      .toDF("doc_id", "norm")
+    // the external benchmark table — NOT derived from the corpus
+    // (eval_id 900 hits, eval_id 901 exists in no document)
+    val evalTable = Seq(
+      (900L, leakedGram),
+      (901L, "a benchmark question no training document contains at"))
+      .toDF("eval_id", "gram")
+    val rows = TextOps.corpusContaminationOf(synthDocs, evalTable)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    // docs 1 and 3 flag against probe 900 (distinct-count 1), doc 2
+    // is clean and absent; external probes never self-hit (their
+    // eval_ids are not corpus doc_ids)
+    assert(rows === Map(1L -> ((1L, false)), 3L -> ((1L, false))))
+  }
+
   test("boilerplate_ngrams: cross-doc span rule recomputed; fractions exact; short docs report zero grams") {
     val positions = docs.map { case (id, text, _) => id -> grams8(text) }
     val byGram = positions.flatMap { case (id, gs) => gs.map(_ -> id) }
@@ -128,6 +154,58 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.values.exists(_._1 > 0), "some doc carries a repeat")
     // a span is at least one full gram long
     assert(rows.values.filter(_._1 > 0).forall(_._3 >= 8))
+  }
+
+  test("span censuses under a planted HOT gram: salted joins reproduce brute force exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a licence blurb opens a third of the corpus — its grams carry
+    // a large share of ALL positions, the skew shape the salted
+    // joins (TextOps.SpanSaltK) exist for
+    val blurb = "all rights reserved under the applicable license terms"
+    val synth = (0 until 60).map { i =>
+      val filler = (0 until 24).map(k => s"w${i}x$k").mkString(" ")
+      (i.toLong, if (i % 3 == 0) s"$blurb $filler $blurb" else filler)
+    }
+    val docsDf = synth.toDF("doc_id", "norm")
+    // brute-force twin of dedupRepeatedSpansOf
+    val positions = synth.map { case (id, t) => id -> grams8(t) }
+    val occ = positions.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size).toMap
+    val expectSpans = positions.map { case (id, gs) =>
+      val repPos = gs.zipWithIndex.collect {
+        case (g, i) if occ(g) >= 2 => i
+      }
+      val spans = repPos.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.map { case (s, e) => e - s + 8 }
+      id -> ((spans.size.toLong, spans.map(_.toLong).sum,
+        if (spans.isEmpty) 0L else spans.max.toLong))
+    }.toMap
+    val gotSpans = TextOps.dedupRepeatedSpansOf(docsDf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotSpans === expectSpans, "hot gram changes nothing")
+    assert(expectSpans.values.count(_._1 > 0) === 20,
+      "the plant is hot: a third of the corpus repeats")
+    // brute-force twin of boilerplateNgramsOf
+    val byGram = positions.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val boilSet = byGram.filter(_._2 >= TextOps.BoilerplateMinDocs).keySet
+    assert(boilSet.nonEmpty)
+    val gotBoiler = TextOps.boilerplateNgramsOf(docsDf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    positions.foreach { case (id, gs) =>
+      assert(gotBoiler(id) ===
+        ((gs.size.toLong, gs.count(boilSet.contains).toLong)),
+        s"doc $id boiler counts")
+    }
+    // the salt key is actually in the plan (both lanes)
+    assert(TextOps.dedupRepeatedSpansOf(docsDf)
+      .queryExecution.executedPlan.toString.contains("salt"))
+    assert(TextOps.boilerplateNgramsOf(docsDf)
+      .queryExecution.executedPlan.toString.contains("salt"))
   }
 
   test("bpe_pair_counts: vocab-weighted character-pair counts match brute-force, top-50 deterministic") {
