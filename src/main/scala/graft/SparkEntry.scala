@@ -232,6 +232,7 @@ object SparkEntry {
     "corpus_contamination" -> TextOps.corpusContamination _,
     "boilerplate_ngrams"   -> TextOps.boilerplateNgrams _,
     "dedup_repeated_spans" -> TextOps.dedupRepeatedSpans _,
+    "dedup_spans_apply"    -> TextOps.dedupSpansApply _,
     "bpe_pair_counts" -> TextOps.bpePairCounts _,
     "bpe_train_merges" -> TextOps.bpeTrainMerges _,
     "dup_growth"      -> TextOps.dupGrowth _,
@@ -7305,6 +7306,62 @@ object SparkEntry {
         |  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
         |  CAST(COALESCE(pd.covered_tokens, 0) AS BIGINT) AS covered_tokens,
         |  CAST(COALESCE(pd.longest_span, 0) AS BIGINT) AS longest_span
+        |FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+
+    // the CUT step: same islands, spans >= 16 tokens, TRUE interval
+    // union (running-max window) before the per-doc rollup; both
+    // engines' position origins cancel inside start/end arithmetic
+    "dedup_spans_apply" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(toks[i:i+7], ' ')
+        |            for i in range(1, len(toks) - 6)]) AS gram,
+        |    unnest(range(1, len(toks) - 6)) AS pos
+        |  FROM d WHERE len(toks) >= 8),
+        |rep AS (
+        |  SELECT gram FROM (SELECT gram, count(*) AS n FROM g GROUP BY 1)
+        |  WHERE n >= 2),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS island
+        |  FROM g JOIN rep USING (gram)),
+        |sp AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        |  FROM isl GROUP BY doc_id, island
+        |  HAVING max(pos) + 7 - min(pos) + 1 >= 16),
+        |u AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS ng
+        |  FROM sp),
+        |gg AS (
+        |  SELECT doc_id, s, e,
+        |    sum(ng) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM u),
+        |cuts AS (
+        |  SELECT doc_id, grp, max(e) - min(s) + 1 AS cut_len
+        |  FROM gg GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cuts,
+        |    CAST(sum(cut_len) AS BIGINT) AS cut_tokens
+        |  FROM cuts GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(pd.n_cuts, 0) AS BIGINT) AS n_cuts,
+        |  CAST(COALESCE(pd.cut_tokens, 0) AS BIGINT) AS cut_tokens,
+        |  CAST(len(d.toks) - COALESCE(pd.cut_tokens, 0) AS BIGINT)
+        |    AS kept_tokens,
+        |  floor((len(d.toks) - COALESCE(pd.cut_tokens, 0))
+        |    / CAST(len(d.toks) AS DOUBLE) * 10000 + 0.5) / 10000
+        |    AS kept_frac
         |FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
 
     // vocab collapse first (exact integer weights), pair fan-out over

@@ -1662,6 +1662,75 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** A repeated span is CUT by the apply step when it is at least
+    * this many tokens (two full grams — the Lee et al. tool's
+    * "long enough to be mechanical, not phrasal" threshold at this
+    * corpus's 8-gram grain). */
+  private[graft] val CutMinTokens = 16
+
+  /** EXACT-SUBSTRING DEDUP APPLY — the cut step of the Lee et al.
+    * screen [[dedupRepeatedSpans]] reports on: repeated spans of ≥
+    * [[CutMinTokens]] tokens are removed from every document, and
+    * each document reports its token count, the number of distinct
+    * cut regions, tokens cut, tokens kept and the kept fraction —
+    * the numbers the training pipeline budgets after exact-substring
+    * dedup. Cut regions are the TRUE INTERVAL UNION of qualifying
+    * spans (adjacent islands' 8-token tails overlap, so summing span
+    * lengths would over-cut; a second per-doc gaps-and-islands pass
+    * merges overlaps — same window discipline, never a corpus-wide
+    * sort). The position⋈gram join is salted like the census. */
+  def dedupSpansApply(spark: SparkSession, dir: String): DataFrame =
+    dedupSpansApplyOf(
+      Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+        .select(col("doc_id"), normalized(col("text")).as("norm")))
+
+  private[graft] def dedupSpansApplyOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs.select(col("doc_id"),
+        posexplode(expr(Gram8Sql("norm"))).as(Seq("pos", "gram")))
+      .localCheckpoint()
+    val repeated = pos.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("gram"))
+    val spans = pos
+      .withColumn("salt", pmod(hash(col("doc_id"), col("pos")),
+        lit(SpanSaltK)))
+      .join(salted(repeated), Seq("gram", "salt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .withColumn("island", col("pos") - col("rn"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + 7).as("e"))
+      .filter(col("e") - col("s") + 1 >= CutMinTokens)
+    // interval union: a span starting inside (or at) the running max
+    // of earlier ends merges into the same cut region
+    val byStart = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val cuts = spans
+      .withColumn("prev_max", max(col("e")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ng", when(col("prev_max").isNull ||
+        col("s") > col("prev_max"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("ng")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((max(col("e")) - min(col("s")) + 1).as("cut_len"))
+    val perDoc = cuts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cuts"), sum(col("cut_len")).as("cut_tokens"))
+    docs.select(col("doc_id"),
+        size(split(col("norm"), " ")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
+        (col("n_tokens") - coalesce(col("cut_tokens"), lit(0L)))
+          .as("kept_tokens"),
+        (floor((col("n_tokens") - coalesce(col("cut_tokens"), lit(0L)))
+          / col("n_tokens").cast("double") * 1e4 + 0.5) / 1e4)
+          .as("kept_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BOILERPLATE SPAN CENSUS — the cross-document repeated-span
     * screen (headers, footers, licence blurbs, navigation chrome):
     * an 8-gram position is boilerplate when its gram occurs in ≥

@@ -156,6 +156,66 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.values.filter(_._1 > 0).forall(_._3 >= 8))
   }
 
+  test("dedup_spans_apply: interval-union cut arithmetic recomputed brute-force; overlapping islands never over-cut") {
+    // brute-force twin over the fixture corpus
+    def applyExpect(corpus: Seq[(Long, String)]): Map[Long, (Long, Long, Long, Long, Double)] = {
+      val positions = corpus.map { case (id, t) => id -> grams8(t) }
+      val occ = positions.flatMap(_._2).groupBy(identity).view
+        .mapValues(_.size).toMap
+      corpus.map { case (id, t) =>
+        val gs = positions.find(_._1 == id).get._2
+        val repPos = gs.zipWithIndex.collect {
+          case (g, i) if occ(g) >= 2 => i
+        }
+        val islands = repPos.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.map { case (s, e) => (s, e + 7) } // token space, inclusive
+          .filter { case (s, e) => e - s + 1 >= TextOps.CutMinTokens }
+          .sortBy(_._1)
+        // interval union
+        val merged = islands.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, (s2, e2)) if s2 <= e =>
+            (s, math.max(e, e2)) :: rest
+          case (acc, iv) => iv :: acc
+        }
+        val nTok = t.toLowerCase.trim.replaceAll("\\s+", " ")
+          .split(" ").length.toLong
+        val cut = merged.map { case (s, e) => (e - s + 1).toLong }.sum
+        val frac = math.floor((nTok - cut).toDouble / nTok * 1e4 + 0.5) / 1e4
+        id -> ((nTok, merged.size.toLong, cut, nTok - cut, frac))
+      }.toMap
+    }
+    val expect = applyExpect(docs.map(d => (d._1, d._2)))
+    val rows = SparkEntry.queries("dedup_spans_apply")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(rows === expect)
+    // planted OVERLAP: two 8-gram repeats one position apart produce
+    // islands whose 8-token tails overlap — the union must cut the
+    // merged region once (19 tokens), never the 2×-counted 36
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = (0 until 11).map(k => s"r$k").mkString(" ") // repeated run
+    val mk = (0 until 24).map(k => s"f1x$k").mkString(" ")
+    val synth = Seq(
+      (1L, s"$a gapword $a tail1 tail2 tail3"),
+      (2L, s"$mk $a onemore $a"))
+    val sdocs = synth.toDF("doc_id", "norm")
+    val got = TextOps.dedupSpansApplyOf(sdocs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val sExpect = applyExpect(synth)
+    got.foreach { case (id, (nt, nc, ct, kt)) =>
+      val (ent, enc, ect, ekt, _) = sExpect(id)
+      assert((nt, nc, ct, kt) === ((ent, enc, ect, ekt)), s"doc $id")
+    }
+    // and the whole corpus keeps a sane fraction (cut ≤ total)
+    assert(rows.values.forall { case (nt, _, ct, kt, _) =>
+      ct >= 0 && kt >= 0 && ct + kt == nt })
+  }
+
   test("span censuses under a planted HOT gram: salted joins reproduce brute force exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
