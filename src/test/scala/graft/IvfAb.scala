@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Same-tree A/B of the IVF cell-routing formulations at an
+  * arbitrary SF dir: the r14 plan-referenced kernel
+  * ([[graft.expressions.VectorColumns.nearestCells]]) against the
+  * pre-r14 literal-centroid expression tree, on the identical
+  * quantizer — timing attribution for BENCH_NOTES, not a shipped
+  * lane. Usage: sbt "Test/runMain graft.IvfAb /tmp/sf1" */
+object IvfAb {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Similarity
+    import graft.expressions.{TopKAgg, VectorColumns}
+    val v = Tables.spread(Tables.embeddings(spark, dir), col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .localCheckpoint()
+    val cents = Similarity.ivfCentroids(spark, dir)
+    val nlist = cents.length
+    val nprobe = 4
+    def q6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    def graphOf(ranked: DataFrame): DataFrame = {
+      val home = ranked.select(col("vec_id"), col("emb"),
+        col("cells")(0).getField("b").as("cell"))
+      val probing = ranked.select(col("vec_id").as("probe_id"),
+        col("emb").as("pe"),
+        explode(col("cells").getField("b")).as("cell"))
+      val scored = probing.join(home, Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", VectorColumns.cosine(col("pe"), col("emb")))
+      scored.groupBy(col("probe_id"))
+        .agg(TopKAgg.topk(q6(col("cos")), col("vec_id"), col("cos"), 5)
+          .as("top"))
+        .select(col("probe_id"), explode(col("top.id")).as("n"))
+    }
+    def kernel(): DataFrame = graphOf(v.withColumn("cells",
+      VectorColumns.nearestCells(col("emb"), cents, nprobe)))
+    def literal(): DataFrame = {
+      def score(c: Array[Double]): Column =
+        lit(c.map(x => x * x).sum) -
+          lit(2.0) * VectorColumns.dot(col("emb"),
+            array(c.map(lit).toIndexedSeq: _*))
+      val dists = array((0 until nlist).map(i =>
+        struct(q6(score(cents(i))).as("d"), lit(i).as("b"))): _*)
+      graphOf(v.withColumn("cells", slice(array_sort(dists), 1, nprobe)))
+    }
+    def time(label: String, f: () => DataFrame): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f().foreach(_ => ())
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label%-10s median ${ts.sorted.apply(1)}%.2f s  runs ${ts.map(t => f"$t%.2f").mkString(" ")}")
+    }
+    time("warmup", kernel)
+    time("kernel", kernel)
+    time("literal", literal)
+    time("kernel2", kernel)
+    time("shipped", () => Similarity.knnGraphIvfOf(v, 5, nprobe, cents))
+    spark.stop()
+  }
+}
