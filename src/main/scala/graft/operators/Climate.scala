@@ -2421,7 +2421,56 @@ object Climate {
     * materializes. The plan contains no CartesianProduct /
     * BroadcastNestedLoopJoin node (spec-asserted on a synthetic
     * network plus the live query). */
+  /** Station-grain wrapper over the cell search: co-located stations
+    * (bit-equal (lat, lon) — sensor clusters, the pseudo-grid's
+    * collapse) share every candidate distance, so the ring search
+    * runs once per DISTINCT POSITION (represented by its min station
+    * id) and stations resolve locally — a station at a ≥2-station
+    * position takes dist 0 with the min other id (the id tie-break
+    * on equal distance, unchanged); a singleton-position station
+    * takes its position's pick. At sf1 this cuts the candidate join
+    * from (stations/cell)² to (positions/cell)² — 18 M rows → a few
+    * thousand on the collapsed test network — and on a real network
+    * with unique coordinates it degenerates to exactly the previous
+    * plan plus two cheap hash aggregations. Exactness (incl. the
+    * duplicate-position and tie cases) is brute-force-gated in
+    * ClimateSpec. */
   private[graft] def nearestNeighborOf(st: DataFrame): DataFrame = {
+    val stP = st.select(col("user_id"), col("lat"), col("lon"))
+      .localCheckpoint() // read by the position agg, pid2 agg, mapping
+    val pos = stP.groupBy(col("lat"), col("lon"))
+      .agg(min(col("user_id")).as("pid"), count(lit(1)).as("n_at"))
+      .localCheckpoint() // read by the cell search and the mapping
+    // second-lowest id per multi-station position: the within-
+    // position neighbor of the representative itself
+    val pid2 = stP
+      .join(pos.select(col("lat"), col("lon"), col("pid")),
+        Seq("lat", "lon"))
+      .filter(col("user_id") =!= col("pid"))
+      .groupBy(col("lat"), col("lon"))
+      .agg(min(col("user_id")).as("pid2"))
+    val posNN = nearestDistinctOf(pos.select(col("pid").as("user_id"),
+      col("lat"), col("lon")))
+    stP
+      .join(pos.select(col("lat"), col("lon"), col("pid"), col("n_at")),
+        Seq("lat", "lon"))
+      .join(pid2, Seq("lat", "lon"), "left")
+      .join(posNN.select(col("user_id").as("pid"),
+        col("neighbor_id").as("nn_pid"), col("dist2").as("nn_d2")),
+        Seq("pid"), "left")
+      .select(col("user_id"),
+        when(col("n_at") >= 2,
+          when(col("user_id") === col("pid"), col("pid2"))
+            .otherwise(col("pid")))
+          .otherwise(col("nn_pid")).as("neighbor_id"),
+        when(col("n_at") >= 2, lit(0.0))
+          .otherwise(col("nn_d2")).as("dist2"))
+      .filter(col("neighbor_id").isNotNull)
+  }
+
+  /** The cell-bucketed search proper — requires DISTINCT positions
+    * (the wrapper above guarantees it). */
+  private def nearestDistinctOf(st: DataFrame): DataFrame = {
     val C = NnCellDeg
     val cells = st.select(col("user_id"), col("lat"), col("lon"),
         floor(col("lat") / C).cast("long").as("cy"),
