@@ -6794,7 +6794,14 @@ object SparkEntry {
         |    AS profile,
         |  CASE WHEN g % 2 = 0 THEN CAST(192 AS BIGINT) END AS compat,
         |  CASE WHEN g % 2 = 0 THEN CAST(30 + a % 21 AS BIGINT) END AS level,
-        |  (h + 15) // 16 * 16 <> h AS dim_mismatch
+        |  (h + 15) // 16 * 16 <> h AS dim_mismatch,
+        |  CASE WHEN g % 2 = 0 THEN CAST(w AS BIGINT) END AS sps_w,
+        |  CASE WHEN g % 2 = 0 THEN CAST(h AS BIGINT) END AS sps_h,
+        |  CASE WHEN g % 2 = 0 THEN
+        |    CAST(CASE WHEN (g // 2) % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    END AS cabac,
+        |  CASE WHEN g % 2 = 0 THEN CAST(1 AS BIGINT) END
+        |    AS sps_matches_display
         |FROM p""".stripMargin,
 
     // the MP3 frame index replays as closed forms: ISO 11172-3

@@ -1,0 +1,262 @@
+package graft.sources
+
+/** H.264 / AVC PARAMETER-SET codec (ITU-T H.264 §7.3.2.1-2) — the
+  * layer of the video seam that is pure public bitstream syntax, no
+  * entropy decode: Exp-Golomb ue(v)/se(v), RBSP emulation-prevention
+  * (the 00 00 03 escape), the sequence parameter set through the
+  * frame-cropping arithmetic that recovers TRUE display dimensions
+  * from the macroblock-aligned coded size, and the picture parameter
+  * set to the entropy-coder identity (CAVLC vs CABAC — the fact a
+  * routing pipeline reads before picking a decoder). Slice data
+  * remains the declared entropy seam (like MP3's Huffman payload);
+  * scaling matrices and slice groups quarantine by name.
+  *
+  * Reference provenance: the reference platform routes video assets
+  * by container metadata only (`ingestor_planetary_process.py`
+  * media branches); this extends the same census one public layer
+  * deeper, encoder-twinned like the FLAC/JPEG/PNG lanes. */
+object H264 {
+
+  /** MSB-first bit reader over an RBSP (already unescaped). */
+  private final class Br(b: Array[Byte]) {
+    var pos = 0; var bit = 0
+    def more: Boolean = pos < b.length
+    def u(n: Int): Int = {
+      var v = 0; var k = 0
+      while (k < n) {
+        if (pos >= b.length) throw new ArrayIndexOutOfBoundsException()
+        v = (v << 1) | ((b(pos) >> (7 - bit)) & 1)
+        bit += 1
+        if (bit == 8) { bit = 0; pos += 1 }
+        k += 1
+      }
+      v
+    }
+    /** ue(v): count leading zeros, read that many more bits. */
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) {
+        zeros += 1
+        if (zeros > 31) throw new ArrayIndexOutOfBoundsException()
+      }
+      (1 << zeros) - 1 + (if (zeros > 0) u(zeros) else 0)
+    }
+    /** se(v): the zigzag fold of ue(v). */
+    def se(): Int = {
+      val k = ue()
+      if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+    }
+  }
+
+  private final class Bw {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0; private var nb = 0
+    def u(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >> k) & 1)
+        nb += 1
+        if (nb == 8) { out.write(cur); cur = 0; nb = 0 }
+        k -= 1
+      }
+    }
+    def ue(v: Int): Unit = {
+      val code = v + 1
+      val len = 32 - java.lang.Integer.numberOfLeadingZeros(code)
+      u(0, len - 1); u(code, len)
+    }
+    def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    /** rbsp_trailing_bits: stop bit + byte-align zeros. */
+    def trailing(): Array[Byte] = {
+      u(1, 1)
+      if (nb > 0) { out.write(cur << (8 - nb)); cur = 0; nb = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** NAL payload → RBSP: strip each 0x03 that follows 0x00 0x00
+    * (emulation prevention, §7.4.1.1). */
+  private[graft] def unescapeRbsp(nal: Array[Byte], from: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(nal.length - from)
+    var zeros = 0
+    var i = from
+    while (i < nal.length) {
+      val b = nal(i) & 0xFF
+      if (zeros >= 2 && b == 3) zeros = 0 // skip the escape byte
+      else {
+        out.write(b)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** RBSP → NAL payload: insert 0x03 before any third byte ≤ 3 that
+    * would complete 00 00 0x. */
+  private[graft] def escapeRbsp(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rbsp.length)
+    var zeros = 0
+    rbsp.foreach { s =>
+      val b = s & 0xFF
+      if (zeros >= 2 && b <= 3) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  private val HighProfiles =
+    Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+
+  case class Sps(profile: Int, constraints: Int, level: Int, spsId: Int,
+    chromaFormat: Int, log2MaxFrameNum: Int, pocType: Int,
+    maxRefFrames: Int, widthPx: Int, heightPx: Int,
+    frameMbsOnly: Boolean)
+
+  /** Decode one SPS NAL (header byte + escaped payload). */
+  private[graft] def decodeSps(nal: Array[Byte]): Either[String, Sps] = {
+    if (nal.length < 4) return Left("undersized_sps")
+    if ((nal(0) & 0x80) != 0) return Left("bad_nal_header")
+    if ((nal(0) & 0x1F) != 7) return Left("not_an_sps")
+    val r = new Br(unescapeRbsp(nal, 1))
+    try {
+      val profile = r.u(8)
+      val constraints = r.u(8)
+      val level = r.u(8)
+      val spsId = r.ue()
+      if (spsId > 31) return Left("bad_sps_id")
+      var chroma = 1 // 4:2:0 is implied below the high profiles
+      if (HighProfiles(profile)) {
+        chroma = r.ue()
+        if (chroma > 3) return Left("bad_chroma_format")
+        if (chroma == 3) r.u(1) // separate_colour_plane_flag
+        r.ue(); r.ue() // bit depths minus 8
+        r.u(1) // qpprime_y_zero_transform_bypass
+        if (r.u(1) == 1) return Left("scaling_matrix_unsupported")
+      }
+      val log2Mfn = r.ue() + 4
+      val pocType = r.ue()
+      if (pocType == 0) { r.ue(); () }
+      else if (pocType == 1) {
+        r.u(1); r.se(); r.se()
+        val n = r.ue()
+        var i = 0
+        while (i < n) { r.se(); i += 1 }
+      } else if (pocType > 2) return Left("bad_poc_type")
+      val maxRef = r.ue()
+      r.u(1) // gaps_in_frame_num_value_allowed
+      val wMbs = r.ue() + 1
+      val hUnits = r.ue() + 1
+      val frameMbsOnly = r.u(1) == 1
+      if (!frameMbsOnly) r.u(1) // mb_adaptive_frame_field_flag
+      r.u(1) // direct_8x8_inference_flag
+      var w = wMbs * 16
+      var h = (if (frameMbsOnly) 1 else 2) * hUnits * 16
+      if (r.u(1) == 1) { // frame_cropping_flag
+        val (cl, cr2, ct, cb) = (r.ue(), r.ue(), r.ue(), r.ue())
+        // 4:2:0/4:2:2 crop units: X = SubWidthC, Y = SubHeightC ×
+        // (2 − frame_mbs_only); monochrome/4:4:4 crop in pixels
+        val subW = if (chroma == 1 || chroma == 2) 2 else 1
+        val subH = if (chroma == 1) 2 else 1
+        val unitY = subH * (if (frameMbsOnly) 1 else 2)
+        w -= subW * (cl + cr2)
+        h -= unitY * (ct + cb)
+      }
+      if (w <= 0 || h <= 0) return Left("bad_cropping")
+      Right(Sps(profile, constraints, level, spsId, chroma, log2Mfn,
+        pocType, maxRef, w, h, frameMbsOnly))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => Left("truncated_sps")
+    }
+  }
+
+  case class Pps(ppsId: Int, spsId: Int, cabac: Boolean,
+    numRefL0: Int, numRefL1: Int, weightedPred: Boolean,
+    initQp: Int, deblockingControl: Boolean)
+
+  /** Decode one PPS NAL through the entropy-coder identity and the
+    * slice-header-relevant defaults. */
+  private[graft] def decodePps(nal: Array[Byte]): Either[String, Pps] = {
+    if (nal.length < 2) return Left("undersized_pps")
+    if ((nal(0) & 0x1F) != 8) return Left("not_a_pps")
+    val r = new Br(unescapeRbsp(nal, 1))
+    try {
+      val ppsId = r.ue()
+      val spsId = r.ue()
+      val cabac = r.u(1) == 1
+      r.u(1) // bottom_field_pic_order_in_frame_present
+      if (r.ue() != 0) return Left("slice_groups_unsupported")
+      val l0 = r.ue() + 1
+      val l1 = r.ue() + 1
+      val wp = r.u(1) == 1
+      r.u(2) // weighted_bipred_idc
+      val qp = r.se() + 26
+      r.se(); r.se() // pic_init_qs, chroma_qp_index_offset
+      val dbc = r.u(1) == 1
+      r.u(1); r.u(1) // constrained_intra_pred, redundant_pic_cnt
+      Right(Pps(ppsId, spsId, cabac, l0, l1, wp, qp, dbc))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => Left("truncated_pps")
+    }
+  }
+
+  /** Encoder twin: a real SPS NAL for a 4:2:0 progressive stream of
+    * the given DISPLAY dimensions — coded size rounds up to whole
+    * macroblocks, the remainder declared via frame cropping (right/
+    * bottom), high profiles carry the chroma/bit-depth block. The
+    * display size must differ from the coded size by even pixel
+    * counts (4:2:0 crop units are 2 px). */
+  private[graft] def encodeSps(profile: Int, level: Int, displayW: Int,
+      displayH: Int, constraints: Int = 0, maxRefFrames: Int = 4,
+      log2MaxFrameNum: Int = 4): Array[Byte] = {
+    val wMbs = (displayW + 15) / 16
+    val hUnits = (displayH + 15) / 16
+    val cropR = (wMbs * 16 - displayW) / 2
+    val cropB = (hUnits * 16 - displayH) / 2
+    require((wMbs * 16 - displayW) % 2 == 0 &&
+      (hUnits * 16 - displayH) % 2 == 0, "odd crop remainder")
+    val w = new Bw
+    w.u(profile, 8)
+    w.u(constraints, 8)
+    w.u(level, 8)
+    w.ue(0) // sps id
+    if (HighProfiles(profile)) {
+      w.ue(1) // chroma 4:2:0
+      w.ue(0); w.ue(0) // 8-bit luma/chroma
+      w.u(0, 1) // no transform bypass
+      w.u(0, 1) // no scaling matrix
+    }
+    w.ue(log2MaxFrameNum - 4)
+    w.ue(2) // pic_order_cnt_type 2 (no extra fields)
+    w.ue(maxRefFrames)
+    w.u(0, 1) // no frame_num gaps
+    w.ue(wMbs - 1)
+    w.ue(hUnits - 1)
+    w.u(1, 1) // frame_mbs_only
+    w.u(1, 1) // direct_8x8_inference
+    if (cropR > 0 || cropB > 0) {
+      w.u(1, 1)
+      w.ue(0); w.ue(cropR); w.ue(0); w.ue(cropB)
+    } else w.u(0, 1)
+    w.u(0, 1) // no VUI
+    Array(0x67.toByte) ++ escapeRbsp(w.trailing())
+  }
+
+  /** Encoder twin: a real PPS NAL. */
+  private[graft] def encodePps(cabac: Boolean, initQp: Int = 26): Array[Byte] = {
+    val w = new Bw
+    w.ue(0); w.ue(0) // pps id, sps id
+    w.u(if (cabac) 1 else 0, 1)
+    w.u(0, 1) // no bottom-field order info
+    w.ue(0) // one slice group
+    w.ue(3); w.ue(0) // default ref list sizes (4, 1)
+    w.u(0, 1) // no weighted pred
+    w.u(0, 2) // weighted_bipred_idc 0
+    w.se(initQp - 26)
+    w.se(0); w.se(0) // qs, chroma offset
+    w.u(1, 1) // deblocking control present
+    w.u(0, 1); w.u(0, 1)
+    Array(0x68.toByte) ++ escapeRbsp(w.trailing())
+  }
+}

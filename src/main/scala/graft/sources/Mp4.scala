@@ -259,7 +259,12 @@ object Mp4 {
     * with null config — the unknown-codec path, not an error. */
   private[graft] case class Mp4CodecEntry(format: String, codedW: Int,
       codedH: Int, profile: Option[Int], compat: Option[Int],
-      level: Option[Int])
+      level: Option[Int],
+      // r14: when the avcC carries parameter sets, the SPS-decoded
+      // TRUE display dims (coded minus frame cropping) and the PPS
+      // entropy-coder identity
+      spsW: Option[Int] = None, spsH: Option[Int] = None,
+      cabac: Option[Boolean] = None)
 
   /** SAMPLE-DESCRIPTION walk (stsd + avcC, ISO 14496-12 §12.1.3 /
     * 14496-15 §5.3.3) of the first video track — the last
@@ -345,14 +350,56 @@ object Mp4 {
       require(ee - es >= 78, "undersized_stsd_entry")
       val cw = u16(es + 24); val chh = u16(es + 26)
       val avcC = children(es + 78, ee).find(_._1 == "avcC")
-      val (pr, co, lv) = avcC match {
+      val entry = avcC match {
         case Some((_, as2, ae)) =>
-          require(ae - as2 >= 4, "undersized_avcc")
-          (Some(bytes(as2 + 1) & 0xFF), Some(bytes(as2 + 2) & 0xFF),
-            Some(bytes(as2 + 3) & 0xFF))
-        case None => (None, None, None)
+          require(ae - as2 >= 7, "undersized_avcc")
+          val pr = bytes(as2 + 1) & 0xFF
+          val co = bytes(as2 + 2) & 0xFF
+          val lv = bytes(as2 + 3) & 0xFF
+          // parameter sets (14496-15 §5.3.3.1): numSPS in the low 5
+          // bits, each set length-prefixed; the SPS yields the TRUE
+          // display dims via frame cropping, the PPS the entropy
+          // coder — both through the real Exp-Golomb walk
+          var q = as2 + 5
+          val nSps = bytes(q) & 0x1F
+          q += 1
+          var sps: Option[H264.Sps] = None
+          var s = 0
+          while (s < nSps) {
+            require(q + 2 <= ae, "undersized_avcc")
+            val len = u16(q); q += 2
+            require(q + len <= ae, "undersized_avcc")
+            val nal = java.util.Arrays.copyOfRange(bytes, q, q + len)
+            if (sps.isEmpty)
+              sps = Some(H264.decodeSps(nal)
+                .fold(r => throw WalkFail(r), identity))
+            q += len; s += 1
+          }
+          require(q < ae, "undersized_avcc")
+          val nPps = bytes(q) & 0xFF
+          q += 1
+          var pps: Option[H264.Pps] = None
+          var t2 = 0
+          while (t2 < nPps) {
+            require(q + 2 <= ae, "undersized_avcc")
+            val len = u16(q); q += 2
+            require(q + len <= ae, "undersized_avcc")
+            val nal = java.util.Arrays.copyOfRange(bytes, q, q + len)
+            if (pps.isEmpty)
+              pps = Some(H264.decodePps(nal)
+                .fold(r => throw WalkFail(r), identity))
+            q += len; t2 += 1
+          }
+          // the avcC profile/level header must restate the SPS
+          sps.foreach { sp =>
+            if (sp.profile != pr || sp.level != lv)
+              throw WalkFail("avcc_sps_disagreement")
+          }
+          Mp4CodecEntry(fmt, cw, chh, Some(pr), Some(co), Some(lv),
+            sps.map(_.widthPx), sps.map(_.heightPx), pps.map(_.cabac))
+        case None => Mp4CodecEntry(fmt, cw, chh, None, None, None)
       }
-      entries += Mp4CodecEntry(fmt, cw, chh, pr, co, lv)
+      entries += entry
       p = ee; i += 1
     }
     Right((dispW, dispH, entries.result()))
@@ -457,11 +504,22 @@ object Mp4 {
       b => { b.putInt(1).putInt(chunkOffset.toInt); () }, 8)
     val stsd = codec.map { case (fourcc, (cw, chh), avc) =>
       val avcC = avc.map { case (pr, co, lv) =>
-        // minimal AVCDecoderConfigurationRecord: version 1, profile,
-        // compatibility, level, reserved|lengthSizeMinusOne,
-        // reserved|numSPS=0, numPPS=0
-        boxOf("avcC", Array[Byte](1, pr.toByte, co.toByte, lv.toByte,
-          0xFF.toByte, 0xE0.toByte, 0))
+        // real AVCDecoderConfigurationRecord (14496-15 §5.3.3.1):
+        // version 1, profile/compat/level restating the SPS, then
+        // one length-prefixed SPS (true display dims via frame
+        // cropping off the coded macroblock grid) and one PPS
+        // (CABAC for every profile above Baseline — the x264 rule)
+        val sps = H264.encodeSps(pr, lv, wh._1, wh._2, constraints = co)
+        val pps = H264.encodePps(cabac = pr != 66)
+        val bb = java.nio.ByteBuffer.allocate(6 + 2 + sps.length +
+          1 + 2 + pps.length)
+        bb.put(1.toByte).put(pr.toByte).put(co.toByte).put(lv.toByte)
+        bb.put(0xFF.toByte) // reserved | lengthSizeMinusOne = 3
+        bb.put(0xE1.toByte) // reserved | numSPS = 1
+        bb.putShort(sps.length.toShort).put(sps)
+        bb.put(1.toByte)    // numPPS = 1
+        bb.putShort(pps.length.toShort).put(pps)
+        boxOf("avcC", bb.array())
       }.getOrElse(Array.emptyByteArray)
       val ve = java.nio.ByteBuffer.allocate(78)
       ve.position(6); ve.putShort(1)            // data_reference_index
@@ -612,10 +670,20 @@ object Mp4 {
           (name, e.format, dw, dh, e.codedW.toLong, e.codedH.toLong,
             e.profile.map(_.toLong), e.compat.map(_.toLong),
             e.level.map(_.toLong),
-            e.codedW != dw.toInt || e.codedH != dh.toInt))
+            e.codedW != dw.toInt || e.codedH != dh.toInt,
+            // r14: the bitstream's own geometry — SPS coded-minus-
+            // cropping dims (must equal the container's display
+            // hint on a well-muxed file) and the PPS entropy coder.
+            // 1/0/null longs, not nullable booleans (the compare
+            // harness's null-boolean handling differs per engine)
+            e.spsW.map(_.toLong), e.spsH.map(_.toLong),
+            e.cabac.map(c => if (c) 1L else 0L),
+            e.spsW.map(w2 => if (w2 == dw.toInt &&
+              e.spsH.contains(dh.toInt)) 1L else 0L)))
       }
     }.toDF("name", "format", "display_w", "display_h", "coded_w",
-      "coded_h", "profile", "compat", "level", "dim_mismatch")
+      "coded_h", "profile", "compat", "level", "dim_mismatch",
+      "sps_w", "sps_h", "cabac", "sps_matches_display")
       .orderBy(col("name"), col("format"))
   }
 
