@@ -6785,15 +6785,18 @@ object SparkEntry {
         |    CASE WHEN g % 3 = 0 THEN 192 ELSE 180 + (g % 3) * 180 END AS h
         |  FROM s)
         |SELECT 'movie_' || g || '.mp4' AS name,
-        |  CASE WHEN g % 2 = 0 THEN 'avc1' ELSE 'hvc1' END AS format,
+        |  CASE WHEN g % 2 = 0 THEN 'avc1'
+        |    WHEN g = 3 THEN 'av01' ELSE 'hvc1' END AS format,
         |  CAST(w AS DOUBLE) AS display_w, CAST(h AS DOUBLE) AS display_h,
         |  CAST(w AS BIGINT) AS coded_w,
         |  CAST((h + 15) // 16 * 16 AS BIGINT) AS coded_h,
         |  CASE WHEN g % 2 = 0 THEN CAST(CASE (g // 2) % 3
-        |    WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END AS BIGINT) END
+        |    WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END AS BIGINT)
+        |    WHEN g <> 3 THEN CAST(1 AS BIGINT) END
         |    AS profile,
         |  CASE WHEN g % 2 = 0 THEN CAST(192 AS BIGINT) END AS compat,
-        |  CASE WHEN g % 2 = 0 THEN CAST(30 + a % 21 AS BIGINT) END AS level,
+        |  CASE WHEN g % 2 = 0 OR g <> 3
+        |    THEN CAST(30 + a % 21 AS BIGINT) END AS level,
         |  (h + 15) // 16 * 16 <> h AS dim_mismatch,
         |  CASE WHEN g % 2 = 0 THEN CAST(w AS BIGINT) END AS sps_w,
         |  CASE WHEN g % 2 = 0 THEN CAST(h AS BIGINT) END AS sps_h,
@@ -6801,7 +6804,9 @@ object SparkEntry {
         |    CAST(CASE WHEN (g // 2) % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT)
         |    END AS cabac,
         |  CASE WHEN g % 2 = 0 THEN CAST(1 AS BIGINT) END
-        |    AS sps_matches_display
+        |    AS sps_matches_display,
+        |  CASE WHEN g % 2 = 1 AND g <> 3
+        |    THEN CAST((g // 2) % 2 AS BIGINT) END AS tier
         |FROM p""".stripMargin,
 
     // the MP3 frame index replays as closed forms: ISO 11172-3

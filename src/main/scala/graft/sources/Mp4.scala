@@ -262,9 +262,10 @@ object Mp4 {
       level: Option[Int],
       // r14: when the avcC carries parameter sets, the SPS-decoded
       // TRUE display dims (coded minus frame cropping) and the PPS
-      // entropy-coder identity
+      // entropy-coder identity; for HEVC entries the hvcC
+      // profile/tier/level header fills profile/level and tier
       spsW: Option[Int] = None, spsH: Option[Int] = None,
-      cabac: Option[Boolean] = None)
+      cabac: Option[Boolean] = None, tier: Option[Int] = None)
 
   /** SAMPLE-DESCRIPTION walk (stsd + avcC, ISO 14496-12 §12.1.3 /
     * 14496-15 §5.3.3) of the first video track — the last
@@ -397,7 +398,23 @@ object Mp4 {
           }
           Mp4CodecEntry(fmt, cw, chh, Some(pr), Some(co), Some(lv),
             sps.map(_.widthPx), sps.map(_.heightPx), pps.map(_.cabac))
-        case None => Mp4CodecEntry(fmt, cw, chh, None, None, None)
+        case None =>
+          // HEVC: the hvcC configuration record's fixed
+          // profile/tier/level header (14496-15 §8.3.3.1) — byte 1
+          // packs profile_space/tier/profile_idc, byte 12 is
+          // general_level_idc; parameter-set arrays (HEVC's own SPS
+          // syntax) remain the declared seam
+          children(es + 78, ee).find(_._1 == "hvcC") match {
+            case Some((_, hs, he)) =>
+              require(he - hs >= 23, "undersized_hvcc")
+              require((bytes(hs) & 0xFF) == 1, "bad_hvcc_version")
+              val pr = bytes(hs + 1) & 0x1F
+              val tier = (bytes(hs + 1) >> 5) & 1
+              val lv = bytes(hs + 12) & 0xFF
+              Mp4CodecEntry(fmt, cw, chh, Some(pr), None, Some(lv),
+                tier = Some(tier))
+            case None => Mp4CodecEntry(fmt, cw, chh, None, None, None)
+          }
       }
       entries += entry
       p = ee; i += 1
@@ -504,22 +521,46 @@ object Mp4 {
       b => { b.putInt(1).putInt(chunkOffset.toInt); () }, 8)
     val stsd = codec.map { case (fourcc, (cw, chh), avc) =>
       val avcC = avc.map { case (pr, co, lv) =>
-        // real AVCDecoderConfigurationRecord (14496-15 §5.3.3.1):
-        // version 1, profile/compat/level restating the SPS, then
-        // one length-prefixed SPS (true display dims via frame
-        // cropping off the coded macroblock grid) and one PPS
-        // (CABAC for every profile above Baseline — the x264 rule)
-        val sps = H264.encodeSps(pr, lv, wh._1, wh._2, constraints = co)
-        val pps = H264.encodePps(cabac = pr != 66)
-        val bb = java.nio.ByteBuffer.allocate(6 + 2 + sps.length +
-          1 + 2 + pps.length)
-        bb.put(1.toByte).put(pr.toByte).put(co.toByte).put(lv.toByte)
-        bb.put(0xFF.toByte) // reserved | lengthSizeMinusOne = 3
-        bb.put(0xE1.toByte) // reserved | numSPS = 1
-        bb.putShort(sps.length.toShort).put(sps)
-        bb.put(1.toByte)    // numPPS = 1
-        bb.putShort(pps.length.toShort).put(pps)
-        boxOf("avcC", bb.array())
+        if (fourcc == "hvc1") {
+          // minimal HEVCDecoderConfigurationRecord (14496-15
+          // §8.3.3.1): version 1, profile_space0|tier|profile_idc,
+          // 32 compat bits, 48 constraint bits, general_level_idc,
+          // the reserved-bits fields, numOfArrays = 0 (HEVC
+          // parameter-set syntax is the declared seam) — here `co`
+          // carries the TIER bit
+          val bb = java.nio.ByteBuffer.allocate(23)
+          bb.put(1.toByte)
+          bb.put((((co & 1) << 5) | (pr & 0x1F)).toByte)
+          bb.putInt(0x60000000)    // compat: main-profile bit style
+          (0 until 6).foreach(_ => bb.put(0.toByte)) // constraints
+          bb.put(lv.toByte)
+          bb.putShort(0xF000.toShort) // min_spatial_segmentation
+          bb.put(0xFC.toByte)         // parallelismType
+          bb.put(0xFD.toByte)         // chromaFormat 4:2:0
+          bb.put(0xF8.toByte)         // bitDepthLuma 8
+          bb.put(0xF8.toByte)         // bitDepthChroma 8
+          bb.putShort(0)              // avgFrameRate
+          bb.put(3.toByte)            // lengthSizeMinusOne = 3
+          bb.put(0.toByte)            // numOfArrays
+          boxOf("hvcC", bb.array())
+        } else {
+          // real AVCDecoderConfigurationRecord (14496-15 §5.3.3.1):
+          // version 1, profile/compat/level restating the SPS, then
+          // one length-prefixed SPS (true display dims via frame
+          // cropping off the coded macroblock grid) and one PPS
+          // (CABAC for every profile above Baseline — the x264 rule)
+          val sps = H264.encodeSps(pr, lv, wh._1, wh._2, constraints = co)
+          val pps = H264.encodePps(cabac = pr != 66)
+          val bb = java.nio.ByteBuffer.allocate(6 + 2 + sps.length +
+            1 + 2 + pps.length)
+          bb.put(1.toByte).put(pr.toByte).put(co.toByte).put(lv.toByte)
+          bb.put(0xFF.toByte) // reserved | lengthSizeMinusOne = 3
+          bb.put(0xE1.toByte) // reserved | numSPS = 1
+          bb.putShort(sps.length.toShort).put(sps)
+          bb.put(1.toByte)    // numPPS = 1
+          bb.putShort(pps.length.toShort).put(pps)
+          boxOf("avcC", bb.array())
+        }
       }.getOrElse(Array.emptyByteArray)
       val ve = java.nio.ByteBuffer.allocate(78)
       ve.position(6); ve.putShort(1)            // data_reference_index
@@ -657,7 +698,10 @@ object Mp4 {
         ("avc1", (w, chh),
           Some((Seq(66, 77, 100)((g.toInt / 2) % 3), 192,
             30 + (a % 21).toInt)))
-      else ("hvc1", (w, chh), None)
+      else if (g == 3) ("av01", (w, chh), None) // unknown-codec path
+      else // hvcC profile/TIER/level header (both tiers exercised)
+        ("hvc1", (w, chh), Some((1, (g.toInt / 2) % 2,
+          30 + (a % 21).toInt)))
       (s"movie_$g.mp4",
         encodeMp4Indexed(1000L, Seq.fill(24)(1000L), Seq.fill(24)(800L),
           syncEvery = 8, chunkOffset = 4096L, wh = (w, h),
@@ -679,11 +723,12 @@ object Mp4 {
             e.spsW.map(_.toLong), e.spsH.map(_.toLong),
             e.cabac.map(c => if (c) 1L else 0L),
             e.spsW.map(w2 => if (w2 == dw.toInt &&
-              e.spsH.contains(dh.toInt)) 1L else 0L)))
+              e.spsH.contains(dh.toInt)) 1L else 0L),
+            e.tier.map(_.toLong)))
       }
     }.toDF("name", "format", "display_w", "display_h", "coded_w",
       "coded_h", "profile", "compat", "level", "dim_mismatch",
-      "sps_w", "sps_h", "cabac", "sps_matches_display")
+      "sps_w", "sps_h", "cabac", "sps_matches_display", "tier")
       .orderBy(col("name"), col("format"))
   }
 
