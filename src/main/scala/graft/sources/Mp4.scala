@@ -422,6 +422,101 @@ object Mp4 {
     Right((dispW, dispH, entries.result()))
   }
 
+  /** MPEG-4 Systems descriptor walk for the `esds` box (ISO
+    * 14496-1 §7.2.6 + 14496-3 §1.6): ES_Descriptor (tag 0x03,
+    * 0x80-extended varint lengths) → DecoderConfigDescriptor (0x04:
+    * objectTypeIndication — 0x40 is MPEG-4 Audio, avg/max bitrate)
+    * → DecoderSpecificInfo (0x05) carrying the AudioSpecificConfig:
+    * 5-bit audioObjectType, 4-bit samplingFrequencyIndex against
+    * the fixed rate table, 4-bit channelConfiguration. This is the
+    * audio twin of the avcC/hvcC walk — everything a router reads
+    * before picking an AAC decoder; the AAC payload itself stays
+    * the declared entropy seam. */
+  private[graft] case class AacConfig(objectTypeIndication: Int,
+    audioObjectType: Int, sampleRate: Int, channels: Int,
+    avgBitrate: Long)
+
+  private[graft] val AscRates = Array(96000, 88200, 64000, 48000,
+    44100, 32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  private[graft] def decodeEsds(b: Array[Byte]): Either[String, AacConfig] = {
+    var p = 4 // full-box version/flags
+    def u8(): Int = { val v = b(p) & 0xFF; p += 1; v }
+    def len(): Int = { // 0x80-extended varint, ≤ 4 bytes
+      var v = 0; var k = 0
+      var more = true
+      while (more) {
+        val x = u8()
+        v = (v << 7) | (x & 0x7F)
+        more = (x & 0x80) != 0
+        k += 1
+        if (k > 4) throw WalkFail("bad_descriptor_length")
+      }
+      v
+    }
+    try {
+      if (u8() != 0x03) return Left("missing_es_descriptor")
+      len()
+      p += 2 // ES_ID
+      val esFlags = u8()
+      if ((esFlags & 0x80) != 0) p += 2 // dependsOn_ES_ID
+      if ((esFlags & 0x40) != 0) p += u8() // URL string
+      if ((esFlags & 0x20) != 0) p += 2 // OCR_ES_ID
+      if (u8() != 0x04) return Left("missing_decoder_config")
+      len()
+      val oti = u8()
+      p += 1 + 3 + 4 // streamType, bufferSizeDB, maxBitrate
+      val avg = ((b(p) & 0xFFL) << 24) | ((b(p + 1) & 0xFFL) << 16) |
+        ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL)
+      p += 4
+      if (u8() != 0x05) return Left("missing_decoder_specific_info")
+      val dsiLen = len()
+      if (dsiLen < 2) return Left("undersized_asc")
+      val a0 = u8(); val a1 = u8()
+      val aot = (a0 >> 3) & 0x1F
+      if (aot == 31) return Left("extended_aot_unsupported")
+      val sfi = ((a0 & 7) << 1) | (a1 >> 7)
+      if (sfi == 15) return Left("explicit_rate_unsupported")
+      if (sfi >= AscRates.length) return Left("reserved_rate_index")
+      val ch = (a1 >> 3) & 0x0F
+      Right(AacConfig(oti, aot, AscRates(sfi), ch, avg))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => Left("truncated_esds")
+      case WalkFail(r) => Left(r)
+    }
+  }
+
+  /** Encoder twin: an esds payload for AAC (OTI 0x40) with the
+    * given AudioSpecificConfig fields; lengths use the minimal
+    * (unextended) form except the ES_Descriptor's own, written
+    * 0x80-extended to keep that branch honest on the decode side. */
+  private[graft] def encodeEsds(audioObjectType: Int, sampleRate: Int,
+      channels: Int, avgBitrate: Long): Array[Byte] = {
+    val sfi = AscRates.indexOf(sampleRate)
+    require(sfi >= 0, s"no ASC rate index for $sampleRate")
+    val asc = Array(
+      (((audioObjectType & 0x1F) << 3) | (sfi >> 1)).toByte,
+      (((sfi & 1) << 7) | ((channels & 0x0F) << 3)).toByte)
+    val dsi = Array(0x05.toByte, asc.length.toByte) ++ asc
+    val dcd = java.nio.ByteBuffer.allocate(2 + 13 + dsi.length)
+    dcd.put(0x04.toByte).put((13 + dsi.length).toByte)
+    dcd.put(0x40.toByte)        // objectTypeIndication: MPEG-4 Audio
+    dcd.put(0x15.toByte)        // streamType audio | reserved
+    dcd.put(0.toByte).put(0.toByte).put(0.toByte) // bufferSizeDB
+    dcd.putInt((avgBitrate * 2).toInt)            // maxBitrate
+    dcd.putInt(avgBitrate.toInt)
+    dcd.put(dsi)
+    val esBody = Array[Byte](0, 1, 0) ++ dcd.array() // ES_ID 1, flags 0
+    val es = java.nio.ByteBuffer.allocate(4 + 3 + esBody.length)
+    es.putInt(0)                // full-box version/flags
+    es.put(0x03.toByte)
+    // 0x80-extended 2-byte length of the ES body
+    es.put((0x80 | ((esBody.length >> 7) & 0x7F)).toByte)
+    es.put((esBody.length & 0x7F).toByte)
+    es.put(esBody)
+    es.array()
+  }
+
   /** Minimal valid skeleton builder for the render seam: ftyp +
     * moov(mvhd v0 + one video trak + optional audio trak). */
   private[graft] def encodeMp4(majorBrand: String, timescale: Long,
