@@ -5682,8 +5682,16 @@ object SparkEntry {
         |  CAST(duration AS BIGINT) AS duration,
         |  CAST(1 + audio AS BIGINT) AS n_tracks,
         |  CAST(audio AS BIGINT) AS audio_tracks,
-        |  CAST(w AS DOUBLE) AS video_w, CAST(h AS DOUBLE) AS video_h
-        |FROM m ORDER BY name""".stripMargin,
+        |  CAST(w AS DOUBLE) AS video_w, CAST(h AS DOUBLE) AS video_h,
+        |  CASE WHEN audio = 1 THEN CAST(2 AS BIGINT) END AS audio_aot,
+        |  CASE WHEN audio = 1 THEN CAST(CASE WHEN g % 2 = 0
+        |    THEN 48000 ELSE 44100 END AS BIGINT) END AS audio_rate,
+        |  CASE WHEN audio = 1 THEN CAST(1 + g % 2 AS BIGINT) END
+        |    AS audio_channels,
+        |  CASE WHEN audio = 1
+        |    THEN CAST((abs(seed) % 256 + 64) * 1000 AS BIGINT) END
+        |    AS audio_bps
+        |FROM m JOIN seeds USING (g) ORDER BY name""".stripMargin,
 
     // the four images' pixels are closed-form mod arithmetic over
     // the events grid (all terms nonnegative, so % agrees across

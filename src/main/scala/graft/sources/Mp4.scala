@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
 object Mp4 {
 
   private[graft] case class Mp4Track(trackId: Long, handler: String,
-      width: Double, height: Double)
+      width: Double, height: Double,
+      // r14: when a sound track carries an mp4a entry with esds,
+      // the decoded AAC identity rides along
+      aac: Option[AacConfig] = None)
   private[graft] case class Mp4Meta(majorBrand: String, timescale: Long,
       duration: Long, tracks: Seq[Mp4Track])
 
@@ -29,7 +32,10 @@ object Mp4 {
   private[graft] def decodeMp4(bytes: Array[Byte]):
       Either[String, Mp4Meta] =
     scala.util.Try(decodeMp4Walk(bytes)).toEither
-      .left.map(_ => "malformed_box_payload").flatten
+      .left.map {
+        case WalkFail(r) => r
+        case _ => "malformed_box_payload"
+      }.flatten
 
   private def decodeMp4Walk(bytes: Array[Byte]):
       Either[String, Mp4Meta] = {
@@ -97,13 +103,31 @@ object Mp4 {
               val trackId = u32(idOff)
               val w = u32(kEnd - 8) / 65536.0
               val h = u32(kEnd - 4) / 65536.0
+              val mdia = trak.find(_._1 == "mdia")
               val handler = (for {
-                (_, ds, de) <- trak.find(_._1 == "mdia")
+                (_, ds, de) <- mdia
                 (_, hs, he) <- children(ds, de).find(_._1 == "hdlr")
                 // hdlr: handler_type tag @+8 → payload ≥ 12
                 if he - hs >= 12
               } yield tag(hs + 8)).getOrElse("????")
-              Mp4Track(trackId, handler, w, h)
+              // sound tracks: mp4a AudioSampleEntry → esds → AAC
+              // identity (28 fixed entry bytes, then child boxes)
+              val aac = for {
+                (_, ds, de) <- mdia
+                (_, fs, fe) <- children(ds, de).find(_._1 == "minf")
+                (_, bs, be) <- children(fs, fe).find(_._1 == "stbl")
+                (_, ss, se) <- children(bs, be).find(_._1 == "stsd")
+                if se - ss >= 8
+                (fmt, es, eEnd) <- children(ss + 8, se).headOption
+                if fmt == "mp4a" && eEnd - es >= 28
+                (_, gs, ge) <- children(es + 28, eEnd).find(_._1 == "esds")
+                cfg <- decodeEsds(java.util.Arrays.copyOfRange(
+                  bytes, gs, ge)) match {
+                  case Right(c) => Some(c)
+                  case Left(r) => throw WalkFail(r)
+                }
+              } yield cfg
+              Mp4Track(trackId, handler, w, h, aac)
             }
         }
         Right(Mp4Meta(majorBrand, timescale, duration, tracks))
@@ -521,7 +545,11 @@ object Mp4 {
     * moov(mvhd v0 + one video trak + optional audio trak). */
   private[graft] def encodeMp4(majorBrand: String, timescale: Long,
       duration: Long, videoWH: (Int, Int), withAudio: Boolean,
-      mvhdV1: Boolean = false): Array[Byte] = {
+      mvhdV1: Boolean = false,
+      // (audioObjectType, sampleRate, channels, avgBitrate): when
+      // set, the audio trak carries a real mp4a AudioSampleEntry
+      // with an esds AAC configuration
+      audioCfg: Option[(Int, Int, Int, Long)] = None): Array[Byte] = {
     def boxOf(t: String, payload: Array[Byte]): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(8 + payload.length)
       b.putInt(8 + payload.length).put(t.getBytes("US-ASCII"))
@@ -558,11 +586,28 @@ object Mp4 {
       b.putInt(0).putInt(0).put(handler.getBytes("US-ASCII"))
       b.position(24); boxOf("hdlr", b.array())
     }
-    def trak(trackId: Int, handler: String, w: Int, h: Int) =
+    def trak(trackId: Int, handler: String, w: Int, h: Int,
+        stbl: Array[Byte] = Array.emptyByteArray) =
       boxOf("trak", tkhd(trackId, w, h) ++
-        boxOf("mdia", hdlr(handler)))
+        boxOf("mdia", hdlr(handler) ++
+          (if (stbl.isEmpty) Array.emptyByteArray
+           else boxOf("minf", boxOf("stbl", stbl)))))
+    // mp4a AudioSampleEntry (14496-12 §12.2.3): 28 fixed bytes —
+    // reserved(6)+dref_index, 8 reserved, channelcount, samplesize
+    // 16, 4 reserved, 16.16 samplerate — then the esds child
+    val audioStbl = audioCfg.map { case (aot, rate, ch, kbps) =>
+      val esds = boxOf("esds", encodeEsds(aot, rate, ch, kbps))
+      val ae = java.nio.ByteBuffer.allocate(28)
+      ae.position(6); ae.putShort(1)       // data_reference_index
+      ae.position(16); ae.putShort(ch.toShort).putShort(16)
+      ae.position(24); ae.putInt(rate << 16)
+      val entry = boxOf("mp4a", ae.array() ++ esds)
+      // stsd full box: version/flags then entry_count 1
+      boxOf("stsd", Array[Byte](0, 0, 0, 0, 0, 0, 0, 1) ++ entry)
+    }.getOrElse(Array.emptyByteArray)
     val traks = trak(1, "vide", videoWH._1, videoWH._2) ++
-      (if (withAudio) trak(2, "soun", 0, 0) else Array.emptyByteArray)
+      (if (withAudio) trak(2, "soun", 0, 0, audioStbl)
+       else Array.emptyByteArray)
     ftyp ++ boxOf("moov", mvhd ++ traks)
   }
 
@@ -837,14 +882,21 @@ object Mp4 {
       .flatMap { case (name, bytes) =>
         decodeMp4(bytes) match {
           case Left(reason) =>
-            Iterator((false, name, reason, "", 0L, 0L, 0L, "", 0.0, 0.0))
+            Iterator((false, name, reason, "", 0L, 0L, 0L, "", 0.0, 0.0,
+              None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long]))
           case Right(m) => m.tracks.iterator.map(t =>
             (true, name, null: String, m.majorBrand, m.timescale,
-              m.duration, t.trackId, t.handler, t.width, t.height))
+              m.duration, t.trackId, t.handler, t.width, t.height,
+              t.aac.map(_.audioObjectType.toLong),
+              t.aac.map(_.sampleRate.toLong),
+              t.aac.map(_.channels.toLong),
+              t.aac.map(_.avgBitrate)))
         }
       }
       .toDF("ok", "name", "reason", "major_brand", "timescale",
-        "duration", "track_id", "handler", "width", "height")
+        "duration", "track_id", "handler", "width", "height",
+        "audio_aot", "audio_rate", "audio_channels", "audio_bps")
     (decoded.filter(col("ok")).drop("ok", "reason"),
       decoded.filter(!col("ok")).select(col("name"), col("reason")))
   }
@@ -864,10 +916,17 @@ object Mp4 {
         .cast("double") / count(lit(1)) + 0.5).cast("long").as("seed"))
     val movies = seeds.as[(Long, Long)].map { case (g, seed) =>
       val duration = math.abs(seed) % 600000L + 1000L // 1 s .. 10 min
+      val a = math.abs(seed)
       val w = 320 + (g % 3).toInt * 320               // 320/640/960
       val h = 180 + (g % 3).toInt * 180
+      // audio tracks (g % 3 == 0) carry a real mp4a + esds AAC
+      // config: LC, 48000/44100 by parity, mono/stereo, seeded kbps
+      val audio = if (g % 3 == 0)
+        Some((2, if (g % 2 == 0) 48000 else 44100, 1 + (g % 2).toInt,
+          (a % 256 + 64) * 1000L))
+      else None
       (s"movie_$g.mp4", encodeMp4("isom", 1000L, duration, (w, h),
-        withAudio = g % 3 == 0, mvhdV1 = g % 2 == 1))
+        withAudio = g % 3 == 0, mvhdV1 = g % 2 == 1, audioCfg = audio))
     }.toDF("name", "content")
     val (tracks, _) = decodeMp4Drop(movies)
     tracks.groupBy(col("name"), col("major_brand"), col("timescale"),
@@ -878,7 +937,12 @@ object Mp4 {
         max(when(col("handler") === "vide", col("width")))
           .as("video_w"),
         max(when(col("handler") === "vide", col("height")))
-          .as("video_h"))
+          .as("video_h"),
+        // the esds-decoded AAC identity of the sound track
+        max(col("audio_aot")).as("audio_aot"),
+        max(col("audio_rate")).as("audio_rate"),
+        max(col("audio_channels")).as("audio_channels"),
+        max(col("audio_bps")).as("audio_bps"))
       .orderBy(col("name"))
   }
 }
