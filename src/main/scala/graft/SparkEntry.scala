@@ -6806,15 +6806,21 @@ object SparkEntry {
         |  CASE WHEN g % 2 = 0 OR g <> 3
         |    THEN CAST(30 + a % 21 AS BIGINT) END AS level,
         |  (h + 15) // 16 * 16 <> h AS dim_mismatch,
-        |  CASE WHEN g % 2 = 0 THEN CAST(w AS BIGINT) END AS sps_w,
-        |  CASE WHEN g % 2 = 0 THEN CAST(h AS BIGINT) END AS sps_h,
+        |  CASE WHEN g <> 3 THEN CAST(w AS BIGINT) END AS sps_w,
+        |  CASE WHEN g <> 3 THEN CAST(h AS BIGINT) END AS sps_h,
         |  CASE WHEN g % 2 = 0 THEN
         |    CAST(CASE WHEN (g // 2) % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    WHEN g <> 3 THEN CAST(1 AS BIGINT)
         |    END AS cabac,
-        |  CASE WHEN g % 2 = 0 THEN CAST(1 AS BIGINT) END
+        |  CASE WHEN g <> 3 THEN CAST(1 AS BIGINT) END
         |    AS sps_matches_display,
         |  CASE WHEN g % 2 = 1 AND g <> 3
-        |    THEN CAST((g // 2) % 2 AS BIGINT) END AS tier
+        |    THEN CAST((g // 2) % 2 AS BIGINT) END AS tier,
+        |  CASE WHEN g % 2 = 1 AND g <> 3
+        |    THEN CAST((30 + a % 21) % 2 AS BIGINT) END AS wpp,
+        |  CASE WHEN g % 2 = 1 AND g <> 3
+        |    THEN CAST(CASE WHEN (30 + a % 21) % 6 = 0 THEN 1 ELSE 0 END
+        |      AS BIGINT) END AS tiles
         |FROM p""".stripMargin,
 
     // the MP3 frame index replays as closed forms: ISO 11172-3

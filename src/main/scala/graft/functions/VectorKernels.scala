@@ -74,7 +74,13 @@ object VectorKernels {
       val len = math.min(n, m.length)
       var d0 = 0.0; var i = 0
       while (i < len) { d0 += emb.getDouble(i) * m(i); i += 1 }
-      val d = math.floor((cc(c) - 2.0 * d0) * 1e6 + 0.5) / 1e6
+      val dq = math.floor((cc(c) - 2.0 * d0) * 1e6 + 0.5) / 1e6
+      // NaN keys (a NaN element in the embedding or a centroid) sort
+      // LAST — the array_sort ordering this kernel replaced; without
+      // the map a NaN incumbent is never displaced (every `<` is
+      // false) and the insertion order diverges from the oracle
+      val d = if (java.lang.Double.isNaN(dq)) Double.PositiveInfinity
+        else dq
       // cells scan in ascending b, so an equal key never displaces
       // (the incumbent's b is smaller) and inserts after its equals
       if (size < k || d < keys(size - 1)) {

@@ -404,13 +404,43 @@ object Similarity {
     embeddingContaminationOf(v, probes.map(_._1), probes.map(_._2))
   }
 
-  /** The PRODUCTION shape of the semantic screen: the eval probe
-    * matrix arrives EXTERNALLY (a benchmark-embedding param table —
-    * the `load_param_file` seam the bias lanes ride), not derived
-    * from the corpus. The driver-contract query above keeps its
-    * fixture-derived probe set (the corpus is the only data in the
-    * container); a production caller loads the benchmark table and
-    * passes it here. Screen semantics identical either way. */
+  /** Probe-count ceiling for the externally-loaded benchmark table:
+    * the probe matrix ships to executors as a codegen reference
+    * object, so it must be bounded driver-side — 4096 probes × 64
+    * dims ≈ 2 MB, well inside broadcast discipline. Benchmarks are
+    * small by nature; a table above the cap refuses by name rather
+    * than silently degrading. */
+  private[graft] val MaxExternalProbes = 4096
+
+  /** PRODUCTION entry point of the semantic screen: the eval probe
+    * matrix arrives EXTERNALLY as a parquet param table at
+    * `paramPath` with columns (eval_id BIGINT, embedding
+    * ARRAY<DOUBLE|FLOAT>) — the `load_param_file` seam the bias
+    * lanes ride — instead of derived from the corpus. Probes get the
+    * same 1e-6 integer-unit quantization as the corpus side, so the
+    * exactness discipline survives the file round trip. The
+    * driver-contract query above keeps its fixture-derived probe set
+    * (the corpus is the only data in the container). */
+  def embeddingContaminationFromParams(spark: SparkSession, dir: String,
+      paramPath: String): DataFrame = {
+    val quant = "transform(emb, x -> cast(floor(x * 1e6 + 0.5) as double))"
+    val v = vecs(spark, dir).withColumn("emb", expr(quant))
+    val probes = spark.read.parquet(paramPath)
+      .select(col("eval_id").cast("long"),
+        expr("transform(cast(embedding as array<double>), " +
+          "x -> cast(floor(x * 1e6 + 0.5) as double))").as("emb"))
+      .orderBy(col("eval_id"))
+      .limit(MaxExternalProbes + 1)
+      .collect()
+    require(probes.length <= MaxExternalProbes,
+      s"probe table exceeds MaxExternalProbes=$MaxExternalProbes — " +
+        "benchmark embedding tables broadcast; shard the screen by " +
+        "benchmark instead of loading one oversized table")
+    embeddingContaminationOf(v,
+      probes.map(_.getLong(0)),
+      probes.map(_.getSeq[Double](1).toArray))
+  }
+
   private[graft] def embeddingContaminationOf(v: DataFrame,
       ids: Array[Long], mat: Array[Array[Double]]): DataFrame = {
     v.withColumn("top", VectorColumns.topkCosine(col("emb"),

@@ -1562,12 +1562,26 @@ object TextOps {
     corpusContaminationOf(docs, evalSet)
   }
 
-  /** The PRODUCTION shape of the screen: the eval 8-gram set arrives
-    * EXTERNALLY as a param table (eval_id, gram) — benchmark n-grams
-    * loaded the way the bias lanes load pretrained params — rather
-    * than derived from the corpus (the fixture-derived default above
-    * exists because this container's only data IS the corpus).
-    * Same broadcast-probe plan either way. */
+  /** PRODUCTION entry point of the screen: the eval 8-gram probe set
+    * arrives EXTERNALLY as a parquet param table at `paramPath` with
+    * columns (eval_id BIGINT, gram STRING) — benchmark n-grams loaded
+    * the way the bias lanes load pretrained transfer params
+    * (`load_param_file`, bias_correction_cds_process.py:310-324) —
+    * instead of derived from the corpus. The driver-contract query
+    * above keeps its fixture-derived probe set because this
+    * container's only data IS the corpus; a production caller writes
+    * the benchmark table once (`write.parquet`) and every pretraining
+    * run screens against it here. Same broadcast-probe plan. */
+  def corpusContaminationFromParams(spark: SparkSession, dir: String,
+      paramPath: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), normalized(col("text")).as("norm"))
+    val evalSet = spark.read.parquet(paramPath)
+      .select(col("eval_id").cast("long").as("eval_id"),
+        col("gram").cast("string").as("gram"))
+    corpusContaminationOf(docs, evalSet)
+  }
+
   private[graft] def corpusContaminationOf(docs: DataFrame,
       evalSet: DataFrame): DataFrame = {
     val grams = docs.select(col("doc_id"),
@@ -1612,24 +1626,60 @@ object TextOps {
     * blurb's gram present in 10% of a 100 TB corpus would otherwise
     * put 10% of all positions in ONE shuffle partition of the join;
     * salting the position side by a position-derived hash and
-    * replicating the (small, one-row-per-gram) set side K ways
-    * bounds any gram's partition to 1/K of its mass — EXACT (the
-    * set side carries every salt, so each position still matches
-    * exactly once), deterministic (no reliance on AQE thresholds
-    * firing), the same discipline the dedup lanes apply to hot
-    * buckets, minus the cap (a census must not drop mass). */
+    * replicating the set side K ways bounds any gram's partition to
+    * 1/K of its mass — EXACT (the set side carries every salt, so
+    * each position still matches exactly once), deterministic (no
+    * reliance on AQE thresholds firing), the same discipline the
+    * dedup lanes apply to hot buckets, minus the cap (a census must
+    * not drop mass). */
   private[graft] val SpanSaltK = 16
+
+  /** FREQUENCY SPLIT for the salt: the repeated-gram set at corpus
+    * scale is itself corpus-sized (10-30% of distinct grams repeat),
+    * so replicating ALL of it ×[[SpanSaltK]] would multiply a
+    * corpus-scale join side by 16 to defend against the handful of
+    * genuinely hot grams. The censuses already count each gram's
+    * occurrences on the pinned pass, so the set splits there: grams
+    * at or above this occurrence count take the salted lane (their
+    * replication is O(hot grams), negligible by construction); the
+    * cold majority joins unsalted at ×1 set-side cost — any cold
+    * gram contributes at most this many rows to one shuffle
+    * partition, which is the same per-key bound the salt would give
+    * a gram of K× this mass. Hot and cold sets are disjoint, so the
+    * union of the two joins is exactly the unsplit join. */
+  private[graft] val SpanHotMinOcc = 65536L
 
   private def salted(set: DataFrame): DataFrame =
     set.withColumn("salt",
       explode(expr(s"sequence(0, ${SpanSaltK - 1})")))
+
+  /** The split position⋈gram-set inner join shared by the span
+    * censuses: `pos` rows carrying `gram` plus the `keep` columns,
+    * `set` rows carrying `gram` and a count column `cntCol`; rows of
+    * `pos` whose gram is in `set` come back (each exactly once) with
+    * only `keep`, hot grams via the salted lane, cold unsalted. The
+    * salt hash keys on the keep columns (distinct per pos row), so
+    * one hot gram's matches spread across [[SpanSaltK]] partitions. */
+  private def splitGramJoin(pos: DataFrame, set: DataFrame,
+      cntCol: String, hotMin: Long, keep: Seq[String]): DataFrame = {
+    val hot  = set.filter(col(cntCol) >= hotMin).select(col("gram"))
+    val cold = set.filter(col(cntCol) < hotMin).select(col("gram"))
+    val keepCols = keep.map(col)
+    val hotMatched = pos
+      .withColumn("salt", pmod(hash(keepCols: _*), lit(SpanSaltK)))
+      .join(salted(hot), Seq("gram", "salt"))
+      .select(keepCols: _*)
+    val coldMatched = pos.join(cold, Seq("gram")).select(keepCols: _*)
+    hotMatched.unionByName(coldMatched)
+  }
 
   def dedupRepeatedSpans(spark: SparkSession, dir: String): DataFrame =
     dedupRepeatedSpansOf(
       Tables.spread(Tables.documents(spark, dir), col("doc_id"))
         .select(col("doc_id"), normalized(col("text")).as("norm")))
 
-  private[graft] def dedupRepeatedSpansOf(docs: DataFrame): DataFrame = {
+  private[graft] def dedupRepeatedSpansOf(docs: DataFrame,
+      hotMin: Long = SpanHotMinOcc): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pos = docs.select(col("doc_id"),
         posexplode(expr(Gram8Sql("norm"))).as(Seq("pos", "gram")))
@@ -1637,14 +1687,12 @@ object TextOps {
     val repeated = pos.groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
-      .select(col("gram"))
+      .localCheckpoint() // read twice: hot and cold branches
     // the gram-frequency agg above is skew-safe by itself (map-side
     // partials); the join back is where one hot gram would pile a
-    // partition — salted (see [[SpanSaltK]])
-    val islands = pos
-      .withColumn("salt", pmod(hash(col("doc_id"), col("pos")),
-        lit(SpanSaltK)))
-      .join(salted(repeated), Seq("gram", "salt"))
+    // partition — frequency-split salted (see [[SpanHotMinOcc]])
+    val islands = splitGramJoin(pos, repeated, "n_occ", hotMin,
+        Seq("doc_id", "pos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .withColumn("island", col("pos") - col("rn"))
@@ -1684,7 +1732,8 @@ object TextOps {
       Tables.spread(Tables.documents(spark, dir), col("doc_id"))
         .select(col("doc_id"), normalized(col("text")).as("norm")))
 
-  private[graft] def dedupSpansApplyOf(docs: DataFrame): DataFrame = {
+  private[graft] def dedupSpansApplyOf(docs: DataFrame,
+      hotMin: Long = SpanHotMinOcc): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pos = docs.select(col("doc_id"),
         posexplode(expr(Gram8Sql("norm"))).as(Seq("pos", "gram")))
@@ -1692,11 +1741,9 @@ object TextOps {
     val repeated = pos.groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
-      .select(col("gram"))
-    val spans = pos
-      .withColumn("salt", pmod(hash(col("doc_id"), col("pos")),
-        lit(SpanSaltK)))
-      .join(salted(repeated), Seq("gram", "salt"))
+      .localCheckpoint() // read twice: hot and cold branches
+    val spans = splitGramJoin(pos, repeated, "n_occ", hotMin,
+        Seq("doc_id", "pos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .withColumn("island", col("pos") - col("rn"))
@@ -1749,7 +1796,8 @@ object TextOps {
       Tables.spread(Tables.documents(spark, dir), col("doc_id"))
         .select(col("doc_id"), normalized(col("text")).as("norm")))
 
-  private[graft] def boilerplateNgramsOf(docs: DataFrame): DataFrame = {
+  private[graft] def boilerplateNgramsOf(docs: DataFrame,
+      hotMin: Long = SpanHotMinOcc): DataFrame = {
     // reduce positions to (doc, gram, cnt) FIRST — the census only
     // needs counts, and the reduction is map-side-partial-friendly,
     // so the downstream join moves per-doc-distinct grams instead of
@@ -1762,19 +1810,22 @@ object TextOps {
     val boiler = dg.groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs")) // dg is distinct per (doc, gram)
       .filter(col("n_docs") >= BoilerplateMinDocs)
-      .select(col("gram"))
-    // gram-keyed rejoin salted against the one hot licence-blurb
-    // gram (see [[SpanSaltK]]): each dg row carries one salt, the
-    // boiler set carries all of them — left semantics unchanged
-    val perDoc = dg
-      .withColumn("salt", pmod(hash(col("doc_id"), col("gram")),
-        lit(SpanSaltK)))
-      .join(salted(boiler).withColumn("b", lit(1)),
-        Seq("gram", "salt"), "left")
+      .localCheckpoint() // read twice: hot and cold branches
+    // gram-keyed rejoin, frequency-split salted against the one hot
+    // licence-blurb gram (see [[SpanHotMinOcc]]); a gram's fan in
+    // THIS join is its n_docs (dg is per-(doc, gram)), so hotness
+    // keys on n_docs. The old left-join-with-marker becomes two
+    // rollups: totals come straight from dg, boiler hits from the
+    // split inner join — identical left semantics at less shuffle.
+    val nBoiler = splitGramJoin(dg, boiler, "n_docs", hotMin,
+        Seq("doc_id", "cnt"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n_grams"),
-        sum(when(col("b").isNotNull, col("cnt")).otherwise(0L))
-          .as("n_boiler"))
+      .agg(sum(col("cnt")).as("n_boiler"))
+    val perDoc = dg.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"))
+      .join(nBoiler, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),

@@ -18,7 +18,7 @@ package graft.sources
 object H264 {
 
   /** MSB-first bit reader over an RBSP (already unescaped). */
-  private final class Br(b: Array[Byte]) {
+  private[sources] final class Br(b: Array[Byte]) {
     var pos = 0; var bit = 0
     def more: Boolean = pos < b.length
     def u(n: Int): Int = {
@@ -48,7 +48,7 @@ object H264 {
     }
   }
 
-  private final class Bw {
+  private[sources] final class Bw {
     private val out = new java.io.ByteArrayOutputStream()
     private var cur = 0; private var nb = 0
     def u(v: Int, n: Int): Unit = {

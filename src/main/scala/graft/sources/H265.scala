@@ -1,0 +1,278 @@
+package graft.sources
+
+/** H.265 / HEVC PARAMETER-SET codec (ITU-T H.265 §7.3.2.2-3) — the
+  * HEVC twin of [[H264]], built on the same Exp-Golomb / RBSP
+  * machinery (HEVC shares H.264's 00 00 03 emulation prevention and
+  * ue(v)/se(v) coding; only the NAL header widens to two bytes).
+  * Decodes the sequence parameter set through profile-tier-level and
+  * the conformance-window arithmetic that recovers TRUE display
+  * dimensions from the CTB-aligned coded size, and the picture
+  * parameter set through HEVC's parallelism identity (tiles /
+  * wavefront entropy sync — the routing fact a pipeline reads before
+  * sizing a decoder; HEVC entropy coding is always CABAC). Slice
+  * data stays the declared entropy seam; scaling lists and
+  * short-term reference picture sets quarantine by name.
+  *
+  * Reference provenance: the reference platform routes video assets
+  * by container metadata only (`ingestor_planetary_process.py` media
+  * branches); this extends the same census one public layer deeper,
+  * encoder-twinned like the AVC/FLAC/JPEG lanes. */
+object H265 {
+  import H264.{Br, Bw, unescapeRbsp, escapeRbsp}
+
+  /** nal_unit_type from the 2-byte HEVC NAL header. */
+  private def nalType(nal: Array[Byte]): Int = (nal(0) >> 1) & 0x3F
+
+  private[graft] val NalSps = 33
+  private[graft] val NalPps = 34
+
+  private case class Ptl(space: Int, tier: Int, profile: Int,
+    compat: Long, level: Int)
+
+  /** profile_tier_level(1, maxSubLayersMinus1) — §7.3.3. The general
+    * block is 12 fixed bytes (2+1+5 bits, 32 compat bits, 48
+    * constraint bits, 8 level bits); sub-layer blocks are presence-
+    * flagged and byte-aligned. */
+  private def readPtl(r: Br, maxSubLayersMinus1: Int): Ptl = {
+    val space = r.u(2); val tier = r.u(1); val profile = r.u(5)
+    val compat = (r.u(16).toLong << 16) | r.u(16).toLong
+    r.u(16); r.u(16); r.u(16) // 48 general constraint bits
+    val level = r.u(8)
+    if (maxSubLayersMinus1 > 0) {
+      val profPresent = Array.fill(maxSubLayersMinus1)(r.u(1) == 1)
+      val levelPresent = Array.fill(maxSubLayersMinus1)(r.u(1) == 1)
+      var i = maxSubLayersMinus1
+      while (i < 8) { r.u(2); i += 1 } // reserved_zero_2bits alignment
+      i = 0
+      while (i < maxSubLayersMinus1) {
+        if (profPresent(i)) { r.u(32); r.u(32); r.u(24) } // 88-bit block
+        if (levelPresent(i)) r.u(8)
+        i += 1
+      }
+    }
+    Ptl(space, tier, profile, compat, level)
+  }
+
+  private def writePtl(w: Bw, tier: Int, profile: Int, level: Int): Unit = {
+    w.u(0, 2); w.u(tier, 1); w.u(profile, 5)
+    // compat flags: set the stream's own profile bit (flag[j] is the
+    // j-th bit from the field's MSB)
+    w.u(if (profile <= 15) 1 << (15 - profile) else 0, 16)
+    w.u(if (profile > 15) 1 << (31 - profile) else 0, 16)
+    w.u(0, 16); w.u(0, 16); w.u(0, 16)            // constraint flags
+    w.u(level, 8)
+  }
+
+  case class HevcSps(profile: Int, tier: Int, level: Int, spsId: Int,
+    chromaFormat: Int, codedW: Int, codedH: Int, widthPx: Int,
+    heightPx: Int, bitDepthLuma: Int, maxSubLayers: Int)
+
+  /** Decode one HEVC SPS NAL (2-byte header + escaped payload) —
+    * §7.3.2.2.1 through the fields a router reads; VUI and
+    * extensions are trailing and ignored. */
+  private[graft] def decodeSps(nal: Array[Byte]): Either[String, HevcSps] = {
+    if (nal.length < 6) return Left("undersized_hevc_sps")
+    if ((nal(0) & 0x80) != 0) return Left("bad_nal_header")
+    if (nalType(nal) != NalSps) return Left("not_an_hevc_sps")
+    val r = new Br(unescapeRbsp(nal, 2))
+    try {
+      r.u(4) // sps_video_parameter_set_id
+      val maxSub = r.u(3)
+      if (maxSub > 6) return Left("bad_max_sub_layers")
+      r.u(1) // sps_temporal_id_nesting_flag
+      val ptl = readPtl(r, maxSub)
+      val spsId = r.ue()
+      if (spsId > 15) return Left("bad_sps_id")
+      val chroma = r.ue()
+      if (chroma > 3) return Left("bad_chroma_format")
+      if (chroma == 3) r.u(1) // separate_colour_plane_flag
+      val cw = r.ue()
+      val ch = r.ue()
+      var dw = cw; var dh = ch
+      if (r.u(1) == 1) { // conformance_window_flag
+        val (cl, cr2, ct, cb) = (r.ue(), r.ue(), r.ue(), r.ue())
+        val subW = if (chroma == 1 || chroma == 2) 2 else 1
+        val subH = if (chroma == 1) 2 else 1
+        dw -= subW * (cl + cr2)
+        dh -= subH * (ct + cb)
+      }
+      if (dw <= 0 || dh <= 0) return Left("bad_conformance_window")
+      val bdLuma = r.ue() + 8
+      r.ue() // bit_depth_chroma_minus8
+      val log2PocLsb = r.ue() + 4
+      if (log2PocLsb > 16) return Left("bad_poc_lsb")
+      val subOrdering = r.u(1) == 1
+      var i = if (subOrdering) 0 else maxSub
+      while (i <= maxSub) { r.ue(); r.ue(); r.ue(); i += 1 }
+      val log2MinCb = r.ue() + 3
+      r.ue() // log2_diff_max_min_luma_coding_block_size
+      r.ue(); r.ue() // transform block size min / diff
+      r.ue(); r.ue() // max_transform_hierarchy_depth inter / intra
+      if (cw % (1 << log2MinCb) != 0 || ch % (1 << log2MinCb) != 0)
+        return Left("coded_size_not_cb_aligned")
+      if (r.u(1) == 1) return Left("scaling_list_unsupported")
+      r.u(1); r.u(1) // amp_enabled, sample_adaptive_offset_enabled
+      if (r.u(1) == 1) { // pcm_enabled_flag
+        r.u(4); r.u(4); r.ue(); r.ue(); r.u(1)
+      }
+      // the st_rps syntax needs inter-set prediction state; a config
+      // record's SPS routinely carries zero — nonzero quarantines
+      if (r.ue() != 0) return Left("short_term_ref_pic_sets_unsupported")
+      if (r.u(1) == 1) { // long_term_ref_pics_present_flag
+        val n = r.ue()
+        var k = 0
+        while (k < n) { r.u(log2PocLsb); r.u(1); k += 1 }
+      }
+      r.u(1); r.u(1) // temporal_mvp, strong_intra_smoothing
+      Right(HevcSps(ptl.profile, ptl.tier, ptl.level, spsId, chroma,
+        cw, ch, dw, dh, bdLuma, maxSub + 1))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => Left("truncated_hevc_sps")
+    }
+  }
+
+  case class HevcPps(ppsId: Int, spsId: Int, wpp: Boolean,
+    tiles: Boolean, tileCols: Int, tileRows: Int, numRefL0: Int,
+    numRefL1: Int, initQp: Int, weightedPred: Boolean)
+
+  /** Decode one HEVC PPS NAL through the parallelism identity
+    * (tiles_enabled / entropy_coding_sync) and the slice-header-
+    * relevant defaults — §7.3.2.3.1. */
+  private[graft] def decodePps(nal: Array[Byte]): Either[String, HevcPps] = {
+    if (nal.length < 3) return Left("undersized_hevc_pps")
+    if (nalType(nal) != NalPps) return Left("not_an_hevc_pps")
+    val r = new Br(unescapeRbsp(nal, 2))
+    try {
+      val ppsId = r.ue()
+      val spsId = r.ue()
+      r.u(1) // dependent_slice_segments_enabled
+      r.u(1) // output_flag_present
+      r.u(3) // num_extra_slice_header_bits
+      r.u(1) // sign_data_hiding_enabled
+      r.u(1) // cabac_init_present
+      val l0 = r.ue() + 1
+      val l1 = r.ue() + 1
+      val qp = r.se() + 26
+      r.u(1) // constrained_intra_pred
+      r.u(1) // transform_skip_enabled
+      if (r.u(1) == 1) r.ue() // cu_qp_delta → diff_cu_qp_delta_depth
+      r.se(); r.se() // pps_cb_qp_offset, pps_cr_qp_offset
+      r.u(1) // pps_slice_chroma_qp_offsets_present
+      val wp = r.u(1) == 1
+      r.u(1) // weighted_bipred
+      r.u(1) // transquant_bypass_enabled
+      val tiles = r.u(1) == 1
+      val wpp = r.u(1) == 1
+      var (tc, tr2) = (1, 1)
+      if (tiles) {
+        tc = r.ue() + 1
+        tr2 = r.ue() + 1
+        if (tc > 1024 || tr2 > 1024) return Left("bad_tile_grid")
+        if (r.u(1) == 0) { // uniform_spacing_flag
+          var k = 0
+          while (k < tc - 1) { r.ue(); k += 1 }
+          k = 0
+          while (k < tr2 - 1) { r.ue(); k += 1 }
+        }
+        r.u(1) // loop_filter_across_tiles_enabled
+      }
+      r.u(1) // pps_loop_filter_across_slices_enabled
+      if (r.u(1) == 1) { // deblocking_filter_control_present
+        r.u(1) // deblocking_filter_override_enabled
+        if (r.u(1) == 0) { r.se(); r.se() } // beta/tc offsets
+      }
+      if (r.u(1) == 1) return Left("pps_scaling_list_unsupported")
+      r.u(1) // lists_modification_present
+      r.ue() // log2_parallel_merge_level_minus2
+      r.u(1) // slice_segment_header_extension_present
+      Right(HevcPps(ppsId, spsId, wpp, tiles, tc, tr2, l0, l1, qp, wp))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => Left("truncated_hevc_pps")
+    }
+  }
+
+  /** Encoder twin: a real HEVC SPS NAL for a 4:2:0 8-bit stream.
+    * Coded dims must be multiples of the 8-px minimum coding block;
+    * the display remainder declares via the conformance window
+    * (right/bottom, 4:2:0 units are 2 px — even remainders only). */
+  private[graft] def encodeSps(profile: Int, tier: Int, level: Int,
+      codedW: Int, codedH: Int, displayW: Int, displayH: Int): Array[Byte] = {
+    require(codedW % 8 == 0 && codedH % 8 == 0, "coded dims not CB-aligned")
+    require(codedW >= displayW && codedH >= displayH, "display exceeds coded")
+    require((codedW - displayW) % 2 == 0 && (codedH - displayH) % 2 == 0,
+      "odd conformance remainder")
+    val w = new Bw
+    w.u(0, 4) // vps id
+    w.u(0, 3) // max_sub_layers_minus1
+    w.u(1, 1) // temporal_id_nesting
+    writePtl(w, tier, profile, level)
+    w.ue(0) // sps id
+    w.ue(1) // chroma 4:2:0
+    w.ue(codedW); w.ue(codedH)
+    val cropR = (codedW - displayW) / 2
+    val cropB = (codedH - displayH) / 2
+    if (cropR > 0 || cropB > 0) {
+      w.u(1, 1)
+      w.ue(0); w.ue(cropR); w.ue(0); w.ue(cropB)
+    } else w.u(0, 1)
+    w.ue(0); w.ue(0) // 8-bit luma/chroma
+    w.ue(4) // log2_max_pic_order_cnt_lsb_minus4 → 8
+    w.u(0, 1) // sub_layer_ordering: highest layer only
+    w.ue(3); w.ue(0); w.ue(0) // dec_pic_buffering 4, no reorder/latency
+    w.ue(0) // log2_min_luma_coding_block_size_minus3 → 8 px
+    w.ue(3) // log2_diff → 64-px CTB
+    w.ue(0); w.ue(3) // transform blocks 4..32
+    w.ue(0); w.ue(0) // hierarchy depths
+    w.u(0, 1) // no scaling list
+    w.u(1, 1); w.u(1, 1) // amp, sao
+    w.u(0, 1) // no pcm
+    w.ue(0) // num_short_term_ref_pic_sets
+    w.u(0, 1) // no long-term ref pics
+    w.u(1, 1); w.u(1, 1) // temporal mvp, strong intra smoothing
+    w.u(0, 1) // no VUI
+    w.u(0, 1) // no extensions
+    // NAL header: type 33, layer 0, temporal id +1
+    Array(((NalSps << 1) & 0x7E).toByte, 1.toByte) ++
+      escapeRbsp(w.trailing())
+  }
+
+  /** Encoder twin: a real HEVC PPS NAL; `tiles` writes a uniform
+    * `tileCols`×`tileRows` grid, `wpp` sets entropy_coding_sync. */
+  private[graft] def encodePps(wpp: Boolean, tiles: Boolean,
+      tileCols: Int = 2, tileRows: Int = 1, initQp: Int = 26): Array[Byte] = {
+    require(!(wpp && tiles), "H.265 profiles forbid tiles+wpp together")
+    val w = new Bw
+    w.ue(0); w.ue(0) // pps id, sps id
+    w.u(0, 1) // no dependent slice segments
+    w.u(0, 1) // no output flag
+    w.u(0, 3) // no extra slice header bits
+    w.u(1, 1) // sign data hiding
+    w.u(0, 1) // no cabac_init in slice headers
+    w.ue(3); w.ue(0) // default ref list sizes (4, 1)
+    w.se(initQp - 26)
+    w.u(0, 1) // constrained intra
+    w.u(0, 1) // transform skip
+    w.u(0, 1) // no cu qp delta
+    w.se(0); w.se(0) // cb/cr offsets
+    w.u(0, 1) // no per-slice chroma offsets
+    w.u(0, 1) // no weighted pred
+    w.u(0, 1) // no weighted bipred
+    w.u(0, 1) // no transquant bypass
+    w.u(if (tiles) 1 else 0, 1)
+    w.u(if (wpp) 1 else 0, 1)
+    if (tiles) {
+      w.ue(tileCols - 1); w.ue(tileRows - 1)
+      w.u(1, 1) // uniform spacing
+      w.u(1, 1) // loop filter across tiles
+    }
+    w.u(1, 1) // loop filter across slices
+    w.u(0, 1) // no deblocking control
+    w.u(0, 1) // no pps scaling list
+    w.u(0, 1) // no lists modification
+    w.ue(0) // log2_parallel_merge_level_minus2
+    w.u(0, 1) // no slice header extension
+    w.u(0, 1) // no pps extension
+    Array(((NalPps << 1) & 0x7E).toByte, 1.toByte) ++
+      escapeRbsp(w.trailing())
+  }
+}

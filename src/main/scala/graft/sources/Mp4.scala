@@ -121,10 +121,19 @@ object Mp4 {
                 (fmt, es, eEnd) <- children(ss + 8, se).headOption
                 if fmt == "mp4a" && eEnd - es >= 28
                 (_, gs, ge) <- children(es + 28, eEnd).find(_._1 == "esds")
+                // an mp4a entry whose descriptors are legal but not
+                // AAC-shaped (e.g. OTI 0x6B MP3 with no ASC, or an
+                // unsupported ASC variant) degrades to the unknown-
+                // audio-codec path — null identity fields, like the
+                // video side's av01; only STRUCTURALLY corrupt
+                // descriptors (truncation, runaway varint lengths)
+                // quarantine the file
                 cfg <- decodeEsds(java.util.Arrays.copyOfRange(
                   bytes, gs, ge)) match {
                   case Right(c) => Some(c)
-                  case Left(r) => throw WalkFail(r)
+                  case Left(r @ ("truncated_esds" |
+                    "bad_descriptor_length")) => throw WalkFail(r)
+                  case Left(_) => None
                 }
               } yield cfg
               Mp4Track(trackId, handler, w, h, aac)
@@ -289,7 +298,10 @@ object Mp4 {
       // entropy-coder identity; for HEVC entries the hvcC
       // profile/tier/level header fills profile/level and tier
       spsW: Option[Int] = None, spsH: Option[Int] = None,
-      cabac: Option[Boolean] = None, tier: Option[Int] = None)
+      cabac: Option[Boolean] = None, tier: Option[Int] = None,
+      // r15: HEVC PPS parallelism identity (tiles / wavefront
+      // entropy sync) — HEVC's analogue of the AVC CABAC/CAVLC fact
+      wpp: Option[Boolean] = None, tiles: Option[Boolean] = None)
 
   /** SAMPLE-DESCRIPTION walk (stsd + avcC, ISO 14496-12 §12.1.3 /
     * 14496-15 §5.3.3) of the first video track — the last
@@ -426,8 +438,12 @@ object Mp4 {
           // HEVC: the hvcC configuration record's fixed
           // profile/tier/level header (14496-15 §8.3.3.1) — byte 1
           // packs profile_space/tier/profile_idc, byte 12 is
-          // general_level_idc; parameter-set arrays (HEVC's own SPS
-          // syntax) remain the declared seam
+          // general_level_idc — then (r15) the parameter-set arrays
+          // at byte 22: each carries a NAL type and length-prefixed
+          // NALs; the SPS decodes to TRUE display dims via the
+          // conformance window and the PPS to the tiles/wavefront
+          // parallelism identity ([[H265]]). Slice data remains the
+          // declared entropy seam.
           children(es + 78, ee).find(_._1 == "hvcC") match {
             case Some((_, hs, he)) =>
               require(he - hs >= 23, "undersized_hvcc")
@@ -435,8 +451,44 @@ object Mp4 {
               val pr = bytes(hs + 1) & 0x1F
               val tier = (bytes(hs + 1) >> 5) & 1
               val lv = bytes(hs + 12) & 0xFF
+              var sps: Option[H265.HevcSps] = None
+              var pps: Option[H265.HevcPps] = None
+              val nArrays = bytes(hs + 22) & 0xFF
+              var q = hs + 23
+              var a = 0
+              while (a < nArrays) {
+                require(q + 3 <= he, "undersized_hvcc")
+                val nalType = bytes(q) & 0x3F
+                val nNalus = u16(q + 1)
+                q += 3
+                var n = 0
+                while (n < nNalus) {
+                  require(q + 2 <= he, "undersized_hvcc")
+                  val len = u16(q); q += 2
+                  require(q + len <= he, "undersized_hvcc")
+                  val nal = java.util.Arrays.copyOfRange(bytes, q, q + len)
+                  if (nalType == H265.NalSps && sps.isEmpty)
+                    sps = Some(H265.decodeSps(nal)
+                      .fold(r => throw WalkFail(r), identity))
+                  if (nalType == H265.NalPps && pps.isEmpty)
+                    pps = Some(H265.decodePps(nal)
+                      .fold(r => throw WalkFail(r), identity))
+                  q += len; n += 1
+                }
+                a += 1
+              }
+              // the hvcC header must restate the SPS profile-tier-level
+              sps.foreach { sp =>
+                if (sp.profile != pr || sp.tier != tier || sp.level != lv)
+                  throw WalkFail("hvcc_sps_disagreement")
+              }
               Mp4CodecEntry(fmt, cw, chh, Some(pr), None, Some(lv),
-                tier = Some(tier))
+                sps.map(_.widthPx), sps.map(_.heightPx),
+                // HEVC entropy coding is CABAC by definition — the
+                // identity fact only materializes once an SPS proves
+                // the config record carries a real bitstream config
+                sps.map(_ => true), Some(tier),
+                pps.map(_.wpp), pps.map(_.tiles))
             case None => Mp4CodecEntry(fmt, cw, chh, None, None, None)
           }
       }
@@ -518,6 +570,10 @@ object Mp4 {
       channels: Int, avgBitrate: Long): Array[Byte] = {
     val sfi = AscRates.indexOf(sampleRate)
     require(sfi >= 0, s"no ASC rate index for $sampleRate")
+    // the descriptor's bitrate fields are u32 — an out-of-range
+    // fixture parameter must refuse by name, not wrap silently
+    require(avgBitrate >= 0 && avgBitrate * 2 <= 0xFFFFFFFFL,
+      s"avgBitrate $avgBitrate exceeds the esds u32 bitrate fields")
     val asc = Array(
       (((audioObjectType & 0x1F) << 3) | (sfi >> 1)).toByte,
       (((sfi & 1) << 7) | ((channels & 0x0F) << 3)).toByte)
@@ -662,16 +718,25 @@ object Mp4 {
     val stsd = codec.map { case (fourcc, (cw, chh), avc) =>
       val avcC = avc.map { case (pr, co, lv) =>
         if (fourcc == "hvc1") {
-          // minimal HEVCDecoderConfigurationRecord (14496-15
-          // §8.3.3.1): version 1, profile_space0|tier|profile_idc,
-          // 32 compat bits, 48 constraint bits, general_level_idc,
-          // the reserved-bits fields, numOfArrays = 0 (HEVC
-          // parameter-set syntax is the declared seam) — here `co`
-          // carries the TIER bit
-          val bb = java.nio.ByteBuffer.allocate(23)
+          // real HEVCDecoderConfigurationRecord (14496-15 §8.3.3.1):
+          // version 1, profile_space0|tier|profile_idc, 32 compat
+          // bits, 48 constraint bits, general_level_idc, the
+          // reserved-bits fields, then (r15) TWO parameter-set
+          // arrays — one real SPS (true display dims via the
+          // conformance window off the CB-aligned coded grid) and
+          // one real PPS (parallelism identity: wavefront for odd
+          // levels, tiles for levels ≡ 0 mod 6 — data-derived, both
+          // paths exercised); `co` carries the TIER bit
+          val sps = H265.encodeSps(pr, co & 1, lv, cw, chh,
+            wh._1, wh._2)
+          val pps = H265.encodePps(wpp = lv % 2 == 1,
+            tiles = lv % 2 == 0 && lv % 3 == 0)
+          val bb = java.nio.ByteBuffer.allocate(23 + 2 * 5 +
+            sps.length + pps.length)
           bb.put(1.toByte)
           bb.put((((co & 1) << 5) | (pr & 0x1F)).toByte)
-          bb.putInt(0x60000000)    // compat: main-profile bit style
+          // compat: the stream's own profile bit (flag[pr] from MSB)
+          bb.putInt(if (pr <= 31) 1 << (31 - pr) else 0)
           (0 until 6).foreach(_ => bb.put(0.toByte)) // constraints
           bb.put(lv.toByte)
           bb.putShort(0xF000.toShort) // min_spatial_segmentation
@@ -681,7 +746,11 @@ object Mp4 {
           bb.put(0xF8.toByte)         // bitDepthChroma 8
           bb.putShort(0)              // avgFrameRate
           bb.put(3.toByte)            // lengthSizeMinusOne = 3
-          bb.put(0.toByte)            // numOfArrays
+          bb.put(2.toByte)            // numOfArrays: SPS + PPS
+          bb.put((0x80 | H265.NalSps).toByte) // array_completeness|type
+          bb.putShort(1).putShort(sps.length.toShort).put(sps)
+          bb.put((0x80 | H265.NalPps).toByte)
+          bb.putShort(1).putShort(pps.length.toShort).put(pps)
           boxOf("hvcC", bb.array())
         } else {
           // real AVCDecoderConfigurationRecord (14496-15 §5.3.3.1):
@@ -691,14 +760,21 @@ object Mp4 {
           // (CABAC for every profile above Baseline — the x264 rule)
           val sps = H264.encodeSps(pr, lv, wh._1, wh._2, constraints = co)
           val pps = H264.encodePps(cabac = pr != 66)
+          // 14496-15 §5.3.3.1: profiles 100/110/122/144 MUST append
+          // the chroma/bit-depth extension (mirrors encodeSps's
+          // high-profile branch: 4:2:0, 8-bit) + numSPSExt = 0
+          val ext = if (Set(100, 110, 122, 144)(pr))
+            Array((0xFC | 1).toByte, 0xF8.toByte, 0xF8.toByte, 0.toByte)
+          else Array.emptyByteArray
           val bb = java.nio.ByteBuffer.allocate(6 + 2 + sps.length +
-            1 + 2 + pps.length)
+            1 + 2 + pps.length + ext.length)
           bb.put(1.toByte).put(pr.toByte).put(co.toByte).put(lv.toByte)
           bb.put(0xFF.toByte) // reserved | lengthSizeMinusOne = 3
           bb.put(0xE1.toByte) // reserved | numSPS = 1
           bb.putShort(sps.length.toShort).put(sps)
           bb.put(1.toByte)    // numPPS = 1
           bb.putShort(pps.length.toShort).put(pps)
+          bb.put(ext)
           boxOf("avcC", bb.array())
         }
       }.getOrElse(Array.emptyByteArray)
@@ -864,11 +940,15 @@ object Mp4 {
             e.cabac.map(c => if (c) 1L else 0L),
             e.spsW.map(w2 => if (w2 == dw.toInt &&
               e.spsH.contains(dh.toInt)) 1L else 0L),
-            e.tier.map(_.toLong)))
+            e.tier.map(_.toLong),
+            // r15: HEVC PPS parallelism identity (1/0/null longs)
+            e.wpp.map(b => if (b) 1L else 0L),
+            e.tiles.map(b => if (b) 1L else 0L)))
       }
     }.toDF("name", "format", "display_w", "display_h", "coded_w",
       "coded_h", "profile", "compat", "level", "dim_mismatch",
-      "sps_w", "sps_h", "cabac", "sps_matches_display", "tier")
+      "sps_w", "sps_h", "cabac", "sps_matches_display", "tier",
+      "wpp", "tiles")
       .orderBy(col("name"), col("format"))
   }
 

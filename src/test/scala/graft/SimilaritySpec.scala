@@ -92,6 +92,62 @@ class SimilaritySpec extends SparkSpec {
       "and the probe's in-corpus source")
   }
 
+  test("nearestCells: NaN keys order LAST (the array_sort contract the kernel replaced)") {
+    import graft.expressions.VectorColumns
+    import spark.implicits._
+    // a NaN centroid element makes cell 0's distance NaN: it must
+    // sort behind every finite key, not sit unshiftable at the front
+    val cents = Array(Array(Double.NaN, 0.0), Array(10.0, 10.0),
+      Array(0.1, 0.1))
+    val v = Seq((1L, Seq(0.0, 0.0))).toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb").cast("array<double>").as("emb"))
+    val cells = v.select(VectorColumns.nearestCells(col("emb"), cents, 3)
+        .getField("b").as("cells"))
+      .collect()(0).getSeq[Int](0)
+    assert(cells === Seq(2, 1, 0), "NaN distance lands last")
+    // a NaN EMBEDDING element NaNs every key: assignment degrades to
+    // deterministic scan order instead of diverging by insert path
+    val vn = Seq((2L, Seq(Double.NaN, 0.0))).toDF("vec_id", "emb")
+      .select(col("vec_id"), col("emb").cast("array<double>").as("emb"))
+    val cellsN = vn.select(VectorColumns.nearestCells(col("emb"), cents, 3)
+        .getField("b").as("cells"))
+      .collect()(0).getSeq[Int](0)
+    assert(cellsN === Seq(0, 1, 2), "all-NaN keys keep scan order")
+  }
+
+  test("embedding_contamination, param-FILE shape: a parquet probe table round-trips through the loader") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // persist the fixture-derived probe set (RAW embeddings — the
+    // loader applies the 1e-6 quantization itself) as the external
+    // benchmark table, then drive the screen through the file loader
+    val probes = embs.keys.toSeq
+      .filter(_ % Similarity.SemContamMod == Similarity.SemContamRem)
+      .sorted.take(Similarity.SemContamProbes)
+    val path = java.nio.file.Files
+      .createTempDirectory("semcontam_params").toString + "/probes.parquet"
+    probes.map(p => (p, embs(p).toSeq)).toDF("eval_id", "embedding")
+      .write.parquet(path)
+    val fromFile = Similarity
+      .embeddingContaminationFromParams(spark, sf, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    val fixture = SparkEntry.queries("embedding_contamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(fromFile.toSeq === fixture.toSeq,
+      "file-loaded probe table reproduces the fixture screen")
+    // the cap refuses by name, not silently
+    val bigPath = java.nio.file.Files
+      .createTempDirectory("semcontam_big").toString + "/probes.parquet"
+    (0 to Similarity.MaxExternalProbes).map(i =>
+        (i.toLong, Seq.fill(4)(0.1))).toDF("eval_id", "embedding")
+      .write.parquet(bigPath)
+    val e = intercept[IllegalArgumentException](
+      Similarity.embeddingContaminationFromParams(spark, sf, bigPath))
+    assert(e.getMessage.contains("MaxExternalProbes"))
+  }
+
   test("ann_topk_bruteforce: exact top-10 for every probe vs Scala recomputation") {
     val got = SparkEntry.queries("ann_topk_bruteforce")(spark, sf).collect()
       .groupBy(_.getLong(0))

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the span censuses' FREQUENCY-SPLIT SALT at an
+  * arbitrary SF dir, with a PLANTED hot gram: a licence blurb is
+  * prepended twice to every 10th document (so one gram family
+  * carries ~10% of all docs — the skew the salt exists for, at a
+  * count that clears the 65536-occurrence hotness threshold at
+  * sf≥10). Three timed variants of `dedup_repeated_spans`:
+  *
+  *   clean     — the unmodified corpus (no hot gram), default split
+  *   hot/split — planted corpus, frequency-split salt (shipped plan)
+  *   hot/none  — planted corpus, salt disabled (hotMin = MaxValue):
+  *               the counterfactual a skew-blind plan would run
+  *
+  * plus a row-count cross-check that split and unsalted agree
+  * exactly on the planted corpus (the spec proves byte-equality at
+  * unit scale; this proves it holds at bench scale). Timing
+  * attribution for BENCH_NOTES, not a shipped lane.
+  * Usage: sbt "Test/runMain graft.SpanScale /tmp/sf10" */
+object SpanScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.TextOps
+
+    val blurb = "all rights reserved under the applicable licence terms " +
+      "of this distribution and its accompanying documentation"
+    val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("doc_id"), TextOps.normalized(col("text")).as("norm"))
+      .localCheckpoint()
+    val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit(s"$blurb $blurb "), col("norm")))
+          .otherwise(col("norm")).as("norm"))
+      .localCheckpoint()
+    val nDocs = docs.count()
+    val nHot = planted.filter(col("doc_id") % 10 === 0).count()
+    println(s"[spanscale] $dir docs=$nDocs planted=$nHot " +
+      s"blurbOcc=${2 * nHot} hotThreshold=${TextOps.SpanHotMinOcc}")
+
+    def time(label: String, f: () => DataFrame): Double = {
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        f().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = ts.min
+      println(f"[spanscale] $label%-12s best $best%.2f s  runs ${ts.map(t => f"$t%.2f").mkString(" ")}")
+      best
+    }
+    // warm-up on the clean corpus
+    TextOps.dedupRepeatedSpansOf(docs)
+      .write.mode("overwrite").format("noop").save()
+    time("clean", () => TextOps.dedupRepeatedSpansOf(docs))
+    time("hot/split", () => TextOps.dedupRepeatedSpansOf(planted))
+    time("hot/none", () =>
+      TextOps.dedupRepeatedSpansOf(planted, hotMin = Long.MaxValue))
+    // exactness at scale: the split plan and the unsalted plan agree
+    val a = TextOps.dedupRepeatedSpansOf(planted)
+      .agg(count(lit(1)), sum(col("n_spans")), sum(col("covered_tokens")),
+        max(col("longest_span"))).collect()(0)
+    val b = TextOps.dedupRepeatedSpansOf(planted, hotMin = Long.MaxValue)
+      .agg(count(lit(1)), sum(col("n_spans")), sum(col("covered_tokens")),
+        max(col("longest_span"))).collect()(0)
+    println(s"[spanscale] split=$a unsalted=$b agree=${a == b}")
+    require(a == b, "split plan diverged from the unsalted census")
+    spark.stop()
+  }
+}

@@ -109,6 +109,28 @@ class TextOpsSpec extends SparkSpec {
     assert(rows === Map(1L -> ((1L, false)), 3L -> ((1L, false))))
   }
 
+  test("corpus_contamination, param-FILE shape: a parquet probe table round-trips through the loader") {
+    import spark.implicits._
+    // persist the fixture-derived probe set as the external param
+    // table a production run would ship, then drive the screen
+    // through the file loader — results must equal the fixture query
+    val evalSet = docs.collect { case (id, text, _)
+      if id % TextOps.ContamEvalMod == TextOps.ContamEvalRem =>
+      val toks = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+      id -> (if (toks.length >= 18)
+        Some(toks.slice(10, 18).mkString(" ")) else None)
+    }.collect { case (id, Some(g)) => (id, g) }
+    val path = java.nio.file.Files
+      .createTempDirectory("contam_params").toString + "/probes.parquet"
+    evalSet.toSeq.toDF("eval_id", "gram").write.parquet(path)
+    val fromFile = TextOps.corpusContaminationFromParams(spark, sf, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val fixture = SparkEntry.queries("corpus_contamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(fromFile.toSeq === fixture.toSeq,
+      "file-loaded probe table reproduces the fixture screen")
+  }
+
   test("boilerplate_ngrams: cross-doc span rule recomputed; fractions exact; short docs report zero grams") {
     val positions = docs.map { case (id, text, _) => id -> grams8(text) }
     val byGram = positions.flatMap { case (id, gs) => gs.map(_ -> id) }
@@ -221,12 +243,22 @@ class TextOpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     // a licence blurb opens a third of the corpus — its grams carry
     // a large share of ALL positions, the skew shape the salted
-    // joins (TextOps.SpanSaltK) exist for
+    // joins (TextOps.SpanSaltK) exist for. With hotMin = 10 the
+    // blurb grams (occ 40, n_docs 20) take the SALTED lane while two
+    // planted low-frequency repeats take the COLD unsalted lane:
+    // "quiet" (2 docs — repeated-span cold, below BoilerplateMinDocs)
+    // and "trio" (3 docs — boilerplate cold), so every branch of the
+    // frequency split carries rows.
     val blurb = "all rights reserved under the applicable license terms"
-    val synth = (0 until 60).map { i =>
+    val quiet = (0 until 12).map(k => s"quiet$k").mkString(" ")
+    val trio = (0 until 12).map(k => s"trio$k").mkString(" ")
+    val base = (0 until 60).map { i =>
       val filler = (0 until 24).map(k => s"w${i}x$k").mkString(" ")
       (i.toLong, if (i % 3 == 0) s"$blurb $filler $blurb" else filler)
     }
+    val synth = base ++
+      Seq(100L, 101L).map(id => (id, s"pre$id a b $quiet post$id")) ++
+      Seq(200L, 201L, 202L).map(id => (id, s"pre$id c d $trio post$id"))
     val docsDf = synth.toDF("doc_id", "norm")
     // brute-force twin of dedupRepeatedSpansOf
     val positions = synth.map { case (id, t) => id -> grams8(t) }
@@ -243,28 +275,41 @@ class TextOpsSpec extends SparkSpec {
       id -> ((spans.size.toLong, spans.map(_.toLong).sum,
         if (spans.isEmpty) 0L else spans.max.toLong))
     }.toMap
-    val gotSpans = TextOps.dedupRepeatedSpansOf(docsDf).collect()
-      .map(r => r.getLong(0) ->
+    // split active (hotMin 10): blurb grams salted, quiet grams cold
+    val gotSpans = TextOps.dedupRepeatedSpansOf(docsDf, hotMin = 10)
+      .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(gotSpans === expectSpans, "hot gram changes nothing")
-    assert(expectSpans.values.count(_._1 > 0) === 20,
-      "the plant is hot: a third of the corpus repeats")
+    assert(expectSpans.values.count(_._1 > 0) === 25,
+      "both lanes carry: 20 hot blurb docs + 2 quiet + 3 trio docs")
+    assert(gotSpans(100L)._1 > 0 && gotSpans(200L)._1 > 0,
+      "the cold lane produced the low-frequency repeats")
+    // default threshold (everything cold) must agree exactly
+    val gotDefault = TextOps.dedupRepeatedSpansOf(docsDf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotDefault === expectSpans, "default hotMin identical")
     // brute-force twin of boilerplateNgramsOf
     val byGram = positions.flatMap { case (id, gs) => gs.map(_ -> id) }
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
     val boilSet = byGram.filter(_._2 >= TextOps.BoilerplateMinDocs).keySet
     assert(boilSet.nonEmpty)
-    val gotBoiler = TextOps.boilerplateNgramsOf(docsDf).collect()
+    assert(byGram.exists { case (g, n) =>
+      n >= TextOps.BoilerplateMinDocs && n < 10 },
+      "a cold boilerplate gram exists (trio)")
+    val gotBoiler = TextOps.boilerplateNgramsOf(docsDf, hotMin = 10)
+      .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     positions.foreach { case (id, gs) =>
       assert(gotBoiler(id) ===
         ((gs.size.toLong, gs.count(boilSet.contains).toLong)),
         s"doc $id boiler counts")
     }
+    assert(gotBoiler(200L)._2 > 0, "cold boilerplate lane produced")
     // the salt key is actually in the plan (both lanes)
-    assert(TextOps.dedupRepeatedSpansOf(docsDf)
+    assert(TextOps.dedupRepeatedSpansOf(docsDf, hotMin = 10)
       .queryExecution.executedPlan.toString.contains("salt"))
-    assert(TextOps.boilerplateNgramsOf(docsDf)
+    assert(TextOps.boilerplateNgramsOf(docsDf, hotMin = 10)
       .queryExecution.executedPlan.toString.contains("salt"))
   }
 
