@@ -21,7 +21,9 @@ package graft.sources
   * blocks via lz4-java, snappy via snappy-java, zlib via
   * `java.util.zip`, zstd via zstd-jni — only blosclz (c-blosc's
   * bespoke LZ77) has no JVM implementation and quarantines as
-  * `blosclz_unsupported`, as do bit-shuffle and unknown codecs. The
+  * `blosclz_unsupported`, as do unknown codecs; bit-shuffle (flag
+  * bit2) decodes since r15 — it is algorithmically defined, no
+  * vendor tables (see [[bitUnshuffle]]). The
   * encoder twin writes the same container (split and non-split) so
   * hand-built fixtures round-trip through both paths.
   */
@@ -56,13 +58,14 @@ object Blosc {
       System.arraycopy(bytes, 16, out, 0, nbytes.toInt)
       return Right(out)
     }
-    if ((flags & 0x04) != 0) return Left("bitshuffle_unsupported")
     if (blocksize <= 0 || blocksize > MaxBytes)
       return Left("blosc_bad_blocksize")
     val codec = (flags >> 5) & 0x07
     if (codec == 0) return Left("blosclz_unsupported")
     if (codec > 4) return Left("blosc_unknown_codec")
+    val bitShuf = (flags & 0x04) != 0
     val shuffle = (flags & 0x01) != 0 && typesize > 1
+    if (bitShuf && shuffle) return Left("blosc_bad_flags") // exclusive modes
     val dontSplit = (flags & 0x10) != 0
     val nBlocks = ((nbytes + blocksize - 1) / blocksize).toInt
     if (16 + 4L * nBlocks > bytes.length) return Left("blosc_truncated")
@@ -121,7 +124,8 @@ object Blosc {
         s += 1
       }
       val dst = (b.toLong * blocksize).toInt
-      if (shuffle) unshuffle(block, thisBlock, typesize, out, dst)
+      if (bitShuf) bitUnshuffle(block, thisBlock, typesize, out, dst)
+      else if (shuffle) unshuffle(block, thisBlock, typesize, out, dst)
       else System.arraycopy(block, 0, out, dst, thisBlock)
       b += 1
     }
@@ -145,6 +149,106 @@ object Blosc {
     }
     var k = nel * typesize
     while (k < n) { dst(off + k) = src(k); k += 1 }
+  }
+
+  /** The bitshuffle 8×8 bit-matrix transpose (bitshuffle's
+    * TRANS_BIT_8X8 / Hacker's Delight §7-3): the 64-bit word holds
+    * row i in byte i, and the swap network exchanges 1-, 2- and
+    * 4-bit sub-blocks across the diagonal. A true transpose, so the
+    * SAME function serves encode and decode. */
+  private def transBit8x8(x0: Long): Long = {
+    var x = x0
+    var t = (x ^ (x >>> 7)) & 0x00AA00AA00AA00AAL
+    x = x ^ t ^ (t << 7)
+    t = (x ^ (x >>> 14)) & 0x0000CCCC0000CCCCL
+    x = x ^ t ^ (t << 14)
+    t = (x ^ (x >>> 28)) & 0x00000000F0F0F0F0L
+    x = x ^ t ^ (t << 28)
+    x
+  }
+
+  /** BIT-SHUFFLE inverse over one block — the numcodecs/c-blosc
+    * `shuffle=2` transform (the bitshuffle library's
+    * `bshuf_trans_bit_elem`, algorithmically DEFINED, no code
+    * tables): forward = byte-lane transpose (exactly [[shuffle]])
+    * then, over the lane buffer, an 8×8 bit transpose per 8-byte
+    * group with the 8 result bytes scattered one per bit-row
+    * (`out[g + k·nbyte/8]` = bit-plane k of group g). Only the
+    * largest prefix of `8·typesize`-aligned elements transforms; the
+    * leftover bytes ride verbatim — c-blosc's own rule
+    * (`shuffle.c: size -= size % 8` + leftover memcpy). Decode
+    * inverts the two stages in reverse order; the bit stage reuses
+    * the transpose (an involution). */
+  private def bitUnshuffle(src: Array[Byte], n: Int, typesize: Int,
+      dst: Array[Byte], off: Int): Unit = {
+    val nel = (n / typesize) & ~7 // multiple of 8 elements
+    val nb = nel * typesize
+    if (nb > 0) {
+      val nbr = nb / 8 // bytes per bit-row
+      val tmp = new Array[Byte](nb)
+      var g = 0
+      while (g < nbr) {
+        var x = 0L
+        var k = 0
+        while (k < 8) { x |= (src(g + k * nbr) & 0xFFL) << (8 * k); k += 1 }
+        val y = transBit8x8(x)
+        var j = 0
+        while (j < 8) {
+          tmp(8 * g + j) = ((y >>> (8 * j)) & 0xFF).toByte
+          j += 1
+        }
+        g += 1
+      }
+      // invert the byte-lane transpose
+      var j = 0
+      while (j < typesize) {
+        var i = 0
+        while (i < nel) {
+          dst(off + i * typesize + j) = tmp(j * nel + i)
+          i += 1
+        }
+        j += 1
+      }
+    }
+    var k = nb
+    while (k < n) { dst(off + k) = src(k); k += 1 }
+  }
+
+  /** BIT-SHUFFLE forward (encoder twin of [[bitUnshuffle]]). */
+  private def bitShuffleBytes(src: Array[Byte], srcOff: Int, n: Int,
+      typesize: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    val nel = (n / typesize) & ~7
+    val nb = nel * typesize
+    if (nb > 0) {
+      val tmp = new Array[Byte](nb)
+      var j = 0
+      while (j < typesize) {
+        var i = 0
+        while (i < nel) {
+          tmp(j * nel + i) = src(srcOff + i * typesize + j)
+          i += 1
+        }
+        j += 1
+      }
+      val nbr = nb / 8
+      var g = 0
+      while (g < nbr) {
+        var x = 0L
+        var i = 0
+        while (i < 8) { x |= (tmp(8 * g + i) & 0xFFL) << (8 * i); i += 1 }
+        val y = transBit8x8(x)
+        var k = 0
+        while (k < 8) {
+          out(g + k * nbr) = ((y >>> (8 * k)) & 0xFF).toByte
+          k += 1
+        }
+        g += 1
+      }
+    }
+    var k = nb
+    while (k < n) { out(k) = src(srcOff + k); k += 1 }
+    out
   }
 
   private def shuffle(src: Array[Byte], srcOff: Int, n: Int,
@@ -172,7 +276,8 @@ object Blosc {
     * like c-blosc ≥ 1.11. Incompressible inputs fall back to the
     * pure-memcpy flag like the original. */
   private[graft] def compress(raw: Array[Byte], typesize: Int,
-      doShuffle: Boolean, cname: String, blocksize0: Int = 0): Array[Byte] = {
+      doShuffle: Boolean, cname: String, blocksize0: Int = 0,
+      bitShuffle: Boolean = false): Array[Byte] = {
     val codec = cname match {
       case "lz4" => 1; case "snappy" => 2; case "zlib" => 3
       case "zstd" => 4
@@ -188,7 +293,7 @@ object Blosc {
     val nBlocks = math.max(1, (raw.length + blocksize - 1) / blocksize)
     val splitOk = codec == 1 && typesize > 1 && typesize <= MaxSplits &&
       blocksize / typesize >= MinBufferSize
-    val shuf = doShuffle && typesize > 1
+    val shuf = doShuffle && typesize > 1 && !bitShuffle
     val body = new java.io.ByteArrayOutputStream()
     val bstarts = new Array[Int](nBlocks)
     def putI32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
@@ -227,7 +332,8 @@ object Blosc {
       val thisBlock = math.min(blocksize, raw.length - off)
       val leftover = thisBlock != blocksize
       val block =
-        if (shuf) shuffle(raw, off, thisBlock, typesize)
+        if (bitShuffle) bitShuffleBytes(raw, off, thisBlock, typesize)
+        else if (shuf) shuffle(raw, off, thisBlock, typesize)
         else java.util.Arrays.copyOfRange(raw, off, off + thisBlock)
       val nSplits = if (splitOk && !leftover) typesize else 1
       val neblock = thisBlock / nSplits
@@ -243,8 +349,8 @@ object Blosc {
       }
       b += 1
     }
-    val flags = (if (shuf) 0x01 else 0) | (if (splitOk) 0 else 0x10) |
-      (codec << 5)
+    val flags = (if (shuf) 0x01 else 0) | (if (bitShuffle) 0x04 else 0) |
+      (if (splitOk) 0 else 0x10) | (codec << 5)
     val total = 16 + 4 * nBlocks + body.size()
     if (total - 16 >= raw.length) { // incompressible → pure memcpy
       val out = java.nio.ByteBuffer.allocate(16 + raw.length)

@@ -413,13 +413,20 @@ object Zarr {
           leHex4(col("v")).as("h")))),
         x => x.getField("h"))).as("datahex"))
       .select(concat(lit("precip/"), col("ci"), lit("."), col("cj"))
-        .as("path"), unhex(col("datahex")).as("content"))
+        .as("path"), unhex(col("datahex")).as("content"),
+        ((col("ci") + col("cj")) % 2 === 1).as("bitshuf"))
     // the compression seam: numcodecs blosc (the to_zarr DEFAULT)
-    // over the assembled bytes — byte-shuffled lz4 at the <i4
-    // typesize, exactly what xarray writes out of the box
-    val deflated = packed.as[(String, Array[Byte])].map { case (p, b) =>
-      (p, Blosc.compress(b, typesize = 4, doShuffle = true, "lz4"))
-    }.toDF("path", "content")
+    // over the assembled bytes at the <i4 typesize — chunks on the
+    // even lattice diagonal byte-shuffled lz4 (what xarray writes
+    // out of the box), the odd diagonal BIT-shuffled (r15:
+    // numcodecs Blosc(shuffle=BITSHUFFLE), the HDF5-community
+    // default for numeric data) — both self-describing postures
+    // decode through the same gate
+    val deflated = packed.as[(String, Array[Byte], Boolean)]
+      .map { case (p, b, bit) =>
+        (p, Blosc.compress(b, typesize = 4, doShuffle = !bit, "lz4",
+          bitShuffle = bit))
+      }.toDF("path", "content")
     // one materialization of the rendered store; the metadata parse,
     // the chunk decode and the coordinate readers all reuse it (a
     // production store reads from object storage — no recompute)
