@@ -486,21 +486,89 @@ object Hdf5 {
     val nTiny = r.u64(fhAddr + 102)
     if (nHuge != 0 || nTiny != 0)
       return Left("huge_or_tiny_heap_objects_unsupported")
+    val tableWidth = r.u16(fhAddr + 110)
+    val startBlock = r.u64(fhAddr + 112)
+    val maxDirect = r.u64(fhAddr + 120)
     val maxHeapBits = r.u16(fhAddr + 128)
     val rootAddr = r.u64(fhAddr + 132)
     val currRows = r.u16(fhAddr + 140)
-    if (currRows != 0) // root is an INDIRECT block: the group outgrew
-      return Left("indirect_fractal_heap_unsupported")
     if (isUndef(rootAddr)) return Left("empty_fractal_heap")
     val offSize = (maxHeapBits + 7) / 8
     val lenSize = idLen - 1 - offSize
     if (lenSize < 1 || lenSize > 8) return Left("bad_heap_id_length")
-    // --- root direct block (block offset 0: a managed object's heap
-    // offset IS its offset inside this block's buffer) ---
-    if (r.ascii(rootAddr, 4) != "FHDB") return Left("bad_heap_direct_block")
-    if (r.u8(rootAddr + 4) != 0)
-      return Left("unsupported_heap_block_version")
-    if (r.u64(rootAddr + 5) != fhAddr) return Left("bad_heap_back_pointer")
+    if (tableWidth <= 0 || startBlock <= 0 || maxDirect < startBlock ||
+        java.lang.Long.bitCount(startBlock) != 1 ||
+        java.lang.Long.bitCount(maxDirect) != 1)
+      return Left("bad_heap_doubling_table")
+    // --- locate every DIRECT block as (heap offset, file address,
+    // size). currRows == 0: the root IS a direct block at heap
+    // offset 0 (sized startBlock). currRows > 0 (r15): the root is
+    // an INDIRECT block ('FHIB') — the group outgrew one block —
+    // whose child rows follow the doubling-table geometry: rows 0-1
+    // at startBlock, row k ≥ 2 at startBlock·2^(k-1), tableWidth
+    // blocks per row, heap offsets assigned by the SLOT grid whether
+    // or not a slot is allocated. Rows past the max-direct-size rung
+    // would hold nested indirect blocks (multi-GB heap space) —
+    // quarantined by name. ---
+    case class DBlk(heapOff: Long, addr: Long, size: Long)
+    val maxDirectRows = log2gen(maxDirect) - log2gen(startBlock) + 2
+    val blocks: IndexedSeq[DBlk] =
+      if (currRows == 0) IndexedSeq(DBlk(0L, rootAddr, startBlock))
+      else {
+        if (r.ascii(rootAddr, 4) != "FHIB")
+          return Left("bad_heap_indirect_block")
+        if (r.u8(rootAddr + 4) != 0)
+          return Left("unsupported_heap_block_version")
+        if (r.u64(rootAddr + 5) != fhAddr)
+          return Left("bad_heap_back_pointer")
+        if (currRows > maxDirectRows)
+          return Left("nested_indirect_heap_unsupported")
+        val out = IndexedSeq.newBuilder[DBlk]
+        var heapOff = 0L
+        var p = rootAddr + 13 + offSize // sig+ver+backptr+blockOffset
+        var row = 0
+        while (row < currRows) {
+          val rowSize = if (row < 2) startBlock else startBlock << (row - 1)
+          var colI = 0
+          while (colI < tableWidth) {
+            val a = r.u64(p); p += 8
+            if (!isUndef(a) && a != 0) out += DBlk(heapOff, a, rowSize)
+            heapOff += rowSize
+            colI += 1
+          }
+          row += 1
+        }
+        out.result()
+      }
+    // every allocated direct block: signature, version, back pointer
+    // AND its stored block-offset field must equal the slot-grid
+    // offset (a misplaced block cannot pass silently)
+    blocks.foreach { blk =>
+      if (r.ascii(blk.addr, 4) != "FHDB")
+        return Left("bad_heap_direct_block")
+      if (r.u8(blk.addr + 4) != 0)
+        return Left("unsupported_heap_block_version")
+      if (r.u64(blk.addr + 5) != fhAddr)
+        return Left("bad_heap_back_pointer")
+      var storedOff = 0L; var k = 0
+      while (k < offSize) {
+        storedOff |= r.u8(blk.addr + 13 + k).toLong << (8 * k); k += 1
+      }
+      if (storedOff != blk.heapOff) return Left("bad_heap_block_offset")
+    }
+    if (blocks.isEmpty) return Left("empty_fractal_heap")
+    // a managed object's heap offset → file address via its block
+    def heapToFile(off: Long): Either[String, Long] = {
+      var lo = 0; var hi = blocks.size - 1
+      while (lo < hi) { // blocks are heap-offset sorted by build
+        val mid = (lo + hi + 1) / 2
+        if (blocks(mid).heapOff <= off) lo = mid else hi = mid - 1
+      }
+      val b = blocks(lo)
+      if (off >= b.heapOff && off < b.heapOff + b.size)
+        Right(b.addr + (off - b.heapOff))
+      else Left("heap_offset_out_of_range")
+    }
     // --- name-index v2 B-tree ---
     if (btAddr == 0 || isUndef(btAddr)) return Left("missing_name_index")
     val (recSize, recAt) = btree2Records(r, btAddr, wantType = 5) match {
@@ -522,7 +590,10 @@ object Hdf5 {
         len |= r.u8(idB + 1 + offSize + k).toLong << (8 * k); k += 1
       }
       if (len <= 0) return Left("bad_heap_object_length")
-      linkMessage(r, rootAddr + off) match {
+      val fileAt = heapToFile(off) match {
+        case Left(e) => return Left(e); case Right(a) => a
+      }
+      linkMessage(r, fileAt) match {
         case Left(e) => return Left(e)
         case Right((name, oh)) =>
           val nb = name.getBytes("US-ASCII")
@@ -1251,7 +1322,8 @@ object Hdf5 {
     * header bytes (and therefore checksums) are final at emit
     * time. */
   private[graft] def encodeH5V2(datasets: Seq[H5Enc],
-      denseGroup: Boolean = false): Array[Byte] = {
+      denseGroup: Boolean = false,
+      denseSpill: Boolean = false): Array[Byte] = {
     require(datasets.nonEmpty)
     require(denseGroup || datasets.size <= 8,
       "compact links: 8 is libhdf5's default dense threshold")
@@ -1370,7 +1442,7 @@ object Hdf5 {
     val rootMsgs = Seq.newBuilder[(Int, Array[Byte])]
     if (denseGroup) {
       val (fhAddr, btAddr) = writeDenseGroup(w,
-        datasets.map(d => d.name -> linkBody(d)))
+        datasets.map(d => d.name -> linkBody(d)), spill = denseSpill)
       val li = new Wr
       li.u8(0).u8(0).u64(fhAddr).u64(btAddr)
       rootMsgs += ((0x02, li.out.toByteArray))
@@ -1576,23 +1648,67 @@ object Hdf5 {
     * metadata cache serializes it. Returns (heap header address,
     * name-index header address) for the Link Info message. */
   private def writeDenseGroup(w: Wr,
-      links: Seq[(String, Array[Byte])]): (Long, Long) = {
+      links: Seq[(String, Array[Byte])],
+      spill: Boolean = false): (Long, Long) = {
     val offSize = 4 // 32-bit heap address space
     val lenSize = 2 // min(enc(64K max direct), enc(4096 max managed))
     val idLen = 1 + offSize + lenSize
     val dbHdr = 4 + 1 + 8 + offSize + 4 // sig+ver+backptr+off+checksum
-    var cur = dbHdr
-    val heapOff = links.map { case (n, b) =>
-      val o = cur; cur += b.length; (n, b, o)
+    val width = 4
+    // --- placement: single root DIRECT block sized to fit (the
+    // libhdf5 shape for modest groups), or — spill mode (r15) — a
+    // fixed 512-byte starting block with the doubling-table slot
+    // grid, so the heap genuinely spans multiple direct blocks under
+    // a root INDIRECT block (rows 0-1 at 512, row k ≥ 2 at
+    // 512·2^(k-1), 4 slots per row) ---
+    def slotSize(slot: Int): Long = {
+      val row = slot / width
+      if (row < 2) 512L else 512L << (row - 1)
     }
-    require(cur <= 65536, "dense fixture outgrew one direct block")
-    val blockSize = math.max(512,
-      java.lang.Integer.highestOneBit(cur - 1) * 2)
-    // FRHP is 146 fixed bytes from an 8-aligned address → the root
-    // direct block lands at +152, known before either block is built
+    // (name, bytes, global heap offset, slot index)
+    val placed = Vector.newBuilder[(String, Array[Byte], Long, Int)]
+    var slot = 0
+    var slotStart = 0L // heap offset of the current slot
+    var used = dbHdr.toLong
+    if (spill) {
+      links.foreach { case (n, b) =>
+        require(b.length + dbHdr <= slotSize(slot), s"oversized link $n")
+        if (used + b.length > slotSize(slot)) {
+          slotStart += slotSize(slot); slot += 1; used = dbHdr.toLong
+          require(b.length + dbHdr <= slotSize(slot), s"oversized link $n")
+        }
+        placed += ((n, b, slotStart + used, slot))
+        used += b.length
+      }
+    } else {
+      links.foreach { case (n, b) =>
+        placed += ((n, b, used, 0)); used += b.length
+      }
+      require(used <= 65536, "dense fixture outgrew one direct block")
+    }
+    val heapOff = placed.result()
+    val nSlots = slot + 1
+    val nRows = (nSlots + width - 1) / width
+    val singleBlockSize =
+      if (spill) 512
+      else math.max(512, java.lang.Integer.highestOneBit(used.toInt - 1) * 2)
+    val startBlock = if (spill) 512L else singleBlockSize.toLong
+    val totalSlotSpace = (0 until nRows * width).map(slotSize).sum
+    // layout: FRHP (146 bytes, 8-padded → +152), then the root block
+    // (direct, or FHIB followed by each allocated direct block)
     w.pad(8)
     val fhAddr = w.pos.toLong
-    val dblk = fhAddr + 152
+    val rootBlk = fhAddr + 152
+    def pad8(v: Long): Long = (v + 7) & ~7L
+    val fhibSize = 13 + offSize + nRows * width * 8 + 4
+    // file address of each allocated slot's direct block
+    val slotAddr = new Array[Long](nSlots)
+    if (spill) {
+      var a = pad8(rootBlk + fhibSize)
+      (0 until nSlots).foreach { s =>
+        slotAddr(s) = a; a = pad8(a + slotSize(s))
+      }
+    } else slotAddr(0) = rootBlk
     val hb = new Wr
     hb.ascii("FRHP").u8(0)
     hb.u16(idLen).u16(0) // no I/O filters
@@ -1602,36 +1718,68 @@ object Hdf5 {
     hb.u64(Undef)        // huge v2 btree
     hb.u64(0)            // free space
     hb.u64(Undef)        // free space manager
-    hb.u64(blockSize.toLong) // managed space
-    hb.u64(blockSize.toLong) // allocated managed space
-    hb.u64(cur.toLong)   // direct block iterator offset
+    hb.u64(if (spill) totalSlotSpace else startBlock) // managed space
+    hb.u64(if (spill) totalSlotSpace else startBlock) // allocated
+    hb.u64(slotStart + used) // direct block iterator offset
     hb.u64(links.size.toLong) // managed objects
     hb.u64(0).u64(0).u64(0).u64(0) // huge/tiny sizes and counts
-    hb.u16(4)            // table width
-    hb.u64(blockSize.toLong) // starting block size
+    hb.u16(width)        // table width
+    hb.u64(startBlock)   // starting block size
     hb.u64(65536L)       // max direct block size
     hb.u16(32)           // max heap size (bits)
     hb.u16(1)            // starting rows in root indirect block
-    hb.u64(dblk)         // root block address (the direct block)
-    hb.u16(0)            // current rows: 0 = root is DIRECT
+    hb.u64(rootBlk)      // root block address
+    hb.u16(if (spill) nRows else 0) // 0 = root is DIRECT
     hb.u32(lookup3(hb.out.toByteArray, 0, hb.pos, 0).toLong & 0xFFFFFFFFL)
     w.bytes(hb.out.toByteArray)
     w.pad(8)
-    require(w.pos == dblk, "direct block address drifted")
-    val blk = new Array[Byte](blockSize)
-    val bw = new Wr
-    bw.ascii("FHDB").u8(0).u64(fhAddr)
-    (0 until offSize).foreach(_ => bw.u8(0)) // block offset 0
-    bw.u32(0L) // checksum placeholder (computed with field zeroed)
-    val hdrBytes = bw.out.toByteArray
-    System.arraycopy(hdrBytes, 0, blk, 0, hdrBytes.length)
-    heapOff.foreach { case (_, b, o) =>
-      System.arraycopy(b, 0, blk, o, b.length) }
-    val ck = lookup3(blk, 0, blockSize, 0)
-    (0 until 4).foreach(i => blk(17 + i) = ((ck >> (8 * i)) & 0xFF).toByte)
-    w.bytes(blk)
+    require(w.pos == rootBlk, "root block address drifted")
+    def directBlockImage(s: Int, objs: Seq[(Array[Byte], Long)],
+        heapOffset: Long, size: Int): Array[Byte] = {
+      val blk = new Array[Byte](size)
+      val bw = new Wr
+      bw.ascii("FHDB").u8(0).u64(fhAddr)
+      var k = 0
+      while (k < offSize) { // stored block offset (heap space)
+        bw.u8(((heapOffset >> (8 * k)) & 0xFF).toInt); k += 1
+      }
+      bw.u32(0L) // checksum placeholder (computed with field zeroed)
+      val hdrBytes = bw.out.toByteArray
+      System.arraycopy(hdrBytes, 0, blk, 0, hdrBytes.length)
+      objs.foreach { case (b, globalOff) =>
+        System.arraycopy(b, 0, blk, (globalOff - heapOffset).toInt, b.length)
+      }
+      val ck = lookup3(blk, 0, size, 0)
+      (0 until 4).foreach(i =>
+        blk(13 + offSize + i) = ((ck >> (8 * i)) & 0xFF).toByte)
+      blk
+    }
+    if (spill) {
+      // root FHIB: child addresses row-major, Undef for empty slots,
+      // trailing checksum over the preceding image
+      val iw = new Wr
+      iw.ascii("FHIB").u8(0).u64(fhAddr)
+      (0 until offSize).foreach(_ => iw.u8(0)) // block offset 0
+      (0 until nRows * width).foreach { s =>
+        iw.u64(if (s < nSlots) slotAddr(s) else Undef)
+      }
+      iw.u32(lookup3(iw.out.toByteArray, 0, iw.pos, 0).toLong & 0xFFFFFFFFL)
+      w.bytes(iw.out.toByteArray)
+      var heapOffset = 0L
+      (0 until nSlots).foreach { s =>
+        w.pad(8)
+        require(w.pos == slotAddr(s), s"direct block $s drifted")
+        val objs = heapOff.filter(_._4 == s)
+          .map { case (_, b, o, _) => (b, o) }
+        w.bytes(directBlockImage(s, objs, heapOffset, slotSize(s).toInt))
+        heapOffset += slotSize(s)
+      }
+    } else {
+      w.bytes(directBlockImage(0,
+        heapOff.map { case (_, b, o, _) => (b, o) }, 0L, singleBlockSize))
+    }
     // --- name-index v2 B-tree: BTLF leaf first, BTHD header after ---
-    val recs = heapOff.map { case (n, b, o) =>
+    val recs = heapOff.map { case (n, b, o, _) =>
       val nb = n.getBytes("US-ASCII")
       (lookup3(nb, 0, nb.length, 0).toLong & 0xFFFFFFFFL, o, b.length)
     }.sortBy(_._1)

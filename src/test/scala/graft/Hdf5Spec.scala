@@ -416,10 +416,12 @@ class Hdf5Spec extends SparkSpec {
     assert(nameAt > 0)
     val lying = f.clone; lying(nameAt + 5) = '9'.toByte
     assert(reason(lying) === "bad_link_name_hash")
-    // narrowed quarantines: an INDIRECT root (curr rows != 0), a
+    // narrowed quarantines: a LYING curr-rows field (claims an
+    // indirect root over a direct block — r15 decodes real indirect
+    // roots, so the lie now trips the FHIB signature check), a
     // filtered heap, huge objects, a deeper B-tree
     val indirect = f.clone; indirect(frhp + 140) = 2
-    assert(reason(indirect) === "indirect_fractal_heap_unsupported")
+    assert(reason(indirect) === "bad_heap_indirect_block")
     val filtered = f.clone; filtered(frhp + 7) = 8
     assert(reason(filtered) === "filtered_fractal_heap_unsupported")
     val huge = f.clone; huge(frhp + 86) = 1
@@ -431,6 +433,58 @@ class Hdf5Spec extends SparkSpec {
     assert(sigAt(small, "FRHP") === -1)
     assert(Hdf5.decodeH5(small).toOption.get.map(_.name) ===
       Seq("var_00", "var_01", "var_02"))
+  }
+
+  test("hdf5 fractal-heap SPILL: root INDIRECT block walk across doubling rows, per-block offset integrity, nested quarantine") {
+    // 160 long-named links ≈ 6+ KB of link bodies: past 8 slots of
+    // the 512-byte rows 0-1 into the 1024-byte row 2 — a wide-link
+    // group of the shape libhdf5 writes past the root-block capacity
+    val enc = (0 until 160).map { i =>
+      Hdf5.H5Enc(f"spill_var_$i%03d_padpadpadpad", Seq(2), "f8",
+        Array(i * 2.0, i * 2.0 + 1))
+    }
+    val f = Hdf5.encodeH5V2(enc, denseGroup = true, denseSpill = true)
+    def sigAt(b: Array[Byte], s: String, from: Int = 0): Int =
+      (from until b.length).indexWhere(i =>
+        i + 4 <= b.length && new String(b, i, 4, "US-ASCII") == s) match {
+        case -1 => -1; case k => from + k
+      }
+    // structure: one FHIB root, MULTIPLE direct blocks
+    val fhib = sigAt(f, "FHIB")
+    assert(fhib > 0, "root indirect block present")
+    var nDirect = 0
+    var at = sigAt(f, "FHDB")
+    while (at > 0) { nDirect += 1; at = sigAt(f, "FHDB", at + 4) }
+    assert(nDirect > 8, s"spans past rows 0-1 (got $nDirect blocks)")
+    val frhp = sigAt(f, "FRHP")
+    def u16(b: Array[Byte], p: Int) =
+      (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+    assert(u16(f, frhp + 140) === 3, "three doubling rows declared")
+    // round trip: every link resolves through the indirect walk
+    val got = Hdf5.decodeH5(f).toOption.get
+    assert(got.map(_.name) === enc.map(_.name))
+    got.zipWithIndex.foreach { case (d, i) =>
+      assert(d.values.toSeq === Seq(i * 2.0, i * 2.0 + 1), d.name)
+    }
+    def reason(b: Array[Byte]): String = Hdf5.decodeH5(b).left.toOption.get
+    // a direct block whose stored heap offset disagrees with its
+    // slot-grid position refuses by name (byte 13: offSize-4 LE)
+    val secondDb = sigAt(f, "FHDB", sigAt(f, "FHDB") + 4)
+    val misplaced = f.clone; misplaced(secondDb + 13) = 7
+    assert(reason(misplaced) === "bad_heap_block_offset")
+    // rows past the max-direct-size rung would be NESTED indirect
+    // blocks — quarantined by name (maxDirectRows = 16-9+2 = 9)
+    val nested = f.clone; nested(frhp + 140) = 10
+    assert(reason(nested) === "nested_indirect_heap_unsupported")
+    // a corrupt doubling table refuses by name
+    val badTable = f.clone; badTable(frhp + 112) = 3 // 512 → 515
+    assert(reason(badTable) === "bad_heap_doubling_table")
+    // name-hash integrity still holds through the indirect walk
+    val nameAt = f.indices.indexWhere(i =>
+      new String(f, i, 13, "US-ASCII") == "spill_var_100")
+    assert(nameAt > 0)
+    val lying = f.clone; lying(nameAt + 11) = '7'.toByte
+    assert(reason(lying) === "bad_link_name_hash")
   }
 
   test("grid_h5_decode: end-to-end lane — CF unpack, all four datasets across both format families, every cell") {
