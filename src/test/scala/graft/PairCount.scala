@@ -1,0 +1,18 @@
+package graft
+
+/** One-off attribution probe for BENCH_NOTES r15: the OUTPUT row
+  * count of `dedup_embedding_lsh` at a given SF dir — the number
+  * that decides whether the lane's sf10 runtime is output-driven.
+  * Usage: sbt "Test/runMain graft.PairCount /tmp/sf1 /tmp/sf10" */
+object PairCount {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { dir =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries("dedup_embedding_lsh")(spark, dir).count()
+      println(f"[paircount] $dir pairs=$n%,d in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    spark.stop()
+  }
+}

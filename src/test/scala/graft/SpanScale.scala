@@ -23,24 +23,37 @@ import org.apache.spark.sql.functions._
 object SpanScale {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val everyN = args.lift(1).map(_.toInt).getOrElse(10)
+    val times = args.lift(2).map(_.toInt).getOrElse(2)
     val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
     import graft.operators.TextOps
 
-    val blurb = "all rights reserved under the applicable licence terms " +
-      "of this distribution and its accompanying documentation"
+    // mode "multi" (default): a 16-token licence blurb — its 16
+    // rotations make 16 distinct hot grams (skew spreads across 16
+    // hash buckets). mode "single": one REPEATED token, so every
+    // window is THE SAME 8-gram — all of its mass hashes to one
+    // shuffle partition, the single-straggler shape the salt exists
+    // for.
+    val mode = args.lift(3).getOrElse("multi")
+    val blurb =
+      if (mode == "single") Seq.fill(16)("licenceterm").mkString(" ")
+      else "all rights reserved under the applicable licence terms " +
+        "of this distribution and its accompanying documentation"
     val docs = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), TextOps.normalized(col("text")).as("norm"))
       .localCheckpoint()
+    val plant = Seq.fill(times)(blurb).mkString(" ")
     val planted = docs.select(col("doc_id"),
-        when(col("doc_id") % 10 === 0,
-          concat(lit(s"$blurb $blurb "), col("norm")))
+        when(col("doc_id") % everyN === 0,
+          concat(lit(s"$plant "), col("norm")))
           .otherwise(col("norm")).as("norm"))
       .localCheckpoint()
     val nDocs = docs.count()
-    val nHot = planted.filter(col("doc_id") % 10 === 0).count()
+    val nHot = planted.filter(col("doc_id") % everyN === 0).count()
     println(s"[spanscale] $dir docs=$nDocs planted=$nHot " +
-      s"blurbOcc=${2 * nHot} hotThreshold=${TextOps.SpanHotMinOcc}")
+      s"blurbOcc=${times.toLong * nHot} " +
+      s"hotThreshold=${TextOps.SpanHotMinOcc}")
 
     def time(label: String, f: () => DataFrame): Double = {
       val ts = (1 to 2).map { _ =>
