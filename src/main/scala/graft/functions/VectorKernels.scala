@@ -74,18 +74,18 @@ object VectorKernels {
       val len = math.min(n, m.length)
       var d0 = 0.0; var i = 0
       while (i < len) { d0 += emb.getDouble(i) * m(i); i += 1 }
-      val dq = math.floor((cc(c) - 2.0 * d0) * 1e6 + 0.5) / 1e6
-      // NaN keys (a NaN element in the embedding or a centroid) sort
-      // LAST — the array_sort ordering this kernel replaced; without
-      // the map a NaN incumbent is never displaced (every `<` is
-      // false) and the insertion order diverges from the oracle
-      val d = if (java.lang.Double.isNaN(dq)) Double.PositiveInfinity
-        else dq
+      val d = math.floor((cc(c) - 2.0 * d0) * 1e6 + 0.5) / 1e6
+      // Ordering is Spark's nan-safe double compare — the array_sort
+      // ordering this kernel replaced: NaN sorts strictly AFTER
+      // +Infinity (not tied with it — a genuine +Inf key is reachable
+      // via overflow in cc(c) − 2·d0) and NaN == NaN, so a NaN key
+      // inserts after its equals like any other. A plain `<` would
+      // never displace a NaN incumbent (every comparison false).
       // cells scan in ascending b, so an equal key never displaces
       // (the incumbent's b is smaller) and inserts after its equals
-      if (size < k || d < keys(size - 1)) {
+      if (size < k || nanSafeLt(d, keys(size - 1))) {
         var pos = 0
-        while (pos < size && !(d < keys(pos))) pos += 1
+        while (pos < size && !nanSafeLt(d, keys(pos))) pos += 1
         val last = math.min(size, k - 1)
         var j = last
         while (j > pos) { keys(j) = keys(j - 1); kb(j) = kb(j - 1); j -= 1 }
@@ -97,6 +97,14 @@ object VectorKernels {
     new GenericArrayData((0 until size).map(j =>
       new GenericInternalRow(Array[Any](keys(j), kb(j)))).toArray[Any])
   }
+
+  /** `a < b` under Spark SQL's double ordering (NaN greater than
+    * everything including +Infinity, NaN equal to NaN) — the
+    * ordering `array_sort` applies, kept so the kernel's result is
+    * term-for-term the formulation it replaced. */
+  private def nanSafeLt(a: Double, b: Double): Boolean =
+    if (java.lang.Double.isNaN(a)) false
+    else java.lang.Double.isNaN(b) || a < b
 
   /** Plain dot product (used by the LSH hyperplane signatures). */
   def dot(a: ArrayData, b: ArrayData): Double = {

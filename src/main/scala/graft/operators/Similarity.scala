@@ -436,6 +436,13 @@ object Similarity {
       s"probe table exceeds MaxExternalProbes=$MaxExternalProbes — " +
         "benchmark embedding tables broadcast; shard the screen by " +
         "benchmark instead of loading one oversized table")
+    // malformed rows refuse BY NAME like the cap and schema casts —
+    // getLong/getSeq on a null otherwise surface as a raw NPE
+    probes.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "null_probe_row: param table rows need non-null eval_id " +
+          "and embedding")
+    }
     embeddingContaminationOf(v,
       probes.map(_.getLong(0)),
       probes.map(_.getSeq[Double](1).toArray))

@@ -170,27 +170,38 @@ object Blosc {
   /** BIT-SHUFFLE inverse over one block — the numcodecs/c-blosc
     * `shuffle=2` transform (the bitshuffle library's
     * `bshuf_trans_bit_elem`, algorithmically DEFINED, no code
-    * tables): forward = byte-lane transpose (exactly [[shuffle]])
-    * then, over the lane buffer, an 8×8 bit transpose per 8-byte
-    * group with the 8 result bytes scattered one per bit-row
-    * (`out[g + k·nbyte/8]` = bit-plane k of group g). Only the
-    * largest prefix of `8·typesize`-aligned elements transforms; the
-    * leftover bytes ride verbatim — c-blosc's own rule
-    * (`shuffle.c: size -= size % 8` + leftover memcpy). Decode
-    * inverts the two stages in reverse order; the bit stage reuses
-    * the transpose (an involution). */
+    * tables). Forward is THREE stages (bitshuffle_core.c's
+    * trans_byte_elem → trans_bit_byte → trans_bitrow_eight):
+    * (1) byte-lane transpose (exactly [[shuffle]]); (2) over the
+    * lane buffer, an 8×8 bit transpose per 8-byte group, bit-plane k
+    * of group g landing at chunk `(k·typesize + lane(g))` of the
+    * plane-major intermediate; (3) trans_bitrow_eight regroups the
+    * `nel/8`-byte chunks LANE-MAJOR — chunk `(k·typesize + j)` moves
+    * to `(j·8 + k)`, so each byte lane's 8 bit-rows end up
+    * contiguous. Stages 2+3 fuse here into one scatter: group
+    * `g = j·(nel/8) + r` writes its plane-k byte at
+    * `(j·8 + k)·(nel/8) + r`. Only the largest prefix of 8-aligned
+    * elements transforms; the leftover bytes ride verbatim —
+    * c-blosc's own rule (`shuffle.c: size -= size % 8` + leftover
+    * memcpy). Decode inverts the stages in reverse order; the bit
+    * stage reuses the transpose (an involution). */
   private def bitUnshuffle(src: Array[Byte], n: Int, typesize: Int,
       dst: Array[Byte], off: Int): Unit = {
     val nel = (n / typesize) & ~7 // multiple of 8 elements
     val nb = nel * typesize
     if (nb > 0) {
-      val nbr = nb / 8 // bytes per bit-row
+      val gpl = nel / 8 // 8-byte groups per lane = bytes per bit-row chunk
       val tmp = new Array[Byte](nb)
       var g = 0
-      while (g < nbr) {
+      while (g < nb / 8) {
+        val lane = g / gpl
+        val r = g % gpl
         var x = 0L
         var k = 0
-        while (k < 8) { x |= (src(g + k * nbr) & 0xFFL) << (8 * k); k += 1 }
+        while (k < 8) {
+          x |= (src((lane * 8 + k) * gpl + r) & 0xFFL) << (8 * k)
+          k += 1
+        }
         val y = transBit8x8(x)
         var j = 0
         while (j < 8) {
@@ -231,16 +242,18 @@ object Blosc {
         }
         j += 1
       }
-      val nbr = nb / 8
+      val gpl = nel / 8
       var g = 0
-      while (g < nbr) {
+      while (g < nb / 8) {
+        val lane = g / gpl
+        val r = g % gpl
         var x = 0L
         var i = 0
         while (i < 8) { x |= (tmp(8 * g + i) & 0xFFL) << (8 * i); i += 1 }
         val y = transBit8x8(x)
         var k = 0
         while (k < 8) {
-          out(g + k * nbr) = ((y >>> (8 * k)) & 0xFF).toByte
+          out((lane * 8 + k) * gpl + r) = ((y >>> (8 * k)) & 0xFF).toByte
           k += 1
         }
         g += 1

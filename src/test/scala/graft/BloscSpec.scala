@@ -131,15 +131,74 @@ class BloscSpec extends org.scalatest.funsuite.AnyFunSuite {
     val ident = Array.tabulate[Byte](8)(j => (1 << j).toByte)
     assert(Blosc.decompress(handContainer(ident.clone))
       .toOption.get.toSeq === ident.toSeq)
-    // typesize 2 hand vector: 8 elements of (lo = i-th bit set in
-    // element i, hi = 0xFF) — lane layout puts lo bytes first, so
-    // plane k of the lo lane sits at byte 2k, the hi lane (all bits
-    // set) contributes 0xFF at every odd byte
+    // typesize>1 hand vectors pin the CROSS-IMPLEMENTATION layout
+    // (bitshuffle_core.c's three stages end LANE-MAJOR: byte lane
+    // j's eight bit-row chunks of nel/8 bytes sit contiguous at
+    // chunk (j*8 + k)), not just our own round trip. Stored-raw
+    // hand containers are independent of our encoder.
+    def handContainerN(planes: Array[Byte], typesize: Int): Array[Byte] = {
+      val n = planes.length
+      val b = java.nio.ByteBuffer.allocate(16 + 4 + 4 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte).put(1.toByte)
+        .put((0x04 | 0x10 | (3 << 5)).toByte).put(typesize.toByte)
+      b.putInt(n).putInt(n).putInt(24 + n) // nbytes, blocksize, cbytes
+      b.putInt(20)                         // bstarts[0]
+      b.putInt(n)                          // csize == neblock → stored
+      b.put(planes)
+      b.array()
+    }
+    // typesize 2, 8 elements of (lo = 1<<i, hi = 0xFF): lane0 is the
+    // identity bit matrix (plane k = 1<<k), lane1 all-ones (plane k
+    // = 0xFF). Lane-major final layout = lane0's 8 planes then
+    // lane1's — NOT the plane-interleaved [1,FF,2,FF,…] a two-stage
+    // (trans_bitrow_eight-less) transform would produce.
     val raw2 = Array.tabulate[Byte](16)(p =>
       if (p % 2 == 0) (1 << (p / 2)).toByte else 0xFF.toByte)
+    val shuf2 = Array.tabulate[Byte](16)(p =>
+      if (p < 8) (1 << p).toByte else 0xFF.toByte)
+    assert(Blosc.decompress(handContainerN(shuf2.clone, 2))
+      .toOption.get.toSeq === raw2.toSeq,
+      "typesize-2 lane-major bitshuffle layout (published 3-stage form)")
     val c2 = Blosc.compress(raw2, typesize = 2, doShuffle = false,
       "zlib", bitShuffle = true)
     assert(Blosc.decompress(c2).toOption.get.toSeq === raw2.toSeq)
+    // typesize 4, 8 elements (1<<i, 0xFF, 0x00, i odd ? 0xFF : 0):
+    // four lanes → identity planes, 0xFF×8, 0×8, 0xAA×8 (bit k of
+    // byte m = [m odd] → Σ_{m odd} 1<<m = 0xAA), in lane order
+    val raw4 = Array.tabulate[Byte](32) { p =>
+      val i = p / 4
+      (p % 4) match {
+        case 0 => (1 << i).toByte
+        case 1 => 0xFF.toByte
+        case 2 => 0.toByte
+        case _ => if (i % 2 == 1) 0xFF.toByte else 0.toByte
+      }
+    }
+    val shuf4 = Array.tabulate[Byte](32) { q =>
+      val lane = q / 8; val k = q % 8
+      lane match {
+        case 0 => (1 << k).toByte
+        case 1 => 0xFF.toByte
+        case 2 => 0.toByte
+        case _ => 0xAA.toByte
+      }
+    }
+    assert(Blosc.decompress(handContainerN(shuf4.clone, 4))
+      .toOption.get.toSeq === raw4.toSeq,
+      "typesize-4 lane-major bitshuffle layout")
+    // gpl > 1 (16 elements, typesize 2): each lane's bit-row chunk
+    // is TWO bytes (one per 8-element group) — plane k of lane 0
+    // sits at bytes [2k, 2k+1] = [group0 plane, group1 plane]
+    val raw16 = Array.tabulate[Byte](32)(p =>
+      if (p % 2 == 1) 0.toByte
+      else if (p / 2 < 8) (1 << (p / 2)).toByte else 0xFF.toByte)
+    val shuf16 = Array.tabulate[Byte](32)(q =>
+      if (q >= 16) 0.toByte
+      else if (q % 2 == 0) (1 << (q / 2)).toByte else 0xFF.toByte)
+    assert(Blosc.decompress(handContainerN(shuf16.clone, 2))
+      .toOption.get.toSeq === raw16.toSeq,
+      "two-group bit-row chunks interleave per lane (gpl=2)")
     // full battery: every codec × typesize × size (incl. non-multiple
     // -of-8 element counts → verbatim leftovers) round-trips
     for (cname <- Seq("lz4", "snappy", "zlib", "zstd");

@@ -113,6 +113,17 @@ class SimilaritySpec extends SparkSpec {
         .getField("b").as("cells"))
       .collect()(0).getSeq[Int](0)
     assert(cellsN === Seq(0, 1, 2), "all-NaN keys keep scan order")
+    // NaN and a GENUINE +Infinity key coexisting (overflow in
+    // cc − 2·dot makes +Inf reachable): Spark's double ordering puts
+    // NaN strictly AFTER +Infinity — they must not tie
+    val centsInf = Array(Array(Double.NaN, 0.0), Array(1e200, 0.0),
+      Array(0.1, 0.1))
+    val cellsInf = v.select(
+        VectorColumns.nearestCells(col("emb"), centsInf, 3)
+          .getField("b").as("cells"))
+      .collect()(0).getSeq[Int](0)
+    assert(cellsInf === Seq(2, 1, 0),
+      "NaN sorts after +Infinity, never ties with it")
   }
 
   test("embedding_contamination, param-FILE shape: a parquet probe table round-trips through the loader") {
@@ -146,6 +157,16 @@ class SimilaritySpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Similarity.embeddingContaminationFromParams(spark, sf, bigPath))
     assert(e.getMessage.contains("MaxExternalProbes"))
+    // a malformed table (null eval_id or embedding) refuses BY NAME
+    // like the cap — not a raw NPE out of getLong/getSeq
+    val nullPath = java.nio.file.Files
+      .createTempDirectory("semcontam_null").toString + "/probes.parquet"
+    Seq((Some(1L), Some(Seq(0.1, 0.2))), (None, Some(Seq(0.3, 0.4))),
+        (Some(3L), None))
+      .toDF("eval_id", "embedding").write.parquet(nullPath)
+    val en = intercept[IllegalArgumentException](
+      Similarity.embeddingContaminationFromParams(spark, sf, nullPath))
+    assert(en.getMessage.contains("null_probe_row"))
   }
 
   test("ann_topk_bruteforce: exact top-10 for every probe vs Scala recomputation") {
