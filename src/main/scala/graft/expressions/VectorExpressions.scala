@@ -116,6 +116,34 @@ case class NearestCellsExpr(child: Expression, cc: Array[Double],
   override def prettyName: String = "nearest_cells"
 }
 
+/** Packed hyperplane LSH signature against a PLAN-REFERENCED plane
+  * matrix — the structural fix for the pairs lane's 16-bit width
+  * ceiling, the same seam [[NearestCellsExpr]] opened for nlist: the
+  * literal formulation (`Σ when(dot(emb, array(64 lits)) >= 0,
+  * 1<<k)`) carries an O(bits·dim) literal tree PER TABLE, which is
+  * why `pairsBits` capped at 16 (4 tables × 16 bits × 64 dims ≈ 4k
+  * literals was the plan-size comfort line); here the planes ride
+  * one reference object serialized once per stage and each row pays
+  * one compiled fused loop. Semantics are term-for-term the literal
+  * tree's ([[graft.functions.VectorKernels.hyperplaneSig]]), so
+  * signatures, buckets and oracles are unchanged — the width now
+  * follows the n/2^bits ≤ 32 occupancy law unbounded (Int-packed,
+  * bits ≤ 30). */
+case class HyperplaneSigExpr(child: Expression,
+    planes: Array[Array[Double]]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(emb: Any): Any =
+    VectorKernels.hyperplaneSig(emb.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    defineCodeGen(ctx, ev, e =>
+      s"graft.functions.VectorKernels.hyperplaneSig($e, $planesRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "hyperplane_sig"
+}
+
 /** Centered projection y = W·(x − μ) against a plan-referenced
   * matrix — the APPLY step of any driver-fitted linear transform
   * (PCA whitening here; an OPQ rotation would ride the same seam).
@@ -201,6 +229,8 @@ object VectorColumns {
       ColumnBridge.expression(selfId.cast("long")), ids, mat, k))
   def matVec(emb: Column, mu: Array[Double], w: Array[Array[Double]]): Column =
     ColumnBridge.column(MatVecExpr(e(emb), mu, w))
+  def hyperplaneSig(emb: Column, planes: Array[Array[Double]]): Column =
+    ColumnBridge.column(HyperplaneSigExpr(e(emb), planes))
   /** nprobe nearest IVF cells as array<struct<d,b>> — cc (the Σc²
     * terms) is derived here with the exact driver-side fold the
     * literal formulation used, so scores match bit-for-bit. */

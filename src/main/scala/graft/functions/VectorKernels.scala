@@ -115,6 +115,32 @@ object VectorKernels {
     s
   }
 
+  /** Packed hyperplane sign signature against a PLAN-REFERENCED
+    * plane matrix (bits × dim): bit k set when `dot(emb, planes(k))
+    * ≥ 0`. TERM-FOR-TERM the literal formulation it replaces
+    * (`Σ when(dot(emb, array(lit…)) >= 0, 1<<k)`): each dot
+    * accumulates in [[dot]]'s index order over min(lengths), and the
+    * sign test mirrors Spark SQL's nan-safe `>=` (NaN compares
+    * greater than everything, so a NaN dot SETS the bit — exactly
+    * what `GreaterThanOrEqual`'s nanSafeCompareDoubles codegen did).
+    * Bit-OR accumulation equals the integer sum (disjoint powers of
+    * two), so signatures, buckets and oracles are unchanged. */
+  def hyperplaneSig(emb: ArrayData, planes: Array[Array[Double]]): Int = {
+    val n0 = emb.numElements()
+    var sig = 0
+    var bit = 0
+    while (bit < planes.length) {
+      val p = planes(bit)
+      val n = math.min(n0, p.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { d += emb.getDouble(i) * p(i); i += 1 }
+      if (d >= 0 || java.lang.Double.isNaN(d)) sig |= (1 << bit)
+      bit += 1
+    }
+    sig
+  }
+
   /** Centered matrix-vector product: y_k = Σ_i w(k)(i)·(x_i − μ_i),
     * rows of `w` evaluated left-to-right (deterministic fold). The
     * projection kernel of [[graft.expressions.MatVecExpr]] — the

@@ -1392,13 +1392,18 @@ object Similarity {
   private[graft] def corpusCount(spark: SparkSession, dir: String): Long =
     countCache.getOrElseUpdate(dir, vecs(spark, dir).count())
 
-  /** Adaptive bits for the pairs lane: smallest width ≥ 6 (≤ 16)
-    * with n / 2^bits ≤ [[PairsTargetOcc]]. n ≤ 2048 → 6 (the fixed
-    * width the top-k lane uses), so small-SF outputs are unchanged;
-    * at 10× data the width widens and the lane stays linear. */
+  /** Adaptive bits for the pairs lane: smallest width ≥ 6 with
+    * n / 2^bits ≤ [[PairsTargetOcc]]. n ≤ 2048 → 6 (the fixed width
+    * the top-k lane uses), so small-SF outputs are unchanged; at 10×
+    * data the width widens and the lane stays linear. The former 16
+    * cap (the literal-tree plan-size bound — mean occupancy measured
+    * 61 vs the 32 target at 4M vectors, r15) is LIFTED: the
+    * signature is a compiled plan-referenced kernel now, so the
+    * occupancy law holds to the Int-packing limit of 30 bits
+    * (34 G vectors at occupancy 32 — past any single-corpus size). */
   private[graft] def pairsBits(n: Long): Int = {
     var b = BitsPerTable
-    while (b < 16 && (n >> b) > PairsTargetOcc) b += 1
+    while (b < 30 && (n >> b) > PairsTargetOcc) b += 1
     b
   }
 
@@ -1414,13 +1419,16 @@ object Similarity {
   }
 
   /** Bucket signature for one table: sign bits of `bits` hyperplane
-    * dot products, packed into an int. */
+    * dot products, packed into an int. The plane matrix rides a PLAN
+    * REFERENCE ([[graft.expressions.HyperplaneSigExpr]] — the
+    * `NearestCellsExpr` pattern), not an O(bits·dim) literal tree,
+    * so the adaptive width is no longer plan-size-bounded; the dots
+    * and nan-safe sign test are term-for-term the literal
+    * formulation, so signatures and oracles are unchanged. */
   private def signature(emb: Column, table: Int, dim: Int,
       bits: Int = BitsPerTable): Column =
-    (0 until bits).map { bit =>
-      val plane = array(hyperplane(table, bit, dim).map(lit).toIndexedSeq: _*)
-      when(VectorColumns.dot(emb, plane) >= 0, lit(1 << bit)).otherwise(lit(0))
-    }.reduce(_ + _)
+    VectorColumns.hyperplaneSig(emb,
+      Array.tabulate(bits)(bit => hyperplane(table, bit, dim)))
 
   /** The pairs lane's bucket table: every vector exploded to
     * `NumTables` (t, sig) memberships at the ADAPTIVE width for this

@@ -126,6 +126,49 @@ class SimilaritySpec extends SparkSpec {
       "NaN sorts after +Infinity, never ties with it")
   }
 
+  test("hyperplaneSig: compiled kernel is term-for-term the literal formulation, past the former 16-bit ceiling") {
+    import graft.expressions.VectorColumns
+    import graft.operators.Similarity
+    import spark.implicits._
+    // 20 bits × 64 dims — a width the literal-tree formulation never
+    // reached (pairsBits capped at 16 because 4 tables × bits × 64
+    // literals bounded the plan). The kernel must reproduce the
+    // EXACT literal semantics: index-order dot accumulation and the
+    // nan-safe >= sign test.
+    val bits = 20
+    val dim = 64
+    val planes = Array.tabulate(bits)(bit => Similarity.hyperplane(2, bit, dim))
+    val rnd = new scala.util.Random(42)
+    val vs = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))).toDF("id", "emb")
+      .select(col("id"), col("emb").cast("array<double>").as("emb"))
+      .localCheckpoint()
+    val literal = (0 until bits).map { bit =>
+      val p = array(planes(bit).map(lit).toIndexedSeq: _*)
+      when(VectorColumns.dot(col("emb"), p) >= 0, lit(1 << bit))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+    val both = vs.select(col("id"),
+        VectorColumns.hyperplaneSig(col("emb"), planes).as("kernel"),
+        literal.as("lit")).collect()
+    both.foreach(r => assert(r.getInt(1) === r.getInt(2),
+      s"signature mismatch at id ${r.getLong(0)}"))
+    // occupancy law now runs past the former cap: n/2^bits ≤ 32
+    assert(Similarity.pairsBits(2048) === 6, "small n keeps fixed width")
+    assert(Similarity.pairsBits(2L * 1024 * 1024) === 16)
+    assert(Similarity.pairsBits(4L * 1000 * 1000) === 17,
+      "4M vectors widen past the former 16-bit ceiling")
+    assert(Similarity.pairsBits(40L * 1000 * 1000) === 21)
+    assert(Similarity.pairsBits(Long.MaxValue) === 30, "Int-packing limit")
+    (6 to 29).foreach { b =>
+      val n = (32L << b)
+      assert(Similarity.pairsBits(n) === b,
+        s"law boundary at bits=$b") // n/2^b == 32 exactly → stays
+      assert(Similarity.pairsBits(n + (1L << b)) === b + 1,
+        s"law step at bits=$b")
+    }
+  }
+
   test("embedding_contamination, param-FILE shape: a parquet probe table round-trips through the loader") {
     import graft.operators.Similarity
     import spark.implicits._
