@@ -286,6 +286,7 @@ object SparkEntry {
     "ann_recall_audit_sampled" -> Similarity.annRecallAuditSampled _,
     "ann_matryoshka_audit" -> Similarity.annMatryoshkaAudit _,
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
+    "ann_ivf_two_level"   -> Similarity.annIvfTwoLevel _,
     "ann_nprobe_sweep"    -> Similarity.annNprobeSweep _,
     "ann_nlist_sweep"     -> Similarity.annNlistSweep _,
     "ann_pq_topk"         -> Similarity.annPqTopk _,
@@ -1520,6 +1521,45 @@ object SparkEntry {
       |SELECT probe_id AS vec_id, neighbor_id, rk, cosine
       |FROM r WHERE rk <= 5""".stripMargin
 
+  /** The `ann_ivf_two_level` oracle: literal fitted super and sub
+    * centroids (the distributed-Lloyd's level-1 fit is exact-
+    * arithmetic deterministic, so its output renders like any other
+    * fitted constant); routing replays the kernel's law — top-2
+    * super-cells by 6-dp rounded distance (id tie-break), argmin
+    * over their sub-cells by (6-dp distance, product id) — then the
+    * per-product-cell rollup. */
+  private def twoLevelSql(sup: Array[Array[Double]],
+      subs: Array[Array[Array[Double]]]): String = {
+    val subK = subs(0).length
+    val subRows = subs.flatten.zipWithIndex.map { case (c, pid) =>
+      s"($pid, ${dLit(c.map(x => x * x).sum)}, [${c.map(dLit).mkString(", ")}])"
+    }.mkString(",\n  ")
+    s"""WITH sup(b, ss, c) AS (VALUES
+      |  ${centroidRowsSql(sup)}),
+      |subs(pid, ss, c) AS (VALUES
+      |  $subRows),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |sr AS (
+      |  SELECT vec_id, e, b,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY floor((ss - 2 * list_inner_product(e, c)) * 1e6 + 0.5) / 1e6 ASC,
+      |               b ASC) AS rn
+      |  FROM v, sup),
+      |pr AS (SELECT vec_id, e, b FROM sr
+      |       WHERE rn <= ${graft.operators.Similarity.TwoLevelNprobeSuper}),
+      |cand AS (
+      |  SELECT pr.vec_id, s.pid,
+      |    row_number() OVER (PARTITION BY pr.vec_id
+      |      ORDER BY floor((s.ss - 2 * list_inner_product(pr.e, s.c)) * 1e6 + 0.5) / 1e6 ASC,
+      |               s.pid ASC) AS rn
+      |  FROM pr JOIN subs s ON s.pid // $subK = pr.b),
+      |asgn AS (SELECT vec_id, pid FROM cand WHERE rn = 1)
+      |SELECT CAST(pid // $subK AS INTEGER) AS super_cell,
+      |  CAST(pid % $subK AS INTEGER) AS sub_cell,
+      |  count(*) AS n_vectors, min(vec_id) AS min_vec_id
+      |FROM asgn GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** The `ann_pq_topk` oracle: literal fitted codebooks (M=8 × 16 of
     * dim 8, each with its precomputed |c|²); encode = per-subspace
     * rounded argmin, ADC = Σ_m lut[m][code_m] replayed from the same
@@ -1846,6 +1886,8 @@ object SparkEntry {
         graft.operators.Similarity.corpusCount(s, d))
       Map(
       "ann_ivf_topk"  -> ivfTopkSql(graft.operators.Similarity.ivfCentroids(s, d)),
+      "ann_ivf_two_level" -> (twoLevelSql _).tupled(
+        graft.operators.Similarity.twoLevelCentroids(s, d)),
       "knn_graph_ivf" -> knnGraphIvfSql(graft.operators.Similarity.ivfCentroids(s, d)),
       "ann_pq_topk"   -> pqTopkSql(graft.operators.Similarity.pqCodebooks(s, d)),
       "ann_nprobe_sweep" ->

@@ -116,6 +116,37 @@ case class NearestCellsExpr(child: Expression, cc: Array[Double],
   override def prettyName: String = "nearest_cells"
 }
 
+/** Two-level IVF cell routing against PLAN-REFERENCED super/sub
+  * centroid matrices — the assignment half of the 10⁸⁺ fit posture
+  * (SURVEY row 29h): probe the `nprobeSuper` nearest super-cells
+  * (exactly [[NearestCellsExpr]]'s quantized ranking), argmin over
+  * their sub-cells, return the product cell id. O(superK +
+  * nprobeSuper·subK) dots per row where the flat quantizer pays
+  * O(superK·subK) — at nlist 8192 routed 64×64 with 2 probes, 192
+  * dots instead of 8192. All four constant tables ride reference
+  * objects serialized once per stage. */
+case class TwoLevelCellExpr(child: Expression, sCc: Array[Double],
+    sMat: Array[Array[Double]], subCc: Array[Double],
+    subMat: Array[Array[Double]], subK: Int, nprobeSuper: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(emb: Any): Any =
+    VectorKernels.twoLevelCell(emb.asInstanceOf[ArrayData], sCc, sMat,
+      subCc, subMat, subK, nprobeSuper)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sCcRef = ctx.addReferenceObj("tlSupCc", sCc, "double[]")
+    val sMatRef = ctx.addReferenceObj("tlSupMat", sMat, "double[][]")
+    val subCcRef = ctx.addReferenceObj("tlSubCc", subCc, "double[]")
+    val subMatRef = ctx.addReferenceObj("tlSubMat", subMat, "double[][]")
+    defineCodeGen(ctx, ev, e =>
+      s"graft.functions.VectorKernels.twoLevelCell($e, $sCcRef, $sMatRef, " +
+        s"$subCcRef, $subMatRef, $subK, $nprobeSuper)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "two_level_cell"
+}
+
 /** Packed hyperplane LSH signature against a PLAN-REFERENCED plane
   * matrix — the structural fix for the pairs lane's 16-bit width
   * ceiling, the same seam [[NearestCellsExpr]] opened for nlist: the
@@ -231,6 +262,18 @@ object VectorColumns {
     ColumnBridge.column(MatVecExpr(e(emb), mu, w))
   def hyperplaneSig(emb: Column, planes: Array[Array[Double]]): Column =
     ColumnBridge.column(HyperplaneSigExpr(e(emb), planes))
+  /** Product cell id through the two-level quantizer — sub-centroids
+    * arrive as [superK][subK][dim] and flatten to product-id order;
+    * both ‖c‖² tables are derived with the same driver fold as
+    * [[nearestCells]], so distances match the flat kernel's. */
+  def twoLevelCell(emb: Column, superCents: Array[Array[Double]],
+      subCents: Array[Array[Array[Double]]], nprobeSuper: Int): Column = {
+    val flat = subCents.flatten
+    ColumnBridge.column(TwoLevelCellExpr(e(emb),
+      superCents.map(c => c.map(x => x * x).sum), superCents,
+      flat.map(c => c.map(x => x * x).sum), flat,
+      subCents(0).length, nprobeSuper))
+  }
   /** nprobe nearest IVF cells as array<struct<d,b>> — cc (the Σc²
     * terms) is derived here with the exact driver-side fold the
     * literal formulation used, so scores match bit-for-bit. */

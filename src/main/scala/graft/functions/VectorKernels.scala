@@ -106,6 +106,46 @@ object VectorKernels {
     if (java.lang.Double.isNaN(a)) false
     else java.lang.Double.isNaN(b) || a < b
 
+  /** Two-level IVF routing — the 10⁸⁺ assignment path (probe the
+    * `nprobeSuper` nearest super-cells, argmin over their sub-cells):
+    * one compiled pass per row costing O((superK + nprobeSuper·subK)
+    * ·dim) dots instead of the flat quantizer's O(superK·subK·dim).
+    * Super ranking is EXACTLY [[nearestCells]] (6-dp-quantized
+    * ‖c‖²−2·c·x, id tie-break); the sub argmin scans probed supers in
+    * ascending id so product-cell ties keep the LOWEST pid (strict
+    * nan-safe less-than never displaces an equal incumbent) — the
+    * same (d, id)-lexicographic law, replayable in SQL. `subCc`/
+    * `subMat` are indexed by product id = super·subK + sub. */
+  def twoLevelCell(emb: ArrayData, sCc: Array[Double],
+      sMat: Array[Array[Double]], subCc: Array[Double],
+      subMat: Array[Array[Double]], subK: Int, nprobeSuper: Int): Int = {
+    val ranked = nearestCells(emb, sCc, sMat, nprobeSuper)
+    val np = ranked.numElements()
+    val supers = new Array[Int](np)
+    var j = 0
+    while (j < np) { supers(j) = ranked.getStruct(j, 2).getInt(1); j += 1 }
+    java.util.Arrays.sort(supers)
+    val n = emb.numElements()
+    var bestD = 0.0
+    var bestPid = -1
+    j = 0
+    while (j < np) {
+      var sub = 0
+      while (sub < subK) {
+        val pid = supers(j) * subK + sub
+        val m = subMat(pid)
+        val len = math.min(n, m.length)
+        var d0 = 0.0; var i = 0
+        while (i < len) { d0 += emb.getDouble(i) * m(i); i += 1 }
+        val d = math.floor((subCc(pid) - 2.0 * d0) * 1e6 + 0.5) / 1e6
+        if (bestPid < 0 || nanSafeLt(d, bestD)) { bestD = d; bestPid = pid }
+        sub += 1
+      }
+      j += 1
+    }
+    bestPid
+  }
+
   /** Plain dot product (used by the LSH hyperplane signatures). */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

@@ -116,6 +116,145 @@ object Similarity {
         nlist, iters = 8)
     })
 
+  // ---- two-level coarse quantizer (the 10⁸⁺ fit posture) ----
+
+  /** Distributed-iteration count for the level-1 fit: each iteration
+    * is one broadcast of the centroid matrix + one
+    * [[graft.expressions.NearestCellsExpr]] scan + a cell-keyed
+    * exact mean — the full corpus is touched `iters` times and
+    * NOTHING corpus-sized ever lands on the driver. */
+  private[graft] val TwoLevelIters = 4
+  /** Per-sub-cell fit-sample factor (16·subK rows per super-cell —
+    * the same ≥~16-points-per-cell rule [[ivfCentroids]] uses). */
+  private[graft] val TwoLevelSubSample = 16
+  /** Super-cells probed by the two-level routing. */
+  private[graft] val TwoLevelNprobeSuper = 2
+
+  /** DISTRIBUTED Lloyd's — the level-1 fit of the two-level
+    * quantizer, for corpora where even the 16·nlist driver sample
+    * stops being representative (10⁸⁺ vectors): a driver for-loop
+    * over existing operators, exactly as SURVEY row 29h declares.
+    * Per iteration: assignment is one [[graft.expressions
+    * .NearestCellsExpr]] scan (centroids ride a plan reference —
+    * broadcast-equivalent, zero shuffles), and the new centroid is a
+    * cell-keyed EXACT mean: elements quantize to 1e-6 integer units
+    * FIRST and sum as longs (order-free — a raw double Σ would
+    * depend on partition layout and the fitted constants are
+    * rendered into the DuckDB oracle as literals, so the fit must be
+    * a pure function of the dataset; unit sums stay under 2^53
+    * through ~10⁹ unit-scale elements per cell). The per-(cell, dim)
+    * partial aggregate keeps the shuffle at cells·dims·partitions
+    * rows regardless of corpus size. Empty cells keep their previous
+    * centroid — [[lloyd]]'s rule. */
+  private[graft] def lloydDistributed(v: DataFrame,
+      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    var cents = init
+    var it = 0
+    while (it < iters) {
+      val rows = v.select(
+          VectorColumns.nearestCells(col("emb"), cents, 1)
+            .getItem(0).getField("b").as("cell"),
+          expr("transform(emb, x -> cast(floor(x * 1e6 + 0.5) as bigint))")
+            .as("q"))
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "qv")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val sums = Array.fill(cents.length)(new Array[Long](cents(0).length))
+      val cnts = new Array[Long](cents.length)
+      rows.foreach { r =>
+        sums(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+        cnts(r.getInt(0)) = r.getLong(3)
+      }
+      cents = Array.tabulate(cents.length)(c =>
+        if (cnts(c) == 0L) cents(c)
+        else sums(c).map(s => s.toDouble / cnts(c) / 1e6))
+      it += 1
+    }
+    cents
+  }
+
+  /** TWO-LEVEL coarse quantizer fit (SURVEY row 29h, now built):
+    * [[lloydDistributed]] fits `superK` super-cells over the FULL
+    * corpus, then each super-cell gets a driver-local [[lloyd]]
+    * refit of `subK` sub-cells from its own bounded sample (the
+    * [[TwoLevelSubSample]]·subK lowest vec_ids per cell — a
+    * deterministic per-cell top-k, collected once: superK·16·subK =
+    * 16·nlist rows total, the same driver budget the flat fit
+    * carries). Product = superK·subK cells with every piece bounded;
+    * past-17M corpora raise nlist without the fit ever outgrowing
+    * the driver. An empty super-cell degrades to subK copies of its
+    * super centroid (routing stays total). */
+  private[graft] def fitTwoLevel(v: DataFrame, superK: Int, subK: Int):
+      (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val seed = v.orderBy(col("vec_id")).limit(math.max(4096, 16 * superK))
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    val init = Array.tabulate(superK)(i =>
+      seed(((i.toLong * seed.length) / superK).toInt).clone())
+    val superCents = lloydDistributed(v, init, TwoLevelIters)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("vec_id"))
+    val perCell = v.withColumn("cell",
+        VectorColumns.nearestCells(col("emb"), superCents, 1)
+          .getItem(0).getField("b"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= TwoLevelSubSample * subK)
+      .select(col("cell"), col("vec_id"), col("emb"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (c, rs) =>
+        // re-sort: collect order is partition-dependent and lloyd's
+        // init indexes the sample order
+        (c, rs.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray))
+      }
+    val subs = Array.tabulate(superK) { c =>
+      perCell.get(c) match {
+        case Some(pts) if pts.nonEmpty => lloyd(pts, subK, iters = 8)
+        case _ => Array.fill(subK)(superCents(c).clone())
+      }
+    }
+    (superCents, subs)
+  }
+
+  private val twoLevelFitCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Array[Double]], Array[Array[Array[Double]]])]
+
+  /** Memoized two-level fit at the corpus-adaptive nlist: superK =
+    * smallest power of two with superK² ≥ nlist, subK = nlist/superK
+    * (both powers of two — nlist 16 → 4×4, 1024 → 32×32, 8192 →
+    * 128×64). Memoized for the same reason as [[ivfCentroids]]: the
+    * oracle renderer embeds the EXACT fitted centroids as literal
+    * VALUES. */
+  private[graft] def twoLevelCentroids(spark: SparkSession, dir: String):
+      (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    twoLevelFitCache.getOrElseUpdate(dir, {
+      val nlist = ivfNlist(spark, dir)
+      var superK = 2
+      while (superK * superK < nlist) superK <<= 1
+      fitTwoLevel(vecs(spark, dir), superK, math.max(1, nlist / superK))
+    })
+
+  /** TWO-LEVEL IVF census — the end-to-end exercise of the 10⁸⁺ fit
+    * path: every vector routes through [[graft.expressions
+    * .TwoLevelCellExpr]] (probe [[TwoLevelNprobeSuper]] super-cells,
+    * argmin over their sub-cells — O(superK + 2·subK) dots per row
+    * instead of the flat quantizer's O(nlist)), then one tiny
+    * cell-keyed rollup. 100 TB shape: the corpus is touched once at
+    * scan grain, the shuffle carries ≤ nlist rows per partition. */
+  def annIvfTwoLevel(spark: SparkSession, dir: String): DataFrame = {
+    val (sup, subs) = twoLevelCentroids(spark, dir)
+    val subK = subs(0).length
+    vecs(spark, dir)
+      .withColumn("cell",
+        VectorColumns.twoLevelCell(col("emb"), sup, subs, TwoLevelNprobeSuper))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+      .select((col("cell") / subK).cast("int").as("super_cell"),
+        pmod(col("cell"), lit(subK)).cast("int").as("sub_cell"),
+        col("n_vectors"), col("min_vec_id"))
+      .orderBy(col("super_cell"), col("sub_cell"))
+  }
+
   /** The PQ per-subspace codebooks (M=8 subspaces × ksub=16 centroids
     * of subDim=8), all fit on the one bounded sample. */
   private[graft] def pqCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
@@ -1435,7 +1574,7 @@ object Similarity {
     * corpus size, each row carrying its bucket's occupancy (one
     * window count keyed exactly like the downstream self-join, so the
     * exchange is reused, not repeated). */
-  private def pairBuckets(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def pairBuckets(spark: SparkSession, dir: String): DataFrame =
     pairBucketsOf(vecs(spark, dir), pairsBits(corpusCount(spark, dir)))
 
   private[graft] def pairBucketsOf(v: DataFrame, bits: Int): DataFrame = {

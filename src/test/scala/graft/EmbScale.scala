@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Embeddings-only scale-up for the pairs-lane occupancy evidence
+  * (the full [[ScaleUp]] replicates every table; the signature-width
+  * law only needs a big `embeddings`). Two modes:
+  *
+  *  - `tilt <inDir> <outDir> <factor>` — replicate with ScaleUp's
+  *    exact embedding semantics (vec_id shifted by a decimal offset,
+  *    copies get the ±0.1%·cp deterministic multiplicative tilt), so
+  *    the result has ScaleUp's realistic near-dup cluster structure.
+  *  - `synth <outDir> <n> <dim>` — n deterministic hash-derived
+  *    uniform vectors (murmur3 of id·dim+j → [-1, 1)), the
+  *    clean-corpus control where the n/2^bits occupancy law is exact
+  *    (no duplicate clusters inflating bucket means).
+  *
+  * Usage: `sbt "Test/runMain graft.EmbScale synth /tmp/emb4m 4194304 64"` */
+object EmbScale {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    args(0) match {
+      case "tilt" =>
+        val Array(_, inDir, outDir, factorS) = args
+        val factor = factorS.toInt
+        val src = spark.read.parquet(s"$inDir/embeddings.parquet")
+        val maxKey = src.agg(coalesce(max(col("vec_id").cast("long")), lit(0L)))
+          .collect()(0).getLong(0)
+        var off = 1L
+        while (off <= maxKey) off *= 10
+        val tilted = when(col("cp") === 0, col("embedding")).otherwise(
+          zip_with(col("embedding").cast("array<double>"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, j) => x * (lit(1.0) + lit(0.001) * col("cp")
+              * ((j % 7).cast("double") - 3.0) / 3.0))
+            .cast("array<float>"))
+        src.withColumn("cp", explode(lit((0 until factor).toArray)))
+          .select((col("vec_id") + col("cp") * off).as("vec_id"),
+            tilted.as("embedding"), col("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+        println(s"[embscale] tilt ${factor}x of $inDir -> $outDir")
+      case "synth" =>
+        val Array(_, outDir, nS, dimS) = args
+        val n = nS.toLong
+        val dim = dimS.toInt
+        spark.range(n).select(col("id").as("vec_id"),
+            expr(s"transform(sequence(0, ${dim - 1}), " +
+              "j -> cast(pmod(hash(vec_id * " + dim + " + j), 1000000) " +
+              "as double) / 500000.0 - 1.0)")
+              .cast("array<float>").as("embedding"),
+            pmod(col("id"), lit(10)).cast("int").as("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+        println(s"[embscale] synth n=$n dim=$dim -> $outDir")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Occupancy probe for the pairs lane's adaptive signature width
+  * (BENCH_NOTES r16): at a given SF dir, report corpus size, the
+  * signature width (adaptive `pairsBits`, or a forced width for the
+  * before/after comparison), the MEASURED mean/p99/max per-(table,
+  * signature) bucket occupancy, and the CANDIDATE-PAIR volume the
+  * downstream self-join would see (Σ C(occ, 2) over surviving
+  * buckets + the mass the 200 cap drops) — the term the n/2^bits ≤
+  * 32 law governs. r15 measured mean occupancy 61 at 4M vectors
+  * under the former 16-bit literal-tree cap; with the compiled
+  * plan-referenced signature kernel the width follows the law and
+  * the mean sits back at the target. Optionally times the full
+  * `dedup_embedding_lsh` lane. Usage:
+  * `sbt "Test/runMain graft.SigScale <dir> [lane] [bits=N]"` */
+object SigScale {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args(0)
+    val runLane = args.contains("lane")
+    val forced = args.collectFirst {
+      case a if a.startsWith("bits=") => a.stripPrefix("bits=").toInt }
+
+    val n = graft.operators.Similarity.corpusCount(spark, dir)
+    val adaptive = graft.operators.Similarity.pairsBits(n)
+    val bits = forced.getOrElse(adaptive)
+    println(f"[sigscale] $dir n=$n%,d bits=$bits " +
+      s"(adaptive=$adaptive${if (forced.isDefined) " FORCED" else ""}) " +
+      s"law-target=${graft.operators.Similarity.PairsTargetOcc}")
+
+    val v = graft.Tables.spread(graft.Tables.embeddings(spark, dir),
+        col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cap = graft.operators.Similarity.EmbBucketCap
+    val t0 = System.nanoTime()
+    val occ = graft.operators.Similarity.pairBucketsOf(v, bits)
+      .groupBy(col("t"), col("sig")).agg(count(lit(1)).as("occ"))
+      .agg(avg(col("occ")).as("mean"),
+        expr("percentile_approx(occ, 0.99)").as("p99"),
+        max(col("occ")).as("max"),
+        count(lit(1)).as("buckets"),
+        sum(when(col("occ") <= cap,
+          (col("occ") * (col("occ") - 1) / 2).cast("long"))
+          .otherwise(0L)).as("cands"),
+        sum(when(col("occ") > cap, col("occ")).otherwise(0L)).as("dropped"))
+      .collect()(0)
+    println(f"[sigscale] occupancy mean=${occ.getDouble(0)}%.1f " +
+      f"p99=${occ.getLong(1)} max=${occ.getLong(2)} " +
+      f"buckets=${occ.getLong(3)} candidates=${occ.getLong(4)}%,d " +
+      f"dropped_mass=${occ.getLong(5)}%,d " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    if (runLane) {
+      val t1 = System.nanoTime()
+      val pairs = SparkEntry.queries("dedup_embedding_lsh")(spark, dir).count()
+      println(f"[sigscale] dedup_embedding_lsh pairs=$pairs%,d " +
+        f"in ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    }
+    spark.stop()
+  }
+}

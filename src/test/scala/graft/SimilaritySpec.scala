@@ -126,6 +126,95 @@ class SimilaritySpec extends SparkSpec {
       "NaN sorts after +Infinity, never ties with it")
   }
 
+  test("two-level IVF: distributed Lloyd's matches an exact local replay bit-for-bit; routing and census recompute") {
+    import graft.operators.Similarity
+    import graft.expressions.VectorColumns
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val v = Tables.spread(Tables.embeddings(spark, sf), col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // the exact-arithmetic local twin: assignment = argmin of
+    // (q6(|c|²−2·c·x), id); mean = (Σ 1e-6-unit longs).toDouble /
+    // cnt / 1e6 — the order-free arithmetic the distributed fit is
+    // DEFINED by, so parity is bit-for-bit, not approximate
+    def assign(p: Array[Double], cents: Array[Array[Double]]): Int =
+      cents.zipWithIndex.map { case (c, b) =>
+        val cc = c.map(x => x * x).sum
+        val dot = c.zip(p).map { case (a, x) => a * x }.sum
+        (q6(cc - 2.0 * dot), b)
+      }.minBy(identity)._2
+    def localTwin(init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+      var cents = init
+      for (_ <- 0 until iters) {
+        val dim = cents(0).length
+        val sums = Array.fill(cents.length)(new Array[Long](dim))
+        val cnts = new Array[Long](cents.length)
+        embs.values.foreach { p =>
+          val best = assign(p, cents)
+          cnts(best) += 1
+          var j = 0
+          while (j < dim) {
+            sums(best)(j) += math.floor(p(j) * 1e6 + 0.5).toLong; j += 1
+          }
+        }
+        cents = Array.tabulate(cents.length)(c =>
+          if (cnts(c) == 0L) cents(c)
+          else sums(c).map(s => s.toDouble / cnts(c) / 1e6))
+      }
+      cents
+    }
+    val ids = embs.keys.toSeq.sorted
+    val init = Array.tabulate(4)(i =>
+      embs(ids(((i.toLong * ids.length) / 4).toInt)).clone())
+    val dist = Similarity.lloydDistributed(v, init, iters = 3)
+    val local = localTwin(init, iters = 3)
+    assert(dist.length === local.length)
+    dist.zip(local).zipWithIndex.foreach { case ((d, l), c) =>
+      assert(d.toSeq === l.toSeq, s"centroid $c diverges from the twin")
+    }
+    // two-level routing: kernel == brute-force replay of its law
+    // (top-2 supers by (q6 d, b), argmin over their subs by (d, pid))
+    val (sup, subs) = Similarity.twoLevelCentroids(spark, sf)
+    val subK = subs(0).length
+    def route(p: Array[Double]): Int = {
+      val probed = sup.indices.map { b =>
+        val cc = sup(b).map(x => x * x).sum
+        val dot = sup(b).zip(p).map { case (a, x) => a * x }.sum
+        (q6(cc - 2.0 * dot), b)
+      }.sorted.take(Similarity.TwoLevelNprobeSuper).map(_._2).sorted
+      probed.flatMap { s =>
+        (0 until subK).map { j =>
+          val pid = s * subK + j
+          val c = subs(s)(j)
+          val cc = c.map(x => x * x).sum
+          val dot = c.zip(p).map { case (a, x) => a * x }.sum
+          (q6(cc - 2.0 * dot), pid)
+        }
+      }.minBy(identity)._2
+    }
+    val got = v.select(col("vec_id"),
+        VectorColumns.twoLevelCell(col("emb"), sup, subs,
+          Similarity.TwoLevelNprobeSuper).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got.keySet === embs.keySet)
+    embs.foreach { case (id, p) =>
+      assert(got(id) === route(p), s"vec $id routed off the law")
+    }
+    // census query = the replay's rollup
+    val census = SparkEntry.queries("ann_ivf_two_level")(spark, sf)
+      .collect().map(r =>
+        ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+    val expect = embs.toSeq.groupBy { case (id, p) => route(p) }
+      .map { case (pid, rs) =>
+        ((pid / subK, pid % subK),
+          (rs.size.toLong, rs.map(_._1).min)) }
+    assert(census.toMap === expect)
+    assert(census.map(_._1).toSeq ===
+      census.map(_._1).sortBy(identity).toSeq, "census ordered")
+    // the two-level product covers nlist cells: superK·subK
+    assert(sup.length * subK ===
+      Similarity.adaptiveNlist(embs.size.toLong))
+  }
+
   test("hyperplaneSig: compiled kernel is term-for-term the literal formulation, past the former 16-bit ceiling") {
     import graft.expressions.VectorColumns
     import graft.operators.Similarity
