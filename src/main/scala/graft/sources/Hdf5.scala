@@ -30,11 +30,11 @@ import org.apache.spark.sql.functions._
   * `scale_factor` / `add_offset` ride here), and (r13) DENSE
   * fractal-heap groups in the small-group form libhdf5 writes past
   * its 8-link threshold (root direct block + depth-0 name-index v2
-  * B-tree, name hashes re-derived through the pinned lookup3). The
-  * remaining slivers — indirect/filtered/huge-object fractal heaps,
-  * deeper v2 B-trees, extensible-array and v2-B-tree chunk indexes,
-  * szip — quarantine loudly via Left(reason), the house drop
-  * discipline.
+  * B-tree, name hashes re-derived through the pinned lookup3),
+  * including (r15) root-indirect and (r16) NESTED-indirect heap
+  * walks. The remaining slivers — filtered/huge-object fractal
+  * heaps, deeper v2 B-trees, szip — quarantine loudly via
+  * Left(reason), the house drop discipline.
   *
   * The encoder writes the same subset (the in-plan render → decode
   * gate proves decode∘encode = identity over every layout/filter
@@ -242,10 +242,10 @@ object Hdf5 {
     * header → root 'FHDB' direct block) and are found through the
     * name-index version-2 B-tree ('BTHD' → 'BTLF' leaf of type-5
     * records, each 4-byte Jenkins-lookup3 name hash + heap ID).
-    * Decodes the small-group form libhdf5 actually writes below one
-    * root block — root DIRECT block, depth-0 name index, unfiltered
-    * heap; indirect root blocks, deeper B-trees, huge/tiny heap
-    * objects and filtered heaps quarantine by name. Every record's
+    * Decodes dense groups from the single-root-direct form through
+    * root-indirect (r15) and NESTED-indirect (r16) fractal heaps —
+    * depth-0 name index, unfiltered heap; deeper B-trees, huge/tiny
+    * heap objects and filtered heaps quarantine by name. Every record's
     * name hash is re-derived from the decoded name with the same
     * spec-pinned lookup3 — a heap/B-tree disagreement cannot decode
     * silently. */
@@ -507,39 +507,67 @@ object Hdf5 {
     // whose child rows follow the doubling-table geometry: rows 0-1
     // at startBlock, row k ≥ 2 at startBlock·2^(k-1), tableWidth
     // blocks per row, heap offsets assigned by the SLOT grid whether
-    // or not a slot is allocated. Rows past the max-direct-size rung
-    // would hold nested indirect blocks (multi-GB heap space) —
-    // quarantined by name. ---
+    // or not a slot is allocated. Rows at or past the max-direct-size
+    // rung hold NESTED indirect blocks (r16 — the multi-GB-heap form,
+    // File Format Spec III.G / libhdf5 H5HF__man_dblock_locate): a
+    // child in row k covers exactly that row's block span and carries
+    // k − log2(width) rows of its own, numbered from 0 again (the
+    // dtable lookup recurses on the span-relative offset), so the
+    // child's slot grid tiles its span and global heap offsets stay
+    // linear in DFS order. Every FHIB — root and nested — must state
+    // its span-start block offset or refuse (bad_heap_block_offset);
+    // nested geometry requires the spec's power-of-two table width. ---
     case class DBlk(heapOff: Long, addr: Long, size: Long)
     val maxDirectRows = log2gen(maxDirect) - log2gen(startBlock) + 2
-    val blocks: IndexedSeq[DBlk] =
-      if (currRows == 0) IndexedSeq(DBlk(0L, rootAddr, startBlock))
-      else {
-        if (r.ascii(rootAddr, 4) != "FHIB")
-          return Left("bad_heap_indirect_block")
-        if (r.u8(rootAddr + 4) != 0)
-          return Left("unsupported_heap_block_version")
-        if (r.u64(rootAddr + 5) != fhAddr)
-          return Left("bad_heap_back_pointer")
-        if (currRows > maxDirectRows)
-          return Left("nested_indirect_heap_unsupported")
-        val out = IndexedSeq.newBuilder[DBlk]
-        var heapOff = 0L
-        var p = rootAddr + 13 + offSize // sig+ver+backptr+blockOffset
-        var row = 0
-        while (row < currRows) {
-          val rowSize = if (row < 2) startBlock else startBlock << (row - 1)
-          var colI = 0
-          while (colI < tableWidth) {
-            val a = r.u64(p); p += 8
-            if (!isUndef(a) && a != 0) out += DBlk(heapOff, a, rowSize)
-            heapOff += rowSize
-            colI += 1
-          }
-          row += 1
-        }
-        out.result()
+    val widthBits = java.lang.Integer.numberOfTrailingZeros(tableWidth)
+    val blocksB = IndexedSeq.newBuilder[DBlk]
+    def walkIndirect(addr: Long, blockOff: Long, nrows: Int,
+        depth: Int): Option[String] = {
+      if (depth > 16) return Some("bad_heap_doubling_table")
+      if (r.ascii(addr, 4) != "FHIB")
+        return Some("bad_heap_indirect_block")
+      if (r.u8(addr + 4) != 0)
+        return Some("unsupported_heap_block_version")
+      if (r.u64(addr + 5) != fhAddr)
+        return Some("bad_heap_back_pointer")
+      var storedOff = 0L; var k = 0
+      while (k < offSize) {
+        storedOff |= r.u8(addr + 13 + k).toLong << (8 * k); k += 1
       }
+      if (storedOff != blockOff) return Some("bad_heap_block_offset")
+      var p = addr + 13 + offSize
+      var rel = 0L
+      var row = 0
+      while (row < nrows) {
+        val rowSize = if (row < 2) startBlock else startBlock << (row - 1)
+        var colI = 0
+        while (colI < tableWidth) {
+          val a = r.u64(p); p += 8
+          if (!isUndef(a) && a != 0) {
+            if (row < maxDirectRows) {
+              blocksB += DBlk(blockOff + rel, a, rowSize)
+            } else {
+              if (java.lang.Long.bitCount(tableWidth.toLong) != 1)
+                return Some("bad_heap_doubling_table")
+              val childRows = row - widthBits
+              if (childRows < 1) return Some("bad_heap_doubling_table")
+              val e = walkIndirect(a, blockOff + rel, childRows, depth + 1)
+              if (e.isDefined) return e
+            }
+          }
+          rel += rowSize
+          colI += 1
+        }
+        row += 1
+      }
+      None
+    }
+    if (currRows == 0) blocksB += DBlk(0L, rootAddr, startBlock)
+    else walkIndirect(rootAddr, 0L, currRows, 0) match {
+      case Some(e) => return Left(e)
+      case None =>
+    }
+    val blocks: IndexedSeq[DBlk] = blocksB.result()
     // every allocated direct block: signature, version, back pointer
     // AND its stored block-offset field must equal the slot-grid
     // offset (a misplaced block cannot pass silently)
@@ -1323,7 +1351,8 @@ object Hdf5 {
     * time. */
   private[graft] def encodeH5V2(datasets: Seq[H5Enc],
       denseGroup: Boolean = false,
-      denseSpill: Boolean = false): Array[Byte] = {
+      denseSpill: Boolean = false,
+      denseMaxDirect: Long = 65536L): Array[Byte] = {
     require(datasets.nonEmpty)
     require(denseGroup || datasets.size <= 8,
       "compact links: 8 is libhdf5's default dense threshold")
@@ -1442,7 +1471,8 @@ object Hdf5 {
     val rootMsgs = Seq.newBuilder[(Int, Array[Byte])]
     if (denseGroup) {
       val (fhAddr, btAddr) = writeDenseGroup(w,
-        datasets.map(d => d.name -> linkBody(d)), spill = denseSpill)
+        datasets.map(d => d.name -> linkBody(d)), spill = denseSpill,
+        maxDirectSize = denseMaxDirect)
       val li = new Wr
       li.u8(0).u8(0).u64(fhAddr).u64(btAddr)
       rootMsgs += ((0x02, li.out.toByteArray))
@@ -1649,66 +1679,142 @@ object Hdf5 {
     * name-index header address) for the Link Info message. */
   private def writeDenseGroup(w: Wr,
       links: Seq[(String, Array[Byte])],
-      spill: Boolean = false): (Long, Long) = {
+      spill: Boolean = false,
+      maxDirectSize: Long = 65536L): (Long, Long) = {
     val offSize = 4 // 32-bit heap address space
     val lenSize = 2 // min(enc(64K max direct), enc(4096 max managed))
     val idLen = 1 + offSize + lenSize
     val dbHdr = 4 + 1 + 8 + offSize + 4 // sig+ver+backptr+off+checksum
     val width = 4
+    val widthBits = 2
     // --- placement: single root DIRECT block sized to fit (the
-    // libhdf5 shape for modest groups), or — spill mode (r15) — a
-    // fixed 512-byte starting block with the doubling-table slot
+    // libhdf5 shape for modest groups), or — spill mode (r15/r16) —
+    // a fixed 512-byte starting block with the doubling-table slot
     // grid, so the heap genuinely spans multiple direct blocks under
     // a root INDIRECT block (rows 0-1 at 512, row k ≥ 2 at
-    // 512·2^(k-1), 4 slots per row) ---
-    def slotSize(slot: Int): Long = {
-      val row = slot / width
-      if (row < 2) 512L else 512L << (row - 1)
-    }
-    // (name, bytes, global heap offset, slot index)
-    val placed = Vector.newBuilder[(String, Array[Byte], Long, Int)]
-    var slot = 0
-    var slotStart = 0L // heap offset of the current slot
-    var used = dbHdr.toLong
-    if (spill) {
-      links.foreach { case (n, b) =>
-        require(b.length + dbHdr <= slotSize(slot), s"oversized link $n")
-        if (used + b.length > slotSize(slot)) {
-          slotStart += slotSize(slot); slot += 1; used = dbHdr.toLong
-          require(b.length + dbHdr <= slotSize(slot), s"oversized link $n")
+    // 512·2^(k-1), 4 slots per row). Rows at or past the max-direct
+    // rung (maxDirectSize, default libhdf5's 64 KB) hold NESTED
+    // indirect blocks — a child in row k spans that row's block size
+    // with k − log2(width) rows of its own, numbered from 0 again —
+    // so shrinking maxDirectSize (e.g. 1024) forces genuine nesting
+    // at fixture scale. Direct blocks enumerate in DFS heap-offset
+    // order; placement fills them sequentially. ---
+    require(java.lang.Long.bitCount(maxDirectSize) == 1 &&
+      maxDirectSize >= 512L, "bad maxDirectSize")
+    val maxDirectRows = (log2gen(maxDirectSize) - 9 + 2).toInt
+    def rowSz(row: Int): Long = if (row < 2) 512L else 512L << (row - 1)
+    def directsOf(blockOff: Long, nrows: Int): Vector[(Long, Long)] = {
+      val out = Vector.newBuilder[(Long, Long)]
+      var rel = 0L
+      var row = 0
+      while (row < nrows) {
+        val rs = rowSz(row)
+        var c = 0
+        while (c < width) {
+          if (row < maxDirectRows) out += ((blockOff + rel, rs))
+          else out ++= directsOf(blockOff + rel, row - widthBits)
+          rel += rs
+          c += 1
         }
-        placed += ((n, b, slotStart + used, slot))
-        used += b.length
+        row += 1
+      }
+      out.result()
+    }
+    // (name, bytes, global heap offset, direct-block index)
+    var placedV = Vector.empty[(String, Array[Byte], Long, Int)]
+    var rootRows = 0
+    var lastDi = 0
+    var iterOff = 0L // heap offset past the last placed byte
+    if (spill) {
+      var fit = false
+      while (!fit) {
+        rootRows += 1
+        require(rootRows <= 16, "dense spill fixture outgrew 16 rows")
+        val directs = directsOf(0L, rootRows)
+        val pl = Vector.newBuilder[(String, Array[Byte], Long, Int)]
+        var di = 0
+        var used = dbHdr.toLong
+        fit = true
+        links.iterator.takeWhile(_ => fit).foreach { case (n, b) =>
+          require(b.length + dbHdr <= 512, s"oversized link $n")
+          if (used + b.length > directs(di)._2) {
+            di += 1; used = dbHdr.toLong
+            if (di >= directs.size) fit = false
+          }
+          if (fit) {
+            pl += ((n, b, directs(di)._1 + used, di))
+            used += b.length
+          }
+        }
+        if (fit) {
+          placedV = pl.result(); lastDi = di
+          iterOff = directs(di)._1 + used
+        }
       }
     } else {
+      var used = dbHdr.toLong
+      val pl = Vector.newBuilder[(String, Array[Byte], Long, Int)]
       links.foreach { case (n, b) =>
-        placed += ((n, b, used, 0)); used += b.length
+        pl += ((n, b, used, 0)); used += b.length
       }
       require(used <= 65536, "dense fixture outgrew one direct block")
+      placedV = pl.result(); iterOff = used
     }
-    val heapOff = placed.result()
-    val nSlots = slot + 1
-    val nRows = (nSlots + width - 1) / width
+    val heapOff = placedV
     val singleBlockSize =
       if (spill) 512
-      else math.max(512, java.lang.Integer.highestOneBit(used.toInt - 1) * 2)
+      else math.max(512,
+        java.lang.Integer.highestOneBit(iterOff.toInt - 1) * 2)
     val startBlock = if (spill) 512L else singleBlockSize.toLong
-    val totalSlotSpace = (0 until nRows * width).map(slotSize).sum
+    val totalSlotSpace = (0 until rootRows).map(r => rowSz(r) * width).sum
     // layout: FRHP (146 bytes, 8-padded → +152), then the root block
-    // (direct, or FHIB followed by each allocated direct block)
+    // (direct, or FHIB followed — pre-order — by each allocated
+    // child: nested FHIBs precede their own blocks)
     w.pad(8)
     val fhAddr = w.pos.toLong
     val rootBlk = fhAddr + 152
     def pad8(v: Long): Long = (v + 7) & ~7L
-    val fhibSize = 13 + offSize + nRows * width * 8 + 4
-    // file address of each allocated slot's direct block
-    val slotAddr = new Array[Long](nSlots)
-    if (spill) {
-      var a = pad8(rootBlk + fhibSize)
-      (0 until nSlots).foreach { s =>
-        slotAddr(s) = a; a = pad8(a + slotSize(s))
+    def fhibSize(nrows: Int) = 13 + offSize + nrows * width * 8 + 4
+    // --- build the allocated tree and assign file addresses ---
+    sealed trait Nd
+    case class DirectNd(off: Long, size: Long, idx: Int,
+        var addr: Long = 0L) extends Nd
+    case class IndNd(off: Long, nrows: Int,
+        slots: Vector[Option[Nd]], var addr: Long = 0L) extends Nd
+    var dIdx = 0
+    def build(blockOff: Long, nrows: Int): IndNd = {
+      val slots = Vector.newBuilder[Option[Nd]]
+      var rel = 0L
+      var row = 0
+      while (row < nrows) {
+        val rs = rowSz(row)
+        var c = 0
+        while (c < width) {
+          if (row < maxDirectRows) {
+            val nd = DirectNd(blockOff + rel, rs, dIdx); dIdx += 1
+            slots += (if (nd.idx <= lastDi) Some(nd) else None)
+          } else {
+            val first = dIdx
+            val child = build(blockOff + rel, row - widthBits)
+            slots += (if (first <= lastDi) Some(child) else None)
+          }
+          rel += rs
+          c += 1
+        }
+        row += 1
       }
-    } else slotAddr(0) = rootBlk
+      IndNd(blockOff, nrows, slots.result())
+    }
+    val rootNd: Option[IndNd] = if (spill) Some(build(0L, rootRows)) else None
+    var cursor = rootBlk
+    def assign(n: Nd): Unit = n match {
+      case d: DirectNd =>
+        cursor = pad8(cursor); d.addr = cursor; cursor += d.size
+      case i: IndNd =>
+        cursor = pad8(cursor); i.addr = cursor; cursor += fhibSize(i.nrows)
+        i.slots.flatten.foreach(assign)
+    }
+    rootNd.foreach(assign)
     val hb = new Wr
     hb.ascii("FRHP").u8(0)
     hb.u16(idLen).u16(0) // no I/O filters
@@ -1720,21 +1826,21 @@ object Hdf5 {
     hb.u64(Undef)        // free space manager
     hb.u64(if (spill) totalSlotSpace else startBlock) // managed space
     hb.u64(if (spill) totalSlotSpace else startBlock) // allocated
-    hb.u64(slotStart + used) // direct block iterator offset
+    hb.u64(iterOff)      // direct block iterator offset
     hb.u64(links.size.toLong) // managed objects
     hb.u64(0).u64(0).u64(0).u64(0) // huge/tiny sizes and counts
     hb.u16(width)        // table width
     hb.u64(startBlock)   // starting block size
-    hb.u64(65536L)       // max direct block size
+    hb.u64(maxDirectSize) // max direct block size
     hb.u16(32)           // max heap size (bits)
     hb.u16(1)            // starting rows in root indirect block
     hb.u64(rootBlk)      // root block address
-    hb.u16(if (spill) nRows else 0) // 0 = root is DIRECT
+    hb.u16(if (spill) rootRows else 0) // 0 = root is DIRECT
     hb.u32(lookup3(hb.out.toByteArray, 0, hb.pos, 0).toLong & 0xFFFFFFFFL)
     w.bytes(hb.out.toByteArray)
     w.pad(8)
     require(w.pos == rootBlk, "root block address drifted")
-    def directBlockImage(s: Int, objs: Seq[(Array[Byte], Long)],
+    def directBlockImage(objs: Seq[(Array[Byte], Long)],
         heapOffset: Long, size: Int): Array[Byte] = {
       val blk = new Array[Byte](size)
       val bw = new Wr
@@ -1754,29 +1860,38 @@ object Hdf5 {
         blk(13 + offSize + i) = ((ck >> (8 * i)) & 0xFF).toByte)
       blk
     }
-    if (spill) {
-      // root FHIB: child addresses row-major, Undef for empty slots,
-      // trailing checksum over the preceding image
-      val iw = new Wr
-      iw.ascii("FHIB").u8(0).u64(fhAddr)
-      (0 until offSize).foreach(_ => iw.u8(0)) // block offset 0
-      (0 until nRows * width).foreach { s =>
-        iw.u64(if (s < nSlots) slotAddr(s) else Undef)
-      }
-      iw.u32(lookup3(iw.out.toByteArray, 0, iw.pos, 0).toLong & 0xFFFFFFFFL)
-      w.bytes(iw.out.toByteArray)
-      var heapOffset = 0L
-      (0 until nSlots).foreach { s =>
+    def writeNode(n: Nd): Unit = n match {
+      case d: DirectNd =>
         w.pad(8)
-        require(w.pos == slotAddr(s), s"direct block $s drifted")
-        val objs = heapOff.filter(_._4 == s)
+        require(w.pos == d.addr, "direct block drifted")
+        val objs = heapOff.filter(_._4 == d.idx)
           .map { case (_, b, o, _) => (b, o) }
-        w.bytes(directBlockImage(s, objs, heapOffset, slotSize(s).toInt))
-        heapOffset += slotSize(s)
-      }
-    } else {
-      w.bytes(directBlockImage(0,
-        heapOff.map { case (_, b, o, _) => (b, o) }, 0L, singleBlockSize))
+        w.bytes(directBlockImage(objs, d.off, d.size.toInt))
+      case i: IndNd =>
+        w.pad(8)
+        require(w.pos == i.addr, "indirect block drifted")
+        // FHIB: child addresses row-major, Undef for empty slots,
+        // stored span-start block offset, trailing checksum
+        val iw = new Wr
+        iw.ascii("FHIB").u8(0).u64(fhAddr)
+        var k = 0
+        while (k < offSize) {
+          iw.u8(((i.off >> (8 * k)) & 0xFF).toInt); k += 1
+        }
+        i.slots.foreach {
+          case Some(d: DirectNd) => iw.u64(d.addr)
+          case Some(c: IndNd) => iw.u64(c.addr)
+          case None => iw.u64(Undef)
+        }
+        iw.u32(lookup3(iw.out.toByteArray, 0, iw.pos, 0).toLong & 0xFFFFFFFFL)
+        w.bytes(iw.out.toByteArray)
+        i.slots.flatten.foreach(writeNode)
+    }
+    rootNd match {
+      case Some(root) => writeNode(root)
+      case None =>
+        w.bytes(directBlockImage(
+          heapOff.map { case (_, b, o, _) => (b, o) }, 0L, singleBlockSize))
     }
     // --- name-index v2 B-tree: BTLF leaf first, BTHD header after ---
     val recs = heapOff.map { case (n, b, o, _) =>
