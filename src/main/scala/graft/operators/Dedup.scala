@@ -313,6 +313,43 @@ object Dedup {
     decontaminateOf(Tables.documents(spark, dir),
       col("doc_id") % 10 === 0, 8)
 
+  /** PRODUCTION entry point of [[decontaminate]] (r16 — the last
+    * fixture-derived eval set gains its param-table shape): the
+    * benchmark shingle set arrives EXTERNALLY as a parquet param
+    * table at `paramPath` with a `shingle STRING` column — the
+    * `load_param_file` seam the contamination screens ride
+    * ([[graft.operators.TextOps.corpusContaminationFromParams]]) —
+    * instead of being derived from in-corpus membership (in
+    * production the benchmark lives OUTSIDE the training corpus, so
+    * every document is train-side and screens). Benchmark n-gram
+    * sets are small by nature → broadcast hash join, the corpus
+    * never shuffles; same output shape as the fixture query
+    * (doc_id, n_hit_shingles). */
+  def decontaminateFromParams(spark: SparkSession, dir: String,
+      paramPath: String): DataFrame = {
+    val bench = spark.read.parquet(paramPath)
+      .select(col("shingle").cast("string").as("shingle")).distinct()
+    decontaminateAgainst(Tables.documents(spark, dir), bench, 8)
+  }
+
+  /** Screen every document of `docs` against an external benchmark
+    * shingle set: per doc, the count of distinct k-gram shingles it
+    * shares with the benchmark. The shingle pass is pinned to
+    * [[decontaminateOf]]'s (same regex, same normalization, same
+    * array_distinct), so the param path and the fixture screen agree
+    * shingle-for-shingle — spec-proven through a file round trip. */
+  private[graft] def decontaminateAgainst(docs: DataFrame,
+      benchShingles: DataFrame, k: Int): DataFrame = {
+    val pat = "(?<=^| )(?=(" + Seq.fill(k)("[^ ]+").mkString(" ") + "))"
+    Tables.spread(docs, col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(regexp_extract_all(
+          TextOps.normalized(col("text")), lit(pat), lit(1)))).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_shingles"))
+  }
+
   /** [[decontaminate]] over an arbitrary (doc_id, text) frame with a
     * caller-supplied benchmark membership predicate and shingle
     * width. */

@@ -476,6 +476,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate, param-FILE shape: an external parquet shingle table reproduces the fixture screen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // persist the fixture's benchmark shingle set (the distinct
+    // 8-gram shingles of the doc_id % 10 == 0 docs, derived the same
+    // way the fixture query derives them) as the external benchmark
+    // table, then drive the screen through the file loader
+    val k = 8
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(text: String): Set[String] = {
+      val toks = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+      (0 to toks.length - k).map(i =>
+        toks.slice(i, i + k).mkString(" ")).toSet
+    }
+    val benchSet = docs.filter(_._1 % 10 == 0)
+      .flatMap(d => shingles(d._2)).toSet
+    val path = java.nio.file.Files
+      .createTempDirectory("decontam_params").toString + "/shingles.parquet"
+    benchSet.toSeq.toDF("shingle").write.parquet(path)
+    val fromFile = graft.operators.Dedup
+      .decontaminateFromParams(spark, sf, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // on the train side the param path IS the fixture screen
+    val fixture = SparkEntry.queries("decontaminate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fromFile.filter(_._1 % 10 != 0) === fixture,
+      "file-loaded shingle table reproduces the fixture screen")
+    // production semantics: EVERY doc screens (benchmarks live
+    // outside the corpus), so the ex-bench docs self-hit — positive
+    // control that the loader's set really is the benchmark set
+    docs.filter(_._1 % 10 == 0).foreach { case (id, text) =>
+      if (shingles(text).nonEmpty)
+        assert(fromFile.contains(id), s"bench doc $id must self-hit")
+    }
+  }
+
   test("dedup_chunks_apply: first occurrence survives, rebuilt text exact") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
