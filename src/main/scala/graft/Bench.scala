@@ -142,9 +142,19 @@ object Bench {
     val triage =
       scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, Double)]()
     prev.foreach { case (prevQ, prevCalib) =>
-      val movers = timings.toSeq.flatMap { case (n, cur) =>
+      // every mover above 1.5× normalized is isolated (r16 — the r15
+      // verdict's widener: a >1.5× regression outside the top-5 must
+      // not escape attribution), plus the top-triageN above 1.25×;
+      // hard-capped so a catastrophic round can't spend an hour
+      // isolating (the cap itself is reported via the triage size)
+      val triageMax =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIAGE_MAX", "20").toInt
+      val ranked = timings.toSeq.flatMap { case (n, cur) =>
         prevQ.get(n).map(p => (n, cur, p, (cur / calib) / (p / prevCalib)))
-      }.filter(_._4 > 1.25).sortBy(-_._4).take(triageN)
+      }.filter(_._4 > 1.25).sortBy(-_._4)
+      val movers = ranked.zipWithIndex
+        .filter { case (m, i) => m._4 > 1.5 || i < triageN }
+        .map(_._1).take(triageMax)
       movers.foreach { case (n, cur, p, ratio) =>
         try {
           exec(n) // isolated warm

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Minhash band-bucket occupancy probe (BENCH_NOTES r16, VERDICT r15
+  * item 6): at a given SF dir, the per-(band, bh) occupancy
+  * distribution of the 16×4 banding, the BucketCap(50) ledger
+  * (buckets over the cap, memberships dropped, estimated pairs
+  * lost), and the surviving candidate volume. The question the probe
+  * answers: does the FIXED 16×4 layout need an adaptive band count
+  * at 10M+ docs the way the hyperplane signature needed adaptive
+  * width? Structural difference: hyperplane buckets live in a fixed
+  * 2^bits key space (occupancy ∝ n/2^bits — width must grow), while
+  * band buckets are keyed by the RAW 4-tuple of minhash values — an
+  * effectively unbounded content-keyed space where two docs collide
+  * with probability J⁴ (their Jaccard to the fourth). Occupancy is
+  * therefore driven by the corpus's duplicate-family structure, not
+  * by n against a fixed space. Usage:
+  * `sbt "Test/runMain graft.BandScale <dir> [<dir> ...]"` */
+object BandScale {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val cap = graft.operators.Dedup.BucketCap
+    args.foreach { dir =>
+      val t0 = System.nanoTime()
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val nDocs = docs.count()
+      val occ = graft.operators.Dedup
+        .minhashIndex(docs)
+        .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("occ"))
+        .agg(avg(col("occ")).as("mean"),
+          expr("percentile_approx(occ, 0.99)").as("p99"),
+          max(col("occ")).as("max"),
+          count(lit(1)).as("buckets"),
+          sum(when(col("occ") <= cap,
+            (col("occ") * (col("occ") - 1) / 2).cast("long"))
+            .otherwise(0L)).as("cands"),
+          sum(when(col("occ") > cap, col("occ")).otherwise(0L))
+            .as("dropped"),
+          sum(when(col("occ") > cap,
+            (col("occ") * (col("occ") - 1) / 2).cast("long"))
+            .otherwise(0L)).as("pairs_lost"))
+        .collect()(0)
+      println(f"[bandscale] $dir docs=$nDocs%,d " +
+        f"mean=${occ.getDouble(0)}%.2f p99=${occ.getLong(1)} " +
+        f"max=${occ.getLong(2)} buckets=${occ.getLong(3)}%,d " +
+        f"candidates=${occ.getLong(4)}%,d dropped_mass=${occ.getLong(5)}%,d " +
+        f"est_pairs_lost=${occ.getLong(6)}%,d " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    spark.stop()
+  }
+}
