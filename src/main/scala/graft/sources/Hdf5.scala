@@ -449,26 +449,69 @@ object Hdf5 {
   }
 
   /** Walk a version-2 B-tree of the expected record type → (record
-    * size, byte position of every record, tree order). Depth-0 trees
-    * only (root IS the 'BTLF' leaf) — the form small dense groups
-    * and small chunk indexes actually take; deeper trees quarantine
-    * by name. Shared by [[denseLinks]] (type 5) and the layout-v4
-    * chunk index (types 10/11). */
+    * size, byte position of every record, tree order). Depth 0 (root
+    * IS the 'BTLF' leaf — the form small dense groups and small
+    * chunk indexes take) and (r16) depth 1 — a 'BTIN' internal root
+    * over leaves, the form libhdf5 writes once records outgrow one
+    * node: the internal image is records-then-pointers (spec III.A.2
+    * / H5B2__cache_int_serialize), each pointer = child address +
+    * the child's record count in `limit_enc_size(leaf max records)`
+    * bytes (the variable width derived from node size and record
+    * size, exactly libhdf5's max_nrec_size; the cumulative-count
+    * field only exists past depth 1), and records emit IN-ORDER —
+    * child 0's leaf, separator 0, child 1's leaf, … — so callers see
+    * the same sorted sequence a one-leaf tree gives. Depth ≥ 2
+    * quarantines by name. Shared by [[denseLinks]] (type 5) and the
+    * layout-v4 chunk index (types 10/11). */
   private def btree2Records(r: Rd, btAddr: Long, wantType: Int):
       Either[String, (Int, IndexedSeq[Long])] = {
     if (r.ascii(btAddr, 4) != "BTHD") return Left("bad_btree2_header")
     if (r.u8(btAddr + 4) != 0) return Left("unsupported_btree2_version")
     if (r.u8(btAddr + 5) != wantType) return Left("unexpected_btree2_type")
+    val nodeSize = r.u32(btAddr + 6)
     val recSize = r.u16(btAddr + 10)
     val depth = r.u16(btAddr + 12)
-    if (depth != 0) return Left("btree2_depth_unsupported")
+    if (depth > 1) return Left("btree2_depth_unsupported")
     val rootNode = r.u64(btAddr + 16)
     val nRec = r.u16(btAddr + 24)
-    if (r.ascii(rootNode, 4) != "BTLF") return Left("bad_btree2_leaf")
-    if (r.u8(rootNode + 4) != 0 || r.u8(rootNode + 5) != wantType)
-      return Left("bad_btree2_leaf")
-    Right((recSize,
-      (0 until nRec).map(i => rootNode + 6 + i.toLong * recSize)))
+    if (recSize <= 0 || nodeSize < 10 + recSize)
+      return Left("bad_btree2_header")
+    def leafRecords(addr: Long, n: Int): Either[String, IndexedSeq[Long]] = {
+      if (r.ascii(addr, 4) != "BTLF" || r.u8(addr + 4) != 0 ||
+          r.u8(addr + 5) != wantType) Left("bad_btree2_leaf")
+      else Right((0 until n).map(i => addr + 6 + i.toLong * recSize))
+    }
+    if (depth == 0) leafRecords(rootNode, nRec).map((recSize, _))
+    else {
+      if (r.ascii(rootNode, 4) != "BTIN")
+        return Left("bad_btree2_internal")
+      if (r.u8(rootNode + 4) != 0 || r.u8(rootNode + 5) != wantType)
+        return Left("bad_btree2_internal")
+      val leafMax = ((nodeSize - 10) / recSize).toInt
+      val nrecBytes = log2gen(leafMax.toLong) / 8 + 1 // limit_enc_size
+      val recsAt = rootNode + 6
+      val ptrsAt = recsAt + nRec.toLong * recSize
+      val ptrSize = 8 + nrecBytes
+      val out = IndexedSeq.newBuilder[Long]
+      var i = 0
+      while (i <= nRec) {
+        val childAddr = r.u64(ptrsAt + i.toLong * ptrSize)
+        var nChild = 0L; var k = 0
+        while (k < nrecBytes) {
+          nChild |= r.u8(ptrsAt + i.toLong * ptrSize + 8 + k).toLong << (8 * k)
+          k += 1
+        }
+        if (nChild < 0 || nChild > leafMax)
+          return Left("bad_btree2_internal")
+        leafRecords(childAddr, nChild.toInt) match {
+          case Left(e) => return Left(e)
+          case Right(rs) => out ++= rs
+        }
+        if (i < nRec) out += recsAt + i.toLong * recSize
+        i += 1
+      }
+      Right((recSize, out.result()))
+    }
   }
 
   private def denseLinks(r: Rd, fhAddr: Long, btAddr: Long):
@@ -1893,33 +1936,84 @@ object Hdf5 {
         w.bytes(directBlockImage(
           heapOff.map { case (_, b, o, _) => (b, o) }, 0L, singleBlockSize))
     }
-    // --- name-index v2 B-tree: BTLF leaf first, BTHD header after ---
+    // --- name-index v2 B-tree: leaves first, then the BTIN root (if
+    // the records outgrow one 512-byte node — the r16 depth-1 form),
+    // BTHD header last. A single leaf previously took ALL records
+    // regardless of the declared node size; now the leaf capacity
+    // ((512 − 10) / recSize) is honored, which is what libhdf5's
+    // reader assumes when it sizes node buffers. ---
+    val recSize = 4 + idLen
     val recs = heapOff.map { case (n, b, o, _) =>
       val nb = n.getBytes("US-ASCII")
       (lookup3(nb, 0, nb.length, 0).toLong & 0xFFFFFFFFL, o, b.length)
     }.sortBy(_._1)
-    w.pad(8)
-    val leaf = w.pos.toLong
-    val lw = new Wr
-    lw.ascii("BTLF").u8(0).u8(5) // version 0, type 5: link name index
-    recs.foreach { case (hash, off, len) =>
-      lw.u32(hash)
-      lw.u8(0) // heap ID: version 0, managed
-      lw.u32(off.toLong) // heap offset (offSize = 4)
-      lw.u16(len)        // object length (lenSize = 2)
+    val leafMax = (512 - 10) / recSize
+    def recBytes(rec: (Long, Long, Int)): Wr => Unit = { lw =>
+      lw.u32(rec._1)
+      lw.u8(0)            // heap ID: version 0, managed
+      lw.u32(rec._2)      // heap offset (offSize = 4)
+      lw.u16(rec._3)      // object length (lenSize = 2)
     }
-    lw.u32(lookup3(lw.out.toByteArray, 0, lw.pos, 0).toLong & 0xFFFFFFFFL)
-    w.bytes(lw.out.toByteArray)
+    def writeLeaf(rs: Seq[(Long, Long, Int)]): Long = {
+      w.pad(8)
+      val at = w.pos.toLong
+      val lw = new Wr
+      lw.ascii("BTLF").u8(0).u8(5) // version 0, type 5: link name index
+      rs.foreach(r => recBytes(r)(lw))
+      lw.u32(lookup3(lw.out.toByteArray, 0, lw.pos, 0).toLong & 0xFFFFFFFFL)
+      w.bytes(lw.out.toByteArray)
+      at
+    }
+    val (rootAddr2, rootNRec, depth) =
+      if (recs.size <= leafMax) (writeLeaf(recs), recs.size, 0)
+      else {
+        // depth 1: k leaves of ≤ leafMax records with k−1 separator
+        // records promoted into the BTIN root (B-tree semantics —
+        // separators are records, not copies)
+        var k = 2
+        while ((recs.size - (k - 1) + k - 1) / k > leafMax) k += 1
+        val perLeaf = (recs.size - (k - 1) + k - 1) / k
+        val nrecBytes = log2gen(leafMax.toLong) / 8 + 1
+        require(k - 1 <=
+          (512 - 10 - k * (8 + nrecBytes)) / recSize,
+          "dense name index outgrew a depth-1 tree")
+        val groups = Vector.newBuilder[(Seq[(Long, Long, Int)],
+          Option[(Long, Long, Int)])]
+        var rest = recs
+        while (rest.nonEmpty) {
+          val leafRecs = rest.take(math.min(perLeaf, rest.size))
+          rest = rest.drop(leafRecs.size)
+          val sep = if (rest.nonEmpty) {
+            val s = rest.head; rest = rest.tail; Some(s)
+          } else None
+          groups += ((leafRecs, sep))
+        }
+        val gs = groups.result()
+        val leaves = gs.map(g => (writeLeaf(g._1), g._1.size))
+        w.pad(8)
+        val at = w.pos.toLong
+        val iw = new Wr
+        iw.ascii("BTIN").u8(0).u8(5)
+        gs.flatMap(_._2).foreach(r => recBytes(r)(iw))
+        leaves.foreach { case (addr, n) =>
+          iw.u64(addr)
+          var x = n.toLong; var b = 0
+          while (b < nrecBytes) { iw.u8((x & 0xFF).toInt); x >>= 8; b += 1 }
+        }
+        iw.u32(lookup3(iw.out.toByteArray, 0, iw.pos, 0).toLong & 0xFFFFFFFFL)
+        w.bytes(iw.out.toByteArray)
+        (at, gs.size - 1, 1)
+      }
     w.pad(8)
     val btAddr = w.pos.toLong
     val tw = new Wr
     tw.ascii("BTHD").u8(0).u8(5)
     tw.u32(512L)           // node size
-    tw.u16(4 + idLen)      // record size
-    tw.u16(0)              // depth: root is the leaf
+    tw.u16(recSize)        // record size
+    tw.u16(depth)
     tw.u8(100).u8(40)      // split / merge percents (libhdf5 defaults)
-    tw.u64(leaf)
-    tw.u16(recs.size)
+    tw.u64(rootAddr2)
+    tw.u16(rootNRec)
     tw.u64(recs.size.toLong)
     tw.u32(lookup3(tw.out.toByteArray, 0, tw.pos, 0).toLong & 0xFFFFFFFFL)
     w.bytes(tw.out.toByteArray)

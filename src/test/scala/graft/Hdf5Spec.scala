@@ -426,7 +426,12 @@ class Hdf5Spec extends SparkSpec {
     assert(reason(filtered) === "filtered_fractal_heap_unsupported")
     val huge = f.clone; huge(frhp + 86) = 1
     assert(reason(huge) === "huge_or_tiny_heap_objects_unsupported")
-    val deep = f.clone; deep(bthd + 12) = 1
+    // depth lies: claiming an internal root over a leaf image trips
+    // the BTIN signature check (depth 1 decodes for real since r16 —
+    // see the depth-1 test); depth ≥ 2 quarantines by name
+    val lieDepth = f.clone; lieDepth(bthd + 12) = 1
+    assert(reason(lieDepth) === "bad_btree2_internal")
+    val deep = f.clone; deep(bthd + 12) = 2
     assert(reason(deep) === "btree2_depth_unsupported")
     // and a small group still writes COMPACT links (no heap at all)
     val small = Hdf5.encodeH5V2(enc.take(3), denseGroup = false)
@@ -557,6 +562,60 @@ class Hdf5Spec extends SparkSpec {
     assert(Seq("bad_heap_doubling_table", "bad_heap_block_offset",
       "bad_heap_indirect_block", "bad_heap_direct_block")
       .contains(reason(badWidth)))
+  }
+
+  test("hdf5 v2 B-tree depth 1: BTIN internal root, separator records in order, leaf capacity honored") {
+    // 160 links × recSize 11 > the 45-record capacity of a 512-byte
+    // leaf — the encoder must now split into leaves under a BTIN
+    // root (one leaf previously swallowed every record, violating
+    // the declared node size), and the decoder walks child 0, sep 0,
+    // child 1, … so the name order is unchanged
+    val enc = (0 until 160).map { i =>
+      Hdf5.H5Enc(f"bt_var_$i%03d_padpadpadpadpad", Seq(2), "f8",
+        Array(i * 5.0, i * 5.0 + 1))
+    }
+    val f = Hdf5.encodeH5V2(enc, denseGroup = true, denseSpill = true)
+    def sigAt(b: Array[Byte], s: String, from: Int = 0): Int =
+      (from until b.length).indexWhere(i =>
+        i + 4 <= b.length && new String(b, i, 4, "US-ASCII") == s) match {
+        case -1 => -1; case k => from + k
+      }
+    def u16(b: Array[Byte], p: Int) =
+      (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+    val btin = sigAt(f, "BTIN")
+    assert(btin > 0, "internal root present")
+    val bthd = sigAt(f, "BTHD")
+    assert(u16(f, bthd + 12) === 1, "depth 1 declared")
+    var at = sigAt(f, "BTLF")
+    var nLeaves = 0
+    while (at > 0) { nLeaves += 1; at = sigAt(f, "BTLF", at + 4) }
+    assert(nLeaves >= 2, "records split across leaves")
+    assert(u16(f, bthd + 14 + 10) === nLeaves - 1,
+      "root holds k-1 separator records") // BTHD +24 = root nrec
+    // round trip: names in order, data exact (the walk interleaves
+    // separators correctly or names come back misordered)
+    val got = Hdf5.decodeH5(f).toOption.get
+    assert(got.map(_.name) === enc.map(_.name))
+    got.zipWithIndex.foreach { case (d, i) =>
+      assert(d.values.toSeq === Seq(i * 5.0, i * 5.0 + 1), d.name)
+    }
+    def reason(b: Array[Byte]): String = Hdf5.decodeH5(b).left.toOption.get
+    // a child pointer claiming more records than a leaf can hold
+    // refuses by name (pointer area: after 6-byte prefix + nrec recs)
+    val nSep = nLeaves - 1
+    val ptrAt = btin + 6 + nSep * u16(f, bthd + 10)
+    val badCount = f.clone
+    badCount(ptrAt + 8) = 0xFF.toByte // nrecBytes = 1 at this geometry
+    assert(reason(badCount) === "bad_btree2_internal")
+    // a corrupt leaf under the internal root refuses by name
+    val badLeaf = f.clone; badLeaf(sigAt(f, "BTLF")) = 'X'.toByte
+    assert(reason(badLeaf) === "bad_btree2_leaf")
+    // name-hash integrity holds through the depth-1 walk
+    val nameAt = f.indices.indexWhere(i =>
+      new String(f, i, 10, "US-ASCII") == "bt_var_100")
+    assert(nameAt > 0)
+    val lying = f.clone; lying(nameAt + 8) = '7'.toByte
+    assert(reason(lying) === "bad_link_name_hash")
   }
 
   test("grid_h5_decode: end-to-end lane — CF unpack, all four datasets across both format families, every cell") {
