@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Large-n exercise of the two-level IVF fit (BENCH_NOTES r16 —
+  * SURVEY row 29h's 10⁸⁺ posture, driven at the container's largest
+  * corpus): fit superK distributed super-cells + per-cell subK
+  * refits over a dir's embeddings, then route every vector through
+  * the two-level kernel and report the product-cell balance. Usage:
+  * `sbt "Test/runMain graft.TwoLevelScale /tmp/emb4m 64 64"` */
+object TwoLevelScale {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val Array(dir, superS, subS) = args.take(3)
+    val superK = superS.toInt
+    val subK = subS.toInt
+    val v = Tables.spread(Tables.embeddings(spark, dir), col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .localCheckpoint()
+    val n = v.count()
+    println(f"[twolevel] $dir n=$n%,d fit ${superK}x$subK = ${superK * subK} cells")
+    val t0 = System.nanoTime()
+    val (sup, subs) = graft.operators.Similarity.fitTwoLevel(v, superK, subK)
+    val tFit = (System.nanoTime() - t0) / 1e9
+    println(f"[twolevel] fit done in $tFit%.1f s " +
+      f"(${graft.operators.Similarity.TwoLevelIters} distributed iters + " +
+      f"$superK driver refits)")
+    val t1 = System.nanoTime()
+    val occ = v.select(graft.expressions.VectorColumns
+        .twoLevelCell(col("emb"), sup, subs,
+          graft.operators.Similarity.TwoLevelNprobeSuper).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+      .agg(count(lit(1)).as("cells"), min(col("occ")).as("min"),
+        avg(col("occ")).as("mean"), max(col("occ")).as("max"),
+        expr("percentile_approx(occ, 0.99)").as("p99"))
+      .collect()(0)
+    println(f"[twolevel] route+census in ${(System.nanoTime() - t1) / 1e9}%.1f s: " +
+      f"cells_occupied=${occ.getLong(0)}/${superK * subK} " +
+      f"min=${occ.getLong(1)} mean=${occ.getDouble(2)}%.1f " +
+      f"p99=${occ.getLong(4)} max=${occ.getLong(3)}")
+    spark.stop()
+  }
+}
