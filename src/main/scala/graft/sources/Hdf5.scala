@@ -448,20 +448,55 @@ object Hdf5 {
     Right(out.result())
   }
 
+  /** The v2-B-tree node geometry libhdf5 derives from (node size,
+    * record size) — H5B2__hdr_init: per level u, the max record
+    * count, the cumulative subtree capacity, and the byte widths of
+    * the two variable-size pointer fields (`node_nrec` always in
+    * `limit_enc_size(leaf max)` bytes; `all_nrec` — present only in
+    * pointers BELOW depth-1 internals — in
+    * `limit_enc_size(cum_max_nrec[u−1])` bytes). Arrays index by
+    * level, 0 = leaf. */
+  private[graft] case class Bt2Geom(recSize: Int, maxNrec: Array[Long],
+      cumMaxNrec: Array[Long], cumSize: Array[Int], nrecSize: Int) {
+    /** pointer width inside an internal node at level u ≥ 1 */
+    def ptrSize(u: Int): Int = 8 + nrecSize + cumSize(u - 1)
+  }
+  private[graft] def bt2Geom(nodeSize: Long, recSize: Int,
+      depth: Int): Option[Bt2Geom] = {
+    if (recSize <= 0 || nodeSize < 10 + recSize) return None
+    val maxNrec = new Array[Long](depth + 1)
+    val cumMaxNrec = new Array[Long](depth + 1)
+    val cumSize = new Array[Int](depth + 1)
+    maxNrec(0) = (nodeSize - 10) / recSize
+    cumMaxNrec(0) = maxNrec(0)
+    cumSize(0) = 0
+    val nrecSize = log2gen(maxNrec(0)) / 8 + 1 // limit_enc_size
+    var u = 1
+    while (u <= depth) {
+      val ps = 8 + nrecSize + cumSize(u - 1)
+      if (nodeSize < 10 + ps + recSize + ps) return None
+      maxNrec(u) = (nodeSize - (10 + ps)) / (recSize + ps)
+      cumMaxNrec(u) = (maxNrec(u) + 1) * cumMaxNrec(u - 1) + maxNrec(u)
+      cumSize(u) = log2gen(cumMaxNrec(u)) / 8 + 1
+      u += 1
+    }
+    Some(Bt2Geom(recSize, maxNrec, cumMaxNrec, cumSize, nrecSize))
+  }
+
   /** Walk a version-2 B-tree of the expected record type → (record
-    * size, byte position of every record, tree order). Depth 0 (root
-    * IS the 'BTLF' leaf — the form small dense groups and small
-    * chunk indexes take) and (r16) depth 1 — a 'BTIN' internal root
-    * over leaves, the form libhdf5 writes once records outgrow one
-    * node: the internal image is records-then-pointers (spec III.A.2
-    * / H5B2__cache_int_serialize), each pointer = child address +
-    * the child's record count in `limit_enc_size(leaf max records)`
-    * bytes (the variable width derived from node size and record
-    * size, exactly libhdf5's max_nrec_size; the cumulative-count
-    * field only exists past depth 1), and records emit IN-ORDER —
-    * child 0's leaf, separator 0, child 1's leaf, … — so callers see
-    * the same sorted sequence a one-leaf tree gives. Depth ≥ 2
-    * quarantines by name. Shared by [[denseLinks]] (type 5) and the
+    * size, byte position of every record, tree order), to ANY depth
+    * (r16 — depth 0's root-is-leaf, depth 1's BTIN-over-leaves, and
+    * the general recursion past it): internal images are
+    * records-then-pointers (spec III.A.2 / H5B2__cache_int
+    * _serialize), each pointer = child address + the child's record
+    * count in the derived `max_nrec_size` width + (below depth-1
+    * internals only) the child SUBTREE's total record count in the
+    * level's derived cumulative width — all widths from [[bt2Geom]],
+    * exactly libhdf5's tables, so a file written with real node
+    * capacities parses without guesswork. Records emit IN-ORDER
+    * (child 0, separator 0, child 1, …); counts over the level's
+    * capacity, signature/type lies and subtree-count disagreements
+    * refuse by name. Shared by [[denseLinks]] (type 5) and the
     * layout-v4 chunk index (types 10/11). */
   private def btree2Records(r: Rd, btAddr: Long, wantType: Int):
       Either[String, (Int, IndexedSeq[Long])] = {
@@ -471,46 +506,60 @@ object Hdf5 {
     val nodeSize = r.u32(btAddr + 6)
     val recSize = r.u16(btAddr + 10)
     val depth = r.u16(btAddr + 12)
-    if (depth > 1) return Left("btree2_depth_unsupported")
+    if (depth > 8) return Left("btree2_depth_unsupported")
     val rootNode = r.u64(btAddr + 16)
     val nRec = r.u16(btAddr + 24)
-    if (recSize <= 0 || nodeSize < 10 + recSize)
-      return Left("bad_btree2_header")
-    def leafRecords(addr: Long, n: Int): Either[String, IndexedSeq[Long]] = {
-      if (r.ascii(addr, 4) != "BTLF" || r.u8(addr + 4) != 0 ||
-          r.u8(addr + 5) != wantType) Left("bad_btree2_leaf")
-      else Right((0 until n).map(i => addr + 6 + i.toLong * recSize))
+    val geom = bt2Geom(nodeSize, recSize, depth) match {
+      case None => return Left("bad_btree2_header")
+      case Some(g) => g
     }
-    if (depth == 0) leafRecords(rootNode, nRec).map((recSize, _))
-    else {
-      if (r.ascii(rootNode, 4) != "BTIN")
-        return Left("bad_btree2_internal")
-      if (r.u8(rootNode + 4) != 0 || r.u8(rootNode + 5) != wantType)
-        return Left("bad_btree2_internal")
-      val leafMax = ((nodeSize - 10) / recSize).toInt
-      val nrecBytes = log2gen(leafMax.toLong) / 8 + 1 // limit_enc_size
-      val recsAt = rootNode + 6
-      val ptrsAt = recsAt + nRec.toLong * recSize
-      val ptrSize = 8 + nrecBytes
-      val out = IndexedSeq.newBuilder[Long]
-      var i = 0
-      while (i <= nRec) {
-        val childAddr = r.u64(ptrsAt + i.toLong * ptrSize)
-        var nChild = 0L; var k = 0
-        while (k < nrecBytes) {
-          nChild |= r.u8(ptrsAt + i.toLong * ptrSize + 8 + k).toLong << (8 * k)
-          k += 1
+    val out = IndexedSeq.newBuilder[Long]
+    def varU(at: Long, bytes: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < bytes) { v |= r.u8(at + k).toLong << (8 * k); k += 1 }
+      v
+    }
+    // returns the subtree's total record count for the parent's
+    // all_nrec cross-check
+    def walk(addr: Long, level: Int, n: Int): Either[String, Long] = {
+      if (level == 0) {
+        if (r.ascii(addr, 4) != "BTLF" || r.u8(addr + 4) != 0 ||
+            r.u8(addr + 5) != wantType) return Left("bad_btree2_leaf")
+        out ++= (0 until n).map(i => addr + 6 + i.toLong * recSize)
+        Right(n.toLong)
+      } else {
+        if (r.ascii(addr, 4) != "BTIN" || r.u8(addr + 4) != 0 ||
+            r.u8(addr + 5) != wantType) return Left("bad_btree2_internal")
+        val recsAt = addr + 6
+        val ptrsAt = recsAt + n.toLong * recSize
+        val ps = geom.ptrSize(level)
+        var total = n.toLong
+        var i = 0
+        while (i <= n) {
+          val pAt = ptrsAt + i.toLong * ps
+          val childAddr = r.u64(pAt)
+          val nChild = varU(pAt + 8, geom.nrecSize)
+          if (nChild > geom.maxNrec(level - 1))
+            return Left("bad_btree2_internal")
+          val claimed =
+            if (level >= 2) varU(pAt + 8 + geom.nrecSize,
+              geom.cumSize(level - 1))
+            else nChild
+          walk(childAddr, level - 1, nChild.toInt) match {
+            case Left(e) => return Left(e)
+            case Right(got) =>
+              if (got != claimed) return Left("bad_btree2_subtree_count")
+              total += got
+          }
+          if (i < n) out += recsAt + i.toLong * recSize
+          i += 1
         }
-        if (nChild < 0 || nChild > leafMax)
-          return Left("bad_btree2_internal")
-        leafRecords(childAddr, nChild.toInt) match {
-          case Left(e) => return Left(e)
-          case Right(rs) => out ++= rs
-        }
-        if (i < nRec) out += recsAt + i.toLong * recSize
-        i += 1
+        Right(total)
       }
-      Right((recSize, out.result()))
+    }
+    walk(rootNode, depth, nRec) match {
+      case Left(e) => Left(e)
+      case Right(_) => Right((recSize, out.result()))
     }
   }
 
@@ -1967,42 +2016,99 @@ object Hdf5 {
     val (rootAddr2, rootNRec, depth) =
       if (recs.size <= leafMax) (writeLeaf(recs), recs.size, 0)
       else {
-        // depth 1: k leaves of ≤ leafMax records with k−1 separator
-        // records promoted into the BTIN root (B-tree semantics —
-        // separators are records, not copies)
-        var k = 2
-        while ((recs.size - (k - 1) + k - 1) / k > leafMax) k += 1
-        val perLeaf = (recs.size - (k - 1) + k - 1) / k
-        val nrecBytes = log2gen(leafMax.toLong) / 8 + 1
-        require(k - 1 <=
-          (512 - 10 - k * (8 + nrecBytes)) / recSize,
-          "dense name index outgrew a depth-1 tree")
-        val groups = Vector.newBuilder[(Seq[(Long, Long, Int)],
-          Option[(Long, Long, Int)])]
-        var rest = recs
-        while (rest.nonEmpty) {
-          val leafRecs = rest.take(math.min(perLeaf, rest.size))
-          rest = rest.drop(leafRecs.size)
-          val sep = if (rest.nonEmpty) {
-            val s = rest.head; rest = rest.tail; Some(s)
-          } else None
-          groups += ((leafRecs, sep))
+        // general depth (r16): split records into leaves with the
+        // separators between them PROMOTED (B-tree semantics —
+        // separators are records, not copies), then pack bottom-up:
+        // each internal level groups the level below into parents of
+        // ≤ max_nrec+1 children (capacities from the same derived
+        // geometry the decoder uses), the separator between two
+        // parents promoting again, until one root remains
+        val geom = bt2Geom(512L, recSize, 8).get
+        case class Written(addr: Long, nrec: Int, total: Long)
+        // level 0: split the sorted records into leaves of ≤ leafMax,
+        // the record BETWEEN two leaves promoted upward (a B-tree
+        // separator is a record, not a copy). If the tail would
+        // leave a dangling separator, it becomes a 1-record leaf.
+        val leafRecs = Vector.newBuilder[Vector[(Long, Long, Int)]]
+        val sepsB = Vector.newBuilder[(Long, Long, Int)]
+        locally {
+          var g = 1
+          while ((recs.size + g - 1) / g > leafMax) g += 1
+          val per = (recs.size + g - 1) / g
+          var rest = recs.toVector
+          while (rest.nonEmpty) {
+            val grp = rest.take(math.min(per, rest.size))
+            rest = rest.drop(grp.size)
+            if (rest.size == 1) {
+              // taking rest.head as separator would leave no leaf
+              // after it: donate this group's last record as the
+              // separator instead, the tail record becoming a
+              // 1-record final leaf (order preserved — all sorted)
+              leafRecs += grp.init
+              sepsB += grp.last
+              leafRecs += Vector(rest.head)
+              rest = Vector.empty
+            } else if (rest.nonEmpty) {
+              leafRecs += grp
+              sepsB += rest.head; rest = rest.tail
+            } else leafRecs += grp
+          }
         }
-        val gs = groups.result()
-        val leaves = gs.map(g => (writeLeaf(g._1), g._1.size))
-        w.pad(8)
-        val at = w.pos.toLong
-        val iw = new Wr
-        iw.ascii("BTIN").u8(0).u8(5)
-        gs.flatMap(_._2).foreach(r => recBytes(r)(iw))
-        leaves.foreach { case (addr, n) =>
-          iw.u64(addr)
-          var x = n.toLong; var b = 0
-          while (b < nrecBytes) { iw.u8((x & 0xFF).toInt); x >>= 8; b += 1 }
+        var nodes: Vector[Written] = leafRecs.result().map(g =>
+          Written(writeLeaf(g), g.size, g.size.toLong))
+        // seps(i) sits between nodes(i) and nodes(i+1)
+        var seps: Vector[(Long, Long, Int)] = sepsB.result()
+        require(seps.size == nodes.size - 1, "separator/leaf mismatch")
+        var level = 1
+        while (nodes.size > 1) {
+          require(level <= 8, "dense name index outgrew depth 8")
+          val maxKids = geom.maxNrec(level).toInt + 1
+          var g = 1
+          while ((nodes.size + g - 1) / g > maxKids) g += 1
+          val per = (nodes.size + g - 1) / g
+          val parents = Vector.newBuilder[Written]
+          val promoted = Vector.newBuilder[(Long, Long, Int)]
+          // walk (node, following-sep) pairs: a node's following sep
+          // sits INSIDE the parent unless the node closes a group —
+          // then it promotes (the global last node has no sep)
+          var rest = nodes.zip(seps.map(Option(_)) :+ None)
+          while (rest.nonEmpty) {
+            val grp = rest.take(math.min(per, rest.size))
+            rest = rest.drop(grp.size)
+            val children = grp.map(_._1)
+            val inSeps = grp.init.flatMap(_._2.toVector)
+            if (rest.nonEmpty) grp.last._2.foreach(promoted += _)
+            else require(grp.last._2.isEmpty, "dangling separator")
+            w.pad(8)
+            val at = w.pos.toLong
+            val iw = new Wr
+            iw.ascii("BTIN").u8(0).u8(5)
+            inSeps.foreach(r => recBytes(r)(iw))
+            children.foreach { c =>
+              iw.u64(c.addr)
+              var x = c.nrec.toLong; var b = 0
+              while (b < geom.nrecSize) {
+                iw.u8((x & 0xFF).toInt); x >>= 8; b += 1
+              }
+              if (level >= 2) {
+                var y = c.total; b = 0
+                while (b < geom.cumSize(level - 1)) {
+                  iw.u8((y & 0xFF).toInt); y >>= 8; b += 1
+                }
+              }
+            }
+            iw.u32(lookup3(iw.out.toByteArray, 0, iw.pos, 0)
+              .toLong & 0xFFFFFFFFL)
+            w.bytes(iw.out.toByteArray)
+            parents += Written(at, inSeps.size,
+              children.map(_.total).sum + inSeps.size)
+          }
+          nodes = parents.result()
+          seps = promoted.result()
+          require(seps.size == nodes.size - 1, "separator/parent mismatch")
+          level += 1
         }
-        iw.u32(lookup3(iw.out.toByteArray, 0, iw.pos, 0).toLong & 0xFFFFFFFFL)
-        w.bytes(iw.out.toByteArray)
-        (at, gs.size - 1, 1)
+        (nodes.head.addr, nodes.head.nrec, level - 1)
       }
     w.pad(8)
     val btAddr = w.pos.toLong

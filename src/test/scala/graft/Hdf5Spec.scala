@@ -427,11 +427,12 @@ class Hdf5Spec extends SparkSpec {
     val huge = f.clone; huge(frhp + 86) = 1
     assert(reason(huge) === "huge_or_tiny_heap_objects_unsupported")
     // depth lies: claiming an internal root over a leaf image trips
-    // the BTIN signature check (depth 1 decodes for real since r16 —
-    // see the depth-1 test); depth ≥ 2 quarantines by name
+    // the BTIN signature check (any real depth decodes since r16 —
+    // see the depth-1/-2 tests); an absurd depth quarantines by name
+    // (depth 8 already holds ~10^16 records — past any real file)
     val lieDepth = f.clone; lieDepth(bthd + 12) = 1
     assert(reason(lieDepth) === "bad_btree2_internal")
-    val deep = f.clone; deep(bthd + 12) = 2
+    val deep = f.clone; deep(bthd + 12) = 9
     assert(reason(deep) === "btree2_depth_unsupported")
     // and a small group still writes COMPACT links (no heap at all)
     val small = Hdf5.encodeH5V2(enc.take(3), denseGroup = false)
@@ -616,6 +617,63 @@ class Hdf5Spec extends SparkSpec {
     assert(nameAt > 0)
     val lying = f.clone; lying(nameAt + 8) = '7'.toByte
     assert(reason(lying) === "bad_link_name_hash")
+  }
+
+  test("hdf5 v2 B-tree depth 2: two internal levels, all_nrec subtree counts verified, split boundary sweep") {
+    // node size 512 / record size 11 → leaf max 45, level-1 internal
+    // max 24 separators → a depth-1 tree tops out at cum_max_nrec(1)
+    // = 25·45 + 24 = 1149 records; 1500 links force TWO internal
+    // levels, whose child pointers carry the all_nrec subtree totals
+    // the decoder cross-checks against its own walk
+    def make(n: Int, tag: String): (Seq[Hdf5.H5Enc], Array[Byte]) = {
+      val enc = (0 until n).map { i =>
+        Hdf5.H5Enc(f"${tag}_$i%04d_padpadpadpadpad", Seq(1), "f8",
+          Array(i * 7.0))
+      }
+      (enc, Hdf5.encodeH5V2(enc, denseGroup = true, denseSpill = true))
+    }
+    val (enc, f) = make(1500, "d2")
+    def sigAt(b: Array[Byte], s: String, from: Int = 0): Int =
+      (from until b.length).indexWhere(i =>
+        i + 4 <= b.length && new String(b, i, 4, "US-ASCII") == s) match {
+        case -1 => -1; case k => from + k
+      }
+    def u16(b: Array[Byte], p: Int) =
+      (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+    val bthd = sigAt(f, "BTHD")
+    assert(u16(f, bthd + 12) === 2, "depth 2 declared")
+    var at = sigAt(f, "BTIN"); var nInt = 0
+    while (at > 0) { nInt += 1; at = sigAt(f, "BTIN", at + 4) }
+    assert(nInt >= 3, s"root + level-1 internals (got $nInt)")
+    val got = Hdf5.decodeH5(f).toOption.get
+    assert(got.map(_.name) === enc.map(_.name))
+    got.zipWithIndex.foreach { case (d, i) =>
+      assert(d.values.toSeq === Seq(i * 7.0), d.name)
+    }
+    def reason(b: Array[Byte]): String = Hdf5.decodeH5(b).left.toOption.get
+    // corrupt an all_nrec subtree count in the ROOT's first pointer:
+    // root at depth 2 has pointers (addr 8, nrec 1, all_nrec 2) after
+    // its separator records — the walk must refuse, not misread
+    val rootAddr = {
+      var v = 0L
+      (0 until 8).foreach(k => v |= (f(bthd + 16 + k) & 0xFFL) << (8 * k))
+      v.toInt
+    }
+    val rootNRec = u16(f, bthd + 24)
+    val recSize = u16(f, bthd + 10)
+    val ptr0 = rootAddr + 6 + rootNRec * recSize
+    val badTotal = f.clone
+    badTotal(ptr0 + 9) = (badTotal(ptr0 + 9) ^ 0x01).toByte // all_nrec lo
+    assert(reason(badTotal) === "bad_btree2_subtree_count")
+    // boundary sweep: every record count around the leaf and
+    // depth-1→2 split points round-trips (off-by-ones in the split
+    // or the separator promotion would misorder or drop names)
+    Seq(44, 45, 46, 47, 90, 91, 92, 93, 139, 1148, 1149, 1150)
+      .foreach { n =>
+        val (e2, f2) = make(n, f"bs$n%04d")
+        val g2 = Hdf5.decodeH5(f2).toOption.get
+        assert(g2.map(_.name) === e2.map(_.name), s"n=$n names")
+      }
   }
 
   test("grid_h5_decode: end-to-end lane — CF unpack, all four datasets across both format families, every cell") {
