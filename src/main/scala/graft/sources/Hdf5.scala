@@ -31,10 +31,10 @@ import org.apache.spark.sql.functions._
   * fractal-heap groups in the small-group form libhdf5 writes past
   * its 8-link threshold (root direct block + depth-0 name-index v2
   * B-tree, name hashes re-derived through the pinned lookup3),
-  * including (r15) root-indirect and (r16) NESTED-indirect heap
-  * walks. The remaining slivers — filtered/huge-object fractal
-  * heaps, deeper v2 B-trees, szip — quarantine loudly via
-  * Left(reason), the house drop discipline.
+  * including (r15) root-indirect and (r16) NESTED-indirect and
+  * FILTERED heap walks, with v2 B-trees decoded to any depth. The
+  * remaining slivers — huge/tiny heap objects, szip — quarantine
+  * loudly via Left(reason), the house drop discipline.
   *
   * The encoder writes the same subset (the in-plan render → decode
   * gate proves decode∘encode = identity over every layout/filter
@@ -243,9 +243,9 @@ object Hdf5 {
     * name-index version-2 B-tree ('BTHD' → 'BTLF' leaf of type-5
     * records, each 4-byte Jenkins-lookup3 name hash + heap ID).
     * Decodes dense groups from the single-root-direct form through
-    * root-indirect (r15) and NESTED-indirect (r16) fractal heaps —
-    * depth-0 name index, unfiltered heap; deeper B-trees, huge/tiny
-    * heap objects and filtered heaps quarantine by name. Every record's
+    * root-indirect (r15), NESTED-indirect and FILTERED (r16) fractal
+    * heaps, the name index at any B-tree depth; huge/tiny heap
+    * objects quarantine by name. Every record's
     * name hash is re-derived from the decoded name with the same
     * spec-pinned lookup3 — a heap/B-tree disagreement cannot decode
     * silently. */
@@ -571,7 +571,6 @@ object Hdf5 {
       return Left("unsupported_fractal_heap_version")
     val idLen = r.u16(fhAddr + 5)
     val filterLen = r.u16(fhAddr + 7)
-    if (filterLen != 0) return Left("filtered_fractal_heap_unsupported")
     // flags(1) at 9, maxManSize(4) at 10, then the 13 length/address
     // stats fields (8 bytes each) at 14..110, then the doubling table
     val nHuge = r.u64(fhAddr + 86)
@@ -584,6 +583,27 @@ object Hdf5 {
     val maxHeapBits = r.u16(fhAddr + 128)
     val rootAddr = r.u64(fhAddr + 132)
     val currRows = r.u16(fhAddr + 140)
+    // FILTERED heap (r16): the header grows three fields after the
+    // root-rows count — the filtered ROOT direct block's stored size
+    // (length, 8), its filter mask (4), and the I/O filter pipeline
+    // message (filterLen bytes, v1 or v2). Direct blocks then live
+    // compressed on disk (the WHOLE image, header included — libhdf5
+    // filters before its cache serializes) and indirect-block DIRECT
+    // entries widen to (address, stored size, mask). Deflate (id 1)
+    // decodes; anything else refuses by name.
+    val filtered = filterLen > 0
+    var rootCsize = 0L
+    var rootMask = 0L
+    var heapFilters: Seq[(Int, Seq[Long])] = Nil
+    if (filtered) {
+      rootCsize = r.u64(fhAddr + 142)
+      rootMask = r.u32(fhAddr + 150)
+      heapFilters = parsePipeline(r, fhAddr + 154) match {
+        case Left(e) => return Left(e); case Right(f) => f
+      }
+      if (heapFilters.isEmpty || !heapFilters.forall(_._1 == 1))
+        return Left("unsupported_heap_filter")
+    }
     if (isUndef(rootAddr)) return Left("empty_fractal_heap")
     val offSize = (maxHeapBits + 7) / 8
     val lenSize = idLen - 1 - offSize
@@ -609,7 +629,8 @@ object Hdf5 {
     // linear in DFS order. Every FHIB — root and nested — must state
     // its span-start block offset or refuse (bad_heap_block_offset);
     // nested geometry requires the spec's power-of-two table width. ---
-    case class DBlk(heapOff: Long, addr: Long, size: Long)
+    case class DBlk(heapOff: Long, addr: Long, size: Long,
+        csize: Long, mask: Long)
     val maxDirectRows = log2gen(maxDirect) - log2gen(startBlock) + 2
     val widthBits = java.lang.Integer.numberOfTrailingZeros(tableWidth)
     val blocksB = IndexedSeq.newBuilder[DBlk]
@@ -634,11 +655,16 @@ object Hdf5 {
         val rowSize = if (row < 2) startBlock else startBlock << (row - 1)
         var colI = 0
         while (colI < tableWidth) {
-          val a = r.u64(p); p += 8
-          if (!isUndef(a) && a != 0) {
-            if (row < maxDirectRows) {
-              blocksB += DBlk(blockOff + rel, a, rowSize)
-            } else {
+          if (row < maxDirectRows) {
+            // filtered heaps widen DIRECT entries to (addr, size, mask)
+            val a = r.u64(p); p += 8
+            var cs = 0L; var mk = 0L
+            if (filtered) { cs = r.u64(p); mk = r.u32(p + 8); p += 12 }
+            if (!isUndef(a) && a != 0)
+              blocksB += DBlk(blockOff + rel, a, rowSize, cs, mk)
+          } else {
+            val a = r.u64(p); p += 8
+            if (!isUndef(a) && a != 0) {
               if (java.lang.Long.bitCount(tableWidth.toLong) != 1)
                 return Some("bad_heap_doubling_table")
               val childRows = row - widthBits
@@ -654,40 +680,68 @@ object Hdf5 {
       }
       None
     }
-    if (currRows == 0) blocksB += DBlk(0L, rootAddr, startBlock)
+    if (currRows == 0)
+      blocksB += DBlk(0L, rootAddr, startBlock, rootCsize, rootMask)
     else walkIndirect(rootAddr, 0L, currRows, 0) match {
       case Some(e) => return Left(e)
       case None =>
     }
     val blocks: IndexedSeq[DBlk] = blocksB.result()
-    // every allocated direct block: signature, version, back pointer
-    // AND its stored block-offset field must equal the slot-grid
-    // offset (a misplaced block cannot pass silently)
-    blocks.foreach { blk =>
-      if (r.ascii(blk.addr, 4) != "FHDB")
+    if (blocks.isEmpty) return Left("empty_fractal_heap")
+    // every allocated direct block — decompressed first for filtered
+    // heaps (the whole image passes the pipeline; a set mask bit
+    // means that filter was skipped for this block): signature,
+    // version, back pointer AND its stored block-offset field must
+    // equal the slot-grid offset (a misplaced block cannot pass
+    // silently). Filtered images must also inflate to EXACTLY the
+    // slot size. Each block yields the reader its objects resolve
+    // through: (r, file address base) unfiltered, or an image-local
+    // Rd for filtered blocks.
+    val blockRd = new Array[(Rd, Long)](blocks.size)
+    blocks.zipWithIndex.foreach { case (blk, bi) =>
+      val (br, base) =
+        if (!filtered) (r, blk.addr)
+        else {
+          if (blk.csize <= 0 || blk.addr + blk.csize > r.b.length)
+            return Left("bad_heap_filtered_block")
+          var raw = java.util.Arrays.copyOfRange(r.b,
+            blk.addr.toInt, (blk.addr + blk.csize).toInt)
+          try {
+            heapFilters.zipWithIndex.reverse.foreach { case ((_, _), fi) =>
+              if ((blk.mask & (1L << fi)) == 0) raw = inflate(raw)
+            }
+          } catch {
+            case _: Exception => return Left("bad_heap_filtered_block")
+          }
+          if (raw.length != blk.size.toInt)
+            return Left("bad_heap_filtered_block")
+          (new Rd(raw), 0L)
+        }
+      if (br.ascii(base, 4) != "FHDB")
         return Left("bad_heap_direct_block")
-      if (r.u8(blk.addr + 4) != 0)
+      if (br.u8(base + 4) != 0)
         return Left("unsupported_heap_block_version")
-      if (r.u64(blk.addr + 5) != fhAddr)
+      if (br.u64(base + 5) != fhAddr)
         return Left("bad_heap_back_pointer")
       var storedOff = 0L; var k = 0
       while (k < offSize) {
-        storedOff |= r.u8(blk.addr + 13 + k).toLong << (8 * k); k += 1
+        storedOff |= br.u8(base + 13 + k).toLong << (8 * k); k += 1
       }
       if (storedOff != blk.heapOff) return Left("bad_heap_block_offset")
+      blockRd(bi) = (br, base)
     }
-    if (blocks.isEmpty) return Left("empty_fractal_heap")
-    // a managed object's heap offset → file address via its block
-    def heapToFile(off: Long): Either[String, Long] = {
+    // a managed object's heap offset → (reader, position) via its block
+    def heapResolve(off: Long): Either[String, (Rd, Long)] = {
       var lo = 0; var hi = blocks.size - 1
       while (lo < hi) { // blocks are heap-offset sorted by build
         val mid = (lo + hi + 1) / 2
         if (blocks(mid).heapOff <= off) lo = mid else hi = mid - 1
       }
       val b = blocks(lo)
-      if (off >= b.heapOff && off < b.heapOff + b.size)
-        Right(b.addr + (off - b.heapOff))
-      else Left("heap_offset_out_of_range")
+      if (off >= b.heapOff && off < b.heapOff + b.size) {
+        val (br, base) = blockRd(lo)
+        Right((br, base + (off - b.heapOff)))
+      } else Left("heap_offset_out_of_range")
     }
     // --- name-index v2 B-tree ---
     if (btAddr == 0 || isUndef(btAddr)) return Left("missing_name_index")
@@ -710,10 +764,10 @@ object Hdf5 {
         len |= r.u8(idB + 1 + offSize + k).toLong << (8 * k); k += 1
       }
       if (len <= 0) return Left("bad_heap_object_length")
-      val fileAt = heapToFile(off) match {
+      val (objRd, objAt) = heapResolve(off) match {
         case Left(e) => return Left(e); case Right(a) => a
       }
-      linkMessage(r, fileAt) match {
+      linkMessage(objRd, objAt) match {
         case Left(e) => return Left(e)
         case Right((name, oh)) =>
           val nb = name.getBytes("US-ASCII")
@@ -751,6 +805,35 @@ object Hdf5 {
           j += 1
         }
       }
+      i += 1
+    }
+    Right(out.result())
+  }
+
+  /** Filter Pipeline message body (version 1 — classic, 8-padded
+    * names, value-count padding — AND version 2, the latest-format
+    * packing where standard filters < 256 omit the name length) →
+    * (filter id, client values) in pipeline order. Shared by the
+    * dataset path and (r16) the filtered-fractal-heap header. */
+  private def parsePipeline(r: Rd, p0: Long):
+      Either[String, Seq[(Int, Seq[Long])]] = {
+    val ver = r.u8(p0)
+    if (ver != 1 && ver != 2)
+      return Left("unsupported_filter_pipeline_version")
+    val nf = r.u8(p0 + 1)
+    var q = p0 + (if (ver == 1) 8 else 2)
+    val out = Seq.newBuilder[(Int, Seq[Long])]
+    var i = 0
+    while (i < nf) {
+      val id = r.u16(q); q += 2
+      val nameLen =
+        if (ver == 1 || id >= 256) { val n = r.u16(q); q += 2; n } else 0
+      q += 2 // flags
+      val ncv = r.u16(q); q += 2
+      q += (if (ver == 1) (nameLen + 7) / 8 * 8 else nameLen)
+      out += ((id, (0 until ncv).map(j => r.u32(q + j * 4L))))
+      q += ncv * 4L
+      if (ver == 1 && ncv % 2 == 1) q += 4
       i += 1
     }
     Right(out.result())
@@ -864,19 +947,9 @@ object Hdf5 {
     // filters
     val filters: Seq[(Int, Seq[Long])] = msgs.find(_._1 == 0x000B) match {
       case None => Nil
-      case Some((_, p, _)) =>
-        if (r.u8(p) != 1) return Left("unsupported_filter_pipeline_version")
-        val nf = r.u8(p + 1)
-        var q = p + 8
-        (0 until nf).map { _ =>
-          val id = r.u16(q); val nameLen = r.u16(q + 2)
-          val ncv = r.u16(q + 6)
-          val nameP = (nameLen + 7) / 8 * 8 // names pad to 8
-          val vals = (0 until ncv).map(i =>
-            r.u32(q + 8 + nameP + i * 4L))
-          q += 8 + nameP + ncv * 4L + (if (ncv % 2 == 1) 4 else 0)
-          (id, vals)
-        }
+      case Some((_, p, _)) => parsePipeline(r, p) match {
+        case Left(e) => return Left(e); case Right(f) => f
+      }
     }
     if (!filters.forall(f => f._1 == 1 || f._1 == 2))
       return Left("unsupported_filter")
@@ -1444,7 +1517,8 @@ object Hdf5 {
   private[graft] def encodeH5V2(datasets: Seq[H5Enc],
       denseGroup: Boolean = false,
       denseSpill: Boolean = false,
-      denseMaxDirect: Long = 65536L): Array[Byte] = {
+      denseMaxDirect: Long = 65536L,
+      denseFilter: Boolean = false): Array[Byte] = {
     require(datasets.nonEmpty)
     require(denseGroup || datasets.size <= 8,
       "compact links: 8 is libhdf5's default dense threshold")
@@ -1564,7 +1638,7 @@ object Hdf5 {
     if (denseGroup) {
       val (fhAddr, btAddr) = writeDenseGroup(w,
         datasets.map(d => d.name -> linkBody(d)), spill = denseSpill,
-        maxDirectSize = denseMaxDirect)
+        maxDirectSize = denseMaxDirect, filtered = denseFilter)
       val li = new Wr
       li.u8(0).u8(0).u64(fhAddr).u64(btAddr)
       rootMsgs += ((0x02, li.out.toByteArray))
@@ -1772,7 +1846,8 @@ object Hdf5 {
   private def writeDenseGroup(w: Wr,
       links: Seq[(String, Array[Byte])],
       spill: Boolean = false,
-      maxDirectSize: Long = 65536L): (Long, Long) = {
+      maxDirectSize: Long = 65536L,
+      filtered: Boolean = false): (Long, Long) = {
     val offSize = 4 // 32-bit heap address space
     val lenSize = 2 // min(enc(64K max direct), enc(4096 max managed))
     val idLen = 1 + offSize + lenSize
@@ -1859,14 +1934,37 @@ object Hdf5 {
         java.lang.Integer.highestOneBit(iterOff.toInt - 1) * 2)
     val startBlock = if (spill) 512L else singleBlockSize.toLong
     val totalSlotSpace = (0 until rootRows).map(r => rowSz(r) * width).sum
-    // layout: FRHP (146 bytes, 8-padded → +152), then the root block
-    // (direct, or FHIB followed — pre-order — by each allocated
-    // child: nested FHIBs precede their own blocks)
+    // layout: FRHP (146 bytes — +36 when filtered: root csize, mask,
+    // pipeline message — 8-padded), then the root block (direct, or
+    // FHIB followed — pre-order — by each allocated child: nested
+    // FHIBs precede their own blocks). Filtered heaps (r16) deflate
+    // every direct-block image whole (header included, checksum
+    // computed BEFORE filtering — the libhdf5 cache order) and widen
+    // FHIB direct entries to (address, stored size, mask).
+    val pipeBytes: Array[Byte] =
+      if (!filtered) Array.empty
+      else {
+        val pw = new Wr
+        pw.u8(1).u8(1).u16(0).u32(0)   // pipeline message v1, 1 filter
+        pw.u16(1).u16(0).u16(0).u16(1) // deflate, unnamed, 1 value
+        pw.u32(6L)                     // level
+        pw.u32(0L)                     // odd value count pads
+        pw.out.toByteArray
+      }
     w.pad(8)
     val fhAddr = w.pos.toLong
-    val rootBlk = fhAddr + 152
     def pad8(v: Long): Long = (v + 7) & ~7L
-    def fhibSize(nrows: Int) = 13 + offSize + nrows * width * 8 + 4
+    val rootBlk = fhAddr +
+      pad8(146 + (if (filtered) 12 + pipeBytes.length else 0))
+    def fhibSize(nrows: Int): Int = {
+      var sz = 13 + offSize + 4
+      var row = 0
+      while (row < nrows) {
+        sz += width * (if (row < maxDirectRows && filtered) 20 else 8)
+        row += 1
+      }
+      sz
+    }
     // --- build the allocated tree and assign file addresses ---
     sealed trait Nd
     case class DirectNd(off: Long, size: Long, idx: Int,
@@ -1898,40 +1996,6 @@ object Hdf5 {
       IndNd(blockOff, nrows, slots.result())
     }
     val rootNd: Option[IndNd] = if (spill) Some(build(0L, rootRows)) else None
-    var cursor = rootBlk
-    def assign(n: Nd): Unit = n match {
-      case d: DirectNd =>
-        cursor = pad8(cursor); d.addr = cursor; cursor += d.size
-      case i: IndNd =>
-        cursor = pad8(cursor); i.addr = cursor; cursor += fhibSize(i.nrows)
-        i.slots.flatten.foreach(assign)
-    }
-    rootNd.foreach(assign)
-    val hb = new Wr
-    hb.ascii("FRHP").u8(0)
-    hb.u16(idLen).u16(0) // no I/O filters
-    hb.u8(2)             // flags: checksum direct blocks
-    hb.u32(4096L)        // max managed object size
-    hb.u64(0)            // next huge id
-    hb.u64(Undef)        // huge v2 btree
-    hb.u64(0)            // free space
-    hb.u64(Undef)        // free space manager
-    hb.u64(if (spill) totalSlotSpace else startBlock) // managed space
-    hb.u64(if (spill) totalSlotSpace else startBlock) // allocated
-    hb.u64(iterOff)      // direct block iterator offset
-    hb.u64(links.size.toLong) // managed objects
-    hb.u64(0).u64(0).u64(0).u64(0) // huge/tiny sizes and counts
-    hb.u16(width)        // table width
-    hb.u64(startBlock)   // starting block size
-    hb.u64(maxDirectSize) // max direct block size
-    hb.u16(32)           // max heap size (bits)
-    hb.u16(1)            // starting rows in root indirect block
-    hb.u64(rootBlk)      // root block address
-    hb.u16(if (spill) rootRows else 0) // 0 = root is DIRECT
-    hb.u32(lookup3(hb.out.toByteArray, 0, hb.pos, 0).toLong & 0xFFFFFFFFL)
-    w.bytes(hb.out.toByteArray)
-    w.pad(8)
-    require(w.pos == rootBlk, "root block address drifted")
     def directBlockImage(objs: Seq[(Array[Byte], Long)],
         heapOffset: Long, size: Int): Array[Byte] = {
       val blk = new Array[Byte](size)
@@ -1952,28 +2016,95 @@ object Hdf5 {
         blk(13 + offSize + i) = ((ck >> (8 * i)) & 0xFF).toByte)
       blk
     }
+    // on-disk bytes per direct block — the plain image, or (filtered)
+    // the deflated whole image; sizes must exist before addressing
+    val diskBytes = scala.collection.mutable.Map[Int, Array[Byte]]()
+    def prepImages(n: Nd): Unit = n match {
+      case d: DirectNd =>
+        val objs = heapOff.filter(_._4 == d.idx)
+          .map { case (_, b, o, _) => (b, o) }
+        val img = directBlockImage(objs, d.off, d.size.toInt)
+        diskBytes(d.idx) = if (filtered) deflate(img, 6) else img
+      case i: IndNd => i.slots.flatten.foreach(prepImages)
+    }
+    rootNd.foreach(prepImages)
+    if (rootNd.isEmpty) {
+      val img = directBlockImage(
+        heapOff.map { case (_, b, o, _) => (b, o) }, 0L, singleBlockSize)
+      diskBytes(0) = if (filtered) deflate(img, 6) else img
+    }
+    var cursor = rootBlk
+    def assign(n: Nd): Unit = n match {
+      case d: DirectNd =>
+        cursor = pad8(cursor); d.addr = cursor
+        cursor += diskBytes(d.idx).length
+      case i: IndNd =>
+        cursor = pad8(cursor); i.addr = cursor; cursor += fhibSize(i.nrows)
+        i.slots.flatten.foreach(assign)
+    }
+    rootNd.foreach(assign)
+    val hb = new Wr
+    hb.ascii("FRHP").u8(0)
+    hb.u16(idLen).u16(pipeBytes.length) // I/O filter info length
+    hb.u8(2)             // flags: checksum direct blocks
+    hb.u32(4096L)        // max managed object size
+    hb.u64(0)            // next huge id
+    hb.u64(Undef)        // huge v2 btree
+    hb.u64(0)            // free space
+    hb.u64(Undef)        // free space manager
+    hb.u64(if (spill) totalSlotSpace else startBlock) // managed space
+    hb.u64(if (spill) totalSlotSpace else startBlock) // allocated
+    hb.u64(iterOff)      // direct block iterator offset
+    hb.u64(links.size.toLong) // managed objects
+    hb.u64(0).u64(0).u64(0).u64(0) // huge/tiny sizes and counts
+    hb.u16(width)        // table width
+    hb.u64(startBlock)   // starting block size
+    hb.u64(maxDirectSize) // max direct block size
+    hb.u16(32)           // max heap size (bits)
+    hb.u16(1)            // starting rows in root indirect block
+    hb.u64(rootBlk)      // root block address
+    hb.u16(if (spill) rootRows else 0) // 0 = root is DIRECT
+    if (filtered) {
+      // filtered ROOT direct block size (0 when the root is
+      // indirect), its filter mask, then the pipeline message
+      hb.u64(if (spill) 0L else diskBytes(0).length.toLong)
+      hb.u32(0L)
+      hb.bytes(pipeBytes)
+    }
+    hb.u32(lookup3(hb.out.toByteArray, 0, hb.pos, 0).toLong & 0xFFFFFFFFL)
+    w.bytes(hb.out.toByteArray)
+    w.pad(8)
+    require(w.pos == rootBlk, "root block address drifted")
     def writeNode(n: Nd): Unit = n match {
       case d: DirectNd =>
         w.pad(8)
         require(w.pos == d.addr, "direct block drifted")
-        val objs = heapOff.filter(_._4 == d.idx)
-          .map { case (_, b, o, _) => (b, o) }
-        w.bytes(directBlockImage(objs, d.off, d.size.toInt))
+        w.bytes(diskBytes(d.idx))
       case i: IndNd =>
         w.pad(8)
         require(w.pos == i.addr, "indirect block drifted")
-        // FHIB: child addresses row-major, Undef for empty slots,
-        // stored span-start block offset, trailing checksum
+        // FHIB: child addresses row-major, Undef for empty slots —
+        // direct entries widened to (addr, stored size, mask) in
+        // filtered heaps — stored span-start offset, trailing checksum
         val iw = new Wr
         iw.ascii("FHIB").u8(0).u64(fhAddr)
         var k = 0
         while (k < offSize) {
           iw.u8(((i.off >> (8 * k)) & 0xFF).toInt); k += 1
         }
-        i.slots.foreach {
-          case Some(d: DirectNd) => iw.u64(d.addr)
-          case Some(c: IndNd) => iw.u64(c.addr)
-          case None => iw.u64(Undef)
+        i.slots.zipWithIndex.foreach { case (slot, s) =>
+          val directRow = s / width < maxDirectRows
+          slot match {
+            case Some(d: DirectNd) =>
+              iw.u64(d.addr)
+              if (filtered && directRow) {
+                iw.u64(diskBytes(d.idx).length.toLong); iw.u32(0L)
+              }
+            case Some(c: IndNd) => iw.u64(c.addr)
+            case None =>
+              iw.u64(Undef)
+              if (filtered && directRow) { iw.u64(0L); iw.u32(0L) }
+          }
         }
         iw.u32(lookup3(iw.out.toByteArray, 0, iw.pos, 0).toLong & 0xFFFFFFFFL)
         w.bytes(iw.out.toByteArray)
@@ -1981,9 +2112,7 @@ object Hdf5 {
     }
     rootNd match {
       case Some(root) => writeNode(root)
-      case None =>
-        w.bytes(directBlockImage(
-          heapOff.map { case (_, b, o, _) => (b, o) }, 0L, singleBlockSize))
+      case None => w.bytes(diskBytes(0))
     }
     // --- name-index v2 B-tree: leaves first, then the BTIN root (if
     // the records outgrow one 512-byte node — the r16 depth-1 form),

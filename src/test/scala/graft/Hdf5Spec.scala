@@ -422,8 +422,11 @@ class Hdf5Spec extends SparkSpec {
     // filtered heap, huge objects, a deeper B-tree
     val indirect = f.clone; indirect(frhp + 140) = 2
     assert(reason(indirect) === "bad_heap_indirect_block")
+    // lying about a filter pipeline on an unfiltered image makes the
+    // header's (absent) pipeline fields parse as garbage — refused
+    // (real filtered heaps decode since r16, see the filtered test)
     val filtered = f.clone; filtered(frhp + 7) = 8
-    assert(reason(filtered) === "filtered_fractal_heap_unsupported")
+    assert(Hdf5.decodeH5(filtered).isLeft)
     val huge = f.clone; huge(frhp + 86) = 1
     assert(reason(huge) === "huge_or_tiny_heap_objects_unsupported")
     // depth lies: claiming an internal root over a leaf image trips
@@ -674,6 +677,66 @@ class Hdf5Spec extends SparkSpec {
         val g2 = Hdf5.decodeH5(f2).toOption.get
         assert(g2.map(_.name) === e2.map(_.name), s"n=$n names")
       }
+  }
+
+  test("hdf5 FILTERED fractal heaps: deflated direct blocks decode in single-root, spilled and nested forms") {
+    def sigAt(b: Array[Byte], s: String, from: Int = 0): Int =
+      (from until b.length).indexWhere(i =>
+        i + 4 <= b.length && new String(b, i, 4, "US-ASCII") == s) match {
+        case -1 => -1; case k => from + k
+      }
+    def u16(b: Array[Byte], p: Int) =
+      (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+    def reason(b: Array[Byte]): String = Hdf5.decodeH5(b).left.toOption.get
+    // single filtered ROOT direct block: csize+mask live in the FRHP
+    val enc1 = (0 until 12).map { i =>
+      Hdf5.H5Enc(f"flt_var_$i%02d", Seq(1), "f8", Array(i * 11.0))
+    }
+    val f1 = Hdf5.encodeH5V2(enc1, denseGroup = true, denseFilter = true)
+    val frhp = sigAt(f1, "FRHP")
+    assert(u16(f1, frhp + 7) > 0, "pipeline length declared")
+    // the direct block is REALLY compressed: no plaintext FHDB after
+    // the header region (the image, signature included, is deflated)
+    assert(sigAt(f1, "FHDB") === -1, "direct image not stored raw")
+    val got1 = Hdf5.decodeH5(f1).toOption.get
+    assert(got1.map(_.name) === enc1.map(_.name))
+    got1.zipWithIndex.foreach { case (d, i) =>
+      assert(d.values.toSeq === Seq(i * 11.0), d.name)
+    }
+    // filtered + SPILLED (root FHIB with widened (addr, size, mask)
+    // entries) + NESTED (small max-direct forces child FHIBs)
+    val enc2 = (0 until 400).map { i =>
+      Hdf5.H5Enc(f"fns_var_$i%03d_padpadpadpad", Seq(2), "f8",
+        Array(i * 13.0, i * 13.0 + 1))
+    }
+    val f2 = Hdf5.encodeH5V2(enc2, denseGroup = true, denseSpill = true,
+      denseMaxDirect = 1024L, denseFilter = true)
+    assert(sigAt(f2, "FHIB") > 0, "indirect root present")
+    assert(sigAt(f2, "FHDB") === -1, "all direct images compressed")
+    val got2 = Hdf5.decodeH5(f2).toOption.get
+    assert(got2.map(_.name) === enc2.map(_.name))
+    got2.zipWithIndex.foreach { case (d, i) =>
+      assert(d.values.toSeq === Seq(i * 13.0, i * 13.0 + 1), d.name)
+    }
+    // corrupt compressed payload → refuses by name (either the
+    // inflate fails or the decompressed image flunks its checks)
+    val frhp2 = sigAt(f2, "FRHP")
+    val fhib2 = sigAt(f2, "FHIB")
+    // find the first direct-block address from the root FHIB's first
+    // widened entry (offSize = 4 → entries start at fhib+17)
+    var addr0 = 0L
+    (0 until 8).foreach(k => addr0 |= (f2(fhib2 + 17 + k) & 0xFFL) << (8 * k))
+    val corrupt = f2.clone
+    corrupt(addr0.toInt + 6) = (corrupt(addr0.toInt + 6) ^ 0x5A).toByte
+    assert(Seq("bad_heap_filtered_block", "bad_heap_direct_block",
+      "bad_heap_back_pointer", "bad_heap_block_offset")
+      .contains(reason(corrupt)))
+    // a pipeline with a non-deflate filter refuses by name: the v1
+    // entry's filter id u16 sits 8 bytes into the pipeline info,
+    // which starts at FRHP+154
+    val badFilter = f2.clone
+    badFilter(frhp2 + 154 + 8) = 5 // deflate → nbit
+    assert(reason(badFilter) === "unsupported_heap_filter")
   }
 
   test("grid_h5_decode: end-to-end lane — CF unpack, all four datasets across both format families, every cell") {
