@@ -287,6 +287,7 @@ object SparkEntry {
     "ann_matryoshka_audit" -> Similarity.annMatryoshkaAudit _,
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
     "ann_ivf_two_level"   -> Similarity.annIvfTwoLevel _,
+    "ann_ivf_two_level_topk" -> Similarity.annIvfTwoLevelTopk _,
     "ann_nprobe_sweep"    -> Similarity.annNprobeSweep _,
     "ann_nlist_sweep"     -> Similarity.annNlistSweep _,
     "ann_pq_topk"         -> Similarity.annPqTopk _,
@@ -1560,6 +1561,58 @@ object SparkEntry {
       |FROM asgn GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** The `ann_ivf_two_level_topk` oracle: same literal super/sub
+    * centroids; home assignment is the census's routing (rn = 1 over
+    * the probed supers' product cells), probe routing is the SAME
+    * ranked CTE cut at [[graft.operators.Similarity
+    * .TwoLevelProbeCells]] for the fixed probe set, candidates come
+    * from the cell equi-join, exact cosine re-ranks to top-10 —
+    * operation-for-operation the Spark lane. */
+  private def twoLevelTopkSql(sup: Array[Array[Double]],
+      subs: Array[Array[Array[Double]]]): String = {
+    val subK = subs(0).length
+    val subRows = subs.flatten.zipWithIndex.map { case (c, pid) =>
+      s"($pid, ${dLit(c.map(x => x * x).sum)}, [${c.map(dLit).mkString(", ")}])"
+    }.mkString(",\n  ")
+    s"""WITH sup(b, ss, c) AS (VALUES
+      |  ${centroidRowsSql(sup)}),
+      |subs(pid, ss, c) AS (VALUES
+      |  $subRows),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |sr AS (
+      |  SELECT vec_id, e, b,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY floor((ss - 2 * list_inner_product(e, c)) * 1e6 + 0.5) / 1e6 ASC,
+      |               b ASC) AS rn
+      |  FROM v, sup),
+      |pr AS (SELECT vec_id, e, b FROM sr
+      |       WHERE rn <= ${graft.operators.Similarity.TwoLevelNprobeSuper}),
+      |cand AS (
+      |  SELECT pr.vec_id, s.pid,
+      |    row_number() OVER (PARTITION BY pr.vec_id
+      |      ORDER BY floor((s.ss - 2 * list_inner_product(pr.e, s.c)) * 1e6 + 0.5) / 1e6 ASC,
+      |               s.pid ASC) AS rn
+      |  FROM pr JOIN subs s ON s.pid // $subK = pr.b),
+      |asgn AS (SELECT vec_id, pid FROM cand WHERE rn = 1),
+      |pcand AS (SELECT vec_id AS probe_id, pid FROM cand
+      |          WHERE vec_id < 5
+      |            AND rn <= ${graft.operators.Similarity.TwoLevelProbeCells}),
+      |cd AS (
+      |  SELECT DISTINCT pc.probe_id, a.vec_id
+      |  FROM pcand pc JOIN asgn a USING (pid)
+      |  WHERE a.vec_id != pc.probe_id),
+      |r AS (
+      |  SELECT cd.probe_id, cd.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY cd.probe_id
+      |      ORDER BY floor(list_cosine_similarity(vp.e, vc.e) * 1e6 + 0.5) / 1e6 DESC,
+      |               cd.vec_id ASC) AS rk,
+      |    floor(list_cosine_similarity(vp.e, vc.e) * 1e4 + 0.5) / 1e4 AS cosine
+      |  FROM cd JOIN v vp ON vp.vec_id = cd.probe_id
+      |    JOIN v vc ON vc.vec_id = cd.vec_id)
+      |SELECT probe_id, neighbor_id, rk, cosine FROM r WHERE rk <= 10"""
+      .stripMargin
+  }
+
   /** The `ann_pq_topk` oracle: literal fitted codebooks (M=8 × 16 of
     * dim 8, each with its precomputed |c|²); encode = per-subspace
     * rounded argmin, ADC = Σ_m lut[m][code_m] replayed from the same
@@ -1887,6 +1940,8 @@ object SparkEntry {
       Map(
       "ann_ivf_topk"  -> ivfTopkSql(graft.operators.Similarity.ivfCentroids(s, d)),
       "ann_ivf_two_level" -> (twoLevelSql _).tupled(
+        graft.operators.Similarity.twoLevelCentroids(s, d)),
+      "ann_ivf_two_level_topk" -> (twoLevelTopkSql _).tupled(
         graft.operators.Similarity.twoLevelCentroids(s, d)),
       "knn_graph_ivf" -> knnGraphIvfSql(graft.operators.Similarity.ivfCentroids(s, d)),
       "ann_pq_topk"   -> pqTopkSql(graft.operators.Similarity.pqCodebooks(s, d)),

@@ -255,6 +255,68 @@ object Similarity {
       .orderBy(col("super_cell"), col("sub_cell"))
   }
 
+  /** Product cells the two-level router probes per QUERY (the ANN
+    * lane's nprobe twin — top-[[TwoLevelNprobeSuper]] supers, then
+    * this many best product cells among their subs). */
+  private[graft] val TwoLevelProbeCells = 4
+
+  /** Driver-side replay of the two-level routing for a QUERY vector:
+    * top-[[TwoLevelNprobeSuper]] supers by (q6(‖c‖²−2·c·x), id),
+    * then the [[TwoLevelProbeCells]] best product cells among their
+    * sub-cells by (q6 distance, pid) — the EXACT arithmetic of
+    * [[graft.functions.VectorKernels.twoLevelCell]] (index-order
+    * dots, driver ‖c‖² fold, 6-dp quantize), so the probed cell list
+    * is bit-reproducible by the DuckDB oracle from the same literal
+    * centroids. Bounded: runs per PROBE (the ann family's fixed
+    * probe set), never per corpus row. */
+  private[graft] def twoLevelProbeCells(pe: Array[Double],
+      sup: Array[Array[Double]], subs: Array[Array[Array[Double]]]):
+      Seq[Int] = {
+    def q6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def dist(c: Array[Double]): Double = {
+      val cc = c.map(x => x * x).sum
+      var d = 0.0; var i = 0
+      val n = math.min(pe.length, c.length)
+      while (i < n) { d += pe(i) * c(i); i += 1 }
+      q6d(cc - 2.0 * d)
+    }
+    val subK = subs(0).length
+    val probedSupers = sup.indices.map(b => (dist(sup(b)), b))
+      .sorted.take(TwoLevelNprobeSuper).map(_._2).sorted
+    probedSupers.flatMap(s => (0 until subK).map { j =>
+      (dist(subs(s)(j)), s * subK + j)
+    }).sorted.take(TwoLevelProbeCells).map(_._2)
+  }
+
+  /** TWO-LEVEL IVF top-k ANN — the retrieval half of the 10⁸⁺ fit
+    * path (the census [[annIvfTwoLevel]] proves fit + assignment;
+    * this lane proves the quantizer SERVES queries): every vector's
+    * home cell comes from one [[graft.expressions.TwoLevelCellExpr]]
+    * scan (the corpus's only pass), each probe routes DRIVER-side
+    * through [[twoLevelProbeCells]] (O(superK + 2·subK) dots per
+    * probe — probes are a fixed set, the routing table is tiny and
+    * broadcasts), candidates come from the cell equi-join, and the
+    * exact cosine re-ranks to top-10. 100 TB: scan + broadcast join
+    * + bounded TopKAgg, no corpus shuffle. */
+  def annIvfTwoLevelTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (sup, subs) = twoLevelCentroids(spark, dir)
+    val v = vecs(spark, dir)
+    val home = v.withColumn("cell",
+      VectorColumns.twoLevelCell(col("emb"), sup, subs, TwoLevelNprobeSuper))
+    val probes: Array[(Long, Array[Double])] = v.filter(col("vec_id") < 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val routing = probes.toSeq.flatMap { case (pid, pe) =>
+      twoLevelProbeCells(pe, sup, subs).map(c => (pid, pe.toSeq, c))
+    }
+    val routeDf = spark.createDataFrame(routing)
+      .toDF("probe_id", "pe", "cell")
+    val scored = home.join(broadcast(routeDf), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", VectorColumns.cosine(
+        col("pe").cast("array<double>"), col("emb")))
+    topkPerProbe(scored, 10)
+  }
+
   /** The PQ per-subspace codebooks (M=8 subspaces × ksub=16 centroids
     * of subDim=8), all fit on the one bounded sample. */
   private[graft] def pqCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =

@@ -213,6 +213,32 @@ class SimilaritySpec extends SparkSpec {
     // the two-level product covers nlist cells: superK·subK
     assert(sup.length * subK ===
       Similarity.adaptiveNlist(embs.size.toLong))
+    // retrieval half: ann_ivf_two_level_topk fully recomputed — home
+    // cells from the routing replay above, probe cells from the
+    // driver router's law (top-2 supers → 4 best product cells),
+    // candidates from the cell match, exact cosine top-10
+    def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val gotTopk = SparkEntry.queries("ann_ivf_two_level_topk")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    assert(gotTopk.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    val homeCells = embs.view.mapValues(route).toMap
+    (0L to 4L).foreach { probe =>
+      val pcells = Similarity
+        .twoLevelProbeCells(embs(probe), sup, subs).toSet
+      assert(pcells.size === Similarity.TwoLevelProbeCells)
+      val cands = embs.keys.filter(id =>
+        id != probe && pcells.contains(homeCells(id)))
+      val expect = cands.toSeq
+        .map(id => (q6(cos(embs(probe), embs(id))), id))
+        .sortBy { case (c, id) => (-c, id) }.take(10)
+      val rows = gotTopk(probe).sortBy(_.getInt(2))
+      assert(rows.map(_.getLong(1)).toSeq === expect.map(_._2),
+        s"probe $probe neighbor ids")
+      rows.zip(expect).foreach { case (r, (_, id)) =>
+        assert(r.getDouble(3) === q4(cos(embs(probe), embs(id))),
+          s"probe $probe cosine of $id")
+      }
+    }
   }
 
   test("hyperplaneSig: compiled kernel is term-for-term the literal formulation, past the former 16-bit ceiling") {
