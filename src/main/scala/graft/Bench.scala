@@ -147,8 +147,10 @@ object Bench {
       // not escape attribution), plus the top-triageN above 1.25×;
       // hard-capped so a catastrophic round can't spend an hour
       // isolating (the cap itself is reported via the triage size)
-      val triageMax =
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIAGE_MAX", "20").toInt
+      // tolerant parse: a malformed override must not abort the run
+      // AFTER every query has already executed
+      val triageMax = sys.env.get("SPARK_GRAFT_BENCH_TRIAGE_MAX")
+        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(20)
       val ranked = timings.toSeq.flatMap { case (n, cur) =>
         prevQ.get(n).map(p => (n, cur, p, (cur / calib) / (p / prevCalib)))
       }.filter(_._4 > 1.25).sortBy(-_._4)

@@ -1,0 +1,138 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Bounded min-k VECTOR sample aggregate: keeps the k rows with the
+  * LOWEST ids per group, each carrying its full double-vector payload,
+  * in an O(k·dim) heap with map-side PARTIAL aggregation. The
+  * motivating lane is the two-level IVF fit's per-cell sub-fit sample
+  * ([[graft.operators.Similarity.fitTwoLevel]]): the previous
+  * `row_number() over (partition by cell order by vec_id)` plan
+  * sort-shuffled EVERY corpus vector WITH its embedding payload to
+  * rank-then-keep a fixed-size sample — at 10⁸ × 64-d that is one
+  * ~50 GB sort for 16·subK rows per cell. This aggregate reduces each
+  * scan partition to ≤ k entries per cell BEFORE the shuffle, so the
+  * sample pass moves O(cells · k · dim · partitions) doubles
+  * regardless of corpus size — the [[TopKAgg]] bounded-state
+  * discipline applied to the fit side.
+  *
+  * Inputs per row: `id` (long — ranking key, ascending = kept) and
+  * `vec` (array<double> — carried through unmodified). Output:
+  * `array<struct<id:bigint, vec:array<double>>>` sorted ascending by
+  * id — the deterministic "lowest 16·subK vec_ids per cell, in vec_id
+  * order" law the window plan implemented, bit-for-bit. Null id or
+  * vec rows are skipped (embeddings tables are non-null by contract;
+  * skip matches the TopKAgg convention).
+  */
+case class MinKVecAgg(
+    id: Expression,
+    vec: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Array[Double])]] {
+
+  // head of the queue = WORST kept entry = the LARGEST id
+  private val worstFirst: Ordering[(Long, Array[Double])] =
+    Ordering.by(_._1)
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Array[Double])] =
+    mutable.PriorityQueue.empty(worstFirst)
+
+  override def update(
+      buf: mutable.PriorityQueue[(Long, Array[Double])],
+      input: InternalRow): mutable.PriorityQueue[(Long, Array[Double])] = {
+    val iv = id.eval(input)
+    val vv = vec.eval(input)
+    if (iv != null && vv != null) {
+      val i = iv.asInstanceOf[Long]
+      // skip the copy when the row cannot displace the current worst
+      if (buf.size < k || buf.head._1 > i) {
+        buf.enqueue((i, vv.asInstanceOf[ArrayData].toDoubleArray()))
+        if (buf.size > k) buf.dequeue()
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.PriorityQueue[(Long, Array[Double])],
+      other: mutable.PriorityQueue[(Long, Array[Double])]): mutable.PriorityQueue[(Long, Array[Double])] = {
+    other.foreach { e =>
+      if (buf.size < k || buf.head._1 > e._1) {
+        buf.enqueue(e)
+        if (buf.size > k) buf.dequeue()
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Long, Array[Double])]): Any = {
+    val sorted = buf.toArray.sortBy(_._1)
+    new GenericArrayData(sorted.map(e =>
+      new GenericInternalRow(Array[Any](e._1,
+        new GenericArrayData(e._2.map(d => d: Any))))): Array[Any])
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Long, Array[Double])]): Array[Byte] = {
+    val entries = buf.toArray
+    val bb = ByteBuffer.allocate(
+      4 + entries.map(e => 12 + e._2.length * 8).sum)
+    bb.putInt(entries.length)
+    entries.foreach { e =>
+      bb.putLong(e._1)
+      bb.putInt(e._2.length)
+      e._2.foreach(bb.putDouble)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, Array[Double])] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach { _ =>
+      val i = bb.getLong
+      val dim = bb.getInt
+      val arr = new Array[Double](dim)
+      var j = 0
+      while (j < dim) { arr(j) = bb.getDouble; j += 1 }
+      buf.enqueue((i, arr))
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType),
+    StructField("vec", ArrayType(DoubleType)))))
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(id, vec)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(id = newChildren(0), vec = newChildren(1))
+  override def withNewMutableAggBufferOffset(offset: Int): MinKVecAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MinKVecAgg =
+    copy(inputAggBufferOffset = offset)
+  override def prettyName: String = "mink_vec_agg"
+}
+
+object MinKVecAgg {
+  /** `minkVec(id, vec, k)` as a Column aggregate. */
+  def minkVec(id: Column, vec: Column, k: Int): Column =
+    ColumnBridge.column(MinKVecAgg(
+      ColumnBridge.expression(id.cast("long")),
+      ColumnBridge.expression(vec.cast("array<double>")),
+      k).toAggregateExpression())
+}

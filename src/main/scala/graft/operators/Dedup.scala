@@ -327,10 +327,30 @@ object Dedup {
     * (doc_id, n_hit_shingles). */
   def decontaminateFromParams(spark: SparkSession, dir: String,
       paramPath: String): DataFrame = {
-    val bench = spark.read.parquet(paramPath)
-      .select(col("shingle").cast("string").as("shingle")).distinct()
+    val raw = spark.read.parquet(paramPath)
+      .select(col("shingle").cast("string").as("shingle"))
+    // the param table broadcasts — guard it like the embedding probe
+    // loader (Similarity's MaxExternalProbes discipline): null rows
+    // and oversized tables refuse BY NAME instead of vanishing in the
+    // join or failing as an opaque executor broadcast error
+    require(raw.filter(col("shingle").isNull).limit(1).count() == 0L,
+      "null_param_shingle: benchmark shingle param rows need a " +
+        "non-null shingle")
+    val bench = raw.distinct()
+    val n = bench.limit(MaxExternalShingles + 1).count()
+    require(n <= MaxExternalShingles,
+      s"shingle table exceeds MaxExternalShingles=$MaxExternalShingles" +
+        " distinct shingles — benchmark shingle sets broadcast; shard " +
+        "the screen by benchmark instead of loading one oversized table")
     decontaminateAgainst(Tables.documents(spark, dir), bench, 8)
   }
+
+  /** Broadcast ceiling for external benchmark shingle tables: 2²⁰
+    * distinct 8-gram shingles ≈ tens of MB broadcast — comfortably a
+    * broadcast-side table, far above any real eval suite (an eval
+    * suite's shingle count scales with ITS token count, not the
+    * corpus). Above the cap refuse by name rather than degrade. */
+  private[graft] val MaxExternalShingles = 1 << 20
 
   /** Screen every document of `docs` against an external benchmark
     * shingle set: per doc, the count of distinct k-gram shingles it

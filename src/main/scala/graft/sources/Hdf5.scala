@@ -557,6 +557,10 @@ object Hdf5 {
         Right(total)
       }
     }
+    // the ROOT's own record count gets the same capacity cross-check
+    // every child pointer gets — a lying root count must refuse by
+    // name, not read past the node image into the catch-all
+    if (nRec > geom.maxNrec(depth)) return Left("bad_btree2_header")
     walk(rootNode, depth, nRec) match {
       case Left(e) => Left(e)
       case Right(_) => Right((recSize, out.result()))
@@ -702,7 +706,14 @@ object Hdf5 {
       val (br, base) =
         if (!filtered) (r, blk.addr)
         else {
-          if (blk.csize <= 0 || blk.addr + blk.csize > r.b.length)
+          // overflow-proof bounds (r17): the old `addr + csize >
+          // length` form lets addr near Long.MaxValue wrap negative
+          // and slip through to copyOfRange's silent Int truncation;
+          // the subtraction form cannot overflow (csize > 0,
+          // length ≤ Int.MaxValue), and in-bounds then implies both
+          // endpoints fit an Int — refuse by name otherwise
+          if (blk.csize <= 0 || blk.addr < 0 ||
+              blk.addr > r.b.length.toLong - blk.csize)
             return Left("bad_heap_filtered_block")
           var raw = java.util.Arrays.copyOfRange(r.b,
             blk.addr.toInt, (blk.addr + blk.csize).toInt)

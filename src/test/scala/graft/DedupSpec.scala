@@ -514,6 +514,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateFromParams: malformed param tables refuse by name") {
+    import spark.implicits._
+    val dir0 = java.nio.file.Files
+      .createTempDirectory("decontam_bad").toString
+    // a null shingle row refuses by name, like the embedding probe
+    // loader's null_probe_row — it must not silently vanish in the join
+    val nullPath = dir0 + "/nulls.parquet"
+    Seq(Some("a b c d e f g h"), None).toDF("shingle")
+      .write.parquet(nullPath)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.decontaminateFromParams(spark, sf, nullPath)
+    }
+    assert(e1.getMessage.contains("null_param_shingle"))
+    // a table past the broadcast ceiling refuses by name instead of
+    // failing as an opaque executor broadcast error
+    val bigPath = dir0 + "/big.parquet"
+    spark.range(graft.operators.Dedup.MaxExternalShingles + 1L)
+      .selectExpr("cast(id as string) as shingle")
+      .coalesce(4).write.parquet(bigPath)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.decontaminateFromParams(spark, sf, bigPath)
+    }
+    assert(e2.getMessage.contains("MaxExternalShingles"))
+  }
+
   test("dedup_chunks_apply: first occurrence survives, rebuilt text exact") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)

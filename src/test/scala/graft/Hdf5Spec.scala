@@ -437,6 +437,12 @@ class Hdf5Spec extends SparkSpec {
     assert(reason(lieDepth) === "bad_btree2_internal")
     val deep = f.clone; deep(bthd + 12) = 9
     assert(reason(deep) === "btree2_depth_unsupported")
+    // a lying ROOT record count refuses by name BEFORE the walk reads
+    // records past the node image (child counts were already
+    // capacity-checked; r17 gives the root the same cross-check)
+    val lieRoot = f.clone
+    lieRoot(bthd + 24) = 0xFF.toByte; lieRoot(bthd + 25) = 0xFF.toByte
+    assert(reason(lieRoot) === "bad_btree2_header")
     // and a small group still writes COMPACT links (no heap at all)
     val small = Hdf5.encodeH5V2(enc.take(3), denseGroup = false)
     assert(sigAt(small, "FRHP") === -1)
@@ -731,6 +737,14 @@ class Hdf5Spec extends SparkSpec {
     assert(Seq("bad_heap_filtered_block", "bad_heap_direct_block",
       "bad_heap_back_pointer", "bad_heap_block_offset")
       .contains(reason(corrupt)))
+    // a block address near Long.MaxValue refuses BY NAME: the old
+    // `addr + csize > length` bounds form wrapped negative past
+    // Long.MaxValue and slipped into copyOfRange's silent Int
+    // truncation; the r17 overflow-proof subtraction form refuses
+    val wrap = f2.clone
+    (0 until 7).foreach(k => wrap(fhib2 + 17 + k) = 0xFF.toByte)
+    wrap(fhib2 + 17 + 7) = 0x7F.toByte
+    assert(reason(wrap) === "bad_heap_filtered_block")
     // a pipeline with a non-deflate filter refuses by name: the v1
     // entry's filter id u16 sits 8 bytes into the pipeline info,
     // which starts at FRHP+154

@@ -30,4 +30,29 @@ class TopKAggSpec extends SparkSpec {
       assert(got === expect, s"trial $trial (n=$n, k=$k)")
     }
   }
+
+  test("mink_vec_agg equals sort-take on randomized vector inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 20).foreach { trial =>
+      val n = 1 + rnd.nextInt(80)
+      val k = 1 + rnd.nextInt(6)
+      val dim = 1 + rnd.nextInt(4)
+      // unique ids per trial — the production key (vec_id) is unique
+      val ids = rnd.shuffle((1L to 200L).toList).take(n)
+      val rows = ids.map(id => (rnd.nextInt(4), id,
+        List.fill(dim)(rnd.nextInt(201).toDouble / 7.0 - 14.0)))
+      val got = rows.toDF("g", "id", "vec").groupBy(col("g"))
+        .agg(graft.expressions.MinKVecAgg.minkVec(
+          col("id"), col("vec"), k).as("s"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getLong(0), e.getSeq[Double](1).toList)).toList)
+        .toMap
+      val expect = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3)).sortBy(_._1).take(k)
+      }
+      assert(got === expect, s"trial $trial (n=$n, k=$k, dim=$dim)")
+    }
+  }
 }
