@@ -1470,7 +1470,9 @@ object SparkEntry {
       |               b ASC) AS rn
       |  FROM v, cents),
       |hm AS (SELECT vec_id, e, b AS bucket FROM asgn WHERE rn = 1),
-      |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 5),
+      |p AS (SELECT vec_id AS probe_id, e AS pe FROM v
+      |       WHERE vec_id IN (SELECT vec_id FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5)),
       |rt AS (
       |  SELECT probe_id, pe, b,
       |    row_number() OVER (PARTITION BY probe_id
@@ -1595,7 +1597,8 @@ object SparkEntry {
       |  FROM pr JOIN subs s ON s.pid // $subK = pr.b),
       |asgn AS (SELECT vec_id, pid FROM cand WHERE rn = 1),
       |pcand AS (SELECT vec_id AS probe_id, pid FROM cand
-      |          WHERE vec_id < 5
+      |          WHERE vec_id IN (SELECT vec_id FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5)
       |            AND rn <= ${graft.operators.Similarity.TwoLevelProbeCells}),
       |cd AS (
       |  SELECT DISTINCT pc.probe_id, a.vec_id
@@ -1638,7 +1641,9 @@ object SparkEntry {
       |               k ASC) AS rn
       |  FROM sub JOIN books USING (m)),
       |codes AS (SELECT vec_id, m, k AS code FROM enc WHERE rn = 1),
-      |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 5),
+      |p AS (SELECT vec_id AS probe_id, e AS pe FROM v
+      |       WHERE vec_id IN (SELECT vec_id FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5)),
       |lut AS (
       |  SELECT probe_id, m, k,
       |    ss - 2 * list_inner_product(pe[m * $sd + 1 : m * $sd + $sd], c) AS ld
@@ -1805,7 +1810,9 @@ object SparkEntry {
       |               b ASC) AS rn
       |  FROM v, cents),
       |hm AS (SELECT vec_id, e, b AS bucket FROM rk0 WHERE rn = 1),
-      |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 5),
+      |p AS (SELECT vec_id AS probe_id, e AS pe FROM v
+      |       WHERE vec_id IN (SELECT vec_id FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5)),
       |rt AS (
       |  SELECT probe_id, b AS bucket,
       |    row_number() OVER (PARTITION BY probe_id
@@ -1902,7 +1909,9 @@ object SparkEntry {
     val unioned = rungs.map { case (nl, _, _) =>
       s"SELECT * FROM row$nl" }.mkString("\n  UNION ALL ")
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 5),
+       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v
+      |       WHERE vec_id IN (SELECT vec_id FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5)),
        |sa AS (
        |  SELECT p.probe_id, v.vec_id,
        |    list_cosine_similarity(p.pe, v.e) AS cos,
@@ -8038,7 +8047,8 @@ object SparkEntry {
     // integer sums divided once
     "ann_matryoshka_audit" ->
       """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
-        |           FROM embeddings WHERE vec_id < 5),
+        |           FROM embeddings WHERE vec_id IN (SELECT vec_id FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5)),
         |c AS (SELECT probe_id, vec_id, pe, embedding::DOUBLE[] AS e,
         |        list_cosine_similarity(pe, embedding::DOUBLE[]) AS cos_full
         |      FROM p, embeddings WHERE vec_id != probe_id),
@@ -8073,7 +8083,8 @@ object SparkEntry {
 
     "ann_topk_bruteforce" ->
       """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
-        |           FROM embeddings WHERE vec_id < 5),
+        |           FROM embeddings WHERE vec_id IN (SELECT vec_id FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5)),
         |c AS (SELECT probe_id, vec_id,
         |        list_cosine_similarity(pe, embedding::DOUBLE[]) AS cos
         |      FROM p, embeddings WHERE vec_id != probe_id),
@@ -8126,7 +8137,9 @@ object SparkEntry {
         |cand AS (
         |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS nb_id
         |  FROM b p JOIN b c ON p.t = c.t AND p.sig = c.sig
-        |  WHERE p.vec_id < 5 AND c.vec_id != p.vec_id),
+        |  WHERE p.vec_id IN (SELECT vec_id FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5)
+        |    AND c.vec_id != p.vec_id),
         |r AS (
         |  SELECT probe_id, nb_id,
         |    row_number() OVER (PARTITION BY probe_id
@@ -8140,7 +8153,9 @@ object SparkEntry {
         |cand AS (
         |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS nb_id
         |  FROM b p JOIN b c ON p.t = c.t AND p.sig = c.sig
-        |  WHERE p.vec_id < 5 AND c.vec_id != p.vec_id),
+        |  WHERE p.vec_id IN (SELECT vec_id FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5)
+        |    AND c.vec_id != p.vec_id),
         |lr AS (
         |  SELECT probe_id, nb_id,
         |    row_number() OVER (PARTITION BY probe_id
@@ -8154,7 +8169,9 @@ object SparkEntry {
         |  FROM lr WHERE rk <= 10),
         |bc AS (SELECT p.vec_id AS probe_id, c.vec_id AS nb_id,
         |    list_cosine_similarity(p.e, c.e) AS cos
-        |  FROM v p, v c WHERE p.vec_id < 5 AND c.vec_id != p.vec_id),
+        |  FROM v p, v c WHERE p.vec_id IN (SELECT vec_id FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5)
+        |    AND c.vec_id != p.vec_id),
         |br AS (SELECT probe_id, nb_id,
         |    row_number() OVER (PARTITION BY probe_id
         |      ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, nb_id ASC) AS rk,

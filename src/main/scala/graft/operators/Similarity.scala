@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -192,21 +192,26 @@ object Similarity {
     val init = Array.tabulate(superK)(i =>
       seed(((i.toLong * seed.length) / superK).toInt).clone())
     val superCents = lloydDistributed(v, init, TwoLevelIters)
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cell")).orderBy(col("vec_id"))
+    // per-cell bounded sample via [[graft.expressions.MinKVecAgg]]
+    // (r17 — replaces a `row_number() over (partition by cell order
+    // by vec_id)` that sort-shuffled the FULL corpus with embedding
+    // payloads to keep 16·subK rows per cell): map-side partial
+    // reduces each scan partition to ≤ 16·subK entries per cell, so
+    // the shuffle moves O(cells·k·dim·partitions) doubles regardless
+    // of corpus size. Same law — the lowest TwoLevelSubSample·subK
+    // vec_ids per cell, ascending — bit-for-bit the window plan's
+    // sample (parity pinned in SimilaritySpec).
     val perCell = v.withColumn("cell",
         VectorColumns.nearestCells(col("emb"), superCents, 1)
           .getItem(0).getField("b"))
-      .withColumn("rn", row_number().over(win))
-      .filter(col("rn") <= TwoLevelSubSample * subK)
-      .select(col("cell"), col("vec_id"), col("emb"))
+      .groupBy(col("cell"))
+      .agg(graft.expressions.MinKVecAgg.minkVec(
+        col("vec_id"), col("emb"), TwoLevelSubSample * subK).as("sample"))
       .collect()
-      .groupBy(_.getInt(0))
-      .map { case (c, rs) =>
-        // re-sort: collect order is partition-dependent and lloyd's
-        // init indexes the sample order
-        (c, rs.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray))
-      }
+      .map { r =>
+        (r.getInt(0), r.getSeq[Row](1)
+          .map(_.getSeq[Double](1).toArray).toArray)
+      }.toMap
     val subs = Array.tabulate(superK) { c =>
       perCell.get(c) match {
         case Some(pts) if pts.nonEmpty => lloyd(pts, subK, iters = 8)
@@ -303,7 +308,7 @@ object Similarity {
     val v = vecs(spark, dir)
     val home = v.withColumn("cell",
       VectorColumns.twoLevelCell(col("emb"), sup, subs, TwoLevelNprobeSuper))
-    val probes: Array[(Long, Array[Double])] = v.filter(col("vec_id") < 5)
+    val probes: Array[(Long, Array[Double])] = v.filter(probeFilter(spark, dir))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val routing = probes.toSeq.flatMap { case (pid, pe) =>
       twoLevelProbeCells(pe, sup, subs).map(c => (pid, pe.toSeq, c))
@@ -377,13 +382,44 @@ object Similarity {
         col("dup_of"), col("cosine"))
   }
 
-  /** Exact cosine top-k neighbors for each probe vector (vec_id < 5).
-    * The probe set is broadcast against the corpus scan — one pass
-    * over the big side, k·|probes| result rows — and ranking happens
-    * in [[topkPerProbe]]'s bounded aggregate (map-side partial
-    * top-k), so the small probe key never concentrates the corpus. */
+  /** Fixed size of the ANN serving lanes' probe set. */
+  private[graft] val NumProbes = 5
+
+  private val probeIdCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
+
+  /** The serving lanes' probe ids: the [[NumProbes]] vec_ids FIRST in
+    * md5-of-id order (r17 — retires the `vec_id < 5` convention, the
+    * r16 verdict's item 7: lowest-id probes could in principle tune
+    * routing to early ids; an md5-ordered draw is position-unbiased
+    * the same way [[graft.operators.TextOps.corpusSample]]'s selector
+    * is, while keeping the fixed count an eval set needs). Memoized
+    * like [[ivfCentroids]] — one TakeOrdered job per dir — and
+    * SQL-expressible, so every oracle RE-DERIVES the same set with
+    * `ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5` instead
+    * of trusting rendered literals. Returned sorted; lanes filter by
+    * `isin` literals (a pushed-down In, same scan shape as the old
+    * range predicate). */
+  private[graft] def probeIds(spark: SparkSession, dir: String): Array[Long] =
+    probeIdCache.getOrElseUpdate(dir,
+      vecs(spark, dir)
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(NumProbes)
+        .select(col("vec_id")).collect().map(_.getLong(0)).sorted)
+
+  /** `vec_id` membership predicate for the probe set — an In over
+    * [[NumProbes]] literals, pushdown-friendly at the parquet scan. */
+  private[graft] def probeFilter(spark: SparkSession, dir: String): Column =
+    col("vec_id").isin(probeIds(spark, dir).map(Long.box): _*)
+
+  /** Exact cosine top-k neighbors for each probe vector (the
+    * md5-selected [[probeIds]] set). The probe set is broadcast
+    * against the corpus scan — one pass over the big side, k·|probes|
+    * result rows — and ranking happens in [[topkPerProbe]]'s bounded
+    * aggregate (map-side partial top-k), so the small probe key never
+    * concentrates the corpus. */
   def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val probes = vecs(spark, dir).filter(col("vec_id") < 5)
+    val probes = vecs(spark, dir).filter(probeFilter(spark, dir))
       .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
     val scored = vecs(spark, dir)
       .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
@@ -413,7 +449,7 @@ object Similarity {
     * lookup. Cosines quantize to 1e-4 longs before the means —
     * exact integer sums, one division. Output O(probes × dims). */
   def annMatryoshkaAudit(spark: SparkSession, dir: String): DataFrame = {
-    val probes = vecs(spark, dir).filter(col("vec_id") < 5)
+    val probes = vecs(spark, dir).filter(probeFilter(spark, dir))
       .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
     val scored = vecs(spark, dir)
       .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
@@ -994,7 +1030,7 @@ object Similarity {
     val centroidDf = spark.createDataFrame(
       cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
       .toDF("bucket", "centroid")
-    val probes = assigned.filter(col("vec_id") < 5)
+    val probes = assigned.filter(probeFilter(spark, dir))
       .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
     val routing = probes.crossJoin(broadcast(centroidDf))
       .withColumn("cos", VectorColumns.cosine(col("pe"),
@@ -1050,7 +1086,7 @@ object Similarity {
     val centroidDf = spark.createDataFrame(
       cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
       .toDF("bucket", "centroid")
-    val probes = assigned.filter(col("vec_id") < 5)
+    val probes = assigned.filter(probeFilter(spark, dir))
       .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
     // routing rank rn = 1..nlist per probe (same key order as
     // annIvfTopk's TopKAgg routing: 6-dp cosine desc, bucket asc)
@@ -1146,7 +1182,7 @@ object Similarity {
     import spark.implicits._
     val v = vecs(spark, dir)
     val scoredAll = v.join(broadcast(
-        v.filter(col("vec_id") < 5)
+        v.filter(probeFilter(spark, dir))
           .select(col("vec_id").as("probe_id"), col("emb").as("pe"))),
         col("vec_id") =!= col("probe_id"))
       .withColumn("cos", VectorColumns.cosine(col("pe"), col("emb")))
@@ -1162,7 +1198,7 @@ object Similarity {
       .localCheckpoint()
     val tTot = truth.agg(count(lit(1)).as("n_truth"),
       sum(col("t_u")).as("tu"))
-    val probeVecs = v.filter(col("vec_id") < 5)
+    val probeVecs = v.filter(probeFilter(spark, dir))
       .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
     val rungs = NlistSweep.map { nlist =>
       val cents = nlistCentroids(spark, dir, nlist)
@@ -1528,7 +1564,7 @@ object Similarity {
     val encoded = v.select(col("vec_id") +: col("emb") +: codeCols: _*)
     // probes are query-time driver inputs (bounded, like the fit
     // sample); their LUTs travel as one broadcast table
-    val probes: Array[(Long, Array[Double])] = v.filter(col("vec_id") < 5)
+    val probes: Array[(Long, Array[Double])] = v.filter(probeFilter(spark, dir))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val lutRows = probes.map { case (pid, pe) =>
       val lut: Seq[Seq[Double]] = (0 until M).map { m =>
@@ -1780,7 +1816,8 @@ object Similarity {
       AnnAuditSampleHex
 
   /** SAMPLED twin of [[annRecallAudit]]: instead of the fixed probe
-    * ids (vec_id < 5 — fine for an oracle fixture, biased as a
+    * ids (the bounded [[probeIds]] set — fine for an oracle fixture,
+    * too small a draw for a
     * production census), probes come from the deterministic
     * md5-prefix sample at rate 1/256 — at any corpus size the audit
     * costs ~n²/256 cosine evaluations on the truth side and the
@@ -1848,7 +1885,7 @@ object Similarity {
       .select(col("vec_id"), col("emb"), explode(array(sigCols: _*)).as("b"))
       .select(col("vec_id"), col("emb"),
         col("b.t").as("t"), col("b.sig").as("sig"))
-    val probeBuckets = bucketed.filter(col("vec_id") < 5)
+    val probeBuckets = bucketed.filter(probeFilter(spark, dir))
       .select(col("vec_id").as("probe_id"), col("emb").as("pe"),
         col("t"), col("sig"))
     val cands = bucketed.join(broadcast(probeBuckets), Seq("t", "sig"))

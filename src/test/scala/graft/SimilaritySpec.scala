@@ -12,6 +12,20 @@ class SimilaritySpec extends SparkSpec {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
 
+  /** The serving lanes' probe set, recomputed INDEPENDENTLY of the
+    * operator (lowest [[graft.operators.Similarity.NumProbes]] ids in
+    * md5-of-id order) and pinned equal to the operator's own
+    * selector — the r17 replacement for the `vec_id < 5` convention. */
+  private lazy val probeSet: Set[Long] = {
+    val ids = embs.keys.toSeq
+      .sortBy(id => (md5hex(id.toString), id))
+      .take(graft.operators.Similarity.NumProbes)
+    assert(ids.sorted ===
+      graft.operators.Similarity.probeIds(spark, sf).toSeq,
+      "operator probe selector diverges from the md5 law")
+    ids.toSet
+  }
+
   private def cos(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -220,9 +234,9 @@ class SimilaritySpec extends SparkSpec {
     def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
     val gotTopk = SparkEntry.queries("ann_ivf_two_level_topk")(spark, sf)
       .collect().groupBy(_.getLong(0))
-    assert(gotTopk.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(gotTopk.keySet === probeSet)
     val homeCells = embs.view.mapValues(route).toMap
-    (0L to 4L).foreach { probe =>
+    probeSet.toSeq.sorted.foreach { probe =>
       val pcells = Similarity
         .twoLevelProbeCells(embs(probe), sup, subs).toSet
       assert(pcells.size === Similarity.TwoLevelProbeCells)
@@ -239,6 +253,49 @@ class SimilaritySpec extends SparkSpec {
           s"probe $probe cosine of $id")
       }
     }
+  }
+
+  test("two-level fit sample: bounded MinKVecAgg pass == the window-sort twin, bit-for-bit") {
+    import graft.operators.Similarity
+    import graft.expressions.{MinKVecAgg, VectorColumns}
+    // the r17 fit no longer window-sorts the corpus; this twin IS the
+    // retired plan, recomputed here to pin that the bounded aggregate
+    // keeps the same sample law (lowest 16·subK vec_ids per cell,
+    // ascending, embeddings untouched) — and therefore the same
+    // fitted sub-centroids, since lloyd is a pure function of the
+    // sample order
+    val v = Tables.spread(Tables.embeddings(spark, sf), col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val (sup, subs) = Similarity.twoLevelCentroids(spark, sf)
+    val k = Similarity.TwoLevelSubSample * subs(0).length
+    def cellCol = VectorColumns.nearestCells(col("emb"), sup, 1)
+      .getItem(0).getField("b")
+    val agg = v.withColumn("cell", cellCol)
+      .groupBy(col("cell"))
+      .agg(MinKVecAgg.minkVec(col("vec_id"), col("emb"), k).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getLong(0), e.getSeq[Double](1).toList)).toList)
+      .toMap
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("vec_id"))
+    val twin = v.withColumn("cell", cellCol)
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .select(col("cell"), col("vec_id"), col("emb"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (c, rs) => c -> rs.sortBy(_.getLong(1))
+        .map(r => (r.getLong(1), r.getSeq[Double](2).toList)).toList }
+    assert(agg === twin, "aggregate sample diverges from the window twin")
+    assert(agg.nonEmpty && agg.values.exists(_.size > 1))
+    // the fit's sample pass must carry NO window sort in its plan
+    val plan = v.withColumn("cell", cellCol)
+      .groupBy(col("cell"))
+      .agg(MinKVecAgg.minkVec(col("vec_id"), col("emb"), k).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "sample pass must not window-sort")
+    assert(plan.contains("mink_vec_agg"), "sample pass rides the aggregate")
   }
 
   test("hyperplaneSig: compiled kernel is term-for-term the literal formulation, past the former 16-bit ceiling") {
@@ -330,7 +387,7 @@ class SimilaritySpec extends SparkSpec {
   test("ann_topk_bruteforce: exact top-10 for every probe vs Scala recomputation") {
     val got = SparkEntry.queries("ann_topk_bruteforce")(spark, sf).collect()
       .groupBy(_.getLong(0))
-    assert(got.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(got.keySet === probeSet)
     got.foreach { case (probe, rows) =>
       val expect = embs.toSeq.filter(_._1 != probe)
         .map { case (id, v) => (math.rint(cos(embs(probe), v) * 1e6) / 1e6, id) }
@@ -450,7 +507,7 @@ class SimilaritySpec extends SparkSpec {
     }
     // toSeq: Map#keys is a Set, and a Set.map over per-probe hit
     // counts would DEDUPLICATE equal counts before the sum
-    val probes = embs.keys.filter(_ < 5).toSeq
+    val probes = probeSet.toSeq
     probes.foreach { pid =>
       val pe = embs(pid)
       val routing = cents.zipWithIndex
