@@ -7,7 +7,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.sources.Catalog
-import graft.streaming.EventsPipeline
+import graft.streaming.{EventsPipeline, VectorsPipeline}
+
+case class StreamVec(ts: Timestamp, vec_id: Long, emb: Seq[Double])
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
@@ -926,6 +928,47 @@ class StreamingSpec extends SparkSpec {
       assert(w10top.nonEmpty && w10top.head._3 === "7",
         "rank 1 must be the heavy item")
       assert(w10top.map(_._2) === (1L to w10top.length))
+    } finally q.stop()
+  }
+
+  test("streamingTwoLevelCensus: stream cells == the batch census bit-for-bit, window closes by watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // the OFFLINE fit (memoized — the exact matrices the batch census
+    // used) ships to the stream, the production serving shape
+    val (sup, subs) = graft.operators.Similarity.twoLevelCentroids(spark, sf)
+    val nps = graft.operators.Similarity.TwoLevelNprobeSuper
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val source = MemoryStream[StreamVec]
+    val q = VectorsPipeline.streamingTwoLevelCensus(source.toDF(),
+        sup, subs, nps)
+      .writeStream.format("memory").queryName("tl_census")
+      .outputMode("append").start()
+    try {
+      // the full fixture corpus arrives inside one event-time hour
+      source.addData(embs.toSeq.map { case (id, e) =>
+        StreamVec(t("2024-01-01 10:30:00"), id, e) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("tl_census").isEmpty,
+        "append mode: nothing emits before the watermark closes the window")
+      // a sentinel far ahead closes the 10:00 window (it lands in a
+      // later, still-open window and must not leak into the output)
+      source.addData(StreamVec(t("2024-01-01 20:00:00"), 999999L,
+        embs.head._2))
+      q.processAllAvailable()
+      val rows = spark.table("tl_census").collect()
+      assert(rows.forall(_.getTimestamp(0).toString == "2024-01-01 10:00:00.0"),
+        "only the closed window emits")
+      val got = rows.map(r => ((r.getInt(1), r.getInt(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+      // the batch census is the SAME kernel + rollup over the same
+      // vectors: per-cell parity must be exact
+      val batch = SparkEntry.queries("ann_ivf_two_level")(spark, sf)
+        .collect().map(r => ((r.getInt(0), r.getInt(1)),
+          (r.getLong(2), r.getLong(3)))).toMap
+      assert(got === batch, "stream census diverges from the batch twin")
     } finally q.stop()
   }
 }
