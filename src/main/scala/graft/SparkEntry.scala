@@ -184,6 +184,7 @@ object SparkEntry {
     "grid_nc_decode"        -> graft.sources.NetCdf.gridNcDecode _,
     "grid_grib_decode"      -> graft.sources.Grib.gridGribDecode _,
     "grid_h5_decode"        -> graft.sources.Hdf5.gridH5Decode _,
+    "grid_h5_text"          -> graft.sources.Hdf5.gridH5Text _,
     // ROWS-ONLY by declaration: DuckDB cannot decode JPEG; the gate
     // is JpegSpec's cross-implementation differential + stat bounds
     "image_jpeg_stats"      -> graft.sources.Jpeg.imageJpegStats _,
@@ -7145,12 +7146,25 @@ object SparkEntry {
         |  SELECT l.gy, l.gx, coalesce(c.v_us, 0) AS v_us,
         |    coalesce(c.n_obs, 0) AS n_obs
         |  FROM l LEFT JOIN c ON l.gy = c.gy AND l.gx = c.gx)
-        |SELECT 'n_obs' AS dataset, 'i4' AS dtype, gy, gx,
-        |  CAST(n_obs AS DOUBLE) AS value FROM j
+        |SELECT 'cell_cx.mean_us' AS dataset, 'f8' AS dtype, gy, gx,
+        |  CAST(v_us AS DOUBLE) AS value FROM j
+        |UNION ALL
+        |SELECT 'cell_cx.n', 'i4', gy, gx, CAST(n_obs AS DOUBLE) FROM j
+        |UNION ALL
+        |SELECT 'n_obs', 'i4', gy, gx, CAST(n_obs AS DOUBLE) FROM j
+        |UNION ALL
+        |SELECT 'n_obs_be', 'i4be', gy, gx, CAST(n_obs AS DOUBLE) FROM j
         |UNION ALL
         |SELECT 'n_obs_bt2', 'i4', gy, gx, CAST(n_obs AS DOUBLE) FROM j
         |UNION ALL
         |SELECT 'n_obs_imp', 'i4', gy, gx, CAST(n_obs AS DOUBLE) FROM j
+        |UNION ALL
+        |SELECT 'st.c', 'i4', gy, gx, CAST(n_obs AS DOUBLE) FROM j
+        |UNION ALL
+        |SELECT 'st.m', 'f8', gy, gx, CAST(v_us AS DOUBLE) FROM j
+        |UNION ALL
+        |SELECT 'tp_be_us', 'f8be', gy, gx,
+        |  CAST(v_us AS DOUBLE) * 1.0e-6 FROM j
         |UNION ALL
         |SELECT 'tp2_us', 'f8', gy, gx, CAST(v_us AS DOUBLE) * 1.0e-6 FROM j
         |UNION ALL
@@ -7163,6 +7177,27 @@ object SparkEntry {
         |  CAST(j.v_us + (t // 64) * 1000000 AS DOUBLE) * 1.0e-6
         |FROM range(0, 360) r(t)
         |JOIN j ON j.gy = (t % 64) // 8 AND j.gx = t % 8"""
+        .stripMargin,
+
+    // the HDF5 STRING lane: ASCII labels round-trip verbatim through
+    // fixed-width (null-terminated and space-padded) and vlen/GCOL
+    // string datasets; the oracle rebuilds every label from events
+    "grid_h5_text" ->
+      """WITH c AS (
+        |  SELECT user_id % 8 AS gy, (user_id // 8) % 8 AS gx,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 64) t(i)),
+        |j AS (
+        |  SELECT l.i, coalesce(c.n_obs, 0) AS n_obs
+        |  FROM l LEFT JOIN c ON l.i // 8 = c.gy AND l.i % 8 = c.gx)
+        |SELECT 'note' AS dataset, 'vs' AS dtype, i AS idx,
+        |  'cell=' || CAST(i AS VARCHAR) || ';obs=' || CAST(n_obs AS VARCHAR)
+        |    AS sval FROM j
+        |UNION ALL
+        |SELECT 'tag', 's8', i, 'n' || CAST(n_obs AS VARCHAR) FROM j
+        |UNION ALL
+        |SELECT 'tag_sp', 's8', i, 'n' || CAST(n_obs AS VARCHAR) FROM j"""
         .stripMargin,
 
     // marching squares: identical 16-case edge-pair table, the

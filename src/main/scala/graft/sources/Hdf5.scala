@@ -52,8 +52,13 @@ object Hdf5 {
     * `str`. Higher-rank or exotic-typed attributes are dropped. */
   private[graft] case class H5Attr(name: String, num: Option[Double],
       str: Option[String], nums: Option[Seq[Double]] = None)
+  /** Decoded dataset channel: numeric values in `values` (strings →
+    * null), string values in `strs` (numerics → null). A compound
+    * dataset decodes to one channel per member, named
+    * `dataset.member`. */
   private[graft] case class H5Dataset(name: String, dims: Seq[Int],
-      dtype: String, values: Array[Double], attrs: Seq[H5Attr])
+      dtype: String, values: Array[Double], attrs: Seq[H5Attr],
+      strs: Array[String] = null)
 
   // ------------------------------------------------------- decoder
 
@@ -77,29 +82,52 @@ object Hdf5 {
   private def log2gen(v: Long): Int =
     63 - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L))
 
-  /** Parse one datatype message body → (kind, size). Kinds:
-    * i1/i2/i4/i8, f4/f8, sN (fixed string of N bytes). */
-  private def parseDtype(r: Rd, p: Long): Either[String, (String, Int)] = {
+  /** Parse one datatype message body → (kind, size, strPad). Kinds:
+    * i1/i2/i4/i8, f4/f8 (each with a `be` suffix when the byte-order
+    * bit marks big-endian — BE i1 normalizes to plain `i1`), sN
+    * (fixed string of N bytes; `strPad` carries the padding class —
+    * 0 null-terminate, 1 null-pad, 2 space-pad), and `vs` (variable-
+    * length string: the 16-byte length + global-heap-ID element). */
+  private def parseDtype(r: Rd, p: Long):
+      Either[String, (String, Int, Int)] = {
     val cv = r.u8(p)
     val cls = cv & 0x0F
     val size = r.u32(p + 4).toInt
     cls match {
       case 0 =>
-        if ((r.u8(p + 1) & 0x01) != 0) Left("big_endian_unsupported")
-        else size match {
-          case 1 | 2 | 4 | 8 => Right((s"i$size", size))
+        val be = if ((r.u8(p + 1) & 0x01) != 0) "be" else ""
+        size match {
+          case 1 => Right(("i1", 1, 0)) // endianness is moot at 1 byte
+          case 2 | 4 | 8 => Right((s"i$size$be", size, 0))
           case _ => Left("unsupported_int_size")
         }
       case 1 =>
-        if ((r.u8(p + 1) & 0x01) != 0) Left("big_endian_unsupported")
-        else size match {
-          case 4 | 8 => Right((s"f$size", size))
-          case _ => Left("unsupported_float_size")
+        // VAX order sets bits 0 AND 6; plain bit 0 is big-endian IEEE
+        if ((r.u8(p + 1) & 0x40) != 0) Left("vax_order_unsupported")
+        else {
+          val be = if ((r.u8(p + 1) & 0x01) != 0) "be" else ""
+          size match {
+            case 4 | 8 => Right((s"f$size$be", size, 0))
+            case _ => Left("unsupported_float_size")
+          }
         }
-      case 3 => Right((s"s$size", size)) // fixed-length string
+      case 3 => // fixed-length string; padding class in bits 0-3
+        val pad = r.u8(p + 1) & 0x0F
+        if (pad > 2) Left("unsupported_string_pad")
+        else Right((s"s$size", size, pad))
+      case 9 => // variable-length: bits 0-3 type (0 sequence, 1 string)
+        if ((r.u8(p + 1) & 0x0F) != 1) Left("vlen_sequence_unsupported")
+        else Right(("vs", 16, 0))
       case c => Left(s"unsupported_datatype_class_$c")
     }
   }
+
+  /** Element byte width of a numeric/string kind ("f8be" → 8,
+    * "s12" → 12, "vs" → 16). */
+  private[graft] def kindElem(kind: String): Int =
+    if (kind == "vs") 16
+    else (if (kind.endsWith("be")) kind.dropRight(2) else kind)
+      .drop(1).toInt
 
   private def numAt(r: Rd, p: Long, kind: String): Double = kind match {
     case "i1" => r.b(p.toInt).toDouble
@@ -108,6 +136,112 @@ object Hdf5 {
     case "i8" => r.u64(p).toDouble
     case "f4" => java.lang.Float.intBitsToFloat(r.u32(p).toInt).toDouble
     case "f8" => java.lang.Double.longBitsToDouble(r.u64(p))
+    case "i2be" => ((((r.u8(p) << 8) | r.u8(p + 1)) << 16) >> 16).toDouble
+    case "i4be" => ((r.u8(p).toLong << 24) | (r.u8(p + 1).toLong << 16) |
+      (r.u8(p + 2).toLong << 8) | r.u8(p + 3).toLong).toInt.toDouble
+    case "i8be" =>
+      var v = 0L; var k = 0
+      while (k < 8) { v = (v << 8) | r.u8(p + k); k += 1 }
+      v.toDouble
+    case "f4be" => java.lang.Float.intBitsToFloat(
+      ((r.u8(p) << 24) | (r.u8(p + 1) << 16) | (r.u8(p + 2) << 8) |
+        r.u8(p + 3))).toDouble
+    case "f8be" =>
+      var v = 0L; var k = 0
+      while (k < 8) { v = (v << 8) | r.u8(p + k); k += 1 }
+      java.lang.Double.longBitsToDouble(v)
+  }
+
+  /** Fixed-width string element at `p`: content stops at the first
+    * NUL (padding classes 0/1); space-padded strings (class 2) strip
+    * trailing spaces instead. */
+  private def strAt(r: Rd, p: Long, width: Int, pad: Int): String = {
+    val raw = r.ascii(p, width)
+    if (pad == 2) {
+      var e = raw.length
+      while (e > 0 && raw(e - 1) == ' ') e -= 1
+      raw.substring(0, e)
+    } else raw.takeWhile(_ != 0)
+  }
+
+  /** Resolve one variable-length string element (4-byte length +
+    * global-heap collection address + object index, read from `d` —
+    * the chunk/contiguous element buffer) through the FILE's GCOL
+    * collections (spec III.E; heap addresses are file-absolute, so
+    * they resolve in `r` even when the descriptor came from a
+    * defiltered chunk). */
+  private def vlenStrAt(d: Rd, p: Long, r: Rd): Either[String, String] = {
+    val len = d.u32(p).toInt
+    val coll = d.u64(p + 4)
+    val idx = d.u32(p + 12).toInt
+    if (len == 0) return Right("")
+    if (coll <= 0 || coll + 16 > r.b.length) return Left("bad_gheap_addr")
+    if (r.ascii(coll, 4) != "GCOL") return Left("bad_gheap_signature")
+    if (r.u8(coll + 4) != 1) return Left("bad_gheap_version")
+    val end = coll + r.u64(coll + 8)
+    if (end > r.b.length) return Left("bad_gheap_size")
+    var q = coll + 16
+    while (q + 16 <= end) {
+      val oidx = r.u16(q)
+      val osize = r.u64(q + 8)
+      if (oidx == 0) return Left("gheap_object_missing") // free space
+      if (oidx == idx) {
+        if (q + 16 + osize > end) return Left("bad_gheap_object_size")
+        return Right(r.ascii(q + 16, math.min(len.toLong, osize).toInt))
+      }
+      q += 16 + (osize + 7) / 8 * 8
+    }
+    Left("gheap_object_missing")
+  }
+
+  /** Parse a COMPOUND (class 6) datatype message → (totalSize,
+    * members as (name, byteOffset, kind)). Covers the three wire
+    * versions: v1 (classic — 8-padded names, u32 offset, the 28-byte
+    * array-dimension block), v2 (8-padded names, u32 offset, no dim
+    * block) and v3 (latest — packed names, minimal-width offsets).
+    * Members must be scalar fixed/float numerics (what NetCDF-4
+    * compound variables carry); anything else refuses by name. */
+  private def parseCompound(r: Rd, p: Long):
+      Either[String, (Int, Seq[(String, Int, String)])] = {
+    val cv = r.u8(p)
+    if ((cv & 0x0F) != 6) return Left("not_compound")
+    val ver = cv >> 4
+    if (ver < 1 || ver > 3) return Left("unsupported_compound_version")
+    val nMembers = r.u8(p + 1) | (r.u8(p + 2) << 8)
+    val size = r.u32(p + 4).toInt
+    if (nMembers < 1 || nMembers > 1024 || size <= 0)
+      return Left("bad_compound_shape")
+    val offBytes = log2gen(size.toLong) / 8 + 1 // v3 minimal offset width
+    val out = Seq.newBuilder[(String, Int, String)]
+    var q = p + 8
+    var m = 0
+    while (m < nMembers) {
+      val mname = r.cstr(q)
+      q += (if (ver == 3) mname.length + 1
+            else (mname.length + 8) / 8 * 8) // v1/v2: null-term, 8-padded
+      var off = 0
+      if (ver == 3) {
+        var k = 0
+        while (k < offBytes) { off |= r.u8(q + k) << (8 * k); k += 1 }
+        q += offBytes
+      } else { off = r.u32(q).toInt; q += 4 }
+      if (ver == 1) {
+        if (r.u8(q) != 0) return Left("compound_array_member_unsupported")
+        q += 28 // dimensionality(1)+res(3)+perm(4)+res(4)+dims(16)
+      }
+      val kind = parseDtype(r, q) match {
+        case Right((k, _, _)) if k != "vs" && !k.startsWith("s") => k
+        case _ => return Left("unsupported_compound_member")
+      }
+      // advance past the member datatype message: 8-byte prefix +
+      // property bytes (fixed-point 4, float 12)
+      q += 8 + (if (kind.startsWith("f")) 12 else 4)
+      if (off < 0 || off + kindElem(kind) > size)
+        return Left("bad_compound_member_offset")
+      out += ((mname, off, kind))
+      m += 1
+    }
+    Right((size, out.result()))
   }
 
   /** All (type, bodyOffset, bodySize) messages of a v1 object header,
@@ -928,12 +1062,12 @@ object Hdf5 {
           case Right(d) => d
         }
       }
-      Right(ds)
+      Right(ds.flatten)
     }
   } catch { case _: Exception => Left("malformed_file") }
 
   private def decodeDataset(r: Rd, name: String, oh: Long):
-      Either[String, H5Dataset] = {
+      Either[String, Seq[H5Dataset]] = {
     val msgs = headerMessagesAny(r, oh) match {
       case Left(e) => return Left(e); case Right(m) => m
     }
@@ -951,10 +1085,21 @@ object Hdf5 {
     // datatype
     val dt = msgs.find(_._1 == 0x0003).getOrElse(
       return Left("missing_datatype"))
-    val (kind, elem) = parseDtype(r, dt._2) match {
-      case Left(e) => return Left(e); case Right(k) => k
-    }
-    if (kind.startsWith("s")) return Left("string_dataset_unsupported")
+    // scalar numerics/strings decode as one channel; compound
+    // datasets as one channel per member ((suffix, byteOff, kind))
+    var strPad = 0
+    val (members, elem): (Seq[(String, Int, String)], Int) =
+      if ((r.u8(dt._2) & 0x0F) == 6)
+        parseCompound(r, dt._2) match {
+          case Left(e) => return Left(e)
+          case Right((sz, ms)) =>
+            (ms.map { case (n, o, k) => (s".$n", o, k) }, sz)
+        }
+      else parseDtype(r, dt._2) match {
+        case Left(e) => return Left(e)
+        case Right((k, sz, pad)) => strPad = pad; (Seq(("", 0, k)), sz)
+      }
+    def isStrKind(k: String) = k == "vs" || k.startsWith("s")
     // filters
     val filters: Seq[(Int, Seq[Long])] = msgs.find(_._1 == 0x000B) match {
       case None => Nil
@@ -977,7 +1122,27 @@ object Hdf5 {
     val lo = msgs.find(_._1 == 0x0008).getOrElse(return Left("missing_layout"))
     val loVer = r.u8(lo._2)
     if (loVer != 3 && loVer != 4) return Left("unsupported_layout_version")
-    val values = new Array[Double](nElems)
+    val nVals = members.map(m =>
+      if (isStrKind(m._3)) null else new Array[Double](nElems)).toArray
+    val sVals = members.map(m =>
+      if (isStrKind(m._3)) new Array[String](nElems) else null).toArray
+    // a vlen element whose heap ID doesn't resolve poisons the decode
+    // (checked after the layout walk — the walk itself can't early-out)
+    var vlenErr: String = null
+    def putElem(gi: Int, rr: Rd, base: Long): Unit = {
+      var m = 0
+      while (m < members.length) {
+        val (_, off, k) = members(m)
+        if (k == "vs") vlenStrAt(rr, base + off, r) match {
+          case Right(s) => sVals(m)(gi) = s
+          case Left(e) => if (vlenErr == null) vlenErr = e
+        }
+        else if (k.charAt(0) == 's')
+          sVals(m)(gi) = strAt(rr, base + off, kindElem(k), strPad)
+        else nVals(m)(gi) = numAt(rr, base + off, k)
+        m += 1
+      }
+    }
     val strides = dims.scanRight(1)(_ * _).drop(1) // row-major
     // pipeline applies in reverse on read; a set mask bit means the
     // filter was SKIPPED for this chunk
@@ -1002,7 +1167,7 @@ object Hdf5 {
           off(d) + (j / cStrides(d)) % chunkDims(d))
         if (coords.zip(dims).forall { case (c, dm) => c < dm }) {
           val gi = coords.zip(strides).map(p => p._1 * p._2).sum
-          values(gi) = numAt(rr, j.toLong * elem, kind)
+          putElem(gi, rr, j.toLong * elem)
         }
         j += 1
       }
@@ -1015,7 +1180,7 @@ object Hdf5 {
         if (isUndef(addr)) return Left("data_not_allocated")
         var i = 0
         while (i < nElems) {
-          values(i) = numAt(r, addr + i.toLong * elem, kind); i += 1
+          putElem(i, r, addr + i.toLong * elem); i += 1
         }
       case 2 if loVer == 3 => // chunked: B-tree v1 node type 1
         val cRank = r.u8(lo._2 + 2) // rank + 1
@@ -1177,11 +1342,15 @@ object Hdf5 {
         if (sz < nElems * elem) return Left("bad_compact_size")
         var i = 0
         while (i < nElems) {
-          values(i) = numAt(r, lo._2 + 4 + i.toLong * elem, kind); i += 1
+          putElem(i, r, lo._2 + 4 + i.toLong * elem); i += 1
         }
       case c => return Left(s"unsupported_layout_class_$c")
     }
-    Right(H5Dataset(name, dims, kind, values, attrs))
+    if (vlenErr != null) return Left(vlenErr)
+    Right(members.indices.map { m =>
+      H5Dataset(name + members(m)._1, dims, members(m)._3, nVals(m),
+        attrs, strs = sVals(m))
+    })
   }
 
   /** Fixed Array chunk index (layout v4 indexing type 3): FAHD
@@ -1274,13 +1443,16 @@ object Hdf5 {
     val n = if (rank == 0) 1
       else (0 until rank).map(i => r.u64(dimsOff + i * 8L).toInt).product
     parseDtype(r, dtOff) match {
-      case Right((kind, elem)) if !kind.startsWith("s") && n >= 1 && rank <= 1 =>
+      case Right((kind, elem, _))
+          if kind != "vs" && !kind.startsWith("s") && n >= 1 && rank <= 1 =>
         val vs = (0 until n).map(i => numAt(r, dataOff + i.toLong * elem, kind))
         Some(H5Attr(name, Some(vs.head), None,
           if (n > 1) Some(vs) else None))
-      case Right((kind, elem)) if kind.startsWith("s") =>
-        val raw = r.ascii(dataOff, elem * n)
-        Some(H5Attr(name, None, Some(raw.takeWhile(_ != 0))))
+      case Right((kind, _, _)) if kind == "vs" =>
+        vlenStrAt(r, dataOff, r).toOption.map(s =>
+          H5Attr(name, None, Some(s)))
+      case Right((kind, elem, pad)) if kind.startsWith("s") =>
+        Some(H5Attr(name, None, Some(strAt(r, dataOff, elem * n, pad))))
       case _ => None
     }
   }
@@ -1335,34 +1507,50 @@ object Hdf5 {
     out
   }
 
+  /** Datatype message body for a kind. Numerics take a `be` suffix
+    * (byte-order bit set, big-endian data); `sN` is a null-terminated
+    * fixed string, `SN` its space-padded twin (padding class 2 — the
+    * encoder-side spelling; the decoder reports both as `sN`); `vs`
+    * is a variable-length string over 1-byte ASCII chars. */
   private def dtypeBytes(kind: String): Array[Byte] = {
     val w = new Wr
+    val ord = if (kind.endsWith("be")) 1 else 0
     kind match {
-      case "f8" =>
-        w.u8(0x11).u8(0x20).u8(63).u8(0).u32(8)
+      case "f8" | "f8be" =>
+        w.u8(0x11).u8(0x20 | ord).u8(63).u8(0).u32(8)
         w.u16(0).u16(64).u8(52).u8(11).u8(0).u8(52).u32(1023)
-      case "f4" =>
-        w.u8(0x11).u8(0x20).u8(31).u8(0).u32(4)
+      case "f4" | "f4be" =>
+        w.u8(0x11).u8(0x20 | ord).u8(31).u8(0).u32(4)
         w.u16(0).u16(32).u8(23).u8(8).u8(0).u8(23).u32(127)
-      case "i4" =>
-        w.u8(0x10).u8(0x08).u8(0).u8(0).u32(4).u16(0).u16(32)
-      case "i2" =>
-        w.u8(0x10).u8(0x08).u8(0).u8(0).u32(2).u16(0).u16(16)
+      case "i8" | "i8be" =>
+        w.u8(0x10).u8(0x08 | ord).u8(0).u8(0).u32(8).u16(0).u16(64)
+      case "i4" | "i4be" =>
+        w.u8(0x10).u8(0x08 | ord).u8(0).u8(0).u32(4).u16(0).u16(32)
+      case "i2" | "i2be" =>
+        w.u8(0x10).u8(0x08 | ord).u8(0).u8(0).u32(2).u16(0).u16(16)
+      case "vs" => // vlen string: base type 1-byte ASCII fixed string
+        w.u8(0x19).u8(0x01).u8(0).u8(0).u32(16)
+        w.u8(0x13).u8(0).u8(0).u8(0).u32(1)
+      case s if s.startsWith("S") =>
+        // fixed string, space-padded (class 2)
+        w.u8(0x13).u8(2).u8(0).u8(0).u32(s.drop(1).toInt)
       case s if s.startsWith("s") =>
-        // fixed string, null-padded
+        // fixed string, null-terminated
         w.u8(0x13).u8(0).u8(0).u8(0).u32(s.drop(1).toInt)
     }
     w.out.toByteArray
   }
 
   private def valueBytes(kind: String, vs: Array[Double]): Array[Byte] = {
-    val elem = kind.drop(1).toInt
+    val elem = kindElem(kind)
     val b = java.nio.ByteBuffer.allocate(vs.length * elem)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .order(if (kind.endsWith("be")) java.nio.ByteOrder.BIG_ENDIAN
+             else java.nio.ByteOrder.LITTLE_ENDIAN)
     vs.foreach { v =>
-      kind match {
+      kind.stripSuffix("be") match {
         case "f8" => b.putDouble(v)
         case "f4" => b.putFloat(v.toFloat)
+        case "i8" => b.putLong(v.toLong)
         case "i4" => b.putInt(v.toInt)
         case "i2" => b.putShort(v.toShort)
       }
@@ -1370,15 +1558,137 @@ object Hdf5 {
     b.array()
   }
 
+  /** Fixed-width string payload: each value padded to the kind's
+    * width — NULs for `sN`, spaces for the space-padded `SN`. */
+  private def strValueBytes(kind: String, vs: Array[String]): Array[Byte] = {
+    val elem = kind.drop(1).toInt
+    val pad: Byte = if (kind.charAt(0) == 'S') ' ' else 0
+    val out = new Array[Byte](vs.length * elem)
+    if (pad != 0) java.util.Arrays.fill(out, pad)
+    vs.zipWithIndex.foreach { case (s, i) =>
+      val b = s.getBytes("US-ASCII")
+      require(b.length <= elem, s"string wider than $kind: $s")
+      System.arraycopy(b, 0, out, i * elem, b.length)
+      if (pad != 0 && b.length < elem) () // space fill already in place
+    }
+    out
+  }
+
+  /** Write one GCOL global-heap collection holding every string and
+    * return the 16-byte-per-element vlen descriptor block (length +
+    * collection address + 1-based object index — spec III.E). The
+    * collection is padded to libhdf5's 4096-byte minimum with a
+    * terminating free-space object. */
+  private def writeGcol(w: Wr, vs: Array[String]): Array[Byte] = {
+    w.pad(8)
+    val coll = w.pos.toLong
+    val body = new Wr
+    vs.zipWithIndex.foreach { case (s, i) =>
+      val b = s.getBytes("US-ASCII")
+      body.u16(i + 1).u16(1).u32(0).u64(b.length.toLong)
+      body.bytes(b); body.pad(8)
+    }
+    val used = 16 + body.pos
+    val size = math.max(4096, used + 16).toLong
+    w.ascii("GCOL").u8(1).u8(0).u8(0).u8(0)
+    w.u64(size)
+    w.bytes(body.out.toByteArray)
+    // free-space object 0 spans the remainder
+    w.u16(0).u16(0).u32(0).u64(size - used - 16)
+    while (w.pos < coll + size) w.u8(0)
+    val d = new Wr
+    vs.zipWithIndex.foreach { case (s, i) =>
+      d.u32(s.length.toLong).u64(coll).u32(i + 1L)
+    }
+    d.out.toByteArray
+  }
+
+  /** COMPOUND datatype message for (name, kind) members packed at
+    * sequential offsets — wire version 3 (latest: packed names,
+    * minimal-width offsets) or 1 (classic: 8-padded names, u32
+    * offset, the zeroed 28-byte array-dimension block). */
+  private def compoundDtypeBytes(members: Seq[(String, String)],
+      v1: Boolean): Array[Byte] = {
+    val size = members.map(m => kindElem(m._2)).sum
+    val offBytes = log2gen(size.toLong) / 8 + 1
+    val w = new Wr
+    w.u8(if (v1) 0x16 else 0x36)
+    w.u8(members.size & 0xFF).u8((members.size >> 8) & 0xFF).u8(0)
+    w.u32(size.toLong)
+    var off = 0
+    members.foreach { case (n, k) =>
+      if (v1) {
+        val nb = n.getBytes("US-ASCII") :+ 0.toByte
+        w.bytes(nb); (nb.length until (nb.length + 7) / 8 * 8)
+          .foreach(_ => w.u8(0))
+        w.u32(off.toLong)
+        (0 until 28).foreach(_ => w.u8(0)) // scalar member: dim block
+      } else {
+        w.ascii(n).u8(0)
+        var x = off; var b = 0
+        while (b < offBytes) { w.u8(x & 0xFF); x >>= 8; b += 1 }
+      }
+      w.bytes(dtypeBytes(k))
+      off += kindElem(k)
+    }
+    w.out.toByteArray
+  }
+
+  /** Compound payload: `values` holds elements row-major as
+    * [e0.m0, e0.m1, …, e1.m0, …], each member written in its own
+    * kind (and byte order). */
+  private def compoundValueBytes(d: H5Enc): Array[Byte] = {
+    val kinds = d.cmembers.map(_._2)
+    val size = kinds.map(kindElem).sum
+    require(d.values.length % kinds.size == 0, "ragged compound values")
+    val bb = java.nio.ByteBuffer.allocate(d.values.length / kinds.size * size)
+    d.values.zipWithIndex.foreach { case (v, i) =>
+      val k = kinds(i % kinds.size)
+      bb.order(if (k.endsWith("be")) java.nio.ByteOrder.BIG_ENDIAN
+               else java.nio.ByteOrder.LITTLE_ENDIAN)
+      k.stripSuffix("be") match {
+        case "f8" => bb.putDouble(v)
+        case "f4" => bb.putFloat(v.toFloat)
+        case "i8" => bb.putLong(v.toLong)
+        case "i4" => bb.putInt(v.toInt)
+        case "i2" => bb.putShort(v.toShort)
+      }
+    }
+    bb.array()
+  }
+
+  /** Element width of a dataset spec (compound → total size). */
+  private def encElem(d: H5Enc): Int =
+    if (d.cmembers.nonEmpty) d.cmembers.map(m => kindElem(m._2)).sum
+    else kindElem(d.kind)
+
+  private def encDtypeBytes(d: H5Enc, v1: Boolean): Array[Byte] =
+    if (d.cmembers.nonEmpty) compoundDtypeBytes(d.cmembers, v1)
+    else dtypeBytes(d.kind)
+
+  /** Data payload for a dataset: numeric kinds from `values`, string
+    * kinds from `svalues`, compound members interleaved (vlen handled
+    * by the caller — it must place a GCOL first). */
+  private def rawBytes(d: H5Enc): Array[Byte] =
+    if (d.cmembers.nonEmpty) compoundValueBytes(d)
+    else if (d.svalues != null) strValueBytes(d.kind, d.svalues)
+    else valueBytes(d.kind, d.values)
+
   /** `v4Index` (encodeH5V2 only) selects a LAYOUT-v4 chunk index for
     * a chunked dataset — 1 = single chunk, 2 = implicit, 3 = fixed
     * array (`faPageBits` sizes its data-block pages; ≤2^bits chunks
     * stay unpaged). None keeps the v3 chunk-B-tree layout. */
+  /** `svalues` (string datasets) replaces `values`: kind `sN`/`SN`
+    * writes fixed-width elements, kind `vs` writes a GCOL global
+    * heap + 16-byte descriptors (encodeH5V2, contiguous only —
+    * libver=latest's shape for string variables). */
   private[graft] case class H5Enc(name: String, dims: Seq[Int],
       kind: String, values: Array[Double],
       chunkDims: Option[Seq[Int]] = None, gzipLevel: Int = 0,
       shuffle: Boolean = false, attrs: Seq[H5Attr] = Nil,
-      v4Index: Option[Int] = None, faPageBits: Int = 10)
+      v4Index: Option[Int] = None, faPageBits: Int = 10,
+      svalues: Array[String] = null,
+      cmembers: Seq[(String, String)] = Nil)
 
   /** Bob Jenkins' lookup3 `hashlittle` — the checksum the HDF5 v2+
     * metadata carries (spec Appendix; the algorithm is public
@@ -1549,8 +1859,12 @@ object Hdf5 {
     // B-tree by default; H5Enc.v4Index selects a LAYOUT-v4 chunk
     // index — what libhdf5 libver=latest actually writes) ---
     val layoutMsg: Map[String, Array[Byte]] = datasets.map { d =>
-      val raw = valueBytes(d.kind, d.values)
-      val elem = d.kind.drop(1).toInt
+      val raw =
+        if (d.kind == "vs") {
+          require(d.chunkDims.isEmpty, "vlen datasets are contiguous-only")
+          writeGcol(w, d.svalues) // heap first; descriptors are the data
+        } else rawBytes(d)
+      val elem = encElem(d)
       val lo = new Wr
       (d.chunkDims, d.v4Index) match {
         case (None, _) =>
@@ -1611,10 +1925,10 @@ object Hdf5 {
       aw.out.toByteArray
     }
     val dsAddr = datasets.map { d =>
-      val elem = d.kind.drop(1).toInt
+      val elem = encElem(d)
       val msgs = Seq.newBuilder[(Int, Array[Byte])]
       msgs += ((0x01, dataspaceV2(d.dims)))
-      msgs += ((0x03, dtypeBytes(d.kind)))
+      msgs += ((0x03, encDtypeBytes(d, v1 = false)))
       msgs += ((0x05, Array[Byte](2, 2, 2, 0)))
       d.attrs.foreach(a => msgs += ((0x0C, attrV3(a))))
       val filterIds =
@@ -1686,7 +2000,7 @@ object Hdf5 {
     d.dims.foreach(x => sp.u64(x))
     msg(0x0001, sp.out.toByteArray)
     // datatype
-    msg(0x0003, dtypeBytes(d.kind))
+    msg(0x0003, encDtypeBytes(d, v1 = true))
     // fill value v2, undefined
     msg(0x0005, Array[Byte](2, 2, 2, 0))
     // attributes
@@ -1700,7 +2014,7 @@ object Hdf5 {
       f.u8(1).u8(filterIds.size).u16(0).u32(0)
       filterIds.foreach {
         case 2 => f.u16(2).u16(0).u16(0).u16(1)
-          f.u32(d.kind.drop(1).toInt.toLong).u32(0)
+          f.u32(encElem(d).toLong).u32(0)
         case 1 => f.u16(1).u16(0).u16(0).u16(1)
           f.u32(d.gzipLevel.toLong).u32(0)
       }
@@ -1708,8 +2022,9 @@ object Hdf5 {
     }
     // layout v3 + remember where the data address lands inside the
     // message stream
-    val elem = d.kind.drop(1).toInt
-    val raw = valueBytes(d.kind, d.values)
+    require(d.kind != "vs", "vlen datasets: encodeH5V2 only")
+    val elem = encElem(d)
+    val raw = rawBytes(d)
     d.chunkDims match {
       case None =>
         val lo = new Wr
@@ -1786,7 +2101,7 @@ object Hdf5 {
     * by the v3 B-tree writer and the v4 index writers. */
   private def gatherChunks(d: H5Enc, raw: Array[Byte]):
       IndexedSeq[(Seq[Int], Array[Byte])] = {
-    val elem = d.kind.drop(1).toInt
+    val elem = encElem(d)
     val dims = d.dims
     val cd = d.chunkDims.get
     val rank = dims.size
@@ -2276,7 +2591,7 @@ object Hdf5 {
     * cover their own elements). */
   private def writeV4Chunked(w: Wr, d: H5Enc, raw: Array[Byte],
       idx: Int, lo: Wr): Unit = {
-    val elem = d.kind.drop(1).toInt
+    val elem = encElem(d)
     val cd = d.chunkDims.get
     val grid = d.dims.zip(cd).map { case (n, c) => (n + c - 1) / c }
     val filtered = d.shuffle || d.gzipLevel > 0
@@ -2621,7 +2936,9 @@ object Hdf5 {
 
   /** files(name, content) → long rows (file, dataset, idx, value) +
     * quarantine frame — the NetCDF-4/HDF5 member of the binary-drop
-    * codec family. */
+    * codec family. String datasets (fixed-width and vlen) carry
+    * their text in `sval` (numeric channels leave it null, string
+    * channels leave `raw` at 0.0). */
   def decodeH5Drop(files: DataFrame): (DataFrame, DataFrame) = {
     val spark = files.sparkSession
     import spark.implicits._
@@ -2630,21 +2947,27 @@ object Hdf5 {
       .flatMap { case (name, bytes) =>
         decodeH5(bytes) match {
           case Left(reason) =>
-            Iterator((false, name, reason, "", "", 0L, 0.0, 1.0, 0.0))
+            Iterator((false, name, reason, "", "", 0L, 0.0, 1.0, 0.0,
+              null: String))
           case Right(ds) => ds.iterator.flatMap { d =>
             val scale = d.attrs.find(_.name == "scale_factor")
               .flatMap(_.num).getOrElse(1.0)
             val offs = d.attrs.find(_.name == "add_offset")
               .flatMap(_.num).getOrElse(0.0)
-            d.values.iterator.zipWithIndex.map { case (v, i) =>
+            if (d.strs != null)
+              d.strs.iterator.zipWithIndex.map { case (s, i) =>
+                (true, name, null: String, d.name, d.dtype, i.toLong,
+                  0.0, scale, offs, s)
+              }
+            else d.values.iterator.zipWithIndex.map { case (v, i) =>
               (true, name, null: String, d.name, d.dtype, i.toLong,
-                v, scale, offs)
+                v, scale, offs, null: String)
             }
           }
         }
       }
       .toDF("ok", "name", "reason", "dataset", "dtype", "idx", "raw",
-        "scale", "offset")
+        "scale", "offset", "sval")
     (decoded.filter(col("ok")).drop("ok", "reason"),
       decoded.filter(!col("ok")).select(col("name"), col("reason")))
   }
@@ -2686,8 +3009,13 @@ object Hdf5 {
         // run decodes both superblock generations
         val means = px.map(_._2.toDouble).toArray
         val counts = px.map(_._3.toDouble).toArray
+        // compound payload: (mean_us f8, n i4) interleaved row-major
+        val packed = px.flatMap(c =>
+          Seq(c._2.toDouble, c._3.toDouble)).toArray
         Iterator(
           ("cds_grid.nc4", encodeH5(Seq(
+            H5Enc("st", Seq(8, 8), "c", packed,
+              cmembers = Seq(("m", "f8"), ("c", "i4"))),
             H5Enc("tp_us", Seq(8, 8), "f8", means,
               chunkDims = Some(Seq(3, 3)), gzipLevel = 6, shuffle = true,
               attrs = Seq(H5Attr("scale_factor", Some(1e-6), None),
@@ -2698,6 +3026,18 @@ object Hdf5 {
           // chunk indexes (what 1.10+ libver=latest writes): a
           // filtered fixed array, a filtered single chunk carrying
           // the CF attrs, and an implicit (unfiltered) grid
+          // datatype breadth: big-endian fixed/float (the byte-order
+          // bit + BE payloads — legacy-converted NetCDF-4 products)
+          // and a v3-compound (mean, count) record variable; the
+          // classic file above carries the v1-compound twin
+          ("cds_grid_be.nc4", encodeH5V2(Seq(
+            H5Enc("n_obs_be", Seq(8, 8), "i4be", counts,
+              chunkDims = Some(Seq(4, 4)), v4Index = Some(2)),
+            H5Enc("tp_be_us", Seq(8, 8), "f8be", means,
+              attrs = Seq(H5Attr("scale_factor", Some(1e-6), None),
+                H5Attr("add_offset", Some(0.0), None))),
+            H5Enc("cell_cx", Seq(8, 8), "c", packed,
+              cmembers = Seq(("mean_us", "f8"), ("n", "i4")))))),
           ("cds_grid_latest.nc4", encodeH5V2(Seq(
             H5Enc("n_obs", Seq(8, 8), "i4", counts,
               chunkDims = Some(Seq(4, 8)), gzipLevel = 1,
@@ -2736,5 +3076,41 @@ object Hdf5 {
       expr("idx div 8").as("gy"), (col("idx") % 8).as("gx"),
       (col("raw") * col("scale") + col("offset")).as("value"))
       .orderBy(col("dataset"), col("gy"), col("gx"))
+  }
+
+  /** STRING-dataset lane — the text side of NetCDF-4 datatype
+    * breadth: per-cell labels derived from events render into a real
+    * latest-format HDF5 file three ways (fixed-width null-terminated,
+    * fixed-width space-padded, and variable-length strings through a
+    * GCOL global heap — netCDF-4's NC_STRING shape), decode back
+    * through the same walk, and emit (dataset, dtype, idx, sval).
+    * Bit-exact: ASCII payloads round-trip verbatim and the oracle
+    * recomputes every label from events. */
+  def gridH5Text(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = graft.Tables.events(spark, dir)
+      .groupBy((col("user_id") % 8).as("gy"),
+        expr("user_id div 8 % 8").as("gx"))
+      .agg(count(lit(1)).as("n_obs"))
+    val lattice = spark.range(64)
+      .select(expr("id div 8").as("gy"), (col("id") % 8).as("gx"))
+    val doc = lattice.join(cells, Seq("gy", "gx"), "left")
+      .select((col("gy") * 8 + col("gx")).as("i"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("i"), col("n_obs"))))
+        .as("px"))
+      .as[Seq[(Long, Long)]]
+      .map { px =>
+        val tags = px.map(c => s"n${c._2}").toArray
+        val notes = px.map(c => s"cell=${c._1};obs=${c._2}").toArray
+        ("cds_labels.nc4", encodeH5V2(Seq(
+          H5Enc("tag", Seq(64), "s8", null, svalues = tags),
+          H5Enc("tag_sp", Seq(64), "S8", null, svalues = tags),
+          H5Enc("note", Seq(64), "vs", null, svalues = notes))))
+      }.toDF("name", "content")
+    val (rows, _) = decodeH5Drop(doc)
+    rows.select(col("dataset"), col("dtype"), col("idx"), col("sval"))
+      .orderBy(col("dataset"), col("idx"))
   }
 }

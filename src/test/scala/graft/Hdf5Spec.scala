@@ -755,10 +755,12 @@ class Hdf5Spec extends SparkSpec {
 
   test("grid_h5_decode: end-to-end lane — CF unpack, all four datasets across both format families, every cell") {
     val out = SparkEntry.queries("grid_h5_decode")(spark, sf).collect()
-    assert(out.length === 384 + 360, "six 8x8 datasets + the 360-day axis")
+    assert(out.length === 768 + 360,
+      "twelve 8x8 dataset channels + the 360-day axis")
     val ds = out.groupBy(_.getString(0))
     assert(ds.keySet === Set("tp_us", "n_obs", "tp2_us", "n_obs_imp",
-      "n_obs_bt2", "tp_ea_us", "tp_year_us"))
+      "n_obs_bt2", "tp_ea_us", "tp_year_us", "n_obs_be", "tp_be_us",
+      "cell_cx.mean_us", "cell_cx.n", "st.m", "st.c"))
     // the super-block/paged-EA dataset: value(t) = cell(t%64) + t//64
     assert(ds("tp_year_us").length === 360)
     assert(ds("n_obs_bt2").forall(_.getString(1) == "i4"))
@@ -781,10 +783,13 @@ class Hdf5Spec extends SparkSpec {
       val key = (r.getLong(2), r.getLong(3))
       val (vus, n) = cells.getOrElse(key, (0L, 0L))
       r.getString(0) match {
-        case "tp_us" | "tp2_us" | "tp_ea_us" =>
+        case "tp_us" | "tp2_us" | "tp_ea_us" | "tp_be_us" =>
           assert(r.getDouble(4) === vus.toDouble * 1e-6, s"cell $key")
-        case "n_obs" | "n_obs_imp" | "n_obs_bt2" =>
+        case "n_obs" | "n_obs_imp" | "n_obs_bt2" | "n_obs_be" |
+            "cell_cx.n" | "st.c" =>
           assert(r.getDouble(4) === n.toDouble, s"cell $key")
+        case "cell_cx.mean_us" | "st.m" =>
+          assert(r.getDouble(4) === vus.toDouble, s"cell $key")
         case "tp_year_us" =>
           val t = r.getLong(2) * 8 + r.getLong(3)
           val (v64, _) = cells.getOrElse(((t % 64) / 8, t % 8), (0L, 0L))
@@ -792,5 +797,116 @@ class Hdf5Spec extends SparkSpec {
             (v64 + (t / 64) * 1000000L).toDouble * 1e-6, s"day $t")
       }
     }
+  }
+
+  test("hdf5 datatype breadth: big-endian fixed/float round-trip, BOTH format families, chunked+filtered too") {
+    val v = Array.tabulate(24)(i => i * 1.25 - 7)
+    for (kind <- Seq("i2be", "i4be", "f4be", "f8be")) {
+      val vs = if (kind.startsWith("i")) v.map(math.rint) else v
+      val Seq(d1) = rt(H5Enc("x", Seq(4, 6), kind, vs))
+      assert(d1.dtype === kind)
+      if (kind == "f4be")
+        assert(d1.values.zip(vs).forall { case (a, b) =>
+          a == b.toFloat.toDouble }, kind)
+      else assert(d1.values.toSeq === vs.toSeq, s"classic $kind")
+      val Seq(d2) = Hdf5.decodeH5(Hdf5.encodeH5V2(Seq(
+        H5Enc("x", Seq(4, 6), kind, vs,
+          chunkDims = Some(Seq(3, 4)), gzipLevel = 6,
+          shuffle = true)))).toOption.get
+      if (kind == "f4be")
+        assert(d2.values.zip(vs).forall { case (a, b) =>
+          a == b.toFloat.toDouble }, kind)
+      else assert(d2.values.toSeq === vs.toSeq, s"v2 chunked $kind")
+    }
+  }
+
+  test("hdf5 big-endian: the payload bytes really are big-endian (hand-pinned, independent of the decoder)") {
+    // f8be 1.0 must appear as 3F F0 00 00 00 00 00 00 in file order;
+    // the LE spelling would be its reverse. i4be 0x01020304 likewise.
+    val f = Hdf5.encodeH5(Seq(H5Enc("x", Seq(1), "f8be", Array(1.0))))
+    def find(hay: Array[Byte], needle: Array[Byte]): Boolean =
+      hay.indices.exists(i => i + needle.length <= hay.length &&
+        needle.indices.forall(j => hay(i + j) == needle(j)))
+    assert(find(f, Array(0x3F, 0xF0, 0, 0, 0, 0, 0, 0).map(_.toByte)))
+    assert(!find(f, Array(0, 0, 0, 0, 0, 0, 0xF0, 0x3F).map(_.toByte)),
+      "no little-endian spelling of the value anywhere in the file")
+    val g = Hdf5.encodeH5(Seq(H5Enc("x", Seq(1), "i4be",
+      Array(0x01020304.toDouble))))
+    assert(find(g, Array(1, 2, 3, 4).map(_.toByte)))
+    // and the decoder reads the hand-spelled bytes back
+    assert(Hdf5.decodeH5(f).toOption.get.head.values.toSeq === Seq(1.0))
+    assert(Hdf5.decodeH5(g).toOption.get.head.values.toSeq ===
+      Seq(0x01020304.toDouble))
+  }
+
+  test("hdf5 strings: fixed-width null-terminated and space-padded round-trip; dtype normalizes to sN") {
+    val tags = Array("a", "bee", "c0", "", "exact678")
+    for (kind <- Seq("s8", "S8")) {
+      val Seq(d) = rt(H5Enc("t", Seq(5), kind, null, svalues = tags))
+      assert(d.dtype === "s8", kind)
+      assert(d.values === null && d.strs.toSeq === tags.toSeq, kind)
+      val Seq(d2) = Hdf5.decodeH5(Hdf5.encodeH5V2(Seq(
+        H5Enc("t", Seq(5), kind, null, svalues = tags)))).toOption.get
+      assert(d2.strs.toSeq === tags.toSeq, s"v2 $kind")
+    }
+    // chunked + deflated fixed strings decode through the same walk
+    val Seq(dc) = rt(H5Enc("t", Seq(5), "s8", null, svalues = tags,
+      chunkDims = Some(Seq(2)), gzipLevel = 6))
+    assert(dc.strs.toSeq === tags.toSeq, "chunked strings")
+    // a string wider than the element refuses at encode time
+    intercept[IllegalArgumentException] {
+      Hdf5.encodeH5(Seq(H5Enc("t", Seq(1), "s4", null,
+        svalues = Array("too-wide"))))
+    }
+  }
+
+  test("hdf5 vlen strings: GCOL global-heap round-trip — empty, long, >4096-byte collections; corrupt heap refuses by name") {
+    val notes = Array("", "short", "x" * 600, "tail") ++
+      Array.tabulate(12)(i => s"row-$i-" + "y" * 500)
+    val f = Hdf5.encodeH5V2(Seq(
+      H5Enc("n", Seq(notes.length), "vs", null, svalues = notes)))
+    val Seq(d) = Hdf5.decodeH5(f).toOption.get
+    assert(d.dtype === "vs")
+    assert(d.strs.toSeq === notes.toSeq)
+    // corrupt the GCOL signature: the decode refuses by name
+    val sig = "GCOL".getBytes("US-ASCII")
+    val at = f.indices.find(i =>
+      f.slice(i, i + 4).sameElements(sig)).get
+    val bad = f.clone(); bad(at) = 'X'.toByte
+    assert(Hdf5.decodeH5(bad).left.toOption.get.endsWith(
+      "bad_gheap_signature"))
+    // vlen attributes resolve through the same heap walk
+    val fa = Hdf5.encodeH5V2(Seq(H5Enc("x", Seq(1), "f8", Array(1.0),
+      attrs = Seq(H5Attr("long_name", None, Some("total precip"))))))
+    assert(Hdf5.decodeH5(fa).toOption.get.head.attrs
+      .find(_.name == "long_name").flatMap(_.str) === Some("total precip"))
+  }
+
+  test("hdf5 compound: v1 (classic) and v3 (latest) member channels decode as dataset.member; mixed endianness members") {
+    val vals = Array(1.5, 7, -2.25, 9, 3.75, 11) // (m f8, c i4be) x 3
+    val enc = H5Enc("rec", Seq(3), "c", vals,
+      cmembers = Seq(("m", "f8"), ("c", "i4be")))
+    val g1 = rt(enc)
+    assert(g1.map(_.name) === Seq("rec.m", "rec.c"),
+      "member channels keep declaration order")
+    assert(g1.find(_.name == "rec.m").get.values.toSeq ===
+      Seq(1.5, -2.25, 3.75))
+    assert(g1.find(_.name == "rec.c").get.values.toSeq ===
+      Seq(7.0, 9.0, 11.0))
+    assert(g1.find(_.name == "rec.c").get.dtype === "i4be")
+    val g3 = Hdf5.decodeH5(Hdf5.encodeH5V2(Seq(enc))).toOption.get
+    assert(g3.map(_.name) === Seq("rec.m", "rec.c"))
+    assert(g3.find(_.name == "rec.m").get.values.toSeq ===
+      Seq(1.5, -2.25, 3.75), "v3 compound")
+    // a non-numeric member refuses by name: flip the i4be member's
+    // datatype class byte (v1 fixed-point 0x10 → v1 string 0x13) in
+    // the encoded bytes and the decoder must refuse
+    val f = Hdf5.encodeH5(Seq(enc))
+    val i4bePat = Array(0x10, 0x09, 0, 0, 4, 0, 0, 0).map(_.toByte)
+    val at = f.indices.find(i => i + i4bePat.length <= f.length &&
+      i4bePat.indices.forall(j => f(i + j) == i4bePat(j))).get
+    val bad = f.clone(); bad(at) = 0x13.toByte
+    assert(Hdf5.decodeH5(bad).left.toOption.get
+      .endsWith("unsupported_compound_member"))
   }
 }
