@@ -289,6 +289,7 @@ object SparkEntry {
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
     "ann_ivf_two_level"   -> Similarity.annIvfTwoLevel _,
     "ann_ivf_two_level_topk" -> Similarity.annIvfTwoLevelTopk _,
+    "ann_two_level_recall_audit" -> Similarity.annTwoLevelRecallAudit _,
     "ann_nprobe_sweep"    -> Similarity.annNprobeSweep _,
     "ann_nlist_sweep"     -> Similarity.annNlistSweep _,
     "ann_pq_topk"         -> Similarity.annPqTopk _,
@@ -1572,6 +1573,16 @@ object SparkEntry {
     * from the cell equi-join, exact cosine re-ranks to top-10 —
     * operation-for-operation the Spark lane. */
   private def twoLevelTopkSql(sup: Array[Array[Double]],
+      subs: Array[Array[Array[Double]]]): String =
+    s"""${twoLevelTopkCtes(sup, subs)}
+      |SELECT probe_id, neighbor_id, rk, cosine FROM r WHERE rk <= 10"""
+      .stripMargin
+
+  /** The CTE chain shared by the `ann_ivf_two_level_topk` oracle and
+    * the `ann_two_level_recall_audit` oracle: literal centroids →
+    * home assignment → probe routing → candidate cosines ranked in
+    * `r`. */
+  private def twoLevelTopkCtes(sup: Array[Array[Double]],
       subs: Array[Array[Array[Double]]]): String = {
     val subK = subs(0).length
     val subRows = subs.flatten.zipWithIndex.map { case (c, pid) =>
@@ -1612,10 +1623,48 @@ object SparkEntry {
       |               cd.vec_id ASC) AS rk,
       |    floor(list_cosine_similarity(vp.e, vc.e) * 1e4 + 0.5) / 1e4 AS cosine
       |  FROM cd JOIN v vp ON vp.vec_id = cd.probe_id
-      |    JOIN v vc ON vc.vec_id = cd.vec_id)
-      |SELECT probe_id, neighbor_id, rk, cosine FROM r WHERE rk <= 10"""
-      .stripMargin
+      |    JOIN v vc ON vc.vec_id = cd.vec_id)""".stripMargin
   }
+
+  /** The `ann_two_level_recall_audit` oracle: the two-level topk CTE
+    * chain as the approximate arm, exact brute force over the same
+    * md5-drawn probes as truth, the recall/regret rollup verbatim
+    * from `ann_recall_audit`. */
+  private def twoLevelRecallAuditSql(sup: Array[Array[Double]],
+      subs: Array[Array[Array[Double]]]): String =
+    s"""${twoLevelTopkCtes(sup, subs)},
+      |tlr AS (SELECT probe_id, neighbor_id AS nb_id,
+      |    CAST(floor(cosine * 1e4 + 0.5) AS BIGINT) AS cos_u
+      |  FROM r WHERE rk <= 10),
+      |bc AS (SELECT p.vec_id AS probe_id, c.vec_id AS nb_id,
+      |    list_cosine_similarity(p.e, c.e) AS cos
+      |  FROM v p, v c WHERE p.vec_id IN (SELECT vec_id FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5)
+      |    AND c.vec_id != p.vec_id),
+      |br AS (SELECT probe_id, nb_id,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, nb_id ASC) AS rk,
+      |    floor(cos * 1e4 + 0.5) / 1e4 AS cosine
+      |  FROM bc),
+      |bfr AS (SELECT probe_id, nb_id,
+      |    CAST(floor(cosine * 1e4 + 0.5) AS BIGINT) AS cos_u
+      |  FROM br WHERE rk <= 10),
+      |per AS (
+      |  SELECT bf.probe_id, CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(CASE WHEN l.nb_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_hit,
+      |    sum(bf.cos_u) AS bf_u
+      |  FROM bfr bf LEFT JOIN tlr l
+      |    ON bf.probe_id = l.probe_id AND bf.nb_id = l.nb_id
+      |  GROUP BY 1),
+      |ls AS (SELECT probe_id, sum(cos_u) AS ap_u,
+      |    CAST(count(*) AS BIGINT) AS n_l
+      |  FROM tlr GROUP BY 1)
+      |SELECT per.probe_id, n_hit,
+      |  floor(n_hit * 1.0 / k * 1e4 + 0.5) / 1e4 AS recall,
+      |  floor((CAST(bf_u AS DOUBLE) / k - CAST(ap_u AS DOUBLE) / n_l)
+      |    / 1e4 * 1e4 + 0.5) / 1e4 AS cos_regret
+      |FROM per LEFT JOIN ls ON per.probe_id = ls.probe_id""".stripMargin
 
   /** The `ann_pq_topk` oracle: literal fitted codebooks (M=8 × 16 of
     * dim 8, each with its precomputed |c|²); encode = per-subspace
@@ -1952,6 +2001,8 @@ object SparkEntry {
       "ann_ivf_two_level" -> (twoLevelSql _).tupled(
         graft.operators.Similarity.twoLevelCentroids(s, d)),
       "ann_ivf_two_level_topk" -> (twoLevelTopkSql _).tupled(
+        graft.operators.Similarity.twoLevelCentroids(s, d)),
+      "ann_two_level_recall_audit" -> (twoLevelRecallAuditSql _).tupled(
         graft.operators.Similarity.twoLevelCentroids(s, d)),
       "knn_graph_ivf" -> knnGraphIvfSql(graft.operators.Similarity.ivfCentroids(s, d)),
       "ann_pq_topk"   -> pqTopkSql(graft.operators.Similarity.pqCodebooks(s, d)),

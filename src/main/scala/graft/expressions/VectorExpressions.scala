@@ -147,6 +147,35 @@ case class TwoLevelCellExpr(child: Expression, sCc: Array[Double],
   override def prettyName: String = "two_level_cell"
 }
 
+/** Two-level QUERY routing against the same PLAN-REFERENCED tables
+  * as [[TwoLevelCellExpr]] — the serving twin: instead of the single
+  * home cell a corpus vector gets, a QUERY gets its `probeCells`
+  * best product cells (the [[graft.operators.Similarity
+  * .twoLevelProbeCells]] driver law, compiled — parity spec-pinned),
+  * so a STREAM of queries routes in the scan stage of each
+  * micro-batch with no driver round-trip. */
+case class TwoLevelProbeCellsExpr(child: Expression, sCc: Array[Double],
+    sMat: Array[Array[Double]], subCc: Array[Double],
+    subMat: Array[Array[Double]], subK: Int, nprobeSuper: Int,
+    probeCells: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType)
+  override protected def nullSafeEval(emb: Any): Any =
+    VectorKernels.twoLevelProbeCells(emb.asInstanceOf[ArrayData], sCc,
+      sMat, subCc, subMat, subK, nprobeSuper, probeCells)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sCcRef = ctx.addReferenceObj("tlpSupCc", sCc, "double[]")
+    val sMatRef = ctx.addReferenceObj("tlpSupMat", sMat, "double[][]")
+    val subCcRef = ctx.addReferenceObj("tlpSubCc", subCc, "double[]")
+    val subMatRef = ctx.addReferenceObj("tlpSubMat", subMat, "double[][]")
+    defineCodeGen(ctx, ev, e =>
+      s"graft.functions.VectorKernels.twoLevelProbeCells($e, $sCcRef, " +
+        s"$sMatRef, $subCcRef, $subMatRef, $subK, $nprobeSuper, $probeCells)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "two_level_probe_cells"
+}
+
 /** Packed hyperplane LSH signature against a PLAN-REFERENCED plane
   * matrix — the structural fix for the pairs lane's 16-bit width
   * ceiling, the same seam [[NearestCellsExpr]] opened for nlist: the
@@ -273,6 +302,18 @@ object VectorColumns {
       superCents.map(c => c.map(x => x * x).sum), superCents,
       flat.map(c => c.map(x => x * x).sum), flat,
       subCents(0).length, nprobeSuper))
+  }
+  /** The query-side probe list (array<int> of product cell ids in
+    * rank order) through the two-level quantizer — same table
+    * derivation as [[twoLevelCell]]. */
+  def twoLevelProbeCells(emb: Column, superCents: Array[Array[Double]],
+      subCents: Array[Array[Array[Double]]], nprobeSuper: Int,
+      probeCells: Int): Column = {
+    val flat = subCents.flatten
+    ColumnBridge.column(TwoLevelProbeCellsExpr(e(emb),
+      superCents.map(c => c.map(x => x * x).sum), superCents,
+      flat.map(c => c.map(x => x * x).sum), flat,
+      subCents(0).length, nprobeSuper, probeCells))
   }
   /** nprobe nearest IVF cells as array<struct<d,b>> — cc (the Σc²
     * terms) is derived here with the exact driver-side fold the

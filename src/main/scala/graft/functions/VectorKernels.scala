@@ -146,6 +146,58 @@ object VectorKernels {
     bestPid
   }
 
+  /** Two-level QUERY routing — the probe list of the serving path:
+    * the `probeCells` best product cells among the `nprobeSuper`
+    * nearest super-cells' subs, in (d, pid)-rank order. TERM-FOR-TERM
+    * the driver replay ([[graft.operators.Similarity
+    * .twoLevelProbeCells]] — Scala's TotalOrdering sorts NaN after
+    * +Inf exactly like [[nanSafeLt]], and the driver's ascending
+    * (super, sub) scan with a stable sort keeps the LOWEST pid on
+    * ties, as strict-less insertion does here), so a stream routing
+    * queries through this kernel probes the SAME cells the batch
+    * lane's driver router picks. One compiled pass per row, O((superK
+    * + nprobeSuper·subK)·dim) dots. */
+  def twoLevelProbeCells(emb: ArrayData, sCc: Array[Double],
+      sMat: Array[Array[Double]], subCc: Array[Double],
+      subMat: Array[Array[Double]], subK: Int, nprobeSuper: Int,
+      probeCells: Int): ArrayData = {
+    val ranked = nearestCells(emb, sCc, sMat, nprobeSuper)
+    val np = ranked.numElements()
+    val supers = new Array[Int](np)
+    var j = 0
+    while (j < np) { supers(j) = ranked.getStruct(j, 2).getInt(1); j += 1 }
+    java.util.Arrays.sort(supers)
+    val n = emb.numElements()
+    val k = math.min(probeCells, np * subK)
+    val keys = new Array[Double](k)
+    val kp = new Array[Int](k)
+    var size = 0
+    j = 0
+    while (j < np) {
+      var sub = 0
+      while (sub < subK) {
+        val pid = supers(j) * subK + sub
+        val m = subMat(pid)
+        val len = math.min(n, m.length)
+        var d0 = 0.0; var i = 0
+        while (i < len) { d0 += emb.getDouble(i) * m(i); i += 1 }
+        val d = math.floor((subCc(pid) - 2.0 * d0) * 1e6 + 0.5) / 1e6
+        if (size < k || nanSafeLt(d, keys(size - 1))) {
+          var pos = 0
+          while (pos < size && !nanSafeLt(d, keys(pos))) pos += 1
+          val last = math.min(size, k - 1)
+          var q = last
+          while (q > pos) { keys(q) = keys(q - 1); kp(q) = kp(q - 1); q -= 1 }
+          keys(pos) = d; kp(pos) = pid
+          if (size < k) size += 1
+        }
+        sub += 1
+      }
+      j += 1
+    }
+    new GenericArrayData((0 until size).map(kp(_): Any).toArray)
+  }
+
   /** Plain dot product (used by the LSH hyperplane signatures). */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

@@ -875,27 +875,52 @@ object Similarity {
     * cost is the price of ground truth and the probe set is the
     * knob); the audit itself joins two O(probes·k) lists. A probe the
     * index returned nothing for keeps its row with a NULL regret. */
-  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
-    val quant = (c: Column) => floor(c * 1e4 + 0.5).cast("long")
-    val bf = annTopkBruteforce(spark, dir)
-      .select(col("probe_id"), col("neighbor_id"), quant(col("cosine")).as("cos_u"))
-    val lsh = annLshTopk(spark, dir)
-      .select(col("probe_id"), col("neighbor_id"), quant(col("cosine")).as("cos_u"))
-      .localCheckpoint()
+  /** Shared audit rollup: per-probe recall@k and mean-cosine regret
+    * of an approximate top-k arm against the exact brute-force arm
+    * (both as (probe_id, neighbor_id, cos_u) with cosines in exact
+    * 1e-4 integer units). The approximate arm is pinned
+    * (localCheckpoint) — it feeds the hit join AND its own per-probe
+    * mean, and must not recompute between the two reads. */
+  private def recallRollup(bf: DataFrame, approx: DataFrame): DataFrame = {
+    val ap = approx.localCheckpoint()
     val per = bf
-      .join(lsh.select(col("probe_id"), col("neighbor_id"), lit(1).as("hit")),
+      .join(ap.select(col("probe_id"), col("neighbor_id"), lit(1).as("hit")),
         Seq("probe_id", "neighbor_id"), "left")
       .groupBy(col("probe_id"))
       .agg(count(lit(1)).as("k"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
         sum(col("cos_u")).as("bf_u"))
-    val ls = lsh.groupBy(col("probe_id"))
-      .agg(sum(col("cos_u")).as("lsh_u"), count(lit(1)).as("n_l"))
+    val ls = ap.groupBy(col("probe_id"))
+      .agg(sum(col("cos_u")).as("ap_u"), count(lit(1)).as("n_l"))
     per.join(ls, Seq("probe_id"), "left")
       .select(col("probe_id"), col("n_hit"),
         q4(col("n_hit") / col("k").cast("double")).as("recall"),
         q4((col("bf_u").cast("double") / col("k")
-          - col("lsh_u").cast("double") / col("n_l")) / 1e4).as("cos_regret"))
+          - col("ap_u").cast("double") / col("n_l")) / 1e4).as("cos_regret"))
+  }
+
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val quant = (c: Column) => floor(c * 1e4 + 0.5).cast("long")
+    recallRollup(
+      annTopkBruteforce(spark, dir).select(col("probe_id"),
+        col("neighbor_id"), quant(col("cosine")).as("cos_u")),
+      annLshTopk(spark, dir).select(col("probe_id"),
+        col("neighbor_id"), quant(col("cosine")).as("cos_u")))
+  }
+
+  /** Recall/regret audit of the TWO-LEVEL quantizer's serving lane —
+    * the governance row for the 10⁸⁺ fit path ([[annIvfTwoLevelTopk]]
+    * vs exact brute force over the same md5-drawn probes): did
+    * routing through superK + 2·subK dots instead of nlist keep the
+    * answers? Same bounded shape as every audit here: the corpus is
+    * scanned by the two arms only, the rollup is O(probes). */
+  def annTwoLevelRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val quant = (c: Column) => floor(c * 1e4 + 0.5).cast("long")
+    recallRollup(
+      annTopkBruteforce(spark, dir).select(col("probe_id"),
+        col("neighbor_id"), quant(col("cosine")).as("cos_u")),
+      annIvfTwoLevelTopk(spark, dir).select(col("probe_id"),
+        col("neighbor_id"), quant(col("cosine")).as("cos_u")))
   }
 
   /** EMBEDDING LABEL PURITY — the space-health metric run before
@@ -1852,22 +1877,8 @@ object Similarity {
       cands.withColumn("cos", VectorColumns.cosine(col("pe"), col("emb"))), 10)
       .select(col("probe_id"), col("neighbor_id"),
         quant(col("cosine")).as("cos_u"))
-      .localCheckpoint()
-    val per = bf
-      .join(lsh.select(col("probe_id"), col("neighbor_id"), lit(1).as("hit")),
-        Seq("probe_id", "neighbor_id"), "left")
-      .groupBy(col("probe_id"))
-      .agg(count(lit(1)).as("k"),
-        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
-        sum(col("cos_u")).as("bf_u"))
-    val ls = lsh.groupBy(col("probe_id"))
-      .agg(sum(col("cos_u")).as("lsh_u"), count(lit(1)).as("n_l"))
-    per.join(ls, Seq("probe_id"), "left")
-      .select(col("probe_id"), col("n_hit"),
-        q4(col("n_hit") / col("k").cast("double")).as("recall"),
-        q4((col("bf_u").cast("double") / col("k")
-          - col("lsh_u").cast("double") / col("n_l")) / 1e4).as("cos_regret"),
-        lit(AnnAuditSampleRate).as("sample_rate"))
+    recallRollup(bf, lsh)
+      .withColumn("sample_rate", lit(AnnAuditSampleRate))
   }
 
   /** Random-hyperplane LSH top-k — the 100 TB path. Each vector gets

@@ -50,4 +50,49 @@ object VectorsPipeline {
         pmod(col("cell"), lit(subK)).cast("int").as("sub_cell"),
         col("n_vectors"), col("min_vec_id"))
   }
+
+  /** STREAMING TWO-LEVEL ANN SERVING — the retrieval twin of
+    * [[streamingTwoLevelCensus]] and the live layer of
+    * `ann_ivf_two_level_topk`: arriving QUERY vectors route in the
+    * scan stage through [[graft.expressions.TwoLevelProbeCellsExpr]]
+    * (the compiled driver-router law — parity spec-pinned, so the
+    * stream probes the SAME cells the batch lane picks), explode
+    * into their `probeCells` product cells, stream-STATIC equi-join
+    * the pre-assigned corpus on `cell` (each corpus vector matches a
+    * query at most once — its home cell), exact cosine, and a
+    * bounded [[graft.expressions.TopKAgg]] per (window, query)
+    * closed by the watermark. 100 TB shape: the static side is the
+    * bucketed corpus (partition-pruned by the join key at scale),
+    * per-query state is one O(k) heap, and nothing routes through
+    * the driver.
+    *
+    * Input contract: `ts` (timestamp), `query_id` (long), `qe`
+    * (array<double>); `corpus` is the batch (vec_id, emb) frame.
+    * Output per closed window: (window_start, query_id, neighbor_id,
+    * rk, cosine) — the batch lane's row shape plus the window. */
+  def streamingAnnServe(queries: DataFrame, corpus: DataFrame,
+      sup: Array[Array[Double]], subs: Array[Array[Array[Double]]],
+      nprobeSuper: Int, probeCells: Int, k: Int): DataFrame = {
+    val q6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val q4 = (c: Column) => floor(c * 1e4 + 0.5) / 1e4
+    val home = corpus
+      .withColumn("cell",
+        VectorColumns.twoLevelCell(col("emb"), sup, subs, nprobeSuper))
+    queries
+      .withWatermark("ts", "2 hours")
+      .withColumn("cell", explode(VectorColumns.twoLevelProbeCells(
+        col("qe"), sup, subs, nprobeSuper, probeCells)))
+      .join(home, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorColumns.cosine(col("qe"), col("emb")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("query_id"))
+      .agg(graft.expressions.TopKAgg.topk(
+        q6(col("cos")), col("vec_id"), col("cos"), k).as("top"))
+      .select(col("w.start").as("window_start"), col("query_id"),
+        posexplode(col("top")))
+      .select(col("window_start"), col("query_id"),
+        col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rk"),
+        q4(col("col.payload")).as("cosine"))
+  }
 }

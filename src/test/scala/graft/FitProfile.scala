@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
+
+/** Profiler for the two-level fit's sample pass (not part of the
+  * suite): the min-k aggregate vs the former window-sort plan,
+  * ALTERNATED over several rounds (the shared box carries external
+  * load, so single-shot wall-times are biased by when a phase runs)
+  * and instrumented with SHUFFLE BYTES — the load-independent
+  * structural metric the min-k swap targets.
+  * Usage: `sbt "Test/runMain graft.FitProfile /tmp/emb4m 64 64 [rounds]"` */
+object FitProfile {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val Array(dir, superS, subS) = args.take(3)
+    val superK = superS.toInt
+    val subK = subS.toInt
+    val rounds = args.lift(3).map(_.toInt).getOrElse(3)
+    val v = Tables.spread(Tables.embeddings(spark, dir), col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .localCheckpoint()
+    val n = v.count()
+    println(s"[fitprofile] n=$n superK=$superK subK=$subK rounds=$rounds")
+
+    @volatile var shuffleWrite = 0L
+    @volatile var shuffleRead = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        shuffleWrite += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        shuffleRead += s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
+      }
+    })
+
+    val seed = v.orderBy(col("vec_id")).limit(math.max(4096, 16 * superK))
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    val init = Array.tabulate(superK)(i =>
+      seed(((i.toLong * seed.length) / superK).toInt).clone())
+    val cents = graft.operators.Similarity.lloydDistributed(v, init, 1)
+    val withCell = v.withColumn("cell",
+      graft.expressions.VectorColumns.nearestCells(col("emb"), cents, 1)
+        .getItem(0).getField("b"))
+
+    def measure(label: String)(f: => Unit): Unit = {
+      Thread.sleep(2000) // let prior stage-completed events drain
+      val (w0, r0) = (shuffleWrite, shuffleRead)
+      val t0 = System.nanoTime()
+      f
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      println(f"[fitprofile] $label: $dt%.1f s " +
+        f"shuffle_write=${(shuffleWrite - w0) / 1e6}%.1f MB " +
+        f"shuffle_read=${(shuffleRead - r0) / 1e6}%.1f MB")
+    }
+
+    (1 to rounds).foreach { r =>
+      measure(s"round$r mink-sample") {
+        withCell.groupBy(col("cell"))
+          .agg(graft.expressions.MinKVecAgg.minkVec(
+            col("vec_id"), col("emb"), 16 * subK).as("sample"))
+          .collect()
+      }
+      measure(s"round$r window-sample") {
+        import org.apache.spark.sql.expressions.Window
+        withCell.withColumn("rn", row_number().over(
+          Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+          .filter(col("rn") <= 16 * subK)
+          .collect()
+      }
+    }
+    spark.stop()
+  }
+}

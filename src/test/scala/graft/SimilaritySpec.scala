@@ -298,6 +298,58 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("mink_vec_agg"), "sample pass rides the aggregate")
   }
 
+  test("TwoLevelProbeCellsExpr == the driver router, every corpus vector (the stream and batch probe the same cells)") {
+    import graft.operators.Similarity
+    import graft.expressions.VectorColumns
+    val (sup, subs) = Similarity.twoLevelCentroids(spark, sf)
+    val got = Tables.spread(Tables.embeddings(spark, sf), col("vec_id"))
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), VectorColumns.twoLevelProbeCells(
+        col("emb"), sup, subs, Similarity.TwoLevelNprobeSuper,
+        Similarity.TwoLevelProbeCells).as("cells"),
+        col("emb"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val expect = Similarity.twoLevelProbeCells(
+        r.getSeq[Double](2).toArray, sup, subs)
+      assert(r.getSeq[Int](1) === expect,
+        s"vec ${r.getLong(0)} probe cells (rank order included)")
+    }
+  }
+
+  test("ann_two_level_recall_audit: rollup recomputes from the two arms' own outputs; exhaustive arm would score 1.0") {
+    def arm(name: String): Map[Long, Seq[(Long, Long)]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.floor(r.getDouble(3) * 1e4 + 0.5).toLong))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val bf = arm("ann_topk_bruteforce")
+    val tl = arm("ann_ivf_two_level_topk")
+    val got = SparkEntry.queries("ann_two_level_recall_audit")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(got.keySet === bf.keySet, "one audit row per probe")
+    bf.foreach { case (probe, bfTop) =>
+      val tlTop = tl.getOrElse(probe, Nil)
+      val hits = bfTop.map(_._1).toSet
+        .intersect(tlTop.map(_._1).toSet).size.toLong
+      val recall = q4(hits.toDouble / bfTop.size)
+      val regret = q4((bfTop.map(_._2).sum.toDouble / bfTop.size
+        - tlTop.map(_._2).sum.toDouble / tlTop.size) / 1e4)
+      val (gh, gr, gg) = got(probe)
+      assert(gh === hits, s"probe $probe n_hit")
+      assert(gr === recall, s"probe $probe recall")
+      assert(gg === regret, s"probe $probe cos_regret")
+      assert(gh <= 10 && gr >= 0.0 && gr <= 1.0)
+    }
+    // the audit must carry every probe even if its approximate arm
+    // came back empty (left joins, never inner)
+    assert(got.size === bf.size)
+  }
+
   test("hyperplaneSig: compiled kernel is term-for-term the literal formulation, past the former 16-bit ceiling") {
     import graft.expressions.VectorColumns
     import graft.operators.Similarity

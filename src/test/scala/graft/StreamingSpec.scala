@@ -971,4 +971,44 @@ class StreamingSpec extends SparkSpec {
       assert(got === batch, "stream census diverges from the batch twin")
     } finally q.stop()
   }
+
+  test("streamingAnnServe: live queries == the batch two-level topk bit-for-bit, per closed window") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val (sup, subs) = graft.operators.Similarity.twoLevelCentroids(spark, sf)
+    val corpus = Tables.spread(Tables.embeddings(spark, sf), col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // the arriving queries are the batch lane's md5-drawn probe set —
+    // so the stream's answers must equal the batch lane's rows exactly
+    val probeSet = graft.operators.Similarity.probeIds(spark, sf).toSet
+    val probes = corpus.filter(col("vec_id").isin(probeSet.toSeq.map(Long.box): _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val source = MemoryStream[StreamVec]
+    val queries = source.toDF().select(col("ts"),
+      col("vec_id").as("query_id"), col("emb").cast("array<double>").as("qe"))
+    val q = VectorsPipeline.streamingAnnServe(queries, corpus,
+        sup, subs, graft.operators.Similarity.TwoLevelNprobeSuper,
+        graft.operators.Similarity.TwoLevelProbeCells, 10)
+      .writeStream.format("memory").queryName("ann_serve")
+      .outputMode("append").start()
+    try {
+      source.addData(probes.toSeq.map { case (id, e) =>
+        StreamVec(t("2024-01-01 10:30:00"), id, e) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("ann_serve").isEmpty,
+        "append mode: nothing emits before the watermark closes")
+      source.addData(StreamVec(t("2024-01-01 20:00:00"), 999999L,
+        probes.head._2))
+      q.processAllAvailable()
+      val rows = spark.table("ann_serve").collect()
+      assert(rows.forall(_.getTimestamp(0).toString == "2024-01-01 10:00:00.0"))
+      val got = rows.map(r => (r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSet
+      val batch = SparkEntry.queries("ann_ivf_two_level_topk")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).toSet
+      assert(got === batch, "stream serving diverges from the batch lane")
+      assert(got.map(_._1) === probeSet, "every query answered")
+    } finally q.stop()
+  }
 }
