@@ -30,7 +30,15 @@ object Dedup {
       .select(col("doc_id"), array_distinct(
         expr("regexp_extract_all(text, '(?<=^| )(?=([^ ]+ [^ ]+ [^ ]+))', 1)"))
         .as("sh_arr"))
-      .filter(size(col("sh_arr")) > 0)
+      // noPushdown (r17): left bare, PushPredicateThroughNonJoin
+      // inlines the regex into this predicate (twice — size() and
+      // isnotnull()) and pushes it below the spread Exchange, so the
+      // whole tokenize ran serially in the pre-shuffle map stage and
+      // AGAIN in the post-shuffle projection (plan-audited: 582 ms
+      // single-task stage on dedup_ngram_jaccard → 39 ms; the regex
+      // now runs once, parallel, where it is written).
+      .filter(graft.expressions.PlanColumns.noPushdown(
+        size(col("sh_arr")) > 0))
 
   /** Exploded (doc_id, shingle) rows — the candidate generator. */
   private def shingles(docs: DataFrame): DataFrame =
@@ -1106,7 +1114,9 @@ object Dedup {
       .select(col("doc_id"),
         split(TextOps.normalized(col("text")), " ").as("toks"))
       .withColumn("nchunks", (size(col("toks")) / C).cast("int"))
-      .filter(col("nchunks") > 0)
+      // noPushdown (r17): keeps the tokenize out of the pre-shuffle
+      // serial stage (shingleArrays pathology, same fix)
+      .filter(graft.expressions.PlanColumns.noPushdown(col("nchunks") > 0))
       .select(col("doc_id"),
         explode(sequence(lit(0), col("nchunks") - 1)).as("ci"),
         col("toks"))

@@ -242,16 +242,32 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority").as("priority"),
         datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+    // Exact percentiles from a (priority, lag_days) HISTOGRAM (r17):
+    // lag_days is a small-range integer, so the rank-lo/hi selection
+    // is a cumulative-count walk over O(priorities × distinct lags)
+    // rows. The former row_number window sorted EVERY line item
+    // inside 5 priority partitions — a 5-task corpus sort at any
+    // scale (the §2.5 skew shape: partition count fixed by key
+    // cardinality, not data). The histogram collapses map-side (§2.3
+    // "aggregate before you shuffle"); rank r's value is the
+    // histogram row whose cumulative range [cum−cnt+1, cum] covers r
+    // — bit-identical selection to row_number (ties share one value),
+    // same interpolation arithmetic, oracle-pinned.
+    val hist = lags.groupBy(col("priority"), col("lag_days"))
+      .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("priority")).orderBy(col("lag_days"))
-    val ranked = lags
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("priority"))))
+    val ranked = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n",
+        sum(col("cnt")).over(Window.partitionBy(col("priority"))))
     val pctAggs = qs.flatMap { case (nm, q) =>
       val r = (col("n") - 1) * lit(q)
       val lo = floor(r) + 1
-      Seq(min(when(col("rn") === lo, col("lag_days"))).as(s"${nm}_lo"),
-        min(when(col("rn") === least(lo + 1, col("n")), col("lag_days")))
-          .as(s"${nm}_hi"),
+      val hi = least(lo + 1, col("n"))
+      Seq(min(when(col("cum") >= lo && col("cum") - col("cnt") < lo,
+          col("lag_days"))).as(s"${nm}_lo"),
+        min(when(col("cum") >= hi && col("cum") - col("cnt") < hi,
+          col("lag_days"))).as(s"${nm}_hi"),
         min(r - floor(r)).as(s"${nm}_f"))
     }
     val pctOut = qs.map { case (nm, _) =>
@@ -259,8 +275,8 @@ object Relational {
         * (col(s"${nm}_hi") - col(s"${nm}_lo"))) * 1e4 + 0.5) / 1e4).as(nm)
     }
     ranked.groupBy(col("priority"))
-      .agg(count(lit(1)).as("n_lines"),
-        (sum(col("lag_days").cast("long")).as("sl") +: pctAggs): _*)
+      .agg(sum(col("cnt")).as("n_lines"),
+        (sum(col("lag_days").cast("long") * col("cnt")).as("sl") +: pctAggs): _*)
       .select(Seq(col("priority"), col("n_lines"),
         (floor(col("sl").cast("double") / col("n_lines") * 1e4 + 0.5) / 1e4)
           .as("mean_lag")) ++ pctOut: _*)

@@ -1140,22 +1140,26 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("cos_u").as("t_u"))
     val tTot = truth.agg(count(lit(1)).as("n_truth"),
       sum(col("t_u")).as("tu"))
+    // ONE aggregation per rung instead of two joined ones (r17): the
+    // rank window preserves row count and the truth join is on a
+    // unique (probe_id, vec_id) key, so candidate count and top-10
+    // hit/cos sums can ride the same grouped pass — the second
+    // aggregate subtree, its join, and their extra exchanges are
+    // gone (plan: 11 exchanges → 8; identical output, oracle-pinned).
     val rungs = scored
       .crossJoin(broadcast(nprobeLadder(nlist).toDF("nprobe")))
       .filter(col("first_rn") <= col("nprobe"))
-    val ivfTop = rungs
+    rungs
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("nprobe"), col("probe_id"))
           .orderBy(q6(col("cos")).desc, col("vec_id").asc)))
-      .filter(col("rk") <= 10)
       .join(truth.select(col("probe_id"), col("vec_id"), lit(1).as("hit")),
         Seq("probe_id", "vec_id"), "left")
       .groupBy(col("nprobe"))
-      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
-        sum(col("cos_u")).as("iu"))
-    rungs.groupBy(col("nprobe"))
-      .agg(count(lit(1)).as("n_cands"))
-      .join(ivfTop, Seq("nprobe"))
+      .agg(count(lit(1)).as("n_cands"),
+        sum(when(col("rk") <= 10, coalesce(col("hit"), lit(0)))
+          .otherwise(lit(0))).cast("long").as("n_hit"),
+        sum(when(col("rk") <= 10, col("cos_u"))).as("iu"))
       .crossJoin(broadcast(tTot))
       .select(col("nprobe").cast("long").as("nprobe"), col("n_cands"),
         col("n_hit"), col("n_truth"),
@@ -1247,18 +1251,24 @@ object Similarity {
       val cands = home.join(broadcast(routing), Seq("cell"))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"))
-      val scored = cands.join(scoredAll, Seq("probe_id", "vec_id"))
-        .localCheckpoint() // n_cands count + top-10 ranking
-      val ivfTop = scored
+      // ONE ungrouped aggregate per rung (r17): the rank window keeps
+      // every candidate row and the truth join key is unique, so the
+      // candidate count and the top-10 hit/cos sums share a single
+      // pass — the per-rung localCheckpoint (an eager job serializing
+      // the five otherwise-independent rungs) and the second
+      // aggregate+crossJoin are gone. The five rung subtrees now live
+      // in ONE final plan, so their stages overlap (guide §2.6)
+      // instead of running as 5×4 back-to-back jobs.
+      cands.join(scoredAll, Seq("probe_id", "vec_id"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("probe_id"))
             .orderBy(q6(col("cos")).desc, col("vec_id").asc)))
-        .filter(col("rk") <= 10)
         .join(truth.select(col("probe_id"), col("vec_id"),
           lit(1).as("hit")), Seq("probe_id", "vec_id"), "left")
-        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
-          sum(col("cos_u")).as("iu"))
-      scored.agg(count(lit(1)).as("n_cands")).crossJoin(ivfTop)
+        .agg(count(lit(1)).as("n_cands"),
+          sum(when(col("rk") <= 10, coalesce(col("hit"), lit(0)))
+            .otherwise(lit(0))).cast("long").as("n_hit"),
+          sum(when(col("rk") <= 10, col("cos_u"))).as("iu"))
         .select(lit(nlist).cast("long").as("nlist"),
           lit(nprobe).cast("long").as("nprobe"),
           col("n_cands"), col("n_hit"), col("iu"))

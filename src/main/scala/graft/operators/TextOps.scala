@@ -541,7 +541,9 @@ object TextOps {
     Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), words(normalized(col("text"))).as("toks"))
       .withColumn("n_toks", size(col("toks")))
-      .filter(col("n_toks") > 0)
+      // noPushdown (r17): keeps the tokenize out of the pre-shuffle
+      // serial stage (shingleArrays pathology, same fix)
+      .filter(graft.expressions.PlanColumns.noPushdown(col("n_toks") > 0))
       .select(col("doc_id"), col("toks"), col("n_toks"),
         explode(expr(s"sequence(0, cast((n_toks - 1) div $S as int))"))
           .as("chunk_idx"))
@@ -644,8 +646,13 @@ object TextOps {
     docs
       .select(col("doc_id"), words(normalized(col("text"))).as("toks"))
       // explode semantics of the replaced shape: a null/empty token
-      // array contributed no rows, so the doc was absent entirely
-      .filter(size(col("toks")) > 0)
+      // array contributed no rows, so the doc was absent entirely.
+      // noPushdown (r17): without it the tokenize inlines into this
+      // predicate and pushes below the spread exchange — the regex
+      // then runs serially pre-shuffle and again up here (the
+      // shingleArrays pathology, same fix).
+      .filter(graft.expressions.PlanColumns.noPushdown(
+        size(col("toks")) > 0))
       .withColumn("sumclnc", tokStats)
       .withColumn("bi", biStats)
       .select(
@@ -854,55 +861,77 @@ object TextOps {
     * the IVF/PQ family), which is how production tokenizer trainers
     * bound memory too.
     *
-    * The per-round ARGMAX (count desc, then lexicographic pair — a
-    * total order, so ties are deterministic) is a 1-row `head()`:
-    * orchestration-sized driver coordination, the
-    * [[graft.operators.Dedup.connectedComponents]] pattern, NOT a
-    * data collect. Each round's merged vocab localCheckpoints —
-    * constant-size plans across rounds (lineage would otherwise
-    * double per round). The merge itself is an in-row left-to-right
-    * fold over the bounded symbol array. Oracle: the loop unrolled
-    * into chained MATERIALIZED CTE rounds ([[graft.SparkEntry]]'s
+    * The merge LOOP runs driver-local over the COLLECTED capped
+    * vocab (r17): the table is ≤ [[BpeVocabCap]] (word, count) rows
+    * BY CONSTRUCTION — orchestration-sized, the exact bounded-fit
+    * collect contract of [[graft.operators.Similarity]]'s `lloyd`
+    * sample — so ten rounds of pair-count → argmax → merge are
+    * microseconds of driver arithmetic instead of ten
+    * (head + localCheckpoint) Spark-job pairs over a 4096-row frame
+    * (measured: 35 jobs → 3, 2.4 s → ~0.7 s at sf0.1; the corpus
+    * pass — the only part that scales — is unchanged: one tokenize +
+    * count + TakeOrdered). Semantics are replicated bit-for-bit:
+    * pair counts are exact long sums; the argmax tie-break compares
+    * UTF-8 BYTES (UTF8String's binary order, what the former
+    * `orderBy(l, r)` compared); the merge is the same non-overlapping
+    * left-to-right fold. Oracle: the loop unrolled into chained
+    * MATERIALIZED CTE rounds ([[graft.SparkEntry]]'s
     * `bpeMergeOracle`), using the closed form of the fold — l≠r
     * adjacencies can never overlap so all merge; l=r runs merge at
     * even offsets from the run start (gaps-and-islands window); the
     * spec additionally recomputes the greedy merges independently. */
   def bpeTrainMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    var vocab = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+    val vocab0 = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(explode(words(normalized(col("text")))).as("tok"))
       .filter(length(col("tok")) >= 2)
       .groupBy(col("tok")).agg(count(lit(1)).as("n_occ"))
       .orderBy(col("n_occ").desc, col("tok").asc).limit(BpeVocabCap)
-      .select(split(col("tok"), "").as("syms"), col("n_occ"))
-      .localCheckpoint()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // split("") twin of the former `split(col("tok"), "")` column:
+    // same Java regex split, no trailing-empty handling needed for a
+    // zero-width pattern
+    var vocab: Array[(Array[String], Long)] =
+      vocab0.map { case (tok, n) => (tok.split(""), n) }
+    // UTF-8 byte order — what Spark's string orderBy (UTF8String
+    // binary comparison) ordered; Java String.compareTo (UTF-16
+    // units) differs above the BMP
+    def u8lt(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (step <- 1 to BpeMergeSteps) {
-      val best = vocab
-        .select(explode(expr(
-          """transform(sequence(1, size(syms) - 1),
-            |  i -> struct(element_at(syms, i) as l,
-            |              element_at(syms, i + 1) as r))""".stripMargin))
-          .as("p"), col("n_occ"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("n_occ")).as("n"))
-        .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .head()
-      val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + n
+          i += 1
+        }
+      }
+      // the in-plan formulation head()'d an empty frame here — refuse
+      // by name instead of emitting an empty-string merge
+      require(counts.nonEmpty,
+        s"bpe: no adjacent symbol pairs left at step $step")
+      val (l, r, n) = counts.foldLeft(("", "", Long.MinValue)) {
+        case (best @ (bl, br, bn), ((cl, cr), cn)) =>
+          if (cn > bn || (cn == bn && (u8lt(cl, bl) ||
+            (cl == bl && u8lt(cr, br))))) (cl, cr, cn) else best
+      }
       merges += ((step, l, r, n))
-      def q(s: String): String =
-        "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-      // non-overlapping left-to-right merge, in-row over each word's
-      // bounded symbol array
-      vocab = vocab.select(expr(
-        s"""aggregate(syms, cast(array() as array<string>),
-           |  (acc, s) -> if(size(acc) > 0
-           |      and element_at(acc, -1) = ${q(l)}
-           |      and s = ${q(r)},
-           |    concat(slice(acc, 1, size(acc) - 1),
-           |           array(${q(l + r)})),
-           |    concat(acc, array(s))))""".stripMargin).as("syms"),
-        col("n_occ")).localCheckpoint()
+      // non-overlapping left-to-right merge over each word's bounded
+      // symbol array — the same fold the in-plan `aggregate` ran
+      vocab = vocab.map { case (syms, nOcc) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { s =>
+          if (acc.nonEmpty && acc.last == l && s == r)
+            acc(acc.length - 1) = l + r
+          else acc += s
+        }
+        (acc.toArray, nOcc)
+      }
     }
     merges.toSeq.toDF("step", "left", "right", "n_occ")
   }
