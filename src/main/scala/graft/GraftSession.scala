@@ -23,6 +23,21 @@ object GraftSession {
       // would block them).
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // InferFiltersFromGenerate synthesizes `isnotnull(arr) AND
+      // size(arr) > 0` under every explode; when the array is a
+      // COMPUTED column (the tokenize/shingle projections all over
+      // the text family) the synthesized predicate INLINES that
+      // computation — plan-audited on dedup_ngram_jaccard: the
+      // shingle regex ran 3 extra times per row (twice in the
+      // inferred filter, once in the projection it duplicates), and
+      // the predicate then pushed below the spread exchange into the
+      // serial pre-shuffle stage. The rows it would drop are exactly
+      // the rows the Generate itself skips, so excluding the rule
+      // changes no results — it deletes redundant per-row work from
+      // every explode-over-computed-array plan (r17; at corpus scale
+      // this is the difference between tokenizing once and 4×).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.expressions.GraftExtensions)
 

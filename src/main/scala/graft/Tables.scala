@@ -85,7 +85,26 @@ object Tables {
     * a handful of tasks. The shuffle moves only the pre-explode rows
     * (a small fraction of the fan-out's output volume), and hashing on
     * the key keeps each key's rows together for downstream per-key
-    * aggregation. */
-  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+    * aggregation.
+    *
+    * SCALE-ADAPTIVE (r17): the repartition only exists to fix scan
+    * under-parallelism, so it is GATED on the input's estimated size
+    * — when the optimizer's size estimate already yields at least
+    * `defaultParallelism` scan splits (estimate ≥ cores ×
+    * `spark.sql.files.maxPartitionBytes`), the input arrives parallel
+    * and the repartition would be a full shuffle of the corpus text
+    * for nothing; it is skipped. At bench scale (single-row-group MB
+    * files) the estimate is far below one split and the plan is
+    * byte-identical to the unconditional repartition, A/B-measured
+    * 0.344 s → 0.181 s for the shingle pass vs no spread at all. The
+    * gate is a plan-shape decision only — results never depend on
+    * partitioning. */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val sess = df.sparkSession
+    val par = sess.sparkContext.defaultParallelism
+    val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est >= BigInt(maxSplit) * par) df
+    else df.repartition(par, key)
+  }
 }

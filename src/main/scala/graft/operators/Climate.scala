@@ -2696,12 +2696,19 @@ object Climate {
       .filter(col("v_us") > col("nv"))
       .withColumn("drop", col("v_us") - col("nv"))
       .withColumn("score", col("o.mult") * col("drop") * col("drop"))
+    // argmax as a map-side max(struct) (r17): (score desc, prio asc)
+    // is TOTAL within a cell (each of the 8 offsets carries a unique
+    // prio), so the payload fields after the keys can never be
+    // compared — identical pick to the row_number window, but a hash
+    // aggregate with partial combine instead of an 8×-wider sort per
+    // cell
     val picked = cand
-      .withColumn("rk", row_number().over(Window.partitionBy(col("gy"), col("gx"))
-        .orderBy(col("score").desc, col("o.prio").asc)))
-      .filter(col("rk") === 1)
-      .select(col("gy"), col("gx"), col("o.dir").as("dir"),
-        col("ny").as("to_gy"), col("nx").as("to_gx"))
+      .groupBy(col("gy"), col("gx"))
+      .agg(max(struct(col("score").as("s"), (-col("o.prio")).as("np"),
+        struct(col("o.dir").as("dir"), col("ny"), col("nx")).as("p")))
+        .as("k"))
+      .select(col("gy"), col("gx"), col("k.p.dir").as("dir"),
+        col("k.p.ny").as("to_gy"), col("k.p.nx").as("to_gx"))
     cells.select(col("gy"), col("gx"))
       .join(picked, Seq("gy", "gx"), "left")
       .withColumn("dir", coalesce(col("dir"), lit("pit")))

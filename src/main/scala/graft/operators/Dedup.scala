@@ -814,13 +814,18 @@ object Dedup {
     // minhashLsh semi-join-under-the-regex discipline)
     val candSh = shingleArrays(all.join(candIds, Seq("doc_id"), "left_semi"))
       .localCheckpoint()
+    // best-match argmax as a map-side `max(struct)` (r17): picks the
+    // identical (jaccard desc, partner-id asc) row the row_number
+    // window did, but as a hash aggregate with partial combine — no
+    // per-doc sort, no window exchange (the house burst-flag /
+    // ringPick pattern; at batch scale the candidate sliver streams
+    // instead of sorting)
     val best = scorePairs(cand, candSh)
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_a"))
-          .orderBy(col("jaccard").desc, col("doc_b").asc)))
-      .filter(col("rk") === 1)
-      .select(col("doc_a").as("doc_id"), col("doc_b").as("dup_of"),
-        col("jaccard"))
+      .groupBy(col("doc_a"))
+      .agg(max(struct(col("jaccard").as("j"), (-col("doc_b")).as("nb")))
+        .as("k"))
+      .select(col("doc_a").as("doc_id"), (-col("k.nb")).as("dup_of"),
+        col("k.j").as("jaccard"))
     batchDocs.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
@@ -894,7 +899,13 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
+      // noPushdown (r17): bare, this predicate's inferred
+      // isnotnull(hamming) constraint walked down both join sides and
+      // inlined the WHOLE simhash kernel into a per-row scan filter
+      // (plan-audited: `isnotnull(simhash_fp(split(text)))` — the
+      // fingerprint computed twice per doc)
+      .filter(graft.expressions.PlanColumns.noPushdown(
+        col("hamming") <= 3))
   }
 
   /** LSH RECALL AUDIT — the governance check a production dedup

@@ -372,10 +372,15 @@ object Similarity {
       .withColumn("cosine",
         q4(VectorColumns.cosine(col("be"), col("emb"))))
       .filter(col("cosine") >= 0.35)
-      .withColumn("rk", row_number().over(Window.partitionBy(col("bid"))
-        .orderBy(col("cosine").desc, col("vec_id").asc)))
-      .filter(col("rk") === 1)
-      .select(col("bid"), col("vec_id").as("dup_of"), col("cosine"))
+      // argmax as a map-side max(struct) (r17): identical pick to the
+      // row_number window — (cosine desc, vec_id asc) is total within
+      // a bid (vec_id unique) — but partial-aggregates before the
+      // exchange instead of sorting the candidate set per probe
+      .groupBy(col("bid"))
+      .agg(max(struct(col("cosine").as("c"), (-col("vec_id")).as("nv")))
+        .as("k"))
+      .select(col("bid"), (-col("k.nv")).as("dup_of"),
+        col("k.c").as("cosine"))
     batch.select(col("bid"))
       .join(best, Seq("bid"), "left")
       .select(col("bid").as("vec_id"), col("dup_of").isNotNull.as("is_dup"),
