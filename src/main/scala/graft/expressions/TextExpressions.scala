@@ -72,7 +72,29 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash_fp"
 }
 
+
+/** Distinct word k-shingles of a string column as a native codegen'd
+  * expression — the per-task-work replacement for the
+  * `regexp_extract_all(zero-width lookaround) + array_distinct`
+  * tokenize that dominates the text family's scan stages (r17).
+  * Byte-exact twin of the regex composition (ShinglesSpec pins it,
+  * including on the real corpus); one linear pass, no Java-regex
+  * position machinery. */
+case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType)
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.shingles(s.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingles($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "shingles"
+}
+
 object TextColumns {
+  def shingles(text: Column, k: Int): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(text), k))
   def countToken(arr: Column, tok: String): Column =
     ColumnBridge.column(CountTokenExpr(
       ColumnBridge.expression(arr), ColumnBridge.expression(lit(tok))))

@@ -23,6 +23,57 @@ object TextKernels {
     n
   }
 
+
+  /** Distinct word k-SHINGLES of `text`, byte-exact to the regex
+    * `regexp_extract_all(text, '(?<=^| )(?=(tok( tok){k-1}))', 1)`
+    * + `array_distinct` composition it replaces (r17): a match
+    * anchors at every position preceded by start-of-string or a
+    * single 0x20 space, and captures k maximal non-space runs
+    * separated by EXACTLY one space each (a double space breaks the
+    * run, same as the regex). Tokens are maximal `[^ ]+` runs — ONLY
+    * ASCII space splits (tabs/newlines are token bytes, as in the
+    * regex class). The walk is one pass over the UTF-8 bytes (0x20
+    * never occurs inside a multi-byte sequence, so byte scanning is
+    * exact); distinctness keeps first-occurrence order like
+    * array_distinct. The Java-regex original evaluates the
+    * lookbehind+lookahead machinery at every byte — this is the
+    * per-task-work replacement (guide §1.2 step 2) for the tokenize
+    * passes that dominate the text family's scan stages. */
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val b = text.getBytes
+    val n = b.length
+    // token start offsets (position 0 or preceded by a space)
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var p = 0
+    while (p < n) {
+      if ((p == 0 || b(p - 1) == ' ') && b(p) != ' ') {
+        // try to span k tokens from p, single spaces between
+        var i = p
+        var tok = 0
+        var ok = true
+        while (ok && tok < k) {
+          val st = i
+          while (i < n && b(i) != ' ') i += 1
+          if (i == st) ok = false
+          else {
+            tok += 1
+            if (tok < k) {
+              if (i < n && b(i) == ' ') i += 1 else ok = false
+            }
+          }
+        }
+        if (ok && tok == k)
+          out.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, p, i)))
+      }
+      p += 1
+    }
+    val arr = new Array[AnyRef](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   private val md5Local: ThreadLocal[java.security.MessageDigest] =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =

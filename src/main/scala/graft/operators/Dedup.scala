@@ -27,8 +27,13 @@ object Dedup {
     * stage; documents are size-bounded so the array is too. */
   private def shingleArrays(docs: DataFrame): DataFrame =
     Tables.spread(docs, col("doc_id"))
-      .select(col("doc_id"), array_distinct(
-        expr("regexp_extract_all(text, '(?<=^| )(?=([^ ]+ [^ ]+ [^ ]+))', 1)"))
+      // native one-pass shingle kernel (r17) — byte-exact twin of the
+      // regexp_extract_all + array_distinct composition (ShinglesSpec
+      // pins element-for-element equality, corpus included); deletes
+      // the Java-regex lookaround machinery from the hottest scan
+      // stage of the dedup family
+      .select(col("doc_id"),
+        graft.expressions.TextColumns.shingles(col("text"), 3)
         .as("sh_arr"))
       // noPushdown (r17): left bare, PushPredicateThroughNonJoin
       // inlines the regex into this predicate (twice — size() and
@@ -275,8 +280,8 @@ object Dedup {
     * so the matrix is spec-checkable on constructed corpora. */
   private[graft] def sourceOverlapOf(docs: DataFrame): DataFrame = {
     val ss = docs
-      .select(col("source"), explode(array_distinct(
-        expr("regexp_extract_all(text, '(?<=^| )(?=([^ ]+ [^ ]+ [^ ]+))', 1)")))
+      .select(col("source"), explode(
+        graft.expressions.TextColumns.shingles(col("text"), 3))
         .as("shingle"))
       .distinct()
       .localCheckpoint()
@@ -368,11 +373,10 @@ object Dedup {
     * shingle-for-shingle — spec-proven through a file round trip. */
   private[graft] def decontaminateAgainst(docs: DataFrame,
       benchShingles: DataFrame, k: Int): DataFrame = {
-    val pat = "(?<=^| )(?=(" + Seq.fill(k)("[^ ]+").mkString(" ") + "))"
     Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"),
-        explode(array_distinct(regexp_extract_all(
-          TextOps.normalized(col("text")), lit(pat), lit(1)))).as("shingle"))
+        explode(graft.expressions.TextColumns.shingles(
+          TextOps.normalized(col("text")), k)).as("shingle"))
       .join(broadcast(benchShingles), Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_shingles"))
@@ -383,13 +387,12 @@ object Dedup {
     * width. */
   private[graft] def decontaminateOf(docs: DataFrame, isBench: Column,
       k: Int): DataFrame = {
-    // zero-width match anchored at each token start captures the
-    // overlapping k-gram (see shingleArrays for why not transform)
-    val pat = "(?<=^| )(?=(" + Seq.fill(k)("[^ ]+").mkString(" ") + "))"
+    // the native kernel captures the overlapping k-gram at each token
+    // start (see shingleArrays; ShinglesSpec pins regex equality)
     val sh = Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"), isBench.as("is_bench"),
-        explode(array_distinct(regexp_extract_all(
-          TextOps.normalized(col("text")), lit(pat), lit(1)))).as("shingle"))
+        explode(graft.expressions.TextColumns.shingles(
+          TextOps.normalized(col("text")), k)).as("shingle"))
     val bench = sh.filter(col("is_bench")).select("shingle").distinct()
     sh.filter(!col("is_bench"))
       .join(bench, Seq("shingle"))

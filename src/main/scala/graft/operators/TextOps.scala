@@ -1010,9 +1010,8 @@ object TextOps {
     * corpus, no join wider than O(docs). */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val tgd = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
-      .select(col("doc_id"), explode(array_distinct(
-        expr("regexp_extract_all(regexp_replace(lower(trim(text)), '\\\\s+', ' '), " +
-          "'(?<=^| )(?=([^ ]+ [^ ]+ [^ ]+))', 1)"))).as("tg"))
+      .select(col("doc_id"), explode(graft.expressions.TextColumns.shingles(
+        normalized(col("text")), 3)).as("tg"))
       .localCheckpoint()
     val nNew = tgd.groupBy(col("tg")).agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Pins [[graft.expressions.ShinglesExpr]] (the r17 native tokenize
+  * kernel) byte-for-byte to the regex composition it replaces:
+  * `array_distinct(regexp_extract_all(text,
+  * '(?<=^| )(?=(tok( tok){k-1}))', 1))` — element order included
+  * (first occurrence), on adversarial constructed strings AND on the
+  * real sf0.001 corpus at both shipped widths (3 for the dedup
+  * family, 8 for the decontamination screens). */
+class ShinglesSpec extends AnyFunSpec with Matchers {
+  private lazy val spark = GraftSession.create("4")
+
+  private def regexPat(k: Int): String =
+    "(?<=^| )(?=(" + Seq.fill(k)("[^ ]+").mkString(" ") + "))"
+
+  private def bothWays(texts: Seq[String], k: Int): Unit = {
+    import spark.implicits._
+    val df = texts.toDF("text")
+    val got = df.select(
+        graft.expressions.TextColumns.shingles(col("text"), k).as("a"),
+        array_distinct(regexp_extract_all(col("text"),
+          lit(regexPat(k)), lit(1))).as("b"))
+      .collect()
+    got.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"kernel != regex for k=$k text=${t.take(80)}")
+    }
+  }
+
+  describe("ShinglesExpr vs the regex composition") {
+    it("agrees on adversarial constructed strings (k=3)") {
+      bothWays(Seq(
+        "", " ", "   ", "a", "a b", "a b c", "a b c d",
+        "a  b c d",            // double space breaks the span
+        " a b c",              // leading space
+        "a b c ",              // trailing space
+        "a\tb c d",            // tab is a token byte, not a split
+        "a\nb c d e",          // newline inside a token
+        "x x x x x",           // repeats collapse distinct
+        "héllo wörld ünïcode f",  // multi-byte UTF-8
+        "a b c b c d c d e",   // overlapping repeated trigrams
+        "ab cd ef gh"), 3)
+    }
+    it("agrees on adversarial constructed strings (k=8)") {
+      bothWays(Seq(
+        "", "a b c d e f g", "a b c d e f g h", "a b c d e f g h i",
+        "a  b c d e f g h i", "t t t t t t t t t t t t"), 8)
+    }
+    it("agrees element-for-element on the real sf0.001 corpus (k=3 and k=8)") {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("text"))
+      Seq(3, 8).foreach { k =>
+        val diff = docs.select(
+            graft.expressions.TextColumns.shingles(col("text"), k).as("a"),
+            array_distinct(regexp_extract_all(col("text"),
+              lit(regexPat(k)), lit(1))).as("b"))
+          .filter(!(col("a") <=> col("b")))
+          .count()
+        assert(diff == 0L, s"kernel diverges from regex on corpus at k=$k")
+      }
+    }
+    it("null text yields null, matching the regex path") {
+      import spark.implicits._
+      val r = Seq[String](null).toDF("text")
+        .select(graft.expressions.TextColumns.shingles(col("text"), 3))
+        .collect()(0)
+      assert(r.isNullAt(0))
+    }
+  }
+}
