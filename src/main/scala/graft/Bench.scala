@@ -201,6 +201,15 @@ object Bench {
       java.nio.file.Files.write(bp,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    // The driver's round-over-round machinery keeps only a ~2000-char
+    // tail of stdout; the full contract line above is ~25 KB (283
+    // queries × per-rep arrays), so the tail slices into the middle of
+    // it and the parse fails (PERF_r15..r17 all have parsed: null).
+    // Emit a compact totals-only summary as the LAST stdout line —
+    // small enough to always survive the tail — while the full line
+    // (still printed above, and written verbatim to bench_results.json)
+    // remains the per-query record. Measurement methodology unchanged.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"passes":$Reps,"calib_s":$calib,"sf":${js(sfDir)},"full_line":${js(outPath)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

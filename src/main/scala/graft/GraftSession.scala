@@ -23,6 +23,20 @@ object GraftSession {
       // would block them).
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor (r18). With parallelismFirst (default on)
+      // AQE coalesces small shuffles down to minPartitionSize=1m; this
+      // engine's post-shuffle stages carry CPU-DENSE per-row work
+      // (sliding-window array folds, signature batteries), so at small
+      // input sizes a 1m floor funnels whole window stages onto 1-2
+      // cores (profiled: ts_ewma's window stage ran as 2 tasks /
+      // 1.36 s task time on a 2.4 MB shuffle; the ts_* family A/B is
+      // ×0.91 normalized at 64k, window-heavy members ×0.47). At
+      // cluster scale heavy stages are governed by
+      // advisoryPartitionSizeInBytes (unchanged, 64m) — the floor only
+      // binds on tiny shuffles (report tails), where extra parallelism
+      // is harmless. Env-tunable for cluster profiles.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE_BYTES", "64k"))
       // InferFiltersFromGenerate synthesizes `isnotnull(arr) AND
       // size(arr) > 0` under every explode; when the array is a
       // COMPUTED column (the tokenize/shingle projections all over

@@ -103,7 +103,24 @@ object Tables {
     val sess = df.sparkSession
     val par = sess.sparkContext.defaultParallelism
     val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Size signal from the FILE-SOURCE LEAVES of the analyzed plan
+    // (r18): `relation.sizeInBytes` answers from the already-listed
+    // FileIndex — no Catalyst optimizer pass. The r17 gate forced a
+    // full analyze+optimize of the input subtree per call (26 sites),
+    // spending in exactly the driver-planning bucket that round
+    // measured as the dominant bench-scale cost, and post-filter
+    // optimizer estimates are unreliable anyway. Raw file size
+    // over-estimates a filtered input and unknown-size leaves
+    // (checkpointed RDDs) count as zero — both err toward KEEPING the
+    // repartition, the direction that preserves the local plan and
+    // only skips the shuffle when the scan is provably already
+    // parallel. Gating decisions at both bench SFs are identical to
+    // r17 (estimate far below one split either way; plans unchanged).
+    val est = df.queryExecution.analyzed.collectLeaves().map {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.stats.sizeInBytes
+      case _ => BigInt(0)
+    }.sum
     if (est >= BigInt(maxSplit) * par) df
     else df.repartition(par, key)
   }

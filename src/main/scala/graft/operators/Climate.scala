@@ -2436,11 +2436,17 @@ object Climate {
     * duplicate-position and tie cases) is brute-force-gated in
     * ClimateSpec. */
   private[graft] def nearestNeighborOf(st: DataFrame): DataFrame = {
+    // LAZY pins (r18): stP and pos still materialize exactly once —
+    // the cell table's EAGER pin below ([[nearestDistinctOf]]) sits at
+    // the end of the linear stP → pos → cells lineage, so its one job
+    // persists all three before any concurrent reader (pid2, the
+    // mapping joins) exists. The r17 eager pins here were two of this
+    // query's five serializing barrier jobs (31-job lane).
     val stP = st.select(col("user_id"), col("lat"), col("lon"))
-      .localCheckpoint() // read by the position agg, pid2 agg, mapping
+      .localCheckpoint(eager = false) // read by position agg, pid2 agg, mapping
     val pos = stP.groupBy(col("lat"), col("lon"))
       .agg(min(col("user_id")).as("pid"), count(lit(1)).as("n_at"))
-      .localCheckpoint() // read by the cell search and the mapping
+      .localCheckpoint(eager = false) // read by the cell search and the mapping
     // second-lowest id per multi-station position: the within-
     // position neighbor of the representative itself
     val pid2 = stP
@@ -2557,7 +2563,12 @@ object Climate {
         date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
       .agg(floor(sum(floor(col("value") * 100 + 0.5).cast("long"))
         .cast("double") * 100.0 / count(lit(1)) + 0.5).cast("long").as("m_u"))
-      .localCheckpoint()
+      // LAZY pin (r18): the neighbor search's eager cell pin is the
+      // first consumer and sits downstream of a LINEAR lineage through
+      // daily, so daily is persisted by that one job and the two
+      // pairing joins below read the cache — one events aggregation,
+      // no standalone barrier job.
+      .localCheckpoint(eager = false)
     val st = daily.select(col("user_id")).distinct()
       .withColumn("lat", pseudoLat(col("user_id")))
       .withColumn("lon", pseudoLon(col("user_id")))
@@ -2743,18 +2754,23 @@ object Climate {
       .localCheckpoint()
     var converged = false
     while (!converged) {
-      val next = ptr
+      // the composition join already sees old (py, px — the join key)
+      // and new (py2, px2) side by side, so the round's MOVED flag is
+      // computed in the same pass and pinned with it (r18): the
+      // convergence probe is then a trivial filter over the persisted
+      // blocks instead of a second keyed self-join job per round —
+      // same fixpoint test (any pointer moved?), half the per-round
+      // jobs and no probe shuffle.
+      val step = ptr
         .join(ptr.select(col("gy").as("py"), col("gx").as("px"),
           col("py").as("py2"), col("px").as("px2")), Seq("py", "px"))
         .select(col("gy"), col("gx"),
-          col("py2").as("py"), col("px2").as("px"))
+          col("py2").as("npy"), col("px2").as("npx"),
+          (col("py2") =!= col("py") || col("px2") =!= col("px")).as("moved"))
         .localCheckpoint()
-      converged = next
-        .join(ptr.select(col("gy"), col("gx"),
-          col("py").as("opy"), col("px").as("opx")), Seq("gy", "gx"))
-        .filter(col("py") =!= col("opy") || col("px") =!= col("opx"))
-        .isEmpty
-      ptr = next
+      converged = step.filter(col("moved")).isEmpty
+      ptr = step.select(col("gy"), col("gx"),
+        col("npy").as("py"), col("npx").as("px"))
     }
     val basins = ptr.groupBy(col("py"), col("px"))
       .agg(count(lit(1)).as("basin_n"))

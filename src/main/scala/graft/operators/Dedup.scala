@@ -666,31 +666,23 @@ object Dedup {
       docs.filter(col("doc_id") % 10 >= 8))
   }
 
-  /** Pin the in-flow index only past this many index docs. The pin
-    * (localCheckpoint) trades a fixed materialization cost for
-    * collapsing two signature passes into one: at index scale the
-    * signature pass dominates and the pin wins (sf1: 8.0 → 7.0 s);
-    * for a small screening corpus the duplicated pass is cheap and
-    * the materialization buys nothing (A/B-measured neutral at
-    * sf0.1 — ~2.8 s either way on the r11 host; the r9→r10
-    * 1.85→2.96 s move reproduces at the PRE-pin commit too, i.e.
-    * host drift, not the pin), so small indexes skip the pin and
-    * its memory footprint. The probe is a one-column count over the
-    * raw docs — no signature work. */
-  private[graft] val IndexPinMinDocs = 10000L
-
   private[graft] def dedupIncrementalOf(indexDocs: DataFrame,
       batchDocs: DataFrame): DataFrame = {
-    // in-flow wiring signs the index HERE; pin it (conditionally —
-    // see [[IndexPinMinDocs]]) so the counts derivation and the
-    // admissible-bucket membership read share ONE signature pass
-    // (steady-state deployments load both artifacts from parquet
-    // instead — the 4-arg overload)
-    val idx = minhashIndex(indexDocs)
-    val indexBuckets =
-      if (indexDocs.count() >= IndexPinMinDocs) idx.localCheckpoint()
-      else idx
-    dedupIncrementalAgainst(indexBuckets, indexDocs, batchDocs)
+    // in-flow wiring signs the index HERE; a LAZY pin (r18) makes the
+    // counts derivation and the admissible-bucket membership read
+    // share ONE index signature pass at ANY index size without the
+    // eager pin's serializing barrier: the RDD materializes inside
+    // the admissible-bucket broadcast (whose counts aggregate reaches
+    // it first) and the membership read reuses the persisted blocks
+    // — the two readers are strictly ordered by the broadcast
+    // dependency, so no concurrent-stage double-compute is possible.
+    // This retires the r17 IndexPinMinDocs gate (which existed only
+    // to spare small indexes the eager materialization job) and its
+    // count() probe job. Steady-state deployments load both
+    // artifacts from parquet instead — the 4-arg overload.
+    dedupIncrementalAgainst(
+      minhashIndex(indexDocs).localCheckpoint(eager = false),
+      indexDocs, batchDocs)
   }
 
   /** The SECOND published index artifact: per-bucket membership
@@ -723,11 +715,17 @@ object Dedup {
   def dedupIncrementalAgainst(indexBuckets: DataFrame,
       indexDocs: DataFrame, batchDocs: DataFrame): DataFrame =
     // counts derived in-flow from this very membership cannot be out
-    // of sync — drop the stamp so the 4-arg consistency gate (whose
-    // membership count() would re-run the in-flow signature pass
-    // here, not a footer read) skips
+    // of sync — derive them DIRECTLY (r18): no snapshot stamp (whose
+    // consistency gate would re-run the in-flow signature pass here,
+    // not a footer read), no stamp cross-join, and no eager pin — the
+    // aggregate is read exactly once (the cap gate), so it plans
+    // into the same query as the screen instead of costing a
+    // serializing materialization job. [[minhashIndexCounts]] stays
+    // the PUBLISHED-artifact builder (stamped, pinned for its own
+    // double read); this in-flow path just doesn't need any of that.
     dedupIncrementalAgainst(indexBuckets,
-      minhashIndexCounts(indexBuckets).drop("snapshot_rows"),
+      indexBuckets.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("idx_n")),
       indexDocs, batchDocs)
 
   /** Screen a batch against a PREBUILT (typically parquet-loaded)
@@ -791,9 +789,20 @@ object Dedup {
     }
     val all = indexDocs.select("doc_id", "text")
       .unionByName(batchDocs.select("doc_id", "text"))
-    // the batch's own membership — the only fresh signature work;
-    // pinned: the delta aggregate and the candidate side both read it
-    val batchB = rawBandBuckets(shingleArrays(batchDocs)).localCheckpoint()
+    // the batch's own membership — the only fresh signature work.
+    // LAZY pin (r18): its two readers are strictly ordered (the delta
+    // aggregate runs inside the admissible-bucket BROADCAST build;
+    // the candidate-side union sits above a join on that broadcast,
+    // so its stage cannot start until the broadcast — and therefore
+    // batchB's materialization — is done), so the batch signature
+    // pass still runs exactly once, without the eager pin's
+    // serializing job. Same for `bk` and `candSh` below: the r17
+    // eager chain planned 5 barrier jobs back-to-back; the lanes now
+    // plan as one query and only `cand` (an expensive diamond read
+    // by three downstream subtrees whose stages CAN run
+    // concurrently) keeps an eager materialization point.
+    val batchB = rawBandBuckets(shingleArrays(batchDocs))
+      .localCheckpoint(eager = false)
     val admissible = broadcast(admissibleBuckets(indexCounts, batchB))
     // the single membership read: index partners inside admissible
     // buckets only
@@ -802,7 +811,7 @@ object Dedup {
       .withColumn("is_new", lit(false))
       .unionByName(batchB.join(admissible, Seq("band", "bh"))
         .withColumn("is_new", lit(true)))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val cand = bk.filter(col("is_new"))
       .select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(bk.select(col("doc_id").as("doc_b"), col("is_new").as("b_new"),
@@ -816,7 +825,7 @@ object Dedup {
     // tokenize only the candidate sliver for verification (the
     // minhashLsh semi-join-under-the-regex discipline)
     val candSh = shingleArrays(all.join(candIds, Seq("doc_id"), "left_semi"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // best-match argmax as a map-side `max(struct)` (r17): picks the
     // identical (jaccard desc, partner-id asc) row the row_number
     // window did, but as a hash aggregate with partial combine — no

@@ -538,12 +538,20 @@ object Zarr {
       chunkT: Int, chunkY: Int, chunkX: Int): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
-    val days = cells.select(col("day")).distinct()
-      .as[String].collect().sorted.toIndexedSeq
-    val lats = cells.select(col("lat")).distinct()
-      .as[Double].collect().sorted.toIndexedSeq
-    val lons = cells.select(col("lon")).distinct()
-      .as[Double].collect().sorted.toIndexedSeq
+    // ONE axis-collection job (r18): the three per-axis
+    // distinct+collect jobs fused into a single aggregate —
+    // collect_set ≡ distinct (hash equality on the same values),
+    // sort_array ascending ≡ the .sorted the driver did (ASCII day
+    // strings and finite doubles — identical order), and the
+    // aggregate partial-combines map-side. Same bounded O(nt+ny+nx)
+    // driver transfer, two fewer jobs + plan fragments per encode.
+    val axesRow = cells.agg(
+      sort_array(collect_set(col("day"))).as("days"),
+      sort_array(collect_set(col("lat"))).as("lats"),
+      sort_array(collect_set(col("lon"))).as("lons")).head()
+    val days = axesRow.getSeq[String](0).toIndexedSeq
+    val lats = axesRow.getSeq[Double](1).toIndexedSeq
+    val lons = axesRow.getSeq[Double](2).toIndexedSeq
     val day0 = java.time.LocalDate.parse(days.head)
     val tVals = days.map(d =>
       java.time.temporal.ChronoUnit.DAYS.between(

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The scale-adaptive [[Tables.spread]] gate (r17) has two branches:
+  * repartition (always taken at bench SFs — plan-identity-audited) and
+  * SKIP (taken when the file-source leaves already yield ≥ parallelism
+  * scan splits, i.e. at cluster scale). The skip branch was never
+  * exercised by the oracle harness; this spec forces it (a tiny
+  * `maxPartitionBytes` makes any non-empty input "already parallel")
+  * and re-runs one oracle-pinned query from each spread-consuming
+  * family through it, asserting byte-identical results vs the normal
+  * session — i.e. none of the spread consumers depends on the
+  * repartition's partitioning for its VALUES (the r17 claim, now
+  * pinned by a test instead of an audit note). */
+class SpreadGateSpec extends SparkSpec {
+
+  // Force the gate with a 4 KB split size (every spread-consumed table
+  // at sf0.001 is ≥ 64 KB ≥ 4 cores × 4 KB) and zero file-open cost so
+  // the scans stay at a sane few-dozen splits — maxPartitionBytes=1
+  // would flip the gate too but makes every scan one task per BYTE.
+  private def skipSession() = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", "4k")
+    s2.conf.set("spark.sql.files.openCostInBytes", "0")
+    s2
+  }
+
+  test("spread: forced skip branch returns the input frame itself") {
+    val s2 = skipSession()
+    val docs = Tables.documents(s2, sf)
+    // skip branch = identity (no RepartitionByExpression node at all)
+    assert(Tables.spread(docs, col("doc_id")) eq docs)
+    // and the normal session still takes the repartition branch
+    val normal = Tables.spread(Tables.documents(spark, sf), col("doc_id"))
+    assert(normal.queryExecution.logical.toString
+      .contains("RepartitionByExpression"))
+  }
+
+  test("spread consumers are partition-insensitive: skip-branch results equal repartition-branch results") {
+    val s2 = skipSession()
+    // one oracle-pinned query per spread-consuming family:
+    // shingle/token text (documents), simhash, token stats, source
+    // matrix, embedding dedup (embeddings), multimodal (media table)
+    val picks = Seq("dedup_ngram_jaccard", "dedup_simhash", "token_count",
+      "source_overlap", "dedup_embedding", "multimodal_dedup")
+    picks.foreach { q =>
+      val a = SparkEntry.queries(q)(spark, sf)
+        .collect().map(_.toString).sorted
+      val b = SparkEntry.queries(q)(s2, sf)
+        .collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"$q results differ through the skip branch")
+    }
+  }
+}
