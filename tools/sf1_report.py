@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""sf1 bench comparison: r18 32c vs r16 32c baseline, and 32c vs 8c
+core-scaling ratios per family. Usage:
+  python3 tools/sf1_report.py bench_sf1_r18.json bench_sf1_r16.json [bench_sf1_r18_c8.json]
+"""
+import json, math, sys
+from collections import defaultdict
+
+now = json.load(open(sys.argv[1]))
+prev = json.load(open(sys.argv[2])) if len(sys.argv) > 2 else None
+c8 = json.load(open(sys.argv[3])) if len(sys.argv) > 3 else None
+
+nn = now['calib_s']
+print("now:  total=%.1f calib=%.4f n_ok=%d n_err=%d" % (now['value'], nn, now['n_ok'], now['n_err']))
+if prev:
+    np_ = prev['calib_s']
+    common = [k for k in now['queries'] if k in prev['queries']]
+    print("prev: total=%.1f calib=%.4f n_ok=%d" % (prev['value'], np_, prev['n_ok']))
+    print("normalized total ratio (common set): x%.3f" % (
+        (sum(now['queries'][k] for k in common)/nn) / (sum(prev['queries'][k] for k in common)/np_)))
+    rs = sorted(((k, (now['queries'][k]/nn)/(prev['queries'][k]/np_)) for k in common), key=lambda kv: kv[1])
+    print("geomean x%.3f  improved>10%%: %d  regressed>10%%: %d  (n=%d)" % (
+        math.exp(sum(math.log(r) for _, r in rs)/len(rs)),
+        sum(1 for _, r in rs if r < 0.9), sum(1 for _, r in rs if r > 1.1), len(rs)))
+    print("best 12:")
+    for k, r in rs[:12]: print("  %-30s %7.3f -> %7.3f  x%.2f" % (k, prev['queries'][k], now['queries'][k], r))
+    print("worst 8:")
+    for k, r in rs[-8:]: print("  %-30s %7.3f -> %7.3f  x%.2f" % (k, prev['queries'][k], now['queries'][k], r))
+if c8:
+    n8 = c8['calib_s']
+    fams = defaultdict(lambda: [0.0, 0.0, 0])
+    for k, v in now['queries'].items():
+        if k in c8['queries']:
+            f = k.split('_')[0]
+            fams[f][0] += v / nn
+            fams[f][1] += c8['queries'][k] / n8
+            fams[f][2] += 1
+    print("\n8c/32c calib-normalized ratio by family (4.0 = perfect core scaling on CPU-bound work):")
+    t32 = sum(v[0] for v in fams.values()); t8 = sum(v[1] for v in fams.values())
+    for f, (a, b, n) in sorted(fams.items(), key=lambda kv: -kv[1][0]):
+        print("  %-12s 32c=%7.1f s  8c=%7.1f s  ratio %.2f  (%d queries)" % (f, a * nn, b * nn, b / a, n))
+    print("  %-12s 32c=%7.1f s  8c=%7.1f s  ratio %.2f" % ("TOTAL", t32 * nn, t8 * nn, t8 / t32))
+    rs8 = sorted(((k, (c8['queries'][k]/n8)/(now['queries'][k]/nn)) for k in now['queries'] if k in c8['queries']), key=lambda kv: -kv[1])
+    print("most core-sensitive (top 10):")
+    for k, r in rs8[:10]: print("  %-30s 32c %.2f s -> 8c %.2f s  ratio %.2f" % (k, now['queries'][k], c8['queries'][k], r))
