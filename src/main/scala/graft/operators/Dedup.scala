@@ -598,24 +598,32 @@ object Dedup {
   def minhashIndex(docs: DataFrame): DataFrame =
     rawBandBuckets(shingleArrays(docs))
 
-  private def cappedCandidatesFrom(buckets: DataFrame): DataFrame = {
-    // pin the O(docs·bands) bucket table: both self-join sides read
-    // it, and unpinned each re-runs the whole 64-hash signature pass
-    // (plan-audited — the signature computation is the operator's
-    // dominant cost)
-    val capped = buckets
-      .filter(col("bucket_n") <= BucketCap)
-      .localCheckpoint()
-    capped.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-      .join(capped.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
-        Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+  /** Within-bucket candidate pairs from RAW (doc_id, band, bh)
+    * membership — ONE hash aggregate, r18. The r17 shape window-
+    * counted the O(docs·bands) bucket table (a full sort by
+    * (band, bh) — sf1 profile: 11.4 s of task time), pinned the
+    * capped rows, and self-joined them (two more reads + a join —
+    * 6.1 s). A bucket's pairs are a pure function of its member
+    * list, so: group to (bucket → sorted members), drop buckets over
+    * [[BucketCap]] (size(members) ≡ the window's bucket_n — each doc
+    * appears once per band by construction), and expand the ≤
+    * C(50,2) ordered pairs IN-ROW. Same pair set bit-for-bit
+    * (sorted members ⇒ a < b exactly as the old filter), no window
+    * sort, no self-join, no pin — the expansion volume is
+    * O(buckets · cap²) worst case, the same bound the join had. */
+  private def cappedCandidatesFrom(buckets: DataFrame): DataFrame =
+    buckets.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+      .filter(size(col("ms")).between(2, BucketCap))
+      .select(explode(expr(
+        "flatten(transform(ms, (a, i) -> transform(" +
+          "slice(ms, i + 2, size(ms) - i - 1), " +
+          "b -> named_struct('doc_a', a, 'doc_b', b))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-  }
 
   private def minhashCandidates(shArr: DataFrame): DataFrame =
-    cappedCandidatesFrom(bandBuckets(shArr))
+    cappedCandidatesFrom(rawBandBuckets(shArr))
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
